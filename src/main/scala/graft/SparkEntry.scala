@@ -1,13 +1,572 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators._
+import graft.sources.Tables
+import graft.streaming.Events
+
+/** Driver contract: one `queries` entry per operator in SURVEY.md §2, with a
+  * DuckDB oracle in `oracleSql` where the semantics are SQL-expressible.
+  *
+  * Determinism rules used throughout (see SURVEY.md §5):
+  *  - every query has an ORDER BY on a unique key,
+  *  - double measures are summed exactly via decimal(18,x) then cast back,
+  *  - similarity scores are rounded AFTER ranking on the raw value.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Exact, order-independent sum of a double measure. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qDimJoin(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ relational
+
+  private def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  private def qFilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_discount").between(0.03, 0.07))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice").cast("decimal(18,2)") * (lit(1.0) - col("l_discount")).cast("decimal(8,4)"), 2)
+          .cast("double")
+          .as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def qDimJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+
+  private def qHierarchyFlatten(s: SparkSession, d: String): DataFrame = {
+    val facts = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("c_custkey"),
+        concat(lit("R"), col("r_regionkey"), lit("/N"), col("n_nationkey"), lit("/C"), col("c_custkey"))
+          .as("path"))
+    val dim = Relational.diagonalConcat(Seq(
+      Tables.region(s, d).select(concat(lit("R"), col("r_regionkey")).as("id"), col("r_name").as("name")),
+      Tables.nation(s, d).select(concat(lit("N"), col("n_nationkey")).as("id"), col("n_name").as("name"))))
+    Hierarchy.flatten(facts, dim, "path", "id", "name", Seq(1 -> "region_name", 2 -> "nation_name"))
+      .select("c_custkey", "region_name", "nation_name")
+      .orderBy("c_custkey")
+  }
+
+  private def qDiagonalUnion(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("id"), lit("orders").as("src"), col("o_totalprice").as("amount"))
+    val l = Tables.lineitem(s, d)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        lit("lineitem").as("src"),
+        col("l_quantity").as("qty"))
+    Relational.diagonalConcat(Seq(o, l)).orderBy("src", "id")
+  }
+
+  private def qConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Relational.sumIfAnyNotNull(nullif(col("l_tax"), lit(0.0)).cast("decimal(18,4)"))
+          .cast("double")
+          .as("sum_tax"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    Reshape.pivotWide(
+      Tables.lineitem(s, d),
+      idCols = Seq("l_linestatus"),
+      keyCol = "l_returnflag",
+      valueCol = col("l_quantity").cast("decimal(18,2)"),
+      knownKeys = Seq("A", "N", "R"))
+      .select(
+        col("l_linestatus"),
+        col("A").cast("double").as("qty_A"),
+        col("N").cast("double").as("qty_N"),
+        col("R").cast("double").as("qty_R"))
+      .orderBy("l_linestatus")
+
+  private def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Reshape.unpivotLong(
+      qPivot(s, d),
+      idCols = Seq("l_linestatus"),
+      valueCols = Seq("qty_A", "qty_N", "qty_R"),
+      varName = "returnflag",
+      valName = "qty")
+      .orderBy("l_linestatus", "returnflag")
+
+  private def qPeriodFanout(s: SparkSession, d: String): DataFrame =
+    Periods.replicateQuarters(
+      Tables.nation(s, d).select(col("n_nationkey"), lit("202412").as("period")),
+      "period",
+      2024,
+      Seq("03", "06", "09", "12"))
+      .orderBy("n_nationkey", "period")
+
+  private def qSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("status", lit("with_orders"))
+    val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("status", lit("without_orders"))
+    Relational.diagonalConcat(Seq(withO, withoutO))
+      .select("c_mktsegment", "status", "n")
+      .orderBy("status", "c_mktsegment")
+  }
+
+  private def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("n_name").asc_nulls_first)
+
+  // ------------------------------------------------------------- functions
+
+  private def qNormalizeText(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), normalize_text(col("p_name")).as("norm_name"))
+      .orderBy("p_partkey")
+
+  private def qMultiReplace(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        multi_replace(col("text"), Seq("scan" -> "SCAN", "join" -> "JOIN")).as("t"))
+      .orderBy("doc_id")
+
+  private def qDeterministicId(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), deterministic_id(col("c_name")).as("cid"))
+      .orderBy("c_custkey")
+
+  private def qPeriodParse(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyyMM").as("period"))
+      .distinct()
+      .withColumn("period_date", Periods.periodToDate(col("period")))
+      .orderBy("period")
+
+  private def qAgeSexStandardize(s: SparkSession, d: String): DataFrame = {
+    val label = concat(
+      when(col("c_custkey") % 2 === 0, lit("Féminin")).otherwise(lit("Masculin")),
+      lit(", "),
+      when(col("c_acctbal") < 5000.0, lit("<15 ans")).otherwise(lit("15 ans et plus")))
+    val mapping = Seq(
+      "Féminin, <15" -> "F_<15 ans",
+      "Féminin, 15" -> "F_>15 ans",
+      "Masculin, <15" -> "M_<15 ans",
+      "Masculin, 15" -> "M_>15 ans")
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        label.as("label"),
+        standardize_label(label, mapping, "nosex_noage").as("std"))
+      .orderBy("c_custkey")
+  }
+
+  // --------------------------------------------------------------- rules
+
+  private def lineitemRules: Seq[Rules.Rule] = Seq(
+    Rules.Rule("high_discount", col("l_discount") > 0.06, 3, "RED"),
+    Rules.Rule("tax_too_high", col("l_tax") >= 0.07, 2, "ORANGE"),
+    Rules.Rule("bulk_quantity", col("l_quantity") > 45.0, 1, "YELLOW"))
+
+  private def qRulesFlag(s: SparkSession, d: String): DataFrame =
+    Rules.applyRules(Tables.lineitem(s, d), lineitemRules)
+      .filter(col("rule_flag").isNotNull)
+      .select("l_orderkey", "l_linenumber", "rule_flag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def qRulesSplit(s: SparkSession, d: String): DataFrame = {
+    val (consistent, inconsistent) = Rules.splitConsistent(Tables.lineitem(s, d), lineitemRules)
+    Relational.diagonalConcat(Seq(
+      consistent.agg(count(lit(1)).as("n")).withColumn("part", lit("consistent")),
+      inconsistent.agg(count(lit(1)).as("n")).withColumn("part", lit("inconsistent"))))
+      .select("part", "n")
+      .orderBy("part")
+  }
+
+  // --------------------------------------------------------------- fuzzy
+
+  private def qFuzzyMatch(s: SparkSession, d: String): DataFrame =
+    FuzzyMatch.bestMatch(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+      "c_name",
+      Tables.nation(s, d),
+      "n_name")
+      .select(col("c_custkey"), col("matched"), round(col("match_score"), 6).as("match_score"))
+      .orderBy("c_custkey")
+
+  private def qTokenSetRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), token_set_ratio(col("text"), lit("spark query join table")).as("score"))
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------------- dedup
+
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("keep_id")
+
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashBands(Tables.documents(s, d), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bands"), sum(col("band_key")).as("bands_checksum"))
+      .orderBy("doc_id")
+
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def qDedupJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.ngramJaccardTopK(docs, docs.filter(col("doc_id") < 5), "doc_id", "text", k = 3)
+      .select(col("query_id"), col("doc_id"), round(col("jaccard"), 6).as("jaccard"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // ----------------------------------------------------------- similarity
+
+  private def qCosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // -------------------------------------------------------- text analysis
+
+  private def qLangId(s: SparkSession, d: String): DataFrame = {
+    val scores = TextAnalysis.langScores(col("text"))
+    Tables.documents(s, d)
+      .select(
+        Seq(col("doc_id")) ++
+          scores.map { case (lang, c) => c.as(s"score_$lang") } :+
+          TextAnalysis.langId(col("text")).as("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  private def qTextQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+
+  private def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id") +: TextAnalysis.tokenCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+
+  private def qFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprintSummary(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      .select(
+        col("doc_id"),
+        col("media_meta.byte_len").cast("long").as("byte_len"),
+        col("media_meta.mime").as("mime"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ streaming
+
+  private def qEventWindow(s: SparkSession, d: String): DataFrame =
+    Events.hourlyAggBatch(Tables.events(s, d))
+      .orderBy("event_date", "event_hour", "event_type")
+
+  private def qSessionize(s: SparkSession, d: String): DataFrame =
+    Events.sessionizeBatch(Tables.events(s, d))
+      .select(
+        col("user_id"),
+        col("session_idx"),
+        col("n_events"),
+        col("first_event_id"),
+        col("duration_us"))
+      .orderBy("user_id", "session_idx")
+
+  private def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------- entry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_filter_project" -> (qFilterProject _),
+    "q_dim_join" -> (qDimJoin _),
+    "q_hierarchy_flatten" -> (qHierarchyFlatten _),
+    "q_diagonal_union" -> (qDiagonalUnion _),
+    "q_conditional_agg" -> (qConditionalAgg _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_period_fanout" -> (qPeriodFanout _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_rollup" -> (qRollup _),
+    "q_normalize_text" -> (qNormalizeText _),
+    "q_multi_replace" -> (qMultiReplace _),
+    "q_deterministic_id" -> (qDeterministicId _),
+    "q_period_parse" -> (qPeriodParse _),
+    "q_age_sex_standardize" -> (qAgeSexStandardize _),
+    "q_rules_flag" -> (qRulesFlag _),
+    "q_rules_split" -> (qRulesSplit _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_token_set_ratio" -> (qTokenSetRatio _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_cosine_topk" -> (qCosineTopK _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_lang_id" -> (qLangId _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_event_window" -> (qEventWindow _),
+    "q_sessionize" -> (qSessionize _),
+    "q_json_extract" -> (qJsonExtract _))
+
+  /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
+    * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount BETWEEN 0.03 AND 0.07
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_dim_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_hierarchy_flatten" ->
+      """WITH facts AS (
+           SELECT c_custkey,
+                  'R' || r_regionkey || '/N' || n_nationkey || '/C' || c_custkey AS path
+           FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey),
+         dim AS (
+           SELECT 'R' || r_regionkey AS id, r_name AS name FROM region
+           UNION ALL
+           SELECT 'N' || n_nationkey AS id, n_name AS name FROM nation)
+         SELECT f.c_custkey, d1.name AS region_name, d2.name AS nation_name
+         FROM facts f
+         LEFT JOIN dim d1 ON split_part(f.path, '/', 1) = d1.id
+         LEFT JOIN dim d2 ON split_part(f.path, '/', 2) = d2.id
+         ORDER BY f.c_custkey""",
+    "q_diagonal_union" ->
+      """SELECT o_orderkey AS id, 'orders' AS src, o_totalprice AS amount, CAST(NULL AS DOUBLE) AS qty
+         FROM orders
+         UNION ALL
+         SELECT l_orderkey * 10 + l_linenumber, 'lineitem', CAST(NULL AS DOUBLE), l_quantity
+         FROM lineitem
+         ORDER BY src, id""",
+    "q_conditional_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(NULLIF(l_tax, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_pivot" ->
+      """SELECT l_linestatus,
+                CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_A,
+                CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_N,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_R
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_unpivot" ->
+      """WITH pivoted AS (
+           SELECT l_linestatus,
+                  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_A,
+                  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_N,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_R
+           FROM lineitem GROUP BY l_linestatus)
+         SELECT l_linestatus, rf AS returnflag, qty FROM (
+           SELECT l_linestatus, 'qty_A' AS rf, qty_A AS qty FROM pivoted
+           UNION ALL SELECT l_linestatus, 'qty_N', qty_N FROM pivoted
+           UNION ALL SELECT l_linestatus, 'qty_R', qty_R FROM pivoted)
+         ORDER BY l_linestatus, returnflag""",
+    "q_period_fanout" ->
+      """SELECT n_nationkey, '2024' || s.sfx AS period
+         FROM nation CROSS JOIN (VALUES ('03'), ('06'), ('09'), ('12')) s(sfx)
+         ORDER BY n_nationkey, period""",
+    "q_semi_anti" ->
+      """SELECT c_mktsegment, 'with_orders' AS status, COUNT(*) AS n
+         FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         GROUP BY c_mktsegment
+         UNION ALL
+         SELECT c_mktsegment, 'without_orders' AS status, COUNT(*) AS n
+         FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         GROUP BY c_mktsegment
+         ORDER BY status, c_mktsegment""",
+    "q_window_rank" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders)
+         WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
+    "q_rollup" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name) ORDER BY n_name NULLS FIRST""",
+    "q_normalize_text" ->
+      """SELECT p_partkey,
+                lower(replace(replace(trim(regexp_replace(strip_accents(p_name), '[^a-zA-Z0-9_ -]', '', 'g')), 'public', ''), '-', ' ')) AS norm_name
+         FROM part ORDER BY p_partkey""",
+    "q_multi_replace" ->
+      """SELECT doc_id, replace(replace(text, 'scan', 'SCAN'), 'join', 'JOIN') AS t
+         FROM documents ORDER BY doc_id""",
+    "q_deterministic_id" ->
+      """SELECT c_custkey, md5(lower(trim(c_name))) AS cid FROM customer ORDER BY c_custkey""",
+    "q_period_parse" ->
+      """SELECT DISTINCT strftime(o_orderdate, '%Y%m') AS period,
+                CAST(strptime(strftime(o_orderdate, '%Y%m') || '01', '%Y%m%d') AS DATE) AS period_date
+         FROM orders ORDER BY period""",
+    "q_age_sex_standardize" ->
+      """WITH labeled AS (
+           SELECT c_custkey,
+                  (CASE WHEN c_custkey % 2 = 0 THEN 'Féminin' ELSE 'Masculin' END) || ', ' ||
+                  (CASE WHEN c_acctbal < 5000.0 THEN '<15 ans' ELSE '15 ans et plus' END) AS label
+           FROM customer)
+         SELECT c_custkey, label,
+                CASE WHEN label LIKE '%Féminin, <15%' THEN 'F_<15 ans'
+                     WHEN label LIKE '%Féminin, 15%' THEN 'F_>15 ans'
+                     WHEN label LIKE '%Masculin, <15%' THEN 'M_<15 ans'
+                     WHEN label LIKE '%Masculin, 15%' THEN 'M_>15 ans'
+                     ELSE 'nosex_noage' END AS std
+         FROM labeled ORDER BY c_custkey""",
+    "q_rules_flag" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_discount > 0.06 THEN 'RED'
+                     WHEN l_tax >= 0.07 THEN 'ORANGE'
+                     WHEN l_quantity > 45.0 THEN 'YELLOW' END AS rule_flag
+         FROM lineitem
+         WHERE (CASE WHEN l_discount > 0.06 THEN 'RED'
+                     WHEN l_tax >= 0.07 THEN 'ORANGE'
+                     WHEN l_quantity > 45.0 THEN 'YELLOW' END) IS NOT NULL
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_rules_split" ->
+      """SELECT CASE WHEN l_discount > 0.06 OR l_tax >= 0.07 OR l_quantity > 45.0
+                     THEN 'inconsistent' ELSE 'consistent' END AS part,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY part""",
+    "q_fuzzy_match" ->
+      """WITH scored AS (
+           SELECT c_custkey, n_name,
+                  1.0 - CAST(levenshtein(c_name, n_name) AS DOUBLE) / CAST(greatest(length(c_name), length(n_name)) AS DOUBLE) AS s
+           FROM customer CROSS JOIN nation),
+         ranked AS (
+           SELECT c_custkey, n_name, s,
+                  ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY s DESC, n_name) AS rn
+           FROM scored)
+         SELECT c_custkey, n_name AS matched, ROUND(s, 6) AS match_score
+         FROM ranked WHERE rn = 1 ORDER BY c_custkey""",
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+           FROM scored)
+         SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
+    "q_lang_id" ->
+      """WITH scores AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\ba\b')) + len(regexp_extract_all(lower(text), '\bof\b')) AS BIGINT) AS score_en,
+                  CAST(len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bla\b')) + len(regexp_extract_all(lower(text), '\bet\b')) AS BIGINT) AS score_fr,
+                  CAST(len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bund\b')) + len(regexp_extract_all(lower(text), '\bdie\b')) AS BIGINT) AS score_de,
+                  CAST(len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\by\b')) + len(regexp_extract_all(lower(text), '\bque\b')) AS BIGINT) AS score_es
+           FROM documents)
+         SELECT doc_id, score_en, score_fr, score_de, score_es,
+                CASE WHEN score_en > 0 AND score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+                     WHEN score_fr > 0 AND score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+                     WHEN score_de > 0 AND score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+                     WHEN score_es > 0 AND score_es = greatest(score_en, score_fr, score_de, score_es) THEN 'es'
+                     ELSE 'und' END AS pred_lang
+         FROM scores ORDER BY doc_id""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
+                ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+                ROUND(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE) / CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1) AS DOUBLE), 6) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                'application/octet-stream' AS mime
+         FROM documents ORDER BY doc_id""",
+    "q_event_window" ->
+      """SELECT CAST(ts AS DATE) AS event_date, CAST(hour(ts) AS INTEGER) AS event_hour, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY event_date, event_hour, event_type""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, us,
+                      CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS newf
+               FROM e),
+         g AS (SELECT user_id, event_id, us,
+                      CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_idx
+               FROM f)
+         SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event_id,
+                MAX(us) - MIN(us) AS duration_us
+         FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""")
 }

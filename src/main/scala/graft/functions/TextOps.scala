@@ -1,0 +1,247 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM static helpers behind graft's native Catalyst expressions.
+  *
+  * Every method is a pure function over `UTF8String`/primitives so it can be
+  * invoked from whole-stage codegen via `StaticInvoke` (the generated code
+  * calls the static forwarders on this object's class) — no UDF boxing, no
+  * serialization, null handling done by the expression layer
+  * (`propagateNull = true`).
+  *
+  * Behavioral reference (what, not how):
+  *  - normalize: /root/reference/update_pnls_report/utils.py:546 `normalize_text`
+  *  - tokenSetRatio: /root/reference/update_pnls_report/utils.py:434
+  *    `find_best_match` (fuzzywuzzy token_set_ratio; re-implemented from the
+  *    publicly documented rapidfuzz formulation: normalized InDel similarity
+  *    over token-set combinations)
+  *  - simhash/minhash/fingerprints: standard public algorithms (Charikar
+  *    SimHash; Broder MinHash; Schleimer et al. winnowing) used for the
+  *    training-data dedup operators.
+  */
+object TextOps {
+
+  private val CleanPattern = "[^\\w\\s-]".r
+
+  /** NFD-normalize, strip combining accents, drop non `[\w\s-]`, trim,
+    * remove "public", '-' -> ' ', lowercase. Mirrors the reference's
+    * `normalize_text` semantics exactly (including its quirky
+    * replace-then-lower ordering). */
+  def normalize(s: UTF8String): UTF8String = {
+    val input = s.toString
+    val nfd = Normalizer.normalize(input, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    val cleaned = CleanPattern.replaceAllIn(sb.toString, "")
+    UTF8String.fromString(
+      cleaned.trim.replace("public", "").replace("-", " ").toLowerCase)
+  }
+
+  // ---------------------------------------------------------------- fuzzy
+
+  /** Indel distance (Levenshtein with substitution cost 2) — the distance
+    * underlying rapidfuzz's `ratio`. Equivalent to |a|+|b| - 2*LCS(a,b). */
+  private def indelDistance(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    // LCS via single-row DP.
+    val m = b.length
+    val row = new Array[Int](m + 1)
+    var i = 0
+    while (i < a.length) {
+      var prev = 0 // row(j) from previous i at j-1
+      val ca = a.charAt(i)
+      var j = 0
+      while (j < m) {
+        val cur = row(j + 1)
+        row(j + 1) =
+          if (ca == b.charAt(j)) prev + 1
+          else math.max(row(j + 1), row(j))
+        prev = cur
+        j += 1
+      }
+      i += 1
+    }
+    a.length + b.length - 2 * row(m)
+  }
+
+  private def indelRatio(a: String, b: String): Double = {
+    val total = a.length + b.length
+    if (total == 0) 1.0
+    else 1.0 - indelDistance(a, b).toDouble / total
+  }
+
+  /** token_set_ratio in [0, 100]: sort-unique tokens of both sides, compare
+    * (intersection) vs (intersection + diffs) combinations, take the max
+    * normalized InDel similarity. */
+  def tokenSetRatio(left: UTF8String, right: UTF8String): Int = {
+    import scala.collection.immutable.SortedSet
+    val ta = SortedSet.from(left.toString.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val tb = SortedSet.from(right.toString.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val inter = ta.intersect(tb)
+    val diffA = ta.diff(tb)
+    val diffB = tb.diff(ta)
+    val t0 = inter.mkString(" ")
+    val t1 = (if (t0.isEmpty) "" else t0 + (if (diffA.nonEmpty) " " else "")) + diffA.mkString(" ")
+    val t2 = (if (t0.isEmpty) "" else t0 + (if (diffB.nonEmpty) " " else "")) + diffB.mkString(" ")
+    if (inter.isEmpty && (diffA.isEmpty || diffB.isEmpty)) {
+      // one side empty after tokenization
+      if (diffA.isEmpty && diffB.isEmpty) return 100
+    }
+    val best = math.max(indelRatio(t0, t1), math.max(indelRatio(t0, t2), indelRatio(t1, t2)))
+    math.round(best * 100).toInt
+  }
+
+  // ------------------------------------------------------------- hashing
+
+  /** FNV-1a 64-bit over a char range — deterministic, allocation-free. */
+  private def fnv64(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  private def splitTokens(s: String): Array[String] =
+    s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Charikar SimHash (64-bit) over whitespace word unigrams. */
+  def simhash64(s: UTF8String): Long = {
+    val toks = splitTokens(s.toString)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = mix64(fnv64(toks(t), 0, toks(t).length))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Hash set of word k-shingles (k consecutive tokens). */
+  private def shingleHashes(s: String, k: Int): Array[Long] = {
+    val toks = splitTokens(s)
+    if (toks.length < k) {
+      if (toks.isEmpty) return Array.empty
+      return Array(mix64(fnv64(toks.mkString(" "), 0, toks.mkString(" ").length)))
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + k <= toks.length) {
+      val sh = toks.slice(i, i + k).mkString(" ")
+      out.add(mix64(fnv64(sh, 0, sh.length)))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    arr
+  }
+
+  /** MinHash signature: n independent permutations h_i(x) = mix64(x ^ seed_i),
+    * min over the doc's k-shingle hashes. Returns LongArray ArrayData for
+    * direct use as an `ArrayType(LongType)` Catalyst value. */
+  def minhashSig(s: UTF8String, numHashes: Int, shingleK: Int): ArrayData = {
+    val shingles = shingleHashes(s.toString, shingleK)
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val seed = mix64(0x9e3779b97f4a7c15L * (i + 1))
+      var best = Long.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        val h = mix64(shingles(j) ^ seed)
+        if (h < best) best = h
+        j += 1
+      }
+      sig(i) = if (shingles.isEmpty) 0L else best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Exact n-gram (word k-shingle) Jaccard similarity. */
+  def ngramJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val sa = shingleHashes(a.toString, k)
+    val sb = shingleHashes(b.toString, k)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    // both sorted (TreeSet order) -> merge count
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter)
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): rolling
+    * window of size w over k-shingle hashes, keep each window's min (rightmost
+    * on ties), dedup. Sorted ascending for determinism. */
+  def fingerprints(s: UTF8String, shingleK: Int, window: Int): ArrayData = {
+    val toks = splitTokens(s.toString)
+    val n = toks.length - shingleK + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val sh = toks.slice(i, i + shingleK).mkString(" ")
+      hs(i) = mix64(fnv64(sh, 0, sh.length))
+      i += 1
+    }
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    if (n <= window) {
+      var min = hs(0); i = 1
+      while (i < n) { if (hs(i) <= min) min = hs(i); i += 1 }
+      picked.add(min)
+    } else {
+      i = 0
+      while (i + window <= n) {
+        var min = hs(i); var j = i + 1
+        while (j < i + window) { if (hs(j) <= min) min = hs(j); j += 1 }
+        picked.add(min)
+        i += 1
+      }
+    }
+    val arr = new Array[Long](picked.size)
+    val it = picked.iterator()
+    var j2 = 0
+    while (it.hasNext) { arr(j2) = it.next(); j2 += 1 }
+    new GenericArrayData(arr)
+  }
+}

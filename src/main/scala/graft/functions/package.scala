@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** graft's scalar function surface.
+  *
+  * Everything here is either a composition of Spark built-ins (codegen'd for
+  * free) or a native Catalyst `StaticInvoke` expression into [[functions.TextOps]]
+  * (also codegen'd — the generated code calls a static JVM method directly,
+  * no UDF encode/decode). No Scala/Python UDFs anywhere on the hot path.
+  */
+package object functions {
+
+  // Note: StaticInvoke's `inputTypes` is skipped (AbstractDataType is
+  // private[sql]); call sites pass correctly-typed columns.
+  private def invoke(name: String, dt: DataType, args: Seq[Column]): Column =
+    GraftSql.column(
+      StaticInvoke(
+        TextOps.getClass,
+        dt,
+        name,
+        args.map(GraftSql.expression),
+        propagateNull = true,
+        returnNullable = false))
+
+  /** Accent-strip + sanitize + casefold normalization.
+    * Behavior of reference utils.py:546 `normalize_text`. */
+  def normalize_text(c: Column): Column =
+    invoke("normalize", StringType, Seq(c))
+
+  /** fuzzywuzzy-style token_set_ratio in [0,100].
+    * Behavior of reference utils.py:434 `find_best_match`'s scorer. */
+  def token_set_ratio(a: Column, b: Column): Column =
+    invoke("tokenSetRatio", IntegerType, Seq(a, b))
+
+  /** 64-bit Charikar SimHash of whitespace tokens. */
+  def simhash64(c: Column): Column =
+    invoke("simhash64", LongType, Seq(c))
+
+  /** Hamming distance between two simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    invoke("hamming64", IntegerType, Seq(a, b))
+
+  /** MinHash signature (array of `numHashes` longs) over word `shingleK`-shingles. */
+  def minhash_sig(c: Column, numHashes: Int, shingleK: Int): Column =
+    invoke(
+      "minhashSig",
+      ArrayType(LongType, containsNull = false),
+      Seq(c, GraftSql.column(Literal(numHashes)), GraftSql.column(Literal(shingleK))))
+
+  /** Exact word-k-shingle Jaccard similarity of two texts. */
+  def ngram_jaccard(a: Column, b: Column, k: Int): Column =
+    invoke(
+      "ngramJaccard",
+      DoubleType,
+      Seq(a, b, GraftSql.column(Literal(k))))
+
+  /** Winnowing fingerprints (sorted array of longs). */
+  def fingerprint_set(c: Column, shingleK: Int, window: Int): Column =
+    invoke(
+      "fingerprints",
+      ArrayType(LongType, containsNull = false),
+      Seq(c, GraftSql.column(Literal(shingleK)), GraftSql.column(Literal(window))))
+
+  /** Deterministic content id — hex digest of the (lowercased, trimmed) key.
+    * Same role as reference utils.py:420 `generate_org_unit_uuid` (stable id
+    * from a name); md5 so any engine can reproduce it. */
+  def deterministic_id(c: Column): Column = md5(to_binary(lower(trim(c)), lit("utf-8")))
+
+  /** Ordered multi-substring replacement.
+    * Behavior of reference utils.py:252 `multi_replace`. */
+  def multi_replace(c: Column, replacements: Seq[(String, String)]): Column =
+    replacements.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+
+  /** Compile a label-standardization mapping (e.g. raw sex/age-group labels to
+    * canonical codes) into one codegen'd CASE WHEN chain — the declarative
+    * twin of reference utils.py:318 `standardize_column` / utils.py:269
+    * `process_column`, which loop over a dict per row in Python. First
+    * matching (contains) key wins; `default` otherwise. */
+  def standardize_label(c: Column, mapping: Seq[(String, String)], default: String): Column =
+    mapping.foldRight(lit(default)) { case ((needle, canon), acc) =>
+      when(c.contains(needle), lit(canon)).otherwise(acc)
+    }
+
+  /** Cosine similarity between two double/float array columns, computed with
+    * codegen'd higher-order built-ins (zip_with + aggregate) — sequential
+    * left-to-right fold, so results are bit-stable across engines. */
+  def cosine_sim(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast(DoubleType))
+    val bd = transform(b, x => x.cast(DoubleType))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(ad, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(bd, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+}

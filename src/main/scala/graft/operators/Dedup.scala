@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Training-data deduplication operators.
+  *
+  * All of them follow the same scale discipline: candidate generation is a
+  * key-equality join on a banded/bucketed key (one shuffle, co-partitioned),
+  * never an O(n²) cartesian; verification runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized content hash. One hash aggregate. Returns
+    * one row per distinct key: the kept representative (min id) and the
+    * duplicate count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(to_binary(lower(trim(col(textCol))), lit("utf-8"))).as("content_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures banded for LSH: explodes each doc into `bands` rows
+    * keyed by (band index, hash of the band's signature slice).
+    * Output: idCol, band, band_key. Join this to itself on (band, band_key)
+    * to get candidate pairs.
+    */
+  def minHashBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol), minhash_sig(col(textCol), numHashes, shingleK).as("__sig"))
+      .withColumn(
+        "__band",
+        explode(array((0 until bands).map(b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64(lit(b), slice(col("__sig"), b * rows + 1, rows)).as("band_key"))): _*)))
+      .select(col(idCol), col("__band.band").as("band"), col("__band.band_key").as("band_key"))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
+    * n-gram Jaccard. Pairs are deduped across bands before the (expensive)
+    * verification, and id1 < id2 canonical ordering halves the join output.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val banded = minHashBands(df, idCol, textCol, numHashes, bands, shingleK)
+    val l = banded.select(col(idCol).as("id1"), col("band"), col("band_key"))
+    val r = banded.select(col(idCol).as("id2"), col("band"), col("band_key"))
+    val candidates = l
+      .join(r, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    val texts = df.select(col(idCol), col(textCol))
+    candidates
+      .join(texts.select(col(idCol).as("id1"), col(textCol).as("__t1")), "id1")
+      .join(texts.select(col(idCol).as("id2"), col(textCol).as("__t2")), "id2")
+      .withColumn("jaccard", ngram_jaccard(col("__t1"), col("__t2"), shingleK))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** SimHash per doc plus 16-bit band keys for near-dup candidate joins
+    * (hamming distance <= 3 over 64 bits => at least one of 4 bands equal). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhash64(col(textCol)).as("simhash"))
+
+  def simHashCandidates(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val hashed = simHash(df, idCol, textCol)
+    val banded = hashed
+      .withColumn(
+        "__band",
+        explode(array((0 until 4).map(b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_key"))): _*)))
+      .select(col("*"), col("__band.band").as("band"), col("__band.band_key").as("band_key"))
+      .drop("__band")
+    val l = banded.select(col(idCol).as("id1"), col("simhash").as("__h1"), col("band"), col("band_key"))
+    val r = banded.select(col(idCol).as("id2"), col("simhash").as("__h2"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming64(col("__h1"), col("__h2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard top-k neighbors for a small broadcast query set —
+    * the verification primitive, also useful standalone for "find docs most
+    * similar to these". */
+  def ngramJaccardTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      shingleK: Int = 3): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(textCol).as("__qt")))
+    val scored = corpus
+      .select(col(idCol).as("doc_id2"), col(textCol).as("__t"))
+      .join(q)
+      .filter(col("doc_id2") =!= col("query_id"))
+      .withColumn("jaccard", ngram_jaccard(col("__qt"), col("__t"), shingleK))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("jaccard").desc, col("doc_id2").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id2").as("doc_id"), col("jaccard"), col("rnk"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Core relational operators the reference relies on, re-expressed as
+  * declarative Spark plans.
+  */
+object Relational {
+
+  /** Schema-tolerant union — Polars `concat(how="diagonal_relaxed")`
+    * (reference pipeline.py:326): union by column name, columns missing on
+    * either side become nulls. Pure `unionByName`, so it stays a zero-shuffle
+    * narrow Union node that AQE can pack.
+    */
+  def diagonalConcat(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+  /** Null-preserving sum: SUM that yields NULL when every input in the group
+    * is NULL. This is plain SQL-standard SUM — Spark's built-in already has
+    * the semantics the reference hand-builds in Polars with
+    * `when(col.is_not_null().any()).then(sum).otherwise(None)`
+    * (extract_pec_data.py:141-152). Kept as a named operator so intent is
+    * explicit at call sites; compiles to a partial (map-side) aggregate.
+    */
+  def sumIfAnyNotNull(c: Column): Column = sum(c)
+
+  /** Align a frame to an expected column list: add missing columns as typed
+    * nulls and order columns; reference extract_ist_data.py:156-169 (add
+    * expected columns, select in canonical order).
+    */
+  def alignToSchema(df: DataFrame, expected: Seq[(String, DataType)]): DataFrame = {
+    val present = df.columns.toSet
+    val withMissing = expected.foldLeft(df) { case (acc, (name, dt)) =>
+      if (present.contains(name)) acc else acc.withColumn(name, lit(null).cast(dt))
+    }
+    withMissing.select(expected.map { case (n, _) => col(n) }: _*)
+  }
+
+  /** Cast every non-key column to double, round, cast to long — the
+    * reference's type-hygiene pass (extract_ist_data.py:169
+    * `pl.col(pl.NUMERIC_DTYPES).round(0).cast(pl.Int64)`).
+    */
+  def roundNumericsToLong(df: DataFrame, keyCols: Set[String]): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (keyCols.contains(f.name) || !f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        col(f.name)
+      else round(col(f.name).cast("double"), 0).cast("long").as(f.name)
+    }.toSeq: _*)
+}

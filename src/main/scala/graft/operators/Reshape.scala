@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Long<->wide reshaping, the backbone of the reference's report builder. */
+object Reshape {
+
+  /** Pivot long->wide: one column per `keyCol` value, aggregated with `agg`.
+    *
+    * Reference: extract_ist_data.py:95 / extract_pec_data.py:260 (Polars
+    * `.pivot(index, columns, values, aggregate_function="sum")` after
+    * synthesizing the key as `indicator + "_" + coc_name`).
+    *
+    * Scale note: ALWAYS pass `knownKeys` when the key universe is known —
+    * it skips Spark's extra distinct-collect pass over the full fact table
+    * (one whole job at 100 TB) and makes the output schema deterministic.
+    * The pivot itself is a single hash aggregate on `idCols`.
+    */
+  def pivotWide(
+      df: DataFrame,
+      idCols: Seq[String],
+      keyCol: String,
+      valueCol: Column,
+      knownKeys: Seq[String],
+      agg: Column => Column = sum): DataFrame = {
+    val g = df.groupBy(idCols.map(col): _*)
+    val p = if (knownKeys.nonEmpty) g.pivot(keyCol, knownKeys) else g.pivot(keyCol)
+    p.agg(agg(valueCol))
+  }
+
+  /** Unpivot wide->long with a tag column — the reference's
+    * `transform_for_pnls_reporting` (utils.py:214): for each indicator prefix,
+    * melt its value columns into rows tagged with the indicator id, with the
+    * melted column name standardized via `renameValue`.
+    *
+    * Uses native `unpivot` (a generate/expand node, zero shuffle), not a
+    * union of N selects.
+    */
+  def unpivotLong(
+      df: DataFrame,
+      idCols: Seq[String],
+      valueCols: Seq[String],
+      varName: String = "variable",
+      valName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, varName, valName)
+
+  /** Full melt-with-indicator-map. For each `(prefix -> indicatorId)` take the
+    * columns starting with that prefix, unpivot them, tag rows with the
+    * indicator id. Output is the diagonal concat of all indicator blocks —
+    * mirrors utils.py:214-249 exactly but stays one declarative plan.
+    */
+  def meltIndicators(
+      df: DataFrame,
+      idCols: Seq[String],
+      indicatorMap: Seq[(String, Int)],
+      varName: String = "variable",
+      valName: String = "value"): DataFrame = {
+    val blocks = indicatorMap.map { case (prefix, ind) =>
+      val cols = df.columns.filter(_.startsWith(prefix)).toSeq
+      unpivotLong(df.select((idCols ++ cols).map(col): _*), idCols, cols, varName, valName)
+        .withColumn("indicateur", lit(ind))
+    }
+    Relational.diagonalConcat(blocks)
+  }
+}

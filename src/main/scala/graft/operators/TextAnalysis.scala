@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Text-analysis operators for training-data pipelines. All pure column
+  * expressions (single projection, codegen'd, zero shuffle). */
+object TextAnalysis {
+
+  /** Per-language marker-word sets for the n-gram-heuristic language id.
+    * Deliberately tiny and transparent: score(lang) = number of marker-word
+    * occurrences; argmax wins, first-listed language on ties. */
+  val DefaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "fr" -> Seq("le", "la", "et"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "y", "que"))
+
+  private def wordCount(text: Column, word: String): Column =
+    size(regexp_extract_all(lower(text), lit("\\b" + word + "\\b"), lit(0))).cast("long")
+
+  /** (score columns, predicted language). */
+  def langScores(text: Column, markers: Seq[(String, Seq[String])] = DefaultMarkers): Seq[(String, Column)] =
+    markers.map { case (lang, words) =>
+      lang -> words.map(w => wordCount(text, w)).reduce(_ + _)
+    }
+
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = DefaultMarkers): Column = {
+    val scores = langScores(text, markers)
+    // argmax with ties broken by marker list order; 'und' (undetermined) when
+    // every score is zero.
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring feature columns: character/word counts, punctuation and
+    * stopword ratios, mean word length. The standard cheap filters in front
+    * of a training-data pipeline. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val words = size(regexp_extract_all(text, lit("[A-Za-z0-9_]+"), lit(0))).cast("long")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9_\\s]"), lit(0))).cast("long")
+    val stops = size(regexp_extract_all(lower(text), lit("\\b(the|a|of|and|is|in|to)\\b"), lit(0))).cast("long")
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_words" -> words,
+      "punct_ratio" -> round(punct.cast("double") / greatest(length(text), lit(1)).cast("double"), 6),
+      "stopword_ratio" -> round(stops.cast("double") / greatest(words, lit(1)).cast("double"), 6))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens (word pieces +
+    * standalone punctuation), the usual "how many tokens is this corpus"
+    * estimator. */
+  def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long"),
+    "bpe_tokens" -> size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))).cast("long"))
+
+  /** Winnowing fingerprint summary per document: number of fingerprints and
+    * an order-independent checksum (useful as a cheap doc signature for
+    * containment/overlap detection). */
+  def fingerprintSummary(df: DataFrame, idCol: String, textCol: String, k: Int = 3, window: Int = 4): DataFrame =
+    df.select(
+      col(idCol),
+      fingerprint_set(col(textCol), k, window).as("__fps"))
+      .select(
+        col(idCol),
+        size(col("__fps")).as("n_fingerprints"),
+        aggregate(col("__fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_checksum"),
+        element_at(col("__fps"), 1).as("min_fingerprint"))
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loaders over the engine's supported sources.
+  *
+  * The reference ingests parquet resource files (extract_pec_data.py:42),
+  * JSON mappings (extract_naomi_data.py:137) and CSV/Excel sheets
+  * (extract_chu_data.py:36). graft exposes the same surface as thin wrappers
+  * over Spark's vectorized readers so predicate pushdown / column pruning /
+  * partition pruning all apply (Excel is out of scope in this container; its
+  * role — grids of typed cells — is covered by the csv reader).
+  */
+object Tables {
+  def parquet(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  // Named accessors for the synthetic star schema used by the test suite.
+  def lineitem(s: SparkSession, d: String): DataFrame = parquet(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = parquet(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = parquet(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = parquet(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = parquet(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = parquet(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = parquet(s, d, "region")
+  /** The events table carries a nanosecond parquet timestamp, which Spark
+    * only reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set by [[graft.GraftSession]]); expose it as a proper timestamp
+    * (truncated to micros, matching engines that read ns natively). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = parquet(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = parquet(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = parquet(s, d, "embeddings")
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each operator has a batch twin with identical semantics so correctness is
+  * oracle-checkable; the streaming variants use watermarks + state the way a
+  * production Structured Streaming job would.
+  */
+object Events {
+
+  /** Batch twin of the windowed aggregation: events per (day, hour,
+    * event_type) with exact decimal value sums. */
+  def hourlyAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        col("ts").cast("date").as("event_date"),
+        hour(col("ts")).as("event_hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Streaming variant: tumbling 1h window with a 2h watermark. */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").cast("date").as("event_date"),
+        hour(col("window.start")).as("event_hour"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"))
+
+  /** Gap-based sessionization, batch twin: a session breaks after
+    * `gapSeconds` of user inactivity. Exact integer math on epoch
+    * microseconds so any engine reproduces it bit-for-bit. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn(
+        "__new",
+        when(col("__us") - lag(col("__us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("__new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        (max(col("__us")) - min(col("__us"))).as("duration_us"))
+  }
+
+  final case class SessionState(lastUs: Long, sessionIdx: Long)
+  final case class SessionEvent(user_id: Long, event_id: Long, us: Long)
+  final case class SessionAssign(user_id: Long, event_id: Long, session_idx: Long)
+
+  /** Streaming sessionization skeleton via mapGroupsWithState: assigns a
+    * session index to each event as it arrives (per-batch ordering within a
+    * user). Demonstrates the custom-state path; production would add an
+    * event-time timeout eviction. */
+  def assignSessionsStream(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800): Dataset[SessionAssign] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = it.toSeq.sortBy(e => (e.us, e.event_id)).map { e =>
+            val idx =
+              if (st.lastUs != Long.MinValue && e.us - st.lastUs > gapUs) st.sessionIdx + 1
+              else st.sessionIdx
+            st = SessionState(e.us, idx)
+            SessionAssign(user, e.event_id, idx)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Streaming exact dedup on a key with watermarked state — the streaming
+    * member of the dedup family (batch members live in operators.Dedup). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(keyCols)
+}
