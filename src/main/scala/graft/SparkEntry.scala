@@ -244,7 +244,12 @@ object SparkEntry {
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minHashBands(Tables.documents(s, d), "doc_id", "text")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bands"), sum(col("band_key")).as("bands_checksum"))
+      // xor-fold, not sum: band keys are full-range 64-bit hashes, so a sum
+      // overflows LongType under ANSI mode; xor is order-independent and
+      // closed over Long.
+      .agg(
+        count(lit(1)).as("n_bands"),
+        expr("bit_xor(band_key)").as("bands_checksum"))
       .orderBy("doc_id")
 
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
