@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** JVM static helpers for the vector/similarity expressions — invoked from
+  * whole-stage codegen via `StaticInvoke` (see [[graft.functions]]), so the
+  * hot loops below run once per row with no boxing and no per-element
+  * expression-tree evaluation.
+  *
+  * Replaces the previous higher-order-function formulation of the LSH
+  * signature, which expanded to `bits × tables` separate array traversals
+  * (each with a per-element hash expression) and dominated ANN runtime.
+  */
+object VectorOps {
+
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  /** Cosine similarity of two float/double arrays, sequential left-to-right
+    * accumulation (bit-compatible with the zip_with/aggregate formulation and
+    * with engines that fold in index order). Arrays must be equal length. */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Same, for DoubleType arrays. */
+  def cosineSimD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH signature: bit b of the result is the sign of
+    * dot(vec, plane_{table,b}), where plane component (table, b, dim) is a
+    * deterministic ±1 derived from mix64 — the planes are implicit, so the
+    * signature is a stateless one-pass function (no fit step, nothing to
+    * broadcast). Single traversal of the vector for all `bits` planes. */
+  def lshSig(vec: ArrayData, table: Int, bits: Int): Long = {
+    val n = vec.numElements()
+    val acc = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      var b = 0
+      while (b < bits) {
+        val h = mix64(table.toLong * 131071L + b.toLong * 8191L + i.toLong)
+        if ((h & 1L) == 0L) acc(b) += x else acc(b) -= x
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (acc(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

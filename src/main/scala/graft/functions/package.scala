@@ -17,15 +17,21 @@ package object functions {
 
   // Note: StaticInvoke's `inputTypes` is skipped (AbstractDataType is
   // private[sql]); call sites pass correctly-typed columns.
-  private def invoke(name: String, dt: DataType, args: Seq[Column]): Column =
+  private def invokeOn(target: Class[_], name: String, dt: DataType, args: Seq[Column]): Column =
     GraftSql.column(
       StaticInvoke(
-        TextOps.getClass,
+        target,
         dt,
         name,
         args.map(GraftSql.expression),
         propagateNull = true,
         returnNullable = false))
+
+  private def invoke(name: String, dt: DataType, args: Seq[Column]): Column =
+    invokeOn(TextOps.getClass, name, dt, args)
+
+  private def invokeVec(name: String, dt: DataType, args: Seq[Column]): Column =
+    invokeOn(VectorOps.getClass, name, dt, args)
 
   /** Accent-strip + sanitize + casefold normalization.
     * Behavior of reference utils.py:546 `normalize_text`. */
@@ -88,7 +94,9 @@ package object functions {
 
   /** Cosine similarity between two double/float array columns, computed with
     * codegen'd higher-order built-ins (zip_with + aggregate) — sequential
-    * left-to-right fold, so results are bit-stable across engines. */
+    * left-to-right fold, so results are bit-stable across engines. Works for
+    * any numeric element type; for the float-array hot path prefer
+    * [[cosine_sim_float]] (single traversal, no per-element expression tree). */
   def cosine_sim(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast(DoubleType))
     val bd = transform(b, x => x.cast(DoubleType))
@@ -97,4 +105,24 @@ package object functions {
     val nb = aggregate(bd, lit(0.0), (acc, x) => acc + x * x)
     dot / (sqrt(na) * sqrt(nb))
   }
+
+  /** Native one-pass cosine similarity for `array<float>` columns — same
+    * left-to-right double accumulation as [[cosine_sim]] (bit-identical
+    * result), one array traversal instead of five. */
+  def cosine_sim_float(a: Column, b: Column): Column =
+    invokeVec("cosineSim", DoubleType, Seq(a, b))
+
+  /** Native one-pass cosine similarity for `array<double>` columns. */
+  def cosine_sim_double(a: Column, b: Column): Column =
+    invokeVec("cosineSimD", DoubleType, Seq(a, b))
+
+  /** Random-hyperplane LSH signature (`bits` sign bits packed in a long) of
+    * an `array<float>` vector for LSH table `table`. Planes are implicit
+    * (derived from a fixed hash), so this is a stateless one-pass expression:
+    * no fit step, nothing to broadcast. */
+  def lsh_sig(vec: Column, table: Int, bits: Int): Column =
+    invokeVec(
+      "lshSig",
+      LongType,
+      Seq(vec, GraftSql.column(Literal(table)), GraftSql.column(Literal(bits))))
 }

@@ -33,7 +33,7 @@ object Similarity {
       .select(col(idCol).as("vec_id2"), col(vecCol).as("__v"))
       .join(q)
       .filter(col("vec_id2") =!= col("query_id"))
-      .withColumn("sim", cosine_sim(col("__qv"), col("__v")))
+      .withColumn("sim", cosine_sim_float(col("__qv"), col("__v")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id2").asc)
     scored
       .withColumn("rnk", row_number().over(w))
@@ -41,28 +41,13 @@ object Similarity {
       .select(col("query_id"), col("vec_id2").as("vec_id"), col("sim"), col("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane, dim):
-    * a fixed-seed hash mapped to {-1.0, +1.0}. Keeping planes implicit makes
-    * the signature a stateless, codegen'd expression. */
-  private def planeSign(table: Int, plane: Int, dimIdx: Column): Column =
-    when(pmod(xxhash64(lit(table * 131071 + plane * 8191), dimIdx), lit(2)) === 0, lit(1.0))
-      .otherwise(lit(-1.0))
-
-  /** Sign-bit signature of a vector under `bits` hyperplanes for LSH table
-    * `table`: bit b = sign(dot(vec, plane_b)). */
+  /** Sign-bit signature of a vector under `bits` implicit hyperplanes for LSH
+    * table `table`: bit b = sign(dot(vec, plane_b)). Native one-pass
+    * expression ([[graft.functions.VectorOps.lshSig]]) — the previous
+    * higher-order formulation expanded to `bits` separate array traversals
+    * with a per-element hash and dominated ANN runtime. */
   def lshSignature(vec: Column, table: Int, bits: Int): Column =
-    (0 until bits)
-      .map { b =>
-        val dot = aggregate(
-          zip_with(
-            vec,
-            sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") * planeSign(table, b, i)),
-          lit(0.0),
-          (acc, x) => acc + x)
-        when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    lsh_sig(vec, table, bits)
 
   /** LSH-bucketed ANN: candidates = corpus rows sharing any of the L table
     * signatures with the query, scored exactly, top-k per query. */
@@ -91,7 +76,7 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id2")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id2").asc)
     candidates
-      .withColumn("sim", cosine_sim(col("__qv"), col("__v")))
+      .withColumn("sim", cosine_sim_float(col("__qv"), col("__v")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id2").as("vec_id"), col("sim"), col("rnk"))
