@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c.as("r")).head.getAs[T]("r")
+
+  test("normalize_text strips accents, punctuation, 'public', hyphens; lowercases") {
+    val out = Seq("Hôpital Général de Référence — Saint-Luc (public)!")
+      .toDF("s")
+      .select(normalize_text(col("s")))
+      .head
+      .getString(0)
+    assert(out == "hopital general de reference  saint luc ")
+  }
+
+  test("normalize_text is null-safe and stable on ascii") {
+    val rows = Seq(Some("Abc-Def"), None).toDF("s")
+      .select(normalize_text(col("s"))).collect()
+    assert(rows(0).getString(0) == "abc def")
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("token_set_ratio: permutations of the same token set score 100") {
+    assert(eval1[Int](token_set_ratio(lit("fuzzy wuzzy was a bear"), lit("bear a was wuzzy fuzzy"))) == 100)
+  }
+
+  test("token_set_ratio: subset scores 100 (set semantics)") {
+    assert(eval1[Int](token_set_ratio(lit("fuzzy was a bear"), lit("fuzzy fuzzy was a bear"))) == 100)
+  }
+
+  test("token_set_ratio: disjoint strings score low") {
+    assert(eval1[Int](token_set_ratio(lit("alpha beta"), lit("gamma delta"))) < 40)
+  }
+
+  test("simhash64: near-identical docs are close in hamming, unrelated far") {
+    val d1 = "the quick brown fox jumps over the lazy dog in the morning sun"
+    val d2 = "the quick brown fox jumps over the lazy cat in the morning sun"
+    val d3 = "completely different words about database query optimization plans"
+    val near = eval1[Int](hamming64(simhash64(lit(d1)), simhash64(lit(d2))))
+    val far = eval1[Int](hamming64(simhash64(lit(d1)), simhash64(lit(d3))))
+    assert(near < far)
+    assert(near <= 8)
+  }
+
+  test("minhash_sig: identical docs share the whole signature; near docs most of it") {
+    val d1 = "a b c d e f g h i j k l m n o p"
+    val d2 = "a b c d e f g h i j k l m n o q"
+    val sig1 = Seq(1).toDF("x").select(minhash_sig(lit(d1), 64, 3).as("s")).head.getSeq[Long](0)
+    val sig1b = Seq(1).toDF("x").select(minhash_sig(lit(d1), 64, 3).as("s")).head.getSeq[Long](0)
+    val sig2 = Seq(1).toDF("x").select(minhash_sig(lit(d2), 64, 3).as("s")).head.getSeq[Long](0)
+    assert(sig1 == sig1b)
+    val agree = sig1.zip(sig2).count { case (a, b) => a == b }
+    assert(agree > 32, s"only $agree/64 hashes agree for near-duplicates")
+  }
+
+  test("ngram_jaccard: exact values on hand-computable shingle sets") {
+    // k=1 token shingles: {a,b,c} vs {b,c,d} -> 2/4
+    assert(eval1[Double](ngram_jaccard(lit("a b c"), lit("b c d"), 1)) == 0.5)
+    assert(eval1[Double](ngram_jaccard(lit("a b c"), lit("a b c"), 2)) == 1.0)
+    assert(eval1[Double](ngram_jaccard(lit("a b"), lit("c d"), 1)) == 0.0)
+  }
+
+  test("fingerprint_set: deterministic, sorted, subset-stable") {
+    val text = "one two three four five six seven eight nine ten"
+    val fp1 = Seq(1).toDF("x").select(fingerprint_set(lit(text), 3, 4).as("f")).head.getSeq[Long](0)
+    val fp2 = Seq(1).toDF("x").select(fingerprint_set(lit(text), 3, 4).as("f")).head.getSeq[Long](0)
+    assert(fp1 == fp2)
+    assert(fp1 == fp1.sorted)
+    assert(fp1.nonEmpty)
+  }
+
+  test("deterministic_id equals md5 of the lowercased trimmed key") {
+    val out = Seq("  Customer#42 ").toDF("s").select(deterministic_id(col("s"))).head.getString(0)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("customer#42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == expected)
+  }
+
+  test("multi_replace applies replacements in order") {
+    val out = Seq("aa bb").toDF("s")
+      .select(multi_replace(col("s"), Seq("aa" -> "bb", "bb" -> "cc")))
+      .head.getString(0)
+    // first aa->bb turns the string into "bb bb", then bb->cc hits both
+    assert(out == "cc cc")
+  }
+
+  test("standardize_label: first matching contains-key wins, default otherwise") {
+    val c = standardize_label(col("s"), Seq("Fem" -> "F", "Masc" -> "M"), "NA")
+    val out = Seq("Feminin", "Masculin", "???").toDF("s").select(c).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("F", "M", "NA"))
+  }
+
+  test("cosine_sim_float matches the higher-order cosine_sim bit-for-bit") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 2.0f))).toDF("a", "b")
+    val Array(hof, native) = df
+      .select(cosine_sim(col("a"), col("b")), cosine_sim_float(col("a"), col("b")))
+      .head.toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(hof == native)
+  }
+
+  test("lsh_sig: deterministic and within bit range") {
+    val df = Seq(Tuple1(Array(0.5f, -1.0f, 2.0f, 0.1f))).toDF("v")
+    val s1 = df.select(lsh_sig(col("v"), 0, 12)).head.getLong(0)
+    val s2 = df.select(lsh_sig(col("v"), 0, 12)).head.getLong(0)
+    val other = df.select(lsh_sig(col("v"), 1, 12)).head.getLong(0)
+    assert(s1 == s2)
+    assert(s1 >= 0 && s1 < (1L << 12))
+    assert(other >= 0 && other < (1L << 12))
+  }
+}

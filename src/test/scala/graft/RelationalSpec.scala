@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diagonalConcat unions by name and null-fills missing columns") {
+    val a = Seq((1L, "x")).toDF("id", "a_only")
+    val b = Seq((2L, 3.5)).toDF("id", "b_only")
+    val out = Relational.diagonalConcat(Seq(a, b)).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getString(1) == "x" && out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).getDouble(2) == 3.5)
+  }
+
+  test("sumIfAnyNotNull keeps all-null groups null, sums otherwise") {
+    val df = Seq(
+      ("g1", Some(1.0)), ("g1", None), ("g2", None), ("g2", None))
+      .toDF("g", "v")
+    val out = Relational
+      .diagonalConcat(Seq(df))
+      .groupBy("g")
+      .agg(Relational.sumIfAnyNotNull(col("v")).as("s"))
+      .orderBy("g")
+      .collect()
+    assert(out(0).getDouble(1) == 1.0)
+    assert(out(1).isNullAt(1))
+  }
+
+  test("alignToSchema adds typed null columns in canonical order") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val out = Relational.alignToSchema(
+      df,
+      Seq("name" -> StringType, "id" -> LongType, "extra" -> DoubleType))
+    assert(out.columns.toSeq == Seq("name", "id", "extra"))
+    assert(out.schema("extra").dataType == DoubleType)
+    assert(out.head.isNullAt(2))
+  }
+
+  test("roundNumericsToLong rounds non-key numerics and keeps keys") {
+    val df = Seq((1L, 2.6, "k")).toDF("id", "v", "s")
+    val out = Relational.roundNumericsToLong(df, keyCols = Set("id"))
+    val row = out.head
+    assert(row.getLong(0) == 1L)
+    assert(row.getLong(1) == 3L)
+    assert(row.getString(2) == "k")
+  }
+}

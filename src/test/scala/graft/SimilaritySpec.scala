@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy corpus: vec 2 is a scaled copy of vec 1 (cosine 1.0), vec 3
+  // orthogonal-ish, vec 4 negated.
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+    (2L, Array(2.0f, 0.0f, 2.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, -1.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks exact cosine neighbors") {
+    val out = Similarity
+      .bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding", k = 3)
+      .orderBy("rnk")
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L))
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(out(1).getDouble(2)) < 1e-12)
+    assert(math.abs(out(2).getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("lshTopK finds an identical-direction vector (same bucket in every table)") {
+    val out = Similarity
+      .lshTopK(vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding", k = 3, tables = 4, bits = 8)
+      .collect()
+    // vec 2 is exactly collinear with the query -> identical signatures -> must be found
+    assert(out.exists(r => r.getLong(1) == 2L && math.abs(r.getDouble(2) - 1.0) < 1e-12))
+  }
+
+  test("lshTopK high recall on planted near-duplicates over a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val baseVecs = (0 until 50).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    // plant: vec 1000+i = tiny perturbation of vec i for i < 10
+    val planted = (0 until 10).map { i =>
+      val (_, v) = baseVecs(i)
+      (1000L + i, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val corpus = (baseVecs ++ planted).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" >= 1000L)
+    val found = Similarity
+      .lshTopK(corpus, queries, "vec_id", "embedding", k = 1, tables = 8, bits = 8)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val recall = (0 until 10).count(i => found.get(1000L + i).contains(i.toLong))
+    assert(recall >= 8, s"recall $recall/10 too low: $found")
+  }
+}

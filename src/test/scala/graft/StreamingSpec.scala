@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Events
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.5),
+    (2L, ts("2024-01-01 10:20:00"), 7L, "click", 2.5),
+    (3L, ts("2024-01-01 11:05:00"), 7L, "view", 1.0),
+    (4L, ts("2024-01-01 10:10:00"), 9L, "click", 4.0))
+
+  test("hourlyAggStream over a memory source equals the batch twin") {
+    val batchDf = sample.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = Events.hourlyAggBatch(batchDf)
+      .orderBy("event_date", "event_hour", "event_type")
+      .collect()
+      .toSeq
+
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    ms.addData(sample.map(r => (r._1, r._2, r._3, r._4, r._5)))
+    val streamDf = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Events.hourlyAggStream(streamDf)
+      .writeStream
+      .format("memory")
+      .queryName("hourly_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("hourly_out")
+      .orderBy("event_date", "event_hour", "event_type")
+      .collect()
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("assignSessionsStream carries session state across micro-batches") {
+    val ms = MemoryStream[Events.SessionEvent](spark)
+    val q = Events.assignSessionsStream(spark, ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sess_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: two events 10 min apart -> same session
+      ms.addData(Events.SessionEvent(7L, 1L, 0L), Events.SessionEvent(7L, 2L, 600L * 1000000L))
+      q.processAllAvailable()
+      // batch 2: one event 2h after the last -> new session
+      ms.addData(Events.SessionEvent(7L, 3L, 7800L * 1000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_out").orderBy("event_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+  }
+
+  test("dedupStream drops in-watermark duplicate keys") {
+    val ms = MemoryStream[(Long, Timestamp, String)](spark)
+    val streamDf = ms.toDF.toDF("event_id", "ts", "event_type")
+    val q = Events.dedupStream(streamDf, Seq("event_id"))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00"), "a"),
+        (1L, ts("2024-01-01 10:01:00"), "a-dup"),
+        (2L, ts("2024-01-01 10:02:00"), "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("sessionizeBatch splits on the inactivity gap") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 0.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "a", 0.0),
+      (3L, ts("2024-01-01 12:00:00"), 7L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.sessionizeBatch(df).orderBy("session_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 2L) // first session has 2 events
+    assert(out(1).getLong(2) == 1L)
+  }
+}

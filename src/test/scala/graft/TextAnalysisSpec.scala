@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the language with the most marker hits, 'und' when none") {
+    val df = Seq(
+      "the cat sat on a mat of straw",
+      "le chat et la souris",
+      "der hund und die katze",
+      "el perro y que gato",
+      "xyzzy plugh").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "fr", "de", "es", "und"))
+  }
+
+  test("qualityFeatures computes exact counts on a known string") {
+    val text = "Hello, world! The answer is 42."
+    val row = Seq(text).toDF("text")
+      .select(TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .head
+    assert(row.getLong(0) == text.length.toLong)
+    assert(row.getLong(1) == 6L) // Hello world The answer is 42
+    // punctuation: , ! . -> 3 chars
+    assert(math.abs(row.getDouble(2) - 3.0 / text.length) < 1e-6)
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish tokenization") {
+    val row = Seq("don't stop-me now!").toDF("text")
+      .select(TextAnalysis.tokenCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .head
+    assert(row.getLong(0) == 3L) // ws tokens
+    assert(row.getLong(1) == 8L) // don ' t stop - me now !
+  }
+
+  test("fingerprintSummary is deterministic with stable checksum") {
+    val docs = Seq((1L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val a = TextAnalysis.fingerprintSummary(docs, "doc_id", "text").head
+    val b = TextAnalysis.fingerprintSummary(docs, "doc_id", "text").head
+    assert(a == b)
+    assert(a.getInt(1) > 0)
+  }
+}
