@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+import graft.functions.{TextOps, VectorOps}
+
+/** SQL-surface registration for graft's native expressions.
+  *
+  * Activate either programmatically (`SparkSession.builder.withExtensions(new
+  * GraftExtensions)` — [[GraftSession]] does this) or via config
+  * (`spark.sql.extensions=graft.GraftExtensions`), the standard Spark
+  * extension mechanism. Every function lowers to the same `StaticInvoke`
+  * expression as the Scala API in [[graft.functions]] — codegen'd, no UDF
+  * registry, identical semantics in SQL and DataFrame code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def static(
+      target: Class[_],
+      method: String,
+      dt: DataType)(args: Seq[Expression]): Expression =
+    StaticInvoke(target, dt, method, args, propagateNull = true, returnNullable = false)
+
+  private def fn(
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo("graft.GraftExtensions", name, usage), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val longArray = ArrayType(LongType, containsNull = false)
+    Seq(
+      fn("graft_normalize_text", "accent-strip + sanitize + casefold",
+        static(TextOps.getClass, "normalize", StringType)),
+      fn("graft_token_set_ratio", "fuzzy token-set similarity in [0,100]",
+        static(TextOps.getClass, "tokenSetRatio", IntegerType)),
+      fn("graft_simhash64", "64-bit Charikar SimHash of whitespace tokens",
+        static(TextOps.getClass, "simhash64", LongType)),
+      fn("graft_hamming64", "hamming distance of two 64-bit hashes",
+        static(TextOps.getClass, "hamming64", IntegerType)),
+      fn("graft_minhash_sig", "MinHash signature (array<bigint>) over word shingles",
+        static(TextOps.getClass, "minhashSig", longArray)),
+      fn("graft_ngram_jaccard", "exact word k-shingle Jaccard similarity",
+        static(TextOps.getClass, "ngramJaccard", DoubleType)),
+      fn("graft_fingerprints", "winnowing fingerprint set (sorted array<bigint>)",
+        static(TextOps.getClass, "fingerprints", longArray)),
+      fn("graft_cosine_sim", "cosine similarity of two array<float> vectors",
+        static(VectorOps.getClass, "cosineSim", DoubleType)),
+      fn("graft_lsh_sig", "random-hyperplane LSH signature of an array<float> vector",
+        static(VectorOps.getClass, "lshSig", LongType)),
+    ).foreach { case (ident, info, builder) => ext.injectFunction((ident, info, builder)) }
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft functions are callable from plain SQL") {
+    val row = spark.sql(
+      """SELECT graft_normalize_text('Hôpital Général') AS norm,
+        |       graft_token_set_ratio('a b c', 'c b a') AS tsr,
+        |       graft_hamming64(graft_simhash64('x y z'), graft_simhash64('x y z')) AS ham,
+        |       graft_ngram_jaccard('a b c', 'b c d', 1) AS jac
+        |""".stripMargin).head
+    assert(row.getString(0) == "hopital general")
+    assert(row.getInt(1) == 100)
+    assert(row.getInt(2) == 0)
+    assert(row.getDouble(3) == 0.5)
+  }
+
+  test("SQL and DataFrame APIs produce identical values") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val viaSql = spark.sql("SELECT graft_simhash64('the quick brown fox')").head.getLong(0)
+    val viaDf = spark.range(1)
+      .select(simhash64(lit("the quick brown fox"))).head.getLong(0)
+    assert(viaSql == viaDf)
+  }
+
+  test("array-typed SQL functions work on vector literals") {
+    val sim = spark.sql(
+      "SELECT graft_cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), array(cast(1.0 as float), cast(0.0 as float)))")
+      .head.getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+    val sig = spark.sql(
+      "SELECT graft_lsh_sig(array(cast(0.5 as float), cast(-1.0 as float)), 0, 8)").head.getLong(0)
+    assert(sig >= 0 && sig < 256)
+  }
+}
