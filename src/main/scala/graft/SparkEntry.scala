@@ -313,6 +313,82 @@ object SparkEntry {
         col("media_meta.mime").as("mime"))
       .orderBy("doc_id")
 
+  // -------------------------------------------------------------- temporal
+
+  /** As-of join: each purchase event picks up the latest preceding click by
+    * the same user (ties by max click id). Epoch-micros output so both
+    * engines compare on exact integers. */
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Temporal.asofJoin(
+      purchases, clicks,
+      keyCols = Seq("user_id"),
+      leftTime = "p_ts", rightTime = "ts", rightTiebreak = "event_id",
+      rightVals = Seq("event_id" -> "click_id", "ts" -> "c_ts"))
+      .filter(col("click_id").isNotNull)
+      .select(
+        col("purchase_id"),
+        col("user_id"),
+        unix_micros(col("p_ts")).as("pt_us"),
+        col("click_id"),
+        unix_micros(col("c_ts")).as("ct_us"))
+      .orderBy("purchase_id")
+  }
+
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bins = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000.0))
+      .toDF("tier", "lo", "hi")
+    Temporal.rangeJoin(Tables.events(s, d), bins, "value", "lo", "hi")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("tier")
+  }
+
+  /** Rolling 6-month revenue per customer over monthly totals — the
+    * reference's rolling-window period calculus (extract_pec_data.py:193) on
+    * a RANGE frame, so gaps in a customer's months still bound the window. */
+  private def qRollingAgg(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(
+        col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("int").as("month_idx"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__m"))
+    Temporal.rollingAgg(monthly, Seq("o_custkey"), "month_idx", 5, Seq((sum(col("__m")), "__roll")))
+      .select(
+        col("o_custkey"),
+        col("month_idx"),
+        col("__roll").cast("double").as("rolling_6m"))
+      .orderBy("o_custkey", "month_idx")
+  }
+
+  // --------------------------------------------------------------- sketches
+
+  private def qPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(Sketches.exactPercentiles("l_quantity", Seq(0.25, 0.5, 0.75)).as("__p"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("__p"), 1), 6).as("p25"),
+        round(element_at(col("__p"), 2), 6).as("p50"),
+        round(element_at(col("__p"), 3), 6).as("p75"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ distinct-user sketch per event type, with the exact count carried
+    * alongside; rows-only driver check (sketch values are engine-specific),
+    * error bound asserted in SketchesSpec. */
+  private def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Sketches.approxDistinct(ev, Seq("event_type"), "user_id")
+      .join(Sketches.exactDistinct(ev, Seq("event_type"), "user_id"), "event_type")
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ streaming
 
   private def qEventWindow(s: SparkSession, d: String): DataFrame =
@@ -369,6 +445,11 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_rolling_agg" -> (qRollingAgg _),
+    "q_percentile" -> (qPercentile _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_event_window" -> (qEventWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _))
@@ -555,6 +636,38 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                 'application/octet-stream' AS mime
          FROM documents ORDER BY doc_id""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.purchase_id, p.user_id, epoch_us(p.p_ts) AS pt_us,
+                      c.event_id AS click_id, epoch_us(c.ts) AS ct_us,
+                      ROW_NUMBER() OVER (PARTITION BY p.purchase_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+               FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.p_ts)
+         SELECT purchase_id, user_id, pt_us, click_id, ct_us
+         FROM j WHERE rn = 1 ORDER BY purchase_id""",
+    "q_range_join" ->
+      """SELECT b.tier, COUNT(*) AS n,
+                CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e
+         JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000.0)) b(tier, lo, hi)
+           ON e.value >= b.lo AND e.value < b.hi
+         GROUP BY b.tier ORDER BY b.tier""",
+    "q_rolling_agg" ->
+      """WITH monthly AS (
+           SELECT o_custkey,
+                  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INTEGER) AS month_idx,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+           FROM orders GROUP BY 1, 2)
+         SELECT o_custkey, month_idx,
+                CAST(SUM(m) OVER (PARTITION BY o_custkey ORDER BY month_idx
+                     RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_6m
+         FROM monthly ORDER BY o_custkey, month_idx""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+                ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_event_window" ->
       """SELECT CAST(ts AS DATE) AS event_date, CAST(hour(ts) AS INTEGER) AS event_hour, event_type,
                 COUNT(*) AS n_events,

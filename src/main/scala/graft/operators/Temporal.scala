@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join/window operators.
+  *
+  * The reference's period calculus (rolling 6-month windows keyed to quarter
+  * ends, extract_pec_data.py:193) generalizes to two operators Spark lacks as
+  * primitives: the as-of join and the range (interval) join. Both are
+  * implemented in their scalable form:
+  *
+  *  - as-of join: union + one window pass — ONE shuffle on the key, linear
+  *    scan per key, no candidate-pair explosion. This is the plan that
+  *    survives 100 TB: a join-then-rank formulation materializes |L|×|R|/keys
+  *    intermediate rows; the union form never materializes more than the
+  *    input.
+  *  - range join to a tiny bin dimension: broadcast nested-loop on a
+  *    between() predicate — zero shuffle on the fact side.
+  */
+object Temporal {
+
+  /** As-of join: for each `left` row, the single latest `right` row with
+    * `right.timeCol <= left.timeCol` on the same key (ties broken by the
+    * largest `tiebreak`). Left rows with no preceding right row keep nulls —
+    * left-outer semantics.
+    *
+    * @param rightVals right columns to carry onto the left rows (renamed as
+    *                   given); must not collide with left column names
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: String,
+      rightVals: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val outNames = rightVals.map(_._2)
+
+    // Tag sides; right rows sort before left rows at an equal timestamp so
+    // the inclusive (<=) match sees them.
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(null).cast(right.schema(rightTiebreak).dataType))
+    val lAligned = outNames.foldLeft(l) { (acc, n) =>
+      acc.withColumn(n, lit(null).cast(right.schema(rightVals.find(_._2 == n).get._1).dataType))
+    }
+    val r0 = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", col(rightTiebreak))
+    val rRenamed = rightVals.foldLeft(r0) { case (acc, (from, to)) =>
+      if (from == to) acc else acc.withColumn(to, col(from))
+    }
+    val rAligned = leftCols.filterNot(keyCols.contains).foldLeft(rRenamed) { (acc, n) =>
+      acc.withColumn(n, lit(null).cast(left.schema(n).dataType))
+    }
+    val cols = (keyCols ++ leftCols.filterNot(keyCols.contains) ++ Seq("__t", "__side", "__tb") ++ outNames)
+      .map(col)
+    val unioned = lAligned.select(cols: _*).unionByName(rAligned.select(cols: _*))
+
+    // One pass per key: running last-seen right values; window is
+    // rows-unbounded-preceding so it needs no second sort.
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = outNames.foldLeft(unioned) { (acc, n) =>
+      acc.withColumn(n, last(col(n), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__tb")
+  }
+
+  /** Join facts to a small bin dimension on `lo <= v < hi`. The dimension is
+    * broadcast, so the fact side never shuffles (BroadcastNestedLoopJoin).
+    * Out-of-range facts keep null bin columns (left-outer). */
+  def rangeJoin(
+      facts: DataFrame,
+      bins: DataFrame,
+      valueCol: String,
+      loCol: String,
+      hiCol: String): DataFrame =
+    facts.join(
+      broadcast(bins),
+      col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol),
+      "left")
+
+  /** Rolling aggregation over an integer position index (e.g. a month index
+    * `year*12+month`): `agg` over the window `[pos - lookback, pos]` per key.
+    * RANGE frame on the index, so missing months still bound the window
+    * correctly — the declarative twin of the reference's rolling 6-month
+    * windows (extract_pec_data.py:193). One shuffle on the key. */
+  def rollingAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      posCol: String,
+      lookback: Long,
+      aggs: Seq[(Column, String)]): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(posCol))
+      .rangeBetween(-lookback, 0)
+    aggs.foldLeft(df) { case (acc, (c, name)) => acc.withColumn(name, c.over(w)) }
+  }
+}

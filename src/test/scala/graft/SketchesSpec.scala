@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Sketches
+import graft.sources.Tables
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approxDistinct is within the configured error of the exact count") {
+    val ev = Tables.events(spark, sf)
+    val joined = Sketches.approxDistinct(ev, Seq("event_type"), "user_id", rsd = 0.05)
+      .join(Sketches.exactDistinct(ev, Seq("event_type"), "user_id"), "event_type")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val approx = r.getAs[Long]("approx_distinct").toDouble
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("approxQuantiles brackets the exact percentile") {
+    val df = Seq.tabulate(1000)(i => ("g", i.toDouble)).toDF("g", "v")
+    val qs = Sketches.approxQuantiles(df, Seq("g"), "v", Seq(0.5), relativeError = 0.01)
+      .head.getSeq[Double](1)
+    assert(math.abs(qs.head - 499.5) <= 20.0)
+  }
+
+  test("exactPercentiles interpolates like the SQL standard") {
+    val df = Seq.tabulate(5)(i => ("g", i.toDouble)).toDF("g", "v") // 0..4
+    val p = df.groupBy($"g")
+      .agg(Sketches.exactPercentiles("v", Seq(0.25, 0.5)).as("p"))
+      .head.getSeq[Double](1)
+    assert(p == Seq(1.0, 2.0))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    val left = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 50L)).toDF("lid", "k", "lt")
+    val right = Seq((1L, 1L, 5L), (2L, 1L, 40L), (3L, 1L, 60L), (4L, 2L, 50L)).toDF("rid", "k", "rt")
+    val out = Temporal
+      .asofJoin(left, right, Seq("k"), "lt", "rt", "rid", Seq("rid" -> "matched_rid", "rt" -> "matched_rt"))
+      .orderBy("lid")
+      .collect()
+    // lid=100 (t=50): latest right <= 50 is rid=2 (t=40)
+    assert(out(0).getAs[Long]("matched_rid") == 2L)
+    // lid=101 (t=10): rid=1 (t=5)
+    assert(out(1).getAs[Long]("matched_rid") == 1L)
+    // lid=102 (t=50): rid=4 at exactly t=50 -> inclusive
+    assert(out(2).getAs[Long]("matched_rid") == 4L)
+  }
+
+  test("asofJoin keeps unmatched left rows with nulls and breaks ties by max tiebreak") {
+    val left = Seq((100L, 1L, 3L), (101L, 3L, 50L)).toDF("lid", "k", "lt")
+    val right = Seq((1L, 1L, 5L), (7L, 3L, 50L), (8L, 3L, 50L)).toDF("rid", "k", "rt")
+    val out = Temporal
+      .asofJoin(left, right, Seq("k"), "lt", "rt", "rid", Seq("rid" -> "matched_rid"))
+      .orderBy("lid")
+      .collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("matched_rid"))) // no right row <= 3
+    assert(out(1).getAs[Long]("matched_rid") == 8L) // tie at t=50 -> max rid
+  }
+
+  test("rangeJoin bins facts against a broadcast dimension, left-outer") {
+    val facts = Seq((1L, 5.0), (2L, 75.0), (3L, 999.0)).toDF("id", "v")
+    val bins = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0)).toDF("tier", "lo", "hi")
+    val out = Temporal.rangeJoin(facts, bins, "v", "lo", "hi").orderBy("id").collect()
+    assert(out(0).getAs[String]("tier") == "low")
+    assert(out(1).getAs[String]("tier") == "mid")
+    assert(out(2).isNullAt(out(2).fieldIndex("tier"))) // out of every bin
+  }
+
+  test("rollingAgg RANGE frame bounds by index value, not row position") {
+    val df = Seq((1L, 0, 10.0), (1L, 1, 20.0), (1L, 10, 40.0)).toDF("k", "pos", "v")
+    val out = Temporal
+      .rollingAgg(df, Seq("k"), "pos", lookback = 5, Seq((sum(col("v")), "roll")))
+      .orderBy("pos")
+      .collect()
+    assert(out.map(_.getAs[Double]("roll")).toSeq == Seq(10.0, 30.0, 40.0))
+    // pos=10 window is [5,10]: rows at pos 0,1 fall outside even though they
+    // are the two preceding rows
+  }
+}
