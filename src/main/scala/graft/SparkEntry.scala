@@ -305,6 +305,24 @@ object SparkEntry {
     TextAnalysis.fingerprintSummary(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Corpus-level containment summary: for each doc, how many partner docs
+    * share >=1 winnowing fingerprint with it, and the strongest overlap.
+    * Aggregated per doc (not per pair) so the output is stable and small
+    * even on a corpus with no true duplicates. */
+  private def qFingerprintOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = TextAnalysis.fingerprintOverlap(docs, "doc_id", "text", minShared = 1)
+    val bothSides = pairs.select(col("id1").as("doc_id"), col("shared"))
+      .unionByName(pairs.select(col("id2").as("doc_id"), col("shared")))
+    docs.select(col("doc_id"))
+      .join(bothSides, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("shared")).as("n_partners"),
+        coalesce(max(col("shared")), lit(0L)).as("max_shared"))
+      .orderBy("doc_id")
+  }
+
   private def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
       .select(
@@ -444,6 +462,7 @@ object SparkEntry {
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_fingerprint_overlap" -> (qFingerprintOverlap _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),

@@ -48,6 +48,9 @@ object Dedup {
     * n-gram Jaccard. Pairs are deduped across bands before the (expensive)
     * verification, and id1 < id2 canonical ordering halves the join output.
     */
+  /** @param salts >1 spreads each hot band bucket (a giant near-duplicate
+    *              cluster all sharing one band_key) over `salts` reducers via
+    *              [[Skew.saltedJoin]]; output is identical to salts=1. */
   def minHashLsh(
       df: DataFrame,
       idCol: String,
@@ -55,12 +58,15 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      jaccardThreshold: Double = 0.7): DataFrame = {
+      jaccardThreshold: Double = 0.7,
+      salts: Int = 1): DataFrame = {
     val banded = minHashBands(df, idCol, textCol, numHashes, bands, shingleK)
     val l = banded.select(col(idCol).as("id1"), col("band"), col("band_key"))
     val r = banded.select(col(idCol).as("id2"), col("band"), col("band_key"))
-    val candidates = l
-      .join(r, Seq("band", "band_key"))
+    val joined =
+      if (salts > 1) Skew.saltedJoin(l, r, Seq("band", "band_key"), salts)
+      else l.join(r, Seq("band", "band_key"))
+    val candidates = joined
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()

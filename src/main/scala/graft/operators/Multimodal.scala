@@ -36,6 +36,43 @@ object Multimodal {
         xxhash64(col(textCol)).as("content_hash"),
         lit("application/octet-stream").as("mime")).as("media_meta"))
 
+  /** Frame sampling: chunk each payload into fixed-size frames, one output
+    * row per frame with positional metadata — the video/audio "sample every
+    * Nth frame" shape. Pure narrow plan (substring + posexplode Generate
+    * node, zero shuffle); a real codec would replace the byte-slicing with
+    * keyframe extraction and nothing else changes.
+    *
+    * @param stride  emit every `stride`-th frame (1 = all frames)
+    */
+  def sampleFrames(
+      withPayload: DataFrame,
+      idCol: String,
+      frameBytes: Int,
+      stride: Int = 1): DataFrame = {
+    val nFrames = ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("int")
+    withPayload
+      .select(
+        col(idCol),
+        col("payload"),
+        posexplode(
+          transform(
+            sequence(lit(0), greatest(nFrames - 1, lit(0))),
+            i => substring_index_binary(col("payload"), i, frameBytes)))
+          .as(Seq("frame_pos", "frame")))
+      .filter(col("frame_pos") % stride === 0 && length(col("frame")) > 0)
+      .select(
+        col(idCol),
+        col("frame_pos"),
+        col("frame"),
+        struct(
+          length(col("frame")).as("frame_len"),
+          xxhash64(col("frame")).as("frame_hash")).as("frame_meta"))
+  }
+
+  /** Byte-range slice of a binary column: frame `i` of size `frameBytes`. */
+  private def substring_index_binary(payload: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column, frameBytes: Int) =
+    substring(payload, i * frameBytes + 1, lit(frameBytes))
+
   /** STUB decode: deterministic fake features derived from the payload bytes.
     * Replace with a real codec in production; signature and batch shape stay. */
   private def fakeDecode(id: Long, payload: Array[Byte]): MediaFeatures = {

@@ -70,4 +70,41 @@ object TextAnalysis {
         size(col("__fps")).as("n_fingerprints"),
         aggregate(col("__fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_checksum"),
         element_at(col("__fps"), 1).as("min_fingerprint"))
+
+  /** Cross-document overlap via shared winnowing fingerprints (the MOSS
+    * containment detector, Schleimer et al. SIGMOD'03): explode each doc's
+    * fingerprint set, self-join on the print value — a co-partitioned
+    * equality join on a high-cardinality key, ONE shuffle, no pair
+    * explosion outside genuinely shared prints — then score each pair by
+    * shared prints normalized per side (containment, not just Jaccard:
+    * catches a small doc embedded in a big one).
+    *
+    * @param minShared drop pairs sharing fewer prints (noise floor)
+    */
+  def fingerprintOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      window: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val prints = df
+      .select(col(idCol), explode(fingerprint_set(col(textCol), k, window)).as("fp"))
+    val counts = df.select(
+      col(idCol),
+      size(fingerprint_set(col(textCol), k, window)).as("n_fp"))
+    val pairs = prints.select(col(idCol).as("id1"), col("fp"))
+      .join(prints.select(col(idCol).as("id2"), col("fp")), "fp")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(counts.select(col(idCol).as("id1"), col("n_fp").as("n_fp1")), "id1")
+      .join(counts.select(col(idCol).as("id2"), col("n_fp").as("n_fp2")), "id2")
+      .select(
+        col("id1"), col("id2"), col("shared"),
+        round(col("shared") / col("n_fp1"), 6).as("containment1"),
+        round(col("shared") / col("n_fp2"), 6).as("containment2"))
+  }
 }

@@ -16,6 +16,27 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getString(2) == "application/octet-stream")
   }
 
+  test("sampleFrames chunks payloads into positional frames that reassemble") {
+    val docs2 = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
+    val withBin = Multimodal.attachBinary(docs2, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(withBin, "doc_id", frameBytes = 4)
+      .orderBy("frame_pos")
+      .collect()
+    assert(frames.length == 3) // 4+4+2
+    val joined = frames.map(r => new String(r.getAs[Array[Byte]]("frame"), "UTF-8")).mkString
+    assert(joined == "abcdefghij")
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(frames.last.getStruct(3).getInt(0) == 2) // last frame length
+  }
+
+  test("sampleFrames stride keeps every Nth frame") {
+    val docs2 = Seq((1L, "abcdefghijkl")).toDF("doc_id", "text") // 12 bytes, 6 frames of 2
+    val withBin = Multimodal.attachBinary(docs2, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(withBin, "doc_id", frameBytes = 2, stride = 2)
+      .orderBy("frame_pos").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+  }
+
   test("decodeStub is deterministic and partition-parallel") {
     val withBin = Multimodal.attachBinary(docs, "doc_id", "text").repartition(3)
     val a = Multimodal.decodeStub(spark, withBin, "doc_id").collect().sortBy(_.doc_id)

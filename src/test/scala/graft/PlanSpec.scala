@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.sources.Tables
+
+/** Physical-plan audits: the 100 TB posture claims in SURVEY.md §3/§4 as
+  * executable assertions. A query that silently regresses to a shuffle join
+  * or a full-column scan fails here long before it fails at scale.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("dimension joins broadcast the dimension side (zero shuffle on facts)") {
+    val p = plan(SparkEntry.queries("q_dim_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join must not sort-merge:\n$p")
+  }
+
+  test("hierarchy flatten broadcasts every level join") {
+    val p = plan(SparkEntry.queries("q_hierarchy_flatten")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filter+project pushes predicates and prunes columns at the parquet scan") {
+    val p = plan(SparkEntry.queries("q_filter_project")(spark, sf))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate filter not pushed:\n$p")
+    // projection needs 5 of lineitem's 16 columns; the scan schema must not
+    // contain untouched ones
+    assert(!p.contains("l_comment"), s"column pruning failed (l_comment read):\n$p")
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means a map-side combine exists
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregate:\n$p")
+  }
+
+  test("fuzzy match broadcasts the canonical list — no cartesian shuffle") {
+    val p = plan(SparkEntry.queries("q_fuzzy_match")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"fuzzy match fell back to cartesian:\n$p")
+  }
+
+  test("similarity scoring broadcasts the query set — no cartesian shuffle") {
+    val p = plan(SparkEntry.queries("q_cosine_topk")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cosine topk fell back to cartesian:\n$p")
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("LSH candidate generation is an equality join on band keys, never cartesian") {
+    val minhash = plan(
+      graft.operators.Dedup.minHashLsh(Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!minhash.contains("CartesianProduct") && !minhash.contains("BroadcastNestedLoopJoin"),
+      s"minhash candidates must join on (band, band_key):\n$minhash")
+  }
+
+  test("diagonal union stays a narrow Union (no shuffle introduced)") {
+    val p = plan(SparkEntry.queries("q_diagonal_union")(spark, sf))
+    assert(p.contains("Union"), p)
+    // the only exchange allowed is the final presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"diagonal union introduced extra shuffles:\n$p")
+  }
+
+  test("rule matrix compiles to a single projection (no join, no shuffle)") {
+    val p = plan(
+      graft.operators.Rules.applyRules(
+        Tables.lineitem(spark, sf),
+        Seq(graft.operators.Rules.Rule("r", org.apache.spark.sql.functions.col("l_tax") > 0.05, 1, "T"))))
+    assert(!p.contains("Exchange"), s"rule flagging must be map-side only:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("scans read only referenced columns for narrow projections") {
+    val p = plan(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_extendedprice"), s"scan reads unprojected columns:\n$p")
+  }
+}

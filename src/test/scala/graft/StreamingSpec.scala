@@ -83,6 +83,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("file-source streaming (readStream over parquet, AvailableNow) equals batch") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-stream-src").toString + "/events"
+    val batchDf = sample.toDF("event_id", "ts", "user_id", "event_type", "value")
+    batchDf.write.parquet(dir)
+    val expected = Events.hourlyAggBatch(batchDf)
+      .orderBy("event_date", "event_hour", "event_type").collect().toSeq
+
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = Events.hourlyAggStream(streamDf)
+      .writeStream
+      .format("memory")
+      .queryName("file_stream_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000)
+    finally if (q.isActive) q.stop()
+    val got = spark.table("file_stream_out")
+      .orderBy("event_date", "event_hour", "event_type").collect().toSeq
+    assert(got == expected)
+  }
+
   test("sessionizeBatch splits on the inactivity gap") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 7L, "a", 0.0),

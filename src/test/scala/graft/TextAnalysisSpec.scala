@@ -37,6 +37,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getLong(1) == 8L) // don ' t stop - me now !
   }
 
+  test("fingerprintOverlap detects a small doc embedded in a large one") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val large = "intro words before the borrowed passage " + small +
+      " and completely unrelated trailing content about spark physical plans"
+    val other = "nothing in common with either document at all whatsoever today"
+    val docs = Seq((1L, small), (2L, large), (3L, other)).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprintOverlap(docs, "doc_id", "text", minShared = 1).collect()
+    val pair = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, s"embedded doc not detected: ${out.mkString(",")}")
+    // containment of the small doc in the large one should be high
+    assert(pair.get.getAs[Double]("containment1") > 0.5)
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
   test("fingerprintSummary is deterministic with stable checksum") {
     val docs = Seq((1L, "one two three four five six seven eight")).toDF("doc_id", "text")
     val a = TextAnalysis.fingerprintSummary(docs, "doc_id", "text").head
