@@ -407,6 +407,16 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------------- e2e integration
+
+  /** The reference pipeline's whole shape as one declarative plan —
+    * see [[Pipeline.integrationReport]]. */
+  private def qPipelineE2e(s: SparkSession, d: String): DataFrame =
+    Pipeline.integrationReport(s, d)
+
+  private def qWordFreq(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.wordFreq(Tables.documents(s, d), "text", topN = 50)
+
   // ------------------------------------------------------------ streaming
 
   private def qEventWindow(s: SparkSession, d: String): DataFrame =
@@ -464,6 +474,8 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_overlap" -> (qFingerprintOverlap _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_pipeline_e2e" -> (qPipelineE2e _),
+    "q_word_freq" -> (qWordFreq _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_rolling_agg" -> (qRollingAgg _),
@@ -655,6 +667,49 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                 'application/octet-stream' AS mime
          FROM documents ORDER BY doc_id""",
+    "q_pipeline_e2e" ->
+      """WITH norm AS (
+           SELECT strftime(o.o_orderdate, '%Y%m') AS period,
+                  lower(replace(replace(trim(regexp_replace(strip_accents(r.r_name), '[^a-zA-Z0-9_ -]', '', 'g')), 'public', ''), '-', ' ')) AS region,
+                  lower(replace(replace(trim(regexp_replace(strip_accents(n.n_name), '[^a-zA-Z0-9_ -]', '', 'g')), 'public', ''), '-', ' ')) AS nation,
+                  l.l_returnflag || '_' || l.l_linestatus AS indicator,
+                  l.l_quantity, l.l_tax, l.l_linenumber
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey),
+         unioned AS (
+           SELECT period, region, nation, indicator, l_quantity, l_tax FROM norm WHERE l_linenumber <= 3
+           UNION ALL
+           SELECT period, region, nation, indicator, l_quantity, CAST(NULL AS DOUBLE) FROM norm WHERE l_linenumber > 3),
+         agg AS (
+           SELECT period, region, nation, indicator,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+                  SUM(CAST(l_tax AS DECIMAL(18,4))) AS tax
+           FROM unioned GROUP BY 1, 2, 3, 4),
+         wide AS (
+           SELECT period, region, nation,
+                  SUM(CASE WHEN indicator = 'A_F' THEN qty END) AS a_f_d,
+                  SUM(CASE WHEN indicator = 'N_F' THEN qty END) AS n_f_d,
+                  SUM(CASE WHEN indicator = 'N_O' THEN qty END) AS n_o_d,
+                  SUM(CASE WHEN indicator = 'R_F' THEN qty END) AS r_f_d,
+                  SUM(tax) AS tax_d
+           FROM agg GROUP BY 1, 2, 3),
+         flagged AS (
+           SELECT *, CASE WHEN a_f_d > r_f_d * 2 THEN 'RED'
+                          WHEN n_f_d IS NULL AND n_o_d IS NOT NULL THEN 'ORANGE' END AS flag
+           FROM wide)
+         SELECT period, region, nation,
+                CAST(a_f_d AS DOUBLE) AS a_f, CAST(n_f_d AS DOUBLE) AS n_f,
+                CAST(n_o_d AS DOUBLE) AS n_o, CAST(r_f_d AS DOUBLE) AS r_f,
+                CAST(tax_d AS DOUBLE) AS tax_total
+         FROM flagged WHERE flag IS NULL
+         ORDER BY period, region, nation""",
+    "q_word_freq" ->
+      """SELECT word, COUNT(*) AS n FROM (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 50""",
     "q_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
          c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

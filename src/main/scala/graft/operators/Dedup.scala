@@ -104,6 +104,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-cluster assignment: each node in the near-dup pair graph gets
+    * the minimum id of its connected component — "keep doc = cluster label,
+    * drop the rest", the final step of a dedup pipeline.
+    *
+    * Iterative min-label propagation: each round every node takes the min of
+    * its own label and its neighbors' labels; path lengths halve-ish per
+    * round, so chains of length L converge in <= L rounds (use maxIter >=
+    * expected diameter; near-dup clusters are dense, diameters tiny). Each
+    * round is one co-partitioned join + partial aggregate — the shape that
+    * scales; at cluster scale insert localCheckpoint() every few rounds to
+    * truncate lineage.
+    *
+    * @param pairs near-duplicate edges (id1, id2)
+    * @return (id, cluster) — one row per node appearing in any pair
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = edges
+      .groupBy(col("id1").as("id"))
+      .agg(min(col("id2")).as("cluster"))
+      .select(col("id"), least(col("id"), col("cluster")).as("cluster"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborLabels = edges
+        .join(labels.select(col("id").as("id2"), col("cluster").as("__nl")), "id2")
+        .groupBy(col("id1").as("id"))
+        .agg(min(col("__nl")).as("__pl"))
+      val next = labels
+        .join(neighborLabels, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("__pl"), col("cluster"))).as("cluster"),
+          (col("cluster") =!= least(col("cluster"), coalesce(col("__pl"), col("cluster")))).as("__chg"))
+      val changed = next.filter(col("__chg")).limit(1).count()
+      labels = next.drop("__chg")
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard top-k neighbors for a small broadcast query set —
     * the verification primitive, also useful standalone for "find docs most
     * similar to these". */

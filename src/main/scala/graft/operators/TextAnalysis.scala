@@ -58,6 +58,17 @@ object TextAnalysis {
     "ws_tokens" -> size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long"),
     "bpe_tokens" -> size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))).cast("long"))
 
+  /** Corpus word-frequency table: explode word tokens, count, top-N with a
+    * deterministic (count desc, word asc) order. Partial aggregation makes
+    * the shuffle carry one row per distinct word per partition — the
+    * standard scalable term-frequency job. */
+  def wordFreq(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    df.select(explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_]+"), lit(0))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(topN)
+
   /** Winnowing fingerprint summary per document: number of fingerprints and
     * an order-independent checksum (useful as a cheap doc signature for
     * containment/overlap detection). */

@@ -48,6 +48,18 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
   }
 
+  test("clusters assigns each connected component its minimum id") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (8L, 9L), (7L, 8L)).toDF("id1", "id2")
+    val out = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("clusters converges on a long chain within maxIter") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = Dedup.clusters(chain, maxIter = 12).collect().map(_.getLong(1)).distinct
+    assert(out.toSeq == Seq(1L))
+  }
+
   test("ngramJaccardTopK ranks the near-duplicate first for its query") {
     val top = Dedup.ngramJaccardTopK(docs, docs.filter($"doc_id" === 2L), "doc_id", "text", k = 2)
       .orderBy("rnk")

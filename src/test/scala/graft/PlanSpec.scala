@@ -78,6 +78,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("pipeline e2e: source-branch filters push down to the lineitem scans") {
+    val p = plan(Pipeline.integrationReport(spark, sf))
+    assert(p.contains("LessThanOrEqual(l_linenumber,3)"), s"srcA filter not pushed:\n$p")
+    assert(p.contains("GreaterThan(l_linenumber,3)"), s"srcB filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("scans read only referenced columns for narrow projections") {
     val p = plan(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"))

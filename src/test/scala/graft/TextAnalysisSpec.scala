@@ -37,6 +37,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getLong(1) == 8L) // don ' t stop - me now !
   }
 
+  test("wordFreq counts tokens with deterministic tie-breaking") {
+    val docs = Seq("b a a", "b c a").toDF("text")
+    val out = TextAnalysis.wordFreq(docs, "text", topN = 2).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 2L)))
+  }
+
   test("fingerprintOverlap detects a small doc embedded in a large one") {
     val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val large = "intro words before the borrowed passage " + small +
