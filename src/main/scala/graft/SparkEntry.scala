@@ -22,9 +22,10 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The whole
+    * reference pipeline shape in one plan (see [[Pipeline]]). */
   def entry(spark: SparkSession): DataFrame =
-    qDimJoin(spark, "/root/testdata/sf0.001")
+    Pipeline.integrationReport(spark, "/root/testdata/sf0.001")
 
   // ------------------------------------------------------------ relational
 
@@ -272,6 +273,16 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Embedding near-dup pairs over the whole corpus (LSH candidates + exact
+    * cosine verify). Random synthetic embeddings have no true duplicates, so
+    * the threshold sits inside the background-similarity tail to exercise
+    * the join at volume; rows-only check, planted-pair recall in its spec. */
+  private def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDup(
+      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.15, tables = 8, bits = 8)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+      .orderBy("id1", "id2")
+
   private def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
@@ -468,6 +479,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),

@@ -137,8 +137,12 @@ object Dedup {
         .join(neighborLabels, Seq("id"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("__pl"), col("cluster"))).as("cluster"),
           (col("cluster") =!= least(col("cluster"), coalesce(col("__pl"), col("cluster")))).as("__chg"))
-      val changed = next.filter(col("__chg")).limit(1).count()
-      labels = next.drop("__chg")
+      // localCheckpoint truncates lineage each round — without it the plan
+      // nests one level per iteration and optimization time grows
+      // exponentially; on a cluster use checkpoint() to reliable storage
+      val materialized = next.localCheckpoint(true)
+      val changed = materialized.filter(col("__chg")).limit(1).count()
+      labels = materialized.drop("__chg")
       converged = changed == 0L
       iter += 1
     }

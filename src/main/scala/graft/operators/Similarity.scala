@@ -49,6 +49,36 @@ object Similarity {
   def lshSignature(vec: Column, table: Int, bits: Int): Column =
     lsh_sig(vec, table, bits)
 
+  /** Embedding-cosine near-duplicate pairs: LSH self-join candidate
+    * generation (rows sharing any table signature), exact cosine
+    * verification at `threshold`. The self-join is a co-partitioned
+    * equality join on (table, signature) — same scale shape as the MinHash
+    * band join, with the same caveat: recall < 1 for borderline pairs; raise
+    * `tables` (or lower `bits`) to trade cost for recall. */
+  def embeddingNearDup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 12): DataFrame = {
+    def sigs(id: String, v: String): DataFrame =
+      corpus.select(
+        col(idCol).as(id),
+        col(vecCol).as(v),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), lshSignature(col(vecCol), t, bits).as("sig"))): _*)).as("__b"))
+        .select(col(id), col(v), col("__b.tbl").as("tbl"), col("__b.sig").as("sig"))
+    sigs("id1", "__v1")
+      .join(sigs("id2", "__v2"), Seq("tbl", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "__v1", "__v2")
+      .dropDuplicates("id1", "id2")
+      .withColumn("sim", cosine_sim_float(col("__v1"), col("__v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
   /** LSH-bucketed ANN: candidates = corpus rows sharing any of the L table
     * signatures with the query, scored exactly, top-k per query. */
   def lshTopK(

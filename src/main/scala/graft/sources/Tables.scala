@@ -21,6 +21,32 @@ object Tables {
   def jsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Grid-shaped CSV with leading junk rows — the reference's Excel-sheet
+    * ingestion shape (extract_chu_data.py:36 reads a sheet from a data
+    * range, skipping title/header decoration). `skipLines` rows are dropped
+    * from the top of EACH file (tracked per-partition via the file name, so
+    * multi-file reads stay correct), then the next row is the header. */
+  def csvGrid(spark: SparkSession, path: String, skipLines: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, row_number}
+    import org.apache.spark.sql.expressions.Window
+    if (skipLines <= 0) return csv(spark, path)
+    val raw = spark.read.text(path)
+      .select(col("value"), input_file_name().as("__f"))
+    // line order within a text file = read order only when each file is one
+    // partition; enforce with a per-file window over a monotonic id
+    val withIdx = raw
+      .withColumn("__id", org.apache.spark.sql.functions.monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__f")).orderBy(col("__id"))))
+    val body = withIdx.filter(col("__rn") > skipLines).select("value")
+    val header = body.first().getString(0)
+    val headerCols = header.split(",", -1).map(_.trim).toSeq
+    val parsed = body.filter(col("value") =!= header)
+    spark.read
+      .option("header", "false").option("inferSchema", "true")
+      .csv(parsed.as(spark.implicits.newStringEncoder))
+      .toDF(headerCols: _*)
+  }
+
   // Named accessors for the synthetic star schema used by the test suite.
   def lineitem(s: SparkSession, d: String): DataFrame = parquet(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = parquet(s, d, "orders")

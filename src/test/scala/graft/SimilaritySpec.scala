@@ -32,6 +32,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(r => r.getLong(1) == 2L && math.abs(r.getDouble(2) - 1.0) < 1e-12))
   }
 
+  test("embeddingNearDup surfaces planted duplicate pairs above threshold") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val planted = (0 until 5).map { i =>
+      val (_, v) = base(i)
+      (1000L + i, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDup(corpus, "vec_id", "embedding", threshold = 0.95, tables = 8, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 5).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(found >= 4, s"planted pairs found $found/5: $pairs")
+  }
+
   test("lshTopK high recall on planted near-duplicates over a random corpus") {
     val rnd = new scala.util.Random(7)
     val dim = 16

@@ -30,6 +30,16 @@ class SourcesSpec extends SparkSpec {
     assert(back.select(size(col("meta.tags"))).head.getInt(0) == 2)
   }
 
+  test("csvGrid skips leading decoration rows before the real header") {
+    val dir = Files.createTempDirectory("graft-grid").toString + "/sheet"
+    Seq("Rapport PNLS — T4", "Region: Centre", "site,indicateur,valeur",
+      "s1,tx_new,10", "s2,tx_new,12").toDF("value").coalesce(1).write.text(dir)
+    val back = Tables.csvGrid(spark, dir, skipLines = 2).orderBy("site").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[String]("site") == "s1")
+    assert(back(0).getAs[Int]("valeur") == 10)
+  }
+
   test("parquet named accessors expose the full star schema") {
     assert(Tables.lineitem(spark, sf).count() > 0)
     assert(Tables.nation(spark, sf).count() == 25)
