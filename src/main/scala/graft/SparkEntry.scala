@@ -273,6 +273,15 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF ANN with a KMeans coarse quantizer — rows-only check (centroids are
+    * engine-specific); brute-force agreement asserted in SimilaritySpec. */
+  private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Embedding near-dup pairs over the whole corpus (LSH candidates + exact
     * cosine verify). Random synthetic embeddings have no true duplicates, so
     * the threshold sits inside the background-similarity tail to exercise
@@ -480,6 +489,7 @@ object SparkEntry {
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),

@@ -32,6 +32,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(r => r.getLong(1) == 2L && math.abs(r.getDouble(2) - 1.0) < 1e-12))
   }
 
+  test("ivfTopK recovers brute-force top-1 for most queries at modest nProbe") {
+    val rnd = new scala.util.Random(3)
+    val dim = 16
+    val corpus = (0 until 200).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k = 1, nCells = 8, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = brute.count { case (q, v) => ivf.get(q).contains(v) }
+    assert(agree >= 7, s"IVF top-1 agreement $agree/10 too low (brute=$brute ivf=$ivf)")
+  }
+
   test("embeddingNearDup surfaces planted duplicate pairs above threshold") {
     val rnd = new scala.util.Random(11)
     val dim = 16
