@@ -242,6 +242,17 @@ object SparkEntry {
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
       .orderBy("keep_id")
 
+  /** Keep-first-by-order dedup: first lineitem per order. The synthetic
+    * lineitem has duplicate (orderkey, linenumber) pairs, so quantity joins
+    * the order spec — any rows still tied are identical in every output
+    * column, keeping the pick value-deterministic. */
+  private def qDedupKeepFirst(s: SparkSession, d: String): DataFrame =
+    Relational.dropDuplicatesOrdered(
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey"),
+      Seq(col("l_linenumber").asc, col("l_quantity").asc))
+      .orderBy("l_orderkey")
+
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minHashBands(Tables.documents(s, d), "doc_id", "text")
       .groupBy(col("doc_id"))
@@ -483,6 +494,7 @@ object SparkEntry {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_keep_first" -> (qDedupKeepFirst _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
@@ -647,6 +659,12 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q_dedup_keep_first" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity,
+                  ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+           FROM lineitem)
+         WHERE rn = 1 ORDER BY l_orderkey""",
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
          scored AS (

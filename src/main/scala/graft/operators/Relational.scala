@@ -26,6 +26,19 @@ object Relational {
     */
   def sumIfAnyNotNull(c: Column): Column = sum(c)
 
+  /** Ordered deduplication: keep the first row per key under an explicit
+    * order — the deterministic version of "drop_duplicates keep first",
+    * which in any distributed engine is only meaningful with an order.
+    * One shuffle on the key; the window's rank stops at 1 so AQE can
+    * skew-split it. */
+  def dropDuplicatesOrdered(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Align a frame to an expected column list: add missing columns as typed
     * nulls and order columns; reference extract_ist_data.py:156-169 (add
     * expected columns, select in canonical order).

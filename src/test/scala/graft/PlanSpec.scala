@@ -78,6 +78,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("as-of join shuffles exactly once on the key (no pair materialization)") {
+    import graft.operators.Temporal
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = plan(Temporal.asofJoin(
+      purchases, clicks, Seq("user_id"), "pts", "ts", "event_id", Seq("event_id" -> "cid")))
+    assert(!p.contains("Join"), s"as-of must be join-free (union+window):\n$p")
+    // formatted mode lists each node once in the details as "(n) Exchange"
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 key shuffle, got $exchanges:\n$p")
+  }
+
   test("pipeline e2e: source-branch filters push down to the lineitem scans") {
     val p = plan(Pipeline.integrationReport(spark, sf))
     assert(p.contains("LessThanOrEqual(l_linenumber,3)"), s"srcA filter not pushed:\n$p")

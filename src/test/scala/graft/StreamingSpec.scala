@@ -64,6 +64,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
   }
 
+  test("hourlyAggStream with append mode drops data later than the watermark") {
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val streamDf = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Events.hourlyAggStream(streamDf)
+      .writeStream
+      .format("memory")
+      .queryName("late_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: one event at 10:05; watermark still unset
+      ms.addData((1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: event at 15:00 advances the watermark to 13:00 (2h delay),
+      // closing the 10:00-11:00 window
+      ms.addData((2L, ts("2024-01-01 15:00:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: a straggler back at 10:10 — behind the watermark, dropped
+      ms.addData((3L, ts("2024-01-01 10:10:00"), 7L, "click", 99.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val tenOClock = spark.table("late_out")
+      .filter(col("event_hour") === 10)
+      .collect()
+    // the 10:00 window was finalized with ONLY the on-time event
+    assert(tenOClock.length == 1)
+    assert(tenOClock.head.getAs[Long]("n_events") == 1L)
+    assert(tenOClock.head.getAs[Double]("sum_value") == 1.0)
+  }
+
   test("dedupStream drops in-watermark duplicate keys") {
     val ms = MemoryStream[(Long, Timestamp, String)](spark)
     val streamDf = ms.toDF.toDF("event_id", "ts", "event_type")
