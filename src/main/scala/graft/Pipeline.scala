@@ -16,13 +16,14 @@ import graft.sources.Tables
   * materialization between stages).
   *
   * Stage map (reference counterpart):
-  *  1. ingest facts + two heterogeneous "sources"   (extract_*_data.py)
+  *  1. ingest two heterogeneous "sources" + diagonal union
+  *     (extract_*_data.py; pipeline.py:326) — union-then-enrich, so the
+  *     dimension joins run once over the combined stream
   *  2. dimension enrich via broadcast joins          (utils.py:349)
   *  3. indicator key synthesis + period tagging      (extract_ist_data.py:95)
-  *  4. schema-tolerant diagonal union                (pipeline.py:326)
-  *  5. conditional (null-preserving) aggregation     (extract_pec_data.py:141)
-  *  6. pivot to the wide report                      (extract_pec_data.py:260)
-  *  7. rule-matrix validation split                  (utils.py:133)
+  *  4. conditional (null-preserving) aggregation     (extract_pec_data.py:141)
+  *  5. pivot to the wide report                      (extract_pec_data.py:260)
+  *  6. rule-matrix validation split                  (utils.py:133)
   */
 object Pipeline {
 
@@ -30,14 +31,23 @@ object Pipeline {
     * nation), indicator columns pivoted wide, validated by the rule matrix.
     */
   def integrationReport(s: SparkSession, dir: String): DataFrame = {
-    // 1. ingest: fact rows with their order context
-    val facts = Tables.lineitem(s, dir)
+    // 1. two heterogeneous "sources" (the second lacks the tax column),
+    //    unified FIRST by the schema-tolerant union — union-then-enrich, so
+    //    the dimension joins below run once over the combined stream instead
+    //    of once per source (at N sources that's an N-fold join saving)
+    val li = Tables.lineitem(s, dir)
+    val srcA = li.filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"), col("l_quantity"), col("l_tax"))
+    val srcB = li.filter(col("l_linenumber") > 3)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+    val unioned = Relational.diagonalConcat(Seq(srcA, srcB))
+
+    // 2. enrich: order context, then customer -> nation -> region (dims
+    //    broadcast, facts never shuffle for the dim joins)
+    val enriched = unioned
       .join(
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-
-    // 2. enrich: customer -> nation -> region, dims broadcast
-    val enriched = facts
       .join(
         Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
@@ -51,26 +61,17 @@ object Pipeline {
       normalize_text(col("n_name")).as("nation"),
       concat(col("l_returnflag"), lit("_"), col("l_linestatus")).as("indicator"),
       col("l_quantity"),
-      col("l_tax"),
-      col("l_linenumber"))
+      col("l_tax"))
 
-    // 4. two heterogeneous sources (the second lacks the tax column) unified
-    //    by the schema-tolerant union
-    val srcA = tagged.filter(col("l_linenumber") <= 3)
-      .select(col("period"), col("region"), col("nation"), col("indicator"), col("l_quantity"), col("l_tax"))
-    val srcB = tagged.filter(col("l_linenumber") > 3)
-      .select(col("period"), col("region"), col("nation"), col("indicator"), col("l_quantity"))
-    val unioned = Relational.diagonalConcat(Seq(srcA, srcB))
-
-    // 5. conditional aggregation: quantity summed exactly; tax sum stays NULL
+    // 4. conditional aggregation: quantity summed exactly; tax sum stays NULL
     //    for groups where no source carried it
-    val aggregated = unioned
+    val aggregated = tagged
       .groupBy(col("period"), col("region"), col("nation"), col("indicator"))
       .agg(
         sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
         Relational.sumIfAnyNotNull(col("l_tax").cast("decimal(18,4)")).as("tax"))
 
-    // 6. pivot indicators wide (known key universe: no distinct pass); the
+    // 5. pivot indicators wide (known key universe: no distinct pass); the
     //    conditional tax sum rolls up alongside, staying NULL for
     //    (period, geo) groups no tax-carrying source covered
     val wide = Reshape.pivotWide(
@@ -85,7 +86,7 @@ object Pipeline {
           .agg(Relational.sumIfAnyNotNull(col("tax")).as("tax_total")),
         Seq("period", "region", "nation"))
 
-    // 7. rule-matrix validation, keep the consistent rows
+    // 6. rule-matrix validation, keep the consistent rows
     val rules = Seq(
       Rules.Rule("af_exceeds_rf", col("A_F") > col("R_F") * 2, 2, "RED"),
       Rules.Rule("nf_missing", col("N_F").isNull && col("N_O").isNotNull, 1, "ORANGE"))
