@@ -14,4 +14,22 @@ object Sink {
 
   def writePartitionedParquet(df: DataFrame, partCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Bucketed managed table: pre-shuffles rows into `nBuckets` hash buckets
+    * on `bucketCols` at write time. Two tables bucketed the same way join
+    * WITHOUT a shuffle (co-located sort-merge) — at 100 TB this moves the
+    * fact-join shuffle from every query to a one-time write. Requires the
+    * session catalog (`saveAsTable`); see SinkSpec for the shuffle-free
+    * join assertion. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -17,6 +17,23 @@ class SinkSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("bucketed tables join without a shuffle (co-located sort-merge)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val facts = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("k", "fv")
+    val dims = (1 to 500).map(i => (i.toLong % 100, i * 1.0)).toDF("k", "dv")
+    Sink.writeBucketed(facts, "graft_bkt_facts", Seq("k"), nBuckets = 4, sortCols = Seq("k"))
+    Sink.writeBucketed(dims, "graft_bkt_dims", Seq("k"), nBuckets = 4, sortCols = Seq("k"))
+    val joined = spark.table("graft_bkt_facts")
+      .join(spark.table("graft_bkt_dims"), "k")
+    // disable broadcast so the join would normally shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == facts.join(dims, "k").count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("writePartitionedParquet round-trips with partition pruning") {
     val dir = Files.createTempDirectory("graft-sinkp").toString
     val df = Seq(("202401", 1.0), ("202402", 3.0)).toDF("period", "v")

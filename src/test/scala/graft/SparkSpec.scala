@@ -7,7 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * JVM; suites run sequentially), so Spark startup is paid once. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("4").appName("graft-test").getOrCreate()
+    // keep catalog artifacts (warehouse, derby metastore) out of the repo
+    val scratch = java.nio.file.Files.createTempDirectory("graft-test").toString
+    System.setProperty("derby.system.home", scratch)
+    val s = GraftSession.builder("4")
+      .appName("graft-test")
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
