@@ -60,6 +60,26 @@ object Events {
         (max(col("__us")) - min(col("__us"))).as("duration_us"))
   }
 
+  /** Gap sessions via Spark's native `session_window` — the declarative twin
+    * of [[sessionizeBatch]] (same session boundaries; the native operator
+    * merges overlapping gap windows inside the aggregate, one shuffle).
+    * Works identically over a stream with a watermark, where it becomes
+    * incremental session state managed by the engine. */
+  def sessionWindowAgg(events: DataFrame, gapSeconds: Long = 1800): DataFrame =
+    events
+      .groupBy(
+        session_window(col("ts"), s"$gapSeconds seconds").as("session"),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"))
+      .select(
+        col("user_id"),
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("n_events"),
+        col("first_event_id"))
+
   final case class SessionState(lastUs: Long, sessionIdx: Long)
   final case class SessionEvent(user_id: Long, event_id: Long, us: Long)
   final case class SessionAssign(user_id: Long, event_id: Long, session_idx: Long)

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
 import graft.streaming.Events
 
 class StreamingSpec extends SparkSpec {
@@ -134,6 +135,17 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("file_stream_out")
       .orderBy("event_date", "event_hour", "event_type").collect().toSeq
     assert(got == expected)
+  }
+
+  test("native session_window produces the same sessions as manual sessionization") {
+    val df = Tables.events(spark, sf)
+    val manual = Events.sessionizeBatch(df)
+      .select("user_id", "n_events", "first_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val native = Events.sessionWindowAgg(df)
+      .select("user_id", "n_events", "first_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == manual)
   }
 
   test("sessionizeBatch splits on the inactivity gap") {
