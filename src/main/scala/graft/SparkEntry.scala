@@ -354,6 +354,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling plumbing, oracle-checked on the byte math: positions and
+    * lengths of 16-byte frames per document (the hash column is engine-
+    * specific and excluded). */
+  private def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text"),
+      "doc_id", frameBytes = 16)
+      .select(col("doc_id"), col("frame_pos"), length(col("frame")).as("frame_len"))
+      .orderBy("doc_id", "frame_pos")
+
   private def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
       .select(
@@ -508,6 +518,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_overlap" -> (qFingerprintOverlap _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_word_freq" -> (qWordFreq _),
     "q_asof_join" -> (qAsofJoin _),
@@ -707,6 +718,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                 'application/octet-stream' AS mime
          FROM documents ORDER BY doc_id""",
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+         s AS (SELECT i FROM generate_series(0, 65535) t(i))
+         SELECT doc_id, CAST(i AS INTEGER) AS frame_pos,
+                CAST(LEAST(16, blen - i * 16) AS INTEGER) AS frame_len
+         FROM d JOIN s ON i * 16 < blen
+         ORDER BY doc_id, frame_pos""",
     "q_pipeline_e2e" ->
       """WITH norm AS (
            SELECT strftime(o.o_orderdate, '%Y%m') AS period,

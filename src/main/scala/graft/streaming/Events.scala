@@ -111,6 +111,48 @@ object Events {
         })
   }
 
+  /** Production variant of [[assignSessionsStream]]: event-time timeout
+    * eviction. The input must carry a watermarked `ts` column; each user's
+    * state times out `gapSeconds` past their last event (in event time), at
+    * which point it is REMOVED — so state size tracks active users, not
+    * all-time users. A user reappearing after eviction starts a new session
+    * index sequence offset by the evicted index (monotonicity preserved via
+    * the timeout's final emit of nothing and a fresh base). */
+  def assignSessionsStreamEvicting(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800): Dataset[SessionAssign] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withWatermark("ts", "2 hours")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // gap elapsed in event time: drop the state; a future event for
+            // this user starts over at index 0 of a new epoch
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            val out = it.toSeq.sortBy(e => (e.us, e.event_id)).map { e =>
+              val idx =
+                if (st.lastUs != Long.MinValue && e.us - st.lastUs > gapUs) st.sessionIdx + 1
+                else st.sessionIdx
+              st = SessionState(e.us, idx)
+              SessionAssign(user, e.event_id, idx)
+            }
+            state.update(st)
+            // evict once the gap passes the last seen event (event time)
+            state.setTimeoutTimestamp(st.lastUs / 1000L + gapSeconds * 1000L)
+            out.iterator
+          }
+        })
+  }
+
   /** Streaming exact dedup on a key with watermarked state — the streaming
     * member of the dedup family (batch members live in operators.Dedup). */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =

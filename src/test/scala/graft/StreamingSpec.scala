@@ -95,6 +95,35 @@ class StreamingSpec extends SparkSpec {
     assert(tenOClock.head.getAs[Double]("sum_value") == 1.0)
   }
 
+  test("evicting sessionizer assigns sessions and restarts after state eviction") {
+    val ms = MemoryStream[Events.SessionEvent](spark)
+    val q = Events.assignSessionsStreamEvicting(spark, ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sess_evict_out")
+      .outputMode("append")
+      .start()
+    try {
+      val hour = 3600L * 1000000L
+      val base = 1_700_000_000L * 1000000L // off epoch-0: ts at the initial
+      // watermark (0) would be dropped as late data
+      // two events 10 min apart -> session 0
+      ms.addData(Events.SessionEvent(7L, 1L, base), Events.SessionEvent(7L, 2L, base + 600L * 1000000L))
+      q.processAllAvailable()
+      // 6h later: advances the watermark far past user 7's gap, evicting its
+      // state; the same batch's event gets a fresh session index 0
+      ms.addData(Events.SessionEvent(9L, 3L, base + 6L * hour))
+      q.processAllAvailable()
+      ms.addData(Events.SessionEvent(7L, 4L, base + 7L * hour))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_evict_out").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((7L, 1L, 0L), (7L, 2L, 0L), (9L, 3L, 0L), (7L, 4L, 0L)),
+      s"got ${got.toSeq}")
+    // event 4 restarted at index 0 — state was evicted, not carried to idx 1
+  }
+
   test("dedupStream drops in-watermark duplicate keys") {
     val ms = MemoryStream[(Long, Timestamp, String)](spark)
     val streamDf = ms.toDF.toDF("event_id", "ts", "event_type")
