@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (new FunctionIdentifier(name), new ExpressionInfo("graft.GraftExtensions", name, usage), builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native top-k-per-key physical operator
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     val longArray = ArrayType(LongType, containsNull = false)
     Seq(
       fn("graft_normalize_text", "accent-strip + sanitize + casefold",

@@ -146,6 +146,17 @@ object SparkEntry {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** Top-3 orders per priority through the NATIVE top-k operator
+    * (custom LogicalPlan + Strategy + SparkPlan — see graft.plans). Same
+    * result set as the window formulation, no sort anywhere in the plan. */
+  private def qTopkNative(s: SparkSession, d: String): DataFrame =
+    Relational.topKPerKey(
+      Tables.orders(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      keyCols = Seq("o_orderpriority"),
+      sort = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+      k = 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -493,6 +504,7 @@ object SparkEntry {
     "q_period_fanout" -> (qPeriodFanout _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_window_rank" -> (qWindowRank _),
+    "q_topk_native" -> (qTopkNative _),
     "q_rollup" -> (qRollup _),
     "q_normalize_text" -> (qNormalizeText _),
     "q_multi_replace" -> (qMultiReplace _),
@@ -610,6 +622,12 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
            FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
+    "q_topk_native" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""",
     "q_rollup" ->
       """SELECT n_name, COUNT(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

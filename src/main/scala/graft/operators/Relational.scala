@@ -26,6 +26,30 @@ object Relational {
     */
   def sumIfAnyNotNull(c: Column): Column = sum(c)
 
+  /** Native top-k rows per key via graft's custom physical operator
+    * ([[graft.plans.TopKPerKeyPlan]]): bounded per-key heaps shrink every
+    * partition to k rows BEFORE the shuffle, and nothing is ever sorted —
+    * unlike the `row_number().over(...)` formulation, which shuffles all
+    * rows and sorts each key group. Requires [[graft.GraftExtensions]] on
+    * the session (it injects the planner strategy).
+    *
+    * @param sort (column name, descending?) pairs; make the order total
+    *             (include a unique column) for deterministic results
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], sort: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast, SortOrder}
+    val keys = keyCols.map(n => GraftSql.expression(df(n)))
+    val order = sort.map { case (n, desc) =>
+      val e = GraftSql.expression(df(n))
+      if (desc) SortOrder(e, Descending, NullsLast, Seq.empty)
+      else SortOrder(e, Ascending, NullsFirst, Seq.empty)
+    }
+    GraftSql.ofRows(
+      df.sparkSession,
+      graft.plans.TopKPerKeyPlan(keys, order, k, GraftSql.analyzed(df)))
+  }
+
   /** Ordered deduplication: keep the first row per key under an explicit
     * order — the deterministic version of "drop_duplicates keep first",
     * which in any distributed engine is only meaningful with an order.
