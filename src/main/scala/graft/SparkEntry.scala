@@ -81,6 +81,20 @@ object SparkEntry {
     Relational.diagonalConcat(Seq(o, l)).orderBy("src", "id")
   }
 
+  /** Two-phase salted aggregation, oracle-checked: the salted plan must
+    * produce exactly what a plain GROUP BY produces. */
+  private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    Skew.saltedAggregate(
+      Tables.orders(s, d),
+      keyCols = Seq("o_orderpriority"),
+      aggs = Seq(
+        Skew.TwoPhase("sum_price", sum(col("o_totalprice").cast("decimal(18,2)")), n => sum(col(n))),
+        Skew.countRows("n")),
+      numSalts = 8,
+      saltCols = Seq(col("o_orderkey")))
+      .select(col("o_orderpriority"), col("sum_price").cast("double").as("sum_price"), col("n"))
+      .orderBy("o_orderpriority")
+
   private def qConditionalAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -499,6 +513,7 @@ object SparkEntry {
     "q_hierarchy_flatten" -> (qHierarchyFlatten _),
     "q_diagonal_union" -> (qDiagonalUnion _),
     "q_conditional_agg" -> (qConditionalAgg _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_period_fanout" -> (qPeriodFanout _),
@@ -580,6 +595,11 @@ object SparkEntry {
          SELECT l_orderkey * 10 + l_linenumber, 'lineitem', CAST(NULL AS DOUBLE), l_quantity
          FROM lineitem
          ORDER BY src, id""",
+    "q_salted_agg" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_conditional_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(NULLIF(l_tax, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax,
