@@ -223,6 +223,26 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** Type hygiene, oracle-checked: round non-key numerics to long and align
+    * to an expected schema (missing column appears as typed null) — the
+    * reference's cast/round/fill pass (extract_ist_data.py:135-169). */
+  private def qTypeHygiene(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val slim = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    Relational.alignToSchema(
+      Relational.roundNumericsToLong(slim, keyCols = Set("l_orderkey", "l_linenumber")),
+      Seq(
+        "l_orderkey" -> LongType,
+        "l_linenumber" -> IntegerType,
+        "l_quantity" -> LongType,
+        "l_extendedprice" -> LongType,
+        "missing_metric" -> DoubleType))
+      // duplicate (orderkey, linenumber) pairs exist in the synthetic data:
+      // order on every column so row order is total for the hash compare
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+  }
+
   // --------------------------------------------------------------- rules
 
   private def lineitemRules: Seq[Rules.Rule] = Seq(
@@ -526,6 +546,7 @@ object SparkEntry {
     "q_deterministic_id" -> (qDeterministicId _),
     "q_period_parse" -> (qPeriodParse _),
     "q_age_sex_standardize" -> (qAgeSexStandardize _),
+    "q_type_hygiene" -> (qTypeHygiene _),
     "q_rules_flag" -> (qRulesFlag _),
     "q_rules_split" -> (qRulesSplit _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -679,6 +700,13 @@ object SparkEntry {
                      WHEN label LIKE '%Masculin, 15%' THEN 'M_>15 ans'
                      ELSE 'nosex_noage' END AS std
          FROM labeled ORDER BY c_custkey""",
+    "q_type_hygiene" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(ROUND(l_quantity, 0) AS BIGINT) AS l_quantity,
+                CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS l_extendedprice,
+                CAST(NULL AS DOUBLE) AS missing_metric
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""",
     "q_rules_flag" ->
       """SELECT l_orderkey, l_linenumber,
                 CASE WHEN l_discount > 0.06 THEN 'RED'
