@@ -270,6 +270,7 @@ object SparkEntry {
   private def qFuzzyMatch(s: SparkSession, d: String): DataFrame =
     FuzzyMatch.bestMatch(
       Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+      Seq("c_custkey"),
       "c_name",
       Tables.nation(s, d),
       "n_name")
@@ -742,6 +743,31 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
            FROM lineitem)
          WHERE rn = 1 ORDER BY l_orderkey""",
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)])
+                  END AS s
+           FROM toks),
+         scored AS (
+           SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+                  CASE WHEN len(q.s) = 0 AND len(c.s) = 0 THEN 1.0
+                       WHEN len(q.s) = 0 OR len(c.s) = 0 THEN 0.0
+                       ELSE CAST(len(list_intersect(q.s, c.s)) AS DOUBLE)
+                            / CAST(len(q.s) + len(c.s) - len(list_intersect(q.s, c.s)) AS DOUBLE)
+                  END AS j
+           FROM sh q JOIN sh c ON q.doc_id < 5 AND c.doc_id <> q.doc_id),
+         ranked AS (
+           SELECT query_id, doc_id, j,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY j DESC, doc_id) AS rn
+           FROM scored)
+         SELECT query_id, doc_id, ROUND(j, 6) AS jaccard, rn AS rnk
+         FROM ranked WHERE rn <= 3 ORDER BY query_id, rnk""",
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
          scored AS (

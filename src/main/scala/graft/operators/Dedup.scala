@@ -151,7 +151,10 @@ object Dedup {
 
   /** Exact n-gram Jaccard top-k neighbors for a small broadcast query set —
     * the verification primitive, also useful standalone for "find docs most
-    * similar to these". */
+    * similar to these". Top-k runs through the native
+    * [[graft.plans.TopKPerKeyPlan]] operator: map-side bounded heaps cut
+    * every partition to k rows per query before the shuffle; no sort, no
+    * window. */
   def ngramJaccardTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -165,10 +168,13 @@ object Dedup {
       .join(q)
       .filter(col("doc_id2") =!= col("query_id"))
       .withColumn("jaccard", ngram_jaccard(col("__qt"), col("__t"), shingleK))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("jaccard").desc, col("doc_id2").asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id2", "jaccard")
+    Relational.topKPerKey(
+      scored,
+      keyCols = Seq("query_id"),
+      sort = Seq("jaccard" -> true, "doc_id2" -> false),
+      k = k,
+      rankCol = Some("rnk"))
       .select(col("query_id"), col("doc_id2").as("doc_id"), col("jaccard"), col("rnk"))
   }
 }

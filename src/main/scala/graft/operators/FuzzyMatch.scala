@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy entity resolution against a canonical list.
@@ -11,9 +10,12 @@ import org.apache.spark.sql.functions._
   * a score threshold — a Python loop per input name.
   *
   * graft shape: broadcast the (small) canonical list, evaluate a codegen'd
-  * similarity expression over the cross product, argmax per input row via a
-  * window. Facts never shuffle for the candidate generation; the only
-  * shuffle is the per-key argmax, which AQE sizes.
+  * similarity expression over the broadcast product, then reduce to the best
+  * candidate per input key with a `min_by(payload, (-sim, cand))` hash
+  * aggregate. The aggregate is partial (map-side combine), so the shuffle
+  * carries ONE row per input key per partition — never the |facts| x
+  * |candidates| scored rows a window formulation would move — and duplicate
+  * input keys aggregate instead of silently collapsing by whole-row value.
   */
 object FuzzyMatch {
 
@@ -21,34 +23,42 @@ object FuzzyMatch {
   def levenshteinSim(a: Column, b: Column): Column =
     lit(1.0) - levenshtein(a, b).cast("double") / greatest(length(a), length(b)).cast("double")
 
-  /** For each row of `df`, the best `candidates` row by `sim` (ties broken by
-    * candidate key ascending), keeping matches with `sim >= threshold`.
+  /** For each distinct key of `df`, the best `candidates` row by `sim` (ties
+    * broken by candidate value ascending), keeping matches with
+    * `sim >= threshold` (keys with no candidate above it are dropped, like
+    * the reference's thresholded extractOne). Non-key columns are carried
+    * from the winning row.
     *
     * @param df          input rows; `queryCol` is the dirty name
+    * @param keyCols     columns identifying an input entity (e.g. its id) —
+    *                    the aggregate reduces to one output row per key
     * @param candidates  canonical list; must be broadcast-small
     * @param candCol     canonical name column
     * @param sim         (query, candidate) => similarity Column in [0,1]
     */
   def bestMatch(
       df: DataFrame,
+      keyCols: Seq[String],
       queryCol: String,
       candidates: DataFrame,
       candCol: String,
       sim: (Column, Column) => Column = levenshteinSim,
       threshold: Double = 0.0): DataFrame = {
-    val keyCols = df.columns.map(col).toSeq
-    val joined = df
+    val carryCols = df.columns.toSeq.filterNot(keyCols.contains)
+    val scored = df
       .join(broadcast(candidates.select(col(candCol).as("__cand"))))
       .withColumn("__sim", sim(col(queryCol), col("__cand")))
       .filter(col("__sim") >= threshold)
-    val w = Window
-      .partitionBy(keyCols: _*)
-      .orderBy(col("__sim").desc, col("__cand").asc)
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .withColumnRenamed("__cand", "matched")
-      .withColumnRenamed("__sim", "match_score")
+    // min_by over (-sim, cand): max similarity, ties to the lexicographically
+    // smallest candidate — a declarative aggregate with a partial phase
+    val payload = struct(
+      carryCols.map(col) ++ Seq(col("__cand").as("matched"), col("__sim").as("match_score")): _*)
+    scored
+      .groupBy(keyCols.map(col): _*)
+      .agg(min_by(payload, struct((-col("__sim")).as("s"), col("__cand"))).as("__best"))
+      .select(
+        keyCols.map(col) ++
+          carryCols.map(n => col(s"__best.$n").as(n)) ++
+          Seq(col("__best.matched").as("matched"), col("__best.match_score").as("match_score")): _*)
   }
 }

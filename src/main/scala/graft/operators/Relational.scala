@@ -35,19 +35,29 @@ object Relational {
     *
     * @param sort (column name, descending?) pairs; make the order total
     *             (include a unique column) for deterministic results
+    * @param rankCol when set, append a 1-based rank column with this name —
+    *                the native replacement for a `row_number()` output column,
+    *                computed on the final pass over each key's <= k survivors
     */
-  def topKPerKey(df: DataFrame, keyCols: Seq[String], sort: Seq[(String, Boolean)], k: Int): DataFrame = {
+  def topKPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      sort: Seq[(String, Boolean)],
+      k: Int,
+      rankCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.GraftSql
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast, SortOrder}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, NullsFirst, NullsLast, SortOrder}
+    import org.apache.spark.sql.types.IntegerType
     val keys = keyCols.map(n => GraftSql.expression(df(n)))
     val order = sort.map { case (n, desc) =>
       val e = GraftSql.expression(df(n))
       if (desc) SortOrder(e, Descending, NullsLast, Seq.empty)
       else SortOrder(e, Ascending, NullsFirst, Seq.empty)
     }
+    val rankAttr = rankCol.map(n => AttributeReference(n, IntegerType, nullable = false)())
     GraftSql.ofRows(
       df.sparkSession,
-      graft.plans.TopKPerKeyPlan(keys, order, k, GraftSql.analyzed(df)))
+      graft.plans.TopKPerKeyPlan(keys, order, k, rankAttr, GraftSql.analyzed(df)))
   }
 
   /** Ordered deduplication: keep the first row per key under an explicit

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -9,9 +8,12 @@ import graft.functions._
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k with a broadcast query set — exact, one
-  * pass over the corpus, no shuffle for scoring (only the per-query top-k
-  * aggregate shuffles, and that's k rows per query per partition after the
-  * window's partial rank).
+  * pass over the corpus with no shuffle for scoring; the per-query top-k runs
+  * through graft's native [[graft.plans.TopKPerKeyPlan]] operator, whose
+  * map-side pass shrinks every partition to <= k rows per query BEFORE the
+  * shuffle (bounded heaps, no sort) — so the only shuffle carries
+  * k * |queries| * numPartitions rows at most, and reduce-side work is a
+  * heap merge, never a full per-query sort.
   *
   * Scale path: random-hyperplane LSH — corpus is bucketed by sign-bit
   * signatures into L tables; a query only scores its own buckets. The
@@ -20,6 +22,17 @@ import graft.functions._
   * nothing to broadcast but the queries.
   */
 object Similarity {
+
+  /** Per-query top-k of scored candidate rows via the native top-k operator:
+    * partial heaps before the shuffle, rank emitted on the final pass. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    Relational.topKPerKey(
+      scored,
+      keyCols = Seq("query_id"),
+      sort = Seq("sim" -> true, "vec_id2" -> false),
+      k = k,
+      rankCol = Some("rnk"))
+      .select(col("query_id"), col("vec_id2").as("vec_id"), col("sim"), col("rnk"))
 
   /** Exact cosine top-k of `corpus` rows for each row of (small) `queries`. */
   def bruteForceTopK(
@@ -34,11 +47,8 @@ object Similarity {
       .join(q)
       .filter(col("vec_id2") =!= col("query_id"))
       .withColumn("sim", cosine_sim_float(col("__qv"), col("__v")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id2").asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id2").as("vec_id"), col("sim"), col("rnk"))
+      .select("query_id", "vec_id2", "sim")
+    topKPerQuery(scored, k)
   }
 
   /** Sign-bit signature of a vector under `bits` implicit hyperplanes for LSH
@@ -79,15 +89,27 @@ object Similarity {
       .select(col("id1"), col("id2"), col("sim"))
   }
 
+  /** Cap the KMeans training input to ~`maxFitRows` rows: a bounded uniform
+    * sample, so the fit cost is constant regardless of corpus size (the
+    * centroid quality of a coarse quantizer saturates long before 1M
+    * samples). The row count comes from a count() pass — parquet-metadata
+    * cheap — and the sample is a narrow map-side filter. */
+  private[operators] def fitSample(corpus: DataFrame, maxFitRows: Long, seed: Long): DataFrame = {
+    val n = corpus.count()
+    if (n <= maxFitRows) corpus
+    else corpus.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every corpus
     * vector to its nearest of `nCells` centroids; a query scores only the
     * vectors in its `nProbe` closest cells. The classic recall/cost dial for
     * billion-vector search: cost ~ nProbe/nCells of brute force.
     *
-    * Unlike the LSH path this has a build phase (centroids are fit on a
-    * sample and broadcast with the cell assignment join); at 100 TB the fit
-    * runs on a ~1M-row sample and the assignment stays a single map-side
-    * pass (centroids broadcast, argmin per row).
+    * Unlike the LSH path this has a build phase: centroids are fit on a
+    * bounded sample (<= `maxFitRows` rows regardless of corpus size) and
+    * broadcast with the cell assignment join, so at 100 TB the fit is a
+    * constant-cost step and the assignment stays a single map-side pass
+    * (centroids broadcast, argmin per row).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -97,11 +119,13 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxFitRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val training = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val training = fitSample(corpus, maxFitRows, seed)
+      .select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).setFeaturesCol("features").fit(training)
 
     // centroid matrix as a literal: nCells x dim, broadcast inside the plan
@@ -124,13 +148,11 @@ object Similarity {
 
     val cb = cellRanked(corpus, "vec_id2", "__v", 1)
     val qb = broadcast(cellRanked(queries, "query_id", "__qv", nProbe))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id2").asc)
-    cb.join(qb, Seq("cell"))
+    val scored = cb.join(qb, Seq("cell"))
       .filter(col("vec_id2") =!= col("query_id"))
       .withColumn("sim", cosine_sim_float(col("__qv"), col("__v")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id2").as("vec_id"), col("sim"), col("rnk"))
+      .select("query_id", "vec_id2", "sim")
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates = corpus rows sharing any of the L table
@@ -153,16 +175,13 @@ object Similarity {
 
     val qb = broadcast(bucketed(queries, "query_id", "__qv"))
     val cb = bucketed(corpus, "vec_id2", "__v")
-    val candidates = cb
+    val scored = cb
       .join(qb, Seq("tbl", "sig"))
       .filter(col("vec_id2") =!= col("query_id"))
       .select(col("query_id"), col("vec_id2"), col("__qv"), col("__v"))
       .dropDuplicates("query_id", "vec_id2")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id2").asc)
-    candidates
       .withColumn("sim", cosine_sim_float(col("__qv"), col("__v")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id2").as("vec_id"), col("sim"), col("rnk"))
+      .select("query_id", "vec_id2", "sim")
+    topKPerQuery(scored, k)
   }
 }
