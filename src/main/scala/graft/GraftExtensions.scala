@@ -50,6 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(TextOps.getClass, "ngramJaccard", DoubleType)),
       fn("graft_fingerprints", "winnowing fingerprint set (sorted array<bigint>)",
         static(TextOps.getClass, "fingerprints", longArray)),
+      fn("graft_uuid5", "RFC 4122 name-based UUID v5 of (namespace_uuid, name)",
+        static(TextOps.getClass, "uuid5", StringType)),
       fn("graft_cosine_sim", "cosine similarity of two array<float> vectors",
         static(VectorOps.getClass, "cosineSim", DoubleType)),
       fn("graft_lsh_sig", "random-hyperplane LSH signature of an array<float> vector",

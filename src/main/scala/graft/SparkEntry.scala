@@ -198,6 +198,15 @@ object SparkEntry {
       .select(col("c_custkey"), deterministic_id(col("c_name")).as("cid"))
       .orderBy("c_custkey")
 
+  /** RFC 4122 uuid5 ids — byte-compatible with the reference's
+    * `uuid.uuid5(NAMESPACE_DNS, name)` (utils.py:420-431). Rows-only driver
+    * check (DuckDB has no SHA-1); FunctionsSpec pins the public test vectors
+    * (python.org et al.) so the bytes are still oracle-grade. */
+  private def qDeterministicIdUuid5(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), uuid5(col("c_name")).as("cid"))
+      .orderBy("c_custkey")
+
   private def qPeriodParse(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(date_format(col("o_orderdate"), "yyyyMM").as("period"))
@@ -520,6 +529,37 @@ object SparkEntry {
         col("duration_us"))
       .orderBy("user_id", "session_idx")
 
+  /** Excel grid ingestion, oracle-checked end-to-end: export the nation dim
+    * into a decorated .xlsx workbook (two title rows + header, mixed
+    * string/numeric cells — the reference's CHU sheet shape,
+    * extract_chu_data.py:182), read it back through [[Xlsx.grid]], type the
+    * columns, and hash-compare against DuckDB over the original parquet.
+    * The driver-side collect builds the 25-row FIXTURE (a dim export, not a
+    * data path); the read side is the distributed binaryFile scan. */
+  private def qGridIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Xlsx
+    val dir = new java.io.File(d).getName
+    val path = s"/tmp/graft_grid_$dir/nation.xlsx"
+    val dim = Tables.nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+      .collect()
+      .map(r => Seq[Any](r.getInt(0), r.getString(1), r.getInt(2)))
+      .toSeq
+    Xlsx.write(
+      path,
+      Seq(
+        Seq[Any]("PNLS NATION EXPORT", null, null),
+        Seq[Any](null, "decorated title block", null),
+        Seq[Any]("n_nationkey", "n_name", "n_regionkey")) ++ dim)
+    Xlsx.grid(s, path, skipRows = 2)
+      .select(
+        col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
   private def qJsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -545,6 +585,7 @@ object SparkEntry {
     "q_normalize_text" -> (qNormalizeText _),
     "q_multi_replace" -> (qMultiReplace _),
     "q_deterministic_id" -> (qDeterministicId _),
+    "q_deterministic_id_uuid5" -> (qDeterministicIdUuid5 _),
     "q_period_parse" -> (qPeriodParse _),
     "q_age_sex_standardize" -> (qAgeSexStandardize _),
     "q_type_hygiene" -> (qTypeHygiene _),
@@ -577,7 +618,8 @@ object SparkEntry {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_event_window" -> (qEventWindow _),
     "q_sessionize" -> (qSessionize _),
-    "q_json_extract" -> (qJsonExtract _))
+    "q_json_extract" -> (qJsonExtract _),
+    "q_grid_ingest" -> (qGridIngest _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
@@ -910,5 +952,7 @@ object SparkEntry {
          FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+    "q_grid_ingest" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""")
 }

@@ -46,6 +46,52 @@ object TextOps {
       cleaned.trim.replace("public", "").replace("-", " ").toLowerCase)
   }
 
+  // ---------------------------------------------------------------- uuid5
+
+  /** RFC 4122 name-based (version 5, SHA-1) UUID — byte-compatible with
+    * `uuid.uuid5(namespace, name)` (behavior of reference
+    * utils.py:420-431 `generate_org_unit_uuid`): SHA-1 over the namespace
+    * UUID's 16 big-endian bytes followed by the UTF-8 name, truncated to 16
+    * bytes with the version nibble forced to 5 and the variant bits to 10.
+    *
+    * @param namespace the namespace UUID in canonical hex-dash form (e.g.
+    *                  [[NamespaceDns]])
+    */
+  def uuid5(namespace: UTF8String, name: UTF8String): UTF8String = {
+    val nsHex = namespace.toString.replace("-", "")
+    require(nsHex.length == 32, s"namespace must be a UUID, got $namespace")
+    val md = Sha1Local.get()
+    md.reset()
+    var i = 0
+    while (i < 32) {
+      md.update(((hexVal(nsHex.charAt(i)) << 4) | hexVal(nsHex.charAt(i + 1))).toByte)
+      i += 2
+    }
+    md.update(name.getBytes)
+    val d = md.digest()
+    d(6) = ((d(6) & 0x0f) | 0x50).toByte // version 5
+    d(8) = ((d(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
+    val sb = new java.lang.StringBuilder(36)
+    i = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** RFC 4122 Appendix C DNS namespace — `uuid.NAMESPACE_DNS`. */
+  val NamespaceDns = "6ba7b810-9dad-11d1-80b4-00c04fd430c8"
+
+  private def hexVal(c: Char): Int = Character.digit(c, 16)
+
+  private object Sha1Local extends ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-1")
+  }
+
   // ---------------------------------------------------------------- fuzzy
 
   /** Indel distance (Levenshtein with substitution cost 2) — the distance

@@ -77,6 +77,13 @@ package object functions {
     * from a name); md5 so any engine can reproduce it. */
   def deterministic_id(c: Column): Column = md5(to_binary(lower(trim(c)), lit("utf-8")))
 
+  /** RFC 4122 name-based UUID (version 5, SHA-1) — byte-compatible with the
+    * reference's `uuid.uuid5(namespace, name)` ids (utils.py:420-431), so a
+    * migration can join ids produced by either engine. Defaults to the DNS
+    * namespace like the reference. */
+  def uuid5(c: Column, namespace: String = TextOps.NamespaceDns): Column =
+    invoke("uuid5", StringType, Seq(lit(namespace), c))
+
   /** Ordered multi-substring replacement.
     * Behavior of reference utils.py:252 `multi_replace`. */
   def multi_replace(c: Column, replacements: Seq[(String, String)]): Column =

@@ -21,29 +21,40 @@ object Tables {
   def jsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
-  /** Grid-shaped CSV with leading junk rows — the reference's Excel-sheet
+  /** Grid-shaped CSV with leading junk rows — the reference's decorated-sheet
     * ingestion shape (extract_chu_data.py:36 reads a sheet from a data
-    * range, skipping title/header decoration). `skipLines` rows are dropped
-    * from the top of EACH file (tracked per-partition via the file name, so
-    * multi-file reads stay correct), then the next row is the header. */
+    * range, skipping title/header decoration). `skipLines` rows plus the
+    * header are dropped POSITIONALLY from the top of EACH file.
+    *
+    * Read shape: `wholetext` — one task per file, so line order is the
+    * file's own order with no dependence on split partitioning (a previous
+    * formulation ordered by `monotonically_increasing_id`, which interleaves
+    * when a large file splits), and body rows that happen to equal the
+    * header line survive (they were dropped by value before). Grid files are
+    * small decorated sheets by nature; a file-per-task read is the right
+    * scale shape — thousands of site files fan out, none splits. The header
+    * itself is one bounded driver read of the first file, the same contract
+    * as Spark's own CSV header inference. */
   def csvGrid(spark: SparkSession, path: String, skipLines: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, input_file_name, row_number}
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, input_file_name}
     if (skipLines <= 0) return csv(spark, path)
-    val raw = spark.read.text(path)
-      .select(col("value"), input_file_name().as("__f"))
-    // line order within a text file = read order only when each file is one
-    // partition; enforce with a per-file window over a monotonic id
-    val withIdx = raw
-      .withColumn("__id", org.apache.spark.sql.functions.monotonically_increasing_id())
-      .withColumn("__rn", row_number().over(Window.partitionBy(col("__f")).orderBy(col("__id"))))
-    val body = withIdx.filter(col("__rn") > skipLines).select("value")
-    val header = body.first().getString(0)
+    val files = spark.read.option("wholetext", "true").text(path)
+    val firstFile = files
+      .select(input_file_name().as("__f"), col("value"))
+      .orderBy("__f")
+      .select("value")
+      .head.getString(0)
+    val header = firstFile.split("\n", -1).iterator
+      .map(_.stripSuffix("\r")).drop(skipLines).next()
     val headerCols = header.split(",", -1).map(_.trim).toSeq
-    val parsed = body.filter(col("value") =!= header)
+    val body = files
+      .select(col("value").as(spark.implicits.newStringEncoder))
+      .flatMap(t =>
+        t.split("\n", -1).iterator.map(_.stripSuffix("\r")).drop(skipLines + 1).filter(_.nonEmpty))(
+        spark.implicits.newStringEncoder)
     spark.read
       .option("header", "false").option("inferSchema", "true")
-      .csv(parsed.as(spark.implicits.newStringEncoder))
+      .csv(body)
       .toDF(headerCols: _*)
   }
 

@@ -1,0 +1,275 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Excel (.xlsx) grid ingestion — the reference reads CHU workbooks directly
+  * (`pl.read_excel`, extract_chu_data.py:182), so a real user hits Excel on
+  * day one.
+  *
+  * xlsx is a public format: a zip archive of XML parts (ECMA-376 /
+  * ISO 29500 SpreadsheetML). This reader uses only the JDK (java.util.zip +
+  * javax.xml.stream) and covers the grid subset the reference consumes:
+  * shared strings, inline strings, numeric/boolean/formula-cached cells,
+  * sparse cells (gaps filled with nulls) and skipped empty rows.
+  *
+  * Scale shape: workbooks are read with Spark's `binaryFile` source — one
+  * task per file, each workbook parsed ON AN EXECUTOR — so a directory of
+  * thousands of site workbooks (the reference's CHU case) fans out across
+  * the cluster. Only the header comes from a single bounded driver read of
+  * the lexicographically first file, the same contract as Spark's own CSV
+  * header inference. A single .xlsx is never split (the zip container isn't
+  * splittable), which matches the format: grids are per-site files, not
+  * 100 GB tables.
+  */
+object Xlsx {
+
+  /** Read a directory/glob of xlsx workbooks as one DataFrame of strings.
+    *
+    * @param skipRows decoration rows dropped from the top of EVERY sheet
+    *                 (titles, logos — extract_chu_data.py skips a data-range
+    *                 offset the same way); the next row is the header
+    * @param sheet    worksheet part name (sheet1 = the first sheet)
+    */
+  def grid(spark: SparkSession, path: String, skipRows: Int, sheet: String = "sheet1"): DataFrame = {
+    val files = spark.read.format("binaryFile").load(path)
+    val headBytes = files.orderBy(col("path")).select(col("content")).head.getAs[Array[Byte]](0)
+    val grid = parseSheet(headBytes, sheet)
+    require(grid.length > skipRows, s"sheet has ${grid.length} rows, cannot skip $skipRows + header")
+    val header = grid(skipRows).map(c => if (c == null) "" else c.trim).toSeq
+    val width = header.length
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val rows = files
+      .select(col("content"))
+      .as(Encoders.BINARY)
+      .flatMap { bytes =>
+        parseSheet(bytes, sheet).iterator.drop(skipRows + 1).map { cells =>
+          Row.fromSeq((0 until width).map(i => if (i < cells.length) cells(i) else null))
+        }
+      }(Encoders.row(schema))
+    rows.toDF(header: _*)
+  }
+
+  // ------------------------------------------------------------------ parse
+
+  /** Parse one worksheet of a workbook into rows of cell strings (null =
+    * empty cell). Row/column gaps in the sparse XML are restored so the
+    * output is positionally faithful to what a spreadsheet user sees. */
+  private[sources] def parseSheet(workbook: Array[Byte], sheet: String): Vector[Array[String]] = {
+    var sheetXml: Array[Byte] = null
+    var sharedXml: Array[Byte] = null
+    val zin = new ZipInputStream(new ByteArrayInputStream(workbook))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        e.getName match {
+          case n if n == s"xl/worksheets/$sheet.xml" => sheetXml = zin.readAllBytes()
+          case "xl/sharedStrings.xml" => sharedXml = zin.readAllBytes()
+          case _ => ()
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    require(sheetXml != null, s"workbook has no sheet part xl/worksheets/$sheet.xml")
+    val shared = if (sharedXml == null) Array.empty[String] else parseSharedStrings(sharedXml)
+    parseSheetXml(sheetXml, shared)
+  }
+
+  /** sharedStrings.xml: one `<si>` per string; rich-text runs concatenate. */
+  private def parseSharedStrings(xml: Array[Byte]): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    val r = xmlReader(xml)
+    var current: java.lang.StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => current = new java.lang.StringBuilder
+            case "t" => inT = true
+            case _ => ()
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT && current != null =>
+          current.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += current.toString; current = null
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    out.toArray
+  }
+
+  private def parseSheetXml(xml: Array[Byte], shared: Array[String]): Vector[Array[String]] = {
+    val rows = Vector.newBuilder[Array[String]]
+    val r = xmlReader(xml)
+    var rowNum = 0 // last emitted 1-based row number
+    var cells: ArrayBuffer[String] = null
+    var cellCol = -1 // 0-based column of the open <c>
+    var cellType: String = null
+    var text: java.lang.StringBuilder = null
+    var collecting = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              val declared = Option(r.getAttributeValue(null, "r")).map(_.toInt)
+              // restore skipped empty rows so positions stay faithful
+              val target = declared.getOrElse(rowNum + 1)
+              while (rowNum < target - 1) { rows += Array.empty[String]; rowNum += 1 }
+              cells = ArrayBuffer.empty[String]
+            case "c" =>
+              val ref = r.getAttributeValue(null, "r")
+              cellCol = if (ref == null) cells.length else colIndex(ref)
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              text = null
+            case "v" | "t" if cells != null && cellCol >= 0 =>
+              text = new java.lang.StringBuilder; collecting = true
+            case _ => ()
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if collecting =>
+          text.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" => collecting = false
+            case "c" =>
+              val raw = if (text == null) null else text.toString
+              val value = cellType match {
+                case "s" if raw != null => shared(raw.trim.toInt)
+                case "b" if raw != null => if (raw.trim == "1") "true" else "false"
+                case _ => raw // n, str (formula cache), inlineStr (via <t>)
+              }
+              while (cells.length < cellCol) cells += null
+              if (cells.length == cellCol) cells += value else cells(cellCol) = value
+              cellCol = -1
+            case "row" =>
+              rows += cells.toArray; rowNum += 1; cells = null
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    rows.result()
+  }
+
+  /** "BC23" -> 0-based column index of the letters prefix. */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && Character.isLetter(ref.charAt(i))) {
+      acc = acc * 26 + (Character.toUpperCase(ref.charAt(i)) - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  private def xmlReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  // ------------------------------------------------------------------ write
+
+  /** Write a minimal single-sheet workbook (numbers as numeric cells,
+    * everything else via sharedStrings, nulls as gaps) — enough to round-trip
+    * grids through [[grid]] and to hand a spreadsheet to a downstream
+    * consumer, the export twin of the reference's Excel ingestion. */
+  def write(path: String, rows: Seq[Seq[Any]]): Unit = {
+    val sharedIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def sharedOf(s: String): Int = sharedIdx.getOrElseUpdate(s, sharedIdx.size)
+    def esc(s: String): String =
+      s.flatMap {
+        case '&' => "&amp;"
+        case '<' => "&lt;"
+        case '>' => "&gt;"
+        case '"' => "&quot;"
+        case c => c.toString
+      }
+    val sheet = new StringBuilder
+    sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" + "\n"
+    sheet ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+    rows.zipWithIndex.foreach { case (cells, ri) =>
+      sheet ++= s"""<row r="${ri + 1}">"""
+      cells.zipWithIndex.foreach { case (v, ci) =>
+        val ref = s"${colLetters(ci)}${ri + 1}"
+        v match {
+          case null => ()
+          case n: Int => sheet ++= s"""<c r="$ref"><v>$n</v></c>"""
+          case n: Long => sheet ++= s"""<c r="$ref"><v>$n</v></c>"""
+          case n: Double => sheet ++= s"""<c r="$ref"><v>$n</v></c>"""
+          case b: Boolean => sheet ++= s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+          case s => sheet ++= s"""<c r="$ref" t="s"><v>${sharedOf(s.toString)}</v></c>"""
+        }
+      }
+      sheet ++= "</row>"
+    }
+    sheet ++= "</sheetData></worksheet>"
+    val sst = new StringBuilder
+    sst ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" + "\n"
+    sst ++= s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedIdx.size}" uniqueCount="${sharedIdx.size}">"""
+    sharedIdx.keys.foreach(s => sst ++= s"<si><t xml:space=\"preserve\">${esc(s)}</t></si>")
+    sst ++= "</sst>"
+    val parts = Seq(
+      "[Content_Types].xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>""" +
+          """</Types>"""),
+      "_rels/.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          """</Relationships>"""),
+      "xl/workbook.xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+          """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
+          """</Relationships>"""),
+      "xl/sharedStrings.xml" -> sst.toString,
+      "xl/worksheets/sheet1.xml" -> sheet.toString)
+    val file = new java.io.File(path)
+    Option(file.getParentFile).foreach(_.mkdirs())
+    val zout = new ZipOutputStream(new FileOutputStream(file))
+    try {
+      parts.foreach { case (name, content) =>
+        zout.putNextEntry(new ZipEntry(name))
+        zout.write(content.getBytes("UTF-8"))
+        zout.closeEntry()
+      }
+    } finally zout.close()
+  }
+
+  private[graft] def colLetters(idx: Int): String = {
+    var i = idx + 1
+    val sb = new StringBuilder
+    while (i > 0) {
+      val rem = (i - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      i = (i - 1) / 26
+    }
+    sb.toString
+  }
+}

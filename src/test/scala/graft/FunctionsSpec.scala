@@ -26,6 +26,33 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("uuid5 matches the public RFC 4122 name-based test vectors (DNS namespace)") {
+    // vectors from the reference implementation of uuid.uuid5 (NAMESPACE_DNS)
+    val expected = Map(
+      "python.org" -> "886313e1-3b8a-5372-9b90-0c9aee199e5d",
+      "example.com" -> "cfbff0d1-9375-5685-968c-48ce8b15ae17",
+      "" -> "4ebd0208-8328-5d69-8c44-ec50939c0967",
+      "Customer#000000001" -> "f8c57d8e-6beb-58c2-80bb-d12696183869",
+      "café" -> "5e2e2331-a683-5e18-b56d-666e31574b41")
+    val got = expected.keys.toSeq.toDF("name")
+      .select(col("name"), uuid5(col("name")).as("id"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("uuid5 honors a non-default namespace (URL)") {
+    val urlNs = "6ba7b811-9dad-11d1-80b4-00c04fd430c8"
+    assert(eval1[String](uuid5(lit("python.org"), urlNs)) ==
+      "7af94e2b-4dd9-50f0-9c9a-8a48519bdef0")
+  }
+
+  test("uuid5 is null-safe") {
+    val rows = Seq(Some("x"), None).toDF("s").select(uuid5(col("s"))).collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
+  }
+
   test("token_set_ratio: permutations of the same token set score 100") {
     assert(eval1[Int](token_set_ratio(lit("fuzzy wuzzy was a bear"), lit("bear a was wuzzy fuzzy"))) == 100)
   }

@@ -40,6 +40,69 @@ class SourcesSpec extends SparkSpec {
     assert(back(0).getAs[Int]("valeur") == 10)
   }
 
+  test("csvGrid keeps body rows that equal the header line (positional skip, not value filter)") {
+    val dir = Files.createTempDirectory("graft-grid2").toString + "/sheet"
+    // second body row is byte-identical to the header — must survive
+    Seq("TITLE", "a,b", "a,b", "x,y").toDF("value").coalesce(1).write.text(dir)
+    val back = Tables.csvGrid(spark, dir, skipLines = 1).orderBy("a").collect()
+    assert(back.length == 2)
+    assert(back.map(_.getString(0)).sorted.toSeq == Seq("a", "x"))
+  }
+
+  test("csvGrid reads multiple files, skipping decoration per file") {
+    val dir = Files.createTempDirectory("graft-grid3").toString + "/sheets"
+    Seq("junk1", "site,v", "s1,1").toDF("value").coalesce(1)
+      .write.text(dir + "/f1")
+    Seq("junk2", "site,v", "s2,2").toDF("value").coalesce(1)
+      .write.text(dir + "/f2")
+    val back = Tables.csvGrid(spark, dir + "/*/", skipLines = 1).orderBy("site").collect()
+    assert(back.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq("s1" -> 1, "s2" -> 2))
+  }
+
+  test("xlsx round-trips a typed grid through write + grid read") {
+    import graft.sources.Xlsx
+    val path = Files.createTempDirectory("graft-xlsx").toString + "/wb.xlsx"
+    Xlsx.write(path, Seq(
+      Seq[Any]("DECORATION", null),
+      Seq[Any]("name", "score"),
+      Seq[Any]("alpha", 1.5),
+      Seq[Any]("beta", -2.0)))
+    val back = Xlsx.grid(spark, path, skipRows = 1).orderBy("name").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(0) == "alpha")
+    assert(back(0).getString(1) == "1.5")
+  }
+
+  test("xlsx reader restores sparse cells and skipped empty rows positionally") {
+    import graft.sources.Xlsx
+    val path = Files.createTempDirectory("graft-xlsx2").toString + "/wb.xlsx"
+    // row 2 entirely empty (gap), row 3 has only column C populated
+    Xlsx.write(path, Seq(
+      Seq[Any]("a", "b", "c"),
+      Seq[Any](null, null, null),
+      Seq[Any](null, null, "only-c")))
+    val back = Xlsx.grid(spark, path, skipRows = 0).collect()
+    assert(back.length == 2)
+    assert(back(0).isNullAt(0) && back(0).isNullAt(2))
+    assert(back(1).isNullAt(0) && back(1).getString(2) == "only-c")
+  }
+
+  test("xlsx reader fans out across multiple workbooks (one task per file)") {
+    import graft.sources.Xlsx
+    val dir = Files.createTempDirectory("graft-xlsx3").toString
+    Xlsx.write(s"$dir/site1.xlsx", Seq(Seq[Any]("site", "v"), Seq[Any]("s1", 1)))
+    Xlsx.write(s"$dir/site2.xlsx", Seq(Seq[Any]("site", "v"), Seq[Any]("s2", 2)))
+    val df = Xlsx.grid(spark, dir, skipRows = 0)
+    assert(df.rdd.getNumPartitions >= 1)
+    assert(df.orderBy("site").collect().map(_.getString(0)).toSeq == Seq("s1", "s2"))
+  }
+
+  test("xlsx column-letter math: AA follows Z") {
+    import graft.sources.Xlsx
+    assert(Xlsx.colIndex("Z1") == 25 && Xlsx.colIndex("AA1") == 26 && Xlsx.colIndex("BC23") == 54)
+    assert(Xlsx.colLetters(25) == "Z" && Xlsx.colLetters(26) == "AA" && Xlsx.colLetters(54) == "BC")
+  }
+
   test("parquet named accessors expose the full star schema") {
     assert(Tables.lineitem(spark, sf).count() > 0)
     assert(Tables.nation(spark, sf).count() == 25)
