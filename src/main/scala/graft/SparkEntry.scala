@@ -519,6 +519,31 @@ object SparkEntry {
     Events.hourlyAggBatch(Tables.events(s, d))
       .orderBy("event_date", "event_hour", "event_type")
 
+  /** The STREAMING window aggregation run end-to-end — AvailableNow file
+    * source over the events parquet, watermarked tumbling-window agg,
+    * complete-mode memory sink — and hash-compared against the same DuckDB
+    * batch oracle as q_event_window: the batch-equivalence claim as a driver
+    * gate, not just a spec. */
+  private def qEventWindowStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    // the file stream source wants a directory; glob-filter to the one table
+    var stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // same ns-timestamp surface as Tables.events
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val name = "graft_event_window_stream"
+    val q = Events.hourlyAggStream(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("event_date", "event_hour", "event_type")
+  }
+
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     Events.sessionizeBatch(Tables.events(s, d))
       .select(
@@ -617,6 +642,7 @@ object SparkEntry {
     "q_percentile" -> (qPercentile _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_event_window" -> (qEventWindow _),
+    "q_event_window_stream" -> (qEventWindowStream _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
     "q_grid_ingest" -> (qGridIngest _))
@@ -935,6 +961,11 @@ object SparkEntry {
                 ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_event_window" ->
+      """SELECT CAST(ts AS DATE) AS event_date, CAST(hour(ts) AS INTEGER) AS event_hour, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY event_date, event_hour, event_type""",
+    "q_event_window_stream" ->
       """SELECT CAST(ts AS DATE) AS event_date, CAST(hour(ts) AS INTEGER) AS event_hour, event_type,
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
