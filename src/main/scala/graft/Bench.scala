@@ -30,7 +30,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Emit the metric line LAST, after all of Spark's shutdown machinery has
+    // run: streaming queries leave HDFS state-store maintenance threads alive
+    // whose "RpcEnv already stopped" stack traces otherwise land AFTER the
+    // metric line and push it out of the driver's captured stdout tail
+    // (this is exactly what nulled BENCH_r03). Stop state stores explicitly,
+    // stop the session, then print as the process's final word.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
