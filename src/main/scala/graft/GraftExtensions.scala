@@ -52,6 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(TextOps.getClass, "fingerprints", longArray)),
       fn("graft_uuid5", "RFC 4122 name-based UUID v5 of (namespace_uuid, name)",
         static(TextOps.getClass, "uuid5", StringType)),
+      fn("graft_uuid5_compact", "hyphenless uuid5 (reference generate_org_unit_uuid form)",
+        static(TextOps.getClass, "uuid5Compact", StringType)),
       fn("graft_cosine_sim", "cosine similarity of two array<float> vectors",
         static(VectorOps.getClass, "cosineSim", DoubleType)),
       fn("graft_lsh_sig", "random-hyperplane LSH signature of an array<float> vector",

@@ -199,12 +199,18 @@ object SparkEntry {
       .orderBy("c_custkey")
 
   /** RFC 4122 uuid5 ids — byte-compatible with the reference's
-    * `uuid.uuid5(NAMESPACE_DNS, name)` (utils.py:420-431). Rows-only driver
-    * check (DuckDB has no SHA-1); FunctionsSpec pins the public test vectors
-    * (python.org et al.) so the bytes are still oracle-grade. */
+    * `uuid.uuid5(NAMESPACE_DNS, name)` (utils.py:420-431). `cid` is the
+    * canonical hex-dash form; `cid_compact` is the hyphenless form the
+    * reference actually stores (utils.py:431 strips the dashes), so a
+    * cross-engine id join uses `cid_compact`. Rows-only driver check (DuckDB
+    * has no SHA-1); FunctionsSpec pins the public test vectors (python.org
+    * et al.) so the bytes are still oracle-grade. */
   private def qDeterministicIdUuid5(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .select(col("c_custkey"), uuid5(col("c_name")).as("cid"))
+      .select(
+        col("c_custkey"),
+        uuid5(col("c_name")).as("cid"),
+        uuid5_compact(col("c_name")).as("cid_compact"))
       .orderBy("c_custkey")
 
   private def qPeriodParse(s: SparkSession, d: String): DataFrame =
@@ -563,8 +569,13 @@ object SparkEntry {
     * data path); the read side is the distributed binaryFile scan. */
   private def qGridIngest(s: SparkSession, d: String): DataFrame = {
     import graft.sources.Xlsx
-    val dir = new java.io.File(d).getName
-    val path = s"/tmp/graft_grid_$dir/nation.xlsx"
+    // per-run temp dir: no collisions across concurrent runs on the same
+    // dataset. Driver-local is fine here only because the read side below
+    // runs on the same machine in the local harness; on a real cluster the
+    // fixture would be written to the shared filesystem next to the data.
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_grid_").toFile
+    tmpDir.deleteOnExit()
+    val path = new java.io.File(tmpDir, "nation.xlsx").getPath
     val dim = Tables.nation(s, d)
       .select("n_nationkey", "n_name", "n_regionkey")
       .orderBy("n_nationkey")

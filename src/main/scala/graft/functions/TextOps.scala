@@ -82,10 +82,22 @@ object TextOps {
     UTF8String.fromString(sb.toString)
   }
 
+  /** [[uuid5]] without hyphens — character-identical to the reference's
+    * `str(uuid.uuid5(...)).replace('-','')` (utils.py:431
+    * `generate_org_unit_uuid`), so ids from either engine join directly. */
+  def uuid5Compact(namespace: UTF8String, name: UTF8String): UTF8String = {
+    val canonical = uuid5(namespace, name).toString
+    UTF8String.fromString(canonical.replace("-", ""))
+  }
+
   /** RFC 4122 Appendix C DNS namespace — `uuid.NAMESPACE_DNS`. */
   val NamespaceDns = "6ba7b810-9dad-11d1-80b4-00c04fd430c8"
 
-  private def hexVal(c: Char): Int = Character.digit(c, 16)
+  private def hexVal(c: Char): Int = {
+    val v = Character.digit(c, 16)
+    require(v >= 0, s"namespace must be a hex UUID, got non-hex character '$c'")
+    v
+  }
 
   private object Sha1Local extends ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -77,12 +77,19 @@ package object functions {
     * from a name); md5 so any engine can reproduce it. */
   def deterministic_id(c: Column): Column = md5(to_binary(lower(trim(c)), lit("utf-8")))
 
-  /** RFC 4122 name-based UUID (version 5, SHA-1) — byte-compatible with the
-    * reference's `uuid.uuid5(namespace, name)` ids (utils.py:420-431), so a
-    * migration can join ids produced by either engine. Defaults to the DNS
+  /** RFC 4122 name-based UUID (version 5, SHA-1) in canonical hex-dash form.
+    * NOTE: the reference strips the hyphens (utils.py:431 returns
+    * `str(uuid.uuid5(...)).replace('-','')`) — use [[uuid5_compact]] when ids
+    * must join against ids the reference produced. Defaults to the DNS
     * namespace like the reference. */
   def uuid5(c: Column, namespace: String = TextOps.NamespaceDns): Column =
     invoke("uuid5", StringType, Seq(lit(namespace), c))
+
+  /** Hyphenless uuid5 — character-identical to the reference's
+    * `generate_org_unit_uuid` output (utils.py:431), which drops the dashes
+    * from the canonical form before storing the id. */
+  def uuid5_compact(c: Column, namespace: String = TextOps.NamespaceDns): Column =
+    invoke("uuid5Compact", StringType, Seq(lit(namespace), c))
 
   /** Ordered multi-substring replacement.
     * Behavior of reference utils.py:252 `multi_replace`. */

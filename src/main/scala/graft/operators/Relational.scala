@@ -63,14 +63,18 @@ object Relational {
   /** Ordered deduplication: keep the first row per key under an explicit
     * order — the deterministic version of "drop_duplicates keep first",
     * which in any distributed engine is only meaningful with an order.
-    * One shuffle on the key; the window's rank stops at 1 so AQE can
-    * skew-split it. */
+    * Routed through the native [[graft.plans.TopKPerKeyPlan]] with k=1:
+    * a bounded one-slot "heap" per key shrinks every partition to at most
+    * one row per key BEFORE the single shuffle, and nothing is sorted —
+    * the explicit version of the bounded-group guarantee the window
+    * `row_number() = 1` formulation only gets via WindowGroupLimit. */
   def dropDuplicatesOrdered(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    import org.apache.spark.sql.GraftSql
+    val keys = keyCols.map(n => GraftSql.expression(df(n)))
+    val order = orderCols.map(c => GraftSql.sortOrder(df, c))
+    GraftSql.ofRows(
+      df.sparkSession,
+      graft.plans.TopKPerKeyPlan(keys, order, 1, None, GraftSql.analyzed(df)))
   }
 
   /** Align a frame to an expected column list: add missing columns as typed

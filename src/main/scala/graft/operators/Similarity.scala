@@ -89,15 +89,20 @@ object Similarity {
       .select(col("id1"), col("id2"), col("sim"))
   }
 
-  /** Cap the KMeans training input to ~`maxFitRows` rows: a bounded uniform
-    * sample, so the fit cost is constant regardless of corpus size (the
-    * centroid quality of a coarse quantizer saturates long before 1M
-    * samples). The row count comes from a count() pass — parquet-metadata
-    * cheap — and the sample is a narrow map-side filter. */
-  private[operators] def fitSample(corpus: DataFrame, maxFitRows: Long, seed: Long): DataFrame = {
-    val n = corpus.count()
-    if (n <= maxFitRows) corpus
-    else corpus.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+  /** Cap the KMeans training input to <= `maxFitRows` rows WITHOUT any
+    * pre-pass over the corpus: each partition contributes its first
+    * `maxFitRows / numPartitions` rows (the iterator short-circuits, so a
+    * task reads only that many rows), followed by a global `limit` guard.
+    * Constant fit cost at any corpus size, no count() action, and the
+    * sample still spans every partition — for a coarse quantizer whose
+    * centroid quality saturates long before 1M samples, positional
+    * uniformity-per-partition is plenty. */
+  private[graft] def fitSample(corpus: DataFrame, maxFitRows: Long, seed: Long): DataFrame = {
+    val parts = math.max(1, corpus.rdd.getNumPartitions)
+    val perPart = math.max(1L, maxFitRows / parts).toInt
+    corpus
+      .mapPartitions(it => it.take(perPart))(org.apache.spark.sql.Encoders.row(corpus.schema))
+      .limit(maxFitRows.toInt)
   }
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every corpus

@@ -57,6 +57,10 @@ object Http {
       // requests.Session
       val client = HttpClient.newBuilder()
         .connectTimeout(Duration.ofMillis(timeoutMs.toLong))
+        // follow 301/302 like the reference's requests.get; without this a
+        // redirect is the "final" answer with an empty body and gets silently
+        // dropped by the documented `filter status = 200` pattern
+        .followRedirects(HttpClient.Redirect.NORMAL)
         .build()
       rows.map { row =>
         val url = row.getString(urlIdx)

@@ -135,7 +135,11 @@ object Xlsx {
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
               text = null
             case "v" | "t" if cells != null && cellCol >= 0 =>
-              text = new java.lang.StringBuilder; collecting = true
+              // allocate only once per cell: an inlineStr with rich-text runs
+              // (<is><r><t>a</t></r><r><t>b</t></r></is>) opens several <t>
+              // elements whose texts must concatenate, like parseSharedStrings
+              if (text == null) text = new java.lang.StringBuilder
+              collecting = true
             case _ => ()
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS if collecting =>

@@ -53,6 +53,21 @@ class FunctionsSpec extends SparkSpec {
     assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
   }
 
+  test("uuid5_compact is the reference's hyphenless generate_org_unit_uuid form") {
+    // reference utils.py:431 returns str(uuid.uuid5(...)).replace('-','')
+    assert(eval1[String](uuid5_compact(lit("python.org"))) ==
+      "886313e13b8a53729b900c9aee199e5d")
+    assert(eval1[String](uuid5_compact(lit("python.org"))) ==
+      eval1[String](uuid5(lit("python.org"))).replace("-", ""))
+  }
+
+  test("uuid5 rejects a malformed (non-hex) namespace instead of hashing garbage") {
+    val ex = intercept[Exception] {
+      eval1[String](uuid5(lit("x"), "zzzzzzzz-zzzz-zzzz-zzzz-zzzzzzzzzzzz"))
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("token_set_ratio: permutations of the same token set score 100") {
     assert(eval1[Int](token_set_ratio(lit("fuzzy wuzzy was a bear"), lit("bear a was wuzzy fuzzy"))) == 100)
   }

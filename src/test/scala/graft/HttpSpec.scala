@@ -93,6 +93,20 @@ class HttpSpec extends SparkSpec {
     assert(out.head.getAs[String]("body") != null)
   }
 
+  test("fetch follows redirects to the final body like the reference's requests.get") {
+    withServer(Map(
+      "/moved" -> { ex =>
+        ex.getResponseHeaders.add("Location", "/final")
+        (302, "")
+      },
+      "/final" -> { _ => (200, "landed") })) { port =>
+      val out = Http.fetch(
+        Seq(s"http://127.0.0.1:$port/moved").toDF("url"), "url").collect()
+      assert(out.head.getAs[Int]("status") == 200)
+      assert(out.head.getAs[String]("body") == "landed")
+    }
+  }
+
   test("fetch carries the input columns through to the output rows") {
     withServer(Map("/ok" -> { _ => (200, "body") })) { port =>
       val out = Http.fetch(

@@ -107,4 +107,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema"), p)
     assert(!p.contains("l_extendedprice"), s"scan reads unprojected columns:\n$p")
   }
+
+  // ---- r3 regression guards: top-k shapes must stay on the native operator,
+  // ---- never silently revert to a window row_number() (shuffle-all + sort).
+
+  private def assertNativeTopK(name: String): Unit = {
+    val p = plan(SparkEntry.queries(name)(spark, sf))
+    assert(p.contains("TopKPerKey"), s"$name lost the native top-k operator:\n$p")
+    assert(!p.contains("Window"), s"$name regressed to a window:\n$p")
+  }
+
+  test("cosine top-k runs on the native TopKPerKey operator, no Window") {
+    assertNativeTopK("q_cosine_topk")
+  }
+
+  test("LSH ANN runs on the native TopKPerKey operator, no Window") {
+    assertNativeTopK("q_ann_lsh")
+  }
+
+  test("IVF ANN runs on the native TopKPerKey operator, no Window") {
+    assertNativeTopK("q_ann_ivf")
+  }
+
+  test("jaccard top-k runs on the native TopKPerKey operator, no Window") {
+    assertNativeTopK("q_dedup_jaccard")
+  }
+
+  test("fuzzy match reduces with a keyed partial aggregate, no Window") {
+    val p = plan(SparkEntry.queries("q_fuzzy_match")(spark, sf))
+    assert(!p.contains("Window"), s"fuzzy match regressed to a window:\n$p")
+    // min_by keyed on a struct compiles to SortAggregate; what matters is the
+    // partial+final pair (map-side combine before the one key shuffle)
+    assert("(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2,
+      s"fuzzy match must reduce via partial min_by aggregate:\n$p")
+  }
+
+  test("keep-first dedup runs on the native TopKPerKey operator (k=1), no Window") {
+    assertNativeTopK("q_dedup_keep_first")
+  }
+
+  test("IVF KMeans fit input is bounded by maxFitRows, with no count() pre-pass") {
+    import org.apache.spark.sql.functions.{col, lit, array}
+    // plant a corpus larger than the cap; the sample must respect the bound
+    val corpus = spark.range(5000)
+      .select(col("id"), array(lit(1.0f), lit(0.0f)).as("vec"))
+      .repartition(8)
+    val sampled = graft.operators.Similarity.fitSample(corpus.toDF(), 1000L, 7L)
+    assert(sampled.count() <= 1000L, "fit sample exceeded maxFitRows")
+    // and a small corpus passes through un-truncated (cap, not a target)
+    val small = spark.range(10).select(col("id"), array(lit(1.0f)).as("vec"))
+    assert(graft.operators.Similarity.fitSample(small.toDF(), 1000L, 7L).count() == 10L)
+  }
 }

@@ -97,6 +97,32 @@ class SourcesSpec extends SparkSpec {
     assert(df.orderBy("site").collect().map(_.getString(0)).toSeq == Seq("s1", "s2"))
   }
 
+  test("xlsx reader concatenates inlineStr rich-text runs like sharedStrings") {
+    import graft.sources.Xlsx
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // hand-built workbook: inline strings split into multiple <r> runs, the
+    // shape Excel produces when part of a cell is bold/colored
+    val path = Files.createTempDirectory("graft-xlsx4").toString + "/rich.xlsx"
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><r><t>na</t></r><r><t>me</t></r></is></c>
+        |<c r="B1" t="inlineStr"><is><t>v</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><r><t>a</t></r><r><t>b</t></r><r><t>c</t></r></is></c>
+        |<c r="B2"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(sheet.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val back = Xlsx.grid(spark, path, skipRows = 0).collect()
+    assert(back.length == 1)
+    assert(back(0).getString(0) == "abc", "rich-text runs must concatenate, not keep the last")
+    assert(back(0).getString(1) == "7")
+    val header = Xlsx.grid(spark, path, skipRows = 0).columns.toSeq
+    assert(header == Seq("name", "v"))
+  }
+
   test("xlsx column-letter math: AA follows Z") {
     import graft.sources.Xlsx
     assert(Xlsx.colIndex("Z1") == 25 && Xlsx.colIndex("AA1") == 26 && Xlsx.colIndex("BC23") == 54)
