@@ -280,6 +280,45 @@ object SparkEntry {
       .orderBy("part")
   }
 
+  /** Colored consistency-matrix export — the reference's
+    * `matrice_de_coherence_*.xlsx` deliverable (pipeline.py:351, colors from
+    * utils.py:1047 `get_dataframe_color_rules`): write the violating rows
+    * with per-cell priority colors, then read the workbook BACK (values via
+    * the distributed grid reader, fills via the styles parser) and return
+    * one row per painted cell. Rows-only driver check: the assertion of the
+    * color semantics is RulesSpec's cell-level round-trip; this query proves
+    * the deliverable end-to-end on real table data. */
+  private def qRulesMatrixExport(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Xlsx
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_matrix_").toFile
+    tmpDir.deleteOnExit()
+    val path = new java.io.File(tmpDir, "matrix.xlsx").getPath
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    Rules.exportMatrix(
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 2000).select(cols.map(col): _*),
+      columns = cols,
+      orderBy = cols,
+      colRules = Seq(
+        "l_quantity" -> Seq(
+          Rules.Rule("qty_warn", col("l_quantity") >= 30, 1, "FFFFFF00"),
+          Rules.Rule("qty_crit", col("l_quantity") >= 45, 2, "FFFF0000")),
+        "l_discount" -> Seq(
+          Rules.Rule("disc_high", col("l_discount") >= 0.08, 1, "FF00B050"))),
+      path = path)
+    val fills = Xlsx.cellFills(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val painted = fills.zipWithIndex.drop(1).flatMap { case (row, ri) =>
+      row.zipWithIndex.collect { case (c, ci) if c != null => (ri, ci, c) }
+    }
+    import s.implicits._
+    painted.toSeq.toDF("row_idx", "col_idx", "color")
+      .select(
+        col("row_idx").cast("long").as("row_idx"),
+        col("col_idx").cast("long").as("col_idx"),
+        col("color"))
+      .orderBy("row_idx", "col_idx")
+  }
+
   // --------------------------------------------------------------- fuzzy
 
   private def qFuzzyMatch(s: SparkSession, d: String): DataFrame =
@@ -627,6 +666,7 @@ object SparkEntry {
     "q_type_hygiene" -> (qTypeHygiene _),
     "q_rules_flag" -> (qRulesFlag _),
     "q_rules_split" -> (qRulesSplit _),
+    "q_rules_matrix_export" -> (qRulesMatrixExport _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -802,6 +842,23 @@ object SparkEntry {
                      THEN 'inconsistent' ELSE 'consistent' END AS part,
                 COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY part""",
+    "q_rules_matrix_export" ->
+      """WITH v AS (
+           SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+                  CASE WHEN l_quantity >= 45 THEN 'FFFF0000'
+                       WHEN l_quantity >= 30 THEN 'FFFFFF00' END AS qcol,
+                  CASE WHEN l_discount >= 0.08 THEN 'FF00B050' END AS dcol
+           FROM lineitem WHERE l_orderkey < 2000),
+         f AS (
+           SELECT qcol, dcol,
+                  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount) AS rn
+           FROM v WHERE qcol IS NOT NULL OR dcol IS NOT NULL)
+         SELECT row_idx, col_idx, color FROM (
+           SELECT CAST(rn AS BIGINT) AS row_idx, CAST(2 AS BIGINT) AS col_idx, qcol AS color
+           FROM f WHERE qcol IS NOT NULL
+           UNION ALL
+           SELECT CAST(rn AS BIGINT), CAST(3 AS BIGINT), dcol FROM f WHERE dcol IS NOT NULL)
+         ORDER BY row_idx, col_idx""",
     "q_fuzzy_match" ->
       """WITH scored AS (
            SELECT c_custkey, n_name,

@@ -37,4 +37,56 @@ object Rules {
     (flagged.filter(col("rule_flag").isNull).drop("rule_flag"),
       flagged.filter(col("rule_flag").isNotNull))
   }
+
+  /** Per-column cell colors: for every `(column -> rules)` entry, append a
+    * `<column>__color` holding the highest-priority firing rule's tag (an
+    * ARGB color for the xlsx export), NULL when the cell is consistent —
+    * the declarative twin of the reference's per-cell
+    * `get_dataframe_color_rules` loop (utils.py:1047): one codegen'd
+    * projection for the whole matrix, zero shuffle. */
+  def colorMatrix(df: DataFrame, colRules: Seq[(String, Seq[Rule])]): DataFrame =
+    df.select(
+      df.columns.map(col).toSeq ++
+        colRules.map { case (c, rules) => flagColumn(rules).as(s"${c}__color") }: _*)
+
+  /** Write the consistency matrix as a colored workbook — the reference's
+    * `matrice_de_coherence_*.xlsx` deliverable (pipeline.py:351): data rows
+    * that violate at least one rule, each violating cell painted with its
+    * highest-priority rule's color.
+    *
+    * The collect is driver-side by design: this is a human-review report
+    * (the reference saves it with openpyxl on one machine), bounded by
+    * `maxRows` — the distributed work (rule evaluation + filter) happens
+    * before it.
+    *
+    * @param columns  output column order; `orderBy` keys should come first
+    * @param colRules (column -> rules); a Rule's tag is its ARGB fill color
+    */
+  def exportMatrix(
+      df: DataFrame,
+      columns: Seq[String],
+      orderBy: Seq[String],
+      colRules: Seq[(String, Seq[Rule])],
+      path: String,
+      maxRows: Int = 1 << 20): Unit = {
+    val colored = colorMatrix(df, colRules)
+    val anyViolation = colRules
+      .map { case (c, _) => col(s"${c}__color").isNotNull }
+      .reduce(_ || _)
+    val rows = colored
+      .filter(anyViolation)
+      .orderBy(orderBy.map(col): _*)
+      .limit(maxRows)
+      .collect()
+    val header: Seq[Any] = columns
+    val data = rows.toSeq.map(r => columns.map(c => r.get(r.fieldIndex(c))))
+    val colorCols = colRules.map(_._1).toSet
+    val noFill: Seq[String] = columns.map(_ => null: String)
+    val fills = Seq(noFill) ++ rows.toSeq.map { r =>
+      columns.map { c =>
+        if (colorCols.contains(c)) r.getString(r.fieldIndex(s"${c}__color")) else null
+      }
+    }
+    graft.sources.Xlsx.write(path, Seq(header) ++ data, fills)
+  }
 }

@@ -168,6 +168,98 @@ object Xlsx {
     rows.result()
   }
 
+  /** Per-cell solid-fill colors of one worksheet (ARGB hex, null = unfilled),
+    * positionally faithful like [[parseSheet]]: resolves each cell's `s`
+    * style index through styles.xml cellXfs -> fills -> fgColor. The read
+    * twin of `write(fills = ...)`, so a colored export (e.g. the consistency
+    * matrix) can be verified cell-by-cell. */
+  private[graft] def cellFills(workbook: Array[Byte], sheet: String = "sheet1"): Vector[Array[String]] = {
+    var sheetXml: Array[Byte] = null
+    var stylesXml: Array[Byte] = null
+    val zin = new ZipInputStream(new ByteArrayInputStream(workbook))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        e.getName match {
+          case n if n == s"xl/worksheets/$sheet.xml" => sheetXml = zin.readAllBytes()
+          case "xl/styles.xml" => stylesXml = zin.readAllBytes()
+          case _ => ()
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    require(sheetXml != null, s"workbook has no sheet part xl/worksheets/$sheet.xml")
+    // styles.xml: fill position -> fgColor rgb; cellXfs position -> fillId
+    val fillColors = ArrayBuffer.empty[String]
+    val xfFillIds = ArrayBuffer.empty[Int]
+    if (stylesXml != null) {
+      val r = xmlReader(stylesXml)
+      var inFills = false
+      var inCellXfs = false
+      var fillDepth = -1
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "fills" => inFills = true
+              case "cellXfs" => inCellXfs = true
+              case "fill" if inFills => fillColors += null; fillDepth = fillColors.size - 1
+              case "fgColor" if inFills && fillDepth >= 0 =>
+                fillColors(fillDepth) = r.getAttributeValue(null, "rgb")
+              case "xf" if inCellXfs =>
+                xfFillIds += Option(r.getAttributeValue(null, "fillId")).map(_.toInt).getOrElse(0)
+              case _ => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "fills" => inFills = false
+              case "cellXfs" => inCellXfs = false
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      r.close()
+    }
+    def colorOfStyle(s: Int): String =
+      if (s < 0 || s >= xfFillIds.length) null
+      else {
+        val fid = xfFillIds(s)
+        if (fid < 0 || fid >= fillColors.length) null else fillColors(fid)
+      }
+    // second pass over the sheet grid: same row/column gap restoration as
+    // parseSheetXml, but collecting the s= attribute instead of the value
+    val rows = Vector.newBuilder[Array[String]]
+    val r = xmlReader(sheetXml)
+    var rowNum = 0
+    var cells: ArrayBuffer[String] = null
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              val declared = Option(r.getAttributeValue(null, "r")).map(_.toInt)
+              val target = declared.getOrElse(rowNum + 1)
+              while (rowNum < target - 1) { rows += Array.empty[String]; rowNum += 1 }
+              cells = ArrayBuffer.empty[String]
+            case "c" if cells != null =>
+              val ref = r.getAttributeValue(null, "r")
+              val cellCol = if (ref == null) cells.length else colIndex(ref)
+              val style = Option(r.getAttributeValue(null, "s")).map(_.toInt).getOrElse(-1)
+              while (cells.length < cellCol) cells += null
+              val color = colorOfStyle(style)
+              if (cells.length == cellCol) cells += color else cells(cellCol) = color
+            case _ => ()
+          }
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT if r.getLocalName == "row" =>
+          rows += cells.toArray; rowNum += 1; cells = null
+        case _ => ()
+      }
+    }
+    r.close()
+    rows.result()
+  }
+
   /** "BC23" -> 0-based column index of the letters prefix. */
   private[graft] def colIndex(ref: String): Int = {
     var i = 0
@@ -191,10 +283,30 @@ object Xlsx {
   /** Write a minimal single-sheet workbook (numbers as numeric cells,
     * everything else via sharedStrings, nulls as gaps) — enough to round-trip
     * grids through [[grid]] and to hand a spreadsheet to a downstream
-    * consumer, the export twin of the reference's Excel ingestion. */
-  def write(path: String, rows: Seq[Seq[Any]]): Unit = {
+    * consumer, the export twin of the reference's Excel ingestion.
+    *
+    * @param fills optional per-cell solid fill colors, addressed positionally
+    *              like `rows` (ARGB hex, e.g. "FFFF0000"; null / missing =
+    *              unfilled). Colors become pattern fills in styles.xml with a
+    *              cellXfs entry each — the mechanism behind the reference's
+    *              colored consistency matrix (utils.py:1047
+    *              `get_dataframe_color_rules` paints cells by rule priority).
+    */
+  def write(path: String, rows: Seq[Seq[Any]], fills: Seq[Seq[String]] = Seq.empty): Unit = {
     val sharedIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def sharedOf(s: String): Int = sharedIdx.getOrElseUpdate(s, sharedIdx.size)
+    // distinct colors -> fillId (0 = none, 1 = gray125, both required first)
+    val colorIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def styleOf(ri: Int, ci: Int): Int = {
+      val color =
+        if (ri < fills.length && ci < fills(ri).length) fills(ri)(ci) else null
+      if (color == null) 0
+      else colorIdx.getOrElseUpdate(color, colorIdx.size + 1) // cellXfs index
+    }
+    def sAttr(ri: Int, ci: Int): String = {
+      val s = styleOf(ri, ci)
+      if (s == 0) "" else s""" s="$s""""
+    }
     def esc(s: String): String =
       s.flatMap {
         case '&' => "&amp;"
@@ -210,13 +322,16 @@ object Xlsx {
       sheet ++= s"""<row r="${ri + 1}">"""
       cells.zipWithIndex.foreach { case (v, ci) =>
         val ref = s"${colLetters(ci)}${ri + 1}"
+        val st = sAttr(ri, ci)
         v match {
-          case null => ()
-          case n: Int => sheet ++= s"""<c r="$ref"><v>$n</v></c>"""
-          case n: Long => sheet ++= s"""<c r="$ref"><v>$n</v></c>"""
-          case n: Double => sheet ++= s"""<c r="$ref"><v>$n</v></c>"""
-          case b: Boolean => sheet ++= s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
-          case s => sheet ++= s"""<c r="$ref" t="s"><v>${sharedOf(s.toString)}</v></c>"""
+          case null =>
+            // an unfilled empty cell needs no element; a filled one does
+            if (st.nonEmpty) sheet ++= s"""<c r="$ref"$st/>"""
+          case n: Int => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
+          case n: Long => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
+          case n: Double => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
+          case b: Boolean => sheet ++= s"""<c r="$ref"$st t="b"><v>${if (b) 1 else 0}</v></c>"""
+          case s => sheet ++= s"""<c r="$ref"$st t="s"><v>${sharedOf(s.toString)}</v></c>"""
         }
       }
       sheet ++= "</row>"
@@ -227,6 +342,27 @@ object Xlsx {
     sst ++= s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedIdx.size}" uniqueCount="${sharedIdx.size}">"""
     sharedIdx.keys.foreach(s => sst ++= s"<si><t xml:space=\"preserve\">${esc(s)}</t></si>")
     sst ++= "</sst>"
+    // styles: fill 0 = none, fill 1 = gray125 (both required by consumers),
+    // then one solid fill per distinct color; cellXfs index s (>=1) -> fill s+1
+    val styles = new StringBuilder
+    styles ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" + "\n"
+    styles ++= """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">"""
+    styles ++= """<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>"""
+    styles ++= s"""<fills count="${colorIdx.size + 2}">"""
+    styles ++= """<fill><patternFill patternType="none"/></fill>"""
+    styles ++= """<fill><patternFill patternType="gray125"/></fill>"""
+    colorIdx.keys.foreach { c =>
+      styles ++= s"""<fill><patternFill patternType="solid"><fgColor rgb="${esc(c)}"/><bgColor indexed="64"/></patternFill></fill>"""
+    }
+    styles ++= "</fills>"
+    styles ++= """<borders count="1"><border/></borders>"""
+    styles ++= """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>"""
+    styles ++= s"""<cellXfs count="${colorIdx.size + 1}">"""
+    styles ++= """<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>"""
+    (1 to colorIdx.size).foreach { s =>
+      styles ++= s"""<xf numFmtId="0" fontId="0" fillId="${s + 1}" borderId="0" xfId="0" applyFill="1"/>"""
+    }
+    styles ++= "</cellXfs></styleSheet>"
     val parts = Seq(
       "[Content_Types].xml" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -236,6 +372,7 @@ object Xlsx {
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
           """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
           """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>""" +
+          """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
           """</Types>"""),
       "_rels/.rels" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -251,8 +388,10 @@ object Xlsx {
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
           """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
           """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
+          """<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
           """</Relationships>"""),
       "xl/sharedStrings.xml" -> sst.toString,
+      "xl/styles.xml" -> styles.toString,
       "xl/worksheets/sheet1.xml" -> sheet.toString)
     val file = new java.io.File(path)
     Option(file.getParentFile).foreach(_.mkdirs())

@@ -25,4 +25,42 @@ class RulesSpec extends SparkSpec {
     assert(cons.count() == 1 && incons.count() == 3)
     assert(cons.columns.toSeq == Seq("v")) // flag column dropped on the clean side
   }
+
+  test("colorMatrix colors each column by its own rule subset") {
+    val df = Seq((1, 200, 5), (2, 5, 60)).toDF("id", "a", "b")
+    val out = Rules.colorMatrix(df, Seq(
+      "a" -> Seq(Rules.Rule("ra", col("a") > 100, 1, "FFFF0000")),
+      "b" -> Seq(Rules.Rule("rb", col("b") > 50, 1, "FFFFFF00"))))
+      .orderBy("id").collect()
+    assert(out(0).getString(out(0).fieldIndex("a__color")) == "FFFF0000")
+    assert(out(0).isNullAt(out(0).fieldIndex("b__color")))
+    assert(out(1).isNullAt(out(1).fieldIndex("a__color")))
+    assert(out(1).getString(out(1).fieldIndex("b__color")) == "FFFFFF00")
+  }
+
+  test("exportMatrix round-trips values AND per-cell fill colors through xlsx") {
+    import graft.sources.Xlsx
+    val path = java.nio.file.Files.createTempDirectory("graft-matrix").toString + "/matrix.xlsx"
+    // row 3 violates nothing and must not appear in the report
+    val df = Seq((1, 200, 5), (2, 5, 60), (3, 5, 5)).toDF("id", "a", "b")
+    Rules.exportMatrix(df,
+      columns = Seq("id", "a", "b"),
+      orderBy = Seq("id"),
+      colRules = Seq(
+        "a" -> Seq(
+          Rules.Rule("warn", col("a") > 100, 1, "FFFFFF00"),
+          Rules.Rule("crit", col("a") > 150, 2, "FFFF0000")),
+        "b" -> Seq(Rules.Rule("rb", col("b") > 50, 1, "FF00B050"))),
+      path = path)
+    // values: header + the two violating rows
+    val back = Xlsx.grid(spark, path, skipRows = 0).orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(1) == "200" && back(1).getString(2) == "60")
+    // fills: read styles back, assert color per cell (priority pick included)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val fills = Xlsx.cellFills(bytes)
+    assert(fills(0).forall(_ == null), "header row must be unfilled")
+    assert(fills(1).toSeq == Seq(null, "FFFF0000", null), "a=200 -> crit (priority 2) wins")
+    assert(fills(2).toSeq == Seq(null, null, "FF00B050"))
+  }
 }
