@@ -621,13 +621,19 @@ object SparkEntry {
       .collect()
       .map(r => Seq[Any](r.getInt(0), r.getString(1), r.getInt(2)))
       .toSeq
+    // messy headers on purpose: the reader surfaces them as-is and
+    // resolveColumns repairs them against the expected names, the
+    // reference's rename_or_drop_column_if_found flow (utils.py:517)
     Xlsx.write(
       path,
       Seq(
         Seq[Any]("PNLS NATION EXPORT", null, null),
         Seq[Any](null, "decorated title block", null),
-        Seq[Any]("n_nationkey", "n_name", "n_regionkey")) ++ dim)
-    Xlsx.grid(s, path, skipRows = 2)
+        Seq[Any]("N NationKey", "n_name", "N-RegionKey")) ++ dim)
+    Relational.resolveColumns(
+      Xlsx.grid(s, path, skipRows = 2),
+      expected = Seq("n_nationkey", "n_name", "n_regionkey"),
+      threshold = 80)
       .select(
         col("n_nationkey").cast("int").as("n_nationkey"),
         col("n_name"),

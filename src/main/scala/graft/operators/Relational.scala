@@ -77,6 +77,43 @@ object Relational {
       graft.plans.TopKPerKeyPlan(keys, order, 1, None, GraftSql.analyzed(df)))
   }
 
+  /** Resolve messy real-world headers against expected column names — the
+    * reference's `rename_or_drop_column_if_found` (utils.py:517-541) via
+    * `find_best_match` (utils.py:434): exact hit first, else the best fuzzy
+    * match at/above `threshold` (token_set_ratio in [0,100]). Columns are
+    * scored on their normalized form (accent-strip + casefold + punctuation
+    * to spaces), so "Établissement-Sanitaire" resolves to
+    * "etablissement sanitaire" the way a human reads it. Driver-side over
+    * `df.columns` — a schema, not data; each actual column is consumed by at
+    * most one expected name (first expected wins), ties break
+    * lexicographically for determinism. Expected names with no match are
+    * simply absent (compose with [[alignToSchema]] to add them as nulls). */
+  def resolveColumns(df: DataFrame, expected: Seq[String], threshold: Int = 95): DataFrame = {
+    import graft.functions.TextOps
+    import org.apache.spark.unsafe.types.UTF8String
+    def norm(s: String): String =
+      Option(TextOps.normalize(UTF8String.fromString(s))).map(_.toString).getOrElse(s)
+    val available = scala.collection.mutable.LinkedHashSet(df.columns.toIndexedSeq: _*)
+    val renames = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    expected.foreach { want =>
+      val hit = available.find(_ == want)
+        .orElse(available.find(a => norm(a) == norm(want)))
+        .orElse {
+          val scored = available.toSeq
+            .map(a => a -> TextOps.tokenSetRatio(
+              UTF8String.fromString(norm(want)), UTF8String.fromString(norm(a))))
+            .filter(_._2 >= threshold)
+          if (scored.isEmpty) None
+          else Some(scored.minBy { case (a, score) => (-score, a) }._1)
+        }
+      hit.foreach { a =>
+        available -= a
+        if (a != want) renames += (a -> want)
+      }
+    }
+    renames.foldLeft(df) { case (acc, (from, to)) => acc.withColumnRenamed(from, to) }
+  }
+
   /** Align a frame to an expected column list: add missing columns as typed
     * nulls and order columns; reference extract_ist_data.py:156-169 (add
     * expected columns, select in canonical order).

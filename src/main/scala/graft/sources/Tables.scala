@@ -58,6 +58,27 @@ object Tables {
       .toDF(headerCols: _*)
   }
 
+  /** Load a user-supplied file by extension — the reference's entry-point
+    * shape for external data drops (`extract_spectrum_data`,
+    * update_pnls_report_with_spectrum_path/utils.py:27-66: parquet / csv /
+    * xlsx by suffix, a clear error otherwise).
+    *
+    * @param xlsxSkipRows decoration rows above the header, xlsx only
+    */
+  def auto(spark: SparkSession, path: String, xlsxSkipRows: Int = 0): DataFrame = {
+    val dot = path.lastIndexOf('.')
+    val suffix = if (dot < 0) "" else path.substring(dot + 1).toLowerCase
+    suffix match {
+      case "parquet" => spark.read.parquet(path)
+      case "csv" => csv(spark, path)
+      case "xlsx" => Xlsx.grid(spark, path, skipRows = xlsxSkipRows)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported data file `$path`: expected a .parquet, .csv or .xlsx " +
+            s"file, got ${if (other.isEmpty) "no extension" else s".$other"}")
+    }
+  }
+
   // Named accessors for the synthetic star schema used by the test suite.
   def lineitem(s: SparkSession, d: String): DataFrame = parquet(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = parquet(s, d, "orders")

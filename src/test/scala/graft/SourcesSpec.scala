@@ -129,6 +129,59 @@ class SourcesSpec extends SparkSpec {
     assert(Xlsx.colLetters(25) == "Z" && Xlsx.colLetters(26) == "AA" && Xlsx.colLetters(54) == "BC")
   }
 
+  test("resolveColumns fixes misspelled and accented headers against expected names") {
+    import graft.operators.Relational
+    val messy = Seq(("x", 1, 2.0)).toDF("Établissement-Sanitaire", "periode", "Taux VIH")
+    val fixed = Relational.resolveColumns(
+      messy, expected = Seq("etablissement sanitaire", "periode", "taux vih"))
+    assert(fixed.columns.toSeq == Seq("etablissement sanitaire", "periode", "taux vih"))
+  }
+
+  test("resolveColumns leaves sub-threshold columns untouched and consumes each once") {
+    import graft.operators.Relational
+    val df = Seq((1, 2)).toDF("alpha", "unrelated")
+    val out = Relational.resolveColumns(df, Seq("alpha", "beta"), threshold = 95)
+    assert(out.columns.toSeq == Seq("alpha", "unrelated"))
+    // an exact hit must not be stolen by an earlier fuzzy expected name
+    val df2 = Seq((1, 2)).toDF("site id", "site_id")
+    val out2 = Relational.resolveColumns(df2, Seq("site_id", "site id"))
+    assert(out2.columns.toSet == Set("site_id", "site id"))
+  }
+
+  test("resolveColumns makes messy xlsx headers ingestible end-to-end") {
+    import graft.operators.Relational
+    import graft.sources.Xlsx
+    val path = Files.createTempDirectory("graft-xlsx-h").toString + "/chu.xlsx"
+    Xlsx.write(path, Seq(
+      Seq[Any]("Étàblissement—Sanitaire", "Périodes"),
+      Seq[Any]("chu-a", "2024Q1")))
+    val resolved = Relational.resolveColumns(
+      Xlsx.grid(spark, path, skipRows = 0),
+      expected = Seq("etablissement sanitaire", "periode"),
+      threshold = 80)
+    assert(resolved.columns.contains("etablissement sanitaire"))
+    assert(resolved.select("etablissement sanitaire").head.getString(0) == "chu-a")
+  }
+
+  test("auto dispatches by file extension with a clear error otherwise") {
+    import graft.sources.{Tables => T, Xlsx}
+    val dir = Files.createTempDirectory("graft-auto").toString
+    // parquet
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    assert(T.auto(spark, s"$dir/t.parquet").count() == 1)
+    // csv
+    Seq("id,v", "2,b").toDF("value").coalesce(1).write.text(s"$dir/t.csv")
+    assert(T.auto(spark, s"$dir/t.csv").select("v").head.getString(0) == "b")
+    // xlsx
+    Xlsx.write(s"$dir/t.xlsx", Seq(Seq[Any]("id", "v"), Seq[Any](3, "c")))
+    assert(T.auto(spark, s"$dir/t.xlsx").select("v").head.getString(0) == "c")
+    // unsupported
+    val ex = intercept[IllegalArgumentException](T.auto(spark, s"$dir/t.tsv"))
+    assert(ex.getMessage.contains("parquet") && ex.getMessage.contains(".tsv"))
+    val ex2 = intercept[IllegalArgumentException](T.auto(spark, s"$dir/noext"))
+    assert(ex2.getMessage.contains("no extension"))
+  }
+
   test("parquet named accessors expose the full star schema") {
     assert(Tables.lineitem(spark, sf).count() > 0)
     assert(Tables.nation(spark, sf).count() == 25)
