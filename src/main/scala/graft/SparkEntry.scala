@@ -589,6 +589,46 @@ object SparkEntry {
     s.table(name).orderBy("event_date", "event_hour", "event_type")
   }
 
+  /** The STREAMING stateful sessionizer run end-to-end against q_sessionize's
+    * batch oracle: AvailableNow file source, evicting
+    * flatMapGroupsWithState (event-time timeout), per-event session
+    * assignments into a memory sink, then a batch rollup to the session
+    * grain — the stream/batch equivalence claim for the CUSTOM-state path,
+    * the same gate q_event_window_stream provides for the windowed-agg
+    * path. */
+  private def qSessionizeStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val raw = s.read.parquet(s"$d/events.parquet")
+    var stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val evs = stream.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      unix_micros(col("ts")).as("us")).as[Events.SessionEvent]
+    val name = "graft_sessionize_stream"
+    val q = Events.assignSessionsStreamEvicting(s, evs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val us = Tables.events(s, d).select(
+      col("event_id").cast("long").as("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    s.table(name)
+      .join(us, "event_id")
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     Events.sessionizeBatch(Tables.events(s, d))
       .select(
@@ -639,6 +679,62 @@ object SparkEntry {
         col("n_name"),
         col("n_regionkey").cast("int").as("n_regionkey"))
       .orderBy("n_nationkey")
+  }
+
+  /** HTTP API ingestion, oracle-checked end-to-end: an in-process stub
+    * (127.0.0.1, ephemeral port — no real network) serves the nation dim as
+    * JSON keyed by region; the query fans URLs out of the region table,
+    * fetches per-partition through [[graft.sources.Http.fetch]], parses with
+    * from_json, and hash-compares against DuckDB over the original parquet —
+    * the reference's paginated API pull (extract_naomi_data.py:72) as an
+    * oracle-gated plan. `localCheckpoint(eager)` forces the distributed
+    * fetch while the stub is up, so the returned frame outlives it. */
+  private def qHttpIngest(s: SparkSession, d: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import org.apache.spark.sql.types._
+    val nations = Tables.nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val byRegion: Map[Int, String] = nations.groupBy(_.getInt(2)).map { case (rk, rs) =>
+      rk -> rs.sortBy(_.getInt(0))
+        .map(r => s"""{"k":${r.getInt(0)},"n":"${esc(r.getString(1))}","r":${r.getInt(2)}}""")
+        .mkString("[", ",", "]")
+    }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/nations", (ex: HttpExchange) => {
+      val rk = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .stripPrefix("region=").toInt
+      val bytes = s"""{"region":$rk,"nations":${byRegion.getOrElse(rk, "[]")}}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val urls = Tables.region(s, d)
+        .select(col("r_regionkey"))
+        .withColumn("url",
+          concat(lit(s"http://127.0.0.1:$port/nations?region="), col("r_regionkey")))
+      val payload = StructType(Seq(
+        StructField("region", IntegerType),
+        StructField("nations", ArrayType(StructType(Seq(
+          StructField("k", IntegerType),
+          StructField("n", StringType),
+          StructField("r", IntegerType)))))))
+      graft.sources.Http.fetch(urls, "url")
+        .filter(col("status") === 200)
+        .select(from_json(col("body"), payload).as("p"))
+        .select(explode(col("p.nations")).as("x"))
+        .select(
+          col("x.k").as("n_nationkey"),
+          col("x.n").as("n_name"),
+          col("x.r").as("n_regionkey"))
+        .localCheckpoint(true)
+        .orderBy("n_nationkey")
+    } finally server.stop(0)
   }
 
   private def qJsonExtract(s: SparkSession, d: String): DataFrame =
@@ -701,8 +797,10 @@ object SparkEntry {
     "q_event_window" -> (qEventWindow _),
     "q_event_window_stream" -> (qEventWindowStream _),
     "q_sessionize" -> (qSessionize _),
+    "q_sessionize_stream" -> (qSessionizeStream _),
     "q_json_extract" -> (qJsonExtract _),
-    "q_grid_ingest" -> (qGridIngest _))
+    "q_grid_ingest" -> (qGridIngest _),
+    "q_http_ingest" -> (qHttpIngest _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
@@ -1055,9 +1153,22 @@ object SparkEntry {
          SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event_id,
                 MAX(us) - MIN(us) AS duration_us
          FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "q_sessionize_stream" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, us,
+                      CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS newf
+               FROM e),
+         g AS (SELECT user_id, event_id, us,
+                      CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_idx
+               FROM f)
+         SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event_id,
+                MAX(us) - MIN(us) AS duration_us
+         FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events ORDER BY event_id""",
     "q_grid_ingest" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "q_http_ingest" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""")
 }
