@@ -558,6 +558,10 @@ object SparkEntry {
   private def qWordFreq(s: SparkSession, d: String): DataFrame =
     TextAnalysis.wordFreq(Tables.documents(s, d), "text", topN = 50)
 
+  private def qWordRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.wordRepetition(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ streaming
 
   private def qEventWindow(s: SparkSession, d: String): DataFrame =
@@ -627,6 +631,57 @@ object SparkEntry {
         min(col("event_id")).as("first_event_id"),
         (max(col("us")) - min(col("us"))).as("duration_us"))
       .orderBy("user_id", "session_idx")
+  }
+
+  /** Click→purchase attribution pairs: each click joined to the same user's
+    * purchases within the next 30 minutes — [[Temporal.intervalJoin]] on
+    * real event data, the batch semantics the streaming twin below must
+    * reproduce. */
+  private def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    Temporal.intervalJoin(
+      clicks, purchases,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "pts",
+      lowerSec = 0L, upperSec = 1800L)
+      .select(col("click_id"), col("purchase_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** The STREAM-STREAM interval join run end-to-end against q_interval_join's
+    * batch oracle: both sides stream from the events parquet (AvailableNow),
+    * watermarked, joined on user within the 30-minute horizon — the last
+    * streaming shape the engine needed (joins, after aggs / sessions /
+    * dedup). Watermarks bound the buffered state to the horizon, so at scale
+    * state tracks the interval, not the stream. */
+  private def qIntervalJoinStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    def stream(): DataFrame = {
+      var st = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        st = st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      }
+      st.select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    }
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val name = "graft_interval_join_stream"
+    val q = Events.intervalJoinStream(clicks, purchases, horizonSec = 1800L)
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("click_id", "purchase_id")
   }
 
   private def qSessionize(s: SparkSession, d: String): DataFrame =
@@ -789,6 +844,9 @@ object SparkEntry {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_word_freq" -> (qWordFreq _),
+    "q_word_repetition" -> (qWordRepetition _),
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_interval_join_stream" -> (qIntervalJoinStream _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_rolling_agg" -> (qRollingAgg _),
@@ -1100,6 +1158,26 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS n FROM (
            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+    "q_word_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         c AS (SELECT doc_id, word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY doc_id, word)
+         SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+                ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_word_ratio
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY click_id, purchase_id""",
+    "q_interval_join_stream" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY click_id, purchase_id""",
     "q_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
          c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

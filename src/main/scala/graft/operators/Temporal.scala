@@ -91,6 +91,30 @@ object Temporal {
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol),
       "left")
 
+  /** Equi-key interval join: pair each left row with the right rows of the
+    * same key whose timestamp falls in `[leftTs + lowerSec, leftTs +
+    * upperSec]` — click-to-purchase attribution, exposure windows, the batch
+    * twin of a Structured Streaming stream-stream interval join
+    * ([[graft.streaming.Events.intervalJoinStream]] runs the SAME condition
+    * incrementally with watermark-bounded state).
+    *
+    * Plan shape: one shuffle per side on the key (sort-merge or, if a side
+    * is small, broadcast); the time predicate evaluates inside the join, so
+    * nothing fans out beyond true matches — never a cartesian. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      lowerSec: Long,
+      upperSec: Long): DataFrame = {
+    val cond = keys.map(k => left(k) === right(k)).reduce(_ && _) &&
+      right(rightTs) >= left(leftTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
+      right(rightTs) <= left(leftTs) + expr(s"INTERVAL $upperSec SECONDS")
+    left.join(right, cond)
+  }
+
   /** Rolling aggregation over an integer position index (e.g. a month index
     * `year*12+month`): `agg` over the window `[pos - lookback, pos]` per key.
     * RANGE frame on the index, so missing months still bound the window

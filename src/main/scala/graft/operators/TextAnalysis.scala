@@ -69,6 +69,25 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(topN)
 
+  /** Word-repetition quality signal per document — the Gopher-style "most
+    * frequent word fraction" filter used to drop boilerplate/spam from LLM
+    * training corpora: `top_word_ratio` = occurrences of the most common
+    * word / total words. Two partial hash aggregates (doc+word, then doc),
+    * both map-side combined, so the shuffles carry distinct keys only —
+    * the scalable shape at any corpus size. Tokenization is a plain
+    * lowercase whitespace split so any engine reproduces it bit-for-bit. */
+  def wordRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_words"),
+        round(max(col("__n")).cast("double") / sum(col("__n")), 6).as("top_word_ratio"))
+
   /** Winnowing fingerprint summary per document: number of fingerprints and
     * an order-independent checksum (useful as a cheap doc signature for
     * containment/overlap detection). */

@@ -157,4 +157,25 @@ object Events {
     * member of the dedup family (batch members live in operators.Dedup). */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join — the incremental twin of
+    * [[graft.operators.Temporal.intervalJoin]]: both sides watermarked, the
+    * time-bound condition lets the engine EVICT buffered rows once the
+    * watermark passes their join horizon, so state size tracks the interval
+    * width, not the stream length. Both inputs must carry `user_id` and a
+    * `ts` event-time column; left rows pair with right rows of the same user
+    * in `[ts, ts + horizonSec]`. */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      horizonSec: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+      r,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+  }
 }

@@ -146,6 +146,19 @@ class PlanSpec extends SparkSpec {
     assertNativeTopK("q_dedup_keep_first")
   }
 
+  test("interval join stays keyed — no cartesian, time bounds inside the join") {
+    val p = plan(SparkEntry.queries("q_interval_join")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"interval join fell back to cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"interval join lost its equi-key:\n$p")
+  }
+
+  test("word repetition reduces with partial aggregates at both grains") {
+    val p = plan(SparkEntry.queries("q_word_repetition")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"both aggregation levels must have map-side combines:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("IVF KMeans fit input is bounded by maxFitRows, with no count() pre-pass") {
     import org.apache.spark.sql.functions.{col, lit, array}
     // plant a corpus larger than the cap; the sample must respect the bound

@@ -95,6 +95,32 @@ class StreamingSpec extends SparkSpec {
     assert(tenOClock.head.getAs[Double]("sum_value") == 1.0)
   }
 
+  test("intervalJoinStream pairs clicks to purchases across micro-batches within the horizon") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Long, Timestamp)](spark)
+    val q = Events.intervalJoinStream(
+      clicks.toDF.toDF("click_id", "user_id", "ts"),
+      purchases.toDF.toDF("purchase_id", "user_id", "ts"),
+      horizonSec = 1800L)
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append")
+      .start()
+    try {
+      // click arrives first; its purchase lands in a LATER micro-batch —
+      // the click must be buffered in join state until then
+      clicks.addData((1L, 7L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      purchases.addData(
+        (50L, 7L, ts("2024-01-01 10:20:00")), // within 30m of click 1
+        (51L, 7L, ts("2024-01-01 11:30:00")), // past the horizon
+        (52L, 9L, ts("2024-01-01 10:10:00"))) // different user
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ij_out").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 50L)))
+  }
+
   test("evicting sessionizer assigns sessions and restarts after state eviction") {
     val ms = MemoryStream[Events.SessionEvent](spark)
     val q = Events.assignSessionsStreamEvicting(spark, ms.toDS())

@@ -7,6 +7,8 @@ import graft.operators.Temporal
 class TemporalSpec extends SparkSpec {
   import spark.implicits._
 
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
   test("asofJoin picks the latest right row at or before each left time") {
     val left = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 50L)).toDF("lid", "k", "lt")
     val right = Seq((1L, 1L, 5L), (2L, 1L, 40L), (3L, 1L, 60L), (4L, 2L, 50L)).toDF("rid", "k", "rt")
@@ -40,6 +42,23 @@ class TemporalSpec extends SparkSpec {
     assert(out(0).getAs[String]("tier") == "low")
     assert(out(1).getAs[String]("tier") == "mid")
     assert(out(2).isNullAt(out(2).fieldIndex("tier"))) // out of every bin
+  }
+
+  test("intervalJoin pairs keyed rows within the time bounds only") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),
+      (11L, 1L, ts("2024-01-01 12:00:00")),
+      (12L, 2L, ts("2024-01-01 10:00:00"))).toDF("lid", "user_id", "lt")
+    val right = Seq(
+      (20L, 1L, ts("2024-01-01 10:15:00")), // in [lt, lt+30m] of lid=10
+      (21L, 1L, ts("2024-01-01 10:45:00")), // past the horizon of lid=10
+      (22L, 3L, ts("2024-01-01 10:15:00"))) // wrong key
+      .toDF("rid", "user_id", "rt")
+    val out = Temporal
+      .intervalJoin(left, right, Seq("user_id"), "lt", "rt", 0L, 1800L)
+      .select("lid", "rid")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
   }
 
   test("rollingAgg RANGE frame bounds by index value, not row position") {

@@ -57,6 +57,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
+  test("wordRepetition flags boilerplate by most-frequent-word fraction") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"), // "buy"/"now" 4 of 8 -> 0.5
+      (2L, "a perfectly ordinary sentence with unique words")) // 1/7
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.wordRepetition(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_words") == 8L)
+    assert(out(0).getAs[Double]("top_word_ratio") == 0.5)
+    assert(out(1).getAs[Long]("n_words") == 7L)
+    assert(out(1).getAs[Double]("top_word_ratio") < 0.2)
+  }
+
   test("fingerprintSummary is deterministic with stable checksum") {
     val docs = Seq((1L, "one two three four five six seven eight")).toDF("doc_id", "text")
     val a = TextAnalysis.fingerprintSummary(docs, "doc_id", "text").head
