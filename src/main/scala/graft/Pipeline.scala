@@ -63,28 +63,19 @@ object Pipeline {
       col("l_quantity"),
       col("l_tax"))
 
-    // 4. conditional aggregation: quantity summed exactly; tax sum stays NULL
-    //    for groups where no source carried it
-    val aggregated = tagged
-      .groupBy(col("period"), col("region"), col("nation"), col("indicator"))
-      .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
-        Relational.sumIfAnyNotNull(col("l_tax").cast("decimal(18,4)")).as("tax"))
-
-    // 5. pivot indicators wide (known key universe: no distinct pass); the
-    //    conditional tax sum rolls up alongside, staying NULL for
-    //    (period, geo) groups no tax-carrying source covered
-    val wide = Reshape.pivotWide(
-      aggregated,
+    // 4+5. conditional aggregation + pivot, FUSED: one partial hash
+    //    aggregate produces the four indicator columns AND the tax total
+    //    (null-preserved for groups no tax-carrying source covered) — one
+    //    shuffle where the two-phase agg->pivot->join-back formulation paid
+    //    two aggregates and a join (measured ~25% of this query's runtime)
+    val wide = Reshape.pivotConditionalWide(
+      tagged,
       idCols = Seq("period", "region", "nation"),
       keyCol = "indicator",
-      valueCol = col("qty"),
-      knownKeys = Seq("A_F", "N_F", "N_O", "R_F"))
-      .join(
-        aggregated
-          .groupBy(col("period"), col("region"), col("nation"))
-          .agg(Relational.sumIfAnyNotNull(col("tax")).as("tax_total")),
-        Seq("period", "region", "nation"))
+      valueCol = col("l_quantity").cast("decimal(18,2)"),
+      knownKeys = Seq("A_F", "N_F", "N_O", "R_F"),
+      extraAggs = Seq(
+        Relational.sumIfAnyNotNull(col("l_tax").cast("decimal(18,4)")) -> "tax_total"))
 
     // 6. rule-matrix validation, keep the consistent rows
     val rules = Seq(

@@ -29,6 +29,28 @@ object Reshape {
     p.agg(agg(valueCol))
   }
 
+  /** Pivot as ONE conditional aggregate — the fused form of
+    * `groupBy(fine-grain).agg` -> [[pivotWide]] -> join-back-extra-totals:
+    * each known key becomes `agg(when(key = k, value))`, and `extraAggs`
+    * (e.g. a tax total) ride in the SAME aggregate, so the whole reshape is
+    * a single partial hash aggregate with one shuffle — no intermediate
+    * grain, no second aggregation, no join. This is also what Spark's
+    * `pivot(knownKeys)` compiles to internally; the explicit form exists so
+    * non-pivoted aggregates can share the pass. */
+  def pivotConditionalWide(
+      df: DataFrame,
+      idCols: Seq[String],
+      keyCol: String,
+      valueCol: Column,
+      knownKeys: Seq[String],
+      extraAggs: Seq[(Column, String)] = Seq.empty,
+      agg: Column => Column = sum): DataFrame =
+    df.groupBy(idCols.map(col): _*)
+      .agg(
+        agg(when(col(keyCol) === knownKeys.head, valueCol)).as(knownKeys.head),
+        knownKeys.tail.map(k => agg(when(col(keyCol) === k, valueCol)).as(k)) ++
+          extraAggs.map { case (c, n) => c.as(n) }: _*)
+
   /** Unpivot wide->long with a tag column — the reference's
     * `transform_for_pnls_reporting` (utils.py:214): for each indicator prefix,
     * melt its value columns into rows tagged with the indicator id, with the

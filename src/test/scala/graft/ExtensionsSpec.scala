@@ -24,6 +24,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaDf)
   }
 
+  test("uuid5 SQL surface: canonical and reference-compact forms agree") {
+    val row = spark.sql(
+      """SELECT graft_uuid5('6ba7b810-9dad-11d1-80b4-00c04fd430c8', 'python.org') AS canon,
+        |       graft_uuid5_compact('6ba7b810-9dad-11d1-80b4-00c04fd430c8', 'python.org') AS compact
+        |""".stripMargin).head
+    assert(row.getString(0) == "886313e1-3b8a-5372-9b90-0c9aee199e5d")
+    assert(row.getString(1) == row.getString(0).replace("-", ""))
+  }
+
   test("array-typed SQL functions work on vector literals") {
     val sim = spark.sql(
       "SELECT graft_cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), array(cast(1.0 as float), cast(0.0 as float)))")
