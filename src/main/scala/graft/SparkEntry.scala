@@ -562,6 +562,25 @@ object SparkEntry {
     TextAnalysis.wordRepetition(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Deterministic 80/10/10 train/valid/test split keyed on a content hash —
+    * rerun-stable, corpus-growth-stable, zero shuffle. */
+  private def qTrainTestSplit(s: SparkSession, d: String): DataFrame =
+    Sampling.deterministicSplit(
+      Tables.documents(s, d).select("doc_id"),
+      key = "doc_id",
+      fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sample: 10 events per event_type chosen by md5
+    * order of the id — runs on the native TopKPerKey operator. */
+  private def qStratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(
+      Tables.events(s, d).select("event_type", "event_id"),
+      strataCols = Seq("event_type"),
+      idCol = "event_id",
+      perKey = 10)
+      .orderBy("event_type", "event_id")
+
   // ------------------------------------------------------------ streaming
 
   private def qEventWindow(s: SparkSession, d: String): DataFrame =
@@ -845,6 +864,8 @@ object SparkEntry {
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_word_freq" -> (qWordFreq _),
     "q_word_repetition" -> (qWordRepetition _),
+    "q_train_test_split" -> (qTrainTestSplit _),
+    "q_stratified_sample" -> (qStratifiedSample _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1164,6 +1185,20 @@ object SparkEntry {
          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_word_ratio
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_train_test_split" ->
+      """SELECT doc_id,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+               FROM documents)
+         ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      """SELECT event_type, event_id FROM (
+           SELECT event_type, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+           FROM events)
+         WHERE rn <= 10 ORDER BY event_type, event_id""",
     "q_interval_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id
          FROM events c JOIN events p

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling & splitting for training-data pipelines.
+  *
+  * Both operators key their randomness on a CONTENT hash instead of an RNG,
+  * which buys three properties an LLM data pipeline needs: (1) reruns (and
+  * re-shards, and other engines) produce byte-identical splits, (2) a
+  * document lands in the same split even when the corpus around it changes —
+  * no train/test leakage when the corpus is extended, (3) the assignment is
+  * a pure map-side projection, zero shuffle at any scale.
+  */
+object Sampling {
+
+  /** Hash-bucket of a key column in [0, buckets): the first 8 hex digits of
+    * the md5 of the key, mod buckets. md5 so any engine (DuckDB:
+    * `md5(key)`) reproduces the assignment bit-for-bit. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic train/validation/test split: rows are assigned by
+    * [[hashBucket]] of `key`, with cumulative fraction boundaries —
+    * e.g. `fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)`.
+    * Appends a `split` column; a pure projection (no shuffle, no RNG
+    * state), stable under corpus growth. */
+  def deterministicSplit(
+      df: DataFrame,
+      key: String,
+      fractions: Seq[(String, Double)],
+      buckets: Int = 100): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bucket = hashBucket(col(key), buckets)
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val splitCol = fractions.zip(bounds).foldRight(lit(fractions.last._1)) {
+      case (((name, _), hi), acc) =>
+        when(bucket < math.round(hi * buckets), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", splitCol)
+  }
+
+  /** Stratified deterministic sample: at most `perKey` rows per stratum,
+    * chosen by md5 order of `idCol` (a stable pseudo-random order any engine
+    * reproduces). Runs on the native [[graft.plans.TopKPerKeyPlan]] operator,
+    * so every partition is shrunk to `perKey` rows per stratum BEFORE the
+    * single shuffle — the scalable form of "give me N examples per class". */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      perKey: Int): DataFrame =
+    Relational.topKPerKey(
+      df.withColumn("__h", md5(col(idCol).cast("string"))),
+      strataCols,
+      sort = Seq("__h" -> false),
+      k = perKey)
+      .drop("__h")
+}

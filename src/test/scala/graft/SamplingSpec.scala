@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSplit respects fractions approximately and exactly reproduces") {
+    val df = spark.range(10000).toDF("id")
+    val split = Sampling.deterministicSplit(df, "id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 8000L) < 500, counts.toString)
+    assert(math.abs(counts("valid") - 1000L) < 300, counts.toString)
+    assert(math.abs(counts("test") - 1000L) < 300, counts.toString)
+    // exact reproducibility
+    val again = Sampling.deterministicSplit(df, "id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    assert(split.except(again).count() == 0 && again.except(split).count() == 0)
+  }
+
+  test("deterministicSplit assignment is stable under corpus growth (no leakage)") {
+    val small = spark.range(100).toDF("id")
+    val large = spark.range(1000).toDF("id")
+    val f = Seq("train" -> 0.8, "test" -> 0.2)
+    val a = Sampling.deterministicSplit(small, "id", f).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.deterministicSplit(large, "id", f)
+      .filter(col("id") < 100).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "adding rows must not move existing rows across splits")
+  }
+
+  test("deterministicSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(spark.range(1).toDF("id"), "id", Seq("a" -> 0.5))
+    }
+  }
+
+  test("stratifiedSample caps each stratum and is deterministic") {
+    val df = Seq.tabulate(200)(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("stratum", "id")
+    val s1 = Sampling.stratifiedSample(df, Seq("stratum"), "id", perKey = 5)
+      .orderBy("stratum", "id").collect()
+    assert(s1.length == 10)
+    assert(s1.count(_.getString(0) == "a") == 5)
+    val s2 = Sampling.stratifiedSample(df, Seq("stratum"), "id", perKey = 5)
+      .orderBy("stratum", "id").collect()
+    assert(s1.toSeq == s2.toSeq)
+    // a stratum smaller than perKey survives whole
+    val tiny = Seq(("c", 1L), ("c", 2L)).toDF("stratum", "id")
+    assert(Sampling.stratifiedSample(tiny, Seq("stratum"), "id", perKey = 5).count() == 2)
+  }
+}
