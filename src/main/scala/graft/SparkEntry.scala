@@ -562,6 +562,10 @@ object SparkEntry {
     TextAnalysis.wordRepetition(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  private def qRedactPii(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.redactPii(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Deterministic 80/10/10 train/valid/test split keyed on a content hash —
     * rerun-stable, corpus-growth-stable, zero shuffle. */
   private def qTrainTestSplit(s: SparkSession, d: String): DataFrame =
@@ -865,6 +869,7 @@ object SparkEntry {
     "q_word_freq" -> (qWordFreq _),
     "q_word_repetition" -> (qWordRepetition _),
     "q_train_test_split" -> (qTrainTestSplit _),
+    "q_redact_pii" -> (qRedactPii _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
@@ -1185,6 +1190,17 @@ object SparkEntry {
          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_word_ratio
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_redact_pii" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                   + len(regexp_extract_all(text, '\+[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_redactions
+         FROM documents ORDER BY doc_id""",
     "q_train_test_split" ->
       """SELECT doc_id,
                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split

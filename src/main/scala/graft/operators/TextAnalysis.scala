@@ -88,6 +88,36 @@ object TextAnalysis {
         sum(col("__n")).as("n_words"),
         round(max(col("__n")).cast("double") / sum(col("__n")), 6).as("top_word_ratio"))
 
+  /** PII redaction for training corpora: replace emails, IPv4 addresses and
+    * phone-shaped digit runs with typed placeholder tokens, and count the
+    * redactions per document (the usual "how dirty is this source" audit
+    * column). Pure codegen'd regexp projections — zero shuffle; the
+    * patterns are RE2-compatible so DuckDB reproduces them verbatim (the
+    * oracle), and deliberately conservative: a missed match is recoverable
+    * downstream, an over-eager one destroys training text. Order matters:
+    * emails first (their digits would otherwise match the phone pattern). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val nRedactions =
+      (size(regexp_extract_all(t0, lit(EmailRe), lit(0))) +
+        size(regexp_extract_all(t0, lit(Ipv4Re), lit(0))) +
+        size(regexp_extract_all(t0, lit(PhoneRe), lit(0)))).cast("long")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t0, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    df.select(
+      col(idCol),
+      redacted.as("text_redacted"),
+      nRedactions.as("n_redactions"))
+  }
+
   /** Winnowing fingerprint summary per document: number of fingerprints and
     * an order-independent checksum (useful as a cheap doc signature for
     * containment/overlap detection). */

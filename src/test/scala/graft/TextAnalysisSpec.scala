@@ -70,6 +70,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[Double]("top_word_ratio") < 0.2)
   }
 
+  test("redactPii replaces emails, IPs and phones with typed tokens and counts them") {
+    val docs = Seq(
+      (1L, "contact jo.doe+x@example.org or +33 1 23 45 67 89 from 10.0.0.1 thanks"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "contact <EMAIL> or <PHONE> from <IP> thanks")
+    assert(out(0).getLong(2) == 3L)
+    assert(out(1).getString(1) == "no pii here at all")
+    assert(out(1).getLong(2) == 0L)
+  }
+
   test("fingerprintSummary is deterministic with stable checksum") {
     val docs = Seq((1L, "one two three four five six seven eight")).toDF("doc_id", "text")
     val a = TextAnalysis.fingerprintSummary(docs, "doc_id", "text").head
