@@ -697,13 +697,21 @@ object SparkEntry {
     val purchases = stream().filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
     val name = "graft_interval_join_stream"
-    val q = Events.intervalJoinStream(clicks, purchases, horizonSec = 1800L)
-      .select(col("click_id"), col("purchase_id"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a stream-stream join instantiates FOUR state stores per shuffle
+    // partition; size the state partitioning to the job like any production
+    // stateful query (the partition count is baked into the checkpoint, so
+    // it is a per-job decision, not a session default)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = Events.intervalJoinStream(clicks, purchases, horizonSec = 1800L)
+        .select(col("click_id"), col("purchase_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name).orderBy("click_id", "purchase_id")
   }
 
