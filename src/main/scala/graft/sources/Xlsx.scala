@@ -60,25 +60,77 @@ object Xlsx {
 
   /** Parse one worksheet of a workbook into rows of cell strings (null =
     * empty cell). Row/column gaps in the sparse XML are restored so the
-    * output is positionally faithful to what a spreadsheet user sees. */
+    * output is positionally faithful to what a spreadsheet user sees.
+    *
+    * `sheet` is either a part name ("sheet1" -> xl/worksheets/sheet1.xml)
+    * or a DISPLAY name as a spreadsheet user sees it ("Données CHU"),
+    * resolved through xl/workbook.xml + its relationships — the reference
+    * selects sheets by display name (`pl.read_excel(sheet_name=...)`,
+    * extract_chu_data.py:182). */
   private[sources] def parseSheet(workbook: Array[Byte], sheet: String): Vector[Array[String]] = {
-    var sheetXml: Array[Byte] = null
-    var sharedXml: Array[Byte] = null
+    val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(workbook))
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        e.getName match {
-          case n if n == s"xl/worksheets/$sheet.xml" => sheetXml = zin.readAllBytes()
-          case "xl/sharedStrings.xml" => sharedXml = zin.readAllBytes()
-          case _ => ()
-        }
+        if (e.getName.startsWith("xl/")) parts(e.getName) = zin.readAllBytes()
         e = zin.getNextEntry
       }
     } finally zin.close()
-    require(sheetXml != null, s"workbook has no sheet part xl/worksheets/$sheet.xml")
-    val shared = if (sharedXml == null) Array.empty[String] else parseSharedStrings(sharedXml)
-    parseSheetXml(sheetXml, shared)
+    val sheetXml = parts.get(s"xl/worksheets/$sheet.xml").orElse {
+      // display-name path: workbook.xml sheet name -> r:id -> rels target
+      for {
+        wb <- parts.get("xl/workbook.xml")
+        rels <- parts.get("xl/_rels/workbook.xml.rels")
+        rid <- sheetNameToRelId(wb).get(sheet)
+        target <- relIdToTarget(rels).get(rid)
+      } yield parts.getOrElse(
+        if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target",
+        null)
+    }.filter(_ != null)
+    require(sheetXml.isDefined,
+      s"workbook has no sheet '$sheet' (neither a part xl/worksheets/$sheet.xml nor a sheet named '$sheet')")
+    val shared = parts.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(Array.empty[String])
+    parseSheetXml(sheetXml.get, shared)
+  }
+
+  /** xl/workbook.xml: display name -> relationship id of each sheet. */
+  private def sheetNameToRelId(xml: Array[Byte]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    val r = xmlReader(xml)
+    while (r.hasNext) {
+      if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+        r.getLocalName == "sheet") {
+        val name = r.getAttributeValue(null, "name")
+        // the r:id attribute lives in the officeDocument relationships ns
+        var rid: String = null
+        var i = 0
+        while (i < r.getAttributeCount && rid == null) {
+          if (r.getAttributeLocalName(i) == "id") rid = r.getAttributeValue(i)
+          i += 1
+        }
+        if (name != null && rid != null) out += name -> rid
+      }
+    }
+    r.close()
+    out.result()
+  }
+
+  /** xl/_rels/workbook.xml.rels: relationship id -> target part path. */
+  private def relIdToTarget(xml: Array[Byte]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    val r = xmlReader(xml)
+    while (r.hasNext) {
+      if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+        r.getLocalName == "Relationship") {
+        val id = r.getAttributeValue(null, "Id")
+        val target = r.getAttributeValue(null, "Target")
+        if (id != null && target != null) out += id -> target
+      }
+    }
+    r.close()
+    out.result()
   }
 
   /** sharedStrings.xml: one `<si>` per string; rich-text runs concatenate. */

@@ -123,6 +123,19 @@ class SourcesSpec extends SparkSpec {
     assert(header == Seq("name", "v"))
   }
 
+  test("xlsx reader resolves sheets by display name like the reference's sheet_name=") {
+    import graft.sources.Xlsx
+    val path = Files.createTempDirectory("graft-xlsx5").toString + "/wb.xlsx"
+    Xlsx.write(path, Seq(Seq[Any]("k", "v"), Seq[Any]("a", 1)))
+    // the writer names its sheet "Sheet1"; both the part name and the
+    // display name must reach the same grid
+    val byPart = Xlsx.grid(spark, path, skipRows = 0).collect()
+    val byName = Xlsx.grid(spark, path, skipRows = 0, sheet = "Sheet1").collect()
+    assert(byPart.map(_.toSeq).toSeq == byName.map(_.toSeq).toSeq)
+    val ex = intercept[Exception](Xlsx.grid(spark, path, skipRows = 0, sheet = "NoSuch").collect())
+    assert(ex.getMessage != null)
+  }
+
   test("xlsx column-letter math: AA follows Z") {
     import graft.sources.Xlsx
     assert(Xlsx.colIndex("Z1") == 25 && Xlsx.colIndex("AA1") == 26 && Xlsx.colIndex("BC23") == 54)
