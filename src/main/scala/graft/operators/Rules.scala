@@ -69,6 +69,31 @@ object Rules {
       colRules: Seq[(String, Seq[Rule])],
       path: String,
       maxRows: Int = 1 << 20): Unit = {
+    val (rows, fills) = matrixRows(df, columns, orderBy, colRules, maxRows)
+    graft.sources.Xlsx.write(path, rows, fills)
+  }
+
+  /** One sheet per matrix in a single workbook — the reference's
+    * per-pathology consistency workbook (`workbook[pathologie]`,
+    * utils.py:813): each entry is (sheet display name, data, columns,
+    * order keys, per-column rules). */
+  def exportMatrixSheets(
+      path: String,
+      sheets: Seq[(String, DataFrame, Seq[String], Seq[String], Seq[(String, Seq[Rule])])],
+      maxRows: Int = 1 << 20): Unit =
+    graft.sources.Xlsx.writeSheets(
+      path,
+      sheets.map { case (name, df, columns, orderBy, colRules) =>
+        val (rows, fills) = matrixRows(df, columns, orderBy, colRules, maxRows)
+        (name, rows, fills)
+      })
+
+  private def matrixRows(
+      df: DataFrame,
+      columns: Seq[String],
+      orderBy: Seq[String],
+      colRules: Seq[(String, Seq[Rule])],
+      maxRows: Int): (Seq[Seq[Any]], Seq[Seq[String]]) = {
     val colored = colorMatrix(df, colRules)
     val anyViolation = colRules
       .map { case (c, _) => col(s"${c}__color").isNotNull }
@@ -87,6 +112,6 @@ object Rules {
         if (colorCols.contains(c)) r.getString(r.fieldIndex(s"${c}__color")) else null
       }
     }
-    graft.sources.Xlsx.write(path, Seq(header) ++ data, fills)
+    (Seq(header) ++ data, fills)
   }
 }

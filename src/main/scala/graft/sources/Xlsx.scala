@@ -344,21 +344,19 @@ object Xlsx {
     *              colored consistency matrix (utils.py:1047
     *              `get_dataframe_color_rules` paints cells by rule priority).
     */
-  def write(path: String, rows: Seq[Seq[Any]], fills: Seq[Seq[String]] = Seq.empty): Unit = {
+  def write(path: String, rows: Seq[Seq[Any]], fills: Seq[Seq[String]] = Seq.empty): Unit =
+    writeSheets(path, Seq(("Sheet1", rows, fills)))
+
+  /** Multi-sheet workbook writer — the reference's consistency workbook
+    * carries one sheet per pathology (`workbook[pathologie]`,
+    * utils.py:813). Sheets share one sharedStrings table and one styles
+    * part; each entry is (display name, rows, fills). */
+  def writeSheets(path: String, sheets: Seq[(String, Seq[Seq[Any]], Seq[Seq[String]])]): Unit = {
+    require(sheets.nonEmpty, "workbook needs at least one sheet")
     val sharedIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def sharedOf(s: String): Int = sharedIdx.getOrElseUpdate(s, sharedIdx.size)
     // distinct colors -> fillId (0 = none, 1 = gray125, both required first)
     val colorIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    def styleOf(ri: Int, ci: Int): Int = {
-      val color =
-        if (ri < fills.length && ci < fills(ri).length) fills(ri)(ci) else null
-      if (color == null) 0
-      else colorIdx.getOrElseUpdate(color, colorIdx.size + 1) // cellXfs index
-    }
-    def sAttr(ri: Int, ci: Int): String = {
-      val s = styleOf(ri, ci)
-      if (s == 0) "" else s""" s="$s""""
-    }
     def esc(s: String): String =
       s.flatMap {
         case '&' => "&amp;"
@@ -367,28 +365,43 @@ object Xlsx {
         case '"' => "&quot;"
         case c => c.toString
       }
-    val sheet = new StringBuilder
-    sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" + "\n"
-    sheet ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
-    rows.zipWithIndex.foreach { case (cells, ri) =>
-      sheet ++= s"""<row r="${ri + 1}">"""
-      cells.zipWithIndex.foreach { case (v, ci) =>
-        val ref = s"${colLetters(ci)}${ri + 1}"
-        val st = sAttr(ri, ci)
-        v match {
-          case null =>
-            // an unfilled empty cell needs no element; a filled one does
-            if (st.nonEmpty) sheet ++= s"""<c r="$ref"$st/>"""
-          case n: Int => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
-          case n: Long => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
-          case n: Double => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
-          case b: Boolean => sheet ++= s"""<c r="$ref"$st t="b"><v>${if (b) 1 else 0}</v></c>"""
-          case s => sheet ++= s"""<c r="$ref"$st t="s"><v>${sharedOf(s.toString)}</v></c>"""
-        }
+    def buildSheet(rows: Seq[Seq[Any]], fills: Seq[Seq[String]]): String = {
+      def styleOf(ri: Int, ci: Int): Int = {
+        val color =
+          if (ri < fills.length && ci < fills(ri).length) fills(ri)(ci) else null
+        if (color == null) 0
+        else colorIdx.getOrElseUpdate(color, colorIdx.size + 1) // cellXfs index
       }
-      sheet ++= "</row>"
+      def sAttr(ri: Int, ci: Int): String = {
+        val s = styleOf(ri, ci)
+        if (s == 0) "" else s""" s="$s""""
+      }
+      val sheet = new StringBuilder
+      sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" + "\n"
+      sheet ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+      rows.zipWithIndex.foreach { case (cells, ri) =>
+        sheet ++= s"""<row r="${ri + 1}">"""
+        cells.zipWithIndex.foreach { case (v, ci) =>
+          val ref = s"${colLetters(ci)}${ri + 1}"
+          val st = sAttr(ri, ci)
+          v match {
+            case null =>
+              // an unfilled empty cell needs no element; a filled one does
+              if (st.nonEmpty) sheet ++= s"""<c r="$ref"$st/>"""
+            case n: Int => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
+            case n: Long => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
+            case n: Double => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
+            case b: Boolean => sheet ++= s"""<c r="$ref"$st t="b"><v>${if (b) 1 else 0}</v></c>"""
+            case s => sheet ++= s"""<c r="$ref"$st t="s"><v>${sharedOf(s.toString)}</v></c>"""
+          }
+        }
+        sheet ++= "</row>"
+      }
+      sheet ++= "</sheetData></worksheet>"
+      sheet.toString
     }
-    sheet ++= "</sheetData></worksheet>"
+    // build sheets FIRST: they populate the shared-string and color tables
+    val sheetXmls = sheets.map { case (_, rows, fills) => buildSheet(rows, fills) }
     val sst = new StringBuilder
     sst ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" + "\n"
     sst ++= s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedIdx.size}" uniqueCount="${sharedIdx.size}">"""
@@ -415,6 +428,13 @@ object Xlsx {
       styles ++= s"""<xf numFmtId="0" fontId="0" fillId="${s + 1}" borderId="0" xfId="0" applyFill="1"/>"""
     }
     styles ++= "</cellXfs></styleSheet>"
+    val n = sheets.length
+    val sheetOverrides = (1 to n).map(i =>
+      s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString
+    val sheetDecls = sheets.zipWithIndex.map { case ((name, _, _), i) =>
+      s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>""" }.mkString
+    val sheetRels = (1 to n).map(i =>
+      s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString
     val parts = Seq(
       "[Content_Types].xml" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -422,7 +442,7 @@ object Xlsx {
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="xml" ContentType="application/xml"/>""" +
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
-          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          sheetOverrides +
           """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>""" +
           """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
           """</Types>"""),
@@ -434,17 +454,17 @@ object Xlsx {
       "xl/workbook.xml" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
-          """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+          s"""<sheets>$sheetDecls</sheets></workbook>"""),
       "xl/_rels/workbook.xml.rels" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
-          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
-          """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
-          """<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
+          sheetRels +
+          s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
+          s"""<Relationship Id="rId${n + 2}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
           """</Relationships>"""),
       "xl/sharedStrings.xml" -> sst.toString,
-      "xl/styles.xml" -> styles.toString,
-      "xl/worksheets/sheet1.xml" -> sheet.toString)
+      "xl/styles.xml" -> styles.toString) ++
+      sheetXmls.zipWithIndex.map { case (xml, i) => s"xl/worksheets/sheet${i + 1}.xml" -> xml }
     val file = new java.io.File(path)
     Option(file.getParentFile).foreach(_.mkdirs())
     val zout = new ZipOutputStream(new FileOutputStream(file))

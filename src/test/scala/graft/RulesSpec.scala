@@ -38,6 +38,26 @@ class RulesSpec extends SparkSpec {
     assert(out(1).getString(out(1).fieldIndex("b__color")) == "FFFFFF00")
   }
 
+  test("exportMatrixSheets writes one colored sheet per matrix, readable by display name") {
+    import graft.sources.Xlsx
+    val path = java.nio.file.Files.createTempDirectory("graft-matrix2").toString + "/wb.xlsx"
+    val vih = Seq((1, 200)).toDF("id", "a")
+    val ist = Seq((2, 9), (3, 60)).toDF("id", "b")
+    Rules.exportMatrixSheets(path, Seq(
+      ("VIH", vih, Seq("id", "a"), Seq("id"),
+        Seq("a" -> Seq(Rules.Rule("ra", col("a") > 100, 1, "FFFF0000")))),
+      ("IST", ist, Seq("id", "b"), Seq("id"),
+        Seq("b" -> Seq(Rules.Rule("rb", col("b") > 50, 1, "FFFFFF00"))))))
+    val vihBack = Xlsx.grid(spark, path, skipRows = 0, sheet = "VIH").collect()
+    assert(vihBack.length == 1 && vihBack(0).getString(1) == "200")
+    val istBack = Xlsx.grid(spark, path, skipRows = 0, sheet = "IST").collect()
+    assert(istBack.length == 1 && istBack(0).getString(1) == "60")
+    // fills: sheet2 carries IST's yellow even though the color table is shared
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(Xlsx.cellFills(bytes, "sheet1")(1).toSeq == Seq(null, "FFFF0000"))
+    assert(Xlsx.cellFills(bytes, "sheet2")(1).toSeq == Seq(null, "FFFFFF00"))
+  }
+
   test("exportMatrix round-trips values AND per-cell fill colors through xlsx") {
     import graft.sources.Xlsx
     val path = java.nio.file.Files.createTempDirectory("graft-matrix").toString + "/matrix.xlsx"
