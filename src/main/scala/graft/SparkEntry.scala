@@ -562,6 +562,18 @@ object SparkEntry {
     TextAnalysis.wordRepetition(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Keyed upsert: apply a (derived) updates extract over the orders
+    * snapshot, latest-wins per key — incremental refresh without a table
+    * format, on the native top-k operator. */
+  private def qUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+    val updates = base.filter(col("o_orderkey") < 1000)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Relational.upsert(base, updates, Seq("o_orderkey"), "o_orderdate")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   private def qRedactPii(s: SparkSession, d: String): DataFrame =
     TextAnalysis.redactPii(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
@@ -878,6 +890,7 @@ object SparkEntry {
     "q_word_repetition" -> (qWordRepetition _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_redact_pii" -> (qRedactPii _),
+    "q_upsert" -> (qUpsert _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
@@ -1198,6 +1211,10 @@ object SparkEntry {
          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_word_ratio
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_upsert" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         FROM orders ORDER BY o_orderkey""",
     "q_redact_pii" ->
       """SELECT doc_id,
                 regexp_replace(

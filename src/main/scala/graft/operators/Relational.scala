@@ -114,6 +114,27 @@ object Relational {
     renames.foldLeft(df) { case (acc, (from, to)) => acc.withColumnRenamed(from, to) }
   }
 
+  /** Keyed upsert (MERGE latest-wins) without a table format: union base and
+    * updates, tag each side with a precedence rank, keep the winning row per
+    * key through the native [[graft.plans.TopKPerKeyPlan]] (k=1). Ties
+    * inside `updates` resolve by `versionCol` descending — the incremental
+    * refresh shape (apply today's extract over yesterday's snapshot) the
+    * reference gets by rewriting whole files. One shuffle on the key, no
+    * sort, partitions pre-shrunk to one row per key. */
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    val tagged = updates.withColumn("__src", lit(1))
+      .unionByName(base.withColumn("__src", lit(0)))
+    dropDuplicatesOrdered(
+      tagged,
+      keyCols,
+      Seq(col("__src").desc, col(versionCol).desc))
+      .drop("__src")
+  }
+
   /** Align a frame to an expected column list: add missing columns as typed
     * nulls and order columns; reference extract_ist_data.py:156-169 (add
     * expected columns, select in canonical order).

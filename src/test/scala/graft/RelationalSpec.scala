@@ -49,4 +49,15 @@ class RelationalSpec extends SparkSpec {
     assert(row.getLong(1) == 3L)
     assert(row.getString(2) == "k")
   }
+
+  test("upsert: updates win over base, new keys insert, version breaks update ties") {
+    val base = Seq((1L, 1, "base1"), (2L, 1, "base2")).toDF("k", "ver", "v")
+    val updates = Seq(
+      (1L, 2, "upd1-old"), (1L, 3, "upd1-new"), // same key twice: ver wins
+      (3L, 1, "ins3")).toDF("k", "ver", "v")
+    val out = Relational.upsert(base, updates, Seq("k"), "ver")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "upd1-new"), (2L, "base2"), (3L, "ins3")))
+  }
 }
