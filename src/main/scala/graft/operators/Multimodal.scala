@@ -105,4 +105,31 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, bytes) => fakeDecode(id, bytes) } }
   }
+
+  /** BATCHED decode pass — the mapInPandas/Arrow batch shape in Scala: each
+    * partition's payload stream is re-chunked into fixed-size batches and
+    * the (stub) model is invoked once per BATCH, not per row — the contract
+    * a GPU inference step needs (pad-to-batch, one forward pass, unpack).
+    * The iterator stays lazy: only one batch of payloads is resident per
+    * task at a time, so `batchSize` — not partition size — bounds task
+    * memory. Output is row-identical to [[decodeStub]]; batching is an
+    * execution detail, and the spec pins that. */
+  def decodeStubBatched(
+      spark: SparkSession,
+      withPayload: DataFrame,
+      idCol: String,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    require(batchSize > 0, "batchSize must be positive")
+    withPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real implementation replaces this with ONE vectorized call
+          // over the whole batch (model.forward(stack(batch)))
+          batch.iterator.map { case (id, bytes) => fakeDecode(id, bytes) }
+        }
+      }
+  }
 }

@@ -37,6 +37,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
   }
 
+  test("decodeStubBatched is row-identical to per-row decode at any batch size") {
+    val many = (0 until 100).map(i => (i.toLong, s"payload-$i")).toDF("doc_id", "text")
+    val withBin = Multimodal.attachBinary(many, "doc_id", "text").repartition(3)
+    val rowWise = Multimodal.decodeStub(spark, withBin, "doc_id").collect().sortBy(_.doc_id)
+    for (bs <- Seq(1, 7, 64, 1000)) {
+      val batched = Multimodal.decodeStubBatched(spark, withBin, "doc_id", batchSize = bs)
+        .collect().sortBy(_.doc_id)
+      assert(batched.toSeq == rowWise.toSeq, s"batchSize=$bs changed the output")
+    }
+  }
+
   test("decodeStub is deterministic and partition-parallel") {
     val withBin = Multimodal.attachBinary(docs, "doc_id", "text").repartition(3)
     val a = Multimodal.decodeStub(spark, withBin, "doc_id").collect().sortBy(_.doc_id)
