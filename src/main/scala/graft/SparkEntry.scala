@@ -562,6 +562,50 @@ object SparkEntry {
     TextAnalysis.wordRepetition(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Partitioned export round-trip: write orders partitioned by month (the
+    * reference's export_file per-period loop as ONE distributed
+    * partitionBy job), read the directory tree back, and hash-compare
+    * against DuckDB over the source table — proves values AND the
+    * partition column survive the disk round trip. */
+  private def qPartitionedExport(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_export_").toFile
+    tmpDir.deleteOnExit()
+    val out = new java.io.File(tmpDir, "orders_by_month").getPath
+    val src = Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMM").as("period"),
+        col("o_totalprice"))
+    Sink.writePartitionedParquet(src, "period", out)
+    s.read.parquet(out)
+      .select(col("o_orderkey"), col("period").cast("string").as("period"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Streaming exact dedup run end-to-end: AvailableNow over events,
+    * dropDuplicatesWithinWatermark on (user_id, event_type); with one input
+    * batch the watermark-scoped state covers the whole table, so the
+    * surviving KEY SET equals batch DISTINCT — which is what the oracle
+    * checks (winning rows are arbitrary, the key set is not). */
+  private def qDedupStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    var stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val name = "graft_dedup_stream"
+    val q = Events.dedupStream(stream, Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "event_type")
+  }
+
   /** Keyed upsert: apply a (derived) updates extract over the orders
     * snapshot, latest-wins per key — incremental refresh without a table
     * format, on the native top-k operator. */
@@ -891,6 +935,8 @@ object SparkEntry {
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
+    "q_partitioned_export" -> (qPartitionedExport _),
+    "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
@@ -1211,6 +1257,11 @@ object SparkEntry {
          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_word_ratio
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_partitioned_export" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS period, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
+    "q_dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
     "q_upsert" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
