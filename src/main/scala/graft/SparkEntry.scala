@@ -280,6 +280,15 @@ object SparkEntry {
       .orderBy("part")
   }
 
+  /** GK approx quantiles per group — rows-only by design (the sketch is
+    * approximate); SketchesSpec pins the error bound vs exact
+    * percentiles. */
+  private def qApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    Sketches.approxQuantiles(
+      Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75))
+      .select(col("l_returnflag"), col("approx_quantiles"))
+      .orderBy("l_returnflag")
+
   /** Colored consistency-matrix export — the reference's
     * `matrice_de_coherence_*.xlsx` deliverable (pipeline.py:351, colors from
     * utils.py:1047 `get_dataframe_color_rules`): write the violating rows
@@ -771,6 +780,21 @@ object SparkEntry {
     s.table(name).orderBy("click_id", "purchase_id")
   }
 
+  /** Spark's NATIVE session_window aggregate on real data, oracle-checked:
+    * the engine-managed gap-merge must produce exactly the sessions the
+    * manual lag/sum formulation (q_sessionize's oracle) defines —
+    * session_start = first event, session_end = last event + gap. */
+  private def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Events.sessionWindowAgg(
+      Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp")))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"),
+        col("first_event_id"))
+      .orderBy("user_id", "start_us")
+
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     Events.sessionizeBatch(Tables.events(s, d))
       .select(
@@ -911,6 +935,7 @@ object SparkEntry {
     "q_rules_flag" -> (qRulesFlag _),
     "q_rules_split" -> (qRulesSplit _),
     "q_rules_matrix_export" -> (qRulesMatrixExport _),
+    "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -948,6 +973,7 @@ object SparkEntry {
     "q_event_window" -> (qEventWindow _),
     "q_event_window_stream" -> (qEventWindowStream _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_window" -> (qSessionWindow _),
     "q_sessionize_stream" -> (qSessionizeStream _),
     "q_json_extract" -> (qJsonExtract _),
     "q_grid_ingest" -> (qGridIngest _),
@@ -1358,6 +1384,17 @@ object SparkEntry {
          SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event_id,
                 MAX(us) - MIN(us) AS duration_us
          FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, us,
+                      CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS newf
+               FROM e),
+         g AS (SELECT user_id, event_id, us,
+                      CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_idx
+               FROM f)
+         SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+                COUNT(*) AS n_events, MIN(event_id) AS first_event_id
+         FROM g GROUP BY user_id, session_idx ORDER BY user_id, start_us""",
     "q_sessionize_stream" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          f AS (SELECT user_id, event_id, us,
