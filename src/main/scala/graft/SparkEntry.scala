@@ -571,6 +571,38 @@ object SparkEntry {
     TextAnalysis.wordRepetition(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Bucketed co-located join, oracle-checked: write customer and orders
+    * bucketed on the join key (external tables in a per-run temp dir), join
+    * them with auto-broadcast disabled — the plan is a ZERO-Exchange
+    * sort-merge (SinkSpec asserts that shape) — and hash-match the joined
+    * aggregate against DuckDB over the original parquet. At 100 TB this is
+    * the move that takes the fact-join shuffle out of every query and pays
+    * it once at write time. */
+  private def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_bkt_").toFile
+    tmpDir.deleteOnExit()
+    Sink.writeBucketed(
+      Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+      "graft_q_bkt_customer", Seq("c_custkey"), nBuckets = 8, sortCols = Seq("c_custkey"),
+      path = Some(new java.io.File(tmpDir, "customer").getPath))
+    Sink.writeBucketed(
+      Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+      "graft_q_bkt_orders", Seq("o_custkey"), nBuckets = 8, sortCols = Seq("o_custkey"),
+      path = Some(new java.io.File(tmpDir, "orders").getPath))
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      s.table("graft_q_bkt_customer")
+        .join(s.table("graft_q_bkt_orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .localCheckpoint(true) // evaluate under the no-broadcast conf
+        .orderBy("c_nationkey")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** Partitioned export round-trip: write orders partitioned by month (the
     * reference's export_file per-period loop as ONE distributed
     * partitionBy job), read the directory tree back, and hash-compare
@@ -961,6 +993,7 @@ object SparkEntry {
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
     "q_partitioned_export" -> (qPartitionedExport _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -1286,6 +1319,11 @@ object SparkEntry {
     "q_partitioned_export" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS period, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "q_bucketed_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
     "q_upsert" ->

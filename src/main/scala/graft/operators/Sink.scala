@@ -26,9 +26,13 @@ object Sink {
       table: String,
       bucketCols: Seq[String],
       nBuckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
+      sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    var w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    // explicit location -> external table: bucketed data lands where the
+    // caller says (e.g. a temp dir) instead of the session warehouse
+    path.foreach(p => w = w.option("path", p))
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
