@@ -617,6 +617,10 @@ object SparkEntry {
         col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyyMM").as("period"),
         col("o_totalprice"))
+      // co-locate each period before the write: one file per period value
+      // instead of (tasks x periods) small files — at 100 TB the difference
+      // between a healthy table and a small-files incident
+      .repartition(col("period"))
     Sink.writePartitionedParquet(src, "period", out)
     s.read.parquet(out)
       .select(col("o_orderkey"), col("period").cast("string").as("period"), col("o_totalprice"))
@@ -637,13 +641,15 @@ object SparkEntry {
       stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
     val name = "graft_dedup_stream"
-    val q = Events.dedupStream(stream, Seq("user_id", "event_type"))
-      .select("user_id", "event_type")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = Events.dedupStream(stream, Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("user_id", "event_type")
   }
 
@@ -684,6 +690,18 @@ object SparkEntry {
 
   // ------------------------------------------------------------ streaming
 
+  /** Run `body` (which starts and drains a streaming query) with the state
+    * partitioning sized to the job: every stateful operator instantiates
+    * state-store providers per shuffle partition, so a short AvailableNow
+    * gate pays 32 partitions of store setup for kilobytes of state. The
+    * partition count is baked into a streaming checkpoint anyway — it is a
+    * per-job decision, not a session default. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def qEventWindow(s: SparkSession, d: String): DataFrame =
     Events.hourlyAggBatch(Tables.events(s, d))
       .orderBy("event_date", "event_hour", "event_type")
@@ -704,12 +722,14 @@ object SparkEntry {
       stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
     val name = "graft_event_window_stream"
-    val q = Events.hourlyAggStream(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = Events.hourlyAggStream(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("event_date", "event_hour", "event_type")
   }
 
@@ -734,12 +754,14 @@ object SparkEntry {
       col("event_id").cast("long").as("event_id"),
       unix_micros(col("ts")).as("us")).as[Events.SessionEvent]
     val name = "graft_sessionize_stream"
-    val q = Events.assignSessionsStreamEvicting(s, evs)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = Events.assignSessionsStreamEvicting(s, evs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val us = Tables.events(s, d).select(
       col("event_id").cast("long").as("event_id"),
       unix_micros(col("ts").cast("timestamp")).as("us"))
@@ -795,12 +817,8 @@ object SparkEntry {
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
     val name = "graft_interval_join_stream"
     // a stream-stream join instantiates FOUR state stores per shuffle
-    // partition; size the state partitioning to the job like any production
-    // stateful query (the partition count is baked into the checkpoint, so
-    // it is a per-job decision, not a session default)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // partition — the strongest case for job-sized state partitioning
+    withStatePartitions(s, 8) {
       val q = Events.intervalJoinStream(clicks, purchases, horizonSec = 1800L)
         .select(col("click_id"), col("purchase_id"))
         .writeStream.format("memory").queryName(name)
@@ -808,7 +826,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.table(name).orderBy("click_id", "purchase_id")
   }
 
