@@ -280,6 +280,22 @@ object SparkEntry {
       .orderBy("part")
   }
 
+  /** Multi-block melt — the reference's transform_for_pnls_reporting
+    * (utils.py:214): per indicator prefix, unpivot its value columns and tag
+    * rows with the indicator id; blocks diagonal-concat into one long
+    * frame. */
+  private def qMeltIndicators(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(when(col("l_linestatus") === "F", col("l_quantity"))).as("qty_F"),
+        dsum(when(col("l_linestatus") === "O", col("l_quantity"))).as("qty_O"),
+        count(when(col("l_linestatus") === "F", lit(1))).cast("double").as("cnt_F"),
+        count(when(col("l_linestatus") === "O", lit(1))).cast("double").as("cnt_O"))
+    Reshape.meltIndicators(wide, Seq("l_returnflag"), Seq("qty" -> 1, "cnt" -> 2))
+      .orderBy("l_returnflag", "indicateur", "variable")
+  }
+
   /** GK approx quantiles per group — rows-only by design (the sketch is
     * approximate); SketchesSpec pins the error bound vs exact
     * percentiles. */
@@ -986,6 +1002,7 @@ object SparkEntry {
     "q_rules_split" -> (qRulesSplit _),
     "q_rules_matrix_export" -> (qRulesMatrixExport _),
     "q_approx_quantiles" -> (qApproxQuantiles _),
+    "q_melt_indicators" -> (qMeltIndicators _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1440,6 +1457,20 @@ object SparkEntry {
          SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event_id,
                 MAX(us) - MIN(us) AS duration_us
          FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "q_melt_indicators" ->
+      """WITH w AS (
+           SELECT l_returnflag,
+                  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+                  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+                  CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS DOUBLE) AS cnt_f,
+                  CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS DOUBLE) AS cnt_o
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT * FROM (
+           SELECT l_returnflag, 'qty_F' AS variable, qty_f AS value, 1 AS indicateur FROM w
+           UNION ALL SELECT l_returnflag, 'qty_O', qty_o, 1 FROM w
+           UNION ALL SELECT l_returnflag, 'cnt_F', cnt_f, 2 FROM w
+           UNION ALL SELECT l_returnflag, 'cnt_O', cnt_o, 2 FROM w)
+         ORDER BY l_returnflag, indicateur, variable""",
     "q_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          f AS (SELECT user_id, event_id, us,

@@ -101,6 +101,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pipeline e2e: pivot+totals stay ONE fused aggregate (no join-back)") {
+    val p = plan(Pipeline.integrationReport(spark, sf))
+    // exactly one logical aggregate = a partial+final HashAggregate pair;
+    // a third node means the agg->pivot->join-back formulation crept back
+    val aggs = "\\(\\d+\\) HashAggregate".r.findAllIn(p).size
+    assert(aggs == 2, s"expected 1 fused aggregate (2 nodes), got $aggs:\n$p")
+  }
+
   test("scans read only referenced columns for narrow projections") {
     val p = plan(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"))
