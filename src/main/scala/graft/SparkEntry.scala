@@ -587,6 +587,25 @@ object SparkEntry {
     TextAnalysis.wordRepetition(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: docs with ids divisible by 50 stand in as
+    * the eval set, the rest as training corpus; report every training doc
+    * sharing a word 4-gram with the eval set. The Bloom prefilter +
+    * broadcast exact verify makes results EXACT — hash-matched against a
+    * DuckDB n-gram join oracle. */
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.contaminationReport(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text",
+      n = 4)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher duplicate-2-gram repetition filter over the corpus. */
+  private def qDupNgrams(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.duplicateNgramStats(Tables.documents(s, d), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
   /** Bucketed co-located join, oracle-checked: write customer and orders
     * bucketed on the join key (external tables in a per-run temp dir), join
     * them with auto-broadcast disabled — the plan is a ZERO-Exchange
@@ -1024,6 +1043,8 @@ object SparkEntry {
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_word_freq" -> (qWordFreq _),
     "q_word_repetition" -> (qWordRepetition _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_dup_ngrams" -> (qDupNgrams _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
@@ -1350,6 +1371,25 @@ object SparkEntry {
          c AS (SELECT doc_id, word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY doc_id, word)
          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_word_ratio
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),
+         grams AS (SELECT doc_id, array_to_string(t[i : i + 3], ' ') AS g FROM idx),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+         SELECT g.doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT g.g) AS n_distinct_hits
+         FROM grams g JOIN bench b ON g.g = b.g
+         WHERE g.doc_id % 50 <> 0
+         GROUP BY g.doc_id ORDER BY doc_id""",
+    "q_dup_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks),
+         grams AS (SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS g FROM idx),
+         c AS (SELECT doc_id, g, COUNT(*) AS n, length(g) AS l FROM grams GROUP BY doc_id, g)
+         SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+                ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_ngram_fraction,
+                ROUND(CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n * l END), 0) AS DOUBLE) / SUM(n * l), 6)
+                  AS dup_char_fraction
          FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_partitioned_export" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS period, o_totalprice

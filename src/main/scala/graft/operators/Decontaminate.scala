@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSql}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomMightContain
+
+/** Test-set decontamination: find (and drop) training documents that share
+  * word n-grams with a benchmark/eval corpus — the standard guard against
+  * benchmark leakage in LLM training-data pipelines.
+  *
+  * Scale shape (the reason this is not just an n-gram join): the training
+  * side is the 100 TB side. A Bloom filter over the benchmark's n-grams —
+  * built distributed on the SMALL side, shipped to every task — prefilters
+  * exploded training n-grams map-side inside whole-stage codegen, so the
+  * only rows that reach the (broadcast) verification join are Bloom
+  * survivors: true hits plus an `fpp` sliver of false positives. The exact
+  * equality join then removes the false positives, so results are EXACT —
+  * the sketch only buys the zero-shuffle discard of the overwhelmingly
+  * clean majority. One tiny shuffle total (the per-doc aggregate of
+  * contaminated rows).
+  */
+object Decontaminate {
+
+  /** Lowercased word `n`-grams of `text` as an array column. Tokenization is
+    * a plain single-space split (bit-for-bit reproducible in any engine);
+    * docs shorter than `n` tokens yield an empty array. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = split(lower(text), " ")
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct benchmark n-grams — the small side of the verification join. */
+  private def benchGrams(bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    bench
+      .select(explode(wordNgrams(col(benchTextCol), n)).as("__gram"))
+      .distinct()
+
+  /** Per-document contamination report over `train`: documents sharing at
+    * least one word `n`-gram with `bench`, with hit counts.
+    *
+    * Output: (idCol, n_hits, n_distinct_hits) — `n_hits` counts every
+    * contaminated n-gram occurrence, `n_distinct_hits` the distinct shared
+    * grams. Clean documents are absent.
+    *
+    * `expectedBenchGrams`/`fpp` size the Bloom sketch; they affect only the
+    * prefilter's selectivity, never the result. Building the sketch is one
+    * bounded action on the benchmark side (small by contract).
+    */
+  def contaminationReport(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 4,
+      expectedBenchGrams: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val grams = benchGrams(bench, benchTextCol, n)
+    val bloom = grams.stat.bloomFilter("__gram", expectedBenchGrams, fpp)
+    val bloomBytes = {
+      val bos = new ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain =
+      GraftSql.column(BloomMightContain(GraftSql.expression(col("__gram")), bloomBytes))
+    train
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__gram"))
+      .filter(mightContain)
+      .join(broadcast(grams), "__gram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        count_distinct(col("__gram")).as("n_distinct_hits"))
+  }
+
+  /** `train` minus contaminated documents (left-anti on the report ids). */
+  def decontaminate(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 4,
+      expectedBenchGrams: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame =
+    train.join(
+      contaminationReport(train, idCol, textCol, bench, benchTextCol, n, expectedBenchGrams, fpp)
+        .select(col(idCol)),
+      Seq(idCol),
+      "left_anti")
+}

@@ -88,6 +88,30 @@ object TextAnalysis {
         sum(col("__n")).as("n_words"),
         round(max(col("__n")).cast("double") / sum(col("__n")), 6).as("top_word_ratio"))
 
+  /** Within-document duplicate n-gram fractions — the Gopher repetition
+    * filters (Rae et al. 2021 §A1.1) used to drop templated/spammy docs:
+    * `dup_ngram_fraction` = fraction of the doc's word n-grams that are
+    * repeats of an earlier one; `dup_char_fraction` = fraction of n-gram
+    * characters covered by grams occurring more than once. Docs with fewer
+    * than `n` tokens have no grams and are absent. Two partial hash
+    * aggregates (doc+gram, then doc), both map-side combined — the shuffles
+    * carry distinct keys only, the scalable shape at any corpus size.
+    * Tokenization matches [[Decontaminate.wordNgrams]] (plain lowercase
+    * single-space split) so any engine reproduces it bit-for-bit. */
+  def duplicateNgramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(Decontaminate.wordNgrams(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"), length(col("__g")).as("__len"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_grams"),
+        round((sum(col("__c")) - count(lit(1))).cast("double") / sum(col("__c")), 6)
+          .as("dup_ngram_fraction"),
+        round(
+          coalesce(sum(when(col("__c") > 1, col("__c") * col("__len"))), lit(0L)).cast("double") /
+            sum(col("__c") * col("__len")), 6)
+          .as("dup_char_fraction"))
+
   /** PII redaction for training corpora: replace emails, IPv4 addresses and
     * phone-shaped digit runs with typed placeholder tokens, and count the
     * redactions per document (the usual "how dirty is this source" audit

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, TextAnalysis}
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordNgrams: sliding word windows, short docs empty") {
+    val out = Seq("a b c d", "a b", "").toDF("text")
+      .select(Decontaminate.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+    assert(out(2).isEmpty)
+  }
+
+  test("contaminationReport finds planted n-gram overlap exactly") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val train = Seq(
+      (10L, "we saw the quick brown fox jumps yesterday"), // 2 hits: 2 distinct 4-grams
+      (11L, "nothing shared here at all today friends"),
+      (12L, "quick brown fox jumps quick brown fox jumps")) // 1 distinct gram, 2 occurrences
+      .toDF("id", "text")
+    val rep = Decontaminate.contaminationReport(train, "id", "text", bench, "text", n = 4)
+      .orderBy("id").collect()
+    assert(rep.toSeq == Seq(Row(10L, 2L, 2L), Row(12L, 2L, 1L)))
+  }
+
+  test("bloom prefilter never drops a true hit (agrees with exact join) and FPs are removed") {
+    // tiny bloom (high FP pressure) + larger corpus: results must still equal
+    // the pure exact-join formulation — the sketch is a prefilter, not the answer
+    val bench = (0 until 20).map(i => (i.toLong, s"bench phrase number $i alpha beta gamma")).toDF("id", "text")
+    val train = (0 until 200).map { i =>
+      val text =
+        if (i % 7 == 0) s"leading words bench phrase number ${i % 20} alpha beta gamma trailing"
+        else s"clean document $i with no shared grams at all $i"
+      (1000L + i, text)
+    }.toDF("id", "text")
+    val viaBloom = Decontaminate
+      .contaminationReport(train, "id", "text", bench, "text", n = 4,
+        expectedBenchGrams = 8, fpp = 0.5) // deliberately undersized sketch
+      .orderBy("id").collect().toSeq
+    val benchGrams = bench
+      .select(explode(Decontaminate.wordNgrams(col("text"), 4)).as("g")).distinct()
+    val exact = train
+      .select(col("id"), explode(Decontaminate.wordNgrams(col("text"), 4)).as("g"))
+      .join(benchGrams, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"), count_distinct(col("g")).as("n_distinct_hits"))
+      .orderBy("id").collect().toSeq
+    assert(viaBloom == exact)
+    assert(viaBloom.nonEmpty)
+  }
+
+  test("decontaminate drops exactly the contaminated docs") {
+    val bench = Seq((1L, "one two three four five")).toDF("id", "text")
+    val train = Seq(
+      (10L, "zz one two three four yy"),
+      (11L, "totally different words entirely here now")).toDF("id", "text")
+    val clean = Decontaminate.decontaminate(train, "id", "text", bench, "text", n = 4)
+      .select("id").as[Long].collect().toSeq
+    assert(clean == Seq(11L))
+  }
+
+  test("duplicateNgramStats: hand-computed fractions") {
+    // doc 1: tokens a b a b a -> 2-grams: "a b","b a","a b","b a" =
+    //   4 grams, 2 distinct -> dup_ngram_fraction = 0.5; every gram is a
+    //   repeat (both distinct grams occur twice) -> dup_char_fraction = 1.0
+    // doc 2: all 2-grams unique -> 0.0 fractions
+    // doc 3: one token -> no grams -> absent
+    val df = Seq(
+      (1L, "a b a b a"),
+      (2L, "p q r s"),
+      (3L, "solo")).toDF("id", "text")
+    val out = TextAnalysis.duplicateNgramStats(df, "id", "text", n = 2)
+      .orderBy("id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 4L, 0.5, 1.0),
+      Row(2L, 3L, 0.0, 0.0)))
+  }
+}

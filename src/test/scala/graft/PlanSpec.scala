@@ -109,6 +109,19 @@ class PlanSpec extends SparkSpec {
     assert(aggs == 2, s"expected 1 fused aggregate (2 nodes), got $aggs:\n$p")
   }
 
+  test("decontaminate: bloom prefilter map-side, broadcast verify join, no sort-merge") {
+    val p = plan(SparkEntry.queries("q_decontaminate")(spark, sf))
+    assert(p.contains("graft_bloom_might_contain"), s"bloom prefilter missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"verify join must broadcast the bench grams:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"train side must never shuffle for the join:\n$p")
+  }
+
+  test("dup-ngram stats reduce with partial aggregates at both grains") {
+    val p = plan(SparkEntry.queries("q_dup_ngrams")(spark, sf))
+    val partials = "partial_".r.findAllIn(p).size
+    assert(partials >= 2, s"expected map-side combine at (doc,gram) and (doc) grains:\n$p")
+  }
+
   test("scans read only referenced columns for narrow projections") {
     val p = plan(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"))
