@@ -723,6 +723,27 @@ object SparkEntry {
       perKey = 10)
       .orderBy("event_type", "event_id")
 
+  /** Sequence packing: documents into 512-token context chunks, 8 parallel
+    * shards, deterministic doc_id order within shard. */
+  private def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      (col("doc_id") % 8).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Sampling.packSequences(docs, "shard", "doc_id", "n_tokens", budget = 512L)
+      .orderBy("doc_id")
+  }
+
+  /** Corpus quality gate: keep documents inside the [P10, P90] band of
+    * character length — exact percentile thresholds broadcast back over the
+    * corpus, hash-matched against DuckDB quantile_cont. */
+  private def qQualityGate(s: SparkSession, d: String): DataFrame =
+    Sketches.filterByQuantileBand(
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+      "n_chars", 0.1, 0.9)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ streaming
 
   /** Run `body` (which starts and drains a streaming query) with the state
@@ -1052,6 +1073,8 @@ object SparkEntry {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_quality_gate" -> (qQualityGate _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1423,6 +1446,23 @@ object SparkEntry {
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
                FROM documents)
          ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+         SELECT doc_id, shard, n_tokens,
+                CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+                CAST(cum - n_tokens - CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) * 512 AS BIGINT)
+                  AS chunk_pos
+         FROM c ORDER BY doc_id""",
+    "q_quality_gate" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+         b AS (SELECT quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi FROM d)
+         SELECT doc_id, n_chars FROM d, b
+         WHERE n_chars >= lo AND n_chars <= hi ORDER BY doc_id""",
     "q_stratified_sample" ->
       """SELECT event_type, event_id FROM (
            SELECT event_type, event_id,

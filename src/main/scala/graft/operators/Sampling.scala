@@ -41,6 +41,36 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget chunks — the
+    * "pack documents into context windows" step in front of LLM training.
+    * Documents are processed in deterministic `orderCol` order WITHIN each
+    * shard (`shardCol`), a running token total assigns each doc to
+    * `chunk_id` = floor((cumsum - tokens) / budget) — greedy first-fit in
+    * order, with oversized docs spilling naturally into later chunks.
+    *
+    * Scale shape: the cumulative sum is a window per shard, so parallelism
+    * = number of shards; a GLOBAL packing order would serialize the corpus
+    * through one partition, which is exactly what this signature forbids
+    * (derive `shardCol` from a hash bucket when no natural shard exists).
+    * Output appends (chunk_id, chunk_pos) — chunk_pos is the doc's token
+    * offset inside its chunk. Deterministic and engine-reproducible: the
+    * same window formulation in ANSI SQL is the oracle. */
+  def packSequences(
+      df: DataFrame,
+      shardCol: String,
+      orderCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = sum(col(tokensCol)).over(w)
+    df.withColumn("chunk_id", floor((cum - col(tokensCol)) / budget))
+      .withColumn("chunk_pos", cum - col(tokensCol) - floor((cum - col(tokensCol)) / budget) * budget)
+  }
+
   /** Stratified deterministic sample: at most `perKey` rows per stratum,
     * chosen by md5 order of `idCol` (a stable pseudo-random order any engine
     * reproduces). Runs on the native [[graft.plans.TopKPerKeyPlan]] operator,

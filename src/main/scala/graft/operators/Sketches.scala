@@ -50,4 +50,32 @@ object Sketches {
     * within groups — use the approx variant when groups are huge. */
   def exactPercentiles(valueCol: String, probabilities: Seq[Double]): Column =
     percentile(col(valueCol), array(probabilities.map(lit): _*))
+
+  /** Corpus-level quantile-band gate: keep rows whose `valueCol` lies in the
+    * [lo, hi] quantile band of the WHOLE input — the "drop the quality-score
+    * tails" filter in front of a training corpus. Two passes: a global
+    * percentile aggregate reduces to ONE threshold row, which joins back as
+    * a broadcast nested loop (a 1-row cross join — no shuffle of the data
+    * side, no driver collect in the plan), then a codegen'd range filter.
+    * `approx = true` swaps the exact sort-based percentile for the mergeable
+    * approx sketch — same plan shape, bounded memory on huge corpora (the
+    * thresholds then differ from an exact oracle by the sketch error). */
+  def filterByQuantileBand(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      approx: Boolean = false): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val probs = array(lit(lo), lit(hi))
+    val pct =
+      if (approx) percentile_approx(col(valueCol), probs, lit(10000))
+      else percentile(col(valueCol), probs)
+    val bounds = df.agg(
+      element_at(pct, 1).as("__q_lo"),
+      element_at(pct, 2).as("__q_hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(valueCol) >= col("__q_lo") && col(valueCol) <= col("__q_hi"))
+      .drop("__q_lo", "__q_hi")
+  }
 }

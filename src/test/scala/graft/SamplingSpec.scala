@@ -52,4 +52,19 @@ class SamplingSpec extends SparkSpec {
     val tiny = Seq(("c", 1L), ("c", 2L)).toDF("stratum", "id")
     assert(Sampling.stratifiedSample(tiny, Seq("stratum"), "id", perKey = 5).count() == 2)
   }
+
+  test("packSequences: per-shard greedy cumsum packing, hand-computed") {
+    import org.apache.spark.sql.Row
+    // shard 0 tokens in id order: 300, 300, 200 -> cums 300, 600, 800
+    //   chunk_id = floor(before/512): 0, 0, 1; chunk_pos = before mod 512: 0, 300, 88
+    // shard 1: 600 (oversized), 100 -> before 0, 600 -> chunks 0, 1; pos 0, 88
+    val df = Seq(
+      (0L, 0L, 300L), (2L, 0L, 300L), (4L, 0L, 200L),
+      (1L, 1L, 600L), (3L, 1L, 100L)).toDF("id", "shard", "tok")
+    val out = Sampling.packSequences(df, "shard", "id", "tok", budget = 512L)
+      .select("id", "chunk_id", "chunk_pos").orderBy("id").collect()
+    assert(out.toSeq == Seq(
+      Row(0L, 0L, 0L), Row(1L, 0L, 0L), Row(2L, 0L, 300L),
+      Row(3L, 1L, 88L), Row(4L, 1L, 88L)))
+  }
 }

@@ -34,4 +34,16 @@ class SketchesSpec extends SparkSpec {
       .head.getSeq[Double](1)
     assert(p == Seq(1.0, 2.0))
   }
+
+  test("filterByQuantileBand keeps exactly the in-band rows; approx variant same shape") {
+    // values 1..100: P10 = 10.9, P90 = 90.1 -> keep 11..90 (80 rows)
+    val df = Seq.tabulate(100)(i => (i.toLong, (i + 1).toLong)).toDF("id", "v")
+    val kept = Sketches.filterByQuantileBand(df, "v", 0.1, 0.9)
+      .select("v").as[Long].collect().sorted
+    assert(kept.head == 11L && kept.last == 90L && kept.length == 80)
+    val approx = Sketches.filterByQuantileBand(df, "v", 0.1, 0.9, approx = true)
+    assert(approx.columns.toSeq == df.columns.toSeq)
+    val keptA = approx.count()
+    assert(keptA >= 78 && keptA <= 82, s"approx band wildly off: $keptA")
+  }
 }
