@@ -734,6 +734,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Packed training rows: the 512-token chunks of q_pack_sequences
+    * materialized as one text row per (shard, chunk) via deterministic
+    * ordered aggregation. */
+  private def qPackText(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text"),
+      (col("doc_id") % 8).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Sampling.packText(
+      Sampling.packSequences(docs, "shard", "doc_id", "n_tokens", budget = 512L),
+      "shard", "doc_id", "n_tokens", "text", sep = " <|doc|> ")
+      .orderBy("shard", "chunk_id")
+  }
+
   /** Corpus quality gate: keep documents inside the [P10, P90] band of
     * character length — exact percentile thresholds broadcast back over the
     * corpus, hash-matched against DuckDB quantile_cont. */
@@ -1074,6 +1089,7 @@ object SparkEntry {
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_text" -> (qPackText _),
     "q_quality_gate" -> (qQualityGate _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
@@ -1458,6 +1474,18 @@ object SparkEntry {
                 CAST(cum - n_tokens - CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) * 512 AS BIGINT)
                   AS chunk_pos
          FROM c ORDER BY doc_id""",
+    "q_pack_text" ->
+      """WITH t AS (SELECT doc_id, text, doc_id % 8 AS shard,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t),
+         p AS (SELECT *, CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id FROM c)
+         SELECT shard, chunk_id, COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                string_agg(text, ' <|doc|> ' ORDER BY doc_id) AS text
+         FROM p GROUP BY shard, chunk_id ORDER BY shard, chunk_id""",
     "q_quality_gate" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
          b AS (SELECT quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi FROM d)

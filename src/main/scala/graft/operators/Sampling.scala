@@ -71,6 +71,32 @@ object Sampling {
       .withColumn("chunk_pos", cum - col(tokensCol) - floor((cum - col(tokensCol)) / budget) * budget)
   }
 
+  /** Materialize the packed training rows from [[packSequences]] output:
+    * one row per (shard, chunk), documents joined in pack order with a
+    * separator, plus token totals. Ordered aggregation is expressed
+    * deterministically as `sort_array(collect_list(struct(order, text)))` —
+    * collect_list alone has NO ordering guarantee across retries/merges;
+    * sorting the collected (bounded: one chunk's docs) array is the
+    * engine-reproducible form of `string_agg(... ORDER BY ...)`. One partial
+    * hash aggregate keyed by (shard, chunk_id). */
+  def packText(
+      packed: DataFrame,
+      shardCol: String,
+      orderCol: String,
+      tokensCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame =
+    packed
+      .groupBy(col(shardCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("n_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(orderCol), col(textCol)))),
+            s => s(textCol)),
+          sep).as("text"))
+
   /** Stratified deterministic sample: at most `perKey` rows per stratum,
     * chosen by md5 order of `idCol` (a stable pseudo-random order any engine
     * reproduces). Runs on the native [[graft.plans.TopKPerKeyPlan]] operator,

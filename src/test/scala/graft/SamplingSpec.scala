@@ -67,4 +67,18 @@ class SamplingSpec extends SparkSpec {
       Row(0L, 0L, 0L), Row(1L, 0L, 0L), Row(2L, 0L, 300L),
       Row(3L, 1L, 88L), Row(4L, 1L, 88L)))
   }
+
+  test("packText materializes chunks in pack order with separators") {
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      (0L, 0L, 300L, "docA"), (2L, 0L, 300L, "docB"), (4L, 0L, 200L, "docC"))
+      .toDF("id", "shard", "tok", "text")
+    val out = Sampling.packText(
+      Sampling.packSequences(df, "shard", "id", "tok", budget = 512L),
+      "shard", "id", "tok", "text", sep = " | ")
+      .orderBy("shard", "chunk_id").collect()
+    assert(out.toSeq == Seq(
+      Row(0L, 0L, 2L, 600L, "docA | docB"),
+      Row(0L, 1L, 1L, 200L, "docC")))
+  }
 }
