@@ -749,6 +749,15 @@ object SparkEntry {
       .orderBy("shard", "chunk_id")
   }
 
+  /** Global contiguous row numbering in doc_id order via the two-pass
+    * range-partition + zipWithIndex operator — no single-partition window
+    * Exchange anywhere in the job. */
+  private def qGlobalRowNumbers(s: SparkSession, d: String): DataFrame =
+    Relational.globalRowNumbers(
+      Tables.documents(s, d).select("doc_id"),
+      orderCols = Seq(col("doc_id")))
+      .orderBy("doc_id")
+
   /** Corpus quality gate: keep documents inside the [P10, P90] band of
     * character length — exact percentile thresholds broadcast back over the
     * corpus, hash-matched against DuckDB quantile_cont. */
@@ -1091,6 +1100,7 @@ object SparkEntry {
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_text" -> (qPackText _),
     "q_quality_gate" -> (qQualityGate _),
+    "q_global_row_numbers" -> (qGlobalRowNumbers _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1486,6 +1496,9 @@ object SparkEntry {
                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                 string_agg(text, ' <|doc|> ' ORDER BY doc_id) AS text
          FROM p GROUP BY shard, chunk_id ORDER BY shard, chunk_id""",
+    "q_global_row_numbers" ->
+      """SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_num
+         FROM documents ORDER BY doc_id""",
     "q_quality_gate" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
          b AS (SELECT quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi FROM d)

@@ -17,6 +17,35 @@ object Relational {
   def diagonalConcat(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
+  /** Global contiguous row numbers (0-based) in `orderCols` order WITHOUT
+    * the single-partition bottleneck: `row_number() OVER (ORDER BY ...)` in
+    * stock Spark forces an `Exchange SinglePartition` — the whole dataset
+    * through one task. This is the scalable two-pass form: range-partition
+    * on the order key (global sort across partitions), sort within each
+    * partition, then `zipWithIndex` (one lightweight count job over all but
+    * the last partition to compute offsets, then a narrow map). Appends
+    * `rowNumCol`.
+    *
+    * `orderCols` must be a total order (include a unique tiebreak key) or
+    * numbering within ties is partition-placement-dependent. */
+  def globalRowNumbers(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      rowNumCol: String = "row_num",
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, orderCols: _*))
+      .getOrElse(df.repartitionByRange(orderCols: _*))
+      .sortWithinPartitions(orderCols: _*)
+    val schema = StructType(ranged.schema.fields :+ StructField(rowNumCol, LongType, nullable = false))
+    val numbered = ranged.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(numbered, schema)
+  }
+
   /** Null-preserving sum: SUM that yields NULL when every input in the group
     * is NULL. This is plain SQL-standard SUM — Spark's built-in already has
     * the semantics the reference hand-builds in Polars with

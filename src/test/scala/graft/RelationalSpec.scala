@@ -60,4 +60,22 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
       Seq((1L, "upd1-new"), (2L, "base2"), (3L, "ins3")))
   }
+
+  test("globalRowNumbers: contiguous, order-correct, multi-partition, no single-partition window") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("k", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id") * 37 % 1000, org.apache.spark.sql.functions.lit(1000)))
+      .repartition(8)
+    val out = Relational.globalRowNumbers(df, Seq(col("k")), numPartitions = Some(6))
+    assert(out.rdd.getNumPartitions > 1, "must not collapse to one partition")
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("row_num"))).toSeq == (0L until 1000L))
+    // matches the window formulation exactly
+    val viaWindow = df.withColumn("row_num",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"))).cast("long") - 1)
+      .orderBy("k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      viaWindow.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
 }
