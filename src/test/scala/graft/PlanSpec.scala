@@ -122,6 +122,12 @@ class PlanSpec extends SparkSpec {
     assert(partials >= 2, s"expected map-side combine at (doc,gram) and (doc) grains:\n$p")
   }
 
+  test("sequence packing windows stay sharded — no single-partition exchange") {
+    val p = plan(SparkEntry.queries("q_pack_sequences")(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"packing cumsum must partition by shard, not serialize the corpus:\n$p")
+  }
+
   test("scans read only referenced columns for narrow projections") {
     val p = plan(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"))
