@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(VectorOps.getClass, "cosineSim", DoubleType)),
       fn("graft_lsh_sig", "random-hyperplane LSH signature of an array<float> vector",
         static(VectorOps.getClass, "lshSig", LongType)),
+      fn("graft_heavy_hitters", "Misra-Gries heavy hitters of a string column: array<struct<item,count_lo>>",
+        args => graft.functions.MisraGries(args(0), args(1).eval().asInstanceOf[Int])),
     ).foreach { case (ident, info, builder) => ext.injectFunction((ident, info, builder)) }
   }
 }

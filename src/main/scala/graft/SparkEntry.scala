@@ -749,6 +749,20 @@ object SparkEntry {
       .orderBy("shard", "chunk_id")
   }
 
+  /** Corpus heavy hitters via the native Misra–Gries aggregate, run in its
+    * exact regime (k=256 far exceeds the synthetic vocabulary) so the full
+    * word-count oracle hash-matches; SketchesSpec pins the approximate
+    * regime's bounds. */
+  private def qHeavyHitters(s: SparkSession, d: String): DataFrame =
+    Sketches.heavyHitters(
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= ""),
+      "word", k = 256)
+      .select(explode(col("heavy_hitters")).as("e"))
+      .select(col("e")("item").as("item"), col("e")("count_lo").as("count_lo"))
+      .orderBy(col("count_lo").desc, col("item"))
+
   /** Global contiguous row numbering in doc_id order via the two-pass
     * range-partition + zipWithIndex operator — no single-partition window
     * Exchange anywhere in the job. */
@@ -1101,6 +1115,7 @@ object SparkEntry {
     "q_pack_text" -> (qPackText _),
     "q_quality_gate" -> (qQualityGate _),
     "q_global_row_numbers" -> (qGlobalRowNumbers _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1499,6 +1514,10 @@ object SparkEntry {
     "q_global_row_numbers" ->
       """SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_num
          FROM documents ORDER BY doc_id""",
+    "q_heavy_hitters" ->
+      """SELECT word AS item, CAST(COUNT(*) AS BIGINT) AS count_lo
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word ORDER BY count_lo DESC, item""",
     "q_quality_gate" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
          b AS (SELECT quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi FROM d)

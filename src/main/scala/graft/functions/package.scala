@@ -130,6 +130,14 @@ package object functions {
   def cosine_sim_double(a: Column, b: Column): Column =
     invokeVec("cosineSimD", DoubleType, Seq(a, b))
 
+  /** Misra–Gries heavy-hitters aggregate: top string items of a column as
+    * `array<struct<item, count_lo>>` with a fixed `k`-counter mergeable
+    * summary — see [[MisraGries]] for bounds. Exact when `k` >= the
+    * column's distinct count. */
+  def approx_heavy_hitters(c: Column, k: Int): Column =
+    GraftSql.column(
+      MisraGries(GraftSql.expression(c), k).toAggregateExpression())
+
   /** Random-hyperplane LSH signature (`bits` sign bits packed in a long) of
     * an `array<float>` vector for LSH table `table`. Planes are implicit
     * (derived from a fixed hash), so this is a stateless one-pass expression:

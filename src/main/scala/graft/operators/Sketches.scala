@@ -51,6 +51,16 @@ object Sketches {
   def exactPercentiles(valueCol: String, probabilities: Seq[Double]): Column =
     percentile(col(valueCol), array(probabilities.map(lit): _*))
 
+  /** Heavy hitters of a string column per group via the native mergeable
+    * Misra–Gries aggregate ([[graft.functions.MisraGries]]): at most `k`
+    * counters cross the shuffle per partition regardless of cardinality.
+    * Exact when `k` >= the column's distinct count; otherwise every item
+    * with frequency > n/(k+1) is present with a count underestimated by at
+    * most n/(k+1). */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int, groupCols: Seq[String] = Nil): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.approx_heavy_hitters(col(valueCol), k).as("heavy_hitters"))
+
   /** Corpus-level quantile-band gate: keep rows whose `valueCol` lies in the
     * [lo, hi] quantile band of the WHOLE input — the "drop the quality-score
     * tails" filter in front of a training corpus. Two passes: a global

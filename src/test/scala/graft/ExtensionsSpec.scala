@@ -42,4 +42,14 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_lsh_sig(array(cast(0.5 as float), cast(-1.0 as float)), 0, 8)").head.getLong(0)
     assert(sig >= 0 && sig < 256)
   }
+
+  test("graft_heavy_hitters aggregates via SQL") {
+    import spark.implicits._
+    Seq("a", "a", "b", "a", "c").toDF("w").createOrReplaceTempView("hh_in")
+    val out = spark.sql(
+      "SELECT explode(graft_heavy_hitters(w, 8)) AS e FROM hh_in")
+      .selectExpr("e.item", "e.count_lo").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
+  }
 }

@@ -46,4 +46,30 @@ class SketchesSpec extends SparkSpec {
     val keptA = approx.count()
     assert(keptA >= 78 && keptA <= 82, s"approx band wildly off: $keptA")
   }
+
+  test("heavyHitters exact regime (k >= distinct) equals groupBy counts across partitions") {
+    val words = (1 to 400).map(i => s"w${i % 13}")
+    val df = words.toDF("w").repartition(8)
+    val hh = Sketches.heavyHitters(df, "w", k = 64)
+      .selectExpr("explode(heavy_hitters) AS e")
+      .selectExpr("e.item AS item", "e.count_lo AS c")
+      .orderBy("item").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = df.groupBy("w").count()
+      .orderBy("w").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh == exact)
+  }
+
+  test("heavyHitters approximate regime honors Misra-Gries bounds") {
+    // 1000 of "hot", 50 each of 40 cold items -> n = 3000, k = 9:
+    // any item with freq > n/(k+1) = 300 MUST survive with count_lo >= freq - 300
+    val data = Seq.fill(1000)("hot") ++ (1 to 40).flatMap(i => Seq.fill(50)(s"cold$i"))
+    val df = data.toDF("w").repartition(6)
+    val out = Sketches.heavyHitters(df, "w", k = 9)
+      .selectExpr("explode(heavy_hitters) AS e")
+      .selectExpr("e.item AS item", "e.count_lo AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.contains("hot"), s"guaranteed heavy item evicted: $out")
+    assert(out("hot") >= 1000 - 300 && out("hot") <= 1000, s"count bound violated: ${out("hot")}")
+    assert(out.size <= 9)
+  }
 }
