@@ -749,6 +749,12 @@ object SparkEntry {
       .orderBy("shard", "chunk_id")
   }
 
+  /** Top-3 TF-IDF terms per document, cut by the native top-k operator on
+    * the rounded score. */
+  private def qTfIdf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", topPerDoc = 3)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+
   /** Corpus heavy hitters via the native Misra–Gries aggregate, run in its
     * exact regime (k=256 far exceeds the synthetic vocabulary) so the full
     * word-count oracle hash-matches; SketchesSpec pins the approximate
@@ -1116,6 +1122,7 @@ object SparkEntry {
     "q_quality_gate" -> (qQualityGate _),
     "q_global_row_numbers" -> (qGlobalRowNumbers _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_tfidf" -> (qTfIdf _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1518,6 +1525,18 @@ object SparkEntry {
       """SELECT word AS item, CAST(COUNT(*) AS BIGINT) AS count_lo
          FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY word ORDER BY count_lo DESC, item""",
+    "q_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w WHERE term <> '' GROUP BY doc_id, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         s AS (SELECT tf.doc_id, tf.term,
+                      ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+               FROM tf JOIN dfreq USING (term), n),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term) AS rk FROM s)
+         SELECT doc_id, term, tfidf FROM r WHERE rk <= 3
+         ORDER BY doc_id, tfidf DESC, term""",
     "q_quality_gate" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
          b AS (SELECT quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi FROM d)

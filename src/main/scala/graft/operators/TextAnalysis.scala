@@ -88,6 +88,43 @@ object TextAnalysis {
         sum(col("__n")).as("n_words"),
         round(max(col("__n")).cast("double") / sum(col("__n")), 6).as("top_word_ratio"))
 
+  /** Top TF-IDF terms per document: tf from a (doc, term) partial aggregate,
+    * document frequency from a second partial aggregate over the distinct
+    * (doc, term) pairs, idf = ln(N / df) with the corpus size N joined in as
+    * a broadcast one-row aggregate (never a driver action), and the per-doc
+    * top-k selected by the native [[Relational.topKPerKey]] operator —
+    * bounded heaps, no Window/Sort. Ranking uses the 6-dp ROUNDED score
+    * (ties then broken by term) so any engine reproduces the cut
+    * deterministically — raw float ranking can flip on 1-ulp libm
+    * differences. The vocabulary aggregate is broadcast: right for word
+    * vocabularies; for n-gram vocabularies beyond broadcast size pass
+    * `broadcastVocab = false` to shuffle-join instead. */
+  def tfIdfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topPerDoc: Int,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val terms = df
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(if (broadcastVocab) broadcast(dfreq) else dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .select(col(idCol), col("term"), col("tfidf"))
+    Relational.topKPerKey(
+      scored,
+      keyCols = Seq(idCol),
+      sort = Seq("tfidf" -> true, "term" -> false),
+      k = topPerDoc)
+  }
+
   /** Within-document duplicate n-gram fractions — the Gopher repetition
     * filters (Rae et al. 2021 §A1.1) used to drop templated/spammy docs:
     * `dup_ngram_fraction` = fraction of the doc's word n-grams that are

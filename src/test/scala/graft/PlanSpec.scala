@@ -198,4 +198,10 @@ class PlanSpec extends SparkSpec {
     val small = spark.range(10).select(col("id"), array(lit(1.0f)).as("vec"))
     assert(graft.operators.Similarity.fitSample(small.toDF(), 1000L, 7L).count() == 10L)
   }
+
+  test("tf-idf top terms run on the native TopKPerKey operator, no Window") {
+    val p = plan(SparkEntry.queries("q_tfidf")(spark, sf))
+    assert(p.contains("TopKPerKey"), s"expected native top-k:\n$p")
+    assert(!p.contains("Window"), s"tf-idf cut must not use a window:\n$p")
+  }
 }

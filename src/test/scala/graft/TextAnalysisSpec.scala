@@ -89,4 +89,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
     assert(a.getInt(1) > 0)
   }
+
+  test("tfIdfTopTerms: hand-computed scores, ubiquitous terms rank last") {
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      (1L, "the apple banana apple"),
+      (2L, "the banana cherry"),
+      (3L, "the cherry cherry apple")).toDF("id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(df, "id", "text", topPerDoc = 2)
+      .orderBy(col("id"), col("tfidf").desc, col("term")).collect()
+    def s(tf: Int, df0: Int) =
+      BigDecimal(tf * math.log(3.0 / df0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // "the" appears in all docs -> idf 0 -> never in top 2 (beaten by any positive score)
+    assert(out.toSeq == Seq(
+      Row(1L, "apple", s(2, 2)), Row(1L, "banana", s(1, 2)),
+      Row(2L, "banana", s(1, 2)), Row(2L, "cherry", s(1, 2)),
+      Row(3L, "cherry", s(2, 2)), Row(3L, "apple", s(1, 2))))
+  }
 }
