@@ -749,6 +749,22 @@ object SparkEntry {
       .orderBy("shard", "chunk_id")
   }
 
+  /** Deterministic data mixture: three synthetic sources weighted 0.5 / 2.0
+    * / 1.25 epochs, replicated/sampled by content hash — the corpus
+    * assembly step, hash-matched against the same md5 arithmetic in
+    * DuckDB. */
+  private def qWeightedMix(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedMix(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "web")
+          .when(col("doc_id") % 3 === 1, "books")
+          .otherwise("code").as("source")),
+      sourceCol = "source",
+      keyCol = "doc_id",
+      weights = Map("web" -> 0.5, "books" -> 2.0, "code" -> 1.25))
+      .orderBy("doc_id", "epoch")
+
   /** Top-3 TF-IDF terms per document, cut by the native top-k operator on
     * the rounded score. */
   private def qTfIdf(s: SparkSession, d: String): DataFrame =
@@ -1123,6 +1139,7 @@ object SparkEntry {
     "q_global_row_numbers" -> (qGlobalRowNumbers _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_tfidf" -> (qTfIdf _),
+    "q_weighted_mix" -> (qWeightedMix _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1525,6 +1542,18 @@ object SparkEntry {
       """SELECT word AS item, CAST(COUNT(*) AS BIGINT) AS count_lo
          FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY word ORDER BY count_lo DESC, item""",
+    "q_weighted_mix" ->
+      """WITH t AS (SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END AS source
+              FROM documents),
+         m AS (SELECT doc_id, source,
+                CASE source WHEN 'web' THEN 0 WHEN 'books' THEN 2 ELSE 1 END
+                + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8))::BIGINT % 10000
+                       < CASE source WHEN 'web' THEN 5000 WHEN 'books' THEN 0 ELSE 2500 END
+                  THEN 1 ELSE 0 END AS n
+              FROM t)
+         SELECT doc_id, source, unnest(generate_series(1, n)) AS epoch
+         FROM m WHERE n >= 1 ORDER BY doc_id, epoch""",
     "q_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w WHERE term <> '' GROUP BY doc_id, term),

@@ -41,6 +41,37 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Deterministic data-mixture weighting: replicate/sample each source to
+    * its target epoch weight — the corpus-assembly step that turns "2
+    * epochs of books, half of web" into rows. A weight w for a source
+    * means floor(w) full copies of every row plus one extra copy for the
+    * rows whose content-hash fractional draw falls under w - floor(w); the
+    * fractional draw is keyed on md5(key || "#mix") so it is independent of
+    * the split/bucket draws, reproducible in any engine, and stable under
+    * corpus growth. Sources absent from `weights` are dropped (weight 0).
+    * Pure map-side projection + explode — zero shuffle at any scale.
+    * Output appends `epoch` (1-based copy index). */
+  def weightedMix(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      weights: Map[String, Double],
+      buckets: Int = 10000): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val whole = weights.foldLeft(lit(-1L)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(math.floor(w).toLong)).otherwise(acc)
+    }
+    val fracThreshold = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(math.round((w - math.floor(w)) * buckets))).otherwise(acc)
+    }
+    val draw = hashBucket(concat(col(keyCol).cast("string"), lit("#mix")), buckets)
+    val copies = whole + when(draw < fracThreshold, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__n", copies)
+      .filter(col("__n") >= 1) // also drops unknown sources (whole = -1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget chunks — the
     * "pack documents into context windows" step in front of LLM training.
     * Documents are processed in deterministic `orderCol` order WITHIN each

@@ -81,4 +81,24 @@ class SamplingSpec extends SparkSpec {
       Row(0L, 0L, 2L, 600L, "docA | docB"),
       Row(0L, 1L, 1L, 200L, "docC")))
   }
+
+  test("weightedMix: whole epochs exact, fractional deterministic, unknown sources dropped") {
+    val df = (0L until 300L).map(i => (i, i % 3 match {
+      case 0 => "web"; case 1 => "books"; case _ => "junk" })).toDF("id", "src")
+    val out = Sampling.weightedMix(df, "src", "id",
+      Map("web" -> 0.5, "books" -> 2.0))
+    val bySrc = out.groupBy("src").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!bySrc.contains("junk"), "unweighted source must be dropped")
+    assert(bySrc("books") == 200L, s"weight 2.0 must mean exactly 2 epochs: $bySrc")
+    // fraction 0.5 over 100 web rows: hash-thinned, roughly half, exactly reproducible
+    assert(bySrc("web") > 25 && bySrc("web") < 75, s"web fraction wildly off: $bySrc")
+    val again = Sampling.weightedMix(df, "src", "id", Map("web" -> 0.5, "books" -> 2.0))
+      .orderBy("id", "epoch").collect().toSeq
+    assert(again == out.orderBy("id", "epoch").collect().toSeq)
+    // epochs are 1..n per row
+    val ep = out.filter(col("src") === "books").groupBy("id")
+      .agg(org.apache.spark.sql.functions.collect_set("epoch").as("e"))
+      .head.getSeq[Long](1).sorted
+    assert(ep == Seq(1L, 2L))
+  }
 }
