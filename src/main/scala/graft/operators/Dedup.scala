@@ -79,6 +79,29 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** End-to-end near-duplicate removal — the operator a corpus pipeline
+    * actually calls: [[minHashLsh]] candidate pairs (banded, verified) →
+    * [[clusters]] connected components → keep the min-id representative of
+    * every cluster → anti-join the rest away. Returns `df` minus non-
+    * representative near-duplicates; untouched documents pass through
+    * without ever entering the (pair-sized, tiny relative to the corpus)
+    * cluster computation. */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      jaccardThreshold: Double = 0.7,
+      salts: Int = 1): DataFrame = {
+    val pairs = minHashLsh(df, idCol, textCol, numHashes, bands, shingleK, jaccardThreshold, salts)
+    val losers = clusters(pairs)
+      .filter(col("id") =!= col("cluster")) // representative keeps its own label
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash per doc plus 16-bit band keys for near-dup candidate joins
     * (hamming distance <= 3 over 64 bits => at least one of 4 bands equal). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -67,4 +67,19 @@ class DedupSpec extends SparkSpec {
     assert(top.getLong(1) == 1L || top.getLong(1) == 4L) // base text docs
     assert(top.getDouble(2) > 0.7)
   }
+
+  test("dropNearDuplicates keeps one representative per planted cluster, others untouched") {
+    val base = "spark catalyst tungsten shuffle partition broadcast join aggregate window stream"
+    val docs = Seq(
+      (1L, base),                       // cluster {1,2,3} -> keep 1
+      (2L, base + " extra"),
+      (3L, "prefix " + base),
+      (10L, "completely different words about training data pipelines at scale"),
+      (11L, "another unrelated document with its own vocabulary entirely"))
+      .toDF("id", "text")
+    val kept = graft.operators.Dedup.dropNearDuplicates(docs, "id", "text",
+      jaccardThreshold = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 10L, 11L), s"got $kept")
+  }
 }
