@@ -662,6 +662,25 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** JSONL shard export round-trip: write documents stats as sharded
+    * json-lines, read back, hash-match against DuckDB over the source
+    * parquet — the training-data export format made oracle-grade like the
+    * parquet export. */
+  private def qJsonlExport(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toFile
+    tmpDir.deleteOnExit()
+    val out = new java.io.File(tmpDir, "docs_jsonl").getPath
+    Sink.writeJsonl(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars")),
+      out,
+      shards = 8)
+    s.read.json(out)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming exact dedup run end-to-end: AvailableNow over events,
     * dropDuplicatesWithinWatermark on (user_id, event_type); with one input
     * batch the watermark-scoped state covers the whole table, so the
@@ -1130,6 +1149,7 @@ object SparkEntry {
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
     "q_partitioned_export" -> (qPartitionedExport _),
+    "q_jsonl_export" -> (qJsonlExport _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -1482,6 +1502,9 @@ object SparkEntry {
     "q_partitioned_export" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS period, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "q_jsonl_export" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
     "q_bucketed_join" ->
       """SELECT c_nationkey, COUNT(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

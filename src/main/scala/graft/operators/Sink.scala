@@ -15,6 +15,14 @@ object Sink {
   def writePartitionedParquet(df: DataFrame, partCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** JSON-lines shard export — the training-data interchange format: fixed
+    * shard count via a round-robin repartition (uniform shard sizes
+    * regardless of input skew, no shard-key small-files risk), one file per
+    * shard. Binary columns base64-encode per JSON spec; timestamps are ISO
+    * strings — round-trip with an explicit read schema when types matter. */
+  def writeJsonl(df: DataFrame, path: String, shards: Int): Unit =
+    df.repartition(shards).write.mode("overwrite").json(path)
+
   /** Bucketed managed table: pre-shuffles rows into `nBuckets` hash buckets
     * on `bucketCols` at write time. Two tables bucketed the same way join
     * WITHOUT a shuffle (co-located sort-merge) — at 100 TB this moves the

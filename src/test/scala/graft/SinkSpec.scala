@@ -42,4 +42,16 @@ class SinkSpec extends SparkSpec {
     assert(pruned.count() == 1)
     assert(pruned.head.getAs[Double]("v") == 3.0)
   }
+
+  test("writeJsonl produces exactly `shards` files and round-trips values") {
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl_spec_").toFile
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    graft.operators.Sink.writeJsonl(df, tmp.getPath, shards = 4)
+    val files = tmp.listFiles.filter(_.getName.startsWith("part-"))
+    assert(files.length == 4, s"expected 4 shards, got ${files.length}")
+    val back = spark.read.json(tmp.getPath)
+      .selectExpr("CAST(id AS LONG) AS id", "v")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == (1L to 100L).map(i => (i, s"v$i")))
+  }
 }
