@@ -662,6 +662,26 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Snapshot diff: the documents table against a deterministically
+    * perturbed "next crawl" (every 97th doc removed, every 89th doc's text
+    * changed, adds synthesized above the id range) — classified by one full
+    * outer join and hash-matched against the same construction in DuckDB. */
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.documents(s, d).select("doc_id", "text")
+    val next = old
+      .filter(col("doc_id") % 97 =!= 0)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 89 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .unionByName(
+        old.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Relational.snapshotDiff(old, next, Seq("doc_id"), Seq("text"))
+      .filter(col("change") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
   /** JSONL shard export round-trip: write documents stats as sharded
     * json-lines, read back, hash-match against DuckDB over the source
     * parquet — the training-data export format made oracle-grade like the
@@ -1150,6 +1170,7 @@ object SparkEntry {
     "q_upsert" -> (qUpsert _),
     "q_partitioned_export" -> (qPartitionedExport _),
     "q_jsonl_export" -> (qJsonlExport _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -1505,6 +1526,23 @@ object SparkEntry {
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+         next AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END AS text
+           FROM old WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM old WHERE doc_id % 101 = 0)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+                     ELSE 'changed' END AS change
+         FROM old o FULL OUTER JOIN next n ON o.doc_id = n.doc_id
+         WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                    AND o.text IS NOT DISTINCT FROM n.text)
+         ORDER BY doc_id""",
     "q_bucketed_join" ->
       """SELECT c_nationkey, COUNT(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

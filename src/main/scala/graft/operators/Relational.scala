@@ -46,6 +46,37 @@ object Relational {
     df.sparkSession.createDataFrame(numbered, schema)
   }
 
+  /** Snapshot diff between two corpus versions keyed by `keyCols`: one row
+    * per key present in either side, classified `added` / `removed` /
+    * `changed` / `unchanged` by null-safe comparison of `compareCols`. One
+    * co-partitioned full outer join on the key — the audit step in front of
+    * an incremental corpus refresh ("what did this crawl actually change").
+    * Callers filter `change != 'unchanged'` for the delta. */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__old", lit(1))
+      .toDF(keyCols ++ compareCols.map("__o_" + _) :+ "__old": _*)
+    val n = newDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__new", lit(1))
+      .toDF(keyCols ++ compareCols.map("__n_" + _) :+ "__new": _*)
+    val sameValues = compareCols
+      .map(c => col("__o_" + c) <=> col("__n_" + c))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    o.join(n, keyCols, "full_outer")
+      .withColumn(
+        "change",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(sameValues, lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** Null-preserving sum: SUM that yields NULL when every input in the group
     * is NULL. This is plain SQL-standard SUM — Spark's built-in already has
     * the semantics the reference hand-builds in Polars with

@@ -78,4 +78,15 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
       viaWindow.map(r => (r.getLong(0), r.getLong(2))).toSeq)
   }
+
+  test("snapshotDiff classifies added/removed/changed with null-safe compare") {
+    import org.apache.spark.sql.Row
+    val old = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d")).toDF("id", "v")
+    val next = Seq((2L, "B"), (3L, null.asInstanceOf[String]), (4L, "d"), (5L, "e")).toDF("id", "v")
+    val out = Relational.snapshotDiff(old, next, Seq("id"), Seq("v"))
+      .orderBy("id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, "removed"), Row(2L, "changed"), Row(3L, "unchanged"),
+      Row(4L, "unchanged"), Row(5L, "added")))
+  }
 }
