@@ -804,6 +804,11 @@ object SparkEntry {
       weights = Map("web" -> 0.5, "books" -> 2.0, "code" -> 1.25))
       .orderBy("doc_id", "epoch")
 
+  /** RAG-style chunking: 80-char windows with 20-char overlap. */
+  private def qChunkText(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkText(Tables.documents(s, d), "doc_id", "text", size = 80, overlap = 20)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Top-3 TF-IDF terms per document, cut by the native top-k operator on
     * the rounded score. */
   private def qTfIdf(s: SparkSession, d: String): DataFrame =
@@ -1171,6 +1176,7 @@ object SparkEntry {
     "q_partitioned_export" -> (qPartitionedExport _),
     "q_jsonl_export" -> (qJsonlExport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_chunk_text" -> (qChunkText _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -1526,6 +1532,12 @@ object SparkEntry {
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q_chunk_text" ->
+      """WITH s AS (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 20, 1), 60)) AS start
+              FROM documents)
+         SELECT doc_id, (start - 1) // 60 AS chunk_idx, substr(text, start, 80) AS chunk_text
+         FROM s ORDER BY doc_id, chunk_idx""",
     "q_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, text FROM documents),
          next AS (

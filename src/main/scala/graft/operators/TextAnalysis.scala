@@ -88,6 +88,35 @@ object TextAnalysis {
         sum(col("__n")).as("n_words"),
         round(max(col("__n")).cast("double") / sum(col("__n")), 6).as("top_word_ratio"))
 
+  /** Overlapping character-window chunking — the RAG / long-document
+    * ingestion step: windows of `size` chars starting every `size -
+    * overlap` chars, the final window shortened to the remainder. A pure
+    * codegen'd projection + explode (zero shuffle); start offsets and
+    * substring semantics are plain SQL so any engine reproduces the chunk
+    * boundaries bit-for-bit. Output: (idCol, chunk_idx 0-based,
+    * chunk_text). */
+  def chunkText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got ($size, $overlap)")
+    val stride = size - overlap
+    val starts = sequence(
+      lit(1),
+      greatest(length(col(textCol)) - overlap, lit(1)),
+      lit(stride))
+    df.select(
+      col(idCol),
+      col(textCol),
+      posexplode(starts).as(Seq("chunk_idx", "__start")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"substring(`$textCol`, __start, $size)").as("chunk_text"))
+  }
+
   /** Top TF-IDF terms per document: tf from a (doc, term) partial aggregate,
     * document frequency from a second partial aggregate over the distinct
     * (doc, term) pairs, idf = ln(N / df) with the corpus size N joined in as

@@ -106,4 +106,16 @@ class TextAnalysisSpec extends SparkSpec {
       Row(2L, "banana", s(1, 2)), Row(2L, "cherry", s(1, 2)),
       Row(3L, "cherry", s(2, 2)), Row(3L, "apple", s(1, 2))))
   }
+
+  test("chunkText: window boundaries, overlap, and short-doc handling") {
+    import org.apache.spark.sql.Row
+    val df = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("id", "text")
+    val out = TextAnalysis.chunkText(df, "id", "text", size = 6, overlap = 2)
+      .orderBy("id", "chunk_idx").collect()
+    // doc 1 (len 10): starts 1, 5 (stride 4, last start <= len-overlap=8) -> "abcdef", "efghij"
+    // doc 2 (len 2 < size): single chunk, whole text
+    assert(out.toSeq == Seq(
+      Row(1L, 0L, "abcdef"), Row(1L, 1L, "efghij"),
+      Row(2L, 0L, "xy")))
+  }
 }
