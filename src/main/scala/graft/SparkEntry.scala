@@ -804,6 +804,11 @@ object SparkEntry {
       weights = Map("web" -> 0.5, "books" -> 2.0, "code" -> 1.25))
       .orderBy("doc_id", "epoch")
 
+  /** Self-trained bigram LM quality score per document. */
+  private def qLmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** RAG-style chunking: 80-char windows with 20-char overlap. */
   private def qChunkText(s: SparkSession, d: String): DataFrame =
     TextAnalysis.chunkText(Tables.documents(s, d), "doc_id", "text", size = 80, overlap = 20)
@@ -1177,6 +1182,7 @@ object SparkEntry {
     "q_jsonl_export" -> (qJsonlExport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_chunk_text" -> (qChunkText _),
+    "q_lm_score" -> (qLmScore _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -1532,6 +1538,19 @@ object SparkEntry {
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks),
+         bi AS (SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS bigram FROM idx),
+         cb AS (SELECT bigram, COUNT(*) AS cb FROM bi GROUP BY bigram),
+         cu AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(cb) AS cu FROM cb GROUP BY 1),
+         lp AS (SELECT bi.doc_id,
+                       CAST(ROUND(LN(CAST(cb.cb AS DOUBLE) / cu.cu), 6) AS DECIMAL(28,6)) AS lp
+                FROM bi JOIN cb USING (bigram)
+                JOIN cu ON split_part(bi.bigram, ' ', 1) = cu.w1)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                ROUND(CAST(SUM(lp) / COUNT(*) AS DOUBLE), 6) AS avg_logprob
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "q_chunk_text" ->
       """WITH s AS (SELECT doc_id, text,
                 unnest(generate_series(1, greatest(length(text) - 20, 1), 60)) AS start

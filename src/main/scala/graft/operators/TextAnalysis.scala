@@ -88,6 +88,42 @@ object TextAnalysis {
         sum(col("__n")).as("n_words"),
         round(max(col("__n")).cast("double") / sum(col("__n")), 6).as("top_word_ratio"))
 
+  /** Statistical language-model quality score (CCNet-style LM filter,
+    * self-trained): a word-bigram model estimated from the corpus itself,
+    * each document scored by its average bigram log-probability
+    * ln(c(w1 w2) / c(w1 ·)) — low scores flag text the corpus's own
+    * statistics find improbable (gibberish, boilerplate soup). Two count
+    * aggregates (bigram, then its w1 marginal), one co-partitioned join
+    * back on the bigram, the vocabulary-sized marginal broadcast
+    * (`broadcastVocab = false` to shuffle-join for n-gram-scale vocabs).
+    * Per-bigram log-probs are rounded to 6 dp and summed as DECIMAL so the
+    * per-doc mean is exact and partition-order-independent — float
+    * summation order would otherwise make the last bits engine-dependent. */
+  def lmBigramScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val bi = df.select(
+      col(idCol),
+      explode(Decontaminate.wordNgrams(col(textCol), 2)).as("bigram"))
+    val cBi = bi.groupBy(col("bigram")).agg(count(lit(1)).as("__cb"))
+    val cUni = cBi
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
+    bi
+      .join(cBi, "bigram")
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .join(if (broadcastVocab) broadcast(cUni) else cUni, "__w1")
+      .withColumn(
+        "__lp",
+        round(log(col("__cb").cast("double") / col("__cu")), 6).cast("decimal(28,6)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((sum(col("__lp")) / count(lit(1))).cast("double"), 6).as("avg_logprob"))
+  }
+
   /** Overlapping character-window chunking — the RAG / long-document
     * ingestion step: windows of `size` chars starting every `size -
     * overlap` chars, the final window shortened to the remainder. A pure

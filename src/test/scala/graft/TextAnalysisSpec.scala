@@ -118,4 +118,19 @@ class TextAnalysisSpec extends SparkSpec {
       Row(1L, 0L, "abcdef"), Row(1L, 1L, "efghij"),
       Row(2L, 0L, "xy")))
   }
+
+  test("lmBigramScore: hand-computed bigram log-probs") {
+    import org.apache.spark.sql.Row
+    // corpus bigrams: "a b" x2 (docs 1, 2), "b a" x1, "a c" x1
+    //   c(a .) = c(ab)+c(ac) = 3, c(b .) = 1
+    // doc 1 "a b a c": ln(2/3), ln(1/1), ln(1/3)
+    // doc 2 "a b":     ln(2/3)
+    val df = Seq((1L, "a b a c"), (2L, "a b")).toDF("id", "text")
+    val out = TextAnalysis.lmBigramScore(df, "id", "text")
+      .orderBy("id").collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6((r6(math.log(2.0/3)) + r6(math.log(1.0)) + r6(math.log(1.0/3))) / 3)
+    val d2 = r6(math.log(2.0/3))
+    assert(out.toSeq == Seq(Row(1L, 3L, d1), Row(2L, 1L, d2)))
+  }
 }
