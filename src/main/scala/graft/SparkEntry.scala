@@ -804,6 +804,13 @@ object SparkEntry {
       weights = Map("web" -> 0.5, "books" -> 2.0, "code" -> 1.25))
       .orderBy("doc_id", "epoch")
 
+  /** Mean-pooled embedding per label class, exploded to (label, pos, m)
+    * scalar rows for the cross-engine hash compare. */
+  private def qMeanPool(s: SparkSession, d: String): DataFrame =
+    Similarity.meanPoolEmbeddings(Tables.embeddings(s, d), Seq("label"), "embedding")
+      .select(col("label"), posexplode(col("mean_embedding")).as(Seq("pos", "m")))
+      .orderBy("label", "pos")
+
   /** Self-trained bigram LM quality score per document. */
   private def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text")
@@ -1183,6 +1190,7 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_chunk_text" -> (qChunkText _),
     "q_lm_score" -> (qLmScore _),
+    "q_mean_pool" -> (qMeanPool _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -1538,6 +1546,12 @@ object SparkEntry {
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q_mean_pool" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+                unnest(generate_series(0, len(embedding) - 1)) AS pos
+              FROM embeddings)
+         SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS m
+         FROM e GROUP BY label, pos ORDER BY label, pos""",
     "q_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
          idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks),

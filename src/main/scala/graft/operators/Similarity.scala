@@ -23,6 +23,29 @@ import graft.functions._
   */
 object Similarity {
 
+  /** Mean-pool embeddings per group — the "chunk embeddings → document
+    * embedding" reduction of an embedding pipeline: posexplode to
+    * (group, dimension) pairs, one partial-aggregated average per
+    * dimension, reassemble in dimension order via a sorted collect. Two
+    * shuffles, both on compact keys; per-dimension state is one double per
+    * (group, dim) so any corpus size fits. Output means are rounded to
+    * `roundTo` dp — float partial-sum order differs across engines/
+    * partitionings and rounding is what makes the result reproducible. */
+  def meanPoolEmbeddings(
+      df: DataFrame,
+      groupCols: Seq[String],
+      vecCol: String,
+      roundTo: Int = 6): DataFrame =
+    df.select(
+      groupCols.map(col) :+ posexplode(col(vecCol)).as(Seq("__pos", "__v")): _*)
+      .groupBy((groupCols :+ "__pos").map(col): _*)
+      .agg(round(avg(col("__v").cast("double")), roundTo).as("__m"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("__pos"), col("__m")))),
+          s => s("__m")).as("mean_embedding"))
+
   /** Per-query top-k of scored candidate rows via the native top-k operator:
     * partial heaps before the shuffle, rank emitted on the final pass. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =

@@ -80,4 +80,15 @@ class SimilaritySpec extends SparkSpec {
     val recall = (0 until 10).count(i => found.get(1000L + i).contains(i.toLong))
     assert(recall >= 8, s"recall $recall/10 too low: $found")
   }
+
+  test("meanPoolEmbeddings averages per dimension in order") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f, 3.0f)),
+      ("a", Array(3.0f, 2.0f, 1.0f)),
+      ("b", Array(10.0f, 20.0f, 30.0f))).toDF("g", "vec")
+    val out = graft.operators.Similarity.meanPoolEmbeddings(df, Seq("g"), "vec")
+      .orderBy("g").collect()
+    assert(out(0).getSeq[Double](1) == Seq(2.0, 2.0, 2.0))
+    assert(out(1).getSeq[Double](1) == Seq(10.0, 20.0, 30.0))
+  }
 }
