@@ -804,6 +804,16 @@ object SparkEntry {
       weights = Map("web" -> 0.5, "books" -> 2.0, "code" -> 1.25))
       .orderBy("doc_id", "epoch")
 
+  /** Unit-normalized embeddings, exploded to scalar rows; per-row
+    * left-to-right accumulation matches DuckDB's list_aggregate order so
+    * even the unrounded doubles agree — rounded to 6dp anyway. */
+  private def qL2Normalize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), posexplode(graft.functions.l2_normalize(col("embedding"))).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), round(col("v"), 6).as("v"))
+      .orderBy("vec_id", "pos")
+
   /** Mean-pooled embedding per label class, exploded to (label, pos, m)
     * scalar rows for the cross-engine hash compare. */
   private def qMeanPool(s: SparkSession, d: String): DataFrame =
@@ -1191,6 +1201,7 @@ object SparkEntry {
     "q_chunk_text" -> (qChunkText _),
     "q_lm_score" -> (qLmScore _),
     "q_mean_pool" -> (qMeanPool _),
+    "q_l2_normalize" -> (qL2Normalize _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -1546,6 +1557,15 @@ object SparkEntry {
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q_l2_normalize" ->
+      """WITH n AS (SELECT vec_id, embedding,
+                sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+              FROM embeddings WHERE vec_id % 10 = 0),
+         e AS (SELECT vec_id,
+                unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                unnest(list_transform(embedding, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(x AS DOUBLE) / nrm END)) AS v
+              FROM n)
+         SELECT vec_id, pos, ROUND(v, 6) AS v FROM e ORDER BY vec_id, pos""",
     "q_mean_pool" ->
       """WITH e AS (SELECT label, unnest(embedding) AS v,
                 unnest(generate_series(0, len(embedding) - 1)) AS pos

@@ -130,6 +130,17 @@ package object functions {
   def cosine_sim_double(a: Column, b: Column): Column =
     invokeVec("cosineSimD", DoubleType, Seq(a, b))
 
+  /** L2-normalize a numeric array column to a unit `array<double>` vector
+    * (null-length/zero vectors pass through as all-zero). Per-row
+    * left-to-right accumulation — deterministic and engine-reproducible;
+    * pair with [[graft.operators.Similarity.meanPoolEmbeddings]] for the
+    * chunk→doc→unit pipeline. */
+  def l2_normalize(c: Column): Column = {
+    val d = transform(c, x => x.cast("double"))
+    val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+    transform(d, x => when(norm === 0.0, lit(0.0)).otherwise(x / norm))
+  }
+
   /** Misra–Gries heavy-hitters aggregate: top string items of a column as
     * `array<struct<item, count_lo>>` with a fixed `k`-counter mergeable
     * summary — see [[MisraGries]] for bounds. Exact when `k` >= the

@@ -155,4 +155,15 @@ class FunctionsSpec extends SparkSpec {
     assert(s1 >= 0 && s1 < (1L << 12))
     assert(other >= 0 && other < (1L << 12))
   }
+
+  test("l2_normalize produces unit vectors, zero vectors pass through") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("id", "vec")
+      .select(org.apache.spark.sql.functions.col("id"),
+        graft.functions.l2_normalize(org.apache.spark.sql.functions.col("vec")).as("u"))
+      .orderBy("id").collect()
+    assert(df(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(df(1).getSeq[Double](1) == Seq(0.0, 0.0))
+  }
 }
