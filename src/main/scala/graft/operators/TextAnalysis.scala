@@ -112,7 +112,7 @@ object TextAnalysis {
       .withColumn("__w1", substring_index(col("bigram"), " ", 1))
       .groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
     bi
-      .join(cBi, "bigram")
+      .join(if (broadcastVocab) broadcast(cBi) else cBi, "bigram")
       .withColumn("__w1", substring_index(col("bigram"), " ", 1))
       .join(if (broadcastVocab) broadcast(cUni) else cUni, "__w1")
       .withColumn(

@@ -204,4 +204,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), s"expected native top-k:\n$p")
     assert(!p.contains("Window"), s"tf-idf cut must not use a window:\n$p")
   }
+
+  test("lm score broadcasts the vocab-bounded count tables — corpus side never shuffles for the joins") {
+    val p = plan(SparkEntry.queries("q_lm_score")(spark, sf))
+    assert(!p.contains("SortMergeJoin"), s"bigram count join must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
