@@ -821,6 +821,16 @@ object SparkEntry {
       .select(col("label"), posexplode(col("mean_embedding")).as(Seq("pos", "m")))
       .orderBy("label", "pos")
 
+  /** Corpus overlap between the even- and odd-doc halves: distinct
+    * 3-gram counts per side, shared count, Jaccard. */
+  private def qCorpusOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.corpusOverlap(
+      docs.filter(col("doc_id") % 2 === 0), "text",
+      docs.filter(col("doc_id") % 2 === 1), "text",
+      n = 3)
+  }
+
   /** Self-trained bigram LM quality score per document. */
   private def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text")
@@ -1202,6 +1212,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_mean_pool" -> (qMeanPool _),
     "q_l2_normalize" -> (qL2Normalize _),
+    "q_corpus_overlap" -> (qCorpusOverlap _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -1557,6 +1568,18 @@ object SparkEntry {
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q_corpus_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
+         grams AS (SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g FROM idx),
+         ga AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+         gb AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 1),
+         j AS (SELECT ga.g AS a, gb.g AS b FROM ga FULL OUTER JOIN gb ON ga.g = gb.g)
+         SELECT COUNT(a) AS grams_a, COUNT(b) AS grams_b,
+                COUNT(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 END) AS grams_shared,
+                ROUND(CAST(COUNT(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 END) AS DOUBLE)
+                      / COUNT(*), 6) AS jaccard
+         FROM j""",
     "q_l2_normalize" ->
       """WITH n AS (SELECT vec_id, embedding,
                 sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm

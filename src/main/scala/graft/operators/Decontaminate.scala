@@ -80,6 +80,29 @@ object Decontaminate {
         count_distinct(col("__gram")).as("n_distinct_hits"))
   }
 
+  /** Corpus-level n-gram overlap between two snapshots — the "how much new
+    * content does this crawl actually add" measurement run before merging
+    * dumps: distinct word n-grams per side, one co-partitioned full outer
+    * join on the gram value (gram-keyed, scales with vocabulary not corpus
+    * size), reduced to a single row of counts + Jaccard. */
+  def corpusOverlap(
+      a: DataFrame,
+      aTextCol: String,
+      b: DataFrame,
+      bTextCol: String,
+      n: Int = 3): DataFrame = {
+    val ga = benchGrams(a, aTextCol, n).withColumn("__a", lit(1))
+    val gb = benchGrams(b, bTextCol, n).withColumn("__b", lit(1))
+    ga.join(gb, Seq("__gram"), "full_outer")
+      .agg(
+        count(col("__a")).as("grams_a"),
+        count(col("__b")).as("grams_b"),
+        count(when(col("__a").isNotNull && col("__b").isNotNull, lit(1))).as("grams_shared"),
+        round(
+          count(when(col("__a").isNotNull && col("__b").isNotNull, lit(1))).cast("double") /
+            count(lit(1)), 6).as("jaccard"))
+  }
+
   /** `train` minus contaminated documents (left-anti on the report ids). */
   def decontaminate(
       train: DataFrame,

@@ -81,4 +81,12 @@ class DecontaminateSpec extends SparkSpec {
       Row(1L, 4L, 0.5, 1.0),
       Row(2L, 3L, 0.0, 0.0)))
   }
+
+  test("corpusOverlap: hand-computed gram counts and jaccard") {
+    import org.apache.spark.sql.Row
+    val a = Seq((1L, "x y z w")).toDF("id", "text")   // grams: "x y z", "y z w"
+    val b = Seq((2L, "y z w v")).toDF("id", "text")   // grams: "y z w", "z w v"
+    val out = graft.operators.Decontaminate.corpusOverlap(a, "text", b, "text", n = 3).head
+    assert(out == Row(2L, 2L, 1L, 0.333333))
+  }
 }
