@@ -821,6 +821,38 @@ object SparkEntry {
       .select(col("label"), posexplode(col("mean_embedding")).as(Seq("pos", "m")))
       .orderBy("label", "pos")
 
+  /** STREAMING decontamination — the stream-STATIC broadcast join shape: the
+    * benchmark gram set is a static table built once, the corpus streams
+    * through (AvailableNow file source), each micro-batch joining the
+    * broadcast grams map-side; per-doc hit counts aggregate in complete
+    * mode and hash-match the batch oracle. (n_distinct_hits is omitted —
+    * distinct aggregation is unsupported on streams; the batch twin
+    * covers it.) */
+  private def qDecontaminateStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, d)
+    val grams = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(Decontaminate.wordNgrams(col("text"), 4)).as("__gram"))
+      .distinct()
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "graft_decontaminate_stream"
+    withStatePartitions(s, 8) {
+      val q = stream.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(Decontaminate.wordNgrams(col("text"), 4)).as("__gram"))
+        .join(broadcast(grams), "__gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("doc_id")
+  }
+
   /** Corpus overlap between the even- and odd-doc halves: distinct
     * 3-gram counts per side, shared count, Jaccard. */
   private def qCorpusOverlap(s: SparkSession, d: String): DataFrame = {
@@ -1213,6 +1245,7 @@ object SparkEntry {
     "q_mean_pool" -> (qMeanPool _),
     "q_l2_normalize" -> (qL2Normalize _),
     "q_corpus_overlap" -> (qCorpusOverlap _),
+    "q_decontaminate_stream" -> (qDecontaminateStream _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -1568,6 +1601,15 @@ object SparkEntry {
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q_decontaminate_stream" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),
+         grams AS (SELECT doc_id, array_to_string(t[i : i + 3], ' ') AS g FROM idx),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+         SELECT g.doc_id, COUNT(*) AS n_hits
+         FROM grams g JOIN bench b ON g.g = b.g
+         WHERE g.doc_id % 50 <> 0
+         GROUP BY g.doc_id ORDER BY doc_id""",
     "q_corpus_overlap" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
          idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
