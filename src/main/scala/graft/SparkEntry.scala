@@ -863,6 +863,11 @@ object SparkEntry {
       n = 3)
   }
 
+  /** Character-entropy quality score per document. */
+  private def qCharEntropy(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Self-trained bigram LM quality score per document. */
   private def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text")
@@ -1242,6 +1247,7 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_chunk_text" -> (qChunkText _),
     "q_lm_score" -> (qLmScore _),
+    "q_char_entropy" -> (qCharEntropy _),
     "q_mean_pool" -> (qMeanPool _),
     "q_l2_normalize" -> (qL2Normalize _),
     "q_corpus_overlap" -> (qCorpusOverlap _),
@@ -1637,6 +1643,14 @@ object SparkEntry {
               FROM embeddings)
          SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS m
          FROM e GROUP BY label, pos ORDER BY label, pos""",
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+         cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c)
+         SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+                ROUND(LN(CAST(SUM(n) AS DOUBLE))
+                      - CAST(SUM(CAST(ROUND(n * LN(CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6))) AS DOUBLE)
+                        / SUM(n), 6) AS char_entropy
+         FROM cc GROUP BY doc_id ORDER BY doc_id""",
     "q_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
          idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks),

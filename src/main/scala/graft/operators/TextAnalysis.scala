@@ -88,6 +88,28 @@ object TextAnalysis {
         sum(col("__n")).as("n_words"),
         round(max(col("__n")).cast("double") / sum(col("__n")), 6).as("top_word_ratio"))
 
+  /** Character-entropy quality score — the gibberish / encoded-blob filter:
+    * Shannon entropy (nats) of the per-document character distribution.
+    * Natural text sits in a narrow entropy band; base64 blobs and
+    * single-char spam fall outside it. Uses the identity
+    * H = ln n − (Σ c·ln c)/n so only per-char counts aggregate (two partial
+    * hash aggregates, like [[wordRepetition]]); the Σ c·ln c terms round to
+    * 6 dp and sum as DECIMAL so the result is partition-order-independent
+    * and engine-reproducible. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      .filter(col("__ch") =!= "")
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_chars"),
+        round(
+          log(sum(col("__c")).cast("double")) -
+            (sum(round(col("__c") * log(col("__c").cast("double")), 6).cast("decimal(28,6)"))
+              .cast("double") / sum(col("__c"))), 6)
+          .as("char_entropy"))
+
   /** Statistical language-model quality score (CCNet-style LM filter,
     * self-trained): a word-bigram model estimated from the corpus itself,
     * each document scored by its average bigram log-probability

@@ -133,4 +133,13 @@ class TextAnalysisSpec extends SparkSpec {
     val d2 = r6(math.log(2.0/3))
     assert(out.toSeq == Seq(Row(1L, 3L, d1), Row(2L, 1L, d2)))
   }
+
+  test("charEntropy: hand-computed entropy, uniform and single-char extremes") {
+    import org.apache.spark.sql.Row
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq((1L, "abcd"), (2L, "aaaa")).toDF("id", "text")
+    val out = TextAnalysis.charEntropy(df, "id", "text").orderBy("id").collect()
+    // uniform over 4 chars: H = ln 4; single char: H = 0
+    assert(out.toSeq == Seq(Row(1L, 4L, r6(math.log(4.0))), Row(2L, 4L, 0.0)))
+  }
 }
