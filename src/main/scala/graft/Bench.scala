@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -27,9 +29,32 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Full per-query fidelity goes to a FILE: the driver keeps only the last
+    // ~2000 chars of stdout, and the full dict outgrew that at 87 queries
+    // (BENCH_r04 parsed null because the line's start fell outside the tail).
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    // Compact final line: exact total over ALL queries, plus as many of the
+    // SLOWEST queries as fit a fixed budget well inside the tail window
+    // (the slow set is what perf grading needs; the rest is in the file).
+    val budget = 1600
+    val header =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"full":"bench_full.json","queries":"""
+    val footer = s""","sf":"$sfDir"}"""
+    var used = header.length + footer.length + 2 // braces of the dict
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val len = k.length + 3 + fmt(v).length + 1 // "k":v,
+      if (used + len <= budget) { picked += ((k, v)); used += len }
+    }
+    val compactQs = picked.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     // Emit the metric line LAST, after all of Spark's shutdown machinery has
     // run: streaming queries leave HDFS state-store maintenance threads alive
     // whose "RpcEnv already stopped" stack traces otherwise land AFTER the
@@ -39,7 +64,7 @@ object Bench {
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(header + compactQs + footer)
     System.out.flush()
   }
 }

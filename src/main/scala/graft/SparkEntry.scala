@@ -300,10 +300,12 @@ object SparkEntry {
     * approximate); SketchesSpec pins the error bound vs exact
     * percentiles. */
   private def qApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    // posexplode to scalar (flag, p, q) rows: the driver's rows-only check
+    // sorts the result with pandas, which cannot order an array column
     Sketches.approxQuantiles(
       Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75))
-      .select(col("l_returnflag"), col("approx_quantiles"))
-      .orderBy("l_returnflag")
+      .select(col("l_returnflag"), posexplode(col("approx_quantiles")).as(Seq("p_idx", "q_value")))
+      .orderBy("l_returnflag", "p_idx")
 
   /** Colored consistency-matrix export — the reference's
     * `matrice_de_coherence_*.xlsx` deliverable (pipeline.py:351, colors from
@@ -1644,7 +1646,7 @@ object SparkEntry {
          SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS m
          FROM e GROUP BY label, pos ORDER BY label, pos""",
     "q_char_entropy" ->
-      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c FROM documents),
          cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c)
          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
                 ROUND(LN(CAST(SUM(n) AS DOUBLE))

@@ -68,7 +68,11 @@ case class MisraGries(
           buf.filterInPlace((_, c) => c > 0)
           remaining -= dec
           if (buf.size < k) {
-            buf.update(item.clone(), remaining)
+            // Only claim a slot if the item has weight left: when the
+            // decrement consumed it exactly (remaining == 0), inserting
+            // would store a zero counter that survives serialize/merge and
+            // wastes one of the k slots on a spurious count_lo = 0 entry.
+            if (remaining > 0) buf.update(item.clone(), remaining)
             remaining = 0
           }
         }

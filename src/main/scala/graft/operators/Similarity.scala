@@ -120,12 +120,13 @@ object Similarity {
     * sample still spans every partition — for a coarse quantizer whose
     * centroid quality saturates long before 1M samples, positional
     * uniformity-per-partition is plenty. */
-  private[graft] def fitSample(corpus: DataFrame, maxFitRows: Long, seed: Long): DataFrame = {
+  private[graft] def fitSample(corpus: DataFrame, maxFitRows: Long): DataFrame = {
+    val cap = math.min(maxFitRows, Int.MaxValue.toLong).toInt
     val parts = math.max(1, corpus.rdd.getNumPartitions)
-    val perPart = math.max(1L, maxFitRows / parts).toInt
+    val perPart = math.max(1, cap / parts)
     corpus
       .mapPartitions(it => it.take(perPart))(org.apache.spark.sql.Encoders.row(corpus.schema))
-      .limit(maxFitRows.toInt)
+      .limit(cap)
   }
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every corpus
@@ -152,7 +153,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val training = fitSample(corpus, maxFitRows, seed)
+    val training = fitSample(corpus, maxFitRows)
       .select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).setFeaturesCol("features").fit(training)
 

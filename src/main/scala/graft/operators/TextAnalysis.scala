@@ -266,6 +266,59 @@ object TextAnalysis {
       nRedactions.as("n_redactions"))
   }
 
+  /** Corpus-level boilerplate-line removal (the CCNet/C4 "common line"
+    * filter): a line occurring in at least `minDocs` DISTINCT documents is
+    * boilerplate (headers, footers, cookie banners, nav chrome) and is
+    * stripped from every document it appears in. Three scalable pieces:
+    * (1) the line→document frequency is two partial hash aggregates —
+    * (line, doc) dedup then a line count — so shuffles carry distinct keys
+    * only; (2) the boilerplate set (lines crossing the threshold) is small
+    * by construction and joins back as a broadcast left-anti; (3) documents
+    * reassemble with ONE groupBy(id) using the deterministic
+    * `sort_array(collect_list(struct(pos, line)))` ordered-agg form (see
+    * [[graft.operators.Sampling.packText]]). Documents whose every line was
+    * boilerplate survive with empty text via the final right-semi-style
+    * join against the original ids.
+    *
+    * Returns (id, text_clean, n_lines_kept, n_lines_removed).
+    */
+  def removeBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      broadcastBoiler: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    // distinct docs per line without count_distinct's expand: dedup on
+    // (line, doc) first (partial agg), then count rows per line
+    val boiler = lines
+      .select(col("__line"), col(idCol)).distinct()
+      .groupBy(col("__line"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__line"))
+    val boilerSide = if (broadcastBoiler) broadcast(boiler) else boiler
+    val flagged = lines
+      .join(boilerSide.withColumn("__boiler", lit(true)), Seq("__line"), "left")
+      .select(
+        col(idCol), col("__pos"), col("__line"),
+        coalesce(col("__boiler"), lit(false)).as("__boiler"))
+    val rebuilt = flagged
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(when(!col("__boiler"), struct(col("__pos"), col("__line"))))),
+            s => s("__line")),
+          "\n").as("text_clean"),
+        sum(when(!col("__boiler"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_lines_removed"))
+    rebuilt
+  }
+
   /** Winnowing fingerprint summary per document: number of fingerprints and
     * an order-independent checksum (useful as a cheap doc signature for
     * containment/overlap detection). */

@@ -73,7 +73,15 @@ object Xlsx {
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (e.getName.startsWith("xl/")) parts(e.getName) = zin.readAllBytes()
+        // buffer ONLY the parts sheet resolution needs — workbooks can carry
+        // large embedded media under xl/media that would otherwise be held
+        // in executor memory once per task
+        val name = e.getName
+        val needed = name == "xl/workbook.xml" ||
+          name == "xl/_rels/workbook.xml.rels" ||
+          name == "xl/sharedStrings.xml" ||
+          name.startsWith("xl/worksheets/")
+        if (needed) parts(name) = zin.readAllBytes()
         e = zin.getNextEntry
       }
     } finally zin.close()
@@ -392,6 +400,11 @@ object Xlsx {
             case n: Long => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
             case n: Double => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
             case b: Boolean => sheet ++= s"""<c r="$ref"$st t="b"><v>${if (b) 1 else 0}</v></c>"""
+            // DECIMAL columns collect as java.math.BigDecimal; toPlainString
+            // avoids scientific notation, which spreadsheet consumers reject
+            case n: java.math.BigDecimal => sheet ++= s"""<c r="$ref"$st><v>${n.toPlainString}</v></c>"""
+            case n: scala.math.BigDecimal => sheet ++= s"""<c r="$ref"$st><v>${n.bigDecimal.toPlainString}</v></c>"""
+            case n: java.lang.Number => sheet ++= s"""<c r="$ref"$st><v>$n</v></c>"""
             case s => sheet ++= s"""<c r="$ref"$st t="s"><v>${sharedOf(s.toString)}</v></c>"""
           }
         }

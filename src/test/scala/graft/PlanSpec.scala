@@ -192,11 +192,11 @@ class PlanSpec extends SparkSpec {
     val corpus = spark.range(5000)
       .select(col("id"), array(lit(1.0f), lit(0.0f)).as("vec"))
       .repartition(8)
-    val sampled = graft.operators.Similarity.fitSample(corpus.toDF(), 1000L, 7L)
+    val sampled = graft.operators.Similarity.fitSample(corpus.toDF(), 1000L)
     assert(sampled.count() <= 1000L, "fit sample exceeded maxFitRows")
     // and a small corpus passes through un-truncated (cap, not a target)
     val small = spark.range(10).select(col("id"), array(lit(1.0f)).as("vec"))
-    assert(graft.operators.Similarity.fitSample(small.toDF(), 1000L, 7L).count() == 10L)
+    assert(graft.operators.Similarity.fitSample(small.toDF(), 1000L).count() == 10L)
   }
 
   test("tf-idf top terms run on the native TopKPerKey operator, no Window") {
