@@ -870,6 +870,56 @@ object SparkEntry {
     TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Corpus boilerplate-line removal (CCNet/C4 common-line filter). The
+    * synthetic documents are single-line, so a deterministic regexp first
+    * inserts a newline after every 3rd word — both engines synthesize
+    * identical lines — then lines occurring in >= 3 distinct documents are
+    * stripped and the texts reassembled in order. */
+  private def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1\n").as("text"))
+    TextAnalysis.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Per-customer monthly order spine with gaps zero-filled. */
+  private def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(
+        col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    Temporal.fillGaps(
+      monthly, Seq("o_custkey"), "month", stepMonths = 1,
+      defaults = Seq("n_orders" -> lit(0L), "revenue" -> lit(0.0)))
+      .orderBy("o_custkey", "month")
+  }
+
+  /** One-pass column profiler over lineitem (ingestion audit). */
+  private def qProfile(s: SparkSession, d: String): DataFrame =
+    Relational.profile(
+      Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"))
+      .orderBy("col_name")
+
+  /** Exact ECDF (percentile-rank) normalization of the event value score,
+    * quantized to 2 dp so the histogram stays small at any scale. */
+  private def qEcdf(s: SparkSession, d: String): DataFrame =
+    Sketches.ecdfNormalize(
+      Tables.events(s, d).select(col("event_id"), col("value")), "value", dp = 2)
+      .select(col("event_id"), round(col("value"), 2).as("value_q"), col("percentile"))
+      .orderBy("event_id")
+
+  /** signup → click → purchase ordered funnel over the event log. */
+  private def qFunnel(s: SparkSession, d: String): DataFrame =
+    Funnel.funnel(
+      Tables.events(s, d), "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+      .orderBy("step_idx")
+
   /** Self-trained bigram LM quality score per document. */
   private def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text")
@@ -1278,7 +1328,12 @@ object SparkEntry {
     "q_sessionize_stream" -> (qSessionizeStream _),
     "q_json_extract" -> (qJsonExtract _),
     "q_grid_ingest" -> (qGridIngest _),
-    "q_http_ingest" -> (qHttpIngest _))
+    "q_http_ingest" -> (qHttpIngest _),
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_gap_fill" -> (qGapFill _),
+    "q_profile" -> (qProfile _),
+    "q_ecdf" -> (qEcdf _),
+    "q_funnel" -> (qFunnel _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
@@ -1894,5 +1949,79 @@ object SparkEntry {
     "q_grid_ingest" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "q_http_ingest" ->
-      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""")
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "q_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+                           regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
+                    FROM documents),
+         l AS (SELECT doc_id,
+                      unnest(string_split(t, chr(10))) AS line,
+                      unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+               FROM d),
+         b AS (SELECT line
+               FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY line)
+               WHERE nd >= 3),
+         fl AS (SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS boiler
+                FROM l LEFT JOIN b ON l.line = b.line)
+         SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY pos), '') AS text_clean,
+                CAST(SUM(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+                CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+         FROM fl GROUP BY doc_id ORDER BY doc_id""",
+    "q_gap_fill" ->
+      """WITH m AS (SELECT o_custkey,
+                           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                           COUNT(*) AS n_orders,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                    FROM orders GROUP BY 1, 2),
+         s AS (SELECT o_custkey,
+                      CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+               FROM (SELECT o_custkey, MIN(month) AS lo, MAX(month) AS hi FROM m GROUP BY 1))
+         SELECT s.o_custkey, s.month,
+                COALESCE(m.n_orders, 0) AS n_orders,
+                COALESCE(m.revenue, 0.0) AS revenue
+         FROM s LEFT JOIN m ON s.o_custkey = m.o_custkey AND s.month = m.month
+         ORDER BY s.o_custkey, s.month""",
+    "q_profile" ->
+      """WITH p AS (
+           SELECT 'l_orderkey' AS col_name, COUNT(l_orderkey) AS n_non_null,
+                  COUNT(*) - COUNT(l_orderkey) AS n_null, COUNT(DISTINCT l_orderkey) AS n_distinct,
+                  CAST(MIN(l_orderkey) AS VARCHAR) AS min_value, CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_linenumber', COUNT(l_linenumber), COUNT(*) - COUNT(l_linenumber),
+                  COUNT(DISTINCT l_linenumber), CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', COUNT(l_quantity), COUNT(*) - COUNT(l_quantity),
+                  COUNT(DISTINCT l_quantity), CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', COUNT(l_returnflag), COUNT(*) - COUNT(l_returnflag),
+                  COUNT(DISTINCT l_returnflag), CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', COUNT(l_linestatus), COUNT(*) - COUNT(l_linestatus),
+                  COUNT(DISTINCT l_linestatus), CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+           FROM lineitem)
+         SELECT * FROM p ORDER BY col_name""",
+    "q_ecdf" ->
+      """WITH q AS (SELECT event_id, ROUND(value, 2) AS value_q FROM events)
+         SELECT event_id, value_q,
+                ROUND(CUME_DIST() OVER (ORDER BY value_q), 6) AS percentile
+         FROM q ORDER BY event_id""",
+    "q_funnel" ->
+      """WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+         u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= u1.t1 GROUP BY e.user_id),
+         u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= u2.t2 GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT 1 AS step_idx, 'signup' AS step, (SELECT COUNT(*) FROM u1) AS n_users
+           UNION ALL
+           SELECT 2, 'click', (SELECT COUNT(*) FROM u2)
+           UNION ALL
+           SELECT 3, 'purchase', (SELECT COUNT(*) FROM u3))
+         ORDER BY step_idx""")
 }

@@ -207,6 +207,38 @@ object Relational {
     withMissing.select(expected.map { case (n, _) => col(n) }: _*)
   }
 
+  /** Column profiler (schema statistics): per column, non-null / null /
+    * distinct counts and min/max (stringified for a uniform long schema).
+    * One independent single-column aggregate per profiled column, unioned —
+    * deliberately NOT one multi-distinct aggregate: multiple exact
+    * count_distincts in one pass force an Expand that replicates every row
+    * once per column (a width × rows blow-up before the shuffle), while a
+    * single-column branch scans just that column off the columnar format
+    * and partial-aggregates it; the branches run as parallel stages of one
+    * job. Pass `approxDistinct = true` to swap the exact distinct for the
+    * mergeable HLL++ sketch on billion-distinct columns. The standard
+    * "what did I just ingest" audit in front of a pipeline. */
+  def profile(df: DataFrame, cols: Seq[String], approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.map { c =>
+      df.select(col(c))
+        .agg(
+          count(lit(1)).as("__total"),
+          count(col(c)).as("n_non_null"),
+          (if (approxDistinct) approx_count_distinct(col(c)) else count_distinct(col(c)))
+            .as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(
+          lit(c).as("col_name"),
+          col("n_non_null"),
+          (col("__total") - col("n_non_null")).as("n_null"),
+          col("n_distinct"),
+          col("min_value"),
+          col("max_value"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Cast every non-key column to double, round, cast to long — the
     * reference's type-hygiene pass (extract_ist_data.py:169
     * `pl.col(pl.NUMERIC_DTYPES).round(0).cast(pl.Int64)`).

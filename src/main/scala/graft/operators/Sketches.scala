@@ -70,6 +70,34 @@ object Sketches {
     * `approx = true` swaps the exact sort-based percentile for the mergeable
     * approx sketch — same plan shape, bounded memory on huge corpora (the
     * thresholds then differ from an exact oracle by the sketch error). */
+  /** Exact corpus-wide percentile-rank (ECDF) normalization of a score
+    * column WITHOUT a global sort: quantize the score to `dp` decimals,
+    * aggregate the value histogram (partial hash agg — the shuffle carries
+    * one row per distinct quantized value per partition), cumulative-sum
+    * that histogram, and broadcast the value→cdf map back onto the data.
+    * `cdf = count(score' <= score) / n`, i.e. `cume_dist()` semantics, but
+    * the only ordered pass runs over the HISTOGRAM (cardinality = distinct
+    * quantized values, bounded by 10^dp × score range — thousands, not
+    * rows), so the data side never sorts or re-shuffles. The standard
+    * "quality score → corpus percentile" step before threshold filtering. */
+  def ecdfNormalize(df: DataFrame, scoreCol: String, dp: Int = 6): DataFrame = {
+    val q = round(col(scoreCol).cast("double"), dp)
+    val hist = df.select(q.as("__s")).groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    // single-partition window — safe BY CONSTRUCTION: it runs on the
+    // histogram, whose size is capped by the quantization, not the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cdf = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("__s"), round(col("__cum") / col("__n"), 6).as("percentile"))
+    df.withColumn("__s", q)
+      .join(broadcast(cdf), "__s")
+      .drop("__s")
+  }
+
   def filterByQuantileBand(
       df: DataFrame,
       valueCol: String,

@@ -115,6 +115,39 @@ object Temporal {
     left.join(right, cond)
   }
 
+  /** Fill calendar gaps per key (resample-to-regular-grid): build each key's
+    * month spine `sequence(min, max)` — a narrow generate off one aggregate
+    * row per key, never a global calendar cross-join — left-join the actual
+    * per-period rows back on (key, period), and zero-fill the holes. The
+    * spine agg and the join share the key columns, so with AQE both hash
+    * exchanges co-partition; per-key spine width is bounded by the calendar
+    * span, not the data volume, so the fanout stays O(keys × months) at any
+    * scale. The declarative twin of the reference's "complete missing
+    * quarters with zeros" reporting step.
+    *
+    * @param defaults fill value per column for spine rows with no match
+    */
+  def fillGaps(
+      df: DataFrame,
+      keyCols: Seq[String],
+      periodCol: String,
+      stepMonths: Int,
+      defaults: Seq[(String, Column)]): DataFrame = {
+    require(stepMonths >= 1, s"stepMonths must be >= 1, got $stepMonths")
+    val keys = keyCols.map(col)
+    val spine = df
+      .groupBy(keys: _*)
+      .agg(min(col(periodCol)).as("__lo"), max(col(periodCol)).as("__hi"))
+      .select(
+        keys :+ explode(
+          sequence(col("__lo"), col("__hi"), expr(s"INTERVAL $stepMonths MONTH")))
+          .as(periodCol): _*)
+    val joined = spine.join(df, keyCols :+ periodCol, "left")
+    defaults.foldLeft(joined) { case (acc, (c, dflt)) =>
+      acc.withColumn(c, coalesce(col(c), dflt))
+    }
+  }
+
   /** Rolling aggregation over an integer position index (e.g. a month index
     * `year*12+month`): `agg` over the window `[pos - lookback, pos]` per key.
     * RANGE frame on the index, so missing months still bound the window

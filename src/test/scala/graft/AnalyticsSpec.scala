@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, Relational, Sketches, Temporal, TextAnalysis}
+
+/** Round-5 analytics operators: boilerplate removal, gap fill, profiler,
+  * ECDF normalization, funnel. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("removeBoilerplate strips lines shared by >= minDocs docs, keeps order") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha one\nbeta two"),
+      (2L, "COOKIE BANNER\ngamma three"),
+      (3L, "COOKIE BANNER\ndelta four\nalpha one"),
+      (4L, "unique only")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)]
+      .collect()
+    // "COOKIE BANNER" in 3 docs -> removed; "alpha one" in 2 docs -> kept
+    assert(out === Array(
+      (1L, "alpha one\nbeta two", 2L, 1L),
+      (2L, "gamma three", 1L, 1L),
+      (3L, "delta four\nalpha one", 2L, 1L),
+      (4L, "unique only", 1L, 0L)))
+  }
+
+  test("removeBoilerplate keeps a fully-boilerplate doc with empty text") {
+    val docs = Seq(
+      (1L, "SAME"), (2L, "SAME"), (3L, "SAME")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)]
+      .collect()
+    assert(out.length === 3)
+    assert(out.forall { case (_, t, kept, removed) => t == "" && kept == 0L && removed == 1L })
+  }
+
+  test("fillGaps completes each key's own month span, zero-filled") {
+    val df = Seq(
+      (1L, "2024-01-01", 5L),
+      (1L, "2024-04-01", 7L),
+      (2L, "2024-02-01", 1L))
+      .toDF("k", "month", "n")
+      .withColumn("month", col("month").cast("date"))
+    val out = Temporal.fillGaps(
+      df, Seq("k"), "month", stepMonths = 1, defaults = Seq("n" -> lit(0L)))
+      .orderBy("k", "month")
+      .select(col("k"), col("month").cast("string"), col("n"))
+      .as[(Long, String, Long)]
+      .collect()
+    assert(out === Array(
+      (1L, "2024-01-01", 5L),
+      (1L, "2024-02-01", 0L),
+      (1L, "2024-03-01", 0L),
+      (1L, "2024-04-01", 7L),
+      (2L, "2024-02-01", 1L)))
+  }
+
+  test("profile reports per-column null/distinct/min/max in one pass") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (None, "a"))
+      .toDF("x", "y")
+    val out = Relational.profile(df, Seq("x", "y")).orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)]
+      .collect()
+    assert(out === Array(
+      ("x", 2L, 1L, 2L, "1", "2"),
+      ("y", 3L, 0L, 2L, "a", "b")))
+  }
+
+  test("ecdfNormalize matches cume_dist on the quantized score") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 10) / 10.0)).toDF("id", "score")
+    val out = Sketches.ecdfNormalize(df, "score", dp = 2)
+    // 10 rows at each of score 0.0 .. 0.9 -> cume_dist of bucket b = (b+1)/10
+    val got = out.select(round(col("score"), 2).as("s"), col("percentile"))
+      .distinct().orderBy("s")
+      .as[(Double, Double)].collect()
+    assert(got.length === 10)
+    got.zipWithIndex.foreach { case ((_, p), i) =>
+      assert(math.abs(p - (i + 1) / 10.0) < 1e-9, s"bucket $i: $p")
+    }
+    // and the histogram window ran on the bucket table, not the data
+    assert(out.count() === 100L)
+  }
+
+  test("funnel counts greedy ordered step completion per user") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1 completes all three in order
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-02 00:00:00")),
+      (1L, "purchase", ts("2024-01-03 00:00:00")),
+      // u2: purchase BEFORE click -> stops at click
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "purchase", ts("2024-01-02 00:00:00")),
+      (2L, "click", ts("2024-01-03 00:00:00")),
+      // u3: never signs up -> reaches nothing
+      (3L, "click", ts("2024-01-01 00:00:00")),
+      (3L, "purchase", ts("2024-01-02 00:00:00")),
+      // u4: signup only
+      (4L, "signup", ts("2024-01-05 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+      .orderBy("step_idx")
+      .as[(Int, String, Long)]
+      .collect()
+    assert(out === Array(
+      (1, "signup", 3L),
+      (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+}

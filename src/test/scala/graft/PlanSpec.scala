@@ -210,4 +210,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"bigram count join must broadcast:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("boilerplate removal broadcasts the boilerplate-line set back onto the corpus") {
+    val p = plan(SparkEntry.queries("q_boilerplate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"boilerplate set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the flag join:\n$p")
+  }
+
+  test("ecdf normalization broadcasts the histogram cdf map — the data side never sorts") {
+    val p = plan(SparkEntry.queries("q_ecdf")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"cdf map must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("profiler unions single-column aggregates — no Expand row blow-up, no join") {
+    val p = plan(SparkEntry.queries("q_profile")(spark, sf))
+    assert(!p.contains("Join"), s"profile must not join:\n$p")
+    assert(!p.contains("Window"), s"profile must not window:\n$p")
+    // the multi-distinct-in-one-agg formulation would plan an Expand that
+    // replicates every row once per profiled column
+    assert(!p.contains("Expand"), s"profile must not Expand the data:\n$p")
+    assert(p.contains("Union"), p)
+  }
+
+  test("funnel is a per-user aggregate + fold — no window, no self-join") {
+    val p = plan(SparkEntry.queries("q_funnel")(spark, sf))
+    assert(!p.contains("Window"), s"funnel must not use a window:\n$p")
+    assert(!p.contains("Join"), s"funnel must not self-join:\n$p")
+  }
+
+  test("gap fill never falls back to a cartesian/calendar cross join") {
+    val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
+    assert(p.contains("Generate"), s"expected a narrow sequence explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gap fill must join on (key, period):\n$p")
+  }
 }
