@@ -1056,6 +1056,47 @@ object SparkEntry {
       .orderBy("user_id", "session_idx")
   }
 
+  /** The STREAMING funnel state machine run end-to-end against q_funnel's
+    * batch oracle: AvailableNow file source → per-user mapGroupsWithState
+    * depth updates (Update mode) into a memory sink → batch rollup of each
+    * user's max depth to the step counts. The stream/batch equivalence gate
+    * for the funnel path. */
+  private def qFunnelStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val steps = Seq("signup", "click", "purchase")
+    val raw = s.read.parquet(s"$d/events.parquet")
+    var stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val evs = stream
+      .filter(col("event_type").isin(steps: _*))
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_type").as("et"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[Events.FunnelEvent]
+    val name = "graft_funnel_stream"
+    withStatePartitions(s, 8) {
+      val q = Events.funnelStream(s, evs, steps)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Funnel.depthCounts(
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max(col("depth")).as("__depth"))
+        .filter(col("__depth") >= 1)
+        .select(col("__depth")),
+      steps)
+      .orderBy("step_idx")
+  }
+
   /** Click→purchase attribution pairs: each click joined to the same user's
     * purchases within the next 30 minutes — [[Temporal.intervalJoin]] on
     * real event data, the batch semantics the streaming twin below must
@@ -1333,7 +1374,8 @@ object SparkEntry {
     "q_gap_fill" -> (qGapFill _),
     "q_profile" -> (qProfile _),
     "q_ecdf" -> (qEcdf _),
-    "q_funnel" -> (qFunnel _))
+    "q_funnel" -> (qFunnel _),
+    "q_funnel_stream" -> (qFunnelStream _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
@@ -2011,6 +2053,20 @@ object SparkEntry {
                 ROUND(CUME_DIST() OVER (ORDER BY value_q), 6) AS percentile
          FROM q ORDER BY event_id""",
     "q_funnel" ->
+      """WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+         u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= u1.t1 GROUP BY e.user_id),
+         u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= u2.t2 GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT 1 AS step_idx, 'signup' AS step, (SELECT COUNT(*) FROM u1) AS n_users
+           UNION ALL
+           SELECT 2, 'click', (SELECT COUNT(*) FROM u2)
+           UNION ALL
+           SELECT 3, 'purchase', (SELECT COUNT(*) FROM u3))
+         ORDER BY step_idx""",
+    "q_funnel_stream" ->
       """WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY user_id),
          u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)

@@ -47,10 +47,17 @@ object Funnel {
             acc.when(d === i && e("et") === s, i + 1)
           }
           .otherwise(d))
+    depthCounts(perUser.select(depth.as("__depth")), steps)
+  }
+
+  /** Reduce per-user reached depths (column `__depth`) to one row per funnel
+    * step with the user count that reached it — shared by the batch fold
+    * above and the streaming state-machine twin
+    * ([[graft.streaming.Events.funnelStream]]). */
+  private[graft] def depthCounts(depths: DataFrame, steps: Seq[String]): DataFrame = {
     val stepReach = steps.indices.map(i =>
       sum(when(col("__depth") >= i + 1, 1L).otherwise(0L)).as(s"__r$i"))
-    perUser
-      .select(depth.as("__depth"))
+    depths
       .agg(stepReach.head, stepReach.tail: _*)
       .select(explode(array(steps.zipWithIndex.map { case (s, i) =>
         struct(

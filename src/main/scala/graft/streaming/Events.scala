@@ -153,6 +153,39 @@ object Events {
         })
   }
 
+  final case class FunnelEvent(user_id: Long, et: String, us: Long)
+  final case class FunnelState(depth: Int, completedUs: Long)
+  final case class FunnelDepth(user_id: Long, depth: Int)
+
+  /** Streaming greedy ordered funnel — the incremental twin of
+    * [[graft.operators.Funnel.funnel]]: each user's state is just (depth
+    * reached, completion time), updated by scanning every micro-batch's
+    * events in time order and advancing when the next expected step type
+    * arrives at-or-after the previous step's completion. Emits the user's
+    * current depth each batch (Update mode); `max(depth)` per user over the
+    * sink gives the same reachability counts as the batch fold because
+    * greedy earliest-completion is monotone in the event prefix. State is
+    * two fields per ACTIVE user — independent of history length; pair with
+    * a timeout eviction in production if the user universe is unbounded. */
+  def funnelStream(
+      spark: SparkSession,
+      events: Dataset[FunnelEvent],
+      steps: Seq[String]): Dataset[FunnelDepth] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          it.toSeq.sortBy(e => (e.us, e.et)).foreach { e =>
+            if (st.depth < steps.length && e.et == steps(st.depth) && e.us >= st.completedUs)
+              st = FunnelState(st.depth + 1, e.us)
+          }
+          state.update(st)
+          FunnelDepth(user, st.depth)
+        })
+  }
+
   /** Streaming exact dedup on a key with watermarked state — the streaming
     * member of the dedup family (batch members live in operators.Dedup). */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =

@@ -214,4 +214,34 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getLong(2) == 2L) // first session has 2 events
     assert(out(1).getLong(2) == 1L)
   }
+
+  test("funnelStream carries per-user depth state across micro-batches") {
+    val steps = Seq("signup", "click", "purchase")
+    val ms = MemoryStream[Events.FunnelEvent](spark)
+    val q = Events.funnelStream(spark, ms.toDS(), steps)
+      .writeStream
+      .format("memory")
+      .queryName("funnel_out")
+      .outputMode("update")
+      .start()
+    try {
+      // batch 1: u7 signs up; u9 clicks without signup (no progress)
+      ms.addData(
+        Events.FunnelEvent(7L, "signup", 100L),
+        Events.FunnelEvent(9L, "click", 100L))
+      q.processAllAvailable()
+      // batch 2: u7's click lands out of order WITHIN the batch (purchase
+      // first in arrival order, click earlier in event time) — the sorted
+      // scan must advance through click then purchase
+      ms.addData(
+        Events.FunnelEvent(7L, "purchase", 300L),
+        Events.FunnelEvent(7L, "click", 200L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val depths = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("depth").as("depth"))
+      .as[(Long, Int)].collect().toMap
+    assert(depths(7L) == 3, s"u7 should complete the funnel: $depths")
+    assert(depths(9L) == 0, s"u9 never signed up: $depths")
+  }
 }
