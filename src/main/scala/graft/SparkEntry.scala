@@ -920,6 +920,22 @@ object SparkEntry {
       Seq("signup", "click", "purchase"))
       .orderBy("step_idx")
 
+  /** REAL subword tokenization: a BPE merge table trained from the corpus
+    * itself (vocabulary-scale iterations, see
+    * [[TextAnalysis.trainBpeMerges]]), then every document encoded and
+    * counted. No SQL oracle — the iterative trainer is not SQL-expressible;
+    * BpeSpec pins trainer + encoder on the classic Sennrich hand-computed
+    * corpus (rows-only by design, like the hash-signature operators). */
+  private def qBpe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 12)
+    docs.select(
+      col("doc_id"),
+      bpe_token_count(col("text"), merges).as("n_bpe_tokens"),
+      array_join(slice(bpe_tokens(col("text"), merges), 1, 8), " ").as("tokens_head"))
+      .orderBy("doc_id")
+  }
+
   /** Self-trained bigram LM quality score per document. */
   private def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text")
@@ -1375,7 +1391,8 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_ecdf" -> (qEcdf _),
     "q_funnel" -> (qFunnel _),
-    "q_funnel_stream" -> (qFunnelStream _))
+    "q_funnel_stream" -> (qFunnelStream _),
+    "q_bpe" -> (qBpe _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */

@@ -302,4 +302,93 @@ object TextOps {
     while (it.hasNext) { arr(j2) = it.next(); j2 += 1 }
     new GenericArrayData(arr)
   }
+
+  // ------------------------------------------------------------------ BPE
+
+  /** Per-thread memo of the merge-rank table. The merges argument is a
+    * Catalyst array LITERAL, so the expression layer hands the SAME
+    * `ArrayData` instance to every invocation in a task — an identity check
+    * makes the table build once per task, not once per row. An identity
+    * miss just rebuilds (correct, only slower). */
+  private val bpeRankCache =
+    new ThreadLocal[(AnyRef, java.util.HashMap[String, Integer])]
+
+  private def ranksFor(merges: ArrayData): java.util.HashMap[String, Integer] = {
+    val cached = bpeRankCache.get()
+    if (cached != null && (cached._1 eq merges)) cached._2
+    else {
+      val m = new java.util.HashMap[String, Integer](merges.numElements() * 2)
+      var i = 0
+      while (i < merges.numElements()) {
+        m.put(merges.getUTF8String(i).toString, Integer.valueOf(i))
+        i += 1
+      }
+      bpeRankCache.set((merges, m))
+      m
+    }
+  }
+
+  /** Fuse every adjacent (l, r) occurrence in a symbol sequence, scanning
+    * left to right (the single BPE merge step). */
+  private def fusePair(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+        out += (l + r); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Word-level BPE encode (Sennrich et al. 2016; the GPT-2 per-word merge
+    * loop minus the byte remap): within each whitespace word, repeatedly
+    * fuse the adjacent symbol pair with the lowest merge rank until no
+    * ranked pair remains. `merges` is the ranked merge table, each entry
+    * "left right". Returns the concatenated token stream. */
+  def bpeTokens(s: UTF8String, merges: ArrayData): ArrayData = {
+    val ranks = ranksFor(merges)
+    val words = s.toString.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms: Array[String] = new Array[String](w.length)
+        var ci = 0
+        while (ci < w.length) { syms(ci) = String.valueOf(w.charAt(ci)); ci += 1 }
+        var continue = syms.length > 1
+        while (continue) {
+          var bestRank = Int.MaxValue
+          var bestI = -1
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = ranks.get(syms(i) + " " + syms(i + 1))
+            if (r != null && r < bestRank) { bestRank = r; bestI = i }
+            i += 1
+          }
+          if (bestI < 0) continue = false
+          else {
+            syms = fusePair(syms, syms(bestI), syms(bestI + 1))
+            continue = syms.length > 1
+          }
+        }
+        var t = 0
+        while (t < syms.length) { out += UTF8String.fromString(syms(t)); t += 1 }
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** One merge step over a symbol array column — the trainer's apply-merge
+    * primitive ([[graft.operators.TextAnalysis.trainBpeMerges]]). */
+  def bpeMergeStep(syms: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val in = new Array[String](n)
+    var i = 0
+    while (i < n) { in(i) = syms.getUTF8String(i).toString; i += 1 }
+    val fused = fusePair(in, l.toString, r.toString)
+    new GenericArrayData(fused.map(x => UTF8String.fromString(x): Any))
+  }
 }

@@ -149,6 +149,31 @@ package object functions {
     GraftSql.column(
       MisraGries(GraftSql.expression(c), k).toAggregateExpression())
 
+  /** Word-level BPE encode against a ranked merge table (entries
+    * "left right") — a REAL subword tokenizer, not the regex
+    * approximation in [[graft.operators.TextAnalysis.tokenCounts]]. Native
+    * StaticInvoke (codegen'd); the rank table builds once per task off the
+    * merges literal. Train merges with
+    * [[graft.operators.TextAnalysis.trainBpeMerges]]. */
+  def bpe_tokens(c: Column, merges: Seq[String]): Column =
+    invoke(
+      "bpeTokens",
+      ArrayType(StringType, containsNull = false),
+      Seq(c, lit(merges.toArray)))
+
+  /** BPE token count — the "how many training tokens is this corpus"
+    * estimator under a real merge table. */
+  def bpe_token_count(c: Column, merges: Seq[String]): Column =
+    size(bpe_tokens(c, merges)).cast("long")
+
+  /** One BPE merge step over an `array<string>` symbol column (trainer
+    * primitive). */
+  private[graft] def bpe_merge_step(syms: Column, left: Column, right: Column): Column =
+    invoke(
+      "bpeMergeStep",
+      ArrayType(StringType, containsNull = false),
+      Seq(syms, left, right))
+
   /** Random-hyperplane LSH signature (`bits` sign bits packed in a long) of
     * an `array<float>` vector for LSH table `table`. Planes are implicit
     * (derived from a fixed hash), so this is a stateless one-pass expression:

@@ -266,6 +266,66 @@ object TextAnalysis {
       nRedactions.as("n_redactions"))
   }
 
+  /** Train a BPE merge table from the corpus (Sennrich et al. 2016).
+    *
+    * The classic trainer runs on the WORD-FREQUENCY dictionary, not the
+    * corpus: one corpus-scale aggregate up front compresses 100 TB of text
+    * to vocabulary scale (distinct words × counts), and every one of the
+    * `numMerges` iterations then runs two vocabulary-scale jobs — a pair
+    * histogram (zip_with over adjacent symbols, explode, partial agg,
+    * limit 1) and a one-column merge-step projection. The driver holds only
+    * the merge list itself; `localCheckpoint` truncates the per-iteration
+    * lineage exactly like [[Dedup.clusters]].
+    *
+    * Ties in pair counts break on the pair string ascending, so the learned
+    * table is deterministic for any partitioning.
+    *
+    * @return ranked merges, each "left right" — feed to
+    *         [[graft.functions.bpe_tokens]] */
+  def trainBpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2): Seq[String] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var vocab = df
+      .select(explode(split(col(textCol), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .select(filter(split(col("__w"), ""), s => s =!= "").as("__syms"), col("__n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val top = vocab
+        .select(
+          explode(
+            zip_with(
+              slice(col("__syms"), lit(1), size(col("__syms")) - 1),
+              slice(col("__syms"), lit(2), size(col("__syms")) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("__pair"),
+          col("__n"))
+        .groupBy(col("__pair"))
+        .agg(sum(col("__n")).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("__pair").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(1) < minPairCount) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += pair
+        vocab = vocab
+          .select(
+            graft.functions.bpe_merge_step(col("__syms"), lit(l), lit(r)).as("__syms"),
+            col("__n"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Corpus-level boilerplate-line removal (the CCNet/C4 "common line"
     * filter): a line occurring in at least `minDocs` DISTINCT documents is
     * boilerplate (headers, footers, cookie banners, nav chrome) and is
