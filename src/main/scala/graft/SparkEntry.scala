@@ -913,6 +913,72 @@ object SparkEntry {
       .select(col("event_id"), round(col("value"), 2).as("value_q"), col("percentile"))
       .orderBy("event_id")
 
+  /** TPC-H Q3-shaped shipping-priority query: the classic 3-table star join
+    * (segment-filtered customers → orders → lineitem) with pushed-down date
+    * filters, per-order revenue, global top-10 via TakeOrderedAndProject
+    * (bounded per-partition heaps, no full sort). Demonstrates Catalyst's
+    * join ordering + broadcast choice on the canonical OLAP shape. */
+  private def qTpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "1997-01-01"
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+        .cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier-volume query: the 6-table snowflake
+    * (region → nation → customer + supplier co-nationality → orders →
+    * lineitem) with all four dimension sides broadcast, one fact shuffle. */
+  private def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+        .cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Top user-journey paths per gap session. */
+  private def qSessionPaths(s: SparkSession, d: String): DataFrame =
+    Funnel.sessionPaths(Tables.events(s, d), gapSeconds = 1800, topN = 20)
+
+  /** Weekly retention cohorts anchored on signup events. */
+  private def qRetention(s: SparkSession, d: String): DataFrame =
+    Funnel.retentionCohorts(Tables.events(s, d), "signup")
+      .orderBy("cohort_week", "week_offset")
+
+  /** Referential-integrity audit: orders pointing at customers missing from
+    * a (simulated stale) dimension snapshot, grouped to an orphan report. */
+  private def qFkCheck(s: SparkSession, d: String): DataFrame = {
+    val staleDim = Tables.customer(s, d).filter(col("c_custkey") < 1200)
+    Relational.fkOrphans(
+      Tables.orders(s, d), broadcast(staleDim), Seq("o_custkey" -> "c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orphans"), min(col("o_orderkey")).as("first_orderkey"))
+      .orderBy("o_orderpriority")
+  }
+
   /** signup → click → purchase ordered funnel over the event log. */
   private def qFunnel(s: SparkSession, d: String): DataFrame =
     Funnel.funnel(
@@ -1392,7 +1458,12 @@ object SparkEntry {
     "q_ecdf" -> (qEcdf _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_stream" -> (qFunnelStream _),
-    "q_bpe" -> (qBpe _))
+    "q_bpe" -> (qBpe _),
+    "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q5" -> (qTpchQ5 _),
+    "q_session_paths" -> (qSessionPaths _),
+    "q_retention" -> (qRetention _),
+    "q_fk_check" -> (qFkCheck _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
@@ -2096,5 +2167,59 @@ object SparkEntry {
            SELECT 2, 'click', (SELECT COUNT(*) FROM u2)
            UNION ALL
            SELECT 3, 'purchase', (SELECT COUNT(*) FROM u3))
-         ORDER BY step_idx""")
+         ORDER BY step_idx""",
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, event_type, us,
+                      CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS newf
+               FROM e),
+         g AS (SELECT user_id, event_id, event_type, us,
+                      SUM(newf) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_idx
+               FROM f),
+         p AS (SELECT user_id, session_idx,
+                      string_agg(event_type, '>' ORDER BY us, event_id) AS path
+               FROM g GROUP BY user_id, session_idx)
+         SELECT path, COUNT(*) AS n_sessions
+         FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+    "q_retention" ->
+      """WITH c AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         a AS (SELECT DISTINCT e.user_id, c.cohort_week,
+                      CAST(date_diff('day', c.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset
+               FROM events e JOIN c USING (user_id)
+               WHERE CAST(date_trunc('week', e.ts) AS DATE) >= c.cohort_week)
+         SELECT cohort_week, week_offset, COUNT(*) AS n_users
+         FROM a GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+    "q_fk_check" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orphans, MIN(o_orderkey) AS first_orderkey
+         FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey AND c.c_custkey < 1200)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }

@@ -1,11 +1,67 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered event-funnel analytics over an event log (the product-analytics
   * staple: how many users progressed signup → activation → purchase). */
 object Funnel {
+
+  /** Top user-journey paths: gap-sessionize (same boundaries as
+    * [[graft.streaming.Events.sessionizeBatch]]), render each session as
+    * its ordered `a>b>c` event-type path (deterministic ordered agg via
+    * `sort_array(collect_list(struct))`), count sessions per path, top-N
+    * with a (count desc, path asc) total order. Per-user window + two
+    * partial aggregates; the result set is path-cardinality, tiny at any
+    * corpus scale. */
+  def sessionPaths(
+      events: DataFrame,
+      gapSeconds: Long = 1800,
+      topN: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn(
+        "__new",
+        when(col("__us") - lag(col("__us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(byUser))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("__us"), col("event_id"), col("event_type")))),
+          s => s("event_type")),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topN)
+  }
+
+  /** Weekly retention cohorts: each user's cohort is the Monday week of
+    * their first `signupType` event; every later active week counts them in
+    * (cohort_week, week_offset). One small cohort aggregate joined back on
+    * the user key (co-partitioned with the activity dedup's shuffle), then
+    * a (cohort, offset, user) dedup + count — all partial-agg shapes.
+    * The product-analytics retention triangle. */
+  def retentionCohorts(events: DataFrame, signupType: String): DataFrame = {
+    val cohorts = events
+      .filter(col("event_type") === signupType)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts").cast("timestamp"))).cast("date").as("cohort_week"))
+    events
+      .select(col("user_id"), date_trunc("week", col("ts").cast("timestamp")).cast("date").as("__act_week"))
+      .join(cohorts, "user_id")
+      .filter(col("__act_week") >= col("cohort_week"))
+      .select(
+        col("cohort_week"),
+        (datediff(col("__act_week"), col("cohort_week")).cast("long") / 7L).cast("long").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 
   /** Greedy ordered funnel: a user reaches step i when, scanning their
     * events in time order, an event of type `steps(i)` occurs at-or-after

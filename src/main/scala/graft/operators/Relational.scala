@@ -207,6 +207,17 @@ object Relational {
     withMissing.select(expected.map { case (n, _) => col(n) }: _*)
   }
 
+  /** Referential-integrity audit: child rows whose foreign key has no match
+    * in the parent — a single left-anti join (null-skipping, like SQL
+    * NOT EXISTS; broadcast when the parent key set is dimension-sized).
+    * Feed the result to an aggregate for the orphan report, or fix/quarantine
+    * the rows directly. */
+  def fkOrphans(child: DataFrame, parent: DataFrame, fk: Seq[(String, String)]): DataFrame = {
+    require(fk.nonEmpty, "fkOrphans needs at least one key pair")
+    val cond = fk.map { case (c, p) => child(c) === parent(p) }.reduce(_ && _)
+    child.join(parent, cond, "left_anti")
+  }
+
   /** Column profiler (schema statistics): per column, non-null / null /
     * distinct counts and min/max (stringified for a uniform long schema).
     * One independent single-column aggregate per profiled column, unioned —

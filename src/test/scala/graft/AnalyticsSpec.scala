@@ -86,6 +86,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.count() === 100L)
   }
 
+  test("retentionCohorts anchors offsets on each user's own signup week") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")), // Monday, cohort wk 0
+      (1L, "click", ts("2024-01-09 10:00:00")),  // next week -> offset 1
+      (2L, "signup", ts("2024-01-10 10:00:00")), // cohort 2024-01-08
+      (2L, "view", ts("2024-01-22 10:00:00")),   // offset 2
+      (3L, "click", ts("2024-01-02 10:00:00")))  // never signed up -> excluded
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.retentionCohorts(events, "signup")
+      .orderBy("cohort_week", "week_offset")
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Long, Long)]
+      .collect()
+    assert(out === Array(
+      ("2024-01-01", 0L, 1L),
+      ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L),
+      ("2024-01-08", 2L, 1L)))
+  }
+
+  test("fkOrphans flags missing and null foreign keys") {
+    val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None))
+      .toDF("id", "fk")
+    val parent = Seq(10L).toDF("pk")
+    val orphans = Relational.fkOrphans(child, parent, Seq("fk" -> "pk"))
+      .select("id").as[Long].collect().sorted
+    // 99 has no parent; NULL never matches (NOT EXISTS semantics)
+    assert(orphans === Array(2L, 3L))
+  }
+
+  test("sessionPaths renders ordered per-session paths with deterministic top-N") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 7L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 7L, "click", ts("2024-01-01 10:05:00")),
+      (3L, 7L, "view", ts("2024-01-01 14:00:00")), // >30min gap: new session
+      (4L, 9L, "view", ts("2024-01-01 09:00:00")),
+      (5L, 9L, "click", ts("2024-01-01 09:10:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Funnel.sessionPaths(events, gapSeconds = 1800, topN = 10)
+      .as[(String, Long)].collect()
+    assert(out === Array(("view>click", 2L), ("view", 1L)))
+  }
+
   test("funnel counts greedy ordered step completion per user") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val events = Seq(

@@ -239,6 +239,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"funnel must not self-join:\n$p")
   }
 
+  test("TPC-H Q3 shape broadcasts the filtered segment dim and pushes both date filters") {
+    val p = plan(SparkEntry.queries("q_tpch_q3")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not globally sort:\n$p")
+    assert(p.contains("PushedFilters: ["), s"date filters not pushed to scans:\n$p")
+  }
+
+  test("TPC-H Q5 snowflake broadcasts every dimension — at most the one fact-orders shuffle join") {
+    val p = plan(SparkEntry.queries("q_tpch_q5")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"expected <= 1 shuffle join (fact-orders), got $smj:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims must broadcast:\n$p")
+  }
+
   test("gap fill never falls back to a cartesian/calendar cross join") {
     val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
     assert(p.contains("Generate"), s"expected a narrow sequence explode:\n$p")
