@@ -898,6 +898,54 @@ object SparkEntry {
       .orderBy("o_custkey", "month")
   }
 
+  /** Sparse-to-grid resample with LOCF: the per-customer month spine from
+    * [[Temporal.fillGaps]] (orders counted, gaps NULL) forward-filled so
+    * each gap month carries the last known revenue. */
+  private def qForwardFill(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(
+        col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    val spine = Temporal.fillGaps(
+      monthly, Seq("o_custkey"), "month", stepMonths = 1,
+      defaults = Seq("n_orders" -> lit(0L)))
+    Temporal.forwardFill(spine, Seq("o_custkey"), "month", Seq("revenue"))
+      .orderBy("o_custkey", "month")
+  }
+
+  /** SCD2 validity intervals over each user's daily dominant event type
+    * (the last event of the day, deterministically by (ts, event_id)). */
+  private def qScd2(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(
+        col("user_id"),
+        col("ts").cast("timestamp").cast("date").as("day"),
+        struct(
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"),
+          col("event_type")).as("__e"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(col("__e")).as("__m"))
+      .select(col("user_id"), col("day"), col("__m.event_type").as("event_type"))
+    Temporal.scd2(daily, Seq("user_id"), "day", Seq("event_type"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** 20-bin equi-width histogram of the event value. */
+  private def qHistogram(s: SparkSession, d: String): DataFrame =
+    Sketches.histogram(Tables.events(s, d), "value", nBins = 20)
+      .orderBy("bin")
+
+  /** Deterministic Pearson correlation matrix over lineitem's numerics. */
+  private def qCorrMatrix(s: SparkSession, d: String): DataFrame =
+    Relational.corrMatrix(
+      Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_a", "col_b")
+
   /** One-pass column profiler over lineitem (ingestion audit). */
   private def qProfile(s: SparkSession, d: String): DataFrame =
     Relational.profile(
@@ -1463,7 +1511,11 @@ object SparkEntry {
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_session_paths" -> (qSessionPaths _),
     "q_retention" -> (qRetention _),
-    "q_fk_check" -> (qFkCheck _))
+    "q_fk_check" -> (qFkCheck _),
+    "q_forward_fill" -> (qForwardFill _),
+    "q_scd2" -> (qScd2 _),
+    "q_histogram" -> (qHistogram _),
+    "q_corr_matrix" -> (qCorrMatrix _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
@@ -2221,5 +2273,84 @@ object SparkEntry {
          FROM orders o
          WHERE NOT EXISTS (SELECT 1 FROM customer c
                            WHERE c.c_custkey = o.o_custkey AND c.c_custkey < 1200)
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_forward_fill" ->
+      """WITH m AS (SELECT o_custkey,
+                           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                           COUNT(*) AS n_orders,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                    FROM orders GROUP BY 1, 2),
+         s AS (SELECT o_custkey,
+                      CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+               FROM (SELECT o_custkey, MIN(month) AS lo, MAX(month) AS hi FROM m GROUP BY 1)),
+         j AS (SELECT s.o_custkey, s.month,
+                      COALESCE(m.n_orders, 0) AS n_orders, m.revenue
+               FROM s LEFT JOIN m ON s.o_custkey = m.o_custkey AND s.month = m.month)
+         SELECT o_custkey, month, n_orders,
+                last_value(revenue IGNORE NULLS)
+                  OVER (PARTITION BY o_custkey ORDER BY month
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue
+         FROM j ORDER BY o_custkey, month""",
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, epoch_us(ts) AS us, event_id
+                    FROM events),
+         dly AS (SELECT user_id, day, event_type
+                 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                                    ORDER BY us DESC, event_id DESC) AS rn
+                       FROM e)
+                 WHERE rn = 1),
+         f AS (SELECT user_id, day, event_type,
+                      CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY day)
+                                IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+               FROM dly),
+         g AS (SELECT user_id, day, event_type,
+                      SUM(chg) OVER (PARTITION BY user_id ORDER BY day) AS run
+               FROM f),
+         r AS (SELECT user_id, event_type, MIN(day) AS valid_from
+               FROM g GROUP BY user_id, event_type, run)
+         SELECT user_id, event_type, valid_from,
+                LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+         FROM r ORDER BY user_id, valid_from""",
+    "q_histogram" ->
+      """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+                           (MAX(value) - MIN(value)) / 20 AS w
+                    FROM events),
+         x AS (SELECT CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                                      ELSE FLOOR((value - b.lo) / b.w) END, 19) AS BIGINT) AS bin,
+                      b.lo, b.w
+               FROM events, b)
+         SELECT bin, ROUND(lo + bin * w, 6) AS bin_lo, ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+                COUNT(*) AS n
+         FROM x GROUP BY bin, lo, w ORDER BY bin""",
+    "q_corr_matrix" ->
+      """WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_q,
+           CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss_q,
+           CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_e,
+           CAST(SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss_e,
+           CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_d,
+           CAST(SUM(CAST(ROUND(l_discount * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss_d,
+           CAST(SUM(CAST(ROUND(l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_t,
+           CAST(SUM(CAST(ROUND(l_tax * l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss_t,
+           CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_qe,
+           CAST(SUM(CAST(ROUND(l_quantity * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_qd,
+           CAST(SUM(CAST(ROUND(l_quantity * l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_qt,
+           CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_ed,
+           CAST(SUM(CAST(ROUND(l_extendedprice * l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_et,
+           CAST(SUM(CAST(ROUND(l_discount * l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_dt
+           FROM lineitem)
+         SELECT * FROM (
+           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                  ROUND((n * sp_qe - s_q * s_e) / SQRT((n * ss_q - s_q * s_q) * (n * ss_e - s_e * s_e)), 6) AS corr FROM s
+           UNION ALL SELECT 'l_quantity', 'l_discount',
+                  ROUND((n * sp_qd - s_q * s_d) / SQRT((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 6) FROM s
+           UNION ALL SELECT 'l_quantity', 'l_tax',
+                  ROUND((n * sp_qt - s_q * s_t) / SQRT((n * ss_q - s_q * s_q) * (n * ss_t - s_t * s_t)), 6) FROM s
+           UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                  ROUND((n * sp_ed - s_e * s_d) / SQRT((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)), 6) FROM s
+           UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                  ROUND((n * sp_et - s_e * s_t) / SQRT((n * ss_e - s_e * s_e) * (n * ss_t - s_t * s_t)), 6) FROM s
+           UNION ALL SELECT 'l_discount', 'l_tax',
+                  ROUND((n * sp_dt - s_d * s_t) / SQRT((n * ss_d - s_d * s_d) * (n * ss_t - s_t * s_t)), 6) FROM s)
+         ORDER BY col_a, col_b""")
 }

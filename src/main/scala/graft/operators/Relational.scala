@@ -250,6 +250,32 @@ object Relational {
     }.reduce(_ unionAll _)
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns, ONE pass,
+    * engine-reproducible: the co-moments (Σx, Σx², Σxy) accumulate as EXACT
+    * decimal sums of 6-dp-rounded terms — float summation order would make
+    * the last bits partition-dependent, decimal sums cannot — and the
+    * closed-form corr assembles from them in fixed-order double arithmetic.
+    * All k(k+1)/2+1 aggregates are mergeable partial-agg shapes in a single
+    * HashAggregate; the one result row unpivots with a narrow explode. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (cols(i), cols(j))
+    def d(c: String) = col(c).cast("double")
+    def S(e: Column) = sum(round(e, 6).cast("decimal(38,6)")).cast("double")
+    val aggs: Seq[Column] = (count(lit(1)).cast("double").as("__n") +:
+      cols.flatMap(c => Seq(S(d(c)).as(s"__s_$c"), S(d(c) * d(c)).as(s"__ss_$c")))) ++
+      pairs.map { case (a, b) => S(d(a) * d(b)).as(s"__sp_${a}__$b") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        val num = col("__n") * col(s"__sp_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+        val den = sqrt(
+          (col("__n") * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")) *
+            (col("__n") * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")))
+        struct(lit(a).as("col_a"), lit(b).as("col_b"), round(num / den, 6).as("corr"))
+      }: _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
   /** Cast every non-key column to double, round, cast to long — the
     * reference's type-hygiene pass (extract_ist_data.py:169
     * `pl.col(pl.NUMERIC_DTYPES).round(0).cast(pl.Int64)`).

@@ -70,6 +70,31 @@ object Sketches {
     * `approx = true` swaps the exact sort-based percentile for the mergeable
     * approx sketch — same plan shape, bounded memory on huge corpora (the
     * thresholds then differ from an exact oracle by the sketch error). */
+  /** Equi-width histogram: one bounds aggregate (min/max) broadcast back as
+    * a 1-row cross join — same shape as [[filterByQuantileBand]], no driver
+    * collect — then a codegen'd bin projection and one partial-agg count.
+    * The top value lands in the last bin (the standard closed-right top
+    * edge). Returns (bin, bin_lo, bin_hi, n) for the bins that are
+    * occupied. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__w", (col("__hi") - col("__lo")) / nBins)
+      .withColumn(
+        "bin",
+        least(
+          when(col("__w") === 0.0, lit(0))
+            .otherwise(floor((v - col("__lo")) / col("__w"))),
+          lit(nBins - 1)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        round(first(col("__lo")) + col("bin") * first(col("__w")), 6).as("bin_lo"),
+        round(first(col("__lo")) + (col("bin") + 1) * first(col("__w")), 6).as("bin_hi"),
+        count(lit(1)).as("n"))
+  }
+
   /** Exact corpus-wide percentile-rank (ECDF) normalization of a score
     * column WITHOUT a global sort: quantize the score to `dp` decimals,
     * aggregate the value histogram (partial hash agg — the shuffle carries

@@ -148,6 +148,54 @@ object Temporal {
     }
   }
 
+  /** Forward-fill (LOCF — last observation carried forward): replace nulls
+    * in `cols` with the latest non-null value at-or-before each row within
+    * its key, ordered by `orderCol`. One per-key window with
+    * `last(ignoreNulls)` over an unbounded-preceding frame — pairs with
+    * [[fillGaps]] (`defaults` left null) to resample a sparse series onto a
+    * regular grid carrying the last known reading. */
+  def forwardFill(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      cols: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cols.foldLeft(df) { case (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) interval build: collapse an
+    * ordered series of per-key observations into validity runs — one row
+    * per maximal run of unchanged `attrCols`, with `valid_from` (first
+    * order value of the run) and `valid_to` (start of the next run,
+    * null while current). The run id is the sessionize cumsum trick on a
+    * null-safe change flag (`lag(struct) <=> struct`), so the whole build
+    * is one per-key window pass + one partial aggregate + one run-grain
+    * window (run cardinality ≤ observation cardinality). */
+  def scd2(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val runs = df
+      .withColumn("__chg", when(lag(attrs, 1).over(w) <=> attrs, 0).otherwise(1))
+      .withColumn("__run", sum(col("__chg")).over(w))
+      .groupBy(keys :+ col("__run") :+ attrs.as("__attrs"): _*)
+      .agg(min(col(orderCol)).as("valid_from"))
+    val wRun = Window.partitionBy(keys: _*).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .select(keys ++ attrCols.map(a => col(s"__attrs.$a").as(a)) ++
+        Seq(col("valid_from"), col("valid_to")): _*)
+  }
+
   /** Rolling aggregation over an integer position index (e.g. a month index
     * `year*12+month`): `agg` over the window `[pos - lookback, pos]` per key.
     * RANGE frame on the index, so missing months still bound the window

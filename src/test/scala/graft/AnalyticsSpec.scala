@@ -131,6 +131,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Array(("view>click", 2L), ("view", 1L)))
   }
 
+  test("forwardFill carries the last non-null observation, leading nulls stay null") {
+    val df = Seq(
+      (1L, 1, Some(10.0)), (1L, 2, None), (1L, 3, None), (1L, 4, Some(40.0)),
+      (2L, 1, None), (2L, 2, Some(5.0)))
+      .toDF("k", "pos", "v")
+    val out = Temporal.forwardFill(df, Seq("k"), "pos", Seq("v"))
+      .orderBy("k", "pos")
+      .as[(Long, Int, Option[Double])]
+      .collect()
+    assert(out === Array(
+      (1L, 1, Some(10.0)), (1L, 2, Some(10.0)), (1L, 3, Some(10.0)), (1L, 4, Some(40.0)),
+      (2L, 1, None), (2L, 2, Some(5.0))))
+  }
+
+  test("scd2 collapses unchanged runs into validity intervals, open-ended current run") {
+    val df = Seq(
+      (1L, 1, "a"), (1L, 2, "a"), (1L, 3, "b"), (1L, 4, "a"),
+      (2L, 1, "x"))
+      .toDF("k", "pos", "attr")
+    val out = Temporal.scd2(df, Seq("k"), "pos", Seq("attr"))
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Int, Option[Int])]
+      .collect()
+    assert(out === Array(
+      (1L, "a", 1, Some(3)),
+      (1L, "b", 3, Some(4)),
+      (1L, "a", 4, None), // attr returning to 'a' opens a NEW run
+      (2L, "x", 1, None)))
+  }
+
+  test("histogram bins span [min, max] with the top value in the last bin") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val out = Sketches.histogram(df, "v", nBins = 10)
+      .orderBy("bin")
+      .as[(Long, Double, Double, Long)]
+      .collect()
+    assert(out.length === 10)
+    assert(out.head === ((0L, 0.0, 10.0, 10L)))
+    // last bin is closed on the right: picks up both [90,100) and the max
+    assert(out.last === ((9L, 90.0, 100.0, 11L)))
+    assert(out.map(_._4).sum === 101L)
+  }
+
+  test("corrMatrix matches Spark's native corr to rounding") {
+    val df = (1 to 1000).map(i => (i.toDouble, 2.0 * i + 3, (1001 - i).toDouble))
+      .toDF("a", "b", "c")
+    val out = Relational.corrMatrix(df, Seq("a", "b", "c"))
+      .as[(String, String, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    assert(math.abs(out(("a", "b")) - 1.0) < 1e-6)   // perfect positive
+    assert(math.abs(out(("a", "c")) + 1.0) < 1e-6)   // perfect negative
+    val native = df.select(corr(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(out(("a", "b")) - native) < 1e-5)
+  }
+
   test("funnel counts greedy ordered step completion per user") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val events = Seq(
