@@ -5,6 +5,14 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // comma-separated query-name filter for focused perf iteration; the
+    // driver never sets it, so driver runs always time the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     val spark = GraftSession.local()
     // Warm EVERY query's codegen path once at the smallest SF: Janino
     // compilation + classloading of each distinct generated stage costs
@@ -12,11 +20,11 @@ object Bench {
     // expression first. Timed numbers below then measure steady-state plan
     // execution at the target SF.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // best of 2 runs: a single run's number is dominated by whichever GC /
       // JIT pause lands on it; the min measures the plan, not the noise.
       // noop sink forces full evaluation of every column (count() would let

@@ -939,10 +939,13 @@ object SparkEntry {
     Sketches.histogram(Tables.events(s, d), "value", nBins = 20)
       .orderBy("bin")
 
-  /** Deterministic Pearson correlation matrix over lineitem's numerics. */
+  /** Deterministic Pearson correlation matrix over lineitem's numerics.
+    * l_extendedprice is pre-scaled by 1e-5 (corr is scale-invariant) so the
+    * fixed-point moment terms stay O(1). */
   private def qCorrMatrix(s: SparkSession, d: String): DataFrame =
     Relational.corrMatrix(
-      Tables.lineitem(s, d),
+      Tables.lineitem(s, d)
+        .withColumn("l_extendedprice", col("l_extendedprice") / 100000.0),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_a", "col_b")
 
@@ -2323,22 +2326,25 @@ object SparkEntry {
                 COUNT(*) AS n
          FROM x GROUP BY bin, lo, w ORDER BY bin""",
     "q_corr_matrix" ->
-      """WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-           CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_q,
-           CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss_q,
-           CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_e,
-           CAST(SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss_e,
-           CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_d,
-           CAST(SUM(CAST(ROUND(l_discount * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss_d,
-           CAST(SUM(CAST(ROUND(l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_t,
-           CAST(SUM(CAST(ROUND(l_tax * l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss_t,
-           CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_qe,
-           CAST(SUM(CAST(ROUND(l_quantity * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_qd,
-           CAST(SUM(CAST(ROUND(l_quantity * l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_qt,
-           CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_ed,
-           CAST(SUM(CAST(ROUND(l_extendedprice * l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_et,
-           CAST(SUM(CAST(ROUND(l_discount * l_tax, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sp_dt
-           FROM lineitem)
+      """WITH li AS (SELECT l_quantity AS q, l_extendedprice / 100000.0 AS e,
+                            l_discount AS d, l_tax AS t
+                     FROM lineitem),
+         s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(q * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_q,
+           CAST(SUM(CAST(FLOOR(q * q * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss_q,
+           CAST(SUM(CAST(FLOOR(e * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_e,
+           CAST(SUM(CAST(FLOOR(e * e * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss_e,
+           CAST(SUM(CAST(FLOOR(d * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_d,
+           CAST(SUM(CAST(FLOOR(d * d * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss_d,
+           CAST(SUM(CAST(FLOOR(t * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_t,
+           CAST(SUM(CAST(FLOOR(t * t * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss_t,
+           CAST(SUM(CAST(FLOOR(q * e * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sp_qe,
+           CAST(SUM(CAST(FLOOR(q * d * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sp_qd,
+           CAST(SUM(CAST(FLOOR(q * t * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sp_qt,
+           CAST(SUM(CAST(FLOOR(e * d * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sp_ed,
+           CAST(SUM(CAST(FLOOR(e * t * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sp_et,
+           CAST(SUM(CAST(FLOOR(d * t * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sp_dt
+           FROM li)
          SELECT * FROM (
            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
                   ROUND((n * sp_qe - s_q * s_e) / SQRT((n * ss_q - s_q * s_q) * (n * ss_e - s_e * s_e)), 6) AS corr FROM s

@@ -251,17 +251,24 @@ object Relational {
   }
 
   /** Pairwise Pearson correlation matrix over numeric columns, ONE pass,
-    * engine-reproducible: the co-moments (Σx, Σx², Σxy) accumulate as EXACT
-    * decimal sums of 6-dp-rounded terms — float summation order would make
-    * the last bits partition-dependent, decimal sums cannot — and the
-    * closed-form corr assembles from them in fixed-order double arithmetic.
-    * All k(k+1)/2+1 aggregates are mergeable partial-agg shapes in a single
-    * HashAggregate; the one result row unpivots with a narrow explode. */
+    * engine-reproducible: the co-moments (Σx, Σx², Σxy) accumulate EXACTLY
+    * — float summation order would make the last bits partition-dependent —
+    * as integer fixed-point: each term quantizes to 6 dp with pure
+    * primitive math (`floor(x·10⁶ + 0.5)`, codegen'd, no BigDecimal churn
+    * — `round()`/`cast(decimal)` on doubles allocate a java BigDecimal per
+    * row, which made this pass 8× slower), sums as an overflow-proof
+    * decimal(38,0) fed from the compact long, and converts back to double
+    * once per aggregate. The closed-form corr then assembles in fixed-order
+    * double arithmetic. All k(k+1)/2+1 aggregates are mergeable partial-agg
+    * shapes in one HashAggregate; the result row unpivots with a narrow
+    * explode. Pre-scale big columns to O(1) first (corr is scale-invariant)
+    * so the 10⁶-scaled terms stay well inside the long range. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (cols(i), cols(j))
     def d(c: String) = col(c).cast("double")
-    def S(e: Column) = sum(round(e, 6).cast("decimal(38,6)")).cast("double")
+    def S(e: Column) =
+      sum(floor(e * 1e6 + lit(0.5)).cast("long").cast("decimal(38,0)")).cast("double") / 1e6
     val aggs: Seq[Column] = (count(lit(1)).cast("double").as("__n") +:
       cols.flatMap(c => Seq(S(d(c)).as(s"__s_$c"), S(d(c) * d(c)).as(s"__ss_$c")))) ++
       pairs.map { case (a, b) => S(d(a) * d(b)).as(s"__sp_${a}__$b") }
