@@ -402,6 +402,13 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** EXACT near-duplicate pairs via prefix-filtered set-similarity join —
+    * the zero-false-negative complement of q_dedup_minhash, against a full
+    * DuckDB list-ops oracle. */
+  private def qDedupAllpairs(s: SparkSession, d: String): DataFrame =
+    Dedup.allPairsJaccard(Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
+      .orderBy("id1", "id2")
+
   // ----------------------------------------------------------- similarity
 
   private def qCosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -1518,7 +1525,8 @@ object SparkEntry {
     "q_forward_fill" -> (qForwardFill _),
     "q_scd2" -> (qScd2 _),
     "q_histogram" -> (qHistogram _),
-    "q_corr_matrix" -> (qCorrMatrix _))
+    "q_corr_matrix" -> (qCorrMatrix _),
+    "q_dedup_allpairs" -> (qDedupAllpairs _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
@@ -2358,5 +2366,16 @@ object SparkEntry {
                   ROUND((n * sp_et - s_e * s_t) / SQRT((n * ss_e - s_e * s_e) * (n * ss_t - s_t * s_t)), 6) FROM s
            UNION ALL SELECT 'l_discount', 'l_tax',
                   ROUND((n * sp_dt - s_d * s_t) / SQRT((n * ss_d - s_d * s_d) * (n * ss_t - s_t * s_t)), 6) FROM s)
-         ORDER BY col_a, col_b""")
+         ORDER BY col_a, col_b""",
+    "q_dedup_allpairs" ->
+      """WITH t AS (SELECT doc_id,
+                           (SELECT list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                            FROM (SELECT string_split(text, ' ') AS w)) AS toks
+                    FROM documents),
+         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                      ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                            (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+               FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY id1, id2""")
 }

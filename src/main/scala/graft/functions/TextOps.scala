@@ -252,6 +252,28 @@ object TextOps {
     new GenericArrayData(sig)
   }
 
+  /** Sorted distinct word-k-shingle hash set of a text — the reusable
+    * shingle representation for set-similarity joins (compute once, join
+    * many: [[sortedJaccard]] then merges arrays instead of re-tokenizing
+    * the text per candidate pair). */
+  def shingleSet(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(shingleHashes(s.toString, k))
+
+  /** Jaccard of two SORTED long arrays (single merge pass). */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Exact n-gram (word k-shingle) Jaccard similarity. */
   def ngramJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
     val sa = shingleHashes(a.toString, k)

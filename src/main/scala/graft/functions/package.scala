@@ -65,6 +65,19 @@ package object functions {
       DoubleType,
       Seq(a, b, GraftSql.column(Literal(k))))
 
+  /** Sorted distinct word-k-shingle hash set (compute once, compare many —
+    * pair with [[sorted_jaccard]]). */
+  def shingle_set(c: Column, k: Int): Column =
+    invoke(
+      "shingleSet",
+      ArrayType(LongType, containsNull = false),
+      Seq(c, GraftSql.column(Literal(k))))
+
+  /** Jaccard of two sorted long-array columns (single merge pass, no
+    * re-tokenization). */
+  def sorted_jaccard(a: Column, b: Column): Column =
+    invoke("sortedJaccard", DoubleType, Seq(a, b))
+
   /** Winnowing fingerprints (sorted array of longs). */
   def fingerprint_set(c: Column, shingleK: Int, window: Int): Column =
     invoke(

@@ -127,6 +127,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
+    * PPJoin family, Bayardo et al. WWW'07) — the deterministic complement
+    * of [[minHashLsh]]: zero false negatives, same join-don't-cartesian
+    * scale shape. Each doc's shingle set is ordered by GLOBAL rarity
+    * (document frequency ascending) and only its first
+    * `|s| − ⌈t·|s|⌉ + 1` shingles — the prefix — generate candidates: two
+    * sets with Jaccard ≥ t must share a prefix token under any common
+    * total order, and rarest-first makes those collisions scarce on
+    * Zipf-distributed corpora. Candidates then pass a length-ratio filter
+    * and an exact verify that MERGES precomputed sorted shingle arrays
+    * ([[graft.functions.sorted_jaccard]]) instead of re-tokenizing text
+    * per pair. Every stage is a key-equality join or partial aggregate —
+    * one worst-case degradation (uniform token frequencies widen the
+    * candidate set toward the full token join), never a cartesian. */
+  def allPairsJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val docs = df
+      .select(col(idCol).as("id"), shingle_set(col(textCol), shingleK).as("__shs"))
+      .withColumn("__len", size(col("__shs")))
+      .filter(col("__len") > 0)
+    val toks = docs.select(col("id"), explode(col("__shs")).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val prefix = toks
+      .join(freq, "__tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__o"))
+      .select(
+        col("id"),
+        explode(slice(
+          transform(col("__o"), s => s("__tok")),
+          lit(1),
+          (size(col("__o")) - ceil(size(col("__o")) * threshold) + 1).cast("int"))).as("__tok"))
+    val cand = prefix.select(col("id").as("id1"), col("__tok"))
+      .join(prefix.select(col("id").as("id2"), col("__tok")), "__tok")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id1"), col("__shs").as("__s1"), col("__len").as("__l1")), "id1")
+      .join(docs.select(col("id").as("id2"), col("__shs").as("__s2"), col("__len").as("__l2")), "id2")
+      .filter(least(col("__l1"), col("__l2")).cast("double") >=
+        greatest(col("__l1"), col("__l2")) * threshold)
+      .withColumn("jaccard", round(sorted_jaccard(col("__s1"), col("__s2")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Duplicate-cluster assignment: each node in the near-dup pair graph gets
     * the minimum id of its connected component — "keep doc = cluster label,
     * drop the rest", the final step of a dedup pipeline.

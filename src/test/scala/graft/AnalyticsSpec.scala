@@ -186,6 +186,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(("a", "b")) - native) < 1e-5)
   }
 
+  test("allPairsJaccard finds exactly the planted near-dup pairs, no false negatives") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda"),                       // near-dup of 1
+      (3L, "totally different words here none shared at all today"),
+      (4L, base))                                   // exact dup of 1
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.allPairsJaccard(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Double)]
+      .collect()
+    assert(out.map(p => (p._1, p._2)) === Array((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j14 = out.find(p => p._1 == 1L && p._2 == 4L).get._3
+    assert(j14 === 1.0)
+    // 1 vs 2: 8 shared 3-shingles of (8 + 9 - 8) -> 8/9
+    val j12 = out.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(math.abs(j12 - 8.0 / 9.0) < 1e-6)
+  }
+
   test("funnel counts greedy ordered step completion per user") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val events = Seq(
