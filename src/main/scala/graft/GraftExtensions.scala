@@ -60,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(VectorOps.getClass, "lshSig", LongType)),
       fn("graft_heavy_hitters", "Misra-Gries heavy hitters of a string column: array<struct<item,count_lo>>",
         args => graft.functions.MisraGries(args(0), args(1).eval().asInstanceOf[Int])),
+      fn("graft_shingle_set", "sorted distinct word k-shingle hash set (array<bigint>)",
+        static(TextOps.getClass, "shingleSet", longArray)),
+      fn("graft_sorted_jaccard", "Jaccard of two sorted array<bigint> sets (merge pass)",
+        static(TextOps.getClass, "sortedJaccard", DoubleType)),
+      fn("graft_bpe_tokens", "word-level BPE encode against a ranked merge table (array<string>)",
+        static(TextOps.getClass, "bpeTokens", ArrayType(StringType, containsNull = false))),
     ).foreach { case (ident, info, builder) => ext.injectFunction((ident, info, builder)) }
   }
 }

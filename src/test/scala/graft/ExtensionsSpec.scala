@@ -43,6 +43,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig >= 0 && sig < 256)
   }
 
+  test("r5 SQL surface: shingle sets, sorted jaccard, BPE encode") {
+    val row = spark.sql(
+      """SELECT graft_sorted_jaccard(graft_shingle_set('a b c d', 3),
+        |                            graft_shingle_set('a b c d', 3)) AS self_jac,
+        |       graft_bpe_tokens('lowest', array('e s', 'es t', 'l o', 'lo w')) AS toks
+        |""".stripMargin).head
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getSeq[String](1) == Seq("low", "est"))
+  }
+
   test("graft_heavy_hitters aggregates via SQL") {
     import spark.implicits._
     Seq("a", "a", "b", "a", "c").toDF("w").createOrReplaceTempView("hh_in")
