@@ -1037,6 +1037,25 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** Deterministic weighted sample (exponential clocks on a content hash):
+    * 50 documents drawn ∝ length, reproducible in any engine. */
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", n = 50)
+      .select(col("doc_id"), col("n_chars"), round(col("__draw"), 6).as("draw"))
+      .orderBy("draw", "doc_id")
+
+  /** Per-event-type (grouped) percentile rank of the event value. */
+  private def qEcdfGrouped(s: SparkSession, d: String): DataFrame =
+    Sketches.ecdfNormalize(
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+      "value", dp = 2, keyCols = Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value_q"), col("percentile"))
+      .orderBy("event_id")
+
   /** signup → click → purchase ordered funnel over the event log. */
   private def qFunnel(s: SparkSession, d: String): DataFrame =
     Funnel.funnel(
@@ -1526,7 +1545,9 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
-    "q_dedup_allpairs" -> (qDedupAllpairs _))
+    "q_dedup_allpairs" -> (qDedupAllpairs _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_ecdf_grouped" -> (qEcdfGrouped _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
@@ -2377,5 +2398,17 @@ object SparkEntry {
                       ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 /
                             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
                FROM t a JOIN t b ON a.doc_id < b.doc_id)
-         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY id1, id2""")
+         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY id1, id2""",
+    "q_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+                           -LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
+                                + 0.5) / 1152921504606846976.0) / n_chars AS draw
+                    FROM documents)
+         SELECT doc_id, n_chars, ROUND(draw, 6) AS draw
+         FROM k ORDER BY draw, doc_id LIMIT 50""",
+    "q_ecdf_grouped" ->
+      """WITH q AS (SELECT event_id, event_type, ROUND(value, 2) AS value_q FROM events)
+         SELECT event_id, event_type, value_q,
+                ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value_q), 6) AS percentile
+         FROM q ORDER BY event_id""")
 }

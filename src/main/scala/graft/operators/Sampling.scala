@@ -128,6 +128,34 @@ object Sampling {
             s => s(textCol)),
           sep).as("text"))
 
+  /** Weighted sample WITHOUT replacement, deterministic and distributed:
+    * the exponential-clocks formulation of weighted reservoir sampling
+    * (Efraimidis–Spirakis A-Res, log form) — each row draws
+    * `key = −ln(u)/w` with `u` derived from an md5 content hash (no RNG
+    * state, any engine reproduces it; seed changes the draw), and the
+    * sample is the n SMALLEST keys: P(row first) ∝ its weight. The top-n
+    * cut runs on the native [[graft.plans.TopKPerKeyPlan]] single-group
+    * path — map-side bounded heaps shrink every partition to n rows before
+    * the one shuffle, so it scales like a top-k, not a sort. The principled
+    * "sample by quality weight" primitive for mixture construction. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      seed: String = "graft"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // 60 bits of md5 → uniform in (0,1); +0.5 keeps u strictly positive
+    val u = (conv(substring(md5(concat_ws(":", col(idCol).cast("string"), lit(seed))), 1, 15), 16, 10)
+      .cast("double") + 0.5) / math.pow(2.0, 60)
+    val keyed = df
+      .withColumn("__draw", -log(u) / col(weightCol).cast("double"))
+      .withColumn("__g", lit(1))
+    Relational.topKPerKey(
+      keyed, Seq("__g"), sort = Seq("__draw" -> false), k = n)
+      .drop("__g")
+  }
+
   /** Stratified deterministic sample: at most `perKey` rows per stratum,
     * chosen by md5 order of `idCol` (a stable pseudo-random order any engine
     * reproduces). Runs on the native [[graft.plans.TopKPerKeyPlan]] operator,

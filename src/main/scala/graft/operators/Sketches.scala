@@ -105,21 +105,31 @@ object Sketches {
     * quantized values, bounded by 10^dp × score range — thousands, not
     * rows), so the data side never sorts or re-shuffles. The standard
     * "quality score → corpus percentile" step before threshold filtering. */
-  def ecdfNormalize(df: DataFrame, scoreCol: String, dp: Int = 6): DataFrame = {
+  /** @param keyCols optional grouping — percentiles computed within each
+    *   key (e.g. per language); the histogram windows partition by key, so
+    *   no single partition ever holds more than one key's buckets. */
+  def ecdfNormalize(
+      df: DataFrame,
+      scoreCol: String,
+      dp: Int = 6,
+      keyCols: Seq[String] = Nil): DataFrame = {
     val q = round(col(scoreCol).cast("double"), dp)
-    val hist = df.select(q.as("__s")).groupBy(col("__s")).agg(count(lit(1)).as("__c"))
-    // single-partition window — safe BY CONSTRUCTION: it runs on the
-    // histogram, whose size is capped by the quantization, not the corpus
+    val keys = keyCols.map(col)
+    val hist = df.select(keys :+ q.as("__s"): _*)
+      .groupBy(keys :+ col("__s"): _*).agg(count(lit(1)).as("__c"))
+    // the ordered window runs on the HISTOGRAM, whose size per key is
+    // capped by the quantization, not the corpus
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*)
       .orderBy(col("__s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cdf = hist
       .withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__n", sum(col("__c")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("__s"), round(col("__cum") / col("__n"), 6).as("percentile"))
+        org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
+      .select(keys ++ Seq(col("__s"), round(col("__cum") / col("__n"), 6).as("percentile")): _*)
     df.withColumn("__s", q)
-      .join(broadcast(cdf), "__s")
+      .join(broadcast(cdf), keyCols :+ "__s")
       .drop("__s")
   }
 

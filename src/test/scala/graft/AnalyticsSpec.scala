@@ -206,6 +206,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(j12 - 8.0 / 9.0) < 1e-6)
   }
 
+  test("weightedSample is exact-n, partitioning-invariant, and weight-biased") {
+    val df = (1L to 2000L).map(i => (i, if (i <= 100) 100.0 else 1.0)).toDF("id", "w")
+    val a = graft.operators.Sampling.weightedSample(df, "id", "w", n = 200)
+      .select("id").as[Long].collect().toSet
+    val b = graft.operators.Sampling.weightedSample(df.repartition(13), "id", "w", n = 200)
+      .select("id").as[Long].collect().toSet
+    assert(a.size === 200)
+    assert(a === b, "sample must not depend on partitioning")
+    // the 100 heavy rows (weight 100x) should dominate the sample
+    val heavy = a.count(_ <= 100L)
+    assert(heavy > 60, s"expected heavy-weight rows to dominate, got $heavy/100")
+    // different seed -> different draw
+    val c = graft.operators.Sampling.weightedSample(df, "id", "w", n = 200, seed = "other")
+      .select("id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
+  test("grouped ecdfNormalize ranks within each key independently") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 100.0), ("b", 200.0))
+      .toDF("k", "score")
+    val out = Sketches.ecdfNormalize(df, "score", dp = 2, keyCols = Seq("k"))
+      .orderBy("k", "score")
+      .select("k", "score", "percentile")
+      .as[(String, Double, Double)]
+      .collect()
+    assert(out === Array(
+      ("a", 1.0, 0.25), ("a", 2.0, 0.5), ("a", 3.0, 0.75), ("a", 4.0, 1.0),
+      ("b", 100.0, 0.5), ("b", 200.0, 1.0)))
+  }
+
   test("funnel counts greedy ordered step completion per user") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val events = Seq(
