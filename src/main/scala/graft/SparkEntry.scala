@@ -1056,6 +1056,20 @@ object SparkEntry {
         round(col("value"), 2).as("value_q"), col("percentile"))
       .orderBy("event_id")
 
+  /** Sketch-column cube: daily per-type HLL sketches of distinct users,
+    * rolled up to event_type by MERGING sketches (never re-reading raw
+    * rows). Rows-only by design — Datasketches HLL estimates aren't
+    * SQL-reproducible; SketchesSpec pins merge-vs-direct equality and the
+    * error bound vs exact distinct counts. */
+  private def qSketchCube(s: SparkSession, d: String): DataFrame = {
+    val cube = Sketches.sketchCube(
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("timestamp").cast("date").as("day"), col("user_id")),
+      Seq("event_type", "day"), "user_id")
+    Sketches.rollupSketchCube(cube, Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** signup → click → purchase ordered funnel over the event log. */
   private def qFunnel(s: SparkSession, d: String): DataFrame =
     Funnel.funnel(
@@ -1547,7 +1561,8 @@ object SparkEntry {
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_dedup_allpairs" -> (qDedupAllpairs _),
     "q_weighted_sample" -> (qWeightedSample _),
-    "q_ecdf_grouped" -> (qEcdfGrouped _))
+    "q_ecdf_grouped" -> (qEcdfGrouped _),
+    "q_sketch_cube" -> (qSketchCube _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */

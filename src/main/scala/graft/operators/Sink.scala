@@ -23,6 +23,32 @@ object Sink {
   def writeJsonl(df: DataFrame, path: String, shards: Int): Unit =
     df.repartition(shards).write.mode("overwrite").json(path)
 
+  /** Compact a parquet directory toward a target file size — the
+    * small-files remedy: a streaming ingest or over-parallel write leaves
+    * thousands of KB-sized files whose open/footer overhead dominates reads
+    * at scale. One pass: size the input from the file index (no data read),
+    * rewrite with `coalesce(ceil(bytes/target))` — coalesce, not
+    * repartition, so compaction itself shuffles nothing. Returns the new
+    * file count. */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    nFiles
+  }
+
   /** Bucketed managed table: pre-shuffles rows into `nBuckets` hash buckets
     * on `bucketCols` at write time. Two tables bucketed the same way join
     * WITHOUT a shuffle (co-located sort-merge) — at 100 TB this moves the

@@ -70,6 +70,28 @@ object Sketches {
     * `approx = true` swaps the exact sort-based percentile for the mergeable
     * approx sketch — same plan shape, bounded memory on huge corpora (the
     * thresholds then differ from an exact oracle by the sketch error). */
+  /** Mergeable distinct-count sketch cube — the pre-aggregation pattern
+    * that makes 100 TB distinct-count analytics cheap: materialize one
+    * Datasketches HLL sketch COLUMN (binary, mergeable) per fine-grained
+    * group once, then answer any coarser-grained distinct-count rollup by
+    * merging sketches ([[rollupSketchCube]]) without ever touching the raw
+    * data again. Both steps are partial hash aggregates (HLL union is
+    * associative + commutative, so map-side combine applies). */
+  def sketchCube(df: DataFrame, keyCols: Seq[String], valueCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"),
+        count(lit(1)).as("n_rows"))
+
+  /** Roll a [[sketchCube]] up to a coarser key set: merge the sketches and
+    * estimate. The estimate is identical to sketching the raw data at the
+    * coarse grain directly (HLL union merges registers exactly). */
+  def rollupSketchCube(cube: DataFrame, keyCols: Seq[String]): DataFrame =
+    cube.groupBy(keyCols.map(col): _*)
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx_distinct"),
+        sum(col("n_rows")).as("n_rows"))
+
   /** Equi-width histogram: one bounds aggregate (min/max) broadcast back as
     * a 1-row cross join — same shape as [[filterByQuantileBand]], no driver
     * collect — then a codegen'd bin projection and one partial-agg count.

@@ -54,4 +54,21 @@ class SinkSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(back == (1L to 100L).map(i => (i, s"v$i")))
   }
+
+  test("compactParquet merges a small-files directory losslessly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("compact_spec_").toFile.getPath
+    val df = (1L to 10000L).map(i => (i, s"payload-$i")).toDF("id", "v")
+    df.repartition(64).write.mode("overwrite").parquet(tmp) // 64 tiny files
+    val before = new java.io.File(tmp).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    // generous target -> everything fits one file
+    val n = graft.operators.Sink.compactParquet(spark, tmp, targetFileBytes = 1L << 30)
+    assert(n == 1)
+    val after = new java.io.File(tmp).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    val back = spark.read.parquet(tmp).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(back.length == 10000 && back.head == ((1L, "payload-1")))
+  }
 }

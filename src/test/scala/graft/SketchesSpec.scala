@@ -59,6 +59,34 @@ class SketchesSpec extends SparkSpec {
     assert(hh == exact)
   }
 
+  test("sketch cube: rolled-up sketch merges equal direct sketching, within HLL error of exact") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = (1 to 5000)
+      .map(i => (s"t${i % 3}", i % 7, (i * 31) % 900))
+      .toDF("typ", "day", "uid")
+      .repartition(8)
+    val cube = Sketches.sketchCube(df, Seq("typ", "day"), "uid")
+    val rolled = Sketches.rollupSketchCube(cube, Seq("typ"))
+      .orderBy("typ")
+      .select("typ", "approx_distinct")
+      .as[(String, Long)].collect()
+    // merging the daily sketches must equal sketching the coarse grain directly
+    val direct = Sketches.sketchCube(df, Seq("typ"), "uid")
+      .select(col("typ"), expr("hll_sketch_estimate(hll)").as("e"))
+      .orderBy("typ")
+      .as[(String, Long)].collect()
+    assert(rolled === direct)
+    // and land within HLL error (lgK=12 -> ~1.6% rse; allow 5%) of exact
+    val exact = df.select("typ", "uid").distinct()
+      .groupBy("typ").count().orderBy("typ")
+      .as[(String, Long)].collect().toMap
+    rolled.foreach { case (t, est) =>
+      val ex = exact(t).toDouble
+      assert(math.abs(est - ex) / ex < 0.05, s"$t: est $est vs exact $ex")
+    }
+  }
+
   test("heavyHitters approximate regime honors Misra-Gries bounds") {
     // 1000 of "hot", 50 each of 40 cold items -> n = 3000, k = 9:
     // any item with freq > n/(k+1) = 300 MUST survive with count_lo >= freq - 300
