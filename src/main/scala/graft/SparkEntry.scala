@@ -890,6 +890,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Cross-document keep-first line dedup (C4-style) over the same
+    * synthesized line grain as q_boilerplate. */
+  private def qDedupLines(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1\n").as("text"))
+    TextAnalysis.dedupLinesKeepFirst(docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Per-customer monthly order spine with gaps zero-filled. */
   private def qGapFill(s: SparkSession, d: String): DataFrame = {
     val monthly = Tables.orders(s, d)
@@ -1562,7 +1572,8 @@ object SparkEntry {
     "q_dedup_allpairs" -> (qDedupAllpairs _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_ecdf_grouped" -> (qEcdfGrouped _),
-    "q_sketch_cube" -> (qSketchCube _))
+    "q_sketch_cube" -> (qSketchCube _),
+    "q_dedup_lines" -> (qDedupLines _))
 
   /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
     * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
@@ -2425,5 +2436,26 @@ object SparkEntry {
       """WITH q AS (SELECT event_id, event_type, ROUND(value, 2) AS value_q FROM events)
          SELECT event_id, event_type, value_q,
                 ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value_q), 6) AS percentile
-         FROM q ORDER BY event_id""")
+         FROM q ORDER BY event_id""",
+    "q_dedup_lines" ->
+      """WITH d AS (SELECT doc_id,
+                           regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
+                    FROM documents),
+         l AS (SELECT doc_id,
+                      unnest(string_split(t, chr(10))) AS line,
+                      unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+               FROM d),
+         w AS (SELECT line, doc_id, pos
+               FROM (SELECT line, doc_id, pos,
+                            ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+                     FROM l WHERE line <> '')
+               WHERE rn = 1),
+         fl AS (SELECT l.doc_id, l.pos, l.line, w.line IS NOT NULL AS keep
+                FROM l LEFT JOIN w
+                  ON l.line = w.line AND l.doc_id = w.doc_id AND l.pos = w.pos)
+         SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_clean,
+                CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+                CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+         FROM fl GROUP BY doc_id ORDER BY doc_id""")
 }

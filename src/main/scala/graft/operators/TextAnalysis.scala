@@ -379,6 +379,51 @@ object TextAnalysis {
     rebuilt
   }
 
+  /** Cross-document line dedup, keep-first (the C4 "three-sentence span"
+    * rule at line grain): every line occurrence EXCEPT the first in global
+    * (id, position) order is dropped, and documents reassemble from their
+    * surviving lines. Differs from [[removeBoilerplate]], which drops ALL
+    * copies of frequent lines — here one canonical copy survives. The
+    * keep-first decision runs per line hash on the native
+    * [[graft.plans.TopKPerKeyPlan]] k=1 path via
+    * [[Relational.dropDuplicatesOrdered]] (bounded one-slot heaps before
+    * the single shuffle), then a broadcast-free semi-join marks winners and
+    * one groupBy(id) rebuilds the texts with the deterministic sorted-
+    * struct ordered agg. Returns (id, text_clean, n_lines_kept,
+    * n_lines_removed). */
+  def dedupLinesKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val winners = Relational
+      .dropDuplicatesOrdered(
+        lines.filter(col("__line") =!= ""),
+        Seq("__line"),
+        Seq(col(idCol), col("__pos")))
+      .select(
+        col("__line").as("__wline"),
+        col(idCol).as("__wid"),
+        col("__pos").as("__wpos"),
+        lit(true).as("__keep"))
+    lines
+      .join(winners,
+        lines("__line") === winners("__wline") &&
+          lines(idCol) === winners("__wid") && lines("__pos") === winners("__wpos"),
+        "left")
+      .select(
+        lines(idCol), lines("__pos"), lines("__line"),
+        coalesce(col("__keep"), lit(false)).as("__keep"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("__keep"), struct(col("__pos"), col("__line"))))),
+            s => s("__line")),
+          "\n").as("text_clean"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_lines_removed"))
+  }
+
   /** Winnowing fingerprint summary per document: number of fingerprints and
     * an order-independent checksum (useful as a cheap doc signature for
     * containment/overlap detection). */

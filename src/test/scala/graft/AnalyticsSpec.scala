@@ -38,6 +38,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall { case (_, t, kept, removed) => t == "" && kept == 0L && removed == 1L })
   }
 
+  test("dedupLinesKeepFirst keeps the globally first occurrence of each line") {
+    val docs = Seq(
+      (1L, "shared one\nunique a"),
+      (2L, "unique b\nshared one"),    // "shared one" repeat -> dropped here
+      (3L, "shared one"))              // and here -> empty doc survives
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesKeepFirst(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)]
+      .collect()
+    assert(out === Array(
+      (1L, "shared one\nunique a", 2L, 0L),
+      (2L, "unique b", 1L, 1L),
+      (3L, "", 0L, 1L)))
+  }
+
   test("fillGaps completes each key's own month span, zero-filled") {
     val df = Seq(
       (1L, "2024-01-01", 5L),
