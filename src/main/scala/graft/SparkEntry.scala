@@ -1027,6 +1027,35 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q18-shaped large-volume-customer query: the classic HAVING
+    * subquery (orders whose total lineitem quantity exceeds a threshold)
+    * re-joined to orders and customer for the report, global top-100.
+    * Spark-first shape: lineitem is aggregated ONCE (the query's only
+    * shuffle); the selectivity-bounded big-order set then broadcasts into
+    * the orders scan, and that reduced join result broadcasts into the
+    * customer scan — at 100 TB neither orders nor customer ever shuffles,
+    * because each probe side is bounded by the HAVING threshold, not by
+    * table size. Top-100 runs as TakeOrderedAndProject (bounded heaps). */
+  private def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    val hot = Tables.orders(s, d)
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+      .join(broadcast(hot), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** Top user-journey paths per gap session. */
   private def qSessionPaths(s: SparkSession, d: String): DataFrame =
     Funnel.sessionPaths(Tables.events(s, d), gapSeconds = 1800, topN = 20)
@@ -1561,6 +1590,7 @@ object SparkEntry {
     "q_funnel_stream" -> (qFunnelStream _),
     "q_bpe" -> (qBpe _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_session_paths" -> (qSessionPaths _),
     "q_retention" -> (qRetention _),
@@ -2302,6 +2332,17 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                      FROM lineitem GROUP BY l_orderkey
+                      HAVING SUM(l_quantity) > 300.0)
+         SELECT c_name, c_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS o_orderdate,
+                ROUND(o_totalprice, 2) AS o_totalprice, total_qty
+         FROM orders
+         JOIN big ON o_orderkey = big.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
     "q_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
          f AS (SELECT user_id, event_id, event_type, us,

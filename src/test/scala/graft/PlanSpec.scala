@@ -255,6 +255,18 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims must broadcast:\n$p")
   }
 
+  test("TPC-H Q18 shape: one lineitem shuffle, big-order and hot-order sets broadcast") {
+    val p = plan(SparkEntry.queries("q_tpch_q18")(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"orders/customer must never shuffle — both probe sides are HAVING-bounded:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"expected 2 broadcast joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not globally sort:\n$p")
+    // the only Exchange is the lineitem partial-aggregate shuffle (plus its
+    // broadcast exchanges, which are not data shuffles)
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected exactly 1 data shuffle (lineitem agg), got $shuffles:\n$p")
+  }
+
   test("gap fill never falls back to a cartesian/calendar cross join") {
     val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
     assert(p.contains("Generate"), s"expected a narrow sequence explode:\n$p")
