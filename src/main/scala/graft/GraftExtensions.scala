@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(TextOps.getClass, "sortedJaccard", DoubleType)),
       fn("graft_bpe_tokens", "word-level BPE encode against a ranked merge table (array<string>)",
         static(TextOps.getClass, "bpeTokens", ArrayType(StringType, containsNull = false))),
+      fn("graft_jaro_sim", "Jaro similarity in [0,1] (DuckDB-compatible edges)",
+        static(TextOps.getClass, "jaroSim", DoubleType)),
+      fn("graft_jaro_winkler", "Jaro-Winkler similarity in [0,1] (prefix<=4, 0.7 boost threshold)",
+        static(TextOps.getClass, "jaroWinkler", DoubleType)),
     ).foreach { case (ident, info, builder) => ext.injectFunction((ident, info, builder)) }
   }
 }

@@ -358,6 +358,22 @@ object SparkEntry {
       .select(col("c_custkey"), col("matched"), round(col("match_score"), 6).as("match_score"))
       .orderBy("c_custkey")
 
+  /** Fuzzy entity resolution under the Jaro–Winkler scorer (prefix-weighted
+    * — the classic choice for name matching): same broadcast + keyed min_by
+    * reduction as q_fuzzy_match, different similarity expression. The native
+    * jaroWinkler is bit-compatible with DuckDB's, so the per-key argmax
+    * agrees across engines without rounding games. */
+  private def qJaroWinkler(s: SparkSession, d: String): DataFrame =
+    FuzzyMatch.bestMatch(
+      Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+      Seq("s_suppkey"),
+      "s_name",
+      Tables.nation(s, d),
+      "n_name",
+      sim = jaro_winkler)
+      .select(col("s_suppkey"), col("matched"), round(col("match_score"), 6).as("match_score"))
+      .orderBy("s_suppkey")
+
   private def qTokenSetRatio(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), token_set_ratio(col("text"), lit("spark query join table")).as("score"))
@@ -1522,6 +1538,7 @@ object SparkEntry {
     "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_melt_indicators" -> (qMeltIndicators _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_jaro_winkler" -> (qJaroWinkler _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_keep_first" -> (qDedupKeepFirst _),
@@ -1777,6 +1794,17 @@ object SparkEntry {
            FROM scored)
          SELECT c_custkey, n_name AS matched, ROUND(s, 6) AS match_score
          FROM ranked WHERE rn = 1 ORDER BY c_custkey""",
+    "q_jaro_winkler" ->
+      """WITH scored AS (
+           SELECT s_suppkey, n_name,
+                  jaro_winkler_similarity(s_name, n_name) AS s
+           FROM supplier CROSS JOIN nation),
+         ranked AS (
+           SELECT s_suppkey, n_name, s,
+                  ROW_NUMBER() OVER (PARTITION BY s_suppkey ORDER BY s DESC, n_name) AS rn
+           FROM scored)
+         SELECT s_suppkey, n_name AS matched, ROUND(s, 6) AS match_score
+         FROM ranked WHERE rn = 1 ORDER BY s_suppkey""",
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",

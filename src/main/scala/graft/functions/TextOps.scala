@@ -159,6 +159,70 @@ object TextOps {
     math.round(best * 100).toInt
   }
 
+  /** Jaro similarity in [0,1] (match window `max(len)/2 - 1`, floored
+    * half-transpositions). Either side empty -> 0.0, and lengths/positions
+    * are UTF-8 BYTES, not codepoints — both the exact edge semantics of
+    * DuckDB's `jaro_similarity` (rapidfuzz-cpp operates on the raw byte
+    * string), so oracle results compare bit-for-bit. Operating on the
+    * UTF8String's bytes also skips the String materialization. */
+  def jaroSim(a: UTF8String, b: UTF8String): Double =
+    jaroImpl(a.getBytes, b.getBytes)
+
+  /** Jaro–Winkler similarity: [[jaroSim]] plus the common-prefix bonus
+    * `l * 0.1 * (1 - jaro)` (prefix capped at 4 bytes), applied only above
+    * the classic 0.7 boost threshold — the textbook Winkler variant and the
+    * exact behavior of DuckDB's `jaro_winkler_similarity`. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.getBytes
+    val s2 = b.getBytes
+    val j = jaroImpl(s1, s2)
+    if (j <= 0.7) return j
+    var l = 0
+    val maxPrefix = math.min(4, math.min(s1.length, s2.length))
+    while (l < maxPrefix && s1(l) == s2(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  private def jaroImpl(s1: Array[Byte], s2: Array[Byte]): Double = {
+    val n1 = s1.length
+    val n2 = s2.length
+    if (n1 == 0 || n2 == 0) return 0.0
+    val window = math.max(math.max(n1, n2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var matches = 0
+    var i = 0
+    while (i < n1) {
+      val hi = math.min(i + window + 1, n2)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && s1(i) == s2(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // mismatched positions between the two matched-byte orderings, halved
+    // with integer floor (the rapidfuzz/DuckDB convention)
+    var mismatches = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1(i) != s2(k)) mismatches += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = mismatches / 2
+    val m = matches.toDouble
+    (m / n1 + m / n2 + (m - t) / m) / 3.0
+  }
+
   // ------------------------------------------------------------- hashing
 
   /** FNV-1a 64-bit over a char range — deterministic, allocation-free. */

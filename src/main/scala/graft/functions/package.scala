@@ -43,6 +43,19 @@ package object functions {
   def token_set_ratio(a: Column, b: Column): Column =
     invoke("tokenSetRatio", IntegerType, Seq(a, b))
 
+  /** Jaro similarity in [0,1] — DuckDB-compatible semantics (either side
+    * empty -> 0.0, floored half-transpositions, UTF-8 byte positions). */
+  def jaro_sim(a: Column, b: Column): Column =
+    invoke("jaroSim", DoubleType, Seq(a, b))
+
+  /** Jaro–Winkler similarity in [0,1]: prefix bonus capped at 4 chars,
+    * applied above the classic 0.7 boost threshold — bit-compatible with
+    * DuckDB's `jaro_winkler_similarity`, so fuzzy-match results reproduce
+    * across engines. Plug into [[graft.operators.FuzzyMatch.bestMatch]] as
+    * the scorer for prefix-weighted entity resolution. */
+  def jaro_winkler(a: Column, b: Column): Column =
+    invoke("jaroWinkler", DoubleType, Seq(a, b))
+
   /** 64-bit Charikar SimHash of whitespace tokens. */
   def simhash64(c: Column): Column =
     invoke("simhash64", LongType, Seq(c))

@@ -53,6 +53,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getSeq[String](1) == Seq("low", "est"))
   }
 
+  test("jaro similarity functions via SQL") {
+    val row = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw, graft_jaro_sim('abcdef', 'bcadef') AS j").head
+    assert(row.getDouble(0) == 0.9611111111111111)
+    assert(row.getDouble(1) == 0.9444444444444445)
+  }
+
   test("graft_heavy_hitters aggregates via SQL") {
     import spark.implicits._
     Seq("a", "a", "b", "a", "c").toDF("w").createOrReplaceTempView("hh_in")

@@ -80,6 +80,38 @@ class FunctionsSpec extends SparkSpec {
     assert(eval1[Int](token_set_ratio(lit("alpha beta"), lit("gamma delta"))) < 40)
   }
 
+  test("jaro_winkler matches the textbook vectors (Winkler 1990) and DuckDB exactly") {
+    // pinned against DuckDB jaro_winkler_similarity (same floored
+    // half-transpositions, 0.7 boost threshold, prefix cap 4)
+    val cases = Seq(
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("xyzw", "xyzw_suffix_very_long_here", 0.8307692307692308), // prefix capped at 4
+      ("appel", "applé", 0.8755555555555556), // non-ascii compares as UTF-8 bytes ('applé' = 6)
+      ("abc", "abc", 1.0))
+    cases.foreach { case (a, b, expected) =>
+      assert(eval1[Double](jaro_winkler(lit(a), lit(b))) == expected, s"$a / $b")
+    }
+  }
+
+  test("jaro_winkler applies the prefix bonus only above the 0.7 boost threshold") {
+    // jaro('ab','az') = 2/3 <= 0.7: shared prefix earns nothing
+    assert(eval1[Double](jaro_winkler(lit("ab"), lit("az"))) == 2.0 / 3.0)
+    assert(eval1[Double](jaro_sim(lit("ab"), lit("az"))) == 2.0 / 3.0)
+  }
+
+  test("jaro transpositions floor (rapidfuzz convention); empty sides score 0") {
+    // 3 mismatched matched-positions -> floor(3/2) = 1 transposition
+    assert(eval1[Double](jaro_sim(lit("abcdef"), lit("bcadef"))) == 0.9444444444444445)
+    assert(eval1[Double](jaro_sim(lit(""), lit("abc"))) == 0.0)
+    assert(eval1[Double](jaro_sim(lit(""), lit(""))) == 0.0)
+    // null-safe
+    val r = Seq((Some("a"), Option.empty[String])).toDF("a", "b")
+      .select(jaro_winkler(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0))
+  }
+
   test("simhash64: near-identical docs are close in hamming, unrelated far") {
     val d1 = "the quick brown fox jumps over the lazy dog in the morning sun"
     val d2 = "the quick brown fox jumps over the lazy cat in the morning sun"
