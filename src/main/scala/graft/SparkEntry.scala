@@ -271,6 +271,27 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "rule_flag")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Table-level quality expectations over orders: the full check-kind
+    * surface (completeness, bounds, set membership, regex conformance, row
+    * count, uniqueness, referential containment) in one suite. The
+    * row-scalar checks share ONE aggregate pass (PlanSpec-pinned). */
+  private def qQualityChecks(s: SparkSession, d: String): DataFrame = {
+    import Quality._
+    Quality.report(Tables.orders(s, d), Seq(
+      Complete("o_custkey"),
+      MinAtLeast("o_totalprice", 500.0),
+      MaxAtMost("o_totalprice", 400000.0),
+      InSet("o_orderstatus", Seq("O", "F"), 0.9),
+      MatchesRegex("o_orderpriority", "^[1-5]-"),
+      RowCountBetween(1000L, 10000000L),
+      Unique(Seq("o_orderkey")),
+      FkContained(Seq("o_custkey"), Tables.customer(s, d), Seq("c_custkey"))))
+      .select(
+        col("check_name"), col("target"),
+        round(col("metric"), 6).as("metric"), col("passed"))
+      .orderBy("check_name", "target")
+  }
+
   private def qRulesSplit(s: SparkSession, d: String): DataFrame = {
     val (consistent, inconsistent) = Rules.splitConsistent(Tables.lineitem(s, d), lineitemRules)
     Relational.diagonalConcat(Seq(
@@ -1535,6 +1556,7 @@ object SparkEntry {
     "q_rules_flag" -> (qRulesFlag _),
     "q_rules_split" -> (qRulesSplit _),
     "q_rules_matrix_export" -> (qRulesMatrixExport _),
+    "q_quality_checks" -> (qQualityChecks _),
     "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_melt_indicators" -> (qMeltIndicators _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -1783,6 +1805,43 @@ object SparkEntry {
            UNION ALL
            SELECT CAST(rn AS BIGINT), CAST(3 AS BIGINT), dcol FROM f WHERE dcol IS NOT NULL)
          ORDER BY row_idx, col_idx""",
+    "q_quality_checks" ->
+      """SELECT check_name, target, ROUND(metric, 6) AS metric, passed FROM (
+           SELECT 'complete' AS check_name, 'o_custkey' AS target,
+                  AVG(CASE WHEN o_custkey IS NULL THEN 0.0 ELSE 1.0 END) AS metric,
+                  AVG(CASE WHEN o_custkey IS NULL THEN 0.0 ELSE 1.0 END) >= 1.0 AS passed
+           FROM orders
+           UNION ALL
+           SELECT 'min_at_least', 'o_totalprice', MIN(o_totalprice),
+                  MIN(o_totalprice) >= 500.0 FROM orders
+           UNION ALL
+           SELECT 'max_at_most', 'o_totalprice', MAX(o_totalprice),
+                  MAX(o_totalprice) <= 400000.0 FROM orders
+           UNION ALL
+           SELECT 'in_set', 'o_orderstatus',
+                  AVG(CASE WHEN o_orderstatus IN ('O','F') THEN 1.0 ELSE 0.0 END),
+                  AVG(CASE WHEN o_orderstatus IN ('O','F') THEN 1.0 ELSE 0.0 END) >= 0.9
+           FROM orders
+           UNION ALL
+           SELECT 'matches_regex', 'o_orderpriority',
+                  AVG(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END),
+                  AVG(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END) >= 1.0
+           FROM orders
+           UNION ALL
+           SELECT 'row_count_between', '*', CAST(COUNT(*) AS DOUBLE),
+                  COUNT(*) BETWEEN 1000 AND 10000000 FROM orders
+           UNION ALL
+           SELECT 'unique', 'o_orderkey',
+                  SUM(CASE WHEN __n = 1 THEN 1.0 ELSE 0.0 END) / SUM(CAST(__n AS DOUBLE)),
+                  SUM(CASE WHEN __n = 1 THEN 1.0 ELSE 0.0 END) / SUM(CAST(__n AS DOUBLE)) >= 1.0
+           FROM (SELECT COUNT(*) AS __n FROM orders GROUP BY o_orderkey)
+           UNION ALL
+           SELECT 'fk_contained', 'o_custkey',
+                  AVG(CASE WHEN p.c_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END),
+                  AVG(CASE WHEN p.c_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 1.0
+           FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+             ON o_custkey = p.c_custkey
+         ) ORDER BY check_name, target""",
     "q_fuzzy_match" ->
       """WITH scored AS (
            SELECT c_custkey, n_name,

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over a table.
+  *
+  * The reference validates integrated data with a rule matrix
+  * (/root/reference/update_pnls_report/utils.py:133
+  * `filter_consistent_data_by_rules` — per-ROW boolean formulas, see
+  * [[Rules]]); this is the TABLE-level complement: completeness, bounds,
+  * set membership, pattern conformance, row count, uniqueness and
+  * referential containment, each reduced to one (metric, passed) report row
+  * — the check-suite shape popularized by AWS Deequ (public docs/paper:
+  * "Automating Large-Scale Data Quality Verification", VLDB'18).
+  *
+  * 100 TB shape: every row-scalar check compiles into ONE shared aggregate
+  * pass over the table (a single partial+final HashAggregate — adding a
+  * check adds a column, not a scan). Uniqueness needs its own two-level
+  * aggregate (keyed count, then a count-of-counts); referential containment
+  * is a broadcast left join against the DISTINCT parent keys. Nothing ever
+  * collects to the driver; the report itself is a handful of rows.
+  */
+object Quality {
+
+  sealed trait Check {
+    /** check kind, e.g. "complete" — first report column. */
+    def name: String
+    /** checked column(s) — second report column. */
+    def target: String
+  }
+
+  /** Fraction of non-null values >= `minFraction`. */
+  final case class Complete(target: String, minFraction: Double = 1.0) extends Check {
+    val name = "complete"
+  }
+
+  /** `min(target) >= atLeast`. */
+  final case class MinAtLeast(target: String, atLeast: Double) extends Check {
+    val name = "min_at_least"
+  }
+
+  /** `max(target) <= atMost`. */
+  final case class MaxAtMost(target: String, atMost: Double) extends Check {
+    val name = "max_at_most"
+  }
+
+  /** Fraction of rows whose value is in `allowed` (null counts as outside
+    * the set) >= `minFraction`. */
+  final case class InSet(target: String, allowed: Seq[String], minFraction: Double = 1.0)
+      extends Check {
+    val name = "in_set"
+  }
+
+  /** Fraction of rows matching `regex` (find-anywhere semantics; null never
+    * matches) >= `minFraction`. */
+  final case class MatchesRegex(target: String, regex: String, minFraction: Double = 1.0)
+      extends Check {
+    val name = "matches_regex"
+  }
+
+  /** `lo <= count(*) <= hi`. */
+  final case class RowCountBetween(lo: Long, hi: Long) extends Check {
+    val name = "row_count_between"
+    val target = "*"
+  }
+
+  /** Deequ-style uniqueness: fraction of ROWS whose key value occurs exactly
+    * once, >= `minFraction`. Runs as its own two-level aggregate. */
+  final case class Unique(cols: Seq[String], minFraction: Double = 1.0) extends Check {
+    val name = "unique"
+    val target: String = cols.mkString(",")
+  }
+
+  /** Referential containment: fraction of child rows whose key exists in
+    * `parent` (a null child key is an orphan) >= `minFraction`. The parent's
+    * DISTINCT keys are broadcast — the child side never shuffles. */
+  final case class FkContained(
+      childCols: Seq[String],
+      parent: DataFrame,
+      parentCols: Seq[String],
+      minFraction: Double = 1.0) extends Check {
+    val name = "fk_contained"
+    val target: String = childCols.mkString(",")
+  }
+
+  private def metricExpr(c: Check): Column = c match {
+    case Complete(t, _) => avg(when(col(t).isNull, 0.0).otherwise(1.0))
+    case MinAtLeast(t, _) => min(col(t)).cast("double")
+    case MaxAtMost(t, _) => max(col(t)).cast("double")
+    case InSet(t, allowed, _) =>
+      avg(when(coalesce(col(t).isin(allowed: _*), lit(false)), 1.0).otherwise(0.0))
+    case MatchesRegex(t, re, _) =>
+      avg(when(coalesce(col(t).rlike(re), lit(false)), 1.0).otherwise(0.0))
+    case RowCountBetween(_, _) => count(lit(1)).cast("double")
+    case other => throw new IllegalArgumentException(s"not a single-pass check: $other")
+  }
+
+  private def passedExpr(c: Check, metric: Column): Column = c match {
+    case Complete(_, f) => metric >= f
+    case MinAtLeast(_, lo) => metric >= lo
+    case MaxAtMost(_, hi) => metric <= hi
+    case InSet(_, _, f) => metric >= f
+    case MatchesRegex(_, _, f) => metric >= f
+    case RowCountBetween(lo, hi) => metric >= lo.toDouble && metric <= hi.toDouble
+    case Unique(_, f) => metric >= f
+    case FkContained(_, _, _, f) => metric >= f
+  }
+
+  /** Run a check suite; returns one row per check:
+    * `(check_name, target, metric double, passed boolean)`, in the order the
+    * checks were given (pin an ORDER BY for cross-engine comparison). */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val single = checks.filter {
+      case _: Unique | _: FkContained => false
+      case _ => true
+    }
+    val branches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (single.nonEmpty) {
+      val aggs = single.zipWithIndex.map { case (c, i) => metricExpr(c).as(s"__m$i") }
+      val rows = single.zipWithIndex.map { case (c, i) =>
+        struct(
+          lit(c.name).as("check_name"), lit(c.target).as("target"),
+          col(s"__m$i").cast("double").as("metric"),
+          passedExpr(c, col(s"__m$i")).as("passed"))
+      }
+      branches += df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rows: _*)).as("r"))
+        .select(col("r.check_name"), col("r.target"), col("r.metric"), col("r.passed"))
+    }
+    checks.foreach {
+      case u: Unique =>
+        val m = df.groupBy(u.cols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .agg((sum(when(col("__n") === 1, 1.0).otherwise(0.0)) /
+            sum(col("__n")).cast("double")).as("metric"))
+        branches += m.select(
+          lit(u.name).as("check_name"), lit(u.target).as("target"),
+          col("metric"), passedExpr(u, col("metric")).as("passed"))
+      case f: FkContained =>
+        val pKeys = f.parentCols.zipWithIndex.map { case (c, i) => col(c).as(s"__p$i") }
+        val parentDistinct = f.parent.select(pKeys: _*).distinct()
+        val cond = f.childCols.zipWithIndex
+          .map { case (c, i) => col(c) === col(s"__p$i") }
+          .reduce(_ && _)
+        val m = df.select(f.childCols.map(col): _*)
+          .join(broadcast(parentDistinct), cond, "left")
+          .agg(avg(when(col("__p0").isNotNull, 1.0).otherwise(0.0)).as("metric"))
+        branches += m.select(
+          lit(f.name).as("check_name"), lit(f.target).as("target"),
+          col("metric"), passedExpr(f, col("metric")).as("passed"))
+      case _ => ()
+    }
+    branches.reduce(_.unionAll(_))
+  }
+}

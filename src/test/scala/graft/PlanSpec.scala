@@ -267,6 +267,18 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected exactly 1 data shuffle (lineitem agg), got $shuffles:\n$p")
   }
 
+  test("quality suite: all row-scalar checks share ONE aggregate pass over the table") {
+    import graft.operators.Quality, graft.operators.Quality._
+    val p = plan(Quality.report(Tables.orders(spark, sf), Seq(
+      Complete("o_custkey"), MinAtLeast("o_totalprice", 0.0),
+      MaxAtMost("o_totalprice", 1e9), InSet("o_orderstatus", Seq("O")),
+      MatchesRegex("o_orderpriority", "^x"), RowCountBetween(1, 2))))
+    val aggs = "\\(\\d+\\) HashAggregate".r.findAllIn(p).size
+    assert(aggs == 2, s"expected 1 shared aggregate (partial+final), got $aggs:\n$p")
+    assert(!p.contains("Join"), s"row-scalar checks must not join:\n$p")
+    assert(!p.contains("Expand"), s"check suite must not Expand rows:\n$p")
+  }
+
   test("gap fill never falls back to a cartesian/calendar cross join") {
     val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
     assert(p.contains("Generate"), s"expected a narrow sequence explode:\n$p")

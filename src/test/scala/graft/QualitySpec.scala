@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Quality
+import graft.operators.Quality._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality report: exact metrics and verdicts on planted defects") {
+    val df = Seq(
+      (1, Some("a"), 10.0),
+      (2, None, 50.0),
+      (2, Some("b"), 200.0),
+      (3, Some("zz"), 5.0)).toDF("id", "name", "score")
+    val rep = Quality.report(df, Seq(
+      Complete("name", 0.9),
+      MinAtLeast("score", 1.0),
+      MaxAtMost("score", 100.0),
+      InSet("name", Seq("a", "b"), 0.5),
+      MatchesRegex("name", "^[ab]$", 0.5),
+      RowCountBetween(2, 10),
+      Unique(Seq("id"))))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(rep == Set(
+      ("complete", "name", 0.75, false), // one null of four
+      ("min_at_least", "score", 5.0, true),
+      ("max_at_most", "score", 200.0, false), // planted outlier
+      ("in_set", "name", 0.5, true), // null counts as outside the set
+      ("matches_regex", "name", 0.5, true),
+      ("row_count_between", "*", 4.0, true),
+      ("unique", "id", 0.5, false))) // ids 1,3 unique; the two id=2 rows are not
+  }
+
+  test("fk containment: null keys and missing parents are both orphans") {
+    val child = Seq(Some(1), Some(2), None, Some(9)).toDF("fk")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val rep = Quality.report(
+      child, Seq(FkContained(Seq("fk"), parent, Seq("pk"), 0.9))).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getString(0) == "fk_contained")
+    assert(rep(0).getDouble(2) == 0.5)
+    assert(!rep(0).getBoolean(3))
+  }
+
+  test("a fully clean table passes every check at threshold 1.0") {
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val rep = Quality.report(df, Seq(
+      Complete("v"), Unique(Seq("id")), RowCountBetween(2, 2),
+      FkContained(Seq("id"), Seq(1, 2, 3).toDF("id"), Seq("id"))))
+      .collect()
+    assert(rep.forall(_.getBoolean(3)), rep.mkString(", "))
+    assert(rep.map(_.getString(0)).toSeq ==
+      Seq("complete", "row_count_between", "unique", "fk_contained"))
+  }
+}
