@@ -609,6 +609,21 @@ object SparkEntry {
         round(element_at(col("__p"), 3), 6).as("p75"))
       .orderBy("l_returnflag")
 
+  /** Robust MAD outliers of lineitem quantity per return flag (k=1.5 so the
+    * integer-valued synthetic data actually yields tails). Medians of
+    * integers are exact halves, so the flag comparison is deterministic
+    * across engines. */
+  private def qMadOutliers(s: SparkSession, d: String): DataFrame =
+    Sketches.madOutliers(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+      Seq("l_returnflag"), "l_quantity", k = 1.5)
+      .filter(col("is_outlier"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("median"), col("mad"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
   /** HLL++ distinct-user sketch per event type, with the exact count carried
     * alongside; rows-only driver check (sketch values are engine-specific),
     * error bound asserted in SketchesSpec. */
@@ -1612,6 +1627,7 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_rolling_agg" -> (qRollingAgg _),
     "q_percentile" -> (qPercentile _),
+    "q_mad_outliers" -> (qMadOutliers _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_event_window" -> (qEventWindow _),
     "q_event_window_stream" -> (qEventWindowStream _),
@@ -2243,6 +2259,22 @@ object SparkEntry {
                 ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
                 ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_mad_outliers" ->
+      """WITH med AS (
+           SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median
+           FROM lineitem GROUP BY 1),
+         r AS (
+           SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+                  m.median, abs(l.l_quantity - m.median) AS resid
+           FROM lineitem l JOIN med m USING (l_returnflag)),
+         mad AS (
+           SELECT l_returnflag, quantile_cont(resid, 0.5) AS mad
+           FROM r GROUP BY 1)
+         SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_quantity,
+                r.median, m2.mad
+         FROM r JOIN mad m2 USING (l_returnflag)
+         WHERE r.resid > 1.5 * m2.mad
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "q_event_window" ->
       """SELECT CAST(ts AS DATE) AS event_date, CAST(hour(ts) AS INTEGER) AS event_hour, event_type,
                 COUNT(*) AS n_events,

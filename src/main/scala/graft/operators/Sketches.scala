@@ -155,6 +155,44 @@ object Sketches {
       .drop("__s")
   }
 
+  /** Robust per-key outlier flags via the median absolute deviation:
+    * `is_outlier = |x - median| > k * MAD` — the classic robust z-score
+    * (unlike mean/stddev, one huge outlier cannot mask itself by inflating
+    * the threshold). Adds `median`, `mad`, `is_outlier` to every row.
+    *
+    * Shape: two keyed median aggregates (the value, then the residuals),
+    * each broadcast back onto the data — the data side itself never
+    * re-shuffles. With `approx = false` the medians are exact (the
+    * percentile aggregate's partial state carries the group's values — fine
+    * up to millions of rows per key); at 100 TB set `approx = true` for the
+    * mergeable GK sketch whose state is bounded at any group size, same
+    * plan shape. */
+  def madOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      k: Double = 3.0,
+      approx: Boolean = false): DataFrame = {
+    val keys = keyCols.map(col)
+    def medianOf(in: DataFrame, c: Column, as: String): DataFrame = {
+      val m =
+        if (approx) percentile_approx(c, lit(0.5), lit(10000))
+        else percentile(c, lit(0.5))
+      if (keyCols.isEmpty) in.agg(m.as(as)) else in.groupBy(keys: _*).agg(m.as(as))
+    }
+    def back(in: DataFrame, agg: DataFrame): DataFrame =
+      if (keyCols.isEmpty) in.crossJoin(broadcast(agg))
+      else in.join(broadcast(agg), keyCols)
+    val v = col(valueCol).cast("double")
+    val withMed = back(df, medianOf(df, v, "__med"))
+      .withColumn("__resid", abs(v - col("__med")))
+    back(withMed, medianOf(withMed, col("__resid"), "__mad"))
+      .withColumn("is_outlier", col("__resid") > lit(k) * col("__mad"))
+      .withColumnRenamed("__med", "median")
+      .withColumnRenamed("__mad", "mad")
+      .drop("__resid")
+  }
+
   def filterByQuantileBand(
       df: DataFrame,
       valueCol: String,

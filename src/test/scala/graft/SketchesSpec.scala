@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Sketches
 import graft.sources.Tables
 
@@ -85,6 +87,31 @@ class SketchesSpec extends SparkSpec {
       val ex = exact(t).toDouble
       assert(math.abs(est - ex) / ex < 0.05, s"$t: est $est vs exact $ex")
     }
+  }
+
+  test("madOutliers flags exactly |x - median| > k*MAD, per key and globally") {
+    // key a: values 1..9 + planted 100 -> median 5.5, residuals
+    // (4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5) -> MAD = 2.5;
+    // k=3 -> threshold 7.5: only 100 (resid 94.5) crosses it
+    val a = (1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 100.0)
+    // key b: constant values -> MAD 0, nothing flagged at any k (0 > 0 false)
+    val b = (1 to 5).map(_ => ("b", 7.0))
+    val df = (a ++ b).toDF("k", "v").repartition(4)
+    val out = Sketches.madOutliers(df, Seq("k"), "v", k = 3.0)
+    val flagged = out.filter(col("is_outlier")).collect()
+    assert(flagged.length == 1)
+    assert(flagged(0).getAs[String]("k") == "a")
+    assert(flagged(0).getAs[Double]("v") == 100.0)
+    assert(flagged(0).getAs[Double]("median") == 5.5)
+    assert(flagged(0).getAs[Double]("mad") == 2.5)
+    // global (no keys) variant: same machinery through the crossJoin path.
+    // pooled median 7, MAD 1, threshold 3 -> values {1,2,3,100} cross it
+    val g = Sketches.madOutliers(df.select("v"), Nil, "v", k = 3.0)
+    assert(g.filter(col("is_outlier")).collect()
+      .map(_.getAs[Double]("v")).sorted.toSeq == Seq(1.0, 2.0, 3.0, 100.0))
+    // approx variant keeps the schema and flags the same planted point
+    val ap = Sketches.madOutliers(df, Seq("k"), "v", k = 3.0, approx = true)
+    assert(ap.filter(col("is_outlier")).collect().map(_.getAs[Double]("v")).toSeq == Seq(100.0))
   }
 
   test("heavyHitters approximate regime honors Misra-Gries bounds") {
