@@ -800,6 +800,31 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Incremental aggregate maintenance: the monthly totals state is built
+    * from two disjoint slices (simulating a standing state + an arriving
+    * delta) and merged — by the monoid property the result is exactly the
+    * full-table aggregate, which is what the oracle computes. Averages are
+    * derived AFTER the merge from the exact decimal sums. */
+  private def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .withColumn("order_month", date_trunc("month", col("o_orderdate")).cast("date"))
+    val split = lit("1996-07-01").cast("timestamp")
+    val keys = Seq("o_orderstatus", "order_month")
+    val prev = Relational.aggState(
+      ord.filter(col("o_orderdate") < split), keys,
+      sumCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"))
+    val delta = Relational.aggState(
+      ord.filter(col("o_orderdate") >= split), keys,
+      sumCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"))
+    Relational.mergeAggState(prev, delta)
+      .select(
+        col("o_orderstatus"), col("order_month"), col("cnt"),
+        col("sum_o_totalprice").cast("double").as("sum_price"),
+        col("max_o_totalprice").as("max_price"),
+        round(col("sum_o_totalprice").cast("double") / col("cnt"), 6).as("avg_price"))
+      .orderBy("o_orderstatus", "order_month")
+  }
+
   private def qRedactPii(s: SparkSession, d: String): DataFrame =
     TextAnalysis.redactPii(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
@@ -1601,6 +1626,7 @@ object SparkEntry {
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q_partitioned_export" -> (qPartitionedExport _),
     "q_jsonl_export" -> (qJsonlExport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -2128,6 +2154,14 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "q_incremental_agg" ->
+      """SELECT o_orderstatus,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+                COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                MAX(o_totalprice) AS max_price,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+         FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, order_month""",
     "q_redact_pii" ->
       """SELECT doc_id,
                 regexp_replace(

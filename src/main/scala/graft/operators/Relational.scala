@@ -195,6 +195,50 @@ object Relational {
       .drop("__src")
   }
 
+  /** Mergeable aggregate state for incremental (materialized-view style)
+    * maintenance: per key, a row count plus exact decimal sums and min/max
+    * measures — every one a commutative monoid, so states built from
+    * disjoint slices merge into exactly the state of the union
+    * ([[mergeAggState]]). The 100 TB pattern: aggregate each arriving delta
+    * alone (a delta-sized shuffle) and fold it into the standing state —
+    * the full history is never re-scanned. Derive avg as sum/cnt AFTER the
+    * final merge (avg itself does not merge; its parts do). */
+  def aggState(
+      df: DataFrame,
+      keyCols: Seq[String],
+      sumCols: Seq[String],
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): DataFrame = {
+    val measures =
+      count(lit(1)).as("cnt") +:
+        (sumCols.map(c => sum(col(c).cast("decimal(18,2)")).cast("decimal(18,2)").as(s"sum_$c")) ++
+          minCols.map(c => min(col(c)).as(s"min_$c")) ++
+          maxCols.map(c => max(col(c)).as(s"max_$c")))
+    df.groupBy(keyCols.map(col): _*).agg(measures.head, measures.tail: _*)
+  }
+
+  /** Merge two [[aggState]] tables (same schema) into the state of the
+    * concatenated inputs: one union + one partial aggregate, measure
+    * re-merge inferred from the column-name convention. Schema-stable, so
+    * the result folds with the next delta. */
+  def mergeAggState(a: DataFrame, b: DataFrame): DataFrame = {
+    require(
+      a.columns.sorted.sameElements(b.columns.sorted),
+      s"state schemas differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val measureCols = a.columns.filter(c =>
+      c == "cnt" || c.startsWith("sum_") || c.startsWith("min_") || c.startsWith("max_"))
+    val keyCols = a.columns.filterNot(measureCols.contains)
+    val remerge = measureCols.toSeq.map {
+      case "cnt" => sum(col("cnt")).as("cnt")
+      case c if c.startsWith("sum_") => sum(col(c)).cast("decimal(18,2)").as(c)
+      case c if c.startsWith("min_") => min(col(c)).as(c)
+      case c => max(col(c)).as(c)
+    }
+    a.unionByName(b)
+      .groupBy(keyCols.map(col): _*)
+      .agg(remerge.head, remerge.tail: _*)
+  }
+
   /** Align a frame to an expected column list: add missing columns as typed
     * nulls and order columns; reference extract_ist_data.py:156-169 (add
     * expected columns, select in canonical order).

@@ -79,6 +79,31 @@ class RelationalSpec extends SparkSpec {
       viaWindow.map(r => (r.getLong(0), r.getLong(2))).toSeq)
   }
 
+  test("aggState merge of disjoint slices equals the full recompute exactly") {
+    val full = Seq(
+      ("a", 10.50, 1.0), ("a", 2.25, 9.0), ("b", 5.00, 4.0),
+      ("b", -1.75, 2.0), ("c", 0.10, 3.0)).toDF("k", "x", "y")
+    // slice so key 'a' spans both, 'b' sits in one, 'c' in the other
+    val sliceA = full.filter(col("y") <= 2.0)
+    val sliceB = full.filter(col("y") > 2.0)
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Relational.aggState(df, Seq("k"), Seq("x"), minCols = Seq("y"), maxCols = Seq("y"))
+    val merged = Relational.mergeAggState(state(sliceA), state(sliceB))
+    val direct = state(full)
+    // names + types must be stable (nullability legitimately widens:
+    // count(*) is non-null, the re-merged sum(cnt) is nullable)
+    def shape(df: org.apache.spark.sql.DataFrame) = df.schema.map(f => (f.name, f.dataType))
+    assert(shape(merged) == shape(direct), s"merge must be schema-stable:\n${merged.schema}\n${direct.schema}")
+    val m = merged.orderBy("k").collect().toSeq
+    val d = direct.orderBy("k").collect().toSeq
+    assert(m == d, s"merged $m != direct $d")
+    // and the merge folds again (three-slice chain) without drift
+    val chained = Relational.mergeAggState(
+      Relational.mergeAggState(state(sliceA), state(sliceB)),
+      state(full.limit(0)))
+    assert(chained.orderBy("k").collect().toSeq == d)
+  }
+
   test("snapshotDiff classifies added/removed/changed with null-safe compare") {
     import org.apache.spark.sql.Row
     val old = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d")).toDF("id", "v")
