@@ -825,6 +825,23 @@ object SparkEntry {
       .orderBy("o_orderstatus", "order_month")
   }
 
+  /** Z-order layout round trip: lineitem rewritten clustered on
+    * (l_partkey, l_suppkey) — the multi-dimension data-skipping layout —
+    * then read back; the oracle is the identity (clustering must lose
+    * nothing). SinkSpec asserts the layout property itself (per-file
+    * min/max tightness in BOTH dimensions). */
+  private def qZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_zorder_").toFile
+    tmpDir.deleteOnExit()
+    val out = new java.io.File(tmpDir, "lineitem_z").getPath
+    Sink.writeZOrdered(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+      out, Seq("l_partkey", "l_suppkey"), bits = 8, numFiles = 16)
+    s.read.parquet(out)
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
   private def qRedactPii(s: SparkSession, d: String): DataFrame =
     TextAnalysis.redactPii(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
@@ -1627,6 +1644,7 @@ object SparkEntry {
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_zorder_layout" -> (qZorderLayout _),
     "q_partitioned_export" -> (qPartitionedExport _),
     "q_jsonl_export" -> (qJsonlExport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -2154,6 +2172,10 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "q_zorder_layout" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
     "q_incremental_agg" ->
       """SELECT o_orderstatus,
                 CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,

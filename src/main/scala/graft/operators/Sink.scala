@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Output sinks. Reference utils.py:395 `export_file` writes one CSV per
   * period value with a Python loop; graft uses Spark's native
@@ -48,6 +49,59 @@ object Sink {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
     nFiles
   }
+
+  /** Morton (Z-order) key over `zCols`: each column is quantile-bucketed
+    * into 2^`bits` ranks (one shared approx-percentile aggregate, bounds
+    * broadcast back as a 1-row cross join — no driver collect), then the
+    * rank bits interleave into one long. Rows close in z share prefixes of
+    * EVERY dimension's rank — the multi-column locality that makes parquet
+    * min/max pruning effective on all z columns at once, where a plain sort
+    * only serves its leading column. Everything is a codegen'd projection;
+    * null values rank 0. */
+  def zOrderValue(df: DataFrame, zCols: Seq[String], bits: Int = 8): DataFrame = {
+    require(zCols.nonEmpty, "zOrderValue needs at least one column")
+    require(bits >= 1 && bits * zCols.size <= 60, s"bits*cols must fit a long, got $bits*${zCols.size}")
+    val nBuckets = 1 << bits
+    val probs = array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
+    val boundAggs = zCols.map(c =>
+      percentile_approx(col(c).cast("double"), probs, lit(10000)).as(s"__bnd_$c"))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    // rank = number of boundaries strictly below v (a codegen'd fold over
+    // the broadcast boundary array — strict, so values equal to the lowest
+    // boundary stay in bucket 0); bit-interleave via an unrolled OR chain
+    val withRanks = df.crossJoin(broadcast(bounds))
+    val ranks = zCols.map { c =>
+      aggregate(
+        col(s"__bnd_$c"),
+        lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L))
+    }
+    val n = zCols.size
+    val terms = for {
+      bit <- 0 until bits
+      (r, j) <- ranks.zipWithIndex
+    } yield shiftleft(shiftright(r, bit).bitwiseAND(lit(1L)), bit * n + j)
+    withRanks
+      .withColumn("__z", terms.reduce[Column](_ bitwiseOR _))
+      .drop(zCols.map(c => s"__bnd_$c"): _*)
+  }
+
+  /** Write `df` clustered by the Z-order of `zCols` into `numFiles` files:
+    * range-partition on the z key (so files tile the z curve) and sort
+    * within each partition. At 100 TB this is the data-layout lever: scans
+    * filtering on ANY subset of the z columns prune most files from the
+    * parquet min/max index alone, no matter which column leads. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      bits: Int = 8,
+      numFiles: Int = 16): Unit =
+    zOrderValue(df, zCols, bits)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 
   /** Bucketed managed table: pre-shuffles rows into `nBuckets` hash buckets
     * on `bucketCols` at write time. Two tables bucketed the same way join

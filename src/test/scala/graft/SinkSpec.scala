@@ -55,6 +55,42 @@ class SinkSpec extends SparkSpec {
     assert(back == (1L to 100L).map(i => (i, s"v$i")))
   }
 
+  test("writeZOrdered: lossless round trip; every file is tight in BOTH z dimensions") {
+    import org.apache.spark.sql.functions._
+    // a 64x64 grid: the two dimensions vary independently, so a plain sort
+    // on either column would leave the other's per-file range at ~full width
+    val n = 4096L
+    val df = spark.range(n)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      .repartition(8)
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/t"
+    Sink.writeZOrdered(df.toDF(), dir, Seq("x", "y"), bits = 8, numFiles = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n)
+    assert(back.exceptAll(df.toDF()).isEmpty && df.toDF().exceptAll(back).isEmpty)
+    val stats = back.groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .collect()
+    assert(stats.length >= 8, s"expected >= 8 files, got ${stats.length}")
+    val avgX = stats.map(_.getAs[Long]("xr")).sum.toDouble / stats.length
+    val avgY = stats.map(_.getAs[Long]("yr")).sum.toDouble / stats.length
+    // 16 z-tiles over a 64x64 grid ≈ 4x4 slabs: per-file range ~ 16 per
+    // dim; a single-column sort would leave one of them at ~63
+    assert(avgX < 32.0, s"x not clustered (avg per-file range $avgX of 63)")
+    assert(avgY < 32.0, s"y not clustered (avg per-file range $avgY of 63)")
+  }
+
+  test("zOrderValue interleaves rank bits (hand-checked small case)") {
+    import org.apache.spark.sql.functions._
+    // 4 points at the corners of a 2x2 grid, bits=1: rank boundaries split
+    // each dim at its median; z = y_bit<<1 | x_bit -> 0,1,2,3
+    val df = Seq((0, 0), (1, 0), (0, 1), (1, 1)).toDF("x", "y")
+    val z = Sink.zOrderValue(df, Seq("x", "y"), bits = 1)
+      .orderBy("y", "x").select("x", "y", "__z").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(z.toSeq == Seq((0, 0, 0L), (1, 0, 1L), (0, 1, 2L), (1, 1, 3L)))
+  }
+
   test("compactParquet merges a small-files directory losslessly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("compact_spec_").toFile.getPath
