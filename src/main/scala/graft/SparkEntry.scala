@@ -481,6 +481,16 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Int8 scalar-quantized ANN with exact rerank — rows-only by design
+    * (quantized shortlisting is engine-specific); SimilaritySpec pins
+    * recall against brute force. */
+  private def qAnnQuantized(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   // -------------------------------------------------------- text analysis
 
   private def qLangId(s: SparkSession, d: String): DataFrame = {
@@ -1628,6 +1638,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_quantized" -> (qAnnQuantized _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),

@@ -58,6 +58,50 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Scalar int8 quantization of a float vector: per-dimension affine map
+    * of [lo_i, hi_i] onto [-128, 127], clamped. `lo`/`hi` are double arrays
+    * (corpus-level bounds, passed as plan literals); a degenerate dimension
+    * (hi == lo) quantizes to 0. Returns BinaryType — one byte per
+    * dimension, 4x smaller than float32 through memory and shuffles. */
+  def quantizeI8(vec: ArrayData, lo: ArrayData, hi: ArrayData): Array[Byte] = {
+    val n = vec.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val l = lo.getDouble(i)
+      val h = hi.getDouble(i)
+      val x = vec.getFloat(i).toDouble
+      val q =
+        if (h <= l) 0.0
+        else math.rint((x - l) / (h - l) * 255.0) - 128.0
+      out(i) = math.max(-128.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine similarity of two int8-quantized vectors — integer multiply-
+    * accumulate (exact in Long), one traversal. The approximate score for
+    * quantized shortlisting; rerank the shortlist with [[cosineSim]] on the
+    * original floats. */
+  def cosineSimI8(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = a.length
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toLong
+      val y = b(i).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** Random-hyperplane LSH signature: bit b of the result is the sign of
     * dot(vec, plane_{table,b}), where plane component (table, b, dim) is a
     * deterministic ±1 derived from mix64 — the planes are implicit, so the

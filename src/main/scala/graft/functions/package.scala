@@ -200,6 +200,20 @@ package object functions {
       ArrayType(StringType, containsNull = false),
       Seq(syms, left, right))
 
+  /** Scalar int8 quantization of an `array<float>` vector against
+    * per-dimension [lo, hi] bounds (double-array literals): BinaryType, one
+    * byte per dimension. */
+  def quantize_i8(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column =
+    invokeVec(
+      "quantizeI8",
+      BinaryType,
+      Seq(vec, lit(lo.toArray), lit(hi.toArray)))
+
+  /** Approximate cosine similarity of two int8-quantized (binary) vectors —
+    * the shortlist scorer for [[graft.operators.Similarity.quantizedTopK]]. */
+  def cosine_sim_i8(a: Column, b: Column): Column =
+    invokeVec("cosineSimI8", DoubleType, Seq(a, b))
+
   /** Random-hyperplane LSH signature (`bits` sign bits packed in a long) of
     * an `array<float>` vector for LSH table `table`. Planes are implicit
     * (derived from a fixed hash), so this is a stateless one-pass expression:

@@ -184,6 +184,69 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Scalar-quantized ANN (the SQ8 pattern from FAISS's public docs): corpus
+    * vectors compress to one int8 per dimension — 4x smaller than float32
+    * through memory and every shuffle — using per-dimension [min, max]
+    * bounds fit on a bounded sample and baked into the plan as literals
+    * (constant-cost build, nothing broadcast but the queries). Search
+    * shortlists `rerank * k` candidates per query on the integer scores
+    * (native top-k, bounded heaps), then re-scores ONLY the shortlist
+    * exactly on the float vectors for the final k — so the full-precision
+    * data is touched once per shortlisted row, not per corpus row.
+    *
+    * Exact-equality caveat: quantized scores order slightly differently
+    * than float scores; `rerank` is the recall dial (shortlist misses are
+    * the only error source — the final k are exactly ranked). */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int = 4,
+      maxFitRows: Long = 1000000L): DataFrame = {
+    // per-dimension bounds from a bounded sample: dims are a fixed small
+    // arity, so the collected bounds row is O(dim), not O(corpus)
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val sample = fitSample(corpus.select(col(vecCol)), maxFitRows)
+    val bounds = sample
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .groupBy(col("__d"))
+      .agg(min(col("__v")).cast("double").as("__lo"), max(col("__v")).cast("double").as("__hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(bounds.length == dim, s"expected $dim dims, sample covered ${bounds.length}")
+    val lo = bounds.map(_._2).toSeq
+    val hi = bounds.map(_._3).toSeq
+
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      quantize_i8(col(vecCol), lo, hi).as("__qq")))
+    // shortlist on int8 scores: the corpus side carries ONLY (id, bytes)
+    val shortlist = Relational.topKPerKey(
+      corpus
+        .select(col(idCol).as("vec_id2"), quantize_i8(col(vecCol), lo, hi).as("__cq"))
+        .join(q.select(col("query_id"), col("__qq")))
+        .filter(col("vec_id2") =!= col("query_id"))
+        .withColumn("qsim", cosine_sim_i8(col("__qq"), col("__cq")))
+        .select("query_id", "vec_id2", "qsim"),
+      keyCols = Seq("query_id"),
+      sort = Seq("qsim" -> true, "vec_id2" -> false),
+      k = rerank * k)
+    // exact rerank of the shortlist only: the |queries| * rerank * k
+    // shortlist broadcasts into the float-vector scan — the corpus never
+    // shuffles for the rerank either
+    val floats = corpus.select(col(idCol).as("vec_id2"), col(vecCol).as("__v"))
+    val scored = floats
+      .join(broadcast(shortlist.select("query_id", "vec_id2")), Seq("vec_id2"))
+      .join(q.select(col("query_id"), col("__qv")), Seq("query_id"))
+      .withColumn("sim", cosine_sim_float(col("__qv"), col("__v")))
+      .select("query_id", "vec_id2", "sim")
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN: candidates = corpus rows sharing any of the L table
     * signatures with the query, scored exactly, top-k per query. */
   def lshTopK(

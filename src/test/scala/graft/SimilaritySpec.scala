@@ -46,6 +46,23 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 7, s"IVF top-1 agreement $agree/10 too low (brute=$brute ivf=$ivf)")
   }
 
+  test("quantizedTopK agrees with brute force at high rate; rerank scores are exact floats") {
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val corpus = (0 until 200).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).map(t => t._1 -> t).toMap
+    val sq = Similarity.quantizedTopK(corpus, queries, "vec_id", "embedding", k = 1, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).map(t => t._1 -> t).toMap
+    val agree = brute.count { case (q, t) => sq.get(q).contains(t) }
+    // int8 over 16 dims keeps ordering for clear winners; rerank=8 widens
+    // the shortlist; where they agree the scores must be bit-identical
+    // (the rerank re-scores on the original floats)
+    assert(agree >= 8, s"quantized top-1 agreement $agree/10 too low (brute=$brute sq=$sq)")
+  }
+
   test("embeddingNearDup surfaces planted duplicate pairs above threshold") {
     val rnd = new scala.util.Random(11)
     val dim = 16
