@@ -481,6 +481,16 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Unicode script profile per document: per-script character counts over
+    * fixed BMP codepoint ranges + dominant script — the script split that
+    * gates a multilingual corpus before within-script language ID. */
+  private def qScriptDetect(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      Seq(col("doc_id")) ++
+        TextAnalysis.scriptCounts(col("text")).map { case (n, c) => c.as(n) } :+
+        TextAnalysis.dominantScript(col("text")).as("dominant_script"): _*)
+      .orderBy("doc_id")
+
   /** Int8 scalar-quantized ANN with exact rerank — rows-only by design
     * (quantized shortlisting is engine-specific); SimilaritySpec pins
     * recall against brute force. */
@@ -1639,6 +1649,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_quantized" -> (qAnnQuantized _),
+    "q_script_detect" -> (qScriptDetect _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -1980,6 +1991,21 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
+    "q_script_detect" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+                  length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+                  length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+                  length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic
+           FROM documents)
+         SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+                CASE WHEN n_latin + n_cyrillic + n_cjk + n_arabic = 0 THEN 'none'
+                     WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin >= n_arabic THEN 'latin'
+                     WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic THEN 'cyrillic'
+                     WHEN n_cjk >= n_arabic THEN 'cjk'
+                     ELSE 'arabic' END AS dominant_script
+         FROM c ORDER BY doc_id""",
     "q_lang_id" ->
       """WITH scores AS (
            SELECT doc_id,

@@ -37,6 +37,35 @@ object TextAnalysis {
     }
   }
 
+  /** Per-script character counts + dominant script — the script-detection
+    * complement of [[langId]] (marker words only separate languages within
+    * a script; a multilingual web corpus needs the script split first).
+    * Counts use explicit BMP codepoint ranges so any engine reproduces them
+    * (Unicode script property classes differ across regex dialects); counts
+    * are `len(text) - len(text with the class removed)`, a codegen'd
+    * projection, zero shuffle. Dominant ties break latin > cyrillic > cjk >
+    * arabic; all-zero counts yield 'none'. */
+  def scriptCounts(text: Column): Seq[(String, Column)] = {
+    def countClass(pattern: String): Column =
+      (length(text) - length(regexp_replace(text, lit(pattern), lit("")))).cast("long")
+    def range(lo: Int, hi: Int): String = s"[${lo.toChar}-${hi.toChar}]"
+    Seq(
+      "n_latin" -> countClass("[A-Za-z]"),
+      "n_cyrillic" -> countClass(range(0x0400, 0x04FF)),
+      "n_cjk" -> countClass(range(0x4E00, 0x9FFF)),
+      "n_arabic" -> countClass(range(0x0600, 0x06FF)))
+  }
+
+  def dominantScript(text: Column): Column = {
+    val c = scriptCounts(text).toMap
+    val (la, cy, cj, ar) = (c("n_latin"), c("n_cyrillic"), c("n_cjk"), c("n_arabic"))
+    when(la + cy + cj + ar === 0, lit("none"))
+      .when(la >= cy && la >= cj && la >= ar, lit("latin"))
+      .when(cy >= cj && cy >= ar, lit("cyrillic"))
+      .when(cj >= ar, lit("cjk"))
+      .otherwise(lit("arabic"))
+  }
+
   /** Quality-scoring feature columns: character/word counts, punctuation and
     * stopword ratios, mean word length. The standard cheap filters in front
     * of a training-data pipeline. */

@@ -18,6 +18,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "fr", "de", "es", "und"))
   }
 
+  test("scriptCounts/dominantScript: exact per-range counts, ties and 'none'") {
+    val cyr = "Да" // "Да" — 2 cyrillic chars
+    val cjk = "你好吗" // "你好吗" — 3 cjk chars
+    val ara = "مرحبا" // "مرحبا" — 5 arabic chars
+    val df = Seq(
+      (1, s"hello $cyr"), // 5 latin, 2 cyrillic -> latin
+      (2, s"$cjk $ara"), // 3 cjk, 5 arabic -> arabic
+      (3, "12345 !!"), // nothing -> none
+      (4, s"ab $cyr") // 2 vs 2 tie -> latin (fixed priority)
+    ).toDF("id", "text")
+    val out = df.select(
+      Seq(col("id")) ++
+        TextAnalysis.scriptCounts(col("text")).map { case (n, c) => c.as(n) } :+
+        TextAnalysis.dominantScript(col("text")).as("dom"): _*)
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (1, 5L, 2L, 0L, 0L, "latin"),
+      (2, 0L, 0L, 3L, 5L, "arabic"),
+      (3, 0L, 0L, 0L, 0L, "none"),
+      (4, 2L, 2L, 0L, 0L, "latin")))
+  }
+
   test("qualityFeatures computes exact counts on a known string") {
     val text = "Hello, world! The answer is 42."
     val row = Seq(text).toDF("text")
