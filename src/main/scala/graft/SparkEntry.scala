@@ -481,6 +481,37 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Rolling 7-day distinct users per event type via HLL sketch MERGES over
+    * the daily sketch cube — rows-only by design (sketch estimates);
+    * SketchesSpec pins merge-equals-exact on planted data. */
+  private def qRollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val cube = Sketches.sketchCube(
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"), col("user_id")),
+      Seq("event_type", "day"), "user_id")
+    Sketches.rollingSketchDistinct(cube, "day", Seq("event_type"), days = 7)
+      .select(
+        col("event_type"), col("day"), col("n_rows"), col("approx_distinct_rolling"))
+      .orderBy("event_type", "day")
+  }
+
+  /** PSI distribution drift of the order price between the first and second
+    * half of the order history — per-bin drift terms, exact counts. */
+  private def qPsiDrift(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val split = lit("1996-07-01").cast("timestamp")
+    Sketches.psi(
+      ord.filter(col("o_orderdate") < split),
+      ord.filter(col("o_orderdate") >= split),
+      "o_totalprice", nBins = 10)
+      .select(
+        col("bin"), col("n_base"), col("n_cur"),
+        round(col("base_pct"), 6).as("base_pct"),
+        round(col("cur_pct"), 6).as("cur_pct"),
+        round(col("psi_term"), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
   /** Unicode script profile per document: per-script character counts over
     * fixed BMP codepoint ranges + dominant script — the script split that
     * gates a multilingual corpus before within-script language ID. */
@@ -1650,6 +1681,8 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_quantized" -> (qAnnQuantized _),
     "q_script_detect" -> (qScriptDetect _),
+    "q_rolling_distinct" -> (qRollingDistinct _),
+    "q_psi_drift" -> (qPsiDrift _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -1991,6 +2024,29 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
+    "q_psi_drift" ->
+      """WITH b AS (SELECT MIN(o_totalprice) AS lo,
+                           (MAX(o_totalprice) - MIN(o_totalprice)) / 10 AS w
+                    FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+         base AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                                       ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                         COUNT(*) AS n_base
+                  FROM orders, b WHERE o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),
+         cur AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                                      ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                        COUNT(*) AS n_cur
+                 FROM orders, b WHERE o_orderdate >= TIMESTAMP '1996-07-01' GROUP BY 1),
+         j AS (SELECT COALESCE(base.bin, cur.bin) AS bin,
+                      COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+               FROM base FULL OUTER JOIN cur ON base.bin = cur.bin),
+         t AS (SELECT bin, n_base, n_cur,
+                      GREATEST(CAST(n_base AS DOUBLE) / SUM(n_base) OVER (), 0.0001) AS base_pct,
+                      GREATEST(CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER (), 0.0001) AS cur_pct
+               FROM j)
+         SELECT bin, n_base, n_cur,
+                ROUND(base_pct, 6) AS base_pct, ROUND(cur_pct, 6) AS cur_pct,
+                ROUND((cur_pct - base_pct) * LN(cur_pct / base_pct), 6) AS psi_term
+         FROM t ORDER BY bin""",
     "q_script_detect" ->
       """WITH c AS (
            SELECT doc_id,

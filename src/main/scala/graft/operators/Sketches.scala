@@ -117,6 +117,71 @@ object Sketches {
         count(lit(1)).as("n"))
   }
 
+  /** Rolling `days`-day distinct counts by MERGING the daily HLL sketches
+    * of a [[sketchCube]] — the sliding-window distinct pattern at 100 TB:
+    * raw events are sketched once per (key, day); every rolling answer
+    * after that is a register merge over at most `days` sketch rows per
+    * output row (a RANGE window over the calendar, so gap days shorten the
+    * frame instead of silently widening it). Re-scanning the raw data per
+    * window — the naive formulation — would read each event `days` times. */
+  def rollingSketchDistinct(
+      cube: DataFrame,
+      dayCol: String,
+      keyCols: Seq[String],
+      days: Int): DataFrame = {
+    require(days >= 1, s"days must be >= 1, got $days")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(unix_date(col(dayCol).cast("date")))
+      .rangeBetween(-(days - 1), 0)
+    cube.withColumn(
+      "approx_distinct_rolling",
+      hll_sketch_estimate(hll_union_agg(col("hll")).over(w)))
+  }
+
+  /** Population Stability Index of a score column between a `baseline` and
+    * a `current` snapshot — the standard drift alarm in front of a model or
+    * a curated corpus (public convention: PSI < 0.1 stable, > 0.25 shifted).
+    * Bins are the BASELINE's equi-width bins (broadcast bounds, same shape
+    * as [[histogram]]); both sides reduce to bin counts with one partial
+    * aggregate each, the comparison joins B bin rows. Empty bins clamp to
+    * `eps` share (the standard continuity correction). Returns one row per
+    * bin with the PSI term; sum `psi_term` for the index. */
+  def psi(
+      baseline: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      nBins: Int = 10,
+      eps: Double = 1e-4): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val v = col(valueCol).cast("double")
+    val bounds = baseline.agg(
+      min(v).as("__lo"),
+      ((max(v) - min(v)) / nBins).as("__w"))
+    def binCounts(df: DataFrame, as: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .withColumn(
+          "bin",
+          least(
+            when(col("__w") === 0.0, lit(0))
+              .otherwise(floor((v - col("__lo")) / col("__w"))),
+            lit(nBins - 1)).cast("long"))
+        // out-of-baseline-range current values clamp into the edge bins
+        .withColumn("bin", greatest(col("bin"), lit(0L)))
+        .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val joined = binCounts(baseline, "n_base")
+      .join(binCounts(current, "n_cur"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val totB = sum(col("n_base")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val totC = sum(col("n_cur")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    joined
+      .withColumn("base_pct", greatest(col("n_base") / totB, lit(eps)))
+      .withColumn("cur_pct", greatest(col("n_cur") / totC, lit(eps)))
+      .withColumn(
+        "psi_term",
+        (col("cur_pct") - col("base_pct")) * log(col("cur_pct") / col("base_pct")))
+  }
+
   /** Exact corpus-wide percentile-rank (ECDF) normalization of a score
     * column WITHOUT a global sort: quantize the score to `dp` decimals,
     * aggregate the value histogram (partial hash agg — the shuffle carries

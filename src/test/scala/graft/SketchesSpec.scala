@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 
 import graft.operators.Sketches
 import graft.sources.Tables
@@ -87,6 +87,44 @@ class SketchesSpec extends SparkSpec {
       val ex = exact(t).toDouble
       assert(math.abs(est - ex) / ex < 0.05, s"$t: est $est vs exact $ex")
     }
+  }
+
+  test("rollingSketchDistinct: merged sketches equal exact rolling distinct; calendar gaps respected") {
+    import java.sql.Date
+    // users per (type, day); day 3 missing for type a — the RANGE frame must
+    // not stretch the 2-day window across the gap
+    val rows = Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-01", 2L),
+      ("a", "2024-01-02", 2L), ("a", "2024-01-02", 3L),
+      ("a", "2024-01-04", 9L),
+      ("b", "2024-01-01", 5L))
+      .map { case (t, d, u) => (t, Date.valueOf(d), u) }
+      .toDF("event_type", "day", "user_id")
+    val cube = Sketches.sketchCube(rows, Seq("event_type", "day"), "user_id")
+    val out = Sketches.rollingSketchDistinct(cube, "day", Seq("event_type"), days = 2)
+      .select(col("event_type"), col("day"), col("approx_distinct_rolling"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      ("a", "2024-01-01", 2L), // {1,2}
+      ("a", "2024-01-02", 3L), // {1,2} ∪ {2,3}
+      ("a", "2024-01-04", 1L), // gap: day 2 is OUTSIDE the 2-day range frame
+      ("b", "2024-01-01", 1L)))
+  }
+
+  test("psi: identical distributions score 0; a shifted distribution alarms") {
+    val base = (1 to 1000).map(i => i.toDouble % 100).toDF("v")
+    val same = Sketches.psi(base, base, "v", nBins = 10)
+    val sameTerms = same.collect()
+    assert(sameTerms.length == 10)
+    assert(sameTerms.forall(r => r.getAs[Double]("psi_term") == 0.0),
+      "equal bin shares must give exactly 0 terms")
+    // shift the mass hard to the top of the range
+    val shifted = (1 to 1000).map(i => 90.0 + (i % 10)).toDF("v")
+    val drift = Sketches.psi(base, shifted, "v", nBins = 10)
+      .agg(sum(col("psi_term"))).head.getDouble(0)
+    assert(drift > 0.25, s"hard shift must alarm, psi=$drift")
   }
 
   test("madOutliers flags exactly |x - median| > k*MAD, per key and globally") {
