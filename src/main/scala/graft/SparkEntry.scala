@@ -481,6 +481,18 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Mojibake repair round trip on REAL corpus text: every document is
+    * mangled in-plan the way broken pipelines do it (UTF-8 bytes re-decoded
+    * as latin-1), then repaired; the oracle is the identity, so the hash
+    * match proves exact repair across every non-ASCII character in the
+    * corpus AND no false rewrites of clean text. Repair vectors (cp1252
+    * smart quotes, double encoding) are pinned in FunctionsSpec. */
+  private def qFixMojibake(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("__mangled", decode(encode(col("text"), "UTF-8"), "ISO-8859-1"))
+      .select(col("doc_id"), fix_mojibake(col("__mangled")).as("text_fixed"))
+      .orderBy("doc_id")
+
   /** Rolling 7-day distinct users per event type via HLL sketch MERGES over
     * the daily sketch cube — rows-only by design (sketch estimates);
     * SketchesSpec pins merge-equals-exact on planted data. */
@@ -1682,6 +1694,7 @@ object SparkEntry {
     "q_ann_quantized" -> (qAnnQuantized _),
     "q_script_detect" -> (qScriptDetect _),
     "q_rolling_distinct" -> (qRollingDistinct _),
+    "q_fix_mojibake" -> (qFixMojibake _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -2024,6 +2037,8 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
+    "q_fix_mojibake" ->
+      """SELECT doc_id, text AS text_fixed FROM documents ORDER BY doc_id""",
     "q_psi_drift" ->
       """WITH b AS (SELECT MIN(o_totalprice) AS lo,
                            (MAX(o_totalprice) - MIN(o_totalprice)) / 10 AS w

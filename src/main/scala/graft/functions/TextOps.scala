@@ -159,6 +159,68 @@ object TextOps {
     math.round(best * 100).toInt
   }
 
+  // ------------------------------------------------------------- mojibake
+
+  /** Inverse "sloppy windows-1252" map: the 27 printable cp1252 specials
+    * back to their byte; chars <= 0xFF map to their own byte (latin-1
+    * fallback for the undefined 0x80–0x9F slots) — the union decoding ftfy
+    * documents as sloppy-windows-1252, covering text mangled through EITHER
+    * charset. */
+  private val Cp1252Inverse: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  /** Repair UTF-8-decoded-as-latin-1/cp1252 mojibake ("cafÃ©" -> "café"):
+    * if EVERY char maps back to a single sloppy-cp1252 byte and the byte
+    * string is valid multi-byte UTF-8, re-decode; otherwise return the
+    * input untouched (the whole-string validity requirement is what makes
+    * the repair conservative — genuine "café" re-encodes to invalid UTF-8
+    * and passes through). Up to 3 rounds, so double-encoded text unwinds.
+    * Re-derived from the publicly documented ftfy heuristic. */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    var cur = s.toString
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 3) {
+      changed = false
+      val fixed = repairOnce(cur)
+      if (fixed != null && fixed != cur) { cur = fixed; changed = true }
+      rounds += 1
+    }
+    if (cur == s.toString) s else UTF8String.fromString(cur)
+  }
+
+  /** One repair round; null = not mojibake (unmappable char, pure ASCII, or
+    * invalid UTF-8 after re-encoding). */
+  private def repairOnce(cur: String): String = {
+    val n = cur.length
+    var hasHigh = false
+    val bytes = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = cur.charAt(i)
+      val b =
+        if (c <= 0xFF) c.toInt
+        else Cp1252Inverse.getOrElse(c, -1)
+      if (b < 0) return null
+      if (b >= 0x80) hasHigh = true
+      bytes(i) = b.toByte
+      i += 1
+    }
+    if (!hasHigh) return null
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => null
+    }
+  }
+
   /** Jaro similarity in [0,1] (match window `max(len)/2 - 1`, floored
     * half-transpositions). Either side empty -> 0.0, and lengths/positions
     * are UTF-8 BYTES, not codepoints — both the exact edge semantics of

@@ -43,6 +43,12 @@ package object functions {
   def token_set_ratio(a: Column, b: Column): Column =
     invoke("tokenSetRatio", IntegerType, Seq(a, b))
 
+  /** Repair UTF-8-as-latin-1/cp1252 mojibake ("cafÃ©" -> "café"), ftfy-style
+    * conservative whole-string heuristic; clean text passes through
+    * untouched. Unwinds double encoding. */
+  def fix_mojibake(c: Column): Column =
+    invoke("fixMojibake", StringType, Seq(c))
+
   /** Jaro similarity in [0,1] — DuckDB-compatible semantics (either side
     * empty -> 0.0, floored half-transpositions, UTF-8 byte positions). */
   def jaro_sim(a: Column, b: Column): Column =

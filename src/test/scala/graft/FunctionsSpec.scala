@@ -80,6 +80,25 @@ class FunctionsSpec extends SparkSpec {
     assert(eval1[Int](token_set_ratio(lit("alpha beta"), lit("gamma delta"))) < 40)
   }
 
+  test("fix_mojibake repairs latin-1 and cp1252 mangling, unwinds double encoding, spares clean text") {
+    val cases = Seq(
+      // UTF-8 'é' (C3 A9) read as latin-1
+      ("cafÃ©", "café"),
+      // UTF-8 ’ (E2 80 99) read as cp1252: 0x80 is '€', 0x99 is '™'
+      ("donâ€™t", "don’t"),
+      // double-encoded é unwinds in two rounds
+      ("cafÃÂ©", "café"),
+      // genuine accented text re-encodes to INVALID utf-8 -> untouched
+      ("café", "café"),
+      // pure ascii untouched
+      ("hello world", "hello world"),
+      // emoji (astral, unmappable) -> untouched
+      ("ok 😀", "ok 😀"))
+    cases.foreach { case (in, expected) =>
+      assert(eval1[String](fix_mojibake(lit(in))) == expected, s"input: $in")
+    }
+  }
+
   test("jaro_winkler matches the textbook vectors (Winkler 1990) and DuckDB exactly") {
     // pinned against DuckDB jaro_winkler_similarity (same floored
     // half-transpositions, 0.7 boost threshold, prefix cap 4)
