@@ -481,6 +481,16 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Benford first-digit audit of the order prices. */
+  private def qBenford(s: SparkSession, d: String): DataFrame =
+    Quality.benford(Tables.orders(s, d), "o_totalprice")
+      .select(
+        col("digit"), col("n"),
+        round(col("observed_pct"), 6).as("observed_pct"),
+        round(col("expected_pct"), 6).as("expected_pct"),
+        round(col("deviation"), 6).as("deviation"))
+      .orderBy("digit")
+
   /** Mojibake repair round trip on REAL corpus text: every document is
     * mangled in-plan the way broken pipelines do it (UTF-8 bytes re-decoded
     * as latin-1), then repaired; the oracle is the identity, so the hash
@@ -1695,6 +1705,7 @@ object SparkEntry {
     "q_script_detect" -> (qScriptDetect _),
     "q_rolling_distinct" -> (qRollingDistinct _),
     "q_fix_mojibake" -> (qFixMojibake _),
+    "q_benford" -> (qBenford _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -2039,6 +2050,16 @@ object SparkEntry {
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
     "q_fix_mojibake" ->
       """SELECT doc_id, text AS text_fixed FROM documents ORDER BY doc_id""",
+    "q_benford" ->
+      """WITH d AS (
+           SELECT regexp_extract(CAST(ABS(o_totalprice) AS VARCHAR), '[1-9]', 0) AS digit
+           FROM orders),
+         c AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit <> '' GROUP BY digit)
+         SELECT digit, n,
+                ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS observed_pct,
+                ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected_pct,
+                ROUND(CAST(n AS DOUBLE) / SUM(n) OVER () - LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS deviation
+         FROM c ORDER BY digit""",
     "q_psi_drift" ->
       """WITH b AS (SELECT MIN(o_totalprice) AS lo,
                            (MAX(o_totalprice) - MIN(o_totalprice)) / 10 AS w

@@ -153,4 +153,23 @@ object Quality {
     }
     branches.reduce(_.unionAll(_))
   }
+
+  /** Benford's-law first-significant-digit audit — the classic fabricated-
+    * numbers / broken-ETL alarm for naturally occurring positive measures
+    * (public result: leading digit d occurs with probability log10(1+1/d)).
+    * The digit extracts from the decimal string form (works through
+    * scientific notation too — the mantissa leads), zeros/nulls drop, one
+    * partial aggregate; the 9-row share window is metadata-sized. Returns
+    * (digit, n, observed_pct, expected_pct, deviation). */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = regexp_extract(abs(col(valueCol)).cast("string"), "[1-9]", 0)
+    val tot = sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    df.select(digit.as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("observed_pct", col("n") / tot)
+      .withColumn("expected_pct", log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("deviation", col("observed_pct") - col("expected_pct"))
+  }
 }

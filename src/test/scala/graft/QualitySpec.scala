@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Quality
 import graft.operators.Quality._
 
@@ -42,6 +44,21 @@ class QualitySpec extends SparkSpec {
     assert(rep(0).getString(0) == "fk_contained")
     assert(rep(0).getDouble(2) == 0.5)
     assert(!rep(0).getBoolean(3))
+  }
+
+  test("benford: exact shares, digit extraction through signs/decimals/scientific, zero/null dropped") {
+    val df = Seq(
+      Some(1.0), Some(-1.5), Some(0.019), // all lead with 1
+      Some(2.0), Some(0.00002),           // lead with 2 (second via sci-notation)
+      Some(9999.0),                       // leads with 9
+      Some(0.0), None                     // dropped
+    ).toDF("v")
+    val out = Quality.benford(df, "v").orderBy("digit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("observed_pct")))
+    assert(out.toSeq == Seq(("1", 3L, 0.5), ("2", 2L, 2.0 / 6.0), ("9", 1L, 1.0 / 6.0)))
+    val dev1 = Quality.benford(df, "v").filter(col("digit") === "1")
+      .head.getAs[Double]("deviation")
+    assert(math.abs(dev1 - (0.5 - math.log10(2.0))) < 1e-12)
   }
 
   test("a fully clean table passes every check at threshold 1.0") {
