@@ -682,6 +682,49 @@ object SparkEntry {
         round(element_at(col("__p"), 3), 6).as("p75"))
       .orderBy("l_returnflag")
 
+  /** Gaps-and-islands: 30-minute activity intervals per user merged into
+    * maximal covered spans (outputs compare as epoch micros). */
+  private def qIntervalIslands(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(
+      col("user_id"),
+      col("ts").as("start_ts"),
+      (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+    Temporal.mergeIntervals(iv, Seq("user_id"), "start_ts", "end_ts")
+      .select(
+        col("user_id"), col("island_idx"),
+        unix_micros(col("island_start")).as("start_us"),
+        unix_micros(col("island_end")).as("end_us"),
+        col("n_intervals"))
+      .orderBy("user_id", "island_idx")
+  }
+
+  /** Time-weighted average event value per user (TWAP): tied timestamps
+    * pinned by event_id, duration-weighted through exact decimal sums. */
+  private def qTwap(s: SparkSession, d: String): DataFrame =
+    Temporal.timeWeightedAvg(
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      Seq("user_id"), "ts", "value", tiebreakCols = Seq("event_id"))
+      .select(col("user_id"), round(col("twap"), 6).as("twap"), col("n_samples"))
+      .orderBy("user_id")
+
+  /** Group-statistic null imputation: nulls planted in-plan (flag on
+    * linenumber 3, quantity on linenumber 4), repaired from per-linestatus
+    * mode / exact mean. */
+  private def qImpute(s: SparkSession, d: String): DataFrame = {
+    val holed = Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
+        when(col("l_linenumber") === 3, lit(null)).otherwise(col("l_returnflag")).as("l_returnflag"),
+        when(col("l_linenumber") === 4, lit(null)).otherwise(col("l_quantity")).as("l_quantity"))
+    Relational.impute(
+      holed, Seq("l_linestatus"),
+      modeCols = Seq("l_returnflag"), meanCols = Seq("l_quantity"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
+        col("l_returnflag"), round(col("l_quantity"), 6).as("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber", "l_linestatus", "l_returnflag", "l_quantity")
+  }
+
   /** Robust MAD outliers of lineitem quantity per return flag (k=1.5 so the
     * integer-valued synthetic data actually yields tails). Medians of
     * integers are exact halves, so the flag comparison is deterministic
@@ -695,7 +738,7 @@ object SparkEntry {
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"), col("median"), col("mad"))
-      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
 
   /** HLL++ distinct-user sketch per event type, with the exact count carried
     * alongside; rows-only driver check (sketch values are engine-specific),
@@ -1751,6 +1794,9 @@ object SparkEntry {
     "q_rolling_agg" -> (qRollingAgg _),
     "q_percentile" -> (qPercentile _),
     "q_mad_outliers" -> (qMadOutliers _),
+    "q_interval_islands" -> (qIntervalIslands _),
+    "q_twap" -> (qTwap _),
+    "q_impute" -> (qImpute _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_event_window" -> (qEventWindow _),
     "q_event_window_stream" -> (qEventWindowStream _),
@@ -2444,6 +2490,56 @@ object SparkEntry {
                 ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
                 ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_interval_islands" ->
+      """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+         f AS (SELECT user_id, s, e,
+                      CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                           THEN 1 ELSE 0 END AS nf
+               FROM iv
+               WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         g AS (SELECT user_id, s, e,
+                      SUM(nf) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_idx
+               FROM f)
+         SELECT user_id, island_idx, epoch_us(MIN(s)) AS start_us,
+                epoch_us(MAX(e)) AS end_us, COUNT(*) AS n_intervals
+         FROM g GROUP BY user_id, island_idx ORDER BY user_id, island_idx""",
+    "q_twap" ->
+      """WITH d AS (
+           SELECT user_id, value,
+                  epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+           FROM events)
+         SELECT user_id,
+                ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(30,6))) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twap,
+                COUNT(*) AS n_samples
+         FROM d WHERE dt IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+    "q_impute" ->
+      """WITH holed AS (
+           SELECT l_orderkey, l_linenumber, l_linestatus,
+                  CASE WHEN l_linenumber = 3 THEN NULL ELSE l_returnflag END AS l_returnflag,
+                  CASE WHEN l_linenumber = 4 THEN NULL ELSE l_quantity END AS l_quantity
+           FROM lineitem),
+         modes AS (
+           SELECT l_linestatus, l_returnflag AS mode_flag FROM (
+             SELECT l_linestatus, l_returnflag,
+                    ROW_NUMBER() OVER (PARTITION BY l_linestatus
+                                       ORDER BY COUNT(*) DESC, l_returnflag) AS rn
+             FROM holed WHERE l_returnflag IS NOT NULL
+             GROUP BY l_linestatus, l_returnflag)
+           WHERE rn = 1),
+         means AS (
+           SELECT l_linestatus,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS mean_qty
+           FROM holed GROUP BY l_linestatus)
+         SELECT h.l_orderkey, h.l_linenumber, h.l_linestatus,
+                COALESCE(h.l_returnflag, m.mode_flag) AS l_returnflag,
+                ROUND(COALESCE(h.l_quantity, a.mean_qty), 6) AS l_quantity
+         FROM holed h
+         LEFT JOIN modes m USING (l_linestatus)
+         LEFT JOIN means a USING (l_linestatus)
+         ORDER BY l_orderkey, l_linenumber, l_linestatus, l_returnflag, l_quantity""",
     "q_mad_outliers" ->
       """WITH med AS (
            SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median
@@ -2459,7 +2555,7 @@ object SparkEntry {
                 r.median, m2.mad
          FROM r JOIN mad m2 USING (l_returnflag)
          WHERE r.resid > 1.5 * m2.mad
-         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""",
     "q_event_window" ->
       """SELECT CAST(ts AS DATE) AS event_date, CAST(hour(ts) AS INTEGER) AS event_hour, event_type,
                 COUNT(*) AS n_events,

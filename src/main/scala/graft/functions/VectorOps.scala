@@ -58,6 +58,24 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Rank of `v` in a SORTED double boundary array: the count of boundaries
+    * strictly below `v`, by binary search — the quantile-bucket assignment
+    * behind [[graft.operators.Sink.zOrderValue]]. A higher-order `aggregate`
+    * fold here runs interpreted (HOFs don't codegen) and made the z-order
+    * write 40x slower; this is one codegen'd O(log B) call per row. Null
+    * boundaries (possible from all-null input) rank 0. */
+  def rankBelow(bounds: ArrayData, v: Double): Long = {
+    val n = bounds.numElements()
+    var lo = 0
+    var hi = n // first index with bounds(i) >= v
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (!bounds.isNullAt(mid) && bounds.getDouble(mid) < v) lo = mid + 1
+      else hi = mid
+    }
+    lo.toLong
+  }
+
   /** Scalar int8 quantization of a float vector: per-dimension affine map
     * of [lo_i, hi_i] onto [-128, 127], clamped. `lo`/`hi` are double arrays
     * (corpus-level bounds, passed as plan literals); a degenerate dimension

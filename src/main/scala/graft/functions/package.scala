@@ -206,6 +206,11 @@ package object functions {
       ArrayType(StringType, containsNull = false),
       Seq(syms, left, right))
 
+  /** Count of sorted-array boundaries strictly below `v` (binary search,
+    * codegen'd) — quantile-bucket assignment for Z-ordering. */
+  def rank_below(bounds: Column, v: Column): Column =
+    invokeVec("rankBelow", LongType, Seq(bounds, v.cast(DoubleType)))
+
   /** Scalar int8 quantization of an `array<float>` vector against
     * per-dimension [lo, hi] bounds (double-array literals): BinaryType, one
     * byte per dimension. */

@@ -251,6 +251,45 @@ object Relational {
     withMissing.select(expected.map { case (n, _) => col(n) }: _*)
   }
 
+  /** Null imputation from group-level statistics — the standard data-repair
+    * step before modeling: categorical nulls fill with the group MODE (ties
+    * to the smallest value, so the fill is deterministic in any engine),
+    * numeric nulls with the group mean (exact decimal sum, one double
+    * division). Each statistic is a small keyed aggregate broadcast back
+    * onto the data — the data side never shuffles. Rows in groups with no
+    * non-null value keep their null (nothing to learn from). */
+  def impute(
+      df: DataFrame,
+      keyCols: Seq[String],
+      modeCols: Seq[String] = Nil,
+      meanCols: Seq[String] = Nil): DataFrame = {
+    val keys = keyCols.map(col)
+    var out = df
+    if (meanCols.nonEmpty) {
+      val aggs = meanCols.map(c =>
+        (sum(col(c).cast("decimal(30,6)")).cast("double") /
+          count(col(c)).cast("double")).as(s"__mean_$c"))
+      val means = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      out = out.join(broadcast(means), keyCols, "left")
+      meanCols.foreach { c =>
+        out = out
+          .withColumn(c, coalesce(col(c), col(s"__mean_$c").cast(df.schema(c).dataType)))
+          .drop(s"__mean_$c")
+      }
+    }
+    modeCols.foreach { c =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(keys :+ col(c).as("__val"): _*)
+        .agg(count(lit(1)).as("__n"))
+      val modes = counts.groupBy(keys: _*)
+        .agg(min_by(col("__val"), struct((-col("__n")).as("n"), col("__val"))).as(s"__mode_$c"))
+      out = out.join(broadcast(modes), keyCols, "left")
+        .withColumn(c, coalesce(col(c), col(s"__mode_$c")))
+        .drop(s"__mode_$c")
+    }
+    out
+  }
+
   /** Referential-integrity audit: child rows whose foreign key has no match
     * in the parent — a single left-anti join (null-skipping, like SQL
     * NOT EXISTS; broadcast when the parent key set is dimension-sized).

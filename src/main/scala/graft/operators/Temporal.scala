@@ -196,6 +196,74 @@ object Temporal {
         Seq(col("valid_from"), col("valid_to")): _*)
   }
 
+  /** Merge overlapping (or `tolerance`-adjacent) [start, end] intervals per
+    * key — the classic gaps-and-islands reduction (coverage windows, on-call
+    * spans, session stitching). One window pass per key: an interval opens a
+    * new island exactly when its start exceeds the running max end of every
+    * earlier interval (running max, not lag — an engulfed interval must not
+    * end the island); island id is the running sum of those flags; one
+    * partial-agg groupBy collapses each island to (start, max end, n).
+    * Partitions by key — the standard sessionize caveat (a single key's
+    * intervals sort together; keys are the parallelism unit). Start/end may
+    * be timestamps or numerics; `tolerance` is in the column's long-cast
+    * units (epoch SECONDS for timestamps). Closed intervals: touching
+    * endpoints merge at tolerance 0. */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String,
+      tolerance: Long = 0L): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(startCol), col(endCol))
+    val runningEnd = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    // tolerance 0 compares the raw values (no long-cast truncation of
+    // sub-second timestamps); a nonzero tolerance works in long-cast units
+    val gapExceeded =
+      if (tolerance == 0L) col(startCol) > runningEnd
+      else col(startCol).cast("long") > runningEnd.cast("long") + tolerance
+    df
+      .withColumn(
+        "__new_island",
+        when(runningEnd.isNull || gapExceeded, 1L).otherwise(0L))
+      .withColumn("island_idx", sum(col("__new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keys :+ col("island_idx"): _*)
+      .agg(
+        min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Time-weighted average of a sampled value per key: each sample holds
+    * until the next one, so it weighs by its holding duration
+    * (sum(v * dt) / sum(dt), the TWAP convention; the final sample has no
+    * duration and drops out). One window pass for the lead, one partial
+    * aggregate; numerators sum exactly through decimal, the one division
+    * runs in double so any engine reproduces it. `tiebreakCols` pins the
+    * sample order under equal timestamps (tied samples get dt = 0, so only
+    * the ordering of the LAST tie matters — but it must be deterministic). */
+  def timeWeightedAvg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      tiebreakCols: Seq[String] = Nil): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col(timeCol) +: tiebreakCols.map(col): _*)
+    val dtUs = (unix_micros(lead(col(timeCol), 1).over(w)) -
+      unix_micros(col(timeCol))).as("__dt")
+    df.select(keys ++ Seq(col(valueCol).as("__v"), dtUs): _*)
+      .filter(col("__dt").isNotNull)
+      .groupBy(keys: _*)
+      .agg(
+        (sum((col("__v") * col("__dt")).cast("decimal(30,6)")).cast("double") /
+          sum(col("__dt")).cast("double")).as("twap"),
+        count(lit(1)).as("n_samples"))
+  }
+
   /** Rolling aggregation over an integer position index (e.g. a month index
     * `year*12+month`): `agg` over the window `[pos - lookback, pos]` per key.
     * RANGE frame on the index, so missing months still bound the window

@@ -279,6 +279,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"check suite must not Expand rows:\n$p")
   }
 
+  test("z-order ranks via the native binary search — no interpreted HOF lambda in the hot path") {
+    val p = plan(graft.operators.Sink.zOrderValue(
+      Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey"),
+      Seq("l_partkey", "l_suppkey")))
+    assert(p.contains("rankBelow"), s"expected native rank expression:\n$p")
+    // a higher-order aggregate() fold here runs interpreted (40x slower at
+    // sf0.1 — measured 59s -> 2.4s when replaced)
+    assert(!p.contains("lambdafunction"), s"interpreted HOF crept back into z-ordering:\n$p")
+  }
+
   test("gap fill never falls back to a cartesian/calendar cross join") {
     val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
     assert(p.contains("Generate"), s"expected a narrow sequence explode:\n$p")

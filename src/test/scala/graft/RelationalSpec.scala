@@ -104,6 +104,25 @@ class RelationalSpec extends SparkSpec {
     assert(chained.orderBy("k").collect().toSeq == d)
   }
 
+  test("impute fills nulls from group mode (ties to smallest) and exact group mean") {
+    val df = Seq(
+      ("g1", Some("x"), Some(10.0)),
+      ("g1", Some("x"), Some(20.0)),
+      ("g1", Some("y"), None), // numeric null -> mean(10,20) = 15
+      ("g1", None, Some(30.0)), // categorical null -> mode x (2 > 1)
+      ("g2", Some("a"), None),
+      ("g2", Some("b"), None), // tie a/b -> a (smallest); means: no data -> stays null
+      ("g2", None, None))
+      .toDF("k", "c", "v")
+      .repartition(3)
+    val out = Relational.impute(df, Seq("k"), modeCols = Seq("c"), meanCols = Seq("v"))
+      .orderBy("k", "c", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("g1", "x", 10.0), ("g1", "x", 20.0), ("g1", "x", 30.0), ("g1", "y", 20.0),
+      ("g2", "a", null), ("g2", "a", null), ("g2", "b", null)))
+  }
+
   test("snapshotDiff classifies added/removed/changed with null-safe compare") {
     import org.apache.spark.sql.Row
     val old = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d")).toDF("id", "v")

@@ -61,6 +61,49 @@ class TemporalSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
   }
 
+  test("mergeIntervals: overlap, engulfed, touching and disjoint cases; per-key isolation") {
+    val iv = Seq(
+      // key a: [1,5] + [3,8] overlap; [2,4] engulfed; [8,10] touches -> one island [1,10]
+      ("a", 1L, 5L), ("a", 3L, 8L), ("a", 2L, 4L), ("a", 8L, 10L),
+      // then a gap -> [20, 25] alone
+      ("a", 20L, 25L),
+      // key b independent
+      ("b", 4L, 6L))
+      .toDF("k", "s", "e")
+      .repartition(4)
+    val out = Temporal.mergeIntervals(iv, Seq("k"), "s", "e")
+      .orderBy("k", "island_idx")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 1L, 10L, 4L),
+      ("a", 2L, 20L, 25L, 1L),
+      ("b", 1L, 4L, 6L, 1L)))
+    // tolerance bridges the gap
+    val bridged = Temporal.mergeIntervals(iv, Seq("k"), "s", "e", tolerance = 10L)
+      .filter(col("k") === "a").collect()
+    assert(bridged.length == 1)
+  }
+
+  test("timeWeightedAvg weights each sample by its holding time; ties carry zero duration") {
+    val df = Seq(
+      // u1: v=10 holds 2s, v=20 holds 8s -> twap = (10*2 + 20*8) / 10 = 18
+      ("u1", ts("2024-01-01 00:00:00"), 10.0, 1L),
+      ("u1", ts("2024-01-01 00:00:02"), 20.0, 2L),
+      ("u1", ts("2024-01-01 00:00:10"), 99.0, 3L), // last sample drops
+      // u2: two samples at the SAME instant (tie), then one 4s later:
+      // tie order pinned by id — id=5 is last, so its value holds the 4s
+      ("u2", ts("2024-01-01 00:00:00"), 7.0, 4L),
+      ("u2", ts("2024-01-01 00:00:00"), 3.0, 5L),
+      ("u2", ts("2024-01-01 00:00:04"), 1.0, 6L))
+      .toDF("k", "t", "v", "id")
+    val out = Temporal.timeWeightedAvg(df, Seq("k"), "t", "v", tiebreakCols = Seq("id"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out(0) == (("u1", 18.0, 2L)))
+    assert(out(1) == (("u2", 3.0, 2L))) // (7*0 + 3*4s) / 4s
+  }
+
   test("rollingAgg RANGE frame bounds by index value, not row position") {
     val df = Seq((1L, 0, 10.0), (1L, 1, 20.0), (1L, 10, 40.0)).toDF("k", "pos", "v")
     val out = Temporal
