@@ -395,6 +395,35 @@ object SparkEntry {
       .select(col("s_suppkey"), col("matched"), round(col("match_score"), 6).as("match_score"))
       .orderBy("s_suppkey")
 
+  /** Scalable edit-distance self-join on supplier names (SymSpell deletion
+    * neighborhoods → equi-join → exact verify): every pair within
+    * Levenshtein 1, no cartesian, neither side broadcast. */
+  private def qEditJoin(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    FuzzyMatch.editDistanceJoin(sup, sup, "s_suppkey", "s_name", "s_suppkey", "s_name", maxDist = 1)
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"), col("dist").cast("long").as("dist"))
+      .orderBy("left_id", "right_id")
+  }
+
+  /** Welch two-sample t-test between open and finished orders on the
+    * (scale-invariant, pre-scaled) price — exact fixed-point moments. */
+  private def qAbTest(s: SparkSession, d: String): DataFrame =
+    Sketches.welchTTest(
+      Tables.orders(s, d).withColumn("v", col("o_totalprice") / 100000.0),
+      "o_orderstatus", "v", a = "O", b = "F")
+      .select(
+        col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+        round(col("t_stat"), 6).as("t_stat"), round(col("dof"), 6).as("dof"))
+
+  /** First-order Markov transition matrix over per-user event sequences. */
+  private def qTransitions(s: SparkSession, d: String): DataFrame =
+    Funnel.transitionMatrix(
+      Tables.events(s, d), "user_id", "ts", "event_type", tiebreakCols = Seq("event_id"))
+      .select(col("state"), col("next_state"), col("n"), round(col("p"), 6).as("p"))
+      .orderBy("state", "next_state")
+
   private def qTokenSetRatio(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), token_set_ratio(col("text"), lit("spark query join table")).as("score"))
@@ -1734,6 +1763,9 @@ object SparkEntry {
     "q_melt_indicators" -> (qMeltIndicators _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_jaro_winkler" -> (qJaroWinkler _),
+    "q_edit_join" -> (qEditJoin _),
+    "q_ab_test" -> (qAbTest _),
+    "q_transitions" -> (qTransitions _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_keep_first" -> (qDedupKeepFirst _),
@@ -2049,6 +2081,45 @@ object SparkEntry {
            FROM scored)
          SELECT s_suppkey, n_name AS matched, ROUND(s, 6) AS match_score
          FROM ranked WHERE rn = 1 ORDER BY s_suppkey""",
+    "q_edit_join" ->
+      """SELECT s1.s_suppkey AS left_id, s2.s_suppkey AS right_id,
+                CAST(levenshtein(s1.s_name, s2.s_name) AS BIGINT) AS dist
+         FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
+         WHERE levenshtein(s1.s_name, s2.s_name) <= 1
+         ORDER BY left_id, right_id""",
+    "q_ab_test" ->
+      """WITH g AS (
+           SELECT o_orderstatus AS st,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+         w AS (SELECT
+           MAX(CASE WHEN st = 'O' THEN n END) AS na,
+           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
+           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
+           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
+           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
+           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
+           FROM g)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                ROUND(sa / na, 6) AS mean_a, ROUND(sb / nb, 6) AS mean_b,
+                ROUND((sa / na - sb / nb) /
+                      SQRT(((ssa - sa * sa / na) / (na - 1)) / na + ((ssb - sb * sb / nb) / (nb - 1)) / nb), 6) AS t_stat,
+                ROUND(POW(((ssa - sa * sa / na) / (na - 1)) / na + ((ssb - sb * sb / nb) / (nb - 1)) / nb, 2) /
+                      (POW(((ssa - sa * sa / na) / (na - 1)) / na, 2) / (na - 1) +
+                       POW(((ssb - sb * sb / nb) / (nb - 1)) / nb, 2) / (nb - 1)), 6) AS dof
+         FROM w""",
+    "q_transitions" ->
+      """WITH pairs AS (
+           SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS state,
+                  event_type AS next_state
+           FROM events),
+         c AS (SELECT state, next_state, COUNT(*) AS n
+               FROM pairs WHERE state IS NOT NULL GROUP BY 1, 2)
+         SELECT state, next_state, n,
+                ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY state), 6) AS p
+         FROM c ORDER BY state, next_state""",
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",

@@ -285,6 +285,42 @@ object TextOps {
     (m / n1 + m / n2 + (m - t) / m) / 3.0
   }
 
+  /** Deletion neighborhood of a string (SymSpell, public algorithm by Wolf
+    * Garbe): the input plus every variant reachable by deleting up to
+    * `maxDist` characters, distinct, sorted. Two strings within Levenshtein
+    * distance d ALWAYS share a member of their depth-d neighborhoods — the
+    * completeness property that turns fuzzy matching into an equi-join
+    * ([[graft.operators.FuzzyMatch.editDistanceJoin]]): no cartesian, no
+    * broadcast scorer, candidates meet on variant keys. Neighborhood size
+    * is O(L^maxDist) — cheap for name/word-length strings, capped by
+    * truncating inputs beyond 64 chars (standard SymSpell practice). */
+  def deletionNeighborhood(s: UTF8String, maxDist: Int): ArrayData = {
+    val base0 = s.toString
+    val base = if (base0.length > 64) base0.substring(0, 64) else base0
+    val seen = new java.util.TreeSet[String]()
+    seen.add(base)
+    var frontier: List[String] = List(base)
+    var d = 0
+    while (d < maxDist) {
+      var next: List[String] = Nil
+      frontier.foreach { w =>
+        var i = 0
+        while (i < w.length) {
+          val v = w.substring(0, i) + w.substring(i + 1)
+          if (seen.add(v)) next = v :: next
+          i += 1
+        }
+      }
+      frontier = next
+      d += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   // ------------------------------------------------------------- hashing
 
   /** FNV-1a 64-bit over a char range — deterministic, allocation-free. */

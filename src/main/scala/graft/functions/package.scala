@@ -43,6 +43,15 @@ package object functions {
   def token_set_ratio(a: Column, b: Column): Column =
     invoke("tokenSetRatio", IntegerType, Seq(a, b))
 
+  /** SymSpell deletion neighborhood (depth `maxDist`, self included,
+    * sorted distinct) — the equi-join key set for scalable edit-distance
+    * joins. */
+  def deletion_neighborhood(c: Column, maxDist: Int): Column =
+    invoke(
+      "deletionNeighborhood",
+      ArrayType(StringType, containsNull = false),
+      Seq(c, GraftSql.column(Literal(maxDist))))
+
   /** Repair UTF-8-as-latin-1/cp1252 mojibake ("cafÃ©" -> "café"), ftfy-style
     * conservative whole-string heuristic; clean text passes through
     * untouched. Unwinds double encoding. */

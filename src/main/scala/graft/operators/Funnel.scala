@@ -110,6 +110,30 @@ object Funnel {
     * step with the user count that reached it — shared by the batch fold
     * above and the streaming state-machine twin
     * ([[graft.streaming.Events.funnelStream]]). */
+  /** First-order Markov transition matrix of per-key event sequences:
+    * P(next_state | state) estimated from consecutive pairs. One window lag
+    * per key (`tiebreakCols` pins equal-timestamp order), one partial-agg
+    * pair count; the per-state normalization window runs over the
+    * state-cardinality² matrix rows, not the data. The standard what-happens-
+    * next / next-page model behind journey analytics. */
+  def transitionMatrix(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      stateCol: String,
+      tiebreakCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(timeCol) +: tiebreakCols.map(col): _*)
+    val counts = df
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("state"), col(stateCol).as("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val byState = org.apache.spark.sql.expressions.Window.partitionBy(col("state"))
+    counts.withColumn("p", col("n") / sum(col("n")).over(byState))
+  }
+
   private[graft] def depthCounts(depths: DataFrame, steps: Seq[String]): DataFrame = {
     val stepReach = steps.indices.map(i =>
       sum(when(col("__depth") >= i + 1, 1L).otherwise(0L)).as(s"__r$i"))

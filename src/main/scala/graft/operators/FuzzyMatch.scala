@@ -23,6 +23,38 @@ object FuzzyMatch {
   def levenshteinSim(a: Column, b: Column): Column =
     lit(1.0) - levenshtein(a, b).cast("double") / greatest(length(a), length(b)).cast("double")
 
+  /** All pairs within Levenshtein distance `maxDist` between two tables —
+    * WITHOUT a cartesian product and WITHOUT broadcasting either side: the
+    * SymSpell reduction (each side explodes to its deletion-neighborhood
+    * variants; strings within distance d provably share a depth-d variant),
+    * so candidate generation is a co-partitioned equi-join on variant
+    * strings, then an exact `levenshtein` verify. This is the fuzzy join
+    * that scales when BOTH sides are fact-sized — [[bestMatch]]'s broadcast
+    * scorer needs a dimension-sized candidate list.
+    *
+    * Output: (left id, right id, left value, right value, dist). */
+  def editDistanceJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftCol: String,
+      rightId: String,
+      rightCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"maxDist must be 1 or 2, got $maxDist")
+    def exploded(df: DataFrame, id: String, v: String, idAs: String, vAs: String): DataFrame =
+      df.select(
+        col(id).as(idAs),
+        col(v).as(vAs),
+        explode(graft.functions.deletion_neighborhood(col(v), maxDist)).as("__variant"))
+    exploded(left, leftId, leftCol, "left_id", "left_val")
+      .join(exploded(right, rightId, rightCol, "right_id", "right_val"), Seq("__variant"))
+      .select("left_id", "left_val", "right_id", "right_val")
+      .dropDuplicates("left_id", "right_id")
+      .withColumn("dist", levenshtein(col("left_val"), col("right_val")))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** For each distinct key of `df`, the best `candidates` row by `sim` (ties
     * broken by candidate value ascending), keeping matches with
     * `sim >= threshold` (keys with no candidate above it are dropped, like

@@ -220,6 +220,46 @@ object Sketches {
       .drop("__s")
   }
 
+  /** Welch's two-sample t-test (unequal variances) between groups `a` and
+    * `b` of `groupCol` — the A/B experiment readout. One partial aggregate
+    * computes each group's (n, Σx, Σx²) with the same fixed-point trick as
+    * `corrMatrix` (per-row `floor(x·1e6 + 0.5)` into exact long sums —
+    * identical IEEE ops in any engine, no decimal-cast semantics to
+    * disagree on); the t statistic and Welch–Satterthwaite dof derive in
+    * plain double math from those exact moments. Requires |x| small enough
+    * that Σ(x²·1e6) fits a long (|x| ≲ 1e3 at a billion rows) — pre-scale
+    * the measure (t is scale-invariant). */
+  def welchTTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String): DataFrame = {
+    def S(e: Column) =
+      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+    val v = col(valueCol).cast("double")
+    val byGroup = df
+      .filter(col(groupCol).isin(a, b))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
+    def pick(g: String, c: String) = max(when(col(groupCol) === g, col(c)))
+    val wide = byGroup.agg(
+      pick(a, "__n").as("na"), pick(a, "__s").as("sa"), pick(a, "__ss").as("ssa"),
+      pick(b, "__n").as("nb"), pick(b, "__s").as("sb"), pick(b, "__ss").as("ssb"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val sea = va / col("na")
+    val seb = vb / col("nb")
+    wide.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"),
+      ((ma - mb) / sqrt(sea + seb)).as("t_stat"),
+      (pow(sea + seb, 2.0) /
+        (pow(sea, 2.0) / (col("na") - 1) + pow(seb, 2.0) / (col("nb") - 1))).as("dof"))
+  }
+
   /** Robust per-key outlier flags via the median absolute deviation:
     * `is_outlier = |x - median| > k * MAD` — the classic robust z-score
     * (unlike mean/stddev, one huge outlier cannot mask itself by inflating

@@ -123,6 +123,23 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 2L, 1L)))
   }
 
+  test("transitionMatrix: exact pair counts and per-state shares, tie order pinned") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: a -> b -> a ; u2: a -> b ; boundary between users must not pair
+      ("u1", ts("2024-01-01 00:00:01"), "a", 1L),
+      ("u1", ts("2024-01-01 00:00:02"), "b", 2L),
+      ("u1", ts("2024-01-01 00:00:03"), "a", 3L),
+      ("u2", ts("2024-01-01 00:00:01"), "a", 4L),
+      ("u2", ts("2024-01-01 00:00:02"), "b", 5L))
+      .toDF("u", "t", "state", "id").repartition(3)
+    val out = Funnel.transitionMatrix(ev, "u", "t", "state", tiebreakCols = Seq("id"))
+      .orderBy("state", "next_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // from a: a->b twice (u1, u2); from b: b->a once
+    assert(out.toSeq == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
   test("fkOrphans flags missing and null foreign keys") {
     val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None))
       .toDF("id", "fk")

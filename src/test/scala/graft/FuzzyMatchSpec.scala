@@ -38,4 +38,43 @@ class FuzzyMatchSpec extends SparkSpec {
     val out = FuzzyMatch.bestMatch(dirty, Seq("id"), "raw", cands, "name").collect()
     assert(out.head.getString(2) == "AA")
   }
+
+  test("deletion_neighborhood: exact variant set, self included, depth honored") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d1 = Seq("abc").toDF("s")
+      .select(graft.functions.deletion_neighborhood(col("s"), 1))
+      .head.getSeq[String](0)
+    assert(d1.toSet == Set("abc", "ab", "ac", "bc"))
+    val d2 = Seq("ab").toDF("s")
+      .select(graft.functions.deletion_neighborhood(col("s"), 2))
+      .head.getSeq[String](0)
+    assert(d2.toSet == Set("ab", "a", "b", ""))
+  }
+
+  test("editDistanceJoin finds exactly the pairs within the distance — every edit kind") {
+    val left = Seq(
+      (1L, "kenya"), (2L, "nigeria"), (3L, "ghana")).toDF("id", "name")
+    val right = Seq(
+      (10L, "kenia"),   // substitution of kenya (dist 1)
+      (11L, "kenyaa"),  // insertion (dist 1)
+      (12L, "keny"),    // deletion (dist 1)
+      (13L, "nigeria"), // exact (dist 0)
+      (14L, "zambia")   // far from everything
+    ).toDF("id", "name")
+    val out = FuzzyMatch
+      .editDistanceJoin(left, right, "id", "name", "id", "name", maxDist = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+      .toSet
+    assert(out == Set((1L, 10L, 1), (1L, 11L, 1), (1L, 12L, 1), (2L, 13L, 0)))
+  }
+
+  test("editDistanceJoin is an equi-join on variants — no cartesian in the plan") {
+    val df = Seq((1L, "abc"), (2L, "abd")).toDF("id", "name")
+    val p = FuzzyMatch.editDistanceJoin(df, df, "id", "name", "id", "name", maxDist = 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance join must meet on variant keys:\n$p")
+  }
 }

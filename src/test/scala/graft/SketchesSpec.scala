@@ -152,6 +152,19 @@ class SketchesSpec extends SparkSpec {
     assert(ap.filter(col("is_outlier")).collect().map(_.getAs[Double]("v")).toSeq == Seq(100.0))
   }
 
+  test("welchTTest reproduces hand-computed t and dof; sign follows mean order") {
+    // group a: 1,2,3,4,5 (mean 3, var 2.5); group b: 2,4,6,8,10 (mean 6, var 10)
+    val df = (Seq(1, 2, 3, 4, 5).map(v => ("a", v.toDouble)) ++
+      Seq(2, 4, 6, 8, 10).map(v => ("b", v.toDouble))).toDF("g", "v").repartition(3)
+    val r = Sketches.welchTTest(df, "g", "v", "a", "b").head
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 5L)
+    assert(r.getAs[Double]("mean_a") == 3.0 && r.getAs[Double]("mean_b") == 6.0)
+    // t = (3-6)/sqrt(2.5/5 + 10/5) = -3/sqrt(2.5) = -1.897366596...
+    assert(math.abs(r.getAs[Double]("t_stat") - (-3.0 / math.sqrt(2.5))) < 1e-9)
+    // dof = (0.5+2)^2 / (0.5^2/4 + 2^2/4) = 6.25 / 1.0625 = 5.882352941
+    assert(math.abs(r.getAs[Double]("dof") - 6.25 / 1.0625) < 1e-9)
+  }
+
   test("heavyHitters approximate regime honors Misra-Gries bounds") {
     // 1000 of "hot", 50 each of 40 cold items -> n = 3000, k = 9:
     // any item with freq > n/(k+1) = 300 MUST survive with count_lo >= freq - 300
