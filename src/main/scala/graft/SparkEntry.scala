@@ -754,6 +754,36 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber", "l_linestatus", "l_returnflag", "l_quantity")
   }
 
+  /** Equi-depth (quantile-edged) histogram of the lineitem price: edges
+    * rounded to 4dp on both engines so binning agrees bit-for-bit. */
+  private def qEquidepthHist(s: SparkSession, d: String): DataFrame =
+    Sketches.equiDepthHistogram(
+      Tables.lineitem(s, d), "l_extendedprice", nBins = 8, edgeRound = Some(4))
+      .select(
+        col("bin"), round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"), col("n"))
+      .orderBy("bin")
+
+  /** HLL distinct-overlap estimate between order and customer keys —
+    * rows-only by design (sketch estimates); spec pins accuracy vs exact. */
+  private def qOverlapEstimate(s: SparkSession, d: String): DataFrame =
+    Sketches.distinctOverlapEstimate(
+      Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey")
+
+  /** Calendar proration: 45-day order windows split across the months they
+    * span by day count; shares re-sum to the order value. */
+  private def qProrate(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("start_d"),
+      date_add(col("o_orderdate").cast("date"), 44).as("end_d"),
+      col("o_totalprice"))
+    Periods.prorateByMonth(iv, "start_d", "end_d", "o_totalprice")
+      .select(
+        col("o_orderkey"), col("month"), col("overlap_days"),
+        round(col("prorated"), 6).as("prorated"))
+      .orderBy("o_orderkey", "month")
+  }
+
   /** Robust MAD outliers of lineitem quantity per return flag (k=1.5 so the
     * integer-valued synthetic data actually yields tails). Medians of
     * integers are exact halves, so the flag comparison is deterministic
@@ -1827,6 +1857,9 @@ object SparkEntry {
     "q_percentile" -> (qPercentile _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_interval_islands" -> (qIntervalIslands _),
+    "q_equidepth_hist" -> (qEquidepthHist _),
+    "q_overlap_estimate" -> (qOverlapEstimate _),
+    "q_prorate" -> (qProrate _),
     "q_twap" -> (qTwap _),
     "q_impute" -> (qImpute _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -2561,6 +2594,34 @@ object SparkEntry {
                 ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
                 ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_equidepth_hist" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice,
+                             [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+                    FROM lineitem),
+         x AS (SELECT l_extendedprice AS v,
+                      CAST((CASE WHEN l_extendedprice > ROUND(q[1], 4) THEN 1 ELSE 0 END) +
+                           (CASE WHEN l_extendedprice > ROUND(q[2], 4) THEN 1 ELSE 0 END) +
+                           (CASE WHEN l_extendedprice > ROUND(q[3], 4) THEN 1 ELSE 0 END) +
+                           (CASE WHEN l_extendedprice > ROUND(q[4], 4) THEN 1 ELSE 0 END) +
+                           (CASE WHEN l_extendedprice > ROUND(q[5], 4) THEN 1 ELSE 0 END) +
+                           (CASE WHEN l_extendedprice > ROUND(q[6], 4) THEN 1 ELSE 0 END) +
+                           (CASE WHEN l_extendedprice > ROUND(q[7], 4) THEN 1 ELSE 0 END) AS BIGINT) AS bin
+               FROM lineitem, b)
+         SELECT bin, ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi, COUNT(*) AS n
+         FROM x GROUP BY bin ORDER BY bin""",
+    "q_prorate" ->
+      """WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+                            CAST(o_orderdate AS DATE) + 44 AS e, o_totalprice
+                     FROM orders),
+         g AS (SELECT o_orderkey, s, e, o_totalprice,
+                      CAST(UNNEST(generate_series(CAST(date_trunc('month', s) AS TIMESTAMP),
+                                                  CAST(date_trunc('month', e) AS TIMESTAMP),
+                                                  INTERVAL 1 MONTH)) AS DATE) AS m
+               FROM iv)
+         SELECT o_orderkey, m AS month,
+                CAST(date_diff('day', GREATEST(s, m), LEAST(e, last_day(m))) + 1 AS BIGINT) AS overlap_days,
+                ROUND(o_totalprice * CAST(date_diff('day', GREATEST(s, m), LEAST(e, last_day(m))) + 1 AS DOUBLE) / 45.0, 6) AS prorated
+         FROM g ORDER BY o_orderkey, month""",
     "q_interval_islands" ->
       """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
          f AS (SELECT user_id, s, e,

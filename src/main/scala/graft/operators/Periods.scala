@@ -35,6 +35,36 @@ object Periods {
         regexp_replace(col(periodCol), lit(s"${year}12"), concat(lit(year.toString), col("__suffix"))))
       .drop("__suffix")
 
+  /** Prorate an interval-scoped value across the calendar months it spans
+    * (revenue recognition / budget spreading): each [start, end] DATE
+    * interval (closed, inclusive) explodes to its month spine — a narrow
+    * Generate over `sequence()`, no join, no shuffle — and the value splits
+    * by day-count overlap. The per-month shares are exact integer-day
+    * ratios, so they re-sum to the original value up to rounding. */
+  def prorateByMonth(
+      df: DataFrame,
+      startCol: String,
+      endCol: String,
+      valueCol: String): DataFrame = {
+    val s = col(startCol).cast("date")
+    val e = col(endCol).cast("date")
+    val totalDays = (datediff(e, s) + 1).cast("double")
+    val monthStart = col("__month")
+    val monthEnd = last_day(col("__month"))
+    val overlap =
+      (datediff(least(e, monthEnd), greatest(s, monthStart)) + 1).cast("double")
+    df
+      .withColumn(
+        "__month",
+        explode(sequence(trunc(s, "month"), trunc(e, "month"), expr("INTERVAL 1 MONTH"))))
+      .withColumn("month", col("__month"))
+      .withColumn("overlap_days", overlap.cast("long"))
+      .withColumn(
+        "prorated",
+        col(valueCol).cast("double") * overlap / totalDays)
+      .drop("__month")
+  }
+
   /** Rolling 6-month window bounds keyed to a quarter end — reference
     * extract_pec_data.py:193-198 `periods_map`. */
   def sixMonthWindow(year: Int, quarterSuffix: String): (String, String) = quarterSuffix match {

@@ -182,6 +182,64 @@ object Sketches {
         (col("cur_pct") - col("base_pct")) * log(col("cur_pct") / col("base_pct")))
   }
 
+  /** Equi-depth (quantile) histogram: bin edges are the exact (or GK
+    * approx) percentiles — ONE percentile aggregate broadcast back, then
+    * the same codegen'd binary-search rank as the Z-order path and one
+    * partial-agg count. The complement of [[histogram]] for skewed data,
+    * where equi-width bins collapse into one hot bucket. Returns
+    * (bin, lo, hi, n) with lo/hi the actual value range present in the
+    * bin. */
+  def equiDepthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      approx: Boolean = false,
+      edgeRound: Option[Int] = None): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val v = col(valueCol).cast("double")
+    val probs = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val pct =
+      if (approx) percentile_approx(v, probs, lit(10000))
+      else percentile(v, probs)
+    // edgeRound quantizes the interpolated edges (ONCE, in the 1-row agg —
+    // zero per-row cost) so engines whose percentile interpolation differs
+    // in the last ulp still bin identically
+    val edges = edgeRound match {
+      case Some(dp) => transform(pct, e => round(e, dp))
+      case None => pct
+    }
+    val bounds = df.agg(edges.as("__edges"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin", graft.functions.rank_below(col("__edges"), v))
+      .groupBy(col("bin"))
+      .agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
+  }
+
+  /** Distinct-key overlap estimate between two columns via HLL
+    * inclusion–exclusion: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), with the
+    * union estimated by MERGING the two sketches (exact register union, no
+    * data re-read). The planner's question — "how much do these join keys
+    * overlap?" — answered with two sketch aggregates and a 1-row combine,
+    * at any scale. Signed result: the difference of estimates can dip
+    * below zero on disjoint sets; clamp at 0. */
+  def distinctOverlapEstimate(
+      a: DataFrame,
+      aCol: String,
+      b: DataFrame,
+      bCol: String,
+      lgK: Int = 12): DataFrame = {
+    val sa = a.agg(hll_sketch_agg(col(aCol), lit(lgK)).as("__sa"))
+    val sb = b.agg(hll_sketch_agg(col(bCol), lit(lgK)).as("__sb"))
+    sa.crossJoin(sb)
+      .select(
+        hll_sketch_estimate(col("__sa")).as("distinct_a"),
+        hll_sketch_estimate(col("__sb")).as("distinct_b"),
+        hll_sketch_estimate(hll_union(col("__sa"), col("__sb"))).as("distinct_union"))
+      .withColumn(
+        "distinct_overlap",
+        greatest(col("distinct_a") + col("distinct_b") - col("distinct_union"), lit(0L)))
+  }
+
   /** Exact corpus-wide percentile-rank (ECDF) normalization of a score
     * column WITHOUT a global sort: quantize the score to `dp` decimals,
     * aggregate the value histogram (partial hash agg — the shuffle carries

@@ -32,6 +32,24 @@ class PeriodsSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq == Seq("202403", "202406", "202409", "202412"))
   }
 
+  test("prorateByMonth splits value by day overlap and re-sums exactly") {
+    // Jan 20 .. Mar 10 (closed): 12 days Jan, 29 days Feb (2024 leap), 10 days Mar = 51
+    val df = Seq((1L, Date.valueOf("2024-01-20"), Date.valueOf("2024-03-10"), 510.0))
+      .toDF("id", "s", "e", "v")
+    val out = Periods.prorateByMonth(df, "s", "e", "v")
+      .orderBy("month").collect()
+      .map(r => (r.getAs[Date]("month").toString, r.getAs[Long]("overlap_days"), r.getAs[Double]("prorated")))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 12L, 120.0),
+      ("2024-02-01", 29L, 290.0),
+      ("2024-03-01", 10L, 100.0)))
+    // single-month interval keeps everything
+    val one = Periods.prorateByMonth(
+      Seq((2L, Date.valueOf("2024-05-05"), Date.valueOf("2024-05-09"), 42.0)).toDF("id", "s", "e", "v"),
+      "s", "e", "v").collect()
+    assert(one.length == 1 && one(0).getAs[Double]("prorated") == 42.0)
+  }
+
   test("sixMonthWindow bounds are keyed to the quarter end") {
     assert(Periods.sixMonthWindow(2024, "03") == ("202310", "202403"))
     assert(Periods.sixMonthWindow(2024, "12") == ("202407", "202412"))

@@ -152,6 +152,29 @@ class SketchesSpec extends SparkSpec {
     assert(ap.filter(col("is_outlier")).collect().map(_.getAs[Double]("v")).toSeq == Seq(100.0))
   }
 
+  test("equiDepthHistogram splits uniform data into equal bins; skew stays balanced") {
+    val uniform = (1 to 800).map(_.toDouble).toDF("v").repartition(4)
+    val bins = Sketches.equiDepthHistogram(uniform, "v", nBins = 8)
+      .orderBy("bin").collect()
+    assert(bins.length == 8)
+    assert(bins.forall(_.getAs[Long]("n") == 100L),
+      s"uniform data must split evenly: ${bins.mkString(", ")}")
+    // heavy skew: equi-width would dump ~all rows in bin 0; equi-depth must not
+    val skewed = ((1 to 790).map(_ => 1.0) ++ (1 to 10).map(i => 1000.0 * i)).toDF("v")
+    val sk = Sketches.equiDepthHistogram(skewed, "v", nBins = 4)
+      .orderBy("bin").collect()
+    assert(sk.map(_.getAs[Long]("n")).max < 795, s"degenerate binning: ${sk.mkString(", ")}")
+  }
+
+  test("distinctOverlapEstimate is near-exact at spec cardinalities") {
+    val a = (1 to 500).toDF("k").repartition(3)
+    val b = (301 to 900).toDF("k").repartition(2) // overlap = 200
+    val r = Sketches.distinctOverlapEstimate(a, "k", b, "k").head
+    assert(math.abs(r.getAs[Long]("distinct_a") - 500L) <= 15)
+    assert(math.abs(r.getAs[Long]("distinct_b") - 600L) <= 18)
+    assert(math.abs(r.getAs[Long]("distinct_overlap") - 200L) <= 40)
+  }
+
   test("welchTTest reproduces hand-computed t and dof; sign follows mean order") {
     // group a: 1,2,3,4,5 (mean 3, var 2.5); group b: 2,4,6,8,10 (mean 6, var 10)
     val df = (Seq(1, 2, 3, 4, 5).map(v => ("a", v.toDouble)) ++
