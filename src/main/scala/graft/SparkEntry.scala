@@ -754,6 +754,18 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber", "l_linestatus", "l_returnflag", "l_quantity")
   }
 
+  /** Key-skew diagnostic over the per-user event distribution (exact
+    * percentiles so the oracle reproduces them; `approx=true` is the
+    * at-scale default). */
+  private def qSkewReport(s: SparkSession, d: String): DataFrame =
+    Skew.skewReport(Tables.events(s, d), Seq("user_id"), approx = false)
+      .select(
+        col("n_rows"), col("n_keys"), col("max_count"),
+        round(col("max_share"), 6).as("max_share"),
+        round(col("p50_count"), 6).as("p50_count"),
+        round(col("p99_count"), 6).as("p99_count"),
+        round(col("count_cv"), 6).as("count_cv"))
+
   /** Equi-depth (quantile-edged) histogram of the lineitem price: edges
     * rounded to 4dp on both engines so binning agrees bit-for-bit. */
   private def qEquidepthHist(s: SparkSession, d: String): DataFrame =
@@ -1858,6 +1870,7 @@ object SparkEntry {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_interval_islands" -> (qIntervalIslands _),
     "q_equidepth_hist" -> (qEquidepthHist _),
+    "q_skew_report" -> (qSkewReport _),
     "q_overlap_estimate" -> (qOverlapEstimate _),
     "q_prorate" -> (qProrate _),
     "q_twap" -> (qTwap _),
@@ -2594,6 +2607,17 @@ object SparkEntry {
                 ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
                 ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_skew_report" ->
+      """WITH h AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+         a AS (SELECT SUM(n) AS n_rows, COUNT(*) AS n_keys, MAX(n) AS max_count,
+                      quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.99) AS p99,
+                      CAST(SUM(CAST(n * n AS HUGEINT)) AS DOUBLE) AS ss
+               FROM h)
+         SELECT n_rows, n_keys, max_count,
+                ROUND(CAST(max_count AS DOUBLE) / n_rows, 6) AS max_share,
+                ROUND(p50, 6) AS p50_count, ROUND(p99, 6) AS p99_count,
+                ROUND(SQRT(CAST(n_keys AS DOUBLE) * ss - CAST(n_rows AS DOUBLE) * n_rows) / n_rows, 6) AS count_cv
+         FROM a""",
     "q_equidepth_hist" ->
       """WITH b AS (SELECT quantile_cont(l_extendedprice,
                              [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q

@@ -50,6 +50,36 @@ object Skew {
         aggs.tail.map(a => a.merge(a.name).as(a.name)): _*)
   }
 
+  /** Key-distribution skew report — the diagnostic that tells you whether
+    * [[saltedAggregate]]/[[saltedJoin]] (or AQE skew handling) is needed
+    * BEFORE a job dies on one reducer: one partial-agg key histogram, then
+    * one aggregate over the histogram. Every statistic is chosen to be
+    * mergeable/deterministic at any scale: max share, the p50/p99/max of
+    * per-key counts (GK sketch — no histogram sort), and the coefficient of
+    * variation from exact integer sums (`sqrt(k·Σx² − (Σx)²) / Σx`, the
+    * order-free form). No global sort, no driver collect. */
+  def skewReport(df: DataFrame, keyCols: Seq[String], approx: Boolean = true): DataFrame = {
+    val hist = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val probs = array(lit(0.5), lit(0.99))
+    val pct =
+      if (approx) percentile_approx(col("__n"), probs, lit(10000)).cast("array<double>")
+      else percentile(col("__n"), probs)
+    hist.agg(
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("__n")).as("max_count"),
+      pct.as("__p"),
+      sum((col("__n") * col("__n")).cast("decimal(38,0)")).as("__ss"))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_count"),
+        (col("max_count").cast("double") / col("n_rows")).as("max_share"),
+        element_at(col("__p"), 1).as("p50_count"),
+        element_at(col("__p"), 2).as("p99_count"),
+        (sqrt(col("n_keys").cast("double") * col("__ss").cast("double") -
+          col("n_rows").cast("double") * col("n_rows")) /
+          col("n_rows")).as("count_cv"))
+  }
+
   /** Skew-safe equi-join: the skewed side gets a salt derived from its
     * non-key columns; the other side is replicated once per salt value
     * (explode of a literal range) so every (key, salt) pair still meets its

@@ -42,4 +42,21 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(salted == plain)
   }
+
+  test("skewReport: exact stats on a planted hot key; approx variant same schema") {
+    import spark.implicits._
+    // 90 rows on 'hot', 10 keys with 1 row each -> 100 rows, 11 keys
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i")).toDF("k").repartition(5)
+    val r = Skew.skewReport(df, Seq("k"), approx = false).head
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Long]("n_keys") == 11L)
+    assert(r.getAs[Long]("max_count") == 90L)
+    assert(r.getAs[Double]("max_share") == 0.9)
+    assert(r.getAs[Double]("p50_count") == 1.0)
+    // cv = sqrt(k*ss - n^2)/n with ss = 90^2 + 10 = 8110
+    assert(math.abs(r.getAs[Double]("count_cv") - math.sqrt(11.0 * 8110.0 - 10000.0) / 100.0) < 1e-12)
+    val ap = Skew.skewReport(df, Seq("k")).head
+    assert(ap.schema.fieldNames.toSeq == r.schema.fieldNames.toSeq)
+    assert(ap.getAs[Long]("max_count") == 90L)
+  }
 }
