@@ -1337,6 +1337,31 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** TPC-H Q17-shaped small-quantity-order query: the classic correlated
+    * subquery (l_quantity < 0.2 * the part's average quantity),
+    * decorrelated Spark-first — the brand-filtered part keys broadcast
+    * into lineitem, the per-part averages reduce with ONE partial
+    * aggregate (the query's only shuffle, carrying brand-filtered rows
+    * only), and the tiny threshold table broadcasts back onto a second
+    * lineitem scan. Averages of integer-valued quantities are exact in
+    * double, so the threshold comparison reproduces across engines. */
+  private def qTpchQ17(s: SparkSession, d: String): DataFrame = {
+    val target = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val limits = li
+      .join(broadcast(target), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("__lim"))
+    li.join(broadcast(limits), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("__lim"))
+      .agg(
+        count(lit(1)).as("n_small"),
+        round(dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
+  }
+
   /** Top user-journey paths per gap session. */
   private def qSessionPaths(s: SparkSession, d: String): DataFrame =
     Funnel.sessionPaths(Tables.events(s, d), gapSeconds = 1800, topN = 20)
@@ -1893,6 +1918,7 @@ object SparkEntry {
     "q_bpe" -> (qBpe _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_session_paths" -> (qSessionPaths _),
     "q_retention" -> (qRetention _),
@@ -2899,6 +2925,15 @@ object SparkEntry {
          JOIN big ON o_orderkey = big.l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
+    "q_tpch_q17" ->
+      """WITH target AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+         avgs AS (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS lim
+                  FROM lineitem JOIN target ON l_partkey = p_partkey
+                  GROUP BY 1)
+         SELECT COUNT(*) AS n_small,
+                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+         FROM lineitem JOIN avgs ON l_partkey = pk
+         WHERE l_quantity < lim""",
     "q_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
          f AS (SELECT user_id, event_id, event_type, us,

@@ -289,6 +289,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lambdafunction"), s"interpreted HOF crept back into z-ordering:\n$p")
   }
 
+  test("TPC-H Q17 decorrelates: part keys and thresholds broadcast, lineitem never sort-merges") {
+    val p = plan(SparkEntry.queries("q_tpch_q17")(spark, sf))
+    assert(!p.contains("SortMergeJoin"), s"both joins must broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"expected 2 broadcast joins:\n$p")
+    // one shuffle for the per-part partial agg + the single-row final agg
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <= 2 exchanges, got $shuffles:\n$p")
+  }
+
   test("gap fill never falls back to a cartesian/calendar cross join") {
     val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
     assert(p.contains("Generate"), s"expected a narrow sequence explode:\n$p")
