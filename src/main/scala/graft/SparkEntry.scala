@@ -510,6 +510,17 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Header-level image sniffing over every (non-image) corpus payload:
+    * the oracle pins the no-false-positive contract — text bytes must never
+    * sniff as PNG/JPEG/GIF/BMP headers. The positive parse vectors (real
+    * headers, all four formats, truncation) are pinned in MultimodalSpec. */
+  private def qImageMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), image_meta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"))
+      .orderBy("doc_id")
+
   /** Benford first-digit audit of the order prices. */
   private def qBenford(s: SparkSession, d: String): DataFrame =
     Quality.benford(Tables.orders(s, d), "o_totalprice")
@@ -1848,6 +1859,7 @@ object SparkEntry {
     "q_rolling_distinct" -> (qRollingDistinct _),
     "q_fix_mojibake" -> (qFixMojibake _),
     "q_benford" -> (qBenford _),
+    "q_image_meta" -> (qImageMeta _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -2239,6 +2251,9 @@ object SparkEntry {
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
     "q_fix_mojibake" ->
       """SELECT doc_id, text AS text_fixed FROM documents ORDER BY doc_id""",
+    "q_image_meta" ->
+      """SELECT doc_id, 'unknown' AS format, -1 AS width, -1 AS height
+         FROM documents ORDER BY doc_id""",
     "q_benford" ->
       """WITH d AS (
            SELECT regexp_extract(CAST(ABS(o_totalprice) AS VARCHAR), '[1-9]', 0) AS digit

@@ -33,6 +33,25 @@ package object functions {
   private def invokeVec(name: String, dt: DataType, args: Seq[Column]): Column =
     invokeOn(VectorOps.getClass, name, dt, args)
 
+  /** Header-level image introspection of a binary column WITHOUT decoding:
+    * `struct(format string, width int, height int)` — format 'unknown' and
+    * -1 dimensions when no signature matches. Real parsing of PNG/JPEG/
+    * GIF/BMP headers per their public specs ([[MediaOps]]). */
+  def image_meta(payload: Column): Column = {
+    val raw = invokeOn(
+      MediaOps.getClass, "imageMeta",
+      ArrayType(IntegerType, containsNull = false), Seq(payload))
+    val fmt = element_at(raw, 1)
+    struct(
+      when(fmt === MediaOps.FormatPng, "png")
+        .when(fmt === MediaOps.FormatJpeg, "jpeg")
+        .when(fmt === MediaOps.FormatGif, "gif")
+        .when(fmt === MediaOps.FormatBmp, "bmp")
+        .otherwise("unknown").as("format"),
+      element_at(raw, 2).as("width"),
+      element_at(raw, 3).as("height"))
+  }
+
   /** Accent-strip + sanitize + casefold normalization.
     * Behavior of reference utils.py:546 `normalize_text`. */
   def normalize_text(c: Column): Column =

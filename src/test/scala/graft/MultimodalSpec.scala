@@ -57,4 +57,38 @@ class MultimodalSpec extends SparkSpec {
     assert(a(0).width >= 64 && a(0).height >= 64)
     assert(a(1).byte_len == 0)
   }
+
+  test("image_meta parses PNG/JPEG/GIF/BMP headers without a decoder; garbage is 'unknown'") {
+    import org.apache.spark.sql.functions.col
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // minimal PNG: signature + IHDR length/type + width 640 height 480
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 2, 0, 0, 0)
+    // JPEG: SOI, APP0 segment (len 4, skipped), SOF0 with height 300 width 200
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(4) ++ Array[Byte](0, 0) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++ Array[Byte](8) ++
+      be16(300) ++ be16(200) ++ Array[Byte](3, 0, 0, 0)
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0, 0)
+    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++ le32(800) ++ le32(-600) ++ Array.fill[Byte](4)(0)
+    val junk = "definitely not an image, just text".getBytes
+    val truncated = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val rows = Seq(
+      (1L, png), (2L, jpeg), (3L, gif), (4L, bmp), (5L, junk), (6L, truncated))
+      .toDF("id", "payload")
+      .select(col("id"), graft.functions.image_meta(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "png", 640, 480),
+      (2L, "jpeg", 200, 300),
+      (3L, "gif", 320, 200),
+      (4L, "bmp", 800, 600), // negative BMP height = top-down rows; magnitude
+      (5L, "unknown", -1, -1),
+      (6L, "unknown", -1, -1)))
+  }
 }
