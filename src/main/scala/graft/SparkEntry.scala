@@ -1585,6 +1585,36 @@ object SparkEntry {
       .orderBy("user_id", "session_idx")
   }
 
+  /** The Misra–Gries heavy-hitters aggregate run as a STREAMING query
+    * (AvailableNow file source → streaming groupBy with the custom
+    * mergeable TypedImperativeAggregate in complete mode → memory sink),
+    * gated against the exact per-key counts: k exceeds the user
+    * cardinality, so the sketch is in its exact regime and the stream must
+    * reproduce the batch GROUP BY — the stream/batch equivalence gate for
+    * the CUSTOM-AGGREGATE path (the other gates cover windowed aggs,
+    * custom state, joins and dedup). */
+  private def qHeavyHittersStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_heavy_hitters_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .groupBy(col("event_type"))
+        .agg(approx_heavy_hitters(col("user_id").cast("string"), 4096).as("hh"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(col("event_type"), explode(col("hh")).as("e"))
+      .select(col("event_type"), col("e.item").as("item"), col("e.count_lo").as("count_lo"))
+      .orderBy("event_type", "item")
+  }
+
   /** The STREAMING funnel state machine run end-to-end against q_funnel's
     * batch oracle: AvailableNow file source → per-user mapGroupsWithState
     * depth updates (Update mode) into a memory sink → batch rollup of each
@@ -1927,6 +1957,7 @@ object SparkEntry {
     "q_ecdf" -> (qEcdf _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_stream" -> (qFunnelStream _),
+    "q_heavy_hitters_stream" -> (qHeavyHittersStream _),
     "q_bpe" -> (qBpe _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q18" -> (qTpchQ18 _),
@@ -2905,6 +2936,10 @@ object SparkEntry {
            UNION ALL
            SELECT 3, 'purchase', (SELECT COUNT(*) FROM u3))
          ORDER BY step_idx""",
+    "q_heavy_hitters_stream" ->
+      """SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+                CAST(COUNT(*) AS BIGINT) AS count_lo
+         FROM events GROUP BY 1, 2 ORDER BY event_type, item""",
     "q_tpch_q3" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
                 CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
