@@ -298,6 +298,34 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <= 2 exchanges, got $shuffles:\n$p")
   }
 
+  test("MAD outliers broadcast both median tables back — the data side never sort-merges") {
+    val p = plan(SparkEntry.queries("q_mad_outliers")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"medians must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"data side re-shuffled for a stats join:\n$p")
+  }
+
+  test("quantized ANN: shortlist and rerank run on the native top-k, no Window, no cartesian") {
+    val p = plan(SparkEntry.queries("q_ann_quantized")(spark, sf))
+    assert(p.contains("TopKPerKey"), s"expected native top-k:\n$p")
+    assert(!p.contains("Window"), s"quantized ANN regressed to a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rolling sketch distinct windows over the CUBE (two exchanges max), never re-reads raw data") {
+    val p = plan(SparkEntry.queries("q_rolling_distinct")(spark, sf))
+    // cube agg + window partition + the presentation ORDER BY — nothing else
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(shuffles <= 3, s"expected cube agg + window + presentation sort, got $shuffles:\n$p")
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("incremental agg merge is union + partial aggregates — no join, no window") {
+    val p = plan(SparkEntry.queries("q_incremental_agg")(spark, sf))
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), s"state merge must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"both levels need partial aggs:\n$p")
+  }
+
   test("gap fill never falls back to a cartesian/calendar cross join") {
     val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
     assert(p.contains("Generate"), s"expected a narrow sequence explode:\n$p")
