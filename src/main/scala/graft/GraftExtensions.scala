@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: the native top-k-per-key physical operator
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // optimizer extension: user-written row_number()<=k window filters plan
+    // to the native operator automatically
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     val longArray = ArrayType(LongType, containsNull = false)
     Seq(
       fn("graft_normalize_text", "accent-strip + sanitize + casefold",

@@ -41,4 +41,39 @@ class TopKPerKeySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(out == Set(("a", 1L), ("a", 2L), ("b", 5L)))
   }
+
+  test("TopKRewriteRule: user-written row_number()<=k window filters plan to the native operator") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      ("a", 5), ("a", 3), ("a", 9), ("a", 1), ("b", 7), ("b", 2))
+      .toDF("k", "v").repartition(3)
+    val w = Window.partitionBy("k").orderBy(col("v").asc)
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"window idiom not rewritten:\n$p")
+    assert(!p.contains("Window"), s"Window survived the rewrite:\n$p")
+    // results identical to the window semantics, rank included
+    val rows = q.orderBy("k", "rn").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq == Seq(("a", 1, 1), ("a", 3, 2), ("b", 2, 1), ("b", 7, 2)))
+    // rn = 1 rewrites too
+    val first = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(first.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(first.collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("a", 1), ("b", 2)))
+  }
+
+  test("TopKRewriteRule leaves non-equivalent shapes alone") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 5), ("a", 5), ("a", 3), ("b", 7)).toDF("k", "v")
+    val w = Window.partitionBy("k").orderBy(col("v").asc)
+    // rank() can emit more than k rows on ties — must NOT rewrite
+    val ranked = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 1)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(ranked.count() == 2) // one rank-1 row per key (3 for a, 7 for b)
+    // rn = 2 selects exactly the second row, not the top 2 — must NOT rewrite
+    val second = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 2)
+    assert(!second.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(second.collect().map(r => (r.getString(0), r.getInt(1))).toSet == Set(("a", 5)))
+  }
 }
