@@ -150,6 +150,11 @@ object SparkEntry {
       .orderBy("status", "c_mktsegment")
   }
 
+  /** Top-3 per priority written in the PLAIN window idiom — which
+    * [[graft.plans.TopKRewriteRule]] rewrites to the native top-k operator
+    * at optimization time (TopKPerKeySpec pins both the rewrite and the
+    * rank-preserving semantics). Users keep writing windows; graft plans
+    * bounded heaps. */
   private def qWindowRank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
