@@ -50,6 +50,33 @@ object Sink {
     nFiles
   }
 
+  /** Overwrite ONLY the partitions present in `df` (dynamic partition
+    * overwrite), leaving every other partition untouched — the incremental
+    * re-publish pattern: a late-arriving day reprocesses and replaces its
+    * own directory while the other 10,000 days stay put. Static overwrite
+    * mode (the default) would drop the whole table first. */
+  def overwritePartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
+  /** Attach zero-cost observed metrics to a frame: the metrics accumulate
+    * DURING whatever action runs next (a write, a count) — no second pass
+    * over the data, the standard row-count/invariant audit on a production
+    * sink. Read the result from the returned `Observation` after the
+    * action completes. */
+  def observed(
+      df: DataFrame,
+      name: String,
+      metrics: Seq[(String, Column)]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "need at least one metric")
+    val obs = org.apache.spark.sql.Observation(name)
+    val cols = metrics.map { case (n, c) => c.as(n) }
+    (df.observe(obs, cols.head, cols.tail: _*), obs)
+  }
+
   /** Morton (Z-order) key over `zCols`: each column is quantile-bucketed
     * into 2^`bits` ranks (one shared approx-percentile aggregate, bounds
     * broadcast back as a 1-row cross join — no driver collect), then the

@@ -91,6 +91,32 @@ class SinkSpec extends SparkSpec {
     assert(z.toSeq == Seq((0, 0, 0L), (1, 0, 1L), (0, 1, 2L), (1, 1, 3L)))
   }
 
+  test("overwritePartitions replaces only the partitions present in the new data") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-dynpart").toString + "/t"
+    val full = Seq(("p1", 1), ("p1", 2), ("p2", 3), ("p3", 4)).toDF("part", "v")
+    Sink.overwritePartitions(full, dir, Seq("part"))
+    // re-publish ONLY p2 with corrected data
+    val fixed = Seq(("p2", 30), ("p2", 31)).toDF("part", "v")
+    Sink.overwritePartitions(fixed, dir, Seq("part"))
+    val back = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[Int]("v"))).toSet
+    // p1/p3 untouched, p2 replaced (not appended)
+    assert(back == Set(("p1", 1), ("p1", 2), ("p2", 30), ("p2", 31), ("p3", 4)))
+  }
+
+  test("observed metrics accumulate during the action — no second pass") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(1, 2, 3, 4, 5).toDF("v")
+    val (observed, obs) = Sink.observed(
+      df, "sink_audit",
+      Seq("n" -> count(lit(1)), "sum_v" -> sum(col("v")), "nulls" -> count(when(col("v").isNull, 1))))
+    val dir = Files.createTempDirectory("graft-observe").toString + "/t"
+    observed.write.mode("overwrite").parquet(dir)
+    val m = obs.get
+    assert(m("n") == 5L && m("sum_v") == 15L && m("nulls") == 0L, m.toString)
+  }
+
   test("compactParquet merges a small-files directory losslessly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("compact_spec_").toFile.getPath
