@@ -1620,6 +1620,41 @@ object SparkEntry {
       .orderBy("event_type", "item")
   }
 
+  /** The STREAMING transition-pair state machine run end-to-end against
+    * q_transitions' batch oracle: AvailableNow file source → per-user
+    * two-field state emitting consecutive (state, next_state) pairs →
+    * memory sink → batch rollup to the matrix. */
+  private def qTransitionsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val raw = s.read.parquet(s"$d/events.parquet")
+    var stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val evs = stream.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_type").as("et"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      col("event_id").cast("long").as("event_id")).as[Events.TransEvent]
+    val name = "graft_transitions_stream"
+    withStatePartitions(s, 8) {
+      val q = Events.transitionsStream(s, evs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val byState = org.apache.spark.sql.expressions.Window.partitionBy(col("state"))
+    s.table(name)
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(byState), 6))
+      .orderBy("state", "next_state")
+  }
+
   /** The STREAMING funnel state machine run end-to-end against q_funnel's
     * batch oracle: AvailableNow file source → per-user mapGroupsWithState
     * depth updates (Update mode) into a memory sink → batch rollup of each
@@ -1963,6 +1998,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_funnel_stream" -> (qFunnelStream _),
     "q_heavy_hitters_stream" -> (qHeavyHittersStream _),
+    "q_transitions_stream" -> (qTransitionsStream _),
     "q_bpe" -> (qBpe _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q18" -> (qTpchQ18 _),
@@ -2231,6 +2267,16 @@ object SparkEntry {
                        POW(((ssb - sb * sb / nb) / (nb - 1)) / nb, 2) / (nb - 1)), 6) AS dof
          FROM w""",
     "q_transitions" ->
+      """WITH pairs AS (
+           SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS state,
+                  event_type AS next_state
+           FROM events),
+         c AS (SELECT state, next_state, COUNT(*) AS n
+               FROM pairs WHERE state IS NOT NULL GROUP BY 1, 2)
+         SELECT state, next_state, n,
+                ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY state), 6) AS p
+         FROM c ORDER BY state, next_state""",
+    "q_transitions_stream" ->
       """WITH pairs AS (
            SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS state,
                   event_type AS next_state

@@ -186,6 +186,37 @@ object Events {
         })
   }
 
+  final case class TransEvent(user_id: Long, et: String, us: Long, event_id: Long)
+  final case class TransLast(us: Long, et: String, event_id: Long)
+  final case class TransPair(state: String, next_state: String)
+
+  /** Streaming first-order transition pairs — the incremental twin of
+    * [[graft.operators.Funnel.transitionMatrix]]: per-user state carries
+    * ONLY the last seen event (two fields); each batch sorts its own
+    * events per user ((us, event_id) — the same tiebreak as the batch
+    * window) and emits one (state, next_state) pair per consecutive step,
+    * bridging batches through the stored last event. Aggregate the emitted
+    * pairs downstream for the matrix. In-order arrival across batches is
+    * assumed, as with [[funnelStream]]. */
+  def transitionsStream(
+      spark: SparkSession,
+      events: Dataset[TransEvent]): Dataset[TransPair] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[TransEvent], state: GroupState[TransLast]) => {
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransPair]
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            last.foreach(l => out += TransPair(l.et, e.et))
+            last = Some(TransLast(e.us, e.et, e.event_id))
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Streaming exact dedup on a key with watermarked state — the streaming
     * member of the dedup family (batch members live in operators.Dedup). */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =

@@ -65,6 +65,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
   }
 
+  test("transitionsStream bridges consecutive pairs across micro-batches") {
+    val ms = MemoryStream[Events.TransEvent](spark)
+    val q = Events.transitionsStream(spark, ms.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: user 1 goes a -> b (ties at us=5 pinned by event_id: c before d)
+      ms.addData(
+        Events.TransEvent(1L, "a", 1L, 1L),
+        Events.TransEvent(1L, "b", 2L, 2L),
+        Events.TransEvent(2L, "c", 5L, 3L),
+        Events.TransEvent(2L, "d", 5L, 4L))
+      q.processAllAvailable()
+      // batch 2: the pair b -> e must bridge the batch boundary via state
+      ms.addData(Events.TransEvent(1L, "e", 9L, 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("c", "d"), ("b", "e")))
+  }
+
   test("hourlyAggStream with append mode drops data later than the watermark") {
     val ms = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val streamDf = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
