@@ -21,6 +21,35 @@ object Tables {
   def jsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Schema-enforced CSV read with malformed-row quarantine (the
+    * dead-letter pattern): PERMISSIVE mode routes every unparseable line
+    * into a corrupt-record column instead of failing the job or silently
+    * nulling fields; the caller gets (clean rows, quarantined raw lines +
+    * file) and decides what to replay. The one-pass cache is Spark's
+    * documented requirement for referencing the corrupt column. */
+  def csvWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val corrupt = "_corrupt_record"
+    val raw = spark.read
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .csv(path)
+      // capture the provenance BEFORE caching — input_file_name() is empty
+      // once rows come back out of the InMemory relation
+      .withColumn("__source_file", input_file_name())
+      .cache()
+    val good = raw.filter(col(corrupt).isNull).drop(corrupt, "__source_file")
+    val bad = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"), col("__source_file").as("source_file"))
+    (good, bad)
+  }
+
   /** Grid-shaped CSV with leading junk rows — the reference's decorated-sheet
     * ingestion shape (extract_chu_data.py:36 reads a sheet from a data
     * range, skipping title/header decoration). `skipLines` rows plus the

@@ -195,6 +195,26 @@ class SourcesSpec extends SparkSpec {
     assert(ex2.getMessage.contains("no extension"))
   }
 
+  test("csvWithQuarantine routes malformed lines to the dead-letter side, keeps clean rows typed") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-quarantine").toString
+    Seq(
+      "id,score",
+      "1,10.5",
+      "2,not_a_number", // unparseable double
+      "3,7.25")
+      .toDF("value").coalesce(1).write.text(s"$dir/in.csv")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val (good, bad) = Tables.csvWithQuarantine(spark, s"$dir/in.csv", schema)
+    val g = good.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(g.toSeq == Seq((1L, 10.5), (3L, 7.25)))
+    val b = bad.collect()
+    assert(b.length == 1)
+    assert(b(0).getString(0) == "2,not_a_number")
+    assert(b(0).getString(1).endsWith("in.csv/" + new java.io.File(s"$dir/in.csv").list().filter(_.endsWith(".txt")).head))
+  }
+
   test("parquet named accessors expose the full star schema") {
     assert(Tables.lineitem(spark, sf).count() > 0)
     assert(Tables.nation(spark, sf).count() == 25)
