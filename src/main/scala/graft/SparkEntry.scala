@@ -526,6 +526,19 @@ object SparkEntry {
         col("m.width").as("width"), col("m.height").as("height"))
       .orderBy("doc_id")
 
+  /** Nested-struct flattening on an in-plan nested view of orders (two
+    * levels deep); the oracle is the equivalent flat projection. */
+  private def qFlattenStructs(s: SparkSession, d: String): DataFrame = {
+    val nested = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      struct(
+        col("o_orderstatus").as("status"),
+        struct(
+          col("o_totalprice").as("price"),
+          col("o_orderpriority").as("priority")).as("detail")).as("info"))
+    Relational.flattenStructs(nested).orderBy("o_orderkey")
+  }
+
   /** Benford first-digit audit of the order prices. */
   private def qBenford(s: SparkSession, d: String): DataFrame =
     Quality.benford(Tables.orders(s, d), "o_totalprice")
@@ -1930,6 +1943,7 @@ object SparkEntry {
     "q_fix_mojibake" -> (qFixMojibake _),
     "q_benford" -> (qBenford _),
     "q_image_meta" -> (qImageMeta _),
+    "q_flatten_structs" -> (qFlattenStructs _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -2336,6 +2350,11 @@ object SparkEntry {
     "q_image_meta" ->
       """SELECT doc_id, 'unknown' AS format, -1 AS width, -1 AS height
          FROM documents ORDER BY doc_id""",
+    "q_flatten_structs" ->
+      """SELECT o_orderkey, o_orderstatus AS info_status,
+                o_totalprice AS info_detail_price,
+                o_orderpriority AS info_detail_priority
+         FROM orders ORDER BY o_orderkey""",
     "q_benford" ->
       """WITH d AS (
            SELECT regexp_extract(CAST(ABS(o_totalprice) AS VARCHAR), '[1-9]', 0) AS digit

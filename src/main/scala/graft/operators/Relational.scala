@@ -251,6 +251,25 @@ object Relational {
     withMissing.select(expected.map { case (n, _) => col(n) }: _*)
   }
 
+  /** Recursively flatten nested struct columns to top-level columns
+    * (`a.b.c` -> `a_b_c`) — the post-ingestion step after reading nested
+    * JSON/parquet, so downstream relational operators (and engines without
+    * struct support) see a flat schema. Arrays/maps pass through unchanged
+    * (explode is a row-count decision the caller owns). Pure projection:
+    * zero shuffle, column pruning still reaches the scan. */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def expand(schema: StructType, path: Seq[String]): Seq[Column] =
+      schema.fields.toSeq.flatMap { f =>
+        val p = path :+ f.name
+        f.dataType match {
+          case s: StructType => expand(s, p)
+          case _ => Seq(col(p.map(n => s"`$n`").mkString(".")).as(p.mkString(sep)))
+        }
+      }
+    df.select(expand(df.schema, Nil): _*)
+  }
+
   /** Null imputation from group-level statistics — the standard data-repair
     * step before modeling: categorical nulls fill with the group MODE (ties
     * to the smallest value, so the fill is deterministic in any engine),

@@ -99,12 +99,14 @@ object Tables {
     val suffix = if (dot < 0) "" else path.substring(dot + 1).toLowerCase
     suffix match {
       case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
       case "csv" => csv(spark, path)
+      case "json" | "jsonl" | "ndjson" => jsonLines(spark, path)
       case "xlsx" => Xlsx.grid(spark, path, skipRows = xlsxSkipRows)
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported data file `$path`: expected a .parquet, .csv or .xlsx " +
-            s"file, got ${if (other.isEmpty) "no extension" else s".$other"}")
+          s"unsupported data file `$path`: expected a .parquet, .orc, .csv, " +
+            s".json(l) or .xlsx file, got ${if (other.isEmpty) "no extension" else s".$other"}")
     }
   }
 

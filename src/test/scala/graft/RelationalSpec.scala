@@ -104,6 +104,18 @@ class RelationalSpec extends SparkSpec {
     assert(chained.orderBy("k").collect().toSeq == d)
   }
 
+  test("flattenStructs expands nested structs, leaves arrays alone, handles dotted names") {
+    val df = Seq((1L, ("x", (2.5, Seq(1, 2))))).toDF("id", "outer")
+      .selectExpr("id", "named_struct('tag', outer._1, 'inner', named_struct('score', outer._2._1, 'xs', outer._2._2)) AS `weird.name`")
+    val flat = Relational.flattenStructs(df)
+    assert(flat.columns.toSeq == Seq("id", "weird.name_tag", "weird.name_inner_score", "weird.name_inner_xs"))
+    val row = flat.head
+    assert(row.getLong(0) == 1L)
+    assert(row.getString(1) == "x")
+    assert(row.getDouble(2) == 2.5)
+    assert(row.getSeq[Int](3) == Seq(1, 2)) // arrays pass through
+  }
+
   test("impute fills nulls from group mode (ties to smallest) and exact group mean") {
     val df = Seq(
       ("g1", Some("x"), Some(10.0)),

@@ -188,6 +188,12 @@ class SourcesSpec extends SparkSpec {
     // xlsx
     Xlsx.write(s"$dir/t.xlsx", Seq(Seq[Any]("id", "v"), Seq[Any](3, "c")))
     assert(T.auto(spark, s"$dir/t.xlsx").select("v").head.getString(0) == "c")
+    // orc
+    Seq((4L, "d")).toDF("id", "v").write.orc(s"$dir/t.orc")
+    assert(T.auto(spark, s"$dir/t.orc").select("v").head.getString(0) == "d")
+    // json lines
+    Seq((5L, "e")).toDF("id", "v").write.json(s"$dir/t.json")
+    assert(T.auto(spark, s"$dir/t.json").select("v").head.getString(0) == "e")
     // unsupported
     val ex = intercept[IllegalArgumentException](T.auto(spark, s"$dir/t.tsv"))
     assert(ex.getMessage.contains("parquet") && ex.getMessage.contains(".tsv"))
