@@ -526,6 +526,11 @@ object SparkEntry {
         col("m.width").as("width"), col("m.height").as("height"))
       .orderBy("doc_id")
 
+  /** Chi-square independence test between order status and priority. */
+  private def qChiSquare(s: SparkSession, d: String): DataFrame =
+    Sketches.chiSquare(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")
+      .select(col("n"), col("n_cells"), col("dof"), round(col("chi2"), 6).as("chi2"))
+
   /** Nested-struct flattening on an in-plan nested view of orders (two
     * levels deep); the oracle is the equivalent flat projection. */
   private def qFlattenStructs(s: SparkSession, d: String): DataFrame = {
@@ -1944,6 +1949,7 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_image_meta" -> (qImageMeta _),
     "q_flatten_structs" -> (qFlattenStructs _),
+    "q_chi_square" -> (qChiSquare _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -2355,6 +2361,24 @@ object SparkEntry {
                 o_totalprice AS info_detail_price,
                 o_orderpriority AS info_detail_priority
          FROM orders ORDER BY o_orderkey""",
+    "q_chi_square" ->
+      """WITH cells AS (
+           SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS o
+           FROM orders GROUP BY 1, 2),
+         t AS (SELECT a, b, o,
+                      SUM(o) OVER (PARTITION BY a) AS ra,
+                      SUM(o) OVER (PARTITION BY b) AS cb,
+                      SUM(o) OVER () AS n
+               FROM cells),
+         u AS (SELECT a, b, n,
+                      CAST((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *
+                           (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) /
+                           (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(30,12)) AS term
+               FROM t)
+         SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+                (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+                ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+         FROM u""",
     "q_benford" ->
       """WITH d AS (
            SELECT regexp_extract(CAST(ABS(o_totalprice) AS VARCHAR), '[1-9]', 0) AS digit

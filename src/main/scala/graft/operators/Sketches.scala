@@ -318,6 +318,38 @@ object Sketches {
         (pow(sea, 2.0) / (col("na") - 1) + pow(seb, 2.0) / (col("nb") - 1))).as("dof"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns: one partial-agg pass builds the contingency cells; the
+    * marginals come from windows over the CELL table (cardinality =
+    * |A|·|B|, never the data). Per-cell terms quantize to decimal(30,12)
+    * before the final sum so the statistic is reproducible in any engine
+    * (a raw double sum would depend on partial-agg order). Returns
+    * `(n, n_cells, dof, chi2)`. */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("__a"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val terms = cells
+      .withColumn("__ra", sum(col("__o")).over(wa))
+      .withColumn("__cb", sum(col("__o")).over(wb))
+      .withColumn("__n", sum(col("__o")).over(wAll))
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__cb").cast("double") / col("__n").cast("double"))
+      .withColumn("__d", col("__o").cast("double") - col("__e"))
+      // explicit multiply, not pow(x,2): libm pow is not bit-identical
+      // across engines; x*x is
+      .withColumn("__t", (col("__d") * col("__d") / col("__e")).cast("decimal(30,12)"))
+    terms.agg(
+      max(col("__n")).as("n"),
+      count(lit(1)).as("n_cells"),
+      ((count_distinct(col("__a")) - 1) * (count_distinct(col("__b")) - 1)).as("dof"),
+      sum(col("__t")).cast("double").as("chi2"))
+  }
+
   /** Robust per-key outlier flags via the median absolute deviation:
     * `is_outlier = |x - median| > k * MAD` — the classic robust z-score
     * (unlike mean/stddev, one huge outlier cannot mask itself by inflating

@@ -175,6 +175,22 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("distinct_overlap") - 200L) <= 40)
   }
 
+  test("chiSquare reproduces the hand-computed 2x2 statistic; independence scores ~0") {
+    // classic 2x2: rows (10,20),(20,10) -> n=60, expected 15 each,
+    // chi2 = 4 * 25/15 = 6.6667, dof = 1
+    val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("u", "v").repartition(4)
+    val r = Sketches.chiSquare(df, "u", "v").head
+    assert(r.getAs[Long]("n") == 60L)
+    assert(r.getAs[Long]("n_cells") == 4L)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(math.abs(r.getAs[Double]("chi2") - 20.0 / 3.0) < 1e-9)
+    // perfectly proportional table -> statistic exactly 0
+    val indep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("u", "v")
+    assert(Sketches.chiSquare(indep, "u", "v").head.getAs[Double]("chi2") == 0.0)
+  }
+
   test("welchTTest reproduces hand-computed t and dof; sign follows mean order") {
     // group a: 1,2,3,4,5 (mean 3, var 2.5); group b: 2,4,6,8,10 (mean 6, var 10)
     val df = (Seq(1, 2, 3, 4, 5).map(v => ("a", v.toDouble)) ++
