@@ -529,7 +529,25 @@ object SparkEntry {
   /** Chi-square independence test between order status and priority. */
   private def qChiSquare(s: SparkSession, d: String): DataFrame =
     Sketches.chiSquare(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")
-      .select(col("n"), col("n_cells"), col("dof"), round(col("chi2"), 6).as("chi2"))
+      .select(
+        col("n"), col("n_cells"), col("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        round(col("cramers_v"), 6).as("cramers_v"))
+
+  /** Market-basket co-occurrence: part pairs sharing an order, top-50 by
+    * support. One self-join on the order key (co-partitioned equi-join),
+    * pair counts via partial agg, global top-50 through TakeOrdered. */
+  private def qCopurchase(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("l_partkey2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("l_partkey2"))
+    pairs
+      .groupBy(col("l_partkey"), col("l_partkey2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("l_partkey").asc, col("l_partkey2").asc)
+      .limit(50)
+  }
 
   /** Nested-struct flattening on an in-plan nested view of orders (two
     * levels deep); the oracle is the equivalent flat projection. */
@@ -1950,6 +1968,7 @@ object SparkEntry {
     "q_image_meta" -> (qImageMeta _),
     "q_flatten_structs" -> (qFlattenStructs _),
     "q_chi_square" -> (qChiSquare _),
+    "q_copurchase" -> (qCopurchase _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -2377,8 +2396,16 @@ object SparkEntry {
                FROM t)
          SELECT MAX(n) AS n, COUNT(*) AS n_cells,
                 (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
-                ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+                ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+                ROUND(SQRT(CAST(SUM(term) AS DOUBLE) /
+                           (CAST(MAX(n) AS DOUBLE) * (LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1))), 6) AS cramers_v
          FROM u""",
+    "q_copurchase" ->
+      """SELECT a.l_partkey, b.l_partkey AS l_partkey2, COUNT(*) AS support
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         ORDER BY support DESC, a.l_partkey, l_partkey2 LIMIT 50""",
     "q_benford" ->
       """WITH d AS (
            SELECT regexp_extract(CAST(ABS(o_totalprice) AS VARCHAR), '[1-9]', 0) AS digit

@@ -347,7 +347,14 @@ object Sketches {
       max(col("__n")).as("n"),
       count(lit(1)).as("n_cells"),
       ((count_distinct(col("__a")) - 1) * (count_distinct(col("__b")) - 1)).as("dof"),
-      sum(col("__t")).cast("double").as("chi2"))
+      sum(col("__t")).cast("double").as("chi2"),
+      least(count_distinct(col("__a")), count_distinct(col("__b"))).as("__minCard"))
+      // Cramér's V: the [0,1]-normalized effect size — chi2 alone grows
+      // with n, V is comparable across tables
+      .withColumn(
+        "cramers_v",
+        sqrt(col("chi2") / (col("n").cast("double") * (col("__minCard") - 1))))
+      .drop("__minCard")
   }
 
   /** Robust per-key outlier flags via the median absolute deviation:

@@ -125,6 +125,26 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("BPE tokens always concatenate back to the input words, under any merge table") {
+    val r = new Random(31)
+    (1 to 500).foreach { _ =>
+      val words = Seq.fill(1 + r.nextInt(5))(
+        (1 to (1 + r.nextInt(8))).map(_ => ('a' + r.nextInt(4)).toChar).mkString)
+      val text = words.mkString(" ")
+      // random (possibly nonsensical) merge table — encode must stay lossless
+      val merges = new GenericArrayData(
+        Seq.fill(r.nextInt(10)) {
+          val l = ('a' + r.nextInt(4)).toChar.toString * (1 + r.nextInt(2))
+          val rr = ('a' + r.nextInt(4)).toChar.toString
+          UTF8String.fromString(s"$l $rr"): Any
+        }.toArray)
+      val toks = TextOps.bpeTokens(u(text), merges)
+      val rebuilt = (0 until toks.numElements())
+        .map(toks.getUTF8String(_).toString).mkString
+      assert(rebuilt == words.mkString(""), s"lossy encode of '$text'")
+    }
+  }
+
   test("sortedJaccard over shingleSet equals direct ngramJaccard on every pair") {
     val vocab = Seq("a", "b", "c", "dd", "e")
     val r = new Random(29)

@@ -185,6 +185,8 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_cells") == 4L)
     assert(r.getAs[Long]("dof") == 1L)
     assert(math.abs(r.getAs[Double]("chi2") - 20.0 / 3.0) < 1e-9)
+    // V = sqrt(chi2 / (n * (min(2,2)-1))) = sqrt((20/3)/60) = 1/3
+    assert(math.abs(r.getAs[Double]("cramers_v") - 1.0 / 3.0) < 1e-9)
     // perfectly proportional table -> statistic exactly 0
     val indep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
       Seq.fill(5)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("u", "v")
