@@ -526,6 +526,59 @@ object SparkEntry {
         col("m.width").as("width"), col("m.height").as("height"))
       .orderBy("doc_id")
 
+  /** Association rules over the co-purchase pairs: confidence and lift from
+    * the pair supports and broadcast per-item counts — the full
+    * market-basket readout (support / confidence / lift) without ever
+    * materializing more than the pair table. */
+  private def qAssocRules(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val baskets = li.distinct() // item-in-basket grain
+    val n = baskets.select(count_distinct(col("l_orderkey")).as("__n"))
+    val itemCounts = baskets.groupBy(col("l_partkey")).agg(count(lit(1)).as("__cnt"))
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("l_partkey2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("l_partkey2"))
+      .groupBy(col("l_partkey"), col("l_partkey2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 3)
+    pairs
+      .join(broadcast(itemCounts.withColumnRenamed("__cnt", "__ca")), Seq("l_partkey"))
+      .join(
+        broadcast(itemCounts
+          .withColumnRenamed("l_partkey", "l_partkey2")
+          .withColumnRenamed("__cnt", "__cb")),
+        Seq("l_partkey2"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("l_partkey"), col("l_partkey2"), col("support"),
+        round(col("support").cast("double") / col("__ca"), 6).as("confidence"),
+        round(
+          col("support").cast("double") * col("__n") /
+            (col("__ca").cast("double") * col("__cb")), 6).as("lift"))
+      .orderBy(col("support").desc, col("l_partkey").asc, col("l_partkey2").asc)
+      .limit(50)
+  }
+
+  /** TPC-H Q12-shaped shipping-priority split: one pass over lineitem with
+    * pushed-down OR predicates, conditional sums per priority class — the
+    * canonical CASE-inside-aggregate shape. */
+  private def qTpchQ12(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          (col("l_returnflag") === "A" || col("l_returnflag") === "R"))
+    li.join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   /** Chi-square independence test between order status and priority. */
   private def qChiSquare(s: SparkSession, d: String): DataFrame =
     Sketches.chiSquare(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")
@@ -1969,6 +2022,8 @@ object SparkEntry {
     "q_flatten_structs" -> (qFlattenStructs _),
     "q_chi_square" -> (qChiSquare _),
     "q_copurchase" -> (qCopurchase _),
+    "q_assoc_rules" -> (qAssocRules _),
+    "q_tpch_q12" -> (qTpchQ12 _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -2406,6 +2461,32 @@ object SparkEntry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2
          ORDER BY support DESC, a.l_partkey, l_partkey2 LIMIT 50""",
+    "q_assoc_rules" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT l_orderkey) AS total FROM baskets),
+         ic AS (SELECT l_partkey, COUNT(*) AS cnt FROM baskets GROUP BY 1),
+         pairs AS (
+           SELECT a.l_partkey, b.l_partkey AS l_partkey2, COUNT(*) AS support
+           FROM baskets a JOIN baskets b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         SELECT p.l_partkey, p.l_partkey2, p.support,
+                ROUND(CAST(p.support AS DOUBLE) / ca.cnt, 6) AS confidence,
+                ROUND(CAST(p.support AS DOUBLE) * n.total / (CAST(ca.cnt AS DOUBLE) * cb.cnt), 6) AS lift
+         FROM pairs p
+         JOIN ic ca ON p.l_partkey = ca.l_partkey
+         JOIN ic cb ON p.l_partkey2 = cb.l_partkey
+         CROSS JOIN n
+         ORDER BY support DESC, p.l_partkey, p.l_partkey2 LIMIT 50""",
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+                SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_returnflag IN ('A', 'R')
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_benford" ->
       """WITH d AS (
            SELECT regexp_extract(CAST(ABS(o_totalprice) AS VARCHAR), '[1-9]', 0) AS digit
