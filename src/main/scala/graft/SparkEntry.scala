@@ -2702,7 +2702,7 @@ object SparkEntry {
                 FROM bi JOIN cb USING (bigram)
                 JOIN cu ON split_part(bi.bigram, ' ', 1) = cu.w1)
          SELECT doc_id, COUNT(*) AS n_bigrams,
-                ROUND(CAST(SUM(lp) / COUNT(*) AS DOUBLE), 6) AS avg_logprob
+                ROUND(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "q_chunk_text" ->
       """WITH s AS (SELECT doc_id, text,

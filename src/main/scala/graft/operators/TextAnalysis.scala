@@ -172,7 +172,11 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round((sum(col("__lp")) / count(lit(1))).cast("double"), 6).as("avg_logprob"))
+        // divide in DOUBLE from the exact decimal sum: decimal/long division
+        // scale rules differ across engines and can round apart at the 6dp
+        // boundary (caught by the sf0.001 cross-scale gate)
+        round(sum(col("__lp")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_logprob"))
   }
 
   /** Overlapping character-window chunking — the RAG / long-document
