@@ -40,7 +40,7 @@ object Relational {
       .getOrElse(df.repartitionByRange(orderCols: _*))
       .sortWithinPartitions(orderCols: _*)
     val schema = StructType(ranged.schema.fields :+ StructField(rowNumCol, LongType, nullable = false))
-    val numbered = ranged.rdd.zipWithIndex.map { case (row, i) =>
+    val numbered = ranged.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(numbered, schema)
@@ -227,7 +227,7 @@ object Relational {
       s"state schemas differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
     val measureCols = a.columns.filter(c =>
       c == "cnt" || c.startsWith("sum_") || c.startsWith("min_") || c.startsWith("max_"))
-    val keyCols = a.columns.filterNot(measureCols.contains)
+    val keyCols = a.columns.filterNot(measureCols.contains).toSeq
     val remerge = measureCols.toSeq.map {
       case "cnt" => sum(col("cnt")).as("cnt")
       case c if c.startsWith("sum_") => sum(col(c)).cast("decimal(18,2)").as(c)

@@ -207,7 +207,7 @@ object Similarity {
       maxFitRows: Long = 1000000L): DataFrame = {
     // per-dimension bounds from a bounded sample: dims are a fixed small
     // arity, so the collected bounds row is O(dim), not O(corpus)
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val sample = fitSample(corpus.select(col(vecCol)), maxFitRows)
     val bounds = sample
       .select(posexplode(col(vecCol)).as(Seq("__d", "__v")))

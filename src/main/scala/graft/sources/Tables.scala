@@ -72,7 +72,7 @@ object Tables {
       .select(input_file_name().as("__f"), col("value"))
       .orderBy("__f")
       .select("value")
-      .head.getString(0)
+      .head().getString(0)
     val header = firstFile.split("\n", -1).iterator
       .map(_.stripSuffix("\r")).drop(skipLines).next()
     val headerCols = header.split(",", -1).map(_.trim).toSeq

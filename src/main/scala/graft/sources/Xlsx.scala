@@ -39,7 +39,7 @@ object Xlsx {
     */
   def grid(spark: SparkSession, path: String, skipRows: Int, sheet: String = "sheet1"): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
-    val headBytes = files.orderBy(col("path")).select(col("content")).head.getAs[Array[Byte]](0)
+    val headBytes = files.orderBy(col("path")).select(col("content")).head().getAs[Array[Byte]](0)
     val grid = parseSheet(headBytes, sheet)
     require(grid.length > skipRows, s"sheet has ${grid.length} rows, cannot skip $skipRows + header")
     val header = grid(skipRows).map(c => if (c == null) "" else c.trim).toSeq

@@ -23,7 +23,7 @@ object Profile {
 
     val docs = Tables.documents(spark, d)
     println(s"[profile] docs rows=${docs.count()}")
-    println(s"[profile] docs total text chars=${docs.select(sum(length(col("text")))).head.getLong(0)}")
+    println(s"[profile] docs total text chars=${docs.select(sum(length(col("text")))).head().getLong(0)}")
     time("md5 exact dedup (no sort)")(noop(Dedup.exact(docs, "doc_id", "text")))
     time("md5 exact dedup (again)")(noop(Dedup.exact(docs, "doc_id", "text")))
     time("md5 exact dedup + orderBy")(noop(Dedup.exact(docs, "doc_id", "text").orderBy("keep_id")))
@@ -32,7 +32,7 @@ object Profile {
     time("q1_agg (warm)")(noop(SparkEntry.queries("q1_agg")(spark, d)))
 
     val emb = Tables.embeddings(spark, d)
-    println(s"[profile] embeddings rows=${emb.count()} dim=${emb.select(size(col("embedding"))).head.getInt(0)}")
+    println(s"[profile] embeddings rows=${emb.count()} dim=${emb.select(size(col("embedding"))).head().getInt(0)}")
     time("lsh signature only")(noop(
       emb.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 0, 12).as("sig"))))
     time("q_ann_lsh full")(noop(SparkEntry.queries("q_ann_lsh")(spark, d)))
