@@ -201,6 +201,28 @@ class SourcesSpec extends SparkSpec {
     assert(ex2.getMessage.contains("no extension"))
   }
 
+  test("xlsx round-trips XML-hostile cell content (escapes, quotes, unicode) — 200-case fuzz") {
+    import graft.sources.Xlsx
+    val r = new scala.util.Random(37)
+    val pool = "<>&\"' \népsilon€λ=1+2;ab,0"
+    val rows = Seq(Seq[Any]("h1", "h2")) ++ (1 to 200).map { i =>
+      Seq[Any](
+        Seq.fill(1 + r.nextInt(12))(pool(r.nextInt(pool.length))).mkString,
+        s"v$i")
+    }
+    val dir = Files.createTempDirectory("graft-xlsx-fuzz").toString
+    Xlsx.write(s"$dir/fuzz.xlsx", rows)
+    val back = graft.sources.Xlsx.grid(spark, s"$dir/fuzz.xlsx", skipRows = 0)
+      .orderBy(col("h2"))
+      .collect().map(r0 => (r0.getString(0), r0.getString(1)))
+    val expected = rows.drop(1)
+      .map(s => (s(0).toString, s(1).toString))
+      .sortBy(_._2)
+    // the reader normalizes newlines like Excel does? it must preserve them;
+    // compare exactly
+    assert(back.toSeq == expected, "xlsx writer/reader lost or mangled hostile content")
+  }
+
   test("csvWithQuarantine routes malformed lines to the dead-letter side, keeps clean rows typed") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-quarantine").toString

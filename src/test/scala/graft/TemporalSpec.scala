@@ -104,6 +104,30 @@ class TemporalSpec extends SparkSpec {
     assert(out(1) == (("u2", 3.0, 2L))) // (7*0 + 3*4s) / 4s
   }
 
+  test("mergeIntervals property: islands cover exactly the union of inputs (100 random sets)") {
+    val r = new scala.util.Random(41)
+    (1 to 5).foreach { _ =>
+      val iv = (1 to 100).map { _ =>
+        val s = r.nextInt(500).toLong
+        ("k", s, s + 1 + r.nextInt(30))
+      }
+      val df = iv.toDF("k", "s", "e").repartition(4)
+      val islands = Temporal.mergeIntervals(df, Seq("k"), "s", "e")
+        .collect().map(row => (row.getLong(2), row.getLong(3)))
+      // brute-force covered set of integer points
+      val expected = iv.flatMap { case (_, s, e) => s to e }.toSet
+      val got = islands.flatMap { case (s, e) => s to e }.toSet
+      assert(got == expected, "islands must cover exactly the input union")
+      // islands must not overlap or share an endpoint (closed-interval
+      // semantics: touching ENDPOINTS merge; integer-adjacent starts do not)
+      val sorted = islands.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(s2 > e1, "overlapping islands should have merged")
+        case _ => ()
+      }
+    }
+  }
+
   test("rollingAgg RANGE frame bounds by index value, not row position") {
     val df = Seq((1L, 0, 10.0), (1L, 1, 20.0), (1L, 10, 40.0)).toDF("k", "pos", "v")
     val out = Temporal
