@@ -615,6 +615,32 @@ object SparkEntry {
     Relational.flattenStructs(nested).orderBy("o_orderkey")
   }
 
+  /** The LLM-data preparation pipeline end-to-end as ONE declarative plan:
+    * exact dedup (keep the lowest doc id per normalized content key) →
+    * token-count quality gate → overlapping chunking → per-document chunk
+    * accounting. Four stages, one Catalyst plan — filters and the dedup
+    * aggregate all fuse ahead of the chunk explode, the plan-level
+    * equivalent of the reference pipeline's staged files. */
+  private def qLlmPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // stage 1: exact dedup, keep-lowest-id representative
+    val keepIds = docs
+      .groupBy(md5(to_binary(lower(trim(col("text"))), lit("utf-8"))).as("__key"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val surviving = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    // stage 2: cheap quality gate on whitespace token count
+    val gated = surviving.filter(
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).between(20, 2000))
+    // stage 3 + 4: overlapping chunks, per-doc accounting
+    TextAnalysis.chunkText(gated, "doc_id", "text", size = 80, overlap = 20)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk_text"))).as("total_chunk_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Benford first-digit audit of the order prices. */
   private def qBenford(s: SparkSession, d: String): DataFrame =
     Quality.benford(Tables.orders(s, d), "o_totalprice")
@@ -2021,6 +2047,7 @@ object SparkEntry {
     "q_image_meta" -> (qImageMeta _),
     "q_flatten_structs" -> (qFlattenStructs _),
     "q_chi_square" -> (qChiSquare _),
+    "q_llm_pipeline" -> (qLlmPipeline _),
     "q_copurchase" -> (qCopurchase _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_tpch_q12" -> (qTpchQ12 _),
@@ -2704,6 +2731,22 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_bigrams,
                 ROUND(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_pipeline" ->
+      """WITH keep AS (
+           SELECT MIN(doc_id) AS doc_id
+           FROM documents GROUP BY md5(lower(trim(text)))),
+         gated AS (
+           SELECT d.doc_id, d.text
+           FROM documents d JOIN keep USING (doc_id)
+           WHERE len(regexp_extract_all(d.text, '\S+')) BETWEEN 20 AND 2000),
+         chunks AS (
+           SELECT doc_id, substr(text, start, 80) AS chunk_text
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, greatest(length(text) - 20, 1), 60)) AS start
+                 FROM gated))
+         SELECT doc_id, COUNT(*) AS n_chunks,
+                SUM(length(chunk_text)) AS total_chunk_chars
+         FROM chunks GROUP BY doc_id ORDER BY doc_id""",
     "q_chunk_text" ->
       """WITH s AS (SELECT doc_id, text,
                 unnest(generate_series(1, greatest(length(text) - 20, 1), 60)) AS start
