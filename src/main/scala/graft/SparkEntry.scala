@@ -2476,7 +2476,7 @@ object SparkEntry {
                            (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) /
                            (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(30,12)) AS term
                FROM t)
-         SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+         SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
                 (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
                 ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
                 ROUND(SQRT(CAST(SUM(term) AS DOUBLE) /
@@ -2507,8 +2507,8 @@ object SparkEntry {
          ORDER BY support DESC, p.l_partkey, p.l_partkey2 LIMIT 50""",
     "q_tpch_q12" ->
       """SELECT l_returnflag,
-                SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-                SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
            AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -2745,7 +2745,7 @@ object SparkEntry {
                         unnest(generate_series(1, greatest(length(text) - 20, 1), 60)) AS start
                  FROM gated))
          SELECT doc_id, COUNT(*) AS n_chunks,
-                SUM(length(chunk_text)) AS total_chunk_chars
+                CAST(SUM(length(chunk_text)) AS BIGINT) AS total_chunk_chars
          FROM chunks GROUP BY doc_id ORDER BY doc_id""",
     "q_chunk_text" ->
       """WITH s AS (SELECT doc_id, text,
@@ -2930,7 +2930,7 @@ object SparkEntry {
                       quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.99) AS p99,
                       CAST(SUM(CAST(n * n AS HUGEINT)) AS DOUBLE) AS ss
                FROM h)
-         SELECT n_rows, n_keys, max_count,
+         SELECT CAST(n_rows AS BIGINT) AS n_rows, n_keys, max_count,
                 ROUND(CAST(max_count AS DOUBLE) / n_rows, 6) AS max_share,
                 ROUND(p50, 6) AS p50_count, ROUND(p99, 6) AS p99_count,
                 ROUND(SQRT(CAST(n_keys AS DOUBLE) * ss - CAST(n_rows AS DOUBLE) * n_rows) / n_rows, 6) AS count_cv
@@ -2975,7 +2975,7 @@ object SparkEntry {
                       SUM(nf) OVER (PARTITION BY user_id ORDER BY s, e
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_idx
                FROM f)
-         SELECT user_id, island_idx, epoch_us(MIN(s)) AS start_us,
+         SELECT user_id, CAST(island_idx AS BIGINT) AS island_idx, epoch_us(MIN(s)) AS start_us,
                 epoch_us(MAX(e)) AS end_us, COUNT(*) AS n_intervals
          FROM g GROUP BY user_id, island_idx ORDER BY user_id, island_idx""",
     "q_twap" ->

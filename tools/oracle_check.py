@@ -7,29 +7,42 @@ For each <name>.parquet under verify_out_dir, runs the matching SQL from
 oracle_sql.json in DuckDB over the sf_dir tables and compares rows/schema/
 values (columns sorted by name, values rounded-stringified) — the same
 comparison shape the driver uses.
+
+IMPORTANT: both sides are materialized through pandas (`.df()`), matching the
+driver's dtype-sensitive path.  DuckDB HUGEINT (any un-cast integer SUM)
+becomes pandas float64, so `457.0` vs Spark's int64 `457` FAILS here just
+like it fails in the driver — `fetchall()` (Python ints) would hide that
+whole bug class.  An explicit per-column dtype-kind check reports the
+mismatch cause directly.
 """
 import json, sys, glob, os
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def norm_cell(v):
-    if v is None:
+    # v is a pandas/numpy scalar: dtype decides the rendering, exactly the
+    # property the driver's hash is sensitive to.
+    if v is None or (isinstance(v, float) and np.isnan(v)):
         return "NULL"
-    if isinstance(v, float):
-        return f"{v:.6f}"
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (np.floating, float)):
+        return f"{float(v):.6f}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     return str(v)
 
 
-def frame_sig(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sig_cols = [cols[i] for i in order]
-    sig_rows = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sig_cols, sig_rows
+def frame_sig(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    kinds = [df[c].dtype.kind for c in cols]
+    rows = [tuple(norm_cell(v) for v in rec) for rec in df.itertuples(index=False, name=None)]
+    return cols, kinds, rows
 
 
 def main(sf_dir, out_dir):
@@ -44,30 +57,39 @@ def main(sf_dir, out_dir):
         name = os.path.basename(d)
         if not os.path.isdir(d):
             continue
-        spark_rel = con.execute(
-            f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        s_cols = [c[0] for c in spark_rel.description]
-        s_rows = spark_rel.fetchall()
+        s_df = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
         if name not in oracle:
             n_noora += 1
-            print(f"  {name}: no oracle ({len(s_rows)} rows)")
+            print(f"  {name}: no oracle ({len(s_df)} rows)")
             continue
-        o_rel = con.execute(oracle[name])
-        o_cols = [c[0] for c in o_rel.description]
-        o_rows = o_rel.fetchall()
-        sc, sr = frame_sig(s_cols, s_rows)
-        oc, orr = frame_sig(o_cols, o_rows)
+        o_df = con.execute(oracle[name]).df()
+        sc, sk, sr = frame_sig(s_df)
+        oc, ok_kinds, orr = frame_sig(o_df)
         ok = sc == oc and sr == orr
+        if ok and sk != ok_kinds:
+            # Same rendered values but different dtype kinds (e.g. int64 vs
+            # float64 rendering identically would be a latent driver-hash
+            # risk) — flag loudly rather than passing blind.
+            ok = False
+            print(f"  {name}: DTYPE-FAIL  spark kinds {list(zip(sc, sk))} vs oracle {list(zip(oc, ok_kinds))}")
         if ok:
             n_pass += 1
-            print(f"  {name}: OK ({len(s_rows)} rows)")
+            print(f"  {name}: OK ({len(s_df)} rows)")
         else:
             n_fail += 1
-            print(f"  {name}: FAIL  cols {sc} vs {oc}  rows {len(sr)} vs {len(orr)}")
-            for i, (a, b) in enumerate(zip(sr, orr)):
-                if a != b:
-                    print(f"    first diff row {i}: spark={a} oracle={b}")
-                    break
+            if sc != oc:
+                print(f"  {name}: FAIL  cols {sc} vs {oc}")
+            elif len(sr) != len(orr):
+                print(f"  {name}: FAIL  rows {len(sr)} vs {len(orr)}")
+            else:
+                print(f"  {name}: FAIL  ({len(sr)} rows)")
+                if sk != ok_kinds:
+                    bad = [(c, a, b) for c, a, b in zip(sc, sk, ok_kinds) if a != b]
+                    print(f"    dtype-kind mismatch: {bad} (spark vs oracle)")
+                for i, (a, b) in enumerate(zip(sr, orr)):
+                    if a != b:
+                        print(f"    first diff row {i}: spark={a} oracle={b}")
+                        break
     print(f"pass={n_pass} fail={n_fail} no_oracle={n_noora}")
     sys.exit(1 if n_fail else 0)
 
