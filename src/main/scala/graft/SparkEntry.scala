@@ -1134,7 +1134,7 @@ object SparkEntry {
     val delta = Relational.aggState(
       ord.filter(col("o_orderdate") >= split), keys,
       sumCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"))
-    Relational.mergeAggState(prev, delta)
+    Relational.mergeAggState(prev, delta, keys)
       .select(
         col("o_orderstatus"), col("order_month"), col("cnt"),
         col("sum_o_totalprice").cast("double").as("sum_price"),

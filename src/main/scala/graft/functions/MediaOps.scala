@@ -50,10 +50,16 @@ object MediaOps {
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
       (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return (FormatGif, le16(b, 6), le16(b, 8))
-    // BMP: 'B' 'M', BITMAPINFOHEADER at offset 14 (height may be negative
-    // for top-down rows — dimensions are its magnitude)
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      return (FormatBmp, le32(b, 18), math.abs(le32(b, 22)))
+    // BMP: 'B' 'M', then a DIB header at offset 14 whose first field is its
+    // own size. BITMAPINFOHEADER family (size >= 40) carries 32-bit
+    // width/height at 18/22 (height may be negative for top-down rows);
+    // the legacy 12-byte BITMAPCOREHEADER carries 16-bit fields at 18/20.
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val dibSize = le32(b, 14)
+      if (dibSize >= 40) return (FormatBmp, le32(b, 18), math.abs(le32(b, 22)))
+      if (dibSize == 12) return (FormatBmp, le16(b, 18), le16(b, 20))
+      return (FormatUnknown, -1, -1)
+    }
     // JPEG: FF D8, then marker segments; dimensions live in the first SOFn
     // (C0..CF excluding C4/C8/CC) — skip everything else by its BE length
     if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {

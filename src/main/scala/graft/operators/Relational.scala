@@ -211,26 +211,36 @@ object Relational {
       maxCols: Seq[String] = Nil): DataFrame = {
     val measures =
       count(lit(1)).as("cnt") +:
-        (sumCols.map(c => sum(col(c).cast("decimal(18,2)")).cast("decimal(18,2)").as(s"sum_$c")) ++
+        // Quantize inputs at 2dp, but keep the running sum wide: a per-key
+        // sum narrowed to decimal(18,2) silently nulls past ~1e16 at the
+        // 100 TB scale this state is meant for.
+        (sumCols.map(c => sum(col(c).cast("decimal(18,2)")).cast("decimal(38,2)").as(s"sum_$c")) ++
           minCols.map(c => min(col(c)).as(s"min_$c")) ++
           maxCols.map(c => max(col(c)).as(s"max_$c")))
     df.groupBy(keyCols.map(col): _*).agg(measures.head, measures.tail: _*)
   }
 
   /** Merge two [[aggState]] tables (same schema) into the state of the
-    * concatenated inputs: one union + one partial aggregate, measure
-    * re-merge inferred from the column-name convention. Schema-stable, so
-    * the result folds with the next delta. */
-  def mergeAggState(a: DataFrame, b: DataFrame): DataFrame = {
+    * concatenated inputs: one union + one partial aggregate. Key columns
+    * are explicit — inferring them from the cnt/sum_/min_/max_ name
+    * convention would silently mis-classify a genuine key named e.g. `cnt`
+    * as a measure. Every non-key column must follow the measure naming
+    * convention (enforced). Schema-stable, so the result folds with the
+    * next delta. */
+  def mergeAggState(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(
       a.columns.sorted.sameElements(b.columns.sorted),
       s"state schemas differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
-    val measureCols = a.columns.filter(c =>
+    require(keyCols.forall(a.columns.contains),
+      s"key columns ${keyCols.mkString(",")} not all present in state schema")
+    val measureCols = a.columns.filterNot(keyCols.contains).toSeq
+    val unknown = measureCols.filterNot(c =>
       c == "cnt" || c.startsWith("sum_") || c.startsWith("min_") || c.startsWith("max_"))
-    val keyCols = a.columns.filterNot(measureCols.contains).toSeq
-    val remerge = measureCols.toSeq.map {
+    require(unknown.isEmpty,
+      s"non-key columns ${unknown.mkString(",")} do not follow the cnt/sum_/min_/max_ measure convention")
+    val remerge = measureCols.map {
       case "cnt" => sum(col("cnt")).as("cnt")
-      case c if c.startsWith("sum_") => sum(col(c)).cast("decimal(18,2)").as(c)
+      case c if c.startsWith("sum_") => sum(col(c)).cast("decimal(38,2)").as(c)
       case c if c.startsWith("min_") => min(col(c)).as(c)
       case c => max(col(c)).as(c)
     }

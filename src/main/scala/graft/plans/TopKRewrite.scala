@@ -33,37 +33,65 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The single-row_number Window node, tolerating a WindowGroupLimit that
-    * Spark's own InferWindowGroupLimit may already have inserted below it
-    * (ours subsumes it). */
+  /** The single-row_number Window node. The raw child is returned as-is; a
+    * WindowGroupLimit that Spark's own InferWindowGroupLimit may have
+    * inserted below it is only stripped later, once the filter's k is known
+    * and the WGL is proven redundant (same spec, RowNumber, limit >= k) —
+    * discarding a narrower or foreign WGL would change results. */
   private object RowNumberWindow {
     def unapply(plan: LogicalPlan): Option[(Alias, Seq[Expression], Seq[org.apache.spark.sql.catalyst.expressions.SortOrder], LogicalPlan)] =
       plan match {
         case Window(
             Seq(alias @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(ps, os, _)), _)),
             _, _, wchild, _) if ps.nonEmpty && os.nonEmpty =>
-          val child = wchild match {
-            case wgl: WindowGroupLimit => wgl.child
-            case other => other
-          }
-          Some((alias, ps, os, child))
+          Some((alias, ps, os, wchild))
         case _ => None
       }
   }
 
+  /** Strip a WindowGroupLimit below the matched Window only when it is
+    * subsumed by the rewrite: identical partition/order spec, RowNumber
+    * rank, and a limit that keeps at least the k rows the filter wants.
+    * Any other WGL (narrower limit, different spec or rank function) makes
+    * the shape non-equivalent — signalled by None so the caller leaves the
+    * plan untouched. */
+  private def childWithoutSubsumedWgl(
+      wchild: LogicalPlan,
+      ps: Seq[Expression],
+      os: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+      k: Int): Option[LogicalPlan] = wchild match {
+    case wgl: WindowGroupLimit =>
+      val sameSpec = wgl.partitionSpec.length == ps.length &&
+        wgl.partitionSpec.zip(ps).forall { case (a, b) => a.semanticEquals(b) } &&
+        wgl.orderSpec.length == os.length &&
+        wgl.orderSpec.zip(os).forall { case (a, b) => a.semanticEquals(b) }
+      if (sameSpec && wgl.rankLikeFunction.isInstanceOf[RowNumber] && wgl.limit >= k)
+        Some(wgl.child)
+      else None
+    case other => Some(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, RowNumberWindow(alias, ps, os, child)) =>
+    case f @ Filter(cond, RowNumberWindow(alias, ps, os, wchild)) =>
       limitFor(cond, alias.toAttribute) match {
-        case Some(k) if k > 0 => TopKPerKeyPlan(ps, os, k, Some(alias.toAttribute), child)
+        case Some(k) if k > 0 =>
+          childWithoutSubsumedWgl(wchild, ps, os, k) match {
+            case Some(child) => TopKPerKeyPlan(ps, os, k, Some(alias.toAttribute), child)
+            case None => f
+          }
         case _ => f
       }
     // same, with a pure column-selection Project between Filter and Window
-    case f @ Filter(cond, Project(projList, RowNumberWindow(alias, ps, os, child)))
+    case f @ Filter(cond, Project(projList, RowNumberWindow(alias, ps, os, wchild)))
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
       limitFor(cond, alias.toAttribute) match {
         case Some(k) if k > 0 &&
             projList.exists(_.exprId == alias.exprId) =>
-          Project(projList, TopKPerKeyPlan(ps, os, k, Some(alias.toAttribute), child))
+          childWithoutSubsumedWgl(wchild, ps, os, k) match {
+            case Some(child) =>
+              Project(projList, TopKPerKeyPlan(ps, os, k, Some(alias.toAttribute), child))
+            case None => f
+          }
         case _ => f
       }
   }

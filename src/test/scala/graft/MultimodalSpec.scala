@@ -73,11 +73,17 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++ Array[Byte](8) ++
       be16(300) ++ be16(200) ++ Array[Byte](3, 0, 0, 0)
     val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0, 0)
-    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++ le32(800) ++ le32(-600) ++ Array.fill[Byte](4)(0)
+    // BITMAPINFOHEADER: DIB size 40 at offset 14, 32-bit dims at 18/22
+    val bmp = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(40) ++ le32(800) ++ le32(-600) ++ Array.fill[Byte](4)(0)
+    // legacy BITMAPCOREHEADER: DIB size 12, 16-bit dims at 18/20
+    val bmpCore = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(12) ++ le16(1024) ++ le16(768) ++ Array.fill[Byte](8)(0)
+    // unrecognized DIB size (16): dimensions would be garbage — must be unknown
+    val bmpBadDib = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(16) ++ le32(800) ++ le32(600) ++ Array.fill[Byte](4)(0)
     val junk = "definitely not an image, just text".getBytes
     val truncated = Array[Byte](0x89.toByte, 'P', 'N', 'G')
     val rows = Seq(
-      (1L, png), (2L, jpeg), (3L, gif), (4L, bmp), (5L, junk), (6L, truncated))
+      (1L, png), (2L, jpeg), (3L, gif), (4L, bmp), (5L, junk), (6L, truncated),
+      (7L, bmpCore), (8L, bmpBadDib))
       .toDF("id", "payload")
       .select(col("id"), graft.functions.image_meta(col("payload")).as("m"))
       .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
@@ -89,6 +95,8 @@ class MultimodalSpec extends SparkSpec {
       (3L, "gif", 320, 200),
       (4L, "bmp", 800, 600), // negative BMP height = top-down rows; magnitude
       (5L, "unknown", -1, -1),
-      (6L, "unknown", -1, -1)))
+      (6L, "unknown", -1, -1),
+      (7L, "bmp", 1024, 768), // BITMAPCOREHEADER 16-bit fields
+      (8L, "unknown", -1, -1))) // unrecognized DIB header size
   }
 }

@@ -88,7 +88,7 @@ class RelationalSpec extends SparkSpec {
     val sliceB = full.filter(col("y") > 2.0)
     def state(df: org.apache.spark.sql.DataFrame) =
       Relational.aggState(df, Seq("k"), Seq("x"), minCols = Seq("y"), maxCols = Seq("y"))
-    val merged = Relational.mergeAggState(state(sliceA), state(sliceB))
+    val merged = Relational.mergeAggState(state(sliceA), state(sliceB), Seq("k"))
     val direct = state(full)
     // names + types must be stable (nullability legitimately widens:
     // count(*) is non-null, the re-merged sum(cnt) is nullable)
@@ -99,8 +99,8 @@ class RelationalSpec extends SparkSpec {
     assert(m == d, s"merged $m != direct $d")
     // and the merge folds again (three-slice chain) without drift
     val chained = Relational.mergeAggState(
-      Relational.mergeAggState(state(sliceA), state(sliceB)),
-      state(full.limit(0)))
+      Relational.mergeAggState(state(sliceA), state(sliceB), Seq("k")),
+      state(full.limit(0)), Seq("k"))
     assert(chained.orderBy("k").collect().toSeq == d)
   }
 

@@ -63,6 +63,37 @@ class TopKPerKeySpec extends SparkSpec {
       Set(("a", 1), ("b", 2)))
   }
 
+  test("TopKRewriteRule only strips a WindowGroupLimit it subsumes (same spec, limit >= k)") {
+    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow, WindowGroupLimit}
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.{TopKPerKeyPlan, TopKRewriteRule}
+    val df = Seq(("a", 5), ("a", 3), ("b", 7)).toDF("k", "v")
+    val w = Window.partitionBy("k").orderBy(col("v").asc)
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    // hand-insert a WindowGroupLimit below the Window with the given limit;
+    // collapse the analyzer's stacked Projects first — in the real pipeline
+    // CollapseProject runs before graft's rule sees the plan
+    def withWgl(limit: Int): LogicalPlan =
+      org.apache.spark.sql.catalyst.optimizer.CollapseProject(
+        q.queryExecution.analyzed.transform {
+          case win @ LWindow(_, ps, os, child, _) =>
+            win.copy(child = WindowGroupLimit(ps, os, RowNumber(), limit, child))
+        })
+    // limit >= k: subsumed — rewrite fires and the WGL is gone
+    val rewritten = TopKRewriteRule(withWgl(2))
+    assert(rewritten.collectFirst { case t: TopKPerKeyPlan => t }.isDefined,
+      s"subsumed WGL should not block the rewrite:\n$rewritten")
+    assert(rewritten.collectFirst { case wgl: WindowGroupLimit => wgl }.isEmpty,
+      s"subsumed WGL should be stripped:\n$rewritten")
+    // limit < k: NOT equivalent (the WGL keeps fewer rows than the filter
+    // wants) — the plan must be left untouched
+    val kept = TopKRewriteRule(withWgl(1))
+    assert(kept.collectFirst { case t: TopKPerKeyPlan => t }.isEmpty,
+      s"narrower WGL must not be discarded by the rewrite:\n$kept")
+    assert(kept.collectFirst { case wgl: WindowGroupLimit => wgl }.isDefined)
+  }
+
   test("TopKRewriteRule leaves non-equivalent shapes alone") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq(("a", 5), ("a", 5), ("a", 3), ("b", 7)).toDF("k", "v")
