@@ -1989,6 +1989,74 @@ object SparkEntry {
     } finally server.stop(0)
   }
 
+  /** Cursor-following paginated API ingestion, oracle-checked end-to-end:
+    * the same in-process stub as [[qHttpIngest]], but each region's nations
+    * are served in pages of 2 with a `next` cursor URL in the body — the
+    * page count is unknown to the client up front, exactly the reference's
+    * `while data:` loop (extract_naomi_data.py:72-75). The plan fans out
+    * one seed URL per region, then [[graft.sources.Http.fetchPaged]]
+    * follows every chain in distributed page-waves until all cursors are
+    * exhausted; the parsed union must reconstruct the nation dim exactly. */
+  private def qHttpPaged(s: SparkSession, d: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import org.apache.spark.sql.types._
+    val nations = Tables.nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val byRegion: Map[Int, Array[String]] = nations.groupBy(_.getInt(2)).map { case (rk, rs) =>
+      rk -> rs.sortBy(_.getInt(0))
+        .map(r => s"""{"k":${r.getInt(0)},"n":"${esc(r.getString(1))}","r":${r.getInt(2)}}""")
+    }
+    val pageSize = 2
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/nations", (ex: HttpExchange) => {
+      val kv = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+      val rk = kv("region").toInt
+      val off = kv.getOrElse("offset", "0").toInt
+      val all = byRegion.getOrElse(rk, Array.empty[String])
+      val slice = all.slice(off, off + pageSize)
+      val port = server.getAddress.getPort
+      val next =
+        if (off + pageSize < all.length)
+          s""","next":"http://127.0.0.1:$port/nations?region=$rk&offset=${off + pageSize}""""
+        else ""
+      val bytes = s"""{"region":$rk,"nations":${slice.mkString("[", ",", "]")}$next}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val urls = Tables.region(s, d)
+        .select(col("r_regionkey"))
+        .withColumn("url",
+          concat(lit(s"http://127.0.0.1:$port/nations?region="), col("r_regionkey")))
+      val payload = StructType(Seq(
+        StructField("region", IntegerType),
+        StructField("nations", ArrayType(StructType(Seq(
+          StructField("k", IntegerType),
+          StructField("n", StringType),
+          StructField("r", IntegerType)))))))
+      // fetchPaged eagerly checkpoints every wave, so the rows survive the
+      // stub's shutdown below
+      graft.sources.Http.fetchPaged(urls, "url",
+          nextUrl = get_json_object(col("body"), "$.next"), maxPages = 16)
+        .filter(col("status") === 200)
+        .select(from_json(col("body"), payload).as("p"))
+        .select(explode(col("p.nations")).as("x"))
+        .select(
+          col("x.k").as("n_nationkey"),
+          col("x.n").as("n_name"),
+          col("x.r").as("n_regionkey"))
+        .localCheckpoint(true)
+        .orderBy("n_nationkey")
+    } finally server.stop(0)
+  }
+
   private def qJsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -2112,6 +2180,7 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_grid_ingest" -> (qGridIngest _),
     "q_http_ingest" -> (qHttpIngest _),
+    "q_http_paged" -> (qHttpPaged _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_gap_fill" -> (qGapFill _),
     "q_profile" -> (qProfile _),
@@ -3092,6 +3161,8 @@ object SparkEntry {
     "q_grid_ingest" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "q_http_ingest" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "q_http_paged" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "q_boilerplate" ->
       """WITH d AS (SELECT doc_id,

@@ -4,7 +4,9 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.Duration
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** HTTP row source — the reference pulls NAOMI rows from a paginated REST
@@ -28,7 +30,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * status = -1 and the error message as body, so one dead endpoint can't
   * kill a million-row crawl — filter `status = 200` downstream.
   */
-object Http {
+object Http extends Logging {
 
   /** Fetch every URL in `df(urlCol)`, appending `status: int` and
     * `body: string` columns.
@@ -95,5 +97,63 @@ object Http {
         Row.fromSeq(row.toSeq :+ status :+ body)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Cursor-following pagination: fetch every URL in `df(urlCol)`, then keep
+    * following next-page cursors until every chain is exhausted — the
+    * reference's `while data:` page loop (extract_naomi_data.py:72-75),
+    * where the number of pages is unknown until the server stops returning
+    * them.
+    *
+    * Shape for scale: the driver iterates page WAVES, not URLs. Wave N is
+    * one distributed [[fetch]] over every chain that still has a cursor;
+    * the next wave's URL column is derived from the responses by the
+    * caller-supplied `nextUrl` expression (evaluated over the fetched
+    * columns — typically `get_json_object(body, "$.next")`; null or empty
+    * means that chain is done). Driver-side work per wave is one empty-check
+    * — total jobs scale with the DEEPEST chain, not the number of chains, so
+    * a million 3-page chains cost 3 waves.
+    *
+    * Each wave is `localCheckpoint(eager)`ed before reuse: the fetch is a
+    * side-effecting I/O operator, and checkpointing guarantees the
+    * union + next-wave derivation both read the captured rows instead of
+    * re-firing requests (and keeps the union's lineage flat across waves).
+    *
+    * Output = input columns + (status, body, page), page being the 0-based
+    * position in the chain. Chains still alive after `maxPages` waves are
+    * dropped with a warning (the unbounded-crawl guard).
+    */
+  def fetchPaged(
+      df: DataFrame,
+      urlCol: String,
+      nextUrl: Column,
+      maxPages: Int = 100,
+      timeoutMs: Int = 10000,
+      retries: Int = 3,
+      backoffMs: Long = 100L,
+      failFast: Boolean = false): DataFrame = {
+    require(maxPages >= 1, s"maxPages must be >= 1, got $maxPages")
+    val inCols = df.columns.toSeq
+    val waves = Seq.newBuilder[DataFrame]
+    var wave = df
+    var page = 0
+    var exhausted = false
+    while (!exhausted && page < maxPages) {
+      val fetched = fetch(wave, urlCol, timeoutMs, retries, backoffMs, failFast)
+        .withColumn("page", lit(page))
+        .localCheckpoint(true)
+      waves += fetched
+      val next = fetched
+        .withColumn(urlCol, nextUrl)
+        .filter(col(urlCol).isNotNull && col(urlCol) =!= "")
+        .select(inCols.map(col): _*)
+      page += 1
+      if (next.isEmpty) exhausted = true else wave = next
+    }
+    if (!exhausted) {
+      logWarning(s"fetchPaged: chains still had cursors after maxPages=$maxPages waves; " +
+        "remaining pages dropped")
+    }
+    waves.result().reduce(_ unionByName _)
   }
 }

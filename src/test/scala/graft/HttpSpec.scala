@@ -107,6 +107,70 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("fetchPaged follows a 3-page cursor chain to exhaustion") {
+    val hits = new AtomicInteger(0)
+    withServer(Map("/pages" -> { ex =>
+      hits.incrementAndGet()
+      val page = Option(ex.getRequestURI.getQuery).getOrElse("page=0")
+        .stripPrefix("page=").toInt
+      val host = ex.getRequestHeaders.getFirst("Host")
+      val next =
+        if (page < 2) s""","next":"http://$host/pages?page=${page + 1}"""" else ""
+      (200, s"""{"page":$page,"items":[${page * 10}, ${page * 10 + 1}]$next}""")
+    })) { port =>
+      val out = Http.fetchPaged(
+        Seq(s"http://127.0.0.1:$port/pages").toDF("url"), "url",
+        nextUrl = get_json_object(col("body"), "$.next"))
+      // 3 pages x 1 chain, page column records the chain position
+      val rows = out.select(col("page"), col("body")).orderBy("page").collect()
+      assert(rows.length == 3)
+      assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+      assert(hits.get() == 3, "each page must be fetched exactly once")
+      val items = out
+        .select(explode(from_json(get_json_object(col("body"), "$.items"),
+          ArrayType(LongType))).as("v"))
+        .collect().map(_.getLong(0)).sorted
+      assert(items.toSeq == Seq(0L, 1L, 10L, 11L, 20L, 21L))
+    }
+  }
+
+  test("fetchPaged runs chains of different depths as waves, not per-URL loops") {
+    // chain a: 1 page, chain b: 3 pages — b keeps paging after a stops
+    withServer(Map("/c" -> { ex =>
+      val kv = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      val (chain, page) = (kv("chain"), kv.getOrElse("page", "0").toInt)
+      val depth = if (chain == "a") 1 else 3
+      val host = ex.getRequestHeaders.getFirst("Host")
+      val next =
+        if (page + 1 < depth) s""","next":"http://$host/c?chain=$chain&page=${page + 1}""""
+        else ""
+      (200, s"""{"chain":"$chain","page":$page$next}""")
+    })) { port =>
+      val seeds = Seq("a", "b").toDF("chain")
+        .withColumn("url", concat(lit(s"http://127.0.0.1:$port/c?chain="), col("chain")))
+      val out = Http.fetchPaged(seeds, "url",
+        nextUrl = get_json_object(col("body"), "$.next"))
+      val byChain = out.groupBy("chain").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byChain == Map("a" -> 1L, "b" -> 3L))
+      // input columns carry through every wave
+      assert(out.columns.toSeq == Seq("chain", "url", "status", "body", "page"))
+    }
+  }
+
+  test("fetchPaged maxPages bounds a runaway cursor chain") {
+    withServer(Map("/loop" -> { ex =>
+      val host = ex.getRequestHeaders.getFirst("Host")
+      (200, s"""{"next":"http://$host/loop"}""")  // never terminates
+    })) { port =>
+      val out = Http.fetchPaged(
+        Seq(s"http://127.0.0.1:$port/loop").toDF("url"), "url",
+        nextUrl = get_json_object(col("body"), "$.next"), maxPages = 4)
+      assert(out.count() == 4)
+    }
+  }
+
   test("fetch carries the input columns through to the output rows") {
     withServer(Map("/ok" -> { _ => (200, "body") })) { port =>
       val out = Http.fetch(
