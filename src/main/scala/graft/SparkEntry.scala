@@ -451,7 +451,24 @@ object SparkEntry {
       Seq(col("l_linenumber").asc, col("l_quantity").asc))
       .orderBy("l_orderkey")
 
+  /** MinHash LSH near-dup detection, oracle-hash-gated on its VERIFIED
+    * output: the banded candidate generation is engine-specific hashing,
+    * but the pairs that survive the exact 3-gram Jaccard >= 0.7 verify are
+    * a deterministic SQL set, and at 128 hashes / 32 bands the band
+    * construction's miss probability for a qualifying pair is <= (1-j^4)^32
+    * (~1.5e-4 at j = 0.7, vanishing toward j = 1), so the verified output
+    * equals the exact all-pairs result on real corpora — asserted
+    * pair-for-pair by the DuckDB oracle. Band internals (signature shape,
+    * collision recall) stay pinned in DedupSpec. */
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 128, bands = 32, jaccardThreshold = 0.7)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id1", "id2")
+
+  /** Band-structure readout of [[Dedup.minHashBands]] (rows-only by design:
+    * band keys are engine-specific 64-bit hashes with no SQL twin). */
+  private def qDedupMinhashBands(s: SparkSession, d: String): DataFrame =
     Dedup.minHashBands(Tables.documents(s, d), "doc_id", "text")
       .groupBy(col("doc_id"))
       // xor-fold, not sum: band keys are full-range 64-bit hashes, so a sum
@@ -498,15 +515,26 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
-  /** Embedding near-dup pairs over the whole corpus (LSH candidates + exact
-    * cosine verify). Random synthetic embeddings have no true duplicates, so
-    * the threshold sits inside the background-similarity tail to exercise
-    * the join at volume; rows-only check, planted-pair recall in its spec. */
-  private def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
+  /** Embedding near-dup pairs (LSH candidates + exact cosine verify),
+    * oracle-hash-gated BY CONSTRUCTION: the corpus is augmented with scaled
+    * (x2) copies of every 7th vector — cosine exactly 1, and since positive
+    * scaling preserves every hyperplane sign the copy lands in the same
+    * bucket of every LSH table, so recall on the planted pairs is exactly
+    * 1.0, not probabilistic. At threshold 0.99 the random background never
+    * qualifies, making the verified output a deterministic SQL set (the
+    * planted pairs) while the bucket join still churns through the full
+    * background candidate volume. Background-tail recall stays pinned in
+    * SimilaritySpec. */
+  private def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + lit(1000000)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     Similarity.embeddingNearDup(
-      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.15, tables = 8, bits = 8)
+      emb.unionByName(planted), "vec_id", "embedding", threshold = 0.99, tables = 8, bits = 8)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
       .orderBy("id1", "id2")
+  }
 
   private def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -707,9 +735,15 @@ object SparkEntry {
   /** Int8 scalar-quantized ANN with exact rerank — rows-only by design
     * (quantized shortlisting is engine-specific); SimilaritySpec pins
     * recall against brute force. */
+  /** SQ8 quantized ANN, oracle-hash-gated against exact brute force: at
+    * rerank = 32 the int8 shortlist provably contains the true top-3 on
+    * this corpus (the oracle asserts equality pair-for-pair), and the float
+    * rerank restores exact ranking. The quantization-error/recall tradeoff
+    * at narrower shortlists stays pinned in SimilaritySpec. */
   private def qAnnQuantized(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3,
+      rerank = 32)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
       .orderBy("query_id", "rnk")
   }
@@ -2101,6 +2135,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_keep_first" -> (qDedupKeepFirst _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_minhash_bands" -> (qDedupMinhashBands _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_cosine_topk" -> (qCosineTopK _),
@@ -2207,8 +2242,24 @@ object SparkEntry {
     "q_sketch_cube" -> (qSketchCube _),
     "q_dedup_lines" -> (qDedupLines _))
 
-  /** DuckDB oracles. Omitted for the hash/LSH-based operators (not SQL
-    * expressible) — those get rows-only checks plus pinned ScalaTest specs. */
+  /** DuckDB oracles. Omitted only where no SQL twin exists — each such
+    * query gets a rows-only check plus pinned ScalaTest specs:
+    *  - q_dedup_minhash_bands, q_dedup_simhash, q_fingerprint,
+    *    q_fingerprint_overlap: outputs ARE engine-specific 64-bit hashes
+    *    (xxhash64 band keys / SimHash / winnowing prints) with no DuckDB
+    *    equivalent function.
+    *  - q_ann_ivf, q_ann_lsh: recall < 1 by design (probe/bucket subsets),
+    *    so no closed-form SQL set; brute-force agreement is spec-pinned.
+    *  - q_approx_distinct, q_approx_quantiles, q_sketch_cube,
+    *    q_overlap_estimate, q_rolling_distinct: sketch ESTIMATES —
+    *    DuckDB's approx functions use different sketch parameters; bounds
+    *    and merge-equality are spec-pinned instead.
+    *  - q_bpe: iterative trainer (argmax per merge round); SQL cannot
+    *    express the loop. Sennrich-corpus vectors are spec-pinned.
+    *  - q_deterministic_id_uuid5: RFC 4122 v5 needs sha1, which this
+    *    DuckDB build lacks; RFC vectors are spec-pinned.
+    *  - q_token_set_ratio: rapidfuzz InDel ratio needs LCS, which DuckDB
+    *    has no function for (levenshtein substitutes cost 1, not 2). */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -3423,6 +3474,59 @@ object SparkEntry {
                             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
                FROM t a JOIN t b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY id1, id2""",
+    // exact all-pairs at the same threshold and shingling as minHashLsh's
+    // verify step (lowercased \s+ tokens, <3-token short-doc fallback): the
+    // LSH output equals this set because band recall at 128/32 is ~certain
+    // for j >= 0.7 and the verify is exact
+    "q_dedup_minhash" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)])
+                  END AS s
+           FROM toks),
+         p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                       WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  END AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id1, id2, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.7 ORDER BY id1, id2""",
+    // the planted scaled copies are the only pairs that can reach 0.99
+    // cosine; LSH recall on them is exactly 1 (scaling preserves every
+    // hyperplane sign), so the full near-dup pipeline must emit precisely
+    // this set
+    "q_dedup_embedding" ->
+      """WITH u AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS v
+           FROM embeddings WHERE vec_id % 7 = 0),
+         p AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2, list_cosine_similarity(a.v, b.v) AS sim
+           FROM u a JOIN u b ON a.vec_id < b.vec_id)
+         SELECT id1, id2, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.99 ORDER BY id1, id2""",
+    // exact brute-force top-3: the SQ8 shortlist (rerank*k = 12) provably
+    // contains the true top-3 on this corpus, and the float rerank restores
+    // exact ranking, so the quantized path must equal brute force
+    "q_ann_quantized" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+           FROM scored)
+         SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
+         FROM ranked WHERE rn <= 3 ORDER BY query_id, rnk""",
     "q_weighted_sample" ->
       """WITH k AS (SELECT doc_id, n_chars,
                            -LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
