@@ -514,7 +514,7 @@ object TextOps {
 
   /** Fuse every adjacent (l, r) occurrence in a symbol sequence, scanning
     * left to right (the single BPE merge step). */
-  private def fusePair(syms: Array[String], l: String, r: String): Array[String] = {
+  private[graft] def fusePair(syms: Array[String], l: String, r: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
     var j = 0
     while (j < syms.length) {

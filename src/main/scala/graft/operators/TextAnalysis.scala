@@ -302,16 +302,20 @@ object TextAnalysis {
   /** Train a BPE merge table from the corpus (Sennrich et al. 2016).
     *
     * The classic trainer runs on the WORD-FREQUENCY dictionary, not the
-    * corpus: one corpus-scale aggregate up front compresses 100 TB of text
-    * to vocabulary scale (distinct words × counts), and every one of the
-    * `numMerges` iterations then runs two vocabulary-scale jobs — a pair
-    * histogram (zip_with over adjacent symbols, explode, partial agg,
-    * limit 1) and a one-column merge-step projection. The driver holds only
-    * the merge list itself; `localCheckpoint` truncates the per-iteration
-    * lineage exactly like [[Dedup.clusters]].
+    * corpus: ONE corpus-scale aggregate compresses 100 TB of text to
+    * vocabulary scale (distinct words × counts), the dictionary collects to
+    * the driver once, and the merge loop runs in driver memory — the
+    * standard Sennrich formulation. Driver footprint is O(distinct words),
+    * the same thing every published BPE trainer holds; the cluster's part
+    * is the one job that can't be local, the corpus word count. (The
+    * previous formulation ran two vocabulary-scale Spark jobs per merge —
+    * correct, but at 32k merges the job-scheduling overhead dominates the
+    * actual vocabulary-scale work by orders of magnitude.)
     *
     * Ties in pair counts break on the pair string ascending, so the learned
-    * table is deterministic for any partitioning.
+    * table is deterministic for any partitioning. The merge-apply primitive
+    * is the same [[graft.functions.TextOps.fusePair]] the codegen'd encoder
+    * uses — trainer and encoder cannot drift.
     *
     * @return ranked merges, each "left right" — feed to
     *         [[graft.functions.bpe_tokens]] */
@@ -321,39 +325,44 @@ object TextAnalysis {
       numMerges: Int,
       minPairCount: Long = 2): Seq[String] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    var vocab = df
+    // the one corpus-scale job: word -> count, partial-aggregated
+    var vocab: Array[(Array[String], Long)] = df
       .select(explode(split(col(textCol), "\\s+")).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy(col("__w"))
       .agg(count(lit(1)).as("__n"))
-      .select(filter(split(col("__w"), ""), s => s =!= "").as("__syms"), col("__n"))
-      .localCheckpoint(true)
+      .collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
-      val top = vocab
-        .select(
-          explode(
-            zip_with(
-              slice(col("__syms"), lit(1), size(col("__syms")) - 1),
-              slice(col("__syms"), lit(2), size(col("__syms")) - 1),
-              (a, b) => concat(a, lit(" "), b))).as("__pair"),
-          col("__n"))
-        .groupBy(col("__pair"))
-        .agg(sum(col("__n")).as("__cnt"))
-        .orderBy(col("__cnt").desc, col("__pair").asc)
-        .limit(1)
-        .collect()
-      if (top.isEmpty || top(0).getLong(1) < minPairCount) exhausted = true
+      val counts = new java.util.HashMap[String, Long]()
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge(syms(i) + " " + syms(i + 1), n, (a, b) => a + b)
+          i += 1
+        }
+      }
+      // max by (count desc, pair asc) — the determinism contract
+      var bestPair: String = null
+      var bestCnt = Long.MinValue
+      counts.forEach { (p, c) =>
+        if (c > bestCnt || (c == bestCnt && p < bestPair)) { bestPair = p; bestCnt = c }
+      }
+      if (bestPair == null || bestCnt < minPairCount) exhausted = true
       else {
-        val pair = top(0).getString(0)
-        val Array(l, r) = pair.split(" ", 2)
-        merges += pair
-        vocab = vocab
-          .select(
-            graft.functions.bpe_merge_step(col("__syms"), lit(l), lit(r)).as("__syms"),
-            col("__n"))
-          .localCheckpoint(true)
+        merges += bestPair
+        val Array(l, r) = bestPair.split(" ", 2)
+        vocab = vocab.map { case (syms, n) =>
+          var i = 0
+          var touches = false
+          while (!touches && i < syms.length - 1) {
+            touches = syms(i) == l && syms(i + 1) == r
+            i += 1
+          }
+          if (touches) (graft.functions.TextOps.fusePair(syms, l, r), n) else (syms, n)
+        }
       }
     }
     merges.toSeq
