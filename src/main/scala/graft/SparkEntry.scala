@@ -560,7 +560,11 @@ object SparkEntry {
     * materializing more than the pair table. */
   private def qAssocRules(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val baskets = li.distinct() // item-in-basket grain
+    // max-basket guard: a pathological hot basket would go quadratic in the
+    // pair self-join; this schema's baskets have <= 7 lines, so the cap is
+    // inert here and exists as the 100x-scale safety (RelationalSpec plants
+    // a 10k-line basket against it)
+    val baskets = Relational.capGroupSize(li.distinct(), Seq("l_orderkey"), maxRows = 1000)
     val n = baskets.select(count_distinct(col("l_orderkey")).as("__n"))
     val itemCounts = baskets.groupBy(col("l_partkey")).agg(count(lit(1)).as("__cnt"))
     val pairs = baskets
@@ -619,7 +623,10 @@ object SparkEntry {
     * support. One self-join on the order key (co-partitioned equi-join),
     * pair counts via partial agg, global top-50 through TakeOrdered. */
   private def qCopurchase(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    // same max-basket guard as q_assoc_rules (inert at <= 7 lines/basket)
+    val li = Relational.capGroupSize(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+      Seq("l_orderkey"), maxRows = 1000)
     val pairs = li
       .join(li.select(col("l_orderkey"), col("l_partkey").as("l_partkey2")), Seq("l_orderkey"))
       .filter(col("l_partkey") < col("l_partkey2"))

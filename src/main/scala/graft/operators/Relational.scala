@@ -195,6 +195,31 @@ object Relational {
       .drop("__src")
   }
 
+  /** Guard for pair-mining and other per-key self-join fan-outs: drop every
+    * group whose row count exceeds `maxRows`, logging how many groups (and
+    * rows) were dropped. A single pathological hot key — one basket with
+    * 10k lines, one session with a million events — turns a per-key
+    * quadratic shape (pairs ~ n²/2) into a job-killer at scale; capping is
+    * the standard mining hygiene (a basket that large carries no signal
+    * anyway). Shape: one partial-aggregate pass finds the (by assumption
+    * FEW) oversized keys, which then broadcast into a left-anti join — the
+    * main table never shuffles. The hot-key table is eagerly checkpointed,
+    * so the logged count costs nothing extra. */
+  def capGroupSize(df: DataFrame, keyCols: Seq[String], maxRows: Long): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    val hot = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxRows)
+      .localCheckpoint(true)
+    val dropped = hot.agg(count(lit(1)), coalesce(sum(col("__n")), lit(0L))).head()
+    if (dropped.getLong(0) > 0) {
+      System.err.println(
+        s"capGroupSize: dropped ${dropped.getLong(0)} group(s) over $maxRows rows " +
+          s"(${dropped.getLong(1)} rows) on keys ${keyCols.mkString(",")}")
+    }
+    df.join(broadcast(hot.select(keyCols.map(col): _*)), keyCols, "left_anti")
+  }
+
   /** Mergeable aggregate state for incremental (materialized-view style)
     * maintenance: per key, a row count plus exact decimal sums and min/max
     * measures — every one a commutative monoid, so states built from

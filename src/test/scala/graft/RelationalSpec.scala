@@ -104,6 +104,27 @@ class RelationalSpec extends SparkSpec {
     assert(chained.orderBy("k").collect().toSeq == d)
   }
 
+  test("capGroupSize drops a planted 10k-line basket and bounds the pair fan-out") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    // 50 normal baskets of 5 items + one pathological 10k-item basket
+    val normal = (1 to 50).flatMap(k => (1 to 5).map(i => (k.toLong, k * 100L + i)))
+    val hot = (1 to 10000).map(i => (9999L, 500000L + i))
+    val df = (normal ++ hot).toDF("basket", "item").repartition(8)
+    val capped = Relational.capGroupSize(df, Seq("basket"), maxRows = 100)
+    // the hot basket is gone entirely, normals untouched
+    assert(capped.filter(col("basket") === 9999L).count() == 0)
+    assert(capped.count() == normal.length)
+    // pair fan-out after the self-join is bounded by n*(n-1)/2 per basket:
+    // 50 baskets x C(5,2) = 500 pairs, instead of ~50M from the hot basket
+    val pairs = capped.join(
+      capped.select(col("basket"), col("item").as("item2")), Seq("basket"))
+      .filter(col("item") < col("item2"))
+    assert(pairs.count() == 50L * 10)
+    // cap at the exact group size keeps the group (strictly-greater drop)
+    assert(Relational.capGroupSize(df, Seq("basket"), maxRows = 10000)
+      .groupBy(col("basket")).agg(fcount(lit(1))).count() == 51)
+  }
+
   test("flattenStructs expands nested structs, leaves arrays alone, handles dotted names") {
     val df = Seq((1L, ("x", (2.5, Seq(1, 2))))).toDF("id", "outer")
       .selectExpr("id", "named_struct('tag', outer._1, 'inner', named_struct('score', outer._2._1, 'xs', outer._2._2)) AS `weird.name`")
