@@ -1587,6 +1587,54 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Mergeable KLL quantile cube (the quantile twin of q_sketch_cube):
+    * per-(event_type, day) binary sketches of the event value, rolled up to
+    * event_type by register merge — quantile analytics that never re-scan
+    * raw data. Rows-only by design (sketch estimates, randomized
+    * compaction); SketchesSpec pins the rank-error bound vs exact
+    * percentiles and merge-vs-direct agreement. */
+  private def qQuantileCube(s: SparkSession, d: String): DataFrame = {
+    val cube = Sketches.quantileCube(
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("timestamp").cast("date").as("day"), col("value")),
+      Seq("event_type", "day"), "value")
+    Sketches.rollupQuantileCube(cube, Seq("event_type"), probs = Seq(0.25, 0.5, 0.75, 0.95))
+      .select(
+        col("event_type"), col("n_rows"),
+        posexplode(col("quantiles")).as(Seq("q_idx", "estimate")))
+      .orderBy("event_type", "q_idx")
+  }
+
+  /** Streaming twin of [[qQuantileCube]]: the same mergeable KLL aggregate
+    * maintained by a streaming groupBy (sketch partials live in the state
+    * store and merge across micro-batches), then the same readout path. */
+  private def qQuantileCubeStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_quantile_cube_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .groupBy(col("event_type"))
+        .agg(
+          graft.functions.kll_sketch(col("value")).as("kll"),
+          count(lit(1)).as("n_rows"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .withColumn("quantiles",
+        graft.functions.kll_quantiles(col("kll"), Seq(0.25, 0.5, 0.75, 0.95)))
+      .select(
+        col("event_type"), col("n_rows"),
+        posexplode(col("quantiles")).as(Seq("q_idx", "estimate")))
+      .orderBy("event_type", "q_idx")
+  }
+
   /** signup → click → purchase ordered funnel over the event log. */
   private def qFunnel(s: SparkSession, d: String): DataFrame =
     Funnel.funnel(
@@ -2247,6 +2295,8 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_ecdf_grouped" -> (qEcdfGrouped _),
     "q_sketch_cube" -> (qSketchCube _),
+    "q_quantile_cube" -> (qQuantileCube _),
+    "q_quantile_cube_stream" -> (qQuantileCubeStream _),
     "q_dedup_lines" -> (qDedupLines _))
 
   /** DuckDB oracles. Omitted only where no SQL twin exists — each such

@@ -234,6 +234,26 @@ package object functions {
       ArrayType(StringType, containsNull = false),
       Seq(syms, left, right))
 
+  /** KLL quantile sketch aggregate over a numeric column: a mergeable
+    * BINARY sketch per group — the quantile twin of `hll_sketch_agg`. See
+    * [[KllSketchAgg]] for bounds. */
+  def kll_sketch(c: Column, k: Int = 200): Column =
+    GraftSql.column(KllSketchAgg(GraftSql.expression(c.cast("double")), k).toAggregateExpression())
+
+  /** Merge a binary KLL sketch column (rollup aggregate). */
+  def kll_merge(c: Column, k: Int = 200): Column =
+    GraftSql.column(KllMergeAgg(GraftSql.expression(c), k).toAggregateExpression())
+
+  /** Quantile estimates (`array<double>`) of a binary KLL sketch at the
+    * given ranks. */
+  def kll_quantiles(sketch: Column, probs: Seq[Double]): Column =
+    invokeOn(KllOps.getClass, "kllQuantiles", ArrayType(DoubleType),
+      Seq(sketch, lit(probs.toArray)))
+
+  /** Exact stream length a binary KLL sketch has absorbed. */
+  def kll_n(sketch: Column): Column =
+    invokeOn(KllOps.getClass, "kllN", LongType, Seq(sketch))
+
   /** Count of sorted-array boundaries strictly below `v` (binary search,
     * codegen'd) — quantile-bucket assignment for Z-ordering. */
   def rank_below(bounds: Column, v: Column): Column =

@@ -117,6 +117,32 @@ object Sketches {
         count(lit(1)).as("n"))
   }
 
+  /** Mergeable QUANTILE sketch cube — the quantile twin of [[sketchCube]]:
+    * one binary KLL sketch per fine-grained group
+    * ([[graft.functions.kll_sketch]]), after which any coarser-grained
+    * quantile readout is a register merge ([[rollupQuantileCube]]), never a
+    * raw re-scan. Rank error <= ~1.65% at the default k = 200, preserved
+    * under merge (spec-pinned against exact percentiles). */
+  def quantileCube(df: DataFrame, keyCols: Seq[String], valueCol: String, k: Int = 200): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        graft.functions.kll_sketch(col(valueCol), k).as("kll"),
+        count(lit(1)).as("n_rows"))
+
+  /** Roll a [[quantileCube]] up to a coarser key set and read out quantile
+    * estimates at `probs`. Output keeps the merged sketch for further
+    * rollups plus one estimate column per rank. */
+  def rollupQuantileCube(
+      cube: DataFrame,
+      keyCols: Seq[String],
+      probs: Seq[Double],
+      k: Int = 200): DataFrame =
+    cube.groupBy(keyCols.map(col): _*)
+      .agg(
+        graft.functions.kll_merge(col("kll"), k).as("kll"),
+        sum(col("n_rows")).as("n_rows"))
+      .withColumn("quantiles", graft.functions.kll_quantiles(col("kll"), probs))
+
   /** Rolling `days`-day distinct counts by MERGING the daily HLL sketches
     * of a [[sketchCube]] — the sliding-window distinct pattern at 100 TB:
     * raw events are sketched once per (key, day); every rolling answer

@@ -326,6 +326,15 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, s"both levels need partial aggs:\n$p")
   }
 
+  test("quantile cube: sketch aggregates are partial (ObjectHashAggregate both sides of one exchange)") {
+    val p = plan(SparkEntry.queries("q_quantile_cube")(spark, sf))
+    // fine-grain sketch agg + rollup merge agg, each partial+final: the
+    // shuffle carries ~3KB sketches per group, never raw rows
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final object aggs at both grains:\n$p")
+    assert(!p.contains("Join"), s"rollup must merge sketches, not join back:\n$p")
+  }
+
   test("gap fill never falls back to a cartesian/calendar cross join") {
     val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
     assert(p.contains("Generate"), s"expected a narrow sequence explode:\n$p")

@@ -89,6 +89,62 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantileCube: estimates obey the KLL rank-error bound vs exact ranks") {
+    // 20k rows over 4 groups with a skewed (squared-uniform) distribution
+    val df = Seq.tabulate(20000) { i =>
+      val g = s"g${i % 4}"
+      val u = ((i * 2654435761L) % 100000).toDouble / 100000.0
+      (g, u * u * 1000.0)
+    }.toDF("k", "v").repartition(16)
+    val cube = Sketches.quantileCube(df, Seq("k"), "v")
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val est = Sketches.rollupQuantileCube(cube, Seq("k"), probs)
+      .select(col("k"), col("n_rows"), col("quantiles")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getSeq[Double](2)))).toMap
+    val byKey = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(est.size == 4)
+    est.foreach { case (k, (n, qs)) =>
+      val sorted = byKey(k)
+      assert(n == sorted.length, "kll n must be exact")
+      probs.zip(qs).foreach { case (p, q) =>
+        // true normalized rank of the estimate must be within 3% of p
+        // (published bound ~1.65% at k=200, 99% confidence)
+        val rank = sorted.count(_ <= q).toDouble / sorted.length
+        assert(math.abs(rank - p) <= 0.03, s"$k p=$p est=$q rank=$rank")
+      }
+    }
+  }
+
+  test("quantileCube: rollup-by-merge agrees with direct coarse sketching within bound") {
+    val df = Seq.tabulate(12000) { i =>
+      (s"k${i % 3}", s"d${i % 10}", (i % 997).toDouble)
+    }.toDF("k", "day", "v").repartition(8)
+    val fine = Sketches.quantileCube(df, Seq("k", "day"), "v")
+    val probs = Seq(0.25, 0.5, 0.75)
+    val merged = Sketches.rollupQuantileCube(fine, Seq("k"), probs)
+      .select(col("k"), col("n_rows"), col("quantiles")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getSeq[Double](2)))).toMap
+    val direct = Sketches.rollupQuantileCube(
+      Sketches.quantileCube(df, Seq("k"), "v"), Seq("k"), probs)
+      .select(col("k"), col("n_rows"), col("quantiles")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getSeq[Double](2)))).toMap
+    val exact = df.collect().map(r => (r.getString(0), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(merged.keySet == direct.keySet && merged.size == 3)
+    merged.foreach { case (k, (n, qs)) =>
+      assert(n == direct(k)._1, "merged n must equal direct n (exact counter)")
+      val sorted = exact(k)
+      probs.zip(qs).zip(direct(k)._2).foreach { case ((p, qm), qd) =>
+        val rm = sorted.count(_ <= qm).toDouble / sorted.length
+        val rd = sorted.count(_ <= qd).toDouble / sorted.length
+        // merge must not degrade the bound: both paths within epsilon
+        assert(math.abs(rm - p) <= 0.03, s"merged $k p=$p rank=$rm")
+        assert(math.abs(rd - p) <= 0.03, s"direct $k p=$p rank=$rd")
+      }
+    }
+  }
+
   test("rollingSketchDistinct: merged sketches equal exact rolling distinct; calendar gaps respected") {
     import java.sql.Date
     // users per (type, day); day 3 missing for type a — the RANGE frame must
