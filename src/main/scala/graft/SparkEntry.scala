@@ -712,6 +712,44 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** Streaming twin of [[qRollingDistinct]]: the per-(event_type, day) HLL
+    * cube maintained by a STREAMING aggregate — sketch registers merge
+    * across micro-batches in the state store — then the same batch
+    * RANGE-window merge readout over the streamed cube. HLL updates and
+    * register-max merges are deterministic and order-independent, so the
+    * streamed cube equals the batch cube exactly (StreamingSpec pins
+    * stream-vs-batch equality row for row). */
+  private def qRollingDistinctStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    var stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val name = "graft_rolling_distinct_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .select(
+          col("event_type"),
+          col("ts").cast("timestamp").cast("date").as("day"),
+          col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          hll_sketch_agg(col("user_id"), lit(12)).as("hll"),
+          count(lit(1)).as("n_rows"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.rollingSketchDistinct(s.table(name), "day", Seq("event_type"), days = 7)
+      .select(
+        col("event_type"), col("day"), col("n_rows"), col("approx_distinct_rolling"))
+      .orderBy("event_type", "day")
+  }
+
   /** PSI distribution drift of the order price between the first and second
     * half of the order history — per-bin drift terms, exact counts. */
   private def qPsiDrift(s: SparkSession, d: String): DataFrame = {
@@ -2297,6 +2335,7 @@ object SparkEntry {
     "q_sketch_cube" -> (qSketchCube _),
     "q_quantile_cube" -> (qQuantileCube _),
     "q_quantile_cube_stream" -> (qQuantileCubeStream _),
+    "q_rolling_distinct_stream" -> (qRollingDistinctStream _),
     "q_dedup_lines" -> (qDedupLines _))
 
   /** DuckDB oracles. Omitted only where no SQL twin exists — each such

@@ -215,6 +215,17 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming rolling sketch-distinct equals the batch twin exactly (HLL merge is order-independent)") {
+    // HLL register updates are deterministic and merges are register-max,
+    // so micro-batch accumulation must land on the SAME cube as one batch
+    // pass — estimates included, row for row
+    val streamed = SparkEntry.queries("q_rolling_distinct_stream")(spark, sf).collect().toSeq
+    val batch = SparkEntry.queries("q_rolling_distinct")(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream cube diverged from batch cube: ${streamed.take(3)} vs ${batch.take(3)}")
+  }
+
   test("native session_window produces the same sessions as manual sessionization") {
     val df = Tables.events(spark, sf)
     val manual = Events.sessionizeBatch(df)
