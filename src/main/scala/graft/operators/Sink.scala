@@ -50,6 +50,50 @@ object Sink {
     nFiles
   }
 
+  /** Source-freshness gate — the reference's `last_analytics_update`
+    * skip-recompute pattern (update_pnls_report/utils.py:24-40): probe the
+    * upstream system's last-updated timestamp, compare it to the timestamp
+    * recorded alongside the last published output, and skip the recompute
+    * entirely when nothing changed upstream. The recorded timestamp lives
+    * in a `_upstream_ts` marker file next to the output (Hadoop FS API, so
+    * it works on any filesystem the output does); the compute thunk is
+    * call-by-name and never evaluated on the skip path — no job, no scan,
+    * no cluster time.
+    *
+    * @param upstreamTs the probed upstream last-updated time (epoch millis
+    *                   or any monotone version number)
+    * @param write      how to publish (e.g. `writePartitionedParquet(_, c, path)`)
+    * @return true if the output was (re)published, false if skipped fresh
+    */
+  def publishIfStale(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      upstreamTs: Long)(df: => DataFrame)(write: DataFrame => Unit): Boolean = {
+    import java.nio.charset.StandardCharsets
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(path.stripSuffix("/") + "_upstream_ts")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recorded: Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try {
+          val bytes = new Array[Byte](64)
+          val n = in.read(bytes)
+          Some(new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8).trim.toLong)
+        } catch { case _: NumberFormatException => None }
+        finally in.close()
+      }
+    if (recorded.exists(_ >= upstreamTs)) false
+    else {
+      write(df)
+      val out = fs.create(marker, true)
+      try out.write(upstreamTs.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    }
+  }
+
   /** Overwrite ONLY the partitions present in `df` (dynamic partition
     * overwrite), leaving every other partition untouched — the incremental
     * re-publish pattern: a late-arriving day reprocesses and replaces its

@@ -117,6 +117,29 @@ class SinkSpec extends SparkSpec {
     assert(m("n") == 5L && m("sum_v") == 15L && m("nulls") == 0L, m.toString)
   }
 
+  test("publishIfStale recomputes only when upstream moved forward") {
+    val dir = Files.createTempDirectory("graft-fresh").toString + "/t"
+    var computes = 0
+    def df = { computes += 1; Seq((1L, "a"), (2L, "b")).toDF("k", "v") }
+    def write(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.mode("overwrite").parquet(dir)
+    // first publish: no marker -> compute + write
+    assert(Sink.publishIfStale(spark, dir, upstreamTs = 100L)(df)(write))
+    assert(computes == 1)
+    assert(spark.read.parquet(dir).count() == 2)
+    // upstream unchanged -> skipped, thunk NEVER evaluated
+    assert(!Sink.publishIfStale(spark, dir, upstreamTs = 100L)(df)(write))
+    assert(computes == 1)
+    // upstream older than recorded (clock skew / replay) -> still skipped
+    assert(!Sink.publishIfStale(spark, dir, upstreamTs = 50L)(df)(write))
+    assert(computes == 1)
+    // upstream advanced -> recompute, marker rolls forward
+    assert(Sink.publishIfStale(spark, dir, upstreamTs = 200L)(df)(write))
+    assert(computes == 2)
+    assert(!Sink.publishIfStale(spark, dir, upstreamTs = 200L)(df)(write))
+    assert(computes == 2)
+  }
+
   test("compactParquet merges a small-files directory losslessly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("compact_spec_").toFile.getPath
