@@ -819,6 +819,20 @@ object SparkEntry {
     TextAnalysis.fingerprintSummary(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Winnowing with the engine-portable md5 hash, oracle-hash-gated: the
+    * full selection logic (k-gram explode → windowed min with leftmost
+    * tie-break → distinct) replays exactly in DuckDB, so the algorithm —
+    * not just row counts — is cross-engine-verified. The native
+    * fast-hash twin stays rows-only in q_fingerprint. */
+  private def qFingerprintWinnow(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowFingerprints(Tables.documents(s, d), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_prints"),
+        min(col("print")).as("min_print"),
+        max(col("print")).as("max_print"))
+      .orderBy("doc_id")
+
   /** Corpus-level containment summary: for each doc, how many partner docs
     * share >=1 winnowing fingerprint with it, and the strongest overlap.
     * Aggregated per doc (not per pair) so the output is stable and small
@@ -2252,6 +2266,7 @@ object SparkEntry {
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_fingerprint_winnow" -> (qFingerprintWinnow _),
     "q_fingerprint_overlap" -> (qFingerprintOverlap _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -3594,6 +3609,26 @@ object SparkEntry {
                   END AS j
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.7 ORDER BY id1, id2""",
+    // declarative winnowing replayed exactly: same grams, same md5-prefix
+    // keys with the packed leftmost tie-break, same full-window rule with
+    // the short-doc single-window edge, same distinct
+    "q_fingerprint_winnow" ->
+      """WITH g AS (
+           SELECT doc_id, i AS pos,
+                  substr(md5(substr(text, CAST(i AS INTEGER), 3)), 1, 15)
+                    || lpad(CAST(i AS VARCHAR), 8, '0') AS key
+           FROM documents,
+                LATERAL unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)),
+         w AS (
+           SELECT doc_id, pos,
+                  MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                  COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+           FROM g),
+         sels AS (SELECT DISTINCT doc_id, sel FROM w WHERE wn = 4 OR pos = 1)
+         SELECT doc_id, COUNT(*) AS n_prints, MIN(sel) AS min_print, MAX(sel) AS max_print
+         FROM sels GROUP BY doc_id ORDER BY doc_id""",
     // the planted scaled copies are the only pairs that can reach 0.99
     // cosine; LSH recall on them is exactly 1 (scaling preserves every
     // hyperplane sign), so the full near-dup pipeline must emit precisely

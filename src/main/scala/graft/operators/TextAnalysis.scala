@@ -479,6 +479,50 @@ object TextAnalysis {
         aggregate(col("__fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_checksum"),
         element_at(col("__fps"), 1).as("min_fingerprint"))
 
+  /** Declarative winnowing fingerprint selection (Schleimer et al.
+    * SIGMOD'03) with an ENGINE-PORTABLE hash: char k-grams hashed by md5
+    * prefix, each window of `window` consecutive grams contributing its
+    * minimum — tie-broken leftmost by packing (hash, position) into one
+    * sort key — then distinct selections per document. The
+    * cross-engine-checkable twin of the native [[fingerprintSummary]]
+    * (whose rolling hash is engine-specific and therefore rows-only):
+    * every piece here (substring explode, md5, windowed min, distinct) has
+    * an exact DuckDB equivalent, so the full selection logic hash-gates.
+    * Shape: one explode + one per-doc window pass + one distinct — a
+    * doc-key shuffle and a window sort, no joins.
+    *
+    * Returns (idCol, print) — one row per selected fingerprint; `print` is
+    * the 15-hex-char hash prefix + zero-padded position key. */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"k and window must be >= 1, got $k/$window")
+    val grams = df.select(
+      col(idCol),
+      posexplode(
+        expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+          s"p -> substring($textCol, p, $k))")).as(Seq("__i", "__g")))
+      .select(
+        col(idCol),
+        (col("__i") + 1).as("__pos"),
+        concat(
+          substring(md5(col("__g")), 1, 15),
+          lpad((col("__i") + 1).cast("string"), 8, "0")).as("__key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos")).rowsBetween(0, window - 1)
+    grams
+      .withColumn("__sel", min(col("__key")).over(w))
+      .withColumn("__wn", count(lit(1)).over(w))
+      // full windows only — except a doc with fewer than `window` grams,
+      // which winnows its single partial window (the standard edge rule)
+      .filter(col("__wn") === window || col("__pos") === 1)
+      .select(col(idCol), col("__sel").as("print"))
+      .distinct()
+  }
+
   /** Cross-document overlap via shared winnowing fingerprints (the MOSS
     * containment detector, Schleimer et al. SIGMOD'03): explode each doc's
     * fingerprint set, self-join on the print value — a co-partitioned
