@@ -1073,6 +1073,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** NEAR-DUP decontamination, oracle-hash-gated: docs with ids divisible
+    * by 31 stand in as the eval set; every training doc at >= 0.7 exact
+    * 3-gram Jaccard to any eval doc is reported. The MinHash cross-corpus
+    * candidate join is engine-specific but, at 128 hashes / 32 bands, its
+    * recall on qualifying pairs is ~certain (identical docs are certain),
+    * so the verified output equals the exact cross all-pairs SQL set —
+    * the same gating argument as q_dedup_minhash. */
+  private def qDecontaminateNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.nearDupContamination(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id").as("eval_id"), col("text")),
+      "eval_id", "text")
+      .select(col("train_id"), col("eval_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Gopher duplicate-2-gram repetition filter over the corpus. */
   private def qDupNgrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.duplicateNgramStats(Tables.documents(s, d), "doc_id", "text", n = 2)
@@ -2274,6 +2292,7 @@ object SparkEntry {
     "q_word_freq" -> (qWordFreq _),
     "q_word_repetition" -> (qWordRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_neardup" -> (qDecontaminateNearDup _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_redact_pii" -> (qRedactPii _),
@@ -3629,6 +3648,31 @@ object SparkEntry {
          sels AS (SELECT DISTINCT doc_id, sel FROM w WHERE wn = 4 OR pos = 1)
          SELECT doc_id, COUNT(*) AS n_prints, MIN(sel) AS min_print, MAX(sel) AS max_print
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
+    // exact cross-corpus all-pairs at the same threshold/shingling as the
+    // near-dup contamination verify (identical-doc pairs are certain LSH
+    // hits; near-dup partners follow the q_dedup_minhash recall argument)
+    "q_decontaminate_neardup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)])
+                  END AS s
+           FROM toks),
+         ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 31 = 0),
+         p AS (
+           SELECT t.doc_id AS train_id, e.eval_id,
+                  CASE WHEN len(t.s) = 0 AND len(e.s) = 0 THEN 1.0
+                       WHEN len(t.s) = 0 OR len(e.s) = 0 THEN 0.0
+                       ELSE CAST(len(list_intersect(t.s, e.s)) AS DOUBLE)
+                            / CAST(len(t.s) + len(e.s) - len(list_intersect(t.s, e.s)) AS DOUBLE)
+                  END AS j
+           FROM sh t CROSS JOIN ev e)
+         SELECT train_id, eval_id, ROUND(j, 6) AS jaccard
+         FROM p WHERE j >= 0.7 ORDER BY train_id, eval_id""",
     // the planted scaled copies are the only pairs that can reach 0.99
     // cosine; LSH recall on them is exactly 1 (scaling preserves every
     // hyperplane sign), so the full near-dup pipeline must emit precisely

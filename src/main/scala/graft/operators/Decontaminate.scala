@@ -103,6 +103,48 @@ object Decontaminate {
             count(lit(1)), 6).as("jaccard"))
   }
 
+  /** NEAR-DUPLICATE decontamination: training documents whose
+    * whole-document similarity to ANY eval document crosses
+    * `jaccardThreshold` — the published companion to exact n-gram overlap
+    * (the GPT-3-appendix-style guard: paraphrased or lightly edited eval
+    * leakage that exact 13-gram matching misses). MinHash bands on BOTH
+    * corpora, cross-corpus candidate join on (band, band_key) — a
+    * co-partitioned equality join, never a cartesian; the train side never
+    * shuffles more than its banded keys — then the exact n-gram Jaccard
+    * verify on candidates only, with the (small by contract) eval text
+    * broadcast. Same recall math as [[Dedup.minHashLsh]]: a qualifying
+    * pair escapes with probability (1-j^r)^bands.
+    *
+    * Returns (train_id, eval_id, jaccard) — one row per contaminated
+    * (train doc, eval doc) pair at or above the threshold. */
+  def nearDupContamination(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleK: Int = 3,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val tb = Dedup.minHashBands(train, trainIdCol, trainTextCol, numHashes, bands, shingleK)
+      .select(col(trainIdCol).as("train_id"), col("band"), col("band_key"))
+    val eb = Dedup.minHashBands(bench, benchIdCol, benchTextCol, numHashes, bands, shingleK)
+      .select(col(benchIdCol).as("eval_id"), col("band"), col("band_key"))
+    val candidates = tb.join(broadcast(eb), Seq("band", "band_key"))
+      .select("train_id", "eval_id")
+      .distinct()
+    candidates
+      .join(train.select(col(trainIdCol).as("train_id"), col(trainTextCol).as("__tt")), "train_id")
+      .join(
+        broadcast(bench.select(col(benchIdCol).as("eval_id"), col(benchTextCol).as("__et"))),
+        "eval_id")
+      .withColumn("jaccard", graft.functions.ngram_jaccard(col("__tt"), col("__et"), shingleK))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+  }
+
   /** `train` minus contaminated documents (left-anti on the report ids). */
   def decontaminate(
       train: DataFrame,

@@ -55,6 +55,29 @@ class DecontaminateSpec extends SparkSpec {
     assert(viaBloom.nonEmpty)
   }
 
+  test("nearDupContamination catches verbatim and lightly-edited eval leakage, skips clean docs") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the quiet river bank today")
+    ).toDF("eval_id", "text")
+    val train = Seq(
+      // verbatim copy: jaccard 1.0, certain LSH hit
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      // light edit (one word changed): high jaccard, the paraphrase case
+      (2L, "the quick brown fox jumps over the lazy dog near the quiet river shore today"),
+      // shares words but not 3-gram structure: must NOT be flagged
+      (3L, "dog lazy the over jumps fox brown quick the bank river quiet near today the"),
+      (4L, "completely unrelated text about training data pipelines at scale"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.nearDupContamination(
+      train, "doc_id", "text", evalSet, "eval_id", "text", jaccardThreshold = 0.5)
+      .orderBy("train_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._3 == 1.0)
+    assert(out(1)._3 >= 0.5 && out(1)._3 < 1.0)
+    assert(out.forall(_._2 == 100L))
+  }
+
   test("decontaminate drops exactly the contaminated docs") {
     val bench = Seq((1L, "one two three four five")).toDF("id", "text")
     val train = Seq(
