@@ -3634,8 +3634,8 @@ object SparkEntry {
     "q_fingerprint_winnow" ->
       """WITH g AS (
            SELECT doc_id, i AS pos,
-                  substr(md5(substr(text, CAST(i AS INTEGER), 3)), 1, 15)
-                    || lpad(CAST(i AS VARCHAR), 8, '0') AS key
+                  ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 3)), 1, 9))::BIGINT
+                    * 16777216 + i AS key
            FROM documents,
                 LATERAL unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)),
          w AS (

@@ -491,8 +491,11 @@ object TextAnalysis {
     * Shape: one explode + one per-doc window pass + one distinct — a
     * doc-key shuffle and a window sort, no joins.
     *
-    * Returns (idCol, print) — one row per selected fingerprint; `print` is
-    * the 15-hex-char hash prefix + zero-padded position key. */
+    * Returns (idCol, print) — one row per selected fingerprint; `print`
+    * packs the 36-bit md5-prefix hash above a 24-bit position
+    * (`hash * 2^24 + pos` — numeric, so the windowed min compares longs,
+    * not strings; max 1.15e18, no overflow; position caps at 16.7M chars
+    * per document). */
   def winnowFingerprints(
       df: DataFrame,
       idCol: String,
@@ -508,9 +511,8 @@ object TextAnalysis {
       .select(
         col(idCol),
         (col("__i") + 1).as("__pos"),
-        concat(
-          substring(md5(col("__g")), 1, 15),
-          lpad((col("__i") + 1).cast("string"), 8, "0")).as("__key"))
+        (conv(substring(md5(col("__g")), 1, 9), 16, 10).cast("long") * lit(16777216L) +
+          col("__i") + 1).as("__key"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos")).rowsBetween(0, window - 1)
     grams

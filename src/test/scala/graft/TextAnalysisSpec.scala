@@ -117,13 +117,13 @@ class TextAnalysisSpec extends SparkSpec {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq((1L, text), (2L, text), (3L, "ab")).toDF("doc_id", "text")
     val out = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, window = 4)
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val byDoc = out.groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).sorted.toSeq }
     // identical docs -> identical print sets (content-only determinism)
     assert(byDoc(1L) == byDoc(2L))
     // the winnowing guarantee: selected positions are at most `window` apart
     // (every window of w consecutive grams contributes its min)
-    val positions = byDoc(1L).map(_.takeRight(8).toInt).sorted
+    val positions = byDoc(1L).map(p => (p % 16777216L).toInt).sorted
     assert(positions.head <= 4)
     positions.sliding(2).foreach {
       case Seq(a, b) => assert(b - a <= 4, s"coverage gap $a -> $b")
