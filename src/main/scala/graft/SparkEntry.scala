@@ -750,6 +750,19 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** Trailing-window z-score anomaly flags over the event metric stream,
+    * hash-gated: the quantized-long window sums make mean/stddev divisions
+    * bit-reproducible cross-engine (the corrMatrix recipe applied to a
+    * window), so even the boolean outlier flags match exactly. */
+  private def qRollingZscore(s: SparkSession, d: String): DataFrame =
+    Temporal.rollingZScore(
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("ts"), col("value")),
+      Seq("event_type"), Seq("ts", "event_id"), "value")
+      .select(
+        col("event_id"), col("event_type"), col("n_window"),
+        round(col("z"), 6).as("z"), col("is_outlier"))
+      .orderBy("event_id")
+
   /** PSI distribution drift of the order price between the first and second
     * half of the order history — per-bin drift terms, exact counts. */
   private def qPsiDrift(s: SparkSession, d: String): DataFrame = {
@@ -1705,6 +1718,14 @@ object SparkEntry {
       .orderBy("event_type", "q_idx")
   }
 
+  /** Last-touch attribution of purchases to the most recent preceding
+    * click/view per user — the IGNORE-NULLS forward-fill window shape;
+    * latency in whole seconds via integer division (engine-portable). */
+  private def qAttribution(s: SparkSession, d: String): DataFrame =
+    Funnel.lastTouchAttribution(
+      Tables.events(s, d), conversionType = "purchase", touchTypes = Seq("click", "view"))
+      .orderBy("conversion_id")
+
   /** signup → click → purchase ordered funnel over the event log. */
   private def qFunnel(s: SparkSession, d: String): DataFrame =
     Funnel.funnel(
@@ -2370,6 +2391,8 @@ object SparkEntry {
     "q_quantile_cube" -> (qQuantileCube _),
     "q_quantile_cube_stream" -> (qQuantileCubeStream _),
     "q_rolling_distinct_stream" -> (qRollingDistinctStream _),
+    "q_rolling_zscore" -> (qRollingZscore _),
+    "q_attribution" -> (qAttribution _),
     "q_dedup_lines" -> (qDedupLines _))
 
   /** DuckDB oracles. Omitted only where no SQL twin exists — each such
@@ -3648,6 +3671,55 @@ object SparkEntry {
          sels AS (SELECT DISTINCT doc_id, sel FROM w WHERE wn = 4 OR pos = 1)
          SELECT doc_id, COUNT(*) AS n_prints, MIN(sel) AS min_print, MAX(sel) AS max_print
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
+    // IGNORE NULLS last_value over the strictly-preceding frame — the same
+    // forward-fill idiom as q_forward_fill's oracle; integer-div latency
+    "q_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         t AS (
+           SELECT user_id, event_id, event_type, us,
+                  last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS)
+                    OVER win AS touch_event_id,
+                  last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+                    OVER win AS touch_type,
+                  last_value(CASE WHEN event_type IN ('click', 'view') THEN us END IGNORE NULLS)
+                    OVER win AS touch_us
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id AS conversion_id, us AS conversion_us,
+                touch_event_id, touch_type, (us - touch_us) // 1000000 AS latency_sec
+         FROM t WHERE event_type = 'purchase' ORDER BY conversion_id""",
+    // same quantized-long window sums, same division structure — doubles
+    // agree bit-for-bit, so z AND the boolean flag hash-match
+    "q_rolling_zscore" ->
+      """WITH q AS (
+           SELECT event_id, event_type, ts, value,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events),
+         w AS (
+           SELECT event_id, event_type, value,
+                  COUNT(*) OVER win AS n,
+                  CAST(SUM(v) OVER win AS BIGINT) AS s,
+                  CAST(SUM(v * v) OVER win AS BIGINT) AS ss
+           FROM q
+           WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         t AS (
+           SELECT event_id, event_type, n, value,
+                  CAST(s AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean,
+                  SQRT(GREATEST(
+                    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(n - 1 AS DOUBLE) * 10000), 0.0)) AS sd
+           FROM w),
+         z AS (
+           SELECT event_id, event_type, n AS n_window,
+                  CASE WHEN n >= 5 AND sd > 0.0 THEN (value - mean) / sd END AS zu
+           FROM t)
+         SELECT event_id, event_type, n_window, ROUND(zu, 6) AS z,
+                COALESCE(ABS(zu) > 3.0, false) AS is_outlier
+         FROM z ORDER BY event_id""",
     // exact cross-corpus all-pairs at the same threshold/shingling as the
     // near-dup contamination verify (identical-doc pairs are certain LSH
     // hits; near-dup partners follow the q_dedup_minhash recall argument)

@@ -39,6 +39,43 @@ object Funnel {
       .limit(topN)
   }
 
+  /** Last-touch attribution: each conversion event is credited to the most
+    * recent STRICTLY-PRECEDING touch event of an allowed type by the same
+    * user — the marketing-attribution staple. One per-user window pass
+    * using the IGNORE NULLS last_value idiom (the forward-fill shape, X37):
+    * no self-join, no per-conversion scan; unattributed conversions (no
+    * prior touch) survive with nulls. `ts + event_id` pins a total order.
+    *
+    * Returns one row per conversion: user, conversion id/ts, attributed
+    * touch id/type/ts, and the touch→conversion latency in seconds. */
+  def lastTouchAttribution(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes.map(x => x: Any): _*)
+    events
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("touch_event_id",
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(isTouch, col("__us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversionType)
+      .select(
+        col("user_id"),
+        col("event_id").as("conversion_id"),
+        col("__us").as("conversion_us"),
+        col("touch_event_id"),
+        col("touch_type"),
+        // integer division (not a double cast: engines round double->long
+        // differently; positive micros make div/floor-div agree)
+        expr("(__us - touch_us) div 1000000").as("latency_sec"))
+  }
+
   /** Weekly retention cohorts: each user's cohort is the Monday week of
     * their first `signupType` event; every later active week counts them in
     * (cohort_week, week_offset). One small cohort aggregate joined back on

@@ -264,6 +264,49 @@ object Temporal {
         count(lit(1)).as("n_samples"))
   }
 
+  /** Trailing-window z-score anomaly detection: each observation scored
+    * against the mean/stddev of its own STRICTLY-PRECEDING `lookback` rows
+    * per key (self-excluded, so a spike can't mask itself), flagged when
+    * |z| > `k` — the standard streaming-metrics outlier gate. Engine
+    * determinism via the corrMatrix recipe: values quantize to exact
+    * integer `scale`-ths (longs), window sums of longs are EXACT on any
+    * engine, and the mean/variance divisions run in double from those
+    * exact ingredients — so Spark and an oracle engine agree bit-for-bit.
+    * One shuffle on the key, one window pass, no self-join.
+    *
+    * Output: input + (n_window, z, is_outlier); z is null when the
+    * trailing window holds fewer than `minObs` rows. `orderCols` must make
+    * the per-key order total. */
+  def rollingZScore(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      lookback: Int = 20,
+      k: Double = 3.0,
+      minObs: Int = 5,
+      scale: Int = 100): DataFrame = {
+    require(lookback >= minObs && minObs >= 2, s"need lookback >= minObs >= 2, got $lookback/$minObs")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val q = floor(col(valueCol) * scale + 0.5).cast("long")
+    val n = count(lit(1)).over(w)
+    val s = sum(q).over(w)
+    val ss = sum(q * q).over(w)
+    // mean/var in double from the exact long sums; sample variance,
+    // clamped at 0 (catastrophic cancellation can leave -ulp)
+    val mean = s.cast("double") / (n * scale.toLong).cast("double")
+    val varPop = (ss.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
+      ((n - 1).cast("double") * (scale.toLong * scale)) // sample var, exact-long ingredients
+    val sd = sqrt(greatest(varPop, lit(0.0)))
+    val z = when(n >= minObs && sd > 0.0, (col(valueCol) - mean) / sd)
+    df.withColumn("n_window", n)
+      .withColumn("z", z)
+      .withColumn("is_outlier", coalesce(abs(col("z")) > k, lit(false)))
+  }
+
   /** Rolling aggregation over an integer position index (e.g. a month index
     * `year*12+month`): `agg` over the window `[pos - lookback, pos]` per key.
     * RANGE frame on the index, so missing months still bound the window

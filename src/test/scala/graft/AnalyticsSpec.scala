@@ -123,6 +123,33 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 2L, 1L)))
   }
 
+  test("lastTouchAttribution credits the most recent preceding touch, strictly before") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: view, click, purchase -> credited to the click (latest touch)
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "click", ts("2024-01-01 10:05:00")),
+      (1L, 12L, "purchase", ts("2024-01-01 10:06:30")),
+      // u1 second purchase with no new touch -> still the same click
+      (1L, 13L, "purchase", ts("2024-01-01 11:00:00")),
+      // u2: purchase BEFORE any touch -> unattributed (nulls)
+      (2L, 20L, "purchase", ts("2024-01-01 09:00:00")),
+      (2L, 21L, "click", ts("2024-01-01 09:30:00")),
+      // u3: signup is not a touch type -> unattributed
+      (3L, 30L, "signup", ts("2024-01-01 08:00:00")),
+      (3L, 31L, "purchase", ts("2024-01-01 08:10:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnel.lastTouchAttribution(ev, "purchase", Seq("click", "view"))
+      .orderBy("conversion_id").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)).map(_.toString.toLong),
+        Option(r.getAs[String]("touch_type")), Option(r.get(5)).map(_.toString.toLong)))
+    assert(out.toSeq == Seq(
+      (12L, Some(11L), Some("click"), Some(90L)),
+      (13L, Some(11L), Some("click"), Some(3300L)),
+      (20L, None, None, None),
+      (31L, None, None, None)))
+  }
+
   test("transitionMatrix: exact pair counts and per-state shares, tie order pinned") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

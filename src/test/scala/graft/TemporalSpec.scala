@@ -128,6 +128,27 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("rollingZScore flags a planted spike against its trailing window, self-excluded") {
+    import java.sql.Timestamp
+    val rows = Seq(10.0, 12.0, 11.0, 9.0, 10.5, 100.0, 10.2).zipWithIndex.map {
+      case (v, i) => ("a", new Timestamp(1700000000000L + i * 60000L), i.toLong, v)
+    }
+    val df = rows.toDF("k", "ts", "event_id", "v").repartition(4)
+    val out = Temporal.rollingZScore(df, Seq("k"), Seq("ts", "event_id"), "v",
+      lookback = 20, k = 3.0, minObs = 5)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(2), Option(r.get(5)).map(_ => r.getDouble(5)), r.getBoolean(6)))
+    // first 5 rows: trailing window < minObs -> z null, not outliers
+    assert(out.take(5).forall { case (_, z, f) => z.isEmpty && !f })
+    // the spike scores against [10,12,11,9,10.5]: mean 10.5, huge z
+    val (_, zSpike, fSpike) = out(5)
+    assert(fSpike && zSpike.exists(_ > 3.0), s"spike must flag: $zSpike")
+    // the row AFTER the spike is normal vs a window that now contains the
+    // spike (self-exclusion means the spike inflates sd, not its own z)
+    val (_, zAfter, fAfter) = out(6)
+    assert(!fAfter && zAfter.exists(z => math.abs(z) < 3.0))
+  }
+
   test("rollingAgg RANGE frame bounds by index value, not row position") {
     val df = Seq((1L, 0, 10.0), (1L, 1, 20.0), (1L, 10, 40.0)).toDF("k", "pos", "v")
     val out = Temporal
