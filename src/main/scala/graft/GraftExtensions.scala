@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
-import graft.functions.{TextOps, VectorOps}
+import graft.functions.{KllOps, TextOps, VectorOps}
 
 /** SQL-surface registration for graft's native expressions.
   *
@@ -75,6 +75,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(TextOps.getClass, "jaroSim", DoubleType)),
       fn("graft_jaro_winkler", "Jaro-Winkler similarity in [0,1] (prefix<=4, 0.7 boost threshold)",
         static(TextOps.getClass, "jaroWinkler", DoubleType)),
+      fn("graft_kll_sketch", "mergeable KLL quantile sketch (binary) of a double column, k = arg 2",
+        args => graft.functions.KllSketchAgg(args(0), args(1).eval().asInstanceOf[Int])),
+      fn("graft_kll_merge", "merge a binary KLL sketch column (rollup), k = arg 2",
+        args => graft.functions.KllMergeAgg(args(0), args(1).eval().asInstanceOf[Int])),
+      fn("graft_kll_quantiles", "quantile estimates (array<double>) of a binary KLL sketch at array<double> ranks",
+        static(KllOps.getClass, "kllQuantiles", ArrayType(DoubleType))),
+      fn("graft_kll_n", "exact stream length a binary KLL sketch has absorbed",
+        static(KllOps.getClass, "kllN", LongType)),
     ).foreach { case (ident, info, builder) => ext.injectFunction((ident, info, builder)) }
   }
 }

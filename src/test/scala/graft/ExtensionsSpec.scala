@@ -69,4 +69,20 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(out == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
   }
+
+  test("graft_kll sketch/merge/readout via SQL") {
+    import spark.implicits._
+    Seq.tabulate(1000)(i => (s"g${i % 2}", i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("kll_in")
+    val cube = spark.sql(
+      "SELECT g, graft_kll_sketch(v, 200) AS kll FROM kll_in GROUP BY g")
+    cube.createOrReplaceTempView("kll_cube")
+    val out = spark.sql(
+      """SELECT graft_kll_n(m) AS n, graft_kll_quantiles(m, array(0.5d)) AS q
+         FROM (SELECT graft_kll_merge(kll, 200) AS m FROM kll_cube)""").head()
+    assert(out.getLong(0) == 1000L)
+    val median = out.getSeq[Double](1).head
+    // KLL rank error at k=200 is ~1.65%; the true median of 0..999 is ~500
+    assert(math.abs(median - 500.0) <= 30.0, s"median estimate $median")
+  }
 }
