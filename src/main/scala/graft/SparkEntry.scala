@@ -637,6 +637,28 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Fixed-iteration PageRank over the co-purchase graph (parts linked by
+    * shared orders, support >= 3, symmetrized), hash-gated: the
+    * quantized-long contribution sums and per-iteration 1e-9 rank
+    * quantization make every iteration bit-reproducible, so a DuckDB
+    * oracle replays all 5 iterations exactly. Ranks output un-rounded —
+    * they are already exact quantization products, identical bits on both
+    * engines. */
+  private def qPageRank(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 3)
+    val edges = pairs.select(col("l_partkey").as("u"), col("p2").as("v"))
+      .unionByName(pairs.select(col("p2").as("u"), col("l_partkey").as("v")))
+    Graph.pageRank(edges, "u", "v", iterations = 5)
+      .select(col("id").as("part_key"), col("rank"))
+      .orderBy("part_key")
+  }
+
   /** Nested-struct flattening on an in-plan nested view of orders (two
     * levels deep); the oracle is the equivalent flat projection. */
   private def qFlattenStructs(s: SparkSession, d: String): DataFrame = {
@@ -2393,7 +2415,35 @@ object SparkEntry {
     "q_rolling_distinct_stream" -> (qRollingDistinctStream _),
     "q_rolling_zscore" -> (qRollingZscore _),
     "q_attribution" -> (qAttribution _),
+    "q_pagerank" -> (qPageRank _),
     "q_dedup_lines" -> (qDedupLines _))
+
+  /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
+    * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
+    * long contributions, floor(((1.0-0.85)+0.85*s)*1e9+0.5)/1e9 rank) so
+    * the doubles match bit-for-bit. Generated to keep the five rounds
+    * structurally identical. */
+  private val pageRankOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s""",
+         c$i AS (SELECT e.v AS id,
+                        CAST(SUM(CAST(floor(r.rank / d.outdeg * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                 FROM edges e JOIN r${i - 1} r ON e.u = r.id JOIN deg d ON e.u = d.id
+                 GROUP BY e.v),
+         r$i AS (SELECT deg.id,
+                        floor(((1.0 - 0.85) + 0.85 * (CAST(COALESCE(s, 0) AS DOUBLE) / 1e12)) * 1e9 + 0.5) / 1e9 AS rank
+                 FROM deg LEFT JOIN c$i ON deg.id = c$i.id)"""
+    }.mkString
+    s"""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       p AS (SELECT a.l_partkey AS pu, b.l_partkey AS pv
+             FROM baskets a JOIN baskets b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       edges AS (SELECT pu AS u, pv AS v FROM p UNION ALL SELECT pv AS u, pu AS v FROM p),
+       deg AS (SELECT u AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM deg)$iters
+       SELECT id AS part_key, rank FROM r5 ORDER BY part_key"""
+  }
 
   /** DuckDB oracles. Omitted only where no SQL twin exists — each such
     * query gets a rows-only check plus pinned ScalaTest specs:
@@ -3671,6 +3721,7 @@ object SparkEntry {
          sels AS (SELECT DISTINCT doc_id, sel FROM w WHERE wn = 4 OR pos = 1)
          SELECT doc_id, COUNT(*) AS n_prints, MIN(sel) AS min_print, MAX(sel) AS max_print
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
+    "q_pagerank" -> pageRankOracle,
     // IGNORE NULLS last_value over the strictly-preceding frame — the same
     // forward-fill idiom as q_forward_fill's oracle; integer-div latency
     "q_attribution" ->

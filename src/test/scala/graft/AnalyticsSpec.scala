@@ -325,4 +325,21 @@ class AnalyticsSpec extends SparkSpec {
       (2, "click", 2L),
       (3, "purchase", 1L)))
   }
+
+  test("pageRank: hand-computed path graph, hub dominance, rank conservation") {
+    import graft.operators.Graph
+    // symmetrized path a-b-c: outdeg a=1, b=2, c=1
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
+    val r2 = Graph.pageRank(path, "u", "v", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // it1: a=c=0.15+0.85*(1/2)=0.575, b=0.15+0.85*(1+1)=1.85
+    // it2: a=c=0.15+0.85*(1.85/2)=0.93625, b=0.15+0.85*(0.575+0.575)=1.1275
+    assert(r2(1L) == 0.93625 && r2(3L) == 0.93625 && r2(2L) == 1.1275, r2.toString)
+    // star graph: the hub outranks every leaf; total rank stays ~n
+    val star = (2L to 6L).flatMap(l => Seq((1L, l), (l, 1L))).toDF("u", "v")
+    val rs = Graph.pageRank(star, "u", "v", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((2L to 6L).forall(l => rs(1L) > rs(l)))
+    assert(math.abs(rs.values.sum - 6.0) < 0.2, s"rank mass drifted: ${rs.values.sum}")
+  }
 }
