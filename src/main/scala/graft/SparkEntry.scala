@@ -785,6 +785,15 @@ object SparkEntry {
         round(col("z"), 6).as("z"), col("is_outlier"))
       .orderBy("event_id")
 
+  /** Winsorized order totals: clamp into the [p01, p99] band (thresholds
+    * 4dp-rounded on both engines — the equi-depth edge recipe). */
+  private def qWinsorize(s: SparkSession, d: String): DataFrame =
+    Sketches.winsorize(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+      "o_totalprice", lo = 0.01, hi = 0.99)
+      .select(col("o_orderkey"), col("o_totalprice"), round(col("winsorized"), 2).as("winsorized"))
+      .orderBy("o_orderkey")
+
   /** PSI distribution drift of the order price between the first and second
     * half of the order history — per-bin drift terms, exact counts. */
   private def qPsiDrift(s: SparkSession, d: String): DataFrame = {
@@ -2416,6 +2425,7 @@ object SparkEntry {
     "q_rolling_zscore" -> (qRollingZscore _),
     "q_attribution" -> (qAttribution _),
     "q_pagerank" -> (qPageRank _),
+    "q_winsorize" -> (qWinsorize _),
     "q_dedup_lines" -> (qDedupLines _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
@@ -3722,6 +3732,13 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_prints, MIN(sel) AS min_print, MAX(sel) AS max_print
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
     "q_pagerank" -> pageRankOracle,
+    "q_winsorize" ->
+      """WITH b AS (SELECT ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.01), 4) AS lo,
+                           ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 4) AS hi
+                    FROM orders)
+         SELECT o_orderkey, o_totalprice,
+                ROUND(LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), b.lo), b.hi), 2) AS winsorized
+         FROM orders, b ORDER BY o_orderkey""",
     // IGNORE NULLS last_value over the strictly-preceding frame — the same
     // forward-fill idiom as q_forward_fill's oracle; integer-div latency
     "q_attribution" ->

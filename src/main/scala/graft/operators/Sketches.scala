@@ -421,6 +421,34 @@ object Sketches {
       .drop("__resid")
   }
 
+  /** Winsorize: CLAMP `valueCol` into its own [lo, hi] quantile band
+    * (instead of dropping the tails like [[filterByQuantileBand]]) — the
+    * outlier treatment that keeps row counts stable for downstream stats.
+    * Same shape: one percentile aggregate reduced to a 1-row broadcast
+    * cross join, then a codegen'd LEAST/GREATEST projection; thresholds
+    * round at 4dp (the equi-depth edge recipe) so any engine lands on the
+    * same clamp values. Appends `clampedCol` (original column untouched). */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double = 0.01,
+      hi: Double = 0.99,
+      clampedCol: String = "winsorized",
+      approx: Boolean = false): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val probs = array(lit(lo), lit(hi))
+    val v = col(valueCol).cast("double")
+    val pct =
+      if (approx) percentile_approx(v, probs, lit(10000))
+      else percentile(v, probs)
+    val bounds = df.agg(
+      round(element_at(pct, 1), 4).as("__w_lo"),
+      round(element_at(pct, 2), 4).as("__w_hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(clampedCol, least(greatest(v, col("__w_lo")), col("__w_hi")))
+      .drop("__w_lo", "__w_hi")
+  }
+
   def filterByQuantileBand(
       df: DataFrame,
       valueCol: String,

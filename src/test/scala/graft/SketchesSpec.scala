@@ -89,6 +89,17 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clamps exactly to the rounded band edges, row count unchanged") {
+    val df = Seq.tabulate(100)(i => (i.toLong, (i + 1).toDouble)).toDF("id", "v") // 1..100
+    val out = Sketches.winsorize(df, "v", lo = 0.10, hi = 0.90, clampedCol = "w")
+      .orderBy("id").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 100, "winsorize must never drop rows")
+    // p10 of 1..100 (interpolated) = 10.9, p90 = 90.1
+    assert(out.forall { case (_, w) => w >= 10.9 && w <= 90.1 })
+    assert(out.count { case (v, w) => v != w } == 20) // 10 clamped each tail
+    assert(out.forall { case (v, w) => v < 10.9 || v > 90.1 || v == w })
+  }
+
   test("quantileCube: estimates obey the KLL rank-error bound vs exact ranks") {
     // 20k rows over 4 groups with a skewed (squared-uniform) distribution
     val df = Seq.tabulate(20000) { i =>
