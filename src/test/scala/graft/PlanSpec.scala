@@ -335,6 +335,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"rollup must merge sketches, not join back:\n$p")
   }
 
+  test("attribution shuffles once on the user key — no self-join, no per-conversion scan") {
+    val p = plan(SparkEntry.queries("q_attribution")(spark, sf))
+    assert(!p.contains("Join"), s"attribution must not self-join:\n$p")
+    // chained Window nodes share the one user-key exchange; the only other
+    // exchange is the presentation ORDER BY
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"expected window + presentation exchanges only:\n$p")
+  }
+
+  test("rolling z-score shuffles once on the key — no join, no second data pass") {
+    val p = plan(SparkEntry.queries("q_rolling_zscore")(spark, sf))
+    assert(!p.contains("Join"), s"z-score must not join:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"expected window + presentation exchanges only:\n$p")
+  }
+
+  test("winsorize broadcasts the 1-row threshold aggregate — data side never shuffles for the clamp") {
+    val p = plan(SparkEntry.queries("q_winsorize")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"thresholds must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pagerank iterations stay keyed equality joins — no cartesian anywhere") {
+    val p = plan(SparkEntry.queries("q_pagerank")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank must join on keys only:\n$p")
+  }
+
   test("gap fill never falls back to a cartesian/calendar cross join") {
     val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
     assert(p.contains("Generate"), s"expected a narrow sequence explode:\n$p")
