@@ -1981,6 +1981,42 @@ object SparkEntry {
       .orderBy("state", "next_state")
   }
 
+  /** The STREAMING last-touch attribution state machine run end-to-end
+    * against q_attribution's batch oracle: AvailableNow file source →
+    * per-user three-field touch state emitting one attributed row per
+    * conversion → memory sink. Attribution is an online fold, so the
+    * stream IS the natural formulation; matching the batch window oracle
+    * hash-for-hash is the equivalence gate. */
+  private def qAttributionStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val raw = s.read.parquet(s"$d/events.parquet")
+    var stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val evs = stream.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_type").as("et"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      col("event_id").cast("long").as("event_id")).as[Events.AttrEvent]
+    val name = "graft_attribution_stream"
+    withStatePartitions(s, 8) {
+      val q = Events.attributionStream(s, evs, "purchase", Set("click", "view"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(
+        col("user_id"), col("conversion_id"), col("conversion_us"),
+        col("touch_event_id"), col("touch_type"), col("latency_sec"))
+      .orderBy("conversion_id")
+  }
+
   /** The STREAMING funnel state machine run end-to-end against q_funnel's
     * batch oracle: AvailableNow file source → per-user mapGroupsWithState
     * depth updates (Update mode) into a memory sink → batch rollup of each
@@ -2424,6 +2460,7 @@ object SparkEntry {
     "q_rolling_distinct_stream" -> (qRollingDistinctStream _),
     "q_rolling_zscore" -> (qRollingZscore _),
     "q_attribution" -> (qAttribution _),
+    "q_attribution_stream" -> (qAttributionStream _),
     "q_pagerank" -> (qPageRank _),
     "q_winsorize" -> (qWinsorize _),
     "q_dedup_lines" -> (qDedupLines _))
@@ -3742,6 +3779,25 @@ object SparkEntry {
     // IGNORE NULLS last_value over the strictly-preceding frame — the same
     // forward-fill idiom as q_forward_fill's oracle; integer-div latency
     "q_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         t AS (
+           SELECT user_id, event_id, event_type, us,
+                  last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS)
+                    OVER win AS touch_event_id,
+                  last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+                    OVER win AS touch_type,
+                  last_value(CASE WHEN event_type IN ('click', 'view') THEN us END IGNORE NULLS)
+                    OVER win AS touch_us
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id AS conversion_id, us AS conversion_us,
+                touch_event_id, touch_type, (us - touch_us) // 1000000 AS latency_sec
+         FROM t WHERE event_type = 'purchase' ORDER BY conversion_id""",
+    // the streaming fold must land on the batch window's answer exactly
+    "q_attribution_stream" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
            FROM events),

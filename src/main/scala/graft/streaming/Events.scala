@@ -217,6 +217,48 @@ object Events {
         })
   }
 
+  final case class AttrEvent(user_id: Long, et: String, us: Long, event_id: Long)
+  final case class AttrTouch(us: Long, et: String, event_id: Long)
+  final case class Attribution(
+      user_id: Long, conversion_id: Long, conversion_us: Long,
+      touch_event_id: Option[Long], touch_type: Option[String], latency_sec: Option[Long])
+
+  /** Streaming last-touch attribution — the incremental twin of
+    * [[graft.operators.Funnel.lastTouchAttribution]], and the shape this
+    * computation actually wants: attribution is an ONLINE fold (remember
+    * the last touch, emit on conversion), so per-user state is three
+    * fields regardless of history length. Each batch sorts its own events
+    * per user ((us, event_id), the batch window's tiebreak) and bridges
+    * batches through the stored last touch; conversions strictly before
+    * any touch emit unattributed with nulls, exactly like the batch
+    * operator. In-order arrival across batches assumed, as with
+    * [[funnelStream]]. */
+  def attributionStream(
+      spark: SparkSession,
+      events: Dataset[AttrEvent],
+      conversionType: String,
+      touchTypes: Set[String]): Dataset[Attribution] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[AttrEvent], state: GroupState[AttrTouch]) => {
+          var touch = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            if (e.et == conversionType) {
+              out += Attribution(
+                user, e.event_id, e.us,
+                touch.map(_.event_id), touch.map(_.et),
+                touch.map(t => (e.us - t.us) / 1000000L))
+            }
+            if (touchTypes.contains(e.et)) touch = Some(AttrTouch(e.us, e.et, e.event_id))
+          }
+          touch.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Streaming exact dedup on a key with watermarked state — the streaming
     * member of the dedup family (batch members live in operators.Dedup). */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =

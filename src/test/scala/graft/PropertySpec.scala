@@ -125,6 +125,24 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("fusePair: concatenation preserved, greedy pass leaves no adjacent (l,r) singles — 500 cases") {
+    val r = new Random(11)
+    for (_ <- 1 to 500) {
+      val syms = Array.fill(r.nextInt(12) + 1)(('a' + r.nextInt(3)).toChar.toString)
+      val l = ('a' + r.nextInt(3)).toChar.toString
+      val rr = ('a' + r.nextInt(3)).toChar.toString
+      val fused = TextOps.fusePair(syms, l, rr)
+      // the trainer/encoder invariant: merging never changes the word
+      assert(fused.mkString == syms.mkString, s"${syms.toSeq} fuse ($l,$rr)")
+      // left-to-right non-overlapping: single-char inputs can't leave an
+      // adjacent (l, rr) pair behind (fused tokens are 2 chars, != l)
+      fused.sliding(2).foreach {
+        case Array(a, b) => assert(!(a == l && b == rr), s"${fused.toSeq} kept ($l,$rr)")
+        case _ =>
+      }
+    }
+  }
+
   test("BPE tokens always concatenate back to the input words, under any merge table") {
     val r = new Random(31)
     (1 to 500).foreach { _ =>

@@ -88,6 +88,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("a", "b"), ("c", "d"), ("b", "e")))
   }
 
+  test("attributionStream carries the last touch across micro-batches") {
+    val ms = MemoryStream[Events.AttrEvent](spark)
+    val q = Events.attributionStream(spark, ms.toDS(), "purchase", Set("click", "view"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: u1 conversion before any touch (unattributed), then a click
+      ms.addData(
+        Events.AttrEvent(1L, "purchase", 1000000L, 1L),
+        Events.AttrEvent(1L, "click", 2000000L, 2L))
+      q.processAllAvailable()
+      // batch 2: the conversion must attribute to batch 1's click via state
+      ms.addData(Events.AttrEvent(1L, "purchase", 5000000L, 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_out").orderBy("conversion_id").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)).map(_.toString.toLong),
+        Option(r.get(5)).map(_.toString.toLong)))
+    assert(got.toSeq == Seq((1L, None, None), (3L, Some(2L), Some(3L))))
+  }
+
   test("hourlyAggStream with append mode drops data later than the watermark") {
     val ms = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val streamDf = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
