@@ -785,6 +785,24 @@ object SparkEntry {
         round(col("z"), 6).as("z"), col("is_outlier"))
       .orderBy("event_id")
 
+  /** Multi-format timestamp coercion, hash-gated: order dates rendered
+    * in-plan into three messy formats by key (ISO, US slash, compact) plus
+    * a planted garbage bucket, then coerced back through the try-parse
+    * chain — the recovered timestamps must equal the originals and the
+    * garbage must come back null. */
+  private def qCoerceTimestamps(s: SparkSession, d: String): DataFrame = {
+    val messy = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 4 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .when(col("o_orderkey") % 4 === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .when(col("o_orderkey") % 4 === 2, date_format(col("o_orderdate"), "yyyyMMdd"))
+        .otherwise(lit("not a date")).as("raw"))
+    Relational.coerceTimestamps(
+      messy, "raw", Seq("yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy", "yyyyMMdd"))
+      .select(col("o_orderkey"), col("raw"), unix_micros(col("ts_parsed")).as("parsed_us"))
+      .orderBy("o_orderkey")
+  }
+
   /** Winsorized order totals: clamp into the [p01, p99] band (thresholds
     * 4dp-rounded on both engines — the equi-depth edge recipe). */
   private def qWinsorize(s: SparkSession, d: String): DataFrame =
@@ -2463,6 +2481,7 @@ object SparkEntry {
     "q_attribution_stream" -> (qAttributionStream _),
     "q_pagerank" -> (qPageRank _),
     "q_winsorize" -> (qWinsorize _),
+    "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
@@ -3769,6 +3788,22 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_prints, MIN(sel) AS min_print, MAX(sel) AS max_print
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
     "q_pagerank" -> pageRankOracle,
+    // same format-priority try-parse chain; strftime renders, try_strptime
+    // recovers; the garbage bucket must stay NULL on both engines
+    "q_coerce_timestamps" ->
+      """WITH messy AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                       WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+                       WHEN o_orderkey % 4 = 2 THEN strftime(o_orderdate, '%Y%m%d')
+                       ELSE 'not a date' END AS raw
+           FROM orders)
+         SELECT o_orderkey, raw,
+                epoch_us(COALESCE(
+                  try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                  try_strptime(raw, '%m/%d/%Y'),
+                  try_strptime(raw, '%Y%m%d'))) AS parsed_us
+         FROM messy ORDER BY o_orderkey""",
     "q_winsorize" ->
       """WITH b AS (SELECT ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.01), 4) AS lo,
                            ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 4) AS hi

@@ -274,6 +274,24 @@ object Relational {
       .agg(remerge.head, remerge.tail: _*)
   }
 
+  /** Multi-format timestamp coercion — the messy-ingestion hygiene step:
+    * try each format in order (first success wins, the fixed priority that
+    * makes ambiguous strings deterministic), null when nothing parses.
+    * Pure codegen'd projection (`try_to_timestamp` chain under ANSI mode —
+    * a bare `to_timestamp` would THROW on the first malformed row), zero
+    * shuffle, pushdown-transparent. Pair with a `.filter(isnull)` split
+    * for a dead-letter route. */
+  def coerceTimestamps(
+      df: DataFrame,
+      srcCol: String,
+      formats: Seq[String],
+      outCol: String = "ts_parsed"): DataFrame = {
+    require(formats.nonEmpty, "need at least one format")
+    val attempts = formats.map(f =>
+      expr(s"try_to_timestamp(`$srcCol`, '$f')"))
+    df.withColumn(outCol, coalesce(attempts: _*))
+  }
+
   /** Align a frame to an expected column list: add missing columns as typed
     * nulls and order columns; reference extract_ist_data.py:156-169 (add
     * expected columns, select in canonical order).

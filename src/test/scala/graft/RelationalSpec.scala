@@ -104,6 +104,26 @@ class RelationalSpec extends SparkSpec {
     assert(chained.orderBy("k").collect().toSeq == d)
   }
 
+  test("coerceTimestamps: format priority, garbage to null, no ANSI throw") {
+    val df = Seq(
+      (1L, "2024-03-05 10:00:00"),
+      (2L, "03/05/2024"),
+      (3L, "20240305"),
+      // ambiguous: parses under BOTH MM/dd and dd/MM — the declared order
+      // must win deterministically
+      (4L, "01/02/2024"),
+      (5L, "definitely not a date")).toDF("id", "raw")
+    val out = Relational.coerceTimestamps(
+      df, "raw", Seq("yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy", "dd/MM/yyyy", "yyyyMMdd"))
+      .orderBy("id").collect()
+      .map(r => Option(r.getTimestamp(2)).map(_.toString))
+    assert(out(0).contains("2024-03-05 10:00:00.0"))
+    assert(out(1).contains("2024-03-05 00:00:00.0"))
+    assert(out(2).contains("2024-03-05 00:00:00.0"))
+    assert(out(3).contains("2024-01-02 00:00:00.0"), s"first format must win: ${out(3)}")
+    assert(out(4).isEmpty, "garbage must null out, not throw (ANSI)")
+  }
+
   test("capGroupSize drops a planted 10k-line basket and bounds the pair fan-out") {
     import org.apache.spark.sql.functions.{count => fcount}
     // 50 normal baskets of 5 items + one pathological 10k-item basket
