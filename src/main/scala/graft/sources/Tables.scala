@@ -50,6 +50,29 @@ object Tables {
     (good, bad)
   }
 
+  /** JSON-lines twin of [[csvWithQuarantine]]: PERMISSIVE parse with a
+    * corrupt-record column, clean side typed to `schema`, malformed lines
+    * routed to a (raw_line, source_file) dead-letter frame. Provenance is
+    * captured before the cache for the same input_file_name reason. */
+  def jsonWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val corrupt = "_corrupt_record"
+    val raw = spark.read
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .withColumn("__source_file", input_file_name())
+      .cache()
+    val good = raw.filter(col(corrupt).isNull).drop(corrupt, "__source_file")
+    val bad = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"), col("__source_file").as("source_file"))
+    (good, bad)
+  }
+
   /** Grid-shaped CSV with leading junk rows — the reference's decorated-sheet
     * ingestion shape (extract_chu_data.py:36 reads a sheet from a data
     * range, skipping title/header decoration). `skipLines` rows plus the

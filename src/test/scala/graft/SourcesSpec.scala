@@ -243,6 +243,26 @@ class SourcesSpec extends SparkSpec {
     assert(b(0).getString(1).endsWith("in.csv/" + new java.io.File(s"$dir/in.csv").list().filter(_.endsWith(".txt")).head))
   }
 
+  test("jsonWithQuarantine routes malformed lines to the dead-letter side, keeps clean rows typed") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jquarantine").toString
+    Seq(
+      """{"id": 1, "score": 10.5}""",
+      """{"id": 2, "score": """, // truncated JSON
+      """not json at all""",
+      """{"id": 3, "score": 7.25}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in.jsonl")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val (good, bad) = Tables.jsonWithQuarantine(spark, s"$dir/in.jsonl", schema)
+    val g = good.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(g.toSeq == Seq((1L, 10.5), (3L, 7.25)))
+    val b = bad.collect().map(_.getString(0)).sorted
+    assert(b.length == 2)
+    assert(b.contains("not json at all"))
+    assert(bad.collect().forall(_.getString(1).contains("in.jsonl")))
+  }
+
   test("parquet named accessors expose the full star schema") {
     assert(Tables.lineitem(spark, sf).count() > 0)
     assert(Tables.nation(spark, sf).count() == 25)
