@@ -14,6 +14,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime skew handling is part of the scale contract: a hot key in a
+      // sort-merge join splits into subpartitions instead of stalling one
+      // task (deterministic salting in Skew covers aggregates and the
+      // joins AQE can't see)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // the synthetic events table stores ns timestamps; read as long and
       // convert in sources.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
