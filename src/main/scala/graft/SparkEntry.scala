@@ -1291,6 +1291,78 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** CDC MERGE over the orders snapshot: a deterministic three-wave change
+    * feed — price-bump updates (seq 1) for keys ≡0 (mod 7), a later
+    * status+price rewrite (seq 2) for keys ≡0 (mod 5), tombstones (seq 3)
+    * for keys ≡0 (mod 13) — applied last-writer-wins per key through
+    * [[Relational.applyCdc]]. Keys hit by both update waves must resolve to
+    * seq 2, deletes must override every earlier update, untouched keys must
+    * survive byte-identical; the oracle replays the same feed with window
+    * SQL. */
+  private def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val u1 = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+    val u2 = base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+    val del = base.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+    Relational.applyCdc(
+      base, u1.unionByName(u2).unionByName(del), Seq("o_orderkey"), "seq", "op")
+      .orderBy("o_orderkey")
+  }
+
+  /** TPC-H Q4 shape (EXISTS decorrelated to a left-semi join): orders placed
+    * in 1996Q1 having at least one line shipped after the order date,
+    * counted by priority. The semi join keeps the probe side pipelined —
+    * no fan-out from multi-line matches, no DISTINCT repair afterwards. */
+  private def qTpchQ4(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") && li("l_shipdate") > ord("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q21 shape (EXISTS + NOT EXISTS over the same fact): suppliers who
+    * were the ONLY late shipper (>30 days after the order date) on a
+    * multi-supplier order. Both correlated subqueries decorrelate to
+    * self-joins on the order key — a semi join for "another supplier
+    * exists" and an anti join for "no other supplier was late" — the plan
+    * TPC-H uses to grade exactly this rewrite. The lateness flag is
+    * computed once and reused by both sides. */
+  private def qTpchQ21(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("late"))
+    val l1 = li.filter(col("late")).select("l_orderkey", "l_suppkey").distinct()
+    val others = li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+      .distinct()
+    val lateOthers = li.filter(col("late"))
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+      .distinct()
+    l1.join(others,
+        col("l_orderkey") === col("o2_orderkey") && col("l_suppkey") =!= col("o2_suppkey"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o3_orderkey") && col("l_suppkey") =!= col("o3_suppkey"),
+        "left_anti")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(20)
+  }
+
   /** Incremental aggregate maintenance: the monthly totals state is built
     * from two disjoint slices (simulating a standing state + an arriving
     * delta) and merged — by the monoid property the result is exactly the
@@ -2403,6 +2475,9 @@ object SparkEntry {
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q21" -> (qTpchQ21 _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_partitioned_export" -> (qPartitionedExport _),
@@ -3170,6 +3245,49 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "q_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1::DOUBLE AS o_totalprice,
+                  'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, 'R', o_totalprice + 100.0::DOUBLE, 'U', 2
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 3
+           FROM base WHERE o_orderkey % 13 = 0),
+         last AS (SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+             FROM ch) WHERE rn = 1)
+         SELECT b.o_orderkey,
+                COALESCE(l.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                COALESCE(l.o_totalprice, b.o_totalprice) AS o_totalprice
+         FROM base b LEFT JOIN last l USING (o_orderkey)
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY o_orderkey""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_q21" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+                            l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+         SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM l1
+         WHERE EXISTS (SELECT 1 FROM li o2
+                       WHERE o2.l_orderkey = l1.l_orderkey AND o2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM li o3
+                           WHERE o3.l_orderkey = l1.l_orderkey
+                             AND o3.l_suppkey <> l1.l_suppkey AND o3.late)
+         GROUP BY l_suppkey
+         ORDER BY numwait DESC, l_suppkey
+         LIMIT 20""",
     "q_zorder_layout" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
          FROM lineitem

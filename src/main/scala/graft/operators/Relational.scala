@@ -195,6 +195,34 @@ object Relational {
       .drop("__src")
   }
 
+  /** Apply a change-data-capture feed over a base snapshot — the table-format-
+    * free MERGE the reference approximates by re-extracting whole files.
+    * `changes` carries the key columns, the base's payload columns, an
+    * operation column (`I`/`U` upsert the row, `D` deletes it) and a
+    * monotonically increasing sequence column; for each key only the change
+    * with the highest sequence matters (last-writer-wins), and a key with no
+    * change keeps its base row. Shape: winner-per-key via the native
+    * [[graft.plans.TopKPerKeyPlan]] (k=1 — partitions shrink to one row per
+    * key BEFORE the single shuffle, no sort), then one more k=1 pass to
+    * prefer the winning change over the base row, then drop tombstones. Two
+    * bounded passes, one shuffle key throughout, no window over data-sized
+    * partitions — survives a change feed the size of the base table. */
+  def applyCdc(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String): DataFrame = {
+    val payload = base.columns.toSeq
+    val lastChange = dropDuplicatesOrdered(changes, keyCols, Seq(col(seqCol).desc))
+    val tagged = lastChange.select(payload.map(col) :+ col(opCol).as("__op"): _*)
+      .withColumn("__src", lit(1))
+      .unionByName(base.withColumn("__op", lit(null).cast("string")).withColumn("__src", lit(0)))
+    dropDuplicatesOrdered(tagged, keyCols, Seq(col("__src").desc))
+      .filter(col("__src") === 0 || col("__op") =!= lit("D"))
+      .drop("__op", "__src")
+  }
+
   /** Guard for pair-mining and other per-key self-join fan-outs: drop every
     * group whose row count exceeds `maxRows`, logging how many groups (and
     * rows) were dropped. A single pathological hot key — one basket with

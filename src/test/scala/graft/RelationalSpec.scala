@@ -61,6 +61,21 @@ class RelationalSpec extends SparkSpec {
       Seq((1L, "upd1-new"), (2L, "base2"), (3L, "ins3")))
   }
 
+  test("applyCdc: last seq wins per key, D deletes, untouched keys survive") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "status", "price")
+    val changes = Seq(
+      (1L, "a2", 11.0, "U", 1L), (1L, "a3", 12.0, "U", 2L), // last write wins
+      (2L, "b", 20.0, "D", 1L),                             // tombstone
+      (3L, "c2", 31.0, "U", 1L), (3L, "c2", 31.0, "D", 2L), // update then delete
+      (5L, "e", 50.0, "I", 1L))                             // insert of a new key
+      .toDF("k", "status", "price", "op", "seq")
+    val out = Relational.applyCdc(base, changes, Seq("k"), "seq", "op")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a3", 12.0), (4L, "d", 40.0), (5L, "e", 50.0)))
+  }
+
   test("globalRowNumbers: contiguous, order-correct, multi-partition, no single-partition window") {
     val df = spark.range(0, 1000).toDF("id")
       .withColumn("k", org.apache.spark.sql.functions.pmod(
