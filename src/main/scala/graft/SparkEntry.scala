@@ -1158,6 +1158,13 @@ object SparkEntry {
     TextAnalysis.duplicateNgramStats(Tables.documents(s, d), "doc_id", "text", n = 2)
       .orderBy("doc_id")
 
+  /** Duplicate-span detection over the documents corpus at n=4: every
+    * maximal token range covered by corpus-repeated 4-grams, per document
+    * — the exact-substring dedup report. */
+  private def qDupSpans(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.duplicateSpans(Tables.documents(s, d), "doc_id", "text", n = 4)
+      .orderBy("doc_id", "span_start")
+
   /** Bucketed co-located join, oracle-checked: write customer and orders
     * bucketed on the join key (external tables in a per-run temp dir), join
     * them with auto-broadcast disabled — the plan is a ZERO-Exchange
@@ -2472,6 +2479,7 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_neardup" -> (qDecontaminateNearDup _),
     "q_dup_ngrams" -> (qDupNgrams _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
@@ -3132,6 +3140,26 @@ object SparkEntry {
                 ROUND(CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n * l END), 0) AS DOUBLE) / SUM(n * l), 6)
                   AS dup_char_fraction
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),
+         grams AS (SELECT doc_id, i, array_to_string(t[i : i + 3], ' ') AS g FROM idx),
+         dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+         flags AS (SELECT doc_id, i,
+                          CASE WHEN LAG(i) OVER w IS NULL OR i > LAG(i) OVER w + 4
+                               THEN 1 ELSE 0 END AS nf
+                   FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         isl AS (SELECT doc_id, i,
+                        SUM(nf) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+                 FROM flags)
+         SELECT doc_id,
+                CAST(MIN(i) - 1 AS BIGINT) AS span_start,
+                CAST(MAX(i) + 2 AS BIGINT) AS span_end,
+                CAST(MAX(i) + 2 - MIN(i) + 2 AS BIGINT) AS span_tokens,
+                CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
     "q_partitioned_export" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS period, o_totalprice
          FROM orders ORDER BY o_orderkey""",

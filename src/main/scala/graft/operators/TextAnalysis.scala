@@ -466,6 +466,52 @@ object TextAnalysis {
         sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_lines_removed"))
   }
 
+  /** Corpus-wide duplicate-SPAN detection — the word-level rendering of
+    * exact-substring training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): find, per
+    * document, the maximal token ranges covered by word `n`-grams that
+    * occur at least twice anywhere in the corpus (including again in the
+    * same document). Positional n-grams → corpus-frequency filter →
+    * per-document island merge (two duplicated gram starts closer than
+    * `n+1` tokens overlap or touch, so they fuse into one span). Returns
+    * one row per span: (idCol, span_start, span_end, span_tokens,
+    * n_dup_grams), token positions 0-based inclusive.
+    *
+    * Shape at scale: the frequency filter is a partial-agg groupBy on the
+    * gram plus an equi-join back — the exact-dedup shuffle pair, never
+    * all-pairs; the island merge windows partition by document, so frames
+    * are bounded by document length regardless of corpus size.
+    * Tokenization matches [[Decontaminate.wordNgrams]] (lowercase,
+    * single-space split), so the whole pipeline replays in portable SQL —
+    * this is oracle-hash-gated end to end, not sampled. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(
+      col(idCol),
+      posexplode(Decontaminate.wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
+    val dup = grams.groupBy("__g")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select("__g")
+    val hits = grams.join(dup, "__g")
+      .select(col(idCol), col("__pos").cast("long").as("__pos"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val lagPos = lag(col("__pos"), 1).over(w)
+    val flagged = hits.withColumn(
+      "__new", when(lagPos.isNull || col("__pos") > lagPos + n, 1L).otherwise(0L))
+    val island = sum(col("__new"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged.withColumn("__island", island)
+      .groupBy(col(idCol), col("__island"))
+      .agg(
+        min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_dup_grams"))
+  }
+
   /** Winnowing fingerprint summary per document: number of fingerprints and
     * an order-independent checksum (useful as a cheap doc signature for
     * containment/overlap detection). */

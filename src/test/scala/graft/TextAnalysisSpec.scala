@@ -7,6 +7,25 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("duplicateSpans merges overlapping corpus-repeated grams into maximal spans") {
+    val df = Seq(
+      (1L, "x1 x2 a b c d e f x3"),          // shares a 6-token run with doc 2
+      (2L, "y1 a b c d e f y2 y3"),
+      (3L, "p q r s t p q r s t"),           // internal repetition, adjacent ranges fuse
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"),       // all unique -> absent
+      (5L, "a b c d z1 z2 z3 z4 z5 a b c d")) // gap > n: two separate islands
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSpans(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 7L, 6L, 3L),   // "a b c d e f": gram starts 2,3,4 fuse
+      (2L, 1L, 6L, 6L, 3L),
+      (3L, 0L, 9L, 10L, 4L),  // starts 0,1 cover 0-4; starts 5,6 cover 5-9: adjacent -> one span
+      (5L, 0L, 3L, 4L, 1L),   // "a b c d" twice, 9 tokens apart: stays two spans
+      (5L, 9L, 12L, 4L, 1L)))
+  }
+
   test("langId picks the language with the most marker hits, 'und' when none") {
     val df = Seq(
       "the cat sat on a mat of straw",
