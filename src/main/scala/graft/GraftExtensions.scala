@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
-import graft.functions.{KllOps, TextOps, VectorOps}
+import graft.functions.{CmsOps, KllOps, TextOps, VectorOps}
 
 /** SQL-surface registration for graft's native expressions.
   *
@@ -83,6 +83,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(KllOps.getClass, "kllQuantiles", ArrayType(DoubleType))),
       fn("graft_kll_n", "exact stream length a binary KLL sketch has absorbed",
         static(KllOps.getClass, "kllN", LongType)),
+      fn("graft_cms_sketch", "mergeable Count-Min frequency sketch (binary) of a string column: depth, width, seed = args 2-4",
+        args => graft.functions.CmsSketchAgg(args(0),
+          args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
+          args(3).eval().asInstanceOf[Int])),
+      fn("graft_cms_merge", "merge a binary CMS column (rollup): depth, width, seed = args 2-4",
+        args => graft.functions.CmsMergeAgg(args(0),
+          args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
+          args(3).eval().asInstanceOf[Int])),
+      fn("graft_cms_estimate", "estimated occurrence count of a string item in a binary CMS",
+        static(CmsOps.getClass, "cmsEstimate", LongType)),
+      fn("graft_cms_total", "exact occurrences a binary CMS has absorbed",
+        static(CmsOps.getClass, "cmsTotal", LongType)),
     ).foreach { case (ident, info, builder) => ext.injectFunction((ident, info, builder)) }
   }
 }

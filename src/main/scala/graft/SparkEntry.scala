@@ -1846,6 +1846,59 @@ object SparkEntry {
       .orderBy("event_type", "q_idx")
   }
 
+  /** Count–Min frequency cube in the oracle-checkable regime: per-day CMS
+    * sketches over event_type (fine grain), rolled up by counter-wise merge
+    * — identical to sketching the whole stream — then point estimates read
+    * out for every observed type. With 5 distinct types against a
+    * depth-5 × width-8192 sketch no counter collides, so every estimate is
+    * EXACT and the oracle is a plain GROUP BY count. The merged sketch is a
+    * single row broadcast into the (dim-sized) type list. */
+  private def qCmsCounts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+    val merged = ev.groupBy("day")
+      .agg(graft.functions.cms_sketch(col("event_type")).as("sk"))
+      .agg(graft.functions.cms_merge(col("sk")).as("sk"))
+    ev.select("event_type").distinct()
+      .crossJoin(broadcast(merged))
+      .select(col("event_type"),
+        graft.functions.cms_estimate(col("sk"), col("event_type")).as("est_count"))
+      .orderBy("event_type")
+  }
+
+  /** Streaming twin of [[qCmsCounts]]: the same CMS aggregate maintained by
+    * a streaming groupBy (sketch partials live in the state store and merge
+    * across micro-batches). CMS merge is counter-wise addition — fully
+    * order-independent — so the streamed sketches equal the batch ones
+    * byte-for-byte and the SAME exact-count oracle gates both twins. */
+  private def qCmsCountsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    var stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val name = "graft_cms_counts_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+        .groupBy(col("day"))
+        .agg(graft.functions.cms_sketch(col("event_type")).as("sk"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val merged = s.table(name).agg(graft.functions.cms_merge(col("sk")).as("sk"))
+    Tables.events(s, d).select("event_type").distinct()
+      .crossJoin(broadcast(merged))
+      .select(col("event_type"),
+        graft.functions.cms_estimate(col("sk"), col("event_type")).as("est_count"))
+      .orderBy("event_type")
+  }
+
   /** Last-touch attribution of purchases to the most recent preceding
     * click/view per user — the IGNORE-NULLS forward-fill window shape;
     * latency in whole seconds via integer division (engine-portable). */
@@ -2558,6 +2611,8 @@ object SparkEntry {
     "q_sketch_cube" -> (qSketchCube _),
     "q_quantile_cube" -> (qQuantileCube _),
     "q_quantile_cube_stream" -> (qQuantileCubeStream _),
+    "q_cms_counts" -> (qCmsCounts _),
+    "q_cms_counts_stream" -> (qCmsCountsStream _),
     "q_rolling_distinct_stream" -> (qRollingDistinctStream _),
     "q_rolling_zscore" -> (qRollingZscore _),
     "q_attribution" -> (qAttribution _),
@@ -3140,6 +3195,12 @@ object SparkEntry {
                 ROUND(CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n * l END), 0) AS DOUBLE) / SUM(n * l), 6)
                   AS dup_char_fraction
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_cms_counts" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_cms_counts_stream" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_dup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
          idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),

@@ -254,6 +254,26 @@ package object functions {
   def kll_n(sketch: Column): Column =
     invokeOn(KllOps.getClass, "kllN", LongType, Seq(sketch))
 
+  /** Count–Min frequency sketch aggregate over a string column: a mergeable
+    * BINARY sketch per group — the point-frequency twin of `kll_sketch`.
+    * Deterministic for fixed (depth, width, seed); see [[CmsSketchAgg]]. */
+  def cms_sketch(c: Column, depth: Int = 5, width: Int = 8192, seed: Int = 42): Column =
+    GraftSql.column(CmsSketchAgg(GraftSql.expression(c), depth, width, seed).toAggregateExpression())
+
+  /** Merge a binary CMS column (rollup aggregate — counter-wise sums, no
+    * degradation). */
+  def cms_merge(c: Column, depth: Int = 5, width: Int = 8192, seed: Int = 42): Column =
+    GraftSql.column(CmsMergeAgg(GraftSql.expression(c), depth, width, seed).toAggregateExpression())
+
+  /** Estimated occurrence count of `item` in a binary CMS (>= truth, <=
+    * truth + eps·N w.h.p.). */
+  def cms_estimate(sketch: Column, item: Column): Column =
+    invokeOn(CmsOps.getClass, "cmsEstimate", LongType, Seq(sketch, item))
+
+  /** Exact number of occurrences a binary CMS has absorbed. */
+  def cms_total(sketch: Column): Column =
+    invokeOn(CmsOps.getClass, "cmsTotal", LongType, Seq(sketch))
+
   /** Count of sorted-array boundaries strictly below `v` (binary search,
     * codegen'd) — quantile-bucket assignment for Z-ordering. */
   def rank_below(bounds: Column, v: Column): Column =

@@ -85,4 +85,18 @@ class ExtensionsSpec extends SparkSpec {
     // KLL rank error at k=200 is ~1.65%; the true median of 0..999 is ~500
     assert(math.abs(median - 500.0) <= 30.0, s"median estimate $median")
   }
+
+  test("graft_cms sketch/merge/estimate/total via SQL") {
+    import spark.implicits._
+    Seq.tabulate(600)(i => (s"g${i % 3}", s"w${i % 6}")).toDF("g", "w")
+      .createOrReplaceTempView("cms_in")
+    spark.sql(
+      "SELECT g, graft_cms_sketch(w, 5, 8192, 42) AS sk FROM cms_in GROUP BY g")
+      .createOrReplaceTempView("cms_cube")
+    val out = spark.sql(
+      """SELECT graft_cms_total(m) AS total, graft_cms_estimate(m, 'w3') AS est
+         FROM (SELECT graft_cms_merge(sk, 5, 8192, 42) AS m FROM cms_cube)""").head()
+    assert(out.getLong(0) == 600L)
+    assert(out.getLong(1) == 100L) // exact in the no-collision regime
+  }
 }

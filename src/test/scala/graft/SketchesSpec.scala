@@ -286,4 +286,40 @@ class SketchesSpec extends SparkSpec {
     assert(out("hot") >= 1000 - 300 && out("hot") <= 1000, s"count bound violated: ${out("hot")}")
     assert(out.size <= 9)
   }
+
+  test("cms: rollup-by-merge equals direct sketching byte-for-byte; exact in no-collision regime") {
+    val df = Seq.tabulate(10000)(i => (s"d${i % 7}", s"item${i % 20}"))
+      .toDF("day", "item").repartition(8)
+    val merged = df.groupBy("day")
+      .agg(graft.functions.cms_sketch(col("item")).as("sk"))
+      .agg(graft.functions.cms_merge(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val direct = df.agg(graft.functions.cms_sketch(col("item")).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    // counter-wise merge: the rolled-up sketch IS the direct sketch
+    assert(java.util.Arrays.equals(merged, direct))
+    // 20 distinct items vs width 8192: no collision, every estimate exact
+    val sk = graft.functions.CmsOps.fromBytes(merged)
+    (0 until 20).foreach { i =>
+      assert(sk.estimateCount(s"item$i".getBytes("UTF-8")) == 500L)
+    }
+    assert(sk.totalCount() == 10000L)
+  }
+
+  test("cms: estimates never underestimate and stay within eps*N under forced collisions") {
+    val n = 5000
+    val df = Seq.tabulate(n)(i => s"k${i % 200}").toDF("item").repartition(8)
+    val bytes = df
+      .agg(graft.functions.cms_sketch(col("item"), depth = 3, width = 16).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val sk = graft.functions.CmsOps.fromBytes(bytes)
+    val truth = n / 200L
+    val eps = 2.0 / 16
+    (0 until 200).foreach { i =>
+      val est = sk.estimateCount(s"k$i".getBytes("UTF-8"))
+      assert(est >= truth, s"CMS must never underestimate: k$i est=$est")
+      assert(est <= truth + (eps * n).toLong,
+        s"k$i est=$est exceeds truth + eps*N = ${truth + (eps * n).toLong}")
+    }
+  }
 }
