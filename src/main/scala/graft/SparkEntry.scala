@@ -165,6 +165,47 @@ object SparkEntry {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** Distribution window functions in one pass — ntile quartiles,
+    * percent_rank, cume_dist over a tie-free (value, event_id) order per
+    * event type. The unique tiebreak makes peer groups singletons, so both
+    * rank fractions are exact integer ratios — engine-portable doubles. */
+  private def qWindowSuite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("bucket", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("event_type", "value", "event_id")
+  }
+
+  /** TPC-H Q22 shape (scalar subquery + NOT EXISTS): customers with an
+    * above-positive-average balance and no order since 2000 (every
+    * synthetic customer has SOME order, so the dormancy cutoff plays
+    * Q22's "no orders" role), grouped by nation. The scalar average
+    * decorrelates to a 1-row broadcast cross join; the NOT EXISTS to a
+    * left-anti join on the customer key with the date filter pushed into
+    * the anti side's scan. The threshold is one double division from an
+    * exact decimal sum — engine-portable. */
+  private def qTpchQ22(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgPos = cust.filter(col("c_acctbal") > lit(0.0))
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("__avg"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("__avg"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Top-3 orders per priority through the NATIVE top-k operator
     * (custom LogicalPlan + Strategy + SparkPlan — see graft.plans). Same
     * result set as the window formulation, no sort anywhere in the plan. */
@@ -1164,6 +1205,13 @@ object SparkEntry {
   private def qDupSpans(s: SparkSession, d: String): DataFrame =
     TextAnalysis.duplicateSpans(Tables.documents(s, d), "doc_id", "text", n = 4)
       .orderBy("doc_id", "span_start")
+
+  /** Duplicate-span removal at n=4: corpus-duplicated ranges cut from every
+    * document, surviving tokens reassembled in original case and order with
+    * kept/removed accounting. */
+  private def qDupSpansRemoval(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text", n = 4)
+      .orderBy("doc_id")
 
   /** Bucketed co-located join, oracle-checked: write customer and orders
     * bucketed on the join key (external tables in a per-run temp dir), join
@@ -2533,6 +2581,9 @@ object SparkEntry {
     "q_decontaminate_neardup" -> (qDecontaminateNearDup _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_dup_spans_removal" -> (qDupSpansRemoval _),
+    "q_window_suite" -> (qWindowSuite _),
+    "q_tpch_q22" -> (qTpchQ22 _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
@@ -3221,6 +3272,51 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_dup_grams
          FROM isl GROUP BY doc_id, island
          ORDER BY doc_id, span_start""",
+    "q_dup_spans_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),
+         grams AS (SELECT doc_id, i, array_to_string(t[i : i + 3], ' ') AS g FROM idx),
+         dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+         flags AS (SELECT doc_id, i,
+                          CASE WHEN LAG(i) OVER w IS NULL OR i > LAG(i) OVER w + 4
+                               THEN 1 ELSE 0 END AS nf
+                   FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         isl AS (SELECT doc_id, i,
+                        SUM(nf) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+                 FROM flags),
+         spans AS (SELECT doc_id, MIN(i) - 1 AS s, MAX(i) + 2 AS e
+                   FROM isl GROUP BY doc_id, island),
+         cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans),
+         otoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS j FROM otoks),
+         tok AS (SELECT doc_id, j - 1 AS p, t[j] AS w FROM pos),
+         kept AS (SELECT tok.doc_id, tok.p, tok.w, cov.p IS NOT NULL AS cut
+                  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p)
+         SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN NOT cut THEN w END, ' ' ORDER BY p), '') AS text_clean,
+                CAST(SUM(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+                CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "q_window_suite" ->
+      """SELECT event_type, event_id, value,
+                ntile(4) OVER w AS bucket,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_type, value, event_id""",
+    "q_tpch_q22" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS av
+                    FROM customer WHERE c_acctbal > 0.0)
+         SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer, a
+         WHERE c_acctbal > av
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_partitioned_export" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS period, o_totalprice
          FROM orders ORDER BY o_orderkey""",

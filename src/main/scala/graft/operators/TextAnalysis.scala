@@ -512,6 +512,45 @@ object TextAnalysis {
         col("span_tokens"), col("n_dup_grams"))
   }
 
+  /** Duplicate-span REMOVAL — the rewrite stage over [[duplicateSpans]]:
+    * drop every token covered by a corpus-duplicated n-gram span and
+    * reassemble the surviving tokens (original case, original order). This
+    * is the remove-ALL-copies policy, the span-grain sibling of
+    * [[removeBoilerplate]] (vs [[dedupLinesKeepFirst]]'s keep-one policy at
+    * line grain): for training corpora the duplicated boilerplate itself is
+    * the noise, and dropping every copy is the conservative default when a
+    * canonical-occurrence choice would be arbitrary. Returns (idCol,
+    * text_clean, n_tokens_kept, n_tokens_removed); docs with nothing
+    * removed pass through intact, fully-covered docs come back with empty
+    * text_clean (the row survives so accounting stays total).
+    *
+    * Scale shape: covered positions explode from spans (bounded by document
+    * length, already doc-partitioned), anti-joined against the token table
+    * on (id, pos) — co-partitioned equi-join, no range join, no window
+    * beyond [[duplicateSpans]]'s own; the rebuild is one groupBy(id) with
+    * the deterministic sorted-struct ordered aggregation. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n)
+    val covered = spans.select(
+      col(idCol),
+      explode(sequence(col("span_start"), col("span_end"))).as("__pos"),
+      lit(true).as("__cut"))
+    val toks = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .withColumn("__pos", col("__pos").cast("long"))
+    toks.join(covered, Seq(idCol, "__pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("__cut").isNull, struct(col("__pos"), col("__w"))))),
+            s => s("__w")),
+          " ").as("text_clean"),
+        sum(when(col("__cut").isNull, 1L).otherwise(0L)).as("n_tokens_kept"),
+        sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_tokens_removed"))
+  }
+
   /** Winnowing fingerprint summary per document: number of fingerprints and
     * an order-independent checksum (useful as a cheap doc signature for
     * containment/overlap detection). */

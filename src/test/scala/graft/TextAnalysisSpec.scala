@@ -26,6 +26,23 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 9L, 12L, 4L, 1L)))
   }
 
+  test("removeDuplicateSpans cuts covered tokens, keeps case/order, accounts totals") {
+    val df = Seq(
+      (1L, "X1 x2 A b c d e f x3"),  // original case must survive outside spans
+      (2L, "y1 a b c d e f y2 y3"),
+      (3L, "p q r s t p q r s t"),   // fully covered -> empty text_clean, row kept
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateSpans(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "X1 x2 x3", 3L, 6L),
+      (2L, "y1 y2 y3", 3L, 6L),
+      (3L, "", 0L, 10L),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8", 8L, 0L)))
+  }
+
   test("langId picks the language with the most marker hits, 'und' when none") {
     val df = Seq(
       "the cat sat on a mat of straw",
