@@ -369,4 +369,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"gap fill must join on (key, period):\n$p")
   }
+
+  test("CDC apply runs on the native TopKPerKey k=1 operator — no window, no data-sized sort") {
+    val p = plan(SparkEntry.queries("q_cdc_apply")(spark, sf))
+    assert(p.contains("TopKPerKey"), s"CDC winner-per-key must use the native operator:\n$p")
+    assert(!p.contains("Window"), s"CDC must not window:\n$p")
+  }
+
+  test("TPC-H Q4 keeps the EXISTS as a semi join (no fan-out + distinct repair)") {
+    val p = plan(SparkEntry.queries("q_tpch_q4")(spark, sf))
+    assert(p.contains("LeftSemi"), s"expected a left-semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("TPC-H Q21/Q22 decorrelate to semi/anti joins, never cartesian") {
+    Seq("q_tpch_q21", "q_tpch_q22").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("LeftAnti"), s"$q expected an anti join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q fell back to cartesian:\n$p")
+    }
+  }
+
+  test("duplicate spans: frequency filter is a keyed equi-join after partial aggregation") {
+    val p = plan(SparkEntry.queries("q_dup_spans")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dup-span candidate generation must stay an equi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregate on grams:\n$p")
+  }
+
+  test("CMS cube readout broadcasts the 1-row merged sketch") {
+    val p = plan(SparkEntry.queries("q_cms_counts")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"merged sketch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ObjectHashAggregate"), s"CMS must aggregate via ObjectHashAggregate:\n$p")
+  }
 }
