@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
-import graft.functions.{CmsOps, KllOps, TextOps, VectorOps}
+import graft.functions.{CmsOps, KllOps, TextOps, ThetaOps, VectorOps}
 
 /** SQL-surface registration for graft's native expressions.
   *
@@ -95,6 +95,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(CmsOps.getClass, "cmsEstimate", LongType)),
       fn("graft_cms_total", "exact occurrences a binary CMS has absorbed",
         static(CmsOps.getClass, "cmsTotal", LongType)),
+      fn("graft_theta_sketch", "mergeable theta sketch (binary) of a long/string column, lgK = arg 2",
+        args => graft.functions.ThetaSketchAgg(args(0), args(1).eval().asInstanceOf[Int])),
+      fn("graft_theta_merge", "union-merge a binary theta sketch column (rollup), lgK = arg 2",
+        args => graft.functions.ThetaUnionAgg(args(0), args(1).eval().asInstanceOf[Int])),
+      fn("graft_theta_estimate", "distinct estimate of a binary theta sketch (exact below nominal k)",
+        static(ThetaOps.getClass, "thetaEstimate", DoubleType)),
+      fn("graft_theta_intersect", "A intersect B of two binary theta sketches, as a sketch",
+        static(ThetaOps.getClass, "thetaIntersect", BinaryType)),
+      fn("graft_theta_anotb", "A minus B of two binary theta sketches, as a sketch",
+        static(ThetaOps.getClass, "thetaAnotb", BinaryType)),
+      fn("graft_theta_union_pair", "A union B of two binary theta sketches, as a sketch",
+        static(ThetaOps.getClass, "thetaUnionPair", BinaryType)),
     ).foreach { case (ident, info, builder) => ext.injectFunction((ident, info, builder)) }
   }
 }

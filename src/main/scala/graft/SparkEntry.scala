@@ -1914,6 +1914,28 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Theta-sketch set algebra in the exact regime: one user_id sketch per
+    * side (click vs purchase), then |A|, |B|, |A ∩ B|, |A \ B| and |A ∪ B|
+    * read straight off sketch set operations — the direct-set-algebra
+    * upgrade over X57's inclusion-exclusion HLL overlap. Distinct users
+    * (≤1500 at test scales) sit far below nominal k = 4096, so every
+    * estimate is exact and plain COUNT DISTINCT set SQL is the oracle. */
+  private def qThetaSetops(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{theta_anotb, theta_estimate, theta_intersect, theta_sketch, theta_union_pair}
+    val sk = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(theta_sketch(col("user_id")).as("sk"))
+    val c = sk.filter(col("event_type") === "click").select(col("sk").as("sk_c"))
+    val p = sk.filter(col("event_type") === "purchase").select(col("sk").as("sk_p"))
+    c.crossJoin(broadcast(p)).select(
+      theta_estimate(col("sk_c")).cast("long").as("n_click"),
+      theta_estimate(col("sk_p")).cast("long").as("n_purchase"),
+      theta_estimate(theta_intersect(col("sk_c"), col("sk_p"))).cast("long").as("n_both"),
+      theta_estimate(theta_anotb(col("sk_c"), col("sk_p"))).cast("long").as("n_click_only"),
+      theta_estimate(theta_union_pair(col("sk_c"), col("sk_p"))).cast("long").as("n_either"))
+  }
+
   /** Streaming twin of [[qCmsCounts]]: the same CMS aggregate maintained by
     * a streaming groupBy (sketch partials live in the state store and merge
     * across micro-batches). CMS merge is counter-wise addition — fully
@@ -2664,6 +2686,7 @@ object SparkEntry {
     "q_quantile_cube_stream" -> (qQuantileCubeStream _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_cms_counts_stream" -> (qCmsCountsStream _),
+    "q_theta_setops" -> (qThetaSetops _),
     "q_rolling_distinct_stream" -> (qRollingDistinctStream _),
     "q_rolling_zscore" -> (qRollingZscore _),
     "q_attribution" -> (qAttribution _),
@@ -3252,6 +3275,14 @@ object SparkEntry {
     "q_cms_counts_stream" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_theta_setops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+              p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+                CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+                CAST((SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS BIGINT) AS n_both,
+                CAST((SELECT COUNT(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS BIGINT) AS n_click_only,
+                CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) AS BIGINT) AS n_either""",
     "q_dup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
          idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),

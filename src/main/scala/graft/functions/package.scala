@@ -274,6 +274,32 @@ package object functions {
   def cms_total(sketch: Column): Column =
     invokeOn(CmsOps.getClass, "cmsTotal", LongType, Seq(sketch))
 
+  /** Theta sketch aggregate over a long/int/string column: a mergeable
+    * BINARY sketch per group supporting direct set algebra — see
+    * [[ThetaSketchAgg]]. */
+  def theta_sketch(c: Column, lgK: Int = 12): Column =
+    GraftSql.column(ThetaSketchAgg(GraftSql.expression(c), lgK).toAggregateExpression())
+
+  /** Union-merge a binary theta sketch column (rollup aggregate). */
+  def theta_merge(c: Column, lgK: Int = 12): Column =
+    GraftSql.column(ThetaUnionAgg(GraftSql.expression(c), lgK).toAggregateExpression())
+
+  /** Distinct estimate of a binary theta sketch (exact below nominal k). */
+  def theta_estimate(sketch: Column): Column =
+    invokeOn(ThetaOps.getClass, "thetaEstimate", DoubleType, Seq(sketch))
+
+  /** A ∩ B of two binary theta sketches, as a sketch (composable). */
+  def theta_intersect(a: Column, b: Column): Column =
+    invokeOn(ThetaOps.getClass, "thetaIntersect", BinaryType, Seq(a, b))
+
+  /** A \ B of two binary theta sketches, as a sketch (composable). */
+  def theta_anotb(a: Column, b: Column): Column =
+    invokeOn(ThetaOps.getClass, "thetaAnotb", BinaryType, Seq(a, b))
+
+  /** A ∪ B of two binary theta sketches, as a sketch (composable). */
+  def theta_union_pair(a: Column, b: Column): Column =
+    invokeOn(ThetaOps.getClass, "thetaUnionPair", BinaryType, Seq(a, b))
+
   /** Count of sorted-array boundaries strictly below `v` (binary search,
     * codegen'd) — quantile-bucket assignment for Z-ordering. */
   def rank_below(bounds: Column, v: Column): Column =

@@ -99,4 +99,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.getLong(0) == 600L)
     assert(out.getLong(1) == 100L) // exact in the no-collision regime
   }
+
+  test("graft_theta sketch/set-ops via SQL") {
+    import spark.implicits._
+    (Seq.tabulate(50)(i => ("a", i.toLong)) ++ Seq.tabulate(50)(i => ("b", (i + 30).toLong)))
+      .toDF("g", "v").createOrReplaceTempView("theta_in")
+    spark.sql("SELECT g, graft_theta_sketch(v, 12) AS sk FROM theta_in GROUP BY g")
+      .createOrReplaceTempView("theta_cube")
+    val out = spark.sql(
+      """SELECT CAST(graft_theta_estimate(graft_theta_intersect(a.sk, b.sk)) AS BIGINT) AS n_both,
+                CAST(graft_theta_estimate(graft_theta_anotb(a.sk, b.sk)) AS BIGINT) AS a_only,
+                CAST(graft_theta_estimate(graft_theta_union_pair(a.sk, b.sk)) AS BIGINT) AS either
+         FROM (SELECT sk FROM theta_cube WHERE g = 'a') a,
+              (SELECT sk FROM theta_cube WHERE g = 'b') b""").head()
+    assert(out.getLong(0) == 20L && out.getLong(1) == 30L && out.getLong(2) == 80L)
+  }
 }

@@ -306,6 +306,40 @@ class SketchesSpec extends SparkSpec {
     assert(sk.totalCount() == 10000L)
   }
 
+  test("theta: exact set algebra below nominal k; rollup-by-merge equals direct bytes") {
+    // A = {0..299}, B = {200..499}: |A∩B| = 100, |A\B| = 200, |A∪B| = 500
+    val df = (Seq.tabulate(300)(i => ("a", i.toLong)) ++
+      Seq.tabulate(300)(i => ("b", (i + 200).toLong)))
+      .toDF("side", "v").repartition(8)
+    val sk = df.groupBy("side").agg(graft.functions.theta_sketch(col("v")).as("sk"))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]]("sk"))).toMap
+    import graft.functions.ThetaOps._
+    assert(thetaEstimate(sk("a")) == 300.0 && thetaEstimate(sk("b")) == 300.0)
+    assert(thetaEstimate(thetaIntersect(sk("a"), sk("b"))) == 100.0)
+    assert(thetaEstimate(thetaAnotb(sk("a"), sk("b"))) == 200.0)
+    assert(thetaEstimate(thetaUnionPair(sk("a"), sk("b"))) == 500.0)
+    // set identity holds exactly in this regime
+    assert(thetaEstimate(sk("a")) ==
+      thetaEstimate(thetaIntersect(sk("a"), sk("b"))) + thetaEstimate(thetaAnotb(sk("a"), sk("b"))))
+    // rollup: sketches of two disjoint day-slices union-merge to the direct sketch, byte-for-byte
+    val fine = df.filter(col("side") === "a")
+      .withColumn("day", (col("v") % 3).cast("string"))
+      .groupBy("day").agg(graft.functions.theta_sketch(col("v")).as("sk"))
+    val merged = fine.agg(graft.functions.theta_merge(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(merged, sk("a")))
+  }
+
+  test("theta: estimation-regime error stays within published RSE bounds") {
+    val n = 200000
+    val bytes = spark.range(n).toDF("v")
+      .agg(graft.functions.theta_sketch(col("v"), lgK = 12).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val est = graft.functions.ThetaOps.thetaEstimate(bytes)
+    // RSE ~ 1/sqrt(4096) = 1.56%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.0625, s"theta estimate $est for n=$n")
+  }
+
   test("cms: estimates never underestimate and stay within eps*N under forced collisions") {
     val n = 5000
     val df = Seq.tabulate(n)(i => s"k${i % 200}").toDF("item").repartition(8)
