@@ -1370,6 +1370,50 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Streaming twin of [[qCdcApply]]: the same three-wave change feed
+    * arrives as a stream, [[Events.cdcStream]] folds it to the
+    * highest-sequence change per key in the state store, and the
+    * accumulated update-mode output repairs to latest-per-key before the
+    * SAME batch merge applies it over the snapshot — so the batch window
+    * oracle gates the streamed path end to end. */
+  private def qCdcApplyStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val base = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val u1 = stream.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+    val u2 = stream.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+    val del = stream.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+    val changes = u1.unionByName(u2).unionByName(del)
+      .select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"), col("op"), col("seq"))
+      .as[Events.CdcChange]
+    val name = "graft_cdc_apply_stream"
+    withStatePartitions(s, 8) {
+      val q = Events.cdcStream(s, changes)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val last = s.table(name).select(
+      col("k").as("o_orderkey"), col("status").as("o_orderstatus"),
+      col("price").as("o_totalprice"), col("op"), col("seq"))
+    Relational.applyCdc(base, last, Seq("o_orderkey"), "seq", "op")
+      .orderBy("o_orderkey")
+  }
+
   /** TPC-H Q4 shape (EXISTS decorrelated to a left-semi join): orders placed
     * in 1996Q1 having at least one line shipped after the order date,
     * counted by priority. The semi join keeps the probe side pipelined —
@@ -2610,6 +2654,7 @@ object SparkEntry {
     "q_redact_pii" -> (qRedactPii _),
     "q_upsert" -> (qUpsert _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_cdc_apply_stream" -> (qCdcApplyStream _),
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q21" -> (qTpchQ21 _),
     "q_incremental_agg" -> (qIncrementalAgg _),
@@ -3462,6 +3507,26 @@ object SparkEntry {
                 CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
          FROM orders ORDER BY o_orderkey""",
     "q_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1::DOUBLE AS o_totalprice,
+                  'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, 'R', o_totalprice + 100.0::DOUBLE, 'U', 2
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 3
+           FROM base WHERE o_orderkey % 13 = 0),
+         last AS (SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+             FROM ch) WHERE rn = 1)
+         SELECT b.o_orderkey,
+                COALESCE(l.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                COALESCE(l.o_totalprice, b.o_totalprice) AS o_totalprice
+         FROM base b LEFT JOIN last l USING (o_orderkey)
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY o_orderkey""",
+    "q_cdc_apply_stream" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
          ch AS (
            SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1::DOUBLE AS o_totalprice,

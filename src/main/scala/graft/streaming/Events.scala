@@ -259,6 +259,35 @@ object Events {
         })
   }
 
+  /** One CDC change row: key, payload, operation (I/U upsert, D delete) and
+    * change sequence — the concrete (orders-shaped) rendering the streaming
+    * twin of [[graft.operators.Relational.applyCdc]] folds over. */
+  case class CdcChange(k: Long, status: String, price: Double, op: String, seq: Long)
+
+  /** Streaming CDC fold: maintain the highest-sequence change per key in the
+    * state store (last-writer-wins is an online fold — exactly the shape
+    * mapGroupsWithState wants) and emit the current winner every
+    * micro-batch. Downstream, the accumulated update-mode sink repairs to
+    * "latest per key" and applies over the base snapshot through the SAME
+    * batch merge ([[graft.operators.Relational.applyCdc]]), so the batch
+    * oracle gates the streamed feed end to end. State per key is one change
+    * row — bounded by key cardinality, not feed length. */
+  def cdcStream(spark: SparkSession, changes: Dataset[CdcChange]): Dataset[CdcChange] = {
+    import spark.implicits._
+    changes
+      .groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[CdcChange], state: GroupState[CdcChange]) => {
+          val incoming = it.maxBy(_.seq)
+          val best = state.getOption match {
+            case Some(b) if b.seq >= incoming.seq => b
+            case _ => incoming
+          }
+          state.update(best)
+          best
+        })
+  }
+
   /** Streaming exact dedup on a key with watermarked state — the streaming
     * member of the dedup family (batch members live in operators.Dedup). */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =

@@ -300,4 +300,33 @@ class StreamingSpec extends SparkSpec {
     assert(depths(7L) == 3, s"u7 should complete the funnel: $depths")
     assert(depths(9L) == 0, s"u9 never signed up: $depths")
   }
+
+  test("cdcStream keeps the highest-sequence change per key across micro-batches") {
+    val ms = MemoryStream[Events.CdcChange](spark)
+    val q = Events.cdcStream(spark, ms.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update")
+      .start()
+    try {
+      // batch 1: key 1 updated at seq 2, key 2 deleted at seq 1
+      ms.addData(
+        Events.CdcChange(1L, "a", 10.0, "U", 2L),
+        Events.CdcChange(2L, "b", 20.0, "D", 1L))
+      q.processAllAvailable()
+      // batch 2: a LATE seq-1 change for key 1 must NOT displace seq 2;
+      // a seq-3 delete for key 1 must win; key 2 resurrects at seq 2
+      ms.addData(
+        Events.CdcChange(1L, "a-late", 11.0, "U", 1L),
+        Events.CdcChange(1L, "a-del", 10.0, "D", 3L),
+        Events.CdcChange(2L, "b2", 21.0, "I", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode sink accumulates one winner per key per batch: latest wins
+    val last = spark.table("cdc_out")
+      .groupBy("k").agg(max_by(struct($"op", $"seq", $"status"), $"seq").as("w"))
+      .select($"k", $"w.op", $"w.seq", $"w.status")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(last(1L) == ("D", 3L, "a-del"), s"key 1 must end deleted at seq 3: $last")
+    assert(last(2L) == ("I", 2L, "b2"), s"key 2 must end inserted at seq 2: $last")
+  }
 }
