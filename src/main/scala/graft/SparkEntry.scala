@@ -225,6 +225,64 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("n_name").asc_nulls_first)
 
+  /** Explicit GROUPING SETS (the general form beneath rollup/cube): nation
+    * totals, priority totals and the cross grain in ONE Expand-based
+    * aggregate pass — no union of three scans. */
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("o_orderpriority")), Seq(col("n_name")), Seq(col("o_orderpriority"))),
+        col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** TPC-H Q7 shape (nation-pair volume): revenue shipped between each
+    * ordered pair of two chosen nations per year. Both nation dims
+    * broadcast; the fact joins stay on their keys — the classic
+    * star-with-two-role-playing-dims plan. */
+  private def qTpchQ7(s: SparkSession, d: String): DataFrame = {
+    val nat = Seq("NATION_3", "NATION_7")
+    val suppNat = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNat = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation").isin(nat: _*) && col("cust_nation").isin(nat: _*) &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+        .cast("long")) / 100.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q10 shape (returned-item revenue ranking): top-20 customers by
+    * revenue lost to returns in a quarter — join + aggregate + bounded
+    * top-k (TakeOrderedAndProject, never a global sort). */
+  private def qTpchQ10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_nationkey")
+      .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+        .cast("long")) / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   // ------------------------------------------------------------- functions
 
   private def qNormalizeText(s: SparkSession, d: String): DataFrame =
@@ -2656,7 +2714,10 @@ object SparkEntry {
     "q_cdc_apply" -> (qCdcApply _),
     "q_cdc_apply_stream" -> (qCdcApplyStream _),
     "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q21" -> (qTpchQ21 _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_partitioned_export" -> (qPartitionedExport _),
@@ -3554,6 +3615,38 @@ object SparkEntry {
            AND EXISTS (SELECT 1 FROM lineitem l
                        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INT) AS l_year,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+           AND cn.n_name IN ('NATION_3', 'NATION_7')
+           AND sn.n_name <> cn.n_name
+         GROUP BY 1, 2, 3
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY c_custkey, c_name, c_nationkey
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_grouping_sets" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
+         ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_tpch_q21" ->
       """WITH li AS (SELECT l_orderkey, l_suppkey,
                             l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
