@@ -40,11 +40,15 @@ object Graph {
     val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
     val deg = e.groupBy(col("__u").as("id")).agg(count(lit(1)).as("__outdeg"))
       .localCheckpoint(true)
+    // outdeg folded into the edge table ONCE — each iteration then costs a
+    // single ranks join + partial agg instead of re-joining deg (and
+    // re-scanning the edge source) every round
+    val eDeg = e.join(deg.select(col("id").as("__u"), col("__outdeg")), "__u")
+      .localCheckpoint(true)
     var ranks = deg.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
-      val contribs = e
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("id", "__u"), "__u")
-        .join(deg.select(col("id").as("__u"), col("__outdeg")), "__u")
         .select(
           col("__v").as("id"),
           floor(col("rank") / col("__outdeg") * 1e12 + 0.5).cast("long").as("__cq"))
