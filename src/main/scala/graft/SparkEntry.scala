@@ -2038,6 +2038,45 @@ object SparkEntry {
       theta_estimate(theta_union_pair(col("sk_c"), col("sk_p"))).cast("long").as("n_either"))
   }
 
+  /** Streaming twin of [[qThetaSetops]]: per-day theta partials maintained
+    * in the state store, union-merged at read — a theta sketch is a pure
+    * function of the input SET, so the streamed sketches equal the batch
+    * ones byte-for-byte and the SAME exact-regime set-SQL oracle gates
+    * both twins. */
+  private def qThetaSetopsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.{theta_anotb, theta_estimate, theta_intersect, theta_merge, theta_sketch, theta_union_pair}
+    val raw = s.read.parquet(s"$d/events.parquet")
+    var stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val name = "graft_theta_setops_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("ts").cast("date").as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(theta_sketch(col("user_id")).as("sk"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val merged = s.table(name).groupBy("event_type")
+      .agg(theta_merge(col("sk")).as("sk"))
+    val c = merged.filter(col("event_type") === "click").select(col("sk").as("sk_c"))
+    val p = merged.filter(col("event_type") === "purchase").select(col("sk").as("sk_p"))
+    c.crossJoin(broadcast(p)).select(
+      theta_estimate(col("sk_c")).cast("long").as("n_click"),
+      theta_estimate(col("sk_p")).cast("long").as("n_purchase"),
+      theta_estimate(theta_intersect(col("sk_c"), col("sk_p"))).cast("long").as("n_both"),
+      theta_estimate(theta_anotb(col("sk_c"), col("sk_p"))).cast("long").as("n_click_only"),
+      theta_estimate(theta_union_pair(col("sk_c"), col("sk_p"))).cast("long").as("n_either"))
+  }
+
   /** Streaming twin of [[qCmsCounts]]: the same CMS aggregate maintained by
     * a streaming groupBy (sketch partials live in the state store and merge
     * across micro-batches). CMS merge is counter-wise addition — fully
@@ -2793,6 +2832,7 @@ object SparkEntry {
     "q_cms_counts" -> (qCmsCounts _),
     "q_cms_counts_stream" -> (qCmsCountsStream _),
     "q_theta_setops" -> (qThetaSetops _),
+    "q_theta_setops_stream" -> (qThetaSetopsStream _),
     "q_rolling_distinct_stream" -> (qRollingDistinctStream _),
     "q_rolling_zscore" -> (qRollingZscore _),
     "q_attribution" -> (qAttribution _),
@@ -3382,6 +3422,14 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_theta_setops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+              p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+                CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+                CAST((SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS BIGINT) AS n_both,
+                CAST((SELECT COUNT(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS BIGINT) AS n_click_only,
+                CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) AS BIGINT) AS n_either""",
+    "q_theta_setops_stream" ->
       """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
               p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
          SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,

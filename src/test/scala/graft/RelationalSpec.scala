@@ -76,6 +76,26 @@ class RelationalSpec extends SparkSpec {
       Seq((1L, "a3", 12.0), (4L, "d", 40.0), (5L, "e", 50.0)))
   }
 
+  test("applyCdc equals a last-writer-wins reference model on a 300-change random feed") {
+    val r = new scala.util.Random(7)
+    val baseRows = (0L until 100L).map(k => (k, s"s$k", k * 1.5))
+    val changeRows = (0 until 300).map { i =>
+      val k = r.nextInt(120).toLong // keys 100-119 are pure inserts
+      val op = Seq("I", "U", "D")(r.nextInt(3))
+      (k, s"c$i", i * 0.25, op, i.toLong) // globally unique seq
+    }
+    val out = Relational.applyCdc(
+      baseRows.toDF("k", "status", "price"),
+      changeRows.toDF("k", "status", "price", "op", "seq"),
+      Seq("k"), "seq", "op")
+      .collect().map(row => (row.getLong(0), (row.getString(1), row.getDouble(2)))).toMap
+    val lastByKey = changeRows.groupBy(_._1).map { case (k, cs) => k -> cs.maxBy(_._5) }
+    val expected = (baseRows.map(b => b._1 -> (b._2, b._3)).toMap ++
+      lastByKey.map { case (k, c) => k -> (c._2, c._3) })
+      .filter { case (k, _) => !lastByKey.get(k).exists(_._4 == "D") }
+    assert(out == expected)
+  }
+
   test("globalRowNumbers: contiguous, order-correct, multi-partition, no single-partition window") {
     val df = spark.range(0, 1000).toDF("id")
       .withColumn("k", org.apache.spark.sql.functions.pmod(
