@@ -3440,9 +3440,11 @@ object SparkEntry {
     "q_dup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
          idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),
-         grams AS (SELECT doc_id, i, array_to_string(t[i : i + 3], ' ') AS g FROM idx),
-         dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
-         hits AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+         grams AS (SELECT doc_id, i,
+                          ('0x' || substr(md5(array_to_string(t[i : i + 3], ' ')), 1, 15))::BIGINT AS gh
+                   FROM idx),
+         dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, i FROM grams WHERE gh IN (SELECT gh FROM dup)),
          flags AS (SELECT doc_id, i,
                           CASE WHEN LAG(i) OVER w IS NULL OR i > LAG(i) OVER w + 4
                                THEN 1 ELSE 0 END AS nf
@@ -3460,9 +3462,11 @@ object SparkEntry {
     "q_dup_spans_removal" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
          idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),
-         grams AS (SELECT doc_id, i, array_to_string(t[i : i + 3], ' ') AS g FROM idx),
-         dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
-         hits AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+         grams AS (SELECT doc_id, i,
+                          ('0x' || substr(md5(array_to_string(t[i : i + 3], ' ')), 1, 15))::BIGINT AS gh
+                   FROM idx),
+         dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, i FROM grams WHERE gh IN (SELECT gh FROM dup)),
          flags AS (SELECT doc_id, i,
                           CASE WHEN LAG(i) OVER w IS NULL OR i > LAG(i) OVER w + 4
                                THEN 1 ELSE 0 END AS nf

@@ -477,23 +477,28 @@ object TextAnalysis {
     * one row per span: (idCol, span_start, span_end, span_tokens,
     * n_dup_grams), token positions 0-based inclusive.
     *
-    * Shape at scale: the frequency filter is a partial-agg groupBy on the
-    * gram plus an equi-join back — the exact-dedup shuffle pair, never
-    * all-pairs; the island merge windows partition by document, so frames
-    * are bounded by document length regardless of corpus size.
-    * Tokenization matches [[Decontaminate.wordNgrams]] (lowercase,
-    * single-space split), so the whole pipeline replays in portable SQL —
-    * this is oracle-hash-gated end to end, not sampled. */
+    * Shape at scale: grams collapse to a 60-bit md5-prefix key BEFORE the
+    * shuffle, so the frequency filter — a partial-agg groupBy plus an
+    * equi-join back, the exact-dedup shuffle pair, never all-pairs —
+    * carries fixed-width longs instead of n-word strings; the island merge
+    * windows partition by document, so frames are bounded by document
+    * length regardless of corpus size. The hash is the engine-portable
+    * md5-prefix (DuckDB: `('0x'||substr(md5(g),1,15))::BIGINT`), so even
+    * its collisions reproduce identically cross-engine and the whole
+    * pipeline replays in portable SQL — oracle-hash-gated end to end,
+    * not sampled. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = df.select(
       col(idCol),
       posexplode(Decontaminate.wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
-    val dup = grams.groupBy("__g")
+      .select(col(idCol), col("__pos"),
+        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__gh"))
+    val dup = grams.groupBy("__gh")
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
-      .select("__g")
-    val hits = grams.join(dup, "__g")
+      .select("__gh")
+    val hits = grams.join(dup, "__gh")
       .select(col(idCol), col("__pos").cast("long").as("__pos"))
     val w = Window.partitionBy(idCol).orderBy("__pos")
     val lagPos = lag(col("__pos"), 1).over(w)
