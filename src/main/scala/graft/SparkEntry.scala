@@ -1271,6 +1271,23 @@ object SparkEntry {
     TextAnalysis.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text", n = 4)
       .orderBy("doc_id")
 
+  /** Second LLM-pipeline composition in ONE Catalyst plan: duplicate-span
+    * removal (T36) → surviving-token quality gate → sharded sequence
+    * packing (T18) — the post-r6 corpus-prep chain, end to end, with the
+    * whole chain (including the span arithmetic) replayed by the SQL
+    * oracle. */
+  private def qLlmPipeline2(s: SparkSession, d: String): DataFrame = {
+    val cleaned = TextAnalysis.removeDuplicateSpans(
+      Tables.documents(s, d), "doc_id", "text", n = 4)
+    val kept = cleaned.filter(col("n_tokens_kept") >= 10)
+      .select(
+        col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+        col("n_tokens_kept").as("n_tokens"))
+    Sampling.packSequences(kept, "shard", "doc_id", "n_tokens", budget = 512)
+      .select("doc_id", "shard", "n_tokens", "chunk_id", "chunk_pos")
+      .orderBy("doc_id")
+  }
+
   /** Bucketed co-located join, oracle-checked: write customer and orders
     * bucketed on the join key (external tables in a per-run temp dir), join
     * them with auto-broadcast disabled — the plan is a ZERO-Exchange
@@ -2745,6 +2762,7 @@ object SparkEntry {
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_spans_removal" -> (qDupSpansRemoval _),
+    "q_llm_pipeline2" -> (qLlmPipeline2 _),
     "q_window_suite" -> (qWindowSuite _),
     "q_tpch_q22" -> (qTpchQ22 _),
     "q_train_test_split" -> (qTrainTestSplit _),
@@ -3487,6 +3505,36 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
                 CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
          FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_pipeline2" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),
+         grams AS (SELECT doc_id, i,
+                          ('0x' || substr(md5(array_to_string(t[i : i + 3], ' ')), 1, 15))::BIGINT AS gh
+                   FROM idx),
+         dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, i FROM grams WHERE gh IN (SELECT gh FROM dup)),
+         flags AS (SELECT doc_id, i,
+                          CASE WHEN LAG(i) OVER w IS NULL OR i > LAG(i) OVER w + 4
+                               THEN 1 ELSE 0 END AS nf
+                   FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         isl AS (SELECT doc_id, i,
+                        SUM(nf) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+                 FROM flags),
+         spans AS (SELECT doc_id, MIN(i) - 1 AS s, MAX(i) + 2 AS e
+                   FROM isl GROUP BY doc_id, island),
+         cov AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS covered FROM spans GROUP BY doc_id),
+         kept AS (SELECT tk.doc_id, tk.doc_id % 8 AS shard,
+                         CAST(len(tk.t) AS BIGINT) - COALESCE(cov.covered, 0) AS n_tokens
+                  FROM toks tk LEFT JOIN cov ON tk.doc_id = cov.doc_id
+                  WHERE CAST(len(tk.t) AS BIGINT) - COALESCE(cov.covered, 0) >= 10),
+         c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS cum
+               FROM kept)
+         SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+                CAST(cum - n_tokens - CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) * 512 AS BIGINT)
+                  AS chunk_pos
+         FROM c ORDER BY doc_id""",
     "q_window_suite" ->
       """SELECT event_type, event_id, value,
                 ntile(4) OVER w AS bucket,
