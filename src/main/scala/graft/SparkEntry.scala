@@ -2127,6 +2127,24 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Time-to-convert: whole seconds from a user's FIRST signup to their
+    * first subsequent purchase — the funnel-latency metric next to X32's
+    * depth counts. Two partial-agg mins + one key join; integer-division
+    * seconds keep it engine-portable. */
+  private def qFunnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val first = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("ts_s"))
+    ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .filter(col("ts") > col("ts_s"))
+      .groupBy(col("user_id"), col("ts_s"))
+      .agg(min(col("ts")).as("ts_p"))
+      .select(col("user_id"),
+        expr("(unix_micros(ts_p) - unix_micros(ts_s)) div 1000000").as("latency_sec"))
+      .orderBy("user_id")
+  }
+
   /** Last-touch attribution of purchases to the most recent preceding
     * click/view per user — the IGNORE-NULLS forward-fill window shape;
     * latency in whole seconds via integer division (engine-portable). */
@@ -2850,6 +2868,7 @@ object SparkEntry {
     "q_cms_counts" -> (qCmsCounts _),
     "q_cms_counts_stream" -> (qCmsCountsStream _),
     "q_theta_setops" -> (qThetaSetops _),
+    "q_funnel_latency" -> (qFunnelLatency _),
     "q_theta_setops_stream" -> (qThetaSetopsStream _),
     "q_rolling_distinct_stream" -> (qRollingDistinctStream _),
     "q_rolling_zscore" -> (qRollingZscore _),
@@ -3439,6 +3458,15 @@ object SparkEntry {
     "q_cms_counts_stream" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_funnel_latency" ->
+      """WITH s0 AS (SELECT user_id, MIN(ts) AS ts_s FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id)
+         SELECT e.user_id,
+                CAST((epoch_us(MIN(e.ts)) - epoch_us(ts_s)) // 1000000 AS BIGINT) AS latency_sec
+         FROM events e JOIN s0 ON e.user_id = s0.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > ts_s
+         GROUP BY e.user_id, ts_s
+         ORDER BY e.user_id""",
     "q_theta_setops" ->
       """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
               p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
