@@ -193,4 +193,68 @@ object Sink {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Data-skipping effectiveness audit over a written parquet directory:
+    * per-file [min, max] envelopes for the given NUMERIC columns read from
+    * the parquet FOOTERS only (no data scan — this is a metadata operation,
+    * constant in row count), then, per column, the fraction of file pairs
+    * whose envelopes overlap. A point query prunes to one file when
+    * envelopes are disjoint; `overlap_fraction` ≈ 1.0 means every file
+    * spans the full value range (a round-robin write — zero pruning),
+    * while a well-clustered layout ([[writeZOrdered]], a sorted write)
+    * drives it toward 0. This is the measurable form of X47's Z-order
+    * claim — run it after a layout change to prove the clustering landed.
+    * Driver-side over file METADATA (one footer per file, the same scale
+    * as any parquet planner's split enumeration). */
+  def skippingReport(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    require(cols.nonEmpty, "skippingReport needs at least one column")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    def toD(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None // non-numeric stats (binary/string) are out of scope
+    }
+    val envelopes: Seq[(String, String, Double, Double)] = files.toSeq.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        cols.flatMap { c =>
+          val stats = blocks.flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == c)
+            .flatMap(ch => Option(ch.getStatistics))
+            .filter(s => s.hasNonNullValue)
+          val mins = stats.flatMap(s => toD(s.genericGetMin))
+          val maxs = stats.flatMap(s => toD(s.genericGetMax))
+          if (mins.nonEmpty && maxs.nonEmpty) Some((f.getName, c, mins.min, maxs.max))
+          else None
+        }
+      } finally reader.close()
+    }
+    val rows = cols.map { c =>
+      val env = envelopes.filter(_._2 == c).map(e => (e._3, e._4)).sortBy(_._1)
+      val n = env.length
+      // sweep over min-sorted envelopes: pair (i, j>i) overlaps iff
+      // min_j <= max_i — O(F log F + #overlaps), F = file count (metadata
+      // scale; the inner scan only visits actual overlaps)
+      var overlaps = 0L
+      env.zipWithIndex.foreach { case ((_, mx), i) =>
+        var j = i + 1
+        while (j < n && env(j)._1 <= mx) { overlaps += 1; j += 1 }
+      }
+      val pairs = n.toLong * (n - 1) / 2
+      (c, n.toLong, overlaps, if (pairs == 0) 0.0 else overlaps.toDouble / pairs)
+    }
+    import spark.implicits._
+    rows.toDF("column", "n_files", "n_overlap_pairs", "overlap_fraction")
+  }
 }

@@ -80,6 +80,26 @@ class SinkSpec extends SparkSpec {
     assert(avgY < 32.0, s"y not clustered (avg per-file range $avgY of 63)")
   }
 
+  test("skippingReport: z-ordered layout shows far less envelope overlap than round-robin") {
+    import org.apache.spark.sql.functions._
+    val n = 4096L
+    val df = spark.range(n)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      .repartition(8)
+    val base = Files.createTempDirectory("graft-skip").toString
+    Sink.writeZOrdered(df.toDF(), s"$base/z", Seq("x", "y"), bits = 8, numFiles = 16)
+    df.repartition(16).write.parquet(s"$base/rr") // round-robin: every file spans the range
+    val zRep = Sink.skippingReport(spark, s"$base/z", Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val rrRep = Sink.skippingReport(spark, s"$base/rr", Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    Seq("x", "y").foreach { c =>
+      assert(rrRep(c) > 0.9, s"round-robin $c should overlap nearly everywhere: ${rrRep(c)}")
+      assert(zRep(c) < rrRep(c) / 2,
+        s"z-order must at least halve $c overlap: z=${zRep(c)} rr=${rrRep(c)}")
+    }
+  }
+
   test("zOrderValue interleaves rank bits (hand-checked small case)") {
     import org.apache.spark.sql.functions._
     // 4 points at the corners of a 2x2 grid, bits=1: rank boundaries split
