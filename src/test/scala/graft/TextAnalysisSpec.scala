@@ -26,6 +26,36 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 9L, 12L, 4L, 1L)))
   }
 
+  test("duplicateSpans matches a brute-force reference model on random corpora") {
+    val r = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val n = 3
+    (1 to 2).foreach { _ =>
+      val docs = (0L until 12L).map(id =>
+        id -> Seq.fill(5 + r.nextInt(20))(vocab(r.nextInt(vocab.size))).mkString(" "))
+      val grams = docs.flatMap { case (id, t) =>
+        t.split(" ").toSeq.sliding(n).zipWithIndex.collect {
+          case (g, p) if g.size == n => (id, p.toLong, g.mkString(" "))
+        }
+      }
+      val counts = grams.groupBy(_._3).map { case (g, occ) => g -> occ.size }
+      val expected = grams.filter(g => counts(g._3) >= 2)
+        .groupBy(_._1).toSeq.flatMap { case (id, hs) =>
+          val ps = hs.map(_._2).sorted
+          val islands = ps.tail.foldLeft(List(List(ps.head))) { (acc, p) =>
+            if (p > acc.head.head + n) List(p) :: acc // acc.head.head is the island's LAST pos
+            else (p :: acc.head) :: acc.tail
+          }.map(_.reverse).reverse
+          islands.map(ps2 =>
+            (id, ps2.head, ps2.last + n - 1, ps2.last + n - ps2.head, ps2.size.toLong))
+        }.sortBy(x => (x._1, x._2))
+      val out = TextAnalysis.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .orderBy("doc_id", "span_start").collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)))
+      assert(out.toSeq == expected, s"mismatch on corpus ${docs.take(3)}...")
+    }
+  }
+
   test("removeDuplicateSpans cuts covered tokens, keeps case/order, accounts totals") {
     val df = Seq(
       (1L, "X1 x2 A b c d e f x3"),  // original case must survive outside spans
