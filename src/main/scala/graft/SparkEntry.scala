@@ -1325,6 +1325,20 @@ object SparkEntry {
     * partitionBy job), read the directory tree back, and hash-compare
     * against DuckDB over the source table — proves values AND the
     * partition column survive the disk round trip. */
+  /** ORC round trip: the columnar-format sibling of the parquet sinks —
+    * write a lineitem projection as ORC (Spark's native writer, zlib
+    * default), read it back; the oracle is the identity (the format must
+    * lose nothing, including timestamp fidelity). */
+  private def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_orc_").toFile
+    tmpDir.deleteOnExit()
+    val out = new java.io.File(tmpDir, "lineitem_orc").getPath
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
+  }
+
   private def qPartitionedExport(s: SparkSession, d: String): DataFrame = {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_export_").toFile
     tmpDir.deleteOnExit()
@@ -2796,6 +2810,7 @@ object SparkEntry {
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_partitioned_export" -> (qPartitionedExport _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_jsonl_export" -> (qJsonlExport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_chunk_text" -> (qChunkText _),
@@ -3585,6 +3600,9 @@ object SparkEntry {
     "q_partitioned_export" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS period, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "q_orc_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate, l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
