@@ -403,4 +403,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("ObjectHashAggregate"), s"CMS must aggregate via ObjectHashAggregate:\n$p")
   }
+
+  test("theta set-op readout: ObjectHashAggregate partials, 1-row broadcast, no cartesian") {
+    val p = plan(SparkEntry.queries("q_theta_setops")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), s"theta must aggregate via ObjectHashAggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"1-row sketch side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("TPC-H Q7/Q10 broadcast their dimension sides and never go cartesian") {
+    Seq("q_tpch_q7", "q_tpch_q10").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"$q expected broadcast dim joins:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q fell back to cartesian:\n$p")
+    }
+  }
+
+  test("Q10's top-20 is a bounded TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_tpch_q10")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$p")
+  }
+
+  test("LLM pipeline v2 composes in one plan: partial aggregates, no cartesian, no pipeline-breaking collect") {
+    val p = plan(SparkEntry.queries("q_llm_pipeline2")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pipeline v2 must stay keyed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregate:\n$p")
+  }
 }
