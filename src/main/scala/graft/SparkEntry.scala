@@ -1459,6 +1459,26 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** SCD2 history from the same three-wave CDC feed as [[qCdcApply]]: every
+    * surviving change becomes a validity interval; deletes close intervals
+    * without emitting rows (keys ≡0 mod 13 end with no current version). */
+  private def qScd2FromCdc(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val u1 = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+    val u2 = base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+    val del = base.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+    Temporal.scd2FromCdc(
+      u1.unionByName(u2).unionByName(del), Seq("o_orderkey"), "seq", "op")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "valid_from", "valid_to", "is_current")
+      .orderBy("o_orderkey", "valid_from")
+  }
+
   /** Streaming twin of [[qCdcApply]]: the same three-wave change feed
     * arrives as a stream, [[Events.cdcStream]] folds it to the
     * highest-sequence change per key in the state store, and the
@@ -2802,6 +2822,7 @@ object SparkEntry {
     "q_upsert" -> (qUpsert _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_cdc_apply_stream" -> (qCdcApplyStream _),
+    "q_scd2_from_cdc" -> (qScd2FromCdc _),
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q10" -> (qTpchQ10 _),
@@ -3753,6 +3774,24 @@ object SparkEntry {
          FROM base b LEFT JOIN last l USING (o_orderkey)
          WHERE l.op IS NULL OR l.op <> 'D'
          ORDER BY o_orderkey""",
+    "q_scd2_from_cdc" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1::DOUBLE AS o_totalprice,
+                  'U' AS op, CAST(1 AS BIGINT) AS seq FROM base WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, 'R', o_totalprice + 100.0::DOUBLE, 'U', 2
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 3
+           FROM base WHERE o_orderkey % 13 = 0),
+         v AS (SELECT *, seq AS valid_from,
+                      LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+               FROM ch)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from, valid_to,
+                valid_to IS NULL AS is_current
+         FROM v WHERE op <> 'D'
+         ORDER BY o_orderkey, valid_from""",
     "q_tpch_q4" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
          FROM orders o

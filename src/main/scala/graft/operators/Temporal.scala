@@ -196,6 +196,30 @@ object Temporal {
         Seq(col("valid_from"), col("valid_to")): _*)
   }
 
+  /** SCD2 history from a CDC CHANGE FEED — the other standard path to
+    * validity intervals next to [[scd2]]'s snapshot-diff runs: each
+    * non-delete change opens a version valid from its own sequence until
+    * the key's next change (any op — a later update supersedes, a
+    * tombstone closes), `valid_to` null while current; delete changes
+    * close the preceding interval but emit no row, so a deleted key has no
+    * current version. One per-key window pass (frames bounded by per-key
+    * change count), no join — the feed itself carries the full history
+    * that [[Relational.applyCdc]] collapses to latest-state. */
+  def scd2FromCdc(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= lit("D"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol)
+  }
+
   /** Merge overlapping (or `tolerance`-adjacent) [start, end] intervals per
     * key — the classic gaps-and-islands reduction (coverage windows, on-call
     * spans, session stitching). One window pass per key: an interval opens a

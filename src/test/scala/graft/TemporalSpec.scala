@@ -159,4 +159,23 @@ class TemporalSpec extends SparkSpec {
     // pos=10 window is [5,10]: rows at pos 0,1 fall outside even though they
     // are the two preceding rows
   }
+
+  test("scd2FromCdc: versions chain per key, deletes close but emit nothing") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "a", "U", 1L), (1L, "b", "U", 3L), (1L, "c", "U", 7L), // three open versions
+      (2L, "x", "U", 2L), (2L, "x", "D", 5L),                     // deleted: no current row
+      (3L, "z", "I", 4L))                                         // single current version
+      .toDF("k", "v", "op", "seq")
+    val out = Temporal.scd2FromCdc(changes, Seq("k"), "seq", "op")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 1L, Some(3L), false),
+      (1L, "b", 3L, Some(7L), false),
+      (1L, "c", 7L, None, true),
+      (2L, "x", 2L, Some(5L), false), // interval closed by the tombstone
+      (3L, "z", 4L, None, true)))
+  }
 }
