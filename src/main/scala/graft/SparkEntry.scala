@@ -1523,6 +1523,24 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** TPC-H Q2 shape (correlated MIN subquery): for each part, the
+    * supplier(s) quoting exactly the part's minimum price. Decorrelates to
+    * a per-key MIN aggregate joined back on (key, value == min) — the
+    * join-back-on-aggregate form, vs Q17's scalar-comparison form. The
+    * min is an actual data value, so the double equality is exact. */
+  private def qTpchQ2(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice")
+    val minCost = li.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    li.join(minCost,
+        col("l_partkey") === col("mc_partkey") && col("l_extendedprice") === col("min_price"))
+      .groupBy("l_partkey", "min_price")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_min_suppliers"),
+        min(col("l_suppkey")).as("best_suppkey"))
+      .orderBy("l_partkey")
+  }
+
   /** TPC-H Q4 shape (EXISTS decorrelated to a left-semi join): orders placed
     * in 1996Q1 having at least one line shipped after the order date,
     * counted by priority. The semi join keeps the probe side pipelined —
@@ -2823,6 +2841,7 @@ object SparkEntry {
     "q_cdc_apply" -> (qCdcApply _),
     "q_cdc_apply_stream" -> (qCdcApplyStream _),
     "q_scd2_from_cdc" -> (qScd2FromCdc _),
+    "q_tpch_q2" -> (qTpchQ2 _),
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q10" -> (qTpchQ10 _),
@@ -3792,6 +3811,15 @@ object SparkEntry {
                 valid_to IS NULL AS is_current
          FROM v WHERE op <> 'D'
          ORDER BY o_orderkey, valid_from""",
+    "q_tpch_q2" ->
+      """WITH mc AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+                     FROM lineitem GROUP BY l_partkey)
+         SELECT l.l_partkey, mc.min_price,
+                CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_min_suppliers,
+                MIN(l.l_suppkey) AS best_suppkey
+         FROM lineitem l
+         JOIN mc ON l.l_partkey = mc.l_partkey AND l.l_extendedprice = mc.min_price
+         GROUP BY 1, 2 ORDER BY l.l_partkey""",
     "q_tpch_q4" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
          FROM orders o
