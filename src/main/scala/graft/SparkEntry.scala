@@ -396,6 +396,44 @@ object SparkEntry {
       .orderBy("check_name", "target")
   }
 
+  /** Streaming twin of the scalar half of [[qQualityChecks]]: the same
+    * check suite as a LIVE data-quality monitor — one streaming aggregate
+    * (Structured Streaming's one-agg-per-query rule is exactly why
+    * [[Quality.scalarAggs]] exists) maintains the metric state across
+    * micro-batches in complete mode; the accumulated 1-row state renders
+    * through the same report shape, so the batch oracle's scalar rows gate
+    * the stream. Unique/FK checks need a second aggregate/join and stay
+    * batch-only (documented on the operator). */
+  private def qQualityChecksStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import Quality._
+    val checks: Seq[Quality.Check] = Seq(
+      Complete("o_custkey"),
+      MinAtLeast("o_totalprice", 500.0),
+      MaxAtMost("o_totalprice", 400000.0),
+      InSet("o_orderstatus", Seq("O", "F"), 0.9),
+      MatchesRegex("o_orderpriority", "^[1-5]-"),
+      RowCountBetween(1000L, 10000000L))
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val aggs = Quality.scalarAggs(checks)
+    val name = "graft_quality_checks_stream"
+    withStatePartitions(s, 8) {
+      val q = stream.agg(aggs.head, aggs.tail: _*)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Quality.renderScalarReport(s.table(name), checks)
+      .select(
+        col("check_name"), col("target"),
+        round(col("metric"), 6).as("metric"), col("passed"))
+      .orderBy("check_name", "target")
+  }
+
   private def qRulesSplit(s: SparkSession, d: String): DataFrame = {
     val (consistent, inconsistent) = Rules.splitConsistent(Tables.lineitem(s, d), lineitemRules)
     Relational.diagonalConcat(Seq(
@@ -2785,6 +2823,7 @@ object SparkEntry {
     "q_rules_split" -> (qRulesSplit _),
     "q_rules_matrix_export" -> (qRulesMatrixExport _),
     "q_quality_checks" -> (qQualityChecks _),
+    "q_quality_checks_stream" -> (qQualityChecksStream _),
     "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_melt_indicators" -> (qMeltIndicators _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -3174,6 +3213,32 @@ object SparkEntry {
                   AVG(CASE WHEN p.c_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 1.0
            FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
              ON o_custkey = p.c_custkey
+         ) ORDER BY check_name, target""",
+    "q_quality_checks_stream" ->
+      """SELECT check_name, target, ROUND(metric, 6) AS metric, passed FROM (
+           SELECT 'complete' AS check_name, 'o_custkey' AS target,
+                  AVG(CASE WHEN o_custkey IS NULL THEN 0.0 ELSE 1.0 END) AS metric,
+                  AVG(CASE WHEN o_custkey IS NULL THEN 0.0 ELSE 1.0 END) >= 1.0 AS passed
+           FROM orders
+           UNION ALL
+           SELECT 'min_at_least', 'o_totalprice', MIN(o_totalprice),
+                  MIN(o_totalprice) >= 500.0 FROM orders
+           UNION ALL
+           SELECT 'max_at_most', 'o_totalprice', MAX(o_totalprice),
+                  MAX(o_totalprice) <= 400000.0 FROM orders
+           UNION ALL
+           SELECT 'in_set', 'o_orderstatus',
+                  AVG(CASE WHEN o_orderstatus IN ('O','F') THEN 1.0 ELSE 0.0 END),
+                  AVG(CASE WHEN o_orderstatus IN ('O','F') THEN 1.0 ELSE 0.0 END) >= 0.9
+           FROM orders
+           UNION ALL
+           SELECT 'matches_regex', 'o_orderpriority',
+                  AVG(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END),
+                  AVG(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END) >= 1.0
+           FROM orders
+           UNION ALL
+           SELECT 'row_count_between', '*', CAST(COUNT(*) AS DOUBLE),
+                  COUNT(*) BETWEEN 1000 AND 10000000 FROM orders
          ) ORDER BY check_name, target""",
     "q_fuzzy_match" ->
       """WITH scored AS (

@@ -107,6 +107,33 @@ object Quality {
     case FkContained(_, _, _, f) => metric >= f
   }
 
+  /** The row-scalar checks' aggregate columns — exposed (with
+    * [[renderScalarReport]]) for STREAMING twins: Structured Streaming
+    * allows exactly one aggregation per query, so a live quality monitor
+    * aggregates the stream with these columns in complete mode and renders
+    * the accumulated 1-row state table through the same report shape the
+    * batch path uses. Unique/FkContained need their own second aggregate /
+    * join and stay batch-only. */
+  def scalarAggs(checks: Seq[Check]): Seq[Column] = {
+    require(checks.forall { case _: Unique | _: FkContained => false; case _ => true },
+      "scalarAggs covers row-scalar checks only (Unique/FkContained need their own pass)")
+    checks.zipWithIndex.map { case (c, i) => metricExpr(c).as(s"__m$i") }
+  }
+
+  /** Render a 1-row frame produced by aggregating [[scalarAggs]] into the
+    * standard `(check_name, target, metric, passed)` report rows. */
+  def renderScalarReport(agged: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.name).as("check_name"), lit(c.target).as("target"),
+        col(s"__m$i").cast("double").as("metric"),
+        passedExpr(c, col(s"__m$i")).as("passed"))
+    }
+    agged
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.check_name"), col("r.target"), col("r.metric"), col("r.passed"))
+  }
+
   /** Run a check suite; returns one row per check:
     * `(check_name, target, metric double, passed boolean)`, in the order the
     * checks were given (pin an ORDER BY for cross-engine comparison). */
@@ -118,16 +145,8 @@ object Quality {
     }
     val branches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (single.nonEmpty) {
-      val aggs = single.zipWithIndex.map { case (c, i) => metricExpr(c).as(s"__m$i") }
-      val rows = single.zipWithIndex.map { case (c, i) =>
-        struct(
-          lit(c.name).as("check_name"), lit(c.target).as("target"),
-          col(s"__m$i").cast("double").as("metric"),
-          passedExpr(c, col(s"__m$i")).as("passed"))
-      }
-      branches += df.agg(aggs.head, aggs.tail: _*)
-        .select(explode(array(rows: _*)).as("r"))
-        .select(col("r.check_name"), col("r.target"), col("r.metric"), col("r.passed"))
+      val aggs = scalarAggs(single)
+      branches += renderScalarReport(df.agg(aggs.head, aggs.tail: _*), single)
     }
     checks.foreach {
       case u: Unique =>
