@@ -1309,6 +1309,13 @@ object SparkEntry {
     TextAnalysis.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text", n = 4)
       .orderBy("doc_id")
 
+  /** Keep-first duplicate-span removal at n=4: the canonical (globally
+    * first) copy of every duplicated gram survives; only later occurrences
+    * are cut. */
+  private def qDupSpansKeepFirst(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.removeDuplicateSpansKeepFirst(Tables.documents(s, d), "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+
   /** Second LLM-pipeline composition in ONE Catalyst plan: duplicate-span
     * removal (T36) → surviving-token quality gate → sharded sequence
     * packing (T18) — the post-r6 corpus-prep chain, end to end, with the
@@ -2871,6 +2878,7 @@ object SparkEntry {
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_spans_removal" -> (qDupSpansRemoval _),
+    "q_dup_spans_keepfirst" -> (qDupSpansKeepFirst _),
     "q_llm_pipeline2" -> (qLlmPipeline2 _),
     "q_window_suite" -> (qWindowSuite _),
     "q_tpch_q22" -> (qTpchQ22 _),
@@ -3639,6 +3647,38 @@ object SparkEntry {
                    FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
          isl AS (SELECT doc_id, i,
                         SUM(nf) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+                 FROM flags),
+         spans AS (SELECT doc_id, MIN(i) - 1 AS s, MAX(i) + 2 AS e
+                   FROM isl GROUP BY doc_id, island),
+         cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans),
+         otoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS j FROM otoks),
+         tok AS (SELECT doc_id, j - 1 AS p, t[j] AS w FROM pos),
+         kept AS (SELECT tok.doc_id, tok.p, tok.w, cov.p IS NOT NULL AS cut
+                  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p)
+         SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN NOT cut THEN w END, ' ' ORDER BY p), '') AS text_clean,
+                CAST(SUM(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+                CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "q_dup_spans_keepfirst" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i FROM toks),
+         grams AS (SELECT doc_id, i,
+                          ('0x' || substr(md5(array_to_string(t[i : i + 3], ' ')), 1, 15))::BIGINT AS gh
+                   FROM idx),
+         dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, i, gh FROM grams WHERE gh IN (SELECT gh FROM dup)),
+         ranked AS (SELECT doc_id, i,
+                           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, i) AS rn
+                    FROM hits),
+         nf AS (SELECT doc_id, i FROM ranked WHERE rn > 1),
+         flags AS (SELECT doc_id, i,
+                          CASE WHEN LAG(i) OVER w IS NULL OR i > LAG(i) OVER w + 4
+                               THEN 1 ELSE 0 END AS nfg
+                   FROM nf WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         isl AS (SELECT doc_id, i,
+                        SUM(nfg) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
                  FROM flags),
          spans AS (SELECT doc_id, MIN(i) - 1 AS s, MAX(i) + 2 AS e
                    FROM isl GROUP BY doc_id, island),

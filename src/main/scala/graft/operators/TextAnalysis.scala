@@ -556,6 +556,64 @@ object TextAnalysis {
         sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_tokens_removed"))
   }
 
+  /** Duplicate-span removal, KEEP-FIRST policy — the Lee-et-al-faithful
+    * sibling of [[removeDuplicateSpans]]: one canonical copy of every
+    * duplicated n-gram survives (its globally FIRST occurrence in
+    * (id, pos) order), and only tokens covered by NON-canonical
+    * occurrences are cut. Completes the span-grain policy pair the line
+    * grain already has ([[removeBoilerplate]] remove-all vs
+    * [[dedupLinesKeepFirst]] keep-one). The canonical pick per gram runs
+    * on the native TopKPerKey k=1 path (bounded one-slot heaps before the
+    * single shuffle on the 60-bit gram key); everything else shares the
+    * remove-all shape. */
+  def removeDuplicateSpansKeepFirst(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(
+      col(idCol),
+      posexplode(Decontaminate.wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos").cast("long").as("__pos"),
+        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__gh"))
+    val dup = grams.groupBy("__gh")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select("__gh")
+    val hits = grams.join(dup, "__gh")
+    val canonical = Relational
+      .dropDuplicatesOrdered(hits, Seq("__gh"), Seq(col(idCol), col("__pos")))
+      .select(col("__gh").as("__cgh"), col(idCol).as("__cid"), col("__pos").as("__cpos"))
+    val nonFirst = hits.join(canonical,
+        col("__gh") === col("__cgh") && col(idCol) === col("__cid") &&
+          col("__pos") === col("__cpos"),
+        "left_anti")
+      .select(col(idCol), col("__pos"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val lagPos = lag(col("__pos"), 1).over(w)
+    val flagged = nonFirst.withColumn(
+      "__new", when(lagPos.isNull || col("__pos") > lagPos + n, 1L).otherwise(0L))
+    val island = sum(col("__new"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val covered = flagged.withColumn("__island", island)
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + (n - 1)).as("__e"))
+      .select(col(idCol), explode(sequence(col("__s"), col("__e"))).as("__pos"),
+        lit(true).as("__cut"))
+    val toks = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .withColumn("__pos", col("__pos").cast("long"))
+    toks.join(covered, Seq(idCol, "__pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("__cut").isNull, struct(col("__pos"), col("__w"))))),
+            s => s("__w")),
+          " ").as("text_clean"),
+        sum(when(col("__cut").isNull, 1L).otherwise(0L)).as("n_tokens_kept"),
+        sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_tokens_removed"))
+  }
+
   /** Winnowing fingerprint summary per document: number of fingerprints and
     * an order-independent checksum (useful as a cheap doc signature for
     * containment/overlap detection). */

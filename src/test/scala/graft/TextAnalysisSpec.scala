@@ -26,6 +26,23 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 9L, 12L, 4L, 1L)))
   }
 
+  test("removeDuplicateSpansKeepFirst preserves the canonical first occurrence") {
+    val df = Seq(
+      (1L, "x1 x2 a b c d e f x3"),  // first occurrence of the run lives here -> untouched
+      (2L, "y1 a b c d e f y2 y3"),  // later copy -> cut
+      (3L, "p q r s t p q r s t"),   // internal: first window kept, repeat cut
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateSpansKeepFirst(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "x1 x2 a b c d e f x3", 9L, 0L), // canonical copies survive
+      (2L, "y1 y2 y3", 3L, 6L),
+      (3L, "p q r s t", 5L, 5L),            // non-first starts 5,6 cover tokens 5-9
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8", 8L, 0L)))
+  }
+
   test("duplicateSpans matches a brute-force reference model on random corpora") {
     val r = new scala.util.Random(11)
     val vocab = Vector("a", "b", "c", "d", "e")
