@@ -31,6 +31,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (new FunctionIdentifier(name), new ExpressionInfo("graft.GraftExtensions", name, usage), builder)
 
+  /** Extract a required literal-integer argument with a clear analysis-time
+    * error: validates arity and foldability, accepts INT/BIGINT/SMALLINT/
+    * TINYINT literals (SQL integer literals may arrive as any of these). */
+  private def intArg(fname: String, args: Seq[Expression], i: Int, what: String): Int = {
+    if (args.length <= i)
+      throw new IllegalArgumentException(
+        s"$fname: missing argument ${i + 1} ($what) — expected a literal integer")
+    val e = args(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fname: argument ${i + 1} ($what) must be a literal integer, got non-foldable ${e.sql}")
+    e.eval() match {
+      case x: java.lang.Integer => x.intValue
+      case x: java.lang.Long    => x.intValue
+      case x: java.lang.Short   => x.intValue
+      case x: java.lang.Byte    => x.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fname: argument ${i + 1} ($what) must be a literal integer, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: the native top-k-per-key physical operator
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -62,7 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_lsh_sig", "random-hyperplane LSH signature of an array<float> vector",
         static(VectorOps.getClass, "lshSig", LongType)),
       fn("graft_heavy_hitters", "Misra-Gries heavy hitters of a string column: array<struct<item,count_lo>>",
-        args => graft.functions.MisraGries(args(0), args(1).eval().asInstanceOf[Int])),
+        args => graft.functions.MisraGries(args(0), intArg("graft_heavy_hitters", args, 1, "k"))),
       fn("graft_shingle_set", "sorted distinct word k-shingle hash set (array<bigint>)",
         static(TextOps.getClass, "shingleSet", longArray)),
       fn("graft_sorted_jaccard", "Jaccard of two sorted array<bigint> sets (merge pass)",
@@ -76,29 +97,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_jaro_winkler", "Jaro-Winkler similarity in [0,1] (prefix<=4, 0.7 boost threshold)",
         static(TextOps.getClass, "jaroWinkler", DoubleType)),
       fn("graft_kll_sketch", "mergeable KLL quantile sketch (binary) of a double column, k = arg 2",
-        args => graft.functions.KllSketchAgg(args(0), args(1).eval().asInstanceOf[Int])),
+        args => graft.functions.KllSketchAgg(args(0), intArg("graft_kll_sketch", args, 1, "k"))),
       fn("graft_kll_merge", "merge a binary KLL sketch column (rollup), k = arg 2",
-        args => graft.functions.KllMergeAgg(args(0), args(1).eval().asInstanceOf[Int])),
+        args => graft.functions.KllMergeAgg(args(0), intArg("graft_kll_merge", args, 1, "k"))),
       fn("graft_kll_quantiles", "quantile estimates (array<double>) of a binary KLL sketch at array<double> ranks",
         static(KllOps.getClass, "kllQuantiles", ArrayType(DoubleType))),
       fn("graft_kll_n", "exact stream length a binary KLL sketch has absorbed",
         static(KllOps.getClass, "kllN", LongType)),
       fn("graft_cms_sketch", "mergeable Count-Min frequency sketch (binary) of a string column: depth, width, seed = args 2-4",
         args => graft.functions.CmsSketchAgg(args(0),
-          args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
-          args(3).eval().asInstanceOf[Int])),
+          intArg("graft_cms_sketch", args, 1, "depth"),
+          intArg("graft_cms_sketch", args, 2, "width"),
+          intArg("graft_cms_sketch", args, 3, "seed"))),
       fn("graft_cms_merge", "merge a binary CMS column (rollup): depth, width, seed = args 2-4",
         args => graft.functions.CmsMergeAgg(args(0),
-          args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
-          args(3).eval().asInstanceOf[Int])),
+          intArg("graft_cms_merge", args, 1, "depth"),
+          intArg("graft_cms_merge", args, 2, "width"),
+          intArg("graft_cms_merge", args, 3, "seed"))),
       fn("graft_cms_estimate", "estimated occurrence count of a string item in a binary CMS",
         static(CmsOps.getClass, "cmsEstimate", LongType)),
       fn("graft_cms_total", "exact occurrences a binary CMS has absorbed",
         static(CmsOps.getClass, "cmsTotal", LongType)),
       fn("graft_theta_sketch", "mergeable theta sketch (binary) of a long/string column, lgK = arg 2",
-        args => graft.functions.ThetaSketchAgg(args(0), args(1).eval().asInstanceOf[Int])),
+        args => graft.functions.ThetaSketchAgg(args(0), intArg("graft_theta_sketch", args, 1, "lgK"))),
       fn("graft_theta_merge", "union-merge a binary theta sketch column (rollup), lgK = arg 2",
-        args => graft.functions.ThetaUnionAgg(args(0), args(1).eval().asInstanceOf[Int])),
+        args => graft.functions.ThetaUnionAgg(args(0), intArg("graft_theta_merge", args, 1, "lgK"))),
       fn("graft_theta_estimate", "distinct estimate of a binary theta sketch (exact below nominal k)",
         static(ThetaOps.getClass, "thetaEstimate", DoubleType)),
       fn("graft_theta_intersect", "A intersect B of two binary theta sketches, as a sketch",

@@ -52,8 +52,13 @@ case class CmsSketchAgg(
     CountMinSketch.create(depth, width, seed)
 
   override def update(buf: CountMinSketch, input: InternalRow): CountMinSketch = {
-    val v = child.eval(input)
-    if (v != null) buf.addBinary(v.asInstanceOf[UTF8String].getBytes)
+    child.eval(input) match {
+      case null            => ()
+      case s: UTF8String   => buf.addBinary(s.getBytes)
+      case l: java.lang.Long    => buf.addLong(l)
+      case i: java.lang.Integer => buf.addLong(i.toLong)
+      case other           => buf.addBinary(UTF8String.fromString(other.toString).getBytes)
+    }
     buf
   }
 

@@ -315,8 +315,7 @@ object Relational {
       formats: Seq[String],
       outCol: String = "ts_parsed"): DataFrame = {
     require(formats.nonEmpty, "need at least one format")
-    val attempts = formats.map(f =>
-      expr(s"try_to_timestamp(`$srcCol`, '$f')"))
+    val attempts = formats.map(f => try_to_timestamp(col(srcCol), lit(f)))
     df.withColumn(outCol, coalesce(attempts: _*))
   }
 

@@ -78,9 +78,13 @@ object Sink {
       else {
         val in = fs.open(marker)
         try {
-          val bytes = new Array[Byte](64)
-          val n = in.read(bytes)
-          Some(new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8).trim.toLong)
+          // read to EOF — a single read() may return a prefix on non-local FS,
+          // and a truncated numeric prefix would parse to a smaller value
+          val acc = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n >= 0) { acc.write(tmp, 0, n); n = in.read(tmp) }
+          Some(new String(acc.toByteArray, StandardCharsets.UTF_8).trim.toLong)
         } catch { case _: NumberFormatException => None }
         finally in.close()
       }
