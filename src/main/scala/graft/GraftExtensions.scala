@@ -86,6 +86,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args => graft.functions.MisraGries(args(0), intArg("graft_heavy_hitters", args, 1, "k"))),
       fn("graft_shingle_set", "sorted distinct word k-shingle hash set (array<bigint>)",
         static(TextOps.getClass, "shingleSet", longArray)),
+      fn("graft_word_ngrams", "positional word n-grams of lower(text), single-space split (array<string>)",
+        static(TextOps.getClass, "wordNgrams", ArrayType(StringType, containsNull = false))),
       fn("graft_sorted_jaccard", "Jaccard of two sorted array<bigint> sets (merge pass)",
         static(TextOps.getClass, "sortedJaccard", DoubleType)),
       fn("graft_bpe_tokens", "word-level BPE encode against a ranked merge table (array<string>)",

@@ -421,6 +421,64 @@ object TextOps {
   def shingleSet(s: UTF8String, k: Int): ArrayData =
     new GenericArrayData(shingleHashes(s.toString, k))
 
+  /** All positional word `n`-grams of `lower(s)`: split on single spaces
+    * (empty tokens kept, exactly like SQL `split(lower(s), ' ')`), each
+    * gram the space-join of `n` consecutive tokens. Byte-identical output
+    * to the `transform(sequence(...), i -> array_join(slice(...)))` HOF
+    * formulation, but one codegen'd static call per row instead of an
+    * interpreted lambda per gram — the hot path of every corpus-grain
+    * n-gram operator (duplicate spans, decontamination, dup-ngram stats).
+    */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toLowerCase.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += toks(i + j).length; j += 1 }
+      val sb = new java.lang.StringBuilder(len)
+      j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing gram keys: for each of `max(numChars - k + 1, 1)` char
+    * `k`-grams of `s` (1-based positions; a doc shorter than `k` chars
+    * contributes its whole text as one gram), the packed sort key
+    * `md5_prefix36(gram) * 2^24 + pos` — bit-identical to the SQL chain
+    * `conv(substring(md5(substring(s, p, k)), 1, 9), 16, 10) * 16777216 + p`
+    * (so the DuckDB oracle replays it), but one codegen'd static call per
+    * document instead of an interpreted lambda plus an md5/conv expression
+    * pair per gram. Character semantics match SQL `substring`/`length`
+    * (code points, via UTF8String). */
+  def winnowGramKeys(s: UTF8String, k: Int): ArrayData = {
+    val nGrams = math.max(s.numChars() - k + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      val digest = md.digest(s.substringSQL(i + 1, k).getBytes)
+      // first 9 hex chars = bytes 0-3 plus the high nibble of byte 4
+      var h = 0L
+      var b = 0
+      while (b < 4) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((digest(4) & 0xf0L) >> 4)
+      out(i) = h * 16777216L + (i + 1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard of two SORTED long arrays (single merge pass). */
   def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()

@@ -112,6 +112,25 @@ package object functions {
       DoubleType,
       Seq(a, b, GraftSql.column(Literal(k))))
 
+  /** Positional word n-grams of `lower(text)` split on single spaces —
+    * native [[TextOps.wordNgrams]], the codegen'd replacement for the
+    * interpreted `transform(sequence…slice…array_join)` HOF chain. Null
+    * text yields null (call sites explode, where null and empty coincide). */
+  def word_ngrams(text: Column, n: Int): Column =
+    invoke(
+      "wordNgrams",
+      ArrayType(StringType, containsNull = false),
+      Seq(text, GraftSql.column(Literal(n))))
+
+  /** Packed winnowing gram sort keys (`md5_prefix36(char k-gram) * 2^24 +
+    * 1-based pos`) — native [[TextOps.winnowGramKeys]]; see
+    * [[graft.operators.TextAnalysis.winnowFingerprints]]. */
+  def winnow_gram_keys(text: Column, k: Int): Column =
+    invoke(
+      "winnowGramKeys",
+      ArrayType(LongType, containsNull = false),
+      Seq(text, GraftSql.column(Literal(k))))
+
   /** Sorted distinct word-k-shingle hash set (compute once, compare many —
     * pair with [[sorted_jaccard]]). */
   def shingle_set(c: Column, k: Int): Column =

@@ -26,13 +26,13 @@ object Decontaminate {
 
   /** Lowercased word `n`-grams of `text` as an array column. Tokenization is
     * a plain single-space split (bit-for-bit reproducible in any engine);
-    * docs shorter than `n` tokens yield an empty array. */
+    * docs shorter than `n` tokens yield an empty array, null text null
+    * (identical once exploded, which every call site does). Delegates to
+    * the native [[graft.functions.TextOps.wordNgrams]] — one codegen'd
+    * static call per row, not an interpreted HOF lambda per gram. */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val t = split(lower(text), " ")
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)), i => array_join(slice(t, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.word_ngrams(text, n)
   }
 
   /** Distinct benchmark n-grams — the small side of the verification join. */

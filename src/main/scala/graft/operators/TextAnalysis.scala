@@ -412,9 +412,8 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         array_join(
-          transform(
-            sort_array(collect_list(when(!col("__boiler"), struct(col("__pos"), col("__line"))))),
-            s => s("__line")),
+          map_values(map_from_entries(
+            sort_array(collect_list(when(!col("__boiler"), struct(col("__pos"), col("__line"))))))),
           "\n").as("text_clean"),
         sum(when(!col("__boiler"), 1L).otherwise(0L)).as("n_lines_kept"),
         sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_lines_removed"))
@@ -458,9 +457,8 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         array_join(
-          transform(
-            sort_array(collect_list(when(col("__keep"), struct(col("__pos"), col("__line"))))),
-            s => s("__line")),
+          map_values(map_from_entries(
+            sort_array(collect_list(when(col("__keep"), struct(col("__pos"), col("__line"))))))),
           "\n").as("text_clean"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
         sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_lines_removed"))
@@ -478,9 +476,11 @@ object TextAnalysis {
     * n_dup_grams), token positions 0-based inclusive.
     *
     * Shape at scale: grams collapse to a 60-bit md5-prefix key BEFORE the
-    * shuffle, so the frequency filter — a partial-agg groupBy plus an
-    * equi-join back, the exact-dedup shuffle pair, never all-pairs —
-    * carries fixed-width longs instead of n-word strings; the island merge
+    * shuffle, so the frequency filter — a whole-partition window count over
+    * the gram key, ONE shuffle of fixed-width longs, never all-pairs and
+    * never a second scan of the corpus (the groupBy-then-join-back
+    * formulation reads and re-hashes every document twice) — carries
+    * fixed-width longs instead of n-word strings; the island merge
     * windows partition by document, so frames are bounded by document
     * length regardless of corpus size. The hash is the engine-portable
     * md5-prefix (DuckDB: `('0x'||substr(md5(g),1,15))::BIGINT`), so even
@@ -494,11 +494,9 @@ object TextAnalysis {
       posexplode(Decontaminate.wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos"),
         conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__gh"))
-    val dup = grams.groupBy("__gh")
-      .agg(count(lit(1)).as("__c"))
+    val hits = grams
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("__gh")))
       .filter(col("__c") >= 2)
-      .select("__gh")
-    val hits = grams.join(dup, "__gh")
       .select(col(idCol), col("__pos").cast("long").as("__pos"))
     val w = Window.partitionBy(idCol).orderBy("__pos")
     val lagPos = lag(col("__pos"), 1).over(w)
@@ -548,9 +546,8 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         array_join(
-          transform(
-            sort_array(collect_list(when(col("__cut").isNull, struct(col("__pos"), col("__w"))))),
-            s => s("__w")),
+          map_values(map_from_entries(
+            sort_array(collect_list(when(col("__cut").isNull, struct(col("__pos"), col("__w"))))))),
           " ").as("text_clean"),
         sum(when(col("__cut").isNull, 1L).otherwise(0L)).as("n_tokens_kept"),
         sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_tokens_removed"))
@@ -562,10 +559,12 @@ object TextAnalysis {
     * (id, pos) order), and only tokens covered by NON-canonical
     * occurrences are cut. Completes the span-grain policy pair the line
     * grain already has ([[removeBoilerplate]] remove-all vs
-    * [[dedupLinesKeepFirst]] keep-one). The canonical pick per gram runs
-    * on the native TopKPerKey k=1 path (bounded one-slot heaps before the
-    * single shuffle on the 60-bit gram key); everything else shares the
-    * remove-all shape. */
+    * [[dedupLinesKeepFirst]] keep-one). The duplicate filter AND the
+    * canonical pick share ONE shuffle on the 60-bit gram key: a
+    * whole-partition count plus a row_number over (id, pos) — one sort,
+    * two window functions, versus the groupBy+join+top-1+anti-join
+    * formulation's four shuffles and double corpus scan; everything
+    * downstream shares the remove-all shape. */
   def removeDuplicateSpansKeepFirst(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -574,18 +573,11 @@ object TextAnalysis {
       posexplode(Decontaminate.wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos").cast("long").as("__pos"),
         conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__gh"))
-    val dup = grams.groupBy("__gh")
-      .agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2)
-      .select("__gh")
-    val hits = grams.join(dup, "__gh")
-    val canonical = Relational
-      .dropDuplicatesOrdered(hits, Seq("__gh"), Seq(col(idCol), col("__pos")))
-      .select(col("__gh").as("__cgh"), col(idCol).as("__cid"), col("__pos").as("__cpos"))
-    val nonFirst = hits.join(canonical,
-        col("__gh") === col("__cgh") && col(idCol) === col("__cid") &&
-          col("__pos") === col("__cpos"),
-        "left_anti")
+    val byGram = Window.partitionBy("__gh")
+    val nonFirst = grams
+      .withColumn("__c", count(lit(1)).over(byGram))
+      .withColumn("__rn", row_number().over(byGram.orderBy(col(idCol), col("__pos"))))
+      .filter(col("__c") >= 2 && col("__rn") > 1)
       .select(col(idCol), col("__pos"))
     val w = Window.partitionBy(idCol).orderBy("__pos")
     val lagPos = lag(col("__pos"), 1).over(w)
@@ -606,9 +598,8 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         array_join(
-          transform(
-            sort_array(collect_list(when(col("__cut").isNull, struct(col("__pos"), col("__w"))))),
-            s => s("__w")),
+          map_values(map_from_entries(
+            sort_array(collect_list(when(col("__cut").isNull, struct(col("__pos"), col("__w"))))))),
           " ").as("text_clean"),
         sum(when(col("__cut").isNull, 1L).otherwise(0L)).as("n_tokens_kept"),
         sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_tokens_removed"))
@@ -653,14 +644,8 @@ object TextAnalysis {
     require(k >= 1 && window >= 1, s"k and window must be >= 1, got $k/$window")
     val grams = df.select(
       col(idCol),
-      posexplode(
-        expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
-          s"p -> substring($textCol, p, $k))")).as(Seq("__i", "__g")))
-      .select(
-        col(idCol),
-        (col("__i") + 1).as("__pos"),
-        (conv(substring(md5(col("__g")), 1, 9), 16, 10).cast("long") * lit(16777216L) +
-          col("__i") + 1).as("__key"))
+      posexplode(winnow_gram_keys(col(textCol), k)).as(Seq("__i", "__key")))
+      .select(col(idCol), (col("__i") + 1).as("__pos"), col("__key"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos")).rowsBetween(0, window - 1)
     grams
