@@ -283,6 +283,202 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Revenue in integer cents: `floor(x*100+0.5)` quantizes BEFORE the sum
+    * so the aggregate is exact long arithmetic — partition-order-independent
+    * and bit-identical cross-engine (Spark double→long cast truncates,
+    * DuckDB rounds; floor(+0.5) sidesteps both). */
+  private def volCents: Column =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5).cast("long")
+
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-filter-agg
+    * query — every predicate pushes to the parquet scan, zero joins, the
+    * shuffle carries one partial sum per partition. */
+  private def qTpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(floor(col("l_extendedprice") * col("l_discount") * 100 + 0.5).cast("long")) / 100.0)
+        .as("revenue"))
+
+  /** TPC-H Q8 shape (national market share): PROMO-part revenue into
+    * AMERICA customers by year, share credited to NATION_3 suppliers. Share
+    * = ratio of two exact cent sums (6-dp round of a division of exact
+    * ingredients — the proven cross-engine float recipe). */
+  private def qTpchQ8(s: SparkSession, d: String): DataFrame = {
+    val amerCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNat = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(amerCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", volCents).otherwise(lit(0L))).cast("double") /
+          sum(volCents).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year) adapted to the
+    * schema: no partsupp table, so supply cost is the documented surrogate
+    * `0.5 * p_retailprice` per unit. Per-row profit quantizes to cents
+    * before the sum (exact long agg). */
+  private def qTpchQ9(s: SparkSession, d: String): DataFrame = {
+    val profitCents = floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.5) * col("p_retailprice") * col("l_quantity")) * 100 + 0.5).cast("long")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("red"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg((sum(profitCents) / 100.0).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock) adapted: lineitem stands in for
+    * partsupp as the part-supplier value ledger. Parts whose NATION_3
+    * value exceeds 0.01% of the nation total — the threshold compare is
+    * exact long arithmetic (`v * 10000 > tot`), no float epsilon. */
+  private def qTpchQ11(s: SparkSession, d: String): DataFrame = {
+    val natSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val byPart = Tables.lineitem(s, d)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("__v"))
+    val total = byPart.agg(sum(col("__v")).as("__tot"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("__v") * 10000 > col("__tot"))
+      .select(col("l_partkey"), (col("__v") / 100.0).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    * zero-order customers survive into the c_count=0 bucket, then the
+    * distribution-of-counts second aggregate. Priority filter stands in
+    * for the reference's o_comment NOT LIKE filter (no comment column). */
+  private def qTpchQ13(s: SparkSession, d: String): DataFrame = {
+    val ords = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, d).select("c_custkey")
+      .join(ords, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 shape (promotion revenue share): one month of lineitem,
+    * PROMO share of revenue as a percentage — conditional vs unconditional
+    * exact cent sums, divided then rounded at 6 dp. */
+  private def qTpchQ14(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", volCents).otherwise(lit(0L))).cast("double") /
+        sum(volCents).cast("double"), 6).as("promo_revenue"))
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    * the max — the scalar-subquery decorrelation: aggregate once, cross
+    * join the 1-row max, filter by EXACT long equality on cent sums (the
+    * reference's revenue view = max(revenue) equality, float-safe). */
+  private def qTpchQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(volCents).as("__r"))
+    val best = rev.agg(max(col("__r")).as("__m"))
+    rev.crossJoin(broadcast(best)).filter(col("__r") === col("__m"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), (col("__r") / 100.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 shape (supplier count by part attribute): distinct
+    * (part, supplier) pairs from lineitem stand in for partsupp; suppliers
+    * with negative account balance stand in for the reference's
+    * "complaints" exclusion (no comment column) via anti-join. */
+  private def qTpchQ16(s: SparkSession, d: String): DataFrame = {
+    val sizes = Seq(3, 9, 14, 19, 23, 36, 45, 49)
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(Tables.supplier(s, d).filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(sizes: _*))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    * classic OR-of-conjunctions join filter — Catalyst keeps the equi-join
+    * key and evaluates the disjunction post-join; brand/size stand in for
+    * brand/container. */
+  private def qTpchQ19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+      .agg((sum(volCents) / 100.0).as("revenue"))
+
+  /** TPC-H Q20 shape (part promotion candidates): suppliers shipping more
+    * than 20% of a red part's 1996 volume. Quantities quantize to exact
+    * longs; the 20% threshold is the exact integer compare `5*q > total`;
+    * the per-part total is a window sum over the already-partitioned
+    * aggregate (no second shuffle on part). */
+  private def qTpchQ20(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").startsWith("red"))
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("__q"))
+    shipped
+      .withColumn("__tot", sum(col("__q")).over(Window.partitionBy("l_partkey")))
+      .filter(col("__q") * 5 > col("__tot"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
   // ------------------------------------------------------------- functions
 
   private def qNormalizeText(s: SparkSession, d: String): DataFrame =
@@ -2890,8 +3086,18 @@ object SparkEntry {
     "q_scd2_from_cdc" -> (qScd2FromCdc _),
     "q_tpch_q2" -> (qTpchQ2 _),
     "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q8" -> (qTpchQ8 _),
+    "q_tpch_q9" -> (qTpchQ9 _),
     "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q11" -> (qTpchQ11 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q15" -> (qTpchQ15 _),
+    "q_tpch_q16" -> (qTpchQ16 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
+    "q_tpch_q20" -> (qTpchQ20 _),
     "q_tpch_q21" -> (qTpchQ21 _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_incremental_agg" -> (qIncrementalAgg _),
@@ -3948,6 +4154,116 @@ object SparkEntry {
            AND sn.n_name <> cn.n_name
          GROUP BY 1, 2, 3
          ORDER BY supp_nation, cust_nation, l_year""",
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                ROUND(CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                                         THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)
+                                         ELSE 0 END) AS BIGINT) AS DOUBLE) /
+                      CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE),
+                      6) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY o_year""",
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount) - 0.5 * p_retailprice * l_quantity) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_tpch_q11" ->
+      """WITH ns AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                     WHERE n_name = 'NATION_3'),
+         bp AS (SELECT l_partkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+                FROM lineitem JOIN ns ON l_suppkey = s_suppkey GROUP BY 1),
+         t AS (SELECT CAST(SUM(v) AS BIGINT) AS tot FROM bp)
+         SELECT l_partkey, v / 100.0 AS part_value
+         FROM bp, t WHERE v * 10000 > tot
+         ORDER BY part_value DESC, l_partkey""",
+    "q_tpch_q13" ->
+      """WITH pc AS (
+           SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+         FROM pc GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q14" ->
+      """SELECT ROUND(100.0 *
+                  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                     THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE),
+                6) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey),
+         m AS (SELECT CAST(MAX(r) AS BIGINT) AS mr FROM rev)
+         SELECT s_suppkey, s_name, r / 100.0 AS total_revenue
+         FROM rev CROSS JOIN m
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE r = mr
+         ORDER BY s_suppkey""",
+    "q_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         ok AS (SELECT l_partkey, l_suppkey FROM ps
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+         SELECT p_brand, p_type, p_size,
+                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM ok JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "q_tpch_q20" ->
+      """WITH shipped AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1, 2),
+         tot AS (SELECT l_partkey, l_suppkey, q,
+                        CAST(SUM(q) OVER (PARTITION BY l_partkey) AS BIGINT) AS t
+                 FROM shipped)
+         SELECT DISTINCT s_suppkey, s_name
+         FROM tot JOIN supplier ON l_suppkey = s_suppkey
+         WHERE q * 5 > t
+         ORDER BY s_suppkey""",
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_nationkey,
                 CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
