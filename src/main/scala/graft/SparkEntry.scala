@@ -1205,6 +1205,24 @@ object SparkEntry {
       .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
       .orderBy("doc_id")
 
+  /** The fixed retrieval workload for the BM25 oracle: three queries over
+    * the corpus vocabulary (one term, "strategy"/"spill", is absent from the
+    * corpus and must contribute nothing). */
+  private val Bm25Queries = Seq(
+    "q1" -> "hash join strategy",
+    "q2" -> "window sort spill",
+    "q3" -> "stream batch table")
+
+  private def qBm25TopK(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text", Bm25Queries, topK = 10)
+      .orderBy("query_id", "rnk")
+
+  private def qGopherQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id") +:
+        TextAnalysis.gopherQualityFlags(col("text"), minWords = 5L).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id") +: TextAnalysis.tokenCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
@@ -3060,6 +3078,8 @@ object SparkEntry {
     "q_psi_drift" -> (qPsiDrift _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
+    "q_gopher_quality" -> (qGopherQuality _),
+    "q_bm25_topk" -> (qBm25TopK _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),
@@ -3702,6 +3722,74 @@ object SparkEntry {
                 ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
                 ROUND(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE) / CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1) AS DOUBLE), 6) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
+    "q_bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+           ('q1','hash'),('q1','join'),('q1','strategy'),
+           ('q2','window'),('q2','sort'),('q2','spill'),
+           ('q3','stream'),('q3','batch'),('q3','table')),
+         tok AS (SELECT doc_id,
+                        CAST(len(regexp_extract_all(lower(text), '[^ ]+')) AS BIGINT) AS dl,
+                        unnest(regexp_extract_all(lower(text), '[^ ]+')) AS term
+                 FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(len(regexp_extract_all(lower(text), '[^ ]+'))) AS BIGINT) AS tot
+                FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+                FROM tok WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         per AS (SELECT q.query_id, tf.doc_id,
+                        CAST(FLOOR(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                             (tf * (1.2 + 1.0)) /
+                             (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))) *
+                             1000000.0 + 0.5) AS BIGINT) AS sc
+                 FROM tf JOIN dfreq USING (term) JOIN q ON q.term = tf.term CROSS JOIN st),
+         agg AS (SELECT query_id, doc_id, CAST(SUM(sc) AS BIGINT) AS s FROM per GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, s,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+                FROM agg)
+         SELECT query_id, doc_id, s / 1000000.0 AS score, CAST(rn AS INTEGER) AS rnk
+         FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
+    "q_gopher_quality" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nonws,
+                  CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS sym,
+                  CAST(len(string_split(text, chr(10))) AS BIGINT) AS nlines,
+                  CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT) AS bul,
+                  CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS BIGINT) AS ell,
+                  CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS alpha,
+                  CAST(CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END AS BIGINT) AS stop_hits
+           FROM documents),
+         m AS (
+           SELECT doc_id, w AS n_words,
+                  ROUND(CAST(nonws AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE), 6) AS mean_word_len,
+                  ROUND(CAST(sym AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE), 6) AS symbol_ratio,
+                  ROUND(CAST(bul AS DOUBLE) / CAST(nlines AS DOUBLE), 6) AS bullet_ratio,
+                  ROUND(CAST(ell AS DOUBLE) / CAST(nlines AS DOUBLE), 6) AS ellipsis_ratio,
+                  ROUND(CAST(alpha AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE), 6) AS alpha_ratio,
+                  stop_hits
+           FROM g)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+                ellipsis_ratio, alpha_ratio, stop_hits,
+                (n_words >= 5 AND n_words <= 100000) AS flag_word_count,
+                (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_word_length,
+                (symbol_ratio <= 0.1) AS flag_symbol_ratio,
+                (bullet_ratio <= 0.9) AS flag_bullet,
+                (ellipsis_ratio <= 0.3) AS flag_ellipsis,
+                (alpha_ratio >= 0.8) AS flag_alpha,
+                (stop_hits >= 2) AS flag_stopwords,
+                (n_words >= 5 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+                 AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+         FROM m ORDER BY doc_id""",
     "q_token_count" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,

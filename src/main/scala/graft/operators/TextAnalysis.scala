@@ -80,6 +80,67 @@ object TextAnalysis {
       "stopword_ratio" -> round(stops.cast("double") / greatest(words, lit(1)).cast("double"), 6))
   }
 
+  /** Gopher document-quality rule gate (Rae et al. 2021, "Scaling Language
+    * Models", table A1): the full composite filter used to drop low-quality
+    * web documents before LLM training, as ONE map-side projection — no
+    * shuffle, no UDF, every signal a codegen'd native regex/arithmetic
+    * expression. Signals and thresholds:
+    *
+    *  - word count in [minWords, maxWords] (whitespace tokens)
+    *  - mean word length in [3, 10] (non-whitespace chars / words)
+    *  - symbol-to-word ratio ("#" or ellipsis) <= 0.1
+    *  - fraction of lines starting with a bullet <= 0.9
+    *  - fraction of lines ending with an ellipsis <= 0.3
+    *  - fraction of words containing an alphabetic character >= 0.8
+    *  - at least 2 of the 8 Gopher stop words present
+    *    (the, be, to, of, and, that, have, with)
+    *
+    * Ratios divide exact long counts and round at 6 dp BEFORE the threshold
+    * compare, so the keep decision reproduces bit-for-bit on any engine.
+    * `keep` is the conjunction of all seven flags. */
+  def gopherQualityFlags(
+      text: Column,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): Seq[(String, Column)] = {
+    val words = size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+    val meanWordLen = round(
+      length(regexp_replace(text, "\\s", "")).cast("long").cast("double") /
+        greatest(words, lit(1L)).cast("double"), 6)
+    val symbolRatio = round(
+      size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0))).cast("long").cast("double") /
+        greatest(words, lit(1L)).cast("double"), 6)
+    val nLines = size(split(text, "\n")).cast("long")
+    val bulletRatio = round(
+      size(regexp_extract_all(text, lit("(?m)^[-*•]"), lit(0))).cast("long").cast("double") /
+        nLines.cast("double"), 6)
+    val ellipsisRatio = round(
+      size(regexp_extract_all(text, lit("(?m)(\\.\\.\\.|…)$"), lit(0))).cast("long").cast("double") /
+        nLines.cast("double"), 6)
+    val alphaRatio = round(
+      size(regexp_extract_all(text, lit("\\S*[A-Za-z]\\S*"), lit(0))).cast("long").cast("double") /
+        greatest(words, lit(1L)).cast("double"), 6)
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(lower(text).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val flags = Seq(
+      "flag_word_count" -> (words >= minWords && words <= maxWords),
+      "flag_word_length" -> (meanWordLen >= 3.0 && meanWordLen <= 10.0),
+      "flag_symbol_ratio" -> (symbolRatio <= 0.1),
+      "flag_bullet" -> (bulletRatio <= 0.9),
+      "flag_ellipsis" -> (ellipsisRatio <= 0.3),
+      "flag_alpha" -> (alphaRatio >= 0.8),
+      "flag_stopwords" -> (stopHits >= 2L))
+    Seq(
+      "n_words" -> words,
+      "mean_word_len" -> meanWordLen,
+      "symbol_ratio" -> symbolRatio,
+      "bullet_ratio" -> bulletRatio,
+      "ellipsis_ratio" -> ellipsisRatio,
+      "alpha_ratio" -> alphaRatio,
+      "stop_hits" -> stopHits) ++ flags ++
+      Seq("keep" -> flags.map(_._2).reduce(_ && _))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish regex tokens (word pieces +
     * standalone punctuation), the usual "how many tokens is this corpus"
     * estimator. */
@@ -243,6 +304,74 @@ object TextAnalysis {
       keyCols = Seq(idCol),
       sort = Seq("tfidf" -> true, "term" -> false),
       k = topPerDoc)
+  }
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones; the Lucene/Elasticsearch
+    * scoring function) as a pure relational pipeline — full-text top-k
+    * search over the corpus without an external index. For each (query,
+    * document) pair, `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`
+    * with the Lucene idf `ln((N - df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Scale shape: the corpus side explodes to tokens but filters to the
+    * QUERY vocabulary before the only corpus shuffle, so the aggregate
+    * carries (doc, term) pairs for matched terms only; document frequency
+    * and corpus stats are vocabulary-bounded broadcasts; the final top-k
+    * runs on the native [[graft.plans.TopKPerKeyPlan]] bounded heaps — no
+    * Window, no full sort, no driver action.
+    *
+    * Determinism: each term's contribution quantizes to micro-units
+    * (`floor(x·1e6 + 0.5)` as long) BEFORE the per-(query,doc) sum, so the
+    * aggregation is exact long arithmetic — partition-order-independent and
+    * engine-portable; ranking ties break by document id. Tokenization is
+    * the portable lowercase space-split used corpus-wide. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(String, String)],
+      topK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
+    }
+    require(qTerms.nonEmpty, "queries must contain at least one term")
+    val qdf = broadcast(qTerms.toDF("query_id", "__qterm"))
+    val termSet = qTerms.map(_._2).distinct
+    val tokens = regexp_extract_all(lower(col(textCol)), lit("[^ ]+"), lit(0))
+    val toks = df.select(
+      col(idCol),
+      size(tokens).cast("long").as("__dl"),
+      explode(tokens).as("__term"))
+    val tf = toks
+      .filter(col("__term").isin(termSet: _*))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val stats = df.agg(
+      count(lit(1)).as("__n"),
+      sum(size(tokens).cast("long")).as("__tot"))
+    val avgdl = col("__tot").cast("double") / col("__n").cast("double")
+    val idf = log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0))
+    val termScore = idf * (col("__tf") * (lit(k1) + lit(1.0))) /
+      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / avgdl))
+    val scored = tf
+      .join(broadcast(dfreq), "__term")
+      .join(qdf, col("__term") === col("__qterm"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("query_id"), col(idCol),
+        floor(termScore * lit(1000000.0) + lit(0.5)).cast("long").as("__sc"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__sc")).as("__s"))
+    Relational
+      .topKPerKey(scored, Seq("query_id"), Seq("__s" -> true, idCol -> false), topK,
+        rankCol = Some("rnk"))
+      .select(
+        col("query_id"), col(idCol),
+        (col("__s") / lit(1000000.0)).as("score"), col("rnk"))
   }
 
   /** Within-document duplicate n-gram fractions — the Gopher repetition

@@ -269,4 +269,54 @@ class TextAnalysisSpec extends SparkSpec {
     // uniform over 4 chars: H = ln 4; single char: H = 0
     assert(out.toSeq == Seq(Row(1L, 4L, r6(math.log(4.0))), Row(2L, 4L, 0.0)))
   }
+
+  test("bm25TopK: hand-computed scores, absent query terms contribute nothing") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", Seq("qa" -> "apple zzz"), topK = 3)
+      .orderBy("rnk").collect()
+    // N=3, avgdl=8/3; apple: df=2, idf=ln((3-2+0.5)/2.5+1)=ln(1.6)
+    val avgdl = 8.0 / 3.0
+    def bm25(tf: Long, dl: Long, df: Long): Long = {
+      val idf = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+      val x = idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      math.floor(x * 1000000.0 + 0.5).toLong
+    }
+    val expect = Seq(
+      (1L, bm25(2, 3, 2)), // doc 1: tf(apple)=2, dl=3
+      (2L, bm25(1, 2, 2))) // doc 2: tf=1, dl=2; doc 3 has no query term
+      .sortBy(-_._2)
+    assert(out.map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSeq == expect)
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
+  }
+
+  test("gopherQualityFlags: each rule trips on its planted document") {
+    val good = "the cat and the dog have that with food to be of note every day"
+    val docs = Seq(
+      (1L, good),                                             // passes all
+      (2L, "the of and"),                                     // too few words (min 5)
+      (3L, "the be to of and a b c d e f g h i j k l m n o"), // mean word len < 3
+      (4L, "the # be # to # of # and # extra # words # here"),// symbol ratio > 0.1
+      (5L, "- the cat\n- be dog\n- to bird\n- of fish\n- and cow"), // all bullets
+      (6L, "the cat...\nbe dog...\nto bird...\nof fish..."),  // ellipsis lines > 0.3
+      (7L, "the 111 222 333 444 555 666 777 888 999 000 be"), // alpha ratio < 0.8
+      (8L, "purple monkey dishwasher banana quantum pickle"))  // < 2 stop words
+      .toDF("doc_id", "text")
+    val out = docs.select(
+      col("doc_id") +:
+        TextAnalysis.gopherQualityFlags(col("text"), minWords = 5L).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(!byId(2L).getAs[Boolean]("flag_word_count") && !byId(2L).getAs[Boolean]("keep"))
+    assert(!byId(3L).getAs[Boolean]("flag_word_length"))
+    assert(!byId(4L).getAs[Boolean]("flag_symbol_ratio"))
+    assert(!byId(5L).getAs[Boolean]("flag_bullet"))
+    assert(!byId(6L).getAs[Boolean]("flag_ellipsis"))
+    assert(!byId(7L).getAs[Boolean]("flag_alpha"))
+    assert(!byId(8L).getAs[Boolean]("flag_stopwords") && !byId(8L).getAs[Boolean]("keep"))
+  }
 }
