@@ -839,6 +839,21 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Retrieval-quality eval: brute-force cosine top-5 scored against
+    * label-match relevance — precision/recall@k, MRR, NDCG@k per query. */
+  private def qRankingMetrics(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+    val results = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val truth = queries.select(col("vec_id").as("__qid"), col("label").as("__qlab"))
+      .join(emb.select(col("vec_id").as("__did"), col("label").as("__dlab")),
+        col("__qlab") === col("__dlab"))
+      .filter(col("__qid") =!= col("__did"))
+      .select(col("__qid").as("query_id"), col("__did").as("vec_id"))
+    Similarity.rankingMetrics(results, truth, "query_id", "vec_id", "rnk", k = 5)
+      .orderBy("query_id")
+  }
+
   /** IVF ANN with a KMeans coarse quantizer — rows-only check (centroids are
     * engine-specific); brute-force agreement asserted in SimilaritySpec. */
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
@@ -3060,6 +3075,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_cosine_topk" -> (qCosineTopK _),
+    "q_ranking_metrics" -> (qRankingMetrics _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3590,6 +3606,47 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
+    "q_ranking_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlab, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         res AS (
+           SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+           FROM scored QUALIFY rn <= 5),
+         truth AS (
+           SELECT q.query_id, e.vec_id FROM q
+           JOIN embeddings e ON e.label = q.qlab AND e.vec_id <> q.query_id),
+         perq AS (
+           SELECT r.query_id,
+                  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                  MIN(CASE WHEN t.vec_id IS NOT NULL THEN r.rn END) AS minr,
+                  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL
+                                THEN CAST(FLOOR(1000000.0 / log2(r.rn + 1.0) + 0.5) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS dcg
+           FROM res r LEFT JOIN truth t ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+           GROUP BY 1),
+         nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM truth GROUP BY 1),
+         ideal AS (
+           SELECT query_id,
+                  CAST(SUM(CAST(FLOOR(1000000.0 / log2(i + 1.0) + 0.5) AS BIGINT)) AS BIGINT) AS idcg
+           FROM (SELECT n.query_id, unnest(generate_series(1, LEAST(5, n.n_rel))) AS i FROM nrel n)
+           GROUP BY 1)
+         SELECT p.query_id,
+                COALESCE(n.n_rel, 0) AS n_rel, p.hits,
+                ROUND(CAST(p.hits AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS precision_at_k,
+                CASE WHEN COALESCE(n.n_rel, 0) > 0
+                     THEN ROUND(CAST(p.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE), 6)
+                     ELSE 0.0 END AS recall_at_k,
+                CASE WHEN p.minr IS NOT NULL THEN ROUND(1.0 / CAST(p.minr AS DOUBLE), 6)
+                     ELSE 0.0 END AS mrr,
+                CASE WHEN COALESCE(i.idcg, 0) > 0
+                     THEN ROUND(CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
+                     ELSE 0.0 END AS ndcg_at_k
+         FROM perq p LEFT JOIN nrel n USING (query_id) LEFT JOIN ideal i USING (query_id)
+         ORDER BY query_id""",
     "q_fix_mojibake" ->
       """SELECT doc_id, text AS text_fixed FROM documents ORDER BY doc_id""",
     "q_image_meta" ->

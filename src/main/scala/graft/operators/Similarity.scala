@@ -276,4 +276,68 @@ object Similarity {
       .select("query_id", "vec_id2", "sim")
     topKPerQuery(scored, k)
   }
+
+  /** Retrieval-quality metrics — the eval harness that closes the ANN loop:
+    * score a ranked result set (e.g. [[ivfTopK]] or [[lshTopK]] output)
+    * against a relevance table and get per-query precision@k, recall@k, MRR
+    * and binary NDCG@k. This is how an index build is monitored at corpus
+    * scale: run the ANN path on a query sample, feed the pairs here with
+    * brute-force (or labeled) truth, alert on the aggregate.
+    *
+    * `results` needs (queryCol, docCol, rankCol in 1..k); `truth` needs
+    * (queryCol, docCol) relevant pairs. Shapes: one equi-join on
+    * (query, doc), partial aggs on the query key, and a relevance-count
+    * explode bounded by k for the ideal DCG — no window, no driver action,
+    * every shuffle on the query key.
+    *
+    * Determinism: DCG terms quantize to micro-units (`floor(1e6/log2(r+1)
+    * + 0.5)` as long) before summation, and NDCG divides the two exact long
+    * sums — partition-order-independent and engine-portable; MRR and the
+    * ratios divide exact longs. Queries with no relevant docs report
+    * recall/ndcg 0. */
+  def rankingMetrics(
+      results: DataFrame,
+      truth: DataFrame,
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    val res = results
+      .filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(docCol).as("__d"), col(rankCol).as("__r"))
+    val rel = truth.select(col(queryCol).as("__tq"), col(docCol).as("__td"), lit(true).as("__rel"))
+    val dcgTerm = floor(lit(1000000.0) / log2(col("__r").cast("double") + lit(1.0)) + lit(0.5))
+      .cast("long")
+    val perQuery = res
+      .join(rel, col("query_id") === col("__tq") && col("__d") === col("__td"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("__rel"), col("__r"))).as("__minr"),
+        sum(when(col("__rel"), dcgTerm).otherwise(0L)).as("__dcg"))
+    val relCnt = rel.groupBy(col("__tq")).agg(count(lit(1)).as("n_rel"))
+    val idcg = relCnt
+      .select(
+        col("__tq"),
+        explode(sequence(lit(1), least(lit(k), col("n_rel")).cast("int"))).as("__i"))
+      .groupBy(col("__tq"))
+      .agg(sum(floor(lit(1000000.0) / log2(col("__i").cast("double") + lit(1.0)) + lit(0.5))
+        .cast("long")).as("__idcg"))
+    perQuery
+      .join(relCnt, col("query_id") === relCnt("__tq"), "left")
+      .join(idcg, col("query_id") === idcg("__tq"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"),
+        round(col("hits").cast("double") / lit(k).cast("double"), 6).as("precision_at_k"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0L,
+          round(col("hits").cast("double") / col("n_rel").cast("double"), 6))
+          .otherwise(lit(0.0)).as("recall_at_k"),
+        when(col("__minr").isNotNull, round(lit(1.0) / col("__minr").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mrr"),
+        when(coalesce(col("__idcg"), lit(0L)) > 0L,
+          round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg_at_k"))
+  }
 }

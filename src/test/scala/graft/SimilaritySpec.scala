@@ -98,6 +98,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 8, s"recall $recall/10 too low: $found")
   }
 
+  test("rankingMetrics: hand-computed precision/recall/MRR/NDCG") {
+    // query qa: ranked docs 1,2,3; relevant {2,4}. hits=1 (doc 2 at rank 2)
+    //   p@3 = 1/3, recall = 1/2, mrr = 1/2
+    //   dcg = 1/log2(3); idcg = 1/log2(2) + 1/log2(3)  (min(k, n_rel)=2 terms)
+    // query qb: ranked docs 5,6; relevant {5,6}: perfect  -> all 1.0
+    val results = Seq(
+      ("qa", 1L, 1), ("qa", 2L, 2), ("qa", 3L, 3),
+      ("qb", 5L, 1), ("qb", 6L, 2)).toDF("q", "d", "r")
+    val truth = Seq(("qa", 2L), ("qa", 4L), ("qb", 5L), ("qb", 6L)).toDF("q", "d")
+    val out = Similarity.rankingMetrics(results, truth, "q", "d", "r", k = 3)
+      .orderBy("query_id").collect()
+    def quant(r: Int) = math.floor(1000000.0 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qa = out(0)
+    assert((qa.getLong(1), qa.getLong(2)) == ((2L, 1L)))
+    assert(qa.getDouble(3) == r6(1.0 / 3.0) && qa.getDouble(4) == 0.5 && qa.getDouble(5) == 0.5)
+    assert(qa.getDouble(6) == r6(quant(2).toDouble / (quant(1) + quant(2)).toDouble))
+    val qb = out(1)
+    assert(qb.getDouble(3) == r6(2.0 / 3.0) && qb.getDouble(4) == 1.0 &&
+      qb.getDouble(5) == 1.0 && qb.getDouble(6) == 1.0)
+  }
+
+  test("rankingMetrics closes the ANN eval loop: brute truth scores IVF at full recall") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 60).map(i => (i.toLong, Array.fill(12)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"vec_id")
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k = 3,
+      nCells = 4, nProbe = 4)
+    val m = Similarity.rankingMetrics(ivf, brute, "query_id", "vec_id", "rnk", k = 3)
+      .orderBy("query_id").collect()
+    // probing every cell makes IVF exact, so the harness must report perfect scores
+    assert(m.forall(r => r.getAs[Double]("recall_at_k") == 1.0 &&
+      r.getAs[Double]("ndcg_at_k") == 1.0), m.mkString(", "))
+  }
+
   test("meanPoolEmbeddings averages per dimension in order") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f, 3.0f)),
