@@ -1352,6 +1352,12 @@ object SparkEntry {
 
   // --------------------------------------------------------------- sketches
 
+  private def qWinsorizeGrouped(s: SparkSession, d: String): DataFrame =
+    Sketches.winsorizeGrouped(Tables.events(s, d), "value", Seq("event_type"), pLo = 0.05, pHi = 0.95)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("winsor_lo"), col("winsor_hi"), col("value_w"))
+      .orderBy("event_id")
+
   private def qPercentile(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -3165,6 +3171,7 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_rolling_agg" -> (qRollingAgg _),
     "q_percentile" -> (qPercentile _),
+    "q_winsorize_grouped" -> (qWinsorizeGrouped _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_interval_islands" -> (qIntervalIslands _),
     "q_equidepth_hist" -> (qEquidepthHist _),
@@ -4584,6 +4591,15 @@ object SparkEntry {
                 ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
                 ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_winsorize_grouped" ->
+      """WITH b AS (
+           SELECT event_type,
+                  ROUND(quantile_cont(value, 0.05), 6) AS winsor_lo,
+                  ROUND(quantile_cont(value, 0.95), 6) AS winsor_hi
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, value, winsor_lo, winsor_hi,
+                LEAST(GREATEST(value, winsor_lo), winsor_hi) AS value_w
+         FROM events e JOIN b USING (event_type) ORDER BY event_id""",
     "q_skew_report" ->
       """WITH h AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
          a AS (SELECT SUM(n) AS n_rows, COUNT(*) AS n_keys, MAX(n) AS max_count,

@@ -51,6 +51,33 @@ object Sketches {
   def exactPercentiles(valueCol: String, probabilities: Seq[Double]): Column =
     percentile(col(valueCol), array(probabilities.map(lit): _*))
 
+  /** Per-GROUP winsorization — the grouped sibling of the corpus-wide
+    * [[winsorize]] (X77), the way grouped ECDF pairs with global ECDF:
+    * each group's rows clip to that group's own [pLo, pHi] percentile
+    * band. Bounds come from one exact-percentile aggregate per group
+    * (rounded at 6 dp so the clip boundary is engine-portable) broadcast
+    * back onto the rows — the fact table never shuffles. For groups too
+    * large for an exact within-group percentile sort, compute bounds with
+    * [[approxQuantiles]] instead and feed them through the same join-back.
+    * Appends `<valueCol>_w` plus the bounds. */
+  def winsorizeGrouped(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        round(percentile(col(valueCol), lit(pLo)), 6).as("winsor_lo"),
+        round(percentile(col(valueCol), lit(pHi)), 6).as("winsor_hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(
+        valueCol + "_w",
+        least(greatest(col(valueCol).cast("double"), col("winsor_lo")), col("winsor_hi")))
+  }
+
   /** Heavy hitters of a string column per group via the native mergeable
     * Misra–Gries aggregate ([[graft.functions.MisraGries]]): at most `k`
     * counters cross the shuffle per partition regardless of cardinality.

@@ -100,6 +100,21 @@ class SketchesSpec extends SparkSpec {
     assert(out.forall { case (v, w) => v < 10.9 || v > 90.1 || v == w })
   }
 
+  test("winsorizeGrouped clamps each group to its OWN band") {
+    // group a: 1..100; group b: 1001..1100 — global bounds would mangle both
+    val df = (Seq.tabulate(100)(i => ("a", i.toLong, (i + 1).toDouble)) ++
+      Seq.tabulate(100)(i => ("b", 100L + i, (i + 1001).toDouble))).toDF("g", "id", "v")
+    val out = Sketches.winsorizeGrouped(df, "v", Seq("g"), pLo = 0.10, pHi = 0.90)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("v"), r.getAs[Double]("v_w")))
+    assert(out.length == 200, "winsorizeGrouped must never drop rows")
+    val (as, bs) = (out.filter(_._1 == "a"), out.filter(_._1 == "b"))
+    assert(as.forall { case (_, _, w) => w >= 10.9 && w <= 90.1 })
+    assert(bs.forall { case (_, _, w) => w >= 1010.9 && w <= 1090.1 })
+    assert(as.count { case (_, v, w) => v != w } == 20)
+    assert(bs.count { case (_, v, w) => v != w } == 20)
+  }
+
   test("quantileCube: estimates obey the KLL rank-error bound vs exact ranks") {
     // 20k rows over 4 groups with a skewed (squared-uniform) distribution
     val df = Seq.tabulate(20000) { i =>
