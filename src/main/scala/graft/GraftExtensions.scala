@@ -84,6 +84,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(VectorOps.getClass, "lshSig", LongType)),
       fn("graft_heavy_hitters", "Misra-Gries heavy hitters of a string column: array<struct<item,count_lo>>",
         args => graft.functions.MisraGries(args(0), intArg("graft_heavy_hitters", args, 1, "k"))),
+      fn("graft_top_rows", "bounded top-k (score,id) leaderboard aggregate: array<struct<score,id>>",
+        args => graft.functions.TopRowsAgg(args(0), args(1), intArg("graft_top_rows", args, 2, "k"))),
       fn("graft_shingle_set", "sorted distinct word k-shingle hash set (array<bigint>)",
         static(TextOps.getClass, "shingleSet", longArray)),
       fn("graft_word_ngrams", "positional word n-grams of lower(text), single-space split (array<string>)",

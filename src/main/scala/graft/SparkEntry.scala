@@ -2652,6 +2652,46 @@ object SparkEntry {
     * reproduce the batch GROUP BY — the stream/batch equivalence gate for
     * the CUSTOM-AGGREGATE path (the other gates cover windowed aggs,
     * custom state, joins and dedup). */
+  /** Per-type top-5 single events by value on the mergeable [[TopRowsAgg]]
+    * leaderboard aggregate — k rows of state per group at any input size. */
+  private def qTopEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(top_rows(col("value"), col("event_id"), 5).as("__top"))
+      .select(col("event_type"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(
+        col("event_type"), (col("__p") + 1).cast("int").as("rnk"),
+        col("__e.score").as("value"), col("__e.id").as("event_id"))
+      .orderBy("event_type", "rnk")
+
+  /** The STREAMING twin: the same leaderboard maintained in the state store
+    * across micro-batches (complete mode). Merge is set-union-then-trim —
+    * order-independent — so stream == batch EXACTLY, against the same SQL
+    * window oracle. */
+  private def qTopEventsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_top_events_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .groupBy(col("event_type"))
+        .agg(top_rows(col("value"), col("event_id"), 5).as("__top"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(col("event_type"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(
+        col("event_type"), (col("__p") + 1).cast("int").as("rnk"),
+        col("__e.score").as("value"), col("__e.id").as("event_id"))
+      .orderBy("event_type", "rnk")
+  }
+
   private def qHeavyHittersStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val raw = s.read.parquet(s"$d/events.parquet")
@@ -3197,6 +3237,8 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_funnel_stream" -> (qFunnelStream _),
     "q_heavy_hitters_stream" -> (qHeavyHittersStream _),
+    "q_top_events" -> (qTopEvents _),
+    "q_top_events_stream" -> (qTopEventsStream _),
     "q_transitions_stream" -> (qTransitionsStream _),
     "q_bpe" -> (qBpe _),
     "q_tpch_q3" -> (qTpchQ3 _),
@@ -4863,6 +4905,18 @@ object SparkEntry {
       """SELECT event_type, CAST(user_id AS VARCHAR) AS item,
                 CAST(COUNT(*) AS BIGINT) AS count_lo
          FROM events GROUP BY 1, 2 ORDER BY event_type, item""",
+    "q_top_events" ->
+      """SELECT event_type, CAST(rn AS INTEGER) AS rnk, value, event_id FROM (
+           SELECT event_type, value, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+           FROM events)
+         WHERE rn <= 5 ORDER BY event_type, rnk""",
+    "q_top_events_stream" ->
+      """SELECT event_type, CAST(rn AS INTEGER) AS rnk, value, event_id FROM (
+           SELECT event_type, value, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+           FROM events)
+         WHERE rn <= 5 ORDER BY event_type, rnk""",
     "q_tpch_q3" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
                 CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue

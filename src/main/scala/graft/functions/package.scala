@@ -228,6 +228,14 @@ package object functions {
     GraftSql.column(
       MisraGries(GraftSql.expression(c), k).toAggregateExpression())
 
+  /** Bounded top-k-rows leaderboard aggregate ([[TopRowsAgg]]): the exact
+    * top-k (score desc, id asc) of the group with O(k) mergeable state —
+    * usable in streaming complete mode, rollups, anywhere an aggregate is
+    * required. */
+  def top_rows(score: Column, id: Column, k: Int): Column =
+    GraftSql.column(
+      TopRowsAgg(GraftSql.expression(score), GraftSql.expression(id), k).toAggregateExpression())
+
   /** Word-level BPE encode against a ranked merge table (entries
     * "left right") — a REAL subword tokenizer, not the regex
     * approximation in [[graft.operators.TextAnalysis.tokenCounts]]. Native

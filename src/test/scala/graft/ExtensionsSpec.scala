@@ -70,6 +70,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
   }
 
+  test("graft_top_rows aggregates via SQL") {
+    import spark.implicits._
+    Seq((1.0, 10L), (5.0, 11L), (3.0, 12L), (5.0, 9L)).toDF("v", "id")
+      .createOrReplaceTempView("tr_in")
+    val out = spark.sql(
+      "SELECT explode(graft_top_rows(v, id, 3)) AS e FROM tr_in")
+      .selectExpr("e.score", "e.id").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out == Seq((5.0, 9L), (5.0, 11L), (3.0, 12L)))
+  }
+
   test("graft_kll sketch/merge/readout via SQL") {
     import spark.implicits._
     Seq.tabulate(1000)(i => (s"g${i % 2}", i.toDouble)).toDF("g", "v")

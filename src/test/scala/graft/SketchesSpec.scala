@@ -115,6 +115,23 @@ class SketchesSpec extends SparkSpec {
     assert(bs.count { case (_, v, w) => v != w } == 20)
   }
 
+  test("top_rows: exact top-k under any partitioning, ties break by id asc") {
+    import graft.functions.top_rows
+    // 1000 rows, scores with deliberate ties (value = i % 50)
+    val rows = Seq.tabulate(1000)(i => ("g" + (i % 3), (i % 50).toDouble, i.toLong))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(t => (t._2, t._3)).sortBy { case (s, id) => (-s, id) }.take(5)
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = df.groupBy($"g").agg(top_rows($"v", $"id", 5).as("t"))
+        .selectExpr("g", "explode(t) AS e").select($"g", $"e.score", $"e.id")
+        .collect().groupBy(_.getString(0))
+        .map { case (g, rs) => g -> rs.map(r => (r.getDouble(1), r.getLong(2))).toSeq }
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("quantileCube: estimates obey the KLL rank-error bound vs exact ranks") {
     // 20k rows over 4 groups with a skewed (squared-uniform) distribution
     val df = Seq.tabulate(20000) { i =>
