@@ -430,4 +430,34 @@ class PlanSpec extends SparkSpec {
       s"pipeline v2 must stay keyed:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregate:\n$p")
   }
+
+  test("Gopher quality gate is one map-side projection: zero exchanges") {
+    val p = plan(graft.sources.Tables.documents(spark, sf).select(
+      org.apache.spark.sql.functions.col("doc_id") +:
+        graft.operators.TextAnalysis.gopherQualityFlags(
+          org.apache.spark.sql.functions.col("text")).map { case (n, c) => c.as(n) }: _*))
+    assert(!p.contains("Exchange"), s"gopher gate must not shuffle:\n$p")
+    assert(!p.contains("lambdafunction"), s"gopher gate must stay codegen-native:\n$p")
+  }
+
+  test("BM25 broadcasts df/stats/queries, top-k on the native operator, no window sort") {
+    val p = plan(SparkEntry.queries("q_bm25_topk")(spark, sf))
+    assert(p.contains("TopKPerKey"), s"expected native top-k:\n$p")
+    assert(!p.contains("Window"), s"BM25 must not use a rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df/query joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("grouped winsorization broadcasts the bounds back — fact side never shuffles") {
+    val p = plan(graft.operators.Sketches.winsorizeGrouped(
+      Tables.events(spark, sf), "value", Seq("event_type")))
+    assert(p.contains("BroadcastHashJoin"), s"bounds join-back must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not sort-merge:\n$p")
+  }
+
+  test("top_rows leaderboard aggregates with a map-side partial (ObjectHashAggregate pair)") {
+    val p = plan(SparkEntry.queries("q_top_events")(spark, sf))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"top_rows must partial-aggregate before the shuffle:\n$p")
+  }
 }
