@@ -1177,6 +1177,46 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Golden-record survivorship per user: most-frequent non-null value per
+    * attribute, ties lexicographic — the entity-consolidation finish. */
+  private def qGoldenRecord(s: SparkSession, d: String): DataFrame =
+    Relational.goldenRecord(Tables.events(s, d), Seq("user_id"), Seq("event_type", "props"))
+      .orderBy("user_id")
+
+  /** The STREAMING PSI drift monitor: the current window arrives as a
+    * stream, bins against the STATIC baseline's broadcast bounds, and its
+    * per-bin counts accumulate in the state store (complete mode); the
+    * PSI terms assemble in batch off the sink. Counts are exact integers,
+    * so stream == batch against the identical oracle. */
+  private def qPsiDriftStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val split = lit("1996-07-01").cast("timestamp")
+    val baseline = Tables.orders(s, d).filter(col("o_orderdate") < split)
+    val bounds = Sketches.psiBounds(baseline, "o_totalprice", nBins = 10)
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+      .filter(col("o_orderdate") >= split)
+    val name = "graft_psi_drift_stream"
+    withStatePartitions(s, 8) {
+      val q = Sketches.psiBinCounts(stream, bounds, "o_totalprice", nBins = 10, as = "n_cur")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.psiAssemble(
+      Sketches.psiBinCounts(baseline, bounds, "o_totalprice", nBins = 10, as = "n_base"),
+      s.table(name))
+      .select(
+        col("bin"), col("n_base"), col("n_cur"),
+        round(col("base_pct"), 6).as("base_pct"),
+        round(col("cur_pct"), 6).as("cur_pct"),
+        round(col("psi_term"), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
   /** Unicode script profile per document: per-script character counts over
     * fixed BMP codepoint ranges + dominant script — the script split that
     * gates a multilingual corpus before within-script language ID. */
@@ -3138,6 +3178,8 @@ object SparkEntry {
     "q_assoc_rules" -> (qAssocRules _),
     "q_tpch_q12" -> (qTpchQ12 _),
     "q_psi_drift" -> (qPsiDrift _),
+    "q_psi_drift_stream" -> (qPsiDriftStream _),
+    "q_golden_record" -> (qGoldenRecord _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_gopher_quality" -> (qGopherQuality _),
@@ -3791,6 +3833,45 @@ object SparkEntry {
                 ROUND(base_pct, 6) AS base_pct, ROUND(cur_pct, 6) AS cur_pct,
                 ROUND((cur_pct - base_pct) * LN(cur_pct / base_pct), 6) AS psi_term
          FROM t ORDER BY bin""",
+    "q_psi_drift_stream" ->
+      """WITH b AS (SELECT MIN(o_totalprice) AS lo,
+                           (MAX(o_totalprice) - MIN(o_totalprice)) / 10 AS w
+                    FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+         base AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                                       ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                         COUNT(*) AS n_base
+                  FROM orders, b WHERE o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),
+         cur AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                                      ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                        COUNT(*) AS n_cur
+                 FROM orders, b WHERE o_orderdate >= TIMESTAMP '1996-07-01' GROUP BY 1),
+         j AS (SELECT COALESCE(base.bin, cur.bin) AS bin,
+                      COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+               FROM base FULL OUTER JOIN cur ON base.bin = cur.bin),
+         t AS (SELECT bin, n_base, n_cur,
+                      GREATEST(CAST(n_base AS DOUBLE) / SUM(n_base) OVER (), 0.0001) AS base_pct,
+                      GREATEST(CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER (), 0.0001) AS cur_pct
+               FROM j)
+         SELECT bin, n_base, n_cur,
+                ROUND(base_pct, 6) AS base_pct, ROUND(cur_pct, 6) AS cur_pct,
+                ROUND((cur_pct - base_pct) * LN(cur_pct / base_pct), 6) AS psi_term
+         FROM t ORDER BY bin""",
+    "q_golden_record" ->
+      """WITH et AS (SELECT user_id, event_type AS v, COUNT(*) AS n FROM events
+                     WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         we AS (SELECT user_id, v,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, v) AS rn FROM et),
+         pr AS (SELECT user_id, props AS v, COUNT(*) AS n FROM events
+                WHERE props IS NOT NULL GROUP BY 1, 2),
+         wp AS (SELECT user_id, v,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, v) AS rn FROM pr),
+         u AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type IS NOT NULL OR props IS NOT NULL)
+         SELECT u.user_id, e.v AS event_type_golden, p.v AS props_golden
+         FROM u
+         LEFT JOIN we e ON e.user_id = u.user_id AND e.rn = 1
+         LEFT JOIN wp p ON p.user_id = u.user_id AND p.rn = 1
+         ORDER BY u.user_id""",
     "q_script_detect" ->
       """WITH c AS (
            SELECT doc_id,

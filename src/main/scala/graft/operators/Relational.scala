@@ -233,6 +233,37 @@ object Relational {
     * FEW) oversized keys, which then broadcast into a left-anti join — the
     * main table never shuffles. The hot-key table is eagerly checkpointed,
     * so the logged count costs nothing extra. */
+  /** Golden-record survivorship — the consolidation step after entity
+    * resolution: collapse each cluster's conflicting attribute values to
+    * one survivor per attribute by most-frequent-non-null, ties broken
+    * lexicographically (deterministic on any engine). One unpivot explode
+    * to (key, attr, value) rows, one partial-agg count, and the winner per
+    * (key, attr) picked on the native [[graft.plans.TopKPerKeyPlan]] k=1
+    * path (bounded one-slot heaps before the single shuffle) — never a
+    * per-cluster collect or a rank window over the whole unpivot. Values
+    * survive as strings (`<attr>_golden`): attribute-generic survivorship
+    * is inherently stringly-typed; cast back at the call site where the
+    * original type matters. */
+  def goldenRecord(df: DataFrame, keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "goldenRecord needs at least one value column")
+    val pairs = valueCols.flatMap(a => Seq(lit(a), col(a).cast("string")))
+    val long = df.select(
+      keyCols.map(col) :+ explode(map(pairs: _*)).as(Seq("__attr", "__val")): _*)
+    val counted = long
+      .filter(col("__val").isNotNull)
+      .groupBy((keyCols :+ "__attr" :+ "__val").map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val winners = topKPerKey(
+      counted, keyCols :+ "__attr", Seq("__n" -> true, "__val" -> false), k = 1)
+    winners
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max(when(col("__attr") === valueCols.head, col("__val")))
+          .as(valueCols.head + "_golden"),
+        valueCols.tail.map(a =>
+          max(when(col("__attr") === a, col("__val"))).as(a + "_golden")): _*)
+  }
+
   def capGroupSize(df: DataFrame, keyCols: Seq[String], maxRows: Long): DataFrame = {
     require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
     val hot = df.groupBy(keyCols.map(col): _*)

@@ -200,30 +200,45 @@ object Sketches {
     * aggregate each, the comparison joins B bin rows. Empty bins clamp to
     * `eps` share (the standard continuity correction). Returns one row per
     * bin with the PSI term; sum `psi_term` for the index. */
-  def psi(
-      baseline: DataFrame,
-      current: DataFrame,
-      valueCol: String,
-      nBins: Int = 10,
-      eps: Double = 1e-4): DataFrame = {
+  /** Equi-width bin bounds of the baseline as a 1-row frame (__lo, __w) —
+    * the broadcastable piece of [[psi]], factored out so a STREAMING
+    * current side can bin against a static baseline. */
+  def psiBounds(baseline: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val v = col(valueCol).cast("double")
-    val bounds = baseline.agg(
-      min(v).as("__lo"),
-      ((max(v) - min(v)) / nBins).as("__w"))
-    def binCounts(df: DataFrame, as: String): DataFrame =
-      df.crossJoin(broadcast(bounds))
-        .withColumn(
-          "bin",
-          least(
-            when(col("__w") === 0.0, lit(0))
-              .otherwise(floor((v - col("__lo")) / col("__w"))),
-            lit(nBins - 1)).cast("long"))
-        // out-of-baseline-range current values clamp into the edge bins
-        .withColumn("bin", greatest(col("bin"), lit(0L)))
-        .groupBy(col("bin")).agg(count(lit(1)).as(as))
-    val joined = binCounts(baseline, "n_base")
-      .join(binCounts(current, "n_cur"), Seq("bin"), "full_outer")
+    baseline.agg(min(v).as("__lo"), ((max(v) - min(v)) / nBins).as("__w"))
+  }
+
+  /** Per-bin counts of `df` under the given baseline bounds; out-of-range
+    * values clamp into the edge bins. Streaming-safe (one aggregate). */
+  def psiBinCounts(
+      df: DataFrame,
+      bounds: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      as: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.crossJoin(broadcast(bounds))
+      .withColumn(
+        "bin",
+        least(
+          when(col("__w") === 0.0, lit(0))
+            .otherwise(floor((v - col("__lo")) / col("__w"))),
+          lit(nBins - 1)).cast("long"))
+      // out-of-baseline-range current values clamp into the edge bins
+      .withColumn("bin", greatest(col("bin"), lit(0L)))
+      .groupBy(col("bin")).agg(count(lit(1)).as(as))
+  }
+
+  /** Join per-bin baseline/current counts into PSI terms — the finishing
+    * step shared by the batch and streaming paths. Expects (bin, n_base)
+    * and (bin, n_cur). */
+  def psiAssemble(
+      baseCounts: DataFrame,
+      curCounts: DataFrame,
+      eps: Double = 1e-4): DataFrame = {
+    val joined = baseCounts
+      .join(curCounts, Seq("bin"), "full_outer")
       .na.fill(0L, Seq("n_base", "n_cur"))
     val totB = sum(col("n_base")).over(org.apache.spark.sql.expressions.Window.partitionBy())
     val totC = sum(col("n_cur")).over(org.apache.spark.sql.expressions.Window.partitionBy())
@@ -233,6 +248,19 @@ object Sketches {
       .withColumn(
         "psi_term",
         (col("cur_pct") - col("base_pct")) * log(col("cur_pct") / col("base_pct")))
+  }
+
+  def psi(
+      baseline: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      nBins: Int = 10,
+      eps: Double = 1e-4): DataFrame = {
+    val bounds = psiBounds(baseline, valueCol, nBins)
+    psiAssemble(
+      psiBinCounts(baseline, bounds, valueCol, nBins, "n_base"),
+      psiBinCounts(current, bounds, valueCol, nBins, "n_cur"),
+      eps)
   }
 
   /** Equi-depth (quantile) histogram: bin edges are the exact (or GK

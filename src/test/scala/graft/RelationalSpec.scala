@@ -221,4 +221,17 @@ class RelationalSpec extends SparkSpec {
       Row(1L, "removed"), Row(2L, "changed"), Row(3L, "unchanged"),
       Row(4L, "unchanged"), Row(5L, "added")))
   }
+
+  test("goldenRecord: most-frequent non-null wins, ties lexicographic, nulls ignored") {
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      // cluster 1: "bob" x2 beats "robert" x1; null phone ignored, "555" wins
+      (1L, "bob", "555"), (1L, "bob", null), (1L, "robert", "555"),
+      // cluster 2: tie alice/anna 1-1 -> lexicographic "alice"; phone all null
+      (2L, "alice", null), (2L, "anna", null))
+      .toDF("cid", "name", "phone")
+    val out = Relational.goldenRecord(df, Seq("cid"), Seq("name", "phone"))
+      .orderBy("cid").collect()
+    assert(out.toSeq == Seq(Row(1L, "bob", "555"), Row(2L, "alice", null)))
+  }
 }
