@@ -1177,6 +1177,24 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Per-node triangle counts over the part co-occurrence graph (parts
+    * sharing an order, H1'96): degree-ordered orientation in Spark, plain
+    * a&lt;b orientation in the oracle — the triangle SET is
+    * orientation-invariant, so both count each triangle exactly once. */
+  private def qTriangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("pa"))
+      .join(li.select(col("k"), col("l_partkey").as("pb")), "k")
+      .filter(col("pa") =!= col("pb"))
+    Graph.triangleCounts(pairs, "pa", "pb").orderBy("node")
+  }
+
   /** Golden-record survivorship per user: most-frequent non-null value per
     * attribute, ties lexicographic — the entity-consolidation finish. */
   private def qGoldenRecord(s: SparkSession, d: String): DataFrame =
@@ -2004,6 +2022,12 @@ object SparkEntry {
     * / 1.25 epochs, replicated/sampled by content hash — the corpus
     * assembly step, hash-matched against the same md5 arithmetic in
     * DuckDB. */
+  /** Temperature (alpha = 0.7) source-balancing weights over the corpus's
+    * own source column — the derived input for q_weighted_mix's map. */
+  private def qTemperatureWeights(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureWeights(Tables.documents(s, d), "source", alpha = 0.7)
+      .orderBy("source")
+
   private def qWeightedMix(s: SparkSession, d: String): DataFrame =
     Sampling.weightedMix(
       Tables.documents(s, d).select(
@@ -3180,6 +3204,7 @@ object SparkEntry {
     "q_psi_drift" -> (qPsiDrift _),
     "q_psi_drift_stream" -> (qPsiDriftStream _),
     "q_golden_record" -> (qGoldenRecord _),
+    "q_triangles" -> (qTriangles _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_gopher_quality" -> (qGopherQuality _),
@@ -3247,6 +3272,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_tfidf" -> (qTfIdf _),
     "q_weighted_mix" -> (qWeightedMix _),
+    "q_temperature_weights" -> (qTemperatureWeights _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_join_stream" -> (qIntervalJoinStream _),
     "q_asof_join" -> (qAsofJoin _),
@@ -3856,6 +3882,37 @@ object SparkEntry {
                 ROUND(base_pct, 6) AS base_pct, ROUND(cur_pct, 6) AS cur_pct,
                 ROUND((cur_pct - base_pct) * LN(cur_pct / base_pct), 6) AS psi_term
          FROM t ORDER BY bin""",
+    "q_temperature_weights" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS N FROM c),
+         p AS (SELECT source, n_rows,
+                      CAST(n_rows AS DOUBLE) / CAST(N AS DOUBLE) AS pp,
+                      CAST(FLOOR(POWER(CAST(n_rows AS DOUBLE) / CAST(N AS DOUBLE), 0.7)
+                                 * 1000000000000.0 + 0.5) AS BIGINT) AS paq
+               FROM c, t),
+         z AS (SELECT CAST(SUM(paq) AS BIGINT) AS Z FROM p)
+         SELECT source, n_rows, ROUND(pp, 6) AS p,
+                ROUND(CAST(paq AS DOUBLE) / CAST(Z AS DOUBLE), 6) AS q,
+                ROUND(CAST(paq AS DOUBLE) / CAST(Z AS DOUBLE) / pp, 6) AS weight
+         FROM p, z ORDER BY source""",
+    "q_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
+                     JOIN orders ON l_orderkey = o_orderkey
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1996-07-01'),
+         e AS (SELECT DISTINCT LEAST(a.p, b.p) AS x, GREATEST(a.p, b.p) AS y
+               FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+         deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+                 FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+         tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                 FROM e e1 JOIN e e2 ON e1.y = e2.x
+                 JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+         tn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS nt
+                FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri) GROUP BY 1)
+         SELECT deg.n AS node, deg.d AS degree, COALESCE(tn.nt, 0) AS n_triangles
+         FROM deg LEFT JOIN tn ON deg.n = tn.n
+         ORDER BY node""",
     "q_golden_record" ->
       """WITH et AS (SELECT user_id, event_type AS v, COUNT(*) AS n FROM events
                      WHERE event_type IS NOT NULL GROUP BY 1, 2),

@@ -156,6 +156,36 @@ object Sampling {
       .drop("__g")
   }
 
+  /** Temperature-based mixture weights (the multilingual/source-balancing
+    * rule of Devlin et al. 2019 / Conneau & Lample 2019: sample source s
+    * with probability ∝ p_s^alpha) — the principled way to derive the
+    * `weights` map for [[weightedMix]] instead of hand-tuning: alpha = 1
+    * keeps natural proportions, alpha → 0 approaches uniform over sources,
+    * in between up-samples tail sources without drowning the head. One
+    * partial-agg count per source plus two 1-row broadcasts; p_s^alpha
+    * quantizes to exact 1e-12ths BEFORE the cross-source normalization
+    * sum, so `q` and `weight` (= q/p, the epoch factor to feed
+    * [[weightedMix]]) reproduce bit-for-bit on any engine/partitioning. */
+  def temperatureWeights(df: DataFrame, sourceCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__N"))
+    val withP = counts
+      .crossJoin(broadcast(tot))
+      .withColumn("__p", col("n_rows").cast("double") / col("__N").cast("double"))
+      .withColumn("__paq", floor(pow(col("__p"), lit(alpha)) * lit(1e12) + lit(0.5)).cast("long"))
+    val z = withP.agg(sum(col("__paq")).as("__Z"))
+    withP
+      .crossJoin(broadcast(z))
+      .select(
+        col(sourceCol),
+        col("n_rows"),
+        round(col("__p"), 6).as("p"),
+        round(col("__paq").cast("double") / col("__Z").cast("double"), 6).as("q"),
+        round(col("__paq").cast("double") / col("__Z").cast("double") / col("__p"), 6)
+          .as("weight"))
+  }
+
   /** Stratified deterministic sample: at most `perKey` rows per stratum,
     * chosen by md5 order of `idCol` (a stable pseudo-random order any engine
     * reproduces). Runs on the native [[graft.plans.TopKPerKeyPlan]] operator,

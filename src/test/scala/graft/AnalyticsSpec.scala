@@ -342,4 +342,20 @@ class AnalyticsSpec extends SparkSpec {
     assert((2L to 6L).forall(l => rs(1L) > rs(l)))
     assert(math.abs(rs.values.sum - 6.0) < 0.2, s"rank mass drifted: ${rs.values.sum}")
   }
+
+  test("triangleCounts: K4 + pendant path, robust to dupes/reversals/self-loops") {
+    import graft.operators.Graph
+    // K4 on 1..4 (4 triangles, each node in 3) + path 4-5-6 (none);
+    // inputs deliberately messy: both directions, duplicates, a self-loop
+    val edges = (Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)) ++ Seq((2L, 1L), (3L, 1L), (1L, 2L), (5L, 5L)))
+      .toDF("u", "v")
+    val out = Graph.triangleCounts(edges, "u", "v")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L),
+      (4L, 4L, 3L), (5L, 2L, 0L), (6L, 1L, 0L)))
+  }
 }

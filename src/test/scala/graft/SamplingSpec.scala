@@ -101,4 +101,19 @@ class SamplingSpec extends SparkSpec {
       .head.getSeq[Long](1).sorted
     assert(ep == Seq(1L, 2L))
   }
+
+  test("temperatureWeights: alpha=1 is identity, alpha<1 lifts the tail, q sums to 1") {
+    // 90/10 split across two sources
+    val df = (Seq.fill(90)("web") ++ Seq.fill(10)("books")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val id1 = Sampling.temperatureWeights(df, "src", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(id1("web") == 1.0 && id1("books") == 1.0, id1.toString)
+    val t = Sampling.temperatureWeights(df, "src", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // alpha=0.5: q_books ∝ sqrt(0.1)=0.3162, q_web ∝ sqrt(0.9)=0.9487
+    assert(t("books")._2 > 1.0 && t("web")._2 < 1.0, t.toString)
+    assert(math.abs(t("books")._1 + t("web")._1 - 1.0) < 1e-5)
+    assert(math.abs(t("books")._1 - 0.3162 / (0.3162 + 0.9487)) < 1e-3)
+  }
 }
