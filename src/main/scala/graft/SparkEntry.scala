@@ -1445,6 +1445,16 @@ object SparkEntry {
 
   /** Time-weighted average event value per user (TWAP): tied timestamps
     * pinned by event_id, duration-weighted through exact decimal sums. */
+  /** Two-sided CUSUM mean-shift monitor per event type over the event
+    * history, deviations quantized to exact micro-units. */
+  private def qCusum(s: SparkSession, d: String): DataFrame =
+    Temporal.cusum(
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+      orderCols = Seq("event_id"), valueCol = "value",
+      target = 50.0, slack = 5.0, threshold = 200.0,
+      keyCols = Seq("event_type"))
+      .orderBy("event_type", "event_id")
+
   private def qTwap(s: SparkSession, d: String): DataFrame =
     Temporal.timeWeightedAvg(
       Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"), col("value")),
@@ -3287,6 +3297,7 @@ object SparkEntry {
     "q_overlap_estimate" -> (qOverlapEstimate _),
     "q_prorate" -> (qProrate _),
     "q_twap" -> (qTwap _),
+    "q_cusum" -> (qCusum _),
     "q_impute" -> (qImpute _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_event_window" -> (qEventWindow _),
@@ -3882,6 +3893,30 @@ object SparkEntry {
                 ROUND(base_pct, 6) AS base_pct, ROUND(cur_pct, 6) AS cur_pct,
                 ROUND((cur_pct - base_pct) * LN(cur_pct / base_pct), 6) AS psi_term
          FROM t ORDER BY bin""",
+    "q_cusum" ->
+      """WITH d AS (
+           SELECT event_id, event_type, value,
+                  CAST(FLOOR((value - 50.0 - 5.0) * 1000000.0 + 0.5) AS BIGINT) AS dq,
+                  CAST(FLOOR((value - 50.0 + 5.0) * 1000000.0 + 0.5) AS BIGINT) AS eq
+           FROM events),
+         c AS (
+           SELECT event_id, event_type, value,
+                  SUM(dq) OVER (PARTITION BY event_type ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS cc,
+                  SUM(eq) OVER (PARTITION BY event_type ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS dd
+           FROM d),
+         s AS (
+           SELECT event_id, event_type, value,
+                  cc - LEAST(0, MIN(cc) OVER (PARTITION BY event_type ORDER BY event_id
+                                              ROWS UNBOUNDED PRECEDING)) AS cp,
+                  GREATEST(0, MAX(dd) OVER (PARTITION BY event_type ORDER BY event_id
+                                            ROWS UNBOUNDED PRECEDING)) - dd AS cn
+           FROM c)
+         SELECT event_id, event_type, value,
+                cp / 1000000.0 AS cusum_pos, cn / 1000000.0 AS cusum_neg,
+                cp > 200000000 AS alarm_pos, cn > 200000000 AS alarm_neg
+         FROM s ORDER BY event_type, event_id""",
     "q_temperature_weights" ->
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY 1),
          t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS N FROM c),

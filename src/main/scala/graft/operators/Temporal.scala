@@ -348,4 +348,45 @@ object Temporal {
       .rangeBetween(-lookback, 0)
     aggs.foldLeft(df) { case (acc, (c, name)) => acc.withColumn(name, c.over(w)) }
   }
+
+  /** Two-sided CUSUM change-point detection (Page 1954) — the sequential
+    * mean-shift monitor: `S+_t = max(0, S+_{t-1} + (x_t − target − slack))`
+    * flags upward drifts, the mirrored `S-` downward ones, an alarm fires
+    * when either exceeds `threshold`. The recursion is re-expressed in its
+    * prefix form `S+_t = C_t − min(0, min_{j≤t} C_j)` (C = running sum of
+    * deviations), so the whole operator is TWO running-sum/extreme windows
+    * per side — no recursion, no driver loop, one sort per key like every
+    * per-entity history op here. Deviations quantize to exact 1e-6ths
+    * (longs) before the cumulative sums, making every S value and alarm
+    * decision exact integer arithmetic — partition- and engine-portable.
+    * `orderCols` must be a unique order within each key. Appends
+    * cusum_pos/cusum_neg (micro-unit grid doubles) and alarm_pos/alarm_neg. */
+  def cusum(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      target: Double,
+      slack: Double,
+      threshold: Double,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dq = floor((col(valueCol) - lit(target) - lit(slack)) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    val eq = floor((col(valueCol) - lit(target) + lit(slack)) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    val hq = math.floor(threshold * 1000000.0 + 0.5).toLong
+    df.withColumn("__c", sum(dq).over(w))
+      .withColumn("__d", sum(eq).over(w))
+      .withColumn("__cp", col("__c") - least(lit(0L), min(col("__c")).over(w)))
+      .withColumn("__cn", greatest(lit(0L), max(col("__d")).over(w)) - col("__d"))
+      .withColumn("cusum_pos", col("__cp") / lit(1000000.0))
+      .withColumn("cusum_neg", col("__cn") / lit(1000000.0))
+      .withColumn("alarm_pos", col("__cp") > hq)
+      .withColumn("alarm_neg", col("__cn") > hq)
+      .drop("__c", "__d", "__cp", "__cn")
+  }
 }

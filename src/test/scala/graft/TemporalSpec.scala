@@ -178,4 +178,20 @@ class TemporalSpec extends SparkSpec {
       (2L, "x", 2L, Some(5L), false), // interval closed by the tombstone
       (3L, "z", 4L, None, true)))
   }
+
+  test("cusum: prefix form equals the textbook recursion, alarm on a planted shift") {
+    // flat at 10 for 10 steps, then shifted to 14 for 10 steps
+    val xs = Seq.fill(10)(10.0) ++ Seq.fill(10)(14.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }.toDF("g", "t", "v")
+    val out = Temporal.cusum(df, Seq("t"), "v",
+      target = 10.0, slack = 1.0, threshold = 20.0, keyCols = Seq("g"))
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Double]("cusum_pos"), r.getAs[Boolean]("alarm_pos")))
+    // textbook recursion S+_t = max(0, S+_{t-1} + (x - 11))
+    var s = 0.0
+    val expect = xs.map { x => s = math.max(0.0, s + (x - 11.0)); s }
+    assert(out.map(_._1).toSeq == expect, out.mkString(", "))
+    // 3 per shifted step: alarm crosses 20 at the 7th shifted point (21.0)
+    assert(out.count(_._2) == 4 && out.indexWhere(_._2) == 16)
+  }
 }
