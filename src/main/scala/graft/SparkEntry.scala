@@ -1445,6 +1445,34 @@ object SparkEntry {
 
   /** Time-weighted average event value per user (TWAP): tied timestamps
     * pinned by event_id, duration-weighted through exact decimal sums. */
+  /** Fanout guard for the lineitem self-join on part: top-20 keys by the
+    * rows the join WOULD emit — the pre-flight explosion audit. */
+  private def qJoinFanout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    Quality.joinFanout(li, li, Seq("l_partkey" -> "l_partkey"))
+      .orderBy(col("out_rows").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  /** FD audit over orders: o_orderkey -> o_orderstatus must hold (unique
+    * key), o_custkey -> o_orderstatus must not. */
+  private def qFdCheck(s: SparkSession, d: String): DataFrame =
+    Quality.functionalDependencies(
+      Tables.orders(s, d),
+      Seq("o_orderkey" -> "o_orderstatus", "o_custkey" -> "o_orderstatus"))
+      .orderBy("determinant")
+
+  /** Two-sample KS drift test between the first and second half of the
+    * order history — exact integer supremum over the merged ECDFs. */
+  private def qKsTest(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val split = lit("1996-07-01").cast("timestamp")
+    Sketches.ksTest(
+      ord.filter(col("o_orderdate") < split),
+      ord.filter(col("o_orderdate") >= split),
+      "o_totalprice")
+  }
+
   /** Two-sided CUSUM mean-shift monitor per event type over the event
     * history, deviations quantized to exact micro-units. */
   private def qCusum(s: SparkSession, d: String): DataFrame =
@@ -3298,6 +3326,9 @@ object SparkEntry {
     "q_prorate" -> (qProrate _),
     "q_twap" -> (qTwap _),
     "q_cusum" -> (qCusum _),
+    "q_ks_test" -> (qKsTest _),
+    "q_join_fanout" -> (qJoinFanout _),
+    "q_fd_check" -> (qFdCheck _),
     "q_impute" -> (qImpute _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_event_window" -> (qEventWindow _),
@@ -3893,6 +3924,57 @@ object SparkEntry {
                 ROUND(base_pct, 6) AS base_pct, ROUND(cur_pct, 6) AS cur_pct,
                 ROUND((cur_pct - base_pct) * LN(cur_pct / base_pct), 6) AS psi_term
          FROM t ORDER BY bin""",
+    "q_join_fanout" ->
+      """WITH lc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_left FROM lineitem GROUP BY 1),
+         rc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_right FROM lineitem GROUP BY 1)
+         SELECT lc.l_partkey, n_left, n_right,
+                CAST(n_left * n_right AS BIGINT) AS out_rows
+         FROM lc JOIN rc ON lc.l_partkey = rc.l_partkey
+         ORDER BY out_rows DESC, lc.l_partkey LIMIT 20""",
+    "q_fd_check" ->
+      """WITH a AS (SELECT o_orderkey AS k, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nv
+                    FROM orders GROUP BY 1),
+         b AS (SELECT o_custkey AS k, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nv
+               FROM orders GROUP BY 1)
+         SELECT * FROM (
+           SELECT 'o_orderkey' AS determinant, 'o_orderstatus' AS dependent,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_keys,
+                  CAST(MAX(nv) AS BIGINT) AS max_values,
+                  (SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0) AS holds
+           FROM a
+           UNION ALL
+           SELECT 'o_custkey', 'o_orderstatus',
+                  CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(MAX(nv) AS BIGINT),
+                  (SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0)
+           FROM b)
+         ORDER BY determinant""",
+    "q_ks_test" ->
+      """WITH ha AS (SELECT ROUND(o_totalprice, 6) AS s, CAST(COUNT(*) AS BIGINT) AS ca
+                     FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),
+         hb AS (SELECT ROUND(o_totalprice, 6) AS s, CAST(COUNT(*) AS BIGINT) AS cb
+                FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01' GROUP BY 1),
+         m AS (SELECT COALESCE(ha.s, hb.s) AS s, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+               FROM ha FULL OUTER JOIN hb ON ha.s = hb.s),
+         c AS (SELECT s,
+                      SUM(ca) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS ia,
+                      SUM(cb) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS ib,
+                      SUM(ca) OVER () AS n, SUM(cb) OVER () AS mm
+               FROM m),
+         g AS (SELECT CAST(n AS BIGINT) AS n_a, CAST(mm AS BIGINT) AS n_b,
+                      CAST(MAX(ABS(ia * mm - ib * n)) AS BIGINT) AS gap
+               FROM c GROUP BY n, mm)
+         SELECT n_a, n_b,
+                ROUND(CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS ks_d,
+                ROUND(1.358 * SQRT(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6) AS crit_95,
+                ROUND(1.628 * SQRT(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6) AS crit_99,
+                (ROUND(CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) >
+                 ROUND(1.358 * SQRT(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6)) AS reject_95,
+                (ROUND(CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) >
+                 ROUND(1.628 * SQRT(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6)) AS reject_99
+         FROM g""",
     "q_cusum" ->
       """WITH d AS (
            SELECT event_id, event_type, value,

@@ -191,4 +191,53 @@ object Quality {
       .withColumn("expected_pct", log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
       .withColumn("deviation", col("observed_pct") - col("expected_pct"))
   }
+
+  /** Join-fanout explosion guard — answers "will this equi-join blow up?"
+    * BEFORE running it: per-key row counts on both sides joined on the key,
+    * `out_rows = n_left · n_right` being exactly what the join would emit
+    * for that key. Sum it for the total output estimate; sort it for the
+    * offending keys. Costs two partial-agg histograms + one join on
+    * DISTINCT keys — always cheap relative to the join it audits, which is
+    * the point: run the guard at 100 TB where the real join might not
+    * finish. Returns matched keys only (left key names), with n_left,
+    * n_right, out_rows. */
+  def joinFanout(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "joinFanout needs at least one key pair")
+    val lc = left
+      .groupBy(keys.map(k => col(k._1)): _*)
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right
+      .groupBy(keys.map(k => col(k._2).as("__r_" + k._2)): _*)
+      .agg(count(lit(1)).as("n_right"))
+    lc.join(rc, keys.map { case (a, b) => col(a) === col("__r_" + b) }.reduce(_ && _))
+      .select(
+        keys.map(k => col(k._1)) :+ col("n_left") :+ col("n_right") :+
+          (col("n_left") * col("n_right")).as("out_rows"): _*)
+  }
+
+  /** Functional-dependency audit — does `determinant → dependent` hold?
+    * The key-discovery / consistency check of a profiling suite (the
+    * column-pair analogue of X36's FK orphan audit): for each candidate
+    * pair, one partial aggregate counts distinct dependent values per
+    * determinant key (via the expand-free distinct-pair pre-aggregate),
+    * then one aggregate rolls up how many keys violate. A held FD reports
+    * 0 violating keys and max_values = 1. */
+  def functionalDependencies(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDependencies needs at least one pair")
+    pairs.map { case (det, dep) =>
+      df.select(col(det).as("__k"), col(dep).as("__v")).distinct()
+        .groupBy(col("__k")).agg(count(lit(1)).as("__nv"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("__nv") > 1L, 1L).otherwise(0L)).as("violating_keys"),
+          max(col("__nv")).as("max_values"))
+        .select(
+          lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), col("violating_keys"), col("max_values"),
+          (col("violating_keys") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -359,6 +359,51 @@ object Sketches {
       .drop("__s")
   }
 
+  /** Two-sample Kolmogorov–Smirnov test — the nonparametric drift check
+    * next to [[psi]] (binned), chi-square (categorical) and Welch
+    * (means): D = sup |F_a − F_b| over the two empirical CDFs, sensitive
+    * to ANY distributional change. Runs on the dp-quantized value
+    * HISTOGRAM (the [[ecdfNormalize]] trick: window size capped by the
+    * grid, not the corpus), and the supremum is computed in EXACT integer
+    * arithmetic — the gap at each step is |i_a·m − i_b·n| (cumulative
+    * counts cross-multiplied), maxed as a long and divided by n·m only at
+    * the end — so D is bit-identical on any engine/partitioning. n·m must
+    * fit a long (fine to ~3·10^9 rows a side); the 95%/99% thresholds use
+    * the asymptotic c(α)·√((n+m)/nm) form, compared after 6 dp rounding.
+    * Returns one row: (n_a, n_b, ks_d, crit_95, crit_99, reject_95,
+    * reject_99). */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String, dp: Int = 6): DataFrame = {
+    val q = round(col(valueCol).cast("double"), dp)
+    val ha = a.select(q.as("__s")).groupBy(col("__s")).agg(count(lit(1)).as("__ca"))
+    val hb = b.select(q.as("__s")).groupBy(col("__s")).agg(count(lit(1)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = ha.join(hb, Seq("__s"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+      .withColumn("__ia", sum(col("__ca")).over(w))
+      .withColumn("__ib", sum(col("__cb")).over(w))
+      .withColumn("__n", sum(col("__ca")).over(tot))
+      .withColumn("__m", sum(col("__cb")).over(tot))
+      .withColumn("__gap", abs(col("__ia") * col("__m") - col("__ib") * col("__n")))
+    val d = col("__g").cast("double") / (col("__n") * col("__m")).cast("double")
+    val crit = (alpha: Double) =>
+      round(lit(alpha) * sqrt((col("__n") + col("__m")).cast("double") /
+        (col("__n") * col("__m")).cast("double")), 6)
+    cum
+      .groupBy(col("__n"), col("__m"))
+      .agg(max(col("__gap")).as("__g"))
+      .select(
+        col("__n").as("n_a"),
+        col("__m").as("n_b"),
+        round(d, 6).as("ks_d"),
+        crit(1.358).as("crit_95"),
+        crit(1.628).as("crit_99"),
+        (round(d, 6) > crit(1.358)).as("reject_95"),
+        (round(d, 6) > crit(1.628)).as("reject_99"))
+  }
+
   /** Welch's two-sample t-test (unequal variances) between groups `a` and
     * `b` of `groupCol` — the A/B experiment readout. One partial aggregate
     * computes each group's (n, Σx, Σx²) with the same fixed-point trick as

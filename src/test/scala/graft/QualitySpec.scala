@@ -71,4 +71,30 @@ class QualitySpec extends SparkSpec {
     assert(rep.map(_.getString(0)).toSeq ==
       Seq("complete", "row_count_between", "unique", "fk_contained"))
   }
+
+  test("joinFanout predicts the exact join output size per key") {
+    import org.apache.spark.sql.Row
+    val l = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "a")
+    val r = Seq((1L, "p"), (1L, "q"), (1L, "r"), (3L, "s")).toDF("k2", "b")
+    val out = Quality.joinFanout(l, r, Seq("k" -> "k2")).orderBy("k").collect()
+    assert(out.toSeq == Seq(Row(1L, 2L, 3L, 6L))) // key 2/3 unmatched -> absent
+    // the prediction matches the real join
+    assert(l.join(r, l("k") === r("k2")).count() ==
+      out.map(_.getLong(3)).sum)
+  }
+
+  test("functionalDependencies: held and violated FDs report correctly") {
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      (1L, "A", "u"), (1L, "A", "u"), (2L, "B", "u"), (2L, "C", "v"))
+      .toDF("id", "grade", "site")
+    val out = Quality.functionalDependencies(df, Seq("id" -> "grade", "site" -> "grade"))
+      .orderBy("determinant").collect()
+    // id 2 maps to B and C -> violated; site u maps to {A,B}, v -> {C}
+    assert(out.toSeq == Seq(
+      Row("id", "grade", 2L, 1L, 2L, false),
+      Row("site", "grade", 2L, 1L, 2L, false)))
+    val held = Quality.functionalDependencies(df, Seq("id" -> "id")).head
+    assert(held.getAs[Boolean]("holds") && held.getAs[Long]("violating_keys") == 0L)
+  }
 }

@@ -132,6 +132,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("ksTest: hand-computed D, identity gives zero, disjoint gives one") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = Sketches.ksTest(a, b, "v").head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("ks_d") == 0.333333, r.toString) // max gap 1/3
+    val same = Sketches.ksTest(a, a, "v").head
+    assert(same.getAs[Double]("ks_d") == 0.0 && !same.getAs[Boolean]("reject_95"))
+    val far = Sketches.ksTest(
+      Seq.tabulate(50)(i => i.toDouble).toDF("v"),
+      Seq.tabulate(50)(i => 1000.0 + i).toDF("v"), "v").head
+    assert(far.getAs[Double]("ks_d") == 1.0 && far.getAs[Boolean]("reject_99"))
+  }
+
   test("quantileCube: estimates obey the KLL rank-error bound vs exact ranks") {
     // 20k rows over 4 groups with a skewed (squared-uniform) distribution
     val df = Seq.tabulate(20000) { i =>
