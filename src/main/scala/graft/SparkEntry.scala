@@ -1445,6 +1445,38 @@ object SparkEntry {
 
   /** Time-weighted average event value per user (TWAP): tied timestamps
     * pinned by event_id, duration-weighted through exact decimal sums. */
+  /** Pareto frontier of lineitem under (max quantity, min price): the
+    * multi-criteria shortlist. */
+  private def qSkyline(s: SparkSession, d: String): DataFrame =
+    Relational.skyline2d(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice")),
+      maxCol = "l_quantity", minCol = "l_extendedprice")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_quantity").desc, col("l_extendedprice"), col("l_orderkey"), col("l_partkey"))
+
+  /** Monthly revenue with MoM and YoY deltas — the period-over-period
+    * report shape: exact cent sums, lag windows over the (tiny) month
+    * table, percentage as a 6-dp round of a division of exact longs. */
+  private def qPeriodOverPeriod(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("period"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("__c"))
+    val w = Window.orderBy("period")
+    monthly
+      .withColumn("__prev", lag(col("__c"), 1).over(w))
+      .withColumn("__yoy", lag(col("__c"), 12).over(w))
+      .select(
+        col("period"),
+        (col("__c") / 100.0).as("revenue"),
+        round((col("__c") - col("__prev")).cast("double") / col("__prev").cast("double") * 100.0, 6)
+          .as("mom_pct"),
+        round((col("__c") - col("__yoy")).cast("double") / col("__yoy").cast("double") * 100.0, 6)
+          .as("yoy_pct"))
+      .orderBy("period")
+  }
+
   /** Fanout guard for the lineitem self-join on part: top-20 keys by the
     * rows the join WOULD emit — the pre-flight explosion audit. */
   private def qJoinFanout(s: SparkSession, d: String): DataFrame = {
@@ -3328,6 +3360,8 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_ks_test" -> (qKsTest _),
     "q_join_fanout" -> (qJoinFanout _),
+    "q_period_over_period" -> (qPeriodOverPeriod _),
+    "q_skyline" -> (qSkyline _),
     "q_fd_check" -> (qFdCheck _),
     "q_impute" -> (qImpute _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -3924,6 +3958,30 @@ object SparkEntry {
                 ROUND(base_pct, 6) AS base_pct, ROUND(cur_pct, 6) AS cur_pct,
                 ROUND((cur_pct - base_pct) * LN(cur_pct / base_pct), 6) AS psi_term
          FROM t ORDER BY bin""",
+    "q_skyline" ->
+      """WITH px AS (SELECT l_quantity AS x, MIN(l_extendedprice) AS miny
+                     FROM lineitem GROUP BY 1),
+         pre AS (SELECT x, miny,
+                        MIN(miny) OVER (ORDER BY x DESC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS st
+                 FROM px)
+         SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+         FROM lineitem l JOIN pre ON l.l_quantity = pre.x
+         WHERE l.l_extendedprice = pre.miny AND (st IS NULL OR l.l_extendedprice < st)
+         ORDER BY l_quantity DESC, l_extendedprice, l_orderkey, l_partkey""",
+    "q_period_over_period" ->
+      """WITH m AS (
+           SELECT strftime(o_orderdate, '%Y%m') AS period,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         l AS (SELECT period, c,
+                      LAG(c, 1) OVER (ORDER BY period) AS prev,
+                      LAG(c, 12) OVER (ORDER BY period) AS yoy
+               FROM m)
+         SELECT period, c / 100.0 AS revenue,
+                ROUND(CAST(c - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100.0, 6) AS mom_pct,
+                ROUND(CAST(c - yoy AS DOUBLE) / CAST(yoy AS DOUBLE) * 100.0, 6) AS yoy_pct
+         FROM l ORDER BY period""",
     "q_join_fanout" ->
       """WITH lc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_left FROM lineitem GROUP BY 1),
          rc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_right FROM lineitem GROUP BY 1)

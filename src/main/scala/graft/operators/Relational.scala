@@ -233,6 +233,29 @@ object Relational {
     * FEW) oversized keys, which then broadcast into a left-anti join — the
     * main table never shuffles. The hot-key table is eagerly checkpointed,
     * so the logged count costs nothing extra. */
+  /** 2-D skyline (Pareto frontier): rows not strictly dominated under
+    * (maximize `maxCol`, minimize `minCol`) — the multi-criteria shortlist
+    * query ("best price for the quantity", Börzsönyi et al. 2001). The
+    * quadratic NOT-EXISTS definition collapses to two aggregates in 2-D:
+    * per-x minima (one partial agg), then an EXCLUSIVE running min over x
+    * descending — a row survives iff it achieves its x's minimum y and
+    * beats every strictly-larger x's best y. Identical duplicate points
+    * both survive (no strict dominance). The ordered window runs over the
+    * DISTINCT-x table, not the input; for continuous x at corpus scale,
+    * quantize x upstream (the [[graft.operators.Sketches.ecdfNormalize]]
+    * histogram argument). */
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = df.groupBy(col(maxCol)).agg(min(col(minCol)).as("__miny"))
+    val w = Window.orderBy(col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = perX.withColumn("__strict", min(col("__miny")).over(w))
+    df.join(pre, Seq(maxCol))
+      .filter(col(minCol) === col("__miny") &&
+        (col("__strict").isNull || col(minCol) < col("__strict")))
+      .drop("__miny", "__strict")
+  }
+
   /** Golden-record survivorship — the consolidation step after entity
     * resolution: collapse each cluster's conflicting attribute values to
     * one survivor per attribute by most-frequent-non-null, ties broken

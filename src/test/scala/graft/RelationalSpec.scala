@@ -222,6 +222,26 @@ class RelationalSpec extends SparkSpec {
       Row(4L, "unchanged"), Row(5L, "added")))
   }
 
+  test("skyline2d: strict dominance, same-x ties, duplicate points both survive") {
+    val df = Seq(
+      (1L, 5.0, 10.0), (2L, 5.0, 8.0),  // same x: only min-y survives
+      (3L, 3.0, 5.0), (4L, 3.0, 5.0),   // duplicates: both survive
+      (5L, 4.0, 9.0),                   // dominated by (5, 8)
+      (6L, 2.0, 20.0),                  // dominated
+      (7L, 1.0, 1.0))                   // frontier tail
+      .toDF("id", "x", "y")
+    val out = Relational.skyline2d(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 3L, 4L, 7L))
+    // brute-force cross-check: no survivor is strictly dominated
+    val pts = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, px, py) =>
+        px >= x && py <= y && (px > x || py < y) }
+    }.map(_._1).sorted.toSeq
+    assert(out == brute)
+  }
+
   test("goldenRecord: most-frequent non-null wins, ties lexicographic, nulls ignored") {
     import org.apache.spark.sql.Row
     val df = Seq(
