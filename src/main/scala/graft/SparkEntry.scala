@@ -839,6 +839,15 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** K-means assignment against 4 formula-derived fixed centroids
+    * (`c[i][j] = ((i+1)·(j+1) mod 7 − 3) / 10`) — pure projection. */
+  private def qAssignClusters(s: SparkSession, d: String): DataFrame = {
+    val centroids = Seq.tabulate(4, 64)((i, j) => (((i + 1) * (j + 1)) % 7 - 3) / 10.0)
+    Similarity.assignClusters(Tables.embeddings(s, d), "embedding", centroids)
+      .select(col("vec_id"), col("cluster"), col("dist_sq"))
+      .orderBy("vec_id")
+  }
+
   /** Retrieval-quality eval: brute-force cosine top-5 scored against
     * label-match relevance — precision/recall@k, MRR, NDCG@k per query. */
   private def qRankingMetrics(s: SparkSession, d: String): DataFrame = {
@@ -3256,6 +3265,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ranking_metrics" -> (qRankingMetrics _),
+    "q_assign_clusters" -> (qAssignClusters _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3799,6 +3809,23 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
+    "q_assign_clusters" ->
+      """WITH c AS (
+           SELECT i AS cid,
+                  list_transform(generate_series(1, 64),
+                                 j -> CAST((i + 1) * j % 7 - 3 AS DOUBLE) / 10.0) AS cv
+           FROM generate_series(0, 3) t(i)),
+         d AS (
+           SELECT e.vec_id, c.cid,
+                  ROUND(list_sum(list_transform(generate_series(1, 64),
+                        j -> (CAST(e.embedding[j] AS DOUBLE) - c.cv[j]) *
+                             (CAST(e.embedding[j] AS DOUBLE) - c.cv[j]))), 6) AS dist
+           FROM embeddings e CROSS JOIN c),
+         r AS (SELECT vec_id, cid, dist,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d)
+         SELECT vec_id, CAST(cid AS INT) AS cluster, dist AS dist_sq
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
     "q_ranking_metrics" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS qlab, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id < 8),

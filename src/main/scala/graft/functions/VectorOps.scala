@@ -40,6 +40,21 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Squared L2 distance between an `array<float>` vector and an
+    * `array<double>` centroid — one pass, left-to-right double
+    * accumulation (deterministic). */
+  def l2DistSqFD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Same, for DoubleType arrays. */
   def cosineSimD(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

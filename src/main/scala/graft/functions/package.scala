@@ -209,6 +209,11 @@ package object functions {
   def cosine_sim_double(a: Column, b: Column): Column =
     invokeVec("cosineSimD", DoubleType, Seq(a, b))
 
+  /** Native one-pass squared L2 distance between an `array<float>` vector
+    * and an `array<double>` centroid — the k-means assignment primitive. */
+  def l2_dist_sq(vec: Column, centroid: Column): Column =
+    invokeVec("l2DistSqFD", DoubleType, Seq(vec, centroid))
+
   /** L2-normalize a numeric array column to a unit `array<double>` vector
     * (null-length/zero vectors pass through as all-zero). Per-row
     * left-to-right accumulation — deterministic and engine-reproducible;

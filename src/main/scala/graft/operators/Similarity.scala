@@ -277,6 +277,37 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** K-means cluster ASSIGNMENT against FIXED centroids — the serving half
+    * of clustering, split from the fit the way [[ivfTopK]] uses its
+    * quantizer: with centroids pinned (from a prior fit, another system, or
+    * config), assignment is a pure map-side projection — one native
+    * squared-distance expression per centroid ([[graft.functions.l2_dist_sq]],
+    * codegen'd single pass), argmin with lowest-index tie-break, zero
+    * shuffle at any corpus size. Distances round at `roundTo` dp before the
+    * argmin so the assignment reproduces bit-for-bit cross-engine.
+    * Appends (cluster, dist_sq). */
+  def assignClusters(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      roundTo: Int = 6): DataFrame = {
+    require(centroids.nonEmpty, "assignClusters needs at least one centroid")
+    val k = centroids.size
+    val dcols = centroids.zipWithIndex.map { case (c, i) =>
+      round(l2_dist_sq(col(vecCol), typedlit(c)), roundTo).as(s"__d$i")
+    }
+    val withD = df.select(df.columns.map(col) ++ dcols: _*)
+    val idx = (0 until k - 1).foldRight(lit(k - 1)) { (i, acc) =>
+      when((i + 1 until k).map(j => col(s"__d$i") <= col(s"__d$j")).reduce(_ && _), lit(i))
+        .otherwise(acc)
+    }
+    withD
+      .withColumn("cluster", idx)
+      .withColumn("dist_sq",
+        (0 until k).map(i => col(s"__d$i")).reduce((a, b) => least(a, b)))
+      .drop((0 until k).map(i => s"__d$i"): _*)
+  }
+
   /** Retrieval-quality metrics — the eval harness that closes the ANN loop:
     * score a ranked result set (e.g. [[ivfTopK]] or [[lshTopK]] output)
     * against a relevance table and get per-query precision@k, recall@k, MRR

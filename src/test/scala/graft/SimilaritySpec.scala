@@ -98,6 +98,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 8, s"recall $recall/10 too low: $found")
   }
 
+  test("assignClusters: nearest centroid wins, equidistant ties take the lowest index") {
+    val centroids = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),   // near centroid 0, d²=1
+      (2L, Array(9.0f, 0.0f)),   // near centroid 1, d²=1
+      (3L, Array(5.0f, 0.0f)))   // equidistant (25/25) -> cluster 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.assignClusters(df, "embedding", centroids)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"), r.getAs[Double]("dist_sq")))
+    assert(out.toSeq == Seq((1L, 0, 1.0), (2L, 1, 1.0), (3L, 0, 25.0)))
+  }
+
   test("rankingMetrics: hand-computed precision/recall/MRR/NDCG") {
     // query qa: ranked docs 1,2,3; relevant {2,4}. hits=1 (doc 2 at rank 2)
     //   p@3 = 1/3, recall = 1/2, mrr = 1/2
