@@ -175,4 +175,23 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(viaSets == direct, s"mismatch on '$a' / '$b'")
     }
   }
+
+  test("l2DistSqFD: non-negative, identity zero, equals naive fold — 500 random pairs") {
+    val r = new Random(31)
+    (1 to 500).foreach { _ =>
+      val n = 1 + r.nextInt(64)
+      val a = Array.fill(n)(r.nextFloat() * 4 - 2)
+      val b = Array.fill(n)(r.nextDouble() * 4 - 2)
+      val d = VectorOps.l2DistSqFD(
+        new GenericArrayData(a.map(java.lang.Float.valueOf)),
+        new GenericArrayData(b.map(java.lang.Double.valueOf)))
+      var naive = 0.0
+      (0 until n).foreach { i => val t = a(i).toDouble - b(i); naive += t * t }
+      assert(d == naive && d >= 0.0)
+      val self = VectorOps.l2DistSqFD(
+        new GenericArrayData(a.map(java.lang.Float.valueOf)),
+        new GenericArrayData(a.map(x => java.lang.Double.valueOf(x.toDouble))))
+      assert(self == 0.0)
+    }
+  }
 }

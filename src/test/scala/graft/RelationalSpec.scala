@@ -242,6 +242,18 @@ class RelationalSpec extends SparkSpec {
     assert(out == brute)
   }
 
+  test("skyline2d matches brute force on 300 random points with clumped coordinates") {
+    val rnd = new scala.util.Random(19)
+    // small coordinate pool forces x-ties and exact duplicates
+    val pts = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(20).toDouble, rnd.nextInt(20).toDouble))
+    val out = Relational.skyline2d(pts.toDF("id", "x", "y"), "x", "y")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, px, py) => px >= x && py <= y && (px > x || py < y) }
+    }.map(_._1).sorted.toSeq
+    assert(out == brute)
+  }
+
   test("goldenRecord: most-frequent non-null wins, ties lexicographic, nulls ignored") {
     import org.apache.spark.sql.Row
     val df = Seq(

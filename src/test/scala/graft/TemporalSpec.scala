@@ -194,4 +194,24 @@ class TemporalSpec extends SparkSpec {
     // 3 per shifted step: alarm crosses 20 at the 7th shifted point (21.0)
     assert(out.count(_._2) == 4 && out.indexWhere(_._2) == 16)
   }
+
+  test("cusum matches the recursion on 500 random points, both sides, multiple keys") {
+    val rnd = new scala.util.Random(23)
+    val rows = for (g <- Seq("a", "b"); t <- 0 until 250)
+      yield (g, t.toLong, (rnd.nextInt(4000) - 2000) / 100.0) // exact cents in [-20, 20)
+    val out = Temporal.cusum(rows.toDF("g", "t", "v"), Seq("t"), "v",
+      target = 0.0, slack = 0.5, threshold = 30.0, keyCols = Seq("g"))
+      .orderBy("g", "t").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("cusum_pos"), r.getAs[Double]("cusum_neg")))
+    for (g <- Seq("a", "b")) {
+      var (sp, sn) = (0.0, 0.0)
+      val got = out.filter(_._1 == g)
+      rows.filter(_._1 == g).sortBy(_._2).zipWithIndex.foreach { case ((_, _, x), i) =>
+        sp = math.max(0.0, sp + (x - 0.5))
+        sn = math.max(0.0, sn - (x + 0.5))
+        assert(math.abs(got(i)._2 - sp) < 1e-9 && math.abs(got(i)._3 - sn) < 1e-9,
+          s"$g at $i: got ${got(i)}, want ($sp, $sn)")
+      }
+    }
+  }
 }
