@@ -1503,6 +1503,16 @@ object SparkEntry {
       Seq("o_orderkey" -> "o_orderstatus", "o_custkey" -> "o_orderstatus"))
       .orderBy("determinant")
 
+  /** Mann–Whitney U between event values of two event types — the
+    * rank-based A/B check, exact integer midrank arithmetic. */
+  private def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Sketches.mannWhitneyU(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      "value")
+  }
+
   /** Two-sample KS drift test between the first and second half of the
     * order history — exact integer supremum over the merged ECDFs. */
   private def qKsTest(s: SparkSession, d: String): DataFrame = {
@@ -3369,6 +3379,7 @@ object SparkEntry {
     "q_twap" -> (qTwap _),
     "q_cusum" -> (qCusum _),
     "q_ks_test" -> (qKsTest _),
+    "q_mann_whitney" -> (qMannWhitney _),
     "q_join_fanout" -> (qJoinFanout _),
     "q_period_over_period" -> (qPeriodOverPeriod _),
     "q_skyline" -> (qSkyline _),
@@ -4036,6 +4047,35 @@ object SparkEntry {
                   (SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0)
            FROM b)
          ORDER BY determinant""",
+    "q_mann_whitney" ->
+      """WITH ha AS (SELECT ROUND(value, 6) AS s, CAST(COUNT(*) AS BIGINT) AS ca
+                     FROM events WHERE event_type = 'click' GROUP BY 1),
+         hb AS (SELECT ROUND(value, 6) AS s, CAST(COUNT(*) AS BIGINT) AS cb
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         m AS (SELECT COALESCE(ha.s, hb.s) AS s, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+               FROM ha FULL OUTER JOIN hb ON ha.s = hb.s),
+         c AS (SELECT s, ca, cb, ca + cb AS cc,
+                      COALESCE(SUM(ca + cb) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+               FROM m),
+         r AS (SELECT ca, cb, cc, 2 * prev + cc + 1 AS r2, cc * cc * cc - cc AS tie FROM c),
+         g AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                      CAST(SUM(ca * r2) AS BIGINT) AS ra2, CAST(SUM(tie) AS BIGINT) AS ties
+               FROM r),
+         f AS (SELECT na, nb,
+                      CAST(ra2 - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+                      ROUND((CAST(ra2 - na * (na + 1) AS DOUBLE) -
+                             CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) /
+                            (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+                              ((CAST(na + nb AS DOUBLE) + 1.0) -
+                               CAST(ties AS DOUBLE) /
+                               (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))))),
+                            6) AS z
+               FROM g)
+         SELECT na AS n_a, nb AS n_b, u_a, z,
+                (ABS(z) > 1.959964) AS reject_95,
+                (ABS(z) > 2.575829) AS reject_99
+         FROM f""",
     "q_ks_test" ->
       """WITH ha AS (SELECT ROUND(o_totalprice, 6) AS s, CAST(COUNT(*) AS BIGINT) AS ca
                      FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),

@@ -404,6 +404,55 @@ object Sketches {
         (round(d, 6) > crit(1.628)).as("reject_99"))
   }
 
+  /** Mann–Whitney U test (Wilcoxon rank-sum) — the rank-based two-sample
+    * location test next to [[welchTTest]] (means) and [[ksTest]] (whole
+    * distribution): robust to outliers and non-normality, the standard
+    * nonparametric A/B significance check. Computed on the merged value
+    * HISTOGRAM with EXACT integer arithmetic throughout: with midranks,
+    * 2·rank_v = 2·prevcum_v + c_v + 1 is an integer, so 2·R_a sums as a
+    * long and U = R_a − n_a(n_a+1)/2 is exact (held as 2U); the normal
+    * approximation applies the standard tie correction
+    * σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))) with the tie sum an
+    * exact long, rounding z at 6 dp only at the end. Returns one row:
+    * (n_a, n_b, u_a, z, reject_95, reject_99). */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String, dp: Int = 6): DataFrame = {
+    val q = round(col(valueCol).cast("double"), dp)
+    val ha = a.select(q.as("__s")).groupBy(col("__s")).agg(count(lit(1)).as("__ca"))
+    val hb = b.select(q.as("__s")).groupBy(col("__s")).agg(count(lit(1)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val merged = ha.join(hb, Seq("__s"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+      .withColumn("__prev", coalesce(sum(col("__c")).over(w), lit(0L)))
+      // 2·midrank for every row of this value; ties contribute t³−t
+      .withColumn("__r2", lit(2L) * col("__prev") + col("__c") + lit(1L))
+      .withColumn("__tie", col("__c") * col("__c") * col("__c") - col("__c"))
+    val agg = merged.agg(
+      sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"),
+      sum(col("__ca") * col("__r2")).as("__ra2"),
+      sum(col("__tie")).as("__ties"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val n = (col("__na") + col("__nb")).cast("double")
+    // 2U = 2R_a − n_a(n_a+1)
+    val u2 = col("__ra2") - col("__na") * (col("__na") + lit(1L))
+    val sigmaSq = na * nb / lit(12.0) *
+      ((n + lit(1.0)) - col("__ties").cast("double") / (n * (n - lit(1.0))))
+    // z from exact 2U: (2U − n_a·n_b) / (2σ)
+    val z = round(
+      (u2.cast("double") - na * nb) / (lit(2.0) * sqrt(sigmaSq)), 6)
+    agg.select(
+      col("__na").as("n_a"),
+      col("__nb").as("n_b"),
+      (col("__ra2") - col("__na") * (col("__na") + lit(1L))).cast("double")./(lit(2.0)).as("u_a"),
+      z.as("z"),
+      (abs(z) > lit(1.959964)).as("reject_95"),
+      (abs(z) > lit(2.575829)).as("reject_99"))
+  }
+
   /** Welch's two-sample t-test (unequal variances) between groups `a` and
     * `b` of `groupCol` — the A/B experiment readout. One partial aggregate
     * computes each group's (n, Σx, Σx²) with the same fixed-point trick as

@@ -146,6 +146,20 @@ class SketchesSpec extends SparkSpec {
     assert(far.getAs[Double]("ks_d") == 1.0 && far.getAs[Boolean]("reject_99"))
   }
 
+  test("mannWhitneyU: hand-computed U with and without ties, z borderline case") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(4.0, 5.0, 6.0).toDF("v")
+    val r = Sketches.mannWhitneyU(a, b, "v").head
+    // complete separation: U_a = 0; z = -9 / (2·sqrt(5.25)) = -1.963961
+    assert(r.getAs[Double]("u_a") == 0.0)
+    assert(r.getAs[Double]("z") == -1.963961, r.toString)
+    assert(r.getAs[Boolean]("reject_95") && !r.getAs[Boolean]("reject_99"))
+    // ties: a={1,1}, b={1,2} -> midranks 2,2,2 then 4; R_a=4, U_a=1
+    val t = Sketches.mannWhitneyU(
+      Seq(1.0, 1.0).toDF("v"), Seq(1.0, 2.0).toDF("v"), "v").head
+    assert(t.getAs[Double]("u_a") == 1.0, t.toString)
+  }
+
   test("quantileCube: estimates obey the KLL rank-error bound vs exact ranks") {
     // 20k rows over 4 groups with a skewed (squared-uniform) distribution
     val df = Seq.tabulate(20000) { i =>
