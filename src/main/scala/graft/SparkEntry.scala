@@ -1210,6 +1210,29 @@ object SparkEntry {
     Relational.goldenRecord(Tables.events(s, d), Seq("user_id"), Seq("event_type", "props"))
       .orderBy("user_id")
 
+  /** The STREAMING survivorship twin: the unpivot+count half of
+    * goldenRecord runs as a complete-mode aggregate (counts in the state
+    * store), the winner-pick/reassembly finishes in batch off the sink;
+    * exact counts make stream == batch against the same oracle. */
+  private def qGoldenRecordStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_golden_record_stream"
+    withStatePartitions(s, 8) {
+      val q = Relational
+        .goldenUnpivotCounts(stream, Seq("user_id"), Seq("event_type", "props"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Relational.goldenFinish(s.table(name), Seq("user_id"), Seq("event_type", "props"))
+      .orderBy("user_id")
+  }
+
   /** The STREAMING PSI drift monitor: the current window arrives as a
     * stream, bins against the STATIC baseline's broadcast bounds, and its
     * per-bin counts accumulate in the state store (complete mode); the
@@ -3294,6 +3317,7 @@ object SparkEntry {
     "q_psi_drift" -> (qPsiDrift _),
     "q_psi_drift_stream" -> (qPsiDriftStream _),
     "q_golden_record" -> (qGoldenRecord _),
+    "q_golden_record_stream" -> (qGoldenRecordStream _),
     "q_triangles" -> (qTriangles _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -4156,6 +4180,22 @@ object SparkEntry {
          FROM deg LEFT JOIN tn ON deg.n = tn.n
          ORDER BY node""",
     "q_golden_record" ->
+      """WITH et AS (SELECT user_id, event_type AS v, COUNT(*) AS n FROM events
+                     WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         we AS (SELECT user_id, v,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, v) AS rn FROM et),
+         pr AS (SELECT user_id, props AS v, COUNT(*) AS n FROM events
+                WHERE props IS NOT NULL GROUP BY 1, 2),
+         wp AS (SELECT user_id, v,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, v) AS rn FROM pr),
+         u AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type IS NOT NULL OR props IS NOT NULL)
+         SELECT u.user_id, e.v AS event_type_golden, p.v AS props_golden
+         FROM u
+         LEFT JOIN we e ON e.user_id = u.user_id AND e.rn = 1
+         LEFT JOIN wp p ON p.user_id = u.user_id AND p.rn = 1
+         ORDER BY u.user_id""",
+    "q_golden_record_stream" ->
       """WITH et AS (SELECT user_id, event_type AS v, COUNT(*) AS n FROM events
                      WHERE event_type IS NOT NULL GROUP BY 1, 2),
          we AS (SELECT user_id, v,

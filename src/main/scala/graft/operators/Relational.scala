@@ -269,13 +269,31 @@ object Relational {
     * original type matters. */
   def goldenRecord(df: DataFrame, keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "goldenRecord needs at least one value column")
+    val counted = goldenUnpivotCounts(df, keyCols, valueCols)
+    goldenFinish(counted, keyCols, valueCols)
+  }
+
+  /** The unpivot + count half of [[goldenRecord]], factored out because it
+    * is a plain streaming-safe aggregate: run it in complete mode to keep
+    * survivorship counts in the state store, then [[goldenFinish]] the sink. */
+  def goldenUnpivotCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
     val pairs = valueCols.flatMap(a => Seq(lit(a), col(a).cast("string")))
-    val long = df.select(
-      keyCols.map(col) :+ explode(map(pairs: _*)).as(Seq("__attr", "__val")): _*)
-    val counted = long
+    df.select(keyCols.map(col) :+ explode(map(pairs: _*)).as(Seq("__attr", "__val")): _*)
       .filter(col("__val").isNotNull)
       .groupBy((keyCols :+ "__attr" :+ "__val").map(col): _*)
       .agg(count(lit(1)).as("__n"))
+  }
+
+  /** The winner-pick + reassembly half of [[goldenRecord]]: top-1 per
+    * (key, attr) on the native TopKPerKey path, then conditional-agg back
+    * to one row per key. */
+  def goldenFinish(
+      counted: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
     val winners = topKPerKey(
       counted, keyCols :+ "__attr", Seq("__n" -> true, "__val" -> false), k = 1)
     winners
