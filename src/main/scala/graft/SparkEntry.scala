@@ -1738,6 +1738,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Third LLM-pipeline composition in ONE Catalyst plan — the r7 curation
+    * chain: Gopher quality gate (T38) → cross-corpus keep-first line dedup
+    * (T30) over the gated survivors → per-source temperature weights (T41)
+    * computed on the SAME gated corpus, broadcast back. Quality → dedup →
+    * mixture, whole chain replayed by the SQL oracle. */
+  private def qLlmPipeline3(s: SparkSession, d: String): DataFrame = {
+    // corpus-appropriate stop list (the canonical 8 would reject the whole
+    // synthetic keyword corpus — the gate must SPLIT, not erase)
+    val flags = TextAnalysis.gopherQualityFlags(
+      col("text"), minWords = 5L, stopWords = Seq("the", "a", "spark")).toMap
+    val gated = Tables.documents(s, d).filter(flags("keep"))
+    val lined = gated.select(
+      col("doc_id"),
+      regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1\n").as("text"))
+    val deduped = TextAnalysis.dedupLinesKeepFirst(lined, "doc_id", "text")
+    val weights = Sampling.temperatureWeights(gated, "source", alpha = 0.7)
+      .select(col("source"), col("weight"))
+    deduped
+      .join(gated.select(col("doc_id"), col("source")), "doc_id")
+      .join(broadcast(weights), "source")
+      .select(
+        col("doc_id"), col("source"),
+        col("n_lines_kept"), col("n_lines_removed"), col("weight"))
+      .orderBy("doc_id")
+  }
+
   /** Bucketed co-located join, oracle-checked: write customer and orders
     * bucketed on the join key (external tables in a per-run temp dir), join
     * them with auto-broadcast disabled — the plan is a ZERO-Exchange
@@ -3318,6 +3344,7 @@ object SparkEntry {
     "q_psi_drift_stream" -> (qPsiDriftStream _),
     "q_golden_record" -> (qGoldenRecord _),
     "q_golden_record_stream" -> (qGoldenRecordStream _),
+    "q_llm_pipeline3" -> (qLlmPipeline3 _),
     "q_triangles" -> (qTriangles _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -5706,6 +5733,64 @@ object SparkEntry {
          SELECT event_id, event_type, value_q,
                 ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value_q), 6) AS percentile
          FROM q ORDER BY event_id""",
+    "q_llm_pipeline3" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nonws,
+                  CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS sym,
+                  CAST(len(string_split(text, chr(10))) AS BIGINT) AS nlines,
+                  CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT) AS bul,
+                  CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS BIGINT) AS ell,
+                  CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS alpha,
+                  CAST(CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(text), '\ba\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END AS BIGINT) AS sh
+           FROM documents),
+         gk AS (
+           SELECT doc_id FROM g
+           WHERE w >= 5 AND w <= 100000
+             AND ROUND(CAST(nonws AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE), 6) >= 3.0
+             AND ROUND(CAST(nonws AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE), 6) <= 10.0
+             AND ROUND(CAST(sym AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE), 6) <= 0.1
+             AND ROUND(CAST(bul AS DOUBLE) / CAST(nlines AS DOUBLE), 6) <= 0.9
+             AND ROUND(CAST(ell AS DOUBLE) / CAST(nlines AS DOUBLE), 6) <= 0.3
+             AND ROUND(CAST(alpha AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE), 6) >= 0.8
+             AND sh >= 2),
+         kept AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN gk USING (doc_id)),
+         c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM kept GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS N FROM c),
+         p AS (SELECT source,
+                      CAST(n_rows AS DOUBLE) / CAST(N AS DOUBLE) AS pp,
+                      CAST(FLOOR(POWER(CAST(n_rows AS DOUBLE) / CAST(N AS DOUBLE), 0.7)
+                                 * 1000000000000.0 + 0.5) AS BIGINT) AS paq
+               FROM c, t),
+         z AS (SELECT CAST(SUM(paq) AS BIGINT) AS Z FROM p),
+         wt AS (SELECT source,
+                       ROUND(CAST(paq AS DOUBLE) / CAST(Z AS DOUBLE) / pp, 6) AS weight
+                FROM p, z),
+         dd AS (SELECT doc_id,
+                       regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
+                FROM kept),
+         l AS (SELECT doc_id,
+                      unnest(string_split(t, chr(10))) AS line,
+                      unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+               FROM dd),
+         w AS (SELECT line, doc_id, pos
+               FROM (SELECT line, doc_id, pos,
+                            ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+                     FROM l WHERE line <> '')
+               WHERE rn = 1),
+         fl AS (SELECT l.doc_id, l.pos, l.line, w.line IS NOT NULL AS keep
+                FROM l LEFT JOIN w
+                  ON l.line = w.line AND l.doc_id = w.doc_id AND l.pos = w.pos),
+         agg AS (SELECT doc_id,
+                        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+                        CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+                 FROM fl GROUP BY doc_id)
+         SELECT a.doc_id, k.source, a.n_lines_kept, a.n_lines_removed, wt.weight
+         FROM agg a JOIN kept k ON a.doc_id = k.doc_id JOIN wt ON k.source = wt.source
+         ORDER BY a.doc_id""",
     "q_dedup_lines" ->
       """WITH d AS (SELECT doc_id,
                            regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t

@@ -101,7 +101,10 @@ object TextAnalysis {
   def gopherQualityFlags(
       text: Column,
       minWords: Long = 50L,
-      maxWords: Long = 100000L): Seq[(String, Column)] = {
+      maxWords: Long = 100000L,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): Seq[(String, Column)] = {
+    require(stopWords.nonEmpty, "stopWords must not be empty")
     val words = size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
     val meanWordLen = round(
       length(regexp_replace(text, "\\s", "")).cast("long").cast("double") /
@@ -119,7 +122,7 @@ object TextAnalysis {
     val alphaRatio = round(
       size(regexp_extract_all(text, lit("\\S*[A-Za-z]\\S*"), lit(0))).cast("long").cast("double") /
         greatest(words, lit(1L)).cast("double"), 6)
-    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stopWords
       .map(w => when(lower(text).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
       .reduce(_ + _)
     val flags = Seq(
