@@ -460,4 +460,23 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"top_rows must partial-aggregate before the shuffle:\n$p")
   }
+
+  test("triangle counting stays on equi-joins — no cartesian, no nested-loop") {
+    val p = plan(SparkEntry.queries("q_triangles")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangles must join on node keys only:\n$p")
+  }
+
+  test("golden record picks winners on the native top-k path, no rank window") {
+    val p = plan(SparkEntry.queries("q_golden_record")(spark, sf))
+    assert(p.contains("TopKPerKey"), s"expected native top-1:\n$p")
+    assert(!p.contains("Window"), s"survivorship must not use a rank window:\n$p")
+  }
+
+  test("LLM pipeline v3 broadcasts the weight table and stays cartesian-free") {
+    val p = plan(SparkEntry.queries("q_llm_pipeline3")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"pipeline v3 must stay keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"weights must broadcast back:\n$p")
+    assert(p.contains("TopKPerKey"), s"line dedup must use the native top-1 path:\n$p")
+  }
 }
