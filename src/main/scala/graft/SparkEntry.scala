@@ -1526,6 +1526,15 @@ object SparkEntry {
       Seq("o_orderkey" -> "o_orderstatus", "o_custkey" -> "o_orderstatus"))
       .orderBy("determinant")
 
+  /** Quantile-normalize event values per event type onto the pooled
+    * distribution — the rank-matching transform. */
+  private def qQuantileNormalize(s: SparkSession, d: String): DataFrame =
+    Sketches.quantileNormalize(
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+      "value", Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"), col("value_qnorm"))
+      .orderBy("event_id")
+
   /** Mann–Whitney U between event values of two event types — the
     * rank-based A/B check, exact integer midrank arithmetic. */
   private def qMannWhitney(s: SparkSession, d: String): DataFrame = {
@@ -3431,6 +3440,7 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
+    "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_join_fanout" -> (qJoinFanout _),
     "q_period_over_period" -> (qPeriodOverPeriod _),
     "q_skyline" -> (qSkyline _),
@@ -4098,6 +4108,31 @@ object SparkEntry {
                   (SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0)
            FROM b)
          ORDER BY determinant""",
+    "q_quantile_normalize" ->
+      """WITH gh AS (SELECT event_type, ROUND(value, 6) AS v, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+         gp AS (SELECT event_type, v,
+                       ROUND(CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+                             CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE), 9) AS p
+                FROM gh),
+         gl AS (SELECT ROUND(value, 6) AS gv, CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1),
+         glp AS (SELECT gv,
+                        ROUND(CAST(SUM(c) OVER (ORDER BY gv ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+                              CAST(SUM(c) OVER () AS DOUBLE), 9) AS p
+                 FROM gl),
+         u AS (SELECT event_type, v, p, CAST(NULL AS DOUBLE) AS gv, 1 AS tag FROM gp
+               UNION ALL
+               SELECT NULL, NULL, p, gv, 0 FROM glp),
+         m AS (SELECT event_type, v, tag,
+                      LAST_VALUE(gv IGNORE NULLS) OVER (ORDER BY p DESC, tag
+                                                        ROWS UNBOUNDED PRECEDING) AS norm
+               FROM u)
+         SELECT e.event_id, e.event_type, e.value, m.norm AS value_qnorm
+         FROM events e JOIN m ON m.tag = 1 AND m.event_type = e.event_type
+                              AND m.v = ROUND(e.value, 6)
+         ORDER BY e.event_id""",
     "q_mann_whitney" ->
       """WITH ha AS (SELECT ROUND(value, 6) AS s, CAST(COUNT(*) AS BIGINT) AS ca
                      FROM events WHERE event_type = 'click' GROUP BY 1),

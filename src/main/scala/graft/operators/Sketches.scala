@@ -359,6 +359,58 @@ object Sketches {
       .drop("__s")
   }
 
+  /** Quantile normalization — map every group's value distribution onto
+    * the POOLED distribution (`x → G⁻¹(F_g(x))`, the rank-matching
+    * transform of bioinformatics/ML preprocessing): after it, every group
+    * has the same marginal distribution, which kills per-group scale drift
+    * without choosing a parametric form. Both CDFs live on dp-quantized
+    * value HISTOGRAMS (windows bounded by the grid, not the corpus), and
+    * the inverse lookup `min{v : G(v) ≥ p}` is the as-of union+window
+    * shape — group-grid and global-grid rows union-tagged, ONE descending
+    * sort over the merged grid, `last(v) ignoreNulls` back-fill — no
+    * grid×grid join, no per-row search. Cumulative fractions are exact
+    * long ratios rounded at 9 dp, so the mapping reproduces cross-engine.
+    * Appends `<valueCol>_qnorm`. */
+  def quantileNormalize(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      dp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "quantileNormalize needs at least one key column")
+    val q = round(col(valueCol).cast("double"), dp)
+    val keys = keyCols.map(col)
+    val gh = df.select(keys :+ q.as("__v"): _*)
+      .groupBy(keys :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(keys: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grouped = gh.withColumn(
+      "__p",
+      round(sum(col("__c")).over(wg).cast("double") /
+        sum(col("__c")).over(Window.partitionBy(keys: _*)).cast("double"), 9))
+    val gl = df.select(q.as("__gv")).groupBy(col("__gv")).agg(count(lit(1)).as("__c"))
+    val wgl = Window.orderBy(col("__gv")).rowsBetween(Window.unboundedPreceding, 0)
+    val global = gl.withColumn(
+      "__p",
+      round(sum(col("__c")).over(wgl).cast("double") /
+        sum(col("__c")).over(Window.partitionBy()).cast("double"), 9))
+      .select(col("__gv"), col("__p"))
+    val tagged = grouped
+      .select(keys ++ Seq(col("__v"), col("__p"),
+        lit(null).cast("double").as("__gv"), lit(1).as("__tag")): _*)
+      .unionByName(global.select(
+        keyCols.map(k => lit(null).cast(df.schema(k).dataType).as(k)) ++
+          Seq(lit(null).cast("double").as("__v"), col("__p"), col("__gv"),
+            lit(0).as("__tag")): _*))
+    val wAsof = Window.orderBy(col("__p").desc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val mapping = tagged
+      .withColumn("__norm", last(col("__gv"), ignoreNulls = true).over(wAsof))
+      .filter(col("__tag") === 1)
+      .select(keys ++ Seq(col("__v"), col("__norm").as(valueCol + "_qnorm")): _*)
+    df.withColumn("__v", q).join(mapping, keyCols :+ "__v").drop("__v")
+  }
+
   /** Two-sample Kolmogorov–Smirnov test — the nonparametric drift check
     * next to [[psi]] (binned), chi-square (categorical) and Welch
     * (means): D = sup |F_a − F_b| over the two empirical CDFs, sensitive

@@ -146,6 +146,26 @@ class SketchesSpec extends SparkSpec {
     assert(far.getAs[Double]("ks_d") == 1.0 && far.getAs[Boolean]("reject_99"))
   }
 
+  test("quantileNormalize: equal-size groups land on the identical marginal") {
+    // two groups, same shape but shifted by 1000 — after rank-matching onto
+    // the pooled distribution both must have the SAME sorted value multiset
+    val df = (Seq.tabulate(100)(i => ("a", i.toLong, (i + 1).toDouble)) ++
+      Seq.tabulate(100)(i => ("b", 100L + i, (i + 1001).toDouble))).toDF("g", "id", "v")
+    val out = Sketches.quantileNormalize(df, "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    val byG = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byG("a") == byG("b"), "groups must share one marginal after normalization")
+    // monotone within group: larger raw value -> larger-or-equal normalized
+    for (g <- Seq("a", "b")) {
+      val sorted = out.filter(_._1 == g).sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (x, y) => x <= y })
+    }
+    // rank matching: group a's smallest raw value maps to the pooled 1st
+    // percentile region (1.0 or 2.0), its largest to at most the pooled max
+    assert(out.filter(t => t._1 == "a" && t._2 == 1.0).head._3 <= 2.0)
+    assert(out.map(_._3).max <= 1100.0)
+  }
+
   test("mannWhitneyU: hand-computed U with and without ties, z borderline case") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(4.0, 5.0, 6.0).toDF("v")
