@@ -1526,6 +1526,34 @@ object SparkEntry {
       Seq("o_orderkey" -> "o_orderstatus", "o_custkey" -> "o_orderstatus"))
       .orderBy("determinant")
 
+  /** Fixed-width roundtrip: write lineitem keys + cent-quantized quantity
+    * as a fixed-width text extract, read it back with the declared layout,
+    * and aggregate — hash-matched against DuckDB over the ORIGINAL
+    * parquet, so the byte layout, padding, trim and casts all verify. */
+  private def qFixedWidthRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fw_").toFile
+    tmp.deleteOnExit()
+    val path = new java.io.File(tmp, "lineitem_fw").getPath
+    sources.FixedWidth.write(
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_returnflag"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_cents")),
+      path,
+      Seq("l_orderkey" -> 12, "l_returnflag" -> 2, "qty_cents" -> 10))
+    sources.FixedWidth.read(s, path, Seq(
+      ("l_orderkey", 12, LongType),
+      ("l_returnflag", 2, StringType),
+      ("qty_cents", 10, LongType)))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("qty_cents")) / 100.0).as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_key"))
+      .orderBy("l_returnflag")
+  }
+
   /** Quantile-normalize event values per event type onto the pooled
     * distribution — the rank-matching transform. */
   private def qQuantileNormalize(s: SparkSession, d: String): DataFrame =
@@ -3441,6 +3469,7 @@ object SparkEntry {
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
+    "q_fixedwidth_roundtrip" -> (qFixedWidthRoundtrip _),
     "q_join_fanout" -> (qJoinFanout _),
     "q_period_over_period" -> (qPeriodOverPeriod _),
     "q_skyline" -> (qSkyline _),
@@ -4108,6 +4137,12 @@ object SparkEntry {
                   (SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0)
            FROM b)
          ORDER BY determinant""",
+    "q_fixedwidth_roundtrip" ->
+      """SELECT l_returnflag,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_quantile_normalize" ->
       """WITH gh AS (SELECT event_type, ROUND(value, 6) AS v, CAST(COUNT(*) AS BIGINT) AS c
                      FROM events GROUP BY 1, 2),

@@ -270,4 +270,26 @@ class SourcesSpec extends SparkSpec {
     // events ns-timestamp handling: ts must surface as a real timestamp
     assert(Tables.events(spark, sf).schema("ts").dataType.typeName == "timestamp")
   }
+
+  test("fixed-width roundtrip preserves values; nulls pad to blanks and read back null") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fw_spec_").toFile
+    tmp.deleteOnExit()
+    val path = new java.io.File(tmp, "fw").getPath
+    val df = Seq(
+      (1L, "AB", Some(42L)),
+      (22L, "C", None),                 // short string pads; null -> blanks
+      (333L, "", Some(-7L)))            // empty string; negative number
+      .toDF("k", "tag", "n")
+    graft.sources.FixedWidth.write(df, path, Seq("k" -> 6, "tag" -> 3, "n" -> 5))
+    val back = graft.sources.FixedWidth.read(spark, path,
+      Seq(("k", 6, LongType), ("tag", 3, StringType), ("n", 5, LongType)))
+      .orderBy("k").collect()
+    assert(back.toSeq == Seq(
+      Row(1L, "AB", 42L), Row(22L, "C", null), Row(333L, null, -7L)))
+    // every written line has the exact declared record length
+    val lines = spark.read.text(path).collect().map(_.getString(0))
+    assert(lines.forall(_.length == 14), lines.mkString("|"))
+  }
 }
