@@ -1322,6 +1322,13 @@ object SparkEntry {
     TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text", Bm25Queries, topK = 10)
       .orderBy("query_id", "rnk")
 
+  /** Deflate-ratio redundancy signal per document — rows-only (zlib bytes
+    * are engine-specific); ordering properties pinned in spec. */
+  private def qCompressionRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), round(compression_ratio(col("text")), 6).as("deflate_ratio"))
+      .orderBy("doc_id")
+
   private def qGopherQuality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id") +:
@@ -3386,6 +3393,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_gopher_quality" -> (qGopherQuality _),
+    "q_compression_ratio" -> (qCompressionRatio _),
     "q_bm25_topk" -> (qBm25TopK _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),

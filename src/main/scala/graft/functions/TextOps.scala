@@ -182,6 +182,27 @@ object TextOps {
     * the repair conservative — genuine "café" re-encodes to invalid UTF-8
     * and passes through). Up to 3 rounds, so double-encoded text unwinds.
     * Re-derived from the publicly documented ftfy heuristic. */
+  /** Deflate compression ratio of a string's UTF-8 bytes (zlib level 6):
+    * `compressed_size / raw_size`, the CCNet/Gopher-style redundancy
+    * signal — templated/spammy text compresses far below ~0.4, natural
+    * prose sits higher, random bytes near (or above) 1. Deterministic for
+    * a fixed level and input on a given zlib build; engine-specific
+    * (DuckDB has no zlib surface), so queries over it are rows-checked
+    * and the spec pins ORDERING properties, not bytes. Empty input → 1.0. */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length.toDouble
+    } finally d.end()
+  }
+
   def fixMojibake(s: UTF8String): UTF8String = {
     var cur = s.toString
     var rounds = 0

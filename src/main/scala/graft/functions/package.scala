@@ -77,6 +77,13 @@ package object functions {
   def fix_mojibake(c: Column): Column =
     invoke("fixMojibake", StringType, Seq(c))
 
+  /** Deflate compression ratio (zlib level 6) of a string's UTF-8 bytes —
+    * the CCNet/Gopher redundancy quality signal: templated/spammy text
+    * compresses far lower than natural prose. Engine-specific bytes, so
+    * rows-checked only. */
+  def compression_ratio(c: Column): Column =
+    invoke("deflateRatio", DoubleType, Seq(c))
+
   /** Jaro similarity in [0,1] — DuckDB-compatible semantics (either side
     * empty -> 0.0, floored half-transpositions, UTF-8 byte positions). */
   def jaro_sim(a: Column, b: Column): Column =

@@ -293,6 +293,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
   }
 
+  test("compression_ratio: repetition compresses below prose, random above, empty = 1") {
+    import graft.functions.compression_ratio
+    val rnd = new scala.util.Random(5)
+    val repetitive = "spam spam spam spam " * 100
+    val prose = "the quick brown fox jumps over the lazy dog and then wanders " +
+      "through seventeen distinct meadows describing each in novel vocabulary " * 5
+    val random = Seq.fill(2000)((rnd.nextInt(0x4000) + 0x100).toChar).mkString
+    val out = Seq((1L, repetitive), (2L, prose), (3L, random), (4L, ""))
+      .toDF("id", "t")
+      .select(col("id"), compression_ratio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < 0.1, s"repetition must compress hard: ${out(1L)}")
+    assert(out(1L) < out(2L) && out(2L) < out(3L), out.toString)
+    assert(out(3L) > 0.5 && out(4L) == 1.0)
+  }
+
   test("gopherQualityFlags: each rule trips on its planted document") {
     val good = "the cat and the dog have that with food to be of note every day"
     val docs = Seq(
