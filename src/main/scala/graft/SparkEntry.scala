@@ -1322,6 +1322,25 @@ object SparkEntry {
     TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text", Bm25Queries, topK = 10)
       .orderBy("query_id", "rnk")
 
+  /** Fellegi–Sunter linkage over nation-blocked customer×supplier pairs:
+    * three agreement fields, literal 6-dp weights, two thresholds. */
+  private def qLinkageScore(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val sp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+    val pairs = c.join(broadcast(sp), col("c_nationkey") === col("s_nationkey"))
+      .withColumn("agree_bal", floor(col("c_acctbal") / 1000) === floor(col("s_acctbal") / 1000))
+      .withColumn("agree_sign", (col("c_acctbal") >= 0) === (col("s_acctbal") >= 0))
+      .withColumn("agree_key", col("c_custkey") % 10 === col("s_suppkey") % 10)
+    FuzzyMatch.linkageScore(pairs,
+      Seq(
+        FuzzyMatch.LinkageField("agree_bal", 0.9, 0.1),
+        FuzzyMatch.LinkageField("agree_sign", 0.95, 0.5),
+        FuzzyMatch.LinkageField("agree_key", 0.8, 0.1)),
+      upper = 2.0, lower = 0.0)
+      .select(col("c_custkey"), col("s_suppkey"), col("link_weight"), col("link_class"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   /** Deflate-ratio redundancy signal per document — rows-only (zlib bytes
     * are engine-specific); ordering properties pinned in spec. */
   private def qCompressionRatio(s: SparkSession, d: String): DataFrame =
@@ -3394,6 +3413,7 @@ object SparkEntry {
     "q_text_quality" -> (qTextQuality _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_compression_ratio" -> (qCompressionRatio _),
+    "q_linkage_score" -> (qLinkageScore _),
     "q_bm25_topk" -> (qBm25TopK _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
@@ -4145,6 +4165,24 @@ object SparkEntry {
                   (SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0)
            FROM b)
          ORDER BY determinant""",
+    "q_linkage_score" ->
+      """WITH p AS (
+           SELECT c_custkey, s_suppkey,
+                  (FLOOR(c_acctbal / 1000) = FLOOR(s_acctbal / 1000)) AS ab,
+                  ((c_acctbal >= 0) = (s_acctbal >= 0)) AS asg,
+                  (c_custkey % 10 = s_suppkey % 10) AS ak
+           FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+         w AS (
+           SELECT c_custkey, s_suppkey,
+                  ROUND((CASE WHEN ab THEN 3.169925 ELSE -3.169925 END) +
+                        (CASE WHEN asg THEN 0.925999 ELSE -3.321928 END) +
+                        (CASE WHEN ak THEN 3.0 ELSE -2.169925 END), 6) AS link_weight
+           FROM p)
+         SELECT c_custkey, s_suppkey, link_weight,
+                CASE WHEN link_weight >= 2.0 THEN 'match'
+                     WHEN link_weight >= 0.0 THEN 'possible'
+                     ELSE 'non_match' END AS link_class
+         FROM w ORDER BY c_custkey, s_suppkey""",
     "q_fixedwidth_roundtrip" ->
       """SELECT l_returnflag,
                 CAST(COUNT(*) AS BIGINT) AS n,

@@ -93,4 +93,43 @@ object FuzzyMatch {
           carryCols.map(n => col(s"__best.$n").as(n)) ++
           Seq(col("__best.matched").as("matched"), col("__best.match_score").as("match_score")): _*)
   }
+
+  /** One comparison field of a probabilistic linkage: `agreeCol` is a
+    * boolean agreement column already present on the pair, `m` the
+    * probability it agrees on a TRUE match, `u` on a random non-match. */
+  final case class LinkageField(agreeCol: String, m: Double, u: Double) {
+    require(m > 0 && m < 1 && u > 0 && u < 1, s"m/u must be in (0,1), got ($m, $u)")
+  }
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring (JASA 1969) — the
+    * decision layer over blocked candidate pairs that classical fuzzy
+    * matching lacks: each field contributes `log2(m/u)` on agreement and
+    * `log2((1−m)/(1−u))` on disagreement, the total weight thresholds into
+    * match / possible / non_match. A pure projection over the pair table
+    * (the expensive part — blocking — is the caller's equi-join, same
+    * candidate-generation discipline as everything else here). Per-field
+    * weights are constant-folded literals ROUNDED AT 6 dp before the sum,
+    * so total weights are exact sums of identical decimal literals on any
+    * engine. Appends (link_weight, link_class). */
+  def linkageScore(
+      pairs: DataFrame,
+      fields: Seq[LinkageField],
+      upper: Double,
+      lower: Double): DataFrame = {
+    require(fields.nonEmpty, "linkageScore needs at least one field")
+    require(upper >= lower, s"upper ($upper) must be >= lower ($lower)")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val weight = fields.map { f =>
+      val aw = r6(math.log(f.m / f.u) / math.log(2.0))
+      val dw = r6(math.log((1 - f.m) / (1 - f.u)) / math.log(2.0))
+      when(col(f.agreeCol), lit(aw)).otherwise(lit(dw))
+    }.reduce(_ + _)
+    pairs
+      .withColumn("link_weight", round(weight, 6))
+      .withColumn(
+        "link_class",
+        when(col("link_weight") >= upper, "match")
+          .when(col("link_weight") >= lower, "possible")
+          .otherwise("non_match"))
+  }
 }

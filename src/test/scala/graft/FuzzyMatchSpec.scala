@@ -77,4 +77,21 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"edit-distance join must meet on variant keys:\n$p")
   }
+
+  test("linkageScore: all-agree is a match, all-disagree a non-match, weights hand-checked") {
+    import graft.operators.FuzzyMatch.{linkageScore, LinkageField}
+    val pairs = Seq(
+      (1L, true, true), (2L, true, false), (3L, false, false))
+      .toDF("id", "a1", "a2")
+    val fields = Seq(LinkageField("a1", 0.9, 0.1), LinkageField("a2", 0.8, 0.1))
+    val out = linkageScore(pairs, fields, upper = 4.0, lower = 0.0)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Double]("link_weight"), r.getAs[String]("link_class")))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (a1, d1) = (r6(math.log(9.0) / math.log(2.0)), r6(math.log(1.0 / 9.0) / math.log(2.0)))
+    val (a2, d2) = (r6(math.log(8.0) / math.log(2.0)), r6(math.log(2.0 / 9.0) / math.log(2.0)))
+    assert(out(0) == ((r6(a1 + a2), "match")))
+    assert(out(1) == ((r6(a1 + d2), "possible")))
+    assert(out(2) == ((r6(d1 + d2), "non_match")))
+  }
 }
