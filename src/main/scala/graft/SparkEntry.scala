@@ -1322,6 +1322,30 @@ object SparkEntry {
     TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text", Bm25Queries, topK = 10)
       .orderBy("query_id", "rnk")
 
+  /** Incremental join-view maintenance: orders/customer each split into
+    * old+delta, the view delta computed by the delta-algebra identity,
+    * appended to the stored view, and the result aggregated — must equal
+    * the oracle's full recompute join exactly. */
+  private def qIncrementalJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val split = lit("1997-01-01").cast("timestamp")
+    val aOld = ord.filter(col("o_orderdate") < split)
+    val aDelta = ord.filter(col("o_orderdate") >= split)
+    val bOld = cust.filter(col("c_custkey") % 10 =!= 0)
+    val bDelta = cust.filter(col("c_custkey") % 10 === 0)
+    val vOld = aOld.join(bOld, col("o_custkey") === col("c_custkey"))
+    val delta = Relational.incrementalJoinDelta(
+      aOld, aDelta, bOld, bDelta, Seq("o_custkey" -> "c_custkey"))
+    vOld.unionByName(delta)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("total"))
+      .orderBy("c_nationkey")
+  }
+
   /** Fellegi–Sunter linkage over nation-blocked customer×supplier pairs:
     * three agreement fields, literal 6-dp weights, two thresholds. */
   private def qLinkageScore(s: SparkSession, d: String): DataFrame = {
@@ -3414,6 +3438,7 @@ object SparkEntry {
     "q_gopher_quality" -> (qGopherQuality _),
     "q_compression_ratio" -> (qCompressionRatio _),
     "q_linkage_score" -> (qLinkageScore _),
+    "q_incremental_join" -> (qIncrementalJoin _),
     "q_bm25_topk" -> (qBm25TopK _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
@@ -4165,6 +4190,11 @@ object SparkEntry {
                   (SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0)
            FROM b)
          ORDER BY determinant""",
+    "q_incremental_join" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_linkage_score" ->
       """WITH p AS (
            SELECT c_custkey, s_suppkey,

@@ -222,6 +222,22 @@ class RelationalSpec extends SparkSpec {
       Row(4L, "unchanged"), Row(5L, "added")))
   }
 
+  test("incrementalJoinDelta: stored view + delta equals the full recompute, row for row") {
+    val aOld = Seq((1L, "a1"), (2L, "a2"), (2L, "a2b")).toDF("k", "av")
+    val aDelta = Seq((2L, "a3"), (3L, "a4")).toDF("k", "av")       // old key + new key
+    val bOld = Seq((1L, "b1"), (3L, "b2")).toDF("k2", "bv")
+    val bDelta = Seq((2L, "b3"), (3L, "b4")).toDF("k2", "bv")      // join partner arrives late
+    val vOld = aOld.join(bOld, aOld("k") === bOld("k2"))
+    val delta = Relational.incrementalJoinDelta(aOld, aDelta, bOld, bDelta, Seq("k" -> "k2"))
+    val incremental = vOld.unionByName(delta)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val full = aOld.unionByName(aDelta).join(
+      bOld.unionByName(bDelta),
+      col("k") === col("k2"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(incremental == full)
+  }
+
   test("skyline2d: strict dominance, same-x ties, duplicate points both survive") {
     val df = Seq(
       (1L, 5.0, 10.0), (2L, 5.0, 8.0),  // same x: only min-y survives
