@@ -1101,11 +1101,7 @@ object SparkEntry {
   private def qRollingDistinctStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val raw = s.read.parquet(s"$d/events.parquet")
-    var stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val stream = eventsStream(s, d)
     val name = "graft_rolling_distinct_stream"
     withStatePartitions(s, 8) {
       val q = stream
@@ -1968,11 +1964,7 @@ object SparkEntry {
   private def qDedupStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val raw = s.read.parquet(s"$d/events.parquet")
-    var stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val stream = eventsStream(s, d)
     val name = "graft_dedup_stream"
     withStatePartitions(s, 8) {
       val q = Events.dedupStream(stream, Seq("user_id", "event_type"))
@@ -2685,11 +2677,7 @@ object SparkEntry {
     import org.apache.spark.sql.streaming.Trigger
     import graft.functions.{theta_anotb, theta_estimate, theta_intersect, theta_merge, theta_sketch, theta_union_pair}
     val raw = s.read.parquet(s"$d/events.parquet")
-    var stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val stream = eventsStream(s, d)
     val name = "graft_theta_setops_stream"
     withStatePartitions(s, 8) {
       val q = stream
@@ -2723,11 +2711,7 @@ object SparkEntry {
   private def qCmsCountsStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val raw = s.read.parquet(s"$d/events.parquet")
-    var stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val stream = eventsStream(s, d)
     val name = "graft_cms_counts_stream"
     withStatePartitions(s, 8) {
       val q = stream
@@ -2860,6 +2844,25 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Streaming read of the events table with `ts` normalized to a
+    * session-zoned TIMESTAMP whatever the parquet annotation — a legacy
+    * nanosecond file surfaces as a raw long (nanosAsLong), an un-zoned
+    * microsecond file as TIMESTAMP_NTZ (Spark 4 inference); watermarks and
+    * event-time windows require TimestampType, and the UTC session zone
+    * makes the NTZ cast value-preserving. Batch twin: [[Tables.events]]. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
+  }
+
   private def qEventWindow(s: SparkSession, d: String): DataFrame =
     Events.hourlyAggBatch(Tables.events(s, d))
       .orderBy("event_date", "event_hour", "event_type")
@@ -2873,12 +2876,7 @@ object SparkEntry {
     import org.apache.spark.sql.streaming.Trigger
     val raw = s.read.parquet(s"$d/events.parquet")
     // the file stream source wants a directory; glob-filter to the one table
-    var stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    // same ns-timestamp surface as Tables.events
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val stream = eventsStream(s, d)
     val name = "graft_event_window_stream"
     withStatePartitions(s, 8) {
       val q = Events.hourlyAggStream(stream)
@@ -2902,11 +2900,7 @@ object SparkEntry {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     val raw = s.read.parquet(s"$d/events.parquet")
-    var stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val stream = eventsStream(s, d)
     val evs = stream.select(
       col("user_id").cast("long").as("user_id"),
       col("event_id").cast("long").as("event_id"),
@@ -3011,11 +3005,7 @@ object SparkEntry {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     val raw = s.read.parquet(s"$d/events.parquet")
-    var stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val stream = eventsStream(s, d)
     val evs = stream.select(
       col("user_id").cast("long").as("user_id"),
       col("event_type").as("et"),
@@ -3048,11 +3038,7 @@ object SparkEntry {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     val raw = s.read.parquet(s"$d/events.parquet")
-    var stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val stream = eventsStream(s, d)
     val evs = stream.select(
       col("user_id").cast("long").as("user_id"),
       col("event_type").as("et"),
@@ -3084,11 +3070,7 @@ object SparkEntry {
     import s.implicits._
     val steps = Seq("signup", "click", "purchase")
     val raw = s.read.parquet(s"$d/events.parquet")
-    var stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val stream = eventsStream(s, d)
     val evs = stream
       .filter(col("event_type").isin(steps: _*))
       .select(
@@ -3143,14 +3125,9 @@ object SparkEntry {
   private def qIntervalJoinStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val raw = s.read.parquet(s"$d/events.parquet")
-    def stream(): DataFrame = {
-      var st = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-        st = st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      }
-      st.select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-    }
+    def stream(): DataFrame =
+      eventsStream(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
     val purchases = stream().filter(col("event_type") === "purchase")

@@ -117,4 +117,94 @@ object Graph {
         col("d").as("degree"),
         coalesce(col("__t"), lit(0L)).as("n_triangles"))
   }
+
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", MR-CC): for every node u, each STRICTLY LARGER
+    * neighbor v re-links to m = min(Γ(u) ∪ {u}). One partial-agg min per
+    * node + one co-partitioned join; `distinct` stops edge multiplication.
+    * Emitted edges always point big→small (v > u ≥ m). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = nbrs.groupBy("u").agg(min(col("v")).as("__mn"))
+      .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+    nbrs.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("__m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge big→small; for each node u its
+    * smaller-or-equal neighbors N all re-link to m = min(N), and u itself
+    * links to m. Together with [[largeStar]] this contracts any component
+    * onto its minimum node in O(log n) alternating rounds — the property
+    * that makes the loop safe on a 100 TB edge list where min-label
+    * propagation's O(diameter) rounds would not be. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val o = e.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+    val m = o.groupBy("u").agg(min(col("v")).as("__m"))
+    val fromNbrs = o.join(m, "u")
+      .where(col("v") =!= col("__m"))
+      .select(col("v").as("u"), col("__m").as("v"))
+    fromNbrs.union(m.select(col("u"), col("__m").as("v"))).distinct()
+  }
+
+  /** Connected components over an UNDIRECTED edge list via alternating
+    * large-star / small-star contraction — O(log n) rounds regardless of
+    * graph diameter (a 10⁶-node chain converges in ~20 rounds where naive
+    * min-label propagation needs 10⁶). Each round is two partial-agg mins +
+    * two equi-joins + dedup; `localCheckpoint` truncates lineage so the
+    * plan stays flat across rounds (use `checkpoint()` to reliable storage
+    * on a real cluster). Convergence = the oriented edge set is stable
+    * (count + order-independent hash checksum — no extra `except` shuffle).
+    *
+    * Returns (id, component) for EVERY node that appears in `edges`
+    * (self-loop-only nodes label themselves); component = min node id of
+    * the component, so labels are deterministic on any engine and any
+    * partitioning.
+    *
+    * @throws IllegalStateException if not converged within maxIter — a
+    *         correctness contract, not a best-effort return: a non-star
+    *         residue would silently mislabel. */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val all = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    val nodes = all.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+      .localCheckpoint(true)
+    var e = all.where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // (count, xor checksum) fingerprints the edge SET cheaply; xxhash64 of
+    // the pair folded with bit_xor — order-independent, ANSI-overflow-free
+    // (a plain sum of full-range 64-bit hashes overflows under ANSI mode)
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = fingerprint(e)
+    var converged = e.isEmpty
+    var iter = 0
+    while (iter < maxIter && !converged) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = fingerprint(e)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint is a star forest big→small: every non-root appears as u
+    // exactly once with v = component min; roots label themselves
+    nodes
+      .join(e.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+  }
 }

@@ -141,16 +141,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = parquet(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = parquet(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = parquet(s, d, "region")
-  /** The events table carries a nanosecond parquet timestamp, which Spark
-    * only reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set by [[graft.GraftSession]]); expose it as a proper timestamp
-    * (truncated to micros, matching engines that read ns natively). */
+  /** The events table's `ts` normalizes to a session-zoned TIMESTAMP no
+    * matter how the parquet writer annotated it: a nanosecond file surfaces
+    * as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[graft.GraftSession]]) and truncates to micros; an un-zoned
+    * microsecond file surfaces as TIMESTAMP_NTZ (Spark 4 infers NTZ) and
+    * casts value-preserving under the UTC session zone. Downstream windows,
+    * watermarks and oracles all see one stable type. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = parquet(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

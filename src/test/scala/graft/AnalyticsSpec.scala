@@ -358,4 +358,49 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L),
       (4L, 4L, 3L), (5L, 2L, 0L), (6L, 1L, 0L)))
   }
+
+  test("connectedComponents: random graphs match driver-side union-find") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // driver-side union-find as the brute oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      // min root: union-find with min-root merge yields min label directly
+      val got = Graph.connectedComponents(edges.toDF("u", "v"), "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents: 200-node chain converges in O(log n) rounds") {
+    import graft.operators.Graph
+    // diameter 200 — naive min-label needs 200 rounds; star contraction
+    // must land well inside 15
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("u", "v")
+    val labels = Graph.connectedComponents(chain, "u", "v", maxIter = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 200 && labels.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: self-loops, isolated-by-self-loop nodes, messy input") {
+    import graft.operators.Graph
+    val edges = Seq(
+      (3L, 1L), (1L, 3L), (3L, 3L),          // component {1,3} + noise
+      (7L, 7L),                               // self-loop only -> own label
+      (5L, 4L), (6L, 5L)).toDF("u", "v")      // component {4,5,6}
+    val got = Graph.connectedComponents(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 7L -> 7L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
 }
