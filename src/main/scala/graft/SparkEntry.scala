@@ -830,6 +830,17 @@ object SparkEntry {
     Dedup.allPairsJaccard(Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
       .orderBy("id1", "id2")
 
+  /** Connected components over the exact near-dup pair graph — the cluster
+    * assignment a dedup pipeline keys its keep/drop decision on, via the
+    * O(log n)-round star-contraction algorithm (diameter-proof at corpus
+    * scale, unlike per-round min-label propagation). Oracle: recursive-CTE
+    * min-label closure over the SAME SQL-replayed pair set — tractable
+    * because near-dup components are small by construction. */
+  private def qConnectedComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.allPairsJaccard(Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
+    Graph.connectedComponents(pairs, "id1", "id2").orderBy("id")
+  }
+
   // ----------------------------------------------------------- similarity
 
   private def qCosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -3538,6 +3549,7 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_dedup_allpairs" -> (qDedupAllpairs _),
+    "q_connected_components" -> (qConnectedComponents _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_ecdf_grouped" -> (qEcdfGrouped _),
     "q_sketch_cube" -> (qSketchCube _),
@@ -5654,6 +5666,23 @@ object SparkEntry {
                             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
                FROM t a JOIN t b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY id1, id2""",
+    // same pair construction as q_dedup_allpairs, then min-label closure
+    // over the (small) near-dup components as a recursive CTE
+    "q_connected_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+                           (SELECT list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                            FROM (SELECT string_split(text, ' ') AS w)) AS toks
+                    FROM documents),
+         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+               FROM t a JOIN t b ON a.doc_id < b.doc_id
+               WHERE ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.7),
+         e AS (SELECT id1 AS u, id2 AS v FROM p UNION SELECT id2, id1 FROM p),
+         lbl AS (SELECT u AS node, u AS lab FROM e
+                 UNION
+                 SELECT e.u, l.lab FROM e JOIN lbl l ON e.v = l.node)
+         SELECT node AS id, MIN(lab) AS component FROM lbl GROUP BY node ORDER BY id""",
     // exact all-pairs at the same threshold and shingling as minHashLsh's
     // verify step (lowercased \s+ tokens, <3-token short-doc fallback): the
     // LSH output equals this set because band recall at 128/32 is ~certain
