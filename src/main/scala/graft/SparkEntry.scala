@@ -1630,6 +1630,18 @@ object SparkEntry {
       "value")
   }
 
+  /** Per-(returnflag, linestatus) OLS price-over-time trend — closed-form
+    * regression from five exact decimal sufficient statistics in one
+    * partial aggregate; x = epoch days of l_shipdate, y = price cents. */
+  private def qOlsTrend(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"), col("l_linestatus"),
+      datediff(col("l_shipdate").cast("date"), lit("1992-01-01").cast("date")).as("x"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+    Sketches.olsTrend(li, Seq("l_returnflag", "l_linestatus"), "x", "y")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Two-sample KS drift test between the first and second half of the
     * order history — exact integer supremum over the merged ECDFs. */
   private def qKsTest(s: SparkSession, d: String): DataFrame = {
@@ -3509,6 +3521,7 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
+    "q_ols_trend" -> (qOlsTrend _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_fixedwidth_roundtrip" -> (qFixedWidthRoundtrip _),
     "q_join_fanout" -> (qJoinFanout _),
@@ -4233,6 +4246,26 @@ object SparkEntry {
          FROM events e JOIN m ON m.tag = 1 AND m.event_type = e.event_type
                               AND m.v = ROUND(e.value, 6)
          ORDER BY e.event_id""",
+    // five exact HUGEINT sufficient statistics, then the identical
+    // double-expression shape as the Spark side (each division casts two
+    // exact integers — IEEE-deterministic on any engine)
+    "q_ols_trend" ->
+      """WITH b AS (SELECT l_returnflag, l_linestatus,
+                           datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS x,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                    FROM lineitem),
+         a AS (SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                      SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+                      SUM(CAST(x AS HUGEINT) * y) AS sxy
+               FROM b GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+                ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+                ROUND(CAST(sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx AS DOUBLE) /
+                      CAST(n*(n*sxx - sx*sx) AS DOUBLE), 6) AS intercept,
+                ROUND((CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) *
+                      (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+         FROM a ORDER BY 1, 2""",
     "q_mann_whitney" ->
       """WITH ha AS (SELECT ROUND(value, 6) AS s, CAST(COUNT(*) AS BIGINT) AS ca
                      FROM events WHERE event_type = 'click' GROUP BY 1),

@@ -668,4 +668,53 @@ object Sketches {
       .filter(col(valueCol) >= col("__q_lo") && col(valueCol) <= col("__q_hi"))
       .drop("__q_lo", "__q_hi")
   }
+
+  /** Per-group simple linear regression (closed-form OLS) — the trend
+    * detector of the stats family: slope/intercept/r² of y over x for each
+    * group in ONE partial aggregate, no second pass, no window.
+    *
+    * x and y must be INTEGER-VALUED columns (quantize first — epoch days,
+    * cents): the five sufficient statistics Σx Σy Σx² Σy² Σxy accumulate as
+    * DECIMAL(38,0) — exact, commutative, partition-order-independent — and
+    * the closed forms assemble from them:
+    * slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept = (Σy·den−num·Σx)/(n·den),
+    * r² = (num/den)·(num/den_y). Every division casts TWO exact integers to
+    * double (IEEE round-to-nearest — identical on any engine) and rounds at
+    * `dp`; numerators/denominators are never squared in decimal (num² would
+    * overflow 38 digits), the oracle replays the same double expression
+    * shape. Degenerate groups (constant x, or constant y for r²) yield NULL.
+    *
+    * Returns groupCols ++ (n, slope, intercept, r2). */
+  def olsTrend(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      dp: Int = 6): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(x).as("__sx"),
+        sum(y).as("__sy"),
+        sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+    val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    val deny = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+    val numD = num.cast("double")
+    val denD = den.cast("double")
+    val denyD = deny.cast("double")
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("__n").cast("long").as("n"),
+        when(den =!= 0, round(numD / denD, dp)).as("slope"),
+        when(den =!= 0,
+          round((col("__sy") * den - num * col("__sx")).cast("double") /
+            (col("__n") * den).cast("double"), dp)).as("intercept"),
+        when(den =!= 0 && deny =!= 0,
+          round((numD / denD) * (numD / denyD), dp)).as("r2")): _*)
+  }
 }

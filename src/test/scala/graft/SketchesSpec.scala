@@ -436,4 +436,42 @@ class SketchesSpec extends SparkSpec {
         s"k$i est=$est exceeds truth + eps*N = ${truth + (eps * n).toLong}")
     }
   }
+
+  test("olsTrend: hand-computed lines, flat slope, degenerate-x nulls") {
+    import graft.operators.Sketches
+    val df = Seq(
+      // perfect line y = 2x + 1 -> slope 2, intercept 1, r2 1
+      ("line", 0L, 1L), ("line", 1L, 3L), ("line", 2L, 5L),
+      // flat numerator: sxy*n == sx*sy -> slope 0, intercept = mean y
+      ("flat", 0L, 0L), ("flat", 1L, 1L), ("flat", 2L, 0L),
+      // constant x -> den = 0 -> all NULL
+      ("degx", 5L, 1L), ("degx", 5L, 9L)).toDF("g", "x", "y")
+    val out = Sketches.olsTrend(df, Seq("g"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val line = out("line")
+    assert(line.getLong(1) == 3L && line.getDouble(2) == 2.0 &&
+      line.getDouble(3) == 1.0 && line.getDouble(4) == 1.0)
+    val flat = out("flat")
+    assert(flat.getDouble(2) == 0.0 && flat.getDouble(3) == 0.333333 &&
+      flat.getDouble(4) == 0.0)
+    val degx = out("degx")
+    assert(degx.isNullAt(2) && degx.isNullAt(3) && degx.isNullAt(4))
+  }
+
+  test("olsTrend matches driver-side double formula within rounding on random data") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(300)(i =>
+      ("g", i.toLong, (3L * i + 40 + rnd.nextInt(21) - 10)))
+    val got = Sketches.olsTrend(pts.toDF("g", "x", "y"), Seq("g"), "x", "y").head()
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._2).sum.toDouble, pts.map(_._3).sum.toDouble)
+    val sxx = pts.map(p => p._2 * p._2).sum.toDouble
+    val sxy = pts.map(p => p._2 * p._3).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    assert(math.abs(got.getDouble(2) - slope) < 1e-6)
+    assert(math.abs(got.getDouble(3) - intercept) < 1e-6)
+    assert(got.getDouble(4) > 0.99, "strong linear signal must give r2 near 1")
+  }
 }
