@@ -1372,6 +1372,17 @@ object SparkEntry {
       .orderBy("c_custkey", "s_suppkey")
   }
 
+  /** Sorted-neighborhood blocking over customers keyed by
+    * (mktsegment, acctbal): every record pairs with its next 3 neighbors in
+    * the global sort order — the O(n·w) candidate generator in front of
+    * linkage scoring, rank-bucketed so no range join and no
+    * single-partition window. */
+  private def qSortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    FuzzyMatch.sortedNeighborhoodPairs(
+      Tables.customer(s, d), "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), window = 4)
+      .orderBy("id1", "id2")
+
   /** Deflate-ratio redundancy signal per document — rows-only (zlib bytes
     * are engine-specific); ordering properties pinned in spec. */
   private def qCompressionRatio(s: SparkSession, d: String): DataFrame =
@@ -3438,6 +3449,7 @@ object SparkEntry {
     "q_gopher_quality" -> (qGopherQuality _),
     "q_compression_ratio" -> (qCompressionRatio _),
     "q_linkage_score" -> (qLinkageScore _),
+    "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_incremental_join" -> (qIncrementalJoin _),
     "q_bm25_topk" -> (qBm25TopK _),
     "q_token_count" -> (qTokenCount _),
@@ -4197,6 +4209,16 @@ object SparkEntry {
                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // rank replay: ROW_NUMBER over the identical total order (id tiebreak);
+    // the rank-difference predicate is a range join DuckDB handles via
+    // IEJoin at oracle scale
+    "q_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id,
+                           ROW_NUMBER() OVER (ORDER BY c_mktsegment, c_acctbal, c_custkey) AS rn
+                    FROM customer)
+         SELECT a.id AS id1, b.id AS id2, b.rn - a.rn AS dist
+         FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+         ORDER BY id1, id2""",
     "q_linkage_score" ->
       """WITH p AS (
            SELECT c_custkey, s_suppkey,

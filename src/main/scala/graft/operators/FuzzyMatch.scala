@@ -132,4 +132,41 @@ object FuzzyMatch {
           .when(col("link_weight") >= lower, "possible")
           .otherwise("non_match"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the classic
+    * O(n·w) candidate generator for record linkage: sort the corpus by a
+    * fuzzy key, pair every record with its next `window−1` neighbors in
+    * that order. Scale shape: the global total order comes from
+    * [[Relational.globalRowNumbers]] (range partition + per-partition
+    * index — NO single-partition window), and the neighbor pairing is an
+    * EQUI-join on a rank bucket of width `window−1` (each left row probes
+    * its own bucket and the next one — ×2 replication instead of a range
+    * join), filtered to 1 ≤ dist ≤ window−1. Ties in the sort key break by
+    * id, so the pair set is deterministic on any engine and partitioning.
+    *
+    * Returns (id1, id2, dist) with id1 the earlier record in sort order —
+    * feed the pairs to [[linkageScore]] after joining attributes back. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      sortCols: Seq[String],
+      window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val gap = (window - 1).toLong
+    val ranked = Relational.globalRowNumbers(
+      df.select(col(idCol) +: sortCols.map(col): _*),
+      sortCols.map(col) :+ col(idCol),
+      rowNumCol = "__rn")
+    val a = ranked.select(col(idCol).as("id1"), col("__rn").as("__ra"))
+      .withColumn("__bk", explode(array(
+        expr(s"__ra div $gap"), expr(s"__ra div $gap") + 1)))
+    val b = ranked.select(col(idCol).as("id2"), col("__rn").as("__rb"))
+      .withColumn("__bk", expr(s"__rb div $gap"))
+    // each right row owns ONE bucket and each left row probes two DISTINCT
+    // buckets, so the join emits every qualifying pair exactly once — no
+    // dedup pass needed
+    a.join(b, "__bk")
+      .filter((col("__rb") - col("__ra")).between(1L, gap))
+      .select(col("id1"), col("id2"), (col("__rb") - col("__ra")).as("dist"))
+  }
 }

@@ -94,4 +94,29 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(out(1) == ((r6(a1 + d2), "possible")))
     assert(out(2) == ((r6(d1 + d2), "non_match")))
   }
+
+  test("sortedNeighborhoodPairs: exact neighbor set, bucket-boundary pairs included") {
+    // sort order by (key, id): ids 10,20,30,40,50 — window 3 pairs each row
+    // with the next 2; shuffled input and many partitions must not matter
+    val df = Seq(
+      (30L, "b"), (10L, "a"), (50L, "c"), (20L, "a"), (40L, "b"))
+      .toDF("id", "key").repartition(7)
+    val got = FuzzyMatch.sortedNeighborhoodPairs(df, "id", Seq("key"), window = 3)
+      .orderBy("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (10L, 20L, 1L), (10L, 30L, 2L),
+      (20L, 30L, 1L), (20L, 40L, 2L),
+      (30L, 40L, 1L), (30L, 50L, 2L),
+      (40L, 50L, 1L)))
+  }
+
+  test("sortedNeighborhoodPairs: pair count is exactly sum over gaps on larger input") {
+    val n = 200
+    val w = 5
+    val df = (1 to n).map(i => (i.toLong, i % 13)).toDF("id", "key").repartition(9)
+    val cnt = FuzzyMatch.sortedNeighborhoodPairs(df, "id", Seq("key"), window = w).count()
+    // each gap g in 1..w-1 contributes n-g pairs
+    assert(cnt == (1 until w).map(n - _).sum.toLong)
+  }
 }
