@@ -1664,6 +1664,17 @@ object SparkEntry {
       "o_totalprice")
   }
 
+  /** Bounded-lookback EWMA smoothing of event values per type — the
+    * recursion-free fixed-window form with 12-dp weight literals and
+    * fixed-order accumulation, so the oracle replays it exactly. */
+  private def qEwma(s: SparkSession, d: String): DataFrame =
+    Temporal.ewma(
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("ts"), col("value")),
+      keyCols = Seq("event_type"), orderCols = Seq("ts", "event_id"),
+      valueCol = "value", alpha = 0.3, lookback = 6)
+      .select(col("event_id"), col("event_type"), col("value"), col("ewma"))
+      .orderBy("event_id")
+
   /** Two-sided CUSUM mean-shift monitor per event type over the event
     * history, deviations quantized to exact micro-units. */
   private def qCusum(s: SparkSession, d: String): DataFrame =
@@ -3531,6 +3542,7 @@ object SparkEntry {
     "q_prorate" -> (qProrate _),
     "q_twap" -> (qTwap _),
     "q_cusum" -> (qCusum _),
+    "q_ewma" -> (qEwma _),
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_ols_trend" -> (qOlsTrend _),
@@ -4341,6 +4353,31 @@ object SparkEntry {
                 (ROUND(CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) >
                  ROUND(1.628 * SQRT(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6)) AS reject_99
          FROM g""",
+    // identical 12-dp weight literals (0.7^j) in the identical
+    // left-to-right accumulation order as Temporal.ewma — IEEE doubles
+    // reproduce bit-for-bit given the same order
+    "q_ewma" ->
+      """WITH l AS (
+           SELECT event_id, event_type, value,
+                  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+                  lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+                  lag(value, 5) OVER w AS l5
+           FROM events
+           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+         SELECT event_id, event_type, value,
+                ROUND((COALESCE(CAST(1.0 AS DOUBLE) * value, 0)
+                       + COALESCE(CAST(0.7 AS DOUBLE) * l1, 0)
+                       + COALESCE(CAST(0.49 AS DOUBLE) * l2, 0)
+                       + COALESCE(CAST(0.343 AS DOUBLE) * l3, 0)
+                       + COALESCE(CAST(0.2401 AS DOUBLE) * l4, 0)
+                       + COALESCE(CAST(0.16807 AS DOUBLE) * l5, 0)) /
+                      (CASE WHEN value IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE 0 END
+                       + CASE WHEN l1 IS NOT NULL THEN CAST(0.7 AS DOUBLE) ELSE 0 END
+                       + CASE WHEN l2 IS NOT NULL THEN CAST(0.49 AS DOUBLE) ELSE 0 END
+                       + CASE WHEN l3 IS NOT NULL THEN CAST(0.343 AS DOUBLE) ELSE 0 END
+                       + CASE WHEN l4 IS NOT NULL THEN CAST(0.2401 AS DOUBLE) ELSE 0 END
+                       + CASE WHEN l5 IS NOT NULL THEN CAST(0.16807 AS DOUBLE) ELSE 0 END), 6) AS ewma
+         FROM l ORDER BY event_id""",
     "q_cusum" ->
       """WITH d AS (
            SELECT event_id, event_type, value,

@@ -389,4 +389,46 @@ object Temporal {
       .withColumn("alarm_neg", col("__cn") > hq)
       .drop("__c", "__d", "__cp", "__cn")
   }
+
+  /** Bounded-lookback EWMA smoothing — the exponentially-weighted moving
+    * average re-expressed without its recursion: s_t = Σ_{j<K} w_j·x_{t−j}
+    * / Σ_{j<K} w_j over the last K observations per key, the "adjusted"
+    * pandas form truncated at K (the tail weight (1−α)^K is negligible for
+    * any practical α·K, and truncation is what makes the operator a
+    * FIXED-width window — one shuffle on the key, K lags in one frame, no
+    * sequential scan, no driver loop).
+    *
+    * ENGINE-PORTABLE by construction: the K weights (1−α)^j round to 12 dp
+    * as literals at plan-build time, numerator and denominator accumulate
+    * in a FIXED left-to-right expression order (IEEE doubles are
+    * deterministic given order), missing lags at a series head contribute
+    * to neither sum, and the ratio rounds at `dp`. An oracle replays the
+    * identical literals in the identical order.
+    *
+    * Appends `ewma` to every input row. */
+  def ewma(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      alpha: Double,
+      lookback: Int = 8,
+      dp: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val weights = (0 until lookback).map(j =>
+      BigDecimal(math.pow(1.0 - alpha, j))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val lags = (0 until lookback).map(j =>
+      (if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)).cast("double"))
+    val num = weights.zip(lags).map { case (wj, x) =>
+      when(x.isNotNull, lit(wj) * x).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+    val den = weights.zip(lags).map { case (wj, x) =>
+      when(x.isNotNull, lit(wj)).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+    // all-null frame -> NULL, not a 0/0 NaN
+    df.withColumn("ewma", when(den > 0, round(num / den, dp)))
+  }
 }

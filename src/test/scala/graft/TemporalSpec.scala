@@ -214,4 +214,24 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("ewma: hand-computed adjusted weights, lookback truncation, null gaps") {
+    // alpha = 0.5, lookback = 3 -> weights 1, 0.5, 0.25
+    val df = Seq(
+      ("a", 1L, Some(4.0)), ("a", 2L, Some(8.0)), ("a", 3L, Some(12.0)),
+      ("a", 4L, Some(0.0)),            // t1 falls out of the 3-wide window
+      ("b", 1L, Some(10.0)), ("b", 2L, None), ("b", 3L, Some(20.0)))
+      .toDF("g", "t", "value").repartition(5)
+    val out = Temporal.ewma(df, Seq("g"), Seq("t"), "value", alpha = 0.5, lookback = 3)
+      .orderBy("g", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      ("a", 1L, Some(4.0)),                      // 4/1
+      ("a", 2L, Some(6.666667)),                 // (8+2)/1.5
+      ("a", 3L, Some(9.714286)),                 // (12+4+1)/1.75
+      ("a", 4L, Some(4.571429)),                 // (0+6+2)/1.75
+      ("b", 1L, Some(10.0)),
+      ("b", 2L, Some(10.0)),                     // value null: 0.5*10 / 0.5
+      ("b", 3L, Some(18.0))))                    // (20 + 0 + 0.25*10) / 1.25
+  }
 }
