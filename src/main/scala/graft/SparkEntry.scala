@@ -1027,6 +1027,25 @@ object SparkEntry {
       .orderBy("part_key")
   }
 
+  /** Multi-source BFS over the support>=3 co-purchase graph: hop distance
+    * from the 5 smallest part keys, bounded at 3 hops — the k-hop
+    * proximity feature, replayed by a depth-capped recursive CTE. */
+  private def qBfsHops(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 3)
+      .select(col("l_partkey").as("u"), col("p2").as("v"))
+    val seeds = pairs.select(col("u")).union(pairs.select(col("v")))
+      .distinct().orderBy("u").limit(5)
+    Graph.bfsHops(pairs, "u", "v", seeds, "u", maxHops = 3)
+      .select(col("id").as("part_key"), col("hops"))
+      .orderBy("part_key")
+  }
+
   /** Nested-struct flattening on an in-plan nested view of orders (two
     * levels deep); the oracle is the equivalent flat projection. */
   private def qFlattenStructs(s: SparkSession, d: String): DataFrame = {
@@ -3447,6 +3466,7 @@ object SparkEntry {
     "q_chi_square" -> (qChiSquare _),
     "q_llm_pipeline" -> (qLlmPipeline _),
     "q_copurchase" -> (qCopurchase _),
+    "q_bfs_hops" -> (qBfsHops _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_tpch_q12" -> (qTpchQ12 _),
     "q_psi_drift" -> (qPsiDrift _),
@@ -4077,6 +4097,22 @@ object SparkEntry {
                 ROUND(SQRT(CAST(SUM(term) AS DOUBLE) /
                            (CAST(MAX(n) AS DOUBLE) * (LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1))), 6) AS cramers_v
          FROM u""",
+    // depth-capped BFS closure: UNION dedups (node, d) pairs so the
+    // recursion is bounded by nodes × (maxHops+1) rows
+    "q_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+           JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         e AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         seeds AS (SELECT DISTINCT u AS node FROM e ORDER BY 1 LIMIT 5),
+         walk AS (SELECT node, 0 AS d FROM seeds
+                  UNION
+                  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node WHERE w.d < 3)
+         SELECT node AS part_key, CAST(MIN(d) AS BIGINT) AS hops
+         FROM walk GROUP BY 1 ORDER BY 1""",
     "q_copurchase" ->
       """SELECT a.l_partkey, b.l_partkey AS l_partkey2, COUNT(*) AS support
          FROM lineitem a JOIN lineitem b

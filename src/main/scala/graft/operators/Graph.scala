@@ -207,4 +207,44 @@ object Graph {
       .join(e.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
   }
+
+  /** Multi-source BFS hop distance over an UNDIRECTED edge list, bounded at
+    * `maxHops` — the k-hop ego-net / graph-proximity feature ("how far is
+    * this node from the seed set"). One frontier-expansion round per hop:
+    * frontier ⋈ edges → neighbors, anti-join the visited set, union into
+    * the distance table — all co-partitioned equi-joins on node keys, with
+    * lineage truncated per round. The hop bound is the scale contract: cost
+    * is O(maxHops) rounds whatever the graph's diameter, and hop-k
+    * neighborhoods are what proximity features actually consume.
+    *
+    * Returns (id, hops) for every node within maxHops of any seed (seeds at
+    * hop 0, unreachable nodes absent). Hop distance is a well-defined
+    * minimum, so the output is engine- and partitioning-deterministic. */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val all = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    val e = all.union(all.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = dist.select("id")
+    var h = 0L
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = e.join(frontier.withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next.select("id")
+    }
+    dist
+  }
 }

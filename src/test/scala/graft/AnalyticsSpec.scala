@@ -393,6 +393,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(labels.length == 200 && labels.forall(_._2 == 0L))
   }
 
+  test("bfsHops: hand-computed hop distances, hop bound, unreachable absent") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5 plus disconnected 8-9; seeds {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("s")
+    val got = Graph.bfsHops(edges, "u", "v", seeds, "s", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 5 is 4 hops away -> absent at maxHops 3; 8,9 unreachable -> absent
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // multi-source: seeds {1, 5} cover the path in 2 hops
+    val got2 = Graph.bfsHops(edges, "u", "v", Seq(1L, 5L).toDF("s"), "s", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
   test("connectedComponents: self-loops, isolated-by-self-loop nodes, messy input") {
     import graft.operators.Graph
     val edges = Seq(
