@@ -830,6 +830,13 @@ object SparkEntry {
     Dedup.allPairsJaccard(Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
       .orderBy("id1", "id2")
 
+  /** Directional containment pairs (doc1 ≥80% inside doc2) — the
+    * asymmetric near-dup measure for quote/subset duplicates, exact via
+    * prefix-filtered candidates + merge-pass verify. */
+  private def qContainmentJoin(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+      .orderBy("id1", "id2")
+
   /** Connected components over the exact near-dup pair graph — the cluster
     * assignment a dedup pipeline keys its keep/drop decision on, via the
     * O(log n)-round star-contraction algorithm (diameter-proof at corpus
@@ -3607,6 +3614,7 @@ object SparkEntry {
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_dedup_allpairs" -> (qDedupAllpairs _),
     "q_connected_components" -> (qConnectedComponents _),
+    "q_containment_join" -> (qContainmentJoin _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_ecdf_grouped" -> (qEcdfGrouped _),
     "q_sketch_cube" -> (qSketchCube _),
@@ -5794,6 +5802,19 @@ object SparkEntry {
                             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
                FROM t a JOIN t b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY id1, id2""",
+    // same shingling as q_dedup_allpairs; directional pairs, denominator
+    // is the CONTAINED side's set size
+    "q_containment_join" ->
+      """WITH t AS (SELECT doc_id,
+                           (SELECT list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                            FROM (SELECT string_split(text, ' ') AS w)) AS toks
+                    FROM documents),
+         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                      ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 6) AS containment
+               FROM t a JOIN t b ON a.doc_id <> b.doc_id
+               WHERE len(a.toks) > 0 AND len(b.toks) > 0)
+         SELECT id1, id2, containment FROM p WHERE containment >= 0.8 ORDER BY id1, id2""",
     // same pair construction as q_dedup_allpairs, then min-label closure
     // over the (small) near-dup components as a recursive CTE
     "q_connected_components" ->

@@ -515,6 +515,24 @@ object TextOps {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Containment |A∩B| / |A| of two SORTED long arrays (single merge pass)
+    * — the asymmetric Jaccard for "is A (mostly) inside B": quote /
+    * subset-duplicate detection, where symmetric Jaccard under-scores pairs
+    * of very different sizes. Empty A is vacuously contained. */
+  def sortedContainment(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0) return 1.0
+    if (nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / na
+  }
+
   /** Exact n-gram (word k-shingle) Jaccard similarity. */
   def ngramJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
     val sa = shingleHashes(a.toString, k)

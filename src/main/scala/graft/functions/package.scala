@@ -151,6 +151,11 @@ package object functions {
   def sorted_jaccard(a: Column, b: Column): Column =
     invoke("sortedJaccard", DoubleType, Seq(a, b))
 
+  /** Containment |A∩B|/|A| of two sorted long-array columns — the
+    * asymmetric near-dup measure (A quoted/embedded inside B). */
+  def sorted_containment(a: Column, b: Column): Column =
+    invoke("sortedContainment", DoubleType, Seq(a, b))
+
   /** Winnowing fingerprints (sorted array of longs). */
   def fingerprint_set(c: Column, shingleK: Int, window: Int): Column =
     invoke(

@@ -179,6 +179,56 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Exact DIRECTIONAL containment join — pairs where |S₁∩S₂|/|S₁| ≥ t,
+    * i.e. document 1 is (mostly) embedded in document 2: quote detection,
+    * subset-duplicate removal, the asymmetric case symmetric Jaccard
+    * under-scores when sizes differ. Same prefix-filter discipline as
+    * [[allPairsJaccard]] with the asymmetric pigeonhole: if the candidate
+    * misses ALL of doc 1's (len − ⌈t·len⌉ + 1) rarest shingles, the
+    * intersection is < t·len — zero false negatives. The probe side indexes
+    * every token (containment has no symmetric prefix), so candidates are
+    * prefix × full-index — df-ascending prefix ordering keeps that tight;
+    * a size guard |S₂| ≥ ⌈t·|S₁|⌉ prunes before the exact merge-pass
+    * verify on broadcast-free sorted-set columns.
+    *
+    * Returns (id1, id2, containment) with id1 ≠ id2, containment at 6 dp. */
+  def containmentJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val docs = df
+      .select(col(idCol).as("id"), shingle_set(col(textCol), shingleK).as("__shs"))
+      .withColumn("__len", size(col("__shs")))
+      .filter(col("__len") > 0)
+    val toks = docs.select(col("id"), explode(col("__shs")).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val prefix = toks
+      .join(freq, "__tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__o"))
+      .select(
+        col("id"),
+        explode(slice(
+          transform(col("__o"), s => s("__tok")),
+          lit(1),
+          (size(col("__o")) - ceil(size(col("__o")) * threshold) + 1).cast("int"))).as("__tok"))
+    val cand = prefix.select(col("id").as("id1"), col("__tok"))
+      .join(toks.select(col("id").as("id2"), col("__tok")), "__tok")
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id1"), col("__shs").as("__s1"), col("__len").as("__l1")), "id1")
+      .join(docs.select(col("id").as("id2"), col("__shs").as("__s2"), col("__len").as("__l2")), "id2")
+      .filter(col("__l2") >= ceil(col("__l1") * threshold))
+      .withColumn("containment", round(sorted_containment(col("__s1"), col("__s2")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
   /** Duplicate-cluster assignment: each node in the near-dup pair graph gets
     * the minimum id of its connected component — "keep doc = cluster label,
     * drop the rest", the final step of a dedup pipeline.

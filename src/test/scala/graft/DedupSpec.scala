@@ -82,4 +82,29 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 10L, 11L), s"got $kept")
   }
+
+  test("containmentJoin: directional quote detection matches brute force") {
+    // doc 1 is fully quoted inside doc 2 (plus extra text); doc 3 unrelated;
+    // doc 4 == doc 1 verbatim (mutual containment 1.0)
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, quote),
+      (2L, s"intro words here $quote and a long tail of additional commentary follows now"),
+      (3L, "completely different vocabulary about ships and harbors and tides"),
+      (4L, quote)).toDF("id", "text")
+    val got = graft.operators.Dedup.containmentJoin(docs, "id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over shingle sets
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val m = Map(1L -> sh(quote), 2L -> sh(s"intro words here $quote and a long tail of additional commentary follows now"),
+      3L -> sh("completely different vocabulary about ships and harbors and tides"), 4L -> sh(quote))
+    val want = (for {
+      a <- m.keys; b <- m.keys if a != b
+      c = m(a).intersect(m(b)).size.toDouble / m(a).size if c >= 0.8
+    } yield (a, b, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == want, s"got $got want $want")
+    // directionality: 1 in 2 but NOT 2 in 1
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L))
+  }
 }
