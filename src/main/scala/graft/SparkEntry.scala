@@ -1053,6 +1053,26 @@ object SparkEntry {
       .orderBy("part_key")
   }
 
+  /** Value-ordered label encoding of order priority onto every order row —
+    * the code table built without a single-partition window, broadcast
+    * back. */
+  private def qLabelEncode(s: SparkSession, d: String): DataFrame =
+    Relational.labelEncode(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("code"))
+      .orderBy("o_orderkey")
+
+  /** Smoothed target encoding of order priority against cent-quantized
+    * total price (m-estimate prior toward the global mean). */
+  private def qTargetEncode(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("y"))
+    Relational.targetEncode(o, "o_orderpriority", "y", smoothing = 20)
+      .orderBy("o_orderpriority")
+  }
+
   /** Nested-struct flattening on an in-plan nested view of orders (two
     * levels deep); the oracle is the equivalent flat projection. */
   private def qFlattenStructs(s: SparkSession, d: String): DataFrame = {
@@ -3474,6 +3494,8 @@ object SparkEntry {
     "q_llm_pipeline" -> (qLlmPipeline _),
     "q_copurchase" -> (qCopurchase _),
     "q_bfs_hops" -> (qBfsHops _),
+    "q_label_encode" -> (qLabelEncode _),
+    "q_target_encode" -> (qTargetEncode _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_tpch_q12" -> (qTpchQ12 _),
     "q_psi_drift" -> (qPsiDrift _),
@@ -4105,6 +4127,23 @@ object SparkEntry {
                 ROUND(SQRT(CAST(SUM(term) AS DOUBLE) /
                            (CAST(MAX(n) AS DOUBLE) * (LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1))), 6) AS cramers_v
          FROM u""",
+    "q_label_encode" ->
+      """SELECT o_orderkey, o_orderpriority,
+                DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS code
+         FROM orders ORDER BY o_orderkey""",
+    // the m-estimate as ONE exact-integer ratio: (s*N + m*S) / (N*(n+m)),
+    // HUGEINT until the single double division
+    "q_target_encode" ->
+      """WITH b AS (SELECT o_orderpriority,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+                    FROM orders),
+         g AS (SELECT CAST(COUNT(y) AS HUGEINT) AS gn, SUM(CAST(y AS HUGEINT)) AS gs FROM b),
+         c AS (SELECT o_orderpriority, CAST(COUNT(y) AS HUGEINT) AS n, SUM(CAST(y AS HUGEINT)) AS s
+               FROM b GROUP BY 1)
+         SELECT c.o_orderpriority, CAST(c.n AS BIGINT) AS n,
+                ROUND(CAST(c.s * g.gn + 20 * g.gs AS DOUBLE) /
+                      CAST(g.gn * (c.n + 20) AS DOUBLE), 6) AS encoded
+         FROM c, g ORDER BY c.o_orderpriority""",
     // depth-capped BFS closure: UNION dedups (node, d) pairs so the
     // recursion is bounded by nodes × (maxHops+1) rows
     "q_bfs_hops" ->

@@ -573,4 +573,53 @@ object Relational {
         col(f.name)
       else round(col(f.name).cast("double"), 0).cast("long").as(f.name)
     }.toSeq: _*)
+
+  /** Deterministic label encoding — categorical values → dense integer
+    * codes 0..n−1 in VALUE sort order (so the mapping is stable across
+    * runs, engines and partitionings, unlike hash- or arrival-order
+    * encodings). The code table is the distinct set ranked by the two-pass
+    * range-partition numbering ([[globalRowNumbers]] — no single-partition
+    * window) and broadcast back; the fact table never shuffles. NULL
+    * categories encode as NULL. */
+  def labelEncode(df: DataFrame, catCol: String, outCol: String = "code"): DataFrame = {
+    val codes = globalRowNumbers(
+      df.select(col(catCol)).where(col(catCol).isNotNull).distinct(),
+      Seq(col(catCol)),
+      rowNumCol = outCol)
+    df.join(broadcast(codes), Seq(catCol), "left")
+  }
+
+  /** Smoothed target encoding — the per-category mean-target feature with
+    * an m-estimate prior toward the global mean (Micci-Barreca 2001):
+    * enc(c) = (Σ_c y + m·ȳ)/(n_c + m), the standard guard against
+    * small-category overfit. y must be INTEGER-VALUED (quantize first):
+    * with S,N the global sum/count and s,n the category's, the encoding is
+    * the single exact-integer ratio (s·N + m·S)/(N·(n + m)) — decimal
+    * arithmetic until ONE double division rounded at `dp`, so the
+    * encoding reproduces bit-for-bit on any engine. Two partial aggregates
+    * (category + global), a 1-row broadcast cross join — the fact table is
+    * never shuffled; join the returned (category, n, encoded) map back
+    * with a broadcast. */
+  def targetEncode(
+      df: DataFrame,
+      catCol: String,
+      targetCol: String,
+      smoothing: Int,
+      dp: Int = 6): DataFrame = {
+    require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
+    val y = col(targetCol).cast("decimal(38,0)")
+    val perCat = df.groupBy(col(catCol))
+      .agg(count(col(targetCol)).cast("decimal(38,0)").as("__n"), sum(y).as("__s"))
+    val global = df.agg(
+      count(col(targetCol)).cast("decimal(38,0)").as("__gn"),
+      sum(y).as("__gs"))
+    perCat.crossJoin(broadcast(global))
+      .select(
+        col(catCol),
+        col("__n").cast("long").as("n"),
+        round(
+          (col("__s") * col("__gn") + lit(smoothing) * col("__gs")).cast("double") /
+            (col("__gn") * (col("__n") + lit(smoothing))).cast("double"),
+          dp).as("encoded"))
+  }
 }

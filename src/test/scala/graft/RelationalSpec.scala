@@ -282,4 +282,25 @@ class RelationalSpec extends SparkSpec {
       .orderBy("cid").collect()
     assert(out.toSeq == Seq(Row(1L, "bob", "555"), Row(2L, "alice", null)))
   }
+
+  test("labelEncode: value-ordered dense codes, nulls encode as null") {
+    val df = Seq(Some("cherry"), Some("apple"), Some("banana"), Some("apple"), None)
+      .toDF("fruit").repartition(4)
+    val out = Relational.labelEncode(df, "fruit")
+      .collect().map(r => (Option(r.getString(0)), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val m = out.toSet
+    assert(m == Set(
+      (Some("apple"), 0L), (Some("banana"), 1L), (Some("cherry"), 2L), (None, -1L)))
+  }
+
+  test("targetEncode: hand-computed m-estimate; m=0 reduces to the plain mean") {
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 40L)).toDF("cat", "y").repartition(3)
+    val got = Relational.targetEncode(df, "cat", "y", smoothing = 2)
+      .orderBy("cat").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // S=70 N=3; a: (30*3 + 2*70)/(3*4) = 230/12; b: (40*3 + 140)/(3*3) = 260/9
+    assert(got.toSeq == Seq(("a", 2L, 19.166667), ("b", 1L, 28.888889)))
+    val plain = Relational.targetEncode(df, "cat", "y", smoothing = 0)
+      .orderBy("cat").collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(plain.toSeq == Seq(("a", 15.0), ("b", 40.0)))
+  }
 }
