@@ -1989,6 +1989,27 @@ object SparkEntry {
     s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** XML write→read roundtrip of an orders projection — Spark 4 built-in
+    * xml source; types re-pinned by explicit casts after the (by-design
+    * schema-inferred) read. */
+  private def qXmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_xml_").toFile
+    tmpDir.deleteOnExit()
+    val out = new java.io.File(tmpDir, "orders_xml").getPath
+    graft.sources.Xml.write(
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+      out, rootTag = "orders", rowTag = "order")
+    graft.sources.Xml.read(s, out, rowTag = "order")
+      .select(
+        col("o_orderkey").cast("long"),
+        col("o_custkey").cast("long"),
+        col("o_orderstatus").cast("string"),
+        col("o_totalprice").cast("double"),
+        col("o_orderdate").cast("timestamp"))
+      .orderBy("o_orderkey")
+  }
+
   private def qPartitionedExport(s: SparkSession, d: String): DataFrame = {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_export_").toFile
     tmpDir.deleteOnExit()
@@ -3556,6 +3577,7 @@ object SparkEntry {
     "q_zorder_layout" -> (qZorderLayout _),
     "q_partitioned_export" -> (qPartitionedExport _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_xml_roundtrip" -> (qXmlRoundtrip _),
     "q_jsonl_export" -> (qJsonlExport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_chunk_text" -> (qChunkText _),
@@ -4905,6 +4927,9 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate, l_returnflag
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_xml_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+         FROM orders ORDER BY o_orderkey""",
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",

@@ -263,6 +263,24 @@ class SourcesSpec extends SparkSpec {
     assert(bad.collect().forall(_.getString(1).contains("in.jsonl")))
   }
 
+  test("xml roundtrip preserves typed rows including XML-hostile strings") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml_spec_").toFile
+    tmp.deleteOnExit()
+    val path = new java.io.File(tmp, "rows").getPath
+    val df = Seq(
+      (1L, "plain", 1.5),
+      (2L, "<tag> & \"quoted\" 'text'", -2.25),
+      (3L, "unicode ünïcødé ☃", 0.0)).toDF("k", "s", "x")
+    graft.sources.Xml.write(df, path, rootTag = "rows", rowTag = "row")
+    val back = graft.sources.Xml.read(spark, path, rowTag = "row")
+      .select(col("k").cast("long"), col("s").cast("string"), col("x").cast("double"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == Seq(
+      (1L, "plain", 1.5),
+      (2L, "<tag> & \"quoted\" 'text'", -2.25),
+      (3L, "unicode ünïcødé ☃", 0.0)))
+  }
+
   test("parquet named accessors expose the full star schema") {
     assert(Tables.lineitem(spark, sf).count() > 0)
     assert(Tables.nation(spark, sf).count() == 25)
