@@ -44,7 +44,9 @@ object SparkEntry {
         round(col("l_extendedprice").cast("decimal(18,2)") * (lit(1.0) - col("l_discount")).cast("decimal(8,4)"), 2)
           .cast("double")
           .as("revenue"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (orderkey, linenumber) repeats in the synthetic lineitem — include
+      // the payload so the output order (which the driver compares) is total
+      .orderBy("l_orderkey", "l_linenumber", "revenue")
 
   private def qDimJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -569,7 +571,7 @@ object SparkEntry {
     Rules.applyRules(Tables.lineitem(s, d), lineitemRules)
       .filter(col("rule_flag").isNotNull)
       .select("l_orderkey", "l_linenumber", "rule_flag")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "rule_flag")
 
   /** Table-level quality expectations over orders: the full check-kind
     * surface (completeness, bounds, set membership, regex conformance, row
@@ -1721,6 +1723,27 @@ object SparkEntry {
       .select(col("event_id"), col("event_type"), col("value"), col("ewma"))
       .orderBy("event_id")
 
+  /** Rolling 20-row Pearson correlation between quantity and price per
+    * returnflag — exact windowed sufficient statistics, one fixed-width
+    * frame. */
+  private def qRollingCorr(s: SparkSession, d: String): DataFrame =
+    Temporal.rollingCorr(
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_shipdate"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("xq"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("yq")),
+      keyCols = Seq("l_returnflag"),
+      // the synthetic lineitem repeats (orderkey, linenumber) — extend the
+      // order with the values themselves: remaining ties are full-row
+      // duplicates, whose frame assignment is output-multiset-invariant
+      orderCols = Seq("l_shipdate", "l_orderkey", "l_linenumber", "xq", "yq"),
+      xCol = "xq", yCol = "yq", lookback = 20)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("corr"))
+      // duplicate (orderkey, linenumber) rows exist — make the OUTPUT order
+      // total too (nulls last matches the SQL default)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("corr").asc_nulls_last)
+
   /** Two-sided CUSUM mean-shift monitor per event type over the event
     * history, deviations quantized to exact micro-units. */
   private def qCusum(s: SparkSession, d: String): DataFrame =
@@ -1986,7 +2009,8 @@ object SparkEntry {
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag")
       .write.mode("overwrite").orc(out)
-    s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
+    s.read.orc(out)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag")
   }
 
   /** XML write→read roundtrip of an orders projection — Spark 4 built-in
@@ -3614,6 +3638,7 @@ object SparkEntry {
     "q_twap" -> (qTwap _),
     "q_cusum" -> (qCusum _),
     "q_ewma" -> (qEwma _),
+    "q_rolling_corr" -> (qRollingCorr _),
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_ols_trend" -> (qOlsTrend _),
@@ -3732,7 +3757,7 @@ object SparkEntry {
                 CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount BETWEEN 0.03 AND 0.07
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, revenue""",
     "q_dim_join" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
@@ -3859,7 +3884,7 @@ object SparkEntry {
          WHERE (CASE WHEN l_discount > 0.06 THEN 'RED'
                      WHEN l_tax >= 0.07 THEN 'ORANGE'
                      WHEN l_quantity > 45.0 THEN 'YELLOW' END) IS NOT NULL
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, rule_flag""",
     "q_rules_split" ->
       """SELECT CASE WHEN l_discount > 0.06 OR l_tax >= 0.07 OR l_quantity > 45.0
                      THEN 'inconsistent' ELSE 'consistent' END AS part,
@@ -4458,6 +4483,30 @@ object SparkEntry {
                 (ROUND(CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) >
                  ROUND(1.628 * SQRT(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6)) AS reject_99
          FROM g""",
+    // exact HUGEINT window sums, double cast only at the final
+    // num / sqrt(denx*deny) — the same expression shape as rollingCorr
+    "q_rolling_corr" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate,
+                           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xq,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yq
+                    FROM lineitem),
+         s AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                      CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+                      SUM(CAST(xq AS HUGEINT)) OVER w AS sx,
+                      SUM(CAST(yq AS HUGEINT)) OVER w AS sy,
+                      SUM(CAST(xq AS HUGEINT) * xq) OVER w AS sxx,
+                      SUM(CAST(yq AS HUGEINT) * yq) OVER w AS syy,
+                      SUM(CAST(xq AS HUGEINT) * yq) OVER w AS sxy
+               FROM b
+               WINDOW w AS (PARTITION BY l_returnflag
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber, xq, yq
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT l_orderkey, l_linenumber, l_returnflag,
+                CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                     THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+                                SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                END AS corr
+         FROM s ORDER BY l_orderkey, l_linenumber, l_returnflag, corr""",
     // identical 12-dp weight literals (0.7^j) in the identical
     // left-to-right accumulation order as Temporal.ewma — IEEE doubles
     // reproduce bit-for-bit given the same order
@@ -4926,7 +4975,8 @@ object SparkEntry {
          FROM orders ORDER BY o_orderkey""",
     "q_orc_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate, l_returnflag
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate, l_returnflag""",
     "q_xml_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
          FROM orders ORDER BY o_orderkey""",

@@ -431,4 +431,48 @@ object Temporal {
     // all-null frame -> NULL, not a 0/0 NaN
     df.withColumn("ewma", when(den > 0, round(num / den, dp)))
   }
+
+  /** Rolling Pearson correlation of two INTEGER-VALUED series (quantize
+    * first) over the last `lookback` rows per key — co-movement detection
+    * as one fixed-width window: the five sufficient statistics accumulate
+    * as exact DECIMAL window sums (the [[graft.operators.Sketches.olsTrend]]
+    * recipe, windowed), then
+    * r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)·(nΣy²−(Σy)²)) with the two exact
+    * denominators cast to double BEFORE the product+sqrt (IEEE
+    * multiplication and correctly-rounded sqrt — deterministic on any
+    * engine), rounded at `dp`. Degenerate frames (either series constant)
+    * yield NULL. `orderCols` must be a total order per key for the frame —
+    * and therefore the output — to be engine-deterministic.
+    *
+    * Appends `corr` to every input row. */
+  def rollingCorr(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      lookback: Int,
+      dp: Int = 6): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(lookback - 1).toLong, Window.currentRow)
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    val n = count(lit(1)).over(w).cast("decimal(38,0)")
+    val sx = sum(x).over(w)
+    val sy = sum(y).over(w)
+    val sxx = sum(x * x).over(w)
+    val syy = sum(y * y).over(w)
+    val sxy = sum(x * y).over(w)
+    val num = n * sxy - sx * sy
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    df.withColumn(
+      "corr",
+      when(denx > 0 && deny > 0,
+        round(num.cast("double") /
+          sqrt(denx.cast("double") * deny.cast("double")), dp)))
+  }
 }

@@ -234,4 +234,44 @@ class TemporalSpec extends SparkSpec {
       ("b", 2L, Some(10.0)),                     // value null: 0.5*10 / 0.5
       ("b", 3L, Some(18.0))))                    // (20 + 0 + 0.25*10) / 1.25
   }
+
+  test("rollingCorr: perfect/anti/degenerate frames, window truncation") {
+    // y = 2x -> corr 1 once 2 points exist; z = -x -> corr -1; const -> null
+    val df = Seq.tabulate(5)(i =>
+      ("up", i.toLong, i.toLong, 2L * i)) ++ Seq.tabulate(5)(i =>
+      ("dn", i.toLong, i.toLong, -i.toLong)) ++ Seq.tabulate(3)(i =>
+      ("cc", i.toLong, i.toLong, 7L))
+    val out = Temporal.rollingCorr(
+      df.toDF("g", "t", "x", "y").repartition(4),
+      Seq("g"), Seq("t"), "x", "y", lookback = 3)
+      .orderBy("g", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // first row of each series: single point -> degenerate -> null
+    assert(out.filter(_._1 == "up").map(_._3).toSeq ==
+      Seq(None, Some(1.0), Some(1.0), Some(1.0), Some(1.0)))
+    assert(out.filter(_._1 == "dn").map(_._3).toSeq ==
+      Seq(None, Some(-1.0), Some(-1.0), Some(-1.0), Some(-1.0)))
+    assert(out.filter(_._1 == "cc").map(_._3).forall(_.isEmpty))
+  }
+
+  test("rollingCorr matches driver-side Pearson on a random 3-wide window") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(50)(i => ("g", i.toLong, rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+    val got = Temporal.rollingCorr(rows.toDF("g", "t", "x", "y").repartition(6),
+      Seq("g"), Seq("t"), "x", "y", lookback = 4)
+      .orderBy("t").collect().map(r => if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    rows.indices.foreach { i =>
+      val fr = rows.slice(math.max(0, i - 3), i + 1)
+      val n = fr.size.toDouble
+      val (sx, sy) = (fr.map(_._3).sum.toDouble, fr.map(_._4).sum.toDouble)
+      val (sxx, syy, sxy) = (fr.map(p => p._3 * p._3).sum.toDouble,
+        fr.map(p => p._4 * p._4).sum.toDouble, fr.map(p => p._3 * p._4).sum.toDouble)
+      val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      if (dx > 0 && dy > 0) {
+        val want = (n * sxy - sx * sy) / math.sqrt(dx * dy)
+        assert(math.abs(got(i).get - want) < 1e-6, s"row $i")
+      } else assert(got(i).isEmpty, s"row $i should be degenerate")
+    }
+  }
 }
