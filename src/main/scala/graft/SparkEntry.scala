@@ -1048,6 +1048,8 @@ object SparkEntry {
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 3)
       .select(col("l_partkey").as("u"), col("p2").as("v"))
+      // seeds AND edges read the pair aggregate — materialize it once
+      .localCheckpoint(true)
     val seeds = pairs.select(col("u")).union(pairs.select(col("v")))
       .distinct().orderBy("u").limit(5)
     Graph.bfsHops(pairs, "u", "v", seeds, "u", maxHops = 3)

@@ -37,7 +37,9 @@ object Graph {
       iterations: Int = 5,
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // one upstream evaluation: deg AND the edge fold both read e
     val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .localCheckpoint(true)
     val deg = e.groupBy(col("__u").as("id")).agg(count(lit(1)).as("__outdeg"))
       .localCheckpoint(true)
     // outdeg folded into the edge table ONCE — each iteration then costs a
@@ -175,9 +177,12 @@ object Graph {
       dstCol: String,
       maxIter: Int = 25): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // checkpoint the projected input ONCE — nodes and the working edge set
+    // both derive from it, and without this the caller's (possibly
+    // expensive) upstream plan would evaluate twice
     val all = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-    val nodes = all.select(explode(array(col("u"), col("v"))).as("id")).distinct()
       .localCheckpoint(true)
+    val nodes = all.select(explode(array(col("u"), col("v"))).as("id")).distinct()
     var e = all.where(col("u") =!= col("v")).distinct().localCheckpoint(true)
     // (count, xor checksum) fingerprints the edge SET cheaply; xxhash64 of
     // the pair folded with bit_xor — order-independent, ANSI-overflow-free
