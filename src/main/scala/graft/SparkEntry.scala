@@ -1691,6 +1691,30 @@ object SparkEntry {
       "value")
   }
 
+  /** k-anonymity audit over customers: quasi-identifier combos
+    * (nation, segment, balance-thousand) describing fewer than 5 records —
+    * the privacy linkability report. */
+  private def qKAnonymity(s: SparkSession, d: String): DataFrame =
+    Quality.kAnonymity(
+      Tables.customer(s, d).select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k")),
+      Seq("c_nationkey", "c_mktsegment", "bal_k"), k = 5)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_k")
+
+  /** Mutual information between order priority and order status —
+    * contingency cells + window margins, 1e-12-quantized terms. */
+  private def qMutualInfo(s: SparkSession, d: String): DataFrame =
+    Sketches.mutualInformation(Tables.orders(s, d), "o_orderpriority", "o_orderstatus")
+
+  /** Deterministic negative sampling: 4 hash-picked embedding ids per
+    * low-id document — reproducible contrastive pairs, no RNG. */
+  private def qNegativeSample(s: SparkSession, d: String): DataFrame =
+    Sampling.negativeSample(
+      Tables.documents(s, d).filter(col("doc_id") < 50), "doc_id",
+      Tables.embeddings(s, d), "vec_id", k = 4)
+      .orderBy("doc_id", "draw")
+
   /** Per-(returnflag, linestatus) OLS price-over-time trend — closed-form
     * regression from five exact decimal sufficient statistics in one
     * partial aggregate; x = epoch days of l_shipdate, y = price cents. */
@@ -3644,6 +3668,9 @@ object SparkEntry {
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_ols_trend" -> (qOlsTrend _),
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_negative_sample" -> (qNegativeSample _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_fixedwidth_roundtrip" -> (qFixedWidthRoundtrip _),
     "q_join_fanout" -> (qJoinFanout _),
@@ -4412,6 +4439,39 @@ object SparkEntry {
          FROM events e JOIN m ON m.tag = 1 AND m.event_type = e.event_type
                               AND m.v = ROUND(e.value, 6)
          ORDER BY e.event_id""",
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_k, COUNT(*) AS n
+         FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+         ORDER BY c_nationkey, c_mktsegment, bal_k""",
+    // cell terms in double (ln of an exact-integer ratio, PSI precedent),
+    // quantized to 1e-12ths before the cross-cell sum — order-independent
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS c
+                        FROM orders GROUP BY 1, 2),
+         m AS (SELECT c,
+                      SUM(c) OVER (PARTITION BY a) AS ca,
+                      SUM(c) OVER (PARTITION BY b) AS cb,
+                      SUM(c) OVER () AS n
+               FROM cells),
+         t AS (SELECT n, CAST(FLOOR((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                                    LN(CAST(n * c AS DOUBLE) / CAST(ca * cb AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS tq
+               FROM m)
+         SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
+                ROUND(SUM(tq) / 1e12, 6) AS mi
+         FROM t""",
+    // the deterministicSplit md5 idiom applied to sampling: rank=md5 mod N
+    "q_negative_sample" ->
+      """WITH r AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx
+                    FROM (SELECT DISTINCT vec_id FROM embeddings)),
+         n AS (SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT vec_id FROM embeddings)),
+         q AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+         d AS (SELECT q.doc_id, j.draw,
+                      ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || ':' || CAST(j.draw AS VARCHAR)), 1, 8))::BIGINT % n.cnt AS idx
+               FROM q, n, (SELECT unnest(generate_series(0, 3)) AS draw) j)
+         SELECT d.doc_id, CAST(d.draw AS BIGINT) AS draw, r.vec_id
+         FROM d JOIN r ON d.idx = r.idx
+         ORDER BY d.doc_id, d.draw""",
     // five exact HUGEINT sufficient statistics, then the identical
     // double-expression shape as the Spark side (each division casts two
     // exact integers — IEEE-deterministic on any engine)

@@ -240,4 +240,18 @@ object Quality {
           (col("violating_keys") === 0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** k-anonymity audit — the privacy re-identification check: every
+    * quasi-identifier combination must describe at least k records, or the
+    * records in it are linkable. Returns the VIOLATING combinations (quasi
+    * values + group size); an empty result certifies the k-anonymity
+    * property. One partial aggregate on the quasi key — always cheap
+    * relative to the release it audits, any corpus size. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

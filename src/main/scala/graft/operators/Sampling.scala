@@ -202,4 +202,38 @@ object Sampling {
       sort = Seq("__h" -> false),
       k = perKey)
       .drop("__h")
+
+  /** Deterministic hash-based negative sampling — k pseudo-random items
+    * per query for contrastive / ranking training pairs, with NO RNG state:
+    * draw j ∈ 0..k−1 picks item rank md5(query:j) mod N, so the sample is
+    * reproducible on any engine, partitioning and run (the
+    * deterministicSplit discipline applied to sampling). The item universe
+    * is ranked once by the two-pass range-partition numbering (id sort
+    * order — stable), N comes from a 1-row broadcast cross join, and the
+    * draw joins the rank table on its key — a co-partitioned equi-join,
+    * never a collect. Accidental positives are kept (standard practice —
+    * filter afterwards if the loss requires it).
+    *
+    * Returns (queryIdCol, draw, itemIdCol) — k rows per query. */
+  def negativeSample(
+      queries: DataFrame,
+      queryIdCol: String,
+      items: DataFrame,
+      itemIdCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ranked = graft.operators.Relational.globalRowNumbers(
+      items.select(col(itemIdCol)).distinct(), Seq(col(itemIdCol)), rowNumCol = "__idx")
+      .localCheckpoint(true)
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val draws = queries.select(col(queryIdCol))
+      .crossJoin(broadcast(n))
+      .select(col(queryIdCol), col("__n"), explode(array((0 until k).map(lit): _*)).as("draw"))
+      .withColumn(
+        "__idx",
+        conv(substring(md5(concat(col(queryIdCol).cast("string"), lit(":"), col("draw").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % col("__n"))
+    draws.join(ranked, "__idx")
+      .select(col(queryIdCol), col("draw").cast("long").as("draw"), col(itemIdCol))
+  }
 }

@@ -669,6 +669,42 @@ object Sketches {
       .drop("__q_lo", "__q_hi")
   }
 
+  /** Mutual information between two categorical columns — the
+    * feature-selection / dependence measure I(A;B) = Σ_ij p_ij·ln(p_ij /
+    * (p_i·p_j)) over the contingency table: one partial aggregate builds
+    * the cells, margins come from window sums OVER the (small) cell table,
+    * never a second scan. Each cell term is computed in double (the ln
+    * argument is a ratio of exact integer products — deterministic; ln
+    * itself follows the PSI precedent) then QUANTIZED to exact 1e-12ths
+    * before the cross-cell sum, so the total is partition-order-independent
+    * and the oracle replays it cell for cell. Returns one row
+    * (n, n_cells, mi) with mi ≥ 0 up to quantization, rounded at `dp`. */
+  def mutualInformation(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      dp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wa = Window.partitionBy(col("__a"))
+    val wb = Window.partitionBy(col("__b"))
+    val wAll = Window.partitionBy()
+    val withM = cells
+      .withColumn("__ca", sum(col("__c")).over(wa))
+      .withColumn("__cb", sum(col("__c")).over(wb))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val term = (col("__c").cast("double") / col("__n").cast("double")) *
+      log((col("__n") * col("__c")).cast("double") /
+        (col("__ca") * col("__cb")).cast("double"))
+    withM
+      .withColumn("__tq", floor(term * 1e12 + 0.5).cast("long"))
+      .agg(
+        max(col("__n")).as("n"),
+        count(lit(1)).as("n_cells"),
+        round(sum(col("__tq")) / 1e12, dp).as("mi"))
+  }
+
   /** Per-group simple linear regression (closed-form OLS) — the trend
     * detector of the stats family: slope/intercept/r² of y over x for each
     * group in ONE partial aggregate, no second pass, no window.

@@ -97,4 +97,15 @@ class QualitySpec extends SparkSpec {
     val held = Quality.functionalDependencies(df, Seq("id" -> "id")).head
     assert(held.getAs[Boolean]("holds") && held.getAs[Long]("violating_keys") == 0L)
   }
+
+  test("kAnonymity reports exactly the sub-k combos; empty when the property holds") {
+    val df = (Seq.fill(5)(("US", "a")) ++ Seq.fill(2)(("US", "b")) ++ Seq.fill(1)(("FR", "a")))
+      .toDF("country", "seg")
+    val viol = Quality.kAnonymity(df, Seq("country", "seg"), k = 3)
+      .orderBy("country", "seg").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(viol.toSeq == Seq(("FR", "a", 1L), ("US", "b", 2L)))
+    assert(Quality.kAnonymity(df, Seq("country", "seg"), k = 2).count() == 1L)
+    assert(Quality.kAnonymity(df.filter(col("seg") === "a").filter(col("country") === "US"),
+      Seq("country"), k = 5).isEmpty)
+  }
 }

@@ -116,4 +116,17 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(t("books")._1 + t("web")._1 - 1.0) < 1e-5)
     assert(math.abs(t("books")._1 - 0.3162 / (0.3162 + 0.9487)) < 1e-3)
   }
+
+  test("negativeSample: k draws per query, items from the universe, repartition-stable") {
+    val queries = Seq(101L, 202L, 303L).toDF("qid")
+    val items = (1L to 37L).toDF("item")
+    def run(parts: Int) = Sampling.negativeSample(
+      queries.repartition(parts), "qid", items.repartition(parts), "item", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(2)
+    assert(a.size == 9, "3 queries x 3 draws")
+    assert(a.forall(t => t._3 >= 1L && t._3 <= 37L))
+    assert(a.map(_._1) == Set(101L, 202L, 303L))
+    assert(run(7) == a, "sample must not depend on partitioning")
+  }
 }

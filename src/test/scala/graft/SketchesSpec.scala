@@ -437,6 +437,16 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("mutualInformation: ln2 for a perfect copy, 0 for independence") {
+    import graft.operators.Sketches
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val mDep = Sketches.mutualInformation(dep, "a", "b").head()
+    assert(mDep.getLong(0) == 4L && mDep.getLong(1) == 2L)
+    assert(math.abs(mDep.getDouble(2) - math.log(2.0)) < 1e-6)
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    assert(Sketches.mutualInformation(ind, "a", "b").head().getDouble(2) == 0.0)
+  }
+
   test("olsTrend: hand-computed lines, flat slope, degenerate-x nulls") {
     import graft.operators.Sketches
     val df = Seq(
