@@ -735,6 +735,19 @@ object SparkEntry {
       .select(col("s_suppkey"), col("matched"), round(col("match_score"), 6).as("match_score"))
       .orderBy("s_suppkey")
 
+  /** Unrestricted Damerau–Levenshtein against each supplier's
+    * best-matching nation name — transposition-aware typo distance,
+    * DuckDB-compatible semantics. */
+  private def qDamerau(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      .crossJoin(broadcast(Tables.nation(s, d).select(col("n_name"))))
+      .select(col("s_suppkey"), col("n_name"),
+        damerau_levenshtein(col("s_name"), col("n_name")).as("dl"))
+      .groupBy(col("s_suppkey"))
+      .agg(min(struct(col("dl"), col("n_name"))).as("__best"))
+      .select(col("s_suppkey"), col("__best.n_name").as("closest"), col("__best.dl").as("dl"))
+      .orderBy("s_suppkey")
+
   /** Scalable edit-distance self-join on supplier names (SymSpell deletion
     * neighborhoods → equi-join → exact verify): every pair within
     * Levenshtein 1, no cartesian, neither side broadcast. */
@@ -3581,6 +3594,7 @@ object SparkEntry {
     "q_compression_ratio" -> (qCompressionRatio _),
     "q_linkage_score" -> (qLinkageScore _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
+    "q_damerau" -> (qDamerau _),
     "q_incremental_join" -> (qIncrementalJoin _),
     "q_bm25_topk" -> (qBm25TopK _),
     "q_token_count" -> (qTokenCount _),
@@ -4380,6 +4394,16 @@ object SparkEntry {
                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // DuckDB's damerau_levenshtein IS the unrestricted variant the kernel
+    // implements; (dl, name) min-struct == ROW_NUMBER tie-break replay
+    "q_damerau" ->
+      """SELECT s_suppkey, n_name AS closest, dl FROM (
+           SELECT s.s_suppkey, n.n_name,
+                  CAST(damerau_levenshtein(s.s_name, n.n_name) AS INTEGER) AS dl,
+                  ROW_NUMBER() OVER (PARTITION BY s.s_suppkey
+                                     ORDER BY damerau_levenshtein(s.s_name, n.n_name), n.n_name) AS rn
+           FROM supplier s, nation n)
+         WHERE rn = 1 ORDER BY s_suppkey""",
     // rank replay: ROW_NUMBER over the identical total order (id tiebreak);
     // the rank-difference predicate is a range join DuckDB handles via
     // IEJoin at oracle scale

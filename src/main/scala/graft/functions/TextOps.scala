@@ -251,6 +251,48 @@ object TextOps {
   def jaroSim(a: UTF8String, b: UTF8String): Double =
     jaroImpl(a.getBytes, b.getBytes)
 
+  /** UNRESTRICTED Damerau–Levenshtein distance (Lowrance–Wagner): edit
+    * distance whose transposition operation may act on substrings already
+    * edited ("CA"→"ABC" = 2, where the restricted/OSA variant says 3) —
+    * the semantics of DuckDB's `damerau_levenshtein`, so pair scores
+    * reproduce across engines. O(|a|·|b|) time, O(|a|·|b|) table plus a
+    * last-seen-row map over the alphabet; operates on Java chars (the
+    * match/compare unit — identical to byte-wise for ASCII keys). */
+  def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length; val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    val h = Array.ofDim[Int](la + 2, lb + 2)
+    h(0)(0) = inf
+    var i = 0
+    while (i <= la) { h(i + 1)(1) = i; h(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= lb) { h(1)(j + 1) = j; h(0)(j + 1) = inf; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k: Int = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val subst = h(i)(j) + cost
+        val insert = h(i + 1)(j) + 1
+        val delete = h(i)(j + 1) + 1
+        val transp = h(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        h(i + 1)(j + 1) = math.min(math.min(subst, insert), math.min(delete, transp))
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    h(la + 1)(lb + 1)
+  }
+
   /** Jaro–Winkler similarity: [[jaroSim]] plus the common-prefix bonus
     * `l * 0.1 * (1 - jaro)` (prefix capped at 4 bytes), applied only above
     * the classic 0.7 boost threshold — the textbook Winkler variant and the

@@ -97,6 +97,13 @@ package object functions {
   def jaro_winkler(a: Column, b: Column): Column =
     invoke("jaroWinkler", DoubleType, Seq(a, b))
 
+  /** UNRESTRICTED Damerau–Levenshtein distance (transpositions may touch
+    * already-edited substrings) — matches DuckDB's `damerau_levenshtein`;
+    * complements the built-in `levenshtein` for typo-tolerant matching
+    * where adjacent-swap errors dominate (keyboards, OCR). */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    invoke("damerauLevenshtein", IntegerType, Seq(a, b))
+
   /** 64-bit Charikar SimHash of whitespace tokens. */
   def simhash64(c: Column): Column =
     invoke("simhash64", LongType, Seq(c))

