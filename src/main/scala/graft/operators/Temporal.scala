@@ -458,9 +458,14 @@ object Temporal {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-(lookback - 1).toLong, Window.currentRow)
-    val x = col(xCol).cast("decimal(38,0)")
-    val y = col(yCol).cast("decimal(38,0)")
-    val n = count(lit(1)).over(w).cast("decimal(38,0)")
+    // LONG sufficient statistics, not decimal: decimal window aggregation
+    // costs ~10× (measured 18.6s -> ~2s at sf0.1) and longs are exact while
+    // (lookback·max|value|)² fits 63 bits — 1e7-unit values at lookback 100
+    // still leave 9× headroom; ANSI mode turns a violation into a loud
+    // overflow error, never a silent wrap
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val n = count(lit(1)).over(w)
     val sx = sum(x).over(w)
     val sy = sum(y).over(w)
     val sxx = sum(x * x).over(w)
