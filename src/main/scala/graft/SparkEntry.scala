@@ -2059,11 +2059,15 @@ object SparkEntry {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_xml_").toFile
     tmpDir.deleteOnExit()
     val out = new java.io.File(tmpDir, "orders_xml").getPath
-    graft.sources.Xml.write(
-      Tables.orders(s, d)
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
-      out, rootTag = "orders", rowTag = "order")
-    graft.sources.Xml.read(s, out, rowTag = "order")
+    val proj = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    graft.sources.Xml.write(proj, out, rootTag = "orders", rowTag = "order")
+    // explicit string schema skips the inference pre-scan; the typed casts
+    // below are the pinning step either way
+    val asStrings = org.apache.spark.sql.types.StructType(
+      proj.schema.fieldNames.map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+    graft.sources.Xml.read(s, out, rowTag = "order", schema = Some(asStrings))
       .select(
         col("o_orderkey").cast("long"),
         col("o_custkey").cast("long"),
