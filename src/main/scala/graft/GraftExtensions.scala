@@ -98,6 +98,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(TextOps.getClass, "fixMojibake", StringType)),
       fn("graft_damerau_levenshtein", "unrestricted Damerau-Levenshtein distance (DuckDB-compatible)",
         static(TextOps.getClass, "damerauLevenshtein", IntegerType)),
+      fn("graft_geohash", "standard base-32 geohash of (lat, lon, precision)",
+        static(graft.operators.Spatial.getClass, "geohash", StringType)),
       fn("graft_jaro_sim", "Jaro similarity in [0,1] (DuckDB-compatible edges)",
         static(TextOps.getClass, "jaroSim", DoubleType)),
       fn("graft_jaro_winkler", "Jaro-Winkler similarity in [0,1] (prefix<=4, 0.7 boost threshold)",

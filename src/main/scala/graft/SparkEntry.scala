@@ -3522,6 +3522,314 @@ object SparkEntry {
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** Radius join between derived supplier and customer coordinates via the
+    * grid-bucketed equi-join (never a cartesian — PlanSpec pins it); the
+    * oracle brute-forces the same pairs, so the grid's coverage guarantee
+    * is what is actually under test. Coordinates derive from the keys by
+    * exact integer modular arithmetic (both engines bit-identical), and the
+    * haversine inputs are quantized to 0.01° so the 800 km threshold never
+    * sits within float noise of a pair. */
+  private def qSpatialJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"),
+      ((col("c_custkey").cast("long") * 7919L % 12000L) / 100.0 - 60.0).as("c_lat"),
+      ((col("c_custkey").cast("long") * 104729L % 36000L) / 100.0 - 180.0).as("c_lon"))
+    val supp = Tables.supplier(s, d).select(
+      col("s_suppkey"),
+      ((col("s_suppkey").cast("long") * 6367L % 12000L) / 100.0 - 60.0).as("s_lat"),
+      ((col("s_suppkey").cast("long") * 9973L % 36000L) / 100.0 - 180.0).as("s_lon"))
+    Spatial.radiusJoin(supp, cust, "s_lat", "s_lon", "c_lat", "c_lon",
+        radiusKm = 800.0, maxAbsLat = 60.0)
+      .select(col("s_suppkey"), col("c_custkey"), round(col("dist_km"), 4).as("dist_km"))
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** Kaplan–Meier churn curves per market segment: duration = first→last
+    * order span, censored when the last order falls in the log's final 180
+    * days. The survival product is exp(Σ ln(1−d/n)) over exact integer
+    * d/n — the associative form both engines window identically. */
+  private def qSurvival(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+    val asOf = o.agg(max(col("od")).as("__max_d"))
+    val spans = o.groupBy(col("o_custkey"))
+      .agg(min(col("od")).as("__first"), max(col("od")).as("__last"))
+      .crossJoin(broadcast(asOf))
+      .select(
+        col("o_custkey"),
+        datediff(col("__last"), col("__first")).cast("long").as("duration"),
+        (datediff(col("__max_d"), col("__last")) > 180).as("churned"))
+    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val joined = spans.join(broadcast(seg), spans("o_custkey") === seg("c_custkey"))
+    Temporal.kaplanMeier(joined, "duration", "churned", Seq("c_mktsegment"))
+      .orderBy("c_mktsegment", "duration")
+  }
+
+  /** Classical weekly decomposition of the daily revenue series — trend /
+    * seasonal / remainder from exact cent-quantized integer statistics
+    * (engine-deterministic: every output is one correctly-rounded division
+    * over exact longs). */
+  private def qSeasonal(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(
+        col("o_orderdate").cast("date").as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .withColumn("dow",
+        (datediff(col("day"), lit("1990-01-01").cast("date")) % 7).cast("int"))
+    Temporal.seasonalDecompose(daily, "day", "revenue_cents", "dow", period = 7)
+      .select(col("day"), col("revenue_cents"), col("dow"),
+        col("trend"), col("seasonal"), col("remainder"))
+      .orderBy("day")
+  }
+
+  /** RFM quintiles over the order log — ECDF bucket scores in exact
+    * integer arithmetic (tie-stable, unlike ntile), histograms broadcast
+    * back so the fact table shuffles once. */
+  private def qRfm(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderdate"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    Segments.rfm(o, "o_custkey", "o_orderdate", "cents")
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        col("rfm"))
+      .orderBy("o_custkey")
+  }
+
+  /** Item-item collaborative-filtering top-3: cosine over co-occurrence
+    * counts (cnt_ab / sqrt(cnt_a·cnt_b) — bit-identical doubles on any
+    * engine, so no rounding games in the ordering), neighbors picked on
+    * the native bounded top-k operator, never a rank window. */
+  private def qItemCosine(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val baskets = Relational.capGroupSize(li, Seq("l_orderkey"), maxRows = 1000)
+    val itemCounts = baskets.groupBy(col("l_partkey")).agg(count(lit(1)).as("__cnt"))
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("other_part")),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") =!= col("other_part"))
+      .groupBy(col("l_partkey"), col("other_part"))
+      .agg(count(lit(1)).as("co_cnt"))
+      .filter(col("co_cnt") >= 2)
+    val sims = pairs
+      .join(broadcast(itemCounts.withColumnRenamed("__cnt", "__ca")), Seq("l_partkey"))
+      .join(
+        broadcast(itemCounts
+          .withColumnRenamed("l_partkey", "other_part")
+          .withColumnRenamed("__cnt", "__cb")),
+        Seq("other_part"))
+      .withColumn("cosine",
+        col("co_cnt").cast("double") / sqrt((col("__ca") * col("__cb")).cast("double")))
+    Relational.topKPerKey(sims, Seq("l_partkey"),
+        Seq(("cosine", true), ("other_part", false)), k = 3, rankCol = Some("rnk"))
+      .select(col("l_partkey"), col("other_part"),
+        round(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy("l_partkey", "rnk")
+  }
+
+  /** Audio round-trip: build REAL RIFF/WAVE containers in-plan (per-doc
+    * deterministic channel/rate/width parameters around the corpus bytes),
+    * then introspect them back header-only — the oracle recomputes the
+    * expected fields directly, so both the writer's layout and the
+    * parser's chunk walk are under the hash. */
+  private def qAudioMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        wav_bytes(
+          lit(1) + (col("doc_id") % 2).cast("int"),
+          element_at(array(lit(8000), lit(16000), lit(44100)),
+            (col("doc_id") % 3).cast("int") + 1),
+          element_at(array(lit(8), lit(16)), (col("doc_id") % 2).cast("int") + 1),
+          col("payload")).as("wav"))
+      .select(col("doc_id"), audio_meta(col("wav")).as("m"))
+      .select(col("doc_id"), col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bits_per_sample").as("bits_per_sample"),
+        col("m.data_bytes").as("data_bytes"))
+      .orderBy("doc_id")
+
+  /** Nearest supplier within 800 km per customer — the catchment
+    * assignment: grid radius join shrunk to one winner per customer on the
+    * native top-1 path (distance asc, suppkey tiebreak; haversine doubles
+    * are bit-identical so the argmin is engine-deterministic). */
+  private def qSpatialNearest(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"),
+      ((col("c_custkey").cast("long") * 7919L % 12000L) / 100.0 - 60.0).as("c_lat"),
+      ((col("c_custkey").cast("long") * 104729L % 36000L) / 100.0 - 180.0).as("c_lon"))
+    val supp = Tables.supplier(s, d).select(
+      col("s_suppkey"),
+      ((col("s_suppkey").cast("long") * 6367L % 12000L) / 100.0 - 60.0).as("s_lat"),
+      ((col("s_suppkey").cast("long") * 9973L % 36000L) / 100.0 - 180.0).as("s_lon"))
+    Spatial.nearestWithin(cust, supp, "c_custkey", "c_lat", "c_lon",
+        "s_lat", "s_lon", radiusKm = 800.0, tieCol = "s_suppkey", maxAbsLat = 60.0)
+      .select(col("c_custkey"), col("s_suppkey"), round(col("dist_km"), 4).as("dist_km"))
+      .orderBy("c_custkey")
+  }
+
+  /** Seasonal anomaly flags: the X126 decomposition's remainder gated by a
+    * 5×MAD robust band (X45's operator over the bit-exact remainders) —
+    * "which days broke from their weekly pattern". Only the boolean and
+    * the exact remainder are emitted; the median/MAD intermediates stay
+    * internal (at 1e8 magnitudes their 6-dp rendering would be the ROUND
+    * knife-edge X126 documents). */
+  private def qSeasonalAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(
+        col("o_orderdate").cast("date").as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .withColumn("dow",
+        (datediff(col("day"), lit("1990-01-01").cast("date")) % 7).cast("int"))
+    val dec = Temporal.seasonalDecompose(daily, "day", "revenue_cents", "dow", period = 7)
+      .filter(col("remainder").isNotNull)
+    Sketches.madOutliers(dec, Nil, "remainder", k = 5.0)
+      .select(col("day"), col("remainder"), col("is_outlier"))
+      .orderBy("day")
+  }
+
+  /** Cohort LTV curves: cumulative revenue per signup-month cohort by
+    * account age, normalized per cohort member — exact cent sums windowed
+    * over the bounded (cohort, age) table, one division at the end. */
+  private def qLtvCurve(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("__m"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val firstM = o.groupBy(col("o_custkey")).agg(min(col("__m")).as("__cm"))
+    val sizes = firstM.groupBy(col("__cm")).agg(count(lit(1)).as("cohort_n"))
+    val rev = o.join(firstM, "o_custkey")
+      .groupBy(col("__cm"), (col("__m") - col("__cm")).as("age_months"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cm")).orderBy(col("age_months"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    rev.withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .join(broadcast(sizes), Seq("__cm"))
+      .select(col("__cm").as("cohort_month"), col("age_months"),
+        col("rev_cents"), col("cum_cents"), col("cohort_n"),
+        (col("cum_cents").cast("double") / col("cohort_n")).as("ltv_cents"))
+      .orderBy("cohort_month", "age_months")
+  }
+
+  /** Revenue-concentration Gini per market segment over per-customer
+    * lifetime spend (exact cents). */
+  private def qGini(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val perCust = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("spend"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Sketches.gini(perCust, Seq("c_mktsegment"), "spend")
+      .orderBy("c_mktsegment")
+  }
+
+  /** Theil–Sen robust price trend per part — median pairwise slope under
+    * the bounded-group cap; the lower-median SELECTION (never an
+    * interpolation) emits one of the bit-exact slope doubles unrounded. */
+  private def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey"),
+      datediff(col("l_shipdate").cast("date"), lit("1992-01-01").cast("date")).as("x"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+    val capped = Relational.capGroupSize(li, Seq("l_partkey"), maxRows = 500)
+    Sketches.theilSen(capped, Seq("l_partkey"), "x", "y")
+      .orderBy("l_partkey")
+  }
+
+  /** Exact weighted median unit price per return flag (weight = quantity):
+    * a pure integer selection, engine-exact with no interpolation. */
+  private def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("qty"))
+    Sketches.weightedMedian(li, Seq("l_returnflag"), "cents", "qty")
+      .orderBy("l_returnflag")
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a deterministic per-nation
+    * p-value table (the md5-uniform idiom, so both engines derive the
+    * identical doubles); q-values and reject flags need no rounding — the
+    * step-up envelope is a running MIN, a selection. */
+  private def qBhAdjust(s: SparkSession, d: String): DataFrame = {
+    val tests = Tables.nation(s, d).select(
+      col("n_name").as("test_id"),
+      (conv(substring(md5(col("n_name")), 1, 8), 16, 10).cast("long") /
+        4294967296.0).as("p_value"))
+    Quality.bhAdjust(tests, "test_id", "p_value", alpha = 0.2)
+      .orderBy("test_id")
+  }
+
+  /** Exact 10% trimmed mean of line-item price per return flag. */
+  private def qTrimmedMean(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    Sketches.trimmedMean(li, Seq("l_returnflag"), "cents", trimFrac = 0.1)
+      .orderBy("l_returnflag")
+  }
+
+  /** STREAMING Gini: the per-customer spend state accumulates in the state
+    * store across micro-batches (complete mode — X46's incremental-agg
+    * posture), the X132 histogram identity assembles in batch off the
+    * sink; exact integer counts make stream == batch against the identical
+    * oracle. */
+  private def qGiniStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val name = "graft_gini_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("spend"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val perCust = s.table(name)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Sketches.gini(perCust, Seq("c_mktsegment"), "spend")
+      .orderBy("c_mktsegment")
+  }
+
+  /** Single-linkage spatial clustering at a 300 km threshold — DBSCAN with
+    * minPts=1: the ε-neighbor graph from the grid radius join (X124's
+    * self-join form), components via the log-round star contraction
+    * (X117), singletons kept as their own cluster. The oracle replays the
+    * brute ε-graph plus a recursive-CTE min-label closure. */
+  private def qSpatialClusters(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"),
+      ((col("c_custkey").cast("long") * 7919L % 12000L) / 100.0 - 60.0).as("c_lat"),
+      ((col("c_custkey").cast("long") * 104729L % 36000L) / 100.0 - 180.0).as("c_lon"))
+    // fresh scan (not a rename of `cust`) so the self-join has two
+    // unambiguous lineages
+    val probe = Tables.customer(s, d).select(
+      col("c_custkey").as("c_custkey2"),
+      ((col("c_custkey").cast("long") * 7919L % 12000L) / 100.0 - 60.0).as("c_lat2"),
+      ((col("c_custkey").cast("long") * 104729L % 36000L) / 100.0 - 180.0).as("c_lon2"))
+    val pairs = Spatial.radiusJoin(probe, cust, "c_lat2", "c_lon2",
+        "c_lat", "c_lon", radiusKm = 300.0, maxAbsLat = 60.0)
+      .filter(col("c_custkey2") < col("c_custkey"))
+      .select(col("c_custkey2").as("u"), col("c_custkey").as("v"))
+    val comps = Graph.connectedComponents(pairs, "u", "v")
+    cust.join(comps, cust("c_custkey") === comps("id"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("component"), col("c_custkey").cast("long")).as("cluster"))
+      .orderBy("c_custkey")
+  }
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3748,7 +4056,23 @@ object SparkEntry {
     "q_pagerank" -> (qPageRank _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
-    "q_dedup_lines" -> (qDedupLines _))
+    "q_dedup_lines" -> (qDedupLines _),
+    "q_spatial_join" -> (qSpatialJoin _),
+    "q_survival" -> (qSurvival _),
+    "q_seasonal" -> (qSeasonal _),
+    "q_rfm" -> (qRfm _),
+    "q_item_cosine" -> (qItemCosine _),
+    "q_audio_meta" -> (qAudioMeta _),
+    "q_spatial_nearest" -> (qSpatialNearest _),
+    "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
+    "q_ltv_curve" -> (qLtvCurve _),
+    "q_gini" -> (qGini _),
+    "q_theil_sen" -> (qTheilSen _),
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_bh_adjust" -> (qBhAdjust _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_gini_stream" -> (qGiniStream _),
+    "q_spatial_clusters" -> (qSpatialClusters _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
     * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
@@ -6316,5 +6640,344 @@ object SparkEntry {
                 COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_clean,
                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
                 CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
-         FROM fl GROUP BY doc_id ORDER BY doc_id""")
+         FROM fl GROUP BY doc_id ORDER BY doc_id""",
+    // the oracle brute-forces the cross product (trivial at oracle scale);
+    // the Spark side must produce the identical pair set through the grid —
+    // CAST(100.0/60.0/... AS DOUBLE) forces DuckDB off its decimal literals
+    // onto the same IEEE path Spark takes
+    "q_spatial_join" ->
+      """WITH c AS (SELECT c_custkey,
+                           (CAST(c_custkey AS BIGINT) * 7919 % 12000) / CAST(100.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+                           (CAST(c_custkey AS BIGINT) * 104729 % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+                    FROM customer),
+         s AS (SELECT s_suppkey,
+                      (CAST(s_suppkey AS BIGINT) * 6367 % 12000) / CAST(100.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+                      (CAST(s_suppkey AS BIGINT) * 9973 % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+               FROM supplier),
+         p AS (SELECT s.s_suppkey, c.c_custkey,
+                      2 * 6371.0088 * ASIN(LEAST(CAST(1.0 AS DOUBLE),
+                        SQRT(SIN(RADIANS(c.lat - s.lat)/2) * SIN(RADIANS(c.lat - s.lat)/2)
+                           + COS(RADIANS(s.lat)) * COS(RADIANS(c.lat))
+                             * SIN(RADIANS(c.lon - s.lon)/2) * SIN(RADIANS(c.lon - s.lon)/2)))) AS km
+               FROM s CROSS JOIN c)
+         SELECT s_suppkey, c_custkey, ROUND(km, 4) AS dist_km
+         FROM p WHERE km <= 800.0 ORDER BY s_suppkey, c_custkey""",
+    // survival = exp(windowed Σ ln(1-d/n)): counts exact BIGINT to the last
+    // step; the GREATEST(1e-300, ·) clamp mirrors the Spark side so the
+    // d = n step underflows to 0.0 instead of tripping ±inf semantics
+    "q_survival" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+         mx AS (SELECT MAX(od) AS maxd FROM o),
+         spans AS (SELECT o_custkey,
+                          CAST(datediff('day', MIN(od), MAX(od)) AS BIGINT) AS duration,
+                          (datediff('day', MAX(od), (SELECT maxd FROM mx)) > 180) AS churned
+                   FROM o GROUP BY 1),
+         j AS (SELECT c.c_mktsegment, sp.duration, sp.churned
+               FROM spans sp JOIN customer c ON sp.o_custkey = c.c_custkey),
+         g AS (SELECT c_mktsegment, duration,
+                      CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+                      CAST(COUNT(*) AS BIGINT) AS at_t
+               FROM j GROUP BY 1, 2),
+         w AS (SELECT c_mktsegment, duration, d_events, at_t,
+                      SUM(at_t) OVER (PARTITION BY c_mktsegment) AS tot,
+                      SUM(at_t) OVER (PARTITION BY c_mktsegment ORDER BY duration
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM g),
+         k AS (SELECT c_mktsegment, duration, d_events,
+                      CAST(tot - (cum - at_t) AS BIGINT) AS n_risk,
+                      SUM(CASE WHEN d_events > 0
+                               THEN LN(GREATEST(CAST(1e-300 AS DOUBLE),
+                                        CAST(1.0 AS DOUBLE) - CAST(d_events AS DOUBLE) /
+                                          CAST(tot - (cum - at_t) AS DOUBLE)))
+                               ELSE CAST(0.0 AS DOUBLE) END)
+                        OVER (PARTITION BY c_mktsegment ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+               FROM w)
+         SELECT c_mktsegment, duration, d_events, n_risk,
+                ROUND(EXP(lsum), 6) AS survival
+         FROM k ORDER BY c_mktsegment, duration""",
+    // exact integer sufficient statistics throughout: wsum/dnum/psum never
+    // leave the integer domain, each output is EXACTLY ONE correctly-rounded
+    // division (remainder re-associated onto the common denominator) — so
+    // the doubles are bit-identical and NO ROUND is applied: ROUND(x,6) at
+    // 1e8 magnitudes is engine-divergent (the decimal halfway boundary sits
+    // inside an ulp; DuckDB's multiply-round and the JVM's BigDecimal round
+    // disagreed on a real row at sf0.01)
+    "q_seasonal" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                        FROM orders GROUP BY 1),
+         w AS (SELECT day, revenue_cents,
+                      CAST(datediff('day', DATE '1990-01-01', day) % 7 AS INT) AS dow,
+                      CAST(SUM(revenue_cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS wsum,
+                      COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wcnt
+               FROM daily),
+         dt AS (SELECT day, revenue_cents, dow, wsum, wcnt,
+                       CASE WHEN wcnt = 7 THEN revenue_cents * 7 - wsum END AS dnum
+                FROM w),
+         pm AS (SELECT dow, CAST(SUM(dnum) AS BIGINT) AS psum,
+                       CAST(COUNT(dnum) AS BIGINT) AS pcnt
+                FROM dt WHERE dnum IS NOT NULL GROUP BY 1)
+         SELECT d.day, d.revenue_cents, d.dow,
+                CASE WHEN d.wcnt = 7 THEN CAST(d.wsum AS DOUBLE) / 7 END AS trend,
+                CAST(p.psum AS DOUBLE) / (p.pcnt * 7) AS seasonal,
+                CASE WHEN d.dnum IS NOT NULL
+                     THEN CAST(d.dnum * p.pcnt - p.psum AS DOUBLE) / (p.pcnt * 7)
+                END AS remainder
+         FROM dt d JOIN pm p USING (dow) ORDER BY d.day""",
+    // quintile scores as exact integer ceil-division over the ECDF
+    // histogram — tie-stable by construction (ntile would depend on
+    // arbitrary tie order and could not hash-match across engines)
+    "q_rfm" ->
+      """WITH m AS (SELECT o_custkey,
+                           CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                                (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT) AS recency_days,
+                           CAST(COUNT(*) AS BIGINT) AS frequency,
+                           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+                    FROM orders GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+         cr AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM (SELECT recency_days AS v, COUNT(*) AS c FROM m GROUP BY 1)),
+         sr AS (SELECT v, CAST(6 - (5 * cum + (SELECT n FROM n) - 1) // (SELECT n FROM n) AS INT) AS r_score FROM cr),
+         cf AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM (SELECT frequency AS v, COUNT(*) AS c FROM m GROUP BY 1)),
+         sf AS (SELECT v, CAST((5 * cum + (SELECT n FROM n) - 1) // (SELECT n FROM n) AS INT) AS f_score FROM cf),
+         cm AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM (SELECT monetary_cents AS v, COUNT(*) AS c FROM m GROUP BY 1)),
+         sm AS (SELECT v, CAST((5 * cum + (SELECT n FROM n) - 1) // (SELECT n FROM n) AS INT) AS m_score FROM cm)
+         SELECT m.o_custkey, m.recency_days, m.frequency, m.monetary_cents,
+                sr.r_score, sf.f_score, sm.m_score,
+                CAST(sr.r_score AS VARCHAR) || CAST(sf.f_score AS VARCHAR) ||
+                  CAST(sm.m_score AS VARCHAR) AS rfm
+         FROM m JOIN sr ON m.recency_days = sr.v
+                JOIN sf ON m.frequency = sf.v
+                JOIN sm ON m.monetary_cents = sm.v
+         ORDER BY m.o_custkey""",
+    // cosine = co/sqrt(ca*cb) over exact integers is bit-identical on any
+    // IEEE engine (sqrt and division are correctly rounded), so the
+    // DESC/tiebreak ordering agrees without rounding tricks
+    "q_item_cosine" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         g AS (SELECT l_orderkey FROM b GROUP BY 1 HAVING COUNT(*) <= 1000),
+         bb AS (SELECT b.l_orderkey, b.l_partkey FROM b JOIN g USING (l_orderkey)),
+         ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM bb GROUP BY 1),
+         p AS (SELECT x.l_partkey, y.l_partkey AS other_part, CAST(COUNT(*) AS BIGINT) AS co_cnt
+               FROM bb x JOIN bb y
+                 ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sm AS (SELECT p.l_partkey, p.other_part,
+                       CAST(p.co_cnt AS DOUBLE) / SQRT(CAST(a.cnt * c.cnt AS DOUBLE)) AS cosine
+                FROM p JOIN ic a ON p.l_partkey = a.l_partkey
+                       JOIN ic c ON p.other_part = c.l_partkey),
+         r AS (SELECT l_partkey, other_part, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                         ORDER BY cosine DESC, other_part) AS rnk
+               FROM sm)
+         SELECT l_partkey, other_part, ROUND(cosine, 6) AS cosine, CAST(rnk AS INT) AS rnk
+         FROM r WHERE rnk <= 3 ORDER BY l_partkey, rnk""",
+    // the oracle recomputes the WAV fields from first principles — the
+    // Spark side has to build a real RIFF container and parse it back to
+    // agree, so writer layout AND chunk-walk parser sit under the hash
+    "q_audio_meta" ->
+      """SELECT doc_id,
+                CAST(1 + doc_id % 2 AS INT) AS channels,
+                CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     ELSE 44100 END AS INT) AS sample_rate,
+                CAST(CASE doc_id % 2 WHEN 0 THEN 8 ELSE 16 END AS INT) AS bits_per_sample,
+                CAST(octet_length(encode(text)) AS INT) AS data_bytes
+         FROM documents ORDER BY doc_id""",
+    // brute argmin replay of the grid+top-1 path; haversine doubles are
+    // bit-identical so ORDER BY km, s_suppkey agrees without rounding
+    "q_spatial_nearest" ->
+      """WITH c AS (SELECT c_custkey,
+                           (CAST(c_custkey AS BIGINT) * 7919 % 12000) / CAST(100.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+                           (CAST(c_custkey AS BIGINT) * 104729 % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+                    FROM customer),
+         s AS (SELECT s_suppkey,
+                      (CAST(s_suppkey AS BIGINT) * 6367 % 12000) / CAST(100.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+                      (CAST(s_suppkey AS BIGINT) * 9973 % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+               FROM supplier),
+         p AS (SELECT c.c_custkey, s.s_suppkey,
+                      2 * 6371.0088 * ASIN(LEAST(CAST(1.0 AS DOUBLE),
+                        SQRT(SIN(RADIANS(s.lat - c.lat)/2) * SIN(RADIANS(s.lat - c.lat)/2)
+                           + COS(RADIANS(c.lat)) * COS(RADIANS(s.lat))
+                             * SIN(RADIANS(s.lon - c.lon)/2) * SIN(RADIANS(s.lon - c.lon)/2)))) AS km
+               FROM c CROSS JOIN s),
+         r AS (SELECT c_custkey, s_suppkey, km,
+                      ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY km, s_suppkey) AS rn
+               FROM p WHERE km <= 800.0)
+         SELECT c_custkey, s_suppkey, ROUND(km, 4) AS dist_km
+         FROM r WHERE rn = 1 ORDER BY c_custkey""",
+    // X126's exact remainders gated by a 5*MAD band; the medians stay
+    // internal to the boolean (their 6-dp rendering would be the ROUND
+    // knife-edge) and the compare margin dwarfs any ulp noise
+    "q_seasonal_anomaly" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                        FROM orders GROUP BY 1),
+         w AS (SELECT day, revenue_cents,
+                      CAST(datediff('day', DATE '1990-01-01', day) % 7 AS INT) AS dow,
+                      CAST(SUM(revenue_cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS wsum,
+                      COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wcnt
+               FROM daily),
+         dt AS (SELECT day, dow, CASE WHEN wcnt = 7 THEN revenue_cents * 7 - wsum END AS dnum FROM w),
+         pm AS (SELECT dow, CAST(SUM(dnum) AS BIGINT) AS psum, CAST(COUNT(dnum) AS BIGINT) AS pcnt
+                FROM dt WHERE dnum IS NOT NULL GROUP BY 1),
+         rem AS (SELECT d.day,
+                        CAST(d.dnum * p.pcnt - p.psum AS DOUBLE) / (p.pcnt * 7) AS remainder
+                 FROM dt d JOIN pm p USING (dow) WHERE d.dnum IS NOT NULL),
+         med AS (SELECT median(remainder) AS m FROM rem),
+         resid AS (SELECT day, remainder, ABS(remainder - (SELECT m FROM med)) AS r FROM rem),
+         madt AS (SELECT median(r) AS mad FROM resid)
+         SELECT day, remainder, (r > 5.0 * (SELECT mad FROM madt)) AS is_outlier
+         FROM resid ORDER BY day""",
+    "q_ltv_curve" ->
+      """WITH o AS (SELECT o_custkey,
+                           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                    FROM orders),
+         f AS (SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY 1),
+         sz AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM f GROUP BY 1),
+         r AS (SELECT f.cm, o.m - f.cm AS age_months, CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+               FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+         c AS (SELECT cm, age_months, rev_cents,
+                      CAST(SUM(rev_cents) OVER (PARTITION BY cm ORDER BY age_months
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+               FROM r)
+         SELECT c.cm AS cohort_month, c.age_months, c.rev_cents, c.cum_cents, s.cohort_n,
+                CAST(c.cum_cents AS DOUBLE) / s.cohort_n AS ltv_cents
+         FROM c JOIN sz s USING (cm) ORDER BY cohort_month, age_months""",
+    // the tied-block rank-sum identity v*c*(2*prev+c+1) in HUGEINT mirrors
+    // the Spark side's DECIMAL(38,0) — one exact division at the end
+    "q_gini" ->
+      """WITH pc AS (SELECT o_custkey,
+                            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend
+                     FROM orders GROUP BY 1),
+         j AS (SELECT c.c_mktsegment, pc.spend FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey),
+         h AS (SELECT c_mktsegment, spend AS v, CAST(COUNT(*) AS HUGEINT) AS c FROM j GROUP BY 1, 2),
+         wp AS (SELECT c_mktsegment, v, c,
+                       SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS prev
+                FROM h),
+         a AS (SELECT c_mktsegment, SUM(c) AS n, SUM(CAST(v AS HUGEINT) * c) AS s1,
+                      SUM(CAST(v AS HUGEINT) * c * (2 * prev + c + 1)) AS si2
+               FROM wp GROUP BY 1)
+         SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+                ROUND(CAST(si2 - (n + 1) * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE), 6) AS gini
+         FROM a ORDER BY c_mktsegment""",
+    // lower-median ELEMENT selection replayed with the same row_number
+    // construction — the k-th sorted value is tie-order-independent, so
+    // the slope emitted is one of the bit-exact division results
+    "q_theil_sen" ->
+      """WITH b AS (SELECT l_partkey,
+                           datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS x,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                    FROM lineitem),
+         g AS (SELECT l_partkey FROM b GROUP BY 1 HAVING COUNT(*) <= 500),
+         bb AS (SELECT b.l_partkey, b.x, b.y FROM b JOIN g USING (l_partkey)),
+         p AS (SELECT a.l_partkey, CAST(c.y - a.y AS DOUBLE) / (c.x - a.x) AS slope
+               FROM bb a JOIN bb c ON a.l_partkey = c.l_partkey AND a.x < c.x),
+         r AS (SELECT l_partkey, slope,
+                      ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY slope) AS rn,
+                      COUNT(*) OVER (PARTITION BY l_partkey) AS n
+               FROM p)
+         SELECT l_partkey, CAST(n AS BIGINT) AS n_pairs, slope
+         FROM r WHERE rn = (n + 1) // 2 ORDER BY l_partkey""",
+    "q_weighted_median" ->
+      """WITH h AS (SELECT l_returnflag,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                    FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, v, w,
+                      CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                      CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+               FROM h)
+         SELECT l_returnflag,
+                CAST(MIN(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT) AS weighted_median,
+                CAST(MAX(tot) AS BIGINT) AS total_weight
+         FROM c GROUP BY 1 ORDER BY 1""",
+    // q-values need no rounding: p·m/i is two correctly-rounded ops on the
+    // identical md5-derived doubles and the envelope is a running MIN
+    "q_bh_adjust" ->
+      """WITH t AS (SELECT n_name AS test_id,
+                           ('0x' || substr(md5(n_name), 1, 8))::BIGINT /
+                             CAST(4294967296.0 AS DOUBLE) AS p_value
+                    FROM nation),
+         r AS (SELECT test_id, p_value,
+                      ROW_NUMBER() OVER (ORDER BY p_value, test_id) AS i,
+                      COUNT(*) OVER () AS m
+               FROM t),
+         q AS (SELECT test_id, p_value, i,
+                      LEAST(CAST(1.0 AS DOUBLE),
+                            MIN(p_value * m / i) OVER (ORDER BY p_value DESC, test_id DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q_value
+               FROM r)
+         SELECT test_id, p_value, CAST(i AS BIGINT) AS rank, q_value,
+                (q_value <= 0.2) AS reject
+         FROM q ORDER BY test_id""",
+    // histogram overlap identity min(cum, n-k) - max(prev, k); k computed
+    // with the same IEEE floor(n*0.1) on both engines; one division
+    "q_trimmed_mean" ->
+      """WITH b AS (SELECT l_returnflag,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+                    FROM lineitem),
+         h AS (SELECT l_returnflag, v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         w AS (SELECT l_returnflag, v, c,
+                      CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                      CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+               FROM h),
+         k AS (SELECT l_returnflag, v, c, cum, n,
+                      CAST(floor(CAST(n AS DOUBLE) * CAST(0.1 AS DOUBLE)) AS BIGINT) AS kk
+               FROM w),
+         cl AS (SELECT l_returnflag, n, kk,
+                       GREATEST(0, LEAST(cum, n - kk) - GREATEST(cum - c, kk)) AS kept, v
+                FROM k)
+         SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+                CAST(MAX(kk) AS BIGINT) AS n_trimmed_each_side,
+                CAST(SUM(CAST(kept AS HUGEINT) * v) AS DOUBLE) / MAX(n - 2 * kk) AS trimmed_mean
+         FROM cl GROUP BY 1 ORDER BY 1""",
+    // stream == batch exactly: the state-store per-customer sums equal the
+    // batch aggregate, so the batch oracle replays unchanged
+    "q_gini_stream" ->
+      """WITH pc AS (SELECT o_custkey,
+                            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend
+                     FROM orders GROUP BY 1),
+         j AS (SELECT c.c_mktsegment, pc.spend FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey),
+         h AS (SELECT c_mktsegment, spend AS v, CAST(COUNT(*) AS HUGEINT) AS c FROM j GROUP BY 1, 2),
+         wp AS (SELECT c_mktsegment, v, c,
+                       SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS prev
+                FROM h),
+         a AS (SELECT c_mktsegment, SUM(c) AS n, SUM(CAST(v AS HUGEINT) * c) AS s1,
+                      SUM(CAST(v AS HUGEINT) * c * (2 * prev + c + 1)) AS si2
+               FROM wp GROUP BY 1)
+         SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+                ROUND(CAST(si2 - (n + 1) * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE), 6) AS gini
+         FROM a ORDER BY c_mktsegment""",
+    // brute ε-graph + recursive min-label closure (components are modest
+    // at this radius, so the closure's Σ size² rows stay tractable);
+    // singletons keep their own key as the cluster label
+    "q_spatial_clusters" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey,
+                           (CAST(c_custkey AS BIGINT) * 7919 % 12000) / CAST(100.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+                           (CAST(c_custkey AS BIGINT) * 104729 % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+                    FROM customer),
+         p AS (SELECT a.c_custkey AS u, b.c_custkey AS v
+               FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+               WHERE 2 * 6371.0088 * ASIN(LEAST(CAST(1.0 AS DOUBLE),
+                       SQRT(SIN(RADIANS(b.lat - a.lat)/2) * SIN(RADIANS(b.lat - a.lat)/2)
+                          + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                            * SIN(RADIANS(b.lon - a.lon)/2) * SIN(RADIANS(b.lon - a.lon)/2))))
+                     <= 300.0),
+         e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         lbl AS (SELECT u AS node, u AS lab FROM e
+                 UNION
+                 SELECT e.u, l.lab FROM e JOIN lbl l ON e.v = l.node),
+         comp AS (SELECT node, MIN(lab) AS component FROM lbl GROUP BY node)
+         SELECT c.c_custkey,
+                CAST(COALESCE(comp.component, c.c_custkey) AS BIGINT) AS cluster
+         FROM c LEFT JOIN comp ON c.c_custkey = comp.node
+         ORDER BY c.c_custkey""")
 }

@@ -85,4 +85,62 @@ object MediaOps {
     }
     (FormatUnknown, -1, -1)
   }
+
+  /** Build a canonical PCM RIFF/WAVE container around `data` — the
+    * public WAVE layout (Microsoft/IBM RIFF spec; little-endian fields):
+    * `RIFF <size> WAVE` + a 16-byte `fmt ` chunk (PCM tag 1, channels,
+    * sample rate, derived byte rate / block align, bits per sample) + the
+    * `data` chunk. Used to materialize real audio containers in-plan so
+    * the parse side round-trips actual bytes, not a stub. */
+  def wavBytes(channels: Int, sampleRate: Int, bitsPerSample: Int, data: Array[Byte]): Array[Byte] = {
+    val body = if (data == null) Array.emptyByteArray else data
+    val blockAlign = channels * (bitsPerSample / 8)
+    val byteRate = sampleRate * blockAlign
+    val out = new java.io.ByteArrayOutputStream(44 + body.length)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    tag("RIFF"); le32(36 + body.length); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1); le16(channels); le32(sampleRate); le32(byteRate)
+    le16(blockAlign); le16(bitsPerSample)
+    tag("data"); le32(body.length)
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** `[channels, sample_rate, bits_per_sample, data_bytes]` from a
+    * RIFF/WAVE payload header, `[-1, -1, -1, -1]` when the payload is not
+    * a parseable WAV. Walks the chunk list (chunks are not guaranteed in
+    * fmt/data order and may include others, e.g. LIST) honoring the
+    * spec's even-byte chunk padding — one bounded scan, no decode. */
+  def audioMeta(payload: Array[Byte]): ArrayData = {
+    val none = new GenericArrayData(Array(-1, -1, -1, -1))
+    val b = payload
+    if (b == null || b.length < 12 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return none
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1; var dataLen = -1
+    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
+      val len = le32(b, i + 4)
+      if (len < 0) return none
+      if (isFmt) {
+        if (len < 16 || i + 8 + 16 > b.length) return none
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (isData) {
+        dataLen = len
+      }
+      i += 8 + len + (len & 1) // chunks pad to even length
+    }
+    if (channels < 0 || dataLen < 0) none
+    else new GenericArrayData(Array(channels, rate, bits, dataLen))
+  }
 }

@@ -52,6 +52,33 @@ package object functions {
       element_at(raw, 3).as("height"))
   }
 
+  /** Wrap `data` in a canonical PCM RIFF/WAVE container (real bytes, per
+    * the public RIFF spec) — the in-plan audio twin of [[image_meta]]'s
+    * parse side. */
+  def wav_bytes(channels: Column, sampleRate: Column, bitsPerSample: Column, data: Column): Column =
+    invokeOn(MediaOps.getClass, "wavBytes", BinaryType,
+      Seq(channels.cast("int"), sampleRate.cast("int"), bitsPerSample.cast("int"), data))
+
+  /** Standard base-32 geohash of (lat, lon) at `precision` characters —
+    * the prefix-bucketing spatial key (shared prefix ⟺ nearby cell). */
+  def geohash_encode(lat: Column, lon: Column, precision: Column): Column =
+    invokeOn(graft.operators.Spatial.getClass, "geohash", StringType,
+      Seq(lat.cast("double"), lon.cast("double"), precision.cast("int")))
+
+  /** Header-level WAV introspection: struct(channels, sample_rate,
+    * bits_per_sample, data_bytes), all -1 when the payload is not a
+    * parseable RIFF/WAVE container. */
+  def audio_meta(payload: Column): Column = {
+    val raw = invokeOn(
+      MediaOps.getClass, "audioMeta",
+      ArrayType(IntegerType, containsNull = false), Seq(payload))
+    struct(
+      element_at(raw, 1).as("channels"),
+      element_at(raw, 2).as("sample_rate"),
+      element_at(raw, 3).as("bits_per_sample"),
+      element_at(raw, 4).as("data_bytes"))
+  }
+
   /** Accent-strip + sanitize + casefold normalization.
     * Behavior of reference utils.py:546 `normalize_text`. */
   def normalize_text(c: Column): Column =

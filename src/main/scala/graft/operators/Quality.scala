@@ -254,4 +254,35 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
   }
+
+  /** Benjamini–Hochberg step-up FDR adjustment (JRSS-B 1995) over a table
+    * of test p-values — the multiple-testing layer above the inference
+    * family (Welch / Mann–Whitney / KS / chi-square): q_i = min_{k≥i}
+    * p_(k)·m/k clamped at 1, reject ⟺ q ≤ alpha (equivalent to the
+    * largest-i step-up rule).
+    *
+    * Runs on the TEST table — one row per hypothesis, bounded by how many
+    * tests the caller ran, so the global rank windows are safe. Engine
+    * determinism needs no rounding: p·m/i is two correctly-rounded ops on
+    * exact integers and the step-up envelope is a running MIN — a
+    * selection, never an accumulation. */
+  def bhAdjust(
+      df: DataFrame,
+      idCol: String,
+      pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val p = col(pCol).cast("double")
+    val w = Window.orderBy(p, col(idCol))
+    val wAll = Window.partitionBy()
+    val wRev = Window.orderBy(p.desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("q_value",
+        least(lit(1.0), min(p * col("__m") / col("rank")).over(wRev)))
+      .withColumn("reject", col("q_value") <= alpha)
+      .drop("__m")
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer/entity segmentation scores — the RFM family (recency /
+  * frequency / monetary quintiles, the classic direct-marketing
+  * segmentation; public knowledge, e.g. Hughes, *Strategic Database
+  * Marketing*).
+  *
+  * The naive formulation is `ntile(5) OVER (ORDER BY metric)` — a global
+  * single-partition sort AND tie-order-dependent (ntile splits equal
+  * values by arbitrary row order, so two runs can disagree). Both problems
+  * fall away by scoring off the ECDF instead: bucket = ⌈B·cum/n⌉ where
+  * `cum` counts rows with value <= v. That is (a) tie-stable — equal
+  * values always land in the same bucket, (b) exact integer arithmetic end
+  * to end, and (c) scalable — the ordered window runs on the DISTINCT
+  * value histogram (bounded by the metric's resolution; quantize upstream
+  * if the metric is continuous), then broadcasts back.
+  */
+object Segments {
+
+  /** Attach `scoreCol` ∈ 1..buckets to every row: the ECDF bucket of
+    * `metricCol`, computed as ceil(buckets·cum/n) in exact integer
+    * arithmetic (`(b·cum + n − 1) div n` — never a float boundary).
+    * `descending=true` flips the scale (lowest metric → highest score),
+    * the right orientation for recency.
+    */
+  def ecdfScore(
+      df: DataFrame,
+      metricCol: String,
+      scoreCol: String,
+      buckets: Int = 5,
+      descending: Boolean = false): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val hist = df.groupBy(col(metricCol)).agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col(metricCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = sum(col("__c")).over(wCum)
+    val n = sum(col("__c")).over(wAll)
+    // exact ceil-division on longs; quotient can never sit within a float
+    // ulp of the wrong integer because everything stays integral
+    val asc = floor((lit(buckets.toLong) * cum + n - lit(1L)) / n).cast("int")
+    val score = if (descending) lit(buckets + 1) - asc else asc
+    df.join(
+      broadcast(hist.select(col(metricCol), score.as(scoreCol))),
+      Seq(metricCol))
+  }
+
+  /** Full RFM readout from an order log: per entity, recency (days since
+    * last order, measured from the max order date in the log), frequency
+    * (order count), monetary (exact quantized sum), and 1..5 ECDF quintile
+    * scores for each (recency scored descending — recent = 5).
+    *
+    * One aggregate to entity grain, three histogram broadcasts back —
+    * the fact table shuffles once.
+    */
+  def rfm(
+      orders: DataFrame,
+      entityCol: String,
+      dateCol: String,
+      amountCentsCol: String): DataFrame = {
+    val asOf = orders.agg(max(col(dateCol).cast("date")).as("__as_of"))
+    val perEntity = orders
+      .groupBy(col(entityCol))
+      .agg(
+        max(col(dateCol).cast("date")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCentsCol).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("recency_days", datediff(col("__as_of"), col("__last")).cast("long"))
+      .drop("__as_of", "__last")
+    val scored = Seq(
+      ("recency_days", "r_score", true),
+      ("frequency", "f_score", false),
+      ("monetary_cents", "m_score", false))
+      .foldLeft(perEntity) { case (acc, (m, s, desc)) =>
+        ecdfScore(acc, m, s, buckets = 5, descending = desc)
+      }
+    scored.withColumn(
+      "rfm",
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")))
+  }
+}

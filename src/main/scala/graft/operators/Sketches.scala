@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate/statistical summaries — the sketch family a 100 TB pipeline
@@ -752,5 +753,159 @@ object Sketches {
             (col("__n") * den).cast("double"), dp)).as("intercept"),
         when(den =!= 0 && deny =!= 0,
           round((numD / denD) * (numD / denyD), dp)).as("r2")): _*)
+  }
+
+  /** Gini coefficient per key group — the inequality/concentration measure
+    * (Lorenz-curve area) over an exact-quantized value column, from the
+    * rank-sum identity G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) with x sorted
+    * ascending and i the 1-based rank.
+    *
+    * Grouped-value form (no per-row global sort): on the DISTINCT value
+    * histogram with counts c and exclusive running count `prev`, the tied
+    * block contributes v·c·(2·prev + c + 1) = 2·Σ i·x over the block —
+    * ties share the same v so their rank order inside the block cancels,
+    * making the statistic tie-stable and engine-deterministic. All sums
+    * are exact DECIMAL(38,0) (the olsTrend recipe); G is one division of
+    * two exact integers, rounded at `dp`.
+    *
+    * Scale shape: one partial agg to the histogram, one windowed pass over
+    * it (bounded by value resolution — quantize upstream), one partial agg
+    * back down to a row per key.
+    */
+  def gini(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    val keys = keyCols.map(col)
+    val hist = df
+      .groupBy(keys :+ col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPrev = hist.withColumn("__prev", sum(col("__c")).over(w) - col("__c"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = withPrev.groupBy(keys: _*).agg(
+      sum(col("__c")).cast("decimal(38,0)").as("__n"),
+      sum(d(col("__v")) * d(col("__c"))).as("__s1"),
+      // v·c·(2·prev + c + 1), every factor decimal BEFORE multiplying so
+      // nothing transits a long product
+      sum(d(col("__v")) * d(col("__c")) *
+        (d(col("__prev")) * lit(2) + d(col("__c")) + lit(1))).as("__si2"))
+    val num = col("__si2") - (col("__n") + lit(1)) * col("__s1")
+    val den = col("__n") * col("__s1")
+    agg.select(
+      keys ++ Seq(
+        col("__n").cast("long").as("n"),
+        when(col("__s1") =!= 0,
+          round(num.cast("double") / den.cast("double"), dp)).as("gini")): _*)
+  }
+
+  /** Theil–Sen robust trend per group — the median of all pairwise slopes
+    * (Theil 1950 / Sen 1968), the outlier-resistant sibling of X118's
+    * least-squares trend (breakdown point ~29% vs 0%).
+    *
+    * Pairwise means quadratic PER GROUP: the caller's contract is bounded
+    * groups (compose with [[Relational.capGroupSize]] upstream, the same
+    * guard the basket-mining shapes use). The pair generation is a
+    * co-partitioned self-join on the group key — one shuffle, never a
+    * global cartesian. Equal-x pairs are skipped (undefined slope); each
+    * slope is one division of two exact integer differences
+    * (bit-identical on any IEEE engine), and the median is the LOWER
+    * median — the ⌈n/2⌉-th smallest slope, an element SELECTION rather
+    * than an interpolation, so the output double is one of the bit-exact
+    * slopes and needs no rounding at all (an interpolated median's
+    * (a+b)/2 vs a+(b−a)/2 differ by an ulp across engines). The k-th
+    * value of a sorted multiset is tie-order-independent, so the
+    * row_number tiebreak does not need to be total.
+    */
+  def theilSen(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val base = df.select(
+      keys :+ col(xCol).cast("long").as("__x") :+ col(yCol).cast("long").as("__y"): _*)
+    val b = base.select(
+      groupCols.map(col) :+ col("__x").as("__x2") :+ col("__y").as("__y2"): _*)
+    val pairs = base.join(b, groupCols)
+      .filter(col("__x") < col("__x2"))
+      .withColumn("__slope",
+        (col("__y2") - col("__y")).cast("double") / (col("__x2") - col("__x")))
+    val w = Window.partitionBy(keys: _*).orderBy(col("__slope"))
+    val wAll = Window.partitionBy(keys: _*)
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") === floor((col("__n") + lit(1)) / lit(2)))
+      .select(keys :+ col("__n").as("n_pairs") :+ col("__slope").as("slope"): _*)
+  }
+
+  /** Exact weighted median per group: the smallest value whose cumulative
+    * weight reaches half the total (the "lower weighted median" — a pure
+    * integer selection, NO interpolation, so it is engine-exact by
+    * construction where interpolated medians are only ulp-close).
+    * One partial agg to the (value, weight) histogram, one window over it,
+    * one min back down. */
+  def weightedMedian(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      weightCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val hist = df
+      .groupBy(keys :+ col(valueCol).cast("long").as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    hist
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(keys: _*)
+      .agg(min(col("__v")).as("weighted_median"),
+        max(col("__tot")).as("total_weight"))
+  }
+
+  /** Exact trimmed mean per group: drop the ⌊n·trimFrac⌋ smallest and
+    * largest observations, average the rest — the robust location estimate
+    * between mean (trim 0) and median (trim 0.5). Histogram form: per
+    * distinct value, the kept multiplicity is the window-clipped overlap
+    * `min(cum, n−k) − max(prev, k)`, all exact longs; ONE division at the
+    * end (bit-identical double, no rounding). `k = floor(n·trimFrac)` is
+    * computed in the plan with the same IEEE ops on any engine. */
+  def trimmedMean(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      trimFrac: Double): DataFrame = {
+    require(trimFrac >= 0 && trimFrac < 0.5, s"trimFrac must be in [0, 0.5), got $trimFrac")
+    val keys = keyCols.map(col)
+    val hist = df
+      .groupBy(keys :+ col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val n = sum(col("__c")).over(wAll)
+    val cum = sum(col("__c")).over(wCum)
+    val clipped = hist
+      .withColumn("__n", n)
+      .withColumn("__k", floor(n.cast("double") * trimFrac).cast("long"))
+      .withColumn("__kept",
+        greatest(lit(0L),
+          least(cum, col("__n") - col("__k")) -
+            greatest(cum - col("__c"), col("__k"))))
+    clipped.groupBy(keys: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__k")).as("n_trimmed_each_side"),
+        // DECIMAL(38,0) sum (the olsTrend recipe) so kept·v never wraps a
+        // long at any corpus size; one double division at the end
+        (sum(col("__kept").cast("decimal(38,0)") * col("__v").cast("decimal(38,0)"))
+          .cast("double") /
+          max(col("__n") - lit(2) * col("__k"))).as("trimmed_mean"))
   }
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial primitives for the point-enrichment shapes (nearest
+  * facility, catchment assignment, radius search) that health-program
+  * pipelines like the reference run between facility registries and
+  * population tables — re-expressed as grid-bucketed equi-joins so the
+  * candidate set per point is O(cell density), never the cross product.
+  *
+  * The 100 TB posture: a radius join between two point tables is the
+  * classic accidental-cartesian. Bucketing both sides into radius-sized
+  * grid cells and expanding the PROBE side to its 3×3 cell neighborhood
+  * turns it into a plain equi-join on (cell_lat, cell_lon) — one shuffle,
+  * AQE-skew-splittable, and the exact haversine predicate only evaluates
+  * on co-located candidates. Cell coverage is provable: two points within
+  * `radiusKm` differ by less than one cell in each axis (the cell edge is
+  * at least the radius in km at the worst latitude the caller declares),
+  * so the match is always inside the neighborhood.
+  */
+object Spatial {
+
+  /** Mean Earth radius (IUGG), km — the standard haversine constant. */
+  final val EarthRadiusKm = 6371.0088
+
+  /** Great-circle distance in km between two (degree) coordinate pairs —
+    * the haversine formula, built entirely from codegen'd trig built-ins
+    * (no UDF). `least(1.0, sqrt(...))` clamps the antipodal rounding case.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val sdlat = sin(radians(lat2 - lat1) / 2)
+    val sdlon = sin(radians(lon2 - lon1) / 2)
+    val a = sdlat * sdlat + cos(radians(lat1)) * cos(radians(lat2)) * sdlon * sdlon
+    lit(2 * EarthRadiusKm) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** All (probe, point) pairs within `radiusKm`, with the distance
+    * attached as `distCol`. Both inputs keep all their columns (the probe
+    * side's under their own names — callers disambiguate beforehand).
+    *
+    * @param probe      left side; each of its rows is expanded to its 3×3
+    *                   grid-cell neighborhood (choose the smaller table —
+    *                   the 9× fan-out is on it)
+    * @param points     right side; bucketed once, never expanded
+    * @param maxAbsLat  bound on |latitude| across BOTH inputs; sizes the
+    *                   longitude cell so a degree of longitude at the worst
+    *                   latitude still spans at least `radiusKm`. Must be
+    *                   < 89 (the grid degenerates at the poles; a polar cap
+    *                   join is a different operator). Longitude wraparound
+    *                   at ±180° IS bridged: the cell width divides 360°
+    *                   exactly and neighbor ids wrap modulo the cell count,
+    *                   so antimeridian-crossing pairs land in the same
+    *                   bucket (uniform cells are what keep the 3×3
+    *                   coverage proof valid at the seam — a final partial
+    *                   cell would let a within-radius pair sit two cells
+    *                   apart).
+    */
+  def radiusJoin(
+      probe: DataFrame,
+      points: DataFrame,
+      probeLat: String,
+      probeLon: String,
+      pointLat: String,
+      pointLon: String,
+      radiusKm: Double,
+      maxAbsLat: Double = 66.0,
+      distCol: String = "dist_km"): DataFrame = {
+    require(radiusKm > 0, s"radiusKm must be > 0, got $radiusKm")
+    require(maxAbsLat > 0 && maxAbsLat < 89.0,
+      s"maxAbsLat must be in (0, 89), got $maxAbsLat")
+    // km per degree: ~110.574 for latitude, ~111.320·cos(lat) for
+    // longitude; 110.0 underestimates both, so cells are never smaller
+    // than the radius (coverage proof needs >=, cells slightly larger
+    // only cost a few extra exact-checked candidates)
+    val cellLatDeg = radiusKm / 110.0
+    val cellLonDegMin = radiusKm / (110.0 * math.cos(math.toRadians(maxAbsLat)))
+    // longitude cells must tile the circle UNIFORMLY for the seam to be
+    // sound: round the count down (cells get wider, never narrower)
+    val nLon = math.max(1, math.floor(360.0 / cellLonDegMin).toInt)
+    val cellLonDeg = 360.0 / nLon
+    def cellOf(latC: Column, lonC: Column): (Column, Column) =
+      (floor(latC / cellLatDeg).cast("long"),
+        pmod(floor((lonC + 180.0) / cellLonDeg).cast("long"), lit(nLon.toLong)))
+
+    val (pLat, pLon) = cellOf(points.col(pointLat), points.col(pointLon))
+    val bucketed = points.withColumn("__clat", pLat).withColumn("__clon", pLon)
+
+    val (qLat, qLon) = cellOf(probe.col(probeLat), probe.col(probeLon))
+    // wrapped 3×3 neighborhood; array_distinct collapses the self-overlap
+    // a tiny grid (nLon < 3) would otherwise duplicate join rows through
+    val cells = array_distinct(array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+      struct(
+        (qLat + lit(i.toLong)).as("clat"),
+        pmod(qLon + lit(j.toLong), lit(nLon.toLong)).as("clon")))): _*))
+    val expanded = probe
+      .withColumn("__o", explode(cells))
+      .withColumn("__clat", col("__o.clat"))
+      .withColumn("__clon", col("__o.clon"))
+      .drop("__o")
+
+    val d = haversineKm(
+      expanded.col(probeLat), expanded.col(probeLon),
+      bucketed.col(pointLat), bucketed.col(pointLon))
+    expanded
+      .join(bucketed, Seq("__clat", "__clon"))
+      .withColumn(distCol, d)
+      .filter(col(distCol) <= radiusKm)
+      .drop("__clat", "__clon")
+  }
+
+  /** Nearest point within `radiusKm` per probe row (catchment assignment /
+    * nearest-facility): the radius join shrunk to one winner per probe key
+    * on the native bounded top-1 path (distance asc, then `tieCol` asc —
+    * haversine over identical doubles is bit-identical on IEEE engines, so
+    * the argmin is engine-deterministic). Probes with nothing in range are
+    * absent from the output — the radius is the scale contract that keeps
+    * this a bounded grid search rather than an unbounded global argmin.
+    */
+  def nearestWithin(
+      probe: DataFrame,
+      points: DataFrame,
+      probeKey: String,
+      probeLat: String,
+      probeLon: String,
+      pointLat: String,
+      pointLon: String,
+      radiusKm: Double,
+      tieCol: String,
+      maxAbsLat: Double = 66.0): DataFrame = {
+    val cands = radiusJoin(probe, points, probeLat, probeLon, pointLat, pointLon,
+      radiusKm, maxAbsLat)
+    Relational.topKPerKey(cands, Seq(probeKey),
+      Seq(("dist_km", false), (tieCol, false)), k = 1)
+  }
+
+  private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash (Niemeyer's public base-32 encoding): interleaved
+    * longitude/latitude bisection bits, `precision` characters. The prefix
+    * property (shared prefix ⟺ nearby, modulo cell-boundary effects) makes
+    * it a storage-friendly spatial bucketing key: Z-order clustering,
+    * prefix-range pruning, and join keys all work on plain strings. */
+  def geohash(lat: Double, lon: Double, precision: Int): String = {
+    val sb = new java.lang.StringBuilder(precision)
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var isLon = true
+    var bits = 0; var ch = 0
+    while (sb.length < precision) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      isLon = !isLon
+      bits += 1
+      if (bits == 5) { sb.append(GeohashBase32.charAt(ch)); bits = 0; ch = 0 }
+    }
+    sb.toString
+  }
+}

@@ -480,4 +480,123 @@ object Temporal {
         round(num.cast("double") /
           sqrt(denx.cast("double") * deny.cast("double")), dp)))
   }
+
+  /** Kaplan–Meier product-limit survival estimate (Kaplan & Meier 1958)
+    * per key group: at each distinct duration t with `d` observed events,
+    * the at-risk count `n` is everyone whose duration is >= t, and
+    * S(t) = Π_{t'<=t} (1 - d/n).
+    *
+    * Scale shape: one partial aggregate collapses the corpus to its
+    * DISTINCT (key, duration) pairs — the only windows run on that
+    * collapsed table, whose size is bounded by the duration resolution
+    * (days here), not the row count. The running product is evaluated as
+    * exp(Σ ln), the associative form a distributed window can compute;
+    * counts stay exact longs, doubles appear only in the final ratio.
+    *
+    * @param df          one row per subject
+    * @param durationCol integral duration (e.g. days until event/censor)
+    * @param eventCol    boolean — true when the event was OBSERVED, false
+    *                    when the subject was censored at that duration
+    * @param keyCols     stratification keys (one curve per combination)
+    * @param dp          rounding applied to the survival estimate
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      keyCols: Seq[String] = Nil,
+      dp: Int = 6): DataFrame = {
+    val keys = keyCols.map(col)
+    val grouped = df
+      .groupBy(keys :+ col(durationCol).cast("long").as("duration"): _*)
+      .agg(
+        sum(when(col(eventCol), 1L).otherwise(0L)).as("d_events"),
+        count(lit(1)).as("__at_t"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    // at risk at t = total - (everyone who left strictly before t)
+    val nRisk = sum(col("__at_t")).over(wAll) -
+      (sum(col("__at_t")).over(wCum) - col("__at_t"))
+    grouped
+      .withColumn("n_risk", nRisk)
+      .withColumn(
+        "survival",
+        // the 1e-300 clamp keeps the d == n ("everyone at risk leaves")
+        // step finite — exp picks up a ≤ -690 term and the product rounds
+        // to 0.0 identically on every engine, with no ±inf semantics in play
+        round(exp(sum(
+          when(col("d_events") > 0,
+            log(greatest(lit(1e-300),
+              lit(1.0) - col("d_events").cast("double") / col("n_risk"))))
+            .otherwise(lit(0.0))).over(wCum)), dp))
+      .drop("__at_t")
+  }
+
+  /** Classical additive seasonal decomposition of a regular integer-valued
+    * series: trend = centered moving average over one full period,
+    * seasonal = mean detrended value per phase (position-in-period),
+    * remainder = value - trend - seasonal. The moving-average +
+    * seasonal-means method is the textbook "classical decomposition"
+    * (Hyndman & Athanasopoulos, *Forecasting: Principles and Practice*,
+    * §3.4 — public knowledge).
+    *
+    * ENGINE-DETERMINISTIC by exact integer sufficient statistics: the
+    * caller supplies the series already quantized to longs (e.g. cents);
+    * the centered window SUM and the per-phase sums of
+    * `period·value - windowSum` stay exact integers, and every output is
+    * EXACTLY ONE correctly-rounded division at the end — bit-identical
+    * doubles on any IEEE engine, so no ROUND is applied at all (ROUND(x, 6)
+    * at 1e8 magnitudes is itself engine-divergent: the decimal half-way
+    * boundary falls inside an ulp, and DuckDB's multiply-based round and
+    * the JVM's BigDecimal round can disagree on it — measured, not
+    * hypothetical).
+    *
+    * Runs one window over the SERIES (already aggregated to one row per
+    * tick — bounded by calendar length, not corpus size) and one
+    * period-sized broadcast join back.
+    *
+    * @param series   one row per tick, strictly regular (no gaps — compose
+    *                 with [[fillGaps]] upstream otherwise)
+    * @param orderCol monotone tick column (date / timestamp / index)
+    * @param valueCol exact long measurement (quantize upstream)
+    * @param phaseCol phase-in-period column, 0..period-1 (e.g. day-of-week)
+    * @param period   season length in ticks (7 for daily data, weekly season)
+    */
+  def seasonalDecompose(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      phaseCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val half = period / 2
+    val w = Window.orderBy(col(orderCol)).rowsBetween(-half, half)
+    val v = col(valueCol).cast("long")
+    // full windows only: the first/last half-period rows carry no trend
+    val windowed = series
+      .withColumn("__wsum", sum(v).over(w))
+      .withColumn("__wcnt", count(lit(1)).over(w))
+      .withColumn("__detr_num",
+        when(col("__wcnt") === period, v * period - col("__wsum")))
+    val phaseMeans = windowed
+      .filter(col("__detr_num").isNotNull)
+      .groupBy(col(phaseCol))
+      .agg(sum(col("__detr_num")).as("__psum"), count(lit(1)).as("__pcnt"))
+    // remainder = detr/period − psum/(pcnt·period) re-associated onto the
+    // COMMON denominator so it is one division too, not a subtraction of
+    // two rounded quotients
+    windowed
+      .join(broadcast(phaseMeans), Seq(phaseCol), "left")
+      .withColumn("trend",
+        when(col("__wcnt") === period,
+          col("__wsum").cast("double") / period))
+      .withColumn("seasonal",
+        col("__psum").cast("double") / (col("__pcnt") * period))
+      .withColumn("remainder",
+        when(col("__detr_num").isNotNull,
+          (col("__detr_num") * col("__pcnt") - col("__psum")).cast("double") /
+            (col("__pcnt") * period)))
+      .drop("__wsum", "__wcnt", "__detr_num", "__psum", "__pcnt")
+  }
 }

@@ -99,4 +99,35 @@ class MultimodalSpec extends SparkSpec {
       (7L, "bmp", 1024, 768), // BITMAPCOREHEADER 16-bit fields
       (8L, "unknown", -1, -1))) // unrecognized DIB header size
   }
+
+  test("wavBytes/audioMeta round-trip, tolerate extra chunks, reject junk") {
+    import graft.functions.MediaOps
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def meta(b: Array[Byte]): Seq[Int] =
+      MediaOps.audioMeta(b).toIntArray().toSeq
+
+    // writer -> parser round trip
+    val wav = MediaOps.wavBytes(2, 44100, 16, Array[Byte](1, 2, 3, 4, 5))
+    assert(meta(wav) === Seq(2, 44100, 16, 5))
+    assert(wav.length === 44 + 5) // canonical 44-byte header
+
+    // chunk walk: a LIST chunk (odd length -> padded) BEFORE fmt/data
+    val listChunk = "LIST".getBytes ++ le32(3) ++ Array[Byte](9, 9, 9, 0)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(8)
+    val data = "data".getBytes ++ le32(2) ++ Array[Byte](7, 7)
+    val exotic = "RIFF".getBytes ++ le32(4 + listChunk.length + fmt.length + data.length) ++
+      "WAVE".getBytes ++ listChunk ++ fmt ++ data
+    assert(meta(exotic) === Seq(1, 8000, 8, 2))
+
+    // data before fmt is legal RIFF too
+    val swapped = "RIFF".getBytes ++ le32(4 + fmt.length + data.length) ++
+      "WAVE".getBytes ++ data ++ fmt
+    assert(meta(swapped) === Seq(1, 8000, 8, 2))
+
+    assert(meta("not audio at all, just text bytes".getBytes) === Seq(-1, -1, -1, -1))
+    assert(meta("RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes) === Seq(-1, -1, -1, -1))
+    assert(meta(wav.take(20)) === Seq(-1, -1, -1, -1)) // truncated mid-fmt
+  }
 }

@@ -479,4 +479,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"weights must broadcast back:\n$p")
     assert(p.contains("TopKPerKey"), s"line dedup must use the native top-1 path:\n$p")
   }
+
+  test("spatial radius join is a grid equi-join — no cartesian, no nested loop") {
+    val p = plan(SparkEntry.queries("q_spatial_join")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"radius join fell back to cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"radius join lost its cell keys:\n$p")
+  }
+
+  test("item-item cosine broadcasts item counts, neighbors on native top-k") {
+    val p = plan(SparkEntry.queries("q_item_cosine")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerKey"), s"expected native top-k:\n$p")
+    assert(!p.contains("Window"), s"neighbor pick must not use a rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"item counts must broadcast:\n$p")
+  }
+
+  test("RFM histograms broadcast back — the entity table never re-shuffles") {
+    val p = plan(SparkEntry.queries("q_rfm")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"score histograms must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Segments, Spatial, Temporal}
+
+/** Round-7 wave: spatial grid join, Kaplan–Meier survival, seasonal
+  * decomposition, ECDF segment scores. */
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForce(
+      probe: Seq[(Int, Double, Double)],
+      points: Seq[(Int, Double, Double)],
+      radiusKm: Double): Set[(Int, Int)] =
+    (for {
+      (pid, plat, plon) <- probe
+      (qid, qlat, qlon) <- points
+      dlat = math.toRadians(qlat - plat) / 2
+      dlon = math.toRadians(qlon - plon) / 2
+      a = math.sin(dlat) * math.sin(dlat) +
+        math.cos(math.toRadians(plat)) * math.cos(math.toRadians(qlat)) *
+          math.sin(dlon) * math.sin(dlon)
+      d = 2 * Spatial.EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
+      if d <= radiusKm
+    } yield (pid, qid)).toSet
+
+  test("radiusJoin equals brute force, including across the antimeridian") {
+    // clusters near the ±180 seam, the equator, and mid-latitudes, plus
+    // isolated far-away points that must not match
+    val probe = Seq(
+      (1, 0.0, 179.8), (2, 55.0, -179.9), (3, -30.0, 10.0), (4, 59.9, 0.0))
+    val points = Seq(
+      (11, 0.1, -179.9),  // ~36 km from probe 1, across the seam
+      (12, 55.2, 179.7),  // across the seam from probe 2
+      (13, -30.5, 10.5), (14, 59.0, 1.0),
+      (15, 10.0, 100.0), (16, -59.0, -100.0)) // isolated
+    val radius = 300.0
+    val expected = bruteForce(probe, points, radius)
+    val got = Spatial.radiusJoin(
+        probe.toDF("pid", "plat", "plon"), points.toDF("qid", "qlat", "qlon"),
+        "plat", "plon", "qlat", "qlon", radius, maxAbsLat = 60.0)
+      .select("pid", "qid").as[(Int, Int)].collect().toSet
+    assert(got === expected)
+    assert(expected.contains((1, 11)) && expected.contains((2, 12)),
+      "fixture must actually exercise the antimeridian")
+  }
+
+  test("radiusJoin emits no duplicate pairs even on a tiny wrapped grid") {
+    // radius so large the longitude ring collapses to very few cells —
+    // the wrapped 3×3 neighborhood would self-overlap without dedup
+    val probe = Seq((1, 10.0, 0.0)).toDF("pid", "plat", "plon")
+    val points = Seq((11, 12.0, 5.0), (12, -20.0, 160.0)).toDF("qid", "qlat", "qlon")
+    val out = Spatial.radiusJoin(probe, points, "plat", "plon", "qlat", "qlon",
+      radiusKm = 8000.0, maxAbsLat = 30.0)
+    val rows = out.select("pid", "qid").as[(Int, Int)].collect().toSeq
+    assert(rows.distinct === rows)
+    assert(rows.contains((1, 11)))
+  }
+
+  test("haversineKm matches a published reference distance") {
+    // Paris <-> New York is ~5837 km by great circle (public almanac figure)
+    val df = Seq((48.8566, 2.3522, 40.7128, -74.0060)).toDF("a", "b", "c", "d")
+    val km = df.select(Spatial.haversineKm(col("a"), col("b"), col("c"), col("d")))
+      .as[Double].head()
+    assert(math.abs(km - 5837.0) < 10.0, s"got $km")
+  }
+
+  test("kaplanMeier reproduces the hand-computed product-limit estimate") {
+    // classic toy: durations 1,2+,3,4+,5 (+ = censored)
+    val df = Seq(
+      (1L, true), (2L, false), (3L, true), (4L, false), (5L, true))
+      .toDF("dur", "event")
+    val out = Temporal.kaplanMeier(df, "dur", "event")
+      .orderBy("duration")
+      .select("duration", "d_events", "n_risk", "survival")
+      .as[(Long, Long, Long, Double)].collect()
+    // S(1) = 4/5 = 0.8; S(3) = 0.8 * (1 - 1/3) = 0.533333; S(5) = 0 (d = n)
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Array((1L, 1L, 5L), (2L, 0L, 4L), (3L, 1L, 3L), (4L, 0L, 2L), (5L, 1L, 1L)))
+    assert(out(0)._4 === 0.8)
+    assert(out(1)._4 === 0.8) // censoring step leaves S unchanged
+    assert(math.abs(out(2)._4 - 0.533333) < 1e-9)
+    assert(out(4)._4 === 0.0) // everyone-at-risk-leaves step underflows to 0
+  }
+
+  test("seasonalDecompose recovers a planted weekly pattern exactly") {
+    // value = 1000·(t/7 rounded trend is linear) + phase bump; a linear
+    // ramp's centered 7-MA is the ramp itself, so seasonal = bump - mean(bumps)
+    val bumps = Array(70L, -35L, 0L, 14L, -21L, 28L, -56L) // sum = 0
+    val rows = (0 until 70).map { t =>
+      (t, 1000L * t + bumps(t % 7), t % 7)
+    }
+    val out = Temporal.seasonalDecompose(
+        rows.toDF("t", "v", "phase"), "t", "v", "phase", period = 7)
+      .orderBy("t")
+      .select("t", "trend", "seasonal", "remainder")
+      .as[(Int, Option[Double], Double, Option[Double])].collect()
+    // edges: first/last 3 rows carry no trend/remainder
+    assert(out.take(3).forall(r => r._2.isEmpty && r._4.isEmpty))
+    assert(out.takeRight(3).forall(r => r._2.isEmpty && r._4.isEmpty))
+    out.drop(3).dropRight(3).foreach { case (t, trend, seasonal, rem) =>
+      assert(trend.get === 1000.0 * t, s"t=$t")       // exact: ramp MA = ramp
+      assert(seasonal === bumps(t % 7).toDouble, s"t=$t") // mean-zero bumps
+      assert(math.abs(rem.get) < 1e-9, s"t=$t")
+    }
+  }
+
+  test("nearestWithin returns the argmin per probe and drops out-of-range probes") {
+    val probe = Seq((1, 10.0, 10.0), (2, -40.0, 100.0)).toDF("pid", "plat", "plon")
+    val points = Seq((11, 10.5, 10.0), (12, 10.1, 10.1), (13, 80.0, 0.0))
+      .toDF("qid", "qlat", "qlon")
+    val out = Spatial.nearestWithin(probe, points, "pid", "plat", "plon",
+        "qlat", "qlon", radiusKm = 300.0, tieCol = "qid", maxAbsLat = 85.0)
+      .select("pid", "qid").as[(Int, Int)].collect().toSeq
+    assert(out === Seq((1, 12))) // 12 is nearer than 11; probe 2 has no match
+  }
+
+  test("geohash matches the published reference vectors") {
+    // Niemeyer's canonical example + the Wikipedia vector
+    assert(Spatial.geohash(42.605, -5.603, 5) === "ezs42")
+    assert(Spatial.geohash(57.64911, 10.40744, 11) === "u4pruydqqvj")
+    assert(Spatial.geohash(0.0, 0.0, 1) === "s")
+    // SQL surface
+    val got = spark.sql("SELECT graft_geohash(42.605D, -5.603D, 5)").as[String].head()
+    assert(got === "ezs42")
+  }
+
+  test("gini matches the hand formula, is 0 at equality, tie-stable") {
+    val df = Seq(1L, 2L, 3L, 4L).map(v => ("a", v)).toDF("k", "v")
+    val out = graft.operators.Sketches.gini(df, Seq("k"), "v")
+      .as[(String, Long, Double)].head()
+    // sorted 1,2,3,4: sum(i*x)=30, n=4, S=10 -> (60-50)/40 = 0.25
+    assert(out === (("a", 4L, 0.25)))
+    val eq = Seq(5L, 5L, 5L, 5L).map(v => ("a", v)).toDF("k", "v")
+    assert(graft.operators.Sketches.gini(eq, Seq("k"), "v")
+      .as[(String, Long, Double)].head()._3 === 0.0)
+    // ties: grouped-histogram identity must equal the per-row rank formula
+    val tied = Seq(1L, 1L, 2L, 2L, 2L, 7L).map(v => ("a", v)).toDF("k", "v")
+    val g = graft.operators.Sketches.gini(tied, Seq("k"), "v")
+      .as[(String, Long, Double)].head()._3
+    val xs = Seq(1L, 1L, 2L, 2L, 2L, 7L).sorted
+    val n = xs.length; val s = xs.sum
+    val si = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val expected = (2.0 * si - (n + 1) * s).toDouble / (n.toLong * s)
+    assert(math.abs(g - expected) < 5e-7) // gini output rounds at 6 dp
+  }
+
+  test("theilSen is robust to an outlier and selects an exact slope element") {
+    val df = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 100L))
+      .map { case (x, y) => ("a", x, y) }.toDF("k", "x", "y")
+    val out = graft.operators.Sketches.theilSen(df, Seq("k"), "x", "y")
+      .as[(String, Long, Double)].head()
+    // slopes sorted: [2, 2, 2, 33.33, 49, 96]; lower median (3rd of 6) = 2
+    assert(out === (("a", 6L, 2.0)))
+  }
+
+  test("weightedMedian is the smallest value reaching half the total weight") {
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 10L)).map { case (v, w) => ("a", v, w) }
+      .toDF("k", "v", "w")
+    val out = graft.operators.Sketches.weightedMedian(df, Seq("k"), "v", "w")
+      .as[(String, Long, Long)].head()
+    assert(out === (("a", 3L, 12L)))
+    val even = Seq((1L, 5L), (2L, 5L)).map { case (v, w) => ("a", v, w) }
+      .toDF("k", "v", "w")
+    assert(graft.operators.Sketches.weightedMedian(even, Seq("k"), "v", "w")
+      .as[(String, Long, Long)].head() === (("a", 1L, 10L))) // lower median
+  }
+
+  test("bhAdjust reproduces the hand-computed step-up q-values and rejects") {
+    val tests = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.2))
+      .toDF("id", "p")
+    val out = graft.operators.Quality.bhAdjust(tests, "id", "p", alpha = 0.05)
+      .orderBy("rank")
+      .select("id", "rank", "q_value", "reject")
+      .as[(String, Long, Double, Boolean)].collect()
+    // raw p*m/i: .04, .04, .04, .2; reverse-min envelope: .04, .04, .04, .2
+    assert(out.map(_._1).toSeq === Seq("t1", "t2", "t3", "t4"))
+    assert(out.map(_._3).toSeq === Seq(0.04, 0.04, 0.04, 0.2))
+    assert(out.map(_._4).toSeq === Seq(true, true, true, false))
+  }
+
+  test("bhAdjust envelope is monotone when a later raw value dips") {
+    // p = [.01, .04, .045]: raw = .03, .06, .045 -> envelope .03, .045, .045
+    val tests = Seq(("a", 0.01), ("b", 0.04), ("c", 0.045)).toDF("id", "p")
+    val q = graft.operators.Quality.bhAdjust(tests, "id", "p")
+      .orderBy("rank").select("q_value").as[Double].collect().toSeq
+    assert(q.map(v => math.round(v * 1e9) / 1e9) === Seq(0.03, 0.045, 0.045))
+  }
+
+  test("trimmedMean drops floor(n·frac) from each side, exact on ties") {
+    val df = (1L to 10L).map(v => ("a", v)).toDF("k", "v")
+    val out = graft.operators.Sketches.trimmedMean(df, Seq("k"), "v", 0.2)
+      .as[(String, Long, Long, Double)].head()
+    assert(out === (("a", 10L, 2L, 5.5))) // keep 3..8
+    // heavy ties straddling the cut: brute comparison
+    val vals = Seq(1L, 1L, 1L, 2L, 2L, 3L, 9L, 9L, 9L, 9L)
+    val brute = vals.sorted.drop(2).dropRight(2)
+    val got = graft.operators.Sketches.trimmedMean(
+        vals.map(v => ("a", v)).toDF("k", "v"), Seq("k"), "v", 0.2)
+      .as[(String, Long, Long, Double)].head()
+    assert(got._4 === brute.sum.toDouble / brute.size)
+  }
+
+  test("ecdfScore buckets are tie-stable and exactly ceil(B·cum/n)") {
+    // 10 rows, metric with heavy ties: value 1 ×6, value 2 ×3, value 3 ×1
+    val df = (Seq.fill(6)(1) ++ Seq.fill(3)(2) ++ Seq(3)).zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("id", "m")
+    val out = Segments.ecdfScore(df, "m", "s", buckets = 5)
+      .select("m", "s").as[(Int, Int)].collect().toSet
+    // cum(1)=6 -> ceil(30/10)=3; cum(2)=9 -> ceil(45/10)=5; cum(3)=10 -> 5
+    assert(out === Set((1, 3), (2, 5), (3, 5)))
+    val desc = Segments.ecdfScore(df, "m", "s", buckets = 5, descending = true)
+      .select("m", "s").as[(Int, Int)].collect().toSet
+    assert(desc === Set((1, 3), (2, 1), (3, 1)))
+  }
+}
