@@ -162,4 +162,36 @@ object VectorOps {
     }
     sig
   }
+
+  /** Theil–Sen kernel over one CAP-BOUNDED group's collected (x, y) long
+    * points: `[n_pairs, lower-median slope]`, empty when no distinct-x pair
+    * exists. Replaces the pair-explosion formulation (an O(k²)-row join +
+    * rank window shuffling every pair) with O(k²) arithmetic inside one
+    * row — the slope multiset is order-independent, so the collected
+    * array's order does not matter, and the selected element is the same
+    * bit-exact division either way. */
+  def theilSenMedian(pts: ArrayData): ArrayData = {
+    val n = pts.numElements()
+    val slopes = new Array[Double](n * (n - 1) / 2)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val pi = pts.getStruct(i, 2)
+      val xi = pi.getLong(0); val yi = pi.getLong(1)
+      var j = i + 1
+      while (j < n) {
+        val pj = pts.getStruct(j, 2)
+        val dx = pj.getLong(0) - xi
+        if (dx != 0) { slopes(m) = (pj.getLong(1) - yi).toDouble / dx; m += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Double])
+    else {
+      java.util.Arrays.sort(slopes, 0, m)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(m.toDouble, slopes((m + 1) / 2 - 1)))
+    }
+  }
 }

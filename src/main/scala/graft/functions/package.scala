@@ -59,6 +59,12 @@ package object functions {
     invokeOn(MediaOps.getClass, "wavBytes", BinaryType,
       Seq(channels.cast("int"), sampleRate.cast("int"), bitsPerSample.cast("int"), data))
 
+  /** Theil–Sen `[n_pairs, lower-median slope]` over a collected array of
+    * (x: long, y: long) structs — the bounded-group kernel form (empty
+    * array when no distinct-x pair exists). */
+  def theil_sen_median(points: Column): Column =
+    invokeVec("theilSenMedian", ArrayType(DoubleType, containsNull = false), Seq(points))
+
   /** Standard base-32 geohash of (lat, lon) at `precision` characters —
     * the prefix-bucketing spatial key (shared prefix ⟺ nearby cell). */
   def geohash_encode(lat: Column, lon: Column, precision: Column): Column =

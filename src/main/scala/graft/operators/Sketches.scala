@@ -807,17 +807,20 @@ object Sketches {
     *
     * Pairwise means quadratic PER GROUP: the caller's contract is bounded
     * groups (compose with [[Relational.capGroupSize]] upstream, the same
-    * guard the basket-mining shapes use). The pair generation is a
-    * co-partitioned self-join on the group key — one shuffle, never a
-    * global cartesian. Equal-x pairs are skipped (undefined slope); each
-    * slope is one division of two exact integer differences
-    * (bit-identical on any IEEE engine), and the median is the LOWER
-    * median — the ⌈n/2⌉-th smallest slope, an element SELECTION rather
-    * than an interpolation, so the output double is one of the bit-exact
-    * slopes and needs no rounding at all (an interpolated median's
-    * (a+b)/2 vs a+(b−a)/2 differ by an ulp across engines). The k-th
-    * value of a sorted multiset is tie-order-independent, so the
-    * row_number tiebreak does not need to be total.
+    * guard the basket-mining shapes use). Under that bound the whole
+    * computation runs as a native kernel over each group's collected
+    * points ([[graft.functions.theil_sen_median]]) — ONE partial aggregate,
+    * no O(k²)-row pair join and no rank window (the first formulation
+    * shuffled every pair and benched 8.3s at sf0.1; the kernel does the
+    * same O(k²) arithmetic inside a row). Equal-x pairs are skipped
+    * (undefined slope); each slope is one division of two exact integer
+    * differences (bit-identical on any IEEE engine), and the median is the
+    * LOWER median — the ⌈n/2⌉-th smallest slope, an element SELECTION
+    * rather than an interpolation, so the output double is one of the
+    * bit-exact slopes and needs no rounding at all (an interpolated
+    * median's (a+b)/2 vs a+(b−a)/2 differ by an ulp across engines).
+    * The slope multiset is collection-order-independent, so so is the
+    * selected element.
     */
   def theilSen(
       df: DataFrame,
@@ -825,21 +828,15 @@ object Sketches {
       xCol: String,
       yCol: String): DataFrame = {
     val keys = groupCols.map(col)
-    val base = df.select(
-      keys :+ col(xCol).cast("long").as("__x") :+ col(yCol).cast("long").as("__y"): _*)
-    val b = base.select(
-      groupCols.map(col) :+ col("__x").as("__x2") :+ col("__y").as("__y2"): _*)
-    val pairs = base.join(b, groupCols)
-      .filter(col("__x") < col("__x2"))
-      .withColumn("__slope",
-        (col("__y2") - col("__y")).cast("double") / (col("__x2") - col("__x")))
-    val w = Window.partitionBy(keys: _*).orderBy(col("__slope"))
-    val wAll = Window.partitionBy(keys: _*)
-    pairs
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .filter(col("__rn") === floor((col("__n") + lit(1)) / lit(2)))
-      .select(keys :+ col("__n").as("n_pairs") :+ col("__slope").as("slope"): _*)
+    val pts = df.groupBy(keys: _*)
+      .agg(collect_list(
+        struct(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
+        .as("__pts"))
+      .withColumn("__r", graft.functions.theil_sen_median(col("__pts")))
+    pts.filter(size(col("__r")) === 2)
+      .select(keys :+
+        element_at(col("__r"), 1).cast("long").as("n_pairs") :+
+        element_at(col("__r"), 2).as("slope"): _*)
   }
 
   /** Exact weighted median per group: the smallest value whose cumulative

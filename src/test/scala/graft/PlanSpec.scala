@@ -494,6 +494,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"item counts must broadcast:\n$p")
   }
 
+  test("Theil-Sen runs as one aggregate kernel — no pair join, no rank window") {
+    val p = plan(SparkEntry.queries("q_theil_sen")(spark, sf))
+    assert(!p.contains("Window"), s"theil-sen regressed to the pair+rank window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"theil-sen must not self-join the pairs:\n$p")
+  }
+
   test("RFM histograms broadcast back — the entity table never re-shuffles") {
     val p = plan(SparkEntry.queries("q_rfm")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"score histograms must broadcast:\n$p")
