@@ -3830,6 +3830,74 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** STREAMING spatial enrichment — the X124 grid radius join run
+    * stream-static: the customer stream expands to its wrapped 3×3 cells
+    * STATELESSLY and joins the broadcast supplier buckets, so append-mode
+    * AvailableNow output equals the batch pair set exactly (same oracle as
+    * q_spatial_join). */
+  private def qSpatialJoinStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val supp = Tables.supplier(s, d).select(
+      col("s_suppkey"),
+      ((col("s_suppkey").cast("long") * 6367L % 12000L) / 100.0 - 60.0).as("s_lat"),
+      ((col("s_suppkey").cast("long") * 9973L % 36000L) / 100.0 - 180.0).as("s_lon"))
+    val raw = s.read.parquet(s"$d/customer.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "customer.parquet").parquet(d)
+      .select(
+        col("c_custkey"),
+        ((col("c_custkey").cast("long") * 7919L % 12000L) / 100.0 - 60.0).as("c_lat"),
+        ((col("c_custkey").cast("long") * 104729L % 36000L) / 100.0 - 180.0).as("c_lon"))
+    val name = "graft_spatial_join_stream"
+    withStatePartitions(s, 8) {
+      val q = Spatial.radiusJoin(stream, supp, "c_lat", "c_lon",
+          "s_lat", "s_lon", radiusKm = 800.0, maxAbsLat = 60.0)
+        .select(col("s_suppkey"), col("c_custkey"),
+          round(col("dist_km"), 4).as("dist_km"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** Linear interpolation across synthesized gaps in the event value
+    * series (every 7th event nulled), per event type over time. */
+  private def qInterpolate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("t"),
+      when(col("event_id") % 7 =!= 0,
+        floor(col("value") * 1e6 + 0.5).cast("long")).as("v"))
+    Temporal.interpolateLinear(e, Seq("event_type"), Seq("t", "event_id"), "t", "v")
+      .select(col("event_id"), col("event_type"), col("value_interp"))
+      .orderBy("event_id")
+  }
+
+  /** Time-travel snapshot: the X38 SCD2 intervals filtered to the version
+    * valid on 2024-01-15 (mid-range of the event log) — one predicate
+    * over the dimension history. */
+  private def qScd2Snapshot(s: SparkSession, d: String): DataFrame = {
+    val asOf = lit("2024-01-15").cast("date")
+    val daily = Tables.events(s, d)
+      .select(
+        col("user_id"),
+        col("ts").cast("timestamp").cast("date").as("day"),
+        struct(
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"),
+          col("event_type")).as("__e"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(col("__e")).as("__m"))
+      .select(col("user_id"), col("day"), col("__m.event_type").as("event_type"))
+    Temporal.scd2(daily, Seq("user_id"), "day", Seq("event_type"))
+      .filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4072,7 +4140,10 @@ object SparkEntry {
     "q_bh_adjust" -> (qBhAdjust _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_gini_stream" -> (qGiniStream _),
-    "q_spatial_clusters" -> (qSpatialClusters _))
+    "q_spatial_clusters" -> (qSpatialClusters _),
+    "q_spatial_join_stream" -> (qSpatialJoinStream _),
+    "q_interpolate" -> (qInterpolate _),
+    "q_scd2_snapshot" -> (qScd2Snapshot _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
     * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
@@ -6979,5 +7050,78 @@ object SparkEntry {
          SELECT c.c_custkey,
                 CAST(COALESCE(comp.component, c.c_custkey) AS BIGINT) AS cluster
          FROM c LEFT JOIN comp ON c.c_custkey = comp.node
-         ORDER BY c.c_custkey""")
+         ORDER BY c.c_custkey""",
+    // the stateless stream-static join emits exactly the batch pair set —
+    // q_spatial_join's oracle verbatim
+    "q_spatial_join_stream" ->
+      """WITH c AS (SELECT c_custkey,
+                           (CAST(c_custkey AS BIGINT) * 7919 % 12000) / CAST(100.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+                           (CAST(c_custkey AS BIGINT) * 104729 % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+                    FROM customer),
+         s AS (SELECT s_suppkey,
+                      (CAST(s_suppkey AS BIGINT) * 6367 % 12000) / CAST(100.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+                      (CAST(s_suppkey AS BIGINT) * 9973 % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+               FROM supplier),
+         p AS (SELECT s.s_suppkey, c.c_custkey,
+                      2 * 6371.0088 * ASIN(LEAST(CAST(1.0 AS DOUBLE),
+                        SQRT(SIN(RADIANS(c.lat - s.lat)/2) * SIN(RADIANS(c.lat - s.lat)/2)
+                           + COS(RADIANS(s.lat)) * COS(RADIANS(c.lat))
+                             * SIN(RADIANS(c.lon - s.lon)/2) * SIN(RADIANS(c.lon - s.lon)/2)))) AS km
+               FROM s CROSS JOIN c)
+         SELECT s_suppkey, c_custkey, ROUND(km, 4) AS dist_km
+         FROM p WHERE km <= 800.0 ORDER BY s_suppkey, c_custkey""",
+    // identical arithmetic shape: cast-per-exact-int, one product, one
+    // division, one add — bit-identical doubles, no rounding; equal-t
+    // neighbors fall back to v_prev (0/0 would be NaN)
+    "q_interpolate" ->
+      """WITH b AS (SELECT event_id, event_type, epoch_us(ts) AS t,
+                           CASE WHEN event_id % 7 <> 0
+                                THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END AS v
+                    FROM events),
+         w AS (SELECT event_id, event_type, t, v,
+                      LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+                      LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                          OVER (PARTITION BY event_type ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                      FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY t, event_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+                      FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                          OVER (PARTITION BY event_type ORDER BY t, event_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+               FROM b)
+         SELECT event_id, event_type,
+                CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                     WHEN vp IS NOT NULL AND vn IS NOT NULL AND tn = tp THEN CAST(vp AS DOUBLE)
+                     WHEN vp IS NOT NULL AND vn IS NOT NULL
+                     THEN CAST(vp AS DOUBLE) +
+                          (CAST(vn - vp AS DOUBLE) * CAST(t - tp AS DOUBLE)) / CAST(tn - tp AS DOUBLE)
+                END AS value_interp
+         FROM w ORDER BY event_id""",
+    // q_scd2's interval reconstruction filtered to the 2024-01-15 version
+    "q_scd2_snapshot" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, epoch_us(ts) AS us, event_id
+                    FROM events),
+         dly AS (SELECT user_id, day, event_type
+                 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                                    ORDER BY us DESC, event_id DESC) AS rn
+                       FROM e)
+                 WHERE rn = 1),
+         f AS (SELECT user_id, day, event_type,
+                      CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY day)
+                                IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+               FROM dly),
+         g AS (SELECT user_id, day, event_type,
+                      SUM(chg) OVER (PARTITION BY user_id ORDER BY day) AS run
+               FROM f),
+         r AS (SELECT user_id, event_type, MIN(day) AS valid_from
+               FROM g GROUP BY user_id, event_type, run),
+         iv AS (SELECT user_id, event_type, valid_from,
+                       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+                FROM r)
+         SELECT user_id, event_type, valid_from, valid_to
+         FROM iv
+         WHERE valid_from <= DATE '2024-01-15'
+           AND (valid_to IS NULL OR valid_to > DATE '2024-01-15')
+         ORDER BY user_id""")
 }

@@ -481,6 +481,58 @@ object Temporal {
           sqrt(denx.cast("double") * deny.cast("double")), dp)))
   }
 
+  /** Linear interpolation of missing values between known neighbors — the
+    * upgrade over LOCF ([[forwardFill]]) when the series is a sampled
+    * continuous signal: v = v_prev + (v_next − v_prev)·(t − t_prev)/(t_next
+    * − t_prev). Rows outside the known span (no previous or no next
+    * observation) stay NULL — extrapolation is a modeling decision the
+    * caller owns; compose with forwardFill for boundary holds.
+    *
+    * ENGINE-DETERMINISTIC: inputs are exact longs (quantize the value
+    * upstream), the neighbor lookups are `last/first(ignoreNulls)` window
+    * selections, and the arithmetic shape is fixed — cast-to-double per
+    * exact integer, one product, one division, one add, each correctly
+    * rounded, so any engine replaying the same shape lands on the same
+    * bits. Equal-timestamp neighbors fall back to v_prev (a 0/0 would be
+    * NaN). Two one-pass windows per key — the forwardFill scale shape.
+    * The next-neighbor lookup runs as `last(ignoreNulls)` over the
+    * REVERSED running frame, not `first` over (current → unbounded
+    * following): Spark evaluates growing unbounded-preceding frames
+    * incrementally but recomputes an unbounded-following frame from
+    * scratch per row — O(n²) per partition, measured 173s vs 3s at sf0.1
+    * on the event series.
+    *
+    * @param valueCol exact long measurement with NULLs at the gaps
+    * @param timeCol  exact long time axis (e.g. unix micros)
+    */
+  def interpolateLinear(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      outCol: String = "value_interp"): DataFrame = {
+    val keys = keyCols.map(col)
+    val order = orderCols.map(col)
+    val v = col(valueCol).cast("long")
+    val t = col(timeCol).cast("long")
+    val wB = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wR = Window.partitionBy(keys: _*).orderBy(order.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vp = last(v, ignoreNulls = true).over(wB)
+    val tp = last(when(v.isNotNull, t), ignoreNulls = true).over(wB)
+    val vn = last(v, ignoreNulls = true).over(wR)
+    val tn = last(when(v.isNotNull, t), ignoreNulls = true).over(wR)
+    df.withColumn(outCol,
+      when(v.isNotNull, v.cast("double"))
+        .otherwise(when(vp.isNotNull && vn.isNotNull,
+          when(tn === tp, vp.cast("double"))
+            .otherwise(vp.cast("double") +
+              ((vn - vp).cast("double") * (t - tp).cast("double")) /
+                (tn - tp).cast("double")))))
+  }
+
   /** Kaplan–Meier product-limit survival estimate (Kaplan & Meier 1958)
     * per key group: at each distinct duration t with `d` observed events,
     * the at-risk count `n` is everyone whose duration is >= t, and

@@ -202,6 +202,23 @@ class SpatialSpec extends SparkSpec {
     assert(got._4 === brute.sum.toDouble / brute.size)
   }
 
+  test("interpolateLinear fills gaps proportionally, leaves edges null") {
+    // t: 0, 10, 20, 30, 40; values 100, null, null, 400, null
+    val df = Seq(
+      (1L, 0L, Some(100L)), (2L, 10L, None), (3L, 20L, None),
+      (4L, 30L, Some(400L)), (5L, 40L, None))
+      .map { case (id, t, v) => ("k", id, t, v) }.toDF("g", "id", "t", "v")
+    val out = Temporal.interpolateLinear(df, Seq("g"), Seq("t", "id"), "t", "v")
+      .orderBy("id").select("value_interp").as[Option[Double]].collect().toSeq
+    assert(out === Seq(Some(100.0), Some(200.0), Some(300.0), Some(400.0), None))
+    // equal-timestamp neighbors fall back to v_prev, not NaN
+    val dup = Seq((1L, 5L, Some(7L)), (2L, 5L, None), (3L, 5L, Some(9L)))
+      .map { case (id, t, v) => ("k", id, t, v) }.toDF("g", "id", "t", "v")
+    val o2 = Temporal.interpolateLinear(dup, Seq("g"), Seq("t", "id"), "t", "v")
+      .orderBy("id").select("value_interp").as[Option[Double]].collect().toSeq
+    assert(o2 === Seq(Some(7.0), Some(7.0), Some(9.0)))
+  }
+
   test("ecdfScore buckets are tie-stable and exactly ceil(B·cum/n)") {
     // 10 rows, metric with heavy ties: value 1 ×6, value 2 ×3, value 3 ×1
     val df = (Seq.fill(6)(1) ++ Seq.fill(3)(2) ++ Seq(3)).zipWithIndex
