@@ -3898,6 +3898,30 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Video-container round-trip — the ISO BMFF twin of q_audio_meta: real
+    * ftyp/moov/mdat boxes built in-plan, walked back header-only; the
+    * oracle recomputes every field from first principles. */
+  private def qVideoMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        mp4_bytes(
+          when(col("doc_id") % 2 === 0, lit("isom")).otherwise(lit("mp42")),
+          col("payload")).as("mp4"))
+      .select(col("doc_id"), mp4_meta(col("mp4")).as("m"))
+      .select(col("doc_id"), col("m.n_boxes").as("n_boxes"),
+        col("m.ftyp_ok").as("ftyp_ok"), col("m.moov_bytes").as("moov_bytes"),
+        col("m.mdat_bytes").as("mdat_bytes"))
+      .orderBy("doc_id")
+
+  /** Deterministic bootstrap 95% CI for mean customer lifetime spend. */
+  private def qBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("spend"))
+    Sketches.bootstrapCiMean(perCust, "spend", resamples = 40)
+  }
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4143,7 +4167,9 @@ object SparkEntry {
     "q_spatial_clusters" -> (qSpatialClusters _),
     "q_spatial_join_stream" -> (qSpatialJoinStream _),
     "q_interpolate" -> (qInterpolate _),
-    "q_scd2_snapshot" -> (qScd2Snapshot _))
+    "q_scd2_snapshot" -> (qScd2Snapshot _),
+    "q_video_meta" -> (qVideoMeta _),
+    "q_bootstrap_ci" -> (qBootstrapCi _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
     * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
@@ -7123,5 +7149,32 @@ object SparkEntry {
          FROM iv
          WHERE valid_from <= DATE '2024-01-15'
            AND (valid_to IS NULL OR valid_to > DATE '2024-01-15')
-         ORDER BY user_id""")
+         ORDER BY user_id""",
+    // the oracle recomputes the box layout from first principles: ftyp(20)
+    // + empty moov(8) + mdat(8 + payload) — builder AND box walk under
+    // the hash
+    "q_video_meta" ->
+      """SELECT doc_id, 3 AS n_boxes, 1 AS ftyp_ok, 0 AS moov_bytes,
+                CAST(octet_length(encode(text)) AS INT) AS mdat_bytes
+         FROM documents ORDER BY doc_id""",
+    // md5-idiom draws replayed; CI bounds are element selections among
+    // the 40 resample means (ranks 1 and 39), each mean one exact division
+    "q_bootstrap_ci" ->
+      """WITH pc AS (SELECT o_custkey,
+                            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend
+                     FROM orders GROUP BY 1),
+         r AS (SELECT spend AS v, ROW_NUMBER() OVER (ORDER BY spend) - 1 AS idx FROM pc),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS HUGEINT) AS s FROM r),
+         d AS (SELECT b.b, r.idx AS j,
+                      ('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' || CAST(r.idx AS VARCHAR)), 1, 8))::BIGINT
+                        % (SELECT n FROM n) AS t
+               FROM r, (SELECT unnest(generate_series(0, 39)) AS b) b),
+         m AS (SELECT d.b, CAST(SUM(CAST(r2.v AS HUGEINT)) AS DOUBLE) / (SELECT n FROM n) AS mean
+               FROM d JOIN r r2 ON d.t = r2.idx GROUP BY 1),
+         rk AS (SELECT b, mean, ROW_NUMBER() OVER (ORDER BY mean, b) AS rn FROM m)
+         SELECT (SELECT n FROM n) AS n, 40 AS resamples,
+                (SELECT CAST(s AS DOUBLE) / n FROM n) AS mean,
+                MIN(CASE WHEN rn = 1 THEN mean END) AS ci_lo,
+                MIN(CASE WHEN rn = 39 THEN mean END) AS ci_hi
+         FROM rk""")
 }

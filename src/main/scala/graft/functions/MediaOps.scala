@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Header-level media introspection — REAL parsing (not a stub): container
   * formats put dimensions in their first bytes precisely so tools can read
@@ -142,5 +143,58 @@ object MediaOps {
     }
     if (channels < 0 || dataLen < 0) none
     else new GenericArrayData(Array(channels, rate, bits, dataLen))
+  }
+
+  /** Build a minimal ISO BMFF (MP4) box sequence around `data` — the
+    * public ISO/IEC 14496-12 layout: each box is [size:4 BE][type:4], here
+    * `ftyp` (major brand + minor version + one compatible brand), an empty
+    * `moov` shell, and an `mdat` carrying the payload. Enough structure
+    * for header-only tooling to size and classify the file. */
+  def mp4Bytes(majorBrand: UTF8String, data: Array[Byte]): Array[Byte] = {
+    val body = if (data == null) Array.emptyByteArray else data
+    val brand = {
+      val b = majorBrand.toString.getBytes("US-ASCII")
+      java.util.Arrays.copyOf(b, 4) // pad/trim to the 4-char brand code
+    }
+    val out = new java.io.ByteArrayOutputStream(40 + body.length)
+    def be32(v: Int): Unit = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    be32(20); tag("ftyp"); out.write(brand); be32(0); out.write(brand)
+    be32(8); tag("moov")
+    be32(8 + body.length); tag("mdat"); out.write(body)
+    out.toByteArray
+  }
+
+  /** `[n_boxes, ftyp_ok, moov_bytes, mdat_bytes]` from a top-level ISO
+    * BMFF box walk (`ftyp_ok` = 1 when the first box is a well-formed
+    * ftyp), `[-1, -1, -1, -1]` when the payload is not a parseable box
+    * sequence. Bounded scan over box headers only — size fields skip the
+    * contents, no codec. */
+  def mp4Meta(payload: Array[Byte]): ArrayData = {
+    val none = new GenericArrayData(Array(-1, -1, -1, -1))
+    val b = payload
+    if (b == null || b.length < 8) return none
+    var i = 0
+    var nBoxes = 0; var ftypOk = 0; var moov = -1; var mdat = -1
+    while (i + 8 <= b.length) {
+      val size = be32(b, i)
+      // size < 8 covers size==1 (64-bit largesize, out of scope) and junk
+      if (size < 8 || i + size > b.length) return none
+      val isFirst = nBoxes == 0
+      if (b(i + 4) == 'f' && b(i + 5) == 't' && b(i + 6) == 'y' && b(i + 7) == 'p') {
+        if (isFirst && size >= 16) ftypOk = 1
+      } else if (b(i + 4) == 'm' && b(i + 5) == 'o' && b(i + 6) == 'o' && b(i + 7) == 'v') {
+        moov = size - 8
+      } else if (b(i + 4) == 'm' && b(i + 5) == 'd' && b(i + 6) == 'a' && b(i + 7) == 't') {
+        mdat = size - 8
+      }
+      nBoxes += 1
+      i += size
+    }
+    if (i != b.length) return none // trailing junk after the last box
+    new GenericArrayData(Array(nBoxes, ftypOk, moov, mdat))
   }
 }

@@ -59,6 +59,25 @@ package object functions {
     invokeOn(MediaOps.getClass, "wavBytes", BinaryType,
       Seq(channels.cast("int"), sampleRate.cast("int"), bitsPerSample.cast("int"), data))
 
+  /** Wrap `data` in a minimal ISO BMFF (MP4) ftyp/moov/mdat box sequence —
+    * the video-container twin of [[wav_bytes]]. */
+  def mp4_bytes(majorBrand: Column, data: Column): Column =
+    invokeOn(MediaOps.getClass, "mp4Bytes", BinaryType,
+      Seq(majorBrand.cast("string"), data))
+
+  /** Header-only ISO BMFF box walk: struct(n_boxes, ftyp_ok, moov_bytes,
+    * mdat_bytes), all -1 when the payload is not a box sequence. */
+  def mp4_meta(payload: Column): Column = {
+    val raw = invokeOn(
+      MediaOps.getClass, "mp4Meta",
+      ArrayType(IntegerType, containsNull = false), Seq(payload))
+    struct(
+      element_at(raw, 1).as("n_boxes"),
+      element_at(raw, 2).as("ftyp_ok"),
+      element_at(raw, 3).as("moov_bytes"),
+      element_at(raw, 4).as("mdat_bytes"))
+  }
+
   /** Theil–Sen `[n_pairs, lower-median slope]` over a collected array of
     * (x: long, y: long) structs — the bounded-group kernel form (empty
     * array when no distinct-x pair exists). */

@@ -866,6 +866,59 @@ object Sketches {
         max(col("__tot")).as("total_weight"))
   }
 
+  /** Deterministic bootstrap confidence interval for the mean — B
+    * resamples with replacement, each draw picking the sorted-multiset
+    * element at rank md5(resample:draw) mod n (the T13/T47 content-hash
+    * discipline: no RNG state, identical on any engine/partitioning/run).
+    * The CI bounds are ELEMENT SELECTIONS among the B resample means
+    * (rank ⌈B·q⌉ — never an interpolation), and each mean is one division
+    * of an exact integer sum, so every output double is bit-identical.
+    *
+    * Scale shape: the value table is ranked once by the two-pass
+    * range-partition numbering (X25 — no single-partition window), draws
+    * are B rows per value joined back co-partitioned on the rank, means
+    * are one partial agg on the resample id. B·n rows total — linear in
+    * the input times a small constant.
+    */
+  def bootstrapCiMean(
+      df: DataFrame,
+      valueCol: String,
+      resamples: Int = 40,
+      loQ: Double = 0.025,
+      hiQ: Double = 0.975): DataFrame = {
+    require(resamples >= 4, s"resamples must be >= 4, got $resamples")
+    require(loQ > 0 && hiQ < 1 && loQ < hiQ, s"need 0 < loQ < hiQ < 1")
+    val ranked = Relational.globalRowNumbers(
+      df.select(col(valueCol).cast("long").as("__v")), Seq(col("__v")), rowNumCol = "__idx")
+      .localCheckpoint(true)
+    val totals = ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__v").cast("decimal(38,0)")).as("__s"))
+    val draws = ranked.select(col("__idx").as("__j"))
+      .crossJoin(broadcast(totals))
+      .select(col("__j"), col("__n"), col("__s"),
+        explode(array((0 until resamples).map(lit): _*)).as("__b"))
+      .withColumn("__t",
+        conv(substring(md5(concat(col("__b").cast("string"), lit(":"),
+          col("__j").cast("string"))), 1, 8), 16, 10).cast("long") % col("__n"))
+    val means = draws
+      .join(ranked.select(col("__idx").as("__t"), col("__v")), Seq("__t"))
+      .groupBy(col("__b"))
+      .agg(
+        (sum(col("__v").cast("decimal(38,0)")).cast("double") / max(col("__n"))).as("__mean"),
+        max(col("__n")).as("__n"), max(col("__s")).as("__s"))
+    val loR = math.max(1, math.ceil(resamples * loQ).toInt)
+    val hiR = math.min(resamples, math.max(1, math.ceil(resamples * hiQ).toInt))
+    val w = Window.orderBy(col("__mean"), col("__b"))
+    means.withColumn("__rn", row_number().over(w))
+      .agg(
+        max(col("__n")).cast("long").as("n"),
+        lit(resamples).as("resamples"),
+        (max(col("__s")).cast("double") / max(col("__n"))).as("mean"),
+        min(when(col("__rn") === loR, col("__mean"))).as("ci_lo"),
+        min(when(col("__rn") === hiR, col("__mean"))).as("ci_hi"))
+  }
+
   /** Exact trimmed mean per group: drop the ⌊n·trimFrac⌋ smallest and
     * largest observations, average the rest — the robust location estimate
     * between mean (trim 0) and median (trim 0.5). Histogram form: per

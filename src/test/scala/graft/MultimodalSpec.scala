@@ -130,4 +130,40 @@ class MultimodalSpec extends SparkSpec {
     assert(meta("RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes) === Seq(-1, -1, -1, -1))
     assert(meta(wav.take(20)) === Seq(-1, -1, -1, -1)) // truncated mid-fmt
   }
+
+  test("mp4Bytes/mp4Meta round-trip, reject truncation and junk") {
+    import graft.functions.MediaOps
+    import org.apache.spark.unsafe.types.UTF8String
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def meta(b: Array[Byte]): Seq[Int] = MediaOps.mp4Meta(b).toIntArray().toSeq
+
+    val mp4 = MediaOps.mp4Bytes(UTF8String.fromString("isom"), Array[Byte](1, 2, 3))
+    assert(meta(mp4) === Seq(3, 1, 0, 3))
+    assert(mp4.length === 20 + 8 + 8 + 3)
+
+    // unknown box types are walked over by size
+    val free = be32(12) ++ "free".getBytes ++ Array[Byte](0, 0, 0, 0)
+    assert(meta(mp4 ++ free) === Seq(4, 1, 0, 3))
+
+    assert(meta(mp4.dropRight(1)) === Seq(-1, -1, -1, -1)) // short mdat
+    assert(meta("plain text, not a box sequence!!".getBytes) === Seq(-1, -1, -1, -1))
+    // size=1 (64-bit largesize marker) is out of scope -> reject, not misparse
+    assert(meta(be32(1) ++ "mdat".getBytes ++ Array.fill[Byte](16)(0)) === Seq(-1, -1, -1, -1))
+    // ftyp not first -> ftyp_ok = 0
+    val moovFirst = be32(8) ++ "moov".getBytes ++ be32(16) ++ "ftyp".getBytes ++
+      "isom".getBytes ++ be32(0)
+    assert(meta(moovFirst) === Seq(2, 0, 0, -1))
+  }
+
+  test("bootstrapCiMean is repartition-invariant and brackets the mean") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 200L).map(v => Tuple1(v * v)).toDF("v")
+    val a = graft.operators.Sketches.bootstrapCiMean(df, "v", resamples = 20)
+      .collect().head
+    val b = graft.operators.Sketches.bootstrapCiMean(df.repartition(7, col("v")), "v", resamples = 20)
+      .collect().head
+    assert(a === b) // content-hash draws: identical on any partitioning
+    val (mean, lo, hi) = (a.getDouble(2), a.getDouble(3), a.getDouble(4))
+    assert(lo <= mean && mean <= hi)
+  }
 }
