@@ -3922,6 +3922,29 @@ object SparkEntry {
     Sketches.bootstrapCiMean(perCust, "spend", resamples = 40)
   }
 
+  /** Peak concurrent sessions (capacity planning): gap-sessionize the
+    * event log (the q_sessionize boundaries), quantize sessions to
+    * seconds, sweep — exact integers end to end. */
+  private def qPeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+    val sessions = Tables.events(s, d)
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("__new",
+        when(col("__us") - lag(col("__us"), 1).over(byUser) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(byUser))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        expr("min(__us) div 1000000").as("start_sec"),
+        expr("max(__us) div 1000000").as("end_sec"))
+    val n = sessions.agg(count(lit(1)).as("n_sessions"))
+    Temporal.peakConcurrency(sessions, "start_sec", "end_sec")
+      .crossJoin(broadcast(n))
+      .select(col("n_sessions"), col("peak_concurrency"),
+        col("peak_at").as("peak_at_sec"))
+  }
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4169,7 +4192,8 @@ object SparkEntry {
     "q_interpolate" -> (qInterpolate _),
     "q_scd2_snapshot" -> (qScd2Snapshot _),
     "q_video_meta" -> (qVideoMeta _),
-    "q_bootstrap_ci" -> (qBootstrapCi _))
+    "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_peak_concurrency" -> (qPeakConcurrency _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
     * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
@@ -7176,5 +7200,30 @@ object SparkEntry {
                 (SELECT CAST(s AS DOUBLE) / n FROM n) AS mean,
                 MIN(CASE WHEN rn = 1 THEN mean END) AS ci_lo,
                 MIN(CASE WHEN rn = 39 THEN mean END) AS ci_hi
-         FROM rk""")
+         FROM rk""",
+    // same session boundaries as q_sessionize, then the +1/-1 sweep over
+    // the distinct change-second histogram — exact integers end to end
+    "q_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT user_id, us, event_id,
+                      CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                                > 1800000000 THEN 1 ELSE 0 END AS nw
+               FROM e),
+         sid AS (SELECT user_id, us,
+                        SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM g),
+         sess AS (SELECT user_id, sid, MIN(us) // 1000000 AS s, MAX(us) // 1000000 AS en
+                  FROM sid GROUP BY 1, 2),
+         d AS (SELECT s AS t, 1 AS delta FROM sess
+               UNION ALL SELECT en + 1, -1 FROM sess),
+         h AS (SELECT t, CAST(SUM(delta) AS BIGINT) AS delta FROM d GROUP BY 1),
+         r AS (SELECT t, SUM(delta) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+               FROM h),
+         pk AS (SELECT CAST(MAX(run) AS BIGINT) AS peak FROM r)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+                (SELECT peak FROM pk) AS peak_concurrency,
+                CAST((SELECT MIN(t) FROM r WHERE run = (SELECT peak FROM pk)) AS BIGINT) AS peak_at_sec
+         FROM (SELECT 1)""")
 }

@@ -533,6 +533,33 @@ object Temporal {
                 (tn - tp).cast("double")))))
   }
 
+  /** Sweep-line peak concurrency over integer-time intervals [start, end]
+    * (inclusive): +1/−1 boundary deltas, collapsed to the DISTINCT
+    * change-point histogram (bounded by time resolution × span, not by
+    * interval count — quantize upstream, the ecdf discipline), one running
+    * sum over it; returns the peak and the FIRST instant it is reached.
+    * All exact integer arithmetic — engine-deterministic by construction.
+    * The capacity-planning / max-parallel-sessions readout. */
+  def peakConcurrency(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(startCol).cast("long").as("__t"), lit(1L).as("__d"))
+      .unionAll(intervals
+        .select((col(endCol).cast("long") + 1).as("__t"), lit(-1L).as("__d")))
+      .groupBy(col("__t")).agg(sum(col("__d")).as("__delta"))
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("__run", sum(col("__delta")).over(w))
+      // max on (run, -t): peak concurrency, then the EARLIEST t at peak
+      .agg(max(struct(col("__run").as("r"), (-col("__t")).as("nt"))).as("__m"))
+      .select(
+        col("__m.r").as("peak_concurrency"),
+        (-col("__m.nt")).as("peak_at"))
+  }
+
   /** Kaplan–Meier product-limit survival estimate (Kaplan & Meier 1958)
     * per key group: at each distinct duration t with `d` observed events,
     * the at-risk count `n` is everyone whose duration is >= t, and

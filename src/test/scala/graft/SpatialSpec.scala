@@ -219,6 +219,20 @@ class SpatialSpec extends SparkSpec {
     assert(o2 === Seq(Some(7.0), Some(7.0), Some(9.0)))
   }
 
+  test("peakConcurrency finds the max overlap and its first instant") {
+    val iv = Seq((0L, 10L), (5L, 20L), (15L, 30L), (40L, 41L))
+      .toDF("s", "e")
+    val out = Temporal.peakConcurrency(iv, "s", "e")
+      .as[(Long, Long)].head()
+    assert(out === ((2L, 5L))) // [5,10] and [15,20] both reach 2; first at t=5
+    // inclusive ends: back-to-back [0,5],[5,9] DO overlap at t=5
+    val touch = Seq((0L, 5L), (5L, 9L)).toDF("s", "e")
+    assert(Temporal.peakConcurrency(touch, "s", "e").as[(Long, Long)].head() === ((2L, 5L)))
+    // [0,4],[5,9] do not
+    val apart = Seq((0L, 4L), (5L, 9L)).toDF("s", "e")
+    assert(Temporal.peakConcurrency(apart, "s", "e").as[(Long, Long)].head()._1 === 1L)
+  }
+
   test("ecdfScore buckets are tie-stable and exactly ceil(B·cum/n)") {
     // 10 rows, metric with heavy ties: value 1 ×6, value 2 ×3, value 3 ×1
     val df = (Seq.fill(6)(1) ++ Seq.fill(3)(2) ++ Seq(3)).zipWithIndex
