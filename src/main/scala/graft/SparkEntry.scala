@@ -3945,6 +3945,32 @@ object SparkEntry {
         col("peak_at").as("peak_at_sec"))
   }
 
+  /** Revenue concentration: share of each segment's total spend held by
+    * the top 1/5/10/25% of customers — the Lorenz point readout that
+    * pairs with q_gini, tie-exact through partial blocks. */
+  private def qTopShare(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val perCust = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("spend"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Sketches.topShare(perCust, Seq("c_mktsegment"), "spend", Seq(1, 5, 10, 25))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Distribution-shape profile per return flag: skewness and excess
+    * kurtosis from exact integer power sums (prices in 100-dollar units
+    * so fourth powers stay inside a long per row — both statistics are
+    * scale-invariant). */
+  private def qMoments(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      floor(col("l_extendedprice") / 100).cast("long").as("v"))
+    Sketches.momentStats(li, Seq("l_returnflag"), "v")
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4193,7 +4219,9 @@ object SparkEntry {
     "q_scd2_snapshot" -> (qScd2Snapshot _),
     "q_video_meta" -> (qVideoMeta _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
-    "q_peak_concurrency" -> (qPeakConcurrency _))
+    "q_peak_concurrency" -> (qPeakConcurrency _),
+    "q_top_share" -> (qTopShare _),
+    "q_moments" -> (qMoments _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
     * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
@@ -7225,5 +7253,69 @@ object SparkEntry {
          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
                 (SELECT peak FROM pk) AS peak_concurrency,
                 CAST((SELECT MIN(t) FROM r WHERE run = (SELECT peak FROM pk)) AS BIGINT) AS peak_at_sec
-         FROM (SELECT 1)""")
+         FROM (SELECT 1)""",
+    // k = ceil(n*p/100) in pure integer arithmetic; the block containing
+    // sorted-desc position k contributes (k - prevc) of its c copies —
+    // tie-exact; each share is one exact-integer division
+    "q_top_share" ->
+      """WITH pc AS (SELECT o_custkey,
+                            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend
+                     FROM orders GROUP BY 1),
+         j AS (SELECT c.c_mktsegment, pc.spend FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey),
+         h AS (SELECT c_mktsegment, spend AS v, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+         w AS (SELECT c_mktsegment, v, c,
+                      SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY v DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+                      SUM(CAST(v AS HUGEINT) * c) OVER (PARTITION BY c_mktsegment ORDER BY v DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv,
+                      SUM(c) OVER (PARTITION BY c_mktsegment) AS n,
+                      SUM(CAST(v AS HUGEINT) * c) OVER (PARTITION BY c_mktsegment) AS tot
+               FROM h),
+         x AS (SELECT c_mktsegment, v, c, cumc, cumc - c AS prevc, cumv, n, tot FROM w)
+         SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n,
+                MAX(CASE WHEN prevc < (n * 1 + 99) // 100 AND (n * 1 + 99) // 100 <= cumc
+                         THEN CAST(cumv - CAST(v AS HUGEINT) * c +
+                                   CAST(v AS HUGEINT) * ((n * 1 + 99) // 100 - prevc) AS DOUBLE)
+                              / CAST(tot AS DOUBLE) END) AS share_top_1,
+                MAX(CASE WHEN prevc < (n * 5 + 99) // 100 AND (n * 5 + 99) // 100 <= cumc
+                         THEN CAST(cumv - CAST(v AS HUGEINT) * c +
+                                   CAST(v AS HUGEINT) * ((n * 5 + 99) // 100 - prevc) AS DOUBLE)
+                              / CAST(tot AS DOUBLE) END) AS share_top_5,
+                MAX(CASE WHEN prevc < (n * 10 + 99) // 100 AND (n * 10 + 99) // 100 <= cumc
+                         THEN CAST(cumv - CAST(v AS HUGEINT) * c +
+                                   CAST(v AS HUGEINT) * ((n * 10 + 99) // 100 - prevc) AS DOUBLE)
+                              / CAST(tot AS DOUBLE) END) AS share_top_10,
+                MAX(CASE WHEN prevc < (n * 25 + 99) // 100 AND (n * 25 + 99) // 100 <= cumc
+                         THEN CAST(cumv - CAST(v AS HUGEINT) * c +
+                                   CAST(v AS HUGEINT) * ((n * 25 + 99) // 100 - prevc) AS DOUBLE)
+                              / CAST(tot AS DOUBLE) END) AS share_top_25
+         FROM x GROUP BY 1 ORDER BY 1""",
+    // the identical central-moment assembly shape over the identical exact
+    // power sums — every step one correctly-rounded double op, then a
+    // 6-dp round on O(1) magnitudes
+    "q_moments" ->
+      """WITH b AS (SELECT l_returnflag, CAST(floor(l_extendedprice / 100) AS BIGINT) AS v
+                    FROM lineitem),
+         a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(v AS HUGEINT)) AS s1,
+                      SUM(CAST(v AS HUGEINT) * v) AS s2,
+                      SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+                      SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s4
+               FROM b GROUP BY 1),
+         m AS (SELECT l_returnflag, n,
+                      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                      CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                      CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+               FROM a),
+         c AS (SELECT l_returnflag, n, m1,
+                      r2 - m1 * m1 AS m2,
+                      r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+                      r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1 AS m4
+               FROM m)
+         SELECT l_returnflag, n, ROUND(m1, 6) AS mean,
+                CASE WHEN n > 1 THEN ROUND(m2, 6) END AS m2,
+                CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
+                CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
+         FROM c ORDER BY l_returnflag""")
 }

@@ -919,6 +919,92 @@ object Sketches {
         min(when(col("__rn") === hiR, col("__mean"))).as("ci_hi"))
   }
 
+  /** Top-p% concentration shares per group — "what fraction of total value
+    * sits in the top p% of holders" (the Lorenz-curve point readout that
+    * pairs with [[gini]]): for each integer percent p, take exactly
+    * k = ⌈n·p/100⌉ rows from the value-descending sorted multiset —
+    * including a PARTIAL tie block at the cut, so ties are handled exactly
+    * — and divide their value sum by the total. All integer arithmetic on
+    * the distinct-value histogram (k via exact ceil-division, never a
+    * float boundary); each share is one division of exact integers.
+    */
+  def topShare(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be integers in [1,100], got $percents")
+    val keys = keyCols.map(col)
+    val hist = df
+      .groupBy(keys :+ col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val wDesc = Window.partitionBy(keys: _*).orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val cumC = sum(col("__c")).over(wDesc)
+    val base = hist
+      .withColumn("__cumc", cumC)
+      .withColumn("__prevc", cumC - col("__c"))
+      .withColumn("__cumv", sum(d(col("__v")) * d(col("__c"))).over(wDesc))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__tot", sum(d(col("__v")) * d(col("__c"))).over(wAll))
+    val shareCols = percents.map { p =>
+      val k = floor((col("__n") * p + lit(99)) / lit(100)).cast("long")
+      // the block containing sorted-desc position k contributes partially
+      val inBlock = col("__prevc") < k && k <= col("__cumc")
+      val num = col("__cumv") - d(col("__v")) * d(col("__c")) +
+        d(col("__v")) * d(k - col("__prevc"))
+      max(when(inBlock, num.cast("double") / col("__tot").cast("double")))
+        .as(s"share_top_$p")
+    }
+    base.groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"), shareCols: _*)
+  }
+
+  /** Exact skewness and excess kurtosis per group from integer sufficient
+    * statistics: the caller quantizes values so |v| keeps v⁴ inside a long
+    * per row (|v| ≤ ~50k — coarsen the unit if needed; both statistics are
+    * scale-invariant, so the unit choice only sets resolution). The four
+    * power sums accumulate as exact DECIMAL(38,0); the final central-moment
+    * assembly is a FIXED double expression shape (each step one correctly
+    * rounded op over the same exact integers), so any engine replaying the
+    * shape lands on the same bits; 6-dp round on O(1) magnitudes is safe.
+    */
+  def momentStats(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("long")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = df.groupBy(keys: _*).agg(
+      count(lit(1)).as("__n"),
+      sum(d(v)).as("__s1"),
+      sum(d(v * v)).as("__s2"),
+      sum(d(v * v * v)).as("__s3"),
+      sum(d(v) * d(v) * d(v) * d(v)).as("__s4"))
+    val n = col("__n").cast("double")
+    val m1 = col("__s1").cast("double") / n
+    val m2 = col("__s2").cast("double") / n - m1 * m1
+    val m3 = col("__s3").cast("double") / n - lit(3.0) * m1 *
+      (col("__s2").cast("double") / n) + lit(2.0) * m1 * m1 * m1
+    val m4 = col("__s4").cast("double") / n - lit(4.0) * m1 *
+      (col("__s3").cast("double") / n) + lit(6.0) * m1 * m1 *
+      (col("__s2").cast("double") / n) - lit(3.0) * m1 * m1 * m1 * m1
+    agg.select(
+      keys ++ Seq(
+        col("__n").cast("long").as("n"),
+        round(m1, dp).as("mean"),
+        when(col("__n") > 1, round(m2, dp)).as("m2"),
+        when(col("__n") > 2 && m2 > 0,
+          round(m3 / (m2 * sqrt(m2)), dp)).as("skewness"),
+        when(col("__n") > 3 && m2 > 0,
+          round(m4 / (m2 * m2) - lit(3.0), dp)).as("excess_kurtosis")): _*)
+  }
+
   /** Exact trimmed mean per group: drop the ⌊n·trimFrac⌋ smallest and
     * largest observations, average the rest — the robust location estimate
     * between mean (trim 0) and median (trim 0.5). Histogram form: per

@@ -233,6 +233,35 @@ class SpatialSpec extends SparkSpec {
     assert(Temporal.peakConcurrency(apart, "s", "e").as[(Long, Long)].head()._1 === 1L)
   }
 
+  test("topShare takes exactly ceil(n·p/100) rows, splitting tie blocks") {
+    import graft.operators.Sketches
+    // 10 rows: one 100, nine 10s. top-10% = 1 row -> 100/190
+    val df = (Seq(100L) ++ Seq.fill(9)(10L)).map(v => ("a", v)).toDF("k", "v")
+    val r = Sketches.topShare(df, Seq("k"), "v", Seq(10, 20, 100))
+      .select("share_top_10", "share_top_20", "share_top_100")
+      .as[(Double, Double, Double)].head()
+    assert(r._1 === 100.0 / 190)
+    assert(r._2 === 110.0 / 190) // 2 rows: the 100 + ONE of the tied 10s
+    assert(r._3 === 1.0)
+  }
+
+  test("momentStats matches driver-side skewness/kurtosis on a small set") {
+    import graft.operators.Sketches
+    val vals = Seq(1L, 2L, 2L, 3L, 3L, 3L, 9L)
+    val out = Sketches.momentStats(vals.map(v => ("a", v)).toDF("k", "v"), Seq("k"), "v")
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    val n = vals.size.toDouble
+    val m1 = vals.sum / n
+    val m2 = vals.map(v => math.pow(v - m1, 2)).sum / n
+    val m3 = vals.map(v => math.pow(v - m1, 3)).sum / n
+    val m4 = vals.map(v => math.pow(v - m1, 4)).sum / n
+    assert(out._2 === 7L)
+    assert(math.abs(out._3 - m1) < 1e-6)
+    assert(math.abs(out._4 - m2) < 1e-6)
+    assert(math.abs(out._5 - m3 / (m2 * math.sqrt(m2))) < 1e-6)
+    assert(math.abs(out._6 - (m4 / (m2 * m2) - 3.0)) < 1e-6)
+  }
+
   test("ecdfScore buckets are tie-stable and exactly ceil(B·cum/n)") {
     // 10 rows, metric with heavy ties: value 1 ×6, value 2 ×3, value 3 ×1
     val df = (Seq.fill(6)(1) ++ Seq.fill(3)(2) ++ Seq(3)).zipWithIndex
