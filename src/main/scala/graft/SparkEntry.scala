@@ -3971,6 +3971,28 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Local clustering coefficient per node — 2T/(d(d−1)) over X106's
+    * exact triangle counts: the community-density readout completing the
+    * graph family; one exact-integer division, unrounded. */
+  private def qClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("pa"))
+      .join(li.select(col("k"), col("l_partkey").as("pb")), "k")
+      .filter(col("pa") =!= col("pb"))
+    Graph.triangleCounts(pairs, "pa", "pb")
+      .withColumn("clustering",
+        when(col("degree") > 1,
+          (col("n_triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1))))
+      .orderBy("node")
+  }
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4221,7 +4243,8 @@ object SparkEntry {
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_top_share" -> (qTopShare _),
-    "q_moments" -> (qMoments _))
+    "q_moments" -> (qMoments _),
+    "q_clustering_coeff" -> (qClusteringCoeff _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
     * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
@@ -7317,5 +7340,27 @@ object SparkEntry {
                 CASE WHEN n > 1 THEN ROUND(m2, 6) END AS m2,
                 CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
                 CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
-         FROM c ORDER BY l_returnflag""")
+         FROM c ORDER BY l_returnflag""",
+    // q_triangles' oracle + the 2T/(d(d-1)) readout — one exact division
+    "q_clustering_coeff" ->
+      """WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
+                     JOIN orders ON l_orderkey = o_orderkey
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1996-07-01'),
+         e AS (SELECT DISTINCT LEAST(a.p, b.p) AS x, GREATEST(a.p, b.p) AS y
+               FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+         deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+                 FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+         tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                 FROM e e1 JOIN e e2 ON e1.y = e2.x
+                 JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+         tn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS nt
+                FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri) GROUP BY 1)
+         SELECT deg.n AS node, deg.d AS degree, COALESCE(tn.nt, 0) AS n_triangles,
+                CASE WHEN deg.d > 1
+                     THEN CAST(COALESCE(tn.nt, 0) * 2 AS DOUBLE) / (deg.d * (deg.d - 1))
+                END AS clustering
+         FROM deg LEFT JOIN tn ON deg.n = tn.n
+         ORDER BY node""")
 }

@@ -139,7 +139,11 @@ object MediaOps {
       } else if (isData) {
         dataLen = len
       }
-      i += 8 + len + (len & 1) // chunks pad to even length
+      // long cursor: a near-2^31 declared chunk length must end the walk,
+      // not wrap the int cursor back into the buffer
+      val next = i.toLong + 8L + len.toLong + (len & 1)
+      if (next > b.length) i = b.length
+      else i = next.toInt // chunks pad to even length
     }
     if (channels < 0 || dataLen < 0) none
     else new GenericArrayData(Array(channels, rate, bits, dataLen))
