@@ -501,6 +501,26 @@ class PlanSpec extends SparkSpec {
       s"theil-sen must not self-join the pairs:\n$p")
   }
 
+  test("interpolation never uses an unbounded-FOLLOWING frame (per-row rescan)") {
+    val p = plan(SparkEntry.queries("q_interpolate")(spark, sf)).toLowerCase
+    // Spark recomputes (current -> unbounded following) frames from scratch
+    // per row — O(n²) per partition, measured 173s vs 0.9s at sf0.1; the
+    // next-neighbor lookup must stay on reversed RUNNING frames
+    assert(!p.contains("unboundedfollowing"),
+      s"interpolate regressed to an unbounded-following frame:\n$p")
+  }
+
+  test("survival curves: one aggregate to (segment, duration), dim broadcast") {
+    val p = plan(SparkEntry.queries("q_survival")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"segment dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bootstrap CI: draws join the rank table with no cartesian") {
+    val p = plan(SparkEntry.queries("q_bootstrap_ci")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("RFM histograms broadcast back — the entity table never re-shuffles") {
     val p = plan(SparkEntry.queries("q_rfm")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"score histograms must broadcast:\n$p")
