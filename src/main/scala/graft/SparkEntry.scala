@@ -4026,6 +4026,20 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Global running revenue over the full order history — X145's two-pass
+    * cumulative sum: every core computes its range's prefix, partition
+    * offsets broadcast back; no single-partition sort anywhere near the
+    * data. */
+  private def qRunningTotal(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderdate"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    Relational.globalRunningSum(
+        o, Seq(col("o_orderdate"), col("o_orderkey")), "cents", "running_cents")
+      .select(col("o_orderkey"), col("cents"), col("running_cents"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4278,7 +4292,8 @@ object SparkEntry {
     "q_top_share" -> (qTopShare _),
     "q_moments" -> (qMoments _),
     "q_clustering_coeff" -> (qClusteringCoeff _),
-    "q_weighted_median_stream" -> (qWeightedMedianStream _))
+    "q_weighted_median_stream" -> (qWeightedMedianStream _),
+    "q_running_total" -> (qRunningTotal _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
     * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
@@ -7412,5 +7427,14 @@ object SparkEntry {
          SELECT l_returnflag,
                 CAST(MIN(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT) AS weighted_median,
                 CAST(MAX(tot) AS BIGINT) AS total_weight
-         FROM c GROUP BY 1 ORDER BY 1""")
+         FROM c GROUP BY 1 ORDER BY 1""",
+    // the two-pass prefix sum equals the plain window running sum —
+    // exactly what the oracle replays
+    "q_running_total" ->
+      """SELECT o_orderkey,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     OVER (ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+         FROM orders ORDER BY o_orderkey""")
 }

@@ -46,6 +46,47 @@ object Relational {
     df.sparkSession.createDataFrame(numbered, schema)
   }
 
+  /** Global running sum WITHOUT the single-partition window: range
+    * partition on the order, cumulative-sum WITHIN each partition (the
+    * window partitions on the physical partition id, so every core works),
+    * then add each partition's prefix offset from a partition-count-sized
+    * broadcast — the X25 two-pass discipline applied to cumulative sums.
+    * This removes the bounded-histogram caveat global cumulative readouts
+    * otherwise carry: the running total of an UNBOUNDED row stream is one
+    * extra tiny shuffle, never a 1-partition sort.
+    *
+    * `orderCols` must be a TOTAL order (include a unique tiebreak): rows
+    * equal on the full order would receive arbitrary relative prefixes.
+    * Exact long arithmetic; ANSI makes overflow loud. */
+  def globalRunningSum(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: String,
+      outCol: String = "running_sum",
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, orderCols: _*))
+      .getOrElse(df.repartitionByRange(orderCols: _*))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local", sum(col(valueCol).cast("long")).over(wLocal))
+    // partition totals: one row per partition — the tiny table the global
+    // pass is allowed to single-partition-window over
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = local
+      .groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("long")).as("__ptot"))
+      .withColumn("__offset", sum(col("__ptot")).over(wOff) - col("__ptot"))
+      .select(col("__pid"), col("__offset"))
+    local
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__local") + col("__offset"))
+      .drop("__pid", "__local")
+  }
+
   /** Snapshot diff between two corpus versions keyed by `keyCols`: one row
     * per key present in either side, classified `added` / `removed` /
     * `changed` / `unchanged` by null-safe comparison of `compareCols`. One

@@ -262,6 +262,18 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(out._6 - (m4 / (m2 * m2) - 3.0)) < 1e-6)
   }
 
+  test("globalRunningSum equals the single-window cumsum at any partitioning") {
+    import graft.operators.Relational
+    val df = (1L to 500L).map(i => (i, i % 13)).toDF("id", "v")
+    val expected = (1L to 500L).scanLeft(0L)((acc, i) => acc + i % 13).tail
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Relational.globalRunningSum(
+          df, Seq(col("id")), "v", numPartitions = Some(parts))
+        .orderBy("id").select("running_sum").as[Long].collect().toSeq
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("ecdfScore buckets are tie-stable and exactly ceil(B·cum/n)") {
     // 10 rows, metric with heavy ties: value 1 ×6, value 2 ×3, value 3 ×1
     val df = (Seq.fill(6)(1) ++ Seq.fill(3)(2) ++ Seq(3)).zipWithIndex
