@@ -4040,6 +4040,26 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** DAU / WAU / stickiness per day — the product-analytics engagement
+    * readout: rolling 7-day EXACT distinct users via a bounded 7-row
+    * explode per (user, day) pair (never a distinct-over-window), one
+    * exact division for stickiness. */
+  private def qActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("timestamp").cast("date").as("day"))
+      .distinct()
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .distinct()
+      .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau.join(wau, dau("day") === wau("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4293,7 +4313,8 @@ object SparkEntry {
     "q_moments" -> (qMoments _),
     "q_clustering_coeff" -> (qClusteringCoeff _),
     "q_weighted_median_stream" -> (qWeightedMedianStream _),
-    "q_running_total" -> (qRunningTotal _))
+    "q_running_total" -> (qRunningTotal _),
+    "q_active_users" -> (qActiveUsers _))
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
     * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
@@ -7436,5 +7457,15 @@ object SparkEntry {
                 CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                      OVER (ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey""",
+    // WAU as a 7-day explode of distinct (user, day) pairs — exact
+    // distinct counting with bounded fan-out, one division for stickiness
+    "q_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         ex AS (SELECT DISTINCT user_id, day + i AS wday
+                FROM ud, (SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER) AS i)),
+         wau AS (SELECT wday, CAST(COUNT(*) AS BIGINT) AS wau FROM ex GROUP BY 1),
+         dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+         SELECT d.day, d.dau, w.wau, CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+         FROM dau d JOIN wau w ON d.day = w.wday ORDER BY d.day""")
 }

@@ -534,12 +534,14 @@ object Temporal {
   }
 
   /** Sweep-line peak concurrency over integer-time intervals [start, end]
-    * (inclusive): +1/−1 boundary deltas, collapsed to the DISTINCT
-    * change-point histogram (bounded by time resolution × span, not by
-    * interval count — quantize upstream, the ecdf discipline), one running
-    * sum over it; returns the peak and the FIRST instant it is reached.
-    * All exact integer arithmetic — engine-deterministic by construction.
-    * The capacity-planning / max-parallel-sessions readout. */
+    * (inclusive): +1/−1 boundary deltas collapsed to the DISTINCT
+    * change-point histogram, the running sum over it via the TWO-PASS
+    * global prefix sum ([[Relational.globalRunningSum]] — every core
+    * computes its time range; no single-partition sort even when the
+    * change-point table is unbounded); returns the peak and the FIRST
+    * instant it is reached. All exact integer arithmetic —
+    * engine-deterministic by construction. The capacity-planning /
+    * max-parallel-sessions readout. */
   def peakConcurrency(
       intervals: DataFrame,
       startCol: String,
@@ -549,10 +551,7 @@ object Temporal {
       .unionAll(intervals
         .select((col(endCol).cast("long") + 1).as("__t"), lit(-1L).as("__d")))
       .groupBy(col("__t")).agg(sum(col("__d")).as("__delta"))
-    val w = Window.orderBy(col("__t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas
-      .withColumn("__run", sum(col("__delta")).over(w))
+    Relational.globalRunningSum(deltas, Seq(col("__t")), "__delta", "__run")
       // max on (run, -t): peak concurrency, then the EARLIEST t at peak
       .agg(max(struct(col("__run").as("r"), (-col("__t")).as("nt"))).as("__m"))
       .select(
