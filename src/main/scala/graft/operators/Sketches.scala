@@ -344,17 +344,27 @@ object Sketches {
     val keys = keyCols.map(col)
     val hist = df.select(keys :+ q.as("__s"): _*)
       .groupBy(keys :+ col("__s"): _*).agg(count(lit(1)).as("__c"))
-    // the ordered window runs on the HISTOGRAM, whose size per key is
-    // capped by the quantization, not the corpus
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*)
-      .orderBy(col("__s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cdf = hist
-      .withColumn("__cum", sum(col("__c")).over(w))
-      .withColumn("__n", sum(col("__c")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
-      .select(keys ++ Seq(col("__s"), round(col("__cum") / col("__n"), 6).as("percentile")): _*)
+    // grouped: the ordered window runs on the HISTOGRAM per key (size
+    // capped by the quantization). Global: even the histogram window is
+    // routed through the two-pass prefix sum, so no single-partition sort
+    // exists at ANY quantization
+    val cdf =
+      if (keyCols.isEmpty) {
+        Relational.globalRunningSum(hist, Seq(col("__s")), "__c", "__cum")
+          .crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
+          .select(col("__s"), round(col("__cum") / col("__n"), 6).as("percentile"))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys: _*)
+          .orderBy(col("__s"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        hist
+          .withColumn("__cum", sum(col("__c")).over(w))
+          .withColumn("__n", sum(col("__c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
+          .select(keys ++ Seq(col("__s"),
+            round(col("__cum") / col("__n"), 6).as("percentile")): _*)
+      }
     df.withColumn("__s", q)
       .join(broadcast(cdf), keyCols :+ "__s")
       .drop("__s")
