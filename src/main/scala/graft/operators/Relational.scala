@@ -76,15 +76,63 @@ object Relational {
     // pass is allowed to single-partition-window over
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // alias the join key to a FRESH attribute — offsets derive from
+    // `local`, and joining shared-lineage attributes trips the ambiguous
+    // self-join resolver (surfaced when the input is a sink-table view)
     val offsets = local
       .groupBy(col("__pid"))
       .agg(sum(col(valueCol).cast("long")).as("__ptot"))
       .withColumn("__offset", sum(col("__ptot")).over(wOff) - col("__ptot"))
-      .select(col("__pid"), col("__offset"))
+      .select(col("__pid").as("__pid_o"), col("__offset"))
     local
-      .join(broadcast(offsets), Seq("__pid"))
+      .join(broadcast(offsets), col("__pid") === col("__pid_o"))
       .withColumn(outCol, col("__local") + col("__offset"))
-      .drop("__pid", "__local")
+      .drop("__pid", "__pid_o", "__local", "__offset")
+  }
+
+  /** Per-key running sum where a single key's ordered rows may exceed one
+    * task — the keyed sibling of [[globalRunningSum]]: range partition on
+    * (keys ++ order) so each key's rows are CONTIGUOUS across partitions,
+    * cumulative-sum within (partition, key) — every core works even when
+    * one key dominates — then add per-(key, partition) prefix offsets from
+    * a broadcast bounded by keys×partitions. Removes the hidden scale trap
+    * in `Window.partitionBy(key)` when key cardinality is low: a 3-value
+    * key column otherwise serializes the whole corpus onto 3 tasks.
+    * `orderCols` must make the order total within each key. */
+  def groupedRunningSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      outCol: String = "running_sum",
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "use globalRunningSum for the ungrouped case")
+    val keys = keyCols.map(col)
+    val rangeOn = keys ++ orderCols
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, rangeOn: _*))
+      .getOrElse(df.repartitionByRange(rangeOn: _*))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid") +: keys: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local", sum(col(valueCol).cast("long")).over(wLocal))
+    val wOff = Window.partitionBy(keys: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // fresh attribute ids on the offsets side (see globalRunningSum)
+    val offsets = local
+      .groupBy(col("__pid") +: keys: _*)
+      .agg(sum(col(valueCol).cast("long")).as("__ptot"))
+      .withColumn("__offset", sum(col("__ptot")).over(wOff) - col("__ptot"))
+      .select(col("__pid").as("__pid_o") +:
+        keyCols.map(k => col(k).as(k + "__o")) :+ col("__offset"): _*)
+    val cond = keyCols.map(k => col(k) === col(k + "__o"))
+      .foldLeft(col("__pid") === col("__pid_o"))(_ && _)
+    local
+      .join(broadcast(offsets), cond)
+      .withColumn(outCol, col("__local") + col("__offset"))
+      .drop("__pid" +: "__pid_o" +: "__local" +: "__offset" +:
+        keyCols.map(_ + "__o"): _*)
   }
 
   /** Snapshot diff between two corpus versions keyed by `keyCols`: one row

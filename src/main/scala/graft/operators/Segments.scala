@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Customer/entity segmentation scores — the RFM family (recency /
@@ -35,17 +34,18 @@ object Segments {
       descending: Boolean = false): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val hist = df.groupBy(col(metricCol)).agg(count(lit(1)).as("__c"))
-    val wCum = Window.orderBy(col(metricCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    val cum = sum(col("__c")).over(wCum)
-    val n = sum(col("__c")).over(wAll)
+    // the histogram's cumulative counts run partition-parallel (X145's
+    // two-pass prefix) — no single-partition window at any cardinality
+    val cdf = Relational.globalRunningSum(hist, Seq(col(metricCol)), "__c", "__cum")
+      .crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
+    val cum = col("__cum")
+    val n = col("__n")
     // exact ceil-division on longs; quotient can never sit within a float
     // ulp of the wrong integer because everything stays integral
     val asc = floor((lit(buckets.toLong) * cum + n - lit(1L)) / n).cast("int")
     val score = if (descending) lit(buckets + 1) - asc else asc
     df.join(
-      broadcast(hist.select(col(metricCol), score.as(scoreCol))),
+      broadcast(cdf.select(col(metricCol), score.as(scoreCol))),
       Seq(metricCol))
   }
 

@@ -864,12 +864,22 @@ object Sketches {
     val hist = df
       .groupBy(keys :+ col(valueCol).cast("long").as("__v"): _*)
       .agg(sum(col(weightCol).cast("long")).as("__w"))
-    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(keys: _*)
-    hist
-      .withColumn("__cum", sum(col("__w")).over(wCum))
-      .withColumn("__tot", sum(col("__w")).over(wAll))
+    // keyed two-pass prefix (X145): a low-cardinality key column must not
+    // serialize its whole histogram onto one task
+    val cum =
+      if (keyCols.isEmpty)
+        Relational.globalRunningSum(hist, Seq(col("__v")), "__w", "__cum")
+      else
+        Relational.groupedRunningSum(hist, keyCols, Seq(col("__v")), "__w", "__cum")
+    // totals share hist's lineage — alias their keys to fresh attributes
+    // (same ambiguous-self-join issue the running-sum helpers document)
+    val totals = hist.groupBy(keys: _*).agg(sum(col("__w")).as("__tot"))
+      .select(keyCols.map(k => col(k).as(k + "__t")) :+ col("__tot"): _*)
+    val joined =
+      if (keyCols.isEmpty) cum.crossJoin(broadcast(totals))
+      else cum.join(broadcast(totals),
+        keyCols.map(k => col(k) === col(k + "__t")).reduce(_ && _))
+    joined
       .filter(col("__cum") * 2 >= col("__tot"))
       .groupBy(keys: _*)
       .agg(min(col("__v")).as("weighted_median"),
