@@ -142,6 +142,10 @@ object Spatial {
     * it a storage-friendly spatial bucketing key: Z-order clustering,
     * prefix-range pruning, and join keys all work on plain strings. */
   def geohash(lat: Double, lon: Double, precision: Int): String = {
+    // loud analysis-style error instead of an empty string or a
+    // pathological loop on a bad literal; 12 chars already resolves ~4 cm
+    require(precision >= 1 && precision <= 20,
+      s"geohash precision must be in [1, 20], got $precision")
     val sb = new java.lang.StringBuilder(precision)
     var latLo = -90.0; var latHi = 90.0
     var lonLo = -180.0; var lonHi = 180.0
