@@ -4314,7 +4314,186 @@ object SparkEntry {
     "q_clustering_coeff" -> (qClusteringCoeff _),
     "q_weighted_median_stream" -> (qWeightedMedianStream _),
     "q_running_total" -> (qRunningTotal _),
-    "q_active_users" -> (qActiveUsers _))
+    "q_active_users" -> (qActiveUsers _),
+    "q_readability" -> (qReadability _),
+    "q_ohlc" -> (qOhlc _),
+    "q_acf" -> (qAcf _),
+    "q_l_diversity" -> (qLDiversity _),
+    "q_rank_fusion" -> (qRankFusion _),
+    "q_interval_join_outer" -> (qIntervalJoinOuter _),
+    "q_interval_join_outer_stream" -> (qIntervalJoinOuterStream _),
+    "q_kcenter" -> (qKcenter _),
+    "q_cdc_chunks" -> (qCdcChunks _),
+    "q_mmr" -> (qMmr _))
+
+  /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
+    * exemplars plus the covering-radius trace. Rows-only by design: the
+    * farthest-first argmax chain is iterative selection, not SQL; the
+    * geometry is pinned by SimilaritySpec's planted-cluster test. */
+  private def qKcenter(s: SparkSession, d: String): DataFrame =
+    Similarity.kCenterSample(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+      .orderBy("selection_order")
+
+  /** Content-defined-chunking dedup readout per source — how much of each
+    * source's byte stream is redundant at the chunk level. Rows-only by
+    * design (the gear rolling hash is not SQL-expressible); the boundary
+    * semantics and resync property are pinned in TextAnalysisSpec. */
+  private def qCdcChunks(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.cdcDedupStats(Tables.documents(s, d), "source", "doc_id", "text")
+      .orderBy("source")
+
+  /** MMR diversity rerank of the top-100 longest documents (relevance =
+    * n_chars, embeddings joined from the embeddings table), λ=0.7, k=20.
+    * Rows-only by design (greedy sequential selection); duplicate
+    * suppression is pinned in SimilaritySpec. */
+  private def qMmr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+    val top = docs
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rank") <= 100)
+    val cands = top.join(Tables.embeddings(s, d),
+        top("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("n_chars").cast("double").as("rel"), col("embedding"))
+    Similarity.mmrRerank(cands, "doc_id", "rel", "embedding", k = 20)
+      .orderBy("selection_order")
+  }
+
+  /** Flesch reading-ease over the documents corpus — the pretraining
+    * quality-gate readability signal; pure map-side regex counts + one fixed
+    * IEEE chain (TextAnalysis.readability). */
+  private def qReadability(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.readability(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Daily OHLC bars per event type — resample-to-bars with open/close on
+    * the explicit (ts, event_id) TOTAL order and the dollar sum in exact
+    * cents; one shuffle (window + group agg share the partitioning). */
+  private def qOhlc(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      date_trunc("day", col("ts")).as("day"),
+      col("ts"), col("event_id"), col("value"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    Temporal.ohlcBars(ev, Seq("event_type"), "day", "ts", "event_id", "value", "cents")
+      .orderBy("event_type", "day")
+  }
+
+  /** Autocorrelation (lags 1..7) of each event type's gap-filled daily count
+    * series — weekly-seasonality readout; exact integer sufficient
+    * statistics, fixed double assembly (Temporal.acf). */
+  private def qAcf(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(cnt, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    Temporal.acf(series, Seq("event_type"), "day", "x", 7)
+      .orderBy("event_type", "lag")
+  }
+
+  /** l-diversity privacy audit on the customer dim: quasi-identifiers
+    * (nation, segment), sensitive attribute = account-balance band — flags
+    * equivalence classes where fewer than 3 distinct bands survive. */
+  private def qLDiversity(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+    Quality.lDiversity(cust, Seq("c_nationkey", "c_mktsegment"), "bal_band", 3L)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** Reciprocal-rank fusion of two document rankings (by length, by distinct
+    * word count — stand-ins for the lexical/dense retriever pair), k0=60,
+    * top-50 fused — Similarity.rrfFuse over k-bounded top-100 lists. */
+  private def qRankFusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val byLen = docs.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))).as("rank"))
+      .filter(col("rank") <= 100)
+    val byVocab = docs.select(col("doc_id"),
+      row_number().over(Window.orderBy(
+        size(array_distinct(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))).desc,
+        col("doc_id"))).as("rank"))
+      .filter(col("rank") <= 100)
+    Similarity.rrfFuse(Seq(byLen, byVocab), "doc_id", "rank")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** Click→purchase attribution as a LEFT-OUTER interval join: every click
+    * keeps a row, unconverted clicks carry a null purchase_id. Clicks are
+    * bounded to min(max click ts, max purchase ts) − 3601 s: the streaming
+    * twin's global watermark is the MIN over both streams' watermarks
+    * (30 min each), so every retained click's outer-join state (horizon
+    * 30 min) provably expires before end-of-stream — stream == batch. */
+  private def outerJoinCutoff(s: SparkSession, d: String): java.sql.Timestamp = {
+    val r = Tables.events(s, d).select(col("event_type"), col("ts").cast("timestamp").as("ts"))
+      .agg(
+        max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp"))
+      .head
+    val (mc, mp) = (r.getTimestamp(0), r.getTimestamp(1))
+    if (mc.before(mp)) mc else mp
+  }
+
+  private def qIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    val cutoff = outerJoinCutoff(s, d)
+    val clicks = ev.filter(col("event_type") === "click" &&
+        col("ts") <= lit(cutoff) - expr("INTERVAL 3601 SECONDS"))
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") && col("pts") >= col("ts") &&
+          col("pts") <= col("ts") + expr("INTERVAL 1800 SECONDS"), "left")
+      .select(col("click_id"), col("purchase_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** The STREAM-STREAM left-outer interval join against q_interval_join_outer's
+    * batch oracle: outer nulls emit when the watermark passes each click's
+    * join horizon, so with watermark 30 min the cutoff filter guarantees
+    * every retained click's state expires before end-of-stream — the
+    * outer-join state-eviction semantics oracle-gated, not just the inner
+    * match set. */
+  private def qIntervalJoinOuterStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val cutoff = outerJoinCutoff(s, d)
+    def stream(): DataFrame =
+      eventsStream(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    // the LEFT stream is NOT cutoff-filtered — its tail events keep the
+    // left watermark high; the cutoff gates the OUTPUT instead
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val name = "graft_interval_join_outer_stream"
+    withStatePartitions(s, 8) {
+      val q = Events.intervalJoinStream(clicks, purchases, horizonSec = 1800L,
+          watermark = "30 minutes", joinType = "left_outer")
+        .filter(col("l.ts") <= lit(cutoff) - expr("INTERVAL 3601 SECONDS"))
+        .select(col("click_id"), col("purchase_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("click_id", "purchase_id")
+  }
 
   /** q_pagerank oracle: the 5 PageRank iterations unrolled as chained CTEs,
     * each replaying the exact quantization (floor(rank/outdeg*1e12+0.5)
@@ -7467,5 +7646,123 @@ object SparkEntry {
          wau AS (SELECT wday, CAST(COUNT(*) AS BIGINT) AS wau FROM ex GROUP BY 1),
          dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
          SELECT d.day, d.dau, w.wau, CAST(d.dau AS DOUBLE) / w.wau AS stickiness
-         FROM dau d JOIN wau w ON d.day = w.wday ORDER BY d.day""")
+         FROM dau d JOIN wau w ON d.day = w.wday ORDER BY d.day""",
+    // the same three regex counts and the identical fixed IEEE chain
+    // 206.835 − 1.015·(w/s) − 84.6·(syl/w); 6-dp round on O(100) magnitudes
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+                CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+         FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                CASE WHEN n_words > 0 THEN
+                  ROUND(206.835
+                    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+                END AS flesch
+         FROM c ORDER BY doc_id""",
+    // open/close replayed on the identical (ts, event_id) total order;
+    // high/low/volume order-free, the sum in exact cents
+    "q_ohlc" ->
+      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+         r AS (SELECT *,
+                row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS ra,
+                row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rd
+               FROM e)
+         SELECT event_type, day,
+                MAX(CASE WHEN ra = 1 THEN value END) AS open,
+                MAX(value) AS high,
+                MIN(value) AS low,
+                MAX(CASE WHEN rd = 1 THEN value END) AS close,
+                CAST(COUNT(*) AS BIGINT) AS volume,
+                CAST(SUM(cents) AS BIGINT) AS sum_value
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_acf" -> acfOracle,
+    // COUNT(DISTINCT band) per equivalence class — the audit readout
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_distinct,
+                COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 AS diverse
+         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the same two top-100 rankings full-outer fused with the identical
+    // fixed add chain 1/(60+r1) + 1/(60+r2), 9-dp round on O(0.03) values
+    "q_rank_fusion" ->
+      """WITH r1 AS (SELECT doc_id,
+                row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+               FROM documents QUALIFY rank <= 100),
+         r2 AS (SELECT doc_id,
+                row_number() OVER (ORDER BY len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) DESC, doc_id) AS rank
+               FROM documents QUALIFY rank <= 100)
+         SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+                ROUND(COALESCE(1.0 / (60.0 + CAST(r1.rank AS DOUBLE)), 0.0)
+                    + COALESCE(1.0 / (60.0 + CAST(r2.rank AS DOUBLE)), 0.0), 9) AS rrf_score,
+                CAST(CASE WHEN r1.rank IS NOT NULL THEN 1 ELSE 0 END
+                   + CASE WHEN r2.rank IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_lists
+         FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+         ORDER BY rrf_score DESC, doc_id LIMIT 50""",
+    // plain left join under the same cutoff; NULLS FIRST matches Spark's
+    // ascending null ordering
+    "q_interval_join_outer" -> intervalJoinOuterOracle,
+    "q_interval_join_outer_stream" -> intervalJoinOuterOracle)
+
+  /** q_acf oracle: the identical exact-integer sufficient statistics
+    * (n, Σx, Σx², per-lag Σx·x₋ₖ / Σ'x / Σ'x₋ₖ / n₋ₖ) over the identical
+    * gap-filled daily spine, assembled with the same fixed double chain —
+    * generated so the seven lags stay structurally identical. */
+  private val acfOracle: String = {
+    val lagDefs = (1 to 7).map(i => s"LAG(x, $i) OVER w AS l$i").mkString(", ")
+    val aggDefs = (1 to 7).map { i =>
+      s"""CAST(SUM(CASE WHEN l$i IS NOT NULL THEN x * l$i END) AS BIGINT) AS p$i,
+                CAST(SUM(CASE WHEN l$i IS NOT NULL THEN x END) AS BIGINT) AS a$i,
+                CAST(SUM(l$i) AS BIGINT) AS b$i,
+                CAST(COUNT(l$i) AS BIGINT) AS n$i"""
+    }.mkString(",\n                ")
+    val lagRows = (1 to 7).map { i =>
+      s"""SELECT event_type, n, $i AS lag,
+                CASE WHEN den > 0 AND n$i > 0 THEN
+                  ROUND((CAST(p$i AS DOUBLE) - mu * CAST(a$i AS DOUBLE) - mu * CAST(b$i AS DOUBLE)
+                         + CAST(n$i AS DOUBLE) * mu * mu) / den, 6)
+                END AS acf FROM m"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH cnt AS (SELECT event_type, date_trunc('day', ts) AS day,
+                CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         bounds AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM cnt GROUP BY 1),
+         sp AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds),
+         s AS (SELECT sp.event_type, sp.day, COALESCE(cnt.x, 0) AS x
+               FROM sp LEFT JOIN cnt ON sp.event_type = cnt.event_type AND sp.day = cnt.day),
+         l AS (SELECT event_type, x, $lagDefs
+               FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         a AS (SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS s1,
+                CAST(SUM(x * x) AS BIGINT) AS s2,
+                $aggDefs
+               FROM l GROUP BY 1),
+         m AS (SELECT *,
+                CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * mu * mu AS den
+               FROM a)
+         SELECT * FROM (
+         $lagRows
+         ) ORDER BY event_type, lag"""
+  }
+
+  /** Shared batch/stream oracle for the left-outer interval join: the cutoff
+    * (max ts − 3601 s) keeps exactly the clicks whose outer-join state the
+    * streaming twin provably evicts before end-of-stream. */
+  private val intervalJoinOuterOracle: String =
+    """WITH mx AS (SELECT LEAST(
+             MAX(CASE WHEN event_type = 'click' THEN ts END),
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END)) AS m FROM events),
+       c AS (SELECT event_id AS click_id, user_id, ts FROM events, mx
+             WHERE event_type = 'click' AND ts <= m - INTERVAL 3601 SECONDS),
+       p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+             WHERE event_type = 'purchase')
+       SELECT click_id, purchase_id
+       FROM c LEFT JOIN p ON c.user_id = p.user_id
+         AND pts >= c.ts AND pts <= c.ts + INTERVAL 1800 SECONDS
+       ORDER BY click_id, purchase_id NULLS FIRST"""
 }

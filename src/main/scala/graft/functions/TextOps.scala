@@ -714,4 +714,56 @@ object TextOps {
     val fused = fusePair(in, l.toString, r.toString)
     new GenericArrayData(fused.map(x => UTF8String.fromString(x): Any))
   }
+
+  // --------------------------------------- content-defined chunking (CDC)
+
+  /** Gear table for the rolling hash: one deterministic 64-bit mix per byte
+    * value (FastCDC's construction, Xia et al., USENIX ATC'16 — any fixed
+    * pseudo-random table works; mix64 of the byte index keeps it
+    * reproducible everywhere with no stored constants). */
+  private val cdcGear: Array[Long] = Array.tabulate(256)(b => mix64(b.toLong + 1L))
+
+  /** FNV-1a 64-bit over a byte range. */
+  private def fnvBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Content-defined chunk hashes: gear rolling hash over the UTF-8 bytes,
+    * chunk boundary where `(h & mask) == 0` once `minLen` bytes have
+    * accumulated, forced at `maxLen` — the storage-dedup splitter whose
+    * boundaries RESYNCHRONIZE after an insertion (a fixed-width splitter
+    * shifts every downstream chunk; a content-defined one realigns within
+    * ~one chunk). Returns the FNV-64 of each chunk's bytes in document
+    * order. `maskBits` sets the expected chunk length to ~2^maskBits bytes.
+    * The hash resets at each cut, so a chunk's boundary decision depends
+    * only on bytes since the previous cut — determinism needs no window
+    * state across chunks. */
+  def cdcChunks(s: UTF8String, maskBits: Int, minLen: Int, maxLen: Int): ArrayData = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val mask = (1L << maskBits) - 1L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + cdcGear(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+        out += fnvBytes(bytes, start, i + 1)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) out += fnvBytes(bytes, start, bytes.length)
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -215,6 +215,17 @@ package object functions {
   def sorted_containment(a: Column, b: Column): Column =
     invoke("sortedContainment", DoubleType, Seq(a, b))
 
+  /** Content-defined chunk hashes (FastCDC-style gear hash): FNV-64 of each
+    * chunk's bytes in document order; expected chunk size ~2^maskBits bytes,
+    * bounded to [minLen, maxLen]. The storage-dedup splitter whose
+    * boundaries resynchronize after insertions. */
+  def cdc_chunks(c: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
+    invoke(
+      "cdcChunks",
+      ArrayType(LongType, containsNull = false),
+      Seq(c, GraftSql.column(Literal(maskBits)), GraftSql.column(Literal(minLen)),
+        GraftSql.column(Literal(maxLen))))
+
   /** Winnowing fingerprints (sorted array of longs). */
   def fingerprint_set(c: Column, shingleK: Int, window: Int): Column =
     invoke(

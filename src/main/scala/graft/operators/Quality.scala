@@ -247,6 +247,27 @@ object Quality {
     * values + group size); an empty result certifies the k-anonymity
     * property. One partial aggregate on the quasi key — always cheap
     * relative to the release it audits, any corpus size. */
+  /** l-diversity audit — the companion to [[kAnonymity]]: a k-anonymous
+    * equivalence class still leaks the sensitive attribute when every row in
+    * it shares one value, so flag quasi-identifier groups whose sensitive
+    * column carries fewer than `l` DISTINCT values (Machanavajjhala et al.,
+    * ICDE 2006). One partial-agg groupBy with a distinct count — the same
+    * single-shuffle shape as the k-anonymity audit; the audit output is
+    * group-level, bounded by the quasi-identifier domain, never row-scale. */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("diverse", col("l_distinct") >= l)
+  }
+
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
     require(k >= 2, s"k must be >= 2, got $k")

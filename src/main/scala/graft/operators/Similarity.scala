@@ -371,4 +371,160 @@ object Similarity {
           round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6))
           .otherwise(lit(0.0)).as("ndcg_at_k"))
   }
+
+  /** k-center greedy coreset (farthest-first traversal, Gonzalez 1985) over
+    * an embedding column — the diversity-sampling primitive for training-data
+    * curation: pick the point farthest from everything selected so far, k
+    * times; the result 2-approximates the optimal k-center cover.
+    *
+    * Starts from the minimum id (no RNG). Each round is ONE distributed pass
+    * that updates the running min-distance against the newest centroid
+    * (broadcast as an O(dim) literal — the classic incremental trick keeps
+    * every round linear, not O(k·n)) and takes the argmax by an exact
+    * (distance, −id) struct max. k driver-paced rounds over a cached working
+    * set — the same bounded-iteration posture as the IVF fit; ties break to
+    * the smaller id so the selection is deterministic under any
+    * partitioning.
+    *
+    * Returns one row per selected center: selection order, id, and the
+    * covering radius (max over points of the distance to the previously
+    * selected set) at the moment of selection — radius_1 is null (nothing
+    * selected yet), and the sequence is non-increasing. */
+  def kCenterSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .persist()
+    try {
+      val first = base.orderBy(col("id")).limit(1)
+        .collect()(0)
+      var centerVec: Seq[Float] = first.getSeq[Float](1)
+      val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+        (1, first.getLong(0), None))
+      var working = base.withColumn("d",
+        l2_dist_sq(col("v"), array(centerVec.map(x => lit(x.toDouble)): _*)))
+      var round = 2
+      while (round <= k) {
+        // argmax distance, ties to the smaller id: exact struct max
+        val far = working
+          .orderBy(col("d").desc, col("id").asc)
+          .limit(1).collect()(0)
+        picked += ((round, far.getLong(0), Some(far.getDouble(2))))
+        centerVec = far.getSeq[Float](1)
+        working = working.withColumn("d",
+          least(col("d"),
+            l2_dist_sq(col("v"), array(centerVec.map(x => lit(x.toDouble)): _*))))
+        round += 1
+      }
+      picked.toSeq.toDF("selection_order", "id", "radius_sq")
+    } finally base.unpersist()
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR'98)
+    * of a BOUNDED candidate list: greedily pick argmax λ·rel − (1−λ)·max
+    * cosine-to-selected — the diversity rerank stage after retrieval.
+    *
+    * MMR is inherently sequential in k, so it belongs AFTER a distributed
+    * top-N cut (`maxCandidates` caps the list; the method refuses larger
+    * inputs rather than silently collecting a corpus). The greedy loop runs
+    * driver-side on the N candidates — the same k-bounded-fixture posture as
+    * the IVF centroid fit; ties break (score, then smaller id) so the
+    * selection is deterministic. */
+  def mmrRerank(
+      candidates: DataFrame,
+      idCol: String,
+      relCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.7,
+      maxCandidates: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long").as("id"), col(relCol).cast("double").as("rel"),
+        col(vecCol).as("v"))
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank candidate list exceeds maxCandidates=$maxCandidates — cut top-N upstream")
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Float](2).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val n = rows.length
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val chosen = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(0.0)
+    var round = 1
+    while (round <= math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!chosen(i)) {
+          val s = if (round == 1) lambda * rel(i)
+          else lambda * rel(i) - (1 - lambda) * maxSim(i)
+          if (s > bestScore || (s == bestScore && (best < 0 || ids(i) < ids(best)))) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      chosen(best) = true
+      selected += ((round, ids(best), bestScore))
+      var j = 0
+      while (j < n) {
+        if (!chosen(j)) {
+          val c = cos(vecs(j), vecs(best))
+          if (c > maxSim(j)) maxSim(j) = c
+        }
+        j += 1
+      }
+      round += 1
+    }
+    selected.toSeq.toDF("selection_order", "id", "mmr_score")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009): merge
+    * N retrieval rankings into one by Σ_i 1/(k0 + rank_i), items absent from
+    * a ranking contributing 0. The standard way to combine lexical (BM25)
+    * and dense (cosine) retrieval without score calibration.
+    *
+    * Each input carries (idCol, rankCol). The fuse is a chain of full-outer
+    * equi-joins on the id — rankings are top-k lists, so every join side is
+    * k-bounded regardless of corpus size — and the score is one FIXED
+    * left-to-right chain of IEEE double adds (an expression, not a double
+    * SUM aggregate), so the fused score is bit-stable under any
+    * partitioning. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k0: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val named = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"__rank_$i"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = named.indices
+      .map(i => coalesce(lit(1.0) / (lit(k0).cast("double") + col(s"__rank_$i").cast("double")),
+        lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf_score", round(score, 9))
+      .withColumn("n_lists",
+        named.indices.map(i => when(col(s"__rank_$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+      .drop(named.indices.map(i => s"__rank_$i"): _*)
+  }
 }

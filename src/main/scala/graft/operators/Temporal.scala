@@ -677,4 +677,96 @@ object Temporal {
             (col("__pcnt") * period)))
       .drop("__wsum", "__wcnt", "__detr_num", "__psum", "__pcnt")
   }
+
+  /** Downsample an irregular tick stream to OHLC bars (open / high / low /
+    * close / volume / sum) per (key…, bucket) — the classic resample-to-bars
+    * readout (reference: the quarterly roll-ups of extract_pec_data.py:193,
+    * generalized to any bucket).
+    *
+    * Open and close are selected by a TOTAL order `(tsCol, tieCol)` — two
+    * row_numbers (ASC + DESC) over one window partitioning, then the group
+    * agg reuses that same hash partitioning, so the whole operator is ONE
+    * shuffle. min/max/count are order-independent; the only order-sensitive
+    * outputs (open/close) ride the explicit total order, so results are
+    * bit-stable under any partitioning. `sumCol` must be an exact (long)
+    * measure — quantize doubles upstream; a double SUM here would be
+    * partition-order-dependent.
+    */
+  def ohlcBars(
+      ticks: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      sumCol: String): DataFrame = {
+    val part = (keys :+ bucketCol).map(col)
+    val wAsc = Window.partitionBy(part: _*).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val wDesc = Window.partitionBy(part: _*).orderBy(col(tsCol).desc, col(tieCol).desc)
+    ticks
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .groupBy(part: _*)
+      .agg(
+        max(when(col("__ra") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(when(col("__rd") === 1, col(valueCol))).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col(sumCol)).as("sum_value"))
+  }
+
+  /** Autocorrelation function at lags 1..maxLag per key over a REGULAR
+    * integer series (compose with [[fillGaps]] upstream for calendar data).
+    *
+    * Deterministic by construction: every aggregate is an exact integer sum
+    * (n, Σx, Σx², and per-lag Σ x_t·x_{t-k}, Σ' x_t, Σ' x_{t-k}), and the
+    * double assembly ρ_k = (P_k − μA_k − μB_k + n_kμ²)/(S2 − nμ²) is a fixed
+    * chain of correctly-rounded IEEE ops — no double SUM whose result would
+    * depend on partition order. One window pass per key (lag columns), one
+    * partial agg; series length is calendar-bounded, not corpus-bounded.
+    *
+    * @param valueCol exact integer series value (counts, quantized units)
+    */
+  def acf(
+      series: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val k = keys.map(col)
+    val w = Window.partitionBy(k: _*).orderBy(col(orderCol))
+    val v = col(valueCol).cast("long")
+    val lagged = (1 to maxLag).foldLeft(series.withColumn("__v", v)) {
+      (df, i) => df.withColumn(s"__l$i", lag(col("__v"), i).over(w))
+    }
+    val base = Seq(
+      count(lit(1)).as("n"),
+      sum(col("__v")).as("s1"),
+      sum(col("__v") * col("__v")).as("s2"))
+    val perLag = (1 to maxLag).flatMap { i =>
+      val l = col(s"__l$i")
+      Seq(
+        sum(when(l.isNotNull, col("__v") * l)).as(s"p$i"),
+        sum(when(l.isNotNull, col("__v"))).as(s"a$i"),
+        sum(when(l.isNotNull, l)).as(s"b$i"),
+        count(l).as(s"n$i"))
+    }
+    val aggd = lagged.groupBy(k: _*).agg((base ++ perLag).head, (base ++ perLag).tail: _*)
+    val mu = col("s1").cast("double") / col("n").cast("double")
+    val den = col("s2").cast("double") - col("n").cast("double") * mu * mu
+    val lagRows = (1 to maxLag).map { i =>
+      struct(
+        lit(i).as("lag"),
+        when(den > 0 && col(s"n$i") > 0,
+          round((col(s"p$i").cast("double") -
+            mu * col(s"a$i").cast("double") -
+            mu * col(s"b$i").cast("double") +
+            col(s"n$i").cast("double") * mu * mu) / den, 6)).as("acf"))
+    }
+    aggd
+      .select((k :+ col("n") :+ explode(array(lagRows: _*)).as("__e")): _*)
+      .select((k :+ col("n") :+ col("__e.lag").as("lag") :+ col("__e.acf").as("acf")): _*)
+  }
 }

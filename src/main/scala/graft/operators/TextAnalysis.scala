@@ -826,4 +826,62 @@ object TextAnalysis {
         round(col("shared") / col("n_fp1"), 6).as("containment1"),
         round(col("shared") / col("n_fp2"), 6).as("containment2"))
   }
+
+  /** Storage-level dedup readout over content-defined chunks: split every
+    * document with [[cdc_chunks]] (gear rolling hash, boundaries that
+    * resynchronize across insertions), then per group report how much of the
+    * byte stream is redundant — chunk totals, distinct chunks, chunks seen
+    * in more than one document, and the dup ratio. The chunk explode is
+    * map-side (fan-out ~len/2^maskBits per doc); the readout is one partial
+    * agg over (group, hash) then group — two shuffles on bounded-width keys,
+    * the deduplicating shape that holds at corpus scale. */
+  def cdcDedupStats(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      maskBits: Int = 6,
+      minLen: Int = 16,
+      maxLen: Int = 256): DataFrame = {
+    val chunks = df.select(
+      col(groupCol), col(idCol),
+      explode(cdc_chunks(col(textCol), maskBits, minLen, maxLen)).as("chunk"))
+    val perChunk = chunks
+      .groupBy(col(groupCol), col("chunk"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col(idCol)).as("n_docs"))
+    perChunk
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("occ")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_crossdoc_chunks"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct_chunks").cast("double") /
+          col("n_chunks").cast("double"), 6))
+  }
+
+  /** Flesch reading-ease per document from three regex counts — words
+    * `[A-Za-z]+`, sentence terminators `[.!?]+`, and vowel-group syllables
+    * `[aeiouy]+` (the standard heuristic; exact syllabification needs a
+    * dictionary). Pure map-side projection: three codegen'd
+    * regexp_extract_all sizes and one fixed chain of IEEE double ops —
+    * `206.835 − 1.015·(w/s) − 84.6·(syl/w)` — so the score is bit-identical
+    * on any engine evaluating the same chain. Zero-word docs yield null.
+    * Readability is a standard pretraining quality-gate signal alongside
+    * [[TextAnalysis]] entropy/repetition scores. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit("[A-Za-z]+"), lit(0))).cast("long").as("n_words"),
+      greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+        .cast("long").as("n_sentences"),
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+        .cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 6)))
+  }
 }

@@ -304,13 +304,15 @@ object Events {
       left: DataFrame,
       right: DataFrame,
       horizonSec: Long,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(
       r,
       col("l.user_id") === col("r.user_id") &&
         col("r.ts") >= col("l.ts") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizonSec SECONDS"),
+      joinType)
   }
 }

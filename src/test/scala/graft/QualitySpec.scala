@@ -108,4 +108,18 @@ class QualitySpec extends SparkSpec {
     assert(Quality.kAnonymity(df.filter(col("seg") === "a").filter(col("country") === "US"),
       Seq("country"), k = 5).isEmpty)
   }
+
+  test("lDiversity flags quasi-groups whose sensitive column lacks l distinct values") {
+    val df = Seq(
+      ("US", "a", 1L), ("US", "a", 2L), ("US", "a", 3L),  // diverse (3 bands)
+      ("US", "b", 7L), ("US", "b", 7L), ("US", "b", 7L),  // k-anonymous but 1 band
+      ("FR", "a", 1L), ("FR", "a", 2L)).toDF("country", "seg", "band")
+    val out = Quality.lDiversity(df, Seq("country", "seg"), "band", l = 3)
+      .orderBy("country", "seg").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("FR", "a", 2L, 2L, false),
+      ("US", "a", 3L, 3L, true),
+      ("US", "b", 3L, 1L, false)))
+  }
 }

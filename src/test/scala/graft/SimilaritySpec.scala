@@ -159,4 +159,53 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getSeq[Double](1) == Seq(2.0, 2.0, 2.0))
     assert(out(1).getSeq[Double](1) == Seq(10.0, 20.0, 30.0))
   }
+
+  test("rrfFuse merges rankings by reciprocal rank and counts list membership") {
+    val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val r2 = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(r1, r2), "id", "rank", k0 = 60)
+      .orderBy(org.apache.spark.sql.functions.col("rrf_score").desc, org.apache.spark.sql.functions.col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // 10 and 20 are symmetric (ranks {1,2}): identical score, id breaks the tie
+    val s12 = BigDecimal(1.0 / 61.0 + 1.0 / 62.0).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._1 == 10L && out(1)._1 == 20L)
+    assert(math.abs(out(0)._2 - s12) < 1e-12 && math.abs(out(1)._2 - s12) < 1e-12)
+    assert(out(0)._3 == 2L)
+    // single-list tail: 30 (rank 3 in r1) and 40 (rank 3 in r2) tie as well
+    assert(out.drop(2).map(_._1).toSeq == Seq(30L, 40L))
+    assert(out.drop(2).forall(_._3 == 1L))
+  }
+
+  test("kCenterSample farthest-first picks one exemplar per planted cluster") {
+    // three tight, well-separated clusters on one axis; quarter-exact
+    // coordinates so the middle-cluster tie is EXACT in float/double
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.25f, 0.0f)), (3L, Array(0.5f, 0.0f)),
+      (10L, Array(100.0f, 0.0f)), (11L, Array(100.25f, 0.0f)),
+      (20L, Array(200.0f, 0.0f)), (21L, Array(200.25f, 0.0f))).toDF("id", "vec")
+    val out = Similarity.kCenterSample(pts.repartition(3), "id", "vec", k = 3)
+      .orderBy("selection_order").collect()
+    // starts at min id, then the two far clusters before any near-dup
+    assert(out(0).getLong(1) == 1L && out(0).isNullAt(2))
+    assert(out(1).getLong(1) == 21L)  // farthest point overall (x=200.25)
+    assert(out(2).getLong(1) == 10L)  // then the middle cluster (tie -> min id)
+    // covering radius is non-increasing
+    assert(out(1).getDouble(2) >= out(2).getDouble(2))
+  }
+
+  test("mmrRerank suppresses the duplicate until diversity is exhausted") {
+    // two same-direction high-relevance vectors and one orthogonal slightly-lower one:
+    // plain top-k would take both copies; MMR interleaves the orthogonal
+    val cands = Seq(
+      (1L, 10.0, Array(1.0f, 0.0f)),
+      (2L, 9.9, Array(1.0f, 0.0f)),      // duplicate direction of 1
+      (3L, 9.0, Array(0.0f, 1.0f))).toDF("id", "rel", "vec")
+    val out = Similarity.mmrRerank(cands, "id", "rel", "vec", k = 3, lambda = 0.5)
+      .orderBy("selection_order").collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(1L, 3L, 2L))
+    val tooMany = Seq.tabulate(20)(i => (i.toLong, 1.0, Array(1.0f))).toDF("id", "rel", "vec")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(tooMany, "id", "rel", "vec", k = 2, maxCandidates = 10)
+    }
+  }
 }

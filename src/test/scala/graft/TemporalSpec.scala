@@ -274,4 +274,37 @@ class TemporalSpec extends SparkSpec {
       } else assert(got(i).isEmpty, s"row $i should be degenerate")
     }
   }
+
+  test("ohlcBars picks open/close on the (ts, tie) total order and sums exactly") {
+    // two ticks share the opening timestamp: the tie column must decide
+    val rows = Seq(
+      ("a", 1, 10L, 2L, 50.0, 5000L), ("a", 1, 10L, 1L, 30.0, 3000L),
+      ("a", 1, 20L, 3L, 80.0, 8000L), ("a", 1, 20L, 4L, 20.0, 2000L),
+      ("b", 1, 15L, 5L, 7.0, 700L))
+      .toDF("k", "bucket", "ts", "id", "v", "cents")
+    val got = Temporal.ohlcBars(rows.repartition(4), Seq("k"), "bucket", "ts", "id", "v", "cents")
+      .orderBy("k").collect()
+    val a = got(0)
+    assert(a.getAs[Double]("open") == 30.0)   // id=1 wins the ts tie
+    assert(a.getAs[Double]("close") == 20.0)  // id=4 wins the DESC tie
+    assert(a.getAs[Double]("high") == 80.0 && a.getAs[Double]("low") == 20.0)
+    assert(a.getAs[Long]("volume") == 4L && a.getAs[Long]("sum_value") == 18000L)
+    val b = got(1)
+    assert(b.getAs[Double]("open") == 7.0 && b.getAs[Double]("close") == 7.0)
+  }
+
+  test("acf recovers the exact alternating-series autocorrelation") {
+    // x = 1,2,1,2,… has mean 1.5, acf(1) = −1, acf(2) = +1 exactly
+    val rows = Seq.tabulate(40)(i => ("g", i.toLong, (1 + i % 2).toLong))
+    val got = Temporal.acf(rows.toDF("g", "t", "x").repartition(5),
+      Seq("g"), "t", "x", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq == Seq(40L, 40L))
+    val acf1 = got(0).getAs[Double]("acf")
+    val acf2 = got(1).getAs[Double]("acf")
+    // finite-series estimator: denominator is the FULL series sum of
+    // squares, numerator only the n−k overlap, so |acf| < 1 by (n−k)/n
+    assert(math.abs(acf1 - (-39.0 / 40.0)) < 1e-9, s"acf1=$acf1")
+    assert(math.abs(acf2 - 38.0 / 40.0) < 1e-9, s"acf2=$acf2")
+  }
 }

@@ -335,4 +335,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!byId(7L).getAs[Boolean]("flag_alpha"))
     assert(!byId(8L).getAs[Boolean]("flag_stopwords") && !byId(8L).getAs[Boolean]("keep"))
   }
+
+  test("readability counts words/sentences/vowel-group syllables and scores Flesch") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "???"),
+      (3L, "Extraordinary vocabulary demonstrates complexity.")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 6 words, 2 sentences, 6 vowel groups (e, a, a, e, o, a)
+    assert(out(0).getAs[Long]("n_words") == 6L)
+    assert(out(0).getAs[Long]("n_sentences") == 2L)
+    assert(out(0).getAs[Long]("n_syllables") == 6L)
+    val f1 = out(0).getAs[Double]("flesch")
+    assert(math.abs(f1 - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-6)
+    // doc 2: zero words -> null score, sentence floor at 1
+    assert(out(1).getAs[Long]("n_words") == 0L && out(1).isNullAt(out(1).fieldIndex("flesch")))
+    assert(out(1).getAs[Long]("n_sentences") == 1L)
+    // doc 3: polysyllabic words push the score deeply negative
+    assert(out(2).getAs[Double]("flesch") < 0.0)
+  }
+
+  test("cdc_chunks boundaries resynchronize after a prefix insertion") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val body = Seq.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq((1L, body), (2L, "PREFIX-INSERTED " + body)).toDF("id", "text")
+    val got = df.select(col("id"), graft.functions.cdc_chunks(col("text"), 6, 16, 256).as("c"))
+      .orderBy("id").collect()
+    val c1 = got(0).getSeq[Long](1)
+    val c2 = got(1).getSeq[Long](1)
+    assert(c1.nonEmpty && c2.nonEmpty)
+    // content-defined boundaries realign: the shifted doc still shares the
+    // vast majority of chunk hashes with the original
+    val shared = c1.toSet.intersect(c2.toSet).size
+    assert(shared >= c1.toSet.size - 3, s"shared=$shared of ${c1.toSet.size}")
+    // determinism + empty-string behavior
+    val again = df.select(graft.functions.cdc_chunks(col("text"), 6, 16, 256)).collect()
+    assert(again(0).getSeq[Long](0) == c1)
+    val empty = Seq((1L, "")).toDF("id", "text")
+      .select(graft.functions.cdc_chunks(col("text"), 6, 16, 256)).collect()
+    assert(empty(0).getSeq[Long](0).isEmpty)
+  }
+
+  test("cdcDedupStats reports exact redundancy on planted duplicate docs") {
+    // seeded RANDOM bodies: chunks are unique WITHIN a doc (periodic text
+    // would self-collide and break the 2x arithmetic)
+    val rnd = new scala.util.Random(11)
+    def body(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = body(1800)
+    val df = Seq(
+      (1L, "s1", shared), (2L, "s1", shared),        // full duplicate pair
+      (3L, "s2", body(1800))).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.cdcDedupStats(df, "source", "doc_id", "text")
+      .orderBy("source").collect()
+    val s1 = out(0)
+    // duplicate docs chunk identically -> every distinct chunk is cross-doc
+    assert(s1.getAs[Long]("n_chunks") == 2 * s1.getAs[Long]("n_distinct_chunks"))
+    assert(s1.getAs[Long]("n_crossdoc_chunks") == s1.getAs[Long]("n_distinct_chunks"))
+    assert(s1.getAs[Double]("dup_ratio") == 0.5)
+  }
 }
