@@ -4060,6 +4060,77 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Max drawdown per user over a signed running-balance curve (credits =
+    * purchase/signup cents, debits = the rest): exact long selection
+    * arithmetic end to end — running sum, running max, max gap. */
+  private def qMaxDrawdown(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val level = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type").isin("purchase", "signup"),
+          floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(-floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .withColumn("level", sum(col("cents")).over(byUser))
+    Temporal.maxDrawdown(level, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), "level")
+      .orderBy("user_id")
+  }
+
+  /** ABC / Pareto classes over part revenue: per-class item counts and
+    * exact cents totals — the three boundary rows verify the integer
+    * cross-multiplied 80/95 cut lines end to end. */
+  private def qParetoAbc(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("revenue_cents"))
+    Segments.abcClasses(perPart, Seq("l_partkey"), "revenue_cents")
+      .groupBy(col("abc_class"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("revenue_cents")).as("class_cents"),
+        min(col("revenue_cents")).as("min_item_cents"),
+        max(col("revenue_cents")).as("max_item_cents"))
+      .orderBy("abc_class")
+  }
+
+  /** t-closeness audit: nation as the quasi-identifier, market segment as
+    * the sensitive attribute, t = 0.2 — per-nation total-variation
+    * distance from the corpus segment mix, exact integer cross-multiplies
+    * with one final division. */
+  private def qTCloseness(s: SparkSession, d: String): DataFrame =
+    Quality.tCloseness(
+        Tables.customer(s, d).select(col("c_nationkey"), col("c_mktsegment")),
+        Seq("c_nationkey"), "c_mktsegment", t = 0.2)
+      .select(col("c_nationkey"), col("n"), col("tvd"), col("close"))
+      .orderBy("c_nationkey")
+
+  /** One-hot order priority at row grain (zero-shuffle projection with a
+    * known vocabulary), then fold to status grain so the oracle verifies
+    * every indicator column exactly. */
+  private def qOneHot(s: SparkSession, d: String): DataFrame = {
+    val known = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = known.map(v =>
+      "o_orderpriority_" + v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        .replaceAll("^_+|_+$", ""))
+    val hot = Reshape.oneHot(Tables.orders(s, d), "o_orderpriority", knownValues = known)
+    hot.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        names.map(n => sum(col(n)).as(n)): _*)
+      .orderBy("o_orderstatus")
+  }
+
+  /** Fightin'-Words keywords separating English documents from the rest of
+    * the corpus: informative-Dirichlet weighted log-odds z-scores, top 50
+    * English-leaning terms. */
+  private def qLogOdds(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.logOddsKeywords(
+      Tables.documents(s, d), "text", col("lang") === "en")
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4324,7 +4395,12 @@ object SparkEntry {
     "q_interval_join_outer_stream" -> (qIntervalJoinOuterStream _),
     "q_kcenter" -> (qKcenter _),
     "q_cdc_chunks" -> (qCdcChunks _),
-    "q_mmr" -> (qMmr _))
+    "q_mmr" -> (qMmr _),
+    "q_max_drawdown" -> (qMaxDrawdown _),
+    "q_pareto_abc" -> (qParetoAbc _),
+    "q_t_closeness" -> (qTCloseness _),
+    "q_one_hot" -> (qOneHot _),
+    "q_log_odds" -> (qLogOdds _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -7706,7 +7782,103 @@ object SparkEntry {
     // plain left join under the same cutoff; NULLS FIRST matches Spark's
     // ascending null ordering
     "q_interval_join_outer" -> intervalJoinOuterOracle,
-    "q_interval_join_outer_stream" -> intervalJoinOuterOracle)
+    "q_interval_join_outer_stream" -> intervalJoinOuterOracle,
+    // running max is a selection — every intermediate is an exact integer,
+    // so peak/drawdown agree bit-for-bit on any engine
+    "q_max_drawdown" ->
+      """WITH sv AS (SELECT user_id, ts, event_id,
+                CASE WHEN event_type IN ('purchase', 'signup')
+                     THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                     ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents
+              FROM events),
+         lv AS (SELECT user_id, ts, event_id,
+                CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS level
+              FROM sv),
+         pk AS (SELECT user_id, level,
+                CAST(MAX(level) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+              FROM lv)
+         SELECT user_id,
+                CAST(MAX(peak - level) AS BIGINT) AS max_drawdown,
+                CAST(MAX(peak) AS BIGINT) AS peak_level,
+                CAST(COUNT(*) AS BIGINT) AS n_points
+         FROM pk GROUP BY 1 ORDER BY user_id""",
+    // the 80/95 boundary is an integer cross-multiply on both engines —
+    // no revenue share ever becomes a float
+    "q_pareto_abc" ->
+      """WITH pp AS (SELECT l_partkey,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY 1),
+         c AS (SELECT l_partkey, revenue_cents,
+                CAST(SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum,
+                CAST((SELECT SUM(revenue_cents) FROM pp) AS HUGEINT) AS total
+              FROM pp),
+         k AS (SELECT revenue_cents,
+                CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                     WHEN cum * 100 <= total * 95 THEN 'B'
+                     ELSE 'C' END AS abc_class
+              FROM c)
+         SELECT abc_class,
+                CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(revenue_cents) AS BIGINT) AS class_cents,
+                CAST(MIN(revenue_cents) AS BIGINT) AS min_item_cents,
+                CAST(MAX(revenue_cents) AS BIGINT) AS max_item_cents
+         FROM k GROUP BY 1 ORDER BY abc_class""",
+    // TVD numerator stays an exact integer sum; the single division uses
+    // the same (2*n)*N association as the Spark plan
+    "q_t_closeness" ->
+      """WITH gs AS (SELECT c_nationkey, c_mktsegment AS s,
+                CAST(COUNT(*) AS BIGINT) AS n_gs FROM customer GROUP BY 1, 2),
+         g AS (SELECT c_nationkey, CAST(SUM(n_gs) AS BIGINT) AS n FROM gs GROUP BY 1),
+         st AS (SELECT c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS n_s
+                FROM customer GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nt FROM st),
+         grid AS (SELECT g.c_nationkey, g.n, st.n_s, tot.nt,
+                COALESCE(gs.n_gs, 0) AS n_gs
+              FROM g CROSS JOIN st CROSS JOIN tot
+              LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey AND gs.s = st.s),
+         agg AS (SELECT c_nationkey, n,
+                CAST(SUM(ABS(n_gs * nt - n_s * n)) AS DOUBLE) /
+                  (2.0 * CAST(n AS DOUBLE) * CAST(MIN(nt) AS DOUBLE)) AS tvd
+              FROM grid GROUP BY 1, 2)
+         SELECT c_nationkey, n, tvd, tvd <= 0.2 AS close
+         FROM agg ORDER BY c_nationkey""",
+    "q_one_hot" ->
+      """SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_1_urgent,
+              CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_2_high,
+              CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_3_medium,
+              CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_4_not_specified,
+              CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_5_low
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    // identical float-op chain as the Spark plan (alpha, delta, var, z) —
+    // z rounds to 6dp before the ordered top-50 selection on both engines
+    "q_log_odds" ->
+      """WITH tok AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+                unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+              FROM documents),
+         t AS (SELECT term, CAST(SUM(a) AS BIGINT) AS y_a,
+                CAST(SUM(1 - a) AS BIGINT) AS y_b FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(SUM(y_a) AS BIGINT) AS na,
+                CAST(SUM(y_b) AS BIGINT) AS nb FROM t),
+         sc AS (SELECT term, y_a, y_b,
+                (100.0 * CAST(y_a + y_b AS DOUBLE)) / CAST(na + nb AS DOUBLE) AS alpha,
+                CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+              FROM t CROSS JOIN tot),
+         z AS (SELECT term, y_a, y_b,
+                ROUND((LN((CAST(y_a AS DOUBLE) + alpha) /
+                          (nad + 100.0 - CAST(y_a AS DOUBLE) - alpha)) -
+                       LN((CAST(y_b AS DOUBLE) + alpha) /
+                          (nbd + 100.0 - CAST(y_b AS DOUBLE) - alpha))) /
+                      SQRT(1.0 / (CAST(y_a AS DOUBLE) + alpha) +
+                           1.0 / (CAST(y_b AS DOUBLE) + alpha)), 6) AS z
+              FROM sc)
+         SELECT term, y_a, y_b, z FROM z
+         ORDER BY z DESC, term LIMIT 50""")
 
   /** q_acf oracle: the identical exact-integer sufficient statistics
     * (n, Σx, Σx², per-lag Σx·x₋ₖ / Σ'x / Σ'x₋ₖ / n₋ₖ) over the identical

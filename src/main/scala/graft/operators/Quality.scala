@@ -276,6 +276,61 @@ object Quality {
       .filter(col("n") < k)
   }
 
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymity]] and [[lDiversity]] (Li, Li & Venkatasubramanian, ICDE
+    * 2007): an l-diverse class can still leak when its sensitive-value
+    * MIX differs sharply from the corpus at large. For a categorical
+    * sensitive column the prescribed distance is total variation:
+    * TVD(g) = ½ Σ_s |n_gs/n_g − N_s/N|, flagged when > t.
+    *
+    * Shape: two partial-agg groupBys over the release (quasi×sensitive
+    * and sensitive), then all arithmetic on the AUDIT tables — the grid
+    * of QI-classes × sensitive support built by a broadcast cross join is
+    * bounded by the two domains, never row-scale. Each |·| term is the
+    * exact integer cross-multiply |n_gs·N − N_s·n_g| on decimal(38,0)
+    * (counts at 100 TB overflow a long product); the single division by
+    * 2·n_g·N happens once per class at the very end. */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val quasi = quasiCols.map(col)
+    val gs = df.groupBy(quasi :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__n_gs"))
+    val g = gs.groupBy(quasi: _*).agg(sum(col("__n_gs")).as("n"))
+    val sTab = df.groupBy(col(sensitiveCol).as("__s_o")).agg(count(lit(1)).as("__n_s"))
+    val totals = sTab.agg(sum(col("__n_s")).as("__n_total"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // fresh attribute ids on the class-count side: g derives from gs, and
+    // joining shared-lineage attributes trips the ambiguous-self-join
+    // resolver (same lesson as Relational.globalRunningSum's offsets)
+    val gsFresh = gs.select(
+      quasiCols.map(k => col(k).as(k + "__q")) ++
+        Seq(col("__s").as("__s_g"), col("__n_gs")): _*)
+    val grid = g.crossJoin(broadcast(sTab)).crossJoin(broadcast(totals))
+      .join(gsFresh,
+        quasiCols.map(k => col(k) <=> col(k + "__q"))
+          .reduce(_ && _) && col("__s_o") <=> col("__s_g"),
+        "left")
+      .withColumn("__term",
+        abs(dec(coalesce(col("__n_gs"), lit(0L))) * dec(col("__n_total")) -
+          dec(col("__n_s")) * dec(col("n"))))
+    // numerator is an exact decimal integer; the one division runs in
+    // doubles with (2·n)·N association so any engine evaluating the same
+    // chain bit-agrees (×2 is exact, each factor converts exactly below
+    // 2^53, one rounding per multiply)
+    grid.groupBy((quasi :+ col("n") :+ col("__n_total")): _*)
+      .agg(sum(col("__term")).as("__num"))
+      .withColumn("tvd",
+        col("__num").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("__n_total").cast("double")))
+      .withColumn("close", col("tvd") <= t)
+      .drop("__num", "__n_total")
+  }
+
   /** Benjamini–Hochberg step-up FDR adjustment (JRSS-B 1995) over a table
     * of test p-values — the multiple-testing layer above the inference
     * family (Welch / Mann–Whitney / KS / chi-square): q_i = min_{k≥i}

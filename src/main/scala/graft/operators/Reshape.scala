@@ -85,4 +85,44 @@ object Reshape {
     }
     Relational.diagonalConcat(blocks)
   }
+
+  /** One-hot encode a categorical column into 0/1 indicator columns named
+    * `<catCol>_<sanitized value>` — the feature-matrix mate of
+    * [[pivotWide]] (that one aggregates to id grain; this one stays at ROW
+    * grain, so it is a pure zero-shuffle projection once the vocabulary is
+    * known).
+    *
+    * Vocabulary discovery is the only non-map step: one DISTINCT over the
+    * single category column — dim-bounded by definition of "categorical"
+    * and guarded by `maxCategories` so a mistyped high-cardinality column
+    * fails loudly instead of minting a million columns. Pass `knownValues`
+    * to skip that job entirely (the [[pivotWide]] lesson: at 100 TB a
+    * known vocabulary saves a full scan AND fixes the output schema).
+    * NULL category → all indicators 0. */
+  def oneHot(
+      df: DataFrame,
+      catCol: String,
+      knownValues: Seq[String] = Seq.empty,
+      maxCategories: Int = 64): DataFrame = {
+    val values: Seq[String] =
+      if (knownValues.nonEmpty) knownValues.sorted
+      else {
+        val distinct = df.select(col(catCol).cast("string")).na.drop()
+          .distinct().limit(maxCategories + 1).collect().map(_.getString(0))
+        require(distinct.length <= maxCategories,
+          s"oneHot($catCol): more than $maxCategories distinct values — " +
+            "not a categorical column, or raise maxCategories")
+        distinct.toSeq.sorted
+      }
+    val names = values.map(v =>
+      catCol + "_" + v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        .replaceAll("^_+|_+$", ""))
+    require(names.distinct.length == names.length,
+      s"oneHot($catCol): sanitized indicator names collide: " +
+        names.diff(names.distinct).distinct.mkString(", "))
+    val indicators = values.zip(names).map { case (v, n) =>
+      when(col(catCol).cast("string") === v, 1L).otherwise(0L).as(n)
+    }
+    df.select(col("*") +: indicators: _*)
+  }
 }

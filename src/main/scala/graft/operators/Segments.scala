@@ -84,4 +84,39 @@ object Segments {
       concat(col("r_score").cast("string"), col("f_score").cast("string"),
         col("m_score").cast("string")))
   }
+
+  /** Pareto / ABC inventory classification (Dickie 1951, the 80/15/5
+    * rule): items ranked by `valueCentsCol` descending, class A while the
+    * running share of total value stays ≤ `aPct`%, B while ≤ `bPct`%, C
+    * for the tail. The boundary test is an exact integer cross-multiply —
+    * `cum·100 ≤ total·pct` on decimal(38,0), never a float share — so an
+    * item sitting exactly on the 80% line classifies identically on every
+    * engine and every partitioning.
+    *
+    * The descending running sum rides [[Relational.globalRunningSum]]'s
+    * two-pass prefix (range partition → local window → broadcast partition
+    * offsets): no single-partition global window at any item cardinality.
+    * `keyCols` break ties between equal-valued items so the cumulative
+    * order is total. */
+  def abcClasses(
+      items: DataFrame,
+      keyCols: Seq[String],
+      valueCentsCol: String,
+      aPct: Int = 80,
+      bPct: Int = 95): DataFrame = {
+    require(aPct > 0 && aPct < bPct && bPct < 100,
+      s"need 0 < aPct < bPct < 100, got aPct=$aPct bPct=$bPct")
+    val order = col(valueCentsCol).desc +: keyCols.map(col(_).asc)
+    val cum = Relational.globalRunningSum(
+      items, order, valueCentsCol, "cum_cents")
+    val total = items.agg(sum(col(valueCentsCol).cast("long")).as("__total"))
+    val c100 = col("cum_cents").cast("decimal(38,0)") * 100
+    val t = col("__total").cast("decimal(38,0)")
+    cum.crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(c100 <= t * aPct, "A")
+          .when(c100 <= t * bPct, "B")
+          .otherwise("C"))
+      .drop("__total")
+  }
 }

@@ -769,4 +769,35 @@ object Temporal {
       .select((k :+ col("n") :+ explode(array(lagRows: _*)).as("__e")): _*)
       .select((k :+ col("n") :+ col("__e.lag").as("lag") :+ col("__e.acf").as("acf")): _*)
   }
+
+  /** Maximum drawdown per key over an ordered level series — the classic
+    * peak-to-trough risk readout: dd_t = (max_{s<=t} level_s) − level_t,
+    * reported as its maximum together with the all-time peak. Pass the
+    * level pre-quantized to an integral type (cents) and the whole
+    * computation is exact long arithmetic — running MAX is a selection,
+    * never an accumulation, so there is no float drift at any length.
+    *
+    * One window per key (entity-grain partitioning — millions of
+    * independent keys parallelize; this is NOT a low-cardinality
+    * partition) followed by a partial-agg groupBy. `orderCol` must be a
+    * total order within each key (add a row id tiebreak) — the running
+    * max itself is order-insensitive across ties, but deterministic
+    * plans are easier to audit. */
+  def maxDrawdown(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      levelCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "maxDrawdown needs at least one key column")
+    val k = keyCols.map(col)
+    val w = Window.partitionBy(k: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__peak", max(col(levelCol)).over(w))
+      .withColumn("__dd", col("__peak") - col(levelCol))
+      .groupBy(k: _*)
+      .agg(
+        max(col("__dd")).as("max_drawdown"),
+        max(col("__peak")).as("peak_level"),
+        count(lit(1)).as("n_points"))
+  }
 }

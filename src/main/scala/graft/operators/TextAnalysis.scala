@@ -884,4 +884,55 @@ object TextAnalysis {
             lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
             lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 6)))
   }
+
+  /** Weighted log-odds-ratio keywords with an informative Dirichlet prior
+    * (Monroe, Colaresi & Quinn, "Fightin' Words", Political Analysis 2008)
+    * — which terms distinguish document group A from group B, corrected
+    * for overall term frequency so rare words don't dominate the way raw
+    * log-odds or TF-IDF deltas do. Per term w:
+    * δ_w = ln((y_Aw+α_w)/(n_A+α_0−y_Aw−α_w)) − ln((y_Bw+α_w)/(n_B+α_0−y_Bw−α_w)),
+    * σ²_w ≈ 1/(y_Aw+α_w) + 1/(y_Bw+α_w), z_w = δ_w/σ_w, with the prior
+    * α_w = α_0·(y_Aw+y_Bw)/(n_A+n_B) taken from the pooled corpus.
+    *
+    * Shape: one tokenize-explode pass → one partial-agg groupBy(term)
+    * carrying both groups' counts as conditional sums (the corpus is
+    * scanned ONCE, not per group), then the z arithmetic runs on the
+    * vocabulary table — bounded by distinct-term count, never row-scale.
+    * The z screen rounds to 6dp (small magnitude, engine-stable) and ties
+    * break on the term so the top-k selection is total. */
+  def logOddsKeywords(
+      docs: DataFrame,
+      textCol: String,
+      groupACond: Column,
+      alpha0: Double = 100.0,
+      minLen: Int = 3,
+      topK: Int = 50): DataFrame = {
+    val terms = docs
+      .select(groupACond.cast("int").as("__a"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]{" + minLen + ",}"), lit(0))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        sum(col("__a")).cast("long").as("y_a"),
+        sum(lit(1) - col("__a")).cast("long").as("y_b"))
+    val totals = terms.agg(
+      sum(col("y_a")).as("__n_a"), sum(col("y_b")).as("__n_b"))
+    val scored = terms.crossJoin(broadcast(totals))
+      .withColumn("__alpha",
+        lit(alpha0) * (col("y_a") + col("y_b")).cast("double") /
+          (col("__n_a") + col("__n_b")).cast("double"))
+      .withColumn("__delta",
+        log((col("y_a") + col("__alpha")) /
+          (col("__n_a") + lit(alpha0) - col("y_a") - col("__alpha"))) -
+          log((col("y_b") + col("__alpha")) /
+            (col("__n_b") + lit(alpha0) - col("y_b") - col("__alpha"))))
+      .withColumn("__var",
+        lit(1.0) / (col("y_a") + col("__alpha")) +
+          lit(1.0) / (col("y_b") + col("__alpha")))
+      .withColumn("z", round(col("__delta") / sqrt(col("__var")), 6))
+    scored
+      .select(col("term"), col("y_a"), col("y_b"), col("z"))
+      .orderBy(col("z").desc, col("term"))
+      .limit(topK)
+  }
 }

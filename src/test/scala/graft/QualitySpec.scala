@@ -122,4 +122,16 @@ class QualitySpec extends SparkSpec {
       ("US", "a", 3L, 3L, true),
       ("US", "b", 3L, 1L, false)))
   }
+
+  test("tCloseness: exact TVD against the corpus mix, including absent sensitive values") {
+    // corpus: 6 x, 6 y (p = .5/.5); group A = 4×x only, group B = 2×x 6×y
+    val df = (Seq.fill(4)(("A", "x")) ++ Seq.fill(2)(("B", "x")) ++
+      Seq.fill(6)(("B", "y"))).toDF("grp", "s")
+    val out = Quality.tCloseness(df, Seq("grp"), "s", t = 0.3)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // A: ½(|1−.5| + |0−.5|) = 0.5 — the |0−p| term needs the grid row for
+    // the sensitive value the group never exhibits
+    assert(out.toSeq == Seq(("A", 4L, 0.5, false), ("B", 8L, 0.25, true)))
+  }
 }

@@ -43,4 +43,26 @@ class ReshapeSpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == Seq(10, 10, 20))
     assert(out.map(_.getString(1)).toSeq == Seq("tx_new_a", "tx_new_b", "tx_curr_a"))
   }
+
+  test("oneHot: sanitized indicators, null row all-zero, collision and cardinality guards") {
+    val df = Seq((1, "red"), (2, "Green-2"), (3, null), (4, "red"))
+      .toDF("id", "cat")
+    val out = Reshape.oneHot(df, "cat").orderBy("id").collect()
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("id", "cat", "cat_green_2", "cat_red"))
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 1L), (1L, 0L), (0L, 0L), (0L, 1L)))
+    // known vocabulary skips discovery and fixes the schema even for
+    // values absent from the data
+    val known = Reshape.oneHot(df, "cat", knownValues = Seq("red", "blue"))
+    assert(known.columns.toSeq == Seq("id", "cat", "cat_blue", "cat_red"))
+    assert(known.agg(sum(col("cat_blue"))).head.getLong(0) == 0L)
+    intercept[IllegalArgumentException] {
+      Reshape.oneHot(df.withColumn("cat", col("id").cast("string")), "cat",
+        maxCategories = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Reshape.oneHot(Seq((1, "a b"), (2, "a_b")).toDF("id", "cat"), "cat")
+    }
+  }
 }

@@ -286,4 +286,18 @@ class SpatialSpec extends SparkSpec {
       .select("m", "s").as[(Int, Int)].collect().toSet
     assert(desc === Set((1, 3), (2, 1), (3, 1)))
   }
+
+  test("abcClasses: integer 80/95 cut lines, boundary item included in A") {
+    val df = Seq(("p1", 80L), ("p2", 10L), ("p3", 6L), ("p4", 3L), ("p5", 1L))
+      .toDF("item", "cents")
+    val out = Segments.abcClasses(df.repartition(3), Seq("item"), "cents")
+      .orderBy(col("cents").desc, col("item"))
+      .select("item", "cum_cents", "abc_class").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // total 100: cum 80 ≤ 80% -> A (exact boundary stays A); 90 ≤ 95 -> B;
+    // 96, 99, 100 -> C
+    assert(out.toSeq == Seq(
+      ("p1", 80L, "A"), ("p2", 90L, "B"), ("p3", 96L, "C"),
+      ("p4", 99L, "C"), ("p5", 100L, "C")))
+  }
 }

@@ -307,4 +307,17 @@ class TemporalSpec extends SparkSpec {
     assert(math.abs(acf1 - (-39.0 / 40.0)) < 1e-9, s"acf1=$acf1")
     assert(math.abs(acf2 - 38.0 / 40.0) < 1e-9, s"acf2=$acf2")
   }
+
+  test("maxDrawdown: exact peak-to-trough on a planted curve, zero when monotone") {
+    val rows = Seq(
+      ("a", 1, 10L), ("a", 2, 7L), ("a", 3, 12L), ("a", 4, 4L), ("a", 5, 9L),
+      ("b", 1, 1L), ("b", 2, 2L), ("b", 3, 3L))
+    val out = Temporal.maxDrawdown(
+        rows.toDF("k", "t", "level").repartition(4),
+        Seq("k"), Seq(col("t")), "level")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: peaks 10,10,12,12,12 -> drawdowns 0,3,0,8,3 -> max 8
+    assert(out.toSeq == Seq(("a", 8L, 12L, 5L), ("b", 0L, 3L, 3L)))
+  }
 }

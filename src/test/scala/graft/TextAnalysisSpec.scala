@@ -396,4 +396,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s1.getAs[Long]("n_crossdoc_chunks") == s1.getAs[Long]("n_distinct_chunks"))
     assert(s1.getAs[Double]("dup_ratio") == 0.5)
   }
+
+  test("logOddsKeywords: counts exact, z matches the Monroe formula, order total") {
+    val docs = Seq(
+      ("en", "apple apple apple banana"),
+      ("en", "apple banana"),
+      ("fr", "banana cherry cherry"),
+      ("fr", "cherry banana")).toDF("lang", "text")
+    val out = TextAnalysis.logOddsKeywords(docs, "text", col("lang") === "en",
+        alpha0 = 10.0, minLen = 3, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSet ==
+      Set(("apple", 4L, 0L), ("banana", 2L, 2L), ("cherry", 0L, 3L)))
+    // z recomputed from the published formula for 'apple':
+    // yA=4 yB=0 nA=6 nB=5 alpha0=10 alpha=10*4/11
+    val alpha = 10.0 * 4 / 11
+    val delta = math.log((4 + alpha) / (6 + 10.0 - 4 - alpha)) -
+      math.log((0 + alpha) / (5 + 10.0 - 0 - alpha))
+    val z = delta / math.sqrt(1.0 / (4 + alpha) + 1.0 / alpha)
+    val zApple = out.find(_._1 == "apple").get._4
+    assert(math.abs(zApple - z) < 1e-5, s"zApple=$zApple expected~$z")
+    // group-A-leaning first, group-B-leaning last
+    assert(out.head._1 == "apple" && out.last._1 == "cherry")
+  }
 }
