@@ -4131,6 +4131,57 @@ object SparkEntry {
     TextAnalysis.logOddsKeywords(
       Tables.documents(s, d), "text", col("lang") === "en")
 
+  /** 4-core of the 1996-H1 co-purchase graph: fixed 4-round peel whose
+    * SQL oracle replays the identical rounds (post-fixpoint rounds are
+    * no-ops, so the operator's early exit cannot diverge). */
+  private def qKcore(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("pa"))
+      .join(li.select(col("k"), col("l_partkey").as("pb")), "k")
+      .filter(col("pa") =!= col("pb"))
+    Graph.kCore(pairs, "pa", "pb", k = 4, rounds = 4)
+      .orderBy("node")
+  }
+
+  /** STREAMING OHLC twin: open/close come from min_by/max_by over the
+    * (ts, event_id) total order — the streaming-legal replacement for the
+    * batch row_number windows (selections both ways, so stream == batch
+    * bit-exactly against the shared oracle); high/low/volume/sum are plain
+    * aggregates in the same state row. */
+  private def qOhlcStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_ohlc_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("volume"),
+          sum(col("cents")).as("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("event_type", "day")
+  }
+
   // ---------------------------------------------------------------- entry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4400,7 +4451,9 @@ object SparkEntry {
     "q_pareto_abc" -> (qParetoAbc _),
     "q_t_closeness" -> (qTCloseness _),
     "q_one_hot" -> (qOneHot _),
-    "q_log_odds" -> (qLogOdds _))
+    "q_log_odds" -> (qLogOdds _),
+    "q_kcore" -> (qKcore _),
+    "q_ohlc_stream" -> (qOhlcStream _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -7740,21 +7793,11 @@ object SparkEntry {
          FROM c ORDER BY doc_id""",
     // open/close replayed on the identical (ts, event_id) total order;
     // high/low/volume order-free, the sum in exact cents
-    "q_ohlc" ->
-      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value,
-                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-         r AS (SELECT *,
-                row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS ra,
-                row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rd
-               FROM e)
-         SELECT event_type, day,
-                MAX(CASE WHEN ra = 1 THEN value END) AS open,
-                MAX(value) AS high,
-                MIN(value) AS low,
-                MAX(CASE WHEN rd = 1 THEN value END) AS close,
-                CAST(COUNT(*) AS BIGINT) AS volume,
-                CAST(SUM(cents) AS BIGINT) AS sum_value
-         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_ohlc" -> ohlcOracle,
+    // stream == batch exactly: min_by/max_by over the same (ts, event_id)
+    // total order replaces the batch row_number windows
+    "q_ohlc_stream" -> ohlcOracle,
+    "q_kcore" -> kCoreOracle,
     "q_acf" -> acfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -7920,6 +7963,49 @@ object SparkEntry {
          SELECT * FROM (
          $lagRows
          ) ORDER BY event_type, lag"""
+  }
+
+  /** Shared batch/stream OHLC oracle: open/close are the values at the
+    * (ts, event_id) order extremes — a selection, so the streaming
+    * min_by/max_by twin lands on identical bits. */
+  private val ohlcOracle: String =
+    """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+         r AS (SELECT *,
+                row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS ra,
+                row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rd
+               FROM e)
+         SELECT event_type, day,
+                MAX(CASE WHEN ra = 1 THEN value END) AS open,
+                MAX(value) AS high,
+                MIN(value) AS low,
+                MAX(CASE WHEN rd = 1 THEN value END) AS close,
+                CAST(COUNT(*) AS BIGINT) AS volume,
+                CAST(SUM(cents) AS BIGINT) AS sum_value
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q_kcore oracle: the peel iteration unrolled — each round recomputes
+    * degrees and keeps nodes with degree ≥ k, replaying Graph.kCore's
+    * fixed 4 rounds verbatim (extra rounds after the fixpoint are no-ops,
+    * so early exit on the Spark side cannot diverge). */
+  private val kCoreOracle: String = {
+    val rounds = (0 until 4).map { i =>
+      s"""d$i AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1),
+         k$i AS (SELECT node FROM d$i WHERE degree >= 4),
+         e${i + 1} AS (SELECT e.a, e.b FROM e$i e
+                JOIN k$i x ON e.a = x.node JOIN k$i y ON e.b = y.node)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-07-01'),
+         e0 AS (SELECT DISTINCT LEAST(a.p, b.p) AS a, GREATEST(a.p, b.p) AS b
+                FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+         $rounds
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+         GROUP BY 1 ORDER BY node"""
   }
 
   /** Shared batch/stream oracle for the left-outer interval join: the cutoff

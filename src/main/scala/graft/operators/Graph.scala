@@ -252,4 +252,52 @@ object Graph {
     }
     dist
   }
+
+  /** k-core peel (Seidman 1983, the Batagelj–Zaveršnik iterative form):
+    * repeatedly drop nodes of degree < k until the subgraph stabilizes —
+    * the standard densest-community / spam-farm screen. Runs a FIXED
+    * number of peel rounds so a SQL oracle can replay the iteration
+    * verbatim (the [[pageRank]] recipe); each round is one degree count
+    * (union + partial agg) and two co-partitioned semi-joins, with
+    * `localCheckpoint` truncating lineage. Rounds needed = the peel depth
+    * of the graph, typically ≪ 10 in practice; pass a planted-converged
+    * graph or raise `rounds` when exactness-at-fixpoint matters.
+    *
+    * Returns (node, degree) for the nodes surviving `rounds` peels, with
+    * degrees measured in the surviving subgraph. Early-exits (and is then
+    * exactly the k-core) when a round removes nothing. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(g: DataFrame): DataFrame = g.select(col("a").as("node"))
+      .unionAll(g.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
+      r += 1
+      val keep = degrees(e).filter(col("degree") >= k)
+        .select(col("node")).localCheckpoint(true)
+      val pruned = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      // count() on checkpointed frames is cheap; equal counts = fixpoint
+      done = pruned.count() == e.count()
+      e = pruned
+    }
+    degrees(e)
+  }
 }

@@ -359,6 +359,29 @@ class AnalyticsSpec extends SparkSpec {
       (4L, 4L, 3L), (5L, 2L, 0L), (6L, 1L, 0L)))
   }
 
+  test("kCore: cascading peel reaches the k-core, messy input canonicalized") {
+    import graft.operators.Graph
+    // K4 on 1..4 is the 3-core; the tail 4-5-6-7 peels away over THREE
+    // cascading rounds (7 first, then 6, then 5) — exercises iteration,
+    // not just one filter pass. Dupes/reversals/self-loop must not count.
+    val edges = (Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)) ++ Seq((2L, 1L), (1L, 2L), (6L, 6L)))
+      .toDF("u", "v")
+    val out = Graph.kCore(edges, "u", "v", k = 2, rounds = 8)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // insufficient rounds stop mid-peel: after one round only node 7 is
+    // gone, so 5 and 6 still linger with their current degrees
+    val partial = Graph.kCore(edges, "u", "v", k = 2, rounds = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(partial.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // a graph that IS its own k-core exits on the first no-op round
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    assert(Graph.kCore(k4, "u", "v", k = 3, rounds = 100).count() == 4L)
+  }
+
   test("connectedComponents: random graphs match driver-side union-find") {
     import graft.operators.Graph
     val rnd = new scala.util.Random(7)
