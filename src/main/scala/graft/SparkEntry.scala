@@ -4131,6 +4131,20 @@ object SparkEntry {
     TextAnalysis.logOddsKeywords(
       Tables.documents(s, d), "text", col("lang") === "en")
 
+  /** PCA-reduce the embedding corpus 64-d → 8-d: one Gram-aggregate pass
+    * (17 KB of sufficient statistics per partition), a driver-side Jacobi
+    * eigensolve of the 64×64 covariance, and a broadcast-literal
+    * projection — rows-only by design (an eigenbasis is not
+    * SQL-expressible); geometry pinned by SimilaritySpec's planted
+    * anisotropic data. */
+  private def qPca(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = 8)
+    Similarity.pcaProjectAll(emb, "embedding", model)
+      .select(col("vec_id"), col("pcs"))
+      .orderBy("vec_id")
+  }
+
   /** 4-core of the 1996-H1 co-purchase graph: fixed 4-round peel whose
     * SQL oracle replays the identical rounds (post-fixpoint rounds are
     * no-ops, so the operator's early exit cannot diverge). */
@@ -4453,7 +4467,8 @@ object SparkEntry {
     "q_one_hot" -> (qOneHot _),
     "q_log_odds" -> (qLogOdds _),
     "q_kcore" -> (qKcore _),
-    "q_ohlc_stream" -> (qOhlcStream _))
+    "q_ohlc_stream" -> (qOhlcStream _),
+    "q_pca" -> (qPca _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the

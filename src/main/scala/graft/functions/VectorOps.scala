@@ -194,4 +194,26 @@ object VectorOps {
         Array(m.toDouble, slopes((m + 1) / 2 - 1)))
     }
   }
+
+  /** Project a float vector onto PCA components: y_c = Σ_i V[c][i]·(x_i −
+    * μ_i), with `comps` the k×d component matrix flattened row-major.
+    * One fused pass per output coordinate; the fit arrays ride in as
+    * broadcast literals so this stays a pure scalar expression. */
+  def pcaProject(vec: ArrayData, means: ArrayData, comps: ArrayData): ArrayData = {
+    val d = means.numElements()
+    val k = comps.numElements() / d
+    val centered = new Array[Double](d)
+    var i = 0
+    while (i < d) { centered(i) = vec.getFloat(i).toDouble - means.getDouble(i); i += 1 }
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += comps.getDouble(c * d + j) * centered(j); j += 1 }
+      out(c) = acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

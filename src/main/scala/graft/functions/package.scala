@@ -368,6 +368,17 @@ package object functions {
   def kll_n(sketch: Column): Column =
     invokeOn(KllOps.getClass, "kllN", LongType, Seq(sketch))
 
+  /** Gram/second-moment aggregate over an `array<float>` embedding column:
+    * one `array<double>` of [n, sums, upper-tri products] per group — the
+    * one-pass sufficient statistics for covariance/PCA ([[GramAgg]]). */
+  def gram_agg(vec: Column, dim: Int): Column =
+    GraftSql.column(GramAgg(GraftSql.expression(vec), dim).toAggregateExpression())
+
+  /** Project a float vector onto broadcast PCA fit arrays (means d-vector,
+    * components k×d row-major): `array<double>` of k scores. */
+  def pca_project(vec: Column, means: Column, comps: Column): Column =
+    invokeVec("pcaProject", ArrayType(DoubleType), Seq(vec, means, comps))
+
   /** Count–Min frequency sketch aggregate over a string column: a mergeable
     * BINARY sketch per group — the point-frequency twin of `kll_sketch`.
     * Deterministic for fixed (depth, width, seed); see [[CmsSketchAgg]]. */

@@ -527,4 +527,131 @@ object Similarity {
         named.indices.map(i => when(col(s"__rank_$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
       .drop(named.indices.map(i => s"__rank_$i"): _*)
   }
+
+  /** PCA fit result: per-dimension means, top-k components (row-major),
+    * and ALL d eigenvalues in descending order (so callers can report
+    * explained-variance ratios without a second pass). */
+  final case class PcaModel(
+      means: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double]) {
+    def explainedVariance(k: Int): Double =
+      eigenvalues.take(k).sum / math.max(eigenvalues.sum, Double.MinPositiveValue)
+  }
+
+  /** Fit PCA over an `array<float>` embedding column — the dimensionality
+    * reduction in front of ANN / clustering (project 64-d → 8-d, then
+    * index the small vectors). ONE corpus pass through [[graft.functions.GramAgg]]
+    * (count + sums + upper-tri second moments, d(d+3)/2+1 doubles total
+    * crossing the shuffle), then the d×d covariance eigen-solve runs on
+    * the driver via cyclic Jacobi rotations — exact for symmetric
+    * matrices, microseconds at d ≤ 256. Component signs are normalized
+    * (largest-|coordinate| positive) so the fit is reproducible up to
+    * float-sum ordering of the Gram pass.
+    *
+    * This is the standard shape of every published distributed PCA
+    * (covariance accumulation + small dense eigensolve); nothing
+    * corpus-sized ever reaches the driver. */
+  def pcaFit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val stats = df.agg(gram_agg(col(vecCol), dim).as("g"))
+      .head().getSeq[Double](0).toArray
+    val n = stats(0)
+    require(n > 1, s"pcaFit needs > 1 vectors, saw ${n.toLong}")
+    val mu = Array.tabulate(dim)(i => stats(1 + i) / n)
+    // cov = E[xxT] − μμT (population form; the eigenvector basis is
+    // identical under the n/(n−1) rescale)
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = stats(idx) / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(e => -evals(e))
+    val comps = order.take(k).map { e =>
+      val v = Array.tabulate(dim)(r => evecs(r)(e))
+      // sign convention: the largest-|coordinate| entry is positive
+      val pivot = v.indices.maxBy(r => (math.abs(v(r)), -r))
+      if (v(pivot) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(mu, comps, order.map(evals).toArray)
+  }
+
+  /** Project every row onto a fitted [[PcaModel]]: scores carried as one
+    * `array<double>` column `pcs`, rounded to `roundTo` dp (the fit's
+    * float-sum ordering is the only nondeterminism; rounding at 6 dp
+    * makes downstream results stable). The model rides in as broadcast
+    * literals inside a pure scalar expression — zero shuffle. */
+  def pcaProjectAll(
+      df: DataFrame,
+      vecCol: String,
+      model: PcaModel,
+      roundTo: Int = 6): DataFrame = {
+    val means = lit(model.means)
+    val comps = lit(model.components.flatten)
+    df.withColumn("pcs",
+      transform(pca_project(col(vecCol), means, comps), v => round(v, roundTo)))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (Golub & Van
+    * Loan §8.5): rotate away the largest off-diagonal elements until the
+    * off-diagonal mass vanishes. Returns (eigenvalues, eigenvector
+    * columns). O(d³) per sweep, a handful of sweeps — driver-side only,
+    * for the d ≤ a-few-hundred covariance matrices [[pcaFit]] produces. */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]],
+      maxSweeps: Int = 50,
+      tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > tol) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // sign(0) must be +1 here or the θ=0 (45°) rotation vanishes
+            val sgn = if (theta >= 0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
 }

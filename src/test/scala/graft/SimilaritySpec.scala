@@ -208,4 +208,39 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mmrRerank(tooMany, "id", "rel", "vec", k = 2, maxCandidates = 10)
     }
   }
+
+  test("jacobiEigen: exact decomposition of a known symmetric matrix") {
+    val (evals, evecs) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = evals.sorted
+    assert(math.abs(sorted(0) - 1.0) < 1e-10 && math.abs(sorted(1) - 3.0) < 1e-10)
+    // eigenvector for eigenvalue 3 is (1,1)/sqrt(2) up to sign
+    val i3 = evals.indexWhere(e => math.abs(e - 3.0) < 1e-10)
+    val v3 = Array(evecs(0)(i3), evecs(1)(i3))
+    assert(math.abs(math.abs(v3(0)) - math.sqrt(0.5)) < 1e-10)
+    assert(math.abs(v3(0) - v3(1)) < 1e-10)
+  }
+
+  test("pcaFit/pcaProjectAll: planted anisotropic data recovers axes and scores") {
+    // 4-d vectors: big variance along e0, small along e1, none along e2/e3
+    val rows = Seq(-3f, -1f, 1f, 3f).zip(Seq(0.5f, -0.5f, -0.5f, 0.5f))
+      .zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, Array(a, b, 0f, 0f))
+      }
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val m = Similarity.pcaFit(df, "embedding", dim = 4, k = 2)
+    // component 1 = ±e0, sign-normalized to +e0; component 2 = ±e1 -> +e1
+    assert(math.abs(m.components(0)(0) - 1.0) < 1e-9)
+    assert(math.abs(m.components(1)(1) - 1.0) < 1e-9)
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+    assert(math.abs(m.eigenvalues(0) - 5.0) < 1e-9)    // var of {-3,-1,1,3}
+    assert(math.abs(m.eigenvalues(1) - 0.25) < 1e-9)   // var of {±0.5}
+    assert(m.explainedVariance(2) > 0.999999)
+    // scores are the centered coordinates along each axis
+    val pcs = Similarity.pcaProjectAll(df, "embedding", m)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](2))
+    assert(pcs.map(_.head).toSeq == Seq(-3.0, -1.0, 1.0, 3.0))
+    assert(pcs.map(_(1)).toSeq == Seq(0.5, -0.5, -0.5, 0.5))
+  }
 }
