@@ -4131,6 +4131,15 @@ object SparkEntry {
     TextAnalysis.logOddsKeywords(
       Tables.documents(s, d), "text", col("lang") === "en")
 
+  /** Hashing-trick features over the documents corpus: 64 buckets so the
+    * sparse matrix is eyeball-able; the md5-mod hash is engine-portable,
+    * so the full (doc, bucket, cnt) matrix is oracle-hash-gated. */
+  private def qHashFeatures(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashedFeatures(
+        Tables.documents(s, d).filter(col("doc_id") < 200),
+        "doc_id", "text", numBuckets = 64, minLen = 3)
+      .orderBy("doc_id", "bucket")
+
   /** PCA-reduce the embedding corpus 64-d → 8-d: one Gram-aggregate pass
     * (17 KB of sufficient statistics per partition), a driver-side Jacobi
     * eigensolve of the 64×64 covariance, and a broadcast-literal
@@ -4468,7 +4477,8 @@ object SparkEntry {
     "q_log_odds" -> (qLogOdds _),
     "q_kcore" -> (qKcore _),
     "q_ohlc_stream" -> (qOhlcStream _),
-    "q_pca" -> (qPca _))
+    "q_pca" -> (qPca _),
+    "q_hash_features" -> (qHashFeatures _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -7813,6 +7823,15 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    // engine-portable md5-mod hash: both engines derive identical buckets
+    "q_hash_features" ->
+      """WITH tok AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]{3,}')) AS term
+              FROM documents WHERE doc_id < 200)
+         SELECT doc_id,
+                ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""",
     "q_acf" -> acfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

@@ -935,4 +935,31 @@ object TextAnalysis {
       .orderBy(col("z").desc, col("term"))
       .limit(topK)
   }
+
+  /** Hashing-trick featurizer (Weinberger et al., ICML 2009): tokens hash
+    * straight into `numBuckets` feature slots — no vocabulary fit, no
+    * dictionary broadcast, the property that makes it THE featurizer that
+    * needs zero coordination at any corpus size. Output is the sparse
+    * form (id, bucket, cnt), one row per document × occupied slot.
+    *
+    * The hash is the engine-portable md5 idiom (first 8 hex chars → long,
+    * mod buckets) rather than murmur: any engine with md5 reproduces the
+    * exact feature matrix, which is what lets the oracle gate it. One
+    * tokenize-explode + one partial-agg groupBy — the same shape as word
+    * counting; signed variants (the ±1 second hash) layer on trivially. */
+  def hashedFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 1024,
+      minLen: Int = 1): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit(s"[a-z0-9]{$minLen,}"), lit(0))).as("__term"))
+      .withColumn("bucket",
+        conv(substring(md5(col("__term")), 1, 8), 16, 10).cast("long") % numBuckets)
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

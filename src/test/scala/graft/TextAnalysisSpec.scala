@@ -420,4 +420,24 @@ class TextAnalysisSpec extends SparkSpec {
     // group-A-leaning first, group-B-leaning last
     assert(out.head._1 == "apple" && out.last._1 == "cherry")
   }
+
+  test("hashedFeatures: md5-mod buckets match a reference hash, counts exact") {
+    def bucket(t: String, d: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % d
+    }
+    val df = Seq((1L, "Spark spark HASH trick"), (2L, "spark")).toDF("id", "text")
+    val out = TextAnalysis.hashedFeatures(df, "id", "text", numBuckets = 64)
+      .orderBy("id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // aggregate through the same hash so a chance bucket collision among
+    // the planted tokens cannot break the expectation
+    val expected = Seq(
+      (1L, Seq("spark", "spark", "hash", "trick")), (2L, Seq("spark")))
+      .flatMap { case (id, ts) => ts.map(t => (id, bucket(t, 64))) }
+      .groupBy(identity).map { case ((id, b), g) => (id, b, g.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expected)
+  }
 }
