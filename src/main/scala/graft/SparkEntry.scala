@@ -1256,6 +1256,21 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Jensen–Shannon drift over the same 1996-H1/H2 order-price split as
+    * q_psi_drift: bounded symmetric divergence terms per bin, no eps
+    * floor — the zero-count bins contribute exactly 0. */
+  private def qJsDrift(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val split = lit("1996-07-01").cast("timestamp")
+    Sketches.jsDivergence(
+        ord.filter(col("o_orderdate") < split),
+        ord.filter(col("o_orderdate") >= split),
+        "o_totalprice", nBins = 10)
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(col("js_term"), 9).as("js_term"))
+      .orderBy("bin")
+  }
+
   /** Per-node triangle counts over the part co-occurrence graph (parts
     * sharing an order, H1'96): degree-ordered orientation in Spark, plain
     * a&lt;b orientation in the oracle — the triangle SET is
@@ -4478,7 +4493,8 @@ object SparkEntry {
     "q_kcore" -> (qKcore _),
     "q_ohlc_stream" -> (qOhlcStream _),
     "q_pca" -> (qPca _),
-    "q_hash_features" -> (qHashFeatures _))
+    "q_hash_features" -> (qHashFeatures _),
+    "q_js_drift" -> (qJsDrift _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -7266,10 +7282,14 @@ object SparkEntry {
                                           CAST(tot - (cum - at_t) AS DOUBLE)))
                                ELSE CAST(0.0 AS DOUBLE) END)
                         OVER (PARTITION BY c_mktsegment ORDER BY duration
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum,
+                      SUM(CAST(d_events AS DOUBLE) / CAST(tot - (cum - at_t) AS DOUBLE))
+                        OVER (PARTITION BY c_mktsegment ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hsum
                FROM w)
          SELECT c_mktsegment, duration, d_events, n_risk,
-                ROUND(EXP(lsum), 6) AS survival
+                ROUND(EXP(lsum), 6) AS survival,
+                ROUND(hsum, 6) AS cum_hazard
          FROM k ORDER BY c_mktsegment, duration""",
     // exact integer sufficient statistics throughout: wsum/dnum/psum never
     // leave the integer domain, each output is EXACTLY ONE correctly-rounded
@@ -7823,6 +7843,34 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    // same equi-width binning as q_psi_drift; JSD terms need no eps floor
+    "q_js_drift" ->
+      """WITH b AS (SELECT MIN(o_totalprice) AS lo,
+                           (MAX(o_totalprice) - MIN(o_totalprice)) / 10 AS w
+                    FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+         base AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                                       ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                         COUNT(*) AS n_base
+                  FROM orders, b WHERE o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),
+         cur AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                                      ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                        COUNT(*) AS n_cur
+                 FROM orders, b WHERE o_orderdate >= TIMESTAMP '1996-07-01' GROUP BY 1),
+         j AS (SELECT COALESCE(base.bin, cur.bin) AS bin,
+                      COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+               FROM base FULL OUTER JOIN cur ON base.bin = cur.bin),
+         t AS (SELECT bin, n_base, n_cur,
+                      CAST(n_base AS DOUBLE) / SUM(n_base) OVER () AS base_pct,
+                      CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS cur_pct
+               FROM j),
+         m AS (SELECT bin, n_base, n_cur, base_pct, cur_pct,
+                      (base_pct + cur_pct) / 2 AS m_pct FROM t)
+         SELECT bin, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+                ROUND(CASE WHEN base_pct > 0
+                           THEN base_pct * LN(base_pct / m_pct) / 2 ELSE 0.0 END +
+                      CASE WHEN cur_pct > 0
+                           THEN cur_pct * LN(cur_pct / m_pct) / 2 ELSE 0.0 END, 9) AS js_term
+         FROM m ORDER BY bin""",
     // engine-portable md5-mod hash: both engines derive identical buckets
     "q_hash_features" ->
       """WITH tok AS (SELECT doc_id,

@@ -251,6 +251,44 @@ object Sketches {
         (col("cur_pct") - col("base_pct")) * log(col("cur_pct") / col("base_pct")))
   }
 
+  /** Jensen–Shannon divergence terms from per-bin baseline/current counts
+    * — the bounded, symmetric drift sibling of [[psiAssemble]] (JSD ∈
+    * [0, ln 2]; no eps floor needed: p·ln(p/m) → 0 as p → 0, and the
+    * mixture m is positive whenever either side occupies the bin). Emits
+    * PER-BIN terms like the PSI path — the caller sums the bounded bin
+    * table, so every number this operator emits is a fixed per-row double
+    * chain, engine-stable with no order-dependent double SUM anywhere. */
+  def jsAssemble(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val joined = baseCounts
+      .join(curCounts, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val totB = sum(col("n_base")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val totC = sum(col("n_cur")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    joined
+      .withColumn("base_pct", col("n_base") / totB)
+      .withColumn("cur_pct", col("n_cur") / totC)
+      .withColumn("m_pct", (col("base_pct") + col("cur_pct")) / 2)
+      .withColumn(
+        "js_term",
+        when(col("base_pct") > 0,
+          col("base_pct") * log(col("base_pct") / col("m_pct")) / 2).otherwise(lit(0.0)) +
+          when(col("cur_pct") > 0,
+            col("cur_pct") * log(col("cur_pct") / col("m_pct")) / 2).otherwise(lit(0.0)))
+  }
+
+  /** Jensen–Shannon drift over equi-width baseline bins — same binning as
+    * [[psi]], JSD terms instead of PSI terms. */
+  def jsDivergence(
+      baseline: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    val bounds = psiBounds(baseline, valueCol, nBins)
+    jsAssemble(
+      psiBinCounts(baseline, bounds, valueCol, nBins, "n_base"),
+      psiBinCounts(current, bounds, valueCol, nBins, "n_cur"))
+  }
+
   def psi(
       baseline: DataFrame,
       current: DataFrame,

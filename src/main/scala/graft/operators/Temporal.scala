@@ -608,6 +608,12 @@ object Temporal {
             log(greatest(lit(1e-300),
               lit(1.0) - col("d_events").cast("double") / col("n_risk"))))
             .otherwise(lit(0.0))).over(wCum)), dp))
+      // Nelson–Aalen cumulative hazard H(t) = Σ d_i/n_i — the companion
+      // estimator off the same at-risk scaffolding (Aalen 1978); the
+      // ordered window accumulates the per-step exact divisions in
+      // duration order, the same sequential chain any engine replays
+      .withColumn("cum_hazard",
+        round(sum(col("d_events").cast("double") / col("n_risk")).over(wCum), dp))
       .drop("__at_t")
   }
 

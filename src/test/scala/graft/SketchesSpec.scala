@@ -484,4 +484,17 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(got.getDouble(3) - intercept) < 1e-6)
     assert(got.getDouble(4) > 0.99, "strong linear signal must give r2 near 1")
   }
+
+  test("jsAssemble: zero for identical mixes, ln 2 for disjoint support") {
+    val base = Seq((0L, 10L), (1L, 30L)).toDF("bin", "n_base")
+    val sameMix = Seq((0L, 1L), (1L, 3L)).toDF("bin", "n_cur")
+    val zero = Sketches.jsAssemble(base, sameMix)
+      .select("js_term").as[Double].collect()
+    assert(zero.forall(_ == 0.0), "identical distributions must give JSD 0")
+    val disjoint = Seq((2L, 5L)).toDF("bin", "n_cur")
+    val total = Sketches.jsAssemble(base, disjoint)
+      .agg(sum(col("js_term"))).as[Double].head()
+    assert(math.abs(total - math.log(2.0)) < 1e-12,
+      s"disjoint supports must give ln 2, got $total")
+  }
 }

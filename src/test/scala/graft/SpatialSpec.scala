@@ -82,6 +82,13 @@ class SpatialSpec extends SparkSpec {
     assert(out(1)._4 === 0.8) // censoring step leaves S unchanged
     assert(math.abs(out(2)._4 - 0.533333) < 1e-9)
     assert(out(4)._4 === 0.0) // everyone-at-risk-leaves step underflows to 0
+    // Nelson–Aalen cumulative hazard off the same scaffolding:
+    // H = 1/5, 1/5, 1/5+1/3, same, +1/1
+    val haz = Temporal.kaplanMeier(df, "dur", "event")
+      .orderBy("duration").select("cum_hazard").as[Double].collect()
+    assert(haz(0) === 0.2 && haz(1) === 0.2)
+    assert(math.abs(haz(2) - (0.2 + 1.0 / 3)) < 1e-6)
+    assert(math.abs(haz(4) - (0.2 + 1.0 / 3 + 1.0)) < 1e-6)
   }
 
   test("seasonalDecompose recovers a planted weekly pattern exactly") {
