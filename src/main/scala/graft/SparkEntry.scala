@@ -4146,6 +4146,14 @@ object SparkEntry {
     TextAnalysis.logOddsKeywords(
       Tables.documents(s, d), "text", col("lang") === "en")
 
+  /** Embedding-quality audit over the labeled embeddings corpus:
+    * per-label simplified silhouette + nearest-centroid misassignments —
+    * exact-long distance folds, label-bounded centroid broadcast. */
+  private def qEmbedQuality(s: SparkSession, d: String): DataFrame =
+    Similarity.centroidSeparation(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label")
+      .orderBy("label")
+
   /** Hashing-trick features over the documents corpus: 64 buckets so the
     * sparse matrix is eyeball-able; the md5-mod hash is engine-portable,
     * so the full (doc, bucket, cnt) matrix is oracle-hash-gated. */
@@ -4494,7 +4502,8 @@ object SparkEntry {
     "q_ohlc_stream" -> (qOhlcStream _),
     "q_pca" -> (qPca _),
     "q_hash_features" -> (qHashFeatures _),
-    "q_js_drift" -> (qJsDrift _))
+    "q_js_drift" -> (qJsDrift _),
+    "q_embed_quality" -> (qEmbedQuality _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -7843,6 +7852,40 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    // distances fold as exact 1e-6-quantized longs (order-free integer
+    // sums), centroids are the shared 6dp mean-pool; only the final
+    // sqrt/divide chain is floating point, replayed identically
+    "q_embed_quality" ->
+      """WITH x AS (SELECT vec_id, label, unnest(embedding) AS v,
+                unnest(generate_series(0, len(embedding) - 1)) AS pos
+              FROM embeddings),
+         c AS (SELECT label AS clabel, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS cm
+               FROM x GROUP BY 1, 2),
+         t AS (SELECT x.vec_id, x.label, c.clabel,
+                CAST(FLOOR(CAST(x.v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                  - CAST(FLOOR(cm * 1000000.0 + 0.5) AS BIGINT) AS dq
+               FROM x JOIN c ON x.pos = c.pos),
+         d AS (SELECT vec_id, label, clabel, CAST(SUM(dq * dq) AS BIGINT) AS d2
+               FROM t GROUP BY 1, 2, 3),
+         p AS (SELECT vec_id, label,
+                MIN(CASE WHEN label = clabel THEN d2 END) AS own2,
+                MIN(CASE WHEN label <> clabel THEN d2 END) AS oth2
+               FROM d GROUP BY 1, 2),
+         s AS (SELECT label,
+                SQRT(CAST(own2 AS DOUBLE) / 1e12) AS a,
+                SQRT(CAST(oth2 AS DOUBLE) / 1e12) AS b,
+                (own2 > oth2) AS mis
+               FROM p),
+         z AS (SELECT label,
+                CAST(FLOOR((CASE WHEN GREATEST(a, b) > 0
+                                 THEN (b - a) / GREATEST(a, b)
+                                 ELSE 0.0 END) * 1e9 + 0.5) AS BIGINT) AS silq,
+                CASE WHEN mis THEN 1 ELSE 0 END AS m
+               FROM s)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                (CAST(SUM(silq) AS DOUBLE) / COUNT(*)) / 1e9 AS avg_silhouette,
+                CAST(SUM(m) AS BIGINT) AS n_misassigned
+         FROM z GROUP BY 1 ORDER BY label""",
     // same equi-width binning as q_psi_drift; JSD terms need no eps floor
     "q_js_drift" ->
       """WITH b AS (SELECT MIN(o_totalprice) AS lo,

@@ -528,6 +528,57 @@ object Similarity {
       .drop(named.indices.map(i => s"__rank_$i"): _*)
   }
 
+  /** Embedding-quality audit — simplified (centroid-based) silhouette per
+    * label (Hruschka et al.'s medoid-free variant of Rousseeuw 1987): for
+    * each vector, a = distance to its own label centroid, b = distance to
+    * the nearest other centroid, s = (b−a)/max(a,b); reported per label
+    * as the average silhouette plus the misassigned count (a > b — the
+    * vectors a nearest-centroid classifier would relabel). The standard
+    * "are these labels/clusters real, which classes bleed together" check
+    * before training on labeled embeddings.
+    *
+    * Scale + determinism shape: centroids via [[meanPoolEmbeddings]]
+    * (6dp-rounded, label-bounded), broadcast back in a label-bounded
+    * cross join (|labels| fan-out per row, NOT d²); each distance² is an
+    * exact-long fold — coordinates quantize to 1e-6 inside a zip_with so
+    * the sum is order-free integer arithmetic any engine replays; a/b
+    * comparisons and the min-selection happen on those exact longs; the
+    * only doubles are one fixed sqrt/divide chain per vector, and the
+    * per-label average re-quantizes (1e-9) before the exact integer sum. */
+  def centroidSeparation(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = meanPoolEmbeddings(df, Seq(labelCol), vecCol)
+      .select(col(labelCol).as("__clabel"), col("mean_embedding").as("__cent"))
+    def q(c: Column): Column = floor(c.cast("double") * 1e6 + 0.5).cast("long")
+    val d2 = aggregate(
+      zip_with(col(vecCol), col("__cent"), (x, c) => {
+        val t = q(x) - q(c)
+        t * t
+      }),
+      lit(0L), (acc, t) => acc + t)
+    val per = df.select(col(idCol), col(labelCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d2", d2)
+      .groupBy(col(idCol), col(labelCol))
+      .agg(
+        min(when(col(labelCol) === col("__clabel"), col("__d2"))).as("__own2"),
+        min(when(col(labelCol) =!= col("__clabel"), col("__d2"))).as("__oth2"))
+    val a = sqrt(col("__own2").cast("double") / 1e12)
+    val b = sqrt(col("__oth2").cast("double") / 1e12)
+    val sil = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    per
+      .withColumn("__silq", floor(sil * 1e9 + 0.5).cast("long"))
+      .withColumn("__mis", (col("__own2") > col("__oth2")).cast("long"))
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(col("__silq")).cast("double") / count(lit(1)) / 1e9).as("avg_silhouette"),
+        sum(col("__mis")).as("n_misassigned"))
+  }
+
   /** PCA fit result: per-dimension means, top-k components (row-major),
     * and ALL d eigenvalues in descending order (so callers can report
     * explained-variance ratios without a second pass). */

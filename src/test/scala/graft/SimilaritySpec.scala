@@ -209,6 +209,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidSeparation: tight far clusters score ~1, planted stray flagged") {
+    // label 0 near origin, label 1 near (10, 0); one label-0 stray sits at
+    // (10, 1) — closer to centroid 1 by any measure
+    val rows = Seq(
+      (1L, 0, Array(0.0f, 0.1f)), (2L, 0, Array(0.1f, -0.1f)), (3L, 0, Array(-0.1f, 0.0f)),
+      (4L, 1, Array(10.0f, 0.1f)), (5L, 1, Array(9.9f, -0.1f)), (6L, 1, Array(10.1f, 0.0f)),
+      (7L, 0, Array(10.0f, 1.0f)))
+    val out = Similarity.centroidSeparation(
+        rows.toDF("vec_id", "label", "embedding").repartition(3),
+        "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val l0 = out(0); val l1 = out(1)
+    assert(l0._2 == 4L && l1._2 == 3L)
+    assert(l1._3 > 0.9, s"tight far cluster must score near 1, got ${l1._3}")
+    assert(l0._4 == 1L, "the planted stray must be the one misassignment")
+    assert(l1._4 == 0L)
+    assert(l0._3 < l1._3, "the stray must drag label 0's average down")
+  }
+
   test("jacobiEigen: exact decomposition of a known symmetric matrix") {
     val (evals, evecs) = Similarity.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
