@@ -1352,6 +1352,37 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** STREAMING Jensen–Shannon drift twin: the current side's bin counts
+    * accumulate in the state store against the static baseline bounds
+    * (exactly the q_psi_drift_stream shape), the JSD assembly runs in
+    * batch off the sink — integer bin counts make stream == batch exact,
+    * so the shared oracle gates it. */
+  private def qJsDriftStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val split = lit("1996-07-01").cast("timestamp")
+    val baseline = Tables.orders(s, d).filter(col("o_orderdate") < split)
+    val bounds = Sketches.psiBounds(baseline, "o_totalprice", nBins = 10)
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+      .filter(col("o_orderdate") >= split)
+    val name = "graft_js_drift_stream"
+    withStatePartitions(s, 8) {
+      val q = Sketches.psiBinCounts(stream, bounds, "o_totalprice", nBins = 10, as = "n_cur")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.jsAssemble(
+        Sketches.psiBinCounts(baseline, bounds, "o_totalprice", nBins = 10, as = "n_base"),
+        s.table(name))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(col("js_term"), 9).as("js_term"))
+      .orderBy("bin")
+  }
+
   /** Unicode script profile per document: per-script character counts over
     * fixed BMP codepoint ranges + dominant script — the script split that
     * gates a multilingual corpus before within-script language ID. */
@@ -4503,6 +4534,7 @@ object SparkEntry {
     "q_pca" -> (qPca _),
     "q_hash_features" -> (qHashFeatures _),
     "q_js_drift" -> (qJsDrift _),
+    "q_js_drift_stream" -> (qJsDriftStream _),
     "q_embed_quality" -> (qEmbedQuality _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
@@ -7887,33 +7919,10 @@ object SparkEntry {
                 CAST(SUM(m) AS BIGINT) AS n_misassigned
          FROM z GROUP BY 1 ORDER BY label""",
     // same equi-width binning as q_psi_drift; JSD terms need no eps floor
-    "q_js_drift" ->
-      """WITH b AS (SELECT MIN(o_totalprice) AS lo,
-                           (MAX(o_totalprice) - MIN(o_totalprice)) / 10 AS w
-                    FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'),
-         base AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
-                                       ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
-                         COUNT(*) AS n_base
-                  FROM orders, b WHERE o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),
-         cur AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
-                                      ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
-                        COUNT(*) AS n_cur
-                 FROM orders, b WHERE o_orderdate >= TIMESTAMP '1996-07-01' GROUP BY 1),
-         j AS (SELECT COALESCE(base.bin, cur.bin) AS bin,
-                      COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
-               FROM base FULL OUTER JOIN cur ON base.bin = cur.bin),
-         t AS (SELECT bin, n_base, n_cur,
-                      CAST(n_base AS DOUBLE) / SUM(n_base) OVER () AS base_pct,
-                      CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS cur_pct
-               FROM j),
-         m AS (SELECT bin, n_base, n_cur, base_pct, cur_pct,
-                      (base_pct + cur_pct) / 2 AS m_pct FROM t)
-         SELECT bin, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
-                ROUND(CASE WHEN base_pct > 0
-                           THEN base_pct * LN(base_pct / m_pct) / 2 ELSE 0.0 END +
-                      CASE WHEN cur_pct > 0
-                           THEN cur_pct * LN(cur_pct / m_pct) / 2 ELSE 0.0 END, 9) AS js_term
-         FROM m ORDER BY bin""",
+    // (shared verbatim by the streaming twin: integer bin counts make
+    // stream == batch exact)
+    "q_js_drift" -> jsDriftOracle,
+    "q_js_drift_stream" -> jsDriftOracle,
     // engine-portable md5-mod hash: both engines derive identical buckets
     "q_hash_features" ->
       """WITH tok AS (SELECT doc_id,
@@ -8089,6 +8098,36 @@ object SparkEntry {
          $lagRows
          ) ORDER BY event_type, lag"""
   }
+
+  /** Shared batch/stream JSD oracle — integer bin counts make the
+    * streaming twin equal the batch path exactly. */
+  private val jsDriftOracle: String =
+    """WITH b AS (SELECT MIN(o_totalprice) AS lo,
+                           (MAX(o_totalprice) - MIN(o_totalprice)) / 10 AS w
+                    FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+         base AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                                       ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                         COUNT(*) AS n_base
+                  FROM orders, b WHERE o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),
+         cur AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                                      ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                        COUNT(*) AS n_cur
+                 FROM orders, b WHERE o_orderdate >= TIMESTAMP '1996-07-01' GROUP BY 1),
+         j AS (SELECT COALESCE(base.bin, cur.bin) AS bin,
+                      COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+               FROM base FULL OUTER JOIN cur ON base.bin = cur.bin),
+         t AS (SELECT bin, n_base, n_cur,
+                      CAST(n_base AS DOUBLE) / SUM(n_base) OVER () AS base_pct,
+                      CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS cur_pct
+               FROM j),
+         m AS (SELECT bin, n_base, n_cur, base_pct, cur_pct,
+                      (base_pct + cur_pct) / 2 AS m_pct FROM t)
+         SELECT bin, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+                ROUND(CASE WHEN base_pct > 0
+                           THEN base_pct * LN(base_pct / m_pct) / 2 ELSE 0.0 END +
+                      CASE WHEN cur_pct > 0
+                           THEN cur_pct * LN(cur_pct / m_pct) / 2 ELSE 0.0 END, 9) AS js_term
+         FROM m ORDER BY bin"""
 
   /** Shared batch/stream OHLC oracle: open/close are the values at the
     * (ts, event_id) order extremes — a selection, so the streaming
