@@ -4177,6 +4177,20 @@ object SparkEntry {
     TextAnalysis.logOddsKeywords(
       Tables.documents(s, d), "text", col("lang") === "en")
 
+  /** Isotonic weekly-revenue trend per order priority: PAV over the week
+    * index — rows-only by design (the pooled-block merge is sequential
+    * selection, not SQL); algebra pinned by the hand-computed PAV spec. */
+  private def qIsotonic(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("prio"),
+        floor(datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")) / 7).cast("long").as("week"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("prio"), col("week")).agg(sum(col("cents")).as("rev"))
+    Sketches.isotonic(weekly, Seq("prio"), "week", "rev")
+      .orderBy("prio", "week")
+  }
+
   /** Embedding-quality audit over the labeled embeddings corpus:
     * per-label simplified silhouette + nearest-centroid misassignments —
     * exact-long distance folds, label-bounded centroid broadcast. */
@@ -4535,7 +4549,8 @@ object SparkEntry {
     "q_hash_features" -> (qHashFeatures _),
     "q_js_drift" -> (qJsDrift _),
     "q_js_drift_stream" -> (qJsDriftStream _),
-    "q_embed_quality" -> (qEmbedQuality _))
+    "q_embed_quality" -> (qEmbedQuality _),
+    "q_isotonic" -> (qIsotonic _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the

@@ -195,6 +195,57 @@ object VectorOps {
     }
   }
 
+  /** Pool-adjacent-violators isotonic fit over one bounded group's
+    * collected (x, y) long points (Ayer et al. 1955; the classifier-
+    * calibration / monotone-trend primitive). Points sort by x with
+    * duplicate x pooled first, then adjacent blocks merge while a left
+    * block's mean exceeds the right's — ALL comparisons on exact
+    * cross-multiplied longs; each distinct x emits exactly one
+    * correctly-rounded sum/weight division, so the fit is bit-stable
+    * under any partitioning or input order. Returns the flat
+    * [x₀, fit₀, x₁, fit₁, …] doubles array over distinct x ascending. */
+  def pavFit(pts: ArrayData): ArrayData = {
+    val n = pts.numElements()
+    val xs = new Array[Long](n); val ys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val p = pts.getStruct(i, 2)
+      xs(i) = p.getLong(0); ys(i) = p.getLong(1)
+      i += 1
+    }
+    val idx = (0 until n).sortBy(k => (xs(k), ys(k)))
+    // pool duplicate x into (x, ysum, weight) blocks
+    val bx = new Array[Long](n); val bs = new Array[Long](n); val bw = new Array[Long](n)
+    var m = -1
+    idx.foreach { k =>
+      if (m >= 0 && bx(m) == xs(k)) { bs(m) += ys(k); bw(m) += 1L }
+      else { m += 1; bx(m) = xs(k); bs(m) = ys(k); bw(m) = 1L }
+    }
+    val nb = m + 1
+    // PAV stack: (ysum, weight, span-end exclusive in block order)
+    val ss = new Array[Long](nb); val sw = new Array[Long](nb); val se = new Array[Int](nb)
+    var top = -1
+    var b = 0
+    while (b < nb) {
+      top += 1; ss(top) = bs(b); sw(top) = bw(b); se(top) = b + 1
+      // merge while mean(top-1) > mean(top): s1/w1 > s2/w2 ⟺ s1·w2 > s2·w1
+      while (top > 0 && ss(top - 1) * sw(top) > ss(top) * sw(top - 1)) {
+        ss(top - 1) += ss(top); sw(top - 1) += sw(top); se(top - 1) = se(top)
+        top -= 1
+      }
+      b += 1
+    }
+    val out = new Array[Double](2 * nb)
+    var s = 0
+    var blk = 0
+    while (blk <= top) {
+      val fit = ss(blk).toDouble / sw(blk).toDouble
+      while (s < se(blk)) { out(2 * s) = bx(s).toDouble; out(2 * s + 1) = fit; s += 1 }
+      blk += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Project a float vector onto PCA components: y_c = Σ_i V[c][i]·(x_i −
     * μ_i), with `comps` the k×d component matrix flattened row-major.
     * One fused pass per output coordinate; the fit arrays ride in as

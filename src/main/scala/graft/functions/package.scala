@@ -84,6 +84,11 @@ package object functions {
   def theil_sen_median(points: Column): Column =
     invokeVec("theilSenMedian", ArrayType(DoubleType, containsNull = false), Seq(points))
 
+  /** PAV isotonic fit of collected (x long, y long) structs: flat
+    * [x, fit, …] doubles over distinct x ascending ([[VectorOps.pavFit]]). */
+  def pav_fit(points: Column): Column =
+    invokeVec("pavFit", ArrayType(DoubleType, containsNull = false), Seq(points))
+
   /** Standard base-32 geohash of (lat, lon) at `precision` characters —
     * the prefix-bucketing spatial key (shared prefix ⟺ nearby cell). */
   def geohash_encode(lat: Column, lon: Column, precision: Column): Column =

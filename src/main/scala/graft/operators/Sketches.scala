@@ -887,6 +887,35 @@ object Sketches {
         element_at(col("__r"), 2).as("slope"): _*)
   }
 
+  /** Isotonic (monotone non-decreasing) regression per group via pool-
+    * adjacent-violators — classifier calibration / monotone-trend fitting
+    * ([[graft.functions.VectorOps.pavFit]]): the x-axis must be CAP-BOUNDED per
+    * group (calendar ticks, score deciles — the [[theilSen]] discipline),
+    * the kernel then runs as O(n) arithmetic inside one collected row
+    * with exact cross-multiplied merge decisions and one division per
+    * distinct x. Returns one row per (group, distinct x): (x, fit). */
+  def isotonic(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val flat = df.groupBy(keys: _*)
+      .agg(collect_list(
+        struct(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
+        .as("__pts"))
+      .withColumn("__fit", graft.functions.pav_fit(col("__pts")))
+    flat
+      .select(keys :+ explode(
+        transform(sequence(lit(0), floor(size(col("__fit")) / 2).cast("int") - 1),
+          i => struct(
+            element_at(col("__fit"), i * 2 + 1).as("x"),
+            element_at(col("__fit"), i * 2 + 2).as("fit")))).as("__e"): _*)
+      .select(keys :+
+        col("__e.x").cast("long").as(xCol) :+
+        col("__e.fit").as("fit"): _*)
+  }
+
   /** Exact weighted median per group: the smallest value whose cumulative
     * weight reaches half the total (the "lower weighted median" — a pure
     * integer selection, NO interpolation, so it is engine-exact by

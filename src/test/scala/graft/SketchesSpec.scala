@@ -485,6 +485,25 @@ class SketchesSpec extends SparkSpec {
     assert(got.getDouble(4) > 0.99, "strong linear signal must give r2 near 1")
   }
 
+  test("isotonic: classic PAV pooling, duplicate x merged, decreasing input flattens") {
+    // textbook case: y = 1,3,2,4 -> 1, 2.5, 2.5, 4
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 3L), ("g", 3L, 2L), ("g", 4L, 4L))
+      .toDF("g", "x", "y")
+    val out = Sketches.isotonic(df.repartition(3), Seq("g"), "x", "y")
+      .orderBy("x").select("x", "fit").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 1.0), (2L, 2.5), (3L, 2.5), (4L, 4.0)))
+    // duplicate x pools first: (1,0),(1,2),(2,4) -> fit 1.0 then 4.0
+    val dup = Seq(("g", 1L, 0L), ("g", 1L, 2L), ("g", 2L, 4L)).toDF("g", "x", "y")
+    val dout = Sketches.isotonic(dup, Seq("g"), "x", "y")
+      .orderBy("x").select("x", "fit").as[(Long, Double)].collect()
+    assert(dout.toSeq == Seq((1L, 1.0), (2L, 4.0)))
+    // strictly decreasing input collapses to the global mean
+    val dec = Seq(("g", 1L, 3L), ("g", 2L, 2L), ("g", 3L, 1L)).toDF("g", "x", "y")
+    val fits = Sketches.isotonic(dec, Seq("g"), "x", "y")
+      .select("fit").as[Double].collect()
+    assert(fits.forall(_ == 2.0))
+  }
+
   test("jsAssemble: zero for identical mixes, ln 2 for disjoint support") {
     val base = Seq((0L, 10L), (1L, 30L)).toDF("bin", "n_base")
     val sameMix = Seq((0L, 1L), (1L, 3L)).toDF("bin", "n_cur")
