@@ -4177,6 +4177,33 @@ object SparkEntry {
     TextAnalysis.logOddsKeywords(
       Tables.documents(s, d), "text", col("lang") === "en")
 
+  /** Grid-bucketed bbox-overlap join between synthetic customer parcels
+    * and supplier coverage rectangles (key-derived integer geometry):
+    * reference-point dedup means no distinct pass — the oracle is the
+    * brute cross-join with the same overlap predicate. */
+  private def qBboxJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"),
+      (col("c_custkey") * 7919L % 100000L).as("cxlo"),
+      (col("c_custkey") * 7919L % 100000L + 500L + col("c_custkey") % 700L).as("cxhi"),
+      (col("c_custkey") * 104729L % 100000L).as("cylo"),
+      (col("c_custkey") * 104729L % 100000L + 500L + col("c_custkey") % 900L).as("cyhi"))
+    val supp = Tables.supplier(s, d).select(
+      col("s_suppkey"),
+      (col("s_suppkey") * 6367L % 100000L).as("sxlo"),
+      (col("s_suppkey") * 6367L % 100000L + 2000L + col("s_suppkey") % 3000L).as("sxhi"),
+      (col("s_suppkey") * 9973L % 100000L).as("sylo"),
+      (col("s_suppkey") * 9973L % 100000L + 2000L + col("s_suppkey") % 3000L).as("syhi"))
+    Spatial.bboxJoin(cust, supp,
+        ("cxlo", "cxhi", "cylo", "cyhi"), ("sxlo", "sxhi", "sylo", "syhi"),
+        cellSize = 2000L)
+      .select(col("c_custkey"), col("s_suppkey"),
+        ((least(col("cxhi"), col("sxhi")) - greatest(col("cxlo"), col("sxlo"))) *
+          (least(col("cyhi"), col("syhi")) - greatest(col("cylo"), col("sylo"))))
+          .as("overlap_area"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   /** Isotonic weekly-revenue trend per order priority: PAV over the week
     * index — rows-only by design (the pooled-block merge is sequential
     * selection, not SQL); algebra pinned by the hand-computed PAV spec. */
@@ -4550,7 +4577,8 @@ object SparkEntry {
     "q_js_drift" -> (qJsDrift _),
     "q_js_drift_stream" -> (qJsDriftStream _),
     "q_embed_quality" -> (qEmbedQuality _),
-    "q_isotonic" -> (qIsotonic _))
+    "q_isotonic" -> (qIsotonic _),
+    "q_bbox_join" -> (qBboxJoin _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -7899,6 +7927,27 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    // the oracle is the brute cross join — the grid + reference-point
+    // plan must reproduce it pair for pair with no duplicates
+    "q_bbox_join" ->
+      """WITH c AS (SELECT c_custkey,
+                c_custkey * 7919 % 100000 AS cxlo,
+                c_custkey * 7919 % 100000 + 500 + c_custkey % 700 AS cxhi,
+                c_custkey * 104729 % 100000 AS cylo,
+                c_custkey * 104729 % 100000 + 500 + c_custkey % 900 AS cyhi
+              FROM customer),
+         s AS (SELECT s_suppkey,
+                s_suppkey * 6367 % 100000 AS sxlo,
+                s_suppkey * 6367 % 100000 + 2000 + s_suppkey % 3000 AS sxhi,
+                s_suppkey * 9973 % 100000 AS sylo,
+                s_suppkey * 9973 % 100000 + 2000 + s_suppkey % 3000 AS syhi
+              FROM supplier)
+         SELECT c_custkey, s_suppkey,
+                CAST((LEAST(cxhi, sxhi) - GREATEST(cxlo, sxlo)) *
+                     (LEAST(cyhi, syhi) - GREATEST(cylo, sylo)) AS BIGINT) AS overlap_area
+         FROM c JOIN s ON cxlo <= sxhi AND sxlo <= cxhi
+                      AND cylo <= syhi AND sylo <= cyhi
+         ORDER BY c_custkey, s_suppkey""",
     // distances fold as exact 1e-6-quantized longs (order-free integer
     // sums), centroids are the shared 6dp mean-pool; only the final
     // sqrt/divide chain is floating point, replayed identically

@@ -167,4 +167,46 @@ object Spatial {
     }
     sb.toString
   }
+
+  /** Rectangle-overlap (bbox intersection) join on integer planar
+    * coordinates — the geometry-pair primitive beneath map-matching /
+    * region-containment workloads, in its scale-correct form: each
+    * rectangle explodes to the grid cells it covers (fan-out =
+    * ceil(extent/cell)² — pick `cellSize` near the median extent), the
+    * pair search is then ONE equi-join on (cx, cy), and duplicate
+    * reports from multi-cell overlaps are eliminated by the classic
+    * REFERENCE-POINT rule (Dittrich & Seeger, ICDE 2000 — report a pair
+    * only from the cell containing the overlap's lower-left corner),
+    * which needs no distinct pass: dedup is a per-candidate predicate,
+    * not a shuffle. Overlap test and reference point are exact long/
+    * double arithmetic; no cross product at any cardinality.
+    *
+    * Column tuples are (xlo, xhi, ylo, yhi); both frames' OTHER columns
+    * are carried through. Degenerate (touching) edges count as overlap. */
+  def bboxJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftCols: (String, String, String, String),
+      rightCols: (String, String, String, String),
+      cellSize: Long): DataFrame = {
+    require(cellSize > 0, s"cellSize must be > 0, got $cellSize")
+    val (lxlo, lxhi, lylo, lyhi) = leftCols
+    val (rxlo, rxhi, rylo, ryhi) = rightCols
+    def cell(c: Column): Column =
+      floor(c.cast("double") / cellSize.toDouble).cast("long")
+    def cover(df: DataFrame, xlo: String, xhi: String, ylo: String, yhi: String) =
+      df.withColumn("__cx", explode(sequence(cell(col(xlo)), cell(col(xhi)))))
+        .withColumn("__cy", explode(sequence(cell(col(ylo)), cell(col(yhi)))))
+    val l = cover(left, lxlo, lxhi, lylo, lyhi)
+    val r = cover(right, rxlo, rxhi, rylo, ryhi)
+      .withColumnRenamed("__cx", "__rcx").withColumnRenamed("__cy", "__rcy")
+    val refX = greatest(col(lxlo), col(rxlo))
+    val refY = greatest(col(lylo), col(rylo))
+    l.join(r, col("__cx") === col("__rcx") && col("__cy") === col("__rcy"))
+      .filter(
+        col(lxlo) <= col(rxhi) && col(rxlo) <= col(lxhi) &&
+          col(lylo) <= col(ryhi) && col(rylo) <= col(lyhi) &&
+          cell(refX) === col("__cx") && cell(refY) === col("__cy"))
+      .drop("__cx", "__cy", "__rcx", "__rcy")
+  }
 }

@@ -66,6 +66,24 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(km - 5837.0) < 10.0, s"got $km")
   }
 
+  test("bboxJoin: grid + reference-point dedup equals brute force, once per pair") {
+    // rect A spans MANY cells and overlaps B across several of them — the
+    // reference-point rule must still report the pair exactly once; C
+    // touches B's edge (counts); D is disjoint
+    val l = Seq(
+      ("A", 0L, 9000L, 0L, 9000L),
+      ("C", 5000L, 6000L, 9000L, 9500L)).toDF("lid", "xlo", "xhi", "ylo", "yhi")
+    val r = Seq(
+      ("B", 1000L, 8000L, 1000L, 9000L),
+      ("D", 20000L, 21000L, 0L, 100L)).toDF("rid", "rxlo", "rxhi", "rylo", "ryhi")
+    val out = Spatial.bboxJoin(l.repartition(2), r.repartition(2),
+        ("xlo", "xhi", "ylo", "yhi"), ("rxlo", "rxhi", "rylo", "ryhi"),
+        cellSize = 1000L)
+      .select("lid", "rid").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.sorted.toSeq == Seq(("A", "B"), ("C", "B")),
+      s"got ${out.toSeq} — multi-cell overlaps must dedup to one row")
+  }
+
   test("kaplanMeier reproduces the hand-computed product-limit estimate") {
     // classic toy: durations 1,2+,3,4+,5 (+ = censored)
     val df = Seq(
