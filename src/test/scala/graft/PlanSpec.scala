@@ -526,4 +526,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"score histograms must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bbox join is an equi-join on grid cells — never cartesian or nested-loop") {
+    val p = plan(SparkEntry.queries("q_bbox_join")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bbox join must stay a cell equi-join:\n$p")
+  }
+
+  test("ABC classes ride the two-pass prefix sum — no single-partition data window") {
+    val p = plan(SparkEntry.queries("q_pareto_abc")(spark, sf))
+    // the only ordered window without partition keys runs on the
+    // partition-count-sized offsets table; the item-scale window is keyed
+    // by the physical partition id
+    assert(p.toLowerCase.contains("spark_partition_id"),
+      s"expected the partition-id-keyed local cumsum:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("one-hot is a pure projection — no shuffle beyond the verifying fold") {
+    val hot = graft.operators.Reshape.oneHot(
+      Tables.orders(spark, sf), "o_orderpriority",
+      knownValues = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+    val p = plan(hot)
+    assert(!p.contains("Exchange"),
+      s"known-vocabulary one-hot must add zero shuffles:\n$p")
+  }
+
+  test("embedding audit broadcasts label-bounded centroids — no cartesian of vectors") {
+    val p = plan(SparkEntry.queries("q_embed_quality")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"vector side must not shuffle-join:\n$p")
+  }
+
+  test("PCA projection is scan + project — the Gram pass is the only aggregate") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.operators.Similarity.pcaFit(emb, "embedding", dim = 64, k = 4)
+    val p = plan(graft.operators.Similarity.pcaProjectAll(emb, "embedding", model))
+    assert(!p.contains("Exchange"), s"projection must be shuffle-free:\n$p")
+    assert(p.contains("staticinvoke") || p.contains("StaticInvoke") ||
+      p.toLowerCase.contains("pcaproject"), s"expected the native projection:\n$p")
+  }
+
+  test("log-odds keywords: one explode pass, totals broadcast back") {
+    val p = plan(SparkEntry.queries("q_log_odds")(spark, sf))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+    // one partial+final aggregate over terms
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregate:\n$p")
+  }
 }
