@@ -4177,6 +4177,46 @@ object SparkEntry {
     TextAnalysis.logOddsKeywords(
       Tables.documents(s, d), "text", col("lang") === "en")
 
+  /** Recall@10 of PCA-reduced (64-d → 8-d) cosine search against the
+    * full-space brute-force truth — the audit that tells you whether the
+    * reduced index is safe to serve: both searches ride the native top-k
+    * operator, the reduced side broadcast its 8 query vectors. Rows-only
+    * by design (eigenbasis-dependent); the PCA fit itself is spec-pinned. */
+  private def qPcaAnn(s: SparkSession, d: String): DataFrame = {
+    // Euclidean neighbors: the metric PCA actually preserves (pairwise
+    // distances are translation-invariant, so centering is harmless and
+    // the reduced distance is exact when the data is low-rank — cosine
+    // would conflate centering with real recall loss)
+    def d2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => {
+        val dx = x.cast("double") - y.cast("double")
+        dx * dx
+      }),
+      lit(0.0), (acc, t) => acc + t)
+    def top10(corpus: DataFrame, queries: DataFrame, vc: String): DataFrame = {
+      val scored = corpus
+        .select(col("vec_id").as("vec_id2"), col(vc).as("__v"))
+        .join(broadcast(queries.select(col("vec_id").as("query_id"), col(vc).as("__qv"))))
+        .filter(col("vec_id2") =!= col("query_id"))
+        .withColumn("dist", d2(col("__qv"), col("__v")))
+        .select("query_id", "vec_id2", "dist")
+      Relational.topKPerKey(
+          scored, Seq("query_id"), Seq("dist" -> false, "vec_id2" -> false), k = 10)
+        .select(col("query_id"), col("vec_id2").as("vec_id"))
+    }
+    val emb = Tables.embeddings(s, d)
+    val truth = top10(emb, emb.filter(col("vec_id") < 8), "embedding")
+    val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = 8)
+    val red = Similarity.pcaProjectAll(emb, "embedding", model)
+      .select(col("vec_id"), col("pcs"))
+    val redTop = top10(red, red.filter(col("vec_id") < 8), "pcs")
+    truth
+      .join(redTop.withColumn("__hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0L))) / lit(10.0)).as("recall_at_10"))
+      .orderBy("query_id")
+  }
+
   /** Grid-bucketed bbox-overlap join between synthetic customer parcels
     * and supplier coverage rectangles (key-derived integer geometry):
     * reference-point dedup means no distinct pass — the oracle is the
@@ -4578,7 +4618,8 @@ object SparkEntry {
     "q_js_drift_stream" -> (qJsDriftStream _),
     "q_embed_quality" -> (qEmbedQuality _),
     "q_isotonic" -> (qIsotonic _),
-    "q_bbox_join" -> (qBboxJoin _))
+    "q_bbox_join" -> (qBboxJoin _),
+    "q_pca_ann" -> (qPcaAnn _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the

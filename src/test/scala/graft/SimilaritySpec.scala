@@ -229,6 +229,35 @@ class SimilaritySpec extends SparkSpec {
     assert(l0._3 < l1._3, "the stray must drag label 0's average down")
   }
 
+  test("pca keeps neighborhoods intact when the data IS low-rank") {
+    // 30 vectors in an exact 2-D subspace of 8-d: PCA-2 is lossless, so
+    // reduced-space cosine must reproduce full-space neighbors exactly
+    val rows = (0 until 30).map { i =>
+      val a = math.cos(i * 0.7).toFloat; val b = math.sin(i * 1.3).toFloat
+      (i.toLong, Array(a, b, a + b, a - b, 2 * a, 2 * b, a + 2 * b, 2 * a - b))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val m = Similarity.pcaFit(df, "embedding", dim = 8, k = 2)
+    assert(m.explainedVariance(2) > 0.999999, "rank-2 data must be fully explained")
+    val red = Similarity.pcaProjectAll(df, "embedding", m, roundTo = 9)
+    // full-space vs reduced-space EUCLIDEAN nearest neighbor (the metric
+    // projection preserves — pairwise distances are translation-invariant
+    // under the centering, exact for rank <= k)
+    def nn(vals: Array[(Long, Array[Double])], q: Long): Long = {
+      val qv = vals.find(_._1 == q).get._2
+      vals.filter(_._1 != q).minBy { case (id, v) =>
+        (v.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum, id)
+      }._1
+    }
+    val fullV = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val redV = red.select("vec_id", "pcs").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    (0L to 5L).foreach { q =>
+      assert(nn(fullV, q) == nn(redV, q), s"neighbor of $q must survive reduction")
+    }
+  }
+
   test("jacobiEigen: exact decomposition of a known symmetric matrix") {
     val (evals, evecs) = Similarity.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
