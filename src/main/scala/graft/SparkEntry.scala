@@ -2871,6 +2871,22 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Join-cardinality advisor: predicted |click ⋈ purchase| on user_id
+    * from two one-pass CMS inner products (Cormode–Muthukrishnan §4.2) —
+    * width 65536 puts the 150-user domain deep in the collision-free
+    * regime, so the estimate equals the exact Σ f₁·f₂ and plain SQL
+    * oracles it. */
+  private def qCmsJoinSize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{cms_inner_product, cms_sketch}
+    val ev = Tables.events(s, d)
+    val a = ev.filter(col("event_type") === "click")
+      .agg(cms_sketch(col("user_id").cast("string"), width = 65536).as("ska"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .agg(cms_sketch(col("user_id").cast("string"), width = 65536).as("skb"))
+    a.crossJoin(broadcast(b))
+      .select(cms_inner_product(col("ska"), col("skb")).as("est_join_rows"))
+  }
+
   /** Theta-sketch set algebra in the exact regime: one user_id sketch per
     * side (click vs purchase), then |A|, |B|, |A ∩ B|, |A \ B| and |A ∪ B|
     * read straight off sketch set operations — the direct-set-algebra
@@ -4619,7 +4635,8 @@ object SparkEntry {
     "q_embed_quality" -> (qEmbedQuality _),
     "q_isotonic" -> (qIsotonic _),
     "q_bbox_join" -> (qBboxJoin _),
-    "q_pca_ann" -> (qPcaAnn _))
+    "q_pca_ann" -> (qPcaAnn _),
+    "q_cms_join_size" -> (qCmsJoinSize _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -7968,6 +7985,15 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    // collision-free regime: the min-row inner product equals the exact
+    // frequency dot product
+    "q_cms_join_size" ->
+      """WITH a AS (SELECT user_id, COUNT(*) AS f1 FROM events
+                    WHERE event_type = 'click' GROUP BY 1),
+         b AS (SELECT user_id, COUNT(*) AS f2 FROM events
+               WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT CAST(SUM(f1 * f2) AS BIGINT) AS est_join_rows
+         FROM a JOIN b USING (user_id)""",
     // the oracle is the brute cross join — the grid + reference-point
     // plan must reproduce it pair for pair with no duplicates
     "q_bbox_join" ->

@@ -150,4 +150,55 @@ object CmsOps {
   /** Exact number of item occurrences the sketch absorbed. */
   def cmsTotal(bytes: Array[Byte]): Long =
     fromBytes(bytes).totalCount()
+
+  /** Parse a serialized Spark CountMinSketch into (depth, width, table)
+    * counters. Layout per the public `CountMinSketchImpl#writeTo`:
+    * version int, totalCount long, depth int, width int, hashA[depth]
+    * longs, table[depth][width] longs. Every row of a CMS sums to
+    * totalCount (each add increments exactly one cell per row) — checked
+    * here so a format drift fails loudly, never silently. */
+  private def parseTable(bytes: Array[Byte]): Array[Array[Long]] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val version = in.readInt()
+    require(version == 1, s"unsupported CountMinSketch serialization version $version")
+    val total = in.readLong()
+    val depth = in.readInt()
+    val width = in.readInt()
+    var i = 0
+    while (i < depth) { in.readLong(); i += 1 } // hashA, unused here
+    val table = Array.ofDim[Long](depth, width)
+    i = 0
+    while (i < depth) {
+      var j = 0
+      var rowSum = 0L
+      while (j < width) { val v = in.readLong(); table(i)(j) = v; rowSum += v; j += 1 }
+      require(rowSum == total,
+        s"CMS row $i sums to $rowSum, expected totalCount=$total — format drift?")
+      i += 1
+    }
+    table
+  }
+
+  /** Inner-product (join-size) estimate from two CMS over the SAME
+    * (depth, width, seed): est = min over rows of Σ_w t1[r][w]·t2[r][w]
+    * (Cormode–Muthukrishnan §4.2) — an upper bound on Σ_k f1(k)·f2(k),
+    * EXACT when some row hashes both key sets collision-free. This is the
+    * classic join-cardinality advisor: predict |A ⋈ B| on a key from two
+    * one-pass sketches without touching either table again. */
+  def cmsInnerProduct(a: Array[Byte], b: Array[Byte]): Long = {
+    val ta = parseTable(a)
+    val tb = parseTable(b)
+    require(ta.length == tb.length && ta.head.length == tb.head.length,
+      s"sketch shapes differ: ${ta.length}x${ta.head.length} vs ${tb.length}x${tb.head.length}")
+    var best = Long.MaxValue
+    var i = 0
+    while (i < ta.length) {
+      var s = 0L
+      var j = 0
+      while (j < ta(i).length) { s += ta(i)(j) * tb(i)(j); j += 1 }
+      if (s < best) best = s
+      i += 1
+    }
+    best
+  }
 }

@@ -404,6 +404,12 @@ package object functions {
   def cms_total(sketch: Column): Column =
     invokeOn(CmsOps.getClass, "cmsTotal", LongType, Seq(sketch))
 
+  /** Join-size estimate from two same-shape CMS: min-row inner product —
+    * upper bound on Σ_k f1(k)·f2(k), exact when some row is collision-free
+    * ([[CmsOps.cmsInnerProduct]]). */
+  def cms_inner_product(a: Column, b: Column): Column =
+    invokeOn(CmsOps.getClass, "cmsInnerProduct", LongType, Seq(a, b))
+
   /** Theta sketch aggregate over a long/int/string column: a mergeable
     * BINARY sketch per group supporting direct set algebra — see
     * [[ThetaSketchAgg]]. */

@@ -386,6 +386,29 @@ class SketchesSpec extends SparkSpec {
     assert(sk.totalCount() == 10000L)
   }
 
+  test("cms inner product: exact join size in the collision-free regime, never under") {
+    // f1 = {k0:3, k1:2, k2:1}, f2 = {k1:4, k2:5, k9:7} -> sum f1*f2 = 13
+    val a = (Seq.fill(3)("k0") ++ Seq.fill(2)("k1") ++ Seq("k2")).toDF("v")
+      .agg(graft.functions.cms_sketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
+    val b = (Seq.fill(4)("k1") ++ Seq.fill(5)("k2") ++ Seq.fill(7)("k9")).toDF("v")
+      .agg(graft.functions.cms_sketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
+    assert(graft.functions.CmsOps.cmsInnerProduct(a, b) == 2L * 4 + 1 * 5)
+    // upper-bound property on a domain wide enough to collide: estimate
+    // can exceed but never undercut the true dot product
+    val big1 = Seq.tabulate(5000)(i => s"x${i % 3000}").toDF("v")
+      .agg(graft.functions.cms_sketch(col("v"), width = 1024).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val big2 = Seq.tabulate(5000)(i => s"x${(i % 3000) + 1500}").toDF("v")
+      .agg(graft.functions.cms_sketch(col("v"), width = 1024).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    // true dot product: keys 1500..2999 occur in both; each ~2x1 or 1x2 mixes
+    val f1 = Seq.tabulate(5000)(i => s"x${i % 3000}").groupBy(identity).view.mapValues(_.size)
+    val f2 = Seq.tabulate(5000)(i => s"x${(i % 3000) + 1500}").groupBy(identity).view.mapValues(_.size)
+    val truth = f1.keys.toSeq.intersect(f2.keys.toSeq)
+      .map(k => f1(k).toLong * f2(k)).sum
+    assert(graft.functions.CmsOps.cmsInnerProduct(big1, big2) >= truth)
+  }
+
   test("theta: exact set algebra below nominal k; rollup-by-merge equals direct bytes") {
     // A = {0..299}, B = {200..499}: |A∩B| = 100, |A\B| = 200, |A∪B| = 500
     val df = (Seq.tabulate(300)(i => ("a", i.toLong)) ++
