@@ -138,6 +138,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         static(ThetaOps.getClass, "thetaAnotb", BinaryType)),
       fn("graft_theta_union_pair", "A union B of two binary theta sketches, as a sketch",
         static(ThetaOps.getClass, "thetaUnionPair", BinaryType)),
+      fn("graft_cms_inner", "join-size estimate: min-row inner product of two same-shape binary CMS",
+        static(CmsOps.getClass, "cmsInnerProduct", LongType)),
+      fn("graft_pav_fit", "PAV isotonic fit of array<struct<x:bigint,y:bigint>>: flat [x, fit, ...] doubles",
+        static(graft.functions.VectorOps.getClass, "pavFit",
+          ArrayType(DoubleType, containsNull = false))),
     ).foreach { case (ident, info, builder) => ext.injectFunction((ident, info, builder)) }
   }
 }

@@ -109,6 +109,29 @@ class ExtensionsSpec extends SparkSpec {
          FROM (SELECT graft_cms_merge(sk, 5, 8192, 42) AS m FROM cms_cube)""").head()
     assert(out.getLong(0) == 600L)
     assert(out.getLong(1) == 100L) // exact in the no-collision regime
+    // join-size advisor: every w occurs 100/group -> inner product of two
+    // single-group sketches over the same 6 words = 6 * 200*200... use
+    // two distinct groups: each has 200 rows, words w0..w5 uniformly
+    val inner = spark.sql(
+      """SELECT graft_cms_inner(a.sk, b.sk) AS est
+         FROM (SELECT sk FROM cms_cube WHERE g = 'g0') a,
+              (SELECT sk FROM cms_cube WHERE g = 'g1') b""").head().getLong(0)
+    // g0 holds w0,w3 (100 each); g1 holds w1,w4 — disjoint words -> 0?
+    // i%3 groups vs i%6 words: g0 has w0,w3; g1 has w1,w4 -> no overlap
+    assert(inner == 0L, s"disjoint word sets must give 0, got $inner")
+    val innerSelf = spark.sql(
+      """SELECT graft_cms_inner(a.sk, a.sk) AS est
+         FROM (SELECT sk FROM cms_cube WHERE g = 'g0') a""").head().getLong(0)
+    assert(innerSelf == 2L * 100 * 100, s"self inner product = sum f^2, got $innerSelf")
+  }
+
+  test("graft_pav_fit via SQL") {
+    val out = spark.sql(
+      """SELECT graft_pav_fit(array(
+           named_struct('x', 1L, 'y', 1L), named_struct('x', 2L, 'y', 3L),
+           named_struct('x', 3L, 'y', 2L), named_struct('x', 4L, 'y', 4L))) AS f""")
+      .head().getSeq[Double](0)
+    assert(out == Seq(1.0, 1.0, 2.0, 2.5, 3.0, 2.5, 4.0, 4.0))
   }
 
   test("graft_theta sketch/set-ops via SQL") {
