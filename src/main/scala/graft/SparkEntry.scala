@@ -2871,6 +2871,17 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Hamilton largest-remainder apportionment of 10,000 audit slots
+    * across nations by customer count: allocations sum EXACTLY to the
+    * total, remainder ranking on the two-pass row numbers. */
+  private def qApportion(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.customer(s, d)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+    Relational.apportion(w, "cnt", total = 10000L, tieCols = Seq(col("c_nationkey")))
+      .select(col("c_nationkey"), col("cnt"), col("alloc"))
+      .orderBy("c_nationkey")
+  }
+
   /** Join-cardinality advisor: predicted |click ⋈ purchase| on user_id
     * from two one-pass CMS inner products (Cormode–Muthukrishnan §4.2) —
     * width 65536 puts the 150-user domain deep in the collision-free
@@ -4636,7 +4647,8 @@ object SparkEntry {
     "q_isotonic" -> (qIsotonic _),
     "q_bbox_join" -> (qBboxJoin _),
     "q_pca_ann" -> (qPcaAnn _),
-    "q_cms_join_size" -> (qCmsJoinSize _))
+    "q_cms_join_size" -> (qCmsJoinSize _),
+    "q_apportion" -> (qApportion _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -7985,6 +7997,21 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    // exact integer floor shares + largest-remainder top-up; the oracle's
+    // 1-based rank <= deficit mirrors the operator's 0-based rank < deficit
+    "q_apportion" ->
+      """WITH w AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM customer GROUP BY 1),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS wt FROM w),
+         b AS (SELECT c_nationkey, cnt,
+                      (cnt * 10000) // wt AS q, (cnt * 10000) % wt AS r
+               FROM w, t),
+         d AS (SELECT CAST(10000 - SUM(q) AS BIGINT) AS deficit FROM b),
+         rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY r DESC, c_nationkey) AS rnk FROM b)
+         SELECT c_nationkey, cnt,
+                CAST(q + CASE WHEN rnk <= (SELECT deficit FROM d)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         FROM rk ORDER BY c_nationkey""",
     // collision-free regime: the min-row inner product equals the exact
     // frequency dot product
     "q_cms_join_size" ->

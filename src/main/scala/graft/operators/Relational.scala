@@ -135,6 +135,37 @@ object Relational {
         keyCols.map(_ + "__o"): _*)
   }
 
+  /** Largest-remainder (Hamilton) apportionment: distribute an integer
+    * `total` across rows proportional to `weightCol`, with the
+    * allocations summing EXACTLY to `total` — the budget / quota / slot
+    * assignment primitive where naive `round(total·w/W)` drifts by ±k.
+    * Each row gets ⌊total·w/W⌋, then the deficit goes +1 each to the
+    * rows with the largest exact integer remainders (ties broken by
+    * `tieCols`, so the result is total-order deterministic).
+    *
+    * All arithmetic on longs (`total·w` must fit — quantize weights
+    * upstream); the remainder ranking rides [[globalRowNumbers]]'s
+    * two-pass numbering, so no single-partition sort at any row count. */
+  def apportion(
+      df: DataFrame,
+      weightCol: String,
+      total: Long,
+      tieCols: Seq[Column],
+      outCol: String = "alloc"): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val totals = df.agg(sum(col(weightCol).cast("long")).as("__w_total"))
+    val based = df.crossJoin(broadcast(totals))
+      .withColumn("__prod", col(weightCol).cast("long") * total)
+      .withColumn("__q", expr("__prod div __w_total"))
+      .withColumn("__r", col("__prod") % col("__w_total"))
+    val deficit = based.agg((lit(total) - sum(col("__q"))).as("__deficit"))
+    globalRowNumbers(based, col("__r").desc +: tieCols, "__rank")
+      .crossJoin(broadcast(deficit))
+      .withColumn(outCol,
+        col("__q") + when(col("__rank") < col("__deficit"), 1L).otherwise(0L))
+      .drop("__w_total", "__prod", "__q", "__r", "__rank", "__deficit")
+  }
+
   /** Snapshot diff between two corpus versions keyed by `keyCols`: one row
     * per key present in either side, classified `added` / `removed` /
     * `changed` / `unchanged` by null-safe comparison of `compareCols`. One

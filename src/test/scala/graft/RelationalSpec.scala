@@ -303,4 +303,18 @@ class RelationalSpec extends SparkSpec {
       .orderBy("cat").collect().map(r => (r.getString(0), r.getDouble(2)))
     assert(plain.toSeq == Seq(("a", 15.0), ("b", 40.0)))
   }
+
+  test("apportion: allocations sum exactly to total, largest remainders win, ties ordered") {
+    // equal weights, total 10 over 3 rows: q=3 each, deficit 1 -> first tie key +1
+    val eq = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("k", "w")
+    val out = Relational.apportion(eq.repartition(3), "w", 10L, Seq(col("k")))
+      .orderBy("k").select("k", "alloc").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 4L), ("b", 3L), ("c", 3L)))
+    // skewed weights: exact-sum invariant and proportionality
+    val sk = Seq(("a", 1L), ("b", 2L), ("c", 7L), ("d", 90L)).toDF("k", "w")
+    val alloc = Relational.apportion(sk, "w", 1000L, Seq(col("k")))
+    assert(alloc.agg(sum(col("alloc"))).head().getLong(0) == 1000L)
+    val d = alloc.filter(col("k") === "d").select("alloc").head().getLong(0)
+    assert(d == 900L, s"proportional share must hold, got $d")
+  }
 }
