@@ -2871,6 +2871,22 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Calibration audit of a toy purchase-propensity score (event value
+    * scaled to [0,1] against the corpus max) vs the actual purchase
+    * label: reliability bins + ECE terms, exact quantized-long means. */
+  private def qCalibration(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(col("value")).as("__mx"))
+    val scored = ev.crossJoin(broadcast(mx))
+      .withColumn("score", col("value") / col("__mx"))
+    Quality.calibration(scored, "score", col("event_type") === "purchase", bins = 10)
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("mean_score"), 9).as("mean_score"),
+        round(col("obs_rate"), 9).as("obs_rate"),
+        round(col("ece_term"), 9).as("ece_term"))
+      .orderBy("bin")
+  }
+
   /** Hamilton largest-remainder apportionment of 10,000 audit slots
     * across nations by customer count: allocations sum EXACTLY to the
     * total, remainder ranking on the two-pass row numbers. */
@@ -4648,7 +4664,8 @@ object SparkEntry {
     "q_bbox_join" -> (qBboxJoin _),
     "q_pca_ann" -> (qPcaAnn _),
     "q_cms_join_size" -> (qCmsJoinSize _),
-    "q_apportion" -> (qApportion _))
+    "q_apportion" -> (qApportion _),
+    "q_calibration" -> (qCalibration _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -7997,6 +8014,26 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    // quantized-long score sums make bin means exact-integer-backed
+    // single divisions; identical chains both engines
+    "q_calibration" ->
+      """WITH mx AS (SELECT MAX(value) AS m FROM events),
+         sc AS (SELECT value / m AS score, event_type FROM events, mx),
+         b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+                CAST(FLOOR(score * 1e9 + 0.5) AS BIGINT) AS q,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+               FROM sc),
+         g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(pos) AS BIGINT) AS n_pos
+               FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g)
+         SELECT bin, n, n_pos,
+                ROUND((CAST(sq AS DOUBLE) / n) / 1e9, 9) AS mean_score,
+                ROUND(CAST(n_pos AS DOUBLE) / n, 9) AS obs_rate,
+                ROUND((CAST(n AS DOUBLE) / nt) *
+                      ABS((CAST(sq AS DOUBLE) / n) / 1e9 -
+                          CAST(n_pos AS DOUBLE) / n), 9) AS ece_term
+         FROM g, t ORDER BY bin""",
     // exact integer floor shares + largest-remainder top-up; the oracle's
     // 1-based rank <= deficit mirrors the operator's 0-based rank < deficit
     "q_apportion" ->

@@ -331,6 +331,41 @@ object Quality {
       .drop("__num", "__n_total")
   }
 
+  /** Reliability diagram + expected-calibration-error terms (Naeini et
+    * al., AAAI 2015 — the standard "is this model's 0.8 really an 80%"
+    * audit): scores bucket into `bins` equal-width bins; per bin the mean
+    * predicted score, the observed positive rate, their |gap|, and the
+    * ECE term (n/N)·gap — sum `ece_term` over the bounded bin table for
+    * the scalar ECE. One partial-agg pass; scores quantize to 1e-9 longs
+    * before the sum so the bin means are exact-integer-backed single
+    * divisions, engine-stable. */
+  def calibration(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val sc = col(scoreCol).cast("double")
+    val binned = df
+      .withColumn("__bin",
+        least(floor(sc * bins).cast("long"), lit(bins - 1L)))
+      .withColumn("__q", floor(sc * 1e9 + 0.5).cast("long"))
+      .withColumn("__pos", labelCol.cast("long"))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__q")).as("__sq"),
+        sum(col("__pos")).as("n_pos"))
+    val total = binned.agg(sum(col("n")).as("__nt"))
+    binned.crossJoin(broadcast(total))
+      .withColumn("mean_score",
+        (col("__sq").cast("double") / col("n")) / 1e9)
+      .withColumn("obs_rate", col("n_pos").cast("double") / col("n"))
+      .withColumn("gap", abs(col("mean_score") - col("obs_rate")))
+      .withColumn("ece_term",
+        (col("n").cast("double") / col("__nt")) * col("gap"))
+      .drop("__sq", "__nt")
+  }
+
   /** Benjamini–Hochberg step-up FDR adjustment (JRSS-B 1995) over a table
     * of test p-values — the multiple-testing layer above the inference
     * family (Welch / Mann–Whitney / KS / chi-square): q_i = min_{k≥i}

@@ -123,6 +123,26 @@ class QualitySpec extends SparkSpec {
       ("US", "b", 3L, 1L, false)))
   }
 
+  test("calibration: a perfectly calibrated score gives zero gaps, a biased one does not") {
+    import org.apache.spark.sql.functions.sum
+    // 100 rows per score in {0.25, 0.75}; positives exactly score*100
+    val rows = (0 until 100).flatMap { i =>
+      Seq((0.25, i < 25), (0.75, i < 75))
+    }
+    val out = Quality.calibration(rows.toDF("score", "y").repartition(5),
+        "score", col("y"), bins = 4)
+      .orderBy("bin").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("gap") < 1e-12, s"calibrated score must have ~0 gap: $r")
+    }
+    // invert the labels: gap = |0.25 - 0.75| = 0.5 in each bin, ECE = 0.5
+    val bad = Quality.calibration(rows.toDF("score", "y").withColumn("y", !col("y")),
+      "score", col("y"), bins = 4)
+    val ece = bad.agg(sum(col("ece_term"))).head().getDouble(0)
+    assert(math.abs(ece - 0.5) < 1e-12, s"ECE of the inverted labels must be 0.5, got $ece")
+  }
+
   test("tCloseness: exact TVD against the corpus mix, including absent sensitive values") {
     // corpus: 6 x, 6 y (p = .5/.5); group A = 4×x only, group B = 2×x 6×y
     val df = (Seq.fill(4)(("A", "x")) ++ Seq.fill(2)(("B", "x")) ++
