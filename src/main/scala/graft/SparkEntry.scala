@@ -2871,6 +2871,19 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** LTTB-downsample the daily revenue series per order priority to 24
+    * points — rows-only by design (each pick depends on the previous
+    * selection); spike-preservation and endpoint invariants spec-pinned. */
+  private def qLttb(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    Temporal.lttbDownsample(daily, Seq("prio"), "day", "cents", threshold = 24)
+      .orderBy("prio", "day")
+  }
+
   /** Calibration audit of a toy purchase-propensity score (event value
     * scaled to [0,1] against the corpus max) vs the actual purchase
     * label: reliability bins + ECE terms, exact quantized-long means. */
@@ -4665,7 +4678,8 @@ object SparkEntry {
     "q_pca_ann" -> (qPcaAnn _),
     "q_cms_join_size" -> (qCmsJoinSize _),
     "q_apportion" -> (qApportion _),
-    "q_calibration" -> (qCalibration _))
+    "q_calibration" -> (qCalibration _),
+    "q_lttb" -> (qLttb _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the

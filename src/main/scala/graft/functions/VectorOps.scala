@@ -246,6 +246,67 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    * one bounded series' collected (x, y) long points to `threshold`
+    * points: endpoints always kept, each interior bucket contributes the
+    * point forming the largest triangle with the previously selected
+    * point and the next bucket's centroid — the visually-lossless
+    * downsampler dashboards standardize on (spikes survive where
+    * avg/sample would erase them). Sequential by definition (each pick
+    * depends on the previous), hence a per-series kernel, not SQL; input
+    * sorts by (x, y) internally so collection order never matters.
+    * Returns the flat [x₀, y₀, x₁, y₁, …] doubles of kept points. */
+  def lttb(pts: ArrayData, threshold: Int): ArrayData = {
+    val n = pts.numElements()
+    val xs = new Array[Long](n); val ys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val p = pts.getStruct(i, 2)
+      xs(i) = p.getLong(0); ys(i) = p.getLong(1)
+      i += 1
+    }
+    val idx = (0 until n).sortBy(k => (xs(k), ys(k))).toArray
+    def out(sel: Seq[Int]): ArrayData = {
+      val o = new Array[Double](2 * sel.length)
+      sel.zipWithIndex.foreach { case (k, j) =>
+        o(2 * j) = xs(idx(k)).toDouble; o(2 * j + 1) = ys(idx(k)).toDouble
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(o)
+    }
+    if (threshold >= n || threshold < 3) return out(0 until n)
+    val every = (n - 2).toDouble / (threshold - 2)
+    val sel = new Array[Int](threshold)
+    sel(0) = 0
+    var a = 0
+    var b = 0
+    while (b < threshold - 2) {
+      val start = math.floor(b * every).toInt + 1
+      val end = math.min(math.floor((b + 1) * every).toInt + 1, n - 1)
+      val nStart = end
+      val nEnd = math.min(math.floor((b + 2) * every).toInt + 1, n)
+      var avgX = 0.0; var avgY = 0.0
+      var j = nStart
+      while (j < nEnd) { avgX += xs(idx(j)); avgY += ys(idx(j)); j += 1 }
+      val cnt = math.max(nEnd - nStart, 1)
+      avgX /= cnt; avgY /= cnt
+      val ax = xs(idx(a)).toDouble; val ay = ys(idx(a)).toDouble
+      var best = -1.0
+      var bestJ = start
+      j = start
+      while (j < end) {
+        val area = math.abs(
+          (ax - avgX) * (ys(idx(j)) - ay) - (ax - xs(idx(j))) * (avgY - ay))
+        if (area > best) { best = area; bestJ = j }
+        j += 1
+      }
+      sel(b + 1) = bestJ
+      a = bestJ
+      b += 1
+    }
+    sel(threshold - 1) = n - 1
+    out(sel.toSeq)
+  }
+
   /** Project a float vector onto PCA components: y_c = Σ_i V[c][i]·(x_i −
     * μ_i), with `comps` the k×d component matrix flattened row-major.
     * One fused pass per output coordinate; the fit arrays ride in as

@@ -89,6 +89,12 @@ package object functions {
   def pav_fit(points: Column): Column =
     invokeVec("pavFit", ArrayType(DoubleType, containsNull = false), Seq(points))
 
+  /** LTTB downsample of collected (x long, y long) structs to `threshold`
+    * points: flat [x, y, …] doubles ([[VectorOps.lttb]]). */
+  def lttb_downsample(points: Column, threshold: Column): Column =
+    invokeVec("lttb", ArrayType(DoubleType, containsNull = false),
+      Seq(points, threshold))
+
   /** Standard base-32 geohash of (lat, lon) at `precision` characters —
     * the prefix-bucketing spatial key (shared prefix ⟺ nearby cell). */
   def geohash_encode(lat: Column, lon: Column, precision: Column): Column =

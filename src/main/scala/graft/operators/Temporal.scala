@@ -776,6 +776,34 @@ object Temporal {
       .select((k :+ col("n") :+ col("__e.lag").as("lag") :+ col("__e.acf").as("acf")): _*)
   }
 
+  /** LTTB downsample per key: each CALENDAR-BOUNDED series collects into
+    * one row and the sequential largest-triangle selection
+    * ([[graft.functions.VectorOps.lttb]]) runs in-row — the [[graft.operators.Sketches.isotonic]]
+    * bounded-kernel discipline. Output rows are the kept (x, y) points,
+    * `threshold` per key (endpoints always included). */
+  def lttbDownsample(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      threshold: Int): DataFrame = {
+    require(threshold >= 3, s"threshold must be >= 3, got $threshold")
+    val k = keyCols.map(col)
+    df.groupBy(k: _*)
+      .agg(collect_list(
+        struct(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
+        .as("__pts"))
+      .withColumn("__ds", graft.functions.lttb_downsample(col("__pts"), lit(threshold)))
+      .select(k :+ explode(
+        transform(sequence(lit(0), floor(size(col("__ds")) / 2).cast("int") - 1),
+          i => struct(
+            element_at(col("__ds"), i * 2 + 1).as("x"),
+            element_at(col("__ds"), i * 2 + 2).as("y")))).as("__e"): _*)
+      .select(k :+
+        col("__e.x").cast("long").as(xCol) :+
+        col("__e.y").cast("long").as(yCol): _*)
+  }
+
   /** Maximum drawdown per key over an ordered level series — the classic
     * peak-to-trough risk readout: dd_t = (max_{s<=t} level_s) − level_t,
     * reported as its maximum together with the all-time peak. Pass the

@@ -308,6 +308,24 @@ class TemporalSpec extends SparkSpec {
     assert(math.abs(acf2 - 38.0 / 40.0) < 1e-9, s"acf2=$acf2")
   }
 
+  test("lttbDownsample: endpoints kept, planted spike survives, short series intact") {
+    // flat series with one huge spike at x=57: any downsample that loses
+    // it is wrong — LTTB's whole reason to exist
+    val rows = (0 until 200).map(x => ("s", x.toLong, if (x == 57) 5000L else 10L))
+    val out = Temporal.lttbDownsample(
+        rows.toDF("k", "x", "y").repartition(4), Seq("k"), "x", "y", threshold = 20)
+      .orderBy("x").select("x", "y").as[(Long, Long)].collect()
+    assert(out.length == 20)
+    assert(out.head._1 == 0L && out.last._1 == 199L, "endpoints must be kept")
+    assert(out.exists(_._2 == 5000L), s"spike erased: ${out.toSeq}")
+    // series shorter than the threshold passes through complete
+    val short = (0 until 5).map(x => ("s", x.toLong, x.toLong * 2))
+    val thru = Temporal.lttbDownsample(
+        short.toDF("k", "x", "y"), Seq("k"), "x", "y", threshold = 20)
+      .orderBy("x").select("x", "y").as[(Long, Long)].collect()
+    assert(thru.toSeq == short.map(t => (t._2, t._3)).toSeq)
+  }
+
   test("maxDrawdown: exact peak-to-trough on a planted curve, zero when monotone") {
     val rows = Seq(
       ("a", 1, 10L), ("a", 2, 7L), ("a", 3, 12L), ("a", 4, 4L), ("a", 5, 9L),
