@@ -2871,6 +2871,21 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Density heatmap: 8×8 equi-width grid over (quantity, extendedprice)
+    * — occupied cells only, both axes against broadcast bounds. */
+  private def qHistogram2d(s: SparkSession, d: String): DataFrame =
+    Sketches.histogram2d(
+        Tables.lineitem(s, d), "l_quantity", "l_extendedprice", nx = 8, ny = 8)
+      .orderBy("bin_x", "bin_y")
+
+  /** Linear multi-touch attribution: clicks and views in the 1800 s
+    * lookback share each purchase's credit equally; credit quantized to
+    * exact 1e9-div-k longs so channel totals are exact sums. */
+  private def qAttributionLinear(s: SparkSession, d: String): DataFrame =
+    Funnel.linearAttribution(
+        Tables.events(s, d), "purchase", Seq("click", "view"), windowSec = 1800L)
+      .orderBy("channel")
+
   /** LTTB-downsample the daily revenue series per order priority to 24
     * points — rows-only by design (each pick depends on the previous
     * selection); spike-preservation and endpoint invariants spec-pinned. */
@@ -4679,7 +4694,9 @@ object SparkEntry {
     "q_cms_join_size" -> (qCmsJoinSize _),
     "q_apportion" -> (qApportion _),
     "q_calibration" -> (qCalibration _),
-    "q_lttb" -> (qLttb _))
+    "q_lttb" -> (qLttb _),
+    "q_histogram2d" -> (qHistogram2d _),
+    "q_attribution_linear" -> (qAttributionLinear _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -8028,6 +8045,36 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    "q_histogram2d" ->
+      """WITH b AS (SELECT MIN(l_quantity) AS xlo, MAX(l_quantity) AS xhi,
+                           MIN(l_extendedprice) AS ylo, MAX(l_extendedprice) AS yhi
+                    FROM lineitem),
+         w AS (SELECT xlo, ylo, (xhi - xlo) / 8 AS wx, (yhi - ylo) / 8 AS wy FROM b),
+         g AS (SELECT LEAST(CASE WHEN wx = 0 THEN 0
+                                 ELSE FLOOR((l_quantity - xlo) / wx) END, 7) AS bin_x,
+                      LEAST(CASE WHEN wy = 0 THEN 0
+                                 ELSE FLOOR((l_extendedprice - ylo) / wy) END, 7) AS bin_y
+               FROM lineitem, w)
+         SELECT CAST(bin_x AS BIGINT) AS bin_x, CAST(bin_y AS BIGINT) AS bin_y,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM g GROUP BY 1, 2 ORDER BY bin_x, bin_y""",
+    // credit = 1e9 div k exact longs; channel totals are exact integer
+    // sums with one final division
+    "q_attribution_linear" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tus, event_type AS channel
+                    FROM events WHERE event_type IN ('click', 'view')),
+         c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS conversion_id
+               FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT c.conversion_id, t.channel
+               FROM c JOIN t ON c.user_id = t.user_id
+                AND t.tus < c.cus AND t.tus >= c.cus - 1800000000),
+         k AS (SELECT conversion_id, channel,
+                      1000000000 // COUNT(*) OVER (PARTITION BY conversion_id) AS credit_q
+               FROM p)
+         SELECT channel,
+                CAST(COUNT(DISTINCT conversion_id) AS BIGINT) AS n_conversions,
+                CAST(SUM(credit_q) AS DOUBLE) / 1e9 AS credit
+         FROM k GROUP BY 1 ORDER BY channel""",
     // quantized-long score sums make bin means exact-integer-backed
     // single divisions; identical chains both engines
     "q_calibration" ->

@@ -76,6 +76,47 @@ object Funnel {
         expr("(__us - touch_us) div 1000000").as("latency_sec"))
   }
 
+  /** LINEAR multi-touch attribution — the equal-split companion to
+    * [[lastTouchAttribution]]: every touch in the `windowSec` lookback
+    * before a conversion shares the credit 1/k. The pairing is a
+    * co-partitioned self-join on the user key with a time-range predicate
+    * (the interval-join shape — fan-out bounded by touches-per-user-
+    * window, never user-history²), k counts over a conversion-keyed
+    * window on the PAIR table, and credit quantizes to exact
+    * `1e9 div k` longs so per-channel totals are exact integer sums with
+    * ONE final division — no order-dependent double accumulation.
+    * Returns one row per channel: conversions reached, exact total
+    * credit. Σ credit < conversions exactly when some conversions had no
+    * touch in window (the unattributed remainder). */
+  def linearAttribution(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be > 0, got $windowSec")
+    val base = events.withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+    val touches = base
+      .filter(col("event_type").isin(touchTypes.map(x => x: Any): _*))
+      .select(col("user_id").as("__tu"), col("__us").as("__tus"),
+        col("event_type").as("channel"))
+    val convs = base
+      .filter(col("event_type") === conversionType)
+      .select(col("user_id").as("__cu"), col("__us").as("__cus"),
+        col("event_id").as("conversion_id"))
+    val pairs = convs.join(touches,
+      col("__cu") === col("__tu") &&
+        col("__tus") < col("__cus") &&
+        col("__tus") >= col("__cus") - windowSec * 1000000L)
+    val k = Window.partitionBy(col("conversion_id"))
+    pairs
+      .withColumn("__k", count(lit(1)).over(k))
+      .withColumn("__credit_q", expr("1000000000 div __k"))
+      .groupBy(col("channel"))
+      .agg(
+        countDistinct(col("conversion_id")).as("n_conversions"),
+        (sum(col("__credit_q")).cast("double") / 1e9).as("credit"))
+  }
+
   /** Weekly retention cohorts: each user's cohort is the Monday week of
     * their first `signupType` event; every later active week counts them in
     * (cohort_week, week_offset). One small cohort aggregate joined back on

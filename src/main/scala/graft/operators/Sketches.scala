@@ -145,6 +145,36 @@ object Sketches {
         count(lit(1)).as("n"))
   }
 
+  /** 2-D equi-width histogram — the density heatmap beneath scatter-plot
+    * overviews and anomaly grids: both axes bin against their own
+    * 1-row broadcast bounds (the [[histogram]] recipe twice), one partial
+    * agg to (bin_x, bin_y) cells. Output is the OCCUPIED cell list —
+    * at most nx·ny rows regardless of input size. */
+  def histogram2d(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      nx: Int,
+      ny: Int): DataFrame = {
+    require(nx >= 1 && ny >= 1, s"bin counts must be >= 1, got nx=$nx ny=$ny")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val bounds = df.agg(
+      min(x).as("__xlo"), max(x).as("__xhi"),
+      min(y).as("__ylo"), max(y).as("__yhi"))
+    def binOf(v: Column, lo: Column, w: Column, n: Int): Column =
+      least(
+        when(w === 0.0, lit(0)).otherwise(floor((v - lo) / w)),
+        lit(n - 1)).cast("long")
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__wx", (col("__xhi") - col("__xlo")) / nx)
+      .withColumn("__wy", (col("__yhi") - col("__ylo")) / ny)
+      .withColumn("bin_x", binOf(x, col("__xlo"), col("__wx"), nx))
+      .withColumn("bin_y", binOf(y, col("__ylo"), col("__wy"), ny))
+      .groupBy(col("bin_x"), col("bin_y"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Mergeable QUANTILE sketch cube — the quantile twin of [[sketchCube]]:
     * one binary KLL sketch per fine-grained group
     * ([[graft.functions.kll_sketch]]), after which any coarser-grained

@@ -150,6 +150,27 @@ class AnalyticsSpec extends SparkSpec {
       (31L, None, None, None)))
   }
 
+  test("linearAttribution splits credit equally among in-window touches") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: click + view inside the window -> 1/2 credit each
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "click", ts("2024-01-01 10:05:00")),
+      (1L, 12L, "purchase", ts("2024-01-01 10:06:30")),
+      // u2: only a click in window (the view is 2h old -> outside 1800s)
+      (2L, 20L, "view", ts("2024-01-01 07:00:00")),
+      (2L, 21L, "click", ts("2024-01-01 09:10:00")),
+      (2L, 22L, "purchase", ts("2024-01-01 09:30:00")),
+      // u3: no touches -> contributes nothing to any channel
+      (3L, 30L, "purchase", ts("2024-01-01 08:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnel.linearAttribution(ev, "purchase", Seq("click", "view"), 1800L)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // click: 0.5 (u1) + 1.0 (u2) = 1.5 ; view: 0.5 (u1)
+    assert(out.toSeq == Seq(("click", 2L, 1.5), ("view", 1L, 0.5)))
+  }
+
   test("transitionMatrix: exact pair counts and per-state shares, tie order pinned") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

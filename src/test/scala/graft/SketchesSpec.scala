@@ -508,6 +508,19 @@ class SketchesSpec extends SparkSpec {
     assert(got.getDouble(4) > 0.99, "strong linear signal must give r2 near 1")
   }
 
+  test("histogram2d: planted grid counts exact, edge values land in the last bin") {
+    // x,y in [0,8): cell (x div 2, y div 2) with one point per unit cell
+    val pts = for (x <- 0 until 8; y <- 0 until 8) yield (x.toDouble, y.toDouble)
+    val out = Sketches.histogram2d(pts.toDF("x", "y").repartition(4), "x", "y", 4, 4)
+      .orderBy("bin_x", "bin_y").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.size == 16)
+    // lo=0, hi=7, w=1.75: bins are [0,1.75),[1.75,3.5),[3.5,5.25),[5.25,7]
+    // -> per axis the 8 integer points split 2,2,2,2 except the max lands last
+    assert(out.values.sum == 64L)
+    assert(out((3L, 3L)) == 4L) // {5.25..7} x {5.25..7} holds 6,7 each axis
+  }
+
   test("isotonic: classic PAV pooling, duplicate x merged, decreasing input flattens") {
     // textbook case: y = 1,3,2,4 -> 1, 2.5, 2.5, 4
     val df = Seq(("g", 1L, 1L), ("g", 2L, 3L), ("g", 3L, 2L), ("g", 4L, 4L))
