@@ -2871,6 +2871,22 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Degree-tail exponent of the co-purchase graph (Hill estimator at
+    * d_min = 8): decides whether the hub tail needs skew guards. */
+  private def qDegreeTail(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("pa"))
+      .join(li.select(col("k"), col("l_partkey").as("pb")), "k")
+      .filter(col("pa") =!= col("pb"))
+    Graph.degreeTailAlpha(pairs, "pa", "pb", dMin = 8L)
+  }
+
   /** Density heatmap: 8×8 equi-width grid over (quantity, extendedprice)
     * — occupied cells only, both axes against broadcast bounds. */
   private def qHistogram2d(s: SparkSession, d: String): DataFrame =
@@ -4696,7 +4712,8 @@ object SparkEntry {
     "q_calibration" -> (qCalibration _),
     "q_lttb" -> (qLttb _),
     "q_histogram2d" -> (qHistogram2d _),
-    "q_attribution_linear" -> (qAttributionLinear _))
+    "q_attribution_linear" -> (qAttributionLinear _),
+    "q_degree_tail" -> (qDegreeTail _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -8045,6 +8062,23 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    // quantize-then-exact-sum discipline on the log terms (the
+    // char_entropy precedent) — no order-dependent double SUM
+    "q_degree_tail" ->
+      """WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-07-01'),
+         e AS (SELECT DISTINCT LEAST(a.p, b.p) AS a, GREATEST(a.p, b.p) AS b
+               FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+         deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+                 FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         t AS (SELECT CAST(ROUND(LN(CAST(d AS DOUBLE) / 8), 6) AS DECIMAL(28,6)) AS lt
+               FROM deg WHERE d >= 8)
+         SELECT CAST(8 AS BIGINT) AS d_min,
+                CAST(COUNT(*) AS BIGINT) AS n_tail,
+                ROUND(1.0 + CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lt) AS DOUBLE), 6) AS alpha
+         FROM t""",
     "q_histogram2d" ->
       """WITH b AS (SELECT MIN(l_quantity) AS xlo, MAX(l_quantity) AS xhi,
                            MIN(l_extendedprice) AS ylo, MAX(l_extendedprice) AS yhi

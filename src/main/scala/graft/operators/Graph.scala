@@ -253,6 +253,43 @@ object Graph {
     dist
   }
 
+  /** Hill estimator of the degree-distribution tail exponent (Hill 1975;
+    * the "is this graph power-law, how heavy is the hub tail" readout
+    * that decides whether skew guards like [[graft.operators.Skew]] salting are
+    * needed): α̂ = 1 + n / Σ ln(dᵢ/d_min) over nodes with degree ≥
+    * d_min. Degrees are one union + partial agg over the canonicalized
+    * edge list; the log sum uses the quantize-then-exact-sum discipline
+    * (per-row ln rounded to 6dp, summed as DECIMAL — a double SUM would
+    * be partition-order-dependent), one division at the end. Returns one
+    * row: (d_min, n_tail, alpha). */
+  def degreeTailAlpha(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      dMin: Long): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    val e = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= dMin)
+    deg
+      .select(
+        round(log(col("degree").cast("double") / dMin), 6)
+          .cast("decimal(28,6)").as("__t"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("__t")).as("__s"))
+      .select(
+        lit(dMin).as("d_min"),
+        col("n_tail"),
+        round(lit(1.0) + col("n_tail").cast("double") / col("__s").cast("double"), 6)
+          .as("alpha"))
+  }
+
   /** k-core peel (Seidman 1983, the Batagelj–Zaveršnik iterative form):
     * repeatedly drop nodes of degree < k until the subgraph stabilizes —
     * the standard densest-community / spam-farm screen. Runs a FIXED

@@ -380,6 +380,24 @@ class AnalyticsSpec extends SparkSpec {
       (4L, 4L, 3L), (5L, 2L, 0L), (6L, 1L, 0L)))
   }
 
+  test("degreeTailAlpha matches the hand-computed Hill estimate") {
+    import graft.operators.Graph
+    // star K1,5: hub degree 5, five leaves degree 1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)).toDF("u", "v")
+    val out = Graph.degreeTailAlpha(star, "u", "v", dMin = 1L).head()
+    assert(out.getLong(1) == 6L)
+    // sum of ln(d/1) terms = ln(5) (leaves contribute ln(1)=0), 6dp-rounded
+    val expected = 1.0 + 6.0 / BigDecimal(math.log(5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.getDouble(2) - expected) < 1e-6, s"got ${out.getDouble(2)}")
+    // dMin filters the tail: only the hub (degree 5) survives dMin = 2
+    val tail = Graph.degreeTailAlpha(star, "u", "v", dMin = 2L).head()
+    assert(tail.getLong(1) == 1L)
+    val exp2 = 1.0 + 1.0 / BigDecimal(math.log(2.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(tail.getDouble(2) - exp2) < 1e-6, s"got ${tail.getDouble(2)}")
+  }
+
   test("kCore: cascading peel reaches the k-core, messy input canonicalized") {
     import graft.operators.Graph
     // K4 on 1..4 is the 3-core; the tail 4-5-6-7 peels away over THREE
