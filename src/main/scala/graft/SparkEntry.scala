@@ -2871,6 +2871,19 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Schema contract over the orders table: one contracted column typed
+    * wrong on purpose (o_orderstatus as int) and one not contracted
+    * (o_orderpriority) — the report must call out exactly those. */
+  private def qSchemaContract(s: SparkSession, d: String): DataFrame =
+    Quality.schemaContract(Tables.orders(s, d), Seq(
+        "o_orderkey" -> "bigint",
+        "o_custkey" -> "bigint",
+        "o_orderstatus" -> "int",          // deliberate mismatch: actual string
+        "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp_ntz",  // parquet reads as NTZ here
+        "o_missing_col" -> "string"))      // deliberate absence
+      .orderBy("column")
+
   /** Degree-tail exponent of the co-purchase graph (Hill estimator at
     * d_min = 8): decides whether the hub tail needs skew guards. */
   private def qDegreeTail(s: SparkSession, d: String): DataFrame = {
@@ -4713,7 +4726,8 @@ object SparkEntry {
     "q_lttb" -> (qLttb _),
     "q_histogram2d" -> (qHistogram2d _),
     "q_attribution_linear" -> (qAttributionLinear _),
-    "q_degree_tail" -> (qDegreeTail _))
+    "q_degree_tail" -> (qDegreeTail _),
+    "q_schema_contract" -> (qSchemaContract _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -8062,6 +8076,19 @@ object SparkEntry {
     // total order replaces the batch row_number windows
     "q_ohlc_stream" -> ohlcOracle,
     "q_kcore" -> kCoreOracle,
+    // metadata-only audit: the expected report is a constant — the oracle
+    // pins it literally (Spark reads the same parquet schema DuckDB does)
+    "q_schema_contract" ->
+      """SELECT * FROM (VALUES
+           ('o_custkey', 'bigint', 'bigint', 'ok'),
+           ('o_missing_col', 'string', CAST(NULL AS VARCHAR), 'missing'),
+           ('o_orderdate', 'timestamp_ntz', 'timestamp_ntz', 'ok'),
+           ('o_orderkey', 'bigint', 'bigint', 'ok'),
+           ('o_orderpriority', CAST(NULL AS VARCHAR), 'string', 'unexpected'),
+           ('o_orderstatus', 'int', 'string', 'type_mismatch'),
+           ('o_totalprice', 'double', 'double', 'ok'))
+         AS t("column", expected_type, actual_type, status)
+         ORDER BY "column"""",
     // quantize-then-exact-sum discipline on the log terms (the
     // char_entropy precedent) — no order-dependent double SUM
     "q_degree_tail" ->

@@ -331,6 +331,33 @@ object Quality {
       .drop("__num", "__n_total")
   }
 
+  /** Schema contract audit — the ingestion guard in front of everything
+    * else: compare a frame's ACTUAL schema against the declared
+    * (column, typeDDL) contract and report one row per discrepancy class
+    * — `missing` (contracted, absent), `type_mismatch` (present, wrong
+    * type), `unexpected` (present, not contracted), `ok` otherwise.
+    * Purely metadata — zero jobs, zero scans; run it before the first
+    * action on any externally-supplied table. */
+  def schemaContract(
+      df: DataFrame,
+      expected: Seq[(String, String)]): DataFrame = {
+    require(expected.nonEmpty, "schemaContract needs at least one expected column")
+    val actual = df.schema.fields.map(f => f.name -> f.dataType.sql.toLowerCase).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = expected.map { case (name, ddl) =>
+      val want = org.apache.spark.sql.types.DataType.fromDDL(ddl).sql.toLowerCase
+      actual.get(name) match {
+        case None                      => (name, want, null: String, "missing")
+        case Some(got) if got != want  => (name, want, got, "type_mismatch")
+        case Some(got)                 => (name, want, got, "ok")
+      }
+    } ++ (actual.keySet -- expected.map(_._1)).toSeq.sorted.map { extra =>
+      (extra, null: String, actual(extra), "unexpected")
+    }
+    rows.toDF("column", "expected_type", "actual_type", "status")
+  }
+
   /** Reliability diagram + expected-calibration-error terms (Naeini et
     * al., AAAI 2015 — the standard "is this model's 0.8 really an 80%"
     * audit): scores bucket into `bins` equal-width bins; per bin the mean

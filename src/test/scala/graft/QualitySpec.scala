@@ -123,6 +123,18 @@ class QualitySpec extends SparkSpec {
       ("US", "b", 3L, 1L, false)))
   }
 
+  test("schemaContract flags missing, mismatched, and unexpected columns") {
+    val df = Seq((1L, "x", 2.0)).toDF("id", "name", "score")
+    val rep = Quality.schemaContract(df, Seq(
+        "id" -> "bigint", "name" -> "int", "absent" -> "date"))
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(rep == Map(
+      "id" -> "ok", "name" -> "type_mismatch",
+      "absent" -> "missing", "score" -> "unexpected"))
+    // id ok + name/score unexpected — purely metadata, no table scan
+    assert(Quality.schemaContract(df, Seq("id" -> "bigint")).count() == 3L)
+  }
+
   test("calibration: a perfectly calibrated score gives zero gaps, a biased one does not") {
     import org.apache.spark.sql.functions.sum
     // 100 rows per score in {0.25, 0.75}; positives exactly score*100
