@@ -2871,6 +2871,47 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** STREAMING calibration monitor: per-bin (n, Σscore_q, n_pos) partials
+    * accumulate in the state store (integer state — stream == batch
+    * exactly), the reliability/ECE assembly runs in batch off the sink;
+    * shares q_calibration's oracle verbatim. */
+  private def qCalibrationStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(s, d)
+    val mxv = ev.agg(max(col("value"))).head().getDouble(0)
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_calibration_stream"
+    withStatePartitions(s, 8) {
+      val sc = col("value") / mxv
+      val q = stream
+        .withColumn("__bin", least(floor(sc * 10).cast("long"), lit(9L)))
+        .withColumn("__q", floor(sc * 1e9 + 0.5).cast("long"))
+        .withColumn("__pos", (col("event_type") === "purchase").cast("long"))
+        .groupBy(col("__bin").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("__q")).as("__sq"),
+          sum(col("__pos")).as("n_pos"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val binned = s.table(name)
+    val total = binned.agg(sum(col("n")).as("__nt"))
+    binned.crossJoin(broadcast(total))
+      .withColumn("mean_score", (col("__sq").cast("double") / col("n")) / 1e9)
+      .withColumn("obs_rate", col("n_pos").cast("double") / col("n"))
+      .withColumn("gap", abs(col("mean_score") - col("obs_rate")))
+      .withColumn("ece_term", (col("n").cast("double") / col("__nt")) * col("gap"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("mean_score"), 9).as("mean_score"),
+        round(col("obs_rate"), 9).as("obs_rate"),
+        round(col("ece_term"), 9).as("ece_term"))
+      .orderBy("bin")
+  }
+
   /** Schema contract over the orders table: one contracted column typed
     * wrong on purpose (o_orderstatus as int) and one not contracted
     * (o_orderpriority) — the report must call out exactly those. */
@@ -2913,6 +2954,15 @@ object SparkEntry {
   private def qAttributionLinear(s: SparkSession, d: String): DataFrame =
     Funnel.linearAttribution(
         Tables.events(s, d), "purchase", Seq("click", "view"), windowSec = 1800L)
+      .orderBy("channel")
+
+  /** Time-decay attribution: 2^(−Δt/900 s) recency weights over the same
+    * 1800 s lookback as the linear twin, all credit arithmetic on exact
+    * quantized longs. */
+  private def qAttributionDecay(s: SparkSession, d: String): DataFrame =
+    Funnel.timeDecayAttribution(
+        Tables.events(s, d), "purchase", Seq("click", "view"),
+        windowSec = 1800L, halfLifeSec = 900L)
       .orderBy("channel")
 
   /** LTTB-downsample the daily revenue series per order priority to 24
@@ -4727,7 +4777,9 @@ object SparkEntry {
     "q_histogram2d" -> (qHistogram2d _),
     "q_attribution_linear" -> (qAttributionLinear _),
     "q_degree_tail" -> (qDegreeTail _),
-    "q_schema_contract" -> (qSchemaContract _))
+    "q_schema_contract" -> (qSchemaContract _),
+    "q_calibration_stream" -> (qCalibrationStream _),
+    "q_attribution_decay" -> (qAttributionDecay _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -8119,6 +8171,30 @@ object SparkEntry {
          SELECT CAST(bin_x AS BIGINT) AS bin_x, CAST(bin_y AS BIGINT) AS bin_y,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM g GROUP BY 1, 2 ORDER BY bin_x, bin_y""",
+    // recency weights quantized to 1e-9 longs, per-conversion normalizer
+    // an exact window sum, one integer division per pair; ln 2 embedded
+    // as a literal so neither engine calls log
+    "q_attribution_decay" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tus, event_type AS channel
+                    FROM events WHERE event_type IN ('click', 'view')),
+         c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS conversion_id
+               FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT c.conversion_id, t.channel,
+                      CAST(FLOOR(EXP(-0.6931471805599453 *
+                        CAST(c.cus - t.tus AS DOUBLE) / 900000000.0) * 1e9 + 0.5)
+                        AS BIGINT) AS wq
+               FROM c JOIN t ON c.user_id = t.user_id
+                AND t.tus < c.cus AND t.tus >= c.cus - 1800000000),
+         k AS (SELECT conversion_id, channel, wq,
+                      CAST(SUM(wq) OVER (PARTITION BY conversion_id) AS BIGINT) AS tot
+               FROM p),
+         q AS (SELECT channel, conversion_id,
+                      CASE WHEN tot > 0 THEN (wq * 1000000000) // tot ELSE 0 END AS cq
+               FROM k)
+         SELECT channel,
+                CAST(COUNT(DISTINCT conversion_id) AS BIGINT) AS n_conversions,
+                CAST(SUM(cq) AS DOUBLE) / 1e9 AS credit
+         FROM q GROUP BY 1 ORDER BY channel""",
     // credit = 1e9 div k exact longs; channel totals are exact integer
     // sums with one final division
     "q_attribution_linear" ->
@@ -8138,24 +8214,9 @@ object SparkEntry {
          FROM k GROUP BY 1 ORDER BY channel""",
     // quantized-long score sums make bin means exact-integer-backed
     // single divisions; identical chains both engines
-    "q_calibration" ->
-      """WITH mx AS (SELECT MAX(value) AS m FROM events),
-         sc AS (SELECT value / m AS score, event_type FROM events, mx),
-         b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
-                CAST(FLOOR(score * 1e9 + 0.5) AS BIGINT) AS q,
-                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-               FROM sc),
-         g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-                CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(pos) AS BIGINT) AS n_pos
-               FROM b GROUP BY 1),
-         t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g)
-         SELECT bin, n, n_pos,
-                ROUND((CAST(sq AS DOUBLE) / n) / 1e9, 9) AS mean_score,
-                ROUND(CAST(n_pos AS DOUBLE) / n, 9) AS obs_rate,
-                ROUND((CAST(n AS DOUBLE) / nt) *
-                      ABS((CAST(sq AS DOUBLE) / n) / 1e9 -
-                          CAST(n_pos AS DOUBLE) / n), 9) AS ece_term
-         FROM g, t ORDER BY bin""",
+    "q_calibration" -> calibrationOracle,
+    // integer bin-count state: the streaming monitor equals batch exactly
+    "q_calibration_stream" -> calibrationOracle,
     // exact integer floor shares + largest-remainder top-up; the oracle's
     // 1-based rank <= deficit mirrors the operator's 0-based rank < deficit
     "q_apportion" ->
@@ -8415,6 +8476,27 @@ object SparkEntry {
          $lagRows
          ) ORDER BY event_type, lag"""
   }
+
+  /** Shared batch/stream calibration oracle — integer bin partials make
+    * the streaming monitor equal the batch audit exactly. */
+  private val calibrationOracle: String =
+    """WITH mx AS (SELECT MAX(value) AS m FROM events),
+         sc AS (SELECT value / m AS score, event_type FROM events, mx),
+         b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+                CAST(FLOOR(score * 1e9 + 0.5) AS BIGINT) AS q,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+               FROM sc),
+         g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(pos) AS BIGINT) AS n_pos
+               FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g)
+         SELECT bin, n, n_pos,
+                ROUND((CAST(sq AS DOUBLE) / n) / 1e9, 9) AS mean_score,
+                ROUND(CAST(n_pos AS DOUBLE) / n, 9) AS obs_rate,
+                ROUND((CAST(n AS DOUBLE) / nt) *
+                      ABS((CAST(sq AS DOUBLE) / n) / 1e9 -
+                          CAST(n_pos AS DOUBLE) / n), 9) AS ece_term
+         FROM g, t ORDER BY bin"""
 
   /** Shared batch/stream JSD oracle — integer bin counts make the
     * streaming twin equal the batch path exactly. */

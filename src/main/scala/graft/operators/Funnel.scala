@@ -93,6 +93,54 @@ object Funnel {
       conversionType: String,
       touchTypes: Seq[String],
       windowSec: Long): DataFrame = {
+    val k = Window.partitionBy(col("conversion_id"))
+    touchPairs(events, conversionType, touchTypes, windowSec)
+      .withColumn("__k", count(lit(1)).over(k))
+      .withColumn("__credit_q", expr("1000000000 div __k"))
+      .groupBy(col("channel"))
+      .agg(
+        countDistinct(col("conversion_id")).as("n_conversions"),
+        (sum(col("__credit_q")).cast("double") / 1e9).as("credit"))
+  }
+
+  /** TIME-DECAY multi-touch attribution — the recency-weighted member of
+    * the family (last-touch X75 / linear / this): a touch Δt before the
+    * conversion carries weight 2^(−Δt/halfLife), normalized per
+    * conversion. Weights quantize to 1e-9 longs, the per-conversion
+    * normalizer is an exact long window sum, each pair's credit is ONE
+    * integer division ((w·1e9) div W), and channel totals are exact
+    * integer sums — the same no-double-accumulation discipline as the
+    * linear twin, so the whole readout is oracle-replayable (ln 2 is an
+    * embedded literal, not an engine log call). */
+  def timeDecayAttribution(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String],
+      windowSec: Long,
+      halfLifeSec: Long): DataFrame = {
+    require(halfLifeSec > 0, s"halfLifeSec must be > 0, got $halfLifeSec")
+    val w = exp(lit(-0.6931471805599453) *
+      (col("__cus") - col("__tus")).cast("double") / (halfLifeSec * 1e6))
+    val conv = Window.partitionBy(col("conversion_id"))
+    touchPairs(events, conversionType, touchTypes, windowSec)
+      .withColumn("__wq", floor(w * 1e9 + 0.5).cast("long"))
+      .withColumn("__tot", sum(col("__wq")).over(conv))
+      .withColumn("__cq",
+        when(col("__tot") > 0, expr("(__wq * 1000000000) div __tot")).otherwise(0L))
+      .groupBy(col("channel"))
+      .agg(
+        countDistinct(col("conversion_id")).as("n_conversions"),
+        (sum(col("__cq")).cast("double") / 1e9).as("credit"))
+  }
+
+  /** Conversion←touch candidate pairs: co-partitioned user-key join with
+    * the strictly-before, in-window time predicate — fan-out bounded by
+    * touches-per-user-window, never user-history². */
+  private def touchPairs(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String],
+      windowSec: Long): DataFrame = {
     require(windowSec > 0, s"windowSec must be > 0, got $windowSec")
     val base = events.withColumn("__us", unix_micros(col("ts").cast("timestamp")))
     val touches = base
@@ -103,18 +151,10 @@ object Funnel {
       .filter(col("event_type") === conversionType)
       .select(col("user_id").as("__cu"), col("__us").as("__cus"),
         col("event_id").as("conversion_id"))
-    val pairs = convs.join(touches,
+    convs.join(touches,
       col("__cu") === col("__tu") &&
         col("__tus") < col("__cus") &&
         col("__tus") >= col("__cus") - windowSec * 1000000L)
-    val k = Window.partitionBy(col("conversion_id"))
-    pairs
-      .withColumn("__k", count(lit(1)).over(k))
-      .withColumn("__credit_q", expr("1000000000 div __k"))
-      .groupBy(col("channel"))
-      .agg(
-        countDistinct(col("conversion_id")).as("n_conversions"),
-        (sum(col("__credit_q")).cast("double") / 1e9).as("credit"))
   }
 
   /** Weekly retention cohorts: each user's cohort is the Monday week of

@@ -171,6 +171,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 2L, 1.5), ("view", 1L, 0.5)))
   }
 
+  test("timeDecayAttribution: closer touches earn more, credits sum to 1 per conversion") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // view 900s before (weight 1/2), click 0s... use 450s (weight 2^-0.5)
+    val ev = Seq(
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),     // dt 900 -> w = 0.5
+      (1L, 11L, "click", ts("2024-01-01 10:07:30")),    // dt 450 -> w = 2^-.5
+      (1L, 12L, "purchase", ts("2024-01-01 10:15:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnel.timeDecayAttribution(ev, "purchase", Seq("click", "view"),
+        windowSec = 1800L, halfLifeSec = 900L)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    val wv = 0.5; val wc = math.pow(2, -0.5)
+    assert(math.abs(out("view") - wv / (wv + wc)) < 1e-6, s"view=${out("view")}")
+    assert(math.abs(out("click") - wc / (wv + wc)) < 1e-6, s"click=${out("click")}")
+    assert(out("click") > out("view"), "the closer touch must earn more")
+    // integer-division credits can undershoot 1 by at most 2 ulps of 1e-9
+    assert(math.abs(out.values.sum - 1.0) < 3e-9)
+  }
+
   test("transitionMatrix: exact pair counts and per-state shares, tie order pinned") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
