@@ -2956,6 +2956,26 @@ object SparkEntry {
         Tables.events(s, d), "purchase", Seq("click", "view"), windowSec = 1800L)
       .orderBy("channel")
 
+  /** Floored running wallet balance per user (credits = purchase/signup
+    * cents, debits = the rest, never below zero): the Lindley reflection
+    * closed form — two stacked windows, exact longs. */
+  private def qWalletBalance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type").isin("purchase", "signup"),
+          floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(-floor(col("value") * 100 + 0.5).cast("long")).as("delta"))
+    Temporal.flooredRunningBalance(ev, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), "delta")
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("balance"), struct(col("ts"), col("event_id"))).as("end_balance"),
+        max(col("balance")).as("peak_balance"),
+        sum((col("balance") === 0L).cast("long")).as("n_floor_touches"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Time-decay attribution: 2^(−Δt/900 s) recency weights over the same
     * 1800 s lookback as the linear twin, all credit arithmetic on exact
     * quantized longs. */
@@ -4779,7 +4799,8 @@ object SparkEntry {
     "q_degree_tail" -> (qDegreeTail _),
     "q_schema_contract" -> (qSchemaContract _),
     "q_calibration_stream" -> (qCalibrationStream _),
-    "q_attribution_decay" -> (qAttributionDecay _))
+    "q_attribution_decay" -> (qAttributionDecay _),
+    "q_wallet_balance" -> (qWalletBalance _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -8171,6 +8192,37 @@ object SparkEntry {
          SELECT CAST(bin_x AS BIGINT) AS bin_x, CAST(bin_y AS BIGINT) AS bin_y,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM g GROUP BY 1, 2 ORDER BY bin_x, bin_y""",
+    // Lindley reflection: balance = S - min(0, running min S) — plain
+    // windows replay the "sequential" recursion exactly
+    "q_wallet_balance" ->
+      """WITH sv AS (SELECT user_id, ts, event_id,
+                CASE WHEN event_type IN ('purchase', 'signup')
+                     THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                     ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS delta
+              FROM events),
+         s1 AS (SELECT user_id, ts, event_id,
+                CAST(SUM(delta) OVER w AS BIGINT) AS ps
+               FROM sv
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s2 AS (SELECT user_id, ts, event_id, ps,
+                CAST(MIN(ps) OVER w AS BIGINT) AS pm
+               FROM s1
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         b AS (SELECT user_id, ts, event_id, ps - LEAST(0, pm) AS balance FROM s2),
+         agg AS (SELECT user_id,
+                CAST(MAX(balance) AS BIGINT) AS peak_balance,
+                CAST(SUM(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor_touches,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM b GROUP BY 1),
+         lastb AS (SELECT user_id, CAST(balance AS BIGINT) AS end_balance
+               FROM (SELECT user_id, balance, ROW_NUMBER() OVER
+                       (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM b) WHERE rn = 1)
+         SELECT agg.user_id, end_balance, peak_balance, n_floor_touches, n_events
+         FROM agg JOIN lastb ON agg.user_id = lastb.user_id
+         ORDER BY agg.user_id""",
     // recency weights quantized to 1e-9 longs, per-conversion normalizer
     // an exact window sum, one integer division per pair; ln 2 embedded
     // as a literal so neither engine calls log

@@ -776,6 +776,31 @@ object Temporal {
       .select((k :+ col("n") :+ col("__e.lag").as("lag") :+ col("__e.acf").as("acf")): _*)
   }
 
+  /** Floored (can't-go-negative) running balance per key — the
+    * inventory / prepaid-wallet recursion b_t = max(0, b_{t−1} + δ_t),
+    * which LOOKS sequential but closes via the Lindley one-sided
+    * reflection: b_t = S_t − min(0, min_{k≤t} S_k) over the plain prefix
+    * sums. So the operator is two stacked windows on one per-key
+    * partitioning (running sum, then running min of it) — no recursion,
+    * no kernel, exact long arithmetic end to end, and a plain-SQL oracle
+    * replays it. The two-sided (floor AND capacity ceiling) variant has
+    * no such closed form — that one would need a per-key kernel. */
+  def flooredRunningBalance(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      deltaCol: String,
+      outCol: String = "balance"): DataFrame = {
+    require(keyCols.nonEmpty, "flooredRunningBalance needs at least one key column")
+    val k = keyCols.map(col)
+    val w = Window.partitionBy(k: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__s", sum(col(deltaCol).cast("long")).over(w))
+      .withColumn("__m", min(col("__s")).over(w))
+      .withColumn(outCol, col("__s") - least(lit(0L), col("__m")))
+      .drop("__s", "__m")
+  }
+
   /** LTTB downsample per key: each CALENDAR-BOUNDED series collects into
     * one row and the sequential largest-triangle selection
     * ([[graft.functions.VectorOps.lttb]]) runs in-row — the [[graft.operators.Sketches.isotonic]]

@@ -326,6 +326,21 @@ class TemporalSpec extends SparkSpec {
     assert(thru.toSeq == short.map(t => (t._2, t._3)).toSeq)
   }
 
+  test("flooredRunningBalance equals the sequential max(0, b+d) recursion") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (k <- 0 until 4; t <- 0 until 50)
+      yield (k.toLong, t.toLong, rnd.nextInt(21) - 10L)
+    val got = Temporal.flooredRunningBalance(
+        rows.toDF("k", "t", "d").repartition(5), Seq("k"), Seq(col("t")), "d")
+      .orderBy("k", "t").select("k", "t", "balance")
+      .as[(Long, Long, Long)].collect()
+    val expected = rows.groupBy(_._1).flatMap { case (k, g) =>
+      var b = 0L
+      g.sortBy(_._2).map { case (_, t, d) => b = math.max(0L, b + d); (k, t, b) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expected, "Lindley reflection must equal the recursion")
+  }
+
   test("maxDrawdown: exact peak-to-trough on a planted curve, zero when monotone") {
     val rows = Seq(
       ("a", 1, 10L), ("a", 2, 7L), ("a", 3, 12L), ("a", 4, 4L), ("a", 5, 9L),
