@@ -705,11 +705,12 @@ object TextAnalysis {
       posexplode(Decontaminate.wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos").cast("long").as("__pos"),
         conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__gh"))
+    // rn > 1 already implies the gram occurs >= 2 times, so no separate
+    // count window: one ordered window, one sort of the gram table.
     val byGram = Window.partitionBy("__gh")
     val nonFirst = grams
-      .withColumn("__c", count(lit(1)).over(byGram))
       .withColumn("__rn", row_number().over(byGram.orderBy(col(idCol), col("__pos"))))
-      .filter(col("__c") >= 2 && col("__rn") > 1)
+      .filter(col("__rn") > 1)
       .select(col(idCol), col("__pos"))
     val w = Window.partitionBy(idCol).orderBy("__pos")
     val lagPos = lag(col("__pos"), 1).over(w)
