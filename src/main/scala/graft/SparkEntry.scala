@@ -2976,6 +2976,24 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Kruskal–Wallis rank ANOVA: does `value` distribute identically across
+    * the five event types? Exact midrank machinery, tie-corrected H. */
+  private def qKruskalWallis(s: SparkSession, d: String): DataFrame =
+    Sketches.kruskalWallis(Tables.events(s, d), "event_type", "value")
+
+  /** Spearman rank correlation of quantity vs extended price per return
+    * flag — monotone-association readout robust to the price's skew. */
+  private def qSpearman(s: SparkSession, d: String): DataFrame =
+    Sketches.spearmanCorr(
+      Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** Shannon/Simpson diversity of each user's event-type mix — the
+    * corpus-balance audit at user grain. */
+  private def qDiversity(s: SparkSession, d: String): DataFrame =
+    Sketches.diversityIndex(Tables.events(s, d), Seq("user_id"), "event_type")
+      .orderBy("user_id")
+
   /** Time-decay attribution: 2^(−Δt/900 s) recency weights over the same
     * 1800 s lookback as the linear twin, all credit arithmetic on exact
     * quantized longs. */
@@ -4800,7 +4818,10 @@ object SparkEntry {
     "q_schema_contract" -> (qSchemaContract _),
     "q_calibration_stream" -> (qCalibrationStream _),
     "q_attribution_decay" -> (qAttributionDecay _),
-    "q_wallet_balance" -> (qWalletBalance _))
+    "q_wallet_balance" -> (qWalletBalance _),
+    "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_spearman" -> (qSpearman _),
+    "q_diversity" -> (qDiversity _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
     * exemplars plus the covering-radius trace. Rows-only by design: the
@@ -8223,6 +8244,65 @@ object SparkEntry {
          SELECT agg.user_id, end_balance, peak_balance, n_floor_touches, n_events
          FROM agg JOIN lastb ON agg.user_id = lastb.user_id
          ORDER BY agg.user_id""",
+    // exact doubled midranks; H in the centered form so the only
+    // cross-engine float SUM runs over k centered group terms
+    "q_kruskal_wallis" ->
+      """WITH h AS (SELECT event_type AS g, value AS s, CAST(COUNT(*) AS BIGINT) AS cg
+                    FROM events GROUP BY 1, 2),
+         v AS (SELECT s, CAST(SUM(cg) AS BIGINT) AS c FROM h GROUP BY 1),
+         v2 AS (SELECT s, c, CAST(COALESCE(SUM(c) OVER
+                  (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS prev FROM v),
+         v3 AS (SELECT s, 2 * prev + c + 1 AS r2, c * c * c - c AS tie FROM v2),
+         pg AS (SELECT g, CAST(SUM(cg) AS BIGINT) AS ng,
+                  CAST(SUM(cg * r2) AS BIGINT) AS rg2
+                FROM h JOIN v3 USING (s) GROUP BY 1),
+         tt AS (SELECT CAST(SUM(tie) AS BIGINT) AS ties FROM v3),
+         nn AS (SELECT CAST(SUM(ng) AS BIGINT) AS n FROM pg),
+         terms AS (SELECT ng, n,
+                  CAST(rg2 AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(n + 1 AS DOUBLE) AS d
+                FROM pg, nn)
+         SELECT n, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           ROUND((3.0 * SUM(CAST(ng AS DOUBLE) * d * d) /
+                    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))) /
+                 (1.0 - CAST(ties AS DOUBLE) /
+                    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(n AS DOUBLE))), 6) AS h
+         FROM terms, tt GROUP BY n, ties""",
+    // doubled midranks keep every moment integral; HUGEINT (= Spark
+    // DECIMAL(38,0)) products, single double ops at the end
+    "q_spearman" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+           2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+             + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+           2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+             + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+         FROM lineitem),
+         a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+           CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+           CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+           CAST(SUM(ry * ry) AS BIGINT) AS syy FROM r GROUP BY 1)
+         SELECT g AS l_returnflag, n,
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+             (SQRT(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+              SQRT(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+             AS rho
+         FROM a ORDER BY l_returnflag""",
+    // entropy terms are single-op doubles from exact longs; single-category
+    // users get NULL evenness on both engines
+    "q_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+         w AS (SELECT user_id, c,
+                 CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM c),
+         t AS (SELECT user_id, n, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM w)
+         SELECT user_id, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS n_categories,
+           ROUND(-SUM(p * LN(p)), 6) AS shannon,
+           ROUND(1.0 - SUM(p * p), 6) AS simpson,
+           CASE WHEN COUNT(*) > 1
+                THEN ROUND(-SUM(p * LN(p)) / LN(CAST(COUNT(*) AS DOUBLE)), 6) END AS evenness
+         FROM t GROUP BY user_id ORDER BY user_id""",
     // recency weights quantized to 1e-9 longs, per-conversion normalizer
     // an exact window sum, one integer division per pair; ln 2 embedded
     // as a literal so neither engine calls log

@@ -1161,4 +1161,110 @@ object Sketches {
           .cast("double") /
           max(col("__n") - lit(2) * col("__k"))).as("trimmed_mean"))
   }
+
+  /** Kruskal–Wallis H (rank one-way ANOVA across the `groupCol` levels) —
+    * the k-sample generalization of [[mannWhitneyU]], sharing its exact
+    * midrank machinery: value histogram → one global ordered pass for
+    * doubled midranks (`2r` stays a long, ties contribute `t³−t`) → one
+    * per-group aggregate. H uses the CENTERED form
+    * `3/(N(N+1)) · Σ n_g (r̄2_g − (N+1))²` (doubled ranks throughout):
+    * every per-group term derives from exact long sums by single IEEE ops,
+    * so the only cross-engine float SUM runs over k centered group terms
+    * whose reordering error is ~1e-14 of H — the uncentered
+    * `Σ R_g²/n_g` form would put that same reordering at 1e20 magnitude
+    * and visibly perturb the 6th decimal. Two shuffles total (value
+    * histogram, group rollup), both on bounded cardinality. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = df.select(col(groupCol).as("__g"), col(valueCol).as("__s"))
+      .groupBy(col("__g"), col("__s")).agg(count(lit(1)).as("__cg"))
+    // per-value totals + doubled midrank from the cumulative count of
+    // STRICTLY smaller values (window over the distinct-value table so
+    // same-value rows never accumulate each other)
+    val v = h.groupBy(col("__s")).agg(sum(col("__cg")).as("__c"))
+      .withColumn("__prev",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__prev") + col("__c") + lit(1L))
+      .withColumn("__tie", col("__c") * col("__c") * col("__c") - col("__c"))
+    val perGroup = h.join(v.select(col("__s"), col("__r2")), Seq("__s"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cg")).as("__ng"), sum(col("__cg") * col("__r2")).as("__rg2"))
+    val nTot = sum(col("__ng")).over(Window.partitionBy())
+    val terms = perGroup
+      .withColumn("__n", nTot)
+      .withColumn("__mean2", col("__rg2").cast("double") / col("__ng").cast("double"))
+      .withColumn("__d", col("__mean2") - (col("__n") + lit(1L)).cast("double"))
+      .withColumn("__t", col("__ng").cast("double") * col("__d") * col("__d"))
+    val ties = v.agg(sum(col("__tie")).as("__ties"))
+    val nD = col("__n").cast("double")
+    terms.groupBy(col("__n"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("__t")).as("__sum"))
+      .crossJoin(ties)
+      .select(
+        col("__n").as("n"), col("n_groups"),
+        round(
+          (lit(3.0) * col("__sum") / (nD * (nD + lit(1.0)))) /
+            (lit(1.0) - col("__ties").cast("double") /
+              (nD * nD * nD - nD)), 6).as("h"))
+  }
+
+  /** Spearman rank correlation of `xCol` vs `yCol` per key — Pearson over
+    * tie-averaged ranks, with every moment EXACT: doubled midranks
+    * (`2·rank + tie_count − 1`, longs) feed integer sums, products promote
+    * to DECIMAL(38,0) before they can wrap a long, and the only floating
+    * ops are the final single divisions/sqrts from exact operands — so
+    * both engines produce identical bits and the result hash-gates.
+    * Shape: two rank windows + one tie-count window per axis on the same
+    * per-key partitioning (one shuffle), then one partial aggregate. */
+  def spearmanCorr(
+      df: DataFrame, keyCols: Seq[String], xCol: String, yCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    def r2(c: String, out: String): Column =
+      (lit(2L) * rank().over(Window.partitionBy(keys: _*).orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(keys :+ col(c): _*)) - lit(1L)).as(out)
+    val dec = "decimal(38,0)"
+    val ranked = df.select(keys :+ r2(xCol, "__rx") :+ r2(yCol, "__ry"): _*)
+    ranked.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+      .select(keys ++ Seq(
+        col("n"),
+        round(
+          (col("n").cast(dec) * col("__sxy").cast(dec) -
+            col("__sx").cast(dec) * col("__sy").cast(dec)).cast("double") /
+            (sqrt((col("n").cast(dec) * col("__sxx").cast(dec) -
+              col("__sx").cast(dec) * col("__sx").cast(dec)).cast("double")) *
+             sqrt((col("n").cast(dec) * col("__syy").cast(dec) -
+              col("__sy").cast(dec) * col("__sy").cast(dec)).cast("double"))), 6)
+          .as("rho")): _*)
+  }
+
+  /** Shannon / Simpson diversity of a categorical column per key — the
+    * corpus-mix health check (how evenly does each user/source spread over
+    * event types / languages / domains). One partial category count + one
+    * per-key rollup; entropy terms are single-op doubles from exact longs
+    * (the [[graft.operators.TextAnalysis]] char-entropy recipe), evenness
+    * normalizes by ln(k). */
+  def diversityIndex(df: DataFrame, keyCols: Seq[String], catCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val counts = df.groupBy(keys :+ col(catCol): _*).agg(count(lit(1)).as("__c"))
+    val n = sum(col("__c")).over(Window.partitionBy(keys: _*))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    counts.withColumn("__n", n)
+      .groupBy(keys: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        count(lit(1)).as("n_categories"),
+        round(-sum(p * log(p)), 6).as("shannon"),
+        round(lit(1.0) - sum(p * p), 6).as("simpson"),
+        // single-category keys get NULL evenness (0/0 would be NaN, whose
+        // rendering is engine-specific) — explicit on both engines
+        when(count(lit(1)) > 1,
+          round(-sum(p * log(p)) / log(count(lit(1)).cast("double")), 6))
+          .as("evenness"))
+  }
 }

@@ -552,4 +552,63 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(total - math.log(2.0)) < 1e-12,
       s"disjoint supports must give ln 2, got $total")
   }
+
+  test("kruskalWallis: textbook no-tie H, and a ties case vs a local reference") {
+    val df = Seq("a" -> 1, "a" -> 2, "a" -> 3, "b" -> 4, "b" -> 5, "b" -> 6,
+      "c" -> 7, "c" -> 8, "c" -> 9).toDF("g", "v")
+    val r = Sketches.kruskalWallis(df, "g", "v").head
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("n_groups") == 3L)
+    assert(math.abs(r.getAs[Double]("h") - 7.2) < 1e-9,
+      s"textbook 1..9 in thirds must give H = 7.2, got ${r.getAs[Double]("h")}")
+    // ties case against a plain-Scala midrank reference
+    val data = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 2.0, "b" -> 2.0, "b" -> 3.0,
+      "c" -> 3.0, "c" -> 3.0, "c" -> 5.0)
+    val n = data.size
+    val ranks = data.map(_._2).map { v =>
+      1.0 + data.count(_._2 < v) + (data.count(_._2 == v) - 1) / 2.0
+    }
+    val byG = data.map(_._1).zip(ranks).groupBy(_._1)
+    val hNum = 12.0 / (n * (n + 1.0)) * byG.values.map { g =>
+      val rb = g.map(_._2).sum / g.size; g.size * rb * rb
+    }.sum - 3 * (n + 1.0)
+    val ties = data.map(_._2).groupBy(identity).values
+      .map(t => math.pow(t.size, 3) - t.size).sum
+    val expected = hNum / (1.0 - ties / (math.pow(n, 3) - n))
+    val got = Sketches.kruskalWallis(data.toDF("g", "v"), "g", "v")
+      .head.getAs[Double]("h")
+    assert(math.abs(got - expected) < 1e-6, s"ties H: got $got expected $expected")
+  }
+
+  test("spearmanCorr: Pearson over tie-averaged ranks, exact on monotone data") {
+    val mono = (1 to 20).map(i => ("k", i, i * i)).toDF("k", "x", "y")
+    val rho1 = Sketches.spearmanCorr(mono, Seq("k"), "x", "y")
+      .head.getAs[Double]("rho")
+    assert(rho1 == 1.0, s"strictly monotone pairs must give rho = 1, got $rho1")
+    val data = Seq(1.0 -> 5.0, 2.0 -> 6.0, 3.0 -> 7.0, 4.0 -> 8.0, 5.0 -> 7.0)
+    def avgRanks(v: Seq[Double]) =
+      v.map(x => 1.0 + v.count(_ < x) + (v.count(_ == x) - 1) / 2.0)
+    val (rx, ry) = (avgRanks(data.map(_._1)), avgRanks(data.map(_._2)))
+    val n = data.size
+    val num = n * rx.zip(ry).map { case (a, b) => a * b }.sum - rx.sum * ry.sum
+    val den = math.sqrt(n * rx.map(x => x * x).sum - rx.sum * rx.sum) *
+      math.sqrt(n * ry.map(y => y * y).sum - ry.sum * ry.sum)
+    val expected = math.rint(num / den * 1e6) / 1e6
+    val got = Sketches.spearmanCorr(
+        data.map { case (x, y) => ("k", x, y) }.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .head.getAs[Double]("rho")
+    assert(math.abs(got - expected) < 1e-9, s"ties rho: got $got expected $expected")
+  }
+
+  test("diversityIndex: uniform mix gives shannon = ln k, evenness 1; single category NULL evenness") {
+    val df = (for (u <- 1 to 2; c <- Seq("a", "b", "c", "d"); _ <- 1 to 3)
+      yield (u, c)).toDF("u", "cat")
+    val r = Sketches.diversityIndex(df, Seq("u"), "cat").orderBy("u").head
+    assert(r.getAs[Long]("n") == 12L && r.getAs[Long]("n_categories") == 4L)
+    assert(math.abs(r.getAs[Double]("shannon") - math.log(4.0)) < 1e-5)
+    assert(r.getAs[Double]("evenness") == 1.0)
+    assert(math.abs(r.getAs[Double]("simpson") - 0.75) < 1e-9)
+    val single = Seq((1, "a"), (1, "a")).toDF("u", "cat")
+    val s = Sketches.diversityIndex(single, Seq("u"), "cat").head
+    assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
+  }
 }
