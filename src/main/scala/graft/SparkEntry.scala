@@ -2976,6 +2976,17 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Changepoint scan over each event type's daily revenue series: the
+    * split day maximizing between-segment SSE reduction, exact-cent
+    * prefix sums, argmax replayed in SQL. */
+  private def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+    Temporal.changepoint(daily, Seq("event_type"), "day", "v")
+      .orderBy("event_type")
+  }
+
   /** Kruskal–Wallis rank ANOVA: does `value` distribute identically across
     * the five event types? Exact midrank machinery, tie-corrected H. */
   private def qKruskalWallis(s: SparkSession, d: String): DataFrame =
@@ -4819,6 +4830,7 @@ object SparkEntry {
     "q_calibration_stream" -> (qCalibrationStream _),
     "q_attribution_decay" -> (qAttributionDecay _),
     "q_wallet_balance" -> (qWalletBalance _),
+    "q_changepoint" -> (qChangepoint _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -8244,6 +8256,32 @@ object SparkEntry {
          SELECT agg.user_id, end_balance, peak_balance, n_floor_touches, n_events
          FROM agg JOIN lastb ON agg.user_id = lastb.user_id
          ORDER BY agg.user_id""",
+    // gains are a fixed expression tree of single IEEE ops on exact longs
+    // — bit-identical, so even the double-ordered argmax replays
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, day,
+             CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kk,
+             CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM daily),
+         g AS (SELECT *,
+             CAST((CAST(n AS HUGEINT) * sk - CAST(kk AS HUGEINT) * s)
+                  * (CAST(n AS HUGEINT) * sk - CAST(kk AS HUGEINT) * s) AS DOUBLE)
+               / CAST(CAST(kk AS HUGEINT) * (n - kk) * n AS DOUBLE) AS gain
+           FROM c WHERE kk < n),
+         r AS (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY event_type ORDER BY gain DESC, day) AS rn FROM g)
+         SELECT event_type, n, kk AS cp_index, day AS cp_at,
+           gain,
+           ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
+           ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
+         FROM r WHERE rn = 1 ORDER BY event_type""",
     // exact doubled midranks; H in the centered form so the only
     // cross-engine float SUM runs over k centered group terms
     "q_kruskal_wallis" ->

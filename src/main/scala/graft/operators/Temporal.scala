@@ -801,6 +801,57 @@ object Temporal {
       .drop("__s", "__m")
   }
 
+  /** Single-changepoint detection per key (binary segmentation's first
+    * split, Scott–Knott / CUSUM-squared form): the split k maximizing the
+    * between-segment SSE reduction
+    * `gain_k = S_k²/k + (S−S_k)²/(n−k) − S²/n` over exact-long prefix
+    * sums — two stacked windows (running sum/count, whole-partition
+    * totals), one row_number argmax with earliest-k tie-break, no kernel
+    * and no O(n²) candidate scan. Values must be pre-quantized longs so
+    * every gain is the same fixed expression tree of single IEEE ops on
+    * exact integers — bit-identical in any engine, which makes even the
+    * argmax (a comparison on doubles) replayable in plain SQL. Keys with
+    * fewer than two rows have no candidate split and drop out. */
+  def changepoint(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val k = keyCols.map(col)
+    val run = Window.partitionBy(k: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(k: _*)
+    val dec = "decimal(38,0)"
+    val skD = col("__sk").cast("double")
+    val kD = col("__k").cast("double")
+    val restD = (col("__s") - col("__sk")).cast("double")
+    val nkD = (col("__n") - col("__k")).cast("double")
+    // gain = (n·S_k − k·S)² / (k·(n−k)·n): the three-term float form
+    // (S_k²/k + …) diverges cross-engine by an ulp at 1e10 magnitude;
+    // here numerator and denominator are EXACT decimals, so the gain is
+    // two casts and one division — bit-identical anywhere
+    val num = col("__n").cast(dec) * col("__sk").cast(dec) -
+      col("__k").cast(dec) * col("__s").cast(dec)
+    val den = col("__k").cast(dec) * (col("__n") - col("__k")).cast(dec) *
+      col("__n").cast(dec)
+    df.withColumn("__sk", sum(col(valueCol).cast("long")).over(run))
+      .withColumn("__k", count(lit(1)).over(run))
+      .withColumn("__s", sum(col(valueCol).cast("long")).over(all))
+      .withColumn("__n", count(lit(1)).over(all))
+      .filter(col("__k") < col("__n"))
+      .withColumn("__gain", (num * num).cast("double") / den.cast("double"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(k: _*).orderBy(col("__gain").desc, col(orderCol))))
+      .filter(col("__rn") === 1)
+      .select(k ++ Seq(
+        col("__n").as("n"),
+        col("__k").as("cp_index"),
+        col(orderCol).as("cp_at"),
+        col("__gain").as("gain"),
+        round(skD / kD, 6).as("mean_left"),
+        round(restD / nkD, 6).as("mean_right")): _*)
+  }
+
   /** LTTB downsample per key: each CALENDAR-BOUNDED series collects into
     * one row and the sequential largest-triangle selection
     * ([[graft.functions.VectorOps.lttb]]) runs in-row — the [[graft.operators.Sketches.isotonic]]

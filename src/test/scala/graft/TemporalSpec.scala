@@ -341,6 +341,23 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq == expected, "Lindley reflection must equal the recursion")
   }
 
+  test("changepoint: planted mean shift is found exactly; constant series ties to k=1") {
+    val shift = ((1 to 10).map(t => ("a", t, 0L)) ++ (11 to 20).map(t => ("a", t, 100L)))
+    val r = Temporal.changepoint(shift.toDF("k", "t", "v").repartition(4), Seq("k"), "t", "v")
+      .head
+    assert(r.getAs[Long]("cp_index") == 10L && r.getAs[Int]("cp_at") == 10)
+    assert(r.getAs[Double]("mean_left") == 0.0 && r.getAs[Double]("mean_right") == 100.0)
+    // gain at the true split: n_l·n_r/n·(Δmean)² = 10·10/20·100² = 50000
+    assert(r.getAs[Double]("gain") == 50000.0)
+    val const = (1 to 8).map(t => ("c", t, 7L))
+    val c = Temporal.changepoint(const.toDF("k", "t", "v"), Seq("k"), "t", "v").head
+    assert(c.getAs[Double]("gain") == 0.0 && c.getAs[Long]("cp_index") == 1L,
+      "all-zero gains must tie-break to the earliest split")
+    // single-row keys have no candidate split
+    val single = Seq(("s", 1, 5L)).toDF("k", "t", "v")
+    assert(Temporal.changepoint(single, Seq("k"), "t", "v").count() == 0L)
+  }
+
   test("maxDrawdown: exact peak-to-trough on a planted curve, zero when monotone") {
     val rows = Seq(
       ("a", 1, 10L), ("a", 2, 7L), ("a", 3, 12L), ("a", 4, 4L), ("a", 5, 9L),
