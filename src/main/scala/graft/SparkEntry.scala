@@ -1049,6 +1049,21 @@ object SparkEntry {
       .orderBy("part_key")
   }
 
+  /** Deterministic label-propagation communities over the support>=3
+    * co-purchase graph, 4 synchronous sweeps — every round replayed
+    * exactly by the chained-CTE oracle. */
+  private def qLabelProp(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 3)
+    Graph.labelPropagation(pairs, "l_partkey", "p2", rounds = 4)
+      .orderBy("node")
+  }
+
   /** Multi-source BFS over the support>=3 co-purchase graph: hop distance
     * from the 5 smallest part keys, bounded at 3 hops — the k-hop
     * proximity feature, replayed by a depth-capped recursive CTE. */
@@ -4831,6 +4846,7 @@ object SparkEntry {
     "q_attribution_decay" -> (qAttributionDecay _),
     "q_wallet_balance" -> (qWalletBalance _),
     "q_changepoint" -> (qChangepoint _),
+    "q_label_prop" -> (qLabelProp _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -5029,6 +5045,28 @@ object SparkEntry {
        deg AS (SELECT u AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM deg)$iters
        SELECT id AS part_key, rank FROM r5 ORDER BY part_key"""
+  }
+
+  /** 4 chained label-propagation sweeps — each one count + argmax CTE pair,
+    * mirroring [[graft.operators.Graph.labelPropagation]] exactly. */
+  private val labelPropOracle: String = {
+    val iters = (1 to 4).map { i =>
+      s""",
+         n$i AS (SELECT e.u, l.label, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM edges e JOIN l${i - 1} l ON e.v = l.id GROUP BY 1, 2),
+         l$i AS (SELECT u AS id, label FROM (
+                   SELECT u, label, ROW_NUMBER() OVER
+                     (PARTITION BY u ORDER BY c DESC, label) AS rn FROM n$i)
+                 WHERE rn = 1)"""
+    }.mkString
+    s"""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       p AS (SELECT a.l_partkey AS pu, b.l_partkey AS pv
+             FROM baskets a JOIN baskets b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       edges AS (SELECT pu AS u, pv AS v FROM p UNION SELECT pv AS u, pu AS v FROM p),
+       l0 AS (SELECT DISTINCT u AS id, u AS label FROM edges)$iters
+       SELECT id AS node, label AS community FROM l4 ORDER BY node"""
   }
 
   /** DuckDB oracles. Omitted only where no SQL twin exists — each such
@@ -7335,6 +7373,7 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_prints, MIN(sel) AS min_print, MAX(sel) AS max_print
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
     "q_pagerank" -> pageRankOracle,
+    "q_label_prop" -> labelPropOracle,
     // same format-priority try-parse chain; strftime renders, try_strptime
     // recovers; the garbage bucket must stay NULL on both engines
     "q_coerce_timestamps" ->

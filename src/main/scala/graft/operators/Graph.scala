@@ -337,4 +337,43 @@ object Graph {
     }
     degrees(e)
   }
+
+  /** Synchronous label propagation (Raghavan–Albert–Kumara 2007) community
+    * detection, made fully DETERMINISTIC: a fixed number of synchronous
+    * sweeps, each node adopting its neighbors' most frequent label with
+    * ties to the SMALLEST label (the paper's random visit order and random
+    * tie-break are what make vanilla LPA irreproducible — pinning both
+    * keeps the algorithm and makes every round replayable in plain SQL).
+    * Each round is one co-partitioned edge⋈label join + a partial-agg
+    * count + a per-node row_number argmax — all shuffles on the node key,
+    * lineage truncated per round; rounds, not data volume, bound the
+    * iteration count. Seeds are node ids; the graph is symmetrized and
+    * self-loop-stripped on entry. Returns (node, community). */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // symmetrized+deduped graph ⇒ every node appears as u with >= 1
+      // neighbor, so the argmax covers all nodes and no outer join is needed
+      labels = und
+        .join(labels.select(col("id").as("v"), col("label").as("__l")), Seq("v"))
+        .groupBy(col("u"), col("__l")).agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("__c").desc, col("__l"))))
+        .filter(col("__rn") === 1)
+        .select(col("u").as("id"), col("__l").as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id").as("node"), col("label").as("community"))
+  }
 }

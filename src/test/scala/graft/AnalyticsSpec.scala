@@ -500,4 +500,24 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 3L -> 1L, 7L -> 7L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
   }
+
+  test("labelPropagation: disjoint triangles converge to their min labels, hand-replayed round") {
+    import graft.operators.Graph
+    val tris = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("u", "v")
+    val got = Graph.labelPropagation(tris, "u", "v", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // one sweep on a triangle, replayed by hand: each node adopts the
+    // smaller of its two neighbors' seed labels (counts tie at 1)
+    val one = Graph.labelPropagation(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v"), "u", "v", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // self-loops and duplicate/reversed edges must not skew the counts
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val clean = Graph.labelPropagation(noisy, "u", "v", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clean == one)
+  }
 }
