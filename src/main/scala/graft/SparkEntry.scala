@@ -3002,6 +3002,17 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Holt double-exponential smoothing of each event type's daily revenue
+    * (α=0.3, β=0.1): level+trend recursion as a declarative in-row
+    * aggregate, replayed step-for-step by a recursive-CTE oracle. */
+  private def qHolt(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+    Temporal.holtSmooth(daily, Seq("event_type"), "day", "v", alpha = 0.3, beta = 0.1)
+      .orderBy("event_type")
+  }
+
   /** Kruskal–Wallis rank ANOVA: does `value` distribute identically across
     * the five event types? Exact midrank machinery, tie-corrected H. */
   private def qKruskalWallis(s: SparkSession, d: String): DataFrame =
@@ -4847,6 +4858,7 @@ object SparkEntry {
     "q_wallet_balance" -> (qWalletBalance _),
     "q_changepoint" -> (qChangepoint _),
     "q_label_prop" -> (qLabelProp _),
+    "q_holt" -> (qHolt _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -8295,6 +8307,28 @@ object SparkEntry {
          SELECT agg.user_id, end_balance, peak_balance, n_floor_touches, n_events
          FROM agg JOIN lastb ON agg.user_id = lastb.user_id
          ORDER BY agg.user_id""",
+    // the recursion replayed step-for-step; (1.0 - 0.3) spelled as a
+    // SUBTRACTION because the folded 1−α is NOT the same double as a 0.7
+    // literal — outputs ship unrounded (identical bits render identically)
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, CAST(v AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS step,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM daily),
+         h AS (
+           SELECT event_type, step, n, x AS level, CAST(0.0 AS DOUBLE) AS trend
+           FROM s WHERE step = 1
+           UNION ALL
+           SELECT s.event_type, s.step, s.n,
+             0.3 * s.x + (1.0 - 0.3) * (h.level + h.trend),
+             0.1 * ((0.3 * s.x + (1.0 - 0.3) * (h.level + h.trend)) - h.level)
+               + (1.0 - 0.1) * h.trend
+           FROM h JOIN s ON s.event_type = h.event_type AND s.step = h.step + 1)
+         SELECT event_type, n, level, trend, level + trend AS forecast
+         FROM h WHERE step = n ORDER BY event_type""",
     // gains are a fixed expression tree of single IEEE ops on exact longs
     // — bit-identical, so even the double-ordered argmax replays
     "q_changepoint" ->

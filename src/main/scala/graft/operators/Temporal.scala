@@ -880,6 +880,58 @@ object Temporal {
         col("__e.y").cast("long").as(yCol): _*)
   }
 
+  /** Holt linear (double) exponential smoothing per key — level + trend
+    * recursion `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}`, seeded `l_1 = x_1, b_1 = 0`.
+    * Inherently sequential, so it runs as the CALENDAR-BOUNDED in-row
+    * kernel the LTTB/isotonic family uses — but fully DECLARATIVE: the
+    * recursion is `aggregate()` over the sorted series array (Catalyst
+    * higher-order function, no UDF), a fixed chain of scalar IEEE ops
+    * whose bits any engine reproduces — DuckDB replays it with a
+    * recursive CTE, and the outputs ship UNROUNDED (identical bits render
+    * identically; ROUND itself is the engine-divergent step at magnitude).
+    * Returns (keys, n, level, trend, forecast = level + trend). */
+  def holtSmooth(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    val k = keyCols.map(col)
+    val a = lit(alpha)
+    val b = lit(beta)
+    val series = df.groupBy(k: _*)
+      .agg(
+        array_sort(collect_list(
+          struct(col(orderCol).as("t"), col(valueCol).cast("double").as("x"))))
+          .as("__s"),
+        count(lit(1)).as("n"))
+    val arr = col("__s")
+    val fin = aggregate(
+      slice(arr, lit(2), size(arr) - 1),
+      struct(
+        element_at(arr, 1).getField("x").as("level"),
+        lit(0.0).as("trend")),
+      (acc, e) => {
+        val nl = a * e.getField("x") +
+          (lit(1.0) - a) * (acc.getField("level") + acc.getField("trend"))
+        struct(
+          nl.as("level"),
+          (b * (nl - acc.getField("level")) +
+            (lit(1.0) - b) * acc.getField("trend")).as("trend"))
+      })
+    series
+      .withColumn("__f", fin)
+      .select(k ++ Seq(
+        col("n"),
+        col("__f.level").as("level"),
+        col("__f.trend").as("trend"),
+        (col("__f.level") + col("__f.trend")).as("forecast")): _*)
+  }
+
   /** Maximum drawdown per key over an ordered level series — the classic
     * peak-to-trough risk readout: dd_t = (max_{s<=t} level_s) − level_t,
     * reported as its maximum together with the all-time peak. Pass the

@@ -358,6 +358,25 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.changepoint(single, Seq("k"), "t", "v").count() == 0L)
   }
 
+  test("holtSmooth: bit-exact against the hand recursion; single point keeps its level") {
+    val xs = Seq(10.0, 12.0, 11.0, 15.0, 18.0, 17.0, 21.0)
+    val (alpha, beta) = (0.3, 0.1)
+    var (l, b) = (xs.head, 0.0)
+    xs.tail.foreach { x =>
+      val nl = alpha * x + (1.0 - alpha) * (l + b)
+      b = beta * (nl - l) + (1.0 - beta) * b
+      l = nl
+    }
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i, x) }.toDF("k", "t", "x")
+    val r = Temporal.holtSmooth(df.repartition(3), Seq("k"), "t", "x", alpha, beta).head
+    assert(r.getAs[Double]("level") == l && r.getAs[Double]("trend") == b,
+      "declarative aggregate() recursion must match the sequential one bit-for-bit")
+    assert(r.getAs[Double]("forecast") == l + b)
+    val single = Seq(("s", 0, 42.0)).toDF("k", "t", "x")
+    val s1 = Temporal.holtSmooth(single, Seq("k"), "t", "x", alpha, beta).head
+    assert(s1.getAs[Double]("level") == 42.0 && s1.getAs[Double]("trend") == 0.0)
+  }
+
   test("maxDrawdown: exact peak-to-trough on a planted curve, zero when monotone") {
     val rows = Seq(
       ("a", 1, 10L), ("a", 2, 7L), ("a", 3, 12L), ("a", 4, 4L), ("a", 5, 9L),
