@@ -3018,6 +3018,19 @@ object SparkEntry {
   private def qKruskalWallis(s: SparkSession, d: String): DataFrame =
     Sketches.kruskalWallis(Tables.events(s, d), "event_type", "value")
 
+  /** One-way ANOVA F of event value (exact cents) across event types — the
+    * parametric companion readout to q_kruskal_wallis. */
+  private def qAnova(s: SparkSession, d: String): DataFrame =
+    Sketches.anovaF(
+      Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents")
+
+  /** Zipf slope of the corpus word-frequency curve over the top-100 words
+    * — the one-row vocabulary-health gate. */
+  private def qZipf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(s, d), "text", topN = 100)
+
   /** Spearman rank correlation of quantity vs extended price per return
     * flag — monotone-association readout robust to the price's skew. */
   private def qSpearman(s: SparkSession, d: String): DataFrame =
@@ -4859,6 +4872,8 @@ object SparkEntry {
     "q_changepoint" -> (qChangepoint _),
     "q_label_prop" -> (qLabelProp _),
     "q_holt" -> (qHolt _),
+    "q_anova" -> (qAnova _),
+    "q_zipf" -> (qZipf _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -8355,6 +8370,43 @@ object SparkEntry {
            ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
            ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
          FROM r WHERE rn = 1 ORDER BY event_type""",
+    // centered SSB + per-group SSW, every term single IEEE ops from exact
+    // integer moments (HUGEINT = Spark DECIMAL(38,0) for the Σv² column)
+    "q_anova" ->
+      """WITH e AS (SELECT event_type AS g,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+         gg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                  CAST(SUM(v) AS BIGINT) AS sg,
+                  SUM(CAST(v AS HUGEINT) * v) AS qg FROM e GROUP BY 1),
+         t AS (SELECT *, (SELECT CAST(SUM(ng) AS BIGINT) FROM gg) AS n,
+                  (SELECT CAST(SUM(sg) AS BIGINT) FROM gg) AS s FROM gg),
+         u AS (SELECT n,
+             CAST(ng AS DOUBLE) *
+               (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+               (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssb,
+             CAST(qg AS DOUBLE) -
+               CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS ssw
+           FROM t)
+         SELECT n, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           ROUND((SUM(ssb) / CAST(COUNT(*) - 1 AS DOUBLE)) /
+                 (SUM(ssw) / CAST(n - COUNT(*) AS DOUBLE)), 6) AS f,
+           ROUND(SUM(ssb) / (SUM(ssb) + SUM(ssw)), 6) AS eta_sq
+         FROM u GROUP BY n""",
+    // ln over a bounded top-100 set; deterministic (freq desc, word) ranks
+    "q_zipf" ->
+      """WITH t AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+             FROM documents)
+           GROUP BY word ORDER BY n DESC, word LIMIT 100),
+         r AS (SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS DOUBLE)) AS x,
+                  LN(CAST(n AS DOUBLE)) AS y FROM t)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND((CAST(COUNT(*) AS DOUBLE) * SUM(x * y) - SUM(x) * SUM(y)) /
+                 (CAST(COUNT(*) AS DOUBLE) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS slope,
+           ROUND((SUM(y) - (CAST(COUNT(*) AS DOUBLE) * SUM(x * y) - SUM(x) * SUM(y)) /
+                   (CAST(COUNT(*) AS DOUBLE) * SUM(x * x) - SUM(x) * SUM(x)) * SUM(x)) /
+                 CAST(COUNT(*) AS DOUBLE), 6) AS intercept
+         FROM r""",
     // exact doubled midranks; H in the centered form so the only
     // cross-engine float SUM runs over k centered group terms
     "q_kruskal_wallis" ->

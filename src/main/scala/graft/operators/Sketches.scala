@@ -1162,6 +1162,45 @@ object Sketches {
           max(col("__n") - lit(2) * col("__k"))).as("trimmed_mean"))
   }
 
+  /** One-way ANOVA F across the `groupCol` levels — the parametric twin of
+    * [[kruskalWallis]]. `valueCol` must be pre-quantized integral (cents):
+    * per-group (n, Σv, Σv² as DECIMAL(38,0)) come from ONE partial
+    * aggregate, SSB uses the centered `Σ n_g (m_g − m)²` form and SSW the
+    * per-group `Q_g − S_g²/n_g` — every term single IEEE ops from exact
+    * sums, so the only cross-engine float SUMs run over k group terms.
+    * Returns one row: (n, n_groups, f, eta_sq). */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast("long")
+    val g = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__ng"),
+        sum(v).as("__sg"),
+        sum(v.cast(dec) * v.cast(dec)).as("__qg"))
+    val wAll = Window.partitionBy()
+    val ngD = col("__ng").cast("double")
+    val mg = col("__sg").cast("double") / ngD
+    val m = col("__s").cast("double") / col("__n").cast("double")
+    val terms = g
+      .withColumn("__n", sum(col("__ng")).over(wAll))
+      .withColumn("__s", sum(col("__sg")).over(wAll))
+      .withColumn("__ssb", ngD * (mg - m) * (mg - m))
+      .withColumn("__ssw",
+        col("__qg").cast("double") -
+          col("__sg").cast("double") * col("__sg").cast("double") / ngD)
+    terms.groupBy(col("__n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("__ssb")).as("__b"),
+        sum(col("__ssw")).as("__w"))
+      .select(
+        col("__n").as("n"), col("n_groups"),
+        round(
+          (col("__b") / (col("n_groups") - lit(1L)).cast("double")) /
+            (col("__w") / (col("__n") - col("n_groups")).cast("double")), 6).as("f"),
+        round(col("__b") / (col("__b") + col("__w")), 6).as("eta_sq"))
+  }
+
   /** Kruskal–Wallis H (rank one-way ANOVA across the `groupCol` levels) —
     * the k-sample generalization of [[mannWhitneyU]], sharing its exact
     * midrank machinery: value histogram → one global ordered pass for

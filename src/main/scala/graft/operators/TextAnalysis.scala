@@ -162,6 +162,30 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(topN)
 
+  /** Zipf slope fit over the corpus word-frequency curve — OLS of
+    * ln(freq) on ln(rank) across the top-`topN` words (deterministic
+    * (freq desc, word) ranking). Healthy natural-language corpora sit
+    * near slope −1 (Zipf 1949); a flat slope flags templated/boilerplate
+    * corpora, a cliff flags narrow vocabulary — a one-row corpus health
+    * gate next to [[wordFreq]]. The fit runs over ≤ topN points, so the
+    * only float sums span a bounded, tiny set. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = wordFreq(df, textCol, topN)
+      .withColumn("__r",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))))
+      .select(
+        log(col("__r").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val k = count(lit(1)).cast("double")
+    val slope = (k * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+      (k * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x")))
+    pts.agg(
+      count(lit(1)).as("n_points"),
+      round(slope, 6).as("slope"),
+      round((sum(col("y")) - slope * sum(col("x"))) / k, 6).as("intercept"))
+  }
+
   /** Word-repetition quality signal per document — the Gopher-style "most
     * frequent word fraction" filter used to drop boilerplate/spam from LLM
     * training corpora: `top_word_ratio` = occurrences of the most common

@@ -579,6 +579,19 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-6, s"ties H: got $got expected $expected")
   }
 
+  test("anovaF: hand-computed F on three shifted groups; identical groups give F = 0") {
+    val df = Seq("a" -> 1L, "a" -> 2L, "a" -> 3L, "b" -> 4L, "b" -> 5L, "b" -> 6L,
+      "c" -> 7L, "c" -> 8L, "c" -> 9L).toDF("g", "v")
+    val r = Sketches.anovaF(df, "g", "v").head
+    // means 2/5/8, grand 5: SSB = 3·9+0+3·9 = 54, SSW = 2+2+2 = 6,
+    // F = (54/2)/(6/6) = 27, eta² = 54/60
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Double]("f") == 27.0 && r.getAs[Double]("eta_sq") == 0.9)
+    val same = Seq("a" -> 1L, "a" -> 3L, "b" -> 1L, "b" -> 3L).toDF("g", "v")
+    val s = Sketches.anovaF(same, "g", "v").head
+    assert(s.getAs[Double]("f") == 0.0 && s.getAs[Double]("eta_sq") == 0.0)
+  }
+
   test("spearmanCorr: Pearson over tie-averaged ranks, exact on monotone data") {
     val mono = (1 to 20).map(i => ("k", i, i * i)).toDF("k", "x", "y")
     val rho1 = Sketches.spearmanCorr(mono, Seq("k"), "x", "y")

@@ -149,6 +149,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("zipfFit: exact 1/r frequencies fit slope -1, intercept ln C") {
+    // freq = 12/r for ranks 1..4: ln y = ln 12 - 1 · ln r exactly
+    val text = Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++ Seq.fill(4)("w3") ++ Seq.fill(3)("w4")
+    val docs = Seq(text.mkString(" ")).toDF("text")
+    val r = TextAnalysis.zipfFit(docs, "text", topN = 4).head
+    assert(r.getAs[Long]("n_points") == 4L)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-6,
+      s"pure 1/r curve must fit slope -1, got ${r.getAs[Double]("slope")}")
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-6)
+  }
+
   test("fingerprintOverlap detects a small doc embedded in a large one") {
     val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val large = "intro words before the borrowed passage " + small +
