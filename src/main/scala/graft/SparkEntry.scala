@@ -3031,6 +3031,11 @@ object SparkEntry {
   private def qZipf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.zipfFit(Tables.documents(s, d), "text", topN = 100)
 
+  /** Top-50 PMI collocations (support >= 5) over the documents corpus —
+    * exact-ratio ranking, ln only prices the output. */
+  private def qCollocations(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(s, d), "text", minCount = 5L, topN = 50)
+
   /** Spearman rank correlation of quantity vs extended price per return
     * flag — monotone-association readout robust to the price's skew. */
   private def qSpearman(s: SparkSession, d: String): DataFrame =
@@ -4874,6 +4879,7 @@ object SparkEntry {
     "q_holt" -> (qHolt _),
     "q_anova" -> (qAnova _),
     "q_zipf" -> (qZipf _),
+    "q_collocations" -> (qCollocations _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -8392,6 +8398,26 @@ object SparkEntry {
                  (SUM(ssw) / CAST(n - COUNT(*) AS DOUBLE)), 6) AS f,
            ROUND(SUM(ssb) / (SUM(ssb) + SUM(ssw)), 6) AS eta_sq
          FROM u GROUP BY n""",
+    // ranking on the exact-integer-backed ratio double, never on ln
+    "q_collocations" ->
+      """WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                       FROM documents),
+         big AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                 FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+                 WHERE len(ws) >= 2),
+         uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                   SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+         bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
+         j AS (SELECT w1, w2, c12,
+                 CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE) /
+                   (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS ratio
+               FROM bc, nn
+               JOIN uni u1 ON bc.w1 = u1.w
+               JOIN uni u2 ON bc.w2 = u2.w)
+         SELECT w1, w2, c12, ROUND(LN(ratio), 6) AS pmi
+         FROM j ORDER BY ratio DESC, w1, w2 LIMIT 50""",
     // ln over a bounded top-100 set; deterministic (freq desc, word) ranks
     "q_zipf" ->
       """WITH t AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (

@@ -186,6 +186,40 @@ object TextAnalysis {
       round((sum(col("y")) - slope * sum(col("x"))) / k, 6).as("intercept"))
   }
 
+  /** PMI collocations — adjacent word pairs whose co-occurrence beats
+    * independence: pmi = ln(c₁₂·N / (c₁·c₂)) over bigram count c₁₂,
+    * unigram counts c, bigram total N. The top-`topN` ranking orders by
+    * the exact-integer-backed RATIO double (deterministic bits — ln is
+    * the one engine-wobbly op, so it prices the output but never the
+    * order) with (w1, w2) ties, and the `minCount` support filter runs
+    * BEFORE the unigram joins so the pair table shrinks first. Shapes:
+    * two partial-agg counts + two equi-joins on the word key + one
+    * bounded top-N. */
+  def collocations(
+      df: DataFrame, textCol: String, minCount: Long = 5L, topN: Int = 50): DataFrame = {
+    val arr = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_]+"), lit(0))
+    val big = df.select(arr.as("__ws")).filter(size(col("__ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(
+          element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val uni = df.select(explode(arr).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val nn = big.agg(count(lit(1)).as("__n"))
+    big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .crossJoin(broadcast(nn))
+      .join(uni.select(col("__w").as("w1"), col("__c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("__c").as("__c2")), Seq("w2"))
+      .withColumn("__ratio",
+        col("c12").cast("double") * col("__n").cast("double") /
+          (col("__c1").cast("double") * col("__c2").cast("double")))
+      .orderBy(col("__ratio").desc, col("w1"), col("w2"))
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("c12"), round(log(col("__ratio")), 6).as("pmi"))
+  }
+
   /** Word-repetition quality signal per document — the Gopher-style "most
     * frequent word fraction" filter used to drop boilerplate/spam from LLM
     * training corpora: `top_word_ratio` = occurrences of the most common

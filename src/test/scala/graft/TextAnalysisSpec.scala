@@ -160,6 +160,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-6)
   }
 
+  test("collocations: planted pair gets pmi = ln 3, support filter drops the rest") {
+    val docs = Seq("new york is big", "new york wins", "big apple").toDF("text")
+    // bigrams: (new,york)x2 of N=6; unigrams new=2, york=2
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2L, topN = 10).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "new" && r.getString(1) == "york" && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - math.log(3.0)) < 1e-6,
+      s"pmi must be ln(2·6/(2·2)) = ln 3, got ${r.getDouble(3)}")
+    // single-word docs contribute no bigrams and must not crash
+    val tiny = Seq("solo", "").toDF("text")
+    assert(TextAnalysis.collocations(tiny, "text", minCount = 1L, topN = 5).count() == 0L)
+  }
+
   test("fingerprintOverlap detects a small doc embedded in a large one") {
     val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val large = "intro words before the borrowed passage " + small +
