@@ -3036,6 +3036,20 @@ object SparkEntry {
   private def qCollocations(s: SparkSession, d: String): DataFrame =
     TextAnalysis.collocations(Tables.documents(s, d), "text", minCount = 5L, topN = 50)
 
+  /** Integer-grid k-means (k=3, 3 Lloyd rounds) over per-user
+    * (event count, whole-dollar spend) — every iteration exact, the whole
+    * run replayed by a chained-CTE oracle. */
+  private def qKmeans(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        floor(sum(floor(col("value") * 100 + 0.5).cast("long")) / lit(100.0))
+          .cast("long").as("dollars"))
+    Similarity.kMeansGrid(pts, Seq("n_events", "dollars"), k = 3, iters = 3)
+      .orderBy("cluster")
+  }
+
   /** Spearman rank correlation of quantity vs extended price per return
     * flag — monotone-association readout robust to the price's skew. */
   private def qSpearman(s: SparkSession, d: String): DataFrame =
@@ -4880,6 +4894,7 @@ object SparkEntry {
     "q_anova" -> (qAnova _),
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
+    "q_kmeans" -> (qKmeans _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -5100,6 +5115,38 @@ object SparkEntry {
        edges AS (SELECT pu AS u, pv AS v FROM p UNION SELECT pv AS u, pu AS v FROM p),
        l0 AS (SELECT DISTINCT u AS id, u AS label FROM edges)$iters
        SELECT id AS node, label AS community FROM l4 ORDER BY node"""
+  }
+
+  /** 3 chained Lloyd rounds on the integer grid — assignment argmin by
+    * (exact dist², cluster) row_number, centroid means re-quantized with
+    * floor(S/n + 0.5); mirrors [[graft.operators.Similarity.kMeansGrid]]. */
+  private val kMeansOracle: String = {
+    val iters = (1 to 3).map { i =>
+      s""",
+         a$i AS (SELECT p.user_id, p.f0, p.f1, c.cl,
+                   (p.f0 - c.c0) * (p.f0 - c.c0) + (p.f1 - c.c1) * (p.f1 - c.c1) AS d,
+                   ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY
+                     (p.f0 - c.c0) * (p.f0 - c.c0) + (p.f1 - c.c1) * (p.f1 - c.c1), c.cl) AS rn
+                 FROM pts p, c${i - 1} c),
+         c$i AS (SELECT cl,
+                   CAST(FLOOR(CAST(SUM(f0) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS c0,
+                   CAST(FLOOR(CAST(SUM(f1) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS c1
+                 FROM a$i WHERE rn = 1 GROUP BY cl)"""
+    }.mkString
+    s"""WITH pts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f0,
+           CAST(FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0) AS BIGINT) AS f1
+         FROM events GROUP BY 1),
+       c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY f0, f1) - 1 AS cl, f0 AS c0, f1 AS c1
+              FROM (SELECT DISTINCT f0, f1 FROM pts ORDER BY f0, f1 LIMIT 3))$iters,
+       fin AS (SELECT p.user_id, c.cl,
+                 (p.f0 - c.c0) * (p.f0 - c.c0) + (p.f1 - c.c1) * (p.f1 - c.c1) AS d,
+                 ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY
+                   (p.f0 - c.c0) * (p.f0 - c.c0) + (p.f1 - c.c1) * (p.f1 - c.c1), c.cl) AS rn
+               FROM pts p, c3 c)
+       SELECT f.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+         MAX(c.c0) AS n_events, MAX(c.c1) AS dollars, CAST(SUM(f.d) AS BIGINT) AS inertia
+       FROM fin f JOIN c3 c ON f.cl = c.cl WHERE f.rn = 1
+       GROUP BY f.cl ORDER BY cluster"""
   }
 
   /** DuckDB oracles. Omitted only where no SQL twin exists — each such
@@ -7407,6 +7454,7 @@ object SparkEntry {
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
     "q_pagerank" -> pageRankOracle,
     "q_label_prop" -> labelPropOracle,
+    "q_kmeans" -> kMeansOracle,
     // same format-priority try-parse chain; strftime renders, try_strptime
     // recovers; the garbage bucket must stay NULL on both engines
     "q_coerce_timestamps" ->

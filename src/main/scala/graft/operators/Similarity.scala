@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -306,6 +307,73 @@ object Similarity {
       .withColumn("dist_sq",
         (0 until k).map(i => col(s"__d$i")).reduce((a, b) => least(a, b)))
       .drop((0 until k).map(i => s"__d$i"): _*)
+  }
+
+  /** Integer-grid Lloyd k-means over pre-quantized scalar features — the
+    * fully-EXACT clustering variant: squared distances are exact longs,
+    * the argmin ties to the lowest cluster id through lexicographic
+    * struct-`least`, and each centroid update re-quantizes the mean to the
+    * integer grid (`floor(S/n + 0.5)` — one deterministic double op from
+    * exact sums), so every iteration is bit-reproducible and a chained-CTE
+    * SQL oracle replays the whole run. Float k-means can't be cross-engine
+    * checked at all; on the integer grid the full algorithm hash-gates.
+    *
+    * Shape: `iters` driver-paced rounds (the kCenter discipline — k is
+    * tiny, so each round broadcasts k centroid literals into ONE codegen'd
+    * scan + partial agg; no shuffle beyond the k-row update), deterministic
+    * init at the k smallest distinct feature tuples. Clusters that lose
+    * all points drop out on both engines identically. Returns one row per
+    * surviving cluster: (cluster, n_points, <featureCols> centroid coords,
+    * inertia = exact Σ dist²). */
+  def kMeansGrid(
+      df: DataFrame,
+      featureCols: Seq[String],
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dims = featureCols.indices
+    val pts = df.select(featureCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("long").as(s"__f$i")
+    }: _*).localCheckpoint(true)
+    val fcols = dims.map(i => col(s"__f$i"))
+    var cents: Seq[(Int, Seq[Long])] = pts.distinct().orderBy(fcols: _*)
+      .limit(k).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, dims.map(j => r.getLong(j))) }
+    require(cents.size >= 2, s"need >= 2 distinct points, got ${cents.size}")
+    def assigned: DataFrame = {
+      val structs = cents.map { case (ci, cv) =>
+        val d = dims.map { j =>
+          (col(s"__f$j") - lit(cv(j))) * (col(s"__f$j") - lit(cv(j)))
+        }.reduce(_ + _)
+        struct(d.as("d"), lit(ci).as("c"))
+      }
+      pts.withColumn("__m", least(structs: _*))
+    }
+    for (_ <- 1 to iters) {
+      val upd = assigned.groupBy(col("__m.c").as("cluster"))
+        .agg(count(lit(1)).as("__n"),
+          dims.map(j => floor(sum(col(s"__f$j")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as(s"__c$j")): _*)
+        .orderBy(col("cluster"))
+        .collect()
+      cents = upd.toSeq.map(r =>
+        (r.getInt(0), dims.map(j => r.getLong(r.fieldIndex(s"__c$j")))))
+    }
+    val coordRows = cents.map { case (ci, cv) => Row.fromSeq(ci +: cv) }
+    val coordSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        featureCols.map(c => org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.LongType, nullable = false)))
+    val coords = df.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](coordRows.asJava), coordSchema)
+    assigned
+      .groupBy(col("__m.c").as("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum(col("__m.d")).as("inertia"))
+      .join(broadcast(coords), Seq("cluster"))
+      .select((Seq(col("cluster"), col("n_points")) ++
+        featureCols.map(col) :+ col("inertia")): _*)
   }
 
   /** Retrieval-quality metrics — the eval harness that closes the ANN loop:

@@ -5,6 +5,18 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("kMeansGrid: hand-traced two-cluster run — init, migration, requantized means") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (100L, 0L), (101L, 0L), (100L, 1L))
+      .toDF("x", "y")
+    // init c0=(0,0), c1=(0,1); round 1 pulls c0 to (51,0)/c1 to (50,1);
+    // round 2 migrates the small points to c1=(0,0), c0=(100,0); the final
+    // assignment leaves 3 points and inertia 2 on each side
+    val out = Similarity.kMeansGrid(pts.repartition(3), Seq("x", "y"), k = 2, iters = 2)
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0, 3L, 100L, 0L, 2L), (1, 3L, 0L, 0L, 2L)))
+  }
+
   // 4-dim toy corpus: vec 2 is a scaled copy of vec 1 (cosine 1.0), vec 3
   // orthogonal-ish, vec 4 negated.
   private def vecs = Seq(
