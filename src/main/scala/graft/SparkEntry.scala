@@ -4106,6 +4106,30 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** STREAMING diversity twin: per-(user, event_type) integer counts
+    * accumulate in the state store (complete mode); the Shannon/Simpson
+    * assembly runs in batch off the sink, so stream == batch exactly and
+    * the query shares q_diversity's oracle verbatim. */
+  private def qDiversityStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_diversity_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.diversityAssemble(s.table(name), Seq("user_id"))
+      .orderBy("user_id")
+  }
+
   /** Single-linkage spatial clustering at a 300 km threshold — DBSCAN with
     * minPts=1: the ε-neighbor graph from the grid radius join (X124's
     * self-join form), components via the log-round star contraction
@@ -4839,6 +4863,7 @@ object SparkEntry {
     "q_bh_adjust" -> (qBhAdjust _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_gini_stream" -> (qGiniStream _),
+    "q_diversity_stream" -> (qDiversityStream _),
     "q_spatial_clusters" -> (qSpatialClusters _),
     "q_spatial_join_stream" -> (qSpatialJoinStream _),
     "q_interpolate" -> (qInterpolate _),
@@ -8529,6 +8554,19 @@ object SparkEntry {
     // entropy terms are single-op doubles from exact longs; single-category
     // users get NULL evenness on both engines
     "q_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+         w AS (SELECT user_id, c,
+                 CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM c),
+         t AS (SELECT user_id, n, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM w)
+         SELECT user_id, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS n_categories,
+           ROUND(-SUM(p * LN(p)), 6) AS shannon,
+           ROUND(1.0 - SUM(p * p), 6) AS simpson,
+           CASE WHEN COUNT(*) > 1
+                THEN ROUND(-SUM(p * LN(p)) / LN(CAST(COUNT(*) AS DOUBLE)), 6) END AS evenness
+         FROM t GROUP BY user_id ORDER BY user_id""",
+    // stream twin: integer state => stream == batch, shared oracle
+    "q_diversity_stream" ->
       """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
                     FROM events GROUP BY 1, 2),
          w AS (SELECT user_id, c,

@@ -1288,9 +1288,16 @@ object Sketches {
     * per-key rollup; entropy terms are single-op doubles from exact longs
     * (the [[graft.operators.TextAnalysis]] char-entropy recipe), evenness
     * normalizes by ln(k). */
-  def diversityIndex(df: DataFrame, keyCols: Seq[String], catCol: String): DataFrame = {
+  def diversityIndex(df: DataFrame, keyCols: Seq[String], catCol: String): DataFrame =
+    diversityAssemble(
+      df.groupBy(keyCols.map(col) :+ col(catCol): _*).agg(count(lit(1)).as("__c")),
+      keyCols)
+
+  /** Assembly half of [[diversityIndex]] over a pre-counted
+    * (keys..., category, `__c`) table — shared by the streaming twin,
+    * whose state store accumulates exactly these integer counts. */
+  def diversityAssemble(counts: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
-    val counts = df.groupBy(keys :+ col(catCol): _*).agg(count(lit(1)).as("__c"))
     val n = sum(col("__c")).over(Window.partitionBy(keys: _*))
     val p = col("__c").cast("double") / col("__n").cast("double")
     counts.withColumn("__n", n)
