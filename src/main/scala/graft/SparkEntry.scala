@@ -3013,6 +3013,16 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Naive vs weekly-seasonal-naive backtest of each event type's daily
+    * revenue — exact-cent error sums, MASE as the persistence gate. */
+  private def qForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+    Temporal.forecastBacktest(daily, Seq("event_type"), "day", "v", season = 7)
+      .orderBy("event_type")
+  }
+
   /** Kruskal–Wallis rank ANOVA: does `value` distribute identically across
     * the five event types? Exact midrank machinery, tie-corrected H. */
   private def qKruskalWallis(s: SparkSession, d: String): DataFrame =
@@ -4920,6 +4930,7 @@ object SparkEntry {
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
     "q_kmeans" -> (qKmeans _),
+    "q_forecast_backtest" -> (qForecastBacktest _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -8401,6 +8412,27 @@ object SparkEntry {
          SELECT agg.user_id, end_balance, peak_balance, n_floor_touches, n_events
          FROM agg JOIN lastb ON agg.user_id = lastb.user_id
          ORDER BY agg.user_id""",
+    // exact long error sums; MAEs one division each, MASE one more
+    "q_forecast_backtest" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type,
+             ABS(v - LAG(v, 1) OVER (PARTITION BY event_type ORDER BY day)) AS d1,
+             ABS(v - LAG(v, 7) OVER (PARTITION BY event_type ORDER BY day)) AS dm
+           FROM daily),
+         a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d1) AS BIGINT) AS s1, CAST(COUNT(d1) AS BIGINT) AS c1,
+             CAST(SUM(dm) AS BIGINT) AS sm, CAST(COUNT(dm) AS BIGINT) AS cm
+           FROM l GROUP BY 1)
+         SELECT event_type, n,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS mae_naive,
+           CASE WHEN cm > 0
+                THEN ROUND(CAST(sm AS DOUBLE) / CAST(cm AS DOUBLE), 6) END AS mae_snaive,
+           CASE WHEN cm > 0
+                THEN ROUND((CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE)) /
+                           (CAST(sm AS DOUBLE) / CAST(cm AS DOUBLE)), 6) END AS mase
+         FROM a ORDER BY event_type""",
     // the recursion replayed step-for-step; (1.0 - 0.3) spelled as a
     // SUBTRACTION because the folded 1−α is NOT the same double as a 0.7
     // literal — outputs ship unrounded (identical bits render identically)

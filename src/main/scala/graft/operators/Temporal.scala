@@ -932,6 +932,47 @@ object Temporal {
         (col("__f.level") + col("__f.trend")).as("forecast")): _*)
   }
 
+  /** Forecast backtest per key — in-sample MAE of the naive (carry last
+    * value) and seasonal-naive (carry value from `season` observations
+    * back) forecasters, plus their ratio MASE (Hyndman–Koehler 2006,
+    * computed against the one-step naive): the standard "is my fancy
+    * forecaster even beating persistence" gate, and the denominator any
+    * model's MASE needs. Values must be pre-quantized longs: absolute
+    * errors are exact long sums, the MAEs one division each, MASE one
+    * more — all single IEEE ops, engine-identical. Keys shorter than
+    * `season`+1 observations report NULL seasonal columns. One window
+    * pass + one partial agg per key. */
+  def forecastBacktest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val v = col(valueCol).cast("long")
+    val d1 = abs(v - lag(v, 1).over(w))
+    val dm = abs(v - lag(v, season).over(w))
+    val lagged = df.select(
+      keyCols.map(col) ++ Seq(d1.as("__d1"), dm.as("__dm")): _*)
+    lagged.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__d1")).as("__s1"), count(col("__d1")).as("__c1"),
+        sum(col("__dm")).as("__sm"), count(col("__dm")).as("__cm"))
+      .select(keyCols.map(col) ++ Seq(
+        col("n"),
+        round(col("__s1").cast("double") / col("__c1").cast("double"), 6)
+          .as("mae_naive"),
+        when(col("__cm") > 0,
+          round(col("__sm").cast("double") / col("__cm").cast("double"), 6))
+          .as("mae_snaive"),
+        when(col("__cm") > 0,
+          round((col("__s1").cast("double") / col("__c1").cast("double")) /
+            (col("__sm").cast("double") / col("__cm").cast("double")), 6))
+          .as("mase")): _*)
+  }
+
   /** Maximum drawdown per key over an ordered level series — the classic
     * peak-to-trough risk readout: dd_t = (max_{s<=t} level_s) − level_t,
     * reported as its maximum together with the all-time peak. Pass the

@@ -377,6 +377,23 @@ class TemporalSpec extends SparkSpec {
     assert(s1.getAs[Double]("level") == 42.0 && s1.getAs[Double]("trend") == 0.0)
   }
 
+  test("forecastBacktest: hand-computed MAEs; short series gets NULL seasonal columns") {
+    // series 10, 12, 9, 15: naive errors 2,3,6 -> mae 11/3; season=2
+    // errors |9-10|=1, |15-12|=3 -> mae 2; mase = (11/3)/2
+    val df = Seq(("a", 1, 10L), ("a", 2, 12L), ("a", 3, 9L), ("a", 4, 15L),
+      ("b", 1, 5L), ("b", 2, 7L)).toDF("k", "t", "v")
+    val out = Temporal.forecastBacktest(df.repartition(3), Seq("k"), "t", "v", season = 2)
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n") == 4L)
+    assert(a.getAs[Double]("mae_naive") == math.rint(11.0 / 3.0 * 1e6) / 1e6)
+    assert(a.getAs[Double]("mae_snaive") == 2.0)
+    assert(a.getAs[Double]("mase") == math.rint(11.0 / 3.0 / 2.0 * 1e6) / 1e6)
+    val b = out(1) // only 2 points: one naive error, zero seasonal at m=2
+    assert(b.getAs[Double]("mae_naive") == 2.0)
+    assert(b.isNullAt(b.fieldIndex("mae_snaive")) && b.isNullAt(b.fieldIndex("mase")))
+  }
+
   test("maxDrawdown: exact peak-to-trough on a planted curve, zero when monotone") {
     val rows = Seq(
       ("a", 1, 10L), ("a", 2, 7L), ("a", 3, 12L), ("a", 4, 4L), ("a", 5, 9L),
