@@ -1064,6 +1064,20 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Newman modularity of the 4-sweep label-propagation communities on the
+    * co-purchase graph — exact-rational score, one output row. */
+  private def qModularity(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 3)
+    val comms = Graph.labelPropagation(pairs, "l_partkey", "p2", rounds = 4)
+    Graph.modularity(pairs, comms, "l_partkey", "p2", "node", "community")
+  }
+
   /** Multi-source BFS over the support>=3 co-purchase graph: hop distance
     * from the 5 smallest part keys, bounded at 3 hops — the k-hop
     * proximity feature, replayed by a depth-capped recursive CTE. */
@@ -4931,6 +4945,7 @@ object SparkEntry {
     "q_collocations" -> (qCollocations _),
     "q_kmeans" -> (qKmeans _),
     "q_forecast_backtest" -> (qForecastBacktest _),
+    "q_modularity" -> (qModularity _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -5151,6 +5166,24 @@ object SparkEntry {
        edges AS (SELECT pu AS u, pv AS v FROM p UNION SELECT pv AS u, pu AS v FROM p),
        l0 AS (SELECT DISTINCT u AS id, u AS label FROM edges)$iters
        SELECT id AS node, label AS community FROM l4 ORDER BY node"""
+  }
+
+  /** LPA sweeps (shared CTE builder) + the exact-rational modularity tail. */
+  private val modularityOracle: String = {
+    val upTo = labelPropOracle.substring(0, labelPropOracle.lastIndexOf("\n       SELECT"))
+    upTo + """,
+       wc AS (SELECT la.label AS ca, lb.label AS cb
+              FROM p JOIN l4 la ON p.pu = la.id JOIN l4 lb ON p.pv = lb.id),
+       dc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT ca AS c FROM wc UNION ALL SELECT cb AS c FROM wc) GROUP BY 1),
+       ic AS (SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS l FROM wc
+              WHERE ca = cb GROUP BY 1),
+       mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p)
+       SELECT m, CAST(COUNT(*) AS BIGINT) AS n_communities,
+         ROUND(CAST(SUM(CAST(4 AS HUGEINT) * m * COALESCE(l, 0)
+                 - CAST(d AS HUGEINT) * d) AS DOUBLE) /
+               (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS modularity
+       FROM dc LEFT JOIN ic USING (c), mm GROUP BY m"""
   }
 
   /** 3 chained Lloyd rounds on the integer grid — assignment argmin by
@@ -7491,6 +7524,7 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracle,
     "q_label_prop" -> labelPropOracle,
     "q_kmeans" -> kMeansOracle,
+    "q_modularity" -> modularityOracle,
     // same format-priority try-parse chain; strftime renders, try_strptime
     // recovers; the garbage bucket must stay NULL on both engines
     "q_coerce_timestamps" ->

@@ -338,6 +338,50 @@ object Graph {
     degrees(e)
   }
 
+  /** Newman modularity of a community assignment over an undirected graph —
+    * the "are these communities real structure" score closing the loop on
+    * [[labelPropagation]]: Q = Σ_c [L_c/m − (D_c/2m)²] with L_c
+    * intra-community edges, D_c community degree sum, m total edges. The
+    * whole score is the EXACT rational Σ_c (4m·L_c − D_c²) / (4m²) —
+    * integer counts promoted to DECIMAL(38,0) before products, one double
+    * division at the end — so it hash-gates cross-engine. Shapes: edge
+    * canonicalization + two label equi-joins on the node key + two partial
+    * aggs on the community key; output is one row. */
+  def modularity(
+      edges: DataFrame,
+      labels: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodeCol: String,
+      commCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val lab = labels.select(col(nodeCol).cast("long").as("id"), col(commCol).cast("long").as("c"))
+    val withC = e
+      .join(lab.select(col("id").as("a"), col("c").as("__ca")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("c").as("__cb")), Seq("b"))
+    val degC = withC.select(explode(array(col("__ca"), col("__cb"))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("__d"))
+    val intra = withC.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("c")).agg(count(lit(1)).as("__l"))
+    val m = e.agg(count(lit(1)).as("__m"))
+    degC.join(intra, Seq("c"), "left").na.fill(0L, Seq("__l"))
+      .crossJoin(broadcast(m))
+      .agg(
+        max(col("__m")).as("m"),
+        count(lit(1)).as("n_communities"),
+        sum(lit(4L).cast(dec) * col("__m").cast(dec) * col("__l").cast(dec) -
+          col("__d").cast(dec) * col("__d").cast(dec)).as("__num"))
+      .select(
+        col("m"), col("n_communities"),
+        round(col("__num").cast("double") /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
+          .as("modularity"))
+  }
+
   /** Synchronous label propagation (Raghavan–Albert–Kumara 2007) community
     * detection, made fully DETERMINISTIC: a fixed number of synchronous
     * sweeps, each node adopting its neighbors' most frequent label with

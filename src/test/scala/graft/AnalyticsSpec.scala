@@ -501,6 +501,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 1L, 7L -> 7L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("modularity: two clean triangles score 0.5, one-community graph scores 0") {
+    import graft.operators.Graph
+    val tris = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("u", "v")
+    val comms = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("node", "community")
+    val r = Graph.modularity(tris, comms, "u", "v", "node", "community").head
+    // m=6, each community: L=3, D=6 -> Q = 2·(3/6 − (6/12)²) = 0.5
+    assert(r.getAs[Long]("m") == 6L && r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Double]("modularity") == 0.5)
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L), (11L, 1L), (12L, 1L))
+      .toDF("node", "community")
+    val q1 = Graph.modularity(tris, one, "u", "v", "node", "community")
+      .head.getAs[Double]("modularity")
+    assert(q1 == 0.0, s"everything-in-one-community must score 0, got $q1")
+  }
+
   test("labelPropagation: disjoint triangles converge to their min labels, hand-replayed round") {
     import graft.operators.Graph
     val tris = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
