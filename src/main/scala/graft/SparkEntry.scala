@@ -3060,6 +3060,10 @@ object SparkEntry {
   private def qCollocations(s: SparkSession, d: String): DataFrame =
     TextAnalysis.collocations(Tables.documents(s, d), "text", minCount = 5L, topN = 50)
 
+  /** Corpus vocabulary health: type-token ratio + hapax fraction. */
+  private def qVocabStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabStats(Tables.documents(s, d), "text")
+
   /** Integer-grid k-means (k=3, 3 Lloyd rounds) over per-user
     * (event count, whole-dollar spend) — every iteration exact, the whole
     * run replayed by a chained-CTE oracle. */
@@ -4946,6 +4950,7 @@ object SparkEntry {
     "q_kmeans" -> (qKmeans _),
     "q_forecast_backtest" -> (qForecastBacktest _),
     "q_modularity" -> (qModularity _),
+    "q_vocab_stats" -> (qVocabStats _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -8537,6 +8542,19 @@ object SparkEntry {
                  (SUM(ssw) / CAST(n - COUNT(*) AS DOUBLE)), 6) AS f,
            ROUND(SUM(ssb) / (SUM(ssb) + SUM(ssw)), 6) AS eta_sq
          FROM u GROUP BY n""",
+    // exact integer counts, two single-division ratios
+    "q_vocab_stats" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+                    FROM documents),
+         c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+         a AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+               FROM c)
+         SELECT n_tokens, n_types, n_hapax,
+           ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_frac
+         FROM a""",
     // ranking on the exact-integer-backed ratio double, never on ln
     "q_collocations" ->
       """WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws

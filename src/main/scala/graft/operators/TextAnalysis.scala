@@ -186,6 +186,26 @@ object TextAnalysis {
       round((sum(col("y")) - slope * sum(col("x"))) / k, 6).as("intercept"))
   }
 
+  /** Corpus vocabulary statistics — type-token ratio and hapax-legomena
+    * fraction (the Zipf-tail mass): one word-count partial agg, then one
+    * row of exact-integer-backed ratios. A shrinking TTR across snapshots
+    * flags template flooding; a collapsing hapax fraction flags dedup
+    * over-aggressiveness. */
+  def vocabStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_]+"), lit(0))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(
+        col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_frac"))
+
   /** PMI collocations — adjacent word pairs whose co-occurrence beats
     * independence: pmi = ln(c₁₂·N / (c₁·c₂)) over bigram count c₁₂,
     * unigram counts c, bigram total N. The top-`topN` ranking orders by

@@ -160,6 +160,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-6)
   }
 
+  test("vocabStats: exact token/type/hapax counts on a hand corpus") {
+    val docs = Seq("a a b c", "b d").toDF("text")
+    // tokens 6; types a,b,c,d = 4; hapax c,d = 2
+    val r = TextAnalysis.vocabStats(docs, "text").head
+    assert(r.getAs[Long]("n_tokens") == 6L && r.getAs[Long]("n_types") == 4L &&
+      r.getAs[Long]("n_hapax") == 2L)
+    assert(r.getAs[Double]("ttr") == math.rint(4.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getAs[Double]("hapax_frac") == 0.5)
+  }
+
   test("collocations: planted pair gets pmi = ln 3, support filter drops the rest") {
     val docs = Seq("new york is big", "new york wins", "big apple").toDF("text")
     // bigrams: (new,york)x2 of N=6; unigrams new=2, york=2
