@@ -575,4 +575,53 @@ class PlanSpec extends SparkSpec {
     // one partial+final aggregate over terms
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregate:\n$p")
   }
+
+  // ---- r7 additions: the stats/series wave keeps its one-shuffle shapes.
+
+  test("spearman: all four rank windows share ONE hash exchange on the key") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val p = plan(graft.operators.Sketches.spearmanCorr(
+      df, Seq("l_returnflag"), "l_quantity", "l_extendedprice"))
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"rank windows + final agg must reuse one key partitioning:\n$p")
+  }
+
+  test("changepoint: one window exchange, argmax on the native top-k operator") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id").as("v"))
+    val p = plan(graft.operators.Temporal.changepoint(
+      df, Seq("event_type"), "ts", "v"))
+    // the rank-filter argmax rewrites onto TopKPerKey: its exchange carries
+    // <= 1 row per key, so only the window exchange moves data
+    assert(p.contains("TopKPerKey"), s"argmax lost the native top-k rewrite:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size == 2,
+      s"changepoint must be window exchange + bounded top-k exchange:\n$p")
+  }
+
+  test("holt smoothing: one key shuffle, no Window operator at all") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id").as("v"))
+    val p = plan(graft.operators.Temporal.holtSmooth(
+      df, Seq("event_type"), "ts", "v", 0.3, 0.1))
+    assert(!p.contains("Window"), s"holt must be an in-row kernel, not a window:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"holt must shuffle once on the key:\n$p")
+  }
+
+  test("collocations: the bigram-total join broadcasts, never a cartesian shuffle") {
+    val p = plan(SparkEntry.queries("q_collocations")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"collocations must not cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast:\n$p")
+  }
+
+  test("k-means summary: centroid coords broadcast onto the k-row rollup") {
+    val p = plan(SparkEntry.queries("q_kmeans")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"coords must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"k-row join must not sort-merge:\n$p")
+  }
 }
