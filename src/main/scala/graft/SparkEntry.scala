@@ -3027,6 +3027,16 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** SAX words (8 segments, 4-letter alphabet) for each event type's daily
+    * revenue series — bit-deterministic symbols, SQL-replayed. */
+  private def qSax(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+    Temporal.saxWords(daily, Seq("event_type"), "day", "v", segments = 8)
+      .orderBy("event_type")
+  }
+
   /** Naive vs weekly-seasonal-naive backtest of each event type's daily
     * revenue — exact-cent error sums, MASE as the persistence gate. */
   private def qForecastBacktest(s: SparkSession, d: String): DataFrame = {
@@ -4949,6 +4959,7 @@ object SparkEntry {
     "q_collocations" -> (qCollocations _),
     "q_kmeans" -> (qKmeans _),
     "q_forecast_backtest" -> (qForecastBacktest _),
+    "q_sax" -> (qSax _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
@@ -8451,6 +8462,40 @@ object SparkEntry {
          SELECT agg.user_id, end_balance, peak_balance, n_floor_touches, n_events
          FROM agg JOIN lastb ON agg.user_id = lastb.user_id
          ORDER BY agg.user_id""",
+    // z / PAA means are fixed IEEE chains from exact integer sums; the
+    // ±0.6744897501960817 breakpoints are identical literals on both sides
+    "q_sax" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         pos AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY event_type) AS q
+           FROM daily),
+         seg AS (SELECT event_type, n, s, q,
+             CAST(FLOOR(i * 8 / n) AS INT) AS sg,
+             CAST(SUM(v) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS cv
+           FROM pos WHERE n >= 8 GROUP BY 1, 2, 3, 4, 5),
+         z AS (SELECT event_type, n, sg,
+             CASE WHEN SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) > 0
+                  THEN (CAST(sv AS DOUBLE) / CAST(cv AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                  ELSE 0.0 END AS z
+           FROM seg),
+         sym AS (SELECT event_type, n, sg,
+             CASE WHEN z < -0.6744897501960817 THEN 'a'
+                  WHEN z < 0.0 THEN 'b'
+                  WHEN z < 0.6744897501960817 THEN 'c'
+                  ELSE 'd' END AS sym
+           FROM z)
+         SELECT event_type, MAX(n) AS n,
+           STRING_AGG(sym, '' ORDER BY sg) AS sax_word
+         FROM sym GROUP BY event_type ORDER BY event_type""",
     // exact long error sums; MAEs one division each, MASE one more
     "q_forecast_backtest" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

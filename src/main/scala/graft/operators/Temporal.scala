@@ -932,6 +932,63 @@ object Temporal {
         (col("__f.level") + col("__f.trend")).as("forecast")): _*)
   }
 
+  /** SAX symbolic approximation per key (Lin–Keogh 2003) — each series
+    * z-normalized, PAA-compressed to `segments` means, each mean mapped to
+    * a letter at the standard Gaussian breakpoints: the representation
+    * iSAX-style series indexing builds on. Fully distributed (no bounded
+    * collect): one key-window pass for row numbers + exact (S, Σv²-as-
+    * DECIMAL, n) moments, one partial agg at (key, segment) grain with
+    * exact long segment sums, and a ≤`segments`-row word assembly. Every
+    * float (mean, std, z) is a fixed chain of single IEEE ops from exact
+    * integer sums, and the breakpoints are literals — so the WORDS are
+    * bit-deterministic and replay in SQL. Constant series (σ = 0) pin
+    * z = 0. Values must be pre-quantized longs; alphabet is fixed at 4
+    * (breakpoints ±0.6744897501960817, 0 — the N(0,1) quartiles). */
+  def saxWords(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      segments: Int = 8): DataFrame = {
+    require(segments >= 2, s"segments must be >= 2, got $segments")
+    val dec = "decimal(38,0)"
+    val k = keyCols.map(col)
+    val wKey = Window.partitionBy(k: _*)
+    val v = col(valueCol).cast("long")
+    val b = 0.6744897501960817
+    val positioned = df.select(k ++ Seq(
+      v.as("__v"),
+      (row_number().over(wKey.orderBy(col(orderCol))) - 1).as("__i")): _*)
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__s", sum(col("__v")).over(wKey))
+      .withColumn("__q", sum(col("__v").cast(dec) * col("__v").cast(dec)).over(wKey))
+      .filter(col("__n") >= segments)
+      .withColumn("__seg", floor(col("__i") * lit(segments) / col("__n")).cast("int"))
+    val mu = col("__s").cast("double") / col("__n").cast("double")
+    val sigma = sqrt(
+      (col("__q").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double") / col("__n").cast("double")) /
+        col("__n").cast("double"))
+    val segs = positioned
+      .groupBy(k ++ Seq(col("__seg"), col("__n"), col("__s"), col("__q")): _*)
+      .agg(sum(col("__v")).as("__sv"), count(lit(1)).as("__cv"))
+      .withColumn("__z",
+        when(sigma > 0,
+          (col("__sv").cast("double") / col("__cv").cast("double") - mu) / sigma)
+          .otherwise(lit(0.0)))
+      .withColumn("__sym",
+        when(col("__z") < lit(-b), "a")
+          .when(col("__z") < lit(0.0), "b")
+          .when(col("__z") < lit(b), "c")
+          .otherwise("d"))
+    segs.groupBy(k: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__seg"), col("__sym")))),
+          s => s.getField("__sym")), "").as("sax_word"))
+  }
+
   /** Forecast backtest per key — in-sample MAE of the naive (carry last
     * value) and seasonal-naive (carry value from `season` observations
     * back) forecasters, plus their ratio MASE (Hyndman–Koehler 2006,

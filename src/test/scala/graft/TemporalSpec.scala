@@ -377,6 +377,18 @@ class TemporalSpec extends SparkSpec {
     assert(s1.getAs[Double]("level") == 42.0 && s1.getAs[Double]("trend") == 0.0)
   }
 
+  test("saxWords: step series reads aadd, constant series cccc, short series dropped") {
+    val step = (0 until 8).map(i => ("s", i, if (i < 4) 0L else 100L))
+    val const = (0 until 8).map(i => ("c", i, 7L))
+    val short3 = (0 until 3).map(i => ("x", i, i.toLong))
+    val out = Temporal.saxWords(
+        (step ++ const ++ short3).toDF("k", "t", "v").repartition(4),
+        Seq("k"), "t", "v", segments = 4)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // step: mu=50 sigma=50, segment means 0,0,100,100 -> z=-1,-1,1,1
+    assert(out.toSeq == Seq(("c", 8L, "cccc"), ("s", 8L, "aadd")))
+  }
+
   test("forecastBacktest: hand-computed MAEs; short series gets NULL seasonal columns") {
     // series 10, 12, 9, 15: naive errors 2,3,6 -> mae 11/3; season=2
     // errors |9-10|=1, |15-12|=3 -> mae 2; mase = (11/3)/2
