@@ -3060,6 +3060,15 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       "event_type", "cents")
 
+  /** Tukey-style pairwise contrasts between event types' mean values —
+    * the post-hoc readout after q_anova's omnibus F. */
+  private def qTukey(s: SparkSession, d: String): DataFrame =
+    Sketches.tukeyPairs(
+      Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents")
+      .orderBy("group_a", "group_b")
+
   /** Zipf slope of the corpus word-frequency curve over the top-100 words
     * — the one-row vocabulary-health gate. */
   private def qZipf(s: SparkSession, d: String): DataFrame =
@@ -4168,6 +4177,30 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** STREAMING forecast-backtest twin: daily exact-cent sums accumulate in
+    * the state store (complete mode); the lag-window MAE/MASE assembly runs
+    * in batch off the sink — integer state ⇒ stream == batch exactly,
+    * sharing q_forecast_backtest's oracle verbatim. */
+  private def qForecastBacktestStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_forecast_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Temporal.forecastBacktest(s.table(name), Seq("event_type"), "day", "v", season = 7)
+      .orderBy("event_type")
+  }
+
   /** Single-linkage spatial clustering at a 300 km threshold — DBSCAN with
     * minPts=1: the ε-neighbor graph from the grid radius join (X124's
     * self-join form), components via the log-round star contraction
@@ -4960,6 +4993,8 @@ object SparkEntry {
     "q_kmeans" -> (qKmeans _),
     "q_forecast_backtest" -> (qForecastBacktest _),
     "q_sax" -> (qSax _),
+    "q_tukey" -> (qTukey _),
+    "q_forecast_backtest_stream" -> (qForecastBacktestStream _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
@@ -8517,6 +8552,27 @@ object SparkEntry {
                 THEN ROUND((CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE)) /
                            (CAST(sm AS DOUBLE) / CAST(cm AS DOUBLE)), 6) END AS mase
          FROM a ORDER BY event_type""",
+    // stream twin: integer daily state => stream == batch, shared oracle
+    "q_forecast_backtest_stream" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type,
+             ABS(v - LAG(v, 1) OVER (PARTITION BY event_type ORDER BY day)) AS d1,
+             ABS(v - LAG(v, 7) OVER (PARTITION BY event_type ORDER BY day)) AS dm
+           FROM daily),
+         a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d1) AS BIGINT) AS s1, CAST(COUNT(d1) AS BIGINT) AS c1,
+             CAST(SUM(dm) AS BIGINT) AS sm, CAST(COUNT(dm) AS BIGINT) AS cm
+           FROM l GROUP BY 1)
+         SELECT event_type, n,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS mae_naive,
+           CASE WHEN cm > 0
+                THEN ROUND(CAST(sm AS DOUBLE) / CAST(cm AS DOUBLE), 6) END AS mae_snaive,
+           CASE WHEN cm > 0
+                THEN ROUND((CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE)) /
+                           (CAST(sm AS DOUBLE) / CAST(cm AS DOUBLE)), 6) END AS mase
+         FROM a ORDER BY event_type""",
     // the recursion replayed step-for-step; (1.0 - 0.3) spelled as a
     // SUBTRACTION because the folded 1−α is NOT the same double as a 0.7
     // literal — outputs ship unrounded (identical bits render identically)
@@ -8565,6 +8621,30 @@ object SparkEntry {
            ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
            ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
          FROM r WHERE rn = 1 ORDER BY event_type""",
+    // pairwise contrasts from the same exact group moments as q_anova
+    "q_tukey" ->
+      """WITH e AS (SELECT event_type AS g,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+         gg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                  CAST(SUM(v) AS BIGINT) AS sg,
+                  SUM(CAST(v AS HUGEINT) * v) AS qg FROM e GROUP BY 1),
+         t AS (SELECT g, ng, sg,
+                 (SELECT SUM(CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                      / CAST(ng AS DOUBLE)) FROM gg) AS ssw,
+                 (SELECT CAST(SUM(ng) AS BIGINT) FROM gg) AS n,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM gg) AS k
+               FROM gg),
+         m AS (SELECT g, ng, sg, ssw / CAST(n - k AS DOUBLE) AS msw FROM t)
+         SELECT a.g AS group_a, b.g AS group_b,
+           ROUND(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                 - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE), 6) AS mean_diff,
+           ROUND(SQRT(a.msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+                 + 1.0 / CAST(b.ng AS DOUBLE))), 6) AS se,
+           ROUND(ABS(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                 - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE))
+                 / SQRT(a.msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+                 + 1.0 / CAST(b.ng AS DOUBLE))), 6) AS q_stat
+         FROM m a JOIN m b ON a.g < b.g ORDER BY group_a, group_b""",
     // centered SSB + per-group SSW, every term single IEEE ops from exact
     // integer moments (HUGEINT = Spark DECIMAL(38,0) for the Σv² column)
     "q_anova" ->

@@ -1201,6 +1201,47 @@ object Sketches {
         round(col("__b") / (col("__b") + col("__w")), 6).as("eta_sq"))
   }
 
+  /** Tukey-style pairwise post-hoc contrasts after [[anovaF]] — for every
+    * group pair the mean difference, pooled-MSW standard error
+    * `sqrt(MSW/2 · (1/nᵢ + 1/nⱼ))` and studentized statistic
+    * q = |m̄ᵢ − m̄ⱼ|/SE: which groups actually differ once the omnibus F
+    * fires. Group moments come from ONE partial aggregate on pre-quantized
+    * longs; the k-row moment table self-joins (k tiny — broadcast), every
+    * statistic single IEEE ops from exact sums. */
+  def tukeyPairs(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast("long")
+    val g = df.groupBy(col(groupCol).as("__g"))
+      .agg(
+        count(lit(1)).as("__ng"),
+        sum(v).as("__sg"),
+        sum(v.cast(dec) * v.cast(dec)).as("__qg"))
+    val wAll = Window.partitionBy()
+    val ssw = sum(
+      col("__qg").cast("double") -
+        col("__sg").cast("double") * col("__sg").cast("double") /
+          col("__ng").cast("double")).over(wAll)
+    val moments = g
+      .withColumn("__n", sum(col("__ng")).over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__msw", ssw / (col("__n") - col("__k")).cast("double"))
+    val a = moments.select(
+      col("__g").as("group_a"), col("__ng").as("__na"), col("__sg").as("__sa"),
+      col("__msw"))
+    val b = moments.select(
+      col("__g").as("group_b"), col("__ng").as("__nb"), col("__sg").as("__sb"))
+    val diff = col("__sa").cast("double") / col("__na").cast("double") -
+      col("__sb").cast("double") / col("__nb").cast("double")
+    val se = sqrt(col("__msw") / lit(2.0) *
+      (lit(1.0) / col("__na").cast("double") + lit(1.0) / col("__nb").cast("double")))
+    broadcast(a).join(b, col("group_a") < col("group_b"))
+      .select(
+        col("group_a"), col("group_b"),
+        round(diff, 6).as("mean_diff"),
+        round(se, 6).as("se"),
+        round(abs(diff) / se, 6).as("q_stat"))
+  }
+
   /** Kruskal–Wallis H (rank one-way ANOVA across the `groupCol` levels) —
     * the k-sample generalization of [[mannWhitneyU]], sharing its exact
     * midrank machinery: value histogram → one global ordered pass for

@@ -592,6 +592,21 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("f") == 0.0 && s.getAs[Double]("eta_sq") == 0.0)
   }
 
+  test("tukeyPairs: hand-computed contrasts on the ANOVA fixture") {
+    val df = Seq("a" -> 1L, "a" -> 2L, "a" -> 3L, "b" -> 4L, "b" -> 5L, "b" -> 6L,
+      "c" -> 7L, "c" -> 8L, "c" -> 9L).toDF("g", "v")
+    val out = Sketches.tukeyPairs(df, "g", "v").orderBy("group_a", "group_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // MSW = 6/6 = 1; SE = sqrt(1/2·(1/3+1/3)) = sqrt(1/3); means 2, 5, 8
+    val se = math.rint(math.sqrt(1.0 / 3.0) * 1e6) / 1e6
+    assert(out.length == 3)
+    assert(out(0)._1 == "a" && out(0)._2 == "b" && out(0)._3 == -3.0 && out(0)._4 == se)
+    assert(out(2)._1 == "b" && out(2)._2 == "c" && out(2)._3 == -3.0)
+    val q = math.rint(3.0 / math.sqrt(1.0 / 3.0) * 1e6) / 1e6
+    assert(out(0)._5 == q, s"q stat: got ${out(0)._5} expected $q")
+  }
+
   test("spearmanCorr: Pearson over tie-averaged ranks, exact on monotone data") {
     val mono = (1 to 20).map(i => ("k", i, i * i)).toDF("k", "x", "y")
     val rho1 = Sketches.spearmanCorr(mono, Seq("k"), "x", "y")
