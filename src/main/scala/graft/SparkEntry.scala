@@ -4951,6 +4951,7 @@ object SparkEntry {
     "q_readability" -> (qReadability _),
     "q_ohlc" -> (qOhlc _),
     "q_acf" -> (qAcf _),
+    "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_interval_join_outer" -> (qIntervalJoinOuter _),
@@ -5059,6 +5060,22 @@ object SparkEntry {
   /** Autocorrelation (lags 1..7) of each event type's gap-filled daily count
     * series — weekly-seasonality readout; exact integer sufficient
     * statistics, fixed double assembly (Temporal.acf). */
+  /** PACF (Durbin–Levinson over the exact-sum acf) of each event type's
+    * daily-count series, lags 1..7 — the AR-order readout next to q_acf. */
+  private def qPacf(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(cnt, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    Temporal.pacf(series, Seq("event_type"), "day", "x", 7)
+      .orderBy("event_type", "lag")
+  }
+
   private def qAcf(s: SparkSession, d: String): DataFrame = {
     val cnt = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -8927,6 +8944,7 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS cnt
          FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""",
     "q_acf" -> acfOracle,
+    "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
       """SELECT c_nationkey, c_mktsegment,
@@ -9055,7 +9073,9 @@ object SparkEntry {
     * (n, Σx, Σx², per-lag Σx·x₋ₖ / Σ'x / Σ'x₋ₖ / n₋ₖ) over the identical
     * gap-filled daily spine, assembled with the same fixed double chain —
     * generated so the seven lags stay structurally identical. */
-  private val acfOracle: String = {
+  /** Shared acf CTE chain (through the per-lag union) for the acf and pacf
+    * oracles. */
+  private def acfCtes: String = {
     val lagDefs = (1 to 7).map(i => s"LAG(x, $i) OVER w AS l$i").mkString(", ")
     val aggDefs = (1 to 7).map { i =>
       s"""CAST(SUM(CASE WHEN l$i IS NOT NULL THEN x * l$i END) AS BIGINT) AS p$i,
@@ -9087,9 +9107,45 @@ object SparkEntry {
          m AS (SELECT *,
                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
                 CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * mu * mu AS den
-               FROM a)
-         SELECT * FROM (
+               FROM a),
+         af AS (
          $lagRows
+         )"""
+  }
+
+  private val acfOracle: String =
+    acfCtes + "\n         SELECT * FROM af ORDER BY event_type, lag"
+
+  /** Durbin–Levinson unrolled to 7 fixed steps over the (rounded) acf
+    * values — mirrors [[graft.operators.Temporal.pacf]]'s kernel op-for-op
+    * (sequential left-assoc subtractions, den = 0 pins pacf 0). */
+  private val pacfOracle: String = {
+    val m = 7
+    val rs = (1 to m).map(i => s"MAX(CASE WHEN lag = $i THEN acf END) AS r$i").mkString(",\n                ")
+    val steps = (2 to m).map { kk =>
+      val nm = s"r$kk" + (1 until kk).map(j => s" - f${kk - 1}_$j * r${kk - j}").mkString
+      val dn = "1.0" + (1 until kk).map(j => s" - f${kk - 1}_$j * r$j").mkString
+      val fs = (1 until kk).map(j =>
+        s"f${kk - 1}_$j - p$kk * f${kk - 1}_${kk - j} AS f${kk}_$j").mkString(", ")
+      val carryP = (1 until kk).map(j => s"p$j").mkString(", ")
+      s""",
+         t$kk AS (SELECT *, CASE WHEN ($dn) = 0 THEN 0.0 ELSE ($nm) / ($dn) END AS p$kk
+                  FROM s${kk - 1}),
+         s$kk AS (SELECT event_type, n, ${(1 to m).map(i => s"r$i").mkString(", ")},
+                  $fs, p$kk AS f${kk}_$kk, $carryP, p$kk
+                  FROM t$kk)"""
+    }.mkString
+    val finalRows = (1 to m).map { i =>
+      s"SELECT event_type, n, CAST($i AS BIGINT) AS lag, ROUND(p$i, 6) AS pacf FROM s$m"
+    }.mkString("\n         UNION ALL\n         ")
+    acfCtes + s""",
+         r AS (SELECT event_type, MAX(n) AS n,
+                $rs
+               FROM af GROUP BY 1 HAVING COUNT(acf) = $m),
+         s1 AS (SELECT event_type, n, ${(1 to m).map(i => s"r$i").mkString(", ")},
+                r1 AS f1_1, r1 AS p1 FROM r)$steps
+         SELECT * FROM (
+         $finalRows
          ) ORDER BY event_type, lag"""
   }
 

@@ -328,4 +328,40 @@ object VectorOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Durbin–Levinson partial autocorrelations from [ρ₁..ρₘ]: each step k
+    * solves the order-k Yule–Walker system from the order-(k−1) solution;
+    * pacf(k) = φ_{k,k}. Sequential over lags by definition (each order
+    * reuses the previous coefficient vector), hence a per-series kernel —
+    * but m is the CALLER-BOUNDED lag cap, so the in-row cost is O(m²)
+    * regardless of series length. A degenerate denominator yields 0. */
+  def pacf(rhos: ArrayData): ArrayData = {
+    val m = rhos.numElements()
+    val rho = Array.tabulate(m)(i => rhos.getDouble(i))
+    val out = new Array[Double](m)
+    if (m > 0) {
+      var phi = Array(rho(0))
+      out(0) = rho(0)
+      var k = 2
+      while (k <= m) {
+        var num = rho(k - 1)
+        var den = 1.0
+        var j = 0
+        while (j < k - 1) {
+          num -= phi(j) * rho(k - 2 - j)
+          den -= phi(j) * rho(j)
+          j += 1
+        }
+        val pk = if (den == 0.0) 0.0 else num / den
+        val next = new Array[Double](k)
+        j = 0
+        while (j < k - 1) { next(j) = phi(j) - pk * phi(k - 2 - j); j += 1 }
+        next(k - 1) = pk
+        out(k - 1) = pk
+        phi = next
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -89,6 +89,11 @@ package object functions {
   def pav_fit(points: Column): Column =
     invokeVec("pavFit", ArrayType(DoubleType, containsNull = false), Seq(points))
 
+  /** Durbin–Levinson PACF from an [ρ₁..ρₘ] autocorrelation array
+    * ([[VectorOps.pacf]]). */
+  def pacf_from_acf(rhos: Column): Column =
+    invokeVec("pacf", ArrayType(DoubleType, containsNull = false), Seq(rhos))
+
   /** LTTB downsample of collected (x long, y long) structs to `threshold`
     * points: flat [x, y, …] doubles ([[VectorOps.lttb]]). */
   def lttb_downsample(points: Column, threshold: Column): Column =

@@ -776,6 +776,38 @@ object Temporal {
       .select((k :+ col("n") :+ col("__e.lag").as("lag") :+ col("__e.acf").as("acf")): _*)
   }
 
+  /** Partial autocorrelations per key — Durbin–Levinson over the exact-sum
+    * [[acf]] values: pacf(k) is the lag-k coefficient with lags 1..k−1
+    * regressed out, the AR-order-selection readout ACF alone can't give
+    * (an AR(1) series has geometric ACF at every lag but PACF support only
+    * at lag 1). The recursion is the caller-bounded O(m²) in-row kernel
+    * [[graft.functions.VectorOps.pacf]]; everything upstream is one [[acf]]
+    * pass. NULL acf entries (degenerate series) drop the key. */
+  def pacf(
+      series: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    val k = keys.map(col)
+    val a = acf(series, keys, orderCol, valueCol, maxLag)
+      .filter(col("acf").isNotNull)
+    a.groupBy(k: _*)
+      .agg(
+        max(col("n")).as("n"),
+        count(lit(1)).as("__m"),
+        graft.functions.pacf_from_acf(
+          transform(
+            array_sort(collect_list(struct(col("lag"), col("acf")))),
+            s => s.getField("acf"))).as("__p"))
+      // a key with ANY degenerate lag would mis-index the recursion — drop it
+      .filter(col("__m") === maxLag)
+      .select(k ++ Seq(col("n"), posexplode(col("__p")).as(Seq("__i", "__v"))): _*)
+      .select(k ++ Seq(
+        col("n"), (col("__i") + 1).cast("long").as("lag"),
+        round(col("__v"), 6).as("pacf")): _*)
+  }
+
   /** Floored (can't-go-negative) running balance per key — the
     * inventory / prepaid-wallet recursion b_t = max(0, b_{t−1} + δ_t),
     * which LOOKS sequential but closes via the Lindley one-sided

@@ -377,6 +377,27 @@ class TemporalSpec extends SparkSpec {
     assert(s1.getAs[Double]("level") == 42.0 && s1.getAs[Double]("trend") == 0.0)
   }
 
+  test("pacf: AR(1) geometric acf collapses to lag-1 support; kernel matches hand Durbin") {
+    // kernel level: rho = 0.5^k is exactly AR(1) -> pacf = [0.5, 0, 0]
+    val rhos = Array(0.5, 0.25, 0.125)
+    val got = graft.functions.VectorOps.pacf(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rhos))
+    assert((0 until 3).map(got.getDouble).toSeq == Seq(0.5, 0.0, 0.0))
+    // hand Durbin on a non-trivial vector
+    val r2 = Array(0.6, 0.5)
+    val p2 = graft.functions.VectorOps.pacf(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(r2))
+    val expected2 = (0.5 - 0.6 * 0.6) / (1.0 - 0.6 * 0.6)
+    assert(p2.getDouble(0) == 0.6 && p2.getDouble(1) == expected2)
+    // operator level: white-noise-ish series yields 7 lags per key
+    val rnd = new scala.util.Random(7)
+    val rows = for (t <- 0 until 200) yield ("k", t, rnd.nextInt(100).toLong)
+    val out = Temporal.pacf(rows.toDF("g", "t", "x"), Seq("g"), "t", "x", 7)
+      .orderBy("lag").collect()
+    assert(out.length == 7 && out.map(_.getAs[Long]("lag")).toSeq == (1L to 7L))
+    assert(out.forall(r => math.abs(r.getAs[Double]("pacf")) <= 1.0))
+  }
+
   test("saxWords: step series reads aadd, constant series cccc, short series dropped") {
     val step = (0 until 8).map(i => ("s", i, if (i < 4) 0L else 100L))
     val const = (0 until 8).map(i => ("c", i, 7L))
