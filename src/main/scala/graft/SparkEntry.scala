@@ -3037,6 +3037,16 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Hurst exponent (R/S) of each event type's daily revenue — is the
+    * series trending, mean-reverting, or a random walk. */
+  private def qHurst(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+    Temporal.hurstRS(daily, Seq("event_type"), "day", "v", sizes = Seq(4, 8, 16))
+      .orderBy("event_type")
+  }
+
   /** Naive vs weekly-seasonal-naive backtest of each event type's daily
     * revenue — exact-cent error sums, MASE as the persistence gate. */
   private def qForecastBacktest(s: SparkSession, d: String): DataFrame = {
@@ -4996,6 +5006,7 @@ object SparkEntry {
     "q_sax" -> (qSax _),
     "q_tukey" -> (qTukey _),
     "q_forecast_backtest_stream" -> (qForecastBacktestStream _),
+    "q_hurst" -> (qHurst _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
@@ -8514,6 +8525,42 @@ object SparkEntry {
          SELECT agg.user_id, end_balance, peak_balance, n_floor_touches, n_events
          FROM agg JOIN lastb ON agg.user_id = lastb.user_id
          ORDER BY agg.user_id""",
+    // cumulative deviations via the exact-prefix closed form P − j·(S/w);
+    // the only float SUMs are tiny block averages and the 3-point OLS
+    "q_hurst" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         pos AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+           FROM daily),
+         ex AS (SELECT event_type, v, i, w FROM pos, UNNEST([4, 8, 16]) AS t(w)),
+         ex2 AS (SELECT *, CAST(FLOOR(i / w) AS BIGINT) AS b,
+             CAST(COUNT(*) OVER (PARTITION BY event_type, w) AS BIGINT) AS nk
+           FROM ex),
+         ex3 AS (SELECT * FROM ex2 WHERE (b + 1) * w <= nk),
+         blk AS (SELECT *,
+             CAST(SUM(v) OVER (PARTITION BY event_type, w, b ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+             CAST(SUM(v) OVER (PARTITION BY event_type, w, b) AS BIGINT) AS sb,
+             SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY event_type, w, b) AS qb,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type, w, b ORDER BY i)
+               AS DOUBLE) AS j
+           FROM ex3),
+         cd AS (SELECT *, CAST(p AS DOUBLE)
+                  - j * (CAST(sb AS DOUBLE) / CAST(w AS DOUBLE)) AS cd FROM blk),
+         pb AS (SELECT event_type, w, b, sb, qb, MAX(cd) - MIN(cd) AS r
+                FROM cd GROUP BY 1, 2, 3, 4, 5),
+         pb2 AS (SELECT *, SQRT((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                   / CAST(w AS DOUBLE)) / CAST(w AS DOUBLE)) AS s FROM pb),
+         rs AS (SELECT event_type, w, r / s AS rs FROM pb2 WHERE s > 0),
+         ms AS (SELECT event_type, w, AVG(rs) AS mrs FROM rs GROUP BY 1, 2),
+         ps AS (SELECT event_type, LN(CAST(w AS DOUBLE)) AS x, LN(mrs) AS y
+                FROM ms WHERE mrs > 0)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sizes,
+           ROUND((CAST(COUNT(*) AS DOUBLE) * SUM(x * y) - SUM(x) * SUM(y)) /
+                 (CAST(COUNT(*) AS DOUBLE) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS hurst
+         FROM ps GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY event_type""",
     // z / PAA means are fixed IEEE chains from exact integer sums; the
     // ±0.6744897501960817 breakpoints are identical literals on both sides
     "q_sax" ->

@@ -776,6 +776,75 @@ object Temporal {
       .select((k :+ col("n") :+ col("__e.lag").as("lag") :+ col("__e.acf").as("acf")): _*)
   }
 
+  /** Hurst exponent per key by rescaled-range (R/S) analysis — the
+    * long-memory readout (H ≈ 0.5 random walk, > 0.5 trending,
+    * < 0.5 mean-reverting) that decides whether a series' apparent trends
+    * are structure or noise. For each block size w: complete blocks of w
+    * observations, per block the range of cumulative deviations over the
+    * in-block std, then ln-ln OLS of the per-size mean R/S against w.
+    * Determinism: cumulative deviations use the EXACT-prefix closed form
+    * `P_i − i·(S_b/w)` (long prefix sums, one float product each — never a
+    * float accumulation), block std comes from exact (S, Σv²-as-DECIMAL)
+    * moments, and the only float SUMs are the ≤(n/w)-block averages and
+    * the |sizes|-point OLS, both orders of magnitude below the 6 dp gate.
+    * Zero-variance blocks drop; keys shorter than 2·max(sizes) report
+    * whatever sizes fit (≥ 2 sizes required for the fit). Values must be
+    * pre-quantized longs. */
+  def hurstRS(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      sizes: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(sizes.size >= 2 && sizes.forall(_ >= 2), s"need >= 2 sizes >= 2: $sizes")
+    val dec = "decimal(38,0)"
+    val k = keyCols.map(col)
+    val pos = df.select(k ++ Seq(
+      col(valueCol).cast("long").as("__v"),
+      (row_number().over(Window.partitionBy(k: _*).orderBy(col(orderCol))) - 1)
+        .as("__i")): _*)
+    val exploded = pos.select(k ++ Seq(col("__v"), col("__i"),
+      explode(array(sizes.map(lit): _*)).as("__w")): _*)
+      .withColumn("__b", floor(col("__i") / col("__w")).cast("long"))
+      .withColumn("__nk",
+        count(lit(1)).over(Window.partitionBy(k :+ col("__w"): _*)))
+      .filter((col("__b") + 1) * col("__w") <= col("__nk"))
+    val wBlk = Window.partitionBy(k ++ Seq(col("__w"), col("__b")): _*)
+    val blk = exploded
+      .withColumn("__p", sum(col("__v")).over(wBlk.orderBy(col("__i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__sb", sum(col("__v")).over(wBlk))
+      .withColumn("__qb", sum(col("__v").cast(dec) * col("__v").cast(dec)).over(wBlk))
+      .withColumn("__j",
+        row_number().over(wBlk.orderBy(col("__i"))).cast("double"))
+      .withColumn("__cd",
+        col("__p").cast("double") -
+          col("__j") * (col("__sb").cast("double") / col("__w").cast("double")))
+    val perBlock = blk
+      .groupBy(k ++ Seq(col("__w"), col("__b"), col("__sb"), col("__qb")): _*)
+      .agg((max(col("__cd")) - min(col("__cd"))).as("__r"))
+      .withColumn("__s", sqrt(
+        (col("__qb").cast("double") -
+          col("__sb").cast("double") * col("__sb").cast("double") /
+            col("__w").cast("double")) / col("__w").cast("double")))
+      .filter(col("__s") > 0)
+      .withColumn("__rs", col("__r") / col("__s"))
+    val perSize = perBlock.groupBy(k :+ col("__w"): _*)
+      .agg(avg(col("__rs")).as("__mrs"))
+      .filter(col("__mrs") > 0)
+      .select(k ++ Seq(
+        log(col("__w").cast("double")).as("__x"),
+        log(col("__mrs")).as("__y")): _*)
+    val nD = count(lit(1)).cast("double")
+    perSize.groupBy(k: _*)
+      .agg(count(lit(1)).as("n_sizes"),
+        ((nD * sum(col("__x") * col("__y")) - sum(col("__x")) * sum(col("__y"))) /
+          (nD * sum(col("__x") * col("__x")) - sum(col("__x")) * sum(col("__x"))))
+          .as("__h"))
+      .filter(col("n_sizes") >= 2)
+      .select(k ++ Seq(col("n_sizes"), round(col("__h"), 6).as("hurst")): _*)
+  }
+
   /** Partial autocorrelations per key — Durbin–Levinson over the exact-sum
     * [[acf]] values: pacf(k) is the lag-k coefficient with lags 1..k−1
     * regressed out, the AR-order-selection readout ACF alone can't give

@@ -398,6 +398,24 @@ class TemporalSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getAs[Double]("pacf")) <= 1.0))
   }
 
+  test("hurstRS: strong trend near 1, alternating series far below random walk") {
+    val trend = (0 until 64).map(i => ("t", i, (i * 100).toLong))
+    val alt = (0 until 64).map(i => ("a", i, if (i % 2 == 0) 0L else 100L))
+    val out = Temporal.hurstRS(
+        (trend ++ alt).toDF("k", "i", "v").repartition(4), Seq("k"), "i", "v",
+        sizes = Seq(4, 8, 16))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_sizes"), r.getAs[Double]("hurst")))
+    assert(out.length == 2 && out.forall(_._2 == 3L))
+    val (hAlt, hTrend) = (out(0)._3, out(1)._3)
+    assert(hTrend > 0.9, s"pure trend must give H near 1, got $hTrend")
+    assert(hAlt < 0.3, s"alternating series must give small H, got $hAlt")
+    // constant series: every block has zero variance -> no surviving sizes
+    val const = (0 until 32).map(i => ("c", i, 5L))
+    assert(Temporal.hurstRS(const.toDF("k", "i", "v"), Seq("k"), "i", "v",
+      Seq(4, 8)).count() == 0L)
+  }
+
   test("saxWords: step series reads aadd, constant series cccc, short series dropped") {
     val step = (0 until 8).map(i => ("s", i, if (i < 4) 0L else 100L))
     val const = (0 until 8).map(i => ("c", i, 7L))
