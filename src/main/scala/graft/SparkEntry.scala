@@ -3070,6 +3070,15 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       "event_type", "cents")
 
+  /** Huber robust mean (k = 100 dollars, 3 IRLS sweeps) of event cents per
+    * type, next to the outlier-sensitive plain mean. */
+  private def qHuber(s: SparkSession, d: String): DataFrame =
+    Sketches.huberLocation(
+      Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents", k = 10000L, iters = 3)
+      .orderBy("event_type")
+
   /** Tukey-style pairwise contrasts between event types' mean values —
     * the post-hoc readout after q_anova's omnibus F. */
   private def qTukey(s: SparkSession, d: String): DataFrame =
@@ -5007,6 +5016,7 @@ object SparkEntry {
     "q_tukey" -> (qTukey _),
     "q_forecast_backtest_stream" -> (qForecastBacktestStream _),
     "q_hurst" -> (qHurst _),
+    "q_huber" -> (qHuber _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
@@ -5295,6 +5305,33 @@ object SparkEntry {
          MAX(c.c0) AS n_events, MAX(c.c1) AS dollars, CAST(SUM(f.d) AS BIGINT) AS inertia
        FROM fin f JOIN c3 c ON f.cl = c.cl WHERE f.rn = 1
        GROUP BY f.cl ORDER BY cluster"""
+  }
+
+  /** 3 chained IRLS sweeps — quantized Huber weights, exact DECIMAL
+    * weighted sums, grid re-quantization; mirrors
+    * [[graft.operators.Sketches.huberLocation]]. */
+  private val huberOracle: String = {
+    val sweeps = (1 to 3).map { i =>
+      s""",
+         m$i AS (SELECT g, CAST(FLOOR(CAST(SUM(CAST(wq AS HUGEINT) * v) AS DOUBLE)
+                    / CAST(SUM(wq) AS DOUBLE) + 0.5) AS BIGINT) AS m
+                 FROM (SELECT e.g, e.v,
+                         CAST(FLOOR((CASE WHEN CAST(ABS(e.v - m.m) AS DOUBLE) <= 10000.0
+                                     THEN 1.0
+                                     ELSE 10000.0 / CAST(ABS(e.v - m.m) AS DOUBLE) END)
+                              * 1e9 + 0.5) AS BIGINT) AS wq
+                       FROM e JOIN m${i - 1} m ON e.g = m.g)
+                 GROUP BY g)"""
+    }.mkString
+    s"""WITH e AS (SELECT event_type AS g,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+       m0 AS (SELECT g, CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+              FROM e GROUP BY 1)$sweeps,
+       st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS plain_mean
+              FROM e GROUP BY 1)
+       SELECT st.g AS event_type, n, plain_mean, m3.m AS huber_mean
+       FROM st JOIN m3 ON st.g = m3.g ORDER BY event_type"""
   }
 
   /** DuckDB oracles. Omitted only where no SQL twin exists — each such
@@ -7604,6 +7641,7 @@ object SparkEntry {
     "q_label_prop" -> labelPropOracle,
     "q_kmeans" -> kMeansOracle,
     "q_modularity" -> modularityOracle,
+    "q_huber" -> huberOracle,
     // same format-priority try-parse chain; strftime renders, try_strptime
     // recovers; the garbage bucket must stay NULL on both engines
     "q_coerce_timestamps" ->

@@ -1201,6 +1201,52 @@ object Sketches {
         round(col("__b") / (col("__b") + col("__w")), 6).as("eta_sq"))
   }
 
+  /** Huber robust location per group — IRLS with the Huber ψ: weight 1
+    * inside `k` quantized units of the current estimate, k/|r| outside,
+    * run for `iters` fixed sweeps from the plain mean. Every iteration is
+    * bit-reproducible: weights quantize to 1e9-scaled longs
+    * (`floor(min(1, k/|r|)·1e9 + 0.5)` — single IEEE ops from exact
+    * integers), the weighted mean is a ratio of exact DECIMAL sums, and
+    * the estimate re-quantizes to the integer grid each sweep — so a
+    * chained-CTE oracle replays the whole refinement. The sweeps compose
+    * into ONE lazy plan (no driver actions): each is a broadcast join of
+    * the k-row estimate onto the base + one partial agg.
+    * `valueCol` must be pre-quantized integral. */
+  def huberLocation(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Long,
+      iters: Int = 3): DataFrame = {
+    require(k > 0 && iters >= 1, s"need k > 0, iters >= 1; got k=$k iters=$iters")
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast("long")
+    val base = df.select(col(groupCol).as("__g"), v.as("__v"))
+    // sweep 0: plain mean, floor(S/n + 0.5) on the grid
+    var est = base.groupBy(col("__g"))
+      .agg(floor(sum(col("__v")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("__m"))
+    for (_ <- 1 to iters) {
+      val r = abs(col("__v") - col("__m")).cast("double")
+      val w = when(r <= lit(k.toDouble), lit(1.0))
+        .otherwise(lit(k.toDouble) / r)
+      val wq = floor(w * 1e9 + 0.5).cast("long")
+      est = base.join(broadcast(est), Seq("__g"))
+        .withColumn("__wq", wq)
+        .groupBy(col("__g"))
+        .agg(floor(
+          sum(col("__wq").cast(dec) * col("__v").cast(dec)).cast("double") /
+            sum(col("__wq")).cast("double") + 0.5).cast("long").as("__m"))
+    }
+    val stats = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("__v")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("plain_mean"))
+    stats.join(est, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("plain_mean"),
+        col("__m").as("huber_mean"))
+  }
+
   /** Tukey-style pairwise post-hoc contrasts after [[anovaF]] — for every
     * group pair the mean difference, pooled-MSW standard error
     * `sqrt(MSW/2 · (1/nᵢ + 1/nⱼ))` and studentized statistic

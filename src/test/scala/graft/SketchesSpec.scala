@@ -592,6 +592,20 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("f") == 0.0 && s.getAs[Double]("eta_sq") == 0.0)
   }
 
+  test("huberLocation: one planted outlier barely moves the robust mean") {
+    // 9 values near 100 plus one at 10000: plain mean 1090, huber stays close
+    val vals = Seq(96L, 97L, 98L, 99L, 100L, 101L, 102L, 103L, 104L, 10000L)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val r = Sketches.huberLocation(df, "g", "v", k = 10L, iters = 3).head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("plain_mean") == 1090L)
+    val h = r.getAs[Long]("huber_mean")
+    assert(h >= 95L && h <= 120L, s"huber mean must resist the outlier, got $h")
+    // outlier-free data: huber == plain mean after any number of sweeps
+    val clean = Seq(10L, 20L, 30L).map(("c", _)).toDF("g", "v")
+    val c = Sketches.huberLocation(clean, "g", "v", k = 100L, iters = 2).head
+    assert(c.getAs[Long]("huber_mean") == c.getAs[Long]("plain_mean"))
+  }
+
   test("tukeyPairs: hand-computed contrasts on the ANOVA fixture") {
     val df = Seq("a" -> 1L, "a" -> 2L, "a" -> 3L, "b" -> 4L, "b" -> 5L, "b" -> 6L,
       "c" -> 7L, "c" -> 8L, "c" -> 9L).toDF("g", "v")
