@@ -3098,6 +3098,11 @@ object SparkEntry {
   private def qCollocations(s: SparkSession, d: String): DataFrame =
     TextAnalysis.collocations(Tables.documents(s, d), "text", minCount = 5L, topN = 50)
 
+  /** Chao1 + Good–Turing vocabulary coverage — how much vocabulary the
+    * corpus has not seen yet. */
+  private def qVocabRichness(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabRichness(Tables.documents(s, d), "text")
+
   /** Corpus vocabulary health: type-token ratio + hapax fraction. */
   private def qVocabStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.vocabStats(Tables.documents(s, d), "text")
@@ -5019,6 +5024,7 @@ object SparkEntry {
     "q_huber" -> (qHuber _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
+    "q_vocab_richness" -> (qVocabRichness _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_diversity" -> (qDiversity _))
@@ -8769,6 +8775,23 @@ object SparkEntry {
                  (SUM(ssw) / CAST(n - COUNT(*) AS DOUBLE)), 6) AS f,
            ROUND(SUM(ssb) / (SUM(ssb) + SUM(ssw)), 6) AS eta_sq
          FROM u GROUP BY n""",
+    // estimators are single IEEE ops from exact singleton/doubleton counts
+    "q_vocab_richness" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+                    FROM documents),
+         c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+         a AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+               FROM c)
+         SELECT n_tokens, n_types, f1, f2,
+           ROUND(CAST(n_types AS DOUBLE) +
+             CASE WHEN f2 > 0
+                  THEN CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE))
+                  ELSE CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) / 2.0 END, 6) AS chao1,
+           ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS gt_unseen_mass
+         FROM a""",
     // exact integer counts, two single-division ratios
     "q_vocab_stats" ->
       """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w

@@ -206,6 +206,34 @@ object TextAnalysis {
         round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
           .as("hapax_frac"))
 
+  /** Vocabulary richness estimators — Chao1 lower bound on the TRUE
+    * vocabulary size `S_obs + f₁²/(2f₂)` and the Good–Turing unseen-
+    * probability mass `f₁/N`, from the singleton/doubleton counts of the
+    * word histogram: "how much vocabulary has this corpus NOT seen yet",
+    * the coverage question behind corpus-growth curves. One word-count
+    * partial agg + one frequency-of-frequency rollup; the estimators are
+    * single IEEE ops from exact integer counts. f₂ = 0 falls back to the
+    * bias-corrected f₁(f₁−1)/2 form (Chao 1984). */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_]+"), lit(0))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(
+        col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        round(col("n_types").cast("double") +
+          when(col("f2") > 0,
+            col("f1").cast("double") * col("f1").cast("double") /
+              (lit(2.0) * col("f2").cast("double")))
+            .otherwise(col("f1").cast("double") * (col("f1") - lit(1L)).cast("double") /
+              lit(2.0)), 6).as("chao1"),
+        round(col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("gt_unseen_mass"))
+
   /** PMI collocations — adjacent word pairs whose co-occurrence beats
     * independence: pmi = ln(c₁₂·N / (c₁·c₂)) over bigram count c₁₂,
     * unigram counts c, bigram total N. The top-`topN` ranking orders by

@@ -170,6 +170,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("hapax_frac") == 0.5)
   }
 
+  test("vocabRichness: textbook Chao1 and Good-Turing on a planted histogram") {
+    // counts: a=1, b=1, c=2, d=3 -> f1=2, f2=1, S=4, N=7
+    val docs = Seq("a b c c d d d").toDF("text")
+    val r = TextAnalysis.vocabRichness(docs, "text").head
+    assert(r.getAs[Long]("n_tokens") == 7L && r.getAs[Long]("n_types") == 4L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L)
+    assert(r.getAs[Double]("chao1") == 6.0, "chao1 = 4 + 4/(2·1) = 6")
+    assert(r.getAs[Double]("gt_unseen_mass") == math.rint(2.0 / 7.0 * 1e6) / 1e6)
+    // no doubletons: bias-corrected fallback f1(f1-1)/2
+    val nd = Seq("x y z z z").toDF("text")
+    val r2 = TextAnalysis.vocabRichness(nd, "text").head
+    assert(r2.getAs[Double]("chao1") == 3.0 + 2.0 * 1.0 / 2.0)
+  }
+
   test("collocations: planted pair gets pmi = ln 3, support filter drops the rest") {
     val docs = Seq("new york is big", "new york wins", "big apple").toDF("text")
     // bigrams: (new,york)x2 of N=6; unigrams new=2, york=2
