@@ -4028,6 +4028,17 @@ object SparkEntry {
     * assignment: grid radius join shrunk to one winner per customer on the
     * native top-1 path (distance asc, suppkey tiebreak; haversine doubles
     * are bit-identical so the argmin is engine-deterministic). */
+  /** Weiszfeld geometric median of each market segment's customer points
+    * (centi-degree grid) vs the outlier-sensitive centroid. */
+  private def qGeoMedian(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_mktsegment"),
+      (col("c_custkey").cast("long") * 7919L % 12000L - 6000L).as("cx"),
+      (col("c_custkey").cast("long") * 104729L % 36000L - 18000L).as("cy"))
+    Spatial.geometricMedian(cust, Seq("c_mktsegment"), "cx", "cy", iters = 3)
+      .orderBy("c_mktsegment")
+  }
+
   private def qSpatialNearest(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).select(
       col("c_custkey"),
@@ -5022,6 +5033,7 @@ object SparkEntry {
     "q_forecast_backtest_stream" -> (qForecastBacktestStream _),
     "q_hurst" -> (qHurst _),
     "q_huber" -> (qHuber _),
+    "q_geo_median" -> (qGeoMedian _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_vocab_richness" -> (qVocabRichness _),
@@ -5338,6 +5350,48 @@ object SparkEntry {
               FROM e GROUP BY 1)
        SELECT st.g AS event_type, n, plain_mean, m3.m AS huber_mean
        FROM st JOIN m3 ON st.g = m3.g ORDER BY event_type"""
+  }
+
+
+  /** 3 chained Weiszfeld sweeps — quantized 1/d weights, exact DECIMAL
+    * coordinate sums, grid re-quantization; mirrors
+    * [[graft.operators.Spatial.geometricMedian]]. */
+  private val geoMedianOracle: String = {
+    val sweeps = (1 to 3).map { i =>
+      s""",
+         w$i AS (SELECT p.g, p.x, p.y, m.mx, m.my,
+                   CASE WHEN SQRT(CAST((p.x - m.mx) * (p.x - m.mx)
+                          + (p.y - m.my) * (p.y - m.my) AS DOUBLE)) > 0
+                        THEN CAST(FLOOR(1e9 / SQRT(CAST((p.x - m.mx) * (p.x - m.mx)
+                          + (p.y - m.my) * (p.y - m.my) AS DOUBLE)) + 0.5) AS BIGINT)
+                        ELSE 0 END AS wq
+                 FROM pts p JOIN m${i - 1} m ON p.g = m.g),
+         m$i AS (SELECT g,
+                   CASE WHEN SUM(wq) > 0
+                        THEN CAST(FLOOR(CAST(SUM(CAST(wq AS HUGEINT) * x) AS DOUBLE)
+                             / CAST(SUM(wq) AS DOUBLE) + 0.5) AS BIGINT)
+                        ELSE MAX(mx) END AS mx,
+                   CASE WHEN SUM(wq) > 0
+                        THEN CAST(FLOOR(CAST(SUM(CAST(wq AS HUGEINT) * y) AS DOUBLE)
+                             / CAST(SUM(wq) AS DOUBLE) + 0.5) AS BIGINT)
+                        ELSE MAX(my) END AS my
+                 FROM w$i GROUP BY g)"""
+    }.mkString
+    s"""WITH pts AS (SELECT c_mktsegment AS g,
+           CAST(c_custkey AS BIGINT) * 7919 % 12000 - 6000 AS x,
+           CAST(c_custkey AS BIGINT) * 104729 % 36000 - 18000 AS y
+         FROM customer),
+       m0 AS (SELECT g,
+                CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mx,
+                CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS my
+              FROM pts GROUP BY 1)$sweeps,
+       st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS centroid_x,
+                CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS centroid_y
+              FROM pts GROUP BY 1)
+       SELECT st.g AS c_mktsegment, n, centroid_x, centroid_y,
+         m3.mx AS median_x, m3.my AS median_y
+       FROM st JOIN m3 ON st.g = m3.g ORDER BY c_mktsegment"""
   }
 
   /** DuckDB oracles. Omitted only where no SQL twin exists — each such
@@ -7648,6 +7702,7 @@ object SparkEntry {
     "q_kmeans" -> kMeansOracle,
     "q_modularity" -> modularityOracle,
     "q_huber" -> huberOracle,
+    "q_geo_median" -> geoMedianOracle,
     // same format-priority try-parse chain; strftime renders, try_strptime
     // recovers; the garbage bucket must stay NULL on both engines
     "q_coerce_timestamps" ->

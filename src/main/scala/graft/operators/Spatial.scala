@@ -209,4 +209,52 @@ object Spatial {
           cell(refX) === col("__cx") && cell(refY) === col("__cy"))
       .drop("__cx", "__cy", "__rcx", "__rcy")
   }
+
+  /** Geometric median per group (Weiszfeld 1937) — the L1-optimal facility
+    * location, robust to outlier points where the centroid is not: fixed
+    * IRLS sweeps from the quantized centroid, weights 1/dᵢ QUANTIZED to
+    * `floor(1e9/d + 0.5)` longs (d is one sqrt from exact integer squared
+    * distances), coordinate updates ratios of exact DECIMAL sums re-
+    * quantized to the grid — every sweep bit-reproducible, the whole
+    * refinement a chained-CTE SQL replay (the huberLocation discipline in
+    * 2-D). Points exactly AT the current estimate get weight 0 (the
+    * standard Weiszfeld guard, deterministic); a group collapsing to one
+    * point keeps its previous estimate. Coordinates must be pre-quantized
+    * integral units. */
+  def geometricMedian(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dec = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val base = df.select(g ++ Seq(
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y")): _*)
+    def gridMean(c: String): Column =
+      floor(sum(col(c)).cast("double") / count(lit(1)) + 0.5).cast("long")
+    var est = base.groupBy(g: _*)
+      .agg(gridMean("__x").as("__mx"), gridMean("__y").as("__my"))
+    for (_ <- 1 to iters) {
+      val d = sqrt(((col("__x") - col("__mx")) * (col("__x") - col("__mx")) +
+        (col("__y") - col("__my")) * (col("__y") - col("__my"))).cast("double"))
+      val wq = when(d > 0, floor(lit(1e9) / d + 0.5).cast("long")).otherwise(lit(0L))
+      def upd(c: String, prev: String): Column =
+        when(sum(col("__wq")) > 0,
+          floor(sum(col("__wq").cast(dec) * col(c).cast(dec)).cast("double") /
+            sum(col("__wq")).cast("double") + 0.5).cast("long"))
+          .otherwise(max(col(prev)))
+      est = base.join(broadcast(est), groupCols)
+        .withColumn("__wq", wq)
+        .groupBy(g: _*)
+        .agg(upd("__x", "__mx").as("__mx"), upd("__y", "__my").as("__my"))
+    }
+    val stats = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        gridMean("__x").as("centroid_x"), gridMean("__y").as("centroid_y"))
+    stats.join(est, groupCols)
+      .select(g ++ Seq(col("n"), col("centroid_x"), col("centroid_y"),
+        col("__mx").as("median_x"), col("__my").as("median_y")): _*)
+  }
 }

@@ -7,6 +7,22 @@ import graft.operators.{Segments, Spatial, Temporal}
 /** Round-7 wave: spatial grid join, Kaplan–Meier survival, seasonal
   * decomposition, ECDF segment scores. */
 class SpatialSpec extends SparkSpec {
+
+  test("geometricMedian: outlier drags the centroid but not the median") {
+    import spark.implicits._
+    // tight cluster at (0,0)-ish plus one far outlier
+    val pts = Seq((0L, 0L), (10L, 0L), (0L, 10L), (10L, 10L), (100000L, 100000L))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Spatial.geometricMedian(pts, Seq("g"), "x", "y", iters = 8).head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("centroid_x") == 20004L, "centroid chases the outlier")
+    assert(r.getAs[Long]("median_x") <= 100L && r.getAs[Long]("median_y") <= 100L,
+      s"median must stay at the cluster, got (${r.getAs[Long]("median_x")}, ${r.getAs[Long]("median_y")})")
+    // single-point group: weight guard keeps the point itself
+    val one = Seq(("o", 7L, 9L)).toDF("g", "x", "y")
+    val o = Spatial.geometricMedian(one, Seq("g"), "x", "y").head
+    assert(o.getAs[Long]("median_x") == 7L && o.getAs[Long]("median_y") == 9L)
+  }
   import spark.implicits._
 
   private def bruteForce(
