@@ -3070,6 +3070,16 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       "event_type", "cents")
 
+  /** Mantel–Haenszel pooled odds ratio (event-type strata): heavy users
+    * (even user id as the deterministic exposure proxy) vs high-value
+    * events — the crude-vs-adjusted Simpson's-paradox gate. */
+  private def qMantelHaenszel(s: SparkSession, d: String): DataFrame =
+    Sketches.mantelHaenszel(
+      Tables.events(s, d).select(col("event_type"),
+        (col("user_id") % 2 === 0).as("exposed"),
+        (col("value") > 100.0).as("outcome")),
+      "event_type", "exposed", "outcome")
+
   /** Huber robust mean (k = 100 dollars, 3 IRLS sweeps) of event cents per
     * type, next to the outlier-sensitive plain mean. */
   private def qHuber(s: SparkSession, d: String): DataFrame =
@@ -5034,6 +5044,7 @@ object SparkEntry {
     "q_hurst" -> (qHurst _),
     "q_huber" -> (qHuber _),
     "q_geo_median" -> (qGeoMedian _),
+    "q_mantel_haenszel" -> (qMantelHaenszel _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_vocab_richness" -> (qVocabRichness _),
@@ -8784,6 +8795,27 @@ object SparkEntry {
            ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
            ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
          FROM r WHERE rn = 1 ORDER BY event_type""",
+    // per-stratum terms single divisions from exact cell counts
+    "q_mantel_haenszel" ->
+      """WITH e AS (SELECT event_type AS g, user_id % 2 = 0 AS ex, value > 100.0 AS oc
+                    FROM events),
+         st AS (SELECT g,
+             CAST(SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM e GROUP BY 1),
+         t AS (SELECT *,
+             CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS num,
+             CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS den
+           FROM st)
+         SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CASE WHEN SUM(b) > 0 AND SUM(c) > 0
+                THEN ROUND((CAST(SUM(a) AS DOUBLE) * CAST(SUM(d) AS DOUBLE)) /
+                           (CAST(SUM(b) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 6) END AS or_crude,
+           CASE WHEN SUM(den) > 0 THEN ROUND(SUM(num) / SUM(den), 6) END AS or_mh
+         FROM t""",
     // pairwise contrasts from the same exact group moments as q_anova
     "q_tukey" ->
       """WITH e AS (SELECT event_type AS g,

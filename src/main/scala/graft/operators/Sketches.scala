@@ -1201,6 +1201,50 @@ object Sketches {
         round(col("__b") / (col("__b") + col("__w")), 6).as("eta_sq"))
   }
 
+  /** Mantel–Haenszel pooled odds ratio across strata — the confounder-
+    * adjusted association readout of stratified surveillance analysis
+    * (the reference domain's workhorse next to age/sex standardization):
+    * per stratum the 2×2 cell counts (a, b, c, d), OR_MH =
+    * Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ), reported beside the crude (collapsed) OR
+    * whose divergence IS the confounding signal (Simpson's paradox gate).
+    * One partial agg to k stratum rows; cell products are exact longs,
+    * per-stratum terms single divisions, the only float SUMs span k
+    * strata. Strata where any margin is empty still contribute their
+    * defined terms (0 numerators drop out naturally); a zero denominator
+    * yields NULL. */
+  def mantelHaenszel(
+      df: DataFrame,
+      strataCol: String,
+      exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    val strata = df.groupBy(col(strataCol))
+      .agg(
+        cnt(e && o).as("__a"), cnt(e && !o).as("__b"),
+        cnt(!e && o).as("__c"), cnt(!e && !o).as("__d"),
+        count(lit(1)).as("__n"))
+    val nD = col("__n").cast("double")
+    strata
+      .withColumn("__num", col("__a").cast("double") * col("__d").cast("double") / nD)
+      .withColumn("__den", col("__b").cast("double") * col("__c").cast("double") / nD)
+      .agg(
+        sum(col("__n")).as("n"),
+        count(lit(1)).as("n_strata"),
+        sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+        sum(col("__c")).as("__sc"), sum(col("__d")).as("__sd"),
+        sum(col("__num")).as("__snum"), sum(col("__den")).as("__sden"))
+      .select(
+        col("n"), col("n_strata"),
+        when(col("__sb") > 0 && col("__sc") > 0,
+          round((col("__sa").cast("double") * col("__sd").cast("double")) /
+            (col("__sb").cast("double") * col("__sc").cast("double")), 6))
+          .as("or_crude"),
+        when(col("__sden") > 0, round(col("__snum") / col("__sden"), 6))
+          .as("or_mh"))
+  }
+
   /** Huber robust location per group — IRLS with the Huber ψ: weight 1
     * inside `k` quantized units of the current estimate, k/|r| outside,
     * run for `iters` fixed sweeps from the plain mean. Every iteration is

@@ -592,6 +592,22 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("f") == 0.0 && s.getAs[Double]("eta_sq") == 0.0)
   }
 
+  test("mantelHaenszel: planted Simpson's paradox — crude flips, MH stays") {
+    // two strata, each with within-stratum OR = 1 (no true effect), but
+    // exposure and outcome both concentrated in stratum s2 -> crude OR > 1
+    def rows(g: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((g, true, true)) ++ Seq.fill(b)((g, true, false)) ++
+        Seq.fill(c)((g, false, true)) ++ Seq.fill(d)((g, false, false))
+    val df = (rows("s1", 1, 9, 4, 36) ++ rows("s2", 36, 4, 9, 1))
+      .toDF("g", "ex", "oc")
+    val r = Sketches.mantelHaenszel(df, "g", "ex", "oc").head
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("n_strata") == 2L)
+    // per stratum ad/n = bc/n -> OR_MH exactly 1
+    assert(r.getAs[Double]("or_mh") == 1.0, s"adjusted OR must be 1, got ${r.getAs[Double]("or_mh")}")
+    // crude: (37·37)/(13·13) ≈ 8.1 — the paradox the adjustment removes
+    assert(r.getAs[Double]("or_crude") > 5.0)
+  }
+
   test("huberLocation: one planted outlier barely moves the robust mean") {
     // 9 values near 100 plus one at 10000: plain mean 1090, huber stays close
     val vals = Seq(96L, 97L, 98L, 99L, 100L, 101L, 102L, 103L, 104L, 10000L)
