@@ -3070,6 +3070,17 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       "event_type", "cents")
 
+  /** Kendall tau-b between each event type's daily revenue and daily
+    * volume — exact integer concordance over the bounded calendar series. */
+  private def qKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+    Sketches.kendallTau(daily, Seq("event_type"), "x", "y")
+      .orderBy("event_type")
+  }
+
   /** Mantel–Haenszel pooled odds ratio (event-type strata): heavy users
     * (even user id as the deterministic exposure proxy) vs high-value
     * events — the crude-vs-adjusted Simpson's-paradox gate. */
@@ -5045,6 +5056,7 @@ object SparkEntry {
     "q_huber" -> (qHuber _),
     "q_geo_median" -> (qGeoMedian _),
     "q_mantel_haenszel" -> (qMantelHaenszel _),
+    "q_kendall" -> (qKendall _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_vocab_richness" -> (qVocabRichness _),
@@ -8795,6 +8807,35 @@ object SparkEntry {
            ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
            ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
          FROM r WHERE rn = 1 ORDER BY event_type""",
+    // exact integer concordance; the one sqrt prices the output only
+    "q_kendall" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+         tx AS (SELECT event_type, SUM(c * (c - 1) / 2) AS tx FROM (
+                  SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM daily GROUP BY 1, 2) GROUP BY 1),
+         ty AS (SELECT event_type, SUM(c * (c - 1) / 2) AS ty FROM (
+                  SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM daily GROUP BY 1, 2) GROUP BY 1),
+         p AS (SELECT a.event_type,
+             CAST(SUM(CASE WHEN SIGN(a.x - b.x) * SIGN(a.y - b.y) = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN SIGN(a.x - b.x) * SIGN(a.y - b.y) = -1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1)
+         SELECT nn.event_type, n, conc AS concordant, disc AS discordant,
+           CASE WHEN (n * (n - 1) / 2 - tx) * (n * (n - 1) / 2 - ty) > 0
+                THEN ROUND(CAST(conc - disc AS DOUBLE) /
+                       SQRT(CAST(n * (n - 1) / 2 - tx AS DOUBLE) *
+                            CAST(n * (n - 1) / 2 - ty AS DOUBLE)), 6) END AS tau_b
+         FROM nn JOIN tx USING (event_type) JOIN ty USING (event_type)
+           JOIN p USING (event_type)
+         ORDER BY event_type""",
     // per-stratum terms single divisions from exact cell counts
     "q_mantel_haenszel" ->
       """WITH e AS (SELECT event_type AS g, user_id % 2 = 0 AS ex, value > 100.0 AS oc

@@ -1201,6 +1201,52 @@ object Sketches {
         round(col("__b") / (col("__b") + col("__w")), 6).as("eta_sq"))
   }
 
+  /** Kendall τ-b per key — concordance-based rank association, the
+    * heavy-tie-robust companion to [[spearmanCorr]]: τ_b =
+    * (C − D)/√((n₀−n_x)(n₀−n_y)) over all point pairs, with C/D/tie
+    * counts EXACT integers from a per-key pair self-join — so the whole
+    * statistic is integer-backed and one sqrt from exact. The join is
+    * O(n²) per key by definition; this is the BOUNDED-series form (daily
+    * aggregates, calendar-capped groups — the Theil–Sen discipline), not
+    * a row-scale operator. */
+  def kendallTau(
+      df: DataFrame, keyCols: Seq[String], xCol: String, yCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val pts = df.select(keys ++ Seq(
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
+      monotonically_increasing_id().as("__r")): _*)
+    // n and per-axis tie pair counts from histograms — cheaper than the join
+    val nTot = pts.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    def tiePairs(c: String, out: String): DataFrame =
+      pts.groupBy(keys :+ col(c): _*).agg(count(lit(1)).as("__c"))
+        .groupBy(keys: _*)
+        .agg(sum(col("__c") * (col("__c") - 1) / 2).as(out))
+    val a = pts.select(keys ++ Seq(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__r").as("__ra")): _*)
+    val b = pts.select(keys ++ Seq(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__r").as("__rb")): _*)
+    val sgn = (signum(col("__xa") - col("__xb")) *
+      signum(col("__ya") - col("__yb"))).cast("long")
+    val pairs = a.join(b, keyCols).filter(col("__ra") < col("__rb"))
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(sgn === 1L, 1L).otherwise(0L)).as("__conc"),
+        sum(when(sgn === -1L, 1L).otherwise(0L)).as("__disc"))
+    nTot.join(tiePairs("__x", "__tx"), keyCols)
+      .join(tiePairs("__y", "__ty"), keyCols)
+      .join(pairs, keyCols)
+      .select(keys ++ Seq(
+        col("n"), col("__conc").as("concordant"), col("__disc").as("discordant"),
+        // explicit guard: an all-tied axis zeroes the denominator, and
+        // engines disagree on 0/0 rendering
+        when((col("n") * (col("n") - 1) / 2 - col("__tx")) *
+            (col("n") * (col("n") - 1) / 2 - col("__ty")) > 0,
+          round((col("__conc") - col("__disc")).cast("double") /
+            sqrt((col("n") * (col("n") - 1) / 2 - col("__tx")).cast("double") *
+              (col("n") * (col("n") - 1) / 2 - col("__ty")).cast("double")), 6))
+          .as("tau_b")): _*)
+  }
+
   /** Mantel–Haenszel pooled odds ratio across strata — the confounder-
     * adjusted association readout of stratified surveillance analysis
     * (the reference domain's workhorse next to age/sex standardization):

@@ -592,6 +592,27 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("f") == 0.0 && s.getAs[Double]("eta_sq") == 0.0)
   }
 
+  test("kendallTau: monotone pairs give 1, reversal -1, hand ties case checks out") {
+    val mono = (1 to 10).map(i => ("m", i.toLong, (i * i).toLong))
+    val rev = (1 to 10).map(i => ("r", i.toLong, (100 - i).toLong))
+    val out = Sketches.kendallTau(
+        (mono ++ rev).toDF("k", "x", "y").repartition(3), Seq("k"), "x", "y")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getAs[Double]("tau_b")))
+    assert(out.toSeq == Seq(("m", 1.0), ("r", -1.0)))
+    // ties: x=[1,2,2,3], y=[1,1,2,2]: pairs (1,1)-(2,1), (2,1)-(2,2) and
+    // (2,2)-(3,2) tie on an axis -> C=3, D=0, tx=1, ty=2; n0=6
+    // tau_b = 3/sqrt(5·4)
+    val t = Seq(("t", 1L, 1L), ("t", 2L, 1L), ("t", 2L, 2L), ("t", 3L, 2L))
+      .toDF("k", "x", "y")
+    val r = Sketches.kendallTau(t, Seq("k"), "x", "y").head
+    assert(r.getAs[Long]("concordant") == 3L && r.getAs[Long]("discordant") == 0L)
+    assert(r.getAs[Double]("tau_b") == math.rint(3.0 / math.sqrt(20.0) * 1e6) / 1e6)
+    // all-tied x axis: guarded NULL, not NaN
+    val flat = Seq(("f", 5L, 1L), ("f", 5L, 2L)).toDF("k", "x", "y")
+    val f = Sketches.kendallTau(flat, Seq("k"), "x", "y").head
+    assert(f.isNullAt(f.fieldIndex("tau_b")))
+  }
+
   test("mantelHaenszel: planted Simpson's paradox — crude flips, MH stays") {
     // two strata, each with within-stratum OR = 1 (no true effect), but
     // exposure and outcome both concentrated in stratum s2 -> crude OR > 1
