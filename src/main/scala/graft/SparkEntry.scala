@@ -3070,6 +3070,13 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       "event_type", "cents")
 
+  /** Cronbach's alpha of the five event-type "items" over user event
+    * counts — do the activity dimensions move together. */
+  private def qCronbach(s: SparkSession, d: String): DataFrame =
+    Sketches.cronbachAlpha(
+      Tables.events(s, d).select(col("user_id"), col("event_type"), lit(1L).as("one")),
+      "user_id", "event_type", "one")
+
   /** Kendall tau-b between each event type's daily revenue and daily
     * volume — exact integer concordance over the bounded calendar series. */
   private def qKendall(s: SparkSession, d: String): DataFrame = {
@@ -5057,6 +5064,7 @@ object SparkEntry {
     "q_geo_median" -> (qGeoMedian _),
     "q_mantel_haenszel" -> (qMantelHaenszel _),
     "q_kendall" -> (qKendall _),
+    "q_cronbach" -> (qCronbach _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_vocab_richness" -> (qVocabRichness _),
@@ -8807,6 +8815,26 @@ object SparkEntry {
            ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
            ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
          FROM r WHERE rn = 1 ORDER BY event_type""",
+    // per-item and total variances from exact integer moments with
+    // n = the distinct-subject count (zeros never densified)
+    "q_cronbach" ->
+      """WITH cells AS (SELECT user_id AS s, event_type AS i,
+                  CAST(SUM(1) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+         uu AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS u FROM cells),
+         it AS (SELECT i, CAST(SUM(v) AS BIGINT) AS sv,
+                  SUM(CAST(v AS HUGEINT) * v) AS q FROM cells GROUP BY 1),
+         iv AS (SELECT i, (CAST(q AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                  / CAST(u AS DOUBLE)) / CAST(u AS DOUBLE) AS var FROM it, uu),
+         tt AS (SELECT s, CAST(SUM(v) AS BIGINT) AS t FROM cells GROUP BY 1),
+         tv AS (SELECT (CAST(q AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                  / CAST(u AS DOUBLE)) / CAST(u AS DOUBLE) AS vart
+                FROM (SELECT CAST(SUM(t) AS BIGINT) AS sv,
+                        SUM(CAST(t AS HUGEINT) * t) AS q FROM tt), uu)
+         SELECT (SELECT u FROM uu) AS n_subjects, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CASE WHEN (SELECT vart FROM tv) > 0
+                THEN ROUND((CAST(COUNT(*) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) - 1.0))
+                     * (1.0 - SUM(var) / (SELECT vart FROM tv)), 6) END AS alpha
+         FROM iv""",
     // exact integer concordance; the one sqrt prices the output only
     "q_kendall" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1201,6 +1201,48 @@ object Sketches {
         round(col("__b") / (col("__b") + col("__w")), 6).as("eta_sq"))
   }
 
+  /** Cronbach's α — internal-consistency reliability of a set of "items"
+    * (columns of an implicit subject×item count matrix, e.g. per-user
+    * event-type counts): α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total). Subjects
+    * missing an item count as 0 WITHOUT densifying: per-item and total
+    * variances come from exact integer (S, Σv²-as-DECIMAL) sums over the
+    * observed rows with n = the distinct subject count, so zeros
+    * contribute nothing to the sums and everything to the n — no spine
+    * join at any scale. Two partial aggs + one k-row rollup; the only
+    * float SUM spans k item variances. */
+  def cronbachAlpha(
+      df: DataFrame,
+      subjectCol: String,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast("long")
+    val cells = df.groupBy(col(subjectCol).as("__s"), col(itemCol).as("__i"))
+      .agg(sum(v).as("__v"))
+    val u = cells.select(col("__s")).distinct().count()
+    def varCol: Column =
+      (col("__q").cast("double") -
+        col("__sv").cast("double") * col("__sv").cast("double") / lit(u.toDouble)) /
+        lit(u.toDouble)
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__v")).as("__sv"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__q"))
+      .withColumn("__var", varCol)
+    val totals = cells.groupBy(col("__s")).agg(sum(col("__v")).as("__t"))
+      .agg(sum(col("__t")).as("__sv"),
+        sum(col("__t").cast(dec) * col("__t").cast(dec)).as("__q"))
+      .withColumn("__vart", varCol)
+    val kd = count(lit(1)).cast("double")
+    items.agg(count(lit(1)).as("n_items"), sum(col("__var")).as("__sumvar"),
+        (kd / (kd - lit(1.0))).as("__kfrac"))
+      .crossJoin(broadcast(totals.select(col("__vart"))))
+      .select(
+        lit(u).as("n_subjects"), col("n_items"),
+        when(col("__vart") > 0,
+          round(col("__kfrac") * (lit(1.0) - col("__sumvar") / col("__vart")), 6))
+          .as("alpha"))
+  }
+
   /** Kendall τ-b per key — concordance-based rank association, the
     * heavy-tie-robust companion to [[spearmanCorr]]: τ_b =
     * (C − D)/√((n₀−n_x)(n₀−n_y)) over all point pairs, with C/D/tie

@@ -613,6 +613,19 @@ class SketchesSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("tau_b")))
   }
 
+  test("cronbachAlpha: identical items give 1, a constant item gives 0") {
+    // two items moving in lockstep across 4 subjects
+    val twin = (1 to 4).flatMap(i => Seq((i.toLong, "a", i.toLong), (i.toLong, "b", i.toLong)))
+      .toDF("s", "i", "v")
+    val r = Sketches.cronbachAlpha(twin, "s", "i", "v").head
+    assert(r.getAs[Long]("n_subjects") == 4L && r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Double]("alpha") == 1.0)
+    // item b constant: contributes no covariance -> alpha 0
+    val const = (1 to 4).flatMap(i => Seq((i.toLong, "a", i.toLong), (i.toLong, "b", 5L)))
+      .toDF("s", "i", "v")
+    assert(Sketches.cronbachAlpha(const, "s", "i", "v").head.getAs[Double]("alpha") == 0.0)
+  }
+
   test("mantelHaenszel: planted Simpson's paradox — crude flips, MH stays") {
     // two strata, each with within-stratum OR = 1 (no true effect), but
     // exposure and outcome both concentrated in stratum s2 -> crude OR > 1
