@@ -4240,6 +4240,29 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** STREAMING SAX twin: daily exact-cent sums in the state store
+    * (complete mode), the deterministic PAA/symbol assembly in batch off
+    * the sink — integer state ⇒ stream == batch, shared oracle. */
+  private def qSaxStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_sax_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Temporal.saxWords(s.table(name), Seq("event_type"), "day", "v", segments = 8)
+      .orderBy("event_type")
+  }
+
   /** STREAMING forecast-backtest twin: daily exact-cent sums accumulate in
     * the state store (complete mode); the lag-window MAE/MASE assembly runs
     * in batch off the sink — integer state ⇒ stream == batch exactly,
@@ -5059,6 +5082,7 @@ object SparkEntry {
     "q_sax" -> (qSax _),
     "q_tukey" -> (qTukey _),
     "q_forecast_backtest_stream" -> (qForecastBacktestStream _),
+    "q_sax_stream" -> (qSaxStream _),
     "q_hurst" -> (qHurst _),
     "q_huber" -> (qHuber _),
     "q_geo_median" -> (qGeoMedian _),
@@ -8694,6 +8718,39 @@ object SparkEntry {
     // z / PAA means are fixed IEEE chains from exact integer sums; the
     // ±0.6744897501960817 breakpoints are identical literals on both sides
     "q_sax" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         pos AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY event_type) AS q
+           FROM daily),
+         seg AS (SELECT event_type, n, s, q,
+             CAST(FLOOR(i * 8 / n) AS INT) AS sg,
+             CAST(SUM(v) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS cv
+           FROM pos WHERE n >= 8 GROUP BY 1, 2, 3, 4, 5),
+         z AS (SELECT event_type, n, sg,
+             CASE WHEN SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) > 0
+                  THEN (CAST(sv AS DOUBLE) / CAST(cv AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                  ELSE 0.0 END AS z
+           FROM seg),
+         sym AS (SELECT event_type, n, sg,
+             CASE WHEN z < -0.6744897501960817 THEN 'a'
+                  WHEN z < 0.0 THEN 'b'
+                  WHEN z < 0.6744897501960817 THEN 'c'
+                  ELSE 'd' END AS sym
+           FROM z)
+         SELECT event_type, MAX(n) AS n,
+           STRING_AGG(sym, '' ORDER BY sg) AS sax_word
+         FROM sym GROUP BY event_type ORDER BY event_type""",
+    // stream twin: integer daily state => stream == batch, shared oracle
+    "q_sax_stream" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
            FROM events GROUP BY 1, 2),
