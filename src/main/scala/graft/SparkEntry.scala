@@ -3070,6 +3070,18 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       "event_type", "cents")
 
+  /** Cohen's kappa between two deterministic event labelers (value band
+    * vs the props `k` band) — the chance-corrected agreement gate. */
+  private def qCohenKappa(s: SparkSession, d: String): DataFrame = {
+    val labeled = Tables.events(s, d).select(
+      when(col("value") < 100.0, "low").when(col("value") < 500.0, "mid")
+        .otherwise("high").as("rater_a"),
+      when(get_json_object(col("props"), "$.k").cast("long") < 33L, "low")
+        .when(get_json_object(col("props"), "$.k").cast("long") < 66L, "mid")
+        .otherwise("high").as("rater_b"))
+    Sketches.cohenKappa(labeled, "rater_a", "rater_b")
+  }
+
   /** Cronbach's alpha of the five event-type "items" over user event
     * counts — do the activity dimensions move together. */
   private def qCronbach(s: SparkSession, d: String): DataFrame =
@@ -5089,6 +5101,7 @@ object SparkEntry {
     "q_mantel_haenszel" -> (qMantelHaenszel _),
     "q_kendall" -> (qKendall _),
     "q_cronbach" -> (qCronbach _),
+    "q_cohen_kappa" -> (qCohenKappa _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_vocab_richness" -> (qVocabRichness _),
@@ -8872,6 +8885,34 @@ object SparkEntry {
            ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
            ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
          FROM r WHERE rn = 1 ORDER BY event_type""",
+    // confusion counts and marginal cross products exact; kappa a fixed
+    // chain of single divisions
+    "q_cohen_kappa" ->
+      """WITH l AS (SELECT
+             CASE WHEN value < 100.0 THEN 'low'
+                  WHEN value < 500.0 THEN 'mid' ELSE 'high' END AS a,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 33 THEN 'low'
+                  WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 66 THEN 'mid'
+                  ELSE 'high' END AS b
+           FROM events),
+         conf AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY 1, 2),
+         rm AS (SELECT a AS lab, CAST(SUM(c) AS BIGINT) AS ra FROM conf GROUP BY 1),
+         cm AS (SELECT b AS lab, CAST(SUM(c) AS BIGINT) AS rb FROM conf GROUP BY 1),
+         ch AS (SELECT SUM(CAST(ra AS HUGEINT) * rb) AS pe2
+                FROM rm JOIN cm USING (lab)),
+         ag AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+                FROM conf)
+         SELECT n,
+           ROUND(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+           ROUND(CAST(pe2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+             AS p_chance,
+           CASE WHEN CAST(pe2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                THEN ROUND((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(pe2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     / (1.0 - CAST(pe2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                END AS kappa
+         FROM ag, ch""",
     // per-item and total variances from exact integer moments with
     // n = the distinct-subject count (zeros never densified)
     "q_cronbach" ->

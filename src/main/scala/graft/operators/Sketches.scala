@@ -1201,6 +1201,39 @@ object Sketches {
         round(col("__b") / (col("__b") + col("__w")), 6).as("eta_sq"))
   }
 
+  /** Cohen's κ — chance-corrected inter-annotator agreement between two
+    * categorical labelers over the same rows, the labeling-pipeline QA
+    * readout (raw agreement flatters on skewed label sets; κ corrects by
+    * the marginal-product chance rate): κ = (p_o − p_e)/(1 − p_e) with
+    * p_o from the confusion diagonal and p_e = Σ_c row_c·col_c / n². All
+    * counts and cross products are exact integers (DECIMAL for the n²
+    * products), the statistic a fixed chain of single divisions. One
+    * confusion-matrix partial agg + one marginal rollup — label-domain-
+    * bounded everywhere. Degenerate p_e = 1 (both raters constant) yields
+    * NULL. */
+  def cohenKappa(
+      df: DataFrame, raterACol: String, raterBCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val conf = df.groupBy(col(raterACol).as("__a"), col(raterBCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val rowm = conf.groupBy(col("__a").as("__l")).agg(sum(col("__c")).as("__ra"))
+    val colm = conf.groupBy(col("__b").as("__l")).agg(sum(col("__c")).as("__rb"))
+    val chance = rowm.join(colm, Seq("__l"), "inner")
+      .agg(sum(col("__ra").cast(dec) * col("__rb").cast(dec)).as("__pe2"))
+    val agg = conf.agg(
+      sum(col("__c")).as("__n"),
+      sum(when(col("__a") <=> col("__b"), col("__c")).otherwise(0L)).as("__diag"))
+    val nD = col("__n").cast("double")
+    val po = col("__diag").cast("double") / nD
+    val pe = col("__pe2").cast("double") / (nD * nD)
+    agg.crossJoin(broadcast(chance))
+      .select(
+        col("__n").as("n"),
+        round(po, 6).as("p_observed"),
+        round(pe, 6).as("p_chance"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** Cronbach's α — internal-consistency reliability of a set of "items"
     * (columns of an implicit subject×item count matrix, e.g. per-user
     * event-type counts): α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total). Subjects

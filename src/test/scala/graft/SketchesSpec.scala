@@ -613,6 +613,22 @@ class SketchesSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("tau_b")))
   }
 
+  test("cohenKappa: perfect agreement 1, independence-by-construction ~0, textbook 2x2") {
+    val perfect = Seq.tabulate(20)(i => (s"l${i % 3}", s"l${i % 3}")).toDF("a", "b")
+    assert(Sketches.cohenKappa(perfect, "a", "b").head.getAs[Double]("kappa") == 1.0)
+    // textbook 2x2: diag 20+15, off 5+10, n=50 -> po=0.7
+    // pe = (25·30 + 25·20)/2500 = 0.5 -> kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Sketches.cohenKappa(rows.toDF("a", "b"), "a", "b").head
+    assert(r.getAs[Long]("n") == 50L && r.getAs[Double]("p_observed") == 0.7)
+    assert(r.getAs[Double]("p_chance") == 0.5 && r.getAs[Double]("kappa") == 0.4)
+    // both raters constant: pe = 1, guarded NULL
+    val const = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    val c = Sketches.cohenKappa(const, "a", "b").head
+    assert(c.isNullAt(c.fieldIndex("kappa")))
+  }
+
   test("cronbachAlpha: identical items give 1, a constant item gives 0") {
     // two items moving in lockstep across 4 subjects
     val twin = (1 to 4).flatMap(i => Seq((i.toLong, "a", i.toLong), (i.toLong, "b", i.toLong)))
