@@ -624,4 +624,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"coords must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"k-row join must not sort-merge:\n$p")
   }
+
+  test("huber / geometric-median sweeps broadcast the tiny estimate, never sort-merge") {
+    for (q <- Seq("q_huber", "q_geo_median")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"$q estimate join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge:\n$p")
+    }
+  }
+
+  test("kendall pair join is a key equi-join, never a cartesian") {
+    val p = plan(SparkEntry.queries("q_kendall")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"kendall must join on the key:\n$p")
+  }
+
+  test("agreement/association one-row stats reduce with partial aggregates") {
+    for (q <- Seq("q_mantel_haenszel", "q_cronbach", "q_cohen_kappa")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must map-side combine before its shuffle:\n$p")
+      assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q single-row combine must broadcast:\n$p")
+    }
+  }
 }
