@@ -3070,6 +3070,18 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       "event_type", "cents")
 
+  /** Lorenz decile table of customer spend per market segment — the curve
+    * behind the Gini number: cumulative spend share per spend decile. */
+  private def qLorenz(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    Sketches.lorenzDeciles(spend, Seq("c_mktsegment"), "cents", Seq("o_custkey"))
+      .orderBy("c_mktsegment", "decile")
+  }
+
   /** Cohen's kappa between two deterministic event labelers (value band
     * vs the props `k` band) — the chance-corrected agreement gate. */
   private def qCohenKappa(s: SparkSession, d: String): DataFrame = {
@@ -5102,6 +5114,7 @@ object SparkEntry {
     "q_kendall" -> (qKendall _),
     "q_cronbach" -> (qCronbach _),
     "q_cohen_kappa" -> (qCohenKappa _),
+    "q_lorenz" -> (qLorenz _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_vocab_richness" -> (qVocabRichness _),
@@ -8885,6 +8898,25 @@ object SparkEntry {
            ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
            ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
          FROM r WHERE rn = 1 ORDER BY event_type""",
+    // NTILE over an explicit total order; shares single divisions of
+    // exact long sums
+    "q_lorenz" ->
+      """WITH spend AS (SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         j AS (SELECT c.c_mktsegment AS g, s.cents AS v, s.o_custkey AS k
+               FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+         b AS (SELECT g, v, NTILE(10) OVER (PARTITION BY g ORDER BY v, k) AS d FROM j),
+         per AS (SELECT g, d, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv FROM b GROUP BY 1, 2),
+         t AS (SELECT *, CAST(SUM(sv) OVER (PARTITION BY g) AS BIGINT) AS tt,
+                 CAST(SUM(sv) OVER (PARTITION BY g ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+               FROM per)
+         SELECT g AS c_mktsegment, d AS decile, n, sv AS value_sum,
+           ROUND(CAST(sv AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share,
+           ROUND(CAST(cc AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS cum_share
+         FROM t ORDER BY c_mktsegment, decile""",
     // confusion counts and marginal cross products exact; kappa a fixed
     // chain of single divisions
     "q_cohen_kappa" ->

@@ -1201,6 +1201,38 @@ object Sketches {
         round(col("__b") / (col("__b") + col("__w")), 6).as("eta_sq"))
   }
 
+  /** Lorenz curve at decile grain per key — the table behind the Gini
+    * number: units sorted by value into NTILE(10) bins (ties broken by a
+    * total order the caller guarantees via `tieCols`), each row one
+    * decile's exact value sum, share and cumulative share. Shares are
+    * single divisions of exact long sums; NTILE over an explicit total
+    * order is engine-deterministic. One window pass + one partial agg. */
+  def lorenzDeciles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("long")
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("__v") +: tieCols.map(col): _*)
+    val binned = df.select(keys ++ Seq(v.as("__v")) ++ tieCols.map(col): _*)
+      .withColumn("__d", ntile(10).over(w))
+    val per = binned.groupBy(keys :+ col("__d"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s"))
+    val tot = sum(col("__s")).over(Window.partitionBy(keys: _*))
+    val cum = sum(col("__s")).over(Window.partitionBy(keys: _*).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per
+      .withColumn("__t", tot)
+      .withColumn("__c", cum)
+      .select(keys ++ Seq(
+        col("__d").as("decile"), col("n"), col("__s").as("value_sum"),
+        round(col("__s").cast("double") / col("__t").cast("double"), 6).as("share"),
+        round(col("__c").cast("double") / col("__t").cast("double"), 6)
+          .as("cum_share")): _*)
+  }
+
   /** Cohen's κ — chance-corrected inter-annotator agreement between two
     * categorical labelers over the same rows, the labeling-pipeline QA
     * readout (raw agreement flatters on skewed label sets; κ corrects by

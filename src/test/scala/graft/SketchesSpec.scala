@@ -613,6 +613,25 @@ class SketchesSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("tau_b")))
   }
 
+  test("lorenzDeciles: uniform values give the diagonal, shares sum to 1") {
+    val df = (1 to 100).map(i => ("g", i.toLong, i.toLong)).toDF("g", "id", "v")
+    // values 1..100: decile d holds (10d-9)..(10d), cum share = running sums
+    val out = Sketches.lorenzDeciles(df.repartition(5), Seq("g"), "v", Seq("id"))
+      .orderBy("decile").collect()
+    assert(out.length == 10 && out.forall(_.getAs[Long]("n") == 10L))
+    val total = (1 to 100).sum.toDouble
+    val d1 = out.head
+    assert(d1.getAs[Long]("value_sum") == 55L)
+    assert(d1.getAs[Double]("share") == math.rint(55.0 / total * 1e6) / 1e6)
+    assert(out.last.getAs[Double]("cum_share") == 1.0)
+    // bottom decile of an unequal distribution holds almost nothing
+    val skew = ((1 to 99).map(i => ("s", i.toLong, 1L)) :+ (("s", 100L, 10000L)))
+      .toDF("g", "id", "v")
+    val s1 = Sketches.lorenzDeciles(skew, Seq("g"), "v", Seq("id"))
+      .orderBy("decile").collect()
+    assert(s1.head.getAs[Double]("cum_share") < 0.01)
+  }
+
   test("cohenKappa: perfect agreement 1, independence-by-construction ~0, textbook 2x2") {
     val perfect = Seq.tabulate(20)(i => (s"l${i % 3}", s"l${i % 3}")).toDF("a", "b")
     assert(Sketches.cohenKappa(perfect, "a", "b").head.getAs[Double]("kappa") == 1.0)
