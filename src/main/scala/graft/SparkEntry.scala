@@ -3082,6 +3082,20 @@ object SparkEntry {
       .orderBy("c_mktsegment", "decile")
   }
 
+  /** Fleiss' kappa across three deterministic event labelers — the
+    * multi-annotator agreement gate. */
+  private def qFleissKappa(s: SparkSession, d: String): DataFrame = {
+    val labeled = Tables.events(s, d).select(
+      when(col("value") < 100.0, "low").when(col("value") < 500.0, "mid")
+        .otherwise("high").as("rater_a"),
+      when(get_json_object(col("props"), "$.k").cast("long") < 33L, "low")
+        .when(get_json_object(col("props"), "$.k").cast("long") < 66L, "mid")
+        .otherwise("high").as("rater_b"),
+      when(col("event_id") % 3 === 0, "low").when(col("event_id") % 3 === 1, "mid")
+        .otherwise("high").as("rater_c"))
+    Sketches.fleissKappa(labeled, Seq("rater_a", "rater_b", "rater_c"))
+  }
+
   /** Cohen's kappa between two deterministic event labelers (value band
     * vs the props `k` band) — the chance-corrected agreement gate. */
   private def qCohenKappa(s: SparkSession, d: String): DataFrame = {
@@ -5114,6 +5128,7 @@ object SparkEntry {
     "q_kendall" -> (qKendall _),
     "q_cronbach" -> (qCronbach _),
     "q_cohen_kappa" -> (qCohenKappa _),
+    "q_fleiss_kappa" -> (qFleissKappa _),
     "q_lorenz" -> (qLorenz _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
@@ -8917,6 +8932,38 @@ object SparkEntry {
            ROUND(CAST(sv AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share,
            ROUND(CAST(cc AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS cum_share
          FROM t ORDER BY c_mktsegment, decile""",
+    // per-subject category-square sums via the pairwise-equality closed
+    // form; marginal squares over the 3-label domain only
+    "q_fleiss_kappa" ->
+      """WITH l AS (SELECT
+             CASE WHEN value < 100.0 THEN 'low'
+                  WHEN value < 500.0 THEN 'mid' ELSE 'high' END AS a,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 33 THEN 'low'
+                  WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 66 THEN 'mid'
+                  ELSE 'high' END AS b,
+             CASE event_id % 3 WHEN 0 THEN 'low' WHEN 1 THEN 'mid' ELSE 'high' END AS c
+           FROM events),
+         subj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(3 + 2 * ((CASE WHEN a = b THEN 1 ELSE 0 END)
+                  + (CASE WHEN a = c THEN 1 ELSE 0 END)
+                  + (CASE WHEN b = c THEN 1 ELSE 0 END))) AS BIGINT) AS ss
+           FROM l),
+         cats AS (SELECT cc, CAST(COUNT(*) AS BIGINT) AS k FROM (
+             SELECT a AS cc FROM l UNION ALL SELECT b FROM l
+             UNION ALL SELECT c FROM l) GROUP BY 1),
+         pe AS (SELECT SUM((CAST(k AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+                  * (CAST(k AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))) AS pe,
+                  MAX(n) AS n, MAX(ss) AS ss
+                FROM cats, subj)
+         SELECT n, 3 AS n_raters,
+           ROUND((CAST(ss AS DOUBLE) - 3.0 * CAST(n AS DOUBLE))
+                 / (3.0 * (3.0 - 1.0) * CAST(n AS DOUBLE)), 6) AS p_observed,
+           ROUND(pe, 6) AS p_chance,
+           CASE WHEN pe < 1.0
+                THEN ROUND(((CAST(ss AS DOUBLE) - 3.0 * CAST(n AS DOUBLE))
+                      / (3.0 * (3.0 - 1.0) * CAST(n AS DOUBLE)) - pe) / (1.0 - pe), 6)
+                END AS kappa
+         FROM pe""",
     // confusion counts and marginal cross products exact; kappa a fixed
     // chain of single divisions
     "q_cohen_kappa" ->

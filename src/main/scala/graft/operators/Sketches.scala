@@ -1233,6 +1233,38 @@ object Sketches {
           .as("cum_share")): _*)
   }
 
+  /** Fleiss' κ — chance-corrected agreement for r ≥ 2 raters per subject
+    * (the multi-annotator generalization of [[cohenKappa]]): per subject
+    * Σ_c n_c² collapses to the pairwise-equality closed form
+    * `r + 2·Σ_{i<j} [rating_i = rating_j]` (exact integers, no per-
+    * category pivot), so P̄ = (Σs − rN)/(r(r−1)N) is one division from
+    * exact sums; category marginals come from one explode + partial agg
+    * and P̄ₑ = Σ p_c² sums over the label domain only.
+    * κ = (P̄ − P̄ₑ)/(1 − P̄ₑ), NULL when P̄ₑ = 1. */
+  def fleissKappa(df: DataFrame, raterCols: Seq[String]): DataFrame = {
+    val r = raterCols.size
+    require(r >= 2, s"need >= 2 raters, got $r")
+    val pairsEq = raterCols.combinations(2).map { case Seq(a, b) =>
+      when(col(a) <=> col(b), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val s = lit(r.toLong) + lit(2L) * pairsEq
+    val subj = df.agg(count(lit(1)).as("__n"), sum(s).as("__ss"))
+    val cats = df.select(explode(array(raterCols.map(col): _*)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__k"))
+    val nD = col("__n").cast("double")
+    val rD = lit(r.toDouble)
+    val pbar = (col("__ss").cast("double") - rD * nD) / (rD * (rD - lit(1.0)) * nD)
+    val pc = col("__k").cast("double") / (rD * nD)
+    val pe = cats.crossJoin(broadcast(subj))
+      .agg(sum(pc * pc).as("__pe"), max(col("__n")).as("__n"), max(col("__ss")).as("__ss"))
+    pe.select(
+      col("__n").as("n"), lit(r).as("n_raters"),
+      round(pbar, 6).as("p_observed"),
+      round(col("__pe"), 6).as("p_chance"),
+      when(col("__pe") < 1.0,
+        round((pbar - col("__pe")) / (lit(1.0) - col("__pe")), 6)).as("kappa"))
+  }
+
   /** Cohen's κ — chance-corrected inter-annotator agreement between two
     * categorical labelers over the same rows, the labeling-pipeline QA
     * readout (raw agreement flatters on skewed label sets; κ corrects by

@@ -632,6 +632,23 @@ class SketchesSpec extends SparkSpec {
     assert(s1.head.getAs[Double]("cum_share") < 0.01)
   }
 
+  test("fleissKappa: unanimity gives 1; hand-computed mixed panel") {
+    val unanimous = Seq.tabulate(12)(i => (s"l${i % 3}", s"l${i % 3}", s"l${i % 3}"))
+      .toDF("a", "b", "c")
+    val u = Sketches.fleissKappa(unanimous, Seq("a", "b", "c")).head
+    assert(u.getAs[Double]("kappa") == 1.0 && u.getAs[Int]("n_raters") == 3)
+    // 2 subjects, 3 raters: s1 all 'x' (s=9), s2 two 'x' one 'y' (s=5)
+    // P̄ = (14-6)/(6·2) = 2/3; marginals x=5, y=1 of 6
+    // P̄e = (5/6)² + (1/6)² = 26/36; kappa = (2/3 - 26/36)/(1 - 26/36)
+    val mixed = Seq(("x", "x", "x"), ("x", "x", "y")).toDF("a", "b", "c")
+    val m = Sketches.fleissKappa(mixed, Seq("a", "b", "c")).head
+    assert(m.getAs[Double]("p_observed") == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    val pe = 26.0 / 36.0
+    val expected = math.rint((2.0 / 3.0 - pe) / (1.0 - pe) * 1e6) / 1e6
+    assert(m.getAs[Double]("kappa") == expected,
+      s"got ${m.getAs[Double]("kappa")} expected $expected")
+  }
+
   test("cohenKappa: perfect agreement 1, independence-by-construction ~0, textbook 2x2") {
     val perfect = Seq.tabulate(20)(i => (s"l${i % 3}", s"l${i % 3}")).toDF("a", "b")
     assert(Sketches.cohenKappa(perfect, "a", "b").head.getAs[Double]("kappa") == 1.0)
