@@ -3070,6 +3070,18 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       "event_type", "cents")
 
+  /** Theil T inequality of customer spend per market segment — the
+    * decomposable companion to the Gini/Lorenz readouts. */
+  private def qTheil(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    Sketches.theilIndex(spend, Seq("c_mktsegment"), "cents")
+      .orderBy("c_mktsegment")
+  }
+
   /** Lorenz decile table of customer spend per market segment — the curve
     * behind the Gini number: cumulative spend share per spend decile. */
   private def qLorenz(s: SparkSession, d: String): DataFrame = {
@@ -5130,6 +5142,7 @@ object SparkEntry {
     "q_cohen_kappa" -> (qCohenKappa _),
     "q_fleiss_kappa" -> (qFleissKappa _),
     "q_lorenz" -> (qLorenz _),
+    "q_theil" -> (qTheil _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_vocab_richness" -> (qVocabRichness _),
@@ -8913,6 +8926,27 @@ object SparkEntry {
            ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
            ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
          FROM r WHERE rn = 1 ORDER BY event_type""",
+    // per-row terms quantized to 1e-9 longs before the sum (degree-tail
+    // discipline) so the float work is per-row single ops only
+    "q_theil" ->
+      """WITH spend AS (SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+         j AS (SELECT c.c_mktsegment AS g, s.v
+               FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+         w AS (SELECT g, v,
+             CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+             CAST(SUM(v) OVER (PARTITION BY g) AS BIGINT) AS sv
+           FROM j),
+         t AS (SELECT g, n,
+             CAST(FLOOR((CASE WHEN v > 0
+                  THEN (CAST(v AS DOUBLE) / (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * LN(CAST(v AS DOUBLE) / (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
+                  ELSE 0.0 END) * 1e9 + 0.5) AS BIGINT) AS tq
+           FROM w)
+         SELECT g AS c_mktsegment, MAX(n) AS n,
+           ROUND(CAST(SUM(tq) AS DOUBLE) / 1e9 / CAST(MAX(n) AS DOUBLE), 6) AS theil_t
+         FROM t GROUP BY g ORDER BY c_mktsegment""",
     // NTILE over an explicit total order; shares single divisions of
     // exact long sums
     "q_lorenz" ->

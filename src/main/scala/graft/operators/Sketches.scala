@@ -1201,6 +1201,33 @@ object Sketches {
         round(col("__b") / (col("__b") + col("__w")), 6).as("eta_sq"))
   }
 
+  /** Theil T inequality index per key — the DECOMPOSABLE inequality
+    * measure next to Gini/Lorenz (between-group + within-group terms add
+    * up exactly, which Gini can't do): T = (1/n)Σ (xᵢ/μ)·ln(xᵢ/μ). Each
+    * row's term is a fixed chain of single IEEE ops from the exact long
+    * value and the single-division mean, then QUANTIZED to 1e-9 longs
+    * before the sum (the degree-tail discipline — a raw double SUM would
+    * be partition-order-dependent), so the index hash-gates. Zero values
+    * contribute 0 (lim x·ln x = 0); negative values are the caller's bug.
+    * Two passes over one key partitioning: mean window + term sum. */
+  def theilIndex(
+      df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("long")
+    val wAll = Window.partitionBy(keys: _*)
+    val mu = col("__s").cast("double") / col("__n").cast("double")
+    val ratio = col("__v").cast("double") / mu
+    val term = when(col("__v") > 0, ratio * log(ratio)).otherwise(lit(0.0))
+    df.select(keys :+ v.as("__v"): _*)
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__v")).over(wAll))
+      .withColumn("__tq", floor(term * 1e9 + 0.5).cast("long"))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"),
+        round(sum(col("__tq")).cast("double") / lit(1e9) /
+          max(col("__n")).cast("double"), 6).as("theil_t"))
+  }
+
   /** Lorenz curve at decile grain per key — the table behind the Gini
     * number: units sorted by value into NTILE(10) bins (ties broken by a
     * total order the caller guarantees via `tieCols`), each row one

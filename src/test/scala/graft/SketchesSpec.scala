@@ -613,6 +613,19 @@ class SketchesSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("tau_b")))
   }
 
+  test("theilIndex: equal values give 0, hand-computed two-point case") {
+    val eq = Seq.fill(10)(("e", 5L)).toDF("g", "v")
+    assert(Sketches.theilIndex(eq, Seq("g"), "v").head.getAs[Double]("theil_t") == 0.0)
+    // values 1 and 3: mu=2, T = (0.5·ln 0.5 + 1.5·ln 1.5)/2
+    val two = Seq(("t", 1L), ("t", 3L)).toDF("g", "v")
+    val expectedRaw =
+      (math.floor((0.5 * math.log(0.5)) * 1e9 + 0.5) +
+        math.floor((1.5 * math.log(1.5)) * 1e9 + 0.5)) / 1e9 / 2.0
+    val expected = math.rint(expectedRaw * 1e6) / 1e6
+    val got = Sketches.theilIndex(two, Seq("g"), "v").head.getAs[Double]("theil_t")
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("lorenzDeciles: uniform values give the diagonal, shares sum to 1") {
     val df = (1 to 100).map(i => ("g", i.toLong, i.toLong)).toDF("g", "id", "v")
     // values 1..100: decile d holds (10d-9)..(10d), cum share = running sums
