@@ -3070,6 +3070,17 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       "event_type", "cents")
 
+  /** Theil between/within decomposition of spend inequality across market
+    * segments — one row, additivity gap as its own audit. */
+  private def qTheilDecomp(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    Sketches.theilDecomposition(spend, "c_mktsegment", "cents")
+  }
+
   /** Theil T inequality of customer spend per market segment — the
     * decomposable companion to the Gini/Lorenz readouts. */
   private def qTheil(s: SparkSession, d: String): DataFrame = {
@@ -5143,6 +5154,7 @@ object SparkEntry {
     "q_fleiss_kappa" -> (qFleissKappa _),
     "q_lorenz" -> (qLorenz _),
     "q_theil" -> (qTheil _),
+    "q_theil_decomp" -> (qTheilDecomp _),
     "q_modularity" -> (qModularity _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_vocab_richness" -> (qVocabRichness _),
@@ -8926,6 +8938,44 @@ object SparkEntry {
            ROUND(CAST(sk AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS mean_left,
            ROUND(CAST(s - sk AS DOUBLE) / CAST(n - kk AS DOUBLE), 6) AS mean_right
          FROM r WHERE rn = 1 ORDER BY event_type""",
+    // pooled + per-group quantized terms off one scan; the reported
+    // additivity gap is the shared quantization residual
+    "q_theil_decomp" ->
+      """WITH spend AS (SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+         j AS (SELECT c.c_mktsegment AS g, s.v
+               FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+         w AS (SELECT g, v,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(v) OVER () AS BIGINT) AS s,
+             CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS ng,
+             CAST(SUM(v) OVER (PARTITION BY g) AS BIGINT) AS sg
+           FROM j),
+         t AS (SELECT *,
+             CAST(FLOOR((CASE WHEN v > 0
+                  THEN (CAST(v AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * LN(CAST(v AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                  ELSE 0.0 END) * 1e9 + 0.5) AS BIGINT) AS tqa,
+             CAST(FLOOR((CASE WHEN v > 0
+                  THEN (CAST(v AS DOUBLE) / (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+                       * LN(CAST(v AS DOUBLE) / (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+                  ELSE 0.0 END) * 1e9 + 0.5) AS BIGINT) AS tqg
+           FROM w),
+         pg AS (SELECT g, n, s, ng, sg, CAST(SUM(tqa) AS BIGINT) AS ta,
+                  CAST(SUM(tqg) AS BIGINT) AS tg
+                FROM t GROUP BY 1, 2, 3, 4, 5),
+         fin AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(ta) AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) AS tt,
+             SUM((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+               * LN((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS tb,
+             SUM((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+               * (CAST(tg AS DOUBLE) / 1e9 / CAST(ng AS DOUBLE))) AS tw
+           FROM pg GROUP BY n)
+         SELECT n, n_groups, ROUND(tt, 6) AS t_total, ROUND(tb, 6) AS t_between,
+           ROUND(tw, 6) AS t_within, ROUND(tt - (tb + tw), 6) + 0.0 AS additivity_gap
+         FROM fin""",
     // per-row terms quantized to 1e-9 longs before the sum (degree-tail
     // discipline) so the float work is per-row single ops only
     "q_theil" ->

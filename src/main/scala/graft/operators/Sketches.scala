@@ -1228,6 +1228,60 @@ object Sketches {
           max(col("__n")).cast("double"), 6).as("theil_t"))
   }
 
+  /** Theil T between/within decomposition over one grouping — the reason
+    * to pick Theil over Gini: T_total = T_between + Σ_g s_g·T_g with
+    * s_g = the group's value share. T_total and each group's T come from
+    * [[theilIndex]]'s quantized-term machinery (pooled and per-group
+    * partitionings of the same scan); T_between = Σ_g s_g·ln(μ_g/μ) is k
+    * single-op terms. The reported `additivity_gap` is the 1e-9
+    * quantization residual — identical on both engines, and its tininess
+    * is itself the audit that the decomposition is computed right. */
+  def theilDecomposition(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val base = df.select(col(groupCol).as("__g"), v.as("__v"))
+    val wAll = Window.partitionBy()
+    val wG = Window.partitionBy(col("__g"))
+    def terms(nC: Column, sC: Column): Column = {
+      val mu = sC.cast("double") / nC.cast("double")
+      val ratio = col("__v").cast("double") / mu
+      floor(when(col("__v") > 0, ratio * log(ratio)).otherwise(lit(0.0)) * 1e9 + 0.5)
+        .cast("long")
+    }
+    val rows = base
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__v")).over(wAll))
+      .withColumn("__ng", count(lit(1)).over(wG))
+      .withColumn("__sg", sum(col("__v")).over(wG))
+      .withColumn("__tqAll", terms(col("__n"), col("__s")))
+      .withColumn("__tqG", terms(col("__ng"), col("__sg")))
+    val perGroup = rows
+      .groupBy(col("__g"), col("__n"), col("__s"), col("__ng"), col("__sg"))
+      .agg(sum(col("__tqAll")).as("__ta"), sum(col("__tqG")).as("__tg"))
+    val share = col("__sg").cast("double") / col("__s").cast("double")
+    val muRatio = (col("__sg").cast("double") / col("__ng").cast("double")) /
+      (col("__s").cast("double") / col("__n").cast("double"))
+    perGroup
+      .withColumn("__within", share * (col("__tg").cast("double") / lit(1e9) /
+        col("__ng").cast("double")))
+      .withColumn("__between", share * log(muRatio))
+      .groupBy(col("__n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        (sum(col("__ta")).cast("double") / lit(1e9) / col("__n").cast("double"))
+          .as("__tt"),
+        sum(col("__between")).as("__tb"),
+        sum(col("__within")).as("__tw"))
+      .select(
+        col("__n").as("n"), col("n_groups"),
+        round(col("__tt"), 6).as("t_total"),
+        round(col("__tb"), 6).as("t_between"),
+        round(col("__tw"), 6).as("t_within"),
+        // + 0.0 collapses IEEE −0.0 (engines disagree on its rendering)
+        (round(col("__tt") - (col("__tb") + col("__tw")), 6) + lit(0.0))
+          .as("additivity_gap"))
+  }
+
   /** Lorenz curve at decile grain per key — the table behind the Gini
     * number: units sorted by value into NTILE(10) bins (ties broken by a
     * total order the caller guarantees via `tieCols`), each row one

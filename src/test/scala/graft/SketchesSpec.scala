@@ -613,6 +613,25 @@ class SketchesSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("tau_b")))
   }
 
+  test("theilDecomposition: between + within reproduce the total on a planted mix") {
+    // group a: all equal (T_a = 0); group b: unequal; different means
+    val df = (Seq.fill(4)(("a", 10L)) ++ Seq(("b", 1L), ("b", 3L), ("b", 20L), ("b", 40L)))
+      .toDF("g", "v")
+    val r = Sketches.theilDecomposition(df, "g", "v").head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("n_groups") == 2L)
+    val (tt, tb, tw) = (r.getAs[Double]("t_total"), r.getAs[Double]("t_between"),
+      r.getAs[Double]("t_within"))
+    assert(tt > 0 && tb > 0 && tw > 0)
+    assert(math.abs(tt - (tb + tw)) < 2e-6,
+      s"decomposition must add up: $tt vs $tb + $tw")
+    assert(math.abs(r.getAs[Double]("additivity_gap")) <= 1e-6)
+    // all in one group: between collapses to 0, within = total
+    val one = (1 to 6).map(i => ("g", i.toLong)).toDF("g", "v")
+    val o = Sketches.theilDecomposition(one, "g", "v").head
+    assert(o.getAs[Double]("t_between") == 0.0)
+    assert(math.abs(o.getAs[Double]("t_within") - o.getAs[Double]("t_total")) <= 1e-6)
+  }
+
   test("theilIndex: equal values give 0, hand-computed two-point case") {
     val eq = Seq.fill(10)(("e", 5L)).toDF("g", "v")
     assert(Sketches.theilIndex(eq, Seq("g"), "v").head.getAs[Double]("theil_t") == 0.0)
