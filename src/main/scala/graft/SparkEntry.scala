@@ -4028,6 +4028,26 @@ object SparkEntry {
       .orderBy("c_mktsegment", "duration")
   }
 
+  /** Two-sample log-rank test on the churn curves of two market segments —
+    * "do BUILDING and MACHINERY customers churn on the same curve?" off the
+    * same span construction as q_survival. */
+  private def qLogrank(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+    val asOf = o.agg(max(col("od")).as("__max_d"))
+    val spans = o.groupBy(col("o_custkey"))
+      .agg(min(col("od")).as("__first"), max(col("od")).as("__last"))
+      .crossJoin(broadcast(asOf))
+      .select(
+        col("o_custkey"),
+        datediff(col("__last"), col("__first")).cast("long").as("duration"),
+        (datediff(col("__max_d"), col("__last")) > 180).as("churned"))
+    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val joined = spans.join(broadcast(seg), spans("o_custkey") === seg("c_custkey"))
+    Temporal.logRank(joined, "duration", "churned", "c_mktsegment",
+      "BUILDING", "MACHINERY")
+  }
+
   /** Classical weekly decomposition of the daily revenue series — trend /
     * seasonal / remainder from exact cent-quantized integer statistics
     * (engine-deterministic: every output is one correctly-rounded division
@@ -5068,6 +5088,7 @@ object SparkEntry {
     "q_dedup_lines" -> (qDedupLines _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_survival" -> (qSurvival _),
+    "q_logrank" -> (qLogrank _),
     "q_seasonal" -> (qSeasonal _),
     "q_rfm" -> (qRfm _),
     "q_item_cosine" -> (qItemCosine _),
@@ -8119,6 +8140,48 @@ object SparkEntry {
                 ROUND(EXP(lsum), 6) AS survival,
                 ROUND(hsum, 6) AS cum_hazard
          FROM k ORDER BY c_mktsegment, duration""",
+    // per-time e/v terms are fixed left-associated IEEE chains from exact
+    // long counts, quantized to 1e-9 longs before the sum (the theil
+    // discipline) — the chain order here mirrors the Spark side exactly
+    "q_logrank" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+         mx AS (SELECT MAX(od) AS maxd FROM o),
+         spans AS (SELECT o_custkey,
+                          CAST(datediff('day', MIN(od), MAX(od)) AS BIGINT) AS duration,
+                          (datediff('day', MAX(od), (SELECT maxd FROM mx)) > 180) AS churned
+                   FROM o GROUP BY 1),
+         j AS (SELECT c.c_mktsegment AS g, sp.duration, sp.churned
+               FROM spans sp JOIN customer c ON sp.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         gg AS (SELECT duration AS t,
+                 CAST(SUM(CASE WHEN g = 'BUILDING' AND churned THEN 1 ELSE 0 END) AS BIGINT) AS da,
+                 CAST(SUM(CASE WHEN g <> 'BUILDING' AND churned THEN 1 ELSE 0 END) AS BIGINT) AS db,
+                 CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN g <> 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM j GROUP BY 1),
+         w AS (SELECT t, da, db,
+                 CAST(SUM(ca) OVER () - (SUM(ca) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) OVER () - (SUM(cb) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cb) AS BIGINT) AS nb
+                FROM gg),
+         r AS (SELECT t, da, CAST(na + nb AS BIGINT) AS n, na, nb,
+                      CAST(da + db AS BIGINT) AS d FROM w),
+         q AS (SELECT da,
+                 CASE WHEN d > 0 THEN CAST(FLOOR(CAST(d * na AS DOUBLE) / CAST(n AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+                      ELSE 0 END AS eq,
+                 CASE WHEN d > 0 AND n > 1 THEN CAST(FLOOR(
+                        CAST(d * na AS DOUBLE) / CAST(n AS DOUBLE)
+                        * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                      ELSE 0 END AS vq
+                FROM r)
+         SELECT 'BUILDING' AS group_a, 'MACHINERY' AS group_b,
+                CAST(SUM(da) AS BIGINT) AS observed_a,
+                ROUND(CAST(SUM(eq) AS DOUBLE) / 1e9, 6) AS expected_a,
+                ROUND(CAST(SUM(vq) AS DOUBLE) / 1e9, 6) AS variance_a,
+                ROUND((CAST(SUM(da) AS DOUBLE) - CAST(SUM(eq) AS DOUBLE) / 1e9)
+                      * (CAST(SUM(da) AS DOUBLE) - CAST(SUM(eq) AS DOUBLE) / 1e9)
+                      / (CAST(SUM(vq) AS DOUBLE) / 1e9), 6) AS chi2
+         FROM q""",
     // exact integer sufficient statistics throughout: wsum/dnum/psum never
     // leave the integer domain, each output is EXACTLY ONE correctly-rounded
     // division (remainder re-associated onto the common denominator) — so

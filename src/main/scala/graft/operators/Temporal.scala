@@ -617,6 +617,84 @@ object Temporal {
       .drop("__at_t")
   }
 
+  /** Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) — the
+    * standard "are these two survival curves the same?" readout next to
+    * [[kaplanMeier]], sharing its at-risk scaffolding. At each distinct
+    * event time t with d = d_A + d_B observed events and n = n_A + n_B
+    * subjects still at risk, group A's expected events under H0 are
+    * e_A = d·n_A/n with hypergeometric variance
+    * v_A = e_A·(n_B/n)·((n−d)/(n−1)); the statistic is
+    * χ² = (O_A − E_A)² / V_A with E_A = Σe_A, V_A = Σv_A, O_A = Σd_A,
+    * distributed χ²(1) under H0.
+    *
+    * Scale shape: one partial aggregate collapses the corpus to distinct
+    * durations (calendar-bounded — days, not rows); the single-partition
+    * window runs on that bounded table only. Counts stay exact longs; each
+    * time's e/v term is a FIXED left-associated chain of single IEEE ops
+    * from those longs, QUANTIZED to 1e-9 longs before the sum (a raw
+    * double SUM is partition-order-dependent), so the statistic
+    * hash-gates cross-engine. Times where n = 1 contribute zero variance
+    * (the hypergeometric (n−d)/(n−1) term is degenerate there).
+    *
+    * @param df          one row per subject
+    * @param durationCol integral duration until event/censor
+    * @param eventCol    true when the event was observed (not censored)
+    * @param groupCol    group label column
+    * @param groupA      first group value (the O/E/V side reported)
+    * @param groupB      second group value
+    */
+  def logRank(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      dp: Int = 6): DataFrame = {
+    val isA = col(groupCol) === lit(groupA)
+    val grouped = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(durationCol).cast("long").as("__t"))
+      .agg(
+        sum(when(isA && col(eventCol), 1L).otherwise(0L)).as("__dA"),
+        sum(when(!isA && col(eventCol), 1L).otherwise(0L)).as("__dB"),
+        sum(when(isA, 1L).otherwise(0L)).as("__cA"),
+        sum(when(!isA, 1L).otherwise(0L)).as("__cB"))
+    // bounded table (distinct durations): single-partition windows are fine
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nA = sum(col("__cA")).over(wAll) -
+      (sum(col("__cA")).over(wCum) - col("__cA"))
+    val nB = sum(col("__cB")).over(wAll) -
+      (sum(col("__cB")).over(wCum) - col("__cB"))
+    val risked = grouped
+      .withColumn("__nA", nA).withColumn("__nB", nB)
+      .withColumn("__n", col("__nA") + col("__nB"))
+      .withColumn("__d", col("__dA") + col("__dB"))
+    val e = (col("__d") * col("__nA")).cast("double") / col("__n").cast("double")
+    val v = e * (col("__nB").cast("double") / col("__n").cast("double")) *
+      ((col("__n") - col("__d")).cast("double") /
+        (col("__n") - lit(1)).cast("double"))
+    val withTerms = risked
+      .withColumn("__eq",
+        when(col("__d") > 0, floor(e * 1e9 + 0.5).cast("long")).otherwise(0L))
+      .withColumn("__vq",
+        when(col("__d") > 0 && col("__n") > 1,
+          floor(v * 1e9 + 0.5).cast("long")).otherwise(0L))
+    val oA = sum(col("__dA"))
+    val eA = sum(col("__eq")).cast("double") / lit(1e9)
+    val vA = sum(col("__vq")).cast("double") / lit(1e9)
+    withTerms.agg(
+      lit(groupA).as("group_a"),
+      lit(groupB).as("group_b"),
+      oA.as("observed_a"),
+      round(eA, dp).as("expected_a"),
+      round(vA, dp).as("variance_a"),
+      round((oA.cast("double") - eA) * (oA.cast("double") - eA) / vA, dp)
+        .as("chi2"))
+  }
+
   /** Classical additive seasonal decomposition of a regular integer-valued
     * series: trend = centered moving average over one full period,
     * seasonal = mean detrended value per phase (position-in-period),

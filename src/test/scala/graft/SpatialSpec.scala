@@ -125,6 +125,30 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(haz(4) - (0.2 + 1.0 / 3 + 1.0)) < 1e-6)
   }
 
+  test("logRank reproduces the hand-computed two-group statistic") {
+    import spark.implicits._
+    // A: 1(ev) 3(ev) 5(cens); B: 2(ev) 4(cens) 6(ev)
+    // t=1: eA=3/6=.5 vA=.25; t=2: eA=2/5=.4 vA=.24; t=3: eA=2/4=.5 vA=.25
+    // t=6: eA=0, n=1 so vA=0  ⇒  O=2 E=1.4 V=0.74 chi2=.36/.74
+    val df = Seq(
+      ("A", 1L, true), ("A", 3L, true), ("A", 5L, false),
+      ("B", 2L, true), ("B", 4L, false), ("B", 6L, true))
+      .toDF("g", "dur", "event")
+    val r = Temporal.logRank(df, "dur", "event", "g", "A", "B").head
+    assert(r.getAs[Long]("observed_a") == 2L)
+    assert(math.abs(r.getAs[Double]("expected_a") - 1.4) < 1e-9)
+    assert(math.abs(r.getAs[Double]("variance_a") - 0.74) < 1e-9)
+    assert(math.abs(r.getAs[Double]("chi2") - 0.486486) < 1e-6)
+  }
+
+  test("logRank on two identical curves is exactly zero") {
+    import spark.implicits._
+    val df = (Seq("A", "B").flatMap(g => Seq((g, 2L, true), (g, 4L, true),
+      (g, 6L, false)))).toDF("g", "dur", "event")
+    val r = Temporal.logRank(df, "dur", "event", "g", "A", "B").head
+    assert(r.getAs[Double]("chi2") == 0.0)
+  }
+
   test("seasonalDecompose recovers a planted weekly pattern exactly") {
     // value = 1000·(t/7 rounded trend is linear) + phase bump; a linear
     // ramp's centered 7-MA is the ramp itself, so seasonal = bump - mean(bumps)
