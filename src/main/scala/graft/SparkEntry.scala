@@ -4028,6 +4028,15 @@ object SparkEntry {
       .orderBy("c_mktsegment", "duration")
   }
 
+  /** Exact 1-D Wasserstein distance between the order-value distributions
+    * of urgent vs low-priority orders — bin-free drift next to PSI/JS. */
+  private def qWasserstein(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    Sketches.wasserstein1d(o, "prio", "cents", "1-URGENT", "5-LOW")
+  }
+
   /** Two-sample log-rank test on the churn curves of two market segments —
     * "do BUILDING and MACHINERY customers churn on the same curve?" off the
     * same span construction as q_survival. */
@@ -5089,6 +5098,7 @@ object SparkEntry {
     "q_spatial_join" -> (qSpatialJoin _),
     "q_survival" -> (qSurvival _),
     "q_logrank" -> (qLogrank _),
+    "q_wasserstein" -> (qWasserstein _),
     "q_seasonal" -> (qSeasonal _),
     "q_rfm" -> (qRfm _),
     "q_item_cosine" -> (qItemCosine _),
@@ -8140,6 +8150,29 @@ object SparkEntry {
                 ROUND(EXP(lsum), 6) AS survival,
                 ROUND(hsum, 6) AS cum_hazard
          FROM k ORDER BY c_mktsegment, duration""",
+    // exact-rational throughout: step numerators |cumA·nB − cumB·nA|·Δx are
+    // exact integers in DECIMAL(38,0), the distance ONE division at the end
+    "q_wasserstein" ->
+      """WITH src AS (SELECT o_orderpriority AS g,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         h AS (SELECT v,
+                 CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN g <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+               FROM src GROUP BY 1),
+         w AS (SELECT v,
+                 CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+                 CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb,
+                 CAST(SUM(ca) OVER () AS BIGINT) AS na,
+                 CAST(SUM(cb) OVER () AS BIGINT) AS nb,
+                 CAST(COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS BIGINT) AS dx
+               FROM h)
+         SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
+                MAX(na) AS n_a, MAX(nb) AS n_b,
+                ROUND(CAST(SUM(CAST(ABS(fa * nb - fb * na) AS DECIMAL(38,0))
+                               * CAST(dx AS DECIMAL(38,0))) AS DOUBLE)
+                      / CAST(MAX(na) * MAX(nb) AS DOUBLE), 6) AS wasserstein
+         FROM w""",
     // per-time e/v terms are fixed left-associated IEEE chains from exact
     // long counts, quantized to 1e-9 longs before the sum (the theil
     // discipline) — the chain order here mirrors the Spark side exactly

@@ -1710,4 +1710,59 @@ object Sketches {
           round(-sum(p * log(p)) / log(count(lit(1)).cast("double")), 6))
           .as("evenness"))
   }
+
+  /** 1-D Wasserstein-1 (earth mover's) distance between two groups' value
+    * distributions — the drift readout that, unlike PSI/JS, needs no
+    * binning and respects the metric on the value axis:
+    * W₁ = ∫ |F_A(x) − F_B(x)| dx over the merged support.
+    *
+    * EXACT-RATIONAL: on integral values the integral is a finite sum of
+    * |F_A − F_B|·Δx steps; with F = cum/n the common denominator is
+    * n_A·n_B, so each step's numerator |cumA·n_B − cumB·n_A|·Δx is an
+    * exact integer (accumulated in decimal(38,0) — cum·n ~ 1e10 times
+    * cent-scale Δx overflows a long). The distance is then EXACTLY ONE
+    * division of exact integers — bit-identical cross-engine before the
+    * final round.
+    *
+    * Scale shape: one partial aggregate collapses both groups to distinct
+    * values; the single-partition cumulative window runs on that collapsed
+    * (value-domain-bounded) table, the exact-ECDF contract. */
+  def wasserstein1d(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String,
+      dp: Int = 6): DataFrame = {
+    val isA = col(groupCol) === lit(groupA)
+    val hist = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("__cA"),
+        sum(when(!isA, 1L).otherwise(0L)).as("__cB"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(lit(1)).orderBy(col("__v"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val t = hist
+      .withColumn("__FA", sum(col("__cA")).over(wCum))
+      .withColumn("__FB", sum(col("__cB")).over(wCum))
+      .withColumn("__nA", sum(col("__cA")).over(wAll))
+      .withColumn("__nB", sum(col("__cB")).over(wAll))
+      .withColumn("__dx",
+        coalesce(lead(col("__v"), 1).over(wLead) - col("__v"), lit(0L)))
+      .withColumn("__step",
+        d(abs(col("__FA") * col("__nB") - col("__FB") * col("__nA"))) *
+          d(col("__dx")))
+    t.agg(
+      lit(groupA).as("group_a"),
+      lit(groupB).as("group_b"),
+      max(col("__nA")).as("n_a"),
+      max(col("__nB")).as("n_b"),
+      round(sum(col("__step")).cast("double") /
+        (max(col("__nA")) * max(col("__nB"))).cast("double"), dp)
+        .as("wasserstein"))
+  }
 }

@@ -787,4 +787,22 @@ class SketchesSpec extends SparkSpec {
     val s = Sketches.diversityIndex(single, Seq("u"), "cat").head
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
+
+  test("wasserstein1d matches the hand-computed earth-mover distance") {
+    import spark.implicits._
+    // A uniform on {0,4}, B point mass at 2: EMD = (2+2)/2 = 2
+    val df = Seq(("A", 0L), ("A", 4L), ("B", 2L), ("B", 2L))
+      .toDF("g", "v")
+    val r = Sketches.wasserstein1d(df, "g", "v", "A", "B").head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("wasserstein") == 2.0)
+  }
+
+  test("wasserstein1d on identical distributions is exactly zero") {
+    import spark.implicits._
+    val df = Seq("A", "B").flatMap(g => Seq((g, 1L), (g, 5L), (g, 9L)))
+      .toDF("g", "v")
+    val r = Sketches.wasserstein1d(df, "g", "v", "A", "B").head
+    assert(r.getAs[Double]("wasserstein") == 0.0)
+  }
 }
