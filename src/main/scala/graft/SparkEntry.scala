@@ -4028,6 +4028,15 @@ object SparkEntry {
       .orderBy("c_mktsegment", "duration")
   }
 
+  /** Exact tie-aware ROC AUC of order value as a predictor of urgency —
+    * the Mann–Whitney rank identity, one integer division at the end. */
+  private def qRocAuc(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      (col("o_orderpriority") === "1-URGENT").as("urgent"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    Sketches.rocAuc(o, "urgent", "cents")
+  }
+
   /** Exact 1-D Wasserstein distance between the order-value distributions
     * of urgent vs low-priority orders — bin-free drift next to PSI/JS. */
   private def qWasserstein(s: SparkSession, d: String): DataFrame = {
@@ -5099,6 +5108,7 @@ object SparkEntry {
     "q_survival" -> (qSurvival _),
     "q_logrank" -> (qLogrank _),
     "q_wasserstein" -> (qWasserstein _),
+    "q_roc_auc" -> (qRocAuc _),
     "q_seasonal" -> (qSeasonal _),
     "q_rfm" -> (qRfm _),
     "q_item_cosine" -> (qItemCosine _),
@@ -8150,6 +8160,24 @@ object SparkEntry {
                 ROUND(EXP(lsum), 6) AS survival,
                 ROUND(hsum, 6) AS cum_hazard
          FROM k ORDER BY c_mktsegment, duration""",
+    // tie-aware Mann–Whitney rank identity: doubled positive rank-sums are
+    // exact longs, AUC is one integer division
+    "q_roc_auc" ->
+      """WITH src AS (SELECT (o_orderpriority = '1-URGENT') AS pos,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              FROM orders),
+         h AS (SELECT v,
+                 CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                 CAST(COUNT(*) AS BIGINT) AS c
+               FROM src GROUP BY 1),
+         w AS (SELECT p, c,
+                 CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS before
+               FROM h)
+         SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+                CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+                ROUND(CAST(SUM(p * (before * 2 + c + 1)) - SUM(p) * (SUM(p) + 1) AS DOUBLE)
+                      / CAST(SUM(p) * (SUM(c) - SUM(p)) * 2 AS DOUBLE), 6) AS auc
+         FROM w""",
     // exact-rational throughout: step numerators |cumA·nB − cumB·nA|·Δx are
     // exact integers in DECIMAL(38,0), the distance ONE division at the end
     "q_wasserstein" ->

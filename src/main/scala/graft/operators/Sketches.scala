@@ -1711,6 +1711,43 @@ object Sketches {
           .as("evenness"))
   }
 
+  /** Exact ROC AUC for a binary label against an integral score — the
+    * ranking-quality readout of a scoring pipeline (quality gates, linkage
+    * scores, risk models), computed by the tie-aware Mann–Whitney rank
+    * identity rather than any curve interpolation:
+    * AUC = (Σ avg-ranks of positives − n₁(n₁+1)/2) / (n₁·n₀),
+    * where ties get the midrank (tied pos/neg pairs count ½).
+    *
+    * EXACT-RATIONAL: on the score-collapsed table each block's doubled
+    * positive rank-sum is p·(2·before + c + 1) — exact longs throughout —
+    * so AUC is EXACTLY ONE division of exact integers, then rounded.
+    * One partial aggregate collapses the corpus to distinct scores; the
+    * single-partition cumulative window runs on that bounded table only. */
+  def rocAuc(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      dp: Int = 6): DataFrame = {
+    val hist = df
+      .groupBy(col(scoreCol).cast("long").as("__v"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = sum(col("__c")).over(wCum) - col("__c")
+    val t = hist.withColumn("__r2",
+      col("__p") * (before * lit(2) + col("__c") + lit(1)))
+    val n1 = sum(col("__p"))
+    val n0 = sum(col("__c")) - sum(col("__p"))
+    val num = sum(col("__r2")) - n1 * (n1 + lit(1))
+    t.agg(
+      n1.as("n_pos"),
+      n0.as("n_neg"),
+      round(num.cast("double") / (n1 * n0 * lit(2)).cast("double"), dp)
+        .as("auc"))
+  }
+
   /** 1-D Wasserstein-1 (earth mover's) distance between two groups' value
     * distributions — the drift readout that, unlike PSI/JS, needs no
     * binning and respects the metric on the value axis:

@@ -788,6 +788,19 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("rocAuc midranks ties and matches the hand pair count") {
+    import spark.implicits._
+    // pos scores {3,5}, neg {1,3}: pairs 1 + .5 + 1 + 1 = 3.5 of 4 = 0.875
+    val df = Seq((true, 3L), (true, 5L), (false, 1L), (false, 3L))
+      .toDF("y", "s")
+    val r = Sketches.rocAuc(df, "y", "s").head
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Double]("auc") == 0.875)
+    // perfect separation = 1, anti-separation = 0
+    val sep = Seq((true, 10L), (true, 9L), (false, 2L), (false, 1L)).toDF("y", "s")
+    assert(Sketches.rocAuc(sep, "y", "s").head.getAs[Double]("auc") == 1.0)
+  }
+
   test("wasserstein1d matches the hand-computed earth-mover distance") {
     import spark.implicits._
     // A uniform on {0,4}, B point mass at 2: EMD = (2+2)/2 = 2
