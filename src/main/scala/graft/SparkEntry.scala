@@ -4028,6 +4028,19 @@ object SparkEntry {
       .orderBy("c_mktsegment", "duration")
   }
 
+  /** Decile lift/gains table per market segment: order value targeting
+    * urgent orders — response rate, lift and cumulative gain per decile. */
+  private def qLiftTable(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      (col("o_orderpriority") === "1-URGENT").as("urgent"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val j = o.join(broadcast(seg), o("o_custkey") === seg("c_custkey"))
+    Sketches.liftTable(j, Seq("c_mktsegment"), "cents", "urgent",
+        Seq("o_orderkey"))
+      .orderBy("c_mktsegment", "bucket")
+  }
+
   /** Exact tie-aware ROC AUC of order value as a predictor of urgency —
     * the Mann–Whitney rank identity, one integer division at the end. */
   private def qRocAuc(s: SparkSession, d: String): DataFrame = {
@@ -5109,6 +5122,7 @@ object SparkEntry {
     "q_logrank" -> (qLogrank _),
     "q_wasserstein" -> (qWasserstein _),
     "q_roc_auc" -> (qRocAuc _),
+    "q_lift_table" -> (qLiftTable _),
     "q_seasonal" -> (qSeasonal _),
     "q_rfm" -> (qRfm _),
     "q_item_cosine" -> (qItemCosine _),
@@ -8160,6 +8174,29 @@ object SparkEntry {
                 ROUND(EXP(lsum), 6) AS survival,
                 ROUND(hsum, 6) AS cum_hazard
          FROM k ORDER BY c_mktsegment, duration""",
+    // NTILE over an explicit (score DESC, orderkey) total order; rate and
+    // gain single divisions, lift one division of exact cross products
+    "q_lift_table" ->
+      """WITH j AS (SELECT c.c_mktsegment AS g, o.o_orderkey,
+                CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+                CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         bn AS (SELECT g, y,
+                 NTILE(10) OVER (PARTITION BY g ORDER BY v DESC, o_orderkey) AS b
+                FROM j),
+         p AS (SELECT g, b, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(y) AS BIGINT) AS r
+               FROM bn GROUP BY 1, 2),
+         w AS (SELECT g, b, n, r,
+                 CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS nt,
+                 CAST(SUM(r) OVER (PARTITION BY g) AS BIGINT) AS rt,
+                 CAST(SUM(r) OVER (PARTITION BY g ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rc
+               FROM p)
+         SELECT g AS c_mktsegment, b AS bucket, n, r AS responders,
+                ROUND(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS response_rate,
+                CASE WHEN rt > 0 THEN ROUND(CAST(r * nt AS DOUBLE) / CAST(n * rt AS DOUBLE), 6) END AS lift,
+                CASE WHEN rt > 0 THEN ROUND(CAST(rc AS DOUBLE) / CAST(rt AS DOUBLE), 6) END AS cum_gain
+         FROM w ORDER BY c_mktsegment, bucket""",
     // tie-aware Mann–Whitney rank identity: doubled positive rank-sums are
     // exact longs, AUC is one integer division
     "q_roc_auc" ->

@@ -1711,6 +1711,54 @@ object Sketches {
           .as("evenness"))
   }
 
+  /** Decile lift/gains table — the campaign-targeting readout beside
+    * [[rocAuc]]: rows sorted by score DESCENDING into NTILE(`buckets`)
+    * bins over an explicit caller-guaranteed total order (ties broken by
+    * `tieCols` — engine-deterministic binning, the Lorenz discipline);
+    * per bin the response rate, lift vs the base rate, and cumulative
+    * gain (share of all responders captured down to this bin).
+    *
+    * Counts stay exact longs; response_rate and cum_gain are single
+    * divisions and lift is ONE division of the exact cross products
+    * (resp_b·n)/(n_b·resp) — no float transits anything but the final
+    * ratio. One window for binning + one partial agg + bounded
+    * (buckets-sized) cumulative window per key. */
+  def liftTable(
+      df: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      labelCol: String,
+      tieCols: Seq[String],
+      buckets: Int = 10,
+      dp: Int = 6): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col(scoreCol).desc +: tieCols.map(col): _*)
+    val binned = df
+      .select(keys ++ Seq(col(scoreCol), when(col(labelCol), 1L)
+        .otherwise(0L).as("__y")) ++ tieCols.map(col): _*)
+      .withColumn("__b", ntile(buckets).over(w))
+    val per = binned.groupBy(keys :+ col("__b"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("responders"))
+    val wAll = Window.partitionBy(keys: _*)
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("__nt", sum(col("n")).over(wAll))
+      .withColumn("__rt", sum(col("responders")).over(wAll))
+      .withColumn("__rc", sum(col("responders")).over(wCum))
+      .select(keys ++ Seq(
+        col("__b").as("bucket"), col("n"), col("responders"),
+        round(col("responders").cast("double") / col("n").cast("double"), dp)
+          .as("response_rate"),
+        when(col("__rt") > 0,
+          round((col("responders") * col("__nt")).cast("double") /
+            (col("n") * col("__rt")).cast("double"), dp)).as("lift"),
+        when(col("__rt") > 0,
+          round(col("__rc").cast("double") / col("__rt").cast("double"), dp))
+          .as("cum_gain")): _*)
+  }
+
   /** Exact ROC AUC for a binary label against an integral score — the
     * ranking-quality readout of a scoring pipeline (quality gates, linkage
     * scores, risk models), computed by the tie-aware Mann–Whitney rank

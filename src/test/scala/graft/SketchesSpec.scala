@@ -788,6 +788,20 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("liftTable concentrates planted responders in the top bucket") {
+    import spark.implicits._
+    // 20 rows, scores 20..1; responders are exactly scores 16..20
+    val df = (1 to 20).map(i => ("k", i.toLong, i > 15, i)).toDF("g", "s", "y", "t")
+    val out = Sketches.liftTable(df, Seq("g"), "s", "y", Seq("t"), buckets = 4)
+      .orderBy("bucket").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Long]("responders") == 5L)
+    assert(out(0).getAs[Double]("lift") == 4.0)      // (5·20)/(5·5)
+    assert(out(0).getAs[Double]("cum_gain") == 1.0)  // all captured in b1
+    assert(out(3).getAs[Long]("responders") == 0L &&
+      out(3).getAs[Double]("lift") == 0.0)
+  }
+
   test("rocAuc midranks ties and matches the hand pair count") {
     import spark.implicits._
     // pos scores {3,5}, neg {1,3}: pairs 1 + .5 + 1 + 1 = 3.5 of 4 = 0.875
