@@ -4028,6 +4028,18 @@ object SparkEntry {
       .orderBy("c_mktsegment", "duration")
   }
 
+  /** WOE/IV of customer nation as a predictor of order urgency — the
+    * credit-scoring feature-strength table. */
+  private def qWoeIv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (col("o_orderpriority") === "1-URGENT").as("urgent"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    Sketches.woeIv(j, "n_name", "urgent").orderBy("category")
+  }
+
   /** Decile lift/gains table per market segment: order value targeting
     * urgent orders — response rate, lift and cumulative gain per decile. */
   private def qLiftTable(s: SparkSession, d: String): DataFrame = {
@@ -5123,6 +5135,7 @@ object SparkEntry {
     "q_wasserstein" -> (qWasserstein _),
     "q_roc_auc" -> (qRocAuc _),
     "q_lift_table" -> (qLiftTable _),
+    "q_woe_iv" -> (qWoeIv _),
     "q_seasonal" -> (qSeasonal _),
     "q_rfm" -> (qRfm _),
     "q_item_cosine" -> (qItemCosine _),
@@ -8174,6 +8187,34 @@ object SparkEntry {
                 ROUND(EXP(lsum), 6) AS survival,
                 ROUND(hsum, 6) AS cum_hazard
          FROM k ORDER BY c_mktsegment, duration""",
+    // exact long cross products feed one-division WOE chains; IV terms
+    // quantized to 1e-9 longs before the sum
+    "q_woe_iv" ->
+      """WITH j AS (SELECT n.n_name AS category,
+                CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         a AS (SELECT category,
+                 CAST(SUM(1 - y) AS BIGINT) AS n_good,
+                 CAST(SUM(y) AS BIGINT) AS n_bad
+               FROM j GROUP BY 1),
+         w AS (SELECT category, n_good, n_bad,
+                 CAST(SUM(n_good) OVER () AS BIGINT) AS g,
+                 CAST(SUM(n_bad) OVER () AS BIGINT) AS b
+               FROM a),
+         t AS (SELECT category, n_good, n_bad, g, b,
+                 LN(CAST(n_good * b AS DOUBLE) / CAST(n_bad * g AS DOUBLE)) AS woe,
+                 CAST(n_good * b - n_bad * g AS DOUBLE) / CAST(g * b AS DOUBLE) AS diff,
+                 (n_good > 0 AND n_bad > 0) AS ok
+               FROM w)
+         SELECT category, n_good, n_bad,
+                CASE WHEN ok THEN ROUND(woe, 6) END AS woe,
+                CASE WHEN ok THEN ROUND(diff * woe, 6) END AS iv_term,
+                ROUND(CAST(SUM(CASE WHEN ok
+                        THEN CAST(FLOOR(diff * woe * 1e9 + 0.5) AS BIGINT)
+                        ELSE 0 END) OVER () AS DOUBLE) / 1e9, 6) AS iv
+         FROM t ORDER BY category""",
     // NTILE over an explicit (score DESC, orderkey) total order; rate and
     // gain single divisions, lift one division of exact cross products
     "q_lift_table" ->

@@ -1711,6 +1711,45 @@ object Sketches {
           .as("evenness"))
   }
 
+  /** Weight of evidence + information value per category of a categorical
+    * predictor against a binary outcome — the credit-scoring standard for
+    * "how separating is this feature?": WOE_i = ln((good_i/G)/(bad_i/B)),
+    * IV = Σ (good_i/G − bad_i/B)·WOE_i (rule of thumb: IV > 0.3 strong).
+    *
+    * Cross products good_i·B / bad_i·G stay exact longs so WOE is one
+    * division + one log and the share difference one division; each IV
+    * term is that fixed chain QUANTIZED to 1e-9 longs before the sum.
+    * Zero-cell categories get NULL WOE and contribute 0 to IV (standard
+    * practice absent smoothing — explicit on both engines). One partial
+    * agg to the category domain; windows run on that bounded table. */
+  def woeIv(
+      df: DataFrame,
+      catCol: String,
+      labelCol: String,
+      dp: Int = 6): DataFrame = {
+    val agg = df.groupBy(col(catCol).as("category"))
+      .agg(
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_good"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_bad"))
+    val wAll = Window.partitionBy(lit(1))
+    val woe = log((col("n_good") * col("__B")).cast("double") /
+      (col("n_bad") * col("__G")).cast("double"))
+    val diff = (col("n_good") * col("__B") - col("n_bad") * col("__G"))
+      .cast("double") / (col("__G") * col("__B")).cast("double")
+    val valid = col("n_good") > 0 && col("n_bad") > 0
+    agg
+      .withColumn("__G", sum(col("n_good")).over(wAll))
+      .withColumn("__B", sum(col("n_bad")).over(wAll))
+      .withColumn("__tq",
+        when(valid, floor(diff * woe * 1e9 + 0.5).cast("long")).otherwise(0L))
+      .select(
+        col("category"), col("n_good"), col("n_bad"),
+        when(valid, round(woe, dp)).as("woe"),
+        when(valid, round(diff * woe, dp)).as("iv_term"),
+        round(sum(col("__tq")).over(wAll).cast("double") / lit(1e9), dp)
+          .as("iv"))
+  }
+
   /** Decile lift/gains table — the campaign-targeting readout beside
     * [[rocAuc]]: rows sorted by score DESCENDING into NTILE(`buckets`)
     * bins over an explicit caller-guaranteed total order (ties broken by

@@ -788,6 +788,24 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("woeIv reproduces the hand-computed WOE and IV") {
+    import spark.implicits._
+    // A: 30 good / 10 bad, B: 20 good / 40 bad ⇒ WOE_A = ln3, WOE_B = -ln2
+    val df = (Seq.fill(30)(("A", false)) ++ Seq.fill(10)(("A", true)) ++
+      Seq.fill(20)(("B", false)) ++ Seq.fill(40)(("B", true)))
+      .toDF("cat", "y")
+    val out = Sketches.woeIv(df, "cat", "y").orderBy("category").collect()
+    assert(math.abs(out(0).getAs[Double]("woe") - math.log(3.0)) < 1e-5)
+    assert(math.abs(out(1).getAs[Double]("woe") + math.log(2.0)) < 1e-5)
+    // IV = 0.4·ln3 + 0.4·ln2 = 0.716703...
+    assert(math.abs(out(0).getAs[Double]("iv") - 0.716704) < 1e-5)
+    // zero-cell category: NULL woe, excluded from IV
+    val z = (Seq.fill(5)(("A", false)) ++ Seq.fill(5)(("A", true)) ++
+      Seq.fill(3)(("Z", true))).toDF("cat", "y")
+    val zr = Sketches.woeIv(z, "cat", "y").orderBy("category").collect()
+    assert(zr(1).isNullAt(zr(1).fieldIndex("woe")))
+  }
+
   test("liftTable concentrates planted responders in the top bucket") {
     import spark.implicits._
     // 20 rows, scores 20..1; responders are exactly scores 16..20
