@@ -1049,6 +1049,19 @@ object SparkEntry {
       .orderBy("part_key")
   }
 
+  /** HITS on the bipartite customer→part purchase graph: hub customers
+    * (broad buyers) and authority parts (bought by the big hubs), 3
+    * max-normalized quantized iterations replayed by a chained-CTE oracle. */
+  private def qHits(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("u"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("v"))
+    Graph.hits(e, "u", "v", iterations = 3).orderBy("node")
+  }
+
   /** Deterministic label-propagation communities over the support>=3
     * co-purchase graph, 4 synchronous sweeps — every round replayed
     * exactly by the chained-CTE oracle. */
@@ -5126,6 +5139,7 @@ object SparkEntry {
     "q_attribution" -> (qAttribution _),
     "q_attribution_stream" -> (qAttributionStream _),
     "q_pagerank" -> (qPageRank _),
+    "q_hits" -> (qHits _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -5440,6 +5454,33 @@ object SparkEntry {
        deg AS (SELECT u AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM deg)$iters
        SELECT id AS part_key, rank FROM r5 ORDER BY part_key"""
+  }
+
+  /** 3 chained HITS iterations — per half-step one join+sum CTE quantized
+    * at 1e-12 and a max-normalization CTE re-quantized at 1e-9, mirroring
+    * [[graft.operators.Graph.hits]] exactly. */
+  private val hitsOracle: String = {
+    val iters = (1 to 3).map { i =>
+      s""",
+         a${i}s AS (SELECT e.v AS id,
+                     CAST(SUM(CAST(FLOOR(h.hub * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                   FROM e JOIN h${i - 1} h ON e.u = h.id GROUP BY 1),
+         a$i AS (SELECT id, FLOOR(CAST(s AS DOUBLE) / CAST((SELECT MAX(s) FROM a${i}s) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS authority
+                 FROM a${i}s),
+         h${i}s AS (SELECT e.u AS id,
+                     CAST(SUM(CAST(FLOOR(a.authority * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                   FROM e JOIN a$i a ON e.v = a.id GROUP BY 1),
+         h$i AS (SELECT id, FLOOR(CAST(s AS DOUBLE) / CAST((SELECT MAX(s) FROM h${i}s) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS hub
+                 FROM h${i}s)"""
+    }.mkString
+    s"""WITH e AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS u,
+                          'p' || CAST(l.l_partkey AS VARCHAR) AS v
+               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       h0 AS (SELECT DISTINCT u AS id, CAST(1.0 AS DOUBLE) AS hub FROM e)$iters
+       SELECT COALESCE(h.id, a.id) AS node,
+              COALESCE(h.hub, 0.0) AS hub,
+              COALESCE(a.authority, 0.0) AS authority
+       FROM h3 h FULL OUTER JOIN a3 a ON h.id = a.id ORDER BY node"""
   }
 
   /** 4 chained label-propagation sweeps — each one count + argmax CTE pair,
@@ -7887,6 +7928,7 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_prints, MIN(sel) AS min_print, MAX(sel) AS max_print
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
     "q_pagerank" -> pageRankOracle,
+    "q_hits" -> hitsOracle,
     "q_label_prop" -> labelPropOracle,
     "q_kmeans" -> kMeansOracle,
     "q_modularity" -> modularityOracle,

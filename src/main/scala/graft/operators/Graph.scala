@@ -420,4 +420,60 @@ object Graph {
     }
     labels.select(col("id").as("node"), col("label").as("community"))
   }
+
+  /** Fixed-iteration HITS hubs & authorities (Kleinberg 1999) over a
+    * DIRECTED edge list: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v}
+    * auth(v), each vector max-normalized per half-step. On a bipartite
+    * edge list (e.g. customer→part) hubs rank the left side and
+    * authorities the right.
+    *
+    * Same scale + determinism recipe as [[pageRank]]: each half-step is
+    * one edges⋈scores co-partitioned join + partial agg with
+    * localCheckpoint truncating lineage; per-edge contributions quantize
+    * to exact 1e-12 longs BEFORE the order-dependent sum, and the
+    * max-normalized score re-quantizes at 1e-9 through the identical
+    * floor(x·s + 0.5) primitive — bit-identical on any engine/partitioning,
+    * which is what lets the chained-CTE SQL oracle replay it exactly.
+    *
+    * @return (node, hub, authority); nodes with no outgoing (resp.
+    *         incoming) edges report 0.0 for that role
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .distinct().localCheckpoint(true)
+    var hubs = e.select(col("__u").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("hub"))
+    var auths: DataFrame = null
+    def normalize(s: DataFrame, out: String): DataFrame = {
+      val m = s.agg(max(col("__s")).as("__m"))
+      s.crossJoin(broadcast(m))
+        .select(col("id"),
+          (floor(col("__s").cast("double") / col("__m").cast("double")
+            * 1e9 + 0.5) / 1e9).as(out))
+        .localCheckpoint(true)
+    }
+    for (_ <- 1 to iterations) {
+      auths = normalize(
+        e.join(hubs.withColumnRenamed("id", "__u"), "__u")
+          .select(col("__v").as("id"),
+            floor(col("hub") * 1e12 + 0.5).cast("long").as("__cq"))
+          .groupBy(col("id")).agg(sum(col("__cq")).as("__s")),
+        "authority")
+      hubs = normalize(
+        e.join(auths.withColumnRenamed("id", "__v"), "__v")
+          .select(col("__u").as("id"),
+            floor(col("authority") * 1e12 + 0.5).cast("long").as("__cq"))
+          .groupBy(col("id")).agg(sum(col("__cq")).as("__s")),
+        "hub")
+    }
+    hubs.join(auths, Seq("id"), "full_outer")
+      .select(col("id").as("node"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("authority"), lit(0.0)).as("authority"))
+  }
 }

@@ -384,6 +384,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rs.values.sum - 6.0) < 0.2, s"rank mass drifted: ${rs.values.sum}")
   }
 
+  test("hits: hand-replayed bipartite half-steps, roles split correctly") {
+    import graft.operators.Graph
+    // u1→{v1,v2}, u2→{v1}; iter1: a(v1)=1, a(v2)=.5, h(u1)=1, h(u2)=1/1.5
+    val e = Seq(("u1", "v1"), ("u1", "v2"), ("u2", "v1")).toDF("s", "d")
+    val m1 = Graph.hits(e, "s", "d", iterations = 1).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m1("v1")._2 == 1.0 && m1("v2")._2 == 0.5)
+    assert(m1("u1")._1 == 1.0 && m1("u2")._1 == 0.666666667)
+    // pure sources have 0 authority; pure sinks 0 hub
+    assert(m1("u1")._2 == 0.0 && m1("v1")._1 == 0.0)
+    // iter3 hand-replay of the quantized recurrence
+    val m3 = Graph.hits(e, "s", "d", iterations = 3).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m3("v2")._2 == 0.615384615 && m3("u2")._1 == 0.619047619, m3.toString)
+  }
+
   test("triangleCounts: K4 + pendant path, robust to dupes/reversals/self-loops") {
     import graft.operators.Graph
     // K4 on 1..4 (4 triangles, each node in 3) + path 4-5-6 (none);
