@@ -1049,6 +1049,27 @@ object SparkEntry {
       .orderBy("part_key")
   }
 
+  /** Adamic–Adar / Jaccard / common-neighbor link prediction on the
+    * support>=2 co-purchase graph — which part pairs are "missing edges". */
+  private def qLinkPredict(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("l_partkey").as("pu"), col("p2").as("pv"))
+    // adamic_adar is spec-pinned, not hashed: JVM/libm ln differ by 1 ulp
+    // on real degrees and can flip the term quantization (seen sf0.001)
+    Graph.linkPrediction(pairs, "pu", "pv", maxDegree = 200L, minCommon = 2L)
+      .select(col("u"), col("v"), col("common_neighbors"), col("jaccard"),
+        col("resource_alloc"))
+      .orderBy("u", "v")
+  }
+
   /** HITS on the bipartite customer→part purchase graph: hub customers
     * (broad buyers) and authority parts (bought by the big hubs), 3
     * max-normalized quantized iterations replayed by a chained-CTE oracle. */
@@ -5140,6 +5161,7 @@ object SparkEntry {
     "q_attribution_stream" -> (qAttributionStream _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),
+    "q_link_predict" -> (qLinkPredict _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -7929,6 +7951,30 @@ object SparkEntry {
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
     "q_pagerank" -> pageRankOracle,
     "q_hits" -> hitsOracle,
+    // wedge join through capped intermediaries; AA terms 1e-9-quantized
+    // longs before the sum, Jaccard one division of exact counts
+    "q_link_predict" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS pu, b.l_partkey AS pv
+               FROM baskets a JOIN baskets b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         und AS (SELECT pu AS a, pv AS b FROM p UNION ALL SELECT pv, pu FROM p),
+         deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+         mid AS (SELECT u.a AS z, u.b AS x, deg.d AS dz
+                 FROM und u JOIN deg ON u.a = deg.n WHERE deg.d <= 200),
+         wedge AS (SELECT m1.z, m1.x, m2.x AS y, m1.dz
+                   FROM mid m1 JOIN mid m2 ON m1.z = m2.z AND m1.x < m2.x),
+         pr AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cn,
+                  CAST(SUM(CAST(FLOOR(1e9 / CAST(dz AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS raq
+                FROM wedge GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         ne AS (SELECT pr.* FROM pr LEFT JOIN p ON pr.x = p.pu AND pr.y = p.pv
+                WHERE p.pu IS NULL)
+         SELECT ne.x AS u, ne.y AS v, ne.cn AS common_neighbors,
+                ROUND(CAST(ne.cn AS DOUBLE) / CAST(dx.d + dy.d - ne.cn AS DOUBLE), 6) AS jaccard,
+                ROUND(CAST(ne.raq AS DOUBLE) / 1e9, 6) AS resource_alloc
+         FROM ne JOIN deg dx ON ne.x = dx.n JOIN deg dy ON ne.y = dy.n
+         ORDER BY u, v""",
     "q_label_prop" -> labelPropOracle,
     "q_kmeans" -> kMeansOracle,
     "q_modularity" -> modularityOracle,

@@ -421,6 +421,74 @@ object Graph {
     labels.select(col("id").as("node"), col("label").as("community"))
   }
 
+  /** Link prediction over an UNDIRECTED edge list: for every NON-adjacent
+    * node pair sharing ≥ `minCommon` neighbors, the three classic scores —
+    * common-neighbor count, Jaccard cn/(deg_u + deg_v − cn), and
+    * Adamic–Adar Σ_z 1/ln(deg_z) (Adamic & Adar 2003), which discounts
+    * promiscuous intermediaries.
+    *
+    * Scale shape: one wedge self-join through the shared neighbor z — the
+    * triangle-counting primitive — with z's intermediary role capped at
+    * `maxDegree` (a super-hub's deg² wedge fan-out would dominate the
+    * join on a power-law graph; dropping hubs as INTERMEDIARIES is the
+    * standard practical bound and barely moves AA, which discounts them
+    * by 1/ln(deg) anyway — end-point degrees stay exact). Existing edges
+    * leave by an anti-join.
+    *
+    * Determinism: cn and degrees exact longs; Jaccard ONE division; each
+    * AA wedge term 1/ln(deg_z) quantizes to a 1e-9 long BEFORE the
+    * order-dependent sum (deg_z ≥ 2 whenever a wedge exists, so ln > 0).
+    * NOTE adamic_adar is spec-pinned but NOT oracle-gated: libm vs JVM ln
+    * differ by 1 ulp on real degrees, which can flip the quantization
+    * floor (measured at sf0.001). resource_alloc (Zhou et al. 2009,
+    * Σ 1/deg_z) carries the same discounting idea through an EXACT IEEE
+    * integer division — bit-identical on any engine — and is the column
+    * the cross-engine gate hashes. */
+  def linkPrediction(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Long = 1000L,
+      minCommon: Long = 1L,
+      dp: Int = 6): DataFrame = {
+    val raw = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    val und = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val mid = und
+      .join(deg.select(col("n").as("a"), col("d").as("__dz")), "a")
+      .filter(col("__dz") <= maxDegree)
+      .select(col("a").as("z"), col("b").as("x"), col("__dz"))
+    val wedges = mid
+      .join(mid.select(col("z"), col("x").as("y")), "z")
+      .filter(col("x") < col("y"))
+    val pairs = wedges
+      .groupBy(col("x"), col("y"))
+      .agg(
+        count(lit(1)).as("common_neighbors"),
+        sum(floor(lit(1e9) / log(col("__dz").cast("double")) + 0.5)
+          .cast("long")).as("__aaq"),
+        sum(floor(lit(1e9) / col("__dz").cast("double") + 0.5)
+          .cast("long")).as("__raq"))
+      .filter(col("common_neighbors") >= minCommon)
+      .join(raw, col("x") === col("a") && col("y") === col("b"), "left_anti")
+    pairs
+      .join(deg.select(col("n").as("x"), col("d").as("__dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("__dy")), "y")
+      .select(
+        col("x").as("u"), col("y").as("v"), col("common_neighbors"),
+        round(col("common_neighbors").cast("double") /
+          (col("__dx") + col("__dy") - col("common_neighbors")).cast("double"),
+          dp).as("jaccard"),
+        round(col("__aaq").cast("double") / lit(1e9), dp).as("adamic_adar"),
+        round(col("__raq").cast("double") / lit(1e9), dp).as("resource_alloc"))
+  }
+
   /** Fixed-iteration HITS hubs & authorities (Kleinberg 1999) over a
     * DIRECTED edge list: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v}
     * auth(v), each vector max-normalized per half-step. On a bipartite

@@ -384,6 +384,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rs.values.sum - 6.0) < 0.2, s"rank mass drifted: ${rs.values.sum}")
   }
 
+  test("linkPrediction: 4-cycle diagonals score cn=2, jaccard=1, AA=2/ln2") {
+    import graft.operators.Graph
+    // cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    // non-adjacent pairs, each with both cycle-mates as common neighbors
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val out = Graph.linkPrediction(e, "s", "d", minCommon = 2L)
+      .orderBy("u").collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 4L)))
+    assert(out.forall(_.getAs[Long]("common_neighbors") == 2L))
+    assert(out.forall(_.getAs[Double]("jaccard") == 1.0))
+    assert(out.forall(_.getAs[Double]("adamic_adar") == 2.88539))
+    assert(out.forall(_.getAs[Double]("resource_alloc") == 1.0)) // 2·(1/2)
+    // capping intermediaries to degree < 2 removes every wedge
+    assert(Graph.linkPrediction(e, "s", "d", maxDegree = 1L).count() == 0L)
+  }
+
   test("hits: hand-replayed bipartite half-steps, roles split correctly") {
     import graft.operators.Graph
     // u1→{v1,v2}, u2→{v1}; iter1: a(v1)=1, a(v2)=.5, h(u1)=1, h(u2)=1/1.5
