@@ -1049,6 +1049,21 @@ object SparkEntry {
       .orderBy("part_key")
   }
 
+  /** Degree assortativity of the support>=2 co-purchase graph — do popular
+    * parts co-sell with popular parts? One exact-moment aggregate. */
+  private def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    Graph.assortativity(pairs, "l_partkey", "p2")
+  }
+
   /** Adamic–Adar / Jaccard / common-neighbor link prediction on the
     * support>=2 co-purchase graph — which part pairs are "missing edges". */
   private def qLinkPredict(s: SparkSession, d: String): DataFrame = {
@@ -5162,6 +5177,7 @@ object SparkEntry {
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),
     "q_link_predict" -> (qLinkPredict _),
+    "q_assortativity" -> (qAssortativity _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -7951,6 +7967,31 @@ object SparkEntry {
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
     "q_pagerank" -> pageRankOracle,
     "q_hits" -> hitsOracle,
+    // five exact DECIMAL(38,0) moments, then one fixed cast·sqrt·divide
+    // chain — bit-identical on any IEEE engine
+    "q_assortativity" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS pu, b.l_partkey AS pv
+               FROM baskets a JOIN baskets b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         und AS (SELECT pu AS a, pv AS b FROM p UNION ALL SELECT pv, pu FROM p),
+         deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+         st AS (SELECT CAST(dx.d AS DECIMAL(38,0)) AS x, CAST(dy.d AS DECIMAL(38,0)) AS y
+                FROM und JOIN deg dx ON und.a = dx.n JOIN deg dy ON und.b = dy.n),
+         agg AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+                        CAST(SUM(x) AS DECIMAL(38,0)) AS sx, CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                        CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+                        CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+                        CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+                 FROM st)
+         SELECT CAST(m / 2 AS BIGINT) AS m_edges,
+                CASE WHEN m * sxx - sx * sx <> 0 AND m * syy - sy * sy <> 0
+                     THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+                            SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+                                 * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+                END AS assortativity
+         FROM agg""",
     // wedge join through capped intermediaries; AA terms 1e-9-quantized
     // longs before the sum, Jaccard one division of exact counts
     "q_link_predict" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as repeated co-partitioned joins — the
@@ -419,6 +419,53 @@ object Graph {
         .localCheckpoint(true)
     }
     labels.select(col("id").as("node"), col("label").as("community"))
+  }
+
+  /** Degree assortativity (Newman 2002) over an UNDIRECTED edge list — do
+    * hubs link to hubs (r > 0, social graphs) or to leaves (r < 0,
+    * technological/star topologies)? Pearson correlation of the end-point
+    * degree pairs over all directed stubs of the symmetrized graph:
+    * r = (M·Σxy − Σx·Σy) / √((M·Σx² − (Σx)²)(M·Σy² − (Σy)²)).
+    *
+    * One degree count + one co-partitioned join back to the edges + one
+    * partial aggregate. All five moments are exact integers accumulated
+    * in decimal(38,0) (M·Σxy brushes 1e18 on big graphs); the statistic
+    * is a fixed chain of two correctly-rounded casts, one multiply, one
+    * sqrt and one division — bit-identical on any IEEE engine. Regular
+    * graphs (zero degree variance) report NULL. */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      dp: Int = 6): DataFrame = {
+    val raw = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    val und = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val stubs = und
+      .join(deg.select(col("n").as("a"), col("d").as("__x")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("__y")), "b")
+    def dd(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = stubs.agg(
+      count(lit(1)).cast("decimal(38,0)").as("__m"),
+      sum(dd(col("__x"))).as("__sx"),
+      sum(dd(col("__y"))).as("__sy"),
+      sum(dd(col("__x")) * dd(col("__x"))).as("__sxx"),
+      sum(dd(col("__y")) * dd(col("__y"))).as("__syy"),
+      sum(dd(col("__x")) * dd(col("__y"))).as("__sxy"))
+    val num = col("__m") * col("__sxy") - col("__sx") * col("__sy")
+    val d1 = col("__m") * col("__sxx") - col("__sx") * col("__sx")
+    val d2 = col("__m") * col("__syy") - col("__sy") * col("__sy")
+    agg.select(
+      (col("__m") / 2).cast("long").as("m_edges"),
+      when(d1 =!= 0 && d2 =!= 0,
+        round(num.cast("double") /
+          sqrt(d1.cast("double") * d2.cast("double")), dp))
+        .as("assortativity"))
   }
 
   /** Link prediction over an UNDIRECTED edge list: for every NON-adjacent

@@ -384,6 +384,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rs.values.sum - 6.0) < 0.2, s"rank mass drifted: ${rs.values.sum}")
   }
 
+  test("assortativity: star is -1, regular ring is NULL") {
+    import graft.operators.Graph
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val r = Graph.assortativity(star, "s", "d").head
+    assert(r.getAs[Long]("m_edges") == 3L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    // 4-cycle: every degree 2 ⇒ zero variance ⇒ NULL
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val rr = Graph.assortativity(ring, "s", "d").head
+    assert(rr.isNullAt(rr.fieldIndex("assortativity")))
+  }
+
   test("linkPrediction: 4-cycle diagonals score cn=2, jaccard=1, AA=2/ln2") {
     import graft.operators.Graph
     // cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
