@@ -1049,6 +1049,22 @@ object SparkEntry {
       .orderBy("part_key")
   }
 
+  /** 3-truss of the support>=2 co-purchase graph — the edge-cohesion core
+    * (every surviving edge closes a triangle), 4 unrolled peel rounds. */
+  private def qKtruss(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    Graph.kTruss(pairs, "l_partkey", "p2", k = 3, rounds = 4)
+      .orderBy("a", "b")
+  }
+
   /** Degree assortativity of the support>=2 co-purchase graph — do popular
     * parts co-sell with popular parts? One exact-moment aggregate. */
   private def qAssortativity(s: SparkSession, d: String): DataFrame = {
@@ -5178,6 +5194,7 @@ object SparkEntry {
     "q_hits" -> (qHits _),
     "q_link_predict" -> (qLinkPredict _),
     "q_assortativity" -> (qAssortativity _),
+    "q_ktruss" -> (qKtruss _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -5492,6 +5509,34 @@ object SparkEntry {
        deg AS (SELECT u AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM deg)$iters
        SELECT id AS part_key, rank FROM r5 ORDER BY part_key"""
+  }
+
+  /** 4 unrolled 3-truss peel rounds — per round a wedge-join support count
+    * + threshold filter, mirroring [[graft.operators.Graph.kTruss]]. The
+    * round CTEs are MATERIALIZED: each references its predecessor 3×, and
+    * DuckDB's default inlining re-evaluates the whole chain exponentially
+    * (the un-hinted form did not finish at sf0.01; materialized it is
+    * sub-second). */
+  private val kTrussOracle: String = {
+    val rounds = (0 until 4).map { i =>
+      s"""u$i AS MATERIALIZED (SELECT a AS n, b AS z FROM e$i UNION ALL SELECT b, a FROM e$i),
+         s$i AS MATERIALIZED (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
+                FROM e$i e JOIN u$i x ON e.a = x.n JOIN u$i y
+                  ON e.b = y.n AND y.z = x.z
+                GROUP BY 1, 2),
+         e${i + 1} AS MATERIALIZED (SELECT a, b FROM s$i WHERE support >= 1)"""
+    }.mkString(",\n         ")
+    s"""WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS MATERIALIZED (SELECT a.l_partkey AS pu, b.l_partkey AS pv
+               FROM baskets a JOIN baskets b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         e0 AS MATERIALIZED (SELECT pu AS a, pv AS b FROM p),
+         $rounds,
+         u4 AS MATERIALIZED (SELECT a AS n, b AS z FROM e4 UNION ALL SELECT b, a FROM e4)
+         SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
+         FROM e4 e JOIN u4 x ON e.a = x.n JOIN u4 y ON e.b = y.n AND y.z = x.z
+         GROUP BY 1, 2 ORDER BY a, b"""
   }
 
   /** 3 chained HITS iterations — per half-step one join+sum CTE quantized
@@ -7967,6 +8012,7 @@ object SparkEntry {
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
     "q_pagerank" -> pageRankOracle,
     "q_hits" -> hitsOracle,
+    "q_ktruss" -> kTrussOracle,
     // five exact DECIMAL(38,0) moments, then one fixed cast·sqrt·divide
     // chain — bit-identical on any IEEE engine
     "q_assortativity" ->

@@ -421,6 +421,54 @@ object Graph {
     labels.select(col("id").as("node"), col("label").as("community"))
   }
 
+  /** k-truss (Cohen 2008) — the edge-grained cohesion family next to
+    * [[kCore]]: the maximal subgraph in which EVERY edge closes at least
+    * k−2 triangles. Peels by synchronous rounds: per round one wedge join
+    * counts each surviving edge's common-neighbor support, edges under
+    * k−2 leave, repeat. Runs a FIXED `rounds` unroll (the kCore oracle
+    * discipline — replayable as chained CTEs; pick rounds ≥ the expected
+    * peel depth) with an early count()-equality exit.
+    *
+    * All arithmetic is exact counts over canonical (min,max) edges —
+    * engine-deterministic by construction. Each round is two
+    * co-partitioned joins + a partial agg; localCheckpoint truncates the
+    * iteration lineage.
+    *
+    * @return surviving edges with their final support (a, b, support) */
+  def kTruss(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int = 4): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def support(g: DataFrame): DataFrame = {
+      val und = g.select(col("a").as("n"), col("b").as("z"))
+        .unionAll(g.select(col("b").as("n"), col("a").as("z")))
+      g.join(und.select(col("n").as("a"), col("z")), "a")
+        .join(und.select(col("n").as("b"), col("z")), Seq("b", "z"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
+      r += 1
+      val pruned = support(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      done = pruned.count() == e.count()
+      e = pruned
+    }
+    support(e)
+  }
+
   /** Degree assortativity (Newman 2002) over an UNDIRECTED edge list — do
     * hubs link to hubs (r > 0, social graphs) or to leaves (r < 0,
     * technological/star topologies)? Pearson correlation of the end-point

@@ -384,6 +384,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rs.values.sum - 6.0) < 0.2, s"rank mass drifted: ${rs.values.sum}")
   }
 
+  test("kTruss: K4 survives k=4, pendant triangle only k=3, bridges peel") {
+    import graft.operators.Graph
+    // K4 on 1..4 + triangle {4,5,6} + pendant edge 6-7
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L)).toDF("s", "d")
+    val t3 = Graph.kTruss(e, "s", "d", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3.size == 9 && !t3.contains((6L, 7L))) // only the bridge peels
+    val t4 = Graph.kTruss(e, "s", "d", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // K4 edges each close 2 triangles; the pendant triangle's close 1
+    assert(t4 == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
   test("assortativity: star is -1, regular ring is NULL") {
     import graft.operators.Graph
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
