@@ -3275,6 +3275,24 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  /** Internal quality of the 3-means user clustering: exact-rational
+    * Calinski–Harabasz + quantized Davies–Bouldin against the fitted
+    * integer-grid centroids. */
+  private def qClusterQuality(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        floor(sum(floor(col("value") * 100 + 0.5).cast("long")) / lit(100.0))
+          .cast("long").as("dollars"))
+    val cents = Similarity.kMeansGrid(pts, Seq("n_events", "dollars"),
+        k = 3, iters = 3)
+      .orderBy("cluster").collect().toSeq
+      .map(r => (r.getInt(0), Seq(r.getLong(r.fieldIndex("n_events")),
+        r.getLong(r.fieldIndex("dollars")))))
+    Similarity.clusterQuality(pts, Seq("n_events", "dollars"), cents)
+  }
+
   /** Spearman rank correlation of quantity vs extended price per return
     * flag — monotone-association readout robust to the price's skew. */
   private def qSpearman(s: SparkSession, d: String): DataFrame =
@@ -5195,6 +5213,7 @@ object SparkEntry {
     "q_link_predict" -> (qLinkPredict _),
     "q_assortativity" -> (qAssortativity _),
     "q_ktruss" -> (qKtruss _),
+    "q_cluster_quality" -> (qClusterQuality _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -5636,6 +5655,51 @@ object SparkEntry {
          MAX(c.c0) AS n_events, MAX(c.c1) AS dollars, CAST(SUM(f.d) AS BIGINT) AS inertia
        FROM fin f JOIN c3 c ON f.cl = c.cl WHERE f.rn = 1
        GROUP BY f.cl ORDER BY cluster"""
+  }
+
+  /** kMeans replay (shared CTE prefix) + the exact-rational CH and
+    * quantized DB tails, mirroring
+    * [[graft.operators.Similarity.clusterQuality]]. */
+  private val clusterQualityOracle: String = {
+    val upTo = kMeansOracle.substring(0, kMeansOracle.indexOf(",\n       fin AS"))
+    upTo + """,
+       fin AS (SELECT p.user_id, p.f0, p.f1, c.cl,
+                 (p.f0 - c.c0) * (p.f0 - c.c0) + (p.f1 - c.c1) * (p.f1 - c.c1) AS d,
+                 ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY
+                   (p.f0 - c.c0) * (p.f0 - c.c0) + (p.f1 - c.c1) * (p.f1 - c.c1), c.cl) AS rn
+               FROM pts p, c3 c),
+       asg AS (SELECT cl, f0, f1, d FROM fin WHERE rn = 1),
+       per AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS w,
+                 CAST(SUM(CAST(FLOOR(SQRT(CAST(d AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+               FROM asg GROUP BY 1),
+       gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(f0) AS DECIMAL(38,0)) AS sx,
+                       CAST(SUM(f1) AS DECIMAL(38,0)) AS sy FROM asg),
+       bagg AS (SELECT MAX(g.n) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(SUM(p.w) AS DECIMAL(38,0)) AS wss,
+                  CAST(SUM(CAST(p.n AS DECIMAL(38,0)) *
+                    ((CAST(g.n AS DECIMAL(38,0)) * CAST(c.c0 AS DECIMAL(38,0)) - g.sx)
+                     * (CAST(g.n AS DECIMAL(38,0)) * CAST(c.c0 AS DECIMAL(38,0)) - g.sx)
+                   + (CAST(g.n AS DECIMAL(38,0)) * CAST(c.c1 AS DECIMAL(38,0)) - g.sy)
+                     * (CAST(g.n AS DECIMAL(38,0)) * CAST(c.c1 AS DECIMAL(38,0)) - g.sy))) AS DECIMAL(38,0)) AS n2b
+                FROM per p JOIN c3 c ON p.cl = c.cl, gl g),
+       prs AS (SELECT p1.cl,
+                 (CAST(p1.sq AS DOUBLE) / CAST(p1.n AS DOUBLE) / 1e6
+                + CAST(p2.sq AS DOUBLE) / CAST(p2.n AS DOUBLE) / 1e6)
+                / SQRT(CAST((c1.c0 - c2.c0) * (c1.c0 - c2.c0)
+                          + (c1.c1 - c2.c1) * (c1.c1 - c2.c1) AS DOUBLE)) AS ratio
+               FROM per p1 JOIN c3 c1 ON p1.cl = c1.cl
+                    JOIN per p2 ON p2.cl <> p1.cl JOIN c3 c2 ON p2.cl = c2.cl
+               WHERE (c1.c0 - c2.c0) * (c1.c0 - c2.c0)
+                   + (c1.c1 - c2.c1) * (c1.c1 - c2.c1) > 0),
+       dbv AS (SELECT CAST(SUM(mq) AS BIGINT) AS mqs, CAST(COUNT(*) AS BIGINT) AS kk
+               FROM (SELECT cl, CAST(FLOOR(MAX(ratio) * 1e9 + 0.5) AS BIGINT) AS mq
+                     FROM prs GROUP BY 1))
+       SELECT b.nn AS n, b.k AS k, CAST(b.wss AS BIGINT) AS w_ss,
+         ROUND(CAST(b.n2b * (CAST(b.nn AS DECIMAL(38,0)) - CAST(b.k AS DECIMAL(38,0))) AS DOUBLE) /
+               CAST(CAST(b.nn AS DECIMAL(38,0)) * CAST(b.nn AS DECIMAL(38,0)) * b.wss
+                    * (CAST(b.k AS DECIMAL(38,0)) - 1) AS DOUBLE), 6) AS calinski_harabasz,
+         ROUND(CAST(d.mqs AS DOUBLE) / 1e9 / CAST(d.kk AS DOUBLE), 6) AS davies_bouldin
+       FROM bagg b, dbv d"""
   }
 
   /** 3 chained IRLS sweeps — quantized Huber weights, exact DECIMAL
@@ -8013,6 +8077,7 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracle,
     "q_hits" -> hitsOracle,
     "q_ktruss" -> kTrussOracle,
+    "q_cluster_quality" -> clusterQualityOracle,
     // five exact DECIMAL(38,0) moments, then one fixed cast·sqrt·divide
     // chain — bit-identical on any IEEE engine
     "q_assortativity" ->

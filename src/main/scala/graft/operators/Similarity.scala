@@ -773,4 +773,94 @@ object Similarity {
     }
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
+
+  /** Internal clustering-quality indices against FIXED integer-grid
+    * centroids (the [[kMeansGrid]] fit): Calinski–Harabasz
+    * (B/(k−1))/(W/(n−k)) — higher = tighter/better separated — and
+    * Davies–Bouldin (1/k)Σ_c max_{c'≠c}(s_c+s_c')/d(c,c') — lower better.
+    *
+    * Determinism: assignment replays the exact-long struct-least argmin;
+    * W and the n²·B numerator Σ n_c·Σ_j(n·c_j − S_j)² stay EXACT
+    * (longs/DECIMAL(38,0)), so CH is ONE division of exact integers.
+    * DB's per-point centroid distances are single IEEE sqrt's of exact
+    * longs quantized to 1e-6 longs before the per-cluster mean; the
+    * pairwise ratio is a fixed divide/add/sqrt chain over the k²-bounded
+    * cluster table, maxima are selections, and the k maxima quantize to
+    * 1e-9 longs before the final mean. Coincident centroids are excluded
+    * from DB pairs (zero separation is the fit's bug, not the index's).
+    *
+    * Shape: one codegen'd assignment scan + partial agg; everything after
+    * runs on k-row tables. Returns one row:
+    * (n, k, w_ss, calinski_harabasz, davies_bouldin). */
+  def clusterQuality(
+      df: DataFrame,
+      featureCols: Seq[String],
+      centroids: Seq[(Int, Seq[Long])],
+      dp: Int = 6): DataFrame = {
+    require(centroids.size >= 2, s"need >= 2 centroids, got ${centroids.size}")
+    val dims = featureCols.indices
+    val pts = df.select(featureCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("long").as(s"__f$i")
+    }: _*)
+    val structs = centroids.map { case (ci, cv) =>
+      val d2 = dims.map { j =>
+        (col(s"__f$j") - lit(cv(j))) * (col(s"__f$j") - lit(cv(j)))
+      }.reduce(_ + _)
+      struct(d2.as("d"), lit(ci).as("c"))
+    }
+    val assigned = pts
+      .withColumn("__m", least(structs: _*))
+      .select(dims.map(j => col(s"__f$j")) ++
+        Seq(col("__m.c").as("__cl"), col("__m.d").as("__d")): _*)
+    val per = assigned.groupBy(col("__cl"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__d")).as("__w"),
+        sum(floor(sqrt(col("__d").cast("double")) * 1e6 + 0.5).cast("long"))
+          .as("__sq"))
+    val glob = assigned.agg(
+      count(lit(1)).as("__nt"),
+      dims.map(j => sum(col(s"__f$j")).cast("decimal(38,0)").as(s"__S$j")): _*)
+    def coord(j: Int): Column = centroids.tail.foldLeft(
+      when(col("__cl") === centroids.head._1, lit(centroids.head._2(j)))) {
+      case (acc, (ci, cv)) => acc.when(col("__cl") === ci, lit(cv(j)))
+    }
+    val perC = dims.foldLeft(per)((acc, j) => acc.withColumn(s"__c$j", coord(j)))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // between-cluster scatter numerator, exact: Σ_c n_c·Σ_j(N·c_j − S_j)²
+    val bTermPer = dims.map { j =>
+      val t = dec(col("__nt")) * dec(col(s"__c$j")) - col(s"__S$j")
+      t * t
+    }.reduce(_ + _)
+    val bagg = perC.crossJoin(broadcast(glob)).agg(
+      max(col("__nt")).as("__ntot"),
+      count(lit(1)).as("__k"),
+      sum(col("__w")).as("__wss"),
+      sum(dec(col("__n")) * bTermPer).as("__n2b"))
+    // Davies–Bouldin over the k²-bounded pair table
+    val right = perC.select(
+      col("__cl").as("__cl2") +: col("__n").as("__n2") +:
+        col("__sq").as("__sq2") +: dims.map(j => col(s"__c$j").as(s"__c${j}b")): _*)
+    val pairs = perC.crossJoin(right).filter(col("__cl") =!= col("__cl2"))
+    val dcc2 = dims.map { j =>
+      (col(s"__c$j") - col(s"__c${j}b")) * (col(s"__c$j") - col(s"__c${j}b"))
+    }.reduce(_ + _)
+    val sA = col("__sq").cast("double") / col("__n").cast("double") / lit(1e6)
+    val sB = col("__sq2").cast("double") / col("__n2").cast("double") / lit(1e6)
+    val ratio = (sA + sB) / sqrt(dcc2.cast("double"))
+    val dbv = pairs.filter(dcc2 > 0)
+      .groupBy(col("__cl"))
+      .agg(floor(max(ratio) * 1e9 + 0.5).cast("long").as("__mq"))
+      .agg(sum(col("__mq")).as("__mqs"), count(lit(1)).as("__kk"))
+    bagg.crossJoin(broadcast(dbv)).select(
+      col("__ntot").as("n"),
+      col("__k").as("k"),
+      col("__wss").as("w_ss"),
+      round((col("__n2b") * (dec(col("__ntot")) - dec(col("__k")))).cast("double") /
+        (dec(col("__ntot")) * dec(col("__ntot")) * dec(col("__wss")) *
+          (dec(col("__k")) - lit(1))).cast("double"), dp)
+        .as("calinski_harabasz"),
+      round(col("__mqs").cast("double") / lit(1e9) /
+        col("__kk").cast("double"), dp).as("davies_bouldin"))
+  }
 }

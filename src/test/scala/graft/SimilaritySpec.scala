@@ -304,4 +304,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pcs.map(_.head).toSeq == Seq(-3.0, -1.0, 1.0, 3.0))
     assert(pcs.map(_(1)).toSeq == Seq(0.5, -0.5, -0.5, 0.5))
   }
+
+  test("clusterQuality: two planted square blobs give CH=150, DB=0.2") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (0L, 2L), (2L, 0L), (2L, 2L),
+      (10L, 10L), (10L, 12L), (12L, 10L), (12L, 12L)).toDF("x", "y")
+    val cents = Seq((0, Seq(1L, 1L)), (1, Seq(11L, 11L)))
+    val r = Similarity.clusterQuality(pts, Seq("x", "y"), cents).head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("w_ss") == 16L) // 8 points at dist² = 2
+    // B = 400 exactly ⇒ CH = (400/1)/(16/6) = 150
+    assert(r.getAs[Double]("calinski_harabasz") == 150.0)
+    // s = √2 both sides, d = √200 ⇒ DB = 2√2/√200 = 0.2
+    assert(r.getAs[Double]("davies_bouldin") == 0.2)
+  }
 }
