@@ -3275,6 +3275,19 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  /** Cross-correlation of daily revenue against daily order count at lags
+    * −7..7 — the lead/lag discovery readout next to q_acf. */
+  private def qCcf(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        floor(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")) /
+          lit(100.0)).cast("long").as("dollars"))
+    Temporal.ccf(daily, Nil, "day", "dollars", "n_orders", maxLag = 7)
+      .orderBy("lag")
+  }
+
   /** Internal quality of the 3-means user clustering: exact-rational
     * Calinski–Harabasz + quantized Davies–Bouldin against the fitted
     * integer-grid centroids. */
@@ -5214,6 +5227,7 @@ object SparkEntry {
     "q_assortativity" -> (qAssortativity _),
     "q_ktruss" -> (qKtruss _),
     "q_cluster_quality" -> (qClusterQuality _),
+    "q_ccf" -> (qCcf _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -5655,6 +5669,53 @@ object SparkEntry {
          MAX(c.c0) AS n_events, MAX(c.c1) AS dollars, CAST(SUM(f.d) AS BIGINT) AS inertia
        FROM fin f JOIN c3 c ON f.cl = c.cl WHERE f.rn = 1
        GROUP BY f.cl ORDER BY cluster"""
+  }
+
+  /** Exact integer sums per lag + the ACF fixed-chain assembly with two
+    * series, mirroring [[graft.operators.Temporal.ccf]]. */
+  private val ccfOracle: String = {
+    val lags = -7 to 7
+    def nm(i: Int) = if (i < 0) s"ym${-i}" else s"y$i"
+    val lagCols = lags.map { i =>
+      val sh = if (i >= 0) s"LAG(y, $i) OVER (ORDER BY day)"
+               else s"LEAD(y, ${-i}) OVER (ORDER BY day)"
+      s"$sh AS ${nm(i)}"
+    }.mkString(",\n                 ")
+    val perLag = lags.map { i =>
+      val c = nm(i)
+      s"""CAST(SUM(CASE WHEN $c IS NOT NULL THEN x * $c END) AS BIGINT) AS p_$c,
+                 CAST(SUM(CASE WHEN $c IS NOT NULL THEN x END) AS BIGINT) AS a_$c,
+                 CAST(SUM(CASE WHEN $c IS NOT NULL THEN $c END) AS BIGINT) AS b_$c,
+                 CAST(COUNT($c) AS BIGINT) AS n_$c"""
+    }.mkString(",\n                 ")
+    val rows = lags.map { i =>
+      val c = nm(i)
+      s"""SELECT n, CAST($i AS INT) AS lag,
+             CASE WHEN vx > 0 AND vy > 0 AND n_$c > 0
+                  THEN ROUND((CAST(p_$c AS DOUBLE) - my * CAST(a_$c AS DOUBLE)
+                              - mx * CAST(b_$c AS DOUBLE)
+                              + CAST(n_$c AS DOUBLE) * mx * my)
+                             / (SQRT(vx) * SQRT(vy)), 6) END AS ccf FROM m"""
+    }.mkString("\n           UNION ALL ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS y,
+                CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0) AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+         lagged AS (SELECT x, y,
+                 $lagCols
+                FROM daily),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+                 $perLag
+                FROM lagged),
+         m AS (SELECT agg.*,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                 CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                 CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+                 CAST(syy AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy
+               FROM agg)
+         SELECT * FROM ($rows) ORDER BY lag"""
   }
 
   /** kMeans replay (shared CTE prefix) + the exact-rational CH and
@@ -8078,6 +8139,7 @@ object SparkEntry {
     "q_hits" -> hitsOracle,
     "q_ktruss" -> kTrussOracle,
     "q_cluster_quality" -> clusterQualityOracle,
+    "q_ccf" -> ccfOracle,
     // five exact DECIMAL(38,0) moments, then one fixed cast·sqrt·divide
     // chain — bit-identical on any IEEE engine
     "q_assortativity" ->

@@ -854,6 +854,70 @@ object Temporal {
       .select((k :+ col("n") :+ col("__e.lag").as("lag") :+ col("__e.acf").as("acf")): _*)
   }
 
+  /** Cross-correlation function between two REGULAR integer series at lags
+    * −maxLag..maxLag per key — the lead/lag discovery readout next to
+    * [[acf]] ("does x move k days before y?"): positive lag k correlates
+    * x_t against y_{t−k} (y LEADS x), negative against y_{t+k}.
+    *
+    * The [[acf]] determinism recipe with two series: every aggregate is an
+    * exact integer sum (n, Σx, Σy, Σx², Σy², and per-lag Σ x_t·y_{t∓k}
+    * with the valid-row marginals), and each output is a fixed chain of
+    * single IEEE ops — numerator (P − μ_y·A − μ_x·B + n_k·μ_x·μ_y) over
+    * the full-series std product, statsmodels' convention. One window
+    * pass + one partial agg per key; series are calendar-bounded. */
+  def ccf(
+      series: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      xCol: String,
+      yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val k = keys.map(col)
+    val w = Window.partitionBy(k: _*).orderBy(col(orderCol))
+    val lags = (-maxLag to maxLag)
+    def lcol(i: Int) = col(s"__y$i")
+    val lagged = lags.foldLeft(
+      series
+        .withColumn("__x", col(xCol).cast("long"))
+        .withColumn("__y", col(yCol).cast("long"))) { (df, i) =>
+      val shifted =
+        if (i >= 0) lag(col("__y"), i).over(w) else lead(col("__y"), -i).over(w)
+      df.withColumn(s"__y$i", shifted)
+    }
+    val base = Seq(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"))
+    val perLag = lags.flatMap { i =>
+      Seq(
+        sum(when(lcol(i).isNotNull, col("__x") * lcol(i))).as(s"p$i"),
+        sum(when(lcol(i).isNotNull, col("__x"))).as(s"a$i"),
+        sum(when(lcol(i).isNotNull, lcol(i))).as(s"b$i"),
+        count(lcol(i)).as(s"n$i"))
+    }
+    val aggd = lagged.groupBy(k: _*).agg((base ++ perLag).head, (base ++ perLag).tail: _*)
+    val mx = col("sx").cast("double") / col("n").cast("double")
+    val my = col("sy").cast("double") / col("n").cast("double")
+    val vx = col("sxx").cast("double") - col("n").cast("double") * mx * mx
+    val vy = col("syy").cast("double") - col("n").cast("double") * my * my
+    val lagRows = lags.map { i =>
+      struct(
+        lit(i).as("lag"),
+        when(vx > 0 && vy > 0 && col(s"n$i") > 0,
+          round((col(s"p$i").cast("double") -
+            my * col(s"a$i").cast("double") -
+            mx * col(s"b$i").cast("double") +
+            col(s"n$i").cast("double") * mx * my) /
+            (sqrt(vx) * sqrt(vy)), 6)).as("ccf"))
+    }
+    aggd
+      .select((k :+ col("n") :+ explode(array(lagRows: _*)).as("__e")): _*)
+      .select((k :+ col("n") :+ col("__e.lag").as("lag") :+
+        col("__e.ccf").as("ccf")): _*)
+  }
+
   /** Hurst exponent per key by rescaled-range (R/S) analysis — the
     * long-memory readout (H ≈ 0.5 random walk, > 0.5 trending,
     * < 0.5 mean-reverting) that decides whether a series' apparent trends

@@ -125,6 +125,23 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(haz(4) - (0.2 + 1.0 / 3 + 1.0)) < 1e-6)
   }
 
+  test("ccf finds the planted +1 lead and matches hand values") {
+    import spark.implicits._
+    // y spikes at t=3, x at t=4: x aligns with y at lag +1
+    val df = (1 to 6).map(t =>
+      (t, if (t == 4) 1L else 0L, if (t == 3) 1L else 0L)).toDF("t", "x", "y")
+    val out = Temporal.ccf(df, Nil, "t", "x", "y", maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("ccf")).toMap
+    assert(out(1) == 0.966667) // (1 - 1/3 + 5/36) / (5/6)
+    assert(out(0) == -0.2)     // adjacent spikes anti-correlate at lag 0
+    assert(out(1) > out(-1))
+    // identical series: lag-0 cross-correlation is 1
+    val same = (1 to 8).map(t => (t, t.toLong, t.toLong)).toDF("t", "x", "y")
+    val s0 = Temporal.ccf(same, Nil, "t", "x", "y", maxLag = 1)
+      .filter(col("lag") === 0).head.getAs[Double]("ccf")
+    assert(s0 == 1.0)
+  }
+
   test("logRank reproduces the hand-computed two-group statistic") {
     import spark.implicits._
     // A: 1(ev) 3(ev) 5(cens); B: 2(ev) 4(cens) 6(ev)
