@@ -3275,6 +3275,31 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  /** Exact-integer DTW distances between the weekly revenue profiles of
+    * every market-segment pair — which segments share a weekly shape even
+    * when the phase wobbles. */
+  private def qDtwProfiles(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      (datediff(col("o_orderdate").cast("date"),
+        lit("1990-01-01").cast("date")) % 7).cast("int").as("dow"))
+    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val prof = o.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("dow"))
+      .agg(sum(col("cents")).as("v"))
+      .groupBy(col("c_mktsegment"))
+      .agg(transform(sort_array(collect_list(struct(col("dow"), col("v")))),
+        x => x("v")).as("series"))
+    val right = prof.select(col("c_mktsegment").as("seg_b"),
+      col("series").as("series_b"))
+    prof.select(col("c_mktsegment").as("seg_a"), col("series").as("series_a"))
+      .crossJoin(right)
+      .filter(col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        dtw_distance(col("series_a"), col("series_b")).as("dtw"))
+      .orderBy("seg_a", "seg_b")
+  }
+
   /** Cross-correlation of daily revenue against daily order count at lags
     * −7..7 — the lead/lag discovery readout next to q_acf. */
   private def qCcf(s: SparkSession, d: String): DataFrame = {
@@ -5228,6 +5253,7 @@ object SparkEntry {
     "q_ktruss" -> (qKtruss _),
     "q_cluster_quality" -> (qClusterQuality _),
     "q_ccf" -> (qCcf _),
+    "q_dtw" -> (qDtwProfiles _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -5669,6 +5695,42 @@ object SparkEntry {
          MAX(c.c0) AS n_events, MAX(c.c1) AS dollars, CAST(SUM(f.d) AS BIGINT) AS inertia
        FROM fin f JOIN c3 c ON f.cl = c.cl WHERE f.rn = 1
        GROUP BY f.cl ORDER BY cluster"""
+  }
+
+  /** The 7×7 DTW recurrence statically unrolled as lateral column aliases
+    * (exact integer costs + LEAST path sums), mirroring
+    * [[graft.functions.VectorOps.dtwDistance]] on the weekly profiles. */
+  private val dtwOracle: String = {
+    val cells = (for (i <- 0 to 6; j <- 0 to 6) yield {
+      val c = s"ABS(a$i - b$j)"
+      val d = (i, j) match {
+        case (0, 0) => c
+        case (0, _) => s"d0${j - 1} + $c"
+        case (_, 0) => s"d${i - 1}0 + $c"
+        case _ => s"LEAST(d${i - 1}$j, d$i${j - 1}, d${i - 1}${j - 1}) + $c"
+      }
+      s"$d AS d$i$j"
+    }).mkString(",\n                 ")
+    val avs = (0 to 6).map(i => s"a.v$i AS a$i").mkString(", ")
+    val bvs = (0 to 6).map(i => s"b.v$i AS b$i").mkString(", ")
+    val piv = (0 to 6).map(i =>
+      s"CAST(MAX(CASE WHEN dow = $i THEN v END) AS BIGINT) AS v$i").mkString(",\n                 ")
+    s"""WITH o AS (SELECT o_custkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) % 7 AS INT) AS dow
+              FROM orders),
+         j AS (SELECT c.c_mktsegment AS g, o.cents, o.dow
+               FROM o JOIN customer c ON o.o_custkey = c.c_custkey),
+         byd AS (SELECT g, dow, CAST(SUM(cents) AS BIGINT) AS v FROM j GROUP BY 1, 2),
+         prof AS (SELECT g,
+                 $piv
+                FROM byd GROUP BY 1),
+         pairs AS (SELECT a.g AS ga, b.g AS gb, $avs, $bvs
+                   FROM prof a JOIN prof b ON a.g < b.g),
+         dp AS (SELECT ga, gb,
+                 $cells
+                FROM pairs)
+         SELECT ga AS seg_a, gb AS seg_b, d66 AS dtw
+         FROM dp ORDER BY seg_a, seg_b"""
   }
 
   /** Exact integer sums per lag + the ACF fixed-chain assembly with two
@@ -8140,6 +8202,7 @@ object SparkEntry {
     "q_ktruss" -> kTrussOracle,
     "q_cluster_quality" -> clusterQualityOracle,
     "q_ccf" -> ccfOracle,
+    "q_dtw" -> dtwOracle,
     // five exact DECIMAL(38,0) moments, then one fixed cast·sqrt·divide
     // chain — bit-identical on any IEEE engine
     "q_assortativity" ->

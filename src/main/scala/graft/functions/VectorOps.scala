@@ -364,4 +364,36 @@ object VectorOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Dynamic-time-warping distance between two bounded INTEGER series
+    * (Sakoe & Chiba 1978, unconstrained band, |·| local cost): the classic
+    * O(n·m) two-row DP, entirely in exact long arithmetic — integer costs
+    * and integer path sums make the distance EXACT, which is what lets a
+    * statically-unrolled SQL oracle replay the recurrence. Returns −1 when
+    * either series is empty. */
+  def dtwDistance(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return -1L
+    val prev = new Array[Long](m)
+    val cur = new Array[Long](m)
+    var j = 0
+    var acc = 0L
+    while (j < m) { // first row: only left moves
+      acc += math.abs(a.getLong(0) - b.getLong(j)); prev(j) = acc; j += 1
+    }
+    var i = 1
+    while (i < n) {
+      val ai = a.getLong(i)
+      cur(0) = prev(0) + math.abs(ai - b.getLong(0))
+      j = 1
+      while (j < m) {
+        val best = math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        cur(j) = best + math.abs(ai - b.getLong(j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m)
+      i += 1
+    }
+    prev(m - 1)
+  }
 }

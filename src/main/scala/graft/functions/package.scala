@@ -94,6 +94,11 @@ package object functions {
   def pacf_from_acf(rhos: Column): Column =
     invokeVec("pacf", ArrayType(DoubleType, containsNull = false), Seq(rhos))
 
+  /** Exact integer DTW distance between two long-array series
+    * ([[VectorOps.dtwDistance]]); −1 when either side is empty. */
+  def dtw_distance(a: Column, b: Column): Column =
+    invokeVec("dtwDistance", LongType, Seq(a, b))
+
   /** LTTB downsample of collected (x long, y long) structs to `threshold`
     * points: flat [x, y, …] doubles ([[VectorOps.lttb]]). */
   def lttb_downsample(points: Column, threshold: Column): Column =

@@ -125,6 +125,22 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(haz(4) - (0.2 + 1.0 / 3 + 1.0)) < 1e-6)
   }
 
+  test("dtw_distance: warped copies are 0, constant offsets pay per step") {
+    import spark.implicits._
+    import graft.functions.dtw_distance
+    val df = Seq((
+      Seq(1L, 2L, 3L), Seq(1L, 2L, 2L, 3L), // time-warped copy
+      Seq(0L, 0L, 0L), Seq(1L, 1L)          // flat offset by 1
+    )).toDF("a", "b", "c", "d2")
+    val r = df.select(
+      dtw_distance(col("a"), col("b")).as("warp"),
+      dtw_distance(col("c"), col("d2")).as("flat"),
+      dtw_distance(col("a"), col("a")).as("self")).head
+    assert(r.getAs[Long]("warp") == 0L)
+    assert(r.getAs[Long]("flat") == 3L) // 3 DP cells, unit cost each
+    assert(r.getAs[Long]("self") == 0L)
+  }
+
   test("ccf finds the planted +1 lead and matches hand values") {
     import spark.implicits._
     // y spikes at t=3, x at t=4: x aligns with y at lag +1
