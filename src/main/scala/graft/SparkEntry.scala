@@ -3092,6 +3092,18 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Holt–Winters weekly-seasonal smoothing of each event type's daily
+    * revenue — level/trend/seasonal state after the full fold, bit-exact
+    * vs a recursive-CTE replay carrying the seasonal vector. */
+  private def qHoltWinters(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+    Temporal.holtWinters(daily, Seq("event_type"), "day", "v",
+        period = 7, alpha = 0.3, beta = 0.1, gamma = 0.2)
+      .orderBy("event_type")
+  }
+
   /** SAX words (8 segments, 4-letter alphabet) for each event type's daily
     * revenue series — bit-deterministic symbols, SQL-replayed. */
   private def qSax(s: SparkSession, d: String): DataFrame = {
@@ -5254,6 +5266,7 @@ object SparkEntry {
     "q_cluster_quality" -> (qClusterQuality _),
     "q_ccf" -> (qCcf _),
     "q_dtw" -> (qDtwProfiles _),
+    "q_holt_winters" -> (qHoltWinters _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9479,6 +9492,46 @@ object SparkEntry {
            FROM h JOIN s ON s.event_type = h.event_type AND s.step = h.step + 1)
          SELECT event_type, n, level, trend, level + trend AS forecast
          FROM h WHERE step = n ORDER BY event_type""",
+    // the q_holt recursion with the rotating seasonal vector carried as a
+    // LIST column; init period sums exact longs, one division each; the
+    // (1.0 - α) forms mirror Spark's lit(1.0) - a bit-exactly
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type AS g, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS step,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM daily),
+         base AS (SELECT g, MAX(n) AS n,
+             CAST(SUM(CASE WHEN step <= 7 THEN v END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN step BETWEEN 8 AND 14 THEN v END) AS BIGINT) AS s2,
+             list(v ORDER BY step) FILTER (WHERE step <= 7) AS first7
+           FROM s GROUP BY g HAVING MAX(n) >= 14),
+         init AS (SELECT g, n, CAST(7 AS BIGINT) AS step,
+             CAST(s1 AS DOUBLE) / 7.0 AS level,
+             (CAST(s2 AS DOUBLE) / 7.0 - CAST(s1 AS DOUBLE) / 7.0) / 7.0 AS trend,
+             list_transform(first7,
+               e -> CAST(e AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0) AS seas
+           FROM base),
+         hw AS (
+           SELECT g, n, step, level, trend, seas FROM init
+           UNION ALL
+           SELECT s.g, s.n, s.step,
+             0.3 * (CAST(s.v AS DOUBLE) - hw.seas[1])
+               + (1.0 - 0.3) * (hw.level + hw.trend),
+             0.1 * ((0.3 * (CAST(s.v AS DOUBLE) - hw.seas[1])
+                     + (1.0 - 0.3) * (hw.level + hw.trend)) - hw.level)
+               + (1.0 - 0.1) * hw.trend,
+             list_append(hw.seas[2:],
+               0.2 * (CAST(s.v AS DOUBLE)
+                      - (0.3 * (CAST(s.v AS DOUBLE) - hw.seas[1])
+                         + (1.0 - 0.3) * (hw.level + hw.trend)))
+                 + (1.0 - 0.2) * hw.seas[1])
+           FROM hw JOIN s ON s.g = hw.g AND s.step = hw.step + 1)
+         SELECT g AS event_type, n, level, trend,
+                level + trend + seas[1] AS forecast
+         FROM hw WHERE step = n ORDER BY event_type""",
     // gains are a fixed expression tree of single IEEE ops on exact longs
     // — bit-identical, so even the double-ordered argmax replays
     "q_changepoint" ->

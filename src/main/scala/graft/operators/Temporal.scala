@@ -1175,6 +1175,79 @@ object Temporal {
         (col("__f.level") + col("__f.trend")).as("forecast")): _*)
   }
 
+  /** Holt–Winters additive triple exponential smoothing per key — the
+    * seasonal extension of [[holtSmooth]]:
+    * l_t = α(x_t − s_{t−p}) + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    * s_t = γ(x_t − l_t) + (1−γ)s_{t−p};
+    * textbook init l_p = mean(x_1..x_p), b_p = (mean₂ − mean₁)/p,
+    * s_i = x_i − l_p (Hyndman & Athanasopoulos §7.3 — public knowledge).
+    *
+    * Same execution recipe as Holt: the sequential recursion runs as a
+    * DECLARATIVE `aggregate()` fold over the sorted calendar-bounded
+    * series, with the rotating seasonal p-vector carried in the
+    * accumulator struct (head = s_{t−p}, append = s_t). Init period sums
+    * stay exact longs (one division each); every fold step is a fixed
+    * chain of scalar IEEE ops, so outputs ship UNROUNDED and DuckDB
+    * replays the whole recursion with a recursive CTE carrying the list.
+    * Keys shorter than 2·period are dropped (init needs two periods).
+    * Returns (keys, n, level, trend, forecast = level+trend+s_{t+1−p}). */
+  def holtWinters(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      period: Int,
+      alpha: Double,
+      beta: Double,
+      gamma: Double): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma must be in [0,1], got $gamma")
+    val k = keyCols.map(col)
+    val a = lit(alpha); val b = lit(beta); val g = lit(gamma)
+    val p = period
+    val series = df.groupBy(k: _*)
+      .agg(
+        array_sort(collect_list(
+          struct(col(orderCol).as("t"), col(valueCol).cast("long").as("v"))))
+          .as("__s"),
+        count(lit(1)).as("n"))
+    val arr = col("__s")
+    val s1 = aggregate(slice(arr, 1, p), lit(0L),
+      (acc, e) => acc + e.getField("v"))
+    val s2 = aggregate(slice(arr, p + 1, p), lit(0L),
+      (acc, e) => acc + e.getField("v"))
+    val l0 = s1.cast("double") / lit(p.toDouble)
+    val b0 = (s2.cast("double") / lit(p.toDouble) -
+      s1.cast("double") / lit(p.toDouble)) / lit(p.toDouble)
+    val seas0 = transform(slice(arr, 1, p),
+      e => e.getField("v").cast("double") - l0)
+    val fin = aggregate(
+      slice(arr, lit(p + 1), size(arr) - lit(p)),
+      struct(l0.as("level"), b0.as("trend"), seas0.as("seas")),
+      (acc, e) => {
+        val x = e.getField("v").cast("double")
+        val sOld = element_at(acc.getField("seas"), 1)
+        val nl = a * (x - sOld) +
+          (lit(1.0) - a) * (acc.getField("level") + acc.getField("trend"))
+        val nb = b * (nl - acc.getField("level")) +
+          (lit(1.0) - b) * acc.getField("trend")
+        val sNew = g * (x - nl) + (lit(1.0) - g) * sOld
+        struct(nl.as("level"), nb.as("trend"),
+          concat(slice(acc.getField("seas"), 2, p - 1), array(sNew)).as("seas"))
+      })
+    series.filter(col("n") >= 2 * p)
+      .withColumn("__f", fin)
+      .select(k ++ Seq(
+        col("n"),
+        col("__f.level").as("level"),
+        col("__f.trend").as("trend"),
+        (col("__f.level") + col("__f.trend") +
+          element_at(col("__f.seas"), 1)).as("forecast")): _*)
+  }
+
   /** SAX symbolic approximation per key (Lin–Keogh 2003) — each series
     * z-normalized, PAA-compressed to `segments` means, each mean mapped to
     * a letter at the standard Gaussian breakpoints: the representation

@@ -125,6 +125,24 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(haz(4) - (0.2 + 1.0 / 3 + 1.0)) < 1e-6)
   }
 
+  test("holtWinters: a perfectly periodic series keeps level/trend fixed") {
+    import spark.implicits._
+    // x alternates 1,2 with period 2: l0 = 1.5, b0 = 0, seas = (-.5, .5);
+    // every fold step reproduces the state exactly ⇒ forecast = 1.5 - .5
+    val df = (1 to 6).map(t => ("k", t, if (t % 2 == 1) 1L else 2L))
+      .toDF("g", "t", "v")
+    val r = Temporal.holtWinters(df, Seq("g"), "t", "v",
+      period = 2, alpha = 0.3, beta = 0.1, gamma = 0.2).head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(math.abs(r.getAs[Double]("level") - 1.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("trend")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("forecast") - 1.0) < 1e-12)
+    // shorter than two periods: dropped
+    val short = (1 to 3).map(t => ("k", t, t.toLong)).toDF("g", "t", "v")
+    assert(Temporal.holtWinters(short, Seq("g"), "t", "v", 2, 0.3, 0.1, 0.2)
+      .count() == 0L)
+  }
+
   test("dtw_distance: warped copies are 0, constant offsets pay per step") {
     import spark.implicits._
     import graft.functions.dtw_distance
