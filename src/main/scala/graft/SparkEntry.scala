@@ -3092,6 +3092,18 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Kalman local-level filter over each event type's daily revenue —
+    * optimal recursive smoothing with Q=1e4 (slow drift), R=1e8 (noisy
+    * daily observations in cents²). */
+  private def qKalman(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+    Temporal.kalmanLevel(daily, Seq("event_type"), "day", "v",
+        q = 1e4, r = 1e8)
+      .orderBy("event_type")
+  }
+
   /** Holt–Winters weekly-seasonal smoothing of each event type's daily
     * revenue — level/trend/seasonal state after the full fold, bit-exact
     * vs a recursive-CTE replay carrying the seasonal vector. */
@@ -5267,6 +5279,7 @@ object SparkEntry {
     "q_ccf" -> (qCcf _),
     "q_dtw" -> (qDtwProfiles _),
     "q_holt_winters" -> (qHoltWinters _),
+    "q_kalman" -> (qKalman _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9492,6 +9505,30 @@ object SparkEntry {
            FROM h JOIN s ON s.event_type = h.event_type AND s.step = h.step + 1)
          SELECT event_type, n, level, trend, level + trend AS forecast
          FROM h WHERE step = n ORDER BY event_type""",
+    // the q_holt recursive-CTE recipe: predict/gain/update each a fixed
+    // IEEE chain, outputs unrounded
+    "q_kalman" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type AS g, CAST(v AS DOUBLE) AS z,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS step,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM daily),
+         kf AS (
+           SELECT g, step, n, z AS x, CAST(1e8 AS DOUBLE) AS p,
+                  CAST(0.0 AS DOUBLE) AS gain, CAST(0.0 AS DOUBLE) AS innov
+           FROM s WHERE step = 1
+           UNION ALL
+           SELECT s.g, s.step, s.n,
+             kf.x + ((kf.p + 1e4) / ((kf.p + 1e4) + 1e8)) * (s.z - kf.x),
+             (1.0 - (kf.p + 1e4) / ((kf.p + 1e4) + 1e8)) * (kf.p + 1e4),
+             (kf.p + 1e4) / ((kf.p + 1e4) + 1e8),
+             s.z - kf.x
+           FROM kf JOIN s ON s.g = kf.g AND s.step = kf.step + 1)
+         SELECT g AS event_type, n, x AS level, p AS p_var, gain,
+                innov AS innovation
+         FROM kf WHERE step = n ORDER BY event_type""",
     // the q_holt recursion with the rotating seasonal vector carried as a
     // LIST column; init period sums exact longs, one division each; the
     // (1.0 - α) forms mirror Spark's lit(1.0) - a bit-exactly

@@ -1248,6 +1248,62 @@ object Temporal {
           element_at(col("__f.seas"), 1)).as("forecast")): _*)
   }
 
+  /** 1-D Kalman filter (local-level model) per key — the optimal recursive
+    * smoother/anomaly baseline for a noisy level series (Kalman 1960):
+    * predict P⁻ = P + Q; gain K = P⁻/(P⁻ + R); update
+    * x = x + K(z − x), P = (1 − K)P⁻; seeded x₁ = z₁, P₁ = R.
+    * Q = process variance (level drift), R = observation variance.
+    *
+    * The [[holtSmooth]] execution recipe: a declarative `aggregate()` fold
+    * over the sorted calendar-bounded series — every step a fixed chain of
+    * scalar IEEE ops, outputs UNROUNDED, replayed bit-exactly by a
+    * recursive CTE. The steady-state gain is data-independent, so the
+    * final K doubles as a sanity readout. Returns
+    * (keys, n, level, p_var, gain, innovation = z_n − x_{n−1|n−1}). */
+  def kalmanLevel(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      q: Double,
+      r: Double): DataFrame = {
+    require(q > 0 && r > 0, s"q and r must be > 0, got q=$q r=$r")
+    val k = keyCols.map(col)
+    val qc = lit(q); val rc = lit(r)
+    val series = df.groupBy(k: _*)
+      .agg(
+        array_sort(collect_list(
+          struct(col(orderCol).as("t"), col(valueCol).cast("double").as("z"))))
+          .as("__s"),
+        count(lit(1)).as("n"))
+    val arr = col("__s")
+    val fin = aggregate(
+      slice(arr, lit(2), size(arr) - lit(1)),
+      struct(
+        element_at(arr, 1).getField("z").as("x"),
+        rc.as("p"),
+        lit(0.0).as("gain"),
+        lit(0.0).as("innov")),
+      (acc, e) => {
+        val pPred = acc.getField("p") + qc
+        val kg = pPred / (pPred + rc)
+        val innov = e.getField("z") - acc.getField("x")
+        struct(
+          (acc.getField("x") + kg * innov).as("x"),
+          ((lit(1.0) - kg) * pPred).as("p"),
+          kg.as("gain"),
+          innov.as("innov"))
+      })
+    series
+      .withColumn("__f", fin)
+      .select(k ++ Seq(
+        col("n"),
+        col("__f.x").as("level"),
+        col("__f.p").as("p_var"),
+        col("__f.gain").as("gain"),
+        col("__f.innov").as("innovation")): _*)
+  }
+
   /** SAX symbolic approximation per key (Lin–Keogh 2003) — each series
     * z-normalized, PAA-compressed to `segments` means, each mean mapped to
     * a letter at the standard Gaussian breakpoints: the representation

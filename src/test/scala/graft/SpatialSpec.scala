@@ -125,6 +125,22 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(haz(4) - (0.2 + 1.0 / 3 + 1.0)) < 1e-6)
   }
 
+  test("kalmanLevel: constant series is a fixed point, gain hits steady state") {
+    import spark.implicits._
+    val const = (1 to 30).map(t => ("k", t, 42L)).toDF("g", "t", "v")
+    val r = Temporal.kalmanLevel(const, Seq("g"), "t", "v", q = 1.0, r = 1.0).head
+    assert(r.getAs[Double]("level") == 42.0) // zero innovations never move x
+    assert(r.getAs[Double]("innovation") == 0.0)
+    // steady-state gain for Q=R=1 solves K = (P+1)/(P+2) with P=(1-K)(P+1):
+    // K* = (√5−1)/2 ≈ 0.618034
+    assert(math.abs(r.getAs[Double]("gain") - 0.618034) < 1e-5)
+    // a step jump pulls the level most of the way up within a few ticks
+    val jump = ((1 to 20).map(t => ("k", t, 0L)) ++
+      (21 to 25).map(t => ("k", t, 100L))).toDF("g", "t", "v")
+    val j = Temporal.kalmanLevel(jump, Seq("g"), "t", "v", q = 1.0, r = 1.0).head
+    assert(j.getAs[Double]("level") > 95.0 && j.getAs[Double]("level") < 100.0)
+  }
+
   test("holtWinters: a perfectly periodic series keeps level/trend fixed") {
     import spark.implicits._
     // x alternates 1,2 with period 2: l0 = 1.5, b0 = 0, seas = (-.5, .5);
