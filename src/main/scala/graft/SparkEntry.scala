@@ -1532,6 +1532,13 @@ object SparkEntry {
     TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text", Bm25Queries, topK = 10)
       .orderBy("query_id", "rnk")
 
+  /** Dirichlet query-likelihood top-10 for the shared query set — the
+    * LM-retrieval twin of q_bm25_topk off the same tokenization. */
+  private def qQueryLikelihood(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.queryLikelihoodTopK(Tables.documents(s, d), "doc_id", "text",
+        Bm25Queries, topK = 10)
+      .orderBy("query_id", "rnk")
+
   /** Incremental join-view maintenance: orders/customer each split into
     * old+delta, the view delta computed by the delta-algebra identity,
     * appended to the stored view, and the result aggregated — must equal
@@ -5280,6 +5287,7 @@ object SparkEntry {
     "q_dtw" -> (qDtwProfiles _),
     "q_holt_winters" -> (qHoltWinters _),
     "q_kalman" -> (qKalman _),
+    "q_query_likelihood" -> (qQueryLikelihood _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -6911,6 +6919,38 @@ object SparkEntry {
                              1000000.0 + 0.5) AS BIGINT) AS sc
                  FROM tf JOIN dfreq USING (term) JOIN q ON q.term = tf.term CROSS JOIN st),
          agg AS (SELECT query_id, doc_id, CAST(SUM(sc) AS BIGINT) AS s FROM per GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, s,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+                FROM agg)
+         SELECT query_id, doc_id, s / 1000000.0 AS score, CAST(rn AS INTEGER) AS rnk
+         FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
+    // the bm25 quantized-log-chain discipline with collection-frequency
+    // smoothing; per-doc length normalizer quantized before the add
+    "q_query_likelihood" ->
+      """WITH q(query_id, term, nq) AS (VALUES
+           ('q1','hash',3),('q1','join',3),('q1','strategy',3),
+           ('q2','window',3),('q2','sort',3),('q2','spill',3),
+           ('q3','stream',3),('q3','batch',3),('q3','table',3)),
+         tok AS (SELECT doc_id,
+                        CAST(len(regexp_extract_all(lower(text), '[^ ]+')) AS BIGINT) AS dl,
+                        unnest(regexp_extract_all(lower(text), '[^ ]+')) AS term
+                 FROM documents),
+         st AS (SELECT CAST(SUM(len(regexp_extract_all(lower(text), '[^ ]+'))) AS BIGINT) AS tot
+                FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+                FROM tok WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+         cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         per AS (SELECT q.query_id, tf.doc_id, tf.dl, q.nq,
+                        CAST(FLOOR(ln(1.0 + CAST(tf AS DOUBLE) * CAST(tot AS DOUBLE)
+                                         / (2000.0 * CAST(cf AS DOUBLE)))
+                             * 1000000.0 + 0.5) AS BIGINT) AS sc
+                 FROM tf JOIN cf USING (term) JOIN q ON q.term = tf.term CROSS JOIN st),
+         agg AS (SELECT query_id, doc_id,
+                        CAST(SUM(sc) AS BIGINT)
+                        + CAST(FLOOR(CAST(MAX(nq) AS DOUBLE)
+                              * ln(2000.0 / (CAST(MAX(dl) AS DOUBLE) + 2000.0))
+                              * 1000000.0 + 0.5) AS BIGINT) AS s
+                 FROM per GROUP BY 1, 2),
          rk AS (SELECT query_id, doc_id, s,
                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
                 FROM agg)

@@ -483,6 +483,66 @@ object TextAnalysis {
         (col("__s") / lit(1000000.0)).as("score"), col("rnk"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001)
+    * — the language-model ranking next to [[bm25TopK]], sharing its
+    * tokenization and plan shape:
+    * score(q,d) = Σ_{t∈q∩d} ln(1 + tf·T/(μ·cf_t)) + |q|·ln(μ/(dl+μ)),
+    * with cf_t the collection frequency and T total corpus tokens. Docs
+    * matching no query term are absent (they'd rank purely by length).
+    *
+    * Counts stay exact longs; each matched-term score and the per-doc
+    * length normalizer are fixed log chains QUANTIZED to 1e-6 longs
+    * before summation (the bm25 discipline), so the ranking replays in
+    * SQL. Top-k per query through the native bounded-heap operator. */
+  def queryLikelihoodTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(String, String)],
+      topK: Int,
+      mu: Double = 2000.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, qtext) =>
+      val ts = qtext.toLowerCase.split(" ").filter(_.nonEmpty).distinct
+      ts.map(t => (qid, t, ts.length.toLong))
+    }
+    require(qTerms.nonEmpty, "queries must contain at least one term")
+    val qdf = broadcast(qTerms.toDF("query_id", "__qterm", "__nq"))
+    val termSet = qTerms.map(_._2).distinct
+    val tokens = regexp_extract_all(lower(col(textCol)), lit("[^ ]+"), lit(0))
+    val toks = df.select(
+      col(idCol),
+      size(tokens).cast("long").as("__dl"),
+      explode(tokens).as("__term"))
+    val tf = toks
+      .filter(col("__term").isin(termSet: _*))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val cf = tf.groupBy(col("__term")).agg(sum(col("__tf")).as("__cf"))
+    val stats = df.agg(sum(size(tokens).cast("long")).as("__tot"))
+    val termScore = log(lit(1.0) + col("__tf").cast("double") *
+      col("__tot").cast("double") / (lit(mu) * col("__cf").cast("double")))
+    val scored = tf
+      .join(broadcast(cf), "__term")
+      .join(qdf, col("__term") === col("__qterm"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("query_id"), col(idCol), col("__dl"), col("__nq"),
+        floor(termScore * lit(1000000.0) + lit(0.5)).cast("long").as("__sc"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg((sum(col("__sc")) +
+        floor(max(col("__nq")).cast("double") *
+          log(lit(mu) / (max(col("__dl")).cast("double") + lit(mu))) *
+          lit(1000000.0) + lit(0.5)).cast("long")).as("__s"))
+    Relational
+      .topKPerKey(scored, Seq("query_id"), Seq("__s" -> true, idCol -> false),
+        topK, rankCol = Some("rnk"))
+      .select(
+        col("query_id"), col(idCol),
+        (col("__s") / lit(1000000.0)).as("score"), col("rnk"))
+  }
+
   /** Within-document duplicate n-gram fractions — the Gopher repetition
     * filters (Rae et al. 2021 §A1.1) used to drop templated/spammy docs:
     * `dup_ngram_fraction` = fraction of the doc's word n-grams that are

@@ -342,6 +342,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
   }
 
+  test("queryLikelihoodTopK: hand-computed Dirichlet scores and ranking") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.queryLikelihoodTopK(
+      docs, "doc_id", "text", Seq("qa" -> "apple zzz"), topK = 3, mu = 10.0)
+      .orderBy("rnk").collect()
+    // T=8 tokens, cf(apple)=3; nq=2 (zzz matches nothing but counts in |q|)
+    def ql(tf: Long, dl: Long): Long = {
+      val t1 = math.floor(math.log(1.0 + tf * 8.0 / (10.0 * 3.0)) * 1e6 + 0.5).toLong
+      val nrm = math.floor(2.0 * math.log(10.0 / (dl + 10.0)) * 1e6 + 0.5).toLong
+      t1 + nrm
+    }
+    val expect = Seq((1L, ql(2, 3)), (2L, ql(1, 2))).sortBy(-_._2)
+    assert(out.map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSeq
+      == expect)
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2)) // doc 3: no match, absent
+  }
+
   test("compression_ratio: repetition compresses below prose, random above, empty = 1") {
     import graft.functions.compression_ratio
     val rnd = new scala.util.Random(5)
