@@ -1532,6 +1532,12 @@ object SparkEntry {
     TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text", Bm25Queries, topK = 10)
       .orderBy("query_id", "rnk")
 
+  /** RAKE top-3 key phrases per document — stopword-boundary candidate
+    * phrases scored by degree/freq word statistics. */
+  private def qRake(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.rakeKeywords(Tables.documents(s, d), "doc_id", "text", topK = 3)
+      .orderBy("doc_id", "rnk")
+
   /** Dirichlet query-likelihood top-10 for the shared query set — the
     * LM-retrieval twin of q_bm25_topk off the same tokenization. */
   private def qQueryLikelihood(s: SparkSession, d: String): DataFrame =
@@ -5288,6 +5294,7 @@ object SparkEntry {
     "q_holt_winters" -> (qHoltWinters _),
     "q_kalman" -> (qKalman _),
     "q_query_likelihood" -> (qQueryLikelihood _),
+    "q_rake" -> (qRake _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -6924,6 +6931,43 @@ object SparkEntry {
                 FROM agg)
          SELECT query_id, doc_id, s / 1000000.0 AS score, CAST(rn AS INTEGER) AS rnk
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
+    // freq/degree exact longs; word scores one-division 1e-9-quantized
+    // longs before the phrase sum; stopword pass applied twice (adjacent
+    // stopwords share the delimiting space) on BOTH engines
+    "q_rake" ->
+      """WITH pre AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS norm
+           FROM documents),
+         mk AS (SELECT doc_id,
+             regexp_replace(regexp_replace(' ' || norm || ' ',
+               ' (a|an|the|and|or|but|of|to|in|on|for|with|is|are|was|be|that|this|it|as|at|by|from|not|have) ',
+               ' | ', 'g'),
+               ' (a|an|the|and|or|but|of|to|in|on|for|with|is|are|was|be|that|this|it|as|at|by|from|not|have) ',
+               ' | ', 'g') AS m
+           FROM pre),
+         ph AS (SELECT doc_id, phrase FROM (
+             SELECT doc_id,
+                    trim(regexp_replace(unnest(string_split(m, '|')), ' +', ' ', 'g')) AS phrase
+             FROM mk) WHERE phrase <> ''),
+         phw AS (SELECT doc_id, unnest(string_split(phrase, ' ')) AS w,
+                        CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+                 FROM ph),
+         ws AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS freq,
+                       CAST(SUM(plen) AS BIGINT) AS deg
+                FROM phw GROUP BY 1, 2),
+         phd AS (SELECT DISTINCT doc_id, phrase FROM ph),
+         pdw AS (SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w
+                 FROM phd),
+         sc AS (SELECT p.doc_id, p.phrase,
+                  CAST(SUM(CAST(FLOOR(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+                FROM pdw p JOIN ws ON p.doc_id = ws.doc_id AND p.w = ws.w
+                GROUP BY 1, 2),
+         rk AS (SELECT doc_id, phrase, sq,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sq DESC, phrase) AS rn
+                FROM sc)
+         SELECT doc_id, phrase, ROUND(CAST(sq AS DOUBLE) / 1e9, 6) AS score,
+                CAST(rn AS INTEGER) AS rnk
+         FROM rk WHERE rn <= 3 ORDER BY doc_id, rnk""",
     // the bm25 quantized-log-chain discipline with collection-frequency
     // smoothing; per-doc length normalizer quantized before the add
     "q_query_likelihood" ->

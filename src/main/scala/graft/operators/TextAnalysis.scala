@@ -483,6 +483,57 @@ object TextAnalysis {
         (col("__s") / lit(1000000.0)).as("score"), col("rnk"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — top multi-word key
+    * phrases per document without any corpus model: text splits into
+    * candidate phrases at stopword/punctuation boundaries; each word's
+    * score is degree/freq (degree = Σ length of phrases it appears in),
+    * a phrase scores the sum of its words' scores.
+    *
+    * Determinism: freq/degree exact longs over ALL phrase occurrences;
+    * each word score is ONE division quantized to a 1e-9 long before the
+    * per-phrase sum; the top-k ties break on (score, phrase). The
+    * stopword pass runs TWICE (adjacent stopwords share a delimiting
+    * space — one pass leaves every other one standing), identically on
+    * both engines. All phrase work is per-document map-side; the only
+    * shuffles carry (doc, word) and (doc, phrase) keys. */
+  def rakeKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 3): DataFrame = {
+    val stop = "(a|an|the|and|or|but|of|to|in|on|for|with|is|are|was|be|" +
+      "that|this|it|as|at|by|from|not|have)"
+    val pat = s" $stop "
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    val marked = regexp_replace(
+      regexp_replace(concat(lit(" "), norm, lit(" ")), pat, " | "),
+      pat, " | ")
+    val ph = df
+      .select(col(idCol), explode(split(marked, "[|]")).as("__p0"))
+      .select(col(idCol),
+        trim(regexp_replace(col("__p0"), " +", " ")).as("phrase"))
+      .filter(col("phrase") =!= "")
+    val phw = ph.select(
+      col(idCol),
+      explode(split(col("phrase"), " ")).as("__w"),
+      size(split(col("phrase"), " ")).cast("long").as("__plen"))
+    val ws = phw.groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+    val pdw = ph.dropDuplicates(idCol, "phrase")
+      .select(col(idCol), col("phrase"),
+        explode(split(col("phrase"), " ")).as("__w"))
+    val scored = pdw
+      .join(ws, Seq(idCol, "__w"))
+      .groupBy(col(idCol), col("phrase"))
+      .agg(sum(floor(col("__deg").cast("double") / col("__freq").cast("double")
+        * 1e9 + 0.5).cast("long")).as("__sq"))
+    Relational
+      .topKPerKey(scored, Seq(idCol), Seq("__sq" -> true, "phrase" -> false),
+        topK, rankCol = Some("rnk"))
+      .select(col(idCol), col("phrase"),
+        round(col("__sq").cast("double") / lit(1e9), 6).as("score"), col("rnk"))
+  }
+
   /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001)
     * — the language-model ranking next to [[bm25TopK]], sharing its
     * tokenization and plan shape:

@@ -342,6 +342,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
   }
 
+  test("rakeKeywords: multi-word phrases outscore singles, stopwords split") {
+    val docs = Seq((1L,
+      "deep learning of deep networks is the best deep learning")).toDF("doc_id", "text")
+    // phrases: "deep learning", "deep networks", "best deep learning"
+    // freq: deep=4 learning=3? occurrences: [deep learning][deep networks]
+    // [best deep learning] → deep 3, learning 2, networks 1, best 1
+    // deg:  deep 2+2+3=7, learning 2+3=5, networks 2, best 3
+    val out = TextAnalysis.rakeKeywords(docs, "doc_id", "text", topK = 3)
+      .orderBy("rnk").collect()
+    assert(out.head.getString(1) == "best deep learning")
+    // score = 3/1 + 7/3 + 5/2 = 7.833333
+    assert(math.abs(out.head.getAs[Double]("score") - 7.833333) < 1e-5)
+    assert(out.map(_.getString(1)).toSet ==
+      Set("best deep learning", "deep learning", "deep networks"))
+  }
+
   test("queryLikelihoodTopK: hand-computed Dirichlet scores and ranking") {
     val docs = Seq(
       (1L, "apple apple banana"),
