@@ -1532,6 +1532,22 @@ object SparkEntry {
     TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text", Bm25Queries, topK = 10)
       .orderBy("query_id", "rnk")
 
+  /** Weighted Slope One predictions of each customer's unrated brand
+    * quantities — exact-rational CF baseline over the (customer, brand)
+    * quantity matrix, first 200 customers. */
+  private def qSlopeOne(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val ratings = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("p_brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    Recommend.slopeOne(ratings, "o_custkey", "p_brand", "qty")
+      .filter(col("o_custkey") <= 200)
+      .orderBy("o_custkey", "p_brand")
+  }
+
   /** RAKE top-3 key phrases per document — stopword-boundary candidate
     * phrases scored by degree/freq word statistics. */
   private def qRake(s: SparkSession, d: String): DataFrame =
@@ -5295,6 +5311,7 @@ object SparkEntry {
     "q_kalman" -> (qKalman _),
     "q_query_likelihood" -> (qQueryLikelihood _),
     "q_rake" -> (qRake _),
+    "q_slope_one" -> (qSlopeOne _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -6931,6 +6948,30 @@ object SparkEntry {
                 FROM agg)
          SELECT query_id, doc_id, s / 1000000.0 AS score, CAST(rn AS INTEGER) AS rnk
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
+    // deviation sums kept RAW (exact longs) so the prediction is ONE
+    // division of exact integers — no per-pair ratio ever materializes
+    "q_slope_one" ->
+      """WITH r AS (SELECT o.o_custkey AS u, p.p_brand AS i,
+                CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS rv
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2),
+         dev AS (SELECT b.i AS j, a.i,
+                   CAST(SUM(b.rv - a.rv) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+                 FROM r a JOIN r b ON a.u = b.u AND a.i <> b.i
+                 GROUP BY 1, 2),
+         pr AS (SELECT r.u, dev.j,
+                  CAST(SUM(dev.c) AS BIGINT) AS den,
+                  CAST(SUM(dev.d + r.rv * dev.c) AS BIGINT) AS num
+                FROM r JOIN dev ON r.i = dev.i
+                GROUP BY 1, 2),
+         miss AS (SELECT pr.* FROM pr LEFT JOIN r ON pr.u = r.u AND pr.j = r.i
+                  WHERE r.u IS NULL)
+         SELECT u AS o_custkey, j AS p_brand, den AS n_pairs,
+                ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS prediction
+         FROM miss WHERE u <= 200 ORDER BY o_custkey, p_brand""",
     // freq/degree exact longs; word scores one-division 1e-9-quantized
     // longs before the phrase sum; stopword pass applied twice (adjacent
     // stopwords share the delimiting space) on BOTH engines

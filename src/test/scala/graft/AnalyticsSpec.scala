@@ -384,6 +384,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rs.values.sum - 6.0) < 0.2, s"rank mass drifted: ${rs.values.sum}")
   }
 
+  test("slopeOne reproduces the hand-worked weighted predictions") {
+    import graft.operators.Recommend
+    val r = Seq((1L, "i1", 1L), (1L, "i2", 2L),
+      (2L, "i1", 3L), (2L, "i2", 4L), (2L, "i3", 6L),
+      (3L, "i1", 2L)).toDF("u", "item", "v")
+    val out = Recommend.slopeOne(r, "u", "item", "v").collect()
+      .map(x => (x.getLong(0), x.getString(1)) -> x.getAs[Double]("prediction"))
+      .toMap
+    assert(out((3L, "i2")) == 3.0) // dev(i2,i1)=1 over 2 raters
+    assert(out((3L, "i3")) == 5.0)
+    assert(out((1L, "i3")) == 4.0) // (3+1·1 + 2+2·1) / 2
+    assert(!out.contains((2L, "i1"))) // rated cells never predicted
+  }
+
   test("kTruss: K4 survives k=4, pendant triangle only k=3, bridges peel") {
     import graft.operators.Graph
     // K4 on 1..4 + triangle {4,5,6} + pendant edge 6-7
