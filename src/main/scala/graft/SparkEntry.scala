@@ -4245,6 +4245,34 @@ object SparkEntry {
     Sketches.wasserstein1d(o, "prio", "cents", "1-URGENT", "5-LOW")
   }
 
+  /** STREAMING Wasserstein twin: per-(value) integer count pairs
+    * accumulate in the state store (complete mode); the exact-rational
+    * step assembly runs in batch off the sink — stream == batch exactly,
+    * sharing q_wasserstein's oracle verbatim. */
+  private def qWassersteinStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val name = "graft_wasserstein_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select((col("o_orderpriority") === "1-URGENT").as("__isA"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("__v"))
+        .groupBy(col("__v"))
+        .agg(
+          sum(when(col("__isA"), 1L).otherwise(0L)).as("__cA"),
+          sum(when(!col("__isA"), 1L).otherwise(0L)).as("__cB"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.wassersteinAssemble(s.table(name), "1-URGENT", "5-LOW")
+  }
+
   /** Two-sample log-rank test on the churn curves of two market segments —
     * "do BUILDING and MACHINERY customers churn on the same curve?" off the
     * same span construction as q_survival. */
@@ -5319,6 +5347,7 @@ object SparkEntry {
     "q_survival" -> (qSurvival _),
     "q_logrank" -> (qLogrank _),
     "q_wasserstein" -> (qWasserstein _),
+    "q_wasserstein_stream" -> (qWassersteinStream _),
     "q_roc_auc" -> (qRocAuc _),
     "q_lift_table" -> (qLiftTable _),
     "q_woe_iv" -> (qWoeIv _),
@@ -5837,6 +5866,31 @@ object SparkEntry {
                FROM agg)
          SELECT * FROM ($rows) ORDER BY lag"""
   }
+
+  /** Shared batch/stream Wasserstein oracle — the streaming twin's state
+    * store holds exactly the distinct-value integer count pairs this SQL
+    * rebuilds. */
+  private val wassersteinOracle: String =
+    """WITH src AS (SELECT o_orderpriority AS g,
+              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+            FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+       h AS (SELECT v,
+               CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN g <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             FROM src GROUP BY 1),
+       w AS (SELECT v,
+               CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+               CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb,
+               CAST(SUM(ca) OVER () AS BIGINT) AS na,
+               CAST(SUM(cb) OVER () AS BIGINT) AS nb,
+               CAST(COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS BIGINT) AS dx
+             FROM h)
+       SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
+              MAX(na) AS n_a, MAX(nb) AS n_b,
+              ROUND(CAST(SUM(CAST(ABS(fa * nb - fb * na) AS DECIMAL(38,0))
+                             * CAST(dx AS DECIMAL(38,0))) AS DOUBLE)
+                    / CAST(MAX(na) * MAX(nb) AS DOUBLE), 6) AS wasserstein
+       FROM w"""
 
   /** kMeans replay (shared CTE prefix) + the exact-rational CH and
     * quantized DB tails, mirroring
@@ -8774,27 +8828,9 @@ object SparkEntry {
          FROM w""",
     // exact-rational throughout: step numerators |cumA·nB − cumB·nA|·Δx are
     // exact integers in DECIMAL(38,0), the distance ONE division at the end
-    "q_wasserstein" ->
-      """WITH src AS (SELECT o_orderpriority AS g,
-                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
-              FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-         h AS (SELECT v,
-                 CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-                 CAST(SUM(CASE WHEN g <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-               FROM src GROUP BY 1),
-         w AS (SELECT v,
-                 CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
-                 CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb,
-                 CAST(SUM(ca) OVER () AS BIGINT) AS na,
-                 CAST(SUM(cb) OVER () AS BIGINT) AS nb,
-                 CAST(COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS BIGINT) AS dx
-               FROM h)
-         SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
-                MAX(na) AS n_a, MAX(nb) AS n_b,
-                ROUND(CAST(SUM(CAST(ABS(fa * nb - fb * na) AS DECIMAL(38,0))
-                               * CAST(dx AS DECIMAL(38,0))) AS DOUBLE)
-                      / CAST(MAX(na) * MAX(nb) AS DOUBLE), 6) AS wasserstein
-         FROM w""",
+    "q_wasserstein" -> wassersteinOracle,
+    // integer count state ⇒ the streaming twin equals batch bit-exactly
+    "q_wasserstein_stream" -> wassersteinOracle,
     // per-time e/v terms are fixed left-associated IEEE chains from exact
     // long counts, quantized to 1e-9 longs before the sum (the theil
     // discipline) — the chain order here mirrors the Spark side exactly

@@ -1865,6 +1865,18 @@ object Sketches {
       .agg(
         sum(when(isA, 1L).otherwise(0L)).as("__cA"),
         sum(when(!isA, 1L).otherwise(0L)).as("__cB"))
+    wassersteinAssemble(hist, groupA, groupB, dp)
+  }
+
+  /** Assembly half of [[wasserstein1d]] over a pre-aggregated
+    * (`__v`, `__cA`, `__cB`) distinct-value count table — shared by the
+    * streaming twin, whose state store accumulates exactly these integer
+    * counts (integer state ⇒ stream == batch bit-exactly). */
+  def wassersteinAssemble(
+      hist: DataFrame,
+      groupA: String,
+      groupB: String,
+      dp: Int = 6): DataFrame = {
     val wAll = Window.partitionBy(lit(1))
     val wCum = Window.partitionBy(lit(1)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
