@@ -4781,6 +4781,16 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Jarque–Bera normality gate for the per-flag price distributions —
+    * skewness/kurtosis off the q_moments machinery, JB ~ χ²(2). */
+  private def qJarqueBera(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      floor(col("l_extendedprice") / 100).cast("long").as("v"))
+    Sketches.jarqueBera(li, Seq("l_returnflag"), "v")
+      .orderBy("l_returnflag")
+  }
+
   /** Local clustering coefficient per node — 2T/(d(d−1)) over X106's
     * exact triangle counts: the community-density readout completing the
     * graph family; one exact-integer division, unrounded. */
@@ -5340,6 +5350,7 @@ object SparkEntry {
     "q_query_likelihood" -> (qQueryLikelihood _),
     "q_rake" -> (qRake _),
     "q_slope_one" -> (qSlopeOne _),
+    "q_jarque_bera" -> (qJarqueBera _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9346,6 +9357,37 @@ object SparkEntry {
                 CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
                 CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
          FROM c ORDER BY l_returnflag""",
+    // the q_moments exact-decimal machinery + the n/6·(g1²+g2²/4) chain
+    "q_jarque_bera" ->
+      """WITH b AS (SELECT l_returnflag, CAST(floor(l_extendedprice / 100) AS BIGINT) AS v
+                    FROM lineitem),
+         a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(v AS HUGEINT)) AS s1,
+                      SUM(CAST(v AS HUGEINT) * v) AS s2,
+                      SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+                      SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s4
+               FROM b GROUP BY 1),
+         m AS (SELECT l_returnflag, n,
+                      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                      CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                      CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+               FROM a),
+         c AS (SELECT l_returnflag, n,
+                      r2 - m1 * m1 AS m2,
+                      (r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1) AS m3,
+                      (r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1) AS m4
+               FROM m),
+         g AS (SELECT l_returnflag, n, m2,
+                      m3 / (m2 * SQRT(m2)) AS g1,
+                      m4 / (m2 * m2) - 3.0 AS g2
+               FROM c)
+         SELECT l_returnflag, n,
+                CASE WHEN n > 3 AND m2 > 0 THEN ROUND(g1, 6) END AS skewness,
+                CASE WHEN n > 3 AND m2 > 0 THEN ROUND(g2, 6) END AS excess_kurtosis,
+                CASE WHEN n > 3 AND m2 > 0
+                     THEN ROUND(CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6) END AS jb
+         FROM g ORDER BY l_returnflag""",
     // q_triangles' oracle + the 2T/(d(d-1)) readout — one exact division
     "q_clustering_coeff" ->
       """WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem

@@ -1122,6 +1122,47 @@ object Sketches {
           round(m4 / (m2 * m2) - lit(3.0), dp)).as("excess_kurtosis")): _*)
   }
 
+  /** Jarque–Bera normality test per key (Jarque & Bera 1980) — the
+    * "is this distribution even roughly Gaussian?" gate built from the
+    * [[momentStats]] exact-decimal moment machinery:
+    * JB = n/6·(g₁² + g₂²/4) with g₁ skewness and g₂ excess kurtosis,
+    * asymptotically χ²(2) under normality. Raw power sums stay exact
+    * DECIMAL(38,0); g₁/g₂/JB are fixed chains of single IEEE ops.
+    * Zero-variance or n ≤ 3 keys report NULL. */
+  def jarqueBera(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("long")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = df.groupBy(keys: _*).agg(
+      count(lit(1)).as("__n"),
+      sum(d(v)).as("__s1"),
+      sum(d(v * v)).as("__s2"),
+      sum(d(v * v * v)).as("__s3"),
+      sum(d(v) * d(v) * d(v) * d(v)).as("__s4"))
+    val n = col("__n").cast("double")
+    val m1 = col("__s1").cast("double") / n
+    val r2 = col("__s2").cast("double") / n
+    val r3 = col("__s3").cast("double") / n
+    val r4 = col("__s4").cast("double") / n
+    val m2 = r2 - m1 * m1
+    val m3 = r3 - lit(3.0) * m1 * r2 + lit(2.0) * m1 * m1 * m1
+    val m4 = r4 - lit(4.0) * m1 * r3 + lit(6.0) * m1 * m1 * r2 -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val g1 = m3 / (m2 * sqrt(m2))
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    agg.select(
+      keys ++ Seq(
+        col("__n").cast("long").as("n"),
+        when(col("__n") > 3 && m2 > 0, round(g1, dp)).as("skewness"),
+        when(col("__n") > 3 && m2 > 0, round(g2, dp)).as("excess_kurtosis"),
+        when(col("__n") > 3 && m2 > 0,
+          round(n / lit(6.0) * (g1 * g1 + g2 * g2 / lit(4.0)), dp)).as("jb")): _*)
+  }
+
   /** Exact trimmed mean per group: drop the ⌊n·trimFrac⌋ smallest and
     * largest observations, average the rest — the robust location estimate
     * between mean (trim 0) and median (trim 0.5). Histogram form: per

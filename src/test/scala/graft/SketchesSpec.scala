@@ -788,6 +788,24 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("jarqueBera: symmetric data scores near zero skew, outliers blow up JB") {
+    import spark.implicits._
+    val sym = (1L to 100L).map(v => ("s", v))
+    val skw = (Seq.fill(50)(1L) ++ Seq.fill(5)(100L)).map(v => ("k", v))
+    val out = Sketches.jarqueBera((sym ++ skw).toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("skewness"), r.getAs[Double]("jb"))).toMap
+    assert(math.abs(out("s")._1) < 1e-4)
+    // discrete uniform: JB = n/6·(g2²/4) with g2 ≈ −1.2 ⇒ ≈ 6
+    assert(out("s")._2 > 5.0 && out("s")._2 < 7.0)
+    assert(out("k")._1 > 2.0)         // heavy right tail
+    assert(out("k")._2 > 100.0)       // decisively non-normal
+    // constant column: NULL
+    val c = Sketches.jarqueBera(Seq(("c", 5L), ("c", 5L), ("c", 5L), ("c", 5L))
+      .toDF("g", "v"), Seq("g"), "v").head
+    assert(c.isNullAt(c.fieldIndex("jb")))
+  }
+
   test("woeIv reproduces the hand-computed WOE and IV") {
     import spark.implicits._
     // A: 30 good / 10 bad, B: 20 good / 40 bad ⇒ WOE_A = ln3, WOE_B = -ln2
