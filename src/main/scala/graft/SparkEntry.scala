@@ -4781,6 +4781,14 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Brown–Forsythe spread-homogeneity test across event types — ANOVA on
+    * |value − group median| deviations, the q_anova assumption check. */
+  private def qLevene(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    Sketches.leveneTest(e, "event_type", "cents")
+  }
+
   /** Jarque–Bera normality gate for the per-flag price distributions —
     * skewness/kurtosis off the q_moments machinery, JB ~ χ²(2). */
   private def qJarqueBera(s: SparkSession, d: String): DataFrame = {
@@ -5351,6 +5359,7 @@ object SparkEntry {
     "q_rake" -> (qRake _),
     "q_slope_one" -> (qSlopeOne _),
     "q_jarque_bera" -> (qJarqueBera _),
+    "q_levene" -> (qLevene _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9357,6 +9366,34 @@ object SparkEntry {
                 CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
                 CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
          FROM c ORDER BY l_returnflag""",
+    // selection median (⌊(n+1)/2⌋-th smallest) keeps deviations exact
+    // longs; the tail is q_anova's exact-moment chain on those deviations
+    "q_levene" ->
+      """WITH e AS (SELECT event_type AS g,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+         r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM e),
+         med AS (SELECT g, v AS med FROM r
+                 WHERE rn = CAST(FLOOR(CAST(n + 1 AS DOUBLE) / 2.0) AS BIGINT)),
+         d AS (SELECT e.g, CAST(ABS(e.v - med.med) AS BIGINT) AS v
+               FROM e JOIN med ON e.g = med.g),
+         gg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                  CAST(SUM(v) AS BIGINT) AS sg,
+                  SUM(CAST(v AS HUGEINT) * v) AS qg FROM d GROUP BY 1),
+         t AS (SELECT *, (SELECT CAST(SUM(ng) AS BIGINT) FROM gg) AS n,
+                  (SELECT CAST(SUM(sg) AS BIGINT) FROM gg) AS s FROM gg),
+         u AS (SELECT n,
+             CAST(ng AS DOUBLE) *
+               (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+               (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssb,
+             CAST(qg AS DOUBLE) -
+               CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS ssw
+           FROM t)
+         SELECT n, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           ROUND((SUM(ssb) / CAST(COUNT(*) - 1 AS DOUBLE)) /
+                 (SUM(ssw) / CAST(n - COUNT(*) AS DOUBLE)), 6) AS f,
+           ROUND(SUM(ssb) / (SUM(ssb) + SUM(ssw)), 6) AS eta_sq
+         FROM u GROUP BY n""",
     // the q_moments exact-decimal machinery + the n/6·(g1²+g2²/4) chain
     "q_jarque_bera" ->
       """WITH b AS (SELECT l_returnflag, CAST(floor(l_extendedprice / 100) AS BIGINT) AS v

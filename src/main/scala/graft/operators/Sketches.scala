@@ -1203,6 +1203,31 @@ object Sketches {
           max(col("__n") - lit(2) * col("__k"))).as("trimmed_mean"))
   }
 
+  /** Brown–Forsythe/Levene variance-homogeneity test — "do these groups
+    * even have comparable spread?", the assumption-check gate in front of
+    * [[anovaF]]: one-way ANOVA ON the absolute deviations from each
+    * group's median (Brown & Forsythe 1974 — the median-centered variant,
+    * robust where mean-centered Levene 1960 is not).
+    *
+    * The group median is an element SELECTION (the ⌊(n+1)/2⌋-th smallest —
+    * the house rule: never an interpolation), so deviations stay exact
+    * longs and the whole statistic inherits [[anovaF]]'s exact-moment
+    * determinism. One rank window + one broadcast-back join + the ANOVA
+    * aggregate. */
+  def leveneTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val medPos = floor((col("__n") + 1).cast("double") / 2.0).cast("long")
+    val med = base
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__rn") === medPos)
+      .select(col(groupCol), col("__v").as("__med"))
+    val dev = base.join(med, Seq(groupCol))
+      .select(col(groupCol), abs(col("__v") - col("__med")).as("__dev"))
+    anovaF(dev, groupCol, "__dev")
+  }
+
   /** One-way ANOVA F across the `groupCol` levels — the parametric twin of
     * [[kruskalWallis]]. `valueCol` must be pre-quantized integral (cents):
     * per-group (n, Σv, Σv² as DECIMAL(38,0)) come from ONE partial

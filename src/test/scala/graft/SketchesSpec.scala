@@ -788,6 +788,18 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("leveneTest: equal-spread groups score F=0, unequal spread blows up") {
+    import spark.implicits._
+    // same spread shifted: deviations identical ⇒ SSB = 0 ⇒ F = 0
+    val eq = (Seq(("a", 1L), ("a", 3L), ("a", 5L)) ++
+      Seq(("b", 11L), ("b", 13L), ("b", 15L))).toDF("g", "v")
+    assert(Sketches.leveneTest(eq, "g", "v").head.getAs[Double]("f") == 0.0)
+    // one tight group, one wide
+    val ne = (Seq(("a", 10L), ("a", 10L), ("a", 10L), ("a", 11L)) ++
+      Seq(("b", 0L), ("b", 50L), ("b", 100L), ("b", 150L))).toDF("g", "v")
+    assert(Sketches.leveneTest(ne, "g", "v").head.getAs[Double]("f") > 5.0)
+  }
+
   test("jarqueBera: symmetric data scores near zero skew, outliers blow up JB") {
     import spark.implicits._
     val sym = (1L to 100L).map(v => ("s", v))
