@@ -4781,6 +4781,15 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** McNemar's paired test of two urgency heuristics on the same orders —
+    * value-based vs priority-based flags, symmetric-disagreement check. */
+  private def qMcnemar(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      (col("o_totalprice") > 150000).as("flag_value"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("flag_priority"))
+    Sketches.mcnemar(o, "flag_value", "flag_priority")
+  }
+
   /** Brown–Forsythe spread-homogeneity test across event types — ANOVA on
     * |value − group median| deviations, the q_anova assumption check. */
   private def qLevene(s: SparkSession, d: String): DataFrame = {
@@ -5360,6 +5369,7 @@ object SparkEntry {
     "q_slope_one" -> (qSlopeOne _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
+    "q_mcnemar" -> (qMcnemar _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9366,6 +9376,23 @@ object SparkEntry {
                 CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
                 CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
          FROM c ORDER BY l_returnflag""",
+    // discordant cells exact longs; each statistic one integer division
+    "q_mcnemar" ->
+      """WITH f AS (SELECT (o_totalprice > 150000) AS a,
+                (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS b
+              FROM orders),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+                  CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS c_only
+                 FROM f)
+         SELECT n, b_only, c_only,
+           CASE WHEN b_only + c_only > 0
+                THEN ROUND(CAST((b_only - c_only) * (b_only - c_only) AS DOUBLE)
+                           / CAST(b_only + c_only AS DOUBLE), 6) END AS chi2,
+           CASE WHEN b_only + c_only > 0
+                THEN ROUND(CAST((ABS(b_only - c_only) - 1) * (ABS(b_only - c_only) - 1) AS DOUBLE)
+                           / CAST(b_only + c_only AS DOUBLE), 6) END AS chi2_corrected
+         FROM agg""",
     // selection median (⌊(n+1)/2⌋-th smallest) keeps deviations exact
     // longs; the tail is q_anova's exact-moment chain on those deviations
     "q_levene" ->

@@ -1203,6 +1203,35 @@ object Sketches {
           max(col("__n") - lit(2) * col("__k"))).as("trimmed_mean"))
   }
 
+  /** McNemar's test (1947) for PAIRED binary classifiers/rules on the same
+    * rows — "do rule A and rule B disagree symmetrically?": only the
+    * discordant cells matter, χ² = (b−c)²/(b+c) with b = A∧¬B, c = ¬A∧B,
+    * ~χ²(1) under H0; the Edwards continuity-corrected (|b−c|−1)²/(b+c)
+    * ships alongside. One partial aggregate; counts exact longs, each
+    * statistic ONE integer division; b+c = 0 (perfect agreement) NULL. */
+  def mcnemar(
+      df: DataFrame,
+      ruleACol: String,
+      ruleBCol: String,
+      dp: Int = 6): DataFrame = {
+    val a = col(ruleACol); val b = col(ruleBCol)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("b_only"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("c_only"))
+    val diff = col("b_only") - col("c_only")
+    val disc = col("b_only") + col("c_only")
+    val corr = abs(diff) - lit(1)
+    agg.select(
+      col("n"), col("b_only"), col("c_only"),
+      when(disc > 0,
+        round((diff * diff).cast("double") / disc.cast("double"), dp))
+        .as("chi2"),
+      when(disc > 0,
+        round((corr * corr).cast("double") / disc.cast("double"), dp))
+        .as("chi2_corrected"))
+  }
+
   /** Brown–Forsythe/Levene variance-homogeneity test — "do these groups
     * even have comparable spread?", the assumption-check gate in front of
     * [[anovaF]]: one-way ANOVA ON the absolute deviations from each

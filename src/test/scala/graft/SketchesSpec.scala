@@ -788,6 +788,21 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("mcnemar: textbook discordant cells, perfect agreement is NULL") {
+    import spark.implicits._
+    // b=10 (A only), c=4 (B only): chi2 = 36/14, corrected = 25/14
+    val df = (Seq.fill(10)((true, false)) ++ Seq.fill(4)((false, true)) ++
+      Seq.fill(20)((true, true)) ++ Seq.fill(6)((false, false)))
+      .toDF("a", "b")
+    val r = Sketches.mcnemar(df, "a", "b").head
+    assert(r.getAs[Long]("b_only") == 10L && r.getAs[Long]("c_only") == 4L)
+    assert(math.abs(r.getAs[Double]("chi2") - 36.0 / 14) < 1e-6)
+    assert(math.abs(r.getAs[Double]("chi2_corrected") - 25.0 / 14) < 1e-6)
+    val same = Seq((true, true), (false, false)).toDF("a", "b")
+    val s = Sketches.mcnemar(same, "a", "b").head
+    assert(s.isNullAt(s.fieldIndex("chi2")))
+  }
+
   test("leveneTest: equal-spread groups score F=0, unequal spread blows up") {
     import spark.implicits._
     // same spread shifted: deviations identical ⇒ SSB = 0 ⇒ F = 0
