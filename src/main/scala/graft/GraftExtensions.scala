@@ -143,6 +143,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_pav_fit", "PAV isotonic fit of array<struct<x:bigint,y:bigint>>: flat [x, fit, ...] doubles",
         static(graft.functions.VectorOps.getClass, "pavFit",
           ArrayType(DoubleType, containsNull = false))),
+      fn("graft_dtw", "exact integer DTW distance between two array<bigint> series (-1 when empty)",
+        static(graft.functions.VectorOps.getClass, "dtwDistance", LongType)),
     ).foreach { case (ident, info, builder) => ext.injectFunction((ident, info, builder)) }
   }
 }

@@ -134,6 +134,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Seq(1.0, 1.0, 2.0, 2.5, 3.0, 2.5, 4.0, 4.0))
   }
 
+  test("graft_dtw via SQL") {
+    val out = spark.sql(
+      "SELECT graft_dtw(array(1L, 2L, 3L), array(1L, 2L, 2L, 3L)) AS d," +
+        " graft_dtw(array(0L, 0L, 0L), array(1L, 1L)) AS f").head()
+    assert(out.getLong(0) == 0L && out.getLong(1) == 3L)
+  }
+
   test("graft_theta sketch/set-ops via SQL") {
     import spark.implicits._
     (Seq.tabulate(50)(i => ("a", i.toLong)) ++ Seq.tabulate(50)(i => ("b", (i + 30).toLong)))
