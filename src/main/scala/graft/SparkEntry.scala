@@ -4781,6 +4781,15 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Friedman test: do the event types keep the same daily-revenue ranking
+    * across days? Within-day midranks, exact-rational Q ~ χ²(k−1). */
+  private def qFriedman(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    Sketches.friedmanTest(daily, "day", "event_type", "cents")
+  }
+
   /** McNemar's paired test of two urgency heuristics on the same orders —
     * value-based vs priority-based flags, symmetric-disagreement check. */
   private def qMcnemar(s: SparkSession, d: String): DataFrame = {
@@ -5370,6 +5379,7 @@ object SparkEntry {
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
+    "q_friedman" -> (qFriedman _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9376,6 +9386,30 @@ object SparkEntry {
                 CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
                 CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
          FROM c ORDER BY l_returnflag""",
+    // doubled midranks keep rank sums exact; Q is one division of longs
+    "q_friedman" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM daily),
+         comp AS (SELECT b FROM daily, kk GROUP BY b, k HAVING COUNT(*) = MAX(k)),
+         kept AS (SELECT d.* FROM daily d JOIN comp USING (b)),
+         h AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY 1, 2),
+         r2 AS (SELECT b, v,
+                  CAST((SUM(c) OVER (PARTITION BY b ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) * 2
+                       + c + 1 AS BIGINT) AS r2
+                FROM h),
+         pt AS (SELECT t, CAST(SUM(r2.r2) AS BIGINT) AS R2,
+                       CAST(COUNT(*) AS BIGINT) AS nb
+                FROM kept JOIN r2 ON kept.b = r2.b AND kept.v = r2.v
+                GROUP BY 1),
+         agg AS (SELECT MAX(nb) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+                        CAST(SUM(R2 * R2) AS BIGINT) AS sR2 FROM pt)
+         SELECT n AS n_blocks, k, k - 1 AS dof,
+           ROUND(CAST(sR2 * 3 - n * (k + 1) * 3 * (n * k * (k + 1)) AS DOUBLE)
+                 / CAST(n * k * (k + 1) AS DOUBLE), 6) AS q
+         FROM agg""",
     // discordant cells exact longs; each statistic one integer division
     "q_mcnemar" ->
       """WITH f AS (SELECT (o_totalprice > 150000) AS a,

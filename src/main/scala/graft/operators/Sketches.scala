@@ -1203,6 +1203,56 @@ object Sketches {
           max(col("__n") - lit(2) * col("__k"))).as("trimmed_mean"))
   }
 
+  /** Friedman test (1937) — the nonparametric repeated-measures check
+    * across k treatments observed in matched blocks (e.g. "do the event
+    * types rank the same every day?"): within-block midranks, then
+    * Q = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1), ~χ²(k−1) under H0 (tie
+    * correction omitted — the classic form; heavy within-block ties
+    * understate Q slightly).
+    *
+    * EXACT-RATIONAL: doubled midranks 2·before + ties + 1 are integers,
+    * so ΣR_j² stays exact (3·Σ(2R_j)²/4 reassociates the 12/4) and Q is
+    * ONE division of exact longs. Incomplete blocks (missing treatments)
+    * are dropped. One rank window per block + two partial aggs. */
+  def friedmanTest(
+      df: DataFrame,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    val base = df.select(
+      col(blockCol).as("__b"), col(treatmentCol).as("__t"),
+      col(valueCol).cast("long").as("__v"))
+    val kDf = base.agg(count_distinct(col("__t")).as("__k"))
+    val complete = base.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(kDf))
+      .filter(col("__cnt") === col("__k"))
+      .select(col("__b"))
+    val kept = base.join(complete, Seq("__b"), "left_semi")
+    val hist = kept.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = hist
+      .withColumn("__before", sum(col("__c")).over(wCum) - col("__c"))
+      .select(col("__b"), col("__v"),
+        (col("__before") * 2 + col("__c") + 1).as("__r2"))
+    val perT = kept.join(r2, Seq("__b", "__v"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__r2")).as("__R2"), count(lit(1)).as("__nb"))
+    val agg = perT.agg(
+      max(col("__nb")).as("__n"),
+      count(lit(1)).as("__kk"),
+      sum(col("__R2") * col("__R2")).as("__sR2"))
+    val n = col("__n"); val k = col("__kk")
+    val den = n * k * (k + 1)
+    val num = col("__sR2") * 3 - n * (k + 1) * 3 * den
+    agg.select(
+      n.as("n_blocks"), k.as("k"),
+      (k - 1).as("dof"),
+      round(num.cast("double") / den.cast("double"), dp).as("q"))
+  }
+
   /** McNemar's test (1947) for PAIRED binary classifiers/rules on the same
     * rows — "do rule A and rule B disagree symmetrically?": only the
     * discordant cells matter, χ² = (b−c)²/(b+c) with b = A∧¬B, c = ¬A∧B,

@@ -788,6 +788,22 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("friedmanTest: consistent ranking maxes Q, incomplete blocks drop") {
+    import spark.implicits._
+    // 4 blocks, 3 treatments always ranked A<B<C: Q = 12/48·224 − 48 = 8
+    val df = (1 to 4).flatMap(b => Seq(
+      (b, "A", 10L * b), (b, "B", 10L * b + 1), (b, "C", 10L * b + 2)))
+      .toDF("b", "t", "v")
+    val r = Sketches.friedmanTest(df, "b", "t", "v").head
+    assert(r.getAs[Long]("n_blocks") == 4L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(r.getAs[Double]("q") == 8.0)
+    // a block missing a treatment is dropped entirely
+    val withBad = df.unionByName(Seq((9, "A", 1L)).toDF("b", "t", "v"))
+    assert(Sketches.friedmanTest(withBad, "b", "t", "v")
+      .head.getAs[Long]("n_blocks") == 4L)
+  }
+
   test("mcnemar: textbook discordant cells, perfect agreement is NULL") {
     import spark.implicits._
     // b=10 (A only), c=4 (B only): chi2 = 36/14, corrected = 25/14
