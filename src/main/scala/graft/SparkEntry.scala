@@ -4781,6 +4781,20 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Classification report for "price quintile predicts priority": per-class
+    * precision/recall/F1 + macro-F1/accuracy of the value-band rule. */
+  private def qClassificationReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val labels = array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+      lit("4-NOT SPECIFIED"), lit("5-LOW"))
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("actual"),
+      element_at(labels, ntile(5).over(w)).as("predicted"))
+    Sketches.classificationReport(o, "actual", "predicted")
+      .orderBy("label")
+  }
+
   /** Friedman test: do the event types keep the same daily-revenue ranking
     * across days? Within-day midranks, exact-rational Q ~ χ²(k−1). */
   private def qFriedman(s: SparkSession, d: String): DataFrame = {
@@ -5380,6 +5394,7 @@ object SparkEntry {
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
     "q_friedman" -> (qFriedman _),
+    "q_classification_report" -> (qClassificationReport _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9386,6 +9401,39 @@ object SparkEntry {
                 CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
                 CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
          FROM c ORDER BY l_returnflag""",
+    // tp/fp/fn exact longs; F1 the reassociated one-division form; macro
+    // over 1e-9-quantized class F1s
+    "q_classification_report" ->
+      """WITH pr AS (SELECT o_orderpriority AS a,
+                (['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'])[
+                  NTILE(5) OVER (ORDER BY o_totalprice DESC, o_orderkey)] AS p
+              FROM orders),
+         cells AS (SELECT a, p, CAST(COUNT(*) AS BIGINT) AS c FROM pr GROUP BY 1, 2),
+         act AS (SELECT a AS label, CAST(SUM(c) AS BIGINT) AS actn FROM cells GROUP BY 1),
+         prd AS (SELECT p AS label, CAST(SUM(c) AS BIGINT) AS prdn FROM cells GROUP BY 1),
+         diag AS (SELECT a AS label, c AS tp FROM cells WHERE a = p),
+         per AS (SELECT COALESCE(act.label, prd.label) AS label,
+                   COALESCE(tp, 0) AS tp,
+                   COALESCE(prdn, 0) - COALESCE(tp, 0) AS fp,
+                   COALESCE(actn, 0) - COALESCE(tp, 0) AS fn
+                 FROM act FULL OUTER JOIN prd ON act.label = prd.label
+                      LEFT JOIN diag ON COALESCE(act.label, prd.label) = diag.label),
+         x AS (SELECT label, tp, fp, fn,
+                 CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
+                 CAST(SUM(tp) OVER () AS BIGINT) AS tpall,
+                 CAST(SUM(tp + fn) OVER () AS BIGINT) AS nall
+               FROM per)
+         SELECT label, CAST(tp + fn AS BIGINT) AS support,
+                CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+                CASE WHEN tp + fp > 0
+                     THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+                CASE WHEN tp + fn > 0
+                     THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+                ROUND(f1, 6) AS f1,
+                ROUND(CAST(SUM(CAST(FLOOR(f1 * 1e9 + 0.5) AS BIGINT)) OVER () AS DOUBLE)
+                      / 1e9 / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS macro_f1,
+                ROUND(CAST(tpall AS DOUBLE) / CAST(nall AS DOUBLE), 6) AS accuracy
+         FROM x ORDER BY label""",
     // doubled midranks keep rank sums exact; Q is one division of longs
     "q_friedman" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,

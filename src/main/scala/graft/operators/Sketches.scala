@@ -1203,6 +1203,61 @@ object Sketches {
           max(col("__n") - lit(2) * col("__k"))).as("trimmed_mean"))
   }
 
+  /** Multi-class classification report — per-class precision/recall/F1
+    * with macro-F1 and accuracy, the model-eval table every labeling
+    * pipeline ends in. Classes are the UNION of actual and predicted
+    * labels (a class never predicted still reports recall).
+    *
+    * EXACT-RATIONAL: tp/fp/fn exact longs from one confusion partial agg;
+    * precision/recall single divisions; F1 uses the reassociated
+    * 2·tp/(2·tp+fp+fn) — ONE division, always defined for union classes;
+    * macro-F1 quantizes each class F1 to a 1e-9 long before the
+    * bounded-domain mean; accuracy is one division of exact longs. */
+  def classificationReport(
+      df: DataFrame,
+      actualCol: String,
+      predictedCol: String,
+      dp: Int = 6): DataFrame = {
+    val cells = df
+      .groupBy(col(actualCol).as("__a"), col(predictedCol).as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val act = cells.groupBy(col("__a").as("label"))
+      .agg(sum(col("__c")).as("__act"))
+    val prd = cells.groupBy(col("__p").as("label"))
+      .agg(sum(col("__c")).as("__prd"))
+    val diag = cells.filter(col("__a") === col("__p"))
+      .select(col("__a").as("label"), col("__c").as("__tp"))
+    val per = act.join(prd, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left")
+      .select(
+        col("label"),
+        coalesce(col("__tp"), lit(0L)).as("tp"),
+        (coalesce(col("__prd"), lit(0L)) - coalesce(col("__tp"), lit(0L))).as("fp"),
+        (coalesce(col("__act"), lit(0L)) - coalesce(col("__tp"), lit(0L))).as("fn"))
+    val f1 = (col("tp") * 2).cast("double") /
+      (col("tp") * 2 + col("fp") + col("fn")).cast("double")
+    val wAll = Window.partitionBy(lit(1))
+    per
+      .withColumn("__f1q", floor(f1 * 1e9 + 0.5).cast("long"))
+      .withColumn("__tpAll", sum(col("tp")).over(wAll))
+      .withColumn("__nAll", sum(col("tp") + col("fn")).over(wAll))
+      .select(
+        col("label"),
+        (col("tp") + col("fn")).as("support"),
+        col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), dp)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), dp)).as("recall"),
+        round(f1, dp).as("f1"),
+        round(sum(col("__f1q")).over(wAll).cast("double") / lit(1e9) /
+          count(lit(1)).over(wAll).cast("double"), dp).as("macro_f1"),
+        round(col("__tpAll").cast("double") / col("__nAll").cast("double"), dp)
+          .as("accuracy"))
+  }
+
   /** Friedman test (1937) — the nonparametric repeated-measures check
     * across k treatments observed in matched blocks (e.g. "do the event
     * types rank the same every day?"): within-block midranks, then

@@ -788,6 +788,24 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("classificationReport: hand confusion, union classes, macro/accuracy") {
+    import spark.implicits._
+    // actual: a,a,a,b,b,c ; predicted: a,a,b,b,b,d
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+      ("c", "d")).toDF("y", "p")
+    val out = Sketches.classificationReport(df, "y", "p").orderBy("label")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("tp") == 2L && out("a").getAs[Long]("fn") == 1L)
+    assert(out("a").getAs[Double]("precision") == 1.0)
+    assert(math.abs(out("a").getAs[Double]("f1") - 0.8) < 1e-9) // 4/(4+0+1)
+    assert(out("b").getAs[Long]("fp") == 1L)
+    // 'd' never actual: support 0, recall NULL, f1 = 0
+    assert(out("d").getAs[Long]("support") == 0L)
+    assert(out("d").isNullAt(out("d").fieldIndex("recall")))
+    assert(out("d").getAs[Double]("f1") == 0.0)
+    assert(math.abs(out("a").getAs[Double]("accuracy") - 4.0 / 6) < 1e-6)
+  }
+
   test("friedmanTest: consistent ranking maxes Q, incomplete blocks drop") {
     import spark.implicits._
     // 4 blocks, 3 treatments always ranked A<B<C: Q = 12/48·224 − 48 = 8
