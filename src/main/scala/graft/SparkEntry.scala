@@ -4781,6 +4781,16 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Cochran's Q across three order-flagging heuristics — do the value,
+    * priority and comment-length rules hit at the same rate row-by-row? */
+  private def qCochranQ(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      (col("o_totalprice") > 150000).as("r_value"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("r_priority"),
+      (col("o_orderstatus") === "F").as("r_filled"))
+    Sketches.cochranQ(o, Seq("r_value", "r_priority", "r_filled"))
+  }
+
   /** Classification report for "price quintile predicts priority": per-class
     * precision/recall/F1 + macro-F1/accuracy of the value-band rule. */
   private def qClassificationReport(s: SparkSession, d: String): DataFrame = {
@@ -5395,6 +5405,7 @@ object SparkEntry {
     "q_mcnemar" -> (qMcnemar _),
     "q_friedman" -> (qFriedman _),
     "q_classification_report" -> (qClassificationReport _),
+    "q_cochran_q" -> (qCochranQ _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9401,6 +9412,26 @@ object SparkEntry {
                 CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
                 CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
          FROM c ORDER BY l_returnflag""",
+    // the reassociated (k−1)·Σ(k·T_j−S)² / (k·(k·S−ΣR²)) exact form
+    "q_cochran_q" ->
+      """WITH f AS (SELECT
+                CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS r1,
+                CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS r2,
+                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r3
+              FROM orders),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(r1 + r2 + r3) AS BIGINT) AS s,
+                 CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS rr,
+                 CAST(SUM(r1) AS BIGINT) AS t1, CAST(SUM(r2) AS BIGINT) AS t2,
+                 CAST(SUM(r3) AS BIGINT) AS t3
+               FROM f)
+         SELECT n, CAST(3 AS BIGINT) AS k, CAST(2 AS BIGINT) AS dof,
+           CASE WHEN (s * 3 - rr) * 3 > 0
+                THEN ROUND(CAST(((t1 * 3 - s) * (t1 * 3 - s)
+                               + (t2 * 3 - s) * (t2 * 3 - s)
+                               + (t3 * 3 - s) * (t3 * 3 - s)) * 2 AS DOUBLE)
+                           / CAST((s * 3 - rr) * 3 AS DOUBLE), 6) END AS q
+         FROM a""",
     // tp/fp/fn exact longs; F1 the reassociated one-division form; macro
     // over 1e-9-quantized class F1s
     "q_classification_report" ->

@@ -1203,6 +1203,36 @@ object Sketches {
           max(col("__n") - lit(2) * col("__k"))).as("trimmed_mean"))
   }
 
+  /** Cochran's Q (1950) — the k-treatment generalization of [[mcnemar]]:
+    * do k binary rules/classifiers flag the SAME rows at the same rate?
+    * Q = k(k−1)·Σ_j(T_j − T̄)² / (k·ΣR_i − ΣR_i²) ~ χ²(k−1), with T_j the
+    * per-rule totals and R_i the per-row hit counts.
+    *
+    * EXACT-RATIONAL via the reassociated form
+    * (k−1)·Σ_j(k·T_j − S)² / (k·(k·S − ΣR²)): every term an exact long
+    * from ONE partial aggregate, the statistic ONE division. Degenerate
+    * tables (every row all-true/all-false) report NULL. */
+  def cochranQ(df: DataFrame, ruleCols: Seq[String], dp: Int = 6): DataFrame = {
+    val k = ruleCols.size
+    require(k >= 2, s"need >= 2 rules, got $k")
+    val r = ruleCols.map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _)
+    val aggs =
+      Seq(count(lit(1)).as("__n"), sum(r).as("__s"), sum(r * r).as("__r2")) ++
+        ruleCols.zipWithIndex.map { case (c, j) =>
+          sum(when(col(c), 1L).otherwise(0L)).as(s"__t$j")
+        }
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val num = (0 until k).map { j =>
+      val t = col(s"__t$j") * k - col("__s")
+      t * t
+    }.reduce(_ + _) * (k - 1)
+    val den = (col("__s") * k - col("__r2")) * k
+    agg.select(
+      col("__n").as("n"), lit(k.toLong).as("k"), lit((k - 1).toLong).as("dof"),
+      when(den > 0, round(num.cast("double") / den.cast("double"), dp))
+        .as("q"))
+  }
+
   /** Multi-class classification report — per-class precision/recall/F1
     * with macro-F1 and accuracy, the model-eval table every labeling
     * pipeline ends in. Classes are the UNION of actual and predicted

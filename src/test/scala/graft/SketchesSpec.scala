@@ -788,6 +788,18 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("cochranQ: hand 4x3 table gives 28/6, degenerate table is NULL") {
+    import spark.implicits._
+    val df = Seq((true, true, false), (true, false, false),
+      (true, true, true), (true, false, false)).toDF("r1", "r2", "r3")
+    val r = Sketches.cochranQ(df, Seq("r1", "r2", "r3")).head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("dof") == 2L)
+    assert(math.abs(r.getAs[Double]("q") - 28.0 / 6) < 1e-6)
+    val allSame = Seq((true, true, true), (false, false, false)).toDF("r1", "r2", "r3")
+    val s = Sketches.cochranQ(allSame, Seq("r1", "r2", "r3")).head
+    assert(s.isNullAt(s.fieldIndex("q")))
+  }
+
   test("classificationReport: hand confusion, union classes, macro/accuracy") {
     import spark.implicits._
     // actual: a,a,a,b,b,c ; predicted: a,a,b,b,b,d
