@@ -4781,6 +4781,16 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Runs test on each event type's daily revenue around its median — do
+    * good days streak (z < 0) or alternate (z > 0)? */
+  private def qRunsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    Sketches.runsTest(daily, Seq("event_type"), "day", "cents")
+      .orderBy("event_type")
+  }
+
   /** Cochran's Q across three order-flagging heuristics — do the value,
     * priority and comment-length rules hit at the same rate row-by-row? */
   private def qCochranQ(s: SparkSession, d: String): DataFrame = {
@@ -5406,6 +5416,7 @@ object SparkEntry {
     "q_friedman" -> (qFriedman _),
     "q_classification_report" -> (qClassificationReport _),
     "q_cochran_q" -> (qCochranQ _),
+    "q_runs_test" -> (qRunsTest _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9412,6 +9423,37 @@ object SparkEntry {
                 CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
                 CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
          FROM c ORDER BY l_returnflag""",
+    // runs/n1/n0 exact longs off one lag window; μ/σ²/z fixed IEEE chains
+    "q_runs_test" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS o,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT g, o, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS nall FROM daily),
+         med AS (SELECT g, v AS med FROM r
+                 WHERE rn = CAST(FLOOR(CAST(nall + 1 AS DOUBLE) / 2.0) AS BIGINT)),
+         sg AS (SELECT d.g, d.o, (d.v > med.med) AS s
+                FROM daily d JOIN med ON d.g = med.g WHERE d.v <> med.med),
+         ch AS (SELECT g, s,
+                  CASE WHEN LAG(s) OVER (PARTITION BY g ORDER BY o) IS NULL
+                         OR s <> LAG(s) OVER (PARTITION BY g ORDER BY o)
+                       THEN 1 ELSE 0 END AS chg
+                FROM sg),
+         agg AS (SELECT g, CAST(SUM(chg) AS BIGINT) AS runs,
+                   CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) AS n0
+                 FROM ch GROUP BY 1)
+         SELECT g AS event_type, runs, n1 AS n_above, n0 AS n_below,
+           CASE WHEN n1 > 0 AND n0 > 0 AND n1 + n0 > 1
+                THEN ROUND(CAST(n1 * n0 * 2 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) + 1.0, 6)
+           END AS expected_runs,
+           CASE WHEN n1 > 0 AND n0 > 0 AND n1 + n0 > 1
+                THEN ROUND((CAST(runs AS DOUBLE)
+                            - (CAST(n1 * n0 * 2 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) + 1.0))
+                     / SQRT(CAST((n1 * n0 * 2) * (n1 * n0 * 2 - (n1 + n0)) AS DOUBLE)
+                            / CAST((n1 + n0) * (n1 + n0) * (n1 + n0 - 1) AS DOUBLE)), 6)
+           END AS z
+         FROM agg ORDER BY event_type""",
     // the reassociated (k−1)·Σ(k·T_j−S)² / (k·(k·S−ΣR²)) exact form
     "q_cochran_q" ->
       """WITH f AS (SELECT

@@ -1203,6 +1203,59 @@ object Sketches {
           max(col("__n") - lit(2) * col("__k"))).as("trimmed_mean"))
   }
 
+  /** Wald–Wolfowitz runs test (1940) per key — "is this ordered sequence
+    * random, or does it streak?": the series dichotomizes against its
+    * selection median (values EQUAL to the median drop — the standard
+    * treatment), the observed run count R compares to the exact null
+    * moments μ = 2n₁n₀/n + 1, σ² = 2n₁n₀(2n₁n₀−n)/(n²(n−1)), and
+    * z = (R−μ)/σ reads N(0,1): z ≪ 0 streaky/trending, z ≫ 0 alternating.
+    *
+    * R, n₁, n₀ exact longs (one lag window over the calendar-bounded
+    * series); μ/σ²/z fixed chains of single IEEE ops from exact integer
+    * products. One-sided keys (all above/below) report NULL. */
+  def runsTest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("long")
+    val wRank = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val medPos = floor((col("__nAll") + 1).cast("double") / 2.0).cast("long")
+    val base = df.select(keys ++ Seq(col(orderCol).as("__o"), v.as("__v")): _*)
+    val med = base
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__nAll", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("__rn") === medPos)
+      .select(keys :+ col("__v").as("__med"): _*)
+    val signed = base.join(med, keyCols)
+      .filter(col("__v") =!= col("__med"))
+      .withColumn("__s", col("__v") > col("__med"))
+    val wSeq = Window.partitionBy(keys: _*).orderBy(col("__o"))
+    val runs = signed
+      .withColumn("__chg",
+        when(lag(col("__s"), 1).over(wSeq).isNull ||
+          col("__s") =!= lag(col("__s"), 1).over(wSeq), 1L).otherwise(0L))
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("__chg")).as("runs"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(!col("__s"), 1L).otherwise(0L)).as("n_below"))
+    val n = col("n_above") + col("n_below")
+    val p2 = col("n_above") * col("n_below") * 2
+    val mu = p2.cast("double") / n.cast("double") + lit(1.0)
+    val vr = (p2 * (p2 - n)).cast("double") /
+      (n * n * (n - 1)).cast("double")
+    runs.select(
+      keys ++ Seq(
+        col("runs"), col("n_above"), col("n_below"),
+        when(col("n_above") > 0 && col("n_below") > 0 && n > 1,
+          round(mu, dp)).as("expected_runs"),
+        when(col("n_above") > 0 && col("n_below") > 0 && n > 1,
+          round((col("runs").cast("double") - mu) / sqrt(vr), dp)).as("z")): _*)
+  }
+
   /** Cochran's Q (1950) — the k-treatment generalization of [[mcnemar]]:
     * do k binary rules/classifiers flag the SAME rows at the same rate?
     * Q = k(k−1)·Σ_j(T_j − T̄)² / (k·ΣR_i − ΣR_i²) ~ χ²(k−1), with T_j the

@@ -788,6 +788,18 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("shannon") == 0.0 && s.isNullAt(s.fieldIndex("evenness")))
   }
 
+  test("runsTest: monotone ramp streaks (z<0), alternation scores z>0") {
+    import spark.implicits._
+    val ramp = (1 to 10).map(t => ("r", t, t.toLong)).toDF("g", "o", "v")
+    val r = Sketches.runsTest(ramp, Seq("g"), "o", "v").head
+    assert(r.getAs[Long]("runs") == 2L) // below-block then above-block
+    assert(r.getAs[Double]("z") < -2.0)
+    val alt = Seq(10L, 1L, 20L, 2L, 30L, 3L).zipWithIndex
+      .map { case (v, t) => ("a", t, v) }.toDF("g", "o", "v")
+    val a = Sketches.runsTest(alt, Seq("g"), "o", "v").head
+    assert(a.getAs[Long]("runs") == 5L && a.getAs[Double]("z") > 0.0)
+  }
+
   test("cochranQ: hand 4x3 table gives 28/6, degenerate table is NULL") {
     import spark.implicits._
     val df = Seq((true, true, false), (true, false, false),
