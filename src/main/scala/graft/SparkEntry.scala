@@ -1548,6 +1548,12 @@ object SparkEntry {
       .orderBy("o_custkey", "p_brand")
   }
 
+  /** TextRank top-50 corpus keywords — PageRank over the adjacent-word
+    * co-occurrence graph, replayed by the chained-CTE rank oracle. */
+  private def qTextRank(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.textRank(Tables.documents(s, d), "text", topK = 50)
+      .orderBy("rnk")
+
   /** RAKE top-3 key phrases per document — stopword-boundary candidate
     * phrases scored by degree/freq word statistics. */
   private def qRake(s: SparkSession, d: String): DataFrame =
@@ -5417,6 +5423,7 @@ object SparkEntry {
     "q_classification_report" -> (qClassificationReport _),
     "q_cochran_q" -> (qCochranQ _),
     "q_runs_test" -> (qRunsTest _),
+    "q_textrank" -> (qTextRank _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -5760,6 +5767,38 @@ object SparkEntry {
          SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
          FROM e4 e JOIN u4 x ON e.a = x.n JOIN u4 y ON e.b = y.n AND y.z = x.z
          GROUP BY 1, 2 ORDER BY a, b"""
+  }
+
+  /** Adjacent-token edges + 5 chained PageRank CTEs (the q_pagerank
+    * generator on the word graph), mirroring
+    * [[graft.operators.TextAnalysis.textRank]]. */
+  private val textRankOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s""",
+         c$i AS (SELECT e.v AS id,
+                        CAST(SUM(CAST(floor(r.rank / d.outdeg * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                 FROM und e JOIN r${i - 1} r ON e.u = r.id JOIN deg d ON e.u = d.id
+                 GROUP BY e.v),
+         r$i AS (SELECT deg.id,
+                        floor(((1.0 - 0.85) + 0.85 * (CAST(COALESCE(s, 0) AS DOUBLE) / 1e12)) * 1e9 + 0.5) / 1e9 AS rank
+                 FROM deg LEFT JOIN c$i ON deg.id = c$i.id)"""
+    }.mkString
+    s"""WITH tok AS MATERIALIZED (SELECT list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                        w -> length(w) >= 4) AS lst
+                FROM documents),
+       p2 AS MATERIALIZED (SELECT lst[i] AS w1, lst[i + 1] AS w2
+              FROM tok, unnest(generate_series(1, len(lst) - 1)) AS u(i)
+              WHERE len(lst) >= 2),
+       e AS MATERIALIZED (SELECT DISTINCT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b
+             FROM p2 WHERE w1 <> w2),
+       und AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS outdeg FROM und GROUP BY 1),
+       r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM deg)$iters,
+       rk AS (SELECT id AS word, rank,
+                ROW_NUMBER() OVER (ORDER BY rank DESC, id) AS rn
+              FROM r5)
+       SELECT word, rank, CAST(rn AS INTEGER) AS rnk
+       FROM rk WHERE rn <= 50 ORDER BY rnk"""
   }
 
   /** 3 chained HITS iterations — per half-step one join+sum CTE quantized
@@ -8482,6 +8521,7 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracle,
     "q_hits" -> hitsOracle,
     "q_ktruss" -> kTrussOracle,
+    "q_textrank" -> textRankOracle,
     "q_cluster_quality" -> clusterQualityOracle,
     "q_ccf" -> ccfOracle,
     "q_dtw" -> dtwOracle,

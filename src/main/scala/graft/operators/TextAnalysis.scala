@@ -483,6 +483,51 @@ object TextAnalysis {
         (col("__s") / lit(1000000.0)).as("score"), col("rnk"))
   }
 
+  /** TextRank keywords (Mihalcea & Tarau 2004) — corpus-level keyword
+    * ranking as PageRank over the word co-occurrence graph: words are
+    * nodes, an undirected edge joins words appearing within a `window`-
+    * token sliding window (adjacent tokens at window=2), and the
+    * stationary score ranks keywords globally.
+    *
+    * Tokenization is the corpus-standard lowercase [a-z0-9]+ extraction
+    * with words under `minLen` dropped (the cheap stopword proxy the
+    * original paper's POS filter approximates). Adjacent-pair edges are a
+    * pure MAP-SIDE zip of each doc's token list (no position join, no
+    * doc ids), canonicalized distinct and symmetrized; the rank loop IS
+    * [[Graph.pageRank]] — 1e-12-quantized contributions,
+    * 1e-9-re-quantized ranks — so the whole pipeline replays in the same
+    * chained-CTE oracle shape. */
+  def textRank(
+      df: DataFrame,
+      textCol: String,
+      topK: Int = 50,
+      minLen: Int = 4,
+      iterations: Int = 5): DataFrame = {
+    val lst = filter(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)),
+      t => length(t) >= minLen)
+    val pairs = df
+      .select(lst.as("__l"))
+      .filter(size(col("__l")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__l"), lit(1), size(col("__l")) - 1),
+        slice(col("__l"), lit(2), size(col("__l")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("__p"))
+      .select(col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val edges = pairs
+      .filter(col("__w1") =!= col("__w2"))
+      .select(
+        least(col("__w1"), col("__w2")).as("a"),
+        greatest(col("__w1"), col("__w2")).as("b"))
+      .distinct()
+    val und = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val ranked = Graph.pageRank(und, "a", "b", iterations)
+    Relational.topKPerKey(
+      ranked.withColumn("__g", lit(1)), Seq("__g"),
+      Seq("rank" -> true, "id" -> false), topK, rankCol = Some("rnk"))
+      .select(col("id").as("word"), col("rank"), col("rnk"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010) — top multi-word key
     * phrases per document without any corpus model: text splits into
     * candidate phrases at stopword/punctuation boundaries; each word's

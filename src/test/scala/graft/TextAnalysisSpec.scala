@@ -342,6 +342,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
   }
 
+  test("textRank: the connective hub word outranks the leaves") {
+    // star-ish co-occurrence: 'spark' adjacent to many distinct words,
+    // leaves only ever touch 'spark'
+    val docs = Seq("spark joins", "spark windows", "spark shuffle",
+      "spark catalyst", "joins windows").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.textRank(docs, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(out("spark") == 1, s"hub must rank first: $out")
+    assert(out.size == 5)
+    // short tokens are dropped entirely
+    val tiny = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(TextAnalysis.textRank(tiny, "text").count() == 0L)
+  }
+
   test("rakeKeywords: multi-word phrases outscore singles, stopwords split") {
     val docs = Seq((1L,
       "deep learning of deep networks is the best deep learning")).toDF("doc_id", "text")
