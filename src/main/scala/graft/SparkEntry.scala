@@ -1548,6 +1548,13 @@ object SparkEntry {
       .orderBy("o_custkey", "p_brand")
   }
 
+  /** Burrows' Delta between document sources — which sources share a
+    * stylistic hand over the corpus's 30 most frequent words. */
+  private def qBurrowsDelta(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.burrowsDelta(Tables.documents(s, d), "source", "text",
+        topWords = 30)
+      .orderBy("source_a", "source_b")
+
   /** TextRank top-50 corpus keywords — PageRank over the adjacent-word
     * co-occurrence graph, replayed by the chained-CTE rank oracle. */
   private def qTextRank(s: SparkSession, d: String): DataFrame =
@@ -5424,6 +5431,7 @@ object SparkEntry {
     "q_cochran_q" -> (qCochranQ _),
     "q_runs_test" -> (qRunsTest _),
     "q_textrank" -> (qTextRank _),
+    "q_burrows_delta" -> (qBurrowsDelta _),
     "q_winsorize" -> (qWinsorize _),
     "q_coerce_timestamps" -> (qCoerceTimestamps _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -9463,6 +9471,41 @@ object SparkEntry {
                 CASE WHEN n > 2 AND m2 > 0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skewness,
                 CASE WHEN n > 3 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
          FROM c ORDER BY l_returnflag""",
+    // frequencies quantize to 1e-9 longs immediately, so per-word moments
+    // are exact integer sums and each z is a fixed chain; |Δz| re-quantizes
+    // before the pair sum
+    "q_burrows_delta" ->
+      """WITH toks AS (SELECT source AS s,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents),
+         cnt AS (SELECT s, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+         tot AS (SELECT s, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         top AS (SELECT w FROM (
+                  SELECT w, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, w) AS rn
+                  FROM cnt GROUP BY w) WHERE rn <= 30),
+         grid AS (SELECT tot.s, top.w,
+                 CAST(FLOOR(CAST(COALESCE(cnt.c, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS fq
+               FROM tot CROSS JOIN top
+               LEFT JOIN cnt ON cnt.s = tot.s AND cnt.w = top.w),
+         st AS (SELECT s, w, fq,
+                 CAST(COUNT(*) OVER (PARTITION BY w) AS BIGINT) AS k,
+                 CAST(SUM(fq) OVER (PARTITION BY w) AS BIGINT) AS sf,
+                 CAST(SUM(CAST(fq AS HUGEINT) * fq) OVER (PARTITION BY w) AS HUGEINT) AS sf2
+               FROM grid),
+         z AS (SELECT s, w,
+                 (CAST(fq AS DOUBLE) - CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+                 / SQRT(CAST(sf2 AS DOUBLE) / CAST(k AS DOUBLE)
+                        - (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))) AS z,
+                 CAST(sf2 AS DOUBLE) / CAST(k AS DOUBLE)
+                   - (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE)) AS var
+               FROM st)
+         SELECT a.s AS source_a, b.s AS source_b,
+                CAST(COUNT(*) AS BIGINT) AS m_words,
+                ROUND(CAST(SUM(CAST(FLOOR(ABS(a.z - b.z) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1e9 / CAST(COUNT(*) AS DOUBLE), 6) AS delta
+         FROM z a JOIN z b ON a.w = b.w AND a.s < b.s
+         WHERE a.var > 0 AND b.var > 0
+         GROUP BY 1, 2 ORDER BY source_a, source_b""",
     // runs/n1/n0 exact longs off one lag window; μ/σ²/z fixed IEEE chains
     "q_runs_test" ->
       """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS o,

@@ -483,6 +483,67 @@ object TextAnalysis {
         (col("__s") / lit(1000000.0)).as("score"), col("rnk"))
   }
 
+  /** Burrows' Delta (2002) — the stylometry/authorship distance between
+    * sources: over the corpus's `m` most frequent words, each source's
+    * relative frequency z-scores against the across-source distribution,
+    * and Delta(a,b) = mean |z_a − z_b|. Low Delta = same "stylistic hand"
+    * (near-duplicate source detection at the distribution level).
+    *
+    * Determinism: relative frequencies QUANTIZE to 1e-9 longs immediately
+    * (one division each), so the per-word across-source moments are exact
+    * integer sums and each z is a fixed IEEE chain; zero-variance words
+    * drop on both engines; |z_a − z_b| re-quantizes to 1e-9 longs before
+    * the per-pair sum, and Delta is one final division. The grid is
+    * densified (source × top-word, absent = 0) so sparse sources z-score
+    * correctly. Everything after the token count runs on the
+    * (sources × m)-bounded table. */
+  def burrowsDelta(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      topWords: Int = 30,
+      dp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+      col(sourceCol).as("__s"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+        lit(0))).as("__w"))
+    val cnt = toks.groupBy(col("__s"), col("__w")).agg(count(lit(1)).as("__c"))
+    val tot = cnt.groupBy(col("__s")).agg(sum(col("__c")).as("__t"))
+    val top = cnt.groupBy(col("__w"))
+      .agg(sum(col("__c")).as("__g"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("__g").desc, col("__w"))))
+      .filter(col("__rn") <= topWords)
+      .select(col("__w"))
+    val grid = tot.crossJoin(broadcast(top))
+      .join(cnt, Seq("__s", "__w"), "left")
+      .select(col("__s"), col("__w"),
+        floor(coalesce(col("__c"), lit(0L)).cast("double") /
+          col("__t").cast("double") * 1e9 + 0.5).cast("long").as("__fq"))
+    val wAllW = Window.partitionBy(col("__w"))
+    val kSrc = count(lit(1)).over(wAllW).cast("double")
+    val m1 = sum(col("__fq")).over(wAllW).cast("double") / kSrc
+    val vr = sum(col("__fq").cast("decimal(38,0)") * col("__fq")).over(wAllW)
+      .cast("double") / kSrc - m1 * m1
+    val z = grid
+      .withColumn("__var", vr)
+      .withColumn("__z", (col("__fq").cast("double") - m1) / sqrt(vr))
+      .filter(col("__var") > 0)
+    val right = z.select(col("__s").as("__s2"), col("__w"),
+      col("__z").as("__z2"))
+    z.join(right, Seq("__w"))
+      .filter(col("__s") < col("__s2"))
+      .groupBy(col("__s"), col("__s2"))
+      .agg(
+        count(lit(1)).as("m_words"),
+        round(sum(floor(abs(col("__z") - col("__z2")) * 1e9 + 0.5)
+          .cast("long")).cast("double") / lit(1e9) /
+          count(lit(1)).cast("double"), dp).as("delta"))
+      .select(col("__s").as("source_a"), col("__s2").as("source_b"),
+        col("m_words"), col("delta"))
+  }
+
   /** TextRank keywords (Mihalcea & Tarau 2004) — corpus-level keyword
     * ranking as PageRank over the word co-occurrence graph: words are
     * nodes, an undirected edge joins words appearing within a `window`-

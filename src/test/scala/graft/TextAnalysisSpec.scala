@@ -342,6 +342,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
   }
 
+  test("burrowsDelta: identical styles score 0, divergent style stands out") {
+    val docs = Seq(
+      ("s1", "alpha alpha beta gamma"), ("s1", "alpha beta beta gamma"),
+      ("s2", "alpha alpha beta gamma alpha beta beta gamma"),
+      ("s3", "gamma gamma gamma gamma gamma gamma alpha beta"))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.burrowsDelta(docs, "source", "text", topWords = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("delta")).toMap
+    // s1 and s2 have IDENTICAL relative frequencies ⇒ delta exactly 0
+    assert(out(("s1", "s2")) == 0.0, out.toString)
+    assert(out(("s1", "s3")) > 1.0 && out(("s2", "s3")) > 1.0)
+  }
+
   test("textRank: the connective hub word outranks the leaves") {
     // star-ish co-occurrence: 'spark' adjacent to many distinct words,
     // leaves only ever touch 'spark'
