@@ -4249,6 +4249,15 @@ object SparkEntry {
     Sketches.rocAuc(o, "urgent", "cents")
   }
 
+  /** Cramér–von Mises + energy distance on the urgent-vs-low order value
+    * split — the ECDF-discrepancy family beside KS and Wasserstein. */
+  private def qCramerVonMises(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    Sketches.cramerVonMises(o, "prio", "cents", "1-URGENT", "5-LOW")
+  }
+
   /** Exact 1-D Wasserstein distance between the order-value distributions
     * of urgent vs low-priority orders — bin-free drift next to PSI/JS. */
   private def qWasserstein(s: SparkSession, d: String): DataFrame = {
@@ -5440,6 +5449,7 @@ object SparkEntry {
     "q_logrank" -> (qLogrank _),
     "q_wasserstein" -> (qWasserstein _),
     "q_wasserstein_stream" -> (qWassersteinStream _),
+    "q_cvm" -> (qCramerVonMises _),
     "q_roc_auc" -> (qRocAuc _),
     "q_lift_table" -> (qLiftTable _),
     "q_woe_iv" -> (qWoeIv _),
@@ -8956,6 +8966,38 @@ object SparkEntry {
     "q_wasserstein" -> wassersteinOracle,
     // integer count state ⇒ the streaming twin equals batch bit-exactly
     "q_wasserstein_stream" -> wassersteinOracle,
+    // the wasserstein scaffolding with squared common-denominator
+    // numerators; each statistic one division of exact DECIMAL integers
+    "q_cvm" ->
+      """WITH src AS (SELECT o_orderpriority AS g,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         h AS (SELECT v,
+                 CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN g <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+               FROM src GROUP BY 1),
+         w AS (SELECT v, ca, cb,
+                 CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+                 CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb,
+                 CAST(SUM(ca) OVER () AS BIGINT) AS na,
+                 CAST(SUM(cb) OVER () AS BIGINT) AS nb,
+                 CAST(COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS BIGINT) AS dx
+               FROM h),
+         q AS (SELECT ca, cb, dx, na, nb,
+                 CAST(fa * nb - fb * na AS DECIMAL(38,0))
+                   * CAST(fa * nb - fb * na AS DECIMAL(38,0)) AS num
+               FROM w)
+         SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
+                MAX(na) AS n_a, MAX(nb) AS n_b,
+                ROUND(CAST(SUM(num * CAST(ca + cb AS DECIMAL(38,0))) AS DOUBLE)
+                      / CAST(CAST(MAX(na) + MAX(nb) AS DECIMAL(38,0))
+                             * CAST(MAX(na) + MAX(nb) AS DECIMAL(38,0))
+                             * CAST(MAX(na) AS DECIMAL(38,0))
+                             * CAST(MAX(nb) AS DECIMAL(38,0)) AS DOUBLE), 6) AS cvm,
+                ROUND(CAST(SUM(num * CAST(dx AS DECIMAL(38,0))) * 2 AS DOUBLE)
+                      / CAST(CAST(MAX(na) AS DECIMAL(38,0)) * CAST(MAX(nb) AS DECIMAL(38,0))
+                             * CAST(MAX(na) AS DECIMAL(38,0)) * CAST(MAX(nb) AS DECIMAL(38,0)) AS DOUBLE), 6) AS energy_sq
+         FROM q""",
     // per-time e/v terms are fixed left-associated IEEE chains from exact
     // long counts, quantized to 1e-9 longs before the sum (the theil
     // discipline) — the chain order here mirrors the Spark side exactly

@@ -2118,6 +2118,64 @@ object Sketches {
         .as("auc"))
   }
 
+  /** Two-sample Cramér–von Mises statistic + 1-D energy distance between
+    * two groups' value distributions — the ECDF-discrepancy family
+    * completing KS (supremum), Wasserstein (L1) and PSI/JS (binned):
+    * CvM T = nm/(n+m)²·Σ_{x∈A∪B}(F_A(x)−F_B(x))² sums at SAMPLE points,
+    * energy D² = 2·∫(F_A−F_B)²dx weights by support length (Székely's
+    * 1-D identity).
+    *
+    * EXACT-RATIONAL like [[wasserstein1d]]: on the distinct-value collapse
+    * the common-denominator numerators c·(F_A·m − F_B·n)² and
+    * (F_A·m − F_B·n)²·Δx are exact integers in DECIMAL(38,0); each
+    * statistic is then EXACTLY ONE division of exact integers. One
+    * partial aggregate + the single-partition cumulative window on the
+    * value-domain-bounded table. */
+  def cramerVonMises(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String,
+      dp: Int = 6): DataFrame = {
+    val isA = col(groupCol) === lit(groupA)
+    val hist = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("__cA"),
+        sum(when(!isA, 1L).otherwise(0L)).as("__cB"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(lit(1)).orderBy(col("__v"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val t = hist
+      .withColumn("__FA", sum(col("__cA")).over(wCum))
+      .withColumn("__FB", sum(col("__cB")).over(wCum))
+      .withColumn("__nA", sum(col("__cA")).over(wAll))
+      .withColumn("__nB", sum(col("__cB")).over(wAll))
+      .withColumn("__dx",
+        coalesce(lead(col("__v"), 1).over(wLead) - col("__v"), lit(0L)))
+      .withColumn("__num",
+        d(col("__FA") * col("__nB") - col("__FB") * col("__nA")) *
+          d(col("__FA") * col("__nB") - col("__FB") * col("__nA")))
+    val nA = max(col("__nA")); val nB = max(col("__nB"))
+    val nTot = nA + nB
+    t.agg(
+      lit(groupA).as("group_a"),
+      lit(groupB).as("group_b"),
+      nA.as("n_a"),
+      nB.as("n_b"),
+      // T = Σ c·(FA·m − FB·n)² / ((n+m)²·n·m)
+      round(sum(col("__num") * d(col("__cA") + col("__cB"))).cast("double") /
+        (d(nTot) * d(nTot) * d(nA) * d(nB)).cast("double"), dp).as("cvm"),
+      // D² = 2·Σ (FA·m − FB·n)²·Δx / (n·m)²
+      round((sum(col("__num") * d(col("__dx"))) * 2).cast("double") /
+        (d(nA) * d(nB) * d(nA) * d(nB)).cast("double"), dp)
+        .as("energy_sq"))
+  }
+
   /** 1-D Wasserstein-1 (earth mover's) distance between two groups' value
     * distributions — the drift readout that, unlike PSI/JS, needs no
     * binning and respects the metric on the value axis:

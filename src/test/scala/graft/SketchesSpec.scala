@@ -936,6 +936,18 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.rocAuc(sep, "y", "s").head.getAs[Double]("auc") == 1.0)
   }
 
+  test("cramerVonMises: hand ECDF discrepancies and the Szekely identity") {
+    import spark.implicits._
+    val df = Seq(("A", 0L), ("A", 4L), ("B", 2L), ("B", 2L)).toDF("g", "v")
+    val r = Sketches.cramerVonMises(df, "g", "v", "A", "B").head
+    assert(r.getAs[Double]("cvm") == 0.1875)     // 12/64
+    // D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| = 4 − 2 − 0 = 2
+    assert(r.getAs[Double]("energy_sq") == 2.0)
+    val same = Seq("A", "B").flatMap(g => Seq((g, 1L), (g, 7L))).toDF("g", "v")
+    val s = Sketches.cramerVonMises(same, "g", "v", "A", "B").head
+    assert(s.getAs[Double]("cvm") == 0.0 && s.getAs[Double]("energy_sq") == 0.0)
+  }
+
   test("wasserstein1d matches the hand-computed earth-mover distance") {
     import spark.implicits._
     // A uniform on {0,4}, B point mass at 2: EMD = (2+2)/2 = 2
