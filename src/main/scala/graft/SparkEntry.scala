@@ -1246,13 +1246,16 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** Rolling 7-day distinct users per event type via HLL sketch MERGES over
-    * the daily sketch cube — rows-only by design (sketch estimates);
-    * SketchesSpec pins merge-equals-exact on planted data. */
+    * the daily sketch cube — lgK = 18 keeps every daily sketch AND every
+    * 7-day union in exact coupon-set mode at the gate scale factors, so the
+    * readout equals a windowed COUNT(DISTINCT) and the driver hash-gates it
+    * against a correlated-subquery SQL oracle. Production callers keep
+    * lgK = 12; SketchesSpec pins that regime's merge-vs-exact error. */
   private def qRollingDistinct(s: SparkSession, d: String): DataFrame = {
     val cube = Sketches.sketchCube(
       Tables.events(s, d)
         .select(col("event_type"), col("ts").cast("date").as("day"), col("user_id")),
-      Seq("event_type", "day"), "user_id")
+      Seq("event_type", "day"), "user_id", lgK = 18)
     Sketches.rollingSketchDistinct(cube, "day", Seq("event_type"), days = 7)
       .select(
         col("event_type"), col("day"), col("n_rows"), col("approx_distinct_rolling"))
@@ -1279,7 +1282,7 @@ object SparkEntry {
           col("user_id"))
         .groupBy(col("event_type"), col("day"))
         .agg(
-          hll_sketch_agg(col("user_id"), lit(12)).as("hll"),
+          hll_sketch_agg(col("user_id"), lit(18)).as("hll"),
           count(lit(1)).as("n_rows"))
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -2021,11 +2024,15 @@ object SparkEntry {
         col("bin"), round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"), col("n"))
       .orderBy("bin")
 
-  /** HLL distinct-overlap estimate between order and customer keys —
-    * rows-only by design (sketch estimates); spec pins accuracy vs exact. */
+  /** HLL distinct-overlap estimate between order and customer keys, in the
+    * oracle-checkable regime: lgK = 18 keeps the DataSketches HLL in exact
+    * coupon-set mode for the <= 15k keys at the gate scale factors, so the
+    * inclusion-exclusion readout equals the exact set SQL (the
+    * q_theta_setops recipe). Production callers keep the default lgK = 12;
+    * spec pins that regime's accuracy vs exact. */
   private def qOverlapEstimate(s: SparkSession, d: String): DataFrame =
     Sketches.distinctOverlapEstimate(
-      Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey")
+      Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey", lgK = 18)
 
   /** Calendar proration: 45-day order windows split across the months they
     * span by day count; shares re-sum to the order value. */
@@ -2058,11 +2065,15 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
 
   /** HLL++ distinct-user sketch per event type, with the exact count carried
-    * alongside; rows-only driver check (sketch values are engine-specific),
-    * error bound asserted in SketchesSpec. */
+    * alongside — run in the oracle-checkable regime (the q_cms_counts
+    * recipe): rsd = 0.003 gives ~136k HLL++ registers against <= 1.5k
+    * distinct users at the gate scale factors, so linear counting is
+    * collision-free and every estimate is EXACT; the oracle is a plain
+    * COUNT(DISTINCT). Production callers keep the default rsd = 5% whose
+    * error bound SketchesSpec pins. */
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    Sketches.approxDistinct(ev, Seq("event_type"), "user_id")
+    Sketches.approxDistinct(ev, Seq("event_type"), "user_id", rsd = 0.003)
       .join(Sketches.exactDistinct(ev, Seq("event_type"), "user_id"), "event_type")
       .orderBy("event_type")
   }
@@ -2931,10 +2942,13 @@ object SparkEntry {
     * SQL-reproducible; SketchesSpec pins merge-vs-direct equality and the
     * error bound vs exact distinct counts. */
   private def qSketchCube(s: SparkSession, d: String): DataFrame = {
+    // lgK = 18: exact coupon-set regime for the gate cardinalities (<= 1.5k
+    // users/type), so the rollup-by-merge readout equals COUNT(DISTINCT) and
+    // the cube is SQL-oracle-gated; production cubes keep lgK = 12.
     val cube = Sketches.sketchCube(
       Tables.events(s, d)
         .select(col("event_type"), col("ts").cast("timestamp").cast("date").as("day"), col("user_id")),
-      Seq("event_type", "day"), "user_id")
+      Seq("event_type", "day"), "user_id", lgK = 18)
     Sketches.rollupSketchCube(cube, Seq("event_type"))
       .orderBy("event_type")
   }
@@ -2942,15 +2956,19 @@ object SparkEntry {
   /** Mergeable KLL quantile cube (the quantile twin of q_sketch_cube):
     * per-(event_type, day) binary sketches of the event value, rolled up to
     * event_type by register merge — quantile analytics that never re-scan
-    * raw data. Rows-only by design (sketch estimates, randomized
-    * compaction); SketchesSpec pins the rank-error bound vs exact
-    * percentiles and merge-vs-direct agreement. */
+    * raw data. Gate regime: k = 8192 exceeds the per-type row count at the
+    * gate scale factors, so no compactor ever fires, the merged sketch
+    * retains EVERY value, and the inclusive-rank readout equals the exact
+    * order statistic at rank ceil(p*n) — a SQL oracle. Production cubes
+    * keep k = 200; SketchesSpec pins that regime's rank-error bound and
+    * merge-vs-direct agreement. */
   private def qQuantileCube(s: SparkSession, d: String): DataFrame = {
     val cube = Sketches.quantileCube(
       Tables.events(s, d)
         .select(col("event_type"), col("ts").cast("timestamp").cast("date").as("day"), col("value")),
-      Seq("event_type", "day"), "value")
-    Sketches.rollupQuantileCube(cube, Seq("event_type"), probs = Seq(0.25, 0.5, 0.75, 0.95))
+      Seq("event_type", "day"), "value", k = 8192)
+    Sketches.rollupQuantileCube(cube, Seq("event_type"),
+        probs = Seq(0.25, 0.5, 0.75, 0.95), k = 8192)
       .select(
         col("event_type"), col("n_rows"),
         posexplode(col("quantiles")).as(Seq("q_idx", "estimate")))
@@ -2970,7 +2988,7 @@ object SparkEntry {
       val q = stream
         .groupBy(col("event_type"))
         .agg(
-          graft.functions.kll_sketch(col("value")).as("kll"),
+          graft.functions.kll_sketch(col("value"), k = 8192).as("kll"),
           count(lit(1)).as("n_rows"))
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -5140,9 +5158,15 @@ object SparkEntry {
   private def qPca(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = 8)
+    // Scalar projection (vec_id, component, value) instead of the raw
+    // array<double> column: the driver's rows-check sorts through pandas,
+    // which cannot lexsort numpy-array cells. round(,6) keeps the dump
+    // stable across JVM re-runs of the Jacobi eigensolve.
     Similarity.pcaProjectAll(emb, "embedding", model)
-      .select(col("vec_id"), col("pcs"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), posexplode(col("pcs")).as(Seq("component", "v")))
+      .select(col("vec_id"), col("component"),
+        round(col("v"), 6).as("value"))
+      .orderBy("vec_id", "component")
   }
 
   /** 4-core of the 1996-H1 co-purchase graph: fixed 4-round peel whose
@@ -6148,10 +6172,11 @@ object SparkEntry {
     *    equivalent function.
     *  - q_ann_ivf, q_ann_lsh: recall < 1 by design (probe/bucket subsets),
     *    so no closed-form SQL set; brute-force agreement is spec-pinned.
-    *  - q_approx_distinct, q_approx_quantiles, q_sketch_cube,
-    *    q_overlap_estimate, q_rolling_distinct: sketch ESTIMATES —
-    *    DuckDB's approx functions use different sketch parameters; bounds
-    *    and merge-equality are spec-pinned instead.
+    *  - q_approx_quantiles: GK sketch ESTIMATE — DuckDB has no GK twin;
+    *    the error bound is spec-pinned instead. (The HLL/KLL sketch gates
+    *    — q_approx_distinct, q_sketch_cube, q_overlap_estimate,
+    *    q_rolling_distinct(+_stream), q_quantile_cube(+_stream) — run in
+    *    provably exact regimes and carry full SQL oracles below.)
     *  - q_bpe: iterative trainer (argmax per merge round); SQL cannot
     *    express the loop. Sennrich-corpus vectors are spec-pinned.
     *  - q_deterministic_id_uuid5: RFC 4122 v5 needs sha1, which this
@@ -6159,6 +6184,69 @@ object SparkEntry {
     *  - q_token_set_ratio: rapidfuzz InDel ratio needs LCS, which DuckDB
     *    has no function for (levenshtein substitutes cost 1, not 2). */
   def oracleSql: Map[String, String] = Map(
+    // Exact-regime sketch gates: each query's sketch parameters are sized so
+    // the estimate provably equals the exact answer at the gate scale
+    // factors (coupon-set HLL / uncompacted KLL), so plain set SQL oracles
+    // apply — the q_cms_counts / q_theta_setops recipe.
+    "q_approx_distinct" ->
+      """SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sketch_cube" ->
+      """SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_overlap_estimate" ->
+      """WITH a AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS da FROM orders),
+              b AS (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS db FROM customer),
+              u AS (SELECT CAST(COUNT(*) AS BIGINT) AS du FROM
+                      (SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer))
+         SELECT a.da AS distinct_a, b.db AS distinct_b, u.du AS distinct_union,
+                CAST(GREATEST(a.da + b.db - u.du, 0) AS BIGINT) AS distinct_overlap
+         FROM a, b, u""",
+    "q_rolling_distinct" ->
+      """WITH days AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1, 2)
+         SELECT d.event_type, d.day, d.n_rows,
+           CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                 WHERE e.event_type = d.event_type
+                   AND CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day) AS BIGINT)
+             AS approx_distinct_rolling
+         FROM days d ORDER BY d.event_type, d.day""",
+    "q_rolling_distinct_stream" ->
+      """WITH days AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1, 2)
+         SELECT d.event_type, d.day, d.n_rows,
+           CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                 WHERE e.event_type = d.event_type
+                   AND CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day) AS BIGINT)
+             AS approx_distinct_rolling
+         FROM days d ORDER BY d.event_type, d.day""",
+    "q_quantile_cube" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         probs AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75), (3, 0.95)) AS t(q_idx, p))
+         SELECT r.event_type, CAST(r.n AS BIGINT) AS n_rows, p.q_idx, r.value AS estimate
+         FROM ranked r JOIN probs p ON r.rn = CAST(CEIL(p.p * r.n) AS BIGINT)
+         ORDER BY r.event_type, p.q_idx""",
+    "q_quantile_cube_stream" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         probs AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75), (3, 0.95)) AS t(q_idx, p))
+         SELECT r.event_type, CAST(r.n AS BIGINT) AS n_rows, p.q_idx, r.value AS estimate
+         FROM ranked r JOIN probs p ON r.rn = CAST(CEIL(p.p * r.n) AS BIGINT)
+         ORDER BY r.event_type, p.q_idx""",
     "q1_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
