@@ -90,6 +90,66 @@ object Relational {
       .drop("__pid", "__pid_o", "__local", "__offset")
   }
 
+  /** Multi-column sibling of [[globalRunningSum]]: N exact long prefix sums
+    * — plus, optionally, the NEXT row's order value (the `lead(order, 1)`
+    * every ECDF-discrepancy statistic needs for its Δx step) — in ONE range
+    * shuffle. The per-partition offset/boundary table is one row per
+    * partition, the only thing the single-partition windows here ever see.
+    *
+    * `sums` maps valueCol → outCol. `leadOf` (inCol → outCol) must name a
+    * column MONOTONE in the range order (normally the order column itself):
+    * the cross-partition boundary fix-up takes the next partition's MIN.
+    * `orderCols` must be a total order (unique tiebreak), as in
+    * [[globalRunningSum]]. */
+  def globalRunningSums(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      sums: Seq[(String, String)],
+      leadOf: Option[(String, String)] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sums.nonEmpty, "globalRunningSums needs at least one (value, out) pair")
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, orderCols: _*))
+      .getOrElse(df.repartitionByRange(orderCols: _*))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    var local = ranged
+    sums.foreach { case (v, out) =>
+      local = local.withColumn(s"__l_$out", sum(col(v).cast("long")).over(wLocal))
+    }
+    leadOf.foreach { case (v, _) =>
+      local = local.withColumn("__ld", lead(col(v), 1).over(wLead))
+    }
+    // one row per non-empty partition; window over it is allowed
+    val perAggs = sums.map { case (v, out) => sum(col(v).cast("long")).as(s"__t_$out") } ++
+      leadOf.map { case (v, _) => min(col(v)).as("__first") }
+    val per = local.groupBy(col("__pid")).agg(perAggs.head, perAggs.tail: _*)
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var off = per
+    sums.foreach { case (_, out) =>
+      off = off.withColumn(s"__o_$out", sum(col(s"__t_$out")).over(wOff) - col(s"__t_$out"))
+    }
+    leadOf.foreach { _ =>
+      // next NON-EMPTY partition's first value (empty range partitions leave
+      // pid gaps; lead over the per-partition table skips them correctly)
+      off = off.withColumn("__nf", lead(col("__first"), 1).over(Window.orderBy(col("__pid"))))
+    }
+    val offSel = off.select(col("__pid").as("__pid_o") +:
+      (sums.map(s => col(s"__o_${s._2}")) ++ leadOf.map(_ => col("__nf"))): _*)
+    var out = local.join(broadcast(offSel), col("__pid") === col("__pid_o"))
+    sums.foreach { case (_, o) =>
+      out = out.withColumn(o, col(s"__l_$o") + col(s"__o_$o")).drop(s"__l_$o", s"__o_$o")
+    }
+    leadOf.foreach { case (_, o) =>
+      out = out.withColumn(o, coalesce(col("__ld"), col("__nf"))).drop("__ld", "__nf")
+    }
+    out.drop("__pid", "__pid_o")
+  }
+
   /** Per-key running sum where a single key's ordered rows may exceed one
     * task — the keyed sibling of [[globalRunningSum]]: range partition on
     * (keys ++ order) so each key's rows are CONTIGUOUS across partitions,

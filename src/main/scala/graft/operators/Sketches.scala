@@ -2092,7 +2092,9 @@ object Sketches {
     * positive rank-sum is p·(2·before + c + 1) — exact longs throughout —
     * so AUC is EXACTLY ONE division of exact integers, then rounded.
     * One partial aggregate collapses the corpus to distinct scores; the
-    * single-partition cumulative window runs on that bounded table only. */
+    * cumulative count over that histogram runs through the two-pass
+    * range-partitioned prefix sum ([[Relational.globalRunningSums]]), so
+    * no single-partition sort exists at ANY score cardinality. */
   def rocAuc(
       df: DataFrame,
       labelCol: String,
@@ -2103,11 +2105,11 @@ object Sketches {
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
         count(lit(1)).as("__c"))
-    val wCum = Window.partitionBy(lit(1)).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val before = sum(col("__c")).over(wCum) - col("__c")
-    val t = hist.withColumn("__r2",
-      col("__p") * (before * lit(2) + col("__c") + lit(1)))
+    val before = col("__cum") - col("__c")
+    val t = Relational
+      .globalRunningSums(hist, Seq(col("__v")), Seq("__c" -> "__cum"))
+      .withColumn("__r2",
+        col("__p") * (before * lit(2) + col("__c") + lit(1)))
     val n1 = sum(col("__p"))
     val n0 = sum(col("__c")) - sum(col("__p"))
     val num = sum(col("__r2")) - n1 * (n1 + lit(1))
@@ -2129,8 +2131,10 @@ object Sketches {
     * the common-denominator numerators c·(F_A·m − F_B·n)² and
     * (F_A·m − F_B·n)²·Δx are exact integers in DECIMAL(38,0); each
     * statistic is then EXACTLY ONE division of exact integers. One
-    * partial aggregate + the single-partition cumulative window on the
-    * value-domain-bounded table. */
+    * partial aggregate, then BOTH cumulative counts and the Δx lead ride
+    * one two-pass range-partitioned pass
+    * ([[Relational.globalRunningSums]]) — no single-partition window at
+    * any value cardinality; group totals broadcast from a 1-row agg. */
   def cramerVonMises(
       df: DataFrame,
       groupCol: String,
@@ -2145,18 +2149,14 @@ object Sketches {
       .agg(
         sum(when(isA, 1L).otherwise(0L)).as("__cA"),
         sum(when(!isA, 1L).otherwise(0L)).as("__cB"))
-    val wAll = Window.partitionBy(lit(1))
-    val wCum = Window.partitionBy(lit(1)).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLead = Window.partitionBy(lit(1)).orderBy(col("__v"))
     def d(c: Column): Column = c.cast("decimal(38,0)")
-    val t = hist
-      .withColumn("__FA", sum(col("__cA")).over(wCum))
-      .withColumn("__FB", sum(col("__cB")).over(wCum))
-      .withColumn("__nA", sum(col("__cA")).over(wAll))
-      .withColumn("__nB", sum(col("__cB")).over(wAll))
-      .withColumn("__dx",
-        coalesce(lead(col("__v"), 1).over(wLead) - col("__v"), lit(0L)))
+    val tot = hist.agg(
+      sum(col("__cA")).as("__nA"), sum(col("__cB")).as("__nB"))
+    val t = Relational
+      .globalRunningSums(hist, Seq(col("__v")),
+        Seq("__cA" -> "__FA", "__cB" -> "__FB"), leadOf = Some("__v" -> "__nxt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__dx", coalesce(col("__nxt") - col("__v"), lit(0L)))
       .withColumn("__num",
         d(col("__FA") * col("__nB") - col("__FB") * col("__nA")) *
           d(col("__FA") * col("__nB") - col("__FB") * col("__nA")))
@@ -2190,8 +2190,9 @@ object Sketches {
     * final round.
     *
     * Scale shape: one partial aggregate collapses both groups to distinct
-    * values; the single-partition cumulative window runs on that collapsed
-    * (value-domain-bounded) table, the exact-ECDF contract. */
+    * values; cumulative counts and the Δx lead then ride one two-pass
+    * range-partitioned prefix pass ([[Relational.globalRunningSums]]) —
+    * no single-partition window at any value cardinality. */
   def wasserstein1d(
       df: DataFrame,
       groupCol: String,
@@ -2218,18 +2219,14 @@ object Sketches {
       groupA: String,
       groupB: String,
       dp: Int = 6): DataFrame = {
-    val wAll = Window.partitionBy(lit(1))
-    val wCum = Window.partitionBy(lit(1)).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLead = Window.partitionBy(lit(1)).orderBy(col("__v"))
     def d(c: Column): Column = c.cast("decimal(38,0)")
-    val t = hist
-      .withColumn("__FA", sum(col("__cA")).over(wCum))
-      .withColumn("__FB", sum(col("__cB")).over(wCum))
-      .withColumn("__nA", sum(col("__cA")).over(wAll))
-      .withColumn("__nB", sum(col("__cB")).over(wAll))
-      .withColumn("__dx",
-        coalesce(lead(col("__v"), 1).over(wLead) - col("__v"), lit(0L)))
+    val tot = hist.agg(
+      sum(col("__cA")).as("__nA"), sum(col("__cB")).as("__nB"))
+    val t = Relational
+      .globalRunningSums(hist, Seq(col("__v")),
+        Seq("__cA" -> "__FA", "__cB" -> "__FB"), leadOf = Some("__v" -> "__nxt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__dx", coalesce(col("__nxt") - col("__v"), lit(0L)))
       .withColumn("__step",
         d(abs(col("__FA") * col("__nB") - col("__FB") * col("__nA"))) *
           d(col("__dx")))

@@ -772,20 +772,36 @@ object TextAnalysis {
     * is the same [[graft.functions.TextOps.fusePair]] the codegen'd encoder
     * uses — trainer and encoder cannot drift.
     *
+    * Driver-memory contract: the collect is BOUNDED at `maxVocab` dictionary
+    * entries (top words by count, ties on the word ascending — a bounded-heap
+    * TakeOrdered job, never a full sort) after dropping words rarer than
+    * `minWordCount`. At 100 TB the distinct-word table is easily 10^8 rows;
+    * the default 1M-word cap (~tens of MB collected) matches what published
+    * BPE trainers keep, and truncating the frequency tail barely perturbs
+    * learned merges (pair counts are dominated by frequent words). Raise
+    * `maxVocab` only with driver memory to back it.
+    *
     * @return ranked merges, each "left right" — feed to
     *         [[graft.functions.bpe_tokens]] */
   def trainBpeMerges(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      minPairCount: Long = 2): Seq[String] = {
+      minPairCount: Long = 2,
+      maxVocab: Int = 1 << 20,
+      minWordCount: Long = 1): Seq[String] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    // the one corpus-scale job: word -> count, partial-aggregated
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    // the one corpus-scale job: word -> count, partial-aggregated, then
+    // capped to the maxVocab head before anything reaches the driver
     var vocab: Array[(Array[String], Long)] = df
       .select(explode(split(col(textCol), "\\s+")).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy(col("__w"))
       .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minWordCount)
+      .orderBy(col("__n").desc, col("__w").asc)
+      .limit(maxVocab)
       .collect()
       .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -47,6 +47,28 @@ class BpeSpec extends SparkSpec {
     assert(four === 10L) // n e w est | n e w est | low est
   }
 
+  test("maxVocab caps the collected dictionary at the top words by count") {
+    // top-2 words by (count desc, word asc) = newest(6), low(5): training on
+    // the capped dictionary must equal training on just those words
+    val capped = TextAnalysis.trainBpeMerges(corpus, "text", numMerges = 4, maxVocab = 2)
+    val manual = TextAnalysis.trainBpeMerges(
+      Seq((Seq.fill(6)("newest") ++ Seq.fill(5)("low")).mkString(" ")).toDF("text"),
+      "text", numMerges = 4)
+    assert(capped === manual)
+    assert(capped !== TextAnalysis.trainBpeMerges(corpus, "text", numMerges = 4))
+  }
+
+  test("minWordCount drops rare words from the dictionary before training") {
+    // lower(2) is dropped at minWordCount=3; remaining corpus = low*5
+    // newest*6 widest*3
+    val got = TextAnalysis.trainBpeMerges(corpus, "text", numMerges = 4, minWordCount = 3)
+    val manual = TextAnalysis.trainBpeMerges(
+      Seq((Seq.fill(5)("low") ++ Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .mkString(" ")).toDF("text"),
+      "text", numMerges = 4)
+    assert(got === manual)
+  }
+
   test("trainer stops early when no pair reaches minPairCount") {
     val tiny = Seq("ab cd").toDF("text")
     val merges = TextAnalysis.trainBpeMerges(tiny, "text", numMerges = 10, minPairCount = 2)

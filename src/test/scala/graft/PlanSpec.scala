@@ -543,6 +543,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ECDF-discrepancy family rides the two-pass prefix sum — roc/cvm/wasserstein") {
+    // rocAuc, cramerVonMises, wassersteinAssemble: the cumulative counts
+    // over the data-derived value histogram must be keyed by the physical
+    // partition id (globalRunningSums), never a lit(1) single-partition sort
+    Seq("q_roc_auc", "q_cvm", "q_wasserstein").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.toLowerCase.contains("spark_partition_id"),
+        s"$q must use the partition-id-keyed local cumsum:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("one-hot is a pure projection — no shuffle beyond the verifying fold") {
     val hot = graft.operators.Reshape.oneHot(
       Tables.orders(spark, sf), "o_orderpriority",
