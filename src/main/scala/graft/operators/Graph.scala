@@ -612,17 +612,17 @@ object Graph {
     var hubs = e.select(col("__u").as("id")).distinct()
       .select(col("id"), lit(1.0).as("hub"))
     var auths: DataFrame = null
-    // max folded in as a single-partition window over the (node-count-
-    // bounded) score table — one job per half-step instead of a separate
-    // max aggregate + broadcast-join round (measured 5.4s → the window
-    // form at sf0.1)
-    def normalize(s: DataFrame, out: String): DataFrame = {
-      val m = max(col("__s")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
-      s.select(col("id"),
-        (floor(col("__s").cast("double") / m.cast("double")
-          * 1e9 + 0.5) / 1e9).as(out))
-        .localCheckpoint(true)
+    // the join+agg half-step (the expensive part) materializes ONCE; the
+    // max then reads the node-bounded materialized table (a near-free
+    // second job) and broadcasts back — no node-scale single-partition
+    // window funnel, no double evaluation of the half-step chain
+    def normalize(sRaw: DataFrame, out: String): DataFrame = {
+      val s = sRaw.localCheckpoint(true)
+      val m = s.agg(max(col("__s")).as("__m"))
+      s.crossJoin(broadcast(m))
+        .select(col("id"),
+          (floor(col("__s").cast("double") / col("__m").cast("double")
+            * 1e9 + 0.5) / 1e9).as(out))
     }
     for (_ <- 1 to iterations) {
       auths = normalize(
