@@ -2245,6 +2245,48 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag")
   }
 
+  /** Small-files compaction round trip (X42): an orders projection written
+    * deliberately over-parallel (32 KB-scale files), compacted toward the
+    * target size in place, then read BACK — the oracle proves compaction
+    * loses/duplicates nothing, and the file count lands at the size-derived
+    * expectation (1 at the gate scale factors, pinned as a column). */
+  private def qCompactRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_compact_").toFile
+    tmpDir.deleteOnExit()
+    val out = new java.io.File(tmpDir, "orders_small").getPath
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(32)
+      .write.mode("overwrite").parquet(out)
+    val nFiles = Sink.compactParquet(s, out, targetFileBytes = 64L * 1024 * 1024)
+    s.read.parquet(out)
+      .withColumn("n_files", lit(nFiles))
+      .orderBy("o_orderkey")
+  }
+
+  /** Dynamic partition overwrite round trip (X62): full orders published
+    * partitioned by priority, then ONLY the 1-URGENT partition re-published
+    * with doubled totals — the read-back must show the other four
+    * partitions untouched and the urgent one replaced, which is exactly
+    * what the CASE oracle replays (a static overwrite would instead drop
+    * every other partition and fail the row count). */
+  private def qOverwritePartitions(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_dynover_").toFile
+    tmpDir.deleteOnExit()
+    val out = new java.io.File(tmpDir, "orders_by_prio").getPath
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    Sink.writePartitionedParquet(base, "o_orderpriority", out)
+    Sink.overwritePartitions(
+      base.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      out, Seq("o_orderpriority"))
+    s.read.parquet(out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority").cast("string").as("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
   /** XML write→read roundtrip of an orders projection — Spark 4 built-in
     * xml source; types re-pinned by explicit casts after the (by-design
     * schema-inferred) read. */
@@ -5343,6 +5385,8 @@ object SparkEntry {
     "q_zorder_layout" -> (qZorderLayout _),
     "q_partitioned_export" -> (qPartitionedExport _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_compact_roundtrip" -> (qCompactRoundtrip _),
+    "q_overwrite_partitions" -> (qOverwritePartitions _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
     "q_jsonl_export" -> (qJsonlExport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -7613,6 +7657,15 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate, l_returnflag""",
     "q_xml_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+         FROM orders ORDER BY o_orderkey""",
+    "q_compact_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(1 AS INTEGER) AS n_files
+         FROM orders ORDER BY o_orderkey""",
+    "q_overwrite_partitions" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
          FROM orders ORDER BY o_orderkey""",
     "q_jsonl_export" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
