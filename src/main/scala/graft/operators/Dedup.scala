@@ -191,19 +191,34 @@ object Dedup {
     * a size guard |S₂| ≥ ⌈t·|S₁|⌉ prunes before the exact merge-pass
     * verify on broadcast-free sorted-set columns.
     *
+    * `maxTokenDf` (skew guard, off by default): a corpus-wide hot shingle —
+    * boilerplate every document shares — would otherwise join against every
+    * prefix occurrence (one candidate row per prefix×occurrence, the
+    * classic hot-key fanout). With a cap, tokens whose document frequency
+    * exceeds it are dropped from BOTH candidate sides via
+    * [[Relational.capGroupSize]] (count + dropped rows logged). The exact
+    * verify never admits false positives; the cap can only lose pairs whose
+    * evidence lives entirely in capped ubiquitous shingles — which carry
+    * ~zero containment signal. Leave None for the exact zero-false-negative
+    * contract.
+    *
     * Returns (id1, id2, containment) with id1 ≠ id2, containment at 6 dp. */
   def containmentJoin(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      maxTokenDf: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     val docs = df
       .select(col(idCol).as("id"), shingle_set(col(textCol), shingleK).as("__shs"))
       .withColumn("__len", size(col("__shs")))
       .filter(col("__len") > 0)
-    val toks = docs.select(col("id"), explode(col("__shs")).as("__tok"))
+    val toksAll = docs.select(col("id"), explode(col("__shs")).as("__tok"))
+    val toks = maxTokenDf
+      .map(cap => Relational.capGroupSize(toksAll, Seq("__tok"), cap))
+      .getOrElse(toksAll)
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     val prefix = toks
       .join(freq, "__tok")

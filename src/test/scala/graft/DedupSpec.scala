@@ -107,4 +107,32 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 1L && p._2 == 2L))
     assert(!got.exists(p => p._1 == 2L && p._2 == 1L))
   }
+
+  test("containmentJoin: maxTokenDf bounds hot-shingle fanout, keeps rare-token pairs") {
+    // every doc shares the same boilerplate shingles (corpus-wide hot
+    // tokens); docs 1/2 additionally share a rare quote. Uncapped, the
+    // boilerplate token indexes every doc; capped at df<=3 the hot tokens
+    // drop from candidate generation but the rare-evidence pair survives.
+    val boiler = "standard legal disclaimer text here"
+    val quote = "rare alpha beta gamma delta epsilon"
+    val docs = (3L to 12L).map(i => (i, s"$boiler unique$i filler$i words$i"))
+      .toSeq :+ (1L, s"$boiler $quote") :+ (2L, s"$boiler $quote extra tail words appended")
+    val dfDocs = docs.toDF("id", "text")
+    val capped = graft.operators.Dedup.containmentJoin(
+      dfDocs, "id", "text", threshold = 0.5, maxTokenDf = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the rare-quote containment pair survives the cap in both directions
+    // that clear the threshold
+    assert(capped.contains((1L, 2L)), s"got $capped")
+    // boilerplate-only pairs (e.g. 3-4) carried ONLY hot-token evidence and
+    // are dropped by the cap — bounded fanout instead of all-pairs
+    assert(!capped.exists(p => p._1 >= 3L && p._2 >= 3L), s"got $capped")
+    // sanity: uncapped finds the same rare pair (the cap only removes
+    // hot-token-evidence pairs, never adds)
+    val uncapped = graft.operators.Dedup.containmentJoin(
+      dfDocs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(capped.subsetOf(uncapped), s"capped $capped uncapped $uncapped")
+  }
 }
