@@ -5849,10 +5849,13 @@ object SparkEntry {
                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          e0 AS MATERIALIZED (SELECT pu AS a, pv AS b FROM p),
          $rounds,
-         u4 AS MATERIALIZED (SELECT a AS n, b AS z FROM e4 UNION ALL SELECT b, a FROM e4)
-         SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
-         FROM e4 e JOIN u4 x ON e.a = x.n JOIN u4 y ON e.b = y.n AND y.z = x.z
-         GROUP BY 1, 2 ORDER BY a, b"""
+         u4 AS MATERIALIZED (SELECT a AS n, b AS z FROM e4 UNION ALL SELECT b, a FROM e4),
+         s4 AS MATERIALIZED (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
+                FROM e4 e JOIN u4 x ON e.a = x.n JOIN u4 y ON e.b = y.n AND y.z = x.z
+                GROUP BY 1, 2)
+         SELECT e.a, e.b, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+         FROM e4 e LEFT JOIN s4 s ON e.a = s.a AND e.b = s.b
+         ORDER BY e.a, e.b"""
   }
 
   /** Adjacent-token edges + 5 chained PageRank CTEs (the q_pagerank
@@ -7293,18 +7296,16 @@ object SparkEntry {
                 ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS prediction
          FROM miss WHERE u <= 200 ORDER BY o_custkey, p_brand""",
     // freq/degree exact longs; word scores one-division 1e-9-quantized
-    // longs before the phrase sum; stopword pass applied twice (adjacent
-    // stopwords share the delimiting space) on BOTH engines
+    // longs before the phrase sum; token-list stopword marking (every
+    // stopword its own delimiter, any run length) on BOTH engines
     "q_rake" ->
       """WITH pre AS (SELECT doc_id,
              trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS norm
            FROM documents),
          mk AS (SELECT doc_id,
-             regexp_replace(regexp_replace(' ' || norm || ' ',
-               ' (a|an|the|and|or|but|of|to|in|on|for|with|is|are|was|be|that|this|it|as|at|by|from|not|have) ',
-               ' | ', 'g'),
-               ' (a|an|the|and|or|but|of|to|in|on|for|with|is|are|was|be|that|this|it|as|at|by|from|not|have) ',
-               ' | ', 'g') AS m
+             array_to_string(list_transform(string_split(norm, ' '),
+               w -> CASE WHEN w IN ('a','an','the','and','or','but','of','to','in','on','for','with','is','are','was','be','that','this','it','as','at','by','from','not','have')
+                         THEN '|' ELSE w END), ' ') AS m
            FROM pre),
          ph AS (SELECT doc_id, phrase FROM (
              SELECT doc_id,
@@ -9779,7 +9780,8 @@ object SparkEntry {
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
            FROM events GROUP BY 1, 2),
          kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM daily),
-         comp AS (SELECT b FROM daily, kk GROUP BY b, k HAVING COUNT(*) = MAX(k)),
+         comp AS (SELECT b FROM daily, kk GROUP BY b, k
+                  HAVING COUNT(*) = MAX(k) AND COUNT(DISTINCT t) = MAX(k)),
          kept AS (SELECT d.* FROM daily d JOIN comp USING (b)),
          h AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY 1, 2),
          r2 AS (SELECT b, v,

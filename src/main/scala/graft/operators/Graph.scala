@@ -466,7 +466,13 @@ object Graph {
       done = pruned.count() == e.count()
       e = pruned
     }
-    support(e)
+    // left-join the final recount back onto the surviving edge set: an edge
+    // whose support fell to 0 on the pruned graph has no wedge row but IS a
+    // survivor of the last completed peel round — reporting it with support
+    // 0 keeps the contract "surviving edges with their final support"
+    // (an inner join here would act as an extra uncontrolled peel round)
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
   }
 
   /** Degree assortativity (Newman 2002) over an UNDIRECTED edge list — do

@@ -856,11 +856,17 @@ object Similarity {
       col("__ntot").as("n"),
       col("__k").as("k"),
       col("__wss").as("w_ss"),
-      round((col("__n2b") * (dec(col("__ntot")) - dec(col("__k")))).cast("double") /
-        (dec(col("__ntot")) * dec(col("__ntot")) * dec(col("__wss")) *
-          (dec(col("__k")) - lit(1))).cast("double"), dp)
+      // one populated cluster (k−1 = 0) or perfect clustering (WSS = 0)
+      // leaves CH undefined — report NULL, not an ANSI divide-by-zero
+      round(when(col("__k") > 1 && col("__wss") > 0,
+        (col("__n2b") * (dec(col("__ntot")) - dec(col("__k")))).cast("double") /
+          (dec(col("__ntot")) * dec(col("__ntot")) * dec(col("__wss")) *
+            (dec(col("__k")) - lit(1))).cast("double")), dp)
         .as("calinski_harabasz"),
-      round(col("__mqs").cast("double") / lit(1e9) /
-        col("__kk").cast("double"), dp).as("davies_bouldin"))
+      // all centroid pairs coincident → zero contributing clusters; report
+      // NULL instead of an ANSI divide-by-zero that would kill the row
+      round(when(col("__kk") > 0,
+        col("__mqs").cast("double") / lit(1e9) / col("__kk").cast("double")),
+        dp).as("davies_bouldin"))
   }
 }

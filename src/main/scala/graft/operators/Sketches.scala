@@ -1362,9 +1362,14 @@ object Sketches {
       col(blockCol).as("__b"), col(treatmentCol).as("__t"),
       col(valueCol).cast("long").as("__v"))
     val kDf = base.agg(count_distinct(col("__t")).as("__k"))
-    val complete = base.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+    // complete-block filter on BOTH counts: distinct treatments == k AND
+    // one row per treatment — a block with a duplicated (block, treatment)
+    // row plus a missing treatment matches the raw row count alone and
+    // would silently corrupt the within-block midranks
+    val complete = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt"), count_distinct(col("__t")).as("__td"))
       .crossJoin(broadcast(kDf))
-      .filter(col("__cnt") === col("__k"))
+      .filter(col("__cnt") === col("__k") && col("__td") === col("__k"))
       .select(col("__b"))
     val kept = base.join(complete, Seq("__b"), "left_semi")
     val hist = kept.groupBy(col("__b"), col("__v"))

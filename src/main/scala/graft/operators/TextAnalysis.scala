@@ -607,13 +607,18 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       topK: Int = 3): DataFrame = {
-    val stop = "(a|an|the|and|or|but|of|to|in|on|for|with|is|are|was|be|" +
-      "that|this|it|as|at|by|from|not|have)"
-    val pat = s" $stop "
+    val stopWords = Seq("a", "an", "the", "and", "or", "but", "of", "to",
+      "in", "on", "for", "with", "is", "are", "was", "be", "that", "this",
+      "it", "as", "at", "by", "from", "not", "have")
     val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
-    val marked = regexp_replace(
-      regexp_replace(concat(lit(" "), norm, lit(" ")), pat, " | "),
-      pat, " | ")
+    // token-list stopword marking: every stopword becomes its own phrase
+    // delimiter regardless of how many stand adjacent (the iterated-regex
+    // form only removed alternate stopwords in long runs, because each
+    // match consumed both delimiting spaces)
+    val marked = array_join(
+      transform(split(norm, " "),
+        w => when(w.isin(stopWords: _*), lit("|")).otherwise(w)),
+      " ")
     val ph = df
       .select(col(idCol), explode(split(marked, "[|]")).as("__p0"))
       .select(col(idCol),
@@ -660,12 +665,18 @@ object TextAnalysis {
       mu: Double = 2000.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // per-term query counts: a repeated query term weights its matched-term
+    // score by its query term frequency and |q| counts multiplicity — the
+    // full Dirichlet query-likelihood decomposition (a distinct-term |q|
+    // would under-weight repeated terms)
     val qTerms = queries.flatMap { case (qid, qtext) =>
-      val ts = qtext.toLowerCase.split(" ").filter(_.nonEmpty).distinct
-      ts.map(t => (qid, t, ts.length.toLong))
+      val ts = qtext.toLowerCase.split(" ").filter(_.nonEmpty)
+      ts.groupBy(identity).toSeq.sortBy(_._1).map { case (t, occ) =>
+        (qid, t, occ.length.toLong, ts.length.toLong)
+      }
     }
     require(qTerms.nonEmpty, "queries must contain at least one term")
-    val qdf = broadcast(qTerms.toDF("query_id", "__qterm", "__nq"))
+    val qdf = broadcast(qTerms.toDF("query_id", "__qterm", "__qtf", "__nq"))
     val termSet = qTerms.map(_._2).distinct
     val tokens = regexp_extract_all(lower(col(textCol)), lit("[^ ]+"), lit(0))
     val toks = df.select(
@@ -686,7 +697,8 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .select(
         col("query_id"), col(idCol), col("__dl"), col("__nq"),
-        floor(termScore * lit(1000000.0) + lit(0.5)).cast("long").as("__sc"))
+        (col("__qtf") *
+          floor(termScore * lit(1000000.0) + lit(0.5)).cast("long")).as("__sc"))
       .groupBy(col("query_id"), col(idCol))
       .agg((sum(col("__sc")) +
         floor(max(col("__nq")).cast("double") *

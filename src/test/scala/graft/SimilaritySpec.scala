@@ -318,4 +318,19 @@ class SimilaritySpec extends SparkSpec {
     // s = √2 both sides, d = √200 ⇒ DB = 2√2/√200 = 0.2
     assert(r.getAs[Double]("davies_bouldin") == 0.2)
   }
+
+  test("clusterQuality: coincident centroids still report CH/WSS with DB null") {
+    import spark.implicits._
+    // every centroid pair has zero separation — Davies–Bouldin is undefined
+    // (its ratio divides by the centroid distance) but the CH/WSS row must
+    // survive with davies_bouldin NULL, not vanish
+    val pts = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("x", "y")
+    val cents = Seq((0, Seq(0L, 0L)), (1, Seq(0L, 0L)))
+    val rows = Similarity.clusterQuality(pts, Seq("x", "y"), cents).collect()
+    assert(rows.length == 1, s"expected 1 row, got ${rows.length}")
+    val r = rows.head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(!r.isNullAt(r.fieldIndex("w_ss")))
+    assert(r.isNullAt(r.fieldIndex("davies_bouldin")))
+  }
 }

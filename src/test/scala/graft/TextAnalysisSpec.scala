@@ -408,6 +408,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == Seq(1, 2)) // doc 3: no match, absent
   }
 
+  test("queryLikelihoodTopK: repeated query term weights by qtf, |q| counts multiplicity") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.queryLikelihoodTopK(
+      docs, "doc_id", "text", Seq("qa" -> "apple apple zzz"), topK = 3, mu = 10.0)
+      .orderBy("rnk").collect()
+    // T=5 tokens, cf(apple)=3; qtf(apple)=2, |q|=3 (zzz counts)
+    def ql(tf: Long, dl: Long): Long = {
+      val t1 = 2L * math.floor(math.log(1.0 + tf * 5.0 / (10.0 * 3.0)) * 1e6 + 0.5).toLong
+      val nrm = math.floor(3.0 * math.log(10.0 / (dl + 10.0)) * 1e6 + 0.5).toLong
+      t1 + nrm
+    }
+    val expect = Seq((1L, ql(2, 3)), (2L, ql(1, 2))).sortBy(-_._2)
+    assert(out.map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSeq
+      == expect)
+  }
+
   test("compression_ratio: repetition compresses below prose, random above, empty = 1") {
     import graft.functions.compression_ratio
     val rnd = new scala.util.Random(5)
