@@ -657,14 +657,17 @@ object SparkEntry {
       .orderBy("l_returnflag", "indicateur", "variable")
   }
 
-  /** GK approx quantiles per group — rows-only by design (the sketch is
-    * approximate); SketchesSpec pins the error bound vs exact
-    * percentiles. */
+  /** GK approx quantiles per group, in the oracle-checkable regime:
+    * relativeError = 1e-6 gives accuracy 1e6 >= every gate group size, so
+    * the summary never compresses and each readout is the exact order
+    * statistic — SQL-replayable. Production callers keep the default 1%
+    * error, whose bound SketchesSpec pins. */
   private def qApproxQuantiles(s: SparkSession, d: String): DataFrame =
     // posexplode to scalar (flag, p, q) rows: the driver's rows-only check
     // sorts the result with pandas, which cannot order an array column
     Sketches.approxQuantiles(
-      Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75))
+      Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75),
+      relativeError = 1e-6)
       .select(col("l_returnflag"), posexplode(col("approx_quantiles")).as(Seq("p_idx", "q_value")))
       .orderBy("l_returnflag", "p_idx")
 
@@ -1670,10 +1673,16 @@ object SparkEntry {
   /** Corpus-level containment summary: for each doc, how many partner docs
     * share >=1 winnowing fingerprint with it, and the strongest overlap.
     * Aggregated per doc (not per pair) so the output is stable and small
-    * even on a corpus with no true duplicates. */
+    * even on a corpus with no true duplicates. Runs on the PORTABLE md5
+    * winnowing prints (position bits shifted off after selection), so the
+    * whole pipeline — gram hash, window selection, pair join, containment
+    * summary — replays in DuckDB and hash-gates; the native rolling-hash
+    * path keeps its rows-only q_fingerprint gate as the perf variant. */
   private def qFingerprintOverlap(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = TextAnalysis.fingerprintOverlap(docs, "doc_id", "text", minShared = 1)
+    val prints = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .select(col("doc_id"), shiftright(col("print"), 24).as("fp"))
+    val pairs = TextAnalysis.fingerprintOverlapFrom(prints, "doc_id", "fp", minShared = 1)
     val bothSides = pairs.select(col("id1").as("doc_id"), col("shared"))
       .unionByName(pairs.select(col("id2").as("doc_id"), col("shared")))
     docs.select(col("doc_id"))
@@ -6213,17 +6222,18 @@ object SparkEntry {
 
   /** DuckDB oracles. Omitted only where no SQL twin exists — each such
     * query gets a rows-only check plus pinned ScalaTest specs:
-    *  - q_dedup_minhash_bands, q_dedup_simhash, q_fingerprint,
-    *    q_fingerprint_overlap: outputs ARE engine-specific 64-bit hashes
-    *    (xxhash64 band keys / SimHash / winnowing prints) with no DuckDB
-    *    equivalent function.
+    *  - q_dedup_minhash_bands, q_dedup_simhash, q_fingerprint: outputs ARE
+    *    engine-specific 64-bit hashes (xxhash64 band keys / SimHash /
+    *    rolling-hash winnowing prints) with no DuckDB equivalent function.
+    *    (q_fingerprint_overlap runs on the portable md5 winnowing twin and
+    *    IS hash-gated below.)
     *  - q_ann_ivf, q_ann_lsh: recall < 1 by design (probe/bucket subsets),
     *    so no closed-form SQL set; brute-force agreement is spec-pinned.
-    *  - q_approx_quantiles: GK sketch ESTIMATE — DuckDB has no GK twin;
-    *    the error bound is spec-pinned instead. (The HLL/KLL sketch gates
-    *    — q_approx_distinct, q_sketch_cube, q_overlap_estimate,
-    *    q_rolling_distinct(+_stream), q_quantile_cube(+_stream) — run in
-    *    provably exact regimes and carry full SQL oracles below.)
+    *  - (The sketch gates — q_approx_distinct, q_approx_quantiles,
+    *    q_sketch_cube, q_overlap_estimate, q_rolling_distinct(+_stream),
+    *    q_quantile_cube(+_stream) — run in provably exact regimes and
+    *    carry full SQL oracles below; production parameter defaults stay
+    *    approximate with spec-pinned bounds.)
     *  - q_bpe: iterative trainer (argmax per merge round); SQL cannot
     *    express the loop. Sennrich-corpus vectors are spec-pinned.
     *  - q_deterministic_id_uuid5: RFC 4122 v5 needs sha1, which this
@@ -6284,6 +6294,16 @@ object SparkEntry {
          SELECT r.event_type, CAST(r.n AS BIGINT) AS n_rows, p.q_idx, r.value AS estimate
          FROM ranked r JOIN probs p ON r.rn = CAST(CEIL(p.p * r.n) AS BIGINT)
          ORDER BY r.event_type, p.q_idx""",
+    "q_approx_quantiles" ->
+      """WITH ranked AS (
+           SELECT l_returnflag, l_quantity,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+         probs AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75)) AS t(p_idx, p))
+         SELECT r.l_returnflag, p.p_idx, r.l_quantity AS q_value
+         FROM ranked r JOIN probs p ON r.rn = CAST(CEIL(p.p * r.n) AS BIGINT)
+         ORDER BY r.l_returnflag, p.p_idx""",
     "q_quantile_cube_stream" ->
       """WITH ranked AS (
            SELECT event_type, value,
@@ -8678,6 +8698,31 @@ object SparkEntry {
          sels AS (SELECT DISTINCT doc_id, sel FROM w WHERE wn = 4 OR pos = 1)
          SELECT doc_id, COUNT(*) AS n_prints, MIN(sel) AS min_print, MAX(sel) AS max_print
          FROM sels GROUP BY doc_id ORDER BY doc_id""",
+    // the winnowing selection above + position strip + print-equality pair
+    // join + per-doc containment summary, all replayed
+    "q_fingerprint_overlap" ->
+      """WITH g AS (
+           SELECT doc_id, i AS pos,
+                  ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 3)), 1, 9))::BIGINT
+                    * 16777216 + i AS key
+           FROM documents,
+                LATERAL unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)),
+         w AS (
+           SELECT doc_id, pos,
+                  MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                  COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+           FROM g),
+         sels AS (SELECT DISTINCT doc_id, sel // 16777216 AS fp FROM w WHERE wn = 4 OR pos = 1),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS shared
+                FROM sels a JOIN sels b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         bs AS (SELECT id1 AS doc_id, shared FROM pr UNION ALL SELECT id2, shared FROM pr)
+         SELECT d.doc_id, CAST(COUNT(bs.shared) AS BIGINT) AS n_partners,
+                CAST(COALESCE(MAX(bs.shared), 0) AS BIGINT) AS max_shared
+         FROM documents d LEFT JOIN bs ON d.doc_id = bs.doc_id
+         GROUP BY 1 ORDER BY 1""",
     "q_pagerank" -> pageRankOracle,
     "q_hits" -> hitsOracle,
     "q_ktruss" -> kTrussOracle,

@@ -1158,12 +1158,24 @@ object TextAnalysis {
       textCol: String,
       k: Int = 3,
       window: Int = 4,
+      minShared: Int = 2): DataFrame =
+    fingerprintOverlapFrom(
+      df.select(col(idCol), explode(fingerprint_set(col(textCol), k, window)).as("fp")),
+      idCol, "fp", minShared)
+
+  /** The pair half of [[fingerprintOverlap]] over an arbitrary
+    * (id, print) table — lets the SAME containment scoring run on any
+    * fingerprint source: the native rolling-hash set (above) or the
+    * engine-portable md5 winnowing ([[winnowFingerprints]] with the
+    * position bits stripped), which is what makes the full overlap
+    * pipeline SQL-oracle-checkable. Input prints are deduped per id. */
+  def fingerprintOverlapFrom(
+      prints0: DataFrame,
+      idCol: String,
+      printCol: String,
       minShared: Int = 2): DataFrame = {
-    val prints = df
-      .select(col(idCol), explode(fingerprint_set(col(textCol), k, window)).as("fp"))
-    val counts = df.select(
-      col(idCol),
-      size(fingerprint_set(col(textCol), k, window)).as("n_fp"))
+    val prints = prints0.select(col(idCol), col(printCol).as("fp")).distinct()
+    val counts = prints.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
     val pairs = prints.select(col(idCol).as("id1"), col("fp"))
       .join(prints.select(col(idCol).as("id2"), col("fp")), "fp")
       .filter(col("id1") < col("id2"))
