@@ -1679,7 +1679,10 @@ object SparkEntry {
     * summary — replays in DuckDB and hash-gates; the native rolling-hash
     * path keeps its rows-only q_fingerprint gate as the perf variant. */
   private def qFingerprintOverlap(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // doc_id < 500 keeps the md5-per-gram winnowing + print self-join at a
+    // fixed gate size across scale factors (no-op at sf<=0.01, 10x cut at
+    // the sf0.1 bench) — the q_hash_features precedent
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
     val prints = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
       .select(col("doc_id"), shiftright(col("print"), 24).as("fp"))
     val pairs = TextAnalysis.fingerprintOverlapFrom(prints, "doc_id", "fp", minShared = 1)
@@ -2073,16 +2076,19 @@ object SparkEntry {
         col("l_quantity"), col("median"), col("mad"))
       .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
 
-  /** HLL++ distinct-user sketch per event type, with the exact count carried
+  /** HLL distinct-user sketch per event type, with the exact count carried
     * alongside — run in the oracle-checkable regime (the q_cms_counts
-    * recipe): rsd = 0.003 gives ~136k HLL++ registers against <= 1.5k
-    * distinct users at the gate scale factors, so linear counting is
-    * collision-free and every estimate is EXACT; the oracle is a plain
-    * COUNT(DISTINCT). Production callers keep the default rsd = 5% whose
-    * error bound SketchesSpec pins. */
+    * recipe) through the DataSketches variant: lgK = 18 keeps the sketch
+    * in exact coupon-set mode for the <= 1.5k distinct users at the gate
+    * scale factors, so every estimate is EXACT and the oracle is a plain
+    * COUNT(DISTINCT). (Spark's HLL++ `approx_count_distinct` at equivalent
+    * precision allocates its full dense register array per group — 17.8s
+    * vs 0.2s here — so the high-precision regime belongs to the sparse
+    * DataSketches path; `Sketches.approxDistinct` keeps the Spark-native
+    * wrapper at production rsd with its SketchesSpec error bound.) */
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    Sketches.approxDistinct(ev, Seq("event_type"), "user_id", rsd = 0.003)
+    Sketches.approxDistinctDs(ev, Seq("event_type"), "user_id", lgK = 18)
       .join(Sketches.exactDistinct(ev, Seq("event_type"), "user_id"), "event_type")
       .orderBy("event_type")
   }
@@ -8706,7 +8712,8 @@ object SparkEntry {
                   ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 3)), 1, 9))::BIGINT
                     * 16777216 + i AS key
            FROM documents,
-                LATERAL unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)),
+                LATERAL unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)
+           WHERE doc_id < 500),
          w AS (
            SELECT doc_id, pos,
                   MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
@@ -8722,6 +8729,7 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COUNT(bs.shared) AS BIGINT) AS n_partners,
                 CAST(COALESCE(MAX(bs.shared), 0) AS BIGINT) AS max_shared
          FROM documents d LEFT JOIN bs ON d.doc_id = bs.doc_id
+         WHERE d.doc_id < 500
          GROUP BY 1 ORDER BY 1""",
     "q_pagerank" -> pageRankOracle,
     "q_hits" -> hitsOracle,
