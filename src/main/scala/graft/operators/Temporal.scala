@@ -628,8 +628,10 @@ object Temporal {
     * distributed χ²(1) under H0.
     *
     * Scale shape: one partial aggregate collapses the corpus to distinct
-    * durations (calendar-bounded — days, not rows); the single-partition
-    * window runs on that bounded table only. Counts stay exact longs; each
+    * durations; the cumulative at-risk counts ride the two-pass
+    * range-partitioned prefix pass ([[Relational.globalRunningSums]]), so
+    * no single-partition window exists at ANY duration cardinality (totals
+    * broadcast from a 1-row aggregate). Counts stay exact longs; each
     * time's e/v term is a FIXED left-associated chain of single IEEE ops
     * from those longs, QUANTIZED to 1e-9 longs before the sum (a raw
     * double SUM is partition-order-dependent), so the statistic
@@ -660,16 +662,18 @@ object Temporal {
         sum(when(!isA && col(eventCol), 1L).otherwise(0L)).as("__dB"),
         sum(when(isA, 1L).otherwise(0L)).as("__cA"),
         sum(when(!isA, 1L).otherwise(0L)).as("__cB"))
-    // bounded table (distinct durations): single-partition windows are fine
-    val wAll = Window.partitionBy(lit(1))
-    val wCum = Window.partitionBy(lit(1)).orderBy(col("__t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nA = sum(col("__cA")).over(wAll) -
-      (sum(col("__cA")).over(wCum) - col("__cA"))
-    val nB = sum(col("__cB")).over(wAll) -
-      (sum(col("__cB")).over(wCum) - col("__cB"))
-    val risked = grouped
-      .withColumn("__nA", nA).withColumn("__nB", nB)
+    // at-risk counts = total − (cumulative before t): cumulative counts ride
+    // the two-pass range-partitioned prefix pass (globalRunningSums — no
+    // single-partition window at ANY duration cardinality), totals
+    // broadcast from a 1-row aggregate
+    val tot = grouped.agg(
+      sum(col("__cA")).as("__tA"), sum(col("__cB")).as("__tB"))
+    val risked = Relational
+      .globalRunningSums(grouped, Seq(col("__t")),
+        Seq("__cA" -> "__FA", "__cB" -> "__FB"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__nA", col("__tA") - (col("__FA") - col("__cA")))
+      .withColumn("__nB", col("__tB") - (col("__FB") - col("__cB")))
       .withColumn("__n", col("__nA") + col("__nB"))
       .withColumn("__d", col("__dA") + col("__dB"))
     val e = (col("__d") * col("__nA")).cast("double") / col("__n").cast("double")

@@ -510,11 +510,13 @@ object TextAnalysis {
         lit(0))).as("__w"))
     val cnt = toks.groupBy(col("__s"), col("__w")).agg(count(lit(1)).as("__c"))
     val tot = cnt.groupBy(col("__s")).agg(sum(col("__c")).as("__t"))
+    // top-m by (count desc, word asc) through TakeOrdered's bounded heaps —
+    // the vocabulary table is data-derived (can be 1e8 words), so a
+    // single-partition row_number window here would be the X145 stall
     val top = cnt.groupBy(col("__w"))
       .agg(sum(col("__c")).as("__g"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("__g").desc, col("__w"))))
-      .filter(col("__rn") <= topWords)
+      .orderBy(col("__g").desc, col("__w").asc)
+      .limit(topWords)
       .select(col("__w"))
     val grid = tot.crossJoin(broadcast(top))
       .join(cnt, Seq("__s", "__w"), "left")
