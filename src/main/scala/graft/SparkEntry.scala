@@ -884,6 +884,20 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup over the embedding corpus against the q_assign_clusters
+    * formula centroids: intra-cluster pairs at cosine >= 0.4 mark the
+    * nearer-to-centroid member dropped — assignment, pair cosines and the
+    * keep/drop rule all replay in SQL, so the full semantic-dedup decision
+    * is hash-gated (threshold chosen to actually fire on the synthetic
+    * corpus: max pairwise cosine is ~0.51). */
+  private def qSemDedup(s: SparkSession, d: String): DataFrame = {
+    val centroids = Seq.tabulate(4, 64)((i, j) => (((i + 1) * (j + 1)) % 7 - 3) / 10.0)
+    Similarity.semDeDup(Tables.embeddings(s, d), "vec_id", "embedding", centroids,
+        threshold = 0.4)
+      .select(col("vec_id"), col("cluster"), col("dist_sq"), col("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Retrieval-quality eval: brute-force cosine top-5 scored against
     * label-match relevance — precision/recall@k, MRR, NDCG@k per query. */
   private def qRankingMetrics(s: SparkSession, d: String): DataFrame = {
@@ -1924,6 +1938,20 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("doc_id") < 50), "doc_id",
       Tables.embeddings(s, d), "vec_id", k = 4)
       .orderBy("doc_id", "draw")
+
+  /** DSIR importance scores of every document against the English slice as
+    * the target domain — hashed unigram models over 256 md5-mod buckets,
+    * add-one smoothing, per-bucket log-ratios 1e-6-quantized before the
+    * per-doc sum; the full model fit + scoring replays in SQL. English
+    * docs should score high, zh/es/de/fr low — the paper's separation,
+    * hash-gated. */
+  private def qDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Sampling.dsirScores(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", numBuckets = 256, minLen = 2)
+      .select(col("doc_id"), col("n_tokens"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
 
   /** Per-(returnflag, linestatus) OLS price-over-time trend — closed-form
     * regression from five exact decimal sufficient statistics in one
@@ -5323,6 +5351,7 @@ object SparkEntry {
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ranking_metrics" -> (qRankingMetrics _),
     "q_assign_clusters" -> (qAssignClusters _),
+    "q_semdedup" -> (qSemDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -5446,6 +5475,7 @@ object SparkEntry {
     "q_k_anonymity" -> (qKAnonymity _),
     "q_mutual_info" -> (qMutualInfo _),
     "q_negative_sample" -> (qNegativeSample _),
+    "q_dsir" -> (qDsir _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_fixedwidth_roundtrip" -> (qFixedWidthRoundtrip _),
     "q_join_fanout" -> (qJoinFanout _),
@@ -6657,6 +6687,55 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
+    // assignment replay + intra-cluster pair cosines + the farther-from-
+    // centroid suppression rule, all in SQL
+    "q_semdedup" ->
+      """WITH c AS (
+           SELECT i AS cid,
+                  list_transform(generate_series(1, 64),
+                                 j -> CAST((i + 1) * j % 7 - 3 AS DOUBLE) / 10.0) AS cv
+           FROM generate_series(0, 3) t(i)),
+         d AS (
+           SELECT e.vec_id, c.cid,
+                  ROUND(list_sum(list_transform(generate_series(1, 64),
+                        j -> (CAST(e.embedding[j] AS DOUBLE) - c.cv[j]) *
+                             (CAST(e.embedding[j] AS DOUBLE) - c.cv[j]))), 6) AS dist
+           FROM embeddings e CROSS JOIN c),
+         r AS (SELECT vec_id, cid, dist,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d),
+         asg AS (SELECT vec_id, cid AS cluster, dist AS dist_sq FROM r WHERE rn = 1),
+         e2 AS (SELECT a.vec_id, a.cluster, a.dist_sq, CAST(e.embedding AS DOUBLE[]) AS v
+                FROM asg a JOIN embeddings e USING (vec_id)),
+         drp AS (SELECT DISTINCT b.vec_id
+                 FROM e2 a JOIN e2 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+                 WHERE (a.dist_sq > b.dist_sq OR (a.dist_sq = b.dist_sq AND a.vec_id < b.vec_id))
+                   AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+         SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, a.dist_sq,
+                (drp.vec_id IS NULL) AS kept
+         FROM asg a LEFT JOIN drp ON a.vec_id = drp.vec_id
+         ORDER BY a.vec_id""",
+    // hashed unigram target/raw models, add-one smoothing, 1e-6-quantized
+    // per-bucket log-ratios, per-doc exact long sums
+    "q_dsir" ->
+      """WITH rt AS (SELECT doc_id,
+                ('0x' || substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))), 1, 8))::BIGINT % 256 AS b
+              FROM documents),
+         tt AS (SELECT ('0x' || substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))), 1, 8))::BIGINT % 256 AS b
+                FROM documents WHERE lang = 'en'),
+         tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tn FROM tt GROUP BY 1),
+         rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rn FROM rt GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(SUM(tn) AS BIGINT) FROM tc) AS ttot,
+                        (SELECT CAST(SUM(rn) AS BIGINT) FROM rc) AS rtot),
+         lr AS (SELECT COALESCE(rc.b, tc.b) AS b,
+                  CAST(FLOOR(ln(CAST((COALESCE(tn, 0) + 1) * (rtot + 256) AS DOUBLE)
+                              / CAST((COALESCE(rn, 0) + 1) * (ttot + 256) AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT) AS lrq
+                FROM rc FULL OUTER JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+         df AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM rt GROUP BY 1, 2)
+         SELECT df.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                ROUND(CAST(SUM(c * lrq) AS DOUBLE) / 1e6, 6) AS score
+         FROM df JOIN lr USING (b) GROUP BY 1 ORDER BY 1""",
     "q_assign_clusters" ->
       """WITH c AS (
            SELECT i AS cid,

@@ -215,6 +215,67 @@ object Sampling {
     * filter afterwards if the loss requires it).
     *
     * Returns (queryIdCol, draw, itemIdCol) — k rows per query. */
+  /** DSIR importance scores (Xie et al., NeurIPS 2023, arXiv:2302.03169) —
+    * "which raw documents look like the target domain?", the
+    * data-selection step between quality filtering and mixing: fit two
+    * hashed unigram bag-of-words models (TARGET domain vs RAW corpus) over
+    * `numBuckets` md5-mod feature buckets (the [[TextAnalysis.hashedFeatures]]
+    * hash — no vocabulary fit, no dictionary broadcast, engine-portable),
+    * then score every raw document by its log importance weight
+    * log p_target(doc)/p_raw(doc) = Σ_f cnt_doc(f)·log(p_t(f)/p_r(f))
+    * with add-one smoothing. Select by `score >= cutoff` or top-k
+    * downstream.
+    *
+    * Scale shape: both model fits are one partial aggregate each to the
+    * BUCKET domain (bounded by numBuckets, broadcastable); scoring is one
+    * doc-grain aggregate joined against the broadcast bucket table — one
+    * corpus shuffle total, nothing vocabulary-scale moves. Determinism:
+    * each bucket's log-ratio is ONE ln of a ratio of exact integer
+    * products (decimal(38,0) — corpus-scale counts cross-multiplied
+    * overflow a long), quantized to 1e-6 longs BEFORE the per-doc sum
+    * (the bm25 discipline), so scores reproduce bit-for-bit cross-engine.
+    *
+    * Returns (idCol, n_tokens, score) for every raw document. */
+  def dsirScores(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 1024,
+      minLen: Int = 1): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    def toks(df: DataFrame) = df.select(
+      col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit(s"[a-z0-9]{$minLen,}"), lit(0))).as("__term"))
+      .withColumn("__b",
+        conv(substring(md5(col("__term")), 1, 8), 16, 10).cast("long") % numBuckets)
+    def model(df: DataFrame, cntName: String, totName: String) = {
+      val c = toks(df).groupBy(col("__b")).agg(count(lit(1)).as(cntName))
+      val t = c.agg(sum(col(cntName)).as(totName))
+      (c, t)
+    }
+    val (tc, tt) = model(target, "__tn", "__ttot")
+    val (rc, rt) = model(raw, "__rn", "__rtot")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // all 2^? buckets that appear in EITHER corpus carry a ratio; add-one
+    // smoothing keeps absent-side buckets finite
+    val lr = rc.join(tc, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .select(col("__b"),
+        floor(log(
+          (dec(coalesce(col("__tn"), lit(0L)) + 1) * dec(col("__rtot") + numBuckets)).cast("double") /
+            (dec(coalesce(col("__rn"), lit(0L)) + 1) * dec(col("__ttot") + numBuckets)).cast("double"))
+          * 1e6 + 0.5).cast("long").as("__lrq"))
+    val docFeat = toks(raw).groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    docFeat
+      .join(broadcast(lr), "__b")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        (sum(col("__c") * col("__lrq")).cast("double") / lit(1e6)).as("score"))
+  }
+
   def negativeSample(
       queries: DataFrame,
       queryIdCol: String,

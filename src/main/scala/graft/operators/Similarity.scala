@@ -309,6 +309,54 @@ object Similarity {
       .drop((0 until k).map(i => s"__d$i"): _*)
   }
 
+  /** SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+    * — remove embedding-level near-duplicates that lexical dedup cannot
+    * see (paraphrases, re-renders, translations of boilerplate): cluster
+    * the embeddings, compare pairs ONLY within a cluster, and of every
+    * duplicate pair keep the member FARTHER from its centroid (the
+    * paper's keep-the-edge-example rule; ties break to the smaller id).
+    *
+    * This is the serving-style composition of [[assignClusters]] (fixed
+    * centroids, the quantizer discipline of [[ivfTopK]]) + one
+    * co-partitioned intra-cluster self-join — never a corpus×corpus pair
+    * pass; cluster granularity bounds the join exactly as in the paper
+    * (k scales with corpus size so clusters stay small). Pairwise
+    * SUPPRESSION variant: a row is dropped when ANY higher-ranked row in
+    * its cluster (rank = dist_sq DESC, id ASC) is within `threshold`
+    * cosine — deterministic in one join, no sequential greedy scan, at
+    * most over-dropping along duplicate chains (which the paper's
+    * epsilon-ball variant also accepts). Cosines round at `roundTo` dp
+    * before the threshold compare, so keep/drop decisions reproduce
+    * bit-for-bit cross-engine and the whole pipeline SQL-oracle-gates.
+    *
+    * Returns the input plus (cluster, dist_sq, kept). */
+  def semDeDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      threshold: Double,
+      roundTo: Int = 6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val assigned = assignClusters(df, vecCol, centroids, roundTo)
+    val a = assigned.select(col("cluster"), col(idCol).as("__ida"),
+      col(vecCol).as("__va"), col("dist_sq").as("__dsa"))
+    val b = assigned.select(col("cluster"), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"), col("dist_sq").as("__dsb"))
+    val dropped = a.join(b, "cluster")
+      .filter(col("__ida") =!= col("__idb"))
+      // a outranks b: keep the example farther from the centroid
+      .filter(col("__dsa") > col("__dsb") ||
+        (col("__dsa") === col("__dsb") && col("__ida") < col("__idb")))
+      .filter(round(cosine_sim_float(col("__va"), col("__vb")), roundTo) >= threshold)
+      .select(col("__idb").as(idCol))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .withColumn("kept", col("__dup").isNull)
+      .drop("__dup")
+  }
+
   /** Integer-grid Lloyd k-means over pre-quantized scalar features — the
     * fully-EXACT clustering variant: squared distances are exact longs,
     * the argmin ties to the lowest cluster id through lexicographic

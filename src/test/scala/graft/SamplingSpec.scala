@@ -129,4 +129,28 @@ class SamplingSpec extends SparkSpec {
     assert(a.map(_._1) == Set(101L, 202L, 303L))
     assert(run(7) == a, "sample must not depend on partitioning")
   }
+
+  test("dsirScores: target-domain docs outscore off-domain, exact token counts, partition-stable") {
+    val raw = Seq(
+      (1L, "cats purr and cats nap on warm windowsills"),
+      (2L, "the cats chase feather toys and purr loudly"),
+      (3L, "submarine engines burn heavy diesel fuel offshore"),
+      (4L, "diesel turbines power the offshore drilling platform")).toDF("id", "text")
+    val target = Seq(
+      (10L, "cats purr on the windowsill"),
+      (11L, "sleepy cats nap all afternoon")).toDF("id", "text")
+    def run(parts: Int) = Sampling.dsirScores(
+      raw.repartition(parts), target, "id", "text", numBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sortBy(_._1)
+    val got = run(2)
+    val byId = got.map(t => t._1 -> t).toMap
+    // exact token counts (whitespace words, minLen=1)
+    assert(byId(1L)._2 == 8L && byId(3L)._2 == 7L, got.toString)
+    // the paper's separation: cat docs above diesel docs
+    val catMin = math.min(byId(1L)._3, byId(2L)._3)
+    val dieselMax = math.max(byId(3L)._3, byId(4L)._3)
+    assert(catMin > dieselMax, s"cat docs must outscore: $got")
+    // quantized log-ratios -> bit-stable across partitionings
+    assert(run(5) == got, "scores must not depend on partitioning")
+  }
 }

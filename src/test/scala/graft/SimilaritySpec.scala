@@ -319,6 +319,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("davies_bouldin") == 0.2)
   }
 
+  test("semDeDup: drops the nearer-to-centroid member of an intra-cluster duplicate pair") {
+    import spark.implicits._
+    // cluster 0 centroid (1,0), cluster 1 centroid (0,1); vecs 1 and 2 are
+    // near-parallel (cos ~ 0.9999) in cluster 0 — vec 1 sits closer to the
+    // centroid, so it drops; vec 3 (cluster 1) has no in-cluster duplicate;
+    // vec 4 is in cluster 0 but orthogonal-ish to 1/2
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f)),
+      (2L, Array(0.9f, 0.012f)),
+      (3L, Array(0.05f, 0.9f)),
+      (4L, Array(0.6f, -0.6f))).toDF("id", "vec")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = Similarity.semDeDup(vecs, "id", "vec", cents, threshold = 0.95)
+      .select("id", "cluster", "kept")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(1L)._1 == 0 && out(2L)._1 == 0 && out(3L)._1 == 1 && out(4L)._1 == 0)
+    assert(!out(1L)._2, "vec 1 is nearer the centroid than its duplicate 2 - dropped")
+    assert(out(2L)._2 && out(3L)._2 && out(4L)._2, out.toString)
+    // kept set is exactly the paper's rule; raising the threshold past the
+    // pair similarity (cos(1,2) ~ 0.999994) keeps everything
+    val all = Similarity.semDeDup(vecs, "id", "vec", cents, threshold = 1.0)
+      .filter(org.apache.spark.sql.functions.col("kept")).count()
+    assert(all == 4L)
+  }
+
   test("clusterQuality: coincident centroids still report CH/WSS with DB null") {
     import spark.implicits._
     // every centroid pair has zero separation — Davies–Bouldin is undefined
