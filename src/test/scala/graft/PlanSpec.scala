@@ -543,6 +543,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("semdedup pairs by cluster equi-join; dsir broadcasts the bucket model") {
+    val p1 = plan(SparkEntry.queries("q_semdedup")(spark, sf))
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      s"semdedup must pair only within clusters:\n$p1")
+    val p2 = plan(SparkEntry.queries("q_dsir")(spark, sf))
+    assert(p2.contains("BroadcastExchange"),
+      s"dsir must broadcast the bucket-bounded log-ratio table:\n$p2")
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("ECDF-discrepancy family rides the two-pass prefix sum — roc/cvm/wasserstein") {
     // rocAuc, cramerVonMises, wassersteinAssemble: the cumulative counts
     // over the data-derived value histogram must be keyed by the physical
