@@ -1953,6 +1953,41 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** STREAMING DSIR twin — the production "fit offline, score online"
+    * shape: the bucket log-ratio model fits in BATCH
+    * ([[graft.operators.Sampling.dsirModel]]) and broadcasts into the
+    * document stream (stream-static join, stateless per token); per-doc
+    * (n_tokens, Σlrq) integer partials accumulate in the state store.
+    * Integer state ⇒ stream == batch bit-exactly, shares q_dsir's oracle
+    * verbatim (the 23rd end-to-end streaming gate). */
+  private def qDsirStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, d)
+    val model = Sampling.dsirModel(
+      docs, docs.filter(col("lang") === "en"), "text", numBuckets = 256, minLen = 2)
+      .localCheckpoint(true)
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "graft_dsir_stream"
+    withStatePartitions(s, 8) {
+      val q = Sampling.dsirBuckets(
+          stream.select(col("doc_id"), col("text")), "text", numBuckets = 256, minLen = 2)
+        .join(broadcast(model), "__b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("__lrq")).as("__sq"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__sq").cast("double") / lit(1e6), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Per-(returnflag, linestatus) OLS price-over-time trend — closed-form
     * regression from five exact decimal sufficient statistics in one
     * partial aggregate; x = epoch days of l_shipdate, y = price cents. */
@@ -5476,6 +5511,7 @@ object SparkEntry {
     "q_mutual_info" -> (qMutualInfo _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_dsir" -> (qDsir _),
+    "q_dsir_stream" -> (qDsirStream _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_fixedwidth_roundtrip" -> (qFixedWidthRoundtrip _),
     "q_join_fanout" -> (qJoinFanout _),
@@ -6718,6 +6754,25 @@ object SparkEntry {
     // hashed unigram target/raw models, add-one smoothing, 1e-6-quantized
     // per-bucket log-ratios, per-doc exact long sums
     "q_dsir" ->
+      """WITH rt AS (SELECT doc_id,
+                ('0x' || substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))), 1, 8))::BIGINT % 256 AS b
+              FROM documents),
+         tt AS (SELECT ('0x' || substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))), 1, 8))::BIGINT % 256 AS b
+                FROM documents WHERE lang = 'en'),
+         tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tn FROM tt GROUP BY 1),
+         rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rn FROM rt GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(SUM(tn) AS BIGINT) FROM tc) AS ttot,
+                        (SELECT CAST(SUM(rn) AS BIGINT) FROM rc) AS rtot),
+         lr AS (SELECT COALESCE(rc.b, tc.b) AS b,
+                  CAST(FLOOR(ln(CAST((COALESCE(tn, 0) + 1) * (rtot + 256) AS DOUBLE)
+                              / CAST((COALESCE(rn, 0) + 1) * (ttot + 256) AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT) AS lrq
+                FROM rc FULL OUTER JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+         df AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM rt GROUP BY 1, 2)
+         SELECT df.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                ROUND(CAST(SUM(c * lrq) AS DOUBLE) / 1e6, 6) AS score
+         FROM df JOIN lr USING (b) GROUP BY 1 ORDER BY 1""",
+    "q_dsir_stream" ->
       """WITH rt AS (SELECT doc_id,
                 ('0x' || substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))), 1, 8))::BIGINT % 256 AS b
               FROM documents),

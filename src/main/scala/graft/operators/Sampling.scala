@@ -243,37 +243,58 @@ object Sampling {
       textCol: String,
       numBuckets: Int = 1024,
       minLen: Int = 1): DataFrame = {
-    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
-    def toks(df: DataFrame) = df.select(
-      col(idCol),
-      explode(regexp_extract_all(lower(col(textCol)),
-        lit(s"[a-z0-9]{$minLen,}"), lit(0))).as("__term"))
-      .withColumn("__b",
-        conv(substring(md5(col("__term")), 1, 8), 16, 10).cast("long") % numBuckets)
-    def model(df: DataFrame, cntName: String, totName: String) = {
-      val c = toks(df).groupBy(col("__b")).agg(count(lit(1)).as(cntName))
-      val t = c.agg(sum(col(cntName)).as(totName))
-      (c, t)
-    }
-    val (tc, tt) = model(target, "__tn", "__ttot")
-    val (rc, rt) = model(raw, "__rn", "__rtot")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    // all 2^? buckets that appear in EITHER corpus carry a ratio; add-one
-    // smoothing keeps absent-side buckets finite
-    val lr = rc.join(tc, Seq("__b"), "full_outer")
-      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
-      .select(col("__b"),
-        floor(log(
-          (dec(coalesce(col("__tn"), lit(0L)) + 1) * dec(col("__rtot") + numBuckets)).cast("double") /
-            (dec(coalesce(col("__rn"), lit(0L)) + 1) * dec(col("__ttot") + numBuckets)).cast("double"))
-          * 1e6 + 0.5).cast("long").as("__lrq"))
-    val docFeat = toks(raw).groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val lr = dsirModel(raw, target, textCol, numBuckets, minLen)
+    val docFeat = dsirBuckets(raw.select(col(idCol), col(textCol)), textCol, numBuckets, minLen)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
     docFeat
       .join(broadcast(lr), "__b")
       .groupBy(col(idCol))
       .agg(
         sum(col("__c")).as("n_tokens"),
         (sum(col("__c") * col("__lrq")).cast("double") / lit(1e6)).as("score"))
+  }
+
+  /** The fitted model half of [[dsirScores]] — the (bucket, 1e-6-quantized
+    * log-ratio) table, numBuckets rows, broadcastable anywhere. Fit once in
+    * batch; the streaming twin scores a document stream STATELESSLY against
+    * the broadcast model (per-token lrq sum ≡ Σ_f cnt·lrq). */
+  def dsirModel(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      numBuckets: Int = 1024,
+      minLen: Int = 1): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    def counts(df: DataFrame, cntName: String, totName: String) = {
+      val c = dsirBuckets(df, textCol, numBuckets, minLen)
+        .groupBy(col("__b")).agg(count(lit(1)).as(cntName))
+      (c, c.agg(sum(col(cntName)).as(totName)))
+    }
+    val (tc, tt) = counts(target, "__tn", "__ttot")
+    val (rc, rt) = counts(raw, "__rn", "__rtot")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // buckets that appear in EITHER corpus carry a ratio; add-one smoothing
+    // keeps absent-side buckets finite
+    rc.join(tc, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .select(col("__b"),
+        floor(log(
+          (dec(coalesce(col("__tn"), lit(0L)) + 1) * dec(col("__rtot") + numBuckets)).cast("double") /
+            (dec(coalesce(col("__rn"), lit(0L)) + 1) * dec(col("__ttot") + numBuckets)).cast("double"))
+          * 1e6 + 0.5).cast("long").as("__lrq"))
+  }
+
+  /** Hashed-bucket tokenizer shared by the DSIR halves: keeps every input
+    * column and appends `__b` (md5-mod bucket) per extracted token. */
+  private[graft] def dsirBuckets(
+      df: DataFrame, textCol: String, numBuckets: Int, minLen: Int): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    df.select(df.columns.filter(_ != textCol).map(col) :+
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit(s"[a-z0-9]{$minLen,}"), lit(0))).as("__term"): _*)
+      .withColumn("__b",
+        conv(substring(md5(col("__term")), 1, 8), 16, 10).cast("long") % numBuckets)
+      .drop("__term")
   }
 
   def negativeSample(
