@@ -452,33 +452,78 @@ object Temporal {
       xCol: String,
       yCol: String,
       lookback: Int,
-      dp: Int = 6): DataFrame = {
+      dp: Int = 6,
+      numPartitions: Option[Int] = None): DataFrame = {
     require(lookback >= 2, s"lookback must be >= 2, got $lookback")
-    val w = Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(-(lookback - 1).toLong, Window.currentRow)
     // LONG sufficient statistics, not decimal: decimal window aggregation
     // costs ~10× (measured 18.6s -> ~2s at sf0.1) and longs are exact while
     // (lookback·max|value|)² fits 63 bits — 1e7-unit values at lookback 100
     // still leave 9× headroom; ANSI mode turns a violation into a loud
     // overflow error, never a silent wrap
-    val x = col(xCol).cast("long")
-    val y = col(yCol).cast("long")
-    val n = count(lit(1)).over(w)
-    val sx = sum(x).over(w)
-    val sy = sum(y).over(w)
-    val sxx = sum(x * x).over(w)
-    val syy = sum(y * y).over(w)
-    val sxy = sum(x * y).over(w)
-    val num = n * sxy - sx * sy
-    val denx = n * sxx - sx * sx
-    val deny = n * syy - sy * sy
-    df.withColumn(
-      "corr",
-      when(denx > 0 && deny > 0,
-        round(num.cast("double") /
-          sqrt(denx.cast("double") * deny.cast("double")), dp)))
+    def corrOver(frame: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+      val x = col(xCol).cast("long")
+      val y = col(yCol).cast("long")
+      val n = count(lit(1)).over(w)
+      val sx = sum(x).over(w)
+      val sy = sum(y).over(w)
+      val sxx = sum(x * x).over(w)
+      val syy = sum(y * y).over(w)
+      val sxy = sum(x * y).over(w)
+      val num = n * sxy - sx * sy
+      val denx = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      frame.withColumn(
+        "corr",
+        when(denx > 0 && deny > 0,
+          round(num.cast("double") /
+            sqrt(denx.cast("double") * deny.cast("double")), dp)))
+    }
+    // LOW-CARDINALITY KEY ESCAPE (the sliding-frame sibling of X145's
+    // two-pass prefix sum): Window.partitionBy(key) serializes the corpus
+    // onto |keys| tasks — a 3-value key column runs 600k rows on 3 cores.
+    // Fast path: range partition on (keys ++ order) so every core holds a
+    // CONTIGUOUS slice, replicate each partition's last (lookback−1) rows
+    // into the NEXT partition as borrowed frame context (they sort first —
+    // strictly earlier in the range order), run the same trailing frame
+    // keyed by (physical partition, keys), and drop the borrowed rows'
+    // outputs. Bit-identical to the keyed window — each row's frame is the
+    // same trailing rows — whenever every partition carries >= lookback−1
+    // rows; the one tiny per-partition count check guards that and falls
+    // back to the plain keyed window otherwise (also the zero-key case).
+    val sortKey = (keyCols ++ orderCols).map(col)
+    val ranged = numPartitions
+      .map(p => df.repartitionByRange(p, sortKey: _*))
+      .getOrElse(df.repartitionByRange(sortKey: _*))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val minRows = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")), count(lit(1))).head()
+    val fastOk = keyCols.nonEmpty && minRows.getLong(1) > 1 &&
+      !minRows.isNullAt(0) && minRows.getLong(0) >= (lookback - 1).toLong
+    if (!fastOk) {
+      val w = Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(-(lookback - 1).toLong, Window.currentRow)
+      corrOver(df, w).drop("__pid")
+    } else {
+      val wTail = Window.partitionBy(col("__pid"))
+        .orderBy(sortKey.map(_.desc): _*)
+      val borrowed = ranged
+        .withColumn("__rn", row_number().over(wTail))
+        .filter(col("__rn") <= lookback - 1)
+        .drop("__rn")
+        .withColumn("__pid", col("__pid") + 1)
+        .withColumn("__borrow", lit(1))
+      val union = ranged.withColumn("__borrow", lit(0)).unionByName(borrowed)
+      val w = Window
+        .partitionBy(col("__pid") +: keyCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(-(lookback - 1).toLong, Window.currentRow)
+      corrOver(union, w)
+        .filter(col("__borrow") === 0)
+        .drop("__pid", "__borrow")
+    }
   }
 
   /** Linear interpolation of missing values between known neighbors — the

@@ -275,6 +275,24 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("rollingCorr borrowed-tail fast path equals the plain keyed window bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    // 3 low-cardinality keys x 400 rows: with 8 range partitions each slice
+    // carries >= lookback-1 rows, so the fast path engages; numPartitions=1
+    // fails the partition-count guard and takes the plain keyed window
+    val rows = Seq.tabulate(1200)(i =>
+      (s"k${i % 3}", i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("g", "t", "x", "y")
+    def run(parts: Int) = Temporal.rollingCorr(
+      df, Seq("g"), Seq("t"), "x", "y", lookback = 7, numPartitions = Some(parts))
+      .select("g", "t", "corr").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val plain = run(1)
+    assert(run(8) == plain, "fast path must equal the keyed window")
+    assert(run(5) == plain)
+  }
+
   test("ohlcBars picks open/close on the (ts, tie) total order and sums exactly") {
     // two ticks share the opening timestamp: the tie column must decide
     val rows = Seq(
