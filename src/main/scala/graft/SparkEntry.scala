@@ -3451,6 +3451,12 @@ object SparkEntry {
   private def qZipf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.zipfFit(Tables.documents(s, d), "text", topN = 100)
 
+  /** Heaps' law vocabulary-growth fit over the corpus in doc_id order —
+    * the growth-curve sibling of q_zipf; first-occurrence aggregate +
+    * two-pass prefix sums, OLS from 1e-9-quantized ln points. */
+  private def qHeaps(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")
+
   /** Top-50 PMI collocations (support >= 5) over the documents corpus —
     * exact-ratio ranking, ln only prices the output. */
   private def qCollocations(s: SparkSession, d: String): DataFrame =
@@ -5511,6 +5517,7 @@ object SparkEntry {
     "q_mutual_info" -> (qMutualInfo _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_dsir" -> (qDsir _),
+    "q_heaps" -> (qHeaps _),
     "q_dsir_stream" -> (qDsirStream _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_fixedwidth_roundtrip" -> (qFixedWidthRoundtrip _),
@@ -6772,6 +6779,34 @@ object SparkEntry {
          SELECT df.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                 ROUND(CAST(SUM(c * lrq) AS DOUBLE) / 1e6, 6) AS score
          FROM df JOIN lr USING (b) GROUP BY 1 ORDER BY 1""",
+    // first-occurrence aggregate + running sums + quantized-ln OLS moments
+    "q_heaps" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]{1,}')) AS w
+              FROM documents),
+         pdt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+         pdn AS (SELECT fid AS doc_id, CAST(COUNT(*) AS BIGINT) AS nw
+                 FROM (SELECT w, MIN(doc_id) AS fid FROM toks GROUP BY 1) GROUP BY 1),
+         pd AS (SELECT p.doc_id, nt, COALESCE(nw, 0) AS nw
+                FROM pdt p LEFT JOIN pdn USING (doc_id)),
+         cum AS (SELECT doc_id,
+                   SUM(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+                   SUM(nw) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+                 FROM pd),
+         pts AS (SELECT CAST(FLOOR(ln(CAST(ct AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS x,
+                        CAST(FLOOR(ln(CAST(cv AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS y
+                 FROM cum WHERE ct > 0 AND cv > 0),
+         agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                        SUM(x * x) AS sxx, SUM(x * y) AS sxy
+                 FROM pts)
+         SELECT CAST(n AS BIGINT) AS n_points,
+                ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+                ROUND((CAST(sy AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) / 1e9, 6) AS ln_k
+         FROM agg""",
     "q_dsir_stream" ->
       """WITH rt AS (SELECT doc_id,
                 ('0x' || substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))), 1, 8))::BIGINT % 256 AS b

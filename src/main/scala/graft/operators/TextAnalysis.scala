@@ -186,6 +186,60 @@ object TextAnalysis {
       round((sum(col("y")) - slope * sum(col("x"))) / k, 6).as("intercept"))
   }
 
+  /** Heaps' law vocabulary-growth fit — V(N) = K·N^β over the corpus read
+    * in `idCol` order (Heaps 1978; healthy natural language sits at
+    * β ≈ 0.4–0.6; β near 0 flags a closed template vocabulary, β near 1
+    * flags gibberish/id-like token soup). The growth curve is built
+    * WITHOUT any sequential scan: each word's FIRST document is one
+    * aggregate (min id per word), so per-document new-word counts and
+    * token counts reduce to doc-grain partial aggs, and both cumulative
+    * axes ride the two-pass range-partitioned prefix pass
+    * ([[graft.operators.Relational.globalRunningSums]]) — no
+    * single-partition window at any corpus size.
+    *
+    * Determinism: ln of exact cumulative longs quantizes to 1e-9 longs
+    * per point BEFORE the OLS moment sums (decimal(38,0) — point count ×
+    * 4e20-scale products), so slope/intercept are fixed chains of exact
+    * integer moments any engine replays. Returns one row
+    * (n_points, beta, ln_k). */
+  def heapsFit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 1): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("__id"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit(s"[a-z0-9]{$minLen,}"), lit(0))).as("__w"))
+    val perDocTokens = toks.groupBy(col("__id")).agg(count(lit(1)).as("__nt"))
+    val perDocNew = toks.groupBy(col("__w")).agg(min(col("__id")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__nw"))
+    val perDoc = perDocTokens
+      .join(perDocNew, Seq("__id"), "left")
+      .select(col("__id"), col("__nt"), coalesce(col("__nw"), lit(0L)).as("__nw"))
+    val cum = Relational.globalRunningSums(perDoc, Seq(col("__id")),
+      Seq("__nt" -> "__ct", "__nw" -> "__cv"))
+    def q(c: Column): Column = floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val pts = cum.filter(col("__ct") > 0 && col("__cv") > 0)
+      .select(q(col("__ct")).as("__x"), q(col("__cv")).as("__y"))
+    val agg = pts.agg(
+      count(lit(1)).as("__n"),
+      sum(dec(col("__x"))).as("__sx"),
+      sum(dec(col("__y"))).as("__sy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+      sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"))
+    val n = dec(col("__n"))
+    val slopeNum = n * col("__sxy") - col("__sx") * col("__sy")
+    val slopeDen = n * col("__sxx") - col("__sx") * col("__sx")
+    agg.select(
+      col("__n").as("n_points"),
+      round(slopeNum.cast("double") / slopeDen.cast("double"), 6).as("beta"),
+      round((col("__sy").cast("double") -
+          (slopeNum.cast("double") / slopeDen.cast("double")) * col("__sx").cast("double")) /
+        col("__n").cast("double") / 1e9, 6).as("ln_k"))
+  }
+
   /** Corpus vocabulary statistics — type-token ratio and hapax-legomena
     * fraction (the Zipf-tail mass): one word-count partial agg, then one
     * row of exact-integer-backed ratios. A shrinking TTR across snapshots

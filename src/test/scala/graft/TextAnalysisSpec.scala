@@ -426,6 +426,24 @@ class TextAnalysisSpec extends SparkSpec {
       == expect)
   }
 
+  test("heapsFit: all-unique tokens give beta=1 exactly; closed vocabulary flatlines") {
+    // every token is globally unique -> V(N) = N -> ln V = ln N: beta == 1,
+    // ln_k == 0, bit-exactly (the points lie on y = x)
+    val uniq = Seq.tabulate(40)(i =>
+      (i.toLong, (0 until 5).map(j => s"w${i}x$j").mkString(" "))).toDF("id", "text")
+    val u = TextAnalysis.heapsFit(uniq, "id", "text").head()
+    assert(u.getAs[Long]("n_points") == 40L)
+    assert(u.getAs[Double]("beta") == 1.0 && u.getAs[Double]("ln_k") == 0.0)
+    // a 6-word closed pool: vocabulary saturates in doc 0 -> near-zero slope
+    val closed = Seq.tabulate(40)(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val c = TextAnalysis.heapsFit(closed, "id", "text").head()
+    assert(math.abs(c.getAs[Double]("beta")) < 0.05, c.toString)
+    // partition-invariant (quantized points, exact moments)
+    val rep = TextAnalysis.heapsFit(uniq.repartition(7), "id", "text").head()
+    assert(rep.getAs[Double]("beta") == 1.0 && rep.getAs[Double]("ln_k") == 0.0)
+  }
+
   test("compression_ratio: repetition compresses below prose, random above, empty = 1") {
     import graft.functions.compression_ratio
     val rnd = new scala.util.Random(5)
