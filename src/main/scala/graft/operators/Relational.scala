@@ -150,6 +150,72 @@ object Relational {
     out.drop("__pid", "__pid_o")
   }
 
+  /** Trailing ROWS-frame window per key, parallelized BEYOND key
+    * cardinality — the sliding-frame sibling of [[globalRunningSums]]:
+    * `Window.partitionBy(key)` serializes the corpus onto |keys| tasks (a
+    * 3-value key column runs 600k rows on 3 cores), so instead the data
+    * range-partitions on (keys ++ order), each partition's LAST `history`
+    * rows replicate into the next partition as borrowed frame context
+    * (strictly earlier in the range order, so they sort first), and
+    * `build` runs its window aggregates over a frame keyed by (physical
+    * partition, keys); borrowed rows' outputs drop afterwards. Bit-identical
+    * to the keyed window whenever every partition carries >= `history`
+    * rows — one tiny per-partition count guards that and falls back to the
+    * plain keyed window otherwise (and for the keyless / single-partition
+    * cases). `build` must only APPEND columns.
+    *
+    * `frameLower`/`frameUpper` are the ROWS bounds handed to `build`'s
+    * window (e.g. (-(k-1), 0) trailing-inclusive; (-k, -1) exclusive);
+    * `history` must cover -frameLower. Eager: materializes the ranged
+    * input once to size partitions. */
+  def slidingByKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      frameLower: Long,
+      frameUpper: Long,
+      numPartitions: Option[Int] = None)(
+      build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(frameLower < 0 && frameUpper <= 0,
+      s"trailing frames only, got [$frameLower, $frameUpper]")
+    val history = (-frameLower).toInt
+    val sortKey = (keyCols ++ orderCols).map(col)
+    val ranged = numPartitions
+      .map(p => df.repartitionByRange(p, sortKey: _*))
+      .getOrElse(df.repartitionByRange(sortKey: _*))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val minRows = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")), count(lit(1))).head()
+    val fastOk = keyCols.nonEmpty && minRows.getLong(1) > 1 &&
+      !minRows.isNullAt(0) && minRows.getLong(0) >= history.toLong
+    if (!fastOk) {
+      val w = Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(frameLower, frameUpper)
+      build(df, w).drop("__pid")
+    } else {
+      val wTail = Window.partitionBy(col("__pid"))
+        .orderBy(sortKey.map(_.desc): _*)
+      val borrowed = ranged
+        .withColumn("__rn", row_number().over(wTail))
+        .filter(col("__rn") <= history)
+        .drop("__rn")
+        .withColumn("__pid", col("__pid") + 1)
+        .withColumn("__borrow", lit(1))
+      val union = ranged.withColumn("__borrow", lit(0)).unionByName(borrowed)
+      val w = Window
+        .partitionBy(col("__pid") +: keyCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(frameLower, frameUpper)
+      build(union, w)
+        .filter(col("__borrow") === 0)
+        .drop("__pid", "__borrow")
+    }
+  }
+
   /** Per-key running sum where a single key's ordered rows may exceed one
     * task — the keyed sibling of [[globalRunningSum]]: range partition on
     * (keys ++ order) so each key's rows are CONTIGUOUS across partitions,

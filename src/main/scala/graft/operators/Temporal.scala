@@ -309,26 +309,30 @@ object Temporal {
       lookback: Int = 20,
       k: Double = 3.0,
       minObs: Int = 5,
-      scale: Int = 100): DataFrame = {
+      scale: Int = 100,
+      numPartitions: Option[Int] = None): DataFrame = {
     require(lookback >= minObs && minObs >= 2, s"need lookback >= minObs >= 2, got $lookback/$minObs")
-    val w = Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(-lookback, -1)
-    val q = floor(col(valueCol) * scale + 0.5).cast("long")
-    val n = count(lit(1)).over(w)
-    val s = sum(q).over(w)
-    val ss = sum(q * q).over(w)
-    // mean/var in double from the exact long sums; sample variance,
-    // clamped at 0 (catastrophic cancellation can leave -ulp)
-    val mean = s.cast("double") / (n * scale.toLong).cast("double")
-    val varPop = (ss.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
-      ((n - 1).cast("double") * (scale.toLong * scale)) // sample var, exact-long ingredients
-    val sd = sqrt(greatest(varPop, lit(0.0)))
-    val z = when(n >= minObs && sd > 0.0, (col(valueCol) - mean) / sd)
-    df.withColumn("n_window", n)
-      .withColumn("z", z)
-      .withColumn("is_outlier", coalesce(abs(col("z")) > k, lit(false)))
+    def zOver(frame: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+      val q = floor(col(valueCol) * scale + 0.5).cast("long")
+      val n = count(lit(1)).over(w)
+      val s = sum(q).over(w)
+      val ss = sum(q * q).over(w)
+      // mean/var in double from the exact long sums; sample variance,
+      // clamped at 0 (catastrophic cancellation can leave -ulp)
+      val mean = s.cast("double") / (n * scale.toLong).cast("double")
+      val varPop = (ss.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
+        ((n - 1).cast("double") * (scale.toLong * scale)) // sample var, exact-long ingredients
+      val sd = sqrt(greatest(varPop, lit(0.0)))
+      val z = when(n >= minObs && sd > 0.0, (col(valueCol) - mean) / sd)
+      frame.withColumn("n_window", n)
+        .withColumn("z", z)
+        .withColumn("is_outlier", coalesce(abs(col("z")) > k, lit(false)))
+    }
+    // keys are usually LOW-cardinality here (metric/event-type streams) —
+    // parallelize past them with the borrowed-tail sliding-frame discipline
+    Relational.slidingByKey(df, keyCols, orderCols,
+      frameLower = -lookback.toLong, frameUpper = -1L,
+      numPartitions = numPartitions)(zOver)
   }
 
   /** Rolling aggregation over an integer position index (e.g. a month index
@@ -478,52 +482,12 @@ object Temporal {
           round(num.cast("double") /
             sqrt(denx.cast("double") * deny.cast("double")), dp)))
     }
-    // LOW-CARDINALITY KEY ESCAPE (the sliding-frame sibling of X145's
-    // two-pass prefix sum): Window.partitionBy(key) serializes the corpus
-    // onto |keys| tasks — a 3-value key column runs 600k rows on 3 cores.
-    // Fast path: range partition on (keys ++ order) so every core holds a
-    // CONTIGUOUS slice, replicate each partition's last (lookback−1) rows
-    // into the NEXT partition as borrowed frame context (they sort first —
-    // strictly earlier in the range order), run the same trailing frame
-    // keyed by (physical partition, keys), and drop the borrowed rows'
-    // outputs. Bit-identical to the keyed window — each row's frame is the
-    // same trailing rows — whenever every partition carries >= lookback−1
-    // rows; the one tiny per-partition count check guards that and falls
-    // back to the plain keyed window otherwise (also the zero-key case).
-    val sortKey = (keyCols ++ orderCols).map(col)
-    val ranged = numPartitions
-      .map(p => df.repartitionByRange(p, sortKey: _*))
-      .getOrElse(df.repartitionByRange(sortKey: _*))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val minRows = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .agg(min(col("__n")), count(lit(1))).head()
-    val fastOk = keyCols.nonEmpty && minRows.getLong(1) > 1 &&
-      !minRows.isNullAt(0) && minRows.getLong(0) >= (lookback - 1).toLong
-    if (!fastOk) {
-      val w = Window
-        .partitionBy(keyCols.map(col): _*)
-        .orderBy(orderCols.map(col): _*)
-        .rowsBetween(-(lookback - 1).toLong, Window.currentRow)
-      corrOver(df, w).drop("__pid")
-    } else {
-      val wTail = Window.partitionBy(col("__pid"))
-        .orderBy(sortKey.map(_.desc): _*)
-      val borrowed = ranged
-        .withColumn("__rn", row_number().over(wTail))
-        .filter(col("__rn") <= lookback - 1)
-        .drop("__rn")
-        .withColumn("__pid", col("__pid") + 1)
-        .withColumn("__borrow", lit(1))
-      val union = ranged.withColumn("__borrow", lit(0)).unionByName(borrowed)
-      val w = Window
-        .partitionBy(col("__pid") +: keyCols.map(col): _*)
-        .orderBy(orderCols.map(col): _*)
-        .rowsBetween(-(lookback - 1).toLong, Window.currentRow)
-      corrOver(union, w)
-        .filter(col("__borrow") === 0)
-        .drop("__pid", "__borrow")
-    }
+    // LOW-CARDINALITY KEY ESCAPE: the borrowed-tail sliding-frame
+    // discipline, factored as [[Relational.slidingByKey]] — parallelism
+    // beyond key cardinality, guarded fallback to the plain keyed window.
+    Relational.slidingByKey(df, keyCols, orderCols,
+      frameLower = -(lookback - 1).toLong, frameUpper = 0L,
+      numPartitions = numPartitions)(corrOver)
   }
 
   /** Linear interpolation of missing values between known neighbors — the
