@@ -2202,6 +2202,50 @@ object SparkEntry {
       .orderBy("train_id", "eval_id")
   }
 
+  /** STREAMING near-dup decontamination twin — dedup the incoming crawl
+    * against a standing eval corpus: the eval side's band index and texts
+    * are STATIC broadcasts; the train stream computes its MinHash bands
+    * statelessly (text carried alongside — no stream-stream join-back),
+    * candidates verify with exact n-gram Jaccard in-stream, and a
+    * complete-mode (train_id, eval_id) aggregate dedups multi-band hits
+    * (state bounded by the CONTAMINATED pair count, not the corpus).
+    * MinHash signatures are pure per-row functions, so stream == batch
+    * exactly and q_decontaminate_neardup's oracle gates both twins (the
+    * 24th streaming gate). */
+  private def qDecontaminateNearDupStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, d)
+    val eval = docs.filter(col("doc_id") % 31 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val eb = Dedup.minHashBands(eval, "eval_id", "text", 128, 32, 3)
+      .localCheckpoint(true)
+    val evalTexts = eval.select(col("eval_id"), col("text").as("__et"))
+      .localCheckpoint(true)
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "graft_decontaminate_neardup_stream"
+    withStatePartitions(s, 8) {
+      val q = Dedup.minHashBands(
+          stream.select(col("doc_id").as("train_id"), col("text")),
+          "train_id", "text", 128, 32, 3, keepCols = Seq("text"))
+        .join(broadcast(eb), Seq("band", "band_key"))
+        .join(broadcast(evalTexts), "eval_id")
+        .withColumn("jaccard", graft.functions.ngram_jaccard(col("text"), col("__et"), 3))
+        .filter(col("jaccard") >= 0.7)
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(max(col("jaccard")).as("jaccard"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(col("train_id"), col("eval_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Gopher duplicate-2-gram repetition filter over the corpus. */
   private def qDupNgrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.duplicateNgramStats(Tables.documents(s, d), "doc_id", "text", n = 2)
@@ -5437,6 +5481,7 @@ object SparkEntry {
     "q_word_repetition" -> (qWordRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_neardup" -> (qDecontaminateNearDup _),
+    "q_decontaminate_neardup_stream" -> (qDecontaminateNearDupStream _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_spans_removal" -> (qDupSpansRemoval _),
@@ -9056,6 +9101,28 @@ object SparkEntry {
     // near-dup contamination verify (identical-doc pairs are certain LSH
     // hits; near-dup partners follow the q_dedup_minhash recall argument)
     "q_decontaminate_neardup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)])
+                  END AS s
+           FROM toks),
+         ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 31 = 0),
+         p AS (
+           SELECT t.doc_id AS train_id, e.eval_id,
+                  CASE WHEN len(t.s) = 0 AND len(e.s) = 0 THEN 1.0
+                       WHEN len(t.s) = 0 OR len(e.s) = 0 THEN 0.0
+                       ELSE CAST(len(list_intersect(t.s, e.s)) AS DOUBLE)
+                            / CAST(len(t.s) + len(e.s) - len(list_intersect(t.s, e.s)) AS DOUBLE)
+                  END AS j
+           FROM sh t CROSS JOIN ev e)
+         SELECT train_id, eval_id, ROUND(j, 6) AS jaccard
+         FROM p WHERE j >= 0.7 ORDER BY train_id, eval_id""",
+    "q_decontaminate_neardup_stream" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
            FROM documents),

@@ -26,22 +26,29 @@ object Dedup {
     * Output: idCol, band, band_key. Join this to itself on (band, band_key)
     * to get candidate pairs.
     */
+  /** @param keepCols extra input columns carried through to the output —
+    *                  lets a STREAMING caller keep the text next to its
+    *                  band keys (a later stream-stream join-back would
+    *                  need watermark state; a projection doesn't). */
   def minHashBands(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val rows = numHashes / bands
-    df.select(col(idCol), minhash_sig(col(textCol), numHashes, shingleK).as("__sig"))
+    df.select(col(idCol) +: keepCols.map(col) :+
+        minhash_sig(col(textCol), numHashes, shingleK).as("__sig"): _*)
       .withColumn(
         "__band",
         explode(array((0 until bands).map(b =>
           struct(
             lit(b).as("band"),
             xxhash64(lit(b), slice(col("__sig"), b * rows + 1, rows)).as("band_key"))): _*)))
-      .select(col(idCol), col("__band.band").as("band"), col("__band.band_key").as("band_key"))
+      .select(col(idCol) +: keepCols.map(col) :+
+        col("__band.band").as("band") :+ col("__band.band_key").as("band_key"): _*)
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
