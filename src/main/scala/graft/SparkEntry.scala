@@ -1026,6 +1026,25 @@ object SparkEntry {
         round(col("chi2"), 6).as("chi2"),
         round(col("cramers_v"), 6).as("cramers_v"))
 
+  /** G-test of independence (X224): X65's contingency machinery with the
+    * log-likelihood-ratio statistic — exact-integer products into ln,
+    * 1e-9-quantized terms. */
+  private def qGTest(s: SparkSession, d: String): DataFrame =
+    Sketches.gTest(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")
+      .select(col("n"), col("n_cells"), col("dof"), round(col("g"), 6).as("g"))
+
+  /** Two-proportion z-test (X225): click-vs-view "conversion" (value > 50)
+    * — four exact counters in one partial agg, fixed IEEE assembly. */
+  private def qTwoProportion(s: SparkSession, d: String): DataFrame =
+    Sketches.twoProportionZ(
+      Tables.events(s, d).withColumn("__succ", col("value") > 50.0),
+      "event_type", "__succ", a = "click", b = "view")
+      .select(
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("p_pooled"), 6).as("p_pooled"), round(col("z"), 6).as("z"),
+        col("reject_95"), col("reject_99"))
+
   /** Market-basket co-occurrence: part pairs sharing an order, top-50 by
     * support. One self-join on the order key (co-partitioned equi-join),
     * pair counts via partial agg, global top-50 through TakeOrdered. */
@@ -5448,6 +5467,8 @@ object SparkEntry {
     "q_image_meta" -> (qImageMeta _),
     "q_flatten_structs" -> (qFlattenStructs _),
     "q_chi_square" -> (qChiSquare _),
+    "q_g_test" -> (qGTest _),
+    "q_two_proportion" -> (qTwoProportion _),
     "q_llm_pipeline" -> (qLlmPipeline _),
     "q_copurchase" -> (qCopurchase _),
     "q_bfs_hops" -> (qBfsHops _),
@@ -6959,6 +6980,52 @@ object SparkEntry {
                 ROUND(SQRT(CAST(SUM(term) AS DOUBLE) /
                            (CAST(MAX(n) AS DOUBLE) * (LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1))), 6) AS cramers_v
          FROM u""",
+    // G-test: O·N and R·C stay exact integers (HUGEINT) until ONE
+    // nearest-double conversion each; per-cell terms quantize to 1e-9
+    // before the sum — mirrors Sketches.gTest bit-for-bit
+    "q_g_test" ->
+      """WITH cells AS (
+           SELECT o_orderstatus AS a, o_orderpriority AS b,
+                  CAST(COUNT(*) AS BIGINT) AS o
+           FROM orders GROUP BY 1, 2),
+         m AS (SELECT a, b, o,
+                      CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+                      CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+                      CAST(SUM(o) OVER () AS BIGINT) AS n
+               FROM cells),
+         t AS (SELECT a, b, n,
+                      CAST(FLOOR(CAST(o AS DOUBLE)
+                        * ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE)
+                             / CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE))
+                        * 1e9 + 0.5) AS HUGEINT) AS tq
+               FROM m)
+         SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+                (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+                ROUND(2.0 * CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS g
+         FROM t""",
+    // four exact long counters, then fixed IEEE chains — no quantization
+    "q_two_proportion" ->
+      """WITH agg AS (SELECT
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN event_type = 'click' AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN event_type = 'view' AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+           FROM events WHERE event_type IN ('click', 'view')),
+         c AS (SELECT n_a, x_a, n_b, x_b,
+                      CAST(x_a AS DOUBLE) / n_a AS pa,
+                      CAST(x_b AS DOUBLE) / n_b AS pb,
+                      CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS ppool
+               FROM agg),
+         zc AS (SELECT *,
+                       (pa - pb) / sqrt(ppool * (1.0 - ppool)
+                         * (1.0 / n_a + 1.0 / n_b)) AS z
+                FROM c)
+         SELECT n_a, x_a, n_b, x_b,
+                ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+                ROUND(ppool, 6) AS p_pooled, ROUND(z, 6) AS z,
+                ABS(z) > 1.959964 AS reject_95,
+                ABS(z) > 2.575829 AS reject_99
+         FROM zc""",
     "q_label_encode" ->
       """SELECT o_orderkey, o_orderpriority,
                 DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS code

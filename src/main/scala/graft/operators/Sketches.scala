@@ -682,6 +682,85 @@ object Sketches {
       .drop("__minCard")
   }
 
+  /** G-test (log-likelihood-ratio) of independence between two categorical
+    * columns — the information-theoretic twin of [[chiSquare]] (G = 2·Σ
+    * O·ln(O/E) is additive across partitions of the table, which X² is
+    * not, and is the statistic behind mutual information: G = 2·N·I(A;B)
+    * in nats). Same plan shape as chiSquare: ONE partial-agg pass to the
+    * contingency cells, marginals via windows over the CELL table
+    * (cardinality |A|·|B|, never the data).
+    *
+    * Cross-engine determinism: each term is O·ln((O·N)/(R·C)) where the
+    * two products stay EXACT decimal(38,0) integers before the ONE
+    * nearest-double conversion each, so the ln argument is bit-identical
+    * in any engine; terms quantize to 1e-9 longs held in decimal(38,0)
+    * (no overflow at any N) before the sum. Zero cells contribute 0
+    * (lim x·ln x = 0) and are absent from the cell table anyway.
+    * Returns `(n, n_cells, dof, g)`. */
+  def gTest(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("__a"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    def prod(x: Column, y: Column): Column =
+      (x.cast("decimal(19,0)") * y.cast("decimal(19,0)")).cast("decimal(38,0)")
+    val terms = cells
+      .withColumn("__ra", sum(col("__o")).over(wa))
+      .withColumn("__cb", sum(col("__o")).over(wb))
+      .withColumn("__n", sum(col("__o")).over(wAll))
+      .withColumn("__lnr",
+        log(prod(col("__o"), col("__n")).cast("double") /
+          prod(col("__ra"), col("__cb")).cast("double")))
+      .withColumn("__tq",
+        floor(col("__o").cast("double") * col("__lnr") * 1e9 + 0.5)
+          .cast("decimal(38,0)"))
+    terms.agg(
+      max(col("__n")).as("n"),
+      count(lit(1)).as("n_cells"),
+      ((count_distinct(col("__a")) - 1) * (count_distinct(col("__b")) - 1)).as("dof"),
+      (lit(2.0) * sum(col("__tq")).cast("double") / 1e9).as("g"))
+  }
+
+  /** Two-proportion z-test between groups `a` and `b` — the conversion-rate
+    * A/B readout next to [[welchTTest]] (means) and [[rocAuc]] (ranking):
+    * z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with the pooled p̂.
+    * ONE partial aggregate collects the four exact long counters; every
+    * division/sqrt is then a fixed IEEE chain from exact integers —
+    * engine-deterministic with no quantization needed. Degenerate pooled
+    * rates (p̂ ∈ {0,1}) yield NULL z rather than ±∞. */
+  def twoProportionZ(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String,
+      a: String,
+      b: String): DataFrame = {
+    def cnt(g: String, pred: Column) =
+      sum(when(col(groupCol) === g && pred, 1L).otherwise(0L))
+    val agg = df
+      .filter(col(groupCol).isin(a, b))
+      .agg(
+        cnt(a, lit(true)).as("n_a"),
+        cnt(a, col(successCol)).as("x_a"),
+        cnt(b, lit(true)).as("n_b"),
+        cnt(b, col(successCol)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val z = when(se > 0.0, (pa - pb) / se)
+    agg.select(
+      col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      pa.as("p_a"), pb.as("p_b"), pp.as("p_pooled"),
+      z.as("z"),
+      (abs(z) > lit(1.959964)).as("reject_95"),
+      (abs(z) > lit(2.575829)).as("reject_99"))
+  }
+
   /** Robust per-key outlier flags via the median absolute deviation:
     * `is_outlier = |x - median| > k * MAD` — the classic robust z-score
     * (unlike mean/stddev, one huge outlier cannot mask itself by inflating

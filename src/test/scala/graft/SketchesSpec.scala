@@ -340,6 +340,56 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.chiSquare(indep, "u", "v").head.getAs[Double]("chi2") == 0.0)
   }
 
+  test("gTest reproduces the hand-computed 2x2 G; proportional table scores 0") {
+    // rows (10,20),(20,10): E = 15 everywhere,
+    // G = 2*(10 ln(10/15) + 20 ln(20/15) + 20 ln(20/15) + 10 ln(10/15))
+    val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("u", "v").repartition(4)
+    val r = Sketches.gTest(df, "u", "v").head
+    assert(r.getAs[Long]("n") == 60L)
+    assert(r.getAs[Long]("n_cells") == 4L)
+    assert(r.getAs[Long]("dof") == 1L)
+    val expected = 2.0 * (20 * math.log(10.0 / 15.0) + 40 * math.log(20.0 / 15.0))
+    assert(math.abs(r.getAs[Double]("g") - expected) < 1e-6)
+    // perfectly proportional table -> every O == E -> G exactly 0
+    val indep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("u", "v")
+    assert(math.abs(Sketches.gTest(indep, "u", "v").head.getAs[Double]("g")) < 1e-9)
+  }
+
+  test("gTest is partition-invariant and tracks chi2 on a skewed table") {
+    val rows = (1 to 200).map(i => (if (i % 3 == 0) "a" else "b", if (i % 7 < 3) "x" else "y"))
+    val g1 = Sketches.gTest(rows.toDF("u", "v").repartition(1), "u", "v").head.getAs[Double]("g")
+    val g8 = Sketches.gTest(rows.toDF("u", "v").repartition(8), "u", "v").head.getAs[Double]("g")
+    assert(g1 == g8) // quantized terms -> bit-identical under any partitioning
+    val chi2 = Sketches.chiSquare(rows.toDF("u", "v"), "u", "v").head.getAs[Double]("chi2")
+    assert(math.abs(g1 - chi2) < 0.5) // asymptotically equivalent statistics
+  }
+
+  test("twoProportionZ reproduces the hand-computed z; equal rates score 0") {
+    // a: 40/100, b: 25/100 -> pp = 65/200 = 0.325,
+    // z = 0.15 / sqrt(0.325*0.675*0.02)
+    val df = ((Seq.fill(40)(("a", true)) ++ Seq.fill(60)(("a", false)) ++
+      Seq.fill(25)(("b", true)) ++ Seq.fill(75)(("b", false)))).toDF("g", "s").repartition(5)
+    val r = Sketches.twoProportionZ(df, "g", "s", "a", "b").head
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("x_a") == 40L)
+    assert(r.getAs[Long]("n_b") == 100L && r.getAs[Long]("x_b") == 25L)
+    val z = 0.15 / math.sqrt(0.325 * 0.675 * 0.02)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+    assert(r.getAs[Boolean]("reject_95")) // z ~ 2.26
+    assert(!r.getAs[Boolean]("reject_99"))
+    // identical rates -> z exactly 0
+    val same = (Seq.fill(10)(("a", true)) ++ Seq.fill(10)(("a", false)) ++
+      Seq.fill(20)(("b", true)) ++ Seq.fill(20)(("b", false))).toDF("g", "s")
+    assert(Sketches.twoProportionZ(same, "g", "s", "a", "b").head.getAs[Double]("z") == 0.0)
+  }
+
+  test("twoProportionZ degenerate pooled rate yields NULL z, not infinity") {
+    val df = (Seq.fill(5)(("a", false)) ++ Seq.fill(5)(("b", false))).toDF("g", "s")
+    val r = Sketches.twoProportionZ(df, "g", "s", "a", "b").head
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("welchTTest reproduces hand-computed t and dof; sign follows mean order") {
     // group a: 1,2,3,4,5 (mean 3, var 2.5); group b: 2,4,6,8,10 (mean 6, var 10)
     val df = (Seq(1, 2, 3, 4, 5).map(v => ("a", v.toDouble)) ++
