@@ -1045,6 +1045,43 @@ object SparkEntry {
         round(col("p_pooled"), 6).as("p_pooled"), round(col("z"), 6).as("z"),
         col("reject_95"), col("reject_99"))
 
+  /** STREAMING two-proportion monitor (S34): the live experiment dashboard
+    * — the four exact counters accumulate as a GLOBAL streaming aggregate
+    * in the state store (complete mode); the z assembly runs in batch off
+    * the sink. Integer state ⇒ stream == batch bit-exactly; shares
+    * q_two_proportion's oracle verbatim. */
+  private def qTwoProportionStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_two_proportion_stream"
+    def cnt(g: String, pred: Column) =
+      sum(when(col("event_type") === g && pred, 1L).otherwise(0L))
+    withStatePartitions(s, 8) {
+      val q = stream
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("__succ", col("value") > 50.0)
+        .groupBy()
+        .agg(
+          cnt("click", lit(true)).as("n_a"),
+          cnt("click", col("__succ")).as("x_a"),
+          cnt("view", lit(true)).as("n_b"),
+          cnt("view", col("__succ")).as("x_b"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.twoProportionAssemble(s.table(name))
+      .select(
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("p_pooled"), 6).as("p_pooled"), round(col("z"), 6).as("z"),
+        col("reject_95"), col("reject_99"))
+  }
+
   /** Market-basket co-occurrence: part pairs sharing an order, top-50 by
     * support. One self-join on the order key (co-partitioned equi-join),
     * pair counts via partial agg, global top-50 through TakeOrdered. */
@@ -5469,6 +5506,7 @@ object SparkEntry {
     "q_chi_square" -> (qChiSquare _),
     "q_g_test" -> (qGTest _),
     "q_two_proportion" -> (qTwoProportion _),
+    "q_two_proportion_stream" -> (qTwoProportionStream _),
     "q_llm_pipeline" -> (qLlmPipeline _),
     "q_copurchase" -> (qCopurchase _),
     "q_bfs_hops" -> (qBfsHops _),
@@ -5959,6 +5997,30 @@ object SparkEntry {
     * long contributions, floor(((1.0-0.85)+0.85*s)*1e9+0.5)/1e9 rank) so
     * the doubles match bit-for-bit. Generated to keep the five rounds
     * structurally identical. */
+  // four exact long counters, then fixed IEEE chains — no quantization
+  private val twoProportionOracle: String =
+    """WITH agg AS (SELECT
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN event_type = 'click' AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN event_type = 'view' AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+         FROM events WHERE event_type IN ('click', 'view')),
+       c AS (SELECT n_a, x_a, n_b, x_b,
+                    CAST(x_a AS DOUBLE) / n_a AS pa,
+                    CAST(x_b AS DOUBLE) / n_b AS pb,
+                    CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS ppool
+             FROM agg),
+       zc AS (SELECT *,
+                     (pa - pb) / sqrt(ppool * (1.0 - ppool)
+                       * (1.0 / n_a + 1.0 / n_b)) AS z
+              FROM c)
+       SELECT n_a, x_a, n_b, x_b,
+              ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+              ROUND(ppool, 6) AS p_pooled, ROUND(z, 6) AS z,
+              ABS(z) > 1.959964 AS reject_95,
+              ABS(z) > 2.575829 AS reject_99
+       FROM zc"""
+
   private val pageRankOracle: String = {
     val iters = (1 to 5).map { i =>
       s""",
@@ -7003,29 +7065,11 @@ object SparkEntry {
                 (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
                 ROUND(2.0 * CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS g
          FROM t""",
-    // four exact long counters, then fixed IEEE chains — no quantization
-    "q_two_proportion" ->
-      """WITH agg AS (SELECT
-             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-             CAST(SUM(CASE WHEN event_type = 'click' AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
-             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-             CAST(SUM(CASE WHEN event_type = 'view' AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
-           FROM events WHERE event_type IN ('click', 'view')),
-         c AS (SELECT n_a, x_a, n_b, x_b,
-                      CAST(x_a AS DOUBLE) / n_a AS pa,
-                      CAST(x_b AS DOUBLE) / n_b AS pb,
-                      CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS ppool
-               FROM agg),
-         zc AS (SELECT *,
-                       (pa - pb) / sqrt(ppool * (1.0 - ppool)
-                         * (1.0 / n_a + 1.0 / n_b)) AS z
-                FROM c)
-         SELECT n_a, x_a, n_b, x_b,
-                ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
-                ROUND(ppool, 6) AS p_pooled, ROUND(z, 6) AS z,
-                ABS(z) > 1.959964 AS reject_95,
-                ABS(z) > 2.575829 AS reject_99
-         FROM zc""",
+    // four exact long counters, then fixed IEEE chains — no quantization;
+    // the streaming twin maintains the same counters in the state store
+    // (integer state => stream == batch bit-exactly) and shares the SQL
+    "q_two_proportion" -> twoProportionOracle,
+    "q_two_proportion_stream" -> twoProportionOracle,
     "q_label_encode" ->
       """SELECT o_orderkey, o_orderpriority,
                 DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS code

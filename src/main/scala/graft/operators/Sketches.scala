@@ -739,13 +739,20 @@ object Sketches {
       b: String): DataFrame = {
     def cnt(g: String, pred: Column) =
       sum(when(col(groupCol) === g && pred, 1L).otherwise(0L))
-    val agg = df
+    twoProportionAssemble(df
       .filter(col(groupCol).isin(a, b))
       .agg(
         cnt(a, lit(true)).as("n_a"),
         cnt(a, col(successCol)).as("x_a"),
         cnt(b, lit(true)).as("n_b"),
-        cnt(b, col(successCol)).as("x_b"))
+        cnt(b, col(successCol)).as("x_b")))
+  }
+
+  /** The pure-assembly half of [[twoProportionZ]]: takes the four exact
+    * counters `(n_a, x_a, n_b, x_b)` already aggregated (e.g. maintained
+    * incrementally in a streaming state store) and derives the identical
+    * fixed-IEEE readout — counters in, z out, so stream == batch exactly. */
+  def twoProportionAssemble(agg: DataFrame): DataFrame = {
     val pa = col("x_a").cast("double") / col("n_a").cast("double")
     val pb = col("x_b").cast("double") / col("n_b").cast("double")
     val pp = (col("x_a") + col("x_b")).cast("double") /
