@@ -1122,6 +1122,26 @@ object SparkEntry {
       .orderBy("part_key")
   }
 
+  /** Personalized PageRank (X226): proximity-to-seed ranking on the same
+    * co-purchase graph as q_pagerank, seeded by every 10th part key —
+    * rank decays with distance from the seed set, unreachable parts 0. */
+  private def qPersonalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey"), col("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 3)
+    val edges = pairs.select(col("l_partkey").as("u"), col("p2").as("v"))
+      .unionByName(pairs.select(col("p2").as("u"), col("l_partkey").as("v")))
+    val seeds = Tables.part(s, d).select(col("p_partkey"))
+      .filter(col("p_partkey") % 10 === 0)
+    Graph.personalizedPageRank(edges, "u", "v", seeds, "p_partkey", iterations = 5)
+      .select(col("id").as("part_key"), col("rank"))
+      .orderBy("part_key")
+  }
+
   /** 3-truss of the support>=2 co-purchase graph — the edge-cohesion core
     * (every surviving edge closes a triangle), 4 unrolled peel rounds. */
   private def qKtruss(s: SparkSession, d: String): DataFrame = {
@@ -5680,6 +5700,7 @@ object SparkEntry {
     "q_attribution" -> (qAttribution _),
     "q_attribution_stream" -> (qAttributionStream _),
     "q_pagerank" -> (qPageRank _),
+    "q_ppr" -> (qPersonalizedPageRank _),
     "q_hits" -> (qHits _),
     "q_link_predict" -> (qLinkPredict _),
     "q_assortativity" -> (qAssortativity _),
@@ -6020,6 +6041,32 @@ object SparkEntry {
               ABS(z) > 1.959964 AS reject_95,
               ABS(z) > 2.575829 AS reject_99
        FROM zc"""
+
+  /** The pageRankOracle recursion with the teleport mass gated on the seed
+    * predicate (id % 10 = 0) and seed-only initial ranks — mirrors
+    * [[graft.operators.Graph.personalizedPageRank]] bit-for-bit. */
+  private val pprOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s""",
+         c$i AS (SELECT e.v AS id,
+                        CAST(SUM(CAST(floor(r.rank / d.outdeg * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                 FROM edges e JOIN r${i - 1} r ON e.u = r.id JOIN deg d ON e.u = d.id
+                 GROUP BY e.v),
+         r$i AS (SELECT deg.id,
+                        floor(((1.0 - 0.85) * CAST(CASE WHEN deg.id % 10 = 0 THEN 1 ELSE 0 END AS DOUBLE)
+                               + 0.85 * (CAST(COALESCE(s, 0) AS DOUBLE) / 1e12)) * 1e9 + 0.5) / 1e9 AS rank
+                 FROM deg LEFT JOIN c$i ON deg.id = c$i.id)"""
+    }.mkString
+    s"""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       p AS (SELECT a.l_partkey AS pu, b.l_partkey AS pv
+             FROM baskets a JOIN baskets b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       edges AS (SELECT pu AS u, pv AS v FROM p UNION ALL SELECT pv AS u, pu AS v FROM p),
+       deg AS (SELECT u AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       r0 AS (SELECT id, CAST(CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS rank FROM deg)$iters
+       SELECT id AS part_key, rank FROM r5 ORDER BY part_key"""
+  }
 
   private val pageRankOracle: String = {
     val iters = (1 to 5).map { i =>
@@ -9057,6 +9104,7 @@ object SparkEntry {
          WHERE d.doc_id < 500
          GROUP BY 1 ORDER BY 1""",
     "q_pagerank" -> pageRankOracle,
+    "q_ppr" -> pprOracle,
     "q_hits" -> hitsOracle,
     "q_ktruss" -> kTrussOracle,
     "q_textrank" -> textRankOracle,

@@ -384,6 +384,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rs.values.sum - 6.0) < 0.2, s"rank mass drifted: ${rs.values.sum}")
   }
 
+  test("personalizedPageRank: seed-local mass, distance decay, empty seeds zero") {
+    import graft.operators.Graph
+    // directed 3-cycle a->b->c->a, seed {a}:
+    // it1: a=0.15, b=0.85*1=0.85, c=0
+    // it2: a=0.15, b=0.85*0.15=0.1275, c=0.85*0.85=0.7225
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+    val seedA = Seq(Tuple1(1L)).toDF("id")
+    val r2 = Graph.personalizedPageRank(cyc, "u", "v", seedA, "id", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r2(1L) == 0.15 && r2(2L) == 0.1275 && r2(3L) == 0.7225, r2.toString)
+    // symmetrized path a-b-c-d, seed {a}: the seed holds the most rank,
+    // the far end the least (interior nodes are NOT monotone — b splits
+    // its mass over 2 neighbors while c collects from both sides)
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L)).toDF("u", "v")
+    val rp = Graph.personalizedPageRank(path, "u", "v", seedA, "id", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rp(1L) == rp.values.max && rp(4L) == rp.values.min, rp.toString)
+    // no seeds -> every rank exactly 0; off-graph seeds are inert
+    val r0 = Graph.personalizedPageRank(cyc, "u", "v", Seq.empty[Long].toDF("id"), "id")
+      .collect().map(_.getDouble(1))
+    assert(r0.forall(_ == 0.0))
+    val rOff = Graph.personalizedPageRank(cyc, "u", "v", Seq(Tuple1(99L)).toDF("id"), "id")
+      .collect().map(_.getDouble(1))
+    assert(rOff.forall(_ == 0.0))
+  }
+
   test("slopeOne reproduces the hand-worked weighted predictions") {
     import graft.operators.Recommend
     val r = Seq((1L, "i1", 1L), (1L, "i2", 2L),
