@@ -2443,6 +2443,26 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag")
   }
 
+  /** JDBC round trip (Z13): supplier published to the embedded Derby
+    * engine (drop/recreate + batched inserts), read BACK through the
+    * range-partitioned parallel read (4 key slices, one connection per
+    * task — the only JDBC read shape that scales) — the oracle proves
+    * type fidelity (BIGINT/VARCHAR/INTEGER/DOUBLE) and losslessness. */
+  private def qJdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_jdbc_").toFile
+    tmpDir.deleteOnExit()
+    System.setProperty("derby.stream.error.file",
+      new java.io.File(tmpDir, "derby.log").getPath)
+    val url = s"jdbc:derby:${tmpDir.getPath}/db;create=true"
+    val src = Tables.supplier(s, d)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    graft.sources.Jdbc.write(src, url, "supplier_j")
+    val bounds = src.agg(min(col("s_suppkey")), max(col("s_suppkey"))).head
+    graft.sources.Jdbc.readPartitioned(s, url, "supplier_j", "s_suppkey",
+      bounds.getLong(0), bounds.getLong(1), numPartitions = 4)
+      .orderBy("s_suppkey")
+  }
+
   /** Small-files compaction round trip (X42): an orders projection written
     * deliberately over-parallel (32 KB-scale files), compacted toward the
     * target size in place, then read BACK — the oracle proves compaction
@@ -5594,6 +5614,7 @@ object SparkEntry {
     "q_zorder_layout" -> (qZorderLayout _),
     "q_partitioned_export" -> (qPartitionedExport _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_compact_roundtrip" -> (qCompactRoundtrip _),
     "q_overwrite_partitions" -> (qOverwritePartitions _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
@@ -8057,6 +8078,9 @@ object SparkEntry {
     "q_xml_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
          FROM orders ORDER BY o_orderkey""",
+    "q_jdbc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier ORDER BY s_suppkey""",
     "q_compact_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, CAST(1 AS INTEGER) AS n_files
          FROM orders ORDER BY o_orderkey""",

@@ -19,6 +19,27 @@ class SourcesSpec extends SparkSpec {
     assert(back(1).getAs[Double]("score") == -2.0)
   }
 
+  test("jdbc round-trips typed rows via embedded Derby; partitioned read slices by key") {
+    import graft.sources.Jdbc
+    val dir = Files.createTempDirectory("graft-jdbc").toString
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val df = (1L to 20L).map(i => (i, s"name_$i", i.toInt * 10, i * 1.5)).toDF("id", "name", "n", "score")
+    Jdbc.write(df, url, "t")
+    // single-connection read: full fidelity across long/string/int/double
+    val back = Jdbc.read(spark, url, "t").orderBy("id").collect()
+    assert(back.length == 20)
+    assert(back(4).getAs[Long]("id") == 5L && back(4).getAs[String]("name") == "name_5")
+    assert(back(4).getAs[Int]("n") == 50 && back(4).getAs[Double]("score") == 7.5)
+    // partitioned read: 4 key slices, same rows, one task per slice
+    val par = Jdbc.readPartitioned(spark, url, "t", "id", 1L, 20L, numPartitions = 4)
+    assert(par.rdd.getNumPartitions == 4)
+    assert(par.orderBy("id").collect().toSeq == back.toSeq)
+    // overwrite-publish replaces, never appends
+    Jdbc.write(df.filter(col("id") <= 3), url, "t")
+    assert(Jdbc.read(spark, url, "t").count() == 3)
+  }
+
   test("jsonLines source reads nested records") {
     val dir = Files.createTempDirectory("graft-jsonl").toString + "/out"
     Seq("""{"id":1,"meta":{"lang":"en","tags":["a","b"]}}""",
