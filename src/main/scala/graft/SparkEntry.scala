@@ -1737,6 +1737,23 @@ object SparkEntry {
         TextAnalysis.gopherQualityFlags(col("text"), minWords = 5L).map { case (n, c) => c.as(n) }: _*)
       .orderBy("doc_id")
 
+  /** C4 cleaning filter (T63): the synthetic corpus carries no native
+    * punctuation or newlines, so the gate synthesizes sentence ends
+    * ("data" -> "data.") and 3-word lines (the q_boilerplate
+    * line-synthesis recipe) before the filter — the oracle replays the
+    * identical transform, then the full line+doc rule cascade. */
+  private def qC4Filter(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.c4Filter(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(replace(col("text"), lit("data"), lit("data.")),
+            "((?:\\S+ ){2}\\S+) ", "$1\n").as("text")),
+      "text")
+      .select(col("doc_id"), col("clean_text"), col("n_lines_kept"),
+        col("n_lines_dropped"), col("n_sentences"), col("flag_sentences"),
+        col("flag_lorem"), col("flag_brace"), col("flag_blocklist"), col("keep"))
+      .orderBy("doc_id")
+
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id") +: TextAnalysis.tokenCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
@@ -5563,6 +5580,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_gopher_quality" -> (qGopherQuality _),
+    "q_c4_filter" -> (qC4Filter _),
     "q_compression_ratio" -> (qCompressionRatio _),
     "q_linkage_score" -> (qLinkageScore _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
@@ -7781,6 +7799,38 @@ object SparkEntry {
                 FROM agg)
          SELECT query_id, doc_id, s / 1000000.0 AS score, CAST(rn AS INTEGER) AS rnk
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
+    // line synthesis as in q_boilerplate, then the C4 line rules (terminal
+    // punctuation, >= 3 words, no "javascript") and doc rules on the
+    // CLEANED text — mirrors TextAnalysis.c4Filter exactly
+    "q_c4_filter" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_replace(replace(text, 'data', 'data.'),
+                            '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
+           FROM documents),
+         l AS (SELECT doc_id,
+                      unnest(string_split(t, chr(10))) AS line,
+                      unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+               FROM d),
+         f AS (SELECT doc_id, pos, line,
+                      regexp_matches(rtrim(line), '[.!?"]$')
+                        AND len(regexp_extract_all(line, '\S+')) >= 3
+                        AND NOT contains(lower(line), 'javascript') AS keepl
+               FROM l),
+         agg AS (SELECT doc_id,
+                        COALESCE(string_agg(CASE WHEN keepl THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+                        CAST(SUM(CASE WHEN keepl THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+                        CAST(SUM(CASE WHEN NOT keepl THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped
+                 FROM f GROUP BY doc_id),
+         fin AS (SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped,
+                        CAST(len(regexp_extract_all(clean_text, '[.!?]+')) AS BIGINT) AS n_sentences,
+                        NOT contains(lower(clean_text), 'lorem ipsum') AS flag_lorem,
+                        NOT contains(clean_text, '{') AS flag_brace,
+                        NOT regexp_matches(lower(clean_text), '\bverboten\b') AS flag_blocklist
+                 FROM agg)
+         SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped, n_sentences,
+                n_sentences >= 5 AS flag_sentences, flag_lorem, flag_brace, flag_blocklist,
+                n_sentences >= 5 AND flag_lorem AND flag_brace AND flag_blocklist AS keep
+         FROM fin ORDER BY doc_id""",
     "q_gopher_quality" ->
       """WITH g AS (
            SELECT doc_id,

@@ -144,6 +144,53 @@ object TextAnalysis {
       Seq("keep" -> flags.map(_._2).reduce(_ && _))
   }
 
+  /** C4 cleaning filter (Raffel et al. 2020 §2.2) — the line-grain
+    * companion to [[gopherQualityFlags]]'s doc-grain flags, and the other
+    * canonical web-corpus recipe: LINE rules rewrite the document (keep
+    * only lines ending in terminal punctuation `.!?"`, with at least
+    * `minLineWords` words, and not mentioning "javascript"), then DOC
+    * rules flag the CLEANED text (≥ `minSentences` sentences counted as
+    * terminal-punctuation runs, no "lorem ipsum", no `{`, no blocklist
+    * word). Returns every input column plus `clean_text`, line/sentence
+    * counts, the individual flags and the composite `keep`.
+    *
+    * Scale: a pure per-row projection — zero shuffle, embarrassingly
+    * parallel. The line pass uses array lambdas (interpreted, not
+    * codegen) deliberately: the alternative is posexplode → filter →
+    * re-aggregate, which buys codegen at the price of a full corpus
+    * shuffle — the wrong trade at any scale. */
+  def c4Filter(
+      df: DataFrame,
+      textCol: String,
+      minLineWords: Int = 3,
+      minSentences: Int = 5,
+      blocklist: Seq[String] = Seq("verboten")): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minLineWords &&
+        !contains(lower(l), lit("javascript"))
+    val kept = filter(lines, keepLine)
+    val clean = array_join(kept, "\n")
+    val blockHit = blocklist
+      .map(w => lower(col("clean_text"))
+        .rlike("\\b" + java.util.regex.Pattern.quote(w.toLowerCase) + "\\b"))
+      .reduce(_ || _)
+    df
+      .withColumn("clean_text", clean)
+      .withColumn("n_lines_kept", size(kept).cast("long"))
+      .withColumn("n_lines_dropped", (size(lines) - size(kept)).cast("long"))
+      .withColumn("n_sentences",
+        size(regexp_extract_all(col("clean_text"), lit("[.!?]+"), lit(0))).cast("long"))
+      .withColumn("flag_sentences", col("n_sentences") >= minSentences.toLong)
+      .withColumn("flag_lorem", !contains(lower(col("clean_text")), lit("lorem ipsum")))
+      .withColumn("flag_brace", !contains(col("clean_text"), lit("{")))
+      .withColumn("flag_blocklist", !blockHit)
+      .withColumn("keep",
+        col("flag_sentences") && col("flag_lorem") && col("flag_brace") && col("flag_blocklist"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish regex tokens (word pieces +
     * standalone punctuation), the usual "how many tokens is this corpus"
     * estimator. */

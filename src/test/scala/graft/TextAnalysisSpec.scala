@@ -7,6 +7,39 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("c4Filter applies every line rule and doc rule independently") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // 5 good sentences on own lines + 3 droppable lines
+      (1L, "one two three.\nfour five six!\nseven eight nine?\nten eleven twelve.\nand a last one.\n" +
+        "no terminal punct line\ntoo short.\nuses javascript here."),
+      // clean but only 1 sentence -> flag_sentences false
+      (2L, "just one good line."),
+      // lorem ipsum in a KEPT line -> flag_lorem false
+      (3L, "first good line one.\nsecond good line two.\nthird good line three.\n" +
+        "fourth good line four.\nthe lorem ipsum line five."),
+      // curly brace in kept text -> flag_brace false
+      (4L, "alpha beta gamma {x}.\nd e f.\ng h i.\nj k l.\nm n o."),
+      // blocklist word -> flag_blocklist false
+      (5L, "this is verboten stuff.\na b c.\nd e f.\ng h i.\nj k l.")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 5 kept, 3 dropped (no punct / 2 words / javascript), keep = true
+    assert(out(1L).getAs[Long]("n_lines_kept") == 5L)
+    assert(out(1L).getAs[Long]("n_lines_dropped") == 3L)
+    assert(out(1L).getAs[Long]("n_sentences") == 5L)
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(1L).getAs[String]("clean_text").contains("javascript"))
+    assert(!out(2L).getAs[Boolean]("flag_sentences") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("flag_lorem") && out(3L).getAs[Boolean]("flag_brace"))
+    assert(!out(4L).getAs[Boolean]("flag_brace") && out(4L).getAs[Boolean]("flag_lorem"))
+    assert(!out(5L).getAs[Boolean]("flag_blocklist"))
+    // ".!?\"" all count as terminal; a quote-ended line survives
+    val q = TextAnalysis.c4Filter(
+      Seq((9L, "he said \"three word quote\"")).toDF("doc_id", "text"), "text").head
+    assert(q.getAs[Long]("n_lines_kept") == 1L)
+  }
+
   test("duplicateSpans merges overlapping corpus-repeated grams into maximal spans") {
     val df = Seq(
       (1L, "x1 x2 a b c d e f x3"),          // shares a 6-token run with doc 2
