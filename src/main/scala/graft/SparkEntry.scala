@@ -1082,6 +1082,25 @@ object SparkEntry {
         col("reject_95"), col("reject_99"))
   }
 
+  /** Croston intermittent-demand forecast (X227): rare events (value > 95)
+    * counted per day over each key's full calendar spine (leading /
+    * trailing zero periods included — bounds come from ALL events), then
+    * the demand-event-only EWMA recursion. */
+  private def qCroston(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev.filter(col("value") > 95.0)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = ev.groupBy(col("event_type"))
+      .agg(min(col("ts").cast("date")).as("__lo"), max(col("ts").cast("date")).as("__hi"))
+      .select(col("event_type"),
+        explode(sequence(col("__lo"), col("__hi"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    Temporal.crostonForecast(series, Seq("event_type"), "day", "x", alpha = 0.3)
+      .orderBy("event_type")
+  }
+
   /** Market-basket co-occurrence: part pairs sharing an order, top-50 by
     * support. One self-join on the order key (co-partitioned equi-join),
     * pair counts via partial agg, global top-50 through TakeOrdered. */
@@ -5840,6 +5859,7 @@ object SparkEntry {
     "q_changepoint" -> (qChangepoint _),
     "q_label_prop" -> (qLabelProp _),
     "q_holt" -> (qHolt _),
+    "q_croston" -> (qCroston _),
     "q_anova" -> (qAnova _),
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -10698,6 +10718,49 @@ object SparkEntry {
     // the recursion replayed step-for-step; (1.0 - 0.3) spelled as a
     // SUBTRACTION because the folded 1−α is NOT the same double as a 0.7
     // literal — outputs ship unrounded (identical bits render identically)
+    // the q_holt recursive-CTE recipe over a zero-filled daily spine;
+    // Croston state (z, p, q) seeds at the first demand, zero periods
+    // only advance q — mirrors Temporal.crostonForecast bit-for-bit
+    "q_croston" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+           FROM events WHERE value > 95.0 GROUP BY 1, 2),
+         b AS (SELECT event_type, MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+               FROM events GROUP BY 1),
+         spine AS (SELECT event_type,
+                          CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                                      CAST(hi AS TIMESTAMP),
+                                                      INTERVAL 1 DAY)) AS DATE) AS day
+                   FROM b),
+         z0 AS (SELECT sp.event_type, sp.day, CAST(COALESCE(d.x, 0) AS DOUBLE) AS x
+                FROM spine sp LEFT JOIN daily d
+                  ON sp.event_type = d.event_type AND sp.day = d.day),
+         s AS (SELECT event_type AS g, x,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS step,
+                      CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY event_type) AS BIGINT) AS nd
+               FROM z0),
+         cr AS (
+           SELECT g, step, n, nd, x,
+                  CASE WHEN x > 0 THEN x END AS z,
+                  CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) END AS p,
+                  CASE WHEN x > 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS q
+           FROM s WHERE step = 1
+           UNION ALL
+           SELECT s.g, s.step, s.n, s.nd, s.x,
+                  CASE WHEN cr.z IS NULL THEN CASE WHEN s.x > 0 THEN s.x END
+                       WHEN s.x > 0 THEN 0.3 * s.x + (1.0 - 0.3) * cr.z
+                       ELSE cr.z END,
+                  CASE WHEN cr.z IS NULL THEN CASE WHEN s.x > 0 THEN CAST(cr.q + 1 AS DOUBLE) END
+                       WHEN s.x > 0 THEN 0.3 * CAST(cr.q + 1 AS DOUBLE) + (1.0 - 0.3) * cr.p
+                       ELSE cr.p END,
+                  CASE WHEN s.x > 0 THEN CAST(0 AS BIGINT) ELSE cr.q + 1 END
+           FROM cr JOIN s ON s.g = cr.g AND s.step = cr.step + 1)
+         SELECT g AS event_type, n, nd AS n_demands, z AS size_level,
+                p AS interval_level, z / p AS forecast,
+                (1.0 - 0.3 / 2) * (z / p) AS sba
+         FROM cr WHERE step = n ORDER BY event_type""",
     "q_holt" ->
       """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v

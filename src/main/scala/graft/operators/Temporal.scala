@@ -1188,6 +1188,71 @@ object Temporal {
         (col("__f.level") + col("__f.trend")).as("forecast")): _*)
   }
 
+  /** Croston's method (1972) per key — the intermittent-demand forecaster
+    * the smooth-series family (EWMA/Holt) gets WRONG on sparse series
+    * (their level decays toward 0 through the zero periods; Croston only
+    * updates at demand events): on each nonzero demand, size and interval
+    * EWMAs update — `z' = αx + (1−α)z`, `p' = αq + (1−α)p` with q the
+    * periods since the last demand (current included) — zero periods only
+    * advance q. Forecast per period = z/p; `sba` applies the
+    * Syntetos–Boylan (2005) bias correction (1 − α/2)·z/p. Seeds at the
+    * FIRST demand: z = x, p = its 1-based position; keys with no demand
+    * return NULLs.
+    *
+    * Execution is [[holtSmooth]]'s recipe verbatim: the inherently
+    * sequential recursion folds DECLARATIVELY via `aggregate()` over the
+    * calendar-bounded sorted series array — a fixed chain of scalar IEEE
+    * ops any engine reproduces bit-for-bit (DuckDB: recursive CTE);
+    * outputs ship UNROUNDED. Expects the caller to provide the zero-filled
+    * regular grid (compose with [[fillGaps]]). */
+  def crostonForecast(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val k = keyCols.map(col)
+    val a = lit(alpha)
+    val series = df.groupBy(k: _*)
+      .agg(
+        array_sort(collect_list(
+          struct(col(orderCol).as("t"), col(valueCol).cast("double").as("x"))))
+          .as("__s"),
+        count(lit(1)).as("n"),
+        sum(when(col(valueCol).cast("double") > 0.0, 1L).otherwise(0L)).as("n_demands"))
+    val fin = aggregate(
+      col("__s"),
+      struct(
+        lit(null).cast("double").as("z"),
+        lit(null).cast("double").as("p"),
+        lit(0L).as("q")),
+      (acc, e) => {
+        val x = e.getField("x")
+        val qin = acc.getField("q") + lit(1L)
+        val started = acc.getField("z").isNotNull
+        val z2 = when(!started, when(x > 0.0, x))
+          .otherwise(when(x > 0.0,
+            a * x + (lit(1.0) - a) * acc.getField("z"))
+            .otherwise(acc.getField("z")))
+        val p2 = when(!started, when(x > 0.0, qin.cast("double")))
+          .otherwise(when(x > 0.0,
+            a * qin.cast("double") + (lit(1.0) - a) * acc.getField("p"))
+            .otherwise(acc.getField("p")))
+        val q2 = when(x > 0.0, lit(0L)).otherwise(qin)
+        struct(z2.as("z"), p2.as("p"), q2.as("q"))
+      })
+    series
+      .withColumn("__f", fin)
+      .select(k ++ Seq(
+        col("n"),
+        col("n_demands"),
+        col("__f.z").as("size_level"),
+        col("__f.p").as("interval_level"),
+        (col("__f.z") / col("__f.p")).as("forecast"),
+        ((lit(1.0) - a / lit(2.0)) * (col("__f.z") / col("__f.p"))).as("sba")): _*)
+  }
+
   /** Holt–Winters additive triple exponential smoothing per key — the
     * seasonal extension of [[holtSmooth]]:
     * l_t = α(x_t − s_{t−p}) + (1−α)(l_{t−1}+b_{t−1}),

@@ -395,6 +395,30 @@ class TemporalSpec extends SparkSpec {
     assert(s1.getAs[Double]("level") == 42.0 && s1.getAs[Double]("trend") == 0.0)
   }
 
+  test("crostonForecast: bit-exact hand recursion; zeros only advance the interval clock") {
+    val alpha = 0.3
+    // series 0,2,0,0,5,0: seed at pos 2 (z=2, p=2); next demand at pos 5
+    // with q_in=3: z=.3*5+.7*2, p=.3*3+.7*2; trailing zero changes nothing
+    val xs = Seq(0.0, 2.0, 0.0, 0.0, 5.0, 0.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i, x) }.toDF("k", "t", "x")
+    val r = Temporal.crostonForecast(df.repartition(3), Seq("k"), "t", "x", alpha).head
+    val z = 0.3 * 5.0 + (1.0 - 0.3) * 2.0
+    val p = 0.3 * 3.0 + (1.0 - 0.3) * 2.0
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_demands") == 2L)
+    assert(r.getAs[Double]("size_level") == z && r.getAs[Double]("interval_level") == p,
+      "declarative aggregate() recursion must match the sequential one bit-for-bit")
+    assert(r.getAs[Double]("forecast") == z / p)
+    assert(r.getAs[Double]("sba") == (1.0 - 0.3 / 2.0) * (z / p))
+    // constant nonzero demand every period: z = x, p = 1, forecast = x
+    val dense = (0 until 5).map(i => ("d", i, 4.0)).toDF("k", "t", "x")
+    val rd = Temporal.crostonForecast(dense, Seq("k"), "t", "x", alpha).head
+    assert(rd.getAs[Double]("forecast") == 4.0 && rd.getAs[Double]("interval_level") == 1.0)
+    // no demand at all -> NULL state, NULL forecast
+    val zero = (0 until 4).map(i => ("z", i, 0.0)).toDF("k", "t", "x")
+    val rz = Temporal.crostonForecast(zero, Seq("k"), "t", "x", alpha).head
+    assert(rz.isNullAt(rz.fieldIndex("forecast")) && rz.getAs[Long]("n_demands") == 0L)
+  }
+
   test("pacf: AR(1) geometric acf collapses to lag-1 support; kernel matches hand Durbin") {
     // kernel level: rho = 0.5^k is exactly AR(1) -> pacf = [0.5, 0, 0]
     val rhos = Array(0.5, 0.25, 0.125)
