@@ -1650,6 +1650,25 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Recommendation-audit metrics (X228): top-3 parts per customer by
+    * purchase count (total order n desc, part asc — the TopKRewrite turns
+    * the row_number filter into the native bounded heap), audited against
+    * the full purchase log for coverage/novelty/cold-item exposure. */
+  private def qRecMetrics(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+    val counts = raw.groupBy(col("user_id"), col("item_id")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc, col("item_id").asc)
+    val recs = counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    Recommend.recMetrics(recs, "user_id", "item_id", raw, "user_id", "item_id")
+      .select(
+        col("n_recs"), col("n_rec_items"), col("catalog_size"),
+        round(col("coverage"), 6).as("coverage"), col("n_cold"),
+        round(col("novelty"), 6).as("novelty"))
+  }
+
   private def qSlopeOne(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
@@ -5771,6 +5790,7 @@ object SparkEntry {
     "q_query_likelihood" -> (qQueryLikelihood _),
     "q_rake" -> (qRake _),
     "q_slope_one" -> (qSlopeOne _),
+    "q_rec_metrics" -> (qRecMetrics _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -7730,6 +7750,35 @@ object SparkEntry {
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
     // deviation sums kept RAW (exact longs) so the prediction is ONE
     // division of exact integers — no per-pair ratio ever materializes
+    // novelty terms ln(nu/pop) of exact longs, 1e-9-quantized before the
+    // mean — mirrors Recommend.recMetrics
+    "q_rec_metrics" ->
+      """WITH raw AS (SELECT o_custkey AS u, l_partkey AS i
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         cnts AS (SELECT u, i, COUNT(*) AS n FROM raw GROUP BY 1, 2),
+         recs AS (SELECT u, i FROM (
+                    SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, i) AS rk
+                    FROM cnts)
+                  WHERE rk <= 3),
+         inter AS (SELECT DISTINCT u, i FROM raw),
+         pop AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS pop FROM inter GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nu,
+                        CAST(COUNT(DISTINCT i) AS BIGINT) AS cat
+                 FROM inter),
+         j AS (SELECT r.i, p.pop, t.nu, t.cat
+               FROM recs r LEFT JOIN pop p ON r.i = p.i CROSS JOIN tot t),
+         t2 AS (SELECT *,
+                       CAST(FLOOR(ln(CAST(nu AS DOUBLE) / CAST(pop AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS tq
+                FROM j)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_recs,
+                CAST(COUNT(DISTINCT i) AS BIGINT) AS n_rec_items,
+                MAX(cat) AS catalog_size,
+                ROUND(CAST(COUNT(DISTINCT CASE WHEN pop IS NOT NULL THEN i END) AS DOUBLE)
+                      / CAST(MAX(cat) AS DOUBLE), 6) AS coverage,
+                CAST(SUM(CASE WHEN pop IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cold,
+                ROUND(CAST(SUM(CASE WHEN pop IS NOT NULL THEN tq END) AS DOUBLE) / 1e9
+                      / CAST(SUM(CASE WHEN pop IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS novelty
+         FROM t2""",
     "q_slope_one" ->
       """WITH r AS (SELECT o.o_custkey AS u, p.p_brand AS i,
                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS rv

@@ -62,4 +62,61 @@ object Recommend {
       round(col("__num").cast("double") / col("__den").cast("double"), dp)
         .as("prediction"))
   }
+
+  /** Recommendation-audit metrics (Herlocker et al. 2004; Castells &
+    * Vargas novelty) — the eval harness for ANY produced top-k table, the
+    * recsys sibling of the retrieval family's rankingMetrics: catalog
+    * coverage (what share of the catalog ever gets recommended — the
+    * filter-bubble alarm), popularity novelty (mean self-information
+    * −ln(pop_i / n_users) of recommended items — high = long-tail recs,
+    * low = pure blockbusters), and the cold count (recommended items with
+    * no interaction history at all, excluded from novelty).
+    *
+    * Shapes: interactions collapse to the distinct (user, item) grain in
+    * one partial agg; item popularity is a second partial agg joined onto
+    * the rec rows by item key (equi-join, broadcastable when the catalog
+    * is dimension-scale); the two global counts ride a 1-row broadcast
+    * cross join. Novelty terms are ln of a ratio of exact longs,
+    * 1e-9-quantized into a decimal(38,0) sum before the mean — the
+    * statistic is engine-reproducible at any corpus size. Returns ONE row
+    * `(n_recs, n_rec_items, catalog_size, coverage, n_cold, novelty)`. */
+  def recMetrics(
+      recs: DataFrame,
+      recUserCol: String,
+      recItemCol: String,
+      interactions: DataFrame,
+      userCol: String,
+      itemCol: String): DataFrame = {
+    val inter = interactions
+      .select(col(userCol).as("__u"), col(itemCol).as("__i")).distinct()
+    val pop = inter.groupBy(col("__i")).agg(count(lit(1)).as("__pop"))
+    val totals = inter.agg(
+      count_distinct(col("__u")).as("__nu"),
+      count_distinct(col("__i")).as("__cat"))
+    val term = floor(
+      log(col("__nu").cast("double") / col("__pop").cast("double")) * 1e9 + 0.5)
+      .cast("decimal(38,0)")
+    recs
+      .select(col(recUserCol).as("__ru"), col(recItemCol).as("__ri"))
+      .join(pop, col("__ri") === col("__i"), "left")
+      .crossJoin(broadcast(totals))
+      .agg(
+        count(lit(1)).as("n_recs"),
+        count_distinct(col("__ri")).as("n_rec_items"),
+        // coverage counts WARM items only — a cold (no-history) rec can
+        // never contribute catalog share, so coverage stays within [0,1]
+        count_distinct(when(col("__pop").isNotNull, col("__ri"))).as("__warmItems"),
+        max(col("__cat")).as("catalog_size"),
+        sum(when(col("__pop").isNull, 1L).otherwise(0L)).as("n_cold"),
+        sum(when(col("__pop").isNotNull, term)).as("__tsum"),
+        sum(when(col("__pop").isNotNull, 1L).otherwise(0L)).as("__nwarm"))
+      .select(
+        col("n_recs"), col("n_rec_items"), col("catalog_size"),
+        (col("__warmItems").cast("double") / col("catalog_size").cast("double"))
+          .as("coverage"),
+        col("n_cold"),
+        when(col("__nwarm") > 0L,
+          col("__tsum").cast("double") / 1e9 / col("__nwarm").cast("double"))
+          .as("novelty"))
+  }
 }

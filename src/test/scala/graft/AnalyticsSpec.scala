@@ -410,6 +410,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(rOff.forall(_ == 0.0))
   }
 
+  test("recMetrics: hand-computed coverage, novelty and cold-item exposure") {
+    import graft.operators.Recommend
+    // catalog {a,b,c,d}, 4 users; pop: a=4, b=2, c=1, d=1
+    val inter = (Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (1L, "b"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (1L, "b"))).toDF("u", "i") // duplicate row collapses at distinct grain
+    // recs: a (pop 4), b (pop 2), c (pop 1), e (cold)
+    val recs = Seq((1L, "a"), (1L, "b"), (3L, "c"), (2L, "e")).toDF("u", "i")
+    val r = Recommend.recMetrics(recs, "u", "i", inter, "u", "i").head
+    assert(r.getAs[Long]("n_recs") == 4L)
+    assert(r.getAs[Long]("n_rec_items") == 4L)
+    assert(r.getAs[Long]("catalog_size") == 4L)
+    assert(r.getAs[Double]("coverage") == 0.75) // warm items {a,b,c} of 4
+    assert(r.getAs[Long]("n_cold") == 1L)
+    // novelty = mean(ln(4/4), ln(4/2), ln(4/1)) over the 3 warm rec rows
+    val expected = (0.0 + math.log(2.0) + math.log(4.0)) / 3.0
+    assert(math.abs(r.getAs[Double]("novelty") - expected) < 1e-6)
+    // all-blockbuster recs: novelty exactly 0
+    val hot = Seq((1L, "a"), (2L, "a")).toDF("u", "i")
+    assert(Recommend.recMetrics(hot, "u", "i", inter, "u", "i").head
+      .getAs[Double]("novelty") == 0.0)
+  }
+
   test("slopeOne reproduces the hand-worked weighted predictions") {
     import graft.operators.Recommend
     val r = Seq((1L, "i1", 1L), (1L, "i2", 2L),
