@@ -1650,6 +1650,21 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Fisher's exact test (X229): status-F exposure vs high-price outcome
+    * per order priority — small-count exact inference with the integer
+    * quantized log-factorial machinery. */
+  private def qFisher(s: SparkSession, d: String): DataFrame =
+    Sketches.fisherExact(
+      Tables.orders(s, d)
+        .withColumn("exposed", col("o_orderstatus") === "F")
+        .withColumn("outcome", col("o_totalprice") > 150000.0),
+      "o_orderpriority", "exposed", "outcome")
+      .select(
+        col("o_orderpriority"), col("a"), col("b"), col("c"), col("d"), col("n"),
+        round(col("odds_ratio"), 6).as("odds_ratio"),
+        round(col("p_two_sided"), 6).as("p_two_sided"))
+      .orderBy("o_orderpriority")
+
   /** Recommendation-audit metrics (X228): top-3 parts per customer by
     * purchase count (total order n desc, part asc — the TopKRewrite turns
     * the row_number filter into the native bounded heap), audited against
@@ -5791,6 +5806,7 @@ object SparkEntry {
     "q_rake" -> (qRake _),
     "q_slope_one" -> (qSlopeOne _),
     "q_rec_metrics" -> (qRecMetrics _),
+    "q_fisher" -> (qFisher _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -7750,6 +7766,51 @@ object SparkEntry {
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
     // deviation sums kept RAW (exact longs) so the prediction is ONE
     // division of exact integers — no per-pair ratio ever materializes
+    // the integer quantized log-factorial prefix table (1e-12 ln units)
+    // makes every table's log-probability an exact integer and the
+    // qualifies-as-extreme decision an integer compare — mirrors
+    // Sketches.fisherExact bit-for-bit
+    "q_fisher" ->
+      """WITH lfb AS (SELECT i,
+                CASE WHEN i = 0 THEN 0
+                     ELSE CAST(FLOOR(ln(CAST(i AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) END AS lnq
+              FROM (SELECT UNNEST(generate_series(0, 10000)) AS i)),
+         lf AS (SELECT i, SUM(lnq) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+                FROM lfb),
+         st AS (SELECT o_orderpriority AS g,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' AND NOT o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(SUM(CASE WHEN o_orderstatus <> 'F' AND o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(SUM(CASE WHEN o_orderstatus <> 'F' AND NOT o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1),
+         wide AS (SELECT *, a + b AS r1, c + d AS r2, a + c AS c1, n <= 10000 AS fits FROM st),
+         wd2 AS (SELECT w.*, l1.lf + l2.lf + l3.lf + l4.lf - l5.lf AS cnst
+                 FROM wide w
+                 JOIN lf l1 ON l1.i = w.r1 JOIN lf l2 ON l2.i = w.r2
+                 JOIN lf l3 ON l3.i = w.c1 JOIN lf l4 ON l4.i = w.n - w.c1
+                 JOIN lf l5 ON l5.i = w.n
+                 WHERE w.fits),
+         ks AS (SELECT g, a, r1, r2, c1, cnst,
+                       UNNEST(generate_series(GREATEST(0, c1 - r2), LEAST(r1, c1))) AS k
+                FROM wd2),
+         lnp AS (SELECT ks.g, ks.a, ks.k,
+                        cnst - lk.lf - lr.lf - lc.lf - ld.lf AS lnq
+                 FROM ks JOIN lf lk ON lk.i = ks.k
+                         JOIN lf lr ON lr.i = ks.r1 - ks.k
+                         JOIN lf lc ON lc.i = ks.c1 - ks.k
+                         JOIN lf ld ON ld.i = ks.r2 - ks.c1 + ks.k),
+         obs AS (SELECT g, lnq AS lnqa FROM lnp WHERE k = a),
+         q AS (SELECT l.g,
+                      CAST(FLOOR(exp(CAST(l.lnq AS DOUBLE) / 1e12) * 1e12 + 0.5) AS BIGINT) AS tq
+               FROM lnp l JOIN obs ob ON l.g = ob.g
+               WHERE l.lnq <= ob.lnqa + 100000),
+         pv AS (SELECT g, CAST(SUM(tq) AS BIGINT) AS pq FROM q GROUP BY g)
+         SELECT w.g AS o_orderpriority, a, b, c, d, n,
+                CASE WHEN b > 0 AND c > 0
+                     THEN ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6) END AS odds_ratio,
+                CASE WHEN fits THEN ROUND(CAST(pq AS DOUBLE) / 1e12, 6) END AS p_two_sided
+         FROM wide w LEFT JOIN pv ON w.g = pv.g ORDER BY o_orderpriority""",
     // novelty terms ln(nu/pop) of exact longs, 1e-9-quantized before the
     // mean — mirrors Recommend.recMetrics
     "q_rec_metrics" ->

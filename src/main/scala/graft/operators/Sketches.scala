@@ -1871,6 +1871,87 @@ object Sketches {
     * strata. Strata where any margin is empty still contribute their
     * defined terms (0 numerators drop out naturally); a zero denominator
     * yields NULL. */
+  /** Fisher's EXACT test per stratum — the small-count 2×2 inference the
+    * asymptotic family (X65 chi-square / X224 G) is invalid for (expected
+    * cells < 5): the two-sided p sums hypergeometric probabilities of
+    * every table as-or-more extreme than the observed one (the standard
+    * "P(k) ≤ P(obs)·(1+1e-7)" convention).
+    *
+    * Engine-exact by construction: a log-factorial PREFIX TABLE in integer
+    * 1e-12 ln units (lf(i) = Σ floor(ln(j)·1e12+0.5) — any engine rebuilds
+    * the identical integers) makes every table's log-probability an exact
+    * integer sum, so the which-tables-qualify decision is an INTEGER
+    * comparison (tolerance = 100000 ≡ 1e-7) that can never diverge
+    * cross-engine; only then does each qualifying term exp() back to a
+    * probability, quantized to 1e-12 before the ascending-k sum.
+    *
+    * Scale: the k-range explode is bounded by `maxTableN`, and strata with
+    * n > maxTableN return NULL p BEFORE any fan-out — Fisher is a
+    * small-count test (use chi-square/G above it), so the guard is the
+    * contract, not a limitation. The lf table is maxTableN+1 longs built
+    * driver-side and shipped as ONE literal (80 KB at the default).
+    * Returns per stratum (a, b, c, d, n, odds_ratio, p_two_sided). */
+  def fisherExact(
+      df: DataFrame,
+      strataCol: String,
+      exposedCol: String,
+      outcomeCol: String,
+      maxTableN: Int = 10000): DataFrame = {
+    require(maxTableN >= 1 && maxTableN <= 100000,
+      s"maxTableN must be in [1, 100000], got $maxTableN")
+    val lf = new Array[Long](maxTableN + 1)
+    var acc = 0L
+    var i = 1
+    while (i <= maxTableN) {
+      acc += math.floor(math.log(i.toDouble) * 1e12 + 0.5).toLong
+      lf(i) = acc
+      i += 1
+    }
+    val lfLit = typedLit(lf.toSeq)
+    def lfAt(c: Column): Column = element_at(lfLit, (c + lit(1L)).cast("int"))
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    val wide = df.groupBy(col(strataCol))
+      .agg(
+        cnt(e && o).as("a"), cnt(e && !o).as("b"),
+        cnt(!e && o).as("c"), cnt(!e && !o).as("d"),
+        count(lit(1)).as("n"))
+      .withColumn("__r1", col("a") + col("b"))
+      .withColumn("__r2", col("c") + col("d"))
+      .withColumn("__c1", col("a") + col("c"))
+      .withColumn("__fits", col("n") <= lit(maxTableN.toLong))
+      .withColumn("__const",
+        when(col("__fits"),
+          lfAt(col("__r1")) + lfAt(col("__r2")) + lfAt(col("__c1")) +
+            lfAt(col("n") - col("__c1")) - lfAt(col("n"))))
+    def lnP(k: Column): Column =
+      col("__const") - lfAt(k) - lfAt(col("__r1") - k) -
+        lfAt(col("__c1") - k) - lfAt(col("__r2") - col("__c1") + k)
+    val terms = wide
+      .filter(col("__fits"))
+      .withColumn("__k",
+        explode(sequence(
+          greatest(lit(0L), col("__c1") - col("__r2")),
+          least(col("__r1"), col("__c1")))))
+      .withColumn("__lnq", lnP(col("__k")))
+      .withColumn("__lnqA", lnP(col("a")))
+      .filter(col("__lnq") <= col("__lnqA") + lit(100000L))
+      .groupBy(col(strataCol))
+      .agg(sum(
+        floor(exp(col("__lnq").cast("double") / 1e12) * 1e12 + 0.5).cast("long"))
+        .as("__pq"))
+    wide
+      .join(terms, Seq(strataCol), "left")
+      .select(
+        col(strataCol),
+        col("a"), col("b"), col("c"), col("d"), col("n"),
+        when(col("b") > 0L && col("c") > 0L,
+          (col("a") * col("d")).cast("double") / (col("b") * col("c")).cast("double"))
+          .as("odds_ratio"),
+        when(col("__fits"), col("__pq").cast("double") / 1e12).as("p_two_sided"))
+  }
+
   def mantelHaenszel(
       df: DataFrame,
       strataCol: String,

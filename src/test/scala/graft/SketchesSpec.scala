@@ -340,6 +340,33 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.chiSquare(indep, "u", "v").head.getAs[Double]("chi2") == 0.0)
   }
 
+  test("fisherExact reproduces the hand-computed hypergeometric p-values") {
+    import graft.operators.Sketches
+    // lady-tasting-tea 2x2 (a=3,b=1,c=1,d=3): P(k)/70 = 1,16,36,16,1 for
+    // k=0..4 -> two-sided p = (1+16+16+1)/70 = 34/70
+    def table(g: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((g, true, true)) ++ Seq.fill(b)((g, true, false)) ++
+        Seq.fill(c)((g, false, true)) ++ Seq.fill(d)((g, false, false))
+    val df = (table("tea", 3, 1, 1, 3) ++
+      table("extreme", 5, 0, 0, 5) ++
+      table("flat", 5, 5, 5, 5)).toDF("g", "e", "o").repartition(4)
+    val r = Sketches.fisherExact(df, "g", "e", "o").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("tea").getAs[Double]("p_two_sided") - 34.0 / 70.0) < 1e-9)
+    assert(r("tea").getAs[Double]("odds_ratio") == 9.0)
+    // perfect separation: only the two corner tables qualify -> 2/C(10,5)
+    assert(math.abs(r("extreme").getAs[Double]("p_two_sided") - 2.0 / 252.0) < 1e-9)
+    assert(r("extreme").isNullAt(r("extreme").fieldIndex("odds_ratio"))) // b=c=0
+    // perfectly balanced: observed table is the mode -> every table
+    // qualifies -> p = 1 (up to 1e-12 term quantization)
+    assert(math.abs(r("flat").getAs[Double]("p_two_sided") - 1.0) < 1e-9)
+    assert(r("flat").getAs[Long]("n") == 20L)
+    // over the maxTableN guard: counts reported, p NULL before any fan-out
+    val big = Sketches.fisherExact(
+      table("big", 4, 4, 4, 4).toDF("g", "e", "o"), "g", "e", "o", maxTableN = 10).head
+    assert(big.isNullAt(big.fieldIndex("p_two_sided")) && big.getAs[Long]("n") == 16L)
+  }
+
   test("gTest reproduces the hand-computed 2x2 G; proportional table scores 0") {
     // rows (10,20),(20,10): E = 15 everywhere,
     // G = 2*(10 ln(10/15) + 20 ln(20/15) + 20 ln(20/15) + 10 ln(10/15))
