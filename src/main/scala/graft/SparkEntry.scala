@@ -1650,6 +1650,17 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Durbin–Watson (X230): residual-autocorrelation audit of the daily
+    * revenue trend per event type — is the OLS trend line hiding serial
+    * structure? */
+  private def qDurbinWatson(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+    Temporal.durbinWatson(daily, Seq("event_type"), "day", "v")
+      .orderBy("event_type")
+  }
+
   /** Fisher's exact test (X229): status-F exposure vs high-price outcome
     * per order priority — small-count exact inference with the integer
     * quantized log-factorial machinery. */
@@ -5807,6 +5818,7 @@ object SparkEntry {
     "q_slope_one" -> (qSlopeOne _),
     "q_rec_metrics" -> (qRecMetrics _),
     "q_fisher" -> (qFisher _),
+    "q_durbin_watson" -> (qDurbinWatson _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -7766,6 +7778,34 @@ object SparkEntry {
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
     // deviation sums kept RAW (exact longs) so the prediction is ONE
     // division of exact integers — no per-pair ratio ever materializes
+    // X118's exact-moment OLS, residuals quantized to 1e-6 longs, DW one
+    // division of exact HUGEINT sums — mirrors Temporal.durbinWatson
+    "q_durbin_watson" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+             FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type AS g, v AS y,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+               FROM daily),
+         a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(CAST(t AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                      SUM(CAST(t AS HUGEINT) * t) AS sxx, SUM(CAST(t AS HUGEINT) * y) AS sxy
+               FROM s GROUP BY 1),
+         f AS (SELECT g, CAST(n AS BIGINT) AS cnt,
+                      CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                      CAST(sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx AS DOUBLE) /
+                      CAST(n*(n*sxx - sx*sx) AS DOUBLE) AS icept
+               FROM a),
+         r AS (SELECT s.g, s.t, f.cnt,
+                      CAST(FLOOR((CAST(s.y AS DOUBLE) - f.icept - f.slope * CAST(s.t AS DOUBLE))
+                                 * 1e6 + 0.5) AS BIGINT) AS eq
+               FROM s JOIN f ON s.g = f.g),
+         l AS (SELECT g, cnt, eq, LAG(eq) OVER (PARTITION BY g ORDER BY t) AS pl FROM r)
+         SELECT g AS event_type, MAX(cnt) AS n,
+                CASE WHEN SUM(CAST(eq AS HUGEINT) * eq) <> 0
+                     THEN ROUND(CAST(SUM(CAST(eq - pl AS HUGEINT) * (eq - pl)) AS DOUBLE)
+                                / CAST(SUM(CAST(eq AS HUGEINT) * eq) AS DOUBLE), 6) END AS dw
+         FROM l GROUP BY g ORDER BY event_type""",
     // the integer quantized log-factorial prefix table (1e-12 ln units)
     // makes every table's log-probability an exact integer and the
     // qualifies-as-extreme decision an integer compare — mirrors

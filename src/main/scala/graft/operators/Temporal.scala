@@ -1253,6 +1253,67 @@ object Temporal {
         ((lit(1.0) - a / lit(2.0)) * (col("__f.z") / col("__f.p"))).as("sba")): _*)
   }
 
+  /** Durbin–Watson statistic per key — the residual-autocorrelation audit
+    * behind every per-group trend fit (X118 olsTrend): DW = Σ(e_t−e_{t−1})²
+    * / Σe_t² over the residuals of x-on-step OLS (≈2 = no autocorrelation,
+    * →0 = positive — the "my trend line is lying" alarm, →4 = negative).
+    *
+    * Exactness: the OLS moments are exact decimal(38,0) sums (olsTrend's
+    * recipe), slope/intercept ONE division each; every residual is then a
+    * fixed IEEE chain QUANTIZED to 1e-6 longs, so numerator and
+    * denominator become exact integer sums of decimal squares and DW is
+    * ONE division. One keyed window supplies the step index and the lag —
+    * per-key series are calendar-bounded, never data-volume-bounded.
+    * Expects integral values (quantize upstream); perfect fits (zero
+    * residual energy) and single-point series return NULL. */
+  def durbinWatson(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    val k = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(k: _*).orderBy(col(orderCol))
+    val stepped = df
+      .withColumn("__t", row_number().over(w).cast("long"))
+      .withColumn("__y", col(valueCol).cast("long"))
+    val xD = col("__t").cast("decimal(38,0)")
+    val yD = col("__y").cast("decimal(38,0)")
+    val moments = stepped.groupBy(k: _*)
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(xD).as("__sx"), sum(yD).as("__sy"),
+        sum(xD * xD).as("__sxx"), sum(xD * yD).as("__sxy"))
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val fit = moments.select(
+      k ++ Seq(
+        col("__n").cast("long").as("__cnt"),
+        when(den =!= 0, num.cast("double") / den.cast("double")).as("__slope"),
+        when(den =!= 0,
+          (col("__sy") * den - num * col("__sx")).cast("double") /
+            (col("__n") * den).cast("double")).as("__icept")): _*)
+    val resid = stepped.join(fit, keyCols)
+      .withColumn("__e",
+        col("__y").cast("double") - col("__icept") - col("__slope") * col("__t").cast("double"))
+      .withColumn("__eq", floor(col("__e") * 1e6 + 0.5).cast("long"))
+      .withColumn("__lag", lag(col("__eq"), 1).over(w))
+    val eqD = col("__eq").cast("decimal(19,0)")
+    val dfD = (col("__eq") - col("__lag")).cast("decimal(19,0)")
+    resid.groupBy(k: _*)
+      .agg(
+        max(col("__cnt")).as("n"),
+        sum((dfD * dfD).cast("decimal(38,0)")).as("__num"),
+        sum((eqD * eqD).cast("decimal(38,0)")).as("__den"))
+      .select(
+        k ++ Seq(
+          col("n"),
+          when(col("__den") =!= 0,
+            round(col("__num").cast("double") / col("__den").cast("double"), dp))
+            .as("dw")): _*)
+  }
+
   /** Holt–Winters additive triple exponential smoothing per key — the
     * seasonal extension of [[holtSmooth]]:
     * l_t = α(x_t − s_{t−p}) + (1−α)(l_{t−1}+b_{t−1}),

@@ -395,6 +395,37 @@ class TemporalSpec extends SparkSpec {
     assert(s1.getAs[Double]("level") == 42.0 && s1.getAs[Double]("trend") == 0.0)
   }
 
+  test("durbinWatson: alternating residuals near 4, smooth curvature below 2, exact fit NULL") {
+    // y alternates 10,0,... : residuals flip sign every step -> DW near 4;
+    // exact value replayed by the hand OLS + quantized-residual chain
+    val n = 10
+    val ys = (1 to n).map(i => if (i % 2 == 1) 10L else 0L)
+    val alt = ys.zipWithIndex.map { case (y, i) => ("a", i + 1, y) }.toDF("k", "t", "v")
+    val ra = Temporal.durbinWatson(alt, Seq("k"), "t", "v").head
+    assert(ra.getAs[Long]("n") == n.toLong)
+    val (sx, sy) = ((1 to n).map(_.toLong).sum, ys.sum)
+    val sxx = (1 to n).map(i => i.toLong * i).sum
+    val sxy = ys.zipWithIndex.map { case (y, i) => (i + 1) * y }.sum
+    val den0 = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy).toDouble / den0
+    val icept = (sy * den0 - (n * sxy - sx * sy) * sx).toDouble / (n.toLong * den0)
+    val eq = ys.zipWithIndex.map { case (y, i) =>
+      math.floor((y.toDouble - icept - slope * (i + 1)) * 1e6 + 0.5).toLong
+    }
+    val num = eq.sliding(2).map { case Seq(p, c) => (c - p) * (c - p) }.sum
+    val expected = num.toDouble / eq.map(e => e * e).sum
+    assert(ra.getAs[Double]("dw") == math.rint(expected * 1e6) / 1e6 ||
+      math.abs(ra.getAs[Double]("dw") - expected) < 1e-6)
+    assert(ra.getAs[Double]("dw") > 3.0) // sign-flipping residuals
+    // convex series y = t^2: residuals of the line are serially correlated
+    val curve = (1 to 20).map(i => ("c", i, (i * i).toLong)).toDF("k", "t", "v")
+    assert(Temporal.durbinWatson(curve, Seq("k"), "t", "v").head.getAs[Double]("dw") < 1.0)
+    // exact linear data: zero residual energy -> NULL, not 0/0
+    val line = (1 to 8).map(i => ("l", i, (3 * i + 7).toLong)).toDF("k", "t", "v")
+    val rl = Temporal.durbinWatson(line, Seq("k"), "t", "v").head
+    assert(rl.isNullAt(rl.fieldIndex("dw")))
+  }
+
   test("crostonForecast: bit-exact hand recursion; zeros only advance the interval clock") {
     val alpha = 0.3
     // series 0,2,0,0,5,0: seed at pos 2 (z=2, p=2); next demand at pos 5
