@@ -1650,6 +1650,17 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Cochran–Armitage trend (X231): does the high-price rate trend with
+    * the order-priority severity score (the leading digit of
+    * o_orderpriority)? */
+  private def qCochranArmitage(s: SparkSession, d: String): DataFrame =
+    Sketches.cochranArmitage(
+      Tables.orders(s, d)
+        .withColumn("score", substring(col("o_orderpriority"), 1, 1).cast("long"))
+        .withColumn("outcome", col("o_totalprice") > 150000.0),
+      "score", "outcome")
+      .select(col("n_groups"), col("n"), col("x"), round(col("z"), 6).as("z"))
+
   /** Durbin–Watson (X230): residual-autocorrelation audit of the daily
     * revenue trend per event type — is the OLS trend line hiding serial
     * structure? */
@@ -5819,6 +5830,7 @@ object SparkEntry {
     "q_rec_metrics" -> (qRecMetrics _),
     "q_fisher" -> (qFisher _),
     "q_durbin_watson" -> (qDurbinWatson _),
+    "q_cochran_armitage" -> (qCochranArmitage _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -7778,6 +7790,30 @@ object SparkEntry {
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
     // deviation sums kept RAW (exact longs) so the prediction is ONE
     // division of exact integers — no per-pair ratio ever materializes
+    // Tn = N·Σsx − X·Σsn and S2 = N·Σns² − (Σsn)² exact HUGEINT, the
+    // variance product a fixed double chain — mirrors
+    // Sketches.cochranArmitage
+    "q_cochran_armitage" ->
+      """WITH b AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+                           o_totalprice > 150000.0 AS o
+                    FROM orders),
+         g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_i,
+                      CAST(SUM(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+               FROM b GROUP BY 1),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                      CAST(SUM(n_i) AS BIGINT) AS n,
+                      CAST(SUM(x_i) AS BIGINT) AS x,
+                      SUM(CAST(s AS HUGEINT) * n_i) AS sn,
+                      SUM(CAST(s AS HUGEINT) * x_i) AS sx,
+                      SUM(CAST(s AS HUGEINT) * s * n_i) AS sns2
+               FROM g)
+         SELECT n_groups, n, x,
+                CASE WHEN x > 0 AND x < n AND (n * sns2 - sn * sn) <> 0
+                     THEN ROUND(CAST(n * sx - x * sn AS DOUBLE)
+                                / sqrt(CAST(x AS DOUBLE) * CAST(n - x AS DOUBLE)
+                                       * CAST(n * sns2 - sn * sn AS DOUBLE)
+                                       / CAST(n AS DOUBLE)), 6) END AS z
+         FROM a""",
     // X118's exact-moment OLS, residuals quantized to 1e-6 longs, DW one
     // division of exact HUGEINT sums — mirrors Temporal.durbinWatson
     "q_durbin_watson" ->

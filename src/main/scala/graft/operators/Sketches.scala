@@ -1871,6 +1871,50 @@ object Sketches {
     * strata. Strata where any margin is empty still contribute their
     * defined terms (0 numerators drop out naturally); a zero denominator
     * yields NULL. */
+  /** Cochran–Armitage trend test (1954/55) — "does the success rate climb
+    * MONOTONICALLY with an ordered dose/severity score?" — the ordered
+    * alternative the unordered independence family (X65/X224) has no power
+    * for: T = Σ sᵢ(xᵢ − nᵢX/N) against Var(T) = p̄(1−p̄)(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N).
+    *
+    * Re-associated to exact integers: Tn = N·Σsx − X·Σsn and
+    * S2 = N·Σns² − (Σsn)² stay exact decimal(38,0) products (ONE
+    * nearest-double conversion each), z = Tn / √(X(N−X)·S2 / N) a fixed
+    * IEEE chain — engine-deterministic with no quantization. One partial
+    * agg to the score domain, one 1-row reduction. Degenerate inputs
+    * (all-success, all-failure, single score) return NULL z. */
+  def cochranArmitage(
+      df: DataFrame,
+      scoreCol: String,
+      outcomeCol: String): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val o = col(outcomeCol).cast("boolean")
+    val grp = df
+      .filter(s.isNotNull && o.isNotNull)
+      .groupBy(s.as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(when(o, 1L).otherwise(0L)).as("__x"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = grp.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("__n")).as("n"),
+      sum(col("__x")).as("x"),
+      sum(d(col("__s")) * d(col("__n"))).as("__sn"),
+      sum(d(col("__s")) * d(col("__x"))).as("__sx"),
+      sum(d(col("__s")) * d(col("__s")) * d(col("__n"))).as("__sns2"))
+    val nD = d(col("n"))
+    val xD = d(col("x"))
+    val tn = (nD * col("__sx") - xD * col("__sn")).cast("decimal(38,0)")
+    val s2 = (nD * col("__sns2") - col("__sn") * col("__sn")).cast("decimal(38,0)")
+    // X·(N−X)·S2 as a fixed double chain of exactly-converted integers —
+    // the all-decimal product can exceed 38 digits at extreme N
+    val varD = col("x").cast("double") * (col("n") - col("x")).cast("double") *
+      s2.cast("double")
+    agg.select(
+      col("n_groups"), col("n"), col("x"),
+      when(col("x") > 0L && col("x") < col("n") && s2 =!= 0,
+        tn.cast("double") / sqrt(varD / col("n").cast("double")))
+        .as("z"))
+  }
+
   /** Fisher's EXACT test per stratum — the small-count 2×2 inference the
     * asymptotic family (X65 chi-square / X224 G) is invalid for (expected
     * cells < 5): the two-sided p sums hypergeometric probabilities of

@@ -340,6 +340,27 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.chiSquare(indep, "u", "v").head.getAs[Double]("chi2") == 0.0)
   }
 
+  test("cochranArmitage: hand-computed trend z, flat rates zero, degenerate NULL") {
+    import graft.operators.Sketches
+    // doses 1,2,3 with rates 1/10, 5/10, 9/10 — strong positive trend
+    def dose(s: Long, x: Int, n: Int) =
+      Seq.fill(x)((s, true)) ++ Seq.fill(n - x)((s, false))
+    val df = (dose(1L, 1, 10) ++ dose(2L, 5, 10) ++ dose(3L, 9, 10)).toDF("s", "o")
+    val r = Sketches.cochranArmitage(df.repartition(4), "s", "o").head
+    assert(r.getAs[Long]("n_groups") == 3L && r.getAs[Long]("n") == 30L && r.getAs[Long]("x") == 15L)
+    // Tn = N·Σsx − X·Σsn = 30*(1+10+27) − 15*60 = 240; S2 = 30*140 − 3600 = 600
+    // z = 240 / sqrt(15*15*600/30) = 240/sqrt(4500)
+    val z = 240.0 / math.sqrt(15.0 * 15.0 * 600.0 / 30.0)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+    // identical rates at every dose -> z exactly 0
+    val flat = (dose(1L, 3, 10) ++ dose(2L, 3, 10) ++ dose(3L, 3, 10)).toDF("s", "o")
+    assert(Sketches.cochranArmitage(flat, "s", "o").head.getAs[Double]("z") == 0.0)
+    // all successes -> variance degenerate -> NULL
+    val all = (dose(1L, 10, 10) ++ dose(2L, 10, 10)).toDF("s", "o")
+    val ra = Sketches.cochranArmitage(all, "s", "o").head
+    assert(ra.isNullAt(ra.fieldIndex("z")))
+  }
+
   test("fisherExact reproduces the hand-computed hypergeometric p-values") {
     import graft.operators.Sketches
     // lady-tasting-tea 2x2 (a=3,b=1,c=1,d=3): P(k)/70 = 1,16,36,16,1 for
