@@ -4987,6 +4987,41 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** STREAMING Croston twin (S35): per-(type, day) demand counters
+    * accumulate in the state store (complete mode — every observed day has
+    * a row, so the batch side recovers the exact all-events calendar
+    * bounds); the spine zero-fill + the demand-event EWMA fold run in
+    * batch off the sink. Integer state ⇒ stream == batch bit-exactly;
+    * shares q_croston's oracle verbatim. */
+  private def qCrostonStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_croston_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(when(col("value") > 95.0, 1L).otherwise(0L)).as("x0"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val sink = s.table(name)
+    // the spine re-joins the same memory sink it derives from — re-alias
+    // the grouping key so the self-join gets distinct attribute ids
+    val spine = sink.groupBy(col("event_type"))
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("event_type").as("event_type"),
+        explode(sequence(col("__lo"), col("__hi"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(sink, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x0"), lit(0L)))
+    Temporal.crostonForecast(series, Seq("event_type"), "day", "x", alpha = 0.3)
+      .orderBy("event_type")
+  }
+
   /** STREAMING forecast-backtest twin: daily exact-cent sums accumulate in
     * the state store (complete mode); the lag-window MAE/MASE assembly runs
     * in batch off the sink — integer state ⇒ stream == batch exactly,
@@ -5920,6 +5955,7 @@ object SparkEntry {
     "q_label_prop" -> (qLabelProp _),
     "q_holt" -> (qHolt _),
     "q_croston" -> (qCroston _),
+    "q_croston_stream" -> (qCrostonStream _),
     "q_anova" -> (qAnova _),
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -6137,6 +6173,51 @@ object SparkEntry {
     * long contributions, floor(((1.0-0.85)+0.85*s)*1e9+0.5)/1e9 rank) so
     * the doubles match bit-for-bit. Generated to keep the five rounds
     * structurally identical. */
+  /** The q_holt recursive-CTE recipe over a zero-filled daily spine;
+    * Croston state (z, p, q) seeds at the first demand, zero periods only
+    * advance q — mirrors [[graft.operators.Temporal.crostonForecast]]
+    * bit-for-bit. Shared by the batch gate and the streaming twin. */
+  private val crostonOracle: String =
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+         FROM events WHERE value > 95.0 GROUP BY 1, 2),
+       b AS (SELECT event_type, MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+             FROM events GROUP BY 1),
+       spine AS (SELECT event_type,
+                        CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                                    CAST(hi AS TIMESTAMP),
+                                                    INTERVAL 1 DAY)) AS DATE) AS day
+                 FROM b),
+       z0 AS (SELECT sp.event_type, sp.day, CAST(COALESCE(d.x, 0) AS DOUBLE) AS x
+              FROM spine sp LEFT JOIN daily d
+                ON sp.event_type = d.event_type AND sp.day = d.day),
+       s AS (SELECT event_type AS g, x,
+                    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS step,
+                    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY event_type) AS BIGINT) AS nd
+             FROM z0),
+       cr AS (
+         SELECT g, step, n, nd, x,
+                CASE WHEN x > 0 THEN x END AS z,
+                CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) END AS p,
+                CASE WHEN x > 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS q
+         FROM s WHERE step = 1
+         UNION ALL
+         SELECT s.g, s.step, s.n, s.nd, s.x,
+                CASE WHEN cr.z IS NULL THEN CASE WHEN s.x > 0 THEN s.x END
+                     WHEN s.x > 0 THEN 0.3 * s.x + (1.0 - 0.3) * cr.z
+                     ELSE cr.z END,
+                CASE WHEN cr.z IS NULL THEN CASE WHEN s.x > 0 THEN CAST(cr.q + 1 AS DOUBLE) END
+                     WHEN s.x > 0 THEN 0.3 * CAST(cr.q + 1 AS DOUBLE) + (1.0 - 0.3) * cr.p
+                     ELSE cr.p END,
+                CASE WHEN s.x > 0 THEN CAST(0 AS BIGINT) ELSE cr.q + 1 END
+         FROM cr JOIN s ON s.g = cr.g AND s.step = cr.step + 1)
+       SELECT g AS event_type, n, nd AS n_demands, z AS size_level,
+              p AS interval_level, z / p AS forecast,
+              (1.0 - 0.3 / 2) * (z / p) AS sba
+       FROM cr WHERE step = n ORDER BY event_type"""
+
   // four exact long counters, then fixed IEEE chains — no quantization
   private val twoProportionOracle: String =
     """WITH agg AS (SELECT
@@ -10906,47 +10987,11 @@ object SparkEntry {
     // literal — outputs ship unrounded (identical bits render identically)
     // the q_holt recursive-CTE recipe over a zero-filled daily spine;
     // Croston state (z, p, q) seeds at the first demand, zero periods
-    // only advance q — mirrors Temporal.crostonForecast bit-for-bit
-    "q_croston" ->
-      """WITH RECURSIVE daily AS (
-           SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
-           FROM events WHERE value > 95.0 GROUP BY 1, 2),
-         b AS (SELECT event_type, MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
-               FROM events GROUP BY 1),
-         spine AS (SELECT event_type,
-                          CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
-                                                      CAST(hi AS TIMESTAMP),
-                                                      INTERVAL 1 DAY)) AS DATE) AS day
-                   FROM b),
-         z0 AS (SELECT sp.event_type, sp.day, CAST(COALESCE(d.x, 0) AS DOUBLE) AS x
-                FROM spine sp LEFT JOIN daily d
-                  ON sp.event_type = d.event_type AND sp.day = d.day),
-         s AS (SELECT event_type AS g, x,
-                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS step,
-                      CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
-                      CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY event_type) AS BIGINT) AS nd
-               FROM z0),
-         cr AS (
-           SELECT g, step, n, nd, x,
-                  CASE WHEN x > 0 THEN x END AS z,
-                  CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) END AS p,
-                  CASE WHEN x > 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS q
-           FROM s WHERE step = 1
-           UNION ALL
-           SELECT s.g, s.step, s.n, s.nd, s.x,
-                  CASE WHEN cr.z IS NULL THEN CASE WHEN s.x > 0 THEN s.x END
-                       WHEN s.x > 0 THEN 0.3 * s.x + (1.0 - 0.3) * cr.z
-                       ELSE cr.z END,
-                  CASE WHEN cr.z IS NULL THEN CASE WHEN s.x > 0 THEN CAST(cr.q + 1 AS DOUBLE) END
-                       WHEN s.x > 0 THEN 0.3 * CAST(cr.q + 1 AS DOUBLE) + (1.0 - 0.3) * cr.p
-                       ELSE cr.p END,
-                  CASE WHEN s.x > 0 THEN CAST(0 AS BIGINT) ELSE cr.q + 1 END
-           FROM cr JOIN s ON s.g = cr.g AND s.step = cr.step + 1)
-         SELECT g AS event_type, n, nd AS n_demands, z AS size_level,
-                p AS interval_level, z / p AS forecast,
-                (1.0 - 0.3 / 2) * (z / p) AS sba
-         FROM cr WHERE step = n ORDER BY event_type""",
+    // only advance q — mirrors Temporal.crostonForecast bit-for-bit; the
+    // streaming twin maintains the daily counters in the state store
+    // (integer state => stream == batch) and shares the SQL
+    "q_croston" -> crostonOracle,
+    "q_croston_stream" -> crostonOracle,
     "q_holt" ->
       """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
