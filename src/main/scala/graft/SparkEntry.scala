@@ -1829,6 +1829,14 @@ object SparkEntry {
         col("flag_lorem"), col("flag_brace"), col("flag_blocklist"), col("keep"))
       .orderBy("doc_id")
 
+  /** Vocabulary truncation (T64): top-30 corpus words with a count floor
+    * of 2; everything else rewrites to <unk>, per-doc OOV exposure
+    * reported. */
+  private def qTruncateVocab(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.truncateVocabulary(
+      Tables.documents(s, d), "doc_id", "text", maxVocab = 30, minCount = 2L)
+      .orderBy("doc_id")
+
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id") +: TextAnalysis.tokenCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
@@ -5691,6 +5699,7 @@ object SparkEntry {
     "q_text_quality" -> (qTextQuality _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_c4_filter" -> (qC4Filter _),
+    "q_truncate_vocab" -> (qTruncateVocab _),
     "q_compression_ratio" -> (qCompressionRatio _),
     "q_linkage_score" -> (qLinkageScore _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
@@ -8086,6 +8095,28 @@ object SparkEntry {
                 FROM agg)
          SELECT query_id, doc_id, s / 1000000.0 AS score, CAST(rn AS INTEGER) AS rnk
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
+    // top-maxVocab under the (count desc, token asc) total order, token
+    // left join, positional reassembly — mirrors
+    // TextAnalysis.truncateVocabulary
+    "q_truncate_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS w,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+              FROM documents),
+         cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         vocab AS (SELECT w FROM (
+                     SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+                     FROM cnt WHERE c >= 2)
+                   WHERE rk <= 30),
+         fl AS (SELECT t.doc_id, t.pos,
+                       CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS w2,
+                       v.w IS NULL AS oov
+                FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+         SELECT doc_id,
+                string_agg(w2, ' ' ORDER BY pos) AS text_unk,
+                CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         FROM fl GROUP BY doc_id ORDER BY doc_id""",
     // line synthesis as in q_boilerplate, then the C4 line rules (terminal
     // punctuation, >= 3 words, no "javascript") and doc rules on the
     // CLEANED text — mirrors TextAnalysis.c4Filter exactly

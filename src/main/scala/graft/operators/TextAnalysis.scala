@@ -970,6 +970,49 @@ object TextAnalysis {
     *
     * Returns (id, text_clean, n_lines_kept, n_lines_removed).
     */
+  /** Vocabulary truncation / UNK rewrite — the preprocessing step in front
+    * of any fixed-vocabulary tokenizer or count featurizer (and the
+    * classic neural-LM input prep): whitespace tokens outside the kept
+    * vocabulary — top `maxVocab` by corpus count under the (count desc,
+    * token asc) TOTAL order, with an optional `minCount` floor — rewrite
+    * to `unkToken`, and each document reports its OOV exposure.
+    *
+    * Shapes: word counts are ONE partial agg; the kept vocabulary is
+    * bounded by `maxVocab` (global TakeOrdered heap, never a full sort)
+    * and BROADCASTS into the token-grain left join; documents reassemble
+    * by position (the [[removeBoilerplate]] recipe) — one corpus shuffle
+    * total. Returns (id, text_unk, n_tokens, n_oov). */
+  def truncateVocabulary(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxVocab: Int,
+      minCount: Long = 1L,
+      unkToken: String = "<unk>"): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+    val vocab = toks
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(maxVocab)
+      .select(col("__w"), lit(true).as("__in"))
+    toks
+      .join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          map_values(map_from_entries(sort_array(collect_list(
+            struct(col("__pos"),
+              when(col("__in"), col("__w")).otherwise(lit(unkToken))))))),
+          " ").as("text_unk"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   def removeBoilerplate(
       df: DataFrame,
       idCol: String,

@@ -7,6 +7,30 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("truncateVocabulary keeps the top vocabulary and UNKs the tail deterministically") {
+    import graft.operators.TextAnalysis
+    // counts: a=4, b=3, c=2, d=1, e=1 -> maxVocab=3, minCount=2 keeps {a,b,c}
+    val docs = Seq(
+      (1L, "a a b c d"),
+      (2L, "a b e"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.truncateVocabulary(docs, "doc_id", "text", maxVocab = 3, minCount = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("text_unk") == "a a b c <unk>")
+    assert(out(1L).getAs[Long]("n_tokens") == 5L && out(1L).getAs[Long]("n_oov") == 1L)
+    assert(out(2L).getAs[String]("text_unk") == "a b <unk>")
+    assert(out(3L).getAs[Long]("n_oov") == 0L)
+    // the cut is a TOTAL order: maxVocab=2 with the c-vs-b tie broken by
+    // count first, then token asc -> keeps {a, b}
+    val cut = TextAnalysis.truncateVocabulary(docs, "doc_id", "text", maxVocab = 2, minCount = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_unk")).toMap
+    assert(cut(3L) == "a b <unk>")
+    // custom unk token flows through
+    val custom = TextAnalysis.truncateVocabulary(
+      docs, "doc_id", "text", maxVocab = 1, minCount = 1L, unkToken = "__RARE__").head
+    assert(custom.getAs[String]("text_unk").contains("__RARE__"))
+  }
+
   test("c4Filter applies every line rule and doc rule independently") {
     import graft.operators.TextAnalysis
     val docs = Seq(
