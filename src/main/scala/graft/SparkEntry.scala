@@ -1650,6 +1650,13 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Laplace noisy-count release (X232): order counts per priority at
+    * ε = 0.5 (scale-2 noise) with the deterministic hash draw the oracle
+    * replays. */
+  private def qNoisyCounts(s: SparkSession, d: String): DataFrame =
+    Quality.noisyCounts(Tables.orders(s, d), Seq("o_orderpriority"), epsilon = 0.5)
+      .orderBy("o_orderpriority")
+
   /** Cochran–Armitage trend (X231): does the high-price rate trend with
     * the order-priority severity score (the leading digit of
     * o_orderpriority)? */
@@ -5875,6 +5882,7 @@ object SparkEntry {
     "q_fisher" -> (qFisher _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_cochran_armitage" -> (qCochranArmitage _),
+    "q_noisy_counts" -> (qNoisyCounts _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -7880,6 +7888,23 @@ object SparkEntry {
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
     // deviation sums kept RAW (exact longs) so the prediction is ONE
     // division of exact integers — no per-pair ratio ever materializes
+    // deterministic Laplace draw: md5-of-(seed|key) uniform (h+0.5)/2^52
+    // through the inverse CDF — mirrors Quality.noisyCounts
+    "q_noisy_counts" ->
+      """WITH g AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM orders GROUP BY 1),
+         h AS (SELECT o_orderpriority, n,
+                      ('0x' || substr(md5('graft' || '|' || o_orderpriority), 1, 13))::BIGINT AS hv
+               FROM g),
+         u AS (SELECT o_orderpriority, n,
+                      (CAST(hv AS DOUBLE) + 0.5) / 4503599627370496.0 - 0.5 AS v
+               FROM h)
+         SELECT o_orderpriority,
+                GREATEST(CAST(FLOOR(CAST(n AS DOUBLE)
+                                    + (-(2.0) * sign(v) * ln(1.0 - 2.0 * abs(v)))
+                                    + 0.5) AS BIGINT), 0) AS n_released,
+                2.0 AS noise_scale
+         FROM u ORDER BY o_orderpriority""",
     // Tn = N·Σsx − X·Σsn and S2 = N·Σns² − (Σsn)² exact HUGEINT, the
     // variance product a fixed double chain — mirrors
     // Sketches.cochranArmitage

@@ -254,6 +254,45 @@ object Quality {
     * ICDE 2006). One partial-agg groupBy with a distinct count — the same
     * single-shuffle shape as the k-anonymity audit; the audit output is
     * group-level, bounded by the quasi-identifier domain, never row-scale. */
+  /** Laplace-noised count release (the Dwork et al. 2006 counting-query
+    * mechanism) — the RELEASE step completing the privacy ladder after the
+    * audits (X122 k-anonymity → X149 l-diversity → X153 t-closeness):
+    * per-group counts plus Laplace(Δ/ε) noise with counting-query
+    * sensitivity Δ = 1, released values rounded half-up and clamped at 0,
+    * the noise scale b = 1/ε reported alongside.
+    *
+    * The draw here is DETERMINISTIC BY DESIGN: a uniform from the md5 of
+    * (seed, group key) — (h + 0.5)/2^52 ∈ (0,1), never exactly ½ — through
+    * the Laplace inverse CDF −b·sgn(u−½)·ln(1−2|u−½|), so the release is
+    * reproducible and the cross-engine gate can replay it. That
+    * determinism is the TESTING trade: a keyed hash of the group name is
+    * NOT private — production DP swaps the hash for a CSPRNG draw (one
+    * line) and keeps everything else. */
+  def noisyCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      epsilon: Double,
+      seed: String = "graft"): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val k = keyCols.map(col)
+    val b = 1.0 / epsilon
+    val h = conv(
+      substring(md5(concat_ws("|",
+        lit(seed) +: keyCols.map(c => col(c).cast("string")): _*)), 1, 13),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val v = u - lit(0.5)
+    val noise = -lit(b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+    df.groupBy(k: _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(
+        k ++ Seq(
+          greatest(
+            floor(col("__n").cast("double") + noise + lit(0.5)).cast("long"),
+            lit(0L)).as("n_released"),
+          lit(b).as("noise_scale")): _*)
+  }
+
   def lDiversity(
       df: DataFrame,
       quasiCols: Seq[String],

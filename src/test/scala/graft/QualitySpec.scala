@@ -98,6 +98,40 @@ class QualitySpec extends SparkSpec {
     assert(held.getAs[Boolean]("holds") && held.getAs[Long]("violating_keys") == 0L)
   }
 
+  test("noisyCounts: deterministic Laplace release, clamped at 0, scale honest") {
+    import graft.operators.Quality
+    val df = (Seq.fill(100)("big") ++ Seq.fill(1)("tiny")).toDF("g")
+    val r1 = Quality.noisyCounts(df, Seq("g"), epsilon = 0.5)
+      .collect().map(x => x.getString(0) -> x).toMap
+    // deterministic: identical call reproduces identical releases
+    val r2 = Quality.noisyCounts(df.repartition(7), Seq("g"), epsilon = 0.5)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r1("big").getAs[Long]("n_released") == r2("big").getAs[Long]("n_released"))
+    assert(r1.values.forall(_.getAs[Double]("noise_scale") == 2.0))
+    // hand replay: the md5 draw through the inverse CDF
+    def released(key: String, n: Long, b: Double): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft|$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(13), 16)
+      val v = (h.toDouble + 0.5) / 4503599627370496.0 - 0.5
+      val noise = -b * math.signum(v) * math.log(1.0 - 2.0 * math.abs(v))
+      math.max(math.floor(n.toDouble + noise + 0.5).toLong, 0L)
+    }
+    assert(r1("big").getAs[Long]("n_released") == released("big", 100L, 2.0))
+    assert(r1("tiny").getAs[Long]("n_released") == released("tiny", 1L, 2.0))
+    // a tiny count with huge noise scale can only clamp to >= 0
+    val loose = Quality.noisyCounts(df.filter(col("g") === "tiny"), Seq("g"), epsilon = 0.01)
+      .head.getAs[Long]("n_released")
+    assert(loose >= 0L)
+    // changing the seed changes the draw (almost surely)
+    val seeded = Quality.noisyCounts(df, Seq("g"), epsilon = 0.01, seed = "other")
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("n_released")).toMap
+    val base = Quality.noisyCounts(df, Seq("g"), epsilon = 0.01)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("n_released")).toMap
+    assert(seeded != base)
+  }
+
   test("kAnonymity reports exactly the sub-k combos; empty when the property holds") {
     val df = (Seq.fill(5)(("US", "a")) ++ Seq.fill(2)(("US", "b")) ++ Seq.fill(1)(("FR", "a")))
       .toDF("country", "seg")
