@@ -1033,6 +1033,32 @@ object SparkEntry {
     Sketches.gTest(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")
       .select(col("n"), col("n_cells"), col("dof"), round(col("g"), 6).as("g"))
 
+  /** STREAMING G-test monitor (S36): the contingency cells accumulate in
+    * the state store (complete mode, state bounded by |A|·|B|); the
+    * marginal windows + quantized-term assembly run in batch off the
+    * sink. Integer state ⇒ stream == batch bit-exactly; shares
+    * q_g_test's oracle verbatim. */
+  private def qGTestStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val name = "graft_gtest_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .filter(col("o_orderstatus").isNotNull && col("o_orderpriority").isNotNull)
+        .groupBy(col("o_orderstatus").as("__a"), col("o_orderpriority").as("__b"))
+        .agg(count(lit(1)).as("__o"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.gTestFromCells(s.table(name))
+      .select(col("n"), col("n_cells"), col("dof"), round(col("g"), 6).as("g"))
+  }
+
   /** Two-proportion z-test (X225): click-vs-view "conversion" (value > 50)
     * — four exact counters in one partial agg, fixed IEEE assembly. */
   private def qTwoProportion(s: SparkSession, d: String): DataFrame =
@@ -5687,6 +5713,7 @@ object SparkEntry {
     "q_flatten_structs" -> (qFlattenStructs _),
     "q_chi_square" -> (qChiSquare _),
     "q_g_test" -> (qGTest _),
+    "q_g_test_stream" -> (qGTestStream _),
     "q_two_proportion" -> (qTwoProportion _),
     "q_two_proportion_stream" -> (qTwoProportionStream _),
     "q_llm_pipeline" -> (qLlmPipeline _),
@@ -6234,6 +6261,27 @@ object SparkEntry {
               p AS interval_level, z / p AS forecast,
               (1.0 - 0.3 / 2) * (z / p) AS sba
        FROM cr WHERE step = n ORDER BY event_type"""
+
+  private val gTestOracle: String =
+    """WITH cells AS (
+         SELECT o_orderstatus AS a, o_orderpriority AS b,
+                CAST(COUNT(*) AS BIGINT) AS o
+         FROM orders GROUP BY 1, 2),
+       m AS (SELECT a, b, o,
+                    CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+                    CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+                    CAST(SUM(o) OVER () AS BIGINT) AS n
+             FROM cells),
+       t AS (SELECT a, b, n,
+                    CAST(FLOOR(CAST(o AS DOUBLE)
+                      * ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE)
+                           / CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE))
+                      * 1e9 + 0.5) AS HUGEINT) AS tq
+             FROM m)
+       SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+              (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+              ROUND(2.0 * CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS g
+       FROM t"""
 
   // four exact long counters, then fixed IEEE chains — no quantization
   private val twoProportionOracle: String =
@@ -7308,27 +7356,10 @@ object SparkEntry {
          FROM u""",
     // G-test: O·N and R·C stay exact integers (HUGEINT) until ONE
     // nearest-double conversion each; per-cell terms quantize to 1e-9
-    // before the sum — mirrors Sketches.gTest bit-for-bit
-    "q_g_test" ->
-      """WITH cells AS (
-           SELECT o_orderstatus AS a, o_orderpriority AS b,
-                  CAST(COUNT(*) AS BIGINT) AS o
-           FROM orders GROUP BY 1, 2),
-         m AS (SELECT a, b, o,
-                      CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
-                      CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
-                      CAST(SUM(o) OVER () AS BIGINT) AS n
-               FROM cells),
-         t AS (SELECT a, b, n,
-                      CAST(FLOOR(CAST(o AS DOUBLE)
-                        * ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE)
-                             / CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE))
-                        * 1e9 + 0.5) AS HUGEINT) AS tq
-               FROM m)
-         SELECT MAX(n) AS n, COUNT(*) AS n_cells,
-                (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
-                ROUND(2.0 * CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS g
-         FROM t""",
+    // before the sum — mirrors Sketches.gTest bit-for-bit; the streaming
+    // twin maintains the cells in the state store and shares the SQL
+    "q_g_test" -> gTestOracle,
+    "q_g_test_stream" -> gTestOracle,
     // four exact long counters, then fixed IEEE chains — no quantization;
     // the streaming twin maintains the same counters in the state store
     // (integer state => stream == batch bit-exactly) and shares the SQL

@@ -697,11 +697,17 @@ object Sketches {
     * (no overflow at any N) before the sum. Zero cells contribute 0
     * (lim x·ln x = 0) and are absent from the cell table anyway.
     * Returns `(n, n_cells, dof, g)`. */
-  def gTest(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val cells = df
+  def gTest(df: DataFrame, colA: String, colB: String): DataFrame =
+    gTestFromCells(df
       .filter(col(colA).isNotNull && col(colB).isNotNull)
       .groupBy(col(colA).as("__a"), col(colB).as("__b"))
-      .agg(count(lit(1)).as("__o"))
+      .agg(count(lit(1)).as("__o")))
+
+  /** The assembly half of [[gTest]] over a pre-aggregated contingency cell
+    * table `(__a, __b, __o)` — e.g. maintained incrementally in a
+    * streaming state store. Identical marginal windows + quantized terms,
+    * so stream == batch exactly. */
+  def gTestFromCells(cells: DataFrame): DataFrame = {
     val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("__a"))
     val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
