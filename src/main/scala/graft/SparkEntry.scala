@@ -1676,6 +1676,19 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Experiment assignment + SRM audit (X233): customers hash into a
+    * 1:1:2 A/B/C split; the goodness-of-fit chi2 confirms the observed
+    * ratios match the declared design. */
+  private def qSrmCheck(s: SparkSession, d: String): DataFrame =
+    Quality.srmCheck(
+      Tables.orders(s, d), "o_custkey",
+      arms = Seq(("A", 1), ("B", 1), ("C", 2)), salt = "exp1")
+      .select(
+        col("arm"), col("weight"), col("n_observed"),
+        round(col("n_expected"), 6).as("n_expected"),
+        round(col("chi2"), 6).as("chi2"), col("dof"))
+      .orderBy("arm")
+
   /** Laplace noisy-count release (X232): order counts per priority at
     * ε = 0.5 (scale-2 noise) with the deterministic hash draw the oracle
     * replays. */
@@ -5910,6 +5923,7 @@ object SparkEntry {
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_cochran_armitage" -> (qCochranArmitage _),
     "q_noisy_counts" -> (qNoisyCounts _),
+    "q_srm_check" -> (qSrmCheck _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -7919,6 +7933,32 @@ object SparkEntry {
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
     // deviation sums kept RAW (exact longs) so the prediction is ONE
     // division of exact integers — no per-pair ratio ever materializes
+    // md5 bucket assignment through cumulative weight ranges; per-arm GOF
+    // terms exact HUGEINT until one division, 1e-9-quantized — mirrors
+    // Quality.srmCheck
+    "q_srm_check" ->
+      """WITH u AS (SELECT DISTINCT o_custkey AS unit FROM orders),
+         asg AS (SELECT unit,
+                        ('0x' || substr(md5('exp1' || '|' || CAST(unit AS VARCHAR)), 1, 13))::BIGINT % 4 AS bkt
+                 FROM u),
+         ob AS (SELECT CASE WHEN bkt < 1 THEN 'A' WHEN bkt < 2 THEN 'B' ELSE 'C' END AS arm,
+                       CAST(COUNT(*) AS BIGINT) AS o
+                FROM asg GROUP BY 1),
+         dec AS (SELECT * FROM (VALUES ('A', 1), ('B', 1), ('C', 2)) AS t(arm, w)),
+         j AS (SELECT dec.arm, dec.w, COALESCE(ob.o, 0) AS o
+               FROM dec LEFT JOIN ob USING (arm)),
+         wn AS (SELECT *, CAST(SUM(o) OVER () AS BIGINT) AS n FROM j),
+         t AS (SELECT *,
+                      CASE WHEN n > 0 THEN CAST(FLOOR(
+                        CAST((CAST(o AS HUGEINT) * 4 - CAST(n AS HUGEINT) * w)
+                             * (CAST(o AS HUGEINT) * 4 - CAST(n AS HUGEINT) * w) AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * w * 4 AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END AS tq
+               FROM wn)
+         SELECT arm, CAST(w AS BIGINT) AS weight, o AS n_observed,
+                ROUND(CAST(n AS DOUBLE) * CAST(w AS DOUBLE) / 4.0, 6) AS n_expected,
+                ROUND(CAST(SUM(tq) OVER () AS DOUBLE) / 1e9, 6) AS chi2,
+                CAST(2 AS BIGINT) AS dof
+         FROM t ORDER BY arm""",
     // deterministic Laplace draw: md5-of-(seed|key) uniform (h+0.5)/2^52
     // through the inverse CDF — mirrors Quality.noisyCounts
     "q_noisy_counts" ->

@@ -254,6 +254,64 @@ object Quality {
     * ICDE 2006). One partial-agg groupBy with a distinct count — the same
     * single-shuffle shape as the k-anonymity audit; the audit output is
     * group-level, bounded by the quasi-identifier domain, never row-scale. */
+  /** Deterministic experiment assignment + sample-ratio-mismatch audit —
+    * the experimentation-platform pair in one pass: units assign to arms
+    * by `md5(salt|unit) mod Σweights` bucketed through the cumulative
+    * weight ranges (stable across runs/engines — the industry-standard
+    * hash bucketing), and the SRM chi-square goodness-of-fit compares
+    * observed arm counts to the declared ratios — the #1
+    * invalid-experiment alarm (Fabijan et al. 2019): any SDK filtering /
+    * logging loss / assignment bug shows up as chi2 ≫ dof.
+    *
+    * Exactness: per-arm terms (O·W − n·w)² / (W·n·w) keep both sides
+    * exact decimal(38,0) integers until ONE double division each,
+    * 1e-9-quantized before the sum. One distinct-unit collapse + one
+    * partial agg to the arm domain. Returns one row per DECLARED arm
+    * (zero-observation arms included) carrying the shared chi2/dof. */
+  def srmCheck(
+      df: DataFrame,
+      unitCol: String,
+      arms: Seq[(String, Int)],
+      salt: String = "graft"): DataFrame = {
+    require(arms.nonEmpty && arms.forall(_._2 > 0), "arms need positive weights")
+    require(arms.map(_._1).distinct.size == arms.size, "arm names must be unique")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totalW = arms.map(_._2.toLong).sum
+    val bucket = conv(
+      substring(md5(concat_ws("|", lit(salt), col(unitCol).cast("string"))), 1, 13),
+      16, 10).cast("long") % totalW
+    val armFor = arms.tail.scanLeft((arms.head._1, arms.head._2.toLong)) {
+      case ((_, cum), (name, w)) => (name, cum + w)
+    }.foldRight(lit(arms.last._1)) { case ((name, cum), rest) =>
+      when(bucket < cum, name).otherwise(rest)
+    }
+    val obs = df.select(col(unitCol)).distinct()
+      .select(armFor.as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("__o"))
+    val declared = arms.toDF("arm", "__w")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val joined = declared
+      .join(obs, Seq("arm"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val withN = joined.withColumn("__n", sum(col("__o")).over(wAll))
+    val num = (d(col("__o")) * lit(totalW) - d(col("__n")) * col("__w"))
+    val term = (num * num).cast("decimal(38,0)").cast("double") /
+      (d(col("__n")) * col("__w") * lit(totalW)).cast("double")
+    val terms = withN.withColumn("__tq",
+      when(col("__n") > 0L, floor(term * 1e9 + 0.5).cast("long")))
+    terms
+      .withColumn("__chiq", sum(col("__tq")).over(wAll))
+      .select(
+        col("arm"), col("__w").cast("long").as("weight"),
+        col("__o").as("n_observed"),
+        (col("__n").cast("double") * col("__w").cast("double") / lit(totalW.toDouble))
+          .as("n_expected"),
+        (col("__chiq").cast("double") / 1e9).as("chi2"),
+        lit(arms.size.toLong - 1L).as("dof"))
+  }
+
   /** Laplace-noised count release (the Dwork et al. 2006 counting-query
     * mechanism) — the RELEASE step completing the privacy ladder after the
     * audits (X122 k-anonymity → X149 l-diversity → X153 t-closeness):

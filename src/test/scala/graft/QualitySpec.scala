@@ -98,6 +98,37 @@ class QualitySpec extends SparkSpec {
     assert(held.getAs[Boolean]("holds") && held.getAs[Long]("violating_keys") == 0L)
   }
 
+  test("srmCheck: stable assignment, exact GOF chi2, declared zero-arm kept") {
+    import graft.operators.Quality
+    val units = (1 to 400).map(i => s"u$i").toDF("unit")
+    val arms = Seq(("A", 1), ("B", 1), ("C", 2))
+    val r1 = Quality.srmCheck(units, "unit", arms, salt = "s1")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // deterministic & partition-invariant; duplicates collapse at the unit grain
+    val r2 = Quality.srmCheck(
+      units.union(units).repartition(7), "unit", arms, salt = "s1")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(arms.forall { case (a, _) =>
+      r1(a).getAs[Long]("n_observed") == r2(a).getAs[Long]("n_observed") })
+    assert(arms.map { case (a, _) => r1(a).getAs[Long]("n_observed") }.sum == 400L)
+    // hash-balanced arms: expected shares ~1:1:2, chi2 small, dof = 2
+    assert(r1("C").getAs[Double]("n_expected") == 200.0)
+    assert(r1("A").getAs[Long]("dof") == 2L)
+    assert(r1("A").getAs[Double]("chi2") < 16.0) // p~3e-4 bound: hash is fair
+    // hand replay of the chi2 from the observed counts
+    val obs = arms.map { case (a, _) => r1(a).getAs[Long]("n_observed") }
+    val expChi = arms.zip(obs).map { case ((_, w), o) =>
+      val num = (o * 4L - 400L * w).toDouble
+      math.floor(num * num / (400L * w * 4L).toDouble * 1e9 + 0.5) / 1e9
+    }.sum
+    assert(math.abs(r1("A").getAs[Double]("chi2") - expChi) < 1e-9)
+    // a declared arm nobody landed in still reports, with n_observed = 0
+    val tiny = Seq("x").toDF("unit")
+    val rt = Quality.srmCheck(tiny, "unit", arms, salt = "s1")
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("n_observed")).toMap
+    assert(rt.size == 3 && rt.values.sum == 1L && rt.values.count(_ == 0L) == 2)
+  }
+
   test("noisyCounts: deterministic Laplace release, clamped at 0, scale honest") {
     import graft.operators.Quality
     val df = (Seq.fill(100)("big") ++ Seq.fill(1)("tiny")).toDF("g")
