@@ -1676,6 +1676,12 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Binned mutual information (X234): quantity vs extended price on an
+    * 8×8 equi-width grid — the dependence Pearson sees only linearly. */
+  private def qMiBinned(s: SparkSession, d: String): DataFrame =
+    Sketches.mutualInfoBinned(
+      Tables.lineitem(s, d), "l_quantity", "l_extendedprice", nx = 8, ny = 8)
+
   /** Experiment assignment + SRM audit (X233): customers hash into a
     * 1:1:2 A/B/C split; the goodness-of-fit chi2 confirms the observed
     * ratios match the declared design. */
@@ -5924,6 +5930,7 @@ object SparkEntry {
     "q_cochran_armitage" -> (qCochranArmitage _),
     "q_noisy_counts" -> (qNoisyCounts _),
     "q_srm_check" -> (qSrmCheck _),
+    "q_mi_binned" -> (qMiBinned _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -7933,6 +7940,31 @@ object SparkEntry {
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
     // deviation sums kept RAW (exact longs) so the prediction is ONE
     // division of exact integers — no per-pair ratio ever materializes
+    // X163 equi-width bins (broadcast bounds) into X123's 1e-12-quantized
+    // MI assembly — mirrors Sketches.mutualInfoBinned
+    "q_mi_binned" ->
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                           CAST(l_extendedprice AS DOUBLE) AS y
+                    FROM lineitem),
+         bd AS (SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi FROM b),
+         bins AS (SELECT
+                    CAST(LEAST(CASE WHEN (xhi - xlo) / 8 = 0.0 THEN 0
+                               ELSE FLOOR((x - xlo) / ((xhi - xlo) / 8)) END, 7) AS BIGINT) AS bx,
+                    CAST(LEAST(CASE WHEN (yhi - ylo) / 8 = 0.0 THEN 0
+                               ELSE FLOOR((y - ylo) / ((yhi - ylo) / 8)) END, 7) AS BIGINT) AS byy
+                  FROM b CROSS JOIN bd),
+         cells AS (SELECT bx, byy, COUNT(*) AS c FROM bins GROUP BY 1, 2),
+         m AS (SELECT c,
+                      SUM(c) OVER (PARTITION BY bx) AS ca,
+                      SUM(c) OVER (PARTITION BY byy) AS cb,
+                      SUM(c) OVER () AS n
+               FROM cells),
+         t AS (SELECT n, CAST(FLOOR((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                                    LN(CAST(n * c AS DOUBLE) / CAST(ca * cb AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS tq
+               FROM m)
+         SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
+                ROUND(SUM(tq) / 1e12, 6) AS mi
+         FROM t""",
     // md5 bucket assignment through cumulative weight ranges; per-arm GOF
     // terms exact HUGEINT until one division, 1e-9-quantized — mirrors
     // Quality.srmCheck

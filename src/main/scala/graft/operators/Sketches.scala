@@ -895,6 +895,41 @@ object Sketches {
         round(sum(col("__tq")) / 1e12, dp).as("mi"))
   }
 
+  /** Binned mutual information between two CONTINUOUS columns — the
+    * dependence detector the linear family (X40 Pearson / X170 Spearman)
+    * misses entirely when the relationship is non-monotone: X163's
+    * equi-width 2-D binning (ONE broadcast bounds row, codegen'd bin
+    * projection) feeds X123's quantized MI assembly, whose windows run on
+    * the BOUNDED nx×ny cell table, never the data. Returns
+    * `(n, n_cells, mi)` in nats; MI of the binned copy, so the bin counts
+    * are part of the contract (more bins = finer dependence, noisier
+    * cells). */
+  def mutualInfoBinned(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      nx: Int,
+      ny: Int,
+      dp: Int = 6): DataFrame = {
+    require(nx >= 1 && ny >= 1, s"bin counts must be >= 1, got nx=$nx ny=$ny")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val bounds = df.agg(
+      min(x).as("__xlo"), max(x).as("__xhi"),
+      min(y).as("__ylo"), max(y).as("__yhi"))
+    def binOf(v: Column, lo: Column, w: Column, n: Int): Column =
+      least(
+        when(w === 0.0, lit(0)).otherwise(floor((v - lo) / w)),
+        lit(n - 1)).cast("long")
+    val binned = df.crossJoin(broadcast(bounds))
+      .withColumn("__wx", (col("__xhi") - col("__xlo")) / nx)
+      .withColumn("__wy", (col("__yhi") - col("__ylo")) / ny)
+      .select(
+        binOf(x, col("__xlo"), col("__wx"), nx).as("__bx"),
+        binOf(y, col("__ylo"), col("__wy"), ny).as("__by"))
+    mutualInformation(binned, "__bx", "__by", dp)
+  }
+
   /** Per-group simple linear regression (closed-form OLS) — the trend
     * detector of the stats family: slope/intercept/r² of y over x for each
     * group in ONE partial aggregate, no second pass, no window.

@@ -340,6 +340,25 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.chiSquare(indep, "u", "v").head.getAs[Double]("chi2") == 0.0)
   }
 
+  test("mutualInfoBinned: deterministic functional beats independent; parabola beats Pearson") {
+    import graft.operators.Sketches
+    // y = x exactly: MI of the binned copy = H(bin) = ln(4) on 4 equal bins
+    val ident = (0 until 400).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    val mId = Sketches.mutualInfoBinned(ident, "x", "y", 4, 4).head.getAs[Double]("mi")
+    assert(math.abs(mId - math.log(4.0)) < 1e-6)
+    // independent grid: every (x band, y band) combination equally often -> MI 0
+    val indep = (for (a <- 0 until 20; b <- 0 until 20) yield (a.toDouble, b.toDouble))
+      .toDF("x", "y")
+    val mInd = Sketches.mutualInfoBinned(indep, "x", "y", 4, 4).head.getAs[Double]("mi")
+    assert(math.abs(mInd) < 1e-9)
+    // parabola y = (x-1)^2 on [0,2]: Pearson ~0 by symmetry, binned MI large
+    val par = (0 until 400).map { i =>
+      val x = i / 200.0; (x, (x - 1.0) * (x - 1.0))
+    }.toDF("x", "y")
+    val mPar = Sketches.mutualInfoBinned(par, "x", "y", 4, 4).head.getAs[Double]("mi")
+    assert(mPar > 0.5, s"parabola MI should be substantial, got $mPar")
+  }
+
   test("cochranArmitage: hand-computed trend z, flat rates zero, degenerate NULL") {
     import graft.operators.Sketches
     // doses 1,2,3 with rates 1/10, 5/10, 9/10 — strong positive trend
