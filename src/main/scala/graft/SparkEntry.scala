@@ -1889,6 +1889,31 @@ object SparkEntry {
       Tables.documents(s, d), "doc_id", "text", maxVocab = 30, minCount = 2L)
       .orderBy("doc_id")
 
+  /** STREAMING C4 filter (S37): the cleaning pass as a STATELESS streaming
+    * projection (append mode, zero state) — the shape a crawl-ingestion
+    * pipeline actually runs; pure per-row logic ⇒ stream == batch
+    * trivially, shares q_c4_filter's oracle verbatim. */
+  private def qC4FilterStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "graft_c4_stream"
+    val prepped = stream.select(col("doc_id"),
+      regexp_replace(replace(col("text"), lit("data"), lit("data.")),
+        "((?:\\S+ ){2}\\S+) ", "$1\n").as("text"))
+    val q = TextAnalysis.c4Filter(prepped, "text")
+      .select(col("doc_id"), col("clean_text"), col("n_lines_kept"),
+        col("n_lines_dropped"), col("n_sentences"), col("flag_sentences"),
+        col("flag_lorem"), col("flag_brace"), col("flag_blocklist"), col("keep"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("doc_id")
+  }
+
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id") +: TextAnalysis.tokenCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
@@ -5753,6 +5778,7 @@ object SparkEntry {
     "q_gopher_quality" -> (qGopherQuality _),
     "q_c4_filter" -> (qC4Filter _),
     "q_truncate_vocab" -> (qTruncateVocab _),
+    "q_c4_filter_stream" -> (qC4FilterStream _),
     "q_compression_ratio" -> (qCompressionRatio _),
     "q_linkage_score" -> (qLinkageScore _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
@@ -6282,6 +6308,36 @@ object SparkEntry {
               p AS interval_level, z / p AS forecast,
               (1.0 - 0.3 / 2) * (z / p) AS sba
        FROM cr WHERE step = n ORDER BY event_type"""
+
+  private val c4FilterOracle: String =
+    """WITH d AS (SELECT doc_id,
+             regexp_replace(replace(text, 'data', 'data.'),
+                            '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
+           FROM documents),
+         l AS (SELECT doc_id,
+                      unnest(string_split(t, chr(10))) AS line,
+                      unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+               FROM d),
+         f AS (SELECT doc_id, pos, line,
+                      regexp_matches(rtrim(line), '[.!?"]$')
+                        AND len(regexp_extract_all(line, '\S+')) >= 3
+                        AND NOT contains(lower(line), 'javascript') AS keepl
+               FROM l),
+         agg AS (SELECT doc_id,
+                        COALESCE(string_agg(CASE WHEN keepl THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+                        CAST(SUM(CASE WHEN keepl THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+                        CAST(SUM(CASE WHEN NOT keepl THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped
+                 FROM f GROUP BY doc_id),
+         fin AS (SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped,
+                        CAST(len(regexp_extract_all(clean_text, '[.!?]+')) AS BIGINT) AS n_sentences,
+                        NOT contains(lower(clean_text), 'lorem ipsum') AS flag_lorem,
+                        NOT contains(clean_text, '{') AS flag_brace,
+                        NOT regexp_matches(lower(clean_text), '\bverboten\b') AS flag_blocklist
+                 FROM agg)
+         SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped, n_sentences,
+                n_sentences >= 5 AS flag_sentences, flag_lorem, flag_brace, flag_blocklist,
+                n_sentences >= 5 AND flag_lorem AND flag_brace AND flag_blocklist AS keep
+         FROM fin ORDER BY doc_id"""
 
   private val gTestOracle: String =
     """WITH cells AS (
@@ -8247,36 +8303,10 @@ object SparkEntry {
          FROM fl GROUP BY doc_id ORDER BY doc_id""",
     // line synthesis as in q_boilerplate, then the C4 line rules (terminal
     // punctuation, >= 3 words, no "javascript") and doc rules on the
-    // CLEANED text — mirrors TextAnalysis.c4Filter exactly
-    "q_c4_filter" ->
-      """WITH d AS (SELECT doc_id,
-             regexp_replace(replace(text, 'data', 'data.'),
-                            '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
-           FROM documents),
-         l AS (SELECT doc_id,
-                      unnest(string_split(t, chr(10))) AS line,
-                      unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
-               FROM d),
-         f AS (SELECT doc_id, pos, line,
-                      regexp_matches(rtrim(line), '[.!?"]$')
-                        AND len(regexp_extract_all(line, '\S+')) >= 3
-                        AND NOT contains(lower(line), 'javascript') AS keepl
-               FROM l),
-         agg AS (SELECT doc_id,
-                        COALESCE(string_agg(CASE WHEN keepl THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
-                        CAST(SUM(CASE WHEN keepl THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
-                        CAST(SUM(CASE WHEN NOT keepl THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped
-                 FROM f GROUP BY doc_id),
-         fin AS (SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped,
-                        CAST(len(regexp_extract_all(clean_text, '[.!?]+')) AS BIGINT) AS n_sentences,
-                        NOT contains(lower(clean_text), 'lorem ipsum') AS flag_lorem,
-                        NOT contains(clean_text, '{') AS flag_brace,
-                        NOT regexp_matches(lower(clean_text), '\bverboten\b') AS flag_blocklist
-                 FROM agg)
-         SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped, n_sentences,
-                n_sentences >= 5 AS flag_sentences, flag_lorem, flag_brace, flag_blocklist,
-                n_sentences >= 5 AND flag_lorem AND flag_brace AND flag_blocklist AS keep
-         FROM fin ORDER BY doc_id""",
+    // CLEANED text — mirrors TextAnalysis.c4Filter exactly; the streaming
+    // twin is the same per-row projection (append mode) and shares the SQL
+    "q_c4_filter" -> c4FilterOracle,
+    "q_c4_filter_stream" -> c4FilterOracle,
     "q_gopher_quality" ->
       """WITH g AS (
            SELECT doc_id,
