@@ -2568,6 +2568,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** LLM pipeline v4 (X235) — the r9 curation chain in ONE Catalyst plan:
+    * vocabulary normalization (T64: tail tokens → <unk>, bounded broadcast
+    * vocab) → DSIR importance scoring of the REWRITTEN text against the
+    * in-corpus English target (T61: broadcast bucket model, one corpus
+    * shuffle) → deterministic top-100 selection under the (score desc,
+    * doc_id) total order (bounded TakeOrdered, never a global sort). */
+  private def qLlmPipeline4(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val rewritten = TextAnalysis.truncateVocabulary(
+      docs, "doc_id", "text", maxVocab = 30, minCount = 2L)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val scored = Sampling.dsirScores(
+      rewritten, rewritten.filter(col("lang") === "en"),
+      "doc_id", "text_unk", numBuckets = 256, minLen = 2)
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_tokens"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Bucketed co-located join, oracle-checked: write customer and orders
     * bucketed on the join key (external tables in a per-run temp dir), join
     * them with auto-broadcast disabled — the plan is a ZERO-Exchange
@@ -5957,6 +5978,7 @@ object SparkEntry {
     "q_noisy_counts" -> (qNoisyCounts _),
     "q_srm_check" -> (qSrmCheck _),
     "q_mi_binned" -> (qMiBinned _),
+    "q_llm_pipeline4" -> (qLlmPipeline4 _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -7996,6 +8018,45 @@ object SparkEntry {
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
     // deviation sums kept RAW (exact longs) so the prediction is ONE
     // division of exact integers — no per-pair ratio ever materializes
+    // T64's rewrite CTEs feed T61's dsir replay on the UNK-normalized
+    // text; selection on the UNROUNDED score under the (score desc,
+    // doc_id) total order — mirrors qLlmPipeline4's single plan
+    "q_llm_pipeline4" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS w,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+              FROM documents),
+         cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         vocab AS (SELECT w FROM (
+                     SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+                     FROM cnt WHERE c >= 2)
+                   WHERE rk <= 30),
+         rew AS (SELECT t.doc_id,
+                        string_agg(CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END,
+                                   ' ' ORDER BY t.pos) AS tx
+                 FROM toks t LEFT JOIN vocab v ON t.w = v.w GROUP BY t.doc_id),
+         rl AS (SELECT r.doc_id, r.tx, d.lang FROM rew r JOIN documents d USING (doc_id)),
+         rt AS (SELECT doc_id,
+                ('0x' || substr(md5(unnest(regexp_extract_all(lower(tx), '[a-z0-9]{2,}'))), 1, 8))::BIGINT % 256 AS b
+              FROM rl),
+         tt AS (SELECT ('0x' || substr(md5(unnest(regexp_extract_all(lower(tx), '[a-z0-9]{2,}'))), 1, 8))::BIGINT % 256 AS b
+                FROM rl WHERE lang = 'en'),
+         tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tn FROM tt GROUP BY 1),
+         rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rn FROM rt GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(SUM(tn) AS BIGINT) FROM tc) AS ttot,
+                        (SELECT CAST(SUM(rn) AS BIGINT) FROM rc) AS rtot),
+         lr AS (SELECT COALESCE(rc.b, tc.b) AS b,
+                  CAST(FLOOR(ln(CAST((COALESCE(tn, 0) + 1) * (rtot + 256) AS DOUBLE)
+                              / CAST((COALESCE(rn, 0) + 1) * (ttot + 256) AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT) AS lrq
+                FROM rc FULL OUTER JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+         dfb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM rt GROUP BY 1, 2),
+         sc AS (SELECT dfb.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(SUM(c * lrq) AS DOUBLE) / 1e6 AS score
+                FROM dfb JOIN lr USING (b) GROUP BY 1),
+         top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 100)
+         SELECT doc_id, n_tokens, ROUND(score, 6) AS score
+         FROM top ORDER BY doc_id""",
     // X163 equi-width bins (broadcast bounds) into X123's 1e-12-quantized
     // MI assembly — mirrors Sketches.mutualInfoBinned
     "q_mi_binned" ->
