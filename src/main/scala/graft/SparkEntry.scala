@@ -1676,6 +1676,21 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Seasonal/trend strength (X236): the Hyndman F-statistics over the
+    * weekly decomposition of daily revenue — the "which series are
+    * actually seasonal?" triage feature. */
+  private def qSeasonalStrength(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(
+        col("o_orderdate").cast("date").as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .withColumn("dow",
+        (datediff(col("day"), lit("1990-01-01").cast("date")) % 7).cast("int"))
+    Temporal.seasonalStrength(daily, "day", "revenue_cents", "dow", period = 7)
+  }
+
   /** Binned mutual information (X234): quantity vs extended price on an
     * 8×8 equi-width grid — the dependence Pearson sees only linearly. */
   private def qMiBinned(s: SparkSession, d: String): DataFrame =
@@ -5979,6 +5994,7 @@ object SparkEntry {
     "q_srm_check" -> (qSrmCheck _),
     "q_mi_binned" -> (qMiBinned _),
     "q_llm_pipeline4" -> (qLlmPipeline4 _),
+    "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -10270,6 +10286,50 @@ object SparkEntry {
                      THEN CAST(d.dnum * p.pcnt - p.psum AS DOUBLE) / (p.pcnt * 7)
                 END AS remainder
          FROM dt d JOIN pm p USING (dow) ORDER BY d.day""",
+    // q_seasonal's decomposition CTEs, components quantized to 1e-6
+    // longs, strengths as ratios of exact variance NUMERATORS — mirrors
+    // Temporal.seasonalStrength
+    "q_seasonal_strength" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                        FROM orders GROUP BY 1),
+         w AS (SELECT day, revenue_cents,
+                      CAST(datediff('day', DATE '1990-01-01', day) % 7 AS INT) AS dow,
+                      CAST(SUM(revenue_cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS wsum,
+                      COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wcnt
+               FROM daily),
+         dt AS (SELECT day, revenue_cents, dow, wsum, wcnt,
+                       CASE WHEN wcnt = 7 THEN revenue_cents * 7 - wsum END AS dnum
+                FROM w),
+         pm AS (SELECT dow, CAST(SUM(dnum) AS BIGINT) AS psum,
+                       CAST(COUNT(dnum) AS BIGINT) AS pcnt
+                FROM dt WHERE dnum IS NOT NULL GROUP BY 1),
+         comp AS (SELECT
+                    CAST(d.dnum * p.pcnt - p.psum AS DOUBLE) / (p.pcnt * 7) AS r,
+                    CAST(p.psum AS DOUBLE) / (p.pcnt * 7) AS s,
+                    CAST(d.wsum AS DOUBLE) / 7 AS t
+                  FROM dt d JOIN pm p USING (dow)
+                  WHERE d.dnum IS NOT NULL),
+         qz AS (SELECT
+                  CAST(FLOOR(r * 1e6 + 0.5) AS HUGEINT) AS rq,
+                  CAST(FLOOR((s + r) * 1e6 + 0.5) AS HUGEINT) AS srq,
+                  CAST(FLOOR((t + r) * 1e6 + 0.5) AS HUGEINT) AS trq
+                FROM comp),
+         a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(rq) AS s1r, SUM(rq * rq) AS s2r,
+                      SUM(srq) AS s1s, SUM(srq * srq) AS s2s,
+                      SUM(trq) AS s1t, SUM(trq * trq) AS s2t
+               FROM qz)
+         SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN n * s2s - s1s * s1s <> 0
+                     THEN ROUND(GREATEST(0.0,
+                          1.0 - CAST(n * s2r - s1r * s1r AS DOUBLE)
+                              / CAST(n * s2s - s1s * s1s AS DOUBLE)), 6) END AS seasonal_strength,
+                CASE WHEN n * s2t - s1t * s1t <> 0
+                     THEN ROUND(GREATEST(0.0,
+                          1.0 - CAST(n * s2r - s1r * s1r AS DOUBLE)
+                              / CAST(n * s2t - s1t * s1t AS DOUBLE)), 6) END AS trend_strength
+         FROM a""",
     // quintile scores as exact integer ceil-division over the ECDF
     // histogram — tie-stable by construction (ntile would depend on
     // arbitrary tie order and could not hash-match across engines)

@@ -775,6 +775,54 @@ object Temporal {
       .drop("__wsum", "__wcnt", "__detr_num", "__psum", "__pcnt")
   }
 
+  /** Strength of seasonality / trend (Hyndman & Athanasopoulos §12.2, the
+    * feature behind "which of my 10,000 series ARE seasonal?"):
+    * F_s = max(0, 1 − Var(R)/Var(S+R)) and F_t = max(0, 1 − Var(R)/Var(T+R))
+    * over [[seasonalDecompose]]'s full-window rows — 1 ≈ strongly
+    * seasonal/trending, 0 ≈ noise.
+    *
+    * Exactness: each component chain is one exact division (the X126
+    * guarantee), then components QUANTIZE to 1e-6 longs so every variance
+    * is a ratio of exact decimal(38,0) moment NUMERATORS
+    * (n·Σx² − (Σx)², the n² denominators cancel) — ONE division per
+    * strength. Same bounded-series shapes as the decomposition. */
+  def seasonalStrength(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      phaseCol: String,
+      period: Int,
+      dp: Int = 6): DataFrame = {
+    val dec = seasonalDecompose(series, orderCol, valueCol, phaseCol, period)
+      .filter(col("remainder").isNotNull)
+    def q(c: Column) = floor(c * 1e6 + 0.5).cast("long")
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    val t = dec.select(
+      q(col("remainder")).as("__r"),
+      q(col("seasonal") + col("remainder")).as("__sr"),
+      q(col("trend") + col("remainder")).as("__tr"))
+    val agg = t.agg(
+      count(lit(1)).as("n"),
+      sum(dd(col("__r"))).as("__s1r"), sum(dd(col("__r")) * dd(col("__r"))).as("__s2r"),
+      sum(dd(col("__sr"))).as("__s1s"), sum(dd(col("__sr")) * dd(col("__sr"))).as("__s2s"),
+      sum(dd(col("__tr"))).as("__s1t"), sum(dd(col("__tr")) * dd(col("__tr"))).as("__s2t"))
+    val nD = col("n").cast("decimal(38,0)")
+    def varNum(s1: Column, s2: Column) = (nD * s2 - s1 * s1).cast("decimal(38,0)")
+    val vr = varNum(col("__s1r"), col("__s2r"))
+    val vs = varNum(col("__s1s"), col("__s2s"))
+    val vt = varNum(col("__s1t"), col("__s2t"))
+    agg.select(
+      col("n"),
+      when(vs =!= 0,
+        round(greatest(lit(0.0),
+          lit(1.0) - vr.cast("double") / vs.cast("double")), dp))
+        .as("seasonal_strength"),
+      when(vt =!= 0,
+        round(greatest(lit(0.0),
+          lit(1.0) - vr.cast("double") / vt.cast("double")), dp))
+        .as("trend_strength"))
+  }
+
   /** Downsample an irregular tick stream to OHLC bars (open / high / low /
     * close / volume / sum) per (key…, bucket) — the classic resample-to-bars
     * readout (reference: the quarterly roll-ups of extract_pec_data.py:193,

@@ -395,6 +395,20 @@ class TemporalSpec extends SparkSpec {
     assert(s1.getAs[Double]("level") == 42.0 && s1.getAs[Double]("trend") == 0.0)
   }
 
+  test("seasonalStrength: pure weekly pattern scores ~1 seasonal; pure ramp ~1 trend") {
+    def series(vals: Int => Long, n: Int) =
+      (0 until n).map(i => (i, (i % 7), vals(i))).toDF("t", "phase", "v")
+    // strong weekly cycle, no trend: seasonal strength ~1, trend ~0-ish
+    val cyc = Temporal.seasonalStrength(
+      series(i => 1000L + (i % 7) * 500L, 70), "t", "v", "phase", 7).head
+    assert(cyc.getAs[Double]("seasonal_strength") > 0.99, cyc.toString)
+    // pure linear ramp: the weekly component is flat -> trend strength ~1
+    val ramp = Temporal.seasonalStrength(
+      series(i => 100L * i, 70), "t", "v", "phase", 7).head
+    assert(ramp.getAs[Double]("trend_strength") > 0.99, ramp.toString)
+    assert(ramp.getAs[Long]("n") == 64L) // 70 minus the half-window edges
+  }
+
   test("durbinWatson: alternating residuals near 4, smooth curvature below 2, exact fit NULL") {
     // y alternates 10,0,... : residuals flip sign every step -> DW near 4;
     // exact value replayed by the hand OLS + quantized-residual chain
