@@ -1896,6 +1896,17 @@ object SparkEntry {
         col("flag_lorem"), col("flag_brace"), col("flag_blocklist"), col("keep"))
       .orderBy("doc_id")
 
+  /** Inverted index (T65): term → (doc_freq, top-5 postings) — the gate
+    * explodes the postings arrays to scalar rows under a total order so
+    * the external rows-check can sort the frame. */
+  private def qInvertedIndex(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.invertedIndex(Tables.documents(s, d), "doc_id", "text", maxPostings = 5)
+      .select(col("term"), col("doc_freq"),
+        posexplode(col("postings")).as(Seq("__i", "__e")))
+      .select(col("term"), col("doc_freq"), (col("__i") + 1).cast("long").as("rank"),
+        col("__e.doc_id").as("doc_id"), col("__e.tf").as("tf"))
+      .orderBy("term", "rank")
+
   /** Vocabulary truncation (T64): top-30 corpus words with a count floor
     * of 2; everything else rewrites to <unk>, per-doc OOV exposure
     * reported. */
@@ -5815,6 +5826,7 @@ object SparkEntry {
     "q_c4_filter" -> (qC4Filter _),
     "q_truncate_vocab" -> (qTruncateVocab _),
     "q_c4_filter_stream" -> (qC4FilterStream _),
+    "q_inverted_index" -> (qInvertedIndex _),
     "q_compression_ratio" -> (qCompressionRatio _),
     "q_linkage_score" -> (qLinkageScore _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
@@ -8356,6 +8368,23 @@ object SparkEntry {
                 FROM agg)
          SELECT query_id, doc_id, s / 1000000.0 AS score, CAST(rn AS INTEGER) AS rnk
          FROM rk WHERE rn <= 10 ORDER BY query_id, rnk""",
+    // (term, doc) tf grain, doc_freq over ALL postings, stored list
+    // capped under the (tf desc, doc asc) total order — mirrors
+    // TextAnalysis.invertedIndex + the gate's posexplode
+    "q_inverted_index" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+         p AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM p GROUP BY 1),
+         rk AS (SELECT term, doc_id, tf,
+                       ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+                FROM p)
+         SELECT r.term, d.doc_freq, CAST(r.rnk AS BIGINT) AS rank, r.doc_id, r.tf
+         FROM rk r JOIN dfq d USING (term)
+         WHERE r.rnk <= 5
+         ORDER BY r.term, r.rnk""",
     // top-maxVocab under the (count desc, token asc) total order, token
     // left join, positional reassembly — mirrors
     // TextAnalysis.truncateVocabulary

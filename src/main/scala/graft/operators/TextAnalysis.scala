@@ -534,6 +534,41 @@ object TextAnalysis {
     * aggregation is exact long arithmetic — partition-order-independent and
     * engine-portable; ranking ties break by document id. Tokenization is
     * the portable lowercase space-split used corpus-wide. */
+  /** Inverted-index build — the materialized retrieval artifact BEHIND
+    * [[bm25TopK]]'s scoring (ship the index, not the corpus): one row per
+    * term carrying document frequency and the top-`maxPostings` postings
+    * under the (tf desc, doc asc) TOTAL order as an array of
+    * (doc_id, tf) structs. doc_freq counts ALL postings; only the stored
+    * list caps — via the native TopKPerKey bounded heap, so a corpus-wide
+    * hot term never materializes an unbounded list (the posting-list cap
+    * every real engine applies). One (term, doc) partial agg; the cap and
+    * the final per-term fold reuse its shuffle key. */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val postings = df
+      .select(col(idCol).as("__doc"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("term"))
+      .groupBy(col("term"), col("__doc"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = postings.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val capped = Relational.topKPerKey(
+      postings, Seq("term"), Seq(("tf", true), ("__doc", false)), maxPostings)
+    capped
+      .groupBy(col("term"))
+      .agg(array_sort(collect_list(struct((-col("tf")).as("__negTf"),
+        col("__doc").as("doc_id"), col("tf")))).as("__p"))
+      .join(docFreq, "term")
+      .select(
+        col("term"), col("doc_freq"),
+        transform(col("__p"),
+          e => struct(e.getField("doc_id").as("doc_id"), e.getField("tf").as("tf")))
+          .as("postings"))
+  }
+
   def bm25TopK(
       df: DataFrame,
       idCol: String,

@@ -7,6 +7,26 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("invertedIndex: full doc_freq, capped postings under the (tf desc, doc asc) order") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "hot hot hot cold"),
+      (2L, "hot hot cold"),
+      (3L, "hot cold rare"),
+      (4L, "hot")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // doc_freq is UNCAPPED even when the stored list truncates
+    assert(idx("hot").getAs[Long]("doc_freq") == 4L)
+    val hot = idx("hot").getSeq[org.apache.spark.sql.Row](2)
+    assert(hot.size == 2)
+    assert(hot.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 3L), (2L, 2L)))
+    // tf tie between docs 1,2,3 for "cold" breaks by doc_id asc
+    val cold = idx("cold").getSeq[org.apache.spark.sql.Row](2)
+    assert(cold.map(_.getLong(0)) == Seq(1L, 2L))
+    assert(idx("rare").getAs[Long]("doc_freq") == 1L)
+  }
+
   test("truncateVocabulary keeps the top vocabulary and UNKs the tail deterministically") {
     import graft.operators.TextAnalysis
     // counts: a=4, b=3, c=2, d=1, e=1 -> maxVocab=3, minCount=2 keeps {a,b,c}
