@@ -14,6 +14,34 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("r9 additions keep their scale shapes: broadcasts, bounded heaps, no cartesians") {
+    // G-test / chi-square windows run on the CELL table, not the corpus
+    val g = plan(SparkEntry.queries("q_g_test")(spark, sf))
+    assert(!g.contains("CartesianProduct"), g)
+    assert("HashAggregate".r.findAllIn(g).size >= 2, s"no partial agg before cells:\n$g")
+    // Fisher: the k-range explode sits ABOVE the per-stratum aggregate
+    val f = plan(SparkEntry.queries("q_fisher")(spark, sf))
+    assert(f.contains("Generate"), s"fisher lost its bounded explode:\n$f")
+    assert(!f.contains("CartesianProduct"), f)
+    // personalized PageRank: equi-joins only
+    val pr = plan(SparkEntry.queries("q_ppr")(spark, sf))
+    assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"), pr)
+    // vocabulary truncation: vocab BROADCASTS into the token join and the
+    // cut is a bounded TakeOrdered, never a global sort
+    val tv = plan(SparkEntry.queries("q_truncate_vocab")(spark, sf))
+    assert(tv.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$tv")
+    assert(tv.contains("TakeOrderedAndProject"), s"vocab cut must be a bounded heap:\n$tv")
+    // inverted index: the posting cap is the NATIVE top-k operator
+    val ii = plan(SparkEntry.queries("q_inverted_index")(spark, sf))
+    assert(ii.contains("TopKPerKey"), s"posting cap must be the native heap:\n$ii")
+    // pipeline v4 ends in a bounded TakeOrdered selection
+    val p4 = plan(SparkEntry.queries("q_llm_pipeline4")(spark, sf))
+    assert(p4.contains("TakeOrderedAndProject"), s"v4 selection must be bounded:\n$p4")
+    // SRM / noisy counts: pure partial-agg + tiny-domain shapes
+    val srm = plan(SparkEntry.queries("q_srm_check")(spark, sf))
+    assert(!srm.contains("CartesianProduct"), srm)
+  }
+
   test("dimension joins broadcast the dimension side (zero shuffle on facts)") {
     val p = plan(SparkEntry.queries("q_dim_join")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
