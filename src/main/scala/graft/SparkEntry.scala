@@ -1676,6 +1676,26 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Difference-in-differences (X237): F-status orders as the "treated"
+    * group, 1995-01-01 as the policy date, scaled totalprice outcome. */
+  private def qDiffInDiff(s: SparkSession, d: String): DataFrame =
+    Sketches.diffInDiff(
+      Tables.orders(s, d)
+        .withColumn("treated", col("o_orderstatus") === "F")
+        .withColumn("post", col("o_orderdate").cast("date") >= lit("1995-01-01").cast("date"))
+        .withColumn("v", col("o_totalprice") / 100000.0),
+      "treated", "post", "v")
+      .select(
+        col("n_treated_pre"), col("n_treated_post"),
+        col("n_control_pre"), col("n_control_post"),
+        round(col("mean_treated_pre"), 6).as("mean_treated_pre"),
+        round(col("mean_treated_post"), 6).as("mean_treated_post"),
+        round(col("mean_control_pre"), 6).as("mean_control_pre"),
+        round(col("mean_control_post"), 6).as("mean_control_post"),
+        round(col("did"), 6).as("did"),
+        round(col("se"), 6).as("se"),
+        round(col("t_stat"), 6).as("t_stat"))
+
   /** Seasonal/trend strength (X236): the Hyndman F-statistics over the
     * weekly decomposition of daily revenue — the "which series are
     * actually seasonal?" triage feature. */
@@ -6007,6 +6027,7 @@ object SparkEntry {
     "q_mi_binned" -> (qMiBinned _),
     "q_llm_pipeline4" -> (qLlmPipeline4 _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
+    "q_diff_in_diff" -> (qDiffInDiff _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -10315,6 +10336,51 @@ object SparkEntry {
                      THEN CAST(d.dnum * p.pcnt - p.psum AS DOUBLE) / (p.pcnt * 7)
                 END AS remainder
          FROM dt d JOIN pm p USING (dow) ORDER BY d.day""",
+    // welchTTest's quantized moments per (treated, post) cell; DiD, SE and
+    // t fixed IEEE chains mirroring Sketches.diffInDiff term order
+    "q_diff_in_diff" ->
+      """WITH b AS (SELECT o_orderstatus = 'F' AS t,
+                           CAST(o_orderdate AS DATE) >= DATE '1995-01-01' AS p,
+                           o_totalprice / 100000.0 AS v
+                    FROM orders),
+         c AS (SELECT t, p, CAST(COUNT(*) AS DOUBLE) AS n,
+                      CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                      CAST(SUM(CAST(FLOOR(v * v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+               FROM b GROUP BY 1, 2),
+         w AS (SELECT
+                 MAX(CASE WHEN t AND NOT p THEN n END) AS n_t0,
+                 MAX(CASE WHEN t AND NOT p THEN s END) AS s_t0,
+                 MAX(CASE WHEN t AND NOT p THEN ss END) AS ss_t0,
+                 MAX(CASE WHEN t AND p THEN n END) AS n_t1,
+                 MAX(CASE WHEN t AND p THEN s END) AS s_t1,
+                 MAX(CASE WHEN t AND p THEN ss END) AS ss_t1,
+                 MAX(CASE WHEN NOT t AND NOT p THEN n END) AS n_c0,
+                 MAX(CASE WHEN NOT t AND NOT p THEN s END) AS s_c0,
+                 MAX(CASE WHEN NOT t AND NOT p THEN ss END) AS ss_c0,
+                 MAX(CASE WHEN NOT t AND p THEN n END) AS n_c1,
+                 MAX(CASE WHEN NOT t AND p THEN s END) AS s_c1,
+                 MAX(CASE WHEN NOT t AND p THEN ss END) AS ss_c1
+               FROM c),
+         f AS (SELECT *,
+                 (s_t1 / n_t1 - s_t0 / n_t0) - (s_c1 / n_c1 - s_c0 / n_c0) AS did,
+                 ((ss_t1 - s_t1 * s_t1 / n_t1) / (n_t1 - 1)) / n_t1
+                 + ((ss_t0 - s_t0 * s_t0 / n_t0) / (n_t0 - 1)) / n_t0
+                 + ((ss_c1 - s_c1 * s_c1 / n_c1) / (n_c1 - 1)) / n_c1
+                 + ((ss_c0 - s_c0 * s_c0 / n_c0) / (n_c0 - 1)) / n_c0 AS sesq,
+                 LEAST(n_t0, n_t1, n_c0, n_c1) AS minn
+               FROM w)
+         SELECT CAST(n_t0 AS BIGINT) AS n_treated_pre,
+                CAST(n_t1 AS BIGINT) AS n_treated_post,
+                CAST(n_c0 AS BIGINT) AS n_control_pre,
+                CAST(n_c1 AS BIGINT) AS n_control_post,
+                ROUND(s_t0 / n_t0, 6) AS mean_treated_pre,
+                ROUND(s_t1 / n_t1, 6) AS mean_treated_post,
+                ROUND(s_c0 / n_c0, 6) AS mean_control_pre,
+                ROUND(s_c1 / n_c1, 6) AS mean_control_post,
+                ROUND(did, 6) AS did,
+                CASE WHEN minn >= 2.0 THEN ROUND(sqrt(sesq), 6) END AS se,
+                CASE WHEN minn >= 2.0 THEN ROUND(did / sqrt(sesq), 6) END AS t_stat
+         FROM f""",
     // q_seasonal's decomposition CTEs, components quantized to 1e-6
     // longs, strengths as ratios of exact variance NUMERATORS — mirrors
     // Temporal.seasonalStrength

@@ -643,6 +643,57 @@ object Sketches {
         (pow(sea, 2.0) / (col("na") - 1) + pow(seb, 2.0) / (col("nb") - 1))).as("dof"))
   }
 
+  /** Difference-in-differences readout (Card–Krueger design) — the
+    * quasi-experimental estimate when you could not randomize: DiD =
+    * (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post − ȳ_control,pre),
+    * with the unpooled standard error √(Σ s²ᵢ/nᵢ) over the four cells and
+    * t = DiD/SE. The parallel-trends assumption is the CALLER's to defend
+    * — this computes the arithmetic, deterministically.
+    *
+    * ONE partial aggregate collects each cell's (n, Σx, Σx²) with
+    * [[welchTTest]]'s fixed-point trick (per-row floor(x·1e6+0.5) into
+    * exact long sums), then every mean/variance/SE is a fixed IEEE chain
+    * from exact moments. Pre-scale the measure so Σx²·1e6 fits a long
+    * (|x| ≲ 1e3 at a billion rows). Cells with n < 2 make the SE NULL. */
+  def diffInDiff(
+      df: DataFrame,
+      treatedCol: String,
+      postCol: String,
+      valueCol: String): DataFrame = {
+    def S(e: Column) =
+      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+    val v = col(valueCol).cast("double")
+    val cells = df
+      .groupBy(col(treatedCol).cast("boolean").as("__t"), col(postCol).cast("boolean").as("__p"))
+      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
+    def pick(t: Boolean, p: Boolean, c: String) =
+      max(when(col("__t") === t && col("__p") === p, col(c)))
+    val wide = cells.agg(
+      pick(true, false, "__n").as("n_t0"), pick(true, false, "__s").as("s_t0"), pick(true, false, "__ss").as("ss_t0"),
+      pick(true, true, "__n").as("n_t1"), pick(true, true, "__s").as("s_t1"), pick(true, true, "__ss").as("ss_t1"),
+      pick(false, false, "__n").as("n_c0"), pick(false, false, "__s").as("s_c0"), pick(false, false, "__ss").as("ss_c0"),
+      pick(false, true, "__n").as("n_c1"), pick(false, true, "__s").as("s_c1"), pick(false, true, "__ss").as("ss_c1"))
+    def m(s: String, n: String) = col(s) / col(n)
+    def se2(s: String, ss: String, n: String) =
+      ((col(ss) - col(s) * col(s) / col(n)) / (col(n) - 1)) / col(n)
+    val did = (m("s_t1", "n_t1") - m("s_t0", "n_t0")) - (m("s_c1", "n_c1") - m("s_c0", "n_c0"))
+    val seSq = se2("s_t1", "ss_t1", "n_t1") + se2("s_t0", "ss_t0", "n_t0") +
+      se2("s_c1", "ss_c1", "n_c1") + se2("s_c0", "ss_c0", "n_c0")
+    val minN = least(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"))
+    wide.select(
+      col("n_t0").cast("long").as("n_treated_pre"),
+      col("n_t1").cast("long").as("n_treated_post"),
+      col("n_c0").cast("long").as("n_control_pre"),
+      col("n_c1").cast("long").as("n_control_post"),
+      m("s_t0", "n_t0").as("mean_treated_pre"),
+      m("s_t1", "n_t1").as("mean_treated_post"),
+      m("s_c0", "n_c0").as("mean_control_pre"),
+      m("s_c1", "n_c1").as("mean_control_post"),
+      did.as("did"),
+      when(minN >= 2.0, sqrt(seSq)).as("se"),
+      when(minN >= 2.0, did / sqrt(seSq)).as("t_stat"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns: one partial-agg pass builds the contingency cells; the
     * marginals come from windows over the CELL table (cardinality =

@@ -340,6 +340,31 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.chiSquare(indep, "u", "v").head.getAs[Double]("chi2") == 0.0)
   }
 
+  test("diffInDiff: hand-computed estimate; parallel trends score 0; tiny cells NULL SE") {
+    import graft.operators.Sketches
+    // treated: 10 -> 14 (+4), control: 20 -> 21 (+1) => DiD = 3
+    def cell(t: Boolean, p: Boolean, vs: Seq[Double]) = vs.map(v => (t, p, v))
+    val df = (cell(true, false, Seq(9, 10, 11)) ++ cell(true, true, Seq(13, 14, 15)) ++
+      cell(false, false, Seq(19, 20, 21)) ++ cell(false, true, Seq(20, 21, 22)))
+      .toDF("t", "p", "v").repartition(3)
+    val r = Sketches.diffInDiff(df, "t", "p", "v").head
+    assert(r.getAs[Double]("did") == 3.0)
+    assert(r.getAs[Long]("n_treated_pre") == 3L)
+    // each cell: var = 1, n = 3 -> SE = sqrt(4/3); t = 3/SE
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(4.0 / 3.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("t_stat") - 3.0 / math.sqrt(4.0 / 3.0)) < 1e-9)
+    // identical shifts in both groups -> DiD exactly 0
+    val par = (cell(true, false, Seq(1, 2, 3)) ++ cell(true, true, Seq(6, 7, 8)) ++
+      cell(false, false, Seq(11, 12, 13)) ++ cell(false, true, Seq(16, 17, 18)))
+      .toDF("t", "p", "v")
+    assert(Sketches.diffInDiff(par, "t", "p", "v").head.getAs[Double]("did") == 0.0)
+    // a 1-row cell cannot carry a variance -> SE and t NULL, estimate kept
+    val tiny = (cell(true, false, Seq(1)) ++ cell(true, true, Seq(2)) ++
+      cell(false, false, Seq(3, 4)) ++ cell(false, true, Seq(5, 6))).toDF("t", "p", "v")
+    val rt = Sketches.diffInDiff(tiny, "t", "p", "v").head
+    assert(rt.isNullAt(rt.fieldIndex("se")) && !rt.isNullAt(rt.fieldIndex("did")))
+  }
+
   test("mutualInfoBinned: deterministic functional beats independent; parabola beats Pearson") {
     import graft.operators.Sketches
     // y = x exactly: MI of the binned copy = H(bin) = ln(4) on 4 equal bins
