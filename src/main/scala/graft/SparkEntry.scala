@@ -1676,6 +1676,20 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Survey raking / IPF (X238): calibrate (priority × status) order
+    * counts to uniform priority margins and a 2:2:1 status margin. */
+  private def qIpfRake(s: SparkSession, d: String): DataFrame =
+    Sketches.rake(
+      Tables.orders(s, d), "o_orderpriority", "o_orderstatus",
+      rowTargets = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        .map(_ -> 5000L),
+      colTargets = Seq(("F", 10000L), ("O", 10000L), ("P", 5000L)),
+      iterations = 3)
+      .select(
+        col("o_orderpriority"), col("o_orderstatus"), col("n_obs"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+
   /** Difference-in-differences (X237): F-status orders as the "treated"
     * group, 1995-01-01 as the policy date, scaled totalprice outcome. */
   private def qDiffInDiff(s: SparkSession, d: String): DataFrame =
@@ -6028,6 +6042,7 @@ object SparkEntry {
     "q_llm_pipeline4" -> (qLlmPipeline4 _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_diff_in_diff" -> (qDiffInDiff _),
+    "q_ipf_rake" -> (qIpfRake _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -6409,6 +6424,37 @@ object SparkEntry {
                 n_sentences >= 5 AS flag_sentences, flag_lorem, flag_brace, flag_blocklist,
                 n_sentences >= 5 AND flag_lorem AND flag_brace AND flag_blocklist AS keep
          FROM fin ORDER BY doc_id"""
+
+  /** 3 unrolled IPF sweeps (row-scale then column-scale), weights stored
+    * as 1e-9-unit BIGINTs so margin sums are exact integers — mirrors
+    * [[graft.operators.Sketches.rake]] bit-for-bit. */
+  private val rakeOracle: String = {
+    val sweeps = (1 to 3).map { i =>
+      s""",
+       r$i AS (SELECT a, CAST(SUM(wq) AS BIGINT) AS s FROM c${2 * i - 2} GROUP BY a),
+       c${2 * i - 1} AS (SELECT c.a, c.b, c.n_obs, c.rt, c.ct,
+              CAST(FLOOR(CAST(c.wq AS DOUBLE) * CAST(c.rt AS DOUBLE) / CAST(r$i.s AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS wq
+            FROM c${2 * i - 2} c JOIN r$i ON c.a = r$i.a),
+       k$i AS (SELECT b, CAST(SUM(wq) AS BIGINT) AS s FROM c${2 * i - 1} GROUP BY b),
+       c${2 * i} AS (SELECT c.a, c.b, c.n_obs, c.rt, c.ct,
+              CAST(FLOOR(CAST(c.wq AS DOUBLE) * CAST(c.ct AS DOUBLE) / CAST(k$i.s AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS wq
+            FROM c${2 * i - 1} c JOIN k$i ON c.b = k$i.b)"""
+    }.mkString
+    s"""WITH c0 AS (
+       SELECT o.o_orderpriority AS a, o.o_orderstatus AS b,
+              CAST(COUNT(*) AS BIGINT) AS n_obs, rt.t AS rt, ct.t AS ct,
+              CAST(COUNT(*) AS BIGINT) * 1000000000 AS wq
+       FROM orders o
+       JOIN (VALUES ('1-URGENT', 5000), ('2-HIGH', 5000), ('3-MEDIUM', 5000),
+                    ('4-NOT SPECIFIED', 5000), ('5-LOW', 5000)) AS rt(a, t)
+         ON o.o_orderpriority = rt.a
+       JOIN (VALUES ('F', 10000), ('O', 10000), ('P', 5000)) AS ct(b, t)
+         ON o.o_orderstatus = ct.b
+       GROUP BY 1, 2, rt.t, ct.t)$sweeps
+     SELECT a AS o_orderpriority, b AS o_orderstatus, n_obs,
+            ROUND(CAST(wq AS DOUBLE) / 1e9, 6) AS weight
+     FROM c6 ORDER BY a, b"""
+  }
 
   private val gTestOracle: String =
     """WITH cells AS (
@@ -10336,6 +10382,7 @@ object SparkEntry {
                      THEN CAST(d.dnum * p.pcnt - p.psum AS DOUBLE) / (p.pcnt * 7)
                 END AS remainder
          FROM dt d JOIN pm p USING (dow) ORDER BY d.day""",
+    "q_ipf_rake" -> rakeOracle,
     // welchTTest's quantized moments per (treated, post) cell; DiD, SE and
     // t fixed IEEE chains mirroring Sketches.diffInDiff term order
     "q_diff_in_diff" ->

@@ -643,6 +643,60 @@ object Sketches {
         (pow(sea, 2.0) / (col("na") - 1) + pow(seb, 2.0) / (col("nb") - 1))).as("dof"))
   }
 
+  /** Survey raking / iterative proportional fitting (Deming–Stephan 1940)
+    * — calibrate cell weights of the (A × B) contingency so row sums hit
+    * the declared row margins and column sums the column margins
+    * (post-stratification weighting, the survey/census standard; also the
+    * Sinkhorn matrix-balancing kernel). `iterations` alternating
+    * row-scale / column-scale sweeps.
+    *
+    * Engine-exact iteration discipline (the PageRank recipe): weights
+    * STORE as 1e-9-unit longs, so every margin sum is an exact integer
+    * and each scale step is ONE fixed chain
+    * floor(w·target/marginSum·1e9+0.5) of exactly-converted integers —
+    * bit-identical on any engine at every sweep. All joins/apply on the
+    * BOUNDED cell table (|A|·|B|), margins broadcast; lineage truncates
+    * per sweep. Cells outside the declared margins drop (inner join —
+    * they cannot be calibrated). */
+  def rake(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      rowTargets: Seq[(String, Long)],
+      colTargets: Seq[(String, Long)],
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(rowTargets.nonEmpty && colTargets.nonEmpty, "targets must not be empty")
+    require(rowTargets.map(_._2).sum == colTargets.map(_._2).sum,
+      "row and column margins must agree on the grand total")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rt = broadcast(rowTargets.toDF("__a", "__rt"))
+    val ct = broadcast(colTargets.toDF("__b", "__ct"))
+    var cells = df
+      .groupBy(col(aCol).cast("string").as("__a"), col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("n_obs"))
+      .join(rt, "__a").join(ct, "__b")
+      .withColumn("__wq", col("n_obs") * lit(1000000000L))
+      .localCheckpoint(true)
+    def rescale(keyCol: String, sumName: String, targetCol: String): Unit = {
+      val sums = cells.groupBy(col(keyCol).as("__k")).agg(sum(col("__wq")).as(sumName))
+      cells = cells.join(sums, col(keyCol) === col("__k"))
+        .withColumn("__wq",
+          floor(col("__wq").cast("double") * col(targetCol).cast("double") /
+            col(sumName).cast("double") * 1e9 + 0.5).cast("long"))
+        .drop("__k", sumName)
+    }
+    for (_ <- 1 to iterations) {
+      rescale("__a", "__rs", "__rt")
+      rescale("__b", "__cs", "__ct")
+      cells = cells.localCheckpoint(true)
+    }
+    cells.select(
+      col("__a").as(aCol), col("__b").as(bCol), col("n_obs"),
+      (col("__wq").cast("double") / 1e9).as("weight"))
+  }
+
   /** Difference-in-differences readout (Card–Krueger design) — the
     * quasi-experimental estimate when you could not randomize: DiD =
     * (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post − ȳ_control,pre),

@@ -340,6 +340,36 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.chiSquare(indep, "u", "v").head.getAs[Double]("chi2") == 0.0)
   }
 
+  test("rake: margins converge to the declared targets; undeclared cells drop") {
+    import graft.operators.Sketches
+    // skewed 2x2 counts: a-x 30, a-y 10, b-x 10, b-y 50
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y")) ++
+      Seq.fill(5)(("c", "x")) // 'c' has no declared row target -> dropped
+    val out = Sketches.rake(rows.toDF("g", "h"), "g", "h",
+      rowTargets = Seq(("a", 100L), ("b", 100L)),
+      colTargets = Seq(("x", 120L), ("y", 80L)),
+      iterations = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("weight")).toMap
+    assert(out.size == 4) // the undeclared 'c' cells are gone
+    // columns are scaled LAST so their margins are tight; rows carry the
+    // residual alternation error, shrinking with each sweep
+    val rowA = out(("a", "x")) + out(("a", "y"))
+    val colX = out(("a", "x")) + out(("b", "x"))
+    assert(math.abs(colX - 120.0) < 1e-6, s"col margin off: $colX")
+    assert(math.abs(rowA - 100.0) < 0.05, s"row margin off: $rowA")
+    val few = Sketches.rake(rows.toDF("g", "h"), "g", "h",
+      Seq(("a", 100L), ("b", 100L)), Seq(("x", 120L), ("y", 80L)), iterations = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("weight")).toMap
+    val rowAfew = few(("a", "x")) + few(("a", "y"))
+    assert(math.abs(rowA - 100.0) < math.abs(rowAfew - 100.0), "more sweeps must converge")
+    // deterministic under repartitioning (integer margin sums each sweep)
+    val out2 = Sketches.rake(rows.toDF("g", "h").repartition(7), "g", "h",
+      Seq(("a", 100L), ("b", 100L)), Seq(("x", 120L), ("y", 80L)), iterations = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("weight")).toMap
+    assert(out == out2)
+  }
+
   test("diffInDiff: hand-computed estimate; parallel trends score 0; tiny cells NULL SE") {
     import graft.operators.Sketches
     // treated: 10 -> 14 (+4), control: 20 -> 21 (+1) => DiD = 3
