@@ -1322,6 +1322,17 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** Out-of-fold target encoding (X244): the leakage-controlled
+    * (priority, fold) encoding map over 5 md5 folds of o_orderkey. */
+  private def qTargetEncodeOof(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("y"))
+    Relational.targetEncodeOof(o, "o_orderpriority", "y", "o_orderkey",
+        folds = 5, smoothing = 20)
+      .orderBy("o_orderpriority", "fold")
+  }
+
   /** Nested-struct flattening on an in-plan nested view of orders (two
     * levels deep); the oracle is the equivalent flat projection. */
   private def qFlattenStructs(s: SparkSession, d: String): DataFrame = {
@@ -1676,6 +1687,21 @@ object SparkEntry {
   /** Weighted Slope One predictions of each customer's unrated brand
     * quantities — exact-rational CF baseline over the (customer, brand)
     * quantity matrix, first 200 customers. */
+  /** Markov removal-effect attribution (X239): data-driven channel credit
+    * from the journey chain itself — every removal variant's absorption
+    * recursion runs jointly, 20 quantized iterations. */
+  private def qMarkovAttribution(s: SparkSession, d: String): DataFrame =
+    Funnel.markovAttribution(
+      Tables.events(s, d), "user_id", "ts", "event_type",
+      convChannel = "purchase", tiebreakCols = Seq("event_id"))
+      .select(
+        col("channel"),
+        round(col("conv_prob_base"), 6).as("conv_prob_base"),
+        round(col("conv_prob_without"), 6).as("conv_prob_without"),
+        round(col("removal_effect"), 6).as("removal_effect"),
+        round(col("share"), 6).as("share"))
+      .orderBy("channel")
+
   /** Survey raking / IPF (X238): calibrate (priority × status) order
     * counts to uniform priority margins and a 2:2:1 status margin. */
   private def qIpfRake(s: SparkSession, d: String): DataFrame =
@@ -1692,6 +1718,62 @@ object SparkEntry {
 
   /** Difference-in-differences (X237): F-status orders as the "treated"
     * group, 1995-01-01 as the policy date, scaled totalprice outcome. */
+  /** Shared scored slice of the calibration pair (X243): per-(priority,
+    * nation) 'F'-rate fit on the md5 train split (exact long-count ratio)
+    * scores the held-out orders; groups absent from train drop. */
+  private def calibScored(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("__bk",
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10)
+      .withColumn("y", col("o_orderstatus") === "F")
+    val model = o.filter(col("__bk") < 6)
+      .groupBy(col("o_orderpriority"), col("c_nationkey"))
+      .agg((sum(when(col("y"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("p"))
+    o.filter(col("__bk") >= 6)
+      .join(broadcast(model), Seq("o_orderpriority", "c_nationkey"))
+  }
+
+  /** Reliability diagram (X243) of the held-out 'F'-status scores. */
+  private def qReliability(s: SparkSession, d: String): DataFrame =
+    Sketches.reliabilityDiagram(calibScored(s, d), "p", "y", bins = 10)
+      .orderBy("bin")
+
+  /** Murphy Brier decomposition (X243) over the same scored slice. */
+  private def qBrier(s: SparkSession, d: String): DataFrame =
+    Sketches.brierDecomposition(calibScored(s, d), "p", "y", bins = 10)
+
+  /** Split-conformal prediction intervals (X242): per-priority mean
+    * price predictor, md5 hash split 6/2/2, α=0.1 — the empirical test
+    * coverage must sit at or above 0.9 by the conformal theorem. */
+  private def qConformal(s: SparkSession, d: String): DataFrame =
+    Sketches.splitConformal(
+      Tables.orders(s, d).withColumn("v", col("o_totalprice") / 100000.0),
+      "o_orderkey", Seq("o_orderpriority"), "v", alpha = 0.1)
+      .select(col("n_train"), col("n_calib"), col("n_test"), col("alpha"),
+        round(col("qhat"), 6).as("qhat"),
+        round(col("coverage"), 6).as("coverage"))
+
+  /** Subclassification ATE (X241): effect of the BUILDING market segment
+    * on order price, stratified by order priority — every stratum carries
+    * both arms here, so nothing drops (the spec exercises dropping). */
+  private def qStratAte(s: SparkSession, d: String): DataFrame =
+    Sketches.subclassificationAte(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("treated", col("c_mktsegment") === "BUILDING")
+        .withColumn("v", col("o_totalprice") / 100000.0),
+      "treated", "v", Seq("o_orderpriority"))
+      .select(
+        col("n_strata_used"), col("n_strata_dropped"), col("n_used"), col("n_dropped"),
+        round(col("ate"), 6).as("ate"),
+        round(col("se"), 6).as("se"),
+        round(col("t_stat"), 6).as("t_stat"))
+
   private def qDiffInDiff(s: SparkSession, d: String): DataFrame =
     Sketches.diffInDiff(
       Tables.orders(s, d)
@@ -4157,6 +4239,53 @@ object SparkEntry {
     TextAnalysis.lmBigramScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Held-out perplexity (X240, CCNet shape): add-one unigram LM fit on
+    * the English slice, EVERY document scored against it — non-English
+    * and gibberish text scores high, the filterable tail. */
+  private def qPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.perplexityScore(docs, "doc_id", "text",
+        ref = docs.filter(col("lang") === "en"))
+      .orderBy("doc_id")
+  }
+
+  /** STREAMING perplexity twin (S35) — fit offline, score online: the
+    * unigram model + OOV row fit in BATCH ([[TextAnalysis.unigramLm]]) and
+    * broadcast into the document stream (stream-static left join,
+    * stateless per token); per-doc (n_tokens, Σlpq) integer partials
+    * accumulate in the state store, so stream == batch bit-exactly and the
+    * query shares q_perplexity's oracle verbatim (the 29th end-to-end
+    * streaming gate). */
+  private def qPerplexityStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, d)
+    val (model0, oov0) = TextAnalysis.unigramLm(docs.filter(col("lang") === "en"), "text")
+    val model = model0.localCheckpoint(true)
+    val oov = oov0.localCheckpoint(true)
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "graft_perplexity_stream"
+    withStatePartitions(s, 8) {
+      val q = TextAnalysis.lmTokens(stream.select(col("doc_id"), col("text")), "text", 1)
+        .join(broadcast(model), Seq("__tok"), "left")
+        .crossJoin(broadcast(oov))
+        .select(col("doc_id"), coalesce(col("__lpq"), col("__oovq")).as("__q"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("__q")).as("__sq"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ce = round(-col("__sq").cast("double") / lit(1e6) / col("n_tokens").cast("double"), 6)
+    s.table(name)
+      .select(col("doc_id"), col("n_tokens"), ce.as("cross_entropy"),
+        round(exp(ce), 6).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   /** RAG-style chunking: 80-char windows with 20-char overlap. */
   private def qChunkText(s: SparkSession, d: String): DataFrame =
     TextAnalysis.chunkText(Tables.documents(s, d), "doc_id", "text", size = 80, overlap = 20)
@@ -5846,6 +5975,7 @@ object SparkEntry {
     "q_bfs_hops" -> (qBfsHops _),
     "q_label_encode" -> (qLabelEncode _),
     "q_target_encode" -> (qTargetEncode _),
+    "q_target_encode_oof" -> (qTargetEncodeOof _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_tpch_q12" -> (qTpchQ12 _),
     "q_psi_drift" -> (qPsiDrift _),
@@ -5920,6 +6050,8 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_chunk_text" -> (qChunkText _),
     "q_lm_score" -> (qLmScore _),
+    "q_perplexity" -> (qPerplexity _),
+    "q_perplexity_stream" -> (qPerplexityStream _),
     "q_char_entropy" -> (qCharEntropy _),
     "q_mean_pool" -> (qMeanPool _),
     "q_l2_normalize" -> (qL2Normalize _),
@@ -6042,7 +6174,12 @@ object SparkEntry {
     "q_llm_pipeline4" -> (qLlmPipeline4 _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_diff_in_diff" -> (qDiffInDiff _),
+    "q_strat_ate" -> (qStratAte _),
+    "q_conformal" -> (qConformal _),
+    "q_reliability" -> (qReliability _),
+    "q_brier" -> (qBrier _),
     "q_ipf_rake" -> (qIpfRake _),
+    "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -6424,6 +6561,96 @@ object SparkEntry {
                 n_sentences >= 5 AS flag_sentences, flag_lorem, flag_brace, flag_blocklist,
                 n_sentences >= 5 AND flag_lorem AND flag_brace AND flag_blocklist AS keep
          FROM fin ORDER BY doc_id"""
+
+  /** 20 unrolled absorption iterations over the (removal × state) table;
+    * er/rl MATERIALIZED (each referenced once per round — un-hinted DuckDB
+    * would re-derive the corpus-scale edge build every iteration, the
+    * k-truss lesson) — mirrors
+    * [[graft.operators.Funnel.markovAttribution]] bit-for-bit. */
+  private val markovAttributionOracle: String = {
+    val iters = (1 to 20).map { i =>
+      s""",
+       p$i AS (
+         SELECT er.r, er.s AS state,
+                CAST(SUM(CAST(FLOOR(CAST(er.c AS DOUBLE) * CAST(p.pq AS DOUBLE)
+                                    / CAST(er.rt AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS pq
+         FROM er JOIN p${i - 1} p ON er.r = p.r AND er.t2 = p.state
+         GROUP BY 1, 2
+         UNION ALL
+         SELECT r, '__CONV__', CAST(1000000000000 AS BIGINT) FROM rl)"""
+    }.mkString
+    s"""WITH s0 AS MATERIALIZED (SELECT user_id AS u, event_type AS c,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+     cp AS MATERIALIZED (SELECT u, MIN(rn) AS cp FROM s0 WHERE c = 'purchase' GROUP BY 1),
+     tch AS MATERIALIZED (SELECT s0.u, s0.c, s0.rn, cp.cp
+             FROM s0 LEFT JOIN cp ON s0.u = cp.u
+             WHERE s0.c <> 'purchase' AND (cp.cp IS NULL OR s0.rn < cp.cp)),
+     wn AS (SELECT u, c, cp,
+                   LEAD(c) OVER (PARTITION BY u ORDER BY rn) AS nxt,
+                   ROW_NUMBER() OVER (PARTITION BY u ORDER BY rn) AS pos
+            FROM tch),
+     edges0 AS (
+       SELECT '__START__' AS s, c AS t FROM wn WHERE pos = 1
+       UNION ALL SELECT c, nxt FROM wn WHERE nxt IS NOT NULL
+       UNION ALL SELECT c, CASE WHEN cp IS NOT NULL THEN '__CONV__' ELSE '__NULL__' END
+                 FROM wn WHERE nxt IS NULL
+       UNION ALL SELECT '__START__', '__CONV__'
+                 FROM cp WHERE u NOT IN (SELECT DISTINCT u FROM tch)),
+     e AS MATERIALIZED (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM edges0 GROUP BY 1, 2),
+     rt AS (SELECT s, CAST(SUM(c) AS BIGINT) AS rt FROM e GROUP BY 1),
+     ch AS MATERIALIZED (SELECT DISTINCT c AS ch FROM tch),
+     rl AS MATERIALIZED (SELECT '__NONE__' AS r UNION ALL SELECT ch FROM ch),
+     er AS MATERIALIZED (
+       SELECT rl.r, e.s, CASE WHEN e.t = rl.r THEN '__NULL__' ELSE e.t END AS t2,
+              e.c, rt.rt
+       FROM e JOIN rt ON e.s = rt.s CROSS JOIN rl
+       WHERE e.s <> rl.r),
+     p0 AS (SELECT r, '__CONV__' AS state, CAST(1000000000000 AS BIGINT) AS pq FROM rl)$iters,
+     st AS (SELECT r, pq FROM p20 WHERE state = '__START__'),
+     base AS (SELECT pq AS b FROM st WHERE r = '__NONE__'),
+     pc AS (SELECT ch.ch AS channel,
+                   CAST(b AS DOUBLE) / 1e12 AS conv_prob_base,
+                   CAST(COALESCE(st.pq, 0) AS DOUBLE) / 1e12 AS conv_prob_without,
+                   CASE WHEN b > 0 THEN CAST(b - COALESCE(st.pq, 0) AS DOUBLE) / CAST(b AS DOUBLE)
+                   END AS removal_effect
+            FROM ch LEFT JOIN st ON ch.ch = st.r CROSS JOIN base),
+     q AS (SELECT *, CAST(FLOOR(removal_effect * 1e9 + 0.5) AS BIGINT) AS req FROM pc),
+     tot AS (SELECT CAST(SUM(CASE WHEN req > 0 THEN req ELSE 0 END) AS BIGINT) AS ps FROM q)
+     SELECT channel, ROUND(conv_prob_base, 6) AS conv_prob_base,
+            ROUND(conv_prob_without, 6) AS conv_prob_without,
+            ROUND(removal_effect, 6) AS removal_effect,
+            CASE WHEN ps > 0 AND req > 0
+                 THEN ROUND(CAST(req AS DOUBLE) / CAST(ps AS DOUBLE), 6) END AS share
+     FROM q CROSS JOIN tot ORDER BY channel"""
+  }
+
+  /** Add-one unigram LM fit on the English slice + OOV-coalesced scoring,
+    * per-token log-probs 1e-6-quantized before the long per-doc sum —
+    * mirrors [[graft.operators.TextAnalysis.perplexityScore]] bit-for-bit;
+    * shared verbatim by the batch query and its streaming twin. */
+  private val perplexityOracle: String =
+    """WITH tok AS MATERIALIZED (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z0-9]{1,}')) AS tk
+          FROM documents),
+     rc AS MATERIALIZED (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM rc),
+     model AS MATERIALIZED (SELECT tk,
+              CAST(FLOOR(LN((CAST(c AS DOUBLE) + 1.0)
+                            / (CAST(n AS DOUBLE) + 1.0 * (CAST(v AS DOUBLE) + 1.0)))
+                   * 1e6 + 0.5) AS BIGINT) AS lpq
+            FROM rc CROSS JOIN tot),
+     oov AS (SELECT CAST(FLOOR(LN(1.0 / (CAST(n AS DOUBLE) + 1.0 * (CAST(v AS DOUBLE) + 1.0)))
+                   * 1e6 + 0.5) AS BIGINT) AS oq FROM tot),
+     sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(COALESCE(lpq, oq)) AS BIGINT) AS sq
+            FROM tok LEFT JOIN model ON tok.tk = model.tk CROSS JOIN oov
+            GROUP BY 1)
+     SELECT doc_id, n_tokens,
+            ROUND(-CAST(sq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6) AS cross_entropy,
+            ROUND(EXP(ROUND(-CAST(sq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6)), 6) AS perplexity
+     FROM sc ORDER BY doc_id"""
 
   /** 3 unrolled IPF sweeps (row-scale then column-scale), weights stored
     * as 1e-9-unit BIGINTs so margin sums are exact integers — mirrors
@@ -7576,6 +7803,34 @@ object SparkEntry {
                 ROUND(CAST(c.s * g.gn + 20 * g.gs AS DOUBLE) /
                       CAST(g.gn * (c.n + 20) AS DOUBLE), 6) AS encoded
          FROM c, g ORDER BY c.o_orderpriority""",
+    // the leave-fold-out m-estimate: targetEncode on corpus-minus-fold as
+    // one exact HUGEINT chain; the complete cat × fold domain via cross
+    // join with absent cells coalesced to 0 — mirrors
+    // Relational.targetEncodeOof
+    "q_target_encode_oof" ->
+      """WITH b AS (SELECT o_orderpriority AS c,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+                           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 5 AS f
+                    FROM orders),
+         cf AS (SELECT c, f, CAST(COUNT(y) AS HUGEINT) AS nf, SUM(CAST(y AS HUGEINT)) AS sf
+                FROM b GROUP BY 1, 2),
+         dom AS (SELECT DISTINCT c FROM cf),
+         fl AS (SELECT unnest(generate_series(0, 4)) AS f),
+         full0 AS (SELECT dom.c, fl.f,
+                          COALESCE(nf, CAST(0 AS HUGEINT)) AS nf,
+                          COALESCE(sf, CAST(0 AS HUGEINT)) AS sf
+                   FROM dom CROSS JOIN fl LEFT JOIN cf ON cf.c = dom.c AND cf.f = fl.f),
+         t AS (SELECT *,
+                 SUM(nf) OVER (PARTITION BY c) AS nc, SUM(sf) OVER (PARTITION BY c) AS sc,
+                 SUM(nf) OVER (PARTITION BY f) AS nfold, SUM(sf) OVER (PARTITION BY f) AS sfold,
+                 SUM(nf) OVER () AS ng, SUM(sf) OVER () AS sg
+               FROM full0)
+         SELECT c AS o_orderpriority, CAST(f AS BIGINT) AS fold,
+                CAST(nc - nf AS BIGINT) AS n_oof,
+                CASE WHEN (ng - nfold) * (nc - nf + 20) <> 0 THEN
+                  ROUND(CAST((sc - sf) * (ng - nfold) + 20 * (sg - sfold) AS DOUBLE)
+                        / CAST((ng - nfold) * (nc - nf + 20) AS DOUBLE), 6) END AS encoded
+         FROM t ORDER BY o_orderpriority, fold""",
     // depth-capped BFS closure: UNION dedups (node, d) pairs so the
     // recursion is bounded by nodes × (maxHops+1) rows
     "q_bfs_hops" ->
@@ -8849,6 +9104,8 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_bigrams,
                 ROUND(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "q_perplexity" -> perplexityOracle,
+    "q_perplexity_stream" -> perplexityOracle,
     "q_llm_pipeline" ->
       """WITH keep AS (
            SELECT MIN(doc_id) AS doc_id
@@ -10383,6 +10640,7 @@ object SparkEntry {
                 END AS remainder
          FROM dt d JOIN pm p USING (dow) ORDER BY d.day""",
     "q_ipf_rake" -> rakeOracle,
+    "q_markov_attribution" -> markovAttributionOracle,
     // welchTTest's quantized moments per (treated, post) cell; DiD, SE and
     // t fixed IEEE chains mirroring Sketches.diffInDiff term order
     "q_diff_in_diff" ->
@@ -10427,6 +10685,136 @@ object SparkEntry {
                 ROUND(did, 6) AS did,
                 CASE WHEN minn >= 2.0 THEN ROUND(sqrt(sesq), 6) END AS se,
                 CASE WHEN minn >= 2.0 THEN ROUND(did / sqrt(sesq), 6) END AS t_stat
+         FROM f""",
+    // shared scored-slice CTEs: md5 split, train 'F'-rates, held-out rows
+    // quantized to 1e-9 pq — mirrors calibScored + Sketches.reliabilityDiagram
+    "q_reliability" ->
+      """WITH b AS (SELECT o_orderpriority AS pr, c_nationkey AS nk,
+                           o_orderstatus = 'F' AS y,
+                           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS bk
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+         m AS (SELECT pr, nk,
+                      CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE) AS p
+               FROM b WHERE bk < 6 GROUP BY 1, 2),
+         sc AS (SELECT CAST(FLOOR(p * 1000000000.0 + 0.5) AS BIGINT) AS pq,
+                       CASE WHEN y THEN 1 ELSE 0 END AS yy
+                FROM b JOIN m USING (pr, nk) WHERE bk >= 6),
+         bn AS (SELECT LEAST(CAST(FLOOR(CAST(pq * 10 AS DOUBLE) / 1000000000.0) AS BIGINT), 9) AS bin,
+                       pq, yy
+                FROM sc)
+         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yy) AS BIGINT) AS n_pos,
+                ROUND(CAST(SUM(pq) AS DOUBLE) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_pred,
+                ROUND(CAST(SUM(yy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+         FROM bn GROUP BY 1 ORDER BY 1""",
+    // same slice; per-row 1e-9 Brier terms, bin REL/RES chains cast to
+    // DECIMAL(30,12) — mirrors Sketches.brierDecomposition term order
+    "q_brier" ->
+      """WITH b AS (SELECT o_orderpriority AS pr, c_nationkey AS nk,
+                           o_orderstatus = 'F' AS y,
+                           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS bk
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+         m AS (SELECT pr, nk,
+                      CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE) AS p
+               FROM b WHERE bk < 6 GROUP BY 1, 2),
+         sc AS (SELECT CAST(FLOOR(p * 1000000000.0 + 0.5) AS BIGINT) AS pq,
+                       CASE WHEN y THEN 1 ELSE 0 END AS yy
+                FROM b JOIN m USING (pr, nk) WHERE bk >= 6),
+         rt AS (SELECT LEAST(CAST(FLOOR(CAST(pq * 10 AS DOUBLE) / 1000000000.0) AS BIGINT), 9) AS bin,
+                       pq, yy,
+                       CAST(FLOOR((CAST(pq AS DOUBLE) / 1000000000.0 - CAST(yy AS DOUBLE))
+                                  * (CAST(pq AS DOUBLE) / 1000000000.0 - CAST(yy AS DOUBLE))
+                                  * 1000000000.0 + 0.5) AS BIGINT) AS bt
+                FROM sc),
+         pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(yy) AS BIGINT) AS pos,
+                       CAST(SUM(pq) AS BIGINT) AS sp, CAST(SUM(bt) AS BIGINT) AS sbt
+                FROM rt GROUP BY 1),
+         t AS (SELECT *, CAST(SUM(nb) OVER () AS BIGINT) AS nn,
+                      CAST(SUM(pos) OVER () AS BIGINT) AS pp,
+                      CAST(sp AS DOUBLE) / 1000000000.0 / CAST(nb AS DOUBLE) AS pbar,
+                      CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE) AS obar
+               FROM pb),
+         t2 AS (SELECT *, CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE) AS o,
+                       CAST(CAST(nb AS DOUBLE) * (pbar - obar) * (pbar - obar) AS DECIMAL(30,12)) AS rel,
+                       CAST(CAST(nb AS DOUBLE) * (obar - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+                            * (obar - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) AS DECIMAL(30,12)) AS res
+                FROM t)
+         SELECT CAST(MAX(nn) AS BIGINT) AS n,
+                ROUND(CAST(SUM(sbt) AS DOUBLE) / 1000000000.0 / CAST(MAX(nn) AS DOUBLE), 6) AS brier,
+                ROUND(CAST(SUM(rel) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE), 6) AS reliability,
+                ROUND(CAST(SUM(res) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE), 6) AS resolution,
+                ROUND(MAX(o) * (1.0 - MAX(o)), 6) AS uncertainty
+         FROM t2""",
+    // md5 hash split; exact-quantized train means; q̂ = the exact
+    // order-statistic residual at 0-based rank ceil((n+1)(1-α))-1 —
+    // mirrors Sketches.splitConformal
+    "q_conformal" ->
+      """WITH b AS (SELECT o_orderpriority AS g, o_totalprice / 100000.0 AS v,
+                           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS bk
+                    FROM orders),
+         m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS tn,
+                      CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS tq
+               FROM b WHERE bk < 6 GROUP BY 1),
+         my AS (SELECT g, CAST(tq AS DOUBLE) / 1000000.0 / CAST(tn AS DOUBLE) AS yhat FROM m),
+         ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM b WHERE bk < 6),
+         cal AS (SELECT ABS(v - yhat) AS r FROM b JOIN my USING (g) WHERE bk >= 6 AND bk < 8),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM cal),
+         rk AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) - 1 AS rn FROM cal),
+         q AS (SELECT r AS qhat FROM rk CROSS JOIN nc
+               WHERE rn = CAST(CEIL((CAST(n_calib AS DOUBLE) + 1.0) * 0.9) AS BIGINT) - 1),
+         ts AS (SELECT ABS(v - yhat) AS r FROM b JOIN my USING (g) WHERE bk >= 8),
+         cv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                       MAX(qhat) AS qhat,
+                       CAST(SUM(CASE WHEN qhat IS NULL OR r <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) AS coverage
+                FROM ts LEFT JOIN q ON TRUE)
+         SELECT n_train, (SELECT n_calib FROM nc) AS n_calib, n_test, 0.1 AS alpha,
+                ROUND(qhat, 6) AS qhat, ROUND(coverage, 6) AS coverage
+         FROM cv CROSS JOIN ntr""",
+    // per-(stratum, arm) exact quantized moments; per-stratum ATE/SE terms
+    // as fixed IEEE chains cast to DECIMAL(30,12) before the cross-stratum
+    // sum — mirrors Sketches.subclassificationAte term order
+    "q_strat_ate" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+                           c_mktsegment = 'BUILDING' AS t,
+                           o_totalprice / 100000.0 AS v
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+         c AS (SELECT g, t, CAST(COUNT(*) AS DOUBLE) AS n,
+                      CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                      CAST(SUM(CAST(FLOOR(v * v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+               FROM b GROUP BY 1, 2),
+         st AS (SELECT g,
+                  MAX(CASE WHEN t THEN n END) AS n1, MAX(CASE WHEN t THEN s END) AS s1,
+                  MAX(CASE WHEN t THEN ss END) AS ss1,
+                  MAX(CASE WHEN NOT t THEN n END) AS n0, MAX(CASE WHEN NOT t THEN s END) AS s0,
+                  MAX(CASE WHEN NOT t THEN ss END) AS ss0
+                FROM c GROUP BY 1),
+         su AS (SELECT *, n1 IS NOT NULL AND n0 IS NOT NULL AS used,
+                       COALESCE(n1, 0.0) + COALESCE(n0, 0.0) AS ns
+                FROM st),
+         tm AS (SELECT *,
+                  SUM(CASE WHEN used THEN ns ELSE 0.0 END) OVER () AS nn,
+                  s1 / n1 - s0 / n0 AS diff
+                FROM su),
+         tq AS (SELECT *,
+                  CASE WHEN used THEN CAST((ns / nn) * diff AS DECIMAL(30,12)) END AS at,
+                  CASE WHEN used AND n1 >= 2 AND n0 >= 2 THEN CAST((ns / nn) * (ns / nn) *
+                    (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                     + ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0) AS DECIMAL(30,12)) END AS stt
+                FROM tm),
+         f AS (SELECT COALESCE(CAST(SUM(CASE WHEN used THEN 1 END) AS BIGINT), 0) AS n_strata_used,
+                      COALESCE(CAST(SUM(CASE WHEN NOT used THEN 1 END) AS BIGINT), 0) AS n_strata_dropped,
+                      CAST(SUM(CASE WHEN used THEN ns ELSE 0.0 END) AS BIGINT) AS n_used,
+                      CAST(SUM(CASE WHEN NOT used THEN ns ELSE 0.0 END) AS BIGINT) AS n_dropped,
+                      CAST(SUM(at) AS DOUBLE) AS ate,
+                      CAST(SUM(stt) AS DOUBLE) AS sesq,
+                      MIN(CASE WHEN used THEN LEAST(n1, n0) END) AS minarm
+               FROM tq)
+         SELECT n_strata_used, n_strata_dropped, n_used, n_dropped,
+                ROUND(ate, 6) AS ate,
+                CASE WHEN minarm >= 2.0 THEN ROUND(sqrt(sesq), 6) END AS se,
+                CASE WHEN minarm >= 2.0 THEN ROUND(ate / sqrt(sesq), 6) END AS t_stat
          FROM f""",
     // q_seasonal's decomposition CTEs, components quantized to 1e-6
     // longs, strengths as ratios of exact variance NUMERATORS — mirrors

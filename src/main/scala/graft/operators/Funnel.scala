@@ -265,4 +265,125 @@ object Funnel {
       }: _*)).as("__p"))
       .select(col("__p.*"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016) — the
+    * DATA-DRIVEN member of the attribution family (X75 last-touch / X164
+    * linear / X167 time-decay are positional rules; this one asks the
+    * journeys): build the first-order chain over
+    * {START, channels…, CONV, NULL} from per-user pre-conversion touch
+    * sequences, then for each channel compute the conversion probability
+    * of the chain WITH THAT CHANNEL REMOVED (its inbound edges redirect to
+    * NULL, its outbound rows drop) — the relative drop is the channel's
+    * removal effect, normalized into attribution shares.
+    *
+    * Execution: every removal variant's absorption recursion runs JOINTLY
+    * as one fixed-iteration loop over the (removal × state) keyed table —
+    * the PageRank discipline with absorption semantics: p stores as
+    * 1e-12-unit longs, each edge contributes floor(c·p/rowTotal + 0.5)
+    * (an exact-integer-operand chain), CONV re-pins to 1e12 every round.
+    * All tables are bounded by the channel domain (the matrix, not the
+    * corpus); the channel list collects to the driver — domain-bounded by
+    * contract, like the centroid tables. One corpus shuffle builds the
+    * edges; everything after is domain-scale.
+    *
+    * Returns per channel `(channel, conv_prob_base, conv_prob_without,
+    * removal_effect, share)`; share is NULL when no channel has positive
+    * effect. */
+  def markovAttribution(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      channelCol: String,
+      convChannel: String,
+      tiebreakCols: Seq[String] = Nil,
+      iterations: Int = 20): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val START = "__START__"
+    val CONV = "__CONV__"
+    val NULLS = "__NULL__"
+    val ord = col("__ts") +: tiebreakCols.map(col)
+    val w = Window.partitionBy(col("__u")).orderBy(ord: _*)
+    val seq0 = df
+      .select((col(userCol).as("__u") +: col(tsCol).as("__ts") +:
+        col(channelCol).as("__c") +: tiebreakCols.map(col)): _*)
+      .withColumn("__rn", row_number().over(w))
+    val convPos = seq0.filter(col("__c") === convChannel)
+      .groupBy(col("__u")).agg(min(col("__rn")).as("__cp"))
+    val tagged = seq0.join(convPos, Seq("__u"), "left")
+    val touches = tagged
+      .filter(col("__c") =!= convChannel &&
+        (col("__cp").isNull || col("__rn") < col("__cp")))
+    val wo = Window.partitionBy(col("__u")).orderBy(col("__rn"))
+    val withNext = touches
+      .withColumn("__next", lead(col("__c"), 1).over(wo))
+      .withColumn("__pos", row_number().over(wo))
+    val startEdges = withNext.filter(col("__pos") === 1)
+      .select(lit(START).as("__s"), col("__c").as("__t"))
+    val midEdges = withNext.filter(col("__next").isNotNull)
+      .select(col("__c").as("__s"), col("__next").as("__t"))
+    val endEdges = withNext.filter(col("__next").isNull)
+      .select(col("__c").as("__s"),
+        when(col("__cp").isNotNull, CONV).otherwise(NULLS).as("__t"))
+    // converters whose FIRST event is the conversion: START -> CONV direct
+    val directConv = convPos
+      .join(touches.select(col("__u")).distinct(), Seq("__u"), "left_anti")
+      .select(lit(START).as("__s"), lit(CONV).as("__t"))
+    val edges = startEdges.unionByName(midEdges).unionByName(endEdges)
+      .unionByName(directConv)
+      .groupBy(col("__s"), col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val rowTot = edges.groupBy(col("__s").as("__s2")).agg(sum(col("__c")).as("__rt"))
+    val edgesT = edges.join(rowTot, col("__s") === col("__s2")).drop("__s2")
+    // channel domain — bounded by contract (event-type scale)
+    val channels = touches.select(col("__c")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val removals = broadcast(("__NONE__" +: channels).toDF("__r"))
+    val edgesR = edgesT.crossJoin(removals)
+      .filter(col("__s") =!= col("__r"))
+      .withColumn("__t2", when(col("__t") === col("__r"), NULLS).otherwise(col("__t")))
+      .select(col("__r"), col("__s"), col("__t2"), col("__c"), col("__rt"))
+      .localCheckpoint(true)
+    var p = removals.select(col("__r"), lit(CONV).as("state"),
+      lit(1000000000000L).as("__pq"))
+    for (_ <- 1 to iterations) {
+      val next = edgesR
+        .join(p, edgesR("__r") === p("__r") && col("__t2") === col("state"))
+        .select(edgesR("__r").as("__r"), col("__s"),
+          floor(col("__c").cast("double") * col("__pq").cast("double") /
+            col("__rt").cast("double") + 0.5).cast("long").as("__contrib"))
+        .groupBy(col("__r"), col("__s"))
+        .agg(sum(col("__contrib")).as("__pq"))
+        .select(col("__r"), col("__s").as("state"), col("__pq"))
+      p = next.unionByName(
+        removals.select(col("__r"), lit(CONV).as("state"), lit(1000000000000L).as("__pq")))
+        .localCheckpoint(true)
+    }
+    val starts = p.filter(col("state") === START)
+      .select(col("__r"), col("__pq"))
+    val base = starts.filter(col("__r") === "__NONE__")
+      .select(col("__pq").as("__base"))
+    val perChannel = broadcast(channels.toDF("channel"))
+      .join(starts.withColumnRenamed("__r", "channel"), Seq("channel"), "left")
+      .crossJoin(broadcast(base))
+      .select(
+        col("channel"),
+        (col("__base").cast("double") / 1e12).as("conv_prob_base"),
+        (coalesce(col("__pq"), lit(0L)).cast("double") / 1e12).as("conv_prob_without"),
+        when(col("__base") > 0L,
+          (col("__base") - coalesce(col("__pq"), lit(0L))).cast("double") /
+            col("__base").cast("double")).as("removal_effect"))
+    // shares normalize over 1e-9-quantized effects so the cross-channel
+    // sum is an exact integer (a double sum's order is not guaranteed)
+    val wAll = Window.partitionBy()
+    perChannel
+      .withColumn("__req", floor(col("removal_effect") * 1e9 + 0.5).cast("long"))
+      .withColumn("__posSum",
+        sum(when(col("__req") > 0L, col("__req")).otherwise(lit(0L))).over(wAll))
+      .withColumn("share",
+        when(col("__posSum") > 0L && col("__req") > 0L,
+          col("__req").cast("double") / col("__posSum").cast("double")))
+      .drop("__req", "__posSum")
+  }
 }

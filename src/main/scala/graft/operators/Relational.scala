@@ -868,4 +868,69 @@ object Relational {
             (col("__gn") * (col("__n") + lit(smoothing))).cast("double"),
           dp).as("encoded"))
   }
+
+  /** Out-of-fold smoothed target encoding — [[targetEncode]] with the
+    * leakage control real training pipelines need (a row must never see
+    * its own label through its encoding): rows land in `folds`
+    * deterministic md5 buckets of `idCol`, and the (category, fold)
+    * encoding uses ONLY the other folds' statistics:
+    * enc(c,f) = ((Σ_c y − Σ_{c,f} y)·(N−N_f) + m·(S−S_f)) /
+    * ((N−N_f)·((n_c−n_{c,f}) + m)) — exactly [[targetEncode]] computed on
+    * the corpus minus fold f (spec-pinned identity), one exact-decimal
+    * chain until a single double division.
+    *
+    * Returns the COMPLETE (category, fold, n_oof, encoded) map — every
+    * category × every fold, including folds where the category never
+    * appears (the unseen-combo encoding a test row needs, = the smoothed
+    * prior) — built by crossing the category domain with the fold domain
+    * (both bounded) and coalescing absent cells to 0. Fact tables join it
+    * back broadcast on (category, fold). If a fold holds the entire
+    * corpus (N = N_f) or m = 0 kills the only mass, the encoding is NULL
+    * rather than a division error. One corpus aggregate to the
+    * (cat × fold) table; everything after is domain-scale. */
+  def targetEncodeOof(
+      df: DataFrame,
+      catCol: String,
+      targetCol: String,
+      idCol: String,
+      folds: Int = 5,
+      smoothing: Int = 20,
+      dp: Int = 6): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
+    val y = col(targetCol).cast("decimal(38,0)")
+    val fold = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % folds).as("fold")
+    val cf = df.select(col(catCol), fold, y.as("__y"))
+      .groupBy(col(catCol), col("fold"))
+      .agg(count(col("__y")).cast("decimal(38,0)").as("__nf"), sum(col("__y")).as("__sf"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val domain = cf.select(col(catCol)).distinct()
+      .crossJoin(broadcast((0L until folds.toLong).toDF("fold")))
+    val full = domain.join(cf, Seq(catCol, "fold"), "left")
+      .select(col(catCol), col("fold"),
+        coalesce(col("__nf"), lit(0).cast("decimal(38,0)")).as("__nf"),
+        coalesce(col("__sf"), lit(0).cast("decimal(38,0)")).as("__sf"))
+    val wCat = org.apache.spark.sql.expressions.Window.partitionBy(col(catCol))
+    val wFold = org.apache.spark.sql.expressions.Window.partitionBy(col("fold"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val t = full
+      .withColumn("__nc", sum(col("__nf")).over(wCat))
+      .withColumn("__sc", sum(col("__sf")).over(wCat))
+      .withColumn("__nfold", sum(col("__nf")).over(wFold))
+      .withColumn("__sfold", sum(col("__sf")).over(wFold))
+      .withColumn("__ng", sum(col("__nf")).over(wAll))
+      .withColumn("__sg", sum(col("__sf")).over(wAll))
+    val oofN = col("__ng") - col("__nfold")
+    val den = oofN * (col("__nc") - col("__nf") + lit(smoothing))
+    t.select(
+      col(catCol), col("fold"),
+      (col("__nc") - col("__nf")).cast("long").as("n_oof"),
+      when(den =!= lit(0).cast("decimal(38,0)"),
+        round(
+          ((col("__sc") - col("__sf")) * oofN + lit(smoothing) * (col("__sg") - col("__sfold")))
+            .cast("double") / den.cast("double"),
+          dp)).as("encoded"))
+  }
 }

@@ -697,6 +697,150 @@ object Sketches {
       (col("__wq").cast("double") / 1e9).as("weight"))
   }
 
+  /** Subclassification ATE (Cochran 1968; Rosenbaum–Rubin 1984's
+    * stratified-propensity design) — the observational-causal member next
+    * to [[diffInDiff]] when there is no pre-period: within each stratum
+    * (the caller's propensity bins or covariate cells) compute treated and
+    * control means, weight the mean differences by stratum population
+    * share n_s/N, and sum. Strata lacking either arm have no common
+    * support: they DROP from the estimate and are counted in the readout.
+    * The ignorability-within-strata assumption is the caller's to defend —
+    * this computes the arithmetic, deterministically.
+    *
+    * ONE partial aggregate collects each (stratum, arm)'s (n, Σx, Σx²)
+    * via [[welchTTest]]'s fixed-point trick (per-row floor(x·1e6+0.5) into
+    * exact long sums); everything after lives on the DOMAIN-BOUNDED
+    * stratum table (windows over cells, never the data — the chiSquare
+    * discipline). Per-stratum ATE/SE terms are fixed IEEE chains from
+    * exact moments, cast to decimal(30,12) before the cross-stratum sum so
+    * the total is partition-order-invariant. SE = √(Σ w²(s₁²/n₁ + s₀²/n₀))
+    * is NULL when any used stratum has an arm with n < 2.
+    *
+    * Returns ONE row: (n_strata_used, n_strata_dropped, n_used, n_dropped,
+    * ate, se, t_stat). */
+  def subclassificationAte(
+      df: DataFrame,
+      treatedCol: String,
+      valueCol: String,
+      strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column required")
+    def S(e: Column) =
+      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+    val v = col(valueCol).cast("double")
+    val arms = df
+      .groupBy(strataCols.map(col) :+ col(treatedCol).cast("boolean").as("__t"): _*)
+      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
+    def pick(t: Boolean, c: String) = max(when(col("__t") === t, col(c)))
+    val strata = arms
+      .groupBy(strataCols.map(col): _*)
+      .agg(
+        pick(true, "__n").as("n1"), pick(true, "__s").as("s1"), pick(true, "__ss").as("ss1"),
+        pick(false, "__n").as("n0"), pick(false, "__s").as("s0"), pick(false, "__ss").as("ss0"))
+      .withColumn("__used", col("n1").isNotNull && col("n0").isNotNull)
+      .withColumn("__ns", coalesce(col("n1"), lit(0.0)) + coalesce(col("n0"), lit(0.0)))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    def se2(s: String, ss: String, n: String) =
+      ((col(ss) - col(s) * col(s) / col(n)) / (col(n) - 1)) / col(n)
+    val terms = strata
+      .withColumn("__N", sum(when(col("__used"), col("__ns")).otherwise(lit(0.0))).over(wAll))
+      .withColumn("__w", col("__ns") / col("__N"))
+      .withColumn("__diff", col("s1") / col("n1") - col("s0") / col("n0"))
+      .withColumn("__at",
+        when(col("__used"), (col("__w") * col("__diff")).cast("decimal(30,12)")))
+      // ANSI: the variance chain divides by n−1, so a 1-row arm must not
+      // evaluate it (the readout nulls the SE then anyway)
+      .withColumn("__st",
+        when(col("__used") && col("n1") >= 2.0 && col("n0") >= 2.0,
+          (col("__w") * col("__w") * (se2("s1", "ss1", "n1") + se2("s0", "ss0", "n0")))
+            .cast("decimal(30,12)")))
+    val out = terms.agg(
+      coalesce(sum(when(col("__used"), 1L)), lit(0L)).as("n_strata_used"),
+      coalesce(sum(when(!col("__used"), 1L)), lit(0L)).as("n_strata_dropped"),
+      sum(when(col("__used"), col("__ns")).otherwise(lit(0.0))).cast("long").as("n_used"),
+      sum(when(!col("__used"), col("__ns")).otherwise(lit(0.0))).cast("long").as("n_dropped"),
+      sum(col("__at")).cast("double").as("ate"),
+      sum(col("__st")).cast("double").as("__seSq"),
+      min(when(col("__used"), least(col("n1"), col("n0")))).as("__minArm"))
+    out.select(
+      col("n_strata_used"), col("n_strata_dropped"), col("n_used"), col("n_dropped"),
+      col("ate"),
+      when(col("__minArm") >= 2.0, sqrt(col("__seSq"))).as("se"),
+      when(col("__minArm") >= 2.0, col("ate") / sqrt(col("__seSq"))).as("t_stat"))
+  }
+
+  /** Split-conformal prediction intervals (Papadopoulos et al. 2002;
+    * Vovk's inductive conformal) — the distribution-free coverage
+    * guarantee, verified empirically: a deterministic md5 hash split
+    * carves train/calibration/test; the in-engine regressor is the
+    * per-group train mean; q̂ is the EXACT ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration residual (an order statistic, not a sketch quantile —
+    * selected via [[graft.operators.Relational.globalRowNumbers]]'s
+    * range-partition + zipWithIndex two-pass, never a single-partition
+    * window); the readout reports the test-split share with |y − ŷ| ≤ q̂,
+    * which the theorem lower-bounds by 1−α.
+    *
+    * Train sums quantize per-row to 1e-6 longs (exact means); residual
+    * chains are fixed IEEE ops on identical doubles in any engine, and
+    * rank selection depends only on the residual MULTISET, so ties cannot
+    * diverge. Rows whose group never appears in train have no prediction
+    * and drop from both calibration and test (counted via the n_* fields
+    * vs the input). If ⌈(n_cal+1)(1−α)⌉ > n_cal the conformal interval is
+    * infinite: q̂ is NULL and coverage exactly 1.0.
+    *
+    * Returns ONE row: (n_train, n_calib, n_test, alpha, qhat, coverage). */
+  def splitConformal(
+      df: DataFrame,
+      idCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      alpha: Double = 0.1,
+      trainBuckets: Int = 6,
+      calibBuckets: Int = 2,
+      numBuckets: Int = 10): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(trainBuckets >= 1 && calibBuckets >= 1 &&
+      trainBuckets + calibBuckets < numBuckets,
+      "need at least one train, one calibration and one test bucket")
+    val v = col(valueCol).cast("double")
+    val base = df.select(groupCols.map(col) :+ v.as("__v") :+
+      (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % numBuckets).as("__b"): _*)
+    val model = base.filter(col("__b") < trainBuckets)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__tn"),
+        sum(floor(col("__v") * 1000000.0 + 0.5).cast("long")).as("__tq"))
+      .withColumn("__yhat", col("__tq").cast("double") / 1000000.0 / col("__tn").cast("double"))
+    val nTrain = base.filter(col("__b") < trainBuckets).agg(count(lit(1)).as("n_train"))
+    def scored(part: DataFrame) = part
+      .join(broadcast(model.select(groupCols.map(col) :+ col("__yhat"): _*)),
+        groupCols, "inner")
+      .withColumn("__r", abs(col("__v") - col("__yhat")))
+    val calib = scored(base.filter(col("__b") >= trainBuckets &&
+      col("__b") < trainBuckets + calibBuckets)).select(col("__r"))
+    val test = scored(base.filter(col("__b") >= trainBuckets + calibBuckets))
+      .select(col("__r"))
+    val nCal = calib.agg(count(lit(1)).as("n_calib"))
+    // 0-based rank of the ⌈(n_cal+1)(1−α)⌉-th smallest residual
+    val ranked = graft.operators.Relational.globalRowNumbers(
+      calib, Seq(col("__r")), rowNumCol = "__rn")
+    val qhat = ranked.crossJoin(broadcast(nCal))
+      .filter(col("__rn") ===
+        ceil((col("n_calib").cast("double") + 1.0) * lit(1.0 - alpha)).cast("long") - 1L)
+      .select(col("__r").as("__qhat"))
+    val cov = test
+      .crossJoin(broadcast(nCal))
+      .join(qhat, lit(true), "left")
+      .agg(
+        count(lit(1)).as("n_test"),
+        max(col("n_calib")).as("n_calib"),
+        max(col("__qhat")).as("qhat"),
+        (sum(when(col("__qhat").isNull || col("__r") <= col("__qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("coverage"))
+    cov.crossJoin(broadcast(nTrain))
+      .select(col("n_train"), col("n_calib"), col("n_test"),
+        lit(alpha).as("alpha"), col("qhat"), col("coverage"))
+  }
+
   /** Difference-in-differences readout (Card–Krueger design) — the
     * quasi-experimental estimate when you could not randomize: DiD =
     * (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post − ȳ_control,pre),
@@ -2499,6 +2643,96 @@ object Sketches {
       n0.as("n_neg"),
       round(num.cast("double") / (n1 * n0 * lit(2)).cast("double"), dp)
         .as("auc"))
+  }
+
+  /** Reliability diagram — the calibration readout next to [[rocAuc]]'s
+    * ranking readout (a model can rank perfectly and still be
+    * miscalibrated): probability scores quantize per-row to 1e-9 longs,
+    * bin by equal-width B-ths of [0,1] (integer chain, p = 1.0 clamps into
+    * the top bin), and each bin reports (n, n_pos, mean predicted
+    * probability, observed positive rate). One partial aggregate to the
+    * B-row table; all sums are exact longs, so bins are bit-identical
+    * across partitionings and engines.
+    *
+    * Output: (bin 0-based, n, n_pos, mean_pred, frac_pos). Empty bins are
+    * absent (their diagram point does not exist). */
+  def reliabilityDiagram(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10,
+      dp: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val pq = floor(col(scoreCol).cast("double") * 1000000000.0 + 0.5).cast("long")
+    df.select(pq.as("__pq"), when(col(labelCol), 1L).otherwise(0L).as("__y"))
+      .withColumn("__bin",
+        least(floor((col("__pq") * bins).cast("double") / 1000000000.0).cast("long"),
+          lit(bins - 1L)))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__pq")).as("__sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__sp").cast("double") / 1000000000.0 / col("n").cast("double"), dp)
+          .as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), dp)
+          .as("frac_pos"))
+  }
+
+  /** Murphy (1973) decomposition of the Brier score — calibration
+    * (reliability), discrimination (resolution) and base-rate entropy
+    * (uncertainty) as one summary row beside [[reliabilityDiagram]]'s
+    * per-bin view: BS = mean((p−y)²); REL = Σ n_b(p̄_b−ō_b)²/N;
+    * RES = Σ n_b(ō_b−ō)²/N; UNC = ō(1−ō). (With continuous scores binned
+    * after the fact the identity BS = REL − RES + UNC holds only up to the
+    * within-bin score variance — all four are reported, none derived.)
+    *
+    * Per-row Brier terms quantize to 1e-9 longs (exact corpus sum); the
+    * bin terms are fixed IEEE chains from exact long moments on the
+    * B-row table, cast to DECIMAL(30,12) before the cross-bin sum —
+    * the [[subclassificationAte]] discipline. */
+  def brierDecomposition(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10,
+      dp: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val pq = floor(col(scoreCol).cast("double") * 1000000000.0 + 0.5).cast("long")
+    val rows = df.select(pq.as("__pq"), when(col(labelCol), 1L).otherwise(0L).as("__y"))
+      .withColumn("__bin",
+        least(floor((col("__pq") * bins).cast("double") / 1000000000.0).cast("long"),
+          lit(bins - 1L)))
+      .withColumn("__p", col("__pq").cast("double") / 1000000000.0)
+      .withColumn("__bt",
+        floor((col("__p") - col("__y").cast("double"))
+          * (col("__p") - col("__y").cast("double")) * 1000000000.0 + 0.5).cast("long"))
+    val perBin = rows.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"),
+        sum(col("__pq")).as("__sp"), sum(col("__bt")).as("__sbt"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // NOTE: Spark column resolution is case-insensitive — a window total
+    // named __N would silently REPLACE the per-bin count __n
+    val terms = perBin
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .withColumn("__post", sum(col("__pos")).over(wAll))
+      .withColumn("__pb", col("__sp").cast("double") / 1000000000.0 / col("__n").cast("double"))
+      .withColumn("__ob", col("__pos").cast("double") / col("__n").cast("double"))
+      .withColumn("__o", col("__post").cast("double") / col("__tot").cast("double"))
+      .withColumn("__rel",
+        (col("__n").cast("double") * (col("__pb") - col("__ob")) * (col("__pb") - col("__ob")))
+          .cast("decimal(30,12)"))
+      .withColumn("__res",
+        (col("__n").cast("double") * (col("__ob") - col("__o")) * (col("__ob") - col("__o")))
+          .cast("decimal(30,12)"))
+    terms.agg(
+      max(col("__tot")).as("n"),
+      round(sum(col("__sbt")).cast("double") / 1000000000.0 / max(col("__tot")).cast("double"), dp)
+        .as("brier"),
+      round(sum(col("__rel")).cast("double") / max(col("__tot")).cast("double"), dp)
+        .as("reliability"),
+      round(sum(col("__res")).cast("double") / max(col("__tot")).cast("double"), dp)
+        .as("resolution"),
+      round(max(col("__o")) * (lit(1.0) - max(col("__o"))), dp).as("uncertainty"))
   }
 
   /** Two-sample Cramér–von Mises statistic + 1-D energy distance between

@@ -1507,4 +1507,79 @@ object TextAnalysis {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Shared tokenizer of the unigram-LM halves: keeps every non-text column
+    * and appends one `__tok` row per `[a-z0-9]{minLen,}` match — a plain
+    * codegen'd projection + explode, replayable bit-for-bit in SQL. */
+  private[graft] def lmTokens(df: DataFrame, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    df.select(df.columns.filter(_ != textCol).map(col) :+
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit(s"[a-z0-9]{$minLen,}"), lit(0))).as("__tok"): _*)
+  }
+
+  /** Add-k-smoothed unigram language model fit on a REFERENCE corpus — the
+    * held-out half the self-trained [[lmBigramScore]] lacks: p(w) =
+    * (c(w) + k) / (N + k·(V+1)), the +1 reserving one pseudo-type for any
+    * out-of-vocabulary token, so unseen words score finite (the CCNet
+    * filter's fit-on-reference / score-everything shape, with the in-engine
+    * unigram model standing in for its external KenLM).
+    *
+    * Returns (model, oov): the vocabulary-sized (token, `__lpq`) table of
+    * 1e-6-quantized log-probs (the DSIR quantization discipline — ln runs
+    * on identical integer-derived doubles in any engine, the long sum is
+    * partition-order-invariant), and a ONE-ROW (`__oovq`) table carrying
+    * the OOV log-prob. Fit cost: one shuffle to count the reference's
+    * tokens; the N/V totals ride a broadcast cross join, never the driver. */
+  def unigramLm(
+      ref: DataFrame,
+      textCol: String,
+      addK: Double = 1.0,
+      minLen: Int = 1): (DataFrame, DataFrame) = {
+    require(addK > 0, s"addK must be > 0, got $addK")
+    val tc = lmTokens(ref, textCol, minLen)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val tot = tc.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    def lpq(num: Column): Column =
+      floor(log(num / (col("__n").cast("double") + lit(addK) * (col("__v").cast("double") + 1.0)))
+        * 1e6 + 0.5).cast("long")
+    val model = tc.crossJoin(broadcast(tot))
+      .select(col("__tok"), lpq(col("__c").cast("double") + lit(addK)).as("__lpq"))
+    val oov = tot.select(lpq(lit(addK)).as("__oovq"))
+    (model, oov)
+  }
+
+  /** Held-out perplexity quality scoring (Wenzek et al. 2020, CCNet): every
+    * document scored by the cross-entropy of its tokens under a unigram LM
+    * fit on `ref` via [[unigramLm]] — improbable-under-the-reference text
+    * (wrong language, gibberish, boilerplate soup) scores high and gets
+    * filtered. One reference-count shuffle + one per-doc aggregate; the
+    * vocabulary-sized model broadcasts into the token stream by default
+    * (`broadcastVocab = false` to shuffle-join for n-gram-scale vocabs) —
+    * at 100 TB the scored corpus never shuffles except per-doc.
+    *
+    * Output: (idCol, n_tokens, cross_entropy nats, perplexity =
+    * exp(cross_entropy)); zero-token documents are absent. Quantized
+    * per-token log-probs sum as longs, so the result is bit-identical
+    * across partitionings and engines. */
+  def perplexityScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: DataFrame,
+      addK: Double = 1.0,
+      minLen: Int = 1,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val (model, oov) = unigramLm(ref, textCol, addK, minLen)
+    val ce = round(-col("__sq").cast("double") / lit(1e6) / col("n_tokens").cast("double"), 6)
+    lmTokens(df.select(col(idCol), col(textCol)), textCol, minLen)
+      .join(if (broadcastVocab) broadcast(model) else model, Seq("__tok"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col(idCol), coalesce(col("__lpq"), col("__oovq")).as("__q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__q")).as("__sq"))
+      .select(col(idCol), col("n_tokens"),
+        ce.as("cross_entropy"),
+        round(exp(ce), 6).as("perplexity"))
+  }
 }

@@ -191,6 +191,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 1.0) < 3e-9)
   }
 
+  test("markovAttribution: removal effects match the hand-solved chain") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: A -> purchase ; u2: A -> B -> purchase ; u3: B (no purchase)
+      // u4: purchase with no prior touch (START -> CONV direct)
+      (1L, 1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "purchase", ts("2024-01-01 10:01:00")),
+      (2L, 3L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 4L, "B", ts("2024-01-01 10:01:00")),
+      (2L, 5L, "purchase", ts("2024-01-01 10:02:00")),
+      (3L, 6L, "B", ts("2024-01-01 10:00:00")),
+      (4L, 7L, "purchase", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts").repartition(3)
+    val out = Funnel.markovAttribution(ev, "user_id", "ts", "event_type",
+        convChannel = "purchase", tiebreakCols = Seq("event_id"))
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // chain: START->{CONV:1,A:2,B:1}; A->{B:1,CONV:1}; B->{CONV:1,NULL:1}
+    // base = 1/4 + (2/4)(3/4) + (1/4)(1/2) = 3/4
+    // remove A -> 3/8 (effect 1/2); remove B -> 1/2 (effect 1/3)
+    assert(out.map(_._1).toSeq == Seq("A", "B"))
+    val byCh = out.map(t => t._1 -> t).toMap
+    assert(math.abs(byCh("A")._2 - 0.75) < 1e-6)
+    assert(math.abs(byCh("A")._3 - 0.375) < 1e-6)
+    assert(math.abs(byCh("A")._4 - 0.5) < 1e-6)
+    assert(math.abs(byCh("B")._3 - 0.5) < 1e-6)
+    assert(math.abs(byCh("B")._4 - 1.0 / 3) < 1e-6)
+    assert(math.abs(byCh("A")._5 - 0.6) < 1e-6)
+    assert(math.abs(byCh("B")._5 - 0.4) < 1e-6)
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-9)
+  }
+
   test("transitionMatrix: exact pair counts and per-state shares, tie order pinned") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

@@ -304,6 +304,35 @@ class RelationalSpec extends SparkSpec {
     assert(plain.toSeq == Seq(("a", 15.0), ("b", 40.0)))
   }
 
+  test("targetEncodeOof: each (cat, fold) equals targetEncode on the corpus minus that fold") {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    val df = (1 to 120).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", (i % 11).toLong))
+      .toDF("id", "cat", "y").repartition(4)
+    val folds = 3
+    val oof = Relational.targetEncodeOof(df, "cat", "y", "id", folds = folds, smoothing = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.get(3))).toMap
+    // the complete map: every category × every fold
+    assert(oof.size == 2 * folds)
+    val withFold = df.withColumn("fold",
+      conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long") % folds)
+    for (f <- 0L until folds.toLong) {
+      val expect = Relational.targetEncode(
+        withFold.filter(col("fold") =!= f), "cat", "y", smoothing = 2)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      for (c <- Seq("a", "b")) {
+        assert(oof((c, f))._1 == expect(c)._1, s"n_oof mismatch at ($c, $f)")
+        assert(oof((c, f))._2 == expect(c)._2, s"encoding mismatch at ($c, $f)")
+      }
+    }
+    // a category confined to one fold still gets the prior there (m > 0)
+    val solo = Seq((1L, "only", 100L), (2L, "x", 1L), (3L, "x", 2L), (4L, "x", 3L))
+      .toDF("id", "cat", "y")
+    val m = Relational.targetEncodeOof(solo, "cat", "y", "id", folds = 2, smoothing = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.get(3))).toMap
+    val onlyFold = m.keys.collect { case ("only", f) if m(("only", f))._1 == 0 => f }
+    assert(onlyFold.nonEmpty, "the fold holding the solo category must show n_oof = 0")
+  }
+
   test("apportion: allocations sum exactly to total, largest remainders win, ties ordered") {
     // equal weights, total 10 over 3 rows: q=3 each, deficit 1 -> first tie key +1
     val eq = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("k", "w")

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{abs, col, conv, count, floor, lit, md5, substring, sum}
 
 import graft.operators.Sketches
 import graft.sources.Tables
@@ -393,6 +394,89 @@ class SketchesSpec extends SparkSpec {
       cell(false, false, Seq(3, 4)) ++ cell(false, true, Seq(5, 6))).toDF("t", "p", "v")
     val rt = Sketches.diffInDiff(tiny, "t", "p", "v").head
     assert(rt.isNullAt(rt.fieldIndex("se")) && !rt.isNullAt(rt.fieldIndex("did")))
+  }
+
+  test("subclassificationAte: hand-computed stratified estimate; no-support strata drop") {
+    import graft.operators.Sketches
+    def arm(g: String, t: Boolean, vs: Seq[Double]) = vs.map(v => (g, t, v))
+    // A: treated {2,4} vs control {1,1} -> diff 2 ; B: {8,10} vs {5,7} -> diff 3
+    // C: treated-only {100} -> no common support, drops
+    val df = (arm("A", true, Seq(2, 4)) ++ arm("A", false, Seq(1, 1)) ++
+      arm("B", true, Seq(8, 10)) ++ arm("B", false, Seq(5, 7)) ++
+      arm("C", true, Seq(100)))
+      .toDF("g", "t", "v").repartition(3)
+    val r = Sketches.subclassificationAte(df, "t", "v", Seq("g")).head
+    assert(r.getAs[Long]("n_strata_used") == 2L)
+    assert(r.getAs[Long]("n_strata_dropped") == 1L)
+    assert(r.getAs[Long]("n_used") == 8L)
+    assert(r.getAs[Long]("n_dropped") == 1L)
+    // equal weights 1/2: ATE = 2/2 + 3/2 = 2.5
+    assert(math.abs(r.getAs[Double]("ate") - 2.5) < 1e-9)
+    // sesq = 1/4*(1+0) + 1/4*(1+1) = 3/4
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(0.75)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("t_stat") - 2.5 / math.sqrt(0.75)) < 1e-9)
+    // a 1-row arm inside a USED stratum keeps the estimate, nulls the SE
+    val tiny = (arm("A", true, Seq(2)) ++ arm("A", false, Seq(1, 3))).toDF("g", "t", "v")
+    val rt = Sketches.subclassificationAte(tiny, "t", "v", Seq("g")).head
+    assert(rt.isNullAt(rt.fieldIndex("se")) && math.abs(rt.getAs[Double]("ate")) < 1e-9)
+  }
+
+  test("reliabilityDiagram + brierDecomposition: hand-solved two-bin example; p=1 clamps") {
+    import graft.operators.Sketches
+    // bin 0: p=0.25, 1 of 4 positive (perfectly calibrated)
+    // bin 1: p=0.75, 3 of 4 positive (perfectly calibrated)
+    val rows = Seq.fill(3)((0.25, false)) ++ Seq((0.25, true)) ++
+      Seq((0.75, false)) ++ Seq.fill(3)((0.75, true))
+    val df = rows.toDF("p", "y").repartition(3)
+    val rel = Sketches.reliabilityDiagram(df, "p", "y", bins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rel.toSeq == Seq((0L, 4L, 1L, 0.25, 0.25), (1L, 4L, 3L, 0.75, 0.75)))
+    val b = Sketches.brierDecomposition(df, "p", "y", bins = 2).head
+    assert(b.getAs[Long]("n") == 8L)
+    // BS = (3·.0625 + .5625)·2 / 8; REL = 0; RES = 2·4·.0625/8; UNC = .25
+    assert(math.abs(b.getAs[Double]("brier") - 0.1875) < 1e-9)
+    assert(b.getAs[Double]("reliability") == 0.0)
+    assert(math.abs(b.getAs[Double]("resolution") - 0.0625) < 1e-9)
+    assert(math.abs(b.getAs[Double]("uncertainty") - 0.25) < 1e-9)
+    // constant-within-bin forecasts: Murphy identity BS = REL − RES + UNC
+    assert(math.abs(b.getAs[Double]("brier") -
+      (b.getAs[Double]("reliability") - b.getAs[Double]("resolution") +
+        b.getAs[Double]("uncertainty"))) < 1e-9)
+    // p = 1.0 lands in the top bin, not a phantom bins-th bin
+    val top = Sketches.reliabilityDiagram(
+      Seq((1.0, true)).toDF("p", "y"), "p", "y", bins = 10).head
+    assert(top.getAs[Long]("bin") == 9L)
+  }
+
+  test("splitConformal: exact order-statistic q̂; tiny calibration => infinite interval") {
+    import graft.operators.Sketches
+    val df = (1 to 300).map(i => (i.toLong, (i % 3).toString, (i % 7).toDouble))
+      .toDF("id", "g", "v").repartition(4)
+    val r = Sketches.splitConformal(df, "id", Seq("g"), "v", alpha = 0.2).head
+    // recompute q̂ and coverage from the operator's own split definition
+    val base = df.select(col("g"), col("v"),
+      (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10).as("bk"))
+    val model = base.filter(col("bk") < 6).groupBy("g")
+      .agg((sum(floor(col("v") * 1000000.0 + 0.5).cast("long")).cast("double")
+        / 1000000.0 / count(lit(1)).cast("double")).as("yhat"))
+    def res(p: DataFrame) = p.join(model, "g")
+      .select(abs(col("v") - col("yhat")).as("r")).as[Double].collect()
+    val calR = res(base.filter(col("bk") >= 6 && col("bk") < 8)).sorted
+    val tstR = res(base.filter(col("bk") >= 8))
+    val k = math.ceil((calR.length + 1) * 0.8).toInt
+    assert(r.getAs[Long]("n_calib") == calR.length.toLong)
+    assert(r.getAs[Double]("qhat") == calR(k - 1))
+    val qh = calR(k - 1)
+    assert(r.getAs[Double]("coverage") ==
+      tstR.count(_ <= qh).toDouble / tstR.length)
+    // the finite-sample guarantee holds on this fixed split
+    assert(r.getAs[Double]("coverage") >= 0.8 - 0.1)
+    // α so strict that ceil((n+1)(1−α)) > n: interval infinite, coverage 1
+    val inf = Sketches.splitConformal(df, "id", Seq("g"), "v", alpha = 0.001).head
+    assert(inf.isNullAt(inf.fieldIndex("qhat")))
+    assert(inf.getAs[Double]("coverage") == 1.0)
   }
 
   test("mutualInfoBinned: deterministic functional beats independent; parabola beats Pearson") {

@@ -387,6 +387,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(1L, 3L, d1), Row(2L, 1L, d2)))
   }
 
+  test("perplexityScore: hand-solved add-one unigram LM with OOV") {
+    import org.apache.spark.sql.Row
+    // ref "a a b": N=3, V=2; p(a)=3/6, p(b)=2/6, p(OOV)=1/6
+    val ref = Seq((10L, "a a b")).toDF("id", "text")
+    // doc 1 "a b c": ce = -(ln 1/2 + ln 1/3 + ln 1/6)/3 = ln(36^(1/3))
+    // doc 2 "c c": all-OOV, ce = ln 6 — strictly worse than doc 1
+    val df = Seq((1L, "a b c"), (2L, "c c")).toDF("id", "text").repartition(3)
+    val out = TextAnalysis.perplexityScore(df, "id", "text", ref)
+      .orderBy("id").collect()
+    // mirror the operator's exact FP order: long 1e-6-unit sum, /1e6, /n
+    def lq(p: Double) = math.floor(math.log(p) * 1e6 + 0.5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ce1 = r6(-(lq(0.5) + lq(1.0 / 3) + lq(1.0 / 6)) / 1e6 / 3.0)
+    val ce2 = r6(-(2 * lq(1.0 / 6)) / 1e6 / 2.0)
+    assert(out.toSeq == Seq(
+      Row(1L, 3L, ce1, r6(math.exp(ce1))),
+      Row(2L, 2L, ce2, r6(math.exp(ce2)))))
+    assert(ce2 > ce1, "all-OOV text must score strictly worse")
+    assert(math.abs(math.exp(ce1) - math.pow(36.0, 1.0 / 3)) < 1e-4)
+  }
+
   test("charEntropy: hand-computed entropy, uniform and single-char extremes") {
     import org.apache.spark.sql.Row
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
