@@ -1718,6 +1718,22 @@ object SparkEntry {
 
   /** Difference-in-differences (X237): F-status orders as the "treated"
     * group, 1995-01-01 as the policy date, scaled totalprice outcome. */
+  /** Distributed logistic regression (X245): in-engine propensity fit of
+    * 'F' status on scaled price + order age — 8 exact quantized GD steps,
+    * the whole trajectory replayed by the oracle's unrolled CTEs. */
+  private def qLogistic(s: SparkSession, d: String): DataFrame =
+    Models.logisticRegression(
+      Tables.orders(s, d)
+        .withColumn("y", col("o_orderstatus") === "F")
+        .withColumn("x1", col("o_totalprice") / 500000.0)
+        .withColumn("x2",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("double") / 2500.0),
+      "y", Seq("x1", "x2"), iterations = 8, lr = 0.5)
+      .select(col("n"), col("w0"), col("w1"), col("w2"),
+        round(col("log_loss"), 6).as("log_loss"),
+        round(col("accuracy"), 6).as("accuracy"))
+
   /** Shared scored slice of the calibration pair (X243): per-(priority,
     * nation) 'F'-rate fit on the md5 train split (exact long-count ratio)
     * scores the held-out orders; groups absent from train drop. */
@@ -6178,6 +6194,7 @@ object SparkEntry {
     "q_conformal" -> (qConformal _),
     "q_reliability" -> (qReliability _),
     "q_brier" -> (qBrier _),
+    "q_logistic" -> (qLogistic _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -6623,6 +6640,53 @@ object SparkEntry {
             CASE WHEN ps > 0 AND req > 0
                  THEN ROUND(CAST(req AS DOUBLE) / CAST(ps AS DOUBLE), 6) END AS share
      FROM q CROSS JOIN tot ORDER BY channel"""
+  }
+
+  /** 8 unrolled quantized GD steps as chained 1-row weight CTEs over the
+    * MATERIALIZED scaled base — mirrors
+    * [[graft.operators.Models.logisticRegression]]'s exact chains:
+    * z left-assoc, gradient terms floor((p−y)·x_j·1e6+0.5) as BIGINT
+    * sums, update w ← w − floor(lr·g·1000/n + 0.5). */
+  private val logisticOracle: String = {
+    def z(w: String) =
+      s"(CAST($w.w0 AS DOUBLE)/1e9*1.0 + CAST($w.w1 AS DOUBLE)/1e9*x1 + CAST($w.w2 AS DOUBLE)/1e9*x2)"
+    val iters = (1 to 8).map { i =>
+      s""",
+       p$i AS (SELECT y, x1, x2, 1.0/(1.0 + EXP(-${z(s"w${i - 1}")})) AS p
+               FROM base CROSS JOIN w${i - 1}),
+       g$i AS (SELECT
+                 CAST(SUM(CAST(FLOOR((p - y) * 1.0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+                 CAST(SUM(CAST(FLOOR((p - y) * x1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+                 CAST(SUM(CAST(FLOOR((p - y) * x2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g2
+               FROM p$i),
+       w$i AS (SELECT
+                 w0 - CAST(FLOOR(0.5 * CAST(g0 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w0,
+                 w1 - CAST(FLOOR(0.5 * CAST(g1 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w1,
+                 w2 - CAST(FLOOR(0.5 * CAST(g2 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w2
+               FROM w${i - 1} CROSS JOIN g$i CROSS JOIN nb)"""
+    }.mkString
+    s"""WITH base AS MATERIALIZED (
+           SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+                  o_totalprice / 500000.0 AS x1,
+                  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)
+                    / 2500.0 AS x2
+           FROM orders),
+     nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+     w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)$iters,
+     pf AS (SELECT y, 1.0/(1.0 + EXP(-${z("w8")})) AS p FROM base CROSS JOIN w8),
+     fin AS (SELECT
+               CAST(SUM(CAST(FLOOR((CASE WHEN y = 1.0 THEN LN(p) ELSE LN(1.0 - p) END)
+                                   * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS llq,
+               CAST(SUM(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END) = y
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ok
+             FROM pf)
+     SELECT nn AS n,
+            CAST(w0 AS DOUBLE)/1e9 AS w0,
+            CAST(w1 AS DOUBLE)/1e9 AS w1,
+            CAST(w2 AS DOUBLE)/1e9 AS w2,
+            ROUND(-CAST(llq AS DOUBLE)/1e6/CAST(nn AS DOUBLE), 6) AS log_loss,
+            ROUND(CAST(ok AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS accuracy
+     FROM w8 CROSS JOIN fin CROSS JOIN nb"""
   }
 
   /** Add-one unigram LM fit on the English slice + OOV-coalesced scoring,
@@ -10686,6 +10750,7 @@ object SparkEntry {
                 CASE WHEN minn >= 2.0 THEN ROUND(sqrt(sesq), 6) END AS se,
                 CASE WHEN minn >= 2.0 THEN ROUND(did / sqrt(sesq), 6) END AS t_stat
          FROM f""",
+    "q_logistic" -> logisticOracle,
     // shared scored-slice CTEs: md5 split, train 'F'-rates, held-out rows
     // quantized to 1e-9 pq — mirrors calibScored + Sketches.reliabilityDiagram
     "q_reliability" ->

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Models
+
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("logisticRegression: exact quantized-GD replay, separable data, partition invariance") {
+    val data = Seq((-2.0, false), (-1.0, false), (1.0, true), (2.0, true))
+    val df = data.toDF("x", "y").repartition(2)
+    val r = Models.logisticRegression(df, "y", Seq("x"), iterations = 10, lr = 0.5).head
+    // driver-side replay of the identical quantized schedule
+    val rows = data.map { case (x, yy) => (Array(1.0, x), if (yy) 1.0 else 0.0) }
+    val n = rows.length
+    var w = Array(0L, 0L)
+    def p(xs: Array[Double]): Double = {
+      val z = w(0) / 1e9 * xs(0) + w(1) / 1e9 * xs(1)
+      1.0 / (1.0 + math.exp(-z))
+    }
+    for (_ <- 1 to 10) {
+      val g = Array(0L, 0L)
+      for ((xs, yy) <- rows; j <- 0 until 2)
+        g(j) += math.floor((p(xs) - yy) * xs(j) * 1e6 + 0.5).toLong
+      for (j <- 0 until 2)
+        w(j) = w(j) - math.floor(0.5 * g(j) * 1000.0 / n + 0.5).toLong
+    }
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Double]("w0") == w(0) / 1e9)
+    assert(r.getAs[Double]("w1") == w(1) / 1e9)
+    val llq = rows.map { case (xs, yy) =>
+      math.floor((if (yy == 1.0) math.log(p(xs)) else math.log(1.0 - p(xs))) * 1e6 + 0.5).toLong
+    }.sum
+    assert(r.getAs[Double]("log_loss") == -llq.toDouble / 1e6 / n)
+    // separable data: the slope must be positive and classify perfectly
+    assert(r.getAs[Double]("w1") > 0)
+    assert(r.getAs[Double]("accuracy") == 1.0)
+    // the quantized schedule is partition-count-invariant, bit for bit
+    val r7 = Models.logisticRegression(
+      data.toDF("x", "y").repartition(7), "y", Seq("x"), iterations = 10, lr = 0.5).head
+    assert(r7.getAs[Double]("w0") == r.getAs[Double]("w0"))
+    assert(r7.getAs[Double]("w1") == r.getAs[Double]("w1"))
+  }
+
+  test("logisticRegression: 2-feature fit uses only the informative axis") {
+    // y depends on x1 only; x2 is symmetric noise orthogonal to the label
+    val data = (1 to 80).map { i =>
+      val x1 = if (i % 2 == 0) 1.0 else -1.0
+      val x2 = if (i % 4 < 2) 1.0 else -1.0
+      (x1, x2, x1 > 0)
+    }
+    val df = data.toDF("x1", "x2", "y")
+    val r = Models.logisticRegression(df, "y", Seq("x1", "x2"), iterations = 8, lr = 0.5).head
+    assert(r.getAs[Double]("w1") > math.abs(r.getAs[Double]("w2")) * 10)
+    assert(r.getAs[Double]("accuracy") == 1.0)
+  }
+}
