@@ -1734,6 +1734,59 @@ object SparkEntry {
         round(col("log_loss"), 6).as("log_loss"),
         round(col("accuracy"), 6).as("accuracy"))
 
+  /** STREAMING conformal coverage monitor (S39) — the interval fit in
+    * BATCH ([[graft.operators.Sketches.conformalFit]]: per-group means,
+    * exact order-statistic q̂), then the TEST-bucket stream scores against
+    * the broadcast (model, q̂) statelessly per row and two integer
+    * counters (n, covered) accumulate in the state store. Integer state ⇒
+    * stream == batch bit-exactly; shares q_conformal's oracle verbatim
+    * (the 30th end-to-end streaming gate). The live readout is the
+    * empirical coverage drifting — the production check that the
+    * distribution the interval was calibrated on still holds. */
+  private def qConformalStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val alpha = 0.1
+    val batch = Tables.orders(s, d).withColumn("v", col("o_totalprice") / 100000.0)
+    val (model0, nTrain0, nCal0, qhat0) = Sketches.conformalFit(
+      batch, "o_orderkey", Seq("o_orderpriority"), "v", alpha = alpha)
+    val model = model0.localCheckpoint(true)
+    val nTrain = nTrain0.localCheckpoint(true)
+    val nCal = nCal0.localCheckpoint(true)
+    val qhat = qhat0.localCheckpoint(true)
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val name = "graft_conformal_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .withColumn("__b",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10)
+        .filter(col("__b") >= 8)
+        .select(col("o_orderpriority"),
+          (col("o_totalprice") / 100000.0).cast("double").as("__v"))
+        .join(broadcast(model), Seq("o_orderpriority"))
+        .withColumn("__r", abs(col("__v") - col("__yhat")))
+        .join(broadcast(qhat), lit(true), "left")
+        .groupBy()
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("__qhat").isNull || col("__r") <= col("__qhat"), 1L)
+            .otherwise(0L)).as("__cov"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .crossJoin(broadcast(nTrain)).crossJoin(broadcast(nCal))
+      .join(broadcast(qhat), lit(true), "left")
+      .select(col("n_train"), col("n_calib"), col("n_test"),
+        lit(alpha).as("alpha"), round(col("__qhat"), 6).as("qhat"),
+        round((col("__cov").cast("double") / col("n_test").cast("double")), 6)
+          .as("coverage"))
+  }
+
   /** Shared scored slice of the calibration pair (X243): per-(priority,
     * nation) 'F'-rate fit on the md5 train split (exact long-count ratio)
     * scores the held-out orders; groups absent from train drop. */
@@ -6195,6 +6248,7 @@ object SparkEntry {
     "q_reliability" -> (qReliability _),
     "q_brier" -> (qBrier _),
     "q_logistic" -> (qLogistic _),
+    "q_conformal_stream" -> (qConformalStream _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -6641,6 +6695,34 @@ object SparkEntry {
                  THEN ROUND(CAST(req AS DOUBLE) / CAST(ps AS DOUBLE), 6) END AS share
      FROM q CROSS JOIN tot ORDER BY channel"""
   }
+
+  /** md5 hash split; exact-quantized train means; q̂ = the exact
+    * order-statistic residual at 0-based rank ceil((n+1)(1−α))−1 —
+    * mirrors [[graft.operators.Sketches.splitConformal]]; shared verbatim
+    * by the batch query and its streaming coverage-monitor twin. */
+  private val conformalOracle: String =
+    """WITH b AS (SELECT o_orderpriority AS g, o_totalprice / 100000.0 AS v,
+                           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS bk
+                    FROM orders),
+         m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS tn,
+                      CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS tq
+               FROM b WHERE bk < 6 GROUP BY 1),
+         my AS (SELECT g, CAST(tq AS DOUBLE) / 1000000.0 / CAST(tn AS DOUBLE) AS yhat FROM m),
+         ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM b WHERE bk < 6),
+         cal AS (SELECT ABS(v - yhat) AS r FROM b JOIN my USING (g) WHERE bk >= 6 AND bk < 8),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM cal),
+         rk AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) - 1 AS rn FROM cal),
+         q AS (SELECT r AS qhat FROM rk CROSS JOIN nc
+               WHERE rn = CAST(CEIL((CAST(n_calib AS DOUBLE) + 1.0) * 0.9) AS BIGINT) - 1),
+         ts AS (SELECT ABS(v - yhat) AS r FROM b JOIN my USING (g) WHERE bk >= 8),
+         cv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                       MAX(qhat) AS qhat,
+                       CAST(SUM(CASE WHEN qhat IS NULL OR r <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) AS coverage
+                FROM ts LEFT JOIN q ON TRUE)
+         SELECT n_train, (SELECT n_calib FROM nc) AS n_calib, n_test, 0.1 AS alpha,
+                ROUND(qhat, 6) AS qhat, ROUND(coverage, 6) AS coverage
+         FROM cv CROSS JOIN ntr"""
 
   /** 8 unrolled quantized GD steps as chained 1-row weight CTEs over the
     * MATERIALIZED scaled base — mirrors
@@ -10811,33 +10893,9 @@ object SparkEntry {
                 ROUND(CAST(SUM(res) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE), 6) AS resolution,
                 ROUND(MAX(o) * (1.0 - MAX(o)), 6) AS uncertainty
          FROM t2""",
-    // md5 hash split; exact-quantized train means; q̂ = the exact
-    // order-statistic residual at 0-based rank ceil((n+1)(1-α))-1 —
-    // mirrors Sketches.splitConformal
-    "q_conformal" ->
-      """WITH b AS (SELECT o_orderpriority AS g, o_totalprice / 100000.0 AS v,
-                           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS bk
-                    FROM orders),
-         m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS tn,
-                      CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS tq
-               FROM b WHERE bk < 6 GROUP BY 1),
-         my AS (SELECT g, CAST(tq AS DOUBLE) / 1000000.0 / CAST(tn AS DOUBLE) AS yhat FROM m),
-         ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM b WHERE bk < 6),
-         cal AS (SELECT ABS(v - yhat) AS r FROM b JOIN my USING (g) WHERE bk >= 6 AND bk < 8),
-         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM cal),
-         rk AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) - 1 AS rn FROM cal),
-         q AS (SELECT r AS qhat FROM rk CROSS JOIN nc
-               WHERE rn = CAST(CEIL((CAST(n_calib AS DOUBLE) + 1.0) * 0.9) AS BIGINT) - 1),
-         ts AS (SELECT ABS(v - yhat) AS r FROM b JOIN my USING (g) WHERE bk >= 8),
-         cv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
-                       MAX(qhat) AS qhat,
-                       CAST(SUM(CASE WHEN qhat IS NULL OR r <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
-                         / CAST(COUNT(*) AS DOUBLE) AS coverage
-                FROM ts LEFT JOIN q ON TRUE)
-         SELECT n_train, (SELECT n_calib FROM nc) AS n_calib, n_test, 0.1 AS alpha,
-                ROUND(qhat, 6) AS qhat, ROUND(coverage, 6) AS coverage
-         FROM cv CROSS JOIN ntr""",
-    // per-(stratum, arm) exact quantized moments; per-stratum ATE/SE terms
+    "q_conformal" -> conformalOracle,
+    "q_conformal_stream" -> conformalOracle,
+        // per-(stratum, arm) exact quantized moments; per-stratum ATE/SE terms
     // as fixed IEEE chains cast to DECIMAL(30,12) before the cross-stratum
     // sum — mirrors Sketches.subclassificationAte term order
     "q_strat_ate" ->

@@ -797,6 +797,47 @@ object Sketches {
       trainBuckets: Int = 6,
       calibBuckets: Int = 2,
       numBuckets: Int = 10): DataFrame = {
+    val (model, nTrain, nCal, qhat) =
+      conformalFit(df, idCol, groupCols, valueCol, alpha,
+        trainBuckets, calibBuckets, numBuckets)
+    val v = col(valueCol).cast("double")
+    val base = df.select(groupCols.map(col) :+ v.as("__v") :+
+      (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % numBuckets).as("__b"): _*)
+    val test = base.filter(col("__b") >= trainBuckets + calibBuckets)
+      .join(broadcast(model), groupCols, "inner")
+      .withColumn("__r", abs(col("__v") - col("__yhat")))
+      .select(col("__r"))
+    val cov = test
+      .crossJoin(broadcast(nCal))
+      .join(qhat, lit(true), "left")
+      .agg(
+        count(lit(1)).as("n_test"),
+        max(col("n_calib")).as("n_calib"),
+        max(col("__qhat")).as("qhat"),
+        (sum(when(col("__qhat").isNull || col("__r") <= col("__qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("coverage"))
+    cov.crossJoin(broadcast(nTrain))
+      .select(col("n_train"), col("n_calib"), col("n_test"),
+        lit(alpha).as("alpha"), col("qhat"), col("coverage"))
+  }
+
+  /** The fit half of [[splitConformal]], exposed so a STREAM of test rows
+    * can be scored against a batch-fit interval: returns
+    * (model (groupCols, __yhat) — broadcastable, group-cardinality;
+    * nTrain 1-row (n_train); nCal 1-row (n_calib);
+    * qhat ≤1-row (__qhat) — EMPTY when the conformal interval is
+    * infinite). All pieces are plain DataFrames; localCheckpoint them
+    * before feeding a streaming join. */
+  def conformalFit(
+      df: DataFrame,
+      idCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      alpha: Double = 0.1,
+      trainBuckets: Int = 6,
+      calibBuckets: Int = 2,
+      numBuckets: Int = 10): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     require(trainBuckets >= 1 && calibBuckets >= 1 &&
       trainBuckets + calibBuckets < numBuckets,
@@ -810,14 +851,12 @@ object Sketches {
       .agg(count(lit(1)).as("__tn"),
         sum(floor(col("__v") * 1000000.0 + 0.5).cast("long")).as("__tq"))
       .withColumn("__yhat", col("__tq").cast("double") / 1000000.0 / col("__tn").cast("double"))
+      .select(groupCols.map(col) :+ col("__yhat"): _*)
     val nTrain = base.filter(col("__b") < trainBuckets).agg(count(lit(1)).as("n_train"))
-    def scored(part: DataFrame) = part
-      .join(broadcast(model.select(groupCols.map(col) :+ col("__yhat"): _*)),
-        groupCols, "inner")
+    val calib = base.filter(col("__b") >= trainBuckets &&
+        col("__b") < trainBuckets + calibBuckets)
+      .join(broadcast(model), groupCols, "inner")
       .withColumn("__r", abs(col("__v") - col("__yhat")))
-    val calib = scored(base.filter(col("__b") >= trainBuckets &&
-      col("__b") < trainBuckets + calibBuckets)).select(col("__r"))
-    val test = scored(base.filter(col("__b") >= trainBuckets + calibBuckets))
       .select(col("__r"))
     val nCal = calib.agg(count(lit(1)).as("n_calib"))
     // 0-based rank of the ⌈(n_cal+1)(1−α)⌉-th smallest residual
@@ -827,18 +866,7 @@ object Sketches {
       .filter(col("__rn") ===
         ceil((col("n_calib").cast("double") + 1.0) * lit(1.0 - alpha)).cast("long") - 1L)
       .select(col("__r").as("__qhat"))
-    val cov = test
-      .crossJoin(broadcast(nCal))
-      .join(qhat, lit(true), "left")
-      .agg(
-        count(lit(1)).as("n_test"),
-        max(col("n_calib")).as("n_calib"),
-        max(col("__qhat")).as("qhat"),
-        (sum(when(col("__qhat").isNull || col("__r") <= col("__qhat"), 1L).otherwise(0L))
-          .cast("double") / count(lit(1)).cast("double")).as("coverage"))
-    cov.crossJoin(broadcast(nTrain))
-      .select(col("n_train"), col("n_calib"), col("n_test"),
-        lit(alpha).as("alpha"), col("qhat"), col("coverage"))
+    (model, nTrain, nCal, qhat)
   }
 
   /** Difference-in-differences readout (Card–Krueger design) — the
