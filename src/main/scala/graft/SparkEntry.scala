@@ -1718,6 +1718,24 @@ object SparkEntry {
 
   /** Difference-in-differences (X237): F-status orders as the "treated"
     * group, 1995-01-01 as the policy date, scaled totalprice outcome. */
+  /** IPW ATE (X246): effect of the BUILDING segment on order price with
+    * the propensity e(x | account balance, nation) fit by 6 exact
+    * quantized GD steps, clipped at [0.01, 0.99] — the model-based causal
+    * estimate next to q_strat_ate's binned one. */
+  private def qIpwAte(s: SparkSession, d: String): DataFrame =
+    Models.ipwAte(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal"), col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .withColumn("treated", col("c_mktsegment") === "BUILDING")
+        .withColumn("v", col("o_totalprice") / 100000.0)
+        .withColumn("x1", col("c_acctbal") / 10000.0)
+        .withColumn("x2", col("c_nationkey").cast("double") / 25.0),
+      "treated", "v", Seq("x1", "x2"), iterations = 6, lr = 0.5, clip = 0.01)
+      .select(col("n"), col("n_treated"),
+        round(col("ate_ht"), 6).as("ate_ht"),
+        round(col("ate_hajek"), 6).as("ate_hajek"))
+
   /** Distributed logistic regression (X245): in-engine propensity fit of
     * 'F' status on scaled price + order age — 8 exact quantized GD steps,
     * the whole trajectory replayed by the oracle's unrolled CTEs. */
@@ -6249,6 +6267,7 @@ object SparkEntry {
     "q_brier" -> (qBrier _),
     "q_logistic" -> (qLogistic _),
     "q_conformal_stream" -> (qConformalStream _),
+    "q_ipw_ate" -> (qIpwAte _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -6729,12 +6748,16 @@ object SparkEntry {
     * [[graft.operators.Models.logisticRegression]]'s exact chains:
     * z left-assoc, gradient terms floor((p−y)·x_j·1e6+0.5) as BIGINT
     * sums, update w ← w − floor(lr·g·1000/n + 0.5). */
-  private val logisticOracle: String = {
-    def z(w: String) =
-      s"(CAST($w.w0 AS DOUBLE)/1e9*1.0 + CAST($w.w1 AS DOUBLE)/1e9*x1 + CAST($w.w2 AS DOUBLE)/1e9*x2)"
-    val iters = (1 to 8).map { i =>
-      s""",
-       p$i AS (SELECT y, x1, x2, 1.0/(1.0 + EXP(-${z(s"w${i - 1}")})) AS p
+  /** z(w·x) over the shared (x1, x2) oracle base — the fixed left-assoc
+    * chain every GD oracle shares. */
+  private def gdZ(w: String) =
+    s"(CAST($w.w0 AS DOUBLE)/1e9*1.0 + CAST($w.w1 AS DOUBLE)/1e9*x1 + CAST($w.w2 AS DOUBLE)/1e9*x2)"
+
+  /** The unrolled quantized-GD steps shared by every logistic-fit oracle:
+    * requires CTEs base(y, x1, x2), nb(nn) and w0(w0, w1, w2) = 0. */
+  private def gdSteps(iters: Int): String = (1 to iters).map { i =>
+    s""",
+       p$i AS (SELECT y, x1, x2, 1.0/(1.0 + EXP(-${gdZ(s"w${i - 1}")})) AS p
                FROM base CROSS JOIN w${i - 1}),
        g$i AS (SELECT
                  CAST(SUM(CAST(FLOOR((p - y) * 1.0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0,
@@ -6746,7 +6769,11 @@ object SparkEntry {
                  w1 - CAST(FLOOR(0.5 * CAST(g1 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w1,
                  w2 - CAST(FLOOR(0.5 * CAST(g2 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w2
                FROM w${i - 1} CROSS JOIN g$i CROSS JOIN nb)"""
-    }.mkString
+  }.mkString
+
+  private val logisticOracle: String = {
+    def z(w: String) = gdZ(w)
+    val iters = gdSteps(8)
     s"""WITH base AS MATERIALIZED (
            SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
                   o_totalprice / 500000.0 AS x1,
@@ -6769,6 +6796,34 @@ object SparkEntry {
             ROUND(-CAST(llq AS DOUBLE)/1e6/CAST(nn AS DOUBLE), 6) AS log_loss,
             ROUND(CAST(ok AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS accuracy
      FROM w8 CROSS JOIN fin CROSS JOIN nb"""
+  }
+
+  /** 6 unrolled GD steps fitting the propensity, then the clipped IPW
+    * sums — mirrors [[graft.operators.Models.ipwAte]] bit-for-bit. */
+  private val ipwOracle: String = {
+    s"""WITH base AS MATERIALIZED (
+           SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS y,
+                  o_totalprice / 100000.0 AS v,
+                  c_acctbal / 10000.0 AS x1,
+                  CAST(c_nationkey AS DOUBLE) / 25.0 AS x2
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+     nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+     w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)${gdSteps(6)},
+     pf AS (SELECT y, v,
+                   LEAST(GREATEST(1.0/(1.0 + EXP(-${gdZ("w6")})), 0.01), 0.99) AS e
+            FROM base CROSS JOIN w6),
+     sums AS (SELECT
+                CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                CAST(SUM(CAST(FLOOR(y * v / e * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+                CAST(SUM(CAST(FLOOR(y / e * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS d1,
+                CAST(SUM(CAST(FLOOR((1.0 - y) * v / (1.0 - e) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s0,
+                CAST(SUM(CAST(FLOOR((1.0 - y) / (1.0 - e) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS d0
+              FROM pf)
+     SELECT nn AS n, nt AS n_treated,
+            ROUND(CAST(s1 - s0 AS DOUBLE)/1e6/CAST(nn AS DOUBLE), 6) AS ate_ht,
+            ROUND(CAST(s1 AS DOUBLE)/CAST(d1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE)/CAST(d0 AS DOUBLE), 6) AS ate_hajek
+     FROM sums CROSS JOIN nb"""
   }
 
   /** Add-one unigram LM fit on the English slice + OOV-coalesced scoring,
@@ -10833,6 +10888,7 @@ object SparkEntry {
                 CASE WHEN minn >= 2.0 THEN ROUND(did / sqrt(sesq), 6) END AS t_stat
          FROM f""",
     "q_logistic" -> logisticOracle,
+    "q_ipw_ate" -> ipwOracle,
     // shared scored-slice CTEs: md5 split, train 'F'-rates, held-out rows
     // quantized to 1e-9 pq — mirrors calibScored + Sketches.reliabilityDiagram
     "q_reliability" ->

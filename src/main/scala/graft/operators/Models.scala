@@ -49,21 +49,8 @@ object Models {
           .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
     val n = base.count()
     require(n > 0, "cannot fit on an empty DataFrame")
-    var wq = Array.fill(k)(0L)
-    def z: Column = (0 until k)
-      .map(j => lit(wq(j) / 1e9) * col(s"__x$j"))
-      .reduceLeft(_ + _)
-    def p: Column = lit(1.0) / (lit(1.0) + exp(-z))
-    for (_ <- 1 to iterations) {
-      val g = base.agg(
-        sum(floor((p - col("__y")) * col("__x0") * 1e6 + 0.5).cast("long")).as("g0"),
-        (1 until k).map(j =>
-          sum(floor((p - col("__y")) * col(s"__x$j") * 1e6 + 0.5).cast("long")).as(s"g$j")): _*)
-        .head()
-      wq = wq.zipWithIndex.map { case (w, j) =>
-        w - math.floor(lr * g.getLong(j) * 1000.0 / n + 0.5).toLong
-      }
-    }
+    val wq = fitQ(base, k, iterations, lr, n)
+    val p = sigmoid(wq, k)
     val metrics = base.agg(
       count(lit(1)).as("n"),
       sum(floor(when(col("__y") === 1.0, log(p)).otherwise(log(lit(1.0) - p))
@@ -74,5 +61,82 @@ object Models {
         (0 until k).map(j => lit(wq(j) / 1e9).as(s"w$j")) :+
         (-col("__ll").cast("double") / 1e6 / col("n").cast("double")).as("log_loss") :+
         (col("__ok").cast("double") / col("n").cast("double")).as("accuracy"): _*)
+  }
+
+  /** σ(w·x) over the `__x0…` columns for 1e-9-quantized weights — the
+    * fixed left-assoc IEEE chain both the fit and every scorer share. */
+  private def sigmoid(wq: Array[Long], k: Int): Column = {
+    val z = (0 until k).map(j => lit(wq(j) / 1e9) * col(s"__x$j")).reduceLeft(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The quantized GD loop shared by [[logisticRegression]] and the
+    * propensity consumers: `base` must carry __y and __x0…__x{k−1}. */
+  private def fitQ(
+      base: DataFrame, k: Int, iterations: Int, lr: Double, n: Long): Array[Long] = {
+    var wq = Array.fill(k)(0L)
+    for (_ <- 1 to iterations) {
+      val p = sigmoid(wq, k)
+      val g = base.agg(
+        sum(floor((p - col("__y")) * col("__x0") * 1e6 + 0.5).cast("long")).as("g0"),
+        (1 until k).map(j =>
+          sum(floor((p - col("__y")) * col(s"__x$j") * 1e6 + 0.5).cast("long")).as(s"g$j")): _*)
+        .head()
+      wq = wq.zipWithIndex.map { case (w, j) =>
+        w - math.floor(lr * g.getLong(j) * 1000.0 / n + 0.5).toLong
+      }
+    }
+    wq
+  }
+
+  /** Inverse-propensity-weighted ATE on the in-engine logistic propensity
+    * — the MODEL-BASED member of the causal family beside
+    * [[Sketches.subclassificationAte]]'s binned one: fit
+    * e(x) = P(treated | x) by [[logisticRegression]]'s exact quantized GD
+    * schedule, clip into [clip, 1−clip] (standard overlap trimming), then
+    * ONE exact pass computes both estimators —
+    * Horvitz–Thompson (1/n)·Σ[t·y/e − (1−t)·y/(1−e)] and the
+    * self-normalizing Hájek Σ(t·y/e)/Σ(t/e) − Σ((1−t)·y/(1−e))/Σ((1−t)/(1−e))
+    * — from per-row floor(·1e6+0.5) long sums, so both replay bit-for-bit
+    * in SQL behind the unrolled fit. Pre-scale the outcome so
+    * |y|/clip·1e6 fits a long at corpus row counts.
+    *
+    * Returns ONE row: (n, n_treated, ate_ht, ate_hajek). */
+  def ipwAte(
+      df: DataFrame,
+      treatedCol: String,
+      valueCol: String,
+      featureCols: Seq[String],
+      iterations: Int = 6,
+      lr: Double = 0.5,
+      clip: Double = 0.01): DataFrame = {
+    require(featureCols.nonEmpty, "at least one feature required")
+    require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5), got $clip")
+    val k = featureCols.length + 1
+    val base = df.select(
+      when(col(treatedCol), 1.0).otherwise(0.0).as("__y") +:
+        col(valueCol).cast("double").as("__v") +:
+        (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
+          .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+    val n = base.count()
+    require(n > 0, "cannot fit on an empty DataFrame")
+    val wq = fitQ(base, k, iterations, lr, n)
+    val e = least(greatest(sigmoid(wq, k), lit(clip)), lit(1.0 - clip))
+    def q6(c: Column) = sum(floor(c * 1e6 + 0.5).cast("long"))
+    base
+      .withColumn("__e", e)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y") === 1.0, 1L).otherwise(0L)).as("n_treated"),
+        q6(col("__y") * col("__v") / col("__e")).as("__s1"),
+        q6(col("__y") / col("__e")).as("__d1"),
+        q6((lit(1.0) - col("__y")) * col("__v") / (lit(1.0) - col("__e"))).as("__s0"),
+        q6((lit(1.0) - col("__y")) / (lit(1.0) - col("__e"))).as("__d0"))
+      .select(
+        col("n"), col("n_treated"),
+        ((col("__s1") - col("__s0")).cast("double") / 1e6 / col("n").cast("double"))
+          .as("ate_ht"),
+        (col("__s1").cast("double") / col("__d1").cast("double")
+          - col("__s0").cast("double") / col("__d0").cast("double")).as("ate_hajek"))
   }
 }

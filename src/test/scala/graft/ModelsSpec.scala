@@ -43,6 +43,34 @@ class ModelsSpec extends SparkSpec {
     assert(r7.getAs[Double]("w1") == r.getAs[Double]("w1"))
   }
 
+  test("ipwAte: de-biases a confounded treatment effect; partition-invariant") {
+    // x confounds: P(t|x=1)=0.75, P(t|x=0)=0.25; y = 1.0 + 0.5·t + 0.3·x
+    // true ATE 0.5; the naive treated-minus-control mean is 0.65
+    val data = (0 until 200).map { i =>
+      val x = (i % 2).toDouble
+      val t = if (x == 1.0) i % 8 != 1 else i % 8 == 0
+      val y = 1.0 + (if (t) 0.5 else 0.0) + 0.3 * x
+      (t, y, x)
+    }
+    val df = data.toDF("t", "y", "x").repartition(3)
+    val r = Models.ipwAte(df, "t", "y", Seq("x"), iterations = 40, lr = 0.5).head
+    assert(r.getAs[Long]("n") == 200L)
+    assert(r.getAs[Long]("n_treated") == 100L)
+    val treated = data.filter(_._1).map(_._2)
+    val control = data.filterNot(_._1).map(_._2)
+    val naive = treated.sum / treated.size - control.sum / control.size
+    val hajek = r.getAs[Double]("ate_hajek")
+    assert(math.abs(naive - 0.65) < 1e-9)
+    assert(math.abs(hajek - 0.5) < math.abs(naive - 0.5),
+      s"IPW must reduce confounding bias, got $hajek vs naive $naive")
+    assert(math.abs(hajek - 0.5) < 0.1)
+    // the quantized fit + sums replay identically on another partitioning
+    val r7 = Models.ipwAte(data.toDF("t", "y", "x").repartition(7),
+      "t", "y", Seq("x"), iterations = 40, lr = 0.5).head
+    assert(r7.getAs[Double]("ate_hajek") == hajek)
+    assert(r7.getAs[Double]("ate_ht") == r.getAs[Double]("ate_ht"))
+  }
+
   test("logisticRegression: 2-feature fit uses only the informative axis") {
     // y depends on x1 only; x2 is symmetric noise orthogonal to the label
     val data = (1 to 80).map { i =>
