@@ -1718,6 +1718,18 @@ object SparkEntry {
 
   /** Difference-in-differences (X237): F-status orders as the "treated"
     * group, 1995-01-01 as the policy date, scaled totalprice outcome. */
+  /** Multinomial Naive Bayes (X247): self-trained language classification
+    * of every document — the supervised twin of the marker-word langId,
+    * exact quantized log-prob sums, ties to the smallest class. */
+  private def qNaiveBayes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Models.naiveBayesClassify(docs, "doc_id", "text", docs, "lang")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("predicted"),
+        (col("predicted") === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
   /** IPW ATE (X246): effect of the BUILDING segment on order price with
     * the propensity e(x | account balance, nation) fit by 6 exact
     * quantized GD steps, clipped at [0.01, 0.99] — the model-based causal
@@ -6268,6 +6280,7 @@ object SparkEntry {
     "q_logistic" -> (qLogistic _),
     "q_conformal_stream" -> (qConformalStream _),
     "q_ipw_ate" -> (qIpwAte _),
+    "q_naive_bayes" -> (qNaiveBayes _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -6797,6 +6810,46 @@ object SparkEntry {
             ROUND(CAST(ok AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS accuracy
      FROM w8 CROSS JOIN fin CROSS JOIN nb"""
   }
+
+  /** Per-class add-one token log-probs over the global vocab + OOV
+    * pseudo-type + doc-count priors, argmax with ties to the smallest
+    * class — mirrors [[graft.operators.Models.naiveBayesClassify]]. */
+  private val naiveBayesOracle: String =
+    """WITH tok AS MATERIALIZED (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z0-9]{1,}')) AS tk
+          FROM documents),
+     tt AS MATERIALIZED (SELECT d.lang AS cls, tk FROM tok JOIN documents d USING (doc_id)),
+     ct AS (SELECT cls, tk, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2),
+     nc AS (SELECT cls, CAST(SUM(c) AS BIGINT) AS nc FROM ct GROUP BY 1),
+     vb AS MATERIALIZED (SELECT DISTINCT tk FROM ct),
+     vt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vb),
+     model AS MATERIALIZED (
+       SELECT vb.tk, nc.cls,
+              CAST(FLOOR(LN((CAST(COALESCE(ct.c, 0) AS DOUBLE) + 1.0)
+                            / (CAST(nc.nc AS DOUBLE) + 1.0 * (CAST(vt.v AS DOUBLE) + 1.0)))
+                   * 1e6 + 0.5) AS BIGINT) AS lpq
+       FROM vb CROSS JOIN nc CROSS JOIN vt
+       LEFT JOIN ct ON ct.tk = vb.tk AND ct.cls = nc.cls),
+     oov AS (SELECT cls, CAST(FLOOR(LN(1.0 / (CAST(nc AS DOUBLE) + 1.0 * (CAST(v AS DOUBLE) + 1.0)))
+                   * 1e6 + 0.5) AS BIGINT) AS oq
+             FROM nc CROSS JOIN vt),
+     pri AS (SELECT lang AS cls,
+                    CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)
+                                  / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE))
+                         * 1e6 + 0.5) AS BIGINT) AS pq
+             FROM documents GROUP BY 1),
+     kn AS (SELECT t.doc_id, m.cls, m.lpq AS q FROM tok t JOIN model m ON t.tk = m.tk),
+     un AS (SELECT t.doc_id, o.cls, o.oq AS q
+            FROM tok t CROSS JOIN oov o
+            WHERE t.tk NOT IN (SELECT tk FROM vb)),
+     sc AS (SELECT doc_id, cls, CAST(SUM(q) AS BIGINT) AS sq
+            FROM (SELECT * FROM kn UNION ALL SELECT * FROM un) GROUP BY 1, 2),
+     fin AS (SELECT doc_id, cls, sq + pq AS score FROM sc JOIN pri USING (cls)),
+     best AS (SELECT doc_id, cls,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+              FROM fin)
+     SELECT b.doc_id, d.lang, b.cls AS predicted, b.cls = d.lang AS correct
+     FROM best b JOIN documents d USING (doc_id) WHERE rn = 1 ORDER BY b.doc_id"""
 
   /** 6 unrolled GD steps fitting the propensity, then the clipped IPW
     * sums — mirrors [[graft.operators.Models.ipwAte]] bit-for-bit. */
@@ -10889,6 +10942,7 @@ object SparkEntry {
          FROM f""",
     "q_logistic" -> logisticOracle,
     "q_ipw_ate" -> ipwOracle,
+    "q_naive_bayes" -> naiveBayesOracle,
     // shared scored-slice CTEs: md5 split, train 'F'-rates, held-out rows
     // quantized to 1e-9 pq — mirrors calibScored + Sketches.reliabilityDiagram
     "q_reliability" ->

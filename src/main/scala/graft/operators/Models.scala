@@ -89,6 +89,75 @@ object Models {
     wq
   }
 
+  /** Multinomial Naive Bayes text classification (fit on `train`, score
+    * `df`) — the in-engine supervised classifier next to the heuristic
+    * language id: per-class add-k token log-probs over the GLOBAL train
+    * vocabulary (one pseudo-type reserved for OOV, the
+    * [[TextAnalysis.unigramLm]] convention, so unseen tokens still score)
+    * plus document-count log-priors; a document's class score is the
+    * exact long sum of 1e-6-quantized per-token log-probs + prior, and
+    * the argmax breaks ties to the LEXICOGRAPHICALLY SMALLEST class via
+    * max(struct(score, −rank)) — bit-deterministic on any engine.
+    *
+    * The (vocab × classes) model is built by crossing the bounded class
+    * table with the vocabulary and coalescing absent counts to 0; it
+    * broadcasts into the token stream by default (`broadcastModel =
+    * false` to shuffle-join for n-gram-scale vocabs). One train shuffle,
+    * one per-(doc, class) aggregate; zero-token documents are absent.
+    *
+    * Output: (idCol, predicted). */
+  def naiveBayesClassify(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      train: DataFrame,
+      classCol: String,
+      addK: Double = 1.0,
+      minLen: Int = 1,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(addK > 0, s"addK must be > 0, got $addK")
+    def bc(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    val tt = TextAnalysis.lmTokens(
+      train.select(col(classCol).as("__cls"), col(textCol)), textCol, minLen)
+    val ct = tt.groupBy(col("__cls"), col("__tok")).agg(count(lit(1)).as("__c"))
+    val classTotals = ct.groupBy(col("__cls")).agg(sum(col("__c")).as("__nc"))
+    val vocab = ct.select(col("__tok")).distinct()
+    val vtot = vocab.agg(count(lit(1)).as("__v"))
+    def lpq(num: Column): Column =
+      floor(log(num / (col("__nc").cast("double") + lit(addK) * (col("__v").cast("double") + 1.0)))
+        * 1e6 + 0.5).cast("long")
+    val model = vocab.crossJoin(broadcast(classTotals)).crossJoin(broadcast(vtot))
+      .join(ct, Seq("__tok", "__cls"), "left")
+      .select(col("__tok"), col("__cls"),
+        lpq(coalesce(col("__c"), lit(0L)).cast("double") + lit(addK)).as("__lpq"))
+    val oov = classTotals.crossJoin(broadcast(vtot))
+      .select(col("__cls"), lpq(lit(addK)).as("__oq"))
+    val priors = train.groupBy(col(classCol).as("__cls")).agg(count(lit(1)).as("__dn"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("__dt"))))
+      .select(col("__cls"),
+        floor(log(col("__dn").cast("double") / col("__dt").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("__pq"))
+    val ranked = Relational.globalRowNumbers(
+      classTotals.select(col("__cls")), Seq(col("__cls")), rowNumCol = "__cr")
+    val toks = TextAnalysis.lmTokens(df.select(col(idCol), col(textCol)), textCol, minLen)
+      .join(broadcast(vocab.withColumn("__in", lit(1))), Seq("__tok"), "left")
+    val known = toks.filter(col("__in").isNotNull)
+      .join(bc(model), Seq("__tok"))
+      .select(col(idCol), col("__cls"), col("__lpq").as("__q"))
+    val unknown = toks.filter(col("__in").isNull)
+      .crossJoin(broadcast(oov))
+      .select(col(idCol), col("__cls"), col("__oq").as("__q"))
+    known.unionByName(unknown)
+      .groupBy(col(idCol), col("__cls")).agg(sum(col("__q")).as("__sq"))
+      .join(broadcast(priors), "__cls")
+      .join(broadcast(ranked), "__cls")
+      .select(col(idCol), col("__cls"),
+        (col("__sq") + col("__pq")).as("__score"), col("__cr"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score"), (-col("__cr")).as("__nr"), col("__cls"))).as("__best"))
+      .select(col(idCol), col("__best.__cls").as("predicted"))
+  }
+
   /** Inverse-propensity-weighted ATE on the in-engine logistic propensity
     * — the MODEL-BASED member of the causal family beside
     * [[Sketches.subclassificationAte]]'s binned one: fit

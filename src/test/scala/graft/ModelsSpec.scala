@@ -43,6 +43,20 @@ class ModelsSpec extends SparkSpec {
     assert(r7.getAs[Double]("w1") == r.getAs[Double]("w1"))
   }
 
+  test("naiveBayesClassify: hand-built bilingual model; OOV neutral; ties to smallest class") {
+    val train = Seq(("en", "the cat"), ("en", "the dog"), ("fr", "le chat"), ("fr", "le chien"))
+      .toDF("cls", "text")
+    val docs = Seq(
+      (1L, "the fish"),    // "the" is English evidence, "fish" OOV-neutral
+      (2L, "le poisson"),  // "le" is French evidence
+      (3L, "cat chat"),    // perfectly symmetric scores: tie -> "en"
+      (4L, "chien chien"))
+      .toDF("id", "text").repartition(3)
+    val out = Models.naiveBayesClassify(docs, "id", "text", train, "cls")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "en"), (2L, "fr"), (3L, "en"), (4L, "fr")))
+  }
+
   test("ipwAte: de-biases a confounded treatment effect; partition-invariant") {
     // x confounds: P(t|x=1)=0.75, P(t|x=0)=0.25; y = 1.0 + 0.5·t + 0.3·x
     // true ATE 0.5; the naive treated-minus-control mean is 0.65
