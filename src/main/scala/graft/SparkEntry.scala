@@ -1730,6 +1730,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** STREAMING Naive Bayes twin (S40) — model/priors fit in BATCH
+    * ([[graft.operators.Models.naiveBayesFit]]) and broadcast into the
+    * document stream; per-(doc, class) INTEGER score partials accumulate
+    * in the state store (the one streaming aggregate), and the
+    * argmax + prior readout runs in batch over the memory sink ⇒ stream
+    * == batch bit-exactly, sharing q_naive_bayes's oracle verbatim (the
+    * 31st end-to-end streaming gate). */
+  private def qNaiveBayesStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, d)
+    val (model0, oov0, priors0, ranked0) = Models.naiveBayesFit(docs, "text", "lang")
+    val model = model0.localCheckpoint(true)
+    val oov = oov0.localCheckpoint(true)
+    val priors = priors0.localCheckpoint(true)
+    val ranked = ranked0.localCheckpoint(true)
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "graft_nb_stream"
+    withStatePartitions(s, 8) {
+      val q = Models.naiveBayesTokenScores(
+          stream.select(col("doc_id"), col("text")), "doc_id", "text", model, oov)
+        .groupBy(col("doc_id"), col("__cls"))
+        .agg(sum(col("__q")).as("__sq"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Models.naiveBayesArgmax(s.table(name), "doc_id", priors, ranked)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("predicted"),
+        (col("predicted") === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
   /** IPW ATE (X246): effect of the BUILDING segment on order price with
     * the propensity e(x | account balance, nation) fit by 6 exact
     * quantized GD steps, clipped at [0.01, 0.99] — the model-based causal
@@ -6281,6 +6318,7 @@ object SparkEntry {
     "q_conformal_stream" -> (qConformalStream _),
     "q_ipw_ate" -> (qIpwAte _),
     "q_naive_bayes" -> (qNaiveBayes _),
+    "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -10943,6 +10981,7 @@ object SparkEntry {
     "q_logistic" -> logisticOracle,
     "q_ipw_ate" -> ipwOracle,
     "q_naive_bayes" -> naiveBayesOracle,
+    "q_naive_bayes_stream" -> naiveBayesOracle,
     // shared scored-slice CTEs: md5 split, train 'F'-rates, held-out rows
     // quantized to 1e-9 pq — mirrors calibScored + Sketches.reliabilityDiagram
     "q_reliability" ->

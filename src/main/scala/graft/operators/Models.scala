@@ -115,8 +115,25 @@ object Models {
       addK: Double = 1.0,
       minLen: Int = 1,
       broadcastModel: Boolean = true): DataFrame = {
+    val (model, oov, priors, ranked) = naiveBayesFit(train, textCol, classCol, addK, minLen)
+    val scores = naiveBayesTokenScores(
+      df.select(col(idCol), col(textCol)), idCol, textCol, model, oov, minLen, broadcastModel)
+      .groupBy(col(idCol), col("__cls")).agg(sum(col("__q")).as("__sq"))
+    naiveBayesArgmax(scores, idCol, priors, ranked)
+  }
+
+  /** The fit half of [[naiveBayesClassify]] — exposed so a document
+    * STREAM can be scored against a batch-fit model: returns (model
+    * (__tok, __cls, __lpq) over the complete vocab × class grid; oov
+    * (__cls, __oq); priors (__cls, __pq); ranked (__cls, __cr) — the
+    * deterministic tie order). localCheckpoint each before a stream. */
+  def naiveBayesFit(
+      train: DataFrame,
+      textCol: String,
+      classCol: String,
+      addK: Double = 1.0,
+      minLen: Int = 1): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(addK > 0, s"addK must be > 0, got $addK")
-    def bc(m: DataFrame) = if (broadcastModel) broadcast(m) else m
     val tt = TextAnalysis.lmTokens(
       train.select(col(classCol).as("__cls"), col(textCol)), textCol, minLen)
     val ct = tt.groupBy(col("__cls"), col("__tok")).agg(count(lit(1)).as("__c"))
@@ -139,8 +156,23 @@ object Models {
           .cast("long").as("__pq"))
     val ranked = Relational.globalRowNumbers(
       classTotals.select(col("__cls")), Seq(col("__cls")), rowNumCol = "__cr")
+    (model, oov, priors, ranked)
+  }
+
+  /** Stateless per-token class scores (idCol, __cls, __q) — the streaming
+    * half: OOV tokens fall back to the per-class OOV row. */
+  def naiveBayesTokenScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      oov: DataFrame,
+      minLen: Int = 1,
+      broadcastModel: Boolean = true): DataFrame = {
+    def bc(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    val vocab = model.select(col("__tok")).distinct().withColumn("__in", lit(1))
     val toks = TextAnalysis.lmTokens(df.select(col(idCol), col(textCol)), textCol, minLen)
-      .join(broadcast(vocab.withColumn("__in", lit(1))), Seq("__tok"), "left")
+      .join(broadcast(vocab), Seq("__tok"), "left")
     val known = toks.filter(col("__in").isNotNull)
       .join(bc(model), Seq("__tok"))
       .select(col(idCol), col("__cls"), col("__lpq").as("__q"))
@@ -148,7 +180,14 @@ object Models {
       .crossJoin(broadcast(oov))
       .select(col(idCol), col("__cls"), col("__oq").as("__q"))
     known.unionByName(unknown)
-      .groupBy(col(idCol), col("__cls")).agg(sum(col("__q")).as("__sq"))
+  }
+
+  /** The batch readout over accumulated (idCol, __cls, __sq) partials:
+    * add priors, argmax with ties to the smallest class. */
+  def naiveBayesArgmax(
+      scores: DataFrame, idCol: String,
+      priors: DataFrame, ranked: DataFrame): DataFrame =
+    scores
       .join(broadcast(priors), "__cls")
       .join(broadcast(ranked), "__cls")
       .select(col(idCol), col("__cls"),
@@ -156,7 +195,6 @@ object Models {
       .groupBy(col(idCol))
       .agg(max(struct(col("__score"), (-col("__cr")).as("__nr"), col("__cls"))).as("__best"))
       .select(col(idCol), col("__best.__cls").as("predicted"))
-  }
 
   /** Inverse-propensity-weighted ATE on the in-engine logistic propensity
     * — the MODEL-BASED member of the causal family beside
