@@ -1718,6 +1718,23 @@ object SparkEntry {
 
   /** Difference-in-differences (X237): F-status orders as the "treated"
     * group, 1995-01-01 as the policy date, scaled totalprice outcome. */
+  /** Multiple linear regression (X248): order price on order age and
+    * account balance — exact normal-equation moments, Cramer solve. */
+  private def qLinReg(s: SparkSession, d: String): DataFrame =
+    Models.linearRegression(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("v", col("o_totalprice") / 100000.0)
+        .withColumn("x1",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("double") / 2500.0)
+        .withColumn("x2", col("c_acctbal") / 10000.0),
+      "v", Seq("x1", "x2"))
+      .select(col("n"), round(col("beta0"), 6).as("beta0"),
+        round(col("beta1"), 6).as("beta1"), round(col("beta2"), 6).as("beta2"),
+        round(col("r2"), 6).as("r2"))
+
   /** Multinomial Naive Bayes (X247): self-trained language classification
     * of every document — the supervised twin of the marker-word langId,
     * exact quantized log-prob sums, ties to the smallest class. */
@@ -6319,6 +6336,7 @@ object SparkEntry {
     "q_ipw_ate" -> (qIpwAte _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
+    "q_linreg" -> (qLinReg _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -6848,6 +6866,51 @@ object SparkEntry {
             ROUND(CAST(ok AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS accuracy
      FROM w8 CROSS JOIN fin CROSS JOIN nb"""
   }
+
+  /** Exact-decimal normal-equation moments + Cramer's rule as the same
+    * fixed IEEE chains — mirrors
+    * [[graft.operators.Models.linearRegression]] term by term. */
+  private val linRegOracle: String =
+    """WITH b AS (SELECT
+            CAST(FLOOR(o_totalprice / 100000.0 * 1e6 + 0.5) AS HUGEINT) AS y,
+            CAST(FLOOR(CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)
+                       / 2500.0 * 1e6 + 0.5) AS HUGEINT) AS a,
+            CAST(FLOOR(c_acctbal / 10000.0 * 1e6 + 0.5) AS HUGEINT) AS bb
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(a) AS sa0, SUM(bb) AS sb0,
+                  SUM(a * a) AS saa0, SUM(bb * bb) AS sbb0, SUM(a * bb) AS sab0,
+                  SUM(y) AS sy0, SUM(a * y) AS say0, SUM(bb * y) AS sby0,
+                  SUM(y * y) AS syy0
+           FROM b),
+     t AS (SELECT n, CAST(n AS DOUBLE) AS nn,
+                  CAST(sa0 AS DOUBLE) / 1e6 AS sa, CAST(sb0 AS DOUBLE) / 1e6 AS sb,
+                  CAST(saa0 AS DOUBLE) / 1e12 AS saa, CAST(sbb0 AS DOUBLE) / 1e12 AS sbb,
+                  CAST(sab0 AS DOUBLE) / 1e12 AS sab,
+                  CAST(sy0 AS DOUBLE) / 1e6 AS sy, CAST(say0 AS DOUBLE) / 1e12 AS say,
+                  CAST(sby0 AS DOUBLE) / 1e12 AS sby, CAST(syy0 AS DOUBLE) / 1e12 AS syy
+           FROM m),
+     d AS (SELECT *,
+             nn * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+               + sb * (sa * sab - saa * sb) AS det
+           FROM t),
+     sv AS (SELECT *,
+              CASE WHEN det <> 0.0 THEN
+                (sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby)
+                  + sb * (say * sab - saa * sby)) / det END AS beta0,
+              CASE WHEN det <> 0.0 THEN
+                (nn * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb)
+                  + sb * (sa * sby - say * sb)) / det END AS beta1,
+              CASE WHEN det <> 0.0 THEN
+                (nn * (saa * sby - say * sab) - sa * (sa * sby - say * sb)
+                  + sy * (sa * sab - saa * sb)) / det END AS beta2
+            FROM d)
+     SELECT n, ROUND(beta0, 6) AS beta0, ROUND(beta1, 6) AS beta1,
+            ROUND(beta2, 6) AS beta2,
+            CASE WHEN det <> 0.0 AND (syy - sy * sy / nn) <> 0.0 THEN
+              ROUND(1.0 - (syy - (beta0 * sy + beta1 * say + beta2 * sby))
+                          / (syy - sy * sy / nn), 6) END AS r2
+     FROM sv"""
 
   /** Per-class add-one token log-probs over the global vocab + OOV
     * pseudo-type + doc-count priors, argmax with ties to the smallest
@@ -10982,6 +11045,7 @@ object SparkEntry {
     "q_ipw_ate" -> ipwOracle,
     "q_naive_bayes" -> naiveBayesOracle,
     "q_naive_bayes_stream" -> naiveBayesOracle,
+    "q_linreg" -> linRegOracle,
     // shared scored-slice CTEs: md5 split, train 'F'-rates, held-out rows
     // quantized to 1e-9 pq — mirrors calibScored + Sketches.reliabilityDiagram
     "q_reliability" ->

@@ -196,6 +196,78 @@ object Models {
       .agg(max(struct(col("__score"), (-col("__cr")).as("__nr"), col("__cls"))).as("__best"))
       .select(col(idCol), col("__best.__cls").as("predicted"))
 
+  /** Multiple linear regression (intercept + two features) by EXACT
+    * normal equations — the closed-form big sibling of the per-key OLS
+    * trend: per-row values quantize to 1e-6 longs, so every normal-
+    * equation moment (Σx, Σx², Σxy, …) is an exact DECIMAL(38,0) integer
+    * from ONE partial aggregate; the 3×3 system then solves by Cramer's
+    * rule as a fixed IEEE chain on the unscaled moments, identical in any
+    * engine. SSE comes closed-form from the same moments
+    * (SSE = Σy² − βᵀXᵀy — no second scan), so R² is free.
+    *
+    * A singular design (collinear features) makes det exactly 0.0 (the
+    * double chain cancels bit-exactly on identical columns) and every
+    * coefficient NULL. Pre-scale features/outcome to O(1–10) so the
+    * quantized cross-moments fit DECIMAL(38,0) at corpus row counts.
+    *
+    * Returns ONE row: (n, beta0, beta1, beta2, r2). */
+  def linearRegression(
+      df: DataFrame,
+      valueCol: String,
+      featureCols: Seq[String]): DataFrame = {
+    require(featureCols.length == 2,
+      s"exactly two features (plus intercept) supported, got ${featureCols.length}")
+    def q(c: String) = floor(col(c).cast("double") * 1e6 + 0.5).cast("decimal(38,0)")
+    val m = df
+      .select(q(valueCol).as("__y"),
+        q(featureCols.head).as("__a"), q(featureCols(1)).as("__b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+        sum(col("__a") * col("__a")).as("__saa"),
+        sum(col("__b") * col("__b")).as("__sbb"),
+        sum(col("__a") * col("__b")).as("__sab"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__a") * col("__y")).as("__say"),
+        sum(col("__b") * col("__y")).as("__sby"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val t = m.select(
+      col("n"),
+      col("n").cast("double").as("nn"),
+      (col("__sa").cast("double") / 1e6).as("sa"),
+      (col("__sb").cast("double") / 1e6).as("sb"),
+      (col("__saa").cast("double") / 1e12).as("saa"),
+      (col("__sbb").cast("double") / 1e12).as("sbb"),
+      (col("__sab").cast("double") / 1e12).as("sab"),
+      (col("__sy").cast("double") / 1e6).as("sy"),
+      (col("__say").cast("double") / 1e12).as("say"),
+      (col("__sby").cast("double") / 1e12).as("sby"),
+      (col("__syy").cast("double") / 1e12).as("syy"))
+    val det = col("nn") * (col("saa") * col("sbb") - col("sab") * col("sab")) -
+      col("sa") * (col("sa") * col("sbb") - col("sab") * col("sb")) +
+      col("sb") * (col("sa") * col("sab") - col("saa") * col("sb"))
+    val det0 = col("sy") * (col("saa") * col("sbb") - col("sab") * col("sab")) -
+      col("sa") * (col("say") * col("sbb") - col("sab") * col("sby")) +
+      col("sb") * (col("say") * col("sab") - col("saa") * col("sby"))
+    val det1 = col("nn") * (col("say") * col("sbb") - col("sab") * col("sby")) -
+      col("sy") * (col("sa") * col("sbb") - col("sab") * col("sb")) +
+      col("sb") * (col("sa") * col("sby") - col("say") * col("sb"))
+    val det2 = col("nn") * (col("saa") * col("sby") - col("say") * col("sab")) -
+      col("sa") * (col("sa") * col("sby") - col("say") * col("sb")) +
+      col("sy") * (col("sa") * col("sab") - col("saa") * col("sb"))
+    val solved = t
+      .withColumn("__det", det)
+      .withColumn("beta0", when(col("__det") =!= 0.0, det0 / col("__det")))
+      .withColumn("beta1", when(col("__det") =!= 0.0, det1 / col("__det")))
+      .withColumn("beta2", when(col("__det") =!= 0.0, det2 / col("__det")))
+    val sse = col("syy") -
+      (col("beta0") * col("sy") + col("beta1") * col("say") + col("beta2") * col("sby"))
+    val sst = col("syy") - col("sy") * col("sy") / col("nn")
+    solved.select(
+      col("n"), col("beta0"), col("beta1"), col("beta2"),
+      when(col("__det") =!= 0.0 && sst =!= 0.0, lit(1.0) - sse / sst).as("r2"))
+  }
+
   /** Inverse-propensity-weighted ATE on the in-engine logistic propensity
     * — the MODEL-BASED member of the causal family beside
     * [[Sketches.subclassificationAte]]'s binned one: fit

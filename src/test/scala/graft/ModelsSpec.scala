@@ -43,6 +43,23 @@ class ModelsSpec extends SparkSpec {
     assert(r7.getAs[Double]("w1") == r.getAs[Double]("w1"))
   }
 
+  test("linearRegression: exact plane recovery, R²=1; collinear design => NULLs") {
+    // y = 2 + 3·x1 − x2 exactly, on a non-degenerate grid
+    val data = for (i <- 0 until 10; j <- 0 until 10)
+      yield (i / 10.0, j / 10.0, 2.0 + 3.0 * (i / 10.0) - j / 10.0)
+    val df = data.toDF("x1", "x2", "y").repartition(3)
+    val r = Models.linearRegression(df, "y", Seq("x1", "x2")).head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(math.abs(r.getAs[Double]("beta0") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("beta1") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("beta2") + 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    // identical feature columns: det cancels to exactly 0.0 -> NULLs
+    val sing = data.map { case (a, _, y) => (a, a, y) }.toDF("x1", "x2", "y")
+    val rs = Models.linearRegression(sing, "y", Seq("x1", "x2")).head
+    assert(rs.isNullAt(rs.fieldIndex("beta1")) && rs.isNullAt(rs.fieldIndex("r2")))
+  }
+
   test("naiveBayesClassify: hand-built bilingual model; OOV neutral; ties to smallest class") {
     val train = Seq(("en", "the cat"), ("en", "the dog"), ("fr", "le chat"), ("fr", "le chien"))
       .toDF("cls", "text")
