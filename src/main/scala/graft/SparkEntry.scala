@@ -1735,6 +1735,23 @@ object SparkEntry {
         round(col("beta1"), 6).as("beta1"), round(col("beta2"), 6).as("beta2"),
         round(col("r2"), 6).as("r2"))
 
+  /** Ridge regression (X249): the q_linreg design with λ=1 on the slope
+    * diagonal — shrunk coefficients, honest quadratic-form SSE. */
+  private def qRidge(s: SparkSession, d: String): DataFrame =
+    Models.ridgeRegression(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("v", col("o_totalprice") / 100000.0)
+        .withColumn("x1",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("double") / 2500.0)
+        .withColumn("x2", col("c_acctbal") / 10000.0),
+      "v", Seq("x1", "x2"), lambda = 1.0)
+      .select(col("n"), round(col("beta0"), 6).as("beta0"),
+        round(col("beta1"), 6).as("beta1"), round(col("beta2"), 6).as("beta2"),
+        round(col("r2"), 6).as("r2"))
+
   /** Multinomial Naive Bayes (X247): self-trained language classification
     * of every document — the supervised twin of the marker-word langId,
     * exact quantized log-prob sums, ties to the smallest class. */
@@ -6337,6 +6354,7 @@ object SparkEntry {
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_linreg" -> (qLinReg _),
+    "q_ridge" -> (qRidge _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -6911,6 +6929,57 @@ object SparkEntry {
               ROUND(1.0 - (syy - (beta0 * sy + beta1 * say + beta2 * sby))
                           / (syy - sy * sy / nn), 6) END AS r2
      FROM sv"""
+
+  /** linRegOracle's moment pass with λ=1 on the slope diagonal and the
+    * honest quadratic-form SSE — mirrors
+    * [[graft.operators.Models.ridgeRegression]] term by term. */
+  private val ridgeOracle: String =
+    """WITH b AS (SELECT
+            CAST(FLOOR(o_totalprice / 100000.0 * 1e6 + 0.5) AS HUGEINT) AS y,
+            CAST(FLOOR(CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)
+                       / 2500.0 * 1e6 + 0.5) AS HUGEINT) AS a,
+            CAST(FLOOR(c_acctbal / 10000.0 * 1e6 + 0.5) AS HUGEINT) AS bb
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(a) AS sa0, SUM(bb) AS sb0,
+                  SUM(a * a) AS saa0, SUM(bb * bb) AS sbb0, SUM(a * bb) AS sab0,
+                  SUM(y) AS sy0, SUM(a * y) AS say0, SUM(bb * y) AS sby0,
+                  SUM(y * y) AS syy0
+           FROM b),
+     t AS (SELECT n, CAST(n AS DOUBLE) AS nn,
+                  CAST(sa0 AS DOUBLE) / 1e6 AS sa, CAST(sb0 AS DOUBLE) / 1e6 AS sb,
+                  CAST(saa0 AS DOUBLE) / 1e12 AS saa, CAST(sbb0 AS DOUBLE) / 1e12 AS sbb,
+                  CAST(sab0 AS DOUBLE) / 1e12 AS sab,
+                  CAST(sy0 AS DOUBLE) / 1e6 AS sy, CAST(say0 AS DOUBLE) / 1e12 AS say,
+                  CAST(sby0 AS DOUBLE) / 1e12 AS sby, CAST(syy0 AS DOUBLE) / 1e12 AS syy
+           FROM m),
+     tp AS (SELECT *, saa + 1.0 AS paa, sbb + 1.0 AS pbb FROM t),
+     d AS (SELECT *,
+             nn * (paa * pbb - sab * sab) - sa * (sa * pbb - sab * sb)
+               + sb * (sa * sab - paa * sb) AS det
+           FROM tp),
+     sv AS (SELECT *,
+              CASE WHEN det <> 0.0 THEN
+                (sy * (paa * pbb - sab * sab) - sa * (say * pbb - sab * sby)
+                  + sb * (say * sab - paa * sby)) / det END AS beta0,
+              CASE WHEN det <> 0.0 THEN
+                (nn * (say * pbb - sab * sby) - sy * (sa * pbb - sab * sb)
+                  + sb * (sa * sby - say * sb)) / det END AS beta1,
+              CASE WHEN det <> 0.0 THEN
+                (nn * (paa * sby - say * sab) - sa * (sa * sby - say * sb)
+                  + sy * (sa * sab - paa * sb)) / det END AS beta2
+            FROM d),
+     fz AS (SELECT *,
+              syy - 2.0 * (beta0 * sy + beta1 * say + beta2 * sby)
+                + (beta0 * beta0 * nn + beta1 * beta1 * saa + beta2 * beta2 * sbb
+                   + 2.0 * beta0 * beta1 * sa + 2.0 * beta0 * beta2 * sb
+                   + 2.0 * beta1 * beta2 * sab) AS sse
+            FROM sv)
+     SELECT n, ROUND(beta0, 6) AS beta0, ROUND(beta1, 6) AS beta1,
+            ROUND(beta2, 6) AS beta2,
+            CASE WHEN det <> 0.0 AND (syy - sy * sy / nn) <> 0.0 THEN
+              ROUND(1.0 - sse / (syy - sy * sy / nn), 6) END AS r2
+     FROM fz"""
 
   /** Per-class add-one token log-probs over the global vocab + OOV
     * pseudo-type + doc-count priors, argmax with ties to the smallest
@@ -11046,6 +11115,7 @@ object SparkEntry {
     "q_naive_bayes" -> naiveBayesOracle,
     "q_naive_bayes_stream" -> naiveBayesOracle,
     "q_linreg" -> linRegOracle,
+    "q_ridge" -> ridgeOracle,
     // shared scored-slice CTEs: md5 split, train 'F'-rates, held-out rows
     // quantized to 1e-9 pq — mirrors calibScored + Sketches.reliabilityDiagram
     "q_reliability" ->

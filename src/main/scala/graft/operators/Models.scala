@@ -268,6 +268,83 @@ object Models {
       when(col("__det") =!= 0.0 && sst =!= 0.0, lit(1.0) - sse / sst).as("r2"))
   }
 
+  /** Ridge regression (L2 on the two slopes, intercept unpenalized) —
+    * [[linearRegression]]'s moment pass with λ added to the slope
+    * diagonal of the normal matrix before the same Cramer chains. Unlike
+    * OLS, SSE = Σy² − βᵀXᵀy does NOT hold under ridge, so the residual
+    * sum expands honestly as SSE = Σy² − 2βᵀXᵀy + βᵀ(XᵀX)β over the
+    * UNpenalized moments — still closed-form, still one scan. R² can go
+    * negative for large λ (the shrunk fit explains less than the mean);
+    * it is reported as-is.
+    *
+    * Returns ONE row: (n, beta0, beta1, beta2, r2). */
+  def ridgeRegression(
+      df: DataFrame,
+      valueCol: String,
+      featureCols: Seq[String],
+      lambda: Double): DataFrame = {
+    require(featureCols.length == 2,
+      s"exactly two features (plus intercept) supported, got ${featureCols.length}")
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    def q(c: String) = floor(col(c).cast("double") * 1e6 + 0.5).cast("decimal(38,0)")
+    val m = df
+      .select(q(valueCol).as("__y"),
+        q(featureCols.head).as("__a"), q(featureCols(1)).as("__b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+        sum(col("__a") * col("__a")).as("__saa"),
+        sum(col("__b") * col("__b")).as("__sbb"),
+        sum(col("__a") * col("__b")).as("__sab"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__a") * col("__y")).as("__say"),
+        sum(col("__b") * col("__y")).as("__sby"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val t = m.select(
+      col("n"),
+      col("n").cast("double").as("nn"),
+      (col("__sa").cast("double") / 1e6).as("sa"),
+      (col("__sb").cast("double") / 1e6).as("sb"),
+      (col("__saa").cast("double") / 1e12).as("saa"),
+      (col("__sbb").cast("double") / 1e12).as("sbb"),
+      (col("__sab").cast("double") / 1e12).as("sab"),
+      (col("__sy").cast("double") / 1e6).as("sy"),
+      (col("__say").cast("double") / 1e12).as("say"),
+      (col("__sby").cast("double") / 1e12).as("sby"),
+      (col("__syy").cast("double") / 1e12).as("syy"))
+      .withColumn("paa", col("saa") + lit(lambda))
+      .withColumn("pbb", col("sbb") + lit(lambda))
+    val det = col("nn") * (col("paa") * col("pbb") - col("sab") * col("sab")) -
+      col("sa") * (col("sa") * col("pbb") - col("sab") * col("sb")) +
+      col("sb") * (col("sa") * col("sab") - col("paa") * col("sb"))
+    val det0 = col("sy") * (col("paa") * col("pbb") - col("sab") * col("sab")) -
+      col("sa") * (col("say") * col("pbb") - col("sab") * col("sby")) +
+      col("sb") * (col("say") * col("sab") - col("paa") * col("sby"))
+    val det1 = col("nn") * (col("say") * col("pbb") - col("sab") * col("sby")) -
+      col("sy") * (col("sa") * col("pbb") - col("sab") * col("sb")) +
+      col("sb") * (col("sa") * col("sby") - col("say") * col("sb"))
+    val det2 = col("nn") * (col("paa") * col("sby") - col("say") * col("sab")) -
+      col("sa") * (col("sa") * col("sby") - col("say") * col("sb")) +
+      col("sy") * (col("sa") * col("sab") - col("paa") * col("sb"))
+    val solved = t
+      .withColumn("__det", det)
+      .withColumn("beta0", when(col("__det") =!= 0.0, det0 / col("__det")))
+      .withColumn("beta1", when(col("__det") =!= 0.0, det1 / col("__det")))
+      .withColumn("beta2", when(col("__det") =!= 0.0, det2 / col("__det")))
+    val btb = col("beta0") * col("sy") + col("beta1") * col("say") + col("beta2") * col("sby")
+    val bab = col("beta0") * col("beta0") * col("nn") +
+      col("beta1") * col("beta1") * col("saa") +
+      col("beta2") * col("beta2") * col("sbb") +
+      lit(2.0) * col("beta0") * col("beta1") * col("sa") +
+      lit(2.0) * col("beta0") * col("beta2") * col("sb") +
+      lit(2.0) * col("beta1") * col("beta2") * col("sab")
+    val sse = col("syy") - lit(2.0) * btb + bab
+    val sst = col("syy") - col("sy") * col("sy") / col("nn")
+    solved.select(
+      col("n"), col("beta0"), col("beta1"), col("beta2"),
+      when(col("__det") =!= 0.0 && sst =!= 0.0, lit(1.0) - sse / sst).as("r2"))
+  }
+
   /** Inverse-propensity-weighted ATE on the in-engine logistic propensity
     * — the MODEL-BASED member of the causal family beside
     * [[Sketches.subclassificationAte]]'s binned one: fit

@@ -60,6 +60,20 @@ class ModelsSpec extends SparkSpec {
     assert(rs.isNullAt(rs.fieldIndex("beta1")) && rs.isNullAt(rs.fieldIndex("r2")))
   }
 
+  test("ridgeRegression: λ=0 matches OLS; λ>0 shrinks slopes toward zero") {
+    val data = for (i <- 0 until 10; j <- 0 until 10)
+      yield (i / 10.0, j / 10.0, 2.0 + 3.0 * (i / 10.0) - j / 10.0)
+    val df = data.toDF("x1", "x2", "y").repartition(3)
+    val ols = Models.linearRegression(df, "y", Seq("x1", "x2")).head
+    val r0 = Models.ridgeRegression(df, "y", Seq("x1", "x2"), lambda = 0.0).head
+    assert(math.abs(r0.getAs[Double]("beta1") - ols.getAs[Double]("beta1")) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("beta2") - ols.getAs[Double]("beta2")) < 1e-9)
+    val r1 = Models.ridgeRegression(df, "y", Seq("x1", "x2"), lambda = 5.0).head
+    assert(math.abs(r1.getAs[Double]("beta1")) < math.abs(ols.getAs[Double]("beta1")))
+    assert(math.abs(r1.getAs[Double]("beta2")) < math.abs(ols.getAs[Double]("beta2")))
+    assert(r1.getAs[Double]("r2") < r0.getAs[Double]("r2") + 1e-12)
+  }
+
   test("naiveBayesClassify: hand-built bilingual model; OOV neutral; ties to smallest class") {
     val train = Seq(("en", "the cat"), ("en", "the dog"), ("fr", "le chat"), ("fr", "le chien"))
       .toDF("cls", "text")
