@@ -1752,6 +1752,12 @@ object SparkEntry {
         round(col("beta1"), 6).as("beta1"), round(col("beta2"), 6).as("beta2"),
         round(col("r2"), 6).as("r2"))
 
+  /** χ² keyword selection (X250): top-5 language-discriminative tokens
+    * per lang by document-presence chi-square, native bounded-heap top-k. */
+  private def qChi2Keywords(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chi2Keywords(Tables.documents(s, d), "doc_id", "text", "lang", k = 5)
+      .orderBy("lang", "rank")
+
   /** Multinomial Naive Bayes (X247): self-trained language classification
     * of every document — the supervised twin of the marker-word langId,
     * exact quantized log-prob sums, ties to the smallest class. */
@@ -6355,6 +6361,7 @@ object SparkEntry {
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_linreg" -> (qLinReg _),
     "q_ridge" -> (qRidge _),
+    "q_chi2_keywords" -> (qChi2Keywords _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -6980,6 +6987,35 @@ object SparkEntry {
             CASE WHEN det <> 0.0 AND (syy - sy * sy / nn) <> 0.0 THEN
               ROUND(1.0 - sse / (syy - sy * sy / nn), 6) END AS r2
      FROM fz"""
+
+  /** Document-presence 2×2 χ² per (token, class) as ONE exact-integer
+    * division; ROUNDED-χ² ordering with token tiebreak — mirrors
+    * [[graft.operators.TextAnalysis.chi2Keywords]]. */
+  private val chi2KeywordsOracle: String =
+    """WITH dt AS MATERIALIZED (
+           SELECT DISTINCT d.lang, t.doc_id, t.tk
+           FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]{1,}')) AS tk
+                 FROM documents) t JOIN documents d USING (doc_id)),
+     a AS (SELECT lang, tk, CAST(COUNT(*) AS BIGINT) AS a FROM dt GROUP BY 1, 2),
+     x AS (SELECT lang, tk, a,
+                  CAST(SUM(a) OVER (PARTITION BY tk) AS BIGINT) - a AS b
+           FROM a),
+     cd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cdocs FROM documents GROUP BY 1),
+     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+     z AS (SELECT x.lang, tk, a, b, cdocs - a AS c, n - cdocs - b AS d
+           FROM x JOIN cd USING (lang) CROSS JOIN nn),
+     chi AS (SELECT lang, tk AS token, a AS n_docs,
+               ROUND(CAST(CAST(a + b + c + d AS HUGEINT)
+                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS DOUBLE)
+                     / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) AS DOUBLE),
+                     6) AS chi2,
+               CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c > 0 AS positive
+             FROM z),
+     rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY chi2 DESC, token ASC) AS INT) AS "rank"
+            FROM chi)
+     SELECT lang, token, n_docs, chi2, positive, "rank"
+     FROM rk WHERE "rank" <= 5 ORDER BY lang, "rank""""
 
   /** Per-class add-one token log-probs over the global vocab + OOV
     * pseudo-type + doc-count priors, argmax with ties to the smallest
@@ -11116,6 +11152,7 @@ object SparkEntry {
     "q_naive_bayes_stream" -> naiveBayesOracle,
     "q_linreg" -> linRegOracle,
     "q_ridge" -> ridgeOracle,
+    "q_chi2_keywords" -> chi2KeywordsOracle,
     // shared scored-slice CTEs: md5 split, train 'F'-rates, held-out rows
     // quantized to 1e-9 pq — mirrors calibScored + Sketches.reliabilityDiagram
     "q_reliability" ->

@@ -1508,6 +1508,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** χ² discriminative-token selection (the feature-selection classic;
+    * Manning/Schütze ch. 5) — per class, the top-k tokens by the
+    * document-PRESENCE 2×2 chi-square: a = class docs containing the
+    * token, b = other docs containing it, c/d their complements;
+    * χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), computed as ONE division of
+    * exact DECIMAL integers then rounded — bit-identical anywhere. Only
+    * observed (token, class) pairs score (a ≥ 1); `positive` flags
+    * over-representation (ad > bc) vs anti-association. Selection runs
+    * through the native bounded-heap [[Relational.topKPerKey]] on the
+    * ROUNDED χ² with token-ascending ties — no per-class sort, and the
+    * candidate table is (vocab × classes)-bounded, never the corpus.
+    *
+    * Output: (classCol, token, n_docs, chi2, positive, rank). */
+  def chi2Keywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      classCol: String,
+      k: Int = 10,
+      minLen: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docTok = lmTokens(df.select(col(idCol), col(classCol), col(textCol)), textCol, minLen)
+      .select(col(classCol), col(idCol), col("__tok")).distinct()
+    val a = docTok.groupBy(col(classCol), col("__tok")).agg(count(lit(1)).as("__a"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("__tok"))
+    val classDocs = df.groupBy(col(classCol)).agg(count(lit(1)).as("__cd"))
+    val nTot = df.agg(count(lit(1)).as("__n"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val x = a
+      .withColumn("__tt", sum(col("__a")).over(wTok))
+      .join(broadcast(classDocs), Seq(classCol))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__b", col("__tt") - col("__a"))
+      .withColumn("__c", col("__cd") - col("__a"))
+      .withColumn("__d", col("__n") - col("__cd") - col("__b"))
+    val diff = dec(col("__a")) * dec(col("__d")) - dec(col("__b")) * dec(col("__c"))
+    val scored = x
+      .withColumn("__diff", diff)
+      .select(col(classCol), col("__tok").as("token"), col("__a").as("n_docs"),
+        round(
+          (dec(col("__a") + col("__b") + col("__c") + col("__d")) * col("__diff") * col("__diff"))
+            .cast("double") /
+            (dec(col("__a") + col("__b")) * dec(col("__c") + col("__d")) *
+              dec(col("__a") + col("__c")) * dec(col("__b") + col("__d"))).cast("double"),
+          6).as("chi2"),
+        (col("__diff") > lit(0).cast("decimal(19,0)")).as("positive"))
+    Relational.topKPerKey(scored, Seq(classCol),
+      Seq(("chi2", true), ("token", false)), k, rankCol = Some("rank"))
+  }
+
   /** Shared tokenizer of the unigram-LM halves: keeps every non-text column
     * and appends one `__tok` row per `[a-z0-9]{minLen,}` match — a plain
     * codegen'd projection + explode, replayable bit-for-bit in SQL. */

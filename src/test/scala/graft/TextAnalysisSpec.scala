@@ -387,6 +387,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(1L, 3L, d1), Row(2L, 1L, d2)))
   }
 
+  test("chi2Keywords: hand 2×2 chi-square; shared token scores zero; top-k ranks") {
+    val docs = Seq(
+      (1L, "en", "apple apple banana"), (2L, "en", "apple"),
+      (3L, "fr", "chat"), (4L, "fr", "chat banana"))
+      .toDF("id", "cls", "text").repartition(3)
+    val out = TextAnalysis.chi2Keywords(docs, "id", "text", "cls", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4), r.getInt(5)))).toMap
+    // apple: a=2 b=0 c=0 d=2 -> χ² = 4·16/16 = 4, exclusive to en
+    assert(out(("en", "apple")) == ((2L, 4.0, true, 1)))
+    assert(out(("fr", "chat")) == ((2L, 4.0, true, 1)))
+    // banana appears once per class: diff = ad − bc = 0 -> χ² = 0
+    assert(out(("en", "banana")) == ((1L, 0.0, false, 2)))
+    assert(out(("fr", "banana")) == ((1L, 0.0, false, 2)))
+    // tokens never seen in a class are not scored for it
+    assert(!out.contains(("en", "chat")))
+  }
+
   test("perplexityScore: hand-solved add-one unigram LM with OOV") {
     import org.apache.spark.sql.Row
     // ref "a a b": N=3, V=2; p(a)=3/6, p(b)=2/6, p(OOV)=1/6
