@@ -1758,6 +1758,22 @@ object SparkEntry {
     TextAnalysis.chi2Keywords(Tables.documents(s, d), "doc_id", "text", "lang", k = 5)
       .orderBy("lang", "rank")
 
+  /** Cox proportional hazards (X251): hazard of reaching final status as
+    * a function of scaled order price — 5 exact quantized Newton steps on
+    * the Breslow partial likelihood, suffix risk sets via the two-pass
+    * running sum. */
+  private def qCoxPh(s: SparkSession, d: String): DataFrame =
+    Models.coxPh(
+      Tables.orders(s, d)
+        .withColumn("t",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long") + 1L)
+        .withColumn("ev", col("o_orderstatus") === "F")
+        .withColumn("x", col("o_totalprice") / 500000.0),
+      "t", "ev", "x", iterations = 5)
+      .select(col("n"), col("n_events"), col("beta"),
+        round(col("se"), 6).as("se"), round(col("z"), 6).as("z"))
+
   /** Multinomial Naive Bayes (X247): self-trained language classification
     * of every document — the supervised twin of the marker-word langId,
     * exact quantized log-prob sums, ties to the smallest class. */
@@ -6362,6 +6378,7 @@ object SparkEntry {
     "q_linreg" -> (qLinReg _),
     "q_ridge" -> (qRidge _),
     "q_chi2_keywords" -> (qChi2Keywords _),
+    "q_cox_ph" -> (qCoxPh _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -7016,6 +7033,63 @@ object SparkEntry {
             FROM chi)
      SELECT lang, token, n_docs, chi2, positive, "rank"
      FROM rk WHERE "rank" <= 5 ORDER BY lang, "rank""""
+
+  /** 5 unrolled quantized Newton steps + a final score/information pass
+    * at β̂ — mirrors [[graft.operators.Models.coxPh]]: per-time exp sums,
+    * suffix risk sets over descending time, 1e-6-quantized U/I terms,
+    * update bq ← bq + floor(U/I·1e9 + 0.5). */
+  private val coxOracle: String = {
+    def step(i: Int): String = {
+      val w = s"w${i - 1}"
+      s""",
+       pt$i AS (SELECT t,
+                 CAST(SUM(CAST(FLOOR(EXP(CAST($w.bq AS DOUBLE)/1e9 * x) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w0,
+                 CAST(SUM(CAST(FLOOR(EXP(CAST($w.bq AS DOUBLE)/1e9 * x) * x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w1,
+                 CAST(SUM(CAST(FLOOR(EXP(CAST($w.bq AS DOUBLE)/1e9 * x) * x * x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w2
+               FROM base CROSS JOIN $w GROUP BY t),
+       cs$i AS (SELECT t,
+                 CAST(SUM(w0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s0,
+                 CAST(SUM(w1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+                 CAST(SUM(w2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+               FROM pt$i),
+       ui$i AS (SELECT
+                 CAST(SUM(CAST(FLOOR((CAST(e.sxq AS DOUBLE)/1e6
+                        - CAST(e.d AS DOUBLE) * CAST(c.s1 AS DOUBLE)/CAST(c.s0 AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS uq,
+                 CAST(SUM(CAST(FLOOR(CAST(e.d AS DOUBLE)
+                        * (CAST(c.s2 AS DOUBLE)/CAST(c.s0 AS DOUBLE)
+                           - (CAST(c.s1 AS DOUBLE)/CAST(c.s0 AS DOUBLE))
+                             * (CAST(c.s1 AS DOUBLE)/CAST(c.s0 AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS iq
+               FROM cs$i c JOIN et e USING (t))"""
+    }
+    val updates = (1 to 5).map { i =>
+      step(i) + s""",
+       w$i AS (SELECT CASE WHEN iq <> 0
+                      THEN bq + CAST(FLOOR(CAST(uq AS DOUBLE)/CAST(iq AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+                      ELSE bq END AS bq
+               FROM w${i - 1} CROSS JOIN ui$i)"""
+    }.mkString
+    s"""WITH base AS MATERIALIZED (SELECT
+            CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) + 1 AS t,
+            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+            o_totalprice / 500000.0 AS x,
+            CAST(FLOOR(o_totalprice / 500000.0 * 1e6 + 0.5) AS BIGINT) AS xq
+          FROM orders),
+     et AS MATERIALIZED (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN ev = 1 THEN xq ELSE 0 END) AS BIGINT) AS sxq
+           FROM base GROUP BY 1),
+     nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   (SELECT CAST(SUM(d) AS BIGINT) FROM et) AS ne
+            FROM base),
+     w0 AS (SELECT CAST(0 AS BIGINT) AS bq)$updates${step(6)}
+     SELECT nb.n, nb.ne AS n_events,
+            CAST(w5.bq AS DOUBLE)/1e9 AS beta,
+            CASE WHEN ui6.iq > 0 THEN ROUND(SQRT(1e6/CAST(ui6.iq AS DOUBLE)), 6) END AS se,
+            CASE WHEN ui6.iq > 0 THEN
+              ROUND((CAST(w5.bq AS DOUBLE)/1e9) / SQRT(1e6/CAST(ui6.iq AS DOUBLE)), 6) END AS z
+     FROM w5 CROSS JOIN ui6 CROSS JOIN nb"""
+  }
 
   /** Per-class add-one token log-probs over the global vocab + OOV
     * pseudo-type + doc-count priors, argmax with ties to the smallest
@@ -11153,6 +11227,7 @@ object SparkEntry {
     "q_linreg" -> linRegOracle,
     "q_ridge" -> ridgeOracle,
     "q_chi2_keywords" -> chi2KeywordsOracle,
+    "q_cox_ph" -> coxOracle,
     // shared scored-slice CTEs: md5 split, train 'F'-rates, held-out rows
     // quantized to 1e-9 pq — mirrors calibScored + Sketches.reliabilityDiagram
     "q_reliability" ->

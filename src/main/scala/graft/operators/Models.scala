@@ -196,6 +196,86 @@ object Models {
       .agg(max(struct(col("__score"), (-col("__cr")).as("__nr"), col("__cls"))).as("__best"))
       .select(col(idCol), col("__best.__cls").as("predicted"))
 
+  /** Cox proportional hazards (single covariate, Breslow ties) — the
+    * regression member completing the survival family beside
+    * Kaplan–Meier and the log-rank test: `iterations` Newton steps on the
+    * partial likelihood, then a final score/information evaluation at β̂
+    * for the standard error.
+    *
+    * The risk-set sums S_k(t) = Σ_{t_j ≥ t} x_jᵏ·exp(βx_j) are SUFFIX
+    * sums over the DISTINCT-TIME collapse: per-row exp terms quantize to
+    * 1e-6 longs inside a per-time partial aggregate, and the cumulative
+    * over descending time runs through the two-pass range-partitioned
+    * prefix sum ([[Relational.globalRunningSums]]) — no single-partition
+    * window at any time cardinality. Score and information accumulate as
+    * 1e-6-quantized longs from per-time fixed IEEE chains, and the Newton
+    * update β_q ← β_q + floor(U_q/I_q·1e9 + 0.5) stores β as a 1e-9 long
+    * — the whole fit is bit-identical across partitionings and replays in
+    * SQL as unrolled CTEs. β stays put when I_q = 0 (flat likelihood).
+    * Per step: one corpus scan + one bounded-table pass; only 1-row
+    * results move.
+    *
+    * Pre-scale x to O(1) so exp(βx)·x²·1e6 stays in range. Returns ONE
+    * row: (n, n_events, beta, se, z). */
+  def coxPh(
+      df: DataFrame,
+      timeCol: String,
+      eventCol: String,
+      xCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val base = df.select(
+      col(timeCol).cast("long").as("__t"),
+      when(col(eventCol), 1L).otherwise(0L).as("__ev"),
+      col(xCol).cast("double").as("__x"),
+      floor(col(xCol).cast("double") * 1e6 + 0.5).cast("long").as("__xq"))
+    val et = base.groupBy(col("__t")).agg(
+      sum(col("__ev")).as("__d"),
+      sum(when(col("__ev") === 1L, col("__xq")).otherwise(0L)).as("__sxq"))
+      .localCheckpoint(true)
+    val n = base.count()
+    require(n > 0, "cannot fit on an empty DataFrame")
+    val nEvents = et.agg(sum(col("__d"))).head().getLong(0)
+    var bq = 0L
+    var lastUq = 0L
+    var lastIq = 0L
+    for (iter <- 0 to iterations) {
+      val w = exp(lit(bq / 1e9) * col("__x"))
+      val pt = base.groupBy(col("__t")).agg(
+        sum(floor(w * 1e6 + 0.5).cast("long")).as("__w0"),
+        sum(floor(w * col("__x") * 1e6 + 0.5).cast("long")).as("__w1"),
+        sum(floor(w * col("__x") * col("__x") * 1e6 + 0.5).cast("long")).as("__w2"))
+      val cs = Relational.globalRunningSums(pt, Seq(col("__t").desc),
+        Seq("__w0" -> "__S0", "__w1" -> "__S1", "__w2" -> "__S2"))
+      val r = cs.join(et, "__t")
+        .agg(
+          sum(floor((col("__sxq").cast("double") / 1e6 -
+            col("__d").cast("double") * col("__S1").cast("double") / col("__S0").cast("double"))
+            * 1e6 + 0.5).cast("long")).as("__uq"),
+          sum(floor(col("__d").cast("double") *
+            (col("__S2").cast("double") / col("__S0").cast("double") -
+              (col("__S1").cast("double") / col("__S0").cast("double")) *
+                (col("__S1").cast("double") / col("__S0").cast("double")))
+            * 1e6 + 0.5).cast("long")).as("__iq"))
+        .head()
+      lastUq = r.getLong(0)
+      lastIq = r.getLong(1)
+      if (iter < iterations && lastIq != 0L)
+        bq = bq + math.floor(lastUq.toDouble / lastIq.toDouble * 1e9 + 0.5).toLong
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val beta = bq / 1e9
+    val seCol =
+      if (lastIq > 0L) lit(math.sqrt(1e6 / lastIq.toDouble)) else lit(null).cast("double")
+    val zCol =
+      if (lastIq > 0L) lit(beta / math.sqrt(1e6 / lastIq.toDouble))
+      else lit(null).cast("double")
+    Seq((n, nEvents)).toDF("n", "n_events")
+      .select(col("n"), col("n_events"), lit(beta).as("beta"),
+        seCol.as("se"), zCol.as("z"))
+  }
+
   /** Multiple linear regression (intercept + two features) by EXACT
     * normal equations — the closed-form big sibling of the per-key OLS
     * trend: per-row values quantize to 1e-6 longs, so every normal-

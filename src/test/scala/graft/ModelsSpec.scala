@@ -74,6 +74,29 @@ class ModelsSpec extends SparkSpec {
     assert(r1.getAs[Double]("r2") < r0.getAs[Double]("r2") + 1e-12)
   }
 
+  test("coxPh: hazard direction, flat likelihood under constant covariate, invariance") {
+    // the x=1 group fails first (t 1..20), x=0 fails later (t 21..40):
+    // higher hazard for x=1 => beta decisively positive
+    val data = (1 to 40).map(i => (i.toLong, true, if (i <= 20) 1.0 else 0.0))
+    val df = data.toDF("t", "ev", "x").repartition(3)
+    val r = Models.coxPh(df, "t", "ev", "x", iterations = 8).head
+    assert(r.getAs[Long]("n") == 40L && r.getAs[Long]("n_events") == 40L)
+    assert(r.getAs[Double]("beta") > 0.5)
+    // the groups separate almost perfectly, so the likelihood flattens at
+    // large beta and SE inflates — direction, not magnitude, is the pin
+    assert(r.getAs[Double]("z") > 0.0)
+    assert(r.getAs[Double]("se") > 0.0)
+    // the quantized Newton path replays bit-for-bit on another partitioning
+    val r7 = Models.coxPh(data.toDF("t", "ev", "x").repartition(7),
+      "t", "ev", "x", iterations = 8).head
+    assert(r7.getAs[Double]("beta") == r.getAs[Double]("beta"))
+    assert(r7.getAs[Double]("se") == r.getAs[Double]("se"))
+    // constant covariate: the partial likelihood is flat, beta stays ~0
+    val const = (1 to 30).map(i => (i.toLong, i % 3 != 0, 0.5)).toDF("t", "ev", "x")
+    val rc = Models.coxPh(const, "t", "ev", "x", iterations = 5).head
+    assert(math.abs(rc.getAs[Double]("beta")) < 1e-3)
+  }
+
   test("naiveBayesClassify: hand-built bilingual model; OOV neutral; ties to smallest class") {
     val train = Seq(("en", "the cat"), ("en", "the dog"), ("fr", "le chat"), ("fr", "le chien"))
       .toDF("cls", "text")
