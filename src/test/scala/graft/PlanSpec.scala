@@ -697,4 +697,44 @@ class PlanSpec extends SparkSpec {
         s"$q single-row combine must broadcast:\n$p")
     }
   }
+
+  // ---- the models/causal/calibration wave keeps its scale shapes.
+
+  test("chi2 keywords: native bounded-heap selection, candidate windows never the corpus") {
+    val p = plan(SparkEntry.queries("q_chi2_keywords")(spark, sf))
+    assert(p.contains("TopKPerKey"), s"selection must be the native heap:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("perplexity / naive bayes: vocabulary models broadcast into the token stream") {
+    for (q <- Seq("q_perplexity", "q_naive_bayes")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"$q model join must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not cartesian:\n$p")
+    }
+  }
+
+  test("conformal: the group-mean model broadcasts onto the test scan") {
+    val p = plan(SparkEntry.queries("q_conformal")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"test scoring must not shuffle-join:\n$p")
+  }
+
+  test("logistic / ipw readouts are single partial-aggregate passes") {
+    for (q <- Seq("q_logistic", "q_ipw_ate")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must map-side combine its moment pass:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("strat-ate / brier: cell-table windows, exact moment pass map-side combined") {
+    for (q <- Seq("q_strat_ate", "q_brier")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must map-side combine before cells:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
 }
