@@ -5112,6 +5112,15 @@ object SparkEntry {
     Sketches.rocAuc(o, "urgent", "cents")
   }
 
+  /** Average precision (X252): the PR-curve area for the urgent-order
+    * score, beside q_roc_auc on identical inputs. */
+  private def qAveragePrecision(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      (col("o_orderpriority") === "1-URGENT").as("urgent"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    Sketches.averagePrecision(o, "urgent", "cents")
+  }
+
   /** Cramér–von Mises + energy distance on the urgent-vs-low order value
     * split — the ECDF-discrepancy family beside KS and Wasserstein. */
   private def qCramerVonMises(s: SparkSession, d: String): DataFrame = {
@@ -6400,6 +6409,7 @@ object SparkEntry {
     "q_wasserstein_stream" -> (qWassersteinStream _),
     "q_cvm" -> (qCramerVonMises _),
     "q_roc_auc" -> (qRocAuc _),
+    "q_avg_precision" -> (qAveragePrecision _),
     "q_lift_table" -> (qLiftTable _),
     "q_woe_iv" -> (qWoeIv _),
     "q_seasonal" -> (qSeasonal _),
@@ -11049,6 +11059,26 @@ object SparkEntry {
          FROM w ORDER BY c_mktsegment, bucket""",
     // tie-aware Mann–Whitney rank identity: doubled positive rank-sums are
     // exact longs, AUC is one integer division
+        // step-rule AP over the descending distinct-score collapse, per-block
+    // terms floor-quantized to 1e-9 — mirrors Sketches.averagePrecision
+    "q_avg_precision" ->
+      """WITH b AS (SELECT o_orderpriority = '1-URGENT' AS urgent,
+                           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                    FROM orders),
+         h AS (SELECT cents AS v,
+                      CAST(SUM(CASE WHEN urgent THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(c) AS BIGINT) AS nt FROM h),
+         cs AS (SELECT v, p, c,
+                  CAST(SUM(c) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+                  CAST(SUM(p) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp
+                FROM h)
+         SELECT MAX(np) AS n_pos, MAX(nt) - MAX(np) AS n_neg,
+                ROUND(CAST(SUM(CASE WHEN np > 0 THEN
+                        CAST(FLOOR(CAST(p * tp AS DOUBLE) / CAST(np * cn AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+                      END) AS DOUBLE) / 1e9, 6) AS ap
+         FROM cs CROSS JOIN t""",
     "q_roc_auc" ->
       """WITH src AS (SELECT (o_orderpriority = '1-URGENT') AS pos,
                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v

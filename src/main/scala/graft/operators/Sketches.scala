@@ -2763,6 +2763,40 @@ object Sketches {
       round(max(col("__o")) * (lit(1.0) - max(col("__o"))), dp).as("uncertainty"))
   }
 
+  /** Exact tie-aware average precision (the PR-curve area by the step
+    * rule, sklearn's AP) — [[rocAuc]]'s precision-recall sibling for the
+    * class-imbalanced regimes where ROC flatters: over the distinct-score
+    * collapse in DESCENDING score order, AP = Σ_blocks ΔR·P with
+    * ΔR = p_block/n_pos and P = TP/N at the block's cumulative depth —
+    * every term ONE division of exact longs, quantized to 1e-9 before the
+    * partition-invariant sum. Cumulative depths ride the two-pass
+    * range-partitioned running sum (no single-partition window at any
+    * score cardinality); a corpus with no positives reports NULL.
+    *
+    * Returns ONE row: (n_pos, n_neg, ap). */
+  def averagePrecision(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      dp: Int = 6): DataFrame = {
+    val hist = df.groupBy(col(scoreCol).cast("long").as("__v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        count(lit(1)).as("__c"))
+    val tot = hist.agg(sum(col("__p")).as("__np"), sum(col("__c")).as("__nt"))
+    val cum = Relational.globalRunningSums(hist, Seq(col("__v").desc),
+      Seq("__c" -> "__cn", "__p" -> "__tp"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("__np")).as("n_pos"),
+        (max(col("__nt")) - max(col("__np"))).as("n_neg"),
+        sum(when(col("__np") > 0L,
+          floor((col("__p") * col("__tp")).cast("double") /
+            (col("__np") * col("__cn")).cast("double") * 1e9 + 0.5).cast("long")))
+          .as("__apq"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("__apq").cast("double") / 1e9, dp).as("ap"))
+  }
+
   /** Two-sample Cramér–von Mises statistic + 1-D energy distance between
     * two groups' value distributions — the ECDF-discrepancy family
     * completing KS (supremum), Wasserstein (L1) and PSI/JS (binned):

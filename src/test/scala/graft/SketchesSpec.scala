@@ -449,6 +449,21 @@ class SketchesSpec extends SparkSpec {
     assert(top.getAs[Long]("bin") == 9L)
   }
 
+  test("averagePrecision: hand-solved tie blocks; perfect ranking = 1; no positives => NULL") {
+    import graft.operators.Sketches
+    // blocks desc: v=3 (1 of 2 pos): ΔR·P = 1/2·1/2; v=2: 1/2·2/3; v=1: 0
+    val df = Seq((3L, true), (3L, false), (2L, true), (1L, false))
+      .toDF("s", "y").repartition(3)
+    val r = Sketches.averagePrecision(df, "y", "s").head
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Double]("ap") == 0.583333)
+    val perfect = Seq((2L, true), (1L, false)).toDF("s", "y")
+    assert(Sketches.averagePrecision(perfect, "y", "s").head.getAs[Double]("ap") == 1.0)
+    val none = Seq((1L, false)).toDF("s", "y")
+    val rn = Sketches.averagePrecision(none, "y", "s").head
+    assert(rn.isNullAt(rn.fieldIndex("ap")))
+  }
+
   test("splitConformal: exact order-statistic q̂; tiny calibration => infinite interval") {
     import graft.operators.Sketches
     val df = (1 to 300).map(i => (i.toLong, (i % 3).toString, (i % 7).toDouble))
