@@ -1823,6 +1823,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** AIPW doubly-robust ATE (X253): the q_ipw_ate design augmented with
+    * per-priority stratum outcome means — consistent if either model is
+    * right, influence-function SE. */
+  private def qAipwAte(s: SparkSession, d: String): DataFrame =
+    Models.aipwAte(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal"), col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .withColumn("treated", col("c_mktsegment") === "BUILDING")
+        .withColumn("v", col("o_totalprice") / 100000.0)
+        .withColumn("x1", col("c_acctbal") / 10000.0)
+        .withColumn("x2", col("c_nationkey").cast("double") / 25.0),
+      "treated", "v", Seq("o_orderpriority"), Seq("x1", "x2"),
+      iterations = 6, lr = 0.5, clip = 0.01)
+      .select(col("n_used"), col("n_dropped"),
+        round(col("ate"), 6).as("ate"), round(col("se"), 6).as("se"),
+        round(col("t_stat"), 6).as("t_stat"))
+
   /** IPW ATE (X246): effect of the BUILDING segment on order price with
     * the propensity e(x | account balance, nation) fit by 6 exact
     * quantized GD steps, clipped at [0.01, 0.99] — the model-based causal
@@ -6382,6 +6400,7 @@ object SparkEntry {
     "q_logistic" -> (qLogistic _),
     "q_conformal_stream" -> (qConformalStream _),
     "q_ipw_ate" -> (qIpwAte _),
+    "q_aipw_ate" -> (qAipwAte _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_linreg" -> (qLinReg _),
@@ -7140,6 +7159,52 @@ object SparkEntry {
               FROM fin)
      SELECT b.doc_id, d.lang, b.cls AS predicted, b.cls = d.lang AS correct
      FROM best b JOIN documents d USING (doc_id) WHERE rn = 1 ORDER BY b.doc_id"""
+
+  /** 6 unrolled GD steps + stratum-mean outcome models + per-row ψ sums
+    * — mirrors [[graft.operators.Models.aipwAte]] bit-for-bit. */
+  private val aipwOracle: String = {
+    s"""WITH base AS MATERIALIZED (
+           SELECT o_orderpriority AS g,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS y,
+                  o_totalprice / 100000.0 AS v,
+                  c_acctbal / 10000.0 AS x1,
+                  CAST(c_nationkey AS DOUBLE) / 25.0 AS x2
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+     nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+     w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)${gdSteps(6)},
+     arms AS (SELECT g,
+                MAX(CASE WHEN y = 1.0 THEN s END) / MAX(CASE WHEN y = 1.0 THEN an END) AS m1,
+                MAX(CASE WHEN y = 0.0 THEN s END) / MAX(CASE WHEN y = 0.0 THEN an END) AS m0
+              FROM (SELECT g, y, CAST(COUNT(*) AS DOUBLE) AS an,
+                           CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                             / 1000000.0 AS s
+                    FROM base GROUP BY 1, 2)
+              GROUP BY 1),
+     armsf AS (SELECT * FROM arms WHERE m1 IS NOT NULL AND m0 IS NOT NULL),
+     pf AS (SELECT b.y, b.v, a.m1, a.m0,
+                   LEAST(GREATEST(1.0/(1.0 + EXP(-${gdZ("w6")})), 0.01), 0.99) AS e
+            FROM base b JOIN armsf a USING (g) CROSS JOIN w6),
+     ps AS (SELECT (m1 - m0) + y * (v - m1) / e - (1.0 - y) * (v - m0) / (1.0 - e) AS psi
+            FROM pf),
+     agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                    CAST(SUM(CAST(FLOOR(psi * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                    CAST(SUM(CAST(FLOOR(psi * psi * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ss
+             FROM ps)
+     SELECT nu AS n_used, (SELECT nn FROM nb) - nu AS n_dropped,
+            ROUND(CAST(s AS DOUBLE)/1e6/CAST(nu AS DOUBLE), 6) AS ate,
+            CASE WHEN nu >= 2 THEN
+              ROUND(SQRT(((CAST(ss AS DOUBLE)/1e6
+                           - (CAST(s AS DOUBLE)/1e6) * (CAST(s AS DOUBLE)/1e6)/CAST(nu AS DOUBLE))
+                          / (CAST(nu AS DOUBLE) - 1.0)) / CAST(nu AS DOUBLE)), 6) END AS se,
+            CASE WHEN nu >= 2 AND SQRT(((CAST(ss AS DOUBLE)/1e6
+                             - (CAST(s AS DOUBLE)/1e6) * (CAST(s AS DOUBLE)/1e6)/CAST(nu AS DOUBLE))
+                            / (CAST(nu AS DOUBLE) - 1.0)) / CAST(nu AS DOUBLE)) > 0.0 THEN
+              ROUND((CAST(s AS DOUBLE)/1e6/CAST(nu AS DOUBLE))
+                    / SQRT(((CAST(ss AS DOUBLE)/1e6
+                             - (CAST(s AS DOUBLE)/1e6) * (CAST(s AS DOUBLE)/1e6)/CAST(nu AS DOUBLE))
+                            / (CAST(nu AS DOUBLE) - 1.0)) / CAST(nu AS DOUBLE)), 6) END AS t_stat
+     FROM agg"""
+  }
 
   /** 6 unrolled GD steps fitting the propensity, then the clipped IPW
     * sums — mirrors [[graft.operators.Models.ipwAte]] bit-for-bit. */
@@ -11252,6 +11317,7 @@ object SparkEntry {
          FROM f""",
     "q_logistic" -> logisticOracle,
     "q_ipw_ate" -> ipwOracle,
+    "q_aipw_ate" -> aipwOracle,
     "q_naive_bayes" -> naiveBayesOracle,
     "q_naive_bayes_stream" -> naiveBayesOracle,
     "q_linreg" -> linRegOracle,

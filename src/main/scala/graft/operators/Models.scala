@@ -89,6 +89,79 @@ object Models {
     wq
   }
 
+  /** AIPW doubly-robust ATE (Robins–Rotnitzky–Zhao 1994) — the estimator
+    * completing the causal quartet (DiD, subclassification, IPW): per-row
+    * influence values ψ = m₁(s) − m₀(s) + t(y−m₁)/e − (1−t)(y−m₀)/(1−e)
+    * combine STRATUM-mean outcome models (exact quantized ratios, the
+    * [[Sketches.subclassificationAte]] arms) with the clipped logistic
+    * propensity ([[logisticRegression]]'s exact quantized fit) —
+    * consistent if EITHER model is right. ATE = mean ψ with the
+    * influence-function SE sd(ψ)/√n, both from per-row floor(·1e6+0.5)
+    * long sums, so the whole estimate replays bit-for-bit in SQL behind
+    * the unrolled GD CTEs. Strata lacking either arm have no outcome
+    * model: their rows DROP and are counted.
+    *
+    * Returns ONE row: (n_used, n_dropped, ate, se, t_stat). */
+  def aipwAte(
+      df: DataFrame,
+      treatedCol: String,
+      valueCol: String,
+      strataCols: Seq[String],
+      featureCols: Seq[String],
+      iterations: Int = 6,
+      lr: Double = 0.5,
+      clip: Double = 0.01): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column required")
+    require(featureCols.nonEmpty, "at least one feature required")
+    require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5), got $clip")
+    val k = featureCols.length + 1
+    val base = df.select(
+      strataCols.map(col) ++
+        (when(col(treatedCol), 1.0).otherwise(0.0).as("__y") +:
+          col(valueCol).cast("double").as("__v") +:
+          (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
+            .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }): _*)
+    val n = base.count()
+    require(n > 0, "cannot fit on an empty DataFrame")
+    val wq = fitQ(base, k, iterations, lr, n)
+    def pick(t: Double, c: String) = max(when(col("__y2") === t, col(c)))
+    val arms = base
+      .groupBy(strataCols.map(col) :+ col("__y").as("__y2"): _*)
+      .agg(count(lit(1)).cast("double").as("__an"),
+        (sum(floor(col("__v") * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0)
+          .as("__as"))
+      .groupBy(strataCols.map(col): _*)
+      .agg(
+        (pick(1.0, "__as") / pick(1.0, "__an")).as("__m1"),
+        (pick(0.0, "__as") / pick(0.0, "__an")).as("__m0"))
+      .filter(col("__m1").isNotNull && col("__m0").isNotNull)
+    val e = least(greatest(sigmoid(wq, k), lit(clip)), lit(1.0 - clip))
+    val psi = (col("__m1") - col("__m0")) +
+      col("__y") * (col("__v") - col("__m1")) / col("__e") -
+      (lit(1.0) - col("__y")) * (col("__v") - col("__m0")) / (lit(1.0) - col("__e"))
+    val agg = base
+      .join(broadcast(arms), strataCols)
+      .withColumn("__e", e)
+      .withColumn("__psi", psi)
+      .agg(
+        count(lit(1)).as("n_used"),
+        sum(floor(col("__psi") * 1e6 + 0.5).cast("long")).as("__s"),
+        sum(floor(col("__psi") * col("__psi") * 1e6 + 0.5).cast("long")).as("__ss"))
+    val nu = col("n_used").cast("double")
+    val ate = col("__s").cast("double") / 1e6 / nu
+    val variance = (col("__ss").cast("double") / 1e6 -
+      (col("__s").cast("double") / 1e6) * (col("__s").cast("double") / 1e6) / nu) /
+      (nu - 1.0)
+    agg.select(
+      col("n_used"),
+      (lit(n) - col("n_used")).as("n_dropped"),
+      ate.as("ate"),
+      when(col("n_used") >= 2L, sqrt(variance / nu)).as("se"),
+      // ψ constant (perfect outcome models) ⇒ se exactly 0: t undefined
+      when(col("n_used") >= 2L && sqrt(variance / nu) > 0.0,
+        ate / sqrt(variance / nu)).as("t_stat"))
+  }
+
   /** Multinomial Naive Bayes text classification (fit on `train`, score
     * `df`) — the in-engine supervised classifier next to the heuristic
     * language id: per-class add-k token log-probs over the GLOBAL train

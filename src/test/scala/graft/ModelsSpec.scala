@@ -74,6 +74,32 @@ class ModelsSpec extends SparkSpec {
     assert(r1.getAs[Double]("r2") < r0.getAs[Double]("r2") + 1e-12)
   }
 
+  test("aipwAte: de-biases the confounded design; single-arm strata drop; invariant") {
+    // the ipwAte confounded design, with x doubling as the stratum
+    val data = (0 until 200).map { i =>
+      val x = (i % 2).toDouble
+      val t = if (x == 1.0) i % 8 != 1 else i % 8 == 0
+      val y = 1.0 + (if (t) 0.5 else 0.0) + 0.3 * x
+      (t, y, x, x.toString)
+    }
+    val df = data.toDF("t", "y", "x", "g").repartition(3)
+    val r = Models.aipwAte(df, "t", "y", Seq("g"), Seq("x"), iterations = 40).head
+    assert(r.getAs[Long]("n_used") == 200L && r.getAs[Long]("n_dropped") == 0L)
+    // with correct outcome models the estimator hits the truth dead-on
+    assert(math.abs(r.getAs[Double]("ate") - 0.5) < 1e-3)
+    // ψ is constant here (outcome models are exact): se 0, t undefined
+    assert(r.getAs[Double]("se") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+    val r7 = Models.aipwAte(data.toDF("t", "y", "x", "g").repartition(7),
+      "t", "y", Seq("g"), Seq("x"), iterations = 40).head
+    assert(r7.getAs[Double]("ate") == r.getAs[Double]("ate"))
+    // a treated-only stratum has no outcome model: its rows drop
+    val withSolo = data ++ Seq((true, 9.0, 2.0, "solo"))
+    val rs = Models.aipwAte(withSolo.toDF("t", "y", "x", "g"),
+      "t", "y", Seq("g"), Seq("x"), iterations = 10).head
+    assert(rs.getAs[Long]("n_dropped") == 1L)
+  }
+
   test("coxPh: hazard direction, flat likelihood under constant covariate, invariance") {
     // the x=1 group fails first (t 1..20), x=0 fails later (t 21..40):
     // higher hazard for x=1 => beta decisively positive
