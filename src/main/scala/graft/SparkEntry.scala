@@ -1774,6 +1774,15 @@ object SparkEntry {
       .select(col("n"), col("n_events"), col("beta"),
         round(col("se"), 6).as("se"), round(col("z"), 6).as("z"))
 
+  /** Source ablation (X254): leave-one-language-out influence on the
+    * corpus mean document length — the closed-form data-valuation readout. */
+  private def qSourceAblation(s: SparkSession, d: String): DataFrame =
+    Quality.sourceAblation(
+      Tables.documents(s, d)
+        .withColumn("v", length(col("text")).cast("double") / 1000.0),
+      "lang", "v")
+      .orderBy("lang")
+
   /** Multinomial Naive Bayes (X247): self-trained language classification
     * of every document — the supervised twin of the marker-word langId,
     * exact quantized log-prob sums, ties to the smallest class. */
@@ -6401,6 +6410,7 @@ object SparkEntry {
     "q_conformal_stream" -> (qConformalStream _),
     "q_ipw_ate" -> (qIpwAte _),
     "q_aipw_ate" -> (qAipwAte _),
+    "q_source_ablation" -> (qSourceAblation _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_linreg" -> (qLinReg _),
@@ -11318,6 +11328,23 @@ object SparkEntry {
     "q_logistic" -> logisticOracle,
     "q_ipw_ate" -> ipwOracle,
     "q_aipw_ate" -> aipwOracle,
+    // exact-ratio leave-one-source-out means from one aggregate —
+    // mirrors Quality.sourceAblation
+    "q_source_ablation" ->
+      """WITH b AS (SELECT lang, CAST(LENGTH(text) AS DOUBLE) / 1000.0 AS v FROM documents),
+         per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                 FROM b GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st FROM per)
+         SELECT lang, n,
+                ROUND(CAST(s AS DOUBLE)/1000000.0/CAST(n AS DOUBLE), 6) AS mean_source,
+                CASE WHEN nt > n THEN
+                  ROUND(CAST(st - s AS DOUBLE)/1000000.0/CAST(nt - n AS DOUBLE), 6) END AS mean_without,
+                CASE WHEN nt > n THEN
+                  ROUND(CAST(st AS DOUBLE)/1000000.0/CAST(nt AS DOUBLE)
+                        - CAST(st - s AS DOUBLE)/1000000.0/CAST(nt - n AS DOUBLE), 6) END AS delta
+         FROM per CROSS JOIN tot ORDER BY lang""",
+
     "q_naive_bayes" -> naiveBayesOracle,
     "q_naive_bayes_stream" -> naiveBayesOracle,
     "q_linreg" -> linRegOracle,

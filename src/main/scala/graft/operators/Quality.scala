@@ -520,4 +520,36 @@ object Quality {
       .withColumn("reject", col("q_value") <= alpha)
       .drop("__m")
   }
+
+  /** Source-ablation readout — the closed-form leave-one-source-out
+    * influence of each source on a corpus mean (the cheap end of data
+    * valuation: for MEANS, deletion influence needs no refit, only the
+    * global sums): per source s, mean_without(s) = (S − S_s)/(N − N_s)
+    * and delta = mean_with − mean_without — a source whose removal RAISES
+    * the metric (delta < 0) is hurting it. ONE partial aggregate to the
+    * source table; per-row values quantize to 1e-6 longs so every mean is
+    * an exact-ratio double, identical in any engine. A source holding the
+    * whole corpus reports NULL for its without-mean.
+    *
+    * Output: (sourceCol, n, mean_source, mean_without, delta). */
+  def sourceAblation(
+      df: DataFrame,
+      sourceCol: String,
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    val q = floor(col(valueCol).cast("double") * 1000000.0 + 0.5).cast("long")
+    val per = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"), sum(q).as("__s"))
+    val tot = per.agg(sum(col("__n")).as("__nt"), sum(col("__s")).as("__st"))
+    val without = (col("__st") - col("__s")).cast("double") / 1000000.0 /
+      (col("__nt") - col("__n")).cast("double")
+    val withAll = col("__st").cast("double") / 1000000.0 / col("__nt").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(
+        col(sourceCol), col("__n").as("n"),
+        round(col("__s").cast("double") / 1000000.0 / col("__n").cast("double"), dp)
+          .as("mean_source"),
+        when(col("__nt") > col("__n"), round(without, dp)).as("mean_without"),
+        when(col("__nt") > col("__n"), round(withAll - without, dp)).as("delta"))
+  }
 }

@@ -231,4 +231,18 @@ class QualitySpec extends SparkSpec {
     // the sensitive value the group never exhibits
     assert(out.toSeq == Seq(("A", 4L, 0.5, false), ("B", 8L, 0.25, true)))
   }
+
+  test("sourceAblation: hand-computed leave-one-out means; single source => NULLs") {
+    import graft.operators.Quality
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 4.0)).toDF("src", "v").repartition(3)
+    val out = Quality.sourceAblation(df, "src", "v")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // total mean 7/3; without A = 4; without B = 1.5
+    assert(out(0)._1 == "A" && out(0)._2 == 2L && out(0)._3 == 1.5)
+    assert(out(0)._4 == 4.0 && out(0)._5 == -1.666667)
+    assert(out(1)._1 == "B" && out(1)._4 == 1.5 && out(1)._5 == 0.833333)
+    val solo = Quality.sourceAblation(Seq(("A", 1.0)).toDF("src", "v"), "src", "v").head
+    assert(solo.isNullAt(solo.fieldIndex("mean_without")))
+  }
 }
