@@ -1783,6 +1783,39 @@ object SparkEntry {
       "lang", "v")
       .orderBy("lang")
 
+  /** Quantile regression (X255): the q_linreg design at the median —
+    * robust slopes under the pinball loss, 20 exact subgradient steps. */
+  private def qQuantReg(s: SparkSession, d: String): DataFrame =
+    Models.quantileRegression(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("v", col("o_totalprice") / 100000.0)
+        .withColumn("x1",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("double") / 2500.0)
+        .withColumn("x2", col("c_acctbal") / 10000.0),
+      "v", Seq("x1", "x2"), tau = 0.5, iterations = 20, lr = 0.5)
+      .select(col("n"), col("tau"), col("w0"), col("w1"), col("w2"),
+        round(col("pinball"), 6).as("pinball"))
+
+  /** Linear SVM (X256): urgent-order classification over the q_quant_reg
+    * base — 20 exact hinge-subgradient steps, L2 on the slopes. */
+  private def qSvm(s: SparkSession, d: String): DataFrame =
+    Models.svmHinge(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("urgent",
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .withColumn("x1",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("double") / 2500.0)
+        .withColumn("x2", col("c_acctbal") / 10000.0),
+      "urgent", Seq("x1", "x2"), iterations = 20, lr = 0.5, lambda = 0.01)
+      .select(col("n"), col("lambda"), col("w0"), col("w1"), col("w2"),
+        round(col("hinge"), 6).as("hinge"), round(col("accuracy"), 6).as("accuracy"))
+
   /** Multinomial Naive Bayes (X247): self-trained language classification
     * of every document — the supervised twin of the marker-word langId,
     * exact quantized log-prob sums, ties to the smallest class. */
@@ -6411,6 +6444,8 @@ object SparkEntry {
     "q_ipw_ate" -> (qIpwAte _),
     "q_aipw_ate" -> (qAipwAte _),
     "q_source_ablation" -> (qSourceAblation _),
+    "q_quant_reg" -> (qQuantReg _),
+    "q_svm" -> (qSvm _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_linreg" -> (qLinReg _),
@@ -6471,6 +6506,7 @@ object SparkEntry {
     "q_readability" -> (qReadability _),
     "q_ohlc" -> (qOhlc _),
     "q_acf" -> (qAcf _),
+    "q_ar_forecast" -> (qArForecast _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -6609,6 +6645,22 @@ object SparkEntry {
       .withColumn("x", coalesce(col("x"), lit(0L)))
     Temporal.pacf(series, Seq("event_type"), "day", "x", 7)
       .orderBy("event_type", "lag")
+  }
+
+  /** AR(2) Yule–Walker fit + 3-step forecast (X257) per event type over
+    * the q_acf daily-count series. */
+  private def qArForecast(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(cnt, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    Temporal.arYuleWalker(series, Seq("event_type"), "day", "x", horizon = 3)
+      .orderBy("event_type")
   }
 
   private def qAcf(s: SparkSession, d: String): DataFrame = {
@@ -7169,6 +7221,103 @@ object SparkEntry {
               FROM fin)
      SELECT b.doc_id, d.lang, b.cls AS predicted, b.cls = d.lang AS correct
      FROM best b JOIN documents d USING (doc_id) WHERE rn = 1 ORDER BY b.doc_id"""
+
+  /** 20 unrolled pinball-subgradient steps over the q_linreg base +
+    * the exact quantized pinball readout — mirrors
+    * [[graft.operators.Models.quantileRegression]] bit-for-bit. Each w$i is
+    * referenced twice downstream (q$(i+1) and w$(i+1)), so the weight CTEs
+    * are MATERIALIZED — un-hinted DuckDB inlines them and the expression
+    * tree doubles per step (2^20 at 20 iterations). */
+  private val quantRegOracle: String = {
+    val steps = (1 to 20).map { i =>
+      val w = s"w${i - 1}"
+      s""",
+       q$i AS (SELECT (CASE WHEN y <= ${gdZ(w)} THEN 1.0 ELSE 0.0 END) - 0.5 AS gt,
+                      x1, x2
+               FROM base CROSS JOIN $w),
+       g$i AS (SELECT
+                 CAST(SUM(CAST(FLOOR(gt * 1.0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+                 CAST(SUM(CAST(FLOOR(gt * x1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+                 CAST(SUM(CAST(FLOOR(gt * x2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g2
+               FROM q$i),
+       w$i AS MATERIALIZED (SELECT
+                 w0 - CAST(FLOOR(0.5 / SQRT(CAST($i AS DOUBLE)) * CAST(g0 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w0,
+                 w1 - CAST(FLOOR(0.5 / SQRT(CAST($i AS DOUBLE)) * CAST(g1 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w1,
+                 w2 - CAST(FLOOR(0.5 / SQRT(CAST($i AS DOUBLE)) * CAST(g2 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w2
+               FROM w${i - 1} CROSS JOIN g$i CROSS JOIN nb)"""
+    }.mkString
+    s"""WITH base AS MATERIALIZED (
+           SELECT o_totalprice / 100000.0 AS y,
+                  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)
+                    / 2500.0 AS x1,
+                  c_acctbal / 10000.0 AS x2
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+     nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+     w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)$steps,
+     pf AS (SELECT GREATEST(0.5 * (y - ${gdZ("w20")}), -0.5 * (y - ${gdZ("w20")})) AS pb
+            FROM base CROSS JOIN w20),
+     fin AS (SELECT CAST(SUM(CAST(FLOOR(pb * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS pbq FROM pf)
+     SELECT nn AS n, CAST(0.5 AS DOUBLE) AS tau,
+            CAST(w0 AS DOUBLE)/1e9 AS w0,
+            CAST(w1 AS DOUBLE)/1e9 AS w1,
+            CAST(w2 AS DOUBLE)/1e9 AS w2,
+            ROUND(CAST(pbq AS DOUBLE)/1e6/CAST(nn AS DOUBLE), 6) AS pinball
+     FROM w20 CROSS JOIN fin CROSS JOIN nb"""
+  }
+
+  /** 20 unrolled hinge-subgradient steps (data term + in-long-domain L2
+    * pull on the slopes) over the q_quant_reg base + the exact quantized
+    * hinge/accuracy readout — mirrors
+    * [[graft.operators.Models.svmHinge]] bit-for-bit. Weight CTEs
+    * MATERIALIZED for the same reason as q_quant_reg's. */
+  private val svmOracle: String = {
+    val steps = (1 to 20).map { i =>
+      val w = s"w${i - 1}"
+      def upd(g: String, wc: String, reg: Boolean) = {
+        val data =
+          s"CAST(FLOOR(0.5 / SQRT(CAST($i AS DOUBLE)) * CAST($g AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT)"
+        val pull = if (reg)
+          s" - CAST(FLOOR(0.5 / SQRT(CAST($i AS DOUBLE)) * 0.01 * CAST($wc AS DOUBLE) + 0.5) AS BIGINT)"
+        else ""
+        s"$wc - $data$pull AS $wc"
+      }
+      s""",
+       q$i AS (SELECT (CASE WHEN y * ${gdZ(w)} < 1.0 THEN 1.0 ELSE 0.0 END) AS act,
+                      y, x1, x2
+               FROM base CROSS JOIN $w),
+       g$i AS (SELECT
+                 CAST(SUM(CAST(FLOOR(-y * act * 1.0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+                 CAST(SUM(CAST(FLOOR(-y * act * x1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+                 CAST(SUM(CAST(FLOOR(-y * act * x2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g2
+               FROM q$i),
+       w$i AS MATERIALIZED (SELECT
+                 ${upd("g0", "w0", reg = false)},
+                 ${upd("g1", "w1", reg = true)},
+                 ${upd("g2", "w2", reg = true)}
+               FROM w${i - 1} CROSS JOIN g$i CROSS JOIN nb)"""
+    }.mkString
+    s"""WITH base AS MATERIALIZED (
+           SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1.0 ELSE -1.0 END AS y,
+                  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)
+                    / 2500.0 AS x1,
+                  c_acctbal / 10000.0 AS x2
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+     nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+     w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)$steps,
+     pf AS (SELECT GREATEST(0.0, 1.0 - y * ${gdZ("w20")}) AS hl,
+                   CASE WHEN y * ${gdZ("w20")} > 0.0 THEN 1 ELSE 0 END AS ok
+            FROM base CROSS JOIN w20),
+     fin AS (SELECT CAST(SUM(CAST(FLOOR(hl * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS hq,
+                    CAST(SUM(ok) AS BIGINT) AS okc FROM pf)
+     SELECT nn AS n, CAST(0.01 AS DOUBLE) AS lambda,
+            CAST(w0 AS DOUBLE)/1e9 AS w0,
+            CAST(w1 AS DOUBLE)/1e9 AS w1,
+            CAST(w2 AS DOUBLE)/1e9 AS w2,
+            ROUND(CAST(hq AS DOUBLE)/1e6/CAST(nn AS DOUBLE), 6) AS hinge,
+            ROUND(CAST(okc AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS accuracy
+     FROM w20 CROSS JOIN fin CROSS JOIN nb"""
+  }
 
   /** 6 unrolled GD steps + stratum-mean outcome models + per-row ψ sums
     * — mirrors [[graft.operators.Models.aipwAte]] bit-for-bit. */
@@ -11328,6 +11477,8 @@ object SparkEntry {
     "q_logistic" -> logisticOracle,
     "q_ipw_ate" -> ipwOracle,
     "q_aipw_ate" -> aipwOracle,
+    "q_quant_reg" -> quantRegOracle,
+    "q_svm" -> svmOracle,
     // exact-ratio leave-one-source-out means from one aggregate —
     // mirrors Quality.sourceAblation
     "q_source_ablation" ->
@@ -13113,6 +13264,7 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS cnt
          FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""",
     "q_acf" -> acfOracle,
+    "q_ar_forecast" -> arForecastOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -13284,6 +13436,64 @@ object SparkEntry {
 
   private val acfOracle: String =
     acfCtes + "\n         SELECT * FROM af ORDER BY event_type, lag"
+
+  /** Yule–Walker AR(2) + unrolled 3-step forecast over the q_acf series —
+    * mirrors [[graft.operators.Temporal.arYuleWalker]]'s fixed IEEE
+    * chains on exact integer sums bit-for-bit. */
+  private val arForecastOracle: String =
+    s"""WITH cnt AS (SELECT event_type, date_trunc('day', ts) AS day,
+                CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         bounds AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM cnt GROUP BY 1),
+         sp AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds),
+         s AS (SELECT sp.event_type, sp.day, COALESCE(cnt.x, 0) AS x
+               FROM sp LEFT JOIN cnt ON sp.event_type = cnt.event_type AND sp.day = cnt.day),
+         l AS (SELECT event_type, x,
+                LAG(x, 1) OVER w AS l1, LAG(x, 2) OVER w AS l2,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+               FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         a AS (SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS s1,
+                CAST(SUM(x * x) AS BIGINT) AS s2,
+                CAST(SUM(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS BIGINT) AS p1,
+                CAST(SUM(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT) AS a1,
+                CAST(SUM(l1) AS BIGINT) AS b1,
+                CAST(COUNT(l1) AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS BIGINT) AS p2,
+                CAST(SUM(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT) AS a2,
+                CAST(SUM(l2) AS BIGINT) AS b2,
+                CAST(COUNT(l2) AS BIGINT) AS n2,
+                MAX(CASE WHEN rn = 1 THEN x END) AS xn,
+                MAX(CASE WHEN rn = 2 THEN x END) AS xn1
+               FROM l GROUP BY 1),
+         m AS (SELECT *,
+                CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS den
+               FROM a),
+         r AS (SELECT *,
+                CASE WHEN den > 0 AND n1 > 0 THEN
+                  (CAST(p1 AS DOUBLE) - mu * CAST(a1 AS DOUBLE) - mu * CAST(b1 AS DOUBLE)
+                   + CAST(n1 AS DOUBLE) * mu * mu) / den END AS r1,
+                CASE WHEN den > 0 AND n2 > 0 THEN
+                  (CAST(p2 AS DOUBLE) - mu * CAST(a2 AS DOUBLE) - mu * CAST(b2 AS DOUBLE)
+                   + CAST(n2 AS DOUBLE) * mu * mu) / den END AS r2
+               FROM m),
+         p AS (SELECT *,
+                CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND 1.0 - r1 * r1 <> 0.0 THEN
+                  r1 * (1.0 - r2) / (1.0 - r1 * r1) END AS phi1,
+                CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND 1.0 - r1 * r1 <> 0.0 THEN
+                  (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi2
+               FROM r),
+         c AS (SELECT *, mu * (1.0 - phi1 - phi2) AS cc FROM p),
+         fa AS (SELECT *, cc + phi1 * CAST(xn AS DOUBLE) + phi2 * CAST(xn1 AS DOUBLE) AS ff1 FROM c),
+         fb AS (SELECT *, cc + phi1 * ff1 + phi2 * CAST(xn AS DOUBLE) AS ff2 FROM fa),
+         fc AS (SELECT *, cc + phi1 * ff2 + phi2 * ff1 AS ff3 FROM fb)
+         SELECT event_type, n, ROUND(r1, 6) AS r1, ROUND(r2, 6) AS r2,
+                ROUND(phi1, 6) AS phi1, ROUND(phi2, 6) AS phi2,
+                ROUND(cc, 6) AS intercept,
+                ROUND(ff1, 6) AS f1, ROUND(ff2, 6) AS f2, ROUND(ff3, 6) AS f3
+         FROM fc ORDER BY event_type"""
 
   /** Durbin–Levinson unrolled to 7 fixed steps over the (rounded) acf
     * values — mirrors [[graft.operators.Temporal.pacf]]'s kernel op-for-op

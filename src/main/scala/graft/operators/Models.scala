@@ -89,6 +89,131 @@ object Models {
     wq
   }
 
+  /** Quantile (pinball-loss) linear regression — the robust-regression
+    * member beside [[linearRegression]]'s mean fit: intercept + two
+    * features, `iterations` full-batch subgradient steps on
+    * ρ_τ(y − ŷ) at rate `lr`, with the equality subgradient pinned to the
+    * 1{y ≤ ŷ} convention so every step is deterministic, and the
+    * classic lr/√t decay (constant-step subgradient never converges —
+    * it orbits the optimum at radius ∝ lr). The [[logisticRegression]]
+    * discipline otherwise: per-row terms floor((1{y≤ŷ} − τ)·x_j·1e6+0.5)
+    * sum as exact longs, weights store as 1e-9 longs with an identical
+    * update chain — the whole trajectory is bit-identical anywhere and
+    * replays in SQL. Readout adds the exact quantized mean pinball loss.
+    *
+    * Returns ONE row: (n, tau, w0, w1, w2, pinball). */
+  def quantileRegression(
+      df: DataFrame,
+      valueCol: String,
+      featureCols: Seq[String],
+      tau: Double = 0.5,
+      iterations: Int = 20,
+      lr: Double = 0.5): DataFrame = {
+    require(featureCols.length == 2,
+      s"exactly two features (plus intercept) supported, got ${featureCols.length}")
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val k = featureCols.length + 1
+    val base = df.select(
+      col(valueCol).cast("double").as("__y") +:
+        (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
+          .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+    val n = base.count()
+    require(n > 0, "cannot fit on an empty DataFrame")
+    var wq = Array.fill(k)(0L)
+    def yhat: Column =
+      (0 until k).map(j => lit(wq(j) / 1e9) * col(s"__x$j")).reduceLeft(_ + _)
+    for (iter <- 1 to iterations) {
+      val ind = when(col("__y") <= yhat, 1.0).otherwise(0.0)
+      val g = base.agg(
+        sum(floor((ind - lit(tau)) * col("__x0") * 1e6 + 0.5).cast("long")).as("g0"),
+        (1 until k).map(j =>
+          sum(floor((ind - lit(tau)) * col(s"__x$j") * 1e6 + 0.5).cast("long")).as(s"g$j")): _*)
+        .head()
+      val lrI = lr / math.sqrt(iter.toDouble)
+      wq = wq.zipWithIndex.map { case (w, j) =>
+        w - math.floor(lrI * g.getLong(j) * 1000.0 / n + 0.5).toLong
+      }
+    }
+    val dy = col("__y") - yhat
+    val metrics = base.agg(
+      count(lit(1)).as("n"),
+      sum(floor(greatest(lit(tau) * dy, lit(tau - 1.0) * dy) * 1e6 + 0.5).cast("long"))
+        .as("__pb"))
+    metrics.select(
+      col("n") +: lit(tau).as("tau") +:
+        (0 until k).map(j => lit(wq(j) / 1e9).as(s"w$j")) :+
+        (col("__pb").cast("double") / 1e6 / col("n").cast("double")).as("pinball"): _*)
+  }
+
+  /** Linear SVM by a FIXED quantized hinge-subgradient schedule — the
+    * max-margin member beside [[logisticRegression]]'s probabilistic fit:
+    * intercept + two features, `iterations` full-batch subgradient steps
+    * on λ/2·‖w_slopes‖² + mean(max(0, 1 − y·f(x))) at rate `lr` with the
+    * classic lr/√t decay, the margin-equality subgradient pinned to the
+    * inactive side (1{y·f < 1}, strict) so every step is deterministic.
+    * The [[quantileRegression]] discipline throughout: per-row data terms
+    * floor(−y·1{active}·x_j·1e6+0.5) sum as exact longs; weights store as
+    * 1e-9 longs; the L2 pull on the slopes applies IN the long domain as
+    * floor(lr_t·λ·w_q + 0.5) (the intercept is unpenalized, the
+    * convention) — so the whole trajectory is partition-invariant and
+    * replays in SQL as unrolled CTEs. Per step: one corpus scan into a
+    * 3-column partial aggregate; only 1-row results move.
+    *
+    * Labels are booleans (true → +1, false → −1); features pre-scaled to
+    * O(1) by the caller. The readout pins f(x)=0 to WRONG (margin > 0
+    * strict counts correct).
+    *
+    * Returns ONE row: (n, lambda, w0, w1, w2, hinge, accuracy). */
+  def svmHinge(
+      df: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String],
+      iterations: Int = 20,
+      lr: Double = 0.5,
+      lambda: Double = 0.01): DataFrame = {
+    require(featureCols.length == 2,
+      s"exactly two features (plus intercept) supported, got ${featureCols.length}")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(lr > 0, s"lr must be > 0, got $lr")
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val k = featureCols.length + 1
+    val base = df.select(
+      when(col(labelCol), 1.0).otherwise(-1.0).as("__y") +:
+        (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
+          .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+    val n = base.count()
+    require(n > 0, "cannot fit on an empty DataFrame")
+    var wq = Array.fill(k)(0L)
+    def fx: Column =
+      (0 until k).map(j => lit(wq(j) / 1e9) * col(s"__x$j")).reduceLeft(_ + _)
+    for (iter <- 1 to iterations) {
+      val active = when(col("__y") * fx < 1.0, 1.0).otherwise(0.0)
+      val g = base.agg(
+        sum(floor(-col("__y") * active * col("__x0") * 1e6 + 0.5).cast("long")).as("g0"),
+        (1 until k).map(j =>
+          sum(floor(-col("__y") * active * col(s"__x$j") * 1e6 + 0.5).cast("long")).as(s"g$j")): _*)
+        .head()
+      val lrI = lr / math.sqrt(iter.toDouble)
+      wq = wq.zipWithIndex.map { case (w, j) =>
+        val data = math.floor(lrI * g.getLong(j) * 1000.0 / n + 0.5).toLong
+        val reg = if (j == 0) 0L else math.floor(lrI * lambda * w + 0.5).toLong
+        w - data - reg
+      }
+    }
+    val margin = col("__y") * fx
+    val metrics = base.agg(
+      count(lit(1)).as("n"),
+      sum(floor(greatest(lit(0.0), lit(1.0) - margin) * 1e6 + 0.5).cast("long"))
+        .as("__hq"),
+      sum(when(margin > 0.0, 1L).otherwise(0L)).as("__ok"))
+    metrics.select(
+      col("n") +: lit(lambda).as("lambda") +:
+        (0 until k).map(j => lit(wq(j) / 1e9).as(s"w$j")) :+
+        (col("__hq").cast("double") / 1e6 / col("n").cast("double")).as("hinge") :+
+        (col("__ok").cast("double") / col("n").cast("double")).as("accuracy"): _*)
+  }
+
   /** AIPW doubly-robust ATE (Robins–Rotnitzky–Zhao 1994) — the estimator
     * completing the causal quartet (DiD, subclassification, IPW): per-row
     * influence values ψ = m₁(s) − m₀(s) + t(y−m₁)/e − (1−t)(y−m₀)/(1−e)

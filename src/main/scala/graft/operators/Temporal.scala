@@ -915,6 +915,96 @@ object Temporal {
       .select((k :+ col("n") :+ col("__e.lag").as("lag") :+ col("__e.acf").as("acf")): _*)
   }
 
+  /** AR(2) fit by Yule–Walker plus an h-step closed-form forecast per key
+    * — the autoregressive member beside [[acf]]'s diagnostic readout
+    * (Holt/Holt–Winters smooth level+trend; this models the lag structure
+    * itself): φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) from the
+    * lag-1/2 autocorrelations, intercept c = μ(1−φ₁−φ₂), forecasts
+    * iterate x̂_{t+1} = c + φ₁x̂_t + φ₂x̂_{t−1} seeded by the series' last
+    * two values.
+    *
+    * The [[acf]] determinism recipe end to end: ONE window pass builds the
+    * two lag columns and the descending row number, ONE partial aggregate
+    * collects exact integer sums (n, Σx, Σx², per-lag Σx_t·x_{t−k} and
+    * valid-row marginals, the last two values), and every readout is a
+    * fixed chain of single IEEE ops on those exact longs — partition-
+    * invariant and replayable in SQL with no iteration (the forecast
+    * recursion unrolls to `horizon` fixed expressions). Degenerate guards:
+    * a constant series (zero variance) or r₁² = 1 ⇒ NULL coefficients and
+    * forecasts.
+    *
+    * @param valueCol exact integer series value (counts, quantized units)
+    * @param horizon  forecast steps (1..8 — the column set is static) */
+  def arYuleWalker(
+      series: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      horizon: Int = 3): DataFrame = {
+    require(horizon >= 1 && horizon <= 8, s"horizon must be in 1..8, got $horizon")
+    val k = keys.map(col)
+    val w = Window.partitionBy(k: _*).orderBy(col(orderCol))
+    val wd = Window.partitionBy(k: _*).orderBy(col(orderCol).desc)
+    val lagged = series
+      .withColumn("__v", col(valueCol).cast("long"))
+      .withColumn("__l1", lag(col("__v"), 1).over(w))
+      .withColumn("__l2", lag(col("__v"), 2).over(w))
+      .withColumn("__rn", row_number().over(wd))
+    val aggd = lagged.groupBy(k: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__v")).as("s1"),
+      sum(col("__v") * col("__v")).as("s2"),
+      sum(when(col("__l1").isNotNull, col("__v") * col("__l1"))).as("p1"),
+      sum(when(col("__l1").isNotNull, col("__v"))).as("a1"),
+      sum(when(col("__l1").isNotNull, col("__l1"))).as("b1"),
+      count(col("__l1")).as("n1"),
+      sum(when(col("__l2").isNotNull, col("__v") * col("__l2"))).as("p2"),
+      sum(when(col("__l2").isNotNull, col("__v"))).as("a2"),
+      sum(when(col("__l2").isNotNull, col("__l2"))).as("b2"),
+      count(col("__l2")).as("n2"),
+      max(when(col("__rn") === 1, col("__v"))).as("xn"),
+      max(when(col("__rn") === 2, col("__v"))).as("xn1"))
+    val mu = col("s1").cast("double") / col("n").cast("double")
+    val den = col("s2").cast("double") - col("n").cast("double") * mu * mu
+    def r(i: Int): Column =
+      when(den > 0 && col(s"n$i") > 0,
+        (col(s"p$i").cast("double") -
+          mu * col(s"a$i").cast("double") -
+          mu * col(s"b$i").cast("double") +
+          col(s"n$i").cast("double") * mu * mu) / den)
+    val withR = aggd.withColumn("__mu", mu)
+      .withColumn("__r1", r(1)).withColumn("__r2", r(2))
+    val d = lit(1.0) - col("__r1") * col("__r1")
+    val withPhi = withR
+      .withColumn("__phi1",
+        when(col("__r1").isNotNull && col("__r2").isNotNull && d =!= 0.0,
+          col("__r1") * (lit(1.0) - col("__r2")) / d))
+      .withColumn("__phi2",
+        when(col("__r1").isNotNull && col("__r2").isNotNull && d =!= 0.0,
+          (col("__r2") - col("__r1") * col("__r1")) / d))
+      .withColumn("__c",
+        col("__mu") * (lit(1.0) - col("__phi1") - col("__phi2")))
+    // unrolled forecast recursion: __f1 seeds on the last two observations
+    val withF = (1 to horizon).foldLeft(withPhi) { (df, h) =>
+      val (prev, prev2) = h match {
+        case 1 => (col("xn").cast("double"), col("xn1").cast("double"))
+        case 2 => (col("__f1"), col("xn").cast("double"))
+        case _ => (col(s"__f${h - 1}"), col(s"__f${h - 2}"))
+      }
+      df.withColumn(s"__f$h",
+        col("__c") + col("__phi1") * prev + col("__phi2") * prev2)
+    }
+    withF.select(
+      k ++ Seq(
+        col("n"),
+        round(col("__r1"), 6).as("r1"),
+        round(col("__r2"), 6).as("r2"),
+        round(col("__phi1"), 6).as("phi1"),
+        round(col("__phi2"), 6).as("phi2"),
+        round(col("__c"), 6).as("intercept")) ++
+        (1 to horizon).map(h => round(col(s"__f$h"), 6).as(s"f$h")): _*)
+  }
+
   /** Cross-correlation function between two REGULAR integer series at lags
     * −maxLag..maxLag per key — the lead/lag discovery readout next to
     * [[acf]] ("does x move k days before y?"): positive lag k correlates

@@ -74,6 +74,51 @@ class ModelsSpec extends SparkSpec {
     assert(r1.getAs[Double]("r2") < r0.getAs[Double]("r2") + 1e-12)
   }
 
+  test("quantileRegression: median line shrugs off the outlier OLS chases; invariant") {
+    // y = 1 + 2·x1 (+ 0·x2) exactly, except one wild outlier
+    val clean = for (i <- 0 until 10; j <- 0 until 10)
+      yield (i / 10.0, j / 10.0, 1.0 + 2.0 * (i / 10.0))
+    val data = clean :+ ((0.9, 0.5, 1000.0))
+    val df = data.toDF("x1", "x2", "y").repartition(3)
+    val ols = Models.linearRegression(df, "y", Seq("x1", "x2")).head
+    val qr = Models.quantileRegression(df, "y", Seq("x1", "x2"),
+      tau = 0.5, iterations = 100, lr = 1.0).head
+    assert(qr.getAs[Long]("n") == 101L && qr.getAs[Double]("tau") == 0.5)
+    val olsErr = math.abs(ols.getAs[Double]("beta1") - 2.0)
+    val qrErr = math.abs(qr.getAs[Double]("w1") - 2.0)
+    assert(qrErr < olsErr, s"median slope $qrErr must beat OLS $olsErr under the outlier")
+    assert(qrErr < 0.1)
+    val qr7 = Models.quantileRegression(data.toDF("x1", "x2", "y").repartition(7),
+      "y", Seq("x1", "x2"), tau = 0.5, iterations = 100, lr = 1.0).head
+    assert(qr7.getAs[Double]("w1") == qr.getAs[Double]("w1"))
+    assert(qr7.getAs[Double]("pinball") == qr.getAs[Double]("pinball"))
+  }
+
+  test("svmHinge: separates a margin-split design; L2 shrinks slopes; invariant") {
+    // +1 above the line x1 + x2 = 1 (with a clear margin), −1 below
+    val data = for (i <- 0 until 12; j <- 0 until 12; s = (i + j) / 11.0 - 1.0
+                    if math.abs(s) > 0.15)
+      yield (i / 11.0, j / 11.0, s > 0)
+    val df = data.toDF("x1", "x2", "lab").repartition(3)
+    val fit = Models.svmHinge(df, "lab", Seq("x1", "x2"),
+      iterations = 60, lr = 1.0, lambda = 0.001).head
+    assert(fit.getAs[Long]("n") == data.length.toLong)
+    assert(fit.getAs[Double]("accuracy") == 1.0,
+      s"separable data must reach accuracy 1, got ${fit.getAs[Double]("accuracy")}")
+    assert(fit.getAs[Double]("w1") > 0 && fit.getAs[Double]("w2") > 0)
+    // heavier L2 pulls the slope norm down
+    val heavy = Models.svmHinge(df, "lab", Seq("x1", "x2"),
+      iterations = 60, lr = 1.0, lambda = 5.0).head
+    def norm(r: org.apache.spark.sql.Row) =
+      math.hypot(r.getAs[Double]("w1"), r.getAs[Double]("w2"))
+    assert(norm(heavy) < norm(fit))
+    // bit-identical across partitionings
+    val fit7 = Models.svmHinge(df.repartition(7), "lab", Seq("x1", "x2"),
+      iterations = 60, lr = 1.0, lambda = 0.001).head
+    assert(fit7.getAs[Double]("w1") == fit.getAs[Double]("w1"))
+    assert(fit7.getAs[Double]("hinge") == fit.getAs[Double]("hinge"))
+  }
+
   test("aipwAte: de-biases the confounded design; single-arm strata drop; invariant") {
     // the ipwAte confounded design, with x doubling as the stratum
     val data = (0 until 200).map { i =>

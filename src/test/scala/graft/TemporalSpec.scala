@@ -326,6 +326,35 @@ class TemporalSpec extends SparkSpec {
     assert(math.abs(acf2 - 38.0 / 40.0) < 1e-9, s"acf2=$acf2")
   }
 
+  test("arYuleWalker: sinusoid recovers (2cosθ, −1); constant-series NULLs; invariant") {
+    // a sampled cosine satisfies x_{t+1} = 2cosθ·x_t − x_{t−1} exactly, so
+    // Yule–Walker on it approaches phi1 = 2cosθ ≈ 1.732, phi2 = −1 (θ=π/6)
+    // the finite-series estimator shrinks r_k by ~(n−k)/n, which the
+    // 1/(1−r1²) factor amplifies near r1→1 — n=960 keeps the bias small
+    val theta = math.Pi / 6
+    val n = 960
+    val rows = Seq.tabulate(n)(i =>
+      ("g", i.toLong, math.round(1000.0 * math.cos(theta * i))))
+    val got = Temporal.arYuleWalker(rows.toDF("g", "t", "x").repartition(5),
+      Seq("g"), "t", "x", horizon = 3).head
+    assert(got.getAs[Long]("n") == n.toLong)
+    val phi1 = got.getAs[Double]("phi1"); val phi2 = got.getAs[Double]("phi2")
+    assert(math.abs(phi1 - 2 * math.cos(theta)) < 0.05, s"phi1=$phi1")
+    assert(math.abs(phi2 - (-1.0)) < 0.05, s"phi2=$phi2")
+    // the forecast continues the wave: next true value is cos(θ·n)
+    val f1 = got.getAs[Double]("f1")
+    assert(math.abs(f1 - 1000.0 * math.cos(theta * n)) < 60.0, s"f1=$f1")
+    // bit-identical across partitionings
+    val g2 = Temporal.arYuleWalker(rows.toDF("g", "t", "x").repartition(11),
+      Seq("g"), "t", "x", horizon = 3).head
+    assert(g2.getAs[Double]("phi1") == phi1 && g2.getAs[Double]("f1") == f1)
+    // zero-variance series: coefficients and forecasts all NULL
+    val const = Seq.tabulate(10)(i => ("c", i.toLong, 7L))
+    val cg = Temporal.arYuleWalker(const.toDF("g", "t", "x"),
+      Seq("g"), "t", "x", horizon = 2).head
+    assert(cg.isNullAt(cg.fieldIndex("phi1")) && cg.isNullAt(cg.fieldIndex("f2")))
+  }
+
   test("lttbDownsample: endpoints kept, planted spike survives, short series intact") {
     // flat series with one huge spike at x=57: any downsample that loses
     // it is wrong — LTTB's whole reason to exist
