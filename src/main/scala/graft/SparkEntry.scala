@@ -6118,6 +6118,35 @@ object SparkEntry {
       .orderBy("vec_id", "component")
   }
 
+  /** JL random projection 64-d → 8-d with a pairwise-distortion readout
+    * (X258) over a 16-vector probe set: engine-portable md5-derived ±1
+    * signs, exact quantized-long distances, ratio = d_proj/d_orig. The
+    * 16×16 probe pair join is a bounded nested-loop by design. */
+  private def qJlDistortion(s: SparkSession, d: String): DataFrame = {
+    val probe = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+    val proj = Similarity.jlProject(probe, "vec_id", "embedding", dim = 64, k = 8)
+    val both = probe.join(proj, "vec_id")
+    def qdist(x: Column, y: Column): Column =
+      sqrt(aggregate(
+        zip_with(x, y, (u, v) =>
+          floor((u.cast("double") - v.cast("double")) *
+            (u.cast("double") - v.cast("double")) * 1e6 + 0.5).cast("long")),
+        lit(0L), (acc, t) => acc + t).cast("double") / 1e6)
+    val a = both.select(col("vec_id").as("id1"),
+      col("embedding").as("__e1"), col("proj").as("__p1"))
+    val b = both.select(col("vec_id").as("id2"),
+      col("embedding").as("__e2"), col("proj").as("__p2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("__do", qdist(col("__e1"), col("__e2")))
+      .withColumn("__dp", qdist(col("__p1"), col("__p2")))
+      .select(col("id1"), col("id2"),
+        round(col("__do"), 6).as("d_orig"),
+        round(col("__dp"), 6).as("d_proj"),
+        when(col("__do") > 0, round(col("__dp") / col("__do"), 6)).as("ratio"))
+      .orderBy("id1", "id2")
+  }
+
   /** 4-core of the 1996-H1 co-purchase graph: fixed 4-round peel whose
     * SQL oracle replays the identical rounds (post-fixpoint rounds are
     * no-ops, so the operator's early exit cannot diverge). */
@@ -6523,6 +6552,7 @@ object SparkEntry {
     "q_kcore" -> (qKcore _),
     "q_ohlc_stream" -> (qOhlcStream _),
     "q_pca" -> (qPca _),
+    "q_jl_distortion" -> (qJlDistortion _),
     "q_hash_features" -> (qHashFeatures _),
     "q_js_drift" -> (qJsDrift _),
     "q_js_drift_stream" -> (qJsDriftStream _),
@@ -7317,6 +7347,44 @@ object SparkEntry {
             ROUND(CAST(hq AS DOUBLE)/1e6/CAST(nn AS DOUBLE), 6) AS hinge,
             ROUND(CAST(okc AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS accuracy
      FROM w20 CROSS JOIN fin CROSS JOIN nb"""
+  }
+
+  /** Replays the md5-sign JL projection and both quantized-long distance
+    * sums over the 16-vector probe set — mirrors
+    * [[graft.operators.Similarity.jlProject]] + qJlDistortion's readout
+    * bit-for-bit (the sign grid is engine-portable by construction). */
+  private val jlDistortionOracle: String = {
+    val sign =
+      """(CASE WHEN substring(md5(concat(i, '_', j)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"""
+    s"""WITH probe AS MATERIALIZED (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+     pr AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(range(0, 8), j ->
+                    CAST(list_sum(list_transform(range(0, 64), i ->
+                      CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * $sign * 1e6 + 0.5)
+                           AS BIGINT))) AS DOUBLE) / 1e6 * (1.0 / SQRT(8.0))) AS proj
+           FROM probe),
+     pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                      a.embedding AS e1, b.embedding AS e2,
+                      pa.proj AS p1, pb.proj AS p2
+               FROM probe a JOIN probe b ON a.vec_id < b.vec_id
+               JOIN pr pa ON pa.vec_id = a.vec_id
+               JOIN pr pb ON pb.vec_id = b.vec_id),
+     d AS (SELECT id1, id2,
+            SQRT(CAST(list_sum(list_transform(range(0, 64), i ->
+              CAST(FLOOR((CAST(e1[i + 1] AS DOUBLE) - CAST(e2[i + 1] AS DOUBLE)) *
+                         (CAST(e1[i + 1] AS DOUBLE) - CAST(e2[i + 1] AS DOUBLE)) * 1e6 + 0.5)
+                   AS BIGINT))) AS DOUBLE) / 1e6) AS d_orig,
+            SQRT(CAST(list_sum(list_transform(range(0, 8), j ->
+              CAST(FLOOR((p1[j + 1] - p2[j + 1]) * (p1[j + 1] - p2[j + 1]) * 1e6 + 0.5)
+                   AS BIGINT))) AS DOUBLE) / 1e6) AS d_proj
+           FROM pairs)
+     SELECT id1, id2, ROUND(d_orig, 6) AS d_orig, ROUND(d_proj, 6) AS d_proj,
+            CASE WHEN d_orig > 0 THEN ROUND(d_proj / d_orig, 6) END AS ratio
+     FROM d ORDER BY id1, id2"""
   }
 
   /** 6 unrolled GD steps + stratum-mean outcome models + per-row ψ sums
@@ -11479,6 +11547,7 @@ object SparkEntry {
     "q_aipw_ate" -> aipwOracle,
     "q_quant_reg" -> quantRegOracle,
     "q_svm" -> svmOracle,
+    "q_jl_distortion" -> jlDistortionOracle,
     // exact-ratio leave-one-source-out means from one aggregate —
     // mirrors Quality.sourceAblation
     "q_source_ablation" ->

@@ -767,6 +767,46 @@ object Similarity {
       transform(pca_project(col(vecCol), means, comps), v => round(v, roundTo)))
   }
 
+  /** Johnson–Lindenstrauss signed random projection — the DATA-OBLIVIOUS
+    * dimensionality reducer beside [[pcaFit]]'s data-dependent one
+    * (Achlioptas 2003: a ±1/√k matrix preserves pairwise distances within
+    * 1±ε for k = O(log n / ε²), no fit pass at all): proj_j =
+    * (1/√k)·Σ_i s_{ij}·v_i with signs derived from md5("i_j") top-bit —
+    * an ENGINE-PORTABLE matrix (the Scala driver and any SQL engine
+    * derive the identical ±1 grid), unlike the native lsh_sig path whose
+    * hash is engine-specific. The k×dim sign grid rides in as broadcast
+    * literals inside a pure scalar projection — zero shuffle, zero fit.
+    * Per-term products quantize to floor(v_i·s·1e6+0.5) longs and sum
+    * exactly, so the projection is bit-identical across engines and
+    * partitionings; the final /1e6·(1/√k) is one fixed IEEE chain.
+    *
+    * Returns the input's id column + `proj array<double>` (length k —
+    * gate queries posexplode it: arrays are not pandas-sortable). */
+  def jlProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(k >= 1 && k <= 64, s"k must be in 1..64, got $k")
+    def sign(i: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val projCols = (0 until k).map { j =>
+      val signs = array((0 until dim).map(i => lit(sign(i, j))): _*)
+      val qsum = aggregate(
+        zip_with(col(vecCol), signs,
+          (v, s) => floor(v.cast("double") * s * 1e6 + 0.5).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      qsum.cast("double") / 1e6 * scale
+    }
+    df.select(col(idCol), array(projCols: _*).as("proj"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix (Golub & Van
     * Loan §8.5): rotate away the largest off-diagonal elements until the
     * off-diagonal mass vanishes. Returns (eigenvalues, eigenvector

@@ -344,6 +344,52 @@ class SimilaritySpec extends SparkSpec {
     assert(all == 4L)
   }
 
+  test("jlProject: unit vector reads the sign grid; distances preserved on average") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def sign(i: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    // e_3 scaled by 2: proj_j must be exactly sign(3,j)·2/√k
+    val dim = 16; val k = 4
+    val unit = Seq((1L, Array.tabulate(dim)(i => if (i == 3) 2.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val up = Similarity.jlProject(unit, "vec_id", "embedding", dim, k)
+      .head.getAs[scala.collection.Seq[Double]]("proj")
+    (0 until k).foreach { j =>
+      assert(up(j) == sign(3, j) * 2.0 / math.sqrt(k.toDouble), s"j=$j got ${up(j)}")
+    }
+    // deterministic corpus: squared distances preserved on average (JL
+    // with k=16 is coarse per-pair; the MEAN ratio concentrates)
+    val vecs = (0L until 12L).map(id =>
+      (id, Array.tabulate(64)(i => math.sin(id * 7.0 + i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.jlProject(vecs, "vec_id", "embedding", 64, 16)
+    val both = vecs.join(proj, "vec_id")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding"),
+        r.getAs[scala.collection.Seq[Double]]("proj")))
+    val ratios = for {
+      (i1, e1, p1) <- both; (i2, e2, p2) <- both if i1 < i2
+    } yield {
+      val d0 = math.sqrt(e1.zip(e2).map { case (a, b) =>
+        (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum)
+      val d1 = math.sqrt(p1.zip(p2).map { case (a, b) => (a - b) * (a - b) }.sum)
+      d1 / d0
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.75 && mean < 1.25, s"mean ratio $mean")
+    assert(ratios.forall(r => r > 0.3 && r < 2.2), s"outlier ratio in ${ratios.toSeq}")
+    // bit-identical across partitionings
+    val p7 = Similarity.jlProject(vecs.repartition(7), "vec_id", "embedding", 64, 16)
+      .orderBy("vec_id").collect().map(_.getAs[scala.collection.Seq[Double]]("proj"))
+    val p1b = proj.orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("proj"))
+    assert(p7.toSeq.map(_.toSeq) == p1b.toSeq.map(_.toSeq))
+  }
+
   test("clusterQuality: coincident centroids still report CH/WSS with DB null") {
     import spark.implicits._
     // every centroid pair has zero separation — Davies–Bouldin is undefined
