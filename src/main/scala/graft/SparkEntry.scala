@@ -1799,6 +1799,17 @@ object SparkEntry {
       .select(col("n"), col("tau"), col("w0"), col("w1"), col("w2"),
         round(col("pinball"), 6).as("pinball"))
 
+  /** Decision stump (X259): exact greedy split of scaled line revenue
+    * over two binned candidates — quantity (1..50) and ship month
+    * (1..12); quantity drives revenue, so its split must win. */
+  private def qStump(s: SparkSession, d: String): DataFrame =
+    Models.decisionStump(
+      Tables.lineitem(s, d)
+        .withColumn("v", col("l_extendedprice") / 1000.0)
+        .withColumn("qty_bin", col("l_quantity").cast("long"))
+        .withColumn("month_bin", month(col("l_shipdate").cast("date")).cast("long")),
+      "v", Seq("qty_bin", "month_bin"))
+
   /** Linear SVM (X256): urgent-order classification over the q_quant_reg
     * base — 20 exact hinge-subgradient steps, L2 on the slopes. */
   private def qSvm(s: SparkSession, d: String): DataFrame =
@@ -6475,6 +6486,7 @@ object SparkEntry {
     "q_source_ablation" -> (qSourceAblation _),
     "q_quant_reg" -> (qQuantReg _),
     "q_svm" -> (qSvm _),
+    "q_stump" -> (qStump _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_linreg" -> (qLinReg _),
@@ -7348,6 +7360,46 @@ object SparkEntry {
             ROUND(CAST(okc AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS accuracy
      FROM w20 CROSS JOIN fin CROSS JOIN nb"""
   }
+
+  /** Per-bin exact sufficient statistics + the bounded split scan —
+    * mirrors [[graft.operators.Models.decisionStump]] bit-for-bit (the
+    * argmax orders on the UNROUNDED gain, ties feature/bin asc). */
+  private val stumpOracle: String =
+    """WITH base AS MATERIALIZED (
+           SELECT l_extendedprice / 1000.0 AS v,
+                  CAST(l_quantity AS BIGINT) AS qty_bin,
+                  CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS month_bin
+           FROM lineitem),
+     longf AS (SELECT 'qty_bin' AS feature, qty_bin AS bin,
+                      CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT) AS yq FROM base
+               UNION ALL
+               SELECT 'month_bin', month_bin,
+                      CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT) FROM base),
+     ba AS (SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(yq) AS BIGINT) AS sb
+            FROM longf GROUP BY 1, 2),
+     cum AS (SELECT feature, bin, nb, sb,
+                    CAST(SUM(nb) OVER w AS BIGINT) AS nl,
+                    CAST(SUM(sb) OVER w AS BIGINT) AS sl,
+                    CAST(SUM(nb) OVER wa AS BIGINT) AS nt,
+                    CAST(SUM(sb) OVER wa AS BIGINT) AS st
+             FROM ba
+             WINDOW w AS (PARTITION BY feature ORDER BY bin),
+                    wa AS (PARTITION BY feature)),
+     cand AS (SELECT *,
+                     CAST(sl AS DOUBLE) / 1e6 AS sld,
+                     CAST(st - sl AS DOUBLE) / 1e6 AS srd,
+                     CAST(st AS DOUBLE) / 1e6 AS std
+              FROM cum WHERE nl < nt),
+     g AS (SELECT *,
+                  sld * sld / CAST(nl AS DOUBLE) + srd * srd / CAST(nt - nl AS DOUBLE)
+                    - std * std / CAST(nt AS DOUBLE) AS gain
+           FROM cand)
+     SELECT nt AS n, feature, bin AS split_bin, nl AS n_left, nt - nl AS n_right,
+            ROUND(sld / CAST(nl AS DOUBLE), 6) AS mean_left,
+            ROUND(srd / CAST(nt - nl AS DOUBLE), 6) AS mean_right,
+            ROUND(gain, 6) AS gain
+     FROM g ORDER BY gain DESC, feature, bin LIMIT 1"""
 
   /** Replays the md5-sign JL projection and both quantized-long distance
     * sums over the 16-vector probe set — mirrors
@@ -11548,6 +11600,7 @@ object SparkEntry {
     "q_quant_reg" -> quantRegOracle,
     "q_svm" -> svmOracle,
     "q_jl_distortion" -> jlDistortionOracle,
+    "q_stump" -> stumpOracle,
     // exact-ratio leave-one-source-out means from one aggregate —
     // mirrors Quality.sourceAblation
     "q_source_ablation" ->

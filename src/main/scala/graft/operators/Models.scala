@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** In-engine model TRAINING loops — the distributed fitting step of the
@@ -144,6 +145,63 @@ object Models {
       col("n") +: lit(tau).as("tau") +:
         (0 until k).map(j => lit(wq(j) / 1e9).as(s"w$j")) :+
         (col("__pb").cast("double") / 1e6 / col("n").cast("double")).as("pinball"): _*)
+  }
+
+  /** Regression decision stump with an EXACT distributed greedy split —
+    * the one-node CART member beside the linear fits (and the kernel of
+    * every histogram-based boosted-tree trainer: per-bin sufficient
+    * statistics, then a bounded split scan): for each candidate feature
+    * (pre-binned to integers by the caller — the XGBoost/LightGBM
+    * histogram contract, cardinality ≤ a few thousand by contract), ONE
+    * partial aggregate collects per-bin (count, Σ floor(y·1e6+0.5)) exact
+    * longs; cumulative left-side sums ride a per-feature window over the
+    * BOUNDED bin table; the variance-reduction gain
+    * S_L²/n_L + S_R²/n_R − S²/n (in 1e-6-unit doubles, a fixed IEEE
+    * chain on exact longs) ranks every (feature, split) candidate, ties
+    * broken (feature asc, bin asc). Split semantics: bin ≤ split_bin
+    * goes left; the last bin of a feature is never a split (empty right
+    * side); a feature with one populated bin contributes no candidate —
+    * all-constant input yields ZERO rows.
+    *
+    * Returns ONE row: (n, feature, split_bin, n_left, n_right,
+    * mean_left, mean_right, gain). */
+  def decisionStump(
+      df: DataFrame,
+      valueCol: String,
+      binCols: Seq[String]): DataFrame = {
+    require(binCols.nonEmpty, "at least one binned feature required")
+    val long = df.select(
+      floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long").as("__yq"),
+      explode(array(binCols.map(f =>
+        struct(lit(f).as("feature"), col(f).cast("long").as("bin"))): _*)).as("__f"))
+      .select(col("__f.feature").as("feature"), col("__f.bin").as("bin"), col("__yq"))
+    val binAgg = long.groupBy("feature", "bin").agg(
+      count(lit(1)).as("nb"), sum(col("__yq")).as("sb"))
+    // bounded per-feature windows: bin cardinality is the caller's contract
+    val w = Window.partitionBy("feature").orderBy("bin")
+    val wAll = Window.partitionBy("feature")
+    val cand = binAgg
+      .withColumn("nl", sum(col("nb")).over(w))
+      .withColumn("sl", sum(col("sb")).over(w))
+      .withColumn("nt", sum(col("nb")).over(wAll))
+      .withColumn("st", sum(col("sb")).over(wAll))
+      .filter(col("nl") < col("nt"))
+    val sld = col("sl").cast("double") / 1e6
+    val srd = (col("st") - col("sl")).cast("double") / 1e6
+    val std = col("st").cast("double") / 1e6
+    val gain = sld * sld / col("nl").cast("double") +
+      srd * srd / (col("nt") - col("nl")).cast("double") -
+      std * std / col("nt").cast("double")
+    cand.select(
+      col("nt").as("n"), col("feature"), col("bin").as("split_bin"),
+      col("nl").as("n_left"), (col("nt") - col("nl")).as("n_right"),
+      round(sld / col("nl").cast("double"), 6).as("mean_left"),
+      round(srd / (col("nt") - col("nl")).cast("double"), 6).as("mean_right"),
+      round(gain, 6).as("gain"),
+      gain.as("__g"))
+      .orderBy(col("__g").desc, col("feature"), col("split_bin"))
+      .limit(1)
+      .drop("__g")
   }
 
   /** Linear SVM by a FIXED quantized hinge-subgradient schedule — the

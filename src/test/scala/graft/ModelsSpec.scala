@@ -94,6 +94,29 @@ class ModelsSpec extends SparkSpec {
     assert(qr7.getAs[Double]("pinball") == qr.getAs[Double]("pinball"))
   }
 
+  test("decisionStump: finds the planted step, beats the weak feature; constants drop") {
+    // y steps 10 → 20 exactly at good ≤ 5; weak is pure noise-free junk
+    val data = (0 until 200).map { i =>
+      val good = i % 10L
+      (if (good <= 5) 10.0 else 20.0, good, i % 3L)
+    }
+    val df = data.toDF("y", "good", "weak").repartition(4)
+    val got = Models.decisionStump(df, "y", Seq("good", "weak")).head
+    assert(got.getAs[String]("feature") == "good")
+    assert(got.getAs[Long]("split_bin") == 5L)
+    assert(got.getAs[Long]("n_left") == 120L && got.getAs[Long]("n_right") == 80L)
+    assert(got.getAs[Double]("mean_left") == 10.0)
+    assert(got.getAs[Double]("mean_right") == 20.0)
+    assert(got.getAs[Double]("gain") > 0)
+    // partition invariance
+    val g7 = Models.decisionStump(df.repartition(7), "y", Seq("good", "weak")).head
+    assert(g7.getAs[Long]("split_bin") == 5L &&
+      g7.getAs[Double]("gain") == got.getAs[Double]("gain"))
+    // all-constant features: no candidate survives
+    val const = (0 until 10).map(i => (i.toDouble, 1L)).toDF("y", "c")
+    assert(Models.decisionStump(const, "y", Seq("c")).count() == 0L)
+  }
+
   test("svmHinge: separates a margin-split design; L2 shrinks slopes; invariant") {
     // +1 above the line x1 + x2 = 1 (with a clear margin), −1 below
     val data = for (i <- 0 until 12; j <- 0 until 12; s = (i + j) / 11.0 - 1.0
