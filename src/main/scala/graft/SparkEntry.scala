@@ -1810,6 +1810,17 @@ object SparkEntry {
         .withColumn("month_bin", month(col("l_shipdate").cast("date")).cast("long")),
       "v", Seq("qty_bin", "month_bin"))
 
+  /** Gradient-boosted stumps (X260): two ν=0.5 rounds on the q_stump
+    * design — round 1 must pick quantity; round 2 re-splits the residual. */
+  private def qGbStumps(s: SparkSession, d: String): DataFrame =
+    Models.gbStumps(
+      Tables.lineitem(s, d)
+        .withColumn("v", col("l_extendedprice") / 1000.0)
+        .withColumn("qty_bin", col("l_quantity").cast("long"))
+        .withColumn("month_bin", month(col("l_shipdate").cast("date")).cast("long")),
+      "v", Seq("qty_bin", "month_bin"), rounds = 2, shrinkage = 0.5)
+      .orderBy("round")
+
   /** Linear SVM (X256): urgent-order classification over the q_quant_reg
     * base — 20 exact hinge-subgradient steps, L2 on the slopes. */
   private def qSvm(s: SparkSession, d: String): DataFrame =
@@ -6487,6 +6498,7 @@ object SparkEntry {
     "q_quant_reg" -> (qQuantReg _),
     "q_svm" -> (qSvm _),
     "q_stump" -> (qStump _),
+    "q_gb_stumps" -> (qGbStumps _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_linreg" -> (qLinReg _),
@@ -7400,6 +7412,73 @@ object SparkEntry {
             ROUND(srd / CAST(nt - nl AS DOUBLE), 6) AS mean_right,
             ROUND(gain, 6) AS gain
      FROM g ORDER BY gain DESC, feature, bin LIMIT 1"""
+
+  /** Two unrolled boosting rounds over the q_stump design: each round's
+    * split search, leaf means, residual update, and quantized MSE replay
+    * [[graft.operators.Models.gbStumps]] bit-for-bit (win CTEs
+    * MATERIALIZED — each is referenced by both res$r and the readout). */
+  private val gbStumpsOracle: String = {
+    def roundCtes(r: Int) = {
+      val prev = s"res${r - 1}"
+      s""",
+     lf$r AS (SELECT 'qty_bin' AS feature, qty_bin AS bin,
+                     CAST(FLOOR(res * 1e6 + 0.5) AS BIGINT) AS yq FROM $prev
+              UNION ALL
+              SELECT 'month_bin', month_bin,
+                     CAST(FLOOR(res * 1e6 + 0.5) AS BIGINT) FROM $prev),
+     ba$r AS (SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS nb,
+                     CAST(SUM(yq) AS BIGINT) AS sb FROM lf$r GROUP BY 1, 2),
+     cum$r AS (SELECT feature, bin,
+                      CAST(SUM(nb) OVER w AS BIGINT) AS nl,
+                      CAST(SUM(sb) OVER w AS BIGINT) AS sl,
+                      CAST(SUM(nb) OVER wa AS BIGINT) AS nt,
+                      CAST(SUM(sb) OVER wa AS BIGINT) AS st
+               FROM ba$r
+               WINDOW w AS (PARTITION BY feature ORDER BY bin),
+                      wa AS (PARTITION BY feature)),
+     g$r AS (SELECT *, CAST(sl AS DOUBLE) / 1e6 AS sld,
+                    CAST(st - sl AS DOUBLE) / 1e6 AS srd,
+                    CAST(st AS DOUBLE) / 1e6 AS std
+             FROM cum$r WHERE nl < nt),
+     win$r AS MATERIALIZED (
+             SELECT feature, bin, nl, sl, nt, st,
+                    CAST(sl AS DOUBLE) / 1e6 / CAST(nl AS DOUBLE) AS ml,
+                    CAST(st - sl AS DOUBLE) / 1e6 / CAST(nt - nl AS DOUBLE) AS mr
+             FROM g$r
+             ORDER BY sld * sld / CAST(nl AS DOUBLE) + srd * srd / CAST(nt - nl AS DOUBLE)
+                      - std * std / CAST(nt AS DOUBLE) DESC, feature, bin
+             LIMIT 1),
+     res$r AS MATERIALIZED (
+             SELECT qty_bin, month_bin,
+                    res - 0.5 * (CASE WHEN (CASE WHEN win$r.feature = 'qty_bin'
+                                                 THEN qty_bin ELSE month_bin END) <= win$r.bin
+                                      THEN ml ELSE mr END) AS res
+             FROM $prev CROSS JOIN win$r),
+     sse$r AS (SELECT CAST(SUM(CAST(FLOOR(res * res * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+               FROM res$r)"""
+    }
+    def readout(r: Int) =
+      s"""SELECT $r AS round, feature, bin AS split_bin, nl AS n_left, nt - nl AS n_right,
+            ROUND(0.5 * ml, 6) AS delta_left, ROUND(0.5 * mr, 6) AS delta_right,
+            ROUND(CAST(sse$r.sq AS DOUBLE) / 1e6 / CAST(nb0.n AS DOUBLE), 6) AS mse
+     FROM win$r CROSS JOIN sse$r CROSS JOIN nb0"""
+    s"""WITH base AS MATERIALIZED (
+           SELECT l_extendedprice / 1000.0 AS v,
+                  CAST(l_quantity AS BIGINT) AS qty_bin,
+                  CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS month_bin
+           FROM lineitem),
+     nb0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+             FROM base),
+     res0 AS MATERIALIZED (
+             SELECT qty_bin, month_bin,
+                    v - CAST(sq AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS res
+             FROM base CROSS JOIN nb0)${roundCtes(1)}${roundCtes(2)}
+     ${readout(1)}
+     UNION ALL
+     ${readout(2)}
+     ORDER BY round"""
+  }
 
   /** Replays the md5-sign JL projection and both quantized-long distance
     * sums over the 16-vector probe set — mirrors
@@ -11601,6 +11680,7 @@ object SparkEntry {
     "q_svm" -> svmOracle,
     "q_jl_distortion" -> jlDistortionOracle,
     "q_stump" -> stumpOracle,
+    "q_gb_stumps" -> gbStumpsOracle,
     // exact-ratio leave-one-source-out means from one aggregate —
     // mirrors Quality.sourceAblation
     "q_source_ablation" ->

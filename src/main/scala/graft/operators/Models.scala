@@ -169,9 +169,26 @@ object Models {
       df: DataFrame,
       valueCol: String,
       binCols: Seq[String]): DataFrame = {
+    val best = stumpBest(df, col(valueCol).cast("double"), binCols)
+    val sld = col("sl").cast("double") / 1e6
+    val srd = (col("st") - col("sl")).cast("double") / 1e6
+    best.select(
+      col("nt").as("n"), col("feature"), col("bin").as("split_bin"),
+      col("nl").as("n_left"), (col("nt") - col("nl")).as("n_right"),
+      round(sld / col("nl").cast("double"), 6).as("mean_left"),
+      round(srd / (col("nt") - col("nl")).cast("double"), 6).as("mean_right"),
+      round(col("__g"), 6).as("gain"))
+  }
+
+  /** The exact split-search kernel shared by [[decisionStump]] and
+    * [[gbStumps]]: ONE row — (feature, bin, nl, sl, nt, st exact longs,
+    * __g the unrounded gain), argmax over every (feature, split)
+    * candidate with (feature, bin)-ascending ties. `value` may be any
+    * deterministic double expression (residuals included). */
+  private def stumpBest(df: DataFrame, value: Column, binCols: Seq[String]): DataFrame = {
     require(binCols.nonEmpty, "at least one binned feature required")
     val long = df.select(
-      floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long").as("__yq"),
+      floor(value * 1e6 + 0.5).cast("long").as("__yq"),
       explode(array(binCols.map(f =>
         struct(lit(f).as("feature"), col(f).cast("long").as("bin"))): _*)).as("__f"))
       .select(col("__f.feature").as("feature"), col("__f.bin").as("bin"), col("__yq"))
@@ -192,16 +209,71 @@ object Models {
     val gain = sld * sld / col("nl").cast("double") +
       srd * srd / (col("nt") - col("nl")).cast("double") -
       std * std / col("nt").cast("double")
-    cand.select(
-      col("nt").as("n"), col("feature"), col("bin").as("split_bin"),
-      col("nl").as("n_left"), (col("nt") - col("nl")).as("n_right"),
-      round(sld / col("nl").cast("double"), 6).as("mean_left"),
-      round(srd / (col("nt") - col("nl")).cast("double"), 6).as("mean_right"),
-      round(gain, 6).as("gain"),
-      gain.as("__g"))
-      .orderBy(col("__g").desc, col("feature"), col("split_bin"))
+    cand.select(col("feature"), col("bin"), col("nl"), col("sl"),
+        col("nt"), col("st"), gain.as("__g"))
+      .orderBy(col("__g").desc, col("feature"), col("bin"))
       .limit(1)
-      .drop("__g")
+  }
+
+  /** Gradient-boosted regression stumps (squared loss, `rounds` rounds at
+    * shrinkage ν) — the ensemble member the [[decisionStump]] kernel
+    * exists for: F₀ = the exact-ratio global mean; each round fits the
+    * stump to the CURRENT residual and updates
+    * F_r = F_{r−1} + ν·(mean_left | mean_right). The driver paces the
+    * loop (one bounded argmax collect per round — the BPE/k-means
+    * precedent) while all data passes stay distributed; residuals are a
+    * deterministic IEEE chain on exact-long stump statistics, so every
+    * round — and the per-round quantized training MSE — replays in SQL.
+    *
+    * Returns `rounds` rows: (round, feature, split_bin, n_left, n_right,
+    * delta_left, delta_right, mse) — deltas are the ν-scaled leaf
+    * updates, mse the post-round quantized mean squared residual. */
+  def gbStumps(
+      df: DataFrame,
+      valueCol: String,
+      binCols: Seq[String],
+      rounds: Int = 2,
+      shrinkage: Double = 0.5): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in 1..8, got $rounds")
+    require(shrinkage > 0 && shrinkage <= 1, s"shrinkage must be in (0,1], got $shrinkage")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      (col(valueCol).cast("double").as("__v") +:
+        binCols.map(f => col(f).cast("long").as(f))): _*)
+    val m0row = base.agg(
+      count(lit(1)).as("n"),
+      sum(floor(col("__v") * 1e6 + 0.5).cast("long")).as("sq"))
+      .head()
+    val n = m0row.getAs[Long]("n")
+    require(n > 0, "cannot fit on an empty DataFrame")
+    val mean0 = m0row.getAs[Long]("sq").toDouble / 1e6 / n.toDouble
+    var resid: Column = col("__v") - lit(mean0)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, Long, Double, Double, Double)]
+    for (r <- 1 to rounds) {
+      val bst = stumpBest(base, resid, binCols).head()
+      val feat = bst.getAs[String]("feature")
+      val split = bst.getAs[Long]("bin")
+      val nl = bst.getAs[Long]("nl"); val nt = bst.getAs[Long]("nt")
+      val sl = bst.getAs[Long]("sl"); val st = bst.getAs[Long]("st")
+      val ml = sl.toDouble / 1e6 / nl.toDouble
+      val mr = (st - sl).toDouble / 1e6 / (nt - nl).toDouble
+      resid = resid - lit(shrinkage) *
+        when(col(feat) <= lit(split), lit(ml)).otherwise(lit(mr))
+      val sseq = base.agg(
+        sum(floor(resid * resid * 1e6 + 0.5).cast("long")).as("sseq"))
+        .head().getAs[Long]("sseq")
+      out += ((r, feat, split, nl, nt - nl,
+        shrinkage * ml, shrinkage * mr, sseq.toDouble / 1e6 / n.toDouble))
+    }
+    out.toSeq.toDF("round", "feature", "split_bin", "n_left", "n_right",
+      "__dl", "__dr", "__mse")
+      .select(col("round"), col("feature"), col("split_bin"),
+        col("n_left"), col("n_right"),
+        round(col("__dl"), 6).as("delta_left"),
+        round(col("__dr"), 6).as("delta_right"),
+        round(col("__mse"), 6).as("mse"))
   }
 
   /** Linear SVM by a FIXED quantized hinge-subgradient schedule — the

@@ -117,6 +117,27 @@ class ModelsSpec extends SparkSpec {
     assert(Models.decisionStump(const, "y", Seq("c")).count() == 0L)
   }
 
+  test("gbStumps: two rounds peel the two planted effects to zero MSE; invariant") {
+    // y = 10·1{a>2} + 4·1{b>1} on a balanced grid: round 1 must split a at
+    // 2 (gain 25 vs 4), round 2 mops up b at 1, residual exactly zero
+    val data = for (a <- 0L until 6L; b <- 0L until 4L; _ <- 0 until 3)
+      yield ((if (a > 2) 10.0 else 0.0) + (if (b > 1) 4.0 else 0.0), a, b)
+    val df = data.toDF("y", "a", "b").repartition(4)
+    val got = Models.gbStumps(df, "y", Seq("a", "b"), rounds = 2, shrinkage = 1.0)
+      .orderBy("round").collect()
+    assert(got.length == 2)
+    val r1 = got(0); val r2 = got(1)
+    assert(r1.getAs[String]("feature") == "a" && r1.getAs[Long]("split_bin") == 2L)
+    assert(r1.getAs[Double]("delta_left") == -5.0 && r1.getAs[Double]("delta_right") == 5.0)
+    assert(r2.getAs[String]("feature") == "b" && r2.getAs[Long]("split_bin") == 1L)
+    assert(r2.getAs[Double]("delta_left") == -2.0 && r2.getAs[Double]("delta_right") == 2.0)
+    assert(r2.getAs[Double]("mse") == 0.0)
+    assert(r1.getAs[Double]("mse") == 4.0) // residual ±2 everywhere after round 1
+    val g7 = Models.gbStumps(df.repartition(7), "y", Seq("a", "b"),
+      rounds = 2, shrinkage = 1.0).orderBy("round").collect()
+    assert(g7.map(_.getAs[Double]("mse")).toSeq == got.map(_.getAs[Double]("mse")).toSeq)
+  }
+
   test("svmHinge: separates a margin-split design; L2 shrinks slopes; invariant") {
     // +1 above the line x1 + x2 = 1 (with a clear margin), −1 below
     val data = for (i <- 0 until 12; j <- 0 until 12; s = (i + j) / 11.0 - 1.0
