@@ -1799,6 +1799,17 @@ object SparkEntry {
       .select(col("n"), col("tau"), col("w0"), col("w1"), col("w2"),
         round(col("pinball"), 6).as("pinball"))
 
+  /** Portable Soundex blocking audit (X261): phonetic code of each part
+    * name's first word → block sizes. Pins the whole encoder chain
+    * cross-engine across the real ~90-word color vocabulary. */
+  private def qSoundexBlocks(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("w", element_at(split(col("p_name"), " "), 1))
+      .withColumn("code", FuzzyMatch.soundexCode(col("w")))
+      .groupBy("code")
+      .agg(count(lit(1)).as("parts"), countDistinct(col("w")).as("words"))
+      .orderBy("code")
+
   /** Decision stump (X259): exact greedy split of scaled line revenue
     * over two binned candidates — quantity (1..50) and ship month
     * (1..12); quantity drives revenue, so its split must win. */
@@ -6499,6 +6510,7 @@ object SparkEntry {
     "q_svm" -> (qSvm _),
     "q_stump" -> (qStump _),
     "q_gb_stumps" -> (qGbStumps _),
+    "q_soundex_blocks" -> (qSoundexBlocks _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_linreg" -> (qLinReg _),
@@ -7371,6 +7383,36 @@ object SparkEntry {
             ROUND(CAST(hq AS DOUBLE)/1e6/CAST(nn AS DOUBLE), 6) AS hinge,
             ROUND(CAST(okc AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS accuracy
      FROM w20 CROSS JOIN fin CROSS JOIN nb"""
+  }
+
+  /** Replays the backreference-free Soundex chain (strip → translate →
+    * per-digit H/W collapse → drop 7s → per-digit adjacent dedup → peel
+    * the first code → drop 0s → pad) — mirrors
+    * [[graft.operators.FuzzyMatch.soundexCode]] verbatim; every regex is
+    * RE2-safe and every replace carries the 'g' flag (DuckDB replaces
+    * only the first match otherwise). */
+  private val soundexBlocksOracle: String = {
+    val hw = (1 to 6).foldLeft("fl")((s, d) =>
+      s"regexp_replace($s, '${d}7+$d', '$d', 'g')")
+    val dedup = (0 to 6).foldLeft("no7")((s, d) =>
+      s"regexp_replace($s, '$d$d+', '$d', 'g')")
+    s"""WITH w AS (SELECT split_part(p_name, ' ', 1) AS w FROM part),
+     c AS (SELECT w,
+            upper(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS letters,
+            translate(letters, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               '01230127022455012623017202') AS fl,
+            $hw AS hw,
+            regexp_replace(hw, '7', '', 'g') AS no7,
+            $dedup AS dd,
+            CASE WHEN substr(fl, 1, 1) = '7' THEN dd ELSE substr(dd, 2) END AS tail,
+            regexp_replace(tail, '0', '', 'g') AS digits,
+            CASE WHEN length(letters) > 0
+                 THEN substr(letters, 1, 1) || rpad(substr(digits, 1, 3), 3, '0')
+            END AS code
+           FROM w)
+     SELECT code, CAST(COUNT(*) AS BIGINT) AS parts,
+            CAST(COUNT(DISTINCT w) AS BIGINT) AS words
+     FROM c GROUP BY code ORDER BY code"""
   }
 
   /** Per-bin exact sufficient statistics + the bounded split scan —
@@ -11681,6 +11723,7 @@ object SparkEntry {
     "q_jl_distortion" -> jlDistortionOracle,
     "q_stump" -> stumpOracle,
     "q_gb_stumps" -> gbStumpsOracle,
+    "q_soundex_blocks" -> soundexBlocksOracle,
     // exact-ratio leave-one-source-out means from one aggregate —
     // mirrors Quality.sourceAblation
     "q_source_ablation" ->

@@ -169,4 +169,54 @@ object FuzzyMatch {
       .filter((col("__rb") - col("__ra")).between(1L, gap))
       .select(col("id1"), col("id2"), (col("__rb") - col("__ra")).as("dist"))
   }
+
+  /** Portable American Soundex — the classic phonetic BLOCKING key of
+    * record linkage (same sound, different spelling ⇒ same block), built
+    * as a pure codegen'd column chain so ANY engine derives the identical
+    * code: strip non-letters, translate letters to digit codes (H/W → 7),
+    * collapse same-code-across-H/W runs, drop the 7s, collapse adjacent
+    * repeats, drop the first letter's own code and the vowel 0s, then
+    * letter + first 3 digits zero-padded. Each collapse is a chain of
+    * per-digit `d7+d` / `dd+` replaces — NO regex backreferences, because
+    * RE2-based engines (DuckDB et al.) don't support them, and the whole
+    * point of this variant over the JVM-private builtin is that the SQL
+    * oracle replays it verbatim. Deviations from `soundex()` are
+    * documented contract: non-letters are stripped BEFORE coding (the
+    * builtin resets its run state on them), and all-non-letter input
+    * yields NULL (the builtin echoes the input).
+    *
+    * NARA classics pinned in spec: Tymczak→T522, Pfister→P236,
+    * Honeyman→H555, Robert/Rupert→R163. */
+  def soundexCode(c: Column): Column = {
+    val letters = upper(regexp_replace(c, "[^A-Za-z]", ""))
+    val full = translate(letters,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230127022455012623017202")
+    val hw = (1 to 6).foldLeft(full)((s, d) =>
+      regexp_replace(s, s"${d}7+$d", d.toString))
+    val no7 = regexp_replace(hw, "7", "")
+    val dedup = (0 to 6).foldLeft(no7)((s, d) =>
+      regexp_replace(s, s"$d$d+", d.toString))
+    // the first letter's code leads the string unless it was an H/W (a 7,
+    // already dropped) — peel exactly that one code before the readout
+    val tail = when(substring(full, 1, 1) === "7", dedup)
+      .otherwise(substring(dedup, 2, 1000000))
+    val digits = regexp_replace(tail, "0", "")
+    when(length(letters) > 0,
+      concat(substring(letters, 1, 1), rpad(substring(digits, 1, 3), 3, "0")))
+  }
+
+  /** Phonetic blocked join: equi-join `left` and `right` on the
+    * [[soundexCode]] of their name columns — the O(n) blocking pass that
+    * replaces the quadratic all-pairs comparison in a linkage pipeline
+    * (compose with [[linkageScore]] downstream). A plain co-partitioned
+    * hash join on a 4-char key; block skew is bounded by the phonetic
+    * alphabet and the caller's name distribution. */
+  def phoneticBlockJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftName: String,
+      rightName: String): DataFrame =
+    left.withColumn("soundex_key", soundexCode(col(leftName)))
+      .join(right.withColumn("soundex_key", soundexCode(col(rightName))),
+        "soundex_key")
 }

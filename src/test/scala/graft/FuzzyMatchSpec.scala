@@ -111,6 +111,34 @@ class FuzzyMatchSpec extends SparkSpec {
       (40L, 50L, 1L)))
   }
 
+  test("soundexCode: NARA classics, H/W rules, first-letter dedup, null edge") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "Tymczak" -> "T522", "Pfister" -> "P236", "Honeyman" -> "H555",
+      "Robert" -> "R163", "Rupert" -> "R163", "Ashcraft" -> "A261",
+      "Washington" -> "W252", "Gutierrez" -> "G362", "Jackson" -> "J250",
+      "PHP" -> "P000",     // same code across H collapses, even vs letter 1
+      "BAB" -> "B100",     // vowel-separated repeat stays
+      "HN" -> "H500",      // H first letter: its 7 never peels a real code
+      "O'Brien-2" -> "O165") // non-letters stripped before coding
+    val df = rows.map(_._1).toDF("name")
+    val got = df.select(col("name"),
+        FuzzyMatch.soundexCode(col("name")).as("code"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach { case (n, want) =>
+      assert(got(n) == want, s"$n: got ${got(n)}, want $want")
+    }
+    val empty = Seq("123", "").toDF("name")
+      .select(FuzzyMatch.soundexCode(col("name"))).collect()
+    assert(empty.forall(_.isNullAt(0)))
+    // blocking join pairs the homophones and nothing else
+    val l = Seq((1L, "Robert"), (2L, "Tymczak")).toDF("id1", "n1")
+    val r = Seq((10L, "Rupert"), (20L, "Gutierrez")).toDF("id2", "n2")
+    val pairs = FuzzyMatch.phoneticBlockJoin(l, r, "n1", "n2")
+      .select("id1", "id2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 10L)))
+  }
+
   test("sortedNeighborhoodPairs: pair count is exactly sum over gaps on larger input") {
     val n = 200
     val w = 5
