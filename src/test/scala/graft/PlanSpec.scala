@@ -737,4 +737,52 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  // ---- the r9 fitting wave (quantile/SVM/AR/JL/stumps/soundex).
+
+  test("subgradient fits (quantreg, svm) stay single partial-agg scans per step") {
+    for (q <- Seq("q_quant_reg", "q_svm")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q readout must map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("Window"), s"$q must not grow a window:\n$p")
+    }
+  }
+
+  test("AR forecast: one per-key window pass, one partial agg, no cartesian") {
+    val p = plan(SparkEntry.queries("q_ar_forecast")(spark, sf))
+    assert("""\(\d+\) Window""".r.findAllIn(p).size <= 2,
+      s"lags + row numbers must share the key window pass:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("JL distortion: projection is pure scalar ops; only the bounded probe pairs loop") {
+    val p = plan(SparkEntry.queries("q_jl_distortion")(spark, sf))
+    assert(!p.contains("SortMergeJoin"), s"probe pairing must not shuffle-join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the projection must not shuffle:\n$p")
+  }
+
+  test("stump family: per-bin partial aggs, bounded-bin windows, bounded argmax") {
+    for (q <- Seq("q_stump", "q_gb_stumps")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    val p = plan(SparkEntry.queries("q_stump")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bin stats must map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the argmax must be the bounded top-1, not a global sort:\n$p")
+  }
+
+  test("soundex blocks: codegen'd scalar chain into one combined aggregate") {
+    val p = plan(SparkEntry.queries("q_soundex_blocks")(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"),
+      s"the encoder must stay pure column ops:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(p.contains("regexp_replace"),
+      s"the chain must inline as scalar expressions, not a UDF:\n$p")
+  }
 }
