@@ -1799,6 +1799,27 @@ object SparkEntry {
       .select(col("n"), col("tau"), col("w0"), col("w1"), col("w2"),
         round(col("pinball"), 6).as("pinball"))
 
+  /** Kish survey readout (X262): acctbal-derived weights over scaled
+    * order totals — weighted mean, effective n, design effect, SE. */
+  private def qKish(s: SparkSession, d: String): DataFrame =
+    Sketches.kishWeightedMean(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("y", col("o_totalprice") / 1000.0)
+        .withColumn("w", (col("c_acctbal") + 1000.0) / 1000.0),
+      "y", "w")
+
+  /** Delete-a-group jackknife (X263): SE of the mean scaled order total
+    * with customer nations as the 25 survey PSUs. */
+  private def qJackknife(s: SparkSession, d: String): DataFrame =
+    Sketches.jackknifeGroupSe(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("y", col("o_totalprice") / 1000.0),
+      "y", "c_nationkey")
+
   /** Portable Soundex blocking audit (X261): phonetic code of each part
     * name's first word → block sizes. Pins the whole encoder chain
     * cross-engine across the real ~90-word color vocabulary. */
@@ -6511,6 +6532,8 @@ object SparkEntry {
     "q_stump" -> (qStump _),
     "q_gb_stumps" -> (qGbStumps _),
     "q_soundex_blocks" -> (qSoundexBlocks _),
+    "q_kish" -> (qKish _),
+    "q_jackknife" -> (qJackknife _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
     "q_linreg" -> (qLinReg _),
@@ -7414,6 +7437,73 @@ object SparkEntry {
             CAST(COUNT(DISTINCT w) AS BIGINT) AS words
      FROM c GROUP BY code ORDER BY code"""
   }
+
+  /** One quantized-moment aggregate + the Kish fixed IEEE chains —
+    * mirrors [[graft.operators.Sketches.kishWeightedMean]] bit-for-bit. */
+  private val kishOracle: String =
+    """WITH base AS (SELECT o_totalprice / 1000.0 AS y,
+                  (c_acctbal + 1000.0) / 1000.0 AS w
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+     a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(FLOOR(w * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sw,
+            CAST(SUM(CAST(FLOOR(w * y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS swy,
+            CAST(SUM(CAST(FLOOR(w * w * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sww,
+            CAST(SUM(CAST(FLOOR(w * y * y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS swyy
+           FROM base),
+     m AS (SELECT n, sw,
+            CAST(sw AS DOUBLE) / 1e6 AS swd,
+            CAST(swy AS DOUBLE) / 1e6 AS swyd,
+            CAST(sww AS DOUBLE) / 1e6 AS swwd,
+            CAST(swyy AS DOUBLE) / 1e6 AS swyyd
+           FROM a),
+     r AS (SELECT n, sw,
+            swyd / swd AS mean_w,
+            swd * swd / swwd AS eff_n,
+            GREATEST(CAST(0 AS DOUBLE), (swyyd - swyd * swyd / swd) / swd) AS var_w
+           FROM m)
+     SELECT n,
+            CASE WHEN sw > 0 THEN ROUND(mean_w, 6) END AS mean_w,
+            CASE WHEN sw > 0 THEN ROUND(eff_n, 6) END AS eff_n,
+            CASE WHEN sw > 0 THEN ROUND(CAST(n AS DOUBLE) / eff_n, 6) END AS deff,
+            CASE WHEN sw > 0 THEN ROUND(SQRT(var_w / eff_n), 6) END AS se
+     FROM r"""
+
+  /** Bounded group aggregate → leave-one-group-out means re-quantized to
+    * 1e-9 longs → the (G−1)/G deviation sum — mirrors
+    * [[graft.operators.Sketches.jackknifeGroupSe]] bit-for-bit. */
+  private val jackknifeOracle: String =
+    """WITH base AS (SELECT o_totalprice / 1000.0 AS y, c_nationkey AS g
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+     ga AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sg
+            FROM base GROUP BY 1),
+     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS grps, CAST(SUM(ng) AS BIGINT) AS n,
+                    CAST(SUM(sg) AS BIGINT) AS s FROM ga),
+     tq AS MATERIALIZED (
+            SELECT ga.ng, ga.sg, tot.grps, tot.n, tot.s,
+                   CAST(FLOOR((CASE WHEN tot.n > ga.ng
+                                    THEN CAST(tot.s - ga.sg AS DOUBLE) / 1e6
+                                         / CAST(tot.n - ga.ng AS DOUBLE) END)
+                              * 1e9 + 0.5) AS BIGINT) AS tqv
+            FROM ga CROSS JOIN tot),
+     red AS MATERIALIZED (
+            SELECT MAX(grps) AS grps, MAX(n) AS n, MAX(s) AS s,
+                   CAST(SUM(tqv) AS BIGINT) AS tsum,
+                   CAST(SUM(CASE WHEN tqv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls
+            FROM tq),
+     dev AS (SELECT CAST(SUM(CAST(FLOOR(
+                      (CAST(tqv AS DOUBLE) / 1e9
+                         - CAST(red.tsum AS DOUBLE) / 1e9 / CAST(red.grps AS DOUBLE))
+                      * (CAST(tqv AS DOUBLE) / 1e9
+                         - CAST(red.tsum AS DOUBLE) / 1e9 / CAST(red.grps AS DOUBLE))
+                      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sd
+             FROM tq CROSS JOIN red)
+     SELECT red.grps AS groups, red.n,
+            ROUND(CAST(red.s AS DOUBLE) / 1e6 / CAST(red.n AS DOUBLE), 6) AS mean,
+            CASE WHEN red.nulls = 0 AND red.grps > 1 THEN
+              ROUND(SQRT((CAST(red.grps AS DOUBLE) - 1.0) / CAST(red.grps AS DOUBLE)
+                         * (CAST(dev.sd AS DOUBLE) / 1e9)), 6) END AS se_jack
+     FROM red CROSS JOIN dev"""
 
   /** Per-bin exact sufficient statistics + the bounded split scan —
     * mirrors [[graft.operators.Models.decisionStump]] bit-for-bit (the
@@ -11724,6 +11814,8 @@ object SparkEntry {
     "q_stump" -> stumpOracle,
     "q_gb_stumps" -> gbStumpsOracle,
     "q_soundex_blocks" -> soundexBlocksOracle,
+    "q_kish" -> kishOracle,
+    "q_jackknife" -> jackknifeOracle,
     // exact-ratio leave-one-source-out means from one aggregate —
     // mirrors Quality.sourceAblation
     "q_source_ablation" ->

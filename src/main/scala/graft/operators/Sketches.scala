@@ -2916,4 +2916,86 @@ object Sketches {
         (max(col("__nA")) * max(col("__nB"))).cast("double"), dp)
         .as("wasserstein"))
   }
+
+  /** Kish survey readout — weighted mean with the effective sample size
+    * and design effect (Kish 1965: unequal weights inflate variance by
+    * deff = n·Σw²/(Σw)²; n_eff = (Σw)²/Σw² is what the weighted mean is
+    * "really worth"): ONE partial aggregate of per-row quantized longs
+    * (Σfloor(w·1e6+0.5), Σfloor(wy·1e6+0.5), Σfloor(w²·1e6+0.5),
+    * Σfloor(wy²·1e6+0.5)), every readout a fixed IEEE chain — mean_w,
+    * n_eff, deff, and the design-adjusted SE √(s²_w / n_eff) with the
+    * weighted variance clamped at 0 (quantization can push an exact-zero
+    * variance a hair negative). Weights must be positive (caller's
+    * contract; zero total weight ⇒ NULL readouts). */
+  def kishWeightedMean(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val w = col(weightCol).cast("double")
+    def q(c: Column): Column = sum(floor(c * 1e6 + 0.5).cast("long"))
+    val a = df.agg(
+      count(lit(1)).as("n"),
+      q(w).as("__sw"), q(w * y).as("__swy"),
+      q(w * w).as("__sww"), q(w * y * y).as("__swyy"))
+    val swd = col("__sw").cast("double") / 1e6
+    val swyd = col("__swy").cast("double") / 1e6
+    val swwd = col("__sww").cast("double") / 1e6
+    val swyyd = col("__swyy").cast("double") / 1e6
+    val meanW = swyd / swd
+    val effN = swd * swd / swwd
+    val varW = greatest(lit(0.0), (swyyd - swyd * swyd / swd) / swd)
+    a.select(
+      col("n"),
+      when(col("__sw") > 0, round(meanW, 6)).as("mean_w"),
+      when(col("__sw") > 0, round(effN, 6)).as("eff_n"),
+      when(col("__sw") > 0, round(col("n").cast("double") / effN, 6)).as("deff"),
+      when(col("__sw") > 0, round(sqrt(varW / effN), 6)).as("se"))
+  }
+
+  /** Delete-a-group jackknife SE of the mean (Kott 2001's survey
+    * workhorse; the VARIANCE readout on top of X254's leave-one-out
+    * means): per group g, θ₍g₎ = (S−S_g)/(n−n_g) from ONE bounded group
+    * aggregate of exact quantized longs; v_J = (G−1)/G·Σ(θ₍g₎−θ̄)² with
+    * θ₍g₎ re-quantized to 1e-9 longs so the G-row reduction is
+    * partition-invariant. A group holding every row ⇒ its θ₍g₎ is NULL
+    * and the SE degrades to NULL rather than dividing by zero. Group
+    * cardinality is the caller's contract (survey PSUs: dozens). */
+  def jackknifeGroupSe(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("__g")).agg(
+      count(lit(1)).as("__ng"),
+      sum(floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long")).as("__sg"))
+    val tot = g.agg(
+      count(lit(1)).as("groups"),
+      sum(col("__ng")).as("n"), sum(col("__sg")).as("__s"))
+    val withTheta = g.crossJoin(broadcast(tot))
+      .withColumn("__theta",
+        when(col("n") > col("__ng"),
+          (col("__s") - col("__sg")).cast("double") / 1e6 /
+            (col("n") - col("__ng")).cast("double")))
+      .withColumn("__tq", floor(col("__theta") * 1e9 + 0.5).cast("long"))
+    val red = withTheta.agg(
+      max(col("groups")).as("groups"),
+      max(col("n")).as("n"),
+      max(col("__s")).as("__s"),
+      sum(col("__tq")).as("__tsum"),
+      count(col("__tq")).as("__tcnt"))
+    val gCnt = col("groups").cast("double")
+    val dev = withTheta.crossJoin(
+      broadcast(red.select(col("__tsum"), col("groups").as("__gc"))))
+      .withColumn("__d",
+        col("__tq").cast("double") / 1e9 -
+          col("__tsum").cast("double") / 1e9 / col("__gc").cast("double"))
+      .agg(sum(floor(col("__d") * col("__d") * 1e9 + 0.5).cast("long")).as("__sd"),
+        sum(when(col("__tq").isNull, 1L).otherwise(0L)).as("__nulls"))
+    red.crossJoin(dev).select(
+      col("groups"), col("n"),
+      round(col("__s").cast("double") / 1e6 / col("n").cast("double"), 6).as("mean"),
+      when(col("__nulls") === 0 && col("groups") > 1,
+        round(sqrt((gCnt - 1.0) / gCnt * (col("__sd").cast("double") / 1e9)), 6))
+        .as("se_jack"))
+  }
 }

@@ -1236,4 +1236,35 @@ class SketchesSpec extends SparkSpec {
     val r = Sketches.wasserstein1d(df, "g", "v", "A", "B").head
     assert(r.getAs[Double]("wasserstein") == 0.0)
   }
+
+  test("kishWeightedMean: equal weights are deff 1; concentration inflates deff") {
+    val eq = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0)).toDF("y", "w")
+    val r = Sketches.kishWeightedMean(eq.repartition(3), "y", "w").head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mean_w") == 2.5)
+    assert(r.getAs[Double]("eff_n") == 4.0)
+    assert(r.getAs[Double]("deff") == 1.0)
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(1.25 / 4.0)) < 1e-6)
+    // one dominant weight: the sample is "worth" barely more than 1 row
+    val hot = Seq((1.0, 1000.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0)).toDF("y", "w")
+    val h = Sketches.kishWeightedMean(hot, "y", "w").head
+    assert(h.getAs[Double]("eff_n") < 1.05 && h.getAs[Double]("deff") > 3.0)
+    assert(math.abs(h.getAs[Double]("mean_w") - 1.0) < 0.01)
+  }
+
+  test("jackknifeGroupSe: two-group hand case, single-group NULL, invariant") {
+    // groups {1,1} and {3,3}: leave-one-out means are 3 and 1, so the
+    // delete-a-group jackknife SE is exactly |3-1|/2 = 1
+    val df = Seq((1.0, "a"), (1.0, "a"), (3.0, "b"), (3.0, "b")).toDF("y", "g")
+    val r = Sketches.jackknifeGroupSe(df.repartition(3), "y", "g").head
+    assert(r.getAs[Long]("groups") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Double]("se_jack") == 1.0)
+    val r5 = Sketches.jackknifeGroupSe(df.repartition(5), "y", "g").head
+    assert(r5.getAs[Double]("se_jack") == 1.0)
+    // one group holds everything: its leave-one-out mean is undefined
+    val solo = Seq((1.0, "a"), (2.0, "a")).toDF("y", "g")
+    val s = Sketches.jackknifeGroupSe(solo, "y", "g").head
+    assert(s.isNullAt(s.fieldIndex("se_jack")))
+  }
 }
