@@ -1799,6 +1799,24 @@ object SparkEntry {
       .select(col("n"), col("tau"), col("w0"), col("w1"), col("w2"),
         round(col("pinball"), 6).as("pinball"))
 
+  /** Poisson regression (X264): order line counts (1..7) on scaled total
+    * price + order age — 8 exact GD steps on the log link. */
+  private def qPoisson(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("lines"))
+    Models.poissonRegression(
+      Tables.orders(s, d)
+        .join(cnt, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("x1", col("o_totalprice") / 500000.0)
+        .withColumn("x2",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("double") / 2500.0),
+      "lines", Seq("x1", "x2"), iterations = 8, lr = 0.1, maxCount = 16)
+      .select(col("n"), col("w0"), col("w1"), col("w2"),
+        round(col("deviance"), 6).as("deviance"),
+        round(col("mean_mu"), 6).as("mean_mu"))
+  }
+
   /** Kish survey readout (X262): acctbal-derived weights over scaled
     * order totals — weighted mean, effective n, design effect, SE. */
   private def qKish(s: SparkSession, d: String): DataFrame =
@@ -6533,6 +6551,7 @@ object SparkEntry {
     "q_gb_stumps" -> (qGbStumps _),
     "q_soundex_blocks" -> (qSoundexBlocks _),
     "q_kish" -> (qKish _),
+    "q_poisson" -> (qPoisson _),
     "q_jackknife" -> (qJackknife _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
@@ -7436,6 +7455,60 @@ object SparkEntry {
      SELECT code, CAST(COUNT(*) AS BIGINT) AS parts,
             CAST(COUNT(DISTINCT w) AS BIGINT) AS words
      FROM c GROUP BY code ORDER BY code"""
+  }
+
+  /** 8 unrolled log-link GD steps + the literal-ln-table deviance —
+    * mirrors [[graft.operators.Models.poissonRegression]] bit-for-bit
+    * (the ln table is the JVM's doubles rendered verbatim, so no DuckDB
+    * libm call touches the hashed output). */
+  private val poissonOracle: String = {
+    val lnCase = (1 to 16)
+      .map(c => s"WHEN y = $c THEN CAST(${math.log(c.toDouble)} AS DOUBLE)")
+      .mkString("CASE ", " ", " END")
+    val steps = (1 to 8).map { i =>
+      val w = s"w${i - 1}"
+      s""",
+       q$i AS (SELECT y, x1, x2, EXP(${gdZ(w)}) AS p FROM base CROSS JOIN $w),
+       g$i AS (SELECT
+                 CAST(SUM(CAST(FLOOR((p - y) * 1.0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+                 CAST(SUM(CAST(FLOOR((p - y) * x1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+                 CAST(SUM(CAST(FLOOR((p - y) * x2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g2
+               FROM q$i),
+       w$i AS MATERIALIZED (SELECT
+                 w0 - CAST(FLOOR(0.1 * CAST(g0 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w0,
+                 w1 - CAST(FLOOR(0.1 * CAST(g1 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w1,
+                 w2 - CAST(FLOOR(0.1 * CAST(g2 AS DOUBLE) * 1000.0 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS w2
+               FROM w${i - 1} CROSS JOIN g$i CROSS JOIN nb)"""
+    }.mkString
+    s"""WITH cnt AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS lines
+           FROM lineitem GROUP BY 1),
+     base AS MATERIALIZED (
+           SELECT CAST(lines AS DOUBLE) AS y,
+                  o_totalprice / 500000.0 AS x1,
+                  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)
+                    / 2500.0 AS x2
+           FROM orders JOIN cnt ON o_orderkey = l_orderkey),
+     nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+     w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)$steps,
+     pf AS (SELECT y, EXP(${gdZ("w8")}) AS p,
+                   (CASE WHEN y = 0.0 THEN CAST(0 AS DOUBLE)
+                         ELSE y * (($lnCase) - ${gdZ("w8")}) END)
+                     + (EXP(${gdZ("w8")}) - y) AS term
+            FROM base CROSS JOIN w8),
+     fin AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(FLOOR(term * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dv,
+                    CAST(SUM(CASE WHEN y < 0.0 OR y > 16.0 THEN 1 ELSE 0 END) AS BIGINT) AS oob,
+                    CAST(SUM(CAST(FLOOR(p * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS mu
+             FROM pf)
+     SELECT n,
+            CAST(w0 AS DOUBLE)/1e9 AS w0,
+            CAST(w1 AS DOUBLE)/1e9 AS w1,
+            CAST(w2 AS DOUBLE)/1e9 AS w2,
+            CASE WHEN oob = 0 THEN
+              ROUND(CAST(2 AS DOUBLE) * (CAST(dv AS DOUBLE) / 1e6) / CAST(n AS DOUBLE), 6)
+            END AS deviance,
+            ROUND(CAST(mu AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS mean_mu
+     FROM fin CROSS JOIN w8"""
   }
 
   /** One quantized-moment aggregate + the Kish fixed IEEE chains —
@@ -11815,6 +11888,7 @@ object SparkEntry {
     "q_gb_stumps" -> gbStumpsOracle,
     "q_soundex_blocks" -> soundexBlocksOracle,
     "q_kish" -> kishOracle,
+    "q_poisson" -> poissonOracle,
     "q_jackknife" -> jackknifeOracle,
     // exact-ratio leave-one-source-out means from one aggregate —
     // mirrors Quality.sourceAblation

@@ -344,6 +344,80 @@ object Models {
         (col("__ok").cast("double") / col("n").cast("double")).as("accuracy"): _*)
   }
 
+  /** Poisson regression (log link) by the FIXED quantized GD schedule —
+    * the count-data GLM completing the family (OLS/ridge mean, logistic
+    * class, quantile/Huber robust, hinge margin): intercept + two
+    * features, per-row gradient (e^z − y)·x_j with the
+    * [[logisticRegression]] discipline (1e6-quantized long sums,
+    * 1e-9-long weights, floor(lr·g·1000/n+0.5) updates) ⇒ the whole fit
+    * is partition-invariant and replays behind unrolled CTEs (EXP is in
+    * both engines' scalar surface, the logistic precedent).
+    *
+    * The deviance readout needs ln y — a transcendental the r8 lesson
+    * bans from hashed columns (JVM and DuckDB libm differ by 1 ulp on
+    * real inputs). Counts are BOUNDED (`maxCount`, caller's contract), so
+    * ln rides in as a JVM-computed LITERAL table embedded verbatim in
+    * both engines — no engine libm call touches the hashed output, and
+    * ln μ = z by construction. Counts above `maxCount` or below 0 make
+    * the deviance NULL (never silently dropped rows: the count of
+    * out-of-range rows is part of the contract check in spec).
+    *
+    * Returns ONE row: (n, w0, w1, w2, deviance, mean_mu) — deviance the
+    * mean 2·[y·ln(y/μ) − (y−μ)], mean_mu the fitted-rate average. */
+  def poissonRegression(
+      df: DataFrame,
+      countCol: String,
+      featureCols: Seq[String],
+      iterations: Int = 8,
+      lr: Double = 0.1,
+      maxCount: Int = 64): DataFrame = {
+    require(featureCols.length == 2,
+      s"exactly two features (plus intercept) supported, got ${featureCols.length}")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(lr > 0, s"lr must be > 0, got $lr")
+    require(maxCount >= 1, s"maxCount must be >= 1, got $maxCount")
+    val k = featureCols.length + 1
+    val base = df.select(
+      col(countCol).cast("double").as("__y") +:
+        (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
+          .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+    val n = base.count()
+    require(n > 0, "cannot fit on an empty DataFrame")
+    var wq = Array.fill(k)(0L)
+    def z: Column =
+      (0 until k).map(j => lit(wq(j) / 1e9) * col(s"__x$j")).reduceLeft(_ + _)
+    for (_ <- 1 to iterations) {
+      val p = exp(z)
+      val g = base.agg(
+        sum(floor((p - col("__y")) * col("__x0") * 1e6 + 0.5).cast("long")).as("g0"),
+        (1 until k).map(j =>
+          sum(floor((p - col("__y")) * col(s"__x$j") * 1e6 + 0.5).cast("long")).as(s"g$j")): _*)
+        .head()
+      wq = wq.zipWithIndex.map { case (w, j) =>
+        w - math.floor(lr * g.getLong(j) * 1000.0 / n + 0.5).toLong
+      }
+    }
+    // ln y as a broadcast literal table: identical bits in any engine
+    val lnY = (1 to maxCount).foldLeft(lit(null).cast("double")) { (acc, c) =>
+      when(col("__y") === c.toDouble, lit(math.log(c.toDouble))).otherwise(acc)
+    }
+    val p = exp(z)
+    val term = when(col("__y") === 0.0, lit(0.0)).otherwise(col("__y") * (lnY - z)) +
+      (p - col("__y"))
+    val metrics = base.agg(
+      count(lit(1)).as("n"),
+      sum(floor(term * 1e6 + 0.5).cast("long")).as("__dv"),
+      count(when(col("__y") < 0.0 || col("__y") > maxCount.toDouble, 1)).as("__oob"),
+      sum(floor(p * 1e6 + 0.5).cast("long")).as("__mu"))
+    metrics.select(
+      col("n") +:
+        (0 until k).map(j => lit(wq(j) / 1e9).as(s"w$j")) :+
+        when(col("__oob") === 0,
+          lit(2.0) * (col("__dv").cast("double") / 1e6) / col("n").cast("double"))
+          .as("deviance") :+
+        (col("__mu").cast("double") / 1e6 / col("n").cast("double")).as("mean_mu"): _*)
+  }
+
   /** AIPW doubly-robust ATE (Robins–Rotnitzky–Zhao 1994) — the estimator
     * completing the causal quartet (DiD, subclassification, IPW): per-row
     * influence values ψ = m₁(s) − m₀(s) + t(y−m₁)/e − (1−t)(y−m₀)/(1−e)

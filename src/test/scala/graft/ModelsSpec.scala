@@ -117,6 +117,31 @@ class ModelsSpec extends SparkSpec {
     assert(Models.decisionStump(const, "y", Seq("c")).count() == 0L)
   }
 
+  test("poissonRegression: recovers the planted log-linear slope; oob NULLs deviance") {
+    // y = round(exp(0.3 + 1.0·x1)) on a grid — slope must come out near 1
+    val data = for (i <- 0 until 30; j <- 0 until 4)
+      yield (math.round(math.exp(0.3 + 1.0 * (i / 30.0))).toDouble, i / 30.0, j / 4.0)
+    val df = data.toDF("y", "x1", "x2").repartition(3)
+    val fit = Models.poissonRegression(df, "y", Seq("x1", "x2"),
+      iterations = 80, lr = 0.3, maxCount = 16).head
+    assert(fit.getAs[Long]("n") == data.length.toLong)
+    val w1 = fit.getAs[Double]("w1")
+    assert(w1 > 0.4 && w1 < 1.6, s"w1=$w1")
+    assert(fit.getAs[Double]("deviance") >= 0.0)
+    assert(math.abs(fit.getAs[Double]("mean_mu") -
+      data.map(_._1).sum / data.length) < 0.1)
+    // bit-identical across partitionings
+    val f7 = Models.poissonRegression(df.repartition(7), "y", Seq("x1", "x2"),
+      iterations = 80, lr = 0.3, maxCount = 16).head
+    assert(f7.getAs[Double]("w1") == w1)
+    assert(f7.getAs[Double]("deviance") == fit.getAs[Double]("deviance"))
+    // a count above maxCount NULLs the deviance, never silently drops
+    val oob = (data :+ ((99.0, 0.5, 0.5))).toDF("y", "x1", "x2")
+    val o = Models.poissonRegression(oob, "y", Seq("x1", "x2"),
+      iterations = 5, lr = 0.1, maxCount = 16).head
+    assert(o.isNullAt(o.fieldIndex("deviance")))
+  }
+
   test("gbStumps: two rounds peel the two planted effects to zero MSE; invariant") {
     // y = 10·1{a>2} + 4·1{b>1} on a balanced grid: round 1 must split a at
     // 2 (gain 25 vs 4), round 2 mops up b at 1, residual exactly zero
