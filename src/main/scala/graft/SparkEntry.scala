@@ -1799,6 +1799,37 @@ object SparkEntry {
       .select(col("n"), col("tau"), col("w0"), col("w1"), col("w2"),
         round(col("pinball"), 6).as("pinball"))
 
+  /** STREAMING Kish readout (S34, 29th gate): the four quantized-long
+    * moment sums accumulate in the state store (complete mode, ONE state
+    * row) over the stream-static order⋈customer join; the fixed-chain
+    * readout finishes in batch off the sink — integer state ⇒ stream ==
+    * batch bit-exactly, sharing q_kish's oracle verbatim. */
+  private def qKishStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val cust = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val name = "graft_kish_stream"
+    withStatePartitions(s, 1) {
+      val y = col("o_totalprice") / 1000.0
+      val w = (col("c_acctbal") + 1000.0) / 1000.0
+      def q(c: Column): Column = sum(floor(c * 1e6 + 0.5).cast("long"))
+      val q1 = stream.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          q(w).as("__sw"), q(w * y).as("__swy"),
+          q(w * w).as("__sww"), q(w * y * y).as("__swyy"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+    }
+    Sketches.kishAssemble(s.table(name))
+  }
+
   /** Poisson regression (X264): order line counts (1..7) on scaled total
     * price + order age — 8 exact GD steps on the log link. */
   private def qPoisson(s: SparkSession, d: String): DataFrame = {
@@ -6552,6 +6583,7 @@ object SparkEntry {
     "q_soundex_blocks" -> (qSoundexBlocks _),
     "q_kish" -> (qKish _),
     "q_poisson" -> (qPoisson _),
+    "q_kish_stream" -> (qKishStream _),
     "q_jackknife" -> (qJackknife _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
@@ -11889,6 +11921,9 @@ object SparkEntry {
     "q_soundex_blocks" -> soundexBlocksOracle,
     "q_kish" -> kishOracle,
     "q_poisson" -> poissonOracle,
+    // the streaming twin accumulates the identical integer sums — shares
+    // the batch oracle verbatim
+    "q_kish_stream" -> kishOracle,
     "q_jackknife" -> jackknifeOracle,
     // exact-ratio leave-one-source-out means from one aggregate —
     // mirrors Quality.sourceAblation

@@ -2934,10 +2934,18 @@ object Sketches {
     val y = col(valueCol).cast("double")
     val w = col(weightCol).cast("double")
     def q(c: Column): Column = sum(floor(c * 1e6 + 0.5).cast("long"))
-    val a = df.agg(
+    kishAssemble(df.agg(
       count(lit(1)).as("n"),
       q(w).as("__sw"), q(w * y).as("__swy"),
-      q(w * w).as("__sww"), q(w * y * y).as("__swyy"))
+      q(w * w).as("__sww"), q(w * y * y).as("__swyy")))
+  }
+
+  /** Readout half of [[kishWeightedMean]] over a pre-aggregated
+    * (n, __sw, __swy, __sww, __swyy) quantized-long sums row — shared by
+    * the streaming twin, whose state store accumulates exactly these
+    * integer sums (sums of disjoint partial sums equal the direct sums,
+    * so stream == batch bit-exactly). */
+  def kishAssemble(sums: DataFrame): DataFrame = {
     val swd = col("__sw").cast("double") / 1e6
     val swyd = col("__swy").cast("double") / 1e6
     val swwd = col("__sww").cast("double") / 1e6
@@ -2945,7 +2953,7 @@ object Sketches {
     val meanW = swyd / swd
     val effN = swd * swd / swwd
     val varW = greatest(lit(0.0), (swyyd - swyd * swyd / swd) / swd)
-    a.select(
+    sums.select(
       col("n"),
       when(col("__sw") > 0, round(meanW, 6)).as("mean_w"),
       when(col("__sw") > 0, round(effN, 6)).as("eff_n"),
