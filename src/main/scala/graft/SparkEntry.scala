@@ -1848,6 +1848,28 @@ object SparkEntry {
         round(col("mean_mu"), 6).as("mean_mu"))
   }
 
+  /** Aalen–Johansen competing risks (X265): days-to-first-shipment per
+    * order, cause = that line's return flag (R → returned, else
+    * fulfilled), open orders censored; one curve per order priority. */
+  private def qCompetingRisks(s: SparkSession, d: String): DataFrame = {
+    val firstLine = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(min(struct(col("l_shipdate"), col("l_linenumber"),
+        col("l_returnflag"))).as("__f"))
+      .select(col("l_orderkey"),
+        col("__f.l_shipdate").as("first_ship"),
+        col("__f.l_returnflag").as("flag"))
+    val base = Tables.orders(s, d)
+      .join(firstLine, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("duration",
+        datediff(col("first_ship").cast("date"), col("o_orderdate").cast("date")))
+      .withColumn("cause",
+        when(col("o_orderstatus") === "O", 0)
+          .when(col("flag") === "R", 2).otherwise(1))
+    Temporal.aalenJohansen(base, "duration", "cause", Seq("o_orderpriority"))
+      .orderBy("o_orderpriority", "duration")
+  }
+
   /** Kish survey readout (X262): acctbal-derived weights over scaled
     * order totals — weighted mean, effective n, design effect, SE. */
   private def qKish(s: SparkSession, d: String): DataFrame =
@@ -6584,6 +6606,7 @@ object SparkEntry {
     "q_kish" -> (qKish _),
     "q_poisson" -> (qPoisson _),
     "q_kish_stream" -> (qKishStream _),
+    "q_competing_risks" -> (qCompetingRisks _),
     "q_jackknife" -> (qJackknife _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_naive_bayes_stream" -> (qNaiveBayesStream _),
@@ -7542,6 +7565,49 @@ object SparkEntry {
             ROUND(CAST(mu AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS mean_mu
      FROM fin CROSS JOIN w8"""
   }
+
+  /** The KM at-risk scaffolding + exclusive-frame S(t−) + ordered CIF
+    * accumulation — mirrors
+    * [[graft.operators.Temporal.aalenJohansen]] bit-for-bit. */
+  private val competingRisksOracle: String =
+    """WITH fl AS (SELECT l_orderkey, l_shipdate AS first_ship, l_returnflag AS flag
+           FROM (SELECT l_orderkey, l_shipdate, l_returnflag,
+                        ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_shipdate, l_linenumber) AS rn
+                 FROM lineitem) WHERE rn = 1),
+     base AS (SELECT o_orderpriority AS pri,
+                     CAST(datediff('day', CAST(o_orderdate AS DATE),
+                                   CAST(first_ship AS DATE)) AS BIGINT) AS duration,
+                     CASE WHEN o_orderstatus = 'O' THEN 0
+                          WHEN flag = 'R' THEN 2 ELSE 1 END AS cause
+              FROM orders JOIN fl ON o_orderkey = l_orderkey),
+     g AS (SELECT pri, duration,
+                  CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                  CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                  CAST(COUNT(*) AS BIGINT) AS att
+           FROM base GROUP BY 1, 2),
+     w1 AS (SELECT *, CAST(SUM(att) OVER (PARTITION BY pri) AS BIGINT)
+                      - (CAST(SUM(att) OVER wc AS BIGINT) - att) AS n_risk
+            FROM g WINDOW wc AS (PARTITION BY pri ORDER BY duration
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+     w2 AS (SELECT *, CASE WHEN d1 + d2 > 0 THEN
+                        LN(GREATEST(1e-300,
+                             1.0 - CAST(d1 + d2 AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                      ELSE CAST(0 AS DOUBLE) END AS lt
+            FROM w1),
+     w3 AS (SELECT *, EXP(COALESCE(SUM(lt) OVER wp, CAST(0 AS DOUBLE))) AS sprev,
+                      EXP(SUM(lt) OVER wc) AS scur
+            FROM w2 WINDOW wp AS (PARTITION BY pri ORDER BY duration
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           wc AS (PARTITION BY pri ORDER BY duration
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+     SELECT pri AS o_orderpriority, duration, d1, d2, n_risk,
+            ROUND(SUM(sprev * CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER wc, 6) AS cif1,
+            ROUND(SUM(sprev * CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER wc, 6) AS cif2,
+            ROUND(scur, 6) AS survival
+     FROM w3 WINDOW wc AS (PARTITION BY pri ORDER BY duration
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+     ORDER BY o_orderpriority, duration"""
 
   /** One quantized-moment aggregate + the Kish fixed IEEE chains —
     * mirrors [[graft.operators.Sketches.kishWeightedMean]] bit-for-bit. */
@@ -11924,6 +11990,7 @@ object SparkEntry {
     // the streaming twin accumulates the identical integer sums — shares
     // the batch oracle verbatim
     "q_kish_stream" -> kishOracle,
+    "q_competing_risks" -> competingRisksOracle,
     "q_jackknife" -> jackknifeOracle,
     // exact-ratio leave-one-source-out means from one aggregate —
     // mirrors Quality.sourceAblation

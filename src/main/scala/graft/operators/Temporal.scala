@@ -626,6 +626,57 @@ object Temporal {
       .drop("__at_t")
   }
 
+  /** Aalen–Johansen cumulative incidence under competing risks (Aalen &
+    * Johansen 1978) — the estimator that replaces 1−KM when more than one
+    * event type can claim a subject (naive per-cause KM overstates every
+    * cause): CIF_k(t) = Σ_{t_i ≤ t} S(t_i−)·d_{k,i}/n_i, with S the
+    * ALL-cause Kaplan–Meier survival just before t_i. Causes are coded
+    * 1 and 2; 0 is censored (enters the at-risk counts only).
+    *
+    * The [[kaplanMeier]] scale shape verbatim: one partial aggregate
+    * collapses the corpus to distinct (key, duration) rows; every window
+    * runs on that duration-bounded table; counts stay exact longs; the
+    * running product is exp(Σ ln) with the same 1e-300 clamp, S(t−) the
+    * same sum over the EXCLUSIVE window frame; each CIF is the ordered
+    * cumulative sum of fixed per-row IEEE chains. CIF₁ + CIF₂ + S(t) = 1
+    * at every step up to rounding — the spec's conservation check. */
+  def aalenJohansen(
+      df: DataFrame,
+      durationCol: String,
+      causeCol: String,
+      keyCols: Seq[String] = Nil,
+      dp: Int = 6): DataFrame = {
+    val keys = keyCols.map(col)
+    val grouped = df
+      .groupBy(keys :+ col(durationCol).cast("long").as("duration"): _*)
+      .agg(
+        sum(when(col(causeCol) === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col(causeCol) === 2, 1L).otherwise(0L)).as("d2"),
+        count(lit(1)).as("__at_t"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(keys: _*).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(keys: _*)
+    val nRisk = sum(col("__at_t")).over(wAll) -
+      (sum(col("__at_t")).over(wCum) - col("__at_t"))
+    val dAll = col("d1") + col("d2")
+    val logTerm = when(dAll > 0,
+      log(greatest(lit(1e-300),
+        lit(1.0) - dAll.cast("double") / col("n_risk").cast("double"))))
+      .otherwise(lit(0.0))
+    def cif(d: Column): Column =
+      round(sum(col("__sprev") * d.cast("double") / col("n_risk").cast("double"))
+        .over(wCum), dp)
+    grouped
+      .withColumn("n_risk", nRisk)
+      .withColumn("__sprev", exp(coalesce(sum(logTerm).over(wPrev), lit(0.0))))
+      .withColumn("cif1", cif(col("d1")))
+      .withColumn("cif2", cif(col("d2")))
+      .withColumn("survival", round(exp(sum(logTerm).over(wCum)), dp))
+      .drop("__at_t", "__sprev")
+  }
+
   /** Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) — the
     * standard "are these two survival curves the same?" readout next to
     * [[kaplanMeier]], sharing its at-risk scaffolding. At each distinct

@@ -355,6 +355,28 @@ class TemporalSpec extends SparkSpec {
     assert(cg.isNullAt(cg.fieldIndex("phi1")) && cg.isNullAt(cg.fieldIndex("f2")))
   }
 
+  test("aalenJohansen: hand-solved CIFs conserve mass; censoring holds curves flat") {
+    // t=1 cause1, t=2 cause2, t=3 censored, t=4 cause1 (n=4):
+    // CIF1 = .25,.25,.25,.75  CIF2 = 0,.25,.25,.25  S = .75,.5,.5,0
+    val df = Seq((1L, 1), (2L, 2), (3L, 0), (4L, 1)).toDF("dur", "cause")
+    val got = Temporal.aalenJohansen(df.repartition(3), "dur", "cause")
+      .orderBy("duration").collect()
+    assert(got.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 3L, 2L, 1L))
+    assert(got.map(_.getAs[Double]("cif1")).toSeq == Seq(0.25, 0.25, 0.25, 0.75))
+    assert(got.map(_.getAs[Double]("cif2")).toSeq == Seq(0.0, 0.25, 0.25, 0.25))
+    assert(got.map(_.getAs[Double]("survival")).toSeq == Seq(0.75, 0.5, 0.5, 0.0))
+    // conservation at every step: CIF1 + CIF2 + S = 1
+    got.foreach { r =>
+      val tot = r.getAs[Double]("cif1") + r.getAs[Double]("cif2") +
+        r.getAs[Double]("survival")
+      assert(math.abs(tot - 1.0) < 1e-9, s"mass leak at ${r.getAs[Long]("duration")}")
+    }
+    val g7 = Temporal.aalenJohansen(df.repartition(7), "dur", "cause")
+      .orderBy("duration").collect()
+    assert(g7.map(_.getAs[Double]("cif1")).toSeq ==
+      got.map(_.getAs[Double]("cif1")).toSeq)
+  }
+
   test("lttbDownsample: endpoints kept, planted spike survives, short series intact") {
     // flat series with one huge spike at x=57: any downsample that loses
     // it is wrong — LTTB's whole reason to exist
