@@ -1913,6 +1913,18 @@ object SparkEntry {
         .withColumn("month_bin", month(col("l_shipdate").cast("date")).cast("long")),
       "v", Seq("qty_bin", "month_bin"))
 
+  /** Bagged stumps (X266): three deterministic 63% hash bags on the
+    * q_stump design; the ensemble MSE averages the three stump leaves. */
+  private def qBaggedStumps(s: SparkSession, d: String): DataFrame =
+    Models.baggedStumps(
+      Tables.lineitem(s, d)
+        .withColumn("v", col("l_extendedprice") / 1000.0)
+        .withColumn("qty_bin", col("l_quantity").cast("long"))
+        .withColumn("month_bin", month(col("l_shipdate").cast("date")).cast("long"))
+        .withColumn("rid", concat(col("l_orderkey"), lit("-"), col("l_linenumber"))),
+      "v", Seq("qty_bin", "month_bin"), "rid", bags = 3)
+      .orderBy("bag")
+
   /** Gradient-boosted stumps (X260): two ν=0.5 rounds on the q_stump
     * design — round 1 must pick quantity; round 2 re-splits the residual. */
   private def qGbStumps(s: SparkSession, d: String): DataFrame =
@@ -6602,6 +6614,7 @@ object SparkEntry {
     "q_svm" -> (qSvm _),
     "q_stump" -> (qStump _),
     "q_gb_stumps" -> (qGbStumps _),
+    "q_bagged_stumps" -> (qBaggedStumps _),
     "q_soundex_blocks" -> (qSoundexBlocks _),
     "q_kish" -> (qKish _),
     "q_poisson" -> (qPoisson _),
@@ -7715,6 +7728,65 @@ object SparkEntry {
             ROUND(srd / CAST(nt - nl AS DOUBLE), 6) AS mean_right,
             ROUND(gain, 6) AS gain
      FROM g ORDER BY gain DESC, feature, bin LIMIT 1"""
+
+  /** Three hash-bag stump searches + the averaged-leaf ensemble MSE —
+    * mirrors [[graft.operators.Models.baggedStumps]] bit-for-bit (the
+    * bag draw is the portable md5-bucket, so DuckDB selects the
+    * identical rows). */
+  private val baggedStumpsOracle: String = {
+    def bagCtes(b: Int) =
+      s""",
+     sub$b AS (SELECT * FROM base
+               WHERE ('0x' || substr(md5(id || '#bag$b'), 1, 8))::BIGINT % 100 < 63),
+     lf$b AS (SELECT 'qty_bin' AS feature, qty_bin AS bin,
+                     CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT) AS yq FROM sub$b
+              UNION ALL
+              SELECT 'month_bin', month_bin,
+                     CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT) FROM sub$b),
+     ba$b AS (SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS nb,
+                     CAST(SUM(yq) AS BIGINT) AS sb FROM lf$b GROUP BY 1, 2),
+     cum$b AS (SELECT feature, bin,
+                      CAST(SUM(nb) OVER w AS BIGINT) AS nl,
+                      CAST(SUM(sb) OVER w AS BIGINT) AS sl,
+                      CAST(SUM(nb) OVER wa AS BIGINT) AS nt,
+                      CAST(SUM(sb) OVER wa AS BIGINT) AS st
+               FROM ba$b
+               WINDOW w AS (PARTITION BY feature ORDER BY bin),
+                      wa AS (PARTITION BY feature)),
+     g$b AS (SELECT *, CAST(sl AS DOUBLE) / 1e6 AS sld,
+                    CAST(st - sl AS DOUBLE) / 1e6 AS srd,
+                    CAST(st AS DOUBLE) / 1e6 AS std
+             FROM cum$b WHERE nl < nt),
+     win$b AS MATERIALIZED (
+             SELECT feature, bin, nl, sl, nt, st,
+                    CAST(sl AS DOUBLE) / 1e6 / CAST(nl AS DOUBLE) AS ml,
+                    CAST(st - sl AS DOUBLE) / 1e6 / CAST(nt - nl AS DOUBLE) AS mr
+             FROM g$b
+             ORDER BY sld * sld / CAST(nl AS DOUBLE) + srd * srd / CAST(nt - nl AS DOUBLE)
+                      - std * std / CAST(nt AS DOUBLE) DESC, feature, bin
+             LIMIT 1)"""
+    def leaf(b: Int) =
+      s"""(CASE WHEN (CASE WHEN win$b.feature = 'qty_bin' THEN qty_bin ELSE month_bin END)
+                     <= win$b.bin THEN win$b.ml ELSE win$b.mr END)"""
+    def readout(b: Int) =
+      s"""SELECT $b AS bag, feature, bin AS split_bin, nt AS n_bag,
+            ROUND(ml, 6) AS mean_left, ROUND(mr, 6) AS mean_right,
+            ROUND(CAST(mse.sq AS DOUBLE) / 1e6 / CAST(mse.n AS DOUBLE), 6) AS ensemble_mse
+     FROM win$b CROSS JOIN mse"""
+    s"""WITH base AS MATERIALIZED (
+           SELECT l_extendedprice / 1000.0 AS v,
+                  CAST(l_quantity AS BIGINT) AS qty_bin,
+                  CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS month_bin,
+                  l_orderkey || '-' || l_linenumber AS id
+           FROM lineitem)${bagCtes(1)}${bagCtes(2)}${bagCtes(3)},
+     pred AS (SELECT v, (${leaf(1)} + ${leaf(2)} + ${leaf(3)}) / CAST(3 AS DOUBLE) AS yh
+              FROM base CROSS JOIN win1 CROSS JOIN win2 CROSS JOIN win3),
+     mse AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(FLOOR((v - yh) * (v - yh) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+             FROM pred)
+     ${readout(1)} UNION ALL ${readout(2)} UNION ALL ${readout(3)}
+     ORDER BY bag"""
+  }
 
   /** Two unrolled boosting rounds over the q_stump design: each round's
     * split search, leaf means, residual update, and quantized MSE replay
@@ -11984,6 +12056,7 @@ object SparkEntry {
     "q_jl_distortion" -> jlDistortionOracle,
     "q_stump" -> stumpOracle,
     "q_gb_stumps" -> gbStumpsOracle,
+    "q_bagged_stumps" -> baggedStumpsOracle,
     "q_soundex_blocks" -> soundexBlocksOracle,
     "q_kish" -> kishOracle,
     "q_poisson" -> poissonOracle,

@@ -215,6 +215,69 @@ object Models {
       .limit(1)
   }
 
+  /** Bagged regression stumps (subagging, Bühlmann & Yu 2002) — the
+    * VARIANCE-reduction ensemble beside [[gbStumps]]'s bias-reduction one,
+    * completing the stump-kernel trio: each bag is a deterministic
+    * ~`samplePct`% hash subsample (md5(id‖"#bag<b>") bucket — the
+    * engine-portable [[Sampling.hashBucket]] draw, so every engine
+    * selects the identical rows), fits the exact [[decisionStump]]
+    * kernel, and the ensemble prediction is the plain average of the bag
+    * stumps over the FULL corpus. The driver paces one bounded 1-row
+    * argmax collect per bag; every data pass stays distributed and the
+    * readout — per-bag splits, leaf means, and the quantized ensemble
+    * MSE — replays in SQL. A bag whose features are all constant has no
+    * split candidate and errors loudly (caller's contract: real features).
+    *
+    * Returns `bags` rows: (bag, feature, split_bin, n_bag, mean_left,
+    * mean_right, ensemble_mse — the last identical on every row). */
+  def baggedStumps(
+      df: DataFrame,
+      valueCol: String,
+      binCols: Seq[String],
+      idCol: String,
+      bags: Int = 3,
+      samplePct: Int = 63): DataFrame = {
+    require(bags >= 1 && bags <= 8, s"bags must be in 1..8, got $bags")
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct must be in 1..100, got $samplePct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(valueCol).cast("double").as("__v") +:
+        col(idCol).cast("string").as("__id") +:
+        binCols.map(f => col(f).cast("long").as(f)): _*)
+    val fits = (1 to bags).map { b =>
+      val sub = base.filter(
+        Sampling.hashBucket(concat(col("__id"), lit(s"#bag$b")), 100) < samplePct)
+      val cands = stumpBest(sub, col("__v"), binCols).collect()
+      require(cands.nonEmpty, s"bag $b has no split candidate (constant features?)")
+      val r = cands.head
+      (b, r.getAs[String]("feature"), r.getAs[Long]("bin"),
+        r.getAs[Long]("nl"), r.getAs[Long]("nt"),
+        r.getAs[Long]("sl"), r.getAs[Long]("st"))
+    }
+    val preds = fits.map { case (_, feat, split, nl, nt, sl, st) =>
+      val ml = sl.toDouble / 1e6 / nl.toDouble
+      val mr = (st - sl).toDouble / 1e6 / (nt - nl).toDouble
+      when(col(feat) <= lit(split), lit(ml)).otherwise(lit(mr))
+    }
+    val yhat = preds.reduceLeft(_ + _) / lit(bags.toDouble)
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      sum(floor((col("__v") - yhat) * (col("__v") - yhat) * 1e6 + 0.5).cast("long"))
+        .as("sq")).head()
+    val mse = m.getAs[Long]("sq").toDouble / 1e6 / m.getAs[Long]("n").toDouble
+    fits.map { case (b, feat, split, nl, nt, sl, st) =>
+      (b, feat, split, nt,
+        sl.toDouble / 1e6 / nl.toDouble,
+        (st - sl).toDouble / 1e6 / (nt - nl).toDouble, mse)
+    }.toDF("bag", "feature", "split_bin", "n_bag", "__ml", "__mr", "__mse")
+      .select(col("bag"), col("feature"), col("split_bin"), col("n_bag"),
+        round(col("__ml"), 6).as("mean_left"),
+        round(col("__mr"), 6).as("mean_right"),
+        round(col("__mse"), 6).as("ensemble_mse"))
+  }
+
   /** Gradient-boosted regression stumps (squared loss, `rounds` rounds at
     * shrinkage ν) — the ensemble member the [[decisionStump]] kernel
     * exists for: F₀ = the exact-ratio global mean; each round fits the

@@ -117,6 +117,31 @@ class ModelsSpec extends SparkSpec {
     assert(Models.decisionStump(const, "y", Seq("c")).count() == 0L)
   }
 
+  test("baggedStumps: every bag finds the planted step; ensemble beats no-model MSE") {
+    // clean step y = 10·1{a > 4}: any 63% subsample still splits a at 4
+    val data = (0 until 300).map { i =>
+      val a = i % 10L
+      (if (a > 4) 10.0 else 0.0, a, i % 3L, i.toLong)
+    }
+    val df = data.toDF("y", "a", "weak", "rid").repartition(4)
+    val got = Models.baggedStumps(df, "y", Seq("a", "weak"), "rid", bags = 3)
+      .orderBy("bag").collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getAs[String]("feature") == "a" && r.getAs[Long]("split_bin") == 4L)
+      assert(r.getAs[Double]("mean_left") == 0.0 && r.getAs[Double]("mean_right") == 10.0)
+    }
+    // exact recovery: the ensemble of identical correct stumps has MSE 0
+    assert(got.head.getAs[Double]("ensemble_mse") == 0.0)
+    // bags saw ~63% of rows, and different rows
+    val sizes = got.map(_.getAs[Long]("n_bag"))
+    assert(sizes.forall(s => s > 120 && s < 250), sizes.toSeq.toString)
+    assert(sizes.distinct.length > 1, "hash bags must differ")
+    val g7 = Models.baggedStumps(df.repartition(7), "y", Seq("a", "weak"), "rid",
+      bags = 3).orderBy("bag").collect()
+    assert(g7.map(_.getAs[Long]("n_bag")).toSeq == sizes.toSeq)
+  }
+
   test("poissonRegression: recovers the planted log-linear slope; oob NULLs deviance") {
     // y = round(exp(0.3 + 1.0·x1)) on a grid — slope must come out near 1
     val data = for (i <- 0 until 30; j <- 0 until 4)
