@@ -3890,6 +3890,11 @@ object SparkEntry {
   private def qSessionPaths(s: SparkSession, d: String): DataFrame =
     Funnel.sessionPaths(Tables.events(s, d), gapSeconds = 1800, topN = 20)
 
+  /** Sequential 2-patterns (X267): gap-allowed a→b support over 30-minute
+    * sessions — what contiguous paths and adjacent transitions miss. */
+  private def qSeqPatterns(s: SparkSession, d: String): DataFrame =
+    Funnel.sequentialPatterns(Tables.events(s, d), gapSeconds = 1800, topN = 25)
+
   /** Weekly retention cohorts anchored on signup events. */
   private def qRetention(s: SparkSession, d: String): DataFrame =
     Funnel.retentionCohorts(Tables.events(s, d), "signup")
@@ -6615,6 +6620,7 @@ object SparkEntry {
     "q_stump" -> (qStump _),
     "q_gb_stumps" -> (qGbStumps _),
     "q_bagged_stumps" -> (qBaggedStumps _),
+    "q_seq_patterns" -> (qSeqPatterns _),
     "q_soundex_blocks" -> (qSoundexBlocks _),
     "q_kish" -> (qKish _),
     "q_poisson" -> (qPoisson _),
@@ -7728,6 +7734,28 @@ object SparkEntry {
             ROUND(srd / CAST(nt - nl AS DOUBLE), 6) AS mean_right,
             ROUND(gain, 6) AS gain
      FROM g ORDER BY gain DESC, feature, bin LIMIT 1"""
+
+  /** The sessionPaths sessionizer + per-session DISTINCT precedence pairs
+    * + bounded top-k — mirrors
+    * [[graft.operators.Funnel.sequentialPatterns]] bit-for-bit. */
+  private val seqPatternsOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+     f AS (SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                               > 1800000000 THEN 1 ELSE 0 END AS newf
+           FROM e),
+     g AS (SELECT user_id || '#' || CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                                         AS VARCHAR) AS s,
+                  us, event_id, event_type
+           FROM f),
+     tot AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n FROM g),
+     p AS (SELECT DISTINCT a.s, a.event_type AS ante, b.event_type AS cons
+           FROM g a JOIN g b ON a.s = b.s
+             AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))),
+     c AS (SELECT ante, cons, CAST(COUNT(*) AS BIGINT) AS sessions FROM p GROUP BY 1, 2)
+     SELECT ante, cons, sessions,
+            ROUND(CAST(sessions AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support
+     FROM c CROSS JOIN tot
+     ORDER BY sessions DESC, ante, cons LIMIT 25"""
 
   /** Three hash-bag stump searches + the averaged-leaf ensemble MSE —
     * mirrors [[graft.operators.Models.baggedStumps]] bit-for-bit (the
@@ -12057,6 +12085,7 @@ object SparkEntry {
     "q_stump" -> stumpOracle,
     "q_gb_stumps" -> gbStumpsOracle,
     "q_bagged_stumps" -> baggedStumpsOracle,
+    "q_seq_patterns" -> seqPatternsOracle,
     "q_soundex_blocks" -> soundexBlocksOracle,
     "q_kish" -> kishOracle,
     "q_poisson" -> poissonOracle,

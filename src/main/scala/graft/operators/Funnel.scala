@@ -39,6 +39,53 @@ object Funnel {
       .limit(topN)
   }
 
+  /** Gap-allowed sequential 2-patterns (the depth-2 core of
+    * GSP/PrefixSpan, Agrawal & Srikant 1995): pattern a→b is supported by
+    * a session when SOME a-event strictly precedes SOME b-event — not
+    * necessarily adjacently, which is exactly what [[sessionPaths]]
+    * (whole contiguous paths) and the Markov transition counts (adjacent
+    * pairs only) cannot see. Support = supporting sessions / all
+    * sessions; each session votes once per pattern (the per-session
+    * DISTINCT).
+    *
+    * Scale shape: the [[sessionPaths]] sessionizer (one per-user window
+    * pass), then a co-partitioned self-equi-join on the session key whose
+    * fanout is session-length-bounded (the gap parameter is the cap
+    * lever), a distinct + one partial-aggregated count, and a bounded
+    * TakeOrdered top-k under the (sessions desc, ante, cons) total
+    * order. The session total broadcasts from a 1-row aggregate. */
+  def sequentialPatterns(
+      events: DataFrame,
+      gapSeconds: Long = 1800,
+      topN: Int = 25): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    val sess = events
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("__new",
+        when(col("__us") - lag(col("__us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(byUser))
+      .select(concat(col("user_id"), lit("#"), col("__sid")).as("__s"),
+        col("__us"), col("event_id"), col("event_type"))
+    val tot = sess.agg(count_distinct(col("__s")).as("__n"))
+    val b = sess.select(col("__s").as("__s2"), col("__us").as("__tb"),
+      col("event_id").as("__ib"), col("event_type").as("cons"))
+    sess
+      .join(b, col("__s") === col("__s2") &&
+        (col("__us") < col("__tb") ||
+          (col("__us") === col("__tb") && col("event_id") < col("__ib"))))
+      .select(col("__s"), col("event_type").as("ante"), col("cons"))
+      .distinct()
+      .groupBy(col("ante"), col("cons"))
+      .agg(count(lit(1)).as("sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("ante"), col("cons"), col("sessions"),
+        round(col("sessions").cast("double") / col("__n").cast("double"), 6)
+          .as("support"))
+      .orderBy(col("sessions").desc, col("ante"), col("cons"))
+      .limit(topN)
+  }
+
   /** Last-touch attribution: each conversion event is credited to the most
     * recent STRICTLY-PRECEDING touch event of an allowed type by the same
     * user — the marketing-attribution staple. One per-user window pass

@@ -123,6 +123,28 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 2L, 1L)))
   }
 
+  test("sequentialPatterns: gap-allowed precedence, one vote per session, gap splits") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 7L, "a", ts("2024-01-01 10:01:00")), // duplicate a: still one vote
+      (1L, 2L, "b", ts("2024-01-01 10:05:00")),
+      (1L, 3L, "c", ts("2024-01-01 10:10:00")),
+      (2L, 4L, "b", ts("2024-01-01 10:00:00")),
+      (2L, 5L, "a", ts("2024-01-01 10:05:00")),
+      (2L, 6L, "z", ts("2024-01-01 12:00:00"))) // >30 min: its own session
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Funnel.sequentialPatterns(events, gapSeconds = 1800, topN = 10)
+      .collect().map(r => ((r.getAs[String]("ante"), r.getAs[String]("cons")),
+        (r.getAs[Long]("sessions"), r.getAs[Double]("support")))).toMap
+    // 3 sessions total; a precedes c twice within u1's session but votes once
+    assert(got.keySet == Set(("a", "a"), ("a", "b"), ("a", "c"), ("b", "c"), ("b", "a")))
+    assert(got(("a", "c")) == (1L, 0.333333))
+    assert(got(("b", "a")) == (1L, 0.333333))
+    // a→a from u1's duplicate a (a precedes a): gap-allowed means it counts
+    assert(got(("a", "a"))._1 == 1L)
+  }
+
   test("lastTouchAttribution credits the most recent preceding touch, strictly before") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
