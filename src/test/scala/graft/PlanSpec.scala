@@ -785,4 +785,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("regexp_replace"),
       s"the chain must inline as scalar expressions, not a UDF:\n$p")
   }
+
+  test("survey readouts (kish, jackknife): moment passes map-side combined, totals broadcast") {
+    for (q <- Seq("q_kish", "q_jackknife")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    val p = plan(SparkEntry.queries("q_jackknife")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row totals must broadcast onto the group table:\n$p")
+  }
+
+  test("poisson / bagged stumps / competing risks keep their scale shapes") {
+    // q_bagged_stumps' RESULT is a driver-built local table (the readout
+    // rows) — its data passes are paced collects already pinned via the
+    // stump kernel, so only the poisson readout plan is assertable here
+    val p = plan(SparkEntry.queries("q_poisson")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"q_poisson no partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_poisson:\n$p")
+    // competing risks: windows run on the duration-collapsed table, under
+    // a partial aggregate — never on raw subjects
+    val cr = plan(SparkEntry.queries("q_competing_risks")(spark, sf))
+    assert("HashAggregate".r.findAllIn(cr).size >= 2, s"no duration collapse:\n$cr")
+    assert(!cr.contains("CartesianProduct"), cr)
+  }
+
+  test("sequential patterns: session self-join is an equi-join, top-k bounded") {
+    val p = plan(SparkEntry.queries("q_seq_patterns")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the precedence pairing must be keyed on the session column (the
+    // 1-row totals broadcast is the only nested-loop allowed)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the precedence pairing must hash-join on the session key:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be the bounded operator, not a global sort:\n$p")
+  }
 }
