@@ -6688,6 +6688,7 @@ object SparkEntry {
     "q_ohlc" -> (qOhlc _),
     "q_acf" -> (qAcf _),
     "q_ar_forecast" -> (qArForecast _),
+    "q_var1" -> (qVar1 _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -6827,6 +6828,23 @@ object SparkEntry {
       .withColumn("x", coalesce(col("x"), lit(0L)))
     Temporal.pacf(series, Seq("event_type"), "day", "x", 7)
       .orderBy("event_type", "lag")
+  }
+
+  /** Bivariate VAR(1) (X268): daily view (x) and purchase (y) counts —
+    * two exact closed-form OLS equations on the lagged pair + one-step
+    * forecasts from the last observation. */
+  private def qVar1(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val spine = cnt.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(cnt, Seq("day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    Temporal.var1(series, "day", "x", "y").orderBy("equation")
   }
 
   /** AR(2) Yule–Walker fit + 3-step forecast (X257) per event type over
@@ -13880,6 +13898,7 @@ object SparkEntry {
          FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""",
     "q_acf" -> acfOracle,
     "q_ar_forecast" -> arForecastOracle,
+    "q_var1" -> var1Oracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -14051,6 +14070,77 @@ object SparkEntry {
 
   private val acfOracle: String =
     acfCtes + "\n         SELECT * FROM af ORDER BY event_type, lag"
+
+  /** The shared lag pass + two exact Cramer solves + forecasts through
+    * the unrounded coefficients — mirrors
+    * [[graft.operators.Temporal.var1]] bit-for-bit. */
+  private val var1Oracle: String = {
+    def sv(t: String, tag: String) =
+      s"""sv$tag AS (SELECT n, nn, det, sa, sb, saa, sbb, sab,
+              sy$t AS sy, say$t AS say, sby$t AS sby, syy$t AS syy,
+              CASE WHEN det <> 0.0 THEN
+                (sy$t * (saa * sbb - sab * sab) - sa * (say$t * sbb - sab * sby$t)
+                  + sb * (say$t * sab - saa * sby$t)) / det END AS beta0,
+              CASE WHEN det <> 0.0 THEN
+                (nn * (say$t * sbb - sab * sby$t) - sy$t * (sa * sbb - sab * sb)
+                  + sb * (sa * sby$t - say$t * sb)) / det END AS beta1,
+              CASE WHEN det <> 0.0 THEN
+                (nn * (saa * sby$t - say$t * sab) - sa * (sa * sby$t - say$t * sb)
+                  + sy$t * (sa * sab - saa * sb)) / det END AS beta2
+            FROM d)"""
+    def readout(tag: String, eq: String) =
+      s"""SELECT '$eq' AS equation, n,
+            ROUND(beta0, 6) AS beta0, ROUND(beta1, 6) AS beta1, ROUND(beta2, 6) AS beta2,
+            CASE WHEN det <> 0.0 AND (syy - sy * sy / nn) <> 0.0 THEN
+              ROUND(1.0 - (syy - (beta0 * sy + beta1 * say + beta2 * sby))
+                          / (syy - sy * sy / nn), 6) END AS r2,
+            ROUND(beta0 + beta1 * lx + beta2 * ly, 6) AS f1
+     FROM sv$tag CROSS JOIN lastobs"""
+    s"""WITH cnt AS (SELECT date_trunc('day', ts) AS day,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+     bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM cnt),
+     sp AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds),
+     s AS (SELECT sp.day, CAST(COALESCE(cnt.x, 0) AS DOUBLE) AS x,
+                  CAST(COALESCE(cnt.y, 0) AS DOUBLE) AS y
+           FROM sp LEFT JOIN cnt ON sp.day = cnt.day),
+     l AS (SELECT x, y, LAG(x) OVER (ORDER BY day) AS xl, LAG(y) OVER (ORDER BY day) AS yl
+           FROM s),
+     b AS (SELECT CAST(FLOOR(x * 1e6 + 0.5) AS HUGEINT) AS tx,
+                  CAST(FLOOR(y * 1e6 + 0.5) AS HUGEINT) AS ty,
+                  CAST(FLOOR(xl * 1e6 + 0.5) AS HUGEINT) AS a,
+                  CAST(FLOOR(yl * 1e6 + 0.5) AS HUGEINT) AS bb
+           FROM l WHERE xl IS NOT NULL AND yl IS NOT NULL),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(a) AS sa0, SUM(bb) AS sb0,
+                  SUM(a * a) AS saa0, SUM(bb * bb) AS sbb0, SUM(a * bb) AS sab0,
+                  SUM(tx) AS syx0, SUM(a * tx) AS sayx0, SUM(bb * tx) AS sbyx0,
+                  SUM(tx * tx) AS syyx0,
+                  SUM(ty) AS syy0s, SUM(a * ty) AS sayy0, SUM(bb * ty) AS sbyy0,
+                  SUM(ty * ty) AS syyy0
+           FROM b),
+     t AS (SELECT n, CAST(n AS DOUBLE) AS nn,
+                  CAST(sa0 AS DOUBLE) / 1e6 AS sa, CAST(sb0 AS DOUBLE) / 1e6 AS sb,
+                  CAST(saa0 AS DOUBLE) / 1e12 AS saa, CAST(sbb0 AS DOUBLE) / 1e12 AS sbb,
+                  CAST(sab0 AS DOUBLE) / 1e12 AS sab,
+                  CAST(syx0 AS DOUBLE) / 1e6 AS syx, CAST(sayx0 AS DOUBLE) / 1e12 AS sayx,
+                  CAST(sbyx0 AS DOUBLE) / 1e12 AS sbyx, CAST(syyx0 AS DOUBLE) / 1e12 AS syyx,
+                  CAST(syy0s AS DOUBLE) / 1e6 AS syy, CAST(sayy0 AS DOUBLE) / 1e12 AS sayy,
+                  CAST(sbyy0 AS DOUBLE) / 1e12 AS sbyy, CAST(syyy0 AS DOUBLE) / 1e12 AS syyy
+           FROM m),
+     d AS (SELECT *,
+             nn * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+               + sb * (sa * sab - saa * sb) AS det
+           FROM t),
+     ${sv("x", "x")},
+     ${sv("y", "y")},
+     lastobs AS (SELECT x AS lx, y AS ly FROM s ORDER BY day DESC LIMIT 1)
+     ${readout("x", "x")}
+     UNION ALL
+     ${readout("y", "y")}
+     ORDER BY equation"""
+  }
 
   /** Yule–Walker AR(2) + unrolled 3-step forecast over the q_acf series —
     * mirrors [[graft.operators.Temporal.arYuleWalker]]'s fixed IEEE

@@ -626,6 +626,63 @@ object Temporal {
       .drop("__at_t")
   }
 
+  /** Bivariate VAR(1) (Sims 1980) — the MULTIVARIATE autoregression
+    * beside [[arYuleWalker]]'s univariate fit and [[ccf]]'s symptom
+    * readout ("y leads x" becomes an actual cross-coefficient): each
+    * equation of [x_t, y_t] = c + A·[x_{t−1}, y_{t−1}] + ε is the exact
+    * closed-form OLS of [[Models.linearRegression]] on the lagged pair
+    * (quantized DECIMAL moments, Cramer chains — zero iteration), plus a
+    * one-step forecast from the last observation through the UNROUNDED
+    * coefficients. One lag-window pass over the series table (regular and
+    * calendar-bounded by the caller's contract — the [[acf]] posture),
+    * two moment aggregates, two bounded collects.
+    *
+    * Returns TWO rows: (equation ∈ {x, y}, n, beta0, beta1 [on x_{t−1}],
+    * beta2 [on y_{t−1}], r2, f1) — degenerate designs (det 0) yield NULL
+    * coefficients and forecast. */
+  def var1(
+      series: DataFrame,
+      orderCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(col("__t"))
+    val lagged = series.select(col(orderCol).as("__t"),
+        col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .withColumn("__xl", lag(col("__x"), 1).over(w))
+      .withColumn("__yl", lag(col("__y"), 1).over(w))
+      .filter(col("__xl").isNotNull && col("__yl").isNotNull)
+    val eqX = Models.linearRegression(lagged, "__x", Seq("__xl", "__yl")).head()
+    val eqY = Models.linearRegression(lagged, "__y", Seq("__xl", "__yl")).head()
+    val last = series
+      .agg(max(struct(col(orderCol).as("t"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))).as("__l"))
+      .select(col("__l.x"), col("__l.y")).head()
+    val (xn, yn) = (last.getDouble(0), last.getDouble(1))
+    def readout(tag: String, r: org.apache.spark.sql.Row) = {
+      val n = r.getAs[Long]("n")
+      if (r.isNullAt(r.fieldIndex("beta0")))
+        (tag, n, None: Option[Double], None: Option[Double], None: Option[Double],
+          None: Option[Double], None: Option[Double])
+      else {
+        val b0 = r.getAs[Double]("beta0")
+        val b1 = r.getAs[Double]("beta1"); val b2 = r.getAs[Double]("beta2")
+        val f1 = b0 + b1 * xn + b2 * yn
+        (tag, n, Some(b0), Some(b1), Some(b2),
+          Option(r.getAs[java.lang.Double]("r2")).map(_.doubleValue), Some(f1))
+      }
+    }
+    Seq(readout("x", eqX), readout("y", eqY))
+      .toDF("equation", "n", "__b0", "__b1", "__b2", "__r2", "__f1")
+      .select(col("equation"), col("n"),
+        round(col("__b0"), 6).as("beta0"),
+        round(col("__b1"), 6).as("beta1"),
+        round(col("__b2"), 6).as("beta2"),
+        round(col("__r2"), 6).as("r2"),
+        round(col("__f1"), 6).as("f1"))
+  }
+
   /** Aalen–Johansen cumulative incidence under competing risks (Aalen &
     * Johansen 1978) — the estimator that replaces 1−KM when more than one
     * event type can claim a subject (naive per-cause KM overstates every

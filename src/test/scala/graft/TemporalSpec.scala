@@ -355,6 +355,34 @@ class TemporalSpec extends SparkSpec {
     assert(cg.isNullAt(cg.fieldIndex("phi1")) && cg.isNullAt(cg.fieldIndex("f2")))
   }
 
+  test("var1: exact recovery of a noiseless coupled recursion; constant series NULLs") {
+    // the data IS the model: x' = 2 + .5x − .25y, y' = 1 + .25x + .5y
+    var x = 10.0; var y = 5.0
+    val rows = (0 until 50).map { t =>
+      val r = (t.toLong, x, y)
+      val nx = 2.0 + 0.5 * x - 0.25 * y
+      val ny = 1.0 + 0.25 * x + 0.5 * y
+      x = nx; y = ny
+      r
+    }
+    val got = Temporal.var1(rows.toDF("t", "x", "y"), "t", "x", "y")
+      .orderBy("equation").collect()
+    val ex = got(0); val ey = got(1)
+    assert(ex.getAs[String]("equation") == "x" && ex.getAs[Long]("n") == 49L)
+    assert(math.abs(ex.getAs[Double]("beta0") - 2.0) < 1e-3)
+    assert(math.abs(ex.getAs[Double]("beta1") - 0.5) < 1e-3)
+    assert(math.abs(ex.getAs[Double]("beta2") + 0.25) < 1e-3)
+    assert(ex.getAs[Double]("r2") > 0.999999)
+    assert(math.abs(ey.getAs[Double]("beta1") - 0.25) < 1e-3)
+    // the forecast continues the recursion: after the loop, x holds x_50
+    assert(math.abs(ex.getAs[Double]("f1") - x) < 1e-3, s"f1=${ex.getAs[Double]("f1")} vs $x")
+    assert(math.abs(ey.getAs[Double]("f1") - y) < 1e-3)
+    // degenerate: constant series has zero-variance design -> NULLs
+    val const = (0 until 10).map(t => (t.toLong, 3.0, 4.0))
+    val c = Temporal.var1(const.toDF("t", "x", "y"), "t", "x", "y").collect()
+    assert(c.forall(_.isNullAt(2)))
+  }
+
   test("aalenJohansen: hand-solved CIFs conserve mass; censoring holds curves flat") {
     // t=1 cause1, t=2 cause2, t=3 censored, t=4 cause1 (n=4):
     // CIF1 = .25,.25,.25,.75  CIF2 = 0,.25,.25,.25  S = .75,.5,.5,0
