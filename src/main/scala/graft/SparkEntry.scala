@@ -1655,6 +1655,18 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Product-quantization ANN (X269): 4×16-codeword sample codebook, ADC
+    * lookup-table scoring, exact rerank — at rerank·k = 120 the shortlist
+    * provably contains the true top-3, so the gate equals brute force
+    * (the SQ8 gate regime). */
+  private def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 3, m = 4, codes = 16, rerank = 40)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   // -------------------------------------------------------- text analysis
 
   private def qLangId(s: SparkSession, d: String): DataFrame = {
@@ -6391,6 +6403,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_quantized" -> (qAnnQuantized _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_script_detect" -> (qScriptDetect _),
     "q_rolling_distinct" -> (qRollingDistinct _),
     "q_fix_mojibake" -> (qFixMojibake _),
@@ -11700,6 +11713,11 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
          FROM ranked WHERE rn <= 3 ORDER BY query_id, rnk""",
+    // PQ's 16-codeword sample codebook is too coarse for the exact-regime
+    // shortcut — this oracle replays the FULL pipeline instead: encode
+    // (per-subspace quantized-long argmin, ties to the lower code), ADC
+    // lookup-table sums, the (adc asc, id asc) shortlist, exact rerank
+    "q_ann_pq" -> pqOracle,
     "q_weighted_sample" ->
       """WITH k AS (SELECT doc_id, n_chars,
                            -LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
@@ -14070,6 +14088,52 @@ object SparkEntry {
 
   private val acfOracle: String =
     acfCtes + "\n         SELECT * FROM af ORDER BY event_type, lag"
+
+  /** Full PQ replay: sample codebook, per-subspace quantized-long encode
+    * argmin, ADC LUT join, bounded shortlist, exact-cosine rerank —
+    * mirrors [[graft.operators.Similarity.pqTopK]] bit-for-bit (encode
+    * and shortlist rank on exact longs, so both engines select identical
+    * rows before the rounded-sim readout). */
+  private val pqOracle: String = {
+    def subdist(v: String, c: String) =
+      s"""list_sum(list_transform(range(0, 16), j ->
+            CAST(FLOOR((CAST($v[sub.s * 16 + j + 1] AS DOUBLE) - CAST($c[sub.s * 16 + j + 1] AS DOUBLE))
+                       * (CAST($v[sub.s * 16 + j + 1] AS DOUBLE) - CAST($c[sub.s * 16 + j + 1] AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)))"""
+    s"""WITH cb AS MATERIALIZED (
+           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cv
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+     subs AS (SELECT unnest([0, 1, 2, 3]) AS s),
+     sd AS (SELECT e.vec_id, sub.s, cb.code, ${subdist("e.embedding", "cb.cv")} AS d
+            FROM embeddings e CROSS JOIN subs sub CROSS JOIN cb),
+     enc AS MATERIALIZED (
+           SELECT vec_id, s, code FROM (
+             SELECT vec_id, s, code,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+             FROM sd) WHERE rn = 1),
+     q AS MATERIALIZED (
+           SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+     lut AS (SELECT q.query_id, sub.s, cb.code, ${subdist("q.qv", "cb.cv")} AS dq
+             FROM q CROSS JOIN subs sub CROSS JOIN cb),
+     adc AS (SELECT l.query_id, en.vec_id, CAST(SUM(l.dq) AS BIGINT) AS adc
+             FROM enc en JOIN lut l ON en.s = l.s AND en.code = l.code
+             WHERE en.vec_id <> l.query_id
+             GROUP BY 1, 2),
+     short AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+                 FROM adc) WHERE rn <= 120),
+     rr AS (SELECT sh.query_id, sh.vec_id,
+                   list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) AS sim
+            FROM short sh JOIN embeddings e ON sh.vec_id = e.vec_id
+            JOIN q ON sh.query_id = q.query_id),
+     ranked AS (SELECT query_id, vec_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+                FROM rr)
+     SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
+     FROM ranked WHERE rn <= 3 ORDER BY query_id, rnk"""
+  }
 
   /** The shared lag pass + two exact Cramer solves + forecasts through
     * the unrounded coefficients — mirrors

@@ -248,6 +248,79 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid 2011) — the
+    * memory-compression member completing the ANN family (brute / LSH /
+    * IVF / SQ8 / PCA): vectors split into `m` subspaces, each encoded as
+    * the nearest of `codes` codewords, so an item is m small ints; query
+    * scoring is ADC — a per-query (subspace, code) → partial-distance
+    * LOOKUP TABLE (m·codes rows, broadcast) joined onto the exploded item
+    * codes, one partial-aggregated sum per (query, item), a bounded-heap
+    * shortlist, and the SQ8 exact-cosine rerank of shortlist-only rows.
+    *
+    * The codebook here is the first `codes` corpus vectors by id — the
+    * bounded-sample fit (a k-means codebook plugs into the same encode
+    * path; PQ separates train from encode/search by design, FAISS-style).
+    * Every sub-distance is an exact quantized-long sum and the per-
+    * subspace argmin breaks ties on the lower code, so encode + ADC +
+    * shortlist replay in SQL. Gate regime: rerank·k ≥ a large corpus
+    * fraction makes the exact rerank equal brute force (the X86/SQ8 gate
+    * precedent). */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      codes: Int = 16,
+      rerank: Int = 8): DataFrame = {
+    require(m >= 1 && codes >= 2, s"need m >= 1, codes >= 2; got m=$m codes=$codes")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cbRows = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(codes).collect()
+    require(cbRows.length == codes,
+      s"corpus has only ${cbRows.length} rows for a $codes-codeword codebook")
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(m, codes) { (s, c) =>
+      val v = cbRows(c).getAs[scala.collection.Seq[Float]](1)
+      Array.tabulate(sub)(j => v(s * sub + j).toDouble)
+    }
+    def subDistQ(s: Int, c: Int, v: Column): Column =
+      (0 until sub).map { j =>
+        val diff = element_at(v, s * sub + j + 1).cast("double") - lit(cents(s)(c)(j))
+        floor(diff * diff * 1e6 + 0.5).cast("long")
+      }.reduce(_ + _)
+    def codeCol(s: Int, v: Column): Column =
+      least((0 until codes).map(c =>
+        struct(subDistQ(s, c, v).as("d"), lit(c).as("c"))): _*).getField("c")
+    val enc = corpus.select(col(idCol).as("vec_id2") +:
+      (0 until m).map(s => codeCol(s, col(vecCol)).as(s"__c$s")): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val lut = q.select(col("query_id"), explode(array(
+      (for (s <- 0 until m; c <- 0 until codes) yield
+        struct(lit(s).as("s"), lit(c).as("c"),
+          subDistQ(s, c, col("__qv")).as("dq"))): _*)).as("__e"))
+      .select(col("query_id"), col("__e.s").as("s"), col("__e.c").as("c"),
+        col("__e.dq").as("dq"))
+    val itemCodes = enc.select(col("vec_id2"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), col(s"__c$s").as("c"))): _*)).as("__e"))
+      .select(col("vec_id2"), col("__e.s").as("s"), col("__e.c").as("c"))
+    val adc = itemCodes.join(broadcast(lut), Seq("s", "c"))
+      .filter(col("vec_id2") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id2"))
+      .agg(sum(col("dq")).as("adc"))
+    val shortlist = Relational.topKPerKey(adc, Seq("query_id"),
+      sort = Seq("adc" -> false, "vec_id2" -> false), k = rerank * k)
+    val floats = corpus.select(col(idCol).as("vec_id2"), col(vecCol).as("__v"))
+    val scored = floats
+      .join(broadcast(shortlist.select("query_id", "vec_id2")), Seq("vec_id2"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosine_sim_float(col("__qv"), col("__v")))
+      .select("query_id", "vec_id2", "sim")
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN: candidates = corpus rows sharing any of the L table
     * signatures with the query, scored exactly, top-k per query. */
   def lshTopK(

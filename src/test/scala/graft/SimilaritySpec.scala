@@ -390,6 +390,35 @@ class SimilaritySpec extends SparkSpec {
     assert(p7.toSeq.map(_.toSeq) == p1b.toSeq.map(_.toSeq))
   }
 
+  test("pqTopK: exact regime equals brute force; tiny shortlist still finds the cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 48 vectors in 8 corner clusters of an 8-d cube (+ tiny per-id jitter);
+    // ids 0..7 hit distinct corners so the 8-codeword sample codebook spans them
+    def vec(i: Int): Array[Float] = {
+      val corner = i % 8
+      Array.tabulate(8)(j =>
+        ((if (((corner >> (j % 3)) & 1) == 1) 10f else -10f) + 0.01f * (i / 8) * (j + 1)))
+    }
+    val corpus = (0 until 48).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 2)
+    // rerank*k covers the whole corpus: the exact rerank must equal brute force
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, m = 2, codes = 8, rerank = 20)
+      .orderBy("query_id", "rnk").collect()
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rnk").collect()
+    assert(pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rnk"))).toSeq ==
+      brute.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rnk"))).toSeq)
+    // genuinely approximate regime: shortlist of 3 still surfaces a
+    // same-cluster neighbor at rank 1 (ADC ranks the right cells first)
+    val tight = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      k = 1, m = 2, codes = 8, rerank = 3)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(tight(0L) % 8 == 0 && tight(1L) % 8 == 1,
+      s"rank-1 neighbors must share the query's cluster: $tight")
+  }
+
   test("clusterQuality: coincident centroids still report CH/WSS with DB null") {
     import spark.implicits._
     // every centroid pair has zero separation — Davies–Bouldin is undefined
