@@ -6702,6 +6702,7 @@ object SparkEntry {
     "q_acf" -> (qAcf _),
     "q_ar_forecast" -> (qArForecast _),
     "q_var1" -> (qVar1 _),
+    "q_mann_kendall" -> (qMannKendall _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -6841,6 +6842,22 @@ object SparkEntry {
       .withColumn("x", coalesce(col("x"), lit(0L)))
     Temporal.pacf(series, Seq("event_type"), "day", "x", 7)
       .orderBy("event_type", "lag")
+  }
+
+  /** Mann–Kendall trend test (X270) per event type over the q_acf
+    * daily-count series — exact integer pair-sign sums. */
+  private def qMannKendall(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(cnt, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    Temporal.mannKendall(series, Seq("event_type"), "day", "x")
+      .orderBy("event_type")
   }
 
   /** Bivariate VAR(1) (X268): daily view (x) and purchase (y) counts —
@@ -13917,6 +13934,7 @@ object SparkEntry {
     "q_acf" -> acfOracle,
     "q_ar_forecast" -> arForecastOracle,
     "q_var1" -> var1Oracle,
+    "q_mann_kendall" -> mannKendallOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -14088,6 +14106,35 @@ object SparkEntry {
 
   private val acfOracle: String =
     acfCtes + "\n         SELECT * FROM af ORDER BY event_type, lag"
+
+  /** Exact integer pair-sign sum + tie-corrected variance + the two-op Z
+    * chain — mirrors [[graft.operators.Temporal.mannKendall]]
+    * bit-for-bit over the q_acf series. */
+  private val mannKendallOracle: String =
+    """WITH cnt AS (SELECT event_type, date_trunc('day', ts) AS day,
+                CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+     bounds AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM cnt GROUP BY 1),
+     sp AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds),
+     s AS (SELECT sp.event_type, sp.day, COALESCE(cnt.x, 0) AS x
+           FROM sp LEFT JOIN cnt ON sp.event_type = cnt.event_type AND sp.day = cnt.day),
+     pr AS (SELECT a.event_type,
+                   CAST(SUM(CAST(SIGN(CAST(b.x - a.x AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sv
+            FROM s a JOIN s b ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY 1),
+     tg AS (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY 1, 2),
+     ti AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr
+            FROM tg GROUP BY 1),
+     v AS (SELECT pr.event_type, ti.n, pr.sv,
+                  CAST(ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tcorr AS DOUBLE) / 18.0 AS var_s
+           FROM pr JOIN ti ON pr.event_type = ti.event_type)
+     SELECT event_type, n, sv AS s, ROUND(var_s, 6) AS var_s,
+            CASE WHEN var_s > 0 THEN ROUND(
+              CASE WHEN sv > 0 THEN CAST(sv - 1 AS DOUBLE) / SQRT(var_s)
+                   WHEN sv < 0 THEN CAST(sv + 1 AS DOUBLE) / SQRT(var_s)
+                   ELSE CAST(0 AS DOUBLE) END, 6) END AS z,
+            CAST(SIGN(CAST(sv AS DOUBLE)) AS INTEGER) AS trend
+     FROM v ORDER BY event_type"""
 
   /** Full PQ replay: sample codebook, per-subspace quantized-long encode
     * argmin, ADC LUT join, bounded shortlist, exact-cosine rerank —

@@ -626,6 +626,60 @@ object Temporal {
       .drop("__at_t")
   }
 
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) — the
+    * NONPARAMETRIC "is this series drifting?" readout beside the OLS
+    * trend's slope (no linearity or distribution assumption; robust to
+    * outliers): S = Σ_{i<j} sgn(x_j − x_i) over all time-ordered pairs,
+    * tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18 over the
+    * tie groups of x, and the continuity-corrected Z = (S∓1)/√Var (0 at
+    * S=0; NULL when Var=0 — a constant series has no test).
+    *
+    * Everything up to the final σ is EXACT integer arithmetic: the pair
+    * sign sum rides a co-partitioned self-equi-join on the key (fanout
+    * bounded by the calendar-bounded series length, the [[acf]]
+    * contract), ties come from one value-collapse aggregate, and Z is a
+    * two-op IEEE chain — partition-invariant and trivially SQL-replayed.
+    *
+    * @param valueCol exact integer series value (counts, quantized units) */
+  def mannKendall(
+      series: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key required (use a constant for global)")
+    val k = keys.map(col)
+    val base = series.select(
+      (k :+ col(orderCol).as("__t") :+ col(valueCol).cast("long").as("__x")): _*)
+    val a = base.select(
+      (k :+ col("__t").as("__ta") :+ col("__x").as("__xa")): _*)
+    val b = base.select(
+      (keys.map(kc => col(kc).as(s"__k_$kc")) :+
+        col("__t").as("__tb") :+ col("__x").as("__xb")): _*)
+    val joinCond = keys.map(kc => col(kc) === col(s"__k_$kc"))
+      .foldLeft(col("__ta") < col("__tb"))(_ && _)
+    val sTab = a.join(b, joinCond)
+      .groupBy(k: _*)
+      .agg(sum(signum((col("__xb") - col("__xa")).cast("double")).cast("long")).as("s"))
+    val ties = base.groupBy((k :+ col("__x")): _*)
+      .agg(count(lit(1)).as("__tg"))
+      .groupBy(k: _*)
+      .agg(
+        sum(col("__tg")).as("n"),
+        sum(col("__tg") * (col("__tg") - 1) * (lit(2) * col("__tg") + 5)).as("__tcorr"))
+    val nn = col("n")
+    val varS = (nn * (nn - 1) * (lit(2) * nn + 5) - col("__tcorr")).cast("double") / 18.0
+    val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sTab.join(ties, keys)
+      .select(k ++ Seq(
+        col("n"), col("s"),
+        round(varS, 6).as("var_s"),
+        when(varS > 0, round(z, 6)).otherwise(lit(null).cast("double")).as("z"),
+        signum(col("s").cast("double")).cast("int").as("trend")): _*)
+  }
+
   /** Bivariate VAR(1) (Sims 1980) — the MULTIVARIATE autoregression
     * beside [[arYuleWalker]]'s univariate fit and [[ccf]]'s symptom
     * readout ("y leads x" becomes an actual cross-coefficient): each

@@ -355,6 +355,26 @@ class TemporalSpec extends SparkSpec {
     assert(cg.isNullAt(cg.fieldIndex("phi1")) && cg.isNullAt(cg.fieldIndex("f2")))
   }
 
+  test("mannKendall: monotone series hits the closed form; constants NULL; invariant") {
+    // strictly increasing, no ties: S = n(n-1)/2, Var = n(n-1)(2n+5)/18
+    val up = (1 to 20).map(i => ("u", i.toLong, i.toLong))
+    val const = (1 to 10).map(i => ("c", i.toLong, 7L))
+    val df = (up ++ const).toDF("k", "t", "x").repartition(4)
+    val got = Temporal.mannKendall(df, Seq("k"), "t", "x")
+      .orderBy("k").collect()
+    val c = got(0); val u = got(1)
+    assert(u.getAs[Long]("s") == 190L && u.getAs[Long]("n") == 20L)
+    assert(u.getAs[Double]("var_s") == 950.0)
+    assert(math.abs(u.getAs[Double]("z") - 189.0 / math.sqrt(950.0)) < 1e-6)
+    assert(u.getAs[Int]("trend") == 1)
+    // constant series: S = 0, the tie correction kills the variance, z NULL
+    assert(c.getAs[Long]("s") == 0L && c.getAs[Double]("var_s") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("z")) && c.getAs[Int]("trend") == 0)
+    val g7 = Temporal.mannKendall(df.repartition(7), Seq("k"), "t", "x")
+      .orderBy("k").collect()
+    assert(g7(1).getAs[Double]("z") == u.getAs[Double]("z"))
+  }
+
   test("var1: exact recovery of a noiseless coupled recursion; constant series NULLs") {
     // the data IS the model: x' = 2 + .5x − .25y, y' = 1 + .25x + .5y
     var x = 10.0; var y = 5.0
