@@ -6703,6 +6703,7 @@ object SparkEntry {
     "q_ar_forecast" -> (qArForecast _),
     "q_var1" -> (qVar1 _),
     "q_mann_kendall" -> (qMannKendall _),
+    "q_granger" -> (qGranger _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -6842,6 +6843,22 @@ object SparkEntry {
       .withColumn("x", coalesce(col("x"), lit(0L)))
     Temporal.pacf(series, Seq("event_type"), "day", "x", 7)
       .orderBy("event_type", "lag")
+  }
+
+  /** Granger causality (X271) on the q_var1 series: does purchase lag
+    * improve view prediction (and vice versa)? Closed-form F tests. */
+  private def qGranger(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val spine = cnt.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(cnt, Seq("day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    Temporal.grangerCausality(series, "day", "x", "y").orderBy("direction")
   }
 
   /** Mann–Kendall trend test (X270) per event type over the q_acf
@@ -13935,6 +13952,7 @@ object SparkEntry {
     "q_ar_forecast" -> arForecastOracle,
     "q_var1" -> var1Oracle,
     "q_mann_kendall" -> mannKendallOracle,
+    "q_granger" -> grangerOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -14106,6 +14124,79 @@ object SparkEntry {
 
   private val acfOracle: String =
     acfCtes + "\n         SELECT * FROM af ORDER BY event_type, lag"
+
+  /** The var1 moment prefix + both directions' restricted/unrestricted
+    * closed forms + the F chain — mirrors
+    * [[graft.operators.Temporal.grangerCausality]] bit-for-bit. */
+  private val grangerOracle: String =
+    """WITH cnt AS (SELECT date_trunc('day', ts) AS day,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+     bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM cnt),
+     sp AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds),
+     s AS (SELECT sp.day, CAST(COALESCE(cnt.x, 0) AS DOUBLE) AS x,
+                  CAST(COALESCE(cnt.y, 0) AS DOUBLE) AS y
+           FROM sp LEFT JOIN cnt ON sp.day = cnt.day),
+     l AS (SELECT x, y, LAG(x) OVER (ORDER BY day) AS xl, LAG(y) OVER (ORDER BY day) AS yl
+           FROM s),
+     b AS (SELECT CAST(FLOOR(x * 1e6 + 0.5) AS HUGEINT) AS tx,
+                  CAST(FLOOR(y * 1e6 + 0.5) AS HUGEINT) AS ty,
+                  CAST(FLOOR(xl * 1e6 + 0.5) AS HUGEINT) AS a,
+                  CAST(FLOOR(yl * 1e6 + 0.5) AS HUGEINT) AS bb
+           FROM l WHERE xl IS NOT NULL AND yl IS NOT NULL),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(a) AS sa0, SUM(bb) AS sb0,
+                  SUM(a * a) AS saa0, SUM(bb * bb) AS sbb0, SUM(a * bb) AS sab0,
+                  SUM(tx) AS syx0, SUM(a * tx) AS sayx0, SUM(bb * tx) AS sbyx0,
+                  SUM(tx * tx) AS syyx0,
+                  SUM(ty) AS syy0s, SUM(a * ty) AS sayy0, SUM(bb * ty) AS sbyy0,
+                  SUM(ty * ty) AS syyy0
+           FROM b),
+     t AS (SELECT n, CAST(n AS DOUBLE) AS nn,
+                  CAST(sa0 AS DOUBLE) / 1e6 AS sa, CAST(sb0 AS DOUBLE) / 1e6 AS sb,
+                  CAST(saa0 AS DOUBLE) / 1e12 AS saa, CAST(sbb0 AS DOUBLE) / 1e12 AS sbb,
+                  CAST(sab0 AS DOUBLE) / 1e12 AS sab,
+                  CAST(syx0 AS DOUBLE) / 1e6 AS syx, CAST(sayx0 AS DOUBLE) / 1e12 AS sayx,
+                  CAST(sbyx0 AS DOUBLE) / 1e12 AS sbyx, CAST(syyx0 AS DOUBLE) / 1e12 AS syyx,
+                  CAST(syy0s AS DOUBLE) / 1e6 AS syy, CAST(sayy0 AS DOUBLE) / 1e12 AS sayy,
+                  CAST(sbyy0 AS DOUBLE) / 1e12 AS sbyy, CAST(syyy0 AS DOUBLE) / 1e12 AS syyy
+           FROM m),
+     d AS (SELECT *,
+             nn * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+               + sb * (sa * sab - saa * sb) AS det
+           FROM t),
+     dirs AS (
+       SELECT 'y->x' AS direction, n, nn, det, sa, sb, saa, sbb, sab,
+              syx AS sy, sayx AS say, sbyx AS sby, syyx AS syy_t,
+              sa AS so, saa AS soo, sayx AS sown, 2 AS crossid
+       FROM d
+       UNION ALL
+       SELECT 'x->y', n, nn, det, sa, sb, saa, sbb, sab,
+              syy, sayy, sbyy, syyy,
+              sb, sbb, sbyy, 1
+       FROM d),
+     bet AS (SELECT *,
+              (sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby)
+                + sb * (say * sab - saa * sby)) / det AS b0,
+              (nn * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb)
+                + sb * (sa * sby - say * sb)) / det AS b1,
+              (nn * (saa * sby - say * sab) - sa * (sa * sby - say * sb)
+                + sy * (sa * sab - saa * sb)) / det AS b2
+             FROM dirs),
+     res AS (SELECT *,
+              syy_t - (b0 * sy + b1 * say + b2 * sby) AS sse_u,
+              nn * soo - so * so AS den_r,
+              (nn * sown - so * sy) / (nn * soo - so * so) AS slope_r
+             FROM bet),
+     fin AS (SELECT *, (sy - slope_r * so) / nn AS b0r FROM res),
+     ff AS (SELECT *, syy_t - b0r * sy - slope_r * sown AS sse_r FROM fin)
+     SELECT direction, n,
+            CASE WHEN det <> 0.0 THEN
+              ROUND(CASE WHEN crossid = 2 THEN b2 ELSE b1 END, 6) END AS beta_cross,
+            CASE WHEN det <> 0.0 AND den_r <> 0.0 AND sse_u > 0.0 AND nn > 3.0 THEN
+              ROUND((sse_r - sse_u) / (sse_u / (nn - 3.0)), 6) END AS f
+     FROM ff ORDER BY direction"""
 
   /** Exact integer pair-sign sum + tie-corrected variance + the two-op Z
     * chain — mirrors [[graft.operators.Temporal.mannKendall]]

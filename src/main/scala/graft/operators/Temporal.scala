@@ -626,6 +626,100 @@ object Temporal {
       .drop("__at_t")
   }
 
+  /** Pairwise Granger causality (Granger 1969) — the hypothesis test ON
+    * TOP of [[var1]]'s coefficients: does y's lag improve the prediction
+    * of x beyond x's own lag? For each direction, the unrestricted model
+    * (intercept + own lag + cross lag) and the restricted one (own lag
+    * only) solve in CLOSED FORM from one shared quantized-moment pass
+    * (DECIMAL-exact sums, Cramer chains, OLS identity
+    * SSE = Σy² − βᵀXᵀy), and F = (SSE_r − SSE_u)/(SSE_u/(n−3)) with 1
+    * numerator df. Fully declarative — no collect, no iteration; one lag
+    * window over the calendar-bounded series, ONE aggregate, two readout
+    * rows. Degenerate designs (det 0, SSE_u ≤ 0, n ≤ 3) yield NULL F.
+    *
+    * Returns TWO rows: (direction ∈ {y->x, x->y}, n, beta_cross, f). */
+  def grangerCausality(
+      series: DataFrame,
+      orderCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val w = Window.orderBy(col("__t"))
+    val lagged = series.select(col(orderCol).as("__t"),
+        col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .withColumn("__a", lag(col("__x"), 1).over(w))
+      .withColumn("__b", lag(col("__y"), 1).over(w))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    def q(c: Column) = floor(c * 1e6 + 0.5).cast("decimal(38,0)")
+    val m = lagged.select(
+      q(col("__x")).as("__qx"), q(col("__y")).as("__qy"),
+      q(col("__a")).as("__qa"), q(col("__b")).as("__qb"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__qa")).as("__sa0"), sum(col("__qb")).as("__sb0"),
+        sum(col("__qa") * col("__qa")).as("__saa0"),
+        sum(col("__qb") * col("__qb")).as("__sbb0"),
+        sum(col("__qa") * col("__qb")).as("__sab0"),
+        sum(col("__qx")).as("__syx0"), sum(col("__qa") * col("__qx")).as("__sayx0"),
+        sum(col("__qb") * col("__qx")).as("__sbyx0"),
+        sum(col("__qx") * col("__qx")).as("__syyx0"),
+        sum(col("__qy")).as("__syy0"), sum(col("__qa") * col("__qy")).as("__sayy0"),
+        sum(col("__qb") * col("__qy")).as("__sbyy0"),
+        sum(col("__qy") * col("__qy")).as("__syyy0"))
+    val t = m.select(
+      col("n"), col("n").cast("double").as("nn"),
+      (col("__sa0").cast("double") / 1e6).as("sa"),
+      (col("__sb0").cast("double") / 1e6).as("sb"),
+      (col("__saa0").cast("double") / 1e12).as("saa"),
+      (col("__sbb0").cast("double") / 1e12).as("sbb"),
+      (col("__sab0").cast("double") / 1e12).as("sab"),
+      (col("__syx0").cast("double") / 1e6).as("syx"),
+      (col("__sayx0").cast("double") / 1e12).as("sayx"),
+      (col("__sbyx0").cast("double") / 1e12).as("sbyx"),
+      (col("__syyx0").cast("double") / 1e12).as("syyx"),
+      (col("__syy0").cast("double") / 1e6).as("syy"),
+      (col("__sayy0").cast("double") / 1e12).as("sayy"),
+      (col("__sbyy0").cast("double") / 1e12).as("sbyy"),
+      (col("__syyy0").cast("double") / 1e12).as("syyy"))
+      .withColumn("det",
+        col("nn") * (col("saa") * col("sbb") - col("sab") * col("sab")) -
+          col("sa") * (col("sa") * col("sbb") - col("sab") * col("sb")) +
+          col("sb") * (col("sa") * col("sab") - col("saa") * col("sb")))
+    // one direction's readout off the shared moment row: target moments
+    // (sy, say, sby, syy), own-lag moments (so, soo) for the restricted fit
+    def direction(tag: String, sy: Column, say: Column, sby: Column, syy: Column,
+        so: Column, soo: Column, sayOwn: Column, crossBeta: String): DataFrame = {
+      val nn = col("nn"); val det = col("det")
+      val b0 = (sy * (col("saa") * col("sbb") - col("sab") * col("sab")) -
+        col("sa") * (say * col("sbb") - col("sab") * sby) +
+        col("sb") * (say * col("sab") - col("saa") * sby)) / det
+      val b1 = (nn * (say * col("sbb") - col("sab") * sby) -
+        sy * (col("sa") * col("sbb") - col("sab") * col("sb")) +
+        col("sb") * (col("sa") * sby - say * col("sb"))) / det
+      val b2 = (nn * (col("saa") * sby - say * col("sab")) -
+        col("sa") * (col("sa") * sby - say * col("sb")) +
+        sy * (col("sa") * col("sab") - col("saa") * col("sb"))) / det
+      val sseU = syy - (b0 * sy + b1 * say + b2 * sby)
+      val denR = nn * soo - so * so
+      val slopeR = (nn * sayOwn - so * sy) / denR
+      val b0r = (sy - slopeR * so) / nn
+      val sseR = syy - b0r * sy - slopeR * sayOwn
+      val f = (sseR - sseU) / (sseU / (nn - 3.0))
+      val cross = if (crossBeta == "b2") b2 else b1
+      t.select(
+        lit(tag).as("direction"), col("n"),
+        when(det =!= 0.0, round(cross, 6)).as("beta_cross"),
+        when(det =!= 0.0 && denR =!= 0.0 && sseU > 0.0 && nn > 3.0,
+          round(f, 6)).as("f"))
+    }
+    val yToX = direction("y->x",
+      col("syx"), col("sayx"), col("sbyx"), col("syyx"),
+      col("sa"), col("saa"), col("sayx"), crossBeta = "b2")
+    val xToY = direction("x->y",
+      col("syy"), col("sayy"), col("sbyy"), col("syyy"),
+      col("sb"), col("sbb"), col("sbyy"), crossBeta = "b1")
+    yToX.unionAll(xToY)
+  }
+
   /** Mann–Kendall trend test (Mann 1945; Kendall 1975) — the
     * NONPARAMETRIC "is this series drifting?" readout beside the OLS
     * trend's slope (no linearity or distribution assumption; robust to

@@ -355,6 +355,31 @@ class TemporalSpec extends SparkSpec {
     assert(cg.isNullAt(cg.fieldIndex("phi1")) && cg.isNullAt(cg.fieldIndex("f2")))
   }
 
+  test("grangerCausality: planted y-drives-x design; constant series NULLs") {
+    // x_t = 2·y_{t−1} + bounded noise, y_t exogenous: y must Granger-cause
+    // x overwhelmingly, and not the reverse
+    val rows = (0 until 80).map { t =>
+      val y = ((t * 7) % 13).toDouble
+      val yPrev = (((t - 1) * 7 % 13 + 13) % 13).toDouble
+      val x = if (t == 0) 0.0 else 2.0 * yPrev + ((t * 37) % 11) / 11.0
+      (t.toLong, x, y)
+    }
+    val got = Temporal.grangerCausality(rows.toDF("t", "x", "y"), "t", "x", "y")
+      .orderBy("direction").collect()
+    val xy = got(0); val yx = got(1)
+    assert(xy.getAs[String]("direction") == "x->y" &&
+      yx.getAs[String]("direction") == "y->x")
+    assert(math.abs(yx.getAs[Double]("beta_cross") - 2.0) < 0.05,
+      s"cross beta ${yx.getAs[Double]("beta_cross")}")
+    assert(yx.getAs[Double]("f") > 50.0, s"f(y->x)=${yx.getAs[Double]("f")}")
+    assert(yx.getAs[Double]("f") > 10.0 * math.max(xy.getAs[Double]("f"), 1.0))
+    // degenerate design: constant series → det 0 → NULL readouts
+    val const = (0 until 10).map(t => (t.toLong, 3.0, 4.0))
+    val c = Temporal.grangerCausality(const.toDF("t", "x", "y"), "t", "x", "y")
+      .collect()
+    assert(c.forall(r => r.isNullAt(r.fieldIndex("f"))))
+  }
+
   test("mannKendall: monotone series hits the closed form; constants NULL; invariant") {
     // strictly increasing, no ties: S = n(n-1)/2, Var = n(n-1)(2n+5)/18
     val up = (1 to 20).map(i => ("u", i.toLong, i.toLong))
