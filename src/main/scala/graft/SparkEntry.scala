@@ -6704,6 +6704,7 @@ object SparkEntry {
     "q_var1" -> (qVar1 _),
     "q_mann_kendall" -> (qMannKendall _),
     "q_granger" -> (qGranger _),
+    "q_seasonal_power" -> (qSeasonalPower _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -6843,6 +6844,22 @@ object SparkEntry {
       .withColumn("x", coalesce(col("x"), lit(0L)))
     Temporal.pacf(series, Seq("event_type"), "day", "x", 7)
       .orderBy("event_type", "lag")
+  }
+
+  /** Weekly periodogram power (X272) per event type over the q_acf daily
+    * series — the period-7 harmonic's amplitude and variance share. */
+  private def qSeasonalPower(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(cnt, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    Temporal.seasonalPower(series, Seq("event_type"), "day", "x", period = 7)
+      .orderBy("event_type")
   }
 
   /** Granger causality (X271) on the q_var1 series: does purchase lag
@@ -13953,6 +13970,7 @@ object SparkEntry {
     "q_var1" -> var1Oracle,
     "q_mann_kendall" -> mannKendallOracle,
     "q_granger" -> grangerOracle,
+    "q_seasonal_power" -> seasonalPowerOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -14124,6 +14142,54 @@ object SparkEntry {
 
   private val acfOracle: String =
     acfCtes + "\n         SELECT * FROM af ORDER BY event_type, lag"
+
+  /** The literal phase-grid trig table + quantized projections + the
+    * centered readout — mirrors
+    * [[graft.operators.Temporal.seasonalPower]] bit-for-bit (the trig
+    * values are the JVM's doubles rendered verbatim). */
+  private val seasonalPowerOracle: String = {
+    def trig(f: Int => Double) = (0 until 7)
+      .map(p => s"WHEN $p THEN CAST(${f(p)} AS DOUBLE)")
+      .mkString("CASE ph ", " ", " END")
+    val cosCase = trig(p => math.cos(2.0 * math.Pi * p / 7))
+    val sinCase = trig(p => math.sin(2.0 * math.Pi * p / 7))
+    s"""WITH cnt AS (SELECT event_type, date_trunc('day', ts) AS day,
+                CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+     bounds AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM cnt GROUP BY 1),
+     sp AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds),
+     s AS (SELECT sp.event_type, sp.day, COALESCE(cnt.x, 0) AS x
+           FROM sp LEFT JOIN cnt ON sp.event_type = cnt.event_type AND sp.day = cnt.day),
+     ph AS (SELECT event_type, x,
+                   CAST((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1) % 7
+                        AS INTEGER) AS ph
+            FROM s),
+     tr AS (SELECT event_type, x, $cosCase AS c, $sinCase AS sn FROM ph),
+     a AS (SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx,
+                  CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * c * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS xc,
+                  CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * sn * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS xs,
+                  CAST(SUM(CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+                  CAST(SUM(CAST(FLOOR(sn * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ss
+           FROM tr GROUP BY 1),
+     r AS (SELECT event_type, n,
+                  CAST(n AS DOUBLE) AS nn,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                  CAST(xc AS DOUBLE) / 1e6
+                    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(sc AS DOUBLE) / 1e6) AS cc,
+                  CAST(xs AS DOUBLE) / 1e6
+                    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(ss AS DOUBLE) / 1e6) AS ssn,
+                  CAST(sxx AS DOUBLE)
+                    - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS sst
+           FROM a),
+     f AS (SELECT *, cc * cc + ssn * ssn AS p2 FROM r)
+     SELECT event_type, n,
+            ROUND(CAST(2 AS DOUBLE) * SQRT(p2) / nn, 6) AS amplitude,
+            CASE WHEN sst > 0 THEN ROUND(CAST(2 AS DOUBLE) * p2 / (nn * sst), 6) END AS power_frac
+     FROM f ORDER BY event_type"""
+  }
 
   /** The var1 moment prefix + both directions' restricted/unrestricted
     * closed forms + the F chain — mirrors

@@ -626,6 +626,64 @@ object Temporal {
       .drop("__at_t")
   }
 
+  /** Fixed-period periodogram power (the single-frequency DFT readout of
+    * Schuster 1898) — "HOW seasonal is this series at period p?", the
+    * quantitative companion to X236's decomposition-based strengths: the
+    * centered cosine/sine projections c = Σ(x_t−μ)cos(2πt/p),
+    * s = Σ(x_t−μ)sin(2πt/p) give the harmonic's amplitude 2√(c²+s²)/n
+    * and its variance share 2(c²+s²)/(n·SS) (the R² of regressing on the
+    * pair).
+    *
+    * The cos/sin values live on the p-point phase grid, so they ride in
+    * as a JVM-computed LITERAL table (the X264 ln-table discipline — no
+    * engine libm call touches hashed output); per-row products quantize
+    * to 1e6 longs and sum exactly; centering happens in the readout via
+    * the exact Σcos/Σsin phase marginals (n not a multiple of p leaves
+    * them nonzero — dropping them is the classic bias). One window pass
+    * for the time index, one partial aggregate, fixed IEEE readout.
+    *
+    * @param valueCol exact integer series value (counts, quantized units)
+    * @param period   phase-grid size (e.g. 7 for weekly on daily data) */
+  def seasonalPower(
+      series: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    require(keys.nonEmpty, "at least one key required (use a constant for global)")
+    require(period >= 2 && period <= 1000, s"period must be in 2..1000, got $period")
+    val k = keys.map(col)
+    val w = Window.partitionBy(k: _*).orderBy(col(orderCol))
+    val cosLits = array((0 until period).map(p =>
+      lit(math.cos(2.0 * math.Pi * p / period))): _*)
+    val sinLits = array((0 until period).map(p =>
+      lit(math.sin(2.0 * math.Pi * p / period))): _*)
+    val phased = series
+      .withColumn("__x", col(valueCol).cast("long"))
+      .withColumn("__ph", ((row_number().over(w) - 1) % period).cast("int"))
+      .withColumn("__c", element_at(cosLits, col("__ph") + 1))
+      .withColumn("__s", element_at(sinLits, col("__ph") + 1))
+    def q(c: Column): Column = sum(floor(c * 1e6 + 0.5).cast("long"))
+    val agg = phased.groupBy(k: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      q(col("__x").cast("double") * col("__c")).as("__xc"),
+      q(col("__x").cast("double") * col("__s")).as("__xs"),
+      q(col("__c")).as("__sc"),
+      q(col("__s")).as("__ss"))
+    val nn = col("n").cast("double")
+    val mu = col("__sx").cast("double") / nn
+    val cc = col("__xc").cast("double") / 1e6 - mu * (col("__sc").cast("double") / 1e6)
+    val ss = col("__xs").cast("double") / 1e6 - mu * (col("__ss").cast("double") / 1e6)
+    val sst = col("__sxx").cast("double") - nn * mu * mu
+    val p2 = cc * cc + ss * ss
+    agg.select(k ++ Seq(
+      col("n"),
+      round(lit(2.0) * sqrt(p2) / nn, 6).as("amplitude"),
+      when(sst > 0, round(lit(2.0) * p2 / (nn * sst), 6)).as("power_frac")): _*)
+  }
+
   /** Pairwise Granger causality (Granger 1969) — the hypothesis test ON
     * TOP of [[var1]]'s coefficients: does y's lag improve the prediction
     * of x beyond x's own lag? For each direction, the unrestricted model

@@ -355,6 +355,25 @@ class TemporalSpec extends SparkSpec {
     assert(cg.isNullAt(cg.fieldIndex("phi1")) && cg.isNullAt(cg.fieldIndex("f2")))
   }
 
+  test("seasonalPower: weekly wave reads ~full power at 7, off-period doesn't; flat NULL") {
+    val weekly = (0 until 70).map(t =>
+      ("w", t.toLong, 100L + math.round(50.0 * math.cos(2 * math.Pi * t / 7))))
+    val fiveDay = (0 until 70).map(t =>
+      ("f", t.toLong, 100L + math.round(50.0 * math.cos(2 * math.Pi * t / 5))))
+    val flat = (0 until 70).map(t => ("c", t.toLong, 100L))
+    val df = (weekly ++ fiveDay ++ flat).toDF("k", "t", "x").repartition(4)
+    val got = Temporal.seasonalPower(df, Seq("k"), "t", "x", period = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("amplitude"), r.getAs[java.lang.Double]("power_frac"))).toMap
+    assert(math.abs(got("w")._1 - 50.0) < 1.0, s"amplitude ${got("w")._1}")
+    assert(got("w")._2 > 0.95, s"weekly power ${got("w")._2}")
+    assert(got("f")._2 < 0.05, s"off-period power ${got("f")._2}")
+    assert(got("c")._2 == null, "flat series must NULL the variance share")
+    val g7 = Temporal.seasonalPower(df.repartition(9), Seq("k"), "t", "x", period = 7)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("amplitude")).toMap
+    assert(g7("w") == got("w")._1)
+  }
+
   test("grangerCausality: planted y-drives-x design; constant series NULLs") {
     // x_t = 2·y_{t−1} + bounded noise, y_t exogenous: y must Granger-cause
     // x overwhelmingly, and not the reverse
