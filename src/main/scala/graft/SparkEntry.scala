@@ -1811,7 +1811,7 @@ object SparkEntry {
       .select(col("n"), col("tau"), col("w0"), col("w1"), col("w2"),
         round(col("pinball"), 6).as("pinball"))
 
-  /** STREAMING Kish readout (S34, 29th gate): the four quantized-long
+  /** STREAMING Kish readout (S40, 39th gate): the four quantized-long
     * moment sums accumulate in the state store (complete mode, ONE state
     * row) over the stream-static order⋈customer join; the fixed-chain
     * readout finishes in batch off the sink — integer state ⇒ stream ==
@@ -4655,6 +4655,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Kneser–Ney bigram perplexity (X273): the q_perplexity workload one
+    * n-gram order up, fit on the English half, D = 0.75. */
+  private def qKnPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.knBigramPerplexity(docs, "doc_id", "text",
+        ref = docs.filter(col("lang") === "en"), discount = 0.75)
+      .orderBy("doc_id")
+  }
+
   /** STREAMING perplexity twin (S35) — fit offline, score online: the
     * unigram model + OOV row fit in BATCH ([[TextAnalysis.unigramLm]]) and
     * broadcast into the document stream (stream-static left join,
@@ -6705,6 +6714,7 @@ object SparkEntry {
     "q_mann_kendall" -> (qMannKendall _),
     "q_granger" -> (qGranger _),
     "q_seasonal_power" -> (qSeasonalPower _),
+    "q_kn_perplexity" -> (qKnPerplexity _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -13971,6 +13981,7 @@ object SparkEntry {
     "q_mann_kendall" -> mannKendallOracle,
     "q_granger" -> grangerOracle,
     "q_seasonal_power" -> seasonalPowerOracle,
+    "q_kn_perplexity" -> knPerplexityOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -14142,6 +14153,55 @@ object SparkEntry {
 
   private val acfOracle: String =
     acfCtes + "\n         SELECT * FROM af ORDER BY event_type, lag"
+
+  /** Slice-zip bigram extraction + the three KN model tables + the
+    * quantized log readout — mirrors
+    * [[graft.operators.TextAnalysis.knBigramPerplexity]] bit-for-bit. */
+  private val knPerplexityOracle: String =
+    """WITH toks AS MATERIALIZED (
+           SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]{1,}') AS l
+           FROM documents),
+     refbg AS (SELECT unnest(list_transform(range(2, length(l) + 1),
+                        i -> struct_pack(w1 := l[i - 1], w2 := l[i]))) AS s
+               FROM toks WHERE lang = 'en' AND length(l) >= 2),
+     big AS MATERIALIZED (
+           SELECT s.w1 AS w1, s.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM refbg GROUP BY 1, 2),
+     ctx AS MATERIALIZED (
+           SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n1l
+           FROM big GROUP BY 1),
+     cont AS MATERIALIZED (
+           SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM big GROUP BY 1),
+     btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM big),
+     terms AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, l[1] AS w2
+               FROM toks WHERE length(l) >= 1
+               UNION ALL
+               SELECT doc_id, s.w1, s.w2 FROM (
+                 SELECT doc_id, unnest(list_transform(range(2, length(l) + 1),
+                          i -> struct_pack(w1 := l[i - 1], w2 := l[i]))) AS s
+                 FROM toks WHERE length(l) >= 2)),
+     sc0 AS (SELECT t.doc_id,
+               CASE WHEN t.w1 IS NULL OR ctx.c1 IS NULL THEN
+                 CAST(COALESCE(cont.n1r, 1) AS DOUBLE) / CAST(btot.b + 1 AS DOUBLE)
+               ELSE
+                 GREATEST(CAST(COALESCE(big.c12, 0) AS DOUBLE) - 0.75, CAST(0 AS DOUBLE))
+                   / CAST(ctx.c1 AS DOUBLE)
+                 + 0.75 * CAST(ctx.n1l AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)
+                   * (CAST(COALESCE(cont.n1r, 1) AS DOUBLE) / CAST(btot.b + 1 AS DOUBLE))
+               END AS p
+             FROM terms t
+             LEFT JOIN big ON t.w1 = big.w1 AND t.w2 = big.w2
+             LEFT JOIN ctx ON t.w1 = ctx.w1
+             LEFT JOIN cont ON t.w2 = cont.w2
+             CROSS JOIN btot),
+     sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CAST(FLOOR(LN(p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+            FROM sc0 GROUP BY 1)
+     SELECT doc_id, n_tokens,
+            ROUND(-CAST(sq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6) AS cross_entropy,
+            ROUND(EXP(ROUND(-CAST(sq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6)), 6)
+              AS perplexity
+     FROM sc ORDER BY doc_id"""
 
   /** The literal phase-grid trig table + quantized projections + the
     * centered readout — mirrors

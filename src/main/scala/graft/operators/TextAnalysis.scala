@@ -1632,4 +1632,78 @@ object TextAnalysis {
         ce.as("cross_entropy"),
         round(exp(ce), 6).as("perplexity"))
   }
+
+  /** Interpolated Kneser–Ney BIGRAM perplexity (Kneser & Ney 1995; Chen &
+    * Goodman 1999) — the canonical n-gram smoothing, one order up from
+    * [[perplexityScore]]'s add-k unigram (the CCNet-style filter most
+    * pipelines actually run): P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁) +
+    * D·N₁₊(w₁•)/c(w₁)·P_cont(w₂), with the continuation probability
+    * P_cont(w) = N₁₊(•w)/(B+1) counting DISTINCT left contexts, not raw
+    * frequency (the "San Francisco" insight), and one continuation
+    * pseudo-type reserved so unseen words score finite. Unseen context
+    * w₁ backs off to P_cont alone; a document's first token scores
+    * P_cont.
+    *
+    * Scale shape: bigrams come from slice+zip of the per-doc token ARRAY
+    * — a pure map-side projection, no per-doc window, no shuffle before
+    * the model aggregates; the three model tables (bigram, context,
+    * continuation) broadcast into the scoring stream; per-token log
+    * terms quantize to 1e6 longs (the shared perplexity discipline), so
+    * the whole readout replays in SQL. */
+  def knBigramPerplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: DataFrame,
+      discount: Double = 0.75,
+      minLen: Int = 1,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    def withToks(d: DataFrame, cols: Seq[Column]): DataFrame =
+      d.select(cols :+ regexp_extract_all(lower(col(textCol)),
+        lit(s"[a-z0-9]{$minLen,}"), lit(0)).as("__toks"): _*)
+    def bigramRows(d: DataFrame, cols: Seq[Column]): DataFrame =
+      withToks(d, cols)
+        .filter(size(col("__toks")) >= 2)
+        .select(cols :+ explode(zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+        .select(cols :+ col("__bg.w1").as("__w1") :+ col("__bg.w2").as("__w2"): _*)
+    val big = bigramRows(ref.select(col(textCol)), Nil)
+      .groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val ctx = big.groupBy(col("__w1"))
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1l"))
+    val cont = big.groupBy(col("__w2")).agg(count(lit(1)).as("__n1r"))
+    val btot = big.agg(count(lit(1)).as("__b"))
+    val t = withToks(df.select(col(idCol), col(textCol)), Seq(col(idCol)))
+    val firsts = t.filter(size(col("__toks")) >= 1)
+      .select(col(idCol), lit(null).cast("string").as("__w1"),
+        element_at(col("__toks"), 1).as("__w2"))
+    val terms = firsts.unionByName(
+      bigramRows(df.select(col(idCol), col(textCol)), Seq(col(idCol))))
+    def bc(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    val joined = terms
+      .join(bc(big), Seq("__w1", "__w2"), "left")
+      .join(bc(ctx), Seq("__w1"), "left")
+      .join(bc(cont), Seq("__w2"), "left")
+      .crossJoin(broadcast(btot))
+    val pcont = coalesce(col("__n1r"), lit(1L)).cast("double") /
+      (col("__b") + 1).cast("double")
+    val c1d = col("__c1").cast("double")
+    val p = when(col("__w1").isNull || col("__c1").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("__c12"), lit(0L)).cast("double") - lit(discount),
+          lit(0.0)) / c1d +
+          lit(discount) * col("__n1l").cast("double") / c1d * pcont)
+    val ce = round(-col("__sq").cast("double") / lit(1e6) /
+      col("n_tokens").cast("double"), 6)
+    joined.select(col(idCol), floor(log(p) * 1e6 + 0.5).cast("long").as("__q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__q")).as("__sq"))
+      .select(col(idCol), col("n_tokens"),
+        ce.as("cross_entropy"),
+        round(exp(ce), 6).as("perplexity"))
+  }
 }

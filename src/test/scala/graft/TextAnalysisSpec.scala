@@ -426,6 +426,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(math.exp(ce1) - math.pow(36.0, 1.0 / 3)) < 1e-4)
   }
 
+  test("knBigramPerplexity: hand-solved KN terms, unseen-context backoff, invariance") {
+    // ref "a b a b a c": bigrams (a,b)=2 (b,a)=2 (a,c)=1; ctx a:(c1=3,n1l=2)
+    // b:(c1=2,n1l=1); cont n1r(a)=n1r(b)=n1r(c)=1; B=3 → P_cont(any)=1/4
+    val ref = Seq((10L, "a b a b a c")).toDF("id", "text")
+    val df = Seq((1L, "a b"), (2L, "z q")).toDF("id", "text").repartition(3)
+    val out = TextAnalysis.knBigramPerplexity(df, "id", "text", ref, discount = 0.75)
+      .orderBy("id").collect()
+    def lq(p: Double) = math.floor(math.log(p) * 1e6 + 0.5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: first token a → 1/4; (a,b) → (2−.75)/3 + .75·2/3·(1/4)
+    val pab = (2.0 - 0.75) / 3.0 + 0.75 * 2.0 / 3.0 * 0.25
+    val ce1 = r6(-(lq(0.25) + lq(pab)) / 1e6 / 2.0)
+    assert(out(0).getAs[Double]("cross_entropy") == ce1)
+    // doc 2: both tokens unseen → every term is the unk continuation 1/4
+    val ce2 = r6(-(2 * lq(0.25)) / 1e6 / 2.0)
+    assert(out(1).getAs[Double]("cross_entropy") == ce2)
+    assert(math.abs(out(1).getAs[Double]("perplexity") - 4.0) < 1e-4)
+    assert(ce2 > ce1, "unseen text must score worse than in-model text")
+    val o7 = TextAnalysis.knBigramPerplexity(df.repartition(7), "id", "text", ref)
+      .orderBy("id").collect()
+    assert(o7.map(_.getAs[Double]("cross_entropy")).toSeq ==
+      out.map(_.getAs[Double]("cross_entropy")).toSeq)
+  }
+
   test("charEntropy: hand-computed entropy, uniform and single-char extremes") {
     import org.apache.spark.sql.Row
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
