@@ -6313,6 +6313,25 @@ object SparkEntry {
   /** 4-core of the 1996-H1 co-purchase graph: fixed 4-round peel whose
     * SQL oracle replays the identical rounds (post-fixpoint rounds are
     * no-ops, so the operator's early exit cannot diverge). */
+  /** Hop-bounded pivot betweenness (X274) on the 1996-H1 co-purchase
+    * graph: 8 smallest parts as pivots, 3 hops, top-20 bridge nodes. */
+  private def qBetweenness(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("pa"))
+      .join(li.select(col("k"), col("l_partkey").as("pb")), "k")
+      .filter(col("pa") =!= col("pb"))
+    val srcs = pairs.select(col("pa").as("n")).distinct()
+      .orderBy("n").limit(8).collect().map(_.getLong(0)).toSeq
+    Graph.betweennessApprox(pairs, "pa", "pb", srcs, maxHops = 3, topK = 20)
+      .orderBy(col("betweenness").desc, col("node"))
+  }
+
   private def qKcore(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .join(Tables.orders(s, d)
@@ -6715,6 +6734,7 @@ object SparkEntry {
     "q_granger" -> (qGranger _),
     "q_seasonal_power" -> (qSeasonalPower _),
     "q_kn_perplexity" -> (qKnPerplexity _),
+    "q_betweenness" -> (qBetweenness _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -13982,6 +14002,7 @@ object SparkEntry {
     "q_granger" -> grangerOracle,
     "q_seasonal_power" -> seasonalPowerOracle,
     "q_kn_perplexity" -> knPerplexityOracle,
+    "q_betweenness" -> betweennessOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -14153,6 +14174,52 @@ object SparkEntry {
 
   private val acfOracle: String =
     acfCtes + "\n         SELECT * FROM af ORDER BY event_type, lag"
+
+  /** Level-unrolled Brandes replay: 3 forward BFS levels with exact σ
+    * sums and NOT-EXISTS visited guards, the backward dependency sweep
+    * with per-edge 1e-9-quantized terms, exact-long top-20 — mirrors
+    * [[graft.operators.Graph.betweennessApprox]] bit-for-bit. */
+  private val betweennessOracle: String = {
+    def fwd(cur: Int, prev: Int, vis: String) =
+      s"""f$cur AS MATERIALIZED (
+           SELECT f$prev.src, e.v AS id, CAST(SUM(f$prev.sigma) AS BIGINT) AS sigma
+           FROM f$prev JOIN e ON f$prev.id = e.u
+           WHERE NOT EXISTS (SELECT 1 FROM $vis x WHERE x.src = f$prev.src AND x.id = e.v)
+           GROUP BY 1, 2)"""
+    def bwd(cur: Int, next: Int) =
+      s"""c$cur AS MATERIALIZED (
+           SELECT f$cur.src, f$cur.id,
+                  CAST(SUM(CAST(FLOOR(CAST(f$cur.sigma AS DOUBLE) / CAST(w$next.sw AS DOUBLE)
+                       * (1.0 + CAST(w$next.dq AS DOUBLE) / 1e9) * 1e9 + 0.5) AS BIGINT))
+                    AS BIGINT) AS dq
+           FROM f$cur JOIN e ON f$cur.id = e.u
+           JOIN w$next ON w$next.src = f$cur.src AND w$next.wid = e.v
+           GROUP BY 1, 2)"""
+    s"""WITH li AS (SELECT l.l_orderkey AS k, l.l_partkey AS p
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'),
+     e AS MATERIALIZED (
+           SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+     srcs AS (SELECT DISTINCT u FROM e ORDER BY u LIMIT 8),
+     f0 AS (SELECT u AS src, u AS id, CAST(1 AS BIGINT) AS sigma FROM srcs),
+     ${fwd(1, 0, "f0")},
+     vis1 AS (SELECT src, id FROM f0 UNION ALL SELECT src, id FROM f1),
+     ${fwd(2, 1, "vis1")},
+     vis2 AS (SELECT src, id FROM vis1 UNION ALL SELECT src, id FROM f2),
+     ${fwd(3, 2, "vis2")},
+     d3 AS (SELECT src, id, CAST(0 AS BIGINT) AS dq FROM f3),
+     w3 AS (SELECT src, id AS wid, sigma AS sw, CAST(0 AS BIGINT) AS dq FROM f3),
+     ${bwd(2, 3)},
+     w2 AS (SELECT f2.src, f2.id AS wid, f2.sigma AS sw, COALESCE(c2.dq, 0) AS dq
+            FROM f2 LEFT JOIN c2 ON f2.src = c2.src AND f2.id = c2.id),
+     ${bwd(1, 2)},
+     acc AS (SELECT * FROM d3 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c1),
+     bc AS (SELECT id, CAST(SUM(dq) AS BIGINT) AS bq FROM acc GROUP BY 1
+            ORDER BY bq DESC, id LIMIT 20)
+     SELECT id AS node, ROUND(CAST(bq AS DOUBLE) / 1e9, 6) AS betweenness
+     FROM bc ORDER BY betweenness DESC, node"""
+  }
 
   /** Slice-zip bigram extraction + the three KN model tables + the
     * quantized log readout — mirrors

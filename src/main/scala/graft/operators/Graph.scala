@@ -704,4 +704,86 @@ object Graph {
         coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("authority"), lit(0.0)).as("authority"))
   }
+
+  /** k-source hop-bounded betweenness centrality (Brandes 2001 restricted
+    * to a pivot set — the standard sampling estimator, Brandes & Pich
+    * 2007): forward BFS from every source SIMULTANEOUSLY (frontier keyed
+    * by (source, node)) accumulating exact integer shortest-path counts
+    * σ, then the backward dependency sweep
+    * δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w)·(1+δ(w)) level by level, with each
+    * (v,w) term quantized floor(·1e9+0.5) to a long before the per-node
+    * sum — partition-invariant and replayable as level-unrolled SQL.
+    * The result is the PIVOT-SET estimate truncated at `maxHops` (paths
+    * longer than the bound contribute nothing — the documented
+    * approximation); nodes whose dependency is identically zero only
+    * surface if they sit on the deepest level.
+    *
+    * Scale: `maxHops` driver-paced rounds of co-partitioned equi-joins
+    * (frontier × edges, anti-join visited), lineage checkpointed per
+    * round; the backward sweep is the same join shape downward. Sources
+    * are a bounded literal set (pivots: dozens). Top-`topK` rows by the
+    * UNROUNDED exact accumulator, ties on node id. */
+  def betweennessApprox(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: Seq[Long],
+      maxHops: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(sources.nonEmpty && sources.size <= 64,
+      s"1..64 pivot sources required, got ${sources.size}")
+    require(maxHops >= 1 && maxHops <= 6, s"maxHops must be in 1..6, got $maxHops")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val all = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    val e = all.union(all.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var levels = sources.map(s => (s, s, 0, 1L)).toDF("src", "id", "level", "sigma")
+      .localCheckpoint(true)
+    var frontier = levels
+    for (l <- 1 to maxHops) {
+      val next = frontier.join(e, col("id") === col("u"))
+        .select(col("src"), col("v").as("id"), col("sigma"))
+        .join(levels.select("src", "id"), Seq("src", "id"), "left_anti")
+        .groupBy(col("src"), col("id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumn("level", lit(l))
+        .select("src", "id", "level", "sigma")
+        .localCheckpoint(true)
+      levels = levels.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    // backward dependency sweep: δ rides as 1e-9-unit longs
+    var delta = levels.filter(col("level") === maxHops)
+      .select(col("src"), col("id"), lit(0L).as("dq"))
+      .localCheckpoint(true)
+    var acc = delta
+    for (lv <- (maxHops - 1) to 1 by -1) {
+      val ws = levels.filter(col("level") === lv + 1)
+        .select(col("src"), col("id").as("wid"), col("sigma").as("sw"))
+        .join(delta.select(col("src"), col("id").as("wid"), col("dq")),
+          Seq("src", "wid"), "left")
+        .withColumn("dq", coalesce(col("dq"), lit(0L)))
+      val vs = levels.filter(col("level") === lv)
+        .select(col("src"), col("id"), col("sigma").as("sv"))
+      val term = floor(
+        col("sv").cast("double") / col("sw").cast("double") *
+          (lit(1.0) + col("dq").cast("double") / 1e9) * 1e9 + 0.5).cast("long")
+      val dl = vs.join(e, col("id") === col("u"))
+        .join(ws, col("v") === col("wid") && vs("src") === ws("src"))
+        .select(vs("src"), col("id"), term.as("__t"))
+        .groupBy(col("src"), col("id"))
+        .agg(sum(col("__t")).as("dq"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(dl).localCheckpoint(true)
+      delta = dl
+    }
+    acc.groupBy(col("id").as("node"))
+      .agg(sum(col("dq")).as("__bq"))
+      .orderBy(col("__bq").desc, col("node"))
+      .limit(topK)
+      .select(col("node"),
+        round(col("__bq").cast("double") / 1e9, 6).as("betweenness"))
+  }
 }

@@ -123,6 +123,31 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 2L, 1L)))
   }
 
+  test("betweennessApprox: path-graph dependencies are the Brandes closed form") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5, pivots {1,5}, 4 hops: every interior node
+    // accumulates delta 4 (3+1 / 2+2 / 1+3), endpoints 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.betweennessApprox(edges.repartition(3), "a", "b",
+      sources = Seq(1L, 5L), maxHops = 4, topK = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("betweenness")).toMap
+    assert(got(2L) == 4.0 && got(3L) == 4.0 && got(4L) == 4.0, got.toString)
+    assert(got(1L) == 0.0 && got(5L) == 0.0)
+    // bridge between two triangles: the bridge endpoints dominate
+    val bridge = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).toDF("a", "b")
+    val bc = Graph.betweennessApprox(bridge, "a", "b",
+      sources = Seq(1L, 2L, 5L, 6L), maxHops = 3, topK = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("betweenness")).toMap
+    assert(bc(3L) > bc(1L) && bc(4L) > bc(6L),
+      s"bridge endpoints must outrank triangle corners: $bc")
+    // partition invariance of the exact accumulators
+    val g7 = Graph.betweennessApprox(edges.repartition(7), "a", "b",
+      sources = Seq(1L, 5L), maxHops = 4, topK = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("betweenness")).toMap
+    assert(g7 == got)
+  }
+
   test("sequentialPatterns: gap-allowed precedence, one vote per session, gap splits") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val events = Seq(
