@@ -286,27 +286,36 @@ object Similarity {
       val v = cbRows(c).getAs[scala.collection.Seq[Float]](1)
       Array.tabulate(sub)(j => v(s * sub + j).toDouble)
     }
-    def subDistQ(s: Int, c: Int, v: Column): Column =
-      (0 until sub).map { j =>
-        val diff = element_at(v, s * sub + j + 1).cast("double") - lit(cents(s)(c)(j))
-        floor(diff * diff * 1e6 + 0.5).cast("long")
-      }.reduce(_ + _)
-    def codeCol(s: Int, v: Column): Column =
-      least((0 until codes).map(c =>
-        struct(subDistQ(s, c, v).as("d"), lit(c).as("c"))): _*).getField("c")
-    val enc = corpus.select(col(idCol).as("vec_id2") +:
-      (0 until m).map(s => codeCol(s, col(vecCol)).as(s"__c$s")): _*)
+    // the codebook as a BROADCAST TABLE, not an inlined expression tree:
+    // m·codes·sub element terms per row blow codegen up (measured 12.8 s
+    // vs 1.4 s at sf0.1) — as rows, each (vector, subspace, codeword)
+    // pair is ONE small zip_with fold
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = broadcast(
+      (for (s <- 0 until m; c <- 0 until codes) yield (s, c, cents(s)(c).toSeq))
+        .toDF("s", "c", "cv"))
+    def subRows(d: DataFrame, id: String): DataFrame =
+      d.select(col(id), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col(vecCol), lit(s * sub + 1), lit(sub)).as("sv"))): _*)).as("__e"))
+        .select(col(id), col("__e.s").as("s"), col("__e.sv").as("sv"))
+    val qdist = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) =>
+        floor((a.cast("double") - b) * (a.cast("double") - b) * 1e6 + 0.5).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val enc = subRows(corpus.select(col(idCol).as("vec_id2"), col(vecCol)), "vec_id2")
+      .join(cb, "s")
+      .withColumn("__d", qdist)
+      .groupBy(col("vec_id2"), col("s"))
+      .agg(min(struct(col("__d").as("d"), col("c").as("c"))).as("__m"))
+      .select(col("vec_id2"), col("s"), col("__m.c").as("c"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val lut = q.select(col("query_id"), explode(array(
-      (for (s <- 0 until m; c <- 0 until codes) yield
-        struct(lit(s).as("s"), lit(c).as("c"),
-          subDistQ(s, c, col("__qv")).as("dq"))): _*)).as("__e"))
-      .select(col("query_id"), col("__e.s").as("s"), col("__e.c").as("c"),
-        col("__e.dq").as("dq"))
-    val itemCodes = enc.select(col("vec_id2"), explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"), col(s"__c$s").as("c"))): _*)).as("__e"))
-      .select(col("vec_id2"), col("__e.s").as("s"), col("__e.c").as("c"))
-    val adc = itemCodes.join(broadcast(lut), Seq("s", "c"))
+    val lut = subRows(queries.select(col(idCol).as("query_id"), col(vecCol)), "query_id")
+      .join(cb, "s")
+      .withColumn("dq", qdist)
+      .select("query_id", "s", "c", "dq")
+    val adc = enc.join(broadcast(lut), Seq("s", "c"))
       .filter(col("vec_id2") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id2"))
       .agg(sum(col("dq")).as("adc"))
