@@ -812,6 +812,33 @@ class PlanSpec extends SparkSpec {
     assert(!cr.contains("CartesianProduct"), cr)
   }
 
+  test("time-series closed forms (var1, granger, mann-kendall, seasonal power) stay lean") {
+    for (q <- Seq("q_granger", "q_mann_kendall", "q_seasonal_power")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q no partial agg:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // mann-kendall's pair join must key on the series id, never nest loops
+    val mk = plan(SparkEntry.queries("q_mann_kendall")(spark, sf))
+    assert(mk.contains("SortMergeJoin") || mk.contains("ShuffledHashJoin") ||
+      mk.contains("BroadcastHashJoin"), s"pair join must be keyed:\n$mk")
+  }
+
+  test("KN perplexity: map-side bigrams, broadcast model tables, no per-doc window") {
+    val p = plan(SparkEntry.queries("q_kn_perplexity")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"model joins must broadcast:\n$p")
+    assert(!"""\(\d+\) Window""".r.findAllIn(p).hasNext,
+      s"bigrams must come from slice+zip, not a per-doc window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("PQ ANN: broadcast codebook/LUT joins, bounded-heap shortlist, no cartesian") {
+    val p = plan(SparkEntry.queries("q_ann_pq")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"codebook must broadcast:\n$p")
+    assert(p.contains("TopKPerKey"), s"shortlist must be the native heap:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sequential patterns: session self-join is an equi-join, top-k bounded") {
     val p = plan(SparkEntry.queries("q_seq_patterns")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
