@@ -1882,6 +1882,17 @@ object SparkEntry {
       .orderBy("o_orderpriority", "duration")
   }
 
+  /** Sharp regression discontinuity (X275): order totals across the zero
+    * account-balance cutoff, bandwidth 3000 — local linear both sides. */
+  private def qRdd(s: SparkSession, d: String): DataFrame =
+    Models.regressionDiscontinuity(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("yv", col("o_totalprice") / 1000.0)
+        .withColumn("run", col("c_acctbal") / 1000.0),
+      "run", "yv", cutoff = 0.0, bandwidth = 3.0)
+
   /** Kish survey readout (X262): acctbal-derived weights over scaled
     * order totals — weighted mean, effective n, design effect, SE. */
   private def qKish(s: SparkSession, d: String): DataFrame =
@@ -6735,6 +6746,7 @@ object SparkEntry {
     "q_seasonal_power" -> (qSeasonalPower _),
     "q_kn_perplexity" -> (qKnPerplexity _),
     "q_betweenness" -> (qBetweenness _),
+    "q_rdd" -> (qRdd _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -7739,6 +7751,41 @@ object SparkEntry {
      FROM w3 WINDOW wc AS (PARTITION BY pri ORDER BY duration
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
      ORDER BY o_orderpriority, duration"""
+
+  /** Per-side quantized moments + the simple-OLS closed forms + the
+    * intercept gap — mirrors
+    * [[graft.operators.Models.regressionDiscontinuity]] bit-for-bit. */
+  private val rddOracle: String =
+    """WITH base AS (
+           SELECT c_acctbal / 1000.0 >= 0.0 AS above,
+                  CAST(FLOOR((c_acctbal / 1000.0 - 0.0) * 1e6 + 0.5) AS HUGEINT) AS qx,
+                  CAST(FLOOR(o_totalprice / 1000.0 * 1e6 + 0.5) AS HUGEINT) AS qy
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE ABS(c_acctbal / 1000.0 - 0.0) <= 3.0),
+     sides AS (SELECT above, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(qx) AS sx0, SUM(qy) AS sy0,
+                      SUM(qx * qx) AS sxx0, SUM(qx * qy) AS sxy0
+               FROM base GROUP BY 1),
+     fit AS (SELECT above, n,
+                    CAST(sx0 AS DOUBLE) / 1e6 AS sx, CAST(sy0 AS DOUBLE) / 1e6 AS sy,
+                    CAST(sxx0 AS DOUBLE) / 1e12 AS sxx, CAST(sxy0 AS DOUBLE) / 1e12 AS sxy,
+                    CAST(n AS DOUBLE) AS nn
+             FROM sides),
+     sv AS (SELECT above, n,
+                   CASE WHEN nn * sxx - sx * sx <> 0.0 THEN
+                     (sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn END AS icept,
+                   CASE WHEN nn * sxx - sx * sx <> 0.0 THEN
+                     (nn * sxy - sx * sy) / (nn * sxx - sx * sx) END AS slope
+            FROM fit),
+     lo AS (SELECT MAX(n) AS n_below, MAX(icept) AS ib, MAX(slope) AS sb
+            FROM sv WHERE NOT above),
+     hi AS (SELECT MAX(n) AS n_above, MAX(icept) AS ia, MAX(slope) AS sa
+            FROM sv WHERE above)
+     SELECT n_below, n_above,
+            ROUND(ib, 6) AS int_below, ROUND(sb, 6) AS slope_below,
+            ROUND(ia, 6) AS int_above, ROUND(sa, 6) AS slope_above,
+            ROUND(ia - ib, 6) AS tau
+     FROM lo CROSS JOIN hi"""
 
   /** One quantized-moment aggregate + the Kish fixed IEEE chains —
     * mirrors [[graft.operators.Sketches.kishWeightedMean]] bit-for-bit. */
@@ -14003,6 +14050,7 @@ object SparkEntry {
     "q_seasonal_power" -> seasonalPowerOracle,
     "q_kn_perplexity" -> knPerplexityOracle,
     "q_betweenness" -> betweennessOracle,
+    "q_rdd" -> rddOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

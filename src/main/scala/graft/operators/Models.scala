@@ -407,6 +407,69 @@ object Models {
         (col("__ok").cast("double") / col("n").cast("double")).as("accuracy"): _*)
   }
 
+  /** Sharp regression discontinuity (Thistlethwaite & Campbell 1960;
+    * Imbens & Lemieux 2008) — the LOCAL causal readout completing the
+    * family (X237 DiD, X241 subclassification, X246 IPW, X253 AIPW):
+    * within `bandwidth` of the `cutoff`, fit one simple OLS of the
+    * outcome on the centered running variable PER SIDE, and the effect
+    * is the intercept gap τ = α_above − α_below at the cutoff itself
+    * (rows at the cutoff belong to the treated side, the convention).
+    *
+    * ONE partial aggregate keyed by side collects exact quantized
+    * moments (the [[linearRegression]] DECIMAL discipline); each side's
+    * slope/intercept and τ are fixed IEEE chains — partition-invariant,
+    * SQL-replayable, zero iteration. A side that is empty or has zero
+    * running-variable variance yields NULL fits and a NULL τ.
+    *
+    * Returns ONE row: (n_below, n_above, int_below, slope_below,
+    * int_above, slope_above, tau). */
+  def regressionDiscontinuity(
+      df: DataFrame,
+      runningCol: String,
+      outcomeCol: String,
+      cutoff: Double,
+      bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, s"bandwidth must be > 0, got $bandwidth")
+    def q(c: Column) = floor(c * 1e6 + 0.5).cast("decimal(38,0)")
+    val x = col(runningCol).cast("double") - lit(cutoff)
+    val base = df
+      .filter(abs(col(runningCol).cast("double") - lit(cutoff)) <= bandwidth)
+      .select((x >= 0).as("__above"), q(x).as("__qx"),
+        q(col(outcomeCol).cast("double")).as("__qy"))
+    val sides = base.groupBy(col("__above")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__qx")).as("__sx0"), sum(col("__qy")).as("__sy0"),
+      sum(col("__qx") * col("__qx")).as("__sxx0"),
+      sum(col("__qx") * col("__qy")).as("__sxy0"))
+    def side(above: Boolean, tag: String) = {
+      val nn = col("n").cast("double")
+      val sx = col("__sx0").cast("double") / 1e6
+      val sy = col("__sy0").cast("double") / 1e6
+      val sxx = col("__sxx0").cast("double") / 1e12
+      val sxy = col("__sxy0").cast("double") / 1e12
+      val den = nn * sxx - sx * sx
+      val slope = (nn * sxy - sx * sy) / den
+      val icept = (sy - slope * sx) / nn
+      // aggregate-to-one-row so an EMPTY side degrades to NULLs instead
+      // of annihilating the readout through the cross join
+      sides.filter(col("__above") === above)
+        .select(col("n").as("__nC"),
+          when(den =!= 0.0, icept).as("__iC"),
+          when(den =!= 0.0, slope).as("__sC"))
+        .agg(max(col("__nC")).as(s"n_$tag"),
+          max(col("__iC")).as(s"__i_$tag"),
+          max(col("__sC")).as(s"__s_$tag"))
+    }
+    side(above = false, "below").crossJoin(side(above = true, "above"))
+      .select(
+        col("n_below"), col("n_above"),
+        round(col("__i_below"), 6).as("int_below"),
+        round(col("__s_below"), 6).as("slope_below"),
+        round(col("__i_above"), 6).as("int_above"),
+        round(col("__s_above"), 6).as("slope_above"),
+        round(col("__i_above") - col("__i_below"), 6).as("tau"))
+  }
+
   /** Poisson regression (log link) by the FIXED quantized GD schedule —
     * the count-data GLM completing the family (OLS/ridge mean, logistic
     * class, quantile/Huber robust, hinge margin): intercept + two

@@ -117,6 +117,32 @@ class ModelsSpec extends SparkSpec {
     assert(Models.decisionStump(const, "y", Seq("c")).count() == 0L)
   }
 
+  test("regressionDiscontinuity: planted jump recovered exactly; empty side NULLs") {
+    // y = 5 + x below the cutoff, 9 + x above: tau = 4, both slopes 1
+    val data = ((-30 until 0) ++ (0 until 30)).map { i =>
+      val x = i / 10.0
+      (x, (if (i >= 0) 9.0 else 5.0) + x)
+    }
+    val df = data.toDF("run", "yv").repartition(4)
+    val got = Models.regressionDiscontinuity(df, "run", "yv",
+      cutoff = 0.0, bandwidth = 2.0).head
+    // inclusive bandwidth: x = +2.0 (i = 20) is the 21st point above
+    assert(got.getAs[Long]("n_below") == 20L && got.getAs[Long]("n_above") == 21L)
+    assert(got.getAs[Double]("tau") == 4.0, s"tau=${got.getAs[Double]("tau")}")
+    assert(got.getAs[Double]("slope_below") == 1.0)
+    assert(got.getAs[Double]("slope_above") == 1.0)
+    assert(got.getAs[Double]("int_below") == 5.0 && got.getAs[Double]("int_above") == 9.0)
+    // cutoff beyond the data: the above side is empty, readout degrades
+    val off = Models.regressionDiscontinuity(df, "run", "yv",
+      cutoff = 10.0, bandwidth = 2.0).head
+    assert(off.isNullAt(off.fieldIndex("n_above")) &&
+      off.isNullAt(off.fieldIndex("tau")))
+    // partition invariance
+    val g7 = Models.regressionDiscontinuity(df.repartition(7), "run", "yv",
+      cutoff = 0.0, bandwidth = 2.0).head
+    assert(g7.getAs[Double]("tau") == 4.0)
+  }
+
   test("baggedStumps: every bag finds the planted step; ensemble beats no-model MSE") {
     // clean step y = 10·1{a > 4}: any 63% subsample still splits a at 4
     val data = (0 until 300).map { i =>
