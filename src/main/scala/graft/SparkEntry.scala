@@ -1882,6 +1882,16 @@ object SparkEntry {
       .orderBy("o_orderpriority", "duration")
   }
 
+  /** Chapman capture–recapture (X276): two independent 60% hash crawls
+    * of the document corpus — the estimator should land near the true
+    * 500-doc population. */
+  private def qCaptureRecapture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    def cap(tag: String) = docs.filter(
+      Sampling.hashBucket(concat(col("doc_id"), lit(tag)), 100) < 60)
+    Quality.captureRecapture(cap(":capA"), cap(":capB"), "doc_id")
+  }
+
   /** Sharp regression discontinuity (X275): order totals across the zero
     * account-balance cutoff, bandwidth 3000 — local linear both sides. */
   private def qRdd(s: SparkSession, d: String): DataFrame =
@@ -6747,6 +6757,7 @@ object SparkEntry {
     "q_kn_perplexity" -> (qKnPerplexity _),
     "q_betweenness" -> (qBetweenness _),
     "q_rdd" -> (qRdd _),
+    "q_capture_recapture" -> (qCaptureRecapture _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -7751,6 +7762,26 @@ object SparkEntry {
      FROM w3 WINDOW wc AS (PARTITION BY pri ORDER BY duration
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
      ORDER BY o_orderpriority, duration"""
+
+  /** Two portable hash crawls + three exact counts + the Chapman chain —
+    * mirrors [[graft.operators.Quality.captureRecapture]] bit-for-bit. */
+  private val captureRecaptureOracle: String =
+    """WITH a AS (SELECT DISTINCT doc_id FROM documents
+               WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':capA'), 1, 8))::BIGINT % 100 < 60),
+     b AS (SELECT DISTINCT doc_id FROM documents
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':capB'), 1, 8))::BIGINT % 100 < 60),
+     c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM a),
+     c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM b),
+     ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM a
+            WHERE EXISTS (SELECT 1 FROM b WHERE b.doc_id = a.doc_id))
+     SELECT n1, n2, m AS overlap,
+            ROUND(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE)
+                  - 1.0, 6) AS n_hat,
+            ROUND(SQRT(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                       * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)
+                       / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+                          * CAST(m + 2 AS DOUBLE))), 6) AS se
+     FROM c1 CROSS JOIN c2 CROSS JOIN ov"""
 
   /** Per-side quantized moments + the simple-OLS closed forms + the
     * intercept gap — mirrors
@@ -14051,6 +14082,7 @@ object SparkEntry {
     "q_kn_perplexity" -> knPerplexityOracle,
     "q_betweenness" -> betweennessOracle,
     "q_rdd" -> rddOracle,
+    "q_capture_recapture" -> captureRecaptureOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

@@ -552,4 +552,37 @@ object Quality {
         when(col("__nt") > col("__n"), round(without, dp)).as("mean_without"),
         when(col("__nt") > col("__n"), round(withAll - without, dp)).as("delta"))
   }
+
+  /** Chapman capture–recapture population estimate (Chapman 1951; the
+    * mark–recapture classic) — "how big is the TRUE population two
+    * independent partial crawls are sampling?": with capture sizes n₁,
+    * n₂ and overlap m, N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (bias-corrected
+    * Lincoln–Petersen, finite even at m = 0) with
+    * Var(N̂) = (n₁+1)(n₂+1)(n₁−m)(n₂−m)/((m+1)²(m+2)). The corpus-size
+    * audit beside X34's sketch overlap: two dedup'd key sets, three
+    * exact counts (two partial aggs + one co-partitioned semi-join
+    * count), one fixed IEEE chain.
+    *
+    * Returns ONE row: (n1, n2, overlap, n_hat, se). Assumes the two
+    * captures draw independently (the caller's design contract). */
+  def captureRecapture(
+      capA: DataFrame,
+      capB: DataFrame,
+      keyCol: String): DataFrame = {
+    val a = capA.select(col(keyCol).as("__k")).distinct()
+    val b = capB.select(col(keyCol).as("__k")).distinct()
+    val n1 = a.agg(count(lit(1)).as("n1"))
+    val n2 = b.agg(count(lit(1)).as("n2"))
+    val m = a.join(b, Seq("__k"), "left_semi").agg(count(lit(1)).as("m"))
+    val j = n1.crossJoin(n2).crossJoin(m)
+    val n1d = (col("n1") + 1).cast("double")
+    val n2d = (col("n2") + 1).cast("double")
+    val md = (col("m") + 1).cast("double")
+    val nHat = n1d * n2d / md - lit(1.0)
+    val varN = n1d * n2d * (col("n1") - col("m")).cast("double") *
+      (col("n2") - col("m")).cast("double") / (md * md * (col("m") + 2).cast("double"))
+    j.select(col("n1"), col("n2"), col("m").as("overlap"),
+      round(nHat, 6).as("n_hat"),
+      round(sqrt(varN), 6).as("se"))
+  }
 }

@@ -245,4 +245,24 @@ class QualitySpec extends SparkSpec {
     val solo = Quality.sourceAblation(Seq(("A", 1.0)).toDF("src", "v"), "src", "v").head
     assert(solo.isNullAt(solo.fieldIndex("mean_without")))
   }
+
+  test("captureRecapture: Chapman closed form, zero-overlap finite, dup-tolerant") {
+    // captures 1..60 and 41..100: n1=n2=60, m=20 → N̂ = 61·61/21 − 1
+    val a = (1L to 60L).map(Tuple1(_)).toDF("k")
+    val b = (41L to 100L).map(Tuple1(_)).toDF("k")
+    val r = Quality.captureRecapture(a.repartition(3), b.repartition(4), "k").head
+    assert(r.getAs[Long]("n1") == 60L && r.getAs[Long]("n2") == 60L)
+    assert(r.getAs[Long]("overlap") == 20L)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("n_hat") == r6(61.0 * 61.0 / 21.0 - 1.0))
+    // disjoint captures: the +1 correction keeps the estimate finite
+    val z = Quality.captureRecapture(
+      (1L to 5L).map(Tuple1(_)).toDF("k"), (6L to 10L).map(Tuple1(_)).toDF("k"), "k").head
+    assert(z.getAs[Long]("overlap") == 0L && z.getAs[Double]("n_hat") == 35.0)
+    assert(z.getAs[Double]("se") == r6(math.sqrt(36.0 * 5.0 * 5.0 / 2.0)))
+    // duplicate captures of the same key count once
+    val dup = Quality.captureRecapture(
+      Seq(1L, 1L, 2L).map(Tuple1(_)).toDF("k"), Seq(2L, 2L).map(Tuple1(_)).toDF("k"), "k").head
+    assert(dup.getAs[Long]("n1") == 2L && dup.getAs[Long]("overlap") == 1L)
+  }
 }
