@@ -1882,6 +1882,42 @@ object SparkEntry {
       .orderBy("o_orderpriority", "duration")
   }
 
+  /** STREAMING sharp-RD monitor (S41, 40th gate): the per-side quantized
+    * moments accumulate in the state store (complete mode, TWO state
+    * rows) over the stream-static order⋈customer join; the closed-form
+    * side fits and the intercept gap finish in batch off the sink —
+    * integer state ⇒ stream == batch bit-exactly, sharing q_rdd's
+    * oracle verbatim. The live shape of a regression-discontinuity
+    * dashboard: the cutoff effect updates as orders stream in. */
+  private def qRddStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val cust = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val name = "graft_rdd_stream"
+    withStatePartitions(s, 1) {
+      val xr = col("c_acctbal") / 1000.0 - 0.0
+      def q(c: Column) = floor(c * 1e6 + 0.5).cast("decimal(38,0)")
+      val q1 = stream.join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(abs(xr) <= 3.0)
+        .select((xr >= 0).as("__above"), q(xr).as("__qx"),
+          q(col("o_totalprice") / 1000.0).as("__qy"))
+        .groupBy(col("__above"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__qx")).as("__sx0"), sum(col("__qy")).as("__sy0"),
+          sum(col("__qx") * col("__qx")).as("__sxx0"),
+          sum(col("__qx") * col("__qy")).as("__sxy0"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+    }
+    Models.rdAssemble(s.table(name))
+  }
+
   /** Chapman capture–recapture (X276): two independent 60% hash crawls
     * of the document corpus — the estimator should land near the true
     * 500-doc population. */
@@ -6758,6 +6794,7 @@ object SparkEntry {
     "q_betweenness" -> (qBetweenness _),
     "q_rdd" -> (qRdd _),
     "q_capture_recapture" -> (qCaptureRecapture _),
+    "q_rdd_stream" -> (qRddStream _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -14083,6 +14120,9 @@ object SparkEntry {
     "q_betweenness" -> betweennessOracle,
     "q_rdd" -> rddOracle,
     "q_capture_recapture" -> captureRecaptureOracle,
+    // the streaming twin accumulates the identical DECIMAL moment sums —
+    // shares the batch oracle verbatim
+    "q_rdd_stream" -> rddOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

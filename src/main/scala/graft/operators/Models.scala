@@ -436,11 +436,19 @@ object Models {
       .filter(abs(col(runningCol).cast("double") - lit(cutoff)) <= bandwidth)
       .select((x >= 0).as("__above"), q(x).as("__qx"),
         q(col(outcomeCol).cast("double")).as("__qy"))
-    val sides = base.groupBy(col("__above")).agg(
+    rdAssemble(base.groupBy(col("__above")).agg(
       count(lit(1)).as("n"),
       sum(col("__qx")).as("__sx0"), sum(col("__qy")).as("__sy0"),
       sum(col("__qx") * col("__qx")).as("__sxx0"),
-      sum(col("__qx") * col("__qy")).as("__sxy0"))
+      sum(col("__qx") * col("__qy")).as("__sxy0")))
+  }
+
+  /** Readout half of [[regressionDiscontinuity]] over the pre-aggregated
+    * per-side (__above, n, __sx0, __sy0, __sxx0, __sxy0) quantized moment
+    * rows — shared by the streaming twin, whose state store accumulates
+    * exactly these DECIMAL sums (sums of disjoint partial sums equal the
+    * direct sums, so stream == batch bit-exactly). */
+  def rdAssemble(sides: DataFrame): DataFrame = {
     def side(above: Boolean, tag: String) = {
       val nn = col("n").cast("double")
       val sx = col("__sx0").cast("double") / 1e6
