@@ -1939,6 +1939,21 @@ object SparkEntry {
         .withColumn("run", col("c_acctbal") / 1000.0),
       "run", "yv", cutoff = 0.0, bandwidth = 3.0)
 
+  /** Poisson overdispersion audit (X277): Cameron–Trivedi NB2 auxiliary
+    * on the q_poisson fit — is Var = μ credible for line counts? */
+  private def qPoissonDispersion(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("lines"))
+    Models.poissonDispersion(
+      Tables.orders(s, d)
+        .join(cnt, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("x1", col("o_totalprice") / 500000.0)
+        .withColumn("x2",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("double") / 2500.0),
+      "lines", Seq("x1", "x2"), iterations = 8, lr = 0.1)
+  }
+
   /** Kish survey readout (X262): acctbal-derived weights over scaled
     * order totals — weighted mean, effective n, design effect, SE. */
   private def qKish(s: SparkSession, d: String): DataFrame =
@@ -6795,6 +6810,7 @@ object SparkEntry {
     "q_rdd" -> (qRdd _),
     "q_capture_recapture" -> (qCaptureRecapture _),
     "q_rdd_stream" -> (qRddStream _),
+    "q_poisson_dispersion" -> (qPoissonDispersion _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -7707,10 +7723,9 @@ object SparkEntry {
     * mirrors [[graft.operators.Models.poissonRegression]] bit-for-bit
     * (the ln table is the JVM's doubles rendered verbatim, so no DuckDB
     * libm call touches the hashed output). */
-  private val poissonOracle: String = {
-    val lnCase = (1 to 16)
-      .map(c => s"WHEN y = $c THEN CAST(${math.log(c.toDouble)} AS DOUBLE)")
-      .mkString("CASE ", " ", " END")
+  /** The q_poisson GD prefix (base + 8 unrolled log-link steps) shared
+    * with the dispersion oracle. */
+  private val poissonGdCtes: String = {
     val steps = (1 to 8).map { i =>
       val w = s"w${i - 1}"
       s""",
@@ -7735,7 +7750,14 @@ object SparkEntry {
                     / 2500.0 AS x2
            FROM orders JOIN cnt ON o_orderkey = l_orderkey),
      nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
-     w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)$steps,
+     w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)$steps"""
+  }
+
+  private val poissonOracle: String = {
+    val lnCase = (1 to 16)
+      .map(c => s"WHEN y = $c THEN CAST(${math.log(c.toDouble)} AS DOUBLE)")
+      .mkString("CASE ", " ", " END")
+    s"""$poissonGdCtes,
      pf AS (SELECT y, EXP(${gdZ("w8")}) AS p,
                    (CASE WHEN y = 0.0 THEN CAST(0 AS DOUBLE)
                          ELSE y * (($lnCase) - ${gdZ("w8")}) END)
@@ -7854,6 +7876,23 @@ object SparkEntry {
             ROUND(ia, 6) AS int_above, ROUND(sa, 6) AS slope_above,
             ROUND(ia - ib, 6) AS tau
      FROM lo CROSS JOIN hi"""
+
+  /** The shared Poisson GD prefix + the closed-form Cameron–Trivedi
+    * auxiliary — mirrors
+    * [[graft.operators.Models.poissonDispersion]] bit-for-bit. */
+  private val poissonDispersionOracle: String =
+    s"""$poissonGdCtes,
+     dd AS (SELECT y, EXP(${gdZ("w8")}) AS mu FROM base CROSS JOIN w8),
+     fin AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(FLOOR(((y - mu) * (y - mu) - y) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS num,
+                    CAST(SUM(CAST(FLOOR(mu * mu * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS den,
+                    CAST(SUM(CAST(FLOOR((y - mu) * (y - mu) / mu * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS chi
+             FROM dd)
+     SELECT n,
+            CASE WHEN den > 0 THEN ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS alpha,
+            CASE WHEN n > 3 THEN
+              ROUND(CAST(chi AS DOUBLE) / 1e6 / CAST(n - 3 AS DOUBLE), 6) END AS pearson_ratio
+     FROM fin"""
 
   /** One quantized-moment aggregate + the Kish fixed IEEE chains —
     * mirrors [[graft.operators.Sketches.kishWeightedMean]] bit-for-bit. */
@@ -14123,6 +14162,7 @@ object SparkEntry {
     // the streaming twin accumulates the identical DECIMAL moment sums —
     // shares the batch oracle verbatim
     "q_rdd_stream" -> rddOracle,
+    "q_poisson_dispersion" -> poissonDispersionOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

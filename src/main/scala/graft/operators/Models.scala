@@ -71,6 +71,27 @@ object Models {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** The log-link quantized GD loop shared by [[poissonRegression]] and
+    * [[poissonDispersion]]: `base` must carry __y and __x0…__x{k−1}. */
+  private def poissonFitQ(
+      base: DataFrame, k: Int, iterations: Int, lr: Double, n: Long): Array[Long] = {
+    var wq = Array.fill(k)(0L)
+    def z: Column =
+      (0 until k).map(j => lit(wq(j) / 1e9) * col(s"__x$j")).reduceLeft(_ + _)
+    for (_ <- 1 to iterations) {
+      val p = exp(z)
+      val g = base.agg(
+        sum(floor((p - col("__y")) * col("__x0") * 1e6 + 0.5).cast("long")).as("g0"),
+        (1 until k).map(j =>
+          sum(floor((p - col("__y")) * col(s"__x$j") * 1e6 + 0.5).cast("long")).as(s"g$j")): _*)
+        .head()
+      wq = wq.zipWithIndex.map { case (w, j) =>
+        w - math.floor(lr * g.getLong(j) * 1000.0 / n + 0.5).toLong
+      }
+    }
+    wq
+  }
+
   /** The quantized GD loop shared by [[logisticRegression]] and the
     * propensity consumers: `base` must carry __y and __x0…__x{k−1}. */
   private def fitQ(
@@ -517,20 +538,9 @@ object Models {
           .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
     val n = base.count()
     require(n > 0, "cannot fit on an empty DataFrame")
-    var wq = Array.fill(k)(0L)
+    val wq = poissonFitQ(base, k, iterations, lr, n)
     def z: Column =
       (0 until k).map(j => lit(wq(j) / 1e9) * col(s"__x$j")).reduceLeft(_ + _)
-    for (_ <- 1 to iterations) {
-      val p = exp(z)
-      val g = base.agg(
-        sum(floor((p - col("__y")) * col("__x0") * 1e6 + 0.5).cast("long")).as("g0"),
-        (1 until k).map(j =>
-          sum(floor((p - col("__y")) * col(s"__x$j") * 1e6 + 0.5).cast("long")).as(s"g$j")): _*)
-        .head()
-      wq = wq.zipWithIndex.map { case (w, j) =>
-        w - math.floor(lr * g.getLong(j) * 1000.0 / n + 0.5).toLong
-      }
-    }
     // ln y as a broadcast literal table: identical bits in any engine
     val lnY = (1 to maxCount).foldLeft(lit(null).cast("double")) { (acc, c) =>
       when(col("__y") === c.toDouble, lit(math.log(c.toDouble))).otherwise(acc)
@@ -550,6 +560,51 @@ object Models {
           lit(2.0) * (col("__dv").cast("double") / 1e6) / col("n").cast("double"))
           .as("deviance") :+
         (col("__mu").cast("double") / 1e6 / col("n").cast("double")).as("mean_mu"): _*)
+  }
+
+  /** Poisson overdispersion audit (Cameron & Trivedi 1990, the NB2
+    * auxiliary regression) — "is the Poisson assumption Var = μ actually
+    * holding?", the diagnostic every count model needs before its SEs
+    * are believed: regressing ((y−μ̂)²−y)/μ̂ on μ̂ through the origin
+    * collapses to the CLOSED FORM α̂ = Σ((y−μ̂)²−y)/Σμ̂² (the μ̂ factors
+    * cancel); α̂ > 0 says overdispersed (negative-binomial territory),
+    * and the Pearson ratio χ²/(n−k) is reported beside it. Refits the
+    * shared [[poissonRegression]] quantized GD schedule, then ONE extra
+    * aggregate of per-row 1e6-quantized terms — fixed IEEE chains, fully
+    * SQL-replayable.
+    *
+    * Returns ONE row: (n, alpha, pearson_ratio). */
+  def poissonDispersion(
+      df: DataFrame,
+      countCol: String,
+      featureCols: Seq[String],
+      iterations: Int = 8,
+      lr: Double = 0.1): DataFrame = {
+    require(featureCols.length == 2,
+      s"exactly two features (plus intercept) supported, got ${featureCols.length}")
+    val k = featureCols.length + 1
+    val base = df.select(
+      col(countCol).cast("double").as("__y") +:
+        (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
+          .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+    val n = base.count()
+    require(n > 0, "cannot fit on an empty DataFrame")
+    val wq = poissonFitQ(base, k, iterations, lr, n)
+    val z = (0 until k).map(j => lit(wq(j) / 1e9) * col(s"__x$j")).reduceLeft(_ + _)
+    val mu = exp(z)
+    val dev = col("__y") - mu
+    val a = base.agg(
+      count(lit(1)).as("n"),
+      sum(floor((dev * dev - col("__y")) * 1e6 + 0.5).cast("long")).as("__num"),
+      sum(floor(mu * mu * 1e6 + 0.5).cast("long")).as("__den"),
+      sum(floor(dev * dev / mu * 1e6 + 0.5).cast("long")).as("__chi"))
+    a.select(
+      col("n"),
+      when(col("__den") > 0,
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)).as("alpha"),
+      when(col("n") > k,
+        round(col("__chi").cast("double") / 1e6 /
+          (col("n") - k).cast("double"), 6)).as("pearson_ratio"))
   }
 
   /** AIPW doubly-robust ATE (Robins–Rotnitzky–Zhao 1994) — the estimator

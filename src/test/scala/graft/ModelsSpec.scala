@@ -168,6 +168,29 @@ class ModelsSpec extends SparkSpec {
     assert(g7.map(_.getAs[Long]("n_bag")).toSeq == sizes.toSeq)
   }
 
+  test("poissonDispersion: deterministic counts read under-, inflated variance over-") {
+    // deterministic y = round(exp(0.3 + x1)): variance ~ 0 < mean, so the
+    // auxiliary regression must read UNDERdispersed (alpha < 0)
+    val calm = for (i <- 0 until 40; j <- 0 until 4)
+      yield (math.round(math.exp(0.3 + i / 40.0)).toDouble, i / 40.0, j / 4.0)
+    val c = Models.poissonDispersion(calm.toDF("y", "x1", "x2"), "y",
+      Seq("x1", "x2"), iterations = 80, lr = 0.3).head
+    assert(c.getAs[Double]("alpha") < 0.0, s"alpha=${c.getAs[Double]("alpha")}")
+    // variance-inflated: same means, but counts swing 0 <-> 2mu
+    val wild = calm.zipWithIndex.map { case ((y, a, b), i) =>
+      (if (i % 2 == 0) 0.0 else 2.0 * y, a, b)
+    }
+    val w = Models.poissonDispersion(wild.toDF("y", "x1", "x2"), "y",
+      Seq("x1", "x2"), iterations = 80, lr = 0.3).head
+    assert(w.getAs[Double]("alpha") > 0.2,
+      s"wild=${w.getAs[Double]("alpha")} calm=${c.getAs[Double]("alpha")}")
+    assert(w.getAs[Double]("pearson_ratio") > c.getAs[Double]("pearson_ratio"))
+    // partition invariance
+    val c7 = Models.poissonDispersion(calm.toDF("y", "x1", "x2").repartition(7),
+      "y", Seq("x1", "x2"), iterations = 80, lr = 0.3).head
+    assert(c7.getAs[Double]("alpha") == c.getAs[Double]("alpha"))
+  }
+
   test("poissonRegression: recovers the planted log-linear slope; oob NULLs deviance") {
     // y = round(exp(0.3 + 1.0·x1)) on a grid — slope must come out near 1
     val data = for (i <- 0 until 30; j <- 0 until 4)
