@@ -839,6 +839,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("RD / capture-recapture / dispersion: single moment passes, semi-join counts") {
+    for (q <- Seq("q_rdd", "q_poisson_dispersion")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q no partial agg:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    val cr = plan(SparkEntry.queries("q_capture_recapture")(spark, sf))
+    assert(cr.contains("LeftSemi"), s"the overlap must be a semi-join count:\n$cr")
+    assert(!cr.contains("CartesianProduct"), cr)
+  }
+
   test("sequential patterns: session self-join is an equi-join, top-k bounded") {
     val p = plan(SparkEntry.queries("q_seq_patterns")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
