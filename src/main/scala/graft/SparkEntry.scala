@@ -1939,6 +1939,35 @@ object SparkEntry {
         .withColumn("run", col("c_acctbal") / 1000.0),
       "run", "yv", cutoff = 0.0, bandwidth = 3.0)
 
+  /** STREAMING delete-a-group jackknife (S42, 41st gate): the per-PSU
+    * (count, quantized sum) pairs accumulate in the state store (complete
+    * mode, one row per nation) over the stream-static order⋈customer
+    * join; the leave-one-out means and the (G−1)/G deviation sum finish
+    * in batch off the sink — integer state ⇒ stream == batch bit-exactly,
+    * sharing q_jackknife's oracle verbatim. */
+  private def qJackknifeStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val cust = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val name = "graft_jackknife_stream"
+    withStatePartitions(s, 4) {
+      val q1 = stream.join(cust, col("o_custkey") === col("c_custkey"))
+        .withColumn("y", col("o_totalprice") / 1000.0)
+        .groupBy(col("c_nationkey").as("__g"))
+        .agg(count(lit(1)).as("__ng"),
+          sum(floor(col("y").cast("double") * 1e6 + 0.5).cast("long")).as("__sg"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+    }
+    Sketches.jackknifeAssemble(s.table(name))
+  }
+
   /** Poisson overdispersion audit (X277): Cameron–Trivedi NB2 auxiliary
     * on the q_poisson fit — is Var = μ credible for line counts? */
   private def qPoissonDispersion(s: SparkSession, d: String): DataFrame = {
@@ -6811,6 +6840,7 @@ object SparkEntry {
     "q_capture_recapture" -> (qCaptureRecapture _),
     "q_rdd_stream" -> (qRddStream _),
     "q_poisson_dispersion" -> (qPoissonDispersion _),
+    "q_jackknife_stream" -> (qJackknifeStream _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -14163,6 +14193,9 @@ object SparkEntry {
     // shares the batch oracle verbatim
     "q_rdd_stream" -> rddOracle,
     "q_poisson_dispersion" -> poissonDispersionOracle,
+    // the streaming twin accumulates the identical per-group integer
+    // sums — shares the batch oracle verbatim
+    "q_jackknife_stream" -> jackknifeOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

@@ -2972,10 +2972,17 @@ object Sketches {
   def jackknifeGroupSe(
       df: DataFrame,
       valueCol: String,
-      groupCol: String): DataFrame = {
-    val g = df.groupBy(col(groupCol).as("__g")).agg(
+      groupCol: String): DataFrame =
+    jackknifeAssemble(df.groupBy(col(groupCol).as("__g")).agg(
       count(lit(1)).as("__ng"),
-      sum(floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long")).as("__sg"))
+      sum(floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long")).as("__sg")))
+
+  /** Readout half of [[jackknifeGroupSe]] over the pre-aggregated
+    * (__g, __ng, __sg) group table — shared by the streaming twin, whose
+    * state store accumulates exactly these integer sums (sums of
+    * disjoint partial sums equal the direct sums ⇒ stream == batch
+    * bit-exactly). */
+  def jackknifeAssemble(g: DataFrame): DataFrame = {
     val tot = g.agg(
       count(lit(1)).as("groups"),
       sum(col("__ng")).as("n"), sum(col("__sg")).as("__s"))
