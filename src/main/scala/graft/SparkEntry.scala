@@ -4756,6 +4756,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** LLM pipeline v5 (X278): the CCNet-style curation chain on the NEW
+    * scorer — KN bigram perplexity (fit on the English half) scores every
+    * document, and each language keeps its 20 lowest-perplexity docs (the
+    * "head bucket") through the native bounded-heap top-k. */
+  private def qLlmPipeline5(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextAnalysis.knBigramPerplexity(docs, "doc_id", "text",
+      ref = docs.filter(col("lang") === "en"), discount = 0.75)
+    Relational.topKPerKey(
+      scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("cross_entropy")),
+      keyCols = Seq("lang"),
+      sort = Seq("cross_entropy" -> false, "doc_id" -> false),
+      k = 20, rankCol = Some("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Kneser–Ney bigram perplexity (X273): the q_perplexity workload one
     * n-gram order up, fit on the English half, D = 0.75. */
   private def qKnPerplexity(s: SparkSession, d: String): DataFrame = {
@@ -6841,6 +6858,7 @@ object SparkEntry {
     "q_rdd_stream" -> (qRddStream _),
     "q_poisson_dispersion" -> (qPoissonDispersion _),
     "q_jackknife_stream" -> (qJackknifeStream _),
+    "q_llm_pipeline5" -> (qLlmPipeline5 _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -14196,6 +14214,7 @@ object SparkEntry {
     // the streaming twin accumulates the identical per-group integer
     // sums — shares the batch oracle verbatim
     "q_jackknife_stream" -> jackknifeOracle,
+    "q_llm_pipeline5" -> llmPipeline5Oracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -14417,7 +14436,9 @@ object SparkEntry {
   /** Slice-zip bigram extraction + the three KN model tables + the
     * quantized log readout — mirrors
     * [[graft.operators.TextAnalysis.knBigramPerplexity]] bit-for-bit. */
-  private val knPerplexityOracle: String =
+  /** The KN model + scoring CTEs (through per-doc quantized sums `sc`),
+    * shared with the pipeline-v5 oracle. */
+  private val knPerplexityCtes: String =
     """WITH toks AS MATERIALIZED (
            SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]{1,}') AS l
            FROM documents),
@@ -14456,12 +14477,30 @@ object SparkEntry {
              CROSS JOIN btot),
      sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
               CAST(SUM(CAST(FLOOR(LN(p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
-            FROM sc0 GROUP BY 1)
+            FROM sc0 GROUP BY 1)"""
+
+  private val knPerplexityOracle: String =
+    s"""$knPerplexityCtes
      SELECT doc_id, n_tokens,
             ROUND(-CAST(sq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6) AS cross_entropy,
             ROUND(EXP(ROUND(-CAST(sq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6)), 6)
               AS perplexity
      FROM sc ORDER BY doc_id"""
+
+  /** The shared KN scoring CTEs + the per-language lowest-perplexity
+    * head selection — mirrors qLlmPipeline5 (the CCNet-style "keep the
+    * head bucket" curation chain) bit-for-bit. */
+  private val llmPipeline5Oracle: String =
+    s"""$knPerplexityCtes,
+     res AS (SELECT doc_id, n_tokens,
+               ROUND(-CAST(sq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6) AS ce
+             FROM sc),
+     j AS (SELECT d.lang, r.doc_id, r.n_tokens, r.ce,
+                  ROW_NUMBER() OVER (PARTITION BY d.lang
+                                     ORDER BY r.ce, r.doc_id) AS rnk
+           FROM res r JOIN documents d USING (doc_id))
+     SELECT lang, doc_id, n_tokens, ce AS cross_entropy, rnk
+     FROM j WHERE rnk <= 20 ORDER BY lang, rnk"""
 
   /** The literal phase-grid trig table + quantized projections + the
     * centered readout — mirrors
