@@ -1968,6 +1968,20 @@ object SparkEntry {
     Sketches.jackknifeAssemble(s.table(name))
   }
 
+  /** Bradley–Terry preference strengths (X279): daily event-type volume
+    * contests (the busier type that day beats each quieter one) fitted
+    * over 5 quantized MM rounds. */
+  private def qBradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val a = cnt.select(col("day"), col("event_type").as("w"), col("c").as("cw"))
+    val b = cnt.select(col("day").as("day2"), col("event_type").as("l"), col("c").as("cl"))
+    val outcomes = a.join(b, col("day") === col("day2") && col("cw") > col("cl"))
+      .select("w", "l")
+    Models.bradleyTerry(outcomes, "w", "l", rounds = 5).orderBy("item")
+  }
+
   /** Poisson overdispersion audit (X277): Cameron–Trivedi NB2 auxiliary
     * on the q_poisson fit — is Var = μ credible for line counts? */
   private def qPoissonDispersion(s: SparkSession, d: String): DataFrame = {
@@ -6859,6 +6873,7 @@ object SparkEntry {
     "q_poisson_dispersion" -> (qPoissonDispersion _),
     "q_jackknife_stream" -> (qJackknifeStream _),
     "q_llm_pipeline5" -> (qLlmPipeline5 _),
+    "q_bradley_terry" -> (qBradleyTerry _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -7924,6 +7939,61 @@ object SparkEntry {
             ROUND(ia, 6) AS int_above, ROUND(sa, 6) AS slope_above,
             ROUND(ia - ib, 6) AS tau
      FROM lo CROSS JOIN hi"""
+
+  /** 5 unrolled MM rounds over the daily-contest games table — mirrors
+    * [[graft.operators.Models.bradleyTerry]] bit-for-bit (strength CTEs
+    * MATERIALIZED: each round references its predecessor twice). */
+  private val bradleyTerryOracle: String = {
+    val steps = (1 to 5).map { r =>
+      val prev = s"p${r - 1}"
+      s""",
+     d$r AS (SELECT g.a AS item,
+               CAST(SUM(CAST(FLOOR(CAST(g.n AS DOUBLE)
+                    / (CAST(pa.pq + pb.pq AS DOUBLE) / 1e9) * 1e9 + 0.5) AS BIGINT))
+                 AS BIGINT) AS den
+             FROM games g
+             JOIN $prev pa ON g.a = pa.item
+             JOIN $prev pb ON g.b = pb.item
+             GROUP BY 1),
+     r$r AS (SELECT i.item,
+               CASE WHEN w.wins IS NOT NULL AND d.den > 0 THEN
+                 CAST(FLOOR(CAST(w.wins AS DOUBLE) / (CAST(d.den AS DOUBLE) / 1e9)
+                      * 1e9 + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS rq
+             FROM items i
+             LEFT JOIN wins w ON i.item = w.item
+             LEFT JOIN d$r d ON i.item = d.item),
+     s$r AS (SELECT CAST(SUM(rq) AS BIGINT) AS s FROM r$r),
+     p$r AS MATERIALIZED (
+             SELECT item, CAST(FLOOR(CAST(rq AS DOUBLE) / CAST(s AS DOUBLE) * 1e9 + 0.5)
+                          AS BIGINT) AS pq
+             FROM r$r CROSS JOIN s$r)"""
+    }.mkString
+    s"""WITH cnt AS (SELECT date_trunc('day', ts) AS day, event_type,
+                CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+     o AS MATERIALIZED (
+           SELECT a.event_type AS w, b.event_type AS l
+           FROM cnt a JOIN cnt b ON a.day = b.day AND a.c > b.c),
+     wins AS MATERIALIZED (
+           SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS wins FROM o GROUP BY 1),
+     items AS MATERIALIZED (
+           SELECT DISTINCT item FROM (SELECT w AS item FROM o UNION ALL SELECT l FROM o)),
+     games AS MATERIALIZED (
+           SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             SELECT w AS a, l AS b FROM o UNION ALL SELECT l, w FROM o) GROUP BY 1, 2),
+     gp AS (SELECT a AS item, CAST(SUM(n) AS BIGINT) AS games FROM games GROUP BY 1),
+     kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM items),
+     p0 AS MATERIALIZED (
+           SELECT item, CAST(FLOOR(1e9 / CAST(k AS DOUBLE) + 0.5) AS BIGINT) AS pq
+           FROM items CROSS JOIN kk)$steps
+     SELECT i.item, COALESCE(w.wins, 0) AS wins, COALESCE(gp.games, 0) AS games,
+            ROUND(CAST(p5.pq AS DOUBLE) / 1e9, 6) AS strength
+     FROM items i
+     LEFT JOIN wins w ON i.item = w.item
+     LEFT JOIN gp ON i.item = gp.item
+     JOIN p5 ON i.item = p5.item
+     ORDER BY i.item"""
+  }
 
   /** The shared Poisson GD prefix + the closed-form Cameron–Trivedi
     * auxiliary — mirrors
@@ -14215,6 +14285,7 @@ object SparkEntry {
     // sums — shares the batch oracle verbatim
     "q_jackknife_stream" -> jackknifeOracle,
     "q_llm_pipeline5" -> llmPipeline5Oracle,
+    "q_bradley_terry" -> bradleyTerryOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

@@ -428,6 +428,78 @@ object Models {
         (col("__ok").cast("double") / col("n").cast("double")).as("accuracy"): _*)
   }
 
+  /** Bradley–Terry preference strengths by the quantized MM schedule
+    * (Bradley & Terry 1952; Hunter 2004's minorization–maximization) —
+    * the "rank items from pairwise outcomes" model behind preference
+    * datasets and eval arenas: P(i beats j) = π_i/(π_i+π_j), and each MM
+    * round updates π_i ← w_i / Σ_j n_ij/(π_i+π_j), then normalizes to
+    * Σπ = 1.
+    *
+    * The PageRank iteration discipline: strengths live as 1e-9-unit
+    * longs in a bounded item table; per round, the games table (item
+    * pairs with their match counts — bounded by the caller's item-arity
+    * contract) joins the strengths twice, per-pair terms quantize
+    * floor(n/(π_i+π_j)·1e9+0.5) to longs and sum exactly, and the
+    * update + normalization are fixed IEEE chains re-quantized to longs
+    * — partition-invariant, replayable as round-unrolled SQL. Items with
+    * zero wins go to strength 0 (the MM fixed point); `rounds` is fixed
+    * (no data-dependent convergence test).
+    *
+    * Returns one row per item: (item, wins, games, strength). */
+  def bradleyTerry(
+      outcomes: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 12, s"rounds must be in 1..12, got $rounds")
+    val o = outcomes.select(col(winnerCol).cast("string").as("__w"),
+      col(loserCol).cast("string").as("__l")).localCheckpoint(true)
+    val wins = o.groupBy(col("__w").as("item")).agg(count(lit(1)).as("wins"))
+    val items = o.select(col("__w").as("item"))
+      .unionAll(o.select(col("__l").as("item"))).distinct()
+    val games = o.select(col("__w").as("a"), col("__l").as("b"))
+      .unionAll(o.select(col("__l").as("a"), col("__w").as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val gamesPer = games.groupBy(col("a").as("item")).agg(sum(col("n")).as("games"))
+    val nItems = items.count()
+    require(nItems >= 2, s"need >= 2 items, got $nItems")
+    // uniform start: floor(1/k·1e9+0.5) — identical in any engine
+    var pi = items.withColumn("__pq",
+      lit(math.floor(1e9 / nItems.toDouble + 0.5).toLong)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val withPi = games
+        .join(pi.select(col("item").as("a"), col("__pq").as("__pa")), Seq("a"))
+        .join(pi.select(col("item").as("b"), col("__pq").as("__pb")), Seq("b"))
+        .withColumn("__t", floor(
+          col("n").cast("double") /
+            ((col("__pa") + col("__pb")).cast("double") / 1e9) * 1e9 + 0.5).cast("long"))
+        .groupBy(col("a").as("item"))
+        .agg(sum(col("__t")).as("__den"))
+      val raw = items
+        .join(wins, Seq("item"), "left")
+        .join(withPi, Seq("item"), "left")
+        .withColumn("__rq", when(col("wins").isNotNull && col("__den") > 0,
+          floor(col("wins").cast("double") /
+            (col("__den").cast("double") / 1e9) * 1e9 + 0.5).cast("long"))
+          .otherwise(lit(0L)))
+      val tot = raw.agg(sum(col("__rq")).as("__s"))
+      pi = raw.crossJoin(broadcast(tot))
+        .withColumn("__pq", floor(
+          col("__rq").cast("double") / col("__s").cast("double") * 1e9 + 0.5).cast("long"))
+        .select("item", "__pq")
+        .localCheckpoint(true)
+    }
+    items
+      .join(wins, Seq("item"), "left")
+      .join(gamesPer, Seq("item"), "left")
+      .join(pi, Seq("item"))
+      .select(col("item"),
+        coalesce(col("wins"), lit(0L)).as("wins"),
+        coalesce(col("games"), lit(0L)).as("games"),
+        round(col("__pq").cast("double") / 1e9, 6).as("strength"))
+  }
+
   /** Sharp regression discontinuity (Thistlethwaite & Campbell 1960;
     * Imbens & Lemieux 2008) — the LOCAL causal readout completing the
     * family (X237 DiD, X241 subclassification, X246 IPW, X253 AIPW):

@@ -117,6 +117,27 @@ class ModelsSpec extends SparkSpec {
     assert(Models.decisionStump(const, "y", Seq("c")).count() == 0L)
   }
 
+  test("bradleyTerry: transitive dominance orders strengths; winless hits zero; invariant") {
+    // A beats B 3x, B beats C 3x, A beats C 3x: strengths must order
+    // A > B > C, sum to ~1, and C (winless) must pin to exactly 0
+    val o = Seq.fill(3)(Seq(("A", "B"), ("B", "C"), ("A", "C"))).flatten
+      .toDF("w", "l").repartition(3)
+    val got = Models.bradleyTerry(o, "w", "l", rounds = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("wins"), r.getAs[Long]("games"), r.getAs[Double]("strength"))).toMap
+    assert(got("A")._1 == 6L && got("B")._1 == 3L && got("C")._1 == 0L)
+    assert(got("A")._2 == 6L && got("B")._2 == 6L && got("C")._2 == 6L)
+    assert(got("A")._3 > got("B")._3 && got("B")._3 > got("C")._3, got.toString)
+    assert(got("C")._3 == 0.0, "winless item must pin to strength zero")
+    val tot = got.values.map(_._3).sum
+    assert(math.abs(tot - 1.0) < 1e-6, s"strengths must normalize: $tot")
+    // implied win probability favors the dominant item
+    assert(got("A")._3 / (got("A")._3 + got("B")._3) > 0.5)
+    val g7 = Models.bradleyTerry(o.repartition(7), "w", "l", rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(g7 == got.map { case (k, v) => k -> v._3 })
+  }
+
   test("regressionDiscontinuity: planted jump recovered exactly; empty side NULLs") {
     // y = 5 + x below the cutoff, 9 + x above: tau = 4, both slopes 1
     val data = ((-30 until 0) ++ (0 until 30)).map { i =>
