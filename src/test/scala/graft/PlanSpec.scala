@@ -850,6 +850,16 @@ class PlanSpec extends SparkSpec {
     assert(!cr.contains("CartesianProduct"), cr)
   }
 
+  test("pipeline v5 / bradley-terry: bounded heaps and keyed joins only") {
+    val p5 = plan(SparkEntry.queries("q_llm_pipeline5")(spark, sf))
+    assert(p5.contains("TopKPerKey"),
+      s"the head-bucket selection must be the native bounded heap:\n$p5")
+    assert(!p5.contains("CartesianProduct"), p5)
+    val bt = plan(SparkEntry.queries("q_bradley_terry")(spark, sf))
+    assert(!bt.contains("CartesianProduct") && !bt.contains("BroadcastNestedLoopJoin"),
+      s"MM rounds must stay keyed equi-joins:\n$bt")
+  }
+
   test("sequential patterns: session self-join is an equi-join, top-k bounded") {
     val p = plan(SparkEntry.queries("q_seq_patterns")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
