@@ -1968,6 +1968,16 @@ object SparkEntry {
     Sketches.jackknifeAssemble(s.table(name))
   }
 
+  /** Herfindahl concentration (X280): supplier revenue concentration
+    * within each nation — exact cent sums, one division per nation. */
+  private def qHerfindahl(s: SparkSession, d: String): DataFrame =
+    Sketches.herfindahl(
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey")),
+      Seq("s_nationkey"), "l_suppkey", "l_extendedprice")
+      .orderBy("s_nationkey")
+
   /** Bradley–Terry preference strengths (X279): daily event-type volume
     * contests (the busier type that day beats each quieter one) fitted
     * over 5 quantized MM rounds. */
@@ -6874,6 +6884,7 @@ object SparkEntry {
     "q_jackknife_stream" -> (qJackknifeStream _),
     "q_llm_pipeline5" -> (qLlmPipeline5 _),
     "q_bradley_terry" -> (qBradleyTerry _),
+    "q_herfindahl" -> (qHerfindahl _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -7939,6 +7950,26 @@ object SparkEntry {
             ROUND(ia, 6) AS int_above, ROUND(sa, 6) AS slope_above,
             ROUND(ia - ib, 6) AS tau
      FROM lo CROSS JOIN hi"""
+
+  /** Exact cent sums + the single HHI division per nation — mirrors
+    * [[graft.operators.Sketches.herfindahl]] bit-for-bit. */
+  private val herfindahlOracle: String =
+    """WITH ent AS (SELECT s_nationkey, l_suppkey,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS HUGEINT) AS q
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+     per AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_entities,
+                    SUM(q) AS sv, SUM(q * q) AS sq2
+             FROM ent GROUP BY 1),
+     r AS (SELECT s_nationkey, n_entities, sv,
+                  CAST(sq2 AS DOUBLE) / (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) AS hhi,
+                  CAST(n_entities AS DOUBLE) AS nd
+           FROM per)
+     SELECT s_nationkey, n_entities,
+            CASE WHEN sv > 0 THEN ROUND(hhi, 6) END AS hhi,
+            CASE WHEN sv > 0 AND n_entities > 1 THEN
+              ROUND((hhi - 1.0 / nd) / (1.0 - 1.0 / nd), 6) END AS hhi_norm
+     FROM r ORDER BY s_nationkey"""
 
   /** 5 unrolled MM rounds over the daily-contest games table — mirrors
     * [[graft.operators.Models.bradleyTerry]] bit-for-bit (strength CTEs
@@ -14286,6 +14317,7 @@ object SparkEntry {
     "q_jackknife_stream" -> jackknifeOracle,
     "q_llm_pipeline5" -> llmPipeline5Oracle,
     "q_bradley_terry" -> bradleyTerryOracle,
+    "q_herfindahl" -> herfindahlOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

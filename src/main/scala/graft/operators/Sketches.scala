@@ -2917,6 +2917,42 @@ object Sketches {
         .as("wasserstein"))
   }
 
+  /** Herfindahl–Hirschman concentration index per key (Herfindahl 1950;
+    * the antitrust staple, and the "is this corpus dominated by a few
+    * sources?" audit beside X151 Gini / X164 top-share): HHI = Σ sᵢ²
+    * over entity shares, computed WITHOUT per-entity divisions as
+    * Σqᵢ²/(Σqᵢ)² over exact cent-quantized DECIMAL sums — one
+    * entity-level partial agg, one key-level partial agg, ONE division.
+    * The normalized variant (HHI − 1/n)/(1 − 1/n) rescales to [0,1]
+    * (NULL for a single-entity key, where concentration is vacuous).
+    * Values must be non-negative (caller's contract; zero total ⇒ NULL).
+    *
+    * Returns one row per key: (keys…, n_entities, hhi, hhi_norm). */
+  def herfindahl(
+      df: DataFrame,
+      keys: Seq[String],
+      entityCol: String,
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    require(keys.nonEmpty, "at least one key required (use a constant for global)")
+    val k = keys.map(col)
+    val ent = df.groupBy(k :+ col(entityCol).as("__e"): _*)
+      .agg(sum(floor(col(valueCol).cast("double") * 100 + 0.5)
+        .cast("decimal(38,0)")).as("__q"))
+    val per = ent.groupBy(k: _*).agg(
+      count(lit(1)).as("n_entities"),
+      sum(col("__q")).as("__sv"),
+      sum(col("__q") * col("__q")).as("__sq2"))
+    val hhi = col("__sq2").cast("double") /
+      (col("__sv").cast("double") * col("__sv").cast("double"))
+    val nd = col("n_entities").cast("double")
+    per.select(k ++ Seq(
+      col("n_entities"),
+      when(col("__sv") > 0, round(hhi, dp)).as("hhi"),
+      when(col("__sv") > 0 && col("n_entities") > 1,
+        round((hhi - lit(1.0) / nd) / (lit(1.0) - lit(1.0) / nd), dp)).as("hhi_norm")): _*)
+  }
+
   /** Kish survey readout — weighted mean with the effective sample size
     * and design effect (Kish 1965: unequal weights inflate variance by
     * deff = n·Σw²/(Σw)²; n_eff = (Σw)²/Σw² is what the weighted mean is

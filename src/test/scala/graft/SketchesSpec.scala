@@ -1237,6 +1237,21 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Double]("wasserstein") == 0.0)
   }
 
+  test("herfindahl: duopoly/dominant/monopoly hand cases; normalization bounds") {
+    val df = Seq(
+      ("duo", "a", 50.0), ("duo", "b", 50.0),
+      ("dom", "a", 90.0), ("dom", "b", 10.0),
+      ("mono", "a", 7.0)).toDF("k", "e", "v").repartition(3)
+    val got = Sketches.herfindahl(df, Seq("k"), "e", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_entities"), r.getAs[Double]("hhi"),
+          r.getAs[java.lang.Double]("hhi_norm"))).toMap
+    assert(got("duo") == ((2L, 0.5, 0.0: java.lang.Double)))
+    assert(got("dom")._2 == 0.82 && got("dom")._3 == 0.64)
+    assert(got("mono")._2 == 1.0 && got("mono")._3 == null,
+      "single-entity concentration is vacuous")
+  }
+
   test("kishWeightedMean: equal weights are deff 1; concentration inflates deff") {
     val eq = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0)).toDF("y", "w")
     val r = Sketches.kishWeightedMean(eq.repartition(3), "y", "w").head
