@@ -1968,6 +1968,20 @@ object SparkEntry {
     Sketches.jackknifeAssemble(s.table(name))
   }
 
+  /** CUPED (X281): a deterministic 50/50 customer-hash experiment over
+    * order totals, with pre-experiment account balance as the
+    * variance-reducing covariate. */
+  private def qCuped(s: SparkSession, d: String): DataFrame =
+    Sketches.cuped(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("tr",
+          Sampling.hashBucket(concat(col("c_custkey"), lit(":exp9")), 100) < 50)
+        .withColumn("y", col("o_totalprice") / 1000.0)
+        .withColumn("x", col("c_acctbal") / 1000.0),
+      "tr", "y", "x")
+
   /** Herfindahl concentration (X280): supplier revenue concentration
     * within each nation — exact cent sums, one division per nation. */
   private def qHerfindahl(s: SparkSession, d: String): DataFrame =
@@ -6885,6 +6899,7 @@ object SparkEntry {
     "q_llm_pipeline5" -> (qLlmPipeline5 _),
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_herfindahl" -> (qHerfindahl _),
+    "q_cuped" -> (qCuped _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -7950,6 +7965,51 @@ object SparkEntry {
             ROUND(ia, 6) AS int_above, ROUND(sa, 6) AS slope_above,
             ROUND(ia - ib, 6) AS tau
      FROM lo CROSS JOIN hi"""
+
+  /** One pooled+per-arm quantized moment pass + the CUPED fixed chains —
+    * mirrors [[graft.operators.Sketches.cuped]] bit-for-bit. */
+  private val cupedOracle: String =
+    """WITH base AS (
+           SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':exp9'), 1, 8))::BIGINT
+                    % 100 < 50 AS tr,
+                  o_totalprice / 1000.0 AS y,
+                  c_acctbal / 1000.0 AS x
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+     a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+            CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+            CAST(SUM(CAST(FLOOR(x * x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+            CAST(SUM(CAST(FLOOR(x * y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+            CAST(SUM(CAST(FLOOR(y * y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS syy,
+            CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+            CAST(SUM(CAST(FLOOR((CASE WHEN tr THEN 1.0 ELSE 0.0 END) * y * 1e6 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS syt,
+            CAST(SUM(CAST(FLOOR((CASE WHEN tr THEN 1.0 ELSE 0.0 END) * x * 1e6 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS sxt
+           FROM base),
+     m AS (SELECT *,
+            CAST(n AS DOUBLE) AS nn,
+            CAST(sx AS DOUBLE) / 1e6 AS sxd, CAST(sy AS DOUBLE) / 1e6 AS syd,
+            CAST(sxx AS DOUBLE) / 1e6 AS sxxd, CAST(sxy AS DOUBLE) / 1e6 AS sxyd,
+            CAST(syy AS DOUBLE) / 1e6 AS syyd,
+            CAST(n_t AS DOUBLE) AS ntd, CAST(n - n_t AS DOUBLE) AS ncd,
+            CAST(syt AS DOUBLE) / 1e6 AS sytd, CAST(sxt AS DOUBLE) / 1e6 AS sxtd
+           FROM a),
+     r AS (SELECT *,
+            nn * sxxd - sxd * sxd AS varxn,
+            nn * syyd - syd * syd AS varyn,
+            (nn * sxyd - sxd * syd) / (nn * sxxd - sxd * sxd) AS theta,
+            sytd / ntd AS myt, sxtd / ntd AS mxt,
+            (syd - sytd) / ncd AS myc, (sxd - sxtd) / ncd AS mxc
+           FROM m)
+     SELECT n, n_t, n - n_t AS n_c,
+            CASE WHEN varxn <> 0.0 THEN ROUND(theta, 6) END AS theta,
+            CASE WHEN varxn <> 0.0 AND varyn <> 0.0 THEN
+              ROUND(theta * theta * varxn / varyn, 6) END AS rho2,
+            CASE WHEN n_t > 0 AND n_t < n THEN ROUND(myt - myc, 6) END AS ate_raw,
+            CASE WHEN n_t > 0 AND n_t < n AND varxn <> 0.0 THEN
+              ROUND(myt - theta * mxt - (myc - theta * mxc), 6) END AS ate_cuped
+     FROM r"""
 
   /** Exact cent sums + the single HHI division per nation — mirrors
     * [[graft.operators.Sketches.herfindahl]] bit-for-bit. */
@@ -14318,6 +14378,7 @@ object SparkEntry {
     "q_llm_pipeline5" -> llmPipeline5Oracle,
     "q_bradley_terry" -> bradleyTerryOracle,
     "q_herfindahl" -> herfindahlOracle,
+    "q_cuped" -> cupedOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

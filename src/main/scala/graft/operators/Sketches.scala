@@ -2953,6 +2953,56 @@ object Sketches {
         round((hhi - lit(1.0) / nd) / (lit(1.0) - lit(1.0) / nd), dp)).as("hhi_norm")): _*)
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
+    * A/B-testing staple that shrinks metric variance with a
+    * PRE-experiment covariate: θ = cov(x,y)/var(x) from the pooled
+    * moments, adjusted metric y′ = y − θ(x − x̄), and the treatment
+    * effect re-reads as (ȳ_t − θx̄_t) − (ȳ_c − θx̄_c); the theoretical
+    * variance reduction is ρ² = θ²·var(x)/var(y). ONE partial aggregate
+    * collects pooled + per-arm exact 1e6-quantized long sums; every
+    * readout is a fixed IEEE chain — partition-invariant,
+    * SQL-replayable. Degenerate var(x) = 0 or a missing arm ⇒ NULL
+    * adjusted readouts (the raw ATE still reports when both arms exist).
+    *
+    * Returns ONE row: (n, n_t, n_c, theta, rho2, ate_raw, ate_cuped). */
+  def cuped(
+      df: DataFrame,
+      treatmentCol: String,
+      metricCol: String,
+      covariateCol: String): DataFrame = {
+    val y = col(metricCol).cast("double")
+    val x = col(covariateCol).cast("double")
+    val t = when(col(treatmentCol), 1.0).otherwise(0.0)
+    def q(c: Column): Column = sum(floor(c * 1e6 + 0.5).cast("long"))
+    val a = df.agg(
+      count(lit(1)).as("n"),
+      q(x).as("__sx"), q(y).as("__sy"),
+      q(x * x).as("__sxx"), q(x * y).as("__sxy"), q(y * y).as("__syy"),
+      sum(when(col(treatmentCol), 1L).otherwise(0L)).as("n_t"),
+      q(t * y).as("__syt"), q(t * x).as("__sxt"))
+    val nn = col("n").cast("double")
+    def d6(c: String) = col(c).cast("double") / 1e6
+    val varXn = nn * d6("__sxx") - d6("__sx") * d6("__sx")
+    val varYn = nn * d6("__syy") - d6("__sy") * d6("__sy")
+    val covN = nn * d6("__sxy") - d6("__sx") * d6("__sy")
+    val theta = covN / varXn
+    val ntd = col("n_t").cast("double")
+    val ncd = (col("n") - col("n_t")).cast("double")
+    val myT = d6("__syt") / ntd
+    val mxT = d6("__sxt") / ntd
+    val myC = (d6("__sy") - d6("__syt")) / ncd
+    val mxC = (d6("__sx") - d6("__sxt")) / ncd
+    val bothArms = col("n_t") > 0 && col("n_t") < col("n")
+    a.select(
+      col("n"), col("n_t"), (col("n") - col("n_t")).as("n_c"),
+      when(varXn =!= 0.0, round(theta, 6)).as("theta"),
+      when(varXn =!= 0.0 && varYn =!= 0.0,
+        round(theta * theta * varXn / varYn, 6)).as("rho2"),
+      when(bothArms, round(myT - myC, 6)).as("ate_raw"),
+      when(bothArms && varXn =!= 0.0,
+        round(myT - theta * mxT - (myC - theta * mxC), 6)).as("ate_cuped"))
+  }
+
   /** Kish survey readout — weighted mean with the effective sample size
     * and design effect (Kish 1965: unequal weights inflate variance by
     * deff = n·Σw²/(Σw)²; n_eff = (Σw)²/Σw² is what the weighted mean is

@@ -1252,6 +1252,26 @@ class SketchesSpec extends SparkSpec {
       "single-entity concentration is vacuous")
   }
 
+  test("cuped: balanced covariate keeps the ATE, theta ~ slope; constant x NULLs") {
+    // y = 2x + 0.5·treated, identical x grids per arm: both ATEs read 0.5
+    val rows = for (x <- 1 to 10; tr <- Seq(true, false))
+      yield (tr, 2.0 * x + (if (tr) 0.5 else 0.0), x.toDouble)
+    val df = rows.toDF("tr", "y", "x").repartition(3)
+    val r = Sketches.cuped(df, "tr", "y", "x").head
+    assert(r.getAs[Long]("n_t") == 10L && r.getAs[Long]("n_c") == 10L)
+    assert(r.getAs[Double]("ate_raw") == 0.5)
+    assert(math.abs(r.getAs[Double]("ate_cuped") - 0.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("theta") - 2.0) < 0.01)
+    assert(r.getAs[Double]("rho2") > 0.9)
+    // constant covariate: theta/rho2/adjusted NULL, the raw ATE survives
+    val flat = rows.map { case (t2, yv, _) => (t2, yv, 7.0) }.toDF("tr", "y", "x")
+    val f = Sketches.cuped(flat, "tr", "y", "x").head
+    assert(f.isNullAt(f.fieldIndex("theta")) && f.isNullAt(f.fieldIndex("ate_cuped")))
+    assert(!f.isNullAt(f.fieldIndex("ate_raw")))
+    val r7 = Sketches.cuped(df.repartition(7), "tr", "y", "x").head
+    assert(r7.getAs[Double]("theta") == r.getAs[Double]("theta"))
+  }
+
   test("kishWeightedMean: equal weights are deff 1; concentration inflates deff") {
     val eq = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0)).toDF("y", "w")
     val r = Sketches.kishWeightedMean(eq.repartition(3), "y", "w").head
