@@ -1982,6 +1982,42 @@ object SparkEntry {
         .withColumn("x", col("c_acctbal") / 1000.0),
       "tr", "y", "x")
 
+  /** STREAMING CUPED monitor (S43, 42nd gate): the pooled + per-arm
+    * quantized moment sums accumulate in ONE state row over the
+    * stream-static order⋈customer join; the θ/ρ²/ATE chains finish in
+    * batch off the sink — integer state ⇒ stream == batch bit-exactly,
+    * sharing q_cuped's oracle verbatim. The live experiment dashboard:
+    * the adjusted effect updates as orders stream in. */
+  private def qCupedStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val cust = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val name = "graft_cuped_stream"
+    withStatePartitions(s, 1) {
+      val tr = Sampling.hashBucket(concat(col("c_custkey"), lit(":exp9")), 100) < 50
+      val y = col("o_totalprice") / 1000.0
+      val x = col("c_acctbal") / 1000.0
+      val t = when(tr, 1.0).otherwise(0.0)
+      def q(c: Column): Column = sum(floor(c * 1e6 + 0.5).cast("long"))
+      val q1 = stream.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          q(x).as("__sx"), q(y).as("__sy"),
+          q(x * x).as("__sxx"), q(x * y).as("__sxy"), q(y * y).as("__syy"),
+          sum(when(tr, 1L).otherwise(0L)).as("n_t"),
+          q(t * y).as("__syt"), q(t * x).as("__sxt"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+    }
+    Sketches.cupedAssemble(s.table(name))
+  }
+
   /** Herfindahl concentration (X280): supplier revenue concentration
     * within each nation — exact cent sums, one division per nation. */
   private def qHerfindahl(s: SparkSession, d: String): DataFrame =
@@ -6900,6 +6936,7 @@ object SparkEntry {
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_herfindahl" -> (qHerfindahl _),
     "q_cuped" -> (qCuped _),
+    "q_cuped_stream" -> (qCupedStream _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -14379,6 +14416,9 @@ object SparkEntry {
     "q_bradley_terry" -> bradleyTerryOracle,
     "q_herfindahl" -> herfindahlOracle,
     "q_cuped" -> cupedOracle,
+    // the streaming twin accumulates the identical integer moment sums —
+    // shares the batch oracle verbatim
+    "q_cuped_stream" -> cupedOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

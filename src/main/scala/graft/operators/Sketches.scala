@@ -2974,12 +2974,18 @@ object Sketches {
     val x = col(covariateCol).cast("double")
     val t = when(col(treatmentCol), 1.0).otherwise(0.0)
     def q(c: Column): Column = sum(floor(c * 1e6 + 0.5).cast("long"))
-    val a = df.agg(
+    cupedAssemble(df.agg(
       count(lit(1)).as("n"),
       q(x).as("__sx"), q(y).as("__sy"),
       q(x * x).as("__sxx"), q(x * y).as("__sxy"), q(y * y).as("__syy"),
       sum(when(col(treatmentCol), 1L).otherwise(0L)).as("n_t"),
-      q(t * y).as("__syt"), q(t * x).as("__sxt"))
+      q(t * y).as("__syt"), q(t * x).as("__sxt")))
+  }
+
+  /** Readout half of [[cuped]] over the pre-aggregated quantized moment
+    * row — shared by the streaming twin (integer state ⇒ stream == batch
+    * bit-exactly). */
+  def cupedAssemble(a: DataFrame): DataFrame = {
     val nn = col("n").cast("double")
     def d6(c: String) = col(c).cast("double") / 1e6
     val varXn = nn * d6("__sxx") - d6("__sx") * d6("__sx")
