@@ -2322,6 +2322,11 @@ object SparkEntry {
   private def qBrier(s: SparkSession, d: String): DataFrame =
     Sketches.brierDecomposition(calibScored(s, d), "p", "y", bins = 10)
 
+  /** ECE/MCE (X282): the L1 calibration summary on the q_brier scored
+    * hold-out — the metric LLM evals actually quote. */
+  private def qCalibrationError(s: SparkSession, d: String): DataFrame =
+    Sketches.calibrationError(calibScored(s, d), "p", "y", bins = 10)
+
   /** Split-conformal prediction intervals (X242): per-priority mean
     * price predictor, md5 hash split 6/2/2, α=0.1 — the empirical test
     * coverage must sit at or above 0.9 by the conformal theorem. */
@@ -6937,6 +6942,7 @@ object SparkEntry {
     "q_herfindahl" -> (qHerfindahl _),
     "q_cuped" -> (qCuped _),
     "q_cuped_stream" -> (qCupedStream _),
+    "q_calibration_error" -> (qCalibrationError _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -8002,6 +8008,39 @@ object SparkEntry {
             ROUND(ia, 6) AS int_above, ROUND(sa, 6) AS slope_above,
             ROUND(ia - ib, 6) AS tau
      FROM lo CROSS JOIN hi"""
+
+  /** The q_brier scored hold-out + equal-width bins + the exact DECIMAL
+    * gap reduction — mirrors
+    * [[graft.operators.Sketches.calibrationError]] bit-for-bit. */
+  private val calibrationErrorOracle: String =
+    """WITH b AS (SELECT o_orderpriority AS pr, c_nationkey AS nk,
+                  o_orderstatus = 'F' AS y,
+                  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS bk
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+     m AS (SELECT pr, nk,
+                  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS p
+           FROM b WHERE bk < 6 GROUP BY 1, 2),
+     sc AS (SELECT CAST(FLOOR(p * 1000000000.0 + 0.5) AS BIGINT) AS pq,
+                   CASE WHEN y THEN 1 ELSE 0 END AS yy
+            FROM b JOIN m USING (pr, nk) WHERE bk >= 6),
+     pb AS (SELECT LEAST(CAST(FLOOR(CAST(pq * 10 AS DOUBLE) / 1000000000.0) AS BIGINT), 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(yy) AS BIGINT) AS pos,
+                   CAST(SUM(pq) AS BIGINT) AS sp
+            FROM sc GROUP BY 1),
+     g AS (SELECT nb,
+                  ABS(CAST(sp AS DOUBLE) / 1000000000.0 / CAST(nb AS DOUBLE)
+                      - CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)) AS gap
+           FROM pb),
+     f AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+                  CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+                  SUM(CAST(CAST(nb AS DOUBLE) * gap AS DECIMAL(30,12))) AS sw,
+                  MAX(CAST(gap AS DECIMAL(30,12))) AS mx
+           FROM g)
+     SELECT n, n_bins_used,
+            ROUND(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ece,
+            ROUND(CAST(mx AS DOUBLE), 6) AS mce
+     FROM f"""
 
   /** One pooled+per-arm quantized moment pass + the CUPED fixed chains —
     * mirrors [[graft.operators.Sketches.cuped]] bit-for-bit. */
@@ -14419,6 +14458,7 @@ object SparkEntry {
     // the streaming twin accumulates the identical integer moment sums —
     // shares the batch oracle verbatim
     "q_cuped_stream" -> cupedOracle,
+    "q_calibration_error" -> calibrationErrorOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

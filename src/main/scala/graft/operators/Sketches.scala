@@ -2706,6 +2706,48 @@ object Sketches {
           .as("frac_pos"))
   }
 
+  /** Expected / maximum calibration error (Naeini, Cooper & Hauskrecht
+    * 2015) — the L1 calibration summary LLM evals actually quote, beside
+    * [[brierDecomposition]]'s squared REL term: over equal-width score
+    * bins, ECE = Σ n_b·|p̄_b − ō_b|/N and MCE = max_b |p̄_b − ō_b|.
+    * The [[reliabilityDiagram]] binning verbatim (1e-9-quantized scores,
+    * exact long bin moments); per-bin gaps are fixed IEEE chains cast to
+    * DECIMAL(30,12) before the cross-bin reduction (a double SUM/MAX over
+    * bins would be partition-order-dependent in the sum case; DECIMAL
+    * keeps both exact). Returns ONE row: (n, n_bins_used, ece, mce). */
+  def calibrationError(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10,
+      dp: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val pq = floor(col(scoreCol).cast("double") * 1000000000.0 + 0.5).cast("long")
+    val perBin = df
+      .select(pq.as("__pq"), when(col(labelCol), 1L).otherwise(0L).as("__y"))
+      .withColumn("__bin",
+        least(floor((col("__pq") * bins).cast("double") / 1000000000.0).cast("long"),
+          lit(bins - 1L)))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"),
+        sum(col("__pq")).as("__sp"))
+    val gap = abs(
+      col("__sp").cast("double") / 1000000000.0 / col("__n").cast("double") -
+        col("__pos").cast("double") / col("__n").cast("double"))
+    perBin
+      .withColumn("__wgap",
+        (col("__n").cast("double") * gap).cast("decimal(30,12)"))
+      .withColumn("__gap", gap.cast("decimal(30,12)"))
+      .agg(
+        sum(col("__n")).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        sum(col("__wgap")).as("__sw"),
+        max(col("__gap")).as("__mx"))
+      .select(col("n"), col("n_bins_used"),
+        round(col("__sw").cast("double") / col("n").cast("double"), dp).as("ece"),
+        round(col("__mx").cast("double"), dp).as("mce"))
+  }
+
   /** Murphy (1973) decomposition of the Brier score — calibration
     * (reliability), discrimination (resolution) and base-rate entropy
     * (uncertainty) as one summary row beside [[reliabilityDiagram]]'s

@@ -1252,6 +1252,20 @@ class SketchesSpec extends SparkSpec {
       "single-entity concentration is vacuous")
   }
 
+  test("calibrationError: hand-solved ECE/MCE; perfect calibration reads zero") {
+    // bin .8: 4 rows, 2 positives -> gap .3; bin .2: 4 rows, 1 positive -> gap .05
+    val df = (Seq.fill(2)((0.8, true)) ++ Seq.fill(2)((0.8, false)) ++
+      Seq((0.2, true)) ++ Seq.fill(3)((0.2, false))).toDF("p", "y").repartition(3)
+    val r = Sketches.calibrationError(df, "p", "y", bins = 10).head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("n_bins_used") == 2L)
+    assert(r.getAs[Double]("ece") == 0.175 && r.getAs[Double]("mce") == 0.3)
+    // perfectly calibrated bins: both metrics vanish
+    val perfect = (Seq((0.5, true), (0.5, false)) ++
+      Seq.fill(3)((1.0, true))).toDF("p", "y")
+    val p = Sketches.calibrationError(perfect, "p", "y", bins = 10).head
+    assert(p.getAs[Double]("ece") == 0.0 && p.getAs[Double]("mce") == 0.0)
+  }
+
   test("cuped: balanced covariate keeps the ATE, theta ~ slope; constant x NULLs") {
     // y = 2x + 0.5·treated, identical x grids per arm: both ATEs read 0.5
     val rows = for (x <- 1 to 10; tr <- Seq(true, false))
