@@ -4852,6 +4852,19 @@ object SparkEntry {
       .orderBy("lang", "rnk")
   }
 
+  /** Scorer agreement (X283): does the cheap add-k unigram scorer AGREE
+    * with the KN bigram one doc-by-doc? Lin's CCC over the two
+    * cross-entropies — the scorer-replacement audit. */
+  private def qScorerAgreement(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("lang") === "en")
+    val uni = TextAnalysis.perplexityScore(docs, "doc_id", "text", ref)
+      .select(col("doc_id"), col("cross_entropy").as("x"))
+    val kn = TextAnalysis.knBigramPerplexity(docs, "doc_id", "text", ref)
+      .select(col("doc_id"), col("cross_entropy").as("y"))
+    Sketches.concordanceCcc(uni.join(kn, "doc_id"), "x", "y")
+  }
+
   /** Kneser–Ney bigram perplexity (X273): the q_perplexity workload one
     * n-gram order up, fit on the English half, D = 0.75. */
   private def qKnPerplexity(s: SparkSession, d: String): DataFrame = {
@@ -6943,6 +6956,7 @@ object SparkEntry {
     "q_cuped" -> (qCuped _),
     "q_cuped_stream" -> (qCupedStream _),
     "q_calibration_error" -> (qCalibrationError _),
+    "q_scorer_agreement" -> (qScorerAgreement _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -7857,7 +7871,7 @@ object SparkEntry {
     * libm call touches the hashed output). */
   /** The q_poisson GD prefix (base + 8 unrolled log-link steps) shared
     * with the dispersion oracle. */
-  private val poissonGdCtes: String = {
+  private lazy val poissonGdCtes: String = {
     val steps = (1 to 8).map { i =>
       val w = s"w${i - 1}"
       s""",
@@ -8008,6 +8022,61 @@ object SparkEntry {
             ROUND(ia, 6) AS int_above, ROUND(sa, 6) AS slope_above,
             ROUND(ia - ib, 6) AS tau
      FROM lo CROSS JOIN hi"""
+
+  /** Both scorers' oracles composed (the KN CTEs + a u-prefixed unigram
+    * replica off the shared token lists) + the CCC moment chains —
+    * mirrors qScorerAgreement /
+    * [[graft.operators.Sketches.concordanceCcc]] bit-for-bit. */
+  private val scorerAgreementOracle: String =
+    s"""$knPerplexityCtes,
+     res_kn AS (SELECT doc_id,
+                  ROUND(-CAST(sq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6) AS y
+                FROM sc),
+     utok AS (SELECT doc_id, lang, unnest(l) AS tk FROM toks),
+     urc AS MATERIALIZED (
+           SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM utok WHERE lang = 'en' GROUP BY 1),
+     utot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM urc),
+     umodel AS MATERIALIZED (
+           SELECT tk, CAST(FLOOR(LN((CAST(c AS DOUBLE) + 1.0)
+                  / (CAST(n AS DOUBLE) + 1.0 * (CAST(v AS DOUBLE) + 1.0)))
+                * 1e6 + 0.5) AS BIGINT) AS lpq
+           FROM urc CROSS JOIN utot),
+     uoov AS (SELECT CAST(FLOOR(LN(1.0 / (CAST(n AS DOUBLE) + 1.0 * (CAST(v AS DOUBLE) + 1.0)))
+                * 1e6 + 0.5) AS BIGINT) AS oq FROM utot),
+     usc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(COALESCE(lpq, oq)) AS BIGINT) AS sq
+             FROM utok LEFT JOIN umodel ON utok.tk = umodel.tk CROSS JOIN uoov
+             GROUP BY 1),
+     res_u AS (SELECT doc_id,
+                 ROUND(-CAST(sq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6) AS x
+               FROM usc),
+     pair AS (SELECT x, y FROM res_u JOIN res_kn USING (doc_id)),
+     mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+              CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+              CAST(SUM(CAST(FLOOR(x * x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+              CAST(SUM(CAST(FLOOR(y * y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS syy,
+              CAST(SUM(CAST(FLOOR(x * y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sxy
+            FROM pair),
+     rr AS (SELECT n, CAST(n AS DOUBLE) AS nn,
+              CAST(sx AS DOUBLE) / 1e6 AS sxd, CAST(sy AS DOUBLE) / 1e6 AS syd,
+              CAST(sxx AS DOUBLE) / 1e6 AS sxxd, CAST(syy AS DOUBLE) / 1e6 AS syyd,
+              CAST(sxy AS DOUBLE) / 1e6 AS sxyd
+            FROM mm),
+     ff AS (SELECT n, nn,
+              nn * sxyd - sxd * syd AS covn,
+              nn * sxxd - sxd * sxd AS vxn,
+              nn * syyd - syd * syd AS vyn,
+              sxd / nn - syd / nn AS dmean
+            FROM rr)
+     SELECT n,
+            CASE WHEN vxn > 0 AND vyn > 0 THEN ROUND(covn / SQRT(vxn * vyn), 6) END
+              AS pearson_r,
+            CASE WHEN vxn + vyn + nn * nn * (dmean * dmean) <> 0.0 THEN
+              ROUND(CAST(2 AS DOUBLE) * covn
+                    / (vxn + vyn + nn * nn * (dmean * dmean)), 6) END AS ccc,
+            ROUND(dmean, 6) AS location_shift
+     FROM ff"""
 
   /** The q_brier scored hold-out + equal-width bins + the exact DECIMAL
     * gap reduction — mirrors
@@ -14459,6 +14528,7 @@ object SparkEntry {
     // shares the batch oracle verbatim
     "q_cuped_stream" -> cupedOracle,
     "q_calibration_error" -> calibrationErrorOracle,
+    "q_scorer_agreement" -> scorerAgreementOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
@@ -14682,7 +14752,7 @@ object SparkEntry {
     * [[graft.operators.TextAnalysis.knBigramPerplexity]] bit-for-bit. */
   /** The KN model + scoring CTEs (through per-doc quantized sums `sc`),
     * shared with the pipeline-v5 oracle. */
-  private val knPerplexityCtes: String =
+  private lazy val knPerplexityCtes: String =
     """WITH toks AS MATERIALIZED (
            SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]{1,}') AS l
            FROM documents),

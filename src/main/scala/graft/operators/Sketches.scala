@@ -2995,6 +2995,44 @@ object Sketches {
         round((hhi - lit(1.0) / nd) / (lit(1.0) - lit(1.0) / nd), dp)).as("hhi_norm")): _*)
   }
 
+  /** Lin's concordance correlation coefficient (Lin 1989) — CONTINUOUS
+    * agreement, the numeric counterpart to Cohen's κ (categorical) and
+    * the stricter cousin of Pearson r (which forgives location/scale
+    * shifts; CCC does not): CCC = 2·cov/(var_x + var_y + (x̄−ȳ)²) — 1
+    * only when y = x exactly. The "does the cheap model AGREE with the
+    * expensive one" readout for scorer replacement. ONE partial
+    * aggregate of 1e6-quantized long moments, fixed IEEE chains; a
+    * degenerate pair (both variances zero and equal means) ⇒ NULL.
+    *
+    * Returns ONE row: (n, pearson_r, ccc, location_shift). */
+  def concordanceCcc(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      dp: Int = 6): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    def q(c: Column): Column = sum(floor(c * 1e6 + 0.5).cast("long"))
+    val a = df.agg(
+      count(lit(1)).as("n"),
+      q(x).as("__sx"), q(y).as("__sy"),
+      q(x * x).as("__sxx"), q(y * y).as("__syy"), q(x * y).as("__sxy"))
+    val nn = col("n").cast("double")
+    def d6(c: String) = col(c).cast("double") / 1e6
+    val covN = nn * d6("__sxy") - d6("__sx") * d6("__sy")
+    val vxN = nn * d6("__sxx") - d6("__sx") * d6("__sx")
+    val vyN = nn * d6("__syy") - d6("__sy") * d6("__sy")
+    val dMean = d6("__sx") / nn - d6("__sy") / nn
+    val denom = vxN + vyN + nn * nn * (dMean * dMean)
+    a.select(
+      col("n"),
+      when(vxN > 0 && vyN > 0,
+        round(covN / sqrt(vxN * vyN), dp)).as("pearson_r"),
+      when(denom =!= 0.0,
+        round(lit(2.0) * covN / denom, dp)).as("ccc"),
+      round(dMean, dp).as("location_shift"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
     * A/B-testing staple that shrinks metric variance with a
     * PRE-experiment covariate: θ = cov(x,y)/var(x) from the pooled

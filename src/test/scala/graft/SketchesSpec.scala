@@ -1252,6 +1252,23 @@ class SketchesSpec extends SparkSpec {
       "single-entity concentration is vacuous")
   }
 
+  test("concordanceCcc: identity is 1; a pure shift keeps r=1 but drops CCC") {
+    val same = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0)).toDF("x", "y")
+    val s0 = Sketches.concordanceCcc(same, "x", "y").head
+    assert(s0.getAs[Double]("ccc") == 1.0 && s0.getAs[Double]("pearson_r") == 1.0)
+    // y = x + 1: Pearson forgives the shift, CCC must not
+    // hand: covN=4, vxN=vyN=4, dmean=-1, n=2 -> ccc = 8/12
+    val shift = Seq((0.0, 1.0), (2.0, 3.0)).toDF("x", "y").repartition(2)
+    val s1 = Sketches.concordanceCcc(shift, "x", "y").head
+    assert(s1.getAs[Double]("pearson_r") == 1.0)
+    assert(s1.getAs[Double]("ccc") == 0.666667)
+    assert(s1.getAs[Double]("location_shift") == -1.0)
+    // degenerate: both constant and equal -> denom 0 -> NULL ccc
+    val const = Seq((5.0, 5.0), (5.0, 5.0)).toDF("x", "y")
+    val c = Sketches.concordanceCcc(const, "x", "y").head
+    assert(c.isNullAt(c.fieldIndex("ccc")) && c.isNullAt(c.fieldIndex("pearson_r")))
+  }
+
   test("calibrationError: hand-solved ECE/MCE; perfect calibration reads zero") {
     // bin .8: 4 rows, 2 positives -> gap .3; bin .2: 4 rows, 1 positive -> gap .05
     val df = (Seq.fill(2)((0.8, true)) ++ Seq.fill(2)((0.8, false)) ++
