@@ -1517,6 +1517,20 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Hellinger drift (X284): the q_js_drift split scored with the third
+    * bounded drift metric — per-bin squared-Hellinger terms. */
+  private def qHellingerDrift(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val split = lit("1996-07-01").cast("timestamp")
+    Sketches.hellinger(
+        ord.filter(col("o_orderdate") < split),
+        ord.filter(col("o_orderdate") >= split),
+        "o_totalprice", nBins = 10)
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(col("h2_term"), 9).as("h2_term"))
+      .orderBy("bin")
+  }
+
   /** Per-node triangle counts over the part co-occurrence graph (parts
     * sharing an order, H1'96): degree-ordered orientation in Spark, plain
     * a&lt;b orientation in the oracle — the triangle SET is
@@ -6957,6 +6971,7 @@ object SparkEntry {
     "q_cuped_stream" -> (qCupedStream _),
     "q_calibration_error" -> (qCalibrationError _),
     "q_scorer_agreement" -> (qScorerAgreement _),
+    "q_hellinger_drift" -> (qHellingerDrift _),
     "q_pacf" -> (qPacf _),
     "q_l_diversity" -> (qLDiversity _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -8022,6 +8037,32 @@ object SparkEntry {
             ROUND(ia, 6) AS int_above, ROUND(sa, 6) AS slope_above,
             ROUND(ia - ib, 6) AS tau
      FROM lo CROSS JOIN hi"""
+
+  /** The q_js_drift binning + the 3-op squared-Hellinger bin terms —
+    * mirrors [[graft.operators.Sketches.hellinger]] bit-for-bit. */
+  private val hellingerDriftOracle: String =
+    """WITH b AS (SELECT MIN(o_totalprice) AS lo,
+                  (MAX(o_totalprice) - MIN(o_totalprice)) / 10 AS w
+           FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+     base AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                              ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                     COUNT(*) AS n_base
+              FROM orders, b WHERE o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),
+     cur AS (SELECT GREATEST(CAST(LEAST(CASE WHEN b.w = 0 THEN 0
+                             ELSE FLOOR((o_totalprice - b.lo) / b.w) END, 9) AS BIGINT), 0) AS bin,
+                    COUNT(*) AS n_cur
+             FROM orders, b WHERE o_orderdate >= TIMESTAMP '1996-07-01' GROUP BY 1),
+     j AS (SELECT COALESCE(base.bin, cur.bin) AS bin,
+                  COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+           FROM base FULL OUTER JOIN cur ON base.bin = cur.bin),
+     t AS (SELECT bin, n_base, n_cur,
+                  CAST(n_base AS DOUBLE) / SUM(n_base) OVER () AS base_pct,
+                  CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS cur_pct
+           FROM j)
+     SELECT bin, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+            ROUND((SQRT(base_pct) - SQRT(cur_pct)) * (SQRT(base_pct) - SQRT(cur_pct)) / 2, 9)
+              AS h2_term
+     FROM t ORDER BY bin"""
 
   /** Both scorers' oracles composed (the KN CTEs + a u-prefixed unigram
     * replica off the shared token lists) + the CCC moment chains —
@@ -14529,6 +14570,7 @@ object SparkEntry {
     "q_cuped_stream" -> cupedOracle,
     "q_calibration_error" -> calibrationErrorOracle,
     "q_scorer_agreement" -> scorerAgreementOracle,
+    "q_hellinger_drift" -> hellingerDriftOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->

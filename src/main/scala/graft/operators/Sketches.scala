@@ -325,6 +325,39 @@ object Sketches {
             col("cur_pct") * log(col("cur_pct") / col("m_pct")) / 2).otherwise(lit(0.0)))
   }
 
+  /** Squared-Hellinger drift terms from per-bin baseline/current counts —
+    * the third member of the bounded drift family ([[psiAssemble]]
+    * unbounded, [[jsAssemble]] ∈ [0, ln 2], Hellinger² ∈ [0, 1] and a
+    * true metric's square): H² = ½·Σ(√p − √q)². No eps floor, no log —
+    * each per-bin term is a fixed 3-op IEEE chain, so the bounded bin
+    * table sums engine-stably like the JS path. */
+  def hellingerAssemble(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val joined = baseCounts
+      .join(curCounts, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val totB = sum(col("n_base")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val totC = sum(col("n_cur")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    joined
+      .withColumn("base_pct", col("n_base") / totB)
+      .withColumn("cur_pct", col("n_cur") / totC)
+      .withColumn("h2_term",
+        (sqrt(col("base_pct")) - sqrt(col("cur_pct"))) *
+          (sqrt(col("base_pct")) - sqrt(col("cur_pct"))) / 2)
+  }
+
+  /** Squared-Hellinger drift over equi-width baseline bins — same binning
+    * as [[psi]] and [[jsDivergence]]. */
+  def hellinger(
+      baseline: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    val bounds = psiBounds(baseline, valueCol, nBins)
+    hellingerAssemble(
+      psiBinCounts(baseline, bounds, valueCol, nBins, "n_base"),
+      psiBinCounts(current, bounds, valueCol, nBins, "n_cur"))
+  }
+
   /** Jensen–Shannon drift over equi-width baseline bins — same binning as
     * [[psi]], JSD terms instead of PSI terms. */
   def jsDivergence(

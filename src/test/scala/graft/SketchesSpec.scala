@@ -1252,6 +1252,23 @@ class SketchesSpec extends SparkSpec {
       "single-entity concentration is vacuous")
   }
 
+  test("hellinger: identical distributions read 0, disjoint read 1; hand term") {
+    // identical: every bin term 0
+    val a = (1 to 100).map(i => (i % 10).toDouble)
+    val same = Sketches.hellinger(a.toDF("v"), a.toDF("v"), "v", nBins = 10)
+      .agg(sum(col("h2_term"))).head.getDouble(0)
+    assert(same == 0.0)
+    // disjoint occupancy within shared bounds: baseline in bin 0, current
+    // in the top bin -> H^2 = (1/2 + 1/2) = 1
+    val base = Seq.fill(50)(0.0) ++ Seq(9.0) // one baseline row pins the range
+    val cur = Seq.fill(50)(9.0)
+    val h = Sketches.hellinger(base.toDF("v"), cur.toDF("v"), "v", nBins = 10)
+      .collect()
+    val tot = h.map(_.getAs[Double]("h2_term")).sum
+    // baseline has 51 rows (50 at bin 0, 1 at bin 9): H^2 close to 1
+    assert(tot > 0.9 && tot <= 1.0, s"H2=$tot")
+  }
+
   test("concordanceCcc: identity is 1; a pure shift keeps r=1 but drops CCC") {
     val same = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0)).toDF("x", "y")
     val s0 = Sketches.concordanceCcc(same, "x", "y").head
