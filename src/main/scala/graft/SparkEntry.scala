@@ -1825,7 +1825,7 @@ object SparkEntry {
       .select(col("n"), col("tau"), col("w0"), col("w1"), col("w2"),
         round(col("pinball"), 6).as("pinball"))
 
-  /** STREAMING Kish readout (S40, 39th gate): the four quantized-long
+  /** STREAMING Kish readout (S44, 39th gate): the four quantized-long
     * moment sums accumulate in the state store (complete mode, ONE state
     * row) over the stream-static order⋈customer join; the fixed-chain
     * readout finishes in batch off the sink — integer state ⇒ stream ==
@@ -7644,9 +7644,9 @@ object SparkEntry {
      z AS (SELECT x.lang, tk, a, b, cdocs - a AS c, n - cdocs - b AS d
            FROM x JOIN cd USING (lang) CROSS JOIN nn),
      chi AS (SELECT lang, tk AS token, a AS n_docs,
-               ROUND(CAST(CAST(a + b + c + d AS HUGEINT)
-                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
-                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS DOUBLE)
+               ROUND(CAST(a + b + c + d AS DOUBLE)
+                          * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE)
+                          * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE)
                      / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) AS DOUBLE),
                      6) AS chi2,
                CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c > 0 AS positive
@@ -14997,9 +14997,9 @@ object SparkEntry {
      ti AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
                    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr
             FROM tg GROUP BY 1),
-     v AS (SELECT pr.event_type, ti.n, pr.sv,
+     v AS (SELECT ti.event_type, ti.n, COALESCE(pr.sv, 0) AS sv,
                   CAST(ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tcorr AS DOUBLE) / 18.0 AS var_s
-           FROM pr JOIN ti ON pr.event_type = ti.event_type)
+           FROM ti LEFT JOIN pr ON pr.event_type = ti.event_type)
      SELECT event_type, n, sv AS s, ROUND(var_s, 6) AS var_s,
             CASE WHEN var_s > 0 THEN ROUND(
               CASE WHEN sv > 0 THEN CAST(sv - 1 AS DOUBLE) / SQRT(var_s)

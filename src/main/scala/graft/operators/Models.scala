@@ -623,7 +623,8 @@ object Models {
     val metrics = base.agg(
       count(lit(1)).as("n"),
       sum(floor(term * 1e6 + 0.5).cast("long")).as("__dv"),
-      count(when(col("__y") < 0.0 || col("__y") > maxCount.toDouble, 1)).as("__oob"),
+      count(when(col("__y") < 0.0 || col("__y") > maxCount.toDouble ||
+        col("__y") =!= floor(col("__y")), 1)).as("__oob"),
       sum(floor(p * 1e6 + 0.5).cast("long")).as("__mu"))
     metrics.select(
       col("n") +:
@@ -833,9 +834,12 @@ object Models {
       minLen: Int = 1,
       broadcastModel: Boolean = true): DataFrame = {
     def bc(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    // vocab membership rides the same broadcastModel escape hatch as the
+    // model join: at n-gram-scale vocabs an unconditional broadcast here
+    // would OOM exactly where the flag is meant to help.
     val vocab = model.select(col("__tok")).distinct().withColumn("__in", lit(1))
     val toks = TextAnalysis.lmTokens(df.select(col(idCol), col(textCol)), textCol, minLen)
-      .join(broadcast(vocab), Seq("__tok"), "left")
+      .join(bc(vocab), Seq("__tok"), "left")
     val known = toks.filter(col("__in").isNotNull)
       .join(bc(model), Seq("__tok"))
       .select(col(idCol), col("__cls"), col("__lpq").as("__q"))

@@ -824,7 +824,12 @@ object Temporal {
     val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
       .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
       .otherwise(lit(0.0))
-    sTab.join(ties, keys)
+    // ties is built from EVERY row, sTab only from keys with >= 2
+    // observations (a single-row series yields no i<j pairs) — left-join
+    // from ties so n=1 keys surface as (n=1, s=0, var_s=0, z=NULL)
+    // instead of silently vanishing.
+    ties.join(sTab, keys, "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
       .select(k ++ Seq(
         col("n"), col("s"),
         round(varS, 6).as("var_s"),

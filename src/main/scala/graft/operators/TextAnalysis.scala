@@ -1544,12 +1544,18 @@ object TextAnalysis {
       .withColumn("__c", col("__cd") - col("__a"))
       .withColumn("__d", col("__n") - col("__cd") - col("__b"))
     val diff = dec(col("__a")) * dec(col("__d")) - dec(col("__b")) * dec(col("__c"))
+    // diff itself fits decimal(38,0) exactly (|ad|,|bc| <= n^2), but
+    // n·diff² would need ~5 n-digits and overflows decimal(38,0) near
+    // n=1e9 docs — convert diff to double (nearest) ONCE before squaring,
+    // the same convert-before-overflow discipline as cochranArmitage; the
+    // denominator products provably fit 38 digits (<= n^4) and stay exact.
     val scored = x
       .withColumn("__diff", diff)
+      .withColumn("__diffd", diff.cast("double"))
       .select(col(classCol), col("__tok").as("token"), col("__a").as("n_docs"),
         round(
-          (dec(col("__a") + col("__b") + col("__c") + col("__d")) * col("__diff") * col("__diff"))
-            .cast("double") /
+          ((col("__a") + col("__b") + col("__c") + col("__d")).cast("double")
+            * col("__diffd") * col("__diffd")) /
             (dec(col("__a") + col("__b")) * dec(col("__c") + col("__d")) *
               dec(col("__a") + col("__c")) * dec(col("__b") + col("__d"))).cast("double"),
           6).as("chi2"),

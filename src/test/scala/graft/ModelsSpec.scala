@@ -235,6 +235,12 @@ class ModelsSpec extends SparkSpec {
     val o = Models.poissonRegression(oob, "y", Seq("x1", "x2"),
       iterations = 5, lr = 0.1, maxCount = 16).head
     assert(o.isNullAt(o.fieldIndex("deviance")))
+    // a NON-INTEGER count in (0, maxCount] has no lnY table row — it must
+    // trip __oob and NULL the deviance too, not silently drop from the sum
+    val frac = (data :+ ((2.5, 0.5, 0.5))).toDF("y", "x1", "x2")
+    val f = Models.poissonRegression(frac, "y", Seq("x1", "x2"),
+      iterations = 5, lr = 0.1, maxCount = 16).head
+    assert(f.isNullAt(f.fieldIndex("deviance")))
   }
 
   test("gbStumps: two rounds peel the two planted effects to zero MSE; invariant") {

@@ -1265,8 +1265,11 @@ class SketchesSpec extends SparkSpec {
     val h = Sketches.hellinger(base.toDF("v"), cur.toDF("v"), "v", nBins = 10)
       .collect()
     val tot = h.map(_.getAs[Double]("h2_term")).sum
-    // baseline has 51 rows (50 at bin 0, 1 at bin 9): H^2 close to 1
-    assert(tot > 0.9 && tot <= 1.0, s"H2=$tot")
+    // baseline has 51 rows (50 at bin 0, 1 at bin 9); current all in bin 9.
+    // Only bin 9 contributes a cross term: H^2 = 1 - sqrt(p9*q9)
+    //   = 1 - sqrt((1/51)*1) = 0.85997...
+    val expected = 1.0 - math.sqrt(1.0 / 51.0)
+    assert(math.abs(tot - expected) < 1e-12, s"H2=$tot expected=$expected")
   }
 
   test("concordanceCcc: identity is 1; a pure shift keeps r=1 but drops CCC") {

@@ -417,6 +417,15 @@ class TemporalSpec extends SparkSpec {
     val g7 = Temporal.mannKendall(df.repartition(7), Seq("k"), "t", "x")
       .orderBy("k").collect()
     assert(g7(1).getAs[Double]("z") == u.getAs[Double]("z"))
+    // a single-observation key yields no i<j pairs — it must still surface
+    // (n=1, s=0, var_s=0, z NULL) instead of vanishing from the output
+    val one = Temporal.mannKendall(
+      (up :+ (("solo", 1L, 42L))).toDF("k", "t", "x"), Seq("k"), "t", "x")
+      .filter(col("k") === "solo").collect()
+    assert(one.length == 1)
+    assert(one(0).getAs[Long]("n") == 1L && one(0).getAs[Long]("s") == 0L)
+    assert(one(0).getAs[Double]("var_s") == 0.0 &&
+      one(0).isNullAt(one(0).fieldIndex("z")))
   }
 
   test("var1: exact recovery of a noiseless coupled recursion; constant series NULLs") {
