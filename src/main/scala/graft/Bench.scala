@@ -29,13 +29,28 @@ object Bench {
       // JIT pause lands on it; the min measures the plan, not the noise.
       // noop sink forces full evaluation of every column (count() would let
       // Spark prune the projections away).
-      val times = (1 to 2).map { _ =>
+      def one(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val times = (1 to 2).map(_ => one())
+      // Outlier re-run: when the two runs disagree hard AND the query isn't
+      // trivially fast, a GC/contention wave likely hit both measurements
+      // differently — one more sample stops a phantom regression from
+      // becoming the round's headline (r9: q_scorer_agreement 44.3s driver
+      // vs 1.85s quiet).
+      val all = if (times.max / times.min.max(1e-9) > 3.0 && times.min > 1.0)
+        times :+ one() else times
+      // Unload streaming state-store providers + maintenance thread between
+      // queries: accumulated state from earlier streaming gates otherwise
+      // inflates every later query's number as the suite grows (r9: 347
+      // common queries 259s -> 355s, entirely in-suite). Providers reload
+      // lazily, so this is safe for whatever runs next.
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
+      name -> all.min
     }
     val total = results.map(_._2).sum
     // Full per-query fidelity goes to a FILE: the driver keeps only the last
