@@ -6455,8 +6455,8 @@ object SparkEntry {
   }
 
   /** Isotonic weekly-revenue trend per order priority: PAV over the week
-    * index — rows-only by design (the pooled-block merge is sequential
-    * selection, not SQL); algebra pinned by the hand-computed PAV spec. */
+    * index. Oracle=sql since r10 via the closed minimax identity (see
+    * [[isotonicOracle]]) — no pooling unroll needed. */
   private def qIsotonic(s: SparkSession, d: String): DataFrame = {
     val weekly = Tables.orders(s, d)
       .select(col("o_orderpriority").as("prio"),
@@ -7040,9 +7040,9 @@ object SparkEntry {
     "q_diversity" -> (qDiversity _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
-    * exemplars plus the covering-radius trace. Rows-only by design: the
-    * farthest-first argmax chain is iterative selection, not SQL; the
-    * geometry is pinned by SimilaritySpec's planted-cluster test. */
+    * exemplars plus the covering-radius trace. Oracle=sql since r10: the
+    * k=8 argmax chain unrolls as MATERIALIZED CTE rounds (see
+    * [[kcenterOracle]]); geometry also pinned by SimilaritySpec. */
   private def qKcenter(s: SparkSession, d: String): DataFrame =
     Similarity.kCenterSample(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
       .orderBy("selection_order")
@@ -12348,6 +12348,8 @@ object SparkEntry {
     // (per-subspace quantized-long argmin, ties to the lower code), ADC
     // lookup-table sums, the (adc asc, id asc) shortlist, exact rerank
     "q_ann_pq" -> pqOracle,
+    "q_kcenter" -> kcenterOracle,
+    "q_isotonic" -> isotonicOracle,
     "q_weighted_sample" ->
       """WITH k AS (SELECT doc_id, n_chars,
                            -LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
@@ -15007,6 +15009,74 @@ object SparkEntry {
                    ELSE CAST(0 AS DOUBLE) END, 6) END AS z,
             CAST(SIGN(CAST(sv AS DOUBLE)) AS INTEGER) AS trend
      FROM v ORDER BY event_type"""
+
+  /** Full farthest-first replay: 8 unrolled selection rounds, each one
+    * running-min distance update + (d DESC, id ASC) argmax — mirrors
+    * [[graft.operators.Similarity.kCenterSample]] bit-for-bit: the
+    * distance is the same left-associated (float→double − double)² fold
+    * ([[graft.functions.VectorOps.l2DistSqFD]]; DuckDB's list_sum over a
+    * list_transform accumulates in list order — verified bit-equal on the
+    * real corpus), so both engines pick identical centers and emit
+    * identical radius doubles. MATERIALIZED per round: each d_i feeds both
+    * p_{i+1} and d_{i+1}, and naive CTE inlining would re-derive the whole
+    * prefix exponentially. */
+  private val kcenterOracle: String = {
+    def dist(a: String, b: String) =
+      s"""list_sum(list_transform(range(64), j ->
+            (CAST($a[j+1] AS DOUBLE) - CAST($b[j+1] AS DOUBLE)) *
+            (CAST($a[j+1] AS DOUBLE) - CAST($b[j+1] AS DOUBLE))))"""
+    val k = 8
+    val rounds = (2 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT id, v, d FROM d${i - 1} ORDER BY d DESC, id ASC LIMIT 1),
+     d$i AS MATERIALIZED (SELECT a.id, a.v, LEAST(a.d, ${dist("a.v", s"p$i.v")}) AS d
+           FROM d${i - 1} a CROSS JOIN p$i)"""
+    }.mkString(",\n     ")
+    val readout = (2 to k)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS selection_order, id, d AS radius_sq FROM p$i")
+      .mkString("\n     UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+     c1 AS MATERIALIZED (SELECT id, v FROM e ORDER BY id LIMIT 1),
+     d1 AS MATERIALIZED (SELECT e.id, e.v, ${dist("e.v", "c1.v")} AS d
+           FROM e CROSS JOIN c1),
+     $rounds
+     SELECT CAST(1 AS INTEGER) AS selection_order, id, CAST(NULL AS DOUBLE) AS radius_sq FROM c1
+     UNION ALL $readout
+     ORDER BY selection_order"""
+  }
+
+  /** PAV replay via the closed minimax identity fit_i = max_{k<=i}
+    * min_{j>=i} mean(y[k..j]) (exact for unweighted L2 isotonic
+    * regression) — mirrors [[graft.operators.Sketches.isotonic]]
+    * bit-for-bit without unrolling the sequential pooling: block means on
+    * both sides are ONE correctly-rounded division of exact integer
+    * ingredients (Spark: pooled long sum / count; here: BIGINT prefix-sum
+    * difference / count), equal rationals land on equal doubles, and
+    * correctly-rounded conversion is monotone so the double min/max selects
+    * the same value the exact-rational min/max would. O(n²) rows via a
+    * per-(prio, k) right-to-left running MIN — n is the calendar-bounded
+    * week count, so the pair table stays tiny. */
+  private val isotonicOracle: String =
+    """WITH weekly AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(FLOOR(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS week,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+           FROM orders GROUP BY 1, 2),
+     ord AS (SELECT prio, week, rev,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY prio ORDER BY week) AS BIGINT) AS i
+             FROM weekly),
+     s AS (SELECT prio, week, i, rev,
+                  CAST(SUM(rev) OVER (PARTITION BY prio ORDER BY i) AS BIGINT) AS cs
+           FROM ord),
+     m AS (SELECT a.prio, a.i AS k, b.i AS j,
+                  CAST(b.cs - (a.cs - a.rev) AS DOUBLE) / CAST(b.i - a.i + 1 AS DOUBLE) AS mn
+           FROM s a JOIN s b ON a.prio = b.prio AND b.i >= a.i),
+     inn AS (SELECT prio, k, j,
+                    MIN(mn) OVER (PARTITION BY prio, k ORDER BY j DESC) AS innermin
+             FROM m),
+     fit AS (SELECT prio, j AS i, MAX(innermin) AS fit FROM inn GROUP BY 1, 2)
+     SELECT f.prio, o.week, f.fit
+     FROM fit f JOIN ord o ON f.prio = o.prio AND f.i = o.i
+     ORDER BY f.prio, o.week"""
 
   /** Full PQ replay: sample codebook, per-subspace quantized-long encode
     * argmin, ADC LUT join, bounded shortlist, exact-cosine rerank —
