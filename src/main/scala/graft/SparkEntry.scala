@@ -1728,6 +1728,15 @@ object SparkEntry {
         round(col("share"), 6).as("share"))
       .orderBy("channel")
 
+  /** Shapley channel attribution (X285): exact cooperative-game credit
+    * over the 4-channel touch-set coalitions (2⁴ subsets), beside X239's
+    * Markov removal effect — integer factorial weights, one division. */
+  private def qShapleyAttribution(s: SparkSession, d: String): DataFrame =
+    Funnel.shapleyAttribution(
+      Tables.events(s, d), "user_id", "ts", "event_type",
+      convChannel = "purchase")
+      .orderBy("channel")
+
   /** Survey raking / IPF (X238): calibrate (priority × status) order
     * counts to uniform priority margins and a 2:2:1 status margin. */
   private def qIpfRake(s: SparkSession, d: String): DataFrame =
@@ -6900,6 +6909,7 @@ object SparkEntry {
     "q_cox_ph" -> (qCoxPh _),
     "q_ipf_rake" -> (qIpfRake _),
     "q_markov_attribution" -> (qMarkovAttribution _),
+    "q_shapley_attribution" -> (qShapleyAttribution _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_levene" -> (qLevene _),
     "q_mcnemar" -> (qMcnemar _),
@@ -7390,6 +7400,51 @@ object SparkEntry {
     * would re-derive the corpus-scale edge build every iteration, the
     * k-truss lesson) — mirrors
     * [[graft.operators.Funnel.markovAttribution]] bit-for-bit. */
+  /** Exact Shapley replay: converter touch-set mask histogram, v(S) by
+    * bit-containment join over the 16 subsets, integer factorial weights
+    * by popcount (computed bit-by-bit — portable across engines), one
+    * division by 4! — mirrors
+    * [[graft.operators.Funnel.shapleyAttribution]] bit-for-bit (all
+    * integer until the single correctly-rounded division). */
+  private val shapleyAttributionOracle: String =
+    """WITH conv AS (SELECT user_id, MIN(ts) AS ct
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+     t AS (SELECT DISTINCT e.user_id,
+                  CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                       WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS b
+           FROM events e JOIN conv USING (user_id)
+           WHERE e.event_type <> 'purchase' AND e.ts < conv.ct),
+     mk AS (SELECT user_id, CAST(SUM(b) AS BIGINT) AS m FROM t GROUP BY 1),
+     mc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS cv FROM mk GROUP BY 1),
+     tot AS (SELECT (SELECT COUNT(*) FROM conv) AS nconv,
+                    COALESCE((SELECT SUM(cv) FROM mc), 0) AS ntouched),
+     s AS (SELECT range AS sid FROM range(16)),
+     v AS (SELECT s.sid, COALESCE(SUM(mc.cv), 0) AS vv
+           FROM s LEFT JOIN mc ON (mc.m & s.sid) = mc.m GROUP BY 1),
+     ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                                  ('signup', 4), ('view', 8)) AS c(channel, bit)),
+     phi AS (SELECT ch.channel,
+                    CAST(SUM(CAST(CASE ((s.sid & 1) + ((s.sid >> 1) & 1) +
+                                        ((s.sid >> 2) & 1) + ((s.sid >> 3) & 1))
+                                  WHEN 0 THEN 6 WHEN 1 THEN 2
+                                  WHEN 2 THEN 2 WHEN 3 THEN 6 END AS HUGEINT)
+                             * (vi.vv - vs.vv)) AS HUGEINT) AS phin
+             FROM s CROSS JOIN ch
+             JOIN v vs ON vs.sid = s.sid
+             JOIN v vi ON vi.sid = (s.sid | ch.bit)
+             WHERE (s.sid & ch.bit) = 0
+             GROUP BY 1)
+     SELECT channel,
+            ROUND(CAST(phin AS DOUBLE) / 24.0, 6) AS conversions,
+            CASE WHEN ntouched > 0 THEN
+              ROUND(CAST(phin AS DOUBLE) / 24.0 / CAST(ntouched AS DOUBLE), 6)
+            END AS share
+     FROM phi CROSS JOIN tot
+     UNION ALL
+     SELECT '__DIRECT__', CAST(nconv - ntouched AS DOUBLE), CAST(NULL AS DOUBLE)
+     FROM tot
+     ORDER BY channel"""
+
   private val markovAttributionOracle: String = {
     val iters = (1 to 20).map { i =>
       s""",
@@ -12699,6 +12754,7 @@ object SparkEntry {
          FROM dt d JOIN pm p USING (dow) ORDER BY d.day""",
     "q_ipf_rake" -> rakeOracle,
     "q_markov_attribution" -> markovAttributionOracle,
+    "q_shapley_attribution" -> shapleyAttributionOracle,
     // welchTTest's quantized moments per (treated, post) cell; DiD, SE and
     // t fixed IEEE chains mirroring Sketches.diffInDiff term order
     "q_diff_in_diff" ->

@@ -433,4 +433,95 @@ object Funnel {
           col("__req").cast("double") / col("__posSum").cast("double")))
       .drop("__req", "__posSum")
   }
+
+  /** Shapley-value channel attribution (Shapley 1953; the cooperative-
+    * game member of the attribution family, beside X239's Markov removal
+    * effect and the positional rules): each converting user's
+    * pre-conversion touch SET is a coalition footprint; the value of a
+    * channel coalition S is v(S) = conversions reachable using only
+    * channels in S (touch-set ⊆ S), and channel i's credit is the exact
+    * Shapley value φ_i = Σ_{S∌i} |S|!·(c−|S|−1)!/c!·(v(S∪i)−v(S)).
+    * Efficiency holds by construction: Σφ_i = v(all channels) = the
+    * attributable conversion count.
+    *
+    * EXACT END TO END: the only corpus-scale work is one touch-set
+    * aggregate (distinct channel bits per converter folded into a ≤2^c
+    * mask histogram); v() and the φ sums run on DOMAIN-BOUNDED tables
+    * (2^c subsets × 2^c masks, c ≤ `maxChannels`), weights are integer
+    * factorial products (φ·c! stays in exact DECIMAL), and the single
+    * division by c! lands each φ on one correctly-rounded double —
+    * partition-invariant and SQL-replayable verbatim. Touches count when
+    * STRICTLY earlier than the user's first conversion; converters with
+    * an empty touch set are unattributable and report as the
+    * `__DIRECT__` row (share NULL) rather than silently vanishing.
+    *
+    * Returns one row per channel + the direct row:
+    * (channel, conversions, share). */
+  def shapleyAttribution(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      channelCol: String,
+      convChannel: String,
+      maxChannels: Int = 12,
+      dp: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(userCol).as("__u"), col(tsCol).as("__ts"), col(channelCol).as("__c"))
+    // channel domain collects to the driver — domain-bounded by contract,
+    // the markovAttribution posture
+    val channels = base.filter(col("__c") =!= convChannel)
+      .select(col("__c").cast("string")).distinct().orderBy("__c")
+      .as[String].collect().toSeq
+    require(channels.nonEmpty, "no non-conversion channels present")
+    require(channels.length <= maxChannels,
+      s"${channels.length} channels exceed maxChannels=$maxChannels (2^c subsets)")
+    val c = channels.length
+    val full = (1L << c) - 1
+    val bitOf = channels.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (ch, i)) => when(col("__c") === ch, lit(1L << i)).otherwise(acc)
+    }
+    val convTs = base.filter(col("__c") === convChannel)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__ct"))
+    // one corpus pass: per-converter distinct touch bits -> mask histogram
+    val maskCounts = base
+      .join(convTs, Seq("__u"))
+      .filter(col("__c") =!= convChannel && col("__ts") < col("__ct"))
+      .select(col("__u"), bitOf.as("__b")).distinct()
+      .groupBy(col("__u")).agg(sum(col("__b")).as("__m"))
+      .groupBy(col("__m")).agg(count(lit(1)).as("__cv"))
+    val nConverters = convTs.count()
+    val nTouched = maskCounts.agg(coalesce(sum(col("__cv")), lit(0L))).head.getLong(0)
+    val nDirect = nConverters - nTouched
+    // v(S) over all 2^c subsets: containment join on the bounded tables
+    val subsets = spark.range(1L << c).select(col("id").as("__s"))
+    val v = subsets
+      .join(broadcast(maskCounts),
+        col("__m").bitwiseAND(col("__s")) === col("__m"), "left")
+      .groupBy(col("__s")).agg(coalesce(sum(col("__cv")), lit(0L)).as("__v"))
+    val fact = (1 to c).scanLeft(1L)(_ * _) // fact(k) = k!, indices 0..c
+    val wBySize = array((0 until c).map(k => lit(fact(k) * fact(c - 1 - k))): _*)
+    val chanTab = channels.zipWithIndex
+      .map { case (ch, i) => (ch, 1L << i) }.toDF("channel", "__bit")
+    val vS = v.select(col("__s"), col("__v"))
+    val vSi = v.select(col("__s").as("__si"), col("__v").as("__vi"))
+    val phi = subsets.crossJoin(broadcast(chanTab))
+      .filter(col("__s").bitwiseAND(col("__bit")) === 0L)
+      .join(broadcast(vS), Seq("__s"))
+      .join(broadcast(vSi), col("__si") === col("__s").bitwiseOR(col("__bit")))
+      .withColumn("__w", element_at(wBySize, expr("int(bit_count(__s))") + 1))
+      .groupBy(col("channel"))
+      .agg(sum((col("__w") * (col("__vi") - col("__v"))).cast("decimal(38,0)"))
+        .as("__phiN"))
+      .select(col("channel"),
+        round(col("__phiN").cast("double") / lit(fact(c).toDouble), dp)
+          .as("conversions"),
+        when(lit(nTouched) > 0,
+          round(col("__phiN").cast("double") / lit(fact(c).toDouble) /
+            lit(nTouched.toDouble), dp)).as("share"))
+    phi.unionByName(
+      Seq(("__DIRECT__", nDirect.toDouble)).toDF("channel", "conversions")
+        .withColumn("share", lit(null).cast("double")))
+  }
 }

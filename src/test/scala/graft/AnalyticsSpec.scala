@@ -741,4 +741,47 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clean == one)
   }
+
+  test("shapleyAttribution: hand-solved two-channel game; efficiency; direct row; invariant") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // touch sets among converters: {A} x3, {B} x1, {A,B} x2, direct x1
+    // v(A)=3 v(B)=1 v(AB)=6; phi_A = ((v(A)-0) + (v(AB)-v(B)))/2 = 4
+    // phi_B = ((v(B)-0) + (v(AB)-v(A)))/2 = 2; shares 4/6, 2/6
+    var id = 0L
+    def u(uid: Long, chans: Seq[String], conv: Boolean) = {
+      val touches = chans.zipWithIndex.map { case (ch, i) =>
+        id += 1; (uid, id, ch, ts(f"2024-01-01 10:0$i%d:00"))
+      }
+      val tail = if (conv) { id += 1; Seq((uid, id, "purchase", ts("2024-01-01 10:09:00"))) }
+      else Seq.empty
+      touches ++ tail
+    }
+    val rows =
+      u(1, Seq("A"), conv = true) ++ u(2, Seq("A"), conv = true) ++
+        u(3, Seq("A"), conv = true) ++ u(4, Seq("B"), conv = true) ++
+        u(5, Seq("A", "B"), conv = true) ++ u(6, Seq("B", "A"), conv = true) ++
+        u(7, Seq.empty, conv = true) ++ // direct
+        u(8, Seq("A", "B"), conv = false) // non-converter: must not count
+    val ev = rows.toDF("user_id", "event_id", "event_type", "ts").repartition(3)
+    val out = Funnel.shapleyAttribution(ev, "user_id", "ts", "event_type", "purchase")
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getAs[java.lang.Double]("share")))
+    assert(out.map(_._1).toSeq == Seq("A", "B", "__DIRECT__"))
+    assert(out(0)._2 == 4.0 && out(1)._2 == 2.0)
+    assert(math.abs(out(0)._3 - 4.0 / 6) < 1e-6 && math.abs(out(1)._3 - 2.0 / 6) < 1e-6)
+    assert(out(2)._2 == 1.0 && out(2)._3 == null)
+    // efficiency: channel credits sum to the attributable conversions
+    assert(out(0)._2 + out(1)._2 == 6.0)
+    // a touch AT the conversion instant is not strictly earlier -> direct
+    val tie = Seq(
+      (9L, 100L, "A", ts("2024-01-01 10:09:00")),
+      (9L, 101L, "purchase", ts("2024-01-01 10:09:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val t = Funnel.shapleyAttribution(tie, "user_id", "ts", "event_type", "purchase")
+      .orderBy("channel").collect()
+    assert(t.find(_.getString(0) == "__DIRECT__").get.getDouble(1) == 1.0)
+    val g7 = Funnel.shapleyAttribution(ev.repartition(7), "user_id", "ts", "event_type", "purchase")
+      .orderBy("channel").collect().map(_.getDouble(1)).toSeq
+    assert(g7 == out.map(_._2).toSeq)
+  }
 }
