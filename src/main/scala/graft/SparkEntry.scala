@@ -5586,6 +5586,15 @@ object SparkEntry {
     Sketches.cramerVonMises(o, "prio", "cents", "1-URGENT", "5-LOW")
   }
 
+  /** Anderson–Darling two-sample statistic (X286) on the q_cvm split —
+    * the tail-weighted ECDF test beside KS/CvM/energy/Wasserstein. */
+  private def qAndersonDarling(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    Sketches.andersonDarling(o, "prio", "cents", "1-URGENT", "5-LOW")
+  }
+
   /** Exact 1-D Wasserstein distance between the order-value distributions
     * of urgent vs low-priority orders — bin-free drift next to PSI/JS. */
   private def qWasserstein(s: SparkSession, d: String): DataFrame = {
@@ -6928,6 +6937,7 @@ object SparkEntry {
     "q_wasserstein" -> (qWasserstein _),
     "q_wasserstein_stream" -> (qWassersteinStream _),
     "q_cvm" -> (qCramerVonMises _),
+    "q_anderson_darling" -> (qAndersonDarling _),
     "q_roc_auc" -> (qRocAuc _),
     "q_avg_precision" -> (qAveragePrecision _),
     "q_lift_table" -> (qLiftTable _),
@@ -12680,6 +12690,42 @@ object SparkEntry {
                 ROUND(CAST(SUM(num * CAST(dx AS DECIMAL(38,0))) * 2 AS DOUBLE)
                       / CAST(CAST(MAX(na) AS DECIMAL(38,0)) * CAST(MAX(nb) AS DECIMAL(38,0))
                              * CAST(MAX(na) AS DECIMAL(38,0)) * CAST(MAX(nb) AS DECIMAL(38,0)) AS DOUBLE), 6) AS energy_sq
+         FROM q""",
+    // same hist + prefix scaffolding as q_cvm; per-value terms quantize to
+    // 1e-9 longs before the sum (each term has its OWN B(N-B) denominator,
+    // so no common-denominator trick applies), final chain mirrors
+    // Sketches.andersonDarling exactly
+    "q_anderson_darling" ->
+      """WITH src AS (SELECT o_orderpriority AS g,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         h AS (SELECT v,
+                 CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN g <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+               FROM src GROUP BY 1),
+         w AS (SELECT v, ca, cb,
+                 CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+                 CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb,
+                 CAST(SUM(ca) OVER () AS BIGINT) AS na,
+                 CAST(SUM(cb) OVER () AS BIGINT) AS nb
+               FROM h),
+         q AS (SELECT na, nb,
+                 CASE WHEN fa + fb < na + nb THEN
+                   CAST(CAST(ca + cb AS DECIMAL(38,0))
+                        * CAST(fa * nb - fb * na AS DECIMAL(38,0))
+                        * CAST(fa * nb - fb * na AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(CAST(fa + fb AS DECIMAL(38,0))
+                          * CAST(na + nb - (fa + fb) AS DECIMAL(38,0)) AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END AS term
+               FROM w)
+         SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
+                MAX(na) AS n_a, MAX(nb) AS n_b,
+                ROUND(CAST(MAX(na) + MAX(nb) - 1 AS DOUBLE)
+                      / CAST(CAST(MAX(na) + MAX(nb) AS DECIMAL(38,0))
+                             * CAST(MAX(na) AS DECIMAL(38,0))
+                             * CAST(MAX(nb) AS DECIMAL(38,0)) AS DOUBLE)
+                      * (CAST(SUM(CAST(FLOOR(term * 1e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e9),
+                      6) AS ad
          FROM q""",
     // per-time e/v terms are fixed left-associated IEEE chains from exact
     // long counts, quantized to 1e-9 longs before the sum (the theil

@@ -2928,6 +2928,69 @@ object Sketches {
         .as("energy_sq"))
   }
 
+  /** Two-sample Anderson–Darling statistic (Pettitt 1976; Scholz &
+    * Stephens 1987, k = 2, tie-adjusted) — the TAIL-WEIGHTED member
+    * completing the ECDF-discrepancy family (KS supremum, CvM uniform L2,
+    * energy/Wasserstein metric-weighted): the 1/(H(1−H)) weight makes AD
+    * the test that actually notices tail drift the others average away.
+    * On the distinct-value collapse with multiplicities l_j, pooled
+    * cumulative B_j and the SAME exact cross term X_j = F_A·n_B − F_B·n_A
+    * as CvM:
+    *   A² = (N−1)/(N·n_A·n_B) · Σ_{B_j<N} l_j·X_j² / (B_j·(N−B_j))
+    * (the B_j = N block contributes X = 0 and is excluded — its weight is
+    * degenerate). No null-distribution standardization is reported — like
+    * the CvM/energy row, the statistic is the readout and the
+    * Scholz–Stephens variance constants are a table lookup the caller
+    * owns.
+    *
+    * Numerators l·X² are exact DECIMAL(38,0); each term has its OWN
+    * denominator B(N−B), so terms quantize to 1e-9 longs before the sum
+    * (the log-rank discipline — a raw double SUM is partition-order-
+    * dependent), then ONE fixed chain scales by (N−1)/(N·n_A·n_B). Same
+    * scale shape as [[cramerVonMises]]: one partial aggregate, prefix
+    * counts on the two-pass [[Relational.globalRunningSums]] pass. */
+  def andersonDarling(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String,
+      dp: Int = 6): DataFrame = {
+    val isA = col(groupCol) === lit(groupA)
+    val hist = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("__cA"),
+        sum(when(!isA, 1L).otherwise(0L)).as("__cB"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val tot = hist.agg(
+      sum(col("__cA")).as("__nA"), sum(col("__cB")).as("__nB"))
+    val t = Relational
+      .globalRunningSums(hist, Seq(col("__v")),
+        Seq("__cA" -> "__FA", "__cB" -> "__FB"))
+      .crossJoin(broadcast(tot))
+    val nTot = col("__nA") + col("__nB")
+    val b = col("__FA") + col("__FB")
+    val x = d(col("__FA") * col("__nB") - col("__FB") * col("__nA"))
+    val lx2 = d(col("__cA") + col("__cB")) * x * x
+    val den = d(b) * d(nTot - b)
+    val term = when(b < nTot,
+      lx2.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    t.agg(
+      max(col("__nA")).as("n_a"),
+      max(col("__nB")).as("n_b"),
+      sum(floor(term * 1e9 + 0.5).cast("decimal(38,0)")).as("__sq"))
+      .select(
+        lit(groupA).as("group_a"),
+        lit(groupB).as("group_b"),
+        col("n_a"), col("n_b"),
+        round(
+          (col("n_a") + col("n_b") - 1).cast("double") /
+            (d(col("n_a") + col("n_b")) * d(col("n_a")) * d(col("n_b"))).cast("double") *
+            (col("__sq").cast("double") / 1e9), dp).as("ad"))
+  }
+
   /** 1-D Wasserstein-1 (earth mover's) distance between two groups' value
     * distributions — the drift readout that, unlike PSI/JS, needs no
     * binning and respects the metric on the value axis:

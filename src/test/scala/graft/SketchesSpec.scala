@@ -1219,6 +1219,30 @@ class SketchesSpec extends SparkSpec {
     assert(s.getAs[Double]("cvm") == 0.0 && s.getAs[Double]("energy_sq") == 0.0)
   }
 
+  test("andersonDarling: hand case; identical zero; tail-sensitivity vs CvM; invariant") {
+    import spark.implicits._
+    // A = {1,2}, B = {3,4}: terms l*X^2/(B(N-B)) at v=1: 1*4/(1*3),
+    // v=2: 1*16/(2*2), v=3: 1*4/(3*1); B=N block excluded.
+    // A^2 = 3/(4*2*2) * (4/3 + 4 + 4/3) = 3/16 * 20/3 = 1.25
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
+    val r = Sketches.andersonDarling(df, "g", "v", "A", "B").head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("ad") == 1.25)
+    // identical distributions: X = 0 at every distinct value
+    val same = Seq("A", "B").flatMap(g => Seq((g, 1L), (g, 7L))).toDF("g", "v")
+    assert(Sketches.andersonDarling(same, "g", "v", "A", "B")
+      .head.getAs[Double]("ad") == 0.0)
+    // a pure TAIL shift (one far outlier moved) must move AD
+    // proportionally more than CvM: same bulk, B's max pushed out
+    val bulk = (1L to 40L).flatMap(i => Seq(("A", i), ("B", i)))
+    val tailA = (bulk :+ (("A", 41L)) :+ (("B", 400L))).toDF("g", "v")
+    val ad = Sketches.andersonDarling(tailA, "g", "v", "A", "B").head.getAs[Double]("ad")
+    val cvm = Sketches.cramerVonMises(tailA, "g", "v", "A", "B").head.getAs[Double]("cvm")
+    assert(ad > 4 * cvm, s"ad=$ad cvm=$cvm — tail weight must dominate")
+    val g7 = Sketches.andersonDarling(df.repartition(7), "g", "v", "A", "B").head
+    assert(g7.getAs[Double]("ad") == 1.25)
+  }
+
   test("wasserstein1d matches the hand-computed earth-mover distance") {
     import spark.implicits._
     // A uniform on {0,4}, B point mass at 2: EMD = (2+2)/2 = 2
