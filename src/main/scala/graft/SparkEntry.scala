@@ -773,6 +773,14 @@ object SparkEntry {
         round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
         round(col("t_stat"), 6).as("t_stat"), round(col("dof"), 6).as("dof"))
 
+  /** A/B power / minimum-detectable-effect readout (X287) on the
+    * q_ab_test arms — the design companion to the Welch verdict. */
+  private def qAbPower(s: SparkSession, d: String): DataFrame =
+    Sketches.abPower(
+      Tables.orders(s, d).withColumn("v", col("o_totalprice") / 100000.0),
+      "o_orderstatus", "v", a = "O", b = "F",
+      alpha = 0.05, power = 0.8, targetEffect = Some(0.01))
+
   /** First-order Markov transition matrix over per-user event sequences. */
   private def qTransitions(s: SparkSession, d: String): DataFrame =
     Funnel.transitionMatrix(
@@ -6657,6 +6665,7 @@ object SparkEntry {
     "q_jaro_winkler" -> (qJaroWinkler _),
     "q_edit_join" -> (qEditJoin _),
     "q_ab_test" -> (qAbTest _),
+    "q_ab_power" -> (qAbPower _),
     "q_transitions" -> (qTransitions _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -9599,6 +9608,36 @@ object SparkEntry {
          FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
          WHERE levenshtein(s1.s_name, s2.s_name) <= 1
          ORDER BY left_id, right_id""",
+    // z literals are the published normal quantiles; 2.8015852181129683 is
+    // the IEEE sum z_{.975}+z_{.8} computed identically on the Spark side,
+    // and 0.0001 is exactly the double 0.01*0.01
+    "q_ab_power" ->
+      """WITH g AS (
+           SELECT o_orderstatus AS st,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+         w AS (SELECT
+           MAX(CASE WHEN st = 'O' THEN n END) AS na,
+           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
+           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
+           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
+           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
+           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
+           FROM g),
+         v AS (SELECT na, nb,
+                      (ssa - sa * sa / na) / (na - 1) AS va,
+                      (ssb - sb * sb / nb) / (nb - 1) AS vb,
+                      sa / na - sb / nb AS diff
+               FROM w)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                ROUND(diff, 6) AS observed_diff,
+                ROUND(SQRT(va / na + vb / nb), 6) AS se_diff,
+                ROUND(2.8015852181129683 * SQRT(va / na + vb / nb), 6) AS mde,
+                CAST(CEIL(2.8015852181129683 * 2.8015852181129683 * (va + vb) / 0.0001) AS BIGINT)
+                  AS n_required_per_arm
+         FROM v""",
     "q_ab_test" ->
       """WITH g AS (
            SELECT o_orderstatus AS st,

@@ -676,6 +676,61 @@ object Sketches {
         (pow(sea, 2.0) / (col("na") - 1) + pow(seb, 2.0) / (col("nb") - 1))).as("dof"))
   }
 
+  /** A/B power analysis / minimum-detectable-effect readout — the DESIGN
+    * companion to [[welchTTest]]'s verdict: given the experiment's
+    * OBSERVED arm sizes and variances, what absolute effect could this
+    * setup actually detect (MDE = (z_{1−α/2}+z_{power})·√(s_a²/n_a +
+    * s_b²/n_b)), and how many units per arm would a `targetEffect` need
+    * (n = ⌈(z_a+z_b)²·(s_a²+s_b²)/Δ²⌉, equal allocation)? The readout
+    * every "the test was not significant" discussion needs before
+    * concluding anything.
+    *
+    * Normal quantiles enter as FIXED PUBLISHED LITERALS for the canonical
+    * (α, power) grid — no CDF inversion in the plan, so every output is a
+    * fixed IEEE chain off [[welchTTest]]'s exact quantized moments and
+    * replays in SQL verbatim. Same |x| ≲ 1e3 pre-scaling contract. */
+  def abPower(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String,
+      alpha: Double = 0.05,
+      power: Double = 0.8,
+      targetEffect: Option[Double] = None,
+      dp: Int = 6): DataFrame = {
+    val zAlpha = Map(0.01 -> 2.5758293035489004,
+      0.05 -> 1.959963984540054, 0.1 -> 1.6448536269514722)
+    val zPower = Map(0.8 -> 0.8416212335729143,
+      0.9 -> 1.2815515655446004, 0.95 -> 1.6448536269514722)
+    require(zAlpha.contains(alpha), s"alpha must be one of ${zAlpha.keys}, got $alpha")
+    require(zPower.contains(power), s"power must be one of ${zPower.keys}, got $power")
+    targetEffect.foreach(e => require(e > 0, s"targetEffect must be > 0, got $e"))
+    val zSum = zAlpha(alpha) + zPower(power)
+    def S(e: Column) =
+      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+    val v = col(valueCol).cast("double")
+    val byGroup = df
+      .filter(col(groupCol).isin(a, b))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
+    def pick(g: String, c: String) = max(when(col(groupCol) === g, col(c)))
+    val wide = byGroup.agg(
+      pick(a, "__n").as("na"), pick(a, "__s").as("sa"), pick(a, "__ss").as("ssa"),
+      pick(b, "__n").as("nb"), pick(b, "__s").as("sb"), pick(b, "__ss").as("ssb"))
+    val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val seDiff = sqrt(va / col("na") + vb / col("nb"))
+    val nReq = targetEffect.map(e =>
+      ceil(lit(zSum) * lit(zSum) * (va + vb) / lit(e * e)).cast("long"))
+    wide.select(Seq(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(col("sa") / col("na") - col("sb") / col("nb"), dp).as("observed_diff"),
+      round(seDiff, dp).as("se_diff"),
+      round(lit(zSum) * seDiff, dp).as("mde")) ++
+      nReq.map(_.as("n_required_per_arm")).toSeq: _*)
+  }
+
   /** Survey raking / iterative proportional fitting (Deming–Stephan 1940)
     * — calibrate cell weights of the (A × B) contingency so row sums hit
     * the declared row margins and column sums the column margins

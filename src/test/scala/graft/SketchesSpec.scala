@@ -1243,6 +1243,29 @@ class SketchesSpec extends SparkSpec {
     assert(g7.getAs[Double]("ad") == 1.25)
   }
 
+  test("abPower: hand MDE/n-required; tighter alpha widens MDE; invariant") {
+    import spark.implicits._
+    // arm a {0,2}: va = 2; arm b {1,1}: vb = 0 -> se = sqrt(2/2) = 1,
+    // MDE = z.975+z.8 = 2.8015852...; n_req(effect 1) = ceil(z^2*2) = 16
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 1.0), ("b", 1.0)).toDF("g", "v")
+      .repartition(3)
+    val r = Sketches.abPower(df, "g", "v", "a", "b", targetEffect = Some(1.0)).head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("observed_diff") == 0.0)
+    assert(r.getAs[Double]("se_diff") == 1.0)
+    assert(r.getAs[Double]("mde") == 2.801585)
+    assert(r.getAs[Long]("n_required_per_arm") == 16L)
+    // stricter alpha demands a larger detectable effect
+    val strict = Sketches.abPower(df, "g", "v", "a", "b", alpha = 0.01).head
+    assert(strict.getAs[Double]("mde") > r.getAs[Double]("mde"))
+    // no targetEffect -> no n_required column
+    assert(!Sketches.abPower(df, "g", "v", "a", "b").columns
+      .contains("n_required_per_arm"))
+    val g7 = Sketches.abPower(df.repartition(7), "g", "v", "a", "b",
+      targetEffect = Some(1.0)).head
+    assert(g7.getAs[Double]("mde") == 2.801585)
+  }
+
   test("wasserstein1d matches the hand-computed earth-mover distance") {
     import spark.implicits._
     // A uniform on {0,4}, B point mass at 2: EMD = (2+2)/2 = 2
