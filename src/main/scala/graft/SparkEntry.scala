@@ -773,6 +773,23 @@ object SparkEntry {
         round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
         round(col("t_stat"), 6).as("t_stat"), round(col("dof"), 6).as("dof"))
 
+  /** Uplift-by-decile / Qini readout (X288): customers ranked by account
+    * balance as the "model score", md5 50/50 arms, conversion = any 1997+
+    * order — the incremental-targeting evaluation beside q_cuped. */
+  private def qUpliftDeciles(s: SparkSession, d: String): DataFrame = {
+    val conv = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct().withColumn("__conv", lit(true))
+    val pop = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("tr",
+        Sampling.hashBucket(concat(col("c_custkey"), lit(":exp9")), 100) < 50)
+      .withColumn("y", coalesce(col("__conv"), lit(false)))
+    Models.upliftDeciles(pop, "tr", "y", "c_acctbal", Seq("c_custkey"))
+      .orderBy("bucket")
+  }
+
   /** A/B power / minimum-detectable-effect readout (X287) on the
     * q_ab_test arms — the design companion to the Welch verdict. */
   private def qAbPower(s: SparkSession, d: String): DataFrame =
@@ -6666,6 +6683,7 @@ object SparkEntry {
     "q_edit_join" -> (qEditJoin _),
     "q_ab_test" -> (qAbTest _),
     "q_ab_power" -> (qAbPower _),
+    "q_uplift_deciles" -> (qUpliftDeciles _),
     "q_transitions" -> (qTransitions _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -9608,6 +9626,40 @@ object SparkEntry {
          FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
          WHERE levenshtein(s1.s_name, s2.s_name) <= 1
          ORDER BY left_id, right_id""",
+    // exact 0-based rank -> floor(rn*b/n) buckets (DuckDB / on integers is
+    // float division like Spark's), long counts, cumulative window over the
+    // 10 bounded bucket rows — mirrors Models.upliftDeciles exactly
+    "q_uplift_deciles" ->
+      """WITH conv AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+         pop AS (SELECT c_custkey, c_acctbal,
+                        (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':exp9'), 1, 8))::BIGINT % 100) < 50 AS tr,
+                        conv.o_custkey IS NOT NULL AS y
+                 FROM customer LEFT JOIN conv ON c_custkey = o_custkey),
+         rk AS (SELECT tr, y,
+                       CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) - 1 AS BIGINT) AS rn,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS n
+                FROM pop),
+         pb AS (SELECT CAST(FLOOR(rn * 10 / n) AS INTEGER) + 1 AS bucket,
+                       CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                       CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                       CAST(SUM(CASE WHEN tr AND y THEN 1 ELSE 0 END) AS BIGINT) AS conv_t,
+                       CAST(SUM(CASE WHEN NOT tr AND y THEN 1 ELSE 0 END) AS BIGINT) AS conv_c
+                FROM rk GROUP BY 1),
+         cum AS (SELECT bucket, n_t, n_c, conv_t, conv_c,
+                        CAST(SUM(n_t) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt,
+                        CAST(SUM(n_c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnc,
+                        CAST(SUM(conv_t) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cct,
+                        CAST(SUM(conv_c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccc
+                 FROM pb)
+         SELECT bucket, n_t, n_c, conv_t, conv_c,
+                CASE WHEN n_t > 0 AND n_c > 0 THEN
+                  ROUND(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                        - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) END AS uplift,
+                CASE WHEN cnc > 0 THEN
+                  ROUND(CAST(cct AS DOUBLE)
+                        - CAST(ccc AS DOUBLE) * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE), 6) END AS qini
+         FROM cum ORDER BY bucket""",
     // z literals are the published normal quantiles; 2.8015852181129683 is
     // the IEEE sum z_{.975}+z_{.8} computed identically on the Spark side,
     // and 0.0001 is exactly the double 0.01*0.01

@@ -1142,4 +1142,66 @@ object Models {
         (col("__s1").cast("double") / col("__d1").cast("double")
           - col("__s0").cast("double") / col("__d0").cast("double")).as("ate_hajek"))
   }
+
+  /** Uplift-by-decile / Qini readout (Radcliffe 2007) — the evaluation
+    * every TARGETING model needs that plain AUC cannot give: rank the
+    * population by a model score, and per score decile compare treated vs
+    * control conversion (uplift = conv_t/n_t − conv_c/n_c); the
+    * cumulative Qini value qini(k) = Σconv_t − Σconv_c·Σn_t/Σn_c measures
+    * incremental conversions captured by targeting the top k deciles —
+    * a random-score model reads ≈ 0 everywhere, a useful one front-loads.
+    *
+    * Scale shape: ONE two-pass range-partitioned numbering
+    * ([[Relational.globalRowNumbers]] — no single-partition window at any
+    * corpus size) assigns exact ranks under (score desc, tiebreaks asc);
+    * buckets are exact integer arithmetic ⌊(rank−1)·b/n⌋+1; the per-bucket
+    * aggregate collapses to b rows, and the cumulative window runs on
+    * that DOMAIN-BOUNDED table. Every readout is exact long counts into
+    * one/two divisions — partition-invariant, SQL-replayable.
+    *
+    * Returns one row per bucket (1 = best-scored): (bucket, n_t, n_c,
+    * conv_t, conv_c, uplift, qini). Empty arms NULL their readouts. */
+  def upliftDeciles(
+      df: DataFrame,
+      treatmentCol: String,
+      outcomeCol: String,
+      scoreCol: String,
+      tiebreakCols: Seq[String],
+      buckets: Int = 10,
+      dp: Int = 6): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(tiebreakCols.nonEmpty, "tiebreakCols must make the score order total")
+    val ranked = Relational.globalRowNumbers(
+      df.select(Seq(col(treatmentCol).as("__tr"), col(outcomeCol).as("__y"),
+        col(scoreCol).as("__sc")) ++ tiebreakCols.map(col): _*),
+      col("__sc").desc +: tiebreakCols.map(col(_).asc),
+      rowNumCol = "__rn")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    // globalRowNumbers is 0-based: rank rn in [0, n) -> bucket floor(rn*b/n)+1
+    val perBucket = ranked.crossJoin(broadcast(n))
+      .withColumn("__b", floor(col("__rn") * buckets / col("__n")).cast("int") + 1)
+      .groupBy(col("__b").as("bucket"))
+      .agg(
+        sum(when(col("__tr"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("__tr"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("__tr") && col("__y"), 1L).otherwise(0L)).as("conv_t"),
+        sum(when(!col("__tr") && col("__y"), 1L).otherwise(0L)).as("conv_c"))
+    // bounded: exactly `buckets` rows — the unpartitioned window is fine
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("__cnt", sum(col("n_t")).over(wCum))
+      .withColumn("__cnc", sum(col("n_c")).over(wCum))
+      .withColumn("__cct", sum(col("conv_t")).over(wCum))
+      .withColumn("__ccc", sum(col("conv_c")).over(wCum))
+      .select(
+        col("bucket"), col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+        when(col("n_t") > 0 && col("n_c") > 0,
+          round(col("conv_t").cast("double") / col("n_t").cast("double") -
+            col("conv_c").cast("double") / col("n_c").cast("double"), dp)).as("uplift"),
+        when(col("__cnc") > 0,
+          round(col("__cct").cast("double") -
+            col("__ccc").cast("double") * col("__cnt").cast("double") /
+              col("__cnc").cast("double"), dp)).as("qini"))
+  }
 }

@@ -392,4 +392,31 @@ class ModelsSpec extends SparkSpec {
     assert(r.getAs[Double]("w1") > math.abs(r.getAs[Double]("w2")) * 10)
     assert(r.getAs[Double]("accuracy") == 1.0)
   }
+
+  test("upliftDeciles: perfect targeting front-loads qini; random score reads ~0; invariant") {
+    // 40 units, 2 buckets. High-score half: treated convert (uplift 1),
+    // control never. Low-score half: nobody converts.
+    // bucket 1: n_t=n_c=10, conv_t=10, conv_c=0 -> uplift 1, qini 10
+    // bucket 2: conv 0 -> uplift 0, cumulative qini stays 10
+    val rows = (0 until 40).map { i =>
+      val hi = i < 20
+      val tr = i % 2 == 0
+      (i.toLong, tr, hi && tr, if (hi) 100.0 else 1.0)
+    }
+    val df = rows.toDF("id", "tr", "y", "score").repartition(3)
+    val got = Models.upliftDeciles(df, "tr", "y", "score", Seq("id"), buckets = 2)
+      .orderBy("bucket").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_t") == 10L && got(0).getAs[Long]("n_c") == 10L)
+    assert(got(0).getAs[Double]("uplift") == 1.0 && got(0).getAs[Double]("qini") == 10.0)
+    assert(got(1).getAs[Double]("uplift") == 0.0 && got(1).getAs[Double]("qini") == 10.0)
+    // anti-targeting (score inverted) pushes the lift to the LAST bucket
+    val inv = Models.upliftDeciles(df.withColumn("score", -col("score")),
+      "tr", "y", "score", Seq("id"), buckets = 2).orderBy("bucket").collect()
+    assert(inv(0).getAs[Double]("uplift") == 0.0)
+    assert(inv(1).getAs[Double]("qini") == 10.0)
+    val g7 = Models.upliftDeciles(df.repartition(7), "tr", "y", "score", Seq("id"), buckets = 2)
+      .orderBy("bucket").collect()
+    assert(g7.map(_.getAs[Double]("qini")).toSeq == got.map(_.getAs[Double]("qini")).toSeq)
+  }
 }
