@@ -790,6 +790,32 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Fixed-effect meta-analysis (X289): per-nation md5-arm mean-balance
+    * differences with Welch SEs, pooled by inverse variance — one effect
+    * + the Q/I² heterogeneity audit across 25 segments. */
+  private def qMetaAnalysis(s: SparkSession, d: String): DataFrame = {
+    def S(e: Column) =
+      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+    val c = Tables.customer(s, d).select(
+      col("c_nationkey").as("nat"),
+      (Sampling.hashBucket(concat(col("c_custkey"), lit(":meta")), 100) < 50).as("tr"),
+      (col("c_acctbal") / 1000.0).as("v"))
+    val g = c.groupBy(col("nat"), col("tr"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        S(col("v")).as("__s"), S(col("v") * col("v")).as("__ss"))
+    def pick(t: Boolean, cc: String) = max(when(col("tr") === t, col(cc)))
+    val wide = g.groupBy(col("nat")).agg(
+      pick(true, "__n").as("na"), pick(true, "__s").as("sa"), pick(true, "__ss").as("ssa"),
+      pick(false, "__n").as("nb"), pick(false, "__s").as("sb"), pick(false, "__ss").as("ssb"))
+    val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val studies = wide.filter(col("na") > 1 && col("nb") > 1)
+      .select(
+        (col("sa") / col("na") - col("sb") / col("nb")).as("e"),
+        sqrt(va / col("na") + vb / col("nb")).as("se"))
+    Sketches.metaAnalysis(studies, "e", "se")
+  }
+
   /** A/B power / minimum-detectable-effect readout (X287) on the
     * q_ab_test arms — the design companion to the Welch verdict. */
   private def qAbPower(s: SparkSession, d: String): DataFrame =
@@ -6684,6 +6710,7 @@ object SparkEntry {
     "q_ab_test" -> (qAbTest _),
     "q_ab_power" -> (qAbPower _),
     "q_uplift_deciles" -> (qUpliftDeciles _),
+    "q_meta_analysis" -> (qMetaAnalysis _),
     "q_transitions" -> (qTransitions _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -9626,6 +9653,49 @@ object SparkEntry {
          FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
          WHERE levenshtein(s1.s_name, s2.s_name) <= 1
          ORDER BY left_id, right_id""",
+    // per-nation welch-quantized moments -> effect/se chains -> 1e-6
+    // quantized inverse-variance sums, pooled second pass for Q — mirrors
+    // qMetaAnalysis + Sketches.metaAnalysis exactly
+    "q_meta_analysis" ->
+      """WITH c AS (SELECT c_nationkey AS nat,
+                (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':meta'), 1, 8))::BIGINT % 100) < 50 AS tr,
+                c_acctbal / 1000.0 AS v
+              FROM customer),
+         g AS (SELECT nat, tr, CAST(COUNT(*) AS DOUBLE) AS n,
+                      CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                      CAST(SUM(CAST(FLOOR(v * v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+               FROM c GROUP BY 1, 2),
+         w AS (SELECT nat,
+                      MAX(CASE WHEN tr THEN n END) AS na,
+                      MAX(CASE WHEN tr THEN s END) AS sa,
+                      MAX(CASE WHEN tr THEN ss END) AS ssa,
+                      MAX(CASE WHEN NOT tr THEN n END) AS nb,
+                      MAX(CASE WHEN NOT tr THEN s END) AS sb,
+                      MAX(CASE WHEN NOT tr THEN ss END) AS ssb
+               FROM g GROUP BY 1),
+         st AS (SELECT sa / na - sb / nb AS e,
+                       SQRT(((ssa - sa * sa / na) / (na - 1)) / na
+                            + ((ssb - sb * sb / nb) / (nb - 1)) / nb) AS se
+                FROM w WHERE na > 1 AND nb > 1),
+         valid AS (SELECT e, se FROM st WHERE se IS NOT NULL AND se > 0 AND e IS NOT NULL),
+         f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                      CAST(SUM(CAST(FLOOR(1.0 / (se * se) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sw,
+                      CAST(SUM(CAST(FLOOR(1.0 / (se * se) * e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS swe
+               FROM valid),
+         p AS (SELECT k, sw, swe,
+                      (CAST(swe AS DOUBLE) / 1000000.0) / (CAST(sw AS DOUBLE) / 1000000.0) AS pooled
+               FROM f),
+         q AS (SELECT CAST(SUM(CAST(FLOOR(1.0 / (se * se) * (e - p.pooled) * (e - p.pooled) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qq
+               FROM valid CROSS JOIN p)
+         SELECT k, ROUND(pooled, 6) AS pooled_effect,
+                ROUND(SQRT(1.0 / (CAST(sw AS DOUBLE) / 1000000.0)), 6) AS pooled_se,
+                CASE WHEN k > 1 THEN ROUND(CAST(qq AS DOUBLE) / 1000000.0, 6) END AS q_stat,
+                CASE WHEN k > 1 THEN ROUND(GREATEST(0.0,
+                  CASE WHEN CAST(qq AS DOUBLE) / 1000000.0 > 0
+                       THEN (CAST(qq AS DOUBLE) / 1000000.0 - CAST(k - 1 AS DOUBLE))
+                            / (CAST(qq AS DOUBLE) / 1000000.0)
+                       ELSE 0.0 END), 6) END AS i2
+         FROM p CROSS JOIN q""",
     // exact 0-based rank -> floor(rn*b/n) buckets (DuckDB / on integers is
     // float division like Spark's), long counts, cumulative window over the
     // 10 bounded bucket rows — mirrors Models.upliftDeciles exactly

@@ -731,6 +731,55 @@ object Sketches {
       nReq.map(_.as("n_required_per_arm")).toSeq: _*)
   }
 
+  /** Fixed-effect inverse-variance meta-analysis (Cochran 1954) — pool a
+    * FAMILY of per-segment/per-study effect estimates into one weighted
+    * effect with its SE, plus the heterogeneity readouts that say whether
+    * pooling was even legitimate: Cochran's Q = Σw(e−ē)² ~ χ²(k−1) and
+    * Higgins' I² = max(0, (Q−(k−1))/Q) (the fraction of variance that is
+    * BETWEEN-study — I² ≳ 0.5 says the fixed-effect model is suspect).
+    * The cross-segment rollup every per-nation/per-cohort test family
+    * needs before quoting one number.
+    *
+    * Input is one row per study (effect, se) — a domain-bounded family
+    * table (the [[graft.operators.Quality.bhAdjust]] contract). Rows with
+    * se ≤ 0 or NULL are excluded (they carry no information weight).
+    * Per-row weights w = 1/se² and terms quantize to 1e-6 longs before
+    * the sums (a raw double SUM is partition-order-dependent); two passes
+    * over the tiny table (pooled mean, then Q), every readout a fixed
+    * IEEE chain. Pre-scale effects so w·e fits the 1e6 grid.
+    *
+    * Returns ONE row: (k, pooled_effect, pooled_se, q_stat, i2) —
+    * k < 2 ⇒ NULL Q/I²; Q = 0 ⇒ I² = 0. */
+  def metaAnalysis(
+      df: DataFrame,
+      effectCol: String,
+      seCol: String,
+      dp: Int = 6): DataFrame = {
+    val e = col(effectCol).cast("double")
+    val se = col(seCol).cast("double")
+    val w = lit(1.0) / (se * se)
+    def q6(c: Column) = sum(floor(c * 1e6 + 0.5).cast("long"))
+    val valid = df.filter(se.isNotNull && se > 0 && e.isNotNull)
+    val first = valid.agg(
+      count(lit(1)).as("k"), q6(w).as("__sw"), q6(w * e).as("__swe"))
+    val pooled = (col("__swe").cast("double") / 1e6) /
+      (col("__sw").cast("double") / 1e6)
+    val firstP = first.withColumn("__pooled", pooled)
+    val qPass = valid
+      .crossJoin(broadcast(firstP.select(col("__pooled"))))
+      .agg(q6(w * (e - col("__pooled")) * (e - col("__pooled"))).as("__q"))
+    val qStat = col("__q").cast("double") / 1e6
+    val dfK = (col("k") - 1).cast("double")
+    firstP.crossJoin(qPass).select(
+      col("k"),
+      round(col("__pooled"), dp).as("pooled_effect"),
+      round(sqrt(lit(1.0) / (col("__sw").cast("double") / 1e6)), dp).as("pooled_se"),
+      when(col("k") > 1, round(qStat, dp)).as("q_stat"),
+      when(col("k") > 1,
+        round(greatest(lit(0.0),
+          when(qStat > 0, (qStat - dfK) / qStat).otherwise(lit(0.0))), dp)).as("i2"))
+  }
+
   /** Survey raking / iterative proportional fitting (Deming–Stephan 1940)
     * — calibrate cell weights of the (A × B) contingency so row sums hit
     * the declared row margins and column sums the column margins

@@ -1266,6 +1266,30 @@ class SketchesSpec extends SparkSpec {
     assert(g7.getAs[Double]("mde") == 2.801585)
   }
 
+  test("metaAnalysis: hand pooling; homogeneous I2 zero; se<=0 excluded; invariant") {
+    import spark.implicits._
+    // e1=1 se1=1 (w=1), e2=4 se2=0.5 (w=4): pooled = 17/5 = 3.4,
+    // se = sqrt(1/5), Q = 1*(2.4)^2 + 4*(0.6)^2 = 7.2, I2 = 6.2/7.2
+    val df = Seq((1.0, 1.0), (4.0, 0.5), (9.9, 0.0), (5.0, -1.0))
+      .toDF("e", "se").repartition(3)
+    val r = Sketches.metaAnalysis(df, "e", "se").head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("pooled_effect") == 3.4)
+    assert(r.getAs[Double]("pooled_se") == 0.447214)
+    assert(r.getAs[Double]("q_stat") == 7.2)
+    assert(math.abs(r.getAs[Double]("i2") - 6.2 / 7.2) < 1e-6)
+    // identical studies: Q = 0, I2 reads 0 (not NULL) — homogeneity is a result
+    val same = Seq((2.0, 0.5), (2.0, 0.5), (2.0, 0.5)).toDF("e", "se")
+    val s = Sketches.metaAnalysis(same, "e", "se").head
+    assert(s.getAs[Double]("pooled_effect") == 2.0)
+    assert(s.getAs[Double]("q_stat") == 0.0 && s.getAs[Double]("i2") == 0.0)
+    // single informative study: no heterogeneity to speak of
+    val one = Sketches.metaAnalysis(Seq((2.0, 0.5)).toDF("e", "se"), "e", "se").head
+    assert(one.isNullAt(one.fieldIndex("q_stat")) && one.isNullAt(one.fieldIndex("i2")))
+    val g7 = Sketches.metaAnalysis(df.repartition(7), "e", "se").head
+    assert(g7.getAs[Double]("q_stat") == 7.2)
+  }
+
   test("wasserstein1d matches the hand-computed earth-mover distance") {
     import spark.implicits._
     // A uniform on {0,4}, B point mass at 2: EMD = (2+2)/2 = 2
