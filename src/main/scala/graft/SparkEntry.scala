@@ -773,6 +773,22 @@ object SparkEntry {
         round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
         round(col("t_stat"), 6).as("t_stat"), round(col("dof"), 6).as("dof"))
 
+  /** Encoding-anomaly scorer (T66) over the documents corpus with
+    * deterministic mojibake injection (the synthetic text is clean ASCII,
+    * so every 37th doc gets a double-decode signature + replacement char
+    * and every 53rd a stray control byte — both sides construct it). */
+  private def qEncodingAnomalies(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 37 === 0,
+        concat(col("text"), lit(" caf\u00C3\u00A9 \uFFFD")))
+        .otherwise(col("text")).as("t0"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 53 === 0, concat(col("t0"), lit("\u0007")))
+          .otherwise(col("t0")).as("text"))
+    TextAnalysis.encodingAnomalies(base, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Uplift-by-decile / Qini readout (X288): customers ranked by account
     * balance as the "model score", md5 50/50 arms, conversion = any 1997+
     * order — the incremental-targeting evaluation beside q_cuped. */
@@ -6711,6 +6727,7 @@ object SparkEntry {
     "q_ab_power" -> (qAbPower _),
     "q_uplift_deciles" -> (qUpliftDeciles _),
     "q_meta_analysis" -> (qMetaAnalysis _),
+    "q_encoding_anomalies" -> (qEncodingAnomalies _),
     "q_transitions" -> (qTransitions _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -9653,6 +9670,34 @@ object SparkEntry {
          FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
          WHERE levenshtein(s1.s_name, s2.s_name) <= 1
          ORDER BY left_id, right_id""",
+    // identical \x{..} ASCII regex text on both engines (Java / RE2 agree
+    // on BMP classes); injection built with chr() codepoints; flagged
+    // compares the ROUNDED score exactly like the Spark side
+    "q_encoding_anomalies" ->
+      """WITH t0 AS (SELECT doc_id,
+                CASE WHEN doc_id % 37 = 0
+                     THEN text || ' caf' || chr(195) || chr(169) || ' ' || chr(65533)
+                     ELSE text END AS t
+              FROM documents),
+         base AS (SELECT doc_id,
+                CASE WHEN doc_id % 53 = 0 THEN t || chr(7) ELSE t END AS text
+              FROM t0),
+         c AS (SELECT doc_id,
+                CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                CAST(LEN(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+                CAST(LEN(regexp_extract_all(text, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]')) AS BIGINT) AS n_control,
+                CAST(LEN(regexp_extract_all(text, '[\x{80}-\x{9F}]')) AS BIGINT) AS n_c1,
+                CAST(LEN(regexp_extract_all(text, '\x{C3}[\x{80}-\x{FF}]')) AS BIGINT) AS n_mojibake
+              FROM base),
+         sc AS (SELECT *,
+                CASE WHEN n_chars > 0 THEN
+                  ROUND(CAST(n_replacement + n_control + n_c1 + n_mojibake AS DOUBLE)
+                        / CAST(n_chars AS DOUBLE), 9)
+                ELSE 0.0 END AS anomaly_score
+              FROM c)
+         SELECT doc_id, n_chars, n_replacement, n_control, n_c1, n_mojibake,
+                anomaly_score, anomaly_score > 0.001 AS flagged
+         FROM sc ORDER BY doc_id""",
     // per-nation welch-quantized moments -> effect/se chains -> 1e-6
     // quantized inverse-variance sums, pooled second pass for Q — mirrors
     // qMetaAnalysis + Sketches.metaAnalysis exactly

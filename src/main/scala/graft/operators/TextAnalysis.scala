@@ -1430,6 +1430,46 @@ object TextAnalysis {
             lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 6)))
   }
 
+  /** Encoding-anomaly / mojibake scorer — the "is this document even
+    * valid text" quality gate beside the length/entropy/repetition
+    * filters (a corpus crawled at scale always carries transcoding
+    * wreckage, and a few thousand broken docs poison a tokenizer
+    * vocabulary):
+    * counts per document of (a) U+FFFD replacement characters (upstream
+    * decoder already gave up), (b) C0 control characters other than
+    * tab/newline/CR (binary-in-text), (c) C1 block U+0080–U+009F (the
+    * classic cp1252→latin-1→utf-8 double-decode artifact), and (d) 'Ã'
+    * followed by a Latin-1-supplement char (the visible utf-8-read-as-
+    * latin-1 signature, e.g. "Ã©" for "é"). Score = anomalies/chars,
+    * flagged above `flagThreshold`.
+    *
+    * Four codegen'd regexp counts, zero shuffle; every pattern is written
+    * with ASCII \x{..} escapes so the identical pattern text runs on any
+    * regex engine (Java here, RE2 in the oracle) — all classes are BMP,
+    * where Java's UTF-16 units and RE2's codepoints agree. */
+  def encodingAnomalies(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      flagThreshold: Double = 0.001): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String) =
+      size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long")
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      cnt("\\x{FFFD}").as("n_replacement"),
+      cnt("[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]").as("n_control"),
+      cnt("[\\x{80}-\\x{9F}]").as("n_c1"),
+      cnt("\\x{C3}[\\x{80}-\\x{FF}]").as("n_mojibake"))
+      .withColumn("anomaly_score",
+        when(col("n_chars") > 0,
+          round((col("n_replacement") + col("n_control") + col("n_c1") +
+            col("n_mojibake")).cast("double") / col("n_chars").cast("double"), 9))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", col("anomaly_score") > flagThreshold)
+  }
+
   /** Weighted log-odds-ratio keywords with an informative Dirichlet prior
     * (Monroe, Colaresi & Quinn, "Fightin' Words", Political Analysis 2008)
     * — which terms distinguish document group A from group B, corrected

@@ -731,4 +731,31 @@ class TextAnalysisSpec extends SparkSpec {
       .toSeq.sortBy(t => (t._1, t._2))
     assert(out.toSeq == expected)
   }
+
+  test("encodingAnomalies: each detector fires on its artifact; clean text reads zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "perfectly clean ascii text, tabs\tand\nnewlines are fine"),
+      (2L, "replacement here \uFFFD and \uFFFD again"),
+      (3L, "bell\u0007 and escape\u001B bytes"),
+      (4L, "c1 block\u0085artifact\u0092here"),
+      (5L, "double decoded cafÃ© and naÃ¯ve"),
+      (6L, "")).toDF("doc_id", "text").repartition(3)
+    val got = TextAnalysis.encodingAnomalies(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_replacement") == 0L &&
+      got(0).getAs[Long]("n_control") == 0L &&
+      got(0).getAs[Long]("n_c1") == 0L &&
+      got(0).getAs[Long]("n_mojibake") == 0L &&
+      got(0).getAs[Double]("anomaly_score") == 0.0 &&
+      !got(0).getAs[Boolean]("flagged"))
+    assert(got(1).getAs[Long]("n_replacement") == 2L && got(1).getAs[Boolean]("flagged"))
+    assert(got(2).getAs[Long]("n_control") == 2L)
+    assert(got(3).getAs[Long]("n_c1") == 2L)
+    // each mojibake pair ALSO lands in the C1/latin-1 counters by design
+    // (double counting is fine: the score is a screen, not a measure)
+    assert(got(4).getAs[Long]("n_mojibake") == 2L)
+    assert(got(5).getAs[Long]("n_chars") == 0L &&
+      got(5).getAs[Double]("anomaly_score") == 0.0)
+  }
 }
