@@ -1710,6 +1710,39 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** STREAMING Hellinger drift twin (S45): completes the bounded drift
+    * family's streaming side (S19 PSI, S26 JS) — current-side bin counts
+    * accumulate in the state store against the static baseline bounds;
+    * the H² assembly runs in batch off the sink. STATE CONTRACT: exactly
+    * nBins rows — BOUNDED BY THE BIN DOMAIN, not the stream (the
+    * contrast to S38/S40's per-document state the r9 verdict flagged).
+    * Integer bin counts ⇒ stream == batch exact, shared oracle. */
+  private def qHellingerDriftStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val split = lit("1996-07-01").cast("timestamp")
+    val baseline = Tables.orders(s, d).filter(col("o_orderdate") < split)
+    val bounds = Sketches.psiBounds(baseline, "o_totalprice", nBins = 10)
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+      .filter(col("o_orderdate") >= split)
+    val name = "graft_hellinger_drift_stream"
+    withStatePartitions(s, 8) {
+      val q = Sketches.psiBinCounts(stream, bounds, "o_totalprice", nBins = 10, as = "n_cur")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.hellingerAssemble(
+        Sketches.psiBinCounts(baseline, bounds, "o_totalprice", nBins = 10, as = "n_base"),
+        s.table(name))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(col("h2_term"), 9).as("h2_term"))
+      .orderBy("bin")
+  }
+
   /** Unicode script profile per document: per-script character counts over
     * fixed BMP codepoint ranges + dominant script — the script split that
     * gates a multilingual corpus before within-script language ID. */
@@ -6728,6 +6761,7 @@ object SparkEntry {
     "q_uplift_deciles" -> (qUpliftDeciles _),
     "q_meta_analysis" -> (qMetaAnalysis _),
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
+    "q_hellinger_drift_stream" -> (qHellingerDriftStream _),
     "q_transitions" -> (qTransitions _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -14881,6 +14915,7 @@ object SparkEntry {
     "q_calibration_error" -> calibrationErrorOracle,
     "q_scorer_agreement" -> scorerAgreementOracle,
     "q_hellinger_drift" -> hellingerDriftOracle,
+    "q_hellinger_drift_stream" -> hellingerDriftOracle,
     "q_pacf" -> pacfOracle,
     // COUNT(DISTINCT band) per equivalence class — the audit readout
     "q_l_diversity" ->
