@@ -789,6 +789,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Rank-2 ALS matrix factorization (X290) over the (user × event-type)
+    * mean-value matrix — 2 alternating ridge sweeps, quantized trajectory,
+    * item factors + final RMSE gated. */
+  private def qAls(s: SparkSession, d: String): DataFrame = {
+    val ratings = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double") / 100.0 /
+        count(lit(1)).cast("double")).as("r"))
+    Models.alsRank2(ratings, "user_id", "event_type", "r", sweeps = 2, lambda = 0.1)
+      .filter(col("entity") === "item")
+      .select(col("entity"), col("id"), col("f1"), col("f2"), col("rmse"))
+      .orderBy("id")
+  }
+
   /** Uplift-by-decile / Qini readout (X288): customers ranked by account
     * balance as the "model score", md5 50/50 arms, conversion = any 1997+
     * order — the incremental-targeting evaluation beside q_cuped. */
@@ -6762,6 +6776,7 @@ object SparkEntry {
     "q_meta_analysis" -> (qMetaAnalysis _),
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
     "q_hellinger_drift_stream" -> (qHellingerDriftStream _),
+    "q_als" -> (qAls _),
     "q_transitions" -> (qTransitions _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -7559,6 +7574,62 @@ object SparkEntry {
      SELECT '__DIRECT__', CAST(nconv - ntouched AS DOUBLE), CAST(NULL AS DOUBLE)
      FROM tot
      ORDER BY channel"""
+
+  /** Full rank-2 ALS replay: 2 alternating ridge sweeps (4 half-steps)
+    * unrolled as MATERIALIZED CTEs — mirrors
+    * [[graft.operators.Models.alsRank2]] bit-for-bit: factors on the 1e-6
+    * long grid, per-row normal-equation terms quantized to 1e-9 HUGEINTs,
+    * fixed Cramer chains, deterministic rank-based item init. */
+  private val alsOracle: String = {
+    def half(out: String, prev: String, solve: String, fixed: String): String =
+      s"""$out AS MATERIALIZED (
+         SELECT k, CAST(FLOOR((a22 * b1 - a12 * b2) / det * 1000000.0 + 0.5) AS BIGINT) AS f1,
+                CAST(FLOOR((a11 * b2 - a12 * b1) / det * 1000000.0 + 0.5) AS BIGINT) AS f2
+         FROM (SELECT k, a11, a12, a22, b1, b2, a11 * a22 - a12 * a12 AS det
+               FROM (SELECT k,
+                       CAST(s11 AS DOUBLE) / 1e9 + 0.1 AS a11,
+                       CAST(s12 AS DOUBLE) / 1e9 AS a12,
+                       CAST(s22 AS DOUBLE) / 1e9 + 0.1 AS a22,
+                       CAST(b1q AS DOUBLE) / 1e9 AS b1,
+                       CAST(b2q AS DOUBLE) / 1e9 AS b2
+                     FROM (SELECT $solve AS k,
+                             SUM(CAST(FLOOR(fd1 * fd1 * 1e9 + 0.5) AS HUGEINT)) AS s11,
+                             SUM(CAST(FLOOR(fd1 * fd2 * 1e9 + 0.5) AS HUGEINT)) AS s12,
+                             SUM(CAST(FLOOR(fd2 * fd2 * 1e9 + 0.5) AS HUGEINT)) AS s22,
+                             SUM(CAST(FLOOR(rd * fd1 * 1e9 + 0.5) AS HUGEINT)) AS b1q,
+                             SUM(CAST(FLOOR(rd * fd2 * 1e9 + 0.5) AS HUGEINT)) AS b2q
+                           FROM (SELECT r.u, r.i,
+                                   CAST(f.f1 AS DOUBLE) / 1000000.0 AS fd1,
+                                   CAST(f.f2 AS DOUBLE) / 1000000.0 AS fd2,
+                                   CAST(r.rq AS DOUBLE) / 1000000.0 AS rd
+                                 FROM ratings r JOIN $prev f ON r.$fixed = f.k)
+                           GROUP BY 1))))"""
+    s"""WITH ratings AS MATERIALIZED (
+           SELECT CAST(user_id AS VARCHAR) AS u, CAST(event_type AS VARCHAR) AS i,
+                  CAST(FLOOR((CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                              / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS rq
+           FROM events GROUP BY 1, 2),
+     it0 AS MATERIALIZED (
+           SELECT i AS k, CAST(1000000 AS BIGINT) AS f1,
+                  CAST((rk % 7 - 3) * 100000 AS BIGINT) AS f2
+           FROM (SELECT i, CAST(ROW_NUMBER() OVER (ORDER BY i) AS BIGINT) AS rk
+                 FROM (SELECT DISTINCT i FROM ratings))),
+     ${half("uf1", "it0", "u", "i")},
+     ${half("it1", "uf1", "i", "u")},
+     ${half("uf2", "it1", "u", "i")},
+     ${half("it2", "uf2", "i", "u")},
+     rmse AS (SELECT ROUND(SQRT(CAST(SUM(CAST(FLOOR(e * e * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e9
+                               / CAST(COUNT(*) AS DOUBLE)), 6) AS rmse
+              FROM (SELECT CAST(r.rq AS DOUBLE) / 1000000.0
+                           - (CAST(uf.f1 AS DOUBLE) / 1000000.0 * (CAST(itf.f1 AS DOUBLE) / 1000000.0)
+                              + CAST(uf.f2 AS DOUBLE) / 1000000.0 * (CAST(itf.f2 AS DOUBLE) / 1000000.0)) AS e
+                    FROM ratings r JOIN uf2 uf ON r.u = uf.k JOIN it2 itf ON r.i = itf.k))
+     SELECT 'item' AS entity, k AS id,
+            ROUND(CAST(f1 AS DOUBLE) / 1000000.0, 6) AS f1,
+            ROUND(CAST(f2 AS DOUBLE) / 1000000.0, 6) AS f2,
+            rmse
+     FROM it2 CROSS JOIN rmse ORDER BY id"""
+  }
 
   private val markovAttributionOracle: String = {
     val iters = (1 to 20).map { i =>
@@ -13041,6 +13112,7 @@ object SparkEntry {
     "q_ipf_rake" -> rakeOracle,
     "q_markov_attribution" -> markovAttributionOracle,
     "q_shapley_attribution" -> shapleyAttributionOracle,
+    "q_als" -> alsOracle,
     // welchTTest's quantized moments per (treated, post) cell; DiD, SE and
     // t fixed IEEE chains mirroring Sketches.diffInDiff term order
     "q_diff_in_diff" ->

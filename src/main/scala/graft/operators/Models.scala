@@ -1143,6 +1143,119 @@ object Models {
           - col("__s0").cast("double") / col("__d0").cast("double")).as("ate_hajek"))
   }
 
+  /** Rank-2 alternating-least-squares matrix factorization (Koren–Bell–
+    * Volinsky 2009; the Netflix-era collaborative-filtering staple) — the
+    * in-engine FACTOR-model trainer beside X128's neighborhood item-item
+    * CF: r_ui ≈ p_u·q_i, alternating ridge solves with each side's 2×2
+    * normal equations closed-form (A = Σqqᵀ+λI, p = A⁻¹b via Cramer — no
+    * iterative inner solver, λ > 0 makes A positive definite so det > 0
+    * always).
+    *
+    * ENGINE-EXACT ITERATION (the PageRank/logistic discipline): factors
+    * live on the 1e-6 grid as longs; each half-sweep joins ratings to the
+    * other side's factors, quantizes the per-row normal-equation terms
+    * (q², q₁q₂, r·q) to 1e-9 longs, sums them EXACTLY in DECIMAL(38,0)
+    * (1e9 ratings × 1e11-scale terms outgrow a long), runs the fixed
+    * Cramer chain, and re-quantizes the solve to the grid ⇒ the ENTIRE
+    * training trajectory is partition-invariant and replays in SQL as
+    * unrolled CTEs. Item init is deterministic off the item's rank in
+    * sorted order (symmetry-breaking, no RNG); user factors derive from
+    * items on the first half-sweep.
+    *
+    * Scale shape: per half-sweep ONE ratings-side shuffle (groupBy the
+    * side being solved); the item side broadcasts when `broadcastItems`
+    * (domain-bounded catalogs — the default), users never collect
+    * anywhere. `sweeps` is small and fixed; lineage stays a fixed-depth
+    * plan.
+    *
+    * Returns (entity ∈ {user, item}, id, f1, f2, rmse) — factors 6-dp,
+    * rmse the final quantized-residual readout repeated on every row. */
+  def alsRank2(
+      ratings: DataFrame,
+      userCol: String,
+      itemCol: String,
+      ratingCol: String,
+      sweeps: Int = 3,
+      lambda: Double = 0.1,
+      broadcastItems: Boolean = true,
+      dp: Int = 6): DataFrame = {
+    require(sweeps >= 1, s"sweeps must be >= 1, got $sweeps")
+    require(lambda > 0, s"lambda must be > 0 (Cramer needs det > 0), got $lambda")
+    def bc(d: DataFrame) = if (broadcastItems) broadcast(d) else d
+    val r = ratings.select(
+      col(userCol).cast("string").as("__u"),
+      col(itemCol).cast("string").as("__i"),
+      floor(col(ratingCol).cast("double") * 1e6 + 0.5).cast("long").as("__rq"))
+    // deterministic symmetry-breaking init off the item's sorted rank —
+    // the item table is domain-bounded (catalog, not corpus)
+    val items0 = r.select(col("__i")).distinct()
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("__i"))).cast("long"))
+      .select(col("__i"),
+        lit(1000000L).as("__f1"),
+        ((col("__rk") % 7 - 3) * 100000L).as("__f2"))
+    // one ridge half-sweep: solve `solveKey`'s factors against the fixed
+    // `fixedKey` factors joined onto the ratings
+    def halfSweep(factors: DataFrame, solveKey: String, fixedKey: String,
+        doBc: Boolean): DataFrame = {
+      val f1d = col("__f1").cast("double") / 1e6
+      val f2d = col("__f2").cast("double") / 1e6
+      val rd = col("__rq").cast("double") / 1e6
+      def q9(c: Column) =
+        sum(floor(c * 1e9 + 0.5).cast("decimal(38,0)"))
+      // fresh attribute on the factor side: __u/__i descend from the same
+      // plan as r, and a shared exprId in the condition trips Spark's
+      // ambiguous-self-join check (the running-sum helpers' lesson)
+      val fk = factors.withColumnRenamed(fixedKey, "__fk")
+      val joined = r.join(
+        if (doBc) bc(fk) else fk, col(fixedKey) === col("__fk"))
+      val sums = joined.groupBy(col(solveKey)).agg(
+        q9(f1d * f1d).as("__s11"), q9(f1d * f2d).as("__s12"),
+        q9(f2d * f2d).as("__s22"),
+        q9(rd * f1d).as("__b1"), q9(rd * f2d).as("__b2"))
+      val a11 = col("__s11").cast("double") / 1e9 + lit(lambda)
+      val a12 = col("__s12").cast("double") / 1e9
+      val a22 = col("__s22").cast("double") / 1e9 + lit(lambda)
+      val b1 = col("__b1").cast("double") / 1e9
+      val b2 = col("__b2").cast("double") / 1e9
+      val det = a11 * a22 - a12 * a12
+      sums.select(col(solveKey),
+        floor((a22 * b1 - a12 * b2) / det * 1e6 + 0.5).cast("long").as("__f1"),
+        floor((a11 * b2 - a12 * b1) / det * 1e6 + 0.5).cast("long").as("__f2"))
+    }
+    var itemF = items0
+    var userF: DataFrame = null
+    (1 to sweeps).foreach { _ =>
+      userF = halfSweep(itemF.select(col("__i"), col("__f1"), col("__f2")),
+        solveKey = "__u", fixedKey = "__i", doBc = true)
+      itemF = halfSweep(userF.select(col("__u"), col("__f1"), col("__f2")),
+        solveKey = "__i", fixedKey = "__u", doBc = false)
+    }
+    val uf = userF.select(col("__u").as("__uu"),
+      col("__f1").as("__u1"), col("__f2").as("__u2"))
+    val itf = itemF.select(col("__i").as("__ii"),
+      col("__f1").as("__i1"), col("__f2").as("__i2"))
+    val pred = r
+      .join(uf, col("__u") === col("__uu"))
+      .join(bc(itf), col("__i") === col("__ii"))
+      .select(((col("__rq").cast("double") / 1e6) -
+        ((col("__u1").cast("double") / 1e6) * (col("__i1").cast("double") / 1e6) +
+          (col("__u2").cast("double") / 1e6) * (col("__i2").cast("double") / 1e6)))
+        .as("__e"))
+    val rmse = pred.agg(
+      count(lit(1)).as("__n"),
+      sum(floor(col("__e") * col("__e") * 1e9 + 0.5).cast("decimal(38,0)")).as("__se"))
+      .select(round(sqrt(col("__se").cast("double") / 1e9 /
+        col("__n").cast("double")), dp).as("rmse"))
+    val users = uf.select(lit("user").as("entity"), col("__uu").as("id"),
+      round(col("__u1").cast("double") / 1e6, dp).as("f1"),
+      round(col("__u2").cast("double") / 1e6, dp).as("f2"))
+    val itemsOut = itf.select(lit("item").as("entity"), col("__ii").as("id"),
+      round(col("__i1").cast("double") / 1e6, dp).as("f1"),
+      round(col("__i2").cast("double") / 1e6, dp).as("f2"))
+    users.unionByName(itemsOut).crossJoin(broadcast(rmse))
+  }
+
   /** Uplift-by-decile / Qini readout (Radcliffe 2007) — the evaluation
     * every TARGETING model needs that plain AUC cannot give: rank the
     * population by a model score, and per score decile compare treated vs

@@ -393,6 +393,37 @@ class ModelsSpec extends SparkSpec {
     assert(r.getAs[Double]("accuracy") == 1.0)
   }
 
+  test("alsRank2: reconstructs a planted rank-1 matrix; rmse falls with sweeps; invariant") {
+    // r_ui = a_u * b_i exactly (rank 1 < 2): ALS must drive RMSE near 0
+    val as = Map(1L -> 1.0, 2L -> 2.0, 3L -> 0.5, 4L -> 1.5)
+    val bs = Map("x" -> 2.0, "y" -> 1.0, "z" -> 3.0)
+    val rows = for (u <- as.keys.toSeq; i <- bs.keys.toSeq)
+      yield (u, i, as(u) * bs(i))
+    val df = rows.toDF("u", "i", "r").repartition(3)
+    val out = Models.alsRank2(df, "u", "i", "r", sweeps = 6, lambda = 0.01)
+    val rmse = out.head.getAs[Double]("rmse")
+    assert(rmse < 0.05, s"rmse=$rmse")
+    // predictions recover the planted products
+    val items = out.filter(col("entity") === "item").collect()
+      .map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val users = out.filter(col("entity") === "user").collect()
+      .map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val predXy = users("2")._1 * items("z")._1 + users("2")._2 * items("z")._2
+    assert(math.abs(predXy - 6.0) < 0.2, s"pred(2,z)=$predXy")
+    // a planted RANK-2 matrix needs both factors and still fits
+    val rows2 = for (u <- as.keys.toSeq; i <- bs.keys.toSeq)
+      yield (u, i, as(u) * bs(i) + (u % 3).toDouble * "xyz".indexOf(i))
+    val r2 = Models.alsRank2(rows2.toDF("u", "i", "r"), "u", "i", "r",
+      sweeps = 8, lambda = 0.01).head.getAs[Double]("rmse")
+    assert(r2 < 0.1, s"rank-2 rmse=$r2")
+    // partition invariance: the quantized trajectory is bit-identical
+    val g7 = Models.alsRank2(df.repartition(7), "u", "i", "r", sweeps = 6, lambda = 0.01)
+    assert(g7.head.getAs[Double]("rmse") == rmse)
+    assert(g7.filter(col("entity") === "item").collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq ==
+      items.toSeq.sortBy(_._1).map { case (k, (f1, f2)) => (k, f1, f2) })
+  }
+
   test("upliftDeciles: perfect targeting front-loads qini; random score reads ~0; invariant") {
     // 40 units, 2 buckets. High-score half: treated convert (uplift 1),
     // control never. Low-score half: nobody converts.
