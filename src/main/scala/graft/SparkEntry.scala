@@ -854,6 +854,13 @@ object SparkEntry {
       "o_orderstatus", "v", a = "O", b = "F",
       alpha = 0.05, power = 0.8, targetEffect = Some(0.01))
 
+  /** Always-valid mSPRT readout (X291) on the q_ab_test arms — the
+    * peeking-safe sequential p beside the fixed-n Welch verdict. */
+  private def qMsprt(s: SparkSession, d: String): DataFrame =
+    Sketches.msprt(
+      Tables.orders(s, d).withColumn("v", col("o_totalprice") / 100000.0),
+      "o_orderstatus", "v", a = "O", b = "F", tau = 0.1)
+
   /** First-order Markov transition matrix over per-user event sequences. */
   private def qTransitions(s: SparkSession, d: String): DataFrame =
     Funnel.transitionMatrix(
@@ -6772,6 +6779,7 @@ object SparkEntry {
     "q_edit_join" -> (qEditJoin _),
     "q_ab_test" -> (qAbTest _),
     "q_ab_power" -> (qAbPower _),
+    "q_msprt" -> (qMsprt _),
     "q_uplift_deciles" -> (qUpliftDeciles _),
     "q_meta_analysis" -> (qMetaAnalysis _),
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
@@ -9880,6 +9888,39 @@ object SparkEntry {
                   ROUND(CAST(cct AS DOUBLE)
                         - CAST(ccc AS DOUBLE) * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE), 6) END AS qini
          FROM cum ORDER BY bucket""",
+    // tau^2 literal is the exact IEEE double 0.1*0.1 the Spark side
+    // computes; reject compares the unrounded p like Sketches.msprt
+    "q_msprt" ->
+      """WITH g AS (
+           SELECT o_orderstatus AS st,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+         w AS (SELECT
+           MAX(CASE WHEN st = 'O' THEN n END) AS na,
+           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
+           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
+           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
+           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
+           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
+           FROM g),
+         v AS (SELECT na, nb,
+                      ((ssa - sa * sa / na) / (na - 1)) / na
+                        + ((ssb - sb * sb / nb) / (nb - 1)) / nb AS se2,
+                      sa / na - sb / nb AS d
+               FROM w),
+         l AS (SELECT na, nb, d,
+                      0.5 * LN(se2 / (se2 + 0.010000000000000002))
+                        + 0.010000000000000002 * (d - 0.0) * (d - 0.0)
+                          / (2.0 * se2 * (se2 + 0.010000000000000002)) AS ll
+               FROM v)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                ROUND(d, 6) AS diff,
+                ROUND(ll, 6) AS log_lambda,
+                ROUND(LEAST(1.0, EXP(-ll)), 6) AS p_always_valid,
+                LEAST(1.0, EXP(-ll)) <= 0.05 AS reject
+         FROM l""",
     // z literals are the published normal quantiles; 2.8015852181129683 is
     // the IEEE sum z_{.975}+z_{.8} computed identically on the Spark side,
     // and 0.0001 is exactly the double 0.01*0.01

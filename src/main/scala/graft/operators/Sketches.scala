@@ -731,6 +731,61 @@ object Sketches {
       nReq.map(_.as("n_required_per_arm")).toSeq: _*)
   }
 
+  /** Two-sample mixture SPRT / always-valid p-value (Robbins 1970;
+    * Johari–Koomen–Pekelis–Walsh 2017 — the "peeking-safe" inference
+    * modern A/B platforms run): with observed effect d = x̄_a − x̄_b,
+    * its variance se² = s_a²/n_a + s_b²/n_b and a N(μ0, τ²) mixture over
+    * alternatives, the mixture likelihood ratio has the closed form
+    * ln Λ = ½·ln(se²/(se²+τ²)) + τ²·(d−μ0)²/(2·se²·(se²+τ²)) and
+    * p = min(1, e^{−ln Λ}) is valid at EVERY look — you may stop the
+    * experiment whenever it crosses α without inflating false positives
+    * (the fixed-n [[welchTTest]] p is only valid at one pre-registered n).
+    *
+    * One welch-quantized moment aggregate; every readout a fixed IEEE
+    * chain (the only transcendentals are one ln and one exp — the KN-
+    * perplexity oracle precedent). Reject compares the UNROUNDED p. Same
+    * |x| ≲ 1e3 pre-scaling contract as welchTTest; τ is the caller's
+    * effect-scale prior (its sensitivity is the documented knob, not a
+    * fit). */
+  def msprt(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String,
+      tau: Double,
+      mu0: Double = 0.0,
+      alpha: Double = 0.05,
+      dp: Int = 6): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def S(e: Column) =
+      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+    val v = col(valueCol).cast("double")
+    val byGroup = df
+      .filter(col(groupCol).isin(a, b))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
+    def pick(g: String, c: String) = max(when(col(groupCol) === g, col(c)))
+    val wide = byGroup.agg(
+      pick(a, "__n").as("na"), pick(a, "__s").as("sa"), pick(a, "__ss").as("ssa"),
+      pick(b, "__n").as("nb"), pick(b, "__s").as("sb"), pick(b, "__ss").as("ssb"))
+    val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val se2 = va / col("na") + vb / col("nb")
+    val d = col("sa") / col("na") - col("sb") / col("nb")
+    val t2 = lit(tau * tau)
+    val logLambda = lit(0.5) * log(se2 / (se2 + t2)) +
+      t2 * (d - lit(mu0)) * (d - lit(mu0)) / (lit(2.0) * se2 * (se2 + t2))
+    val p = least(lit(1.0), exp(-logLambda))
+    wide.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(d, dp).as("diff"),
+      round(logLambda, dp).as("log_lambda"),
+      round(p, dp).as("p_always_valid"),
+      (p <= alpha).as("reject"))
+  }
+
   /** Fixed-effect inverse-variance meta-analysis (Cochran 1954) — pool a
     * FAMILY of per-segment/per-study effect estimates into one weighted
     * effect with its SE, plus the heterogeneity readouts that say whether

@@ -1290,6 +1290,25 @@ class SketchesSpec extends SparkSpec {
     assert(g7.getAs[Double]("q_stat") == 7.2)
   }
 
+  test("msprt: null effect clamps p to 1; planted effect rejects; hand log-lambda") {
+    import spark.implicits._
+    // arms {0,2} vs {1,1}: se2 = 1, d = 0, tau = 1:
+    // logLambda = 0.5*ln(1/2), p = min(1, sqrt(2)) = 1 -> never rejects on noise
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 1.0), ("b", 1.0)).toDF("g", "v")
+      .repartition(3)
+    val r = Sketches.msprt(df, "g", "v", "a", "b", tau = 1.0).head
+    assert(r.getAs[Double]("diff") == 0.0)
+    assert(math.abs(r.getAs[Double]("log_lambda") - 0.5 * math.log(0.5)) < 1e-6)
+    assert(r.getAs[Double]("p_always_valid") == 1.0 && !r.getAs[Boolean]("reject"))
+    // an overwhelming effect: p crushes to 0 and rejects
+    val big = Seq(("a", 10.0), ("a", 10.2), ("b", 0.0), ("b", 0.2)).toDF("g", "v")
+    val s = Sketches.msprt(big, "g", "v", "a", "b", tau = 1.0).head
+    assert(s.getAs[Double]("diff") == 10.0)
+    assert(s.getAs[Double]("p_always_valid") == 0.0 && s.getAs[Boolean]("reject"))
+    val g7 = Sketches.msprt(df.repartition(7), "g", "v", "a", "b", tau = 1.0).head
+    assert(g7.getAs[Double]("log_lambda") == r.getAs[Double]("log_lambda"))
+  }
+
   test("wasserstein1d matches the hand-computed earth-mover distance") {
     import spark.implicits._
     // A uniform on {0,4}, B point mass at 2: EMD = (2+2)/2 = 2
