@@ -5655,6 +5655,26 @@ object SparkEntry {
       .orderBy("c_mktsegment", "duration")
   }
 
+  /** Restricted mean survival time (X292) per market segment over the
+    * q_survival spans, horizon 365 days — the model-free ∫S(t)dt readout
+    * beside the KM curve and the log-rank verdict. */
+  private def qRmst(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+    val asOf = o.agg(max(col("od")).as("__max_d"))
+    val spans = o.groupBy(col("o_custkey"))
+      .agg(min(col("od")).as("__first"), max(col("od")).as("__last"))
+      .crossJoin(broadcast(asOf))
+      .select(
+        col("o_custkey"),
+        datediff(col("__last"), col("__first")).cast("long").as("duration"),
+        (datediff(col("__max_d"), col("__last")) > 180).as("churned"))
+    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val joined = spans.join(broadcast(seg), spans("o_custkey") === seg("c_custkey"))
+    Temporal.rmst(joined, "duration", "churned", horizon = 365L, Seq("c_mktsegment"))
+      .orderBy("c_mktsegment")
+  }
+
   /** WOE/IV of customer nation as a predictor of order urgency — the
     * credit-scoring feature-strength table. */
   private def qWoeIv(s: SparkSession, d: String): DataFrame = {
@@ -7061,6 +7081,7 @@ object SparkEntry {
     "q_dedup_lines" -> (qDedupLines _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_survival" -> (qSurvival _),
+    "q_rmst" -> (qRmst _),
     "q_logrank" -> (qLogrank _),
     "q_wasserstein" -> (qWasserstein _),
     "q_wasserstein_stream" -> (qWassersteinStream _),
@@ -12917,6 +12938,49 @@ object SparkEntry {
                 ROUND(EXP(lsum), 6) AS survival,
                 ROUND(hsum, 6) AS cum_hazard
          FROM k ORDER BY c_mktsegment, duration""",
+    // the q_survival KM replay + lead/segment integral; interval terms use
+    // the 6dp-rounded survival times exact long lengths, 1e-6 quantized —
+    // mirrors Temporal.rmst exactly
+    "q_rmst" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+         mx AS (SELECT MAX(od) AS maxd FROM o),
+         spans AS (SELECT o_custkey,
+                          CAST(datediff('day', MIN(od), MAX(od)) AS BIGINT) AS duration,
+                          (datediff('day', MAX(od), (SELECT maxd FROM mx)) > 180) AS churned
+                   FROM o GROUP BY 1),
+         j AS (SELECT c.c_mktsegment, sp.duration, sp.churned
+               FROM spans sp JOIN customer c ON sp.o_custkey = c.c_custkey),
+         g AS (SELECT c_mktsegment, duration,
+                      CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+                      CAST(COUNT(*) AS BIGINT) AS at_t
+               FROM j GROUP BY 1, 2),
+         w AS (SELECT c_mktsegment, duration, d_events, at_t,
+                      SUM(at_t) OVER (PARTITION BY c_mktsegment) AS tot,
+                      SUM(at_t) OVER (PARTITION BY c_mktsegment ORDER BY duration
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM g),
+         k AS (SELECT c_mktsegment, duration,
+                      ROUND(EXP(SUM(CASE WHEN d_events > 0
+                               THEN LN(GREATEST(CAST(1e-300 AS DOUBLE),
+                                        CAST(1.0 AS DOUBLE) - CAST(d_events AS DOUBLE) /
+                                          CAST(tot - (cum - at_t) AS DOUBLE)))
+                               ELSE CAST(0.0 AS DOUBLE) END)
+                        OVER (PARTITION BY c_mktsegment ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+               FROM w),
+         segd AS (SELECT c_mktsegment, duration, survival,
+                         GREATEST(CAST(0 AS BIGINT),
+                           LEAST(COALESCE(LEAD(duration) OVER
+                                   (PARTITION BY c_mktsegment ORDER BY duration), 365), 365)
+                           - LEAST(duration, 365)) AS seg,
+                         MIN(duration) OVER (PARTITION BY c_mktsegment) AS mind
+                  FROM k)
+         SELECT c_mktsegment, CAST(365 AS BIGINT) AS horizon,
+                ROUND(CAST(MAX(LEAST(mind, 365)) AS DOUBLE)
+                      + CAST(SUM(CAST(FLOOR(survival * CAST(seg AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / 1000000.0, 6) AS rmst,
+                CAST(COUNT(*) AS BIGINT) AS n_times
+         FROM segd GROUP BY 1 ORDER BY 1""",
     // exact long cross products feed one-division WOE chains; IV terms
     // quantized to 1e-9 longs before the sum
     "q_woe_iv" ->

@@ -428,6 +428,25 @@ class TemporalSpec extends SparkSpec {
       one(0).isNullAt(one(0).fieldIndex("z")))
   }
 
+  test("rmst: hand step integral; horizon truncation; censoring extends; invariant") {
+    // events at t=1 (S->0.5) and t=3 (S->0), tau=10:
+    // RMST = 1 (S=1 head) + 0.5*(3-1) + 0*(10-3) = 2
+    val df = Seq(("k", 1L, true), ("k", 3L, true)).toDF("g", "dur", "ev")
+      .repartition(3)
+    val r = Temporal.rmst(df, "dur", "ev", horizon = 10L, Seq("g")).head
+    assert(r.getAs[Double]("rmst") == 2.0 && r.getAs[Long]("n_times") == 2L)
+    // tau=2 truncates the second step: 1 + 0.5*(2-1) = 1.5
+    val t2 = Temporal.rmst(df, "dur", "ev", horizon = 2L, Seq("g")).head
+    assert(t2.getAs[Double]("rmst") == 1.5)
+    // censoring instead of an event at t=3: S stays 0.5 to the horizon,
+    // RMST = 1 + 0.5*(10-1) = 5.5
+    val cen = Seq(("k", 1L, true), ("k", 3L, false)).toDF("g", "dur", "ev")
+    val c = Temporal.rmst(cen, "dur", "ev", horizon = 10L, Seq("g")).head
+    assert(c.getAs[Double]("rmst") == 5.5)
+    val g7 = Temporal.rmst(df.repartition(7), "dur", "ev", horizon = 10L, Seq("g")).head
+    assert(g7.getAs[Double]("rmst") == 2.0)
+  }
+
   test("var1: exact recovery of a noiseless coupled recursion; constant series NULLs") {
     // the data IS the model: x' = 2 + .5x − .25y, y' = 1 + .25x + .5y
     var x = 10.0; var y = 5.0
