@@ -7082,6 +7082,7 @@ object SparkEntry {
     "q_spatial_join" -> (qSpatialJoin _),
     "q_survival" -> (qSurvival _),
     "q_rmst" -> (qRmst _),
+    "q_backtest_naive" -> (qBacktestNaive _),
     "q_logrank" -> (qLogrank _),
     "q_wasserstein" -> (qWasserstein _),
     "q_wasserstein_stream" -> (qWassersteinStream _),
@@ -7327,6 +7328,24 @@ object SparkEntry {
     val series = spine.join(cnt, Seq("event_type", "day"), "left")
       .withColumn("x", coalesce(col("x"), lit(0L)))
     Temporal.mannKendall(series, Seq("event_type"), "day", "x")
+      .orderBy("event_type")
+  }
+
+  /** Seasonal-naive backtest + MASE (X293) per event type over the
+    * q_mann_kendall daily-count spine — m=7 weekly naive, last 7 days
+    * held out; the "does any model beat copy-last-week" gate. */
+  private def qBacktestNaive(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val series = spine.join(cnt, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    Temporal.backtestSeasonalNaive(series, Seq("event_type"), "day", "x",
+        period = 7, holdout = 7)
       .orderBy("event_type")
   }
 
@@ -15069,6 +15088,36 @@ object SparkEntry {
     "q_ar_forecast" -> arForecastOracle,
     "q_var1" -> var1Oracle,
     "q_mann_kendall" -> mannKendallOracle,
+    // same calendar spine as q_mann_kendall; exact long errors, one/two
+    // divisions — mirrors Temporal.backtestSeasonalNaive
+    "q_backtest_naive" ->
+      """WITH cnt AS (SELECT event_type, date_trunc('day', ts) AS day,
+                CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+     bounds AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM cnt GROUP BY 1),
+     sp AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds),
+     s AS (SELECT sp.event_type, sp.day, COALESCE(cnt.x, 0) AS x
+           FROM sp LEFT JOIN cnt ON sp.event_type = cnt.event_type AND sp.day = cnt.day),
+     t AS (SELECT event_type, x,
+                  LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc,
+                  LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS nv,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day DESC) AS rnd
+           FROM s),
+     a AS (SELECT event_type,
+                  CAST(SUM(CASE WHEN rnd <= 7 AND fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+                  CAST(SUM(CASE WHEN rnd <= 7 AND fc IS NOT NULL THEN ABS(x - fc) ELSE 0 END) AS BIGINT) AS sae,
+                  CAST(SUM(CASE WHEN rnd <= 7 AND fc IS NOT NULL THEN (x - fc) * (x - fc) ELSE 0 END) AS BIGINT) AS sse,
+                  CAST(SUM(CASE WHEN rnd > 7 AND nv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+                  CAST(SUM(CASE WHEN rnd > 7 AND nv IS NOT NULL THEN ABS(x - nv) ELSE 0 END) AS BIGINT) AS san
+           FROM t GROUP BY 1)
+     SELECT event_type, n_test,
+            CASE WHEN n_test > 0 THEN
+              ROUND(CAST(sae AS DOUBLE) / CAST(n_test AS DOUBLE), 6) END AS mae,
+            CASE WHEN n_test > 0 THEN
+              ROUND(SQRT(CAST(sse AS DOUBLE) / CAST(n_test AS DOUBLE)), 6) END AS rmse,
+            CASE WHEN n_test > 0 AND nn > 0 AND san > 0 THEN
+              ROUND(CAST(sae AS DOUBLE) / CAST(n_test AS DOUBLE)
+                    / (CAST(san AS DOUBLE) / CAST(nn AS DOUBLE)), 6) END AS mase
+     FROM a ORDER BY event_type""",
     "q_granger" -> grangerOracle,
     "q_seasonal_power" -> seasonalPowerOracle,
     "q_kn_perplexity" -> knPerplexityOracle,

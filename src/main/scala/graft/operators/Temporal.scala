@@ -626,6 +626,63 @@ object Temporal {
       .drop("__at_t")
   }
 
+  /** Seasonal-naive backtest with MASE (Hyndman & Koehler 2006) — the
+    * forecast-evaluation primitive the model family (X257 AR, X174 Holt)
+    * needs before anyone trusts a forecast: hold out the last `holdout`
+    * points per key, forecast each with the seasonal-naive lag-m value,
+    * and score MAE/RMSE plus MASE = MAE_forecast / MAE_in-sample-naive —
+    * the scale-free "is this even beating copy-last-value" ratio
+    * (MASE ≥ 1 means the model loses to the naive walk; MAPE's
+    * divide-by-zero and scale problems are why MASE is the standard).
+    *
+    * EXACT: integral values make every per-point error an exact long;
+    * MAE/RMSE/MASE are one/two divisions of exact sums (RMSE adds one
+    * sqrt). One lag window per key over the calendar-bounded series (the
+    * ACF contract), one rollup. Keys with no valid lag-m test points or a
+    * zero naive scale report NULL mase.
+    *
+    * Returns one row per key: (keys…, n_test, mae, rmse, mase). */
+  def backtestSeasonalNaive(
+      series: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      period: Int,
+      holdout: Int,
+      dp: Int = 6): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    require(holdout >= 1, s"holdout must be >= 1, got $holdout")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+    val wDesc = Window.partitionBy(keys: _*).orderBy(col(orderCol).desc)
+    val v = col(valueCol).cast("long")
+    val t = series
+      .withColumn("__v", v)
+      .withColumn("__fc", lag(v, period).over(w))
+      .withColumn("__nv", lag(v, 1).over(w))
+      .withColumn("__rnd", row_number().over(wDesc))
+      .withColumn("__isTest", col("__rnd") <= holdout)
+    val agg = t.groupBy(keys: _*).agg(
+      sum(when(col("__isTest") && col("__fc").isNotNull, 1L).otherwise(0L)).as("n_test"),
+      sum(when(col("__isTest") && col("__fc").isNotNull,
+        abs(col("__v") - col("__fc"))).otherwise(0L)).as("__sae"),
+      sum(when(col("__isTest") && col("__fc").isNotNull,
+        (col("__v") - col("__fc")) * (col("__v") - col("__fc"))).otherwise(0L)).as("__sse"),
+      sum(when(!col("__isTest") && col("__nv").isNotNull, 1L).otherwise(0L)).as("__nn"),
+      sum(when(!col("__isTest") && col("__nv").isNotNull,
+        abs(col("__v") - col("__nv"))).otherwise(0L)).as("__san"))
+    val mae = col("__sae").cast("double") / col("n_test").cast("double")
+    val naiveMae = col("__san").cast("double") / col("__nn").cast("double")
+    agg.select(keys ++ Seq(
+      col("n_test"),
+      when(col("n_test") > 0, round(mae, dp)).as("mae"),
+      when(col("n_test") > 0,
+        round(sqrt(col("__sse").cast("double") / col("n_test").cast("double")), dp))
+        .as("rmse"),
+      when(col("n_test") > 0 && col("__nn") > 0 && col("__san") > 0,
+        round(mae / naiveMae, dp)).as("mase")): _*)
+  }
+
   /** Restricted mean survival time (Irwin 1949; Royston–Parmar 2013) —
     * the ∫₀^τ S(t)dt readout modern trials quote INSTEAD of hazard
     * ratios (it is the average event-free time over the horizon, model-

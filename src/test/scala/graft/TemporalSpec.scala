@@ -428,6 +428,33 @@ class TemporalSpec extends SparkSpec {
       one(0).isNullAt(one(0).fieldIndex("z")))
   }
 
+  test("backtestSeasonalNaive: periodic series scores zero; hand MASE; invariant") {
+    // period-2 series 10,20,10,20,... : seasonal-naive is PERFECT on the
+    // holdout (mae 0, mase 0) while the lag-1 naive scale is 10
+    val per = (1 to 12).map(i => ("p", i.toLong, if (i % 2 == 1) 10L else 20L))
+    val dfP = per.toDF("k", "t", "v").repartition(3)
+    val p = Temporal.backtestSeasonalNaive(dfP, Seq("k"), "t", "v",
+      period = 2, holdout = 4).head
+    assert(p.getAs[Long]("n_test") == 4L)
+    assert(p.getAs[Double]("mae") == 0.0 && p.getAs[Double]("mase") == 0.0)
+    // trending series 1..12, m=2, h=2: forecast errors |11-9|=2, |12-10|=2
+    // -> mae 2, rmse 2; in-sample naive (t=2..10) steps of 1 -> scale 1,
+    // mase = 2
+    val tr = (1 to 12).map(i => ("t", i.toLong, i.toLong))
+    val r = Temporal.backtestSeasonalNaive(tr.toDF("k", "t", "v"), Seq("k"), "t", "v",
+      period = 2, holdout = 2).head
+    assert(r.getAs[Double]("mae") == 2.0 && r.getAs[Double]("rmse") == 2.0)
+    assert(r.getAs[Double]("mase") == 2.0)
+    // constant series: zero naive scale -> NULL mase, mae 0
+    val const = (1 to 8).map(i => ("c", i.toLong, 5L))
+    val c = Temporal.backtestSeasonalNaive(const.toDF("k", "t", "v"), Seq("k"), "t", "v",
+      period = 2, holdout = 2).head
+    assert(c.getAs[Double]("mae") == 0.0 && c.isNullAt(c.fieldIndex("mase")))
+    val g7 = Temporal.backtestSeasonalNaive(dfP.repartition(7), Seq("k"), "t", "v",
+      period = 2, holdout = 4).head
+    assert(g7.getAs[Double]("mase") == 0.0)
+  }
+
   test("rmst: hand step integral; horizon truncation; censoring extends; invariant") {
     // events at t=1 (S->0.5) and t=3 (S->0), tau=10:
     // RMST = 1 (S=1 head) + 0.5*(3-1) + 0*(10-3) = 2
