@@ -803,6 +803,23 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Luhn PAN audit (T67) over the documents corpus with deterministic
+    * injection (the synthetic text has no card numbers): every 41st doc
+    * gets a Luhn-valid test PAN, every 67th a Luhn-INVALID 16-digit run
+    * — the checksum must separate them identically on both engines. */
+  private def qDetectPan(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 41 === 0,
+        concat(col("text"), lit(" card 4539 1488 0343 6467 ok")))
+        .otherwise(col("text")).as("t0"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 67 === 0,
+          concat(col("t0"), lit(" ref 1234 5678 9012 3456 x")))
+          .otherwise(col("t0")).as("text"))
+    TextAnalysis.detectPan(base, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Uplift-by-decile / Qini readout (X288): customers ranked by account
     * balance as the "model score", md5 50/50 arms, conversion = any 1997+
     * order — the incremental-targeting evaluation beside q_cuped. */
@@ -6805,6 +6822,7 @@ object SparkEntry {
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
     "q_hellinger_drift_stream" -> (qHellingerDriftStream _),
     "q_als" -> (qAls _),
+    "q_detect_pan" -> (qDetectPan _),
     "q_transitions" -> (qTransitions _),
     "q_token_set_ratio" -> (qTokenSetRatio _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -9823,6 +9841,43 @@ object SparkEntry {
          FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
          WHERE levenshtein(s1.s_name, s2.s_name) <= 1
          ORDER BY left_id, right_id""",
+    // lookaround-free candidate regex (RE2 has none); Luhn as integer
+    // list arithmetic — list_filter/list_transform mirror Catalyst's
+    // filter/transform/aggregate; regexp_replace needs the 'g' flag here
+    // (Spark's replaces all matches by default)
+    "q_detect_pan" ->
+      """WITH t0 AS (SELECT doc_id,
+                CASE WHEN doc_id % 41 = 0
+                     THEN text || ' card 4539 1488 0343 6467 ok'
+                     ELSE text END AS t
+              FROM documents),
+         base AS (SELECT doc_id,
+                CASE WHEN doc_id % 67 = 0 THEN t || ' ref 1234 5678 9012 3456 x'
+                     ELSE t END AS text
+              FROM t0),
+         c AS (SELECT doc_id,
+                list_transform(regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}'),
+                               c -> regexp_replace(c, '[ -]', '', 'g')) AS ds
+              FROM base)
+         SELECT doc_id,
+                CAST(LEN(ds) AS BIGINT) AS n_candidates,
+                CAST(LEN(list_filter(ds, s ->
+                  list_sum(list_transform(range(1, length(s) + 1),
+                    i -> CASE WHEN i % 2 = 0 THEN
+                           CASE WHEN ascii(substr(s, length(s) - CAST(i AS INTEGER) + 1, 1)) - 48 >= 5
+                                THEN 2 * (ascii(substr(s, length(s) - CAST(i AS INTEGER) + 1, 1)) - 48) - 9
+                                ELSE 2 * (ascii(substr(s, length(s) - CAST(i AS INTEGER) + 1, 1)) - 48) END
+                         ELSE ascii(substr(s, length(s) - CAST(i AS INTEGER) + 1, 1)) - 48 END))
+                  % 10 = 0)) AS BIGINT) AS n_luhn_valid,
+                LEN(list_filter(ds, s ->
+                  list_sum(list_transform(range(1, length(s) + 1),
+                    i -> CASE WHEN i % 2 = 0 THEN
+                           CASE WHEN ascii(substr(s, length(s) - CAST(i AS INTEGER) + 1, 1)) - 48 >= 5
+                                THEN 2 * (ascii(substr(s, length(s) - CAST(i AS INTEGER) + 1, 1)) - 48) - 9
+                                ELSE 2 * (ascii(substr(s, length(s) - CAST(i AS INTEGER) + 1, 1)) - 48) END
+                         ELSE ascii(substr(s, length(s) - CAST(i AS INTEGER) + 1, 1)) - 48 END))
+                  % 10 = 0)) > 0 AS has_pan
+         FROM c ORDER BY doc_id""",
     // identical \x{..} ASCII regex text on both engines (Java / RE2 agree
     // on BMP classes); injection built with chr() codepoints; flagged
     // compares the ROUNDED score exactly like the Spark side

@@ -904,6 +904,40 @@ object TextAnalysis {
       nRedactions.as("n_redactions"))
   }
 
+  /** Luhn-validated card-number (PAN) detection — the HIGH-PRECISION
+    * upgrade over [[redactPii]]'s pattern-only screens for the one PII
+    * class with a built-in checksum: 13–19-digit candidates (spaces or
+    * dashes allowed) are checked with the Luhn mod-10 sum, so a random
+    * digit run only false-positives at ~10% while every real PAN is
+    * caught — the audit that decides whether a corpus needs the
+    * expensive redaction pass at all.
+    *
+    * Pure codegen'd Catalyst higher-order functions (transform/filter/
+    * aggregate over the candidate's digit positions — integer exact, no
+    * UDF), zero shuffle; the candidate regex avoids lookaround so the
+    * identical pattern runs on RE2. Returns (idCol, n_candidates,
+    * n_luhn_valid, has_pan). */
+  def detectPan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cand = "[0-9](?:[ -]?[0-9]){12,18}"
+    df.select(col(idCol),
+      regexp_extract_all(col(textCol), lit(cand), lit(0)).as("__cands"))
+      .withColumn("__ds",
+        expr("transform(__cands, c -> regexp_replace(c, '[ -]', ''))"))
+      .withColumn("n_candidates", size(col("__cands")).cast("long"))
+      .withColumn("n_luhn_valid", expr(
+        """size(filter(__ds, s ->
+             aggregate(
+               transform(sequence(1, length(s)),
+                 i -> CASE WHEN i % 2 = 0 THEN
+                        CASE WHEN ascii(substr(s, length(s) - i + 1, 1)) - 48 >= 5
+                             THEN 2 * (ascii(substr(s, length(s) - i + 1, 1)) - 48) - 9
+                             ELSE 2 * (ascii(substr(s, length(s) - i + 1, 1)) - 48) END
+                      ELSE ascii(substr(s, length(s) - i + 1, 1)) - 48 END),
+               0, (acc, x) -> acc + x) % 10 = 0))""").cast("long"))
+      .withColumn("has_pan", col("n_luhn_valid") > 0)
+      .drop("__cands", "__ds")
+  }
+
   /** Train a BPE merge table from the corpus (Sennrich et al. 2016).
     *
     * The classic trainer runs on the WORD-FREQUENCY dictionary, not the

@@ -732,6 +732,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("detectPan: Luhn separates real PANs from random digit runs; formats; lengths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay with 4539 1488 0343 6467 thanks"),        // valid visa test PAN
+      (2L, "fake 1234 5678 9012 3456 number"),            // candidate, Luhn-invalid
+      (3L, "dashes 4539-1488-0343-6467 work too"),
+      (4L, "short 1234 5678 and no candidates here"),
+      (5L, "two: 4539 1488 0343 6467 and 1234 5678 9012 3456"),
+      (6L, "amex 378282246310005 compact form")).toDF("doc_id", "text")
+    val got = TextAnalysis.detectPan(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_luhn_valid"),
+        r.getAs[Boolean]("has_pan")))
+    assert(got(0) == ((1L, 1L, true)))
+    assert(got(1) == ((1L, 0L, false)))
+    assert(got(2) == ((1L, 1L, true)))
+    assert(got(3) == ((0L, 0L, false)))
+    assert(got(4) == ((2L, 1L, true)))
+    assert(got(5) == ((1L, 1L, true))) // 15-digit amex passes Luhn
+  }
+
   test("encodingAnomalies: each detector fires on its artifact; clean text reads zero") {
     import spark.implicits._
     val docs = Seq(
