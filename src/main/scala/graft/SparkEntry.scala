@@ -837,6 +837,24 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Nearest-neighbor propensity matching (X294): md5 arms, balance-scaled
+    * score, 1997+ spend outcome, caliper 0.001 — the auditable matched-
+    * pair table behind an ATT readout. */
+  private def qPropensityMatch(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("__cents"))
+    val pop = Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        (Sampling.hashBucket(concat(col("c_custkey"), lit(":match")), 100) < 50).as("tr"),
+        ((col("c_acctbal") + 1000.0) / 12000.0).as("score"),
+        (coalesce(col("__cents"), lit(0L)).cast("double") / 100000.0).as("y"))
+    Models.propensityMatch(pop, "c_custkey", "tr", "score", "y", caliper = 0.001)
+      .orderBy("treated_id")
+  }
+
   /** Fixed-effect meta-analysis (X289): per-nation md5-arm mean-balance
     * differences with Welch SEs, pooled by inverse variance — one effect
     * + the Q/I² heterogeneity audit across 25 segments. */
@@ -6819,6 +6837,7 @@ object SparkEntry {
     "q_msprt" -> (qMsprt _),
     "q_uplift_deciles" -> (qUpliftDeciles _),
     "q_meta_analysis" -> (qMetaAnalysis _),
+    "q_propensity_match" -> (qPropensityMatch _),
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
     "q_hellinger_drift_stream" -> (qHellingerDriftStream _),
     "q_als" -> (qAls _),
@@ -9906,6 +9925,47 @@ object SparkEntry {
          SELECT doc_id, n_chars, n_replacement, n_control, n_c1, n_mojibake,
                 anomaly_score, anomaly_score > 0.001 AS flagged
          FROM sc ORDER BY doc_id""",
+    // caliper-cell band join replay: exact long floor-division cells, one
+    // collapsed control per distinct score (min id), argmin by (gap, cid)
+    // — mirrors Models.propensityMatch; cq = floor(0.001*1e9+0.5) = 1000000
+    "q_propensity_match" ->
+      """WITH spend AS (SELECT o_custkey,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1),
+         pop AS (SELECT c_custkey AS id,
+                (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':match'), 1, 8))::BIGINT % 100) < 50 AS tr,
+                (c_acctbal + 1000.0) / 12000.0 AS score,
+                CAST(COALESCE(cents, 0) AS DOUBLE) / 100000.0 AS y
+              FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+         base AS (SELECT id, tr,
+                CAST(FLOOR(score * 1e9 + 0.5) AS BIGINT) AS sq,
+                CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT) AS yq
+              FROM pop),
+         ctl AS (SELECT sq AS csq, id AS cid, yq AS cyq,
+                        (csq - (((csq % 1000000) + 1000000) % 1000000)) // 1000000 AS ccell
+                 FROM (SELECT sq, id, yq,
+                              ROW_NUMBER() OVER (PARTITION BY sq ORDER BY id, yq) AS rn
+                       FROM base WHERE NOT tr)
+                 WHERE rn = 1),
+         tre AS (SELECT id, sq, yq,
+                        (sq - (((sq % 1000000) + 1000000) % 1000000)) // 1000000 AS tcell
+                 FROM base WHERE tr),
+         cand AS (SELECT t.id, t.sq, t.yq, u.cnd
+                  FROM tre t CROSS JOIN
+                       unnest([t.tcell - 1, t.tcell, t.tcell + 1]) AS u(cnd)),
+         j AS (SELECT c2.id, c2.sq, c2.yq, ctl.cid, ctl.csq, ctl.cyq,
+                      ABS(c2.sq - ctl.csq) AS gap,
+                      ROW_NUMBER() OVER (PARTITION BY c2.id
+                                         ORDER BY ABS(c2.sq - ctl.csq), ctl.cid) AS rn
+               FROM cand c2 JOIN ctl ON c2.cnd = ctl.ccell
+               WHERE ABS(c2.sq - ctl.csq) <= 1000000)
+         SELECT id AS treated_id, cid AS control_id,
+                CAST(sq AS DOUBLE) / 1e9 AS score_t,
+                CAST(csq AS DOUBLE) / 1e9 AS score_c,
+                CAST(gap AS DOUBLE) / 1e9 AS score_gap,
+                CAST(yq AS DOUBLE) / 1000000.0 AS y_treated,
+                CAST(cyq AS DOUBLE) / 1000000.0 AS y_control
+         FROM j WHERE rn = 1 ORDER BY treated_id""",
     // per-nation welch-quantized moments -> effect/se chains -> 1e-6
     // quantized inverse-variance sums, pooled second pass for Q — mirrors
     // qMetaAnalysis + Sketches.metaAnalysis exactly

@@ -1143,6 +1143,78 @@ object Models {
           - col("__s0").cast("double") / col("__d0").cast("double")).as("ate_hajek"))
   }
 
+  /** Nearest-neighbor propensity matching WITH replacement under a
+    * caliper (Rosenbaum & Rubin 1983; the matching estimator member of
+    * the causal family beside X259/X260's IPW/AIPW weighting): each
+    * treated unit pairs with the control whose score is nearest within
+    * `caliper`, ties to the smaller control id; the matched-pair ATT is
+    * then mean(y_t − y_c) over the pairs (the caller's one aggregate —
+    * the operator returns the pair table so the match itself is
+    * auditable).
+    *
+    * SCALE SHAPE — no global sort, no single-partition window: scores
+    * quantize to the 1e-9 grid; controls collapse to ONE candidate per
+    * distinct score (smallest id); matching is a co-partitioned equi-join
+    * on caliper-width score CELLS (each treated row explodes to its 3
+    * adjacent cells — the spatial grid-join discipline), |gap| ≤ caliper
+    * filtered, argmin by exact (gap, control id) struct-min. Fanout is
+    * bounded by distinct control scores per caliper cell — the documented
+    * knob, exactly the radius-join contract. Treated units with no
+    * control in the caliper drop (count them against n_treated).
+    *
+    * Returns one row per matched treated unit: (treated_id, control_id,
+    * score_t, score_c, score_gap, y_treated, y_control). */
+  def propensityMatch(
+      df: DataFrame,
+      idCol: String,
+      treatedCol: String,
+      scoreCol: String,
+      outcomeCol: String,
+      caliper: Double,
+      dp: Int = 6): DataFrame = {
+    require(caliper > 0, s"caliper must be > 0, got $caliper")
+    val cq = math.max(1L, math.floor(caliper * 1e9 + 0.5).toLong)
+    val base = df.select(
+      col(idCol).cast("long").as("__id"),
+      col(treatedCol).cast("boolean").as("__tr"),
+      floor(col(scoreCol).cast("double") * 1e9 + 0.5).cast("long").as("__sq"),
+      floor(col(outcomeCol).cast("double") * 1e6 + 0.5).cast("long").as("__yq"))
+    // exact long floor-division (negative-score-safe; a double divide
+    // would lose grid precision past 2^53)
+    def cell(c: Column) = expr(
+      s"(${c.toString} - (((${c.toString} % $cq) + $cq) % $cq)) div $cq")
+    val ctl = base.filter(!col("__tr"))
+      .groupBy(col("__sq").as("__csq"))
+      .agg(min(struct(col("__id"), col("__yq"))).as("__c"))
+      .select(col("__csq"), col("__c.__id").as("__cid"), col("__c.__yq").as("__cyq"))
+      .withColumn("__ccell", cell(col("__csq")))
+    val tre = base.filter(col("__tr"))
+      .withColumn("__cell", cell(col("__sq")))
+      .withColumn("__cand",
+        explode(array(col("__cell") - 1, col("__cell"), col("__cell") + 1)))
+    tre.join(ctl, col("__cand") === col("__ccell"))
+      .filter(abs(col("__sq") - col("__csq")) <= cq)
+      .groupBy(col("__id").as("treated_id"))
+      .agg(
+        max(col("__sq")).as("__tsq"),
+        max(col("__yq")).as("__tyq"),
+        min(struct(abs(col("__sq") - col("__csq")).as("__gap"),
+          col("__cid"), col("__csq"), col("__cyq"))).as("__b"))
+      .select(
+        // UNROUNDED: every output is an exact-rational double (long/1e9 or
+        // long/1e6) — identical bits on any engine, while a 6-dp ROUND
+        // re-introduces the half-way knife-edge (measured: gap 997500ns
+        // rendered .000998 via Spark's HALF_UP vs .000997 via DuckDB's
+        // half-even at sf0.01)
+        col("treated_id"),
+        col("__b.__cid").as("control_id"),
+        (col("__tsq").cast("double") / 1e9).as("score_t"),
+        (col("__b.__csq").cast("double") / 1e9).as("score_c"),
+        (col("__b.__gap").cast("double") / 1e9).as("score_gap"),
+        (col("__tyq").cast("double") / 1e6).as("y_treated"),
+        (col("__b.__cyq").cast("double") / 1e6).as("y_control"))
+  }
+
   /** Rank-2 alternating-least-squares matrix factorization (Koren–Bell–
     * Volinsky 2009; the Netflix-era collaborative-filtering staple) — the
     * in-engine FACTOR-model trainer beside X128's neighborhood item-item

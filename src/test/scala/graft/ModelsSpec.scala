@@ -393,6 +393,37 @@ class ModelsSpec extends SparkSpec {
     assert(r.getAs[Double]("accuracy") == 1.0)
   }
 
+  test("propensityMatch: nearest control within caliper; ties to smaller id; drops unmatched") {
+    // id, treated, score, y
+    val rows = Seq(
+      (1L, true, 0.50, 10.0),  // nearest control is c=12 at .51 (gap .01)
+      (2L, true, 0.80, 20.0),  // no control within caliper .02 -> dropped
+      (3L, true, 0.30, 30.0),  // equidistant .29/.31 -> smaller cid 13
+      (11L, false, 0.48, 2.0),
+      (12L, false, 0.51, 4.0),
+      (13L, false, 0.29, 3.0),
+      (14L, false, 0.31, 5.0),
+      (15L, false, 0.29, 99.0)) // duplicate score: id 13 < 15 carries the y
+      .toDF("id", "tr", "score", "y").repartition(3)
+    val got = Models.propensityMatch(rows, "id", "tr", "score", "y", caliper = 0.02)
+      .orderBy("treated_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("treated_id") == 1L &&
+      got(0).getAs[Long]("control_id") == 12L &&
+      got(0).getAs[Double]("score_gap") == 0.01 &&
+      got(0).getAs[Double]("y_control") == 4.0)
+    assert(got(1).getAs[Long]("treated_id") == 3L &&
+      got(1).getAs[Long]("control_id") == 13L &&
+      got(1).getAs[Double]("y_control") == 3.0)
+    // matched-pair ATT: ((10-4) + (30-3)) / 2 = 16.5
+    val att = got.map(r => r.getAs[Double]("y_treated") - r.getAs[Double]("y_control"))
+      .sum / got.length
+    assert(att == 16.5)
+    val g7 = Models.propensityMatch(rows.repartition(7), "id", "tr", "score", "y", 0.02)
+      .orderBy("treated_id").collect().map(_.getAs[Long]("control_id")).toSeq
+    assert(g7 == Seq(12L, 13L))
+  }
+
   test("alsRank2: reconstructs a planted rank-1 matrix; rmse falls with sweeps; invariant") {
     // r_ui = a_u * b_i exactly (rank 1 < 2): ALS must drive RMSE near 0
     val as = Map(1L -> 1.0, 2L -> 2.0, 3L -> 0.5, 4L -> 1.5)
