@@ -889,6 +889,13 @@ object SparkEntry {
       "o_orderstatus", "v", a = "O", b = "F",
       alpha = 0.05, power = 0.8, targetEffect = Some(0.01))
 
+  /** Standardized effect sizes (X296) on the q_ab_test arms — Cohen's d,
+    * Hedges' g, Glass's Δ beside the Welch verdict's p. */
+  private def qEffectSize(s: SparkSession, d: String): DataFrame =
+    Sketches.effectSize(
+      Tables.orders(s, d).withColumn("v", col("o_totalprice") / 100000.0),
+      "o_orderstatus", "v", a = "O", b = "F")
+
   /** Always-valid mSPRT readout (X291) on the q_ab_test arms — the
     * peeking-safe sequential p beside the fixed-n Welch verdict. */
   private def qMsprt(s: SparkSession, d: String): DataFrame =
@@ -6039,6 +6046,17 @@ object SparkEntry {
       .orderBy("test_id")
   }
 
+  /** Benjamini–Yekutieli adjustment (X295) over the q_bh_adjust family —
+    * the dependence-robust sibling (same envelope, harmonic penalty). */
+  private def qByAdjust(s: SparkSession, d: String): DataFrame = {
+    val tests = Tables.nation(s, d).select(
+      col("n_name").as("test_id"),
+      (conv(substring(md5(col("n_name")), 1, 8), 16, 10).cast("long") /
+        4294967296.0).as("p_value"))
+    Quality.byAdjust(tests, "test_id", "p_value", alpha = 0.2)
+      .orderBy("test_id")
+  }
+
   /** Exact 10% trimmed mean of line-item price per return flag. */
   private def qTrimmedMean(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(
@@ -6835,6 +6853,7 @@ object SparkEntry {
     "q_ab_test" -> (qAbTest _),
     "q_ab_power" -> (qAbPower _),
     "q_msprt" -> (qMsprt _),
+    "q_effect_size" -> (qEffectSize _),
     "q_uplift_deciles" -> (qUpliftDeciles _),
     "q_meta_analysis" -> (qMetaAnalysis _),
     "q_propensity_match" -> (qPropensityMatch _),
@@ -7140,6 +7159,7 @@ object SparkEntry {
     "q_theil_sen" -> (qTheilSen _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_bh_adjust" -> (qBhAdjust _),
+    "q_by_adjust" -> (qByAdjust _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_gini_stream" -> (qGiniStream _),
     "q_diversity_stream" -> (qDiversityStream _),
@@ -10043,6 +10063,38 @@ object SparkEntry {
                   ROUND(CAST(cct AS DOUBLE)
                         - CAST(ccc AS DOUBLE) * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE), 6) END AS qini
          FROM cum ORDER BY bucket""",
+    // the ab_test moment CTEs -> pooled-sd / bias-corrected chains
+    "q_effect_size" ->
+      """WITH g AS (
+           SELECT o_orderstatus AS st,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+         w AS (SELECT
+           MAX(CASE WHEN st = 'O' THEN n END) AS na,
+           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
+           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
+           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
+           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
+           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
+           FROM g),
+         v AS (SELECT na, nb,
+                      (ssa - sa * sa / na) / (na - 1) AS va,
+                      (ssb - sb * sb / nb) / (nb - 1) AS vb,
+                      sa / na - sb / nb AS diff
+               FROM w),
+         e AS (SELECT na, nb, va, vb, diff,
+                      SQRT(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) AS sp,
+                      1.0 - 3.0 / (4.0 * (na + nb) - 9.0) AS corr
+               FROM v)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                ROUND(diff, 6) AS mean_diff,
+                CASE WHEN sp > 0 THEN ROUND(sp, 6) END AS pooled_sd,
+                CASE WHEN sp > 0 THEN ROUND(diff / sp, 6) END AS cohens_d,
+                CASE WHEN sp > 0 THEN ROUND(diff / sp * corr, 6) END AS hedges_g,
+                CASE WHEN vb > 0 THEN ROUND(diff / SQRT(vb), 6) END AS glass_delta
+         FROM e""",
     // tau^2 literal is the exact IEEE double 0.1*0.1 the Spark side
     // computes; reject compares the unrounded p like Sketches.msprt
     "q_msprt" ->
@@ -13776,6 +13828,27 @@ object SparkEntry {
                             MIN(p_value * m / i) OVER (ORDER BY p_value DESC, test_id DESC
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q_value
                FROM r)
+         SELECT test_id, p_value, CAST(i AS BIGINT) AS rank, q_value,
+                (q_value <= 0.2) AS reject
+         FROM q ORDER BY test_id""",
+    // bh family + in-plan harmonic H_m from 1e-12-quantized 1/rank terms
+    "q_by_adjust" ->
+      """WITH t AS (SELECT n_name AS test_id,
+                           ('0x' || substr(md5(n_name), 1, 8))::BIGINT /
+                             CAST(4294967296.0 AS DOUBLE) AS p_value
+                    FROM nation),
+         r AS (SELECT test_id, p_value,
+                      ROW_NUMBER() OVER (ORDER BY p_value, test_id) AS i,
+                      COUNT(*) OVER () AS m
+               FROM t),
+         h AS (SELECT test_id, p_value, i, m,
+                      CAST(SUM(CAST(FLOOR(1e12 / CAST(i AS DOUBLE) + 0.5) AS BIGINT)) OVER () AS DOUBLE) / 1e12 AS hm
+               FROM r),
+         q AS (SELECT test_id, p_value, i,
+                      LEAST(CAST(1.0 AS DOUBLE),
+                            MIN(p_value * m * hm / i) OVER (ORDER BY p_value DESC, test_id DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q_value
+               FROM h)
          SELECT test_id, p_value, CAST(i AS BIGINT) AS rank, q_value,
                 (q_value <= 0.2) AS reject
          FROM q ORDER BY test_id""",

@@ -521,6 +521,41 @@ object Quality {
       .drop("__m")
   }
 
+  /** Benjamini–Yekutieli step-up (Ann. Statist. 2001) — [[bhAdjust]]'s
+    * sibling that stays valid under ARBITRARY dependence between the
+    * tests (BH needs independence/PRDS; correlated per-segment tests on
+    * overlapping data are exactly where that assumption dies): same
+    * step-up envelope with the harmonic penalty, q_i = min_{k≥i}
+    * p_(k)·m·H_m/k, H_m = Σ_{j≤m} 1/j.
+    *
+    * H_m is computed IN-PLAN as the sum of 1/rank over the family — the
+    * ranks are exactly 1..m — with each term quantized to a 1e-12 long
+    * first (a raw float sum over the window would be row-order-dependent
+    * across engines); everything else is the bhAdjust discipline. */
+  def byAdjust(
+      df: DataFrame,
+      idCol: String,
+      pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val p = col(pCol).cast("double")
+    val w = Window.orderBy(p, col(idCol))
+    val wAll = Window.partitionBy()
+    val wRev = Window.orderBy(p.desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__h",
+        sum(floor(lit(1e12) / col("rank").cast("double") + 0.5).cast("long"))
+          .over(wAll).cast("double") / 1e12)
+      .withColumn("q_value",
+        least(lit(1.0),
+          min(p * col("__m") * col("__h") / col("rank")).over(wRev)))
+      .withColumn("reject", col("q_value") <= alpha)
+      .drop("__m", "__h")
+  }
+
   /** Source-ablation readout — the closed-form leave-one-source-out
     * influence of each source on a corpus mean (the cheap end of data
     * valuation: for MEANS, deletion influence needs no refit, only the

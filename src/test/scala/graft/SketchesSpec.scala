@@ -1290,6 +1290,27 @@ class SketchesSpec extends SparkSpec {
     assert(g7.getAs[Double]("q_stat") == 7.2)
   }
 
+  test("effectSize: hand Cohen's d / Hedges g / Glass delta; degenerate NULLs") {
+    import spark.implicits._
+    // a {0,2,4}: mean 2, var 4; b {1,1,1,3}: mean 1.5, var 1
+    // sp = sqrt((2*4 + 3*1)/5) = sqrt(2.2); d = .5/sqrt(2.2)
+    // g = d*(1 - 3/(4*7-9)) = d*16/19; glass = .5/1
+    val df = (Seq(0.0, 2.0, 4.0).map(("a", _)) ++
+      Seq(1.0, 1.0, 1.0, 3.0).map(("b", _))).toDF("g", "v").repartition(3)
+    val r = Sketches.effectSize(df, "g", "v", "a", "b").head
+    assert(r.getAs[Double]("mean_diff") == 0.5)
+    assert(math.abs(r.getAs[Double]("pooled_sd") - math.sqrt(2.2)) < 1e-6)
+    val d = 0.5 / math.sqrt(2.2)
+    assert(math.abs(r.getAs[Double]("cohens_d") - d) < 1e-6)
+    assert(math.abs(r.getAs[Double]("hedges_g") - d * 16 / 19) < 1e-6)
+    assert(r.getAs[Double]("glass_delta") == 0.5)
+    // both groups constant: pooled sd 0 -> NULL d/g (diff survives)
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val c = Sketches.effectSize(const, "g", "v", "a", "b").head
+    assert(c.getAs[Double]("mean_diff") == 2.0)
+    assert(c.isNullAt(c.fieldIndex("cohens_d")) && c.isNullAt(c.fieldIndex("glass_delta")))
+  }
+
   test("msprt: null effect clamps p to 1; planted effect rejects; hand log-lambda") {
     import spark.implicits._
     // arms {0,2} vs {1,1}: se2 = 1, d = 0, tau = 1:

@@ -312,6 +312,24 @@ class SpatialSpec extends SparkSpec {
     assert(out.map(_._4).toSeq === Seq(true, true, true, false))
   }
 
+  test("byAdjust applies the harmonic penalty — always at least as conservative as BH") {
+    // m=4, H4 = 1 + 1/2 + 1/3 + 1/4 = 25/12: BY q = BH q * H4 (same
+    // envelope shape here since raws scale uniformly)
+    val tests = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.2))
+      .toDF("id", "p")
+    val by = graft.operators.Quality.byAdjust(tests, "id", "p", alpha = 0.05)
+      .orderBy("rank").select("q_value", "reject")
+      .as[(Double, Boolean)].collect()
+    val h4 = 25.0 / 12.0
+    assert(math.abs(by(0)._1 - 0.04 * h4) < 1e-9)
+    assert(math.abs(by(3)._1 - math.min(1.0, 0.2 * h4)) < 1e-9)
+    // 0.04*H4 = .0833 > alpha .05: the dependence tax flips the rejects
+    assert(by.map(_._2).toSeq === Seq(false, false, false, false))
+    val bh = graft.operators.Quality.bhAdjust(tests, "id", "p")
+      .orderBy("rank").select("q_value").as[Double].collect()
+    assert(by.map(_._1).zip(bh).forall { case (b, h) => b >= h })
+  }
+
   test("bhAdjust envelope is monotone when a later raw value dips") {
     // p = [.01, .04, .045]: raw = .03, .06, .045 -> envelope .03, .045, .045
     val tests = Seq(("a", 0.01), ("b", 0.04), ("c", 0.045)).toDF("id", "p")
