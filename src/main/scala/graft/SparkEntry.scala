@@ -889,6 +889,31 @@ object SparkEntry {
       "o_orderstatus", "v", a = "O", b = "F",
       alpha = 0.05, power = 0.8, targetEffect = Some(0.01))
 
+  /** STREAMING mSPRT monitor (S46, 44th gate): the always-valid p is
+    * DESIGNED for this deployment — per-arm integer moment sums
+    * accumulate in the state store (complete mode, TWO state rows —
+    * arm-domain-bounded) as orders stream in, and the peeking-safe
+    * readout finishes in batch off the sink, honest at EVERY look.
+    * Integer state ⇒ stream == batch bit-exactly — shares q_msprt's
+    * oracle verbatim. */
+  private def qMsprtStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+      .withColumn("v", col("o_totalprice") / 100000.0)
+    val name = "graft_msprt_stream"
+    withStatePartitions(s, 1) {
+      val q = Sketches.msprtMoments(stream, "o_orderstatus", "v", a = "O", b = "F")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.msprtAssemble(s.table(name), "o_orderstatus", a = "O", b = "F", tau = 0.1)
+  }
+
   /** Standardized effect sizes (X296) on the q_ab_test arms — Cohen's d,
     * Hedges' g, Glass's Δ beside the Welch verdict's p. */
   private def qEffectSize(s: SparkSession, d: String): DataFrame =
@@ -6854,6 +6879,7 @@ object SparkEntry {
     "q_ab_power" -> (qAbPower _),
     "q_msprt" -> (qMsprt _),
     "q_effect_size" -> (qEffectSize _),
+    "q_msprt_stream" -> (qMsprtStream _),
     "q_uplift_deciles" -> (qUpliftDeciles _),
     "q_meta_analysis" -> (qMetaAnalysis _),
     "q_propensity_match" -> (qPropensityMatch _),
@@ -7679,6 +7705,40 @@ object SparkEntry {
      SELECT '__DIRECT__', CAST(nconv - ntouched AS DOUBLE), CAST(NULL AS DOUBLE)
      FROM tot
      ORDER BY channel"""
+
+  /** Two-sample mSPRT replay — shared verbatim by the batch gate and
+    * the S46 streaming twin (integer moment state ⇒ stream == batch). */
+  private lazy val msprtOracle: String =
+    """WITH g AS (
+           SELECT o_orderstatus AS st,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+         w AS (SELECT
+           MAX(CASE WHEN st = 'O' THEN n END) AS na,
+           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
+           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
+           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
+           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
+           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
+           FROM g),
+         v AS (SELECT na, nb,
+                      ((ssa - sa * sa / na) / (na - 1)) / na
+                        + ((ssb - sb * sb / nb) / (nb - 1)) / nb AS se2,
+                      sa / na - sb / nb AS d
+               FROM w),
+         l AS (SELECT na, nb, d,
+                      0.5 * LN(se2 / (se2 + 0.010000000000000002))
+                        + 0.010000000000000002 * (d - 0.0) * (d - 0.0)
+                          / (2.0 * se2 * (se2 + 0.010000000000000002)) AS ll
+               FROM v)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                ROUND(d, 6) AS diff,
+                ROUND(ll, 6) AS log_lambda,
+                ROUND(LEAST(1.0, EXP(-ll)), 6) AS p_always_valid,
+                LEAST(1.0, EXP(-ll)) <= 0.05 AS reject
+         FROM l"""
 
   /** Full rank-2 ALS replay: 2 alternating ridge sweeps (4 half-steps)
     * unrolled as MATERIALIZED CTEs — mirrors
@@ -10096,38 +10156,10 @@ object SparkEntry {
                 CASE WHEN vb > 0 THEN ROUND(diff / SQRT(vb), 6) END AS glass_delta
          FROM e""",
     // tau^2 literal is the exact IEEE double 0.1*0.1 the Spark side
-    // computes; reject compares the unrounded p like Sketches.msprt
-    "q_msprt" ->
-      """WITH g AS (
-           SELECT o_orderstatus AS st,
-                  CAST(COUNT(*) AS DOUBLE) AS n,
-                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
-                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
-           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
-         w AS (SELECT
-           MAX(CASE WHEN st = 'O' THEN n END) AS na,
-           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
-           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
-           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
-           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
-           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
-           FROM g),
-         v AS (SELECT na, nb,
-                      ((ssa - sa * sa / na) / (na - 1)) / na
-                        + ((ssb - sb * sb / nb) / (nb - 1)) / nb AS se2,
-                      sa / na - sb / nb AS d
-               FROM w),
-         l AS (SELECT na, nb, d,
-                      0.5 * LN(se2 / (se2 + 0.010000000000000002))
-                        + 0.010000000000000002 * (d - 0.0) * (d - 0.0)
-                          / (2.0 * se2 * (se2 + 0.010000000000000002)) AS ll
-               FROM v)
-         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-                ROUND(d, 6) AS diff,
-                ROUND(ll, 6) AS log_lambda,
-                ROUND(LEAST(1.0, EXP(-ll)), 6) AS p_always_valid,
-                LEAST(1.0, EXP(-ll)) <= 0.05 AS reject
-         FROM l""",
+    // computes; reject compares the unrounded p like Sketches.msprt;
+    // the streaming twin shares it verbatim (integer moment state)
+    "q_msprt" -> msprtOracle,
+    "q_msprt_stream" -> msprtOracle,
     // z literals are the published normal quantiles; 2.8015852181129683 is
     // the IEEE sum z_{.975}+z_{.8} computed identically on the Spark side,
     // and 0.0001 is exactly the double 0.01*0.01

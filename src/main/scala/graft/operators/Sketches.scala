@@ -801,20 +801,49 @@ object Sketches {
       tau: Double,
       mu0: Double = 0.0,
       alpha: Double = 0.05,
+      dp: Int = 6): DataFrame =
+    msprtAssemble(msprtMoments(df, groupCol, valueCol, a, b),
+      groupCol, a, b, tau, mu0, alpha, dp)
+
+  /** Moment half of [[msprt]]: per-arm (count, quantized Σv, Σv²) as
+    * exact LONG sums — the streaming twin accumulates exactly these in
+    * the state store (sums of disjoint partial sums equal the direct
+    * sums, so stream == batch bit-exactly). */
+  def msprtMoments(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String): DataFrame = {
+    def q(e: Column) = sum(floor(e * 1000000.0 + 0.5).cast("long"))
+    val v = col(valueCol).cast("double")
+    df.filter(col(groupCol).isin(a, b))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), q(v).as("__sq"), q(v * v).as("__ssq"))
+  }
+
+  /** Readout half of [[msprt]] over the per-arm integer moment rows —
+    * the always-valid p is DESIGNED for this split: the state updates
+    * every micro-batch and the readout stays honest at every look. */
+  def msprtAssemble(
+      byGroup: DataFrame,
+      groupCol: String,
+      a: String,
+      b: String,
+      tau: Double,
+      mu0: Double = 0.0,
+      alpha: Double = 0.05,
       dp: Int = 6): DataFrame = {
     require(tau > 0, s"tau must be > 0, got $tau")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
-    def S(e: Column) =
-      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
-    val v = col(valueCol).cast("double")
-    val byGroup = df
-      .filter(col(groupCol).isin(a, b))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
     def pick(g: String, c: String) = max(when(col(groupCol) === g, col(c)))
     val wide = byGroup.agg(
-      pick(a, "__n").as("na"), pick(a, "__s").as("sa"), pick(a, "__ss").as("ssa"),
-      pick(b, "__n").as("nb"), pick(b, "__s").as("sb"), pick(b, "__ss").as("ssb"))
+      pick(a, "__n").cast("double").as("na"),
+      (pick(a, "__sq").cast("double") / 1000000.0).as("sa"),
+      (pick(a, "__ssq").cast("double") / 1000000.0).as("ssa"),
+      pick(b, "__n").cast("double").as("nb"),
+      (pick(b, "__sq").cast("double") / 1000000.0).as("sb"),
+      (pick(b, "__ssq").cast("double") / 1000000.0).as("ssb"))
     val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
     val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
     val se2 = va / col("na") + vb / col("nb")
