@@ -914,6 +914,51 @@ object SparkEntry {
     Sketches.msprtAssemble(s.table(name), "o_orderstatus", a = "O", b = "F", tau = 0.1)
   }
 
+  /** STREAMING A/B power monitor (S47, 45th gate): the SAME two-row
+    * integer moment state as S46 feeds the MDE readout — "what effect
+    * could we detect RIGHT NOW" updating per micro-batch. Integer state
+    * ⇒ stream == batch bit-exactly, shares q_ab_power's oracle. */
+  private def qAbPowerStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+      .withColumn("v", col("o_totalprice") / 100000.0)
+    val name = "graft_ab_power_stream"
+    withStatePartitions(s, 1) {
+      val q = Sketches.msprtMoments(stream, "o_orderstatus", "v", a = "O", b = "F")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.abPowerAssemble(s.table(name), "o_orderstatus", a = "O", b = "F",
+      alpha = 0.05, power = 0.8, targetEffect = Some(0.01))
+  }
+
+  /** STREAMING effect-size monitor (S48, 46th gate): Cohen's d / Hedges'
+    * g / Glass's Δ off the same two-row integer moment state — the live
+    * magnitude dashboard beside the S46 verdict and S47 design monitors.
+    * Shares q_effect_size's oracle verbatim. */
+  private def qEffectSizeStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+      .withColumn("v", col("o_totalprice") / 100000.0)
+    val name = "graft_effect_size_stream"
+    withStatePartitions(s, 1) {
+      val q = Sketches.msprtMoments(stream, "o_orderstatus", "v", a = "O", b = "F")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.effectSizeAssemble(s.table(name), "o_orderstatus", a = "O", b = "F")
+  }
+
   /** Standardized effect sizes (X296) on the q_ab_test arms — Cohen's d,
     * Hedges' g, Glass's Δ beside the Welch verdict's p. */
   private def qEffectSize(s: SparkSession, d: String): DataFrame =
@@ -6880,6 +6925,8 @@ object SparkEntry {
     "q_msprt" -> (qMsprt _),
     "q_effect_size" -> (qEffectSize _),
     "q_msprt_stream" -> (qMsprtStream _),
+    "q_ab_power_stream" -> (qAbPowerStream _),
+    "q_effect_size_stream" -> (qEffectSizeStream _),
     "q_uplift_deciles" -> (qUpliftDeciles _),
     "q_meta_analysis" -> (qMetaAnalysis _),
     "q_propensity_match" -> (qPropensityMatch _),
@@ -7705,6 +7752,68 @@ object SparkEntry {
      SELECT '__DIRECT__', CAST(nconv - ntouched AS DOUBLE), CAST(NULL AS DOUBLE)
      FROM tot
      ORDER BY channel"""
+
+  /** A/B power replay — shared by the batch gate and the S47 twin. */
+  private lazy val abPowerOracle: String =
+    """WITH g AS (
+           SELECT o_orderstatus AS st,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+         w AS (SELECT
+           MAX(CASE WHEN st = 'O' THEN n END) AS na,
+           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
+           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
+           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
+           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
+           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
+           FROM g),
+         v AS (SELECT na, nb,
+                      (ssa - sa * sa / na) / (na - 1) AS va,
+                      (ssb - sb * sb / nb) / (nb - 1) AS vb,
+                      sa / na - sb / nb AS diff
+               FROM w)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                ROUND(diff, 6) AS observed_diff,
+                ROUND(SQRT(va / na + vb / nb), 6) AS se_diff,
+                ROUND(2.8015852181129683 * SQRT(va / na + vb / nb), 6) AS mde,
+                CAST(CEIL(2.8015852181129683 * 2.8015852181129683 * (va + vb) / 0.0001) AS BIGINT)
+                  AS n_required_per_arm
+         FROM v"""
+
+  /** Effect-size replay — shared by the batch gate and the S48 twin. */
+  private lazy val effectSizeOracle: String =
+    """WITH g AS (
+           SELECT o_orderstatus AS st,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+         w AS (SELECT
+           MAX(CASE WHEN st = 'O' THEN n END) AS na,
+           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
+           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
+           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
+           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
+           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
+           FROM g),
+         v AS (SELECT na, nb,
+                      (ssa - sa * sa / na) / (na - 1) AS va,
+                      (ssb - sb * sb / nb) / (nb - 1) AS vb,
+                      sa / na - sb / nb AS diff
+               FROM w),
+         e AS (SELECT na, nb, va, vb, diff,
+                      SQRT(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) AS sp,
+                      1.0 - 3.0 / (4.0 * (na + nb) - 9.0) AS corr
+               FROM v)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                ROUND(diff, 6) AS mean_diff,
+                CASE WHEN sp > 0 THEN ROUND(sp, 6) END AS pooled_sd,
+                CASE WHEN sp > 0 THEN ROUND(diff / sp, 6) END AS cohens_d,
+                CASE WHEN sp > 0 THEN ROUND(diff / sp * corr, 6) END AS hedges_g,
+                CASE WHEN vb > 0 THEN ROUND(diff / SQRT(vb), 6) END AS glass_delta
+         FROM e"""
 
   /** Two-sample mSPRT replay — shared verbatim by the batch gate and
     * the S46 streaming twin (integer moment state ⇒ stream == batch). */
@@ -10124,37 +10233,8 @@ object SparkEntry {
                         - CAST(ccc AS DOUBLE) * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE), 6) END AS qini
          FROM cum ORDER BY bucket""",
     // the ab_test moment CTEs -> pooled-sd / bias-corrected chains
-    "q_effect_size" ->
-      """WITH g AS (
-           SELECT o_orderstatus AS st,
-                  CAST(COUNT(*) AS DOUBLE) AS n,
-                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
-                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
-           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
-         w AS (SELECT
-           MAX(CASE WHEN st = 'O' THEN n END) AS na,
-           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
-           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
-           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
-           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
-           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
-           FROM g),
-         v AS (SELECT na, nb,
-                      (ssa - sa * sa / na) / (na - 1) AS va,
-                      (ssb - sb * sb / nb) / (nb - 1) AS vb,
-                      sa / na - sb / nb AS diff
-               FROM w),
-         e AS (SELECT na, nb, va, vb, diff,
-                      SQRT(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) AS sp,
-                      1.0 - 3.0 / (4.0 * (na + nb) - 9.0) AS corr
-               FROM v)
-         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-                ROUND(diff, 6) AS mean_diff,
-                CASE WHEN sp > 0 THEN ROUND(sp, 6) END AS pooled_sd,
-                CASE WHEN sp > 0 THEN ROUND(diff / sp, 6) END AS cohens_d,
-                CASE WHEN sp > 0 THEN ROUND(diff / sp * corr, 6) END AS hedges_g,
-                CASE WHEN vb > 0 THEN ROUND(diff / SQRT(vb), 6) END AS glass_delta
-         FROM e""",
+    "q_effect_size" -> effectSizeOracle,
+    "q_effect_size_stream" -> effectSizeOracle,
     // tau^2 literal is the exact IEEE double 0.1*0.1 the Spark side
     // computes; reject compares the unrounded p like Sketches.msprt;
     // the streaming twin shares it verbatim (integer moment state)
@@ -10163,33 +10243,8 @@ object SparkEntry {
     // z literals are the published normal quantiles; 2.8015852181129683 is
     // the IEEE sum z_{.975}+z_{.8} computed identically on the Spark side,
     // and 0.0001 is exactly the double 0.01*0.01
-    "q_ab_power" ->
-      """WITH g AS (
-           SELECT o_orderstatus AS st,
-                  CAST(COUNT(*) AS DOUBLE) AS n,
-                  CAST(SUM(CAST(FLOOR(o_totalprice / 100000.0 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
-                  CAST(SUM(CAST(FLOOR((o_totalprice / 100000.0) * (o_totalprice / 100000.0) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
-           FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
-         w AS (SELECT
-           MAX(CASE WHEN st = 'O' THEN n END) AS na,
-           MAX(CASE WHEN st = 'O' THEN s END) AS sa,
-           MAX(CASE WHEN st = 'O' THEN ss END) AS ssa,
-           MAX(CASE WHEN st = 'F' THEN n END) AS nb,
-           MAX(CASE WHEN st = 'F' THEN s END) AS sb,
-           MAX(CASE WHEN st = 'F' THEN ss END) AS ssb
-           FROM g),
-         v AS (SELECT na, nb,
-                      (ssa - sa * sa / na) / (na - 1) AS va,
-                      (ssb - sb * sb / nb) / (nb - 1) AS vb,
-                      sa / na - sb / nb AS diff
-               FROM w)
-         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-                ROUND(diff, 6) AS observed_diff,
-                ROUND(SQRT(va / na + vb / nb), 6) AS se_diff,
-                ROUND(2.8015852181129683 * SQRT(va / na + vb / nb), 6) AS mde,
-                CAST(CEIL(2.8015852181129683 * 2.8015852181129683 * (va + vb) / 0.0001) AS BIGINT)
-                  AS n_required_per_arm
-         FROM v""",
+    "q_ab_power" -> abPowerOracle,
+    "q_ab_power_stream" -> abPowerOracle,
     "q_ab_test" ->
       """WITH g AS (
            SELECT o_orderstatus AS st,

@@ -698,6 +698,20 @@ object Sketches {
       alpha: Double = 0.05,
       power: Double = 0.8,
       targetEffect: Option[Double] = None,
+      dp: Int = 6): DataFrame =
+    abPowerAssemble(msprtMoments(df, groupCol, valueCol, a, b),
+      groupCol, a, b, alpha, power, targetEffect, dp)
+
+  /** Readout half of [[abPower]] over the shared per-arm integer moment
+    * rows ([[msprtMoments]]) — the streaming twin's state shape. */
+  def abPowerAssemble(
+      byGroup: DataFrame,
+      groupCol: String,
+      a: String,
+      b: String,
+      alpha: Double = 0.05,
+      power: Double = 0.8,
+      targetEffect: Option[Double] = None,
       dp: Int = 6): DataFrame = {
     val zAlpha = Map(0.01 -> 2.5758293035489004,
       0.05 -> 1.959963984540054, 0.1 -> 1.6448536269514722)
@@ -707,17 +721,14 @@ object Sketches {
     require(zPower.contains(power), s"power must be one of ${zPower.keys}, got $power")
     targetEffect.foreach(e => require(e > 0, s"targetEffect must be > 0, got $e"))
     val zSum = zAlpha(alpha) + zPower(power)
-    def S(e: Column) =
-      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
-    val v = col(valueCol).cast("double")
-    val byGroup = df
-      .filter(col(groupCol).isin(a, b))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
     def pick(g: String, c: String) = max(when(col(groupCol) === g, col(c)))
     val wide = byGroup.agg(
-      pick(a, "__n").as("na"), pick(a, "__s").as("sa"), pick(a, "__ss").as("ssa"),
-      pick(b, "__n").as("nb"), pick(b, "__s").as("sb"), pick(b, "__ss").as("ssb"))
+      pick(a, "__n").cast("double").as("na"),
+      (pick(a, "__sq").cast("double") / 1000000.0).as("sa"),
+      (pick(a, "__ssq").cast("double") / 1000000.0).as("ssa"),
+      pick(b, "__n").cast("double").as("nb"),
+      (pick(b, "__sq").cast("double") / 1000000.0).as("sb"),
+      (pick(b, "__ssq").cast("double") / 1000000.0).as("ssb"))
     val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
     val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
     val seDiff = sqrt(va / col("na") + vb / col("nb"))
@@ -748,18 +759,26 @@ object Sketches {
       valueCol: String,
       a: String,
       b: String,
+      dp: Int = 6): DataFrame =
+    effectSizeAssemble(msprtMoments(df, groupCol, valueCol, a, b),
+      groupCol, a, b, dp)
+
+  /** Readout half of [[effectSize]] over the shared per-arm integer
+    * moment rows ([[msprtMoments]]) — the streaming twin's state shape. */
+  def effectSizeAssemble(
+      byGroup: DataFrame,
+      groupCol: String,
+      a: String,
+      b: String,
       dp: Int = 6): DataFrame = {
-    def S(e: Column) =
-      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
-    val v = col(valueCol).cast("double")
-    val byGroup = df
-      .filter(col(groupCol).isin(a, b))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
     def pick(g: String, c: String) = max(when(col(groupCol) === g, col(c)))
     val wide = byGroup.agg(
-      pick(a, "__n").as("na"), pick(a, "__s").as("sa"), pick(a, "__ss").as("ssa"),
-      pick(b, "__n").as("nb"), pick(b, "__s").as("sb"), pick(b, "__ss").as("ssb"))
+      pick(a, "__n").cast("double").as("na"),
+      (pick(a, "__sq").cast("double") / 1000000.0).as("sa"),
+      (pick(a, "__ssq").cast("double") / 1000000.0).as("ssa"),
+      pick(b, "__n").cast("double").as("nb"),
+      (pick(b, "__sq").cast("double") / 1000000.0).as("sb"),
+      (pick(b, "__ssq").cast("double") / 1000000.0).as("ssb"))
     val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
     val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
     val diff = col("sa") / col("na") - col("sb") / col("nb")
