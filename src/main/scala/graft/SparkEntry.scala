@@ -7212,6 +7212,7 @@ object SparkEntry {
     "q_survival" -> (qSurvival _),
     "q_rmst" -> (qRmst _),
     "q_backtest_naive" -> (qBacktestNaive _),
+    "q_ols_diagnostics" -> (qOlsDiagnostics _),
     "q_logrank" -> (qLogrank _),
     "q_wasserstein" -> (qWasserstein _),
     "q_wasserstein_stream" -> (qWassersteinStream _),
@@ -7478,6 +7479,21 @@ object SparkEntry {
         period = 7, holdout = 7)
       .orderBy("event_type")
   }
+
+  /** OLS residual diagnostics (X297) on the q_linreg fit — Durbin–Watson
+    * serial-correlation readout over order-date order plus the
+    * Breusch–Pagan heteroskedasticity LM with its elementary χ²(2) p. */
+  private def qOlsDiagnostics(s: SparkSession, d: String): DataFrame =
+    Models.olsDiagnostics(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("v", col("o_totalprice") / 100000.0)
+        .withColumn("x1",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("double") / 2500.0)
+        .withColumn("x2", col("c_acctbal") / 10000.0),
+      orderCols = Seq("o_orderdate", "o_orderkey"), "v", Seq("x1", "x2"))
 
   /** Bivariate VAR(1) (X268): daily view (x) and purchase (y) counts —
     * two exact closed-form OLS equations on the lagged pair + one-step
@@ -13574,6 +13590,101 @@ object SparkEntry {
     "q_naive_bayes" -> naiveBayesOracle,
     "q_naive_bayes_stream" -> naiveBayesOracle,
     "q_linreg" -> linRegOracle,
+    // the linreg chain (UNROUNDED betas) -> raw residuals -> quantized DW
+    // lead sums + the same Cramer chain refit on e^2 for Breusch-Pagan;
+    // all outputs unrounded exact-chain doubles (knife-edge lesson)
+    "q_ols_diagnostics" ->
+      """WITH rows_ AS (SELECT o_orderdate AS od, o_orderkey AS ok,
+                o_totalprice / 100000.0 AS v,
+                CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) / 2500.0 AS x1,
+                c_acctbal / 10000.0 AS x2
+              FROM orders JOIN customer ON o_custkey = c_custkey),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT)) AS sa0,
+                  SUM(CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT)) AS sb0,
+                  SUM(CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT)) AS saa0,
+                  SUM(CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT)) AS sbb0,
+                  SUM(CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT)) AS sab0,
+                  SUM(CAST(FLOOR(v * 1e6 + 0.5) AS HUGEINT)) AS sy0,
+                  SUM(CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(v * 1e6 + 0.5) AS HUGEINT)) AS say0,
+                  SUM(CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(v * 1e6 + 0.5) AS HUGEINT)) AS sby0,
+                  SUM(CAST(FLOOR(v * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(v * 1e6 + 0.5) AS HUGEINT)) AS syy0
+           FROM rows_),
+         t AS (SELECT n, CAST(n AS DOUBLE) AS nn,
+                  CAST(sa0 AS DOUBLE) / 1e6 AS sa, CAST(sb0 AS DOUBLE) / 1e6 AS sb,
+                  CAST(saa0 AS DOUBLE) / 1e12 AS saa, CAST(sbb0 AS DOUBLE) / 1e12 AS sbb,
+                  CAST(sab0 AS DOUBLE) / 1e12 AS sab,
+                  CAST(sy0 AS DOUBLE) / 1e6 AS sy, CAST(say0 AS DOUBLE) / 1e12 AS say,
+                  CAST(sby0 AS DOUBLE) / 1e12 AS sby
+           FROM m),
+         sv AS (SELECT n,
+                  (sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby)
+                    + sb * (say * sab - saa * sby))
+                  / (nn * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+                    + sb * (sa * sab - saa * sb)) AS beta0,
+                  (nn * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb)
+                    + sb * (sa * sby - say * sb))
+                  / (nn * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+                    + sb * (sa * sab - saa * sb)) AS beta1,
+                  (nn * (saa * sby - say * sab) - sa * (sa * sby - say * sb)
+                    + sy * (sa * sab - saa * sb))
+                  / (nn * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+                    + sb * (sa * sab - saa * sb)) AS beta2
+                FROM t),
+         r AS (SELECT od, ok, x1, x2,
+                      v - (beta0 + beta1 * x1 + beta2 * x2) AS e
+               FROM rows_ CROSS JOIN sv),
+         led AS (SELECT e, x1, x2,
+                        CAST(FLOOR(e * 1e6 + 0.5) AS BIGINT) AS eq,
+                        LEAD(CAST(FLOOR(e * 1e6 + 0.5) AS BIGINT))
+                          OVER (ORDER BY od, ok) AS nxt
+                 FROM r),
+         dw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN nxt IS NOT NULL THEN
+                         CAST(FLOOR((CAST(eq AS DOUBLE) / 1e6 - CAST(nxt AS DOUBLE) / 1e6)
+                                    * (CAST(eq AS DOUBLE) / 1e6 - CAST(nxt AS DOUBLE) / 1e6)
+                                    * 1e9 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS num,
+                       CAST(SUM(CAST(FLOOR(CAST(eq AS DOUBLE) / 1e6 * (CAST(eq AS DOUBLE) / 1e6)
+                                    * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS den
+                FROM led),
+         m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT)) AS sa0,
+                  SUM(CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT)) AS sb0,
+                  SUM(CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT)) AS saa0,
+                  SUM(CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT)) AS sbb0,
+                  SUM(CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT)) AS sab0,
+                  SUM(CAST(FLOOR(e * e * 1e6 + 0.5) AS HUGEINT)) AS sy0,
+                  SUM(CAST(FLOOR(x1 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(e * e * 1e6 + 0.5) AS HUGEINT)) AS say0,
+                  SUM(CAST(FLOOR(x2 * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(e * e * 1e6 + 0.5) AS HUGEINT)) AS sby0,
+                  SUM(CAST(FLOOR(e * e * 1e6 + 0.5) AS HUGEINT) * CAST(FLOOR(e * e * 1e6 + 0.5) AS HUGEINT)) AS syy0
+           FROM r),
+         t2 AS (SELECT n, CAST(n AS DOUBLE) AS nn,
+                  CAST(sa0 AS DOUBLE) / 1e6 AS sa, CAST(sb0 AS DOUBLE) / 1e6 AS sb,
+                  CAST(saa0 AS DOUBLE) / 1e12 AS saa, CAST(sbb0 AS DOUBLE) / 1e12 AS sbb,
+                  CAST(sab0 AS DOUBLE) / 1e12 AS sab,
+                  CAST(sy0 AS DOUBLE) / 1e6 AS sy, CAST(say0 AS DOUBLE) / 1e12 AS say,
+                  CAST(sby0 AS DOUBLE) / 1e12 AS sby, CAST(syy0 AS DOUBLE) / 1e12 AS syy
+           FROM m2),
+         d2 AS (SELECT *,
+                  nn * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+                    + sb * (sa * sab - saa * sb) AS det
+                FROM t2),
+         aux AS (SELECT CASE WHEN det <> 0.0 AND (syy - sy * sy / nn) <> 0.0 THEN
+                   1.0 - (syy -
+                     (((sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby)
+                         + sb * (say * sab - saa * sby)) / det) * sy
+                      + ((nn * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb)
+                         + sb * (sa * sby - say * sb)) / det) * say
+                      + ((nn * (saa * sby - say * sab) - sa * (sa * sby - say * sb)
+                         + sy * (sa * sab - saa * sb)) / det) * sby))
+                     / (syy - sy * sy / nn) END AS r2aux
+                 FROM d2)
+         SELECT dw.n,
+                CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS dw,
+                CASE WHEN den > 0 THEN 1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0 END AS rho1,
+                CASE WHEN r2aux IS NOT NULL THEN r2aux * CAST(dw.n AS DOUBLE) END AS bp_lm,
+                CASE WHEN r2aux IS NOT NULL THEN EXP(-(r2aux * CAST(dw.n AS DOUBLE) / 2.0)) END AS bp_p
+         FROM dw CROSS JOIN aux""",
     "q_ridge" -> ridgeOracle,
     "q_chi2_keywords" -> chi2KeywordsOracle,
     "q_cox_ph" -> coxOracle,

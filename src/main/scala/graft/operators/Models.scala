@@ -1015,6 +1015,77 @@ object Models {
       when(col("__det") =!= 0.0 && sst =!= 0.0, lit(1.0) - sse / sst).as("r2"))
   }
 
+  /** OLS residual diagnostics (Durbin & Watson 1950; Breusch & Pagan
+    * 1979) — the two checks every [[linearRegression]] fit needs before
+    * its SEs are quoted: DW = Σ(e_t−e_{t−1})²/Σe_t² over the declared
+    * order (≈2 independent, →0 positive autocorrelation, →4 negative;
+    * ρ̂₁ ≈ 1−DW/2 reported beside it), and the Breusch–Pagan LM = n·R²
+    * of the auxiliary regression of e² on the SAME features ~ χ²(2) —
+    * whose survival is ELEMENTARY at df 2, p = exp(−LM/2), the
+    * heteroskedasticity alarm.
+    *
+    * Shape: the closed-form fit collects ONCE (1 row); residuals
+    * quantize to the 1e-6 grid, so the DW sums are exact longs and the
+    * adjacent difference rides the two-pass range-partitioned
+    * lead ([[Relational.globalRunningSums]]' leadOf — NO single-partition
+    * window at any series length); the auxiliary fit reuses the same
+    * closed-form machinery on e². Degenerate designs throw (det = 0);
+    * an exactly-homoskedastic e² (aux R² NULL) reports NULL bp/p.
+    *
+    * Returns ONE row: (n, dw, rho1, bp_lm, bp_p). */
+  def olsDiagnostics(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      featureCols: Seq[String],
+      dp: Int = 6): DataFrame = {
+    require(featureCols.length == 2,
+      s"exactly two features (plus intercept) supported, got ${featureCols.length}")
+    require(orderCols.nonEmpty, "orderCols must give the residuals a total time order")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fit = linearRegression(df, valueCol, featureCols).head()
+    require(!fit.isNullAt(fit.fieldIndex("beta0")), "degenerate design (det = 0)")
+    val b0 = fit.getAs[Double]("beta0")
+    val b1 = fit.getAs[Double]("beta1")
+    val b2 = fit.getAs[Double]("beta2")
+    val e = col(valueCol).cast("double") -
+      (lit(b0) + lit(b1) * col(featureCols.head).cast("double") +
+        lit(b2) * col(featureCols(1)).cast("double"))
+    val resid = df.withColumn("__e", e)
+    val eq = resid.select(
+      orderCols.map(col) :+ floor(col("__e") * 1e6 + 0.5).cast("long").as("__eq"): _*)
+    // globalRunningSums requires >= 1 running sum; ride a harmless one
+    // alongside the leadOf we actually want
+    val withNext = Relational.globalRunningSums(
+      eq, orderCols.map(col), Seq("__eq" -> "__cum_unused"),
+      leadOf = Some("__eq" -> "__nxt"))
+    val ed = col("__eq").cast("double") / 1e6
+    val nd = col("__nxt").cast("double") / 1e6
+    val agg = withNext.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__nxt").isNotNull,
+        floor((ed - nd) * (ed - nd) * 1e9 + 0.5).cast("long")).otherwise(0L)).as("__num"),
+      sum(floor(ed * ed * 1e9 + 0.5).cast("long")).as("__den")).head()
+    val n = agg.getAs[Long]("n")
+    // a perfect fit (all residuals 0) has no autocorrelation to measure
+    val dw = if (agg.getAs[Long]("__den") == 0L) None
+      else Some(agg.getAs[Long]("__num").toDouble / agg.getAs[Long]("__den").toDouble)
+    val aux = linearRegression(
+      resid.withColumn("__e2", col("__e") * col("__e")), "__e2", featureCols).head()
+    val r2 = if (aux.isNullAt(aux.fieldIndex("r2"))) None
+      else Some(aux.getAs[Double]("r2"))
+    // UNROUNDED outputs (the propensity-match knife-edge lesson): dw is a
+    // ratio of exact longs, rho1/bp/p fixed chains off it — identical
+    // doubles on any engine need no round, and a driver-side round would
+    // have to match SQL ROUND's tie semantics exactly
+    val bp = r2.map(_ * n)
+    def jd(o: Option[Double]) = o.map(Double.box).orNull.asInstanceOf[java.lang.Double]
+    Seq((n, jd(dw), jd(dw.map(v => 1.0 - v / 2.0)), jd(bp),
+      jd(bp.map(v => math.exp(-v / 2.0)))))
+      .toDF("n", "dw", "rho1", "bp_lm", "bp_p")
+  }
+
   /** Ridge regression (L2 on the two slopes, intercept unpenalized) —
     * [[linearRegression]]'s moment pass with λ added to the slope
     * diagonal of the normal matrix before the same Cramer chains. Unlike

@@ -393,6 +393,34 @@ class ModelsSpec extends SparkSpec {
     assert(r.getAs[Double]("accuracy") == 1.0)
   }
 
+  test("olsDiagnostics: alternating residuals read DW~4, trending ~0, white ~2; BP flags planted heteroskedasticity") {
+    // y = x1 + alternating +/-1 residual: e_t - e_{t-1} = +/-2 -> DW -> 4
+    val alt = (0 until 40).map(i =>
+      (i.toLong, i.toDouble / 10, (i % 4).toDouble / 10,
+        i.toDouble / 10 + (if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("t", "x1", "x2", "y").repartition(3)
+    val a = Models.olsDiagnostics(alt, Seq("t"), "y", Seq("x1", "x2")).head
+    assert(a.getAs[Double]("dw") > 3.5, s"dw=${a.getAs[Double]("dw")}")
+    assert(a.getAs[Double]("rho1") < -0.75)
+    // slow sign-coherent residual (sinusoid-ish drift): DW << 2
+    val trend = (0 until 40).map(i =>
+      (i.toLong, i.toDouble / 10, (i % 4).toDouble / 10,
+        i.toDouble / 10 + math.sin(i / 8.0)))
+      .toDF("t", "x1", "x2", "y")
+    val tr = Models.olsDiagnostics(trend, Seq("t"), "y", Seq("x1", "x2")).head
+    assert(tr.getAs[Double]("dw") < 1.0, s"dw=${tr.getAs[Double]("dw")}")
+    // variance growing with x1: BP fires (p tiny); hash-noise does not
+    val het = (0 until 60).map { i =>
+      val noise = (((i * 2654435761L) % 1000) / 1000.0 - 0.5) // deterministic
+      (i.toLong, i.toDouble / 10, (i % 4).toDouble / 10,
+        i.toDouble / 10 + noise * i)
+    }.toDF("t", "x1", "x2", "y")
+    val h = Models.olsDiagnostics(het, Seq("t"), "y", Seq("x1", "x2")).head
+    assert(h.getAs[Double]("bp_p") < 0.05, s"bp_p=${h.getAs[Double]("bp_p")}")
+    val g7 = Models.olsDiagnostics(alt.repartition(7), Seq("t"), "y", Seq("x1", "x2")).head
+    assert(g7.getAs[Double]("dw") == a.getAs[Double]("dw"))
+  }
+
   test("propensityMatch: nearest control within caliper; ties to smaller id; drops unmatched") {
     // id, treated, score, y
     val rows = Seq(
