@@ -5839,6 +5839,15 @@ object SparkEntry {
     Sketches.cramerVonMises(o, "prio", "cents", "1-URGENT", "5-LOW")
   }
 
+  /** Yuen trimmed-mean t-test (X298) on the q_cvm urgent-vs-low split —
+    * the robust location verdict beside Welch (means) and MW (ranks). */
+  private def qYuen(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    Sketches.yuenTTest(o, "prio", "cents", "1-URGENT", "5-LOW", trimFrac = 0.2)
+  }
+
   /** Anderson–Darling two-sample statistic (X286) on the q_cvm split —
     * the tail-weighted ECDF test beside KS/CvM/energy/Wasserstein. */
   private def qAndersonDarling(s: SparkSession, d: String): DataFrame = {
@@ -7218,6 +7227,7 @@ object SparkEntry {
     "q_wasserstein_stream" -> (qWassersteinStream _),
     "q_cvm" -> (qCramerVonMises _),
     "q_anderson_darling" -> (qAndersonDarling _),
+    "q_yuen" -> (qYuen _),
     "q_roc_auc" -> (qRocAuc _),
     "q_avg_precision" -> (qAveragePrecision _),
     "q_lift_table" -> (qLiftTable _),
@@ -13396,6 +13406,64 @@ object SparkEntry {
                       / CAST(CAST(MAX(na) AS DECIMAL(38,0)) * CAST(MAX(nb) AS DECIMAL(38,0))
                              * CAST(MAX(na) AS DECIMAL(38,0)) * CAST(MAX(nb) AS DECIMAL(38,0)) AS DOUBLE), 6) AS energy_sq
          FROM q""",
+    // histogram + clipped-multiplicity trimmed sums + order-statistic
+    // winsorization points + exact HUGEINT winsorized moments — mirrors
+    // Sketches.yuenTTest chain for chain (k via the same IEEE floor(n*.2))
+    "q_yuen" ->
+      """WITH src AS (SELECT o_orderpriority AS g,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         h AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1, 2),
+         w AS (SELECT g, v, c,
+                 CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+               FROM h),
+         kk AS (SELECT *, CAST(FLOOR(CAST(n AS DOUBLE) * 0.2) AS BIGINT) AS k FROM w),
+         pts AS (SELECT g, MAX(n) AS n, MAX(k) AS k,
+                        MIN(CASE WHEN cum >= k + 1 THEN v END) AS lo,
+                        MIN(CASE WHEN cum >= n - k THEN v END) AS hi
+                 FROM kk GROUP BY 1),
+         agg AS (SELECT kk.g, MAX(kk.n) AS n, MAX(kk.k) AS k,
+                        SUM(CAST(GREATEST(0, LEAST(kk.cum, kk.n - kk.k)
+                            - GREATEST(kk.cum - kk.c, kk.k)) * kk.v AS HUGEINT)) AS ts,
+                        SUM(CAST(kk.c * GREATEST(p.lo, LEAST(p.hi, kk.v)) AS HUGEINT)) AS sw,
+                        SUM(CAST(kk.c AS HUGEINT)
+                            * CAST(GREATEST(p.lo, LEAST(p.hi, kk.v)) AS HUGEINT)
+                            * CAST(GREATEST(p.lo, LEAST(p.hi, kk.v)) AS HUGEINT)) AS sww
+                 FROM kk JOIN pts p ON kk.g = p.g GROUP BY 1),
+         wide AS (SELECT
+                 MAX(CASE WHEN g = '1-URGENT' THEN n END) AS na,
+                 MAX(CASE WHEN g = '1-URGENT' THEN k END) AS ka,
+                 MAX(CASE WHEN g = '1-URGENT' THEN ts END) AS tsa,
+                 MAX(CASE WHEN g = '1-URGENT' THEN sw END) AS swa,
+                 MAX(CASE WHEN g = '1-URGENT' THEN sww END) AS swwa,
+                 MAX(CASE WHEN g = '5-LOW' THEN n END) AS nb,
+                 MAX(CASE WHEN g = '5-LOW' THEN k END) AS kb,
+                 MAX(CASE WHEN g = '5-LOW' THEN ts END) AS tsb,
+                 MAX(CASE WHEN g = '5-LOW' THEN sw END) AS swb,
+                 MAX(CASE WHEN g = '5-LOW' THEN sww END) AS swwb
+                 FROM agg),
+         sides AS (SELECT na, nb, ka, kb,
+                 CAST(na - ka * 2 AS DOUBLE) AS ha, CAST(nb - kb * 2 AS DOUBLE) AS hb,
+                 CAST(tsa AS DOUBLE) / CAST(na - ka * 2 AS DOUBLE) AS tma,
+                 CAST(tsb AS DOUBLE) / CAST(nb - kb * 2 AS DOUBLE) AS tmb,
+                 (CAST(na AS DOUBLE) - 1.0)
+                   * ((CAST(swwa AS DOUBLE) - CAST(swa AS DOUBLE) * CAST(swa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+                   / (CAST(na - ka * 2 AS DOUBLE) * (CAST(na - ka * 2 AS DOUBLE) - 1.0)) AS da,
+                 (CAST(nb AS DOUBLE) - 1.0)
+                   * ((CAST(swwb AS DOUBLE) - CAST(swb AS DOUBLE) * CAST(swb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+                   / (CAST(nb - kb * 2 AS DOUBLE) * (CAST(nb - kb * 2 AS DOUBLE) - 1.0)) AS db
+                 FROM wide)
+         SELECT na AS n_a, nb AS n_b,
+                na - ka * 2 AS h_a, nb - kb * 2 AS h_b,
+                ROUND(tma, 6) AS tmean_a, ROUND(tmb, 6) AS tmean_b,
+                CASE WHEN ha > 1.0 AND hb > 1.0 AND (da + db) > 0.0 THEN
+                  ROUND((tma - tmb) / SQRT(da + db), 6) END AS t_stat,
+                CASE WHEN ha > 1.0 AND hb > 1.0 AND (da + db) > 0.0 THEN
+                  ROUND((da + db) * (da + db)
+                        / (da * da / (ha - 1.0) + db * db / (hb - 1.0)), 6) END AS dof
+         FROM sides""",
     // same hist + prefix scaffolding as q_cvm; per-value terms quantize to
     // 1e-9 longs before the sum (each term has its OWN B(N-B) denominator,
     // so no common-denominator trick applies), final chain mirrors

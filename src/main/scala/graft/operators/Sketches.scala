@@ -742,6 +742,98 @@ object Sketches {
       nReq.map(_.as("n_required_per_arm")).toSeq: _*)
   }
 
+  /** Yuen's trimmed-mean t-test (Yuen 1974) — the ROBUST two-sample
+    * location test completing the family (X54 Welch on means — 0%
+    * breakdown; X92 Mann–Whitney on ranks — a different hypothesis;
+    * this: Welch's test on TRIMMED means with winsorized variances, the
+    * standard robust recipe when tails are heavy but the question is
+    * still "are the centers different"): per group trim k = ⌊n·frac⌋
+    * each side, t = (x̄t_a − x̄t_b)/√(d_a+d_b) with
+    * d = (n−1)·s²_w/(h(h−1)), h = n−2k, and the Welch–Satterthwaite dof
+    * over the d's.
+    *
+    * EVERYTHING before the final chains is exact integer arithmetic on
+    * the distinct-value histogram: trimmed sums via the window-clipped
+    * multiplicity identity (the [[trimmedMean]] recipe), winsorization
+    * points as ORDER-STATISTIC selections (x_(k+1), x_(n−k) — min v with
+    * cum ≥ rank), winsorized moments Σc·w, Σc·w² as exact DECIMAL sums of
+    * clamped longs. Cumulative counts ride the keyed two-pass prefix
+    * ([[Relational.groupedRunningSum]] — a 2-value group column must not
+    * serialize the histogram). Degenerate h ≤ 1 or zero variances ⇒ NULL
+    * t/dof.
+    *
+    * Returns ONE row: (n_a, n_b, h_a, h_b, tmean_a, tmean_b, t_stat,
+    * dof). */
+  def yuenTTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String,
+      trimFrac: Double = 0.2,
+      dp: Int = 6): DataFrame = {
+    require(trimFrac > 0 && trimFrac < 0.5, s"trimFrac must be in (0, 0.5), got $trimFrac")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val hist = df
+      .filter(col(groupCol).isin(a, b))
+      .groupBy(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = Relational.groupedRunningSum(
+      hist, Seq("__g"), Seq(col("__v")), "__c", "__cum")
+    val tot = hist.groupBy(col("__g").as("__gt")).agg(sum(col("__c")).as("__n"))
+    val j = cum.join(broadcast(tot), col("__g") === col("__gt"))
+      .withColumn("__k",
+        floor(col("__n").cast("double") * trimFrac).cast("long"))
+    // winsorization points: x_(k+1) and x_(n-k) as order-statistic selections
+    val pts = j.groupBy(col("__g")).agg(
+      max(col("__n")).as("__n"),
+      max(col("__k")).as("__k"),
+      min(when(col("__cum") >= col("__k") + 1, col("__v"))).as("__lo"),
+      min(when(col("__cum") >= col("__n") - col("__k"), col("__v"))).as("__hi"))
+    val withPts = j.join(
+      broadcast(pts.select(col("__g").as("__gp"), col("__lo"), col("__hi"))),
+      col("__g") === col("__gp"))
+    val kept = greatest(lit(0L),
+      least(col("__cum"), col("__n") - col("__k")) -
+        greatest(col("__cum") - col("__c"), col("__k")))
+    val w = greatest(col("__lo"), least(col("__hi"), col("__v")))
+    val g = withPts.groupBy(col("__g")).agg(
+      max(col("__n")).as("n"),
+      max(col("__k")).as("k"),
+      sum(d(kept * col("__v"))).as("__ts"),
+      sum(d(col("__c") * w)).as("__sw"),
+      sum(d(col("__c")) * d(w) * d(w)).as("__sww"))
+    def pick(gv: String, c: String) = max(when(col("__g") === gv, col(c)))
+    val wide = g.agg(
+      pick(a, "n").as("na"), pick(a, "k").as("ka"),
+      pick(a, "__ts").as("tsa"), pick(a, "__sw").as("swa"), pick(a, "__sww").as("swwa"),
+      pick(b, "n").as("nb"), pick(b, "k").as("kb"),
+      pick(b, "__ts").as("tsb"), pick(b, "__sw").as("swb"), pick(b, "__sww").as("swwb"))
+    def side(n: String, k: String, ts: String, sw: String, sww: String) = {
+      val nn = col(n).cast("double")
+      val h = (col(n) - col(k) * 2).cast("double")
+      val tm = col(ts).cast("double") / h
+      val s2w = (col(sww).cast("double") - col(sw).cast("double") *
+        col(sw).cast("double") / nn) / (nn - 1.0)
+      val dd = (nn - 1.0) * s2w / (h * (h - 1.0))
+      (h, tm, dd)
+    }
+    val (ha, tma, da) = side("na", "ka", "tsa", "swa", "swwa")
+    val (hb, tmb, db) = side("nb", "kb", "tsb", "swb", "swwb")
+    val ok = ha > 1.0 && hb > 1.0 && (da + db) > 0.0
+    val t = (tma - tmb) / sqrt(da + db)
+    val dof = (da + db) * (da + db) /
+      (da * da / (ha - 1.0) + db * db / (hb - 1.0))
+    wide.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      (col("na") - col("ka") * 2).as("h_a"),
+      (col("nb") - col("kb") * 2).as("h_b"),
+      round(tma, dp).as("tmean_a"),
+      round(tmb, dp).as("tmean_b"),
+      when(ok, round(t, dp)).as("t_stat"),
+      when(ok, round(dof, dp)).as("dof"))
+  }
+
   /** Standardized effect sizes (Cohen 1969; Hedges 1981; Glass 1976) —
     * the MAGNITUDE readout beside [[welchTTest]]'s verdict and
     * [[abPower]]'s design: a p-value says an effect exists, Cohen's

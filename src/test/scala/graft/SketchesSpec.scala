@@ -1290,6 +1290,31 @@ class SketchesSpec extends SparkSpec {
     assert(g7.getAs[Double]("q_stat") == 7.2)
   }
 
+  test("yuenTTest: hand trimmed/winsorized arithmetic; outlier robustness; invariant") {
+    import spark.implicits._
+    // a = 1..10, b = 11..20, trim .2 -> k=2, h=6: tmeans 5.5/15.5,
+    // s2w = (345-302.5)/9, d = 42.5/30 each, t = -10/sqrt(85/30), dof = 10
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      (11 to 20).map(v => ("b", v.toLong))).toDF("g", "v").repartition(3)
+    val r = Sketches.yuenTTest(df, "g", "v", "a", "b", trimFrac = 0.2).head
+    assert(r.getAs[Long]("h_a") == 6L && r.getAs[Long]("h_b") == 6L)
+    assert(r.getAs[Double]("tmean_a") == 5.5 && r.getAs[Double]("tmean_b") == 15.5)
+    assert(math.abs(r.getAs[Double]("t_stat") - (-10.0 / math.sqrt(85.0 / 30))) < 1e-6)
+    assert(r.getAs[Double]("dof") == 10.0)
+    // one absurd outlier in a: the trimmed test barely moves, Welch collapses
+    val out = (df.collect().map(x => (x.getString(0), x.getLong(1))).toSeq :+
+      (("a", 100000L))).toDF("g", "v")
+    val y2 = Sketches.yuenTTest(out, "g", "v", "a", "b", trimFrac = 0.2).head
+    val w2 = Sketches.welchTTest(out.withColumn("vd", col("v").cast("double")),
+      "g", "vd", "a", "b").head
+    assert(math.abs(y2.getAs[Double]("t_stat")) > 4.0,
+      s"yuen=${y2.getAs[Double]("t_stat")}")
+    assert(math.abs(w2.getAs[Double]("t_stat")) < 1.5,
+      s"welch=${w2.getAs[Double]("t_stat")}")
+    val g7 = Sketches.yuenTTest(df.repartition(7), "g", "v", "a", "b", 0.2).head
+    assert(g7.getAs[Double]("t_stat") == r.getAs[Double]("t_stat"))
+  }
+
   test("effectSize: hand Cohen's d / Hedges g / Glass delta; degenerate NULLs") {
     import spark.implicits._
     // a {0,2,4}: mean 2, var 4; b {1,1,1,3}: mean 1.5, var 1
