@@ -837,6 +837,16 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Neyman optimal allocation (X299): split a 500-unit sample budget
+    * across market segments ∝ N_h·S_h of scaled balances — the survey
+    * design step before stratified sampling draws anything. */
+  private def qNeymanAllocation(s: SparkSession, d: String): DataFrame =
+    Sampling.neymanAllocation(
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), (col("c_acctbal") / 1000.0).as("v")),
+      Seq("c_mktsegment"), "v", totalSample = 500L)
+      .orderBy("c_mktsegment")
+
   /** Nearest-neighbor propensity matching (X294): md5 arms, balance-scaled
     * score, 1997+ spend outcome, caliper 0.001 — the auditable matched-
     * pair table behind an ATT readout. */
@@ -6939,6 +6949,7 @@ object SparkEntry {
     "q_uplift_deciles" -> (qUpliftDeciles _),
     "q_meta_analysis" -> (qMetaAnalysis _),
     "q_propensity_match" -> (qPropensityMatch _),
+    "q_neyman_allocation" -> (qNeymanAllocation _),
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
     "q_hellinger_drift_stream" -> (qHellingerDriftStream _),
     "q_als" -> (qAls _),
@@ -10140,6 +10151,32 @@ object SparkEntry {
          SELECT doc_id, n_chars, n_replacement, n_control, n_c1, n_mojibake,
                 anomaly_score, anomaly_score > 0.001 AS flagged
          FROM sc ORDER BY doc_id""",
+    // per-stratum welch moments -> sd chain -> 1e-6 weight quantization ->
+    // the q_apportion Hamilton replay (0-based rank < deficit)
+    "q_neyman_allocation" ->
+      """WITH st AS (SELECT c_mktsegment,
+                CAST(COUNT(*) AS BIGINT) AS n_pop,
+                CAST(SUM(CAST(FLOOR(c_acctbal / 1000.0 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s,
+                CAST(SUM(CAST(FLOOR((c_acctbal / 1000.0) * (c_acctbal / 1000.0) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+              FROM customer GROUP BY 1),
+         sd AS (SELECT c_mktsegment, n_pop,
+                       CASE WHEN n_pop > 1 THEN
+                         SQRT((ss - s * s / CAST(n_pop AS DOUBLE)) / (CAST(n_pop AS DOUBLE) - 1.0))
+                       END AS sdv
+                FROM st),
+         wq AS (SELECT c_mktsegment, n_pop, sdv,
+                       COALESCE(CAST(FLOOR(CAST(n_pop AS DOUBLE) * sdv * 1000000.0 + 0.5) AS BIGINT), 0) AS w
+                FROM sd),
+         t AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM wq),
+         b AS (SELECT c_mktsegment, n_pop, sdv, w,
+                      (w * 500) // wt AS q, (w * 500) % wt AS r
+               FROM wq, t),
+         d AS (SELECT CAST(500 - SUM(q) AS BIGINT) AS deficit FROM b),
+         rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY r DESC, c_mktsegment) AS rnk FROM b)
+         SELECT c_mktsegment, n_pop, ROUND(sdv, 6) AS sd,
+                CAST(q + CASE WHEN rnk <= (SELECT deficit FROM d)
+                              THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+         FROM rk ORDER BY c_mktsegment""",
     // caliper-cell band join replay: exact long floor-division cells, one
     // collapsed control per distinct score (min id), argmin by (gap, cid)
     // — mirrors Models.propensityMatch; cq = floor(0.001*1e9+0.5) = 1000000

@@ -318,4 +318,47 @@ object Sampling {
     draws.join(ranked, "__idx")
       .select(col(queryIdCol), col("draw").cast("long").as("draw"), col(itemIdCol))
   }
+
+  /** Neyman optimal stratified allocation (Neyman 1934) — the survey-
+    * design step BEFORE [[stratifiedSample]] draws anything: given a
+    * total sample budget, allocate n_h ∝ N_h·S_h (big AND variable
+    * strata deserve more samples; equal-proportion allocation wastes
+    * budget on homogeneous strata — the variance-minimizing split for a
+    * fixed cost). Completes the survey family with X238 raking and X262
+    * Kish's post-hoc diagnosis of whatever allocation you DID use.
+    *
+    * One quantized moment pass per stratum (the welch discipline, |x| ≲
+    * 1e3 pre-scaled) → sd as a fixed chain; the N_h·S_h weights quantize
+    * to 1e-6 longs and the integer budget splits EXACTLY via
+    * [[Relational.apportion]]'s largest-remainder rule (ties by the
+    * stratum key) — allocations sum to the budget by construction.
+    * Single-row strata carry no variance signal and weight 0 (documented:
+    * they get allocation only through remainders, i.e. effectively
+    * never). Returns one row per stratum:
+    * (strata…, n_pop, sd, n_alloc). */
+  def neymanAllocation(
+      df: DataFrame,
+      strataCols: Seq[String],
+      valueCol: String,
+      totalSample: Long,
+      dp: Int = 6): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column required")
+    require(totalSample >= 0, s"totalSample must be >= 0, got $totalSample")
+    val keys = strataCols.map(col)
+    def q(c: Column) = sum(floor(c * 1000000.0 + 0.5).cast("long"))
+    val v = col(valueCol).cast("double")
+    val strata = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_pop"), q(v).as("__sq"), q(v * v).as("__ssq"))
+    val nn = col("n_pop").cast("double")
+    val s = col("__sq").cast("double") / 1000000.0
+    val ss = col("__ssq").cast("double") / 1000000.0
+    val sd = sqrt((ss - s * s / nn) / (nn - 1.0))
+    val weighted = strata
+      .withColumn("__sd", when(col("n_pop") > 1, sd))
+      .withColumn("__wq",
+        coalesce(floor(nn * col("__sd") * 1000000.0 + 0.5).cast("long"), lit(0L)))
+    Relational.apportion(weighted, "__wq", totalSample, keys, outCol = "n_alloc")
+      .select(keys ++ Seq(col("n_pop"),
+        round(col("__sd"), dp).as("sd"), col("n_alloc")): _*)
+  }
 }

@@ -153,4 +153,29 @@ class SamplingSpec extends SparkSpec {
     // quantized log-ratios -> bit-stable across partitionings
     assert(run(5) == got, "scores must not depend on partitioning")
   }
+
+  test("neymanAllocation: variance-heavy strata win budget; exact total; invariant") {
+    // stratum a: 4 points sd 0 (constant) -> weight 0
+    // stratum b: 4 points spread sd s_b; stratum c: same sd, DOUBLE the size
+    // -> c gets ~2x b's allocation, a only remainder crumbs (here 0)
+    val rows =
+      Seq.fill(4)(("a", 5.0)) ++
+        Seq(("b", 0.0), ("b", 0.0), ("b", 10.0), ("b", 10.0)) ++
+        Seq.fill(2)(Seq(("c", 0.0), ("c", 0.0), ("c", 10.0), ("c", 10.0))).flatten
+    val df = rows.toDF("k", "v").repartition(3)
+    val got = Sampling.neymanAllocation(df, Seq("k"), "v", totalSample = 90L)
+      .orderBy("k").collect()
+    val byK = got.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_pop"), r.getAs[Long]("n_alloc"))).toMap
+    assert(got.map(_.getAs[Long]("n_alloc")).sum == 90L, "must sum exactly")
+    assert(byK("a")._2 == 0L, "zero-variance stratum earns nothing")
+    // sd uses n-1: sd_b = sqrt(100/3) > sd_c = sqrt(200/7), so the exact
+    // weights are 4*5.7735=23.094 vs 8*5.3452=42.762 -> 32 and 58 of 90
+    assert(byK("b")._2 == 32L && byK("c")._2 == 58L, s"exact Neyman split: $byK")
+    assert(byK("c")._2 > byK("b")._2, "bigger stratum at similar sd wins more budget")
+    assert(got.find(_.getString(0) == "a").get.getAs[Double]("sd") == 0.0)
+    val g7 = Sampling.neymanAllocation(df.repartition(7), Seq("k"), "v", 90L)
+      .orderBy("k").collect().map(_.getAs[Long]("n_alloc")).toSeq
+    assert(g7 == got.map(_.getAs[Long]("n_alloc")).toSeq)
+  }
 }
