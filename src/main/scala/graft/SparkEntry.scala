@@ -837,6 +837,16 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Deterministic epoch shuffle + source interleave (T68) over the
+    * documents corpus — the reproducible training-order primitive. */
+  private def qDeterministicShuffle(s: SparkSession, d: String): DataFrame =
+    Sampling.deterministicShuffle(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      Seq("doc_id"), seed = "epoch1", interleaveBy = Some("source"))
+      .select(col("training_order"), col("doc_id"), col("source"),
+        col("within_source_rank"))
+      .orderBy("training_order")
+
   /** Neyman optimal allocation (X299): split a 500-unit sample budget
     * across market segments ∝ N_h·S_h of scaled balances — the survey
     * design step before stratified sampling draws anything. */
@@ -6950,6 +6960,7 @@ object SparkEntry {
     "q_meta_analysis" -> (qMetaAnalysis _),
     "q_propensity_match" -> (qPropensityMatch _),
     "q_neyman_allocation" -> (qNeymanAllocation _),
+    "q_deterministic_shuffle" -> (qDeterministicShuffle _),
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
     "q_hellinger_drift_stream" -> (qHellingerDriftStream _),
     "q_als" -> (qAls _),
@@ -10151,6 +10162,20 @@ object SparkEntry {
          SELECT doc_id, n_chars, n_replacement, n_control, n_c1, n_mojibake,
                 anomaly_score, anomaly_score > 0.001 AS flagged
          FROM sc ORDER BY doc_id""",
+    // md5(id:seed) hash order; within-source 1-based rank, then the
+    // interleaved global order (within, source, id); 0-based training_order
+    "q_deterministic_shuffle" ->
+      """WITH h AS (SELECT doc_id, source,
+                md5(CAST(doc_id AS VARCHAR) || ':' || 'epoch1') AS hk
+              FROM documents),
+         w AS (SELECT doc_id, source, hk,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT)
+                        AS within_source_rank
+               FROM h)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY within_source_rank, source, doc_id) - 1 AS BIGINT)
+                  AS training_order,
+                doc_id, source, within_source_rank
+         FROM w ORDER BY training_order""",
     // per-stratum welch moments -> sd chain -> 1e-6 weight quantization ->
     // the q_apportion Hamilton replay (0-based rank < deficit)
     "q_neyman_allocation" ->

@@ -319,6 +319,47 @@ object Sampling {
       .select(col(queryIdCol), col("draw").cast("long").as("draw"), col(itemIdCol))
   }
 
+  /** Deterministic corpus shuffle + source interleave — the REPRODUCIBLE
+    * training-order primitive every run-to-run-comparable pipeline needs
+    * (torch's shuffle seed does not survive a different worker count;
+    * this one is a pure function of (id, seed)): global order = md5 of
+    * (id, seed) — a new seed per epoch gives independent orders — and,
+    * when `interleaveBy` is set, sources round-robin by (within-source
+    * hash rank, source) so a 90/10 source mix stays interleaved instead
+    * of clumping by whichever source sorts first.
+    *
+    * SCALE: both ranks ride two-pass range-partitioned machinery — the
+    * within-source rank is [[Relational.groupedRunningSum]] over a
+    * constant 1 (no low-cardinality source window), the global order is
+    * [[Relational.globalRowNumbers]] — no single-partition sort at any
+    * corpus size. Returns the input + `training_order` (0-based; plus
+    * `within_source_rank` when interleaving). */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCols: Seq[String],
+      seed: String,
+      interleaveBy: Option[String] = None): DataFrame = {
+    require(idCols.nonEmpty, "idCols must identify rows")
+    val key = md5(concat_ws(":",
+      idCols.map(col(_).cast("string")) :+ lit(seed): _*))
+    val keyed = df.withColumn("__hk", key)
+    interleaveBy match {
+      case None =>
+        Relational.globalRowNumbers(
+          keyed, col("__hk") +: idCols.map(col), rowNumCol = "training_order")
+          .drop("__hk")
+      case Some(src) =>
+        val ranked = Relational.groupedRunningSum(
+          keyed.withColumn("__one", lit(1L)),
+          Seq(src), col("__hk") +: idCols.map(col), "__one", "within_source_rank")
+          .drop("__one")
+        Relational.globalRowNumbers(
+          ranked, Seq(col("within_source_rank"), col(src)) ++ idCols.map(col),
+          rowNumCol = "training_order")
+          .drop("__hk")
+    }
+  }
+
   /** Neyman optimal stratified allocation (Neyman 1934) — the survey-
     * design step BEFORE [[stratifiedSample]] draws anything: given a
     * total sample budget, allocate n_h ∝ N_h·S_h (big AND variable

@@ -154,6 +154,31 @@ class SamplingSpec extends SparkSpec {
     assert(run(5) == got, "scores must not depend on partitioning")
   }
 
+  test("deterministicShuffle: seed-pure order; epochs differ; interleave spreads sources") {
+    val df = (1L to 60L).map(i => (i, if (i <= 54) "big" else "small"))
+      .toDF("id", "src").repartition(3)
+    val e1 = Sampling.deterministicShuffle(df, Seq("id"), "epoch1")
+      .orderBy("training_order").collect().map(_.getAs[Long]("id")).toSeq
+    // pure function of (id, seed): same again, bit for bit
+    val e1b = Sampling.deterministicShuffle(df.repartition(7), Seq("id"), "epoch1")
+      .orderBy("training_order").collect().map(_.getAs[Long]("id")).toSeq
+    assert(e1 == e1b)
+    assert(e1 != (1L to 60L).toSeq, "md5 order must not be identity")
+    val e2 = Sampling.deterministicShuffle(df, Seq("id"), "epoch2")
+      .orderBy("training_order").collect().map(_.getAs[Long]("id")).toSeq
+    assert(e1 != e2, "a new seed is a new epoch order")
+    // interleave: the 10% source appears once per ~10 positions, never clumped
+    val inter = Sampling.deterministicShuffle(df, Seq("id"), "epoch1", Some("src"))
+      .orderBy("training_order").collect().map(_.getAs[String]("src")).toSeq
+    val smallPos = inter.zipWithIndex.filter(_._1 == "small").map(_._2)
+    assert(smallPos.size == 6)
+    // within-rank-major order puts the k-th small doc right after the k-th big doc:
+    // positions 1, 3, 5, ... pattern depends on rank pairing -> assert spread:
+    // no two smalls adjacent and the first small appears in the first 3 slots
+    assert(smallPos.zip(smallPos.tail).forall { case (x, y) => y - x >= 2 })
+    assert(smallPos.head <= 2)
+  }
+
   test("neymanAllocation: variance-heavy strata win budget; exact total; invariant") {
     // stratum a: 4 points sd 0 (constant) -> weight 0
     // stratum b: 4 points spread sd s_b; stratum c: same sd, DOUBLE the size
