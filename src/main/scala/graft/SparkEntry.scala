@@ -837,6 +837,22 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Markup strip (T69) with deterministic injection (the synthetic
+    * corpus is plain text, so every 29th doc gets wrapped in tag soup
+    * with a script payload and entities — both engines construct it). */
+  private def qStripMarkup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 29 === 0,
+        concat(lit("<div class=\"post\"><h1>T</h1><p>"), col("text"),
+          lit("</p><script>var a=1;</script><!-- c --> &amp; &lt;tail&gt;</div>")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.stripMarkup(base, "doc_id", "text")
+      .select(col("doc_id"), col("text_clean"), col("n_chars_raw"),
+        col("n_chars_clean"),
+        round(col("markup_ratio"), 9).as("markup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic epoch shuffle + source interleave (T68) over the
     * documents corpus — the reproducible training-order primitive. */
   private def qDeterministicShuffle(s: SparkSession, d: String): DataFrame =
@@ -6961,6 +6977,7 @@ object SparkEntry {
     "q_propensity_match" -> (qPropensityMatch _),
     "q_neyman_allocation" -> (qNeymanAllocation _),
     "q_deterministic_shuffle" -> (qDeterministicShuffle _),
+    "q_strip_markup" -> (qStripMarkup _),
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
     "q_hellinger_drift_stream" -> (qHellingerDriftStream _),
     "q_als" -> (qAls _),
@@ -10162,6 +10179,44 @@ object SparkEntry {
          SELECT doc_id, n_chars, n_replacement, n_control, n_c1, n_mojibake,
                 anomaly_score, anomaly_score > 0.001 AS flagged
          FROM sc ORDER BY doc_id""",
+    // identical RE2-portable regex chain ((?is), non-greedy, \x{..}
+    // whitespace class), entity decode with &amp; LAST; 'g' flags
+    "q_strip_markup" ->
+      """WITH base AS (SELECT doc_id,
+                CASE WHEN doc_id % 29 = 0
+                     THEN '<div class="post"><h1>T</h1><p>' || text ||
+                          '</p><script>var a=1;</script><!-- c --> &amp; &lt;tail&gt;</div>'
+                     ELSE text END AS text
+              FROM documents),
+         c2 AS (SELECT doc_id, text,
+                TRIM(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(
+                              regexp_replace(
+                                regexp_replace(
+                                  regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                                '(?s)<!--.*?-->', ' ', 'g'),
+                              '<[^>]+>', ' ', 'g'),
+                            '&lt;', '<', 'g'),
+                          '&gt;', '>', 'g'),
+                        '&quot;', '"', 'g'),
+                      '&#39;', chr(39), 'g'),
+                    '&amp;', '&', 'g'),
+                  '[ \x{09}\x{0A}\x{0D}\x{0C}]+', ' ', 'g')) AS text_clean
+              FROM base)
+         SELECT doc_id, text_clean,
+                CAST(LENGTH(text) AS BIGINT) AS n_chars_raw,
+                CAST(LENGTH(text_clean) AS BIGINT) AS n_chars_clean,
+                CASE WHEN LENGTH(text) > 0 THEN
+                  ROUND(CAST(LENGTH(text) - LENGTH(text_clean) AS DOUBLE)
+                        / CAST(LENGTH(text) AS DOUBLE), 9)
+                ELSE 0.0 END AS markup_ratio
+         FROM c2 ORDER BY doc_id""",
     // md5(id:seed) hash order; within-source 1-based rank, then the
     // interleaved global order (within, source, id); 0-based training_order
     "q_deterministic_shuffle" ->

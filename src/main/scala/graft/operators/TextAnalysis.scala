@@ -904,6 +904,46 @@ object TextAnalysis {
       nRedactions.as("n_redactions"))
   }
 
+  /** HTML/markup stripper — the crawled-corpus ingestion step BEFORE any
+    * text-quality gate makes sense (tag soup inflates length counts,
+    * poisons n-gram stats, and script/style payloads are not language):
+    * removes script/style blocks WITH their contents, comments, then all
+    * tags (replaced by a space so words never fuse), decodes the basic
+    * entities (&amp; LAST, the single-decode order), and squeezes
+    * whitespace. Reports the markup ratio so a "mostly tags" page can be
+    * gated out.
+    *
+    * Pure codegen'd regexp chain, zero shuffle; patterns use (?is) +
+    * non-greedy + \x{..} classes only — RE2-portable (no lookaround, no
+    * backreferences), whitespace spelled as an explicit class because
+    * Java's \s and RE2's \s disagree on vertical tab. */
+  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val noScript = regexp_replace(t, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    val clean = trim(regexp_replace(decoded, "[ \\x{09}\\x{0A}\\x{0D}\\x{0C}]+", " "))
+    df.select(
+      col(idCol),
+      clean.as("text_clean"),
+      length(t).cast("long").as("n_chars_raw"),
+      length(clean).cast("long").as("n_chars_clean"))
+      .withColumn("markup_ratio",
+        when(col("n_chars_raw") > 0,
+          (col("n_chars_raw") - col("n_chars_clean")).cast("double") /
+            col("n_chars_raw").cast("double")).otherwise(lit(0.0)))
+  }
+
   /** Luhn-validated card-number (PAN) detection — the HIGH-PRECISION
     * upgrade over [[redactPii]]'s pattern-only screens for the one PII
     * class with a built-in checksum: 13–19-digit candidates (spaces or

@@ -732,6 +732,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("stripMarkup: script payloads vanish, tags space-separate, entities decode once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<div class=\"x\">hello<b>world</b></div>"),
+      (2L, "keep <SCRIPT type='js'>var a = 1; if (a<2) alert();</SCRIPT>this"),
+      (3L, "a<style>.c{color:red}</style>b <!-- note --> c"),
+      (4L, "5 &lt; 7 &amp; 8 &gt; 2, &quot;q&quot; &#39;s&#39;"),
+      (5L, "&amp;lt; decodes to &lt; not to <"),
+      (6L, "plain text stays untouched")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("text_clean"))
+    assert(got(0) == "hello world")
+    assert(got(1) == "keep this", s"got '${got(1)}'")
+    assert(got(2) == "a b c")
+    assert(got(3) == "5 < 7 & 8 > 2, \"q\" 's'")
+    assert(got(4) == "&lt; decodes to < not to <")
+    assert(got(5) == "plain text stays untouched")
+    val r = TextAnalysis.stripMarkup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(1).getAs[Double]("markup_ratio") > 0.5)
+    assert(r(5).getAs[Double]("markup_ratio") == 0.0)
+  }
+
   test("detectPan: Luhn separates real PANs from random digit runs; formats; lengths") {
     import spark.implicits._
     val docs = Seq(
