@@ -837,6 +837,25 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** URL canonicalization (T70) over synthesized crawl URLs (the corpus
+    * has no URL column, so both engines derive one per doc id across
+    * three messy shapes — mixed case, default ports, tracking params,
+    * fragments). */
+  private def qCanonicalizeUrls(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val url = when(col("doc_id") % 3 === 0,
+      concat(lit("HTTPS://News.Site"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/a/"), id, lit("?utm_source=feed&id="), id, lit("#top")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("http://Blog.example"), (col("doc_id") % 5).cast("string"),
+          lit(".org:80/p?fbclid=x"), id, lit("&q=1")))
+      .otherwise(concat(lit("https://cdn.mirror.net/obj/"), id))
+    TextAnalysis.canonicalizeUrls(
+      Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+      "doc_id", "url")
+      .orderBy("doc_id")
+  }
+
   /** Markup strip (T69) with deterministic injection (the synthetic
     * corpus is plain text, so every 29th doc gets wrapped in tag soup
     * with a script payload and entities — both engines construct it). */
@@ -6978,6 +6997,7 @@ object SparkEntry {
     "q_neyman_allocation" -> (qNeymanAllocation _),
     "q_deterministic_shuffle" -> (qDeterministicShuffle _),
     "q_strip_markup" -> (qStripMarkup _),
+    "q_canonicalize_urls" -> (qCanonicalizeUrls _),
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
     "q_hellinger_drift_stream" -> (qHellingerDriftStream _),
     "q_als" -> (qAls _),
@@ -10179,6 +10199,41 @@ object SparkEntry {
          SELECT doc_id, n_chars, n_replacement, n_control, n_c1, n_mojibake,
                 anomaly_score, anomaly_score > 0.001 AS flagged
          FROM sc ORDER BY doc_id""",
+    // same synthesized URLs; the canonicalization chain with \1 capture
+    // syntax (RE2) where Spark uses $1 — same semantics
+    "q_canonicalize_urls" ->
+      """WITH u AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'HTTPS://News.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+                          '.COM:443/a/' || CAST(doc_id AS VARCHAR) ||
+                          '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#top'
+                     WHEN doc_id % 3 = 1
+                     THEN 'http://Blog.example' || CAST(doc_id % 5 AS VARCHAR) ||
+                          '.org:80/p?fbclid=x' || CAST(doc_id AS VARCHAR) || '&q=1'
+                     ELSE 'https://cdn.mirror.net/obj/' || CAST(doc_id AS VARCHAR)
+                END AS url
+              FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(url, '#[^#]*$', '', 'g') AS v FROM u),
+         lo AS (SELECT doc_id,
+                       lower(regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+                         substr(v, length(regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1) AS v
+                FROM nf),
+         np AS (SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(v, '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+                         '^(https://[^/:?#]+):443([/?#]|$)', '\1\2') AS v
+                FROM lo),
+         nt AS (SELECT doc_id,
+                       regexp_replace(v, '(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&?', '', 'g') AS v
+                FROM np),
+         cn AS (SELECT doc_id,
+                       regexp_replace(regexp_replace(v, '\?&', '?', 'g'), '[?&]$', '', 'g') AS url_canonical
+                FROM nt)
+         SELECT doc_id, url_canonical,
+                regexp_extract(url_canonical, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+                regexp_extract(regexp_extract(url_canonical, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+                               '([^.]+\.[^.]+)$', 1) AS domain
+         FROM cn ORDER BY doc_id""",
     // identical RE2-portable regex chain ((?is), non-greedy, \x{..}
     // whitespace class), entity decode with &amp; LAST; 'g' flags
     "q_strip_markup" ->

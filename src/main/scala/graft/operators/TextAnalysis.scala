@@ -904,6 +904,41 @@ object TextAnalysis {
       nRedactions.as("n_redactions"))
   }
 
+  /** URL canonicalization + domain extraction — the key-hygiene step
+    * before URL-grain dedup or domain-level corpus accounting (the same
+    * page arrives as HTTPS://Host:443/x?utm_source=a#frag and
+    * https://host/x — naive distinct counts it twice, and domain quotas
+    * need the registered domain, not the full host): lowercases
+    * scheme+host (path/query stay case-sensitive per RFC 3986), drops
+    * the fragment, the scheme-default port (:80/:443), tracking params
+    * (utm_*, gclid, fbclid) with separator repair, and a trailing ?/&.
+    * `domain` is the last-two-labels approximation (a public-suffix list
+    * is a lookup-table upgrade, documented).
+    *
+    * Pure codegen'd regexp chain, zero shuffle, RE2-portable patterns
+    * (capture-group replacement spelled $1 here and \1 in the oracle —
+    * engine syntax, same semantics). */
+  def canonicalizeUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val noFrag = regexp_replace(u, "#[^#]*$", "")
+    df.select(col(idCol), noFrag.as("__nf"))
+      .withColumn("__pfx", regexp_extract(col("__nf"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0))
+      .withColumn("__low",
+        concat(lower(col("__pfx")), expr("substr(__nf, length(__pfx) + 1)")))
+      .withColumn("__np", regexp_replace(
+        regexp_replace(col("__low"), "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+        "^(https://[^/:?#]+):443([/?#]|$)", "$1$2"))
+      .withColumn("__nt", regexp_replace(col("__np"),
+        "(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&?", ""))
+      .withColumn("url_canonical", regexp_replace(
+        regexp_replace(col("__nt"), "\\?&", "?"), "[?&]$", ""))
+      .withColumn("host",
+        regexp_extract(col("url_canonical"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
+      .withColumn("domain",
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .drop("__nf", "__pfx", "__low", "__np", "__nt")
+  }
+
   /** HTML/markup stripper — the crawled-corpus ingestion step BEFORE any
     * text-quality gate makes sense (tag soup inflates length counts,
     * poisons n-gram stats, and script/style payloads are not language):

@@ -732,6 +732,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("canonicalizeUrls: case/port/fragment/tracking normalize; domain extracts") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://Sub.Example.COM:443/Path/X?utm_source=a&id=7&utm_campaign=b#frag"),
+      (2L, "http://example.com:80/"),
+      (3L, "https://example.com/x?gclid=123"),
+      (4L, "https://example.com/x?fbclid=1&keep=2"),
+      (5L, "http://a.b.co.uk:8080/y?id=1"),
+      (6L, "https://example.com/CaseSensitive/Path")).toDF("id", "url")
+    val got = TextAnalysis.canonicalizeUrls(urls, "id", "url")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[String]("url_canonical"), r.getAs[String]("host"),
+        r.getAs[String]("domain")))
+    assert(got(0)._1 == "https://sub.example.com/Path/X?id=7", s"got ${got(0)._1}")
+    assert(got(0)._2 == "sub.example.com" && got(0)._3 == "example.com")
+    assert(got(1)._1 == "http://example.com/")
+    assert(got(2)._1 == "https://example.com/x")
+    assert(got(3)._1 == "https://example.com/x?keep=2")
+    // non-default port survives; last-two-label domain is the documented approx
+    assert(got(4)._1 == "http://a.b.co.uk:8080/y?id=1" && got(4)._3 == "co.uk")
+    assert(got(5)._1 == "https://example.com/CaseSensitive/Path",
+      "path case must be preserved")
+  }
+
   test("stripMarkup: script payloads vanish, tags space-separate, entities decode once") {
     import spark.implicits._
     val docs = Seq(
