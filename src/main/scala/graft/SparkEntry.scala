@@ -837,6 +837,51 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** End-to-end entity-resolution pipeline (X300) in ONE Catalyst plan —
+    * the composition the record-linkage family builds toward (X261
+    * soundex blocking → jaro-winkler scoring → per-entity argmax →
+    * threshold → survivorship merge): source B is a deterministically
+    * perturbed re-feed of parts (every 3rd part, re-keyed, name mangled
+    * with a trailing letter, price drifted) and the pipeline must link
+    * each B row back to its A original through the phonetic block —
+    * typo-robust because the mangle falls beyond soundex's 3 digits.
+    * Unmatched B rows survive as NULL links (left join), never dropped. */
+  private def qErPipeline(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.part(s, d).select(
+      col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+      col("p_retailprice").as("a_price"))
+    val b = Tables.part(s, d).filter(col("p_partkey") % 3 === 0).select(
+      (col("p_partkey") + 1000000L).as("b_key"),
+      concat(col("p_name"), lit("x")).as("b_name"),
+      (col("p_retailprice") + 10.0).as("b_price"))
+    val pairs = FuzzyMatch.phoneticBlockJoin(
+        b, a.withColumnRenamed("a_name", "a_name0"), "b_name", "a_name0")
+      .withColumn("__jw", graft.functions.jaro_winkler(col("b_name"), col("a_name0")))
+      .filter(col("__jw") >= 0.9)
+    val best = pairs
+      .groupBy(col("b_key"))
+      .agg(max(struct(col("__jw"), (-col("a_key")).as("__nk"),
+        col("a_key"), col("a_name0"), col("a_price"))).as("__m"))
+      .select(col("b_key").as("__bk"),
+        col("__m.a_key").as("a_key"),
+        col("__m.__jw").as("__jw"),
+        col("__m.a_name0").as("canonical_name"),
+        col("__m.a_price").as("__ap"))
+    b.join(best, col("b_key") === col("__bk"), "left")
+      .select(
+        // UNROUNDED: jw and the merged price are the same doubles on both
+        // engines (bit-compatible JW, identical greatest) — rounding the
+        // same double can STILL diverge at decimal half-way points
+        // (Spark HALF_UP on the shortest repr vs DuckDB on the binary
+        // value — the X294 lesson), so don't
+        col("b_key"), col("a_key"),
+        col("__jw").as("jw"),
+        col("canonical_name"),
+        when(col("a_key").isNotNull,
+          greatest(col("__ap"), col("b_price"))).as("merged_price"))
+      .orderBy("b_key")
+  }
+
   /** URL canonicalization (T70) over synthesized crawl URLs (the corpus
     * has no URL column, so both engines derive one per doc id across
     * three messy shapes — mixed case, default ports, tracking params,
@@ -6998,6 +7043,7 @@ object SparkEntry {
     "q_deterministic_shuffle" -> (qDeterministicShuffle _),
     "q_strip_markup" -> (qStripMarkup _),
     "q_canonicalize_urls" -> (qCanonicalizeUrls _),
+    "q_er_pipeline" -> (qErPipeline _),
     "q_encoding_anomalies" -> (qEncodingAnomalies _),
     "q_hellinger_drift_stream" -> (qHellingerDriftStream _),
     "q_als" -> (qAls _),
@@ -8456,6 +8502,55 @@ object SparkEntry {
     * [[graft.operators.FuzzyMatch.soundexCode]] verbatim; every regex is
     * RE2-safe and every replace carries the 'g' flag (DuckDB replaces
     * only the first match otherwise). */
+  /** The portable soundex chain as nested subqueries over `src`,
+    * emitting all of src's columns plus the 4-char `skey` — shared by the
+    * ER-pipeline oracle (the q_soundex_blocks chain, parameterized). */
+  private def soundexSql(src: String, nameCol: String): String = {
+    val hw = (1 to 6).foldLeft("fl")((s, d) =>
+      s"regexp_replace($s, '${d}7+$d', '$d', 'g')")
+    val dedup = (0 to 6).foldLeft("no7")((s, d) =>
+      s"regexp_replace($s, '$d$d+', '$d', 'g')")
+    s"""SELECT *, CASE WHEN length(letters) > 0
+                  THEN substr(letters, 1, 1) || rpad(substr(digits, 1, 3), 3, '0')
+             END AS skey
+     FROM (SELECT *, regexp_replace(tail, '0', '', 'g') AS digits
+       FROM (SELECT *, CASE WHEN substr(fl, 1, 1) = '7' THEN dd ELSE substr(dd, 2) END AS tail
+         FROM (SELECT *, $dedup AS dd
+           FROM (SELECT *, regexp_replace(hw, '7', '', 'g') AS no7
+             FROM (SELECT *, $hw AS hw
+               FROM (SELECT *, translate(letters, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                                  '01230127022455012623017202') AS fl
+                 FROM (SELECT *, upper(regexp_replace($nameCol, '[^A-Za-z]', '', 'g')) AS letters
+                   FROM $src)))))))"""
+  }
+
+  /** ER pipeline replay: perturbed re-feed, the soundex block join, JW
+    * scoring (DuckDB's jaro_winkler_similarity is bit-compatible with the
+    * native expression), (jw DESC, a_key ASC) argmax, left-join
+    * survivorship — outputs UNROUNDED (same-double discipline). */
+  private lazy val erPipelineOracle: String =
+    s"""WITH a0 AS (SELECT p_partkey AS a_key, p_name AS a_name0,
+                p_retailprice AS a_price FROM part),
+     b0 AS (SELECT p_partkey + 1000000 AS b_key, p_name || 'x' AS b_name,
+                   p_retailprice + 10.0 AS b_price
+            FROM part WHERE p_partkey % 3 = 0),
+     a1 AS (${soundexSql("a0", "a_name0")}),
+     b1 AS (${soundexSql("b0", "b_name")}),
+     pairs AS (SELECT b1.b_key, b1.b_name, b1.b_price,
+                      a1.a_key, a1.a_name0, a1.a_price,
+                      jaro_winkler_similarity(b1.b_name, a1.a_name0) AS jw
+               FROM b1 JOIN a1 ON b1.skey = a1.skey
+               WHERE jaro_winkler_similarity(b1.b_name, a1.a_name0) >= 0.9),
+     best AS (SELECT b_key AS bk, a_key, jw, a_name0 AS canonical_name, a_price,
+                     ROW_NUMBER() OVER (PARTITION BY b_key
+                                        ORDER BY jw DESC, a_key ASC) AS rn
+              FROM pairs)
+     SELECT b0.b_key, best.a_key, best.jw, best.canonical_name,
+            CASE WHEN best.a_key IS NOT NULL
+                 THEN GREATEST(best.a_price, b0.b_price) END AS merged_price
+     FROM b0 LEFT JOIN best ON b0.b_key = best.bk AND best.rn = 1
+     ORDER BY b0.b_key"""
+
   private val soundexBlocksOracle: String = {
     val hw = (1 to 6).foldLeft("fl")((s, d) =>
       s"regexp_replace($s, '${d}7+$d', '$d', 'g')")
@@ -13803,6 +13898,7 @@ object SparkEntry {
     "q_bagged_stumps" -> baggedStumpsOracle,
     "q_seq_patterns" -> seqPatternsOracle,
     "q_soundex_blocks" -> soundexBlocksOracle,
+    "q_er_pipeline" -> erPipelineOracle,
     "q_kish" -> kishOracle,
     "q_poisson" -> poissonOracle,
     // the streaming twin accumulates the identical integer sums — shares
