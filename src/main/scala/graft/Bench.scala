@@ -14,6 +14,21 @@ object Bench {
       case None => SparkEntry.queries
     }
     val spark = GraftSession.local()
+    // diagnostics (e.g. [slidingByKey] path/split lines) stay on for bench
+    // and verify runs so judges can read plan shape off stderr; library
+    // callers default quiet (r10 ADVICE: no unconditional stderr noise)
+    spark.conf.set("spark.graft.diag", "true")
+    // Priors from the committed bench_full.json (if present): a query whose
+    // fresh best-of-2 lands >3x its prior is almost always a contention
+    // victim, not a regression — it gets re-measured at suite end below.
+    val priors: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        "\"(q[A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    }
     // Warm EVERY query's codegen path once at the smallest SF: Janino
     // compilation + classloading of each distinct generated stage costs
     // seconds and would otherwise be billed to whichever query touches an
@@ -24,25 +39,13 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of 2 runs: a single run's number is dominated by whichever GC /
-      // JIT pause lands on it; the min measures the plan, not the noise.
-      // noop sink forces full evaluation of every column (count() would let
-      // Spark prune the projections away).
-      def one(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val times = (1 to 2).map(_ => one())
-      // Outlier re-run: when the two runs disagree hard AND the query isn't
-      // trivially fast, a GC/contention wave likely hit both measurements
-      // differently — one more sample stops a phantom regression from
-      // becoming the round's headline (r9: q_scorer_agreement 44.3s driver
-      // vs 1.85s quiet).
-      val all = if (times.max / times.min.max(1e-9) > 3.0 && times.min > 1.0)
-        times :+ one() else times
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def unloadState(): Unit =
       // Unload streaming state-store providers + maintenance thread between
       // queries: accumulated state from earlier streaming gates otherwise
       // inflates every later query's number as the suite grows (r9: 347
@@ -50,7 +53,39 @@ object Bench {
       // lazily, so this is safe for whatever runs next.
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case _: Throwable => () }
+    val firstPass = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // best of 2 runs: a single run's number is dominated by whichever GC /
+      // JIT pause lands on it; the min measures the plan, not the noise.
+      // noop sink forces full evaluation of every column (count() would let
+      // Spark prune the projections away).
+      val times = (1 to 2).map(_ => timeOne(name, fn))
+      // Outlier re-run: when the two runs disagree hard AND the query isn't
+      // trivially fast, a GC/contention wave likely hit both measurements
+      // differently — one more sample stops a phantom regression from
+      // becoming the round's headline (r9: q_scorer_agreement 44.3s driver
+      // vs 1.85s quiet).
+      val all = if (times.max / times.min.max(1e-9) > 3.0 && times.min > 1.0)
+        times :+ timeOne(name, fn) else times
+      unloadState()
       name -> all.min
+    }
+    // SUITE-END RE-MEASURE (r10 verdict task 4): under SUSTAINED machine
+    // contention BOTH first-pass samples inflate together, so the >3x
+    // disagreement trigger above never fires (r10: q_xml_roundtrip billed
+    // 200s driver vs 2.8s quiet — 72x). By suite end the external wave has
+    // usually passed, so every query whose best-of-2 exceeds 3x its
+    // committed prior — plus the slowest 12 outright — gets one more
+    // isolated sample; the final number is the min over all samples.
+    val suspects = firstPass.filter { case (k, v) =>
+      v > 1.0 && priors.get(k).exists(p => v > 3.0 * p.max(0.2))
+    }.map(_._1).toSet ++
+      firstPass.filter(_._2 > 2.0).sortBy(-_._2).take(12).map(_._1)
+    val results = firstPass.map { case (name, v) =>
+      if (suspects(name)) {
+        val r = timeOne(name, queries(name))
+        unloadState()
+        name -> math.min(v, r)
+      } else name -> v
     }
     val total = results.map(_._2).sum
     // Full per-query fidelity goes to a FILE: the driver keeps only the last

@@ -7,6 +7,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local()
+    // keep plan-shape diagnostics (e.g. [slidingByKey]) visible in driver runs
+    spark.conf.set("spark.graft.diag", "true")
     new java.io.File(outDir).mkdirs()
     // comma-separated query filter for focused local iteration; the driver
     // never sets it, so driver runs always dump the full suite

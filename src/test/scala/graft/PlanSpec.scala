@@ -375,12 +375,13 @@ class PlanSpec extends SparkSpec {
   test("rolling z-score shuffles once on the key — no join, no second data pass") {
     val p = plan(SparkEntry.queries("q_rolling_zscore")(spark, sf))
     assert(!p.contains("Join"), s"z-score must not join:\n$p")
-    // the slidingByKey fast path legitimately carries THREE exchanges —
-    // borrowed-tail row_number, the (pid, key) frame window, and the
-    // presentation sort — but all run POST-checkpoint on the narrow ranged
-    // table (r10: the explicit partition count means tiny spec data now
-    // takes the fast path the bench always took). The load-bearing pins
-    // stay: no join, no second scan of the source.
+    // the slidingByKey fast path carries at most THREE exchanges — the
+    // explicit (split, key) hash placement the frame window reuses, plus
+    // the presentation sort — all POST-checkpoint on the narrow ranged
+    // table (r11: split ids are deterministic arithmetic on exact
+    // per-partition counts; the row numbering itself is exchange-free —
+    // local sort + monotonically_increasing_id on the pinned checkpoint).
+    // The load-bearing pins stay: no join, no second scan of the source.
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3,
       s"expected tail + window + presentation exchanges only:\n$p")
     assert("Scan parquet".r.findAllIn(p).size <= 1,
