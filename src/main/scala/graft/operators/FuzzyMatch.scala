@@ -209,14 +209,29 @@ object FuzzyMatch {
     * [[soundexCode]] of their name columns — the O(n) blocking pass that
     * replaces the quadratic all-pairs comparison in a linkage pipeline
     * (compose with [[linkageScore]] downstream). A plain co-partitioned
-    * hash join on a 4-char key; block skew is bounded by the phonetic
-    * alphabet and the caller's name distribution. */
+    * hash join on a 4-char key.
+    *
+    * Block skew is NOT bounded by the phonetic alphabet alone: real-world
+    * name columns concentrate on degenerate codes (empty/short names all
+    * soundex alike), and the join's cost is Σ|block_L|·|block_R| — one hot
+    * code goes quadratic at scale. `maxBlock` therefore routes BOTH sides
+    * through [[Relational.capGroupSize]] on the soundex key before the
+    * join: any block larger than `maxBlock` rows on either side is dropped
+    * whole (a block that big is phonetically meaningless for linkage
+    * anyway), with the dropped-group counts logged to stderr. The default
+    * is generous — at 10k rows/side a single block is 10^8 comparisons;
+    * pass None only when the name distribution is known clean. */
   def phoneticBlockJoin(
       left: DataFrame,
       right: DataFrame,
       leftName: String,
-      rightName: String): DataFrame =
-    left.withColumn("soundex_key", soundexCode(col(leftName)))
-      .join(right.withColumn("soundex_key", soundexCode(col(rightName))),
-        "soundex_key")
+      rightName: String,
+      maxBlock: Option[Long] = Some(10000L)): DataFrame = {
+    def side(df: DataFrame, name: String): DataFrame = {
+      val keyed = df.withColumn("soundex_key", soundexCode(col(name)))
+        .filter(col("soundex_key").isNotNull)
+      maxBlock.fold(keyed)(m => Relational.capGroupSize(keyed, Seq("soundex_key"), m))
+    }
+    side(left, leftName).join(side(right, rightName), "soundex_key")
+  }
 }

@@ -139,6 +139,26 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 10L)))
   }
 
+  test("phoneticBlockJoin maxBlock drops a planted degenerate block, keeps the rest") {
+    // 10k left rows that ALL soundex to the same code (single-letter names
+    // code to X000) — the Σ|block_L|·|block_R| blowup shape — plus one
+    // healthy homophone pair that must survive the cap
+    val l = ((1 to 10000).map(i => (i.toLong, "A")) :+ (0L, "Robert"))
+      .toDF("id1", "n1").repartition(8)
+    val r = ((1 to 10000).map(i => (i.toLong + 100000, "A")) :+ (10L, "Rupert"))
+      .toDF("id2", "n2").repartition(8)
+    val capped = FuzzyMatch.phoneticBlockJoin(l, r, "n1", "n2", maxBlock = Some(100L))
+      .select("id1", "id2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // sub-quadratic by construction: the 10^8-pair block is gone entirely
+    assert(capped.toSeq == Seq((0L, 10L)))
+    // uncapped keeps the degenerate block (documented escape hatch) — count
+    // on a small slice to prove the cap (not the soundex) did the pruning
+    val uncapped = FuzzyMatch.phoneticBlockJoin(
+      l.limit(50).filter($"id1" > 0), r.limit(50).filter($"id2" > 0),
+      "n1", "n2", maxBlock = None)
+    assert(uncapped.count() >= 49L * 49L, "uncapped must keep the block")
+  }
+
   test("sortedNeighborhoodPairs: pair count is exactly sum over gaps on larger input") {
     val n = 200
     val w = 5
