@@ -10319,10 +10319,11 @@ object SparkEntry {
                          '^(https://[^/:?#]+):443([/?#]|$)', '\1\2') AS v
                 FROM lo),
          nt AS (SELECT doc_id,
-                       regexp_replace(v, '(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&?', '', 'g') AS v
+                       regexp_replace(v, '([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '\1', 'g') AS v
                 FROM np),
          cn AS (SELECT doc_id,
-                       regexp_replace(regexp_replace(v, '\?&', '?', 'g'), '[?&]$', '', 'g') AS url_canonical
+                       regexp_replace(regexp_replace(regexp_replace(v, '&&+', '&', 'g'),
+                         '\?&+', '?', 'g'), '[?&]+$', '', 'g') AS url_canonical
                 FROM nt)
          SELECT doc_id, url_canonical,
                 regexp_extract(url_canonical, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
@@ -10391,12 +10392,15 @@ object SparkEntry {
               FROM customer GROUP BY 1),
          sd AS (SELECT c_mktsegment, n_pop,
                        CASE WHEN n_pop > 1 THEN
-                         SQRT((ss - s * s / CAST(n_pop AS DOUBLE)) / (CAST(n_pop AS DOUBLE) - 1.0))
+                         SQRT(GREATEST((ss - s * s / CAST(n_pop AS DOUBLE)) / (CAST(n_pop AS DOUBLE) - 1.0), 0.0))
                        END AS sdv
                 FROM st),
-         wq AS (SELECT c_mktsegment, n_pop, sdv,
-                       COALESCE(CAST(FLOOR(CAST(n_pop AS DOUBLE) * sdv * 1000000.0 + 0.5) AS BIGINT), 0) AS w
+         wq0 AS (SELECT c_mktsegment, n_pop, sdv,
+                       COALESCE(CAST(FLOOR(CAST(n_pop AS DOUBLE) * sdv * 1000000.0 + 0.5) AS BIGINT), 0) AS w0
                 FROM sd),
+         wq AS (SELECT c_mktsegment, n_pop, sdv,
+                       CASE WHEN (SELECT SUM(w0) FROM wq0) > 0 THEN w0 ELSE n_pop END AS w
+                FROM wq0),
          t AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM wq),
          b AS (SELECT c_mktsegment, n_pop, sdv, w,
                       (w * 500) // wt AS q, (w * 500) % wt AS r
@@ -13760,11 +13764,9 @@ object SparkEntry {
                FROM w)
          SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
                 MAX(na) AS n_a, MAX(nb) AS n_b,
-                ROUND(CAST(MAX(na) + MAX(nb) - 1 AS DOUBLE)
-                      / CAST(CAST(MAX(na) + MAX(nb) AS DECIMAL(38,0))
-                             * CAST(MAX(na) AS DECIMAL(38,0))
-                             * CAST(MAX(nb) AS DECIMAL(38,0)) AS DOUBLE)
-                      * (CAST(SUM(CAST(FLOOR(term * 1e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e9),
+                ROUND((CAST(SUM(CAST(FLOOR(term * 1e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e9)
+                      / CAST(CAST(MAX(na) AS DECIMAL(38,0))
+                             * CAST(MAX(nb) AS DECIMAL(38,0)) AS DOUBLE),
                       6) AS ad
          FROM q""",
     // per-time e/v terms are fixed left-associated IEEE chains from exact

@@ -375,7 +375,12 @@ object Sampling {
     * stratum key) — allocations sum to the budget by construction.
     * Single-row strata carry no variance signal and weight 0 (documented:
     * they get allocation only through remainders, i.e. effectively
-    * never). Returns one row per stratum:
+    * never). Degenerate inputs stay inside the contract (r10 ADVICE):
+    * the quantized variance clamps at 0 so near-constant strata read
+    * sd = 0.0 (never NaN), and when EVERY weight is 0 (all strata
+    * constant or single-row) the allocation falls back to proportional-
+    * to-n_pop instead of handing apportion a zero total (which would
+    * NULL every n_alloc). Returns one row per stratum:
     * (strata…, n_pop, sd, n_alloc). */
   def neymanAllocation(
       df: DataFrame,
@@ -393,12 +398,22 @@ object Sampling {
     val nn = col("n_pop").cast("double")
     val s = col("__sq").cast("double") / 1000000.0
     val ss = col("__ssq").cast("double") / 1000000.0
-    val sd = sqrt((ss - s * s / nn) / (nn - 1.0))
+    // clamp the quantized variance at 0: catastrophic cancellation on a
+    // near-constant stratum can leave -ulp, which would sqrt to NaN and
+    // silently zero the weight
+    val sd = sqrt(greatest((ss - s * s / nn) / (nn - 1.0), lit(0.0)))
     val weighted = strata
       .withColumn("__sd", when(col("n_pop") > 1, sd))
-      .withColumn("__wq",
+      .withColumn("__w0",
         coalesce(floor(nn * col("__sd") * 1000000.0 + 0.5).cast("long"), lit(0L)))
-    Relational.apportion(weighted, "__wq", totalSample, keys, outCol = "n_alloc")
+    // all-zero weights -> proportional-to-population fallback (1-row
+    // broadcast total, the house pattern — stays one lazy plan)
+    val wTot = weighted.agg(sum(col("__w0")).as("__w_sum"))
+    val fallback = weighted.crossJoin(broadcast(wTot))
+      .withColumn("__wq",
+        when(col("__w_sum") > 0, col("__w0")).otherwise(col("n_pop")))
+      .drop("__w0", "__w_sum")
+    Relational.apportion(fallback, "__wq", totalSample, keys, outCol = "n_alloc")
       .select(keys ++ Seq(col("n_pop"),
         round(col("__sd"), dp).as("sd"), col("n_alloc")): _*)
   }

@@ -3280,9 +3280,15 @@ object Sketches {
     * On the distinct-value collapse with multiplicities l_j, pooled
     * cumulative B_j and the SAME exact cross term X_j = F_A·n_B − F_B·n_A
     * as CvM:
-    *   A² = (N−1)/(N·n_A·n_B) · Σ_{B_j<N} l_j·X_j² / (B_j·(N−B_j))
-    * (the B_j = N block contributes X = 0 and is excluded — its weight is
-    * degenerate). No null-distribution standardization is reported — like
+    *   A² = 1/(n_A·n_B) · Σ_{B_j<N} l_j·X_j² / (B_j·(N−B_j))
+    * — the Scholz–Stephens eq. (3) right-continuous form (for k = 2 the
+    * inner Σ_i (N·M_ij − B_j·n_i)²/n_i collapses to X_j²·N/(n_A·n_B),
+    * cancelling eq. 3's 1/N), extended to ties by the distinct-value
+    * collapse. NOT the midrank A²_ak variant: that one changes B_j and
+    * the denominator too, not just an (N−1)/N prefactor (r10 ADVICE —
+    * the earlier hybrid matched neither form). The B_j = N block
+    * contributes X = 0 and is excluded — its weight is degenerate. No
+    * null-distribution standardization is reported — like
     * the CvM/energy row, the statistic is the readout and the
     * Scholz–Stephens variance constants are a table lookup the caller
     * owns.
@@ -3290,7 +3296,7 @@ object Sketches {
     * Numerators l·X² are exact DECIMAL(38,0); each term has its OWN
     * denominator B(N−B), so terms quantize to 1e-9 longs before the sum
     * (the log-rank discipline — a raw double SUM is partition-order-
-    * dependent), then ONE fixed chain scales by (N−1)/(N·n_A·n_B). Same
+    * dependent), then ONE fixed chain scales by 1/(n_A·n_B). Same
     * scale shape as [[cramerVonMises]]: one partial aggregate, prefix
     * counts on the two-pass [[Relational.globalRunningSums]] pass. */
   def andersonDarling(
@@ -3330,9 +3336,8 @@ object Sketches {
         lit(groupB).as("group_b"),
         col("n_a"), col("n_b"),
         round(
-          (col("n_a") + col("n_b") - 1).cast("double") /
-            (d(col("n_a") + col("n_b")) * d(col("n_a")) * d(col("n_b"))).cast("double") *
-            (col("__sq").cast("double") / 1e9), dp).as("ad"))
+          (col("__sq").cast("double") / 1e9) /
+            (d(col("n_a")) * d(col("n_b"))).cast("double"), dp).as("ad"))
   }
 
   /** 1-D Wasserstein-1 (earth mover's) distance between two groups' value

@@ -928,10 +928,15 @@ object TextAnalysis {
       .withColumn("__np", regexp_replace(
         regexp_replace(col("__low"), "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
         "^(https://[^/:?#]+):443([/?#]|$)", "$1$2"))
+      // anchored to a separator (r10 ADVICE): an unanchored pattern matched
+      // INSIDE longer param names ('?xgclid=5&keep=1' lost 'keep'); the
+      // leading [?&] re-emits as $1, and the repair passes collapse the
+      // separator runs consecutive tracking params leave behind
       .withColumn("__nt", regexp_replace(col("__np"),
-        "(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&?", ""))
+        "([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*", "$1"))
       .withColumn("url_canonical", regexp_replace(
-        regexp_replace(col("__nt"), "\\?&", "?"), "[?&]$", ""))
+        regexp_replace(regexp_replace(col("__nt"), "&&+", "&"),
+          "\\?&+", "?"), "[?&]+$", ""))
       .withColumn("host",
         regexp_extract(col("url_canonical"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
       .withColumn("domain",

@@ -203,4 +203,19 @@ class SamplingSpec extends SparkSpec {
       .orderBy("k").collect().map(_.getAs[Long]("n_alloc")).toSeq
     assert(g7 == got.map(_.getAs[Long]("n_alloc")).toSeq)
   }
+
+  test("neymanAllocation degenerate inputs: all-constant strata fall back proportional; sd never NaN") {
+    // every stratum constant -> every Neyman weight is 0; the documented
+    // contract (allocations sum to the budget) must hold via the
+    // proportional-to-n_pop fallback instead of NULLing n_alloc (r10 ADVICE)
+    val rows = Seq.fill(6)(("a", 5.0)) ++ Seq.fill(3)(("b", 7.0)) ++ Seq(("c", 9.0))
+    val got = Sampling.neymanAllocation(rows.toDF("k", "v").repartition(3),
+      Seq("k"), "v", totalSample = 20L).orderBy("k").collect()
+    val byK = got.map(r => r.getString(0) -> r.getAs[Long]("n_alloc")).toMap
+    assert(got.map(_.getAs[Long]("n_alloc")).sum == 20L, "budget must still sum exactly")
+    assert(byK("a") == 12L && byK("b") == 6L && byK("c") == 2L,
+      s"proportional 6:3:1 split of 20: $byK")
+    // sd reads 0.0 (clamped), never NaN, for constant strata; single-row NULL
+    assert(got.filter(_.getAs[Long]("n_pop") > 1).forall(_.getAs[Double]("sd") == 0.0))
+  }
 }

@@ -1223,11 +1223,12 @@ class SketchesSpec extends SparkSpec {
     import spark.implicits._
     // A = {1,2}, B = {3,4}: terms l*X^2/(B(N-B)) at v=1: 1*4/(1*3),
     // v=2: 1*16/(2*2), v=3: 1*4/(3*1); B=N block excluded.
-    // A^2 = 3/(4*2*2) * (4/3 + 4 + 4/3) = 3/16 * 20/3 = 1.25
+    // Scholz-Stephens eq. 3 scale (no (N-1)/N midrank prefactor — r10
+    // ADVICE): A^2 = (4/3 + 4 + 4/3) / (n_A*n_B) = (20/3)/4 = 5/3
     val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
     val r = Sketches.andersonDarling(df, "g", "v", "A", "B").head
     assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
-    assert(r.getAs[Double]("ad") == 1.25)
+    assert(r.getAs[Double]("ad") == 1.666667)
     // identical distributions: X = 0 at every distinct value
     val same = Seq("A", "B").flatMap(g => Seq((g, 1L), (g, 7L))).toDF("g", "v")
     assert(Sketches.andersonDarling(same, "g", "v", "A", "B")
@@ -1240,7 +1241,7 @@ class SketchesSpec extends SparkSpec {
     val cvm = Sketches.cramerVonMises(tailA, "g", "v", "A", "B").head.getAs[Double]("cvm")
     assert(ad > 4 * cvm, s"ad=$ad cvm=$cvm — tail weight must dominate")
     val g7 = Sketches.andersonDarling(df.repartition(7), "g", "v", "A", "B").head
-    assert(g7.getAs[Double]("ad") == 1.25)
+    assert(g7.getAs[Double]("ad") == 1.666667)
   }
 
   test("abPower: hand MDE/n-required; tighter alpha widens MDE; invariant") {

@@ -740,7 +740,14 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "https://example.com/x?gclid=123"),
       (4L, "https://example.com/x?fbclid=1&keep=2"),
       (5L, "http://a.b.co.uk:8080/y?id=1"),
-      (6L, "https://example.com/CaseSensitive/Path")).toDF("id", "url")
+      (6L, "https://example.com/CaseSensitive/Path"),
+      // r10 ADVICE regression: a param whose NAME merely contains a
+      // tracking name must survive untouched (the unanchored pattern ate
+      // '...clid=5&' out of 'xgclid=5&keep=1')
+      (7L, "https://example.com/x?xgclid=5&keep=1"),
+      // consecutive tracking params leave a separator run the repair
+      // passes must collapse
+      (8L, "https://example.com/x?utm_a=1&utm_b=2&k=1&utm_c=3")).toDF("id", "url")
     val got = TextAnalysis.canonicalizeUrls(urls, "id", "url")
       .orderBy("id").collect()
       .map(r => (r.getAs[String]("url_canonical"), r.getAs[String]("host"),
@@ -754,6 +761,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4)._1 == "http://a.b.co.uk:8080/y?id=1" && got(4)._3 == "co.uk")
     assert(got(5)._1 == "https://example.com/CaseSensitive/Path",
       "path case must be preserved")
+    assert(got(6)._1 == "https://example.com/x?xgclid=5&keep=1", s"got ${got(6)._1}")
+    assert(got(7)._1 == "https://example.com/x?k=1", s"got ${got(7)._1}")
   }
 
   test("stripMarkup: script payloads vanish, tags space-separate, entities decode once") {
