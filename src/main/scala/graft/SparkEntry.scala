@@ -13358,6 +13358,8 @@ object SparkEntry {
     "q_ann_pq" -> pqOracle,
     "q_kcenter" -> kcenterOracle,
     "q_isotonic" -> isotonicOracle,
+    "q_mmr" -> mmrOracle,
+    "q_lttb" -> lttbOracle,
     "q_weighted_sample" ->
       """WITH k AS (SELECT doc_id, n_chars,
                            -LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
@@ -16335,6 +16337,121 @@ object SparkEntry {
      SELECT CAST(1 AS INTEGER) AS selection_order, id, CAST(NULL AS DOUBLE) AS radius_sq FROM c1
      UNION ALL $readout
      ORDER BY selection_order"""
+  }
+
+  /** Full MMR replay: 20 unrolled greedy rounds over the top-100 candidate
+    * list — mirrors [[graft.operators.Similarity.mmrRerank]] bit-for-bit:
+    * cosine's three accumulators are the same left-associated float→double
+    * folds (list_sum over list_transform — the k-center-verified
+    * convention), the running max-sim is a GREATEST chain, the score is
+    * λ·rel − (1−λ)·maxSim with BOTH constants spelled as exact double
+    * literals (a bare 0.3 would parse as DECIMAL and convert to the WRONG
+    * double — Scala computes 1−0.7 = 0.30000000000000004), and the argmax
+    * is (score DESC, id ASC). Round 1 subtracts (1−λ)·0.0, which is
+    * IEEE-identical to the kernel's bare λ·rel branch. MATERIALIZED per
+    * round for the k-center reason. */
+  private val mmrOracle: String = {
+    val lam = "CAST('0.7' AS DOUBLE)"
+    val oneMinusLam = s"CAST('${(1.0 - 0.7).toString}' AS DOUBLE)"
+    def fold(expr: String) =
+      s"list_sum(list_transform(range(64), j -> $expr))"
+    def cos(a: String, b: String) = {
+      val dot = fold(s"CAST($a[j+1] AS DOUBLE) * CAST($b[j+1] AS DOUBLE)")
+      val na = fold(s"CAST($a[j+1] AS DOUBLE) * CAST($a[j+1] AS DOUBLE)")
+      val nb = fold(s"CAST($b[j+1] AS DOUBLE) * CAST($b[j+1] AS DOUBLE)")
+      s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $dot / SQRT($na * $nb) END"
+    }
+    val k = 20
+    val rounds = (2 to k).map { i =>
+      s"""d$i AS MATERIALIZED (
+           SELECT a.id, a.rel, a.v, GREATEST(a.ms, ${cos("a.v", s"p${i - 1}.v")}) AS ms
+           FROM d${i - 1} a CROSS JOIN p${i - 1} WHERE a.id <> p${i - 1}.id),
+     p$i AS MATERIALIZED (
+           SELECT id, rel, v, ms, $lam * rel - $oneMinusLam * ms AS score
+           FROM d$i ORDER BY $lam * rel - $oneMinusLam * ms DESC, id LIMIT 1)"""
+    }.mkString(",\n     ")
+    val readout = (1 to k)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS selection_order, id, score AS mmr_score FROM p$i")
+      .mkString("\n     UNION ALL ")
+    s"""WITH topd AS MATERIALIZED (
+           SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS rel
+           FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100),
+     d1 AS MATERIALIZED (
+           SELECT t.id, t.rel, e.embedding AS v, CAST(0.0 AS DOUBLE) AS ms
+           FROM topd t JOIN embeddings e ON t.id = e.vec_id),
+     p1 AS MATERIALIZED (
+           SELECT id, rel, v, ms, $lam * rel - $oneMinusLam * ms AS score
+           FROM d1 ORDER BY $lam * rel - $oneMinusLam * ms DESC, id LIMIT 1),
+     $rounds
+     $readout
+     ORDER BY selection_order"""
+  }
+
+  /** Full LTTB replay: the 22 interior-bucket argmax rounds unroll as
+    * MATERIALIZED CTEs (each pick feeds the next bucket's triangle
+    * anchor), mirroring [[graft.functions.VectorOps.lttb]] bit-for-bit:
+    * bucket bounds use the SAME floor((b·(n−2)/22.0)) double products,
+    * centroid sums are integer-exact in double at gate scale (≪2^53, so
+    * summation order is immaterial), the area is the same fixed chain of
+    * single IEEE ops on exact ingredients, and the argmax replays the
+    * kernel's strictly-greater scan as (area DESC, pos ASC). Keys with
+    * n ≤ threshold bypass the algorithm and emit every point, exactly as
+    * the kernel's small-series branch does. */
+  private val lttbOracle: String = {
+    val th = 24
+    val nb = th - 2
+    val area =
+      """ABS((a.ax - c.avgx) * (CAST(p.y AS DOUBLE) - a.ay)
+             - (a.ax - CAST(p.x AS DOUBLE)) * (c.avgy - a.ay))"""
+    val rounds = (0 until nb).map { b =>
+      val anchor = if (b == 0) "a0" else s"w${b - 1}"
+      s"""w$b AS MATERIALIZED (
+           SELECT key, pos, x, y, CAST(x AS DOUBLE) AS ax, CAST(y AS DOUBLE) AS ay FROM (
+             SELECT p.key, p.pos, p.x, p.y,
+                    ROW_NUMBER() OVER (PARTITION BY p.key ORDER BY $area DESC, p.pos) AS rn
+             FROM pts p
+             JOIN bkt k ON p.key = k.key AND k.b = $b AND p.pos >= k.st AND p.pos < k.en
+             JOIN cent c ON c.key = p.key AND c.b = $b
+             JOIN $anchor a ON a.key = p.key) WHERE rn = 1)"""
+    }.mkString(",\n     ")
+    val readout = (0 until nb)
+      .map(b => s"SELECT key, x, y FROM w$b")
+      .mkString("\n     UNION ALL ")
+    s"""WITH daily AS (
+           SELECT o_orderpriority AS key,
+                  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+     pts0 AS (SELECT key, x, y,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY x, y) - 1 AS BIGINT) AS pos,
+                     CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n
+              FROM daily),
+     pts AS MATERIALIZED (SELECT * FROM pts0 WHERE n > $th),
+     par AS (SELECT key, MAX(n) AS n, CAST(MAX(n) - 2 AS DOUBLE) / CAST($nb AS DOUBLE) AS every
+             FROM pts GROUP BY 1),
+     bkt AS MATERIALIZED (
+           SELECT key, n, every, b,
+                  CAST(FLOOR(CAST(b AS DOUBLE) * every) AS BIGINT) + 1 AS st,
+                  LEAST(CAST(FLOOR(CAST(b + 1 AS DOUBLE) * every) AS BIGINT) + 1, n - 1) AS en,
+                  LEAST(CAST(FLOOR(CAST(b + 1 AS DOUBLE) * every) AS BIGINT) + 1, n - 1) AS cst,
+                  LEAST(CAST(FLOOR(CAST(b + 2 AS DOUBLE) * every) AS BIGINT) + 1, n) AS cen
+           FROM par CROSS JOIN (SELECT unnest(range($nb)) AS b)),
+     cent AS MATERIALIZED (
+           SELECT k.key, k.b,
+                  CAST(SUM(p.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgx,
+                  CAST(SUM(p.y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgy
+           FROM bkt k JOIN pts p ON p.key = k.key AND p.pos >= k.cst AND p.pos < k.cen
+           GROUP BY 1, 2),
+     a0 AS MATERIALIZED (
+           SELECT key, pos, x, y, CAST(x AS DOUBLE) AS ax, CAST(y AS DOUBLE) AS ay
+           FROM pts WHERE pos = 0),
+     $rounds
+     SELECT key AS prio, CAST(x AS BIGINT) AS day, CAST(y AS BIGINT) AS cents FROM (
+       SELECT key, x, y FROM pts WHERE pos = 0
+       UNION ALL $readout
+       UNION ALL SELECT key, x, y FROM pts WHERE pos = n - 1
+       UNION ALL SELECT key, x, y FROM pts0 WHERE n <= $th)
+     ORDER BY prio, day"""
   }
 
   /** PAV replay via the closed minimax identity fit_i = max_{k<=i}
