@@ -641,6 +641,30 @@ object SparkEntry {
       .orderBy("part")
   }
 
+  /** Excel-letter rule formulas compiled straight off their workbook
+    * strings (the reference's DICO_RULES_* layout, constants.py:609;
+    * letter→column-order resolution per utils.py:292) and applied as one
+    * codegen'd priority CASE chain — the consistency audit a user migrates
+    * WITHOUT transcribing formulas by hand. */
+  private def qRulesFormula(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty100"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"),
+      floor(col("l_discount") * 10000 + 0.5).cast("long").as("disc_bp"),
+      floor(col("l_tax") * 10000 + 0.5).cast("long").as("tax_bp"))
+    // A=l_orderkey … F=tax_bp; shift=1 aligns A to the first column
+    val rules = Rules.rulesFromFormulas(Seq(
+      ("rule_1", "(E+F)>1200", "fee_overload", 90),
+      ("rule_2", "C>D", "price_below_qty", 80),
+      ("rule_3", "E>=900", "deep_discount", 70),
+      ("rule_4", "B*C>25000", "bulky_tail_line", 60)),
+      li.columns.toSeq, shift = 1)
+    Rules.applyRules(li, rules)
+      .groupBy(col("rule_flag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("rule_flag").asc_nulls_first)
+  }
+
   /** Multi-block melt — the reference's transform_for_pnls_reporting
     * (utils.py:214): per indicator prefix, unpivot its value columns and tag
     * rows with the indicator id; blocks diagonal-concat into one long
@@ -7021,6 +7045,7 @@ object SparkEntry {
     "q_type_hygiene" -> (qTypeHygiene _),
     "q_rules_flag" -> (qRulesFlag _),
     "q_rules_split" -> (qRulesSplit _),
+    "q_rules_formula" -> (qRulesFormula _),
     "q_rules_matrix_export" -> (qRulesMatrixExport _),
     "q_quality_checks" -> (qQualityChecks _),
     "q_quality_checks_stream" -> (qQualityChecksStream _),
@@ -10121,6 +10146,24 @@ object SparkEntry {
                      THEN 'inconsistent' ELSE 'consistent' END AS part,
                 COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY part""",
+    // hand-spelled twin of the compiled letter formulas ((E+F)>1200, C>D,
+    // E>=900, B*C>25000 against the A..F column order) — this gates the
+    // COMPILER's output, so the SQL states the intended semantics directly
+    "q_rules_formula" ->
+      """WITH li AS (SELECT
+           CAST(l_linenumber AS BIGINT) AS lineno,
+           CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty100,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+           CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp,
+           CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) AS tax_bp
+         FROM lineitem),
+         f AS (SELECT CASE WHEN (disc_bp + tax_bp) > 1200 THEN 'fee_overload'
+                           WHEN qty100 > price_c THEN 'price_below_qty'
+                           WHEN disc_bp >= 900 THEN 'deep_discount'
+                           WHEN lineno * qty100 > 25000 THEN 'bulky_tail_line' END AS rule_flag
+               FROM li)
+         SELECT rule_flag, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1
+         ORDER BY rule_flag NULLS FIRST""",
     "q_rules_matrix_export" ->
       """WITH v AS (
            SELECT l_orderkey, l_linenumber, l_quantity, l_discount,

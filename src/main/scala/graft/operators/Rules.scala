@@ -19,6 +19,115 @@ object Rules {
     * utils.py:300-315). */
   final case class Rule(name: String, predicate: Column, priority: Int, tag: String)
 
+  /** Excel-letter formula compiler — the reference stores its consistency
+    * rules as letter-formula STRINGS in the matrix workbook ("AS<BC",
+    * "AI!=AJ+AK", "(J+I)>G"; constants.py:609-895) and rewrites them into
+    * pandas eval strings at runtime (utils.py:292 `remplacement`, which
+    * resolves each letter against the frame's column ORDER with a fixed
+    * offset — `columns[column_index_from_string(L) - 3]`). This is the
+    * Spark-native twin: the same grammar compiles ONCE into a codegen'd
+    * boolean `Column` — no per-row eval, no interpreter in the hot path.
+    *
+    * Grammar: comparison of two arithmetic expressions —
+    * `sum (op sum)` with op ∈ {<, >, <=, >=, =, ==, !=, <>},
+    * `sum := term ((+|-) term)*`, `term := factor ((*|/) factor)*`,
+    * `factor := LETTERS | NUMBER | (sum)`. Letters resolve by Excel
+    * column index (A=1, Z=26, AA=27 …) into `columns(index - shift)`,
+    * `shift = 3` matching the reference's convention (its frame drops the
+    * first grid columns); pass `shift = 1` for a frame aligned from A.
+    * Null semantics are SQL's (a NULL operand yields NULL → rule does not
+    * fire), vs Python eval which would throw — documented divergence. */
+  def compileFormula(formula: String, columns: Seq[String], shift: Int = 3): Column = {
+    // tokenize
+    sealed trait Tok
+    case class TLet(s: String) extends Tok
+    case class TNum(s: String) extends Tok
+    case class TOp(s: String) extends Tok
+    val src = formula
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < src.length) {
+      val c = src.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isUpper) {
+        val j = (i until src.length).find(k => !src.charAt(k).isUpper).getOrElse(src.length)
+        val s = src.substring(i, j)
+        require(s.length <= 2, s"column letters longer than 2 unsupported: '$s' in '$formula'")
+        toks += TLet(s); i = j
+      } else if (c.isDigit) {
+        val j = (i until src.length).find(k => !(src.charAt(k).isDigit || src.charAt(k) == '.'))
+          .getOrElse(src.length)
+        toks += TNum(src.substring(i, j)); i = j
+      } else {
+        val two = if (i + 1 < src.length) src.substring(i, i + 2) else ""
+        if (Set("<=", ">=", "!=", "<>", "==").contains(two)) { toks += TOp(two); i += 2 }
+        else if ("<>=+-*/()".indexOf(c) >= 0) { toks += TOp(c.toString); i += 1 }
+        else throw new IllegalArgumentException(s"unexpected '$c' in formula '$formula'")
+      }
+    }
+    // recursive-descent parse
+    var p = 0
+    def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
+    def eat(): Tok = {
+      require(p < toks.length, s"formula '$formula' ends mid-expression")
+      val t = toks(p); p += 1; t
+    }
+    def letterIndex(s: String): Int =
+      s.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1))
+    def factor(): Column = eat() match {
+      case TLet(s) =>
+        val idx = letterIndex(s) - shift
+        require(idx >= 0 && idx < columns.length,
+          s"letter '$s' resolves to position $idx outside the ${columns.length}-column frame " +
+            s"(shift=$shift) in '$formula'")
+        col(columns(idx))
+      case TNum(s) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+      case TOp("(") =>
+        val e = sum()
+        require(peek.contains(TOp(")")), s"missing ')' in '$formula'"); eat(); e
+      case t => throw new IllegalArgumentException(s"unexpected $t in formula '$formula'")
+    }
+    def term(): Column = {
+      var l = factor()
+      while (peek.exists { case TOp(o) => o == "*" || o == "/"; case _ => false })
+        l = if (eat() == TOp("*")) l * factor() else l / factor()
+      l
+    }
+    def sum(): Column = {
+      var l = term()
+      while (peek.exists { case TOp(o) => o == "+" || o == "-"; case _ => false })
+        l = if (eat() == TOp("+")) l + term() else l - term()
+      l
+    }
+    val left = sum()
+    val cmp = eat() match {
+      case TOp(o) if Set("<", ">", "<=", ">=", "=", "==", "!=", "<>").contains(o) => o
+      case t => throw new IllegalArgumentException(
+        s"expected a comparison, got $t in '$formula'")
+    }
+    val right = sum()
+    require(p == toks.length, s"trailing tokens after comparison in '$formula'")
+    cmp match {
+      case "<" => left < right
+      case ">" => left > right
+      case "<=" => left <= right
+      case ">=" => left >= right
+      case "=" | "==" => left === right
+      case "!=" | "<>" => left =!= right
+    }
+  }
+
+  /** Compile a reference-shaped rule dictionary — entries of
+    * (name, formula, color/tag, priority), the DICO_RULES_* layout
+    * (constants.py:609) — into [[Rule]]s against `columns`. */
+  def rulesFromFormulas(
+      dico: Seq[(String, String, String, Int)],
+      columns: Seq[String],
+      shift: Int = 3): Seq[Rule] =
+    dico.map { case (name, formula, tag, priority) =>
+      Rule(name, compileFormula(formula, columns, shift), priority, tag)
+    }
+
   /** Highest-priority matching rule's tag, NULL when no rule fires
     * (= "consistent" row). */
   def flagColumn(rules: Seq[Rule]): Column =

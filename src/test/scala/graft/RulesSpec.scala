@@ -19,6 +19,51 @@ class RulesSpec extends SparkSpec {
       Seq(None, Some("YELLOW"), Some("ORANGE"), Some("RED")))
   }
 
+  test("compileFormula: reference grammar — letters, arithmetic, parens, every comparison") {
+    // frame columns A..E under shift=1
+    val df = Seq(
+      (10L, 3L, 4L, 2L, 5L),
+      (6L, 7L, 1L, 1L, 2L),
+      (5L, 5L, 0L, 10L, 2L)).toDF("a", "b", "c", "d", "e")
+    def eval(f: String): Seq[Boolean] =
+      df.withColumn("__p", Rules.compileFormula(f, df.columns.toSeq, shift = 1))
+        .orderBy("a").collect().map(_.getBoolean(5)).toSeq
+    // rows ordered by a: (5,5,0,10,2), (6,7,1,1,2), (10,3,4,2,5)
+    assert(eval("A<B") == Seq(false, true, false))
+    assert(eval("A!=B") == Seq(false, true, true))
+    assert(eval("(B+C)>A") == Seq(false, true, false))      // the reference's (J+I)>G shape
+    assert(eval("A>=B+C") == Seq(true, false, true))
+    assert(eval("B*E<=A") == Seq(false, false, false))
+    assert(eval("A<>10") == Seq(true, true, false))
+    assert(eval("D/E=5") == Seq(true, false, false))
+    assert(eval("A = B") == Seq(true, false, false))        // whitespace tolerated
+  }
+
+  test("compileFormula resolves two-letter columns with the reference's shift-3 convention") {
+    // AA = index 27 -> columns(27-3) = columns(24): pad 24 dummies first
+    val cols = (0 until 24).map(i => s"pad$i") :+ "target" :+ "other"
+    val df = Seq((9L, 4L)).toDF("target", "other")
+    val padded = (0 until 24).foldLeft(df)((acc, i) => acc.withColumn(s"pad$i", lit(0L)))
+      .select(cols.map(col): _*)
+    val out = padded.withColumn("__p",
+      Rules.compileFormula("AA>AB", cols, shift = 3)).head
+    assert(out.getBoolean(cols.length), "AA(27)->target=9 > AB(28)->other=4")
+    // out-of-range letters and malformed formulas fail loudly at compile time
+    intercept[IllegalArgumentException](Rules.compileFormula("ZZ>A", cols))
+    intercept[IllegalArgumentException](Rules.compileFormula("A B", cols, shift = 1))
+    intercept[IllegalArgumentException](Rules.compileFormula("A>", cols, shift = 1))
+  }
+
+  test("rulesFromFormulas feeds the priority CASE chain like hand-written rules") {
+    val df = Seq((100L, 1L), (1L, 100L), (5L, 5L)).toDF("x", "y")
+    val rules = Rules.rulesFromFormulas(Seq(
+      ("r1", "A>B", "#FF0000", 90),
+      ("r2", "A<B", "#00FF00", 80)), df.columns.toSeq, shift = 1)
+    val out = Rules.applyRules(df, rules).orderBy("x").collect()
+      .map(r => Option(r.getString(2))).toSeq
+    assert(out == Seq(Some("#00FF00"), None, Some("#FF0000")))
+  }
+
   test("splitConsistent partitions rows by whether any rule fired") {
     val df = Seq(5, 20, 60, 200).toDF("v")
     val (cons, incons) = Rules.splitConsistent(df, rules)
