@@ -188,10 +188,29 @@ object Relational {
       frameUpper: Long,
       numPartitions: Option[Int] = None)(
       build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(frameLower < 0 && frameUpper <= 0,
       s"trailing frames only, got [$frameLower, $frameUpper]")
-    val history = (-frameLower).toInt
+    slidingByKeyOrdered(df, keyCols, orderCols, (-frameLower).toInt, numPartitions)(
+      (frame, w) => build(frame, w.rowsBetween(frameLower, frameUpper)))
+  }
+
+  /** Frameless-spec core of [[slidingByKey]]: `build` receives the
+    * partitioned+ordered WindowSpec WITHOUT a frame, so offset functions
+    * (`lag(x, j)`, j <= history) and caller-chosen `rowsBetween` frames
+    * bounded by `history` preceding rows both work over the borrowed
+    * context — the low-cardinality-key escape for the whole bounded-
+    * lookback per-key family (EWMA lag stacks, ACF lag columns), not just
+    * frame aggregates. Same bit-identity contract: any window function in
+    * `build` may reach at most `history` rows before the current row. */
+  def slidingByKeyOrdered(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      history: Int,
+      numPartitions: Option[Int] = None)(
+      build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(history >= 1, s"history must be >= 1, got $history")
     val sortKey = (keyCols ++ orderCols).map(col)
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism.max(2)
@@ -222,7 +241,6 @@ object Relational {
       val w = Window
         .partitionBy(keyCols.map(col): _*)
         .orderBy(orderCols.map(col): _*)
-        .rowsBetween(frameLower, frameUpper)
       build(df, w)
     } else {
       // global row number WITHOUT any exchange: local sort on the pinned
@@ -256,7 +274,6 @@ object Relational {
       val w = Window
         .partitionBy(col("__split") +: keyCols.map(col): _*)
         .orderBy(orderCols.map(col): _*)
-        .rowsBetween(frameLower, frameUpper)
       build(union, w)
         .filter(col("__borrow") === 0)
         .drop("__rn", "__split", "__borrow")

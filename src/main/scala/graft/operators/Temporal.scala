@@ -420,20 +420,26 @@ object Temporal {
       dp: Int = 6): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     require(lookback >= 1, s"lookback must be >= 1, got $lookback")
-    val w = Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
     val weights = (0 until lookback).map(j =>
       BigDecimal(math.pow(1.0 - alpha, j))
         .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    val lags = (0 until lookback).map(j =>
-      (if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)).cast("double"))
-    val num = weights.zip(lags).map { case (wj, x) =>
-      when(x.isNotNull, lit(wj) * x).otherwise(lit(0.0)) }.reduceLeft(_ + _)
-    val den = weights.zip(lags).map { case (wj, x) =>
-      when(x.isNotNull, lit(wj)).otherwise(lit(0.0)) }.reduceLeft(_ + _)
-    // all-null frame -> NULL, not a 0/0 NaN
-    df.withColumn("ewma", when(den > 0, round(num / den, dp)))
+    // LOW-CARDINALITY KEY ESCAPE (r11): the lag stack reaches at most
+    // lookback-1 rows back, so it rides the borrowed-tail ordered core —
+    // parallelism beyond key cardinality, same output bit-for-bit
+    def build(frame: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+      val lags = (0 until lookback).map(j =>
+        (if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)).cast("double"))
+      val num = weights.zip(lags).map { case (wj, x) =>
+        when(x.isNotNull, lit(wj) * x).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+      val den = weights.zip(lags).map { case (wj, x) =>
+        when(x.isNotNull, lit(wj)).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+      // all-null frame -> NULL, not a 0/0 NaN
+      frame.withColumn("ewma", when(den > 0, round(num / den, dp)))
+    }
+    if (lookback == 1) build(df, Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*))
+    else Relational.slidingByKeyOrdered(
+      df, keyCols, orderCols, history = lookback - 1)(build)
   }
 
   /** Rolling Pearson correlation of two INTEGER-VALUED series (quantize
@@ -1302,6 +1308,11 @@ object Temporal {
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val k = keys.map(col)
+    // the keyed lag window here is NOT a data-grain scale trap: acf's input
+    // is a per-(key, period) SERIES — calendar-bounded rows, the corpus
+    // already collapsed by the upstream aggregate — so the plain window is
+    // the right plan at any corpus size (the borrowed-tail escape would
+    // only add fixed cost; contrast ewma, which appends at data grain)
     val w = Window.partitionBy(k: _*).orderBy(col(orderCol))
     val v = col(valueCol).cast("long")
     val lagged = (1 to maxLag).foldLeft(series.withColumn("__v", v)) {
