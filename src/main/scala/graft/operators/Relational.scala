@@ -65,10 +65,17 @@ object Relational {
       outCol: String = "running_sum",
       numPartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // LAZY checkpoint — load-bearing (r11): the offsets side and the data
+    // side below each re-evaluate this subplan, and the range sampler's
+    // seed incorporates the RDD id, so two evaluations can draw DIFFERENT
+    // boundaries — offsets computed under one placement applied to pids
+    // from another mis-splice rows whenever exchange reuse fails to engage
+    // (observed on the sibling groupedRunningStats under Verify).
     val ranged = numPartitions
       .map(n => df.repartitionByRange(n, orderCols: _*))
       .getOrElse(df.repartitionByRange(orderCols: _*))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__local", sum(col(valueCol).cast("long")).over(wLocal))
@@ -109,10 +116,13 @@ object Relational {
       numPartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(sums.nonEmpty, "globalRunningSums needs at least one (value, out) pair")
+    // lazy checkpoint: pin the sampled range placement across the two
+    // evaluations below (see globalRunningSum — the r11 mis-splice lesson)
     val ranged = numPartitions
       .map(n => df.repartitionByRange(n, orderCols: _*))
       .getOrElse(df.repartitionByRange(orderCols: _*))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wLead = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
@@ -300,10 +310,13 @@ object Relational {
     require(keyCols.nonEmpty, "use globalRunningSum for the ungrouped case")
     val keys = keyCols.map(col)
     val rangeOn = keys ++ orderCols
+    // lazy checkpoint: pin the sampled range placement across the two
+    // evaluations below (see globalRunningSum — the r11 mis-splice lesson)
     val ranged = numPartitions
       .map(n => df.repartitionByRange(n, rangeOn: _*))
       .getOrElse(df.repartitionByRange(rangeOn: _*))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy(col("__pid") +: keys: _*).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__local", sum(col(valueCol).cast("long")).over(wLocal))
@@ -323,6 +336,129 @@ object Relational {
       .withColumn(outCol, col("__local") + col("__offset"))
       .drop("__pid" +: "__pid_o" +: "__local" +: "__offset" +:
         keyCols.map(_ + "__o"): _*)
+  }
+
+  /** One running-value request for [[groupedRunningStats]]: the global
+    * per-key running sum of `valueCol` (exact longs) lands in `outSum`;
+    * optionally also the running MIN and/or MAX of that running sum
+    * (inclusive of the current row) — the prefix-extrema shape CUSUM-style
+    * recursions need. */
+  final case class RunningSpec(
+      valueCol: String,
+      outSum: String,
+      runMin: Option[String] = None,
+      runMax: Option[String] = None)
+
+  /** Per-key running sums PLUS running extrema of those sums in ONE range
+    * exchange — [[groupedRunningSum]] generalized for the prefix-form
+    * recursions (CUSUM `S_t = C_t − min(0, min_{j≤t} C_j)`, floored
+    * balances): `Window.partitionBy(key)` serializes a low-cardinality key
+    * column onto |keys| tasks at any corpus size, so instead the data
+    * range-partitions on (keys ++ order) — each key's rows CONTIGUOUS
+    * across partitions — local running sums/extrema compute within
+    * (partition, key), and per-(partition, key) offset rows (a broadcast
+    * bounded by keys × partitions) splice the partitions: global running
+    * sum = local + exclusive-prefix total; global running min of the sum =
+    * least(min over PRECEDING partitions of (their offset + their whole-
+    * partition min), offset + local running min) — all exact long
+    * arithmetic, so the result is bit-identical to the single-window form.
+    * `orderCols` must be total within each key. */
+  def groupedRunningStats(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      specs: Seq[RunningSpec],
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(specs.nonEmpty, "groupedRunningStats needs at least one spec")
+    val keys = keyCols.map(col)
+    val rangeOn = keys ++ orderCols
+    val nParts = numPartitions.getOrElse(
+      df.sparkSession.sparkContext.defaultParallelism.max(2))
+    // LAZY checkpoint — load-bearing, not an optimization: the offsets side
+    // and the data side below each re-evaluate this subplan, and the range
+    // sampler's seed incorporates the RDD id, so two evaluations can draw
+    // DIFFERENT boundaries — offsets computed under one placement applied
+    // to pids from another silently mis-splice rows (observed: q_cusum lost
+    // a prefix row at sf0.01 until this pin). The slidingByKey precedent.
+    val ranged = df.repartitionByRange(nParts, rangeOn: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy(col("__pid") +: keys: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // local running sums first, then their running extrema (chained
+    // windows share the one (pid, keys) sort)
+    var local = ranged
+    specs.foreach { sp =>
+      local = local.withColumn(s"__ls_${sp.outSum}",
+        sum(col(sp.valueCol).cast("long")).over(wLocal))
+    }
+    specs.foreach { sp =>
+      sp.runMin.foreach { _ =>
+        local = local.withColumn(s"__lmin_${sp.outSum}",
+          min(col(s"__ls_${sp.outSum}")).over(wLocal))
+      }
+      sp.runMax.foreach { _ =>
+        local = local.withColumn(s"__lmax_${sp.outSum}",
+          max(col(s"__ls_${sp.outSum}")).over(wLocal))
+      }
+    }
+    // one row per (partition, key): totals + whole-slice extrema of the
+    // LOCAL running sum
+    val perAggs = specs.flatMap { sp =>
+      Seq(sum(col(sp.valueCol).cast("long")).as(s"__tot_${sp.outSum}")) ++
+        sp.runMin.map(_ => min(col(s"__ls_${sp.outSum}")).as(s"__pmin_${sp.outSum}")) ++
+        sp.runMax.map(_ => max(col(s"__ls_${sp.outSum}")).as(s"__pmax_${sp.outSum}"))
+    }
+    val per = local.groupBy(col("__pid") +: keys: _*).agg(perAggs.head, perAggs.tail: _*)
+    val wPrev = Window.partitionBy(keys: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var off = per
+    specs.foreach { sp =>
+      off = off.withColumn(s"__off_${sp.outSum}",
+        coalesce(sum(col(s"__tot_${sp.outSum}")).over(wPrev), lit(0L)))
+    }
+    specs.foreach { sp =>
+      sp.runMin.foreach { _ =>
+        off = off.withColumn(s"__minprev_${sp.outSum}",
+          min(col(s"__off_${sp.outSum}") + col(s"__pmin_${sp.outSum}")).over(wPrev))
+      }
+      sp.runMax.foreach { _ =>
+        off = off.withColumn(s"__maxprev_${sp.outSum}",
+          max(col(s"__off_${sp.outSum}") + col(s"__pmax_${sp.outSum}")).over(wPrev))
+      }
+    }
+    val offCols = col("__pid").as("__pid_o") +: keyCols.map(k => col(k).as(k + "__o")) ++:
+      specs.flatMap { sp =>
+        Seq(col(s"__off_${sp.outSum}")) ++
+          sp.runMin.map(_ => col(s"__minprev_${sp.outSum}")) ++
+          sp.runMax.map(_ => col(s"__maxprev_${sp.outSum}"))
+      }
+    val cond = keyCols.map(k => col(k) === col(k + "__o"))
+      .foldLeft(col("__pid") === col("__pid_o"))(_ && _)
+    var out = local.join(broadcast(off.select(offCols: _*)), cond)
+    specs.foreach { sp =>
+      out = out.withColumn(sp.outSum, col(s"__off_${sp.outSum}") + col(s"__ls_${sp.outSum}"))
+      sp.runMin.foreach { o =>
+        out = out.withColumn(o, least(
+          coalesce(col(s"__minprev_${sp.outSum}"), lit(Long.MaxValue)),
+          col(s"__off_${sp.outSum}") + col(s"__lmin_${sp.outSum}")))
+      }
+      sp.runMax.foreach { o =>
+        out = out.withColumn(o, greatest(
+          coalesce(col(s"__maxprev_${sp.outSum}"), lit(Long.MinValue)),
+          col(s"__off_${sp.outSum}") + col(s"__lmax_${sp.outSum}")))
+      }
+    }
+    val helper = Seq("__pid", "__pid_o") ++ keyCols.map(_ + "__o") ++
+      specs.flatMap { sp =>
+        Seq(s"__ls_${sp.outSum}", s"__off_${sp.outSum}") ++
+          sp.runMin.map(_ => s"__lmin_${sp.outSum}") ++
+          sp.runMin.map(_ => s"__minprev_${sp.outSum}") ++
+          sp.runMax.map(_ => s"__lmax_${sp.outSum}") ++
+          sp.runMax.map(_ => s"__maxprev_${sp.outSum}")
+      }
+    out.drop(helper: _*)
   }
 
   /** Largest-remainder (Hamilton) apportionment: distribute an integer

@@ -358,12 +358,17 @@ object Temporal {
     * flags upward drifts, the mirrored `S-` downward ones, an alarm fires
     * when either exceeds `threshold`. The recursion is re-expressed in its
     * prefix form `S+_t = C_t − min(0, min_{j≤t} C_j)` (C = running sum of
-    * deviations), so the whole operator is TWO running-sum/extreme windows
-    * per side — no recursion, no driver loop, one sort per key like every
-    * per-entity history op here. Deviations quantize to exact 1e-6ths
-    * (longs) before the cumulative sums, making every S value and alarm
-    * decision exact integer arithmetic — partition- and engine-portable.
-    * `orderCols` must be a unique order within each key. Appends
+    * deviations), so the whole operator is running sums + running extrema
+    * of those sums — no recursion, no driver loop. Deviations quantize to
+    * exact 1e-6ths (longs) before the cumulative sums, making every S
+    * value and alarm decision exact integer arithmetic — partition- and
+    * engine-portable. The prefix machinery rides
+    * [[Relational.groupedRunningStats]]' keyed two-pass range exchange
+    * (r11): CUSUM monitors run per metric/event-type — LOW-cardinality
+    * keys at data grain — and a plain `Window.partitionBy(key)` would
+    * serialize the corpus onto |keys| tasks; the two-pass form keeps
+    * every core busy and is bit-identical (exact longs). `orderCols`
+    * must be a unique order within each key. Appends
     * cusum_pos/cusum_neg (micro-unit grid doubles) and alarm_pos/alarm_neg. */
   def cusum(
       df: DataFrame,
@@ -374,24 +379,25 @@ object Temporal {
       threshold: Double,
       keyCols: Seq[String] = Nil): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    val w = Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dq = floor((col(valueCol) - lit(target) - lit(slack)) * lit(1000000.0) + lit(0.5))
       .cast("long")
     val eq = floor((col(valueCol) - lit(target) + lit(slack)) * lit(1000000.0) + lit(0.5))
       .cast("long")
     val hq = math.floor(threshold * 1000000.0 + 0.5).toLong
-    df.withColumn("__c", sum(dq).over(w))
-      .withColumn("__d", sum(eq).over(w))
-      .withColumn("__cp", col("__c") - least(lit(0L), min(col("__c")).over(w)))
-      .withColumn("__cn", greatest(lit(0L), max(col("__d")).over(w)) - col("__d"))
+    val stats = Relational.groupedRunningStats(
+      df.withColumn("__dq", dq).withColumn("__eq", eq),
+      keyCols, orderCols.map(col),
+      Seq(
+        Relational.RunningSpec("__dq", "__c", runMin = Some("__cmin")),
+        Relational.RunningSpec("__eq", "__d", runMax = Some("__dmax"))))
+    stats
+      .withColumn("__cp", col("__c") - least(lit(0L), col("__cmin")))
+      .withColumn("__cn", greatest(lit(0L), col("__dmax")) - col("__d"))
       .withColumn("cusum_pos", col("__cp") / lit(1000000.0))
       .withColumn("cusum_neg", col("__cn") / lit(1000000.0))
       .withColumn("alarm_pos", col("__cp") > hq)
       .withColumn("alarm_neg", col("__cn") > hq)
-      .drop("__c", "__d", "__cp", "__cn")
+      .drop("__dq", "__eq", "__c", "__d", "__cmin", "__dmax", "__cp", "__cn")
   }
 
   /** Bounded-lookback EWMA smoothing — the exponentially-weighted moving
