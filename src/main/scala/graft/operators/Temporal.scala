@@ -515,13 +515,22 @@ object Temporal {
     * exact integer, one product, one division, one add, each correctly
     * rounded, so any engine replaying the same shape lands on the same
     * bits. Equal-timestamp neighbors fall back to v_prev (a 0/0 would be
-    * NaN). Two one-pass windows per key — the forwardFill scale shape.
-    * The next-neighbor lookup runs as `last(ignoreNulls)` over the
+    * NaN). The next-neighbor lookup runs as `last(ignoreNulls)` over the
     * REVERSED running frame, not `first` over (current → unbounded
     * following): Spark evaluates growing unbounded-preceding frames
     * incrementally but recomputes an unbounded-following frame from
     * scratch per row — O(n²) per partition, measured 173s vs 3s at sf0.1
     * on the event series.
+    *
+    * SCALE (r11): interpolation keys are often LOW-cardinality signal
+    * names at DATA grain, where `Window.partitionBy(key)` serializes the
+    * corpus onto |keys| tasks — so the neighbor lookups run per
+    * (range-placement partition, key) with the cross-partition neighbors
+    * spliced from a partitions×keys-bounded boundary table (each slice's
+    * first/last non-null (t, v) pair selected atomically by struct
+    * min/max on the order fields; placement pinned by the lazy-checkpoint
+    * discipline). Exact selections ⇒ bit-identical to the keyed window.
+    * `orderCols` must be total within each key.
     *
     * @param valueCol exact long measurement with NULLs at the gaps
     * @param timeCol  exact long time axis (e.g. unix micros)
@@ -537,21 +546,57 @@ object Temporal {
     val order = orderCols.map(col)
     val v = col(valueCol).cast("long")
     val t = col(timeCol).cast("long")
-    val wB = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val spark = df.sparkSession
+    val nParts = spark.sparkContext.defaultParallelism.max(2)
+    // pin the sampled range placement (the r11 mis-splice lesson): the
+    // boundary table below re-evaluates this subplan
+    val ranged = df.repartitionByRange(nParts, keys ++ order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wB = Window.partitionBy(col("__pid") +: keys: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wR = Window.partitionBy(keys: _*).orderBy(order.map(_.desc): _*)
+    val wR = Window.partitionBy(col("__pid") +: keys: _*).orderBy(order.map(_.desc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vp = last(v, ignoreNulls = true).over(wB)
-    val tp = last(when(v.isNotNull, t), ignoreNulls = true).over(wB)
-    val vn = last(v, ignoreNulls = true).over(wR)
-    val tn = last(when(v.isNotNull, t), ignoreNulls = true).over(wR)
-    df.withColumn(outCol,
-      when(v.isNotNull, v.cast("double"))
-        .otherwise(when(vp.isNotNull && vn.isNotNull,
-          when(tn === tp, vp.cast("double"))
-            .otherwise(vp.cast("double") +
-              ((vn - vp).cast("double") * (t - tp).cast("double")) /
-                (tn - tp).cast("double")))))
+    val obs = when(v.isNotNull, struct(t.as("t"), v.as("v")))
+    val local = ranged
+      .withColumn("__prev", last(obs, ignoreNulls = true).over(wB))
+      .withColumn("__next", last(obs, ignoreNulls = true).over(wR))
+    // one row per (partition, key): the slice's first/last non-null
+    // observation, the (t, v) pair selected ATOMICALLY with its order
+    // position via struct extrema
+    val tagged = when(v.isNotNull, struct(order.map(o => o) :+ t.as("__t") :+ v.as("__v"): _*))
+    val bounds = local.groupBy(col("__pid") +: keys: _*)
+      .agg(min(tagged).as("__fo"), max(tagged).as("__lo"))
+    val wPrevB = Window.partitionBy(keys: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextB = Window.partitionBy(keys: _*).orderBy(col("__pid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spliced = bounds
+      .withColumn("__pb", last(col("__lo"), ignoreNulls = true).over(wPrevB))
+      .withColumn("__nb", last(col("__fo"), ignoreNulls = true).over(wNextB))
+      .select(col("__pid").as("__pid_o") +:
+        keyCols.map(k => col(k).as(k + "__o")) :+
+        struct(col("__pb.__t").as("t"), col("__pb.__v").as("v")).as("__pbo") :+
+        struct(col("__nb.__t").as("t"), col("__nb.__v").as("v")).as("__nbo"): _*)
+    val cond = keyCols.map(k => col(k) === col(k + "__o"))
+      .foldLeft(col("__pid") === col("__pid_o"))(_ && _)
+    val joined = local.join(broadcast(spliced), cond)
+    val prev = coalesce(col("__prev"), when(col("__pbo.t").isNotNull, col("__pbo")))
+    val next = coalesce(col("__next"), when(col("__nbo.t").isNotNull, col("__nbo")))
+    val vp = prev.getField("v")
+    val tp = prev.getField("t")
+    val vn = next.getField("v")
+    val tn = next.getField("t")
+    joined
+      .withColumn(outCol,
+        when(v.isNotNull, v.cast("double"))
+          .otherwise(when(vp.isNotNull && vn.isNotNull,
+            when(tn === tp, vp.cast("double"))
+              .otherwise(vp.cast("double") +
+                ((vn - vp).cast("double") * (t - tp).cast("double")) /
+                  (tn - tp).cast("double")))))
+      .drop(Seq("__pid", "__pid_o", "__prev", "__next", "__pbo", "__nbo") ++
+        keyCols.map(_ + "__o"): _*)
   }
 
   /** Sweep-line peak concurrency over integer-time intervals [start, end]
