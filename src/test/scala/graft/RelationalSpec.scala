@@ -346,4 +346,31 @@ class RelationalSpec extends SparkSpec {
     val d = alloc.filter(col("k") === "d").select("alloc").head().getLong(0)
     assert(d == 900L, s"proportional share must hold, got $d")
   }
+
+  test("groupedRunningStats equals the plain keyed window on random data — sums and extrema") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    // 2 low-cardinality keys x 3000 rows with signed values, scattered
+    // over 11 input partitions so the range exchange genuinely splits keys
+    val rows = Seq.tabulate(6000)(i =>
+      (s"k${i % 2}", i.toLong, (rnd.nextInt(201) - 100).toLong))
+    val df = rows.toDF("k", "t", "v").repartition(11)
+    val got = Relational.groupedRunningStats(df, Seq("k"), Seq(col("t")),
+      Seq(
+        Relational.RunningSpec("v", "rs", runMin = Some("rmin"), runMax = Some("rmax"))))
+      .select("k", "t", "rs", "rmin", "rmax")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("rs0", sum(col("v")).over(w))
+      .withColumn("rmin0", min(sum(col("v")).over(w)).over(w))
+      .withColumn("rmax0", max(sum(col("v")).over(w)).over(w))
+      .select("k", "t", "rs0", "rmin0", "rmax0")
+    val joined = got.join(want, Seq("k", "t"))
+    assert(joined.count() == 6000L)
+    assert(joined.filter(
+      col("rs") =!= col("rs0") || col("rmin") =!= col("rmin0") ||
+        col("rmax") =!= col("rmax0")).count() == 0L,
+      "two-pass splice must equal the keyed window exactly")
+  }
 }
