@@ -7021,6 +7021,52 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- entry
 
+  /** Wilcoxon signed-rank (X302): did per-customer order spend shift
+    * between 1995 and 1996? Pairs = customers with orders in BOTH years
+    * (exact cent sums); the paired member of the rank-test family. */
+  private def qWilcoxon(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"),
+      year(col("o_orderdate")).as("__y"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val pairs = o.filter(col("__y").isin(1995, 1996))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("__y") === 1995, col("cents"))).as("x"),
+        sum(when(col("__y") === 1996, col("cents"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    Sketches.wilcoxonSignedRank(pairs, "x", "y")
+  }
+
+  /** Krippendorff's α (X303) treating each order as a unit and its line
+    * return flags as ratings — the any-number-of-raters reliability
+    * coefficient beside Cohen's and Fleiss' κ. */
+  private def qKrippendorff(s: SparkSession, d: String): DataFrame =
+    Sketches.krippendorffAlpha(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag")),
+      "l_orderkey", "l_returnflag")
+
+  /** Matthews correlation (X304): a fixed price-tercile rule "predicts"
+    * order status; the imbalance-honest single-number readout beside the
+    * classification report on the same confusion matrix. */
+  private def qMcc(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderstatus").as("actual"),
+      when(col("o_totalprice") > 331000.0, "F")
+        .when(col("o_totalprice") > 165000.0, "O")
+        .otherwise("P").as("pred"))
+    Sketches.matthewsCorr(o, "actual", "pred")
+  }
+
+  /** Randomized response (X305): Warner-release of "has positive account
+    * balance" over customers at p=0.75, debiased back to π̂ — the
+    * local-DP member of the privacy family. */
+  private def qRandomizedResponse(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), (col("c_acctbal") > 0).as("truth"))
+    Quality.randomizedResponse(c, "c_custkey", "truth", p = 0.75)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
@@ -7478,6 +7524,10 @@ object SparkEntry {
     "q_vocab_richness" -> (qVocabRichness _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
+    "q_wilcoxon" -> (qWilcoxon _),
+    "q_krippendorff" -> (qKrippendorff _),
+    "q_mcc" -> (qMcc _),
+    "q_randomized_response" -> (qRandomizedResponse _),
     "q_diversity" -> (qDiversity _))
 
   /** k-center greedy coreset over the embeddings corpus — 8 maximally-spread
@@ -15714,6 +15764,123 @@ object SparkEntry {
            CASE WHEN COUNT(*) > 1
                 THEN ROUND(-SUM(p * LN(p)) / LN(CAST(COUNT(*) AS DOUBLE)), 6) END AS evenness
          FROM t GROUP BY user_id ORDER BY user_id""",
+    // exact integer 2·midranks over the |d| histogram (the Mann–Whitney
+    // discipline), tie sum a long, one double chain at the end
+    "q_wilcoxon" ->
+      """WITH o AS (SELECT o_custkey, year(o_orderdate) AS y,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+         p AS (SELECT o_custkey,
+                SUM(CASE WHEN y = 1995 THEN cents END) AS x,
+                SUM(CASE WHEN y = 1996 THEN cents END) AS yv
+              FROM o GROUP BY 1
+              HAVING SUM(CASE WHEN y = 1995 THEN cents END) IS NOT NULL
+                 AND SUM(CASE WHEN y = 1996 THEN cents END) IS NOT NULL),
+         dd AS (SELECT CAST(x - yv AS BIGINT) AS d FROM p),
+         h AS (SELECT ABS(d) AS a, CAST(COUNT(*) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+              FROM dd GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS allc FROM h),
+         nzr AS (SELECT a, c, cpos,
+                CAST(COALESCE(SUM(c) OVER (ORDER BY a
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+              FROM h WHERE a > 0),
+         agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                CAST(SUM(cpos * (2 * prev + c + 1)) AS BIGINT) AS wp2,
+                CAST(SUM(c * c * c - c) AS BIGINT) AS ties FROM nzr),
+         fin AS (SELECT allc, n, wp2,
+                CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0 AS mu,
+                CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                  * (CAST(n AS DOUBLE) * 2.0 + 1.0) / 24.0
+                  - CAST(ties AS DOUBLE) / 48.0 AS ssq
+              FROM agg CROSS JOIN tot)
+         SELECT allc AS n_pairs, n AS n_nonzero,
+                CAST(wp2 AS DOUBLE) / 2.0 AS w_plus,
+                CASE WHEN n > 0 AND ssq > 0.0 THEN
+                  ROUND((CAST(wp2 AS DOUBLE) / 2.0 - mu) / SQRT(ssq), 6) END AS z,
+                CASE WHEN n > 0 AND ssq > 0.0 THEN
+                  ABS(ROUND((CAST(wp2 AS DOUBLE) / 2.0 - mu) / SQRT(ssq), 6)) > 1.959964
+                END AS reject_95,
+                CASE WHEN n > 0 AND ssq > 0.0 THEN
+                  ABS(ROUND((CAST(wp2 AS DOUBLE) / 2.0 - mu) / SQRT(ssq), 6)) > 2.575829
+                END AS reject_99
+         FROM fin""",
+    // coincidence-matrix identities: per-unit Do terms quantized to 1e-9
+    // longs (each owns its (m_u-1) denominator), marginal squares HUGEINT
+    "q_krippendorff" ->
+      """WITH uv AS (SELECT l_orderkey AS u, l_returnflag AS v,
+                CAST(COUNT(*) AS BIGINT) AS nuc FROM lineitem GROUP BY 1, 2),
+         um AS (SELECT u, CAST(SUM(nuc) AS BIGINT) AS m,
+                CAST(SUM(nuc * (nuc - 1)) AS BIGINT) AS same
+              FROM uv GROUP BY 1 HAVING SUM(nuc) >= 2),
+         units AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                CAST(SUM(m) AS BIGINT) AS n,
+                CAST(SUM(CAST(FLOOR(CAST(m * (m - 1) - same AS DOUBLE)
+                     / CAST(m - 1 AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS doq
+              FROM um),
+         marg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+                SUM(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT)) AS ncsq FROM (
+                  SELECT uv.v, CAST(SUM(uv.nuc) AS BIGINT) AS nc
+                  FROM uv JOIN um ON uv.u = um.u GROUP BY 1))
+         SELECT n_units, n AS n_ratings, n_categories,
+                ROUND(CAST(doq AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) AS do_rate,
+                ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(ncsq AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS de_rate,
+                CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(ncsq AS DOUBLE)) > 0.0
+                  THEN ROUND(1.0 - CAST(doq AS DOUBLE) / 1e9 * (CAST(n AS DOUBLE) - 1.0)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(ncsq AS DOUBLE)), 6)
+                END AS alpha
+         FROM units CROSS JOIN marg""",
+    // Gorodkin R_K off the confusion matrix; marginal products HUGEINT
+    "q_mcc" ->
+      """WITH cm AS (SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT o_orderstatus AS actual,
+                       CASE WHEN o_totalprice > 331000.0 THEN 'F'
+                            WHEN o_totalprice > 165000.0 THEN 'O' ELSE 'P' END AS pred
+                FROM orders) GROUP BY 1, 2),
+         ta AS (SELECT actual AS k, CAST(SUM(c) AS BIGINT) AS t FROM cm GROUP BY 1),
+         pp AS (SELECT pred AS k, CAST(SUM(c) AS BIGINT) AS q FROM cm GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+                CAST(SUM(CASE WHEN actual = pred THEN c ELSE 0 END) AS BIGINT) AS diag
+              FROM cm),
+         x AS (SELECT
+                SUM(CAST(COALESCE(t, 0) AS HUGEINT) * CAST(COALESCE(q, 0) AS HUGEINT)) AS tp,
+                SUM(CAST(COALESCE(t, 0) AS HUGEINT) * CAST(COALESCE(t, 0) AS HUGEINT)) AS tt,
+                SUM(CAST(COALESCE(q, 0) AS HUGEINT) * CAST(COALESCE(q, 0) AS HUGEINT)) AS qq,
+                CAST(COUNT(*) AS BIGINT) AS n_classes
+              FROM ta FULL OUTER JOIN pp USING (k)),
+         fin AS (SELECT nn, diag, n_classes,
+                CAST(CAST(nn AS HUGEINT) * CAST(diag AS HUGEINT) - tp AS DOUBLE) AS cov,
+                CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) - tt AS DOUBLE) AS va,
+                CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) - qq AS DOUBLE) AS vp
+              FROM tot CROSS JOIN x)
+         SELECT nn AS n, n_classes,
+                ROUND(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS accuracy,
+                CASE WHEN va > 0.0 AND vp > 0.0
+                  THEN ROUND(cov / (SQRT(va) * SQRT(vp)), 6) END AS mcc
+         FROM fin""",
+    // the md5 coin replays exactly; epsilon = ln(3) enters both engines
+    // as the rounded literal (the libm lesson)
+    "q_randomized_response" ->
+      """WITH r AS (SELECT c_custkey, c_acctbal > 0 AS truth,
+                ('0x' || substr(md5('graft|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                  % 10000 < 7500 AS keep
+              FROM customer),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN (CASE WHEN keep THEN truth ELSE NOT truth END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_yes_reported,
+                CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS ny
+              FROM r),
+         fin AS (SELECT n, n_yes_reported, ny,
+                CAST(n_yes_reported AS DOUBLE) / CAST(n AS DOUBLE) AS lam
+              FROM agg)
+         SELECT n, n_yes_reported,
+                ROUND(lam, 6) AS lambda_hat,
+                ROUND((lam + 0.75 - 1.0) / 0.5, 6) AS pi_hat,
+                ROUND(SQRT(lam * (1.0 - lam) / CAST(n AS DOUBLE)) / 0.5, 6) AS se,
+                CAST(1.098612 AS DOUBLE) AS epsilon,
+                ROUND(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE), 6) AS true_rate
+         FROM fin""",
     // recency weights quantized to 1e-9 longs, per-conversion normalizer
     // an exact window sum, one integer division per pair; ln 2 embedded
     // as a literal so neither engine calls log

@@ -351,6 +351,51 @@ object Quality {
           lit(b).as("noise_scale")): _*)
   }
 
+  /** Randomized-response release + debias (Warner 1965) — the LOCAL
+    * differential-privacy member of the privacy family, next to
+    * [[noisyCounts]]'s central-DP release: each unit reports its true
+    * boolean with probability `p` and the opposite with 1−p, and the
+    * population rate is recovered as π̂ = (λ̂ + p − 1)/(2p − 1) with
+    * SE(π̂) = √(λ̂(1−λ̂)/n)/|2p−1|. Satisfies ε-LDP with ε = ln(p/(1−p)).
+    *
+    * The coin is DETERMINISTIC BY DESIGN (the [[noisyCounts]] trade): a
+    * 10000-sided md5 hash-bucket of (seed, unit id) flips truth when
+    * bucket ≥ p·10000 — exact integer comparison, so any engine replays
+    * the exact same responses and the debias is gate-checkable.
+    * Production LDP swaps the hash for a client-side CSPRNG draw and
+    * keeps the estimator. Pure projection + one count aggregate — no
+    * shuffle beyond the final reduce. Returns one row:
+    * (n, n_yes_reported, lambda_hat, pi_hat, se, epsilon, true_rate —
+    * the last for gate calibration only; a real release never sees it). */
+  def randomizedResponse(
+      df: DataFrame,
+      idCol: String,
+      truthCol: String,
+      p: Double = 0.75,
+      seed: String = "graft"): DataFrame = {
+    require(p > 0.5 && p < 1.0, s"p must be in (0.5, 1), got $p")
+    val pScaled = math.round(p * 10000.0)
+    val keep = graft.operators.Sampling.hashBucket(
+      concat_ws("|", lit(seed), col(idCol).cast("string")), 10000) < lit(pScaled)
+    val truth = col(truthCol).cast("boolean")
+    val reported = when(keep, truth).otherwise(!truth)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(reported, 1L).otherwise(0L)).as("n_yes_reported"),
+      sum(when(truth, 1L).otherwise(0L)).as("__ny"))
+    val n = col("n").cast("double")
+    val lam = col("n_yes_reported").cast("double") / n
+    val piHat = (lam + lit(p) - 1.0) / lit(2.0 * p - 1.0)
+    agg.select(
+      col("n"),
+      col("n_yes_reported"),
+      round(lam, 6).as("lambda_hat"),
+      round(piHat, 6).as("pi_hat"),
+      round(sqrt(lam * (lit(1.0) - lam) / n) / lit(math.abs(2.0 * p - 1.0)), 6).as("se"),
+      round(lit(math.log(p / (1.0 - p))), 6).as("epsilon"),
+      round(col("__ny").cast("double") / n, 6).as("true_rate"))
+  }
+
   def lDiversity(
       df: DataFrame,
       quasiCols: Seq[String],

@@ -3630,4 +3630,152 @@ object Sketches {
         round(sqrt((gCnt - 1.0) / gCnt * (col("__sd").cast("double") / 1e9)), 6))
         .as("se_jack"))
   }
+
+  /** Wilcoxon SIGNED-RANK test (Wilcoxon 1945) — the PAIRED member of the
+    * rank-test family, next to [[mannWhitneyU]] (independent samples) and
+    * [[yuenTTest]] (robust means): "did the same units' values shift
+    * between two conditions?" without assuming the differences are normal.
+    * `df` carries one row per pair; `xCol`/`yCol` are integer-valued
+    * (pre-quantized, e.g. cents) so d = x − y is an exact long.
+    *
+    * Exact arithmetic end to end, the [[mannWhitneyU]] discipline: zero
+    * differences drop (Wilcoxon's convention); |d| ranks come from the
+    * |d|-value HISTOGRAM where with midranks 2·rank = 2·prevcum + c + 1 is
+    * an integer, so 2·W⁺ sums as a long; the normal approximation applies
+    * the tie correction σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 with the tie sum
+    * an exact long. The rank window is VALUE-DOMAIN bounded (one row per
+    * distinct |d|), not data-grain. Returns one row:
+    * (n_pairs, n_nonzero, w_plus, z, reject_95, reject_99). */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = (col(xCol).cast("long") - col(yCol).cast("long"))
+    val hist = df
+      .select(d.as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(abs(col("__d")).as("__a"))
+      .agg(
+        count(lit(1)).as("__c"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__cpos"))
+    val nz = hist.filter(col("__a") > 0)
+    val w = Window.orderBy(col("__a")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = nz
+      .withColumn("__prev", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__prev") + col("__c") + lit(1L))
+      .withColumn("__tie", col("__c") * col("__c") * col("__c") - col("__c"))
+    val zeros = hist.agg(sum(col("__c")).as("__all")).select(col("__all"))
+    val agg = ranked.agg(
+      sum(col("__c")).as("__n"),
+      sum(col("__cpos") * col("__r2")).as("__wp2"),
+      sum(col("__tie")).as("__ties"))
+    val n = col("__n").cast("double")
+    val wp = col("__wp2").cast("double") / 2.0
+    val mu = n * (n + 1.0) / 4.0
+    val sigmaSq = n * (n + 1.0) * (n * 2.0 + 1.0) / 24.0 -
+      col("__ties").cast("double") / 48.0
+    val z = round((wp - mu) / sqrt(sigmaSq), 6)
+    agg.crossJoin(broadcast(zeros)).select(
+      col("__all").as("n_pairs"),
+      col("__n").as("n_nonzero"),
+      (col("__wp2").cast("double") / 2.0).as("w_plus"),
+      when(col("__n") > 0 && sigmaSq > 0.0, z).as("z"),
+      when(col("__n") > 0 && sigmaSq > 0.0, abs(z) > lit(1.959964)).as("reject_95"),
+      when(col("__n") > 0 && sigmaSq > 0.0, abs(z) > lit(2.575829)).as("reject_99"))
+  }
+
+  /** Krippendorff's α, nominal data (Krippendorff 1970/2004) — the GENERAL
+    * inter-annotator reliability coefficient completing the agreement
+    * family next to [[cohenKappa]] (2 fixed raters) and [[fleissKappa]]
+    * (r complete raters): it accepts ANY number of ratings per unit,
+    * including unbalanced/missing designs, which is the shape real
+    * labeling pipelines produce. `df` carries one row per rating.
+    *
+    * Coincidence-matrix identities keep everything exact until one final
+    * division: only units with m_u ≥ 2 ratings are pairable; the marginal
+    * n_c is the plain category count over pairable units (Σ_k o_ck
+    * telescopes); observed disagreement Do·n = Σ_u (m_u(m_u−1) −
+    * Σ_c n_uc(n_uc−1))/(m_u−1), each unit's term an IEEE-exact double
+    * division quantized to a 1e-9 long (the Anderson–Darling per-term
+    * discipline — every term owns its own denominator); and
+    * α = 1 − DoNum·(n−1)/(n² − Σ n_c²) with the marginal squares in
+    * decimal(38,0). Two shuffles: (unit,value) counts, then the unit
+    * rollup reuses the unit prefix; the value marginal reduces the
+    * (unit,value) count table, never the raw ratings. */
+  def krippendorffAlpha(df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    val uv = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(valueCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__nuc"))
+    val um = uv
+      .groupBy(col("__u"))
+      .agg(
+        sum(col("__nuc")).as("__m"),
+        sum(col("__nuc") * (col("__nuc") - 1L)).as("__same"))
+      .filter(col("__m") >= 2L)
+    val doTerm = (col("__m") * (col("__m") - 1L) - col("__same")).cast("double") /
+      (col("__m") - 1L).cast("double")
+    val units = um.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("__m")).as("__n"),
+      sum(floor(doTerm * 1e9 + 0.5).cast("long")).as("__doq"))
+    val marg = uv
+      .join(um.select(col("__u")), Seq("__u"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__nuc")).as("__nc"))
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum(col("__nc").cast("decimal(38,0)") * col("__nc").cast("decimal(38,0)"))
+          .as("__ncsq"))
+    val n = col("__n").cast("double")
+    val doNum = col("__doq").cast("double") / 1e9
+    val pairsDen = n * n - col("__ncsq").cast("double")
+    units.crossJoin(broadcast(marg)).select(
+      col("n_units"),
+      col("__n").as("n_ratings"),
+      col("n_categories"),
+      round(doNum / n, 6).as("do_rate"),
+      round(pairsDen / (n * (n - 1.0)), 6).as("de_rate"),
+      when(pairsDen > 0.0, round(lit(1.0) - doNum * (n - 1.0) / pairsDen, 6))
+        .as("alpha"))
+  }
+
+  /** Matthews correlation coefficient, multiclass (Gorodkin 2004 R_K;
+    * Matthews 1975 for K=2) — the single-number classifier quality summary
+    * that stays honest under class imbalance, completing the evaluation
+    * family next to [[classificationReport]] (per-class view) and
+    * [[rocAuc]] (ranking view). One partial aggregate builds the K×K
+    * confusion matrix; everything downstream reduces that tiny table:
+    * cov(X,Y) = N·Σ_k c_kk − Σ_k t_k·p_k with the actual/predicted
+    * marginals t_k/p_k and all products in decimal(38,0) (N² overflows a
+    * long at ~3e9 rows), one sqrt each side at the end. Returns one row:
+    * (n, n_classes, accuracy, mcc); mcc is NULL when either marginal is
+    * degenerate (all one class — the coefficient is undefined there). */
+  def matthewsCorr(df: DataFrame, actualCol: String, predCol: String): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val cm = df
+      .groupBy(col(actualCol).cast("string").as("__a"), col(predCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val ta = cm.groupBy(col("__a")).agg(sum(col("__c")).as("__t"))
+    val pp = cm.groupBy(col("__p")).agg(sum(col("__c")).as("__q"))
+    val tot = cm.agg(
+      sum(col("__c")).as("__nn"),
+      sum(when(col("__a") === col("__p"), col("__c")).otherwise(0L)).as("__diag"))
+    val cross = ta
+      .join(pp, ta("__a") === pp("__p"), "full_outer")
+      .agg(
+        sum(d(coalesce(col("__t"), lit(0L))) * d(coalesce(col("__q"), lit(0L))))
+          .as("__tp"),
+        sum(d(coalesce(col("__t"), lit(0L))) * d(coalesce(col("__t"), lit(0L))))
+          .as("__tt"),
+        sum(d(coalesce(col("__q"), lit(0L))) * d(coalesce(col("__q"), lit(0L))))
+          .as("__qq"),
+        count(lit(1)).as("n_classes"))
+    val n = d(col("__nn"))
+    val cov = (n * d(col("__diag")) - col("__tp")).cast("double")
+    val vA = (n * n - col("__tt")).cast("double")
+    val vP = (n * n - col("__qq")).cast("double")
+    tot.crossJoin(broadcast(cross)).select(
+      col("__nn").as("n"),
+      col("n_classes"),
+      round(col("__diag").cast("double") / col("__nn").cast("double"), 6).as("accuracy"),
+      when(vA > 0.0 && vP > 0.0, round(cov / (sqrt(vA) * sqrt(vP)), 6)).as("mcc"))
+  }
 }

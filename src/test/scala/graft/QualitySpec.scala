@@ -265,4 +265,27 @@ class QualitySpec extends SparkSpec {
       Seq(1L, 1L, 2L).map(Tuple1(_)).toDF("k"), Seq(2L, 2L).map(Tuple1(_)).toDF("k"), "k").head
     assert(dup.getAs[Long]("n1") == 2L && dup.getAs[Long]("overlap") == 1L)
   }
+
+  test("randomizedResponse: deterministic coin, debias identity, recovers the rate") {
+    // truth rate exactly 0.8 over 2000 units
+    val df = (1L to 2000L).map(k => (k, k % 5L != 0L)).toDF("id", "truth")
+    val r = Quality.randomizedResponse(df.repartition(6), "id", "truth", p = 0.75).head
+    assert(r.getAs[Long]("n") == 2000L)
+    assert(r.getAs[Double]("true_rate") == 0.8)
+    // the debias identity holds on the released numbers themselves
+    val lam = r.getAs[Double]("lambda_hat")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("pi_hat") == r6((lam + 0.75 - 1.0) / 0.5))
+    // estimator lands near the true rate (4 SEs is ~1-in-16k by chance)
+    assert(math.abs(r.getAs[Double]("pi_hat") - 0.8) <= 4.0 * r.getAs[Double]("se"),
+      r.toString)
+    assert(r.getAs[Double]("epsilon") == 1.098612)
+    // repartitioning never changes the release (the coin is per-unit)
+    val r2 = Quality.randomizedResponse(df.repartition(13), "id", "truth", p = 0.75).head
+    assert(r2.getAs[Long]("n_yes_reported") == r.getAs[Long]("n_yes_reported"))
+    // p <= 0.5 carries no signal: rejected
+    intercept[IllegalArgumentException] {
+      Quality.randomizedResponse(df, "id", "truth", p = 0.5)
+    }
+  }
 }

@@ -1490,4 +1490,75 @@ class SketchesSpec extends SparkSpec {
     val s = Sketches.jackknifeGroupSe(solo, "y", "g").head
     assert(s.isNullAt(s.fieldIndex("se_jack")))
   }
+
+  test("wilcoxonSignedRank: hand ranks, zero-diff drop, tie correction, invariant") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d = {+1,+2,-3,+4,+5}: ranks 1..5, W+ = 1+2+4+5 = 12; plus one zero
+    // pair that drops from the ranking but counts in n_pairs
+    val df = Seq((11L, 10L), (12L, 10L), (7L, 10L), (14L, 10L), (15L, 10L), (10L, 10L))
+      .toDF("x", "y")
+    val r = Sketches.wilcoxonSignedRank(df, "x", "y").head
+    assert(r.getAs[Long]("n_pairs") == 6L && r.getAs[Long]("n_nonzero") == 5L)
+    assert(r.getAs[Double]("w_plus") == 12.0)
+    // mu = 7.5, sigma^2 = 5*6*11/24 = 13.75
+    assert(r.getAs[Double]("z") == r6(4.5 / math.sqrt(13.75)), r.toString)
+    assert(!r.getAs[Boolean]("reject_95"))
+    // ties: d = {+1,-1,+2} -> midranks 1.5,1.5,3; W+ = 4.5; ties 2^3-2 = 6
+    val t = Sketches.wilcoxonSignedRank(
+      Seq((2L, 1L), (1L, 2L), (3L, 1L)).toDF("x", "y"), "x", "y").head
+    assert(t.getAs[Double]("w_plus") == 4.5)
+    assert(t.getAs[Double]("z") == r6(1.5 / math.sqrt(3.0 * 4.0 * 7.0 / 24.0 - 6.0 / 48.0)))
+    // partition invariance
+    val p = Sketches.wilcoxonSignedRank(df.repartition(7), "x", "y").head
+    assert(p.getAs[Double]("w_plus") == 12.0 && p.getAs[Double]("z") == r.getAs[Double]("z"))
+    // all differences zero: no ranks, z undefined
+    val z0 = Sketches.wilcoxonSignedRank(Seq((5L, 5L), (6L, 6L)).toDF("x", "y"), "x", "y").head
+    assert(z0.getAs[Long]("n_pairs") == 2L && z0.isNullAt(z0.fieldIndex("z")))
+  }
+
+  test("krippendorffAlpha: hand coincidence case, unanimity = 1, unpairable drop") {
+    // units {a,a}, {a,b}, {b,b,b} + a single-rating unit that drops:
+    // n = 7, Do·n = 2, marginals a=3 b=4 -> De = 24/42, alpha = 0.5
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (4L, "a"))
+      .toDF("u", "v")
+    val r = Sketches.krippendorffAlpha(df.repartition(5), "u", "v").head
+    assert(r.getAs[Long]("n_units") == 3L && r.getAs[Long]("n_ratings") == 7L)
+    assert(r.getAs[Long]("n_categories") == 2L)
+    assert(r.getAs[Double]("do_rate") == 0.285714 && r.getAs[Double]("de_rate") == 0.571429)
+    assert(r.getAs[Double]("alpha") == 0.5, r.toString)
+    // unanimous units over two categories: perfect reliability
+    val u = Sketches.krippendorffAlpha(
+      Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("u", "v"), "u", "v").head
+    assert(u.getAs[Double]("alpha") == 1.0)
+    // a single category everywhere: De = 0, alpha undefined
+    val one = Sketches.krippendorffAlpha(
+      Seq((1L, "a"), (1L, "a")).toDF("u", "v"), "u", "v").head
+    assert(one.isNullAt(one.fieldIndex("alpha")))
+  }
+
+  test("matthewsCorr: hand binary case, perfect = 1, degenerate NULL, multiclass") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // TP=6 TN=3 FP=1 FN=2: cov = 12*9 - (8*7 + 4*5) = 32, vA = 64, vP = 70
+    val rows = Seq.fill(6)(("a", "a")) ++ Seq.fill(3)(("b", "b")) ++
+      Seq.fill(1)(("b", "a")) ++ Seq.fill(2)(("a", "b"))
+    val r = Sketches.matthewsCorr(rows.toDF("actual", "pred").repartition(4),
+      "actual", "pred").head
+    assert(r.getAs[Long]("n") == 12L && r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Double]("accuracy") == 0.75)
+    assert(r.getAs[Double]("mcc") == r6(32.0 / (math.sqrt(64.0) * math.sqrt(70.0))))
+    // perfect prediction
+    val p = Sketches.matthewsCorr(
+      Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("actual", "pred"), "actual", "pred").head
+    assert(p.getAs[Double]("mcc") == 1.0 && p.getAs[Long]("n_classes") == 3L)
+    // constant prediction: vP = 0, coefficient undefined
+    val d = Sketches.matthewsCorr(
+      Seq(("a", "a"), ("b", "a")).toDF("actual", "pred"), "actual", "pred").head
+    assert(d.isNullAt(d.fieldIndex("mcc")))
+    // prediction-only class still counts toward K (union of labels)
+    val m = Sketches.matthewsCorr(
+      Seq(("a", "a"), ("a", "c"), ("b", "b")).toDF("actual", "pred"), "actual", "pred").head
+    assert(m.getAs[Long]("n_classes") == 3L)
+  }
 }
