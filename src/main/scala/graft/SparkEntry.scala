@@ -7067,6 +7067,32 @@ object SparkEntry {
     Quality.randomizedResponse(c, "c_custkey", "truth", p = 0.75)
   }
 
+  /** Candidate/reference pairs for the reference-based text-eval gates:
+    * doc i as candidate against doc i+1 as reference — a pure equi-join
+    * pairing (no data-grain window), deterministic at any scale. */
+  private def evalPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.as("c")
+      .join(docs.as("r"), col("r.doc_id") === col("c.doc_id") + 1)
+      .select(
+        col("c.doc_id").as("pair_id"),
+        col("c.text").as("cand"),
+        col("r.text").as("ref"))
+  }
+
+  /** ROUGE-2 per pair (T71): recall/precision/F1 of clipped bigram overlap
+    * — the reference-based generation-eval metric over the documents
+    * corpus. */
+  private def qRouge(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.rougeN(evalPairs(s, d), "pair_id", "cand", "ref", n = 2)
+      .orderBy("pair_id")
+
+  /** Corpus BLEU-4 (T72): clipped n-gram precisions p1..p4, token totals,
+    * exact brevity-penalty exponent and the nested-sqrt geometric mean —
+    * everything in BLEU that two engines can agree on bit-for-bit. */
+  private def qBleu(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusBleu(evalPairs(s, d), "pair_id", "cand", "ref", maxN = 4)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
@@ -7524,6 +7550,8 @@ object SparkEntry {
     "q_vocab_richness" -> (qVocabRichness _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
+    "q_rouge" -> (qRouge _),
+    "q_bleu" -> (qBleu _),
     "q_wilcoxon" -> (qWilcoxon _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
@@ -15764,6 +15792,40 @@ object SparkEntry {
            CASE WHEN COUNT(*) > 1
                 THEN ROUND(-SUM(p * LN(p)) / LN(CAST(COUNT(*) AS DOUBLE)), 6) END AS evenness
          FROM t GROUP BY user_id ORDER BY user_id""",
+    // clipped bigram multiset overlap per pair; F1 via the exact micro
+    // identity 2·clip/(nc+nr) — one division both engines replay
+    "q_rouge" ->
+      """WITH pairs AS (SELECT c.doc_id AS pid, c.text AS cand, r.text AS ref
+              FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1),
+         ct AS (SELECT pid, string_split(lower(cand), ' ') AS t FROM pairs),
+         ci AS (SELECT pid, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM ct),
+         cg AS (SELECT pid, array_to_string(t[i : i + 1], ' ') AS g,
+                CAST(COUNT(*) AS BIGINT) AS cc FROM ci GROUP BY 1, 2),
+         rt AS (SELECT pid, string_split(lower(ref), ' ') AS t FROM pairs),
+         ri AS (SELECT pid, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM rt),
+         rg AS (SELECT pid, array_to_string(t[i : i + 1], ' ') AS g,
+                CAST(COUNT(*) AS BIGINT) AS cr FROM ri GROUP BY 1, 2),
+         j AS (SELECT COALESCE(cg.pid, rg.pid) AS pid,
+                LEAST(COALESCE(cc, 0), COALESCE(cr, 0)) AS clip,
+                COALESCE(cc, 0) AS cc, COALESCE(cr, 0) AS cr
+               FROM cg FULL OUTER JOIN rg ON cg.pid = rg.pid AND cg.g = rg.g),
+         agg AS (SELECT pid, CAST(SUM(clip) AS BIGINT) AS n_clip,
+                CAST(SUM(cc) AS BIGINT) AS n_cand, CAST(SUM(cr) AS BIGINT) AS n_ref
+               FROM j GROUP BY 1)
+         SELECT p.pid AS pair_id,
+                COALESCE(n_clip, 0) AS n_clip,
+                COALESCE(n_cand, 0) AS n_cand,
+                COALESCE(n_ref, 0) AS n_ref,
+                CASE WHEN COALESCE(n_cand, 0) > 0 THEN
+                  ROUND(CAST(n_clip AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) END AS precision,
+                CASE WHEN COALESCE(n_ref, 0) > 0 THEN
+                  ROUND(CAST(n_clip AS DOUBLE) / CAST(n_ref AS DOUBLE), 6) END AS recall,
+                CASE WHEN COALESCE(n_cand, 0) + COALESCE(n_ref, 0) > 0 THEN
+                  ROUND(CAST(n_clip AS DOUBLE) * 2.0
+                        / CAST(n_cand + n_ref AS DOUBLE), 6) END AS f1
+         FROM pairs p LEFT JOIN agg ON p.pid = agg.pid
+         ORDER BY pair_id""",
+    "q_bleu" -> bleuOracle,
     // exact integer 2·midranks over the |d| histogram (the Mann–Whitney
     // discipline), tie sum a long, one double chain at the end
     "q_wilcoxon" ->
@@ -16998,6 +17060,41 @@ object SparkEntry {
          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
          FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
          GROUP BY 1 ORDER BY node"""
+  }
+
+  /** q_bleu oracle: one clipped-precision block per gram size (generated so
+    * the four stay structurally identical), corpus totals, the exact
+    * brevity-penalty exponent, and the same nested-sqrt geometric mean. */
+  private def bleuOracle: String = {
+    val blocks = (1 to 4).map { n =>
+      s"""cg$n AS (SELECT pid, array_to_string(t[i : i + ${n - 1}], ' ') AS g,
+                CAST(COUNT(*) AS BIGINT) AS cc FROM (
+              SELECT pid, t, unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS i
+              FROM ct) GROUP BY 1, 2),
+         rg$n AS (SELECT pid, array_to_string(t[i : i + ${n - 1}], ' ') AS g,
+                CAST(COUNT(*) AS BIGINT) AS cr FROM (
+              SELECT pid, t, unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS i
+              FROM rt) GROUP BY 1, 2),
+         s$n AS (SELECT CAST(SUM(LEAST(COALESCE(cc, 0), COALESCE(cr, 0))) AS BIGINT) AS clip$n,
+                CAST(SUM(COALESCE(cc, 0)) AS BIGINT) AS tot$n
+              FROM cg$n FULL OUTER JOIN rg$n ON cg$n.pid = rg$n.pid AND cg$n.g = rg$n.g)"""
+    }.mkString(",\n         ")
+    def p(n: Int) = s"CAST(clip$n AS DOUBLE) / CAST(tot$n AS DOUBLE)"
+    s"""WITH pairs AS (SELECT c.doc_id AS pid, c.text AS cand, r.text AS ref
+              FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1),
+         ct AS (SELECT pid, string_split(lower(cand), ' ') AS t FROM pairs),
+         rt AS (SELECT pid, string_split(lower(ref), ' ') AS t FROM pairs),
+         lens AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(len(t)) AS BIGINT) AS c_len FROM ct),
+         rlens AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS r_len FROM rt),
+         $blocks
+         SELECT n_pairs, c_len, r_len,
+                ROUND(LEAST(0.0, 1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)), 6)
+                  AS bp_exponent,
+                ROUND(SQRT(SQRT(${p(1)} * ${p(2)} * ${p(3)} * ${p(4)})), 6) AS bleu_nobp,
+                ROUND(${p(1)}, 6) AS p1, ROUND(${p(2)}, 6) AS p2,
+                ROUND(${p(3)}, 6) AS p3, ROUND(${p(4)}, 6) AS p4
+         FROM lens, rlens, s1, s2, s3, s4"""
   }
 
   /** Shared batch/stream oracle for the left-outer interval join: the cutoff

@@ -1874,4 +1874,117 @@ object TextAnalysis {
         ce.as("cross_entropy"),
         round(exp(ce), 6).as("perplexity"))
   }
+
+  /** Per-(pair, gram) multiset counts of one side's word `n`-grams. */
+  private def pairGramCounts(
+      pairs: DataFrame, idCol: String, textCol: String, n: Int, cName: String): DataFrame =
+    pairs
+      .select(col(idCol), explode(word_ngrams(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as(cName))
+
+  /** ROUGE-N (Lin 2004) per candidate/reference pair — the recall-oriented
+    * summarization/generation quality metric, the reference-based member of
+    * the text-eval family next to the reference-free quality gates (T8,
+    * T38): how much of the reference's word-`n`-gram multiset does the
+    * candidate recover? Everything is exact rational until one 6-dp round:
+    * overlap = Σ_g min(c_cand, c_ref) from a co-partitioned full-outer join
+    * of the two per-(pair, gram) count tables; recall = overlap/n_ref,
+    * precision = overlap/n_cand, and F1 uses the EXACT micro identity
+    * 2·overlap/(n_cand + n_ref) (algebraically equal to 2PR/(P+R), but a
+    * single division both engines replay bit-for-bit). Gram explosion is
+    * corpus-grain and partial-aggregated — the T16/T17 scale shape; pairs
+    * with an empty side surface as zero counts with NULL scores, not
+    * dropped rows. */
+  def rougeN(
+      pairs: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val cand = pairGramCounts(pairs, idCol, candCol, n, "__cc")
+    val ref = pairGramCounts(pairs, idCol, refCol, n, "__cr")
+    val joined = cand
+      .join(ref, Seq(idCol, "__g"), "full_outer")
+      .groupBy(col(idCol))
+      .agg(
+        sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
+          .as("n_clip"),
+        sum(coalesce(col("__cc"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("__cr"), lit(0L))).as("n_ref"))
+    pairs
+      .select(col(idCol))
+      .join(joined, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_clip", "n_cand", "n_ref"))
+      .select(
+        col(idCol),
+        col("n_clip"), col("n_cand"), col("n_ref"),
+        when(col("n_cand") > 0,
+          round(col("n_clip").cast("double") / col("n_cand").cast("double"), 6))
+          .as("precision"),
+        when(col("n_ref") > 0,
+          round(col("n_clip").cast("double") / col("n_ref").cast("double"), 6))
+          .as("recall"),
+        when(col("n_cand") + col("n_ref") > 0,
+          round(col("n_clip").cast("double") * 2.0 /
+            (col("n_cand") + col("n_ref")).cast("double"), 6))
+          .as("f1"))
+  }
+
+  /** Corpus-level BLEU readout (Papineni et al. 2002) — the
+    * precision-oriented sibling of [[rougeN]]: modified (clipped) n-gram
+    * precisions p_1..p_maxN summed over the WHOLE corpus before dividing
+    * (corpus BLEU, not a sentence-BLEU average), candidate/reference token
+    * totals, and the geometric mean (Πp_n)^(1/maxN) for maxN ∈ {1,2,4} as
+    * nested sqrt — correctly-rounded IEEE, so any engine replays it.
+    *
+    * The brevity penalty is published as its EXPONENT min(0, 1 − r/c) —
+    * an exact rational — rather than folded in: e^x is the one
+    * transcendental in BLEU's definition, and the standing libm lesson
+    * (§5) is that ln/exp differ by 1 ulp across engines right at
+    * quantization boundaries. Full BLEU = bleu_nobp·e^{bp_exponent}, one
+    * driver-side multiply away; the GATE checks everything that can be
+    * checked exactly. One gram pass per n, each the corpus-grain
+    * partial-agg shape; no data-grain windows anywhere. */
+  def corpusBleu(
+      pairs: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(Set(1, 2, 4).contains(maxN),
+      s"maxN must be 1, 2 or 4 (geometric mean as exact nested sqrt), got $maxN")
+    val lens = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(size(split(lower(col(candCol)), " ", -1))).as("c_len"),
+      sum(size(split(lower(col(refCol)), " ", -1))).as("r_len"))
+    val perN = (1 to maxN).map { n =>
+      pairGramCounts(pairs, idCol, candCol, n, "__cc")
+        .join(pairGramCounts(pairs, idCol, refCol, n, "__cr"),
+          Seq(idCol, "__g"), "full_outer")
+        .agg(
+          sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
+            .as(s"__clip$n"),
+          sum(coalesce(col("__cc"), lit(0L))).as(s"__tot$n"))
+    }
+    val joined = perN.foldLeft(lens)((acc, d) => acc.crossJoin(broadcast(d)))
+    def p(n: Int): Column =
+      col(s"__clip$n").cast("double") / col(s"__tot$n").cast("double")
+    val geo = maxN match {
+      case 1 => p(1)
+      case 2 => sqrt(p(1) * p(2))
+      case 4 => sqrt(sqrt(p(1) * p(2) * p(3) * p(4)))
+      case _ => throw new IllegalArgumentException(
+        s"geometric mean as exact nested sqrt needs maxN in {1,2,4}, got $maxN")
+    }
+    val c = col("c_len").cast("double")
+    val r = col("r_len").cast("double")
+    joined.select(
+      Seq(
+        col("n_pairs"), col("c_len"), col("r_len"),
+        round(least(lit(0.0), lit(1.0) - r / c), 6).as("bp_exponent"),
+        round(geo, 6).as("bleu_nobp")) ++
+        (1 to maxN).map(n => round(p(n), 6).as(s"p$n")): _*)
+  }
 }

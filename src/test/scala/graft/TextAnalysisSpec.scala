@@ -835,4 +835,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5).getAs[Long]("n_chars") == 0L &&
       got(5).getAs[Double]("anomaly_score") == 0.0)
   }
+
+  test("rougeN: hand bigram overlap, multiplicity clipping, empty-side edges") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat lay on the mat"),
+      (2L, "a a a", "a a"),
+      (3L, "x y", "z")).toDF("pid", "cand", "ref")
+    val out = TextAnalysis.rougeN(pairs.repartition(3), "pid", "cand", "ref", n = 2)
+      .orderBy("pid").collect()
+    // shared bigrams: {the cat, on the, the mat} of 5 each side
+    assert(out(0).getAs[Long]("n_clip") == 3L && out(0).getAs[Long]("n_cand") == 5L)
+    assert(out(0).getAs[Double]("precision") == 0.6 && out(0).getAs[Double]("f1") == 0.6)
+    // unigram multiset clipping: a×3 vs a×2 clips at 2
+    val uni = TextAnalysis.rougeN(pairs, "pid", "cand", "ref", n = 1)
+      .orderBy("pid").collect()
+    assert(uni(1).getAs[Long]("n_clip") == 2L)
+    assert(uni(1).getAs[Double]("precision") == r6(2.0 / 3.0))
+    assert(uni(1).getAs[Double]("recall") == 1.0)
+    assert(uni(1).getAs[Double]("f1") == 0.8)
+    // a reference too short for bigrams: recall undefined, precision 0
+    assert(out(2).getAs[Long]("n_ref") == 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("recall")))
+    assert(out(2).getAs[Double]("precision") == 0.0 && out(2).getAs[Double]("f1") == 0.0)
+  }
+
+  test("corpusBleu: clipped corpus precisions, degenerate-candidate clip, bp exponent") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pair 1 is Papineni's degenerate candidate (p1 clips at ref's 2 'the');
+    // pair 2 is a clean near-copy with a longer reference
+    val pairs = Seq(
+      (1L, "the the the the the the the", "the cat is on the mat"),
+      (2L, "a b c d e", "a b c d e f g")).toDF("pid", "cand", "ref")
+    val r = TextAnalysis.corpusBleu(pairs.repartition(2), "pid", "cand", "ref").head
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Long]("c_len") == 12L && r.getAs[Long]("r_len") == 13L)
+    val (p1, p2, p3, p4) = (7.0 / 12.0, 4.0 / 10.0, 3.0 / 8.0, 2.0 / 6.0)
+    assert(r.getAs[Double]("p1") == r6(p1), r.toString)
+    assert(r.getAs[Double]("p2") == r6(p2))
+    assert(r.getAs[Double]("p3") == r6(p3))
+    assert(r.getAs[Double]("p4") == r6(p4))
+    assert(r.getAs[Double]("bleu_nobp") == r6(math.sqrt(math.sqrt(p1 * p2 * p3 * p4))))
+    // candidate corpus is 1 token short of the reference corpus
+    assert(r.getAs[Double]("bp_exponent") == r6(1.0 - 13.0 / 12.0))
+    // identical corpora: every precision 1, geometric mean 1, bp 0
+    val same = Seq((1L, "u v w x", "u v w x")).toDF("pid", "cand", "ref")
+    val s = TextAnalysis.corpusBleu(same, "pid", "cand", "ref").head
+    assert(s.getAs[Double]("bleu_nobp") == 1.0 && s.getAs[Double]("bp_exponent") == 0.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.corpusBleu(pairs, "pid", "cand", "ref", maxN = 3)
+    }
+  }
 }
