@@ -7093,6 +7093,20 @@ object SparkEntry {
   private def qBleu(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusBleu(evalPairs(s, d), "pair_id", "cand", "ref", maxN = 4)
 
+  /** Bloom-pruned semi-join (X306): lineitem reduced to the big-part key
+    * set map-side before the exact semi-join — the sideways-information-
+    * passing shape whose shuffle carries only matches + the fpp sliver. */
+  private def qBloomPrune(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.part(s, d).filter(col("p_size") >= 40).select(col("p_partkey"))
+    Relational.bloomSemiJoin(
+      Tables.lineitem(s, d), "l_partkey", dim, "p_partkey", expectedKeys = 1L << 16)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty100"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
@@ -7550,6 +7564,7 @@ object SparkEntry {
     "q_vocab_richness" -> (qVocabRichness _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
+    "q_bloom_prune" -> (qBloomPrune _),
     "q_rouge" -> (qRouge _),
     "q_bleu" -> (qBleu _),
     "q_wilcoxon" -> (qWilcoxon _),
@@ -15792,6 +15807,14 @@ object SparkEntry {
            CASE WHEN COUNT(*) > 1
                 THEN ROUND(-SUM(p * LN(p)) / LN(CAST(COUNT(*) AS DOUBLE)), 6) END AS evenness
          FROM t GROUP BY user_id ORDER BY user_id""",
+    // the sketch only prunes; the exact semi-join defines the result
+    "q_bloom_prune" ->
+      """SELECT l_returnflag,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty100
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+         GROUP BY 1 ORDER BY 1""",
     // clipped bigram multiset overlap per pair; F1 via the exact micro
     // identity 2·clip/(nc+nr) — one division both engines replay
     "q_rouge" ->

@@ -41,3 +41,31 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** [[BloomMightContain]]'s sibling for LONG keys — the join-key case.
+  * Hashing is consistent with `Dataset.stat.bloomFilter` on integral
+  * columns (both sides hash the long value), so build-side members can
+  * never be false negatives here. */
+case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain_long"
+
+  def test(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override protected def nullSafeEval(v: Any): Any =
+    test(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref =
+      ctx.addReferenceObj("graftBloomL", this, classOf[BloomMightContainLong].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.test($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

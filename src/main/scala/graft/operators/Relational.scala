@@ -1133,4 +1133,85 @@ object Relational {
             .cast("double") / den.cast("double"),
           dp)).as("encoded"))
   }
+
+  /** Serialized Bloom filter over `dim`'s `dimKey`, plus the map-side
+    * membership predicate against `factKeyCol` — the shared build step of
+    * [[bloomSemiJoin]]/[[bloomAntiJoin]]. Integral keys hash as longs,
+    * strings as UTF-8 bytes; both consistent with `stat.bloomFilter`, so
+    * false NEGATIVES are impossible (false positives are the caller's
+    * contract). Building is one shuffle-free pass over the dim (per-task
+    * partial sketches merged on the driver). */
+  private def bloomPredicate(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedKeys: Long,
+      fpp: Double): Column = {
+    import org.apache.spark.sql.GraftSql
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val isLong = fact.schema(factKey).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case StringType => false
+      case t => throw new IllegalArgumentException(
+        s"bloom join keys must be string or integral, got $t for $factKey")
+    }
+    val build = if (isLong) col(dimKey).cast("long") else col(dimKey).cast("string")
+    val bloom = dim.select(build.as("__k")).stat.bloomFilter("__k", expectedKeys, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    if (isLong)
+      GraftSql.column(graft.functions.BloomMightContainLong(
+        GraftSql.expression(col(factKey).cast("long")), bytes))
+    else
+      GraftSql.column(graft.functions.BloomMightContain(
+        GraftSql.expression(col(factKey).cast("string")), bytes))
+  }
+
+  /** Bloom-pruned semi-join — sideways information passing for the
+    * "mid-sized dim" regime where a broadcast hash join is too big to ship
+    * as a hash RELATION but its key SET fits a few-MB sketch: the fact side
+    * filters map-side inside whole-stage codegen, so the semi-join shuffle
+    * carries only true matches plus an `fpp` sliver of false positives,
+    * which the exact left-semi join then removes — results are EXACT at
+    * any fpp. This is the manual form of Spark's runtime row-level
+    * filtering, usable when AQE's heuristics decline (or the dim is a
+    * separately-computed key set). At 100 TB the win is the shuffle: a 1%
+    * -selective semi-join moves ~1% of the fact instead of all of it. */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedKeys: Long = 1L << 22,
+      fpp: Double = 0.01): DataFrame = {
+    val might = bloomPredicate(fact, factKey, dim, dimKey, expectedKeys, fpp)
+    fact
+      .filter(col(factKey).isNotNull && might)
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+  }
+
+  /** Bloom-accelerated ANTI-join: rows the sketch rejects are DEFINITE
+    * non-members (no false negatives) and bypass the join entirely — a
+    * zero-shuffle fast path for the overwhelming majority under a selective
+    * exclusion list; only "maybe" rows (true members + fpp sliver) reach
+    * the exact left-anti join that settles them. NULL fact keys keep
+    * NOT-EXISTS semantics: they pass through like left_anti passes them. */
+  def bloomAntiJoin(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedKeys: Long = 1L << 22,
+      fpp: Double = 0.01): DataFrame = {
+    val might = bloomPredicate(fact, factKey, dim, dimKey, expectedKeys, fpp)
+    val definiteOut = fact.filter(col(factKey).isNull || !might)
+    val maybe = fact
+      .filter(col(factKey).isNotNull && might)
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_anti")
+    definiteOut.unionByName(maybe)
+  }
 }

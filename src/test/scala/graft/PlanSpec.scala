@@ -884,4 +884,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must be the bounded operator, not a global sort:\n$p")
   }
+
+  test("bloom prune: the sketch filter sits map-side below the semi-join") {
+    val p = plan(SparkEntry.queries("q_bloom_prune")(spark, sf))
+    // the membership test must appear as a scan-side Filter (inside
+    // codegen, before any exchange), and the join must still be there to
+    // remove false positives
+    assert(p.contains("graft_bloom_might_contain"),
+      s"bloom predicate missing from the plan:\n$p")
+    val filterIdx = p.indexOf("graft_bloom_might_contain")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"),
+      math.max(p.indexOf("ShuffledHashJoin"), p.indexOf("BroadcastHashJoin")))
+    assert(joinIdx >= 0, s"exact semi-join missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // anti path: the definite-non-member branch reaches the union with no
+    // join operator of its own
+    val fact = graft.sources.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val dim = graft.sources.Tables.part(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("p_size") >= 40).select("p_partkey")
+    val anti = graft.operators.Relational.bloomAntiJoin(fact, "l_partkey", dim, "p_partkey")
+    val ap = plan(anti)
+    assert(ap.contains("Union"), s"anti fast path must union around the join:\n$ap")
+    assert(ap.contains("graft_bloom_might_contain_long"), ap)
+  }
 }

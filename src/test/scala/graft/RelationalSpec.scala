@@ -373,4 +373,36 @@ class RelationalSpec extends SparkSpec {
         col("rmax") =!= col("rmax0")).count() == 0L,
       "two-pass splice must equal the keyed window exactly")
   }
+
+  test("bloomSemiJoin/bloomAntiJoin: exact at any fpp, null keys, type dispatch") {
+    val fact = (1L to 2000L).map(k => (k, s"v$k")).toDF("k", "v")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], "vnull"))
+        .toDF("k", "v").select(col("k").cast("long").as("k"), col("v")))
+    val dim = (1L to 2000L by 3L).map(Tuple1(_)).toDF("dk")
+    val semi = Relational.bloomSemiJoin(fact, "k", dim, "dk", expectedKeys = 64, fpp = 0.5)
+    val wantSemi = fact.join(dim.select(col("dk").as("k")), Seq("k"), "left_semi")
+    // a deliberately undersized, half-blind sketch still yields the exact
+    // result — the sketch only prunes, the join decides
+    assert(semi.count() == wantSemi.count())
+    assert(semi.exceptAll(wantSemi).isEmpty && wantSemi.exceptAll(semi).isEmpty)
+    val anti = Relational.bloomAntiJoin(fact, "k", dim, "dk", expectedKeys = 64, fpp = 0.5)
+    val wantAnti = fact.join(dim.select(col("dk").as("k")), Seq("k"), "left_anti")
+    assert(anti.count() == wantAnti.count())
+    assert(anti.exceptAll(wantAnti).isEmpty && wantAnti.exceptAll(anti).isEmpty)
+    // the NULL fact key follows NOT-EXISTS semantics: absent from semi,
+    // present in anti
+    assert(semi.filter(col("k").isNull).count() == 0L)
+    assert(anti.filter(col("k").isNull).count() == 1L)
+    // semi + anti partition the fact exactly
+    assert(semi.count() + anti.count() == fact.count())
+    // string keys ride the UTF-8 path
+    val sFact = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "x")
+    val sDim = Seq("b", "c").map(Tuple1(_)).toDF("dk")
+    assert(Relational.bloomSemiJoin(sFact, "k", sDim, "dk")
+      .orderBy("k").collect().map(_.getString(0)).toSeq == Seq("b", "c"))
+    // unsupported key types fail loudly, not wrongly
+    intercept[IllegalArgumentException] {
+      Relational.bloomSemiJoin(Seq((1.5, 1)).toDF("k", "x"), "k", sDim, "dk")
+    }
+  }
 }
