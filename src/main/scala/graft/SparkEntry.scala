@@ -7107,6 +7107,34 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Point-in-polygon join (X307): customers (hash-derived grid points)
+    * assigned to five synthetic irregular pentagon zones built in-plan
+    * from the region table — exact-integer ray casting, broadcast
+    * polygons, zero point-side shuffle. */
+  private def qPointInPolygon(s: SparkSession, d: String): DataFrame = {
+    val offs = Seq((2L, 0L), (1L, 2L), (-1L, 1L), (-2L, -1L), (1L, -2L))
+    val poly = Tables.region(s, d)
+      .select(
+        col("r_regionkey").cast("long").as("zone_id"),
+        (lit(500000L) + col("r_regionkey").cast("long") * 700000L).as("__cx"),
+        (lit(400000L) + col("r_regionkey").cast("long") * 550000L).as("__cy"),
+        (lit(150000L) * (col("r_regionkey").cast("long") + 1L)).as("__s"))
+      .select(
+        col("zone_id"),
+        array(offs.map { case (ox, oy) =>
+          struct(
+            (col("__cx") + lit(ox) * col("__s")).as("x"),
+            (col("__cy") + lit(oy) * col("__s")).as("y"))
+        }: _*).as("vertices"))
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey"),
+      (col("c_custkey") * 7919L % 4000000L).as("px"),
+      (col("c_custkey") * 104729L % 3000000L).as("py"))
+    Spatial.pointInPolygonJoin(pts, "px", "py", poly, "vertices")
+      .select(col("zone_id"), col("c_custkey"))
+      .orderBy("zone_id", "c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
@@ -7565,6 +7593,7 @@ object SparkEntry {
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_spearman" -> (qSpearman _),
     "q_bloom_prune" -> (qBloomPrune _),
+    "q_point_in_polygon" -> (qPointInPolygon _),
     "q_rouge" -> (qRouge _),
     "q_bleu" -> (qBleu _),
     "q_wilcoxon" -> (qWilcoxon _),
@@ -15807,6 +15836,38 @@ object SparkEntry {
            CASE WHEN COUNT(*) > 1
                 THEN ROUND(-SUM(p * LN(p)) / LN(CAST(COUNT(*) AS DOUBLE)), 6) END AS evenness
          FROM t GROUP BY user_id ORDER BY user_id""",
+    // exact-integer ray casting: the same cross-multiplied crossing test
+    // (dy-sign flip instead of division) over unnested edges
+    "q_point_in_polygon" ->
+      """WITH poly AS (SELECT CAST(r_regionkey AS BIGINT) AS pid,
+                500000 + CAST(r_regionkey AS BIGINT) * 700000 AS cx,
+                400000 + CAST(r_regionkey AS BIGINT) * 550000 AS cy,
+                150000 * (CAST(r_regionkey AS BIGINT) + 1) AS s
+              FROM region),
+         verts AS (SELECT pid, i,
+                cx + CASE i WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN -1
+                            WHEN 3 THEN -2 WHEN 4 THEN 1 END * s AS vx,
+                cy + CASE i WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 1
+                            WHEN 3 THEN -1 WHEN 4 THEN -2 END * s AS vy
+              FROM poly, unnest(generate_series(0, 4)) AS t(i)),
+         edges AS (SELECT v1.pid, v1.vx AS x1, v1.vy AS y1, v2.vx AS x2, v2.vy AS y2
+              FROM verts v1 JOIN verts v2 ON v1.pid = v2.pid AND v2.i = (v1.i + 1) % 5),
+         pts AS (SELECT c_custkey AS point_id,
+                c_custkey * 7919 % 4000000 AS px,
+                c_custkey * 104729 % 3000000 AS py
+              FROM customer),
+         cross_t AS (SELECT p.point_id, e.pid,
+                CASE WHEN (e.y1 > p.py) != (e.y2 > p.py)
+                      AND (CASE WHEN e.y2 - e.y1 > 0
+                           THEN (p.px - e.x1) * (e.y2 - e.y1)
+                                < (e.x2 - e.x1) * (p.py - e.y1)
+                           ELSE (p.px - e.x1) * (e.y2 - e.y1)
+                                > (e.x2 - e.x1) * (p.py - e.y1) END)
+                     THEN 1 ELSE 0 END AS c
+              FROM pts p JOIN edges e ON TRUE)
+         SELECT pid AS zone_id, point_id AS c_custkey
+         FROM cross_t GROUP BY 1, 2 HAVING SUM(c) % 2 = 1
+         ORDER BY zone_id, c_custkey""",
     // the sketch only prunes; the exact semi-join defines the result
     "q_bloom_prune" ->
       """SELECT l_returnflag,

@@ -257,4 +257,66 @@ object Spatial {
       .select(g ++ Seq(col("n"), col("centroid_x"), col("centroid_y"),
         col("__mx").as("median_x"), col("__my").as("median_y")): _*)
   }
+
+  /** Point-in-polygon join — the catchment/zone-assignment shape (which
+    * admin area contains this facility/customer?) completing the geometry
+    * family next to [[radiusJoin]] (distance) and [[bboxJoin]]
+    * (rectangles): every (point, polygon) pair where the point lies inside
+    * the polygon, by exact-integer ray casting.
+    *
+    * Coordinates are LONGS on a caller-chosen grid (e.g. micro-degrees):
+    * each edge's crossing test is the cross-multiplied form of
+    * "px < x-intersection of the horizontal ray" —
+    * (px−x1)·dy < (x2−x1)·(py−y1) with the inequality flipped when
+    * dy < 0 — so the whole operator is integer compares, no division, no
+    * epsilon, and any engine replays it bit-for-bit (|coord| ≲ 1.5e9
+    * keeps every product inside a long). Boundary convention: the
+    * half-open crossing rule ((y1>py) != (y2>py)) counts each vertex
+    * exactly once and assigns edge-touching points deterministically.
+    *
+    * Scale shape: polygons are SMALL BY CONTRACT (admin boundaries, zones
+    * — thousands, not billions) and broadcast with their precomputed
+    * bounding boxes; the bbox range predicate prunes candidates inside
+    * whole-stage codegen, and the ray cast folds over the vertex array as
+    * a higher-order `aggregate` — a pure projection, ZERO shuffle on the
+    * point side (the classic PIP-join mistake is exploding points ×
+    * edges through a shuffle). `vertices` is an array<struct<x,y>> ring
+    * (closing edge implied, no repeated last vertex). */
+  def pointInPolygonJoin(
+      points: DataFrame,
+      xCol: String,
+      yCol: String,
+      polygons: DataFrame,
+      verticesCol: String): DataFrame = {
+    val vx: Column => Column = v => v.getField("x").cast("long")
+    val vy: Column => Column = v => v.getField("y").cast("long")
+    val prepped = polygons
+      .withColumn("__minx", array_min(transform(col(verticesCol), vx)))
+      .withColumn("__maxx", array_max(transform(col(verticesCol), vx)))
+      .withColumn("__miny", array_min(transform(col(verticesCol), vy)))
+      .withColumn("__maxy", array_max(transform(col(verticesCol), vy)))
+    val px = col(xCol).cast("long")
+    val py = col(yCol).cast("long")
+    val cands = points.join(
+      broadcast(prepped),
+      px >= col("__minx") && px <= col("__maxx") &&
+        py >= col("__miny") && py <= col("__maxy"))
+    val nV = size(col(verticesCol))
+    val crossings = aggregate(
+      sequence(lit(0), nV - 1),
+      lit(0L),
+      (acc: Column, i: Column) => {
+        val v1 = element_at(col(verticesCol), i + 1)
+        val v2 = element_at(col(verticesCol), pmod(i + 1, nV) + 1)
+        val (x1, y1, x2, y2) = (vx(v1), vy(v1), vx(v2), vy(v2))
+        val dy = y2 - y1
+        val straddles = (y1 > py) =!= (y2 > py)
+        val leftOf = when(dy > 0, (px - x1) * dy < (x2 - x1) * (py - y1))
+          .otherwise((px - x1) * dy > (x2 - x1) * (py - y1))
+        acc + when(straddles && leftOf, 1L).otherwise(0L)
+      })
+    cands
+      .filter(pmod(crossings, lit(2L)) === 1L)
+      .drop("__minx", "__maxx", "__miny", "__maxy")
+  }
 }

@@ -450,4 +450,29 @@ class SpatialSpec extends SparkSpec {
       ("p1", 80L, "A"), ("p2", 90L, "B"), ("p3", 96L, "C"),
       ("p4", 99L, "C"), ("p5", 100L, "C")))
   }
+
+  test("pointInPolygonJoin: square + concave cases, half-open boundary, bbox prune") {
+    import spark.implicits._
+    def ring(vs: (Long, Long)*) =
+      array(vs.map { case (x, y) => struct(lit(x).as("x"), lit(y).as("y")) }: _*)
+    val polys = Seq("sq", "ell").toDF("pid").select(
+      col("pid"),
+      when(col("pid") === "sq", ring((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L)))
+        // L-shape: notch in the upper right
+        .otherwise(ring((20L, 0L), (24L, 0L), (24L, 2L), (22L, 2L), (22L, 4L), (20L, 4L)))
+        .as("vertices"))
+    val pts = Seq(
+      (1L, 5L, 5L),    // square interior
+      (2L, 15L, 5L),   // between the polygons (inside neither bbox)
+      (3L, 0L, 5L),    // ON the square's left edge: inside (half-open rule)
+      (4L, 10L, 5L),   // ON the square's right edge: outside (half-open rule)
+      (5L, 23L, 3L),   // in the L's notch: bbox says maybe, ray cast says no
+      (6L, 21L, 3L),   // L interior (upper arm)
+      (7L, 23L, 1L))   // L interior (lower arm)
+      .toDF("id", "x", "y")
+    val out = Spatial.pointInPolygonJoin(pts, "x", "y", polys, "vertices")
+      .select(col("id"), col("pid")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "sq"), (3L, "sq"), (6L, "ell"), (7L, "ell")))
+  }
 }
