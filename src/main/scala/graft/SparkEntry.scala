@@ -7135,6 +7135,45 @@ object SparkEntry {
       .orderBy("zone_id", "c_custkey")
   }
 
+  /** Confusion cells of the q_mcc tercile rule as a complete-mode streaming
+    * aggregate — the shared state of S49/S50 (bounded by the LABEL DOMAIN,
+    * K×K integer counts that merge associatively across micro-batches). */
+  private def confusionCellsStream(s: SparkSession, d: String, name: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/orders.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    withStatePartitions(s, 1) {
+      val q = stream.select(
+          col("o_orderstatus").as("__a"),
+          when(col("o_totalprice") > 331000.0, "F")
+            .when(col("o_totalprice") > 165000.0, "O")
+            .otherwise("P").as("__p"))
+        .groupBy(col("__a"), col("__p"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
+  /** STREAMING classification-report monitor (S49): the live model-quality
+    * dashboard — per-class precision/recall/F1 assembled in batch off the
+    * streaming confusion cells; stream == batch exactly. */
+  private def qClassReportStream(s: SparkSession, d: String): DataFrame =
+    Sketches.classificationReportFromCells(
+      confusionCellsStream(s, d, "graft_class_report_stream"))
+      .orderBy("label")
+
+  /** STREAMING MCC monitor (S50): the single-number live readout off the
+    * same confusion-cell state shape as S49 — q_mcc's oracle verbatim. */
+  private def qMccStream(s: SparkSession, d: String): DataFrame =
+    Sketches.matthewsCorrFromCells(
+      confusionCellsStream(s, d, "graft_mcc_stream"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
@@ -7599,6 +7638,8 @@ object SparkEntry {
     "q_wilcoxon" -> (qWilcoxon _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
+    "q_mcc_stream" -> (qMccStream _),
+    "q_class_report_stream" -> (qClassReportStream _),
     "q_randomized_response" -> (qRandomizedResponse _),
     "q_diversity" -> (qDiversity _))
 
@@ -16005,6 +16046,68 @@ object SparkEntry {
                 CASE WHEN va > 0.0 AND vp > 0.0
                   THEN ROUND(cov / (SQRT(va) * SQRT(vp)), 6) END AS mcc
          FROM fin""",
+    // stream twin: integer confusion cells => stream == batch, q_mcc's
+    // oracle verbatim
+    "q_mcc_stream" ->
+      """WITH cm AS (SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT o_orderstatus AS actual,
+                       CASE WHEN o_totalprice > 331000.0 THEN 'F'
+                            WHEN o_totalprice > 165000.0 THEN 'O' ELSE 'P' END AS pred
+                FROM orders) GROUP BY 1, 2),
+         ta AS (SELECT actual AS k, CAST(SUM(c) AS BIGINT) AS t FROM cm GROUP BY 1),
+         pp AS (SELECT pred AS k, CAST(SUM(c) AS BIGINT) AS q FROM cm GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+                CAST(SUM(CASE WHEN actual = pred THEN c ELSE 0 END) AS BIGINT) AS diag
+              FROM cm),
+         x AS (SELECT
+                SUM(CAST(COALESCE(t, 0) AS HUGEINT) * CAST(COALESCE(q, 0) AS HUGEINT)) AS tp,
+                SUM(CAST(COALESCE(t, 0) AS HUGEINT) * CAST(COALESCE(t, 0) AS HUGEINT)) AS tt,
+                SUM(CAST(COALESCE(q, 0) AS HUGEINT) * CAST(COALESCE(q, 0) AS HUGEINT)) AS qq,
+                CAST(COUNT(*) AS BIGINT) AS n_classes
+              FROM ta FULL OUTER JOIN pp USING (k)),
+         fin AS (SELECT nn, diag, n_classes,
+                CAST(CAST(nn AS HUGEINT) * CAST(diag AS HUGEINT) - tp AS DOUBLE) AS cov,
+                CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) - tt AS DOUBLE) AS va,
+                CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) - qq AS DOUBLE) AS vp
+              FROM tot CROSS JOIN x)
+         SELECT nn AS n, n_classes,
+                ROUND(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS accuracy,
+                CASE WHEN va > 0.0 AND vp > 0.0
+                  THEN ROUND(cov / (SQRT(va) * SQRT(vp)), 6) END AS mcc
+         FROM fin""",
+    // stream twin of the per-class report on the same tercile rule —
+    // the q_classification_report chain with the streamable predictor
+    "q_class_report_stream" ->
+      """WITH pr AS (SELECT o_orderstatus AS a,
+                CASE WHEN o_totalprice > 331000.0 THEN 'F'
+                     WHEN o_totalprice > 165000.0 THEN 'O' ELSE 'P' END AS p
+              FROM orders),
+         cells AS (SELECT a, p, CAST(COUNT(*) AS BIGINT) AS c FROM pr GROUP BY 1, 2),
+         act AS (SELECT a AS label, CAST(SUM(c) AS BIGINT) AS actn FROM cells GROUP BY 1),
+         prd AS (SELECT p AS label, CAST(SUM(c) AS BIGINT) AS prdn FROM cells GROUP BY 1),
+         diag AS (SELECT a AS label, c AS tp FROM cells WHERE a = p),
+         per AS (SELECT COALESCE(act.label, prd.label) AS label,
+                   COALESCE(tp, 0) AS tp,
+                   COALESCE(prdn, 0) - COALESCE(tp, 0) AS fp,
+                   COALESCE(actn, 0) - COALESCE(tp, 0) AS fn
+                 FROM act FULL OUTER JOIN prd ON act.label = prd.label
+                      LEFT JOIN diag ON COALESCE(act.label, prd.label) = diag.label),
+         x AS (SELECT label, tp, fp, fn,
+                 CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
+                 CAST(SUM(tp) OVER () AS BIGINT) AS tpall,
+                 CAST(SUM(tp + fn) OVER () AS BIGINT) AS nall
+               FROM per)
+         SELECT label, CAST(tp + fn AS BIGINT) AS support,
+                CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+                CASE WHEN tp + fp > 0
+                     THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+                CASE WHEN tp + fn > 0
+                     THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+                ROUND(f1, 6) AS f1,
+                ROUND(CAST(SUM(CAST(FLOOR(f1 * 1e9 + 0.5) AS BIGINT)) OVER () AS DOUBLE)
+                      / 1e9 / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS macro_f1,
+                ROUND(CAST(tpall AS DOUBLE) / CAST(nall AS DOUBLE), 6) AS accuracy
+         FROM x ORDER BY label""",
     // the md5 coin replays exactly; epsilon = ln(3) enters both engines
     // as the rounded literal (the libm lesson)
     "q_randomized_response" ->

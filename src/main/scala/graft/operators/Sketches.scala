@@ -2100,10 +2100,17 @@ object Sketches {
       df: DataFrame,
       actualCol: String,
       predictedCol: String,
-      dp: Int = 6): DataFrame = {
-    val cells = df
-      .groupBy(col(actualCol).as("__a"), col(predictedCol).as("__p"))
-      .agg(count(lit(1)).as("__c"))
+      dp: Int = 6): DataFrame =
+    classificationReportFromCells(
+      df.groupBy(col(actualCol).as("__a"), col(predictedCol).as("__p"))
+        .agg(count(lit(1)).as("__c")),
+      dp)
+
+  /** [[classificationReport]]'s assembly half over pre-aggregated confusion
+    * cells `(__a, __p, __c)` — the label-domain-bounded state shape a
+    * streaming monitor maintains in the state store (complete mode), so
+    * stream == batch exactly: integer cells merge associatively. */
+  def classificationReportFromCells(cells: DataFrame, dp: Int = 6): DataFrame = {
     val act = cells.groupBy(col("__a").as("label"))
       .agg(sum(col("__c")).as("__act"))
     val prd = cells.groupBy(col("__p").as("label"))
@@ -3748,11 +3755,19 @@ object Sketches {
     * long at ~3e9 rows), one sqrt each side at the end. Returns one row:
     * (n, n_classes, accuracy, mcc); mcc is NULL when either marginal is
     * degenerate (all one class — the coefficient is undefined there). */
-  def matthewsCorr(df: DataFrame, actualCol: String, predCol: String): DataFrame = {
+  def matthewsCorr(df: DataFrame, actualCol: String, predCol: String): DataFrame =
+    matthewsCorrFromCells(
+      df.groupBy(
+        col(actualCol).cast("string").as("__a"),
+        col(predCol).cast("string").as("__p"))
+        .agg(count(lit(1)).as("__c")))
+
+  /** [[matthewsCorr]]'s assembly half over pre-aggregated confusion cells
+    * `(__a, __p, __c)` — shares the streaming state shape with
+    * [[classificationReportFromCells]], so one confusion-cell monitor
+    * feeds both readouts. */
+  def matthewsCorrFromCells(cm: DataFrame): DataFrame = {
     def d(c: Column): Column = c.cast("decimal(38,0)")
-    val cm = df
-      .groupBy(col(actualCol).cast("string").as("__a"), col(predCol).cast("string").as("__p"))
-      .agg(count(lit(1)).as("__c"))
     val ta = cm.groupBy(col("__a")).agg(sum(col("__c")).as("__t"))
     val pp = cm.groupBy(col("__p")).agg(sum(col("__c")).as("__q"))
     val tot = cm.agg(
