@@ -7174,6 +7174,33 @@ object SparkEntry {
     Sketches.matthewsCorrFromCells(
       confusionCellsStream(s, d, "graft_mcc_stream"))
 
+  /** k-NN majority-vote classification (X309): the first 20 embedding rows
+    * classified against the labeled remainder, k=10, exact cosine. */
+  private def qKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Models.knnClassify(
+      emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", k = 10)
+      .orderBy("query_id")
+  }
+
+  /** Feature scaling suite (X308): z-score on quantity, min-max on price,
+    * robust (median/IQR order statistics) on discount — corpus stats
+    * broadcast back onto the fact, one readout slice. */
+  private def qFeatureScaling(s: SparkSession, d: String): DataFrame = {
+    val scaled = Models.scaleColumn(
+      Models.scaleColumn(
+        Models.scaleColumn(Tables.lineitem(s, d), "l_quantity", "zscore"),
+        "l_extendedprice", "minmax"),
+      "l_discount", "robust")
+    scaled.filter(col("l_orderkey") < 300)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity_scaled"), col("l_extendedprice_scaled"),
+        col("l_discount_scaled"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
@@ -7633,6 +7660,8 @@ object SparkEntry {
     "q_spearman" -> (qSpearman _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_point_in_polygon" -> (qPointInPolygon _),
+    "q_knn" -> (qKnn _),
+    "q_feature_scaling" -> (qFeatureScaling _),
     "q_rouge" -> (qRouge _),
     "q_bleu" -> (qBleu _),
     "q_wilcoxon" -> (qWilcoxon _),
@@ -15877,6 +15906,66 @@ object SparkEntry {
            CASE WHEN COUNT(*) > 1
                 THEN ROUND(-SUM(p * LN(p)) / LN(CAST(COUNT(*) AS DOUBLE)), 6) END AS evenness
          FROM t GROUP BY user_id ORDER BY user_id""",
+    // brute-force cosine replay (the q_cosine_topk chain), label join,
+    // vote counts, (votes desc, label asc) winner
+    "q_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                CAST(label AS BIGINT) AS lbl FROM embeddings WHERE vec_id >= 20),
+         scored AS (SELECT q.query_id, c.vec_id, c.lbl,
+                list_cosine_similarity(q.qv, c.v) AS sim FROM c CROSS JOIN q),
+         ranked AS (SELECT query_id, lbl,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+              FROM scored),
+         votes AS (SELECT query_id, lbl, CAST(COUNT(*) AS BIGINT) AS n_votes
+              FROM ranked WHERE rn <= 10 GROUP BY 1, 2),
+         win AS (SELECT query_id, lbl, n_votes,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY n_votes DESC, lbl) AS wr FROM votes)
+         SELECT query_id, lbl AS pred_label, n_votes FROM win WHERE wr = 1
+         ORDER BY query_id""",
+    // corpus stats replayed with the identical quantized chains: exact
+    // 1e6 moments (squares HUGEINT), raw-double min/max, lower-order-
+    // statistic median/IQR off the value histogram
+    "q_feature_scaling" ->
+      """WITH zs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(FLOOR(l_quantity * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                SUM(CAST(CAST(FLOOR(l_quantity * 1e6 + 0.5) AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(FLOOR(l_quantity * 1e6 + 0.5) AS BIGINT) AS HUGEINT)) AS ss
+              FROM lineitem),
+         mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+              FROM lineitem),
+         h AS (SELECT CAST(FLOOR(l_discount * 1e6 + 0.5) AS BIGINT) AS v,
+                CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+         cumt AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM h),
+         tot AS (SELECT MAX(cum) AS n FROM cumt),
+         rb AS (SELECT
+                MIN(CASE WHEN cum >= CEIL(CAST(n AS DOUBLE) * 0.25) THEN v END) AS q1,
+                MIN(CASE WHEN cum >= CEIL(CAST(n AS DOUBLE) * 0.5) THEN v END) AS med,
+                MIN(CASE WHEN cum >= CEIL(CAST(n AS DOUBLE) * 0.75) THEN v END) AS q3
+              FROM cumt CROSS JOIN tot),
+         fin AS (SELECT l_orderkey, l_linenumber,
+                CAST(FLOOR(l_quantity * 1e6 + 0.5) AS BIGINT) AS qq,
+                l_extendedprice AS p,
+                CAST(FLOOR(l_discount * 1e6 + 0.5) AS BIGINT) AS dq,
+                n, s, ss, lo, hi, q1, med, q3,
+                (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS varc
+              FROM lineitem CROSS JOIN zs CROSS JOIN mm CROSS JOIN rb
+              WHERE l_orderkey < 300)
+         SELECT l_orderkey, l_linenumber,
+                CASE WHEN n > 1 AND varc > 0.0 THEN
+                  ROUND((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        / SQRT(varc), 6) END AS l_quantity_scaled,
+                CASE WHEN hi > lo THEN
+                  ROUND((p - lo) / (hi - lo), 6) END AS l_extendedprice_scaled,
+                CASE WHEN q3 > q1 THEN
+                  ROUND(CAST(dq - med AS DOUBLE) / CAST(q3 - q1 AS DOUBLE), 6)
+                END AS l_discount_scaled
+         FROM fin ORDER BY l_orderkey, l_linenumber""",
     // exact-integer ray casting: the same cross-multiplied crossing test
     // (dy-sign flip instead of division) over unnested edges
     "q_point_in_polygon" ->

@@ -1460,4 +1460,96 @@ object Models {
             col("__ccc").cast("double") * col("__cnt").cast("double") /
               col("__cnc").cast("double"), dp)).as("qini"))
   }
+
+  /** k-NN majority-vote classifier — the SERVING-side lazy learner
+    * completing the supervised family next to the parametric fits
+    * (logistic, SVM, Naive Bayes): each query row takes the exact cosine
+    * top-`k` of the labeled corpus ([[Similarity.bruteForceTopK]]'s
+    * broadcast-queries shape — queries small by contract, corpus never
+    * shuffles beyond its top-k heaps) and the label with the most
+    * neighbors wins, ties to the smallest label (fully deterministic).
+    * Returns (query_id, pred_label, n_votes). */
+  def knnClassify(
+      train: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nbrs = Similarity.bruteForceTopK(train, queries, idCol, vecCol, k)
+    val votes = nbrs
+      .join(
+        train.select(col(idCol).as("vec_id"), col(labelCol).cast("long").as("__lbl")),
+        Seq("vec_id"))
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+    Relational.topKPerKey(
+      votes,
+      keyCols = Seq("query_id"),
+      sort = Seq("n_votes" -> true, "__lbl" -> false),
+      k = 1)
+      .select(col("query_id"), col("__lbl").as("pred_label"), col("n_votes"))
+  }
+
+  /** Per-column feature scaling — the preprocessing step in front of every
+    * distance-based operator here (k-NN, k-means, SVM all assume
+    * comparable feature scales). Appends `<valueCol>_scaled`; the stats
+    * come from ONE partial-aggregate pass (or a value-domain histogram for
+    * `robust`) and broadcast back — no data-grain window, no second
+    * shuffle of the fact.
+    *
+    * Methods: `zscore` = (x−mean)/sd (sample sd over 1e6-quantized exact
+    * moments, squares in decimal(38,0)); `minmax` = (x−min)/(max−min) on
+    * raw doubles (min/max are exact); `robust` = (x−median)/IQR with
+    * median/q1/q3 as LOWER order statistics (rank ⌈p·n⌉) selected from
+    * the quantized-value histogram — selection, not interpolation (the
+    * standing determinism lesson). Degenerate spread (sd/range/IQR = 0)
+    * yields NULL, never a division blow-up. */
+  def scaleColumn(df: DataFrame, valueCol: String, method: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val vq = floor(v * 1e6 + 0.5).cast("long")
+    val out = valueCol + "_scaled"
+    method match {
+      case "zscore" =>
+        val stats = df.agg(
+          count(lit(1)).as("__n"),
+          sum(vq).as("__s"),
+          sum(vq.cast("decimal(38,0)") * vq.cast("decimal(38,0)")).as("__ss"))
+        val n = col("__n").cast("double")
+        val mean = col("__s").cast("double") / n
+        val varc = (col("__ss").cast("double") - col("__s").cast("double") *
+          col("__s").cast("double") / n) / (n - 1.0)
+        df.crossJoin(broadcast(stats))
+          .withColumn(out,
+            when(col("__n") > 1 && varc > 0.0,
+              round((vq.cast("double") - mean) / sqrt(varc), 6)))
+          .drop("__n", "__s", "__ss")
+      case "minmax" =>
+        val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+        df.crossJoin(broadcast(stats))
+          .withColumn(out,
+            when(col("__hi") > col("__lo"),
+              round((v - col("__lo")) / (col("__hi") - col("__lo")), 6)))
+          .drop("__lo", "__hi")
+      case "robust" =>
+        val hist = df.groupBy(vq.as("__v")).agg(count(lit(1)).as("__c"))
+        val w = Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+        val tot = cum.agg(max(col("__cum")).as("__n"))
+        def sel(p: Double) =
+          min(when(col("__cum") >= ceil(col("__n").cast("double") * lit(p)), col("__v")))
+        val stats = cum.crossJoin(broadcast(tot)).agg(
+          sel(0.25).as("__q1"), sel(0.5).as("__med"), sel(0.75).as("__q3"))
+        df.crossJoin(broadcast(stats))
+          .withColumn(out,
+            when(col("__q3") > col("__q1"),
+              round((vq - col("__med")).cast("double") /
+                (col("__q3") - col("__q1")).cast("double"), 6)))
+          .drop("__q1", "__med", "__q3")
+      case other => throw new IllegalArgumentException(
+        s"unknown scaling method '$other' (zscore | minmax | robust)")
+    }
+  }
 }

@@ -509,4 +509,43 @@ class ModelsSpec extends SparkSpec {
       .orderBy("bucket").collect()
     assert(g7.map(_.getAs[Double]("qini")).toSeq == got.map(_.getAs[Double]("qini")).toSeq)
   }
+
+  test("knnClassify: cluster vote, deterministic tie-break, partition invariance") {
+    val train = Seq(
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.9f, 0.1f), 1), (12L, Array(0.95f, 0.05f), 1),
+      (13L, Array(0.0f, 1.0f), 2), (14L, Array(0.1f, 0.9f), 2), (15L, Array(0.05f, 0.95f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Array(0.8f, 0.2f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Models.knnClassify(train.repartition(3), q, "vec_id", "embedding", "label", k = 3)
+      .head
+    assert(r.getAs[Long]("pred_label") == 1L && r.getAs[Long]("n_votes") == 3L)
+    // k = 6 splits the vote 3-3: the smaller label wins deterministically
+    val t = Models.knnClassify(train, q, "vec_id", "embedding", "label", k = 6).head
+    assert(t.getAs[Long]("pred_label") == 1L && t.getAs[Long]("n_votes") == 3L)
+    val p = Models.knnClassify(train.repartition(5), q, "vec_id", "embedding", "label", 3).head
+    assert(p.getAs[Long]("pred_label") == 1L)
+    intercept[IllegalArgumentException] {
+      Models.knnClassify(train, q, "vec_id", "embedding", "label", k = 0)
+    }
+  }
+
+  test("scaleColumn: hand z/minmax/robust on 1..5, degenerate NULLs, bad method") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(Tuple1(_)).toDF("v").repartition(3)
+    val z = Models.scaleColumn(df, "v", "zscore").orderBy("v").collect()
+    assert(z.last.getAs[Double]("v_scaled") == r6(2e6 / math.sqrt(2.5e12)))
+    assert(z(2).getAs[Double]("v_scaled") == 0.0)
+    val m = Models.scaleColumn(df, "v", "minmax").orderBy("v").collect()
+    assert(m.map(_.getAs[Double]("v_scaled")).toSeq == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    // lower order statistics on n=5: q1 = 2, med = 3, q3 = 4 -> IQR 2
+    val r = Models.scaleColumn(df, "v", "robust").orderBy("v").collect()
+    assert(r.map(_.getAs[Double]("v_scaled")).toSeq == Seq(-1.0, -0.5, 0.0, 0.5, 1.0))
+    // a constant column has no spread under any method
+    val const = Seq(7.0, 7.0, 7.0).map(Tuple1(_)).toDF("v")
+    for (meth <- Seq("zscore", "minmax", "robust")) {
+      val c = Models.scaleColumn(const, "v", meth).collect()
+      assert(c.forall(_.isNullAt(c.head.fieldIndex("v_scaled"))), meth)
+    }
+    intercept[IllegalArgumentException] { Models.scaleColumn(df, "v", "mad") }
+  }
 }
