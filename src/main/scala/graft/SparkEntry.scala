@@ -7201,6 +7201,26 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Borůvka minimum spanning forest (X310) over the nation-level trade
+    * graph (edge weight = exact cross-nation trade cents). Weights are
+    * data-derived and distinct at the gate scales, so the MST is unique —
+    * the oracle may replay it with ANY algorithm (it unrolls Prim). */
+  private def qMst(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(
+        least(col("s_nationkey"), col("c_nationkey")).as("na"),
+        greatest(col("s_nationkey"), col("c_nationkey")).as("nb"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("w"))
+    Graph.boruvkaMst(e, "na", "nb", "w").orderBy("w", "a", "b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
@@ -7662,6 +7682,7 @@ object SparkEntry {
     "q_point_in_polygon" -> (qPointInPolygon _),
     "q_knn" -> (qKnn _),
     "q_feature_scaling" -> (qFeatureScaling _),
+    "q_mst" -> (qMst _),
     "q_rouge" -> (qRouge _),
     "q_bleu" -> (qBleu _),
     "q_wilcoxon" -> (qWilcoxon _),
@@ -16040,6 +16061,7 @@ object SparkEntry {
          FROM pairs p LEFT JOIN agg ON p.pid = agg.pid
          ORDER BY pair_id""",
     "q_bleu" -> bleuOracle,
+    "q_mst" -> mstOracle,
     // exact integer 2·midranks over the |d| histogram (the Mann–Whitney
     // discipline), tie sum a long, one double chain at the end
     "q_wilcoxon" ->
@@ -17336,6 +17358,38 @@ object SparkEntry {
          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
          FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
          GROUP BY 1 ORDER BY node"""
+  }
+
+  /** q_mst oracle: distinct weights make the MST unique, so the oracle
+    * replays it with PRIM unrolled — 24 generated MATERIALIZED rounds
+    * (25 nations), each picking the minimum (w, a, b)-ordered edge that
+    * crosses the frontier; empty picks no-op, so a disconnected tail
+    * cannot desync the rounds (Prim then spans node 0's component — the
+    * gate graphs are connected at both SFs, asserted by the 24-edge
+    * output). */
+  private def mstOracle: String = {
+    val rounds = (1 to 24).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT a, b, w FROM e
+           WHERE (a IN (SELECT n FROM f${k - 1})) != (b IN (SELECT n FROM f${k - 1}))
+           ORDER BY w, a, b LIMIT 1),
+         f$k AS MATERIALIZED (SELECT n FROM f${k - 1} UNION
+           SELECT CASE WHEN a IN (SELECT n FROM f${k - 1}) THEN b ELSE a END FROM m$k)"""
+    }.mkString(",\n         ")
+    val unions = (1 to 24).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+           SELECT LEAST(s.s_nationkey, c.c_nationkey) AS a,
+                  GREATEST(s.s_nationkey, c.c_nationkey) AS b,
+                  CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE s.s_nationkey != c.c_nationkey
+           GROUP BY 1, 2),
+         f0 AS MATERIALIZED (SELECT MIN(a) AS n FROM e),
+         $rounds
+         SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, w
+         FROM ($unions) ORDER BY w, a, b"""
   }
 
   /** q_bleu oracle: one clipped-precision block per gram size (generated so

@@ -786,4 +786,88 @@ object Graph {
       .select(col("node"),
         round(col("__bq").cast("double") / 1e9, 6).as("betweenness"))
   }
+
+  /** Borůvka minimum spanning forest (Borůvka 1926; the textbook
+    * DISTRIBUTED MST — Kruskal and Prim are inherently sequential, Borůvka
+    * halves the component count per round, so ⌈log₂V⌉ rounds of
+    * co-partitioned joins span any graph): each round every component
+    * selects its minimum outgoing edge under the TOTAL order
+    * (w, a, b) — ties deterministic, and with distinct weights the MSF is
+    * the unique one any algorithm finds — the selected edges join the
+    * forest, and the touched components merge by running
+    * [[connectedComponents]] on the COMPONENT-GRAPH of selected edges
+    * (component-sized, not graph-sized).
+    *
+    * Scale shape per round: one edges⋈labels join pair (co-partitioned on
+    * node keys), one native bounded top-k per component for the argmin,
+    * CC on the contracted graph, lineage truncated by localCheckpoint.
+    * Parallel edges collapse to their min weight up front. Throws (the
+    * [[connectedComponents]] precedent) if cross-component edges survive
+    * `maxIter` rounds — silent under-merging would return a non-spanning
+    * forest. Returns the forest edge list (a, b, w), a < b. */
+  def boruvkaMst(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e0 = edges
+      .select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var comp = e0
+      .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+      .withColumn("__comp", col("id"))
+      .localCheckpoint(true)
+    var mst = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val ec = e0
+        .join(comp.select(col("id").as("a"), col("__comp").as("__ca")), Seq("a"))
+        .join(comp.select(col("id").as("b"), col("__comp").as("__cb")), Seq("b"))
+        .filter(col("__ca") =!= col("__cb"))
+        .localCheckpoint(false)
+      if (ec.isEmpty) {
+        done = true
+      } else {
+        val cand = ec.select(col("__ca").as("__c"), col("__ca"), col("__cb"),
+            col("w"), col("a"), col("b"))
+          .unionByName(ec.select(col("__cb").as("__c"), col("__ca"), col("__cb"),
+            col("w"), col("a"), col("b")))
+        val chosen = Relational.topKPerKey(
+          cand,
+          keyCols = Seq("__c"),
+          sort = Seq("w" -> false, "a" -> false, "b" -> false),
+          k = 1).localCheckpoint(true)
+        mst = mst.unionByName(chosen.select(col("a"), col("b"), col("w")).distinct())
+          .localCheckpoint(true)
+        val merged = connectedComponents(
+          chosen.select(col("__ca"), col("__cb")), "__ca", "__cb")
+        comp = comp
+          .join(merged.withColumnRenamed("id", "__comp"), Seq("__comp"), "left")
+          .select(col("id"), coalesce(col("component"), col("__comp")).as("__comp"))
+          .localCheckpoint(true)
+        iter += 1
+      }
+    }
+    if (!done && iter >= maxIter) {
+      val remaining = e0
+        .join(comp.select(col("id").as("a"), col("__comp").as("__ca")), Seq("a"))
+        .join(comp.select(col("id").as("b"), col("__comp").as("__cb")), Seq("b"))
+        .filter(col("__ca") =!= col("__cb"))
+      if (!remaining.isEmpty)
+        throw new IllegalStateException(
+          s"boruvkaMst did not converge in $maxIter rounds")
+    }
+    mst
+  }
 }

@@ -784,4 +784,41 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy("channel").collect().map(_.getDouble(1)).toSeq
     assert(g7 == out.map(_._2).toSeq)
   }
+
+  test("boruvkaMst: matches driver-side Kruskal on random graphs, forest + edge cases") {
+    import graft.operators.Graph
+    // driver-side Kruskal under the same (w, a, b) total order
+    def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val canon = edges.map { case (u, v, w) => (math.min(u, v), math.max(u, v), w) }
+        .groupBy(e => (e._1, e._2)).map { case ((a, b), es) => (a, b, es.map(_._3).min) }
+      canon.toSeq.sortBy(e => (e._3, e._1, e._2)).flatMap { case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { parent(ra) = rb; Some((a, b, w)) } else None
+      }.toSet
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      val edges = Seq.fill(n * 3)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(1000).toLong + 1L))
+        .filter(e => e._1 != e._2)
+      val got = Graph.boruvkaMst(edges.toDF("u", "v", "w").repartition(4), "u", "v", "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == kruskal(edges), s"trial $trial")
+    }
+    // two disconnected components: a spanning FOREST, one edge short per part
+    val forest = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 2L), (10L, 11L, 7L))
+      .toDF("u", "v", "w")
+    val f = Graph.boruvkaMst(forest, "u", "v", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f == Set((2L, 3L, 1L), (1L, 3L, 2L), (10L, 11L, 7L)))
+    // parallel edges collapse to their min weight before selection
+    val par = Seq((1L, 2L, 9L), (2L, 1L, 4L)).toDF("u", "v", "w")
+    assert(Graph.boruvkaMst(par, "u", "v", "w").head.getLong(2) == 4L)
+  }
 }
