@@ -7093,6 +7093,11 @@ object SparkEntry {
   private def qBleu(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusBleu(evalPairs(s, d), "pair_id", "cand", "ref", maxN = 4)
 
+  /** Corpus chrF (T73): clipped character-n-gram F2 for n=1..6, averaged
+    * — the tokenization-robust member of the eval family. */
+  private def qChrf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chrF(evalPairs(s, d), "pair_id", "cand", "ref")
+
   /** Bloom-pruned semi-join (X306): lineitem reduced to the big-part key
     * set map-side before the exact semi-join — the sideways-information-
     * passing shape whose shuffle carries only matches + the fpp sliver. */
@@ -7219,6 +7224,36 @@ object SparkEntry {
         greatest(col("s_nationkey"), col("c_nationkey")).as("nb"))
       .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("w"))
     Graph.boruvkaMst(e, "na", "nb", "w").orderBy("w", "a", "b")
+  }
+
+  /** A-priori frequent brand triples (X311) over order-level baskets at
+    * 0.3% relative support — the depth-3 market-basket readout. */
+  private def qFrequentTriples(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+    Relational.frequentTriples(base, "basket", "item", minSupportFrac = 0.003)
+      .orderBy("item1", "item2", "item3")
+  }
+
+  /** Rocchio feedback rerank (X312): queries 0..4 expand toward 5
+    * arithmetic-chosen relevant docs and away from 5 non-relevant, then
+    * the exact cosine top-5 reruns with the moved vector. */
+  private def qRocchio(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), explode(sequence(lit(0L), lit(4L))).as("kk"))
+    val fb = base
+      .select(col("qid"), (lit(100L) + col("qid") * 5L + col("kk")).as("doc"),
+        lit(true).as("rel"))
+      .unionByName(base.select(col("qid"),
+        (lit(200L) + col("qid") * 5L + col("kk")).as("doc"), lit(false).as("rel")))
+    Similarity.rocchioRerank(
+      emb, emb.filter(col("vec_id") < 5), fb,
+      "vec_id", "embedding", "qid", "doc", "rel", k = 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7683,8 +7718,11 @@ object SparkEntry {
     "q_knn" -> (qKnn _),
     "q_feature_scaling" -> (qFeatureScaling _),
     "q_mst" -> (qMst _),
+    "q_frequent_triples" -> (qFrequentTriples _),
+    "q_rocchio" -> (qRocchio _),
     "q_rouge" -> (qRouge _),
     "q_bleu" -> (qBleu _),
+    "q_chrf" -> (qChrf _),
     "q_wilcoxon" -> (qWilcoxon _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
@@ -16061,7 +16099,54 @@ object SparkEntry {
          FROM pairs p LEFT JOIN agg ON p.pid = agg.pid
          ORDER BY pair_id""",
     "q_bleu" -> bleuOracle,
+    "q_chrf" -> chrfOracle,
     "q_mst" -> mstOracle,
+    // a-priori pruning never changes the result, so the oracle counts
+    // triples directly at the same relative threshold
+    "q_frequent_triples" ->
+      """WITH base AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM base),
+         tri AS (SELECT b1.i AS i1, b2.i AS i2, b3.i AS i3
+              FROM base b1
+              JOIN base b2 ON b1.b = b2.b AND b1.i < b2.i
+              JOIN base b3 ON b2.b = b3.b AND b2.i < b3.i),
+         c AS (SELECT i1, i2, i3, CAST(COUNT(*) AS BIGINT) AS support
+              FROM tri GROUP BY 1, 2, 3)
+         SELECT i1 AS item1, i2 AS item2, i3 AS item3, support, n AS n_baskets
+         FROM c, nb WHERE CAST(support AS DOUBLE) >= CAST(n AS DOUBLE) * 0.003
+         ORDER BY item1, item2, item3""",
+    // centroid means rounded 6dp (the X28 recipe), the SMART expansion
+    // chain rounded 6dp and pushed through FLOAT exactly like the engine
+    "q_rocchio" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         ks AS (SELECT unnest(generate_series(0, 4)) AS kk),
+         fb AS (SELECT qid, 100 + qid * 5 + kk AS doc, TRUE AS rel FROM q, ks
+                UNION ALL SELECT qid, 200 + qid * 5 + kk, FALSE FROM q, ks),
+         fv AS (SELECT f.qid, f.rel, e.embedding AS v
+              FROM fb f JOIN embeddings e ON e.vec_id = f.doc),
+         dims AS (SELECT unnest(generate_series(1, 64)) AS j),
+         cent AS (SELECT qid, rel, j, ROUND(AVG(CAST(v[j] AS DOUBLE)), 6) AS m
+              FROM fv, dims GROUP BY 1, 2, 3),
+         qd AS (SELECT q.qid, dims.j, CAST(q.qe[dims.j] AS DOUBLE) AS qv
+              FROM q, dims),
+         exp0 AS (SELECT qd.qid, qd.j,
+                CAST(CAST(ROUND(
+                  1.0 * qd.qv
+                  + 0.75 * COALESCE(r.m, 0.0)
+                  - 0.15 * COALESCE(nn.m, 0.0), 6) AS FLOAT) AS DOUBLE) AS ev
+              FROM qd
+              LEFT JOIN cent r ON r.qid = qd.qid AND r.j = qd.j AND r.rel
+              LEFT JOIN cent nn ON nn.qid = qd.qid AND nn.j = qd.j AND NOT nn.rel),
+         evl AS (SELECT qid, list(ev ORDER BY j) AS ev FROM exp0 GROUP BY qid),
+         scored AS (SELECT evl.qid AS query_id, e.vec_id,
+                list_cosine_similarity(evl.ev, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN evl WHERE e.vec_id <> evl.qid),
+         ranked AS (SELECT query_id, vec_id, sim,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+              FROM scored)
+         SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
     // exact integer 2·midranks over the |d| histogram (the Mann–Whitney
     // discipline), tie sum a long, one double chain at the end
     "q_wilcoxon" ->
@@ -17425,6 +17510,44 @@ object SparkEntry {
                 ROUND(${p(1)}, 6) AS p1, ROUND(${p(2)}, 6) AS p2,
                 ROUND(${p(3)}, 6) AS p3, ROUND(${p(4)}, 6) AS p4
          FROM lens, rlens, s1, s2, s3, s4"""
+  }
+
+  /** q_chrf oracle: one clipped-F block per character-gram size; F_β
+    * reassociated to the single division (1+β²)·clip/(β²·ref + tot) and
+    * the macro mean the same left-to-right chain as the Spark side. */
+  private def chrfOracle: String = {
+    val blocks = (1 to 6).map { n =>
+      s"""cg$n AS (SELECT pid, g, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+              SELECT pid, substring(t, i, $n) AS g FROM (
+                SELECT pid, t, unnest(generate_series(1, length(t) - ${n - 1})) AS i
+                FROM ct)) GROUP BY 1, 2),
+         rg$n AS (SELECT pid, g, CAST(COUNT(*) AS BIGINT) AS cr FROM (
+              SELECT pid, substring(t, i, $n) AS g FROM (
+                SELECT pid, t, unnest(generate_series(1, length(t) - ${n - 1})) AS i
+                FROM rt)) GROUP BY 1, 2),
+         s$n AS (SELECT CAST(SUM(LEAST(COALESCE(cc, 0), COALESCE(cr, 0))) AS BIGINT) AS clip$n,
+                CAST(SUM(COALESCE(cc, 0)) AS BIGINT) AS tot$n,
+                CAST(SUM(COALESCE(cr, 0)) AS BIGINT) AS ref$n
+              FROM cg$n FULL OUTER JOIN rg$n ON cg$n.pid = rg$n.pid AND cg$n.g = rg$n.g)"""
+    }.mkString(",\n         ")
+    def f(n: Int) =
+      s"""(CASE WHEN (4.0 * CAST(COALESCE(ref$n, 0) AS DOUBLE)
+                     + CAST(COALESCE(tot$n, 0) AS DOUBLE)) > 0.0
+            THEN 5.0 * CAST(COALESCE(clip$n, 0) AS DOUBLE)
+                 / (4.0 * CAST(COALESCE(ref$n, 0) AS DOUBLE)
+                    + CAST(COALESCE(tot$n, 0) AS DOUBLE))
+            ELSE 0.0 END)"""
+    val mean = (1 to 6).map(f).mkString(" + ")
+    s"""WITH pairs AS (SELECT c.doc_id AS pid, c.text AS cand, r.text AS ref
+              FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1),
+         ct AS (SELECT pid, replace(lower(cand), ' ', '') AS t FROM pairs),
+         rt AS (SELECT pid, replace(lower(ref), ' ', '') AS t FROM pairs),
+         np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+         $blocks
+         SELECT n_pairs,
+                ${(1 to 6).map(n => s"ROUND(${f(n)}, 6) AS f$n").mkString(", ")},
+                ROUND(($mean) / 6.0, 6) AS chrf
+         FROM np, s1, s2, s3, s4, s5, s6"""
   }
 
   /** Shared batch/stream oracle for the left-outer interval join: the cutoff

@@ -1134,6 +1134,67 @@ object Relational {
           dp)).as("encoded"))
   }
 
+  /** A-priori frequent TRIPLE mining (Agrawal & Srikant, VLDB 1994, level
+    * 3) — the depth-3 extension of the market-basket family (X66 pair
+    * co-occurrence, X67 association rules, X267 sequential 2-patterns):
+    * item triples appearing together in at least `minSupportFrac` of
+    * baskets.
+    *
+    * The a-priori LEVEL-WISE prune is the scale story: items below the
+    * threshold leave before any self-join (level 1), pair occurrences
+    * prune against the frequent-pair set (level 2) BEFORE extending to a
+    * third item, and candidate triples semi-join against frequent (i,k)
+    * and (j,k) — so the cubic enumeration only ever runs over survivors.
+    * All joins are co-partitioned on the basket key; [[capGroupSize]]
+    * bounds the Σ|basket|³ hazard on pathological hot baskets (inert on
+    * sane schemas, the X71 contract). Pruning never changes the RESULT —
+    * every pruned candidate is below the final threshold — so any engine
+    * can verify with the direct count. Returns
+    * (item1 < item2 < item3, support, n_baskets). */
+  def frequentTriples(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupportFrac: Double = 0.01,
+      maxBasket: Long = 1000): DataFrame = {
+    require(minSupportFrac > 0 && minSupportFrac <= 1,
+      s"minSupportFrac must be in (0, 1], got $minSupportFrac")
+    val capped = capGroupSize(
+      df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct(),
+      Seq("__b"), maxBasket)
+      .localCheckpoint(true)
+    val nB = capped.agg(count_distinct(col("__b")).as("n_baskets"))
+    def frequent(counts: DataFrame, cCol: String): DataFrame =
+      counts.crossJoin(broadcast(nB))
+        .filter(col(cCol).cast("double") >=
+          col("n_baskets").cast("double") * lit(minSupportFrac))
+    val f1 = frequent(
+      capped.groupBy(col("__i")).agg(count(lit(1)).as("__c")), "__c")
+      .select(col("__i"))
+    val b1 = capped.join(f1, Seq("__i"), "left_semi")
+    val pairs = b1
+      .join(b1.select(col("__b"), col("__i").as("__j")), Seq("__b"))
+      .filter(col("__i") < col("__j"))
+    val f2 = frequent(
+      pairs.groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__c")), "__c")
+      .select(col("__i"), col("__j"))
+      .localCheckpoint(true)
+    val tri = pairs
+      .join(f2, Seq("__i", "__j"), "left_semi")
+      .join(b1.select(col("__b"), col("__i").as("__k")), Seq("__b"))
+      .filter(col("__j") < col("__k"))
+      .join(f2.select(col("__i").as("__j"), col("__j").as("__k")),
+        Seq("__j", "__k"), "left_semi")
+      .join(f2.select(col("__i"), col("__j").as("__k")),
+        Seq("__i", "__k"), "left_semi")
+    frequent(
+      tri.groupBy(col("__i"), col("__j"), col("__k")).agg(count(lit(1)).as("support")),
+      "support")
+      .select(
+        col("__i").as("item1"), col("__j").as("item2"), col("__k").as("item3"),
+        col("support"), col("n_baskets"))
+  }
+
   /** Serialized Bloom filter over `dim`'s `dimKey`, plus the map-side
     * membership predicate against `factKeyCol` — the shared build step of
     * [[bloomSemiJoin]]/[[bloomAntiJoin]]. Integral keys hash as longs,

@@ -47,6 +47,58 @@ object Similarity {
           sort_array(collect_list(struct(col("__pos"), col("__m")))),
           s => s("__m")).as("mean_embedding"))
 
+  /** Rocchio relevance-feedback rerank (Rocchio 1971, the SMART formula) —
+    * the FEEDBACK member of the retrieval family beside BM25/QL (one-shot
+    * ranking) and MMR (diversity): each query vector moves toward its
+    * judged-relevant centroid and away from the non-relevant one,
+    * q' = α·q + β·centroid(rel) − γ·centroid(nonrel), then the exact
+    * cosine top-k reruns with q'.
+    *
+    * `feedback` is (queryIdCol, docIdCol, relevantCol) referencing corpus
+    * vectors. Centroids come from [[meanPoolEmbeddings]] (per-dimension
+    * partial-agg averages rounded 6 dp — the X28 reproducibility recipe);
+    * the expansion is a pure per-dimension IEEE chain rounded 6 dp and
+    * cast back to float, so any engine replays q' bit-for-bit. Queries
+    * are small by contract (they broadcast into the scoring join); a
+    * query with no judged docs of a class treats that centroid as zero. */
+  def rocchioRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      feedback: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      docIdCol: String,
+      relevantCol: String,
+      k: Int = 10,
+      alpha: Double = 1.0,
+      beta: Double = 0.75,
+      gamma: Double = 0.15): DataFrame = {
+    val fb = feedback
+      .select(col(queryIdCol).as("__q"), col(docIdCol).as("__d"),
+        col(relevantCol).cast("boolean").as("__rel"))
+      .join(corpus.select(col(idCol).as("__d"), col(vecCol).as("__fv")), Seq("__d"))
+    val cents = meanPoolEmbeddings(fb, Seq("__q", "__rel"), "__fv")
+    val rel = cents.filter(col("__rel"))
+      .select(col("__q"), col("mean_embedding").as("__rc"))
+    val non = cents.filter(!col("__rel"))
+      .select(col("__q"), col("mean_embedding").as("__nc"))
+    val expanded = queries
+      .select(col(idCol).as("__q"), col(vecCol).as("__qv"))
+      .join(rel, Seq("__q"), "left")
+      .join(non, Seq("__q"), "left")
+      .select(
+        col("__q").as(idCol),
+        transform(
+          sequence(lit(1), size(col("__qv"))),
+          i => round(
+            lit(alpha) * element_at(col("__qv"), i).cast("double") +
+              lit(beta) * coalesce(element_at(col("__rc"), i), lit(0.0)) -
+              lit(gamma) * coalesce(element_at(col("__nc"), i), lit(0.0)), 6))
+          .cast("array<float>").as(vecCol))
+    bruteForceTopK(corpus, expanded, idCol, vecCol, k)
+  }
+
   /** Per-query top-k of scored candidate rows via the native top-k operator:
     * partial heaps before the shuffle, rank emitted on the final pass. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =

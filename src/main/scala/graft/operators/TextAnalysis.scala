@@ -1932,6 +1932,69 @@ object TextAnalysis {
           .as("f1"))
   }
 
+  /** Corpus chrF score (Popović 2015) — the CHARACTER-grain member of the
+    * reference-based eval family beside [[rougeN]]/[[corpusBleu]] (robust
+    * to tokenization and morphology — the standard MT metric alongside
+    * BLEU): clipped character-n-gram F_β per gram size n = 1..maxN,
+    * averaged. Whitespace is stripped and text lowercased (the published
+    * convention), grams are substring windows (code points — identical in
+    * Spark and DuckDB).
+    *
+    * EXACT except the final mean: F_β reassociates to the single division
+    * (1+β²)·clip/(β²·n_ref + n_cand) — one IEEE op per n from exact longs
+    * — and the macro average over maxN gram sizes is a fixed left-to-right
+    * chain of maxN-1 additions and one division. Empty gram sizes (corpus
+    * shorter than n) contribute F = 0, the published degenerate case.
+    * Returns one row: (n_pairs, f1..fmaxN, chrf). */
+  def chrF(
+      pairs: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 6,
+      beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    def chars(c: Column): Column = regexp_replace(lower(c), " ", "")
+    def gramCounts(textCol: String, n: Int, cName: String): DataFrame =
+      pairs
+        .select(col(idCol), chars(col(textCol)).as("__t"))
+        .select(col(idCol),
+          // sequence(1, 0) DESCENDS in Spark — short texts must yield an
+          // empty gram array explicitly (explode then drops the row)
+          explode(when(length(col("__t")) >= n,
+            transform(
+              sequence(lit(1), length(col("__t")) - (n - 1)),
+              i => col("__t").substr(i, lit(n))))
+            .otherwise(array().cast("array<string>")))
+            .as("__g"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as(cName))
+    val b2 = beta * beta
+    val perN = (1 to maxN).map { n =>
+      gramCounts(candCol, n, "__cc")
+        .join(gramCounts(refCol, n, "__cr"), Seq(idCol, "__g"), "full_outer")
+        .agg(
+          sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
+            .as(s"__clip$n"),
+          sum(coalesce(col("__cc"), lit(0L))).as(s"__tot$n"),
+          sum(coalesce(col("__cr"), lit(0L))).as(s"__ref$n"))
+    }
+    val base = pairs.agg(count(lit(1)).as("n_pairs"))
+    val joined = perN.foldLeft(base)((acc, d) => acc.crossJoin(broadcast(d)))
+    def f(n: Int): Column = {
+      val den = lit(b2) * coalesce(col(s"__ref$n"), lit(0L)).cast("double") +
+        coalesce(col(s"__tot$n"), lit(0L)).cast("double")
+      when(den > 0.0,
+        lit(1.0 + b2) * coalesce(col(s"__clip$n"), lit(0L)).cast("double") / den)
+        .otherwise(lit(0.0))
+    }
+    val mean = (2 to maxN).foldLeft(f(1))((acc, n) => acc + f(n)) / maxN.toDouble
+    joined.select(
+      Seq(col("n_pairs")) ++
+        (1 to maxN).map(n => round(f(n), 6).as(s"f$n")) ++
+        Seq(round(mean, 6).as("chrf")): _*)
+  }
+
   /** Corpus-level BLEU readout (Papineni et al. 2002) — the
     * precision-oriented sibling of [[rougeN]]: modified (clipped) n-gram
     * precisions p_1..p_maxN summed over the WHOLE corpus before dividing

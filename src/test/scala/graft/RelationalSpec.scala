@@ -374,6 +374,39 @@ class RelationalSpec extends SparkSpec {
       "two-pass splice must equal the keyed window exactly")
   }
 
+  test("frequentTriples: hand threshold, pruning == brute force, frac validation") {
+    // baskets {a,b,c}, {a,b,c}, {a,b,d}: at 50% (threshold 1.5) only
+    // (a,b,c) with support 2 survives
+    val b = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (3L, "d")).toDF("b", "i")
+    val got = Relational.frequentTriples(b.repartition(3), "b", "i", minSupportFrac = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "b", "c", 2L)))
+    // level-wise pruning must never change the result: compare with the
+    // driver-side direct count on random baskets
+    val rnd = new scala.util.Random(3)
+    val baskets = Seq.tabulate(120)(k => (k.toLong, s"i${rnd.nextInt(12)}"))
+    val frac = 0.05
+    val df = baskets.toDF("b", "i")
+    val want = {
+      val byB = baskets.distinct.groupBy(_._1).values.map(_.map(_._2).sorted).toSeq
+      val n = byB.size
+      byB.flatMap(items =>
+        items.combinations(3).map(c => (c(0), c(1), c(2))))
+        .groupBy(identity).map { case (t, o) => (t, o.size.toLong) }
+        .filter(_._2.toDouble >= n.toDouble * frac)
+    }
+    val g = Relational.frequentTriples(df, "b", "i", frac)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+      .toMap
+    assert(g == want)
+    intercept[IllegalArgumentException] {
+      Relational.frequentTriples(df, "b", "i", minSupportFrac = 0.0)
+    }
+  }
+
   test("bloomSemiJoin/bloomAntiJoin: exact at any fpp, null keys, type dispatch") {
     val fact = (1L to 2000L).map(k => (k, s"v$k")).toDF("k", "v")
       .unionByName(Seq((null.asInstanceOf[java.lang.Long], "vnull"))

@@ -433,4 +433,34 @@ class SimilaritySpec extends SparkSpec {
     assert(!r.isNullAt(r.fieldIndex("w_ss")))
     assert(r.isNullAt(r.fieldIndex("davies_bouldin")))
   }
+
+  test("rocchioRerank: feedback moves the query — the top hit flips toward relevance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),   // the raw query itself
+      (1L, Array(1.0f, 0.0f)),   // raw nearest
+      (2L, Array(0.0f, 1.0f)),   // judged relevant
+      (3L, Array(0.8f, 0.6f)))   // becomes nearest after expansion
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    // no feedback (empty): behaves like plain brute force — d1 wins
+    val noFb = Seq.empty[(Long, Long, Boolean)].toDF("qid", "doc", "rel")
+    val plain = Similarity.rocchioRerank(corpus, queries, noFb,
+      "vec_id", "embedding", "qid", "doc", "rel", k = 1).head
+    assert(plain.getAs[Long]("vec_id") == 1L)
+    // relevant = d2: q' = (1, 0.75); cos(q', d3) = 1.0 > cos(q', d1) = 0.8
+    val fb = Seq((0L, 2L, true)).toDF("qid", "doc", "rel")
+    val moved = Similarity.rocchioRerank(corpus, queries, fb,
+      "vec_id", "embedding", "qid", "doc", "rel", k = 3)
+      .orderBy("rnk").collect()
+    assert(moved.head.getAs[Long]("vec_id") == 3L, moved.mkString(","))
+    assert(math.abs(moved.head.getAs[Double]("sim") - 1.0) < 1e-9)
+    // pushing away from d1 keeps d3 on top and demotes d1 further
+    val fb2 = Seq((0L, 2L, true), (0L, 1L, false)).toDF("qid", "doc", "rel")
+    val pushed = Similarity.rocchioRerank(corpus, queries, fb2,
+      "vec_id", "embedding", "qid", "doc", "rel", k = 3)
+      .orderBy("rnk").collect()
+    assert(pushed.head.getAs[Long]("vec_id") == 3L)
+  }
 }

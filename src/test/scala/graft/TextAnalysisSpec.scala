@@ -860,6 +860,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getAs[Double]("precision") == 0.0 && out(2).getAs[Double]("f1") == 0.0)
   }
 
+  test("chrF: whitespace-stripped char grams, hand F2 values, short-text zeros") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // identical after space strip: F = 1 for n <= 4, 0 for n = 5,6 (no grams)
+    val same = Seq((1L, "ab ab", "abab")).toDF("pid", "cand", "ref")
+    val s = TextAnalysis.chrF(same, "pid", "cand", "ref").head
+    assert(s.getAs[Double]("f1") == 1.0 && s.getAs[Double]("f4") == 1.0)
+    assert(s.getAs[Double]("f5") == 0.0 && s.getAs[Double]("f6") == 0.0)
+    assert(s.getAs[Double]("chrf") == r6(4.0 / 6.0))
+    // abc vs abd: F1 = 5*2/(4*3+3), F2 = 5*1/(4*2+2), F3+ = 0
+    val p = TextAnalysis.chrF(
+      Seq((1L, "abc", "abd")).toDF("pid", "cand", "ref"), "pid", "cand", "ref").head
+    assert(p.getAs[Double]("f1") == r6(10.0 / 15.0))
+    assert(p.getAs[Double]("f2") == 0.5)
+    assert(p.getAs[Double]("f3") == 0.0)
+    assert(p.getAs[Double]("chrf") == r6((10.0 / 15.0 + 0.5) / 6.0))
+  }
+
   test("corpusBleu: clipped corpus precisions, degenerate-candidate clip, bp exponent") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // pair 1 is Papineni's degenerate candidate (p1 clips at ref's 2 'the');
