@@ -7256,6 +7256,37 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Position-based 40/20/40 attribution (X313) on the same
+    * click/view→purchase windows as the linear/time-decay gates. */
+  private def qAttributionPosition(s: SparkSession, d: String): DataFrame =
+    Funnel.positionAttribution(
+      Tables.events(s, d), "purchase", Seq("click", "view"), windowSec = 1800L)
+      .orderBy("channel")
+
+  /** Compressed JSONL round-trip (Z16): the same docs slice written as
+    * .json.gz and .json.bz2 shards, read back by extension, reduced to
+    * per-codec checksums — lossless or the hash gate fails. */
+  private def qJsonlCompressed(s: SparkSession, d: String): DataFrame = {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_jsonl_c_").toFile
+    tmpDir.deleteOnExit()
+    val slim = Tables.documents(s, d).select(
+      col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val parts = Seq("bzip2", "gzip").map { codec =>
+      val out = new java.io.File(tmpDir, s"docs_$codec").getPath
+      Sink.writeJsonl(slim, out, shards = 4, codec = codec)
+      s.read.json(out)
+        .select(lit(codec).as("codec"), col("doc_id").cast("long"),
+          col("n_chars").cast("long"))
+    }
+    parts.reduce(_ unionByName _)
+      .groupBy(col("codec"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("codec")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
@@ -7720,6 +7751,8 @@ object SparkEntry {
     "q_mst" -> (qMst _),
     "q_frequent_triples" -> (qFrequentTriples _),
     "q_rocchio" -> (qRocchio _),
+    "q_attribution_position" -> (qAttributionPosition _),
+    "q_jsonl_compressed" -> (qJsonlCompressed _),
     "q_rouge" -> (qRouge _),
     "q_bleu" -> (qBleu _),
     "q_chrf" -> (qChrf _),
@@ -16326,6 +16359,41 @@ object SparkEntry {
                 CAST(1.098612 AS DOUBLE) AS epsilon,
                 ROUND(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE), 6) AS true_rate
          FROM fin""",
+    // 40/20/40 credits as exact 1e-9 integer units on the (time, touch id)
+    // total order; middles one integer division each
+    "q_attribution_position" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS tid,
+                event_type AS channel
+              FROM events WHERE event_type IN ('click', 'view')),
+         c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS conversion_id
+               FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT c.conversion_id, t.channel, t.tus, t.tid
+               FROM c JOIN t ON c.user_id = t.user_id
+                AND t.tus < c.cus AND t.tus >= c.cus - 1800000000),
+         k AS (SELECT conversion_id, channel,
+                 COUNT(*) OVER (PARTITION BY conversion_id) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY conversion_id
+                   ORDER BY tus, tid) AS rn
+               FROM p),
+         cr AS (SELECT conversion_id, channel,
+                 CASE WHEN n = 1 THEN 1000000000
+                      WHEN n = 2 THEN 500000000
+                      WHEN rn = 1 OR rn = n THEN 400000000
+                      ELSE 200000000 // (n - 2) END AS credit_q
+                FROM k)
+         SELECT channel,
+                CAST(COUNT(DISTINCT conversion_id) AS BIGINT) AS n_conversions,
+                CAST(SUM(credit_q) AS DOUBLE) / 1e9 AS credit
+         FROM cr GROUP BY 1 ORDER BY channel""",
+    // the compressed shards must round-trip losslessly per codec
+    "q_jsonl_compressed" ->
+      """SELECT codec,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         FROM documents
+         CROSS JOIN (SELECT unnest(['bzip2', 'gzip']) AS codec)
+         GROUP BY codec ORDER BY codec""",
     // recency weights quantized to 1e-9 longs, per-conversion normalizer
     // an exact window sum, one integer division per pair; ln 2 embedded
     // as a literal so neither engine calls log

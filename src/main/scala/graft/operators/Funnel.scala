@@ -150,6 +150,39 @@ object Funnel {
         (sum(col("__credit_q")).cast("double") / 1e9).as("credit"))
   }
 
+  /** POSITION-BASED (U-shaped, 40/20/40) multi-touch attribution — the
+    * industry-standard positional member completing the heuristic family
+    * (X75 last-touch, X164 linear, X167 time-decay; X239 Markov and X285
+    * Shapley are the data-driven members): the FIRST touch (discovery) and
+    * the LAST touch (closing) each take 40%, the middle touches split the
+    * remaining 20%. One touch takes 100%, two touches 50/50 (the standard
+    * renormalization). Positions come from a per-conversion row_number on
+    * the (time, touch id) total order — bounded by touches-per-conversion,
+    * the same window grain as the rest of the family; credits are exact
+    * 1e-9 integer units (middles one integer division each), channel
+    * totals exact long sums. */
+  def positionAttribution(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String],
+      windowSec: Long): DataFrame = {
+    val k = Window.partitionBy(col("conversion_id"))
+    val ord = Window.partitionBy(col("conversion_id"))
+      .orderBy(col("__tus"), col("__tid"))
+    touchPairs(events, conversionType, touchTypes, windowSec)
+      .withColumn("__n", count(lit(1)).over(k))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__cq",
+        when(col("__n") === 1, lit(1000000000L))
+          .when(col("__n") === 2, lit(500000000L))
+          .when(col("__rn") === 1 || col("__rn") === col("__n"), lit(400000000L))
+          .otherwise(expr("200000000 div (__n - 2)")))
+      .groupBy(col("channel"))
+      .agg(
+        countDistinct(col("conversion_id")).as("n_conversions"),
+        (sum(col("__cq")).cast("double") / 1e9).as("credit"))
+  }
+
   /** TIME-DECAY multi-touch attribution — the recency-weighted member of
     * the family (last-touch X75 / linear / this): a touch Δt before the
     * conversion carries weight 2^(−Δt/halfLife), normalized per
@@ -193,7 +226,7 @@ object Funnel {
     val touches = base
       .filter(col("event_type").isin(touchTypes.map(x => x: Any): _*))
       .select(col("user_id").as("__tu"), col("__us").as("__tus"),
-        col("event_type").as("channel"))
+        col("event_id").as("__tid"), col("event_type").as("channel"))
     val convs = base
       .filter(col("event_type") === conversionType)
       .select(col("user_id").as("__cu"), col("__us").as("__cus"),

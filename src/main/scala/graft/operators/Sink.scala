@@ -22,7 +22,18 @@ object Sink {
     * shard. Binary columns base64-encode per JSON spec; timestamps are ISO
     * strings — round-trip with an explicit read schema when types matter. */
   def writeJsonl(df: DataFrame, path: String, shards: Int): Unit =
-    df.repartition(shards).write.mode("overwrite").json(path)
+    writeJsonl(df, path, shards, codec = "none")
+
+  /** [[writeJsonl]] with a compression codec (`gzip` | `bzip2` | `lz4` |
+    * `deflate` | `none`) — the wire format training corpora actually ship
+    * in (`.jsonl.gz` / `.jsonl.bz2`). Spark reads the compressed shards
+    * back transparently by extension; splittability is the trade to know:
+    * gzip shards are one task each on read (bzip2 is block-splittable), so
+    * the SHARD COUNT (not file size) is the read parallelism — size
+    * shards to cores. */
+  def writeJsonl(df: DataFrame, path: String, shards: Int, codec: String): Unit =
+    df.repartition(shards).write.mode("overwrite")
+      .option("compression", codec).json(path)
 
   /** Compact a parquet directory toward a target file size — the
     * small-files remedy: a streaming ingest or over-parallel write leaves

@@ -238,6 +238,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 1.0) < 3e-9)
   }
 
+  test("positionAttribution: 40/20/40 across positions, 1- and 2-touch renormalization") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: four ordered touches A(view) B(click) C(click) D(view):
+    // view gets .4 (first) + .4 (last), each middle click .1
+    val ev = Seq(
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "click", ts("2024-01-01 10:05:00")),
+      (1L, 12L, "click", ts("2024-01-01 10:10:00")),
+      (1L, 13L, "view", ts("2024-01-01 10:15:00")),
+      (1L, 14L, "purchase", ts("2024-01-01 10:20:00")),
+      // u2: single touch -> 100%
+      (2L, 20L, "click", ts("2024-01-01 09:10:00")),
+      (2L, 21L, "purchase", ts("2024-01-01 09:30:00")),
+      // u3: two touches -> 50/50
+      (3L, 30L, "view", ts("2024-01-01 08:00:00")),
+      (3L, 31L, "click", ts("2024-01-01 08:10:00")),
+      (3L, 32L, "purchase", ts("2024-01-01 08:20:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnel.positionAttribution(ev, "purchase", Seq("click", "view"), 1800L)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // click: .1+.1 (u1 middles) + 1.0 (u2) + .5 (u3) = 1.7
+    // view:  .4+.4 (u1 ends) + .5 (u3) = 1.3
+    assert(out.toSeq == Seq(("click", 3L, 1.7), ("view", 2L, 1.3)), out.mkString(","))
+  }
+
   test("markovAttribution: removal effects match the hand-solved chain") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

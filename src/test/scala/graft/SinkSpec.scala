@@ -55,6 +55,21 @@ class SinkSpec extends SparkSpec {
     assert(back == (1L to 100L).map(i => (i, s"v$i")))
   }
 
+  test("writeJsonl codec: compressed shards carry the extension and round-trip") {
+    for ((codec, ext) <- Seq("gzip" -> ".gz", "bzip2" -> ".bz2")) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"jsonl_${codec}_").toFile
+      val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      graft.operators.Sink.writeJsonl(df, tmp.getPath, shards = 2, codec = codec)
+      val files = tmp.listFiles.filter(_.getName.startsWith("part-"))
+      assert(files.length == 2 && files.forall(_.getName.endsWith(ext)),
+        files.map(_.getName).mkString(","))
+      val back = spark.read.json(tmp.getPath)
+        .selectExpr("CAST(id AS LONG) AS id").orderBy("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(back == (1L to 50L), codec)
+    }
+  }
+
   test("writeZOrdered: lossless round trip; every file is tight in BOTH z dimensions") {
     import org.apache.spark.sql.functions._
     // a 64x64 grid: the two dimensions vary independently, so a plain sort
