@@ -6260,6 +6260,17 @@ object SparkEntry {
       .orderBy("test_id")
   }
 
+  /** Holm–Bonferroni step-down (X314) over the q_bh_adjust family — the
+    * FWER verdict beside the two FDR siblings on identical p-values. */
+  private def qHolmAdjust(s: SparkSession, d: String): DataFrame = {
+    val tests = Tables.nation(s, d).select(
+      col("n_name").as("test_id"),
+      (conv(substring(md5(col("n_name")), 1, 8), 16, 10).cast("long") /
+        4294967296.0).as("p_value"))
+    Quality.holmAdjust(tests, "test_id", "p_value", alpha = 0.2)
+      .orderBy("test_id")
+  }
+
   /** Exact 10% trimmed mean of line-item price per return flag. */
   private def qTrimmedMean(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(
@@ -7640,6 +7651,7 @@ object SparkEntry {
     "q_weighted_median" -> (qWeightedMedian _),
     "q_bh_adjust" -> (qBhAdjust _),
     "q_by_adjust" -> (qByAdjust _),
+    "q_holm_adjust" -> (qHolmAdjust _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_gini_stream" -> (qGiniStream _),
     "q_diversity_stream" -> (qDiversityStream _),
@@ -14695,6 +14707,25 @@ object SparkEntry {
                FROM r)
          SELECT test_id, p_value, CAST(i AS BIGINT) AS rank, q_value,
                 (q_value <= 0.2) AS reject
+         FROM q ORDER BY test_id""",
+    // step-down mirror: running MAX of (m-i+1)·p over the ascending order
+    "q_holm_adjust" ->
+      """WITH t AS (SELECT n_name AS test_id,
+                           ('0x' || substr(md5(n_name), 1, 8))::BIGINT /
+                             CAST(4294967296.0 AS DOUBLE) AS p_value
+                    FROM nation),
+         r AS (SELECT test_id, p_value,
+                      ROW_NUMBER() OVER (ORDER BY p_value, test_id) AS i,
+                      COUNT(*) OVER () AS m
+               FROM t),
+         q AS (SELECT test_id, p_value, i,
+                      LEAST(CAST(1.0 AS DOUBLE),
+                            MAX(p_value * CAST(m - i + 1 AS DOUBLE))
+                              OVER (ORDER BY p_value, test_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+               FROM r)
+         SELECT test_id, p_value, CAST(i AS BIGINT) AS rank, p_adj,
+                (p_adj <= 0.2) AS reject
          FROM q ORDER BY test_id""",
     // bh family + in-plan harmonic H_m from 1e-12-quantized 1/rank terms
     "q_by_adjust" ->

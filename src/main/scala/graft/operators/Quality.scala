@@ -566,6 +566,38 @@ object Quality {
       .drop("__m")
   }
 
+  /** Holm–Bonferroni step-down (Holm 1979) — the FWER member completing
+    * the multiple-testing trio beside [[bhAdjust]] (FDR under
+    * independence/PRDS) and [[byAdjust]] (FDR under arbitrary dependence):
+    * controls the probability of even ONE false rejection, valid under
+    * arbitrary dependence with no distributional assumptions, and
+    * uniformly more powerful than plain Bonferroni. Adjusted
+    * p_(i) = min(1, max_{k≤i} (m−k+1)·p_(k)) — a running MAX over the
+    * ascending (p, id) order (the step-down mirror of BH's step-up
+    * envelope). Same discipline as the siblings: the input is the TEST
+    * table (one row per hypothesis), so the un-partitioned rank window is
+    * family-sized, never data-grain. */
+  def holmAdjust(
+      df: DataFrame,
+      idCol: String,
+      pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val p = col(pCol).cast("double")
+    val w = Window.orderBy(p, col(idCol))
+    val wAll = Window.partitionBy()
+    val wFwd = Window.orderBy(p, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("p_adj",
+        least(lit(1.0),
+          max(p * (col("__m") - col("rank") + 1L).cast("double")).over(wFwd)))
+      .withColumn("reject", col("p_adj") <= alpha)
+      .drop("__m")
+  }
+
   /** Benjamini–Yekutieli step-up (Ann. Statist. 2001) — [[bhAdjust]]'s
     * sibling that stays valid under ARBITRARY dependence between the
     * tests (BH needs independence/PRDS; correlated per-segment tests on

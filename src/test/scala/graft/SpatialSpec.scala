@@ -330,6 +330,32 @@ class SpatialSpec extends SparkSpec {
     assert(by.map(_._1).zip(bh).forall { case (b, h) => b >= h })
   }
 
+  test("holmAdjust: hand step-down values, Bonferroni bound, monotone cummax") {
+    // p = [.01, .02, .03, .2], m = 4: raw (m-i+1)*p = .04, .06, .06, .2;
+    // forward cummax = .04, .06, .06, .2
+    val tests = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.2))
+      .toDF("id", "p")
+    val out = graft.operators.Quality.holmAdjust(tests, "id", "p", alpha = 0.05)
+      .orderBy("rank").select("id", "p_adj", "reject")
+      .as[(String, Double, Boolean)].collect()
+    assert(out.map(_._1).toSeq === Seq("t1", "t2", "t3", "t4"))
+    assert(out.map(_._2).toSeq === Seq(0.04, 0.06, 0.06, 0.2))
+    assert(out.map(_._3).toSeq === Seq(true, false, false, false))
+    // the smallest p always gets the full Bonferroni factor m·p
+    assert(out.head._2 == 0.04)
+    // cummax keeps the envelope monotone when a later raw value dips:
+    // p = [.01, .04, .045] -> raw .03, .08, .045 -> cummax .03, .08, .08
+    val dip = graft.operators.Quality.holmAdjust(
+      Seq(("a", 0.01), ("b", 0.04), ("c", 0.045)).toDF("id", "p"), "id", "p")
+      .orderBy("rank").select("p_adj").as[Double].collect()
+    assert(dip.toSeq === Seq(0.03, 0.08, 0.08))
+    // clamps at 1
+    val big = graft.operators.Quality.holmAdjust(
+      Seq(("a", 0.6), ("b", 0.9)).toDF("id", "p"), "id", "p")
+      .orderBy("rank").select("p_adj").as[Double].collect()
+    assert(big.toSeq === Seq(1.0, 1.0))
+  }
+
   test("bhAdjust envelope is monotone when a later raw value dips") {
     // p = [.01, .04, .045]: raw = .03, .06, .045 -> envelope .03, .045, .045
     val tests = Seq(("a", 0.01), ("b", 0.04), ("c", 0.045)).toDF("id", "p")
