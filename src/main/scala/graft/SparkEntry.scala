@@ -7049,6 +7049,22 @@ object SparkEntry {
     Sketches.wilcoxonSignedRank(pairs, "x", "y")
   }
 
+  /** Sign test (X315) on the q_wilcoxon pairs — the assumption-free paired
+    * verdict beside the signed-rank (which assumes symmetric differences). */
+  private def qSignTest(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"),
+      year(col("o_orderdate")).as("__y"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val pairs = o.filter(col("__y").isin(1995, 1996))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("__y") === 1995, col("cents"))).as("x"),
+        sum(when(col("__y") === 1996, col("cents"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    Sketches.signTest(pairs, "x", "y")
+  }
+
   /** Krippendorff's α (X303) treating each order as a unit and its line
     * return flags as ratings — the any-number-of-raters reliability
     * coefficient beside Cohen's and Fleiss' κ. */
@@ -7769,6 +7785,7 @@ object SparkEntry {
     "q_bleu" -> (qBleu _),
     "q_chrf" -> (qChrf _),
     "q_wilcoxon" -> (qWilcoxon _),
+    "q_sign_test" -> (qSignTest _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -16211,6 +16228,35 @@ object SparkEntry {
               FROM scored)
          SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
+    // one aggregate; continuity-corrected normal z from exact counts
+    "q_sign_test" ->
+      """WITH o AS (SELECT o_custkey, year(o_orderdate) AS y,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+         p AS (SELECT o_custkey,
+                SUM(CASE WHEN y = 1995 THEN cents END) AS x,
+                SUM(CASE WHEN y = 1996 THEN cents END) AS yv
+              FROM o GROUP BY 1
+              HAVING SUM(CASE WHEN y = 1995 THEN cents END) IS NOT NULL
+                 AND SUM(CASE WHEN y = 1996 THEN cents END) IS NOT NULL),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(CASE WHEN x - yv != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+                CAST(SUM(CASE WHEN x - yv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+              FROM p),
+         fin AS (SELECT n_pairs, n_nonzero, n_pos,
+                2.0 * CAST(n_pos AS DOUBLE) - CAST(n_nonzero AS DOUBLE) AS num,
+                CAST(n_nonzero AS DOUBLE) AS m
+              FROM agg)
+         SELECT n_pairs, n_nonzero, n_pos,
+                CASE WHEN n_nonzero > 0 THEN
+                  ROUND(SIGN(num) * GREATEST(ABS(num) - 1.0, 0.0) / SQRT(m), 6) END AS z,
+                CASE WHEN n_nonzero > 0 THEN
+                  ABS(ROUND(SIGN(num) * GREATEST(ABS(num) - 1.0, 0.0) / SQRT(m), 6))
+                    > 1.959964 END AS reject_95,
+                CASE WHEN n_nonzero > 0 THEN
+                  ABS(ROUND(SIGN(num) * GREATEST(ABS(num) - 1.0, 0.0) / SQRT(m), 6))
+                    > 2.575829 END AS reject_99
+         FROM fin""",
     // exact integer 2·midranks over the |d| histogram (the Mann–Whitney
     // discipline), tie sum a long, one double chain at the end
     "q_wilcoxon" ->

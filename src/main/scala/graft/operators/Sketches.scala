@@ -3688,6 +3688,36 @@ object Sketches {
       when(col("__n") > 0 && sigmaSq > 0.0, abs(z) > lit(2.575829)).as("reject_99"))
   }
 
+  /** Paired SIGN test (Arbuthnott 1710; the oldest test in statistics) —
+    * the assumption-FREE member of the paired family: [[wilcoxonSignedRank]]
+    * assumes the difference distribution is symmetric, the sign test only
+    * asks "which side won more often" (its breakdown point is the median
+    * itself). Zero differences drop (the standard convention); the normal
+    * approximation uses the continuity correction
+    * z = (2k − m ∓ 1)/√m toward the null (k = positive differences of m
+    * non-zero). ONE partial aggregate — no histogram, no window. Returns
+    * (n_pairs, n_nonzero, n_pos, z, reject_95, reject_99). */
+  def signTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = col(xCol).cast("long") - col(yCol).cast("long")
+    val agg = df
+      .select(d.as("__d"))
+      .filter(col("__d").isNotNull)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") =!= 0L, 1L).otherwise(0L)).as("n_nonzero"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("n_pos"))
+    val m = col("n_nonzero").cast("double")
+    val num = lit(2.0) * col("n_pos").cast("double") - m
+    // continuity correction shrinks |2k - m| by 1 toward the null
+    val z = round(
+      signum(num) * greatest(abs(num) - 1.0, lit(0.0)) / sqrt(m), 6)
+    agg.select(
+      col("n_pairs"), col("n_nonzero"), col("n_pos"),
+      when(col("n_nonzero") > 0, z).as("z"),
+      when(col("n_nonzero") > 0, abs(z) > lit(1.959964)).as("reject_95"),
+      when(col("n_nonzero") > 0, abs(z) > lit(2.575829)).as("reject_99"))
+  }
+
   /** Krippendorff's α, nominal data (Krippendorff 1970/2004) — the GENERAL
     * inter-annotator reliability coefficient completing the agreement
     * family next to [[cohenKappa]] (2 fixed raters) and [[fleissKappa]]

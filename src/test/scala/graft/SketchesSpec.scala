@@ -1516,6 +1516,27 @@ class SketchesSpec extends SparkSpec {
     assert(z0.getAs[Long]("n_pairs") == 2L && z0.isNullAt(z0.fieldIndex("z")))
   }
 
+  test("signTest: hand continuity-corrected z, zero drop, all-zero NULL, invariance") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 7 positive of 9 nonzero (+ one zero pair): z = (14 - 9 - 1)/3
+    val df = (1L to 7L).map(i => (10L + i, 10L)) ++
+      Seq((9L, 10L), (8L, 10L), (10L, 10L))
+    val r = Sketches.signTest(df.toDF("x", "y"), "x", "y").head
+    assert(r.getAs[Long]("n_pairs") == 10L && r.getAs[Long]("n_nonzero") == 9L)
+    assert(r.getAs[Long]("n_pos") == 7L)
+    assert(r.getAs[Double]("z") == r6(4.0 / 3.0))
+    assert(!r.getAs[Boolean]("reject_95"))
+    // perfectly balanced: z exactly 0
+    val b = Sketches.signTest(
+      Seq((2L, 1L), (1L, 2L)).toDF("x", "y"), "x", "y").head
+    assert(b.getAs[Double]("z") == 0.0)
+    // all differences zero: undefined
+    val z0 = Sketches.signTest(Seq((5L, 5L)).toDF("x", "y"), "x", "y").head
+    assert(z0.isNullAt(z0.fieldIndex("z")))
+    val p = Sketches.signTest(df.toDF("x", "y").repartition(7), "x", "y").head
+    assert(p.getAs[Double]("z") == r.getAs[Double]("z"))
+  }
+
   test("krippendorffAlpha: hand coincidence case, unanimity = 1, unpairable drop") {
     // units {a,a}, {a,b}, {b,b,b} + a single-rating unit that drops:
     // n = 7, Do·n = 2, marginals a=3 b=4 -> De = 24/42, alpha = 0.5
