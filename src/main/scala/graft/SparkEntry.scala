@@ -7073,6 +7073,15 @@ object SparkEntry {
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag")),
       "l_orderkey", "l_returnflag")
 
+  /** ICC(1,1) (X316): are line prices consistent WITHIN orders relative to
+    * between-order spread? Units = orders, ratings = whole-dollar line
+    * prices — the unbalanced one-way ANOVA estimator. */
+  private def qIcc(s: SparkSession, d: String): DataFrame =
+    Sketches.icc(
+      Tables.lineitem(s, d).select(col("l_orderkey"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("dollars")),
+      "l_orderkey", "dollars")
+
   /** Matthews correlation (X304): a fixed price-tercile rule "predicts"
     * order status; the imbalance-honest single-number readout beside the
     * classification report on the same confusion matrix. */
@@ -7786,6 +7795,7 @@ object SparkEntry {
     "q_chrf" -> (qChrf _),
     "q_wilcoxon" -> (qWilcoxon _),
     "q_sign_test" -> (qSignTest _),
+    "q_icc" -> (qIcc _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -16228,6 +16238,39 @@ object SparkEntry {
               FROM scored)
          SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rn AS rnk
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
+    // per-unit S²/k terms quantized to 1e-2 (decimal sums) feed BOTH sums of
+    // squares; the ANOVA chain is one fixed double sequence
+    "q_icc" ->
+      """WITH per AS (SELECT l_orderkey AS u, CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                SUM(CAST(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS HUGEINT)) AS ss
+              FROM lineitem GROUP BY 1),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                CAST(SUM(k) AS BIGINT) AS n_ratings,
+                CAST(SUM(s) AS BIGINT) AS g, SUM(ss) AS sstot,
+                SUM(CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(k AS DOUBLE) * 100 + 0.5) AS HUGEINT)) AS tq,
+                SUM(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)) AS ksq
+              FROM per),
+         fin AS (SELECT n_units, n_ratings,
+                CAST(n_units AS DOUBLE) AS n, CAST(n_ratings AS DOUBLE) AS bn,
+                CAST(g AS DOUBLE) AS gd, CAST(sstot AS DOUBLE) AS sstot,
+                CAST(tq AS DOUBLE) / 100.0 AS t, CAST(ksq AS DOUBLE) AS ksqd
+              FROM agg),
+         ms AS (SELECT n_units, n_ratings, n, bn,
+                (sstot - t) / (bn - n) AS msw,
+                (t - gd * gd / bn) / (n - 1.0) AS msb,
+                (bn - ksqd / bn) / (n - 1.0) AS k0
+              FROM fin)
+         SELECT n_units, n_ratings,
+                CASE WHEN n_units > 1 THEN ROUND(k0, 6) END AS k0,
+                CASE WHEN bn > n AND n_units > 1 THEN ROUND(msb, 6) END AS msb,
+                CASE WHEN bn > n THEN ROUND(msw, 6) END AS msw,
+                CASE WHEN bn > n AND n_units > 1
+                      AND (msb + (k0 - 1.0) * msw) > 0.0
+                  THEN ROUND((msb - msw) / (msb + (k0 - 1.0) * msw), 6) END AS icc
+         FROM ms""",
     // one aggregate; continuity-corrected normal z from exact counts
     "q_sign_test" ->
       """WITH o AS (SELECT o_custkey, year(o_orderdate) AS y,

@@ -3774,6 +3774,59 @@ object Sketches {
         .as("alpha"))
   }
 
+  /** Intraclass correlation ICC(1,1) (Shrout & Fleiss 1979, one-way
+    * random-effects, single rater) — CONTINUOUS inter-rater reliability
+    * completing the agreement family: [[krippendorffAlpha]] covers nominal
+    * labels, [[fleissKappa]] complete categorical panels, Lin's CCC two
+    * fixed raters; ICC handles ANY number of continuous ratings per unit
+    * (unbalanced designs included, via the ANOVA estimator
+    * k₀ = (N − Σk_i²/N)/(n−1)). ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW).
+    *
+    * Exact up to one fixed double chain: `valueCol` must be integer-valued
+    * (pre-quantize), per-unit sums are longs, sums of squares decimal(38,0), and
+    * each unit's S_i²/k_i term quantizes to a 1e-2 integer summed in
+    * decimal(38,0) (the per-term-denominator discipline, decimal because
+    * term magnitudes reach S², far past a long's headroom) so both
+    * between- and within-group sums of squares derive from the SAME
+    * exact total T. One (unit) partial agg +
+    * one global reduce — no window. Returns
+    * (n_units, n_ratings, k0, msb, msw, icc). */
+  def icc(df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val y = col(valueCol).cast("long")
+    val per = df
+      .filter(y.isNotNull)
+      .groupBy(col(unitCol).as("__u"))
+      .agg(
+        count(lit(1)).as("__k"),
+        sum(y).as("__s"),
+        sum(dec(y) * dec(y)).as("__ss"))
+    val term = dec(col("__s")).cast("double") * col("__s").cast("double") /
+      col("__k").cast("double")
+    val agg = per.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("__k")).as("n_ratings"),
+      sum(col("__s")).as("__g"),
+      sum(col("__ss")).as("__sstot"),
+      sum(floor(term * 100 + 0.5).cast("decimal(38,0)")).as("__tq"),
+      sum(dec(col("__k")) * dec(col("__k"))).as("__ksq"))
+    val n = col("n_units").cast("double")
+    val bigN = col("n_ratings").cast("double")
+    val g = col("__g").cast("double")
+    val t = col("__tq").cast("double") / 100.0
+    val msw = (col("__sstot").cast("double") - t) / (bigN - n)
+    val msb = (t - g * g / bigN) / (n - 1.0)
+    val k0 = (bigN - col("__ksq").cast("double") / bigN) / (n - 1.0)
+    val iccV = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    agg.select(
+      col("n_units"), col("n_ratings"),
+      when(col("n_units") > 1, round(k0, 6)).as("k0"),
+      when(bigN > n && col("n_units") > 1, round(msb, 6)).as("msb"),
+      when(bigN > n, round(msw, 6)).as("msw"),
+      when(bigN > n && col("n_units") > 1 &&
+        (msb + (k0 - 1.0) * msw) > 0.0, round(iccV, 6)).as("icc"))
+  }
+
   /** Matthews correlation coefficient, multiclass (Gorodkin 2004 R_K;
     * Matthews 1975 for K=2) — the single-number classifier quality summary
     * that stays honest under class imbalance, completing the evaluation

@@ -1559,6 +1559,30 @@ class SketchesSpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("alpha")))
   }
 
+  test("icc: hand one-way ANOVA, perfect within-unit agreement, degenerate guards") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // units {1,2}, {5,6}, {9,10}: MSB = 32, MSW = 0.5, k0 = 2
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 5L), (2L, 6L), (3L, 9L), (3L, 10L))
+      .toDF("u", "v")
+    val r = Sketches.icc(df.repartition(4), "u", "v").head
+    assert(r.getAs[Long]("n_units") == 3L && r.getAs[Long]("n_ratings") == 6L)
+    assert(r.getAs[Double]("k0") == 2.0)
+    assert(r.getAs[Double]("msb") == 32.0 && r.getAs[Double]("msw") == 0.5)
+    assert(r.getAs[Double]("icc") == r6(31.5 / 32.5), r.toString)
+    // identical ratings within units: MSW = 0, ICC = 1
+    val p = Sketches.icc(
+      Seq((1L, 3L), (1L, 3L), (2L, 7L), (2L, 7L)).toDF("u", "v"), "u", "v").head
+    assert(p.getAs[Double]("msw") == 0.0 && p.getAs[Double]("icc") == 1.0)
+    // a single unit: between-unit variance undefined, no NaN leaks
+    val solo = Sketches.icc(Seq((1L, 3L), (1L, 4L)).toDF("u", "v"), "u", "v").head
+    assert(solo.isNullAt(solo.fieldIndex("msb")) && solo.isNullAt(solo.fieldIndex("icc")))
+    assert(solo.isNullAt(solo.fieldIndex("k0")))
+    // unbalanced: k0 = (N - sum k^2/N)/(n-1) = (5 - 13/5)/1 = 2.4
+    val u = Sketches.icc(
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 8L), (2L, 9L)).toDF("u", "v"), "u", "v").head
+    assert(u.getAs[Double]("k0") == 2.4)
+  }
+
   test("matthewsCorr: hand binary case, perfect = 1, degenerate NULL, multiclass") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // TP=6 TN=3 FP=1 FN=2: cov = 12*9 - (8*7 + 4*5) = 32, vA = 64, vP = 70
