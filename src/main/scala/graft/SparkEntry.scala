@@ -7082,6 +7082,19 @@ object SparkEntry {
         floor(col("l_extendedprice") + 0.5).cast("long").as("dollars")),
       "l_orderkey", "dollars")
 
+  /** IV / Wald estimator (X317): the price-per-unit effect of quantity on
+    * line revenue, instrumented by the COARSENED quantity bucket — a
+    * mechanically-relevant instrument chosen to exercise the arithmetic
+    * with a strong first stage (a real analysis needs a genuinely
+    * exogenous shifter; the operator doc says so). */
+  private def qIvWald(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(
+      floor(col("l_quantity") / 10.0).cast("long").as("z"),
+      col("l_quantity").cast("long").as("x"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+    Models.ivWald(l, "z", "x", "y")
+  }
+
   /** Matthews correlation (X304): a fixed price-tercile rule "predicts"
     * order status; the imbalance-honest single-number readout beside the
     * classification report on the same confusion matrix. */
@@ -7796,6 +7809,7 @@ object SparkEntry {
     "q_wilcoxon" -> (qWilcoxon _),
     "q_sign_test" -> (qSignTest _),
     "q_icc" -> (qIcc _),
+    "q_iv_wald" -> (qIvWald _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -16240,6 +16254,34 @@ object SparkEntry {
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
     // per-unit S²/k terms quantized to 1e-2 (decimal sums) feed BOTH sums of
     // squares; the ANOVA chain is one fixed double sequence
+    // six exact HUGEINT sufficient statistics, one division per ratio
+    "q_iv_wald" ->
+      """WITH b AS (SELECT CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS z,
+                CAST(l_quantity AS BIGINT) AS x,
+                CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                SUM(CAST(z AS HUGEINT)) AS sz, SUM(CAST(x AS HUGEINT)) AS sx,
+                SUM(CAST(y AS HUGEINT)) AS sy,
+                SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+                SUM(CAST(z AS HUGEINT) * CAST(x AS HUGEINT)) AS szx,
+                SUM(CAST(z AS HUGEINT) * CAST(y AS HUGEINT)) AS szy
+              FROM b),
+         co AS (SELECT n, n * szz - sz * sz AS varz,
+                n * szx - sz * sx AS covzx, n * szy - sz * sy AS covzy
+              FROM agg)
+         SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN varz != 0 THEN
+                  ROUND(CAST(covzx AS DOUBLE) / CAST(varz AS DOUBLE), 6) END
+                  AS first_stage,
+                CASE WHEN varz != 0 THEN
+                  ROUND(CAST(covzy AS DOUBLE) / CAST(varz AS DOUBLE), 6) END
+                  AS reduced_form,
+                CASE WHEN covzx != 0 THEN
+                  ROUND(CAST(covzy AS DOUBLE) / CAST(covzx AS DOUBLE), 6) END
+                  AS beta_iv
+         FROM co""",
     "q_icc" ->
       """WITH per AS (SELECT l_orderkey AS u, CAST(COUNT(*) AS BIGINT) AS k,
                 CAST(SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS s,

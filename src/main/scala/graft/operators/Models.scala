@@ -1552,4 +1552,55 @@ object Models {
         s"unknown scaling method '$other' (zscore | minmax | robust)")
     }
   }
+
+  /** Instrumental-variables causal effect — the Wald estimator (Wald 1940;
+    * the closed form of single-instrument two-stage least squares, read as
+    * the LATE by Angrist, Imbens & Rubin 1996). Completes the causal family
+    * on its third identification axis: DiD needs parallel trends,
+    * subclassification/IPW/AIPW/matching need unconfoundedness — IV is the
+    * design for when the TREATMENT itself is endogenous but an exogenous
+    * shifter z exists. β̂_IV = cov(z,y)/cov(z,x), reported beside the
+    * first-stage slope cov(z,x)/var(z) (the weak-instrument check — quote
+    * it BEFORE believing β̂) and the reduced form cov(z,y)/var(z).
+    *
+    * Determinism: inputs must be pre-quantized integral columns (the
+    * olsTrend contract); the six sufficient statistics (n, Σz, Σx, Σy,
+    * Σz², Σzx, Σzy) accumulate as exact DECIMAL(38,0) sums in ONE partial
+    * aggregate, every centered co-moment n·Σab − Σa·Σb is exact decimal
+    * arithmetic, and each reported ratio is ONE double division of two
+    * exact operands rounded at 6 dp. var(z)=0 → first stage/reduced form
+    * NULL (a constant instrument identifies nothing); cov(z,x)=0 → β̂ NULL
+    * (a zero first stage makes the Wald ratio undefined).
+    *
+    * Scale shape: one map-side-combined aggregate pass, one output row —
+    * nothing downstream of the scan at any corpus size. */
+  def ivWald(
+      df: DataFrame,
+      instrumentCol: String,
+      treatmentCol: String,
+      outcomeCol: String): DataFrame = {
+    def d(c: String): Column = col(c).cast("decimal(38,0)")
+    val agg = df
+      .filter(col(instrumentCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(d(instrumentCol)).as("__sz"),
+        sum(d(treatmentCol)).as("__sx"),
+        sum(d(outcomeCol)).as("__sy"),
+        sum(d(instrumentCol) * d(instrumentCol)).as("__szz"),
+        sum(d(instrumentCol) * d(treatmentCol)).as("__szx"),
+        sum(d(instrumentCol) * d(outcomeCol)).as("__szy"))
+    val varZ = col("__n") * col("__szz") - col("__sz") * col("__sz")
+    val covZX = col("__n") * col("__szx") - col("__sz") * col("__sx")
+    val covZY = col("__n") * col("__szy") - col("__sz") * col("__sy")
+    agg.select(
+      col("__n").cast("long").as("n"),
+      when(varZ =!= 0,
+        round(covZX.cast("double") / varZ.cast("double"), 6)).as("first_stage"),
+      when(varZ =!= 0,
+        round(covZY.cast("double") / varZ.cast("double"), 6)).as("reduced_form"),
+      when(covZX =!= 0,
+        round(covZY.cast("double") / covZX.cast("double"), 6)).as("beta_iv"))
+  }
 }

@@ -548,4 +548,39 @@ class ModelsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Models.scaleColumn(df, "v", "mad") }
   }
+
+  test("ivWald: hand Wald ratio, degenerate instrument guards, null drop") {
+    // n=4, Σz=2, Σx=10, Σy=26, Σz²=2, Σzx=7, Σzy=20:
+    // var(z)=4, cov(z,x)=8, cov(z,y)=28 → first stage 2, reduced form 7,
+    // β_IV = 28/8 = 3.5
+    val df = Seq((0L, 1L, 2L), (0L, 2L, 4L), (1L, 3L, 9L), (1L, 4L, 11L))
+      .toDF("z", "x", "y")
+    val r = Models.ivWald(df.repartition(3), "z", "x", "y").head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("first_stage") == 2.0)
+    assert(r.getAs[Double]("reduced_form") == 7.0)
+    assert(r.getAs[Double]("beta_iv") == 3.5)
+    // constant instrument: var(z)=0 → everything NULL (nothing identified)
+    val const = Models.ivWald(
+      Seq((5L, 1L, 2L), (5L, 2L, 3L)).toDF("z", "x", "y"), "z", "x", "y").head
+    assert(const.isNullAt(const.fieldIndex("first_stage")))
+    assert(const.isNullAt(const.fieldIndex("reduced_form")))
+    assert(const.isNullAt(const.fieldIndex("beta_iv")))
+    // zero first stage with a non-degenerate instrument: β undefined but
+    // the reduced form still reports
+    val weak = Models.ivWald(
+      Seq((0L, 5L, 1L), (1L, 5L, 2L), (0L, 5L, 3L), (1L, 5L, 4L))
+        .toDF("z", "x", "y"), "z", "x", "y").head
+    assert(weak.getAs[Double]("first_stage") == 0.0)
+    assert(weak.getAs[Double]("reduced_form") == 1.0)
+    assert(weak.isNullAt(weak.fieldIndex("beta_iv")))
+    // null rows drop before the moment pass
+    val withNull = Seq(
+      (Some(0L), Some(1L), Some(2L)), (Some(0L), Some(2L), Some(4L)),
+      (Some(1L), Some(3L), Some(9L)), (Some(1L), Some(4L), Some(11L)),
+      (None, Some(9L), Some(9L)), (Some(1L), None, Some(9L)))
+      .toDF("z", "x", "y")
+    val rn = Models.ivWald(withNull, "z", "x", "y").head
+    assert(rn.getAs[Long]("n") == 4L && rn.getAs[Double]("beta_iv") == 3.5)
+  }
 }
