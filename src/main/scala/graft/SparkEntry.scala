@@ -3271,6 +3271,18 @@ object SparkEntry {
       "value")
   }
 
+  /** Cliff's delta + Vargha–Delaney Â (X318) between click and purchase
+    * event values — the ordinal effect size beside the q_mann_whitney
+    * verdict on the same two samples. */
+  private def qCliffsDelta(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+    Sketches.cliffsDelta(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      "cents")
+  }
+
   /** k-anonymity audit over customers: quasi-identifier combos
     * (nation, segment, balance-thousand) describing fewer than 5 records —
     * the privacy linkability report. */
@@ -7810,6 +7822,7 @@ object SparkEntry {
     "q_sign_test" -> (qSignTest _),
     "q_icc" -> (qIcc _),
     "q_iv_wald" -> (qIvWald _),
+    "q_cliffs_delta" -> (qCliffsDelta _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -16254,6 +16267,44 @@ object SparkEntry {
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
     // per-unit S²/k terms quantized to 1e-2 (decimal sums) feed BOTH sums of
     // squares; the ANOVA chain is one fixed double sequence
+    // dominance counts off the merged histogram, exact HUGEINT pair math
+    "q_cliffs_delta" ->
+      """WITH e AS (SELECT event_type,
+                CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+         ha AS (SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS ca FROM e
+                WHERE event_type = 'click' AND cents IS NOT NULL GROUP BY 1),
+         hb AS (SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS cb FROM e
+                WHERE event_type = 'purchase' AND cents IS NOT NULL GROUP BY 1),
+         m AS (SELECT COALESCE(ha.v, hb.v) AS v, COALESCE(ca, 0) AS ca,
+                COALESCE(cb, 0) AS cb
+              FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+         mm AS (SELECT ca, cb,
+                COALESCE(SUM(cb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevb
+              FROM m),
+         agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                CAST(SUM(cb) AS BIGINT) AS nb,
+                SUM(CAST(ca AS HUGEINT) * CAST(prevb AS HUGEINT)) AS gt,
+                SUM(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)) AS tie
+              FROM mm),
+         fin AS (SELECT na, nb,
+                CASE WHEN CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) > 0 THEN
+                  ROUND(CAST(gt - (CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+                      - gt - tie) AS DOUBLE)
+                    / CAST(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) AS DOUBLE),
+                    6) END AS delta,
+                CASE WHEN CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) > 0 THEN
+                  ROUND(CAST(gt * 2 + tie AS DOUBLE)
+                    / CAST(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) * 2
+                        AS DOUBLE), 6) END AS a
+              FROM agg)
+         SELECT na AS n_a, nb AS n_b, delta AS cliffs_delta, a AS vd_a,
+                CASE WHEN delta IS NULL THEN NULL
+                     WHEN ABS(delta) < 0.147 THEN 'negligible'
+                     WHEN ABS(delta) < 0.33 THEN 'small'
+                     WHEN ABS(delta) < 0.474 THEN 'medium'
+                     ELSE 'large' END AS magnitude
+         FROM fin""",
     // six exact HUGEINT sufficient statistics, one division per ratio
     "q_iv_wald" ->
       """WITH b AS (SELECT CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS z,

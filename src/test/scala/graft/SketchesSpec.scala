@@ -1583,6 +1583,32 @@ class SketchesSpec extends SparkSpec {
     assert(u.getAs[Double]("k0") == 2.4)
   }
 
+  test("cliffsDelta: hand dominance counts, boundaries, empty-side NULL") {
+    def run(a: Seq[Long], b: Seq[Long]) =
+      graft.operators.Sketches.cliffsDelta(
+        a.toDF("v").repartition(3), b.toDF("v"), "v").head
+    // A=[1,2,3] vs B=[2,2,4]: GT=2, TIE=2, LT=5 over 9 pairs
+    val r = run(Seq(1L, 2L, 3L), Seq(2L, 2L, 4L))
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("cliffs_delta") == -0.333333)
+    assert(r.getAs[Double]("vd_a") == 0.333333)
+    assert(r.getAs[String]("magnitude") == "medium")
+    // identical distributions: delta 0, A-hat exactly 1/2
+    val same = run(Seq(1L, 2L), Seq(1L, 2L))
+    assert(same.getAs[Double]("cliffs_delta") == 0.0)
+    assert(same.getAs[Double]("vd_a") == 0.5)
+    assert(same.getAs[String]("magnitude") == "negligible")
+    // complete dominance: delta 1, A-hat 1
+    val dom = run(Seq(5L, 6L), Seq(1L, 2L))
+    assert(dom.getAs[Double]("cliffs_delta") == 1.0)
+    assert(dom.getAs[Double]("vd_a") == 1.0)
+    assert(dom.getAs[String]("magnitude") == "large")
+    // an empty side identifies nothing
+    val empty = run(Seq(1L, 2L), Seq.empty[Long])
+    assert(empty.isNullAt(empty.fieldIndex("cliffs_delta")))
+    assert(empty.isNullAt(empty.fieldIndex("magnitude")))
+  }
+
   test("matthewsCorr: hand binary case, perfect = 1, degenerate NULL, multiclass") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // TP=6 TN=3 FP=1 FN=2: cov = 12*9 - (8*7 + 4*5) = 32, vA = 64, vP = 70
