@@ -6638,6 +6638,15 @@ object SparkEntry {
     Sketches.friedmanTest(daily, "day", "event_type", "cents")
   }
 
+  /** Kendall's W (X319) over the q_friedman layout — how strongly do the
+    * days agree on the ranking of event types by daily cents volume. */
+  private def qKendallW(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    Sketches.kendallW(daily, "day", "event_type", "cents")
+  }
+
   /** McNemar's paired test of two urgency heuristics on the same orders —
     * value-based vs priority-based flags, symmetric-disagreement check. */
   private def qMcnemar(s: SparkSession, d: String): DataFrame = {
@@ -7823,6 +7832,7 @@ object SparkEntry {
     "q_icc" -> (qIcc _),
     "q_iv_wald" -> (qIvWald _),
     "q_cliffs_delta" -> (qCliffsDelta _),
+    "q_kendall_w" -> (qKendallW _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -15199,6 +15209,45 @@ object SparkEntry {
            ROUND(CAST(sR2 * 3 - n * (k + 1) * 3 * (n * k * (k + 1)) AS DOUBLE)
                  / CAST(n * k * (k + 1) AS DOUBLE), 6) AS q
          FROM agg""",
+    // the friedman midrank scaffolding + tie sum; W and chi2 each one
+    // division of exact HUGEINT operands
+    "q_kendall_w" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM daily),
+         comp AS (SELECT b FROM daily, kk GROUP BY b, k
+                  HAVING COUNT(*) = MAX(k) AND COUNT(DISTINCT t) = MAX(k)),
+         kept AS (SELECT d.* FROM daily d JOIN comp USING (b)),
+         h AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY 1, 2),
+         tie AS (SELECT COALESCE(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                    * CAST(c AS HUGEINT) - CAST(c AS HUGEINT)),
+                  CAST(0 AS HUGEINT)) AS tt FROM h),
+         r2 AS (SELECT b, v,
+                  CAST((SUM(c) OVER (PARTITION BY b ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) * 2
+                       + c + 1 AS BIGINT) AS r2
+                FROM h),
+         pt AS (SELECT t, CAST(SUM(r2.r2) AS BIGINT) AS R2,
+                       CAST(COUNT(*) AS BIGINT) AS nb
+                FROM kept JOIN r2 ON kept.b = r2.b AND kept.v = r2.v
+                GROUP BY 1),
+         agg AS (SELECT CAST(MAX(nb) AS HUGEINT) AS m,
+                        CAST(COUNT(*) AS HUGEINT) AS k,
+                        SUM(CAST(R2 AS HUGEINT) * CAST(R2 AS HUGEINT)) AS sR2
+                 FROM pt),
+         fin AS (SELECT m, k,
+                  3 * (sR2 - m * m * k * (k + 1) * (k + 1)) AS num,
+                  m * m * (k * k * k - k) - m * tt AS den
+                 FROM agg, tie)
+         SELECT CAST(m AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+                CAST(k - 1 AS BIGINT) AS dof,
+                CASE WHEN den > 0 THEN
+                  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS w,
+                CASE WHEN den > 0 THEN
+                  ROUND(CAST(num * m * (k - 1) AS DOUBLE)
+                    / CAST(den AS DOUBLE), 6) END AS chi2
+         FROM fin""",
     // discordant cells exact longs; each statistic one integer division
     "q_mcnemar" ->
       """WITH f AS (SELECT (o_totalprice > 150000) AS a,

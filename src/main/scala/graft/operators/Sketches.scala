@@ -2259,6 +2259,72 @@ object Sketches {
       round(num.cast("double") / den.cast("double"), dp).as("q"))
   }
 
+  /** Kendall's W coefficient of concordance (Kendall & Babington Smith
+    * 1939), tie-corrected — "HOW MUCH do the m blocks/raters agree on the
+    * ranking of the k treatments?", the effect-size companion to
+    * [[friedmanTest]]'s verdict on the same complete-block layout (and the
+    * RANKING member of the agreement family: κ/Krippendorff are categorical,
+    * ICC/CCC interval — W is ordinal): W = 12·S / (m²(k³−k) − m·ΣT) with
+    * S the spread of treatment rank sums and ΣT = Σ(t³−t) over within-block
+    * tie groups; χ²_F = m(k−1)·W (~χ²(k−1)) ships beside it.
+    *
+    * EXACT-RATIONAL: with doubled midranks 2·before+ties+1 (integers),
+    * 4S = ΣR₂ⱼ² − m²k(k+1)² because ΣR₂ⱼ = m·k(k+1) identically — so W
+    * and χ² are each ONE double division of exact DECIMAL(38,0) operands,
+    * 6-dp rounded. Incomplete/corrupt blocks drop (the friedmanTest
+    * filter); a fully-tied design (den = 0, nothing ranked) → NULL, never
+    * NaN. One rank window per block + two bounded partial aggs. */
+  def kendallW(
+      df: DataFrame,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(
+      col(blockCol).as("__b"), col(treatmentCol).as("__t"),
+      col(valueCol).cast("long").as("__v"))
+    val kDf = base.agg(count_distinct(col("__t")).as("__k"))
+    val complete = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt"), count_distinct(col("__t")).as("__td"))
+      .crossJoin(broadcast(kDf))
+      .filter(col("__cnt") === col("__k") && col("__td") === col("__k"))
+      .select(col("__b"))
+    val kept = base.join(complete, Seq("__b"), "left_semi")
+    val hist = kept.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = hist
+      .withColumn("__before", sum(col("__c")).over(wCum) - col("__c"))
+      .select(col("__b"), col("__v"),
+        (col("__before") * 2 + col("__c") + 1).as("__r2"))
+    val tieAgg = hist.agg(
+      coalesce(sum(dec(col("__c")) * dec(col("__c")) * dec(col("__c"))
+        - dec(col("__c"))), lit(0).cast("decimal(38,0)")).as("__T"))
+    val perT = kept.join(r2, Seq("__b", "__v"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__r2")).as("__R2"), count(lit(1)).as("__nb"))
+    val agg = perT.agg(
+      max(col("__nb")).as("__m"),
+      count(lit(1)).as("__kk"),
+      sum(dec(col("__R2")) * dec(col("__R2"))).as("__sR2"))
+      .crossJoin(broadcast(tieAgg))
+    val m = dec(col("__m")); val k = dec(col("__kk"))
+    // 4S = ΣR₂² − m²k(k+1)²; 12S = 3·(4S)
+    val s4 = col("__sR2") - m * m * k * (k + 1) * (k + 1)
+    val num = s4 * 3
+    val den = m * m * (k * k * k - k) - m * col("__T")
+    agg.select(
+      col("__m").as("n_blocks"), col("__kk").as("k"),
+      (col("__kk") - 1).as("dof"),
+      when(den > 0,
+        round(num.cast("double") / den.cast("double"), dp)).as("w"),
+      when(den > 0,
+        round((num * m * (k - 1)).cast("double") / den.cast("double"), dp))
+        .as("chi2"))
+  }
+
   /** McNemar's test (1947) for PAIRED binary classifiers/rules on the same
     * rows — "do rule A and rule B disagree symmetrically?": only the
     * discordant cells matter, χ² = (b−c)²/(b+c) with b = A∧¬B, c = ¬A∧B,

@@ -1609,6 +1609,39 @@ class SketchesSpec extends SparkSpec {
     assert(empty.isNullAt(empty.fieldIndex("magnitude")))
   }
 
+  test("kendallW: perfect agreement = 1, hand tied case, fully-tied NULL") {
+    // 3 blocks all ranking a<b<c: W = 1, chi2 = m(k-1)W = 6
+    val perfect = Seq(
+      ("b1", "a", 1L), ("b1", "b", 2L), ("b1", "c", 3L),
+      ("b2", "a", 10L), ("b2", "b", 20L), ("b2", "c", 30L),
+      ("b3", "a", 5L), ("b3", "b", 6L), ("b3", "c", 7L))
+      .toDF("blk", "trt", "v")
+    val r = graft.operators.Sketches.kendallW(
+      perfect.repartition(4), "blk", "trt", "v").head
+    assert(r.getAs[Long]("n_blocks") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("w") == 1.0 && r.getAs[Double]("chi2") == 6.0)
+    // block 3 ties a=b: 4S = 494-432 = 62, T = 6, W = 186/198, chi2 = 6W
+    val tied = Seq(
+      ("b1", "a", 1L), ("b1", "b", 2L), ("b1", "c", 3L),
+      ("b2", "a", 1L), ("b2", "b", 2L), ("b2", "c", 3L),
+      ("b3", "a", 5L), ("b3", "b", 5L), ("b3", "c", 7L))
+      .toDF("blk", "trt", "v")
+    val t = graft.operators.Sketches.kendallW(tied, "blk", "trt", "v").head
+    assert(t.getAs[Double]("w") == 0.939394, t.toString)
+    assert(t.getAs[Double]("chi2") == 5.636364, t.toString)
+    // every block fully tied: nothing is ranked, den = 0 -> NULL
+    val flat = Seq(
+      ("b1", "a", 1L), ("b1", "b", 1L), ("b1", "c", 1L),
+      ("b2", "a", 2L), ("b2", "b", 2L), ("b2", "c", 2L))
+      .toDF("blk", "trt", "v")
+    val f = graft.operators.Sketches.kendallW(flat, "blk", "trt", "v").head
+    assert(f.isNullAt(f.fieldIndex("w")) && f.isNullAt(f.fieldIndex("chi2")))
+    // incomplete blocks drop before ranking (the friedman filter)
+    val withBad = perfect.union(Seq(("b4", "a", 9L)).toDF("blk", "trt", "v"))
+    val wb = graft.operators.Sketches.kendallW(withBad, "blk", "trt", "v").head
+    assert(wb.getAs[Long]("n_blocks") == 3L && wb.getAs[Double]("w") == 1.0)
+  }
+
   test("matthewsCorr: hand binary case, perfect = 1, degenerate NULL, multiclass") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // TP=6 TN=3 FP=1 FN=2: cov = 12*9 - (8*7 + 4*5) = 32, vA = 64, vP = 70
