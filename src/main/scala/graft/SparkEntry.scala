@@ -6638,6 +6638,19 @@ object SparkEntry {
     Sketches.friedmanTest(daily, "day", "event_type", "cents")
   }
 
+  /** Chi-square goodness-of-fit (X320): does the order-priority mix match
+    * the uniform model the TPC-H generator intends? Expected = the five
+    * priorities at weight 1 each. */
+  private def qChi2Gof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expected = Seq(
+      ("1-URGENT", 1L), ("2-HIGH", 1L), ("3-MEDIUM", 1L),
+      ("4-NOT SPECIFIED", 1L), ("5-LOW", 1L)).toDF("prio", "w")
+    Sketches.chiSquareGof(
+      Tables.orders(s, d).select(col("o_orderpriority")),
+      "o_orderpriority", expected, "prio", "w")
+  }
+
   /** Kendall's W (X319) over the q_friedman layout — how strongly do the
     * days agree on the ranking of event types by daily cents volume. */
   private def qKendallW(s: SparkSession, d: String): DataFrame = {
@@ -7833,6 +7846,7 @@ object SparkEntry {
     "q_iv_wald" -> (qIvWald _),
     "q_cliffs_delta" -> (qCliffsDelta _),
     "q_kendall_w" -> (qKendallW _),
+    "q_chi2_gof" -> (qChi2Gof _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -15208,6 +15222,35 @@ object SparkEntry {
          SELECT n AS n_blocks, k, k - 1 AS dof,
            ROUND(CAST(sR2 * 3 - n * (k + 1) * 3 * (n * k * (k + 1)) AS DOUBLE)
                  / CAST(n * k * (k + 1) AS DOUBLE), 6) AS q
+         FROM agg""",
+    // exact-integer term ingredients, decimal(30,12) term quantization
+    "q_chi2_gof" ->
+      """WITH expd(cat, w) AS (VALUES
+             ('1-URGENT', 1), ('2-HIGH', 1), ('3-MEDIUM', 1),
+             ('4-NOT SPECIFIED', 1), ('5-LOW', 1)),
+         obs AS (SELECT o_orderpriority AS cat, CAST(COUNT(*) AS BIGINT) AS o
+                 FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+         j AS (SELECT COALESCE(o, 0) AS o, CAST(w AS BIGINT) AS w
+               FROM obs FULL OUTER JOIN expd ON obs.cat = expd.cat),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN w IS NULL THEN o ELSE 0 END) AS BIGINT) AS nu,
+                 CAST(SUM(w) AS BIGINT) AS bw, MIN(w) AS minw,
+                 CAST(SUM(CASE WHEN w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k
+                 FROM j),
+         terms AS (SELECT n, nu, k, minw,
+                 CASE WHEN n > 0 AND minw > 0 THEN
+                   CAST(CAST((CAST(o AS HUGEINT) * bw - CAST(n AS HUGEINT) * w)
+                        * (CAST(o AS HUGEINT) * bw - CAST(n AS HUGEINT) * w)
+                        AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * w * bw AS DOUBLE)
+                     AS DECIMAL(30,12)) END AS t
+               FROM j, tot WHERE w IS NOT NULL),
+         agg AS (SELECT MAX(n) AS n, MAX(nu) AS n_unexpected, MAX(k) AS k,
+                 MAX(k) - 1 AS dof, MAX(minw) AS minw, SUM(t) AS chi2q
+                 FROM terms)
+         SELECT n, k, dof, n_unexpected,
+                CASE WHEN n_unexpected = 0 AND minw > 0 AND n > 0
+                  THEN ROUND(CAST(chi2q AS DOUBLE), 6) END AS chi2
          FROM agg""",
     // the friedman midrank scaffolding + tie sum; W and chi2 each one
     // division of exact HUGEINT operands

@@ -1392,6 +1392,66 @@ object Sketches {
       .drop("__minCard")
   }
 
+  /** Chi-square GOODNESS-OF-FIT against a declared expected distribution
+    * (Pearson 1900) — "does this categorical column follow the
+    * distribution it is supposed to?": the one-sample member beside
+    * [[chiSquare]]'s two-column independence test, and the general form of
+    * every fixed-model audit (uniform shard balance, declared source mix,
+    * label priors after sampling). `expected` is a bounded (category,
+    * weight) table with POSITIVE integral weights (any scale — only
+    * proportions w/W matter); χ² = Σ (O−E)²/E over the EXPECTED domain
+    * with E = n·w/W, zero-observed expected categories included.
+    *
+    * Determinism: each term is exact-integer arithmetic until one double
+    * division — (O·W − n·w)² / (n·w·W), both sides DECIMAL(38,0) — and
+    * terms quantize to decimal(30,12) before the bounded sum (the
+    * chiSquare discipline). Observed categories MISSING from the expected
+    * table make the statistic undefined (E = 0): their row mass is
+    * reported as `n_unexpected` and χ² is NULL until the caller fixes the
+    * model; non-positive weights NULL the same way, never NaN/∞.
+    *
+    * Scale shape: one partial-agg pass to observed counts, broadcast join
+    * against the bounded expected table, two metadata-sized aggregates. */
+  def chiSquareGof(
+      df: DataFrame,
+      catCol: String,
+      expected: DataFrame,
+      expCatCol: String,
+      expWeightCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val obs = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("__cat"))
+      .agg(count(lit(1)).as("__o"))
+    val exp = expected.select(
+      col(expCatCol).cast("string").as("__cat"),
+      col(expWeightCol).cast("long").as("__w"))
+    val j = obs.join(broadcast(exp), Seq("__cat"), "full_outer")
+      .select(col("__cat"), coalesce(col("__o"), lit(0L)).as("__o"), col("__w"))
+    val tot = j.agg(
+      sum(col("__o")).as("__n"),
+      sum(when(col("__w").isNull, col("__o")).otherwise(0L)).as("__nu"),
+      sum(col("__w")).as("__bw"),
+      min(col("__w")).as("__minw"),
+      sum(when(col("__w").isNotNull, 1L).otherwise(0L)).as("__k"))
+    val num = dec(col("__o")) * dec(col("__bw")) - dec(col("__n")) * dec(col("__w"))
+    val den = dec(col("__n")) * dec(col("__w")) * dec(col("__bw"))
+    val term = (num * num).cast("double") / den.cast("double")
+    val agg = j.crossJoin(broadcast(tot))
+      .filter(col("__w").isNotNull)
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__nu")).as("n_unexpected"),
+        max(col("__k")).as("k"),
+        (max(col("__k")) - 1).as("dof"),
+        max(col("__minw")).as("__minw"),
+        sum(when(col("__n") > 0 && col("__minw") > 0,
+          term.cast("decimal(30,12)"))).as("__chi2"))
+    agg.select(
+      col("n"), col("k"), col("dof"), col("n_unexpected"),
+      when(col("n_unexpected") === 0 && col("__minw") > 0 && col("n") > 0,
+        round(col("__chi2").cast("double"), 6)).as("chi2"))
+  }
+
   /** G-test (log-likelihood-ratio) of independence between two categorical
     * columns — the information-theoretic twin of [[chiSquare]] (G = 2·Σ
     * O·ln(O/E) is additive across partitions of the table, which X² is

@@ -1609,6 +1609,36 @@ class SketchesSpec extends SparkSpec {
     assert(empty.isNullAt(empty.fieldIndex("magnitude")))
   }
 
+  test("chiSquareGof: exact fit 0, hand terms, unseen-category NULL, zero-observed included") {
+    import graft.operators.Sketches
+    def obs(rows: (String, Int)*) =
+      rows.flatMap { case (c, n) => Seq.fill(n)(c) }.toDF("cat").repartition(4)
+    val wts = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("cat", "w")
+    // observed exactly proportional to weights: chi2 = 0
+    val fit = Sketches.chiSquareGof(obs(("a", 50), ("b", 30), ("c", 20)),
+      "cat", wts, "cat", "w").head
+    assert(fit.getAs[Long]("n") == 100L && fit.getAs[Long]("k") == 3L)
+    assert(fit.getAs[Long]("dof") == 2L && fit.getAs[Double]("chi2") == 0.0)
+    // hand case: E = (50,30,20), O = (60,25,15) -> 2 + 0.833333 + 1.25
+    val hand = Sketches.chiSquareGof(obs(("a", 60), ("b", 25), ("c", 15)),
+      "cat", wts, "cat", "w").head
+    assert(hand.getAs[Double]("chi2") == 4.083333, hand.toString)
+    // zero-observed expected category still contributes its full E term
+    val zero = Sketches.chiSquareGof(obs(("a", 10)),
+      "cat", Seq(("a", 1L), ("b", 1L)).toDF("cat", "w"), "cat", "w").head
+    assert(zero.getAs[Double]("chi2") == 10.0)
+    assert(zero.getAs[Long]("n_unexpected") == 0L)
+    // observed category missing from the model: statistic undefined
+    val unseen = Sketches.chiSquareGof(obs(("a", 8), ("zz", 2)),
+      "cat", Seq(("a", 1L)).toDF("cat", "w"), "cat", "w").head
+    assert(unseen.getAs[Long]("n_unexpected") == 2L)
+    assert(unseen.isNullAt(unseen.fieldIndex("chi2")))
+    // non-positive weight: undefined, NULL not NaN
+    val badw = Sketches.chiSquareGof(obs(("a", 5), ("b", 5)),
+      "cat", Seq(("a", 1L), ("b", 0L)).toDF("cat", "w"), "cat", "w").head
+    assert(badw.isNullAt(badw.fieldIndex("chi2")))
+  }
+
   test("kendallW: perfect agreement = 1, hand tied case, fully-tied NULL") {
     // 3 blocks all ranking a<b<c: W = 1, chi2 = m(k-1)W = 6
     val perfect = Seq(
