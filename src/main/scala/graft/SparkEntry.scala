@@ -6651,6 +6651,16 @@ object SparkEntry {
       "o_orderpriority", expected, "prio", "w")
   }
 
+  /** Jonckheere–Terpstra (X321): do order totals shift monotonically with
+    * the ordinal priority level (1-URGENT … 5-LOW)? The ordered
+    * alternative the Kruskal–Wallis omnibus can't target. */
+  private def qJonckheere(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    Sketches.jonckheereTerpstra(o, "prio", "cents")
+  }
+
   /** Kendall's W (X319) over the q_friedman layout — how strongly do the
     * days agree on the ranking of event types by daily cents volume. */
   private def qKendallW(s: SparkSession, d: String): DataFrame = {
@@ -7847,6 +7857,7 @@ object SparkEntry {
     "q_cliffs_delta" -> (qCliffsDelta _),
     "q_kendall_w" -> (qKendallW _),
     "q_chi2_gof" -> (qChi2Gof _),
+    "q_jonckheere" -> (qJonckheere _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -15223,6 +15234,47 @@ object SparkEntry {
            ROUND(CAST(sR2 * 3 - n * (k + 1) * 3 * (n * k * (k + 1)) AS DOUBLE)
                  / CAST(n * k * (k + 1) AS DOUBLE), 6) AS q
          FROM agg""",
+    // doubled-JT exact HUGEINT dominance sums, z a fixed IEEE chain
+    "q_jonckheere" ->
+      """WITH b AS (SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS g,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+         h AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         grp AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM h GROUP BY 1),
+         pr AS (SELECT a.g AS glo, bb.g AS ghi FROM grp a JOIN grp bb
+                ON a.g < bb.g),
+         contrib AS (SELECT pr.ghi AS g, h.v, CAST(SUM(h.c) AS BIGINT) AS cl
+                FROM h JOIN pr ON h.g = pr.glo GROUP BY 1, 2),
+         m AS (SELECT COALESCE(h.g, contrib.g) AS g,
+                COALESCE(h.v, contrib.v) AS v,
+                COALESCE(c, 0) AS c, COALESCE(cl, 0) AS cl
+              FROM h FULL OUTER JOIN contrib
+                ON h.g = contrib.g AND h.v = contrib.v),
+         cells AS (SELECT c, cl,
+                COALESCE(SUM(cl) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lp
+              FROM m),
+         jt AS (SELECT COALESCE(SUM(CAST(c AS HUGEINT)
+                  * (2 * CAST(lp AS HUGEINT) + CAST(cl AS HUGEINT))),
+                  CAST(0 AS HUGEINT)) AS jt2 FROM cells),
+         mom AS (SELECT CAST(SUM(ng) AS HUGEINT) AS nn,
+                CAST(COUNT(*) AS BIGINT) AS k,
+                SUM(CAST(ng AS HUGEINT) * CAST(ng AS HUGEINT)) AS sn2,
+                SUM(CAST(ng AS HUGEINT) * CAST(ng AS HUGEINT)
+                  * (2 * CAST(ng AS HUGEINT) + 3)) AS sn23
+              FROM grp),
+         fin AS (SELECT nn, k, jt2,
+                2 * jt2 - (nn * nn - sn2) AS num4,
+                nn * nn * (2 * nn + 3) - sn23 AS vari
+              FROM mom, jt)
+         SELECT CAST(nn AS BIGINT) AS n, k,
+                CASE WHEN k > 1 THEN ROUND(CAST(jt2 AS DOUBLE) / 2.0, 6) END
+                  AS jt,
+                CASE WHEN k > 1 AND vari > 0 THEN
+                  ROUND(CAST(num4 AS DOUBLE)
+                    / (4.0 * SQRT(CAST(vari AS DOUBLE) / 72.0)), 6) END AS z
+         FROM fin""",
     // exact-integer term ingredients, decimal(30,12) term quantization
     "q_chi2_gof" ->
       """WITH expd(cat, w) AS (VALUES

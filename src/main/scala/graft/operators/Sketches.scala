@@ -2319,6 +2319,81 @@ object Sketches {
       round(num.cast("double") / den.cast("double"), dp).as("q"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative k-sample test (Terpstra 1952;
+    * Jonckheere 1954) — "do the distributions SHIFT UP with the ordered
+    * group score?", the continuous-response member beside X214
+    * Cochran–Armitage (binary rates) that the unordered omnibus pair
+    * (Kruskal–Wallis / ANOVA F) cannot answer (they burn power on
+    * non-monotone alternatives): JT = Σ_{i<j} U_ij over score-ordered
+    * group pairs, U the Mann–Whitney count with ½ per tie; z from the
+    * classic tie-free null moments E = (N²−Σnᵢ²)/4 and
+    * Var = (N²(2N+3) − Σnᵢ²(2nᵢ+3))/72 (the Friedman precedent: the
+    * textbook form, heavy ties understate |z| slightly).
+    *
+    * Never a pair join: each (group, value) histogram cell fans out to
+    * the HIGHER-scored groups only (bounded by k — ordered dose/severity
+    * levels are small by contract), lower-mass prefixes come from one
+    * value-ordered window PER GROUP (k-way parallel, never a global
+    * single-partition sort), and doubled-JT accumulates as exact
+    * DECIMAL(38,0) products. z is a fixed IEEE chain (cast, /72, sqrt,
+    * one division) from exact integer operands, 6-dp rounded; fewer than
+    * two groups → NULL. `groupCol` must be an integral score giving the
+    * hypothesized order; `valueCol` integral (the gini contract). */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(
+      col(groupCol).cast("long").as("__g"), col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val hist = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    // bounded group domain and its ordered pairs (score_low < score_high)
+    val groups = hist.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+    val pairsUp = groups.select(col("__g").as("__glo"))
+      .join(broadcast(groups.select(col("__g").as("__ghi"))),
+        col("__glo") < col("__ghi"))
+    // mass each cell contributes to every higher group, re-aggregated to
+    // (target group, value) grain, then merged onto the target's own cells
+    val contrib = hist
+      .join(broadcast(pairsUp), col("__g") === col("__glo"))
+      .groupBy(col("__ghi").as("__g"), col("__v"))
+      .agg(sum(col("__c")).as("__cl"))
+    val merged = hist.join(contrib, Seq("__g", "__v"), "full_outer")
+      .select(col("__g"), col("__v"),
+        coalesce(col("__c"), lit(0L)).as("__c"),
+        coalesce(col("__cl"), lit(0L)).as("__cl"))
+    val wPrev = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = merged.withColumn(
+      "__lowPrev", coalesce(sum(col("__cl")).over(wPrev), lit(0L)))
+    // 2·JT = Σ c·(2·lower-mass-below + lower-mass-at-value)
+    val jt2Agg = cells.agg(
+      coalesce(sum(dec(col("__c")) *
+        (dec(col("__lowPrev")) * 2 + dec(col("__cl")))),
+        lit(0).cast("decimal(38,0)")).as("__jt2"))
+    val momAgg = groups.agg(
+      sum(col("__ng")).cast("decimal(38,0)").as("__N"),
+      count(lit(1)).as("__k"),
+      sum(dec(col("__ng")) * dec(col("__ng"))).as("__sn2"),
+      sum(dec(col("__ng")) * dec(col("__ng")) * (dec(col("__ng")) * 2 + 3))
+        .as("__sn23"))
+    val agg = momAgg.crossJoin(broadcast(jt2Agg))
+    val bigN = col("__N")
+    // 4·(JT − E) = 2·JT2 − (N² − Σn²), exact
+    val num4 = col("__jt2") * 2 - (bigN * bigN - col("__sn2"))
+    val varI = bigN * bigN * (bigN * 2 + 3) - col("__sn23")
+    val z = num4.cast("double") /
+      (lit(4.0) * sqrt(varI.cast("double") / 72.0))
+    agg.select(
+      bigN.cast("long").as("n"),
+      col("__k").as("k"),
+      when(col("__k") > 1, round(col("__jt2").cast("double") / 2.0, dp))
+        .as("jt"),
+      when(col("__k") > 1 && varI > 0, round(z, dp)).as("z"))
+  }
+
   /** Kendall's W coefficient of concordance (Kendall & Babington Smith
     * 1939), tie-corrected — "HOW MUCH do the m blocks/raters agree on the
     * ranking of the k treatments?", the effect-size companion to

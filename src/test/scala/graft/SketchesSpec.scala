@@ -1639,6 +1639,33 @@ class SketchesSpec extends SparkSpec {
     assert(badw.isNullAt(badw.fieldIndex("chi2")))
   }
 
+  test("jonckheereTerpstra: perfect trend hand case, ties half-count, one-group NULL") {
+    import graft.operators.Sketches
+    // g1=[1,2] < g2=[3,4] < g3=[5,6]: JT = 12 (every cross pair concordant),
+    // E = 6, Var = 456/72 -> z = 6 / sqrt(6.3333...)
+    val up = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (3L, 6L))
+      .toDF("g", "v")
+    val r = Sketches.jonckheereTerpstra(up.repartition(4), "g", "v").head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("jt") == 12.0)
+    val zExp = BigDecimal(6.0 / math.sqrt(456.0 / 72.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == zExp, r.toString)
+    // a cross-group tie counts half
+    val tie = Sketches.jonckheereTerpstra(
+      Seq((1L, 5L), (2L, 5L)).toDF("g", "v"), "g", "v").head
+    assert(tie.getAs[Double]("jt") == 0.5)
+    // reversed trend: JT = 0, z symmetric negative
+    val down = Seq((3L, 1L), (3L, 2L), (2L, 3L), (2L, 4L), (1L, 5L), (1L, 6L))
+      .toDF("g", "v")
+    val rd = Sketches.jonckheereTerpstra(down, "g", "v").head
+    assert(rd.getAs[Double]("jt") == 0.0 && rd.getAs[Double]("z") == -zExp)
+    // a single group has no ordered alternative
+    val solo = Sketches.jonckheereTerpstra(
+      Seq((1L, 5L), (1L, 7L)).toDF("g", "v"), "g", "v").head
+    assert(solo.isNullAt(solo.fieldIndex("jt")) && solo.isNullAt(solo.fieldIndex("z")))
+  }
+
   test("kendallW: perfect agreement = 1, hand tied case, fully-tied NULL") {
     // 3 blocks all ranking a<b<c: W = 1, chi2 = m(k-1)W = 6
     val perfect = Seq(
