@@ -4886,6 +4886,15 @@ object SparkEntry {
         (col("value") > 100.0).as("outcome")),
       "event_type", "exposed", "outcome")
 
+  /** CMH χ² (X322) on the q_mantel_haenszel strata — the adjusted-
+    * association verdict beside the pooled OR estimate. */
+  private def qCmh(s: SparkSession, d: String): DataFrame =
+    Sketches.cmhTest(
+      Tables.events(s, d).select(col("event_type"),
+        (col("user_id") % 2 === 0).as("exposed"),
+        (col("value") > 100.0).as("outcome")),
+      "event_type", "exposed", "outcome")
+
   /** Huber robust mean (k = 100 dollars, 3 IRLS sweeps) of event cents per
     * type, next to the outlier-sensitive plain mean. */
   private def qHuber(s: SparkSession, d: String): DataFrame =
@@ -7858,6 +7867,7 @@ object SparkEntry {
     "q_kendall_w" -> (qKendallW _),
     "q_chi2_gof" -> (qChi2Gof _),
     "q_jonckheere" -> (qJonckheere _),
+    "q_cmh" -> (qCmh _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -15233,6 +15243,43 @@ object SparkEntry {
          SELECT n AS n_blocks, k, k - 1 AS dof,
            ROUND(CAST(sR2 * 3 - n * (k + 1) * 3 * (n * k * (k + 1)) AS DOUBLE)
                  / CAST(n * k * (k + 1) AS DOUBLE), 6) AS q
+         FROM agg""",
+    // per-stratum deviation/variance terms exact until one division each,
+    // decimal(30,12) quantization before the strata sums
+    "q_cmh" ->
+      """WITH f AS (SELECT event_type AS s,
+                (user_id % 2 = 0) AS e, (value > 100.0) AS o FROM events),
+         st AS (SELECT s,
+                CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM f GROUP BY 1),
+         t AS (SELECT n, a + b AS r1, c + d AS r0, a + c AS c1, b + d AS c0,
+                a FROM st),
+         terms AS (SELECT n,
+                CASE WHEN n > 1 THEN CAST(
+                  CAST(CAST(a AS HUGEINT) * n - CAST(r1 AS HUGEINT) * c1
+                    AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(30,12))
+                  ELSE CAST(0 AS DECIMAL(30,12)) END AS dv,
+                CASE WHEN n > 1 THEN CAST(
+                  CAST(CAST(r1 AS HUGEINT) * r0 * c1 * c0 AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)
+                  AS DECIMAL(30,12))
+                  ELSE CAST(0 AS DECIMAL(30,12)) END AS vr
+              FROM t),
+         agg AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS n_strata,
+                SUM(dv) AS sd, SUM(vr) AS sv FROM terms)
+         SELECT n, n_strata,
+                CASE WHEN sv > 0 THEN
+                  ROUND(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                    / CAST(sv AS DOUBLE), 6) END AS chi2_cmh,
+                CASE WHEN sv > 0 THEN
+                  ROUND(GREATEST(ABS(CAST(sd AS DOUBLE)) - 0.5, 0.0)
+                    * GREATEST(ABS(CAST(sd AS DOUBLE)) - 0.5, 0.0)
+                    / CAST(sv AS DOUBLE), 6) END AS chi2_cmh_corrected
          FROM agg""",
     // doubled-JT exact HUGEINT dominance sums, z a fixed IEEE chain
     "q_jonckheere" ->

@@ -2988,6 +2988,62 @@ object Sketches {
           .as("or_mh"))
   }
 
+  /** Cochran–Mantel–Haenszel χ² test (Cochran 1954; Mantel & Haenszel
+    * 1959) — the INFERENCE layer over [[mantelHaenszel]]'s pooled-OR
+    * estimate on the same stratified 2×2 layout: "is the exposure–outcome
+    * association real AFTER adjusting for the confounder?" χ² =
+    * (Σ(aᵢ−E[aᵢ]))²/ΣVar(aᵢ) with E = r₁c₁/n and Var = r₁r₀c₁c₀/(n²(n−1))
+    * per stratum, ~χ²(1) under H0; the ½-continuity-corrected form
+    * (Mantel–Haenszel's original) ships beside it, clamped at 0.
+    *
+    * Determinism: per-stratum cells are exact longs; each stratum's
+    * deviation (a·n − r₁·c₁)/n and variance term are ONE double division
+    * of exact DECIMAL(38,0) operands, quantized decimal(30,12) before the
+    * strata sums (the chiSquare discipline — float SUMs span only k
+    * strata but partition order must still not matter); the statistic is
+    * a square and a division of those exact sums, 6-dp rounded. n ≤ 1
+    * strata carry zero information (deviation identically 0) and
+    * contribute nothing; ΣVar = 0 (every stratum degenerate) → NULL. */
+  def cmhTest(
+      df: DataFrame,
+      strataCol: String,
+      exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    val strata = df.groupBy(col(strataCol))
+      .agg(
+        cnt(e && o).as("__a"), cnt(e && !o).as("__b"),
+        cnt(!e && o).as("__c"), cnt(!e && !o).as("__d"),
+        count(lit(1)).as("__n"))
+      .withColumn("__r1", col("__a") + col("__b"))
+      .withColumn("__r0", col("__c") + col("__d"))
+      .withColumn("__c1", col("__a") + col("__c"))
+      .withColumn("__c0", col("__b") + col("__d"))
+    val diff = (dec(col("__a")) * dec(col("__n"))
+      - dec(col("__r1")) * dec(col("__c1"))).cast("double") /
+      col("__n").cast("double")
+    val vr = (dec(col("__r1")) * dec(col("__r0")) * dec(col("__c1"))
+      * dec(col("__c0"))).cast("double") /
+      (dec(col("__n")) * dec(col("__n")) * dec(col("__n") - 1)).cast("double")
+    val agg = strata.agg(
+      sum(col("__n")).as("n"),
+      count(lit(1)).as("n_strata"),
+      sum(when(col("__n") > 1, diff.cast("decimal(30,12)"))
+        .otherwise(lit(0).cast("decimal(30,12)"))).as("__sd"),
+      sum(when(col("__n") > 1, vr.cast("decimal(30,12)"))
+        .otherwise(lit(0).cast("decimal(30,12)"))).as("__sv"))
+    val sd = col("__sd").cast("double")
+    val sv = col("__sv").cast("double")
+    val corr = greatest(abs(sd) - 0.5, lit(0.0))
+    agg.select(
+      col("n"), col("n_strata"),
+      when(col("__sv") > 0, round(sd * sd / sv, 6)).as("chi2_cmh"),
+      when(col("__sv") > 0, round(corr * corr / sv, 6)).as("chi2_cmh_corrected"))
+  }
+
   /** Huber robust location per group — IRLS with the Huber ψ: weight 1
     * inside `k` quantized units of the current estimate, k/|r| outside,
     * run for `iters` fixed sweeps from the plain mean. Every iteration is

@@ -1639,6 +1639,37 @@ class SketchesSpec extends SparkSpec {
     assert(badw.isNullAt(badw.fieldIndex("chi2")))
   }
 
+  test("cmhTest: hand single-stratum chi2, degenerate strata contribute nothing") {
+    import graft.operators.Sketches
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    // a=10 b=5 c=5 d=10: E[a]=7.5, diff=2.5, Var=15^4/(900*29)
+    val df = stratum("s1", 10, 5, 5, 10).toDF("s", "e", "o").repartition(4)
+    val r = Sketches.cmhTest(df, "s", "e", "o").head
+    val vq = BigDecimal(50625.0 / 26100.0)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n") == 30L && r.getAs[Long]("n_strata") == 1L)
+    assert(r.getAs[Double]("chi2_cmh") == r6(6.25 / vq), r.toString)
+    assert(r.getAs[Double]("chi2_cmh_corrected") == r6(4.0 / vq), r.toString)
+    // perfectly balanced stratum: zero deviation, chi2 = 0
+    val bal = Sketches.cmhTest(
+      stratum("s1", 5, 5, 5, 5).toDF("s", "e", "o"), "s", "e", "o").head
+    assert(bal.getAs[Double]("chi2_cmh") == 0.0)
+    // singleton strata carry no information: every stratum n=1 -> NULL
+    val solo = Sketches.cmhTest(
+      Seq(("x", true, true), ("y", false, false)).toDF("s", "e", "o"),
+      "s", "e", "o").head
+    assert(solo.isNullAt(solo.fieldIndex("chi2_cmh")))
+    // adding a singleton to a real stratum changes nothing
+    val mixed = Sketches.cmhTest(
+      (stratum("s1", 10, 5, 5, 10) ++ Seq(("tiny", true, true)))
+        .toDF("s", "e", "o"), "s", "e", "o").head
+    assert(mixed.getAs[Double]("chi2_cmh") == r6(6.25 / vq))
+    assert(mixed.getAs[Long]("n_strata") == 2L)
+  }
+
   test("jonckheereTerpstra: perfect trend hand case, ties half-count, one-group NULL") {
     import graft.operators.Sketches
     // g1=[1,2] < g2=[3,4] < g3=[5,6]: JT = 12 (every cross pair concordant),
