@@ -5912,6 +5912,25 @@ object SparkEntry {
       .orderBy("c_mktsegment", "duration")
   }
 
+  /** Greenwood-banded KM (X323) over the q_survival spans — the same churn
+    * curves with standard errors and clamped 95% CIs attached. */
+  private def qKmGreenwood(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+    val asOf = o.agg(max(col("od")).as("__max_d"))
+    val spans = o.groupBy(col("o_custkey"))
+      .agg(min(col("od")).as("__first"), max(col("od")).as("__last"))
+      .crossJoin(broadcast(asOf))
+      .select(
+        col("o_custkey"),
+        datediff(col("__last"), col("__first")).cast("long").as("duration"),
+        (datediff(col("__max_d"), col("__last")) > 180).as("churned"))
+    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val joined = spans.join(broadcast(seg), spans("o_custkey") === seg("c_custkey"))
+    Temporal.kaplanMeierGreenwood(joined, "duration", "churned", Seq("c_mktsegment"))
+      .orderBy("c_mktsegment", "duration")
+  }
+
   /** Restricted mean survival time (X292) per market segment over the
     * q_survival spans, horizon 365 days — the model-free ∫S(t)dt readout
     * beside the KM curve and the log-rank verdict. */
@@ -7868,6 +7887,7 @@ object SparkEntry {
     "q_chi2_gof" -> (qChi2Gof _),
     "q_jonckheere" -> (qJonckheere _),
     "q_cmh" -> (qCmh _),
+    "q_km_greenwood" -> (qKmGreenwood _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -13947,6 +13967,57 @@ object SparkEntry {
          SELECT c_mktsegment, duration, d_events, n_risk,
                 ROUND(EXP(lsum), 6) AS survival,
                 ROUND(hsum, 6) AS cum_hazard
+         FROM k ORDER BY c_mktsegment, duration""",
+    // the q_survival scaffolding + the Greenwood running term and the
+    // d=n dead flag; the same sequential window chain both engines replay
+    "q_km_greenwood" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+         mx AS (SELECT MAX(od) AS maxd FROM o),
+         spans AS (SELECT o_custkey,
+                          CAST(datediff('day', MIN(od), MAX(od)) AS BIGINT) AS duration,
+                          (datediff('day', MAX(od), (SELECT maxd FROM mx)) > 180) AS churned
+                   FROM o GROUP BY 1),
+         j AS (SELECT c.c_mktsegment, sp.duration, sp.churned
+               FROM spans sp JOIN customer c ON sp.o_custkey = c.c_custkey),
+         g AS (SELECT c_mktsegment, duration,
+                      CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+                      CAST(COUNT(*) AS BIGINT) AS at_t
+               FROM j GROUP BY 1, 2),
+         w AS (SELECT c_mktsegment, duration, d_events, at_t,
+                      SUM(at_t) OVER (PARTITION BY c_mktsegment) AS tot,
+                      SUM(at_t) OVER (PARTITION BY c_mktsegment ORDER BY duration
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM g),
+         k AS (SELECT c_mktsegment, duration, d_events,
+                      CAST(tot - (cum - at_t) AS BIGINT) AS n_risk,
+                      SUM(CASE WHEN d_events > 0
+                               THEN LN(GREATEST(CAST(1e-300 AS DOUBLE),
+                                        CAST(1.0 AS DOUBLE) - CAST(d_events AS DOUBLE) /
+                                          CAST(tot - (cum - at_t) AS DOUBLE)))
+                               ELSE CAST(0.0 AS DOUBLE) END)
+                        OVER (PARTITION BY c_mktsegment ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum,
+                      SUM(CASE WHEN d_events > 0 AND d_events < tot - (cum - at_t)
+                               THEN CAST(d_events AS DOUBLE) /
+                                    (CAST(tot - (cum - at_t) AS DOUBLE) *
+                                     CAST(tot - (cum - at_t) - d_events AS DOUBLE))
+                               ELSE CAST(0.0 AS DOUBLE) END)
+                        OVER (PARTITION BY c_mktsegment ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gsum,
+                      MAX(CASE WHEN d_events = tot - (cum - at_t) THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY c_mktsegment ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+               FROM w)
+         SELECT c_mktsegment, duration, d_events, n_risk,
+                ROUND(EXP(lsum), 6) AS survival,
+                CASE WHEN dead = 0 THEN
+                  ROUND(SQRT(EXP(lsum) * EXP(lsum) * gsum), 6) END AS se,
+                CASE WHEN dead = 0 THEN
+                  ROUND(GREATEST(CAST(0.0 AS DOUBLE), EXP(lsum)
+                    - 1.959964 * SQRT(EXP(lsum) * EXP(lsum) * gsum)), 6) END AS ci_lo,
+                CASE WHEN dead = 0 THEN
+                  ROUND(LEAST(CAST(1.0 AS DOUBLE), EXP(lsum)
+                    + 1.959964 * SQRT(EXP(lsum) * EXP(lsum) * gsum)), 6) END AS ci_hi
          FROM k ORDER BY c_mktsegment, duration""",
     // the q_survival KM replay + lead/segment integral; interval terms use
     // the 6dp-rounded survival times exact long lengths, 1e-6 quantized —

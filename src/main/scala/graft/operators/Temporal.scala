@@ -683,6 +683,63 @@ object Temporal {
       .drop("__at_t")
   }
 
+  /** Kaplan–Meier with GREENWOOD standard errors and 95% CIs (Greenwood
+    * 1926) — the uncertainty layer the bare [[kaplanMeier]] curve lacks
+    * ("are these two segments' churn curves actually distinguishable?"
+    * needs bands before [[logRank]]'s single verdict): Var(Ŝ(t)) =
+    * Ŝ(t)²·Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)), linear CI Ŝ ± 1.959964·SE clamped to
+    * [0,1] (the plain Greenwood form; log-log bands are a caller-side
+    * transform away).
+    *
+    * Same at-risk scaffolding and determinism argument as [[kaplanMeier]]:
+    * per-step terms are single double divisions from exact longs, the
+    * ordered window accumulates them in duration order — a sequential
+    * chain any engine replays identically. At the first step where
+    * EVERYONE at risk leaves (d = n): Ŝ hits 0 and the Greenwood term is
+    * 1/0 — SE and CI are NULL from that step on (0·∞ has no estimate),
+    * never NaN/∞. */
+  def kaplanMeierGreenwood(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      keyCols: Seq[String] = Nil,
+      dp: Int = 6): DataFrame = {
+    val keys = keyCols.map(col)
+    val grouped = df
+      .groupBy(keys :+ col(durationCol).cast("long").as("duration"): _*)
+      .agg(
+        sum(when(col(eventCol), 1L).otherwise(0L)).as("d_events"),
+        count(lit(1)).as("__at_t"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val nRisk = sum(col("__at_t")).over(wAll) -
+      (sum(col("__at_t")).over(wCum) - col("__at_t"))
+    val d = col("d_events"); val n = col("n_risk")
+    val stepped = grouped
+      .withColumn("n_risk", nRisk)
+      .withColumn("__lsum", sum(
+        when(d > 0,
+          log(greatest(lit(1e-300), lit(1.0) - d.cast("double") / n)))
+          .otherwise(lit(0.0))).over(wCum))
+      .withColumn("__g", sum(
+        when(d > 0 && d < n,
+          d.cast("double") / (n.cast("double") * (n - d).cast("double")))
+          .otherwise(lit(0.0))).over(wCum))
+      .withColumn("__dead", max(when(d === n, 1).otherwise(0)).over(wCum))
+    val sUn = exp(col("__lsum"))
+    val seUn = sqrt(sUn * sUn * col("__g"))
+    stepped.select(
+      keys ++ Seq(
+        col("duration"), col("d_events"), col("n_risk"),
+        round(sUn, dp).as("survival"),
+        when(col("__dead") === 0, round(seUn, dp)).as("se"),
+        when(col("__dead") === 0,
+          round(greatest(lit(0.0), sUn - lit(1.959964) * seUn), dp)).as("ci_lo"),
+        when(col("__dead") === 0,
+          round(least(lit(1.0), sUn + lit(1.959964) * seUn), dp)).as("ci_hi")): _*)
+  }
+
   /** Seasonal-naive backtest with MASE (Hyndman & Koehler 2006) — the
     * forecast-evaluation primitive the model family (X257 AR, X174 Holt)
     * needs before anyone trusts a forecast: hold out the last `holdout`

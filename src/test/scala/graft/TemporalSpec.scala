@@ -742,4 +742,31 @@ class TemporalSpec extends SparkSpec {
     // a: peaks 10,10,12,12,12 -> drawdowns 0,3,0,8,3 -> max 8
     assert(out.toSeq == Seq(("a", 8L, 12L, 5L), ("b", 0L, 3L, 3L)))
   }
+
+  test("kaplanMeierGreenwood: hand bands, censored step inherits, d=n kills se, CI clamps") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // event at 1, censored at 2, event at 3
+    val df = Seq((1L, true), (2L, false), (3L, true)).toDF("dur", "ev")
+    val rows = Temporal.kaplanMeierGreenwood(df.repartition(3), "dur", "ev")
+      .orderBy("duration").collect()
+    val s1 = math.exp(math.log(1 - 1.0 / 3))
+    val se1 = math.sqrt(s1 * s1 * (1.0 / (3.0 * 2.0)))
+    assert(rows(0).getAs[Long]("n_risk") == 3L)
+    assert(rows(0).getAs[Double]("survival") == r6(s1))
+    assert(rows(0).getAs[Double]("se") == r6(se1))
+    assert(rows(0).getAs[Double]("ci_lo") == r6(math.max(0.0, s1 - 1.959964 * se1)))
+    assert(rows(0).getAs[Double]("ci_hi") == r6(math.min(1.0, s1 + 1.959964 * se1)))
+    // a censored-only step adds no event: curve and band both carry over
+    assert(rows(1).getAs[Double]("survival") == r6(s1))
+    assert(rows(1).getAs[Double]("se") == r6(se1))
+    // last subject leaves: S = 0, Greenwood term is 1/0 -> NULL band
+    assert(rows(2).getAs[Double]("survival") == 0.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("se")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("ci_hi")))
+    // upper clamp: 1 event then 9 censored -> S=0.9, S+1.96se > 1 -> 1.0
+    val big = (Seq((1L, true)) ++ Seq.fill(9)((2L, false))).toDF("dur", "ev")
+    val b = Temporal.kaplanMeierGreenwood(big, "dur", "ev")
+      .orderBy("duration").collect()(0)
+    assert(b.getAs[Double]("ci_hi") == 1.0)
+  }
 }
