@@ -7154,6 +7154,16 @@ object SparkEntry {
         floor(col("l_extendedprice") + 0.5).cast("long").as("dollars")),
       "l_orderkey", "dollars")
 
+  /** Empirical-Bayes rate shrinkage (X324): per-user purchase rate over all
+    * events, shrunk toward the corpus mean by the moment-fit beta prior —
+    * low-activity users stop dominating either tail. */
+  private def qEbShrinkage(s: SparkSession, d: String): DataFrame =
+    Models.ebRateShrinkage(
+      Tables.events(s, d).select(col("user_id"),
+        (col("event_type") === "purchase").as("is_purchase")),
+      Seq("user_id"), "is_purchase")
+      .orderBy("user_id")
+
   /** IV / Wald estimator (X317): the price-per-unit effect of quantity on
     * line revenue, instrumented by the COARSENED quantity bucket — a
     * mechanically-relevant instrument chosen to exercise the arithmetic
@@ -7888,6 +7898,7 @@ object SparkEntry {
     "q_jonckheere" -> (qJonckheere _),
     "q_cmh" -> (qCmh _),
     "q_km_greenwood" -> (qKmGreenwood _),
+    "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -16529,6 +16540,36 @@ object SparkEntry {
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
     // per-unit S²/k terms quantized to 1e-2 (decimal sums) feed BOTH sums of
     // squares; the ANOVA chain is one fixed double sequence
+    // per-key rate quantized 1e-9 before exact moment sums; the beta-prior
+    // fit is a fixed IEEE chain replayed verbatim
+    "q_eb_shrinkage" ->
+      """WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+              FROM events GROUP BY 1),
+         pq AS (SELECT user_id, n, x,
+                CAST(FLOOR(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e9 + 0.5)
+                  AS BIGINT) AS pq FROM per),
+         mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                SUM(CAST(pq AS HUGEINT)) AS sp,
+                SUM(CAST(pq AS HUGEINT) * CAST(pq AS HUGEINT)) AS spp FROM pq),
+         md AS (SELECT k,
+                CAST(sp AS DOUBLE) / CAST(k AS DOUBLE) / 1e9 AS m,
+                CAST(CAST(k AS HUGEINT) * spp - sp * sp AS DOUBLE)
+                  / CAST(CAST(k AS HUGEINT) * (CAST(k AS HUGEINT) - 1)
+                      AS DOUBLE) / 1e18 AS v
+              FROM mom),
+         ab AS (SELECT k, m, v, m * (1.0 - m) / v - 1.0 AS nu FROM md),
+         modl AS (SELECT
+                CASE WHEN k > 1 AND v > 0 AND nu > 0 THEN m * nu END AS alpha,
+                CASE WHEN k > 1 AND v > 0 AND nu > 0 THEN (1.0 - m) * nu END
+                  AS beta FROM ab)
+         SELECT user_id, n, x,
+                ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_raw,
+                CASE WHEN alpha IS NOT NULL THEN
+                  ROUND((alpha + CAST(x AS DOUBLE))
+                    / (alpha + beta + CAST(n AS DOUBLE)), 6) END AS rate_eb
+         FROM pq, modl ORDER BY user_id""",
     // dominance counts off the merged histogram, exact HUGEINT pair math
     "q_cliffs_delta" ->
       """WITH e AS (SELECT event_type,

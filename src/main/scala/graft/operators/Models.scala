@@ -1553,6 +1553,69 @@ object Models {
     }
   }
 
+  /** Empirical-Bayes beta-binomial rate shrinkage (Robbins 1956 empirical
+    * Bayes; the method-of-moments beta prior of Morris 1983 practice) —
+    * the "is this small-sample rate real?" tool every per-key conversion/
+    * success readout needs: a key with 1/2 successes should NOT outrank
+    * one with 480/1000. Fits Beta(α, β) to the observed per-key rates by
+    * moments (m, v over keys → ν = m(1−m)/v − 1, α = mν, β = (1−m)ν) and
+    * reports each key's posterior mean (α + x)/(α + β + n) — raw rates
+    * shrink toward the corpus mean in proportion to their sample size.
+    *
+    * Determinism: per-key rates are ONE double division of exact longs
+    * quantized to 1e-9 before the moment sums (exact DECIMAL(38,0) — a
+    * raw double SUM over keys would be partition-order-dependent); m, v,
+    * ν, α, β are a FIXED chain of single IEEE ops from those exact sums,
+    * replayed verbatim by the oracle; each key's posterior is one more
+    * division, 6-dp rounded. Degenerate priors — fewer than 2 keys,
+    * zero rate variance (ν → ∞), or v ≥ m(1−m) (no valid beta, ν ≤ 0) —
+    * yield NULL `rate_eb` rather than a fabricated shrinkage.
+    *
+    * Scale shape: one partial agg to per-key counts, one 1-row moment
+    * aggregate broadcast back — the key table never reshuffles. */
+  def ebRateShrinkage(
+      df: DataFrame,
+      keyCols: Seq[String],
+      successCol: String,
+      dp: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val keys = keyCols.map(col)
+    val per = df.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as("x"))
+      .withColumn("__pq",
+        floor(col("x").cast("double") / col("n").cast("double") * 1e9 + 0.5)
+          .cast("long"))
+    val mom = per.agg(
+      count(lit(1)).as("__k"),
+      sum(dec(col("__pq"))).as("__sp"),
+      sum(dec(col("__pq")) * dec(col("__pq"))).as("__spp"))
+    val kD = col("__k").cast("double")
+    val m = col("__sp").cast("double") / kD / 1e9
+    val vNum = dec(col("__k")) * col("__spp") - col("__sp") * col("__sp")
+    val v = vNum.cast("double") /
+      (dec(col("__k")) * (dec(col("__k")) - 1)).cast("double") / 1e18
+    val nu = m * (lit(1.0) - m) / v - lit(1.0)
+    // zero-denominator divisions must stay INSIDE when-branches: ANSI
+    // throws on double division by zero, so the validity test is the
+    // exact-decimal vNum > 0 (⟺ v > 0 once k > 1), never v itself
+    val valid = col("__k") > 1 && vNum > 0
+    val model = mom.select(
+      col("__k"),
+      when(valid, when(nu > 0, m * nu)).as("__alpha"),
+      when(valid, when(nu > 0, (lit(1.0) - m) * nu)).as("__beta"))
+    val eb = (col("__alpha") + col("x").cast("double")) /
+      (col("__alpha") + col("__beta") + col("n").cast("double"))
+    per.crossJoin(broadcast(model))
+      .select(keys ++ Seq(
+        col("n"), col("x"),
+        round(col("x").cast("double") / col("n").cast("double"), dp)
+          .as("rate_raw"),
+        when(col("__alpha").isNotNull, round(eb, dp)).as("rate_eb")): _*)
+  }
+
   /** Instrumental-variables causal effect — the Wald estimator (Wald 1940;
     * the closed form of single-instrument two-stage least squares, read as
     * the LATE by Angrist, Imbens & Rubin 1996). Completes the causal family

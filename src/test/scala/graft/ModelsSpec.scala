@@ -549,6 +549,37 @@ class ModelsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Models.scaleColumn(df, "v", "mad") }
   }
 
+  test("ebRateShrinkage: hand beta-prior fit, shrinkage direction, degenerate NULL") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // rates 0.9 / 0.1 / 0.5 over n=10 each: m=0.5, v=0.16, nu=0.5625,
+    // alpha = beta = 0.28125
+    val rows =
+      Seq.fill(9)(("a", true)) ++ Seq.fill(1)(("a", false)) ++
+        Seq.fill(1)(("b", true)) ++ Seq.fill(9)(("b", false)) ++
+        Seq.fill(5)(("c", true)) ++ Seq.fill(5)(("c", false))
+    val out = Models.ebRateShrinkage(
+      rows.toDF("k", "s").repartition(4), Seq("k"), "s")
+      .orderBy("k").collect()
+    val alpha = 0.28125
+    assert(out(0).getAs[Double]("rate_raw") == 0.9)
+    assert(out(0).getAs[Double]("rate_eb") == r6((alpha + 9.0) / (2 * alpha + 10.0)))
+    assert(out(1).getAs[Double]("rate_eb") == r6((alpha + 1.0) / (2 * alpha + 10.0)))
+    assert(out(2).getAs[Double]("rate_eb") == 0.5)
+    // shrinkage moves both extremes toward the corpus mean
+    assert(out(0).getAs[Double]("rate_eb") < 0.9)
+    assert(out(1).getAs[Double]("rate_eb") > 0.1)
+    // a lone key has no prior to fit
+    val solo = Models.ebRateShrinkage(
+      Seq(("a", true), ("a", false)).toDF("k", "s"), Seq("k"), "s").head
+    assert(solo.isNullAt(solo.fieldIndex("rate_eb")))
+    assert(solo.getAs[Double]("rate_raw") == 0.5)
+    // zero variance across keys: nu unbounded, no finite prior
+    val flat = Models.ebRateShrinkage(
+      Seq(("a", true), ("a", false), ("b", true), ("b", false))
+        .toDF("k", "s"), Seq("k"), "s").orderBy("k").collect()
+    assert(flat.forall(_.isNullAt(flat.head.fieldIndex("rate_eb"))))
+  }
+
   test("ivWald: hand Wald ratio, degenerate instrument guards, null drop") {
     // n=4, Σz=2, Σx=10, Σy=26, Σz²=2, Σzx=7, Σzy=20:
     // var(z)=4, cov(z,x)=8, cov(z,y)=28 → first stage 2, reduced form 7,
