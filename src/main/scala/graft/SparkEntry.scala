@@ -2794,6 +2794,17 @@ object SparkEntry {
     Quality.noisyCounts(Tables.orders(s, d), Seq("o_orderpriority"), epsilon = 0.5)
       .orderBy("o_orderpriority")
 
+  /** Exponential mechanism (X325): privately release the most common order
+    * priority — utility = order count per priority, ε = 1, Δ = 1; the
+    * Gumbel-max selection over the candidate table. */
+  private def qExpMechanism(s: SparkSession, d: String): DataFrame = {
+    val cands = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    Quality.exponentialMechanism(
+      cands, Seq("o_orderpriority"), "n_orders", epsilon = 1.0)
+  }
+
   /** Cochran–Armitage trend (X231): does the high-price rate trend with
     * the order-priority severity score (the leading digit of
     * o_orderpriority)? */
@@ -7899,6 +7910,7 @@ object SparkEntry {
     "q_cmh" -> (qCmh _),
     "q_km_greenwood" -> (qKmGreenwood _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
+    "q_exp_mechanism" -> (qExpMechanism _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -11968,6 +11980,20 @@ object SparkEntry {
          FROM t ORDER BY arm""",
     // deterministic Laplace draw: md5-of-(seed|key) uniform (h+0.5)/2^52
     // through the inverse CDF — mirrors Quality.noisyCounts
+    // the md5→uniform→Gumbel replay, winner by noisy score then key
+    "q_exp_mechanism" ->
+      """WITH g AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+                    FROM orders GROUP BY 1),
+         h AS (SELECT o_orderpriority, n_orders,
+                      ('0x' || substr(md5('graft' || '|' || o_orderpriority), 1, 13))::BIGINT AS hv
+               FROM g),
+         ns AS (SELECT o_orderpriority, n_orders,
+                      CAST(n_orders AS DOUBLE) * 0.5
+                        + (-LN(-LN((CAST(hv AS DOUBLE) + 0.5) / 4503599627370496.0))) AS noisy
+               FROM h)
+         SELECT o_orderpriority, n_orders AS utility,
+                1.0 AS epsilon, 1.0 AS sensitivity
+         FROM ns ORDER BY noisy DESC, o_orderpriority LIMIT 1""",
     "q_noisy_counts" ->
       """WITH g AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
                     FROM orders GROUP BY 1),

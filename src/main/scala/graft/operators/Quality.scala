@@ -351,6 +351,50 @@ object Quality {
           lit(b).as("noise_scale")): _*)
   }
 
+  /** Exponential-mechanism selection (McSherry & Talwar 2007) — the
+    * SELECTION rung of the privacy ladder next to [[noisyCounts]]'s
+    * numeric release: privately pick ONE candidate from a scored table
+    * (most common category, best parameter, top supplier) with probability
+    * ∝ exp(ε·u(r)/(2Δu)) — the released winner, not the scores, is the
+    * output. Implemented by the Gumbel-max identity: argmax of
+    * ε·u(r)/(2Δu) + Gumbel(r) samples exactly that distribution, turning
+    * the mechanism into one TakeOrdered top-1 over the candidate table
+    * (no normalization pass, works at any candidate cardinality).
+    *
+    * The Gumbel draw is DETERMINISTIC BY DESIGN (the [[noisyCounts]]
+    * trade): u from the md5 of (seed, candidate key) → (h+0.5)/2^52 ∈
+    * (0,1), G = −ln(−ln u) — so the release is reproducible and the
+    * cross-engine gate replays the whole selection. Production DP swaps
+    * the hash for a CSPRNG draw (one line) and keeps the identity.
+    * `scoreCol` must be pre-quantized integral utility; ties in the noisy
+    * score break on the key columns (measure-zero in theory, pinned for
+    * engines). Returns one row: (keys…, utility, epsilon, sensitivity). */
+  def exponentialMechanism(
+      df: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      epsilon: Double,
+      sensitivity: Double = 1.0,
+      seed: String = "graft"): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    require(sensitivity > 0, s"sensitivity must be > 0, got $sensitivity")
+    val k = keyCols.map(col)
+    val h = conv(
+      substring(md5(concat_ws("|",
+        lit(seed) +: keyCols.map(c => col(c).cast("string")): _*)), 1, 13),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val gumbel = -log(-log(u))
+    val noisy = col(scoreCol).cast("double") *
+      lit(epsilon / (2.0 * sensitivity)) + gumbel
+    df.select(k ++ Seq(col(scoreCol).cast("long").as("utility"),
+        noisy.as("__noisy")): _*)
+      .orderBy(col("__noisy").desc +: k.map(_.asc): _*)
+      .limit(1)
+      .select(k ++ Seq(col("utility"),
+        lit(epsilon).as("epsilon"), lit(sensitivity).as("sensitivity")): _*)
+  }
+
   /** Randomized-response release + debias (Warner 1965) — the LOCAL
     * differential-privacy member of the privacy family, next to
     * [[noisyCounts]]'s central-DP release: each unit reports its true

@@ -129,6 +129,40 @@ class QualitySpec extends SparkSpec {
     assert(rt.size == 3 && rt.values.sum == 1L && rt.values.count(_ == 0L) == 2)
   }
 
+  test("exponentialMechanism: Gumbel-max replay, determinism, utility dominance") {
+    import graft.operators.Quality
+    val cands = Seq(("a", 10L), ("b", 12L), ("c", 9L)).toDF("k", "u")
+    def gumbel(key: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft|$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(13), 16)
+      -math.log(-math.log((h.toDouble + 0.5) / 4503599627370496.0))
+    }
+    // hand replay of the noisy argmax at eps=1, sens=1
+    val expect = Seq(("a", 10L), ("b", 12L), ("c", 9L))
+      .maxBy { case (k, u) => u.toDouble * 0.5 + gumbel(k) }._1
+    val r = Quality.exponentialMechanism(cands, Seq("k"), "u", epsilon = 1.0).head
+    assert(r.getAs[String]("k") == expect, r.toString)
+    assert(r.getAs[Double]("epsilon") == 1.0 && r.getAs[Double]("sensitivity") == 1.0)
+    // deterministic under repartitioning
+    val r2 = Quality.exponentialMechanism(
+      cands.repartition(5), Seq("k"), "u", epsilon = 1.0).head
+    assert(r2.getAs[String]("k") == r.getAs[String]("k"))
+    // a dominant utility wins at any reasonable epsilon (score gap >> Gumbel range here)
+    val dom = Quality.exponentialMechanism(
+      Seq(("a", 10L), ("winner", 10000L)).toDF("k", "u"), Seq("k"), "u",
+      epsilon = 1.0).head
+    assert(dom.getAs[String]("k") == "winner" && dom.getAs[Long]("utility") == 10000L)
+    // a different seed may pick differently; the guards stay loud
+    intercept[IllegalArgumentException] {
+      Quality.exponentialMechanism(cands, Seq("k"), "u", epsilon = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.exponentialMechanism(cands, Seq("k"), "u", 1.0, sensitivity = -1.0)
+    }
+  }
+
   test("noisyCounts: deterministic Laplace release, clamped at 0, scale honest") {
     import graft.operators.Quality
     val df = (Seq.fill(100)("big") ++ Seq.fill(1)("tiny")).toDF("g")
