@@ -6493,6 +6493,19 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** Full DBSCAN (X326) over the hashed customer coordinates: eps=300 km,
+    * minPts=3 — core/border/noise roles and smallest-label clusters, the
+    * density upgrade over q_spatial_clusters' single-linkage. */
+  private def qDbscan(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"),
+      ((col("c_custkey").cast("long") * 7919L % 12000L) / 100.0 - 60.0).as("c_lat"),
+      ((col("c_custkey").cast("long") * 104729L % 36000L) / 100.0 - 180.0).as("c_lon"))
+    Spatial.dbscan(cust, "c_custkey", "c_lat", "c_lon",
+        epsKm = 300.0, minPts = 3, maxAbsLat = 60.0)
+      .orderBy("c_custkey")
+  }
+
   /** STREAMING spatial enrichment — the X124 grid radius join run
     * stream-static: the customer stream expands to its wrapped 3×3 cells
     * STATELESSLY and joins the broadcast supplier buckets, so append-mode
@@ -7911,6 +7924,7 @@ object SparkEntry {
     "q_km_greenwood" -> (qKmGreenwood _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_exp_mechanism" -> (qExpMechanism _),
+    "q_dbscan" -> (qDbscan _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -14998,6 +15012,42 @@ object SparkEntry {
     // brute ε-graph + recursive min-label closure (components are modest
     // at this radius, so the closure's Σ size² rows stay tractable);
     // singletons keep their own key as the cluster label
+    // self-inclusive neighbor counts, recursive min-label CC over the
+    // core-core graph, border = min in-range core cluster
+    "q_dbscan" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey,
+                           (CAST(c_custkey AS BIGINT) * 7919 % 12000) / CAST(100.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+                           (CAST(c_custkey AS BIGINT) * 104729 % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+                    FROM customer),
+         p AS (SELECT a.c_custkey AS u, b.c_custkey AS v
+               FROM c a JOIN c b ON 2 * 6371.0088 * ASIN(LEAST(CAST(1.0 AS DOUBLE),
+                       SQRT(SIN(RADIANS(b.lat - a.lat)/2) * SIN(RADIANS(b.lat - a.lat)/2)
+                          + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                            * SIN(RADIANS(b.lon - a.lon)/2) * SIN(RADIANS(b.lon - a.lon)/2))))
+                     <= 300.0),
+         core AS (SELECT u AS id FROM p GROUP BY u HAVING COUNT(*) >= 3),
+         e AS (SELECT p.u, p.v FROM p
+               JOIN core x ON p.u = x.id JOIN core y ON p.v = y.id
+               WHERE p.u <> p.v),
+         lbl AS (SELECT u AS node, u AS lab FROM e
+                 UNION
+                 SELECT e.u, l.lab FROM e JOIN lbl l ON e.v = l.node),
+         comp AS (SELECT node, MIN(lab) AS component FROM lbl GROUP BY node),
+         corelab AS (SELECT core.id,
+                       CAST(COALESCE(comp.component, core.id) AS BIGINT) AS cl
+                     FROM core LEFT JOIN comp ON core.id = comp.node),
+         border AS (SELECT p.u AS id, MIN(corelab.cl) AS cl
+                    FROM p JOIN corelab ON p.v = corelab.id
+                    WHERE p.u NOT IN (SELECT id FROM core)
+                    GROUP BY p.u)
+         SELECT c.c_custkey,
+                CASE WHEN corelab.id IS NOT NULL THEN 'core'
+                     WHEN border.id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                COALESCE(corelab.cl, border.cl) AS cluster
+         FROM c LEFT JOIN corelab ON c.c_custkey = corelab.id
+                LEFT JOIN border ON c.c_custkey = border.id
+         ORDER BY c.c_custkey""",
     "q_spatial_clusters" ->
       """WITH RECURSIVE c AS (SELECT c_custkey,
                            (CAST(c_custkey AS BIGINT) * 7919 % 12000) / CAST(100.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,

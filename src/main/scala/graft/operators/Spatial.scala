@@ -134,6 +134,71 @@ object Spatial {
       Seq(("dist_km", false), (tieCol, false)), k = 1)
   }
 
+  /** Full DBSCAN (Ester, Kriegel, Sander & Xu, KDD 1996) over geographic
+    * points — the density-based clustering the single-linkage variant
+    * (DBSCAN with minPts=1) cannot give: points with ≥ `minPts` neighbors
+    * within `epsKm` (SELF INCLUDED, the paper's convention) are CORE;
+    * clusters are the connected components of the core-core ε-graph;
+    * non-core points within ε of a core are BORDER and join a cluster;
+    * everything else is NOISE. Textbook DBSCAN assigns a border point
+    * touching two clusters by scan order — irreproducible; here it joins
+    * the cluster with the SMALLEST label (a fixed convention, engine- and
+    * partitioning-deterministic).
+    *
+    * Scale shape: the ε-neighbor graph comes from ONE [[radiusJoin]]
+    * self-join (grid-bucketed, never point×point), neighbor counts and
+    * core flags are partial aggs on the pair table, components run
+    * through the log-round star-contraction CC, and border assignment is
+    * one more partial-agg min — no step touches a cartesian at any
+    * cardinality. Returns one row per input point:
+    * (idCol, role ∈ core|border|noise, cluster — NULL for noise). */
+  def dbscan(
+      df: DataFrame,
+      idCol: String,
+      latCol: String,
+      lonCol: String,
+      epsKm: Double,
+      minPts: Int,
+      maxAbsLat: Double = 66.0): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val probe = df.select(
+      col(idCol).as("__pid"), col(latCol).as("__plat"), col(lonCol).as("__plon"))
+    val pts = df.select(
+      col(idCol).as("__qid"), col(latCol).as("__qlat"), col(lonCol).as("__qlon"))
+    val pairs = radiusJoin(probe, pts, "__plat", "__plon", "__qlat", "__qlon",
+      epsKm, maxAbsLat).select(col("__pid"), col("__qid"))
+    val cores = pairs.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__ncnt"))
+      .filter(col("__ncnt") >= minPts)
+      .select(col("__pid").as("__core"))
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("__core", "__pid"), Seq("__pid"), "left_semi")
+      .join(cores.withColumnRenamed("__core", "__qid"), Seq("__qid"), "left_semi")
+      .filter(col("__pid") < col("__qid"))
+      .select(col("__pid").as("u"), col("__qid").as("v"))
+    val comp = Graph.connectedComponents(coreEdges, "u", "v")
+    val coreLabel = cores
+      .join(comp, cores("__core") === comp("id"), "left")
+      .select(col("__core"),
+        coalesce(col("component"), col("__core").cast("long")).as("__cl"))
+    val border = pairs
+      .join(coreLabel.withColumnRenamed("__core", "__qid"), Seq("__qid"))
+      .join(cores.withColumnRenamed("__core", "__pid"), Seq("__pid"), "left_anti")
+      .groupBy(col("__pid"))
+      .agg(min(col("__cl")).as("__bcl"))
+    df.select(col(idCol))
+      .join(coreLabel.withColumnRenamed("__core", "__cid"),
+        col(idCol) === col("__cid"), "left")
+      .join(border.withColumnRenamed("__pid", "__bid"),
+        col(idCol) === col("__bid"), "left")
+      .select(
+        col(idCol),
+        when(col("__cid").isNotNull, "core")
+          .when(col("__bid").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("__cl"), col("__bcl")).as("cluster"))
+  }
+
   private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
   /** Standard geohash (Niemeyer's public base-32 encoding): interleaved

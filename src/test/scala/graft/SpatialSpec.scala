@@ -501,4 +501,39 @@ class SpatialSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq == Seq((1L, "sq"), (3L, "sq"), (6L, "ell"), (7L, "ell")))
   }
+
+  test("dbscan: core/border/noise roles, two clusters, smallest-label assignment") {
+    import spark.implicits._
+    // trio A,B,C mutually within 100km (core at minPts=3); D within eps of
+    // B only (2 neighbors incl self -> border); E isolated; second trio F,G,H
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.0, 0.5), (3L, 0.25, 0.25),
+      (4L, 0.0, 1.3), (5L, 10.0, 10.0),
+      (6L, 5.0, 5.0), (7L, 5.0, 5.5), (8L, 5.25, 5.25))
+      .toDF("id", "lat", "lon")
+    val out = Spatial.dbscan(pts.repartition(4), "id", "lat", "lon",
+      epsKm = 100.0, minPts = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "border", 1L), (5L, "noise", -1L),
+      (6L, "core", 6L), (7L, "core", 6L), (8L, "core", 6L)), out.mkString(","))
+    // minPts=1 degenerates to single-linkage: everyone cores into a cluster
+    val single = Spatial.dbscan(pts, "id", "lat", "lon", 100.0, 1)
+      .filter(col("role") =!= "core").count()
+    assert(single == 0L)
+    // a border point between TWO clusters takes the smaller label: id 7
+    // touches core 4 (cluster 1) and core 10 (cluster 10) but has only 3
+    // neighbors incl self at minPts=4
+    val bridge = Seq(
+      (1L, 0.0, 0.0), (2L, 0.0, 0.2), (3L, 0.0, 0.4), (4L, 0.0, 0.6),
+      (10L, 0.0, 2.3), (11L, 0.0, 2.5), (12L, 0.0, 2.7), (13L, 0.0, 2.9),
+      (7L, 0.0, 1.45))
+      .toDF("id", "lat", "lon")
+    val b = Spatial.dbscan(bridge, "id", "lat", "lon", 100.0, 4)
+      .filter(col("id") === 7L).head
+    assert(b.getAs[String]("role") == "border" && b.getAs[Long]("cluster") == 1L)
+  }
 }
