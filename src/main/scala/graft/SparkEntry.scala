@@ -3282,6 +3282,13 @@ object SparkEntry {
       "value")
   }
 
+  /** AMS F2 sketch (X327): estimate lineitem's self-join size on
+    * l_partkey with 64 tug-of-war estimators, exact F2 and relative
+    * error beside it — the audit of the sketch itself. */
+  private def qAmsF2(s: SparkSession, d: String): DataFrame =
+    Sketches.amsF2(
+      Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey", k = 64)
+
   /** Cliff's delta + Vargha–Delaney Â (X318) between click and purchase
     * event values — the ordinal effect size beside the q_mann_whitney
     * verdict on the same two samples. */
@@ -7925,6 +7932,7 @@ object SparkEntry {
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_exp_mechanism" -> (qExpMechanism _),
     "q_dbscan" -> (qDbscan _),
+    "q_ams_f2" -> (qAmsF2 _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -16616,6 +16624,27 @@ object SparkEntry {
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rnk""",
     // per-unit S²/k terms quantized to 1e-2 (decimal sums) feed BOTH sums of
     // squares; the ANOVA chain is one fixed double sequence
+    // the md5-sign tug-of-war replay: per-estimator exact HUGEINT sums,
+    // one division for the average
+    "q_ams_f2" ->
+      """WITH h AS (SELECT CAST(l_partkey AS VARCHAR) AS v,
+                CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         ex AS (SELECT COALESCE(SUM(c), 0) AS n, CAST(COUNT(*) AS BIGINT) AS d,
+                COALESCE(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)),
+                  CAST(0 AS HUGEINT)) AS f2 FROM h),
+         pe AS (SELECT i, SUM(CAST(CASE WHEN
+                  ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || v), 1, 13))::BIGINT
+                    % 2 = 0 THEN c ELSE -c END AS HUGEINT)) AS s
+               FROM h, (SELECT UNNEST(RANGE(0, 64)) AS i) GROUP BY 1),
+         ea AS (SELECT COALESCE(SUM(s * s), CAST(0 AS HUGEINT)) AS ss FROM pe)
+         SELECT CAST(n AS BIGINT) AS n, d AS n_distinct,
+                ROUND(CAST(f2 AS DOUBLE), 6) AS f2_exact,
+                ROUND(CAST(ss AS DOUBLE) / 64.0, 6) AS f2_est,
+                CASE WHEN f2 > 0 THEN
+                  ROUND(ABS(CAST(ss AS DOUBLE) / 64.0 - CAST(f2 AS DOUBLE))
+                    / CAST(f2 AS DOUBLE), 6) END AS rel_err
+         FROM ex, ea""",
     // per-key rate quantized 1e-9 before exact moment sums; the beta-prior
     // fit is a fixed IEEE chain replayed verbatim
     "q_eb_shrinkage" ->

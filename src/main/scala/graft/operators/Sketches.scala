@@ -2988,6 +2988,55 @@ object Sketches {
           .as("or_mh"))
   }
 
+  /** AMS tug-of-war F₂ sketch (Alon, Matias & Szegedy, STOC 1996) — the
+    * SECOND-frequency-moment estimator completing the sketch family (HLL
+    * counts distinct = F₀, CMS points, KLL quantiles, Misra–Gries heavy
+    * hitters; F₂ = Σf²ₓ is the SELF-JOIN SIZE, the quantity the X146 CMS
+    * join advisor and every skew planner actually want): k independent
+    * estimators Sᵢ = Σₓ signᵢ(x)·fₓ with 4-universal-style ±1 signs, each
+    * Sᵢ² unbiased for F₂, averaged. The exact F₂ and the relative error
+    * ship beside the estimate — this gate IS the "how wrong is the sketch"
+    * audit.
+    *
+    * Signs are DETERMINISTIC BY DESIGN (md5(i|x) low bit — the noisyCounts
+    * trade, reproducible and cross-engine replayable; production swaps a
+    * seeded 4-wise hash family, same shape). Fully relational and exact:
+    * one partial agg to the value histogram, estimator fan-out k on the
+    * HISTOGRAM (never the rows), per-estimator sums exact DECIMAL(38,0),
+    * the average ONE double division rounded 6 dp. The k·distinct fan-out
+    * is the declared knob — k is a constant (default 64), so the sketch
+    * pass stays linear in distinct values at any corpus size. */
+  def amsF2(df: DataFrame, valueCol: String, k: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val exact = hist.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      count(lit(1)).as("__d"),
+      coalesce(sum(dec(col("__c")) * dec(col("__c"))),
+        lit(0).cast("decimal(38,0)")).as("__f2"))
+    val sign = when(
+      conv(substring(md5(concat_ws("|", col("__i").cast("string"), col("__v"))),
+        1, 13), 16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val perEst = hist
+      .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy(col("__i"))
+      .agg(sum(dec(sign * col("__c"))).as("__s"))
+    val estAgg = perEst.agg(
+      coalesce(sum(col("__s") * col("__s")), lit(0).cast("decimal(38,0)"))
+        .as("__ss"))
+    val f2e = col("__f2").cast("double")
+    val est = col("__ss").cast("double") / lit(k.toDouble)
+    exact.crossJoin(broadcast(estAgg)).select(
+      col("__n").as("n"),
+      col("__d").as("n_distinct"),
+      round(f2e, 6).as("f2_exact"),
+      round(est, 6).as("f2_est"),
+      when(col("__f2") > 0, round(abs(est - f2e) / f2e, 6)).as("rel_err"))
+  }
+
   /** Cochran–Mantel–Haenszel χ² test (Cochran 1954; Mantel & Haenszel
     * 1959) — the INFERENCE layer over [[mantelHaenszel]]'s pooled-OR
     * estimate on the same stratified 2×2 layout: "is the exposure–outcome

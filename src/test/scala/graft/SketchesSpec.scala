@@ -1639,6 +1639,33 @@ class SketchesSpec extends SparkSpec {
     assert(badw.isNullAt(badw.fieldIndex("chi2")))
   }
 
+  test("amsF2: hand sign replay, exact F2 audit, partition invariance") {
+    import graft.operators.Sketches
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sign(i: Int, v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(md.take(13), 16) % 2 == 0) 1L else -1L
+    }
+    // a x3, b x4: F2 = 9 + 16 = 25
+    val df = (Seq.fill(3)("a") ++ Seq.fill(4)("b")).toDF("v")
+    val r = Sketches.amsF2(df.repartition(4), "v", k = 8).head
+    assert(r.getAs[Long]("n") == 7L && r.getAs[Long]("n_distinct") == 2L)
+    assert(r.getAs[Double]("f2_exact") == 25.0)
+    val estExp = (0 until 8).map { i =>
+      val s = sign(i, "a") * 3 + sign(i, "b") * 4
+      (s * s).toDouble
+    }.sum / 8.0
+    assert(r.getAs[Double]("f2_est") == r6(estExp), r.toString)
+    assert(r.getAs[Double]("rel_err") == r6(math.abs(estExp - 25.0) / 25.0))
+    // partition invariance: exact integer sums, same estimate any layout
+    val r2 = Sketches.amsF2(df.repartition(1), "v", k = 8).head
+    assert(r2.getAs[Double]("f2_est") == r.getAs[Double]("f2_est"))
+    // a single heavy value is estimated EXACTLY (S_i = ±f, S² = f²)
+    val solo = Sketches.amsF2(Seq.fill(5)("x").toDF("v"), "v", k = 4).head
+    assert(solo.getAs[Double]("f2_est") == 25.0 && solo.getAs[Double]("rel_err") == 0.0)
+  }
+
   test("cmhTest: hand single-stratum chi2, degenerate strata contribute nothing") {
     import graft.operators.Sketches
     def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
