@@ -6181,6 +6181,28 @@ object SparkEntry {
         col("m.data_bytes").as("data_bytes"))
       .orderBy("doc_id")
 
+  /** WebP + TIFF round trip (T74): build REAL VP8X canvas headers and
+    * minimal TIFFs (alternating endianness) in-plan from per-doc
+    * deterministic dimensions, then introspect both back header-only —
+    * the oracle recomputes the expected fields directly, so the builders'
+    * layouts AND the RIFF/IFD walks sit under the hash. */
+  private def qTiffWebp(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        image_meta(webp_bytes(
+          (col("doc_id") % 4096 + 1).cast("int"),
+          (col("doc_id") % 3000 + 1).cast("int"))).as("w"),
+        image_meta(tiff_bytes(
+          (col("doc_id") % 5000).cast("int"),
+          (col("doc_id") % 7001).cast("int"),
+          col("doc_id") % 2 === 0)).as("t"))
+      .select(col("doc_id"),
+        col("w.format").as("webp_format"),
+        col("w.width").as("webp_width"), col("w.height").as("webp_height"),
+        col("t.format").as("tiff_format"),
+        col("t.width").as("tiff_width"), col("t.height").as("tiff_height"))
+      .orderBy("doc_id")
+
   /** Nearest supplier within 800 km per customer — the catchment
     * assignment: grid radius join shrunk to one winner per customer on the
     * native top-1 path (distance asc, suppkey tiebreak; haversine doubles
@@ -7933,6 +7955,7 @@ object SparkEntry {
     "q_exp_mechanism" -> (qExpMechanism _),
     "q_dbscan" -> (qDbscan _),
     "q_ams_f2" -> (qAmsF2 _),
+    "q_tiff_webp" -> (qTiffWebp _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_mcc" -> (qMcc _),
     "q_mcc_stream" -> (qMccStream _),
@@ -11291,6 +11314,17 @@ object SparkEntry {
       """SELECT doc_id, text AS text_fixed FROM documents ORDER BY doc_id""",
     "q_image_meta" ->
       """SELECT doc_id, 'unknown' AS format, -1 AS width, -1 AS height
+         FROM documents ORDER BY doc_id""",
+    // expected fields recomputed from first principles — builder layout
+    // and parser walk both under the hash
+    "q_tiff_webp" ->
+      """SELECT doc_id,
+                'webp' AS webp_format,
+                CAST(doc_id % 4096 + 1 AS INT) AS webp_width,
+                CAST(doc_id % 3000 + 1 AS INT) AS webp_height,
+                'tiff' AS tiff_format,
+                CAST(doc_id % 5000 AS INT) AS tiff_width,
+                CAST(doc_id % 7001 AS INT) AS tiff_height
          FROM documents ORDER BY doc_id""",
     "q_flatten_structs" ->
       """SELECT o_orderkey, o_orderstatus AS info_status,

@@ -21,6 +21,8 @@ object MediaOps {
   final val FormatJpeg = 2
   final val FormatGif = 3
   final val FormatBmp = 4
+  final val FormatWebp = 5
+  final val FormatTiff = 6
 
   /** `[format, width, height]` from the payload header; `[0, -1, -1]` when
     * no known signature matches or the header is truncated/corrupt. One
@@ -61,6 +63,59 @@ object MediaOps {
       if (dibSize == 12) return (FormatBmp, le16(b, 18), le16(b, 20))
       return (FormatUnknown, -1, -1)
     }
+    // WebP (RIFF container, Google's public spec): 'RIFF' <size> 'WEBP',
+    // then the first chunk decides the flavor — VP8X extended (24-bit
+    // canvas−1 fields), 'VP8 ' lossy (9D 01 2A start code, 14-bit LE
+    // dims) or VP8L lossless (0x2F signature, 14-bit packed dims)
+    if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      def le24(i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X' &&
+        b.length >= 30)
+        return (FormatWebp, 1 + le24(24), 1 + le24(27))
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ' &&
+        b.length >= 30 && u8(b, 23) == 0x9d && u8(b, 24) == 0x01 &&
+        u8(b, 25) == 0x2a)
+        return (FormatWebp, le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L' &&
+        b.length >= 25 && u8(b, 20) == 0x2f) {
+        val bits = le32(b, 21)
+        return (FormatWebp, 1 + (bits & 0x3fff), 1 + ((bits >> 14) & 0x3fff))
+      }
+      return (FormatUnknown, -1, -1)
+    }
+    // TIFF (TIFF 6.0 spec): 'II'/'MM' byte order + magic 42 + first IFD
+    // offset; dimensions are IFD tags 256/257 (SHORT or LONG, honoring
+    // the declared endianness and the SHORT left-justified value rule)
+    if (b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))) {
+      val bigE = b(0) == 'M'
+      def r16(i: Int): Int = if (bigE) be16(b, i) else le16(b, i)
+      def r32(i: Int): Int = if (bigE) be32(b, i) else le32(b, i)
+      if (r16(2) != 42) return (FormatUnknown, -1, -1)
+      val ifd = r32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return (FormatUnknown, -1, -1)
+      val nEntries = r16(ifd)
+      if (ifd + 2 + 12 * nEntries > b.length) return (FormatUnknown, -1, -1)
+      var w = -1; var h = -1
+      var e = 0
+      while (e < nEntries) {
+        val off = ifd + 2 + 12 * e
+        val tag = r16(off)
+        val typ = r16(off + 2)
+        // SHORT (3) is left-justified in the 4-byte value field; LONG (4)
+        // fills it
+        val v =
+          if (typ == 3) r16(off + 8)
+          else if (typ == 4) r32(off + 8)
+          else -1
+        if (tag == 256) w = v
+        if (tag == 257) h = v
+        e += 1
+      }
+      if (w >= 0 && h >= 0) return (FormatTiff, w, h)
+      return (FormatUnknown, -1, -1)
+    }
     // JPEG: FF D8, then marker segments; dimensions live in the first SOFn
     // (C0..CF excluding C4/C8/CC) — skip everything else by its BE length
     if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
@@ -85,6 +140,54 @@ object MediaOps {
       return (FormatUnknown, -1, -1)
     }
     (FormatUnknown, -1, -1)
+  }
+
+  /** Build a canonical extended-WebP (VP8X) container header per Google's
+    * public WebP spec: `RIFF <size> WEBP VP8X <10-byte canvas header>`
+    * with the 24-bit little-endian width−1/height−1 canvas fields — a
+    * real RIFF layout the [[imageMeta]] walk round-trips (a canvas header
+    * without coded frame chunks; the introspection surface is the point,
+    * as with the WAV twin). Dimensions must be in [1, 2^24]. */
+  def webpBytes(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= (1 << 24),
+      s"webp width must be in [1, 2^24], got $width")
+    require(height >= 1 && height <= (1 << 24),
+      s"webp height must be in [1, 2^24], got $height")
+    val out = new java.io.ByteArrayOutputStream(30)
+    def le24(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff)
+    }
+    def le32(v: Int): Unit = { le24(v); out.write((v >> 24) & 0xff) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    tag("RIFF"); le32(22); tag("WEBP")
+    tag("VP8X"); le32(10)
+    out.write(0); out.write(0); out.write(0); out.write(0) // flags + reserved
+    le24(width - 1); le24(height - 1)
+    out.toByteArray
+  }
+
+  /** Build a minimal valid TIFF (TIFF 6.0): byte-order mark (II or MM),
+    * magic 42, one IFD with LONG ImageWidth (256) / ImageLength (257)
+    * entries — 38 real bytes honoring the declared endianness, which
+    * [[imageMeta]]'s IFD walk round-trips. */
+  def tiffBytes(width: Int, height: Int, bigEndian: Boolean): Array[Byte] = {
+    require(width >= 0 && height >= 0,
+      s"tiff dims must be >= 0, got ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream(38)
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { w16((v >> 16) & 0xffff); w16(v & 0xffff) }
+      else { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    if (bigEndian) { out.write('M'); out.write('M') }
+    else { out.write('I'); out.write('I') }
+    w16(42); w32(8)
+    w16(2) // two IFD entries
+    w16(256); w16(4); w32(1); w32(width)
+    w16(257); w16(4); w32(1); w32(height)
+    w32(0) // no next IFD
+    out.toByteArray
   }
 
   /** Build a canonical PCM RIFF/WAVE container around `data` — the

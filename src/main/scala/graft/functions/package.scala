@@ -47,10 +47,26 @@ package object functions {
         .when(fmt === MediaOps.FormatJpeg, "jpeg")
         .when(fmt === MediaOps.FormatGif, "gif")
         .when(fmt === MediaOps.FormatBmp, "bmp")
+        .when(fmt === MediaOps.FormatWebp, "webp")
+        .when(fmt === MediaOps.FormatTiff, "tiff")
         .otherwise("unknown").as("format"),
       element_at(raw, 2).as("width"),
       element_at(raw, 3).as("height"))
   }
+
+  /** Build a real extended-WebP (VP8X) RIFF container header with the
+    * given canvas dimensions — the in-plan construction side of
+    * [[image_meta]]'s WebP parse. */
+  def webp_bytes(width: Column, height: Column): Column =
+    invokeOn(MediaOps.getClass, "webpBytes", BinaryType,
+      Seq(width.cast("int"), height.cast("int")))
+
+  /** Build a minimal valid TIFF (declared endianness, LONG width/length
+    * IFD entries) — the in-plan construction side of [[image_meta]]'s
+    * TIFF IFD walk. */
+  def tiff_bytes(width: Column, height: Column, bigEndian: Column): Column =
+    invokeOn(MediaOps.getClass, "tiffBytes", BinaryType,
+      Seq(width.cast("int"), height.cast("int"), bigEndian.cast("boolean")))
 
   /** Wrap `data` in a canonical PCM RIFF/WAVE container (real bytes, per
     * the public RIFF spec) — the in-plan audio twin of [[image_meta]]'s

@@ -100,6 +100,56 @@ class MultimodalSpec extends SparkSpec {
       (8L, "unknown", -1, -1))) // unrecognized DIB header size
   }
 
+  test("webp/tiff: builder round-trips, VP8/VP8L handcrafted, endianness, rejects") {
+    import graft.functions.MediaOps
+    def meta(b: Array[Byte]): Seq[Int] = MediaOps.imageMeta(b).toIntArray().toSeq
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // VP8X builder round trip, incl. the 1x1 and 2^24 boundary canvases
+    assert(meta(MediaOps.webpBytes(640, 480)) == Seq(MediaOps.FormatWebp, 640, 480))
+    assert(meta(MediaOps.webpBytes(1, 1)) == Seq(MediaOps.FormatWebp, 1, 1))
+    assert(meta(MediaOps.webpBytes(1 << 24, 3)) == Seq(MediaOps.FormatWebp, 1 << 24, 3))
+    intercept[IllegalArgumentException] { MediaOps.webpBytes(0, 5) }
+    // handcrafted lossy 'VP8 ' key frame: 3 frame-tag bytes, 9D 01 2A,
+    // 14-bit LE dims
+    val vp8 = "RIFF".getBytes ++ le32(24) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes ++ le32(12) ++ Array[Byte](0, 0, 0) ++
+      Array[Byte](0x9d.toByte, 0x01, 0x2a) ++ le16(320) ++ le16(240) ++ le16(0)
+    assert(meta(vp8) == Seq(MediaOps.FormatWebp, 320, 240))
+    // handcrafted lossless VP8L: 0x2F signature then width-1 | height-1<<14
+    val bits = (511 - 1) | ((256 - 1) << 14)
+    val vp8l = "RIFF".getBytes ++ le32(17) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ le32(5) ++ Array[Byte](0x2f.toByte) ++ le32(bits)
+    assert(meta(vp8l) == Seq(MediaOps.FormatWebp, 511, 256))
+    // a RIFF/WEBP with an unknown first chunk is not parseable
+    val oddChunk = "RIFF".getBytes ++ le32(20) ++ "WEBP".getBytes ++
+      "ANIM".getBytes ++ le32(6) ++ Array.fill[Byte](6)(0)
+    assert(meta(oddChunk) == Seq(MediaOps.FormatUnknown, -1, -1))
+    // a WAV (RIFF/WAVE) must never sniff as WebP
+    assert(meta(MediaOps.wavBytes(1, 8000, 8, Array[Byte](1))) ==
+      Seq(MediaOps.FormatUnknown, -1, -1))
+    // TIFF builder: both endiannesses round-trip
+    assert(meta(MediaOps.tiffBytes(5000, 7000, bigEndian = false)) ==
+      Seq(MediaOps.FormatTiff, 5000, 7000))
+    assert(meta(MediaOps.tiffBytes(123, 456, bigEndian = true)) ==
+      Seq(MediaOps.FormatTiff, 123, 456))
+    // handcrafted SHORT-typed entries (left-justified value rule), LE
+    val shortTiff = "II".getBytes ++ le16(42) ++ le32(8) ++
+      le16(2) ++
+      le16(256) ++ le16(3) ++ le32(1) ++ le16(800) ++ le16(0) ++
+      le16(257) ++ le16(3) ++ le32(1) ++ le16(600) ++ le16(0) ++
+      le32(0)
+    assert(meta(shortTiff) == Seq(MediaOps.FormatTiff, 800, 600))
+    // bad magic, truncated IFD, missing dimension tags: all unknown
+    assert(meta("II".getBytes ++ le16(41) ++ le32(8)) ==
+      Seq(MediaOps.FormatUnknown, -1, -1))
+    assert(meta("II".getBytes ++ le16(42) ++ le32(8) ++ le16(9)) ==
+      Seq(MediaOps.FormatUnknown, -1, -1))
+    val noDims = "II".getBytes ++ le16(42) ++ le32(8) ++
+      le16(1) ++ le16(259) ++ le16(3) ++ le32(1) ++ le32(1) ++ le32(0)
+    assert(meta(noDims) == Seq(MediaOps.FormatUnknown, -1, -1))
+  }
+
   test("wavBytes/audioMeta round-trip, tolerate extra chunks, reject junk") {
     import graft.functions.MediaOps
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
