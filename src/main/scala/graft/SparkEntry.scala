@@ -6436,6 +6436,31 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** STREAMING Kalman twin (S51): daily exact-cent sums in the state store
+    * (complete mode), the recursive local-level filter folding in batch
+    * off the sink — integer state ⇒ the sink equals the batch daily table
+    * exactly, so the whole filter shares q_kalman's oracle verbatim. */
+  private def qKalmanStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val name = "graft_kalman_stream"
+    withStatePartitions(s, 8) {
+      val q = stream
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Temporal.kalmanLevel(s.table(name), Seq("event_type"), "day", "v",
+        q = 1e4, r = 1e8)
+      .orderBy("event_type")
+  }
+
   /** STREAMING Croston twin (S35): per-(type, day) demand counters
     * accumulate in the state store (complete mode — every observed day has
     * a row, so the batch side recovers the exact all-events calendar
@@ -7913,6 +7938,7 @@ object SparkEntry {
     "q_tukey" -> (qTukey _),
     "q_forecast_backtest_stream" -> (qForecastBacktestStream _),
     "q_sax_stream" -> (qSaxStream _),
+    "q_kalman_stream" -> (qKalmanStream _),
     "q_hurst" -> (qHurst _),
     "q_huber" -> (qHuber _),
     "q_geo_median" -> (qGeoMedian _),
@@ -15995,6 +16021,30 @@ object SparkEntry {
          FROM h WHERE step = n ORDER BY event_type""",
     // the q_holt recursive-CTE recipe: predict/gain/update each a fixed
     // IEEE chain, outputs unrounded
+    // the streamed complete-mode daily table equals the batch one exactly,
+    // so the S51 twin replays q_kalman's oracle verbatim
+    "q_kalman_stream" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type AS g, CAST(v AS DOUBLE) AS z,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS step,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM daily),
+         kf AS (
+           SELECT g, step, n, z AS x, CAST(1e8 AS DOUBLE) AS p,
+                  CAST(0.0 AS DOUBLE) AS gain, CAST(0.0 AS DOUBLE) AS innov
+           FROM s WHERE step = 1
+           UNION ALL
+           SELECT s.g, s.step, s.n,
+             kf.x + ((kf.p + 1e4) / ((kf.p + 1e4) + 1e8)) * (s.z - kf.x),
+             (1.0 - (kf.p + 1e4) / ((kf.p + 1e4) + 1e8)) * (kf.p + 1e4),
+             (kf.p + 1e4) / ((kf.p + 1e4) + 1e8),
+             s.z - kf.x
+           FROM kf JOIN s ON s.g = kf.g AND s.step = kf.step + 1)
+         SELECT g AS event_type, n, x AS level, p AS p_var, gain,
+                innov AS innovation
+         FROM kf WHERE step = n ORDER BY event_type""",
     "q_kalman" ->
       """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
