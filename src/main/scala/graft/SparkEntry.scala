@@ -6767,6 +6767,17 @@ object SparkEntry {
     Sketches.jonckheereTerpstra(o, "prio", "cents")
   }
 
+  /** Page's L (X328): do monthly priority-bucket revenue totals increase
+    * with the ordinal priority level? Blocks = order months, treatments =
+    * the priority digit, the ordered repeated-measures verdict. */
+  private def qPageTrend(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    Sketches.pageTrendTest(cells, "month", "prio", "cents")
+  }
+
   /** Kendall's W (X319) over the q_friedman layout — how strongly do the
     * days agree on the ranking of event types by daily cents volume. */
   private def qKendallW(s: SparkSession, d: String): DataFrame = {
@@ -7939,6 +7950,7 @@ object SparkEntry {
     "q_forecast_backtest_stream" -> (qForecastBacktestStream _),
     "q_sax_stream" -> (qSaxStream _),
     "q_kalman_stream" -> (qKalmanStream _),
+    "q_page_trend" -> (qPageTrend _),
     "q_hurst" -> (qHurst _),
     "q_huber" -> (qHuber _),
     "q_geo_median" -> (qGeoMedian _),
@@ -15577,6 +15589,42 @@ object SparkEntry {
                 CASE WHEN n_unexpected = 0 AND minw > 0 AND n > 0
                   THEN ROUND(CAST(chi2q AS DOUBLE), 6) END AS chi2
          FROM agg""",
+    // the friedman scaffolding + hypothesized-order ranks; L2 and the
+    // null moments exact HUGEINT, z one fixed IEEE chain
+    "q_page_trend" ->
+      """WITH cells AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS b,
+             CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS t,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM orders GROUP BY 1, 2),
+         kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells),
+         comp AS (SELECT b FROM cells, kk GROUP BY b, k
+                  HAVING COUNT(*) = MAX(k) AND COUNT(DISTINCT t) = MAX(k)),
+         kept AS (SELECT c.* FROM cells c JOIN comp USING (b)),
+         h AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY 1, 2),
+         r2 AS (SELECT b, v,
+                  CAST((SUM(c) OVER (PARTITION BY b ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) * 2
+                       + c + 1 AS BIGINT) AS r2
+                FROM h),
+         pt AS (SELECT t, CAST(SUM(r2.r2) AS BIGINT) AS R2,
+                       CAST(COUNT(*) AS BIGINT) AS nb
+                FROM kept JOIN r2 ON kept.b = r2.b AND kept.v = r2.v
+                GROUP BY 1),
+         rk AS (SELECT t, R2, nb, ROW_NUMBER() OVER (ORDER BY t) AS cj FROM pt),
+         agg AS (SELECT CAST(MAX(nb) AS HUGEINT) AS m,
+                        CAST(COUNT(*) AS HUGEINT) AS k,
+                        SUM(CAST(cj AS HUGEINT) * CAST(R2 AS HUGEINT)) AS l2
+                 FROM rk),
+         fin AS (SELECT m, k, l2,
+                  2 * l2 - m * k * (k + 1) * (k + 1) AS num4,
+                  m * k * k * (k + 1) * (k + 1) * (k - 1) AS vari
+                 FROM agg)
+         SELECT CAST(m AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+                ROUND(CAST(l2 AS DOUBLE) / 2.0, 6) AS l_stat,
+                CASE WHEN k > 1 AND vari > 0 THEN
+                  ROUND(CAST(num4 AS DOUBLE)
+                    / (4.0 * SQRT(CAST(vari AS DOUBLE) / 144.0)), 6) END AS z
+         FROM fin""",
     // the friedman midrank scaffolding + tie sum; W and chi2 each one
     // division of exact HUGEINT operands
     "q_kendall_w" ->

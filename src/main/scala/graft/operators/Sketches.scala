@@ -2460,6 +2460,69 @@ object Sketches {
         .as("chi2"))
   }
 
+  /** Page's L trend test (Page, JASA 1963) — the ORDERED-alternative
+    * repeated-measures test completing the complete-block family: X215
+    * Friedman asks "do treatments differ at all?", Page asks "do they
+    * INCREASE in the hypothesized order?" (the blocked sibling of X321
+    * Jonckheere — same question, matched blocks instead of independent
+    * groups): L = Σ c_j·R_j with c_j the treatment's rank in the
+    * hypothesized order (ascending `treatmentCol` score) and R_j its
+    * within-block rank sum; z from the classic tie-free null moments
+    * E = mk(k+1)²/4, Var = mk²(k+1)²(k−1)/144 (the Friedman precedent:
+    * textbook form, ties understate |z| slightly).
+    *
+    * EXACT-RATIONAL: doubled midranks make L₂ = 2L an exact DECIMAL(38,0)
+    * sum; 4(L − E) = 2L₂ − mk(k+1)² exactly; z is ONE fixed IEEE chain
+    * (cast, /144, sqrt, one division) from exact operands, 6-dp rounded.
+    * Incomplete/corrupt blocks drop (the friedmanTest filter); k < 2 or a
+    * degenerate variance → NULL. One rank window per block, one k-row
+    * treatment ranking, two bounded aggs. */
+  def pageTrendTest(
+      df: DataFrame,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String,
+      dp: Int = 6): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(
+      col(blockCol).as("__b"), col(treatmentCol).cast("long").as("__t"),
+      col(valueCol).cast("long").as("__v"))
+    val kDf = base.agg(count_distinct(col("__t")).as("__k"))
+    val complete = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt"), count_distinct(col("__t")).as("__td"))
+      .crossJoin(broadcast(kDf))
+      .filter(col("__cnt") === col("__k") && col("__td") === col("__k"))
+      .select(col("__b"))
+    val kept = base.join(complete, Seq("__b"), "left_semi")
+    val hist = kept.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = hist
+      .withColumn("__before", sum(col("__c")).over(wCum) - col("__c"))
+      .select(col("__b"), col("__v"),
+        (col("__before") * 2 + col("__c") + 1).as("__r2"))
+    val perT = kept.join(r2, Seq("__b", "__v"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__r2")).as("__R2"), count(lit(1)).as("__nb"))
+    // hypothesized-order rank over the k-row treatment table
+    val ranked = perT.withColumn("__cj",
+      row_number().over(Window.orderBy(col("__t"))))
+    val agg = ranked.agg(
+      max(col("__nb")).as("__m"),
+      count(lit(1)).as("__kk"),
+      sum(dec(col("__cj")) * dec(col("__R2"))).as("__L2"))
+    val m = dec(col("__m")); val k = dec(col("__kk"))
+    val num4 = col("__L2") * 2 - m * k * (k + 1) * (k + 1)
+    val varI = m * k * k * (k + 1) * (k + 1) * (k - 1)
+    val z = num4.cast("double") /
+      (lit(4.0) * sqrt(varI.cast("double") / 144.0))
+    agg.select(
+      col("__m").as("n_blocks"), col("__kk").as("k"),
+      round(col("__L2").cast("double") / 2.0, dp).as("l_stat"),
+      when(col("__kk") > 1 && varI > 0, round(z, dp)).as("z"))
+  }
+
   /** McNemar's test (1947) for PAIRED binary classifiers/rules on the same
     * rows — "do rule A and rule B disagree symmetrically?": only the
     * discordant cells matter, χ² = (b−c)²/(b+c) with b = A∧¬B, c = ¬A∧B,

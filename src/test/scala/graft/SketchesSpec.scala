@@ -1724,6 +1724,30 @@ class SketchesSpec extends SparkSpec {
     assert(solo.isNullAt(solo.fieldIndex("jt")) && solo.isNullAt(solo.fieldIndex("z")))
   }
 
+  test("pageTrendTest: perfect ascending trend hand case, reversed symmetric, incomplete drop") {
+    import graft.operators.Sketches
+    // 2 blocks, k=3, values increase with treatment score: L=28, E=24,
+    // Var=4 -> z = 2
+    val up = Seq(
+      ("b1", 1L, 10L), ("b1", 2L, 20L), ("b1", 3L, 30L),
+      ("b2", 1L, 5L), ("b2", 2L, 6L), ("b2", 3L, 7L))
+      .toDF("blk", "trt", "v")
+    val r = Sketches.pageTrendTest(up.repartition(4), "blk", "trt", "v").head
+    assert(r.getAs[Long]("n_blocks") == 2L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("l_stat") == 28.0 && r.getAs[Double]("z") == 2.0)
+    // reversed values: minimum L, symmetric z
+    val down = Seq(
+      ("b1", 1L, 30L), ("b1", 2L, 20L), ("b1", 3L, 10L),
+      ("b2", 1L, 7L), ("b2", 2L, 6L), ("b2", 3L, 5L))
+      .toDF("blk", "trt", "v")
+    val rd = Sketches.pageTrendTest(down, "blk", "trt", "v").head
+    assert(rd.getAs[Double]("l_stat") == 20.0 && rd.getAs[Double]("z") == -2.0)
+    // an incomplete block drops before ranking
+    val withBad = up.union(Seq(("b3", 1L, 9L)).toDF("blk", "trt", "v"))
+    val wb = Sketches.pageTrendTest(withBad, "blk", "trt", "v").head
+    assert(wb.getAs[Long]("n_blocks") == 2L && wb.getAs[Double]("z") == 2.0)
+  }
+
   test("kendallW: perfect agreement = 1, hand tied case, fully-tied NULL") {
     // 3 blocks all ranking a<b<c: W = 1, chi2 = m(k-1)W = 6
     val perfect = Seq(
