@@ -2319,6 +2319,66 @@ object Sketches {
       round(num.cast("double") / den.cast("double"), dp).as("q"))
   }
 
+  /** First-order PARTIAL correlation r_xy·z (Yule 1907; Fisher 1924 t) —
+    * "is the x–y association real once z is held fixed?", the
+    * confounder-control member of the dependence family (X40 Pearson is
+    * marginal; X190 MH adjusts categorical 2×2s; this is the continuous
+    * analogue): r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), with
+    * t = r·√((n−3)/(1−r²)) ~ t(n−3) beside it.
+    *
+    * ONE partial aggregate collects the ten exact DECIMAL(38,0) co-moments
+    * of the pre-quantized integral columns (the olsTrend contract); each
+    * pairwise r follows the X235 recipe — centered num/denominators exact,
+    * the two denominators cast to double BEFORE the IEEE product + sqrt —
+    * and the partial assembles from the UNROUNDED r's in a fixed chain
+    * (the reported r's round at 6 dp separately). Zero variance in any
+    * column, perfect x–z or y–z collinearity (denominator 0), or n ≤ 3
+    * (for t) → NULL, never NaN; every division sits inside its guard
+    * branch (ANSI throws on double /0). */
+  def partialCorr(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      zCol: String,
+      dp: Int = 6): DataFrame = {
+    def d(c: String): Column = col(c).cast("decimal(38,0)")
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(zCol).isNotNull)
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(d(xCol)).as("__sx"), sum(d(yCol)).as("__sy"), sum(d(zCol)).as("__sz"),
+        sum(d(xCol) * d(xCol)).as("__sxx"),
+        sum(d(yCol) * d(yCol)).as("__syy"),
+        sum(d(zCol) * d(zCol)).as("__szz"),
+        sum(d(xCol) * d(yCol)).as("__sxy"),
+        sum(d(xCol) * d(zCol)).as("__sxz"),
+        sum(d(yCol) * d(zCol)).as("__syz"))
+    val n = col("__n")
+    def cnum(ab: String, a: String, b: String): Column =
+      n * col(ab) - col(a) * col(b)
+    val dxx = cnum("__sxx", "__sx", "__sx")
+    val dyy = cnum("__syy", "__sy", "__sy")
+    val dzz = cnum("__szz", "__sz", "__sz")
+    def r(num: Column, da: Column, db: Column): Column =
+      num.cast("double") / sqrt(da.cast("double") * db.cast("double"))
+    val rxy = r(cnum("__sxy", "__sx", "__sy"), dxx, dyy)
+    val rxz = r(cnum("__sxz", "__sx", "__sz"), dxx, dzz)
+    val ryz = r(cnum("__syz", "__sy", "__sz"), dyy, dzz)
+    val varsOk = dxx > 0 && dyy > 0 && dzz > 0
+    val denSq = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    val rp = (rxy - rxz * ryz) / sqrt(denSq)
+    val tStat = rp * sqrt((n.cast("double") - 3.0) / (lit(1.0) - rp * rp))
+    agg.select(
+      n.cast("long").as("n"),
+      when(varsOk, round(rxy, dp)).as("r_xy"),
+      when(varsOk, round(rxz, dp)).as("r_xz"),
+      when(varsOk, round(ryz, dp)).as("r_yz"),
+      when(varsOk, when(denSq > 0, round(rp, dp))).as("r_partial"),
+      when(varsOk,
+        when(denSq > 0 && n > 3,
+          when(rp * rp < 1.0, round(tStat, dp)))).as("t_stat"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative k-sample test (Terpstra 1952;
     * Jonckheere 1954) — "do the distributions SHIFT UP with the ordered
     * group score?", the continuous-response member beside X214

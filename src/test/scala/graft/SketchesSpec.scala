@@ -1697,6 +1697,41 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("partialCorr: scala moment replay, constant-column NULL, collinear NULL") {
+    import graft.operators.Sketches
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Seq((1L, 2L, 1L), (2L, 1L, 3L), (3L, 5L, 2L), (4L, 4L, 5L), (5L, 7L, 4L))
+    val df = rows.toDF("x", "y", "z")
+    val r = Sketches.partialCorr(df.repartition(3), "x", "y", "z").head
+    // replay the identical exact-moment double chain
+    val n = rows.length.toDouble
+    def s(f: ((Long, Long, Long)) => Long): Double = rows.map(f).sum.toDouble
+    val (sx, sy, sz) = (s(_._1), s(_._2), s(_._3))
+    val (sxx, syy, szz) = (s(t => t._1 * t._1), s(t => t._2 * t._2), s(t => t._3 * t._3))
+    val (sxy, sxz, syz) = (s(t => t._1 * t._2), s(t => t._1 * t._3), s(t => t._2 * t._3))
+    val (dxx, dyy, dzz) = (n * sxx - sx * sx, n * syy - sy * sy, n * szz - sz * sz)
+    val rxy = (n * sxy - sx * sy) / math.sqrt(dxx * dyy)
+    val rxz = (n * sxz - sx * sz) / math.sqrt(dxx * dzz)
+    val ryz = (n * syz - sy * sz) / math.sqrt(dyy * dzz)
+    val rp = (rxy - rxz * ryz) / math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    val t = rp * math.sqrt((n - 3.0) / (1.0 - rp * rp))
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("r_xy") == r6(rxy) && r.getAs[Double]("r_xz") == r6(rxz))
+    assert(r.getAs[Double]("r_partial") == r6(rp), r.toString)
+    assert(r.getAs[Double]("t_stat") == r6(t), r.toString)
+    // constant z: nothing to hold fixed
+    val flat = Sketches.partialCorr(
+      Seq((1L, 2L, 7L), (2L, 3L, 7L), (3L, 5L, 7L)).toDF("x", "y", "z"),
+      "x", "y", "z").head
+    assert(flat.isNullAt(flat.fieldIndex("r_partial")))
+    // z == x: perfect collinearity, partial undefined but marginals report
+    val coll = Sketches.partialCorr(
+      Seq((1L, 2L, 1L), (2L, 1L, 2L), (3L, 5L, 3L), (4L, 4L, 4L))
+        .toDF("x", "y", "z"), "x", "y", "z").head
+    assert(coll.getAs[Double]("r_xz") == 1.0)
+    assert(coll.isNullAt(coll.fieldIndex("r_partial")))
+  }
+
   test("jonckheereTerpstra: perfect trend hand case, ties half-count, one-group NULL") {
     import graft.operators.Sketches
     // g1=[1,2] < g2=[3,4] < g3=[5,6]: JT = 12 (every cross pair concordant),
