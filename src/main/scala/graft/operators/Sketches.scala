@@ -2454,6 +2454,87 @@ object Sketches {
       when(col("__k") > 1 && varI > 0, round(z, dp)).as("z"))
   }
 
+  /** Ordinal-association suite — Goodman–Kruskal γ (1954), Somers' D in
+    * BOTH directions (1962) and a corpus-scale Kendall τ-b from ONE
+    * concordance pass: the "does severity rise with dose?" measures for
+    * ordered × ordered columns (γ ignores all ties; D_yx is the
+    * asymmetric regression-flavored form penalizing y-ties; τ-b the
+    * symmetric compromise — X190's τ-b needs the per-key bounded-series
+    * contract, THIS one runs at any row count because pairs never
+    * materialize).
+    *
+    * The X321 machinery generalized: cells (a, b, count) from one partial
+    * agg; each cell's mass fans out to HIGHER a-levels only (bounded by
+    * the a-domain — ordinal levels are small by contract); per-level
+    * b-ordered windows give the strictly-below / at-b / level-total
+    * lower-mass prefixes, so C = Σc·below and D = Σc·(total−below−at) are
+    * exact DECIMAL(38,0) sums. Tie corrections come from the marginals
+    * (doubled forms stay integral); each statistic is ONE double division
+    * (τ-b's two denominators cast to double BEFORE the product+sqrt, the
+    * X235 recipe), 6-dp rounded; degenerate denominators → NULL. */
+  def ordinalAssociation(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      dp: Int = 6): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(
+      col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val cells = base.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+    val aLvls = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__na"))
+    val bLvls = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__nb"))
+    val pairsUp = aLvls.select(col("__a").as("__alo"))
+      .join(broadcast(aLvls.select(col("__a").as("__ahi"))),
+        col("__alo") < col("__ahi"))
+    val contrib = cells
+      .join(broadcast(pairsUp), col("__a") === col("__alo"))
+      .groupBy(col("__ahi").as("__a"), col("__b"))
+      .agg(sum(col("__c")).as("__cl"))
+    val merged = cells.join(contrib, Seq("__a", "__b"), "full_outer")
+      .select(col("__a"), col("__b"),
+        coalesce(col("__c"), lit(0L)).as("__c"),
+        coalesce(col("__cl"), lit(0L)).as("__cl"))
+    val wPrev = Window.partitionBy(col("__a")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("__a"))
+    val scored = merged
+      .withColumn("__below", coalesce(sum(col("__cl")).over(wPrev), lit(0L)))
+      .withColumn("__tot", sum(col("__cl")).over(wAll))
+    val cd = scored.agg(
+      coalesce(sum(dec(col("__c")) * dec(col("__below"))),
+        lit(0).cast("decimal(38,0)")).as("__C"),
+      coalesce(sum(dec(col("__c")) *
+        (dec(col("__tot")) - dec(col("__below")) - dec(col("__cl")))),
+        lit(0).cast("decimal(38,0)")).as("__D"))
+    val aT = aLvls.agg(
+      sum(col("__na")).cast("decimal(38,0)").as("__n"),
+      coalesce(sum(dec(col("__na")) * (dec(col("__na")) - 1)),
+        lit(0).cast("decimal(38,0)")).as("__t1"))
+    val bT = bLvls.agg(
+      coalesce(sum(dec(col("__nb")) * (dec(col("__nb")) - 1)),
+        lit(0).cast("decimal(38,0)")).as("__t2"))
+    val agg = aT.crossJoin(broadcast(bT)).crossJoin(broadcast(cd))
+    val p2 = col("__n") * (col("__n") - 1)
+    val num = col("__C") - col("__D")
+    val denG = col("__C") + col("__D")
+    val den1 = p2 - col("__t1")
+    val den2 = p2 - col("__t2")
+    agg.select(
+      col("__n").cast("long").as("n"),
+      when(denG > 0,
+        round(num.cast("double") / denG.cast("double"), dp)).as("gamma"),
+      when(den1 > 0,
+        round((num * 2).cast("double") / den1.cast("double"), dp))
+        .as("somers_d_yx"),
+      when(den2 > 0,
+        round((num * 2).cast("double") / den2.cast("double"), dp))
+        .as("somers_d_xy"),
+      when(den1 > 0 && den2 > 0,
+        round((num * 2).cast("double") /
+          sqrt(den1.cast("double") * den2.cast("double")), dp)).as("tau_b"))
+  }
+
   /** Kendall's W coefficient of concordance (Kendall & Babington Smith
     * 1939), tie-corrected — "HOW MUCH do the m blocks/raters agree on the
     * ranking of the k treatments?", the effect-size companion to

@@ -1697,6 +1697,36 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("ordinalAssociation: perfect concordance, hand ties, degenerate NULL") {
+    import graft.operators.Sketches
+    // perfect monotone: C=3, D=0, all statistics 1
+    val perfect = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("a", "b")
+    val p = Sketches.ordinalAssociation(perfect.repartition(3), "a", "b").head
+    assert(p.getAs[Long]("n") == 3L)
+    assert(p.getAs[Double]("gamma") == 1.0 && p.getAs[Double]("tau_b") == 1.0)
+    assert(p.getAs[Double]("somers_d_yx") == 1.0 && p.getAs[Double]("somers_d_xy") == 1.0)
+    // hand tie case: a=(1,1,2,2), b=(1,2,1,2): C=1, D=1 -> everything 0
+    val mixed = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("a", "b")
+    val m = Sketches.ordinalAssociation(mixed, "a", "b").head
+    assert(m.getAs[Double]("gamma") == 0.0 && m.getAs[Double]("tau_b") == 0.0)
+    // asymmetric ties: a=(1,2,2), b=(1,2,3): C = 2 (pairs 12,13), D = 0,
+    // a-tied pair 23 -> t1=2, t2=0, P2=6: d(y|x) = 4/(6-2) = 1,
+    // d(x|y) = 4/6, gamma = 1
+    val asym = Sketches.ordinalAssociation(
+      Seq((1L, 1L), (2L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b").head
+    assert(asym.getAs[Double]("gamma") == 1.0)
+    assert(asym.getAs[Double]("somers_d_yx") == 1.0)
+    assert(asym.getAs[Double]("somers_d_xy") == 0.666667)
+    val tbExp = BigDecimal(4.0 / math.sqrt(4.0 * 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(asym.getAs[Double]("tau_b") == tbExp)
+    // constant a: no untied-a pairs, directional D undefined
+    val flat = Sketches.ordinalAssociation(
+      Seq((5L, 1L), (5L, 2L)).toDF("a", "b"), "a", "b").head
+    assert(flat.isNullAt(flat.fieldIndex("gamma")))
+    assert(flat.isNullAt(flat.fieldIndex("somers_d_yx")))
+  }
+
   test("partialCorr: scala moment replay, constant-column NULL, collinear NULL") {
     import graft.operators.Sketches
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
