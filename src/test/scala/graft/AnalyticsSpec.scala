@@ -123,6 +123,35 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 2L, 1L)))
   }
 
+  test("harmonicClosenessApprox: path-graph closed form, hop bound, scaling") {
+    import graft.operators.Graph
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q(d: Int) = math.floor(1e9 / d + 0.5) / 1e9
+    // path 1-2-3-4-5, pivots {1,5}, 4 hops, n=5 -> scale (n-1)/k = 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.harmonicClosenessApprox(edges.repartition(3), "a", "b",
+      sources = Seq(1L, 5L), maxHops = 4, topK = 10)
+      .collect().map(r => (r.getAs[Long]("node"),
+        (r.getAs[Long]("n_pivots_reached"), r.getAs[Double]("h_raw"),
+          r.getAs[Double]("h_est")))).toMap
+    // node 3: d=2 from both pivots -> raw 1, est 2; node 2: d=1,3
+    assert(got(3L) == ((2L, 1.0, 2.0)), got.toString)
+    assert(got(2L)._2 == r6(q(1) + q(3)))
+    assert(got(2L)._3 == r6((q(1) + q(3)) * 2.0))
+    // pivot 1 itself: reached only from pivot 5 at d=4 (self excluded)
+    assert(got(1L) == ((1L, q(4), r6(q(4) * 2.0))))
+    // hop bound: at maxHops=2 the far endpoint never reaches across
+    val bounded = Graph.harmonicClosenessApprox(edges, "a", "b",
+      sources = Seq(1L), maxHops = 2, topK = 10)
+      .collect().map(r => r.getAs[Long]("node")).toSet
+    assert(bounded == Set(2L, 3L), bounded.toString)
+    // partition invariance of the exact quantized sums
+    val g7 = Graph.harmonicClosenessApprox(edges.repartition(7), "a", "b",
+      sources = Seq(1L, 5L), maxHops = 4, topK = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("h_raw")).toMap
+    assert(g7 == got.map { case (k, v) => k -> v._2 })
+  }
+
   test("betweennessApprox: path-graph dependencies are the Brandes closed form") {
     import graft.operators.Graph
     // path 1-2-3-4-5, pivots {1,5}, 4 hops: every interior node
