@@ -396,4 +396,48 @@ object VectorOps {
     }
     prev(m - 1)
   }
+
+  /** Elo rating fold over one collected match list (Elo 1978; the kernel
+    * is inherently sequential — every update reads the CURRENT ratings of
+    * both players, so it runs as an in-row fold over the bounded match
+    * list, the Theil–Sen collected-kernel discipline). Matches are
+    * structs (ord long, winner string, loser string) sorted internally by
+    * (ord, winner, loser) so collection order never matters; expected
+    * score uses exp with ln10 as an EMBEDDED literal (the time-decay
+    * precedent — pow(10, x) is libm-divergent across engines, exp is not)
+    * and each updated rating re-quantizes to the 1e-6 grid, so a
+    * recursive-CTE oracle replays every step bit-for-bit. Returns
+    * array<struct<player, rating, games>> sorted by player. */
+  def eloRatings(matches: ArrayData, kFactor: Double, initial: Double): ArrayData = {
+    val n = matches.numElements()
+    val arr = new Array[(Long, String, String)](n)
+    var i = 0
+    while (i < n) {
+      val s = matches.getStruct(i, 3)
+      arr(i) = (s.getLong(0), s.getUTF8String(1).toString, s.getUTF8String(2).toString)
+      i += 1
+    }
+    val sorted = arr.sortBy(t => (t._1, t._2, t._3))
+    val ratings = scala.collection.mutable.HashMap.empty[String, Double]
+    val games = scala.collection.mutable.HashMap.empty[String, Int]
+    val L10 = 2.302585092994046
+    sorted.foreach { case (_, w, l) =>
+      val ra = ratings.getOrElse(w, initial)
+      val rb = ratings.getOrElse(l, initial)
+      val ea = 1.0 / (1.0 + math.exp(L10 * ((rb - ra) / 400.0)))
+      val delta = kFactor * (1.0 - ea)
+      ratings(w) = math.floor((ra + delta) * 1e6 + 0.5) / 1e6
+      ratings(l) = math.floor((rb - delta) * 1e6 + 0.5) / 1e6
+      games(w) = games.getOrElse(w, 0) + 1
+      games(l) = games.getOrElse(l, 0) + 1
+    }
+    val out: Array[Any] = ratings.keys.toArray.sorted.map { p =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(p),
+          ratings(p),
+          games(p)))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -54,6 +54,17 @@ package object functions {
       element_at(raw, 3).as("height"))
   }
 
+  /** Elo rating fold over a collected match array — the in-row sequential
+    * kernel ([[VectorOps.eloRatings]]); matches are structs
+    * (ord, winner, loser). */
+  def elo_ratings(matches: Column, kFactor: Column, initial: Column): Column =
+    invokeVec("eloRatings",
+      ArrayType(StructType(Seq(
+        StructField("player", StringType, nullable = false),
+        StructField("rating", DoubleType, nullable = false),
+        StructField("games", IntegerType, nullable = false)))),
+      Seq(matches, kFactor.cast("double"), initial.cast("double")))
+
   /** Build a real extended-WebP (VP8X) RIFF container header with the
     * given canvas dimensions — the in-plan construction side of
     * [[image_meta]]'s WebP parse. */

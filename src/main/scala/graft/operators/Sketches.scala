@@ -1816,6 +1816,40 @@ object Sketches {
     * The slope multiset is collection-order-independent, so so is the
     * selected element.
     */
+  /** Elo ratings from an ordered match log (Elo 1978; the Bradley–Terry
+    * family's ONLINE member — X280's MM fit weighs all pairs at once,
+    * Elo replays the match SEQUENCE, so recent form moves the number):
+    * standard update R ← R ± K·(1 − E) with E = 1/(1+10^(ΔR/400)).
+    *
+    * Inherently sequential (every update reads both players' CURRENT
+    * ratings), so it runs as ONE in-row kernel over the collected match
+    * list — the Theil–Sen/LTTB bounded-collection contract: the match log
+    * must be calendar/driver-bounded, and `orderCol` must give a total
+    * order up to the (winner, loser) ASCII tiebreak. 10^x is spelled
+    * exp(ln10·x) with ln10 an embedded literal (libm pow is engine-
+    * divergent, exp is not) and every update re-quantizes to the 1e-6
+    * grid, so a recursive-CTE oracle replays the entire fold bit-for-bit.
+    * Returns one row per player: (player, rating, games). */
+  def eloRatings(
+      df: DataFrame,
+      orderCol: String,
+      winnerCol: String,
+      loserCol: String,
+      kFactor: Double = 32.0,
+      initial: Double = 1500.0): DataFrame = {
+    require(kFactor > 0, s"kFactor must be > 0, got $kFactor")
+    val collected = df.agg(collect_list(struct(
+      col(orderCol).cast("long").as("o"),
+      col(winnerCol).cast("string").as("w"),
+      col(loserCol).cast("string").as("l"))).as("__m"))
+    collected
+      .select(explode(graft.functions.elo_ratings(
+        col("__m"), lit(kFactor), lit(initial))).as("__e"))
+      .select(col("__e.player").as("player"),
+        col("__e.rating").as("rating"),
+        col("__e.games").as("games"))
+  }
+
   def theilSen(
       df: DataFrame,
       groupCols: Seq[String],

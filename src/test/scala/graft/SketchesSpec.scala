@@ -1697,6 +1697,41 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("eloRatings: scala fold replay, collection-order invariance, games counts") {
+    import graft.operators.Sketches
+    val l10 = 2.302585092994046
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def fold(ms: Seq[(Long, String, String)]): Map[String, Double] = {
+      var r = Map.empty[String, Double]
+      ms.sortBy(identity).foreach { case (_, w, l) =>
+        val ra = r.getOrElse(w, 1500.0); val rb = r.getOrElse(l, 1500.0)
+        val ea = 1.0 / (1.0 + math.exp(l10 * ((rb - ra) / 400.0)))
+        val d = 32.0 * (1.0 - ea)
+        r = r + (w -> q6(ra + d)) + (l -> q6(rb - d))
+      }
+      r
+    }
+    val ms = Seq((1L, "a", "b"), (2L, "a", "b"), (3L, "b", "c"), (4L, "c", "a"))
+    val out = Sketches.eloRatings(ms.toDF("ord", "w", "l"), "ord", "w", "l")
+      .orderBy("player").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    val exp = fold(ms)
+    assert(out("a")._1 == exp("a") && out("b")._1 == exp("b") && out("c")._1 == exp("c"),
+      s"$out vs $exp")
+    assert(out("a")._2 == 3 && out("b")._2 == 3 && out("c")._2 == 2)
+    // first match from equal ratings moves exactly K/2
+    val first = Sketches.eloRatings(
+      Seq((1L, "x", "y")).toDF("ord", "w", "l"), "ord", "w", "l")
+      .orderBy("player").collect()
+    assert(first(0).getDouble(1) == 1516.0 && first(1).getDouble(1) == 1484.0)
+    // collection order never matters: the kernel sorts by (ord, w, l)
+    val shuffled = Sketches.eloRatings(
+      ms.reverse.toDF("ord", "w", "l").repartition(4), "ord", "w", "l")
+      .orderBy("player").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(shuffled == out.map { case (k, v) => k -> v._1 })
+  }
+
   test("ordinalAssociation: perfect concordance, hand ties, degenerate NULL") {
     import graft.operators.Sketches
     // perfect monotone: C=3, D=0, all statistics 1
