@@ -1579,12 +1579,26 @@ object Models {
       successCol: String,
       dp: Int = 6): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column required")
+    ebRateShrinkageFromCounts(
+      df.groupBy(keyCols.map(col): _*)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as("x")),
+      keyCols, dp)
+  }
+
+  /** [[ebRateShrinkage]]'s assembly half over pre-aggregated per-key
+    * `(n, x)` trial/success counts — the streaming twin maintains exactly
+    * this count state across micro-batches, so one integer state shape
+    * feeds both the batch and the live monitor (the FromCells
+    * discipline). */
+  def ebRateShrinkageFromCounts(
+      perKey: DataFrame,
+      keyCols: Seq[String],
+      dp: Int = 6): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val keys = keyCols.map(col)
-    val per = df.groupBy(keys: _*)
-      .agg(
-        count(lit(1)).as("n"),
-        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as("x"))
+    val per = perKey
       .withColumn("__pq",
         floor(col("x").cast("double") / col("n").cast("double") * 1e9 + 0.5)
           .cast("long"))
