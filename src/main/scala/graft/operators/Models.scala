@@ -1086,6 +1086,79 @@ object Models {
       .toDF("n", "dw", "rho1", "bp_lm", "bp_p")
   }
 
+  /** Per-row OLS influence diagnostics for simple regression (leverage,
+    * internally studentized residual, Cook's distance — Cook 1977;
+    * Belsley–Kuh–Welsch 1980): "WHICH rows drive the fit", the row-grain
+    * companion to [[olsDiagnostics]]' global residual audits. Closed
+    * forms off one exact moment pass: hᵢ = 1/n + (xᵢ−x̄)²/Sxx,
+    * rᵢ = eᵢ/(s√(1−hᵢ)), Dᵢ = rᵢ²hᵢ/(2(1−hᵢ)), SSE via the OLS identity
+    * Syy − β₁Sxy (never a second residual scan).
+    *
+    * Determinism: inputs pre-quantized integral (olsTrend contract);
+    * β₁ is ONE double division of exact DECIMAL(38,0) centered moments
+    * and everything downstream is a fixed IEEE chain per row, so the
+    * top-k selection orders on the UNROUNDED Cook's D (identical doubles
+    * cross-engine) with id tiebreak; displayed metrics round at 6 dp.
+    * Degenerate fits (n ≤ 2, zero x-spread, perfect fit s² = 0, h ≥ 1)
+    * → NULL diagnostics, with every division inside its guard branch.
+    * Scale shape: one moment agg broadcast back into a map-side
+    * projection + one bounded TakeOrdered — no shuffle of the fact. */
+  def olsInfluence(
+      df: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def dec(c: String): Column = col(c).cast("decimal(38,0)")
+    val base = df.select(col(idCol).as("__id"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val mom = base.agg(
+      count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(dec("__x")).as("__sx"), sum(dec("__y")).as("__sy"),
+      sum(dec("__x") * dec("__x")).as("__sxx"),
+      sum(dec("__y") * dec("__y")).as("__syy"),
+      sum(dec("__x") * dec("__y")).as("__sxy"))
+    val n = col("__n")
+    val cnum = n * col("__sxy") - col("__sx") * col("__sy")
+    val dxx = n * col("__sxx") - col("__sx") * col("__sx")
+    val dyy = n * col("__syy") - col("__sy") * col("__sy")
+    val nD = n.cast("double")
+    val b1 = cnum.cast("double") / dxx.cast("double")
+    val xbar = col("__sx").cast("double") / nD
+    val ybar = col("__sy").cast("double") / nD
+    val b0 = ybar - b1 * xbar
+    val s2 = (dyy.cast("double") / nD - b1 * (cnum.cast("double") / nD)) /
+      (nD - 2.0)
+    val model = mom.select(
+      when(n > 2 && dxx > 0, b0).as("__b0"),
+      when(n > 2 && dxx > 0, b1).as("__b1"),
+      when(n > 2 && dxx > 0, xbar).as("__xbar"),
+      when(n > 2 && dxx > 0, s2).as("__s2"),
+      when(n > 2 && dxx > 0, dxx.cast("double") / nD).as("__sxxc"),
+      nD.as("__nd"))
+    val xd = col("__x").cast("double")
+    val yd = col("__y").cast("double")
+    val e = yd - (col("__b0") + col("__b1") * xd)
+    val h = lit(1.0) / col("__nd") +
+      (xd - col("__xbar")) * (xd - col("__xbar")) / col("__sxxc")
+    val valid = col("__b0").isNotNull && col("__s2") > 0 && h < 1.0
+    val r = e / sqrt(col("__s2") * (lit(1.0) - h))
+    val cooks = r * r * h / (lit(2.0) * (lit(1.0) - h))
+    base.crossJoin(broadcast(model))
+      .withColumn("__cooks", when(valid, cooks))
+      .orderBy(col("__cooks").desc_nulls_last, col("__id"))
+      .limit(topK)
+      .select(
+        col("__id").as(idCol),
+        col("__x").as(xCol), col("__y").as(yCol),
+        when(col("__b0").isNotNull, round(e, 6)).as("residual"),
+        when(col("__b0").isNotNull, round(h, 6)).as("leverage"),
+        when(valid, round(r, 6)).as("std_resid"),
+        when(valid, round(cooks, 6)).as("cooks_d"))
+  }
+
   /** Ridge regression (L2 on the two slopes, intercept unpenalized) —
     * [[linearRegression]]'s moment pass with λ added to the slope
     * diagonal of the normal matrix before the same Cramer chains. Unlike

@@ -549,6 +549,50 @@ class ModelsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Models.scaleColumn(df, "v", "mad") }
   }
 
+  test("olsInfluence: outlier dominates Cook's D, scala chain replay, degenerate guards") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L), (4L, 4L, 4L), (5L, 10L, 30L))
+    val out = Models.olsInfluence(pts.toDF("id", "x", "y").repartition(3),
+      "id", "x", "y", topK = 5).collect()
+    // scala replay of the identical moment->chain arithmetic
+    val n = pts.length.toDouble
+    def s(f: ((Long, Long, Long)) => Long) = pts.map(f).sum.toDouble
+    val (sx, sy) = (s(_._2), s(_._3))
+    val (sxx, syy, sxy) = (s(t => t._2 * t._2), s(t => t._3 * t._3), s(t => t._2 * t._3))
+    val cnum = n * sxy - sx * sy; val dxx = n * sxx - sx * sx; val dyy = n * syy - sy * sy
+    val b1 = cnum / dxx; val xbar = sx / n; val b0 = sy / n - b1 * xbar
+    val s2 = (dyy / n - b1 * (cnum / n)) / (n - 2.0)
+    def diag(x: Long, y: Long) = {
+      val e = y.toDouble - (b0 + b1 * x.toDouble)
+      val h = 1.0 / n + (x.toDouble - xbar) * (x.toDouble - xbar) / (dxx / n)
+      val r = e / math.sqrt(s2 * (1.0 - h))
+      (e, h, r, r * r * h / (2.0 * (1.0 - h)))
+    }
+    val expect = pts.map { case (id, x, y) => id -> diag(x, y) }.toMap
+    // the planted outlier leads the ranking
+    assert(out(0).getAs[Long]("id") == 5L, out.mkString(","))
+    val top = expect(5L)
+    assert(out(0).getAs[Double]("cooks_d") == r6(top._4))
+    assert(out(0).getAs[Double]("leverage") == r6(top._2))
+    assert(out(0).getAs[Double]("std_resid") == r6(top._3))
+    // ranking matches the replayed Cook's D order
+    val gotOrder = out.map(_.getAs[Long]("id")).toSeq
+    val expOrder = expect.toSeq.sortBy { case (id, d) => (-d._4, id) }.map(_._1)
+    assert(gotOrder == expOrder)
+    // constant x: no fit at all
+    val flat = Models.olsInfluence(
+      Seq((1L, 5L, 1L), (2L, 5L, 2L), (3L, 5L, 3L)).toDF("id", "x", "y"),
+      "id", "x", "y").collect()
+    assert(flat.forall(_.isNullAt(flat.head.fieldIndex("cooks_d"))))
+    // perfect fit: residual/leverage report, studentized/Cook's NULL (s2=0)
+    val perfect = Models.olsInfluence(
+      Seq((1L, 1L, 2L), (2L, 2L, 4L), (3L, 3L, 6L)).toDF("id", "x", "y"),
+      "id", "x", "y").collect()
+    assert(perfect.forall(r => r.getAs[Double]("residual") == 0.0))
+    assert(perfect.forall(_.isNullAt(perfect.head.fieldIndex("cooks_d"))))
+    assert(perfect.forall(!_.isNullAt(perfect.head.fieldIndex("leverage"))))
+  }
+
   test("ebRateShrinkage: hand beta-prior fit, shrinkage direction, degenerate NULL") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // rates 0.9 / 0.1 / 0.5 over n=10 each: m=0.5, v=0.16, nu=0.5625,
