@@ -732,6 +732,60 @@ object Sketches {
         (pow(sea, 2.0) / (col("na") - 1) + pow(seb, 2.0) / (col("nb") - 1))).as("dof"))
   }
 
+  /** TOST equivalence test (Schuirmann 1987; Westlake 1981 CI form) — the
+    * verdict [[welchTTest]] cannot give: "are A and B the SAME to within
+    * ±margin?" (failing to reject H0 is not evidence of equivalence — the
+    * classic A/B mistake this operator exists to stop): two one-sided
+    * large-sample z tests, z_lower = (Δ+δ)/se against Δ ≤ −δ and
+    * z_upper = (δ−Δ)/se against Δ ≥ δ; equivalence at α = 0.05 iff BOTH
+    * exceed z_{0.95} = 1.644854 (a fixed published literal, the
+    * power-analysis precedent — equivalently the 90% CI sits inside
+    * [−δ, +δ]).
+    *
+    * The welchTTest moment discipline: per-group (n, Σx, Σx²) from exact
+    * 1e-6-quantized long sums in ONE pass; Δ, se and both z's are fixed
+    * IEEE chains, 6-dp rounded; the boolean verdict compares the ROUNDED
+    * z's so even it is engine-portable. Groups with n ≤ 1 or a zero
+    * standard error → NULL verdicts, divisions inside guard branches. */
+  def tostEquivalence(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String,
+      margin: Double): DataFrame = {
+    require(margin > 0, s"margin must be > 0, got $margin")
+    def S(e: Column) =
+      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+    val v = col(valueCol).cast("double")
+    val byGroup = df
+      .filter(col(groupCol).isin(a, b))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
+    def pick(g: String, c: String) = max(when(col(groupCol) === g, col(c)))
+    val wide = byGroup.agg(
+      pick(a, "__n").as("na"), pick(a, "__s").as("sa"), pick(a, "__ss").as("ssa"),
+      pick(b, "__n").as("nb"), pick(b, "__s").as("sb"), pick(b, "__ss").as("ssb"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val se = sqrt(va / col("na") + vb / col("nb"))
+    val diff = ma - mb
+    val zLo = round((diff + lit(margin)) / se, 6)
+    val zHi = round((lit(margin) - diff) / se, 6)
+    val ok = col("na") > 1 && col("nb") > 1
+    wide.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      lit(margin).as("margin"),
+      when(ok, round(diff, 6)).as("mean_diff"),
+      when(ok, when(se > 0, round(se, 6))).as("se"),
+      when(ok, when(se > 0, zLo)).as("z_lower"),
+      when(ok, when(se > 0, zHi)).as("z_upper"),
+      when(ok, when(se > 0,
+        zLo > lit(1.644854) && zHi > lit(1.644854))).as("equivalent"))
+  }
+
   /** A/B power analysis / minimum-detectable-effect readout — the DESIGN
     * companion to [[welchTTest]]'s verdict: given the experiment's
     * OBSERVED arm sizes and variances, what absolute effect could this

@@ -1697,6 +1697,37 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("tostEquivalence: identical groups equivalent, shifted groups not, guards") {
+    import graft.operators.Sketches
+    // two tight groups centered on the same mean: clearly within +-1
+    val same = (1 to 50).flatMap(i =>
+      Seq(("a", 10.0 + (i % 5) * 0.01), ("b", 10.0 + ((i + 2) % 5) * 0.01)))
+      .toDF("g", "v")
+    val r = Sketches.tostEquivalence(same.repartition(4), "g", "v", "a", "b", margin = 1.0).head
+    assert(r.getAs[Long]("n_a") == 50L && r.getAs[Long]("n_b") == 50L)
+    assert(r.getAs[Boolean]("equivalent"), r.toString)
+    assert(r.getAs[Double]("z_lower") > 1.644854 && r.getAs[Double]("z_upper") > 1.644854)
+    // b shifted up past the margin: the lower one-sided test fails hard
+    val shifted = (1 to 50).flatMap(i =>
+      Seq(("a", 10.0 + (i % 5) * 0.01), ("b", 15.0 + (i % 5) * 0.01)))
+      .toDF("g", "v")
+    val sh = Sketches.tostEquivalence(shifted, "g", "v", "a", "b", margin = 1.0).head
+    assert(!sh.getAs[Boolean]("equivalent"))
+    assert(sh.getAs[Double]("z_lower") < 0)
+    // an underpowered sample cannot certify equivalence even when means match
+    val tiny = Seq(("a", 10.0), ("a", 14.0), ("b", 10.0), ("b", 14.0)).toDF("g", "v")
+    val t = Sketches.tostEquivalence(tiny, "g", "v", "a", "b", margin = 0.5).head
+    assert(!t.getAs[Boolean]("equivalent"))
+    // n = 1 group: no variance estimate
+    val solo = Sketches.tostEquivalence(
+      Seq(("a", 1.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v"),
+      "g", "v", "a", "b", margin = 1.0).head
+    assert(solo.isNullAt(solo.fieldIndex("equivalent")))
+    intercept[IllegalArgumentException] {
+      Sketches.tostEquivalence(tiny, "g", "v", "a", "b", margin = 0.0)
+    }
+  }
+
   test("eloRatings: scala fold replay, collection-order invariance, games counts") {
     import graft.operators.Sketches
     val l10 = 2.302585092994046
