@@ -2623,6 +2623,54 @@ object Sketches {
           sqrt(den1.cast("double") * den2.cast("double")), dp)).as("tau_b"))
   }
 
+  /** Bowker's symmetry test (Bowker, JASA 1948) — the k×k generalization
+    * of [[mcnemar]]'s 2×2: do two paired categorical raters/rules/model
+    * versions disagree SYMMETRICALLY across all label pairs, or does the
+    * confusion flow one way (the model-upgrade drift check: "v2 moves
+    * docs from 'good' to 'spam' more than the reverse")? χ² =
+    * Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji), ~χ²(dof) with dof = the number
+    * of off-diagonal pairs actually observed (empty pairs carry no
+    * information and drop from both the sum and the dof — the standard
+    * correction, documented).
+    *
+    * One confusion-cell partial agg; the pair table is label-domain-
+    * bounded; each term is exact-integer arithmetic until ONE double
+    * division, quantized decimal(30,12) before the bounded sum (the
+    * chiSquare discipline); perfect symmetry everywhere → χ² = 0;
+    * no observed off-diagonal pair → NULL. */
+  def bowkerTest(
+      df: DataFrame,
+      beforeCol: String,
+      afterCol: String,
+      dp: Int = 6): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cells = df
+      .filter(col(beforeCol).isNotNull && col(afterCol).isNotNull)
+      .groupBy(col(beforeCol).cast("string").as("__a"),
+        col(afterCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val up = cells.filter(col("__a") < col("__b"))
+      .select(col("__a").as("__i"), col("__b").as("__j"), col("__c").as("__nij"))
+    val down = cells.filter(col("__a") > col("__b"))
+      .select(col("__b").as("__i"), col("__a").as("__j"), col("__c").as("__nji"))
+    val pairs = up.join(down, Seq("__i", "__j"), "full_outer")
+      .select(
+        coalesce(col("__nij"), lit(0L)).as("__nij"),
+        coalesce(col("__nji"), lit(0L)).as("__nji"))
+    val diff = dec(col("__nij")) - dec(col("__nji"))
+    val tot = dec(col("__nij")) + dec(col("__nji"))
+    val term = (diff * diff).cast("double") / tot.cast("double")
+    val nAgg = cells.agg(sum(col("__c")).as("__n"))
+    val agg = pairs.agg(
+      count(lit(1)).as("__dof"),
+      sum(when(tot > 0, term.cast("decimal(30,12)"))).as("__chi2"))
+    agg.crossJoin(broadcast(nAgg)).select(
+      col("__n").as("n"),
+      col("__dof").as("dof"),
+      when(col("__dof") > 0, round(col("__chi2").cast("double"), dp))
+        .as("chi2_bowker"))
+  }
+
   /** Kendall's W coefficient of concordance (Kendall & Babington Smith
     * 1939), tie-corrected — "HOW MUCH do the m blocks/raters agree on the
     * ranking of the k treatments?", the effect-size companion to

@@ -1697,6 +1697,32 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("bowkerTest: hand 3x3 asymmetry, perfect symmetry 0, diagonal-only NULL") {
+    import graft.operators.Sketches
+    def rows(spec: ((String, String), Int)*) =
+      spec.flatMap { case (p, n) => Seq.fill(n)(p) }.toDF("a", "b")
+    // off-diagonal: AB 5 vs BA 1 -> 16/6; AC 2 vs CA 2 -> 0; BC 0 vs CB 3 -> 3
+    val df = rows(
+      (("A", "A"), 4), (("A", "B"), 5), (("B", "A"), 1),
+      (("A", "C"), 2), (("C", "A"), 2), (("C", "B"), 3))
+    val r = Sketches.bowkerTest(df.repartition(4), "a", "b").head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n") == 17L && r.getAs[Long]("dof") == 3L)
+    val exp = BigDecimal(16.0 / 6.0).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble +
+      0.0 + 3.0
+    assert(r.getAs[Double]("chi2_bowker") == r6(exp), r.toString)
+    // perfect symmetry: chi2 exactly 0
+    val sym = Sketches.bowkerTest(rows(
+      (("A", "B"), 3), (("B", "A"), 3), (("B", "C"), 2), (("C", "B"), 2)),
+      "a", "b").head
+    assert(sym.getAs[Double]("chi2_bowker") == 0.0 && sym.getAs[Long]("dof") == 2L)
+    // everything on the diagonal: nothing to test
+    val diag = Sketches.bowkerTest(rows((("A", "A"), 5), (("B", "B"), 2)),
+      "a", "b").head
+    assert(diag.getAs[Long]("dof") == 0L)
+    assert(diag.isNullAt(diag.fieldIndex("chi2_bowker")))
+  }
+
   test("tostEquivalence: identical groups equivalent, shifted groups not, guards") {
     import graft.operators.Sketches
     // two tight groups centered on the same mean: clearly within +-1
