@@ -732,6 +732,69 @@ object Sketches {
         (pow(sea, 2.0) / (col("na") - 1) + pow(seb, 2.0) / (col("nb") - 1))).as("dof"))
   }
 
+  /** Group-sequential A/B readout with Pocock boundaries (Pocock 1977) —
+    * the FIXED-K interim-analysis design completing the experimentation
+    * family between X54's single-look Welch and X298's always-valid mSPRT:
+    * K planned looks at cumulative data, each tested against the CONSTANT
+    * Pocock critical value c(K) that holds the overall two-sided α at
+    * 0.05 (published literals — K=2: 2.178, 3: 2.289, 4: 2.361, 5: 2.413
+    * — the power-analysis precedent: no CDF inversion in the plan).
+    *
+    * Scale shape: each row fans out to the looks whose cutoff covers it
+    * (bounded K ≤ 5), per-(look, arm) moments accumulate as exact
+    * 1e-6-quantized long sums in ONE partial aggregate (the welch
+    * discipline), and each look's z is a fixed IEEE chain. `reject`
+    * compares the ROUNDED |z| to the literal so the verdict is engine-
+    * portable; degenerate looks (an arm missing or n ≤ 1 or se = 0)
+    * report NULL. Returns one row per look:
+    * (look, cutoff, n_a, n_b, mean_diff, z, boundary, reject). */
+  def groupSequentialPocock(
+      df: DataFrame,
+      armCol: String,
+      valueCol: String,
+      orderCol: String,
+      cutoffs: Seq[Long],
+      a: String,
+      b: String): DataFrame = {
+    val pocock = Map(2 -> 2.178, 3 -> 2.289, 4 -> 2.361, 5 -> 2.413)
+    require(cutoffs.size >= 2 && cutoffs.size <= 5,
+      s"2..5 looks supported (published Pocock constants), got ${cutoffs.size}")
+    require(cutoffs == cutoffs.sorted && cutoffs.distinct == cutoffs,
+      "cutoffs must be strictly increasing")
+    val c = pocock(cutoffs.size)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val looks = cutoffs.zipWithIndex.map { case (cut, i) => (i + 1, cut) }
+      .toDF("look", "cutoff")
+    def S(e: Column) =
+      sum(floor(e * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+    val v = col(valueCol).cast("double")
+    val perLook = df
+      .filter(col(armCol).isin(a, b))
+      .join(broadcast(looks), col(orderCol).cast("long") <= col("cutoff"))
+      .groupBy(col("look"), col("cutoff"), col(armCol))
+      .agg(count(lit(1)).cast("double").as("__n"), S(v).as("__s"), S(v * v).as("__ss"))
+    def pick(g: String, cc: String) = max(when(col(armCol) === g, col(cc)))
+    val wide = perLook.groupBy(col("look"), col("cutoff")).agg(
+      pick(a, "__n").as("na"), pick(a, "__s").as("sa"), pick(a, "__ss").as("ssa"),
+      pick(b, "__n").as("nb"), pick(b, "__s").as("sb"), pick(b, "__ss").as("ssb"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val se = sqrt(va / col("na") + vb / col("nb"))
+    val z = round((ma - mb) / se, 6)
+    val ok = col("na") > 1 && col("nb") > 1
+    wide.select(
+      col("look"), col("cutoff"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      when(ok, round(ma - mb, 6)).as("mean_diff"),
+      when(ok, when(se > 0, z)).as("z"),
+      lit(c).as("boundary"),
+      when(ok, when(se > 0, abs(z) > lit(c))).as("reject"))
+      .orderBy("look")
+  }
+
   /** TOST equivalence test (Schuirmann 1987; Westlake 1981 CI form) — the
     * verdict [[welchTTest]] cannot give: "are A and B the SAME to within
     * ±margin?" (failing to reject H0 is not evidence of equivalence — the

@@ -1697,6 +1697,37 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("groupSequentialPocock: cumulative looks, boundary literal, planted effect fires") {
+    import graft.operators.Sketches
+    // look 1 covers order<=10, look 2 everything; arm B jumps +10 in the
+    // second half so only look 2 should reject at K=2 (c = 2.178)
+    val rows =
+      (1 to 10).map(i => ("A", 5.0 + (i % 3) * 0.1, i.toLong)) ++
+      (1 to 10).map(i => ("B", 5.0 + ((i + 1) % 3) * 0.1, i.toLong)) ++
+      (11 to 30).map(i => ("A", 5.0 + (i % 3) * 0.1, i.toLong)) ++
+      (11 to 30).map(i => ("B", 15.0 + (i % 3) * 0.1, i.toLong))
+    val out = Sketches.groupSequentialPocock(
+      rows.toDF("arm", "v", "t").repartition(4),
+      "arm", "v", "t", Seq(10L, 30L), "A", "B").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Int]("look") == 1 && out(0).getAs[Long]("n_a") == 10L)
+    assert(out(0).getAs[Double]("boundary") == 2.178)
+    assert(!out(0).getAs[Boolean]("reject"), out(0).toString)
+    assert(out(1).getAs[Long]("n_a") == 30L && out(1).getAs[Boolean]("reject"))
+    assert(out(1).getAs[Double]("z") < -2.178)
+    // cumulative means: look 2's diff reflects ALL data, not the increment
+    assert(math.abs(out(1).getAs[Double]("mean_diff") + 20.0 / 3.0) < 0.2)
+    // guards: wrong look counts refuse loudly
+    intercept[IllegalArgumentException] {
+      Sketches.groupSequentialPocock(rows.toDF("arm", "v", "t"),
+        "arm", "v", "t", Seq(10L), "A", "B")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.groupSequentialPocock(rows.toDF("arm", "v", "t"),
+        "arm", "v", "t", Seq(30L, 10L), "A", "B")
+    }
+  }
+
   test("bowkerTest: hand 3x3 asymmetry, perfect symmetry 0, diagonal-only NULL") {
     import graft.operators.Sketches
     def rows(spec: ((String, String), Int)*) =
