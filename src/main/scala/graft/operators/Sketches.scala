@@ -2686,6 +2686,58 @@ object Sketches {
           sqrt(den1.cast("double") * den2.cast("double")), dp)).as("tau_b"))
   }
 
+  /** Distribution-free quantile confidence interval (order-statistic
+    * bounds; Thompson 1936, the binomial-rank method with the large-sample
+    * normal ranks) — the UNCERTAINTY layer the point-percentile family
+    * (X4 exact / X6 GK / T19 KLL / X134 weighted) lacks: "the p50 is X"
+    * means little without "95% CI [a, b]". Ranks l = ⌊np − z√(np(1−p))⌋,
+    * u = ⌈np + z√(np(1−p))⌉ clamped to [1, n]; the interval is the (l, u)
+    * ORDER-STATISTIC pair — pure selections, never interpolation, so the
+    * bounds are actual data values and engine-exact by construction;
+    * z = 1.959964 (published literal).
+    *
+    * One histogram partial agg + one distinct-value cumulative window
+    * (the mannWhitneyU bounded-resolution contract) + three conditional-
+    * min selections off broadcast ranks (fixed IEEE chains from the exact
+    * n). Values must be pre-quantized integral. n = 0 → no row; the
+    * normal-rank approximation is documented as large-sample (small-n
+    * callers should widen to the exact binomial ranks offline). */
+  def quantileCi(
+      df: DataFrame,
+      valueCol: String,
+      p: Double,
+      z: Double = 1.959964): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(z > 0, s"z must be > 0, got $z")
+    val v = col(valueCol).cast("long")
+    val hist = df.filter(v.isNotNull).groupBy(v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = cum.agg(max(col("__cum")).as("__n"))
+    val nD = col("__n").cast("double")
+    val half = lit(z) * sqrt(nD * lit(p) * lit(1.0 - p))
+    val ranks = tot.select(
+      col("__n"),
+      greatest(lit(1L), ceil(nD * lit(p)).cast("long")).as("__rp"),
+      greatest(lit(1L), floor(nD * lit(p) - half).cast("long")).as("__rl"),
+      least(col("__n"), ceil(nD * lit(p) + half).cast("long")).as("__ru"))
+    def sel(rank: Column): Column = min(when(col("__cum") >= rank, col("__v")))
+    cum.crossJoin(broadcast(ranks))
+      .groupBy(col("__n"), col("__rl"), col("__rp"), col("__ru"))
+      .agg(
+        sel(col("__rp")).as("point"),
+        sel(col("__rl")).as("ci_lo"),
+        sel(col("__ru")).as("ci_hi"))
+      .select(
+        lit(p).as("p"),
+        col("__n").as("n"),
+        col("__rl").as("rank_lo"), col("__rp").as("rank_point"),
+        col("__ru").as("rank_hi"),
+        col("point"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** Bowker's symmetry test (Bowker, JASA 1948) — the k×k generalization
     * of [[mcnemar]]'s 2×2: do two paired categorical raters/rules/model
     * versions disagree SYMMETRICALLY across all label pairs, or does the

@@ -1697,6 +1697,27 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("quantileCi: hand order-statistic bounds, ties collapse, clamps, guards") {
+    import graft.operators.Sketches
+    // 1..100: median rank 50, CI ranks floor(50-9.79982)=40 / ceil(59.79982)=60
+    val r = Sketches.quantileCi((1L to 100L).toDF("v").repartition(4), "v", 0.5).head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("rank_point") == 50L && r.getAs[Long]("point") == 50L)
+    assert(r.getAs[Long]("rank_lo") == 40L && r.getAs[Long]("ci_lo") == 40L)
+    assert(r.getAs[Long]("rank_hi") == 60L && r.getAs[Long]("ci_hi") == 60L)
+    // p=0.9 on 1..10 with the upper rank clamped at n
+    val t = Sketches.quantileCi((1L to 10L).toDF("v"), "v", 0.9).head
+    assert(t.getAs[Long]("point") == 9L)
+    assert(t.getAs[Long]("ci_lo") == 7L && t.getAs[Long]("ci_hi") == 10L)
+    // a constant column: every selection lands on the same value
+    val c = Sketches.quantileCi(Seq.fill(50)(7L).toDF("v"), "v", 0.5).head
+    assert(c.getAs[Long]("point") == 7L && c.getAs[Long]("ci_lo") == 7L &&
+      c.getAs[Long]("ci_hi") == 7L)
+    intercept[IllegalArgumentException] {
+      Sketches.quantileCi((1L to 10L).toDF("v"), "v", 1.0)
+    }
+  }
+
   test("groupSequentialPocock: cumulative looks, boundary literal, planted effect fires") {
     import graft.operators.Sketches
     // look 1 covers order<=10, look 2 everything; arm B jumps +10 in the
