@@ -160,4 +160,54 @@ object Decontaminate {
         .select(col(idCol)),
       Seq(idCol),
       "left_anti")
+
+  /** Combined decontamination report — BOTH leakage modalities against one
+    * eval corpus in ONE plan, with a per-document verdict (the release
+    * audit a training run actually wants; the GPT-3 appendix lesson is
+    * that exact n-gram overlap and whole-document near-duplication catch
+    * DIFFERENT leaks, so a pipeline that runs only one ships the other):
+    * [[contaminationReport]]'s bloom-prefiltered exact n-gram hits and
+    * [[nearDupContamination]]'s MinHash-blocked verified Jaccard, joined
+    * per train document. Verdict precedence: `near_dup` (whole-document
+    * paraphrase, the stronger signal) > `exact_overlap` (≥ `minExactHits`
+    * distinct leaked n-grams) > `clean`.
+    *
+    * One row per TRAIN document: (id, exact_hits, max_jaccard,
+    * n_near_matches, verdict); both modality plans keep their own scale
+    * shapes (bench-bounded broadcasts, band-blocked candidates). */
+  def decontaminationSuite(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 4,
+      minExactHits: Long = 5L,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleK: Int = 3,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    require(minExactHits >= 1, s"minExactHits must be >= 1, got $minExactHits")
+    val exact = contaminationReport(train, idCol, textCol, bench, benchTextCol, n)
+      .select(col(idCol), col("n_distinct_hits"))
+    val near = nearDupContamination(train, idCol, textCol,
+        bench, benchIdCol, benchTextCol, numHashes, bands, shingleK,
+        jaccardThreshold)
+      .groupBy(col("train_id"))
+      .agg(max(col("jaccard")).as("__maxj"), count(lit(1)).as("__nn"))
+      .withColumnRenamed("train_id", idCol)
+    train.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_distinct_hits"), lit(0L)).as("exact_hits"),
+        round(col("__maxj"), 6).as("max_jaccard"),
+        coalesce(col("__nn"), lit(0L)).as("n_near_matches"),
+        when(col("__maxj").isNotNull, "near_dup")
+          .when(coalesce(col("n_distinct_hits"), lit(0L)) >= minExactHits,
+            "exact_overlap")
+          .otherwise("clean").as("verdict"))
+  }
 }

@@ -112,4 +112,25 @@ class DecontaminateSpec extends SparkSpec {
     val out = graft.operators.Decontaminate.corpusOverlap(a, "text", b, "text", n = 3).head
     assert(out == Row(2L, 2L, 1L, 0.333333))
   }
+
+  test("decontaminationSuite: verdict precedence on planted leak shapes") {
+    val bench = Seq((100L, "a b c d e f g h")).toDF("eval_id", "text")
+    val train = Seq(
+      (1L, "a b c d e f g h"),                           // identical -> near_dup
+      (2L, "x y a b c d e f g h z w q r s t u v"),       // all 5 grams, low jaccard
+      (3L, "a b c d e q1 q2 q3 q4"),                     // 2 grams only
+      (4L, "completely different words here now"))       // untouched
+      .toDF("doc_id", "text")
+    val out = Decontaminate.decontaminationSuite(
+      train.repartition(3), "doc_id", "text", bench, "eval_id", "text",
+      n = 4, minExactHits = 5L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getLong(3), r.getString(4)))
+    assert(out(0) == ((1L, 5L, 1.0, 1L, "near_dup")), out.mkString(","))
+    assert(out(1)._1 == 2L && out(1)._2 == 5L && out(1)._5 == "exact_overlap")
+    assert(out(1)._3 == -1.0, "low-jaccard doc must not carry a near-dup score")
+    assert(out(2) == ((3L, 2L, -1.0, 0L, "clean")))
+    assert(out(3) == ((4L, 0L, -1.0, 0L, "clean")))
+  }
 }
