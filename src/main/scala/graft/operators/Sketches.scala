@@ -636,6 +636,78 @@ object Sketches {
       (abs(z) > lit(2.575829)).as("reject_99"))
   }
 
+  /** Brunner–Munzel test (Brunner & Munzel 2000) — the heteroscedastic
+    * rank test modern practice prefers over [[mannWhitneyU]] when the two
+    * groups may differ in SHAPE/SPREAD (MW U assumes exchangeable
+    * distributions under H0; BM tests the relative effect
+    * p = P(X<Y) + ½P(X=Y) = ½ directly with a Welch-style studentized
+    * variance and Welch-type dof): W = (n₁n₂(R̄₂−R̄₁)/N)/√(n₁v₁+n₂v₂),
+    * vₖ from the combined-minus-within rank deviations.
+    *
+    * EXACT-RATIONAL on the merged distinct-value histogram (the
+    * mannWhitneyU shape, values pre-quantized integral): doubled combined
+    * and within midranks are integers; each cell's deviation scaled by
+    * 2nₖ — nₖ·rc₂ − nₖ·rw₂ − SRₖ + nₖ² + nₖ — is an exact DECIMAL(38,0)
+    * integer, so Qₖ = Σc·D² is exact and nₖvₖ = Qₖ/(4nₖ(nₖ−1)) is ONE
+    * double division; the statistic numerator collapses to
+    * (n₁·SR₂ − n₂·SR₁)/(2N) — one more division — and p̂ to
+    * (SR₂ − n₂(n₂+1))/(2n₁n₂). Degenerate variance (complete separation)
+    * or nₖ ≤ 1 → NULL W/dof, p̂ still reports. */
+  def brunnerMunzel(a: DataFrame, b: DataFrame, valueCol: String, dp: Int = 6): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val v = col(valueCol).cast("long")
+    val ha = a.filter(v.isNotNull).select(v.as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__ca"))
+    val hb = b.filter(v.isNotNull).select(v.as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cells = ha.join(hb, Seq("__v"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+      .withColumn("__pall", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__pa", coalesce(sum(col("__ca")).over(w), lit(0L)))
+      .withColumn("__pb", coalesce(sum(col("__cb")).over(w), lit(0L)))
+      .withColumn("__rc2", lit(2L) * col("__pall") + col("__c") + 1)
+      .withColumn("__rwa2", lit(2L) * col("__pa") + col("__ca") + 1)
+      .withColumn("__rwb2", lit(2L) * col("__pb") + col("__cb") + 1)
+    val sums = cells.agg(
+      sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+      sum(dec(col("__ca")) * dec(col("__rc2"))).as("__sra"),
+      sum(dec(col("__cb")) * dec(col("__rc2"))).as("__srb"))
+    val na = dec(col("__na")); val nb = dec(col("__nb"))
+    val da = na * dec(col("__rc2")) - na * dec(col("__rwa2")) -
+      col("__sra") + na * na + na
+    val db = nb * dec(col("__rc2")) - nb * dec(col("__rwb2")) -
+      col("__srb") + nb * nb + nb
+    val qAgg = cells.crossJoin(broadcast(sums)).agg(
+      max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+      max(col("__sra")).as("__sra"), max(col("__srb")).as("__srb"),
+      coalesce(sum(dec(col("__ca")) * da * da), lit(0).cast("decimal(38,0)"))
+        .as("__qa"),
+      coalesce(sum(dec(col("__cb")) * db * db), lit(0).cast("decimal(38,0)"))
+        .as("__qb"))
+    val bigN = col("__na") + col("__nb")
+    val num = (na * col("__srb") - nb * col("__sra")).cast("double") /
+      (lit(2.0) * bigN.cast("double"))
+    val t1 = col("__qa").cast("double") /
+      (na * (na - 1) * 4).cast("double")
+    val t2 = col("__qb").cast("double") /
+      (nb * (nb - 1) * 4).cast("double")
+    val se = sqrt(t1 + t2)
+    val wStat = num / se
+    val pHat = (col("__srb") - nb * (nb + 1)).cast("double") /
+      (na * nb * 2).cast("double")
+    val dof = (t1 + t2) * (t1 + t2) /
+      (t1 * t1 / (na.cast("double") - 1.0) + t2 * t2 / (nb.cast("double") - 1.0))
+    val ok = col("__na") > 1 && col("__nb") > 1
+    qAgg.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      when(col("__na") > 0 && col("__nb") > 0, round(pHat, dp)).as("p_hat"),
+      when(ok, when(se > 0, round(wStat, dp))).as("w_stat"),
+      when(ok, when(se > 0 && (t1 > 0 || t2 > 0), round(dof, dp))).as("dof"))
+  }
+
   /** Cliff's delta (Cliff 1993) with the Vargha–Delaney Â (2000) beside it
     * — the ORDINAL effect sizes completing the magnitude family (X297's
     * d/g/Δ assume interval scale and near-normal tails; δ and Â are pure

@@ -1583,6 +1583,27 @@ class SketchesSpec extends SparkSpec {
     assert(u.getAs[Double]("k0") == 2.4)
   }
 
+  test("brunnerMunzel: hand overlapping case, complete separation NULL, p_hat") {
+    import graft.operators.Sketches
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def run(a: Seq[Long], b: Seq[Long]) =
+      Sketches.brunnerMunzel(a.toDF("v").repartition(3), b.toDF("v"), "v").head
+    // a=[1,3], b=[2,4]: v1=v2=0.5, W = 1/sqrt(2), p_hat = 0.75, dof = 2
+    val r = run(Seq(1L, 3L), Seq(2L, 4L))
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("p_hat") == 0.75)
+    assert(r.getAs[Double]("w_stat") == r6(1.0 / math.sqrt(2.0)), r.toString)
+    assert(r.getAs[Double]("dof") == 2.0)
+    // complete separation: zero rank variance, statistic undefined, p_hat = 1
+    val sep = run(Seq(1L, 2L), Seq(3L, 4L))
+    assert(sep.getAs[Double]("p_hat") == 1.0)
+    assert(sep.isNullAt(sep.fieldIndex("w_stat")))
+    // identical samples: p_hat exactly 1/2, W = 0
+    val same = run(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))
+    assert(same.getAs[Double]("p_hat") == 0.5)
+    assert(same.getAs[Double]("w_stat") == 0.0)
+  }
+
   test("cliffsDelta: hand dominance counts, boundaries, empty-side NULL") {
     def run(a: Seq[Long], b: Seq[Long]) =
       graft.operators.Sketches.cliffsDelta(
