@@ -77,6 +77,90 @@ object Temporal {
       .drop("__t", "__side", "__tb")
   }
 
+  /** NEAREST-event join — the bidirectional sibling of [[asofJoin]]
+    * (backward-only) completing the temporal-join family: each left row
+    * matches the right event CLOSEST in time within `tolerance`, in
+    * either direction (sensor alignment, nearest-click attribution,
+    * nearest-price marking). Deterministic conventions: a tie in distance
+    * prefers the BACKWARD match (asof semantics degrade gracefully);
+    * equal-instant right rows resolve by tiebreak — largest wins backward
+    * (the asofJoin convention), smallest wins forward; unmatched left
+    * rows keep NULL right columns.
+    *
+    * Same scale shape as asofJoin: union both sides, ONE shuffle on the
+    * key, two running `last(ignoreNulls)` window passes (ascending and
+    * descending) — never a range join, never per-left scans. Time columns
+    * must be numeric (epoch units); `tolerance` is in the same units. */
+  def nearestEventJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: String,
+      rightVals: Seq[(String, String)],
+      tolerance: Long): DataFrame = {
+    require(tolerance > 0, s"tolerance must be > 0, got $tolerance")
+    val leftCols = left.columns.toSeq
+    val outNames = rightVals.map(_._2)
+    val l = left
+      .withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(null).cast(right.schema(rightTiebreak).dataType))
+      .withColumn("__rt", lit(null).cast("long"))
+    val lAligned = outNames.foldLeft(l) { (acc, n) =>
+      acc.withColumn(n,
+        lit(null).cast(right.schema(rightVals.find(_._2 == n).get._1).dataType))
+    }
+    val r0 = right
+      .withColumn("__t", col(rightTime).cast("long"))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", col(rightTiebreak))
+      .withColumn("__rt", col(rightTime).cast("long"))
+    val rRenamed = rightVals.foldLeft(r0) { case (acc, (from, to)) =>
+      if (from == to) acc else acc.withColumn(to, col(from))
+    }
+    val rAligned = leftCols.filterNot(keyCols.contains).foldLeft(rRenamed) { (acc, n) =>
+      acc.withColumn(n, lit(null).cast(left.schema(n).dataType))
+    }
+    val cols = (keyCols ++ leftCols.filterNot(keyCols.contains) ++
+      Seq("__t", "__side", "__tb", "__rt") ++ outNames).map(col)
+    val unioned = lAligned.select(cols: _*).unionByName(rAligned.select(cols: _*))
+    val wB = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc, col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withBoth = outNames.foldLeft(
+      unioned
+        .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wB))
+        .withColumn("__ft", last(col("__rt"), ignoreNulls = true).over(wF))) {
+      (acc, n) =>
+        acc
+          .withColumn(s"__b_$n", last(col(n), ignoreNulls = true).over(wB))
+          .withColumn(s"__f_$n", last(col(n), ignoreNulls = true).over(wF))
+    }
+    val db = col("__t") - col("__bt")
+    val df0 = col("__ft") - col("__t")
+    val bOk = col("__bt").isNotNull && db <= tolerance
+    val fOk = col("__ft").isNotNull && df0 <= tolerance
+    val useB = bOk && (!fOk || db <= df0)
+    val useF = fOk && !(bOk && db <= df0)
+    val picked = outNames.foldLeft(withBoth.filter(col("__side") === 1)) {
+      (acc, n) =>
+        acc.withColumn(n,
+          when(useB, col(s"__b_$n")).when(useF, col(s"__f_$n")))
+    }
+    picked
+      .withColumn("nearest_time", when(useB, col("__bt")).when(useF, col("__ft")))
+      .withColumn("nearest_gap", when(useB, db).when(useF, df0))
+      .withColumn("direction",
+        when(useB, "before").when(useF, "after"))
+      .drop("__t", "__side", "__tb", "__rt", "__bt", "__ft")
+      .drop(outNames.flatMap(n => Seq(s"__b_$n", s"__f_$n")): _*)
+  }
+
   /** Join facts to a small bin dimension on `lo <= v < hi`. The dimension is
     * broadcast, so the fact side never shuffles (BroadcastNestedLoopJoin).
     * Out-of-range facts keep null bin columns (left-outer). */

@@ -743,6 +743,28 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 8L, 12L, 5L), ("b", 0L, 3L, 3L)))
   }
 
+  test("nearestEventJoin: direction picks, tolerance cut, tie conventions") {
+    val lefts = Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 300L, 12L),
+      (1L, 400L, 13L), (1L, 500L, 14L))
+      .toDF("k", "lt", "lid")
+    val rights = Seq((1L, 90L, 1L), (1L, 105L, 2L), (1L, 195L, 3L),
+      (1L, 195L, 8L), (1L, 220L, 4L), (1L, 390L, 5L), (1L, 410L, 6L),
+      (1L, 500L, 9L))
+      .toDF("k", "rt", "rid")
+    val out = Temporal.nearestEventJoin(lefts.repartition(3), rights,
+      Seq("k"), "lt", "rt", "rid", Seq("rid" -> "match_id"), tolerance = 50L)
+      .orderBy("lid").collect()
+      .map(r => (r.getAs[Long]("lid"),
+        if (r.isNullAt(r.fieldIndex("match_id"))) -1L else r.getAs[Long]("match_id"),
+        if (r.isNullAt(r.fieldIndex("nearest_gap"))) -1L else r.getAs[Long]("nearest_gap"),
+        Option(r.getAs[String]("direction")).getOrElse("none")))
+    assert(out(0) == ((10L, 2L, 5L, "after")), out.mkString(","))   // 105 beats 90
+    assert(out(1) == ((11L, 8L, 5L, "before")))  // equal-instant pair: largest tb
+    assert(out(2) == ((12L, -1L, -1L, "none")))  // nothing within 50
+    assert(out(3) == ((13L, 5L, 10L, "before"))) // equidistant: backward preferred
+    assert(out(4) == ((14L, 9L, 0L, "before")))  // same instant counts backward
+  }
+
   test("kaplanMeierGreenwood: hand bands, censored step inherits, d=n kills se, CI clamps") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // event at 1, censored at 2, event at 3
