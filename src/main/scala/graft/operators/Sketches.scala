@@ -2758,6 +2758,45 @@ object Sketches {
           sqrt(den1.cast("double") * den2.cast("double")), dp)).as("tau_b"))
   }
 
+  /** Wilson score interval per key (Wilson 1927) — the proportion CI that
+    * actually behaves at small n and extreme p̂ (the Wald interval
+    * p̂ ± z√(p̂(1−p̂)/n) collapses to zero width at p̂ ∈ {0,1} and
+    * overshoots [0,1]; Wilson inverts the score test instead): center
+    * (p̂ + z²/2n)/(1 + z²/n), half-width z√(p̂(1−p̂)/n + z²/4n²)/(1+z²/n),
+    * clamped to [0,1]. The uncertainty layer for every per-key rate
+    * readout, complementing X324's point-estimate shrinkage.
+    *
+    * p̂ is ONE double division of exact longs and everything downstream a
+    * fixed IEEE chain (z a literal), 6-dp rounded — engine-portable with
+    * no quantization games because no data-sized float sum exists.
+    * Empty keys cannot occur (groupBy), so n ≥ 1 always. */
+  def wilsonInterval(
+      df: DataFrame,
+      keyCols: Seq[String],
+      successCol: String,
+      z: Double = 1.959964,
+      dp: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(z > 0, s"z must be > 0, got $z")
+    val keys = keyCols.map(col)
+    val per = df.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as("x"))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val z2 = z * z
+    val denom = lit(1.0) + lit(z2) / nD
+    val center = p + lit(z2) / (nD * 2.0)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z2) / (nD * nD * 4.0))
+    per.select(keys ++ Seq(
+      col("n"), col("x"),
+      round(p, dp).as("p_hat"),
+      round(greatest(lit(0.0), (center - half) / denom), dp).as("ci_lo"),
+      round(least(lit(1.0), (center + half) / denom), dp).as("ci_hi")): _*)
+  }
+
   /** Distribution-free quantile confidence interval (order-statistic
     * bounds; Thompson 1936, the binomial-rank method with the large-sample
     * normal ranks) — the UNCERTAINTY layer the point-percentile family

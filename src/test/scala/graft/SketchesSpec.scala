@@ -1718,6 +1718,32 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("wilsonInterval: scala chain replay, extreme p clamps, Wald contrast") {
+    import graft.operators.Sketches
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def wilson(x: Long, n: Long): (Double, Double) = {
+      val z = 1.959964; val z2 = z * z; val nd = n.toDouble
+      val p = x.toDouble / nd
+      val denom = 1.0 + z2 / nd
+      val center = p + z2 / (nd * 2.0)
+      val half = z * math.sqrt(p * (1.0 - p) / nd + z2 / (nd * nd * 4.0))
+      (math.max(0.0, (center - half) / denom), math.min(1.0, (center + half) / denom))
+    }
+    val rows = Seq.fill(7)(("a", true)) ++ Seq.fill(3)(("a", false)) ++
+      Seq.fill(10)(("b", true)) ++ Seq.fill(0)(("b", false)) ++
+      Seq.fill(5)(("c", false))
+    val out = Sketches.wilsonInterval(rows.toDF("k", "s").repartition(3),
+      Seq("k"), "s").orderBy("k").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("p_hat"), r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))).toMap
+    val (lo, hi) = wilson(7, 10)
+    assert(out("a") == ((0.7, r6(lo), r6(hi))), out.toString)
+    // p-hat = 1: the Wald interval would be zero-width; Wilson stays open below
+    assert(out("b")._1 == 1.0 && out("b")._3 == 1.0 && out("b")._2 < 1.0)
+    // p-hat = 0: open above, closed at zero
+    assert(out("c")._1 == 0.0 && out("c")._2 == 0.0 && out("c")._3 > 0.0)
+  }
+
   test("quantileCi: hand order-statistic bounds, ties collapse, clamps, guards") {
     import graft.operators.Sketches
     // 1..100: median rank 50, CI ranks floor(50-9.79982)=40 / ceil(59.79982)=60
