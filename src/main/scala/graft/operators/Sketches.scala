@@ -2758,6 +2758,73 @@ object Sketches {
           sqrt(den1.cast("double") * den2.cast("double")), dp)).as("tau_b"))
   }
 
+  /** Dunn's post-hoc pairwise test (Dunn 1964), tie-corrected — WHICH
+    * groups differ once [[kruskalWallis]]'s omnibus H fires (the rank
+    * sibling of X184's Tukey contrasts over the ANOVA F): z_ij =
+    * (r̄_i − r̄_j)/√(σ²(1/nᵢ + 1/nⱼ)) with combined-sample midranks and
+    * σ² = N(N+1)/12 − ΣT/(12(N−1)). The multiple-comparison control is a
+    * caller-supplied `zCrit` (Dunn's Bonferroni: Φ⁻¹(1 − α/(k(k−1))),
+    * looked up offline — the no-CDF-in-plan discipline), and `reject`
+    * compares the ROUNDED |z| so the verdict is engine-portable.
+    *
+    * EXACT: doubled midranks make every rank sum an integer;
+    * r̄_i − r̄_j = (nⱼSRᵢ − nᵢSRⱼ)/(2nᵢnⱼ) is ONE division of exact
+    * DECIMAL(38,0) operands; σ² is a fixed chain from exact (N, ΣT). One
+    * value histogram + one global ordered window (mannWhitneyU
+    * resolution contract) + a k-row group self-join. */
+  def dunnTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      zCrit: Double,
+      dp: Int = 6): DataFrame = {
+    require(zCrit > 0, s"zCrit must be > 0, got $zCrit")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(col(groupCol).cast("string").as("__g"),
+      col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val cells = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val vals = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__cAll"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("__prev", coalesce(sum(col("__cAll")).over(w), lit(0L)))
+      .withColumn("__rc2", lit(2L) * col("__prev") + col("__cAll") + 1)
+    val groups = cells.join(ranked.select(col("__v"), col("__rc2")), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(dec(col("__c")) * dec(col("__rc2"))).as("__sr"))
+    val glob = vals.agg(
+      sum(col("__cAll")).as("__N"),
+      coalesce(sum(dec(col("__cAll")) * dec(col("__cAll")) * dec(col("__cAll"))
+        - dec(col("__cAll"))), lit(0).cast("decimal(38,0)")).as("__T"))
+    val a = groups.select(col("__g").as("g1"), col("__n").as("__n1"),
+      col("__sr").as("__sr1"))
+    val b = groups.select(col("__g").as("g2"), col("__n").as("__n2"),
+      col("__sr").as("__sr2"))
+    val pairs = a.join(b, col("g1") < col("g2")).crossJoin(broadcast(glob))
+    val nD = col("__N").cast("double")
+    val sigma2 = nD * (nD + 1.0) / 12.0 -
+      col("__T").cast("double") / (lit(12.0) * (nD - 1.0))
+    val num = (dec(col("__n2")) * col("__sr1") - dec(col("__n1")) * col("__sr2"))
+      .cast("double") /
+      (dec(col("__n1")) * dec(col("__n2")) * 2).cast("double")
+    val z = round(num / sqrt(sigma2 *
+      (lit(1.0) / col("__n1").cast("double") +
+        lit(1.0) / col("__n2").cast("double"))), dp)
+    val meanRank = (c: String, n: String) =>
+      round(col(c).cast("double") / (col(n).cast("double") * 2.0), dp)
+    pairs.select(
+      col("g1"), col("g2"),
+      col("__n1").as("n_1"), col("__n2").as("n_2"),
+      meanRank("__sr1", "__n1").as("mean_rank_1"),
+      meanRank("__sr2", "__n2").as("mean_rank_2"),
+      when(col("__N") > 1, when(sigma2 > 0, z)).as("z"),
+      lit(zCrit).as("z_crit"),
+      when(col("__N") > 1, when(sigma2 > 0, abs(z) > lit(zCrit))).as("reject"))
+      .orderBy("g1", "g2")
+  }
+
   /** Wilson score interval per key (Wilson 1927) — the proportion CI that
     * actually behaves at small n and extreme p̂ (the Wald interval
     * p̂ ± z√(p̂(1−p̂)/n) collapses to zero width at p̂ ∈ {0,1} and

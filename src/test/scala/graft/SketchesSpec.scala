@@ -1718,6 +1718,32 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("dunnTest: hand three-group pairs, tie correction, reject flags") {
+    import graft.operators.Sketches
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a=[1,2], b=[3,4], c=[10,11]: N=6 no ties, sigma2 = 3.5,
+    // mean ranks 1.5/3.5/5.5
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 10L), ("c", 11L))
+      .toDF("g", "v")
+    val out = Sketches.dunnTest(df.repartition(3), "g", "v", zCrit = 2.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("z"), r.getAs[Boolean]("reject"))).toMap
+    def zExp(r1: Double, r2: Double) =
+      r6((r1 - r2) / math.sqrt(3.5 * (0.5 + 0.5)))
+    assert(out(("a", "b"))._1 == zExp(1.5, 3.5), out.toString)
+    assert(out(("a", "c"))._1 == zExp(1.5, 5.5))
+    assert(out(("a", "c"))._2 && !out(("a", "b"))._2 && !out(("b", "c"))._2)
+    // ties shrink sigma2: all values equal -> sigma2 = N(N+1)/12 - (N^3-N)/(12(N-1)) = 0
+    val flat = Sketches.dunnTest(
+      Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v"),
+      "g", "v", zCrit = 2.0).head
+    assert(flat.isNullAt(flat.fieldIndex("z")))
+    // mean ranks report per pair
+    val ab = Sketches.dunnTest(df, "g", "v", zCrit = 2.0)
+      .filter(col("g1") === "a" && col("g2") === "b").head
+    assert(ab.getAs[Double]("mean_rank_1") == 1.5 && ab.getAs[Double]("mean_rank_2") == 3.5)
+  }
+
   test("wilsonInterval: scala chain replay, extreme p clamps, Wald contrast") {
     import graft.operators.Sketches
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
