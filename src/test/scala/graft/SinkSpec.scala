@@ -191,4 +191,34 @@ class SinkSpec extends SparkSpec {
       .as[(Long, String)].collect()
     assert(back.length == 10000 && back.head == ((1L, "payload-1")))
   }
+
+  test("parquet bloom filters: written, audited, no false negatives, typo caught") {
+    import graft.operators.Sink
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/t"
+    val df = (1L to 5000L).map(i => (i * 7919L % 1000003L, s"p$i"))
+      .toDF("id", "payload")
+    Sink.writeParquetWithBloom(df.repartition(2), dir, Seq("id"), ndv = 10000L)
+    // audit: the bloom column is covered in every row group, the other is not
+    val audit = Sink.bloomAudit(spark, dir, Seq("id", "payload"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audit("id")._1 > 0 && audit("id")._2 == audit("id")._1,
+      audit.toString)
+    assert(audit("id")._3 > 0)
+    assert(audit("payload")._2 == 0L)
+    // no false negatives: every written value probes true
+    val written = (1L to 200L).map(i => i * 7919L % 1000003L)
+    val probes = Sink.bloomProbe(spark, dir, "id", written).collect()
+    assert(probes.forall(_.getBoolean(1)), "bloom false negative")
+    // absent values mostly probe false (~1% FPP)
+    val absent = (1L to 200L).map(i => 2000000L + i)
+    val misses = Sink.bloomProbe(spark, dir, "id", absent)
+      .collect().count(!_.getBoolean(1))
+    assert(misses > 150, s"expected most absent probes false, got $misses/200")
+    // a mistyped column writes NOTHING — exactly what the audit catches
+    val dir2 = Files.createTempDirectory("graft-bloom2").toString + "/t"
+    Sink.writeParquetWithBloom(df, dir2, Seq("id_typo"))
+    val a2 = Sink.bloomAudit(spark, dir2, Seq("id")).head
+    assert(a2.getLong(2) == 0L)
+  }
 }
