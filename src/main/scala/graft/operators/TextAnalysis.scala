@@ -209,6 +209,49 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(topN)
 
+  /** Top-k TERM DRIFT between two corpus snapshots — the term-grain "what
+    * changed between these dumps" readout the corpus-level gates (T18
+    * snapshot n-gram Jaccard, X38 snapshot diff) cannot give: rank both
+    * snapshots' top-`topK` vocabularies on the identical deterministic
+    * (count desc, word) order, full-outer join the two lists, and label
+    * each term `entered` / `dropped` / `up` / `down` / `stable` with its
+    * rank delta — new boilerplate flooding in or a domain draining out
+    * shows up as a readable table, not a similarity scalar.
+    *
+    * Everything is exact integers + ROW_NUMBER over a pinned total order,
+    * so the whole report hash-gates; both top-k cuts are bounded, the
+    * join is k-row. One tokenize-count pass per snapshot ([[wordFreq]]'s
+    * tokenization). */
+  def termDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      textCol: String,
+      topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def ranked(df: DataFrame, nCol: String, rCol: String): DataFrame =
+      df.select(explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9_]+"), lit(0))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as(nCol))
+        .withColumn(rCol,
+          row_number().over(Window.orderBy(col(nCol).desc, col("word"))))
+        .filter(col(rCol) <= topK)
+    val o = ranked(oldDf, "n_old", "rank_old")
+    val n = ranked(newDf, "n_new", "rank_new")
+    o.join(n, Seq("word"), "full_outer")
+      .select(
+        col("word"), col("rank_old"), col("rank_new"),
+        col("n_old"), col("n_new"),
+        (col("rank_old") - col("rank_new")).as("rank_delta"),
+        when(col("rank_old").isNull, "entered")
+          .when(col("rank_new").isNull, "dropped")
+          .when(col("rank_old") > col("rank_new"), "up")
+          .when(col("rank_old") < col("rank_new"), "down")
+          .otherwise("stable").as("status"))
+      .orderBy(col("word"))
+  }
+
   /** Zipf slope fit over the corpus word-frequency curve — OLS of
     * ln(freq) on ln(rank) across the top-`topN` words (deterministic
     * (freq desc, word) ranking). Healthy natural-language corpora sit

@@ -903,4 +903,26 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.corpusBleu(pairs, "pid", "cand", "ref", maxN = 3)
     }
   }
+
+  test("termDrift: entered/dropped/moved/stable labels on planted snapshots") {
+    import spark.implicits._
+    // old: alpha(3) beta(2) gamma(1); new: alpha(1) gamma(3) delta(2)
+    val oldDf = Seq("alpha alpha alpha beta beta gamma").toDF("text")
+    val newDf = Seq("gamma gamma gamma delta delta alpha").toDF("text")
+    val out = TextAnalysis.termDrift(oldDf.repartition(2), newDf, "text", topK = 3)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getString(6))).toMap
+    assert(out("alpha") == ((Some(1), Some(3), "down")), out.toString)
+    assert(out("gamma") == ((Some(3), Some(1), "up")))
+    assert(out("beta") == ((Some(2), None, "dropped")))
+    assert(out("delta") == ((None, Some(2), "entered")))
+    // unchanged ranks label stable
+    val same = TextAnalysis.termDrift(oldDf, oldDf, "text", topK = 3)
+      .collect().map(_.getString(6)).toSet
+    assert(same == Set("stable"))
+    // topK cuts both sides: beyond-k terms never appear
+    val cut = TextAnalysis.termDrift(oldDf, newDf, "text", topK = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(cut == Set("alpha", "gamma"))
+  }
 }
