@@ -3364,6 +3364,49 @@ object Sketches {
         when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** Gwet's AC1 (Gwet 2008) — the agreement coefficient that survives the
+    * KAPPA PARADOX: on skewed label sets (most docs 'clean', raters agree
+    * 95%) [[cohenKappa]]'s chance term inflates and κ collapses toward 0
+    * even for near-perfect raters; AC1's chance model
+    * p_e = (1/(K−1))·Σ_k π_k(1−π_k) with π_k the AVERAGED marginal stays
+    * honest, which is why labeling-QA practice increasingly quotes both.
+    * Same plan shape as κ: one confusion partial agg, label-bounded
+    * marginal rollups; π_k quantized to 1e-9 longs before the cross-label
+    * sum (order-independence), AC1 = (p_o − p_e)/(1 − p_e) a fixed chain,
+    * 6-dp rounded; both-raters-constant (p_e = 1) → NULL. */
+  def gwetAc1(
+      df: DataFrame, raterACol: String, raterBCol: String): DataFrame = {
+    val conf = df.groupBy(col(raterACol).as("__a"), col(raterBCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val rowm = conf.groupBy(col("__a").as("__l")).agg(sum(col("__c")).as("__ra"))
+    val colm = conf.groupBy(col("__b").as("__l")).agg(sum(col("__c")).as("__rb"))
+    val tot = conf.agg(
+      sum(col("__c")).as("__n"),
+      sum(when(col("__a") <=> col("__b"), col("__c")).otherwise(0L)).as("__diag"))
+    val marg = rowm.join(colm, Seq("__l"), "full_outer")
+      .select(col("__l"),
+        (coalesce(col("__ra"), lit(0L)) + coalesce(col("__rb"), lit(0L)))
+          .as("__m2"))
+      .crossJoin(broadcast(tot))
+    // pi_k = m2/(2n); term pi(1-pi) quantized to 1e-9 before the K-sum
+    val pi = col("__m2").cast("double") / (col("__n").cast("double") * 2.0)
+    val kAgg = marg.agg(
+      count(lit(1)).as("__k"),
+      sum(floor(pi * (lit(1.0) - pi) * 1e9 + 0.5).cast("long")).as("__sq"))
+    val agg = tot.crossJoin(broadcast(kAgg))
+    val nD = col("__n").cast("double")
+    val po = col("__diag").cast("double") / nD
+    val pe = col("__sq").cast("double") / 1e9 /
+      (col("__k").cast("double") - 1.0)
+    agg.select(
+      col("__n").as("n"),
+      col("__k").as("n_labels"),
+      round(po, 6).as("p_observed"),
+      when(col("__k") > 1, round(pe, 6)).as("p_chance_ac1"),
+      when(col("__k") > 1, when(pe < 1.0,
+        round((po - pe) / (lit(1.0) - pe), 6))).as("ac1"))
+  }
+
   /** Cronbach's α — internal-consistency reliability of a set of "items"
     * (columns of an implicit subject×item count matrix, e.g. per-user
     * event-type counts): α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total). Subjects

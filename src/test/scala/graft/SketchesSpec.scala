@@ -1718,6 +1718,32 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("gwetAc1: hand chance model, kappa-paradox contrast, degenerate NULL") {
+    import graft.operators.Sketches
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    // the classic skewed table: 95 (y,y), 4 (y,n), 1 (n,y): po = 0.95
+    val rows = Seq.fill(95)(("y", "y")) ++ Seq.fill(4)(("y", "n")) ++
+      Seq.fill(1)(("n", "y"))
+    val r = Sketches.gwetAc1(rows.toDF("a", "b").repartition(4), "a", "b").head
+    // marginals: y: (99+96)/200, n: (1+4)/200
+    val piY = 195.0 / 200.0; val piN = 5.0 / 200.0
+    val pe = (q9(piY * (1 - piY)) + q9(piN * (1 - piN))) / 1.0
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("n_labels") == 2L)
+    assert(r.getAs[Double]("p_observed") == 0.95)
+    assert(r.getAs[Double]("p_chance_ac1") == r6(pe), r.toString)
+    assert(r.getAs[Double]("ac1") == r6((0.95 - pe) / (1.0 - pe)))
+    // the paradox: kappa collapses on this table, AC1 stays high
+    val kappa = Sketches.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .head.getAs[Double]("kappa")
+    assert(r.getAs[Double]("ac1") > 0.9 && kappa < 0.4,
+      s"ac1=${r.getAs[Double]("ac1")} kappa=$kappa")
+    // both raters constant: one label, chance undefined
+    val const = Sketches.gwetAc1(
+      Seq(("y", "y"), ("y", "y")).toDF("a", "b"), "a", "b").head
+    assert(const.isNullAt(const.fieldIndex("ac1")))
+  }
+
   test("dunnTest: hand three-group pairs, tie correction, reject flags") {
     import graft.operators.Sketches
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
