@@ -1626,6 +1626,47 @@ object Models {
     }
   }
 
+  /** Negative-binomial fit by method of moments, per key (the NB2
+    * parameterization: Var = μ + μ²/r) — the model [[poissonDispersion]]'s
+    * audit points at when Var > μ: r̂ = m²/(v−m), p̂ = m/v. The standard
+    * first stop for overdispersed counts (per-day event volumes, per-user
+    * purchase counts) before reaching for the GLM.
+    *
+    * Exact DECIMAL(38,0) (n, S, ΣS²) moments per key in ONE partial agg
+    * (pre-quantized integral counts); mean and the unbiased variance are
+    * fixed chains of single divisions; r̂/p̂ one division each, 6-dp
+    * rounded. Underdispersed keys (v ≤ m — Poisson/binomial regime, no
+    * finite NB) and n ≤ 1 → NULL fit with mean/var still reported,
+    * divisions inside guard branches. */
+  def nbFitMoments(
+      df: DataFrame,
+      keyCols: Seq[String],
+      countCol: String,
+      dp: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val keys = keyCols.map(col)
+    val v = col(countCol).cast("long")
+    val agg = df.filter(v.isNotNull)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(v)).as("__s"),
+        sum(dec(v) * dec(v)).as("__ss"))
+    val nD = col("n").cast("double")
+    val m = col("__s").cast("double") / nD
+    val varNum = dec(col("n")) * col("__ss") - col("__s") * col("__s")
+    val vv = varNum.cast("double") /
+      (dec(col("n")) * (dec(col("n")) - 1)).cast("double")
+    val over = vv - m
+    agg.select(keys ++ Seq(
+      col("n"),
+      round(m, dp).as("mean"),
+      when(col("n") > 1, round(vv, dp)).as("variance"),
+      when(col("n") > 1, when(over > 0, round(m * m / over, dp))).as("r_hat"),
+      when(col("n") > 1, when(over > 0, round(m / vv, dp))).as("p_hat")): _*)
+  }
+
   /** Empirical-Bayes beta-binomial rate shrinkage (Robbins 1956 empirical
     * Bayes; the method-of-moments beta prior of Morris 1983 practice) —
     * the "is this small-sample rate real?" tool every per-key conversion/

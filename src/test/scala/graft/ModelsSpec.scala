@@ -549,6 +549,29 @@ class ModelsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Models.scaleColumn(df, "v", "mad") }
   }
 
+  test("nbFitMoments: hand overdispersed fit, Poisson-regime NULL, NB2 identity") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // counts 1,2,3,10: m=4, v=(4*114-256)/12 = 16.6667, over = 12.6667
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 10L)).toDF("k", "c")
+    val r = Models.nbFitMoments(df.repartition(3), Seq("k"), "c").head
+    val m = 4.0; val v = (4.0 * 114 - 256) / 12.0
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Double]("mean") == 4.0)
+    assert(r.getAs[Double]("variance") == r6(v))
+    assert(r.getAs[Double]("r_hat") == r6(m * m / (v - m)))
+    assert(r.getAs[Double]("p_hat") == r6(m / v))
+    // NB2 identity: Var = mu + mu^2/r reproduces the observed variance
+    val rh = m * m / (v - m)
+    assert(math.abs((m + m * m / rh) - v) < 1e-9)
+    // underdispersed (constant counts): no finite NB
+    val flat = Models.nbFitMoments(
+      Seq(("a", 5L), ("a", 5L), ("a", 5L)).toDF("k", "c"), Seq("k"), "c").head
+    assert(flat.isNullAt(flat.fieldIndex("r_hat")))
+    assert(flat.getAs[Double]("variance") == 0.0)
+    // single observation: not even a variance
+    val solo = Models.nbFitMoments(Seq(("a", 7L)).toDF("k", "c"), Seq("k"), "c").head
+    assert(solo.isNullAt(solo.fieldIndex("variance")))
+  }
+
   test("olsInfluence: outlier dominates Cook's D, scala chain replay, degenerate guards") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val pts = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L), (4L, 4L, 4L), (5L, 10L, 30L))
