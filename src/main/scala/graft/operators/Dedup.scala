@@ -337,4 +337,37 @@ object Dedup {
       rankCol = Some("rnk"))
       .select(col("query_id"), col("doc_id2").as("doc_id"), col("jaccard"), col("rnk"))
   }
+
+  /** Cross-source duplicate FLOW matrix — the governance readout over the
+    * near-dup pair set: per (source, source) pair, how many near-duplicate
+    * document pairs cross that boundary and how similar they are ("which
+    * crawl copies which", "is lang X flooding lang Y with re-renders").
+    * Pairs come from the EXACT [[allPairsJaccard]] join (zero false
+    * negatives), sources canonicalize so (a, b) and (b, a) land in one
+    * cell (lexicographic order — diagonal cells are within-source
+    * duplication); the mean Jaccard re-quantizes the already-6-dp pair
+    * scores to exact 1e-6 longs before the cell sum (order-independent),
+    * one division per cell. Output is bounded by the source domain². */
+  def duplicateFlowMatrix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      threshold: Double,
+      shingleK: Int = 3): DataFrame = {
+    val pairs = allPairsJaccard(df, idCol, textCol, threshold, shingleK)
+    val src = df.select(col(idCol).as("__sid"), col(sourceCol).cast("string").as("__src"))
+    pairs
+      .join(src.select(col("__sid").as("id1"), col("__src").as("__s1")), Seq("id1"))
+      .join(src.select(col("__sid").as("id2"), col("__src").as("__s2")), Seq("id2"))
+      .select(
+        least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"),
+        floor(col("jaccard") * 1e6 + 0.5).cast("long").as("__jq"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round((sum(col("__jq")).cast("double") / 1e6) /
+          count(lit(1)).cast("double"), 6).as("mean_jaccard"))
+  }
 }

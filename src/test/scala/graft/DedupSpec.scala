@@ -143,4 +143,22 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((1L, 2L)))
     assert(capped.subsetOf(uncapped), s"capped $capped uncapped $uncapped")
   }
+
+  test("duplicateFlowMatrix: planted cross-source pairs, canonical cells, means") {
+    import graft.operators.Dedup
+    // two identical docs across sources A/B, two identical within C, one loner
+    val docs = Seq(
+      (1L, "A", "w1 w2 w3 w4 w5 w6"),
+      (2L, "B", "w1 w2 w3 w4 w5 w6"),
+      (3L, "C", "x1 x2 x3 x4 x5 x6"),
+      (4L, "C", "x1 x2 x3 x4 x5 x6"),
+      (5L, "A", "totally different content here now ok"))
+      .toDF("id", "src", "text")
+    val out = Dedup.duplicateFlowMatrix(docs.repartition(3), "id", "text",
+      "src", threshold = 0.7)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("A", "B", 1L, 1.0), ("C", "C", 1L, 1.0)),
+      out.mkString(","))
+  }
 }
