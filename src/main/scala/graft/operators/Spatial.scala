@@ -199,6 +199,66 @@ object Spatial {
         coalesce(col("__cl"), col("__bcl")).as("cluster"))
   }
 
+  /** Moran's I spatial autocorrelation (Moran 1950) — "do nearby points
+    * carry similar values?", the inference readout completing the spatial
+    * family above the join/cluster primitives (radius join finds
+    * neighbors, DBSCAN finds density — Moran asks whether a MEASURE is
+    * spatially structured at all, the question to answer before any
+    * spatial model): I = (n/W)·Σ_{ij} w_ij z_i z_j / Σ z_i² with binary
+    * within-ε weights from the grid [[radiusJoin]] (never point×point),
+    * E[I] = −1/(n−1) beside it.
+    *
+    * EXACT-RATIONAL: with pre-quantized integral values, multiplying the
+    * centered products through by n² gives Σ(n·xᵢ−S)(n·xⱼ−S) and
+    * Σ(n·xᵢ−S)² as exact DECIMAL(38,0) sums, and I = n·num/(W·den) is ONE
+    * double division of exact operands, 6-dp rounded. Constant values
+    * (den = 0) or no neighbor pairs → NULL. */
+  def moranI(
+      df: DataFrame,
+      idCol: String,
+      latCol: String,
+      lonCol: String,
+      valueCol: String,
+      epsKm: Double,
+      maxAbsLat: Double = 66.0): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(col(idCol).as("__id"), col(latCol).as("__lat"),
+      col(lonCol).as("__lon"), col(valueCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val mom = base.agg(
+      count(lit(1)).as("__n"), sum(dec(col("__x"))).as("__s"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__ss"))
+    val probe = base.select(col("__id").as("__pid"), col("__lat").as("__plat"),
+      col("__lon").as("__plon"), col("__x").as("__px"))
+    val pts = base.select(col("__id").as("__qid"), col("__lat").as("__qlat"),
+      col("__lon").as("__qlon"), col("__x").as("__qx"))
+    val pairs = radiusJoin(probe, pts, "__plat", "__plon", "__qlat", "__qlon",
+        epsKm, maxAbsLat)
+      .filter(col("__pid") =!= col("__qid"))
+      .select(col("__px"), col("__qx"))
+      .crossJoin(broadcast(mom))
+    // (n·x_i − S)(n·x_j − S) summed exactly; W = directed pair count
+    val zi = dec(col("__n")) * dec(col("__px")) - col("__s")
+    val zj = dec(col("__n")) * dec(col("__qx")) - col("__s")
+    val pAgg = pairs.agg(
+      count(lit(1)).as("__w"),
+      coalesce(sum(zi * zj), lit(0).cast("decimal(38,0)")).as("__num"))
+    val agg = mom.crossJoin(broadcast(pAgg))
+    // Σ(n·x − S)² = n²·Σx² − n·S² → n·Σx² − S² after dividing by n once;
+    // keep the n²-scaled form to match the numerator's scaling
+    val den = dec(col("__n")) * dec(col("__n")) * col("__ss") -
+      dec(col("__n")) * col("__s") * col("__s")
+    val iVal = (dec(col("__n")) * col("__num")).cast("double") /
+      (dec(col("__w")) * den).cast("double")
+    agg.select(
+      col("__n").cast("long").as("n"),
+      col("__w").as("n_pairs"),
+      when(col("__n") > 1 && col("__w") > 0, when(den > 0, round(iVal, 6)))
+        .as("moran_i"),
+      when(col("__n") > 1,
+        round(lit(-1.0) / (col("__n").cast("double") - 1.0), 6)).as("e_i"))
+  }
+
   private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
   /** Standard geohash (Niemeyer's public base-32 encoding): interleaved

@@ -502,6 +502,31 @@ class SpatialSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "sq"), (3L, "sq"), (6L, "ell"), (7L, "ell")))
   }
 
+  test("moranI: clustered values positive, alternating negative, constant NULL") {
+    import spark.implicits._
+    // two spatial clusters; similar values within each -> strong positive I
+    val clustered = Seq(
+      (1L, 0.0, 0.0, 100L), (2L, 0.0, 0.3, 110L), (3L, 0.3, 0.15, 105L),
+      (4L, 10.0, 10.0, 10L), (5L, 10.0, 10.3, 15L), (6L, 10.3, 10.15, 12L))
+      .toDF("id", "lat", "lon", "x")
+    val pos = Spatial.moranI(clustered.repartition(3), "id", "lat", "lon", "x",
+      epsKm = 100.0).head
+    assert(pos.getAs[Long]("n") == 6L && pos.getAs[Long]("n_pairs") == 12L)
+    assert(pos.getAs[Double]("moran_i") > 0.5, pos.toString)
+    assert(pos.getAs[Double]("e_i") == -0.2)
+    // high/low alternating along a line: every neighbor pair dissimilar
+    val alt = Seq(
+      (1L, 0.0, 0.0, 100L), (2L, 0.0, 0.5, 0L),
+      (3L, 0.0, 1.0, 100L), (4L, 0.0, 1.5, 0L))
+      .toDF("id", "lat", "lon", "x")
+    val neg = Spatial.moranI(alt, "id", "lat", "lon", "x", epsKm = 60.0).head
+    assert(neg.getAs[Double]("moran_i") < -0.5, neg.toString)
+    // constant values: no variance to correlate
+    val flat = Spatial.moranI(
+      clustered.withColumn("x", lit(5L)), "id", "lat", "lon", "x", 100.0).head
+    assert(flat.isNullAt(flat.fieldIndex("moran_i")))
+  }
+
   test("dbscan: core/border/noise roles, two clusters, smallest-label assignment") {
     import spark.implicits._
     // trio A,B,C mutually within 100km (core at minPts=3); D within eps of
