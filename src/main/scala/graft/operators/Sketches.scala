@@ -2758,6 +2758,52 @@ object Sketches {
           sqrt(den1.cast("double") * den2.cast("double")), dp)).as("tau_b"))
   }
 
+  /** ROC / PR operating-point table — the CURVE behind X199's tie-aware
+    * AUC scalar (a single number can't answer "what threshold do I
+    * deploy?"): one row per DISTINCT score threshold with the confusion
+    * counts and tpr/fpr/precision/recall of "predict positive at
+    * score ≥ t". Exact by construction: counts come from one (score,
+    * label) histogram and a descending cumulative window over the
+    * distinct-score table (bounded by score resolution — quantize
+    * upstream, the mannWhitneyU contract); each rate is ONE division of
+    * exact longs, 6-dp rounded; precision at all-negative thresholds and
+    * rates on empty classes → NULL, divisions inside guard branches. */
+  def rocCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      dp: Int = 6): DataFrame = {
+    val sc = col(scoreCol).cast("long")
+    val hist = df.filter(sc.isNotNull && col(labelCol).isNotNull)
+      .groupBy(sc.as("threshold"))
+      .agg(
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L)).as("__n"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = hist
+      .withColumn("tp", sum(col("__p")).over(wDesc))
+      .withColumn("fp", sum(col("__n")).over(wDesc))
+      .withColumn("__tP", sum(col("__p")).over(wAll))
+      .withColumn("__tN", sum(col("__n")).over(wAll))
+    cum.select(
+      col("threshold"), col("tp"), col("fp"),
+      (col("__tP") - col("tp")).as("fn"),
+      (col("__tN") - col("fp")).as("tn"),
+      when(col("__tP") > 0,
+        round(col("tp").cast("double") / col("__tP").cast("double"), dp))
+        .as("tpr"),
+      when(col("__tN") > 0,
+        round(col("fp").cast("double") / col("__tN").cast("double"), dp))
+        .as("fpr"),
+      when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"),
+          dp)).as("precision"))
+      .orderBy(col("threshold").desc)
+  }
+
   /** Dunn's post-hoc pairwise test (Dunn 1964), tie-corrected — WHICH
     * groups differ once [[kruskalWallis]]'s omnibus H fires (the rank
     * sibling of X184's Tukey contrasts over the ANOVA F): z_ij =

@@ -1718,6 +1718,28 @@ class SketchesSpec extends SparkSpec {
     assert(mixed.getAs[Long]("n_strata") == 2L)
   }
 
+  test("rocCurve: hand confusion counts per threshold, monotone rates, guards") {
+    import graft.operators.Sketches
+    // scores: pos at 3,3,2; neg at 2,1: thresholds {3,2,1}
+    val df = Seq((3L, true), (3L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("s", "y")
+    val out = Sketches.rocCurve(df.repartition(3), "s", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    // t=3: tp=2 fp=0 fn=1 tn=2; t=2: tp=3 fp=1; t=1: tp=3 fp=2
+    assert(out(0) == ((3L, 2L, 0L, 1L, 2L, 0.666667, 0.0, 1.0)), out.mkString(","))
+    assert(out(1) == ((2L, 3L, 1L, 0L, 1L, 1.0, 0.5, 0.75)))
+    assert(out(2) == ((1L, 3L, 2L, 0L, 0L, 1.0, 1.0, 0.6)))
+    // tpr and fpr are non-decreasing as the threshold falls
+    assert(out.map(_._6).toSeq == out.map(_._6).sorted.toSeq)
+    assert(out.map(_._7).toSeq == out.map(_._7).sorted.toSeq)
+    // all-positive labels: fpr undefined, tpr still reports
+    val onecls = Sketches.rocCurve(
+      Seq((2L, true), (1L, true)).toDF("s", "y"), "s", "y").collect()
+    assert(onecls.forall(_.isNullAt(6)))
+    assert(onecls.head.getDouble(5) == 0.5)
+  }
+
   test("gwetAc1: hand chance model, kappa-paradox contrast, degenerate NULL") {
     import graft.operators.Sketches
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
