@@ -48,6 +48,7 @@ object Models {
       when(col(labelCol), 1.0).otherwise(0.0).as("__y") +:
         (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
           .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+      .localCheckpoint(true) // pin the loop-invariant base: ONE source scan for the whole fit
     val n = base.count()
     require(n > 0, "cannot fit on an empty DataFrame")
     val wq = fitQ(base, k, iterations, lr, n)
@@ -140,6 +141,7 @@ object Models {
       col(valueCol).cast("double").as("__y") +:
         (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
           .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+      .localCheckpoint(true) // pin the loop-invariant base: ONE source scan for the whole fit
     val n = base.count()
     require(n > 0, "cannot fit on an empty DataFrame")
     var wq = Array.fill(k)(0L)
@@ -396,6 +398,7 @@ object Models {
       when(col(labelCol), 1.0).otherwise(-1.0).as("__y") +:
         (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
           .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+      .localCheckpoint(true) // pin the loop-invariant base: ONE source scan for the whole fit
     val n = base.count()
     require(n > 0, "cannot fit on an empty DataFrame")
     var wq = Array.fill(k)(0L)
@@ -608,6 +611,7 @@ object Models {
       col(countCol).cast("double").as("__y") +:
         (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
           .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+      .localCheckpoint(true) // pin the loop-invariant base: ONE source scan for the whole fit
     val n = base.count()
     require(n > 0, "cannot fit on an empty DataFrame")
     val wq = poissonFitQ(base, k, iterations, lr, n)
@@ -660,6 +664,7 @@ object Models {
       col(countCol).cast("double").as("__y") +:
         (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
           .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+      .localCheckpoint(true) // pin the loop-invariant base: ONE source scan for the whole fit
     val n = base.count()
     require(n > 0, "cannot fit on an empty DataFrame")
     val wq = poissonFitQ(base, k, iterations, lr, n)
@@ -712,6 +717,7 @@ object Models {
           col(valueCol).cast("double").as("__v") +:
           (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
             .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }): _*)
+      .localCheckpoint(true) // pin the loop-invariant base: ONE source scan for the whole fit
     val n = base.count()
     require(n > 0, "cannot fit on an empty DataFrame")
     val wq = fitQ(base, k, iterations, lr, n)
@@ -896,6 +902,7 @@ object Models {
       when(col(eventCol), 1L).otherwise(0L).as("__ev"),
       col(xCol).cast("double").as("__x"),
       floor(col(xCol).cast("double") * 1e6 + 0.5).cast("long").as("__xq"))
+      .localCheckpoint(true) // pin the loop-invariant base: ONE source scan for the whole fit
     val et = base.groupBy(col("__t")).agg(
       sum(col("__ev")).as("__d"),
       sum(when(col("__ev") === 1L, col("__xq")).otherwise(0L)).as("__sxq"))
@@ -1265,6 +1272,7 @@ object Models {
         col(valueCol).cast("double").as("__v") +:
         (lit(1.0) +: featureCols.map(c => col(c).cast("double")))
           .zipWithIndex.map { case (f, j) => f.as(s"__x$j") }: _*)
+      .localCheckpoint(true) // pin the loop-invariant base: ONE source scan for the whole fit
     val n = base.count()
     require(n > 0, "cannot fit on an empty DataFrame")
     val wq = fitQ(base, k, iterations, lr, n)
@@ -1712,11 +1720,16 @@ object Models {
       dp: Int = 6): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val keys = keyCols.map(col)
+    // n = 0 keys (legal in pre-aggregated input) carry NO rate: the x/n
+    // divisions stay inside the n > 0 branch (ANSI throws on 0-division),
+    // the key drops out of the prior moments, and both rate columns read
+    // NULL — never a fabricated 0/0.
     val per = perKey
       .withColumn("__pq",
-        floor(col("x").cast("double") / col("n").cast("double") * 1e9 + 0.5)
-          .cast("long"))
-    val mom = per.agg(
+        when(col("n") > 0,
+          floor(col("x").cast("double") / col("n").cast("double") * 1e9 + 0.5)
+            .cast("long")))
+    val mom = per.filter(col("__pq").isNotNull).agg(
       count(lit(1)).as("__k"),
       sum(dec(col("__pq"))).as("__sp"),
       sum(dec(col("__pq")) * dec(col("__pq"))).as("__spp"))
@@ -1739,9 +1752,11 @@ object Models {
     per.crossJoin(broadcast(model))
       .select(keys ++ Seq(
         col("n"), col("x"),
-        round(col("x").cast("double") / col("n").cast("double"), dp)
+        when(col("n") > 0,
+          round(col("x").cast("double") / col("n").cast("double"), dp))
           .as("rate_raw"),
-        when(col("__alpha").isNotNull, round(eb, dp)).as("rate_eb")): _*)
+        when(col("__alpha").isNotNull && col("n") > 0, round(eb, dp))
+          .as("rate_eb")): _*)
   }
 
   /** Instrumental-variables causal effect — the Wald estimator (Wald 1940;

@@ -151,7 +151,13 @@ object Spatial {
     * through the log-round star-contraction CC, and border assignment is
     * one more partial-agg min — no step touches a cartesian at any
     * cardinality. Returns one row per input point:
-    * (idCol, role ∈ core|border|noise, cluster — NULL for noise). */
+    * (idCol, role ∈ core|border|noise, cluster — NULL for noise).
+    *
+    * `idCol` must be an INTEGRAL type (the Graph-family node contract:
+    * cluster labels are long min-ids from the CC step); string/UUID ids
+    * would silently cast to NULL there, so they are rejected up front —
+    * map them to dense longs (e.g. [[Relational.globalRowNumbers]] over
+    * the distinct ids) before calling. */
   def dbscan(
       df: DataFrame,
       idCol: String,
@@ -161,6 +167,12 @@ object Spatial {
       minPts: Int,
       maxAbsLat: Double = 66.0): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    require(
+      Set("tinyint", "smallint", "int", "bigint")
+        .contains(df.schema(idCol).dataType.simpleString),
+      s"dbscan requires an integral id column (the Graph node contract); " +
+        s"'$idCol' is ${df.schema(idCol).dataType.simpleString} — map ids to " +
+        "dense longs (Relational.globalRowNumbers) first")
     val probe = df.select(
       col(idCol).as("__pid"), col(latCol).as("__plat"), col(lonCol).as("__plon"))
     val pts = df.select(

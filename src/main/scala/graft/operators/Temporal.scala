@@ -132,15 +132,17 @@ object Temporal {
     val wF = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t").desc, col("__side").asc, col("__tb").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withBoth = outNames.foldLeft(
-      unioned
-        .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wB))
-        .withColumn("__ft", last(col("__rt"), ignoreNulls = true).over(wF))) {
-      (acc, n) =>
-        acc
-          .withColumn(s"__b_$n", last(col(n), ignoreNulls = true).over(wB))
-          .withColumn(s"__f_$n", last(col(n), ignoreNulls = true).over(wF))
-    }
+    // ONE struct of (__rt, all carried values) rides a SINGLE last() per
+    // direction, so every output column comes from the SAME matched right
+    // row — independent per-column last(ignoreNulls) would skip a NULL
+    // value on the nearest event and splice in an older row's value.
+    val rightStruct = when(col("__side") === 0,
+      struct(col("__rt").as("__rt") +: outNames.map(n => col(n).as(n)): _*))
+    val withBoth = unioned
+      .withColumn("__bs", last(rightStruct, ignoreNulls = true).over(wB))
+      .withColumn("__fs", last(rightStruct, ignoreNulls = true).over(wF))
+      .withColumn("__bt", col("__bs").getField("__rt"))
+      .withColumn("__ft", col("__fs").getField("__rt"))
     val db = col("__t") - col("__bt")
     val df0 = col("__ft") - col("__t")
     val bOk = col("__bt").isNotNull && db <= tolerance
@@ -150,15 +152,14 @@ object Temporal {
     val picked = outNames.foldLeft(withBoth.filter(col("__side") === 1)) {
       (acc, n) =>
         acc.withColumn(n,
-          when(useB, col(s"__b_$n")).when(useF, col(s"__f_$n")))
+          when(useB, col("__bs").getField(n)).when(useF, col("__fs").getField(n)))
     }
     picked
       .withColumn("nearest_time", when(useB, col("__bt")).when(useF, col("__ft")))
       .withColumn("nearest_gap", when(useB, db).when(useF, df0))
       .withColumn("direction",
         when(useB, "before").when(useF, "after"))
-      .drop("__t", "__side", "__tb", "__rt", "__bt", "__ft")
-      .drop(outNames.flatMap(n => Seq(s"__b_$n", s"__f_$n")): _*)
+      .drop("__t", "__side", "__tb", "__rt", "__bt", "__ft", "__bs", "__fs")
   }
 
   /** Join facts to a small bin dimension on `lo <= v < hi`. The dimension is

@@ -229,14 +229,19 @@ object TextAnalysis {
       topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // top-k cut FIRST via orderBy+limit (TakeOrdered: per-partition heaps,
+    // k-row merge — the wordFreq pattern), so the rank window only ever
+    // sees k rows; ranking the full vocabulary through an unpartitioned
+    // row_number would funnel every distinct word into one partition.
     def ranked(df: DataFrame, nCol: String, rCol: String): DataFrame =
       df.select(explode(regexp_extract_all(lower(col(textCol)),
           lit("[a-z0-9_]+"), lit(0))).as("word"))
         .groupBy(col("word"))
         .agg(count(lit(1)).as(nCol))
+        .orderBy(col(nCol).desc, col("word"))
+        .limit(topK)
         .withColumn(rCol,
           row_number().over(Window.orderBy(col(nCol).desc, col("word"))))
-        .filter(col(rCol) <= topK)
     val o = ranked(oldDf, "n_old", "rank_old")
     val n = ranked(newDf, "n_new", "rank_new")
     o.join(n, Seq("word"), "full_outer")

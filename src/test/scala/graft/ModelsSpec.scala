@@ -647,6 +647,22 @@ class ModelsSpec extends SparkSpec {
     assert(flat.forall(_.isNullAt(flat.head.fieldIndex("rate_eb"))))
   }
 
+  test("ebRateShrinkageFromCounts: n=0 key yields NULL rates and drops from the prior") {
+    // pre-aggregated input may legally carry zero-trial keys; they must not
+    // throw under ANSI (x/n) and must not pollute the prior moments
+    val perKey = Seq(("a", 10L, 9L), ("b", 10L, 1L), ("c", 10L, 5L), ("z", 0L, 0L))
+      .toDF("k", "n", "x")
+    val out = Models.ebRateShrinkageFromCounts(perKey.repartition(3), Seq("k"))
+      .orderBy("k").collect()
+    val z = out(3)
+    assert(z.isNullAt(z.fieldIndex("rate_raw")))
+    assert(z.isNullAt(z.fieldIndex("rate_eb")))
+    // prior fit over a/b/c only: identical to the 3-key hand case above
+    val alpha = 0.28125
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Double]("rate_eb") == r6((alpha + 9.0) / (2 * alpha + 10.0)))
+  }
+
   test("ivWald: hand Wald ratio, degenerate instrument guards, null drop") {
     // n=4, Σz=2, Σx=10, Σy=26, Σz²=2, Σzx=7, Σzy=20:
     // var(z)=4, cov(z,x)=8, cov(z,y)=28 → first stage 2, reduced form 7,

@@ -561,4 +561,13 @@ class SpatialSpec extends SparkSpec {
       .filter(col("id") === 7L).head
     assert(b.getAs[String]("role") == "border" && b.getAs[Long]("cluster") == 1L)
   }
+
+  test("dbscan: non-integral id column is rejected up front") {
+    import spark.implicits._
+    val pts = Seq(("a", 0.0, 0.0), ("b", 0.0, 0.5)).toDF("id", "lat", "lon")
+    val e = intercept[IllegalArgumentException] {
+      Spatial.dbscan(pts, "id", "lat", "lon", 100.0, 1)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
 }

@@ -765,6 +765,21 @@ class TemporalSpec extends SparkSpec {
     assert(out(4) == ((14L, 9L, 0L, "before")))  // same instant counts backward
   }
 
+  test("nearestEventJoin: NULL value on the nearest event stays NULL (one-struct carry)") {
+    // nearest right row (t=105) has a NULL value; an older row (t=90) has 7.
+    // Every output column must come from the SAME matched row, so match_v
+    // reads NULL while nearest_time still points at 105.
+    val lefts = Seq((1L, 100L)).toDF("k", "lt")
+    val rights = Seq((1L, 90L, 1L, Some(7L)), (1L, 105L, 2L, None))
+      .toDF("k", "rt", "rid", "rv")
+    val r = Temporal.nearestEventJoin(lefts, rights.repartition(2),
+      Seq("k"), "lt", "rt", "rid",
+      Seq("rid" -> "match_id", "rv" -> "match_v"), tolerance = 50L).head
+    assert(r.getAs[Long]("match_id") == 2L)
+    assert(r.getAs[Long]("nearest_time") == 105L)
+    assert(r.isNullAt(r.fieldIndex("match_v")))
+  }
+
   test("kaplanMeierGreenwood: hand bands, censored step inherits, d=n kills se, CI clamps") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // event at 1, censored at 2, event at 3
