@@ -309,14 +309,17 @@ object Similarity {
     * codes, one partial-aggregated sum per (query, item), a bounded-heap
     * shortlist, and the SQ8 exact-cosine rerank of shortlist-only rows.
     *
-    * The codebook here is the first `codes` corpus vectors by id — the
-    * bounded-sample fit (a k-means codebook plugs into the same encode
-    * path; PQ separates train from encode/search by design, FAISS-style).
-    * Every sub-distance is an exact quantized-long sum and the per-
-    * subspace argmin breaks ties on the lower code, so encode + ADC +
-    * shortlist replay in SQL. Gate regime: rerank·k ≥ a large corpus
-    * fraction makes the exact rerank equal brute force (the X86/SQ8 gate
-    * precedent). */
+    * The codebook is FITTED: one k-means per subspace over a bounded
+    * sample (the IVF fit discipline — constant cost at any corpus size,
+    * deterministic seed), codewords then pinned to a lexicographic total
+    * order so code ids are engine-independent. Codeword SPREAD is what
+    * buys shortlist quality at a fixed rerank — a first-rows-by-id
+    * codebook collapses when early ids cluster (the r11 verdict's
+    * degenerate-quantizer defect). Every sub-distance is an exact
+    * quantized-long sum and the per-subspace argmin breaks ties on the
+    * lower code, so encode + ADC + shortlist replay deterministically.
+    * Gate regime: rerank·k ≥ a large corpus fraction makes the exact
+    * rerank equal brute force (the SQ8 gate precedent). */
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -325,19 +328,48 @@ object Similarity {
       k: Int,
       m: Int = 4,
       codes: Int = 16,
-      rerank: Int = 8): DataFrame = {
+      rerank: Int = 8,
+      seed: Long = 42L,
+      maxFitRows: Long = 1000000L): DataFrame = {
     require(m >= 1 && codes >= 2, s"need m >= 1, codes >= 2; got m=$m codes=$codes")
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val cbRows = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(codes).collect()
-    require(cbRows.length == codes,
-      s"corpus has only ${cbRows.length} rows for a $codes-codeword codebook")
-    val cents: Array[Array[Array[Double]]] = Array.tabulate(m, codes) { (s, c) =>
-      val v = cbRows(c).getAs[scala.collection.Seq[Float]](1)
-      Array.tabulate(sub)(j => v(s * sub + j).toDouble)
+    // per-subspace k-means on ONE pinned bounded sample; m fits, each over
+    // <= maxFitRows rows of sub doubles — a constant-cost build phase
+    val sample = fitSample(corpus.select(col(vecCol)), maxFitRows).localCheckpoint(true)
+    implicit val dOrd: Ordering[Double] = Ordering.Double.TotalOrdering
+    import scala.math.Ordering.Implicits.seqOrdering
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val training = sample.select(
+        array_to_vector(slice(col(vecCol), lit(s * sub + 1), lit(sub))).as("features"))
+      val model = new KMeans().setK(codes).setSeed(seed + s).setMaxIter(20)
+        .setFeaturesCol("features").fit(training)
+      require(model.clusterCenters.length == codes,
+        s"subspace $s fit ${model.clusterCenters.length} codewords, need $codes " +
+          "(corpus sample has too few distinct sub-vectors)")
+      model.clusterCenters.map(_.toArray).sortBy(_.toSeq)
     }
+    pqSearch(corpus, queries, idCol, vecCol, k, rerank, cents)
+  }
+
+  /** PQ encode + ADC + shortlist + exact rerank against an EXPLICIT
+    * codebook `cents` (m × codes × sub) — the search half of [[pqTopK]],
+    * exposed so a caller (or the recall spec) can inject externally
+    * trained codewords FAISS-style. */
+  private[graft] def pqSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int,
+      cents: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cents.length
+    val codes = cents.head.length
+    val sub = cents.head.head.length
     // the codebook as a BROADCAST TABLE, not an inlined expression tree:
     // m·codes·sub element terms per row blow codegen up (measured 12.8 s
     // vs 1.4 s at sf0.1) — as rows, each (vector, subspace, codeword)

@@ -419,6 +419,49 @@ class SimilaritySpec extends SparkSpec {
       s"rank-1 neighbors must share the query's cluster: $tight")
   }
 
+  test("pqTopK: fitted codebook strictly beats a degenerate first-rows codebook on recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 20 planted clusters x ~10 points in 8-d, but ids 0..15 ALL sit in
+    // cluster 0 — a first-`codes`-rows-by-id codebook (the pre-r12
+    // behavior) collapses to 16 near-identical codewords per subspace,
+    // so ADC cannot separate anything and the shortlist degenerates to
+    // tie-broken low ids. The fitted per-subspace k-means must recover
+    // the planted structure.
+    def center(c: Int): Array[Float] =
+      Array.tabulate(8)(j => (((c * 31 + j * 17) % 40) - 20).toFloat)
+    def vec(i: Int): Array[Float] = {
+      val c = if (i < 16) 0 else i % 20
+      val base = center(c)
+      Array.tabulate(8)(j => base(j) + 0.02f * ((i % 7) + 1) * (j + 1))
+    }
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(21L, 42L, 63L, 84L, 105L))
+    def hits(out: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val brute = hits(Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", k = 5).collect())
+    def recall(got: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, b) =>
+        got.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
+      }.sum / brute.size
+    val fitted = recall(hits(Similarity.pqTopK(
+      corpus, queries, "vec_id", "embedding", k = 5, m = 4, codes = 16, rerank = 2)
+      .collect()))
+    val first16 = corpus.orderBy(col("vec_id")).limit(16).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    val degenerateCents = Array.tabulate(4, 16) { (s, c) =>
+      Array.tabulate(2)(j => first16(c)(s * 2 + j).toDouble)
+    }
+    val degenerate = recall(hits(Similarity.pqSearch(
+      corpus, queries, "vec_id", "embedding", k = 5, rerank = 2, degenerateCents)
+      .collect()))
+    assert(fitted > degenerate,
+      s"fitted recall $fitted must beat degenerate $degenerate")
+    assert(fitted >= 0.9, s"fitted recall $fitted below 0.9")
+  }
+
   test("clusterQuality: coincident centroids still report CH/WSS with DB null") {
     import spark.implicits._
     // every centroid pair has zero separation — Davies–Bouldin is undefined
