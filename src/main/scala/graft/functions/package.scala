@@ -162,6 +162,42 @@ package object functions {
   def token_set_ratio(a: Column, b: Column): Column =
     invoke("tokenSetRatio", IntegerType, Seq(a, b))
 
+  /** SORTED-INTERSECTION token-set ratio in [0,100] — [[token_set_ratio]]
+    * minus its one SQL-inexpressible leg: the full scorer takes the max
+    * over three InDel comparisons (t0 = sorted intersection, t1 = t0 +
+    * sorted left-only tokens, t2 = t0 + sorted right-only tokens), and
+    * because t0 is a PREFIX of t1 and t2 their two InDel distances reduce
+    * to pure length algebra (d = |len(tᵢ)| − |len(t0)|) — only the t1↔t2
+    * leg needs a real LCS. This variant is max(ratio(t0,t1), ratio(t0,t2)):
+    * set algebra + lengths end to end (array_intersect/except/sort, one
+    * IEEE division), so it replays exactly in any SQL engine, and it
+    * equals the full ratio whenever the intersection leg dominates (the
+    * common regime for subset/superset matching). Codegen'd builtins
+    * only — no JVM kernel. */
+  def token_set_sorted_ratio(a: Column, b: Column): Column = {
+    def toks(c: Column): Column = array_sort(array_distinct(
+      filter(split(lower(c), "\\s+"), t => t =!= lit(""))))
+    val ta = toks(a)
+    val tb = toks(b)
+    val t0 = array_join(array_sort(array_intersect(ta, tb)), " ")
+    def side(x: Column, y: Column): Column = {
+      val diff = array_join(array_sort(array_except(x, y)), " ")
+      when(length(t0) === 0, diff)
+        .when(length(diff) === 0, t0)
+        .otherwise(concat(t0, lit(" "), diff))
+    }
+    val t1 = side(ta, tb)
+    val t2 = side(tb, ta)
+    // t0 is a prefix of tᵢ: indel = len(tᵢ) − len(t0), so
+    // ratio = 1 − (lenᵢ−len0)/(len0+lenᵢ) = 2·len0/(len0+lenᵢ); an
+    // all-empty pair divides 0/0 → pinned to 1.0 (identical strings)
+    def ratio(ti: Column): Column =
+      when(length(t0) + length(ti) === 0, lit(1.0))
+        .otherwise(lit(2.0) * length(t0).cast("double") /
+          (length(t0) + length(ti)).cast("double"))
+    floor(greatest(ratio(t1), ratio(t2)) * 100.0 + 0.5).cast("int")
+  }
+
   /** SymSpell deletion neighborhood (depth `maxDist`, self included,
     * sorted distinct) — the equi-join key set for scalable edit-distance
     * joins. */

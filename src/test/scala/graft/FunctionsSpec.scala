@@ -80,6 +80,28 @@ class FunctionsSpec extends SparkSpec {
     assert(eval1[Int](token_set_ratio(lit("alpha beta"), lit("gamma delta"))) < 40)
   }
 
+  test("token_set_sorted_ratio: subset 100, hand two-leg value, disjoint 0, empty edges") {
+    // set semantics carry over from the full ratio: permutation + subset = 100
+    assert(eval1[Int](token_set_sorted_ratio(
+      lit("fuzzy wuzzy was a bear"), lit("bear a was wuzzy fuzzy"))) == 100)
+    assert(eval1[Int](token_set_sorted_ratio(
+      lit("fuzzy was a bear"), lit("fuzzy fuzzy was a bear"))) == 100)
+    // hand value: inter={b}, diffA={a}, diffB={c d}: t0="b" (1), t1="b a" (3),
+    // t2="b c d" (5) -> max(2/4, 2/6)*100 = 50
+    assert(eval1[Int](token_set_sorted_ratio(lit("a b"), lit("b c d"))) == 50)
+    // disjoint: intersection leg is empty, both ratios 0 (the full ratio's
+    // LCS leg is exactly the piece this variant drops)
+    assert(eval1[Int](token_set_sorted_ratio(lit("alpha beta"), lit("gamma delta"))) == 0)
+    // both empty after tokenization: pinned 100
+    assert(eval1[Int](token_set_sorted_ratio(lit("  "), lit(""))) == 100)
+    // never exceeds the full ratio (the dropped leg only ever raises the max)
+    val pairs = Seq(("spark join", "join table spark"), ("x y z", "z q"), ("", "a"))
+    pairs.foreach { case (a, b) =>
+      assert(eval1[Int](token_set_sorted_ratio(lit(a), lit(b))) <=
+        eval1[Int](token_set_ratio(lit(a), lit(b))), s"($a, $b)")
+    }
+  }
+
   test("fix_mojibake repairs latin-1 and cp1252 mangling, unwinds double encoding, spares clean text") {
     val cases = Seq(
       // UTF-8 'é' (C3 A9) read as latin-1
