@@ -55,6 +55,19 @@ object Spatial {
     *                   coverage proof valid at the seam — a final partial
     *                   cell would let a within-radius pair sit two cells
     *                   apart).
+    * @param maxCell    optional per-cell cap on the POINTS side — the
+    *                   spatial twin of [[FuzzyMatch.phoneticBlockJoin]]'s
+    *                   maxBlock guard. A dense-city cell is the same
+    *                   Σ|block|² hazard a hot phonetic code is: a cell
+    *                   with B points genuinely contributes O(B²) true
+    *                   candidate pairs, so past a caller-declared density
+    *                   the join cost is the OUTPUT, not the plan. With
+    *                   Some(m), cells holding more than m points drop
+    *                   WHOLE (via [[Relational.capGroupSize]], dropped
+    *                   counts logged to stderr) — probes near a dropped
+    *                   cell lose those candidates, so use it as an
+    *                   explicit density contract, not a tuning knob.
+    *                   Default None: exact, every pair.
     */
   def radiusJoin(
       probe: DataFrame,
@@ -65,7 +78,8 @@ object Spatial {
       pointLon: String,
       radiusKm: Double,
       maxAbsLat: Double = 66.0,
-      distCol: String = "dist_km"): DataFrame = {
+      distCol: String = "dist_km",
+      maxCell: Option[Long] = None): DataFrame = {
     require(radiusKm > 0, s"radiusKm must be > 0, got $radiusKm")
     require(maxAbsLat > 0 && maxAbsLat < 89.0,
       s"maxAbsLat must be in (0, 89), got $maxAbsLat")
@@ -84,7 +98,9 @@ object Spatial {
         pmod(floor((lonC + 180.0) / cellLonDeg).cast("long"), lit(nLon.toLong)))
 
     val (pLat, pLon) = cellOf(points.col(pointLat), points.col(pointLon))
-    val bucketed = points.withColumn("__clat", pLat).withColumn("__clon", pLon)
+    val bucketed0 = points.withColumn("__clat", pLat).withColumn("__clon", pLon)
+    val bucketed = maxCell.fold(bucketed0)(m =>
+      Relational.capGroupSize(bucketed0, Seq("__clat", "__clon"), m))
 
     val (qLat, qLon) = cellOf(probe.col(probeLat), probe.col(probeLon))
     // wrapped 3×3 neighborhood; array_distinct collapses the self-overlap

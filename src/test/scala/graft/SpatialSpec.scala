@@ -562,6 +562,27 @@ class SpatialSpec extends SparkSpec {
     assert(b.getAs[String]("role") == "border" && b.getAs[Long]("cluster") == 1L)
   }
 
+  test("radiusJoin: maxCell drops a planted dense cell whole, sparse cells unaffected") {
+    import spark.implicits._
+    // 50 points piled at the origin (one grid cell at 100 km radius) plus
+    // two isolated points far away — the dense-city Σ|cell|² shape
+    val dense = (1L to 50L).map(i => (i, 0.001 * i, 0.001 * i))
+    val sparse = Seq((100L, 30.0, 30.0), (101L, 30.1, 30.1))
+    val pts = (dense ++ sparse).toDF("id", "lat", "lon")
+    val probe = (dense ++ sparse).toDF("pid", "plat", "plon")
+    val uncapped = Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0)
+    // dense block contributes 50*50 pairs, sparse pair contributes 2*2
+    assert(uncapped.count() == 2500L + 4L)
+    val capped = Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0,
+      maxCell = Some(10L))
+    val rows = capped.select(col("pid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the hot cell dropped WHOLE from the points side; the sparse pairs
+    // survive exactly (including probes from the dense area finding nothing)
+    assert(rows.forall { case (_, p) => p >= 100L }, rows.take(5).mkString(","))
+    assert(rows.length == 4, s"expected the 4 sparse pairs, got ${rows.length}")
+  }
+
   test("dbscan: non-integral id column is rejected up front") {
     import spark.implicits._
     val pts = Seq(("a", 0.0, 0.0), ("b", 0.0, 0.5)).toDF("id", "lat", "lon")
