@@ -902,7 +902,13 @@ object Models {
       when(col(eventCol), 1L).otherwise(0L).as("__ev"),
       col(xCol).cast("double").as("__x"),
       floor(col(xCol).cast("double") * 1e6 + 0.5).cast("long").as("__xq"))
-      .localCheckpoint(true) // pin the loop-invariant base: ONE source scan for the whole fit
+    // deliberately NOT localCheckpoint-pinned (unlike the GD fitters): the
+    // base is a 4-column parquet projection, and an A/B at sf0.1 measured
+    // pinned vs unpinned indistinguishable (3.1-4.2 s both ways, within
+    // contention noise) — re-scanning narrow columnar parquet per Newton
+    // step costs about the same as replaying checkpointed row blocks, so
+    // the pin buys nothing here; it pays when the upstream plan is
+    // expensive to recompute (the GD fitters' derived feature columns)
     val et = base.groupBy(col("__t")).agg(
       sum(col("__ev")).as("__d"),
       sum(when(col("__ev") === 1L, col("__xq")).otherwise(0L)).as("__sxq"))
