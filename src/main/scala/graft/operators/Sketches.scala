@@ -4960,4 +4960,107 @@ object Sketches {
       round(col("__diag").cast("double") / col("__nn").cast("double"), 6).as("accuracy"),
       when(vA > 0.0 && vP > 0.0, round(cov / (sqrt(vA) * sqrt(vP)), 6)).as("mcc"))
   }
+
+  /** Poisson bootstrap confidence interval for a mean (Chamandy et al.,
+    * Google 2012 — "Estimating uncertainty for massive data streams") —
+    * THE bootstrap that works distributed: instead of resampling n rows
+    * with replacement (a global operation), each (row, replicate) pair
+    * draws an independent Poisson(1) weight, preserving the bootstrap
+    * distribution at streaming/sharded scale with ONE pass over rows ×
+    * `reps`. Weights are ENGINE-PORTABLE determinism: u = first 8 md5 hex
+    * chars of "id_rep" as a 32-bit fraction, mapped through the fixed
+    * Poisson(1) inverse-CDF ladder (literal thresholds, k capped at 8 —
+    * P(K>8) < 1e-9); per-replicate weighted means use exact quantized
+    * sums; the CI reads nearest-rank order statistics off the R-row
+    * replicate table (R bounded, e.g. 200 — never a data-grain sort).
+    *
+    * Returns ONE row: (n, reps, mean, boot_lo, boot_hi) at the given
+    * two-sided level (nearest-rank convention: 1-based rank
+    * floor(q·(R−1))+1 on (mean asc, rep asc)). */
+  def poissonBootstrapMean(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      reps: Int = 200,
+      level: Double = 0.95): DataFrame = {
+    require(reps >= 10, s"reps must be >= 10, got $reps")
+    require(level > 0 && level < 1, s"level must be in (0,1), got $level")
+    // Poisson(1) CDF ladder as FIXED literals (sums of e^{-1}/k! rounded to
+    // 10 dp) — both engines compare u against identical constants
+    val cdf = Seq(0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+      0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508)
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit("_"),
+      col("__rep").cast("string"))), 1, 8), 16, 10).cast("double") / 4294967296.0
+    // foldRight keeps the SMALLEST threshold outermost (first match wins);
+    // a foldLeft here inverts the ladder and silently pins k ≈ constant
+    val k = cdf.zipWithIndex.foldRight(lit(8): Column) { case ((t, i), acc) =>
+      when(u < t, lit(i)).otherwise(acc)
+    }
+    val base = df.select(col(idCol),
+      floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long").as("__vq"))
+    val perRep = base
+      .withColumn("__rep", explode(array((0 until reps).map(lit): _*)))
+      .withColumn("__w", k.cast("long"))
+      .groupBy(col("__rep"))
+      .agg(sum(col("__w") * col("__vq")).as("__swx"), sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select(col("__rep"),
+        (col("__swx").cast("double") / col("__sw").cast("double") / 1e6).as("__m"))
+    val ranked = perRep.withColumn("__rn",
+      row_number().over(Window.orderBy(col("__m").asc, col("__rep").asc)))
+    val loRank = math.floor((1.0 - level) / 2.0 * (reps - 1)).toLong + 1L
+    val hiRank = math.floor((1.0 + level) / 2.0 * (reps - 1)).toLong + 1L
+    val stats = base.agg(count(lit(1)).as("n"),
+      (sum(col("__vq")).cast("double") / count(lit(1)).cast("double") / 1e6).as("__mean"))
+    stats.crossJoin(broadcast(
+        ranked.filter(col("__rn") === loRank).select(col("__m").as("__lo"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("__rn") === hiRank).select(col("__m").as("__hi"))))
+      .select(col("n"), lit(reps).as("reps"),
+        round(col("__mean"), 6).as("mean"),
+        round(col("__lo"), 6).as("boot_lo"),
+        round(col("__hi"), 6).as("boot_hi"))
+  }
+
+  /** Exact-style sign-flip permutation test for a paired difference
+    * (Fisher 1935's randomization test on H0: the difference distribution
+    * is symmetric about 0) — the assumption-free companion to the paired
+    * t-test: each permutation flips every difference's sign independently
+    * and recomputes |Σ±d|; the p-value is the fraction of permutations at
+    * least as extreme as the observed |Σd| with the add-one correction
+    * (1 + #extreme)/(P + 1) (Davison & Hinkley's unbiased convention).
+    * Signs are ENGINE-PORTABLE: md5("id_perm") first hex nibble < 8 → +1
+    * (the JL-projection sign construction); differences quantize to exact
+    * 1e-6 longs, so every permutation sum is an exact integer and the
+    * extreme-count compares longs — no float order anywhere.
+    *
+    * One pass over rows × `perms` (explode, partial agg per perm) — the
+    * Poisson-bootstrap scale shape. Returns ONE row:
+    * (n, perms, observed_diff, p_value). */
+  def signFlipPermutationTest(
+      df: DataFrame,
+      idCol: String,
+      diffCol: String,
+      perms: Int = 199): DataFrame = {
+    require(perms >= 19, s"perms must be >= 19, got $perms")
+    val base = df.select(col(idCol),
+      floor(col(diffCol).cast("double") * 1e6 + 0.5).cast("long").as("__dq"))
+    val sign = when(substring(md5(concat(col(idCol).cast("string"), lit("_"),
+      col("__p").cast("string"))), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L)
+    val perPerm = base
+      .withColumn("__p", explode(array((0 until perms).map(lit): _*)))
+      .groupBy(col("__p"))
+      .agg(abs(sum(sign * col("__dq"))).as("__t"))
+    val obs = base.agg(count(lit(1)).as("n"), abs(sum(col("__dq"))).as("__t0"),
+      (sum(col("__dq")).cast("double") / 1e6).as("__sum"))
+    obs.crossJoin(broadcast(
+        perPerm.crossJoin(obs.select(col("__t0").as("__o")))
+          .agg(sum(when(col("__t") >= col("__o"), 1L).otherwise(0L)).as("__ge"))))
+      .select(
+        col("n"), lit(perms).as("perms"),
+        round(col("__sum") / col("n").cast("double"), 6).as("observed_diff"),
+        round((col("__ge").cast("double") + 1.0) / lit(perms + 1).cast("double"), 6)
+          .as("p_value"))
+  }
 }

@@ -2134,4 +2134,59 @@ class SketchesSpec extends SparkSpec {
       Seq(("a", "a"), ("a", "c"), ("b", "b")).toDF("actual", "pred"), "actual", "pred").head
     assert(m.getAs[Long]("n_classes") == 3L)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("poissonBootstrapMean: exact replay of the md5 weight ladder, nearest-rank CI") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vals = (1 to 20).map(i => (i.toLong, i.toDouble / 4.0))
+    val df = vals.toDF("id", "v")
+    val reps = 50
+    val out = Sketches.poissonBootstrapMean(df.repartition(4), "id", "v",
+      reps = reps, level = 0.9).head
+    // independent replay: same ladder, same order statistics
+    val cdf = Seq(0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+      0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508)
+    def weight(id: Long, rep: Int): Long = {
+      val u = java.lang.Long.parseLong(md5Hex(s"${id}_$rep").take(8), 16).toDouble / 4294967296.0
+      cdf.indexWhere(u < _) match { case -1 => 8L; case k => k.toLong }
+    }
+    val repMeans = (0 until reps).flatMap { r =>
+      val ws = vals.map { case (id, v) =>
+        (weight(id, r), math.floor(v * 1e6 + 0.5).toLong) }
+      val sw = ws.map(_._1).sum
+      if (sw > 0) Some((ws.map { case (w, vq) => w * vq }.sum.toDouble / sw / 1e6, r))
+      else None
+    }.sorted
+    val lo = repMeans(math.floor(0.05 * (reps - 1)).toInt)._1
+    val hi = repMeans(math.floor(0.95 * (reps - 1)).toInt)._1
+    assert(out.getAs[Long]("n") == 20L)
+    assert(out.getAs[Double]("mean") == r6(vals.map(v => math.floor(v._2 * 1e6 + 0.5)).sum / 20.0 / 1e6))
+    assert(out.getAs[Double]("boot_lo") == r6(lo))
+    assert(out.getAs[Double]("boot_hi") == r6(hi))
+    assert(out.getAs[Double]("boot_lo") <= out.getAs[Double]("mean"))
+    assert(out.getAs[Double]("boot_hi") >= out.getAs[Double]("mean"))
+  }
+
+  test("signFlipPermutationTest: exact replay of md5 signs, add-one p, partition-invariant") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vals = Seq((1L, 2.0), (2L, 1.5), (3L, 3.0), (4L, 0.5), (5L, 2.5), (6L, 1.0))
+    val perms = 39
+    val out = Sketches.signFlipPermutationTest(
+      vals.toDF("id", "dv").repartition(3), "id", "dv", perms = perms).head
+    val dq = vals.map { case (_, d) => math.floor(d * 1e6 + 0.5).toLong }
+    val t0 = math.abs(dq.sum)
+    val ge = (0 until perms).count { p =>
+      val t = vals.zip(dq).map { case ((id, _), q) =>
+        if ("01234567".contains(md5Hex(s"${id}_$p").head)) q else -q }.sum
+      math.abs(t) >= t0
+    }
+    assert(out.getAs[Long]("n") == 6L)
+    assert(out.getAs[Double]("observed_diff") == r6(dq.sum.toDouble / 1e6 / 6.0))
+    assert(out.getAs[Double]("p_value") == r6((ge + 1.0) / (perms + 1.0)))
+    // all-same-sign strong effect: p at the permutation floor region
+    assert(out.getAs[Double]("p_value") <= 0.2)
+  }
 }
