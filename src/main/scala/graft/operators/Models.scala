@@ -1815,4 +1815,63 @@ object Models {
       when(covZX =!= 0,
         round(covZY.cast("double") / covZX.cast("double"), 6)).as("beta_iv"))
   }
+  /** Box–Cox power-transform selection (Box & Cox 1964) by profile
+    * log-likelihood over a FIXED λ grid — the feature-transform fit a
+    * normalizing pipeline runs before any Gaussian-assuming model:
+    * z_λ = (y^λ − 1)/λ (λ ≠ 0; ln y at λ = 0), and the profile
+    * LL(λ) = −n/2·ln(σ̂²_λ) + (λ−1)·Σ ln y picks the λ that makes the
+    * transformed data most normal-like. A grid, not a golden-section
+    * search: the grid is what production pipelines actually use (λ is
+    * reported at coarse resolution anyway), it makes the whole fit ONE
+    * explode + partial aggregate over rows × |grid| with every candidate
+    * sharing the scan, and — unlike an iterative optimizer — it replays
+    * exactly in SQL. Per-row z and ln y quantize to 1e-6 longs (the
+    * welchTTest discipline) so σ̂² and Σ ln y are fixed chains on exact
+    * sums. Non-positive y rows are excluded (Box–Cox's domain) and
+    * counted. Returns |grid| rows ordered by λ: (lambda, n, n_dropped,
+    * loglik, is_best) — best = max loglik, ties to the smaller λ. */
+  def boxCoxFit(
+      df: DataFrame,
+      valueCol: String,
+      lambdas: Seq[Double] = Seq(-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0)): DataFrame = {
+    require(lambdas.nonEmpty, "at least one lambda required")
+    require(lambdas.distinct.size == lambdas.size, "duplicate lambda in grid")
+    import org.apache.spark.sql.expressions.Window
+    val y = col(valueCol).cast("double")
+    val counts = df.agg(
+      count(lit(1)).as("__all"),
+      sum(when(y > 0.0, 1L).otherwise(0L)).as("__pos"))
+    val base = df.filter(y > 0.0)
+      .select(y.as("__y"), explode(array(lambdas.map(lit): _*)).as("lambda"))
+    val z = when(col("lambda") === 0.0, log(col("__y")))
+      .otherwise((pow(col("__y"), col("lambda")) - 1.0) / col("lambda"))
+    // z at λ = ±2 reaches 1e10 in 1e-6 units, so z·z must cross-multiply
+    // as DECIMAL (a long z² term overflows ANSI at a single row) — the
+    // corrMatrix exact-decimal discipline
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    val m = base
+      .select(col("lambda"),
+        floor(z * 1e6 + 0.5).cast("long").as("__zq"),
+        floor(log(col("__y")) * 1e6 + 0.5).cast("long").as("__lq"))
+      .groupBy(col("lambda"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__zq")).as("__sz"),
+        sum(d18(col("__zq")) * d18(col("__zq"))).cast("decimal(38,0)").as("__szz"),
+        sum(col("__lq")).as("__sl"))
+    val nD = col("n").cast("double")
+    // z² accumulates as (1e-6 long)² = 1e-12 units; σ² = E[z²] − E[z]²
+    val varZ = col("__szz").cast("double") / nD / 1e12 -
+      (col("__sz").cast("double") / nD / 1e6) * (col("__sz").cast("double") / nD / 1e6)
+    val ll = lit(-0.5) * nD * log(varZ) +
+      (col("lambda") - 1.0) * (col("__sl").cast("double") / 1e6)
+    val scored = m.crossJoin(broadcast(counts))
+      .select(col("lambda"), col("n"),
+        (col("__all") - col("__pos")).as("n_dropped"),
+        when(varZ > 0.0, round(ll, 6)).as("loglik"))
+    scored
+      .withColumn("is_best",
+        row_number().over(Window.orderBy(col("loglik").desc_nulls_last,
+          col("lambda").asc)) === 1)
+      .orderBy("lambda")
+  }
 }

@@ -741,4 +741,51 @@ object Quality {
       round(nHat, 6).as("n_hat"),
       round(sqrt(varN), 6).as("se"))
   }
+  /** Functional-dependency audit (g₃ error, Kivinen & Mannila 1995) — the
+    * schema-discovery / integrity readout profilers run before trusting a
+    * "key determines value" assumption: for each declared candidate
+    * LHS → RHS, does one LHS value ever map to two RHS values, and how
+    * many rows would have to leave to make the dependency hold (g₃ = N −
+    * Σ_lhs max_rhs count — the standard minimal-repair measure)? NULL RHS
+    * counts as a value (a NULL/non-NULL mix IS a violation); NULL-LHS rows
+    * are excluded and counted. Per pair: one (lhs, rhs) partial agg, one
+    * lhs rollup (max + distinct), one 1-row readout — bounded by the
+    * declared pair list, each pass linear, the X30 profiler posture.
+    *
+    * Returns one row per pair: (lhs, rhs, n_rows, n_lhs_null, n_lhs_values,
+    * n_violating_lhs, g3_rows, g3_ratio, holds). */
+  def functionalDependencyAudit(
+      df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "at least one (lhs, rhs) pair required")
+    val perPair = pairs.map { case (lhs, rhs) =>
+      val nulls = df.agg(
+        count(lit(1)).as("__all"),
+        sum(when(col(lhs).isNull, 1L).otherwise(0L)).as("n_lhs_null"))
+      val cells = df.filter(col(lhs).isNotNull)
+        .groupBy(col(lhs).as("__l"), col(rhs).cast("string").as("__r"))
+        .agg(count(lit(1)).as("__c"))
+      val perLhs = cells.groupBy(col("__l"))
+        .agg(max(col("__c")).as("__mx"), count(lit(1)).as("__k"),
+          sum(col("__c")).as("__rows"))
+      perLhs.agg(
+          sum(col("__rows")).as("n_rows"),
+          count(lit(1)).as("n_lhs_values"),
+          sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+          (sum(col("__rows")) - sum(col("__mx"))).as("g3_rows"))
+        .crossJoin(broadcast(nulls))
+        .select(
+          lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          col("n_lhs_null"),
+          coalesce(col("n_lhs_values"), lit(0L)).as("n_lhs_values"),
+          coalesce(col("n_violating_lhs"), lit(0L)).as("n_violating_lhs"),
+          coalesce(col("g3_rows"), lit(0L)).as("g3_rows"),
+          when(col("n_rows") > 0,
+            round(col("g3_rows").cast("double") / col("n_rows").cast("double"), 6))
+            .as("g3_ratio"),
+          coalesce(col("n_violating_lhs") === 0, lit(true)).as("holds"))
+    }
+    perPair.reduce(_ unionByName _)
+  }
 }

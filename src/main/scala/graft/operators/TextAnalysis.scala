@@ -2098,4 +2098,161 @@ object TextAnalysis {
         round(geo, 6).as("bleu_nobp")) ++
         (1 to maxN).map(n => round(p(n), 6).as(s"p$n")): _*)
   }
+  /** Stupid-backoff bigram scorer (Brants, Popat, Xu, Och & Dean, EMNLP
+    * 2007 — "Large Language Models in Machine Translation") — THE smoothing
+    * built FOR distributed n-gram models: no discounting, no normalization,
+    * just S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram was seen, else
+    * α·c(w₂)/N (α = 0.4, the paper's constant) — every model statistic is
+    * a raw count, so the model builds in ONE partial-agg pass and merges
+    * trivially, which is exactly why it beat Kneser–Ney at web scale
+    * (quality converges with corpus size while costing a fraction). The
+    * inexpensive sibling of [[knBigramPerplexity]] on the same bigram
+    * machinery: map-side slice+zip bigrams, broadcast count tables,
+    * 1e6-quantized log terms. Scores are NOT probabilities (the paper
+    * uses S, not P) — the readout is the mean negative log score, lower =
+    * more in-model. Out-of-vocabulary w₂ scores α/N (one pseudo-count,
+    * pinned — the paper's web-scale setting never meets an unseen
+    * unigram); first tokens score the unigram path.
+    *
+    * Returns one row per doc: (idCol, n_tokens, mean_neg_log_score). */
+  def stupidBackoffScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: DataFrame,
+      alpha: Double = 0.4,
+      minLen: Int = 1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def withToks(d: DataFrame, cols: Seq[Column]): DataFrame =
+      d.select(cols :+ regexp_extract_all(lower(col(textCol)),
+        lit(s"[a-z0-9]{$minLen,}"), lit(0)).as("__toks"): _*)
+    def bigramRows(d: DataFrame, cols: Seq[Column]): DataFrame =
+      withToks(d, cols)
+        .filter(size(col("__toks")) >= 2)
+        .select(cols :+ explode(zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+        .select(cols :+ col("__bg.w1").as("__w1") :+ col("__bg.w2").as("__w2"): _*)
+    val uni = withToks(ref.select(col(textCol)), Nil)
+      .select(explode(col("__toks")).as("__w2"))
+      .groupBy(col("__w2")).agg(count(lit(1)).as("__c2"))
+    val big = bigramRows(ref.select(col(textCol)), Nil)
+      .groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val ntot = uni.agg(sum(col("__c2")).as("__nt"))
+    val t = withToks(df.select(col(idCol), col(textCol)), Seq(col(idCol)))
+    val firsts = t.filter(size(col("__toks")) >= 1)
+      .select(col(idCol), lit(null).cast("string").as("__w1"),
+        element_at(col("__toks"), 1).as("__w2"))
+    val terms = firsts.unionByName(
+      bigramRows(df.select(col(idCol), col(textCol)), Seq(col(idCol))))
+    val joined = terms
+      .join(broadcast(big), Seq("__w1", "__w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("__w2", "__w2")), Seq("__w2"), "left")
+      .join(broadcast(uni.select(col("__w2").as("__w1"), col("__c2").as("__c1"))),
+        Seq("__w1"), "left")
+      .crossJoin(broadcast(ntot))
+    val sUni = lit(alpha) * coalesce(col("__c2"), lit(1L)).cast("double") /
+      col("__nt").cast("double")
+    val sc = when(col("__w1").isNotNull && col("__c12").isNotNull,
+        col("__c12").cast("double") / col("__c1").cast("double"))
+      .otherwise(sUni)
+    joined.select(col(idCol), floor(log(sc) * 1e6 + 0.5).cast("long").as("__q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__q")).as("__sq"))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__sq").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double"), 6).as("mean_neg_log_score"))
+  }
+
+  /** Per-term BURSTINESS (Church & Gale 1995) — "does this word arrive in
+    * bursts or sprinkle uniformly?": the Fano factor var(c)/mean(c) of a
+    * term's per-document count ACROSS ALL DOCS (zeros included — computed
+    * from (Σc, Σc², N) without a spine join, the Cronbach trick). Function
+    * words sit near 1 (Poisson); topical/templated terms run far above —
+    * the signal behind burst-aware term weighting and boilerplate
+    * detection, at the TERM grain where T12's word-repetition score is
+    * doc-grain. Top-`topK` terms by total count via orderBy+limit (the
+    * termDrift TakeOrdered discipline — never an unpartitioned full-vocab
+    * window); all moments exact longs, two divisions at readout.
+    *
+    * Returns topK rows: (word, n_total, df_docs, mean_count, variance,
+    * burstiness). */
+  def termBurstiness(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val nDocs = df.select(count(lit(1)).as("__nd"))
+    val perDoc = df
+      .select(monotonically_increasing_id().as("__doc"),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_]+"), lit(0)).as("__toks"))
+      .select(col("__doc"), explode(col("__toks")).as("word"))
+      .groupBy(col("__doc"), col("word"))
+      .agg(count(lit(1)).as("__c"))
+    val perTerm = perDoc.groupBy(col("word"))
+      .agg(
+        sum(col("__c")).as("n_total"),
+        count(lit(1)).as("df_docs"),
+        sum(col("__c") * col("__c")).as("__cc"))
+      .orderBy(col("n_total").desc, col("word"))
+      .limit(topK)
+    val nd = col("__nd").cast("double")
+    val mean = col("n_total").cast("double") / nd
+    val vr = col("__cc").cast("double") / nd - mean * mean
+    perTerm.crossJoin(broadcast(nDocs))
+      .select(
+        col("word"), col("n_total"), col("df_docs"),
+        round(mean, 6).as("mean_count"),
+        round(vr, 6).as("variance"),
+        when(col("n_total") > 0, round(vr / mean, 6)).as("burstiness"))
+  }
+
+  /** Good–Turing frequency spectrum (Good 1953) — the r → r* table behind
+    * every count-smoothing scheme and the corpus-coverage readout one
+    * level deeper than X187's unseen-mass scalar: N_r = how many distinct
+    * words occur exactly r times, r* = (r+1)·N_{r+1}/N_r the adjusted
+    * count, p_gt = r* / N the smoothed probability of any one such word.
+    * Two bounded aggregates (word counts → count-of-counts) and the
+    * spectrum table is r-domain-bounded (`maxR` rows), so the lead join
+    * costs nothing; N_{r+1} = 0 (spectrum holes) → NULL r* rather than a
+    * fabricated zero (the estimator is undefined there — Gale & Sampson's
+    * SGT smoothing exists precisely because of these holes; documented,
+    * out of scope). */
+  def goodTuringSpectrum(
+      df: DataFrame,
+      textCol: String,
+      maxR: Int = 10,
+      gramN: Int = 1): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    require(gramN >= 1, s"gramN must be >= 1, got $gramN")
+    // gramN > 1 reads the spectrum over word n-grams — the useful grain
+    // when the unigram vocabulary is so small every word is high-frequency
+    // (N_r empty below maxR says nothing about coverage)
+    require(gramN <= 2, s"gramN must be 1 or 2, got $gramN")
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_]+"), lit(0))
+    val unit =
+      if (gramN == 1) explode(toks)
+      else explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - (gramN - 1), lit(0))),
+        slice(toks, lit(gramN), greatest(size(toks) - (gramN - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+    val wc = df
+      .select(unit.as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__r"))
+      .localCheckpoint(true)
+    val nTok = wc.agg(sum(col("__r")).as("__n"))
+    val spectrum = wc.groupBy(col("__r").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val next = spectrum.select((col("r") - 1).as("r"), col("n_r").as("__nr1"))
+    spectrum.filter(col("r") <= maxR)
+      .join(next, Seq("r"), "left")
+      .crossJoin(broadcast(nTok))
+      .select(
+        col("r"), col("n_r"),
+        when(col("__nr1").isNotNull,
+          round((col("r") + 1).cast("double") * col("__nr1").cast("double") /
+            col("n_r").cast("double"), 6)).as("r_star"),
+        when(col("__nr1").isNotNull,
+          round((col("r") + 1).cast("double") * col("__nr1").cast("double") /
+            col("n_r").cast("double") / col("__n").cast("double"), 9)).as("p_gt"))
+      .orderBy("r")
+  }
 }

@@ -697,4 +697,34 @@ class ModelsSpec extends SparkSpec {
     val rn = Models.ivWald(withNull, "z", "x", "y").head
     assert(rn.getAs[Long]("n") == 4L && rn.getAs[Double]("beta_iv") == 3.5)
   }
+
+  test("boxCoxFit: replayed profile-LL grid, best flag, non-positive drop") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ys = Seq(0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 3.0, 7.0)
+    val df = (ys :+ -1.0 :+ 0.0).toDF("v")
+    val out = Models.boxCoxFit(df.repartition(3), "v").orderBy("lambda").collect()
+    assert(out.length == 9)
+    assert(out.forall(_.getAs[Long]("n_dropped") == 2L))
+    assert(out.count(_.getAs[Boolean]("is_best")) == 1)
+    // independent replay of the quantized profile LL per lambda
+    def ll(lam: Double): Double = {
+      val zq = ys.map { y =>
+        val z = if (lam == 0.0) math.log(y) else (math.pow(y, lam) - 1.0) / lam
+        math.floor(z * 1e6 + 0.5)
+      }
+      val lq = ys.map(y => math.floor(math.log(y) * 1e6 + 0.5))
+      val n = ys.size.toDouble
+      val varz = zq.map(q => q * q).sum / n / 1e12 -
+        (zq.sum / n / 1e6) * (zq.sum / n / 1e6)
+      -0.5 * n * math.log(varz) + (lam - 1.0) * (lq.sum / 1e6)
+    }
+    val lams = Seq(-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0)
+    lams.zip(out).foreach { case (lam, row) =>
+      assert(row.getAs[Double]("lambda") == lam)
+      assert(row.getAs[Double]("loglik") == r6(ll(lam)), s"lambda=$lam")
+    }
+    val best = out.filter(_.getAs[Boolean]("is_best")).head.getAs[Double]("lambda")
+    assert(best == lams.maxBy(ll), s"best=$best")
+  }
 }

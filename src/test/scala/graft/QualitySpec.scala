@@ -322,4 +322,23 @@ class QualitySpec extends SparkSpec {
       Quality.randomizedResponse(df, "id", "truth", p = 0.5)
     }
   }
+
+  test("functionalDependencyAudit: g3 repair count, NULL-lhs exclusion, holding pair") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1), "A", "k1"), (Option(1), "A", "k1"),
+      (Option(2), "A", "k2"), (Option(2), "B", "k2"),
+      (Option.empty[Int], "C", "k3")).toDF("id", "v", "k")
+    val out = Quality.functionalDependencyAudit(df.repartition(3),
+      Seq("id" -> "v", "k" -> "v")).orderBy("lhs").collect()
+    val a = out(0) // id -> v: lhs 2 maps to {A, B}
+    assert(a.getAs[String]("lhs") == "id")
+    assert(a.getAs[Long]("n_rows") == 4L && a.getAs[Long]("n_lhs_null") == 1L)
+    assert(a.getAs[Long]("n_lhs_values") == 2L && a.getAs[Long]("n_violating_lhs") == 1L)
+    assert(a.getAs[Long]("g3_rows") == 1L && a.getAs[Double]("g3_ratio") == 0.25)
+    assert(!a.getAs[Boolean]("holds"))
+    val b = out(1) // k -> v: k2 maps to {A, B} too... use the planted key col
+    assert(b.getAs[String]("lhs") == "k")
+    assert(b.getAs[Long]("n_rows") == 5L && b.getAs[Long]("n_violating_lhs") == 1L)
+  }
 }

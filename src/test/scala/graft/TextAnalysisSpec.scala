@@ -925,4 +925,47 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(cut == Set("alpha", "gamma"))
   }
+
+  test("stupidBackoffScore: hand-built model, bigram/backoff/OOV paths") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = Seq(("r1", "a b a b c")).toDF("doc_id", "text")
+    val doc = Seq(("d1", "a b z")).toDF("doc_id", "text")
+    // model: c(a b)=2, c(b a)=1, c(b c)=1; unigrams a=2 b=2 c=1, N=5
+    // doc terms: first token 'a' -> unigram 0.4*2/5; (a,b) seen -> 2/2;
+    // (b,z) unseen bigram, z OOV -> 0.4*1/5 (the pinned pseudo-count)
+    val ps = Seq(0.4 * 2.0 / 5.0, 2.0 / 2.0, 0.4 * 1.0 / 5.0)
+    val exp = r6(-ps.map(p => math.floor(math.log(p) * 1e6 + 0.5)).sum / 1e6 / 3.0)
+    val out = TextAnalysis.stupidBackoffScore(doc, "doc_id", "text", ref).head
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    assert(out.getAs[Double]("mean_neg_log_score") == exp)
+  }
+
+  test("termBurstiness: hand Fano factors with implicit zeros") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq("x x x", "y", "y").toDF("text")
+    val out = TextAnalysis.termBurstiness(docs.repartition(2), "text", topK = 10)
+      .orderBy("word").collect()
+    val x = out(0)
+    assert(x.getAs[String]("word") == "x" && x.getAs[Long]("df_docs") == 1L)
+    assert(x.getAs[Double]("mean_count") == 1.0)
+    assert(x.getAs[Double]("variance") == 2.0)      // 9/3 - 1
+    assert(x.getAs[Double]("burstiness") == 2.0)    // bursty: all in one doc
+    val y = out(1)
+    assert(y.getAs[Double]("burstiness") == r6((2.0 / 3 - 4.0 / 9) / (2.0 / 3)))
+    assert(y.getAs[Double]("burstiness") < 1.0)     // sprinkled: sub-Poisson
+  }
+
+  test("goodTuringSpectrum: hand r-star table, spectrum hole yields NULL") {
+    import spark.implicits._
+    val docs = Seq("a a a b b c").toDF("text")
+    val out = TextAnalysis.goodTuringSpectrum(docs, "text", maxR = 5).collect()
+    assert(out.map(_.getAs[Long]("r")).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getAs[Double]("r_star") == 2.0)          // 2*N2/N1
+    assert(out(0).getAs[Double]("p_gt") == BigDecimal(2.0 / 6.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1).getAs[Double]("r_star") == 3.0)          // 3*N3/N2
+    assert(out(2).isNullAt(out(2).fieldIndex("r_star")))   // N4 hole
+  }
 }
