@@ -345,7 +345,10 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       val training = sample.select(
         array_to_vector(slice(col(vecCol), lit(s * sub + 1), lit(sub))).as("features"))
-      val model = new KMeans().setK(codes).setSeed(seed + s).setMaxIter(20)
+      // 10 iterations: the coarse codebook saturates in a handful of
+      // sweeps, and each extra iteration is a scheduled Spark job per
+      // subspace (m fits x iters jobs dominated q_ann_pq's 6.6 s bench)
+      val model = new KMeans().setK(codes).setSeed(seed + s).setMaxIter(10)
         .setFeaturesCol("features").fit(training)
       require(model.clusterCenters.length == codes,
         s"subspace $s fit ${model.clusterCenters.length} codewords, need $codes " +

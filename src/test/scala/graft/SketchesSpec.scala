@@ -2150,7 +2150,9 @@ class SketchesSpec extends SparkSpec {
     val cdf = Seq(0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
       0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508)
     def weight(id: Long, rep: Int): Long = {
-      val u = java.lang.Long.parseLong(md5Hex(s"${id}_$rep").take(8), 16).toDouble / 4294967296.0
+      val h = md5Hex(s"${id}_${rep / 8}")
+      val word = java.lang.Long.parseLong(h.substring((rep % 8) * 4, (rep % 8) * 4 + 4), 16)
+      val u = word.toDouble / 65536.0
       cdf.indexWhere(u < _) match { case -1 => 8L; case k => k.toLong }
     }
     val repMeans = (0 until reps).flatMap { r =>
@@ -2178,9 +2180,16 @@ class SketchesSpec extends SparkSpec {
       vals.toDF("id", "dv").repartition(3), "id", "dv", perms = perms).head
     val dq = vals.map { case (_, d) => math.floor(d * 1e6 + 0.5).toLong }
     val t0 = math.abs(dq.sum)
+    // independent bit-slice replay: sign(p) = bit p of the row digest's
+    // first (p < 60) or second 60-bit hex word
+    def sign(id: Long, p: Int): Long = {
+      val h = md5Hex(id.toString)
+      val word = java.lang.Long.parseLong(
+        if (p < 60) h.substring(0, 15) else h.substring(15, 30), 16)
+      if (((word >> (p % 60)) & 1L) == 1L) 1L else -1L
+    }
     val ge = (0 until perms).count { p =>
-      val t = vals.zip(dq).map { case ((id, _), q) =>
-        if ("01234567".contains(md5Hex(s"${id}_$p").head)) q else -q }.sum
+      val t = vals.zip(dq).map { case ((id, _), q) => sign(id, p) * q }.sum
       math.abs(t) >= t0
     }
     assert(out.getAs[Long]("n") == 6L)
