@@ -1874,4 +1874,114 @@ object Models {
           col("lambda").asc)) === 1)
       .orderBy("lambda")
   }
+
+  /** RANSAC robust line fit (Fischler & Bolles 1981) — the
+    * high-breakdown member of the regression family: where OLS breaks at
+    * one outlier and Theil–Sen at ~29%, RANSAC survives ANY outlier
+    * fraction a consensus set can outvote, by hypothesizing lines from
+    * minimal 2-point samples and keeping the one the most data agrees
+    * with (residual ≤ `eps`), then refitting exactly on its consensus
+    * set.
+    *
+    * DETERMINISTIC and engine-replayable where textbook RANSAC is RNG:
+    * rows take X25 global row numbers on the (idCol) total order; trial
+    * t samples positions md5("t_1") and md5("t_2") (first 60 digest bits
+    * mod n, +1 on collision) — the md5-idiom bootstrap discipline, no
+    * RNG state, partitioning-invariant. Scale shape: ONE numbering pass,
+    * a 2·T-row broadcast join picks the sample points, scoring is one
+    * rows × T pass (broadcast model table, partial-agg counts), the
+    * refit one exact quantized-moment aggregate over the winning
+    * consensus set (the olsTrend DECIMAL recipe). Degenerate trials
+    * (equal sample x after 1e-6 quantization) drop; ties on inlier count
+    * break to the smaller trial id. n < 2 or all trials degenerate →
+    * zero rows.
+    *
+    * Returns ONE row: (n, trials, best_trial, n_inliers, slope,
+    * intercept) — slope/intercept from the exact consensus refit. */
+  def ransacLine(
+      df: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      trials: Int = 32,
+      eps: Double = 0.5): DataFrame = {
+    require(trials >= 1, s"trials must be >= 1, got $trials")
+    require(eps > 0, s"eps must be > 0, got $eps")
+    val base = df.select(col(idCol).as("__id"),
+      floor(col(xCol).cast("double") * 1e6 + 0.5).cast("long").as("__xq"),
+      floor(col(yCol).cast("double") * 1e6 + 0.5).cast("long").as("__yq"))
+    val numbered = Relational.globalRowNumbers(base, Seq(col("__id")), "__rn")
+      .localCheckpoint(true)
+    val n = numbered.count()
+    if (n < 2) return numbered.sparkSession.emptyDataFrame
+      .select(lit(0L).as("n"), lit(trials).as("trials"), lit(0).as("best_trial"),
+        lit(0L).as("n_inliers"), lit(0.0).as("slope"), lit(0.0).as("intercept"))
+      .limit(0)
+    // first 15 hex chars = 60 bits — parses as a signed long in ANY engine
+    // (16 chars could exceed 2^63), the q_perm_test word idiom
+    def pos(t: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${t}_$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % n
+    }
+    val picks: Seq[(Int, Long, Long)] = (0 until trials).map { t =>
+      val i1 = pos(t, 1)
+      val i2raw = pos(t, 2)
+      val i2 = if (i2raw == i1) (i2raw + 1) % n else i2raw
+      (t, i1, i2)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val trialPos = picks.flatMap { case (t, i1, i2) =>
+      Seq((t, i1, 1), (t, i2, 2)) }.toDF("__t", "__rn", "__which")
+    val sampled = numbered.join(broadcast(trialPos), Seq("__rn"))
+      .groupBy(col("__t"))
+      .agg(
+        max(when(col("__which") === 1, col("__xq"))).as("__x1"),
+        max(when(col("__which") === 1, col("__yq"))).as("__y1"),
+        max(when(col("__which") === 2, col("__xq"))).as("__x2"),
+        max(when(col("__which") === 2, col("__yq"))).as("__y2"))
+      .filter(col("__x1") =!= col("__x2"))
+      .select(col("__t"),
+        ((col("__y2") - col("__y1")).cast("double") /
+          (col("__x2") - col("__x1")).cast("double")).as("__b"),
+        (col("__y1").cast("double") / 1e6 -
+          (col("__y2") - col("__y1")).cast("double") /
+            (col("__x2") - col("__x1")).cast("double") *
+            (col("__x1").cast("double") / 1e6)).as("__a"))
+    val counted = numbered.crossJoin(broadcast(sampled))
+      .filter(abs(col("__yq").cast("double") / 1e6 -
+        (col("__a") + col("__b") * (col("__xq").cast("double") / 1e6))) <= eps)
+      .groupBy(col("__t"), col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__ni"))
+    val best = Relational.topKPerKey(
+      counted.withColumn("__k", lit(1)),
+      keyCols = Seq("__k"),
+      sort = Seq("__ni" -> true, "__t" -> false), k = 1)
+      .select(col("__t"), col("__a"), col("__b"), col("__ni"))
+    // exact consensus refit: quantized moments as DECIMAL, one Cramer chain
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val refit = numbered.crossJoin(broadcast(best))
+      .filter(abs(col("__yq").cast("double") / 1e6 -
+        (col("__a") + col("__b") * (col("__xq").cast("double") / 1e6))) <= eps)
+      .agg(
+        count(lit(1)).as("__m"),
+        sum(dec(col("__xq"))).as("__sx"), sum(dec(col("__yq"))).as("__sy"),
+        sum(dec(col("__xq")) * dec(col("__yq"))).as("__sxy"),
+        sum(dec(col("__xq")) * dec(col("__xq"))).as("__sxx"),
+        max(col("__t")).as("best_trial"), max(col("__ni")).as("n_inliers"))
+    val det = dec(col("__m")) * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (dec(col("__m")) * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+      det.cast("double")
+    val icept = (col("__sy").cast("double") -
+      (dec(col("__m")) * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+        det.cast("double") * col("__sx").cast("double")) /
+      col("__m").cast("double") / 1e6
+    refit.select(
+      lit(n).as("n"), lit(trials).as("trials"),
+      col("best_trial"), col("n_inliers"),
+      when(det.cast("double") =!= 0.0, round(slope, 6)).as("slope"),
+      when(det.cast("double") =!= 0.0, round(icept, 6)).as("intercept"))
+  }
 }

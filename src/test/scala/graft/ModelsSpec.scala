@@ -727,4 +727,29 @@ class ModelsSpec extends SparkSpec {
     val best = out.filter(_.getAs[Boolean]("is_best")).head.getAs[Double]("lambda")
     assert(best == lams.maxBy(ll), s"best=$best")
   }
+
+  test("ransacLine: recovers the planted line through 23% wild outliers exactly") {
+    import spark.implicits._
+    // y = 2x + 1 on 100 clean points; 30 outliers pinned at y = 50
+    val clean = (0 until 100).map(i => (i.toLong, i / 10.0, 2.0 * (i / 10.0) + 1.0))
+    val wild = (100 until 130).map(i => (i.toLong, (i - 100) / 3.0, 50.0))
+    val df = (clean ++ wild).toDF("id", "x", "y")
+    val r = Models.ransacLine(df.repartition(4), "id", "x", "y",
+      trials = 32, eps = 0.3).head
+    assert(r.getAs[Long]("n") == 130L)
+    // the consensus set is exactly the clean points, and the exact refit
+    // on points that sit ON the line returns it bit-for-bit
+    assert(r.getAs[Long]("n_inliers") == 100L)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+    // OLS on the same data is dragged far off by the outlier block
+    val ols = Models.linearRegression(
+      df.withColumn("x2", org.apache.spark.sql.functions.lit(0.0)), "y", Seq("x", "x2")).head
+    assert(math.abs(ols.getAs[Double]("beta1") - 2.0) > 0.5)
+    // partition invariance: the md5-positioned trials see the same rows
+    val r7 = Models.ransacLine(df.repartition(7), "id", "x", "y",
+      trials = 32, eps = 0.3).head
+    assert(r7.getAs[Double]("slope") == 2.0 &&
+      r7.getAs[Long]("n_inliers") == 100L)
+  }
 }
