@@ -756,36 +756,62 @@ object Quality {
     * n_violating_lhs, g3_rows, g3_ratio, holds). */
   def functionalDependencyAudit(
       df: DataFrame,
-      pairs: Seq[(String, String)]): DataFrame = {
+      pairs: Seq[(String, String)]): DataFrame =
+    fdAssemble(fdCellCounts(df, pairs))
+
+  /** The COUNTS half of [[functionalDependencyAudit]]: one melt over the
+    * declared pairs + ONE (pair, lhs, rhs) partial-agg count — exactly the
+    * integer state a streaming monitor maintains across micro-batches (the
+    * goldenUnpivotCounts factoring discipline). NULL-lhs rows keep a cell
+    * (NULL lhs string) so the assembly can count them. */
+  def fdCellCounts(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "at least one (lhs, rhs) pair required")
-    val perPair = pairs.map { case (lhs, rhs) =>
-      val nulls = df.agg(
-        count(lit(1)).as("__all"),
-        sum(when(col(lhs).isNull, 1L).otherwise(0L)).as("n_lhs_null"))
-      val cells = df.filter(col(lhs).isNotNull)
-        .groupBy(col(lhs).as("__l"), col(rhs).cast("string").as("__r"))
-        .agg(count(lit(1)).as("__c"))
-      val perLhs = cells.groupBy(col("__l"))
-        .agg(max(col("__c")).as("__mx"), count(lit(1)).as("__k"),
-          sum(col("__c")).as("__rows"))
-      perLhs.agg(
-          sum(col("__rows")).as("n_rows"),
-          count(lit(1)).as("n_lhs_values"),
-          sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
-          (sum(col("__rows")) - sum(col("__mx"))).as("g3_rows"))
-        .crossJoin(broadcast(nulls))
-        .select(
-          lit(lhs).as("lhs"), lit(rhs).as("rhs"),
-          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
-          col("n_lhs_null"),
-          coalesce(col("n_lhs_values"), lit(0L)).as("n_lhs_values"),
-          coalesce(col("n_violating_lhs"), lit(0L)).as("n_violating_lhs"),
-          coalesce(col("g3_rows"), lit(0L)).as("g3_rows"),
-          when(col("n_rows") > 0,
-            round(col("g3_rows").cast("double") / col("n_rows").cast("double"), 6))
-            .as("g3_ratio"),
-          coalesce(col("n_violating_lhs") === 0, lit(true)).as("holds"))
-    }
-    perPair.reduce(_ unionByName _)
+    df.select(explode(array(pairs.map { case (lhs, rhs) =>
+        struct(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col(lhs).cast("string").as("__l"), col(rhs).cast("string").as("__r"))
+      }: _*)).as("__cell"))
+      .select(col("__cell.lhs").as("lhs"), col("__cell.rhs").as("rhs"),
+        col("__cell.__l").as("__l"), col("__cell.__r").as("__r"))
+      .groupBy(col("lhs"), col("rhs"), col("__l"), col("__r"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** The ASSEMBLY half of [[functionalDependencyAudit]] over
+    * [[fdCellCounts]]'s (pair, lhs, rhs) → count table: per-lhs rollups
+    * on the bounded cell table, the g₃ identity, NULL-lhs cells read off
+    * as n_lhs_null. Batch and stream share this verbatim, so integer
+    * state ⇒ stream == batch bit-exactly. */
+  def fdAssemble(cells0: DataFrame): DataFrame = {
+    // pin to a LogicalRDD: the null-cells and per-lhs branches SELF-JOIN
+    // this table, and a memory-sink VIEW (the streaming twin's source)
+    // cannot re-instance its attributes — the join dies with conflicting
+    // references; a checkpointed plan dedups normally (cells are bounded:
+    // pairs × distinct values)
+    val cells = cells0.localCheckpoint(true)
+    val nulls = cells.filter(col("__l").isNull)
+      .groupBy(col("lhs"), col("rhs"))
+      .agg(sum(col("__c")).as("__nl"))
+    val perLhs = cells.filter(col("__l").isNotNull)
+      .groupBy(col("lhs"), col("rhs"), col("__l"))
+      .agg(max(col("__c")).as("__mx"), count(lit(1)).as("__k"),
+        sum(col("__c")).as("__rows"))
+    perLhs.groupBy(col("lhs"), col("rhs"))
+      .agg(
+        sum(col("__rows")).as("n_rows"),
+        count(lit(1)).as("n_lhs_values"),
+        sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+        (sum(col("__rows")) - sum(col("__mx"))).as("g3_rows"))
+      .join(nulls, Seq("lhs", "rhs"), "full_outer")
+      .select(
+        col("lhs"), col("rhs"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("__nl"), lit(0L)).as("n_lhs_null"),
+        coalesce(col("n_lhs_values"), lit(0L)).as("n_lhs_values"),
+        coalesce(col("n_violating_lhs"), lit(0L)).as("n_violating_lhs"),
+        coalesce(col("g3_rows"), lit(0L)).as("g3_rows"),
+        when(coalesce(col("n_rows"), lit(0L)) > 0,
+          round(col("g3_rows").cast("double") / col("n_rows").cast("double"), 6))
+          .as("g3_ratio"),
+        coalesce(col("n_violating_lhs") === 0, lit(true)).as("holds"))
   }
 }
