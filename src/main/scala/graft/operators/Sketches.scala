@@ -5092,4 +5092,42 @@ object Sketches {
         round((col("__ge").cast("double") + 1.0) / lit(perms + 1).cast("double"), 6)
           .as("p_value"))
   }
+
+  /** Grubbs' maximum-deviation outlier test (Grubbs 1950) — "is the single
+    * most extreme value an outlier?", the one-point verdict beside X45's
+    * MAD flagging (which scores every row): G = max|x − x̄|/s on the
+    * sample sd. Two partial aggregates: exact quantized moments
+    * (n, Σx, Σx²-as-DECIMAL) then a max over |n·x − Σx| (exact integers —
+    * the centering multiplies through by n so no float appears before the
+    * final chain), with the arg-max value selected deterministically
+    * (largest deviation, ties to the SMALLER value). n < 3 or zero
+    * variance → NULL G.
+    *
+    * Returns ONE row: (n, mean, sd, suspect, g_stat). */
+  def grubbsTest(df: DataFrame, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(
+      floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long").as("__xq"))
+      .localCheckpoint(true)
+    val mom = base.agg(count(lit(1)).as("__n"), sum(col("__xq")).as("__sx"),
+      sum(dec(col("__xq")) * dec(col("__xq"))).cast("decimal(38,0)").as("__sxx"))
+    val dev = base.crossJoin(broadcast(mom))
+      .select(col("__xq"),
+        abs(dec(col("__n")) * dec(col("__xq")) - dec(col("__sx"))).as("__d"))
+      .agg(max(struct(col("__d").as("d"), (-col("__xq")).as("negx"))).as("__m"))
+      .select(col("__m.d").as("__dmax"), (-col("__m.negx")).as("__suspect"))
+    val nD = col("__n").cast("double")
+    val varN = (dec(col("__n")) * col("__sxx") - dec(col("__sx")) * dec(col("__sx")))
+      .cast("double")
+    // sample sd: sqrt(varN / (n(n−1))) in 1e-6 units
+    val sd = sqrt(varN / (nD * (nD - 1.0))) / 1e6
+    val g = (col("__dmax").cast("double") / nD / 1e6) / sd
+    mom.crossJoin(broadcast(dev))
+      .select(
+        col("__n").as("n"),
+        round(col("__sx").cast("double") / nD / 1e6, 6).as("mean"),
+        when(col("__n") >= 2 && varN > 0.0, round(sd, 6)).as("sd"),
+        round(col("__suspect").cast("double") / 1e6, 6).as("suspect"),
+        when(col("__n") >= 3 && varN > 0.0, round(g, 6)).as("g_stat"))
+  }
 }

@@ -2334,4 +2334,76 @@ object Temporal {
         max(col("__peak")).as("peak_level"),
         count(lit(1)).as("n_points"))
   }
+
+  /** Chow structural-break test (Chow 1960) at a KNOWN break point — the
+    * INFERENCE layer over [[changepoint]]'s argmax (changepoint finds the
+    * most suspicious split; Chow asks whether a DECLARED split is real):
+    * fit y = a + b·x separately on each side and pooled, F =
+    * ((SSE_p − SSE₁ − SSE₂)/k) / ((SSE₁+SSE₂)/(n−2k)) with k = 2
+    * parameters, ~F(k, n−2k) under no break.
+    *
+    * ONE partial aggregate: per-segment exact quantized moments
+    * (n, Σx, Σy, Σxy, Σx², Σy² — 1e-6-grid longs, cross-products as
+    * DECIMAL), each SSE the closed form (A − B²/C)/n on
+    * A = nΣy²−(Σy)², B = nΣxy−ΣxΣy, C = nΣx²−(Σx)² — the X248 identity,
+    * no residual pass. A segment with n < 3 or a constant-x segment
+    * (C = 0) → NULL F (the split fit is undefined). SSEs report in
+    * y-units² (the 1e-12 quantization divides out), 6-dp rounded.
+    *
+    * Returns ONE row: (n1, n2, sse_pooled, sse_split, f_stat). */
+  def chowTest(
+      df: DataFrame,
+      orderCol: String,
+      xCol: String,
+      yCol: String,
+      breakPoint: Double): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def q6(c: Column) = sum(floor(c * 1e6 + 0.5).cast("long"))
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val seg = df
+      .groupBy((col(orderCol).cast("double") >= breakPoint).as("__hi"))
+      .agg(count(lit(1)).as("__n"),
+        q6(x).as("__sx"), q6(y).as("__sy"), q6(x * y).as("__sxy"),
+        q6(x * x).as("__sxx"), q6(y * y).as("__syy"))
+    def pick(hi: Boolean, c: String) = max(when(col("__hi") === hi, col(c)))
+    val w = seg.agg(
+      pick(false, "__n").as("n1"), pick(true, "__n").as("n2"),
+      pick(false, "__sx").as("sx1"), pick(true, "__sx").as("sx2"),
+      pick(false, "__sy").as("sy1"), pick(true, "__sy").as("sy2"),
+      pick(false, "__sxy").as("sxy1"), pick(true, "__sxy").as("sxy2"),
+      pick(false, "__sxx").as("sxx1"), pick(true, "__sxx").as("sxx2"),
+      pick(false, "__syy").as("syy1"), pick(true, "__syy").as("syy2"))
+    // SSE of a simple-regression fit from exact moments: (A − B²/C)/n with
+    // A = n·Σq(y²)·1e6 − (Σq(y))² etc. — the ·1e6 rescale puts the
+    // second-moment sums (quantized at 1e-6) on the same 1e-12 grid as the
+    // squared first-moment sums BEFORE subtracting (mismatched grids made
+    // A ≈ −Sy², caught by the spec's independent hand-math); exact
+    // decimals cast once to double, 1e-12 units ÷ 1e12 at readout
+    def sse(n: Column, sx: Column, sy: Column, sxy: Column,
+        sxx: Column, syy: Column): (Column, Column) = {
+      val m = lit(1000000L).cast("decimal(38,0)")
+      val a = (dec(n) * dec(syy) * m - dec(sy) * dec(sy)).cast("double")
+      val b = (dec(n) * dec(sxy) * m - dec(sx) * dec(sy)).cast("double")
+      val c = (dec(n) * dec(sxx) * m - dec(sx) * dec(sx)).cast("double")
+      (when(c > 0.0, (a - b * b / c) / n.cast("double")), c)
+    }
+    val (sse1, _) = sse(col("n1"), col("sx1"), col("sy1"),
+      col("sxy1"), col("sxx1"), col("syy1"))
+    val (sse2, _) = sse(col("n2"), col("sx2"), col("sy2"),
+      col("sxy2"), col("sxx2"), col("syy2"))
+    val (sseP, _) = sse(col("n1") + col("n2"),
+      col("sx1") + col("sx2"), col("sy1") + col("sy2"),
+      col("sxy1") + col("sxy2"), col("sxx1") + col("sxx2"),
+      col("syy1") + col("syy2"))
+    val n = (col("n1") + col("n2")).cast("double")
+    val ok = col("n1") >= 3 && col("n2") >= 3 &&
+      sse1.isNotNull && sse2.isNotNull && sseP.isNotNull
+    val f = ((sseP - sse1 - sse2) / 2.0) / ((sse1 + sse2) / (n - 4.0))
+    w.select(
+      col("n1"), col("n2"),
+      when(ok, round(sseP / 1e12, 6)).as("sse_pooled"),
+      when(ok, round((sse1 + sse2) / 1e12, 6)).as("sse_split"),
+      when(ok && (sse1 + sse2) > 0.0, round(f, 6)).as("f_stat"))
+  }
 }

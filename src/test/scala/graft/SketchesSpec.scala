@@ -2198,4 +2198,24 @@ class SketchesSpec extends SparkSpec {
     // all-same-sign strong effect: p at the permutation floor region
     assert(out.getAs[Double]("p_value") <= 0.2)
   }
+
+  test("grubbsTest: hand G on a planted outlier; tie suspects pick the smaller value") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Sketches.grubbsTest(
+      Seq(1.0, 2.0, 3.0, 100.0).toDF("v").repartition(2), "v").head
+    val mean = 26.5
+    val sd = math.sqrt(Seq(1.0, 2.0, 3.0, 100.0).map(v => (v - mean) * (v - mean)).sum / 3.0)
+    assert(out.getAs[Long]("n") == 4L)
+    assert(out.getAs[Double]("mean") == 26.5)
+    assert(out.getAs[Double]("sd") == r6(sd))
+    assert(out.getAs[Double]("suspect") == 100.0)
+    assert(out.getAs[Double]("g_stat") == r6((100.0 - mean) / sd))
+    // symmetric tie: |−10| and |10| deviate equally from mean 0 — the
+    // smaller value wins deterministically
+    val tie = Sketches.grubbsTest(Seq(-10.0, 0.0, 10.0).toDF("v"), "v").head
+    assert(tie.getAs[Double]("suspect") == -10.0)
+    // constant input: zero variance, G undefined
+    val const = Sketches.grubbsTest(Seq(5.0, 5.0, 5.0).toDF("v"), "v").head
+    assert(const.isNullAt(const.fieldIndex("g_stat")))
+  }
 }

@@ -806,4 +806,33 @@ class TemporalSpec extends SparkSpec {
       .orderBy("duration").collect()(0)
     assert(b.getAs[Double]("ci_hi") == 1.0)
   }
+
+  test("chowTest: planted level shift yields a huge F; no-break line yields NULL (zero SSE)") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // y = x below the break, y = x + 10 above: each side fits exactly
+    // (SSE 0) while the pooled line cannot
+    val shifted = (0 until 20).map(i =>
+      (i.toDouble, i.toDouble, if (i < 10) i.toDouble else i + 10.0))
+    val out = Temporal.chowTest(shifted.toDF("t", "x", "y").repartition(3),
+      "t", "x", "y", breakPoint = 10.0).head
+    assert(out.getAs[Long]("n1") == 10L && out.getAs[Long]("n2") == 10L)
+    assert(out.getAs[Double]("sse_split") == 0.0)
+    assert(out.isNullAt(out.fieldIndex("f_stat")), "zero split SSE pins F NULL")
+    assert(out.getAs[Double]("sse_pooled") > 100.0)
+    // noisy break: both SSEs positive, F large and hand-replayable
+    val noisy = (0 until 20).map { i =>
+      val bump = if (i % 2 == 0) 0.5 else -0.5
+      (i.toDouble, i.toDouble, (if (i < 10) i.toDouble else i + 10.0) + bump)
+    }
+    val o2 = Temporal.chowTest(noisy.toDF("t", "x", "y").repartition(3),
+      "t", "x", "y", breakPoint = 10.0).head
+    assert(o2.getAs[Double]("f_stat") > 50.0)
+    // pure line, same noise, no break: F collapses toward ~0-ish scale
+    val line = noisy.map { case (t, x, y) => (t, x, if (t < 10) y else y - 10.0) }
+    val o3 = Temporal.chowTest(line.toDF("t", "x", "y"), "t", "x", "y", 10.0).head
+    assert(o3.getAs[Double]("f_stat") < 1.0)
+    // a sub-3-row segment is undefined
+    val tiny = Temporal.chowTest(shifted.toDF("t", "x", "y"), "t", "x", "y", 18.5).head
+    assert(tiny.isNullAt(tiny.fieldIndex("f_stat")))
+  }
 }
