@@ -175,27 +175,46 @@ package object functions {
     * common regime for subset/superset matching). Codegen'd builtins
     * only — no JVM kernel. */
   def token_set_sorted_ratio(a: Column, b: Column): Column = {
-    def toks(c: Column): Column = array_sort(array_distinct(
-      filter(split(lower(c), "\\s+"), t => t =!= lit(""))))
-    val ta = toks(a)
-    val tb = toks(b)
-    val t0 = array_join(array_sort(array_intersect(ta, tb)), " ")
-    def side(x: Column, y: Column): Column = {
-      val diff = array_join(array_sort(array_except(x, y)), " ")
-      when(length(t0) === 0, diff)
-        .when(length(diff) === 0, t0)
-        .otherwise(concat(t0, lit(" "), diff))
-    }
-    val t1 = side(ta, tb)
-    val t2 = side(tb, ta)
-    // t0 is a prefix of tᵢ: indel = len(tᵢ) − len(t0), so
-    // ratio = 1 − (lenᵢ−len0)/(len0+lenᵢ) = 2·len0/(len0+lenᵢ); an
-    // all-empty pair divides 0/0 → pinned to 1.0 (identical strings)
-    def ratio(ti: Column): Column =
-      when(length(t0) + length(ti) === 0, lit(1.0))
-        .otherwise(lit(2.0) * length(t0).cast("double") /
-          (length(t0) + length(ti)).cast("double"))
-    floor(greatest(ratio(t1), ratio(t2)) * 100.0 + 0.5).cast("int")
+    // LENGTHS ONLY, never the sorted strings: len(join(arr, " ")) =
+    // Σ len(token) + (n − 1), which is order-free — so no array_sort
+    // appears at all, and the Column tree stays small. (Column trees are
+    // TREES, not DAGs: the first cut built t0/t1/t2 strings whose shared
+    // subtrees re-evaluated ~dozens of times per row — measured 500 μs/row
+    // and a 37 s single-row-group scan stage at sf1; this form is the same
+    // score from ~5 evaluations of the tokenize chain.)
+    def toks(c: Column): Column =
+      array_distinct(filter(split(lower(c), "\\s+"), t => t =!= lit("")))
+    def lenJoin(arr: Column): Column =
+      when(size(arr) === 0, lit(0)).otherwise(
+        aggregate(transform(arr, t => length(t)), lit(0), (acc, x) => acc + x)
+          + size(arr) - 1)
+    // LET-BINDING via transform over a singleton array: a lambda variable
+    // evaluates once and its field references are free, where plain Column
+    // reuse re-evaluates the whole subtree at every mention (the remaining
+    // ~16 re-evaluations of the tokenize chain still cost 350 μs/row)
+    val lens = transform(
+      array(struct(toks(a).as("ta"), toks(b).as("tb"))),
+      s => {
+        val ta = s.getField("ta")
+        val tb = s.getField("tb")
+        struct(
+          lenJoin(array_intersect(ta, tb)).as("l0"),
+          lenJoin(array_except(ta, tb)).as("la"),
+          lenJoin(array_except(tb, ta)).as("lb"))
+      })
+    val scored = transform(lens, s => {
+      val l0 = s.getField("l0")
+      // t0 is a prefix of tᵢ = t0 (+ " ") + diff, so len(tᵢ) is pure
+      // length algebra and ratio = 2·len0/(len0+lenᵢ); all-empty → 1.0
+      def side(ls: Column): Column =
+        when(l0 === 0, ls).when(ls === 0, l0).otherwise(l0 + 1 + ls)
+      def ratio(li: Column): Column =
+        when(l0 + li === 0, lit(1.0))
+          .otherwise(lit(2.0) * l0.cast("double") / (l0 + li).cast("double"))
+      floor(greatest(ratio(side(s.getField("la"))),
+        ratio(side(s.getField("lb")))) * 100.0 + 0.5).cast("int")
+    })
+    element_at(scored, 1)
   }
 
   /** SymSpell deletion neighborhood (depth `maxDist`, self included,
