@@ -420,6 +420,61 @@ object Temporal {
       numPartitions = numPartitions)(zOver)
   }
 
+  /** Hampel rolling-median outlier filter (Hampel 1974; the robust
+    * sibling of [[rollingZScore]]): each observation scores against the
+    * MEDIAN and MAD of its strictly-preceding `lookback` rows per key —
+    * where the z-score's mean/sd let one earlier spike inflate sd and
+    * mask the next (the masking problem), median/MAD have a 50%
+    * breakdown. Deviation > k·1.4826·MAD flags (1.4826 = the Gaussian
+    * MAD→σ constant); the degenerate MAD = 0 window (all-equal history)
+    * flags ANY deviation from the median (documented convention).
+    *
+    * EXACT kernels: values quantize to integer `scale`-ths, the window
+    * materializes as a bounded collect_list (≤ `lookback` longs — the
+    * Theil–Sen collected-kernel discipline), and median/MAD are lower-
+    * median ELEMENT selections on array_sort — exact integers until the
+    * one k·1.4826·MAD comparison. Same scale shape as rollingZScore:
+    * slidingByKey's deterministic-split two-pass machinery, no
+    * low-cardinality-key serialization.
+    *
+    * Output: input + (n_window, median, mad, is_outlier); median/mad
+    * NULL below `minObs`. */
+  def hampelFilter(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      lookback: Int = 20,
+      k: Double = 3.0,
+      minObs: Int = 5,
+      scale: Int = 100,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(lookback >= minObs && minObs >= 2, s"need lookback >= minObs >= 2, got $lookback/$minObs")
+    def overW(frame: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+      val q = floor(col(valueCol) * scale + 0.5).cast("long")
+      val mid = expr("CAST((size(__srt) + 1) / 2 AS INT)")
+      val enough = size(col("__srt")) >= minObs
+      frame
+        .withColumn("__srt", array_sort(collect_list(q).over(w)))
+        .withColumn("__med", when(enough, element_at(col("__srt"), mid)))
+        .withColumn("__mad", when(enough, element_at(
+          array_sort(transform(col("__srt"), x => abs(x - col("__med")))), mid)))
+        .withColumn("n_window", size(col("__srt")))
+        .withColumn("median", col("__med").cast("double") / scale.toLong)
+        .withColumn("mad", col("__mad").cast("double") / scale.toLong)
+        .withColumn("is_outlier", coalesce(
+          when(col("__mad") > 0L,
+            abs(floor(col(valueCol) * scale + 0.5).cast("long") - col("__med"))
+              .cast("double") > lit(k * 1.4826) * col("__mad").cast("double"))
+            .otherwise(floor(col(valueCol) * scale + 0.5).cast("long") =!= col("__med")),
+          lit(false)))
+        .drop("__srt", "__med", "__mad")
+    }
+    Relational.slidingByKey(df, keyCols, orderCols,
+      frameLower = -lookback.toLong, frameUpper = -1L,
+      numPartitions = numPartitions)(overW)
+  }
+
   /** Rolling aggregation over an integer position index (e.g. a month index
     * `year*12+month`): `agg` over the window `[pos - lookback, pos]` per key.
     * RANGE frame on the index, so missing months still bound the window

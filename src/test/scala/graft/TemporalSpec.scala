@@ -835,4 +835,38 @@ class TemporalSpec extends SparkSpec {
     val tiny = Temporal.chowTest(shifted.toDF("t", "x", "y"), "t", "x", "y", 18.5).head
     assert(tiny.isNullAt(tiny.fieldIndex("f_stat")))
   }
+
+  test("hampelFilter: flags the spike a prior spike would mask for the z-score") {
+    import java.sql.Timestamp
+    // window holds a previous 100-spike: rolling z-score's sd inflates and
+    // the second spike (60) hides below k·sd; the median/MAD pair doesn't care
+    val vals = Seq(10.0, 12.0, 11.0, 9.0, 10.5, 100.0, 10.2, 11.1, 60.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("a", new Timestamp(1700000000000L + i * 60000L), i.toLong, v)
+    }
+    val df = rows.toDF("k", "ts", "event_id", "v").repartition(4)
+    val h = Temporal.hampelFilter(df, Seq("k"), Seq("ts", "event_id"), "v",
+      lookback = 20, k = 3.0, minObs = 5)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(2), Option(r.get(r.fieldIndex("median"))).map(_ => r.getAs[Double]("median")),
+        r.getAs[Boolean]("is_outlier")))
+    assert(h.take(5).forall { case (_, m, f) => m.isEmpty && !f })
+    assert(h(5)._3, "the first spike must flag")
+    assert(!h(6)._3 && !h(7)._3)
+    assert(h(8)._3, "the second spike must flag despite the first in-window")
+    // the z-score twin is masked on the same data — the robustness contract
+    val z = Temporal.rollingZScore(df, Seq("k"), Seq("ts", "event_id"), "v",
+      lookback = 20, k = 3.0, minObs = 5)
+      .orderBy("event_id").collect().map(_.getAs[Boolean]("is_outlier"))
+    assert(!z(8), "rolling z-score must be masked here for the contrast to hold")
+    // all-equal history: MAD 0, any deviation flags, equality does not
+    val flat = (0 until 6).map(i =>
+      ("b", new Timestamp(1700000000000L + i * 60000L), i.toLong, 5.0)) :+
+      (("b", new Timestamp(1700000000000L + 6 * 60000L), 6L, 5.2))
+    val f = Temporal.hampelFilter(flat.toDF("k", "ts", "event_id", "v"),
+      Seq("k"), Seq("ts", "event_id"), "v", lookback = 20, k = 3.0, minObs = 5)
+      .orderBy("event_id").collect()
+    assert(!f(5).getAs[Boolean]("is_outlier"))  // equals the median
+    assert(f(6).getAs[Boolean]("is_outlier"))   // any deviation off a flat window
+  }
 }
