@@ -143,9 +143,10 @@ object Spatial {
       pointLon: String,
       radiusKm: Double,
       tieCol: String,
-      maxAbsLat: Double = 66.0): DataFrame = {
+      maxAbsLat: Double = 66.0,
+      maxCell: Option[Long] = None): DataFrame = {
     val cands = radiusJoin(probe, points, probeLat, probeLon, pointLat, pointLon,
-      radiusKm, maxAbsLat)
+      radiusKm, maxAbsLat, maxCell = maxCell)
     Relational.topKPerKey(cands, Seq(probeKey),
       Seq(("dist_km", false), (tieCol, false)), k = 1)
   }
@@ -181,7 +182,8 @@ object Spatial {
       lonCol: String,
       epsKm: Double,
       minPts: Int,
-      maxAbsLat: Double = 66.0): DataFrame = {
+      maxAbsLat: Double = 66.0,
+      maxCell: Option[Long] = None): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     require(
       Set("tinyint", "smallint", "int", "bigint")
@@ -194,7 +196,7 @@ object Spatial {
     val pts = df.select(
       col(idCol).as("__qid"), col(latCol).as("__qlat"), col(lonCol).as("__qlon"))
     val pairs = radiusJoin(probe, pts, "__plat", "__plon", "__qlat", "__qlon",
-      epsKm, maxAbsLat).select(col("__pid"), col("__qid"))
+      epsKm, maxAbsLat, maxCell = maxCell).select(col("__pid"), col("__qid"))
     val cores = pairs.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__ncnt"))
       .filter(col("__ncnt") >= minPts)
@@ -248,7 +250,8 @@ object Spatial {
       lonCol: String,
       valueCol: String,
       epsKm: Double,
-      maxAbsLat: Double = 66.0): DataFrame = {
+      maxAbsLat: Double = 66.0,
+      maxCell: Option[Long] = None): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val base = df.select(col(idCol).as("__id"), col(latCol).as("__lat"),
       col(lonCol).as("__lon"), col(valueCol).cast("long").as("__x"))
@@ -261,7 +264,7 @@ object Spatial {
     val pts = base.select(col("__id").as("__qid"), col("__lat").as("__qlat"),
       col("__lon").as("__qlon"), col("__x").as("__qx"))
     val pairs = radiusJoin(probe, pts, "__plat", "__plon", "__qlat", "__qlon",
-        epsKm, maxAbsLat)
+        epsKm, maxAbsLat, maxCell = maxCell)
       .filter(col("__pid") =!= col("__qid"))
       .select(col("__px"), col("__qx"))
       .crossJoin(broadcast(mom))
