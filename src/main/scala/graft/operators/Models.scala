@@ -1978,10 +1978,15 @@ object Models {
       (dec(col("__m")) * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
         det.cast("double") * col("__sx").cast("double")) /
       col("__m").cast("double") / 1e6
-    refit.select(
-      lit(n).as("n"), lit(trials).as("trials"),
-      col("best_trial"), col("n_inliers"),
-      when(det.cast("double") =!= 0.0, round(slope, 6)).as("slope"),
-      when(det.cast("double") =!= 0.0, round(icept, 6)).as("intercept"))
+    refit
+      // an all-degenerate trial set leaves the ungrouped agg with its one
+      // empty-input row (__m = 0, null sums) — drop it so "no consensus"
+      // reads as zero rows, the documented contract
+      .filter(col("__m") > 0)
+      .select(
+        lit(n).as("n"), lit(trials).as("trials"),
+        col("best_trial"), col("n_inliers"),
+        when(det.cast("double") =!= 0.0, round(slope, 6)).as("slope"),
+        when(det.cast("double") =!= 0.0, round(icept, 6)).as("intercept"))
   }
 }

@@ -726,6 +726,17 @@ class ModelsSpec extends SparkSpec {
     }
     val best = out.filter(_.getAs[Boolean]("is_best")).head.getAs[Double]("lambda")
     assert(best == lams.maxBy(ll), s"best=$best")
+    // quantized exact moments make the grid partitioning-invariant
+    val out7 = Models.boxCoxFit((ys :+ -1.0 :+ 0.0).toDF("v").repartition(7), "v")
+      .orderBy("lambda").collect()
+    assert(out7.map(_.getAs[Double]("loglik")).toSeq ==
+      out.map(_.getAs[Double]("loglik")).toSeq)
+  }
+
+  test("ransacLine: all-equal x makes every trial degenerate — zero rows, no crash") {
+    import spark.implicits._
+    val df = (0 until 30).map(i => (i.toLong, 5.0, i.toDouble)).toDF("id", "x", "y")
+    assert(Models.ransacLine(df, "id", "x", "y", trials = 8, eps = 0.5).count() == 0L)
   }
 
   test("ransacLine: recovers the planted line through 23% wild outliers exactly") {

@@ -2170,6 +2170,11 @@ class SketchesSpec extends SparkSpec {
     assert(out.getAs[Double]("boot_hi") == r6(hi))
     assert(out.getAs[Double]("boot_lo") <= out.getAs[Double]("mean"))
     assert(out.getAs[Double]("boot_hi") >= out.getAs[Double]("mean"))
+    // id-keyed md5 weights are partitioning-invariant, bit for bit
+    val out7 = Sketches.poissonBootstrapMean(df.repartition(7), "id", "v",
+      reps = reps, level = 0.9).head
+    assert(out7.getAs[Double]("boot_lo") == out.getAs[Double]("boot_lo"))
+    assert(out7.getAs[Double]("boot_hi") == out.getAs[Double]("boot_hi"))
   }
 
   test("signFlipPermutationTest: exact replay of md5 signs, add-one p, partition-invariant") {
