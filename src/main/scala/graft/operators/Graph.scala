@@ -928,4 +928,51 @@ object Graph {
     }
     mst
   }
+
+  /** Eigenvector centrality by fixed-iteration power iteration (Bonacich
+    * 1972) — the "important because your neighbors are important"
+    * recursion PageRank dampens and HITS splits: x ← A·x, max-normalized
+    * each round so the hub of the densest region pins to 1.0. The
+    * PageRank iteration discipline exactly: per-edge contributions
+    * quantize to exact 1e-12 longs before the order-dependent sum, the
+    * max-norm divisor is an exact long MAX, and each round's score
+    * re-quantizes at 1e-9 — partition-invariant and round-unrollable in
+    * SQL. Node universe = source nodes (symmetrize for undirected, as
+    * pageRank). Fixed iterations keep even the classic bipartite
+    * period-2 oscillation deterministic — callers on possibly-bipartite
+    * graphs should add self-loops (the standard regularization) if they
+    * want the converged ranking rather than the k-step one.
+    *
+    * Returns (id, centrality) with max = 1.0. */
+  def eigenvectorCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("__u").as("id")).distinct().localCheckpoint(true)
+    var x = nodes.withColumn("score", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(x.withColumnRenamed("id", "__u"), "__u")
+        .select(col("__v").as("id"),
+          floor(col("score") * 1e12 + 0.5).cast("long").as("__cq"))
+        .groupBy(col("id"))
+        .agg(sum(col("__cq")).as("__s"))
+      val mx = contribs.agg(max(col("__s")).as("__mx"))
+      x = nodes
+        .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(
+          col("id"),
+          when(col("__mx") > 0L,
+            floor(coalesce(col("__s"), lit(0L)).cast("double") /
+              col("__mx").cast("double") * 1e9 + 0.5) / 1e9)
+            .otherwise(lit(0.0)).as("score"))
+        .localCheckpoint(true)
+    }
+    x.select(col("id"), col("score").as("centrality"))
+  }
 }

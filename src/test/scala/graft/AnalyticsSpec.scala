@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, Relational, Sketches, Temporal, TextAnalysis}
+import graft.operators.{Funnel, Graph, Relational, Sketches, Temporal, TextAnalysis}
 
 /** Round-5 analytics operators: boilerplate removal, gap fill, profiler,
   * ECDF normalization, funnel. */
@@ -875,5 +875,23 @@ class AnalyticsSpec extends SparkSpec {
     // parallel edges collapse to their min weight before selection
     val par = Seq((1L, 2L, 9L), (2L, 1L, 4L)).toDF("u", "v", "w")
     assert(Graph.boruvkaMst(par, "u", "v", "w").head.getLong(2) == 4L)
+  }
+
+  test("eigenvectorCentrality: dense region pins to 1, tail trails; invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // triangle 1-2-3 with a pendant 4 on node 3 (non-bipartite, so the
+    // power iteration settles): 3 sees the most important neighbors
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val out = Graph.eigenvectorCentrality(edges.repartition(3), "u", "v", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(3L) == 1.0, s"the hub must pin to the max norm: $out")
+    assert(out(1L) == out(2L), "symmetric nodes must tie exactly")
+    assert(out(1L) > out(4L), "triangle members outrank the pendant")
+    assert(out(4L) > 0.0)
+    val o7 = Graph.eigenvectorCentrality(edges.repartition(7), "u", "v", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(o7 == out, "quantized rounds are partition-invariant")
   }
 }
