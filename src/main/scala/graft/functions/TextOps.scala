@@ -766,4 +766,136 @@ object TextOps {
     if (start < bytes.length) out += fnvBytes(bytes, start, bytes.length)
     new GenericArrayData(out.toArray)
   }
+
+  /** Per-pair clipped n-gram overlap statistics for the reference-based
+    * eval family (BLEU / chrF / ROUGE): for each gram order n in
+    * [minN, maxN], the triple (clip_n, tot_n, ref_n) where
+    * clip_n = Σ_g min(count_cand(g), count_ref(g)) (multiset intersection),
+    * tot_n = number of candidate grams, ref_n = number of reference grams.
+    * Returned as a flat long array [clip_minN, tot_minN, ref_minN, ...].
+    *
+    * `word = true`: grams are windows of `lower(s).split(" ", -1)` tokens
+    * (exactly [[wordNgrams]]'s tokenization, empty tokens kept).
+    * `word = false`: chrF convention — grams are CODE-POINT windows of
+    * `lower(s)` with literal spaces removed (the `regexp_replace(lower(s),
+    * ' ', '')` twin; offsets are precomputed so astral chars count as one).
+    *
+    * This kernel exists for plan shape, not arithmetic: candidate and
+    * reference live in the SAME row, so clipping is row-local and the
+    * corpus readout is ONE shuffle-free partial aggregate over exact longs
+    * — replacing the (pair, gram)-grain explode → hash-agg → full-outer
+    * join pipeline whose shuffle carries one near-unique skinny row per
+    * gram occurrence (≈6× corpus bytes at maxN = 6). Bit-identical sums:
+    * Σ_pairs Σ_g min(...) reassociates freely over longs. */
+  def gramClipStats(
+      cand: UTF8String,
+      ref: UTF8String,
+      minN: Int,
+      maxN: Int,
+      word: Boolean): ArrayData = {
+    val out = new Array[Long](3 * (maxN - minN + 1))
+    // Per-order gram extractors: grams(side)(n)(i) materializes gram i of
+    // order n lazily as a String; counts per order are window counts.
+    if (word) {
+      val c = cand.toLowerCase.toString.split(" ", -1)
+      val r = ref.toLowerCase.toString.split(" ", -1)
+      var n = minN
+      while (n <= maxN) {
+        val base = 3 * (n - minN)
+        out(base) = clipTokens(c, r, n)
+        out(base + 1) = math.max(c.length - n + 1, 0).toLong
+        out(base + 2) = math.max(r.length - n + 1, 0).toLong
+        n += 1
+      }
+    } else {
+      val c = cand.toLowerCase.toString.replace(" ", "")
+      val r = ref.toLowerCase.toString.replace(" ", "")
+      val co = codePointOffsets(c)
+      val ro = codePointOffsets(r)
+      var n = minN
+      while (n <= maxN) {
+        val base = 3 * (n - minN)
+        out(base) = clipChars(c, co, r, ro, n)
+        out(base + 1) = math.max(co.length - 1 - n + 1, 0).toLong
+        out(base + 2) = math.max(ro.length - 1 - n + 1, 0).toLong
+        n += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** UTF-16 offsets of each code-point boundary (length numCodePoints+1);
+    * gram (i, n) = s.substring(off(i), off(i+n)). The common all-BMP case
+    * is the identity array. */
+  private def codePointOffsets(s: String): Array[Int] = {
+    val off = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var i = 0
+    var o = 0
+    while (o < s.length) {
+      off(i) = o
+      o += Character.charCount(s.codePointAt(o))
+      i += 1
+    }
+    off(i) = s.length
+    off
+  }
+
+  private def clipChars(
+      c: String, co: Array[Int], r: String, ro: Array[Int], n: Int): Long = {
+    val nc = co.length - 1 - n + 1
+    val nr = ro.length - 1 - n + 1
+    if (nc <= 0 || nr <= 0) return 0L
+    val m = new java.util.HashMap[String, Array[Int]](nc * 2)
+    var i = 0
+    while (i < nc) {
+      val g = c.substring(co(i), co(i + n))
+      val v = m.get(g)
+      if (v == null) m.put(g, Array(1)) else v(0) += 1
+      i += 1
+    }
+    var clip = 0L
+    i = 0
+    while (i < nr) {
+      val v = m.get(r.substring(ro(i), ro(i + n)))
+      if (v != null && v(0) > 0) { v(0) -= 1; clip += 1 }
+      i += 1
+    }
+    clip
+  }
+
+  private def clipTokens(c: Array[String], r: Array[String], n: Int): Long = {
+    val nc = c.length - n + 1
+    val nr = r.length - n + 1
+    if (nc <= 0 || nr <= 0) return 0L
+    def gram(toks: Array[String], i: Int): String = {
+      if (n == 1) return toks(i)
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += toks(i + j).length; j += 1 }
+      val sb = new java.lang.StringBuilder(len)
+      j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      sb.toString
+    }
+    val m = new java.util.HashMap[String, Array[Int]](nc * 2)
+    var i = 0
+    while (i < nc) {
+      val g = gram(c, i)
+      val v = m.get(g)
+      if (v == null) m.put(g, Array(1)) else v(0) += 1
+      i += 1
+    }
+    var clip = 0L
+    i = 0
+    while (i < nr) {
+      val v = m.get(gram(r, i))
+      if (v != null && v(0) > 0) { v(0) -= 1; clip += 1 }
+      i += 1
+    }
+    clip
+  }
 }

@@ -291,6 +291,19 @@ package object functions {
       ArrayType(StringType, containsNull = false),
       Seq(text, GraftSql.column(Literal(n))))
 
+  /** Per-pair clipped n-gram overlap stats for BLEU/chrF/ROUGE — native
+    * [[TextOps.gramClipStats]]: flat longs [clip_n, tot_n, ref_n | n in
+    * minN..maxN]. Row-local multiset clipping (cand and ref share the row),
+    * so the corpus metric is one shuffle-free partial agg instead of a
+    * (pair, gram)-grain join. Null on either side skips the pair. */
+  def gram_clip_stats(
+      cand: Column, ref: Column, minN: Int, maxN: Int, word: Boolean): Column =
+    invoke(
+      "gramClipStats",
+      ArrayType(LongType, containsNull = false),
+      Seq(cand, ref, GraftSql.column(Literal(minN)),
+        GraftSql.column(Literal(maxN)), GraftSql.column(Literal(word))))
+
   /** Packed winnowing gram sort keys (`md5_prefix36(char k-gram) * 2^24 +
     * 1-based pos`) — native [[TextOps.winnowGramKeys]]; see
     * [[graft.operators.TextAnalysis.winnowFingerprints]]. */

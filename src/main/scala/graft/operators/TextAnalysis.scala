@@ -1923,13 +1923,6 @@ object TextAnalysis {
         round(exp(ce), 6).as("perplexity"))
   }
 
-  /** Per-(pair, gram) multiset counts of one side's word `n`-grams. */
-  private def pairGramCounts(
-      pairs: DataFrame, idCol: String, textCol: String, n: Int, cName: String): DataFrame =
-    pairs
-      .select(col(idCol), explode(word_ngrams(col(textCol), n)).as("__g"))
-      .groupBy(col(idCol), col("__g"))
-      .agg(count(lit(1)).as(cName))
 
   /** ROUGE-N (Lin 2004) per candidate/reference pair — the recall-oriented
     * summarization/generation quality metric, the reference-based member of
@@ -1951,16 +1944,19 @@ object TextAnalysis {
       refCol: String,
       n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val cand = pairGramCounts(pairs, idCol, candCol, n, "__cc")
-    val ref = pairGramCounts(pairs, idCol, refCol, n, "__cr")
-    val joined = cand
-      .join(ref, Seq(idCol, "__g"), "full_outer")
+    // Row-local clipping via the native kernel (see chrF's plan-shape
+    // note); the only remaining shuffle is the id-grain aggregate that
+    // preserves the documented multi-row-per-id semantics (counts pool
+    // across rows sharing an id; clipping itself stays per input row).
+    val joined = pairs
+      .select(col(idCol),
+        gram_clip_stats(col(candCol), col(refCol), n, n, word = true)
+          .as("__s"))
       .groupBy(col(idCol))
       .agg(
-        sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
-          .as("n_clip"),
-        sum(coalesce(col("__cc"), lit(0L))).as("n_cand"),
-        sum(coalesce(col("__cr"), lit(0L))).as("n_ref"))
+        sum(element_at(col("__s"), 1)).as("n_clip"),
+        sum(element_at(col("__s"), 2)).as("n_cand"),
+        sum(element_at(col("__s"), 3)).as("n_ref"))
     pairs
       .select(col(idCol))
       .join(joined, Seq(idCol), "left")
@@ -1993,6 +1989,16 @@ object TextAnalysis {
     * — and the macro average over maxN gram sizes is a fixed left-to-right
     * chain of maxN-1 additions and one division. Empty gram sizes (corpus
     * shorter than n) contribute F = 0, the published degenerate case.
+    *
+    * Plan shape: candidate and reference live in the SAME ROW, so clipping
+    * is row-local — the native [[graft.functions.gram_clip_stats]] kernel
+    * computes (clip, tot, ref) for every gram order in one pass per pair,
+    * and the corpus readout is ONE shuffle-free partial aggregate of exact
+    * longs. This replaces the r12 (pair, gram)-grain explode → hash-agg →
+    * full-outer-join pipeline, whose shuffle carried a near-unique skinny
+    * row per gram OCCURRENCE (≈2·maxN× the corpus bytes); sums of longs
+    * reassociate freely, so the readout is bit-identical. Pairs with a
+    * NULL side contribute zero counts (and still count in n_pairs).
     * Returns one row: (n_pairs, f1..fmaxN, chrf). */
   def chrF(
       pairs: DataFrame,
@@ -2002,33 +2008,18 @@ object TextAnalysis {
       maxN: Int = 6,
       beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    def chars(c: Column): Column = regexp_replace(lower(c), " ", "")
-    def gramCounts(textCol: String, n: Int, cName: String): DataFrame =
-      pairs
-        .select(col(idCol), chars(col(textCol)).as("__t"))
-        .select(col(idCol),
-          // sequence(1, 0) DESCENDS in Spark — short texts must yield an
-          // empty gram array explicitly (explode then drops the row)
-          explode(when(length(col("__t")) >= n,
-            transform(
-              sequence(lit(1), length(col("__t")) - (n - 1)),
-              i => col("__t").substr(i, lit(n))))
-            .otherwise(array().cast("array<string>")))
-            .as("__g"))
-        .groupBy(col(idCol), col("__g"))
-        .agg(count(lit(1)).as(cName))
     val b2 = beta * beta
-    val perN = (1 to maxN).map { n =>
-      gramCounts(candCol, n, "__cc")
-        .join(gramCounts(refCol, n, "__cr"), Seq(idCol, "__g"), "full_outer")
-        .agg(
-          sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
-            .as(s"__clip$n"),
-          sum(coalesce(col("__cc"), lit(0L))).as(s"__tot$n"),
-          sum(coalesce(col("__cr"), lit(0L))).as(s"__ref$n"))
+    val stats = pairs.select(
+      gram_clip_stats(col(candCol), col(refCol), 1, maxN, word = false)
+        .as("__s"))
+    val aggs = Seq(count(lit(1)).as("n_pairs")) ++ (1 to maxN).flatMap { n =>
+      val base = (n - 1) * 3
+      Seq(
+        sum(element_at(col("__s"), base + 1)).as(s"__clip$n"),
+        sum(element_at(col("__s"), base + 2)).as(s"__tot$n"),
+        sum(element_at(col("__s"), base + 3)).as(s"__ref$n"))
     }
-    val base = pairs.agg(count(lit(1)).as("n_pairs"))
-    val joined = perN.foldLeft(base)((acc, d) => acc.crossJoin(broadcast(d)))
+    val joined = stats.agg(aggs.head, aggs.tail: _*)
     def f(n: Int): Column = {
       val den = lit(b2) * coalesce(col(s"__ref$n"), lit(0L)).cast("double") +
         coalesce(col(s"__tot$n"), lit(0L)).cast("double")
@@ -2056,8 +2047,17 @@ object TextAnalysis {
     * (§5) is that ln/exp differ by 1 ulp across engines right at
     * quantization boundaries. Full BLEU = bleu_nobp·e^{bp_exponent}, one
     * driver-side multiply away; the GATE checks everything that can be
-    * checked exactly. One gram pass per n, each the corpus-grain
-    * partial-agg shape; no data-grain windows anywhere. */
+    * checked exactly.
+    *
+    * Plan shape (shared with [[chrF]]): clipping is row-local — the native
+    * [[graft.functions.gram_clip_stats]] kernel emits (clip, tot, ref) for
+    * every gram order per pair (tokenization identical to
+    * `TextOps.wordNgrams`: lowercase, split(" ", -1)), and the corpus
+    * readout is ONE shuffle-free partial aggregate of exact longs. The
+    * token totals c_len/r_len ARE the order-1 gram counts, so no separate
+    * length pass either. A gram order with zero candidate grams
+    * corpus-wide reads p_n = NULL (the prior per-n empty-aggregate
+    * behavior), keeping the degenerate-corpus readout unchanged. */
   def corpusBleu(
       pairs: DataFrame,
       idCol: String,
@@ -2066,22 +2066,23 @@ object TextAnalysis {
       maxN: Int = 4): DataFrame = {
     require(Set(1, 2, 4).contains(maxN),
       s"maxN must be 1, 2 or 4 (geometric mean as exact nested sqrt), got $maxN")
-    val lens = pairs.agg(
+    val stats = pairs.select(
+      gram_clip_stats(col(candCol), col(refCol), 1, maxN, word = true)
+        .as("__s"))
+    val aggs = Seq(
       count(lit(1)).as("n_pairs"),
-      sum(size(split(lower(col(candCol)), " ", -1))).as("c_len"),
-      sum(size(split(lower(col(refCol)), " ", -1))).as("r_len"))
-    val perN = (1 to maxN).map { n =>
-      pairGramCounts(pairs, idCol, candCol, n, "__cc")
-        .join(pairGramCounts(pairs, idCol, refCol, n, "__cr"),
-          Seq(idCol, "__g"), "full_outer")
-        .agg(
-          sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
-            .as(s"__clip$n"),
-          sum(coalesce(col("__cc"), lit(0L))).as(s"__tot$n"))
-    }
-    val joined = perN.foldLeft(lens)((acc, d) => acc.crossJoin(broadcast(d)))
+      sum(element_at(col("__s"), 2)).as("c_len"),
+      sum(element_at(col("__s"), 3)).as("r_len")) ++
+      (1 to maxN).flatMap { n =>
+        val base = (n - 1) * 3
+        Seq(
+          sum(element_at(col("__s"), base + 1)).as(s"__clip$n"),
+          sum(element_at(col("__s"), base + 2)).as(s"__tot$n"))
+      }
+    val joined = stats.agg(aggs.head, aggs.tail: _*)
     def p(n: Int): Column =
-      col(s"__clip$n").cast("double") / col(s"__tot$n").cast("double")
+      col(s"__clip$n").cast("double") /
+        nullif(col(s"__tot$n"), lit(0L)).cast("double")
     val geo = maxN match {
       case 1 => p(1)
       case 2 => sqrt(p(1) * p(2))

@@ -261,4 +261,78 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_damerau_levenshtein('CA', 'ABC')").head().getInt(0)
     assert(viaSql == 2)
   }
+
+  test("gram_clip_stats: word grams — hand clip/tot/ref values, multiplicity clipping") {
+    // cand "the cat the cat sat", ref "the cat the dog": unigrams
+    // clip = min counts per token: the(2), cat(1), sat(0), +dog unmatched = 3
+    val got = Seq(("the cat the cat sat", "the cat the dog")).toDF("c", "r")
+      .select(gram_clip_stats(col("c"), col("r"), 1, 2, word = true).as("s"))
+      .head.getSeq[Long](0)
+    assert(got == Seq(3L, 5L, 4L, 2L, 4L, 3L),
+      s"got $got") // bigrams: "the cat"(min(2,1)=1) + "cat the"(min(1,1)=1)
+  }
+
+  test("gram_clip_stats: char grams strip spaces, lowercase, code-point windows") {
+    // chrF convention: "ab cd" -> "abcd"; bigrams abcd: {ab, bc, cd}
+    val got = Seq(("AB cd", "zab CD")).toDF("c", "r")
+      .select(gram_clip_stats(col("c"), col("r"), 2, 2, word = false).as("s"))
+      .head.getSeq[Long](0)
+    // cand bigrams {ab,bc,cd} vs ref "zabcd" {za,ab,bc,cd}: clip 3, tot 3, ref 4
+    assert(got == Seq(3L, 3L, 4L), s"got $got")
+    // astral chars count as ONE code point (🎉 = U+1F389, 2 UTF-16 units)
+    val astral = Seq(("a🎉b", "🎉b")).toDF("c", "r")
+      .select(gram_clip_stats(col("c"), col("r"), 1, 2, word = false).as("s"))
+      .head.getSeq[Long](0)
+    // unigrams: a,🎉,b vs 🎉,b -> clip 2 tot 3 ref 2; bigrams: a🎉,🎉b vs 🎉b -> clip 1 tot 2 ref 1
+    assert(astral == Seq(2L, 3L, 2L, 1L, 2L, 1L), s"got $astral")
+  }
+
+  test("gram_clip_stats: short/empty texts yield zero-count orders; null propagates") {
+    val short = Seq(("ab", "ab")).toDF("c", "r")
+      .select(gram_clip_stats(col("c"), col("r"), 1, 3, word = false).as("s"))
+      .head.getSeq[Long](0)
+    assert(short == Seq(2L, 2L, 2L, 1L, 1L, 1L, 0L, 0L, 0L), s"got $short")
+    // empty string in WORD mode is one empty token (split(" ", -1) twin)
+    val emptyWord = Seq(("", "")).toDF("c", "r")
+      .select(gram_clip_stats(col("c"), col("r"), 1, 1, word = true).as("s"))
+      .head.getSeq[Long](0)
+    assert(emptyWord == Seq(1L, 1L, 1L), s"got $emptyWord")
+    val withNull = Seq((Some("ab"), None: Option[String])).toDF("c", "r")
+      .select(gram_clip_stats(col("c"), col("r"), 1, 1, word = false).as("s"))
+      .collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
+  test("gram_clip_stats matches the explode/join formulation on real corpus text") {
+    // cross-check the kernel against the independent per-n SQL-HOF plan it
+    // replaced, on a slice of the documents table (both sides non-trivial)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(40)
+    val pairs = docs.as("c")
+      .join(docs.as("r"), col("r.doc_id") === col("c.doc_id") + 1)
+      .select(col("c.doc_id").as("id"), col("c.text").as("cand"),
+        col("r.text").as("ref"))
+    val n = 3
+    def gramCounts(t: String, cn: String) = pairs
+      .select(col("id"), regexp_replace(lower(col(t)), " ", "").as("__t"))
+      .select(col("id"),
+        explode(when(length(col("__t")) >= n,
+          transform(sequence(lit(1), length(col("__t")) - (n - 1)),
+            i => col("__t").substr(i, lit(n))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as(cn))
+    val viaJoin = gramCounts("cand", "cc")
+      .join(gramCounts("ref", "cr"), Seq("id", "g"), "full_outer")
+      .agg(
+        sum(least(coalesce(col("cc"), lit(0L)), coalesce(col("cr"), lit(0L)))),
+        sum(coalesce(col("cc"), lit(0L))),
+        sum(coalesce(col("cr"), lit(0L))))
+      .head
+    val viaKernel = pairs
+      .select(gram_clip_stats(col("cand"), col("ref"), n, n, word = false).as("s"))
+      .agg(sum(element_at(col("s"), 1)), sum(element_at(col("s"), 2)),
+        sum(element_at(col("s"), 3)))
+      .head
+    assert(viaKernel == viaJoin, s"kernel $viaKernel vs join $viaJoin")
+  }
 }
