@@ -68,6 +68,23 @@ object Spatial {
     *                   cell lose those candidates, so use it as an
     *                   explicit density contract, not a tuning knob.
     *                   Default None: exact, every pair.
+    * @param hotCellLimit the DEFAULT scale guard (r12 verdict task 3): when
+    *                   `maxCell` is None (no drop contract), the plan
+    *                   carries a declarative hot-cell assertion — a cell
+    *                   count partial agg over `points`, broadcast back, and
+    *                   a per-row `assert_true` that RAISES with the
+    *                   offending cell and its measured count the moment any
+    *                   cell exceeds this limit. A 10k-point cell already
+    *                   contributes ~10⁸ in-cell candidate pairs (the same
+    *                   hazard line [[FuzzyMatch.phoneticBlockJoin]]'s
+    *                   maxBlock declares), so past it a default-configured
+    *                   call should fail loudly, not silently go quadratic
+    *                   at 100× density. Cost: one extra cell-count pass
+    *                   over `points` (its agg output is #cells, tiny).
+    *                   Accept the density explicitly by raising the limit,
+    *                   disabling with <= 0, or declaring drops via
+    *                   `maxCell` (which bounds cells outright, so the
+    *                   assertion is unnecessary and skipped).
     */
   def radiusJoin(
       probe: DataFrame,
@@ -79,7 +96,8 @@ object Spatial {
       radiusKm: Double,
       maxAbsLat: Double = 66.0,
       distCol: String = "dist_km",
-      maxCell: Option[Long] = None): DataFrame = {
+      maxCell: Option[Long] = None,
+      hotCellLimit: Long = 10000L): DataFrame = {
     require(radiusKm > 0, s"radiusKm must be > 0, got $radiusKm")
     require(maxAbsLat > 0 && maxAbsLat < 89.0,
       s"maxAbsLat must be in (0, 89), got $maxAbsLat")
@@ -99,8 +117,34 @@ object Spatial {
 
     val (pLat, pLon) = cellOf(points.col(pointLat), points.col(pointLon))
     val bucketed0 = points.withColumn("__clat", pLat).withColumn("__clon", pLon)
-    val bucketed = maxCell.fold(bucketed0)(m =>
+    val capped = maxCell.fold(bucketed0)(m =>
       Relational.capGroupSize(bucketed0, Seq("__clat", "__clon"), m))
+    // Default hot-cell guard: assert (declaratively, inside the plan — no
+    // driver-side action) that no cell exceeds hotCellLimit points before
+    // the 3×3 join fans out. The hot table is empty in the healthy case,
+    // so the broadcast left join costs a hash probe per point row.
+    val bucketed = if (maxCell.isEmpty && hotCellLimit > 0) {
+      val hot = bucketed0
+        .groupBy(col("__clat"), col("__clon"))
+        .agg(count(lit(1)).as("__cellN"))
+        .filter(col("__cellN") > hotCellLimit)
+        .withColumnRenamed("__clat", "__hlat")
+        .withColumnRenamed("__clon", "__hlon")
+      capped
+        .join(broadcast(hot),
+          col("__clat") === col("__hlat") && col("__clon") === col("__hlon"),
+          "left")
+        .filter(assert_true(
+          col("__cellN").isNull,
+          concat(
+            lit("radiusJoin: grid cell ("), col("__hlat"), lit(", "),
+            col("__hlon"), lit(") holds "), col("__cellN"),
+            lit(s" points > hotCellLimit=$hotCellLimit — a cell this dense " +
+              "contributes O(B²) candidate pairs; raise hotCellLimit to " +
+              "accept the density explicitly, or set maxCell to drop hot " +
+              "cells whole"))).isNull)
+        .drop("__hlat", "__hlon", "__cellN")
+    } else capped
 
     val (qLat, qLon) = cellOf(probe.col(probeLat), probe.col(probeLon))
     // wrapped 3×3 neighborhood; array_distinct collapses the self-overlap
@@ -144,9 +188,10 @@ object Spatial {
       radiusKm: Double,
       tieCol: String,
       maxAbsLat: Double = 66.0,
-      maxCell: Option[Long] = None): DataFrame = {
+      maxCell: Option[Long] = None,
+      hotCellLimit: Long = 10000L): DataFrame = {
     val cands = radiusJoin(probe, points, probeLat, probeLon, pointLat, pointLon,
-      radiusKm, maxAbsLat, maxCell = maxCell)
+      radiusKm, maxAbsLat, maxCell = maxCell, hotCellLimit = hotCellLimit)
     Relational.topKPerKey(cands, Seq(probeKey),
       Seq(("dist_km", false), (tieCol, false)), k = 1)
   }
@@ -183,7 +228,8 @@ object Spatial {
       epsKm: Double,
       minPts: Int,
       maxAbsLat: Double = 66.0,
-      maxCell: Option[Long] = None): DataFrame = {
+      maxCell: Option[Long] = None,
+      hotCellLimit: Long = 10000L): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     require(
       Set("tinyint", "smallint", "int", "bigint")
@@ -196,7 +242,8 @@ object Spatial {
     val pts = df.select(
       col(idCol).as("__qid"), col(latCol).as("__qlat"), col(lonCol).as("__qlon"))
     val pairs = radiusJoin(probe, pts, "__plat", "__plon", "__qlat", "__qlon",
-      epsKm, maxAbsLat, maxCell = maxCell).select(col("__pid"), col("__qid"))
+      epsKm, maxAbsLat, maxCell = maxCell, hotCellLimit = hotCellLimit)
+      .select(col("__pid"), col("__qid"))
     val cores = pairs.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__ncnt"))
       .filter(col("__ncnt") >= minPts)
@@ -251,7 +298,8 @@ object Spatial {
       valueCol: String,
       epsKm: Double,
       maxAbsLat: Double = 66.0,
-      maxCell: Option[Long] = None): DataFrame = {
+      maxCell: Option[Long] = None,
+      hotCellLimit: Long = 10000L): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val base = df.select(col(idCol).as("__id"), col(latCol).as("__lat"),
       col(lonCol).as("__lon"), col(valueCol).cast("long").as("__x"))
@@ -264,7 +312,7 @@ object Spatial {
     val pts = base.select(col("__id").as("__qid"), col("__lat").as("__qlat"),
       col("__lon").as("__qlon"), col("__x").as("__qx"))
     val pairs = radiusJoin(probe, pts, "__plat", "__plon", "__qlat", "__qlon",
-        epsKm, maxAbsLat, maxCell = maxCell)
+        epsKm, maxAbsLat, maxCell = maxCell, hotCellLimit = hotCellLimit)
       .filter(col("__pid") =!= col("__qid"))
       .select(col("__px"), col("__qx"))
       .crossJoin(broadcast(mom))

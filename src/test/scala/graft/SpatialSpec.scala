@@ -583,6 +583,39 @@ class SpatialSpec extends SparkSpec {
     assert(rows.length == 4, s"expected the 4 sparse pairs, got ${rows.length}")
   }
 
+  test("radiusJoin: default hot-cell guard raises on a planted dense cell, with the count") {
+    import spark.implicits._
+    val dense = (1L to 50L).map(i => (i, 0.001 * i, 0.001 * i))
+    val sparse = Seq((100L, 30.0, 30.0), (101L, 30.1, 30.1))
+    val pts = (dense ++ sparse).toDF("id", "lat", "lon")
+    val probe = (dense ++ sparse).toDF("pid", "plat", "plon")
+    // default limit (10k) far above the planted 50: passes exactly
+    assert(Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0)
+      .count() == 2504L)
+    // a limit below the dense cell RAISES (fails loudly instead of silently
+    // fanning out), and the message carries the measured cell count
+    val e = intercept[Exception] {
+      Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0,
+        hotCellLimit = 10L).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("hotCellLimit") && msg.contains("50"), msg.take(300))
+    // guard off (<= 0) or an explicit maxCell contract: no raise
+    assert(Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0,
+      hotCellLimit = 0L).count() == 2504L)
+    assert(Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0,
+      maxCell = Some(10L), hotCellLimit = 10L).count() == 4L)
+    // consumers thread the knob: dbscan raises on the same planted cell
+    val e2 = intercept[Exception] {
+      Spatial.dbscan(pts, "id", "lat", "lon", 100.0, 3, hotCellLimit = 10L)
+        .count()
+    }
+    val msg2 = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("hotCellLimit"), msg2.take(300))
+  }
+
   test("dbscan: non-integral id column is rejected up front") {
     import spark.implicits._
     val pts = Seq(("a", 0.0, 0.0), ("b", 0.0, 0.5)).toDF("id", "lat", "lon")
