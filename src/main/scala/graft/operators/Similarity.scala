@@ -936,6 +936,146 @@ object Similarity {
       transform(pca_project(col(vecCol), means, comps), v => round(v, roundTo)))
   }
 
+  /** ENGINE-REPLAYABLE PCA fit — the oracle-gateable variant of [[pcaFit]]
+    * (which is bit-nondeterministic through its float-sum Gram pass):
+    * every cross-engine hazard is removed so a SQL engine can replay the
+    * whole fit bit-for-bit from the same parquet.
+    *
+    *  1. Inputs quantize to exact longs: qᵢ = floor(vᵢ·quant + 0.5) —
+    *     sums and second moments are then order-invariant integer sums.
+    *  2. The covariance is kept in its n²-scaled INTEGER form
+    *     Cᵢⱼ = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ (eigenVECTORS are invariant under the
+    *     uniform n²·quant² scale; eigenvalues come back scaled and are
+    *     reported as such). The long→double conversion is the single
+    *     correctly-rounded op both engines share.
+    *  3. The eigensolve is [[jacobiEigenReplay]]: FIXED sweep count,
+    *     fixed cyclic order, rotations skipped only on exact zero —
+    *     a finite, data-independent list of IEEE ops (÷, √, ×, −) that
+    *     any engine replays identically from identical input doubles.
+    *
+    * Use [[pcaProjectReplay]] for the matching projection. `dim` counts
+    * leading vector dimensions (callers truncate: a d×d Jacobi unroll is
+    * O(d²·sweeps) SQL steps — keep d small when a SQL twin must replay
+    * it; [[pcaFit]] remains the production path for large d). */
+  def pcaFitReplay(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      quant: Double = 10000.0,
+      sweeps: Int = 12): PcaModel = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val qCols = (0 until dim).map(i =>
+      floor(element_at(col(vecCol), i + 1).cast("double") * quant + 0.5)
+        .cast("long").as(s"__q$i"))
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      (0 until dim).map(i => sum(col(s"__q$i")).as(s"__s$i")) ++
+      (for { i <- 0 until dim; j <- i until dim }
+        yield sum(col(s"__q$i") * col(s"__q$j")).as(s"__p${i}_$j"))
+    val r = df.select(qCols: _*).agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("__n")
+    require(n > 1, s"pcaFitReplay needs > 1 vectors, saw $n")
+    val s = Array.tabulate(dim)(i => r.getAs[Long](s"__s$i"))
+    val cov = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = (n * r.getAs[Long](s"__p${i}_$j") - s(i) * s(j)).toDouble
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    val (evals, evecs) = jacobiEigenReplay(cov, sweeps)
+    val order = evals.indices.sortBy(e => (-evals(e), e))
+    val comps = order.take(k).map { e =>
+      val v = Array.tabulate(dim)(rr => evecs(rr)(e))
+      val pivot = v.indices.maxBy(rr => (math.abs(v(rr)), -rr))
+      if (v(pivot) < 0.0) v.map(x => -x) else v
+    }.toArray
+    val means = Array.tabulate(dim)(d2 => s(d2).toDouble / n.toDouble / quant)
+    PcaModel(means, comps, order.map(evals).toArray)
+  }
+
+  /** Projection matching [[pcaFitReplay]]'s portability contract: per-term
+    * quantization floor((vᵢ−μᵢ)·eᵢⱼ·termQuant + 0.5) makes the dot product
+    * an exact long SUM — order-free, so the score L/termQuant is identical
+    * regardless of evaluation order or engine (and already exact at
+    * log10(termQuant) dp, so a downstream round is the identity). Adds
+    * `pcs` (array<double>, length k). Zero shuffle — the model rides as
+    * literals in a codegen'd scalar projection. */
+  def pcaProjectReplay(
+      df: DataFrame,
+      vecCol: String,
+      model: PcaModel,
+      termQuant: Double = 1e6): DataFrame = {
+    val dim = model.means.length
+    val scores = model.components.map { comp =>
+      val terms = (0 until dim).map { i =>
+        floor((element_at(col(vecCol), i + 1).cast("double") -
+          lit(model.means(i))) * lit(comp(i)) * termQuant + 0.5).cast("long")
+      }
+      terms.reduce(_ + _).cast("double") / termQuant
+    }
+    df.withColumn("pcs", array(scores.toIndexedSeq: _*))
+  }
+
+  /** Fixed-schedule cyclic Jacobi (the replayable twin of [[jacobiEigen]]):
+    * exactly `sweeps` sweeps over the cyclic (p,q) order p=0..d−2,
+    * q=p+1..d−1; a rotation is skipped ONLY when a_pq == 0.0 exactly
+    * (which also dodges the 0/0 θ NaN); no tolerance, no early exit.
+    * Updates are functional two-phase — A₁ = A·R (columns p,q from OLD
+    * A), A₂ = Rᵀ·A₁ (rows p,q from A₁) — so each new element is one
+    * fixed `c·x − s·y` / `s·x + c·y` expression a SQL engine reproduces
+    * term-for-term. All ops (÷, √, ×, +, −) are correctly-rounded IEEE:
+    * identical input doubles ⇒ identical output bits on any conforming
+    * engine. */
+  private[graft] def jacobiEigenReplay(
+      m: Array[Array[Double]],
+      sweeps: Int): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    var a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    var v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sw = 0
+    while (sw < sweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val sgn = if (theta >= 0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            val a0 = a
+            def a1(x: Int, y: Int): Double =
+              if (y == p) c * a0(x)(p) - sn * a0(x)(q)
+              else if (y == q) sn * a0(x)(p) + c * a0(x)(q)
+              else a0(x)(y)
+            a = Array.tabulate(d, d) { (x, y) =>
+              if (x == p) c * a1(p, y) - sn * a1(q, y)
+              else if (x == q) sn * a1(p, y) + c * a1(q, y)
+              else a1(x, y)
+            }
+            val v0 = v
+            v = Array.tabulate(d, d) { (x, y) =>
+              if (y == p) c * v0(x)(p) - sn * v0(x)(q)
+              else if (y == q) sn * v0(x)(p) + c * v0(x)(q)
+              else v0(x)(y)
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sw += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   /** Johnson–Lindenstrauss signed random projection — the DATA-OBLIVIOUS
     * dimensionality reducer beside [[pcaFit]]'s data-dependent one
     * (Achlioptas 2003: a ±1/√k matrix preserves pairwise distances within

@@ -305,6 +305,45 @@ class SimilaritySpec extends SparkSpec {
     assert(pcs.map(_(1)).toSeq == Seq(0.5, -0.5, -0.5, 0.5))
   }
 
+  test("pcaFitReplay: recovers planted axes, partition-invariant, sweep-deterministic") {
+    // same planted anisotropic data as the pcaFit spec: big variance along
+    // e0, small along e1, none along e2/e3
+    val rows = Seq(-3f, -1f, 1f, 3f).zip(Seq(0.5f, -0.5f, -0.5f, 0.5f))
+      .zipWithIndex.map { case ((a, b), i) => (i.toLong, Array(a, b, 0f, 0f)) }
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val m = Similarity.pcaFitReplay(df, "embedding", dim = 4, k = 2)
+    assert(math.abs(m.components(0)(0) - 1.0) < 1e-9)
+    assert(math.abs(m.components(1)(1) - 1.0) < 1e-9)
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+    // projections reproduce the centered coordinates (termQuant-exact)
+    val pcs = Similarity.pcaProjectReplay(df, "embedding", m)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](2))
+    assert(pcs.map(_.head).toSeq == Seq(-3.0, -1.0, 1.0, 3.0))
+    assert(pcs.map(_(1)).toSeq == Seq(0.5, -0.5, -0.5, 0.5))
+    // bit-identical model under a different partitioning (the integer
+    // sufficient statistics are order-free; the Jacobi schedule is fixed)
+    val m2 = Similarity.pcaFitReplay(df.repartition(7), "embedding", dim = 4, k = 2)
+    assert(m.means.toSeq == m2.means.toSeq)
+    assert(m.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq)
+    assert(m.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+  }
+
+  test("jacobiEigenReplay: fixed sweeps converge on a known matrix, V orthonormal") {
+    val (evals, evecs) = Similarity.jacobiEigenReplay(
+      Array(Array(2.0, 1.0, 0.0), Array(1.0, 2.0, 0.0), Array(0.0, 0.0, 5.0)),
+      sweeps = 12)
+    assert(evals.sorted.zip(Seq(1.0, 3.0, 5.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-10
+    }, evals.toSeq.toString)
+    // columns orthonormal
+    val d = 3
+    for { i <- 0 until d; j <- i until d } {
+      val dot = (0 until d).map(r => evecs(r)(i) * evecs(r)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-12, s"($i,$j) dot=$dot")
+    }
+  }
+
   test("clusterQuality: two planted square blobs give CH=150, DB=0.2") {
     import spark.implicits._
     val pts = Seq((0L, 0L), (0L, 2L), (2L, 0L), (2L, 2L),
