@@ -53,6 +53,13 @@ object Bench {
       // lazily, so this is safe for whatever runs next.
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case _: Throwable => () }
+    // ALL samples per query are retained and published (r12 verdict task
+    // 5: single best-of-N numbers at a ~0.5 s floor made 1–2 s deltas
+    // unadjudicable — the spread column is what lets a reader separate a
+    // regression from machine noise).
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    def record(name: String, t: Double): Unit =
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ t
     val firstPass = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // best of 2 runs: a single run's number is dominated by whichever GC /
       // JIT pause lands on it; the min measures the plan, not the noise.
@@ -66,6 +73,7 @@ object Bench {
       // vs 1.85s quiet).
       val all = if (times.max / times.min.max(1e-9) > 3.0 && times.min > 1.0)
         times :+ timeOne(name, fn) else times
+      all.foreach(record(name, _))
       unloadState()
       name -> all.min
     }
@@ -83,6 +91,7 @@ object Bench {
     val results = firstPass.map { case (name, v) =>
       if (suspects(name)) {
         val r = timeOne(name, queries(name))
+        record(name, r)
         unloadState()
         name -> math.min(v, r)
       } else name -> v
@@ -91,10 +100,17 @@ object Bench {
     // Full per-query fidelity goes to a FILE: the driver keeps only the last
     // ~2000 chars of stdout, and the full dict outgrew that at 87 queries
     // (BENCH_r04 parsed null because the line's start fell outside the tail).
+    // `queries` stays the min (the plan's number); `samples` carries every
+    // raw timing so spreads are adjudicable after the fact. The priors
+    // regex above only matches bare numbers, so sample ARRAYS never
+    // contaminate the next run's priors.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val fullSamples = results.map { case (k, _) =>
+      "\"" + k + "\":" + samples(k).map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"samples":$fullSamples,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))

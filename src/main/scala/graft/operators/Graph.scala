@@ -961,14 +961,23 @@ object Graph {
           floor(col("score") * 1e12 + 0.5).cast("long").as("__cq"))
         .groupBy(col("id"))
         .agg(sum(col("__cq")).as("__s"))
-      val mx = contribs.agg(max(col("__s")).as("__mx"))
-      x = nodes
+      // Restrict to the node universe BEFORE taking the max-norm divisor:
+      // contribs lands at the dst grain, which on a directed graph can
+      // include sink-only nodes excluded from the output — a sink
+      // collecting the largest contribution would otherwise absorb the
+      // norm and no returned node would read 1.0, breaking the documented
+      // contract (on symmetrized input every dst is a source, so this is
+      // the identity there).
+      val scored = nodes
         .join(contribs, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("__s"))
+      val mx = scored.agg(max(col("__s")).as("__mx"))
+      x = scored
         .crossJoin(broadcast(mx))
         .select(
           col("id"),
           when(col("__mx") > 0L,
-            floor(coalesce(col("__s"), lit(0L)).cast("double") /
+            floor(col("__s").cast("double") /
               col("__mx").cast("double") * 1e9 + 0.5) / 1e9)
             .otherwise(lit(0.0)).as("score"))
         .localCheckpoint(true)

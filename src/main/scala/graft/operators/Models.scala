@@ -1829,7 +1829,9 @@ object Models {
     * welchTTest discipline) so σ̂² and Σ ln y are fixed chains on exact
     * sums. Non-positive y rows are excluded (Box–Cox's domain) and
     * counted. Returns |grid| rows ordered by λ: (lambda, n, n_dropped,
-    * loglik, is_best) — best = max loglik, ties to the smaller λ. */
+    * loglik, is_best) — best = max loglik, ties to the smaller λ; the
+    * grid is joined as a spine, so an all-non-positive input still emits
+    * every λ (n = 0, NULL loglik) and a NULL-loglik row is never best. */
   def boxCoxFit(
       df: DataFrame,
       valueCol: String,
@@ -1864,14 +1866,24 @@ object Models {
       (col("__sz").cast("double") / nD / 1e6) * (col("__sz").cast("double") / nD / 1e6)
     val ll = lit(-0.5) * nD * log(varZ) +
       (col("lambda") - 1.0) * (col("__sl").cast("double") / 1e6)
-    val scored = m.crossJoin(broadcast(counts))
-      .select(col("lambda"), col("n"),
-        (col("__all") - col("__pos")).as("n_dropped"),
+    // λ-grid spine: with NO positive rows the grouped aggregate is empty,
+    // which would silently break the "returns |grid| rows" contract — left
+    // join the grid so every λ emits (n = 0, NULL loglik) instead
+    val spine = df.sparkSession.range(1)
+      .select(explode(array(lambdas.map(lit): _*)).as("lambda"))
+    val scored = spine
+      .join(m, Seq("lambda"), "left")
+      .crossJoin(broadcast(counts))
+      .select(col("lambda"), coalesce(col("n"), lit(0L)).as("n"),
+        (col("__all") - coalesce(col("__pos"), lit(0L))).as("n_dropped"),
         when(varZ > 0.0, round(ll, 6)).as("loglik"))
     scored
       .withColumn("is_best",
-        row_number().over(Window.orderBy(col("loglik").desc_nulls_last,
-          col("lambda").asc)) === 1)
+        // never crown a NULL-loglik row (all-degenerate grids previously
+        // marked one NULL row best)
+        col("loglik").isNotNull &&
+          row_number().over(Window.orderBy(col("loglik").desc_nulls_last,
+            col("lambda").asc)) === 1)
       .orderBy("lambda")
   }
 

@@ -317,9 +317,15 @@ object Similarity {
     * codebook collapses when early ids cluster (the r11 verdict's
     * degenerate-quantizer defect). Every sub-distance is an exact
     * quantized-long sum and the per-subspace argmin breaks ties on the
-    * lower code, so encode + ADC + shortlist replay deterministically.
-    * Gate regime: rerank·k ≥ a large corpus fraction makes the exact
-    * rerank equal brute force (the SQ8 gate precedent). */
+    * lower code, so encode + ADC + shortlist replay deterministically
+    * GIVEN the fitted codebook. The codebook itself is deterministic only
+    * for a FIXED partitioning of `corpus`: fitSample takes each
+    * partition's first rows (positional, layout-dependent) and Spark
+    * KMeans reductions are float-order dependent — re-fitting under a
+    * different parallelism may shift codewords and thus small-rerank
+    * shortlists. Gate regime: rerank·k ≥ a large corpus fraction makes
+    * the exact rerank equal brute force (the SQ8 gate precedent), immune
+    * to codebook drift. */
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -5031,10 +5031,19 @@ object Sketches {
     val hiRank = math.floor((1.0 + level) / 2.0 * (reps - 1)).toLong + 1L
     val stats = base.agg(count(lit(1)).as("n"),
       (sum(col("__vq")).cast("double") / count(lit(1)).cast("double") / 1e6).as("__mean"))
-    stats.crossJoin(broadcast(
-        ranked.filter(col("__rn") === loRank).select(col("__m").as("__lo"))))
-      .crossJoin(broadcast(
-        ranked.filter(col("__rn") === hiRank).select(col("__m").as("__hi"))))
+    // LEFT joins, not crossJoins: replicates with zero total weight are
+    // filtered out above (P ≈ e^{-reps·?}… for tiny n a replicate drops
+    // with probability ~e^{-n}), so a rank pick can be EMPTY — a crossJoin
+    // would then collapse the whole output to zero rows, while the DuckDB
+    // oracle's scalar subqueries keep the row with NULL bounds. The left
+    // join reproduces exactly that: missing rank → NULL boot_lo/boot_hi.
+    val lo = ranked.filter(col("__rn") === loRank)
+      .select(lit(1).as("__k"), col("__m").as("__lo"))
+    val hi = ranked.filter(col("__rn") === hiRank)
+      .select(lit(1).as("__k"), col("__m").as("__hi"))
+    stats.withColumn("__k", lit(1))
+      .join(broadcast(lo), Seq("__k"), "left")
+      .join(broadcast(hi), Seq("__k"), "left")
       .select(col("n"), lit(reps).as("reps"),
         round(col("__mean"), 6).as("mean"),
         round(col("__lo"), 6).as("boot_lo"),

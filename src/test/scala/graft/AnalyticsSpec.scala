@@ -894,4 +894,17 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(o7 == out, "quantized rounds are partition-invariant")
   }
+
+  test("eigenvectorCentrality: directed sink-heavy graph still pins a RETURNED node to 1.0") {
+    import spark.implicits._
+    // node 9 is a pure sink (never a source, excluded from the output
+    // universe) collecting every edge — the max-norm divisor must come
+    // from the returned universe, or no output node reads 1.0
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (1L, 2L), (2L, 1L), (3L, 1L))
+      .toDF("u", "v")
+    val out = Graph.eigenvectorCentrality(edges, "u", "v", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(9L), "sink-only nodes stay outside the node universe")
+    assert(out.values.max == 1.0, s"documented max = 1.0 contract: $out")
+  }
 }

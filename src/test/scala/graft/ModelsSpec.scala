@@ -733,6 +733,18 @@ class ModelsSpec extends SparkSpec {
       out.map(_.getAs[Double]("loglik")).toSeq)
   }
 
+  test("boxCoxFit: all-non-positive input still emits the full grid, nothing crowned best") {
+    import spark.implicits._
+    val out = Models.boxCoxFit(Seq(-1.0, 0.0, -3.5).toDF("v"), "v")
+      .orderBy("lambda").collect()
+    assert(out.length == 9, "the lambda grid is a spine, not a grouped result")
+    assert(out.forall(_.getAs[Long]("n") == 0L))
+    assert(out.forall(_.getAs[Long]("n_dropped") == 3L))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("loglik"))))
+    assert(out.forall(!_.getAs[Boolean]("is_best")),
+      "a NULL-loglik row must never be crowned best")
+  }
+
   test("ransacLine: all-equal x makes every trial degenerate — zero rows, no crash") {
     import spark.implicits._
     val df = (0 until 30).map(i => (i.toLong, 5.0, i.toDouble)).toDF("id", "x", "y")

@@ -2177,6 +2177,24 @@ class SketchesSpec extends SparkSpec {
     assert(out7.getAs[Double]("boot_hi") == out.getAs[Double]("boot_hi"))
   }
 
+  test("poissonBootstrapMean: n=1 survives dropped replicates with NULL bounds, never zero rows") {
+    // with one row, each replicate drops with prob ~e^-1: some rank picks
+    // can be empty — the output row must SURVIVE with NULL bounds (the
+    // oracle's scalar-subquery semantics), not collapse to zero rows
+    val out = Sketches.poissonBootstrapMean(
+      Seq((1L, 2.5)).toDF("id", "v"), "id", "v", reps = 50, level = 0.9)
+      .collect()
+    assert(out.length == 1, "the stats row must survive empty rank picks")
+    assert(out.head.getAs[Long]("n") == 1L)
+    assert(out.head.getAs[Double]("mean") == 2.5)
+    // bounds are either a real replicate mean (= 2.5, the only value) or
+    // NULL (rank landed past the surviving replicates) — never anything else
+    Seq("boot_lo", "boot_hi").foreach { c =>
+      val idx = out.head.fieldIndex(c)
+      assert(out.head.isNullAt(idx) || out.head.getDouble(idx) == 2.5, c)
+    }
+  }
+
   test("signFlipPermutationTest: exact replay of md5 signs, add-one p, partition-invariant") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val vals = Seq((1L, 2.0), (2L, 1.5), (3L, 3.0), (4L, 0.5), (5L, 2.5), (6L, 1.0))
