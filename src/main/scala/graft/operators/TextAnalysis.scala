@@ -2256,4 +2256,148 @@ object TextAnalysis {
             col("n_r").cast("double") / col("__n").cast("double"), 9)).as("p_gt"))
       .orderBy("r")
   }
+
+  /** All length-`minLen` character windows of every doc, keyed by the
+    * 60-bit md5-prefix of the window text (the engine-portable winnowing
+    * hash idiom, widened 36 → 60 bits because stride-1 windows are ~25×
+    * denser than winnowed prints; collision odds at 10⁹ windows are
+    * ~4e-4 and each collision can only ADD a span edge, never corrupt
+    * counts structurally — documented, not verified per key). One tagged
+    * explode, codegen'd builtins only. */
+  private def substringWindows(
+      df: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
+    df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .select(col("__id"),
+        explode(when(length(col("__t")) >= minLen,
+          transform(
+            sequence(lit(1), length(col("__t")) - (minLen - 1)),
+            p => struct(p.as("pos"),
+              conv(substring(md5(col("__t").substr(p, lit(minLen))
+                .cast("binary")), 1, 15), 16, 10).cast("long").as("key"))))
+          .otherwise(array().cast("array<struct<pos:int,key:bigint>>")))
+          .as("__w"))
+      .select(col("__id"), col("__w.pos").as("__pos"), col("__w.key").as("__key"))
+
+  /** Merge a doc's SORTED repeated-window start positions into maximal
+    * spans: two windows at p < q belong to one contiguous repeated region
+    * iff q ≤ p + minLen (overlap or exact adjacency). O(n) per doc — each
+    * boundary test compares one neighbor, no quadratic membership scans.
+    * Returns (starts array, ends array) of window START positions; a
+    * span's last covered char is end + minLen − 1. */
+  private def spanBounds(ps: Column, minLen: Int): (Column, Column) = {
+    val n = size(ps)
+    val starts = filter(
+      transform(sequence(lit(0), n - 1), i =>
+        when(i === 0 ||
+          element_at(ps, i + 1) - element_at(ps, i) > minLen,
+          element_at(ps, i + 1))),
+      x => x.isNotNull)
+    val ends = filter(
+      transform(sequence(lit(0), n - 1), i =>
+        when(i === n - 1 ||
+          element_at(ps, i + 2) - element_at(ps, i + 1) > minLen,
+          element_at(ps, i + 1))),
+      x => x.isNotNull)
+    (starts, ends)
+  }
+
+  /** Exact cross-document repeated-substring spans — the substring-grain
+    * dedup detector of Lee, Ippolito et al. (ACL 2022, "Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed Spark-
+    * first: every repeated substring of length ≥ `minLen` contains a
+    * repeated window of length EXACTLY minLen, so stride-1 window keys +
+    * a corpus count + per-doc interval union find every maximal repeated
+    * region without a suffix array. Occurrences are counted CORPUS-WIDE
+    * (a doc repeating itself is a repeat).
+    *
+    * Scale shape: one tagged explode (window keys are 8-byte longs, not
+    * minLen-char strings — the shuffle carries ~8 bytes/char), one
+    * partial-agg count on the key, one co-partitioned semi-join back,
+    * and an O(positions) per-doc merge with no data-grain windows.
+    * Returns (idCol, span_start, span_end, span_len), 1-based inclusive
+    * character positions, ordered by (id, span_start). */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 40,
+      minCount: Long = 2L): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val wins = substringWindows(df, idCol, textCol, minLen)
+    val hot = wins.groupBy(col("__key"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("__key"))
+    val perDoc = wins.join(hot, Seq("__key"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__ps"))
+    val (starts, ends) = spanBounds(col("__ps"), minLen)
+    perDoc
+      .select(col("__id"), explode(arrays_zip(starts.as("s"), ends.as("e"))).as("__z"))
+      .select(col("__id").as(idCol),
+        col("__z.s").as("span_start"),
+        (col("__z.e") + minLen - 1).as("span_end"),
+        (col("__z.e") + minLen - col("__z.s")).as("span_len"))
+      .orderBy(idCol, "span_start")
+  }
+
+  /** Substring-grain dedup REMOVAL (the action to [[repeatedSpans]]'s
+    * audit): every window keeps its globally FIRST occurrence — the
+    * (id, pos) struct-min over each repeated key, the deterministic
+    * keep-first convention of the C4 line rule at substring grain — and
+    * every other occurrence is excised, with overlapping removable
+    * windows merged into maximal spans first. Rewriting is a pure
+    * per-row segment concat (no second corpus pass).
+    *
+    * Returns (idCol, text_clean, n_spans_removed, n_chars_removed) for
+    * EVERY input row (clean docs pass through). */
+  def removeRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 40,
+      minCount: Long = 2L): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val wins = substringWindows(df, idCol, textCol, minLen)
+    val hot = wins.groupBy(col("__key"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("__id"), col("__pos"))).as("__keep"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("__key"), col("__keep"))
+    val removable = wins.join(hot, Seq("__key"))
+      .filter(!(col("__id") === col("__keep.__id") &&
+        col("__pos") === col("__keep.__pos")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__ps"))
+    val (starts, ends) = spanBounds(col("__ps"), minLen)
+    val spans = removable.select(col("__id"),
+      starts.as("__ss"), transform(ends, e => e + minLen - 1).as("__es"))
+    // kept text = concat of the size(__ss)+1 gaps between consecutive
+    // spans (gap i runs from __es[i]+1 to __ss[i+1]−1, with sentinels 0
+    // and len+1); substr len is clamped at 0 so touching spans contribute
+    // empty segments
+    val base = df.select(col(idCol), col(textCol))
+    base
+      .join(spans, base(idCol) === spans("__id"), "left")
+      .select(col(idCol),
+        when(col("__ss").isNull, col(textCol)).otherwise(
+          concat_ws("",
+            transform(sequence(lit(0), size(col("__ss"))), i => {
+              val from = when(i === 0, lit(1))
+                .otherwise(element_at(col("__es"), i) + 1)
+              val until = when(i === size(col("__ss")),
+                length(col(textCol)) + 1)
+                .otherwise(element_at(col("__ss"), i + 1))
+              col(textCol).substr(from, greatest(until - from, lit(0)))
+            }))).as("text_clean"),
+        coalesce(size(col("__ss")), lit(0)).as("n_spans_removed"),
+        coalesce(
+          aggregate(
+            transform(sequence(lit(1), size(col("__ss"))), i =>
+              element_at(col("__es"), i) - element_at(col("__ss"), i) + 1),
+            lit(0), (acc, x) => acc + x),
+          lit(0)).as("n_chars_removed"))
+  }
 }

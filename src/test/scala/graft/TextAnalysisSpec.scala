@@ -968,4 +968,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[Double]("r_star") == 3.0)          // 3*N3/N2
     assert(out(2).isNullAt(out(2).fieldIndex("r_star")))   // N4 hole
   }
+
+  test("repeatedSpans: planted cross-doc duplicate found as one maximal span, clean docs silent") {
+    import spark.implicits._
+    val boiler = "0123456789ABCDEF" // 16 chars, minLen 8 -> 9 windows
+    val docs = Seq(
+      (1L, s"xxx${boiler}yyy"),
+      (2L, s"zz${boiler}qqqq"),
+      (3L, "completely unique text with no repeats at all here")).toDF("id", "text")
+    val out = TextAnalysis.repeatedSpans(docs, "id", "text", minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 1: boiler at chars 4..19; doc 2: at 3..18; doc 3: nothing
+    assert(out.toSeq == Seq((1L, 4, 19, 16), (2L, 3, 18, 16)), out.toSeq.toString)
+  }
+
+  test("repeatedSpans: within-doc self-repeat counts; overlapping windows merge to one span") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefgh--abcdefgh")).toDF("id", "text")
+    val out = TextAnalysis.repeatedSpans(docs, "id", "text", minLen = 8)
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1, 8), (11, 18)), out.toSeq.toString)
+  }
+
+  test("removeRepeatedSpans: keep-first excises later occurrences only; counts audit") {
+    import spark.implicits._
+    val boiler = "0123456789ABCDEF"
+    val docs = Seq(
+      (1L, s"xxx${boiler}yyy"),
+      (2L, s"zz${boiler}qqqq"),
+      (3L, "short")).toDF("id", "text")
+    val out = TextAnalysis.removeRepeatedSpans(docs, "id", "text", minLen = 8)
+      .orderBy("id").collect()
+    // doc 1 holds the global first occurrence of every boiler window -> intact
+    assert(out(0).getString(1) == s"xxx${boiler}yyy")
+    assert(out(0).getAs[Int]("n_spans_removed") == 0)
+    // doc 2's copy is excised whole
+    assert(out(1).getString(1) == "zzqqqq", out(1).getString(1))
+    assert(out(1).getAs[Int]("n_spans_removed") == 1)
+    assert(out(1).getAs[Int]("n_chars_removed") == 16)
+    // sub-minLen docs pass through untouched
+    assert(out(2).getString(1) == "short" && out(2).getAs[Int]("n_spans_removed") == 0)
+  }
 }
