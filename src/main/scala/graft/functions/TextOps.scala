@@ -863,6 +863,34 @@ object TextOps {
     clip
   }
 
+  /** ROUGE-L sufficient statistics per pair: [lcs, n_cand, n_ref] over
+    * WORD tokens (lowercase, split(" ", -1) — the [[wordNgrams]]
+    * tokenization, empty tokens kept). Token-level longest common
+    * subsequence by the classic two-row DP, O(m·n) ints per pair —
+    * row-local like [[gramClipStats]], so the corpus readout is a
+    * shuffle-free partial agg. */
+  def rougeLStats(cand: UTF8String, ref: UTF8String): ArrayData = {
+    val a = cand.toLowerCase.toString.split(" ", -1)
+    val b = ref.toLowerCase.toString.split(" ", -1)
+    val m = b.length
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 0
+    while (i < a.length) {
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (a(i) == b(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    new GenericArrayData(Array[Long](prev(m).toLong, a.length.toLong, b.length.toLong))
+  }
+
   private def clipTokens(c: Array[String], r: Array[String], n: Int): Long = {
     val nc = c.length - n + 1
     val nr = r.length - n + 1

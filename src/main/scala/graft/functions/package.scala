@@ -304,6 +304,14 @@ package object functions {
       Seq(cand, ref, GraftSql.column(Literal(minN)),
         GraftSql.column(Literal(maxN)), GraftSql.column(Literal(word))))
 
+  /** ROUGE-L per-pair stats — native [[TextOps.rougeLStats]]: flat longs
+    * [lcs, n_cand, n_ref] over word tokens (two-row DP, row-local). */
+  def rouge_l_stats(cand: Column, ref: Column): Column =
+    invoke(
+      "rougeLStats",
+      ArrayType(LongType, containsNull = false),
+      Seq(cand, ref))
+
   /** Packed winnowing gram sort keys (`md5_prefix36(char k-gram) * 2^24 +
     * 1-based pos`) — native [[TextOps.winnowGramKeys]]; see
     * [[graft.operators.TextAnalysis.winnowFingerprints]]. */

@@ -1976,6 +1976,99 @@ object TextAnalysis {
           .as("f1"))
   }
 
+  /** ROUGE-L (Lin 2004 §3.2) per candidate/reference pair — the
+    * SEQUENCE-grain member of the reference-based eval family beside
+    * [[rougeN]] (n-gram overlap) and [[chrF]] (character grain): the
+    * word-token longest common subsequence rewards in-order coverage
+    * without requiring contiguity. F uses the β = 1 micro identity
+    * 2·lcs/(m+n) — one division from exact longs, both engines
+    * bit-replay it (the published ROUGE-L F_β defaults to β → recall
+    * emphasis; β = 1 is the symmetric convention, documented).
+    *
+    * Row-local like the X360 clip kernel: the LCS DP runs per pair
+    * inside the scan (native two-row int DP), zero data-grain shuffle;
+    * the only shuffle is the id-grain grouping preserving the
+    * multi-row-per-id pooling [[rougeN]] documents (stats SUM across
+    * rows sharing an id before the ratios).
+    * Returns (idCol, lcs_len, n_cand, n_ref, precision, recall, f1). */
+  def rougeL(
+      pairs: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String): DataFrame = {
+    val joined = pairs
+      .select(col(idCol), rouge_l_stats(col(candCol), col(refCol)).as("__s"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(element_at(col("__s"), 1)).as("lcs_len"),
+        sum(element_at(col("__s"), 2)).as("n_cand"),
+        sum(element_at(col("__s"), 3)).as("n_ref"))
+    pairs
+      .select(col(idCol))
+      .join(joined, Seq(idCol), "left")
+      .na.fill(0L, Seq("lcs_len", "n_cand", "n_ref"))
+      .select(
+        col(idCol),
+        col("lcs_len"), col("n_cand"), col("n_ref"),
+        // UNROUNDED ratios: all three are single divisions of exact
+        // longs, identical bits on both engines — and 1/128-style values
+        // ARE decimal-half-way at 6 dp, where Spark HALF_UP and DuckDB
+        // half-even would split (the X294 lesson, hit preemptively here)
+        when(col("n_cand") > 0,
+          col("lcs_len").cast("double") / col("n_cand").cast("double"))
+          .as("precision"),
+        when(col("n_ref") > 0,
+          col("lcs_len").cast("double") / col("n_ref").cast("double"))
+          .as("recall"),
+        when(col("n_cand") + col("n_ref") > 0,
+          col("lcs_len").cast("double") * 2.0 /
+            (col("n_cand") + col("n_ref")).cast("double"))
+          .as("f1"))
+  }
+
+  /** Distinct-n diversity ratios (Li et al. 2016 "distinct" metrics; the
+    * Texygen generation-diversity readout): per gram order n = 1..maxN,
+    * distinct word n-grams / total word n-grams over the WHOLE corpus —
+    * the degenerate-generation detector (mode collapse drives d_n → 0)
+    * and the corpus-diversity twin of the per-doc repetition gates
+    * (T12/T17 measure within-doc repetition; this measures across).
+    *
+    * One tagged explode (a gram's token-array SIZE is its order — the
+    * corpusBleu trick), one (n, gram)-grain partial-agg distinct, one
+    * 2-level rollup; ratios are single divisions of exact longs.
+    * Returns one row per gram order with any grams (orders the whole
+    * corpus is too short for are absent):
+    * (n, n_total, n_distinct, distinct_ratio). */
+  def distinctNgrams(
+      df: DataFrame,
+      textCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val grams = df
+      .select(split(lower(col(textCol)), " ", -1).as("__toks"))
+      .select(
+        explode(flatten(transform(sequence(lit(1), lit(maxN)), n =>
+          when(size(col("__toks")) >= n,
+            transform(
+              sequence(lit(1), size(col("__toks")) - n + 1),
+              i => slice(col("__toks"), i, n)))
+            .otherwise(array().cast("array<array<string>>")))))
+          .as("__g"))
+    grams
+      .groupBy(size(col("__g")).as("n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("n"))
+      .agg(
+        sum(col("__c")).as("n_total"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("n"), col("n_total"), col("n_distinct"),
+        // UNROUNDED: both engines divide the same exact longs (the X294
+        // decimal-half-way lesson — identical bits need no round)
+        (col("n_distinct").cast("double") / col("n_total").cast("double"))
+          .as("distinct_ratio"))
+      .orderBy("n")
+  }
+
   /** Corpus chrF score (Popović 2015) — the CHARACTER-grain member of the
     * reference-based eval family beside [[rougeN]]/[[corpusBleu]] (robust
     * to tokenization and morphology — the standard MT metric alongside

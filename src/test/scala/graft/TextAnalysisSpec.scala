@@ -969,6 +969,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("r_star")))   // N4 hole
   }
 
+  test("rougeL: hand LCS values, order sensitivity, empty sides, exact F1 identity") {
+    import spark.implicits._
+    // "the cat sat" vs "the sat cat": LCS = 2 (the+cat or the+sat)
+    val pairs = Seq(
+      (1L, "the cat sat", "the sat cat"),
+      (2L, "a b c d", "a b c d"),
+      (3L, "x y", "p q r")).toDF("id", "cand", "ref")
+    val out = TextAnalysis.rougeL(pairs, "id", "cand", "ref")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("lcs_len") == 2L)
+    assert(out(0).getAs[Double]("f1") == 4.0 / 6.0)
+    assert(out(1).getAs[Long]("lcs_len") == 4L &&
+      out(1).getAs[Double]("f1") == 1.0)
+    assert(out(2).getAs[Long]("lcs_len") == 0L &&
+      out(2).getAs[Double]("f1") == 0.0)
+    // ROUGE-L rewards ORDER, unlike set overlap: permuted tokens score < 1
+    assert(out(0).getAs[Double]("f1") < 1.0)
+  }
+
+  test("distinctNgrams: hand ratios on a tiny corpus, short orders absent") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "a b").toDF("text")
+    val out = TextAnalysis.distinctNgrams(docs, "text", maxN = 4).collect()
+    // unigrams: 6 total {a,b} distinct -> 2/6; bigrams: 4 total ("a b"x2,
+    // "b a", "a b") -> wait: doc1 bigrams: ab, ba, ab; doc2: ab -> total 4,
+    // distinct {ab, ba} = 2; trigrams: doc1 only: aba, bab -> 2 total 2 distinct
+    assert(out.map(_.getAs[Int]("n")).toSeq == Seq(1, 2, 3, 4))
+    assert(out(0).getAs[Long]("n_total") == 6L && out(0).getAs[Long]("n_distinct") == 2L)
+    assert(out(1).getAs[Long]("n_total") == 4L && out(1).getAs[Long]("n_distinct") == 2L)
+    assert(out(2).getAs[Long]("n_total") == 2L && out(2).getAs[Long]("n_distinct") == 2L)
+    assert(out(3).getAs[Long]("n_total") == 1L) // one 4-gram from doc1
+    assert(out(0).getAs[Double]("distinct_ratio") == 2.0 / 6.0)
+    // corpus of one short doc: high orders absent entirely
+    val short = TextAnalysis.distinctNgrams(Seq("a b").toDF("text"), "text", maxN = 4)
+      .collect()
+    assert(short.map(_.getAs[Int]("n")).toSeq == Seq(1, 2))
+  }
+
   test("repeatedSpans: planted cross-doc duplicate found as one maximal span, clean docs silent") {
     import spark.implicits._
     val boiler = "0123456789ABCDEF" // 16 chars, minLen 8 -> 9 windows
