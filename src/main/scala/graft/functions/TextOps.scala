@@ -542,6 +542,35 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** 60-bit md5-prefix keys of ALL length-`len` code-point windows of
+    * `s` (element i = window starting at code point i, so position is the
+    * array index + 1) — the native hot path behind
+    * [[graft.operators.TextAnalysis.repeatedSpans]]: bit-identical to
+    * the SQL chain `('0x' || substr(md5(substr(s, p, len)), 1, 15))` (15
+    * hex chars = bytes 0–6 plus the high nibble of byte 7), but ONE
+    * codegen'd call per document with a reused digest instead of a
+    * per-window md5/substr/conv expression pipeline (measured ~10×: the
+    * hex-string round-trip dominated, not the hashing). Shorter-than-len
+    * docs return an empty array. */
+  def windowHashKeys(s: UTF8String, len: Int): ArrayData = {
+    val n = s.numChars() - len + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(s.substringSQL(i + 1, len).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard of two SORTED long arrays (single merge pass). */
   def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()

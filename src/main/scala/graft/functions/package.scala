@@ -312,6 +312,15 @@ package object functions {
       ArrayType(LongType, containsNull = false),
       Seq(cand, ref))
 
+  /** 60-bit md5-prefix keys of all length-`len` char windows (position =
+    * index + 1) — native [[TextOps.windowHashKeys]]; the repeatedSpans
+    * hot path, SQL twin `('0x' || substr(md5(substr(s,p,len)),1,15))`. */
+  def window_hash_keys(text: Column, len: Int): Column =
+    invoke(
+      "windowHashKeys",
+      ArrayType(LongType, containsNull = false),
+      Seq(text, GraftSql.column(Literal(len))))
+
   /** Packed winnowing gram sort keys (`md5_prefix36(char k-gram) * 2^24 +
     * 1-based pos`) — native [[TextOps.winnowGramKeys]]; see
     * [[graft.operators.TextAnalysis.winnowFingerprints]]. */

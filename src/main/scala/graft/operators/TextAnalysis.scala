@@ -2355,21 +2355,17 @@ object TextAnalysis {
     * hash idiom, widened 36 → 60 bits because stride-1 windows are ~25×
     * denser than winnowed prints; collision odds at 10⁹ windows are
     * ~4e-4 and each collision can only ADD a span edge, never corrupt
-    * counts structurally — documented, not verified per key). One tagged
-    * explode, codegen'd builtins only. */
+    * counts structurally — documented, not verified per key). One native
+    * codegen'd kernel call per document (r13 follow-up: the original
+    * per-window md5/substr/conv EXPRESSION pipeline spent ~10× the md5
+    * cost in hex-string round-trips — the winnowGramKeys lesson re-hit);
+    * bit-identical to the SQL twin, so the oracle is unchanged. */
   private def substringWindows(
       df: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
-    df.select(col(idCol).as("__id"), col(textCol).as("__t"))
-      .select(col("__id"),
-        explode(when(length(col("__t")) >= minLen,
-          transform(
-            sequence(lit(1), length(col("__t")) - (minLen - 1)),
-            p => struct(p.as("pos"),
-              conv(substring(md5(col("__t").substr(p, lit(minLen))
-                .cast("binary")), 1, 15), 16, 10).cast("long").as("key"))))
-          .otherwise(array().cast("array<struct<pos:int,key:bigint>>")))
-          .as("__w"))
-      .select(col("__id"), col("__w.pos").as("__pos"), col("__w.key").as("__key"))
+    df.select(col(idCol).as("__id"),
+        posexplode(window_hash_keys(col(textCol), minLen))
+          .as(Seq("__i", "__key")))
+      .select(col("__id"), (col("__i") + 1).as("__pos"), col("__key"))
 
   /** Merge a doc's SORTED repeated-window start positions into maximal
     * spans: two windows at p < q belong to one contiguous repeated region
@@ -2422,6 +2418,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
       .select(col("__key"))
+    // plain left_semi, deliberately: hot is small by construction (only
+    // repeated content), so AQE broadcasts it and the probe side never
+    // re-shuffles — a measured A/B showed the X306 bloom prefilter is a
+    // NET LOSS here (its build is an eager action that re-derives the
+    // hot aggregation: sf1 16.0 s plain vs 23.2 s bloomed, 18.5 s
+    // bloomed+pinned)
     val perDoc = wins.join(hot, Seq("__key"), "left_semi")
       .groupBy(col("__id"))
       .agg(sort_array(collect_set(col("__pos"))).as("__ps"))
@@ -2459,6 +2461,7 @@ object TextAnalysis {
         min(struct(col("__id"), col("__pos"))).as("__keep"))
       .filter(col("__cnt") >= minCount)
       .select(col("__key"), col("__keep"))
+    // plain broadcast-able inner join (see the repeatedSpans A/B note)
     val removable = wins.join(hot, Seq("__key"))
       .filter(!(col("__id") === col("__keep.__id") &&
         col("__pos") === col("__keep.__pos")))
