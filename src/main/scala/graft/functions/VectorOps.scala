@@ -55,6 +55,27 @@ object VectorOps {
     s
   }
 
+  /** Cosine between an `array<float>` vector and an `array<double>`
+    * centroid — the [[l2DistSqFD]] mixed-type discipline: the centroid
+    * stays DOUBLE (no float-cast drift vs a SQL twin holding the same
+    * doubles), left-to-right accumulation. */
+  def cosineSimFD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Same, for DoubleType arrays. */
   def cosineSimD(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

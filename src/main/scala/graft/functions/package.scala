@@ -424,6 +424,12 @@ package object functions {
   def cosine_sim_double(a: Column, b: Column): Column =
     invokeVec("cosineSimD", DoubleType, Seq(a, b))
 
+  /** Native cosine between an `array<float>` vector and an `array<double>`
+    * centroid — the l2_dist_sq mixed-type discipline (centroid doubles
+    * never float-cast, so a SQL twin holding the same doubles agrees). */
+  def cosine_sim_fd(vec: Column, centroid: Column): Column =
+    invokeVec("cosineSimFD", DoubleType, Seq(vec, centroid))
+
   /** Native one-pass squared L2 distance between an `array<float>` vector
     * and an `array<double>` centroid — the k-means assignment primitive. */
   def l2_dist_sq(vec: Column, centroid: Column): Column =

@@ -237,6 +237,54 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF serving path with PINNED centroids — the oracle-gateable twin of
+    * [[ivfTopK]] (whose Spark-ML KMeans fit is float-reduction-order
+    * nondeterministic), split exactly the way [[assignClusters]] splits
+    * assignment from fit: with centroids given (a prior fit, another
+    * system, config), cell ranking + probing + rerank are pure
+    * deterministic plan. Cells rank by cosine ROUNDED at `roundTo` dp
+    * with the lower cell id breaking ties (cross-engine-stable ordering,
+    * the assignClusters discipline); centroids stay DOUBLE end to end
+    * ([[graft.functions.cosine_sim_fd]]) so a SQL twin holding the same
+    * doubles computes on identical values. Corpus rows keep their 1 best
+    * cell; queries probe `nProbe` cells; candidates rerank by exact
+    * cosine. Same shape and knobs as ivfTopK otherwise. */
+  def ivfTopKPinned(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      nProbe: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid required")
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe must be in 1..${centroids.size}, got $nProbe")
+    val centLit = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.map(lit): _*).as("cv"))
+    }: _*)
+    def cellRanked(df: DataFrame, id: String, v: String, keep: Int): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v))
+        .withColumn("__cells",
+          slice(
+            array_sort(
+              transform(centLit, c =>
+                struct(
+                  (-round(cosine_sim_fd(col(v), c.getField("cv")), roundTo))
+                    .as("negSim"),
+                  c.getField("cell").as("cell")))),
+            1, keep))
+        .select(col(id), col(v), explode(col("__cells.cell")).as("cell"))
+    val cb = cellRanked(corpus, "vec_id2", "__v", 1)
+    val qb = broadcast(cellRanked(queries, "query_id", "__qv", nProbe))
+    val scored = cb.join(qb, Seq("cell"))
+      .filter(col("vec_id2") =!= col("query_id"))
+      .withColumn("sim", cosine_sim_float(col("__qv"), col("__v")))
+      .select("query_id", "vec_id2", "sim")
+    topKPerQuery(scored, k)
+  }
+
   /** Scalar-quantized ANN (the SQ8 pattern from FAISS's public docs): corpus
     * vectors compress to one int8 per dimension — 4x smaller than float32
     * through memory and every shuffle — using per-dimension [min, max]

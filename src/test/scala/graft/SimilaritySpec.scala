@@ -305,6 +305,37 @@ class SimilaritySpec extends SparkSpec {
     assert(pcs.map(_(1)).toSeq == Seq(0.5, -0.5, -0.5, 0.5))
   }
 
+  test("ivfTopKPinned: probed-cell candidates only, partition-invariant, recall<1 by design") {
+    import spark.implicits._
+    // 2-d toy space, 2 pinned centroids on the axes: vectors cluster by
+    // dominant coordinate
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val rows = Seq(
+      (0L, Array(1.0f, 0.1f)), (1L, Array(0.9f, 0.2f)), (2L, Array(0.8f, 0.05f)),
+      (10L, Array(0.1f, 1.0f)), (11L, Array(0.2f, 0.9f)))
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val q = df.filter($"vec_id" === 0L)
+    // nProbe=1: only cell-0 members are candidates — 10/11 invisible even
+    // though their exact cosine is computable (the IVF recall contract)
+    val got1 = Similarity.ivfTopKPinned(df, q, "vec_id", "embedding",
+        k = 4, centroids = cents, nProbe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got1 == Set(1L, 2L), got1.toString)
+    // nProbe=2 probes both cells: full candidate set
+    val got2 = Similarity.ivfTopKPinned(df, q, "vec_id", "embedding",
+        k = 4, centroids = cents, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 2L, 10L, 11L), got2.toString)
+    // partitioning-invariant (pinned centroids, rounded cell ranking)
+    val got7 = Similarity.ivfTopKPinned(df.repartition(7), q, "vec_id", "embedding",
+        k = 4, centroids = cents, nProbe = 1)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getInt(3)))
+    val base = Similarity.ivfTopKPinned(df, q, "vec_id", "embedding",
+        k = 4, centroids = cents, nProbe = 1)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got7.toSeq == base.toSeq)
+  }
+
   test("pcaFitReplay: recovers planted axes, partition-invariant, sweep-deterministic") {
     // same planted anisotropic data as the pcaFit spec: big variance along
     // e0, small along e1, none along e2/e3
