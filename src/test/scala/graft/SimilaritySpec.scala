@@ -270,6 +270,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pcaFit at production width: 64-d low-rank recall@10 is perfect") {
+    // The 64-d tolerance-adaptive path q_pca_ann used to exercise before
+    // its r14 pinned-rotation rescope: 80 vectors in an exact rank-4
+    // subspace of 64-d, so PCA-4 reduced Euclidean top-10 must equal the
+    // full-space top-10 for every probe (ties broken by id both sides).
+    val rnd = new scala.util.Random(7)
+    val basis = Array.fill(4, 64)(rnd.nextGaussian())
+    val rows = (0 until 80).map { i =>
+      val c = Array.tabulate(4)(j => rnd.nextGaussian() * (4.0 - j))
+      val v = Array.tabulate(64)(d =>
+        (0 until 4).map(j => c(j) * basis(j)(d)).sum.toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(5)
+    val m = Similarity.pcaFit(df, "embedding", dim = 64, k = 4)
+    assert(m.explainedVariance(4) > 0.999999, "rank-4 data must be fully explained")
+    val red = Similarity.pcaProjectAll(df, "embedding", m, roundTo = 9)
+    def top10(vals: Array[(Long, Array[Double])], q: Long): Seq[Long] = {
+      val qv = vals.find(_._1 == q).get._2
+      vals.filter(_._1 != q).sortBy { case (id, v) =>
+        (v.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum, id)
+      }.take(10).map(_._1).toSeq
+    }
+    val fullV = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val redV = red.select("vec_id", "pcs").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    (0L to 7L).foreach { q =>
+      val t = top10(fullV, q).toSet
+      val r = top10(redV, q).toSet
+      assert(t.intersect(r).size == 10, s"recall@10 of probe $q must be 1.0")
+    }
+  }
+
   test("jacobiEigen: exact decomposition of a known symmetric matrix") {
     val (evals, evecs) = Similarity.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
