@@ -597,6 +597,30 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
   }
 
+  test("kTruss on a planted hub-star: wedge work is orientation-bounded") {
+    import graft.operators.Graph
+    // 1 hub (node 0) with 10k spokes + a K5 on 100001..100005: the r13
+    // verdict's skew scenario. The hub has degree 10 000 but oriented
+    // OUT-degree 0 (every spoke-hub edge points spoke→hub under the
+    // (degree, id) order), so the star contributes ZERO wedge rows —
+    // the unoriented formulation would have built 10k × 10k of them.
+    val spokes = (1L to 10000L).map(i => (0L, i))
+    val k5 = (for { i <- 1 to 5; j <- i + 1 to 5 }
+      yield (100000L + i, 100000L + j)).toSeq
+    val e = (spokes ++ k5).toDF("s", "d").repartition(8)
+    // direct evidence of the bound: the oriented star has no wedges
+    val star = spokes.toDF("s", "d")
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+    val o = Graph.orientEdges(star)
+    val wedges = o.select(col("u").as("x"), col("v").as("y"))
+      .join(o.select(col("u").as("y"), col("v").as("z")), "y")
+    assert(wedges.count() == 0L, "oriented star must produce no wedge rows")
+    // end-to-end: K5 survives k=4 with support 3 per edge; all star edges peel
+    val t4 = Graph.kTruss(e, "s", "d", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t4 == k5.map { case (a, b) => (a, b, 3L) }.toSet)
+  }
+
   test("assortativity: star is -1, regular ring is NULL") {
     import graft.operators.Graph
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
