@@ -68,23 +68,30 @@ object Spatial {
     *                   cell lose those candidates, so use it as an
     *                   explicit density contract, not a tuning knob.
     *                   Default None: exact, every pair.
-    * @param hotCellLimit the DEFAULT scale guard (r12 verdict task 3): when
-    *                   `maxCell` is None (no drop contract), the plan
-    *                   carries a declarative hot-cell assertion — a cell
-    *                   count partial agg over `points`, broadcast back, and
-    *                   a per-row `assert_true` that RAISES with the
-    *                   offending cell and its measured count the moment any
-    *                   cell exceeds this limit. A 10k-point cell already
-    *                   contributes ~10⁸ in-cell candidate pairs (the same
-    *                   hazard line [[FuzzyMatch.phoneticBlockJoin]]'s
-    *                   maxBlock declares), so past it a default-configured
-    *                   call should fail loudly, not silently go quadratic
-    *                   at 100× density. Cost: one extra cell-count pass
-    *                   over `points` (its agg output is #cells, tiny).
-    *                   Accept the density explicitly by raising the limit,
-    *                   disabling with <= 0, or declaring drops via
-    *                   `maxCell` (which bounds cells outright, so the
-    *                   assertion is unnecessary and skipped).
+    * @param hotCellLimit the FLOOR of the default scale guard (r12 verdict
+    *                   task 3, made scale-adaptive in r14): when `maxCell`
+    *                   is None (no drop contract), the plan carries a
+    *                   declarative hot-cell assertion — a cell-count
+    *                   partial agg over `points`, broadcast back, and a
+    *                   per-row `assert_true` that RAISES with the
+    *                   offending cell and its measured count the moment
+    *                   any cell exceeds the EFFECTIVE limit
+    *                   max(hotCellLimit, 8·√N), N = total points. The √N
+    *                   term is the blowup criterion, not a magic number: a
+    *                   cell of B points contributes B² in-cell candidate
+    *                   pairs, so B > 8·√N means the quadratic term alone
+    *                   exceeds 64× the linear scan work — a genuine
+    *                   skew/density hazard at any scale — while a large
+    *                   but PROPORTIONALLY dense workload (city-scale data
+    *                   with a big radius, where every cell holds ~N/cells
+    *                   points) keeps clearing the guard as N grows. The
+    *                   absolute floor keeps small inputs from tripping on
+    *                   noise. Cost: one extra cell-count pass over
+    *                   `points` (its agg output is #cells, tiny).
+    *                   Accept a density explicitly by raising the floor,
+    *                   disable with <= 0, or declare drops via `maxCell`
+    *                   (which bounds cells outright, so the assertion is
+    *                   unnecessary and skipped).
     */
   def radiusJoin(
       probe: DataFrame,
@@ -120,14 +127,22 @@ object Spatial {
     val capped = maxCell.fold(bucketed0)(m =>
       Relational.capGroupSize(bucketed0, Seq("__clat", "__clon"), m))
     // Default hot-cell guard: assert (declaratively, inside the plan — no
-    // driver-side action) that no cell exceeds hotCellLimit points before
-    // the 3×3 join fans out. The hot table is empty in the healthy case,
-    // so the broadcast left join costs a hash probe per point row.
+    // driver-side action) that no cell exceeds max(hotCellLimit, 8·√N)
+    // points before the 3×3 join fans out. The hot table is empty in the
+    // healthy case, so the broadcast left join costs a hash probe per row.
     val bucketed = if (maxCell.isEmpty && hotCellLimit > 0) {
-      val hot = bucketed0
+      val cellCounts = bucketed0
         .groupBy(col("__clat"), col("__clon"))
         .agg(count(lit(1)).as("__cellN"))
-        .filter(col("__cellN") > hotCellLimit)
+      // effective limit = max(floor, 8·√N): only cells whose quadratic
+      // pair term dwarfs the linear scan work raise (see scaladoc) — a
+      // 1-row total broadcast, so the adaptivity costs one tiny agg
+      val tot = cellCounts.agg(sum(col("__cellN")).as("__totN"))
+      val hot = cellCounts
+        .crossJoin(broadcast(tot))
+        .filter(col("__cellN").cast("double") >
+          greatest(lit(hotCellLimit.toDouble),
+            lit(8.0) * sqrt(col("__totN").cast("double"))))
         .withColumnRenamed("__clat", "__hlat")
         .withColumnRenamed("__clon", "__hlon")
       capped
@@ -139,11 +154,12 @@ object Spatial {
           concat(
             lit("radiusJoin: grid cell ("), col("__hlat"), lit(", "),
             col("__hlon"), lit(") holds "), col("__cellN"),
-            lit(s" points > hotCellLimit=$hotCellLimit — a cell this dense " +
-              "contributes O(B²) candidate pairs; raise hotCellLimit to " +
-              "accept the density explicitly, or set maxCell to drop hot " +
-              "cells whole"))).isNull)
-        .drop("__hlat", "__hlon", "__cellN")
+            lit(" of "), col("__totN"),
+            lit(s" points > max(hotCellLimit=$hotCellLimit, 8*sqrt(N)) — a " +
+              "cell this dense contributes O(B²) candidate pairs; raise " +
+              "hotCellLimit to accept the density explicitly, or set " +
+              "maxCell to drop hot cells whole"))).isNull)
+        .drop("__hlat", "__hlon", "__cellN", "__totN")
     } else capped
 
     val (qLat, qLon) = cellOf(probe.col(probeLat), probe.col(probeLon))

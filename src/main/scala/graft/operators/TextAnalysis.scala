@@ -1929,14 +1929,23 @@ object TextAnalysis {
     * the text-eval family next to the reference-free quality gates (T8,
     * T38): how much of the reference's word-`n`-gram multiset does the
     * candidate recover? Everything is exact rational until one 6-dp round:
-    * overlap = Σ_g min(c_cand, c_ref) from a co-partitioned full-outer join
-    * of the two per-(pair, gram) count tables; recall = overlap/n_ref,
-    * precision = overlap/n_cand, and F1 uses the EXACT micro identity
-    * 2·overlap/(n_cand + n_ref) (algebraically equal to 2PR/(P+R), but a
-    * single division both engines replay bit-for-bit). Gram explosion is
-    * corpus-grain and partial-aggregated — the T16/T17 scale shape; pairs
-    * with an empty side surface as zero counts with NULL scores, not
-    * dropped rows. */
+    * each input ROW is one candidate/reference pair, the row-local
+    * [[graft.functions.gram_clip_stats]] kernel computes its clipped
+    * overlap Σ_g min(c_cand, c_ref) plus both totals inside the scan, and
+    * recall = overlap/n_ref, precision = overlap/n_cand, F1 the EXACT
+    * micro identity 2·overlap/(n_cand + n_ref) (algebraically 2PR/(P+R),
+    * but a single division both engines replay bit-for-bit).
+    *
+    * GRAIN CONTRACT (changed r13, documented r14): CLIPPING IS PER INPUT
+    * ROW. When several rows share an id, their per-row (clip, cand, ref)
+    * stats SUM before the ratios — the micro-average of the rows as
+    * independent pairs. That is a sum of mins, always ≤ the pre-r13
+    * behavior (pool each id's gram counts across rows, then clip — a min
+    * of sums); split a candidate across rows and matches cannot cross the
+    * row boundary. Feed one row per pair when the pair is the unit.
+    * Pairs with an empty side surface as zero counts with NULL scores,
+    * not dropped rows; no data-grain shuffle survives — the only shuffle
+    * is the id-grain stat aggregate. */
   def rougeN(
       pairs: DataFrame,
       idCol: String,
@@ -1945,9 +1954,9 @@ object TextAnalysis {
       n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     // Row-local clipping via the native kernel (see chrF's plan-shape
-    // note); the only remaining shuffle is the id-grain aggregate that
-    // preserves the documented multi-row-per-id semantics (counts pool
-    // across rows sharing an id; clipping itself stays per input row).
+    // note); the only remaining shuffle is the id-grain aggregate summing
+    // the per-row CLIPPED stats (the documented grain contract: clip per
+    // row, then micro-average rows sharing an id — NOT pool-then-clip).
     val joined = pairs
       .select(col(idCol),
         gram_clip_stats(col(candCol), col(refCol), n, n, word = true)
@@ -1987,9 +1996,9 @@ object TextAnalysis {
     *
     * Row-local like the X360 clip kernel: the LCS DP runs per pair
     * inside the scan (native two-row int DP), zero data-grain shuffle;
-    * the only shuffle is the id-grain grouping preserving the
-    * multi-row-per-id pooling [[rougeN]] documents (stats SUM across
-    * rows sharing an id before the ratios).
+    * the only shuffle is the id-grain grouping under [[rougeN]]'s grain
+    * contract (per-row stats SUM across rows sharing an id before the
+    * ratios — the LCS itself never crosses a row boundary).
     * Returns (idCol, lcs_len, n_cand, n_ref, precision, recall, f1). */
   def rougeL(
       pairs: DataFrame,
@@ -2089,8 +2098,10 @@ object TextAnalysis {
     * and the corpus readout is ONE shuffle-free partial aggregate of exact
     * longs. This replaces the r12 (pair, gram)-grain explode → hash-agg →
     * full-outer-join pipeline, whose shuffle carried a near-unique skinny
-    * row per gram OCCURRENCE (≈2·maxN× the corpus bytes); sums of longs
-    * reassociate freely, so the readout is bit-identical. Pairs with a
+    * row per gram OCCURRENCE (≈2·maxN× the corpus bytes); clipping is per
+    * input ROW ([[rougeN]]'s grain contract — the published corpus metric
+    * when each row is one pair; a pair split across rows clips per row,
+    * ≤ the r12 pool-then-clip value for duplicate ids). Pairs with a
     * NULL side contribute zero counts (and still count in n_pairs).
     * Returns one row: (n_pairs, f1..fmaxN, chrf). */
   def chrF(
@@ -2148,7 +2159,9 @@ object TextAnalysis {
     * `TextOps.wordNgrams`: lowercase, split(" ", -1)), and the corpus
     * readout is ONE shuffle-free partial aggregate of exact longs. The
     * token totals c_len/r_len ARE the order-1 gram counts, so no separate
-    * length pass either. A gram order with zero candidate grams
+    * length pass either. Clipping is per input ROW ([[rougeN]]'s grain
+    * contract — exactly sacrebleu's corpus_bleu when each row is one
+    * segment pair). A gram order with zero candidate grams
     * corpus-wide reads p_n = NULL (the prior per-n empty-aggregate
     * behavior), keeping the degenerate-corpus readout unchanged. */
   def corpusBleu(
@@ -2375,16 +2388,22 @@ object TextAnalysis {
     * span's last covered char is end + minLen − 1. */
   private def spanBounds(ps: Column, minLen: Int): (Column, Column) = {
     val n = size(ps)
+    // boundary indices are CLAMPED into [1, n] (greatest/least) rather
+    // than dodged via Or short-circuit: the clamped reads are discarded
+    // by the boundary disjunct, but no out-of-range index is ever
+    // CONSTRUCTED, so the expressions stay safe under any evaluation
+    // order / operand-reordering refactor (ANSI element_at raises on
+    // invalid indices)
     val starts = filter(
       transform(sequence(lit(0), n - 1), i =>
         when(i === 0 ||
-          element_at(ps, i + 1) - element_at(ps, i) > minLen,
+          element_at(ps, i + 1) - element_at(ps, greatest(i, lit(1))) > minLen,
           element_at(ps, i + 1))),
       x => x.isNotNull)
     val ends = filter(
       transform(sequence(lit(0), n - 1), i =>
         when(i === n - 1 ||
-          element_at(ps, i + 2) - element_at(ps, i + 1) > minLen,
+          element_at(ps, least(i + 2, n)) - element_at(ps, i + 1) > minLen,
           element_at(ps, i + 1))),
       x => x.isNotNull)
     (starts, ends)

@@ -583,27 +583,38 @@ class SpatialSpec extends SparkSpec {
     assert(rows.length == 4, s"expected the 4 sparse pairs, got ${rows.length}")
   }
 
-  test("radiusJoin: default hot-cell guard raises on a planted dense cell, with the count") {
+  test("radiusJoin: adaptive hot-cell guard raises on a planted dense cell, with the count") {
     import spark.implicits._
-    val dense = (1L to 50L).map(i => (i, 0.001 * i, 0.001 * i))
-    val sparse = Seq((100L, 30.0, 30.0), (101L, 30.1, 30.1))
+    // 1000 points piled into one grid cell + 2 sparse ones: the cell
+    // clears BOTH guard terms (1000 > floor 10 and > 8·√1002 ≈ 253)
+    val dense = (1L to 1000L).map(i => (i, 0.0001 * i, 0.0001 * i))
+    val sparse = Seq((10000L, 30.0, 30.0), (10001L, 30.1, 30.1))
     val pts = (dense ++ sparse).toDF("id", "lat", "lon")
     val probe = (dense ++ sparse).toDF("pid", "plat", "plon")
-    // default limit (10k) far above the planted 50: passes exactly
+    // default floor (10k) far above the planted 1000: passes exactly
     assert(Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0)
-      .count() == 2504L)
-    // a limit below the dense cell RAISES (fails loudly instead of silently
-    // fanning out), and the message carries the measured cell count
+      .count() == 1000000L + 4L)
+    // a floor below the dense cell RAISES (fails loudly instead of
+    // silently fanning out), and the message carries the measured count
     val e = intercept[Exception] {
       Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0,
         hotCellLimit = 10L).count()
     }
     val msg = Option(e.getMessage).getOrElse("") +
       Option(e.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("hotCellLimit") && msg.contains("50"), msg.take(300))
+    assert(msg.contains("hotCellLimit") && msg.contains("1000"), msg.take(300))
+    // ADAPTIVE side (r14): a 50-point cell in a 52-point corpus is merely
+    // proportional density — under 8·√52 ≈ 58 — so even a floor of 10
+    // does NOT raise; the guard scales with the corpus instead of
+    // breaking healthy dense workloads at a fixed count
+    val dense50 = (1L to 50L).map(i => (i, 0.001 * i, 0.001 * i))
+    val pts50 = (dense50 ++ sparse).toDF("id", "lat", "lon")
+    val probe50 = (dense50 ++ sparse).toDF("pid", "plat", "plon")
+    assert(Spatial.radiusJoin(probe50, pts50, "plat", "plon", "lat", "lon", 100.0,
+      hotCellLimit = 10L).count() == 2504L)
     // guard off (<= 0) or an explicit maxCell contract: no raise
     assert(Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0,
-      hotCellLimit = 0L).count() == 2504L)
+      hotCellLimit = 0L).count() == 1000000L + 4L)
     assert(Spatial.radiusJoin(probe, pts, "plat", "plon", "lat", "lon", 100.0,
       maxCell = Some(10L), hotCellLimit = 10L).count() == 4L)
     // consumers thread the knob: dbscan raises on the same planted cell
