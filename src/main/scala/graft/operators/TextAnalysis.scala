@@ -2437,6 +2437,26 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
       .select(col("__key"))
+    repeatedSpansFrom(df, idCol, textCol, hot, minLen)
+  }
+
+  /** Span assembly against an externally supplied hot-key table (first
+    * column = the minLen-window hash keys of [[repeatedSpans]]; any other
+    * columns ignored) — the serving half of [[repeatedSpans]], split out
+    * (r14) so the corpus-wide key count, the ONLY stateful part of the
+    * Lee-et-al shape, can also arrive from a streaming complete-mode
+    * aggregate (the S-family sketch-cube discipline) or a precomputed
+    * corpus index, while the per-doc interval union stays one shared
+    * batch tail. */
+  def repeatedSpansFrom(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      hotKeys: DataFrame,
+      minLen: Int = 40): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val wins = substringWindows(df, idCol, textCol, minLen)
+    val hot = hotKeys.select(col(hotKeys.columns.head).as("__key"))
     // plain left_semi, deliberately: hot is small by construction (only
     // repeated content), so AQE broadcasts it and the probe side never
     // re-shuffles — a measured A/B showed the X306 bloom prefilter is a
