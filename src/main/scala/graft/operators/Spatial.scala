@@ -135,8 +135,10 @@ object Spatial {
         .groupBy(col("__clat"), col("__clon"))
         .agg(count(lit(1)).as("__cellN"))
       // effective limit = max(floor, 8·√N): only cells whose quadratic
-      // pair term dwarfs the linear scan work raise (see scaladoc) — a
-      // 1-row total broadcast, so the adaptivity costs one tiny agg
+      // pair term dwarfs the linear scan work raise (see scaladoc) — the
+      // total rides as the repo-standard 1-row broadcast scalar combine
+      // (shows as the plan's single BroadcastNestedLoopJoin; PlanSpec
+      // pins exactly one, so data-join degradation still fails loudly)
       val tot = cellCounts.agg(sum(col("__cellN")).as("__totN"))
       val hot = cellCounts
         .crossJoin(broadcast(tot))

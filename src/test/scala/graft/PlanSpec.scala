@@ -520,7 +520,15 @@ class PlanSpec extends SparkSpec {
   test("spatial radius join is a grid equi-join — no cartesian, no nested loop") {
     val p = plan(SparkEntry.queries("q_spatial_join")(spark, sf))
     assert(!p.contains("CartesianProduct"), s"radius join fell back to cartesian:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"radius join lost its cell keys:\n$p")
+    // exactly ONE nested-loop join is expected: the r14 adaptive
+    // hot-cell guard's 1-row total-count scalar combine (the
+    // repo-standard broadcast-scalar idiom). A second one means the
+    // DATA join lost its cell keys.
+    // formatted plans print each node twice (tree + detail section):
+    // count the "(N) BroadcastNestedLoopJoin" detail headers, one per node
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(bnlj <= 1, s"radius join lost its cell keys:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell-key equi-join missing:\n$p")
   }
 
   test("item-item cosine broadcasts item counts, neighbors on native top-k") {
