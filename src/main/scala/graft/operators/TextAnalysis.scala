@@ -1159,6 +1159,198 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Unigram-LM subword tokenizer model — `pieces` rows are
+    * (piece, raw count, quantized log-prob floor(ln(max(c,1)/T)·1e6+0.5)),
+    * sorted by piece. */
+  final case class UnigramModel(pieces: Seq[(String, Long, Long)]) {
+    lazy val logProb: Map[String, Long] =
+      pieces.map { case (p, _, q) => p -> q }.toMap
+    def maxPieceLen: Int = pieces.iterator.map(_._1.length).max
+  }
+
+  /** REAL unigram-LM subword tokenizer trainer — the probabilistic
+    * alternative to [[trainBpeMerges]]'s greedy merges (Kudo 2018,
+    * SentencePiece's unigram mode), in its deterministic VITERBI hard-EM
+    * variant (documented divergence from the paper's forward–backward
+    * soft EM; hard EM keeps every quantity an exact long, which is what
+    * makes the trainer engine-replayable): seed the vocabulary with the
+    * corpus's most frequent substrings (length ≤ `maxPieceLen`, top
+    * `seedSize` by (occurrence-weight desc, piece asc), every single
+    * character always kept for coverage), then for a FIXED `rounds`
+    * schedule (the fixed-schedule-Jacobi discipline) re-segment every
+    * dictionary word by Viterbi under quantized piece log-probs
+    * L = floor(ln(max(c,1)/T)·1e6+0.5) (the X240/DSIR quantization — one
+    * exact-long division feeds ln, so both engines see identical
+    * doubles), re-count pieces on the best paths, and prune to the top
+    * `vocabSize` (chars always kept). Viterbi ties break to the LONGER
+    * last piece, then recursively — a total order both engines replay.
+    *
+    * Scale shape = the BPE contract: ONE corpus-scale job (the word
+    * count, partial-aggregated and capped to `maxVocab` BEFORE
+    * collection); the EM loop runs driver-side over the word DICTIONARY
+    * (vocabulary-scale — Heaps' law, not corpus-scale) and the model
+    * broadcasts back for encoding. */
+  def trainUnigramLm(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int = 40,
+      seedSize: Int = 120,
+      maxPieceLen: Int = 6,
+      rounds: Int = 3,
+      maxVocab: Int = 1 << 20,
+      minWordCount: Long = 1): UnigramModel = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(seedSize >= vocabSize, s"need seedSize >= vocabSize, got ($seedSize, $vocabSize)")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = collectWordDict(df, textCol, maxVocab, minWordCount)
+    val chars: Seq[String] =
+      words.flatMap(_._1.split("")).filter(_.nonEmpty).distinct.sorted
+    val seedCounts = new java.util.HashMap[String, Long]()
+    words.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          seedCounts.merge(w.substring(i, i + l), n, (a, b) => a + b)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    // top `keep` by (count desc, piece asc); single chars always kept
+    def prune(counts: java.util.HashMap[String, Long], keep: Int): Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val top = counts.asScala.toSeq.sortBy { case (p, c) => (-c, p) }.take(keep)
+      val topSet = top.map(_._1).toSet
+      val extra = chars.filterNot(topSet)
+        .map(c => (c, counts.getOrDefault(c, 0L)))
+      (top ++ extra).sortBy(_._1)
+    }
+    def quantize(vocab: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val t = vocab.iterator.map { case (_, c) => math.max(c, 1L) }.sum
+      vocab.map { case (p, c) =>
+        val eff = math.max(c, 1L)
+        (p, c,
+          math.floor(math.log(eff.toDouble / t.toDouble) * 1e6 + 0.5).toLong)
+      }
+    }
+    var vocab = prune(seedCounts, seedSize)
+    var r = 0
+    while (r < rounds) {
+      val lp = quantize(vocab).map { case (p, _, q) => p -> q }.toMap
+      val newCounts = new java.util.HashMap[String, Long]()
+      words.foreach { case (w, n) =>
+        unigramViterbi(w, lp, maxPieceLen)
+          .foreach(p => newCounts.merge(p, n, (a, b) => a + b))
+      }
+      vocab = prune(newCounts, vocabSize)
+      r += 1
+    }
+    UnigramModel(quantize(vocab))
+  }
+
+  /** The one corpus-scale job shared by the BPE and unigram trainers:
+    * word → count, partial-aggregated, capped to the `maxVocab` head
+    * under the (count desc, word asc) total order BEFORE anything
+    * reaches the driver. */
+  private def collectWordDict(
+      df: DataFrame,
+      textCol: String,
+      maxVocab: Int,
+      minWordCount: Long): Array[(String, Long)] =
+    df.select(explode(split(col(textCol), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minWordCount)
+      .orderBy(col("__n").desc, col("__w").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** Viterbi segmentation of one word under quantized piece log-probs:
+    * best[j] = max over piece lengths l of best[j−l] + L(w[j−l..j]);
+    * ties prefer the LONGER last piece. Single characters are always in
+    * the vocabulary, so a path always exists. */
+  private def unigramViterbi(
+      w: String, lp: Map[String, Long], maxPieceLen: Int): List[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Long.MinValue / 4)
+    best(0) = 0L
+    val ptr = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= maxPieceLen && l <= j) {
+        lp.get(w.substring(j - l, j)) match {
+          case Some(q) =>
+            val s = best(j - l) + q
+            if (s > best(j) || (s == best(j) && l > ptr(j))) {
+              best(j) = s; ptr(j) = l
+            }
+          case None => ()
+        }
+        l += 1
+      }
+      j += 1
+    }
+    var out = List.empty[String]
+    var k = n
+    while (k > 0) { out = w.substring(k - ptr(k), k) :: out; k -= ptr(k) }
+    out
+  }
+
+  /** Encode a corpus with a trained [[UnigramModel]]: the df's DISTINCT
+    * words segment driver-side (vocabulary-scale, the BPE bound
+    * contract — cap upstream if the corpus vocabulary outgrows the
+    * driver) and the word → pieces map broadcasts back into the
+    * position-tagged token stream; documents reassemble with ONE
+    * groupBy(id) via the deterministic sort_array(collect_list(struct))
+    * form. Words containing characters the model never saw fall back to
+    * per-character pieces (unknown chars score as themselves — coverage
+    * never throws). Returns (idCol, n_pieces, pieces_head — first 8
+    * pieces space-joined); docs with no words report (0, ''). */
+  def unigramEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: UnigramModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lp = model.logProb
+    val maxL = model.maxPieceLen
+    val toks = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+    val distinctWords = toks.select(col("__w")).distinct()
+      .collect().map(_.getString(0))
+    val seg = distinctWords.toSeq.map { w =>
+      // unseen chars: extend the map so the char scores as itself —
+      // deterministic full coverage without smoothing gymnastics
+      val lpw =
+        if (w.forall(c => lp.contains(c.toString))) lp
+        else lp ++ w.map(_.toString).filterNot(lp.contains).map(_ -> -30000000L)
+      (w, unigramViterbi(w, lpw, maxL))
+    }
+    val segDf = broadcast(seg.toDF("__w", "__pieces"))
+    val joined = toks.join(segDf, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(size(col("__pieces"))).cast("long").as("n_pieces"),
+        array_join(
+          slice(flatten(transform(
+            sort_array(collect_list(struct(col("__pos"), col("__pieces")))),
+            x => x.getField("__pieces"))), 1, 8), " ").as("pieces_head"))
+    df.select(col(idCol))
+      .join(joined, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("pieces_head"), lit("")).as("pieces_head"))
+      .orderBy(idCol)
+  }
+
   /** Corpus-level boilerplate-line removal (the CCNet/C4 "common line"
     * filter): a line occurring in at least `minDocs` DISTINCT documents is
     * boilerplate (headers, footers, cookie banners, nav chrome) and is
