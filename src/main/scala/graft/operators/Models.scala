@@ -269,15 +269,25 @@ object Models {
       col(valueCol).cast("double").as("__v") +:
         col(idCol).cast("string").as("__id") +:
         binCols.map(f => col(f).cast("long").as(f)): _*)
-    val fits = (1 to bags).map { b =>
-      val sub = base.filter(
-        Sampling.hashBucket(concat(col("__id"), lit(s"#bag$b")), 100) < samplePct)
-      val cands = stumpBest(sub, col("__v"), binCols).collect()
-      require(cands.nonEmpty, s"bag $b has no split candidate (constant features?)")
-      val r = cands.head
-      (b, r.getAs[String]("feature"), r.getAs[Long]("bin"),
-        r.getAs[Long]("nl"), r.getAs[Long]("nt"),
-        r.getAs[Long]("sl"), r.getAs[Long]("st"))
+    // the bag fits are INDEPENDENT argmax jobs over disjoint hash
+    // subsamples — submit them concurrently (guide §2.6: each fit's tail
+    // otherwise leaves the cluster idle between the sequential collects;
+    // r14). Exact-integer argmaxes on fixed subsamples are deterministic,
+    // so concurrency cannot change a split.
+    val fits = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((1 to bags).map { b => Future {
+        val sub = base.filter(
+          Sampling.hashBucket(concat(col("__id"), lit(s"#bag$b")), 100) < samplePct)
+        val cands = stumpBest(sub, col("__v"), binCols).collect()
+        require(cands.nonEmpty, s"bag $b has no split candidate (constant features?)")
+        val r = cands.head
+        (b, r.getAs[String]("feature"), r.getAs[Long]("bin"),
+          r.getAs[Long]("nl"), r.getAs[Long]("nt"),
+          r.getAs[Long]("sl"), r.getAs[Long]("st"))
+      } }), Duration.Inf)
     }
     val preds = fits.map { case (_, feat, split, nl, nt, sl, st) =>
       val ml = sl.toDouble / 1e6 / nl.toDouble
@@ -806,7 +816,13 @@ object Models {
     require(addK > 0, s"addK must be > 0, got $addK")
     val tt = TextAnalysis.lmTokens(
       train.select(col(classCol).as("__cls"), col(textCol)), textCol, minLen)
+    // (class, token) counts are the model's ONLY corpus-scale aggregate;
+    // classTotals, vocab and the grid all re-derive it, so materialize the
+    // post-aggregation table once (lazy, vocab×class-bounded) instead of
+    // re-tokenizing the training corpus per consumer (r14: q_naive_bayes
+    // carried 74 Exchanges from the duplicated tokenize+count subtree)
     val ct = tt.groupBy(col("__cls"), col("__tok")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
     val classTotals = ct.groupBy(col("__cls")).agg(sum(col("__c")).as("__nc"))
     val vocab = ct.select(col("__tok")).distinct()
     val vtot = vocab.agg(count(lit(1)).as("__v"))
@@ -839,20 +855,36 @@ object Models {
       oov: DataFrame,
       minLen: Int = 1,
       broadcastModel: Boolean = true): DataFrame = {
-    def bc(m: DataFrame) = if (broadcastModel) broadcast(m) else m
-    // vocab membership rides the same broadcastModel escape hatch as the
-    // model join: at n-gram-scale vocabs an unconditional broadcast here
-    // would OOM exactly where the flag is meant to help.
-    val vocab = model.select(col("__tok")).distinct().withColumn("__in", lit(1))
     val toks = TextAnalysis.lmTokens(df.select(col(idCol), col(textCol)), textCol, minLen)
-      .join(bc(vocab), Seq("__tok"), "left")
-    val known = toks.filter(col("__in").isNotNull)
-      .join(bc(model), Seq("__tok"))
-      .select(col(idCol), col("__cls"), col("__lpq").as("__q"))
-    val unknown = toks.filter(col("__in").isNull)
-      .crossJoin(broadcast(oov))
-      .select(col(idCol), col("__cls"), col("__oq").as("__q"))
-    known.unionByName(unknown)
+    if (broadcastModel) {
+      // ONE pass over the tokenized corpus (r14; was a vocab-membership
+      // join + a known/unknown SPLIT that scanned+tokenized the corpus
+      // twice and unioned): the model is the COMPLETE vocab × class grid,
+      // so fanning every token out to the |C| classes (oov doubles as the
+      // class table) and left-joining the grid leaves exactly the OOV
+      // (token, class) rows null — coalesce to the per-class OOV score.
+      // Value-identical to the split-and-union by the grid-completeness
+      // invariant; both joins are broadcast, so nothing shuffles.
+      toks
+        .crossJoin(broadcast(oov))
+        .join(broadcast(model), Seq("__tok", "__cls"), "left")
+        .select(col(idCol), col("__cls"), coalesce(col("__lpq"), col("__oq")).as("__q"))
+    } else {
+      // n-gram-scale vocab regime (model too big to broadcast): keep the
+      // token-keyed split — the grid join above would carry |C|× the token
+      // rows into the model exchange, while this shape shuffles each token
+      // once (the vocab-membership join routes OOV tokens to the tiny
+      // broadcast OOV table)
+      val vocab = model.select(col("__tok")).distinct().withColumn("__in", lit(1))
+      val tagged = toks.join(vocab, Seq("__tok"), "left")
+      val known = tagged.filter(col("__in").isNotNull)
+        .join(model, Seq("__tok"))
+        .select(col(idCol), col("__cls"), col("__lpq").as("__q"))
+      val unknown = tagged.filter(col("__in").isNull)
+        .crossJoin(broadcast(oov))
+        .select(col(idCol), col("__cls"), col("__oq").as("__q"))
+      known.unionByName(unknown)
+    }
   }
 
   /** The batch readout over accumulated (idCol, __cls, __sq) partials:

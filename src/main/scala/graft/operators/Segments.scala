@@ -31,6 +31,23 @@ object Segments {
       metricCol: String,
       scoreCol: String,
       buckets: Int = 5,
+      descending: Boolean = false): DataFrame =
+    df.join(
+      broadcast(ecdfScoreMap(df, metricCol, scoreCol, buckets, descending)),
+      Seq(metricCol))
+
+  /** The metric → score mapping behind [[ecdfScore]] (one row per DISTINCT
+    * metric value), exposed so a caller scoring several metrics of the SAME
+    * frame can derive every map from one shared input and attach them with
+    * broadcast joins, instead of chaining ecdfScore calls whose histograms
+    * re-derive the whole upstream per metric (r14: q_rfm's chained fold
+    * carried 138 Exchanges; scoring off one materialized aggregate carries
+    * 4). */
+  def ecdfScoreMap(
+      df: DataFrame,
+      metricCol: String,
+      scoreCol: String,
+      buckets: Int = 5,
       descending: Boolean = false): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val hist = df.groupBy(col(metricCol)).agg(count(lit(1)).as("__c"))
@@ -44,9 +61,7 @@ object Segments {
     // ulp of the wrong integer because everything stays integral
     val asc = floor((lit(buckets.toLong) * cum + n - lit(1L)) / n).cast("int")
     val score = if (descending) lit(buckets + 1) - asc else asc
-    df.join(
-      broadcast(cdf.select(col(metricCol), score.as(scoreCol))),
-      Seq(metricCol))
+    cdf.select(col(metricCol), score.as(scoreCol))
   }
 
   /** Full RFM readout from an order log: per entity, recency (days since
@@ -72,12 +87,23 @@ object Segments {
       .crossJoin(broadcast(asOf))
       .withColumn("recency_days", datediff(col("__as_of"), col("__last")).cast("long"))
       .drop("__as_of", "__last")
+    // materialize the entity aggregate once (lazy, inside this query's own
+    // execution): all three score maps AND the probe side read it, and a
+    // chained ecdfScore fold re-derived the whole orders aggregate per
+    // histogram (r14: 138 Exchanges → 4). Entity grain, so holding it is
+    // bounded by the entity count, not the order log.
+    val entities = perEntity.localCheckpoint(false)
+    // score maps derive from the SAME frame (attached score columns never
+    // change a metric's value multiset, so scoring from `entities` is
+    // value-identical to the old chained fold)
     val scored = Seq(
       ("recency_days", "r_score", true),
       ("frequency", "f_score", false),
       ("monetary_cents", "m_score", false))
-      .foldLeft(perEntity) { case (acc, (m, s, desc)) =>
-        ecdfScore(acc, m, s, buckets = 5, descending = desc)
+      .foldLeft(entities) { case (acc, (m, s, desc)) =>
+        acc.join(
+          broadcast(ecdfScoreMap(entities, m, s, buckets = 5, descending = desc)),
+          Seq(m))
       }
     scored.withColumn(
       "rfm",

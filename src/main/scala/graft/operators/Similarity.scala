@@ -394,7 +394,15 @@ object Similarity {
     val sample = fitSample(corpus.select(col(vecCol)), maxFitRows).localCheckpoint(true)
     implicit val dOrd: Ordering[Double] = Ordering.Double.TotalOrdering
     import scala.math.Ordering.Implicits.seqOrdering
-    val cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+    // the m subspace fits are INDEPENDENT jobs over the same checkpointed
+    // sample — submit them concurrently (guide §2.6: actions are only
+    // sequential because driver code calls them sequentially; each fit's
+    // tail otherwise leaves the cluster idle). Seeded KMeans on identical
+    // data is deterministic, so concurrency cannot change a codeword.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = (0 until m).map { s => Future {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val training = sample.select(
@@ -408,7 +416,9 @@ object Similarity {
         s"subspace $s fit ${model.clusterCenters.length} codewords, need $codes " +
           "(corpus sample has too few distinct sub-vectors)")
       model.clusterCenters.map(_.toArray).sortBy(_.toSeq)
-    }
+    } }
+    val cents: Array[Array[Array[Double]]] =
+      Await.result(Future.sequence(fits), Duration.Inf).toArray
     pqSearch(corpus, queries, idCol, vecCol, k, rerank, cents)
   }
 

@@ -1419,13 +1419,11 @@ object Sketches {
       trainBuckets: Int = 6,
       calibBuckets: Int = 2,
       numBuckets: Int = 10): DataFrame = {
-    val (model, nTrain, nCal, qhat) =
-      conformalFit(df, idCol, groupCols, valueCol, alpha,
+    // share the fit's materialized bucketing pass instead of re-hashing
+    // the corpus for the test slice (r14)
+    val (model, nTrain, nCal, qhat, base) =
+      conformalFitBase(df, idCol, groupCols, valueCol, alpha,
         trainBuckets, calibBuckets, numBuckets)
-    val v = col(valueCol).cast("double")
-    val base = df.select(groupCols.map(col) :+ v.as("__v") :+
-      (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % numBuckets).as("__b"): _*)
     val test = base.filter(col("__b") >= trainBuckets + calibBuckets)
       .join(broadcast(model), groupCols, "inner")
       .withColumn("__r", abs(col("__v") - col("__yhat")))
@@ -1460,14 +1458,36 @@ object Sketches {
       trainBuckets: Int = 6,
       calibBuckets: Int = 2,
       numBuckets: Int = 10): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (model, nTrain, nCal, qhat, _) = conformalFitBase(
+      df, idCol, groupCols, valueCol, alpha, trainBuckets, calibBuckets, numBuckets)
+    (model, nTrain, nCal, qhat)
+  }
+
+  /** [[conformalFit]] plus the materialized bucketed base projection
+    * (groupCols, __v, __b) as a 5th element, so [[splitConformal]]'s test
+    * slice reads the same single pass (r14). */
+  private def conformalFitBase(
+      df: DataFrame,
+      idCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      alpha: Double,
+      trainBuckets: Int,
+      calibBuckets: Int,
+      numBuckets: Int): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     require(trainBuckets >= 1 && calibBuckets >= 1 &&
       trainBuckets + calibBuckets < numBuckets,
       "need at least one train, one calibration and one test bucket")
     val v = col(valueCol).cast("double")
+    // the md5 bucketing pass feeds model, n_train, calibration and (via
+    // [[splitConformal]]) the test slice — materialize the narrow
+    // projection once (lazy; r14: the chained derivations re-hashed the
+    // corpus ~6×, 28 Exchanges on q_conformal)
     val base = df.select(groupCols.map(col) :+ v.as("__v") :+
       (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
         .cast("long") % numBuckets).as("__b"): _*)
+      .localCheckpoint(false)
     val model = base.filter(col("__b") < trainBuckets)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__tn"),
@@ -1475,11 +1495,14 @@ object Sketches {
       .withColumn("__yhat", col("__tq").cast("double") / 1000000.0 / col("__tn").cast("double"))
       .select(groupCols.map(col) :+ col("__yhat"): _*)
     val nTrain = base.filter(col("__b") < trainBuckets).agg(count(lit(1)).as("n_train"))
+    // calibration residuals feed both the count and the rank pass (whose
+    // RDD-based numbering cannot reuse exchanges) — materialize once
     val calib = base.filter(col("__b") >= trainBuckets &&
         col("__b") < trainBuckets + calibBuckets)
       .join(broadcast(model), groupCols, "inner")
       .withColumn("__r", abs(col("__v") - col("__yhat")))
       .select(col("__r"))
+      .localCheckpoint(false)
     val nCal = calib.agg(count(lit(1)).as("n_calib"))
     // 0-based rank of the ⌈(n_cal+1)(1−α)⌉-th smallest residual
     val ranked = graft.operators.Relational.globalRowNumbers(
@@ -1488,7 +1511,7 @@ object Sketches {
       .filter(col("__rn") ===
         ceil((col("n_calib").cast("double") + 1.0) * lit(1.0 - alpha)).cast("long") - 1L)
       .select(col("__r").as("__qhat"))
-    (model, nTrain, nCal, qhat)
+    (model, nTrain, nCal, qhat, base)
   }
 
   /** Difference-in-differences readout (Card–Krueger design) — the
@@ -2097,9 +2120,13 @@ object Sketches {
       valueCol: String,
       weightCol: String): DataFrame = {
     val keys = keyCols.map(col)
+    // the (key, value) weight histogram feeds the prefix pass AND the
+    // per-key totals — materialize it once (lazy, distinct-value-bounded;
+    // r14: the totals leg re-aggregated the corpus)
     val hist = df
       .groupBy(keys :+ col(valueCol).cast("long").as("__v"): _*)
       .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .localCheckpoint(false)
     // keyed two-pass prefix (X145): a low-cardinality key column must not
     // serialize its whole histogram onto one task
     val cum =

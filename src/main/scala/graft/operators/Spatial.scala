@@ -259,9 +259,17 @@ object Spatial {
       col(idCol).as("__pid"), col(latCol).as("__plat"), col(lonCol).as("__plon"))
     val pts = df.select(
       col(idCol).as("__qid"), col(latCol).as("__qlat"), col(lonCol).as("__qlon"))
+    // materialize the ε-pair list ONCE (lazy, inside this query's own
+    // execution): cores, coreEdges and border all re-derive `pairs`, and
+    // without this the grid radius join — the expensive corpus-scale step
+    // — re-executes per consumer (r14 measured: the q_dbscan plan carried
+    // 72 Exchanges from the duplicated subtree). The pair list is
+    // output-sized (bounded by the hot-cell guard), so holding it is the
+    // cheap side of the trade at any scale.
     val pairs = radiusJoin(probe, pts, "__plat", "__plon", "__qlat", "__qlon",
       epsKm, maxAbsLat, maxCell = maxCell, hotCellLimit = hotCellLimit)
       .select(col("__pid"), col("__qid"))
+      .localCheckpoint(false)
     val cores = pairs.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__ncnt"))
       .filter(col("__ncnt") >= minPts)
@@ -272,10 +280,12 @@ object Spatial {
       .filter(col("__pid") < col("__qid"))
       .select(col("__pid").as("u"), col("__qid").as("v"))
     val comp = Graph.connectedComponents(coreEdges, "u", "v")
+    // node-count-sized and read twice (border assignment + final labeling)
     val coreLabel = cores
       .join(comp, cores("__core") === comp("id"), "left")
       .select(col("__core"),
         coalesce(col("component"), col("__core").cast("long")).as("__cl"))
+      .localCheckpoint(false)
     val border = pairs
       .join(coreLabel.withColumnRenamed("__core", "__qid"), Seq("__qid"))
       .join(cores.withColumnRenamed("__core", "__pid"), Seq("__pid"), "left_anti")

@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the (doc, word) count table shuffles ONCE and
   * checkpoints; each round is (a) one broadcast join of the V×K
-  * word-topic table + one co-partitioned (d, z) join of the doc-topic
-  * table, (b) a (d, w) window for the posterior denominator, (c) two
-  * partial aggregates (V×K and D×K grains). The doc-topic state NEVER
+  * word-topic table (folded to z-ordered k-vectors per word) + one
+  * co-partitioned join of the doc-topic k-vectors on d alone (r14: the
+  * former (d, z) join shuffled the token-type rows k-fanned, and the
+  * posterior denominator cost a (d, w) window — both are now per-row
+  * array folds over the k-vectors, same integer ops in the same order),
+  * (b) two partial aggregates (V×K and D×K grains) off the positionally
+  * re-exploded posterior arrays. The doc-topic state NEVER
   * collects — it stays sharded by doc (D×K rows), which is what makes
   * this run at corpus scale; only the vocabulary-sized word-topic table
   * broadcasts. Long-sum bound: corpus tokens × 1e8 must stay under 2^63
@@ -90,27 +94,49 @@ object Topics {
       .select(col("d"), col("z"), rdiv(col("b0") * scale, col("__t")).as("b"))
       .localCheckpoint(true)
     val nVocab = lit(vocab.count()) // bounded: vocabulary-scale scalar
+    // E-step in ARRAY form (r14): the states fold to one z-ordered
+    // k-vector per word / per doc, so each round joins `counts` ONCE on d
+    // (un-fanned — the (d, z) equi-join shuffled k× the token-type rows)
+    // and the posterior denominator is a per-row array fold instead of a
+    // (d, w) window (one more k-fanned shuffle, now gone). All arithmetic
+    // is the SAME integer ops in the same per-(d,w,z) order — u = a·b,
+    // den = Σ_z u, rz = rdiv(u·s2, den) — so the fit is bit-identical;
+    // the M-step below re-derives the row grain by posexplode (position
+    // IS the topic id, arrays being z-sorted).
+    def zArr(df: DataFrame, keyC: String, valC: String): DataFrame =
+      df.groupBy(col(keyC)).agg(
+        transform(
+          array_sort(collect_list(struct(col("z"), col(valC)))),
+          p => p.getField(valC)).as("__vs"))
     var r = 0
     while (r < rounds) {
+      val wa = zArr(wordTopic, "w", "a").withColumnRenamed("__vs", "__as")
+      val db = zArr(docTopic, "d", "b").withColumnRenamed("__vs", "__bs")
       val e = counts
-        .join(broadcast(wordTopic), "w")
-        .join(docTopic, Seq("d", "z"))
-        .withColumn("u", col("a") * col("b"))
-        .withColumn("den", sum(col("u")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("d"), col("w"))))
-        .withColumn("rz",
-          when(col("den") > 0, rdiv(col("u") * s2, col("den")))
-            .otherwise(rdiv(lit(s2), lit(k.toLong))))
-        .withColumn("c", col("n") * col("rz"))
+        .join(broadcast(wa), "w")
+        .join(db, "d")
+        .withColumn("u", zip_with(col("__as"), col("__bs"), (a, b) => a * b))
+        .withColumn("den", aggregate(col("u"), lit(0L), (acc, x) => acc + x))
+        .withColumn("c",
+          when(col("den") > 0,
+            transform(col("u"), x => col("n") * rdiv(x * s2, col("den"))))
+            .otherwise(array_repeat(col("n") * rdiv(lit(s2), lit(k.toLong)), k)))
+        .select(col("d"), col("w"), col("c"))
         .localCheckpoint(true)
-      val nw = e.groupBy(col("z"), col("w")).agg(sum(col("c")).as("nw"))
+      val nw = e
+        .select(col("w"), posexplode(col("c")).as(Seq("z", "__c")))
+        .groupBy(col("z").cast("long").as("z"), col("w"))
+        .agg(sum(col("__c")).as("nw"))
       val dz = nw.groupBy(col("z")).agg(sum(col("nw")).as("dzv"))
       wordTopic = nw.join(dz, "z")
         .select(col("z"), col("w"),
           when(col("dzv") > 0, rdiv(col("nw") * scale, col("dzv")))
             .otherwise(rdiv(lit(scale), nVocab)).as("a"))
         .localCheckpoint(true)
-      val nd = e.groupBy(col("d"), col("z")).agg(sum(col("c")).as("nd"))
+      val nd = e
+        .select(col("d"), posexplode(col("c")).as(Seq("z", "__c")))
+        .groupBy(col("d"), col("z").cast("long").as("z"))
+        .agg(sum(col("__c")).as("nd"))
       val ndTot = nd.groupBy(col("d")).agg(sum(col("nd")).as("__t"))
       docTopic = nd.join(ndTot, "d")
         .select(col("d"), col("z"),
