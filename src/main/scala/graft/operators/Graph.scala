@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Iterative graph analytics as repeated co-partitioned joins — the
   * "iterate a join + partial agg to a fixed point" family
@@ -9,6 +10,13 @@ import org.apache.spark.sql.functions._
   * one).
   */
 object Graph {
+
+  /** Edge-count bound under which [[connectedComponents]] finishes the
+    * star-contraction fixpoint with one driver-side union-find instead of
+    * more distributed rounds (≤ ~32 MB collected; an absolute bound, so
+    * the escape can never collect a data-sized set — graphs above it keep
+    * contracting distributed until they fit). */
+  private val DriverFinishEdges = 2000000L
 
   /** Fixed-iteration PageRank (Brin & Page 1998, the classic
     * `0.15 + 0.85 · Σ rank(u)/outdeg(u)` form) over a DIRECTED edge list —
@@ -250,7 +258,8 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      driverFinishEdges: Long = DriverFinishEdges): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     // checkpoint the projected input ONCE — nodes and the working edge set
     // both derive from it, and without this the caller's (possibly
@@ -268,15 +277,71 @@ object Graph {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    val diag = edges.sparkSession.conf.get("spark.graft.diag", "false").toBoolean
     var prev = fingerprint(e)
     var converged = e.isEmpty
     var iter = 0
     while (iter < maxIter && !converged) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val cur = fingerprint(e)
-      converged = cur == prev
-      prev = cur
-      iter += 1
+      // DRIVER FINISH (r14): once the contracted edge set fits a fixed
+      // absolute bound (the count is free — the convergence fingerprint
+      // already measures it), stop scheduling distributed star rounds and
+      // close the fixpoint with one bounded union-find on the driver.
+      // Star contraction shrinks most graphs to near component count in
+      // 1–2 rounds, then spends the LONG TAIL of rounds (measured: 10
+      // rounds of ~0.45 s pure scheduling on a 15k-edge residue at sf0.1)
+      // relabeling toward the global min — exactly the regime where a
+      // single task's worth of work is being paid for as cluster rounds.
+      // The collect is ≤ DriverFinishEdges rows by construction (never
+      // data-sized — larger graphs keep contracting distributed), and
+      // min-root union-find yields the identical star forest the loop's
+      // own fixpoint produces, so labels are bit-identical at any scale.
+      if (prev._1 <= driverFinishEdges) {
+        val t0 = System.nanoTime()
+        val parent = new java.util.HashMap[Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r).longValue != r) r = parent.get(r).longValue
+          var c = x
+          while (parent.get(c).longValue != r) {
+            val n = parent.get(c).longValue; parent.put(c, r); c = n
+          }
+          r
+        }
+        e.select(col("u"), col("v")).collect().foreach { row =>
+          val u = row.getLong(0); val v = row.getLong(1)
+          if (!parent.containsKey(u)) parent.put(u, u)
+          if (!parent.containsKey(v)) parent.put(v, v)
+          val ru = find(u); val rv = find(v)
+          // link the larger root under the smaller: roots stay component minima
+          if (ru < rv) parent.put(rv, ru)
+          else if (rv < ru) parent.put(ru, rv)
+        }
+        val spark = edges.sparkSession
+        val starRows = new scala.collection.mutable.ArrayBuffer[Row](parent.size())
+        val it = parent.keySet().iterator()
+        while (it.hasNext) {
+          val x = it.next(); val r = find(x)
+          if (r != x) starRows += Row(x, r)
+        }
+        val schema = StructType(Seq(
+          StructField("u", LongType, nullable = false),
+          StructField("v", LongType, nullable = false)))
+        e = spark.createDataFrame(
+          spark.sparkContext.parallelize(starRows.toSeq, 1), schema)
+        converged = true
+        if (diag) System.err.println(
+          f"[connectedComponents] driver-finish edges=${prev._1} " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } else {
+        val t0 = System.nanoTime()
+        e = smallStar(largeStar(e)).localCheckpoint(true)
+        val cur = fingerprint(e)
+        converged = cur == prev
+        prev = cur
+        iter += 1
+        if (diag) System.err.println(
+          f"[connectedComponents] round=$iter edges=${cur._1} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     if (!converged)
       throw new IllegalStateException(

@@ -751,11 +751,27 @@ class AnalyticsSpec extends SparkSpec {
   test("connectedComponents: 200-node chain converges in O(log n) rounds") {
     import graft.operators.Graph
     // diameter 200 — naive min-label needs 200 rounds; star contraction
-    // must land well inside 15
+    // must land well inside 15. driverFinishEdges = 0 pins the DISTRIBUTED
+    // path (the r14 driver-finish escape would close this size instantly)
     val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("u", "v")
-    val labels = Graph.connectedComponents(chain, "u", "v", maxIter = 15)
+    val labels = Graph.connectedComponents(chain, "u", "v", maxIter = 15,
+        driverFinishEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length == 200 && labels.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: driver-finish escape equals the distributed fixpoint") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(21)
+    // chains + blobs + self-loops so both paths cross several rounds
+    val edges = (Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)) ++
+      (100L until 140L).sliding(2).map(s => (s(0), s(1)))).toDF("u", "v")
+    val viaEscape = Graph.connectedComponents(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRounds = Graph.connectedComponents(edges, "u", "v",
+        driverFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaEscape == viaRounds)
   }
 
   test("bfsHops: hand-computed hop distances, hop bound, unreachable absent") {
