@@ -21,30 +21,29 @@ object Scratch {
       df.write.format("noop").mode("overwrite").save()
 
     // warm codegen
-    noop(SparkEntry.queries("q_spatial_clusters")(spark, "/root/testdata/sf0.001"))
+    noop(SparkEntry.queries("q_hits")(spark, "/root/testdata/sf0.001"))
 
-    val cust = Tables.customer(spark, d).select(
-      col("c_custkey"),
-      ((col("c_custkey").cast("long") * 7919L % 12000L) / 100.0 - 60.0).as("c_lat"),
-      ((col("c_custkey").cast("long") * 104729L % 36000L) / 100.0 - 180.0).as("c_lon"))
-    val probe = Tables.customer(spark, d).select(
-      col("c_custkey").as("c_custkey2"),
-      ((col("c_custkey").cast("long") * 7919L % 12000L) / 100.0 - 60.0).as("c_lat2"),
-      ((col("c_custkey").cast("long") * 104729L % 36000L) / 100.0 - 180.0).as("c_lon2"))
-    def pairs = Spatial.radiusJoin(probe, cust, "c_lat2", "c_lon2",
-        "c_lat", "c_lon", radiusKm = 300.0, maxAbsLat = 60.0)
-      .filter(col("c_custkey2") < col("c_custkey"))
-      .select(col("c_custkey2").as("u"), col("c_custkey").as("v"))
-    time("spatial: radius join pairs only")(noop(pairs))
-    time("spatial: radius join pairs again")(noop(pairs))
-    time("spatial: CC over pairs") {
-      noop(Graph.connectedComponents(pairs, "u", "v"))
+    time("hits: string ids (current query)") {
+      noop(SparkEntry.queries("q_hits")(spark, d))
     }
-    time("spatial: full q_spatial_clusters") {
-      noop(SparkEntry.queries("q_spatial_clusters")(spark, d))
+    // long-id variant: same graph, ids encoded 2k / 2k+1; decode at the end
+    val eL = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") * 2L).as("u"),
+        (col("l_partkey") * 2L + 1L).as("v"))
+    time("hits: long ids + decode") {
+      val out = Graph.hits(eL, "u", "v", iterations = 3)
+        .select(
+          when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2).cast("long").cast("string")))
+            .otherwise(concat(lit("p"), ((col("node") - 1) / 2).cast("long").cast("string"))).as("node"),
+          col("hub"), col("authority"))
+        .orderBy("node")
+      noop(out)
     }
-    time("dbscan: full q_dbscan") {
-      noop(SparkEntry.queries("q_dbscan")(spark, d))
+    time("hits: string ids again") {
+      noop(SparkEntry.queries("q_hits")(spark, d))
     }
     spark.stop()
   }
